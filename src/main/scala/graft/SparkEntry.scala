@@ -1,13 +1,931 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.FuzzyDedup
+import graft.model.Schemas
+import graft.multimodal.Multimodal
+import graft.ops._
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/**
+ * Driver contract: one `queries` entry (+ DuckDB `oracleSql` where the
+ * semantics are ANSI-SQL-expressible) per implemented operator from
+ * SURVEY.md §2, plus the beyond-reference training-data-pipeline operators
+ * (dedup / similarity / text / multimodal).
+ *
+ * Determinism rules used throughout (SURVEY §7.3):
+ *  - ordered first/last via min_by/max_by on a unique-per-group ordering
+ *    column (event ts is unique per event_type even at µs precision);
+ *  - floating aggregates rounded on BOTH sides (r6 for avgs/stddevs, r2 for
+ *    large sums) so partial-aggregation order cannot flip the hash compare;
+ *  - integer-valued doubles (l_quantity) and long sums (user_id) are exact
+ *    in any summation order and stay unrounded;
+ *  - DuckDB regexp_replace always gets the 'g' flag (Spark's is global by
+ *    default);
+ *  - events.ts is nanosecond parquet: Spark reads nanosAsLong and truncates
+ *    to µs (Ingest.events); every oracle reference is CAST(ts AS TIMESTAMP)
+ *    which truncates identically.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def r6(c: Column): Column = round(c, 6)
+  private def r4(c: Column): Column = round(c, 4)
+  private def r2(c: Column): Column = round(c, 2)
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    Ingest.table(s, dir, name)
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Ingest.events(s, dir)
+
+  /** DuckDB-side equivalent of the µs-truncated event time. */
+  private val TS = "CAST(ts AS TIMESTAMP)"
+
+  // ---------------------------------------------------------------- scans
+
+  private def qScanParquet(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+
+  /** S1+S7 CSV roundtrip: parquet -> raw-zone CSV -> schema'd CSV scan.
+    * Exercises the reference's landing-zone shape (header CSV, explicit
+    * schema, no inference). Doubles survive: Spark writes round-trip-exact
+    * representations. */
+  private def qScanCsv(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_csv_roundtrip/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = ev(s, dir).select(col("event_id"), col("event_type"),
+      col("user_id"), col("value"))
+    Ingest.writeCsv(src, path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    Ingest.readCsv(s, path, schema)
+  }
+
+  // --------------------------------------------- projections/filters/casts
+
+  private def qProjectAlias(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(
+      col("l_orderkey").as("okey"),
+      col("l_linenumber").as("line_no"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+
+  private def qProjectDrop(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).drop("props")
+
+  private def qCast(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(
+      col("l_orderkey").cast(StringType).as("okey_str"),
+      col("l_quantity").cast(IntegerType).as("qty_int"),
+      col("l_shipdate").cast(DateType).as("ship_date"))
+
+  private def qFilterNotNull(s: SparkSession, dir: String): DataFrame =
+    Clean.filterNotNull(ev(s, dir), Seq("event_type", "value", "ts"))
+      .select("event_id", "event_type", "value")
+
+  private def qFilterRange(s: SparkSession, dir: String): DataFrame =
+    Clean.qualityCounts(ev(s, dir),
+      nonPositive = col("value") <= 0,
+      future = col("ts") > lit("2024-01-16 00:00:00").cast(TimestampType))
+
+  private def qProjectSubset(s: SparkSession, dir: String): DataFrame =
+    Clean.subset(tbl(s, dir, "orders"),
+      Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+
+  private def qStructExtract(s: SparkSession, dir: String): DataFrame =
+    TimeWindows.flattenWindow(
+      ev(s, dir).groupBy(col("event_type"),
+          window(col("ts"), "15 minutes").as("window"))
+        .agg(count(lit(1)).as("n_events")))
+      .select("event_type", "window_start", "window_end", "n_events")
+
+  // ---------------------------------------------------------- aggregations
+
+  private def qAggAvgStddevSum(s: SparkSession, dir: String): DataFrame =
+    TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"), width = "15 minutes"))
+      .select(col("event_type"), col("window_start"),
+        r6(col("ma")).as("ma"), r6(col("volatility")).as("volatility"),
+        col("volume_sum"), col("n_events"))
+
+  /** Flagship (A2): OHLC-style multi-aggregate per (key, 15-min window). */
+  private def qAggOhlcWindow(s: SparkSession, dir: String): DataFrame =
+    TimeWindows.flattenWindow(
+      TimeWindows.ohlcWindow(ev(s, dir), "event_type", "ts", "value",
+        "15 minutes"))
+      .select(col("event_type"), col("window_start"), col("window_end"),
+        col("first_ts"), col("last_ts"), col("open"), col("high"),
+        col("low"), col("close"), r6(col("avg_value")).as("avg_value"),
+        r6(col("volatility")).as("volatility"), col("n_events"),
+        r4(col("value_sum")).as("value_sum"))
+
+  private def qAggDailyOhlcv(s: SparkSession, dir: String): DataFrame =
+    TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"))
+      .withColumn("daily_change", r4(col("daily_change")))
+
+  private def qCount(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+
+  private def qDupCheck(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupCheck(ev(s, dir), Seq("user_id"))
+
+  private def qDistinctCount(s: SparkSession, dir: String): DataFrame =
+    Dedup.distinctCounts(tbl(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_partkey", "l_suppkey"))
+
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Dedup.approxDistinct(tbl(s, dir, "lineitem"),
+      Seq("l_partkey", "l_orderkey"))
+
+  private def qDedupKeepLast(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepLast(ev(s, dir), keys = Seq("user_id"),
+        order = Seq("ts", "event_id"))
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** TPC-H Q1-shaped pricing summary — the canonical scan-filter-agg
+    * benchmark shape (filter pushes to parquet, map-side partial agg). */
+  private def qTpchQ1(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        r6(avg(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  // ----------------------------------------------------------------- joins
+
+  private def slidingMetrics(s: SparkSession, dir: String, width: String,
+                             slide: String): DataFrame =
+    TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"), width = width, slide = Some(slide)))
+
+  /** J1 (faithful): equi-join of the 15m and 1h sliding aggregates on
+    * (key, window_start) — matches only where both grids align, exactly as
+    * the reference does. */
+  private def qJoinInner(s: SparkSession, dir: String): DataFrame = {
+    val m15 = slidingMetrics(s, dir, "15 minutes", "5 minutes")
+      .select(col("event_type"), col("window_start"),
+        r6(col("ma")).as("ma_15m"), r6(col("volatility")).as("volatility_15m"),
+        col("n_events").as("n_15m"))
+    val h1 = slidingMetrics(s, dir, "1 hour", "10 minutes")
+      .select(col("event_type"), col("window_start"),
+        r6(col("ma")).as("ma_1h"), col("n_events").as("n_1h"))
+    Combine.joinOnWindowStart(m15, h1, "event_type")
+  }
+
+  /** Multiway star join: lineitem x orders x customer x nation x region ->
+    * revenue per nation. nation/region broadcast; AQE handles the rest. */
+  private def qJoinMultiway(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+
+  /** J4: MERGE upsert as anti-join + union. Target = daily rollup through
+    * Jan 20; updates = recomputed rollup (even user_ids only) from Jan 15 —
+    * overlapping (key, date) rows take the update. */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val target = daily.filter(col("date") <= lit("2024-01-20").cast(DateType))
+    val updates = TimeWindows.dailyOhlcv(
+        ev(s, dir).filter(col("user_id") % 2 === 0),
+        "event_type", "ts", "value", volume = col("user_id"))
+      .filter(col("date") >= lit("2024-01-15").cast(DateType))
+    Merge.upsert(target, updates, Seq("event_type", "date"))
+      .withColumn("daily_change", r4(col("daily_change")))
+  }
+
+  // ------------------------------------------------------ window functions
+
+  private val evOrder = Seq("ts", "event_id")
+
+  private def qWindowMa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowAnalytics.movingAverages(ev(s, dir), "event_type",
+        evOrder, "value", Seq(5, 15, 30))
+      .select(col("event_id"), col("event_type"),
+        r6(col("ma_5")).as("ma_5"), r6(col("ma_15")).as("ma_15"),
+        r6(col("ma_30")).as("ma_30"))
+
+  private def qWindowStddev(s: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowAnalytics.rollingVolatility(ev(s, dir), "event_type",
+        evOrder, "value", Seq(5, 15))
+      .select(col("event_id"), col("event_type"),
+        r6(col("volatility_5")).as("volatility_5"),
+        r6(col("volatility_15")).as("volatility_15"))
+
+  // ----------------------------------------------------- time windows/sets
+
+  private def qWindowSliding(s: SparkSession, dir: String): DataFrame =
+    slidingMetrics(s, dir, "15 minutes", "5 minutes")
+      .select(col("event_type"), col("window_start"), r6(col("ma")).as("ma"),
+        col("volume_sum"), col("n_events"))
+
+  private def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
+    TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"), width = "5 minutes"))
+      .select(col("event_type"), col("window_start"), r6(col("ma")).as("ma"),
+        col("volume_sum"), col("n_events"))
+
+  /** U1 (clean long-format variant): 5m/15m/1h metrics stacked, tagged. */
+  private def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    def m(width: String) = TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"), width = width))
+      .select(col("event_type"), col("window_start"), r6(col("ma")).as("ma"),
+        col("volume_sum"), col("n_events"))
+    Combine.unionLong(Seq(
+      "5m" -> m("5 minutes"), "15m" -> m("15 minutes"), "1h" -> m("1 hour")))
+  }
+
+  // ------------------------------------------------------ scalar functions
+
+  private def qCaseWhen(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.ops.WindowAnalytics.rollingVolatility(
+      graft.ops.WindowAnalytics.movingAverages(
+        graft.ops.WindowAnalytics.movingAverages(ev(s, dir), "event_type",
+          evOrder, "value", Seq(15, 30)),
+        "event_type", evOrder, "user_id", Seq(5, 15), prefix = "vol"),
+      "event_type", evOrder, "value", Seq(15))
+    base.select(col("event_id"), col("event_type"),
+      r6(col("ma_15")).as("ma_15"), r6(col("ma_30")).as("ma_30"),
+      r6(col("volatility_15")).as("volatility_15"),
+      Signals.priceTrend(col("ma_15"), col("ma_30")).as("price_trend"),
+      Signals.volatilityLevel(col("volatility_15"), high = 35.0,
+        medium = 25.0).as("volatility_level"),
+      Signals.volumeTrend(col("vol_5"), col("vol_15"), ratio = 1.02)
+        .as("volume_trend"))
+  }
+
+  private def qTopK(s: SparkSession, dir: String): DataFrame =
+    TopK.topK(tbl(s, dir, "orders"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 10)
+
+  private def qScalarDatetime(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(
+      col("event_id"),
+      date_trunc("minute", col("ts")).as("minute_ts"),
+      date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+      (col("ts") + expr("INTERVAL 15 MINUTES")).as("ts_plus_15m"),
+      to_date(col("ts")).as("event_date"))
+
+  private def qScalarString(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      upper(col("lang")).as("lang_uc"),
+      regexp_replace(col("source"), "[0-9]+", "").as("src_alpha"),
+      concat_ws("-", col("lang"), col("source")).as("lang_src"),
+      substring(col("text"), 1, 10).as("prefix10"),
+      length(col("text")).as("n_len"))
+
+  private def qScalarMath(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(
+      col("event_id"),
+      (col("value") * lit(1.05)).as("v_up"),
+      ((col("value") - lit(50.0)) / lit(50.0) * lit(100.0)).as("pct_vs_50"),
+      abs(col("value") - lit(50.0)).as("abs_dev"),
+      floor(col("value")).as("v_floor"),
+      ceil(col("value")).as("v_ceil"))
+
+  private def qNullImpute(s: SparkSession, dir: String): DataFrame =
+    Clean.impute(
+      ev(s, dir).select(
+        col("event_id"),
+        when(col("value") < 1, lit(null).cast(DoubleType))
+          .otherwise(col("value")).as("v"),
+        when(col("event_type") === "error", lit(null).cast(StringType))
+          .otherwise(col("event_type")).as("et")),
+      numeric = Seq("v"), strings = Seq("et"))
+
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .withColumn("rebuilt", to_json(struct(col("k"))))
+
+  // --------------------------------------------- dedup (training-data ops)
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.exactDupGroups(tbl(s, dir, "documents"), "doc_id", "text")
+
+  private def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        block = "lang", n = 3, minJaccard = 0.1)
+      .withColumn("jaccard", r6(col("jaccard")))
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.minhashCandidates(tbl(s, dir, "documents"), "doc_id", "text",
+      n = 3, numPerm = 64, bands = 16)
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3)
+
+  // ---------------------------------------------------- text analysis ops
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(
+      TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"), "text",
+        TextAnalysis.defaultStopwords))
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        r6(col("avg_token_len")).as("avg_token_len"),
+        r6(col("punct_ratio")).as("punct_ratio"),
+        r6(col("space_ratio")).as("space_ratio"),
+        r6(col("alpha_ratio")).as("alpha_ratio"),
+        r6(col("stopword_ratio")).as("stopword_ratio"),
+        col("quality_score"))
+
+  private def qTextLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLanguageId(tbl(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("lang"), col("score_en"), col("score_es"),
+        col("score_fr"), col("score_de"), col("score_zh"), col("lang_pred"))
+
+  private def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withFingerprints(tbl(s, dir, "documents"), "text")
+      .select("doc_id", "fp_md5", "fp_prefix")
+
+  // ------------------------------------------------- similarity search ops
+
+  private def qSimBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.bruteForceTopK(queries, emb, "q_id", "vec_id", "q_vec",
+        "embedding", k = 5)
+      .withColumn("cosine_sim", r6(col("cosine_sim")))
+  }
+
+  private def qSimBlocked(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockedNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", block = "label", minCosine = 0.2)
+      .withColumn("cosine_sim", r6(col("cosine_sim")))
+
+  private def qSimLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
+      "embedding", dim = 64, minCosine = 0.2, nbits = 8)
+
+  // ------------------------------------------------------- multimodal ops
+
+  private def assets(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asAssets(tbl(s, dir, "documents"), "doc_id", "text", "source",
+      "text")
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).select(col("asset_id"), col("modality"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.content_md5").as("content_md5"))
+
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAssets(assets(s, dir))
+
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(assets(s, dir), nFrames = 4)
+
+  // ================================================================ entry
+
+  /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qAggOhlcWindow(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet" -> (qScanParquet _),
+    "q_scan_csv" -> (qScanCsv _),
+    "q_project_alias" -> (qProjectAlias _),
+    "q_project_drop" -> (qProjectDrop _),
+    "q_cast" -> (qCast _),
+    "q_filter_notnull" -> (qFilterNotNull _),
+    "q_filter_range" -> (qFilterRange _),
+    "q_project_subset" -> (qProjectSubset _),
+    "q_struct_extract" -> (qStructExtract _),
+    "q_agg_avg_stddev_sum" -> (qAggAvgStddevSum _),
+    "q_agg_ohlc_window" -> (qAggOhlcWindow _),
+    "q_agg_daily_ohlcv" -> (qAggDailyOhlcv _),
+    "q_count" -> (qCount _),
+    "q_dup_check" -> (qDupCheck _),
+    "q_distinct_count" -> (qDistinctCount _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_dedup_keep_last" -> (qDedupKeepLast _),
+    "q_tpch_q1" -> (qTpchQ1 _),
+    "q_join_inner" -> (qJoinInner _),
+    "q_join_multiway" -> (qJoinMultiway _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_window_ma" -> (qWindowMa _),
+    "q_window_stddev" -> (qWindowStddev _),
+    "q_window_sliding" -> (qWindowSliding _),
+    "q_window_tumbling" -> (qWindowTumbling _),
+    "q_union_all" -> (qUnionAll _),
+    "q_case_when" -> (qCaseWhen _),
+    "q_topk" -> (qTopK _),
+    "q_scalar_datetime" -> (qScalarDatetime _),
+    "q_scalar_string" -> (qScalarString _),
+    "q_scalar_math" -> (qScalarMath _),
+    "q_null_impute" -> (qNullImpute _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_langid" -> (qTextLangId _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_sim_bruteforce" -> (qSimBruteforce _),
+    "q_sim_blocked" -> (qSimBlocked _),
+    "q_sim_lsh" -> (qSimLsh _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_frames" -> (qMultimodalFrames _)
+  )
+
+  // ======================================================== oracle SQL ==
+  // DuckDB dialect, run by the driver over the same parquet tables.
+  // Omitted for ops whose hashes are engine-specific (minhash/simhash use
+  // Spark murmur3/xxhash64; LSH hyperplanes come from a Scala PRNG; the
+  // multimodal decode stub is imperative Scala; HLL sketches differ) —
+  // those get the driver's rows-only check.
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_parquet" -> "SELECT * FROM lineitem",
+
+    "q_scan_csv" ->
+      "SELECT event_id, event_type, user_id, value FROM events",
+
+    "q_project_alias" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS line_no,
+        | l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem""".stripMargin,
+
+    "q_project_drop" ->
+      s"SELECT event_id, $TS AS ts, user_id, event_type, value FROM events",
+
+    "q_cast" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS okey_str,
+        | CAST(trunc(l_quantity) AS INT) AS qty_int,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem""".stripMargin,
+
+    "q_filter_notnull" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND ts IS NOT NULL""".stripMargin,
+
+    "q_filter_range" ->
+      s"""SELECT count(CASE WHEN value <= 0 THEN 1 END) AS n_nonpositive,
+         | count(CASE WHEN $TS > TIMESTAMP '2024-01-16 00:00:00' THEN 1 END)
+         |   AS n_future,
+         | count(*) AS n_total
+         |FROM events""".stripMargin,
+
+    "q_project_subset" ->
+      "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders",
+
+    "q_struct_extract" ->
+      s"""SELECT event_type,
+         | time_bucket(INTERVAL 15 MINUTES, $TS) AS window_start,
+         | time_bucket(INTERVAL 15 MINUTES, $TS) + INTERVAL 15 MINUTES
+         |   AS window_end,
+         | count(*) AS n_events
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_agg_avg_stddev_sum" ->
+      s"""SELECT event_type,
+         | time_bucket(INTERVAL 15 MINUTES, $TS) AS window_start,
+         | round(avg(value), 6) AS ma,
+         | round(stddev_samp(value), 6) AS volatility,
+         | CAST(sum(user_id) AS BIGINT) AS volume_sum,
+         | count(*) AS n_events
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_agg_ohlc_window" ->
+      s"""SELECT event_type,
+         | time_bucket(INTERVAL 15 MINUTES, $TS) AS window_start,
+         | time_bucket(INTERVAL 15 MINUTES, $TS) + INTERVAL 15 MINUTES
+         |   AS window_end,
+         | min($TS) AS first_ts, max($TS) AS last_ts,
+         | arg_min(value, $TS) AS open, max(value) AS high,
+         | min(value) AS low, arg_max(value, $TS) AS close,
+         | round(avg(value), 6) AS avg_value,
+         | round(stddev_samp(value), 6) AS volatility,
+         | count(*) AS n_events,
+         | round(sum(value), 4) AS value_sum
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_agg_daily_ohlcv" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS date,
+         | arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         | min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         | CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         | round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |   AS daily_change
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_dup_check" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT count(*) AS n_rows,
+        | count(DISTINCT l_returnflag) AS n_l_returnflag,
+        | count(DISTINCT l_partkey) AS n_l_partkey,
+        | count(DISTINCT l_suppkey) AS n_l_suppkey
+        |FROM lineitem""".stripMargin,
+
+    "q_dedup_keep_last" ->
+      s"""SELECT event_id, user_id, event_type, value FROM events
+         |QUALIFY row_number() OVER (PARTITION BY user_id
+         |  ORDER BY $TS DESC, event_id DESC) = 1""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |   AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_inner" ->
+      s"""WITH m15 AS (
+         |  SELECT event_type,
+         |    time_bucket(INTERVAL 5 MINUTES, $TS) - k * (INTERVAL 5 MINUTES)
+         |      AS window_start,
+         |    round(avg(value), 6) AS ma_15m,
+         |    round(stddev_samp(value), 6) AS volatility_15m,
+         |    count(*) AS n_15m
+         |  FROM events, (SELECT unnest([0, 1, 2]) AS k)
+         |  GROUP BY 1, 2),
+         |h1 AS (
+         |  SELECT event_type,
+         |    time_bucket(INTERVAL 10 MINUTES, $TS) - k * (INTERVAL 10 MINUTES)
+         |      AS window_start,
+         |    round(avg(value), 6) AS ma_1h,
+         |    count(*) AS n_1h
+         |  FROM events, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+         |  GROUP BY 1, 2)
+         |SELECT m15.event_type, m15.window_start, ma_15m, volatility_15m,
+         |  n_15m, ma_1h, n_1h
+         |FROM m15 JOIN h1 ON m15.event_type = h1.event_type
+         |  AND m15.window_start = h1.window_start""".stripMargin,
+
+    "q_join_multiway" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_merge_upsert" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2),
+         |target AS (SELECT * FROM daily_all WHERE date <= DATE '2024-01-20'),
+         |upd_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events WHERE user_id % 2 = 0 GROUP BY 1, 2),
+         |upd AS (SELECT * FROM upd_all WHERE date >= DATE '2024-01-15')
+         |SELECT * FROM upd
+         |UNION ALL
+         |SELECT t.* FROM target t WHERE NOT EXISTS (
+         |  SELECT 1 FROM upd u
+         |  WHERE u.event_type = t.event_type AND u.date = t.date)"""
+        .stripMargin,
+
+    "q_window_ma" ->
+      s"""SELECT event_id, event_type,
+         | round(avg(value) OVER (PARTITION BY event_type
+         |   ORDER BY $TS, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |   6) AS ma_5,
+         | round(avg(value) OVER (PARTITION BY event_type
+         |   ORDER BY $TS, event_id ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+         |   6) AS ma_15,
+         | round(avg(value) OVER (PARTITION BY event_type
+         |   ORDER BY $TS, event_id ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+         |   6) AS ma_30
+         |FROM events""".stripMargin,
+
+    "q_window_stddev" ->
+      s"""SELECT event_id, event_type,
+         | round(stddev_samp(value) OVER (PARTITION BY event_type
+         |   ORDER BY $TS, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |   6) AS volatility_5,
+         | round(stddev_samp(value) OVER (PARTITION BY event_type
+         |   ORDER BY $TS, event_id ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+         |   6) AS volatility_15
+         |FROM events""".stripMargin,
+
+    "q_window_sliding" ->
+      s"""SELECT event_type,
+         | time_bucket(INTERVAL 5 MINUTES, $TS) - k * (INTERVAL 5 MINUTES)
+         |   AS window_start,
+         | round(avg(value), 6) AS ma,
+         | CAST(sum(user_id) AS BIGINT) AS volume_sum,
+         | count(*) AS n_events
+         |FROM events, (SELECT unnest([0, 1, 2]) AS k)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_window_tumbling" ->
+      s"""SELECT event_type,
+         | time_bucket(INTERVAL 5 MINUTES, $TS) AS window_start,
+         | round(avg(value), 6) AS ma,
+         | CAST(sum(user_id) AS BIGINT) AS volume_sum,
+         | count(*) AS n_events
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_union_all" ->
+      s"""WITH g AS (SELECT event_type, $TS AS tts, value, user_id FROM events)
+         |SELECT event_type, time_bucket(INTERVAL 5 MINUTES, tts)
+         |    AS window_start,
+         |  round(avg(value), 6) AS ma, CAST(sum(user_id) AS BIGINT) AS volume_sum,
+         |  count(*) AS n_events, '5m' AS window_type
+         |FROM g GROUP BY 1, 2
+         |UNION ALL
+         |SELECT event_type, time_bucket(INTERVAL 15 MINUTES, tts),
+         |  round(avg(value), 6), CAST(sum(user_id) AS BIGINT), count(*), '15m'
+         |FROM g GROUP BY 1, 2
+         |UNION ALL
+         |SELECT event_type, time_bucket(INTERVAL 1 HOUR, tts),
+         |  round(avg(value), 6), CAST(sum(user_id) AS BIGINT), count(*), '1h'
+         |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "q_case_when" ->
+      s"""WITH w AS (
+         |  SELECT event_id, event_type,
+         |    avg(value) OVER (PARTITION BY event_type ORDER BY $TS, event_id
+         |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS ma_15,
+         |    avg(value) OVER (PARTITION BY event_type ORDER BY $TS, event_id
+         |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS ma_30,
+         |    stddev_samp(value) OVER (PARTITION BY event_type
+         |      ORDER BY $TS, event_id
+         |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS volatility_15,
+         |    avg(user_id) OVER (PARTITION BY event_type ORDER BY $TS, event_id
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vol_5,
+         |    avg(user_id) OVER (PARTITION BY event_type ORDER BY $TS, event_id
+         |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS vol_15
+         |  FROM events)
+         |SELECT event_id, event_type,
+         |  round(ma_15, 6) AS ma_15, round(ma_30, 6) AS ma_30,
+         |  round(volatility_15, 6) AS volatility_15,
+         |  CASE WHEN ma_15 > ma_30 THEN 'bullish'
+         |       WHEN ma_15 < ma_30 THEN 'bearish'
+         |       ELSE 'neutral' END AS price_trend,
+         |  CASE WHEN volatility_15 > 35.0 THEN 'high'
+         |       WHEN volatility_15 > 25.0 THEN 'medium'
+         |       ELSE 'low' END AS volatility_level,
+         |  CASE WHEN vol_5 > vol_15 * 1.02 THEN 'increasing'
+         |       ELSE 'normal' END AS volume_trend
+         |FROM w""".stripMargin,
+
+    "q_topk" ->
+      """SELECT * FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_scalar_datetime" ->
+      s"""SELECT event_id,
+         | date_trunc('minute', $TS) AS minute_ts,
+         | strftime($TS, '%Y-%m-%d') AS date_str,
+         | $TS + INTERVAL 15 MINUTES AS ts_plus_15m,
+         | CAST(ts AS DATE) AS event_date
+         |FROM events""".stripMargin,
+
+    "q_scalar_string" ->
+      """SELECT doc_id, upper(lang) AS lang_uc,
+        | regexp_replace(source, '[0-9]+', '', 'g') AS src_alpha,
+        | concat_ws('-', lang, source) AS lang_src,
+        | substr(text, 1, 10) AS prefix10,
+        | length(text) AS n_len
+        |FROM documents""".stripMargin,
+
+    "q_scalar_math" ->
+      """SELECT event_id,
+        | value * 1.05 AS v_up,
+        | (value - 50.0) / 50.0 * 100.0 AS pct_vs_50,
+        | abs(value - 50.0) AS abs_dev,
+        | CAST(floor(value) AS BIGINT) AS v_floor,
+        | CAST(ceil(value) AS BIGINT) AS v_ceil
+        |FROM events""".stripMargin,
+
+    "q_null_impute" ->
+      """SELECT event_id,
+        | coalesce(CASE WHEN value < 1 THEN NULL ELSE value END, 0)
+        |   AS v,
+        | coalesce(CASE WHEN event_type = 'error' THEN NULL
+        |   ELSE event_type END, 'unknown') AS et
+        |FROM events""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        | to_json({'k': CAST(json_extract_string(props, '$.k') AS INT)})
+        |   AS rebuilt
+        |FROM events""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, lang AS block,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |filt AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT block, shingle FROM sh GROUP BY 1, 2
+        |        HAVING count(*) <= 1000) d
+        |    USING (block, shingle)),
+        |sizes AS (SELECT id, count(*) AS n FROM filt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+        |  FROM filt a JOIN filt b
+        |    ON a.block = b.block AND a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, n_common, s1.n AS n1, s2.n AS n2,
+        |  round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.id = id1
+        |JOIN sizes s2 ON s2.id = id2
+        |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.1"""
+        .stripMargin,
+
+    "q_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_m,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS DOUBLE) AS na,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |      AS DOUBLE) AS np,
+        |    CAST(length(text) AS DOUBLE)
+        |      - CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      AS nsp,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in',
+        |        'is','it'], t))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      AS nt
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_tokens,
+        |  round((nc - nsp) / nt, 6) AS avg_token_len,
+        |  round(np / nc, 6) AS punct_ratio,
+        |  round(nsp / nc, 6) AS space_ratio,
+        |  round(na / nc, 6) AS alpha_ratio,
+        |  round(nstop / nt, 6) AS stopword_ratio,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.4
+        |    + (1.0 - least((np / nc) * 5.0, 1.0)) * 0.3
+        |    + least((nstop / nt) * 5.0, 1.0) * 0.3, 6) AS quality_score
+        |FROM f""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','is','with'], x))) AS score_en,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['el','la','de','que','y'], x))) AS score_es,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['le','la','et','les','des'], x))) AS score_fr,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['der','die','und','das','nicht'], x))) AS score_de,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['的','是','了','在','我'], x))) AS score_zh
+        |  FROM t)
+        |SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+        |  score_zh,
+        |  CASE
+        |    WHEN score_en = greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) AND greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) > 0 THEN 'en'
+        |    WHEN score_es = greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) AND greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) > 0 THEN 'es'
+        |    WHEN score_fr = greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) AND greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) > 0 THEN 'fr'
+        |    WHEN score_de = greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) AND greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) > 0 THEN 'de'
+        |    WHEN score_zh = greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) AND greatest(score_en, score_es, score_fr, score_de,
+        |      score_zh) > 0 THEN 'zh'
+        |    ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |   AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  md5(array_to_string(string_split(norm, ' ')[1:8], ' '))
+        |    AS fp_prefix
+        |FROM n""".stripMargin,
+
+    "q_sim_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id,
+        |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |    WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings),
+        |p AS (
+        |  SELECT q_id, vec_id AS neighbor_id,
+        |    list_dot_product(qv, cv)
+        |      / (sqrt(list_dot_product(qv, qv))
+        |         * sqrt(list_dot_product(cv, cv))) AS cs
+        |  FROM c, q WHERE q_id <> vec_id),
+        |r AS (
+        |  SELECT q_id AS query_id, neighbor_id, cs,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cs DESC, neighbor_id ASC) AS rank
+        |  FROM p)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_sim_blocked" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.2""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'text' AS modality,
+        | strlen(text) AS n_bytes, md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS asset_id, k AS frame_idx,
+        | CAST(floor(k * strlen(text) / 4.0) AS BIGINT) AS frame_offset,
+        | strlen(text) AS n_bytes
+        |FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)""".stripMargin
+  )
 }

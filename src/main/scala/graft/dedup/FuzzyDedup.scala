@@ -1,0 +1,168 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/**
+ * Near-duplicate detection for training-data pipelines: exact (hash
+ * groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+ *
+ * Scale design:
+ *  - Exact dedup groups on md5(text), never on the raw text, so the shuffle
+ *    carries 32-byte keys instead of documents.
+ *  - Jaccard runs only inside candidate blocks (LSH buckets or a caller
+ *    blocking key); the all-pairs form is O(n^2) and deliberately not
+ *    exposed.
+ *  - Shingle self-joins cap document frequency (`maxDf`): a shingle
+ *    appearing in thousands of docs is both useless for similarity and a
+ *    quadratic skew bomb — dropping it bounds per-key join fan-out.
+ *  - MinHash/SimHash signatures are fixed-width (numPerm longs / one long),
+ *    so the candidate-pair shuffle is tiny regardless of document size.
+ */
+object FuzzyDedup {
+
+  /** Exact duplicate groups keyed by content hash; keeps the smallest id as
+    * the canonical representative. */
+  def exactDupGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("content_md5"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word-shingle n-gram expansion: one row per distinct (id, shingle). */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), explode(array_distinct(
+        TextAnalysis.wordNGrams(TextAnalysis.tokens(col(text)), n))).as("shingle"))
+
+  /** N-gram Jaccard similarity pairs within a blocking key.
+    *
+    * block: coarse partition (a column name) limiting the candidate space —
+    * an LSH bucket, language, length bucket... Pairs are emitted with
+    * id1 < id2 and jaccard >= minJaccard.
+    *
+    * maxDf: drop shingles occurring in more than maxDf docs within a block
+    * (skew + usefulness guard; None keeps all). */
+  def jaccardPairs(df: DataFrame, id: String, text: String, block: String,
+                   n: Int, minJaccard: Double,
+                   maxDf: Option[Int] = Some(1000)): DataFrame = {
+    val sh = df.select(col(id).as("id"), col(block).as("block"),
+        explode(array_distinct(
+          TextAnalysis.wordNGrams(TextAnalysis.tokens(col(text)), n))).as("shingle"))
+    val filtered = maxDf match {
+      case Some(cap) =>
+        val dfreq = sh.groupBy("block", "shingle")
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap)
+          .select("block", "shingle")
+        sh.join(dfreq, Seq("block", "shingle"))
+      case None => sh
+    }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    val inter = a.join(b,
+        col("a.block") === col("b.block") &&
+        col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
+  }
+
+  /** Deterministic (a, b) parameters for the MinHash permutation family
+    * h_i(x) = (a_i * x + b_i) mod p, generated from a fixed seed. a < 2^30
+    * keeps a*h32 within signed-64 range for 32-bit base hashes. */
+  private def perms(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerm)((rnd.nextInt(1 << 30).toLong + 1L, rnd.nextInt(1 << 30).toLong))
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** MinHash signatures: numPerm 64-bit minima per document over its shingle
+    * set. One shuffle (groupBy id); signature width is constant so the
+    * output is tiny relative to the corpus. */
+  def minhashSignatures(df: DataFrame, id: String, text: String, n: Int,
+                        numPerm: Int = 64, seed: Long = 42L): DataFrame = {
+    val sh = shingles(df, id, text, n)
+      .withColumn("h32", hash(col("shingle")).cast("long").bitwiseAND(0xFFFFFFFFL))
+    val mins = perms(numPerm, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h32") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
+    }
+    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+      .withColumn("signature", array((0 until numPerm).map(i => col(s"mh_$i")): _*))
+      .select(col(id), col("signature"))
+  }
+
+  /** LSH banding over MinHash signatures: split the signature into `bands`
+    * bands of numPerm/bands rows, hash each band, and emit (band_idx,
+    * band_hash) bucket keys. Docs sharing any bucket are candidates. */
+  def lshBuckets(sig: DataFrame, id: String, bands: Int): DataFrame = {
+    val rowsPerBand = expr(s"size(signature) div $bands")
+    sig.select(col(id), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand), b)))
+        .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** MinHash-LSH candidate pairs (id1 < id2, distinct). */
+  def minhashCandidates(df: DataFrame, id: String, text: String, n: Int,
+                        numPerm: Int = 64, bands: Int = 16,
+                        seed: Long = 42L): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(df, id, text, n, numPerm, seed), id, bands)
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+      .distinct()
+  }
+
+  /** SimHash-64 per document: sign-sum of token-hash bits, weighted by token
+    * frequency. Computed as 64 conditional sums in one hash aggregate —
+    * fully codegen'd, one shuffle. */
+  def simhash64(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"bit_$k")
+    }
+    val assembled = (0 until 64).map { k =>
+      when(col(s"bit_$k") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", assembled)
+      .select(col(id), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within hamming
+    * distance <= 3 shares at least one of the 4 chunks), verify with
+    * bit_count(xor) <= maxHamming. */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash64(df, id, text)
+    val chunkCols = (0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunks = sig.select(col(id), col("simhash"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh1 ^ sh2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque binary columns
+ * with typed metadata, plus decode / feature-extract / frame-sample stages.
+ *
+ * The Spark-side shape is real and tested — schema, partitioning, batched
+ * per-partition processing (the Scala analogue of mapInPandas batch
+ * semantics). The codec itself is a clearly marked STUB: this container has
+ * no image/audio libraries, so `decodeStub` produces deterministic fake
+ * features from the raw bytes. Swapping in a real decoder changes only the
+ * body of that one function.
+ */
+object Multimodal {
+
+  /** Typed metadata carried alongside every binary payload. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("modality", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_bytes", LongType),
+      StructField("content_md5", StringType))))))
+
+  /** Wrap a string column as an opaque binary asset table (in production the
+    * payload comes from binaryFile / blob storage readers). */
+  def asAssets(df: DataFrame, id: String, payloadText: String, source: String,
+               modality: String): DataFrame =
+    df.select(
+      col(id).cast(LongType).as("asset_id"),
+      lit(modality).as("modality"),
+      col(payloadText).cast(BinaryType).as("payload"),
+      struct(
+        col(source).as("source"),
+        octet_length(col(payloadText).cast(BinaryType)).cast(LongType).as("n_bytes"),
+        md5(col(payloadText).cast(BinaryType)).as("content_md5")).as("meta"))
+
+  /** Decoded fake features (deterministic functions of payload bytes). */
+  final case class DecodedAsset(
+      asset_id: Long, n_bytes: Long, width: Int, height: Int, checksum: Long)
+
+  /**
+   * STUB DECODER — deterministic fake. A real implementation would hand each
+   * batch of payloads to an image/audio codec (the mapInPandas analogue);
+   * everything around it (encoder boundary, batching, partition layout) is
+   * the real production shape.
+   */
+  private def decodeStub(assetId: Long, payload: Array[Byte]): DecodedAsset = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xFF); i += 1 }
+    DecodedAsset(assetId, payload.length.toLong,
+      width = 64 + (math.abs(checksum) % 1024).toInt,
+      height = 64 + (math.abs(checksum / 7) % 1024).toInt,
+      checksum = checksum)
+  }
+
+  /** Batched per-partition decode: pulls (asset_id, payload) through the
+    * stub codec in fixed-size batches — the exact control shape of an
+    * Arrow-batched UDF, minus the real codec. */
+  def decodeAssets(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    implicit val enc = Encoders.product[DecodedAsset]
+    assets.select("asset_id", "payload")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) => decodeStub(id, bytes) }
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling for "video" assets: emit every strideBytes-th byte
+    * offset as a frame row (plumbing for a real frame extractor). Pure
+    * expressions — one output row per sampled frame. */
+  def sampleFrames(assets: DataFrame, nFrames: Int): DataFrame =
+    assets
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_offset",
+        (col("frame_idx") * col("meta.n_bytes") / nFrames).cast(LongType))
+      .select(col("asset_id"), col("frame_idx"), col("frame_offset"),
+        col("meta.n_bytes").as("n_bytes"))
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Projections, filters, casts, scalar cleaning (SURVEY §2.2 P1-P7 and §2.9
+ * F1-F6, F10-F13). All pure Column-expression compositions: everything stays
+ * inside whole-stage codegen and pushes down to the parquet scan where
+ * Catalyst can prove it.
+ */
+object Clean {
+
+  /** F2 + P3: parse a percent-ish string column ("1.23%") to double.
+    * Null-tolerant: the reference's change_percent is pervasively null
+    * because of the producer/schema field-name skew (SURVEY §8.1). */
+  def parsePercent(c: Column): Column =
+    regexp_replace(c, "%", "").cast(DoubleType)
+
+  /** Reference tick cleaning (spark_stream_processor.py:138-144):
+    * ISO string -> timestamp, percent strip, volume to long. */
+  def castTicks(df: DataFrame): DataFrame =
+    df.withColumn("timestamp", to_timestamp(col("timestamp")))
+      .withColumn("price", col("price").cast(DoubleType))
+      .withColumn("change", col("change").cast(DoubleType))
+      .withColumn("change_percent", parsePercent(col("change_percent")))
+      .withColumn("volume", col("volume").cast(LongType))
+
+  /** P4: conjunctive NOT NULL filter over required columns.
+    * Reference: airflow analytics processor:111-113. */
+  def filterNotNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** P5: data-quality counters — rows failing a range predicate.
+    * Reference (declared QA): README.md:686-693. */
+  def qualityCounts(df: DataFrame, nonPositive: Column, future: Column): DataFrame =
+    df.agg(
+      count(when(nonPositive, 1)).as("n_nonpositive"),
+      count(when(future, 1)).as("n_future"),
+      count(lit(1)).as("n_total"))
+
+  /** P6: subset to a fixed warehouse column list, in order.
+    * Reference: load_to_snowflake.py:157-167. */
+  def subset(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** F11: null imputation — 0 for numerics, "unknown" for strings.
+    * Reference: load_stream_to_snowflake.py:207-212. */
+  def impute(df: DataFrame, numeric: Seq[String], strings: Seq[String]): DataFrame =
+    df.na.fill(0, numeric).na.fill("unknown", strings)
+
+  /** Spark's sample stddev returns NaN for single-row groups where ANSI SQL
+    * (and the DuckDB oracle) return NULL; normalize so downstream consumers
+    * and the oracle agree. */
+  def nanToNull(c: Column): Column =
+    when(isnan(c), lit(null).cast(DoubleType)).otherwise(c)
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Joins and unions across window granularities (SURVEY §2.4 J1, §2.8 U1).
+ */
+object Combine {
+
+  /** J1: inner equi-join of two windowed aggregates on (key, window_start).
+    * Both inputs are already aggregated and share the grouping shuffle key,
+    * so when both sides are partitioned by the join key Catalyst reuses the
+    * exchange; at 100 TB the small side (coarser windows) is typically
+    * broadcastable — AQE converts to broadcast join at runtime.
+    * Reference: spark_stream_processor.py:216-222. */
+  def joinOnWindowStart(fine: DataFrame, coarse: DataFrame,
+                        key: String): DataFrame =
+    fine.join(coarse, Seq(key, "window_start"), "inner")
+
+  /** U1 (faithful): the reference's positional 3-way UNION ALL — each branch
+    * tagged with window_type, coarser branches null-padded, and columns
+    * aligned BY POSITION under the 15-minute branch's names (so the 5-minute
+    * metrics land under *_15m column names — a documented reference quirk,
+    * SURVEY §8/U1). Reference: airflow analytics processor:206-215. */
+  def unionTaggedPositional(branches: Seq[(String, DataFrame)]): DataFrame = {
+    require(branches.nonEmpty)
+    branches.map { case (tag, df) => df.withColumn("window_type", lit(tag)) }
+      .reduce(_ union _)
+  }
+
+  /** U1 (clean variant): name-aligned union for the long-format schema —
+    * what you actually want at scale; unionByName fails fast on drift
+    * instead of silently mis-aligning. */
+  def unionLong(branches: Seq[(String, DataFrame)]): DataFrame = {
+    require(branches.nonEmpty)
+    branches.map { case (tag, df) => df.withColumn("window_type", lit(tag)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Duplicate detection and distinct counting (SURVEY §2.3 A5-A7).
+ */
+object Dedup {
+
+  /** A5: duplicate-key detection — groups with more than one row.
+    * Reference (declared QA invariant): README.md:744-749. */
+  def dupCheck(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** A6: exact distinct counts per column set. At 100 TB prefer
+    * approxDistinct below; exact countDistinct expands to a two-phase
+    * aggregate (expand + two shuffles). */
+  def distinctCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c => countDistinct(col(c)).as(s"n_$c")): _*)
+
+  /** A6 at scale: HLL-sketch distinct count — single pass, no expand,
+    * mergeable across partitions. */
+  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.01): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c => approx_count_distinct(col(c), rsd).as(s"n_$c")): _*)
+
+  /** A7: keep-last dedup (delegates to the row_number formulation). */
+  def keepLast(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame =
+    WindowAnalytics.keepLast(df, keys, order)
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Sources and sinks (SURVEY §2.1, S1-S7).
+ *
+ * Everything is schema-on-read with explicit StructTypes (reference:
+ * src/spark/jobs/spark_batch_processor.py:36-43,54) so scans never pay an
+ * inference pass, and columnar parquet everywhere past the raw zone. Writers
+ * keep hive-style partition layout so downstream reads get partition pruning
+ * for free on a 1000-executor cluster.
+ */
+object Ingest {
+
+  /** S1: batch CSV scan over a (possibly hive-partitioned) directory with an
+    * explicit schema and header. Reference: spark_batch_processor.py:54. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** S2: streaming CSV scan (file-stream source) over a landing directory.
+    * Reference: spark_stream_processor.py:132-135. */
+  def readCsvStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).option("header", "true").csv(path)
+
+  /** S3: parquet scan. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Read one of the driver-generated testdata tables by name. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The `events` stream-shaped table. Its parquet carries nanosecond
+    * timestamps, which Spark's vectorized reader rejects outright; we read
+    * them as raw longs (legacy nanosAsLong) and truncate to microseconds —
+    * bit-identical to what DuckDB's parquet reader does on the same file.
+    * Keeping the conversion here means every downstream operator sees a
+    * plain TimestampType event-time column. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** S4: partitioned parquet write, snappy, overwrite — the processed-zone
+    * layout (reference: spark_stream_batch_processor.py:218-221). No
+    * coalesce(1): at 100 TB one output file per write is a driver-side
+    * bottleneck; callers size files via spark.sql.files.maxRecordsPerFile. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .option("compression", "snappy")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** S7: raw-zone CSV landing with header (consumer side of the reference;
+    * realtime_data_consumer.py:101-127). */
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import java.net.URI
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * MERGE upsert as a composition (SURVEY §2.4 J4): matched rows take the
+ * update, unmatched target rows survive — expressed as
+ * target ANTI-JOIN updates  UNION ALL  updates.
+ *
+ * The reference does this in the warehouse (Snowflake MERGE,
+ * load_to_snowflake.py:212-231); with plain parquet tables the equivalent is
+ * this composition plus an atomic directory swap. No Delta/Iceberg assumed.
+ *
+ * Scale note: the anti-join shuffles on the merge key. When the update batch
+ * is small relative to the target (the normal case: daily increment vs years
+ * of history) Catalyst/AQE broadcasts the update side, so the target is
+ * never shuffled — only scanned and rewritten. Partition the target by a key
+ * prefix (e.g. date) and the rewrite touches only affected partitions.
+ */
+object Merge {
+
+  /** Pure-dataframe MERGE: keys identify a row; update rows win. */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val survivors = target.join(updates.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+    updates.unionByName(survivors)
+  }
+
+  /** MERGE into a parquet table path with an atomic swap: write the merged
+    * result next to the table, then rename over it. Readers see either the
+    * old or the new table, never a partial one. */
+  def upsertParquet(spark: SparkSession, tablePath: String, updates: DataFrame,
+                    keys: Seq[String]): Unit = {
+    val fs = FileSystem.get(URI.create(tablePath), spark.sparkContext.hadoopConfiguration)
+    val target = new Path(tablePath)
+    val merged =
+      if (fs.exists(target)) upsert(spark.read.parquet(tablePath), updates, keys)
+      else updates
+    val tmp = new Path(tablePath + ".__merge_tmp")
+    val old = new Path(tablePath + ".__merge_old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+  }
+}

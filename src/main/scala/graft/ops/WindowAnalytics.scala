@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Row-frame window analytics (SURVEY §2.5 W1-W3): moving averages, rolling
+ * volatility, rolling volume over N-row frames per key, ordered by event
+ * time.
+ *
+ * Scale note: a row-frame per key serializes each key into one task. That is
+ * inherent to the semantics (an ordered scan per symbol); the scale lever is
+ * key cardinality — at 100 TB you want thousands of keys (fine) and must
+ * never run this partitioned by a constant. The sort is a single shuffle on
+ * the key followed by an in-partition sort; all the frame aggregates share
+ * that one sort.
+ */
+object WindowAnalytics {
+
+  /** Deterministic per-key ordered frame: orderBy event time plus a unique
+    * tiebreaker so results are stable under ties (the reference orders by
+    * timestamp alone — airflow analytics processor:126-128 — which is
+    * nondeterministic under duplicate timestamps). */
+  def keyFrame(key: String, order: Seq[String]) =
+    Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+
+  /** W1/W3: moving averages of `value` over trailing row frames, one output
+    * column per frame size, e.g. Seq(5,15,30) -> ma_5, ma_15, ma_30.
+    * Reference: airflow analytics processor:126-133, 136-137. */
+  def movingAverages(df: DataFrame, key: String, order: Seq[String],
+                     value: String, frames: Seq[Int],
+                     prefix: String = "ma"): DataFrame = {
+    val w = keyFrame(key, order)
+    frames.foldLeft(df) { (d, n) =>
+      d.withColumn(s"${prefix}_$n",
+        avg(col(value)).over(w.rowsBetween(-(n - 1), Window.currentRow)))
+    }
+  }
+
+  /** W2: rolling sample stddev (volatility) over trailing row frames.
+    * NaN-normalized to NULL for 1-row frames (ANSI/oracle semantics).
+    * Reference: airflow analytics processor:134-135. */
+  def rollingVolatility(df: DataFrame, key: String, order: Seq[String],
+                        value: String, frames: Seq[Int],
+                        prefix: String = "volatility"): DataFrame = {
+    val w = keyFrame(key, order)
+    frames.foldLeft(df) { (d, n) =>
+      d.withColumn(s"${prefix}_$n",
+        Clean.nanToNull(
+          stddev_samp(col(value)).over(w.rowsBetween(-(n - 1), Window.currentRow))))
+    }
+  }
+
+  /** W4/A7: keep-last dedup — row_number over (keys) ordered by `order`
+    * descending, keep rank 1. Reference semantics: pandas
+    * drop_duplicates(keep='last') before MERGE (load_to_snowflake.py:154).
+    * `order` should end with a unique column for determinism. */
+  def keepLast(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col(_).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * Similarity search over embedding columns (Array[Float]).
+ *
+ * Baseline: brute-force cosine top-k (exact, O(|Q|*|C|) — fine when the
+ * query set is small and broadcastable). Scale path: random-hyperplane LSH
+ * bucketing, which turns the quadratic all-pairs problem into per-bucket
+ * joins; bucket width (nbits) trades recall for fan-out.
+ *
+ * All vector math is built-in higher-order functions (zip_with + aggregate),
+ * accumulating left-to-right in doubles — deterministic and
+ * oracle-reproducible; no UDF deserialization per row.
+ */
+object Similarity {
+
+  /** Sequential left-to-right double fold of elementwise products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Pre-normalize once so downstream similarity is a single dot product —
+    * at 100 TB you normalize at ingest, not per comparison. */
+  def withUnitVector(df: DataFrame, vec: String, out: String = "unit_vec"): DataFrame =
+    df.withColumn(out,
+      transform(col(vec), x => x.cast(DoubleType) / norm(col(vec))))
+
+  /** Exact brute-force top-k cosine neighbors of each query vector.
+    * The query side is broadcast (small by contract); the corpus streams
+    * through one pass — no corpus shuffle. Ties break on neighbor id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                     cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cosine_sim", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cosine_sim").desc, col(cId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
+        col("cosine_sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: nbits x dim doubles in
+    * [-1, 1), from a fixed seed. */
+  private def hyperplanes(nbits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Random-hyperplane (SRP) LSH bucket id per vector: bit b = sign of
+    * dot(vec, plane_b), packed into a long. Vectors in the same bucket are
+    * near-duplicate candidates. */
+  def withLshBucket(df: DataFrame, vec: String, dim: Int, nbits: Int = 16,
+                    seed: Long = 42L, out: String = "lsh_bucket"): DataFrame = {
+    val planes = hyperplanes(nbits, dim, seed)
+    val bucket = planes.zipWithIndex.map { case (p, b) =>
+      when(dot(col(vec), typedlit(p)) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn(out, bucket)
+  }
+
+  /** ANN near-dup pairs via LSH: exact cosine verified inside buckets only.
+    * Recall is tunable via nbits (fewer bits = bigger buckets = higher
+    * recall, more compute). */
+  def lshNearDupPairs(df: DataFrame, id: String, vec: String, dim: Int,
+                      minCosine: Double, nbits: Int = 12,
+                      seed: Long = 42L): DataFrame = {
+    val b = withLshBucket(df, vec, dim, nbits, seed)
+    val l = b.as("a")
+    val r = b.as("b")
+    l.join(r, col("a.lsh_bucket") === col("b.lsh_bucket") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .withColumn("cosine_sim", cosine(col(s"a.$vec"), col(s"b.$vec")))
+      .filter(col("cosine_sim") >= minCosine)
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"), col("cosine_sim"))
+  }
+
+  /** Exact near-dup pairs within a blocking key (e.g. a cluster label or
+    * LSH bucket already materialized): the oracle-checkable exact variant. */
+  def blockedNearDupPairs(df: DataFrame, id: String, vec: String,
+                          block: String, minCosine: Double): DataFrame = {
+    val l = df.as("a")
+    val r = df.as("b")
+    l.join(r, col(s"a.$block") === col(s"b.$block") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .withColumn("cosine_sim", cosine(col(s"a.$vec"), col(s"b.$vec")))
+      .filter(col("cosine_sim") >= minCosine)
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"), col("cosine_sim"))
+  }
+}
