@@ -1,0 +1,173 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val ticks = Seq(
+    // (symbol, price, volume, ts)
+    ("AAA", 10.0, 100L, "2024-01-01 00:01:00"),
+    ("AAA", 12.0, 200L, "2024-01-01 00:05:00"),
+    ("AAA", 11.0, 300L, "2024-01-01 00:17:00"),
+    ("BBB", 50.0, 10L, "2024-01-01 00:02:00"),
+    ("BBB", 54.0, 20L, "2024-01-01 00:44:00")
+  ).map { case (s, p, v, t) => (s, p, v, ts(t)) }
+    .toDF("symbol", "price", "volume", "timestamp")
+
+  test("Clean.castTicks parses reference tick shape incl. null percent") {
+    val raw = Seq(
+      ("AAA", "10.5", "0.5", "1.23%", "100", "2024-01-01T00:01:00"),
+      ("BBB", "20.0", "-1.0", null, "250", "2024-01-01T00:02:00"))
+      .toDF("symbol", "price", "change", "change_percent", "volume", "timestamp")
+    val out = Clean.castTicks(raw).orderBy("symbol")
+      .select("price", "change_percent", "volume", "timestamp")
+      .collect()
+    assert(out(0).getDouble(0) == 10.5)
+    assert(out(0).getDouble(1) == 1.23)
+    assert(out(1).isNullAt(1)) // null-tolerant (SURVEY §8.1)
+    assert(out(0).getLong(2) == 100L)
+    assert(out(0).getTimestamp(3) == ts("2024-01-01 00:01:00"))
+  }
+
+  test("Clean.qualityCounts counts range violations") {
+    val df = Seq(1.0, -2.0, 0.0, 5.0).toDF("v")
+    val r = Clean.qualityCounts(df, $"v" <= 0, $"v" > 4.0).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1 && r.getLong(2) == 4)
+  }
+
+  test("Clean.impute fills numerics with 0 and strings with unknown") {
+    val df = Seq((Some(1.0), Option("x")), (None, None))
+      .toDF("num", "str")
+    val r = Clean.impute(df, Seq("num"), Seq("str"))
+      .orderBy("num").collect()
+    assert(r(0).getDouble(0) == 0.0 && r(0).getString(1) == "unknown")
+  }
+
+  test("TimeWindows.metricWindow: tumbling 15m per symbol") {
+    val out = TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ticks, "symbol", "timestamp", "price",
+        $"volume", "15 minutes"))
+      .orderBy("symbol", "window_start").collect()
+    // AAA window [00:00,00:15): avg(10,12)=11, sum vol 300
+    assert(out(0).getAs[Double]("ma") == 11.0)
+    assert(out(0).getAs[Long]("volume_sum") == 300L)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(0).getAs[Timestamp]("window_start") == ts("2024-01-01 00:00:00"))
+    // single-row window: stddev normalized to null, not NaN
+    assert(out(1).isNullAt(out(1).fieldIndex("volatility")))
+  }
+
+  test("TimeWindows.metricWindow: sliding 15m/5m assigns 3 windows per row") {
+    val out = TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ticks.filter($"symbol" === "BBB"),
+        "symbol", "timestamp", "price", $"volume", "15 minutes",
+        Some("5 minutes")))
+    // each row lands in exactly 3 sliding windows
+    assert(out.agg(sum("n_events")).collect()(0).getLong(0) == 6L)
+  }
+
+  test("TimeWindows.ohlcWindow: deterministic open/close via min_by/max_by") {
+    val out = TimeWindows.flattenWindow(
+      TimeWindows.ohlcWindow(ticks, "symbol", "timestamp", "price",
+        "1 hour")).orderBy("symbol").collect()
+    val aaa = out(0)
+    assert(aaa.getAs[Double]("open") == 10.0)   // earliest ts
+    assert(aaa.getAs[Double]("close") == 11.0)  // latest ts
+    assert(aaa.getAs[Double]("high") == 12.0)
+    assert(aaa.getAs[Double]("low") == 10.0)
+  }
+
+  test("TimeWindows.dailyOhlcv rolls up per (key, date)") {
+    val out = TimeWindows.dailyOhlcv(ticks, "symbol", "timestamp", "price",
+      $"volume").orderBy("symbol").collect()
+    assert(out(1).getAs[Double]("daily_open") == 50.0)
+    assert(out(1).getAs[Double]("daily_close") == 54.0)
+    assert(out(1).getAs[Double]("daily_change") == 4.0)
+    assert(out(1).getAs[Long]("daily_volume") == 30L)
+  }
+
+  test("WindowAnalytics.movingAverages: trailing row frames") {
+    val out = WindowAnalytics.movingAverages(
+      ticks.filter($"symbol" === "AAA"), "symbol",
+      Seq("timestamp"), "price", Seq(2))
+      .orderBy("timestamp").select("ma_2").as[Double].collect()
+    assert(out.toSeq == Seq(10.0, 11.0, 11.5))
+  }
+
+  test("WindowAnalytics.keepLast keeps exactly one row per key, the latest") {
+    val out = Dedup.keepLast(ticks, Seq("symbol"), Seq("timestamp"))
+      .select("symbol", "price").orderBy("symbol").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(1) == 11.0 && out(1).getDouble(1) == 54.0)
+  }
+
+  test("Signals: trend / volatility / volume CASE arms") {
+    val df = Seq((3.0, 2.0, 2.5, 10.0, 5.0), (1.0, 2.0, 0.5, 1.0, 5.0))
+      .toDF("fast", "slow", "vol", "v_short", "v_long")
+    val out = df.select(
+      Signals.priceTrend($"fast", $"slow").as("t"),
+      Signals.volatilityLevel($"vol").as("l"),
+      Signals.volumeTrend($"v_short", $"v_long").as("v"))
+      .collect()
+    assert(out(0).getString(0) == "bullish" && out(0).getString(1) == "high"
+      && out(0).getString(2) == "increasing")
+    assert(out(1).getString(0) == "bearish" && out(1).getString(1) == "low"
+      && out(1).getString(2) == "normal")
+  }
+
+  test("Combine.unionLong aligns by name and tags window_type") {
+    val a = Seq((1, 2.0)).toDF("k", "v")
+    val b = Seq((3.0, 4)).toDF("v", "k") // shuffled column order
+    val out = Combine.unionLong(Seq("x" -> a, "y" -> b))
+      .orderBy("window_type").collect()
+    assert(out(0).getAs[Int]("k") == 1 && out(0).getAs[Double]("v") == 2.0)
+    assert(out(1).getAs[Int]("k") == 4 && out(1).getAs[Double]("v") == 3.0)
+  }
+
+  test("Merge.upsert: update wins on key match, survivors kept") {
+    val target = Seq((1, "old"), (2, "keep")).toDF("id", "val")
+    val updates = Seq((1, "new"), (3, "ins")).toDF("id", "val")
+    val out = Merge.upsert(target, updates, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "new"), (2, "keep"), (3, "ins")))
+  }
+
+  test("Merge.upsert is idempotent") {
+    val target = Seq((1, "a"), (2, "b")).toDF("id", "val")
+    val updates = Seq((2, "B")).toDF("id", "val")
+    val once = Merge.upsert(target, updates, Seq("id"))
+    val twice = Merge.upsert(once, updates, Seq("id"))
+    assert(once.orderBy("id").collect().toSeq ==
+      twice.orderBy("id").collect().toSeq)
+  }
+
+  test("Merge.upsertParquet swaps atomically on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val path = s"$dir/table"
+    Merge.upsertParquet(spark, path, Seq((1, "a")).toDF("id", "val"), Seq("id"))
+    Merge.upsertParquet(spark, path, Seq((1, "A"), (2, "b")).toDF("id", "val"),
+      Seq("id"))
+    val out = spark.read.parquet(path).orderBy("id").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "A"), (2, "b")))
+  }
+
+  test("TopK plans as TakeOrderedAndProject (no global sort)") {
+    val df = TopK.topK(ticks, Seq($"price".desc), 2)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(df.select("price").as[Double].collect().toSeq == Seq(54.0, 50.0))
+  }
+
+  test("Dedup.dupCheck flags only keys with >1 row") {
+    val out = Dedup.dupCheck(ticks, Seq("symbol")).collect()
+    assert(out.length == 2) // both symbols have >1
+    val one = Dedup.dupCheck(ticks.limit(1), Seq("symbol")).collect()
+    assert(one.isEmpty)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+class SimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+    (2L, Seq(0.0f, 1.0f, 0.0f), 0),
+    (3L, Seq(0.0f, 0.0f, 1.0f), 1),
+    (4L, Seq(0.0f, 0.1f, 0.9f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("dot / cosine basics") {
+    val r = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("d"),
+        Similarity.cosine($"a", $"a").as("self"))
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("withUnitVector normalizes to unit length") {
+    val n = Similarity.withUnitVector(vecs, "embedding")
+      .select(Similarity.norm($"unit_vec").as("n")).as[Double].collect()
+    n.foreach(x => assert(math.abs(x - 1.0) < 1e-12))
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val out = Similarity.bruteForceTopK(q, vecs, "q_id", "vec_id",
+      "q_vec", "embedding", k = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Int]("rank") == 1)
+  }
+
+  test("LSH bucket is deterministic and groups near duplicates") {
+    val b1 = Similarity.withLshBucket(vecs, "embedding", dim = 3, nbits = 4)
+      .select("vec_id", "lsh_bucket").as[(Long, Long)].collect().toMap
+    val b2 = Similarity.withLshBucket(vecs, "embedding", dim = 3, nbits = 4)
+      .select("vec_id", "lsh_bucket").as[(Long, Long)].collect().toMap
+    assert(b1 == b2) // seeded hyperplanes -> stable
+    assert(b1(0L) == b1(1L)) // near-identical vectors share a bucket
+  }
+
+  test("blockedNearDupPairs: only within-block, above threshold") {
+    val out = Similarity.blockedNearDupPairs(vecs, "vec_id", "embedding",
+      "label", minCosine = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 1L)) && out.contains((3L, 4L)))
+    // cross-block pair (1,3) impossible even if similar
+    assert(out.forall { case (a, b) => !(a == 2L && b == 3L) })
+  }
+}

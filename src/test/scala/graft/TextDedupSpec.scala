@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.FuzzyDedup
+import graft.text.TextAnalysis
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),
+    (3L, "completely different words entirely here now", "en"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en") // exact dup of 1
+  ).toDF("doc_id", "text", "lang")
+
+  test("wordNGrams guards size < n (sequence would descend)") {
+    val out = Seq("a b", "a b c d").toDF("t")
+      .select(TextAnalysis.wordNGrams(TextAnalysis.tokens($"t"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("a b c", "b c d"))
+  }
+
+  test("tokenCount and bpeishTokenCount") {
+    val r = Seq("  hello, world! 42 ").toDF("t").select(
+      TextAnalysis.tokenCount($"t").as("ws"),
+      TextAnalysis.bpeishTokenCount($"t").as("bpe")).collect()(0)
+    assert(r.getInt(0) == 3)
+    // hello , world ! 42 -> 5
+    assert(r.getInt(1) == 5)
+  }
+
+  test("exactDupGroups collapses identical texts to min id") {
+    val out = FuzzyDedup.exactDupGroups(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("jaccardPairs finds near dups inside block, exact pair at 1.0") {
+    val pairs = FuzzyDedup.jaccardPairs(docs, "doc_id", "text", "lang",
+      n = 3, minJaccard = 0.3, maxDf = None)
+      .orderBy("id1", "id2").collect()
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+    // doc 3 shares nothing
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("minhash signatures: identical docs identical, near docs similar") {
+    val sig = FuzzyDedup.minhashSignatures(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(4L)) // exact dup -> identical signature
+    val agree12 = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
+    val agree13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(agree12 > agree13) // near dup agrees more than unrelated
+  }
+
+  test("minhashCandidates surfaces the exact-dup pair") {
+    val cand = FuzzyDedup.minhashCandidates(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs have identical hashes; pairs hamming 0") {
+    val sh = FuzzyDedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    val pairs = FuzzyDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+
+  test("quality features and score are in sane ranges") {
+    val out = TextAnalysis.qualityScore(
+      TextAnalysis.withQualityFeatures(docs, "text",
+        TextAnalysis.defaultStopwords))
+      .select("punct_ratio", "space_ratio", "alpha_ratio", "stopword_ratio",
+        "quality_score").collect()
+    out.foreach { r =>
+      (0 until 5).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"col $i out of range: $v")
+      }
+    }
+  }
+
+  test("language ID picks the marker-heavy language, und when none") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "el perro y la casa de que y el gato"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLanguageId(df, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("fingerprints: whitespace/case-insensitive exact key") {
+    val df = Seq((1L, "Hello   World Foo"), (2L, "hello world foo"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.withFingerprints(df, "text")
+      .select("fp_md5").as[String].collect()
+    assert(fp(0) == fp(1))
+  }
+}
