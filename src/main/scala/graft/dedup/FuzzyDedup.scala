@@ -47,15 +47,20 @@ object FuzzyDedup {
     val sh = df.select(col(id).as("id"), col(block).as("block"),
         explode(array_distinct(
           TextAnalysis.wordNGrams(TextAnalysis.tokens(col(text)), n))).as("shingle"))
-    val filtered = maxDf match {
+    // The shingle expansion (regex tokenize + n-gram + explode) feeds four
+    // consumers (df-filter, sizes, both self-join sides); persist it once
+    // instead of recomputing the most expensive stage of the query 4x. At
+    // cluster scale this is the "materialize the shingle table" step.
+    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = (maxDf match {
       case Some(cap) =>
-        val dfreq = sh.groupBy("block", "shingle")
+        val dfreq = shP.groupBy("block", "shingle")
           .agg(count(lit(1)).as("df_count"))
           .filter(col("df_count") <= cap)
           .select("block", "shingle")
-        sh.join(dfreq, Seq("block", "shingle"))
-      case None => sh
-    }
+        shP.join(dfreq, Seq("block", "shingle"))
+      case None => shP
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val a = filtered.as("a")
     val b = filtered.as("b")

@@ -39,9 +39,15 @@ object Similarity {
     * through one pass — no corpus shuffle. Ties break on neighbor id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                      cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    // Precompute each side's norm once per ROW before the join; computing
+    // cosine() inside the join would redo both norms once per PAIR (3x the
+    // flops at |Q|*|C| pairs). Same op order as cosine(), bit-identical.
+    val qn = queries.withColumn("__qn", norm(col(qVec)))
+    val cn = corpus.withColumn("__cn", norm(col(cVec)))
+    val joined = cn.crossJoin(broadcast(qn))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cosine_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cosine_sim",
+        dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cosine_sim").desc, col(cId).asc)
     joined.withColumn("rank", row_number().over(w))
@@ -75,12 +81,13 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, id: String, vec: String, dim: Int,
                       minCosine: Double, nbits: Int = 12,
                       seed: Long = 42L): DataFrame = {
-    val b = withLshBucket(df, vec, dim, nbits, seed)
+    val b = withLshBucket(df, vec, dim, nbits, seed).withColumn("__n", norm(col(vec)))
     val l = b.as("a")
     val r = b.as("b")
     l.join(r, col("a.lsh_bucket") === col("b.lsh_bucket") &&
         col(s"a.$id") < col(s"b.$id"))
-      .withColumn("cosine_sim", cosine(col(s"a.$vec"), col(s"b.$vec")))
+      .withColumn("cosine_sim",
+        dot(col(s"a.$vec"), col(s"b.$vec")) / (col("a.__n") * col("b.__n")))
       .filter(col("cosine_sim") >= minCosine)
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"), col("cosine_sim"))
   }
@@ -89,11 +96,13 @@ object Similarity {
     * LSH bucket already materialized): the oracle-checkable exact variant. */
   def blockedNearDupPairs(df: DataFrame, id: String, vec: String,
                           block: String, minCosine: Double): DataFrame = {
-    val l = df.as("a")
-    val r = df.as("b")
+    val withNorm = df.withColumn("__n", norm(col(vec)))
+    val l = withNorm.as("a")
+    val r = withNorm.as("b")
     l.join(r, col(s"a.$block") === col(s"b.$block") &&
         col(s"a.$id") < col(s"b.$id"))
-      .withColumn("cosine_sim", cosine(col(s"a.$vec"), col(s"b.$vec")))
+      .withColumn("cosine_sim",
+        dot(col(s"a.$vec"), col(s"b.$vec")) / (col("a.__n") * col("b.__n")))
       .filter(col("cosine_sim") >= minCosine)
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"), col("cosine_sim"))
   }

@@ -23,9 +23,12 @@ object TextAnalysis {
 
   /** BPE-ish subword proxy: count of maximal runs of letters, digits, or
     * single other non-space symbols — a cheap, deterministic stand-in for a
-    * real tokenizer's token count. */
+    * real tokenizer's token count. Uses graft's native RegexpCountExpr
+    * (codegen'd count, no match-array allocation) rather than
+    * size(regexp_extract_all(...)). */
   def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    graft.functions.GraftFunctions.regexpCount(c,
+      "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
 
   /** Quality features: length, token stats, punctuation/whitespace/alpha
     * ratios, stopword ratio — the standard pre-training quality filters. */
