@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // TypedImperativeAggregate (minhash/simhash sketches) runs in
+      // ObjectHashAggregate, which falls back to sort-based aggregation
+      // after 128 in-memory groups by default -- far too conservative for
+      // 512-byte sketch buffers.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

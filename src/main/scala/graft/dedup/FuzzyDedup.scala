@@ -91,17 +91,17 @@ object FuzzyDedup {
 
   /** MinHash signatures: numPerm 64-bit minima per document over its shingle
     * set. One shuffle (groupBy id); signature width is constant so the
-    * output is tiny relative to the corpus. */
+    * output is tiny relative to the corpus. Computed by the one-pass
+    * MinHashAgg TypedImperativeAggregate (single long[numPerm] buffer per
+    * group instead of numPerm separate aggregation buffers). */
   def minhashSignatures(df: DataFrame, id: String, text: String, n: Int,
                         numPerm: Int = 64, seed: Long = 42L): DataFrame = {
     val sh = shingles(df, id, text, n)
       .withColumn("h32", hash(col("shingle")).cast("long").bitwiseAND(0xFFFFFFFFL))
-    val mins = perms(numPerm, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h32") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
-    }
-    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
-      .withColumn("signature", array((0 until numPerm).map(i => col(s"mh_$i")): _*))
-      .select(col(id), col("signature"))
+    val ab = perms(numPerm, seed)
+    sh.groupBy(col(id))
+      .agg(graft.functions.SketchAggs.minhashSig(col("h32"),
+        ab.map(_._1).toArray, ab.map(_._2).toArray).as("signature"))
   }
 
   /** LSH banding over MinHash signatures: split the signature into `bands`
@@ -131,20 +131,13 @@ object FuzzyDedup {
   }
 
   /** SimHash-64 per document: sign-sum of token-hash bits, weighted by token
-    * frequency. Computed as 64 conditional sums in one hash aggregate —
-    * fully codegen'd, one shuffle. */
+    * frequency. One-pass SimHashAgg (single int[64] buffer per group, bits
+    * packed at eval) — one shuffle, constant-width partials. */
   def simhash64(df: DataFrame, id: String, text: String): DataFrame = {
     val tok = df.select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
       .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"bit_$k")
-    }
-    val assembled = (0 until 64).map { k =>
-      when(col(s"bit_$k") > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", assembled)
-      .select(col(id), col("simhash"))
+    tok.groupBy(col(id))
+      .agg(graft.functions.SketchAggs.simhash64(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: block on 16-bit chunks (a pair within hamming
