@@ -248,6 +248,41 @@ object SparkEntry {
       .select(col("event_type"), col("window_start"), r6(col("ma")).as("ma"),
         col("volume_sum"), col("n_events"))
 
+  /** S6: JSONL roundtrip — events -> one-JSON-object-per-line landing ->
+    * schema'd scan (the reference's Kafka message shape, offline). */
+  private def qScanJsonl(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_jsonl_roundtrip/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Ingest.writeJsonl(ev(s, dir).select(col("event_id"), col("event_type"),
+      col("user_id"), col("value")), path)
+    Ingest.readJsonl(s, path, StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("user_id", LongType), StructField("value", DoubleType))))
+  }
+
+  /** Salted two-phase aggregate: output identical to a plain groupBy; the
+    * salting is a physical-plan property (skewed-key shard split). */
+  private def qAggSalted(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAggregate(ev(s, dir), Seq("event_type"), "value", salt = 16)
+      .select(col("event_type"), col("n"), r4(col("value_sum")).as("value_sum"),
+        col("value_min"), col("value_max"), r6(col("value_avg")).as("value_avg"))
+
+  /** U1 (faithful): the reference's positional 3-way union — the 5-minute
+    * branch's metrics land under *_15m column names, the 1-hour branch
+    * pads nulls (SURVEY §8 / airflow analytics processor:206-215). */
+  private def qUnionPositional(s: SparkSession, dir: String): DataFrame = {
+    def m(width: String) = TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"), width = width))
+    val b5 = m("5 minutes").select(col("event_type"), col("window_start"),
+      r6(col("ma")).as("avg_price_15m"), r6(col("volatility")).as("volatility_15m"))
+    val b15 = m("15 minutes").select(col("event_type"), col("window_start"),
+      r6(col("ma")).as("avg_price_15m"), r6(col("volatility")).as("volatility_15m"))
+    val b1h = m("1 hour").select(col("event_type"), col("window_start"),
+      r6(col("ma")).as("avg_price_15m"),
+      lit(null).cast(DoubleType).as("volatility_15m"))
+    Combine.unionTaggedPositional(Seq("5min" -> b5, "15min" -> b15, "1hour" -> b1h))
+  }
+
   /** U1 (clean long-format variant): 5m/15m/1h metrics stacked, tagged. */
   private def qUnionAll(s: SparkSession, dir: String): DataFrame = {
     def m(width: String) = TimeWindows.flattenWindow(
@@ -288,6 +323,10 @@ object SparkEntry {
       date_trunc("minute", col("ts")).as("minute_ts"),
       date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
       (col("ts") + expr("INTERVAL 15 MINUTES")).as("ts_plus_15m"),
+      // the reference's date_add(_, 15) bug: adds 15 DAYS though named
+      // window_15m_end (spark_batch_processor.py:67, SURVEY §8.2) —
+      // reproduced faithfully alongside the corrected column above
+      date_add(col("ts"), 15).as("window_15m_end_ref"),
       to_date(col("ts")).as("event_date"))
 
   private def qScalarString(s: SparkSession, dir: String): DataFrame =
@@ -441,6 +480,9 @@ object SparkEntry {
     "q_window_sliding" -> (qWindowSliding _),
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_union_all" -> (qUnionAll _),
+    "q_union_positional" -> (qUnionPositional _),
+    "q_scan_jsonl" -> (qScanJsonl _),
+    "q_agg_salted" -> (qAggSalted _),
     "q_case_when" -> (qCaseWhen _),
     "q_topk" -> (qTopK _),
     "q_scalar_datetime" -> (qScalarDatetime _),
@@ -731,8 +773,36 @@ object SparkEntry {
          | date_trunc('minute', $TS) AS minute_ts,
          | strftime($TS, '%Y-%m-%d') AS date_str,
          | $TS + INTERVAL 15 MINUTES AS ts_plus_15m,
+         | CAST(ts AS DATE) + 15 AS window_15m_end_ref,
          | CAST(ts AS DATE) AS event_date
          |FROM events""".stripMargin,
+
+    "q_scan_jsonl" ->
+      "SELECT event_id, event_type, user_id, value FROM events",
+
+    "q_agg_salted" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 4) AS value_sum,
+        | min(value) AS value_min, max(value) AS value_max,
+        | round(sum(value) / count(*), 6) AS value_avg
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_union_positional" ->
+      s"""WITH g AS (SELECT event_type, $TS AS tts, value FROM events)
+         |SELECT event_type, time_bucket(INTERVAL 5 MINUTES, tts)
+         |    AS window_start,
+         |  round(avg(value), 6) AS avg_price_15m,
+         |  round(stddev_samp(value), 6) AS volatility_15m,
+         |  '5min' AS window_type
+         |FROM g GROUP BY 1, 2
+         |UNION ALL
+         |SELECT event_type, time_bucket(INTERVAL 15 MINUTES, tts),
+         |  round(avg(value), 6), round(stddev_samp(value), 6), '15min'
+         |FROM g GROUP BY 1, 2
+         |UNION ALL
+         |SELECT event_type, time_bucket(INTERVAL 1 HOUR, tts),
+         |  round(avg(value), 6), NULL, '1hour'
+         |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q_scalar_string" ->
       """SELECT doc_id, upper(lang) AS lang_uc,

@@ -60,4 +60,28 @@ object Ingest {
     * realtime_data_consumer.py:101-127). */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
+
+  /** S6 (zero-egress form): the reference's Kafka leg carries one JSON
+    * object per tick (stream_data_producer.py:120-131); the offline
+    * equivalent is JSONL on disk. Schema-on-read, no inference pass. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S6 streaming twin: JSONL file-stream source. */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Bucketed managed table: pre-shuffles once at write time so every
+    * subsequent equi-join/aggregation on `bucketCols` with a matching
+    * bucket count runs exchange-free. This is the 100 TB co-located-join
+    * lever: a fact table bucketed by its join key never shuffles again. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-resistant aggregation via key salting (SURVEY §7.4 scale posture).
+ *
+ * A hash aggregate over a skewed key (one symbol = 40% of all ticks) puts
+ * the hot key's entire partial state on one reducer. Salting splits each
+ * key into `salt` shards for the first (map-heavy) aggregation, then
+ * combines the shards in a second, tiny aggregation. Only decomposable
+ * aggregates (sum/count/min/max — and avg as sum/count) survive the
+ * two-phase split; that is exactly the set the reference uses.
+ *
+ * AQE's skew-join handling covers joins; this covers group-bys, which AQE
+ * does not rebalance when a single key dominates.
+ */
+object Skew {
+
+  /** Two-phase salted aggregate: per (keys) compute count, sum/min/max of
+    * `value` and avg derived as sum/count. Result is identical to the
+    * direct groupBy — salting is invisible in the output. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], value: String,
+                      salt: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    val phase1 = df
+      .withColumn("__salt", pmod(crc32(col(value).cast("string")), lit(salt)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(value)).as("__sum"),
+        min(col(value)).as("__min"),
+        max(col(value)).as("__max"))
+    phase1.groupBy(keyCols: _*)
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__sum")).as("value_sum"),
+        min(col("__min")).as("value_min"),
+        max(col("__max")).as("value_max"))
+      .withColumn("value_avg", col("value_sum") / col("n"))
+  }
+}

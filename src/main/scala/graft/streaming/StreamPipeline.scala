@@ -54,6 +54,24 @@ object StreamPipeline {
       }
       .start()
 
+  /** Warehouse-style sink: each micro-batch MERGE-upserts into a parquet
+    * table on (key, window_start) — the reference's Snowflake MERGE loader
+    * semantics (load_stream_to_snowflake.py:281-305) composed from
+    * graft.ops.Merge inside foreachBatch. Re-delivered micro-batches
+    * (checkpoint replay) are idempotent: same keys -> same rows. */
+  def startMerge(metrics: DataFrame, tablePath: String,
+                 checkpointDir: String, keys: Seq[String],
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    metrics.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Merge.upsertParquet(batch.sparkSession, tablePath,
+          batch.withColumn("batch_id", lit(batchId.toString)), keys)
+      }
+      .start()
+
   /** End-to-end: raw CSV dir -> windowed metrics -> partitioned parquet.
     * With Trigger.AvailableNow this drains the directory and stops —
     * deterministic for tests; swap the trigger for ProcessingTime in

@@ -45,6 +45,34 @@ class StreamingSpec extends SparkSpec {
     assert(aaa.headOption.contains(2L))
   }
 
+  test("merge sink upserts per micro-batch; replayed keys do not duplicate") {
+    val base = Files.createTempDirectory("graft_stream_merge")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val table = base.resolve("table").toString
+    val ckpt = base.resolve("ckpt").toString
+    def run(): Unit = {
+      val metrics = StreamPipeline.windowedMetrics(
+        StreamPipeline.tickStream(spark, raw.toString),
+        width = "5 minutes", slide = "5 minutes")
+      StreamPipeline.startMerge(metrics, table, ckpt,
+        keys = Seq("symbol", "window_start")).awaitTermination(60000)
+    }
+    writeCsv(raw, "m1.csv", Seq("AAA,10.0,0.0,,100,2024-01-01T00:01:00"))
+    run()
+    // push watermark so the 00:00 window flushes, then far enough for 01:00
+    writeCsv(raw, "m2.csv", Seq("AAA,20.0,0.0,,100,2024-01-01T01:00:00"))
+    run()
+    writeCsv(raw, "m3.csv", Seq("AAA,30.0,0.0,,100,2024-01-01T02:00:00"))
+    run()
+    import spark.implicits._
+    val rows = spark.read.parquet(table)
+      .select("symbol", "window_start", "ma").collect()
+    // exactly one row per (symbol, window): merged, not appended twice
+    assert(rows.map(r => (r.getString(0), r.getTimestamp(1))).distinct.length
+      == rows.length)
+    assert(rows.exists(_.getTimestamp(1).toString.startsWith("2024-01-01 00:00")))
+  }
+
   test("watermark drops rows later than the bound across micro-batches") {
     val base = Files.createTempDirectory("graft_stream_wm")
     val raw = Files.createDirectory(base.resolve("raw"))
