@@ -33,6 +33,14 @@ object FuzzyDedup {
     df.select(col(id), explode(array_distinct(
         TextAnalysis.wordNGrams(TextAnalysis.tokens(col(text)), n))).as("shingle"))
 
+  /** Hash-space shingle expansion: one row per distinct (id, h64) where h64
+    * is the XXH64 of the n-gram bytes, computed by the native NGramHashes
+    * expression — no shingle strings are ever materialized and downstream
+    * shuffles carry 8-byte keys. */
+  def shingleHashes(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), explode(graft.functions.NGramHashes.ngramHashes(
+        TextAnalysis.tokens(col(text)), n)).as("h64"))
+
   /** N-gram Jaccard similarity pairs within a blocking key.
     *
     * block: coarse partition (a column name) limiting the candidate space —
@@ -45,8 +53,8 @@ object FuzzyDedup {
                    n: Int, minJaccard: Double,
                    maxDf: Option[Int] = Some(1000)): DataFrame = {
     val sh = df.select(col(id).as("id"), col(block).as("block"),
-        explode(array_distinct(
-          TextAnalysis.wordNGrams(TextAnalysis.tokens(col(text)), n))).as("shingle"))
+        explode(graft.functions.NGramHashes.ngramHashes(
+          TextAnalysis.tokens(col(text)), n)).as("shingle"))
     // The shingle expansion (regex tokenize + n-gram + explode) feeds four
     // consumers (df-filter, sizes, both self-join sides); persist it once
     // instead of recomputing the most expensive stage of the query 4x. At
@@ -79,30 +87,19 @@ object FuzzyDedup {
       .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
   }
 
-  /** Deterministic (a, b) parameters for the MinHash permutation family
-    * h_i(x) = (a_i * x + b_i) mod p, generated from a fixed seed. a < 2^30
-    * keeps a*h32 within signed-64 range for 32-bit base hashes. */
-  private def perms(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPerm)((rnd.nextInt(1 << 30).toLong + 1L, rnd.nextInt(1 << 30).toLong))
-  }
-
-  private val MersennePrime = (1L << 61) - 1
-
   /** MinHash signatures: numPerm 64-bit minima per document over its shingle
     * set. One shuffle (groupBy id); signature width is constant so the
     * output is tiny relative to the corpus. Computed by the one-pass
     * MinHashAgg TypedImperativeAggregate (single long[numPerm] buffer per
-    * group instead of numPerm separate aggregation buffers). */
+    * group), whose per-permutation hash is a 64-bit bijective mixer — see
+    * MinHashAgg scaladoc for why the textbook (a*x+b) mod p family was
+    * replaced. */
   def minhashSignatures(df: DataFrame, id: String, text: String, n: Int,
-                        numPerm: Int = 64, seed: Long = 42L): DataFrame = {
-    val sh = shingles(df, id, text, n)
-      .withColumn("h32", hash(col("shingle")).cast("long").bitwiseAND(0xFFFFFFFFL))
-    val ab = perms(numPerm, seed)
-    sh.groupBy(col(id))
-      .agg(graft.functions.SketchAggs.minhashSig(col("h32"),
-        ab.map(_._1).toArray, ab.map(_._2).toArray).as("signature"))
-  }
+                        numPerm: Int = 64, seed: Long = 42L): DataFrame =
+    shingleHashes(df, id, text, n)
+      .groupBy(col(id))
+      .agg(graft.functions.SketchAggs.minhashSig(col("h64"), numPerm, seed)
+        .as("signature"))
 
   /** LSH banding over MinHash signatures: split the signature into `bands`
     * bands of numPerm/bands rows, hash each band, and emit (band_idx,

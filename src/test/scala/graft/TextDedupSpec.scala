@@ -59,6 +59,20 @@ class TextDedupSpec extends SparkSpec {
     assert(agree12 > agree13) // near dup agrees more than unrelated
   }
 
+  test("minhash signature agreement tracks true jaccard (family sanity)") {
+    // regression for the degenerate (a*x+b) mod p family: agreement must be
+    // a consistent estimator of jaccard, not argmin-of-smallest-hash
+    val sh = FuzzyDedup.shingleHashes(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect()
+    def set(i: Long) = sh.filter(_._1 == i).map(_._2).toSet
+    val trueJ = (set(1L) & set(2L)).size.toDouble / (set(1L) | set(2L)).size
+    val sig = FuzzyDedup.minhashSignatures(docs, "doc_id", "text", n = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    val est = sig(1L).zip(sig(2L)).count { case (a, b) => a == b } / 64.0
+    assert(math.abs(est - trueJ) < 0.25,
+      s"minhash estimate $est far from true jaccard $trueJ")
+  }
+
   test("minhashCandidates surfaces the exact-dup pair") {
     val cand = FuzzyDedup.minhashCandidates(docs, "doc_id", "text", n = 3)
       .as[(Long, Long)].collect().toSet
