@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{NGramHashes, RegexpCountExpr}
+
+/**
+ * SQL-surface registration of graft's native expressions, usable two ways:
+ *
+ *  - cluster-wide, at session build time:
+ *      spark.sql.extensions=graft.GraftExtensions
+ *  - on an existing session (tests, notebooks):
+ *      GraftExtensions.register(spark)
+ *
+ * After either, `SELECT regexp_count_fast(text, '\\w+')` and
+ * `SELECT ngram_hashes(tokens, 3)` work from plain SQL.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("regexp_count_fast"),
+      new ExpressionInfo(classOf[RegexpCountExpr].getName, "regexp_count_fast"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "regexp_count_fast(subject, pattern) takes 2 arguments")
+        RegexpCountExpr(children.head, children(1))
+      }),
+    (FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NGramHashes].getName, "ngram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "ngram_hashes(tokens, n) takes 2 arguments")
+        NGramHashes(children.head, intLit(children(1), "ngram_hashes n"))
+      }))
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

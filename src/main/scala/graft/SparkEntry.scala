@@ -248,6 +248,13 @@ object SparkEntry {
       .select(col("event_type"), col("window_start"), r6(col("ma")).as("ma"),
         col("volume_sum"), col("n_events"))
 
+  /** Gap-based sessionization (30-minute gap) per user. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.byGap(ev(s, dir), "user_id", "ts", "value",
+        gapMinutes = 30, tiebreak = "event_id")
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"), r4(col("value_sum")).as("value_sum"))
+
   /** S6: JSONL roundtrip — events -> one-JSON-object-per-line landing ->
     * schema'd scan (the reference's Kafka message shape, offline). */
   private def qScanJsonl(s: SparkSession, dir: String): DataFrame = {
@@ -426,6 +433,16 @@ object SparkEntry {
         "embedding", block = "label", minCosine = 0.2)
       .withColumn("cosine_sim", r6(col("cosine_sim")))
 
+  /** IVF-probed ANN top-k (rows-only: recall-vs-bruteforce asserted in
+    * SimSpec; the cell structure depends on the seed-centroid choice). */
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopK(queries, emb, "q_id", "vec_id", "q_vec", "embedding",
+      k = 5, nlist = 16, nProbe = 8)
+  }
+
   private def qSimLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
       "embedding", dim = 64, minCosine = 0.2, nbits = 8)
@@ -483,6 +500,7 @@ object SparkEntry {
     "q_union_positional" -> (qUnionPositional _),
     "q_scan_jsonl" -> (qScanJsonl _),
     "q_agg_salted" -> (qAggSalted _),
+    "q_sessionize" -> (qSessionize _),
     "q_case_when" -> (qCaseWhen _),
     "q_topk" -> (qTopK _),
     "q_scalar_datetime" -> (qScalarDatetime _),
@@ -501,6 +519,7 @@ object SparkEntry {
     "q_sim_bruteforce" -> (qSimBruteforce _),
     "q_sim_blocked" -> (qSimBlocked _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _)
@@ -779,6 +798,19 @@ object SparkEntry {
 
     "q_scan_jsonl" ->
       "SELECT event_id, event_type, user_id, value FROM events",
+
+    "q_sessionize" ->
+      s"""WITH x AS (SELECT user_id, $TS AS tts, event_id, value FROM events),
+         |y AS (SELECT *, CASE WHEN epoch_us(tts) - lag(epoch_us(tts))
+         |    OVER (PARTITION BY user_id ORDER BY tts, event_id)
+         |    > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+         |z AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY tts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS session_idx FROM y)
+         |SELECT user_id, session_idx, min(tts) AS session_start,
+         |  max(tts) AS session_end, count(*) AS n_events,
+         |  round(sum(value), 4) AS value_sum
+         |FROM z GROUP BY 1, 2""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n,

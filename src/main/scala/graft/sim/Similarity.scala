@@ -92,6 +92,59 @@ object Similarity {
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"), col("cosine_sim"))
   }
 
+  /** IVF coarse quantizer: `nlist` deterministic seed centroids (every
+    * corpus-size/nlist-th vector by id — cheap, reproducible; swap in
+    * k-means centroids without changing the query path). Returns the
+    * centroid table (cell, centroid vector). */
+  def ivfCentroids(corpus: DataFrame, id: String, vec: String,
+                   nlist: Int): DataFrame = {
+    // TakeOrdered top-nlist by id: no corpus-wide sort/shuffle, and the
+    // single-partition window below only ever sees nlist rows.
+    val seeds = corpus.select(col(id), col(vec)).orderBy(col(id)).limit(nlist)
+    seeds.withColumn("cell", row_number().over(Window.orderBy(col(id))) - 1)
+      .select(col("cell"), col(vec).as("centroid"))
+  }
+
+  /** Assign each vector to its nProbe nearest (max-cosine) centroid cells.
+    * The centroid table is broadcast; assignment is a single scan. */
+  def ivfAssign(df: DataFrame, id: String, vec: String, centroids: DataFrame,
+                nProbe: Int = 1): DataFrame = {
+    val withN = df.withColumn("__vn", norm(col(vec)))
+    val cN = centroids.withColumn("__cn", norm(col("centroid")))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    withN.crossJoin(broadcast(cN))
+      .withColumn("__csim",
+        dot(col(vec), col("centroid")) / (col("__vn") * col("__cn")))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") <= nProbe)
+      .drop("centroid", "__vn", "__cn", "__csim", "__crank")
+  }
+
+  /** IVF top-k: probe the query's nProbe nearest cells and rank only the
+    * corpus vectors in those cells. Recall is tunable via nlist/nProbe; the
+    * corpus is scanned once to build cells and the per-query search space
+    * shrinks by ~nlist/nProbe versus brute force. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+              qVec: String, cVec: String, k: Int, nlist: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(corpus, cId, cVec, nlist)
+    val cells = ivfAssign(corpus, cId, cVec, centroids, nProbe = 1)
+      .withColumn("__cn2", norm(col(cVec)))
+    val probes = ivfAssign(queries, qId, qVec, centroids, nProbe = nProbe)
+      .withColumn("__qn2", norm(col(qVec)))
+    val joined = probes.join(cells, "cell")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cosine_sim",
+        dot(col(qVec), col(cVec)) / (col("__qn2") * col("__cn2")))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cosine_sim").desc, col(cId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
+        col("cosine_sim"), col("rank"))
+  }
+
   /** Exact near-dup pairs within a blocking key (e.g. a cluster label or
     * LSH bucket already materialized): the oracle-checkable exact variant. */
   def blockedNearDupPairs(df: DataFrame, id: String, vec: String,

@@ -56,4 +56,20 @@ class SimSpec extends SparkSpec {
     // cross-block pair (1,3) impossible even if similar
     assert(out.forall { case (a, b) => !(a == 2L && b == 3L) })
   }
+
+  test("IVF top-k recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def top1(df: org.apache.spark.sql.DataFrame) = df.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = top1(Similarity.bruteForceTopK(q, emb, "q_id", "vec_id",
+      "q_vec", "embedding", k = 1))
+    val ivf = top1(Similarity.ivfTopK(q, emb, "q_id", "vec_id", "q_vec",
+      "embedding", k = 1, nlist = 8, nProbe = 4))
+    // probing half the cells must recover at least half the true top-1s
+    assert((exact & ivf).size >= exact.size / 2,
+      s"IVF recall too low: ${(exact & ivf).size}/${exact.size}")
+    assert(ivf.size == exact.size) // every query answered
+  }
 }

@@ -73,6 +73,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(_.getTimestamp(1).toString.startsWith("2024-01-01 00:00")))
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
+    import graft.streaming.SessionizeStream
+    import graft.streaming.SessionizeStream.{Event, Session}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sessions")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def writeJsonl(name: String, rows: Seq[String]): Unit =
+      Files.writeString(raw.resolve(name), rows.mkString("\n"))
+    def run(): Unit = {
+      val events = spark.readStream
+        .schema("key STRING, ts TIMESTAMP, value DOUBLE")
+        .json(raw.toString).as[Event]
+      SessionizeStream.byGap(events, gapMinutes = 30, watermark = "0 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+        .awaitTermination(60000)
+    }
+    // session 1: two events 10 min apart; then a 2h gap breaks it
+    writeJsonl("s1.jsonl", Seq(
+      """{"key":"u1","ts":"2024-01-01 00:00:00","value":1.0}""",
+      """{"key":"u1","ts":"2024-01-01 00:10:00","value":2.0}"""))
+    run()
+    writeJsonl("s2.jsonl", Seq(
+      """{"key":"u1","ts":"2024-01-01 02:10:00","value":5.0}"""))
+    run()
+    // advance watermark far past session 2's timeout so it closes too
+    writeJsonl("s3.jsonl", Seq(
+      """{"key":"u2","ts":"2024-01-01 09:00:00","value":0.5}"""))
+    run()
+    writeJsonl("s4.jsonl", Seq(
+      """{"key":"u2","ts":"2024-01-01 12:00:00","value":0.5}"""))
+    run()
+    val sessions = spark.read.schema(
+        "key STRING, session_start TIMESTAMP, session_end TIMESTAMP, n_events LONG, value_sum DOUBLE")
+      .parquet(out).as[Session].collect().sortBy(s => (s.key, s.session_start.getTime))
+    val u1 = sessions.filter(_.key == "u1")
+    assert(u1.length == 2, s"expected 2 closed u1 sessions, got ${sessions.mkString(";")}")
+    assert(u1(0).n_events == 2 && u1(0).value_sum == 3.0)
+    assert(u1(0).session_end.toString.startsWith("2024-01-01 00:10"))
+    assert(u1(1).n_events == 1 && u1(1).value_sum == 5.0)
+  }
+
   test("watermark drops rows later than the bound across micro-batches") {
     val base = Files.createTempDirectory("graft_stream_wm")
     val raw = Files.createDirectory(base.resolve("raw"))
