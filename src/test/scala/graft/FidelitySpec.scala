@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.multimodal.Multimodal
+import graft.ops.{Clean, Ingest}
+
+/** Reference-fidelity behaviors (SURVEY §8 quirks) and scale plumbing. */
+class FidelitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("§8.1 schema skew: CSV leg loads percent_change positionally; " +
+    "JSON leg nulls it (name-matched); cleaning tolerates both") {
+    val dir = Files.createTempDirectory("graft_skew")
+    // raw zone file exactly as the reference consumer writes it: the
+    // header says percent_change, every Spark schema says change_percent
+    Files.writeString(dir.resolve("ticks.csv"),
+      """symbol,price,change,percent_change,volume,timestamp
+        |AAPL,190.5,0.5,0.26%,1000,2024-01-01T09:30:00
+        |MSFT,410.0,-1.0,-0.24%,2000,2024-01-01T09:30:30""".stripMargin)
+    // CSV + explicit schema: columns map BY POSITION (enforceSchema=true
+    // default) — the skewed header is ignored and the value loads
+    val csvClean = Clean.castTicks(
+      Ingest.readCsv(spark, dir.toString, Schemas.tickRaw))
+      .orderBy("symbol").collect()
+    assert(csvClean(0).getAs[Double]("change_percent") == 0.26)
+    assert(csvClean(0).getAs[Double]("price") == 190.5)
+    // JSON (the Kafka message shape): fields match BY NAME — the skewed
+    // key really does leave change_percent NULL, and cleaning tolerates it
+    Files.writeString(dir.resolve("ticks.jsonl"),
+      """{"symbol":"AAPL","price":190.5,"change":0.5,"percent_change":"0.26%","volume":"1000","timestamp":"2024-01-01T09:30:00"}""")
+    val jsonClean = Clean.castTicks(Ingest.readJsonl(spark,
+      dir.resolve("ticks.jsonl").toString, Schemas.tickRaw)).collect()
+    assert(jsonClean(0).isNullAt(jsonClean(0).fieldIndex("change_percent")))
+    assert(jsonClean(0).getAs[Double]("price") == 190.5)
+  }
+
+  test("hive-partitioned write prunes partitions at read time") {
+    val dir = Files.createTempDirectory("graft_prune").toString + "/t"
+    val df = Seq(("AAPL", 1.0), ("AAPL", 2.0), ("MSFT", 3.0))
+      .toDF("symbol", "price")
+    Ingest.writePartitioned(df, dir, Seq("symbol"))
+    val scan = spark.read.parquet(dir).filter($"symbol" === "AAPL")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("symbol"), s"no partition pruning in:\n$plan")
+    assert(scan.count() == 2)
+    // the pruned scan must read exactly the one partition directory
+    val filesRead = scan.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles").map(_.value)
+    assert(filesRead.forall(_ <= 1), s"read $filesRead files, expected <=1")
+  }
+
+  test("multimodal asset plumbing: schema, deterministic decode, frames") {
+    val docs = Seq((1L, "hello world", "src1"), (2L, "abc", "src2"))
+      .toDF("doc_id", "text", "source")
+    val assets = Multimodal.asAssets(docs, "doc_id", "text", "source", "text")
+    assert(assets.schema.fieldNames.toSeq ==
+      Seq("asset_id", "modality", "payload", "meta"))
+    val d1 = Multimodal.decodeAssets(assets).orderBy("asset_id").collect()
+    val d2 = Multimodal.decodeAssets(assets).orderBy("asset_id").collect()
+    assert(d1.toSeq == d2.toSeq) // stub decode is deterministic
+    assert(d1(0).getAs[Long]("n_bytes") == 11L)
+    val frames = Multimodal.sampleFrames(assets, nFrames = 4)
+      .filter($"asset_id" === 1).orderBy("frame_idx")
+      .select("frame_offset").as[Long].collect()
+    assert(frames.toSeq == Seq(0L, 2L, 5L, 8L)) // floor(k*11/4)
+  }
+}
