@@ -388,6 +388,13 @@ object SparkEntry {
     FuzzyDedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
       maxHamming = 3)
 
+  /** End-to-end corpus dedup: jaccard pairs (>= 0.5, blocked by lang) ->
+    * connected components -> keep the min-id representative per cluster. */
+  private def qDedupApply(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.dedupCorpus(tbl(s, dir, "documents"), "doc_id", "text",
+        block = "lang", n = 3, minJaccard = 0.5)
+      .select("doc_id", "lang", "source", "n_chars")
+
   // ---------------------------------------------------- text analysis ops
 
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
@@ -511,6 +518,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangId _),
@@ -899,6 +907,42 @@ object SparkEntry {
         |JOIN sizes s1 ON s1.id = id1
         |JOIN sizes s2 ON s2.id = id2
         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.1"""
+        .stripMargin,
+
+    "q_dedup_apply" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id, lang AS block,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |filt AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT block, shingle FROM sh GROUP BY 1, 2
+        |        HAVING count(*) <= 1000) d
+        |    USING (block, shingle)),
+        |sizes AS (SELECT id, count(*) AS n FROM filt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+        |  FROM filt a JOIN filt b
+        |    ON a.block = b.block AND a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes s1 ON s1.id = id1
+        |  JOIN sizes s2 ON s2.id = id2
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+        |comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)"""
         .stripMargin,
 
     "q_text_quality" ->

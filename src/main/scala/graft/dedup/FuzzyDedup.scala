@@ -127,6 +127,66 @@ object FuzzyDedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list (id1, id2) by
+    * iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; rounds double the
+    * reach, so convergence takes O(log(diameter)) rounds.
+    *
+    * The pair list is the post-verification candidate set — orders of
+    * magnitude smaller than the corpus — so the per-round join+aggregate
+    * is cheap; each round persists and materializes to keep the plan flat
+    * (no exponential lineage). Returns (id, comp) where comp = min id of
+    * the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): iterative algorithms grow the Catalyst
+    // plan every round, and when the result feeds ANOTHER iterative op
+    // (dedup of a deduped corpus) the nested lineage explodes analysis
+    // cost/driver heap. Checkpointing truncates the logical plan to a
+    // materialized scan each round. (On a cluster with executor churn,
+    // swap localCheckpoint for reliable checkpoint(dir).)
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint()
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = labels.as("l")
+        .join(edges.as("e"), col("l.id") === col("e.id1"))
+        .select(col("e.id2").as("id"), col("l.comp").as("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val noChange = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
+      converged = noChange
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep one representative (the min-id member) per near-duplicate
+    * component; rows never appearing in `pairs` pass through untouched. */
+  def applyDedup(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(id))
+    df.join(drop, Seq(id), "left_anti")
+  }
+
+  /** End-to-end corpus dedup: block -> n-gram Jaccard verify -> connected
+    * components -> keep min-id representative per cluster. */
+  def dedupCorpus(df: DataFrame, id: String, text: String, block: String,
+                  n: Int, minJaccard: Double): DataFrame =
+    applyDedup(df, id,
+      jaccardPairs(df, id, text, block, n, minJaccard)
+        .select(col("id1"), col("id2")))
+
   /** SimHash-64 per document: sign-sum of token-hash bits, weighted by token
     * frequency. One-pass SimHashAgg (single int[64] buffer per group, bits
     * packed at eval) — one shuffle, constant-width partials. */

@@ -88,6 +88,29 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
 
+  test("connectedComponents: chain, triangle, and pass-through") {
+    // chain 1-2-3-4-5 (diameter forces several propagation rounds),
+    // triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val comp = FuzzyDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(21L) == 20L)
+    // applyDedup keeps exactly the min-id representative per cluster plus
+    // all rows never mentioned in pairs
+    val corpus = (1L to 25L).toDF("doc_id")
+    val kept = FuzzyDedup.applyDedup(corpus, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(5L))
+    assert(kept.contains(10L) && !kept.contains(12L))
+    assert(kept.contains(20L) && !kept.contains(21L))
+    assert(kept.contains(25L)) // untouched row survives
+    // 10 nodes appear in pairs, 3 survive as representatives -> 7 dropped
+    assert(kept.size == 25 - 7)
+  }
+
   test("quality features and score are in sane ranges") {
     val out = TextAnalysis.qualityScore(
       TextAnalysis.withQualityFeatures(docs, "text",
