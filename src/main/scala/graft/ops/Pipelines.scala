@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's job graphs, composed end-to-end from graft operators — a
+ * user of the reference runs these as drop-in equivalents of its Spark
+ * jobs.
+ */
+object Pipelines {
+
+  /**
+   * The rich analytics batch job (reference:
+   * src/airflow/dags/scripts/spark_stream_batch_processor.py, SURVEY §3.2):
+   * clean/cast -> per-symbol row-frame MAs + rolling volatility + volume
+   * MAs -> tumbling-window OHLC aggregates per granularity (keeping the
+   * last row-frame MA per window) -> long-format tagged union -> CASE/WHEN
+   * trading signals.
+   *
+   * Input: raw ticks in the reference's schema (Schemas.tickRaw).
+   * Output: one row per (symbol, window_start, window_type) with metrics
+   * and signals, ready for partitionBy(symbol, window_type) parquet.
+   */
+  def analyticsBatch(rawTicks: DataFrame,
+                     volatilityHigh: Double = 2.0,
+                     volatilityMedium: Double = 1.0): DataFrame = {
+    val ticks = Clean.castTicks(rawTicks)
+    val order = Seq("timestamp")
+    val withMas = WindowAnalytics.rollingVolatility(
+      WindowAnalytics.movingAverages(
+        WindowAnalytics.movingAverages(ticks, "symbol", order, "price",
+          Seq(5, 15, 30)),
+        "symbol", order, "volume", Seq(5, 15), prefix = "vol_ma"),
+      "symbol", order, "price", Seq(5, 15))
+
+    def grain(width: String) = TimeWindows.flattenWindow(
+      withMas.groupBy(col("symbol"), window(col("timestamp"), width).as("window"))
+        .agg(
+          min(col("timestamp")).as("first_ts"),
+          max(col("timestamp")).as("last_ts"),
+          min_by(col("price"), col("timestamp")).as("open"),
+          max(col("price")).as("high"),
+          min(col("price")).as("low"),
+          max_by(col("price"), col("timestamp")).as("close"),
+          avg(col("price")).as("avg_price"),
+          Clean.nanToNull(stddev_samp(col("price"))).as("volatility"),
+          sum(col("volume")).as("total_volume"),
+          count(lit(1)).as("n_ticks"),
+          max_by(col("ma_15"), col("timestamp")).as("ma_15"),
+          max_by(col("ma_30"), col("timestamp")).as("ma_30"),
+          max_by(col("vol_ma_5"), col("timestamp")).as("vol_ma_5"),
+          max_by(col("vol_ma_15"), col("timestamp")).as("vol_ma_15")))
+
+    val unioned = Combine.unionLong(Seq(
+      "5min" -> grain("5 minutes"),
+      "15min" -> grain("15 minutes"),
+      "1hour" -> grain("1 hour")))
+
+    unioned
+      .withColumn("price_trend",
+        Signals.priceTrend(col("ma_15"), col("ma_30")))
+      .withColumn("volatility_level",
+        Signals.volatilityLevel(col("volatility"), volatilityHigh,
+          volatilityMedium))
+      .withColumn("volume_trend",
+        Signals.volumeTrend(col("vol_ma_5"), col("vol_ma_15")))
+  }
+
+  /** The simple batch job (reference: src/spark/jobs/spark_batch_processor
+    * .py): clean/cast -> minute-floor window_start -> corrected +15min end
+    * (the reference's date_add(_, 15) adds days; SURVEY §8.2). */
+  def simpleBatch(rawTicks: DataFrame): DataFrame =
+    Clean.castTicks(rawTicks)
+      .withColumn("window_start", date_trunc("minute", col("timestamp")))
+      .withColumn("window_15m_end",
+        col("window_start") + expr("INTERVAL 15 MINUTES"))
+}

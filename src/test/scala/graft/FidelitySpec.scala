@@ -54,6 +54,30 @@ class FidelitySpec extends SparkSpec {
     assert(filesRead.forall(_ <= 1), s"read $filesRead files, expected <=1")
   }
 
+  test("analyticsBatch pipeline: full reference job graph end-to-end") {
+    val raw = Seq(
+      ("AAPL", "100.0", "0.0", null, "10", "2024-01-01T10:00:00"),
+      ("AAPL", "110.0", "10.0", null, "20", "2024-01-01T10:02:00"),
+      ("AAPL", "120.0", "10.0", null, "30", "2024-01-01T10:16:00"),
+      ("MSFT", "400.0", "0.0", null, "5", "2024-01-01T10:01:00"))
+      .toDF("symbol", "price", "change", "change_percent", "volume", "timestamp")
+    val out = graft.ops.Pipelines.analyticsBatch(raw)
+    val cols = out.columns.toSet
+    assert(Set("symbol", "window_start", "window_type", "open", "high",
+      "low", "close", "avg_price", "volatility", "total_volume", "n_ticks",
+      "ma_15", "ma_30", "price_trend", "volatility_level", "volume_trend")
+      .subsetOf(cols))
+    // 5min windows: AAPL has 2 (10:00, 10:15), MSFT 1; 15min: AAPL 2,
+    // MSFT 1; 1hour: AAPL 1, MSFT 1 -> 8 rows
+    assert(out.count() == 8)
+    val aaplHour = out.filter($"symbol" === "AAPL" && $"window_type" === "1hour")
+      .collect()(0)
+    assert(aaplHour.getAs[Double]("open") == 100.0)
+    assert(aaplHour.getAs[Double]("close") == 120.0)
+    assert(aaplHour.getAs[Long]("total_volume") == 60L)
+    assert(aaplHour.getAs[String]("price_trend") == "neutral") // ma_15 == ma_30
+  }
+
   test("multimodal asset plumbing: schema, deterministic decode, frames") {
     val docs = Seq((1L, "hello world", "src1"), (2L, "abc", "src2"))
       .toDF("doc_id", "text", "source")
