@@ -33,6 +33,13 @@ import graft.text.TextAnalysis
 object SparkEntry {
 
   private def r6(c: Column): Column = round(c, 6)
+  /** Tie-immune average of 2-decimal-true values: round the sum where no
+    * rounding boundary is reachable, then divide — both engines compute the
+    * identical double, so no final rounding (round(avg, 6) ties whenever a
+    * group count is 32*odd: the true 7-decimal average ends in 5 and the
+    * engines' rounding rules disagree — seen at sf0.1). */
+  private def exactAvg(sumCol: Column, nCol: Column): Column =
+    round(sumCol, 4) / nCol
   private def r4(c: Column): Column = round(c, 4)
   private def r2(c: Column): Column = round(c, 2)
 
@@ -108,7 +115,8 @@ object SparkEntry {
       TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
         volume = col("user_id"), width = "15 minutes"))
       .select(col("event_type"), col("window_start"),
-        r6(col("ma")).as("ma"), r6(col("volatility")).as("volatility"),
+        exactAvg(col("value_sum"), col("n_events")).as("ma"),
+        r6(col("volatility")).as("volatility"),
         col("volume_sum"), col("n_events"))
 
   /** Flagship (A2): OHLC-style multi-aggregate per (key, 15-min window). */
@@ -118,7 +126,8 @@ object SparkEntry {
         "15 minutes"))
       .select(col("event_type"), col("window_start"), col("window_end"),
         col("first_ts"), col("last_ts"), col("open"), col("high"),
-        col("low"), col("close"), r6(col("avg_value")).as("avg_value"),
+        col("low"), col("close"),
+        exactAvg(col("value_sum"), col("n_events")).as("avg_value"),
         r6(col("volatility")).as("volatility"), col("n_events"),
         r4(col("value_sum")).as("value_sum"))
 
@@ -157,8 +166,9 @@ object SparkEntry {
         r4(sum(col("l_extendedprice"))).as("sum_base_price"),
         r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("sum_disc_price"),
-        r6(avg(col("l_quantity"))).as("avg_qty"),
-        r6(avg(col("l_extendedprice"))).as("avg_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (round(sum(col("l_extendedprice")), 4) / count(lit(1)))
+          .as("avg_price"),
         count(lit(1)).as("count_order"))
 
   // ----------------------------------------------------------------- joins
@@ -175,11 +185,13 @@ object SparkEntry {
   private def qJoinInner(s: SparkSession, dir: String): DataFrame = {
     val m15 = slidingMetrics(s, dir, "15 minutes", "5 minutes")
       .select(col("event_type"), col("window_start"),
-        r6(col("ma")).as("ma_15m"), r6(col("volatility")).as("volatility_15m"),
+        exactAvg(col("value_sum"), col("n_events")).as("ma_15m"),
+        r6(col("volatility")).as("volatility_15m"),
         col("n_events").as("n_15m"))
     val h1 = slidingMetrics(s, dir, "1 hour", "10 minutes")
       .select(col("event_type"), col("window_start"),
-        r6(col("ma")).as("ma_1h"), col("n_events").as("n_1h"))
+        exactAvg(col("value_sum"), col("n_events")).as("ma_1h"),
+        col("n_events").as("n_1h"))
     Combine.joinOnWindowStart(m15, h1, "event_type")
   }
 
@@ -238,14 +250,16 @@ object SparkEntry {
 
   private def qWindowSliding(s: SparkSession, dir: String): DataFrame =
     slidingMetrics(s, dir, "15 minutes", "5 minutes")
-      .select(col("event_type"), col("window_start"), r6(col("ma")).as("ma"),
+      .select(col("event_type"), col("window_start"),
+        exactAvg(col("value_sum"), col("n_events")).as("ma"),
         col("volume_sum"), col("n_events"))
 
   private def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
     TimeWindows.flattenWindow(
       TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
         volume = col("user_id"), width = "5 minutes"))
-      .select(col("event_type"), col("window_start"), r6(col("ma")).as("ma"),
+      .select(col("event_type"), col("window_start"),
+        exactAvg(col("value_sum"), col("n_events")).as("ma"),
         col("volume_sum"), col("n_events"))
 
   /** Gap-based sessionization (30-minute gap) per user. */
@@ -271,7 +285,8 @@ object SparkEntry {
   private def qAggSalted(s: SparkSession, dir: String): DataFrame =
     Skew.saltedAggregate(ev(s, dir), Seq("event_type"), "value", salt = 16)
       .select(col("event_type"), col("n"), r4(col("value_sum")).as("value_sum"),
-        col("value_min"), col("value_max"), r6(col("value_avg")).as("value_avg"))
+        col("value_min"), col("value_max"),
+        exactAvg(col("value_sum"), col("n")).as("value_avg"))
 
   /** U1 (faithful): the reference's positional 3-way union — the 5-minute
     * branch's metrics land under *_15m column names, the 1-hour branch
@@ -281,11 +296,13 @@ object SparkEntry {
       TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
         volume = col("user_id"), width = width))
     val b5 = m("5 minutes").select(col("event_type"), col("window_start"),
-      r6(col("ma")).as("avg_price_15m"), r6(col("volatility")).as("volatility_15m"))
+      exactAvg(col("value_sum"), col("n_events")).as("avg_price_15m"),
+      r6(col("volatility")).as("volatility_15m"))
     val b15 = m("15 minutes").select(col("event_type"), col("window_start"),
-      r6(col("ma")).as("avg_price_15m"), r6(col("volatility")).as("volatility_15m"))
+      exactAvg(col("value_sum"), col("n_events")).as("avg_price_15m"),
+      r6(col("volatility")).as("volatility_15m"))
     val b1h = m("1 hour").select(col("event_type"), col("window_start"),
-      r6(col("ma")).as("avg_price_15m"),
+      exactAvg(col("value_sum"), col("n_events")).as("avg_price_15m"),
       lit(null).cast(DoubleType).as("volatility_15m"))
     Combine.unionTaggedPositional(Seq("5min" -> b5, "15min" -> b15, "1hour" -> b1h))
   }
@@ -295,7 +312,8 @@ object SparkEntry {
     def m(width: String) = TimeWindows.flattenWindow(
       TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
         volume = col("user_id"), width = width))
-      .select(col("event_type"), col("window_start"), r6(col("ma")).as("ma"),
+      .select(col("event_type"), col("window_start"),
+        exactAvg(col("value_sum"), col("n_events")).as("ma"),
         col("volume_sum"), col("n_events"))
     Combine.unionLong(Seq(
       "5m" -> m("5 minutes"), "15m" -> m("15 minutes"), "1h" -> m("1 hour")))
@@ -586,7 +604,7 @@ object SparkEntry {
     "q_agg_avg_stddev_sum" ->
       s"""SELECT event_type,
          | time_bucket(INTERVAL 15 MINUTES, $TS) AS window_start,
-         | round(avg(value), 6) AS ma,
+         | round(sum(value), 4) / count(*) AS ma,
          | round(stddev_samp(value), 6) AS volatility,
          | CAST(sum(user_id) AS BIGINT) AS volume_sum,
          | count(*) AS n_events
@@ -600,7 +618,7 @@ object SparkEntry {
          | min($TS) AS first_ts, max($TS) AS last_ts,
          | arg_min(value, $TS) AS open, max(value) AS high,
          | min(value) AS low, arg_max(value, $TS) AS close,
-         | round(avg(value), 6) AS avg_value,
+         | round(sum(value), 4) / count(*) AS avg_value,
          | round(stddev_samp(value), 6) AS volatility,
          | count(*) AS n_events,
          | round(sum(value), 4) AS value_sum
@@ -639,8 +657,8 @@ object SparkEntry {
         | round(sum(l_extendedprice), 4) AS sum_base_price,
         | round(sum(l_extendedprice * (1 - l_discount)), 4)
         |   AS sum_disc_price,
-        | round(avg(l_quantity), 6) AS avg_qty,
-        | round(avg(l_extendedprice), 6) AS avg_price,
+        | sum(l_quantity) / count(*) AS avg_qty,
+        | round(sum(l_extendedprice), 4) / count(*) AS avg_price,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -651,7 +669,7 @@ object SparkEntry {
          |  SELECT event_type,
          |    time_bucket(INTERVAL 5 MINUTES, $TS) - k * (INTERVAL 5 MINUTES)
          |      AS window_start,
-         |    round(avg(value), 6) AS ma_15m,
+         |    round(sum(value), 4) / count(*) AS ma_15m,
          |    round(stddev_samp(value), 6) AS volatility_15m,
          |    count(*) AS n_15m
          |  FROM events, (SELECT unnest([0, 1, 2]) AS k)
@@ -660,7 +678,7 @@ object SparkEntry {
          |  SELECT event_type,
          |    time_bucket(INTERVAL 10 MINUTES, $TS) - k * (INTERVAL 10 MINUTES)
          |      AS window_start,
-         |    round(avg(value), 6) AS ma_1h,
+         |    round(sum(value), 4) / count(*) AS ma_1h,
          |    count(*) AS n_1h
          |  FROM events, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
          |  GROUP BY 1, 2)
@@ -733,7 +751,7 @@ object SparkEntry {
       s"""SELECT event_type,
          | time_bucket(INTERVAL 5 MINUTES, $TS) - k * (INTERVAL 5 MINUTES)
          |   AS window_start,
-         | round(avg(value), 6) AS ma,
+         | round(sum(value), 4) / count(*) AS ma,
          | CAST(sum(user_id) AS BIGINT) AS volume_sum,
          | count(*) AS n_events
          |FROM events, (SELECT unnest([0, 1, 2]) AS k)
@@ -742,7 +760,7 @@ object SparkEntry {
     "q_window_tumbling" ->
       s"""SELECT event_type,
          | time_bucket(INTERVAL 5 MINUTES, $TS) AS window_start,
-         | round(avg(value), 6) AS ma,
+         | round(sum(value), 4) / count(*) AS ma,
          | CAST(sum(user_id) AS BIGINT) AS volume_sum,
          | count(*) AS n_events
          |FROM events GROUP BY 1, 2""".stripMargin,
@@ -751,16 +769,16 @@ object SparkEntry {
       s"""WITH g AS (SELECT event_type, $TS AS tts, value, user_id FROM events)
          |SELECT event_type, time_bucket(INTERVAL 5 MINUTES, tts)
          |    AS window_start,
-         |  round(avg(value), 6) AS ma, CAST(sum(user_id) AS BIGINT) AS volume_sum,
+         |  round(sum(value), 4) / count(*) AS ma, CAST(sum(user_id) AS BIGINT) AS volume_sum,
          |  count(*) AS n_events, '5m' AS window_type
          |FROM g GROUP BY 1, 2
          |UNION ALL
          |SELECT event_type, time_bucket(INTERVAL 15 MINUTES, tts),
-         |  round(avg(value), 6), CAST(sum(user_id) AS BIGINT), count(*), '15m'
+         |  round(sum(value), 4) / count(*), CAST(sum(user_id) AS BIGINT), count(*), '15m'
          |FROM g GROUP BY 1, 2
          |UNION ALL
          |SELECT event_type, time_bucket(INTERVAL 1 HOUR, tts),
-         |  round(avg(value), 6), CAST(sum(user_id) AS BIGINT), count(*), '1h'
+         |  round(sum(value), 4) / count(*), CAST(sum(user_id) AS BIGINT), count(*), '1h'
          |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q_case_when" ->
@@ -824,24 +842,24 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 4) AS value_sum,
         | min(value) AS value_min, max(value) AS value_max,
-        | round(sum(value) / count(*), 6) AS value_avg
+        | round(sum(value), 4) / count(*) AS value_avg
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_union_positional" ->
       s"""WITH g AS (SELECT event_type, $TS AS tts, value FROM events)
          |SELECT event_type, time_bucket(INTERVAL 5 MINUTES, tts)
          |    AS window_start,
-         |  round(avg(value), 6) AS avg_price_15m,
+         |  round(sum(value), 4) / count(*) AS avg_price_15m,
          |  round(stddev_samp(value), 6) AS volatility_15m,
          |  '5min' AS window_type
          |FROM g GROUP BY 1, 2
          |UNION ALL
          |SELECT event_type, time_bucket(INTERVAL 15 MINUTES, tts),
-         |  round(avg(value), 6), round(stddev_samp(value), 6), '15min'
+         |  round(sum(value), 4) / count(*), round(stddev_samp(value), 6), '15min'
          |FROM g GROUP BY 1, 2
          |UNION ALL
          |SELECT event_type, time_bucket(INTERVAL 1 HOUR, tts),
-         |  round(avg(value), 6), NULL, '1hour'
+         |  round(sum(value), 4) / count(*), NULL, '1hour'
          |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q_scalar_string" ->

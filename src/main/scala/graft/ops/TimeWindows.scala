@@ -27,7 +27,8 @@ object TimeWindows {
         avg(col(value)).as("ma"),
         Clean.nanToNull(stddev_samp(col(value))).as("volatility"),
         sum(volume).as("volume_sum"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        sum(col(value)).as("value_sum"))
   }
 
   /** A2: extended OHLC-style windowed aggregate — ordered first/last via
