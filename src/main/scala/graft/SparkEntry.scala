@@ -136,6 +136,15 @@ object SparkEntry {
         volume = col("user_id"))
       .withColumn("daily_change", r4(col("daily_change")))
 
+  /** Exact interpolated quantiles per key — the quality-cutoff shape of a
+    * training-data pipeline (e.g. drop docs below the p10 quality score). */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).groupBy(col("event_type")).agg(
+      r6(expr("percentile(value, 0.5)")).as("p50"),
+      r6(expr("percentile(value, 0.9)")).as("p90"),
+      r6(expr("percentile(value, 0.99)")).as("p99"),
+      count(lit(1)).as("n"))
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -509,6 +518,7 @@ object SparkEntry {
     "q_agg_ohlc_window" -> (qAggOhlcWindow _),
     "q_agg_daily_ohlcv" -> (qAggDailyOhlcv _),
     "q_count" -> (qCount _),
+    "q_quantiles" -> (qQuantiles _),
     "q_dup_check" -> (qDupCheck _),
     "q_distinct_count" -> (qDistinctCount _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -634,6 +644,14 @@ object SparkEntry {
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99,
+        | count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_dup_check" ->
       """SELECT user_id, count(*) AS n FROM events

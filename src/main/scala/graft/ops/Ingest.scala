@@ -74,6 +74,15 @@ object Ingest {
   def writeJsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** Typed boundary for the speed path (SURVEY §1.4): raw CSV -> cleaned
+    * Dataset[Tick]. Compile-time schema safety at ingestion; downstream
+    * stays DataFrame. */
+  def readTicks(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[graft.model.Schemas.Tick] = {
+    import spark.implicits._
+    Clean.castTicks(readCsv(spark, path, graft.model.Schemas.tickRaw))
+      .as[graft.model.Schemas.Tick]
+  }
+
   /** Bucketed managed table: pre-shuffles once at write time so every
     * subsequent equi-join/aggregation on `bucketCols` with a matching
     * bucket count runs exchange-free. This is the 100 TB co-located-join

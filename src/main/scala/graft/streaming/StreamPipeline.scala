@@ -54,6 +54,15 @@ object StreamPipeline {
       }
       .start()
 
+  /** Streaming exact dedup: drop duplicate (key, event-time) rows arriving
+    * within the watermark horizon — at-least-once sources (Kafka redelivery,
+    * re-landed raw files) become effectively-once without unbounded state:
+    * state for a key is dropped once the watermark passes its event time. */
+  def dedupStream(ticks: DataFrame, keys: Seq[String], ts: String,
+                  watermark: String = "5 minutes"): DataFrame =
+    ticks.withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark(keys :+ ts)
+
   /** Warehouse-style sink: each micro-batch MERGE-upserts into a parquet
     * table on (key, window_start) — the reference's Snowflake MERGE loader
     * semantics (load_stream_to_snowflake.py:281-305) composed from

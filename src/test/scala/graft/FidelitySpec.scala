@@ -54,6 +54,18 @@ class FidelitySpec extends SparkSpec {
     assert(filesRead.forall(_ <= 1), s"read $filesRead files, expected <=1")
   }
 
+  test("typed Dataset[Tick] boundary: raw CSV to case-class rows") {
+    val dir = Files.createTempDirectory("graft_typed")
+    Files.writeString(dir.resolve("t.csv"),
+      """symbol,price,change,change_percent,volume,timestamp
+        |AAPL,190.5,0.5,0.26%,1000,2024-01-01T09:30:00""".stripMargin)
+    val ticks = Ingest.readTicks(spark, dir.toString).collect()
+    assert(ticks.length == 1)
+    val t = ticks(0)
+    assert(t.symbol == "AAPL" && t.price == 190.5 && t.volume == 1000L)
+    assert(t.change_percent.contains(0.26))
+  }
+
   test("analyticsBatch pipeline: full reference job graph end-to-end") {
     val raw = Seq(
       ("AAPL", "100.0", "0.0", null, "10", "2024-01-01T10:00:00"),

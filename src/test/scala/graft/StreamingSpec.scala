@@ -45,6 +45,30 @@ class StreamingSpec extends SparkSpec {
     assert(aaa.headOption.contains(2L))
   }
 
+  test("dedupStream drops redelivered rows within the watermark") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_dedup")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // same (symbol, timestamp) tick delivered three times + one distinct
+    writeCsv(raw, "d1.csv", Seq(
+      "AAA,10.0,0.0,,100,2024-01-01T00:01:00",
+      "AAA,10.0,0.0,,100,2024-01-01T00:01:00",
+      "AAA,10.0,0.0,,100,2024-01-01T00:01:00",
+      "AAA,11.0,0.0,,100,2024-01-01T00:02:00"))
+    StreamPipeline.dedupStream(
+        StreamPipeline.tickStream(spark, raw.toString),
+        keys = Seq("symbol"), ts = "timestamp")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start().awaitTermination(60000)
+    val rows = spark.read.parquet(out).select("symbol", "price")
+      .as[(String, Double)].collect().sorted
+    assert(rows.toSeq == Seq(("AAA", 10.0), ("AAA", 11.0)))
+  }
+
   test("merge sink upserts per micro-batch; replayed keys do not duplicate") {
     val base = Files.createTempDirectory("graft_stream_merge")
     val raw = Files.createDirectory(base.resolve("raw"))
