@@ -498,6 +498,15 @@ object SparkEntry {
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(assets(s, dir), nFrames = 4)
 
+  /** Multimodal -> embedding -> ANN composition: stub-featurize the binary
+    * assets, then find near-duplicate assets by cosine over the extracted
+    * features (rows-only: the featurizer is the stub codec). */
+  private def qMultimodalAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockedNearDupPairs(
+      Multimodal.extractFeatures(assets(s, dir), dim = 16)
+        .withColumn("block", col("asset_id") % 10),
+      "asset_id", "features", block = "block", minCosine = 0.99)
+
   // ================================================================ entry
 
   /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
@@ -558,7 +567,8 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
-    "q_multimodal_frames" -> (qMultimodalFrames _)
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_ann" -> (qMultimodalAnn _)
   )
 
   // ======================================================== oracle SQL ==

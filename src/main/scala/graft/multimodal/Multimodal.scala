@@ -76,6 +76,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic fixed-length feature vector per asset — the
+    * feature-extract stage. STUB featurizer: strided byte histogramming in
+    * place of a real vision/audio model; the Spark-side shape (binary in,
+    * Array[Float] of fixed dim out, batched per partition) is the
+    * production shape, and the output feeds graft.sim.Similarity directly
+    * (multimodal -> embedding -> ANN composes). */
+  def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val featurize = udf { payload: Array[Byte] =>
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        v(((payload(i) & 0xFF) * dim / 256)) += 1.0f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      v.map(_ / n)
+    }
+    assets.select(col("asset_id"),
+      featurize(col("payload")).as("features"))
+  }
+
+  /** Deterministic "resize": keep every strideth byte of the payload and
+    * scale the recorded dims — the resize stage's plumbing (binary ->
+    * smaller binary + updated metadata) without a codec. */
+  def resizeStub(assets: DataFrame, stride: Int = 4): DataFrame = {
+    val shrink = udf { payload: Array[Byte] =>
+      payload.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
+    }
+    assets.withColumn("payload", shrink(col("payload")))
+      .withColumn("meta", struct(
+        col("meta.source").as("source"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5")))
+  }
+
   /** Frame sampling for "video" assets: emit every strideBytes-th byte
     * offset as a frame row (plumbing for a real frame extractor). Pure
     * expressions — one output row per sampled frame. */

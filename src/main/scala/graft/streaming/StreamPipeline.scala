@@ -54,6 +54,14 @@ object StreamPipeline {
       }
       .start()
 
+  /** Stream-static enrichment: join the live stream against a broadcastable
+    * dimension table (symbol metadata, user profile...). Stream-static
+    * joins are stateless on the stream side — the static side is re-read
+    * per micro-batch, so a refreshed dim parquet is picked up without
+    * restarting the query. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Streaming exact dedup: drop duplicate (key, event-time) rows arriving
     * within the watermark horizon — at-least-once sources (Kafka redelivery,
     * re-landed raw files) become effectively-once without unbounded state:

@@ -90,6 +90,22 @@ class FidelitySpec extends SparkSpec {
     assert(aaplHour.getAs[String]("price_trend") == "neutral") // ma_15 == ma_30
   }
 
+  test("multimodal feature-extract and resize stages") {
+    val docs = Seq((1L, "hello world", "s"), (2L, "hello world", "s"),
+      (3L, "completely different", "s")).toDF("doc_id", "text", "source")
+    val assets = Multimodal.asAssets(docs, "doc_id", "text", "source", "text")
+    val feats = Multimodal.extractFeatures(assets, dim = 16)
+      .orderBy("asset_id").collect()
+    // fixed dim, normalized histogram, identical payloads -> identical vecs
+    assert(feats.forall(_.getSeq[Float](1).length == 16))
+    assert(feats(0).getSeq[Float](1) == feats(1).getSeq[Float](1))
+    assert(feats(0).getSeq[Float](1) != feats(2).getSeq[Float](1))
+    val resized = Multimodal.resizeStub(assets, stride = 4)
+      .filter($"asset_id" === 1).collect()(0)
+    assert(resized.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Long]("n_bytes") == 3L) // ceil(11/4)
+  }
+
   test("multimodal asset plumbing: schema, deterministic decode, frames") {
     val docs = Seq((1L, "hello world", "src1"), (2L, "abc", "src2"))
       .toDF("doc_id", "text", "source")

@@ -45,6 +45,29 @@ class StreamingSpec extends SparkSpec {
     assert(aaa.headOption.contains(2L))
   }
 
+  test("stream-static enrichment join adds dimension columns per batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_enrich")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    writeCsv(raw, "e1.csv", Seq(
+      "AAA,10.0,0.0,,100,2024-01-01T00:01:00",
+      "ZZZ,99.0,0.0,,1,2024-01-01T00:01:30"))
+    val dim = Seq(("AAA", "Alpha Corp", "tech")).toDF("symbol", "name", "sector")
+    StreamPipeline.enrich(
+        StreamPipeline.tickStream(spark, raw.toString), dim, Seq("symbol"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start().awaitTermination(60000)
+    val rows = spark.read.parquet(out)
+      .select("symbol", "name", "sector").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(rows("AAA").contains("Alpha Corp"))
+    assert(rows("ZZZ").isEmpty) // left join keeps unmatched stream rows
+  }
+
   test("dedupStream drops redelivered rows within the watermark") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream_dedup")
