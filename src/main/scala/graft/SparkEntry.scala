@@ -222,6 +222,23 @@ object SparkEntry {
           .as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
 
+  /** As-of join: each event picks up the metrics of the latest COMPLETED
+    * 1-hour window of its key (quote time = window_end). Oracle: DuckDB's
+    * native ASOF JOIN — an independent implementation of the semantics. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val quotes = TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"), width = "1 hour"))
+      .select(col("event_type"), col("window_end").as("quote_ts"),
+        exactAvg(col("value_sum"), col("n_events")).as("hour_ma"),
+        col("n_events").as("hour_n"))
+    AsOfJoin.asOf(
+      left = ev(s, dir).select("event_id", "event_type", "ts", "value"),
+      right = quotes, key = "event_type", leftTs = "ts",
+      rightTs = "quote_ts", payload = Seq("hour_ma", "hour_n"),
+      tiebreak = "event_id")
+  }
+
   /** J4: MERGE upsert as anti-join + union. Target = daily rollup through
     * Jan 20; updates = recomputed rollup (even user_ids only) from Jan 15 —
     * overlapping (key, date) rows take the update. */
@@ -536,6 +553,7 @@ object SparkEntry {
     "q_join_inner" -> (qJoinInner _),
     "q_join_multiway" -> (qJoinMultiway _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_window_ma" -> (qWindowMa _),
     "q_window_stddev" -> (qWindowStddev _),
     "q_window_sliding" -> (qWindowSliding _),
@@ -725,6 +743,21 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH quotes AS (
+         |  SELECT event_type,
+         |    time_bucket(INTERVAL 1 HOUR, $TS) + INTERVAL 1 HOUR
+         |      AS quote_ts,
+         |    round(sum(value), 4) / count(*) AS hour_ma,
+         |    count(*) AS hour_n
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_id, event_type, $TS AS ts, value FROM events)
+         |SELECT l.event_id, l.event_type, l.ts, l.value,
+         |  q.hour_ma AS asof_hour_ma, q.hour_n AS asof_hour_n
+         |FROM l ASOF LEFT JOIN quotes q
+         |  ON l.event_type = q.event_type AND l.ts >= q.quote_ts"""
+        .stripMargin,
 
     "q_merge_upsert" ->
       s"""WITH daily_all AS (

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (point-in-time) join — an operator Spark SQL lacks natively,
+ * composed from built-ins rather than a custom physical operator
+ * (preference (a) of the extension ladder): for each left row (key, t),
+ * attach the latest right row of the same key with t' <= t.
+ *
+ * Composition: tag and union both sides on (key, ts), sort per key with
+ * right rows ordered BEFORE left rows at equal timestamps (inclusive
+ * as-of), carry the right payload forward with last(_, ignoreNulls), keep
+ * the left rows. One shuffle on the key + one in-partition sort — the same
+ * cost envelope as a sort-merge join, and it inherits Spark's shuffle
+ * machinery unchanged, which is why the composition beats a bespoke
+ * SparkPlan here.
+ *
+ * The inverse tool exists in DuckDB as native ASOF JOIN, which the driver
+ * oracle uses as an independent implementation check (q_asof_join).
+ */
+object AsOfJoin {
+
+  /** Precondition: (key, rightTs) should be unique on the right side —
+    * with duplicate quote timestamps the carried value is whichever sorts
+    * last under Spark's (stable but plan-dependent) tie order, exactly as
+    * ambiguous as native ASOF implementations are for the same input.
+    *
+    * @param left      probe side (each row kept once)
+    * @param right     quote side; its `payload` columns are carried forward
+    * @param key       equality key column present on both sides
+    * @param leftTs    left event-time column
+    * @param rightTs   right event-time column
+    * @param payload   right columns to attach (as-of values; null until the
+    *                  first right row at or before the left row's time)
+    * @param tiebreak  unique left column making the sort deterministic */
+  def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+           rightTs: String, payload: Seq[String], tiebreak: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", col(tiebreak))
+    val lAligned = payload.foldLeft(l)((d, p) =>
+      d.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType)))
+    val r = right
+      .select((Seq(col(key), col(rightTs).as("__t")) ++
+        payload.map(p => col(p).as(s"__p_$p"))): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", lit(null).cast(l.schema(tiebreak).dataType))
+    val rAligned = leftCols.foldLeft(r)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    // right rows sort before left rows at the same instant -> inclusive
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned)((d, p) =>
+      d.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__c_$p").as(s"asof_$p")): _*)
+  }
+}

@@ -164,6 +164,28 @@ class OpsSpec extends SparkSpec {
     assert(df.select("price").as[Double].collect().toSeq == Seq(54.0, 50.0))
   }
 
+  test("AsOfJoin: inclusive match, null before first quote, latest wins") {
+    val left = Seq(
+      ("K", ts("2024-01-01 00:00:30"), 1L), // before any quote -> null
+      ("K", ts("2024-01-01 00:01:00"), 2L), // exactly at quote q1 -> q1
+      ("K", ts("2024-01-01 00:05:00"), 3L), // between q1 and q2 -> q1
+      ("K", ts("2024-01-01 00:10:00"), 4L), // after q2 -> q2
+      ("Z", ts("2024-01-01 00:10:00"), 5L)  // key with no quotes -> null
+    ).toDF("sym", "ts", "event_id")
+    val right = Seq(
+      ("K", ts("2024-01-01 00:01:00"), 10.0),
+      ("K", ts("2024-01-01 00:06:00"), 20.0)
+    ).toDF("sym", "qts", "quote")
+    val out = AsOfJoin.asOf(left, right, "sym", "ts", "qts",
+        Seq("quote"), tiebreak = "event_id")
+      .orderBy("event_id")
+      .select("event_id", "asof_quote").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+    assert(out.toSeq == Seq(
+      1L -> None, 2L -> Some(10.0), 3L -> Some(10.0),
+      4L -> Some(20.0), 5L -> None))
+  }
+
   test("Dedup.dupCheck flags only keys with >1 row") {
     val out = Dedup.dupCheck(ticks, Seq("symbol")).collect()
     assert(out.length == 2) // both symbols have >1
