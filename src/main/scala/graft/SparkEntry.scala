@@ -239,6 +239,21 @@ object SparkEntry {
       tiebreak = "event_id")
   }
 
+  /** Range join without an equality key: orders against sampled 14-day
+    * "audit periods", bucketed composition vs DuckDB's IEJoin oracle. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val periods = orders.filter(col("o_orderkey") % 149 === 0)
+      .select(col("o_orderkey").as("period_id"),
+        col("o_orderdate").as("period_start"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("period_end"))
+    RangeJoin.pointInInterval(
+        orders.select(col("o_orderkey"), col("o_orderdate")),
+        "o_orderdate", periods, "period_start", "period_end",
+        bucketSeconds = 7L * 24 * 3600)
+      .select("o_orderkey", "o_orderdate", "period_id")
+  }
+
   /** J4: MERGE upsert as anti-join + union. Target = daily rollup through
     * Jan 20; updates = recomputed rollup (even user_ids only) from Jan 15 —
     * overlapping (key, date) rows take the update. */
@@ -554,6 +569,7 @@ object SparkEntry {
     "q_join_multiway" -> (qJoinMultiway _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_window_ma" -> (qWindowMa _),
     "q_window_stddev" -> (qWindowStddev _),
     "q_window_sliding" -> (qWindowSliding _),
@@ -743,6 +759,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.o_orderkey, p.o_orderdate, i.period_id
+        |FROM (SELECT o_orderkey, o_orderdate FROM orders) p
+        |JOIN (SELECT o_orderkey AS period_id,
+        |        o_orderdate AS period_start,
+        |        o_orderdate + INTERVAL 14 DAYS AS period_end
+        |      FROM orders WHERE o_orderkey % 149 = 0) i
+        |  ON p.o_orderdate >= i.period_start
+        | AND p.o_orderdate <= i.period_end""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH quotes AS (

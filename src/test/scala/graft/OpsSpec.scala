@@ -186,6 +186,24 @@ class OpsSpec extends SparkSpec {
       4L -> Some(20.0), 5L -> None))
   }
 
+  test("RangeJoin: inclusive bounds, bucket-crossing intervals, no dups") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == interval start (inclusive)
+      (2L, ts("2024-01-01 02:30:00")), // interior, different bucket than start
+      (3L, ts("2024-01-01 04:00:00")), // == interval end (inclusive)
+      (4L, ts("2024-01-01 04:00:01"))  // just outside
+    ).toDF("pid", "pt")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2024-01-01 04:00:00")),
+      (200L, ts("2024-01-01 02:00:00"), ts("2024-01-01 03:00:00"))
+    ).toDF("iid", "s", "e")
+    // 1h buckets force the 4h interval to span 5 buckets
+    val out = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e",
+        bucketSeconds = 3600)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 100L), (2L, 100L), (2L, 200L), (3L, 100L)))
+  }
+
   test("Dedup.dupCheck flags only keys with >1 row") {
     val out = Dedup.dupCheck(ticks, Seq("symbol")).collect()
     assert(out.length == 2) // both symbols have >1
