@@ -19,6 +19,7 @@ object Bench {
       // after 128 in-memory groups by default -- far too conservative for
       // 512-byte sketch buffers.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -327,7 +327,7 @@ object SparkEntry {
     Skew.saltedAggregate(ev(s, dir), Seq("event_type"), "value", salt = 16)
       .select(col("event_type"), col("n"), r4(col("value_sum")).as("value_sum"),
         col("value_min"), col("value_max"),
-        exactAvg(col("value_sum"), col("n")).as("value_avg"))
+        exactAvg(col("value_sum"), col("n_values")).as("value_avg"))
 
   /** U1 (faithful): the reference's positional 3-way union — the 5-minute
     * branch's metrics land under *_15m column names, the 1-hour branch
@@ -535,8 +535,11 @@ object SparkEntry {
     * features (rows-only: the featurizer is the stub codec). */
   private def qMultimodalAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedNearDupPairs(
+      // materialize the featurizer output once: the self-join would
+      // otherwise run the (deliberately expensive) codec UDF per side
       Multimodal.extractFeatures(assets(s, dir), dim = 16)
-        .withColumn("block", col("asset_id") % 10),
+        .withColumn("block", col("asset_id") % 10)
+        .localCheckpoint(),
       "asset_id", "features", block = "block", minCosine = 0.99)
 
   // ================================================================ entry
@@ -929,7 +932,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 4) AS value_sum,
         | min(value) AS value_min, max(value) AS value_max,
-        | round(sum(value), 4) / count(*) AS value_avg
+        | round(sum(value), 4) / count(value) AS value_avg
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_union_positional" ->
@@ -992,7 +995,7 @@ object SparkEntry {
         |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
         |      for i in range(1, len(toks) - 1)])) AS shingle
         |  FROM (SELECT doc_id, lang,
-        |          regexp_split_to_array(trim(text), '\s+') AS toks
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |        FROM documents)),
         |filt AS (
         |  SELECT sh.* FROM sh
@@ -1020,7 +1023,7 @@ object SparkEntry {
         |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
         |      for i in range(1, len(toks) - 1)])) AS shingle
         |  FROM (SELECT doc_id, lang,
-        |          regexp_split_to_array(trim(text), '\s+') AS toks
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |        FROM documents)),
         |filt AS (
         |  SELECT sh.* FROM sh
@@ -1054,7 +1057,7 @@ object SparkEntry {
       """WITH f AS (
         |  SELECT doc_id,
         |    length(text) AS n_chars_m,
-        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
         |    CAST(length(text) AS DOUBLE) AS nc,
         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
         |      AS DOUBLE) AS na,
@@ -1063,10 +1066,10 @@ object SparkEntry {
         |    CAST(length(text) AS DOUBLE)
         |      - CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |      AS nsp,
-        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    CAST(len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
         |      t -> list_contains(['the','a','an','and','or','of','to','in',
         |        'is','it'], t))) AS DOUBLE) AS nstop,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE)
         |      AS nt
         |  FROM documents)
         |SELECT doc_id, n_chars_m, n_tokens,
@@ -1083,7 +1086,7 @@ object SparkEntry {
     "q_text_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, lang,
@@ -1121,7 +1124,7 @@ object SparkEntry {
 
     "q_text_tokens" ->
       """SELECT doc_id,
-        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |   AS n_bpeish_tokens
         |FROM documents""".stripMargin,
@@ -1129,7 +1132,7 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |  FROM documents)
         |SELECT doc_id, md5(norm) AS fp_md5,
         |  md5(array_to_string(string_split(norm, ' ')[1:8], ' '))

@@ -59,13 +59,20 @@ object NGramHashes {
     var buf = new Array[Byte](64)
     var i = 0
     while (i <= numToks - n) {
-      // total byte length of tokens i..i+n-1 plus (n-1) separator spaces
+      // total byte length of tokens i..i+n-1 plus (n-1) separator spaces;
+      // windows containing a null token are skipped (callers' tokenizers
+      // never emit nulls, but the SQL-registered function can be fed any
+      // array)
       var len = n - 1
       var j = 0
+      var hasNull = false
       while (j < n) {
-        len += tokens.getUTF8String(i + j).numBytes()
+        val t = tokens.getUTF8String(i + j)
+        if (t == null) hasNull = true else len += t.numBytes()
         j += 1
       }
+      if (hasNull) { i += 1 }
+      else {
       if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
       var pos = 0
       j = 0
@@ -79,6 +86,7 @@ object NGramHashes {
       val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
       if (seen.add(h)) { out(outLen) = h; outLen += 1 }
       i += 1
+      }
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
   }

@@ -51,8 +51,6 @@ case class RegexpCountExpr(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cnt = ctx.freshName("cnt")
-    val matcher = ctx.freshName("matcher")
     if (cachedPattern != null) {
       val patternRef =
         ctx.addReferenceObj("regexpCountPattern", cachedPattern,
@@ -61,6 +59,8 @@ case class RegexpCountExpr(left: Expression, right: Expression)
         s"""graft.functions.RegexpCountExpr.countMatches(
            |  $patternRef, $subject.toString())""".stripMargin)
     } else {
+      // non-foldable pattern: inherently per-row compile; callers should
+      // pass a literal pattern for the cached fast path
       defineCodeGen(ctx, ev, (subject, regex) =>
         s"""graft.functions.RegexpCountExpr.countMatches(
            |  java.util.regex.Pattern.compile($regex.toString()),

@@ -39,30 +39,36 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
            rightTs: String, payload: Seq[String], tiebreak: String): DataFrame = {
     val leftCols = left.columns
+    // carry the payload as ONE struct so the matched right row is attached
+    // atomically — carrying columns independently with last(ignoreNulls)
+    // would backfill a NULL field of the matched row from an OLDER row,
+    // fabricating a combination that never existed
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p.split('.').last)).map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
     val l = left
       .withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__tb", col(tiebreak))
-    val lAligned = payload.foldLeft(l)((d, p) =>
-      d.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType)))
+      .withColumn("__p", lit(null).cast(payloadType))
     val r = right
-      .select((Seq(col(key), col(rightTs).as("__t")) ++
-        payload.map(p => col(p).as(s"__p_$p"))): _*)
+      .select((Seq(col(key), col(rightTs).as("__t")) :+
+        struct(payload.map(col): _*).as("__p")): _*)
       .withColumn("__side", lit(0))
       .withColumn("__tb", lit(null).cast(l.schema(tiebreak).dataType))
     val rAligned = leftCols.foldLeft(r)((d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val unioned = l.unionByName(rAligned.select(l.columns.map(col): _*))
     // right rows sort before left rows at the same instant -> inclusive
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((d, p) =>
-      d.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("__c",
+      last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col(s"__c_$p").as(s"asof_$p")): _*)
+        payload.map(p => col("__c").getField(p).as(s"asof_$p")): _*)
   }
 }

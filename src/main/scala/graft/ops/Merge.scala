@@ -30,13 +30,22 @@ object Merge {
     updates.unionByName(survivors)
   }
 
-  /** MERGE into a parquet table path with an atomic swap: write the merged
-    * result next to the table, then rename over it. Readers see either the
-    * old or the new table, never a partial one. */
+  /** MERGE into a parquet table path with a rename swap: write the merged
+    * result next to the table, back the old table up, rename the new one
+    * in. The swap is two renames, so a crash between them can leave the
+    * table path briefly absent — recovered on the next call by restoring
+    * the backup before merging (readers therefore see old, new, or a
+    * retryable not-found; never a partial table). On object stores where
+    * rename is copy-based (S3A), front this with a metadata layer instead.
+    */
   def upsertParquet(spark: SparkSession, tablePath: String, updates: DataFrame,
                     keys: Seq[String]): Unit = {
     val fs = FileSystem.get(URI.create(tablePath), spark.sparkContext.hadoopConfiguration)
     val target = new Path(tablePath)
+    // crash recovery: a previous attempt may have renamed the table away
+    // without completing the swap -- restore the backup first
+    val oldBak = new Path(tablePath + ".__merge_old")
+    if (!fs.exists(target) && fs.exists(oldBak)) fs.rename(oldBak, target)
     val merged =
       if (fs.exists(target)) upsert(spark.read.parquet(tablePath), updates, keys)
       else updates

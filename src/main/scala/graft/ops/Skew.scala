@@ -19,25 +19,31 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted aggregate: per (keys) compute count, sum/min/max of
-    * `value` and avg derived as sum/count. Result is identical to the
-    * direct groupBy — salting is invisible in the output. */
+    * `value` and avg derived as sum/count-of-non-null (SQL AVG semantics).
+    * Result is identical to the direct groupBy — salting is invisible in
+    * the output. The salt is a ROW-level counter (monotonically increasing
+    * id mod salt), so a hot key spreads across shards even when the value
+    * column is constant — salting on a data column would keep all equal
+    * values on one shard and change nothing. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], value: String,
                       salt: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
     val phase1 = df
-      .withColumn("__salt", pmod(crc32(col(value).cast("string")), lit(salt)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt)))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(
         count(lit(1)).as("__n"),
+        count(col(value)).as("__nv"),
         sum(col(value)).as("__sum"),
         min(col(value)).as("__min"),
         max(col(value)).as("__max"))
     phase1.groupBy(keyCols: _*)
       .agg(
         sum(col("__n")).as("n"),
+        sum(col("__nv")).as("n_values"),
         sum(col("__sum")).as("value_sum"),
         min(col("__min")).as("value_min"),
         max(col("__max")).as("value_max"))
-      .withColumn("value_avg", col("value_sum") / col("n"))
+      .withColumn("value_avg", col("value_sum") / col("n_values"))
   }
 }

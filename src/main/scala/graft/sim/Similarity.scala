@@ -31,8 +31,12 @@ object Similarity {
   /** Pre-normalize once so downstream similarity is a single dot product —
     * at 100 TB you normalize at ingest, not per comparison. */
   def withUnitVector(df: DataFrame, vec: String, out: String = "unit_vec"): DataFrame =
-    df.withColumn(out,
-      transform(col(vec), x => x.cast(DoubleType) / norm(col(vec))))
+    // norm into a temp column first: referencing norm(col(vec)) inside the
+    // transform lambda would re-evaluate the O(dim) fold once PER ELEMENT
+    df.withColumn("__norm", norm(col(vec)))
+      .withColumn(out,
+        transform(col(vec), x => x.cast(DoubleType) / col("__norm")))
+      .drop("__norm")
 
   /** Exact brute-force top-k cosine neighbors of each query vector.
     * The query side is broadcast (small by contract); the corpus streams

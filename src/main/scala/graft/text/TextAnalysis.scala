@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
  */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (trim first so leading/trailing space doesn't
-    * produce empty tokens). */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenizer. split() emits an empty first token when the
+    * text starts with whitespace (and trim() only strips ASCII spaces, so
+    * a leading tab/newline still leaks one through) — remove empties
+    * explicitly; empty text tokenizes to [] (count 0). */
+  def tokens(c: Column): Column = array_remove(split(c, "\\s+"), "")
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -99,7 +101,7 @@ object TextAnalysis {
     * near-normalization dedup key) plus a prefix fingerprint over the first
     * `prefixTokens` tokens (catches shared boilerplate heads). */
   def withFingerprints(df: DataFrame, text: String, prefixTokens: Int = 8): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(text))), "\\s+", " ")
+    val norm = trim(regexp_replace(lower(col(text)), "\\s+", " "))
     df.withColumn("fp_md5", md5(norm))
       .withColumn("fp_prefix", md5(concat_ws(" ",
         slice(split(norm, " "), 1, prefixTokens))))

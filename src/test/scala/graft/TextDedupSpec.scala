@@ -23,6 +23,12 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1) == Seq("a b c", "b c d"))
   }
 
+  test("tokens: no empty tokens from tabs/newlines; empty text -> 0") {
+    val r = Seq("\tword one", "", "  x  ", "a\nb").toDF("t")
+      .select(TextAnalysis.tokenCount($"t").as("n")).as[Int].collect()
+    assert(r.toSeq == Seq(2, 0, 1, 2))
+  }
+
   test("tokenCount and bpeishTokenCount") {
     val r = Seq("  hello, world! 42 ").toDF("t").select(
       TextAnalysis.tokenCount($"t").as("ws"),
@@ -109,6 +115,15 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.contains(25L)) // untouched row survives
     // 10 nodes appear in pairs, 3 survive as representatives -> 7 dropped
     assert(kept.size == 25 - 7)
+  }
+
+  test("connectedComponents: 60-hop chain converges (pointer jumping)") {
+    // diameter 59 >> maxIter 20: plain one-hop propagation would hit the
+    // iteration cap with split components; the jump makes it O(log d)
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = FuzzyDedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 60L).forall(comp(_) == 1L))
   }
 
   test("quality features and score are in sane ranges") {
