@@ -536,7 +536,9 @@ object SparkEntry {
   private def qMultimodalAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedNearDupPairs(
       // materialize the featurizer output once: the self-join would
-      // otherwise run the (deliberately expensive) codec UDF per side
+      // otherwise run the (deliberately expensive) codec per side. The
+      // checkpointed blocks live until session end -- bounded at
+      // corpus_rows x (dim+1) x 8B, trivial for any realistic corpus
       Multimodal.extractFeatures(assets(s, dir), dim = 16)
         .withColumn("block", col("asset_id") % 10)
         .localCheckpoint(),

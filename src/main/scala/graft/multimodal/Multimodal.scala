@@ -82,8 +82,11 @@ object Multimodal {
     * Array[Float] of fixed dim out, batched per partition) is the
     * production shape, and the output feeds graft.sim.Similarity directly
     * (multimodal -> embedding -> ANN composes). */
-  def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
-    val featurize = udf { payload: Array[Byte] =>
+  final case class FeaturedAsset(asset_id: Long, features: Seq[Float])
+
+  def extractFeatures(assets: DataFrame, dim: Int = 16,
+                      batchSize: Int = 64): DataFrame = {
+    def featurize(payload: Array[Byte]): Array[Float] = {
       val v = new Array[Float](dim)
       var i = 0
       while (i < payload.length) {
@@ -93,8 +96,18 @@ object Multimodal {
       val n = math.max(payload.length, 1).toFloat
       v.map(_ / n)
     }
-    assets.select(col("asset_id"),
-      featurize(col("payload")).as("features"))
+    implicit val enc = Encoders.product[FeaturedAsset]
+    // batched per partition like decodeAssets: the control shape a real
+    // model codec needs (hand a whole batch to the featurizer at once)
+    assets.select("asset_id", "payload")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            FeaturedAsset(id, featurize(bytes).toSeq) }
+        }
+      }
+      .toDF()
   }
 
   /** Deterministic "resize": keep every strideth byte of the payload and

@@ -44,31 +44,34 @@ object AsOfJoin {
     // would backfill a NULL field of the matched row from an OLDER row,
     // fabricating a combination that never existed
     val payloadType = org.apache.spark.sql.types.StructType(
-      payload.map(p => right.schema(p.split('.').last)).map(f =>
+      payload.map(p => right.schema(p)).map(f =>
         org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
     val l = left
-      .withColumn("__t", col(leftTs))
-      .withColumn("__side", lit(1))
-      .withColumn("__tb", col(tiebreak))
-      .withColumn("__p", lit(null).cast(payloadType))
+      .withColumn("__graft_t", col(leftTs))
+      .withColumn("__graft_side", lit(1))
+      .withColumn("__graft_tb", col(tiebreak))
+      .withColumn("__graft_p", lit(null).cast(payloadType))
+    // NULL-key or NULL-timestamp quotes can never legitimately match under
+    // SQL equality / >= comparison, but Window.partitionBy groups NULL keys
+    // together and a NULL __graft_t would sort first and leak into every
+    // left row — drop them up front, matching native ASOF semantics
     val r = right
-      .select((Seq(col(key), col(rightTs).as("__t")) :+
-        struct(payload.map(col): _*).as("__p")): _*)
-      .withColumn("__side", lit(0))
-      .withColumn("__tb", lit(null).cast(l.schema(tiebreak).dataType))
-    val rAligned = leftCols.foldLeft(r)((d, c) =>
-      if (d.columns.contains(c)) d
-      else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as("__graft_t"),
+        struct(payload.map(col): _*).as("__graft_p"))
+      .withColumn("__graft_side", lit(0))
+      .withColumn("__graft_tb", lit(null).cast(l.schema(tiebreak).dataType))
 
-    val unioned = l.unionByName(rAligned.select(l.columns.map(col): _*))
+    // unionByName null-fills the left-only columns on the right side
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at the same instant -> inclusive
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .orderBy(col("__graft_t"), col("__graft_side"), col("__graft_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("__c",
-      last(col("__p"), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
+    val carried = unioned.withColumn("__graft_c",
+      last(col("__graft_p"), ignoreNulls = true).over(w))
+    carried.filter(col("__graft_side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col("__c").getField(p).as(s"asof_$p")): _*)
+        payload.map(p => col("__graft_c").getField(p).as(s"asof_$p")): _*)
   }
 }

@@ -42,19 +42,25 @@ object Merge {
                     keys: Seq[String]): Unit = {
     val fs = FileSystem.get(URI.create(tablePath), spark.sparkContext.hadoopConfiguration)
     val target = new Path(tablePath)
+    val tmp = new Path(tablePath + ".__merge_tmp")
+    val oldBak = new Path(tablePath + ".__merge_old")
+    // Hadoop rename reports most failures by RETURNING FALSE, not throwing;
+    // continuing past a failed rename here could delete the only remaining
+    // copy of the table, so every rename is checked.
+    def renameOrFail(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
     // crash recovery: a previous attempt may have renamed the table away
     // without completing the swap -- restore the backup first
-    val oldBak = new Path(tablePath + ".__merge_old")
-    if (!fs.exists(target) && fs.exists(oldBak)) fs.rename(oldBak, target)
+    if (!fs.exists(target) && fs.exists(oldBak)) renameOrFail(oldBak, target)
     val merged =
       if (fs.exists(target)) upsert(spark.read.parquet(tablePath), updates, keys)
       else updates
-    val tmp = new Path(tablePath + ".__merge_tmp")
-    val old = new Path(tablePath + ".__merge_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
-    fs.delete(old, true)
+    if (fs.exists(oldBak)) fs.delete(oldBak, true)
+    if (fs.exists(target)) renameOrFail(target, oldBak)
+    renameOrFail(tmp, target)
+    // only now is the backup redundant
+    fs.delete(oldBak, true)
   }
 }

@@ -29,14 +29,14 @@ object RangeJoin {
     // unix_micros requires TIMESTAMP (LTZ); parquet commonly yields
     // TIMESTAMP_NTZ -- cast is value-preserving under the UTC session TZ
     def micros(c: String) = unix_micros(col(c).cast("timestamp"))
-    val p = points.withColumn("__b",
+    val p = points.withColumn("__graft_b",
       floor(micros(ptTs) / (bucketSeconds * 1000000L)))
-    val i = intervals.withColumn("__b",
+    val i = intervals.withColumn("__graft_b",
       explode(sequence(
         floor(micros(startTs) / (bucketSeconds * 1000000L)),
         floor(micros(endTs) / (bucketSeconds * 1000000L)))))
-    p.join(i, "__b")
+    p.join(i, "__graft_b")
       .filter(col(ptTs) >= col(startTs) && col(ptTs) <= col(endTs))
-      .drop("__b")
+      .drop("__graft_b")
   }
 }

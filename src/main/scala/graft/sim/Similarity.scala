@@ -33,10 +33,10 @@ object Similarity {
   def withUnitVector(df: DataFrame, vec: String, out: String = "unit_vec"): DataFrame =
     // norm into a temp column first: referencing norm(col(vec)) inside the
     // transform lambda would re-evaluate the O(dim) fold once PER ELEMENT
-    df.withColumn("__norm", norm(col(vec)))
+    df.withColumn("__graft_norm", norm(col(vec)))
       .withColumn(out,
-        transform(col(vec), x => x.cast(DoubleType) / col("__norm")))
-      .drop("__norm")
+        transform(col(vec), x => x.cast(DoubleType) / col("__graft_norm")))
+      .drop("__graft_norm")
 
   /** Exact brute-force top-k cosine neighbors of each query vector.
     * The query side is broadcast (small by contract); the corpus streams
