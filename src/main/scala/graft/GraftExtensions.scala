@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{NGramHashes, RegexpCountExpr}
+import graft.functions.{NGramHashes, RegexpCountExpr, RewriteRegexpCount}
 
 /**
  * SQL-surface registration of graft's native expressions, usable two ways:
@@ -18,8 +18,10 @@ import graft.functions.{NGramHashes, RegexpCountExpr}
  * `SELECT ngram_hashes(tokens, 3)` work from plain SQL.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RewriteRegexpCount)
+  }
 }
 
 object GraftExtensions {
@@ -47,9 +49,14 @@ object GraftExtensions {
         NGramHashes(children.head, intLit(children(1), "ngram_hashes n"))
       }))
 
-  /** Register on an already-running session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-running session (functions + the
+    * size(regexp_extract_all) -> regexp_count rewrite). */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteRegexpCount))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRegexpCount
+  }
 }

@@ -17,6 +17,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(grams.toSeq == Seq(3, 1))
   }
 
+  test("optimizer rule rewrites size(regexp_extract_all) to native count") {
+    GraftExtensions.register(spark)
+    // parquet-backed (a literal local relation would be constant-folded
+    // away before user-provided optimizer rules run)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(5).createOrReplaceTempView("ext_rw")
+    val df = spark.sql(
+      "SELECT size(regexp_extract_all(text, '(the)')) AS c FROM ext_rw")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("regexp_count_fast"),
+      s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("regexp_extract_all"))
+    // result equivalence vs the unrewritten form (expr evaluated manually)
+    val manual = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(5).selectExpr("size(split(text, 'the')) - 1 AS c")
+      .as[Int].collect().sorted
+    assert(df.as[Int].collect().sorted.toSeq == manual.toSeq)
+    // spark's own regexp_count desugars to the same shape -> also rewritten
+    val viaBuiltin = spark.sql("SELECT regexp_count(text, 'the') AS c FROM ext_rw")
+    assert(viaBuiltin.queryExecution.optimizedPlan.toString
+      .contains("regexp_count_fast"))
+  }
+
   test("ngram_hashes rejects a non-literal n") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
