@@ -45,6 +45,45 @@ class StreamingSpec extends SparkSpec {
     assert(aaa.headOption.contains(2L))
   }
 
+  test("JSONL streaming leg: Kafka-shaped messages through the speed path") {
+    import graft.model.Schemas
+    import graft.ops.{Clean, Ingest}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_jsonl")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // exactly the producer's message shape, incl. the percent_change skew
+    Files.writeString(raw.resolve("m1.jsonl"), Seq(
+      """{"symbol":"AAPL","price":190.0,"change":0.5,"percent_change":"0.26%","volume":"100","timestamp":"2024-01-01T09:30:00"}""",
+      """{"symbol":"AAPL","price":191.0,"change":1.0,"percent_change":"0.52%","volume":"200","timestamp":"2024-01-01T09:31:00"}""")
+      .mkString("\n"))
+    val ticks = Clean.castTicks(
+      Ingest.readJsonlStream(spark, raw.toString, Schemas.tickRaw))
+    StreamPipeline.start(
+        StreamPipeline.windowedMetrics(ticks, width = "5 minutes",
+          slide = "5 minutes"),
+        out, ckpt).awaitTermination(60000)
+    // flush the 09:30 window by advancing the watermark
+    Files.writeString(raw.resolve("m2.jsonl"),
+      """{"symbol":"AAPL","price":192.0,"change":1.0,"percent_change":null,"volume":"50","timestamp":"2024-01-01T10:30:00"}""")
+    StreamPipeline.start(
+        StreamPipeline.windowedMetrics(ticks, width = "5 minutes",
+          slide = "5 minutes"),
+        out, ckpt).awaitTermination(60000)
+    Files.writeString(raw.resolve("m3.jsonl"),
+      """{"symbol":"AAPL","price":193.0,"change":1.0,"percent_change":null,"volume":"50","timestamp":"2024-01-01T11:30:00"}""")
+    StreamPipeline.start(
+        StreamPipeline.windowedMetrics(ticks, width = "5 minutes",
+          slide = "5 minutes"),
+        out, ckpt).awaitTermination(60000)
+    val rows = spark.read.parquet(out)
+      .filter($"window_start" === "2024-01-01 09:30:00").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("ma") == 190.5)
+    assert(rows(0).getAs[Long]("volume_sum") == 300L)
+  }
+
   test("stream-static enrichment join adds dimension columns per batch") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream_enrich")
