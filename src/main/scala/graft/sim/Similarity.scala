@@ -109,6 +109,38 @@ object Similarity {
       .select(col("cell"), col(vec).as("centroid"))
   }
 
+  /** K-means-refined IVF centroids: Lloyd's iterations on top of the
+    * deterministic seed centroids — assignment is a broadcast scan, the
+    * update step averages member vectors elementwise. Deterministic
+    * (seeded init, fixed iteration count) and expressed entirely in
+    * DataFrame ops; localCheckpoint per round keeps the plan flat. */
+  def ivfCentroidsKMeans(corpus: DataFrame, id: String, vec: String,
+                         nlist: Int, iters: Int = 3): DataFrame = {
+    var centroids = ivfCentroids(corpus, id, vec, nlist).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(corpus.select(col(id), col(vec)), id, vec,
+        centroids, nProbe = 1)
+      // elementwise mean: fold member vectors into a sum array (groups are
+      // ~corpus/nlist rows, so collect_list per group is bounded), then
+      // divide outside the aggregate so the lambda only captures a plain
+      // column
+      centroids = assigned.groupBy("cell")
+        .agg(
+          aggregate(collect_list(col(vec)), lit(null).cast("array<double>"),
+            (acc, x) => when(acc.isNull, transform(x, v => v.cast("double")))
+              .otherwise(zip_with(acc, x, (a, b) => a + b.cast("double"))))
+            .as("__sum"),
+          count(lit(1)).as("__n"))
+        .select(col("cell"),
+          transform(col("__sum"), s => (s / col("__n")).cast("float"))
+            .as("centroid"))
+        .localCheckpoint()
+      i += 1
+    }
+    centroids
+  }
+
   /** Assign each vector to its nProbe nearest (max-cosine) centroid cells.
     * The centroid table is broadcast; assignment is a single scan. */
   def ivfAssign(df: DataFrame, id: String, vec: String, centroids: DataFrame,
@@ -131,8 +163,10 @@ object Similarity {
     * shrinks by ~nlist/nProbe versus brute force. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
               qVec: String, cVec: String, k: Int, nlist: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(corpus, cId, cVec, nlist)
+              nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(corpus, cId, cVec, nlist, kmeansIters)
+      else ivfCentroids(corpus, cId, cVec, nlist)
     val cells = ivfAssign(corpus, cId, cVec, centroids, nProbe = 1)
       .withColumn("__cn2", norm(col(cVec)))
     val probes = ivfAssign(queries, qId, qVec, centroids, nProbe = nProbe)

@@ -71,5 +71,22 @@ class SimSpec extends SparkSpec {
     assert((exact & ivf).size >= exact.size / 2,
       s"IVF recall too low: ${(exact & ivf).size}/${exact.size}")
     assert(ivf.size == exact.size) // every query answered
+    // k-means-refined centroids: same contract, recall at least as usable
+    val ivfKm = top1(Similarity.ivfTopK(q, emb, "q_id", "vec_id", "q_vec",
+      "embedding", k = 1, nlist = 8, nProbe = 4, kmeansIters = 3))
+    assert((exact & ivfKm).size >= exact.size / 2,
+      s"kmeans-IVF recall too low: ${(exact & ivfKm).size}/${exact.size}")
+    assert(ivfKm.size == exact.size)
+  }
+
+  test("k-means IVF centroids: nlist rows, dim preserved, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2).orderBy("cell").collect()
+    val c2 = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2).orderBy("cell").collect()
+    assert(c1.length <= 8 && c1.nonEmpty)
+    assert(c1.forall(_.getSeq[Float](1).length == 64))
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
   }
 }
