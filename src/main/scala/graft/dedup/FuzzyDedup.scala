@@ -145,7 +145,43 @@ object FuzzyDedup {
     * is cheap; each round persists and materializes to keep the plan flat
     * (no exponential lineage). Returns (id, comp) where comp = min id of
     * the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverThreshold: Long = 1000000L): DataFrame = {
+    // Fast path: the verified pair list is usually tiny relative to the
+    // corpus (near-dup rates are low), and the iterative distributed loop
+    // costs ~3 jobs per round. Below the threshold, run classic union-find
+    // on the driver in one collect — exact same output, one job.
+    val spark = pairs.sparkSession
+    if (driverThreshold > 0 && pairs.limit(driverThreshold.toInt + 1).count()
+        <= driverThreshold) {
+      import scala.collection.mutable
+      val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      import spark.implicits._
+      return nodes.map(n => (n, find(n))).toSeq.toDF("id", "comp")
+    }
+    distributedComponents(pairs, maxIter)
+  }
+
+  /** Distributed min-label propagation with pointer jumping — used above
+    * the driver threshold; O(log diameter) rounds. */
+  private[dedup] def distributedComponents(pairs: DataFrame,
+                                           maxIter: Int): DataFrame = {
     // localCheckpoint (not persist): iterative algorithms grow the Catalyst
     // plan every round, and when the result feeds ANOTHER iterative op
     // (dedup of a deduped corpus) the nested lineage explodes analysis

@@ -119,11 +119,16 @@ class TextDedupSpec extends SparkSpec {
 
   test("connectedComponents: 60-hop chain converges (pointer jumping)") {
     // diameter 59 >> maxIter 20: plain one-hop propagation would hit the
-    // iteration cap with split components; the jump makes it O(log d)
+    // iteration cap with split components; the jump makes it O(log d).
+    // driverThreshold = 0 forces the DISTRIBUTED path.
     val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val comp = FuzzyDedup.connectedComponents(chain)
+    val comp = FuzzyDedup.connectedComponents(chain, driverThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert((1L to 60L).forall(comp(_) == 1L))
+    // the driver union-find fast path must agree exactly
+    val compFast = FuzzyDedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == compFast)
   }
 
   test("quality features and score are in sane ranges") {
