@@ -121,20 +121,22 @@ object Similarity {
     while (i < iters) {
       val assigned = ivfAssign(corpus.select(col(id), col(vec)), id, vec,
         centroids, nProbe = 1)
-      // elementwise mean: fold member vectors into a sum array (groups are
-      // ~corpus/nlist rows, so collect_list per group is bounded), then
-      // divide outside the aggregate so the lambda only captures a plain
-      // column
-      centroids = assigned.groupBy("cell")
-        .agg(
-          aggregate(collect_list(col(vec)), lit(null).cast("array<double>"),
-            (acc, x) => when(acc.isNull, transform(x, v => v.cast("double")))
-              .otherwise(zip_with(acc, x, (a, b) => a + b.cast("double"))))
-            .as("__sum"),
-          count(lit(1)).as("__n"))
+      // elementwise mean with CONSTANT-WIDTH partial states: posexplode each
+      // member vector to (cell, pos, component) and sum/count per (cell, pos)
+      // — partial aggregation (map-side combine) applies, and no per-group
+      // state ever holds more than one double. The second aggregate
+      // reassembles dim rows per cell (nlist x dim rows total — trivial)
+      // ordered by pos. A collect_list-of-vectors update would hold
+      // O(|cell| x dim) per group and OOM at corpus scale.
+      centroids = assigned
+        .select(col("cell"), posexplode(col(vec)).as(Seq("pos", "cmp")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("cmp").cast("double")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("s") / col("n")).cast("float").as("m")))).as("sm"))
         .select(col("cell"),
-          transform(col("__sum"), s => (s / col("__n")).cast("float"))
-            .as("centroid"))
+          transform(col("sm"), x => x.getField("m")).as("centroid"))
         .localCheckpoint()
       i += 1
     }
