@@ -116,11 +116,29 @@ object FuzzyDedup {
         .as(Seq("band_idx", "band_hash")))
   }
 
-  /** MinHash-LSH candidate pairs (id1 < id2, distinct). */
+  /** Drop bucket keys whose group exceeds `cap` rows — the self-join over a
+    * bucket is O(bucket²), so one degenerate mega bucket (empty docs, a
+    * boilerplate header shared by millions of pages) is a shuffle bomb.
+    * Same guard as jaccardPairs' maxDf; pair it with an *OverflowBuckets
+    * audit so truncation stays visible. */
+  private def capBuckets(rows: DataFrame, keys: Seq[String],
+                         cap: Option[Int]): DataFrame = cap match {
+    case Some(c) =>
+      val ok = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= c).select(keys.map(col): _*)
+      rows.join(ok, keys)
+    case None => rows
+  }
+
+  /** MinHash-LSH candidate pairs (id1 < id2, distinct). Band buckets larger
+    * than maxBucket are dropped (audit: [[minhashOverflowBuckets]]). */
   def minhashCandidates(df: DataFrame, id: String, text: String, n: Int,
                         numPerm: Int = 64, bands: Int = 16,
-                        seed: Long = 42L): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(df, id, text, n, numPerm, seed), id, bands)
+                        seed: Long = 42L,
+                        maxBucket: Option[Int] = Some(10000)): DataFrame = {
+    val buckets = capBuckets(
+      lshBuckets(minhashSignatures(df, id, text, n, numPerm, seed), id, bands),
+      Seq("band_idx", "band_hash"), maxBucket)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
@@ -130,6 +148,15 @@ object FuzzyDedup {
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
       .distinct()
   }
+
+  /** Side output for [[minhashCandidates]]' maxBucket cap: dropped band
+    * buckets with sizes. */
+  def minhashOverflowBuckets(df: DataFrame, id: String, text: String, n: Int,
+                             maxBucket: Int, numPerm: Int = 64,
+                             bands: Int = 16, seed: Long = 42L): DataFrame =
+    lshBuckets(minhashSignatures(df, id, text, n, numPerm, seed), id, bands)
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** Connected components over an undirected pair list (id1, id2) by
     * iterative min-label propagation WITH pointer jumping: each round every
@@ -250,14 +277,19 @@ object FuzzyDedup {
 
   /** SimHash near-dup pairs: block on 16-bit chunks (a pair within hamming
     * distance <= 3 shares at least one of the 4 chunks), verify with
-    * bit_count(xor) <= maxHamming. */
+    * bit_count(xor) <= maxHamming. Chunk buckets larger than maxBucket are
+    * dropped (audit: [[simhashOverflowBuckets]]) — near-identical
+    * boilerplate corpora put millions of docs in one chunk bucket. */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucket: Option[Int] = Some(10000)): DataFrame = {
     val sig = simhash64(df, id, text)
     val chunkCols = (0 until 4).map(c =>
       shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
-    val chunks = sig.select(col(id), col("simhash"),
-      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
+    val chunks = capBuckets(
+      sig.select(col(id), col("simhash"),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk"))),
+      Seq("chunk_idx", "chunk"), maxBucket)
     val a = chunks.as("a")
     val b = chunks.as("b")
     a.join(b,
@@ -270,5 +302,18 @@ object FuzzyDedup {
       .withColumn("hamming", expr("bit_count(sh1 ^ sh2)"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+  }
+
+  /** Side output for [[simhashPairs]]' maxBucket cap: dropped chunk buckets
+    * with sizes. */
+  def simhashOverflowBuckets(df: DataFrame, id: String, text: String,
+                             maxBucket: Int): DataFrame = {
+    val sig = simhash64(df, id, text)
+    val chunkCols = (0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
+    sig.select(col(id),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
+      .groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
   }
 }

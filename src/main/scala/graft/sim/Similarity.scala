@@ -81,11 +81,30 @@ object Similarity {
 
   /** ANN near-dup pairs via LSH: exact cosine verified inside buckets only.
     * Recall is tunable via nbits (fewer bits = bigger buckets = higher
-    * recall, more compute). */
+    * recall, more compute).
+    *
+    * maxBucket: the self-join is O(bucket²); with few bits or degenerate
+    * embeddings (all-zero vectors all hash to one bucket) a single mega
+    * bucket is a shuffle bomb at corpus scale. Buckets holding more than
+    * maxBucket vectors are excluded from candidate generation — same guard
+    * as FuzzyDedup.jaccardPairs' maxDf. Audit what was dropped with
+    * [[lshOverflowBuckets]] (same params → the excluded buckets + sizes);
+    * None disables the cap. */
   def lshNearDupPairs(df: DataFrame, id: String, vec: String, dim: Int,
                       minCosine: Double, nbits: Int = 12,
-                      seed: Long = 42L): DataFrame = {
-    val b = withLshBucket(df, vec, dim, nbits, seed).withColumn("__n", norm(col(vec)))
+                      seed: Long = 42L,
+                      maxBucket: Option[Int] = Some(10000)): DataFrame = {
+    val b0 = withLshBucket(df, vec, dim, nbits, seed).withColumn("__n", norm(col(vec)))
+    // Column pruning means the size probe recomputes only the bucket
+    // expression, not the norms; keeping this uncached trades one extra
+    // scan for not caching a corpus-sized frame.
+    val b = maxBucket match {
+      case Some(cap) =>
+        val ok = b0.groupBy("lsh_bucket").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= cap).select("lsh_bucket")
+        b0.join(ok, Seq("lsh_bucket"))
+      case None => b0
+    }
     val l = b.as("a")
     val r = b.as("b")
     l.join(r, col("a.lsh_bucket") === col("b.lsh_bucket") &&
@@ -95,6 +114,17 @@ object Similarity {
       .filter(col("cosine_sim") >= minCosine)
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"), col("cosine_sim"))
   }
+
+  /** Side output for [[lshNearDupPairs]]' maxBucket cap: the buckets that
+    * exceeded the cap (and were therefore dropped from candidate
+    * generation), with their sizes — truncation stays visible instead of
+    * silently shrinking recall. */
+  def lshOverflowBuckets(df: DataFrame, vec: String, dim: Int,
+                         maxBucket: Int, nbits: Int = 12,
+                         seed: Long = 42L): DataFrame =
+    withLshBucket(df, vec, dim, nbits, seed)
+      .groupBy("lsh_bucket").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** IVF coarse quantizer: `nlist` deterministic seed centroids (every
     * corpus-size/nlist-th vector by id — cheap, reproducible; swap in

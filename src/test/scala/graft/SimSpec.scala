@@ -57,6 +57,21 @@ class SimSpec extends SparkSpec {
     assert(out.forall { case (a, b) => !(a == 2L && b == 3L) })
   }
 
+  test("lshNearDupPairs maxBucket drops a mega bucket, audit sees it") {
+    // 30 identical vectors all land in one bucket; cap 5 must exclude it
+    // (0 pairs instead of 435) and the overflow audit must report it.
+    val mega = (1L to 30L).map(i => (i, Seq(0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.lshNearDupPairs(mega, "vec_id", "embedding", dim = 3,
+      minCosine = 0.9, nbits = 4, maxBucket = Some(5)).isEmpty)
+    val over = Similarity.lshOverflowBuckets(mega, "embedding", dim = 3,
+      maxBucket = 5, nbits = 4).collect()
+    assert(over.length == 1 && over(0).getAs[Long]("bucket_size") == 30L)
+    // default cap leaves the small corpus untouched
+    assert(Similarity.lshNearDupPairs(mega, "vec_id", "embedding", dim = 3,
+      minCosine = 0.9, nbits = 4).count() == 435L)
+  }
+
   test("IVF top-k recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)

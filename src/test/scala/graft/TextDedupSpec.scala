@@ -94,6 +94,26 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
 
+  test("simhash/minhash maxBucket drops a mega bucket, audit sees it") {
+    // 30 identical docs -> every chunk/band bucket holds all 30; a cap of 5
+    // must drop them all (bounded fan-out: 0 pairs instead of 435), and the
+    // overflow audit must report exactly those buckets.
+    val mega = (1L to 30L).map(i => (i, "same exact boilerplate text here"))
+      .toDF("doc_id", "text")
+    assert(FuzzyDedup.simhashPairs(mega, "doc_id", "text",
+      maxBucket = Some(5)).isEmpty)
+    val shOver = FuzzyDedup.simhashOverflowBuckets(mega, "doc_id", "text",
+      maxBucket = 5).collect()
+    assert(shOver.length == 4 && shOver.forall(_.getAs[Long]("bucket_size") == 30L))
+    assert(FuzzyDedup.minhashCandidates(mega, "doc_id", "text", n = 3,
+      maxBucket = Some(5)).isEmpty)
+    val mhOver = FuzzyDedup.minhashOverflowBuckets(mega, "doc_id", "text",
+      n = 3, maxBucket = 5).collect()
+    assert(mhOver.nonEmpty && mhOver.forall(_.getAs[Long]("bucket_size") == 30L))
+    // default cap (10k) leaves the small corpus untouched
+    assert(FuzzyDedup.simhashPairs(mega, "doc_id", "text").count() == 435L)
+  }
+
   test("connectedComponents: chain, triangle, and pass-through") {
     // chain 1-2-3-4-5 (diameter forces several propagation rounds),
     // triangle 10-11-12, pair 20-21
