@@ -20,6 +20,13 @@ object Bench {
       // 512-byte sketch buffers.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.session.timeZone", "UTC")
+      // the events table carries int64-nanos timestamps; set at session
+      // build so no query constructor mutates global conf mid-run
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // queries run PAR-at-a-time as independent jobs; FIFO would let one
+      // whale stage starve every query queued behind it, inflating their
+      // wall times. FAIR + one pool per query round-robins the 32 slots.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,19 +52,33 @@ object Bench {
     val t0 = System.nanoTime()
     val futures = selected.toSeq.map { case (name, fn) =>
       Future {
+        // own FAIR pool per query (local property sticks to this worker
+        // thread for the duration of the query's jobs)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        // A failing query must be distinguishable from a fast one: record
+        // the first failure message and surface it in an "errors" map
+        // instead of letting a crash report a tiny wall time.
+        var failure: Option[String] = None
         val times = (1 to reps).map { _ =>
           val s = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() } catch {
+            case t: Throwable if failure.isEmpty =>
+              failure = Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+            case _: Throwable => ()
+          }
           (System.nanoTime() - s) / 1e9
         }
-        name -> times.min
+        (name, times.min, failure)
       }
     }
     val results = futures.map(f => Await.result(f, Duration.Inf))
     val total = (System.nanoTime() - t0) / 1e9
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     pool.shutdown()
     spark.stop()
   }

@@ -24,6 +24,9 @@ object Verify {
       // 512-byte sketch buffers.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.session.timeZone", "UTC")
+      // the events table carries int64-nanos timestamps; set at session
+      // build so no query constructor mutates global conf mid-run
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

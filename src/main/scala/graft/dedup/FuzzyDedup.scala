@@ -48,30 +48,54 @@ object FuzzyDedup {
     * id1 < id2 and jaccard >= minJaccard.
     *
     * maxDf: drop shingles occurring in more than maxDf docs within a block
-    * (skew + usefulness guard; None keeps all). */
+    * (skew + usefulness guard; None keeps all).
+    *
+    * Self-contained, service-safe form: builds the shingle table, computes,
+    * materializes the (small) pair output, and releases every internal
+    * cache before returning. Pipelines issuing MANY dedup queries over one
+    * corpus should build the shingle table once ([[shingleHashes]] +
+    * persist, or a stored table at cluster scale) and call
+    * [[jaccardPairsFromShingles]] instead of re-tokenizing per call. */
   def jaccardPairs(df: DataFrame, id: String, text: String, block: String,
                    n: Int, minJaccard: Double,
                    maxDf: Option[Int] = Some(1000)): DataFrame = {
-    val sh = df.select(col(id).as("id"), col(block).as("block"),
-        explode(graft.functions.NGramHashes.ngramHashes(
-          TextAnalysis.tokens(col(text)), n)).as("shingle"))
-    // The shingle expansion (regex tokenize + n-gram + explode) feeds four
-    // consumers (df-filter, sizes, both self-join sides); persist it once
-    // instead of recomputing the most expensive stage of the query 4x. At
-    // cluster scale this is the "materialize the shingle table" step.
-    // Lifetime note: the cached blocks live until session end or eviction;
-    // long-lived services calling this repeatedly should bound the cache
-    // (spark.catalog.clearCache() between corpus runs) or materialize the
-    // shingle table to storage themselves.
-    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingleHashes(df, id, text, n)
+      .select(col(id).as("id"), col("h64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = df.select(col(id).as("id"), col(block).as("block"))
+    val out = jaccardPairsFromShingles(sh, Some(blocks), minJaccard, maxDf)
+    sh.unpersist(false)
+    out
+  }
+
+  /** [[jaccardPairs]] core over a prebuilt `(id, h64)` shingle-hash table —
+    * the "index once, query many" path. `blocks` optionally maps id ->
+    * blocking key (None = one global block). The caller owns `sh`'s
+    * lifetime (persist it when several dedup queries share it; at 100 TB it
+    * is a stored table). The pair output is materialized (localCheckpoint)
+    * before returning — it is orders of magnitude smaller than the shingle
+    * expansion — so no internal cache outlives the call and iterative
+    * consumers (connectedComponents) start from a flat, computed plan. */
+  def jaccardPairsFromShingles(sh: DataFrame, blocks: Option[DataFrame],
+                               minJaccard: Double,
+                               maxDf: Option[Int] = Some(1000)): DataFrame = {
+    val withBlock = blocks match {
+      case Some(bl) => sh.join(bl, "id")
+        .select(col("id"), col("block"), col("h64").as("shingle"))
+      case None => sh
+        .select(col("id"), lit(1).as("block"), col("h64").as("shingle"))
+    }
+    // The df-filtered shingle table feeds three consumers (sizes, both
+    // self-join sides): persist for the duration of the call, release after
+    // the pair output is materialized.
     val filtered = (maxDf match {
       case Some(cap) =>
-        val dfreq = shP.groupBy("block", "shingle")
+        val dfreq = withBlock.groupBy("block", "shingle")
           .agg(count(lit(1)).as("df_count"))
           .filter(col("df_count") <= cap)
           .select("block", "shingle")
-        shP.join(dfreq, Seq("block", "shingle"))
-      case None => shP
+        withBlock.join(dfreq, Seq("block", "shingle"))
+      case None => withBlock
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val a = filtered.as("a")
@@ -82,13 +106,16 @@ object FuzzyDedup {
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("n_common"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
+    val materialized = out.localCheckpoint()
+    filtered.unpersist(false)
+    materialized
   }
 
   /** MinHash signatures: numPerm 64-bit minima per document over its shingle
@@ -135,18 +162,101 @@ object FuzzyDedup {
   def minhashCandidates(df: DataFrame, id: String, text: String, n: Int,
                         numPerm: Int = 64, bands: Int = 16,
                         seed: Long = 42L,
-                        maxBucket: Option[Int] = Some(10000)): DataFrame = {
-    val buckets = capBuckets(
-      lshBuckets(minhashSignatures(df, id, text, n, numPerm, seed), id, bands),
+                        maxBucket: Option[Int] = Some(10000)): DataFrame =
+    minhashCandidatesFromShingles(
+      shingleHashes(df, id, text, n).select(col(id).as("id"), col("h64")),
+      numPerm, bands, seed, maxBucket)
+
+  /** [[minhashCandidates]] over a prebuilt `(id, h64)` shingle table (see
+    * [[jaccardPairsFromShingles]] for the sharing contract). */
+  def minhashCandidatesFromShingles(sh: DataFrame, numPerm: Int = 64,
+                                    bands: Int = 16, seed: Long = 42L,
+                                    maxBucket: Option[Int] = Some(10000)): DataFrame = {
+    val sig = sh.groupBy(col("id"))
+      .agg(graft.functions.SketchAggs.minhashSig(col("h64"), numPerm, seed)
+        .as("signature"))
+    val buckets = capBuckets(lshBuckets(sig, "id", bands),
       Seq("band_idx", "band_hash"), maxBucket)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
-        col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
+
+  /** MinHash-LSH end-to-end near-dup pairs: banding candidates verified
+    * with exact n-gram Jaccard computed ONLY on candidate pairs — the
+    * production dedup shape (candidate generation bounds the pair space;
+    * the exact verify restores precision 1).
+    *
+    * Recall contract: with the default 16 bands of numPerm/16 = 4 rows, a
+    * pair at jaccard j is banded with probability 1-(1-j^4)^16 — at
+    * j = 0.9 that is 1 - 4e-8, so for thresholds >= 0.9 the verified
+    * output IS (to that probability) the exact true pair set. That makes
+    * this operator oracle-checkable end to end, unlike the raw candidate
+    * set whose hash family is engine-specific. For lower thresholds raise
+    * `bands` (more, narrower bands = higher recall, more candidates).
+    *
+    * maxDf: the verify step drops shingles above a global document
+    * frequency cap, exactly like [[jaccardPairs]] — candidates, however,
+    * are banded on the UNFILTERED shingle sets (signatures are computed
+    * before df counts exist; the mismatch only perturbs banding
+    * probability, never verified correctness). */
+  def minhashVerifiedPairs(df: DataFrame, id: String, text: String, n: Int,
+                           minJaccard: Double, numPerm: Int = 64,
+                           bands: Int = 16, seed: Long = 42L,
+                           maxBucket: Option[Int] = Some(10000),
+                           maxDf: Option[Int] = Some(1000)): DataFrame = {
+    val sh = shingleHashes(df, id, text, n)
+      .select(col(id).as("id"), col("h64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = minhashVerifiedPairsFromShingles(sh, minJaccard, numPerm,
+      bands, seed, maxBucket, maxDf).localCheckpoint()
+    sh.unpersist(false)
+    out
+  }
+
+  /** [[minhashVerifiedPairs]] over a prebuilt `(id, h64)` shingle table (see
+    * [[jaccardPairsFromShingles]] for the sharing contract). Lazy output;
+    * the candidate docs' shingle subset is internally localCheckpointed. */
+  def minhashVerifiedPairsFromShingles(sh0in: DataFrame, minJaccard: Double,
+                                       numPerm: Int = 64, bands: Int = 16,
+                                       seed: Long = 42L,
+                                       maxBucket: Option[Int] = Some(10000),
+                                       maxDf: Option[Int] = Some(1000)): DataFrame = {
+    val cand = minhashCandidatesFromShingles(sh0in, numPerm, bands, seed,
+      maxBucket)
+    val sh0 = sh0in.select(col("id").as("__sid"), col("h64"))
+    val filtered = maxDf match {
+      case Some(cap) =>
+        // global df counts need the full shingle table once (constant-width
+        // partial aggregate), but nothing else does
+        val ok = sh0.groupBy("h64").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("h64")
+        sh0.join(ok, "h64")
+      case None => sh0
+    }
+    // Only docs that appear in a candidate pair need their shingle sets on
+    // the verify path — at corpus scale the candidate side is orders of
+    // magnitude smaller than the corpus, so checkpoint THAT, not the corpus.
+    val docsInCand = cand.select(col("id1").as("__sid"))
+      .union(cand.select(col("id2").as("__sid"))).distinct()
+    val sh = filtered.join(docsInCand, "__sid").localCheckpoint()
+    val sizes = sh.groupBy("__sid").agg(count(lit(1)).as("__n"))
+    val inter = cand
+      .join(sh.select(col("__sid").as("id1"), col("h64")), "id1")
+      .join(sh.select(col("__sid").as("id2"), col("h64")), Seq("id2", "h64"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("__sid").as("id1"), col("__n").as("n1")), "id1")
+      .join(sizes.select(col("__sid").as("id2"), col("__n").as("n2")), "id2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
   }
 
   /** Side output for [[minhashCandidates]]' maxBucket cap: dropped band
@@ -177,30 +287,48 @@ object FuzzyDedup {
     // Fast path: the verified pair list is usually tiny relative to the
     // corpus (near-dup rates are low), and the iterative distributed loop
     // costs ~3 jobs per round. Below the threshold, run classic union-find
-    // on the driver in one collect — exact same output, one job.
+    // on the driver — exact same output, one job. Guards: (a) only integral
+    // id columns take it (the driver decode is long-based; string/decimal
+    // ids would cast to null) — anything else goes distributed, which
+    // handles any ordered type; (b) ONE limit(threshold+1) collect serves as
+    // both the size probe and the edge list, so the upstream pair plan (an
+    // expensive verify self-join when unmaterialized) runs once, never
+    // twice, and the driver never holds more than threshold+1 rows.
     val spark = pairs.sparkSession
-    if (driverThreshold > 0 && pairs.limit(driverThreshold.toInt + 1).count()
-        <= driverThreshold) {
+    val integralIds = pairs.schema.fields.take(2).forall(_.dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (driverThreshold > 0 && integralIds) {
       import scala.collection.mutable
-      val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) {
-          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      val probe = pairs
+        .select(col("id1").cast("long"), col("id2").cast("long"))
+        .filter(col("id1").isNotNull && col("id2").isNotNull)
+        .limit(driverThreshold.toInt + 1)
+        .collect()
+      if (probe.length <= driverThreshold) {
+        val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
+        val parent = mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent.getOrElse(c, c); parent(c) = r; c = next
+          }
+          r
         }
-        r
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        import spark.implicits._
+        return nodes.map(n => (n, find(n))).toSeq.toDF("id", "comp")
       }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      import spark.implicits._
-      return nodes.map(n => (n, find(n))).toSeq.toDF("id", "comp")
     }
     distributedComponents(pairs, maxIter)
   }

@@ -36,18 +36,11 @@ case class RegexpCountExpr(left: Expression, right: Expression)
     case _ => null
   }
 
-  private def count(p: Pattern, subject: UTF8String): Int = {
-    val m = p.matcher(subject.toString)
-    var c = 0
-    while (m.find()) c += 1
-    c
-  }
-
   override protected def nullSafeEval(subject: Any, regex: Any): Any = {
     val p =
       if (cachedPattern != null) cachedPattern
       else Pattern.compile(regex.asInstanceOf[UTF8String].toString)
-    count(p, subject.asInstanceOf[UTF8String])
+    RegexpCountExpr.countMatches(p, subject.asInstanceOf[UTF8String])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -57,14 +50,14 @@ case class RegexpCountExpr(left: Expression, right: Expression)
           classOf[Pattern].getName)
       defineCodeGen(ctx, ev, (subject, _) =>
         s"""graft.functions.RegexpCountExpr.countMatches(
-           |  $patternRef, $subject.toString())""".stripMargin)
+           |  $patternRef, $subject)""".stripMargin)
     } else {
       // non-foldable pattern: inherently per-row compile; callers should
       // pass a literal pattern for the cached fast path
       defineCodeGen(ctx, ev, (subject, regex) =>
         s"""graft.functions.RegexpCountExpr.countMatches(
            |  java.util.regex.Pattern.compile($regex.toString()),
-           |  $subject.toString())""".stripMargin)
+           |  $subject)""".stripMargin)
     }
   }
 
@@ -74,9 +67,31 @@ case class RegexpCountExpr(left: Expression, right: Expression)
 }
 
 object RegexpCountExpr {
+
+  /** Zero-copy CharSequence view over an all-ASCII UTF8String: when
+    * numBytes == numChars every byte is one char, so the regex matcher can
+    * index the UTF8String's bytes in place and the subject is never copied
+    * into a java.lang.String. Multibyte strings (where byte index != char
+    * index) fall back to the one-copy toString — correctness first, and the
+    * dominant text-corpus case (ASCII) stays allocation-free. */
+  private final class AsciiView(u: UTF8String, n: Int) extends CharSequence {
+    override def length(): Int = n
+    override def charAt(i: Int): Char = (u.getByte(i) & 0xFF).toChar
+    // only reached via Matcher group extraction, which countMatches never
+    // does; substring-copy is fine on this cold path
+    override def subSequence(s: Int, e: Int): CharSequence =
+      u.substring(s, e).toString
+    override def toString: String = u.toString
+  }
+
+  private def charSeq(u: UTF8String): CharSequence = {
+    val n = u.numBytes()
+    if (u.numChars() == n) new AsciiView(u, n) else u.toString
+  }
+
   /** Called from generated code. */
-  def countMatches(p: Pattern, subject: String): Int = {
-    val m = p.matcher(subject)
+  def countMatches(p: Pattern, subject: UTF8String): Int = {
+    val m = p.matcher(charSeq(subject))
     var c = 0
     while (m.find()) c += 1
     c

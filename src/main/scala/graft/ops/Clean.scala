@@ -45,6 +45,21 @@ object Clean {
   def subset(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*)
 
+  /** Fail-fast schema-presence validation: the loaders' dynamic
+    * column-presence checks (reference: load_stream_to_snowflake.py:184-213,
+    * README.md:676-694). Returns the frame unchanged when every required
+    * column exists (case-insensitive, matching Spark's default resolution);
+    * throws naming each missing column otherwise — at 100 TB you want the
+    * schema break at submit time, not three shuffle stages in. */
+  def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missing = required.filterNot(c => have.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"missing required column(s): ${missing.mkString(", ")}; " +
+        s"present: ${df.columns.mkString(", ")}")
+    df
+  }
+
   /** F11: null imputation — 0 for numerics, "unknown" for strings.
     * Reference: load_stream_to_snowflake.py:207-212. */
   def impute(df: DataFrame, numeric: Seq[String], strings: Seq[String]): DataFrame =

@@ -30,6 +30,25 @@ object Dedup {
       count(lit(1)).as("n_rows"),
       cols.map(c => approx_count_distinct(col(c), rsd).as(s"n_$c")): _*)
 
+  /** HLL estimates validated against exact counts: emits n_rows, the exact
+    * distinct count per column, and a `<col>_within_rsd` flag asserting the
+    * HLL estimate landed within 5*rsd of the exact value. The flags make
+    * the probabilistic sketch cross-engine checkable — the exact side is
+    * oracle-computable and a healthy sketch must satisfy the bound (HLL
+    * error is ~N(0, rsd), so 5 sigma; a false flag means the sketch is
+    * broken, not unlucky). */
+  def approxDistinctBounds(df: DataFrame, cols: Seq[String],
+                           rsd: Double = 0.01): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"n_${c}_exact"),
+      approx_count_distinct(col(c), rsd).as(s"__n_${c}_approx")))
+    val out = col("n_rows") +: cols.map(c => col(s"n_${c}_exact")) ++:
+      cols.map(c =>
+        (abs(col(s"__n_${c}_approx") - col(s"n_${c}_exact")) <=
+          lit(5 * rsd) * col(s"n_${c}_exact")).as(s"${c}_within_rsd"))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*).select(out: _*)
+  }
+
   /** A7: keep-last dedup (delegates to the row_number formulation). */
   def keepLast(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame =
     WindowAnalytics.keepLast(df, keys, order)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -24,7 +24,8 @@ object Pipelines {
    */
   def analyticsBatch(rawTicks: DataFrame,
                      volatilityHigh: Double = 2.0,
-                     volatilityMedium: Double = 1.0): DataFrame = {
+                     volatilityMedium: Double = 1.0,
+                     processingTime: Column = current_timestamp()): DataFrame = {
     val ticks = Clean.castTicks(rawTicks)
     val order = Seq("timestamp")
     val withMas = WindowAnalytics.rollingVolatility(
@@ -65,14 +66,21 @@ object Pipelines {
           volatilityMedium))
       .withColumn("volume_trend",
         Signals.volumeTrend(col("vol_ma_5"), col("vol_ma_15")))
+      // processing-time audit column (airflow analytics processor:228-230);
+      // injectable so tests and replays stay deterministic
+      .withColumn("processing_time", processingTime)
   }
 
   /** The simple batch job (reference: src/spark/jobs/spark_batch_processor
     * .py): clean/cast -> minute-floor window_start -> corrected +15min end
-    * (the reference's date_add(_, 15) adds days; SURVEY §8.2). */
-  def simpleBatch(rawTicks: DataFrame): DataFrame =
+    * (the reference's date_add(_, 15) adds days; SURVEY §8.2) -> processing
+    * -time audit column (spark_batch_processor.py:65), injectable for
+    * deterministic tests/replays. */
+  def simpleBatch(rawTicks: DataFrame,
+                  processingTime: Column = current_timestamp()): DataFrame =
     Clean.castTicks(rawTicks)
       .withColumn("window_start", date_trunc("minute", col("timestamp")))
       .withColumn("window_15m_end",
         col("window_start") + expr("INTERVAL 15 MINUTES"))
+      .withColumn("processing_time", processingTime)
 }

@@ -54,6 +54,22 @@ object StreamPipeline {
       }
       .start()
 
+  /** J2, made discoverable at the API level: the reference DECLARES a
+    * stream-stream join of two windowed aggregates
+    * (stock_market_stream_dag.py:135), which Structured Streaming rejects —
+    * chaining two stateful aggregations before a stream-stream join is
+    * unsupported in append mode. The reference's operational path runs a
+    * batch twin instead, and so does this engine. Throwing here (instead of
+    * leaving a silent design note) means a user porting the declared DAG
+    * gets pointed at the working equivalent immediately. */
+  def joinedMetrics(metrics15m: DataFrame, metrics1h: DataFrame): DataFrame =
+    throw new UnsupportedOperationException(
+      "stream-stream join of two windowed aggregates is not supported by " +
+        "Structured Streaming (chained stateful operators in append mode; " +
+        "SURVEY §7.5). The reference's own operational path runs this join " +
+        "as a batch job — use graft.ops.Combine.joinOnWindowStart over the " +
+        "two windowed-metrics parquet outputs instead.")
+
   /** Stream-static enrichment: join the live stream against a broadcastable
     * dimension table (symbol metadata, user profile...). Stream-static
     * joins are stateless on the stream side — the static side is re-read

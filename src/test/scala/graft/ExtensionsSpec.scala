@@ -40,6 +40,38 @@ class ExtensionsSpec extends SparkSpec {
       .contains("regexp_count_fast"))
   }
 
+  test("rewrite preserves invalid-group-index errors (no silent rewrite)") {
+    GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(5).createOrReplaceTempView("ext_rw_idx")
+    // '(the)' has 1 group; idx=7 must NOT be rewritten — vanilla Spark
+    // raises an invalid-group-index error and so must the extended session
+    val bad = spark.sql(
+      "SELECT size(regexp_extract_all(text, '(the)', 7)) AS c FROM ext_rw_idx")
+    assert(!bad.queryExecution.optimizedPlan.toString
+      .contains("regexp_count_fast"))
+    intercept[Exception] { bad.collect() }
+    // valid explicit idx=1 still rewrites
+    val ok = spark.sql(
+      "SELECT size(regexp_extract_all(text, '(the)', 1)) AS c FROM ext_rw_idx")
+    assert(ok.queryExecution.optimizedPlan.toString
+      .contains("regexp_count_fast"))
+  }
+
+  test("regexp_count_fast counts correctly on multibyte (non-ASCII) text") {
+    // the ASCII zero-copy view must not be used for multibyte strings —
+    // byte index != char index there; fall back path must stay correct
+    import graft.functions.GraftFunctions
+    val df = Seq("héllo héllo hé", "héllo", "abc abc", "")
+      .toDF("t")
+    val out = df.select(GraftFunctions.regexpCount($"t", "hé").as("c"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(3, 1, 0, 0))
+    val ascii = df.select(GraftFunctions.regexpCount($"t", "abc").as("c"))
+      .as[Int].collect().toSeq
+    assert(ascii == Seq(0, 0, 2, 0))
+  }
+
   test("ngram_hashes rejects a non-literal n") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -106,6 +106,26 @@ class FidelitySpec extends SparkSpec {
       .getAs[Long]("n_bytes") == 3L) // ceil(11/4)
   }
 
+  test("F5: processing-time audit column is emitted and injectable") {
+    // reference: spark_batch_processor.py:65 (simple) and the airflow
+    // analytics processor:228-230 both stamp current_timestamp; injecting a
+    // literal keeps tests and replays deterministic
+    val raw = Seq(("AAA", "10.5", "0.5", "1.23%", "100", "2024-01-01T00:01:00"))
+      .toDF("symbol", "price", "change", "change_percent", "volume", "timestamp")
+    val fixed = lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+    val simple = graft.ops.Pipelines.simpleBatch(raw, processingTime = fixed)
+      .select("processing_time").collect()(0)
+    assert(simple.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+    val analytics = graft.ops.Pipelines.analyticsBatch(raw,
+      processingTime = fixed).select("processing_time").collect()(0)
+    assert(analytics.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+    // default emits a real timestamp column (non-null), like the reference
+    assert(!graft.ops.Pipelines.simpleBatch(raw)
+      .select("processing_time").collect()(0).isNullAt(0))
+  }
+
   test("multimodal asset plumbing: schema, deterministic decode, frames") {
     val docs = Seq((1L, "hello world", "src1"), (2L, "abc", "src2"))
       .toDF("doc_id", "text", "source")

@@ -204,6 +204,39 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 100L), (2L, 100L), (2L, 200L), (3L, 100L)))
   }
 
+  test("Clean.requireColumns: pass-through when present, throws naming missing") {
+    val passed = Clean.requireColumns(ticks, Seq("symbol", "PRICE", "volume"))
+    assert(passed eq ticks) // unchanged frame, case-insensitive match
+    val e = intercept[IllegalArgumentException] {
+      Clean.requireColumns(ticks, Seq("symbol", "vwap", "exchange"))
+    }
+    assert(e.getMessage.contains("vwap") && e.getMessage.contains("exchange"))
+    // present columns are listed after ';', not reported as missing
+    assert(!e.getMessage.split(";")(0).contains("symbol"))
+  }
+
+  test("decodeKafkaJson: binary JSON value -> typed tick columns") {
+    // the exact message shape the reference producer emits
+    // (stream_data_producer.py:120-131), as Kafka would deliver it: a
+    // binary `value` payload alongside broker metadata columns
+    val records = Seq(
+      """{"symbol":"AAPL","price":190.5,"change":0.5,"change_percent":"0.26%","volume":"1000","timestamp":"2024-01-01T09:30:00"}""",
+      """{"symbol":"MSFT","price":410.0,"change":-1.0,"volume":"2000","timestamp":"2024-01-01T09:30:30"}""")
+      .toDF("json")
+      .select(lit("t").as("topic"), lit(0).as("partition"),
+        monotonically_increasing_id().as("offset"),
+        lit(null).cast("binary").as("key"),
+        col("json").cast("binary").as("value"))
+    val out = Clean.castTicks(
+      Ingest.decodeKafkaJson(records, graft.model.Schemas.tickRaw))
+      .orderBy("symbol").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("symbol") == "AAPL")
+    assert(out(0).getAs[Double]("change_percent") == 0.26)
+    assert(out(1).getAs[Long]("volume") == 2000L)
+    assert(out(1).isNullAt(out(1).fieldIndex("change_percent")))
+  }
+
   test("Dedup.dupCheck flags only keys with >1 row") {
     val out = Dedup.dupCheck(ticks, Seq("symbol")).collect()
     assert(out.length == 2) // both symbols have >1

@@ -57,6 +57,29 @@ class SimSpec extends SparkSpec {
     assert(out.forall { case (a, b) => !(a == 2L && b == 3L) })
   }
 
+  test("lshNearDupPairsMulti: exact precision, recall >= single table") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 200)
+    val exact = Similarity.blockedNearDupPairs(
+        emb.withColumn("b", lit(1)), "vec_id", "embedding", "b",
+        minCosine = 0.2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshNearDupPairsMulti(emb, "vec_id", "embedding",
+        dim = 64, minCosine = 0.2, nbits = 8, nTables = 24)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, minCosine = 0.2, nbits = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // precision 1: every emitted pair is a true pair (exact verify step)
+    assert(multi.subsetOf(exact))
+    // amplification: 24 tables recall at least as much as one, and
+    // strictly more on this corpus
+    assert(multi.size > single.size)
+    assert(multi.size.toDouble / exact.size >= 0.1,
+      s"multi-table recall ${multi.size}/${exact.size} below floor")
+  }
+
   test("lshNearDupPairs maxBucket drops a mega bucket, audit sees it") {
     // 30 identical vectors all land in one bucket; cap 5 must exclude it
     // (0 pairs instead of 435) and the overflow audit must report it.

@@ -232,4 +232,13 @@ class StreamingSpec extends SparkSpec {
     // the late 00:10 window must never appear
     assert(!rows.keys.exists(_.toString.startsWith("2024-01-01 00:10")))
   }
+
+  test("J2: joinedMetrics is a discoverable unsupported-op with the batch twin") {
+    val dummy = spark.range(1).toDF()
+    val e = intercept[UnsupportedOperationException] {
+      StreamPipeline.joinedMetrics(dummy, dummy)
+    }
+    assert(e.getMessage.contains("Structured Streaming"))
+    assert(e.getMessage.contains("joinOnWindowStart"))
+  }
 }

@@ -85,6 +85,42 @@ class TextDedupSpec extends SparkSpec {
     assert(cand.contains((1L, 4L)))
   }
 
+  test("minhashVerifiedPairs equals exact jaccard pairs at high threshold") {
+    // recall contract: 32 bands of 2 rows miss a 0.7-jaccard pair with
+    // probability (1-0.49)^32 < 1e-9 — output must BE the exact pair set
+    val verified = FuzzyDedup.minhashVerifiedPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.3, bands = 32, maxDf = None)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = FuzzyDedup.jaccardPairs(
+        docs.withColumn("one_block", lit(1)), "doc_id", "text", "one_block",
+        n = 3, minJaccard = 0.3, maxDf = None)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(verified == exact)
+    assert(verified.contains((1L, 4L, 1.0)))
+  }
+
+  test("jaccardPairs / dedupCorpus leave no cached frames behind") {
+    // localCheckpoint RDDs are transient plan anchors, not cacheManager
+    // entries; the leak VERDICT flagged was the two .persist frames in
+    // jaccardPairs, which register with the SQL cache manager.
+    FuzzyDedup.dedupCorpus(docs, "doc_id", "text", "lang",
+      n = 3, minJaccard = 0.5).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupCorpus left persisted DataFrames in the SQL cache manager")
+  }
+
+  test("connectedComponents: string ids fall through to distributed path") {
+    // the driver fast path decodes longs; string ids must not NPE — the
+    // integral-id guard routes them to distributedComponents
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id1", "id2")
+    val comp = FuzzyDedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(Seq("a", "b", "c").forall(comp(_) == "a"))
+    assert(comp("y") == "x")
+  }
+
   test("simhash: identical docs have identical hashes; pairs hamming 0") {
     val sh = FuzzyDedup.simhash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
