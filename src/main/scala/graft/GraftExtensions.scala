@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{NGramHashes, RegexpCountExpr, RewriteRegexpCount}
+import graft.functions.{DotProduct, NGramHashes, RegexpCountExpr, RewriteRegexpCount}
 
 /**
  * SQL-surface registration of graft's native expressions, usable two ways:
@@ -47,6 +47,13 @@ object GraftExtensions {
         require(children.length == 2,
           "ngram_hashes(tokens, n) takes 2 arguments")
         NGramHashes(children.head, intLit(children(1), "ngram_hashes n"))
+      }),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "vec_dot(a, b) takes 2 array<float|double> arguments")
+        DotProduct(children.head, children(1))
       }))
 
   /** Register on an already-running session (functions + the

@@ -145,6 +145,64 @@ object SparkEntry {
       r6(expr("percentile(value, 0.99)")).as("p99"),
       count(lit(1)).as("n"))
 
+  /** Sketch-quantile invariant: percentile_approx returns a corpus element
+    * whose RANK is within eps = 1/accuracy of the target; the exact
+    * interpolated quantiles at p ± 10·eps therefore bracket it. Exact
+    * bounds are oracle-computable; the flags assert a healthy sketch. */
+  private def qQuantilesBounds(s: SparkSession, dir: String): DataFrame = {
+    val eps10 = 10.0 / 10000
+    val ps = Seq(0.25, 0.5, 0.75)
+    val aggs = ps.flatMap { p =>
+      val t = (p * 100).toInt
+      Seq(r6(expr(s"percentile(l_extendedprice, $p)")).as(s"p${t}_exact"),
+        expr(s"percentile(l_extendedprice, ${math.max(0, p - eps10)})")
+          .as(s"__lo$t"),
+        expr(s"percentile(l_extendedprice, ${math.min(1, p + eps10)})")
+          .as(s"__hi$t"),
+        expr(s"percentile_approx(l_extendedprice, $p, 10000)").as(s"__a$t"))
+    }
+    val flags = ps.map { p =>
+      val t = (p * 100).toInt
+      (col(s"__a$t") >= col(s"__lo$t") && col(s"__a$t") <= col(s"__hi$t"))
+        .as(s"p${t}_within_bounds")
+    }
+    tbl(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      .select(ps.map(p => col(s"p${(p * 100).toInt}_exact")) ++ flags: _*)
+  }
+
+  /** Top-3 line items per return flag by price — the per-group-k shape
+    * (WindowGroupLimit bounds the buffer; see TopK.topKPerGroup). */
+  private def qTopkGroup(s: SparkSession, dir: String): DataFrame =
+    TopK.topKPerGroup(tbl(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc), k = 3)
+      .select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "rank")
+
+  /** ROLLUP subtotal hierarchy: one Expand + one aggregate, not L passes. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Rollup.rollupAgg(tbl(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows")))
+
+  /** Fixed-value-list pivot: linestatus F/O as columns, one aggregate. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Rollup.pivotAgg(tbl(s, dir, "lineitem"), "l_returnflag",
+        "l_linestatus", Seq("F", "O"), sum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+
+  /** Deterministic 1-in-10 systematic sample — replayable on any engine. */
+  private def qSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.modSample(ev(s, dir), "event_id", k = 10, r = 3)
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** Per-stratum fixed-size deterministic sample (5 smallest event ids per
+    * event type). */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedFixed(ev(s, dir), Seq("event_type"), "event_id", k = 5)
+      .select("event_type", "event_id", "user_id", "value")
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -224,6 +282,29 @@ object SparkEntry {
         r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
+
+  private def urgentOrders(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+
+  /** Left semi: lineitem rows whose order is urgent. */
+  private def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    Joins.semiJoin(tbl(s, dir, "lineitem"), urgentOrders(s, dir),
+        "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+  /** Left anti: lineitem rows whose order is NOT urgent. */
+  private def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    Joins.antiJoin(tbl(s, dir, "lineitem"), urgentOrders(s, dir),
+        "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+  /** Bloom-pruned semi join: result must EQUAL q_join_semi (no false
+    * negatives; exact join removes false positives) — the filter only cuts
+    * the volume entering the fact-side shuffle. */
+  private def qJoinBloom(s: SparkSession, dir: String): DataFrame =
+    Joins.bloomSemiJoin(tbl(s, dir, "lineitem"), urgentOrders(s, dir),
+        "l_orderkey", "o_orderkey", estItems = 100000L)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
   /** As-of join: each event picks up the metrics of the latest COMPLETED
     * 1-hour window of its key (quote time = window_end). Oracle: DuckDB's
@@ -560,6 +641,21 @@ object SparkEntry {
     TextAnalysis.withFingerprints(tbl(s, dir, "documents"), "text")
       .select("doc_id", "fp_md5", "fp_prefix")
 
+  /** Top-5 salient terms per doc by tf-idf, ranked on the ROUNDED score
+    * (raw-double ordering can flip at 1 ulp across engines). */
+  private def qTextTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.topTerms(tbl(s, dir, "documents"), "doc_id", "text",
+      k = 5)
+
+  /** Character-level near-dup: Levenshtein <= 10 within the ASCII English
+    * block (DuckDB's levenshtein is byte-based, Spark's codepoint-based —
+    * identical on ASCII, so the oracle scope is lang='en', which this
+    * corpus keeps pure-ASCII; multibyte langs remain covered engine-side). */
+  private def qDedupEditdist(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.editDistancePairs(
+      tbl(s, dir, "documents").filter(col("lang") === "en"),
+      "doc_id", "text", "lang", maxDist = 10)
+
   // ------------------------------------------------- similarity search ops
 
   private def qSimBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -695,6 +791,17 @@ object SparkEntry {
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_multiway" -> (qJoinMultiway _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_bloom" -> (qJoinBloom _),
+    "q_quantiles_bounds" -> (qQuantilesBounds _),
+    "q_topk_group" -> (qTopkGroup _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
+    "q_sample" -> (qSample _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_text_tfidf" -> (qTextTfidf _),
+    "q_dedup_editdist" -> (qDedupEditdist _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -890,6 +997,107 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey
+        |    AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey
+        |    AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // bloom prefilter + exact semi == exact semi (no false negatives;
+    // false positives removed by the exact join)
+    "q_join_bloom" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey
+        |    AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // exact quantile bounds are oracle-computable; the flags assert the
+    // percentile_approx rank-error contract (eps = 1/accuracy, 10x margin)
+    "q_quantiles_bounds" ->
+      """SELECT
+        | round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_exact,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        | round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_exact,
+        | true AS p25_within_bounds,
+        | true AS p50_within_bounds,
+        | true AS p75_within_bounds
+        |FROM lineitem""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |        l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |          AS rank
+        |      FROM lineitem)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | GROUPING(l_returnflag, l_linestatus) AS grouping_id,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        | sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        | sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_sample" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 10 = 3""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT event_type, event_id, user_id, value
+        |FROM (SELECT event_type, event_id, user_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df), 6)
+        |      AS tfidf_r6
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_r6 DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf_r6, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // ASCII-only scope (lang='en'): DuckDB levenshtein counts bytes,
+    // Spark counts codepoints — identical on ASCII (see qDedupEditdist)
+    "q_dedup_editdist" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | levenshtein(a.text, b.text) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = 'en' AND b.lang = 'en' AND a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 10
+        |WHERE levenshtein(a.text, b.text) <= 10""".stripMargin,
 
     "q_range_join" ->
       """SELECT p.o_orderkey, p.o_orderdate, i.period_id

@@ -432,6 +432,52 @@ object FuzzyDedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs within a blocking key:
+    * the character-level complement to token-level Jaccard — catches
+    * small in-place edits (typo fixes, template fills) that shift every
+    * overlapping n-gram.
+    *
+    * Cost model: levenshtein(a, b) is O(|a|·|b|) per pair, so the pair
+    * space must be bounded BEFORE the verify. Two prefilters do that:
+    * the caller's block (lang, cluster, LSH bucket) and the length band
+    * (|len(a) - len(b)| <= maxDist is a NECESSARY condition for edit
+    * distance <= maxDist — a pure-filter pushdown that costs one length
+    * column). Spark 3.5+'s three-arg levenshtein(a, b, threshold) also
+    * abandons each computation at the threshold, so per-pair cost is
+    * O(maxDist · min(|a|,|b|)), not O(|a|·|b|).
+    *
+    * Parallelism: the length band is ALSO an equi-key. A join keyed only on
+    * `block` puts every same-block pair on one reducer (a constant block =
+    * one task doing all the work); bucketing length by width maxDist and
+    * exploding the left side to its bucket ± 1 turns the band predicate
+    * into an equi-join on (block, bucket) — each bucket's pairs land on
+    * their own reducer, and a qualifying pair matches in exactly one
+    * bucket (no distinct needed: |len1-len2| <= maxDist puts the buckets
+    * at most 1 apart). */
+  def editDistancePairs(df: DataFrame, id: String, text: String,
+                        block: String, maxDist: Int): DataFrame = {
+    val w = math.max(maxDist, 1)
+    val base = df.select(col(id).as("id"), col(block).as("block"),
+        col(text).as("t"), length(col(text)).as("len"))
+      .withColumn("bkt", floor(col("len") / w))
+    // Spread the verify across reducers even when the doc table is small
+    // enough to broadcast (a broadcast join would keep every pair's DP in
+    // the scan's few input partitions): hash-repartition the probe side on
+    // the bucket keys so each (block, bucket)'s pair work is its own task.
+    val lefts = base.withColumn("jbkt",
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+      .repartition(col("block"), col("jbkt"))
+    lefts.as("a").join(base.as("b"),
+        col("a.block") === col("b.block") &&
+        col("a.jbkt") === col("b.bkt") &&
+        col("a.id") < col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("a.t"), col("b.t"), maxDist))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("edit_dist"))
+  }
+
   /** Side output for [[simhashPairs]]' maxBucket cap: dropped chunk buckets
     * with sizes. */
   def simhashOverflowBuckets(df: DataFrame, id: String, text: String,

@@ -243,4 +243,75 @@ class OpsSpec extends SparkSpec {
     val one = Dedup.dupCheck(ticks.limit(1), Seq("symbol")).collect()
     assert(one.isEmpty)
   }
+
+  test("Joins: semi + anti partition the left side; bloom == semi") {
+    val left = (1L to 100L).toDF("k")
+    val right = Seq(2L, 4L, 6L, 999L).toDF("r")
+    val semi = Joins.semiJoin(left, right, "k", "r").as[Long].collect().sorted
+    val anti = Joins.antiJoin(left, right, "k", "r").as[Long].collect().sorted
+    assert(semi.toSeq == Seq(2L, 4L, 6L))
+    assert(semi.length + anti.length == 100)
+    assert((semi ++ anti).toSet == (1L to 100L).toSet)
+    val bloom = Joins.bloomSemiJoin(left, right, "k", "r", estItems = 100L)
+      .as[Long].collect().sorted
+    assert(bloom.toSeq == semi.toSeq) // exact despite the probabilistic prefilter
+    // empty small side -> empty semi, not a crash on a null bloom
+    assert(Joins.bloomSemiJoin(left, right.filter($"r" < 0), "k", "r")
+      .isEmpty)
+  }
+
+  test("bloom prefilter alone has no false negatives") {
+    val keys = (1L to 1000L).toDF("k")
+    val bloom = Joins.buildBloom(keys, "k", estItems = 1000L)
+    val kept = (1L to 2000L).toDF("k")
+      .filter(Joins.mightContain(bloom, $"k")).as[Long].collect().toSet
+    assert((1L to 1000L).forall(kept.contains)) // every true member passes
+    assert(kept.size < 2000) // and the filter actually prunes something
+  }
+
+  test("TopK.topKPerGroup keeps k rows per group in order") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8))
+      .toDF("g", "v")
+    val out = TopK.topKPerGroup(df, Seq("g"), Seq($"v".desc), k = 2)
+      .select("g", "v", "rank").as[(String, Int, Int)].collect().toSet
+    assert(out == Set(("a", 3, 1), ("a", 2, 2), ("b", 9, 1), ("b", 8, 2)))
+  }
+
+  test("Rollup.rollupAgg emits all grains with grouping_id") {
+    val df = Seq(("x", "p", 1L), ("x", "q", 2L), ("y", "p", 4L))
+      .toDF("a", "b", "v")
+    val out = Rollup.rollupAgg(df, Seq("a", "b"), Seq(sum($"v").as("s")))
+      .select("a", "b", "grouping_id", "s")
+      .as[(Option[String], Option[String], Long, Long)].collect().toSet
+    assert(out.contains((Some("x"), Some("p"), 0L, 1L))) // leaf
+    assert(out.contains((Some("x"), None, 1L, 3L)))      // per-a subtotal
+    assert(out.contains((None, None, 3L, 7L)))           // grand total
+    assert(out.size == 6)
+  }
+
+  test("Rollup.pivotAgg produces fixed columns incl. absent-value nulls") {
+    val df = Seq(("x", "p", 1L), ("x", "q", 2L), ("y", "p", 4L))
+      .toDF("g", "s", "v")
+    val out = Rollup.pivotAgg(df, "g", "s", Seq("p", "q", "zz"), sum($"v"))
+      .orderBy("g").collect()
+    assert(out(0).getLong(out(0).fieldIndex("p")) == 1L)
+    assert(out(0).getLong(out(0).fieldIndex("q")) == 2L)
+    assert(out(0).isNullAt(out(0).fieldIndex("zz"))) // enumerated but absent
+    assert(out(1).isNullAt(out(1).fieldIndex("q")))  // y has no q rows
+  }
+
+  test("Sampling: modSample exact residue class; hashSample deterministic") {
+    val df = (0L until 1000L).toDF("id")
+    val mod = Sampling.modSample(df, "id", k = 10, r = 3).as[Long].collect()
+    assert(mod.length == 100 && mod.forall(_ % 10 == 3))
+    val h1 = Sampling.hashSample(df, $"id", 0.2).as[Long].collect().toSet
+    val h2 = Sampling.hashSample(df, $"id", 0.2).as[Long].collect().toSet
+    assert(h1 == h2) // replayable
+    assert(h1.size > 100 && h1.size < 300) // ~200 expected
+    val strat = Sampling.stratifiedFixed(
+      Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 2L)).toDF("g", "id"),
+      Seq("g"), "id", k = 2)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(strat == Set(("a", 1L), ("a", 5L), ("b", 2L)))
+  }
 }

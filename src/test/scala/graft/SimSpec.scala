@@ -127,4 +127,31 @@ class SimSpec extends SparkSpec {
     assert(c1.forall(_.getSeq[Float](1).length == 64))
     assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
   }
+
+  test("DotProduct matches the HOF fold incl. null / mismatch semantics") {
+    import org.apache.spark.sql.types.DoubleType
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0)),   // mixed float/double
+      (Seq(0.5f, -1.5f, 2.5f), Seq(2.0, 2.0, 2.0)))
+      .toDF("a", "b")
+    val hof = df.select(aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x).as("d")).as[Double].collect().toSeq
+    val native = df.select(Similarity.dot($"a", $"b").as("d"))
+      .as[Double].collect().toSeq
+    assert(native == hof) // bit-identical sequential fold
+    // null element and length mismatch -> null, like the HOF formulation
+    val edge = Seq(
+      (Seq[java.lang.Float](1.0f, null), Seq(1.0, 1.0)),
+      (Seq[java.lang.Float](1.0f), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+    // SQL surface
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("vec_dot_t")
+    val sql = spark.sql("SELECT vec_dot(a, b) AS d FROM vec_dot_t")
+      .as[Double].collect().toSeq
+    assert(sql == hof)
+  }
 }

@@ -218,4 +218,36 @@ class TextDedupSpec extends SparkSpec {
       .select("fp_md5").as[String].collect()
     assert(fp(0) == fp(1))
   }
+
+  test("editDistancePairs: threshold, length-band, blocking all honored") {
+    val df = Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, "the quick brown fax", "en"),   // dist 1 from doc 1
+      (3L, "a completely different sentence altogether", "en"),
+      (4L, "the quick brown fox", "de"))   // identical text, other block
+      .toDF("doc_id", "text", "lang")
+    val out = FuzzyDedup.editDistancePairs(df, "doc_id", "text", "lang",
+        maxDist = 3)
+      .select("id1", "id2", "edit_dist").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1))) // 3 too far; 4 blocked away
+  }
+
+  test("TfIdf: rare terms outrank stopword-like terms; top-k per doc") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common yak"),
+      (3L, "common common common"))
+      .toDF("doc_id", "text")
+    val scores = graft.text.TfIdf.termScores(docs, "doc_id", "text")
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+    // "common" appears in all 3 docs -> idf = ln(1) = 0 everywhere
+    assert(scores.filter(_._2 == "common").forall(_._5 == 0.0))
+    val zebra = scores.find(s => s._1 == 1L && s._2 == "zebra").get
+    assert(zebra._3 == 1L && zebra._4 == 1L &&
+      math.abs(zebra._5 - math.log(3.0)) < 1e-12)
+    val top = graft.text.TfIdf.topTerms(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) == "zebra" && top(2L) == "yak")
+  }
 }
