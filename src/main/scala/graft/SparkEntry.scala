@@ -394,6 +394,31 @@ object SparkEntry {
       .select(col("user_id"), col("session_idx"), col("session_start"),
         col("session_end"), col("n_events"), r4(col("value_sum")).as("value_sum"))
 
+  /** Native session_window cross-check: same gap sessions via Spark's
+    * built-in session aggregate (streaming-capable; exclusive-end boundary
+    * — see Sessionize.bySessionWindow). */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Sessionize.bySessionWindow(ev(s, dir), "user_id", "ts", "value",
+        gapMinutes = 30)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), r4(col("value_sum")).as("value_sum"))
+
+  /** PII scrubbing: redacted text + per-pattern audit counts over docs
+    * salted with deterministic synthetic PII (the corpus itself is clean,
+    * so the query implants one of each pattern keyed by doc_id — both
+    * engines construct and scrub the identical string). */
+  private def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val salted = tbl(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("555-"), format_string("%03d", col("doc_id") % 1000),
+        lit(".1234 ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7")).as("text"))
+    TextAnalysis.withPiiRedaction(salted, "text")
+      .select(col("doc_id"), col("n_email"), col("n_ssn"), col("n_phone"),
+        col("n_ipv4"), col("text_redacted"))
+  }
+
   /** S6: JSONL roundtrip — events -> one-JSON-object-per-line landing ->
     * schema'd scan (the reference's Kafka message shape, offline). */
   private def qScanJsonl(s: SparkSession, dir: String): DataFrame = {
@@ -814,6 +839,8 @@ object SparkEntry {
     "q_scan_jsonl" -> (qScanJsonl _),
     "q_agg_salted" -> (qAggSalted _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_text_redact" -> (qTextRedact _),
     "q_case_when" -> (qCaseWhen _),
     "q_topk" -> (qTopK _),
     "q_scalar_datetime" -> (qScalarDatetime _),
@@ -1263,6 +1290,48 @@ object SparkEntry {
          |  max(tts) AS session_end, count(*) AS n_events,
          |  round(sum(value), 4) AS value_sum
          |FROM z GROUP BY 1, 2""".stripMargin,
+
+    // session_window merge is end-INCLUSIVE (a gap of exactly 30 min stays
+    // in the session — same break rule as byGap; asserted in OpsSpec);
+    // session_end = last event + gap
+    "q_session_window" ->
+      s"""WITH x AS (SELECT user_id, $TS AS tts, event_id, value FROM events),
+         |y AS (SELECT *, CASE WHEN epoch_us(tts) - lag(epoch_us(tts))
+         |    OVER (PARTITION BY user_id ORDER BY tts, event_id)
+         |    > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+         |z AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY tts, event_id ROWS UNBOUNDED PRECEDING)
+         |    AS session_idx FROM y)
+         |SELECT user_id, min(tts) AS session_start,
+         |  max(tts) + INTERVAL 30 MINUTES AS session_end,
+         |  count(*) AS n_events, round(sum(value), 4) AS value_sum
+         |FROM z GROUP BY user_id, session_idx""".stripMargin,
+
+    // both engines implant the identical synthetic PII, then count and
+    // scrub with the same RE2-safe patterns (order: email, ssn, phone, ip)
+    "q_text_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id
+        |    || '@example.com or 555-' || printf('%03d', doc_id % 1000)
+        |    || '.1234 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        | len(regexp_extract_all(text,
+        |   '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        | len(regexp_extract_all(text,
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+        | len(regexp_extract_all(text,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |   AS text_redacted
+        |FROM salted""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n,

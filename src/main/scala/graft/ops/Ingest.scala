@@ -134,4 +134,23 @@ object Ingest {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** S10 availability sensor: true iff `path` (any Hadoop-FS URI — local,
+    * HDFS, object store) exists, optionally requiring at least one
+    * data-bearing file matching `glob` under it. The reference gates each
+    * DAG stage on a list-objects check (check_minio_file.py:47-88); this is
+    * the engine-side equivalent a scheduler polls before submitting the
+    * dependent job — a driver-only metadata call, no executor work. */
+  def available(spark: SparkSession, path: String,
+                glob: Option[String] = None): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return false
+    glob match {
+      case None => true
+      case Some(g) =>
+        val matches = fs.globStatus(new org.apache.hadoop.fs.Path(hPath, g))
+        matches != null && matches.exists(_.getLen > 0)
+    }
+  }
 }

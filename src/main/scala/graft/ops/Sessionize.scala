@@ -34,4 +34,28 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         sum(col(value)).as("value_sum"))
   }
+
+  /** Built-in `session_window` formulation — the same gap sessions from
+    * Spark's native session-window aggregate instead of the two-window
+    * composition above. One hash aggregate with session merge, no sort-based
+    * window functions; usable unchanged in Structured Streaming (where
+    * [[byGap]]'s lag/over cannot run and the custom-state twin is
+    * graft.streaming.SessionizeStream).
+    *
+    * Boundary semantics MATCH [[byGap]]: an event arriving at exactly
+    * `gap` after the previous one merges into the session (the native
+    * operator's interval merge is end-inclusive — asserted in OpsSpec), so
+    * a session breaks only when the gap is strictly greater. The one
+    * output difference: session_end here = last event + gap (the
+    * watermark-style close time), not the last event time. */
+  def bySessionWindow(df: DataFrame, key: String, ts: String, value: String,
+                      gapMinutes: Int): DataFrame =
+    df.groupBy(col(key), session_window(col(ts), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(value)).as("value_sum"))
+      .select(col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
 }

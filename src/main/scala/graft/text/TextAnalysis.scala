@@ -114,4 +114,33 @@ object TextAnalysis {
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** PII patterns scrubbed before a corpus ships to training: each is a
+    * (name, regex, replacement-tag) triple. Regexes stay within the
+    * RE2-compatible subset (no backreferences/lookaround) so the same
+    * pattern text runs identically in Spark (java.util.regex), RE2-based
+    * engines, and the DuckDB oracle. Order matters: email before phone so
+    * digit runs inside an address are consumed as part of the email. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Replace every PII match with its tag — row-parallel regexp_replace
+    * chain, zero shuffles. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, re, tag) }
+
+  /** Redacted text plus per-pattern match counts (the audit columns a
+    * scrubbing job reports): n_<name> per pattern + the scrubbed column. */
+  def withPiiRedaction(df: DataFrame, text: String,
+                       out: String = "text_redacted"): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (acc, (name, re, _)) =>
+      acc.withColumn(s"n_$name",
+        graft.functions.GraftFunctions.regexpCount(col(text), re))
+    }
+    counted.withColumn(out, redactPii(col(text)))
+  }
 }

@@ -244,6 +244,49 @@ class OpsSpec extends SparkSpec {
     assert(one.isEmpty)
   }
 
+  test("Ingest.available: existence + non-empty-glob gating (S10 sensor)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sensor").toString
+    assert(Ingest.available(spark, dir))
+    assert(!Ingest.available(spark, dir + "/nope"))
+    assert(!Ingest.available(spark, dir, Some("*.csv"))) // exists but empty
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.csv"),
+      "a,b\n1,2\n".getBytes)
+    assert(Ingest.available(spark, dir, Some("*.csv")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "empty.json"),
+      Array.empty[Byte])
+    assert(!Ingest.available(spark, dir, Some("*.json"))) // zero-length file
+  }
+
+  test("Sessionize.bySessionWindow: exclusive-end boundary vs byGap") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:30:00", 2.0),  // exactly the 30m gap
+      (1L, "2024-01-01 00:40:00", 3.0))
+      .map { case (u, t, v) => (u, ts(t), v) }
+      .toDF("user_id", "ts", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+    // native session_window merge is end-INCLUSIVE: a gap of exactly 30m
+    // stays in the session — same break rule as byGap (this pins the
+    // boundary the q_session_window oracle encodes)
+    val sw = Sessionize.bySessionWindow(ev, "user_id", "ts", "value", 30)
+      .orderBy("session_start").collect()
+    assert(sw.length == 1)
+    assert(sw(0).getAs[Long]("n_events") == 3)
+    assert(sw(0).getAs[java.sql.Timestamp]("session_end") ==
+      ts("2024-01-01 01:10:00")) // last event + gap
+    // a strictly-greater gap does break
+    val ev2 = ev.withColumn("ts",
+      when($"value" === 3.0, lit(ts("2024-01-01 01:00:01")))
+        .otherwise($"ts"))
+    val sw2 = Sessionize.bySessionWindow(ev2, "user_id", "ts", "value", 30)
+      .orderBy("session_start").collect()
+    assert(sw2.length == 2)
+    // byGap groups identically (only session_end reporting differs)
+    val bg = Sessionize.byGap(ev, "user_id", "ts", "value", 30, "event_id")
+      .collect()
+    assert(bg.length == 1 && bg(0).getAs[Long]("n_events") == 3)
+  }
+
   test("Joins: semi + anti partition the left side; bloom == semi") {
     val left = (1L to 100L).toDF("k")
     val right = Seq(2L, 4L, 6L, 999L).toDF("r")

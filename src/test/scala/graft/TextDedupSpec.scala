@@ -219,6 +219,25 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
+  test("PII redaction scrubs all pattern types and counts them") {
+    val df = Seq(
+      (1L, "mail a.b+c@corp.example.org and x@y.io, call 555-123.4567, " +
+        "ssn 123-45-6789, host 192.168.0.1 end"),
+      (2L, "nothing sensitive here 12345"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiRedaction(df, "text").orderBy("doc_id")
+      .select("n_email", "n_ssn", "n_phone", "n_ipv4", "text_redacted")
+      .collect()
+    assert(out(0).getInt(0) == 2 && out(0).getInt(1) == 1 &&
+      out(0).getInt(2) == 1 && out(0).getInt(3) == 1)
+    val red = out(0).getString(4)
+    assert(red.contains("<EMAIL>") && red.contains("<SSN>") &&
+      red.contains("<PHONE>") && red.contains("<IP>"))
+    assert(!red.contains("@") && !red.contains("123-45-6789"))
+    assert(out(1).getString(4) == "nothing sensitive here 12345")
+    assert((0 to 3).forall(out(1).getInt(_) == 0))
+  }
+
   test("editDistancePairs: threshold, length-band, blocking all honored") {
     val df = Seq(
       (1L, "the quick brown fox", "en"),
