@@ -574,6 +574,18 @@ object SparkEntry {
         Some(docBlocks(s, dir, "lang")), minJaccard = 0.1)
     })
 
+  /** Third shared artifact: the numPerm=64 MinHash signature table — both
+    * banding configurations (16 and 32 bands) derive from it, so the
+    * sketch aggregation over the full shingle table runs once. */
+  private val minhashSigs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def docSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSigs.computeIfAbsent((s, dir), { _ =>
+      FuzzyDedup.minhashSignaturesFromShingles(docShingles(s, dir),
+          numPerm = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     FuzzyDedup.exactDupGroups(tbl(s, dir, "documents"), "doc_id", "text")
 
@@ -591,7 +603,8 @@ object SparkEntry {
     * xxhash64 family) and stays unoracled by design. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val cand = FuzzyDedup.minhashCandidatesFromShingles(docShingles(s, dir),
-      numPerm = 64, bands = 16)
+      numPerm = 64, bands = 16,
+      precomputedSig = Some(docSignatures(s, dir)))
     val exact = docPairs01(s, dir).filter(col("jaccard") >= 0.7)
       .select("id1", "id2")
     val missed = exact.join(cand, Seq("id1", "id2"), "left_anti")
@@ -606,7 +619,8 @@ object SparkEntry {
     * whose hash family is engine-specific). */
   private def qDedupMinhashVerified(s: SparkSession, dir: String): DataFrame =
     FuzzyDedup.minhashVerifiedPairsFromShingles(docShingles(s, dir),
-        minJaccard = 0.7, numPerm = 64, bands = 32)
+        minJaccard = 0.7, numPerm = 64, bands = 32,
+        precomputedSig = Some(docSignatures(s, dir)))
       .withColumn("jaccard", r6(col("jaccard")))
 
   /** Containment invariant: identical texts have identical simhashes, share

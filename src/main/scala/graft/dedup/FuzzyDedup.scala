@@ -167,14 +167,28 @@ object FuzzyDedup {
       shingleHashes(df, id, text, n).select(col(id).as("id"), col("h64")),
       numPerm, bands, seed, maxBucket)
 
-  /** [[minhashCandidates]] over a prebuilt `(id, h64)` shingle table (see
-    * [[jaccardPairsFromShingles]] for the sharing contract). */
-  def minhashCandidatesFromShingles(sh: DataFrame, numPerm: Int = 64,
-                                    bands: Int = 16, seed: Long = 42L,
-                                    maxBucket: Option[Int] = Some(10000)): DataFrame = {
-    val sig = sh.groupBy(col("id"))
+  /** MinHash signature table from a prebuilt `(id, h64)` shingle table —
+    * the second reusable index artifact: banding configurations (any
+    * `bands` dividing numPerm) derive from ONE signature computation, so
+    * pipelines probing several precision/recall points amortize the sketch
+    * aggregation. */
+  def minhashSignaturesFromShingles(sh: DataFrame, numPerm: Int = 64,
+                                    seed: Long = 42L): DataFrame =
+    sh.groupBy(col("id"))
       .agg(graft.functions.SketchAggs.minhashSig(col("h64"), numPerm, seed)
         .as("signature"))
+
+  /** [[minhashCandidates]] over a prebuilt `(id, h64)` shingle table (see
+    * [[jaccardPairsFromShingles]] for the sharing contract). Pass
+    * `precomputedSig` (an `(id, signature)` frame from
+    * [[minhashSignaturesFromShingles]], typically persisted) to skip the
+    * sketch aggregation. */
+  def minhashCandidatesFromShingles(sh: DataFrame, numPerm: Int = 64,
+                                    bands: Int = 16, seed: Long = 42L,
+                                    maxBucket: Option[Int] = Some(10000),
+                                    precomputedSig: Option[DataFrame] = None): DataFrame = {
+    val sig = precomputedSig.getOrElse(
+      minhashSignaturesFromShingles(sh, numPerm, seed))
     val buckets = capBuckets(lshBuckets(sig, "id", bands),
       Seq("band_idx", "band_hash"), maxBucket)
     val a = buckets.as("a")
@@ -226,9 +240,10 @@ object FuzzyDedup {
                                        numPerm: Int = 64, bands: Int = 16,
                                        seed: Long = 42L,
                                        maxBucket: Option[Int] = Some(10000),
-                                       maxDf: Option[Int] = Some(1000)): DataFrame = {
+                                       maxDf: Option[Int] = Some(1000),
+                                       precomputedSig: Option[DataFrame] = None): DataFrame = {
     val cand = minhashCandidatesFromShingles(sh0in, numPerm, bands, seed,
-      maxBucket)
+      maxBucket, precomputedSig)
     val sh0 = sh0in.select(col("id").as("__sid"), col("h64"))
     val filtered = maxDf match {
       case Some(cap) =>

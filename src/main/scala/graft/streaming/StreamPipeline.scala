@@ -37,6 +37,26 @@ object StreamPipeline {
         key = "symbol", ts = "timestamp", value = "price",
         volume = col("volume"), width = width, slide = Some(slide)))
 
+  /** Streaming session windows: the native session_window aggregate under
+    * a watermark — sessions close (and emit, in append mode) once the
+    * watermark passes their end. Same operator as the batch
+    * Sessionize.bySessionWindow, unchanged; state per open session is
+    * constant-width (the aggregates), and the watermark bounds how many
+    * stay open — the managed-state alternative to the
+    * flatMapGroupsWithState sessionizer (SessionizeStream) when plain
+    * aggregates suffice. */
+  def sessionMetrics(ticks: DataFrame, key: String = "symbol",
+                     ts: String = "timestamp", value: String = "price",
+                     gapMinutes: Int = 30,
+                     watermark: String = "5 minutes"): DataFrame =
+    ticks.withWatermark(ts, watermark)
+      .groupBy(col(key), session_window(col(ts), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col(value)).as("value_sum"))
+      .select(col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
   /** S5 + T5-T8: append-mode foreachBatch sink writing parquet partitioned
     * by symbol, with batch_id lineage column.
     * Reference: spark_stream_processor.py:94-109, 258-263. */

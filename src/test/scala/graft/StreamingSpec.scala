@@ -233,6 +233,39 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.keys.exists(_.toString.startsWith("2024-01-01 00:10")))
   }
 
+  test("streaming session_window: sessions emit once the watermark closes them") {
+    val base = Files.createTempDirectory("graft_stream_sess")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // AAA: two events 10 min apart (one session, gap 30m); BBB: one event
+    writeCsv(raw, "a.csv", Seq(
+      "AAA,10.0,0.1,1.0%,100,2024-01-01T00:01:00",
+      "AAA,12.0,0.2,2.0%,200,2024-01-01T00:11:00",
+      "BBB,50.0,0.0,,10,2024-01-01T00:02:00"))
+    def runOnce(): Unit = {
+      val q = StreamPipeline.sessionMetrics(
+          StreamPipeline.tickStream(spark, raw.toString))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out) }
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    // advance the watermark far past session end + gap so sessions close
+    writeCsv(raw, "b.csv", Seq("AAA,11.0,0.0,,50,2024-01-01T03:00:00"))
+    runOnce()
+    import spark.implicits._
+    val rows = spark.read.parquet(out)
+      .select("symbol", "n_events", "value_sum")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows.contains(("AAA", 2L, 22.0))) // merged 00:01+00:11 session
+    assert(rows.contains(("BBB", 1L, 50.0)))
+  }
+
   test("J2: joinedMetrics is a discoverable unsupported-op with the batch twin") {
     val dummy = spark.range(1).toDF()
     val e = intercept[UnsupportedOperationException] {
