@@ -74,21 +74,39 @@ object StreamPipeline {
       }
       .start()
 
-  /** J2, made discoverable at the API level: the reference DECLARES a
-    * stream-stream join of two windowed aggregates
-    * (stock_market_stream_dag.py:135), which Structured Streaming rejects —
-    * chaining two stateful aggregations before a stream-stream join is
-    * unsupported in append mode. The reference's operational path runs a
-    * batch twin instead, and so does this engine. Throwing here (instead of
-    * leaving a silent design note) means a user porting the declared DAG
-    * gets pointed at the working equivalent immediately. */
-  def joinedMetrics(metrics15m: DataFrame, metrics1h: DataFrame): DataFrame =
-    throw new UnsupportedOperationException(
-      "stream-stream join of two windowed aggregates is not supported by " +
-        "Structured Streaming (chained stateful operators in append mode; " +
-        "SURVEY §7.5). The reference's own operational path runs this join " +
-        "as a batch job — use graft.ops.Combine.joinOnWindowStart over the " +
-        "two windowed-metrics parquet outputs instead.")
+  /** J2, the reference's DECLARED stream-stream join of two windowed
+    * aggregates (stock_market_stream_dag.py:135). Spark < 3.5 rejected
+    * this shape (chained stateful operators in append mode) — which is why
+    * the reference's operational path fell back to a batch twin
+    * (spark_stream_batch_processor.py; ours is
+    * Combine.joinOnWindowStart, q_join_inner). Spark 3.5+/4.x propagate
+    * watermarks through chained stateful operators, so the declared DAG
+    * now RUNS AS DECLARED: both windowed aggregates and the join maintain
+    * state; a joined row emits once the watermark closes both windows.
+    *
+    * Both aggregates read ONE watermarked source; the join keys on
+    * (symbol, window.start), i.e. rows pair up where the 15m and 1h grids
+    * align — exactly the batch twin's semantics. */
+  def joinedMetrics(ticks: DataFrame, watermark: String = "5 minutes"):
+      DataFrame = {
+    val src = ticks.withWatermark("timestamp", watermark)
+    val m15 = TimeWindows.metricWindow(src, key = "symbol",
+        ts = "timestamp", value = "price", volume = col("volume"),
+        width = "15 minutes", slide = Some("5 minutes"))
+      .select(col("symbol"), col("window"), col("ma").as("ma_15m"),
+        col("volatility").as("volatility_15m"), col("n_events").as("n_15m"))
+    val h1 = TimeWindows.metricWindow(src, key = "symbol",
+        ts = "timestamp", value = "price", volume = col("volume"),
+        width = "1 hour", slide = Some("10 minutes"))
+      .select(col("symbol").as("__sym2"), col("window").as("__win2"),
+        col("ma").as("ma_1h"), col("n_events").as("n_1h"))
+    m15.join(h1,
+        col("symbol") === col("__sym2") &&
+        col("window.start") === col("__win2.start"))
+      .select(col("symbol"), col("window.start").as("window_start"),
+        col("ma_15m"), col("volatility_15m"), col("n_15m"),
+        col("ma_1h"), col("n_1h"))
+  }
 
   /** Stream-static enrichment: join the live stream against a broadcastable
     * dimension table (symbol metadata, user profile...). Stream-static

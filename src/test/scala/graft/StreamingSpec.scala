@@ -266,12 +266,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("BBB", 1L, 50.0)))
   }
 
-  test("J2: joinedMetrics is a discoverable unsupported-op with the batch twin") {
-    val dummy = spark.range(1).toDF()
-    val e = intercept[UnsupportedOperationException] {
-      StreamPipeline.joinedMetrics(dummy, dummy)
+  test("J2: chained stateful ops — windowed aggs join as declared (Spark 4)") {
+    // the reference DECLARED this DAG but ran a batch twin because
+    // Spark < 3.5 rejected chained stateful operators; Spark 4 propagates
+    // watermarks through them, so the declared shape runs end to end
+    val base = Files.createTempDirectory("graft_stream_j2")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    writeCsv(raw, "a.csv", Seq(
+      "AAA,10.0,0.1,1.0%,100,2024-01-01T00:01:00",
+      "AAA,12.0,0.2,2.0%,200,2024-01-01T00:06:00",
+      "BBB,50.0,0.0,,10,2024-01-01T00:02:00"))
+    def runOnce(): Unit = {
+      val q = StreamPipeline.joinedMetrics(
+          StreamPipeline.tickStream(spark, raw.toString))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out) }
+        .start()
+      q.awaitTermination(90000)
     }
-    assert(e.getMessage.contains("Structured Streaming"))
-    assert(e.getMessage.contains("joinOnWindowStart"))
+    runOnce()
+    // advance the watermark past both grids' window ends so joins emit
+    writeCsv(raw, "b.csv", Seq("AAA,11.0,0.0,,50,2024-01-01T03:00:00"))
+    runOnce()
+    import spark.implicits._
+    val rows = spark.read.parquet(out)
+    assert(rows.columns.toSet == Set("symbol", "window_start", "ma_15m",
+      "volatility_15m", "n_15m", "ma_1h", "n_1h"))
+    // the aligned [00:00, …) windows: 15m grid sees both AAA ticks, 1h too
+    val aaa = rows.filter($"symbol" === "AAA")
+      .filter($"window_start" === "2024-01-01 00:00:00")
+      .select("n_15m", "n_1h", "ma_15m", "ma_1h")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(aaa.headOption.contains((2L, 2L, 11.0, 11.0)))
   }
 }
