@@ -686,6 +686,12 @@ object SparkEntry {
     graft.text.TfIdf.topTerms(tbl(s, dir, "documents"), "doc_id", "text",
       k = 5)
 
+  /** Top-200 corpus vocabulary by total term count — tokenizer/vocab
+    * construction. */
+  private def qTextVocab(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.vocabulary(tbl(s, dir, "documents"), "doc_id", "text",
+      topN = Some(200))
+
   /** Character-level near-dup: Levenshtein <= 10 within the ASCII English
     * block (DuckDB's levenshtein is byte-based, Spark's codepoint-based —
     * identical on ASCII, so the oracle scope is lang='en', which this
@@ -840,6 +846,7 @@ object SparkEntry {
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_vocab" -> (qTextVocab _),
     "q_dedup_editdist" -> (qDedupEditdist _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1129,6 +1136,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf_r6, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_text_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT term, count(*) AS doc_freq,
+        |    CAST(sum(tf) AS BIGINT) AS total_count
+        |  FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (ORDER BY total_count DESC, term) AS freq_rank
+        |  FROM vocab)
+        |SELECT term, doc_freq, total_count, freq_rank
+        |FROM ranked WHERE freq_rank <= 200""".stripMargin,
 
     // ASCII-only scope (lang='en'): DuckDB levenshtein counts bytes,
     // Spark counts codepoints — identical on ASCII (see qDedupEditdist)

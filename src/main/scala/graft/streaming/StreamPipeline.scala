@@ -57,6 +57,29 @@ object StreamPipeline {
         col("session_window.end").as("session_end"),
         col("n_events"), col("value_sum"))
 
+  /** Raw stream-stream join with an event-time interval bound: each left
+    * event pairs with right events of the same key whose timestamp lies in
+    * [left - lookback, left]. Both sides carry watermarks, so the join
+    * state is bounded: a buffered right row is dropped once the left
+    * watermark passes its timestamp + lookback — the state-retention
+    * contract that makes stream-stream joins runnable indefinitely (an
+    * unbounded-time join would accumulate state forever at 100 TB/day).
+    * The time-bound must be a JOIN CONDITION (not a post-filter) for
+    * Spark's state-cleanup analysis to see it. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lookback: String = "10 minutes",
+                   watermark: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, s"__r_$key")
+    l.join(r,
+      col(key) === col(s"__r_$key") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(s"__r_$key")
+  }
+
   /** S5 + T5-T8: append-mode foreachBatch sink writing parquet partitioned
     * by symbol, with batch_id lineage column.
     * Reference: spark_stream_processor.py:94-109, 258-263. */

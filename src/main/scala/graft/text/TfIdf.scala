@@ -48,4 +48,25 @@ object TfIdf {
       Seq(col("tfidf_r6").desc, col("term").asc), k)
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf_r6"),
         col("rank"))
+
+  /** Corpus vocabulary: every term with its document frequency and total
+    * occurrence count, ranked by frequency (ties on the term itself) —
+    * tokenizer/vocab construction over the corpus. Two aggregates over the
+    * exploded corpus, both with constant-width partial states; the rank
+    * window runs over the VOCABULARY (millions of rows at 100 TB corpus
+    * scale, shuffled on a single partition-free global window — cap with
+    * `topN` to keep the tail out of the sort). */
+  def vocabulary(df: DataFrame, id: String, text: String,
+                 topN: Option[Int] = None): DataFrame = {
+    val tf = df.select(col(id),
+        explode(TextAnalysis.tokens(col(text))).as("term"))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val vocab = tf.groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum(col("__tf")).as("total_count"))
+    val ranked = vocab.withColumn("freq_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("total_count").desc, col("term").asc)))
+    topN.fold(ranked)(n => ranked.filter(col("freq_rank") <= n))
+  }
 }

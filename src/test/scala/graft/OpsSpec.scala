@@ -244,6 +244,29 @@ class OpsSpec extends SparkSpec {
     assert(one.isEmpty)
   }
 
+  test("plan shapes: WindowGroupLimit, single Expand, bloom below the join") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // per-group top-k bounds each group's window buffer at k
+    val topk = TopK.topKPerGroup(li, Seq("l_returnflag"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc), 3)
+    assert(topk.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    // rollup: ONE Expand node feeding one aggregate pair, not L passes
+    val ru = Rollup.rollupAgg(li, Seq("l_returnflag", "l_linestatus"),
+      Seq(sum(col("l_quantity")).as("s")))
+    val ruPlan = ru.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(ruPlan).length == 1)
+    // bloom prefilter: might_contain filters the fact scan BEFORE the join
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val bloom = Joins.bloomSemiJoin(li, orders.limit(100), "l_orderkey",
+      "o_orderkey", estItems = 1000L)
+    val bloomPlan = bloom.queryExecution.optimizedPlan.toString
+    val mightIdx = bloomPlan.indexOf("might_contain")
+    val joinIdx = bloomPlan.indexOf("Join LeftSemi")
+    assert(mightIdx >= 0 && joinIdx >= 0 && joinIdx < mightIdx,
+      "might_contain filter must sit BELOW (after, in plan text) the semi join")
+  }
+
   test("Ingest.available: existence + non-empty-glob gating (S10 sensor)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sensor").toString
     assert(Ingest.available(spark, dir))

@@ -128,6 +128,15 @@ class SimSpec extends SparkSpec {
     assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
   }
 
+  test("DotProduct runs inside WholeStageCodegen (no fallback)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(Similarity.dot($"embedding", $"embedding").as("d"))
+      .queryExecution.executedPlan.toString
+    // codegen stages are starred; the HOF formulation this replaced was
+    // CodegenFallback and would not appear inside a *(n) Project
+    assert(plan.contains("*(1) Project") && plan.contains("vec_dot"), plan)
+  }
+
   test("DotProduct matches the HOF fold incl. null / mismatch semantics") {
     import org.apache.spark.sql.types.DoubleType
     val df = Seq(

@@ -266,6 +266,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("BBB", 1L, 50.0)))
   }
 
+  test("stream-stream interval join pairs events within the lookback only") {
+    val base = Files.createTempDirectory("graft_stream_ij")
+    val rawL = Files.createDirectory(base.resolve("rawL"))
+    val rawR = Files.createDirectory(base.resolve("rawR"))
+    val out = base.resolve("out").toString
+    // left: trades; right: quotes — a trade picks up quotes from the
+    // preceding 10 minutes of the same symbol
+    writeCsv(rawL, "l.csv", Seq(
+      "AAA,100.0,0.0,,1,2024-01-01T00:10:00"))
+    writeCsv(rawR, "r.csv", Seq(
+      "AAA,99.0,0.0,,1,2024-01-01T00:05:00",   // within lookback
+      "AAA,98.0,0.0,,1,2024-01-01T00:09:00",   // within lookback
+      "AAA,50.0,0.0,,1,2024-01-01T00:20:00",   // after the trade: excluded
+      "BBB,1.0,0.0,,1,2024-01-01T00:06:00"))   // other key: excluded
+    val joined = StreamPipeline.intervalJoin(
+      StreamPipeline.tickStream(spark, rawL.toString)
+        .select("symbol", "price", "timestamp"),
+      StreamPipeline.tickStream(spark, rawR.toString)
+        .selectExpr("symbol", "price AS quote_price",
+          "timestamp AS quote_ts"),
+      key = "symbol", leftTs = "timestamp", rightTs = "quote_ts")
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out) }
+      .start()
+    q.awaitTermination(90000)
+    import spark.implicits._
+    val rows = spark.read.parquet(out)
+      .select("symbol", "quote_price").as[(String, Double)].collect().toSet
+    assert(rows == Set(("AAA", 99.0), ("AAA", 98.0)))
+  }
+
   test("J2: chained stateful ops — windowed aggs join as declared (Spark 4)") {
     // the reference DECLARED this DAG but ran a batch twin because
     // Spark < 3.5 rejected chained stateful operators; Spark 4 propagates
