@@ -323,6 +323,24 @@ object SparkEntry {
       tiebreak = "event_id")
   }
 
+  /** The same as-of join through the custom physical operator (tier (c):
+    * AsOfJoinNode -> AsOfJoinStrategy -> AsOfJoinExec single-pass merge) —
+    * oracle-checked against DuckDB's native ASOF JOIN exactly like the
+    * compositional q_asof_join, so the three implementations (composition,
+    * custom exec, DuckDB) must all agree. */
+  private def qAsofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val quotes = TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"), width = "1 hour"))
+      .select(col("event_type"), col("window_end").as("quote_ts"),
+        exactAvg(col("value_sum"), col("n_events")).as("hour_ma"),
+        col("n_events").as("hour_n"))
+    graft.plans.AsOfJoinNative.asOf(
+      left = ev(s, dir).select("event_id", "event_type", "ts", "value"),
+      right = quotes, key = "event_type", leftTs = "ts",
+      rightTs = "quote_ts", payload = Seq("hour_ma", "hour_n"))
+  }
+
   /** Range join without an equality key: orders against sampled 14-day
     * "audit periods", bucketed composition vs DuckDB's IEJoin oracle. */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -850,6 +868,7 @@ object SparkEntry {
     "q_dedup_editdist" -> (qDedupEditdist _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_join_native" -> (qAsofJoinNative _),
     "q_range_join" -> (qRangeJoin _),
     "q_window_ma" -> (qWindowMa _),
     "q_window_stddev" -> (qWindowStddev _),
@@ -1176,6 +1195,23 @@ object SparkEntry {
         | AND p.o_orderdate <= i.period_end""".stripMargin,
 
     "q_asof_join" ->
+      s"""WITH quotes AS (
+         |  SELECT event_type,
+         |    time_bucket(INTERVAL 1 HOUR, $TS) + INTERVAL 1 HOUR
+         |      AS quote_ts,
+         |    round(sum(value), 4) / count(*) AS hour_ma,
+         |    count(*) AS hour_n
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_id, event_type, $TS AS ts, value FROM events)
+         |SELECT l.event_id, l.event_type, l.ts, l.value,
+         |  q.hour_ma AS asof_hour_ma, q.hour_n AS asof_hour_n
+         |FROM l ASOF LEFT JOIN quotes q
+         |  ON l.event_type = q.event_type AND l.ts >= q.quote_ts"""
+        .stripMargin,
+
+    // identical oracle to q_asof_join: composition, custom exec, and
+    // DuckDB's native ASOF must agree
+    "q_asof_join_native" ->
       s"""WITH quotes AS (
          |  SELECT event_type,
          |    time_bucket(INTERVAL 1 HOUR, $TS) + INTERVAL 1 HOUR

@@ -186,6 +186,56 @@ class OpsSpec extends SparkSpec {
       4L -> Some(20.0), 5L -> None))
   }
 
+  test("AsOfJoinNative: custom SparkPlan matches the composition exactly") {
+    val left = Seq(
+      ("K", ts("2024-01-01 00:00:30"), 1L),
+      ("K", ts("2024-01-01 00:01:00"), 2L),
+      ("K", ts("2024-01-01 00:05:00"), 3L),
+      ("K", ts("2024-01-01 00:10:00"), 4L),
+      ("Z", ts("2024-01-01 00:10:00"), 5L)
+    ).toDF("sym", "ts", "event_id")
+    val right = Seq(
+      ("K", ts("2024-01-01 00:01:00"), 10.0),
+      ("K", ts("2024-01-01 00:06:00"), 20.0)
+    ).toDF("sym", "qts", "quote")
+    val native = graft.plans.AsOfJoinNative.asOf(left, right, "sym", "ts",
+      "qts", Seq("quote"))
+    // the custom exec actually planned (nodeName renders without "Exec"),
+    // fed by key-hash Exchanges + (key, ts) Sorts from EnsureRequirements
+    val planStr = native.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin") && planStr.contains("Exchange hashpartitioning"))
+    val out = native.orderBy("event_id")
+      .select("event_id", "asof_quote").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+    assert(out.toSeq == Seq(
+      1L -> None, 2L -> Some(10.0), 3L -> Some(10.0),
+      4L -> Some(20.0), 5L -> None))
+    // larger randomized cross-check on real data: native == composition
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type", "value",
+        "timestamp_micros(ts div 1000) AS ets")
+    val l2 = ev.filter($"event_id" % 7 === 0)
+      .select($"event_type", $"ets".as("lts"), $"event_id")
+    val r2 = ev.filter($"event_id" % 3 === 0)
+      .select($"event_type", $"ets".as("rts"), $"value")
+    val a = graft.plans.AsOfJoinNative.asOf(l2, r2, "event_type", "lts",
+        "rts", Seq("value"))
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val b = AsOfJoin.asOf(l2, r2, "event_type", "lts", "rts",
+        Seq("value"), tiebreak = "event_id")
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a.size > 100 && a == b)
+    // self-join shape (both sides the same scan) must not blow up on
+    // duplicate expression ids
+    val selfJ = graft.plans.AsOfJoinNative.asOf(
+      ev.select($"event_type", $"ets", $"event_id"),
+      ev.select($"event_type", $"ets", $"value"),
+      "event_type", "ets", "ets", Seq("value"))
+    assert(selfJ.count() == ev.count())
+  }
+
   test("RangeJoin: inclusive bounds, bucket-crossing intervals, no dups") {
     val points = Seq(
       (1L, ts("2024-01-01 00:00:00")), // == interval start (inclusive)
