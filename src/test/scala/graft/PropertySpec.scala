@@ -2,79 +2,130 @@ package graft
 
 import scala.util.Random
 
-import graft.ops._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
-/** Property-based invariants (SURVEY §5.3) over seeded random inputs.
-  * (Hand-rolled generation: scalatest+scalacheck bridge isn't in the
-  * offline dependency cache; a fixed seed keeps failures reproducible.) */
+import graft.dedup.FuzzyDedup
+import graft.ops.Merge
+import graft.sim.Similarity
+
+/** Seeded randomized invariants: each case runs against a reference
+  * implementation (driver-side brute force or an independent formulation)
+  * over several seeds. Deterministic — seeds are fixed — but the inputs are
+  * adversarially shaped (random graphs, random vectors, random upserts)
+  * rather than hand-picked. */
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private val rnd = new Random(42)
-
-  test("MA over a constant series is the constant; stddev is 0 or null") {
-    for (_ <- 1 to 5) {
-      val n = 1 + rnd.nextInt(30)
-      val c = 1.0 + rnd.nextDouble() * 500
-      val df = (1 to n).map(i => ("K", c, i.toLong)).toDF("k", "v", "ord")
-      val out = WindowAnalytics.rollingVolatility(
-        WindowAnalytics.movingAverages(df, "k", Seq("ord"), "v", Seq(5)),
-        "k", Seq("ord"), "v", Seq(5))
-        .select("ma_5", "volatility_5").collect()
-      out.foreach { r =>
-        assert(math.abs(r.getDouble(0) - c) < 1e-9)
-        assert(r.isNullAt(1) || math.abs(r.getDouble(1)) < 1e-9)
+  test("connectedComponents: driver and distributed paths match brute force") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new Random(seed)
+      val n = 120
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // driver-side brute force union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
       }
-    }
-  }
-
-  test("keepLast returns one row per distinct key") {
-    for (_ <- 1 to 5) {
-      val rows = List.fill(1 + rnd.nextInt(50))(
-        (1 + rnd.nextInt(10), rnd.nextInt(100)))
-      val df = rows.zipWithIndex
-        .map { case ((k, v), i) => (k, v, i.toLong) }
-        .toDF("k", "v", "ord")
-      assert(Dedup.keepLast(df, Seq("k"), Seq("ord")).count()
-        == rows.map(_._1).distinct.size)
-    }
-  }
-
-  test("union conserves row counts") {
-    for (_ <- 1 to 3) {
-      val a = List.fill(1 + rnd.nextInt(20))(rnd.nextDouble())
-      val b = List.fill(1 + rnd.nextInt(20))(rnd.nextDouble())
-      assert(Combine.unionLong(Seq("a" -> a.toDF("v"), "b" -> b.toDF("v")))
-        .count() == a.size + b.size)
-    }
-  }
-
-  test("upsert twice with same updates equals upsert once") {
-    for (_ <- 1 to 3) {
-      val t = List.fill(rnd.nextInt(20))((1 + rnd.nextInt(20), rnd.nextInt(100)))
-      val u = List.fill(rnd.nextInt(20))((1 + rnd.nextInt(20), rnd.nextInt(100)))
-      val target = t.toDF("id", "v").dropDuplicates("id")
-      val updates = u.toDF("id", "v").dropDuplicates("id")
-      val once = Merge.upsert(target, updates, Seq("id"))
-      val twice = Merge.upsert(once, updates, Seq("id"))
-      assert(once.orderBy("id", "v").collect().toSeq ==
-        twice.orderBy("id", "v").collect().toSeq)
-    }
-  }
-
-  test("sliding window multiplicity: width/slide windows per row") {
-    for (_ <- 1 to 3) {
-      val n = 1 + rnd.nextInt(40)
-      val rows = (1 to n).map { i =>
-        ("K", 1.0, 1L,
-          java.sql.Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val df = rows.toDF("k", "v", "vol", "ts")
-      val total = TimeWindows.metricWindow(df, "k", "ts", "v", $"vol",
-        "15 minutes", Some("5 minutes"))
-        .agg(org.apache.spark.sql.functions.sum("n_events"))
-        .collect()(0).getLong(0)
-      assert(total == 3L * n) // every row belongs to exactly 3 windows
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val pairs = edges.toDF("id1", "id2")
+      val viaDriver = FuzzyDedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val viaDistributed = FuzzyDedup.connectedComponents(pairs,
+          driverThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver == expected, s"driver path diverged at seed $seed")
+      assert(viaDistributed == expected,
+        s"distributed path diverged at seed $seed")
+    }
+  }
+
+  test("SrpBuckets equals the declarative when(dot >= 0) formulation") {
+    val dim = 8; val nbits = 6; val nTables = 3
+    for (seed <- Seq(2, 13)) {
+      val rnd = new Random(seed)
+      val vecs = Seq.fill(25)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+      val planes = {
+        val r2 = new Random(seed + 100)
+        Seq.fill(nTables * nbits)(Seq.fill(dim)(r2.nextDouble() * 2 - 1))
+      }
+      val native = vecs.select($"id",
+          graft.functions.VectorFunctions.srpBuckets($"vec", planes, nbits)
+            .as("b"))
+        .as[(Long, Seq[Long])].collect().toMap
+      // independent formulation: per-bit HOF dot + when/otherwise OR-fold
+      def hofDot(v: org.apache.spark.sql.Column, p: Seq[Double]) =
+        aggregate(zip_with(v, typedlit(p),
+            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x)
+      val declarative = vecs.select($"id", array((0 until nTables).map { t =>
+          (0 until nbits).map { b =>
+            when(hofDot($"vec", planes(t * nbits + b)) >= 0, lit(1L << b))
+              .otherwise(lit(0L))
+          }.reduce((a, b) => a.bitwiseOR(b))
+        }: _*).as("b"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == declarative, s"bucket mismatch at seed $seed")
+    }
+  }
+
+  test("Merge.upsert is idempotent and a second apply is a no-op") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new Random(seed)
+      val target = (0 until 40).map(i => (i.toLong, rnd.nextDouble()))
+        .toDF("k", "v")
+      val updates = (0 until 30).map(_ =>
+          (rnd.nextInt(60).toLong, rnd.nextDouble()))
+        .groupBy(_._1).map(_._2.head).toSeq  // unique keys
+        .toDF("k", "v")
+      val once = Merge.upsert(target, updates, Seq("k"))
+      val twice = Merge.upsert(once, updates, Seq("k"))
+      val a = once.as[(Long, Double)].collect().toSet
+      val b = twice.as[(Long, Double)].collect().toSet
+      assert(a == b, s"upsert not idempotent at seed $seed")
+      // every update key carries the update's value; untouched keys remain
+      val updMap = updates.as[(Long, Double)].collect().toMap
+      val tgtMap = target.as[(Long, Double)].collect().toMap
+      assert(a == (tgtMap ++ updMap).toSet)
+    }
+  }
+
+  test("editDistancePairs matches a brute-force driver computation") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      val alphabet = "abcd"
+      val docs = (0 until 30).map { i =>
+        val len = 4 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(4))).mkString, "x")
+      }
+      val maxDist = 4
+      val expected = (for {
+        (i1, t1, _) <- docs; (i2, t2, _) <- docs
+        if i1 < i2 && lev(t1, t2) <= maxDist
+      } yield (i1, i2, lev(t1, t2))).toSet
+      val got = FuzzyDedup.editDistancePairs(
+          docs.toDF("doc_id", "text", "blk"), "doc_id", "text", "blk",
+          maxDist)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected, s"editdist mismatch at seed $seed")
     }
   }
 }
