@@ -186,6 +186,21 @@ object SparkEntry {
       Seq(sum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows")))
 
+  /** CUBE cross-grains: all four (flag, status) subsets in one Expand. */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    Rollup.cubeAgg(tbl(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows")))
+
+  /** Explicit GROUPING SETS — only the two single-key grains, no cross. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Rollup.groupingSetsAgg(tbl(s, dir, "lineitem"),
+      Seq(Seq("l_returnflag"), Seq("l_linestatus")),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows")))
+
   /** Fixed-value-list pivot: linestatus F/O as columns, one aggregate. */
   private def qPivot(s: SparkSession, dir: String): DataFrame =
     Rollup.pivotAgg(tbl(s, dir, "lineitem"), "l_returnflag",
@@ -860,6 +875,8 @@ object SparkEntry {
     "q_quantiles_bounds" -> (qQuantilesBounds _),
     "q_topk_group" -> (qTopkGroup _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -1116,6 +1133,20 @@ object SparkEntry {
         | sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | GROUPING(l_returnflag, l_linestatus) AS grouping_id,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | GROUPING(l_returnflag, l_linestatus) AS grouping_id,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,

@@ -27,6 +27,21 @@ object Rollup {
     df.rollup(keys.map(col): _*)
       .agg(grouping_id().as("grouping_id"), aggs: _*)
 
+  /** CUBE over `keys` (every key subset, 2^k grouping sets); same
+    * single-Expand single-aggregate plan as rollup, with 2^k map-side rows
+    * per input row — keep `keys` short (2-3) at scale. */
+  def cubeAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.cube(keys.map(col): _*)
+      .agg(grouping_id().as("grouping_id"), aggs: _*)
+
+  /** Explicit GROUPING SETS: only the named subsets are expanded, so the
+    * map-side blow-up is |sets|, not 2^k — the right call when a cube's
+    * cross-grains are never read. */
+  def groupingSetsAgg(df: DataFrame, sets: Seq[Seq[String]],
+                      keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupingSets(sets.map(_.map(col)), keys.map(col): _*)
+      .agg(grouping_id().as("grouping_id"), aggs: _*)
+
   /** Fixed-value-list pivot: one output column per (pivot value) holding
     * `agg` over the matching rows. */
   def pivotAgg(df: DataFrame, groupKey: String, pivotCol: String,
