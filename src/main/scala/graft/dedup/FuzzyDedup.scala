@@ -242,8 +242,11 @@ object FuzzyDedup {
                                        maxBucket: Option[Int] = Some(10000),
                                        maxDf: Option[Int] = Some(1000),
                                        precomputedSig: Option[DataFrame] = None): DataFrame = {
+    // Checkpoint the candidate set: it feeds the length prefilter, the
+    // docs-in-candidates projection, AND the intersection join — without a
+    // materialization the banding self-join would re-run for each consumer.
     val cand = minhashCandidatesFromShingles(sh0in, numPerm, bands, seed,
-      maxBucket, precomputedSig)
+      maxBucket, precomputedSig).localCheckpoint()
     val sh0 = sh0in.select(col("id").as("__sid"), col("h64"))
     val filtered = maxDf match {
       case Some(cap) =>
@@ -254,20 +257,30 @@ object FuzzyDedup {
         sh0.join(ok, "h64")
       case None => sh0
     }
-    // Only docs that appear in a candidate pair need their shingle sets on
-    // the verify path — at corpus scale the candidate side is orders of
+    // Length prefilter (exact, no recall loss): J(A,B) <= min(|A|,|B|) /
+    // max(|A|,|B|), so a candidate pair whose post-filter shingle-set sizes
+    // are too far apart can never verify at minJaccard. Wide-band configs
+    // (e.g. 32 bands of 2 rows, chosen for a recall proof) produce mostly
+    // length-mismatched false positives; this drops them BEFORE their
+    // shingle sets are shuffled into the O(pair × shingle) verify join.
+    // Sizes come from the same filtered table the verify counts against, so
+    // the bound is tight and the surviving-pair jaccard is unchanged.
+    val sizesAll = filtered.groupBy("__sid").agg(count(lit(1)).as("__n"))
+    val candF = cand
+      .join(sizesAll.select(col("__sid").as("id1"), col("__n").as("n1")), "id1")
+      .join(sizesAll.select(col("__sid").as("id2"), col("__n").as("n2")), "id2")
+      .filter(least(col("n1"), col("n2")).cast("double") /
+        greatest(col("n1"), col("n2")) >= minJaccard)
+    // Only docs that survive the prefilter need their shingle sets on the
+    // verify path — at corpus scale the candidate side is orders of
     // magnitude smaller than the corpus, so checkpoint THAT, not the corpus.
-    val docsInCand = cand.select(col("id1").as("__sid"))
-      .union(cand.select(col("id2").as("__sid"))).distinct()
+    val docsInCand = candF.select(col("id1").as("__sid"))
+      .union(candF.select(col("id2").as("__sid"))).distinct()
     val sh = filtered.join(docsInCand, "__sid").localCheckpoint()
-    val sizes = sh.groupBy("__sid").agg(count(lit(1)).as("__n"))
-    val inter = cand
+    candF
       .join(sh.select(col("__sid").as("id1"), col("h64")), "id1")
       .join(sh.select(col("__sid").as("id2"), col("h64")), Seq("id2", "h64"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("__sid").as("id1"), col("__n").as("n1")), "id1")
-      .join(sizes.select(col("__sid").as("id2"), col("__n").as("n2")), "id2")
+      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
