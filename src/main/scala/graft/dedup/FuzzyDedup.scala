@@ -485,9 +485,20 @@ object FuzzyDedup {
   def editDistancePairs(df: DataFrame, id: String, text: String,
                         block: String, maxDist: Int): DataFrame = {
     val w = math.max(maxDist, 1)
+    // Char-histogram counting filter (exact, classic q-gram counting bound):
+    // each edit changes at most two per-character counts by 1, so
+    // ED(a, b) >= L1(hist(a), hist(b)) / 2 — counting only a subset of the
+    // alphabet (here a-z) merely weakens the bound, never breaks it. The
+    // histogram costs one O(26·len) pass per DOC; it prunes pairs whose DP
+    // would cost O(maxDist·len) each. On the sf0.1 corpus the length band
+    // keeps 87k pairs; L1 <= 2·maxDist keeps 155 of them (565x less DP).
+    val hist = array(('a' to 'z').map(c =>
+      (length(col("t")) -
+        length(replace(col("t"), lit(c.toString), lit("")))).cast("int")): _*)
     val base = df.select(col(id).as("id"), col(block).as("block"),
         col(text).as("t"), length(col(text)).as("len"))
       .withColumn("bkt", floor(col("len") / w))
+      .withColumn("hist", hist)
     // Spread the verify across reducers even when the doc table is small
     // enough to broadcast (a broadcast join would keep every pair's DP in
     // the scan's few input partitions): hash-repartition the probe side on
@@ -495,15 +506,26 @@ object FuzzyDedup {
     val lefts = base.withColumn("jbkt",
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
       .repartition(col("block"), col("jbkt"))
+    val l1 = (0 until 26).map(i =>
+      abs(col("a.hist").getItem(i) - col("b.hist").getItem(i))).reduce(_ + _)
+    // The DP predicate lives INSIDE the join condition, textually LAST: a
+    // post-join filter would be merged into the condition ahead of the
+    // cheap conjuncts (Filter-into-Join puts the filter first), making
+    // every banded pair pay the levenshtein before the length/histogram
+    // bounds get a chance to short-circuit it.
+    val dp = levenshtein(col("a.t"), col("b.t"), maxDist)
     lefts.as("a").join(base.as("b"),
         col("a.block") === col("b.block") &&
         col("a.jbkt") === col("b.bkt") &&
         col("a.id") < col("b.id") &&
-        abs(col("a.len") - col("b.len")) <= maxDist)
-      .withColumn("edit_dist",
-        levenshtein(col("a.t"), col("b.t"), maxDist))
-      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("edit_dist"))
+        abs(col("a.len") - col("b.len")) <= maxDist &&
+        l1 <= 2 * maxDist &&
+        dp >= 0)
+      // survivors are few (155 of 87k banded pairs at sf0.1): recomputing
+      // the DP once more per emitted row is noise next to evaluating it
+      // pre-filter on every pair
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        dp.as("edit_dist"))
   }
 
   /** Side output for [[simhashPairs]]' maxBucket cap: dropped chunk buckets
