@@ -232,19 +232,40 @@ object Similarity {
   }
 
   /** Assign each vector to its nProbe nearest (max-cosine) centroid cells.
-    * The centroid table is broadcast; assignment is a single scan. */
+    *
+    * The centroid table is nlist × dim — small BY CONTRACT (it is the
+    * coarse quantizer) — so it is collected to the driver and inlined as
+    * literals: assignment becomes ONE shuffle-free projection. The
+    * alternative (crossJoin(broadcast) + row_number over a per-id window)
+    * expands the corpus nlist× and then shuffles AND sorts the expansion
+    * just to take an argmax — a corpus-wide exchange that this formulation
+    * never pays, at any scale. Per-centroid norms are precomputed driver-
+    * side with the same left-to-right double fold as [[norm]]
+    * (bit-identical csim to the joined formulation).
+    *
+    * Ranking: csim desc, cell asc — encoded as natural struct ordering on
+    * (csim, -cell) sorted descending, so no comparator lambda and no
+    * negated float (no -0.0 edge) is involved. */
   def ivfAssign(df: DataFrame, id: String, vec: String, centroids: DataFrame,
                 nProbe: Int = 1): DataFrame = {
-    val withN = df.withColumn("__vn", norm(col(vec)))
-    val cN = centroids.withColumn("__cn", norm(col("centroid")))
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    withN.crossJoin(broadcast(cN))
-      .withColumn("__csim",
-        dot(col(vec), col("centroid")) / (col("__vn") * col("__cn")))
-      .withColumn("__crank", row_number().over(w))
-      .filter(col("__crank") <= nProbe)
-      .drop("centroid", "__vn", "__cn", "__csim", "__crank")
+    val cents: Array[(Int, Seq[Float], Double)] = centroids
+      .select(col("cell").cast("int"), col("centroid")).collect()
+      .map { r =>
+        val cv = r.getSeq[Float](1)
+        var acc = 0.0
+        cv.foreach(x => acc += x.toDouble * x.toDouble)
+        (r.getInt(0), cv, math.sqrt(acc))
+      }
+    val scored = array(cents.map { case (cell, cv, cn) =>
+      struct(
+        (dot(col(vec), typedlit(cv)) / (col("__vn") * lit(cn))).as("csim"),
+        lit(-cell).as("negcell"), lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+    df.withColumn("__vn", norm(col(vec)))
+      .withColumn("cell",
+        explode(transform(slice(sort_array(scored, asc = false), 1, nProbe),
+          x => x.getField("cell"))))
+      .drop("__vn")
   }
 
   /** IVF top-k: probe the query's nProbe nearest cells and rank only the
