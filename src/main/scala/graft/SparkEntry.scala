@@ -734,6 +734,22 @@ object SparkEntry {
       tbl(s, dir, "documents").filter(col("lang") === "en"),
       "doc_id", "text", "lang", maxDist = 10)
 
+  /** End-to-end curation pipeline (quality gate -> exact dedup -> near-dup
+    * dedup -> corpus accounting) as ONE composed plan, oracle-checked
+    * through every stage: the DuckDB twin recomputes the quality score,
+    * the md5 min-id exact dedup, the full jaccard pair derivation, and the
+    * recursive components, then must agree on the per-(lang, source)
+    * survivor counts, token totals, and quality mass. */
+  private def qDocsPipeline(s: SparkSession, dir: String): DataFrame =
+    Pipelines.curateDocuments(tbl(s, dir, "documents"),
+        docPairs01(s, dir).filter(col("jaccard") >= 0.5)
+          .select("id1", "id2"),
+        minQuality = 0.5, minTokens = 10)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+        r6(sum(col("quality_score"))).as("sum_quality"))
+
   // ------------------------------------------------- similarity search ops
 
   private def qSimBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -942,6 +958,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_verified" -> (qDedupMinhashVerified _),
     "q_dedup_apply" -> (qDedupApply _),
+    "q_docs_pipeline" -> (qDocsPipeline _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangId _),
@@ -1673,6 +1690,77 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)"""
         .stripMargin,
+
+    // The full curation chain: quality gate -> md5 min-id exact dedup ->
+    // jaccard >= 0.5 components (full-corpus pairs restricted to
+    // survivors, mirroring the engine's shared pair index) -> accounting.
+    "q_docs_pipeline" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id, lang, source, text,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |      AS DOUBLE) AS np,
+        |    CAST(len(list_filter(list_filter(
+        |      regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in',
+        |        'is','it'], t))) AS DOUBLE) AS nstop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, source, text, n_tokens,
+        |    round(least(n_tokens / 100.0, 1.0) * 0.4
+        |      + (1.0 - least((np / nc) * 5.0, 1.0)) * 0.3
+        |      + least((nstop / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.3,
+        |      6) AS quality_score
+        |  FROM f),
+        |kept AS (
+        |  SELECT * FROM q WHERE quality_score >= 0.5 AND n_tokens >= 10),
+        |minid AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        |ek AS (SELECT k.* FROM kept k JOIN minid USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id AS id, lang AS block,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(text, '\s+'),
+        |            x -> x <> '') AS toks
+        |        FROM documents)),
+        |filt AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT block, shingle FROM sh GROUP BY 1, 2
+        |        HAVING count(*) <= 1000) d
+        |    USING (block, shingle)),
+        |sizes AS (SELECT id, count(*) AS n FROM filt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+        |  FROM filt a JOIN filt b
+        |    ON a.block = b.block AND a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes s1 ON s1.id = id1
+        |  JOIN sizes s2 ON s2.id = id2
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5),
+        |sp AS (
+        |  SELECT p.id1, p.id2 FROM pairs p
+        |  JOIN ek a ON a.doc_id = p.id1
+        |  JOIN ek b ON b.doc_id = p.id2),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM sp
+        |          UNION ALL SELECT id2, id1 FROM sp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+        |comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(sum(quality_score), 6) AS sum_quality
+        |FROM ek
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_text_quality" ->
       """WITH f AS (

@@ -83,4 +83,44 @@ object Pipelines {
       .withColumn("window_15m_end",
         col("window_start") + expr("INTERVAL 15 MINUTES"))
       .withColumn("processing_time", processingTime)
+
+  /**
+   * The canonical LLM training-data curation chain as ONE composed plan:
+   * quality gate -> exact dedup (min-id per content hash) -> near-dup
+   * dedup (connected components over a verified pair list, min-id
+   * representative kept). Returns the surviving docs with their quality
+   * features attached, ready for per-(lang, source) corpus accounting.
+   *
+   * `pairs` is the caller's verified near-dup pair list (id1, id2) —
+   * typically jaccardPairs / minhashVerifiedPairs output filtered at the
+   * dedup threshold, computed ONCE on the full corpus and restricted here
+   * to survivors. Computing pairs on the full corpus and filtering (rather
+   * than re-pairing the filtered corpus) keeps the expensive pair index
+   * reusable across pipeline variants — index once, query many.
+   *
+   * Every stage is a shuffle the plan already needs (hash groupBy on a
+   * 16-byte digest; semi joins on the id; the component loop is
+   * O(log diameter) rounds over the tiny pair list) — no stage widens
+   * beyond (id, features).
+   */
+  def curateDocuments(docs: DataFrame, pairs: DataFrame,
+                      minQuality: Double, minTokens: Int): DataFrame = {
+    val scored = graft.text.TextAnalysis.qualityScore(
+      graft.text.TextAnalysis.withQualityFeatures(docs, "text",
+        graft.text.TextAnalysis.defaultStopwords))
+    // quality_score is rounded to 6 decimals inside qualityScore, and the
+    // rounded value is cross-engine hash-identical (q_text_quality) — so a
+    // threshold on it is deterministic, never a float-tie coin flip
+    val kept = scored.filter(col("quality_score") >= minQuality &&
+      col("n_tokens") >= minTokens)
+    val minIds = kept.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactKept = kept.join(minIds, Seq("doc_id"), "left_semi")
+    val ids = exactKept.select(col("doc_id"))
+    val survivorPairs = pairs
+      .join(ids.select(col("doc_id").as("id1")), Seq("id1"), "left_semi")
+      .join(ids.select(col("doc_id").as("id2")), Seq("id2"), "left_semi")
+    graft.dedup.FuzzyDedup.applyDedup(exactKept, "doc_id", survivorPairs)
+  }
 }
