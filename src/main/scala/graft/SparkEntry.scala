@@ -725,6 +725,15 @@ object SparkEntry {
     graft.text.TfIdf.vocabulary(tbl(s, dir, "documents"), "doc_id", "text",
       topN = Some(200))
 
+  /** Sparse TF-IDF top-3 neighbors per document via the inverted-index
+    * join — fixed-point int64 weights make every dot/norm an exact integer
+    * sum, so the cosine (and therefore the ranking) is bit-identical
+    * across engines and the whole retrieval output hash-compares. */
+  private def qTextTfidfSim(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.docSimilarity(tbl(s, dir, "documents"), "doc_id",
+        "text", k = 3)
+      .withColumn("cosine_sim", r6(col("cosine_sim")))
+
   /** Character-level near-dup: Levenshtein <= 10 within the ASCII English
     * block (DuckDB's levenshtein is byte-based, Spark's codepoint-based —
     * identical on ASCII, so the oracle scope is lang='en', which this
@@ -930,6 +939,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
+    "q_text_tfidf_sim" -> (qTextTfidfSim _),
     "q_dedup_editdist" -> (qDedupEditdist _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1255,6 +1265,51 @@ object SparkEntry {
         |  FROM vocab)
         |SELECT term, doc_freq, total_count, freq_rank
         |FROM ranked WHERE freq_rank <= 200""".stripMargin,
+
+    // Fixed-point weights (see TfIdf.docSimilarity): every dot/ss is an
+    // exact BIGINT, the cosine a single double expression over them —
+    // bit-identical, so the full ranked output hash-compares.
+    "q_text_tfidf_sim" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |w AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf * round(ln(CAST(n.n AS DOUBLE) / df) * 1000) AS BIGINT)
+        |      AS w
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |  WHERE df <= 1000),
+        |wf AS (SELECT * FROM w WHERE w <> 0),
+        |ss AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS ss
+        |       FROM wf GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM wf a JOIN wf b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT id1, id2, dot,
+        |    CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(s1.ss AS DOUBLE)) * sqrt(CAST(s2.ss AS DOUBLE)))
+        |      AS c
+        |  FROM dots
+        |  JOIN ss s1 ON s1.doc_id = id1
+        |  JOIN ss s2 ON s2.doc_id = id2),
+        |sym AS (
+        |  SELECT id1 AS src_id, id2 AS dst_id, dot, c FROM cos
+        |  UNION ALL
+        |  SELECT id2, id1, dot, c FROM cos),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY src_id ORDER BY c DESC, dst_id) AS rank
+        |  FROM sym)
+        |SELECT src_id, dst_id, dot, round(c, 6) AS cosine_sim, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // ASCII-only scope (lang='en'): DuckDB levenshtein counts bytes,
     // Spark counts codepoints — identical on ASCII (see qDedupEditdist)

@@ -49,6 +49,71 @@ object TfIdf {
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf_r6"),
         col("rank"))
 
+  /** Sparse TF-IDF cosine similarity between document pairs via an
+    * inverted-index join — the term-partitioned formulation: weights are
+    * co-located by TERM (one shuffle), per-term partial dot products
+    * aggregate map-side, and no dense vector is ever materialized. Pair
+    * fan-out per term is O(df²), so `maxDf` caps it exactly like
+    * jaccardPairs' shingle cap (terms that frequent carry near-zero idf
+    * anyway).
+    *
+    * Determinism at scale (the reason this engine can oracle-check it):
+    * weights are FIXED-POINT — w = tf · round(ln(N/df) · idfScale), an
+    * int64 — so every dot product and squared norm is an EXACT integer
+    * sum, independent of aggregation order across engines and partitions.
+    * A float-weighted formulation sums doubles in engine-specific order
+    * and can flip a threshold or a 6-decimal rounding at the margin; the
+    * int formulation cannot. The final cosine is one double expression
+    * over three exact ints — bit-identical everywhere. idfScale=1000
+    * keeps idf precision at 1e-3 (sub-% relative error for any term worth
+    * weighting) and bounds Σw² well inside int64 for realistic tf. */
+  def docSimilarity(docs: DataFrame, id: String, text: String, k: Int,
+                    maxDf: Option[Int] = Some(1000),
+                    idfScale: Long = 1000L): DataFrame = {
+    val terms = docs.select(col(id),
+      explode(TextAnalysis.tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(id)).as("n"))
+    val pruned = maxDf.fold(tf.join(dfreq, "term"))(cap =>
+      tf.join(dfreq.filter(col("df") <= cap), "term"))
+    // w = 0 (df = N) contributes nothing to any dot/norm; dropping it also
+    // keeps an all-ubiquitous-terms doc out of the 0/0 cosine case
+    val w = pruned.crossJoin(n)
+      .withColumn("w", (col("tf") *
+        round(log(col("n").cast("double") / col("df")) * idfScale, 0)
+          .cast("long")))
+      .filter(col("w") =!= 0L)
+      .select(col(id), col("term"), col("w"))
+    // three consumers of `w` below: Catalyst's ReusedExchange dedups the
+    // underlying tf/df aggregates within the single action
+    val norms = w.groupBy(col(id)).agg(sum(col("w") * col("w")).as("ss"))
+    val dots = w.select(col(id).as("id1"), col("term"), col("w").as("w1"))
+      .join(w.select(col(id).as("id2"), col("term"), col("w").as("w2")),
+        "term")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(sum(col("w1") * col("w2")).as("dot"))
+    val cos = dots
+      .join(norms.select(col(id).as("id1"), col("ss").as("ss1")), "id1")
+      .join(norms.select(col(id).as("id2"), col("ss").as("ss2")), "id2")
+      .withColumn("cosine_sim", col("dot").cast("double") /
+        (sqrt(col("ss1").cast("double")) * sqrt(col("ss2").cast("double"))))
+      .select(col("id1"), col("id2"), col("dot"), col("cosine_sim"))
+    // top-k NEIGHBORS per doc, both directions of each undirected pair —
+    // bounded N·k output at any corpus size (a minSim threshold emits
+    // O(N²) rows on a topically dense corpus). Exact-int dots make the
+    // cosine bit-identical across engines, so ranking on the RAW double
+    // (ties broken on the neighbor id) is a portable total order;
+    // WindowGroupLimit caps each group's buffer at k.
+    val sym = cos.union(cos.select(col("id2"), col("id1"), col("dot"),
+      col("cosine_sim")))
+    TopK.topKPerGroup(sym.withColumnRenamed("id1", "src_id")
+        .withColumnRenamed("id2", "dst_id"),
+        Seq("src_id"), Seq(col("cosine_sim").desc, col("dst_id").asc), k)
+      .select(col("src_id"), col("dst_id"), col("dot"), col("cosine_sim"),
+        col("rank"))
+  }
+
   /** Corpus vocabulary: every term with its document frequency and total
     * occurrence count, ranked by frequency (ties on the term itself) —
     * tokenizer/vocab construction over the corpus. Two aggregates over the
