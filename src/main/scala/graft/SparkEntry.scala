@@ -207,6 +207,13 @@ object SparkEntry {
         "l_linestatus", Seq("F", "O"), sum(col("l_quantity")))
       .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
 
+  /** Morton z-values for the (event_id, user_id) plane — the layout key
+    * behind ZOrder.clusterByZ; pure bit arithmetic, hash-checked. */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    ZOrder.withZValue(ev(s, dir).select("event_id", "user_id"),
+        "event_id", "user_id")
+      .select("event_id", "user_id", "zval")
+
   /** Deterministic 1-in-10 systematic sample — replayable on any engine. */
   private def qSample(s: SparkSession, dir: String): DataFrame =
     Sampling.modSample(ev(s, dir), "event_id", k = 10, r = 3)
@@ -935,6 +942,7 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
+    "q_zorder" -> (qZorder _),
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_text_tfidf" -> (qTextTfidf _),
@@ -1214,6 +1222,37 @@ object SparkEntry {
         | sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
         | sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Morton interleave as chained CTEs (masks 0x00FF00FF / 0x0F0F0F0F /
+    // 0x33333333 / 0x55555555 in decimal)
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT min(event_id) AS xlo, max(event_id) AS xhi,
+        |         min(user_id) AS ylo, max(user_id) AS yhi
+        |  FROM events),
+        |n AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN xhi = xlo THEN 0 ELSE
+        |      CAST(floor(CAST(event_id - xlo AS DOUBLE) * 65535.0
+        |        / CAST(xhi - xlo AS DOUBLE)) AS BIGINT) END AS nx,
+        |    CASE WHEN yhi = ylo THEN 0 ELSE
+        |      CAST(floor(CAST(user_id - ylo AS DOUBLE) * 65535.0
+        |        / CAST(yhi - ylo AS DOUBLE)) AS BIGINT) END AS ny
+        |  FROM events, b),
+        |s1 AS (SELECT event_id, user_id,
+        |  ((nx & 65535) | ((nx & 65535) << 8)) & 16711935 AS x,
+        |  ((ny & 65535) | ((ny & 65535) << 8)) & 16711935 AS y FROM n),
+        |s2 AS (SELECT event_id, user_id,
+        |  ((x | (x << 4)) & 252645135) AS x,
+        |  ((y | (y << 4)) & 252645135) AS y FROM s1),
+        |s3 AS (SELECT event_id, user_id,
+        |  ((x | (x << 2)) & 858993459) AS x,
+        |  ((y | (y << 2)) & 858993459) AS y FROM s2),
+        |s4 AS (SELECT event_id, user_id,
+        |  ((x | (x << 1)) & 1431655765) AS x,
+        |  ((y | (y << 1)) & 1431655765) AS y FROM s3)
+        |SELECT event_id, user_id, (x | (y << 1)) AS zval FROM s4"""
+        .stripMargin,
 
     "q_sample" ->
       """SELECT event_id, user_id, event_type, value

@@ -430,4 +430,38 @@ class OpsSpec extends SparkSpec {
       .select("g", "id").as[(String, Long)].collect().toSet
     assert(strat == Set(("a", 1L), ("a", 5L), ("b", 2L)))
   }
+
+  test("z-order clustering bounds BOTH dimensions per partition") {
+    // x counts up, y decorrelated via a Weyl-ish multiplier: a single-key
+    // sort would leave the other dimension spanning the full range
+    val df = (0 until 4096)
+      .map(i => (i.toLong, (i * 2654435761L) % 4096L))
+      .toDF("x", "y")
+    def extents(clustered: org.apache.spark.sql.DataFrame) = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max($"x") - min($"x")).as("xe"), (max($"y") - min($"y")).as("ye"))
+      .select("xe", "ye").as[(Long, Long)].collect()
+    val z = extents(ZOrder.clusterByZ(df, "x", "y", 16))
+    assert(z.length == 16)
+    // a 16-way z-partition of a 4096x4096 grid covers ~1/4 of each axis
+    // per partition (quadrant-straddling range cuts allowed 3/4 slack)
+    assert(z.map(_._1).sum / z.length <= 3 * 4096 / 4, z.toSeq)
+    assert(z.map(_._2).sum / z.length <= 3 * 4096 / 4, z.toSeq)
+    // the single-key sort keeps x tight but spans ALL of y everywhere —
+    // the contrast that makes the interleave worth a write-side sort
+    val x = extents(df.repartitionByRange(16, $"x")
+      .sortWithinPartitions($"x"))
+    assert(x.map(_._2).min > 3 * 4096 / 4, x.toSeq)
+    // z-values themselves are nondecreasing within each partition
+    val ordered = ZOrder.clusterByZ(df, "x", "y", 16)
+      .select($"zval").mapPartitions { it =>
+        var prev = Long.MinValue
+        var ok = true
+        it.foreach { r =>
+          val v = r.getLong(0); if (v < prev) ok = false; prev = v }
+        Iterator.single(ok)
+      }.collect()
+    assert(ordered.forall(identity))
+  }
 }
