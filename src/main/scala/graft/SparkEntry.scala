@@ -71,6 +71,15 @@ object SparkEntry {
     Ingest.readCsv(s, path, schema)
   }
 
+  /** ORC write-read roundtrip (columnar twin of the CSV leg): numeric and
+    * string values survive exactly; the oracle reads the ORIGINAL rows. */
+  private def qScanOrc(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_orc_roundtrip/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Ingest.writeOrc(ev(s, dir).select(col("event_id"), col("event_type"),
+      col("user_id"), col("value")), path)
+    Ingest.readOrc(s, path)
+  }
+
   // --------------------------------------------- projections/filters/casts
 
   private def qProjectAlias(s: SparkSession, dir: String): DataFrame =
@@ -914,6 +923,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (qScanParquet _),
     "q_scan_csv" -> (qScanCsv _),
+    "q_scan_orc" -> (qScanOrc _),
     "q_project_alias" -> (qProjectAlias _),
     "q_project_drop" -> (qProjectDrop _),
     "q_cast" -> (qCast _),
@@ -1007,6 +1017,9 @@ object SparkEntry {
     "q_scan_parquet" -> "SELECT * FROM lineitem",
 
     "q_scan_csv" ->
+      "SELECT event_id, event_type, user_id, value FROM events",
+
+    "q_scan_orc" ->
       "SELECT event_id, event_type, user_id, value FROM events",
 
     "q_project_alias" ->

@@ -67,6 +67,16 @@ object Ingest {
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
+  /** ORC leg: the second columnar format Spark ships natively — same
+    * pushdown/pruning surface as parquet (predicate pushdown, column
+    * projection, stripe-level min/max skipping), so a warehouse
+    * standardized on ORC swaps formats without touching any operator. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** S6 (zero-egress form): the reference's Kafka leg carries one JSON
     * object per tick (stream_data_producer.py:120-131); the offline
     * equivalent is JSONL on disk. Schema-on-read, no inference pass. */
