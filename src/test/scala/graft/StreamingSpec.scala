@@ -338,4 +338,35 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect()
     assert(aaa.headOption.contains((2L, 2L, 11.0, 11.0)))
   }
+
+  test("windowed approx-distinct: HLL state emits exact counts at low card") {
+    val base = Files.createTempDirectory("graft_stream_hll")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // 3 distinct symbols in [00:00, 00:15), one twice — distinct=3, n=4
+    writeCsv(raw, "a.csv", Seq(
+      "AAA,10.0,0.1,1.0%,100,2024-01-01T00:01:00",
+      "BBB,50.0,0.0,,10,2024-01-01T00:02:00",
+      "AAA,12.0,0.2,2.0%,200,2024-01-01T00:06:00",
+      "CCC,30.0,0.0,,5,2024-01-01T00:07:00"))
+    def runOnce(): Unit =
+      StreamPipeline.windowedApproxDistinct(
+          StreamPipeline.tickStream(spark, raw.toString),
+          ts = "timestamp", distinctCol = "symbol")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start().awaitTermination(60000)
+    runOnce()
+    writeCsv(raw, "b.csv", Seq("AAA,11.0,0.0,,50,2024-01-01T01:00:00"))
+    runOnce()
+    import spark.implicits._
+    val w0 = spark.read.parquet(out)
+      .filter($"window_start" === "2024-01-01 00:00:00")
+      .select("approx_distinct", "n_events").as[(Long, Long)].collect()
+    // HLL++ at rsd=0.01 is exact at cardinality 3
+    assert(w0.headOption.contains((3L, 4L)))
+  }
 }
