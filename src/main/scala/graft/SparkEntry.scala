@@ -234,6 +234,33 @@ object SparkEntry {
     Sampling.stratifiedFixed(ev(s, dir), Seq("event_type"), "event_id", k = 5)
       .select("event_type", "event_id", "user_id", "value")
 
+  /** Deterministic 80/10/10 corpus split: membership from md5(doc_id), so
+    * the split replays identically on any engine (the 8-hex-digit
+    * thresholds ARE fractions of 2^32 — Curate.hexThreshold). */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    Curate.hashSplit(
+      tbl(s, dir, "documents").select("doc_id", "lang", "source"),
+      col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+
+  /** Deterministic weighted source mixture: src0 kept whole, src1 halved,
+    * src2 quartered, src3 at 10%, every other source dropped — corpus
+    * blending as a pure narrow filter. */
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    Curate.mixtureSample(
+      tbl(s, dir, "documents").select("doc_id", "source", "lang"),
+      "source", col("doc_id"),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+
+  /** Token-budget sequence packing (concat-and-chunk, 512-token packs per
+    * language): one window pass, running-sum start offsets. */
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    Curate.tokenPack(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      partitionCols = Seq("lang"), order = Seq(col("doc_id")),
+      tokensCol = "n_tokens", budget = 512L)
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -955,6 +982,9 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_split" -> (qSplit _),
+    "q_mixture" -> (qMixture _),
+    "q_pack" -> (qPack _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1278,6 +1308,45 @@ object SparkEntry {
         |          ORDER BY event_id) AS rn
         |      FROM events)
         |WHERE rn <= 5""".stripMargin,
+
+    "q_split" ->
+      """SELECT doc_id, lang, source,
+        |  CASE
+        |    WHEN substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < 'cccccccc' THEN 'train'
+        |    WHEN substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < 'e6666666' THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents""".stripMargin,
+
+    "q_mixture" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    substr(md5('mix' || source || ':' || CAST(doc_id AS VARCHAR)),
+        |           1, 8) AS h
+        |  FROM documents)
+        |WHERE h < CASE source
+        |  WHEN 'src0' THEN 'g'
+        |  WHEN 'src1' THEN '80000000'
+        |  WHEN 'src2' THEN '40000000'
+        |  WHEN 'src3' THEN '19999999'
+        |  ELSE '' END""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 512) AS BIGINT) AS pack_id
+        |FROM r""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

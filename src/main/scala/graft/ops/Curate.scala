@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus curation for training-data pipelines: deterministic train/val/test
+ * splits, weighted source mixtures, and token-budget sequence packing.
+ *
+ * All membership decisions derive from md5 of the ROW's own key, never from
+ * RNG state: the same document lands in the same split on any cluster, any
+ * day, any engine (md5 hex is lowercase in Spark and DuckDB alike, and hex
+ * strings of equal length order lexicographically exactly as their numeric
+ * value — so an 8-hex-digit literal threshold IS a fraction of 2^32).
+ * Splits and mixtures are pure narrow filters/projections — no shuffle, no
+ * driver state — so they cost one scan at any scale.
+ */
+object Curate {
+
+  /** Fraction -> 8-hex-digit boundary literal (fraction of the 2^32 hash
+    * space). 1.0 maps to "ffffffff"+1 conceptually; we clamp to keep-all. */
+  private[graft] def hexThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f")
+    val v = math.min((f * 4294967296.0).toLong, 4294967295L)
+    if (f >= 1.0) "g" // '>' any hex digit: keeps every row
+    else f"$v%08x"
+  }
+
+  /** First 8 hex chars of md5(salt ++ key-as-string): a uniform, portable
+    * 32-bit bucket. Key is cast to string so bigint ids render identically
+    * across engines. */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+
+  /** Deterministic, replayable train/val/test split: each row's bucket is
+    * compared against cumulative fraction thresholds. `key` decides
+    * membership — pass a GROUP key (e.g. the dedup cluster's canonical id)
+    * rather than the row id to get a leakage-safe split where near-duplicate
+    * documents always share a side. */
+  def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                salt: String = "", splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val h = hashBucket(key, salt)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val first = when(h < lit(hexThreshold(cum.head)), lit(splits.head._1))
+    val assigned = splits.tail.init.zip(cum.tail.init)
+      .foldLeft(first) { case (acc, ((name, _), c)) =>
+        acc.when(h < lit(hexThreshold(c)), lit(name))
+      }
+      .otherwise(lit(splits.last._1))
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Weighted source mixture: keep each row with probability
+    * `weights(source)`, decided by its own (source, key) hash — the
+    * deterministic form of "sample Wikipedia at 3x, CommonCrawl at 0.1x"
+    * corpus blending. The source participates in the hash input so the same
+    * key under two sources draws independently. Sources absent from
+    * `weights` drop entirely. */
+  def mixtureSample(df: DataFrame, sourceCol: String, key: Column,
+                    weights: Map[String, Double],
+                    salt: String = "mix"): DataFrame = {
+    val h = hashBucket(concat(col(sourceCol), lit(":"), key.cast("string")),
+      salt)
+    val thr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit("")) { case (acc, (src, w)) =>
+        when(col(sourceCol) === lit(src), lit(hexThreshold(w))).otherwise(acc)
+      }
+    df.filter(h < thr)
+  }
+
+  /** Token-budget sequence packing, concatenate-and-chunk semantics: within
+    * each partition group, documents ordered by `order` are laid head to
+    * tail; a document belongs to pack floor(start_offset / budget) — the
+    * standard "concat then slice every N tokens" batching used to build LLM
+    * training sequences, where a document may straddle a pack boundary but
+    * its ASSIGNMENT (which pack its first token lands in) is deterministic.
+    *
+    * One shuffle, on `partitionCols`: pick the granularity (language, date,
+    * shard) so a group's rows fit an executor — the running sum is a single
+    * window pass, O(1) state per row. `order` must be a total order (tie
+    * rows would make the running sum nondeterministic). */
+  def tokenPack(df: DataFrame, partitionCols: Seq[String], order: Seq[Column],
+                tokensCol: String, budget: Long,
+                packCol: String = "pack_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val startOff = sum(col(tokensCol)).over(w) - col(tokensCol)
+    df.withColumn("start_offset", startOff)
+      .withColumn(packCol, floor(startOff / lit(budget)).cast("long"))
+  }
+}

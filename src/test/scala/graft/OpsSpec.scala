@@ -464,4 +464,55 @@ class OpsSpec extends SparkSpec {
       }.collect()
     assert(ordered.forall(identity))
   }
+
+  test("hashSplit: deterministic, exhaustive, leakage-safe on a group key") {
+    val docs = (0L until 2000L).map(i => (i, i / 4)).toDF("doc_id", "grp")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val byRow = Curate.hashSplit(docs, $"doc_id", splits, salt = "s1")
+    // every row gets exactly one of the declared labels
+    val counts = byRow.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000L)
+    // fractions are honored within sampling noise (md5 is uniform)
+    assert(counts("train") > 1500 && counts("train") < 1700, counts)
+    // same key + salt -> same assignment on a rerun
+    val again = Curate.hashSplit(docs, $"doc_id", splits, salt = "s1")
+    assert(byRow.except(again).isEmpty && again.except(byRow).isEmpty)
+    // splitting on the GROUP key puts every member of a group together
+    val byGroup = Curate.hashSplit(docs, $"grp", splits, salt = "s1")
+    val splitsPerGroup = byGroup.groupBy("grp")
+      .agg(countDistinct($"split").as("n")).agg(max($"n")).as[Long].head()
+    assert(splitsPerGroup == 1L)
+  }
+
+  test("mixtureSample: per-source keep rates; unknown sources drop") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = Curate.mixtureSample(docs, "source", $"doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5))
+    val kept = out.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(kept("src0") == 1000L)          // weight 1.0 keeps every row
+    assert(kept("src1") > 400 && kept("src1") < 600, kept) // ~half
+    assert(!kept.contains("src2"))         // absent from weights -> dropped
+  }
+
+  test("tokenPack: concat-and-chunk offsets and pack ids per partition") {
+    val docs = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 500L), ("en", 4L, 10L),
+      ("fr", 9L, 600L), ("fr", 10L, 100L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val packed = Curate.tokenPack(docs, Seq("lang"), Seq($"doc_id"),
+        "n_tokens", budget = 512L)
+      .select("lang", "doc_id", "start_offset", "pack_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(packed == Set(
+      ("en", 1L, 0L, 0L),     // [0, 300)
+      ("en", 2L, 300L, 0L),   // starts at 300, straddles into pack 1
+      ("en", 3L, 600L, 1L),   // 600 / 512 = 1
+      ("en", 4L, 1100L, 2L),  // 1100 / 512 = 2
+      ("fr", 9L, 0L, 0L),     // fr stream is independent
+      ("fr", 10L, 600L, 1L)))
+  }
 }
