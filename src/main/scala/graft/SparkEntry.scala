@@ -261,6 +261,15 @@ object SparkEntry {
       partitionCols = Seq("lang"), order = Seq(col("doc_id")),
       tokensCol = "n_tokens", budget = 512L)
 
+  /** Sliding 128-token chunks with 32-token overlap per document — one
+    * explode, no shuffle; chunk bounds are pure integer arithmetic. */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    Curate.chunkByTokens(
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      tokensCol = "n_tokens", size = 128, overlap = 32)
+      .select("doc_id", "chunk_id", "tok_start", "tok_end")
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -985,6 +994,7 @@ object SparkEntry {
     "q_split" -> (qSplit _),
     "q_mixture" -> (qMixture _),
     "q_pack" -> (qPack _),
+    "q_chunk" -> (qChunk _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1347,6 +1357,25 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, start_offset,
         |  CAST(floor(start_offset / 512) AS BIGINT) AS pack_id
         |FROM r""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    greatest(1, CAST(floor((n_tokens - 32 + 95) / 96.0) AS BIGINT))
+        |      AS nc
+        |  FROM t WHERE n_tokens > 0),
+        |e AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 96 AS tok_start,
+        |  least(chunk_id * 96 + 128, n_tokens) AS tok_end
+        |FROM e""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

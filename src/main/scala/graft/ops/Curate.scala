@@ -72,6 +72,31 @@ object Curate {
     df.filter(h < thr)
   }
 
+  /** Sliding-window document chunking: split each document's token stream
+    * into chunks of `size` tokens advancing by `size - overlap` — the
+    * retrieval/context-window prep step (long doc -> overlapping model-size
+    * pieces). Emits one row per (doc, chunk) with [tok_start, tok_end)
+    * bounds; empty documents produce no chunks; a doc of <= `size` tokens
+    * produces exactly one. Narrow op: sequence+explode per row, no shuffle —
+    * fan-out is bounded by n_tokens/step per document, so output scales
+    * with corpus token count, not doc count squared. */
+  def chunkByTokens(df: DataFrame, tokensCol: String, size: Int,
+                    overlap: Int, chunkCol: String = "chunk_id"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val n = col(tokensCol)
+    // integer ceil((n - overlap) / step), floored at 1 chunk for any
+    // non-empty doc; double floor is exact below 2^53 tokens per doc
+    val nChunks = greatest(lit(1L),
+      floor((n - lit(overlap) + lit(step - 1)) / lit(step.toDouble))
+        .cast("long"))
+    df.filter(n > 0)
+      .withColumn(chunkCol, explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("tok_start", col(chunkCol) * step)
+      .withColumn("tok_end", least(col("tok_start") + size, n))
+  }
+
   /** Token-budget sequence packing, concatenate-and-chunk semantics: within
     * each partition group, documents ordered by `order` are laid head to
     * tail; a document belongs to pack floor(start_offset / budget) — the

@@ -498,6 +498,27 @@ class OpsSpec extends SparkSpec {
     assert(!kept.contains("src2"))         // absent from weights -> dropped
   }
 
+  test("chunkByTokens: sliding windows cover every token once per stride") {
+    val docs = Seq((1L, 0L), (2L, 1L), (3L, 128L), (4L, 129L), (5L, 300L))
+      .toDF("doc_id", "n_tokens")
+    val chunks = Curate.chunkByTokens(docs, "n_tokens", size = 128,
+        overlap = 32)
+      .select("doc_id", "chunk_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(!chunks.contains(1L))                     // empty doc: no chunks
+    assert(chunks(2L) == Seq((2L, 0L, 0L, 1L)))      // tiny doc: one chunk
+    assert(chunks(3L) == Seq((3L, 0L, 0L, 128L)))    // exactly one window
+    assert(chunks(4L) == Seq((4L, 0L, 0L, 128L), (4L, 1L, 96L, 129L)))
+    // stride 96: starts 0,96,192 cover 300 tokens; ends clamp to n_tokens
+    assert(chunks(5L) == Seq((5L, 0L, 0L, 128L), (5L, 1L, 96L, 224L),
+      (5L, 2L, 192L, 300L)))
+    // invariant: consecutive chunks overlap by exactly `overlap` until clamp
+    chunks(5L).sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 - a._3 == 96L)
+    }
+  }
+
   test("tokenPack: concat-and-chunk offsets and pack ids per partition") {
     val docs = Seq(
       ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 500L), ("en", 4L, 10L),
