@@ -270,6 +270,38 @@ object SparkEntry {
       tokensCol = "n_tokens", size = 128, overlap = 32)
       .select("doc_id", "chunk_id", "tok_start", "tok_end")
 
+  /** Corpus snapshot diff: a deterministic "v2" is derived from the base
+    * corpus (drop ids %17, edit ids %7, add ids %29 re-keyed), then diffed
+    * back — added/removed/changed, unchanged rows never leave the join. */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "documents").select("doc_id", "text")
+    val v2 = base.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Merge.snapshotDiff(base, v2, Seq("doc_id"), Seq("text"))
+  }
+
+  /** Leakage-safe split: documents are split by their dedup-cluster
+    * CANONICAL id (min doc id of the jaccard>=0.5 component), so
+    * near-duplicates can never straddle train/test — the contamination
+    * guard a real corpus split needs. Composes the shared verified-pair
+    * index -> connected components -> hashSplit on the component key. */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select("doc_id", "lang")
+    val comp = FuzzyDedup.connectedComponents(
+      docPairs01(s, dir).filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2")))
+    val canon = docs
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("canonical", coalesce(col("comp"), col("doc_id")))
+    Curate.hashSplit(canon.select("doc_id", "lang", "canonical"),
+      col("canonical"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+  }
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -995,6 +1027,8 @@ object SparkEntry {
     "q_mixture" -> (qMixture _),
     "q_pack" -> (qPack _),
     "q_chunk" -> (qChunk _),
+    "q_corpus_diff" -> (qCorpusDiff _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1376,6 +1410,22 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, chunk_id * 96 AS tok_start,
         |  least(chunk_id * 96 + 128, n_tokens) AS tok_end
         |FROM e""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0),
+        |j AS (
+        |  SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN n.text IS NOT DISTINCT FROM o.text THEN NULL
+        |         ELSE 'changed' END AS change
+        |  FROM v2 n FULL OUTER JOIN documents o ON n.doc_id = o.doc_id)
+        |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (
@@ -1895,6 +1945,51 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)"""
         .stripMargin,
+
+    "q_split_leakage" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id, lang AS block,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |filt AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT block, shingle FROM sh GROUP BY 1, 2
+        |        HAVING count(*) <= 1000) d
+        |    USING (block, shingle)),
+        |sizes AS (SELECT id, count(*) AS n FROM filt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+        |  FROM filt a JOIN filt b
+        |    ON a.block = b.block AND a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes s1 ON s1.id = id1
+        |  JOIN sizes s2 ON s2.id = id2
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+        |comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |canon AS (
+        |  SELECT d.doc_id, d.lang, coalesce(c.comp, d.doc_id) AS canonical
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id, lang, canonical,
+        |  CASE
+        |    WHEN substr(md5('v1' || CAST(canonical AS VARCHAR)), 1, 8)
+        |         < 'cccccccc' THEN 'train'
+        |    WHEN substr(md5('v1' || CAST(canonical AS VARCHAR)), 1, 8)
+        |         < 'e6666666' THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM canon""".stripMargin,
 
     // The full curation chain: quality gate -> md5 min-id exact dedup ->
     // jaccard >= 0.5 components (full-corpus pairs restricted to

@@ -30,6 +30,36 @@ object Merge {
     updates.unionByName(survivors)
   }
 
+  /** Snapshot diff between two corpus versions: which keys were added,
+    * removed, or changed (null-safe comparison over `compareCols`) — the
+    * dataset-versioning primitive behind incremental re-training ("what
+    * moved since the last corpus cut?"). Unchanged rows are dropped before
+    * anything else happens, so downstream work scales with the CHANGE
+    * volume, not the corpus. One shuffle (the full outer join on the key);
+    * at 100 TB partition both snapshots by the same key layout (bucketed
+    * writes) and the join is exchange-free. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String],
+                   changeCol: String = "change"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldDf.select((keys ++ compareCols).map(c =>
+      col(c).as(s"__old_$c")): _*)
+    val n = newDf.select((keys ++ compareCols).map(col): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"__old_$k")).reduce(_ && _)
+    val sameContent = compareCols.map(c => col(c) <=> col(s"__old_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val oldKeyPresent = col(s"__old_${keys.head}").isNotNull
+    val newKeyPresent = col(keys.head).isNotNull
+    n.join(o, joinCond, "full_outer")
+      .withColumn(changeCol,
+        when(!oldKeyPresent, lit("added"))
+          .when(!newKeyPresent, lit("removed"))
+          .when(!sameContent, lit("changed")))
+      .filter(col(changeCol).isNotNull)
+      .select(keys.map(k => coalesce(col(k), col(s"__old_$k")).as(k)) :+
+        col(changeCol): _*)
+  }
+
   /** MERGE into a parquet table path with a rename swap: write the merged
     * result next to the table, back the old table up, rename the new one
     * in. The swap is two renames, so a crash between them can leave the

@@ -519,6 +519,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: added/removed/changed with null-safe content compare") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("id", "payload")
+    val now = Seq((1L, Some("a")), (2L, Some("B")), (3L, None),
+      (5L, Some("e"))).toDF("id", "payload")
+    val diff = Merge.snapshotDiff(old, now, Seq("id"), Seq("payload"))
+      .as[(Long, String)].collect().toSet
+    // 1 unchanged, 3 unchanged (null == null under <=>), 2 changed,
+    // 4 removed, 5 added
+    assert(diff == Set((2L, "changed"), (4L, "removed"), (5L, "added")))
+    // null -> value is a change, not a match
+    val nowNull = Seq((3L, Some("x"))).toDF("id", "payload")
+    val d2 = Merge.snapshotDiff(old.filter($"id" === 3), nowNull,
+      Seq("id"), Seq("payload")).as[(Long, String)].collect().toSet
+    assert(d2 == Set((3L, "changed")))
+  }
+
   test("tokenPack: concat-and-chunk offsets and pack ids per partition") {
     val docs = Seq(
       ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 500L), ("en", 4L, 10L),
