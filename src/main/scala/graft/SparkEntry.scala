@@ -302,6 +302,14 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
   }
 
+  /** Heavy hitters via Misra-Gries + exact re-count of survivors: languages
+    * above a 20% corpus share. Only 'en' qualifies at every shipped scale
+    * (~41% vs <=16% runners-up), and the output is exact counts, so the
+    * sketch's order-dependent internals never reach the hash compare. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Frequency.heavyHitters(tbl(s, dir, "documents"), "lang",
+      k = 16, minFraction = 0.2)
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -1029,6 +1037,7 @@ object SparkEntry {
     "q_chunk" -> (qChunk _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1426,6 +1435,13 @@ object SparkEntry {
         |         ELSE 'changed' END AS change
         |  FROM v2 n FULL OUTER JOIN documents o ON n.doc_id = o.doc_id)
         |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT lang AS item, count(*) AS cnt
+        |FROM documents WHERE lang IS NOT NULL
+        |GROUP BY 1
+        |HAVING count(*) > (SELECT count(*) FROM documents
+        |                   WHERE lang IS NOT NULL) * 0.2""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

@@ -166,6 +166,110 @@ case class SimHashAgg(
     copy(child = newChildren.head)
 }
 
+/** Misra-Gries frequent-items summary: at most `k` counters per aggregation
+  * buffer, whatever the input cardinality — the bounded-state answer to
+  * "which values exceed an x% share" when a plain groupBy would materialize
+  * 10^9 groups. Guarantee (order- and merge-shape-independent): every value
+  * with true count > N/k survives to the output, and each surviving
+  * estimate undercounts by at most N/k. Merging follows the mergeable-
+  * summaries construction: sum counters pairwise, then subtract the
+  * (k+1)-largest count and drop non-positives — still at most k counters,
+  * same guarantee. Eval returns the surviving items sorted (deterministic
+  * for a given summary content); ESTIMATES are intentionally not returned —
+  * they depend on arrival order, so callers needing exact counts re-count
+  * just the survivors (ops/Frequency.heavyHitters). */
+case class FreqItemsAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]] {
+
+  type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "freq_items_mg"
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString // UTF8String buffers are reused; copy out
+      buf.get(key) match {
+        case Some(c) => buf.update(key, c + 1)
+        case None if buf.size < k => buf.update(key, 1L)
+        case None => // decrement-all: the classic MG eviction step
+          val dead = List.newBuilder[String]
+          buf.foreach { case (item, c) =>
+            if (c == 1L) dead += item else buf.update(item, c - 1)
+          }
+          dead.result().foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreach { case (item, c) =>
+      b1.update(item, b1.getOrElse(item, 0L) + c)
+    }
+    if (b1.size > k) {
+      // subtract the (k+1)-th largest count from everything, keep positives
+      val cut = b1.values.toArray.sortBy(-_).apply(k)
+      val dead = List.newBuilder[String]
+      b1.foreach { case (item, c) =>
+        if (c - cut <= 0L) dead += item else b1.update(item, c - cut)
+      }
+      dead.result().foreach(b1.remove)
+    }
+    b1
+  }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.keys.toArray.sorted
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString(_))
+      .asInstanceOf[Array[Any]])
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.toArray
+    val bytesPer = entries.map { case (s, _) =>
+      s.getBytes("UTF-8").length }
+    val bb = ByteBuffer.allocate(4 + entries.length * 12 + bytesPer.sum)
+    bb.putInt(entries.length)
+    entries.foreach { case (s, c) =>
+      val b = s.getBytes("UTF-8")
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.update(new String(b, "UTF-8"), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object SketchAggs {
   /** Aggregate Column: MinHash signature of a long hash column. */
   def minhashSig(h: Column, numPerm: Int, seed: Long): Column =
@@ -177,4 +281,10 @@ object SketchAggs {
   def simhash64(h: Column): Column =
     ColumnBridge.column(
       SimHashAgg(ColumnBridge.expression(h)).toAggregateExpression())
+
+  /** Aggregate Column: Misra-Gries candidate heavy hitters (sorted array of
+    * the <= k surviving string values). */
+  def freqItems(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      FreqItemsAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 }

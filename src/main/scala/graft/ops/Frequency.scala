@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchAggs
+
+/**
+ * Heavy hitters over unbounded-cardinality keys, two passes:
+ *
+ *  1. a Misra-Gries summary (functions/FreqItemsAgg) scans once with at
+ *     most `k` counters per partial buffer — every value whose true share
+ *     exceeds 1/k is guaranteed to survive, at any cardinality, in any
+ *     arrival/merge order;
+ *  2. the <= k survivors are exact-counted (broadcast semi-join restricts
+ *     the second scan's aggregation to candidate keys only) and thresholded.
+ *
+ * The output is therefore EXACT and deterministic — the sketch only decides
+ * what not to count, never what the counts are. A single-pass plain
+ * groupBy-count is better when the key cardinality fits a shuffle; this is
+ * for the "group count ~ row count" regime (URLs, user ids, n-grams at
+ * 100 TB) where the exact groupBy's shuffle is the bottleneck and only the
+ * frequent tail matters.
+ */
+object Frequency {
+
+  /** Values of `keyCol` (as strings) whose share of non-null rows exceeds
+    * `minFraction`, with exact counts. Requires minFraction >= 1/k, else
+    * the sketch cannot guarantee recall (enforced). */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+                   minFraction: Double): DataFrame = {
+    require(minFraction >= 1.0 / k,
+      s"minFraction ($minFraction) must be >= 1/k (${1.0 / k}) " +
+        "for the Misra-Gries recall guarantee to hold")
+    val key = col(keyCol).cast("string")
+    val candidates = df.filter(key.isNotNull)
+      .agg(SketchAggs.freqItems(key, k).as("__cands"))
+      .select(explode(col("__cands")).as("item"))
+    val exact = df.filter(key.isNotNull)
+      .select(key.as("item"))
+      .join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+    val total = df.filter(key.isNotNull).agg(count(lit(1)).as("__n"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("cnt") > col("__n") * minFraction)
+      .select("item", "cnt")
+  }
+}

@@ -128,4 +128,28 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"editdist mismatch at seed $seed")
     }
   }
+
+  test("heavyHitters: MG recall guarantee vs exact counts, any ordering") {
+    import graft.ops.Frequency
+    for (seed <- Seq(3, 11, 77)) {
+      val rnd = new Random(seed)
+      // zipf-ish: a few hot keys in a sea of 5000 singletons-ish keys —
+      // cardinality far above k, so eviction churns constantly
+      val hot = Seq.fill(4000)(s"hot${rnd.nextInt(6)}")
+      val cold = Seq.fill(6000)(s"cold${rnd.nextInt(5000)}")
+      // adversarial order: all cold traffic first, hot keys last (worst
+      // case for counter eviction), then the reverse via random shuffle
+      for (stream <- Seq(cold ++ hot, rnd.shuffle(cold ++ hot))) {
+        val df = stream.toDF("k").repartition(13) // many partials to merge
+        val n = stream.size
+        val k = 50
+        val minFrac = 0.03 // > 1/50
+        val expected = stream.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter(_._2 > n * minFrac).toMap
+        val got = Frequency.heavyHitters(df, "k", k, minFrac)
+          .as[(String, Long)].collect().toMap
+        assert(got == expected, s"hh mismatch at seed $seed")
+      }
+    }
+  }
 }
