@@ -489,6 +489,34 @@ object SparkEntry {
         r6(col("ma_5")).as("ma_5"), r6(col("ma_15")).as("ma_15"),
         r6(col("ma_30")).as("ma_30"))
 
+  /** Trailing 10-minute time-RANGE frame per event type: the frame adapts
+    * to tick spacing (vs the fixed-row W1 frames). Epoch-second ordering;
+    * equal-timestamp peers share a frame, so the aggregate is
+    * tie-deterministic without a row tiebreaker. */
+  private def qWindowTimeRange(s: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowAnalytics.trailingTimeAgg(ev(s, dir), "event_type", "ts",
+        Seq("trail_avg" -> ((c: Column) => avg(c)),
+            "trail_n" -> ((c: Column) => count(c)),
+            "trail_max" -> ((c: Column) => max(c))),
+        "value", seconds = 600L)
+      .select(col("event_id"), col("event_type"),
+        r6(col("trail_avg")).as("trail_avg"), col("trail_n"),
+        col("trail_max"))
+
+  /** Quality deciles per language: ntile(10) over (quality_score, doc_id) —
+    * the keep-top-N% curation cut, tie-broken to a total order so bucket
+    * boundaries are engine-independent. */
+  private def qQualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+      TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"), "text",
+        TextAnalysis.defaultStopwords))
+      .select(col("doc_id"), col("lang"),
+        r6(col("quality_score")).as("quality_score"))
+    graft.ops.WindowAnalytics.quantileBuckets(scored, Seq("lang"),
+      Seq(col("quality_score").desc, col("doc_id")), n = 10,
+      bucketCol = "decile")
+  }
+
   private def qWindowStddev(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.rollingVolatility(ev(s, dir), "event_type",
         evOrder, "value", Seq(5, 15))
@@ -1038,6 +1066,8 @@ object SparkEntry {
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_window_time_range" -> (qWindowTimeRange _),
+    "q_quality_deciles" -> (qQualityDeciles _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -2107,6 +2137,44 @@ object SparkEntry {
         |    + (1.0 - least((np / nc) * 5.0, 1.0)) * 0.3
         |    + least((nstop / nt) * 5.0, 1.0) * 0.3, 6) AS quality_score
         |FROM f""".stripMargin,
+
+    "q_window_time_range" ->
+      s"""SELECT event_id, event_type,
+         |  round(avg(value) OVER w, 6) AS trail_avg,
+         |  count(value) OVER w AS trail_n,
+         |  max(value) OVER w AS trail_max
+         |FROM (SELECT event_id, event_type, value,
+         |        CAST(floor(epoch($TS)) AS BIGINT) AS es
+         |      FROM events)
+         |WINDOW w AS (PARTITION BY event_type ORDER BY es
+         |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
+    "q_quality_deciles" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |      AS DOUBLE) AS np,
+        |    CAST(len(list_filter(list_filter(
+        |      regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in',
+        |        'is','it'], t))) AS DOUBLE) AS nstop,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) AS DOUBLE) AS nt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    round(least(n_tokens / 100.0, 1.0) * 0.4
+        |      + (1.0 - least((np / nc) * 5.0, 1.0)) * 0.3
+        |      + least((nstop / nt) * 5.0, 1.0) * 0.3, 6) AS quality_score
+        |  FROM f)
+        |SELECT doc_id, lang, quality_score,
+        |  ntile(10) OVER (PARTITION BY lang
+        |    ORDER BY quality_score DESC, doc_id) AS decile
+        |FROM q""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (

@@ -52,6 +52,39 @@ object WindowAnalytics {
     }
   }
 
+  /** Time-RANGE trailing frame: aggregates over "the last `seconds` of
+    * event time" per key — unlike a ROWS frame, the window adapts to
+    * irregular tick spacing (quiet periods shrink it, bursts grow it),
+    * which is the correct reading of "10-minute trailing average". Ordered
+    * by epoch seconds with rangeBetween, so rows with equal timestamps
+    * share a frame (no tiebreaker needed for determinism of the AGGREGATE —
+    * every peer sees the same frame). Same single shuffle + sort per key as
+    * the ROWS frames. */
+  def trailingTimeAgg(df: DataFrame, key: String, ts: String,
+                      aggs: Seq[(String, Column => Column)], value: String,
+                      seconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(unix_timestamp(col(ts)))
+      .rangeBetween(-seconds, Window.currentRow)
+    aggs.foldLeft(df) { case (d, (name, f)) =>
+      d.withColumn(name, f(col(value)).over(w))
+    }
+  }
+
+  /** Quantile bucketing: ntile(n) over a total order — "quality deciles"
+    * for keep-top-N% curation. The `order` columns MUST form a total order
+    * (append a unique id): ntile assigns by rank, so ties broken
+    * differently across engines would shift bucket boundaries. Single
+    * global sort (one range exchange — Spark's ntile over an empty
+    * partitionBy is a single-task sort; at 100 TB bucket within strata
+    * via `partitionCols` instead). */
+  def quantileBuckets(df: DataFrame, partitionCols: Seq[String],
+                      order: Seq[Column], n: Int,
+                      bucketCol: String = "bucket"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(bucketCol, ntile(n).over(w))
+  }
+
   /** W4/A7: keep-last dedup — row_number over (keys) ordered by `order`
     * descending, keep rank 1. Reference semantics: pandas
     * drop_duplicates(keep='last') before MERGE (load_to_snowflake.py:154).
