@@ -310,6 +310,19 @@ object SparkEntry {
     Frequency.heavyHitters(tbl(s, dir, "documents"), "lang",
       k = 16, minFraction = 0.2)
 
+  /** Incremental dedup: the %10==0 slice of documents plays the daily
+    * batch, deduped AGAINST the remaining corpus — the corpus is never
+    * self-joined (FuzzyDedup.jaccardPairsAgainst scaladoc). */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    FuzzyDedup.jaccardPairsAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", "lang", n = 3, minJaccard = 0.3)
+      .select(col("new_id"), col("corpus_id"), col("n_common"), col("n1"),
+        col("n2"), r6(col("jaccard")).as("jaccard"))
+  }
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -1068,6 +1081,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_window_time_range" -> (qWindowTimeRange _),
     "q_quality_deciles" -> (qQualityDeciles _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1851,6 +1865,40 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, lang AS block,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |shn AS (SELECT * FROM sh WHERE id % 10 = 0),
+        |shc AS (SELECT * FROM sh WHERE id % 10 <> 0),
+        |over_cap AS (
+        |  SELECT block, shingle FROM shc GROUP BY 1, 2
+        |  HAVING count(*) > 1000),
+        |pn AS (SELECT * FROM shn s WHERE NOT EXISTS (
+        |  SELECT 1 FROM over_cap o
+        |  WHERE o.block = s.block AND o.shingle = s.shingle)),
+        |pc AS (SELECT * FROM shc s WHERE NOT EXISTS (
+        |  SELECT 1 FROM over_cap o
+        |  WHERE o.block = s.block AND o.shingle = s.shingle)),
+        |s1 AS (SELECT id, count(*) AS n FROM pn GROUP BY 1),
+        |s2 AS (SELECT id, count(*) AS n FROM pc GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS new_id, b.id AS corpus_id, count(*) AS n_common
+        |  FROM pn a JOIN pc b ON a.block = b.block AND a.shingle = b.shingle
+        |  GROUP BY 1, 2)
+        |SELECT new_id, corpus_id, n_common, s1.n AS n1, s2.n AS n2,
+        |  round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN s1 ON s1.id = new_id
+        |JOIN s2 ON s2.id = corpus_id
+        |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.3"""
+        .stripMargin,
 
     "q_dedup_jaccard" ->
       """WITH sh AS (

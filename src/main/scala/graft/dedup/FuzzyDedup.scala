@@ -118,6 +118,73 @@ object FuzzyDedup {
     materialized
   }
 
+  /** Incremental dedup: near-dup pairs between a NEW batch and the existing
+    * corpus — the daily-increment shape. The corpus is never self-joined:
+    * cost is Σ (probe-df × corpus-df) per shingle within blocks, bounded by
+    * `maxDf`, so a day's batch dedups against years of history at the price
+    * of the batch, not the history. At 100 TB the corpus shingle table is a
+    * stored index (write [[shingleHashes]] bucketed by (block, shingle)
+    * once, reuse daily).
+    *
+    * The df cap is computed on the CORPUS side only (that is where the
+    * boilerplate skew lives), and over-cap shingles are dropped from BOTH
+    * sides via anti-join — a probe shingle absent from the corpus entirely
+    * (df=0) still counts toward the probe doc's size, keeping the Jaccard
+    * denominator honest. Ids are assumed disjoint across the two frames.
+    * Output: (new_id, corpus_id, n_common, n1, n2, jaccard >= minJaccard).
+    */
+  def jaccardPairsAgainst(newDf: DataFrame, corpus: DataFrame, id: String,
+                          text: String, block: String, n: Int,
+                          minJaccard: Double,
+                          maxDf: Option[Int] = Some(1000)): DataFrame = {
+    def tagged(df: DataFrame): DataFrame =
+      shingleHashes(df, id, text, n)
+        .join(df.select(col(id), col(block).as("block")), id)
+        .select(col(id).as("id"), col("block"), col("h64").as("shingle"))
+    val shN = tagged(newDf)
+    val shC = tagged(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filteredN = maxDf match {
+      case Some(cap) =>
+        val overCap = shC.groupBy("block", "shingle")
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") > cap).select("block", "shingle")
+        shN.join(overCap, Seq("block", "shingle"), "left_anti")
+      case None => shN
+    }
+    val filteredC = maxDf match {
+      case Some(cap) =>
+        // corpus side: equivalent semi form via window-free groupBy join
+        val underCap = shC.groupBy("block", "shingle")
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap).select("block", "shingle")
+        shC.join(underCap, Seq("block", "shingle"))
+      case None => shC
+    }
+    val pN = filteredN
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pC = filteredC
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = pN.groupBy("id").agg(count(lit(1)).as("n1"))
+      .withColumnRenamed("id", "new_id")
+    val n2 = pC.groupBy("id").agg(count(lit(1)).as("n2"))
+      .withColumnRenamed("id", "corpus_id")
+    val inter = pN.as("a").join(pC.as("b"),
+        col("a.block") === col("b.block") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = inter
+      .join(n1, "new_id").join(n2, "corpus_id")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_id", "corpus_id", "n_common", "n1", "n2", "jaccard")
+    val materialized = out.localCheckpoint()
+    Seq(pN, pC, shC).foreach(_.unpersist(false))
+    materialized
+  }
+
   /** MinHash signatures: numPerm 64-bit minima per document over its shingle
     * set. One shuffle (groupBy id); signature width is constant so the
     * output is tiny relative to the corpus. Computed by the one-pass

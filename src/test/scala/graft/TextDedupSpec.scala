@@ -269,4 +269,30 @@ class TextDedupSpec extends SparkSpec {
       .select("doc_id", "term").as[(Long, String)].collect().toMap
     assert(top(1L) == "zebra" && top(2L) == "yak")
   }
+
+  test("jaccardPairsAgainst: batch-vs-corpus pairs, honest denominators") {
+    // corpus docs 10,11; batch docs 1 (near-dup of 10), 2 (unrelated)
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en"),
+      (11L, "one two three four five six", "en"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon eta", "en"), // shares 3 of 4 3-grams?
+      (2L, "purple monkey dishwasher runs fast here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = graft.dedup.FuzzyDedup.jaccardPairsAgainst(
+        batch, corpus, "doc_id", "text", "lang", n = 3, minJaccard = 0.2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // doc1 x doc10: 6 tokens -> 4 3-grams each; 3 shared
+    // jaccard = 3 / (4 + 4 - 3) = 0.6
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 10L)))
+    val p = pairs.head
+    assert(p._3 == 3L && p._4 == 4L && p._5 == 4L)
+    assert(math.abs(p._6 - 0.6) < 1e-12)
+    // probe-only shingles must count toward n1 even though df=0 in corpus:
+    // doc2 has 4 shingles, none in corpus, no pair emitted (not a div-by-0)
+    assert(!pairs.exists(_._1 == 2L))
+    // corpus is never compared to itself: no (10, 11)-style output shape
+    assert(pairs.forall(p => Set(1L, 2L).contains(p._1)))
+  }
 }
