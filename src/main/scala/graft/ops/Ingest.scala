@@ -62,6 +62,33 @@ object Ingest {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~targetFileBytes output files. A streaming sink or over-parallel job
+    * leaves thousands of KB-sized files; each later scan then pays one
+    * task + one open per file, and the NameNode/object-store pays the
+    * metadata. Reads pack small files together (Spark's FilePartition
+    * bin-packing), and the write side uses coalesce — a NARROW
+    * repartitioning, no shuffle: compaction is IO-bound by design, so
+    * shuffling the data to rebalance it would double the cost for nothing.
+    * Returns the output file count. Sizing uses the compressed input bytes
+    * as the estimate of output bytes (same format + codec on both sides).
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(inDir), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) /
+      targetFileBytes).toInt
+    spark.read.parquet(inDir)
+      .coalesce(nFiles)
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(outDir)
+    nFiles
+  }
+
   /** S7: raw-zone CSV landing with header (consumer side of the reference;
     * realtime_data_consumer.py:101-127). */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =

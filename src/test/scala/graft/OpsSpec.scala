@@ -465,6 +465,29 @@ class OpsSpec extends SparkSpec {
     assert(ordered.forall(identity))
   }
 
+  test("compactParquet: many tiny files -> few target-size files, same rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val df = (1L to 10000L).toDF("v")
+    df.repartition(40).write.parquet(in)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in).length == 40)
+    // target far above total input size -> single output file
+    val n = Ingest.compactParquet(spark, in, out)
+    assert(n == 1 && parquetFiles(out).length == 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10000L)
+    assert(back.agg(sum($"v")).as[Long].head() == 10000L * 10001 / 2)
+    // small target -> multiple files, still all rows
+    val out2 = base.resolve("out2").toString
+    val tiny = Ingest.compactParquet(spark, in, out2,
+      targetFileBytes = 16L * 1024)
+    assert(tiny > 1 && parquetFiles(out2).length == tiny)
+    assert(spark.read.parquet(out2).count() == 10000L)
+  }
+
   test("hashSplit: deterministic, exhaustive, leakage-safe on a group key") {
     val docs = (0L until 2000L).map(i => (i, i / 4)).toDF("doc_id", "grp")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
