@@ -32,10 +32,12 @@ object WindowAnalytics {
                      value: String, frames: Seq[Int],
                      prefix: String = "ma"): DataFrame = {
     val w = keyFrame(key, order)
-    frames.foldLeft(df) { (d, n) =>
-      d.withColumn(s"${prefix}_$n",
-        avg(col(value)).over(w.rowsBetween(-(n - 1), Window.currentRow)))
-    }
+    // single select so all frames evaluate in ONE Window node (different
+    // frames legally share a node when partition/order match; chained
+    // withColumn would interleave Projects and defeat CollapseWindow)
+    df.select(col("*") +: frames.map(n =>
+      avg(col(value)).over(w.rowsBetween(-(n - 1), Window.currentRow))
+        .as(s"${prefix}_$n")): _*)
   }
 
   /** W2: rolling sample stddev (volatility) over trailing row frames.
@@ -45,11 +47,10 @@ object WindowAnalytics {
                         value: String, frames: Seq[Int],
                         prefix: String = "volatility"): DataFrame = {
     val w = keyFrame(key, order)
-    frames.foldLeft(df) { (d, n) =>
-      d.withColumn(s"${prefix}_$n",
-        Clean.nanToNull(
-          stddev_samp(col(value)).over(w.rowsBetween(-(n - 1), Window.currentRow))))
-    }
+    df.select(col("*") +: frames.map(n =>
+      Clean.nanToNull(
+        stddev_samp(col(value)).over(w.rowsBetween(-(n - 1), Window.currentRow)))
+        .as(s"${prefix}_$n")): _*)
   }
 
   /** Time-RANGE trailing frame: aggregates over "the last `seconds` of
@@ -66,9 +67,11 @@ object WindowAnalytics {
     val w = Window.partitionBy(col(key))
       .orderBy(unix_timestamp(col(ts)))
       .rangeBetween(-seconds, Window.currentRow)
-    aggs.foldLeft(df) { case (d, (name, f)) =>
-      d.withColumn(name, f(col(value)).over(w))
-    }
+    // one select, not chained withColumn: interleaved Projects would block
+    // CollapseWindow and the plan would evaluate one Window node per
+    // aggregate instead of sharing a single pass over the sorted frame
+    df.select(col("*") +:
+      aggs.map { case (name, f) => f(col(value)).over(w).as(name) }: _*)
   }
 
   /** Quantile bucketing: ntile(n) over a total order — "quality deciles"
