@@ -339,6 +339,45 @@ class StreamingSpec extends SparkSpec {
     assert(aaa.headOption.contains((2L, 2L, 11.0, 11.0)))
   }
 
+  test("streaming curation: quality gate + hash split are stream-safe") {
+    // the curation ops are pure narrow transforms, so the SAME code runs
+    // unchanged on a stream — this pins that no op sneaks in a batch-only
+    // construct (window without watermark, collect, global sort...)
+    import graft.ops.Curate
+    import graft.text.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_stream_curate")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Files.writeString(raw.resolve("d1.jsonl"), Seq(
+      """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog and runs on in it is"}""",
+      """{"doc_id":2,"text":"!!!"}""").mkString("\n"))
+    val docs = spark.readStream.schema(schema).json(raw.toString)
+    val curated = Curate.hashSplit(
+      docs.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .filter(col("n_tokens") >= 5),
+      col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt = "v1")
+    curated.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start().awaitTermination(60000)
+    import spark.implicits._
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(rows.map(_._1).toSet == Set(1L)) // the junk doc is gated out
+    // stream assignment == batch assignment (same hash, same salt)
+    val batchSplit = Curate.hashSplit(Seq((1L, "x")).toDF("doc_id", "t"),
+      $"doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt = "v1").select("split").as[String].head()
+    assert(rows.head._2 == batchSplit)
+  }
+
   test("windowed approx-distinct: HLL state emits exact counts at low card") {
     val base = Files.createTempDirectory("graft_stream_hll")
     val raw = Files.createDirectory(base.resolve("raw"))
