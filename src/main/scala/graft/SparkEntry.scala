@@ -323,6 +323,17 @@ object SparkEntry {
         col("n2"), r6(col("jaccard")).as("jaccard"))
   }
 
+  /** Grouped bivariate stats: how extended price tracks quantity per
+    * return flag — corr/covar/OLS in one partial-aggregable pass. */
+  private def qStatsBivariate(s: SparkSession, dir: String): DataFrame =
+    Stats.bivariate(tbl(s, dir, "lineitem"), Seq("l_returnflag"),
+      x = "l_quantity", y = "l_extendedprice")
+
+  /** Tukey-fence outliers per event type (fences rounded r6 before the
+    * boundary compare — see Stats.iqrOutliers scaladoc). */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    Stats.iqrOutliers(ev(s, dir), Seq("event_type"), "value")
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -1082,6 +1093,8 @@ object SparkEntry {
     "q_window_time_range" -> (qWindowTimeRange _),
     "q_quality_deciles" -> (qQualityDeciles _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_stats_bivariate" -> (qStatsBivariate _),
+    "q_outliers" -> (qOutliers _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1231,6 +1244,37 @@ object SparkEntry {
     "q_dup_check" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q_stats_bivariate" ->
+      """SELECT l_returnflag,
+        | round(corr(l_extendedprice, l_quantity), 6) AS corr_yx,
+        | round(covar_samp(l_extendedprice, l_quantity), 6) AS covar_yx,
+        | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS p25,
+        |    round(quantile_cont(value, 0.75), 6) AS p75,
+        |    round(quantile_cont(value, 0.25)
+        |      - 1.5 * (quantile_cont(value, 0.75)
+        |               - quantile_cont(value, 0.25)), 6) AS lo,
+        |    round(quantile_cont(value, 0.75)
+        |      + 1.5 * (quantile_cont(value, 0.75)
+        |               - quantile_cont(value, 0.25)), 6) AS hi,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |o AS (
+        |  SELECT e.event_type, count(*) AS n_outliers
+        |  FROM events e JOIN f USING (event_type)
+        |  WHERE e.value < f.lo OR e.value > f.hi
+        |  GROUP BY 1)
+        |SELECT event_type, p25, p75, lo, hi, n,
+        |  coalesce(n_outliers, 0) AS n_outliers
+        |FROM f LEFT JOIN o USING (event_type)""".stripMargin,
 
     "q_distinct_count" ->
       """SELECT count(*) AS n_rows,
