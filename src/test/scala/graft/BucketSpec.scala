@@ -31,4 +31,53 @@ class BucketSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(agg.count() == 50)
   }
+
+  // ---- plan-shape pins for the curation/sketch operators: these are the
+  // properties that make each op survive 100x, asserted so a refactor
+  // cannot silently regress them.
+
+  test("hashSplit / mixtureSample / chunkByTokens plan with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Curate
+    val docs = (1L to 100L).map(i => (i, s"src${i % 3}", i % 7 + 1))
+      .toDF("doc_id", "source", "n_tokens")
+    val split = Curate.hashSplit(docs, $"doc_id",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    val mix = Curate.mixtureSample(docs, "source", $"doc_id",
+      Map("src0" -> 0.5))
+    val chunk = Curate.chunkByTokens(docs, "n_tokens", size = 4, overlap = 1)
+    for ((df, name) <- Seq((split, "hashSplit"), (mix, "mixtureSample"),
+        (chunk, "chunkByTokens"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name should be a narrow op but shuffles:\n$plan")
+    }
+  }
+
+  test("tokenPack plans exactly one exchange (the partition-key window)") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 100L).map(i => (i, s"l${i % 3}", i % 7 + 1))
+      .toDF("doc_id", "lang", "n_tokens")
+    val packed = graft.ops.Curate.tokenPack(docs, Seq("lang"),
+      Seq($"doc_id"), "n_tokens", budget = 16L)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+    // and all window work shares ONE Window node
+    assert(plan.split("Window").length - 1 == 1, plan)
+  }
+
+  test("heavyHitters: sketch partials + broadcast semi-join, no key shuffle of the corpus") {
+    val df = (1L to 5000L).map(i => s"k${i % 7}").toDF("k")
+    val hh = graft.ops.Frequency.heavyHitters(df, "k", k = 16,
+      minFraction = 0.1)
+    val plan = hh.queryExecution.executedPlan.toString
+    // pass 1: ObjectHashAggregate partial/final pair around one exchange
+    // carrying <= k-entry summaries
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("freq_items_mg"), plan)
+    // pass 2: candidates broadcast into a semi join (corpus side unshuffled
+    // before the filter)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+  }
 }
