@@ -334,6 +334,15 @@ object SparkEntry {
   private def qOutliers(s: SparkSession, dir: String): DataFrame =
     Stats.iqrOutliers(ev(s, dir), Seq("event_type"), "value")
 
+  /** Bigram LM quality score per document (self-trained corpus model) —
+    * higher avg log-likelihood = more corpus-like text. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.text.LangModel.scoreDocs(docs, docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(col("avg_logprob")).as("avg_logprob"))
+  }
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -1095,6 +1104,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_stats_bivariate" -> (qStatsBivariate _),
     "q_outliers" -> (qOutliers _),
+    "q_lm_score" -> (qLmScore _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1530,6 +1540,24 @@ object SparkEntry {
         |GROUP BY 1
         |HAVING count(*) > (SELECT count(*) FROM documents
         |                   WHERE lang IS NOT NULL) * 0.2""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    unnest(t[1:len(t)-1]) AS w1,
+        |    unnest(t[2:len(t)]) AS w2
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'),
+        |            x -> x <> '') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((n2 + 0.4) / (n1 + 0.4 * v))), 6) AS avg_logprob
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

@@ -270,6 +270,33 @@ class TextDedupSpec extends SparkSpec {
     assert(top(1L) == "zebra" && top(2L) == "yak")
   }
 
+  test("LangModel: bigram extraction and smoothed log-likelihood by hand") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b) (b,a) (a,b)
+      (2L, "a b"),       // (a,b)
+      (3L, "x"))         // too short: no bigrams, no score row
+      .toDF("doc_id", "text")
+    val bg = graft.text.LangModel.bigrams(docs, "doc_id", "text")
+      .as[(Long, String, String)].collect().toSeq
+    assert(bg.count(_ == ((1L, "a", "b"))) == 2)
+    assert(bg.count(_ == ((1L, "b", "a"))) == 1)
+    assert(bg.count(_ == ((2L, "a", "b"))) == 1)
+    assert(!bg.exists(_._1 == 3L))
+    // model: c(a,b)=3, c(b,a)=1; prefixes c(a·)=3, c(b·)=1; V=2; alpha=0.4
+    val a = 0.4; val V = 2
+    val pAB = (3 + a) / (3 + a * V)
+    val pBA = (1 + a) / (1 + a * V)
+    val scored = graft.text.LangModel.scoreDocs(docs, docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(scored.keySet == Set(1L, 2L))
+    assert(scored(1L)._2 == 3L)
+    val exp1 = (2 * math.log(pAB) + math.log(pBA)) / 3
+    assert(math.abs(scored(1L)._3 - exp1) < 1e-12, scored(1L))
+    assert(math.abs(scored(2L)._3 - math.log(pAB)) < 1e-12)
+    // a doc full of corpus-typical bigrams outscores one full of rare ones
+    assert(scored(2L)._3 > scored(1L)._3 == (math.log(pAB) > exp1))
+  }
+
   test("jaccardPairsAgainst: batch-vs-corpus pairs, honest denominators") {
     // corpus docs 10,11; batch docs 1 (near-dup of 10), 2 (unrelated)
     val corpus = Seq(
