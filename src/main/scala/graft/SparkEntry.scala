@@ -252,6 +252,15 @@ object SparkEntry {
       "source", col("doc_id"),
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
 
+  /** Epoch-repetition mixture: src0 x2.5 (two full copies + half-chance
+    * third), src1 x1, src2 x0.5, everything else dropped. */
+  private def qMixtureRepeat(s: SparkSession, dir: String): DataFrame =
+    Curate.mixtureRepeat(
+      tbl(s, dir, "documents").select("doc_id", "source", "lang"),
+      "source", col("doc_id"),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5))
+      .select("doc_id", "source", "lang", "copy_id")
+
   /** Token-budget sequence packing (concat-and-chunk, 512-token packs per
     * language): one window pass, running-sum start offsets. */
   private def qPack(s: SparkSession, dir: String): DataFrame =
@@ -1094,6 +1103,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_split" -> (qSplit _),
     "q_mixture" -> (qMixture _),
+    "q_mixture_repeat" -> (qMixtureRepeat _),
     "q_pack" -> (qPack _),
     "q_chunk" -> (qChunk _),
     "q_corpus_diff" -> (qCorpusDiff _),
@@ -1483,6 +1493,24 @@ object SparkEntry {
         |  WHEN 'src2' THEN '40000000'
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '' END""".stripMargin,
+
+    "q_mixture_repeat" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |    substr(md5('mix' || source || ':' || CAST(doc_id AS VARCHAR)),
+        |           1, 8) AS h
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |c AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END
+        |    + CASE WHEN h < CASE source WHEN 'src0' THEN '80000000'
+        |                                WHEN 'src2' THEN '80000000'
+        |                                ELSE '' END
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM t)
+        |SELECT doc_id, source, lang,
+        |  unnest(generate_series(0, copies - 1)) AS copy_id
+        |FROM c WHERE copies > 0""".stripMargin,
 
     "q_pack" ->
       """WITH t AS (

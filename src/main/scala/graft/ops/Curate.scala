@@ -72,6 +72,36 @@ object Curate {
     df.filter(h < thr)
   }
 
+  /** Corpus blending with weights above 1: weight w emits floor(w) full
+    * copies of every row plus one more with probability frac(w) — the
+    * "Wikipedia x2.5, CommonCrawl x0.1" epoch-repetition mixture. Each
+    * output row carries `copy_id` (0-based) so downstream shuffles/dedups
+    * see distinct rows. Deterministic: the fractional copy is decided by
+    * the row's own (source, key) hash, so the blended corpus is replayable
+    * anywhere. Narrow: one explode, no shuffle; output volume =
+    * Σ w_s × |source_s| by construction. */
+  def mixtureRepeat(df: DataFrame, sourceCol: String, key: Column,
+                    weights: Map[String, Double],
+                    salt: String = "mix"): DataFrame = {
+    require(weights.values.forall(_ >= 0), s"negative weight in $weights")
+    val h = hashBucket(concat(col(sourceCol), lit(":"), key.cast("string")),
+      salt)
+    val sorted = weights.toSeq.sortBy(_._1)
+    val fullCopies = sorted.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === lit(src), lit(math.floor(w).toLong))
+        .otherwise(acc)
+    }
+    val fracThreshold = sorted.foldLeft(lit("")) { case (acc, (src, w)) =>
+      when(col(sourceCol) === lit(src),
+        lit(hexThreshold(w - math.floor(w)))).otherwise(acc)
+    }
+    df.withColumn("__copies",
+        fullCopies + when(h < fracThreshold, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Sliding-window document chunking: split each document's token stream
     * into chunks of `size` tokens advancing by `size - overlap` — the
     * retrieval/context-window prep step (long doc -> overlapping model-size

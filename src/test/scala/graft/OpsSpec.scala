@@ -509,6 +509,26 @@ class OpsSpec extends SparkSpec {
     assert(splitsPerGroup == 1L)
   }
 
+  test("mixtureRepeat: epoch repetition — floor copies plus hash fraction") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = Curate.mixtureRepeat(docs, "source", $"doc_id",
+      Map("src0" -> 2.5, "src1" -> 1.0))
+    val n = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(n("src1") == 1000L)                    // exactly one copy each
+    assert(n("src0") > 2300 && n("src0") < 2700, n) // ~2.5x
+    assert(!n.contains("src2"))                   // weight 0
+    // every src0 doc appears 2 or 3 times, copy ids dense from 0
+    val copies = out.filter($"source" === "src0").groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), max($"copy_id").as("m"))
+      .as[(Long, Long, Long)].collect()
+    assert(copies.forall(r => (r._2 == 2 || r._2 == 3) && r._3 == r._2 - 1))
+    // deterministic on rerun
+    val again = Curate.mixtureRepeat(docs, "source", $"doc_id",
+      Map("src0" -> 2.5, "src1" -> 1.0))
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("mixtureSample: per-source keep rates; unknown sources drop") {
     val docs = (0L until 3000L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")
