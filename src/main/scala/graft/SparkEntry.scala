@@ -270,6 +270,21 @@ object SparkEntry {
       partitionCols = Seq("lang"), order = Seq(col("doc_id")),
       tokensCol = "n_tokens", budget = 512L)
 
+  /** Pack assembly: 512-token packs per language materialized as one
+    * concatenated training sequence each; the sequence is md5'd so the full
+    * assembled text is hash-compared without shipping it. */
+  private def qPackAssemble(s: SparkSession, dir: String): DataFrame = {
+    val packed = Curate.tokenPack(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("text"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      partitionCols = Seq("lang"), order = Seq(col("doc_id")),
+      tokensCol = "n_tokens", budget = 512L)
+    Curate.assemblePacks(packed, Seq("lang"), Seq("doc_id"), "text")
+      .select(col("lang"), col("pack_id"), col("n_docs"),
+        length(col("seq_text")).as("seq_len"),
+        md5(col("seq_text")).as("seq_md5"))
+  }
+
   /** Sliding 128-token chunks with 32-token overlap per document — one
     * explode, no shuffle; chunk bounds are pure integer arithmetic. */
   private def qChunk(s: SparkSession, dir: String): DataFrame =
@@ -351,6 +366,12 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bigrams"),
         r6(col("avg_logprob")).as("avg_logprob"))
   }
+
+  /** One-scan column profile of the events table (nulls / distincts /
+    * numeric ranges per column, unpivoted from a single agg row). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Stats.profile(ev(s, dir),
+      Seq("event_id", "user_id", "event_type", "value"))
 
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
@@ -1105,6 +1126,7 @@ object SparkEntry {
     "q_mixture" -> (qMixture _),
     "q_mixture_repeat" -> (qMixtureRepeat _),
     "q_pack" -> (qPack _),
+    "q_pack_assemble" -> (qPackAssemble _),
     "q_chunk" -> (qChunk _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_split_leakage" -> (qSplitLeakage _),
@@ -1115,6 +1137,7 @@ object SparkEntry {
     "q_stats_bivariate" -> (qStatsBivariate _),
     "q_outliers" -> (qOutliers _),
     "q_lm_score" -> (qLmScore _),
+    "q_profile" -> (qProfile _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1264,6 +1287,28 @@ object SparkEntry {
     "q_dup_check" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'event_id' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_null,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(min(event_id) AS DOUBLE) AS min_num,
+        |  CAST(max(event_id) AS DOUBLE) AS max_num
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id),
+        |  CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type), NULL, NULL
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value),
+        |  CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+        |FROM events""".stripMargin,
 
     "q_stats_bivariate" ->
       """SELECT l_returnflag,
@@ -1526,6 +1571,23 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, start_offset,
         |  CAST(floor(start_offset / 512) AS BIGINT) AS pack_id
         |FROM r""".stripMargin,
+
+    "q_pack_assemble" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+        |      / 512) AS BIGINT) AS pack_id
+        |  FROM t)
+        |SELECT lang, pack_id, count(*) AS n_docs,
+        |  length(string_agg(text, ' ' ORDER BY doc_id)) AS seq_len,
+        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q_chunk" ->
       """WITH t AS (

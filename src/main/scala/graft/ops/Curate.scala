@@ -102,6 +102,25 @@ object Curate {
       .drop("__copies")
   }
 
+  /** Materialize packed sequences: group [[tokenPack]] output by pack and
+    * concatenate the member documents in order into one training-sequence
+    * string. Per-group state is bounded by the pack BUDGET (a pack holds at
+    * most ~budget tokens by construction), so the collect_list that would
+    * be a red flag on arbitrary groups is safe here — the operator's own
+    * upstream guarantees the buffer size. Ordering inside the pack is the
+    * same total order the packing used (struct-sort on the order columns),
+    * so the assembled text is deterministic. */
+  def assemblePacks(packed: DataFrame, partitionCols: Seq[String],
+                    order: Seq[String], text: String,
+                    packCol: String = "pack_id"): DataFrame = {
+    val sortKey = struct((order.map(col) :+ col(text)): _*)
+    packed.groupBy((partitionCols :+ packCol).map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(sortKey)),
+            x => x.getField(text)), " ").as("seq_text"))
+  }
+
   /** Sliding-window document chunking: split each document's token stream
     * into chunks of `size` tokens advancing by `size - overlap` — the
     * retrieval/context-window prep step (long doc -> overlapping model-size

@@ -30,6 +30,43 @@ object Stats {
       count(lit(1)).as("n"))
   }
 
+  /** Column profile — the data-quality report a pipeline runs before
+    * trusting a new drop: per column, row/null/distinct counts plus
+    * numeric min/max. ONE aggregation pass over the table computes every
+    * metric (the per-column rows are unpivoted from a single agg row), so
+    * profiling a 100 TB table costs one scan, not one scan per column.
+    * Distinct counts are exact; swap in approx_count_distinct when the
+    * profile itself must stay sketch-sized. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val numeric = cols.filter(c => df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }).toSet
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        count(lit(1)).as(s"__rows_$c"),
+        countDistinct(col(c)).as(s"__d_$c")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"__min_$c"),
+            max(col(c)).cast("double").as(s"__max_$c"))
+        else
+          Seq(lit(null).cast("double").as(s"__min_$c"),
+            lit(null).cast("double").as(s"__max_$c")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val metricRows = cols.map(c => struct(
+      lit(c).as("column_name"),
+      (col(s"__rows_$c") - col(s"__n_$c")).as("n_null"),
+      col(s"__d_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_num"),
+      col(s"__max_$c").as("max_num")))
+    one.select(col(s"__rows_${cols.head}").as("n_rows"),
+        explode(array(metricRows: _*)).as("m"))
+      .select(col("m.column_name").as("column_name"), col("n_rows"),
+        col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
+        col("m.min_num").as("min_num"), col("m.max_num").as("max_num"))
+  }
+
   /** Tukey-fence outliers per group: values outside
     * [p25 - k·IQR, p75 + k·IQR]. Two passes — fences per group (exact
     * interpolated quantiles), then a broadcast join back to count
