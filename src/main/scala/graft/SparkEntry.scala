@@ -373,6 +373,12 @@ object SparkEntry {
     Stats.profile(ev(s, dir),
       Seq("event_id", "user_id", "event_type", "value"))
 
+  /** Cross-series co-movement: correlation of every event-type pair's
+    * hourly average value over aligned buckets. */
+  private def qSeriesCorr(s: SparkSession, dir: String): DataFrame =
+    Stats.alignedSeriesCorr(ev(s, dir), "event_type", "ts", "value",
+      bucketSeconds = 3600L, minOverlap = 10L)
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -1138,6 +1144,7 @@ object SparkEntry {
     "q_outliers" -> (qOutliers _),
     "q_lm_score" -> (qLmScore _),
     "q_profile" -> (qProfile _),
+    "q_series_corr" -> (qSeriesCorr _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1287,6 +1294,19 @@ object SparkEntry {
     "q_dup_check" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q_series_corr" ->
+      s"""WITH series AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch($TS) / 3600) AS BIGINT) * 3600 AS bucket,
+         |    round(avg(value), 6) AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT a.event_type AS key1, b.event_type AS key2,
+         |  round(corr(a.v, b.v), 6) AS corr_v, count(*) AS n_buckets
+         |FROM series a JOIN series b
+         |  ON a.bucket = b.bucket AND a.event_type < b.event_type
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 10""".stripMargin,
 
     "q_profile" ->
       """SELECT 'event_id' AS column_name, count(*) AS n_rows,

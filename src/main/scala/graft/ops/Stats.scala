@@ -30,6 +30,36 @@ object Stats {
       count(lit(1)).as("n"))
   }
 
+  /** Cross-series correlation over aligned time buckets — the
+    * pairs-trading / co-movement screen: bucket each series to a common
+    * grid (epoch-floor, engine-portable), then correlate every key pair
+    * over the buckets both populated. Pairs below `minOverlap` shared
+    * buckets are dropped (a correlation over 3 points is noise). The
+    * self-join fans out k series per bucket into k²/2 pair rows — fine for
+    * thousands of keys; at millions, pre-filter candidate pairs (sector
+    * blocking, an LSH over coarse return sketches) before this exact pass,
+    * exactly like the dedup family's block-then-verify shape. Bucket
+    * values are rounded r6 BEFORE the correlation so both engines
+    * correlate bit-identical series. */
+  def alignedSeriesCorr(df: DataFrame, key: String, ts: String,
+                        value: String, bucketSeconds: Long,
+                        minOverlap: Long): DataFrame = {
+    val bucket = (floor(unix_timestamp(col(ts)) / lit(bucketSeconds))
+      .cast("long") * bucketSeconds).as("bucket")
+    val series = df.groupBy(col(key), bucket)
+      .agg(round(avg(col(value)), 6).as("v"))
+    val a = series.select(col(key).as("key1"), col("bucket"),
+      col("v").as("v1"))
+    val b = series.select(col(key).as("key2"), col("bucket"),
+      col("v").as("v2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("key1") < col("key2"))
+      .groupBy("key1", "key2")
+      .agg(round(corr(col("v1"), col("v2")), 6).as("corr_v"),
+        count(lit(1)).as("n_buckets"))
+      .filter(col("n_buckets") >= minOverlap)
+  }
+
   /** Column profile — the data-quality report a pipeline runs before
     * trusting a new drop: per column, row/null/distinct counts plus
     * numeric min/max. ONE aggregation pass over the table computes every
