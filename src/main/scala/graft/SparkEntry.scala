@@ -564,13 +564,15 @@ object SparkEntry {
     * tie-deterministic without a row tiebreaker. */
   private def qWindowTimeRange(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.trailingTimeAgg(ev(s, dir), "event_type", "ts",
-        Seq("trail_avg" -> ((c: Column) => avg(c)),
+        Seq("trail_sum" -> ((c: Column) => sum(c)),
             "trail_n" -> ((c: Column) => count(c)),
             "trail_max" -> ((c: Column) => max(c))),
         "value", seconds = 600L)
       .select(col("event_id"), col("event_type"),
-        r6(col("trail_avg")).as("trail_avg"), col("trail_n"),
-        col("trail_max"))
+        // tie-immune frame average (exactAvg discipline): the frame's row
+        // count is arbitrary, so round(avg, 6) could tie at 32*odd rows
+        (round(col("trail_sum"), 4) / col("trail_n")).as("trail_avg"),
+        col("trail_n"), col("trail_max"))
 
   /** Quality deciles per language: ntile(10) over (quality_score, doc_id) —
     * the keep-top-N% curation cut, tie-broken to a total order so bucket
@@ -1299,7 +1301,7 @@ object SparkEntry {
       s"""WITH series AS (
          |  SELECT event_type,
          |    CAST(floor(epoch($TS) / 3600) AS BIGINT) * 3600 AS bucket,
-         |    round(avg(value), 6) AS v
+         |    round(sum(value), 4) / count(value) AS v
          |  FROM events GROUP BY 1, 2)
          |SELECT a.event_type AS key1, b.event_type AS key2,
          |  round(corr(a.v, b.v), 6) AS corr_v, count(*) AS n_buckets
@@ -2370,7 +2372,7 @@ object SparkEntry {
 
     "q_window_time_range" ->
       s"""SELECT event_id, event_type,
-         |  round(avg(value) OVER w, 6) AS trail_avg,
+         |  round(sum(value) OVER w, 4) / count(value) OVER w AS trail_avg,
          |  count(value) OVER w AS trail_n,
          |  max(value) OVER w AS trail_max
          |FROM (SELECT event_id, event_type, value,

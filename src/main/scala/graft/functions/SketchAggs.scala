@@ -234,13 +234,13 @@ case class FreqItemsAgg(
       .asInstanceOf[Array[Any]])
 
   override def serialize(buf: Buf): Array[Byte] = {
-    val entries = buf.toArray
-    val bytesPer = entries.map { case (s, _) =>
-      s.getBytes("UTF-8").length }
-    val bb = ByteBuffer.allocate(4 + entries.length * 12 + bytesPer.sum)
+    val entries = buf.toArray.map { case (s, c) =>
+      (s.getBytes("UTF-8"), c) // encode once, reuse for sizing and writing
+    }
+    val bb = ByteBuffer.allocate(4 + entries.length * 12 +
+      entries.map(_._1.length).sum)
     bb.putInt(entries.length)
-    entries.foreach { case (s, c) =>
-      val b = s.getBytes("UTF-8")
+    entries.foreach { case (b, c) =>
       bb.putInt(b.length); bb.put(b); bb.putLong(c)
     }
     bb.array()

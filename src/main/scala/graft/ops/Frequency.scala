@@ -33,15 +33,16 @@ object Frequency {
       s"minFraction ($minFraction) must be >= 1/k (${1.0 / k}) " +
         "for the Misra-Gries recall guarantee to hold")
     val key = col(keyCol).cast("string")
+    // the total row count rides in the sketch pass, so the operator costs
+    // exactly two scans: sketch+count, then the candidate-filtered re-count
     val candidates = df.filter(key.isNotNull)
-      .agg(SketchAggs.freqItems(key, k).as("__cands"))
-      .select(explode(col("__cands")).as("item"))
-    val exact = df.filter(key.isNotNull)
+      .agg(SketchAggs.freqItems(key, k).as("__cands"),
+        count(lit(1)).as("__n"))
+      .select(explode(col("__cands")).as("item"), col("__n"))
+    df.filter(key.isNotNull)
       .select(key.as("item"))
-      .join(broadcast(candidates), Seq("item"), "left_semi")
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
-    val total = df.filter(key.isNotNull).agg(count(lit(1)).as("__n"))
-    exact.crossJoin(broadcast(total))
+      .join(broadcast(candidates), Seq("item"))
+      .groupBy("item", "__n").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > col("__n") * minFraction)
       .select("item", "cnt")
   }

@@ -77,16 +77,29 @@ object Ingest {
                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(inDir), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) /
-      targetFileBytes).toInt
+    // RECURSIVE listing: partitioned layouts (date=*/part-*.parquet) keep
+    // their data files in subdirectories — a flat listStatus would size
+    // them at 0 bytes and coalesce(1) a 100 GB dataset onto one task
+    def totalBytes(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) sum += s.getLen
+      }
+      sum
+    }
+    val nFiles = math.max(1L,
+      (totalBytes(new org.apache.hadoop.fs.Path(inDir)) + targetFileBytes - 1)
+        / targetFileBytes).toInt
     spark.read.parquet(inDir)
       .coalesce(nFiles)
       .write.mode("overwrite").option("compression", "snappy")
       .parquet(outDir)
-    nFiles
+    // coalesce cannot INCREASE partition count, so the write may produce
+    // fewer files than asked; report what actually landed
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
   /** S7: raw-zone CSV landing with header (consumer side of the reference;

@@ -42,14 +42,19 @@ object Merge {
                    compareCols: Seq[String],
                    changeCol: String = "change"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val o = oldDf.select((keys ++ compareCols).map(c =>
-      col(c).as(s"__old_$c")): _*)
-    val n = newDf.select((keys ++ compareCols).map(col): _*)
+    // presence markers, not key nullness: a legitimately-null key would
+    // otherwise read as "absent" and a removed null-keyed row would be
+    // labeled added
+    val o = oldDf.select(keys.map(c => col(c).as(s"__old_$c")) ++
+      compareCols.map(c => col(c).as(s"__old_$c")) :+
+      lit(true).as("__old_present"): _*)
+    val n = newDf.select((keys ++ compareCols).map(col) :+
+      lit(true).as("__new_present"): _*)
     val joinCond = keys.map(k => col(k) <=> col(s"__old_$k")).reduce(_ && _)
     val sameContent = compareCols.map(c => col(c) <=> col(s"__old_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val oldKeyPresent = col(s"__old_${keys.head}").isNotNull
-    val newKeyPresent = col(keys.head).isNotNull
+    val oldKeyPresent = col("__old_present").isNotNull
+    val newKeyPresent = col("__new_present").isNotNull
     n.join(o, joinCond, "full_outer")
       .withColumn(changeCol,
         when(!oldKeyPresent, lit("added"))

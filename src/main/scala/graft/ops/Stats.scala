@@ -20,8 +20,11 @@ object Stats {
     * every function is partial-aggregable (no per-group buffering). */
   def bivariate(df: DataFrame, keys: Seq[String], x: String, y: String,
                 round6: Boolean = true): DataFrame = {
+    // nanToNull: Spark evaluates zero-variance corr/slope as NaN (0/0)
+    // where ANSI engines return NULL — normalize like Clean does for
+    // window stddev
     val r = (c: org.apache.spark.sql.Column) =>
-      if (round6) round(c, 6) else c
+      Clean.nanToNull(if (round6) round(c, 6) else c)
     df.groupBy(keys.map(col): _*).agg(
       r(corr(col(y), col(x))).as("corr_yx"),
       r(covar_samp(col(y), col(x))).as("covar_yx"),
@@ -46,8 +49,12 @@ object Stats {
                         minOverlap: Long): DataFrame = {
     val bucket = (floor(unix_timestamp(col(ts)) / lit(bucketSeconds))
       .cast("long") * bucketSeconds).as("bucket")
+    // tie-immune bucket average: round the sum (no rounding boundary is
+    // reachable for 2-decimal-true data) then divide — round(avg, 6) ties
+    // whenever a bucket holds 32*odd rows and the engines' rounding rules
+    // disagree (see SparkEntry.exactAvg)
     val series = df.groupBy(col(key), bucket)
-      .agg(round(avg(col(value)), 6).as("v"))
+      .agg((round(sum(col(value)), 4) / count(col(value))).as("v"))
     val a = series.select(col(key).as("key1"), col("bucket"),
       col("v").as("v1"))
     val b = series.select(col(key).as("key2"), col("bucket"),
@@ -55,8 +62,8 @@ object Stats {
     a.join(b, Seq("bucket"))
       .filter(col("key1") < col("key2"))
       .groupBy("key1", "key2")
-      .agg(round(corr(col("v1"), col("v2")), 6).as("corr_v"),
-        count(lit(1)).as("n_buckets"))
+      .agg(Clean.nanToNull(round(corr(col("v1"), col("v2")), 6))
+        .as("corr_v"), count(lit(1)).as("n_buckets"))
       .filter(col("n_buckets") >= minOverlap)
   }
 

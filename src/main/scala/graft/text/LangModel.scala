@@ -45,7 +45,9 @@ object LangModel {
                 alpha: Double = 0.4): DataFrame = {
     val corpus = bigrams(train, id, text)
     val c2 = corpus.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = corpus.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // prefix counts derive from the bigram table by summation — exactly
+    // equal to re-counting, without a second tokenize/explode of the corpus
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
     bigrams(df, id, text)
       .join(c2, Seq("w1", "w2"), "left")

@@ -75,9 +75,10 @@ class BucketSpec extends SparkSpec {
     // carrying <= k-entry summaries
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("freq_items_mg"), plan)
-    // pass 2: candidates broadcast into a semi join (corpus side unshuffled
-    // before the filter)
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      plan)
+    // pass 2: candidates (carrying the total) broadcast into the corpus
+    // scan — the corpus side is never key-shuffled before the filter
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // and the whole operator is exactly two scans of the input
+    assert(plan.split("Scan ").length - 1 == 2, plan)
   }
 }

@@ -577,6 +577,13 @@ class OpsSpec extends SparkSpec {
     val d2 = Merge.snapshotDiff(old.filter($"id" === 3), nowNull,
       Seq("id"), Seq("payload")).as[(Long, String)].collect().toSet
     assert(d2 == Set((3L, "changed")))
+    // a null-KEYED row removed from the new snapshot reads as removed —
+    // presence comes from marker columns, never from key nullness
+    val oldNk = Seq((Some(7L), "a"), (None, "b")).toDF("id", "payload")
+    val nowNk = Seq((Some(7L), "a")).toDF("id", "payload")
+    val d3 = Merge.snapshotDiff(oldNk, nowNk, Seq("id"), Seq("payload"))
+      .select($"change").as[String].collect().toSeq
+    assert(d3 == Seq("removed"))
   }
 
   test("tokenPack: concat-and-chunk offsets and pack ids per partition") {
