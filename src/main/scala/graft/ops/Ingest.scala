@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /**
  * Sources and sinks (SURVEY §2.1, S1-S7).
@@ -122,6 +122,36 @@ object Ingest {
     * equivalent is JSONL on disk. Schema-on-read, no inference pass. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Malformed-tolerant JSONL ingestion — a live feed WILL contain
+    * truncated/garbled messages, and failing the job (FAILFAST) or
+    * silently dropping them (DROPMALFORMED) are both wrong for an
+    * auditable pipeline. Reads the file as raw text and parses each line
+    * with from_json (exactly the Kafka value-decode shape,
+    * [[decodeKafkaJson]]) carrying an in-struct `_corrupt_record` field:
+    * an unparseable line sets it to the raw text, so clean and quarantine
+    * are two filters over one narrow scan — no cache, and none of the
+    * corrupt-column-only query restrictions of the PERMISSIVE file reader
+    * (those apply to raw file scans, not to parsed columns).
+    * Returns (clean rows, quarantine raw lines); the
+    * quarantine count is the feed-health metric and the raw line replays
+    * after a parser fix. A parseABLE line with wrong field types is NOT
+    * quarantined — it parses to a struct with null fields, the same
+    * schema-skew semantics as the reference's change_percent column. */
+  def readJsonlAudited(spark: SparkSession, path: String,
+                       schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("__j"))
+    val clean = parsed.filter(col("__j._corrupt_record").isNull)
+      .select(col("__j.*")).drop("_corrupt_record")
+    val quarantine = parsed.filter(col("__j._corrupt_record").isNotNull)
+      .select(col("value").as("raw_line"))
+    (clean, quarantine)
+  }
 
   /** S6 streaming twin: JSONL file-stream source. */
   def readJsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -465,6 +465,26 @@ class OpsSpec extends SparkSpec {
     assert(ordered.forall(identity))
   }
 
+  test("readJsonlAudited: clean rows parse, malformed lines quarantine") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit")
+    java.nio.file.Files.writeString(dir.resolve("m.jsonl"), Seq(
+      """{"id":1,"v":"ok"}""",
+      """{"id":2,"v":"also ok"}""",
+      """{"id":3,"v":  TRUNCATED""",
+      """not json at all""").mkString("\n"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val (clean, quarantine) = Ingest.readJsonlAudited(spark, dir.toString,
+      schema)
+    assert(clean.columns.toSeq == Seq("id", "v"))
+    assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val bad = quarantine.as[String].collect()
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("TRUNCATED")))
+    assert(bad.contains("not json at all")) // raw line preserved for replay
+  }
+
   test("compactParquet: many tiny files -> few target-size files, same rows") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact")
     val in = base.resolve("in").toString
