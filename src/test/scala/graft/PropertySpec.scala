@@ -129,6 +129,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenPack + chunkByTokens: offsets match a driver-side fold") {
+    import graft.ops.Curate
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      val docs = (1L to 400L).map(i =>
+        (i, s"p${rnd.nextInt(3)}", rnd.nextInt(900).toLong + 1))
+      val df = docs.toDF("doc_id", "part", "n_tokens").repartition(7)
+      val budget = 512L
+      // driver reference: running-sum fold per partition in doc_id order
+      val expected = docs.groupBy(_._2).flatMap { case (_, group) =>
+        group.sortBy(_._1).scanLeft((0L, 0L, 0L)) {
+          case ((_, _, acc), (id, _, n)) => (id, acc, acc + n)
+        }.drop(1).map { case (id, start, _) => id -> (start, start / budget) }
+      }.toMap
+      val got = Curate.tokenPack(df, Seq("part"), Seq($"doc_id"),
+          "n_tokens", budget)
+        .select("doc_id", "start_offset", "pack_id")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == expected, s"pack mismatch at seed $seed")
+      // chunking invariants on the same docs: full coverage, correct stride
+      val chunks = Curate.chunkByTokens(
+          df.select($"doc_id", $"n_tokens"), "n_tokens", 128, 32)
+        .select("doc_id", "chunk_id", "tok_start", "tok_end")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      docs.foreach { case (id, _, n) =>
+        val cs = chunks(id)
+        assert(cs.head._3 == 0L && cs.last._4 == n, s"doc $id coverage")
+        cs.foreach { case (_, cid, s, e) =>
+          assert(s == cid * 96 && e == math.min(s + 128, n))
+        }
+        // every token position is inside at least one chunk
+        assert(cs.sliding(2).forall {
+          case Seq(a, b) => b._3 < a._4
+          case _ => true
+        }, s"doc $id gap")
+      }
+    }
+  }
+
+  test("snapshotDiff: random overlapping snapshots match a map-based diff") {
+    for (seed <- Seq(9, 31)) {
+      val rnd = new Random(seed)
+      def snap(): Map[Long, String] =
+        (1L to 200L).filter(_ => rnd.nextDouble() < 0.7)
+          .map(k => k -> s"v${rnd.nextInt(4)}").toMap
+      val oldM = snap(); val newM = snap()
+      val expected =
+        (newM.keySet -- oldM.keySet).map(_ -> "added") ++
+        (oldM.keySet -- newM.keySet).map(_ -> "removed") ++
+        (oldM.keySet & newM.keySet).filter(k => oldM(k) != newM(k))
+          .map(_ -> "changed")
+      val got = Merge.snapshotDiff(
+          oldM.toSeq.toDF("id", "payload").repartition(5),
+          newM.toSeq.toDF("id", "payload").repartition(3),
+          Seq("id"), Seq("payload"))
+        .as[(Long, String)].collect().toSet
+      assert(got == expected.toSet, s"diff mismatch at seed $seed")
+    }
+  }
+
   test("heavyHitters: MG recall guarantee vs exact counts, any ordering") {
     import graft.ops.Frequency
     for (seed <- Seq(3, 11, 77)) {
