@@ -465,6 +465,21 @@ class OpsSpec extends SparkSpec {
     assert(ordered.forall(identity))
   }
 
+  test("Observe.withMetrics: funnel counters ride the result job") {
+    import org.apache.spark.sql.functions._
+    val raw = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)),
+      ("d", Some(-7.0))).toDF("k", "v")
+    val (observed, obs) = Observe.withMetrics(raw, "funnel", Seq(
+      "n_in" -> count(lit(1)),
+      "n_null_v" -> count(when($"v".isNull, 1)),
+      "n_negative" -> count(when($"v" < 0, 1))))
+    // the downstream clean step consumes the observed frame; ONE job runs
+    val kept = observed.filter($"v".isNotNull && $"v" >= 0).count()
+    assert(kept == 2)
+    val m = obs.get
+    assert(m("n_in") == 4L && m("n_null_v") == 1L && m("n_negative") == 1L)
+  }
+
   test("readJsonlAudited: clean rows parse, malformed lines quarantine") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_audit")
