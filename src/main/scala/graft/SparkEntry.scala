@@ -379,6 +379,14 @@ object SparkEntry {
     Stats.alignedSeriesCorr(ev(s, dir), "event_type", "ts", "value",
       bucketSeconds = 3600L, minOverlap = 10L)
 
+  /** SCD2 history: each user's event log becomes validity-interval rows
+    * (event_id tiebreak makes the intervals total-order deterministic). */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    Merge.scd2(ev(s, dir).select("user_id", "ts", "event_id", "value"),
+        keys = Seq("user_id"), ts = "ts", tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+
   private def qCount(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
@@ -1147,6 +1155,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_profile" -> (qProfile _),
     "q_series_corr" -> (qSeriesCorr _),
+    "q_scd2" -> (qScd2 _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_vocab" -> (qTextVocab _),
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
@@ -1296,6 +1305,15 @@ object SparkEntry {
     "q_dup_check" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q_scd2" ->
+      s"""SELECT user_id, event_id, value,
+         |  $TS AS effective_from,
+         |  lead($TS) OVER (PARTITION BY user_id
+         |    ORDER BY $TS, event_id) AS effective_to,
+         |  lead($TS) OVER (PARTITION BY user_id
+         |    ORDER BY $TS, event_id) IS NULL AS is_current
+         |FROM events""".stripMargin,
 
     "q_series_corr" ->
       s"""WITH series AS (

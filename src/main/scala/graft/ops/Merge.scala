@@ -65,6 +65,26 @@ object Merge {
         col(changeCol): _*)
   }
 
+  /** SCD2 history build: turn a change log (key, ts, attributes...) into
+    * slowly-changing-dimension rows with validity intervals —
+    * effective_from = the change's own timestamp, effective_to = the next
+    * change's timestamp for the key (NULL = current row, is_current flag).
+    * One window pass per key (single shuffle on the key); `orderCols`
+    * must total-order changes within a key (add a sequence column when
+    * timestamps can tie, or the interval endpoints are nondeterministic).
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], ts: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((ts +: tieBreak).map(col): _*)
+    changes
+      .withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
   /** MERGE into a parquet table path with a rename swap: write the merged
     * result next to the table, back the old table up, rename the new one
     * in. The swap is two renames, so a crash between them can leave the
