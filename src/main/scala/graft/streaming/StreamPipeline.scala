@@ -188,6 +188,24 @@ object StreamPipeline {
       }
       .start()
 
+  /** S9, made safe: the reference's log sink collects EVERY batch row to
+    * the driver (spark_stream_processor.py:89) — at scale that is a driver
+    * OOM. This is the bounded twin: at most `maxRows` rows per micro-batch
+    * reach the handler (limit() runs on the executors, so the driver never
+    * receives more), everything else is counted, not shipped. Good for
+    * live previews/debug taps; the data path stays on the cluster. */
+  def startPreview(metrics: DataFrame, checkpointDir: String, maxRows: Int,
+                   trigger: Trigger = Trigger.AvailableNow())(
+      handler: (Long, Seq[org.apache.spark.sql.Row]) => Unit): StreamingQuery =
+    metrics.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        handler(batchId, batch.limit(maxRows).collect().toSeq)
+      }
+      .start()
+
   /** End-to-end: raw CSV dir -> windowed metrics -> partitioned parquet.
     * With Trigger.AvailableNow this drains the directory and stops —
     * deterministic for tests; swap the trigger for ProcessingTime in

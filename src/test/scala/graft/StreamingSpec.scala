@@ -378,6 +378,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head._2 == batchSplit)
   }
 
+  test("startPreview: bounded rows per batch reach the driver handler") {
+    val base = Files.createTempDirectory("graft_stream_preview")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val ckpt = base.resolve("ckpt").toString
+    writeCsv(raw, "p.csv", (1 to 50).map(i =>
+      s"SYM$i,${i}.0,0.0,,10,2024-01-01T00:00:${i % 60}"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    StreamPipeline.startPreview(
+        StreamPipeline.tickStream(spark, raw.toString), ckpt, maxRows = 7) {
+      (_, rows) => seen.add(rows.size)
+    }.awaitTermination(60000)
+    assert(!seen.isEmpty)
+    seen.forEach(n => assert(n <= 7, s"cap breached: $n rows"))
+  }
+
   test("windowed approx-distinct: HLL state emits exact counts at low card") {
     val base = Files.createTempDirectory("graft_stream_hll")
     val raw = Files.createDirectory(base.resolve("raw"))
