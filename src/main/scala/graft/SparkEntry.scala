@@ -216,6 +216,13 @@ object SparkEntry {
         "l_linestatus", Seq("F", "O"), sum(col("l_quantity")))
       .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
 
+  /** UNPIVOT: the three lineitem money/quantity measures melted to long
+    * (measure, value) rows — the inverse reshape of q_pivot. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Rollup.unpivotMeasures(tbl(s, dir, "lineitem"),
+      ids = Seq("l_orderkey", "l_linenumber"),
+      measures = Seq("l_quantity", "l_extendedprice", "l_discount"))
+
   /** Morton z-values for the (event_id, user_id) plane — the layout key
     * behind ZOrder.clusterByZ; pure bit arithmetic, hash-checked. */
   private def qZorder(s: SparkSession, dir: String): DataFrame =
@@ -1135,6 +1142,7 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_zorder" -> (qZorder _),
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -1505,6 +1513,16 @@ object SparkEntry {
         | sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,

@@ -47,4 +47,15 @@ object Rollup {
   def pivotAgg(df: DataFrame, groupKey: String, pivotCol: String,
                values: Seq[String], agg: Column): DataFrame =
     df.groupBy(col(groupKey)).pivot(pivotCol, values).agg(agg)
+
+  /** UNPIVOT (melt): wide measure columns -> long (name, value) rows —
+    * the inverse reshaping of [[pivotAgg]], e.g. one row per (order line,
+    * measure) for a metrics table feeding a generic anomaly screen. Narrow
+    * (an Expand node, rows × measures, no shuffle); values are cast to a
+    * common type by Spark's unpivot contract. */
+  def unpivotMeasures(df: DataFrame, ids: Seq[String], measures: Seq[String],
+                      nameCol: String = "measure",
+                      valueCol: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, measures.map(col).toArray,
+      nameCol, valueCol)
 }
