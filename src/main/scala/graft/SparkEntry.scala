@@ -919,6 +919,41 @@ object SparkEntry {
     TextAnalysis.withFingerprints(tbl(s, dir, "documents"), "text")
       .select("doc_id", "fp_md5", "fp_prefix")
 
+  /** Gopher-style repetition ratios (dup-word / top-word / dup-bigram) —
+    * the repetition-based quality filters, per document. */
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withRepetitionFeatures(tbl(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens_r"), col("dup_word_ratio"),
+        col("top_word_ratio"), col("dup_bigram_ratio"))
+
+  /** Benchmark decontamination: docs with doc_id % 20 == 0 play the held-out
+    * eval set; every other doc reports its distinct-overlapping-3-gram count
+    * and a 0/1 flag. n=3 rather than the production 8-gram default because
+    * the synthetic word-soup vocabulary (~30 words) makes 8-gram collisions
+    * vanishingly rare — 3-grams exercise a realistic hit distribution. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.text.Decontaminate.flagContamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "text", "doc_id", n = 3)
+      .select("doc_id", "n_contaminated_grams", "contaminated")
+  }
+
+  /** Per-source document cap (max 15, best-first by chars desc): the
+    * at-most-N-docs-per-domain curation rule. */
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame =
+    Curate.capPerGroup(tbl(s, dir, "documents"), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id")), n = 15)
+      .select("doc_id", "source", "n_chars", "rank_in_group")
+
+  /** Deterministic epoch shuffle with contiguous 1-based positions — the
+    * two-pass bucketed global sort index (no single-partition window). */
+  private def qShuffleDet(s: SparkSession, dir: String): DataFrame =
+    Curate.globalSortIndex(tbl(s, dir, "documents"), col("doc_id"),
+        seed = "epoch1")
+      .select("doc_id", "shuffle_pos")
+
   /** Top-5 salient terms per doc by tf-idf, ranked on the ROUNDED score
     * (raw-double ordering can flip at 1 ulp across engines). */
   private def qTextTfidf(s: SparkSession, dir: String): DataFrame =
@@ -1201,6 +1236,10 @@ object SparkEntry {
     "q_text_langid" -> (qTextLangId _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_source_cap" -> (qSourceCap _),
+    "q_shuffle_det" -> (qShuffleDet _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
     "q_sim_blocked" -> (qSimBlocked _),
     "q_sim_lsh" -> (qSimLsh _),
@@ -2499,6 +2538,68 @@ object SparkEntry {
         |  md5(array_to_string(string_split(norm, ' ')[1:8], ' '))
         |    AS fp_prefix
         |FROM n""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END AS bi
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens_r,
+        |  round(1.0 - len(list_distinct(toks))
+        |    / CAST(nullif(n, 0) AS DOUBLE), 6) AS dup_word_ratio,
+        |  round(list_max(list_transform(list_distinct(toks),
+        |      w -> len(list_filter(toks, t2 -> t2 = w))))
+        |    / CAST(nullif(n, 0) AS DOUBLE), 6) AS top_word_ratio,
+        |  CASE WHEN n > 0 AND len(bi) = 0 THEN 0.0
+        |    ELSE round(1.0 - len(list_distinct(bi))
+        |      / CAST(nullif(len(bi), 0) AS DOUBLE), 6)
+        |  END AS dup_bigram_ratio
+        |FROM b""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM t WHERE len(toks) >= 3),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(DISTINCT gram) AS n_hits
+        |  FROM g WHERE doc_id % 20 <> 0
+        |    AND gram IN (SELECT gram FROM eg)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_hits, 0) AS n_contaminated_grams,
+        |  CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END
+        |    AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars, rank_in_group
+        |FROM (SELECT doc_id, source, n_chars,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id) AS rank_in_group
+        |      FROM documents)
+        |WHERE rank_in_group <= 15""".stripMargin,
+
+    "q_shuffle_det" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch1'), doc_id)
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     "q_sim_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id,

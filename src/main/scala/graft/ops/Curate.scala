@@ -167,4 +167,47 @@ object Curate {
     df.withColumn("start_offset", startOff)
       .withColumn(packCol, floor(startOff / lit(budget)).cast("long"))
   }
+
+  /** Per-group cap: keep at most `n` rows per group, best-first by `order`
+    * (which must be a total order for a deterministic cut). This is the
+    * "at most N documents per domain" anti-spam curation rule. One shuffle
+    * on the group key; row_number is O(1) state per row, and with AQE on,
+    * a hot domain's partition is split by skew handling rather than
+    * serializing the whole corpus through one task. */
+  def capPerGroup(df: DataFrame, group: Seq[String], order: Seq[Column],
+                  n: Int, rankCol: String = "rank_in_group"): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val w = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= n)
+  }
+
+  /** Deterministic global shuffle with a contiguous position column —
+    * "ORDER BY md5(key ++ seed)" plus the row_number a training-data loader
+    * needs to slice the epoch into batches — WITHOUT the single-partition
+    * global window that row_number() over (ORDER BY ...) would plan.
+    *
+    * Two-pass shape that survives any scale: rows bucket by the first two
+    * hex digits of their md5 (256 buckets, so (bucket, hash) order == hash
+    * order); pass 1 computes per-bucket counts and exclusive prefix offsets
+    * (a 256-row aggregate — the only global step, and it's O(256));
+    * pass 2 broadcast-joins the offsets back and takes row_number within
+    * each bucket. position = offset + in-bucket rank, 1-based. The key
+    * itself breaks md5-collision ties, so the permutation is total. */
+  def globalSortIndex(df: DataFrame, key: Column, seed: String = "",
+                      out: String = "shuffle_pos"): DataFrame = {
+    val withH = df
+      .withColumn("__h", md5(concat(key.cast("string"), lit(seed))))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val offsets = withH.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val wb = Window.partitionBy(col("__b")).orderBy(col("__h"), key)
+    withH.join(broadcast(offsets), "__b")
+      .withColumn(out, col("__off") + row_number().over(wb))
+      .drop("__h", "__b", "__off")
+  }
 }

@@ -115,6 +115,33 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Gopher-style repetition signals: the fraction-of-duplicate-content
+    * filters used to drop low-quality boilerplate/spam before pre-training
+    * (Rae et al. 2021 §A1.1). All per-row array math — zero shuffles, linear
+    * scan at any scale:
+    *   - dup_word_ratio:   1 − distinct tokens / tokens
+    *   - top_word_ratio:   occurrences of the most frequent token / tokens
+    *   - dup_bigram_ratio: 1 − distinct bigrams / bigrams
+    * Tokens are lowercased so "The the" counts as a repeat. Rows with zero
+    * tokens emit nulls (ratios are undefined, not 0). */
+  def withRepetitionFeatures(df: DataFrame, text: String): DataFrame = {
+    val toks = tokens(lower(col(text)))
+    val n = nullif(size(toks), lit(0)).cast(DoubleType)
+    val uniq = array_distinct(toks)
+    // O(|uniq|·|toks|) per row: fine for document-sized rows, and it stays
+    // inside Catalyst HOFs (no UDF, no per-row map allocation)
+    val topN = array_max(transform(uniq, w => size(filter(toks, t => t === w))))
+    val bigrams = wordNGrams(toks, 2)
+    val nBi = nullif(size(bigrams), lit(0)).cast(DoubleType)
+    df.withColumn("n_tokens_r", size(toks))
+      .withColumn("dup_word_ratio",
+        round(lit(1.0) - size(uniq) / n, 6))
+      .withColumn("top_word_ratio", round(topN / n, 6))
+      .withColumn("dup_bigram_ratio",
+        when(size(toks) > 0 && size(bigrams) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - size(array_distinct(bigrams)) / nBi, 6)))
+  }
+
   /** PII patterns scrubbed before a corpus ships to training: each is a
     * (name, regex, replacement-tag) triple. Regexes stay within the
     * RE2-compatible subset (no backreferences/lookaround) so the same

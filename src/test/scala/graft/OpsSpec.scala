@@ -641,4 +641,34 @@ class OpsSpec extends SparkSpec {
       ("fr", 9L, 0L, 0L),     // fr stream is independent
       ("fr", 10L, 600L, 1L)))
   }
+
+  test("capPerGroup: keeps best n per group with deterministic tiebreak") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 5L),
+      ("b", 5L, 1L))
+      .toDF("src", "id", "score")
+    val out = Curate.capPerGroup(df, Seq("src"),
+        Seq($"score".desc, $"id"), n = 2)
+      .select("src", "id", "rank_in_group")
+      .as[(String, Long, Int)].collect().toSet
+    // a: 30s win, tie broken by id asc -> ids 2,3; b: lone row survives
+    assert(out == Set(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+  }
+
+  test("globalSortIndex: matches a single-partition md5 sort, contiguous") {
+    val ids = (0L until 500L)
+    val df = ids.toDF("id")
+    val got = Curate.globalSortIndex(df, $"id", seed = "s1")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = ids.sortBy(i => md5hex(s"${i}s1")).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got == expected)
+    // positions are a contiguous 1..n permutation
+    assert(got.values.toSeq.sorted == (1L to 500L))
+  }
 }

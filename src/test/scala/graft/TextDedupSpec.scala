@@ -322,4 +322,42 @@ class TextDedupSpec extends SparkSpec {
     // corpus is never compared to itself: no (10, 11)-style output shape
     assert(pairs.forall(p => Set(1L, 2L).contains(p._1)))
   }
+
+  test("withRepetitionFeatures: dup/top/bigram ratios, empty-text nulls") {
+    val df = Seq(
+      (1L, "a a a a"),            // one word repeated: dup .75, top 1.0, bigram dup 2/3
+      (2L, "w x y z"),            // all distinct: dup 0, top .25, bigram dup 0
+      (3L, "solo"),               // 1 token: no bigrams -> ratio 0 by definition
+      (4L, "  \t ")               // no tokens -> all ratios null
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionFeatures(df, "text")
+      .select("doc_id", "n_tokens_r", "dup_word_ratio", "top_word_ratio",
+        "dup_bigram_ratio")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) == 4)
+    assert(r(1L).getDouble(2) == 0.75 && r(1L).getDouble(3) == 1.0)
+    assert(math.abs(r(1L).getDouble(4) - 0.666667) < 1e-9)
+    assert(r(2L).getDouble(2) == 0.0 && r(2L).getDouble(3) == 0.25
+      && r(2L).getDouble(4) == 0.0)
+    assert(r(3L).getDouble(4) == 0.0)
+    assert(r(4L).isNullAt(2) && r(4L).isNullAt(3) && r(4L).isNullAt(4))
+  }
+
+  test("flagContamination: eval-overlap counts distinct grams, flag 0/1") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares 3-grams with eval
+      (2L, "purple monkey dishwasher runs far"), // no overlap
+      (3L, "the quick brown fox jumps high"))   // same as 1 -> same count
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox sleeps"))
+      .toDF("doc_id", "text")
+    val r = graft.text.Decontaminate.flagContamination(
+        corpus, eval, "text", "doc_id", n = 3)
+      .select("doc_id", "n_contaminated_grams", "contaminated")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // eval 3-grams: "the quick brown", "quick brown fox", "brown fox sleeps"
+    // doc 1 contains the first two
+    assert(r(1L) == (2L, 1) && r(3L) == (2L, 1))
+    assert(r(2L) == (0L, 0))
+  }
 }
