@@ -432,6 +432,42 @@ object SparkEntry {
           .as("avg_price"),
         count(lit(1)).as("count_order"))
 
+  /** TPC-H Q3-shaped shipping-priority top-k: filter three tables, join,
+    * aggregate revenue per order, take the top 10 by ROUNDED revenue with
+    * an orderkey tiebreak (raw-double ordering can flip at 1 ulp across
+    * engines). customer is NOT hint-broadcast: at real scale the filtered
+    * segment is still tens of millions of rows — AQE decides at runtime. */
+  private def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast(TimestampType)
+    val c = tbl(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = tbl(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Lag/lead time-series features per event type + pct change vs lag_1. */
+  private def qWindowLagged(s: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowAnalytics.laggedFeatures(ev(s, dir), "event_type",
+        evOrder, "value", Seq(1, 3))
+      .select("event_id", "event_type", "lag_1", "lead_1", "lag_3",
+        "lead_3", "pct_change")
+
+  /** Cross-sectional rank features per event type over (value desc, id). */
+  private def qWindowRanks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowAnalytics.rankFeatures(ev(s, dir), Seq("event_type"),
+        Seq(col("value").desc, col("event_id")))
+      .select("event_id", "event_type", "rnk", "dense_rnk", "pct_rank",
+        "cume_d")
+
   // ----------------------------------------------------------------- joins
 
   private def slidingMetrics(s: SparkSession, dir: String, width: String,
@@ -1166,6 +1202,9 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_dedup_keep_last" -> (qDedupKeepLast _),
     "q_tpch_q1" -> (qTpchQ1 _),
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_window_lagged" -> (qWindowLagged _),
+    "q_window_ranks" -> (qWindowRanks _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_multiway" -> (qJoinMultiway _),
     "q_join_semi" -> (qJoinSemi _),
@@ -1452,6 +1491,40 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_window_lagged" ->
+      s"""SELECT event_id, event_type,
+         |  lag(value, 1) OVER w AS lag_1,
+         |  lead(value, 1) OVER w AS lead_1,
+         |  lag(value, 3) OVER w AS lag_3,
+         |  lead(value, 3) OVER w AS lead_3,
+         |  (value - lag(value, 1) OVER w)
+         |    / nullif(lag(value, 1) OVER w, 0.0) AS pct_change
+         |FROM (SELECT event_id, event_type, value, $TS AS tts FROM events)
+         |WINDOW w AS (PARTITION BY event_type ORDER BY tts, event_id)"""
+        .stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT event_id, event_type,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS dense_rnk,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume_d
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)"""
+        .stripMargin,
 
     "q_join_inner" ->
       s"""WITH m15 AS (

@@ -99,4 +99,38 @@ object WindowAnalytics {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Time-series feature columns for supervised training: lag_k / lead_k of
+    * `value` per key plus the pct change vs lag_1 — the previous/next-tick
+    * features every forecasting pipeline derives. One shuffle on the key;
+    * each offset is O(1) state in a single Window node (same frame spec, so
+    * Spark collapses all the lag/lead expressions into one sort). `order`
+    * must be a total order for cross-engine determinism. */
+  def laggedFeatures(df: DataFrame, key: String, order: Seq[String],
+                     value: String, offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ > 0),
+      s"offsets must be positive: $offsets")
+    val w = keyFrame(key, order)
+    val withLags = offsets.foldLeft(df) { (d, k) =>
+      d.withColumn(s"lag_$k", lag(col(value), k).over(w))
+        .withColumn(s"lead_$k", lead(col(value), k).over(w))
+    }
+    withLags.withColumn("pct_change",
+      (col(value) - col(s"lag_${offsets.min}"))
+        / nullif(col(s"lag_${offsets.min}"), lit(0.0)))
+  }
+
+  /** Relative-position features per key: rank, dense_rank, percent_rank,
+    * cume_dist over `order` — the cross-sectional "where does this row sit
+    * in its group" features (e.g. a symbol's volume percentile that day).
+    * percent_rank/cume_dist are exact rational doubles ((rank-1)/(n-1),
+    * rank/n) so they compare bit-identically across engines. */
+  def rankFeatures(df: DataFrame, keys: Seq[String],
+                   order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rnk", rank().over(w))
+      .withColumn("dense_rnk", dense_rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume_d", cume_dist().over(w))
+  }
 }

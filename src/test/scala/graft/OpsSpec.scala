@@ -642,6 +642,35 @@ class OpsSpec extends SparkSpec {
       ("fr", 10L, 600L, 1L)))
   }
 
+  test("laggedFeatures: lag/lead offsets, pct_change null at lag 0 or edge") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 0.0), ("a", 3L, 5.0), ("b", 9L, 7.0))
+      .toDF("k", "id", "value")
+    val out = WindowAnalytics.laggedFeatures(df, "k", Seq("id"), "value",
+        Seq(1))
+      .select("id", "lag_1", "lead_1", "pct_change")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1) && out(1L).getDouble(2) == 0.0
+      && out(1L).isNullAt(3))                      // no predecessor
+    assert(out(2L).getDouble(1) == 10.0 && out(2L).getDouble(2) == 5.0
+      && out(2L).getDouble(3) == -1.0)             // (0-10)/10
+    assert(out(3L).isNullAt(3))                    // lag_1 == 0 -> null, not inf
+    assert(out(9L).isNullAt(1) && out(9L).isNullAt(2)) // keys are independent
+  }
+
+  test("rankFeatures: rank vs dense_rank under ties; exact pct/cume") {
+    val df = Seq(("a", 1L, 3.0), ("a", 2L, 3.0), ("a", 3L, 1.0))
+      .toDF("k", "id", "v")
+    // order by v desc WITHOUT tiebreak to exercise tie semantics
+    val out = WindowAnalytics.rankFeatures(df, Seq("k"), Seq($"v".desc))
+      .select("id", "rnk", "dense_rnk", "pct_rank", "cume_d")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(2L).getInt(1) == 1)
+    assert(out(3L).getInt(1) == 3 && out(3L).getInt(2) == 2)
+    assert(out(1L).getDouble(3) == 0.0 && out(3L).getDouble(3) == 1.0)
+    assert(out(1L).getDouble(4) == 2.0 / 3 && out(3L).getDouble(4) == 1.0)
+  }
+
   test("capPerGroup: keeps best n per group with deterministic tiebreak") {
     val df = Seq(
       ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 5L),
