@@ -432,6 +432,27 @@ object SparkEntry {
           .as("avg_price"),
         count(lit(1)).as("count_order"))
 
+  /** Set vs multiset comparison of the two doc-id parity halves' (lang,
+    * source) pairs: INTERSECT/EXCEPT plus their ALL variants in one tagged
+    * result. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0).select("lang", "source")
+    val b = docs.filter(col("doc_id") % 2 === 1).select("lang", "source")
+    Combine.setCompare(a, b)
+  }
+
+  /** Exact interpolated quartiles per event type (percentile_cont
+    * semantics), one row per (group, q) — complements the approx-sketch
+    * quantile queries with the exact path. */
+  private def qPercentileExact(s: SparkSession, dir: String): DataFrame =
+    Stats.exactPercentiles(ev(s, dir), Seq("event_type"), "value",
+      Seq(0.25, 0.5, 0.75))
+
+  /** Per-event-type modal user (categorical mode, deterministic ties). */
+  private def qMode(s: SparkSession, dir: String): DataFrame =
+    Stats.modePerGroup(ev(s, dir), Seq("event_type"), "user_id")
+
   /** TPC-H Q3-shaped shipping-priority top-k: filter three tables, join,
     * aggregate revenue per order, take the top 10 by ROUNDED revenue with
     * an orderkey tiebreak (raw-double ordering can flip at 1 ulp across
@@ -1203,6 +1224,9 @@ object SparkEntry {
     "q_dedup_keep_last" -> (qDedupKeepLast _),
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_set_ops" -> (qSetOps _),
+    "q_percentile_exact" -> (qPercentileExact _),
+    "q_mode" -> (qMode _),
     "q_window_lagged" -> (qWindowLagged _),
     "q_window_ranks" -> (qWindowRanks _),
     "q_join_inner" -> (qJoinInner _),
@@ -1503,6 +1527,49 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 0),
+        |     b AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, source, 'intersect' AS set_op
+        |  FROM ((SELECT * FROM a) INTERSECT (SELECT * FROM b))
+        |UNION ALL SELECT lang, source, 'only_a'
+        |  FROM ((SELECT * FROM a) EXCEPT (SELECT * FROM b))
+        |UNION ALL SELECT lang, source, 'only_b'
+        |  FROM ((SELECT * FROM b) EXCEPT (SELECT * FROM a))
+        |UNION ALL SELECT lang, source, 'intersect_all'
+        |  FROM ((SELECT * FROM a) INTERSECT ALL (SELECT * FROM b))
+        |UNION ALL SELECT lang, source, 'only_a_all'
+        |  FROM ((SELECT * FROM a) EXCEPT ALL (SELECT * FROM b))
+        |UNION ALL SELECT lang, source, 'only_b_all'
+        |  FROM ((SELECT * FROM b) EXCEPT ALL (SELECT * FROM a))"""
+        .stripMargin,
+
+    "q_percentile_exact" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, [0.25, 0.5, 0.75]) AS ps,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, 0.25 AS q, round(ps[1], 6) AS value_q, n FROM g
+        |UNION ALL
+        |SELECT event_type, 0.5, round(ps[2], 6), n FROM g
+        |UNION ALL
+        |SELECT event_type, 0.75, round(ps[3], 6), n FROM g"""
+        .stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_distinct
+        |  FROM c)
+        |SELECT event_type, user_id AS mode_value, n AS mode_n, n_distinct
+        |FROM r WHERE rk = 1""".stripMargin,
 
     "q_window_lagged" ->
       s"""SELECT event_id, event_type,

@@ -37,4 +37,23 @@ object Combine {
     branches.map { case (tag, df) => df.withColumn("window_type", lit(tag)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Full set-comparison of two same-schema relations in one result: rows
+    * tagged by which side they belong to, under both SET semantics
+    * (intersect/except — SQL INTERSECT/EXCEPT, duplicates collapsed) and
+    * MULTISET semantics (intersectAll/exceptAll — INTERSECT ALL/EXCEPT ALL,
+    * per-row multiplicity preserved). Spark plans each leg as an aggregate
+    * or a left-semi/anti join on all columns — one shuffle per leg on the
+    * full row, partial-aggregated; nothing is collected or crossed. */
+  def setCompare(a: DataFrame, b: DataFrame,
+                 tagCol: String = "set_op"): DataFrame =
+    Seq(
+      "intersect" -> a.intersect(b),
+      "only_a" -> a.except(b),
+      "only_b" -> b.except(a),
+      "intersect_all" -> a.intersectAll(b),
+      "only_a_all" -> a.exceptAll(b),
+      "only_b_all" -> b.exceptAll(a))
+      .map { case (tag, df) => df.withColumn(tagCol, lit(tag)) }
+      .reduce(_ union _)
 }

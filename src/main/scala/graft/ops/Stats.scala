@@ -135,4 +135,43 @@ object Stats {
       .select((keys.map(col) ++ Seq(col("p25"), col("p75"), col("lo"),
         col("hi"), col("n"), col("n_outliers"))): _*)
   }
+
+  /** Exact linearly-interpolated percentiles per group, one row per
+    * (group, q) — SQL's percentile_cont. Spark's exact `percentile`
+    * aggregate holds a per-group value-count map, so memory is
+    * O(groups × distinct values): the right tool for bounded value domains
+    * (prices, scores, durations); for unbounded high-cardinality domains
+    * at 100 TB use the approx_percentile path (Frequency.quantiles /
+    * approxQuantileBounds), which this op deliberately complements. */
+  def exactPercentiles(df: DataFrame, keys: Seq[String], value: String,
+                       qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1]: $qs")
+    val qArray = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($value, $qArray)").as("__ps"),
+        count(lit(1)).as("n"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        posexplode(col("__ps")).as(Seq("__i", "value_q"))): _*)
+      .withColumn("q", element_at(typedlit(qs), col("__i") + 1))
+      .withColumn("value_q", round(col("value_q"), 6))
+      .drop("__i")
+      .select(keys.map(col) ++ Seq(col("q"), col("value_q"), col("n")): _*)
+  }
+
+  /** Per-group categorical mode with a deterministic tie rule (highest
+    * count, then smallest value). Two aggregations — (keys, value) counts,
+    * then max_by over a (count, -value) struct — both partial-aggregated
+    * map-side; no window, no sort, parallelism independent of group count. */
+  def modePerGroup(df: DataFrame, keys: Seq[String],
+                   value: String): DataFrame = {
+    val counts = df.groupBy((keys :+ value).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    counts.groupBy(keys.map(col): _*)
+      .agg(
+        max_by(col(value), struct(col("__n"), -col(value)))
+          .as("mode_value"),
+        max(col("__n")).as("mode_n"),
+        count(lit(1)).as("n_distinct"))
+  }
 }

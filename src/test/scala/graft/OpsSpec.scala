@@ -671,6 +671,42 @@ class OpsSpec extends SparkSpec {
     assert(out(1L).getDouble(4) == 2.0 / 3 && out(3L).getDouble(4) == 1.0)
   }
 
+  test("setCompare: set vs multiset semantics on duplicated rows") {
+    val a = Seq("x", "x", "y").toDF("v")
+    val b = Seq("x", "z").toDF("v")
+    val out = Combine.setCompare(a, b).as[(String, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(out("intersect") == Seq("x"))          // distinct
+    assert(out("only_a") == Seq("y"))             // distinct difference
+    assert(out("only_b") == Seq("z"))
+    assert(out("intersect_all") == Seq("x"))      // min(2, 1) = 1 copy
+    assert(out("only_a_all") == Seq("x", "y"))    // max(2-1, 0) x + y
+    assert(out("only_b_all") == Seq("z"))
+  }
+
+  test("exactPercentiles: interpolated quartiles, one row per q") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
+      .toDF("k", "value")
+    val out = Stats.exactPercentiles(df, Seq("k"), "value",
+        Seq(0.25, 0.5, 0.75))
+      .select("k", "q", "value_q", "n")
+      .as[(String, Double, Double, Long)].collect().toSet
+    // rank = (n-1) q: 0.75 -> 1.75, 1.5 -> 2.5, 2.25 -> 3.25
+    assert(out == Set(("a", 0.25, 1.75, 4L), ("a", 0.5, 2.5, 4L),
+      ("a", 0.75, 3.25, 4L)))
+  }
+
+  test("modePerGroup: highest count wins, smallest value breaks ties") {
+    val df = Seq(("a", 7L), ("a", 7L), ("a", 3L), ("a", 9L), ("a", 9L),
+        ("b", 1L))
+      .toDF("k", "v")
+    val out = Stats.modePerGroup(df, Seq("k"), "v")
+      .select("k", "mode_value", "mode_n", "n_distinct")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // a: 7 and 9 both count 2 -> smaller value 7 wins; 3 distinct values
+    assert(out == Set(("a", 7L, 2L, 3L), ("b", 1L, 1L, 1L)))
+  }
+
   test("capPerGroup: keeps best n per group with deterministic tiebreak") {
     val df = Seq(
       ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 5L),
