@@ -453,6 +453,11 @@ object SparkEntry {
   private def qMode(s: SparkSession, dir: String): DataFrame =
     Stats.modePerGroup(ev(s, dir), Seq("event_type"), "user_id")
 
+  /** Fixed-range value histogram per event type: 25 bins over [0, 500). */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Stats.histogram(ev(s, dir), Seq("event_type"), "value",
+      lo = 0.0, hi = 500.0, nbins = 25)
+
   /** TPC-H Q3-shaped shipping-priority top-k: filter three tables, join,
     * aggregate revenue per order, take the top 10 by ROUNDED revenue with
     * an orderkey tiebreak (raw-double ordering can flip at 1 ulp across
@@ -1227,6 +1232,7 @@ object SparkEntry {
     "q_set_ops" -> (qSetOps _),
     "q_percentile_exact" -> (qPercentileExact _),
     "q_mode" -> (qMode _),
+    "q_histogram" -> (qHistogram _),
     "q_window_lagged" -> (qWindowLagged _),
     "q_window_ranks" -> (qWindowRanks _),
     "q_join_inner" -> (qJoinInner _),
@@ -1570,6 +1576,17 @@ object SparkEntry {
         |  FROM c)
         |SELECT event_type, user_id AS mode_value, n AS mode_n, n_distinct
         |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    least(24, greatest(0,
+        |      CAST(floor((value - 0.0) / 20.0) AS INT))) AS bin
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, bin, count(*) AS n,
+        |  round(0.0 + bin * 20.0, 6) AS bin_lo,
+        |  round(0.0 + (bin + 1) * 20.0, 6) AS bin_hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "q_window_lagged" ->
       s"""SELECT event_id, event_type,

@@ -159,6 +159,28 @@ object Stats {
       .select(keys.map(col) ++ Seq(col("q"), col("value_q"), col("n")): _*)
   }
 
+  /** Fixed-range equal-width histogram per group: bin index, count, and bin
+    * bounds. Bounds are CALLER-provided (no extra min/max scan) and rows
+    * outside [lo, hi) clamp into the edge bins, so the result is one
+    * partial-aggregated groupBy over (keys, bin) — a single shuffle whose
+    * key space is |groups| × nbins regardless of input size. Pick lo/hi/
+    * nbins so the bin width is a dyadic-friendly double (e.g. (100-0)/20)
+    * and the floor() bin decision is bit-identical on any engine. */
+  def histogram(df: DataFrame, keys: Seq[String], value: String,
+                lo: Double, hi: Double, nbins: Int): DataFrame = {
+    require(nbins > 0 && hi > lo, s"need hi > lo and nbins > 0")
+    val width = (hi - lo) / nbins
+    val v = col(value)
+    val bin = least(lit(nbins - 1),
+      greatest(lit(0), floor((v - lit(lo)) / lit(width)).cast("int")))
+    df.filter(v.isNotNull)
+      .withColumn("bin", bin)
+      .groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * lit(width), 6))
+      .withColumn("bin_hi", round(lit(lo) + (col("bin") + 1) * lit(width), 6))
+  }
+
   /** Per-group categorical mode with a deterministic tie rule (highest
     * count, then smallest value). Two aggregations — (keys, value) counts,
     * then max_by over a (count, -value) struct — both partial-aggregated

@@ -69,14 +69,21 @@ object StreamPipeline {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    lookback: String = "10 minutes",
-                   watermark: String = "5 minutes"): DataFrame = {
+                   watermark: String = "5 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
       .withColumnRenamed(key, s"__r_$key")
+    // "leftOuter" additionally emits unmatched left rows null-padded —
+    // but only once the watermark passes leftTs (no future right row can
+    // land in [leftTs - lookback, leftTs] anymore), so outer results
+    // trail the watermark rather than the batch: same state bound,
+    // delayed emission.
     l.join(r,
       col(key) === col(s"__r_$key") &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
-        col(rightTs) <= col(leftTs))
+        col(rightTs) <= col(leftTs),
+      joinType)
       .drop(s"__r_$key")
   }
 

@@ -696,6 +696,21 @@ class OpsSpec extends SparkSpec {
       ("a", 0.75, 3.25, 4L)))
   }
 
+  test("histogram: fixed bins, clamped edges, nulls dropped") {
+    val df = Seq(("a", Some(-5.0)), ("a", Some(0.0)), ("a", Some(9.9)),
+        ("a", Some(10.0)), ("a", Some(99.0)), ("a", Some(250.0)),
+        ("a", None))
+      .toDF("k", "value")
+    val out = Stats.histogram(df, Seq("k"), "value", lo = 0.0, hi = 100.0,
+        nbins = 10)
+      .select("k", "bin", "n", "bin_lo", "bin_hi")
+      .as[(String, Int, Long, Double, Double)].collect().toSet
+    assert(out == Set(
+      ("a", 0, 3L, 0.0, 10.0),   // -5 clamps up, 0.0 and 9.9 in-range
+      ("a", 1, 1L, 10.0, 20.0),  // boundary lands in the upper bin
+      ("a", 9, 2L, 90.0, 100.0))) // 99 in-range, 250 clamps down
+  }
+
   test("modePerGroup: highest count wins, smallest value breaks ties") {
     val df = Seq(("a", 7L), ("a", 7L), ("a", 3L), ("a", 9L), ("a", 9L),
         ("b", 1L))

@@ -300,6 +300,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("AAA", 99.0), ("AAA", 98.0)))
   }
 
+  test("left-outer interval join: unmatched lefts emit null-padded after watermark") {
+    val base = Files.createTempDirectory("graft_stream_ijo")
+    val rawL = Files.createDirectory(base.resolve("rawL"))
+    val rawR = Files.createDirectory(base.resolve("rawR"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    writeCsv(rawL, "l.csv", Seq(
+      "AAA,100.0,0.0,,1,2024-01-01T00:10:00",   // has a quote
+      "CCC,70.0,0.0,,1,2024-01-01T00:11:00"))   // never matched
+    writeCsv(rawR, "r.csv", Seq(
+      "AAA,99.0,0.0,,1,2024-01-01T00:05:00"))
+    def joined() = StreamPipeline.intervalJoin(
+      StreamPipeline.tickStream(spark, rawL.toString)
+        .select("symbol", "price", "timestamp"),
+      StreamPipeline.tickStream(spark, rawR.toString)
+        .selectExpr("symbol", "price AS quote_price",
+          "timestamp AS quote_ts"),
+      key = "symbol", leftTs = "timestamp", rightTs = "quote_ts",
+      joinType = "leftOuter")
+    def runOnce(): Unit = {
+      val q = joined().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out) }
+        .start()
+      q.awaitTermination(90000)
+    }
+    runOnce()
+    // push both watermarks far past 00:11 + lookback so CCC's no-match
+    // verdict becomes final and the null-padded row emits
+    writeCsv(rawL, "l2.csv", Seq("AAA,101.0,0.0,,1,2024-01-01T01:00:00"))
+    writeCsv(rawR, "r2.csv", Seq("AAA,97.0,0.0,,1,2024-01-01T01:00:00"))
+    runOnce()
+    runOnce()
+    import spark.implicits._
+    val rows = spark.read.parquet(out)
+      .select("symbol", "quote_price").as[(String, Option[Double])]
+      .collect().toSet
+    assert(rows.contains(("AAA", Some(99.0))))  // matched pair intact
+    assert(rows.contains(("CCC", None)))        // outer row, null-padded
+  }
+
   test("J2: chained stateful ops — windowed aggs join as declared (Spark 4)") {
     // the reference DECLARED this DAG but ran a batch twin because
     // Spark < 3.5 rejected chained stateful operators; Spark 4 propagates
@@ -422,5 +465,59 @@ class StreamingSpec extends SparkSpec {
       .select("approx_distinct", "n_events").as[(Long, Long)].collect()
     // HLL++ at rsd=0.01 is exact at cardinality 3
     assert(w0.headOption.contains((3L, 4L)))
+  }
+
+  test("RocksDB state store: windowed agg runs with off-heap state") {
+    // At 100 TB/day the streaming state (windows x keys) outgrows executor
+    // heaps; RocksDB spills state to local disk with an in-heap cache.
+    // Provider is read at query start from session conf — scope it to this
+    // test and restore after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Files.createTempDirectory("graft_stream_rocks")
+      val raw = Files.createDirectory(base.resolve("raw"))
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt")
+      writeCsv(raw, "a.csv", Seq(
+        "AAA,10.0,0.1,1.0%,100,2024-01-01T00:01:00",
+        "AAA,12.0,0.2,2.0%,200,2024-01-01T00:06:00",
+        "BBB,50.0,0.0,,10,2024-01-01T00:02:00"))
+      def runOnce(): Unit =
+        StreamPipeline.windowedMetrics(
+            StreamPipeline.tickStream(spark, raw.toString))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", out)
+          .start().awaitTermination(60000)
+      runOnce()
+      writeCsv(raw, "b.csv", Seq("AAA,11.0,0.0,,50,2024-01-01T01:00:00"))
+      runOnce()
+      import spark.implicits._
+      val w0 = spark.read.parquet(out)
+        .filter($"symbol" === "AAA" &&
+          $"window_start" === "2024-01-01 00:00:00")
+        .select("n_events").as[Long].collect()
+      assert(w0.headOption.contains(2L)) // same result as the HDFS store
+      // and the checkpoint really used RocksDB: its state layout ships
+      // zipped snapshots / SST files, not the HDFS store's flat .delta
+      val stateFiles = java.nio.file.Files.walk(ckpt.resolve("state"))
+        .iterator().asInstanceOf[java.util.Iterator[Path]]
+      var sawRocks = false
+      while (stateFiles.hasNext) {
+        val f = stateFiles.next().toString
+        if (f.endsWith(".zip") || f.endsWith(".sst") || f.contains("SSTs"))
+          sawRocks = true
+      }
+      assert(sawRocks)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
