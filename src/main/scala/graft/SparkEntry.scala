@@ -453,6 +453,22 @@ object SparkEntry {
   private def qMode(s: SparkSession, dir: String): DataFrame =
     Stats.modePerGroup(ev(s, dir), Seq("event_type"), "user_id")
 
+  /** Dynamic-property explode: events.props JSON objects to (key, value)
+    * rows, aggregated per key. */
+  private def qMapExplode(s: SparkSession, dir: String): DataFrame =
+    Clean.explodeJsonMap(ev(s, dir).select("event_id", "props"),
+        "props", "int")
+      .groupBy("prop_key")
+      .agg(count(lit(1)).as("n"), sum("prop_val").as("sum_val"),
+        min("prop_val").as("min_val"), max("prop_val").as("max_val"))
+
+  /** Hourly resampled value panel per event type: last observation per
+    * hour, dense grid over each type's observed range, forward-filled. */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    Resample.resampleLast(ev(s, dir), Seq("event_type"), "ts", "value",
+        step = "1 hour", tiebreak = Seq("event_id"))
+      .select("event_type", "grid_ts", "v_last", "is_gap", "value_ff")
+
   /** Fixed-range value histogram per event type: 25 bins over [0, 500). */
   private def qHistogram(s: SparkSession, dir: String): DataFrame =
     Stats.histogram(ev(s, dir), Seq("event_type"), "value",
@@ -1233,6 +1249,8 @@ object SparkEntry {
     "q_percentile_exact" -> (qPercentileExact _),
     "q_mode" -> (qMode _),
     "q_histogram" -> (qHistogram _),
+    "q_resample" -> (qResample _),
+    "q_map_explode" -> (qMapExplode _),
     "q_window_lagged" -> (qWindowLagged _),
     "q_window_ranks" -> (qWindowRanks _),
     "q_join_inner" -> (qJoinInner _),
@@ -1587,6 +1605,46 @@ object SparkEntry {
         |  round(0.0 + bin * 20.0, 6) AS bin_lo,
         |  round(0.0 + (bin + 1) * 20.0, 6) AS bin_hi
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_resample" ->
+      s"""WITH o AS (
+         |  SELECT event_type, event_id, value,
+         |    time_bucket(INTERVAL 1 HOUR, $TS) AS h, $TS AS tts
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, h AS grid_ts, value AS v_last
+         |  FROM (SELECT event_type, h, value,
+         |          row_number() OVER (PARTITION BY event_type, h
+         |            ORDER BY tts DESC, event_id DESC) AS rk
+         |        FROM o)
+         |  WHERE rk = 1),
+         |bounds AS (
+         |  SELECT event_type, min(grid_ts) AS lo, max(grid_ts) AS hi
+         |  FROM b GROUP BY 1),
+         |grid AS (
+         |  SELECT event_type,
+         |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+         |  FROM bounds),
+         |j AS (
+         |  SELECT g.event_type, g.grid_ts, b.v_last,
+         |    CASE WHEN b.v_last IS NULL THEN 1 ELSE 0 END AS is_gap
+         |  FROM grid g LEFT JOIN b
+         |    ON g.event_type = b.event_type AND g.grid_ts = b.grid_ts)
+         |SELECT event_type, grid_ts, v_last, is_gap,
+         |  last_value(v_last IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY grid_ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+         |FROM j""".stripMargin,
+
+    "q_map_explode" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    unnest(map_entries(CAST(props AS JSON)::MAP(VARCHAR, INT))) AS e
+        |  FROM events)
+        |SELECT e.key AS prop_key, count(*) AS n,
+        |  CAST(sum(e.value) AS BIGINT) AS sum_val,
+        |  min(e.value) AS min_val, max(e.value) AS max_val
+        |FROM m GROUP BY 1""".stripMargin,
 
     "q_window_lagged" ->
       s"""SELECT event_id, event_type,

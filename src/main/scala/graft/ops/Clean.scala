@@ -70,4 +70,21 @@ object Clean {
     * and the oracle agree. */
   def nanToNull(c: Column): Column =
     when(isnan(c), lit(null).cast(DoubleType)).otherwise(c)
+
+  /** Explode a JSON-object string column into (key, value) rows — the
+    * dynamic-properties pattern (event props, feature bags) where keys are
+    * data, not schema. from_json to MAP keeps the parse single-pass and
+    * codegen-adjacent; the explode is narrow (fan-out = object size), and
+    * rows whose JSON fails to parse are dropped (from_json yields null map,
+    * explode emits nothing) — pair with readJsonlAudited upstream when
+    * malformed rows must be quarantined instead. */
+  def explodeJsonMap(df: DataFrame, json: String, valueType: String,
+                     keyOut: String = "prop_key",
+                     valOut: String = "prop_val"): DataFrame =
+    df.select(df.columns.map(col).toSeq :+
+      explode(from_json(col(json), org.apache.spark.sql.types.DataType
+        .fromDDL(s"map<string, $valueType>")
+        .asInstanceOf[org.apache.spark.sql.types.MapType]))
+        .as(Seq(keyOut, valOut)): _*)
+      .drop(json)
 }

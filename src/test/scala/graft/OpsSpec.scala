@@ -696,6 +696,31 @@ class OpsSpec extends SparkSpec {
       ("a", 0.75, 3.25, 4L)))
   }
 
+  test("resampleLast: dense grid, gap marking, forward fill, leading null") {
+    val df = Seq(
+      // key a: events in hours 0 and 3 only -> gaps at 1, 2
+      ("a", 1L, ts("2024-01-01 00:10:00"), 10.0),
+      ("a", 2L, ts("2024-01-01 00:50:00"), 11.0), // later in same bucket wins
+      ("a", 3L, ts("2024-01-01 03:05:00"), 30.0),
+      // key b: single event -> single-row grid
+      ("b", 9L, ts("2024-01-01 05:00:00"), 7.0))
+      .toDF("k", "event_id", "ts", "value")
+    val out = Resample.resampleLast(df, Seq("k"), "ts", "value",
+        step = "1 hour", tiebreak = Seq("event_id"))
+      .select("k", "grid_ts", "v_last", "is_gap", "value_ff")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getInt(3), r.getDouble(4)))
+      .toSet
+    assert(out == Set(
+      ("a", "2024-01-01 00:00:00.0", Some(11.0), 0, 11.0),
+      ("a", "2024-01-01 01:00:00.0", None, 1, 11.0),
+      ("a", "2024-01-01 02:00:00.0", None, 1, 11.0),
+      ("a", "2024-01-01 03:00:00.0", Some(30.0), 0, 30.0),
+      ("b", "2024-01-01 05:00:00.0", Some(7.0), 0, 7.0)))
+  }
+
   test("histogram: fixed bins, clamped edges, nulls dropped") {
     val df = Seq(("a", Some(-5.0)), ("a", Some(0.0)), ("a", Some(9.9)),
         ("a", Some(10.0)), ("a", Some(99.0)), ("a", Some(250.0)),
