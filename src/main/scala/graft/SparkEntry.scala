@@ -453,6 +453,25 @@ object SparkEntry {
   private def qMode(s: SparkSession, dir: String): DataFrame =
     Stats.modePerGroup(ev(s, dir), Seq("event_type"), "user_id")
 
+  /** Rolling 15-row quantity/price correlation per return flag. The
+    * synthetic lineitem repeats (orderkey, linenumber), so the frame order
+    * extends through (partkey, suppkey) and the two measures themselves —
+    * unique at every SF, making frame contents engine-independent. */
+  private def qWindowCorr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowAnalytics.rollingCorr(
+      tbl(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_returnflag", "l_quantity",
+        "l_extendedprice"),
+      "l_returnflag",
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_quantity"),
+      "l_quantity", "l_extendedprice", Seq(15))
+
+  /** Winsorize event values to per-type [p01, p99] exact fences. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    Stats.winsorize(ev(s, dir).select("event_id", "event_type", "value"),
+      Seq("event_type"), "value")
+
   /** Dynamic-property explode: events.props JSON objects to (key, value)
     * rows, aggregated per key. */
   private def qMapExplode(s: SparkSession, dir: String): DataFrame =
@@ -1251,6 +1270,8 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_resample" -> (qResample _),
     "q_map_explode" -> (qMapExplode _),
+    "q_window_corr" -> (qWindowCorr _),
+    "q_winsorize" -> (qWinsorize _),
     "q_window_lagged" -> (qWindowLagged _),
     "q_window_ranks" -> (qWindowRanks _),
     "q_join_inner" -> (qJoinInner _),
@@ -1645,6 +1666,26 @@ object SparkEntry {
         |  CAST(sum(e.value) AS BIGINT) AS sum_val,
         |  min(e.value) AS min_val, max(e.value) AS max_val
         |FROM m GROUP BY 1""".stripMargin,
+
+    "q_window_corr" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_returnflag, l_quantity, l_extendedprice,
+        |  round(corr(l_quantity, l_extendedprice) OVER (
+        |    PARTITION BY l_returnflag
+        |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |      l_extendedprice, l_quantity
+        |    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW), 6) AS corr_15
+        |FROM lineitem""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.01), 6) AS fence_lo,
+        |    round(quantile_cont(value, 0.99), 6) AS fence_hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value, fence_lo, fence_hi,
+        |  least(greatest(value, fence_lo), fence_hi) AS value_w
+        |FROM events JOIN f USING (event_type)""".stripMargin,
 
     "q_window_lagged" ->
       s"""SELECT event_id, event_type,

@@ -181,6 +181,24 @@ object Stats {
       .withColumn("bin_hi", round(lit(lo) + (col("bin") + 1) * lit(width), 6))
   }
 
+  /** Winsorization: clip `value` to its per-group [pLo, pHi] exact
+    * percentile fences — the outlier treatment that keeps rows (unlike the
+    * Tukey drop in iqrOutliers) while bounding tail influence. Fences are
+    * rounded to 6 dp BEFORE clamping (same discipline as iqrOutliers) so
+    * the clip decision is engine-independent; one small fence aggregate
+    * broadcast back over the data, no second shuffle of the corpus. */
+  def winsorize(df: DataFrame, keys: Seq[String], value: String,
+                pLo: Double = 0.01, pHi: Double = 0.99,
+                out: String = "value_w"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds [$pLo, $pHi]")
+    val fences = df.groupBy(keys.map(col): _*).agg(
+        round(expr(s"percentile($value, ${pLo}D)"), 6).as("fence_lo"),
+        round(expr(s"percentile($value, ${pHi}D)"), 6).as("fence_hi"))
+    df.join(broadcast(fences), keys)
+      .withColumn(out,
+        least(greatest(col(value), col("fence_lo")), col("fence_hi")))
+  }
+
   /** Per-group categorical mode with a deterministic tie rule (highest
     * count, then smallest value). Two aggregations — (keys, value) counts,
     * then max_by over a (count, -value) struct — both partial-aggregated

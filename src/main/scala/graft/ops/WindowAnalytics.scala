@@ -120,6 +120,30 @@ object WindowAnalytics {
         / nullif(col(s"lag_${offsets.min}"), lit(0.0)))
   }
 
+  /** Rolling Pearson correlation of two measures over trailing row frames
+    * per key (e.g. price/volume co-movement) — each frame size is three
+    * co-moment aggregates (covar, two stddevs) in ONE Window node, O(1)
+    * state per row. Formulated as covar / nullif(sx·sy, 0) rather than
+    * corr(): a zero-variance frame makes Spark's ANSI-mode corr THROW
+    * DIVIDE_BY_ZERO, while the nullif form yields NULL — which is both the
+    * ANSI-SQL answer (correlation undefined) and what DuckDB's corr
+    * returns, so frames that degenerate (constant side, n < 2) agree
+    * cross-engine instead of killing the job. */
+  def rollingCorr(df: DataFrame, key: String, order: Seq[String],
+                  x: String, y: String, frames: Seq[Int],
+                  prefix: String = "corr"): DataFrame = {
+    val base = keyFrame(key, order)
+    val cols = df.columns.map(col).toSeq ++ frames.map { n =>
+      val w = base.rowsBetween(-(n - 1), Window.currentRow)
+      val cov = covar_samp(col(x), col(y)).over(w)
+      val sx = stddev_samp(col(x)).over(w)
+      val sy = stddev_samp(col(y)).over(w)
+      round(Clean.nanToNull(cov / nullif(sx * sy, lit(0.0))), 6)
+        .as(s"${prefix}_$n")
+    }
+    df.select(cols: _*)
+  }
+
   /** Relative-position features per key: rank, dense_rank, percent_rank,
     * cume_dist over `order` — the cross-sectional "where does this row sit
     * in its group" features (e.g. a symbol's volume percentile that day).

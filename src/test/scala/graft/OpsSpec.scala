@@ -736,6 +736,34 @@ class OpsSpec extends SparkSpec {
       ("a", 9, 2L, 90.0, 100.0))) // 99 in-range, 250 clamps down
   }
 
+  test("winsorize: clips to rounded per-group fences, keeps all rows") {
+    val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("k", "id", "value")
+    val out = Stats.winsorize(df, Seq("k"), "value", pLo = 0.05, pHi = 0.95)
+      .select("id", "fence_lo", "fence_hi", "value_w")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.length == 100)                        // no rows dropped
+    // exact percentile at rank (n-1)p: p05 -> 5.95, p95 -> 95.05
+    assert(out.forall { case (_, lo, hi, _) => lo == 5.95 && hi == 95.05 })
+    val byId = out.map(t => t._1 -> t._4).toMap
+    assert(byId(1L) == 5.95 && byId(3L) == 5.95)     // clipped up
+    assert(byId(50L) == 50.0)                        // untouched
+    assert(byId(100L) == 95.05)                      // clipped down
+  }
+
+  test("rollingCorr: perfect correlation in-frame, null for n=1") {
+    val df = Seq(("a", 1L, 1.0, 2.0), ("a", 2L, 2.0, 4.0),
+        ("a", 3L, 3.0, 6.0))
+      .toDF("k", "id", "x", "y")
+    val out = WindowAnalytics.rollingCorr(df, "k", Seq("id"), "x", "y",
+        Seq(3))
+      .select("id", "corr_3").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).isEmpty)                          // single-point frame
+    assert(out(2L).contains(1.0) && out(3L).contains(1.0)) // y = 2x exactly
+  }
+
   test("modePerGroup: highest count wins, smallest value breaks ties") {
     val df = Seq(("a", 7L), ("a", 7L), ("a", 3L), ("a", 9L), ("a", 9L),
         ("b", 1L))
