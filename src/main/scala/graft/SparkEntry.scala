@@ -453,6 +453,16 @@ object SparkEntry {
   private def qMode(s: SparkSession, dir: String): DataFrame =
     Stats.modePerGroup(ev(s, dir), Seq("event_type"), "user_id")
 
+  /** Salted fact-dim join on the (skewed, low-cardinality) event_type key:
+    * output must be row-identical to the plain join — salting is invisible
+    * in the result. */
+  private def qJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val facts = ev(s, dir).select("event_id", "event_type", "value")
+    val dim = ev(s, dir).select("event_type").distinct()
+      .withColumn("type_tag", upper(col("event_type")))
+    Skew.saltedJoin(facts, dim, Seq("event_type"))
+  }
+
   /** Rolling 15-row quantity/price correlation per return flag. The
     * synthetic lineitem repeats (orderkey, linenumber), so the frame order
     * extends through (partkey, suppkey) and the two measures themselves —
@@ -1272,6 +1282,7 @@ object SparkEntry {
     "q_map_explode" -> (qMapExplode _),
     "q_window_corr" -> (qWindowCorr _),
     "q_winsorize" -> (qWinsorize _),
+    "q_join_salted" -> (qJoinSalted _),
     "q_window_lagged" -> (qWindowLagged _),
     "q_window_ranks" -> (qWindowRanks _),
     "q_join_inner" -> (qJoinInner _),
@@ -1686,6 +1697,11 @@ object SparkEntry {
         |SELECT event_id, event_type, value, fence_lo, fence_hi,
         |  least(greatest(value, fence_lo), fence_hi) AS value_w
         |FROM events JOIN f USING (event_type)""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT event_id, event_type, value,
+        |  upper(event_type) AS type_tag
+        |FROM events""".stripMargin,
 
     "q_window_lagged" ->
       s"""SELECT event_id, event_type,

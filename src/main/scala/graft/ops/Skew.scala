@@ -46,4 +46,27 @@ object Skew {
         max(col("__max")).as("value_max"))
       .withColumn("value_avg", col("value_sum") / col("n_values"))
   }
+
+  /** Salted broadcast-free join for a skewed key: the FACT side gets a
+    * row-level shard (uniform, data-independent — salting on a data column
+    * would leave a constant-valued hot key on one shard), the DIM side is
+    * exploded into `salt` copies, and the join keys on (key, shard). The
+    * hot key's rows now spread over `salt` reducers instead of one. Output
+    * is row-identical to the plain join (each fact row still matches its
+    * dim row exactly once — on its own shard).
+    *
+    * Cost model: dim-side rows × salt extra shuffle volume. Use when the
+    * dim is too big to broadcast but small next to the fact (the gap AQE
+    * skew-join doesn't cover: AQE splits oversized PARTITIONS, but a
+    * single monster key hashed to one partition still serializes through
+    * one task pair without salting when stats mislead it). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salt: Int = 16): DataFrame = {
+    require(salt > 0, s"salt must be positive: $salt")
+    val f = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    f.join(d, keys :+ "__salt").drop("__salt")
+  }
 }

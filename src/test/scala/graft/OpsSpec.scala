@@ -736,6 +736,18 @@ class OpsSpec extends SparkSpec {
       ("a", 9, 2L, 90.0, 100.0))) // 99 in-range, 250 clamps down
   }
 
+  test("saltedJoin: row-identical to the plain join, multiplicity kept") {
+    val fact = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("a", 5L))
+      .toDF("k", "id")
+    val dim = Seq(("a", "A"), ("b", "B"), ("c", "C")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), salt = 4)
+      .select("k", "id", "tag").as[(String, Long, String)].collect().sorted
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "id", "tag").as[(String, Long, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 5) // every fact row matched exactly once
+  }
+
   test("winsorize: clips to rounded per-group fences, keeps all rows") {
     val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble))
       .toDF("k", "id", "value")
