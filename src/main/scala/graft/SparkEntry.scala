@@ -453,6 +453,12 @@ object SparkEntry {
   private def qMode(s: SparkSession, dir: String): DataFrame =
     Stats.modePerGroup(ev(s, dir), Seq("event_type"), "user_id")
 
+  /** 3-D z-order value over (event_id, user_id, value) — the N-dimensional
+    * generalization of q_zorder's 2-D magic-mask interleave. */
+  private def qZorderNd(s: SparkSession, dir: String): DataFrame =
+    ZOrder.withZValueN(ev(s, dir).select("event_id", "user_id", "value"),
+      Seq("event_id", "user_id", "value"))
+
   /** Salted fact-dim join on the (skewed, low-cardinality) event_type key:
     * output must be row-identical to the plain join — salting is invisible
     * in the result. */
@@ -1283,6 +1289,7 @@ object SparkEntry {
     "q_window_corr" -> (qWindowCorr _),
     "q_winsorize" -> (qWinsorize _),
     "q_join_salted" -> (qJoinSalted _),
+    "q_zorder_nd" -> (qZorderNd _),
     "q_window_lagged" -> (qWindowLagged _),
     "q_window_ranks" -> (qWindowRanks _),
     "q_join_inner" -> (qJoinInner _),
@@ -1871,6 +1878,31 @@ object SparkEntry {
         |  ((y | (y << 1)) & 1431655765) AS y FROM s3)
         |SELECT event_id, user_id, (x | (y << 1)) AS zval FROM s4"""
         .stripMargin,
+
+    "q_zorder_nd" -> {
+      // 48-term generic interleave: z bit (3i + j) = bit i of dimension j
+      val terms = (for { j <- 0 until 3; i <- 0 until 16 }
+        yield s"(((n$j >> $i) & 1) << ${i * 3 + j})").mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT min(event_id) AS lo0, max(event_id) AS hi0,
+         |         min(user_id) AS lo1, max(user_id) AS hi1,
+         |         min(value) AS lo2, max(value) AS hi2
+         |  FROM events),
+         |n AS (
+         |  SELECT event_id, user_id, value,
+         |    CASE WHEN hi0 = lo0 THEN 0 ELSE
+         |      CAST(floor(CAST(event_id - lo0 AS DOUBLE) * 65535.0
+         |        / CAST(hi0 - lo0 AS DOUBLE)) AS BIGINT) END AS n0,
+         |    CASE WHEN hi1 = lo1 THEN 0 ELSE
+         |      CAST(floor(CAST(user_id - lo1 AS DOUBLE) * 65535.0
+         |        / CAST(hi1 - lo1 AS DOUBLE)) AS BIGINT) END AS n1,
+         |    CASE WHEN hi2 = lo2 THEN 0 ELSE
+         |      CAST(floor(CAST(value - lo2 AS DOUBLE) * 65535.0
+         |        / CAST(hi2 - lo2 AS DOUBLE)) AS BIGINT) END AS n2
+         |  FROM events, b)
+         |SELECT event_id, user_id, value, ($terms) AS zval FROM n"""
+        .stripMargin
+    },
 
     "q_sample" ->
       """SELECT event_id, user_id, event_type, value

@@ -69,4 +69,33 @@ object ZOrder {
     withZValue(df, xCol, yCol)
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions(col("zval"))
+
+  /** General N-dimensional interleave: z bit (i·N + j) = bit i of key j.
+    * The 2-D magic-mask path (zValue2) is the fast special case; this
+    * generic form is N·bits shift/or terms — a constant-size expression
+    * tree per row, still codegen'd, for layouts clustered on 3-4 query
+    * dimensions. bits·N must fit a signed long. */
+  def zValueN(keys: Seq[Column], bits: Int = 16): Column = {
+    require(keys.nonEmpty && bits > 0 && bits * keys.size <= 63,
+      s"need 0 < bits*${keys.size} <= 63")
+    val n = keys.size
+    val terms = for {
+      (k, j) <- keys.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(k, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** N-dimensional z-value with data-derived bounds (one constant-width
+    * aggregate broadcast to every row, as in withZValue). */
+  def withZValueN(df: DataFrame, cols: Seq[String],
+                  out: String = "zval"): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__${c}_lo"), max(col(c)).as(s"__${c}_hi")))
+    val b = df.agg(aggs.head, aggs.tail: _*)
+    df.crossJoin(broadcast(b))
+      .withColumn(out, zValueN(cols.map(c =>
+        normalize16(col(c), col(s"__${c}_lo"), col(s"__${c}_hi")))))
+      .drop(cols.flatMap(c => Seq(s"__${c}_lo", s"__${c}_hi")): _*)
+  }
 }
