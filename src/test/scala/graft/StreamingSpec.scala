@@ -343,6 +343,53 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("CCC", None)))        // outer row, null-padded
   }
 
+  test("transformWithState: running per-key stats, state survives batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // transformWithState requires the RocksDB provider
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Files.createTempDirectory("graft_stream_tws")
+      val raw = Files.createDirectory(base.resolve("raw"))
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      writeCsv(raw, "a.csv", Seq(
+        "AAA,10.0,0.0,,1,2024-01-01T00:01:00",
+        "AAA,20.0,0.0,,1,2024-01-01T00:02:00",
+        "BBB,5.0,0.0,,1,2024-01-01T00:01:30"))
+      import spark.implicits._
+      def runOnce(): Unit = {
+        val ticks = StreamPipeline.tickStream(spark, raw.toString)
+          .selectExpr("symbol AS key", "timestamp AS ts", "price AS value")
+          .as[graft.streaming.RunningStats.Tick]
+        graft.streaming.RunningStats.runningFeatures(ticks)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", out)
+          .start().awaitTermination(90000)
+      }
+      runOnce()
+      // batch 2: running state must CONTINUE from (n=2, sum=30) for AAA
+      writeCsv(raw, "b.csv", Seq("AAA,30.0,0.0,,1,2024-01-01T00:10:00"))
+      runOnce()
+      val rows = spark.read.parquet(out)
+        .select("key", "run_n", "run_avg", "run_min", "run_max")
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(rows.contains(("AAA", 1L, 10.0, 10.0, 10.0)))
+      assert(rows.contains(("AAA", 2L, 15.0, 10.0, 20.0)))
+      assert(rows.contains(("AAA", 3L, 20.0, 10.0, 30.0))) // state carried over
+      assert(rows.contains(("BBB", 1L, 5.0, 5.0, 5.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("J2: chained stateful ops — windowed aggs join as declared (Spark 4)") {
     // the reference DECLARED this DAG but ran a batch twin because
     // Spark < 3.5 rejected chained stateful operators; Spark 4 propagates
