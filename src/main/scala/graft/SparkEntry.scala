@@ -1637,8 +1637,8 @@ object SparkEntry {
     "q_histogram" ->
       """WITH b AS (
         |  SELECT event_type,
-        |    least(24, greatest(0,
-        |      CAST(floor((value - 0.0) / 20.0) AS INT))) AS bin
+        |    CAST(floor(least(24.0, greatest(0.0,
+        |      (value - 0.0) / 20.0))) AS INT) AS bin
         |  FROM events WHERE value IS NOT NULL)
         |SELECT event_type, bin, count(*) AS n,
         |  round(0.0 + bin * 20.0, 6) AS bin_lo,
@@ -1702,7 +1702,8 @@ object SparkEntry {
         |    round(quantile_cont(value, 0.99), 6) AS fence_hi
         |  FROM events GROUP BY 1)
         |SELECT event_id, event_type, value, fence_lo, fence_hi,
-        |  least(greatest(value, fence_lo), fence_hi) AS value_w
+        |  CASE WHEN value IS NULL THEN NULL
+        |    ELSE least(greatest(value, fence_lo), fence_hi) END AS value_w
         |FROM events JOIN f USING (event_type)""".stripMargin,
 
     "q_join_salted" ->

@@ -177,9 +177,7 @@ object Curate {
   def capPerGroup(df: DataFrame, group: Seq[String], order: Seq[Column],
                   n: Int, rankCol: String = "rank_in_group"): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
-    val w = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
-    df.withColumn(rankCol, row_number().over(w))
-      .filter(col(rankCol) <= n)
+    TopK.topKPerGroup(df, group, order, n, rankCol)
   }
 
   /** Deterministic global shuffle with a contiguous position column —

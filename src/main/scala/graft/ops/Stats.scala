@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /**
  * Grouped statistics beyond plain moments: bivariate association and
@@ -148,11 +149,16 @@ object Stats {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       s"quantiles must be in [0,1]: $qs")
     val qArray = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+    // an all-NULL group yields a NULL percentile array; posexplode(NULL)
+    // would emit nothing and silently DROP the group — substitute an
+    // array of null values so the group survives with value_q = NULL
+    val nullPs = array(qs.map(_ => lit(null).cast(DoubleType)): _*)
     df.groupBy(keys.map(col): _*)
       .agg(expr(s"percentile($value, $qArray)").as("__ps"),
         count(lit(1)).as("n"))
       .select(keys.map(col) ++ Seq(col("n"),
-        posexplode(col("__ps")).as(Seq("__i", "value_q"))): _*)
+        posexplode(coalesce(col("__ps"), nullPs))
+          .as(Seq("__i", "value_q"))): _*)
       .withColumn("q", element_at(typedlit(qs), col("__i") + 1))
       .withColumn("value_q", round(col("value_q"), 6))
       .drop("__i")
@@ -171,8 +177,11 @@ object Stats {
     require(nbins > 0 && hi > lo, s"need hi > lo and nbins > 0")
     val width = (hi - lo) / nbins
     val v = col(value)
-    val bin = least(lit(nbins - 1),
-      greatest(lit(0), floor((v - lit(lo)) / lit(width)).cast("int")))
+    // clamp on the DOUBLE before floor/cast: an extreme outlier would
+    // overflow the int cast (ANSI throws) if clamped only afterwards
+    val scaled = least(lit((nbins - 1).toDouble),
+      greatest(lit(0.0), (v - lit(lo)) / lit(width)))
+    val bin = floor(scaled).cast("int")
     df.filter(v.isNotNull)
       .withColumn("bin", bin)
       .groupBy((keys.map(col) :+ col("bin")): _*)
@@ -195,8 +204,12 @@ object Stats {
         round(expr(s"percentile($value, ${pLo}D)"), 6).as("fence_lo"),
         round(expr(s"percentile($value, ${pHi}D)"), 6).as("fence_hi"))
     df.join(broadcast(fences), keys)
+      // least/greatest SKIP nulls, so a bare clip would fabricate the low
+      // fence for a NULL measurement — preserve NULL explicitly
       .withColumn(out,
-        least(greatest(col(value), col("fence_lo")), col("fence_hi")))
+        when(col(value).isNull, lit(null).cast(DoubleType))
+          .otherwise(least(greatest(col(value), col("fence_lo")),
+            col("fence_hi"))))
   }
 
   /** Per-group categorical mode with a deterministic tie rule (highest
@@ -207,9 +220,12 @@ object Stats {
                    value: String): DataFrame = {
     val counts = df.groupBy((keys :+ value).map(col): _*)
       .agg(count(lit(1)).as("__n"))
+    // min_by over (-count, value): negation happens on the COUNT (always
+    // numeric), so the value column itself only needs to be orderable —
+    // strings and dates work; negating the value would throw under ANSI
     counts.groupBy(keys.map(col): _*)
       .agg(
-        max_by(col(value), struct(col("__n"), -col(value)))
+        min_by(col(value), struct((-col("__n")).as("a"), col(value).as("b")))
           .as("mode_value"),
         max(col("__n")).as("mode_n"),
         count(lit(1)).as("n_distinct"))

@@ -13,13 +13,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
  * timers, designed around the RocksDB state store (which is REQUIRED — the
  * HDFS-backed provider rejects this operator).
  *
- * State per key is one constant-width Running record no matter how many
- * events pass — the 100 TB/day posture: cumulative features over an
- * unbounded stream with O(keys) state, each key's record a few dozen
- * bytes in RocksDB, never on-heap in aggregate.
- *
- * Within a micro-batch, input order is not guaranteed; rows are processed
- * in (ts, value) order so the running outputs are deterministic.
+ * STORED state per key is one constant-width Running record no matter how
+ * many events pass — cumulative features over an unbounded stream with
+ * O(keys) state, each key's record a few dozen bytes in RocksDB. Transient
+ * per-batch memory is a different budget: the deterministic (ts, value)
+ * ordering requires buffering one key's micro-batch slice once (a single
+ * in-place-sorted array; outputs re-derive lazily) — bound the batch
+ * (maxFilesPerTrigger / maxOffsetsPerTrigger) if a hot key can receive
+ * millions of rows per trigger.
  */
 object RunningStats {
 
@@ -35,18 +36,29 @@ object RunningStats {
       state = getHandle.getValueState[Running]("running",
         Encoders.product[Running], TTLConfig.NONE)
 
+    private def step(r: Running, t: Tick): Running =
+      Running(r.n + 1, r.sum + t.value,
+        math.min(r.mn, t.value), math.max(r.mx, t.value))
+
     override def handleInputRows(key: String, rows: Iterator[Tick],
                                  tv: TimerValues): Iterator[Out] = {
-      var cur =
+      val init =
         if (state.exists()) state.get()
         else Running(0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
-      val out = rows.toSeq.sortBy(t => (t.ts.getTime, t.value)).map { t =>
-        cur = Running(cur.n + 1, cur.sum + t.value,
-          math.min(cur.mn, t.value), math.max(cur.mx, t.value))
-        Out(key, t.ts, t.value, cur.n, cur.sum / cur.n, cur.mn, cur.mx)
+      // the deterministic sort needs the batch in memory ONCE (an array,
+      // sorted in place); the final state folds eagerly so the store is
+      // updated before we return, but outputs re-derive lazily during
+      // sink consumption — no second materialized copy of the batch
+      val sorted = rows.toArray
+      scala.util.Sorting.stableSort(sorted,
+        (a: Tick, b: Tick) => a.ts.getTime < b.ts.getTime ||
+          (a.ts.getTime == b.ts.getTime && a.value < b.value))
+      state.update(sorted.foldLeft(init)(step))
+      var acc = init
+      sorted.iterator.map { t =>
+        acc = step(acc, t)
+        Out(key, t.ts, t.value, acc.n, acc.sum / acc.n, acc.mn, acc.mx)
       }
-      state.update(cur)
-      out.iterator
     }
   }
 

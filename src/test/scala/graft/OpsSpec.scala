@@ -787,6 +787,41 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(("a", 7L, 2L, 3L), ("b", 1L, 1L, 1L)))
   }
 
+  test("modePerGroup: string (categorical) values work under ANSI") {
+    val df = Seq(("a", "click"), ("a", "click"), ("a", "view"),
+        ("a", "buy"), ("a", "buy")).toDF("k", "cat")
+    val out = Stats.modePerGroup(df, Seq("k"), "cat")
+      .select("k", "mode_value", "mode_n", "n_distinct")
+      .as[(String, String, Long, Long)].collect().toSet
+    // buy and click tie at 2 -> lexicographically smaller "buy" wins
+    assert(out == Set(("a", "buy", 2L, 3L)))
+  }
+
+  test("edge fixes: null winsorize, all-null percentile group, histogram overflow") {
+    // winsorize must preserve NULL, not fabricate the low fence
+    val w = Stats.winsorize(
+        (Seq(("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(3.0)),
+          ("a", 4L, None)): Seq[(String, Long, Option[Double])])
+          .toDF("k", "id", "value"),
+        Seq("k"), "value", pLo = 0.25, pHi = 0.75)
+      .select("id", "value_w").as[(Long, Option[Double])].collect().toMap
+    assert(w(4L).isEmpty)
+    // exactPercentiles must keep a group whose values are all NULL
+    val p = Stats.exactPercentiles(
+        (Seq(("a", Some(1.0)), ("b", None), ("b", None))
+          : Seq[(String, Option[Double])]).toDF("k", "value"),
+        Seq("k"), "value", Seq(0.5))
+      .select("k", "value_q", "n")
+      .as[(String, Option[Double], Long)].collect().toSet
+    assert(p.contains(("b", None, 2L)))
+    // histogram must clamp an extreme outlier, not overflow the int cast
+    val h = Stats.histogram(Seq(("a", 1e12), ("a", -1e12), ("a", 5.0))
+        .toDF("k", "value"), Seq("k"), "value", lo = 0.0, hi = 10.0,
+        nbins = 10)
+      .select("bin", "n").as[(Int, Long)].collect().toSet
+    assert(h == Set((9, 1L), (0, 1L), (5, 1L)))
+  }
+
   test("capPerGroup: keeps best n per group with deterministic tiebreak") {
     val df = Seq(
       ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 5L),
