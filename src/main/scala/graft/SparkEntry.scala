@@ -531,6 +531,32 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped local-supplier revenue: the distinguishing constraint
+    * is c_nationkey = s_nationkey — customer and supplier must share a
+    * nation, which joins the two dimension ARMS of the star to each other,
+    * not just to the fact. nation/region broadcast (tiny by contract);
+    * orders/customer/supplier flow through AQE-planned joins. */
+  private def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1998-01-01").cast(TimestampType)
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(tbl(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+  }
+
   /** Lag/lead time-series features per event type + pct change vs lag_1. */
   private def qWindowLagged(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.laggedFeatures(ev(s, dir), "event_type",
@@ -1280,6 +1306,7 @@ object SparkEntry {
     "q_dedup_keep_last" -> (qDedupKeepLast _),
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
     "q_set_ops" -> (qSetOps _),
     "q_percentile_exact" -> (qPercentileExact _),
     "q_mode" -> (qMode _),
@@ -1590,6 +1617,18 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     "q_set_ops" ->
       """WITH a AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 0),
