@@ -214,4 +214,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("globalSortIndex: a contiguous permutation matching a driver md5 sort") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    for (seed <- Seq(2, 13)) {
+      val rnd = new Random(seed)
+      // adversarial: sparse, duplicated-free random ids incl. negatives
+      val ids = Seq.fill(400)(rnd.nextLong() % 100000L).distinct
+      val got = graft.ops.Curate.globalSortIndex(ids.toDF("id"), $"id",
+          seed = s"s$seed")
+        .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+      val expected = ids.sortBy(i => md5hex(s"${i}s$seed")).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      assert(got == expected, s"permutation mismatch at seed $seed")
+      assert(got.values.toSeq.sorted == (1L to ids.size))
+    }
+  }
+
+  test("histogram: bin mass sums to non-null row count, bounds consistent") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new Random(seed)
+      val rows = Seq.fill(500)(
+        (if (rnd.nextBoolean()) "a" else "b",
+          rnd.nextDouble() * 200.0 - 50.0)) // spills both clamp edges
+      val out = graft.ops.Stats.histogram(rows.toDF("k", "value"),
+          Seq("k"), "value", lo = 0.0, hi = 100.0, nbins = 8)
+        .select("k", "bin", "n", "bin_lo", "bin_hi")
+        .as[(String, Int, Long, Double, Double)].collect()
+      assert(out.map(_._3).sum == rows.size) // every row lands somewhere
+      assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+      assert(out.forall(r => r._5 - r._4 == 12.5)) // width = 100/8
+      // per-key counts match a driver-side binning
+      val expected = rows.groupBy { case (k, v) =>
+        (k, math.min(7, math.max(0, math.floor(v / 12.5).toInt)))
+      }.view.mapValues(_.size.toLong).toMap
+      assert(out.map(r => (r._1, r._2) -> r._3).toMap == expected)
+    }
+  }
+
+  test("setCompare: legs partition the union, multiset counts add up") {
+    for (seed <- Seq(5, 17)) {
+      val rnd = new Random(seed)
+      def mk() = Seq.fill(300)(rnd.nextInt(20)).map(i => s"v$i")
+      val (la, lb) = (mk(), mk())
+      val legs = graft.ops.Combine.setCompare(la.toDF("v"), lb.toDF("v"))
+        .as[(String, String)].collect()
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+      val (ca, cb) = (la.groupBy(identity).view.mapValues(_.size).toMap,
+        lb.groupBy(identity).view.mapValues(_.size).toMap)
+      // set legs (a leg absent from the output means it was empty)
+      def leg(n: String) = legs.getOrElse(n, Nil)
+      assert(leg("intersect").toSet == (ca.keySet & cb.keySet))
+      assert(leg("only_a").toSet == (ca.keySet -- cb.keySet))
+      assert(leg("only_b").toSet == (cb.keySet -- ca.keySet))
+      // multiset legs: min / truncated difference multiplicities
+      def counts(s: Seq[String]) =
+        s.groupBy(identity).view.mapValues(_.size).toMap
+      assert(counts(legs.getOrElse("intersect_all", Nil)) ==
+        (ca.keySet & cb.keySet).map(k => k -> math.min(ca(k), cb(k))).toMap)
+      assert(counts(legs.getOrElse("only_a_all", Nil)) ==
+        ca.collect { case (k, n) if n > cb.getOrElse(k, 0) =>
+          k -> (n - cb.getOrElse(k, 0)) }.toMap)
+      assert(counts(legs.getOrElse("only_b_all", Nil)) ==
+        cb.collect { case (k, n) if n > ca.getOrElse(k, 0) =>
+          k -> (n - ca.getOrElse(k, 0)) }.toMap)
+    }
+  }
 }
