@@ -705,6 +705,58 @@ object SparkEntry {
 
   private val evOrder = Seq("ts", "event_id")
 
+  // --------------------------------------------------- technical indicators
+  // The stock-domain layer the reference's DDL/dashboards imply but its jobs
+  // never compute (reference stops at MA + rolling stddev). All are per-key
+  // ordered series ops on events (key = event_type, price = value,
+  // volume = user_id as the integer volume proxy used by every windowed
+  // query in this file).
+
+  private def qBollinger(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Indicators.bollinger(ev(s, dir), "event_type", evOrder, "value")
+      .select(col("event_id"), col("event_type"),
+        r6(col("bb_ma")).as("bb_ma"), r6(col("bb_upper")).as("bb_upper"),
+        r6(col("bb_lower")).as("bb_lower"), r6(col("pct_b")).as("pct_b"))
+
+  private def qRsi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Indicators.rsi(ev(s, dir), "event_type", evOrder, "value")
+      .select(col("event_id"), col("event_type"),
+        r6(col("rsi_14")).as("rsi_14"))
+
+  private def qVwapObv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Indicators.vwapObv(ev(s, dir), "event_type", "ts", evOrder,
+        "value", col("user_id"))
+      .select(col("event_id"), col("event_type"),
+        r6(col("vwap")).as("vwap"), col("obv"))
+
+  private def qStochastic(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Indicators.stochastic(ev(s, dir), "event_type", evOrder, "value")
+      .select(col("event_id"), col("event_type"),
+        r6(col("don_lo")).as("don_lo"), r6(col("don_hi")).as("don_hi"),
+        r6(col("pct_k")).as("pct_k"), r6(col("pct_d")).as("pct_d"))
+
+  private def qDrawdown(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Indicators.drawdown(ev(s, dir), "event_type", evOrder, "value")
+      .select(col("event_id"), col("event_type"),
+        r6(col("run_max")).as("run_max"), r6(col("drawdown")).as("drawdown"),
+        r6(col("cum_return")).as("cum_return"))
+
+  /** EMA/MACD over hourly mean-price bars. The bar is the exactAvg shape
+    * (4dp-rounded sum / count) so both engines seed the recurrence with
+    * identical doubles; the oracle replays the recurrence as a recursive
+    * CTE. Bars rather than raw ticks keep the oracle's recursion depth at
+    * the per-key bar count. */
+  private def qMacd(s: SparkSession, dir: String): DataFrame = {
+    val bars = ev(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg((round(sum("value"), 4) / count(lit(1))).as("bar"))
+    graft.ops.Indicators.withEmaMacd(bars, "event_type", Seq("hour_start"), "bar")
+      .select(col("event_type"), col("hour_start"), r6(col("bar")).as("bar"),
+        r6(col("ema_fast")).as("ema_fast"), r6(col("ema_slow")).as("ema_slow"),
+        r6(col("macd")).as("macd"), r6(col("signal")).as("signal"),
+        r6(col("histogram")).as("histogram"))
+  }
+
   private def qWindowMa(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.movingAverages(ev(s, dir), "event_type",
         evOrder, "value", Seq(5, 15, 30))
@@ -1361,6 +1413,12 @@ object SparkEntry {
     "q_asof_join_native" -> (qAsofJoinNative _),
     "q_range_join" -> (qRangeJoin _),
     "q_window_ma" -> (qWindowMa _),
+    "q_bollinger" -> (qBollinger _),
+    "q_rsi" -> (qRsi _),
+    "q_vwap_obv" -> (qVwapObv _),
+    "q_stochastic" -> (qStochastic _),
+    "q_drawdown" -> (qDrawdown _),
+    "q_macd" -> (qMacd _),
     "q_window_stddev" -> (qWindowStddev _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_window_tumbling" -> (qWindowTumbling _),

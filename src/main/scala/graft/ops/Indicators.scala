@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/**
+ * Technical-indicator analytics over per-key ordered series — the domain
+ * layer the reference's stock pipeline declares but never ships (its
+ * warehouse DDL and dashboards stop at MA/volatility; reference:
+ * src/airflow/dags/scripts/stock_analytics_processor.py:126-137 computes
+ * only moving averages and rolling stddev). Bollinger bands, RSI, VWAP,
+ * OBV, stochastic oscillator, drawdown are all single-Window-node frames
+ * over the same per-key sort; EMA/MACD is the one genuinely recursive
+ * indicator and runs as a sorted per-partition scan (secondary sort).
+ *
+ * Scale notes:
+ *  - Every windowed indicator here shares ONE shuffle (partition by key) and
+ *    ONE in-partition sort; adding indicator columns is free once the series
+ *    is sorted. Key cardinality is the parallelism lever (symbols, not a
+ *    constant).
+ *  - Cross-engine float discipline: derived quantities are built from
+ *    already-exact or already-rounded components (sums rounded at 4dp before
+ *    dividing, stddev rounded at 6dp before band math), so an oracle engine
+ *    computing the same expression tree gets bit-identical doubles.
+ */
+object Indicators {
+
+  private def cum(w: org.apache.spark.sql.expressions.WindowSpec) =
+    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Exact cross-engine frame mean: round the sum at 4dp, then divide by the
+    * non-null count (same trick as SparkEntry.exactAvg, windowed). */
+  private def frameAvg(c: Column, w: org.apache.spark.sql.expressions.WindowSpec)
+      : Column =
+    round(sum(c).over(w), 4) / nullif(count(c).over(w), lit(0L))
+
+  /** Bollinger bands over a trailing `n`-row frame per key: mid = frame mean,
+    * upper/lower = mid ± k·stddev, %B = position of the price inside the
+    * band. stddev is rounded at 6dp BEFORE the band arithmetic so both
+    * engines combine identical doubles; 1-row frames give NULL bands (sample
+    * stddev undefined), zero-width bands give NULL %B. */
+  def bollinger(df: DataFrame, key: String, order: Seq[String], value: String,
+                n: Int = 20, k: Double = 2.0): DataFrame = {
+    val w = WindowAnalytics.keyFrame(key, order)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    df.select(col("*"),
+        frameAvg(col(value), w).as("bb_ma"),
+        round(Clean.nanToNull(stddev_samp(col(value)).over(w)), 6).as("_sd"))
+      .select(col("*"),
+        (col("bb_ma") + lit(k) * col("_sd")).as("bb_upper"),
+        (col("bb_ma") - lit(k) * col("_sd")).as("bb_lower"))
+      .withColumn("pct_b",
+        (col(value) - col("bb_lower"))
+          / nullif(col("bb_upper") - col("bb_lower"), lit(0.0)))
+      .drop("_sd")
+  }
+
+  /** Cutler's RSI (SMA-smoothed relative strength) over a trailing `n`-row
+    * frame: gain/loss split of the 1-step price diff, frame means of each,
+    * RSI = 100·gain/(gain+loss). The first row per key has no diff and is
+    * excluded from both frame means (NULL-skipping count); an all-flat frame
+    * (gain+loss = 0) yields NULL rather than the 0/0 convention. Wilder's
+    * recursive smoothing is deliberately NOT used here — see withEmaMacd for
+    * the recursive machinery. */
+  def rsi(df: DataFrame, key: String, order: Seq[String], value: String,
+          n: Int = 14): DataFrame = {
+    val wOrd = WindowAnalytics.keyFrame(key, order)
+    val frame = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    // greatest() ignores NULLs in Spark but not in every oracle engine:
+    // guard the first-row NULL diff explicitly so semantics are portable
+    df.select(col("*"),
+        (col(value) - lag(col(value), 1).over(wOrd)).as("_d"))
+      .select(col("*"),
+        when(col("_d").isNotNull, greatest(col("_d"), lit(0.0))).as("_gain"),
+        when(col("_d").isNotNull, greatest(-col("_d"), lit(0.0))).as("_loss"))
+      .select(col("*"),
+        frameAvg(col("_gain"), frame).as("_ag"),
+        frameAvg(col("_loss"), frame).as("_al"))
+      .withColumn(s"rsi_$n",
+        lit(100.0) * col("_ag") / nullif(col("_ag") + col("_al"), lit(0.0)))
+      .drop("_d", "_gain", "_loss", "_ag", "_al")
+  }
+
+  /** Intraday VWAP (cumulative within each (key, trading day)) plus OBV
+    * (on-balance volume: cumulative signed volume per key). VWAP divides a
+    * 4dp-rounded cumulative notional by the EXACT integer cumulative volume;
+    * OBV is pure integer arithmetic (sign·volume cumsum), so both are
+    * engine-exact. The first row per key has no diff → contributes nothing
+    * to OBV (coalesced to 0). */
+  def vwapObv(df: DataFrame, key: String, ts: String, order: Seq[String],
+              value: String, volume: Column): DataFrame = {
+    val wOrd = WindowAnalytics.keyFrame(key, order)
+    val wDay = cum(Window.partitionBy(col(key), to_date(col(ts)))
+      .orderBy(order.map(col): _*))
+    val wKey = cum(wOrd)
+    df.select(col("*"),
+        (col(value) - lag(col(value), 1).over(wOrd)).as("_d"))
+      .select(col("*"),
+        (round(sum(col(value) * volume).over(wDay), 4)
+          / nullif(sum(volume).over(wDay), lit(0L))).as("vwap"),
+        coalesce(
+          sum(signum(col("_d")).cast("long") * volume).over(wKey),
+          lit(0L)).as("obv"))
+      .drop("_d")
+  }
+
+  /** Stochastic oscillator: %K = position of the price inside the trailing
+    * `n`-row Donchian channel (min/max — exact, no float accumulation),
+    * %D = `d`-row frame mean of %K. Zero-width channels yield NULL %K and
+    * are skipped by %D's NULL-skipping mean. Emits don_lo/don_hi too (the
+    * Donchian channel is an indicator in its own right). */
+  def stochastic(df: DataFrame, key: String, order: Seq[String], value: String,
+                 n: Int = 14, d: Int = 3): DataFrame = {
+    val wOrd = WindowAnalytics.keyFrame(key, order)
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    val wD = wOrd.rowsBetween(-(d - 1), Window.currentRow)
+    df.select(col("*"),
+        min(col(value)).over(wN).as("don_lo"),
+        max(col(value)).over(wN).as("don_hi"))
+      .withColumn("pct_k",
+        lit(100.0) * (col(value) - col("don_lo"))
+          / nullif(col("don_hi") - col("don_lo"), lit(0.0)))
+      .select(col("*"), frameAvg(col("pct_k"), wD).as("pct_d"))
+  }
+
+  /** Running-peak drawdown and cumulative return per key: run_max is the
+    * cumulative max (exact), drawdown = value/run_max − 1, cum_return =
+    * value/first(value) − 1. first() over a cumulative frame on a TOTAL
+    * order is deterministic (the `order` columns must include a unique
+    * tiebreaker — same contract as every frame in this file). */
+  def drawdown(df: DataFrame, key: String, order: Seq[String], value: String)
+      : DataFrame = {
+    val wCum = cum(WindowAnalytics.keyFrame(key, order))
+    df.select(col("*"),
+        max(col(value)).over(wCum).as("run_max"),
+        first(col(value)).over(wCum).as("_first"))
+      .select(col("*"),
+        (col(value) / nullif(col("run_max"), lit(0.0)) - lit(1.0))
+          .as("drawdown"),
+        (col(value) / nullif(col("_first"), lit(0.0)) - lit(1.0))
+          .as("cum_return"))
+      .drop("_first")
+  }
+
+  /** EMA fast/slow + MACD + signal + histogram — the one genuinely
+    * RECURSIVE indicator (EMA_t = α·x_t + (1−α)·EMA_{t−1} has no closed
+    * windowed form that is float-exact). Runs as a classic secondary sort:
+    * one shuffle on the key, one in-partition sort on (key, order...), then
+    * a single streaming pass with O(1) state per key — rows of a key are
+    * contiguous after the sort, so state resets at key boundaries and
+    * memory never depends on series length. This is the per-partition
+    * imperative shape mapPartitions exists for; a Window cannot host an
+    * order-dependent recurrence and collect_list per key would be O(series)
+    * memory.
+    *
+    * Seeding: EMA := first value; MACD/signal/histogram := 0 on the seed
+    * row. NULL values pass through with NULL outputs and leave state (and
+    * seeding) untouched.
+    *
+    * Float contract: each step is exactly α·x + (1−α)·state in IEEE double,
+    * so an oracle replaying the same recurrence (e.g. a recursive CTE)
+    * reproduces bit-identical values. */
+  def withEmaMacd(df: DataFrame, key: String, order: Seq[String],
+                  value: String, fast: Int = 12, slow: Int = 26,
+                  signalSpan: Int = 9): DataFrame = {
+    val aF = 2.0 / (fast + 1); val aS = 2.0 / (slow + 1)
+    val aG = 2.0 / (signalSpan + 1)
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("ema_fast", DoubleType), StructField("ema_slow", DoubleType),
+      StructField("macd", DoubleType), StructField("signal", DoubleType),
+      StructField("histogram", DoubleType)))
+    val keyIdx = inSchema.fieldIndex(key)
+    val valIdx = inSchema.fieldIndex(value)
+    val nulls = Seq[Any](null, null, null, null, null)
+    df.repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var seeded = false
+        var emaF = 0.0; var emaS = 0.0; var sig = 0.0
+        rows.map { row =>
+          val k = row.get(keyIdx)
+          if (!java.util.Objects.equals(k, curKey)) {
+            curKey = k; seeded = false
+          }
+          if (row.isNullAt(valIdx)) Row.fromSeq(row.toSeq ++ nulls)
+          else {
+            val x = row.getDouble(valIdx)
+            if (!seeded) {
+              seeded = true; emaF = x; emaS = x; sig = 0.0
+              Row.fromSeq(row.toSeq ++ Seq(emaF, emaS, 0.0, 0.0, 0.0))
+            } else {
+              emaF = aF * x + (1.0 - aF) * emaF
+              emaS = aS * x + (1.0 - aS) * emaS
+              val macd = emaF - emaS
+              sig = aG * macd + (1.0 - aG) * sig
+              Row.fromSeq(row.toSeq ++ Seq(emaF, emaS, macd, sig, macd - sig))
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+}
