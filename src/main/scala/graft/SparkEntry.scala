@@ -742,14 +742,16 @@ object SparkEntry {
         r6(col("cum_return")).as("cum_return"))
 
   /** EMA/MACD over hourly mean-price bars. The bar is the exactAvg shape
-    * (4dp-rounded sum / count) so both engines seed the recurrence with
-    * identical doubles; the oracle replays the recurrence as a recursive
-    * CTE. Bars rather than raw ticks keep the oracle's recursion depth at
-    * the per-key bar count. */
+    * (4dp-rounded sum / non-null count, NULL for all-NULL hours) so both
+    * engines seed the recurrence with identical doubles; the oracle replays
+    * the recurrence as a recursive CTE (q_macd in oracleSql). Bars rather
+    * than raw ticks keep the oracle's recursion depth at the per-key bar
+    * count. */
   private def qMacd(s: SparkSession, dir: String): DataFrame = {
     val bars = ev(s, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
-      .agg((round(sum("value"), 4) / count(lit(1))).as("bar"))
+      .agg((round(sum("value"), 4) / nullif(count(col("value")), lit(0L)))
+        .as("bar"))
     graft.ops.Indicators.withEmaMacd(bars, "event_type", Seq("hour_start"), "bar")
       .select(col("event_type"), col("hour_start"), r6(col("bar")).as("bar"),
         r6(col("ema_fast")).as("ema_fast"), r6(col("ema_slow")).as("ema_slow"),
@@ -3105,6 +3107,175 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, k AS frame_idx,
         | CAST(floor(k * strlen(text) / 4.0) AS BIGINT) AS frame_offset,
         | strlen(text) AS n_bytes
-        |FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)""".stripMargin
+        |FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)""".stripMargin,
+
+    // ---------------------------------------------- technical indicators
+    // Same float discipline as the Spark side (Indicators.scala scaladoc):
+    // frame means divide a 4dp-rounded frame sum by the non-null frame
+    // count, stddev is rounded at 6dp BEFORE band arithmetic, and derived
+    // quantities recombine those already-identical doubles with the same
+    // IEEE expression tree, so round(..., 6) at the end never straddles a
+    // rounding boundary differently across engines.
+
+    "q_bollinger" ->
+      s"""WITH w AS (
+         |  SELECT event_id, event_type, value,
+         |    round(sum(value) OVER fr, 4) / nullif(count(value) OVER fr, 0)
+         |      AS bb_ma,
+         |    round(stddev_samp(value) OVER fr, 6) AS sd
+         |  FROM events
+         |  WINDOW fr AS (PARTITION BY event_type ORDER BY $TS, event_id
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, event_type, round(bb_ma, 6) AS bb_ma,
+         |  round(bb_ma + 2.0 * sd, 6) AS bb_upper,
+         |  round(bb_ma - 2.0 * sd, 6) AS bb_lower,
+         |  round((value - (bb_ma - 2.0 * sd))
+         |    / nullif((bb_ma + 2.0 * sd) - (bb_ma - 2.0 * sd), 0.0), 6)
+         |    AS pct_b
+         |FROM w""".stripMargin,
+
+    "q_rsi" ->
+      s"""WITH d AS (
+         |  SELECT event_id, event_type, $TS AS tts, value,
+         |    value - lag(value, 1) OVER (PARTITION BY event_type
+         |      ORDER BY $TS, event_id) AS dd
+         |  FROM events),
+         |g AS (
+         |  SELECT event_id, event_type, tts,
+         |    CASE WHEN dd IS NOT NULL THEN greatest(dd, 0.0) END AS gain,
+         |    CASE WHEN dd IS NOT NULL THEN greatest(-dd, 0.0) END AS loss
+         |  FROM d),
+         |f AS (
+         |  SELECT event_id, event_type,
+         |    round(sum(gain) OVER fr, 4) / nullif(count(gain) OVER fr, 0)
+         |      AS ag,
+         |    round(sum(loss) OVER fr, 4) / nullif(count(loss) OVER fr, 0)
+         |      AS al
+         |  FROM g
+         |  WINDOW fr AS (PARTITION BY event_type ORDER BY tts, event_id
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, event_type,
+         |  round(100.0 * ag / nullif(ag + al, 0.0), 6) AS rsi_14
+         |FROM f""".stripMargin,
+
+    "q_vwap_obv" ->
+      s"""WITH d AS (
+         |  SELECT event_id, event_type, user_id, value, $TS AS tts,
+         |    value - lag(value, 1) OVER (PARTITION BY event_type
+         |      ORDER BY $TS, event_id) AS dd
+         |  FROM events)
+         |SELECT event_id, event_type,
+         |  round(round(sum(value * user_id) OVER wday, 4)
+         |    / nullif(sum(user_id) OVER wday, 0), 6) AS vwap,
+         |  coalesce(CAST(sum(CAST(sign(dd) AS BIGINT) * user_id) OVER wkey
+         |    AS BIGINT), 0) AS obv
+         |FROM d
+         |WINDOW
+         |  wday AS (PARTITION BY event_type, CAST(tts AS DATE)
+         |    ORDER BY tts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wkey AS (PARTITION BY event_type ORDER BY tts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_stochastic" ->
+      s"""WITH k AS (
+         |  SELECT event_id, event_type, value, $TS AS tts,
+         |    min(value) OVER fr AS don_lo,
+         |    max(value) OVER fr AS don_hi
+         |  FROM events
+         |  WINDOW fr AS (PARTITION BY event_type ORDER BY $TS, event_id
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |p AS (
+         |  SELECT event_id, event_type, tts, don_lo, don_hi,
+         |    100.0 * (value - don_lo) / nullif(don_hi - don_lo, 0.0) AS pct_k
+         |  FROM k)
+         |SELECT event_id, event_type,
+         |  round(don_lo, 6) AS don_lo, round(don_hi, 6) AS don_hi,
+         |  round(pct_k, 6) AS pct_k,
+         |  round(round(sum(pct_k) OVER fd, 4)
+         |    / nullif(count(pct_k) OVER fd, 0), 6) AS pct_d
+         |FROM p
+         |WINDOW fd AS (PARTITION BY event_type ORDER BY tts, event_id
+         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_drawdown" ->
+      s"""WITH c AS (
+         |  SELECT event_id, event_type, value,
+         |    max(value) OVER fr AS run_max,
+         |    first_value(value) OVER fr AS fv
+         |  FROM events
+         |  WINDOW fr AS (PARTITION BY event_type ORDER BY $TS, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, event_type, round(run_max, 6) AS run_max,
+         |  round(value / nullif(run_max, 0.0) - 1.0, 6) AS drawdown,
+         |  round(value / nullif(fv, 0.0) - 1.0, 6) AS cum_return
+         |FROM c""".stripMargin,
+
+    // Replays withEmaMacd's recurrence exactly: seed EMA := first non-NULL
+    // bar (macd/signal/histogram := 0 on the seed row), then
+    // EMA_t = a*x + (1-a)*EMA_{t-1} stepped one bar per recursion level;
+    // NULL bars emit NULLs and leave state untouched. The smoothing
+    // constants are written as the same IEEE expressions the Scala side
+    // folds (2.0/13, 1 - 2.0/13, ...), so every step combines identical
+    // doubles.
+    "q_macd" ->
+      s"""WITH RECURSIVE
+         |bars AS (
+         |  SELECT event_type,
+         |    date_trunc('hour', $TS) AS hour_start,
+         |    round(sum(value), 4) / nullif(count(value), 0) AS bar
+         |  FROM events GROUP BY 1, 2),
+         |nb AS (
+         |  SELECT event_type, hour_start, bar,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour_start)
+         |      AS rn
+         |  FROM bars),
+         |rec AS (
+         |  SELECT event_type, hour_start, bar, rn,
+         |    bar AS ema_fast, bar AS ema_slow,
+         |    CASE WHEN bar IS NOT NULL THEN CAST(0.0 AS DOUBLE) END AS macd,
+         |    CASE WHEN bar IS NOT NULL THEN CAST(0.0 AS DOUBLE) END
+         |      AS signal,
+         |    CASE WHEN bar IS NOT NULL THEN CAST(0.0 AS DOUBLE) END
+         |      AS histogram,
+         |    bar AS st_f, bar AS st_s,
+         |    CASE WHEN bar IS NOT NULL THEN CAST(0.0 AS DOUBLE) END
+         |      AS st_sig
+         |  FROM nb WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, hour_start, bar, rn,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN NOT seeded THEN bar ELSE nf END,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN NOT seeded THEN bar ELSE ns END,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN NOT seeded THEN 0.0 ELSE nf - ns END,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN NOT seeded THEN 0.0
+         |         ELSE 2.0/10 * (nf - ns) + (1 - 2.0/10) * st_sig END,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN NOT seeded THEN 0.0
+         |         ELSE (nf - ns)
+         |           - (2.0/10 * (nf - ns) + (1 - 2.0/10) * st_sig) END,
+         |    CASE WHEN bar IS NULL THEN st_f
+         |         WHEN NOT seeded THEN bar ELSE nf END,
+         |    CASE WHEN bar IS NULL THEN st_s
+         |         WHEN NOT seeded THEN bar ELSE ns END,
+         |    CASE WHEN bar IS NULL THEN st_sig
+         |         WHEN NOT seeded THEN 0.0
+         |         ELSE 2.0/10 * (nf - ns) + (1 - 2.0/10) * st_sig END
+         |  FROM (
+         |    SELECT b.event_type, b.hour_start, b.bar, b.rn,
+         |      r.st_f, r.st_s, r.st_sig,
+         |      r.st_f IS NOT NULL AS seeded,
+         |      2.0/13 * b.bar + (1 - 2.0/13) * r.st_f AS nf,
+         |      2.0/27 * b.bar + (1 - 2.0/27) * r.st_s AS ns
+         |    FROM rec r JOIN nb b
+         |      ON b.event_type = r.event_type AND b.rn = r.rn + 1))
+         |SELECT event_type, hour_start, round(bar, 6) AS bar,
+         |  round(ema_fast, 6) AS ema_fast, round(ema_slow, 6) AS ema_slow,
+         |  round(macd, 6) AS macd, round(signal, 6) AS signal,
+         |  round(histogram, 6) AS histogram
+         |FROM rec""".stripMargin
   )
 }

@@ -40,7 +40,12 @@ object Verify {
     val pool = Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_PAR", "4").toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev control (same as Bench): SPARK_GRAFT_ONLY=q_a,q_b restricts the
+    // dump to a subset while iterating; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val futures = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .toSeq.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
