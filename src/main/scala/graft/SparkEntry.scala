@@ -1320,7 +1320,9 @@ object SparkEntry {
 
   /** Multimodal -> embedding -> ANN composition: stub-featurize the binary
     * assets, then find near-duplicate assets by cosine over the extracted
-    * features (rows-only: the featurizer is the stub codec). */
+    * features. Fully oracled: the stub featurizer is an integer byte
+    * histogram the oracle replays in SQL, and integer counts make the
+    * cosines bit-identical across engines. */
   private def qMultimodalAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedNearDupPairs(
       // materialize the featurizer output once: the self-join would
@@ -1472,7 +1474,9 @@ object SparkEntry {
   // candidate sets, HLL estimates) are not oracled directly; instead each
   // such operator ships an invariant query whose columns ARE
   // oracle-comparable (exact-side counts + containment/recall-floor flags).
-  // Only the multimodal decode stub's outputs remain rows-only.
+  // Every registered query has an oracle entry: the multimodal stub codec
+  // is a pure arithmetic function of the payload bytes (md5 residues /
+  // integer byte histogram), replayed below in SQL.
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_parquet" -> "SELECT * FROM lineitem",
@@ -3102,6 +3106,41 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, 'text' AS modality,
         | strlen(text) AS n_bytes, md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // Replays decodeStub: checksum = first 15 md5 hex digits base-16
+    // (60-bit, non-negative), width/height = 64 + bounded residues.
+    "q_multimodal_decode" ->
+      """WITH h AS (
+        |  SELECT doc_id, strlen(text) AS n_bytes,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+        |      AS checksum
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, n_bytes,
+        |  CAST(64 + checksum % 1024 AS INT) AS width,
+        |  CAST(64 + (checksum // 7) % 1024 AS INT) AS height,
+        |  checksum
+        |FROM h""".stripMargin,
+
+    // Replays extractFeatures (16-bucket integer byte histogram; documents
+    // are ASCII so chars == bytes and ascii(c)//16 is the bucket) and the
+    // blocked cosine self-join. Integer counts -> exact dot products and
+    // norms -> bit-identical cosines, so the >= 0.99 cut selects the same
+    // pair set in both engines.
+    "q_multimodal_ann" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id, doc_id % 10 AS blk,
+        |    list_transform(range(16), j -> CAST(len(list_filter(
+        |      list_transform(split(text, ''), c -> ascii(c)),
+        |      x -> x // 16 = j)) AS DOUBLE)) AS v
+        |  FROM documents)
+        |SELECT a.asset_id AS id1, b.asset_id AS id2,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) AS cosine_sim
+        |FROM f a JOIN f b ON a.blk = b.blk AND a.asset_id < b.asset_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.99""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS asset_id, k AS frame_idx,

@@ -49,14 +49,19 @@ object Multimodal {
    * batch of payloads to an image/audio codec (the mapInPandas analogue);
    * everything around it (encoder boundary, batching, partition layout) is
    * the real production shape.
+   *
+   * The fake is a pure arithmetic function of the payload's MD5 so an
+   * oracle engine can replay it in ANSI SQL (q_multimodal_decode):
+   * checksum = first 15 hex digits of md5(payload) parsed base-16 (60-bit,
+   * non-negative), width/height = 64 + bounded residues of it.
    */
-  private def decodeStub(assetId: Long, payload: Array[Byte]): DecodedAsset = {
-    var checksum = 0L
-    var i = 0
-    while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xFF); i += 1 }
+  private def decodeStub(assetId: Long, payload: Array[Byte],
+                         md: java.security.MessageDigest): DecodedAsset = {
+    val hex = md.digest(payload).map(b => f"${b & 0xFF}%02x").mkString
+    val checksum = java.lang.Long.parseLong(hex.substring(0, 15), 16)
     DecodedAsset(assetId, payload.length.toLong,
-      width = 64 + (math.abs(checksum) % 1024).toInt,
-      height = 64 + (math.abs(checksum / 7) % 1024).toInt,
+      width = 64 + (checksum % 1024).toInt,
+      height = 64 + ((checksum / 7) % 1024).toInt,
       checksum = checksum)
   }
 
@@ -69,8 +74,9 @@ object Multimodal {
     assets.select("asset_id", "payload")
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, bytes) => decodeStub(id, bytes) }
+          batch.map { case (id, bytes) => decodeStub(id, bytes, md) }
         }
       }
       .toDF()
@@ -81,7 +87,13 @@ object Multimodal {
     * place of a real vision/audio model; the Spark-side shape (binary in,
     * Array[Float] of fixed dim out, batched per partition) is the
     * production shape, and the output feeds graft.sim.Similarity directly
-    * (multimodal -> embedding -> ANN composes). */
+    * (multimodal -> embedding -> ANN composes).
+    *
+    * Features are RAW bucket counts, not length-normalized: cosine
+    * similarity is scale-invariant, and integer counts keep every dot
+    * product / norm exactly representable, so downstream cosines are
+    * bit-identical across engines and an oracle can replay the whole
+    * featurize -> blocked-cosine pipeline in SQL (q_multimodal_ann). */
   final case class FeaturedAsset(asset_id: Long, features: Seq[Float])
 
   def extractFeatures(assets: DataFrame, dim: Int = 16,
@@ -93,8 +105,7 @@ object Multimodal {
         v(((payload(i) & 0xFF) * dim / 256)) += 1.0f
         i += 1
       }
-      val n = math.max(payload.length, 1).toFloat
-      v.map(_ / n)
+      v
     }
     implicit val enc = Encoders.product[FeaturedAsset]
     // batched per partition like decodeAssets: the control shape a real

@@ -96,7 +96,7 @@ class FidelitySpec extends SparkSpec {
     val assets = Multimodal.asAssets(docs, "doc_id", "text", "source", "text")
     val feats = Multimodal.extractFeatures(assets, dim = 16)
       .orderBy("asset_id").collect()
-    // fixed dim, normalized histogram, identical payloads -> identical vecs
+    // fixed dim, integer count histogram, identical payloads -> identical vecs
     assert(feats.forall(_.getSeq[Float](1).length == 16))
     assert(feats(0).getSeq[Float](1) == feats(1).getSeq[Float](1))
     assert(feats(0).getSeq[Float](1) != feats(2).getSeq[Float](1))
