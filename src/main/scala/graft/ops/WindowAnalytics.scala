@@ -110,14 +110,17 @@ object WindowAnalytics {
                      value: String, offsets: Seq[Int]): DataFrame = {
     require(offsets.nonEmpty && offsets.forall(_ > 0),
       s"offsets must be positive: $offsets")
+    // pct_change is documented as "vs lag_1"; silently substituting another
+    // offset under the same column name would mislabel the feature
+    require(offsets.contains(1),
+      s"offsets must include 1 (pct_change is defined vs lag_1): $offsets")
     val w = keyFrame(key, order)
     val withLags = offsets.foldLeft(df) { (d, k) =>
       d.withColumn(s"lag_$k", lag(col(value), k).over(w))
         .withColumn(s"lead_$k", lead(col(value), k).over(w))
     }
     withLags.withColumn("pct_change",
-      (col(value) - col(s"lag_${offsets.min}"))
-        / nullif(col(s"lag_${offsets.min}"), lit(0.0)))
+      (col(value) - col("lag_1")) / nullif(col("lag_1"), lit(0.0)))
   }
 
   /** Rolling Pearson correlation of two measures over trailing row frames

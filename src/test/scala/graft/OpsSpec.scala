@@ -656,6 +656,11 @@ class OpsSpec extends SparkSpec {
       && out(2L).getDouble(3) == -1.0)             // (0-10)/10
     assert(out(3L).isNullAt(3))                    // lag_1 == 0 -> null, not inf
     assert(out(9L).isNullAt(1) && out(9L).isNullAt(2)) // keys are independent
+    // pct_change is defined vs lag_1: offsets without 1 are a misuse, not a
+    // silent feature substitution
+    intercept[IllegalArgumentException] {
+      WindowAnalytics.laggedFeatures(df, "k", Seq("id"), "value", Seq(3))
+    }
   }
 
   test("rankFeatures: rank vs dense_rank under ties; exact pct/cume") {
