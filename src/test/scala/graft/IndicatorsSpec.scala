@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.Indicators
+
+/** Unit semantics for the technical-indicator family (ops/Indicators) —
+  * hand-computable fixtures pinning the NULL/seed/boundary contracts the
+  * DuckDB oracles then replay at scale. */
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(vs: (String, Long, java.lang.Double)*) =
+    vs.toDF("k", "id", "value")
+
+  test("bollinger: 1-row frames give NULL bands; constant frames give NULL pct_b") {
+    val df = series(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0))
+    val out = Indicators.bollinger(df, "k", Seq("id"), "value", n = 2)
+      .orderBy("id").collect()
+    // row 1: single-row frame -> stddev_samp undefined -> NULL bands
+    assert(out(0).getAs[Double]("bb_ma") == 10.0)
+    assert(out(0).isNullAt(out(0).fieldIndex("bb_upper")))
+    // rows 2,3: constant 2-row frame -> sd = 0 -> zero-width band -> NULL %B
+    assert(out(1).getAs[Double]("bb_upper") == 10.0)
+    assert(out(1).getAs[Double]("bb_lower") == 10.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("pct_b")))
+  }
+
+  test("bollinger: hand-checked band on a 2-row frame") {
+    // values 10, 20: mean 15, stddev_samp = sqrt(50) rounded at 6dp
+    val df = series(("a", 1L, 10.0), ("a", 2L, 20.0))
+    val r = Indicators.bollinger(df, "k", Seq("id"), "value", n = 2, k = 2.0)
+      .orderBy("id").collect()(1)
+    val sd = BigDecimal(math.sqrt(50.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("bb_ma") == 15.0)
+    assert(r.getAs[Double]("bb_upper") == 15.0 + 2.0 * sd)
+    assert(r.getAs[Double]("bb_lower") == 15.0 - 2.0 * sd)
+    // %B of the top value in a symmetric band: (20 - lo) / (hi - lo)
+    val hi = 15.0 + 2.0 * sd; val lo = 15.0 - 2.0 * sd
+    assert(r.getAs[Double]("pct_b") == (20.0 - lo) / (hi - lo))
+  }
+
+  test("rsi: monotone up -> 100, monotone down -> 0, flat -> NULL, first row NULL") {
+    val up = Indicators.rsi(series(("a", 1L, 1.0), ("a", 2L, 2.0),
+      ("a", 3L, 3.0)), "k", Seq("id"), "value", n = 2).orderBy("id").collect()
+    assert(up(0).isNullAt(up(0).fieldIndex("rsi_2")))  // no diff yet
+    assert(up(1).getAs[Double]("rsi_2") == 100.0)
+    assert(up(2).getAs[Double]("rsi_2") == 100.0)
+    val down = Indicators.rsi(series(("a", 1L, 3.0), ("a", 2L, 2.0),
+      ("a", 3L, 1.0)), "k", Seq("id"), "value", n = 2).orderBy("id").collect()
+    assert(down(1).getAs[Double]("rsi_2") == 0.0)
+    val flat = Indicators.rsi(series(("a", 1L, 5.0), ("a", 2L, 5.0)),
+      "k", Seq("id"), "value", n = 2).orderBy("id").collect()
+    assert(flat(1).isNullAt(flat(1).fieldIndex("rsi_2"))) // 0/0 -> NULL
+  }
+
+  test("vwapObv: vwap resets per day, obv accumulates signed volume per key") {
+    val df = Seq(
+      ("a", "2024-01-01 10:00:00", 1L, 10.0, 100L),
+      ("a", "2024-01-01 11:00:00", 2L, 20.0, 300L),
+      ("a", "2024-01-02 09:00:00", 3L, 5.0, 100L))
+      .toDF("k", "ts", "id", "value", "vol")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = Indicators.vwapObv(df, "k", "ts", Seq("id"), "value", col("vol"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("vwap") == 10.0)
+    // day 1 cumulative: (10*100 + 20*300) / 400 = 17.5
+    assert(out(1).getAs[Double]("vwap") == 17.5)
+    // day 2 resets: 5.0
+    assert(out(2).getAs[Double]("vwap") == 5.0)
+    // OBV: first row contributes 0; +300 on the up-tick; -100 on the down
+    assert(out(0).getAs[Long]("obv") == 0L)
+    assert(out(1).getAs[Long]("obv") == 300L)
+    assert(out(2).getAs[Long]("obv") == 200L)
+  }
+
+  test("stochastic: %K at channel extremes; constant channel -> NULL %K skipped by %D") {
+    val df = series(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 15.0))
+    val out = Indicators.stochastic(df, "k", Seq("id"), "value", n = 2, d = 2)
+      .orderBy("id").collect()
+    // row 1: channel [10,10] zero-width -> NULL %K
+    assert(out(0).isNullAt(out(0).fieldIndex("pct_k")))
+    // row 2: at channel top -> 100; %D = mean of {100} (NULL skipped)
+    assert(out(1).getAs[Double]("pct_k") == 100.0)
+    assert(out(1).getAs[Double]("pct_d") == 100.0)
+    // row 3: channel [15,20], value 15 -> 0; %D = (100 + 0) / 2
+    assert(out(2).getAs[Double]("pct_k") == 0.0)
+    assert(out(2).getAs[Double]("pct_d") == 50.0)
+    assert(out(2).getAs[Double]("don_lo") == 15.0)
+    assert(out(2).getAs[Double]("don_hi") == 20.0)
+  }
+
+  test("drawdown: zero at new peaks, negative below peak, cum_return vs first") {
+    val df = series(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 15.0))
+    val out = Indicators.drawdown(df, "k", Seq("id"), "value")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("drawdown") == 0.0)
+    assert(out(1).getAs[Double]("drawdown") == 0.0)       // new peak
+    assert(out(1).getAs[Double]("run_max") == 20.0)
+    assert(out(2).getAs[Double]("drawdown") == 15.0 / 20.0 - 1.0)
+    assert(out(2).getAs[Double]("cum_return") == 0.5)     // 15/10 - 1
+  }
+
+  test("withEmaMacd: seed row, exact recurrence, NULL passthrough, key reset") {
+    val df = Seq(
+      ("a", 1L, java.lang.Double.valueOf(10.0)),
+      ("a", 2L, null.asInstanceOf[java.lang.Double]),   // state untouched
+      ("a", 3L, java.lang.Double.valueOf(16.0)),
+      ("b", 1L, java.lang.Double.valueOf(10.0)))        // fresh seed per key
+      .toDF("k", "id", "value")
+    val out = Indicators.withEmaMacd(df, "k", Seq("id"), "value",
+        fast = 2, slow = 4, signalSpan = 3)
+      .orderBy("k", "id").collect()
+    val aF = 2.0 / 3; val aS = 2.0 / 5; val aG = 2.0 / 4
+    // a/1: seed -> ema = x, macd/signal/histogram = 0
+    assert(out(0).getAs[Double]("ema_fast") == 10.0)
+    assert(out(0).getAs[Double]("macd") == 0.0)
+    // a/2: NULL value -> all NULL outputs
+    assert(out(1).isNullAt(out(1).fieldIndex("ema_fast")))
+    // a/3: one recurrence step from the a/1 state (NULL row left it alone)
+    val ef = aF * 16.0 + (1.0 - aF) * 10.0
+    val es = aS * 16.0 + (1.0 - aS) * 10.0
+    val macd = ef - es
+    val sig = aG * macd + (1.0 - aG) * 0.0
+    assert(out(2).getAs[Double]("ema_fast") == ef)
+    assert(out(2).getAs[Double]("ema_slow") == es)
+    assert(out(2).getAs[Double]("macd") == macd)
+    assert(out(2).getAs[Double]("signal") == sig)
+    assert(out(2).getAs[Double]("histogram") == macd - sig)
+    // b/1: independent seed — key boundary reset state
+    assert(out(3).getAs[Double]("ema_fast") == 10.0)
+    assert(out(3).getAs[Double]("macd") == 0.0)
+  }
+}
