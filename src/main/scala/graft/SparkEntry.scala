@@ -1301,6 +1301,18 @@ object SparkEntry {
           .as("recall_floor_met"))
   }
 
+  /** SemDeDup-style semantic dedup over the embeddings corpus: sign-cell
+    * bucketing (4 bits -> 16 cells), within-cell cosine clusters, keep the
+    * min-id representative. Threshold 0.42 sits just under the synthetic
+    * corpus's within-cell cosine ceiling (max ~0.48-0.55 across SFs) so a
+    * handful of clusters actually collapse; real embedding models cluster
+    * much tighter and would run ~0.95. Fully oracled: the sign cells, the
+    * cosine tree, and the component keep-rule all replay in SQL. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.sim.SemDedup.semanticDedup(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.42, signBits = 4)
+      .select("vec_id", "label")
+
   // ------------------------------------------------------- multimodal ops
 
   private def assets(s: SparkSession, dir: String): DataFrame =
@@ -1462,6 +1474,7 @@ object SparkEntry {
     "q_sim_quantized" -> (qSimQuantized _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_full" -> (qSimIvfFull _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -3101,6 +3114,36 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v))
         |       * sqrt(list_dot_product(b.v, b.v))) >= 0.2""".stripMargin,
+
+    // Replays SemDedup.semanticDedup: sign cells over the first 4 dims,
+    // within-cell cosine pairs (same IEEE dot/norm/divide tree as the
+    // Spark side -> identical doubles -> identical >= cut), recursive
+    // components, drop non-representatives.
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v))) >= 0.42),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON e2.a = r.b),
+        |comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> comp)"""
+        .stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'text' AS modality,

@@ -1,0 +1,53 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.FuzzyDedup
+
+/**
+ * SemDeDup-style semantic deduplication over an embedding column: bucket
+ * the space into deterministic cells, verify cosine pairs ONLY within a
+ * cell, connected-components the survivors, keep the min-id representative
+ * per cluster (SemDeDup: Abbas et al. 2023, arXiv:2303.09540 — k-means
+ * cells + within-cluster cosine prune).
+ *
+ * Scale shape: identical to the lexical dedup family — cells bound the
+ * quadratic verify exactly like LSH bands / Jaccard blocks (never
+ * all-pairs), one shuffle per stage, and the component step reuses
+ * FuzzyDedup.connectedComponents (size-probed driver union-find with
+ * distributed fallback). Cell assignment here is the SIGN PATTERN of the
+ * first `signBits` dimensions — deterministic, zero-state, SQL-replayable
+ * (an axis-aligned SRP; k-means cells would be float-iterative and
+ * non-replayable by an oracle; swap withSignCell for an ivf assignment if
+ * recall matters more than replayability). Cross-cell near-dups are missed
+ * by construction — the same contract SemDeDup accepts for its k-means
+ * cells; raise signBits for smaller cells (tighter verify bound, lower
+ * recall) or lower it for the reverse.
+ */
+object SemDedup {
+
+  /** Cell id = Σ_j (v[j] > 0) · 2^j over the first `signBits` dims. */
+  def withSignCell(df: DataFrame, vec: String, signBits: Int,
+                   out: String = "cell"): DataFrame = {
+    require(signBits > 0 && signBits <= 16, s"signBits out of range: $signBits")
+    val cell = (0 until signBits)
+      .map(j => when(col(vec)(j) > lit(0f), lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    df.withColumn(out, cell)
+  }
+
+  /** Near-duplicate pairs within sign cells at `minCosine`. */
+  def cellNearDupPairs(df: DataFrame, id: String, vec: String,
+                       minCosine: Double, signBits: Int = 4): DataFrame =
+    Similarity.blockedNearDupPairs(
+      withSignCell(df, vec, signBits), id, vec, "cell", minCosine)
+
+  /** Corpus minus all non-representative members of every within-cell
+    * cosine cluster (keep = min id per component). */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+                    minCosine: Double, signBits: Int = 4): DataFrame =
+    FuzzyDedup.applyDedup(df, id,
+      cellNearDupPairs(df, id, vec, minCosine, signBits)
+        .select(col("id1"), col("id2")))
+}

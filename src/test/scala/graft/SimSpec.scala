@@ -189,4 +189,25 @@ class SimSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(sql == hof)
   }
+
+  test("SemDedup: sign cells bound the verify; min-id survives its cluster") {
+    // ids 1,2: same direction (cosine 1) in cell 0b01; id 3: same cell,
+    // near-orthogonal; id 4: opposite signs -> different cell, never
+    // compared even though it duplicates id 1's direction after abs()
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f)),
+      (2L, Seq(2.0f, -2.0f)),
+      (3L, Seq(1.0f, -0.001f)),
+      (4L, Seq(-1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cells = graft.sim.SemDedup.withSignCell(df, "embedding", signBits = 2)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells(1L) == 1 && cells(2L) == 1 && cells(3L) == 1)
+    assert(cells(4L) == 2)
+    val kept = graft.sim.SemDedup
+      .semanticDedup(df, "vec_id", "embedding", minCosine = 0.95, signBits = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // 2 collapses into 1 (same cell, cosine 1); 3 and 4 survive
+    assert(kept == Set(1L, 3L, 4L))
+  }
 }
