@@ -1301,6 +1301,25 @@ object SparkEntry {
           .as("recall_floor_met"))
   }
 
+  /** Incremental distinct maintenance: per-day HLL sketches of user_id
+    * stored as 4 KiB binary columns, then UNIONED — no raw-data rescan —
+    * into a corpus-wide estimate, checked against the exact distinct at an
+    * 8% bound (~5 sigma for lgConfigK=12's ~1.6% rse: a false flag means a
+    * broken sketch, not bad luck — same contract as q_approx_distinct). */
+  private def qHllIncremental(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.ops.Dedup.hllSketches(
+      ev(s, dir).withColumn("date", to_date(col("ts"))), Seq("date"),
+      "user_id")
+    val merged = graft.ops.Dedup.hllMergedDistinct(daily)
+    ev(s, dir)
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        count(lit(1)).as("n_rows"))
+      .crossJoin(merged.select(col("n_distinct_est")))
+      .select(col("n_rows"), col("n_exact"),
+        (abs(col("n_distinct_est") - col("n_exact"))
+          <= lit(0.08) * col("n_exact")).as("est_ok"))
+  }
+
   /** SemDeDup-style semantic dedup over the embeddings corpus: sign-cell
     * bucketing (4 bits -> 16 cells), within-cell cosine clusters, keep the
     * min-id representative. Threshold 0.42 sits just under the synthetic
@@ -1474,6 +1493,7 @@ object SparkEntry {
     "q_sim_quantized" -> (qSimQuantized _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_full" -> (qSimIvfFull _),
+    "q_hll_incremental" -> (qHllIncremental _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -3114,6 +3134,13 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v))
         |       * sqrt(list_dot_product(b.v, b.v))) >= 0.2""".stripMargin,
+
+    // Invariant oracle (q_approx_distinct pattern): the sketch estimate is
+    // engine-specific; the exact side and the 5-sigma health flag are not.
+    "q_hll_incremental" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_exact,
+        | true AS est_ok
+        |FROM events""".stripMargin,
 
     // Replays SemDedup.semanticDedup: sign cells over the first 4 dims,
     // within-cell cosine pairs (same IEEE dot/norm/divide tree as the

@@ -52,4 +52,25 @@ object Dedup {
   /** A7: keep-last dedup (delegates to the row_number formulation). */
   def keepLast(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame =
     WindowAnalytics.keepLast(df, keys, order)
+
+  /** Mergeable distinct-count sketches as STORED COLUMNS (DataSketches
+    * HLL): one binary sketch per group, re-mergeable later without
+    * rescanning the raw data — the incremental pattern a 100 TB/day ingest
+    * needs: sketch each new partition/day once at landing, answer "distinct
+    * over any date range" by unioning a handful of 4 KiB sketches
+    * (approx_count_distinct merges only inside one aggregation and leaves
+    * nothing reusable behind). lgConfigK=12 -> ~4 KiB, ~1.6% rse. */
+  def hllSketches(df: DataFrame, keys: Seq[String], distinctCol: String,
+                  lgConfigK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lgConfigK).as("hll_sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Union stored sketches back into one distinct estimate — no raw-data
+    * rescan; cost is O(sketches), independent of row count. */
+  def hllMergedDistinct(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("hll_sketch")))
+        .as("n_distinct_est"),
+      sum(col("n_rows")).as("n_rows"))
 }

@@ -856,4 +856,24 @@ class OpsSpec extends SparkSpec {
     // positions are a contiguous 1..n permutation
     assert(got.values.toSeq.sorted == (1L to 500L))
   }
+
+  test("hllSketches: stored binary sketches union to the whole-corpus estimate") {
+    val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong % 97))
+      .toDF("g", "uid")
+    val sketches = graft.ops.Dedup.hllSketches(df, Seq("g"), "uid")
+    // one storable binary sketch per group + its row count
+    assert(sketches.schema("hll_sketch").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(sketches.count() == 3)
+    val merged = graft.ops.Dedup.hllMergedDistinct(sketches).collect()(0)
+    assert(merged.getAs[Long]("n_rows") == 300L)
+    // merging the per-group sketches must equal sketching the whole corpus
+    // (HLL registers are max-based: union is exact over sketches)
+    val whole = df.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("uid"), 12)).as("est"))
+      .collect()(0).getAs[Long]("est")
+    assert(merged.getAs[Long]("n_distinct_est") == whole)
+    // 97 distinct values: estimate must be within the 5-sigma bound
+    assert(math.abs(merged.getAs[Long]("n_distinct_est") - 97L) <= 8)
+  }
 }
