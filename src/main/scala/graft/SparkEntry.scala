@@ -1320,6 +1320,50 @@ object SparkEntry {
           <= lit(0.08) * col("n_exact")).as("est_ok"))
   }
 
+  /** Theta-sketch set algebra between the distinct-user sets of the
+    * lexicographic min and max event types: |A|, |B|, |A∩B|, |A\B| answered
+    * from two stored sketches, checked against the exact sides. At these
+    * cardinalities (≤ 2^12) theta sketches retain every hash (exact mode),
+    * so the health flags are deterministic, not probabilistic. */
+  private def qThetaAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val paired = graft.ops.Dedup
+      .thetaSketches(e, Seq("event_type"), "user_id")
+      .agg(
+        min_by(struct(col("event_type"), col("theta_sketch")),
+          col("event_type")).as("a"),
+        max_by(struct(col("event_type"), col("theta_sketch")),
+          col("event_type")).as("b"))
+    val ests = graft.ops.Dedup
+      .thetaAlgebra(paired, col("a.theta_sketch"), col("b.theta_sketch"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("n_union_est"), col("n_inter_est"), col("n_diff_est"))
+    val tt = e.agg(min(col("event_type")).as("__ta"),
+      max(col("event_type")).as("__tb"))
+    val users = e.select("event_type", "user_id").distinct()
+    val au = users.join(broadcast(tt), col("event_type") === col("__ta"))
+      .select("user_id")
+    val bu = users.join(broadcast(tt), col("event_type") === col("__tb"))
+      .select("user_id")
+    val exact = au.agg(count(lit(1)).as("n_a_exact"))
+      .crossJoin(bu.agg(count(lit(1)).as("n_b_exact")))
+      .crossJoin(au.intersect(bu).agg(count(lit(1)).as("n_inter_exact")))
+    exact.crossJoin(ests)
+      .select(col("type_a"), col("type_b"),
+        col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
+        (col("n_a_exact") + col("n_b_exact") - col("n_inter_exact"))
+          .as("n_union_exact"),
+        (abs(col("n_union_est")
+          - (col("n_a_exact") + col("n_b_exact") - col("n_inter_exact")))
+          <= lit(0.05) * (col("n_a_exact") + col("n_b_exact")
+            - col("n_inter_exact"))).as("union_ok"),
+        (abs(col("n_inter_est") - col("n_inter_exact"))
+          <= lit(0.10) * col("n_a_exact")).as("inter_ok"),
+        (abs(col("n_diff_est") - (col("n_a_exact") - col("n_inter_exact")))
+          <= lit(0.10) * col("n_a_exact")).as("diff_ok"))
+  }
+
   /** SemDeDup-style semantic dedup over the embeddings corpus: sign-cell
     * bucketing (4 bits -> 16 cells), within-cell cosine clusters, keep the
     * min-id representative. Threshold 0.42 sits just under the synthetic
@@ -1494,6 +1538,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_full" -> (qSimIvfFull _),
     "q_hll_incremental" -> (qHllIncremental _),
+    "q_theta_algebra" -> (qThetaAlgebra _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -3141,6 +3186,24 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_exact,
         | true AS est_ok
         |FROM events""".stripMargin,
+
+    // Invariant oracle: sketch estimates are engine-specific; the exact
+    // set sizes and the health flags are not.
+    "q_theta_algebra" ->
+      """WITH t AS (SELECT min(event_type) AS ta, max(event_type) AS tb
+        |           FROM events),
+        |au AS (SELECT DISTINCT user_id FROM events, t
+        |       WHERE event_type = ta),
+        |bu AS (SELECT DISTINCT user_id FROM events, t
+        |       WHERE event_type = tb),
+        |inter AS (SELECT count(*) AS n FROM au JOIN bu USING (user_id))
+        |SELECT (SELECT ta FROM t) AS type_a, (SELECT tb FROM t) AS type_b,
+        |  (SELECT count(*) FROM au) AS n_a_exact,
+        |  (SELECT count(*) FROM bu) AS n_b_exact,
+        |  (SELECT n FROM inter) AS n_inter_exact,
+        |  (SELECT count(*) FROM au) + (SELECT count(*) FROM bu)
+        |    - (SELECT n FROM inter) AS n_union_exact,
+        |  true AS union_ok, true AS inter_ok, true AS diff_ok""".stripMargin,
 
     // Replays SemDedup.semanticDedup: sign cells over the first 4 dims,
     // within-cell cosine pairs (same IEEE dot/norm/divide tree as the

@@ -73,4 +73,21 @@ object Dedup {
       hll_sketch_estimate(hll_union_agg(col("hll_sketch")))
         .as("n_distinct_est"),
       sum(col("n_rows")).as("n_rows"))
+
+  /** Theta sketches: distinct-count SET ALGEBRA across segments. Unlike
+    * HLL (union-only), stored theta sketches also answer |A∩B| and |A\B| —
+    * audience overlap between segments, "users new today vs yesterday" —
+    * again with no raw rescan. Below ~2^lgK distinct values the sketch
+    * retains every hash (exact mode); beyond that it samples at ~1/theta. */
+  def thetaSketches(df: DataFrame, keys: Seq[String], distinctCol: String,
+                    lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(theta_sketch_agg(col(distinctCol), lgK).as("theta_sketch"))
+
+  /** |A∪B| / |A∩B| / |A\B| estimates from two stored sketch columns. */
+  def thetaAlgebra(df: DataFrame, a: Column, b: Column): DataFrame =
+    df.select(col("*"),
+      theta_sketch_estimate(theta_union(a, b)).as("n_union_est"),
+      theta_sketch_estimate(theta_intersection(a, b)).as("n_inter_est"),
+      theta_sketch_estimate(theta_difference(a, b)).as("n_diff_est"))
 }

@@ -876,4 +876,20 @@ class OpsSpec extends SparkSpec {
     // 97 distinct values: estimate must be within the 5-sigma bound
     assert(math.abs(merged.getAs[Long]("n_distinct_est") - 97L) <= 8)
   }
+
+  test("thetaSketches: set algebra on stored sketches is exact below 2^lgK") {
+    // A = {0..199}, B = {100..299}: |A∩B| = 100, |A\B| = 100, |A∪B| = 300
+    val df = ((0 until 200).map(i => ("a", i.toLong))
+      ++ (100 until 300).map(i => ("b", i.toLong))).toDF("seg", "uid")
+    val sk = graft.ops.Dedup.thetaSketches(df, Seq("seg"), "uid")
+    val paired = sk.agg(
+      min_by(col("theta_sketch"), col("seg")).as("ska"),
+      max_by(col("theta_sketch"), col("seg")).as("skb"))
+    val r = graft.ops.Dedup.thetaAlgebra(paired, col("ska"), col("skb"))
+      .collect()(0)
+    // both sets fit in the sketch (exact mode) -> estimates are exact
+    assert(r.getAs[Long]("n_union_est") == 300L)
+    assert(r.getAs[Long]("n_inter_est") == 100L)
+    assert(r.getAs[Long]("n_diff_est") == 100L)
+  }
 }
