@@ -133,4 +133,35 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(3).getAs[Double]("ema_fast") == 10.0)
     assert(out(3).getAs[Double]("macd") == 0.0)
   }
+
+  test("plan shape: every windowed indicator costs exactly ONE shuffle") {
+    // All frames share the per-key partitioning, so adding indicator
+    // columns must never add an Exchange — the property that keeps the
+    // family one-pass at 100 TB (shuffle once per key, sort in partition,
+    // evaluate every frame in the same Window stage chain).
+    val df = series(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 5.0))
+    val plans = Seq(
+      "bollinger" -> Indicators.bollinger(df, "k", Seq("id"), "value"),
+      "rsi" -> Indicators.rsi(df, "k", Seq("id"), "value"),
+      "stochastic" -> Indicators.stochastic(df, "k", Seq("id"), "value"),
+      "drawdown" -> Indicators.drawdown(df, "k", Seq("id"), "value"))
+    for ((name, out) <- plans) {
+      val plan = out.queryExecution.executedPlan.toString
+      val n = plan.split("Exchange").length - 1
+      assert(n == 1, s"$name: expected 1 shuffle, got $n:\n$plan")
+    }
+    // vwapObv windows over BOTH (key, day) and (key) — but
+    // HashPartitioning(key) satisfies ClusteredDistribution(key, day)
+    // (same key -> same partition implies same (key, day) -> same
+    // partition), so the day-grain window reuses the key exchange with
+    // only an in-partition re-sort: still ONE shuffle, asserted with
+    // per-row varying days so constant folding can't fake it.
+    val vwap = Indicators.vwapObv(
+      df.withColumn("ts",
+        to_timestamp(concat(lit("2024-01-0"), col("id"), lit(" 10:00:00")))),
+      "k", "ts", Seq("id"), "value", col("id"))
+    val nV = vwap.queryExecution.executedPlan.toString
+      .split("Exchange").length - 1
+    assert(nV == 1, s"vwapObv: expected 1 shuffle, got $nV")
+  }
 }
