@@ -1320,6 +1320,17 @@ object SparkEntry {
           <= lit(0.08) * col("n_exact")).as("est_ok"))
   }
 
+  /** Ordered conversion funnel over the natural view -> click -> purchase
+    * stage sequence in the events stream (first-touch, strictly-after
+    * gating). */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnelCounts(ev(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  /** Cohort retention: first-seen-date cohorts x active-day offsets. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.retentionCohorts(ev(s, dir), "user_id", "ts")
+
   /** Theta-sketch set algebra between the distinct-user sets of the
     * lexicographic min and max event types: |A|, |B|, |A∩B|, |A\B| answered
     * from two stored sketches, checked against the exact sides. At these
@@ -1539,6 +1550,8 @@ object SparkEntry {
     "q_sim_ivf_full" -> (qSimIvfFull _),
     "q_hll_incremental" -> (qHllIncremental _),
     "q_theta_algebra" -> (qThetaAlgebra _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -3186,6 +3199,35 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_exact,
         | true AS est_ok
         |FROM events""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, min($TS) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (
+         |  SELECT e.user_id, min($TS) AS t2 FROM events e
+         |  JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND $TS > t1 GROUP BY e.user_id),
+         |s3 AS (
+         |  SELECT e.user_id, min($TS) AS t3 FROM events e
+         |  JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND $TS > t2 GROUP BY e.user_id)
+         |SELECT 1 AS stage_idx, 'view' AS stage,
+         |  (SELECT count(*) FROM s1) AS n_users
+         |UNION ALL
+         |SELECT 2, 'click', (SELECT count(*) FROM s2)
+         |UNION ALL
+         |SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |cohorts AS (
+         |  SELECT user_id, min(d) AS c FROM days GROUP BY user_id)
+         |SELECT c AS cohort_date, datediff('day', c, d) AS day_offset,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM days JOIN cohorts USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     // Invariant oracle: sketch estimates are engine-specific; the exact
     // set sizes and the health flags are not.

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence analytics over a (user, timestamp, event-type) stream —
+ * the product-analytics layer every event pipeline grows: ordered funnel
+ * conversion and cohort retention. The reference's events pipeline stops
+ * at windowed rates; these are the next questions its dashboards would ask.
+ *
+ * Scale shape: each funnel stage is a filtered partial aggregate plus an
+ * equi-join on the user key — per-stage cost is O(matching events) and the
+ * join carries one row per REACHED user, so stage tables shrink
+ * monotonically down the funnel. Retention is two grouped aggregates on
+ * (user) then (cohort, offset): key spaces |users| and |cohorts × horizon|,
+ * both partial-aggregated map-side. No windows over the full stream, no
+ * per-user state accumulation.
+ */
+object Funnel {
+
+  /** Ordered funnel: a user reaches stage k+1 with the earliest event of
+    * that stage STRICTLY AFTER their stage-k reach time (first-touch
+    * attribution; ties at identical timestamps do not advance). Emits one
+    * row per stage: (stage_idx from 1, stage, n_users reached). */
+  def funnelCounts(df: DataFrame, user: String, ts: String, stageCol: String,
+                   stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val spark = df.sparkSession
+    // fold: reached(k) = (user, t_k); join filters events of stage k+1
+    val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val evts = df.filter(col(stageCol) === lit(stage))
+          .select(col(user), col(ts).as("__t"))
+        val gated = prev match {
+          case None => evts
+          case Some(p) => evts.join(p, user).filter(col("__t") > col("__reach"))
+        }
+        Some(gated.groupBy(col(user)).agg(min(col("__t")).as("__reach")))
+    }.flatten
+    val counts = reached.zip(stages).zipWithIndex.map {
+      case ((r, stage), i) =>
+        r.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+    }
+    counts.reduce(_.union(_))
+  }
+
+  /** Cohort retention: cohort = a user's first-seen date; one row per
+    * (cohort_date, day offset) with the distinct users from that cohort
+    * active that day. offset 0 row = cohort size. */
+  def retentionCohorts(df: DataFrame, user: String, ts: String): DataFrame = {
+    val days = df.select(col(user), to_date(col(ts)).as("__d")).distinct()
+    val cohorts = days.groupBy(col(user)).agg(min(col("__d")).as("__c"))
+    days.join(cohorts, user)
+      .groupBy(col("__c").as("cohort_date"),
+        datediff(col("__d"), col("__c")).as("day_offset"))
+      .agg(countDistinct(col(user)).as("n_users"))
+  }
+}

@@ -892,4 +892,34 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_inter_est") == 100L)
     assert(r.getAs[Long]("n_diff_est") == 100L)
   }
+
+  test("Funnel: strictly-after gating, skipped stages don't count, cohort retention") {
+    def t(s: String) = s"2024-01-0$s 00:00:00"
+    val df = Seq(
+      ("u1", t("1"), "view"), ("u1", t("2"), "click"),
+      ("u1", t("2"), "purchase"),               // same ts as click -> no
+      ("u1", t("3"), "purchase"),               // strictly after -> yes
+      ("u2", t("2"), "view"), ("u2", t("2"), "click"), // tie -> not advanced
+      ("u2", t("4"), "purchase"),               // purchase without click -> no
+      ("u3", t("1"), "click"), ("u3", t("2"), "purchase")) // never viewed
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val funnel = graft.ops.Funnel.funnelCounts(df, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+      .select("stage", "n_users").as[(String, Long)].collect().toSeq
+    assert(funnel == Seq("view" -> 2L, "click" -> 1L, "purchase" -> 1L))
+
+    val ret = graft.ops.Funnel.retentionCohorts(df, "user_id", "ts")
+      .select(col("cohort_date").cast("string"), col("day_offset"),
+        col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    // u1,u2 cohort Jan 1? u1 first day = 01, u2 = 02, u3 = 01
+    assert(ret == Set(
+      ("2024-01-01", 0, 2L),   // u1 + u3 first seen Jan 1
+      ("2024-01-01", 1, 2L),   // both active Jan 2
+      ("2024-01-01", 2, 1L),   // u1 active Jan 3
+      ("2024-01-02", 0, 1L),   // u2 cohort
+      ("2024-01-02", 2, 1L)))  // u2 active Jan 4
+  }
 }
