@@ -32,6 +32,23 @@ class BucketSpec extends SparkSpec {
     assert(agg.count() == 50)
   }
 
+  test("partitioned layout: a partition-key predicate prunes at planning, not scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (1 to 300).map(i => (i.toLong, s"t${i % 3}", i * 1.0))
+      .toDF("id", "kind", "v")
+    Ingest.writePartitioned(df, dir, Seq("kind"))
+    val read = spark.read.parquet(dir).filter($"kind" === "t1")
+    val scan = read.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory-level skip —
+    // at 100 TB this is the difference between listing one partition and
+    // scanning the lake), not survive as a post-scan data Filter
+    assert(scan.contains("PartitionFilters: [isnotnull(kind"),
+      s"partition filter not pushed:\n$scan")
+    assert(!scan.contains("Filter (kind"), s"residual data filter:\n$scan")
+    assert(read.count() == 100)
+  }
+
   // ---- plan-shape pins for the curation/sketch operators: these are the
   // properties that make each op survive 100x, asserted so a refactor
   // cannot silently regress them.
