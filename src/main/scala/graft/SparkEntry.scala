@@ -557,6 +557,24 @@ object SparkEntry {
         .as("revenue"))
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): the outer-join
+    * double-aggregate family — the join-side filter must live in the JOIN
+    * (a WHERE would silently drop orderless customers and their 0 bucket),
+    * count(o_orderkey) NULL-skips so unmatched customers land at c_count=0,
+    * and the second aggregate histograms the first. Plan: the priority
+    * filter reaches the orders parquet scan (PushedFilters), both
+    * aggregates partial-combine before their exchanges, and the second's
+    * key space is |distinct order counts| — tiny at any scale. */
+  private def qTpchQ13(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders")
+          .filter(!col("o_orderpriority").startsWith("1")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
   /** Lag/lead time-series features per event type + pct change vs lag_1. */
   private def qWindowLagged(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.laggedFeatures(ev(s, dir), "event_type",
@@ -1449,6 +1467,7 @@ object SparkEntry {
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
     "q_set_ops" -> (qSetOps _),
     "q_percentile_exact" -> (qPercentileExact _),
     "q_mode" -> (qMode _),
@@ -1784,6 +1803,15 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN (
+        |    SELECT * FROM orders WHERE o_orderpriority NOT LIKE '1%') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
 
     "q_set_ops" ->
       """WITH a AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 0),
