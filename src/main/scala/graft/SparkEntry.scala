@@ -1422,6 +1422,14 @@ object SparkEntry {
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(assets(s, dir), nFrames = 4)
 
+  /** Resize stage roundtrip: strided payload + refreshed metadata, oracled
+    * byte-for-byte (ASCII corpus -> DuckDB can rebuild the strided string
+    * and hash it). */
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(assets(s, dir), stride = 4)
+      .select(col("asset_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.content_md5").as("content_md5"))
+
   /** Multimodal -> embedding -> ANN composition: stub-featurize the binary
     * assets, then find near-duplicate assets by cosine over the extracted
     * features. Fully oracled: the stub featurizer is an integer byte
@@ -1575,6 +1583,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_ann" -> (qMultimodalAnn _)
   )
 
@@ -3350,6 +3359,18 @@ object SparkEntry {
         | CAST(floor(k * strlen(text) / 4.0) AS BIGINT) AS frame_offset,
         | strlen(text) AS n_bytes
         |FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)""".stripMargin,
+
+    // Rebuilds resizeStub's every-4th-byte payload as a string (ASCII
+    // corpus: chars == bytes) and hashes it.
+    "q_multimodal_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id AS asset_id,
+        |    array_to_string(list_transform(
+        |      range(CAST(ceil(strlen(text) / 4.0) AS BIGINT)),
+        |      j -> text[CAST(j * 4 + 1 AS INT)]), '') AS s
+        |  FROM documents)
+        |SELECT asset_id, strlen(s) AS n_bytes, md5(s) AS content_md5
+        |FROM r""".stripMargin,
 
     // ---------------------------------------------- technical indicators
     // Same float discipline as the Spark side (Indicators.scala scaladoc):
