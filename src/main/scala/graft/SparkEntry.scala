@@ -777,6 +777,19 @@ object SparkEntry {
         r6(col("histogram")).as("histogram"))
   }
 
+  /** EWMA mean + variance over the same hourly bars as q_macd (span 20).
+    * The oracle replays West's recurrence as a recursive CTE. */
+  private def qEwm(s: SparkSession, dir: String): DataFrame = {
+    val bars = ev(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg((round(sum("value"), 4) / nullif(count(col("value")), lit(0L)))
+        .as("bar"))
+    graft.ops.Indicators.withEwm(bars, "event_type", Seq("hour_start"),
+        "bar", span = 20)
+      .select(col("event_type"), col("hour_start"), r6(col("bar")).as("bar"),
+        r6(col("ewm_mean")).as("ewm_mean"), r6(col("ewm_var")).as("ewm_var"))
+  }
+
   private def qWindowMa(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.movingAverages(ev(s, dir), "event_type",
         evOrder, "value", Seq(5, 15, 30))
@@ -1536,6 +1549,7 @@ object SparkEntry {
     "q_stochastic" -> (qStochastic _),
     "q_drawdown" -> (qDrawdown _),
     "q_macd" -> (qMacd _),
+    "q_ewm" -> (qEwm _),
     "q_window_stddev" -> (qWindowStddev _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_window_tumbling" -> (qWindowTumbling _),
@@ -3371,6 +3385,54 @@ object SparkEntry {
         |  FROM documents)
         |SELECT asset_id, strlen(s) AS n_bytes, md5(s) AS content_md5
         |FROM r""".stripMargin,
+
+    // Replays withEwm (West's recurrence): delta = x - m, incr = a*delta,
+    // m' = m + incr, v' = (1-a)*(v + delta*incr); NULL bars emit NULLs but
+    // carry state; seed m := first non-NULL bar, v := 0. Same IEEE
+    // expression tree as the Scala fold -> bit-identical doubles.
+    "q_ewm" ->
+      s"""WITH RECURSIVE
+         |bars AS (
+         |  SELECT event_type,
+         |    date_trunc('hour', $TS) AS hour_start,
+         |    round(sum(value), 4) / nullif(count(value), 0) AS bar
+         |  FROM events GROUP BY 1, 2),
+         |nb AS (
+         |  SELECT event_type, hour_start, bar,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour_start)
+         |      AS rn
+         |  FROM bars),
+         |rec AS (
+         |  SELECT event_type, hour_start, bar, rn,
+         |    bar AS ewm_mean,
+         |    CASE WHEN bar IS NOT NULL THEN CAST(0.0 AS DOUBLE) END
+         |      AS ewm_var,
+         |    bar AS st_m,
+         |    CASE WHEN bar IS NOT NULL THEN CAST(0.0 AS DOUBLE) END AS st_v
+         |  FROM nb WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, hour_start, bar, rn,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN st_m IS NULL THEN bar
+         |         ELSE st_m + 2.0/21 * (bar - st_m) END,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN st_m IS NULL THEN CAST(0.0 AS DOUBLE)
+         |         ELSE (1 - 2.0/21)
+         |           * (st_v + (bar - st_m) * (2.0/21 * (bar - st_m))) END,
+         |    CASE WHEN bar IS NULL THEN st_m
+         |         WHEN st_m IS NULL THEN bar
+         |         ELSE st_m + 2.0/21 * (bar - st_m) END,
+         |    CASE WHEN bar IS NULL THEN st_v
+         |         WHEN st_m IS NULL THEN CAST(0.0 AS DOUBLE)
+         |         ELSE (1 - 2.0/21)
+         |           * (st_v + (bar - st_m) * (2.0/21 * (bar - st_m))) END
+         |  FROM (SELECT b.event_type, b.hour_start, b.bar, b.rn,
+         |          r.st_m, r.st_v
+         |        FROM rec r JOIN nb b
+         |          ON b.event_type = r.event_type AND b.rn = r.rn + 1))
+         |SELECT event_type, hour_start, round(bar, 6) AS bar,
+         |  round(ewm_mean, 6) AS ewm_mean, round(ewm_var, 6) AS ewm_var
+         |FROM rec""".stripMargin,
 
     // ---------------------------------------------- technical indicators
     // Same float discipline as the Spark side (Indicators.scala scaladoc):

@@ -162,6 +162,49 @@ object Indicators {
     * Float contract: each step is exactly α·x + (1−α)·state in IEEE double,
     * so an oracle replaying the same recurrence (e.g. a recursive CTE)
     * reproduces bit-identical values. */
+  /** Exponentially-weighted mean + variance (RiskMetrics-style EWMA
+    * volatility) via West's recurrence:
+    *   delta = x − m;  incr = α·delta;  m' = m + incr;
+    *   v' = (1−α)·(v + delta·incr)
+    * Same secondary-sort harness as withEmaMacd (one shuffle on the key,
+    * O(1) state, NULL passthrough leaves state untouched; seed: m := first
+    * value, v := 0). Each step is a fixed IEEE expression tree, so a
+    * recursive-CTE oracle replays it bit-identically (q_ewm). */
+  def withEwm(df: DataFrame, key: String, order: Seq[String], value: String,
+              span: Int = 20): DataFrame = {
+    val a = 2.0 / (span + 1)
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("ewm_mean", DoubleType), StructField("ewm_var", DoubleType)))
+    val keyIdx = inSchema.fieldIndex(key)
+    val valIdx = inSchema.fieldIndex(value)
+    df.repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var seeded = false
+        var m = 0.0; var v = 0.0
+        rows.map { row =>
+          val k = row.get(keyIdx)
+          if (!java.util.Objects.equals(k, curKey)) {
+            curKey = k; seeded = false
+          }
+          if (row.isNullAt(valIdx)) Row.fromSeq(row.toSeq ++ Seq(null, null))
+          else {
+            val x = row.getDouble(valIdx)
+            if (!seeded) { seeded = true; m = x; v = 0.0 }
+            else {
+              val delta = x - m
+              val incr = a * delta
+              m = m + incr
+              v = (1.0 - a) * (v + delta * incr)
+            }
+            Row.fromSeq(row.toSeq ++ Seq(m, v))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   def withEmaMacd(df: DataFrame, key: String, order: Seq[String],
                   value: String, fast: Int = 12, slow: Int = 26,
                   signalSpan: Int = 9): DataFrame = {

@@ -134,6 +134,23 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(3).getAs[Double]("macd") == 0.0)
   }
 
+  test("withEwm: West's recurrence, seed var 0, NULL passthrough") {
+    val df = Seq(
+      ("a", 1L, java.lang.Double.valueOf(10.0)),
+      ("a", 2L, null.asInstanceOf[java.lang.Double]),
+      ("a", 3L, java.lang.Double.valueOf(16.0)))
+      .toDF("k", "id", "value")
+    val out = Indicators.withEwm(df, "k", Seq("id"), "value", span = 20)
+      .orderBy("id").collect()
+    val a = 2.0 / 21
+    assert(out(0).getAs[Double]("ewm_mean") == 10.0)
+    assert(out(0).getAs[Double]("ewm_var") == 0.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("ewm_mean")))
+    val delta = 16.0 - 10.0; val incr = a * delta
+    assert(out(2).getAs[Double]("ewm_mean") == 10.0 + incr)
+    assert(out(2).getAs[Double]("ewm_var") == (1.0 - a) * (0.0 + delta * incr))
+  }
+
   test("plan shape: every windowed indicator costs exactly ONE shuffle") {
     // All frames share the per-key partitioning, so adding indicator
     // columns must never add an Exchange — the property that keeps the
