@@ -719,6 +719,27 @@ object SparkEntry {
       .withColumn("daily_change", r4(col("daily_change")))
   }
 
+  /** Ordered CDC apply over the daily rollup: updates (op=U, seq 1,
+    * even-user recompute from Jan 15) then tombstones (op=D, seq 2, dates
+    * from Jan 19) — keep-last per (key, date) means D beats U on the
+    * overlap, so [15,18] updates, [19,20] disappears, earlier target rows
+    * survive. Tombstones for dates beyond the target are no-ops. */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val target = daily.filter(col("date") <= lit("2024-01-20").cast(DateType))
+    val upd = TimeWindows.dailyOhlcv(
+        ev(s, dir).filter(col("user_id") % 2 === 0),
+        "event_type", "ts", "value", volume = col("user_id"))
+      .filter(col("date") >= lit("2024-01-15").cast(DateType))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1))
+    val del = daily.filter(col("date") >= lit("2024-01-19").cast(DateType))
+      .withColumn("op", lit("D")).withColumn("seq", lit(2))
+    Merge.applyCdc(target, upd.unionByName(del), Seq("event_type", "date"),
+        Seq("seq"))
+      .withColumn("daily_change", r4(col("daily_change")))
+  }
+
   // ------------------------------------------------------ window functions
 
   private val evOrder = Seq("ts", "event_id")
@@ -1539,6 +1560,7 @@ object SparkEntry {
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
     "q_dedup_editdist" -> (qDedupEditdist _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
     "q_range_join" -> (qRangeJoin _),
@@ -2456,6 +2478,43 @@ object SparkEntry {
          |SELECT t.* FROM target t WHERE NOT EXISTS (
          |  SELECT 1 FROM upd u
          |  WHERE u.event_type = t.event_type AND u.date = t.date)"""
+        .stripMargin,
+
+    // CDC semantics replay: updates survive only where no later tombstone
+    // touches the key; target rows survive where nothing touched them.
+    "q_cdc_apply" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2),
+         |target AS (SELECT * FROM daily_all WHERE date <= DATE '2024-01-20'),
+         |upd AS (
+         |  SELECT * FROM (
+         |    SELECT event_type, CAST(ts AS DATE) AS date,
+         |      arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |      min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |      CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |      round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |        AS daily_change
+         |    FROM events WHERE user_id % 2 = 0 GROUP BY 1, 2)
+         |  WHERE date >= DATE '2024-01-15'),
+         |del_keys AS (
+         |  SELECT DISTINCT event_type, date FROM daily_all
+         |  WHERE date >= DATE '2024-01-19'),
+         |touched AS (
+         |  SELECT event_type, date FROM upd
+         |  UNION SELECT event_type, date FROM del_keys)
+         |SELECT u.* FROM upd u WHERE NOT EXISTS (
+         |  SELECT 1 FROM del_keys d
+         |  WHERE d.event_type = u.event_type AND d.date = u.date)
+         |UNION ALL
+         |SELECT t.* FROM target t WHERE NOT EXISTS (
+         |  SELECT 1 FROM touched x
+         |  WHERE x.event_type = t.event_type AND x.date = t.date)"""
         .stripMargin,
 
     "q_window_ma" ->

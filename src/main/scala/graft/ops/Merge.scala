@@ -30,6 +30,23 @@ object Merge {
     updates.unionByName(survivors)
   }
 
+  /** Ordered CDC apply: `changes` carries an op column (I/U = upsert,
+    * D = tombstone) and an ordering column; the LAST change per key wins
+    * (keep-last over `order`, which must totally order changes within a
+    * key — a log sequence number in a real CDC feed). Keys whose final op
+    * is D disappear; I/U keys take the change row; untouched target rows
+    * survive. One shuffle for keep-last, one anti-join on the touched key
+    * set — cost scales with |changes| + |target|, never |changes|·|target|. */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+               order: Seq[String], opCol: String = "op"): DataFrame = {
+    val last = WindowAnalytics.keepLast(changes, keys, order)
+    val upserts = last.filter(col(opCol) =!= "D")
+      .drop((opCol +: order.filterNot(target.columns.contains)): _*)
+    val survivors = target.join(last.select(keys.map(col): _*), keys,
+      "left_anti")
+    upserts.unionByName(survivors)
+  }
+
   /** Snapshot diff between two corpus versions: which keys were added,
     * removed, or changed (null-safe comparison over `compareCols`) — the
     * dataset-versioning primitive behind incremental re-training ("what

@@ -139,6 +139,19 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "new"), (2, "keep"), (3, "ins")))
   }
 
+  test("Merge.applyCdc: last change per key wins; D tombstones; no-op deletes") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "val")
+    val changes = Seq(
+      (1, "A1", "U", 1L), (1, "A2", "U", 2L),   // later U wins
+      (2, "x", "U", 1L), (2, "x", "D", 2L),     // D after U -> gone
+      (3, "dead", "D", 1L), (3, "C", "U", 2L),  // U after D -> resurrected
+      (9, "zz", "D", 1L))                       // tombstone of absent key
+      .toDF("id", "val", "op", "seq")
+    val out = Merge.applyCdc(target, changes, Seq("id"), Seq("seq"))
+      .orderBy("id").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "A2"), (3, "C")))
+  }
+
   test("Merge.upsert is idempotent") {
     val target = Seq((1, "a"), (2, "b")).toDF("id", "val")
     val updates = Seq((2, "B")).toDF("id", "val")
