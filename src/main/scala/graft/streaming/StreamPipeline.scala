@@ -177,6 +177,27 @@ object StreamPipeline {
         col("window.end").as("window_end"),
         col("approx_distinct"), col("n_events")): _*)
 
+  /** Windowed streaming heavy hitters: the Misra-Gries
+    * TypedImperativeAggregate (SketchAggs.freqItems) as streaming window
+    * state — per-(window) state is the fixed k-slot sketch buffer no matter
+    * how many events arrive, so frequent-item tracking survives a
+    * 100 TB/day stream where exact per-item counts would be unbounded
+    * state. Emits the candidate set (a superset of every item above n/k —
+    * the MG guarantee) when the watermark closes the window; a batch
+    * re-count over the closed window (Frequency.heavyHitters) exactifies
+    * if needed. */
+  def windowedHeavyHitters(events: DataFrame, ts: String, itemCol: String,
+                           k: Int = 8, width: String = "15 minutes",
+                           watermark: String = "5 minutes"): DataFrame =
+    events.withWatermark(ts, watermark)
+      .groupBy(window(col(ts), width))
+      .agg(graft.functions.SketchAggs
+          .freqItems(col(itemCol).cast("string"), k).as("candidates"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("candidates"), col("n_events"))
+
   /** Warehouse-style sink: each micro-batch MERGE-upserts into a parquet
     * table on (key, window_start) — the reference's Snowflake MERGE loader
     * semantics (load_stream_to_snowflake.py:281-305) composed from

@@ -514,6 +514,42 @@ class StreamingSpec extends SparkSpec {
     assert(w0.headOption.contains((3L, 4L)))
   }
 
+  test("windowed heavy hitters: MG sketch as streaming state recalls the hot item") {
+    val base = Files.createTempDirectory("graft_stream_hh")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // AAA appears 3/5 times in [00:00, 00:15) — must be in the candidate
+    // set of any k >= 2 sketch (MG: every item above n/k survives)
+    writeCsv(raw, "a.csv", Seq(
+      "AAA,10.0,0.1,1.0%,100,2024-01-01T00:01:00",
+      "BBB,50.0,0.0,,10,2024-01-01T00:02:00",
+      "AAA,12.0,0.2,2.0%,200,2024-01-01T00:06:00",
+      "CCC,30.0,0.0,,5,2024-01-01T00:07:00",
+      "AAA,11.0,0.0,,50,2024-01-01T00:08:00"))
+    def runOnce(): Unit =
+      StreamPipeline.windowedHeavyHitters(
+          StreamPipeline.tickStream(spark, raw.toString),
+          ts = "timestamp", itemCol = "symbol", k = 2)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start().awaitTermination(60000)
+    runOnce()
+    // advance the watermark past the window so it closes and emits
+    writeCsv(raw, "b.csv", Seq("ZZZ,1.0,0.0,,1,2024-01-01T01:00:00"))
+    runOnce()
+    import spark.implicits._
+    val w0 = spark.read.parquet(out)
+      .filter($"window_start" === "2024-01-01 00:00:00")
+      .select("candidates", "n_events")
+      .as[(Seq[String], Long)].collect()
+    assert(w0.length == 1)
+    assert(w0.head._2 == 5L)
+    assert(w0.head._1.contains("AAA"))
+  }
+
   test("RocksDB state store: windowed agg runs with off-heap state") {
     // At 100 TB/day the streaming state (windows x keys) outgrows executor
     // heaps; RocksDB spills state to local disk with an in-heap cache.
