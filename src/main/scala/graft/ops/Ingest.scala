@@ -29,6 +29,26 @@ object Ingest {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Align any frame to a canonical schema: present columns cast to the
+    * canonical type, missing columns null-filled, extra columns dropped,
+    * output column order = canonical order. */
+  def alignSchema(df: DataFrame, canonical: StructType): DataFrame =
+    df.select(canonical.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  /** Schema-evolution-tolerant parquet scan: a long-lived lake holds files
+    * written under EVOLVING schemas — yesterday's files lack this week's
+    * column, a backfill widened an int to long. mergeSchema unions the
+    * per-file schemas (footer-only work, no data read), then alignSchema
+    * projects every row onto the canonical contract. Readers never crash
+    * on old files; old rows surface NULLs for new columns. */
+  def readParquetEvolved(spark: SparkSession, path: String,
+                         canonical: StructType): DataFrame =
+    alignSchema(
+      spark.read.option("mergeSchema", "true").parquet(path), canonical)
+
   /** Read one of the driver-generated testdata tables by name. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

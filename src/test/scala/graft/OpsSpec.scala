@@ -152,6 +152,26 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "A2"), (3, "C")))
   }
 
+  test("readParquetEvolved: old files null-fill new columns, casts align") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // v1 files: (id INT, val STRING); v2 adds score and widens nothing
+    Seq((1, "a")).toDF("id", "val").write.parquet(s"$dir/p=1")
+    Seq((2, "b", 0.5)).toDF("id", "val", "score").write.parquet(s"$dir/p=2")
+    val canonical = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),        // widened contract
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val out = graft.ops.Ingest.readParquetEvolved(spark, dir, canonical)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      canonical.map(f => (f.name, f.dataType)))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(2)) // old file: NULL score
+    assert(rows(1).getLong(0) == 2L && rows(1).getDouble(2) == 0.5)
+  }
+
   test("Merge.upsert is idempotent") {
     val target = Seq((1, "a"), (2, "b")).toDF("id", "val")
     val updates = Seq((2, "B")).toDF("id", "val")
