@@ -284,4 +284,77 @@ class PropertySpec extends SparkSpec {
           k -> (n - ca.getOrElse(k, 0)) }.toMap)
     }
   }
+
+  test("semanticDedup: idempotent, and survivors are min ids of their clusters") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new Random(seed)
+      // clustered corpus: 12 base directions, members = base * positive
+      // scale (cosine 1 within a family), plus random noise vectors
+      val bases = Seq.fill(12)(Seq.fill(6)(rnd.nextFloat() * 2 - 1))
+      val members = (0 until 40).map { i =>
+        val bi = rnd.nextInt(bases.size)
+        val k = (1 + rnd.nextInt(3)).toFloat  // ONE positive scale per member
+        (i.toLong, bi, bases(bi).map(x => x * k))
+      }
+      val noise = (40 until 60).map(i =>
+        (i.toLong, -1 - i, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
+      val df = (members ++ noise).map(t => (t._1, t._3))
+        .toDF("vec_id", "embedding")
+      val once = graft.sim.SemDedup.semanticDedup(df, "vec_id", "embedding",
+        minCosine = 0.9999, signBits = 3)
+      val twice = graft.sim.SemDedup.semanticDedup(once, "vec_id",
+        "embedding", minCosine = 0.9999, signBits = 3)
+      val keptOnce = once.select("vec_id").as[Long].collect().toSet
+      val keptTwice = twice.select("vec_id").as[Long].collect().toSet
+      assert(keptOnce == keptTwice, s"not idempotent at seed $seed")
+      // reference: members of a base family are positive scalings of one
+      // direction (cosine ~1, same sign cell) -> one cluster; the min id
+      // of each family must be the family's sole survivor
+      members.groupBy(_._2).values.foreach { fam =>
+        val ids = fam.map(_._1)
+        assert(ids.toSet.intersect(keptOnce) == Set(ids.min),
+          s"family survivors wrong at seed $seed")
+      }
+    }
+  }
+
+  test("applyCdc equals a driver-side fold of the ordered change log") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      val target = (0L until 30L).map(i => (i, s"t$i")).toMap
+      val changes = Seq.tabulate(80) { s =>
+        (rnd.nextInt(40).toLong, s"c$s",
+          if (rnd.nextInt(4) == 0) "D" else "U", s.toLong)
+      }
+      // reference: replay the log in sequence order over the target map
+      val expected = changes.sortBy(_._4).foldLeft(target) {
+        case (acc, (id, v, "D", _)) => acc - id
+        case (acc, (id, v, _, _)) => acc + (id -> v)
+      }
+      val out = Merge.applyCdc(
+          target.toSeq.toDF("id", "val"),
+          changes.toDF("id", "val", "op", "seq"),
+          Seq("id"), Seq("seq"))
+        .as[(Long, String)].collect().toMap
+      assert(out == expected, s"CDC fold diverged at seed $seed")
+    }
+  }
+
+  test("withEwm: mean stays inside the running [min, max]; var non-negative") {
+    for (seed <- Seq(11, 29)) {
+      val rnd = new Random(seed)
+      val xs = Seq.fill(60)(rnd.nextDouble() * 200 - 100)
+      val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+        .toDF("k", "id", "value")
+      val out = graft.ops.Indicators.withEwm(df, "k", Seq("id"), "value")
+        .orderBy("id").select("value", "ewm_mean", "ewm_var")
+        .as[(Double, Double, Double)].collect()
+      var lo = Double.MaxValue; var hi = Double.MinValue
+      out.foreach { case (x, m, v) =>
+        lo = math.min(lo, x); hi = math.max(hi, x)
+        assert(m >= lo - 1e-9 && m <= hi + 1e-9, s"mean escaped [min,max]")
+        assert(v >= 0.0, "negative variance")
+      }
+    }
+  }
 }
