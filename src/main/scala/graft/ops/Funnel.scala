@@ -26,10 +26,9 @@ object Funnel {
   def funnelCounts(df: DataFrame, user: String, ts: String, stageCol: String,
                    stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
-    val spark = df.sparkSession
     // fold: reached(k) = (user, t_k); join filters events of stage k+1
-    val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (stage, _)) =>
+    val reached = stages.scanLeft(Option.empty[DataFrame]) {
+      case (prev, stage) =>
         val evts = df.filter(col(stageCol) === lit(stage))
           .select(col(user), col(ts).as("__t"))
         val gated = prev match {

@@ -40,14 +40,15 @@ object Ingest {
 
   /** Schema-evolution-tolerant parquet scan: a long-lived lake holds files
     * written under EVOLVING schemas — yesterday's files lack this week's
-    * column, a backfill widened an int to long. mergeSchema unions the
-    * per-file schemas (footer-only work, no data read), then alignSchema
-    * projects every row onto the canonical contract. Readers never crash
-    * on old files; old rows surface NULLs for new columns. */
+    * column, a backfill widened an int to long. Reading with the CANONICAL
+    * schema (not mergeSchema — whose union REFUSES to merge int32 and
+    * int64 leaves, exactly the widening case) makes every file align at
+    * scan time: missing columns surface NULL, extra columns are never
+    * read, and Spark 4's parquet readers apply widening promotions
+    * (int→long, float→double) per file. Old files never crash the read. */
   def readParquetEvolved(spark: SparkSession, path: String,
                          canonical: StructType): DataFrame =
-    alignSchema(
-      spark.read.option("mergeSchema", "true").parquet(path), canonical)
+    spark.read.schema(canonical).parquet(path)
 
   /** Read one of the driver-generated testdata tables by name. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

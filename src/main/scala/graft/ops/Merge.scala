@@ -35,11 +35,16 @@ object Merge {
     * (keep-last over `order`, which must totally order changes within a
     * key — a log sequence number in a real CDC feed). Keys whose final op
     * is D disappear; I/U keys take the change row; untouched target rows
-    * survive. One shuffle for keep-last, one anti-join on the touched key
-    * set — cost scales with |changes| + |target|, never |changes|·|target|. */
+    * survive. Rows with a NULL or unrecognized op are DROPPED BEFORE the
+    * keep-last (they neither upsert nor delete — without the guard a NULL
+    * op would fail the =!= "D" filter yet still anti-join its key away, a
+    * silent delete from a malformed feed). One shuffle for keep-last, one
+    * anti-join on the touched key set — cost scales with
+    * |changes| + |target|, never |changes|·|target|. */
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
                order: Seq[String], opCol: String = "op"): DataFrame = {
-    val last = WindowAnalytics.keepLast(changes, keys, order)
+    val wellFormed = changes.filter(col(opCol).isin("I", "U", "D"))
+    val last = WindowAnalytics.keepLast(wellFormed, keys, order)
     val upserts = last.filter(col(opCol) =!= "D")
       .drop((opCol +: order.filterNot(target.columns.contains)): _*)
     val survivors = target.join(last.select(keys.map(col): _*), keys,

@@ -42,10 +42,15 @@ class BucketSpec extends SparkSpec {
     val scan = read.queryExecution.executedPlan.toString
     // the predicate must land in PartitionFilters (directory-level skip —
     // at 100 TB this is the difference between listing one partition and
-    // scanning the lake), not survive as a post-scan data Filter
+    // scanning the lake), not survive as a post-scan data Filter — count
+    // FilterExec NODES rather than string-matching the (format-unstable)
+    // plan text
     assert(scan.contains("PartitionFilters: [isnotnull(kind"),
       s"partition filter not pushed:\n$scan")
-    assert(!scan.contains("Filter (kind"), s"residual data filter:\n$scan")
+    val residual = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residual.isEmpty, s"residual data filter:\n$scan")
     assert(read.count() == 100)
   }
 

@@ -147,6 +147,10 @@ class OpsSpec extends SparkSpec {
       (3, "dead", "D", 1L), (3, "C", "U", 2L),  // U after D -> resurrected
       (9, "zz", "D", 1L))                       // tombstone of absent key
       .toDF("id", "val", "op", "seq")
+      // malformed rows (NULL / unknown op) must be ignored, not treated as
+      // tombstones: without the guard this NULL-op row would delete key 1
+      .unionByName(Seq((1, "junk", null.asInstanceOf[String], 99L),
+        (3, "junk", "X", 99L)).toDF("id", "val", "op", "seq"))
     val out = Merge.applyCdc(target, changes, Seq("id"), Seq("seq"))
       .orderBy("id").as[(Int, String)].collect()
     assert(out.toSeq == Seq((1, "A2"), (3, "C")))
@@ -154,9 +158,12 @@ class OpsSpec extends SparkSpec {
 
   test("readParquetEvolved: old files null-fill new columns, casts align") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
-    // v1 files: (id INT, val STRING); v2 adds score and widens nothing
-    Seq((1, "a")).toDF("id", "val").write.parquet(s"$dir/p=1")
-    Seq((2, "b", 0.5)).toDF("id", "val", "score").write.parquet(s"$dir/p=2")
+    // v1 file: (id INT, val STRING); v2 adds score AND widens id to long —
+    // the cross-file widening mergeSchema refuses to merge. Two appends
+    // into one flat dir = the evolved-lake layout.
+    Seq((1, "a")).toDF("id", "val").write.mode("append").parquet(dir)
+    Seq((2L, "b", 0.5)).toDF("id", "val", "score")
+      .write.mode("append").parquet(dir)
     val canonical = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType),        // widened contract
