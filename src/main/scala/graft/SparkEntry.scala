@@ -259,6 +259,17 @@ object SparkEntry {
       "source", col("doc_id"),
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
 
+  /** Language rebalancing: the raw corpus is ~42% English; balanceBy
+    * down-samples every language to an equal 20% share at the largest
+    * feasible output size (M = min n_g/t_g — the rarest language is kept
+    * whole). Keep-rates are data-derived, thresholds data-dependent —
+    * the oracle recomputes the whole chain. */
+  private def qBalance(s: SparkSession, dir: String): DataFrame =
+    Curate.balanceBy(
+      tbl(s, dir, "documents").select("doc_id", "lang", "source"),
+      "lang", col("doc_id"),
+      Map("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2))
+
   /** Epoch-repetition mixture: src0 x2.5 (two full copies + half-chance
     * third), src1 x1, src2 x0.5, everything else dropped. */
   private def qMixtureRepeat(s: SparkSession, dir: String): DataFrame =
@@ -1548,6 +1559,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_split" -> (qSplit _),
     "q_mixture" -> (qMixture _),
+    "q_balance" -> (qBalance _),
     "q_mixture_repeat" -> (qMixtureRepeat _),
     "q_pack" -> (qPack _),
     "q_pack_assemble" -> (qPackAssemble _),
@@ -2216,6 +2228,26 @@ object SparkEntry {
         |  WHEN 'src2' THEN '40000000'
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '' END""".stripMargin,
+
+    // Recomputes balanceBy's whole chain: per-lang counts -> feasible
+    // output size M = min(n/t) -> keep-rate w = M*t/n -> %08x threshold
+    // (identical IEEE arithmetic both sides) -> md5 membership draw.
+    "q_balance" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IN ('de', 'en', 'es', 'fr', 'zh') GROUP BY 1),
+        |m AS (SELECT min(n / 0.2) AS m FROM counts),
+        |r AS (
+        |  SELECT lang,
+        |    CASE WHEN m.m * 0.2 / c.n >= 1 THEN 'g'
+        |         ELSE printf('%08x', CAST(least(
+        |           floor(m.m * 0.2 / c.n * 4294967296.0),
+        |           4294967295.0) AS BIGINT)) END AS thr
+        |  FROM counts c, m)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5('balance' || lang || ':'
+        |    || CAST(doc_id AS VARCHAR)), 1, 8) < r.thr""".stripMargin,
 
     "q_mixture_repeat" ->
       """WITH t AS (

@@ -72,6 +72,46 @@ object Curate {
     df.filter(h < thr)
   }
 
+  /** Rebalance a corpus toward TARGET group shares by deterministic
+    * down-sampling — "make the mix 20% per language" when the raw corpus
+    * is 42% English. Output size M = min over groups of n_g / t_g (the
+    * largest corpus for which no group would need up-sampling); each
+    * group's keep-rate is then (M · t_g) / n_g ≤ 1, and membership is the
+    * same md5-threshold draw as mixtureSample — fully replayable, no RNG.
+    * The rates come from a |groups|-row count aggregate broadcast back
+    * onto the corpus: one small shuffle + one narrow filter, never a
+    * driver collect. Groups with zero/absent target drop entirely. */
+  def balanceBy(df: DataFrame, groupCol: String, key: Column,
+                target: Map[String, Double],
+                salt: String = "balance"): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ >= 0),
+      s"bad target: $target")
+    val positive = target.filter(_._2 > 0)
+    val tExpr = positive.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (g, t)) =>
+        when(col(groupCol) === lit(g), lit(t)).otherwise(acc)
+      }
+    val counts = df.filter(col(groupCol).isin(positive.keys.toSeq: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__t", tExpr)
+    val m = counts.agg(min(col("__n") / col("__t")).as("__m"))
+    // keep-rate and its hex threshold as COLUMN twins of hexThreshold:
+    // w >= 1 -> "g" (> any hex digit, keep all); else %08x of the clamped
+    // 32-bit boundary — lower(hex(...)) because Spark's hex() is uppercase
+    val rates = counts.crossJoin(broadcast(m))
+      .withColumn("__w", col("__m") * col("__t") / col("__n"))
+      .withColumn("__thr",
+        when(col("__w") >= 1.0, lit("g")).otherwise(
+          lpad(lower(hex(least(floor(col("__w") * lit(4294967296.0)),
+            lit(4294967295.0)).cast("long"))), 8, "0")))
+      .select(col(groupCol), col("__thr"))
+    val h = hashBucket(concat(col(groupCol), lit(":"), key.cast("string")),
+      salt)
+    df.join(broadcast(rates), groupCol)
+      .filter(h < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Corpus blending with weights above 1: weight w emits floor(w) full
     * copies of every row plus one more with probability frac(w) — the
     * "Wikipedia x2.5, CommonCrawl x0.1" epoch-repetition mixture. Each

@@ -933,6 +933,28 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_diff_est") == 100L)
   }
 
+  test("balanceBy: rarest group kept whole, dominant group sampled to target") {
+    val df = ((1 to 400).map(i => (i.toLong, "a"))
+      ++ (401 to 500).map(i => (i.toLong, "b"))).toDF("id", "g")
+    // target 50/50 on a 400/100 corpus: M = min(400/.5, 100/.5) = 200,
+    // keep-rates a = 0.25, b = 1.0 (rarest group never loses a row)
+    val out = graft.ops.Curate.balanceBy(df, "g", col("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    val byG = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("b") == 100L, "rarest group must be kept whole")
+    // hash-threshold draw at rate 0.25 over 400 rows: allow 5-sigma noise
+    assert(math.abs(byG("a") - 100L) <= 45, s"a kept ${byG("a")}, want ~100")
+    // deterministic: the same inputs reproduce the same subset
+    val again = graft.ops.Curate.balanceBy(df, "g", col("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // groups with zero/absent target drop
+    val dropped = graft.ops.Curate.balanceBy(df, "g", col("id"),
+      Map("a" -> 1.0))
+    assert(dropped.filter($"g" === "b").count() == 0)
+  }
+
   test("Funnel: strictly-after gating, skipped stages don't count, cohort retention") {
     def t(s: String) = s"2024-01-0$s 00:00:00"
     val df = Seq(
