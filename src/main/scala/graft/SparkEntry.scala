@@ -259,6 +259,13 @@ object SparkEntry {
       "source", col("doc_id"),
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
 
+  /** Per-type z-score standardization of event values (feature scaling). */
+  private def qStandardize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.standardize(
+        ev(s, dir).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value")
+      .select(col("event_id"), col("event_type"), r6(col("z")).as("z"))
+
   /** Language rebalancing: the raw corpus is ~42% English; balanceBy
     * down-samples every language to an equal 20% share at the largest
     * feasible output size (M = min n_g/t_g — the rarest language is kept
@@ -1560,6 +1567,7 @@ object SparkEntry {
     "q_split" -> (qSplit _),
     "q_mixture" -> (qMixture _),
     "q_balance" -> (qBalance _),
+    "q_standardize" -> (qStandardize _),
     "q_mixture_repeat" -> (qMixtureRepeat _),
     "q_pack" -> (qPack _),
     "q_pack_assemble" -> (qPackAssemble _),
@@ -2228,6 +2236,16 @@ object SparkEntry {
         |  WHEN 'src2' THEN '40000000'
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '' END""".stripMargin,
+
+    "q_standardize" ->
+      s"""WITH s AS (
+         |  SELECT event_type,
+         |    round(sum(value), 4) / nullif(count(value), 0) AS mean,
+         |    round(stddev_samp(value), 6) AS sd
+         |  FROM events GROUP BY 1)
+         |SELECT event_id, event_type,
+         |  round((value - mean) / nullif(sd, 0.0), 6) AS z
+         |FROM events JOIN s USING (event_type)""".stripMargin,
 
     // Recomputes balanceBy's whole chain: per-lang counts -> feasible
     // output size M = min(n/t) -> keep-rate w = M*t/n -> %08x threshold

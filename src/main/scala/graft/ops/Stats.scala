@@ -212,6 +212,26 @@ object Stats {
             col("fence_hi"))))
   }
 
+  /** Per-group z-score standardization — the feature-scaling pass before
+    * training. Group mean/stddev are computed once (4dp-rounded sum /
+    * non-null count, 6dp-rounded stddev — the cross-engine discipline used
+    * everywhere in this repo) and broadcast back; z = (x − mean) / stddev
+    * combines those already-identical doubles, so the standardized column
+    * is bit-identical across engines. Zero-variance groups yield NULL z
+    * (division by nullif(0)); NULL inputs stay NULL. One small aggregate +
+    * one narrow join — the corpus shuffles zero times. */
+  def standardize(df: DataFrame, keys: Seq[String], value: String,
+                  out: String = "z"): DataFrame = {
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      (round(sum(col(value)), 4) / nullif(count(col(value)), lit(0L)))
+        .as("__mean"),
+      round(Clean.nanToNull(stddev_samp(col(value))), 6).as("__sd"))
+    df.join(broadcast(stats), keys)
+      .withColumn(out, (col(value) - col("__mean"))
+        / nullif(col("__sd"), lit(0.0)))
+      .drop("__mean", "__sd")
+  }
+
   /** Per-group categorical mode with a deterministic tie rule (highest
     * count, then smallest value). Two aggregations — (keys, value) counts,
     * then max_by over a (count, -value) struct — both partial-aggregated
