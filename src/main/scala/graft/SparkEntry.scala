@@ -259,6 +259,14 @@ object SparkEntry {
       "source", col("doc_id"),
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
 
+  /** Per-type two-feature OLS: value ~ user_id + hour-of-day. Closed-form
+    * normal equations on 4dp-rounded sums (Cramer), so the oracle combines
+    * identical doubles through the identical expression tree. */
+  private def qOls(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.olsTwoFeature(
+      ev(s, dir).withColumn("hod", hour(col("ts"))),
+      Seq("event_type"), "value", "user_id", "hod")
+
   /** Per-type z-score standardization of event values (feature scaling). */
   private def qStandardize(s: SparkSession, dir: String): DataFrame =
     graft.ops.Stats.standardize(
@@ -1568,6 +1576,7 @@ object SparkEntry {
     "q_mixture" -> (qMixture _),
     "q_balance" -> (qBalance _),
     "q_standardize" -> (qStandardize _),
+    "q_ols" -> (qOls _),
     "q_mixture_repeat" -> (qMixtureRepeat _),
     "q_pack" -> (qPack _),
     "q_pack_assemble" -> (qPackAssemble _),
@@ -2236,6 +2245,47 @@ object SparkEntry {
         |  WHEN 'src2' THEN '40000000'
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '' END""".stripMargin,
+
+    // Same nine 4dp-rounded sums, same Cramer expression tree.
+    "q_ols" ->
+      s"""WITH s AS (
+         |  SELECT event_type, count(*) AS n,
+         |    round(sum(CAST(user_id AS DOUBLE)), 4) AS sx1,
+         |    round(sum(CAST(date_part('hour', $TS) AS DOUBLE)), 4) AS sx2,
+         |    round(sum(value), 4) AS sy,
+         |    round(sum(CAST(user_id AS DOUBLE)
+         |      * CAST(user_id AS DOUBLE)), 4) AS sx11,
+         |    round(sum(CAST(date_part('hour', $TS) AS DOUBLE)
+         |      * CAST(date_part('hour', $TS) AS DOUBLE)), 4) AS sx22,
+         |    round(sum(CAST(user_id AS DOUBLE)
+         |      * CAST(date_part('hour', $TS) AS DOUBLE)), 4) AS sx12,
+         |    round(sum(CAST(user_id AS DOUBLE) * value), 4) AS sx1y,
+         |    round(sum(CAST(date_part('hour', $TS) AS DOUBLE) * value), 4)
+         |      AS sx2y
+         |  FROM events
+         |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+         |    AND ts IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT event_type, n,
+         |  round((sy * (sx11 * sx22 - sx12 * sx12)
+         |    - sx1 * (sx1y * sx22 - sx12 * sx2y)
+         |    + sx2 * (sx1y * sx12 - sx11 * sx2y))
+         |    / nullif(n * (sx11 * sx22 - sx12 * sx12)
+         |      - sx1 * (sx1 * sx22 - sx12 * sx2)
+         |      + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0), 6) AS b0,
+         |  round((n * (sx1y * sx22 - sx12 * sx2y)
+         |    - sy * (sx1 * sx22 - sx12 * sx2)
+         |    + sx2 * (sx1 * sx2y - sx1y * sx2))
+         |    / nullif(n * (sx11 * sx22 - sx12 * sx12)
+         |      - sx1 * (sx1 * sx22 - sx12 * sx2)
+         |      + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0), 6) AS b1,
+         |  round((n * (sx11 * sx2y - sx1y * sx12)
+         |    - sx1 * (sx1 * sx2y - sx1y * sx2)
+         |    + sy * (sx1 * sx12 - sx11 * sx2))
+         |    / nullif(n * (sx11 * sx22 - sx12 * sx12)
+         |      - sx1 * (sx1 * sx22 - sx12 * sx2)
+         |      + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0), 6) AS b2
+         |FROM s""".stripMargin,
 
     "q_standardize" ->
       s"""WITH s AS (

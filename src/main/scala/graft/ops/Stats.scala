@@ -212,6 +212,45 @@ object Stats {
             col("fence_hi"))))
   }
 
+  /** Per-group two-feature OLS (y ~ b0 + b1·x1 + b2·x2) in closed form:
+    * ONE partial-combined aggregate collects the nine normal-equation sums
+    * (all cast to double first so both engines sum the same type; each sum
+    * 4dp-rounded so partial-aggregation order can't flip a bit), then
+    * Cramer's rule combines those identical doubles with a fixed
+    * expression tree — distributed regression as pure aggregation, no
+    * iterations, no driver math, parallelism = |groups|. Rows with any
+    * NULL input drop; singular groups (det 0, e.g. collinear features)
+    * yield NULL coefficients. */
+  def olsTwoFeature(df: DataFrame, keys: Seq[String], y: String,
+                    x1: String, x2: String): DataFrame = {
+    val (cy, c1, c2) = (col(y).cast(DoubleType), col(x1).cast(DoubleType),
+      col(x2).cast(DoubleType))
+    val s = df
+      .filter(cy.isNotNull && c1.isNotNull && c2.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(c1), 4).as("sx1"), round(sum(c2), 4).as("sx2"),
+        round(sum(cy), 4).as("sy"),
+        round(sum(c1 * c1), 4).as("sx11"), round(sum(c2 * c2), 4).as("sx22"),
+        round(sum(c1 * c2), 4).as("sx12"),
+        round(sum(c1 * cy), 4).as("sx1y"), round(sum(c2 * cy), 4).as("sx2y"))
+    val (n, sx1, sx2, sy) = (col("n"), col("sx1"), col("sx2"), col("sy"))
+    val (sx11, sx22, sx12) = (col("sx11"), col("sx22"), col("sx12"))
+    val (sx1y, sx2y) = (col("sx1y"), col("sx2y"))
+    val det = n * (sx11 * sx22 - sx12 * sx12) -
+      sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+    val b0n = sy * (sx11 * sx22 - sx12 * sx12) -
+      sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    val b1n = n * (sx1y * sx22 - sx12 * sx2y) -
+      sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+    val b2n = n * (sx11 * sx2y - sx1y * sx12) -
+      sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+    val d = nullif(det, lit(0.0))
+    s.select(keys.map(col) ++ Seq(n.as("n"),
+      round(b0n / d, 6).as("b0"), round(b1n / d, 6).as("b1"),
+      round(b2n / d, 6).as("b2")): _*)
+  }
+
   /** Per-group z-score standardization — the feature-scaling pass before
     * training. Group mean/stddev are computed once (4dp-rounded sum /
     * non-null count, 6dp-rounded stddev — the cross-engine discipline used

@@ -933,6 +933,25 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_diff_est") == 100L)
   }
 
+  test("olsTwoFeature recovers exact planted coefficients; singular -> NULL") {
+    // y = 2 + 3*x1 - x2 exactly, non-collinear design -> exact recovery
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (2.0, 3.0), (5.0, 1.0))
+    val df = pts.map { case (a, b) => ("g", a, b, 2.0 + 3.0 * a - b) }
+      .toDF("k", "x1", "x2", "y")
+    val r = graft.ops.Stats.olsTwoFeature(df, Seq("k"), "y", "x1", "x2")
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("b0") == 2.0)
+    assert(r.getAs[Double]("b1") == 3.0)
+    assert(r.getAs[Double]("b2") == -1.0)
+    // collinear features (x2 = 2*x1) -> det 0 -> NULL coefficients
+    val sing = (1 to 5).map(i => ("g", i.toDouble, 2.0 * i, i.toDouble))
+      .toDF("k", "x1", "x2", "y")
+    val rs = graft.ops.Stats.olsTwoFeature(sing, Seq("k"), "y", "x1", "x2")
+      .collect()(0)
+    assert(rs.isNullAt(rs.fieldIndex("b1")))
+  }
+
   test("balanceBy: rarest group kept whole, dominant group sampled to target") {
     val df = ((1 to 400).map(i => (i.toLong, "a"))
       ++ (401 to 500).map(i => (i.toLong, "b"))).toDF("id", "g")
