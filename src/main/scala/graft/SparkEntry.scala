@@ -1166,6 +1166,17 @@ object SparkEntry {
           .select(col("id1"), col("id2")))
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Cross-corpus n-gram overlap per doc (boilerplate / memorization-risk
+    * score) off the shared shingle index; docs too short to shingle emit
+    * NULLs via the left join. */
+  private def qTextNovelty(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"))
+      .join(FuzzyDedup.crossDocOverlapFromShingles(docShingles(s, dir))
+          .withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        r6(col("overlap_ratio")).as("overlap_ratio"))
+
   // ---------------------------------------------------- text analysis ops
 
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
@@ -1640,6 +1651,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_text_novelty" -> (qTextNovelty _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
@@ -2980,6 +2992,27 @@ object SparkEntry {
         |JOIN sizes s2 ON s2.id = id2
         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.7"""
         .stripMargin,
+
+    // Replays the shingle index with STRING 3-grams (the engine uses
+    // xxh64 hash shingles; identical counts absent collisions — the same
+    // equivalence every dedup oracle relies on).
+    "q_text_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'),
+        |                      x -> x <> '') AS toks
+        |        FROM documents)),
+        |d AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY 1),
+        |o AS (
+        |  SELECT id, count(*) AS n_shingles,
+        |    count(CASE WHEN dfreq >= 2 THEN 1 END) AS n_shared
+        |  FROM sh JOIN d USING (shingle) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+        |FROM documents LEFT JOIN o ON doc_id = o.id""".stripMargin,
 
     "q_dedup_apply" ->
       """WITH RECURSIVE sh AS (

@@ -76,6 +76,26 @@ object FuzzyDedup {
     * before returning — it is orders of magnitude smaller than the shingle
     * expansion — so no internal cache outlives the call and iterative
     * consumers (connectedComponents) start from a flat, computed plan. */
+  /** Per-document cross-corpus n-gram overlap: the fraction of a doc's
+    * distinct n-grams that appear in at least `minDf` documents
+    * corpus-wide (itself included, so minDf=2 means "shared with at least
+    * one OTHER doc") — the boilerplate/memorization-risk score curation
+    * pipelines threshold on (1.0 = nothing unique, 0.0 = all novel).
+    * Input is the prebuilt `(id, h64)` shingle table (one row per DISTINCT
+    * doc-shingle), so document frequency is a plain count per h64; cost is
+    * one 8-byte-key aggregate + one join back — the same class as the
+    * dedup index this table already feeds. */
+  def crossDocOverlapFromShingles(sh: DataFrame, minDf: Int = 2): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    val dfreq = sh.groupBy(col("h64")).agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "h64")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__df") >= minDf, 1)).as("n_shared"))
+      .withColumn("overlap_ratio",
+        col("n_shared").cast("double") / col("n_shingles"))
+  }
+
   def jaccardPairsFromShingles(sh: DataFrame, blocks: Option[DataFrame],
                                minJaccard: Double,
                                maxDf: Option[Int] = Some(1000)): DataFrame = {
