@@ -2258,13 +2258,14 @@ object SparkEntry {
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '' END""".stripMargin,
 
-    // Same nine 4dp-rounded sums, same Cramer expression tree.
+    // Same ten 4dp-rounded sums, same Cramer + R-squared expression trees.
     "q_ols" ->
       s"""WITH s AS (
          |  SELECT event_type, count(*) AS n,
          |    round(sum(CAST(user_id AS DOUBLE)), 4) AS sx1,
          |    round(sum(CAST(date_part('hour', $TS) AS DOUBLE)), 4) AS sx2,
          |    round(sum(value), 4) AS sy,
+         |    round(sum(value * value), 4) AS syy,
          |    round(sum(CAST(user_id AS DOUBLE)
          |      * CAST(user_id AS DOUBLE)), 4) AS sx11,
          |    round(sum(CAST(date_part('hour', $TS) AS DOUBLE)
@@ -2277,27 +2278,33 @@ object SparkEntry {
          |  FROM events
          |  WHERE value IS NOT NULL AND user_id IS NOT NULL
          |    AND ts IS NOT NULL
-         |  GROUP BY 1)
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT event_type, n, sy, sx1y, sx2y, syy,
+         |    (sy * (sx11 * sx22 - sx12 * sx12)
+         |      - sx1 * (sx1y * sx22 - sx12 * sx2y)
+         |      + sx2 * (sx1y * sx12 - sx11 * sx2y))
+         |      / nullif(n * (sx11 * sx22 - sx12 * sx12)
+         |        - sx1 * (sx1 * sx22 - sx12 * sx2)
+         |        + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0) AS b0,
+         |    (n * (sx1y * sx22 - sx12 * sx2y)
+         |      - sy * (sx1 * sx22 - sx12 * sx2)
+         |      + sx2 * (sx1 * sx2y - sx1y * sx2))
+         |      / nullif(n * (sx11 * sx22 - sx12 * sx12)
+         |        - sx1 * (sx1 * sx22 - sx12 * sx2)
+         |        + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0) AS b1,
+         |    (n * (sx11 * sx2y - sx1y * sx12)
+         |      - sx1 * (sx1 * sx2y - sx1y * sx2)
+         |      + sy * (sx1 * sx12 - sx11 * sx2))
+         |      / nullif(n * (sx11 * sx22 - sx12 * sx12)
+         |        - sx1 * (sx1 * sx22 - sx12 * sx2)
+         |        + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0) AS b2
+         |  FROM s)
          |SELECT event_type, n,
-         |  round((sy * (sx11 * sx22 - sx12 * sx12)
-         |    - sx1 * (sx1y * sx22 - sx12 * sx2y)
-         |    + sx2 * (sx1y * sx12 - sx11 * sx2y))
-         |    / nullif(n * (sx11 * sx22 - sx12 * sx12)
-         |      - sx1 * (sx1 * sx22 - sx12 * sx2)
-         |      + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0), 6) AS b0,
-         |  round((n * (sx1y * sx22 - sx12 * sx2y)
-         |    - sy * (sx1 * sx22 - sx12 * sx2)
-         |    + sx2 * (sx1 * sx2y - sx1y * sx2))
-         |    / nullif(n * (sx11 * sx22 - sx12 * sx12)
-         |      - sx1 * (sx1 * sx22 - sx12 * sx2)
-         |      + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0), 6) AS b1,
-         |  round((n * (sx11 * sx2y - sx1y * sx12)
-         |    - sx1 * (sx1 * sx2y - sx1y * sx2)
-         |    + sy * (sx1 * sx12 - sx11 * sx2))
-         |    / nullif(n * (sx11 * sx22 - sx12 * sx12)
-         |      - sx1 * (sx1 * sx22 - sx12 * sx2)
-         |      + sx2 * (sx1 * sx12 - sx11 * sx2), 0.0), 6) AS b2
-         |FROM s""".stripMargin,
+         |  round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+         |  round(1.0 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)
+         |    / nullif(syy - sy * sy / n, 0.0), 6) AS r2
+         |FROM b""".stripMargin,
 
     "q_standardize" ->
       s"""WITH s AS (

@@ -230,13 +230,13 @@ object Stats {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         round(sum(c1), 4).as("sx1"), round(sum(c2), 4).as("sx2"),
-        round(sum(cy), 4).as("sy"),
+        round(sum(cy), 4).as("sy"), round(sum(cy * cy), 4).as("syy"),
         round(sum(c1 * c1), 4).as("sx11"), round(sum(c2 * c2), 4).as("sx22"),
         round(sum(c1 * c2), 4).as("sx12"),
         round(sum(c1 * cy), 4).as("sx1y"), round(sum(c2 * cy), 4).as("sx2y"))
     val (n, sx1, sx2, sy) = (col("n"), col("sx1"), col("sx2"), col("sy"))
     val (sx11, sx22, sx12) = (col("sx11"), col("sx22"), col("sx12"))
-    val (sx1y, sx2y) = (col("sx1y"), col("sx2y"))
+    val (sx1y, sx2y, syy) = (col("sx1y"), col("sx2y"), col("syy"))
     val det = n * (sx11 * sx22 - sx12 * sx12) -
       sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
     val b0n = sy * (sx11 * sx22 - sx12 * sx12) -
@@ -246,9 +246,14 @@ object Stats {
     val b2n = n * (sx11 * sx2y - sx1y * sx12) -
       sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
     val d = nullif(det, lit(0.0))
+    // fitted-OLS identities on the same sums: SSE = Syy − b·[Sy Sx1y Sx2y],
+    // SST = Syy − Sy²/n, R² = 1 − SSE/SST (NULL for constant y)
+    val (b0, b1, b2) = (b0n / d, b1n / d, b2n / d)
+    val sse = syy - b0 * sy - b1 * sx1y - b2 * sx2y
+    val sst = nullif(syy - sy * sy / n, lit(0.0))
     s.select(keys.map(col) ++ Seq(n.as("n"),
-      round(b0n / d, 6).as("b0"), round(b1n / d, 6).as("b1"),
-      round(b2n / d, 6).as("b2")): _*)
+      round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"),
+      round(lit(1.0) - sse / sst, 6).as("r2")): _*)
   }
 
   /** Per-group z-score standardization — the feature-scaling pass before

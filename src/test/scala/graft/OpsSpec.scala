@@ -944,6 +944,7 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("b0") == 2.0)
     assert(r.getAs[Double]("b1") == 3.0)
     assert(r.getAs[Double]("b2") == -1.0)
+    assert(r.getAs[Double]("r2") == 1.0)   // exact fit -> SSE 0
     // collinear features (x2 = 2*x1) -> det 0 -> NULL coefficients
     val sing = (1 to 5).map(i => ("g", i.toDouble, 2.0 * i, i.toDouble))
       .toDF("k", "x1", "x2", "y")
