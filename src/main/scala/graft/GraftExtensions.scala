@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, NGramHashes, RegexpCountExpr, RewriteRegexpCount}
+import graft.functions.{DotProduct, FreqItemsAgg, MinHashAgg, NGramHashes,
+  RegexpCountExpr, RewriteRegexpCount, SimHashAgg}
 
 /**
  * SQL-surface registration of graft's native expressions, usable two ways:
@@ -55,6 +56,30 @@ object GraftExtensions {
         require(children.length == 2,
           "vec_dot(a, b) takes 2 array<float|double> arguments")
         DotProduct(children.head, children(1))
+      }),
+    // one-pass sketch AGGREGATES: the analyzer wraps an AggregateFunction
+    // returned from a registry builder in an AggregateExpression, so these
+    // work in plain `GROUP BY` SQL (and in streaming windowed aggs)
+    (FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "minhash_sketch(h64, numPerm, seed) takes 3 arguments")
+        MinHashAgg(children.head, intLit(children(1), "minhash numPerm"),
+          intLit(children(2), "minhash seed").toLong)
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64(h64) takes 1 argument")
+        SimHashAgg(children.head)
+      }),
+    (FunctionIdentifier("freq_items_mg"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "freq_items_mg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "freq_items_mg(item, k) takes 2 arguments")
+        FreqItemsAgg(children.head, intLit(children(1), "freq_items k"))
       }))
 
   /** Register on an already-running session (functions + the

@@ -17,6 +17,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(grams.toSeq == Seq(3, 1))
   }
 
+  test("sketch aggregates callable from GROUP BY SQL") {
+    GraftExtensions.register(spark)
+    ((1 to 50).map(i => ("a", s"tok${i % 7}"))
+      ++ (1 to 20).map(i => ("b", s"tok${i % 3}")))
+      .toDF("g", "item").createOrReplaceTempView("ext_sketch")
+    // Misra-Gries candidates per group via SQL — the hot item must survive
+    val mg = spark.sql(
+      """SELECT g, freq_items_mg(item, 2) AS cands FROM ext_sketch
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .as[(String, Seq[String])].collect().toMap
+    assert(mg("a").nonEmpty && mg("b").contains("tok1"))
+    // minhash + simhash consume 64-bit hashes; equality of identical
+    // groups' sketches pins determinism through the SQL surface
+    val sk = spark.sql(
+      """SELECT g, minhash_sketch(xxhash64(item), 16, 42) AS mh,
+        |  simhash64(xxhash64(item)) AS sh
+        |FROM ext_sketch GROUP BY g""".stripMargin).collect()
+    assert(sk.length == 2 && sk.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
   test("optimizer rule rewrites size(regexp_extract_all) to native count") {
     GraftExtensions.register(spark)
     // parquet-backed (a literal local relation would be constant-folded
