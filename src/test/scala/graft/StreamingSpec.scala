@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.StreamPipeline
+import graft.streaming.{StreamMonitor, StreamPipeline}
 
 class StreamingSpec extends SparkSpec {
 
@@ -512,6 +512,33 @@ class StreamingSpec extends SparkSpec {
       .select("approx_distinct", "n_events").as[(Long, Long)].collect()
     // HLL++ at rsd=0.01 is exact at cardinality 3
     assert(w0.headOption.contains((3L, 4L)))
+  }
+
+  test("StreamMonitor: bounded per-batch stats captured via listener") {
+    val base = Files.createTempDirectory("graft_stream_mon")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val ckpt = base.resolve("ckpt").toString
+    writeCsv(raw, "a.csv", Seq(
+      "AAA,10.0,0.1,1.0%,100,2024-01-01T00:01:00",
+      "BBB,50.0,0.0,,10,2024-01-01T00:02:00"))
+    val mon = StreamMonitor.attach(spark, maxEntries = 4)
+    try {
+      val q = StreamPipeline.windowedMetrics(
+          StreamPipeline.tickStream(spark, raw.toString))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("noop").start()
+      q.awaitTermination(60000)
+      // listener events are delivered asynchronously
+      var waited = 0
+      while (mon.totalInputRows() < 2 && waited < 10000) {
+        Thread.sleep(200); waited += 200
+      }
+      assert(mon.totalInputRows() == 2L)
+      assert(mon.stats.nonEmpty && mon.stats.size <= 4)
+      assert(mon.stats.forall(_.triggerMs >= 0))
+    } finally StreamMonitor.detach(spark, mon)
   }
 
   test("windowed heavy hitters: MG sketch as streaming state recalls the hot item") {
