@@ -535,6 +535,17 @@ object SparkEntry {
     Stats.histogram(ev(s, dir), Seq("event_type"), "value",
       lo = 0.0, hi = 500.0, nbins = 25)
 
+  /** Value-distribution drift per event type between the first half of the
+    * month (dates ≤ Jan 15) and the rest — PSI over the q_histogram grid. */
+  private def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val cut = lit("2024-01-15").cast(DateType)
+    graft.ops.Stats.psi(
+      e.filter(to_date(col("ts")) <= cut),
+      e.filter(to_date(col("ts")) > cut),
+      Seq("event_type"), "value", lo = 0.0, hi = 500.0, nbins = 25)
+  }
+
   /** TPC-H Q3-shaped shipping-priority top-k: filter three tables, join,
     * aggregate revenue per order, take the top 10 by ROUNDED revenue with
     * an orderkey tiebreak (raw-double ordering can flip at 1 ulp across
@@ -1560,6 +1571,7 @@ object SparkEntry {
     "q_percentile_exact" -> (qPercentileExact _),
     "q_mode" -> (qMode _),
     "q_histogram" -> (qHistogram _),
+    "q_psi" -> (qPsi _),
     "q_resample" -> (qResample _),
     "q_map_explode" -> (qMapExplode _),
     "q_window_corr" -> (qWindowCorr _),
@@ -1961,6 +1973,37 @@ object SparkEntry {
         |  round(0.0 + bin * 20.0, 6) AS bin_lo,
         |  round(0.0 + (bin + 1) * 20.0, 6) AS bin_hi
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // Same clamped bin grid, Laplace-smoothed shares, (p-q)*ln(p/q) terms.
+    "q_psi" ->
+      s"""WITH ha AS (
+         |  SELECT event_type,
+         |    CAST(floor(least(24.0, greatest(0.0,
+         |      (value - 0.0) / 20.0))) AS INT) AS bin, count(*) AS na
+         |  FROM events
+         |  WHERE value IS NOT NULL AND CAST(ts AS DATE) <= DATE '2024-01-15'
+         |  GROUP BY 1, 2),
+         |hb AS (
+         |  SELECT event_type,
+         |    CAST(floor(least(24.0, greatest(0.0,
+         |      (value - 0.0) / 20.0))) AS INT) AS bin, count(*) AS nb
+         |  FROM events
+         |  WHERE value IS NOT NULL AND CAST(ts AS DATE) > DATE '2024-01-15'
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT event_type, bin,
+         |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+         |  FROM ha FULL OUTER JOIN hb USING (event_type, bin)),
+         |t AS (
+         |  SELECT event_type, sum(na) AS ta, sum(nb) AS tb
+         |  FROM j GROUP BY 1)
+         |SELECT event_type,
+         |  round(sum(((na + 1.0) / (ta + 25.0) - (nb + 1.0) / (tb + 25.0))
+         |    * ln(((na + 1.0) / (ta + 25.0))
+         |         / ((nb + 1.0) / (tb + 25.0)))), 6) AS psi,
+         |  CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+         |FROM j JOIN t USING (event_type)
+         |GROUP BY 1""".stripMargin,
 
     "q_resample" ->
       s"""WITH o AS (

@@ -190,6 +190,34 @@ object Stats {
       .withColumn("bin_hi", round(lit(lo) + (col("bin") + 1) * lit(width), 6))
   }
 
+  /** Population Stability Index between two snapshots of a numeric column,
+    * per group — the drift monitor retraining pipelines alert on
+    * (rule of thumb: < 0.1 stable, > 0.25 major shift). Both snapshots
+    * bin through the SAME clamped fixed-range grid as [[histogram]];
+    * shares are Laplace-smoothed, p_i = (n_i + 1) / (N + nbins), so empty
+    * bins never divide by zero and the shares are exact rationals of
+    * integer counts — both engines form identical doubles before the
+    * (p−q)·ln(p/q) terms. Cost: two histogram aggregates + a bin-grain
+    * join — key space |groups| × nbins regardless of row counts. */
+  def psi(a: DataFrame, b: DataFrame, keys: Seq[String], value: String,
+          lo: Double, hi: Double, nbins: Int): DataFrame = {
+    val ha = histogram(a, keys, value, lo, hi, nbins)
+      .select((keys.map(col) :+ col("bin") :+ col("n").as("__na")): _*)
+    val hb = histogram(b, keys, value, lo, hi, nbins)
+      .select((keys.map(col) :+ col("bin") :+ col("n").as("__nb")): _*)
+    val joined = ha.join(hb, keys :+ "bin", "full_outer")
+      .na.fill(0L, Seq("__na", "__nb"))
+    val totals = joined.groupBy(keys.map(col): _*)
+      .agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    val p = (col("__na") + lit(1.0)) / (col("__ta") + lit(nbins.toDouble))
+    val q = (col("__nb") + lit(1.0)) / (col("__tb") + lit(nbins.toDouble))
+    joined.join(broadcast(totals), keys)
+      .withColumn("__term", (p - q) * log(p / q))
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum(col("__term")), 6).as("psi"),
+        sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+  }
+
   /** Winsorization: clip `value` to its per-group [pLo, pHi] exact
     * percentile fences — the outlier treatment that keeps rows (unlike the
     * Tukey drop in iqrOutliers) while bounding tail influence. Fences are
