@@ -340,6 +340,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("psi: zero on identical snapshots, symmetric, positive under shift") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new Random(seed)
+      val a = Seq.fill(400)(("g", rnd.nextDouble() * 100))
+        .toDF("k", "v")
+      val b = Seq.fill(400)(("g", rnd.nextDouble() * 100 + 30)) // shifted
+        .toDF("k", "v")
+      def psi(x: org.apache.spark.sql.DataFrame,
+              y: org.apache.spark.sql.DataFrame): Double =
+        graft.ops.Stats.psi(x, y, Seq("k"), "v", 0.0, 130.0, 13)
+          .select("psi").as[Double].collect()(0)
+      assert(psi(a, a) == 0.0, "identical snapshots must score 0")
+      assert(psi(a, b) == psi(b, a), "(p-q)ln(p/q) is swap-symmetric")
+      assert(psi(a, b) > 0.1, s"a 30% range shift must register as drift")
+    }
+  }
+
+  test("funnelCounts: stage counts are monotone non-increasing") {
+    for (seed <- Seq(13, 37)) {
+      val rnd = new Random(seed)
+      val stages = Seq("s1", "s2", "s3")
+      val events = Seq.fill(600)((
+        s"u${rnd.nextInt(50)}",
+        rnd.nextInt(100000).toLong,
+        stages(rnd.nextInt(3))))
+        .toDF("user_id", "t", "stage")
+      val counts = graft.ops.Funnel.funnelCounts(events, "user_id", "t",
+          "stage", stages)
+        .orderBy("stage_idx").select("n_users").as[Long].collect()
+      assert(counts.sliding(2).forall {
+        case Array(x, y) => y <= x
+        case _ => true
+      }, s"funnel not monotone at seed $seed: ${counts.toSeq}")
+    }
+  }
+
   test("withEwm: mean stays inside the running [min, max]; var non-negative") {
     for (seed <- Seq(11, 29)) {
       val rnd = new Random(seed)
