@@ -594,6 +594,25 @@ object SparkEntry {
         .as("revenue"))
   }
 
+  /** TPC-H Q4 shape (order-priority checking): EXISTS semi-join — orders
+    * in a quarter having at least one LATE lineitem (shipdate more than
+    * 90 days after the order date; the reference tables carry no
+    * commit/receipt dates, so lateness is vs the order date), counted per
+    * priority. The semi join keeps the orders side un-duplicated no matter
+    * how many lineitems match — the property EXISTS exists for. */
+  private def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+    val l = tbl(s, dir, "lineitem")
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** TPC-H Q13 shape (customer order-count distribution): the outer-join
     * double-aggregate family — the join-side filter must live in the JOIN
     * (a WHERE would silently drop orderless customers and their 0 bucket),
@@ -1566,6 +1585,7 @@ object SparkEntry {
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_set_ops" -> (qSetOps _),
     "q_percentile_exact" -> (qPercentileExact _),
@@ -1909,6 +1929,17 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1""".stripMargin,
 
     "q_tpch_q13" ->
