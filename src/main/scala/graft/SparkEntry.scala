@@ -594,6 +594,28 @@ object SparkEntry {
         .as("revenue"))
   }
 
+  /** TPC-H Q22 shape (global-sales-opportunity): scalar-subquery threshold
+    * + NOT EXISTS — customers with above-average positive balance and no
+    * URGENT orders (synthetic order coverage is dense, so the classic
+    * no-orders-at-all cut is empty at small SFs), counted per nation. The
+    * average is the exactAvg form (4dp-rounded sum / count) so the >
+    * threshold cut selects the same customer set in both engines; the
+    * 1-row threshold broadcasts; the anti side is pre-filtered before the
+    * join (pushdown-visible). */
+  private def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val thr = c.filter(col("c_acctbal") > 0.0)
+      .agg(exactAvg(sum(col("c_acctbal")), count(col("c_acctbal")))
+        .as("__avg_bal"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(tbl(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), r2(sum(col("c_acctbal"))).as("totacctbal"))
+  }
+
   /** TPC-H Q4 shape (order-priority checking): EXISTS semi-join — orders
     * in a quarter having at least one LATE lineitem (shipdate more than
     * 90 days after the order date; the reference tables carry no
@@ -1586,6 +1608,7 @@ object SparkEntry {
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_set_ops" -> (qSetOps _),
     "q_percentile_exact" -> (qPercentileExact _),
@@ -1929,6 +1952,19 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH t AS (
+        |  SELECT round(sum(c_acctbal), 4) / count(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c, t
+        |WHERE c.c_acctbal > t.avg_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
 
     "q_tpch_q4" ->
