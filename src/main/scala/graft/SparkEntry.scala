@@ -2057,19 +2057,23 @@ object SparkEntry {
          |  FROM events
          |  WHERE value IS NOT NULL AND CAST(ts AS DATE) > DATE '2024-01-15'
          |  GROUP BY 1, 2),
-         |j AS (
-         |  SELECT event_type, bin,
-         |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-         |  FROM ha FULL OUTER JOIN hb USING (event_type, bin)),
          |t AS (
-         |  SELECT event_type, sum(na) AS ta, sum(nb) AS tb
-         |  FROM j GROUP BY 1)
+         |  SELECT event_type, coalesce(ta, 0) AS ta, coalesce(tb, 0) AS tb
+         |  FROM (SELECT event_type, sum(na) AS ta FROM ha GROUP BY 1)
+         |  FULL OUTER JOIN (SELECT event_type, sum(nb) AS tb FROM hb
+         |                   GROUP BY 1) USING (event_type)),
+         |j AS (
+         |  SELECT t.event_type, t.ta, t.tb, CAST(g.bin AS INT) AS bin,
+         |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+         |  FROM t CROSS JOIN (SELECT unnest(range(25)) AS bin) g
+         |  LEFT JOIN ha ON ha.event_type = t.event_type AND ha.bin = g.bin
+         |  LEFT JOIN hb ON hb.event_type = t.event_type AND hb.bin = g.bin)
          |SELECT event_type,
          |  round(sum(((na + 1.0) / (ta + 25.0) - (nb + 1.0) / (tb + 25.0))
          |    * ln(((na + 1.0) / (ta + 25.0))
          |         / ((nb + 1.0) / (tb + 25.0)))), 6) AS psi,
          |  CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
-         |FROM j JOIN t USING (event_type)
+         |FROM j
          |GROUP BY 1""".stripMargin,
 
     "q_resample" ->
@@ -2436,7 +2440,7 @@ object SparkEntry {
         |m AS (SELECT min(n / 0.2) AS m FROM counts),
         |r AS (
         |  SELECT lang,
-        |    CASE WHEN m.m * 0.2 / c.n >= 1 THEN 'g'
+        |    CASE WHEN m.m * 0.2 / c.n >= 1 - 0.000000001 THEN 'g'
         |         ELSE printf('%08x', CAST(least(
         |           floor(m.m * 0.2 / c.n * 4294967296.0),
         |           4294967295.0) AS BIGINT)) END AS thr

@@ -68,14 +68,6 @@ object FuzzyDedup {
     out
   }
 
-  /** [[jaccardPairs]] core over a prebuilt `(id, h64)` shingle-hash table —
-    * the "index once, query many" path. `blocks` optionally maps id ->
-    * blocking key (None = one global block). The caller owns `sh`'s
-    * lifetime (persist it when several dedup queries share it; at 100 TB it
-    * is a stored table). The pair output is materialized (localCheckpoint)
-    * before returning — it is orders of magnitude smaller than the shingle
-    * expansion — so no internal cache outlives the call and iterative
-    * consumers (connectedComponents) start from a flat, computed plan. */
   /** Per-document cross-corpus n-gram overlap: the fraction of a doc's
     * distinct n-grams that appear in at least `minDf` documents
     * corpus-wide (itself included, so minDf=2 means "shared with at least
@@ -96,6 +88,14 @@ object FuzzyDedup {
         col("n_shared").cast("double") / col("n_shingles"))
   }
 
+  /** [[jaccardPairs]] core over a prebuilt `(id, h64)` shingle-hash table —
+    * the "index once, query many" path. `blocks` optionally maps id ->
+    * blocking key (None = one global block). The caller owns `sh`'s
+    * lifetime (persist it when several dedup queries share it; at 100 TB it
+    * is a stored table). The pair output is materialized (localCheckpoint)
+    * before returning — it is orders of magnitude smaller than the shingle
+    * expansion — so no internal cache outlives the call and iterative
+    * consumers (connectedComponents) start from a flat, computed plan. */
   def jaccardPairsFromShingles(sh: DataFrame, blocks: Option[DataFrame],
                                minJaccard: Double,
                                maxDf: Option[Int] = Some(1000)): DataFrame = {

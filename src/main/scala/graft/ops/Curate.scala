@@ -97,11 +97,15 @@ object Curate {
     val m = counts.agg(min(col("__n") / col("__t")).as("__m"))
     // keep-rate and its hex threshold as COLUMN twins of hexThreshold:
     // w >= 1 -> "g" (> any hex digit, keep all); else %08x of the clamped
-    // 32-bit boundary — lower(hex(...)) because Spark's hex() is uppercase
+    // 32-bit boundary — lower(hex(...)) because Spark's hex() is uppercase.
+    // The keep-all cut uses a 1e-9 tolerance: for the argmin group,
+    // (min(n/t))*t/n can land one ulp BELOW 1.0 with non-dyadic targets
+    // (e.g. t=0.1), which would hash-sample the very group the contract
+    // promises to keep whole.
     val rates = counts.crossJoin(broadcast(m))
       .withColumn("__w", col("__m") * col("__t") / col("__n"))
       .withColumn("__thr",
-        when(col("__w") >= 1.0, lit("g")).otherwise(
+        when(col("__w") >= 1.0 - 1e-9, lit("g")).otherwise(
           lpad(lower(hex(least(floor(col("__w") * lit(4294967296.0)),
             lit(4294967295.0)).cast("long"))), 8, "0")))
       .select(col(groupCol), col("__thr"))

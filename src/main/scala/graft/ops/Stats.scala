@@ -205,13 +205,23 @@ object Stats {
       .select((keys.map(col) :+ col("bin") :+ col("n").as("__na")): _*)
     val hb = histogram(b, keys, value, lo, hi, nbins)
       .select((keys.map(col) :+ col("bin") :+ col("n").as("__nb")): _*)
-    val joined = ha.join(hb, keys :+ "bin", "full_outer")
+    val totals = ha.groupBy(keys.map(col): _*)
+      .agg(sum(col("__na")).as("__ta"))
+      .join(hb.groupBy(keys.map(col): _*).agg(sum(col("__nb")).as("__tb")),
+        keys, "full_outer")
+      .na.fill(0L, Seq("__ta", "__tb"))
+    // the FULL bin grid per group, not just bins seen in a snapshot: with
+    // Laplace smoothing a bin empty in BOTH snapshots still contributes
+    // (1/(Na+k) − 1/(Nb+k))·ln(...) whenever the totals differ — dropping
+    // those terms understates drift between different-sized snapshots
+    val grid = totals.withColumn("bin",
+      explode(sequence(lit(0), lit(nbins - 1))))
+    val joined = grid
+      .join(ha, keys :+ "bin", "left").join(hb, keys :+ "bin", "left")
       .na.fill(0L, Seq("__na", "__nb"))
-    val totals = joined.groupBy(keys.map(col): _*)
-      .agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
     val p = (col("__na") + lit(1.0)) / (col("__ta") + lit(nbins.toDouble))
     val q = (col("__nb") + lit(1.0)) / (col("__tb") + lit(nbins.toDouble))
-    joined.join(broadcast(totals), keys)
+    joined
       .withColumn("__term", (p - q) * log(p / q))
       .groupBy(keys.map(col): _*)
       .agg(round(sum(col("__term")), 6).as("psi"),

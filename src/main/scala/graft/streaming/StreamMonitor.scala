@@ -18,6 +18,9 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{
  */
 final class StreamMonitor(maxEntries: Int = 256)
     extends StreamingQueryListener {
+  // maxEntries <= 0 would make the trim loop below spin forever on the
+  // listener-bus thread — monitoring must never become the outage
+  require(maxEntries > 0, s"maxEntries must be positive: $maxEntries")
 
   final case class BatchStat(query: String, batchId: Long, inputRows: Long,
                              rowsPerSec: Double, triggerMs: Long,

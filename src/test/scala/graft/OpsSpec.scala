@@ -973,6 +973,13 @@ class OpsSpec extends SparkSpec {
     val dropped = graft.ops.Curate.balanceBy(df, "g", col("id"),
       Map("a" -> 1.0))
     assert(dropped.filter($"g" === "b").count() == 0)
+    // non-dyadic targets: (min(n/t))*t/n can land one ulp below 1.0 for
+    // the argmin group (here a: 400/0.9 < 100/0.1) — the keep-all
+    // tolerance must still keep it whole
+    val nd = graft.ops.Curate.balanceBy(df, "g", col("id"),
+      Map("a" -> 0.9, "b" -> 0.1))
+    assert(nd.filter($"g" === "a").count() == 400L,
+      "argmin group lost rows to an ulp")
   }
 
   test("Funnel: strictly-after gating, skipped stages don't count, cohort retention") {

@@ -355,6 +355,21 @@ class PropertySpec extends SparkSpec {
       assert(psi(a, b) == psi(b, a), "(p-q)ln(p/q) is swap-symmetric")
       assert(psi(a, b) > 0.1, s"a 30% range shift must register as drift")
     }
+    // unequal totals, all mass in ONE bin: the smoothed formula must sum
+    // over the FULL grid — the 12 both-empty bins still contribute when
+    // Na != Nb (a truncated join would report near-0 here)
+    val a1 = Seq.fill(100)(("g", 5.0)).toDF("k", "v")
+    val b1 = Seq.fill(1000)(("g", 5.0)).toDF("k", "v")
+    val got = graft.ops.Stats.psi(a1, b1, Seq("k"), "v", 0.0, 130.0, 13)
+      .select("psi").as[Double].collect()(0)
+    val p0 = 101.0 / 113.0; val q0 = 1001.0 / 1013.0
+    val pe = 1.0 / 113.0; val qe = 1.0 / 1013.0
+    val expected = BigDecimal(
+        (p0 - q0) * math.log(p0 / q0)
+          + 12.0 * ((pe - qe) * math.log(pe / qe)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got - expected) <= 1e-6,
+      s"full-grid smoothed PSI: got $got, want $expected")
   }
 
   test("funnelCounts: stage counts are monotone non-increasing") {

@@ -523,21 +523,26 @@ class StreamingSpec extends SparkSpec {
       "BBB,50.0,0.0,,10,2024-01-01T00:02:00"))
     val mon = StreamMonitor.attach(spark, maxEntries = 4)
     try {
+      // name the query and filter stats by it: the listener bus is shared
+      // with every other streaming test in this suite and delivers
+      // asynchronously, so unfiltered totals could see lagging events
       val q = StreamPipeline.windowedMetrics(
           StreamPipeline.tickStream(spark, raw.toString))
         .writeStream.outputMode("append")
+        .queryName("graft_mon_probe")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .format("noop").start()
       q.awaitTermination(60000)
-      // listener events are delivered asynchronously
+      val mine = Some("graft_mon_probe")
       var waited = 0
-      while (mon.totalInputRows() < 2 && waited < 10000) {
+      while (mon.totalInputRows(mine) < 2 && waited < 10000) {
         Thread.sleep(200); waited += 200
       }
-      assert(mon.totalInputRows() == 2L)
-      assert(mon.stats.nonEmpty && mon.stats.size <= 4)
-      assert(mon.stats.forall(_.triggerMs >= 0))
+      assert(mon.totalInputRows(mine) == 2L)
+      val stats = mon.stats.filter(_.query == "graft_mon_probe")
+      assert(stats.nonEmpty && mon.stats.size <= 4)
+      assert(stats.forall(_.triggerMs >= 0))
     } finally StreamMonitor.detach(spark, mon)
   }
 
