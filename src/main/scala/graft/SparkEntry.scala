@@ -653,6 +653,55 @@ object SparkEntry {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
+    * aggregate family — "lineitems whose quantity is below half their
+    * part's average". Decorrelated Spark-style: the per-part average is a
+    * plain aggregate joined back on l_partkey (Catalyst plans the same
+    * thing for a correlated subquery; writing it as agg-then-join keeps
+    * the per-part aggregate reusable and lets AQE size the join). The
+    * brand cut shrinks the part side to ~4% BEFORE both the avg join and
+    * the revenue sum; the average is exactAvg so the threshold cut picks
+    * the identical row set in both engines. avg_yearly divides a rounded
+    * sum by a constant — bit-identical, no re-rounding. */
+  private def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val p = tbl(s, dir, "part").filter(col("p_brand") === "Brand#23")
+      .select("p_partkey")
+    val l = tbl(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPart = l.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(exactAvg(sum(col("l_quantity")), count(lit(1))).as("avg_qty"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((r4(sum(col("l_extendedprice"))) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): an OR of
+    * AND-triples spanning BOTH join sides (part brand/size × lineitem
+    * quantity). The join key stays a clean equi-join on partkey with the
+    * disjunction as a post-join filter; the common bounds that every arm
+    * implies (quantity ≤ 30, size ≥ 1) are conjunctive and push to the
+    * scans. Grouped by brand so each arm's contribution is visible. */
+  private def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val p = tbl(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val l = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 30.0)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val arms =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(arms)
+      .groupBy(col("p_brand"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** Lag/lead time-series features per event type + pct change vs lag_1. */
   private def qWindowLagged(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.laggedFeatures(ev(s, dir), "event_type",
@@ -1610,6 +1659,8 @@ object SparkEntry {
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q22" -> (qTpchQ22 _),
     "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
     "q_set_ops" -> (qSetOps _),
     "q_percentile_exact" -> (qPercentileExact _),
     "q_mode" -> (qMode _),
@@ -1976,6 +2027,32 @@ object SparkEntry {
         |    SELECT 1 FROM lineitem l
         |    WHERE l.l_orderkey = o.o_orderkey
         |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH a AS (
+        |  SELECT l_partkey AS a_partkey,
+        |    round(sum(l_quantity), 4) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l_extendedprice), 4) / 7.0 AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN a ON l.l_partkey = a.a_partkey
+        |WHERE p.p_brand = 'Brand#23'
+        |  AND l.l_quantity < 0.5 * a.avg_qty""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1""".stripMargin,
 
     "q_tpch_q13" ->
