@@ -702,6 +702,65 @@ object SparkEntry {
         .as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): the HAVING-IN family — a
+    * grouped-HAVING subquery used as a semi-join filter, then re-joined
+    * for the detail row. The qualifying-order set (sum qty > 300 ≈ top
+    * 0.2%) is computed ONCE with map-side partial sums; orders semi-joins
+    * against it (no duplication), and only the qualifying orders'
+    * lineitems are re-aggregated for the display sum. Top-k by
+    * (totalprice desc, orderkey) is TakeOrderedAndProject — no global
+    * sort. */
+  private def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val l = tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    tbl(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(tbl(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    * correlation pattern — one semi-join AND one anti-join against the
+    * same table with different-supplier predicates. A late lineitem
+    * (shipped >90 days after the order date — the synthetic tables carry
+    * no commit/receipt dates, same adaptation as q_tpch_q4) on a
+    * finished order counts against its supplier iff the order has
+    * another supplier's lineitem (semi) but NO other supplier shipped
+    * late on it (anti). Both probes are equi-joins on orderkey with the
+    * supplier-inequality as a join residual; the late set is computed
+    * once and reused as probe-side for the anti. */
+  private def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val l = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey",
+      "l_shipdate")
+    val late = l
+      .join(tbl(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val l2 = l.select(col("l_orderkey").as("x_orderkey"),
+      col("l_suppkey").as("x_suppkey"))
+    val late3 = late.select(col("l_orderkey").as("y_orderkey"),
+      col("l_suppkey").as("y_suppkey"))
+    late
+      .join(l2, col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+      .join(late3, col("l_orderkey") === col("y_orderkey") &&
+        col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+      .join(broadcast(tbl(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** Lag/lead time-series features per event type + pct change vs lag_1. */
   private def qWindowLagged(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.laggedFeatures(ev(s, dir), "event_type",
@@ -1660,7 +1719,9 @@ object SparkEntry {
     "q_tpch_q22" -> (qTpchQ22 _),
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q21" -> (qTpchQ21 _),
     "q_set_ops" -> (qSetOps _),
     "q_percentile_exact" -> (qPercentileExact _),
     "q_mode" -> (qMode _),
@@ -2053,6 +2114,35 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300.0) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY 1""".stripMargin,
 
     "q_tpch_q13" ->
