@@ -761,6 +761,73 @@ object SparkEntry {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** TPC-H Q14 shape (promo-revenue ratio): conditional aggregation — two
+    * sums over the same scan separated only by a CASE, never two scans.
+    * Grouped by ship month so the ratio trend is visible. Both sums are
+    * 4dp-rounded before the division (identical doubles in, IEEE divide
+    * out — no re-rounding needed). */
+  private def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg((lit(100.0) *
+        r4(sum(when(col("p_type") === "PROMO", vol).otherwise(0.0))) /
+        r4(sum(vol))).as("promo_revenue"))
+  }
+
+  /** TPC-H Q8 shape (national market share): two-level conditional
+    * aggregation over a 5-table star — the numerator is the SAME sum
+    * restricted by a CASE on the supplier's nation, computed in one pass
+    * per order year. Customer-side nation→region restricts to ASIA
+    * buyers; part type cuts the fact early. nation broadcasts twice
+    * under different aliases (customer's and supplier's arm). */
+  private def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val cn = tbl(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val sn = tbl(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_type") === "STANDARD").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(tbl(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(tbl(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((r4(sum(when(col("sn_name") === "NATION_2", vol)
+          .otherwise(0.0))) / r4(sum(vol))).as("mkt_share"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): aggregate view + global-max filter.
+    * The per-supplier quarterly revenue aggregates once; the max is a
+    * 1-row scalar broadcast back over the view (not an unpartitioned
+    * window — at scale the view is |suppliers| rows and the scalar join
+    * keeps it fully parallel). Revenue is 4dp-rounded BEFORE max/compare
+    * so both engines select the identical winner set. */
+  private def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("__max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("__max_rev"))
+      .join(broadcast(tbl(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
   /** Lag/lead time-series features per event type + pct change vs lag_1. */
   private def qWindowLagged(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.laggedFeatures(ev(s, dir), "event_type",
@@ -1719,6 +1786,9 @@ object SparkEntry {
     "q_tpch_q22" -> (qTpchQ22 _),
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q19" -> (qTpchQ19 _),
     "q_tpch_q21" -> (qTpchQ21 _),
@@ -2115,6 +2185,47 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT year(l_shipdate) AS ship_year,
+        |  month(l_shipdate) AS ship_month,
+        |  100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4)
+        |    / round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |    AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_2'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4)
+        |    / round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+        .stripMargin,
 
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
