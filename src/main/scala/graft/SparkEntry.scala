@@ -391,6 +391,18 @@ object SparkEntry {
   private def qOutliers(s: SparkSession, dir: String): DataFrame =
     Stats.iqrOutliers(ev(s, dir), Seq("event_type"), "value")
 
+  /** MAD robust outliers per event type (consistency factor folded into
+    * k — see Stats.madOutliers scaladoc; k = 3×1.4826 ≈ 3σ). */
+  private def qOutliersMad(s: SparkSession, dir: String): DataFrame =
+    Stats.madOutliers(ev(s, dir), Seq("event_type"), "value",
+      k = 4.4478)
+
+  /** First-order Markov transition matrix over each user's event stream
+    * — which event type follows which, with row-normalized probability. */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.transitionMatrix(ev(s, dir), "user_id", evOrder,
+      "event_type")
+
   /** Bigram LM quality score per document (self-trained corpus model) —
     * higher avg log-likelihood = more corpus-like text. */
   private def qLmScore(s: SparkSession, dir: String): DataFrame = {
@@ -1837,6 +1849,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_stats_bivariate" -> (qStatsBivariate _),
     "q_outliers" -> (qOutliers _),
+    "q_outliers_mad" -> (qOutliersMad _),
+    "q_markov" -> (qMarkov _),
     "q_lm_score" -> (qLmScore _),
     "q_profile" -> (qProfile _),
     "q_series_corr" -> (qSeriesCorr _),
@@ -2086,6 +2100,45 @@ object SparkEntry {
         |SELECT event_type, p25, p75, lo, hi, n,
         |  coalesce(n_outliers, 0) AS n_outliers
         |FROM f LEFT JOIN o USING (event_type)""".stripMargin,
+
+    "q_outliers_mad" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, med, mad,
+        |    round(med - 4.4478 * mad, 6) AS lo,
+        |    round(med + 4.4478 * mad, 6) AS hi, n
+        |  FROM m JOIN d USING (event_type)),
+        |o AS (
+        |  SELECT e.event_type, count(*) AS n_outliers
+        |  FROM events e JOIN f USING (event_type)
+        |  WHERE e.value < f.lo OR e.value > f.hi
+        |  GROUP BY 1)
+        |SELECT event_type, med, mad, lo, hi, n,
+        |  coalesce(n_outliers, 0) AS n_outliers
+        |FROM f LEFT JOIN o USING (event_type)""".stripMargin,
+
+    "q_markov" ->
+      s"""WITH t AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY $TS, event_id) AS to_type
+         |  FROM events),
+         |c AS (
+         |  SELECT from_type, to_type, count(*) AS n
+         |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+         |  FROM c GROUP BY 1)
+         |SELECT from_type, to_type, n,
+         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+         |FROM c JOIN tot USING (from_type)""".stripMargin,
 
     "q_distinct_count" ->
       """SELECT count(*) AS n_rows,

@@ -46,6 +46,32 @@ object Funnel {
     counts.reduce(_.union(_))
   }
 
+  /** First-order Markov transition matrix over each user's ordered event
+    * stream: one row per (from_type, to_type) with the transition count and
+    * its row-normalized probability. The only full-data operation is ONE
+    * window (lead over the per-user order) whose partition key is the user
+    * — at 100 TB this is a single shuffle by user_id with no skew beyond
+    * per-user activity, and the aggregate's key space is |types|² — tiny.
+    * `order` must be a total order within a user (pass a unique tiebreaker
+    * column; timestamp ties otherwise make `lead` engine-dependent). The
+    * probability divides the count by its from-row total (two exact longs
+    * → one IEEE divide, cross-engine deterministic). */
+  def transitionMatrix(df: DataFrame, user: String, order: Seq[String],
+                       stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy(order.map(col): _*)
+    val trans = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type").as("__f"))
+      .agg(sum(col("n")).as("__tot"))
+    trans.join(broadcast(totals), col("from_type") === col("__f"))
+      .withColumn("p", col("n").cast("double") / col("__tot").cast("double"))
+      .select("from_type", "to_type", "n", "p")
+  }
+
   /** Cohort retention: cohort = a user's first-seen date; one row per
     * (cohort_date, day offset) with the distinct users from that cohort
     * active that day. offset 0 row = cohort size. */

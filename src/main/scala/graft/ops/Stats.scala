@@ -137,6 +137,38 @@ object Stats {
         col("hi"), col("n"), col("n_outliers"))): _*)
   }
 
+  /** MAD (median-absolute-deviation) robust outliers per group — the
+    * quartile-free twin of [[iqrOutliers]] for heavy-tailed values where
+    * the IQR itself is inflated by the outliers. Two grouped exact-median
+    * passes (value, then |value − median|) shuffled only by the group
+    * keys, with the per-group fences broadcast back. The 1.4826 normal
+    * consistency factor is deliberately folded into `k` (pass
+    * k = 3 × 1.4826 if you want "3 sigmas") so both engines compare
+    * against the same single-literal multiple. Medians and fences are
+    * 6dp-rounded BEFORE the comparison, same boundary discipline as
+    * iqrOutliers. */
+  def madOutliers(df: DataFrame, keys: Seq[String], value: String,
+                  k: Double = 3.0): DataFrame = {
+    val v = col(value)
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(round(expr(s"percentile($value, 0.5)"), 6).as("med"),
+        count(lit(1)).as("n"))
+    val mad = df.join(broadcast(med), keys)
+      .withColumn("__ad", abs(v - col("med")))
+      .groupBy(keys.map(col): _*)
+      .agg(round(expr("percentile(__ad, 0.5)"), 6).as("mad"))
+    val fences = med.join(mad, keys)
+      .withColumn("lo", round(col("med") - lit(k) * col("mad"), 6))
+      .withColumn("hi", round(col("med") + lit(k) * col("mad"), 6))
+    val outliers = df.join(broadcast(fences), keys)
+      .filter(v < col("lo") || v > col("hi"))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_outliers"))
+    fences.join(outliers, keys, "left")
+      .withColumn("n_outliers", coalesce(col("n_outliers"), lit(0L)))
+      .select((keys.map(col) ++ Seq(col("med"), col("mad"), col("lo"),
+        col("hi"), col("n"), col("n_outliers"))): _*)
+  }
+
   /** Exact linearly-interpolated percentiles per group, one row per
     * (group, q) — SQL's percentile_cont. Spark's exact `percentile`
     * aggregate holds a per-group value-count map, so memory is

@@ -1011,4 +1011,41 @@ class OpsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L),   // u2 cohort
       ("2024-01-02", 2, 1L)))  // u2 active Jan 4
   }
+
+  test("Funnel.transitionMatrix: per-user ordered transitions, row-normalized") {
+    def t(s: String) = s"2024-01-0$s 00:00:00"
+    // u1: a->b->a ; u2: a->b ; transitions: a->b x2, b->a x1
+    val df = Seq(
+      ("u1", t("1"), 1L, "a"), ("u1", t("2"), 2L, "b"),
+      ("u1", t("3"), 3L, "a"),
+      ("u2", t("1"), 4L, "a"), ("u2", t("2"), 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val m = graft.ops.Funnel.transitionMatrix(df, "user_id",
+        Seq("ts", "event_id"), "event_type")
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(m == Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+    // the last event of each user emits no transition; no cross-user leak
+    assert(!m.exists { case (f, to, _, _) => f == "b" && to == "b" })
+  }
+
+  test("Stats.madOutliers: robust to the outlier that inflates IQR sigma") {
+    // 9 points tightly at 10 +/- 1, one wild point at 1000: median 10,
+    // MAD 1 -> fences [10 - 3, 10 + 3] at k=3, exactly one outlier
+    val vals = Seq(9.0, 9.0, 10.0, 10.0, 10.0, 10.0, 11.0, 11.0, 9.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "id", "value")
+    val r = graft.ops.Stats.madOutliers(df, Seq("grp"), "value", k = 3.0)
+      .select("med", "mad", "lo", "hi", "n", "n_outliers")
+      .as[(Double, Double, Double, Double, Long, Long)].collect()(0)
+    assert(r == ((10.0, 1.0, 7.0, 13.0, 10L, 1L)))
+    // zero-MAD group (constant values): fences collapse to the median,
+    // nothing flagged
+    val const = Seq.fill(5)(5.0).zipWithIndex
+      .map { case (v, i) => ("c", i.toLong, v) }.toDF("grp", "id", "value")
+    val rc = graft.ops.Stats.madOutliers(const, Seq("grp"), "value")
+      .select("mad", "n_outliers").as[(Double, Long)].collect()(0)
+    assert(rc == ((0.0, 0L)))
+  }
 }
