@@ -678,12 +678,17 @@ object SparkEntry {
   private def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
     val p = tbl(s, dir, "part").filter(col("p_brand") === "Brand#23")
       .select("p_partkey")
+    // brand cut FIRST: the per-part average only matters for Brand#23
+    // partkeys and each part's lineitems all survive a partkey semi —
+    // so aggregating the filtered fact gives the identical averages over
+    // ~4% of the input, and the avg side stays join-sized (|brand
+    // parts|) instead of |all parts| at 100 TB.
     val l = tbl(s, dir, "lineitem")
       .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
     val perPart = l.groupBy(col("l_partkey").as("a_partkey"))
       .agg(exactAvg(sum(col("l_quantity")), count(lit(1))).as("avg_qty"))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(perPart, col("l_partkey") === col("a_partkey"))
+    l.join(perPart, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg((r4(sum(col("l_extendedprice"))) / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_small"))
