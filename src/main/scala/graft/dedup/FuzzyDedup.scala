@@ -500,6 +500,31 @@ object FuzzyDedup {
     df.join(drop, Seq(id), "left_anti")
   }
 
+  /** Keep the BEST-scoring member per near-duplicate component (max
+    * `score`, min-id tiebreak) instead of [[applyDedup]]'s min-id rule —
+    * the curation-grade representative choice: when a cluster mixes a
+    * full document with its truncated/mangled copies, keep the one worth
+    * training on. `score` must be a deterministic column of `df` (length,
+    * quality score); ties at equal score fall back to min id so the
+    * choice is total. Cost shape is identical to applyDedup: components
+    * over the (tiny) verified pair list, two aggregates over component
+    * MEMBERS only, and one left_anti against the corpus — rows never in
+    * `pairs` pass through untouched without shuffling. */
+  def applyDedupBest(df: DataFrame, id: String, pairs: DataFrame,
+                     score: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val members = comps.join(
+      df.select(col(id).as("id"), col(score).as("__s")), "id")
+    val best = members.groupBy(col("comp")).agg(max(col("__s")).as("__smax"))
+    val keep = members.join(best, "comp")
+      .filter(col("__s") === col("__smax"))
+      .groupBy(col("comp")).agg(min(col("id")).as("__keep"))
+    val drop = members.join(keep, "comp")
+      .filter(col("id") =!= col("__keep"))
+      .select(col("id").as(id))
+    df.join(drop, Seq(id), "left_anti")
+  }
+
   /** End-to-end corpus dedup: block -> n-gram Jaccard verify -> connected
     * components -> keep min-id representative per cluster. */
   def dedupCorpus(df: DataFrame, id: String, text: String, block: String,

@@ -173,6 +173,29 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.size == 25 - 7)
   }
 
+  test("applyDedupBest: max-score representative, min-id tiebreak, pass-through") {
+    // clusters {1..5} (chain), {10,11,12}, {20,21}; scores favor NON-min
+    // ids in the first two clusters and tie in the third
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val corpus = (1L to 25L).map { i =>
+      val score = i match {
+        case 3L => 100 // best of {1..5}
+        case 12L => 50 // best of {10,11,12}
+        case 20L | 21L => 7 // tie -> min id 20 wins
+        case _ => 1
+      }
+      (i, score)
+    }.toDF("doc_id", "quality")
+    val kept = FuzzyDedup.applyDedupBest(corpus, "doc_id", pairs, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(3L) && !kept.contains(1L) && !kept.contains(5L))
+    assert(kept.contains(12L) && !kept.contains(10L))
+    assert(kept.contains(20L) && !kept.contains(21L))
+    assert(kept.contains(25L)) // untouched row survives
+    assert(kept.size == 25 - 7)
+  }
+
   test("connectedComponents: 60-hop chain converges (pointer jumping)") {
     // diameter 59 >> maxIter 20: plain one-hop propagation would hit the
     // iteration cap with split components; the jump makes it O(log d).
