@@ -391,6 +391,11 @@ object SparkEntry {
   private def qOutliers(s: SparkSession, dir: String): DataFrame =
     Stats.iqrOutliers(ev(s, dir), Seq("event_type"), "value")
 
+  /** Source-diversity monitor: Shannon entropy of the source distribution
+    * per language — drops when one crawl dominates a slice. */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame =
+    Stats.entropy(tbl(s, dir, "documents"), Seq("lang"), "source")
+
   /** MAD robust outliers per event type (consistency factor folded into
     * k — see Stats.madOutliers scaladoc; k = 3×1.4826 ≈ 3σ). */
   private def qOutliersMad(s: SparkSession, dir: String): DataFrame =
@@ -1866,6 +1871,7 @@ object SparkEntry {
     "q_outliers" -> (qOutliers _),
     "q_outliers_mad" -> (qOutliersMad _),
     "q_markov" -> (qMarkov _),
+    "q_entropy" -> (qEntropy _),
     "q_lm_score" -> (qLmScore _),
     "q_profile" -> (qProfile _),
     "q_series_corr" -> (qSeriesCorr _),
@@ -2139,6 +2145,23 @@ object SparkEntry {
         |SELECT event_type, med, mad, lo, hi, n,
         |  coalesce(n_outliers, 0) AS n_outliers
         |FROM f LEFT JOIN o USING (event_type)""".stripMargin,
+
+    "q_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS t,
+        |    count(*) AS n_cats,
+        |    sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_cats, t AS n_rows,
+        |  round(ln(CAST(t AS DOUBLE)) - snln / CAST(t AS DOUBLE), 6)
+        |    AS entropy,
+        |  CASE WHEN n_cats = 1 THEN 0.0 ELSE
+        |    round((ln(CAST(t AS DOUBLE)) - snln / CAST(t AS DOUBLE))
+        |      / ln(CAST(n_cats AS DOUBLE)), 6) END AS entropy_norm
+        |FROM g""".stripMargin,
 
     "q_markov" ->
       s"""WITH t AS (

@@ -169,6 +169,38 @@ object Stats {
         col("hi"), col("n"), col("n_outliers"))): _*)
   }
 
+  /** Shannon entropy (nats) of a categorical column's distribution per
+    * group — the corpus-diversity / label-balance monitor: entropy of
+    * `source` per language tells you when one crawl starts dominating a
+    * slice. Two partial-combined aggregates — (keys, cat) counts, then
+    * per-key Σ −p·ln p — shuffle key spaces |keys×cats| and |keys|, both
+    * tiny regardless of row count. Each term is an exact-long IEEE
+    * divide + ln; the cross-category sum is r6-rounded (same discipline
+    * as [[psi]]: float addition order across categories is the only
+    * engine-dependent bit). Also emits the category count and the
+    * r6-rounded normalized entropy H/ln(k) (0 for k=1). */
+  def entropy(df: DataFrame, keys: Seq[String], cat: String): DataFrame = {
+    val counts = df.groupBy((keys.map(col) :+ col(cat)): _*)
+      .agg(count(lit(1)).as("__n"))
+    counts.groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("__t"), count(lit(1)).as("n_cats"),
+        sum(col("__n").cast("double") * log(col("__n").cast("double")))
+          .as("__snln"))
+      // H = ln(T) − (Σ n·ln n)/T: one r6 at the end, algebraically equal
+      // to −Σ p·ln p but with a single division (fewer float paths to
+      // disagree on)
+      .withColumn("entropy",
+        round(log(col("__t").cast("double"))
+          - col("__snln") / col("__t").cast("double"), 6))
+      .withColumn("entropy_norm",
+        when(col("n_cats") === 1, lit(0.0)).otherwise(
+          round((log(col("__t").cast("double"))
+            - col("__snln") / col("__t").cast("double"))
+            / log(col("n_cats").cast("double")), 6)))
+      .select((keys.map(col) ++ Seq(col("n_cats"),
+        col("__t").as("n_rows"), col("entropy"), col("entropy_norm"))): _*)
+  }
+
   /** Exact linearly-interpolated percentiles per group, one row per
     * (group, q) — SQL's percentile_cont. Spark's exact `percentile`
     * aggregate holds a per-group value-count map, so memory is

@@ -340,6 +340,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("entropy: ln(k) on uniform, 0 on point mass, norm in [0,1]") {
+    // uniform over 4 categories: H = ln 4, norm = 1
+    val uniform = (1 to 4).flatMap(c => Seq.fill(25)(("g", s"c$c")))
+      .toDF("k", "cat")
+    val u = graft.ops.Stats.entropy(uniform, Seq("k"), "cat")
+      .select("n_cats", "n_rows", "entropy", "entropy_norm")
+      .as[(Long, Long, Double, Double)].collect()(0)
+    assert(u._1 == 4L && u._2 == 100L)
+    assert(math.abs(u._3 - math.log(4.0)) < 1e-6 && u._4 == 1.0)
+    // point mass: H = 0, norm defined as 0
+    val point = Seq.fill(50)(("p", "only")).toDF("k", "cat")
+    val p = graft.ops.Stats.entropy(point, Seq("k"), "cat")
+      .select("entropy", "entropy_norm").as[(Double, Double)].collect()(0)
+    assert(p == ((0.0, 0.0)))
+    // skewed: 0 < norm < 1 and entropy below ln(k)
+    val skew = (Seq.fill(90)(("s", "big")) ++ Seq.fill(10)(("s", "small")))
+      .toDF("k", "cat")
+    val sk = graft.ops.Stats.entropy(skew, Seq("k"), "cat")
+      .select("entropy", "entropy_norm").as[(Double, Double)].collect()(0)
+    assert(sk._1 > 0.0 && sk._1 < math.log(2.0) && sk._2 > 0.0 && sk._2 < 1.0)
+  }
+
   test("psi: zero on identical snapshots, symmetric, positive under shift") {
     for (seed <- Seq(7, 19)) {
       val rnd = new Random(seed)
