@@ -396,6 +396,18 @@ object SparkEntry {
   private def qEntropy(s: SparkSession, dir: String): DataFrame =
     Stats.entropy(tbl(s, dir, "documents"), Seq("lang"), "source")
 
+  /** Link-graph importance over the co-purchase part graph: PageRank
+    * (damping 17/20, 3 iterations) in int64 fixed-point — every score an
+    * exact long, so the iterative result is oracle-checkable (the oracle
+    * unrolls the 3 iterations as chained CTEs; no float drift to hide
+    * behind). */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRankFixedPoint(
+        graft.ops.Graph.coOccurrenceEdges(tbl(s, dir, "lineitem"),
+          group = "l_orderkey", item = "l_partkey"),
+        iters = 3)
+      .select(col("id").as("part_id"), col("s").as("score"))
+
   /** MAD robust outliers per event type (consistency factor folded into
     * k — see Stats.madOutliers scaladoc; k = 3×1.4826 ≈ 3σ). */
   private def qOutliersMad(s: SparkSession, dir: String): DataFrame =
@@ -1872,6 +1884,7 @@ object SparkEntry {
     "q_outliers_mad" -> (qOutliersMad _),
     "q_markov" -> (qMarkov _),
     "q_entropy" -> (qEntropy _),
+    "q_pagerank" -> (qPagerank _),
     "q_lm_score" -> (qLmScore _),
     "q_profile" -> (qProfile _),
     "q_series_corr" -> (qSeriesCorr _),
@@ -2162,6 +2175,42 @@ object SparkEntry {
         |    round((ln(CAST(t AS DOUBLE)) - snln / CAST(t AS DOUBLE))
         |      / ln(CAST(n_cats AS DOUBLE)), 6) END AS entropy_norm
         |FROM g""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |small AS (
+        |  SELECT g FROM items GROUP BY g HAVING count(*) <= 1000),
+        |pruned AS (SELECT items.* FROM items JOIN small USING (g)),
+        |pairs AS (
+        |  SELECT DISTINCT a.i AS id1, b.i AS id2
+        |  FROM pruned a JOIN pruned b ON a.g = b.g AND a.i < b.i),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |s0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS s FROM deg),
+        |c1 AS (SELECT e.dst, CAST(sum(s.s // d.deg) AS BIGINT) AS cin
+        |       FROM edges e JOIN s0 s ON e.src = s.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s1 AS (SELECT s0.id,
+        |         CAST(150000000 + (17 * coalesce(c1.cin, 0)) // 20
+        |           AS BIGINT) AS s
+        |       FROM s0 LEFT JOIN c1 ON s0.id = c1.dst),
+        |c2 AS (SELECT e.dst, CAST(sum(s.s // d.deg) AS BIGINT) AS cin
+        |       FROM edges e JOIN s1 s ON e.src = s.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s2 AS (SELECT s1.id,
+        |         CAST(150000000 + (17 * coalesce(c2.cin, 0)) // 20
+        |           AS BIGINT) AS s
+        |       FROM s1 LEFT JOIN c2 ON s1.id = c2.dst),
+        |c3 AS (SELECT e.dst, CAST(sum(s.s // d.deg) AS BIGINT) AS cin
+        |       FROM edges e JOIN s2 s ON e.src = s.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s3 AS (SELECT s2.id,
+        |         CAST(150000000 + (17 * coalesce(c3.cin, 0)) // 20
+        |           AS BIGINT) AS s
+        |       FROM s2 LEFT JOIN c3 ON s2.id = c3.dst)
+        |SELECT id AS part_id, s AS score FROM s3""".stripMargin,
 
     "q_markov" ->
       s"""WITH t AS (

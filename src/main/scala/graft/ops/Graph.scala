@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed graph scoring over edge lists — the link-analysis layer for
+ * corpus curation: score documents by their position in a similarity /
+ * citation / co-occurrence graph (hub boilerplate scores high, isolated
+ * pages low), then feed the score into mixture weights or dedup
+ * representative choice.
+ *
+ * Everything here is FIXED-POINT (int64) arithmetic: each iteration's
+ * scores are exact longs, so the result is bit-identical on any engine
+ * replaying the same recurrence — no float summation-order drift, which
+ * is what makes an iterative algorithm DuckDB-oracle-checkable (the same
+ * discipline as text/TfIdf's int64 weights). Scale shape: one shuffle per
+ * iteration (groupBy dst over the edge list), partial-combined map-side;
+ * the score table is |nodes| rows and the edge list is never collected.
+ */
+object Graph {
+
+  /** PageRank with integer fixed-point arithmetic: initial score `scale`
+    * per node, per-iteration
+    *   s'(v) = (3·scale)/20 + (17 · Σ_{u∈in(v)} s(u) DIV deg(u)) DIV 20
+    * i.e. damping 0.85 as the rational 17/20, every division an integral
+    * DIV — deterministic on any engine, no floats anywhere. Expects an
+    * UNDIRECTED edge list (id1, id2) with no self-loops; it symmetrizes
+    * internally, so every node has degree ≥ 1 and there are no dangling
+    * nodes. Scores stay O(|nodes|·scale) total mass; with the default
+    * scale=1e9 a sum overflows int64 only past ~9e9 nodes' worth of mass
+    * concentrated on one vertex. Iterations chain localCheckpoint like
+    * FuzzyDedup's component loop so the plan stays flat. */
+  def pageRankFixedPoint(pairs: DataFrame, iters: Int = 5,
+                         scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val teleport = (3L * scale) / 20L
+    var s = deg.select(col("src").as("id"), lit(scale).as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(s, edges("src") === s("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("s DIV deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("__in"))
+      s = s.select(col("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr("17 * coalesce(__in, 0L) DIV 20")).as("s"))
+        .localCheckpoint()
+    }
+    s
+  }
+
+  /** Co-occurrence edge list: undirected distinct pairs of `item` values
+    * sharing the same `group` (parts co-purchased in an order, tokens
+    * sharing a document...). The per-group pair expansion is quadratic in
+    * group size, so `maxGroupSize` drops oversized groups BEFORE pairing
+    * (same cap discipline as the dedup shingle maxDf) — at 100 TB a
+    * single degenerate group would otherwise dominate the join. */
+  def coOccurrenceEdges(df: DataFrame, group: String, item: String,
+                        maxGroupSize: Int = 1000): DataFrame = {
+    val items = df.select(col(group).as("__g"), col(item).as("__i"))
+      .distinct()
+    val small = items.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxGroupSize)
+      .select("__g")
+    val in = items.join(small, "__g")
+    in.as("a").join(in.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
+      .select(col("a.__i").as("id1"), col("b.__i").as("id2"))
+      .distinct()
+  }
+}

@@ -1030,6 +1030,29 @@ class OpsSpec extends SparkSpec {
     assert(!m.exists { case (f, to, _, _) => f == "b" && to == "b" })
   }
 
+  test("Graph.pageRankFixedPoint: exact longs on star and triangle; co-occurrence cap") {
+    // triangle (2-regular): contributions balance, score stays at scale
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2")
+    val st = graft.ops.Graph.pageRankFixedPoint(tri, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(st == Map(1L -> 1000000000L, 2L -> 1000000000L,
+      3L -> 1000000000L))
+    // star 0-{1,2,3} after ONE iteration, hand-computed fixed-point:
+    // hub: 150e6 + (17 * 3e9) DIV 20 = 2.7e9
+    // leaf: 150e6 + (17 * (1e9 DIV 3)) DIV 20 = 433333333
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2")
+    val s1 = graft.ops.Graph.pageRankFixedPoint(star, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(s1(0L) == 2700000000L)
+    assert(Seq(1L, 2L, 3L).forall(s1(_) == 433333333L))
+    // co-occurrence: group of 3 -> 3 pairs; oversized group dropped
+    val baskets = (Seq(("o1", 10L), ("o1", 11L), ("o1", 12L)) ++
+      (1L to 50L).map(i => ("big", 100L + i))).toDF("g", "item")
+    val edges = graft.ops.Graph.coOccurrenceEdges(baskets, "g", "item",
+      maxGroupSize = 10).as[(Long, Long)].collect().toSet
+    assert(edges == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+
   test("Stats.madOutliers: robust to the outlier that inflates IQR sigma") {
     // 9 points tightly at 10 +/- 1, one wild point at 1000: median 10,
     // MAD 1 -> fences [10 - 3, 10 + 3] at k=3, exactly one outlier
