@@ -1103,6 +1103,18 @@ object SparkEntry {
         r6(col("ewm_mean")).as("ewm_mean"), r6(col("ewm_var")).as("ewm_var"))
   }
 
+  /** Two-sided CUSUM drift monitor over the same hourly bars as q_macd
+    * (slack 0.5σ, decision interval 4σ). The oracle replays the max(0,·)
+    * recurrence as a recursive CTE over engine-identical μ/σ. */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+    graft.ops.Indicators.withCusum(bars, "event_type", Seq("hour_start"),
+        "bar", kSigma = 0.5, hSigma = 4.0)
+      .select(col("event_type"), col("hour_start"), r6(col("bar")).as("bar"),
+        r6(col("cusum_pos")).as("cusum_pos"),
+        r6(col("cusum_neg")).as("cusum_neg"), col("cusum_alarm"))
+  }
+
   private def qWindowMa(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.movingAverages(ev(s, dir), "event_type",
         evOrder, "value", Seq(5, 15, 30))
@@ -1906,6 +1918,7 @@ object SparkEntry {
     "q_drawdown" -> (qDrawdown _),
     "q_macd" -> (qMacd _),
     "q_ewm" -> (qEwm _),
+    "q_cusum" -> (qCusum _),
     "q_window_stddev" -> (qWindowStddev _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_window_tumbling" -> (qWindowTumbling _),
@@ -4212,6 +4225,57 @@ object SparkEntry {
          |          ON b.event_type = r.event_type AND b.rn = r.rn + 1))
          |SELECT event_type, hour_start, round(bar, 6) AS bar,
          |  round(ewm_mean, 6) AS ewm_mean, round(ewm_var, 6) AS ewm_var
+         |FROM rec""".stripMargin),
+
+    "q_cusum" ->
+      ("WITH RECURSIVE\n" + hourlyBarsCte + ",\n" +
+      s"""st AS (
+         |  SELECT event_type,
+         |    round(sum(bar), 4) / count(bar) AS mu,
+         |    round(stddev_samp(bar), 6) AS sd
+         |  FROM bars GROUP BY 1),
+         |nb AS (
+         |  SELECT b.event_type, b.hour_start, b.bar, st.mu, st.sd,
+         |    row_number() OVER (PARTITION BY b.event_type
+         |      ORDER BY b.hour_start) AS rn
+         |  FROM bars b JOIN st USING (event_type)),
+         |rec AS (
+         |  SELECT event_type, hour_start, bar, mu, sd, rn,
+         |    CASE WHEN bar IS NULL OR sd IS NULL THEN NULL
+         |         ELSE greatest(CAST(0.0 AS DOUBLE), 0.0 + bar - mu - 0.5 * sd)
+         |      END AS sp,
+         |    CASE WHEN bar IS NULL OR sd IS NULL THEN NULL
+         |         ELSE greatest(CAST(0.0 AS DOUBLE), 0.0 + mu - bar - 0.5 * sd)
+         |      END AS sn,
+         |    CASE WHEN bar IS NULL OR sd IS NULL THEN CAST(0.0 AS DOUBLE)
+         |         ELSE greatest(CAST(0.0 AS DOUBLE), 0.0 + bar - mu - 0.5 * sd)
+         |      END AS st_p,
+         |    CASE WHEN bar IS NULL OR sd IS NULL THEN CAST(0.0 AS DOUBLE)
+         |         ELSE greatest(CAST(0.0 AS DOUBLE), 0.0 + mu - bar - 0.5 * sd)
+         |      END AS st_n
+         |  FROM nb WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, hour_start, bar, mu, sd, rn,
+         |    CASE WHEN bar IS NULL OR sd IS NULL THEN NULL
+         |         ELSE greatest(CAST(0.0 AS DOUBLE), st_p + bar - mu - 0.5 * sd)
+         |      END,
+         |    CASE WHEN bar IS NULL OR sd IS NULL THEN NULL
+         |         ELSE greatest(CAST(0.0 AS DOUBLE), st_n + mu - bar - 0.5 * sd)
+         |      END,
+         |    CASE WHEN bar IS NULL OR sd IS NULL THEN st_p
+         |         ELSE greatest(CAST(0.0 AS DOUBLE), st_p + bar - mu - 0.5 * sd)
+         |      END,
+         |    CASE WHEN bar IS NULL OR sd IS NULL THEN st_n
+         |         ELSE greatest(CAST(0.0 AS DOUBLE), st_n + mu - bar - 0.5 * sd)
+         |      END
+         |  FROM (SELECT b.event_type, b.hour_start, b.bar, b.mu, b.sd,
+         |          b.rn, r.st_p, r.st_n
+         |        FROM rec r JOIN nb b
+         |          ON b.event_type = r.event_type AND b.rn = r.rn + 1))
+         |SELECT event_type, hour_start, round(bar, 6) AS bar,
+         |  round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+         |  CASE WHEN sp IS NULL THEN NULL
+         |       ELSE sp > 4.0 * sd OR sn > 4.0 * sd END AS cusum_alarm
          |FROM rec""".stripMargin),
 
     // ---------------------------------------------- technical indicators

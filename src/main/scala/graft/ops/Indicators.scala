@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructType}
 
 /**
  * Technical-indicator analytics over per-key ordered series — the domain
@@ -203,6 +203,73 @@ object Indicators {
           }
         }
       }(Encoders.row(outSchema))
+  }
+
+  /** Two-sided tabular CUSUM change-point monitor:
+    *   S⁺_t = max(0, S⁺_{t−1} + x_t − μ − k),
+    *   S⁻_t = max(0, S⁻_{t−1} + μ − x_t − k),  alarm when either > h
+    * with μ the per-key mean (exactAvg form: 4dp-rounded sum / non-null
+    * count), σ the 6dp-rounded sample stddev, k = kSigma·σ (slack) and
+    * h = hSigma·σ (decision interval) — the standard drift detector for
+    * data-quality monitoring between pipeline runs; catches slow mean
+    * drift that threshold alerts on single values miss.
+    *
+    * μ/σ come from `reference` — the in-control period (SPC practice:
+    * calibrate on data known good, monitor the rest). The default
+    * (reference = df itself) turns the op into a HOMOGENEITY check: any
+    * sustained regime change makes both halves drift from the pooled
+    * mean and alarm — correct for "did this series shift at all", while
+    * an explicit reference gives classic "alarm only after the change"
+    * monitoring.
+    *
+    * Two passes: a |keys|-row stats aggregate broadcast back, then the
+    * same secondary-sort harness as [[withEwm]] (one shuffle on the key,
+    * O(1) state, NULL values pass through with NULL outputs and leave
+    * state untouched). Each step is a fixed IEEE expression tree over
+    * engine-identical μ/σ, so a recursive-CTE oracle replays it
+    * bit-identically. Keys with σ NULL (singleton series) emit NULL
+    * statistics. */
+  def withCusum(df: DataFrame, key: String, order: Seq[String],
+                value: String, kSigma: Double = 0.5,
+                hSigma: Double = 4.0,
+                reference: Option[DataFrame] = None): DataFrame = {
+    val stats = reference.getOrElse(df).groupBy(col(key))
+      .agg((round(sum(col(value)), 4) / count(col(value))).as("__mu"),
+        round(stddev_samp(col(value)), 6).as("__sd"))
+    val joined = df.join(broadcast(stats), key)
+    val inSchema = joined.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("cusum_pos", DoubleType), StructField("cusum_neg", DoubleType),
+      StructField("cusum_alarm", BooleanType)))
+    val keyIdx = inSchema.fieldIndex(key)
+    val valIdx = inSchema.fieldIndex(value)
+    val muIdx = inSchema.fieldIndex("__mu")
+    val sdIdx = inSchema.fieldIndex("__sd")
+    joined.repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var sp = 0.0; var sn = 0.0
+        rows.map { row =>
+          val k = row.get(keyIdx)
+          if (!java.util.Objects.equals(k, curKey)) {
+            curKey = k; sp = 0.0; sn = 0.0
+          }
+          if (row.isNullAt(valIdx) || row.isNullAt(sdIdx))
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+          else {
+            val x = row.getDouble(valIdx)
+            val mu = row.getDouble(muIdx)
+            val sd = row.getDouble(sdIdx)
+            val kk = kSigma * sd
+            val h = hSigma * sd
+            sp = math.max(0.0, sp + x - mu - kk)
+            sn = math.max(0.0, sn + mu - x - kk)
+            Row.fromSeq(row.toSeq ++ Seq(sp, sn, sp > h || sn > h))
+          }
+        }
+      }(Encoders.row(outSchema))
+      .drop("__mu", "__sd")
   }
 
   def withEmaMacd(df: DataFrame, key: String, order: Seq[String],

@@ -151,6 +151,37 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("ewm_var") == (1.0 - a) * (0.0 + delta * incr))
   }
 
+  test("withCusum: no alarm on stable series, alarm after planted mean shift") {
+    // calibrate on the stable first half (reference period), monitor the
+    // whole series: the in-control half must never alarm, the +8 shift
+    // must cross the 4*sd decision interval
+    val vals = Seq.fill(20)(10.0) ++ Seq.fill(20)(18.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("k", i.toLong, v + (i % 3) * 0.1) }.toDF("k", "id", "value")
+    val out = Indicators.withCusum(df, "k", Seq("id"), "value",
+        reference = Some(df.filter($"id" < 20)))
+      .orderBy("id").collect()
+    val alarms = out.map(_.getAs[Boolean]("cusum_alarm"))
+    assert(!alarms.take(20).exists(identity), "stable half must not alarm")
+    assert(alarms.drop(20).exists(identity), "shift must trigger an alarm")
+    // self-referenced (homogeneity mode): the shift still registers
+    val self = Indicators.withCusum(df, "k", Seq("id"), "value")
+      .orderBy("id").collect()
+    assert(self.map(_.getAs[Boolean]("cusum_alarm")).exists(identity))
+    // positive-side statistic grows through the shift; both sides >= 0
+    assert(out.forall(r => r.getAs[Double]("cusum_pos") >= 0.0 &&
+      r.getAs[Double]("cusum_neg") >= 0.0))
+    // NULL passthrough leaves state untouched
+    val withNull = Seq(("k", 1L, java.lang.Double.valueOf(10.0)),
+      ("k", 2L, null.asInstanceOf[java.lang.Double]),
+      ("k", 3L, java.lang.Double.valueOf(10.0)))
+      .toDF("k", "id", "value")
+    val on = Indicators.withCusum(withNull, "k", Seq("id"), "value")
+      .orderBy("id").collect()
+    assert(on(1).isNullAt(on(1).fieldIndex("cusum_pos")))
+    assert(!on(2).isNullAt(on(2).fieldIndex("cusum_pos")))
+  }
+
   test("plan shape: every windowed indicator costs exactly ONE shuffle") {
     // All frames share the per-key partitioning, so adding indicator
     // columns must never add an Exchange — the property that keeps the
