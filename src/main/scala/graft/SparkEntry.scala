@@ -1460,6 +1460,13 @@ object SparkEntry {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         r6(col("overlap_ratio")).as("overlap_ratio"))
 
+  /** BM25 top-50 retrieval for a fixed 3-term query over documents (k1 =
+    * 1.2, b = 0.75). The oracle replays the identical IEEE expression
+    * tree; only the per-doc cross-term sum is r6-rounded. */
+  private def qTextBm25(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.bm25Retrieve(tbl(s, dir, "documents"), "doc_id",
+      "text", Seq("spark", "join", "window"), k = 50)
+
   // ---------------------------------------------------- text analysis ops
 
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
@@ -1951,6 +1958,7 @@ object SparkEntry {
     "q_text_repetition" -> (qTextRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_text_novelty" -> (qTextNovelty _),
+    "q_text_bm25" -> (qTextBm25 _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
@@ -3030,6 +3038,34 @@ object SparkEntry {
         |  FROM vocab)
         |SELECT term, doc_freq, total_count, freq_rank
         |FROM ranked WHERE freq_rank <= 200""".stripMargin,
+
+    // Same IEEE expression tree as TfIdf.bm25Retrieve (numerator written
+    // tf*k1 + tf on both sides; b dyadic so 1-b folds exactly); only the
+    // per-doc cross-term sum is r6-rounded.
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT
+        |  (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+        |  (SELECT round(sum(dl), 4) / count(*) FROM dl) AS avgdl),
+        |m AS (
+        |  SELECT t.doc_id,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 1.2 + CAST(tf AS DOUBLE))
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id), st
+        |  WHERE term IN ('spark', 'join', 'window'))
+        |SELECT doc_id, round(sum(s), 6) AS bm25_r6, count(*) AS n_matched
+        |FROM m GROUP BY 1
+        |ORDER BY bm25_r6 DESC, doc_id
+        |LIMIT 50""".stripMargin,
 
     // Fixed-point weights (see TfIdf.docSimilarity): every dot/ss is an
     // exact BIGINT, the cosine a single double expression over them —

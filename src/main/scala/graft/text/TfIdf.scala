@@ -114,6 +114,56 @@ object TfIdf {
         col("rank"))
   }
 
+  /** BM25 retrieval against a literal query term set — the standard
+    * upgrade over raw TF-IDF for sparse search (length-normalized tf
+    * saturation). Per matched (doc, term):
+    *   idf = ln(1 + (N − df + 0.5) / (df + 0.5))           [Robertson+]
+    *   s_t = idf · (tf·k1 + tf) / (tf + k1·(1 − b + b·dl/avgdl))
+    * summed per doc and r6-rounded (the cross-term sum is the one
+    * engine-order-dependent float path — same discipline as entropy/PSI),
+    * then global top-k on (score_r6 desc, id) — TakeOrderedAndProject,
+    * no global sort.
+    *
+    * Determinism: df/tf/dl/N are exact longs; avgdl is the exactAvg form;
+    * each s_t is ONE fixed IEEE expression tree over those (numerator
+    * deliberately written tf·k1 + tf, NOT tf·(k1+1): both engines must
+    * build the same tree from the same literals — k1+1 pre-computed on
+    * one side can differ in the last ulp). b must be dyadic (default
+    * 0.75) so 1−b folds exactly.
+    *
+    * Scale shape: the query-term filter prunes the (doc, term) table to
+    * |q| terms BEFORE any join; df comes from the full corpus; dl is one
+    * |docs|-row aggregate; nothing quadratic anywhere. */
+  def bm25Retrieve(docs: DataFrame, id: String, text: String,
+                   queryTerms: Seq[String], k: Int = 50,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = docs.select(col(id),
+      explode(TextAnalysis.tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(countDistinct(col(id)).as("n"))
+      .crossJoin(dl.agg((round(sum(col("dl")), 4) / count(lit(1)))
+        .as("avgdl")))
+    val matched = tf.filter(col("term").isin(queryTerms: _*))
+      .join(dfreq, "term")
+      .join(dl, id)
+      .crossJoin(broadcast(stats))
+    val tfd = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sT = idf * (tfd * lit(k1) + tfd) /
+      (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    matched
+      .withColumn("__s", sT)
+      .groupBy(col(id))
+      .agg(round(sum(col("__s")), 6).as("bm25_r6"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("bm25_r6").desc, col(id))
+      .limit(k)
+  }
+
   /** Corpus vocabulary: every term with its document frequency and total
     * occurrence count, ranked by frequency (ties on the term itself) —
     * tokenizer/vocab construction over the corpus. Two aggregates over the

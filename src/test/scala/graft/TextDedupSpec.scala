@@ -293,6 +293,27 @@ class TextDedupSpec extends SparkSpec {
     assert(top(1L) == "zebra" && top(2L) == "yak")
   }
 
+  test("bm25Retrieve: tf saturation, length normalization, match count") {
+    val docs = Seq(
+      (1L, "spark spark spark filler filler"),       // tf=3, dl=5
+      (2L, "spark filler filler filler filler"),     // tf=1, dl=5
+      (3L, "spark " + Seq.fill(99)("pad").mkString(" ")), // tf=1, dl=100
+      (4L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val r = graft.text.TfIdf.bm25Retrieve(docs, "doc_id", "text",
+        Seq("spark"), k = 10)
+      .select("doc_id", "bm25_r6", "n_matched")
+      .as[(Long, Double, Long)].collect()
+    val byId = r.map(x => x._1 -> x._2).toMap
+    // unmatched doc absent; all matches present with n_matched = 1
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L) && r.forall(_._3 == 1L))
+    // higher tf scores higher (but saturated), longer doc penalized
+    assert(byId(1L) > byId(2L) && byId(2L) > byId(3L))
+    assert(r.forall(_._2 > 0.0))
+    // saturation: tf 3x gives far less than 3x the score
+    assert(byId(1L) < 2.5 * byId(2L))
+  }
+
   test("LangModel: bigram extraction and smoothed log-likelihood by hand") {
     val docs = Seq(
       (1L, "a b a b"),   // bigrams: (a,b) (b,a) (a,b)
