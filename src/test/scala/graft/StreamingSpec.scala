@@ -390,6 +390,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CusumStream: batch-calibrated drift alarms, state carries across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Files.createTempDirectory("graft_stream_cusum")
+      val raw = Files.createDirectory(base.resolve("raw"))
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      import spark.implicits._
+      // in-control reference: AAA ticks around 10 (sd ~ 0.1)
+      val reference = Seq.tabulate(20)(i => ("AAA", 10.0 + (i % 3) * 0.1))
+        .toDF("symbol", "price")
+      def runOnce(): Unit = {
+        val ticks = StreamPipeline.tickStream(spark, raw.toString)
+          .selectExpr("symbol", "timestamp AS ts", "price")
+        graft.streaming.CusumStream.drift(
+            graft.streaming.CusumStream.calibrate(ticks, reference,
+              "symbol", "price"))
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", out)
+          .start().awaitTermination(90000)
+      }
+      // batch 1: modest +0.3 drift — accumulates but must NOT alarm yet
+      writeCsv(raw, "a.csv", Seq(
+        "AAA,10.3,0.0,,1,2024-01-01T00:01:00",
+        "AAA,10.3,0.0,,1,2024-01-01T00:02:00"))
+      runOnce()
+      // batch 2: the SAME modest drift continues; only the carried state
+      // pushes S+ across the 4*sd decision interval
+      writeCsv(raw, "b.csv", Seq(
+        "AAA,10.3,0.0,,1,2024-01-01T00:03:00",
+        "AAA,10.3,0.0,,1,2024-01-01T00:04:00"))
+      runOnce()
+      val rows = spark.read.parquet(out)
+        .select("ts", "cusum_pos", "alarm")
+        .as[(java.sql.Timestamp, Double, Boolean)].collect()
+        .sortBy(_._1.getTime)
+      assert(rows.length == 4)
+      // S+ strictly increases across the batch boundary (state carried)
+      assert(rows.map(_._2).sliding(2).forall(w => w(1) > w(0)))
+      assert(!rows(0)._3, "first tick must not alarm")
+      assert(rows.last._3, "sustained drift must eventually alarm")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("J2: chained stateful ops — windowed aggs join as declared (Spark 4)") {
     // the reference DECLARED this DAG but ran a batch twin because
     // Spark < 3.5 rejected chained stateful operators; Spark 4 propagates
