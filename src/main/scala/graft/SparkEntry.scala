@@ -1460,6 +1460,11 @@ object SparkEntry {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         r6(col("overlap_ratio")).as("overlap_ratio"))
 
+  /** 4 deterministic contrastive negatives per document (multiplicative
+    * draw over the md5 global-shuffle permutation — no RNG state). */
+  private def qContrastive(s: SparkSession, dir: String): DataFrame =
+    Curate.negativePairs(tbl(s, dir, "documents"), "doc_id", k = 4)
+
   /** BM25 top-50 retrieval for a fixed 3-term query over documents (k1 =
     * 1.2, b = 0.75). The oracle replays the identical IEEE expression
     * tree; only the per-doc cross-term sum is r6-rounded. */
@@ -1959,6 +1964,7 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_text_novelty" -> (qTextNovelty _),
     "q_text_bm25" -> (qTextBm25 _),
+    "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
@@ -3038,6 +3044,32 @@ object SparkEntry {
         |  FROM vocab)
         |SELECT term, doc_freq, total_count, freq_rank
         |FROM ranked WHERE freq_rank <= 200""".stripMargin,
+
+    // The Spark side's two-pass bucket index produces the (md5, id) rank;
+    // the oracle takes the same rank with a plain global window (fine at
+    // DuckDB's gate scale), then replays the integer draw verbatim.
+    "q_contrastive" ->
+      """WITH idx AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'neg'), doc_id)
+        |      AS pos
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM idx),
+        |draw AS (
+        |  SELECT i.doc_id AS anchor, s.slot, n.n, i.pos,
+        |    ((i.pos * 2654435761) % n.n + s.slot * 2246822519) % n.n + 1
+        |      AS c1
+        |  FROM idx i
+        |  CROSS JOIN (SELECT unnest(range(1, 5)) AS slot) s
+        |  CROSS JOIN n),
+        |cand AS (
+        |  SELECT anchor, slot,
+        |    CASE WHEN c1 = pos THEN c1 % n + 1 ELSE c1 END AS cand
+        |  FROM draw)
+        |SELECT c.anchor, CAST(c.slot AS INT) AS slot,
+        |  i.doc_id AS negative
+        |FROM cand c JOIN idx i ON i.pos = c.cand""".stripMargin,
 
     // Same IEEE expression tree as TfIdf.bm25Retrieve (numerator written
     // tf*k1 + tf on both sides; b dyadic so 1-b folds exactly); only the

@@ -224,6 +224,47 @@ object Curate {
     TopK.topKPerGroup(df, group, order, n, rankCol)
   }
 
+  /** k deterministic NEGATIVE partners per anchor row for contrastive
+    * training: candidate index = multiplicative draw
+    *   ((pos·A) mod N + slot·B) mod N           [A, B odd 32-bit primes]
+    * over the [[globalSortIndex]] permutation (md5-ordered, so adjacent
+    * ids land far apart), +1-probe on self-collision. Pure int64
+    * arithmetic on positive values — bit-identical on any engine, no RNG
+    * state — and the md5 permutation de-correlates the draw from id
+    * locality. Supports N up to ~3.4e9 rows before pos·A can overflow
+    * int64 (document-level corpora; shard above that).
+    *
+    * Emits (anchor, slot, negative) with slots 1..k. Negatives CAN repeat
+    * across slots of one anchor (birthday odds) and are sampled from the
+    * whole corpus — anti-join your positive/near-dup pair set downstream
+    * (same composition as q_split_leakage's leakage-safe discipline).
+    * Scale shape: the index is the two-pass global sort (O(256) global
+    * step); the draw is a narrow projection; the only join resolves
+    * candidate positions back to ids — shuffle on a dense long key. */
+  def negativePairs(df: DataFrame, id: String, k: Int,
+                    seed: String = "neg"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    val indexed = globalSortIndex(df.select(col(id)), col(id), seed,
+      out = "__pos")
+    val n = indexed.agg(count(lit(1)).as("__n"))
+    val anchors = indexed
+      .select(col(id).as("anchor"), col("__pos").as("__apos"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor"), col("__apos"), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("slot"))
+      .withColumn("__c1",
+        expr("pmod(pmod(__apos * 2654435761L, __n) " +
+          "+ slot * 2246822519L, __n) + 1L"))
+      .withColumn("__cand",
+        when(col("__c1") === col("__apos"),
+          pmod(col("__c1"), col("__n")) + lit(1L))
+          .otherwise(col("__c1")))
+    anchors.join(indexed.select(col(id).as("negative"),
+        col("__pos").as("__npos")),
+        col("__cand") === col("__npos"))
+      .select(col("anchor"), col("slot"), col("negative"))
+  }
+
   /** Deterministic global shuffle with a contiguous position column —
     * "ORDER BY md5(key ++ seed)" plus the row_number a training-data loader
     * needs to slice the epoch into batches — WITHOUT the single-partition

@@ -1030,6 +1030,26 @@ class OpsSpec extends SparkSpec {
     assert(!m.exists { case (f, to, _, _) => f == "b" && to == "b" })
   }
 
+  test("Curate.negativePairs: k slots per anchor, never self, deterministic") {
+    val docs = (0L until 37L).toDF("doc_id")
+    val pairs = graft.ops.Curate.negativePairs(docs, "doc_id", k = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(pairs.length == 37 * 4)
+    assert(pairs.forall { case (a, _, n) => a != n }, "self-negative leaked")
+    val byAnchor = pairs.groupBy(_._1)
+    assert(byAnchor.size == 37 &&
+      byAnchor.values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4)))
+    // negatives land in the valid id space and the draw is reproducible
+    assert(pairs.forall { case (_, _, n) => n >= 0L && n < 37L })
+    val again = graft.ops.Curate.negativePairs(docs, "doc_id", k = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(pairs.toSet == again.toSet)
+    // a different seed permutes the draw
+    val other = graft.ops.Curate.negativePairs(docs, "doc_id", k = 4,
+      seed = "neg2").as[(Long, Int, Long)].collect()
+    assert(other.toSet != pairs.toSet)
+  }
+
   test("Graph.pageRankFixedPoint: exact longs on star and triangle; co-occurrence cap") {
     // triangle (2-regular): contributions balance, score stays at scale
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2")
