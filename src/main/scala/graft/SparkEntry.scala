@@ -772,6 +772,11 @@ object SparkEntry {
   private def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
     val l = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey",
       "l_shipdate")
+    // materialized: `late` probes BOTH the semi and the anti join below,
+    // and only exchange reuse would otherwise keep the lineitem-orders
+    // join from running twice (same discipline as FuzzyDedup's pair
+    // outputs — the late set is orders-of-magnitude smaller than the
+    // join that builds it)
     val late = l
       .join(tbl(s, dir, "orders")
           .filter(col("o_orderstatus") === "F")
@@ -780,6 +785,7 @@ object SparkEntry {
       .filter(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select("l_orderkey", "l_suppkey")
+      .localCheckpoint()
     val l2 = l.select(col("l_orderkey").as("x_orderkey"),
       col("l_suppkey").as("x_suppkey"))
     val late3 = late.select(col("l_orderkey").as("y_orderkey"),

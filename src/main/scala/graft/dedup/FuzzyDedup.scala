@@ -506,10 +506,14 @@ object FuzzyDedup {
     * full document with its truncated/mangled copies, keep the one worth
     * training on. `score` must be a deterministic column of `df` (length,
     * quality score); ties at equal score fall back to min id so the
-    * choice is total. Cost shape is identical to applyDedup: components
-    * over the (tiny) verified pair list, two aggregates over component
-    * MEMBERS only, and one left_anti against the corpus — rows never in
-    * `pairs` pass through untouched without shuffling. */
+    * choice is total. NULL scores lose to any non-NULL score; a component
+    * whose members are ALL NULL-scored still elects its min-id member
+    * (max() skips NULLs, and the null-safe `<=>` match makes every member
+    * a tie) — one representative per component, no matter what. Cost
+    * shape is identical to applyDedup: components over the (tiny)
+    * verified pair list, two aggregates over component MEMBERS only, and
+    * one left_anti against the corpus — rows never in `pairs` pass
+    * through untouched without shuffling. */
   def applyDedupBest(df: DataFrame, id: String, pairs: DataFrame,
                      score: String): DataFrame = {
     val comps = connectedComponents(pairs)
@@ -517,7 +521,7 @@ object FuzzyDedup {
       df.select(col(id).as("id"), col(score).as("__s")), "id")
     val best = members.groupBy(col("comp")).agg(max(col("__s")).as("__smax"))
     val keep = members.join(best, "comp")
-      .filter(col("__s") === col("__smax"))
+      .filter(col("__s") <=> col("__smax"))
       .groupBy(col("comp")).agg(min(col("id")).as("__keep"))
     val drop = members.join(keep, "comp")
       .filter(col("id") =!= col("__keep"))

@@ -238,6 +238,8 @@ object Curate {
     * across slots of one anchor (birthday odds) and are sampled from the
     * whole corpus — anti-join your positive/near-dup pair set downstream
     * (same composition as q_split_leakage's leakage-safe discipline).
+    * A single-row corpus has no valid negative: the N ≥ 2 guard below
+    * emits ZERO rows rather than the anchor as its own negative.
     * Scale shape: the index is the two-pass global sort (O(256) global
     * step); the draw is a narrow projection; the only join resolves
     * candidate positions back to ids — shuffle on a dense long key. */
@@ -250,6 +252,7 @@ object Curate {
     val anchors = indexed
       .select(col(id).as("anchor"), col("__pos").as("__apos"))
       .crossJoin(broadcast(n))
+      .filter(col("__n") >= 2L)
       .select(col("anchor"), col("__apos"), col("__n"),
         explode(sequence(lit(1), lit(k))).as("slot"))
       .withColumn("__c1",

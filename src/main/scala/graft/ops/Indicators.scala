@@ -144,24 +144,45 @@ object Indicators {
       .drop("_first")
   }
 
-  /** EMA fast/slow + MACD + signal + histogram — the one genuinely
-    * RECURSIVE indicator (EMA_t = α·x_t + (1−α)·EMA_{t−1} has no closed
-    * windowed form that is float-exact). Runs as a classic secondary sort:
-    * one shuffle on the key, one in-partition sort on (key, order...), then
-    * a single streaming pass with O(1) state per key — rows of a key are
-    * contiguous after the sort, so state resets at key boundaries and
-    * memory never depends on series length. This is the per-partition
-    * imperative shape mapPartitions exists for; a Window cannot host an
-    * order-dependent recurrence and collect_list per key would be O(series)
-    * memory.
-    *
-    * Seeding: EMA := first value; MACD/signal/histogram := 0 on the seed
-    * row. NULL values pass through with NULL outputs and leave state (and
-    * seeding) untouched.
-    *
-    * Float contract: each step is exactly α·x + (1−α)·state in IEEE double,
-    * so an oracle replaying the same recurrence (e.g. a recursive CTE)
-    * reproduces bit-identical values. */
+  /** The shared secondary-sort recurrence harness: one shuffle on the
+    * key, one in-partition sort on (key, order...), then a single
+    * streaming pass where `fold` (fresh instance per partition) carries
+    * O(1) state per key — rows of a key are contiguous after the sort, so
+    * the harness resets the fold at key boundaries and memory never
+    * depends on series length. This is the per-partition imperative shape
+    * mapPartitions exists for: a Window cannot host an order-dependent
+    * recurrence, and collect_list per key would be O(series) memory.
+    * Every recurrence indicator (EMA/MACD, EWM, CUSUM) plugs its fold
+    * into THIS scaffold so the ordering/reset discipline lives once. */
+  private abstract class SeriesFold extends Serializable {
+    /** Called at every key boundary, before the key's first row. */
+    def reset(): Unit
+    /** Per-row output suffix; mutate internal state as needed. */
+    def apply(row: Row): Seq[Any]
+  }
+
+  private def keyedSeriesScan(df: DataFrame, key: String,
+                              order: Seq[String],
+                              outFields: Seq[StructField])
+                             (fold: () => SeriesFold): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ outFields)
+    val keyIdx = inSchema.fieldIndex(key)
+    df.repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+      .mapPartitions { rows =>
+        val f = fold()
+        var curKey: Any = null
+        rows.map { row =>
+          val k = row.get(keyIdx)
+          if (!java.util.Objects.equals(k, curKey)) {
+            curKey = k; f.reset()
+          }
+          Row.fromSeq(row.toSeq ++ f(row))
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Exponentially-weighted mean + variance (RiskMetrics-style EWMA
     * volatility) via West's recurrence:
     *   delta = x − m;  incr = α·delta;  m' = m + incr;
@@ -173,23 +194,16 @@ object Indicators {
   def withEwm(df: DataFrame, key: String, order: Seq[String], value: String,
               span: Int = 20): DataFrame = {
     val a = 2.0 / (span + 1)
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields ++ Seq(
-      StructField("ewm_mean", DoubleType), StructField("ewm_var", DoubleType)))
-    val keyIdx = inSchema.fieldIndex(key)
-    val valIdx = inSchema.fieldIndex(value)
-    df.repartition(col(key))
-      .sortWithinPartitions((key +: order).map(col): _*)
-      .mapPartitions { rows =>
-        var curKey: Any = null
-        var seeded = false
-        var m = 0.0; var v = 0.0
-        rows.map { row =>
-          val k = row.get(keyIdx)
-          if (!java.util.Objects.equals(k, curKey)) {
-            curKey = k; seeded = false
-          }
-          if (row.isNullAt(valIdx)) Row.fromSeq(row.toSeq ++ Seq(null, null))
+    val valIdx = df.schema.fieldIndex(value)
+    keyedSeriesScan(df, key, order, Seq(
+      StructField("ewm_mean", DoubleType),
+      StructField("ewm_var", DoubleType))) { () =>
+      new SeriesFold {
+        private var seeded = false
+        private var m = 0.0; private var v = 0.0
+        def reset(): Unit = seeded = false
+        def apply(row: Row): Seq[Any] =
+          if (row.isNullAt(valIdx)) Seq(null, null)
           else {
             val x = row.getDouble(valIdx)
             if (!seeded) { seeded = true; m = x; v = 0.0 }
@@ -199,10 +213,10 @@ object Indicators {
               m = m + incr
               v = (1.0 - a) * (v + delta * incr)
             }
-            Row.fromSeq(row.toSeq ++ Seq(m, v))
+            Seq(m, v)
           }
-        }
-      }(Encoders.row(outSchema))
+      }
+    }
   }
 
   /** Two-sided tabular CUSUM change-point monitor:
@@ -222,13 +236,15 @@ object Indicators {
     * an explicit reference gives classic "alarm only after the change"
     * monitoring.
     *
-    * Two passes: a |keys|-row stats aggregate broadcast back, then the
-    * same secondary-sort harness as [[withEwm]] (one shuffle on the key,
-    * O(1) state, NULL values pass through with NULL outputs and leave
-    * state untouched). Each step is a fixed IEEE expression tree over
+    * Two passes: a |keys|-row stats aggregate LEFT-joined back (broadcast)
+    * — keys absent from an explicit reference keep their rows and emit
+    * NULL statistics, same as σ-NULL singleton series: a drift monitor
+    * must surface novel series, not silently drop them — then the shared
+    * [[keyedSeriesScan]] harness (one shuffle on the key, O(1) state,
+    * NULL values pass through with NULL outputs and leave state
+    * untouched). Each step is a fixed IEEE expression tree over
     * engine-identical μ/σ, so a recursive-CTE oracle replays it
-    * bit-identically. Keys with σ NULL (singleton series) emit NULL
-    * statistics. */
+    * bit-identically. */
   def withCusum(df: DataFrame, key: String, order: Seq[String],
                 value: String, kSigma: Double = 0.5,
                 hSigma: Double = 4.0,
@@ -236,27 +252,19 @@ object Indicators {
     val stats = reference.getOrElse(df).groupBy(col(key))
       .agg((round(sum(col(value)), 4) / count(col(value))).as("__mu"),
         round(stddev_samp(col(value)), 6).as("__sd"))
-    val joined = df.join(broadcast(stats), key)
-    val inSchema = joined.schema
-    val outSchema = StructType(inSchema.fields ++ Seq(
-      StructField("cusum_pos", DoubleType), StructField("cusum_neg", DoubleType),
-      StructField("cusum_alarm", BooleanType)))
-    val keyIdx = inSchema.fieldIndex(key)
-    val valIdx = inSchema.fieldIndex(value)
-    val muIdx = inSchema.fieldIndex("__mu")
-    val sdIdx = inSchema.fieldIndex("__sd")
-    joined.repartition(col(key))
-      .sortWithinPartitions((key +: order).map(col): _*)
-      .mapPartitions { rows =>
-        var curKey: Any = null
-        var sp = 0.0; var sn = 0.0
-        rows.map { row =>
-          val k = row.get(keyIdx)
-          if (!java.util.Objects.equals(k, curKey)) {
-            curKey = k; sp = 0.0; sn = 0.0
-          }
-          if (row.isNullAt(valIdx) || row.isNullAt(sdIdx))
-            Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+    val joined = df.join(broadcast(stats), Seq(key), "left_outer")
+    val valIdx = joined.schema.fieldIndex(value)
+    val muIdx = joined.schema.fieldIndex("__mu")
+    val sdIdx = joined.schema.fieldIndex("__sd")
+    keyedSeriesScan(joined, key, order, Seq(
+      StructField("cusum_pos", DoubleType),
+      StructField("cusum_neg", DoubleType),
+      StructField("cusum_alarm", BooleanType))) { () =>
+      new SeriesFold {
+        private var sp = 0.0; private var sn = 0.0
+        def reset(): Unit = { sp = 0.0; sn = 0.0 }
+        def apply(row: Row): Seq[Any] =
+          if (row.isNullAt(valIdx) || row.isNullAt(sdIdx)) Seq(null, null, null)
           else {
             val x = row.getDouble(valIdx)
             val mu = row.getDouble(muIdx)
@@ -265,52 +273,51 @@ object Indicators {
             val h = hSigma * sd
             sp = math.max(0.0, sp + x - mu - kk)
             sn = math.max(0.0, sn + mu - x - kk)
-            Row.fromSeq(row.toSeq ++ Seq(sp, sn, sp > h || sn > h))
+            Seq(sp, sn, sp > h || sn > h)
           }
-        }
-      }(Encoders.row(outSchema))
-      .drop("__mu", "__sd")
+      }
+    }.drop("__mu", "__sd")
   }
 
+  /** EMA fast/slow + MACD + signal + histogram — the one genuinely
+    * RECURSIVE indicator family (EMA_t = α·x_t + (1−α)·EMA_{t−1} has no
+    * closed windowed form that is float-exact); runs on the shared
+    * [[keyedSeriesScan]] harness. Seeding: EMA := first value;
+    * MACD/signal/histogram := 0 on the seed row. NULL values pass through
+    * with NULL outputs and leave state (and seeding) untouched. Float
+    * contract: each step is exactly α·x + (1−α)·state in IEEE double, so
+    * an oracle replaying the same recurrence (a recursive CTE)
+    * reproduces bit-identical values. */
   def withEmaMacd(df: DataFrame, key: String, order: Seq[String],
                   value: String, fast: Int = 12, slow: Int = 26,
                   signalSpan: Int = 9): DataFrame = {
     val aF = 2.0 / (fast + 1); val aS = 2.0 / (slow + 1)
     val aG = 2.0 / (signalSpan + 1)
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields ++ Seq(
+    val valIdx = df.schema.fieldIndex(value)
+    keyedSeriesScan(df, key, order, Seq(
       StructField("ema_fast", DoubleType), StructField("ema_slow", DoubleType),
       StructField("macd", DoubleType), StructField("signal", DoubleType),
-      StructField("histogram", DoubleType)))
-    val keyIdx = inSchema.fieldIndex(key)
-    val valIdx = inSchema.fieldIndex(value)
-    val nulls = Seq[Any](null, null, null, null, null)
-    df.repartition(col(key))
-      .sortWithinPartitions((key +: order).map(col): _*)
-      .mapPartitions { rows =>
-        var curKey: Any = null
-        var seeded = false
-        var emaF = 0.0; var emaS = 0.0; var sig = 0.0
-        rows.map { row =>
-          val k = row.get(keyIdx)
-          if (!java.util.Objects.equals(k, curKey)) {
-            curKey = k; seeded = false
-          }
-          if (row.isNullAt(valIdx)) Row.fromSeq(row.toSeq ++ nulls)
+      StructField("histogram", DoubleType))) { () =>
+      new SeriesFold {
+        private var seeded = false
+        private var emaF = 0.0; private var emaS = 0.0; private var sig = 0.0
+        def reset(): Unit = seeded = false
+        def apply(row: Row): Seq[Any] =
+          if (row.isNullAt(valIdx)) Seq(null, null, null, null, null)
           else {
             val x = row.getDouble(valIdx)
             if (!seeded) {
               seeded = true; emaF = x; emaS = x; sig = 0.0
-              Row.fromSeq(row.toSeq ++ Seq(emaF, emaS, 0.0, 0.0, 0.0))
+              Seq(emaF, emaS, 0.0, 0.0, 0.0)
             } else {
               emaF = aF * x + (1.0 - aF) * emaF
               emaS = aS * x + (1.0 - aS) * emaS
               val macd = emaF - emaS
               sig = aG * macd + (1.0 - aG) * sig
-              Row.fromSeq(row.toSeq ++ Seq(emaF, emaS, macd, sig, macd - sig))
+              Seq(emaF, emaS, macd, sig, macd - sig)
             }
           }
-        }
-      }(Encoders.row(outSchema))
+      }
+    }
   }
 }

@@ -66,7 +66,12 @@ object CusumStream {
   /** Enrich a (key, ts, value) stream with per-key reference μ/σ from a
     * BATCH in-control period (exactAvg / r6 discipline, matching the
     * batch operator). Keys absent from the reference are dropped — no
-    * calibration, no monitoring (surface them separately if needed). */
+    * calibration, no monitoring (surface them separately if needed) —
+    * and so are NULL-valued / NULL-ts ticks: the monitor must survive
+    * exactly the malformed input it watches for, and CalTick's
+    * non-nullable fields would otherwise fail deserialization and kill
+    * the query (the batch twin emits NULL rows instead; a stream row
+    * dropped here is still counted by upstream source metrics). */
   def calibrate(stream: DataFrame, reference: DataFrame, key: String,
                 value: String): Dataset[CalTick] = {
     val stats = reference.groupBy(col(key))
@@ -75,6 +80,8 @@ object CusumStream {
       .filter(col("sd").isNotNull)
     implicit val enc: Encoder[CalTick] = Encoders.product[CalTick]
     stream.select(col(key).as("key"), col("ts"), col(value).as("value"))
+      .filter(col("key").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
       .join(broadcast(stats.withColumnRenamed(key, "key")), "key")
       .as[CalTick]
   }

@@ -180,6 +180,17 @@ class IndicatorsSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(on(1).isNullAt(on(1).fieldIndex("cusum_pos")))
     assert(!on(2).isNullAt(on(2).fieldIndex("cusum_pos")))
+    // a key ABSENT from an explicit reference must keep its rows with
+    // NULL statistics (novel series surface, never silently vanish)
+    val novel = Seq(("old", 1L, 10.0), ("new", 1L, 99.0))
+      .toDF("k", "id", "value")
+    val ref = Seq(("old", 1L, 10.0), ("old", 2L, 10.2))
+      .toDF("k", "id", "value")
+    val nr = Indicators.withCusum(novel, "k", Seq("id"), "value",
+        reference = Some(ref))
+      .select("k", "cusum_pos").collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(nr("old") == false && nr("new") == true)
   }
 
   test("plan shape: every windowed indicator costs exactly ONE shuffle") {

@@ -1048,6 +1048,10 @@ class OpsSpec extends SparkSpec {
     val other = graft.ops.Curate.negativePairs(docs, "doc_id", k = 4,
       seed = "neg2").as[(Long, Int, Long)].collect()
     assert(other.toSet != pairs.toSet)
+    // single-row corpus: no valid negative exists -> zero rows, never self
+    val one = graft.ops.Curate.negativePairs(Seq(7L).toDF("doc_id"),
+      "doc_id", k = 4)
+    assert(one.isEmpty)
   }
 
   test("Graph.pageRankFixedPoint: exact longs on star and triangle; co-occurrence cap") {

@@ -194,6 +194,15 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.contains(20L) && !kept.contains(21L))
     assert(kept.contains(25L)) // untouched row survives
     assert(kept.size == 25 - 7)
+    // all-NULL-score component still elects exactly one representative
+    // (min id), matching the oracle's NULLS-LAST election
+    val nullScores = Seq[(Long, java.lang.Integer)](
+      (20L, null), (21L, null), (22L, 9))
+      .toDF("doc_id", "quality")
+    val keptN = FuzzyDedup.applyDedupBest(nullScores, "doc_id",
+        Seq((20L, 21L)).toDF("id1", "id2"), "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptN == Set(20L, 22L), s"null-score cluster broke: $keptN")
   }
 
   test("connectedComponents: 60-hop chain converges (pointer jumping)") {
