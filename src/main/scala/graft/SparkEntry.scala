@@ -1478,6 +1478,22 @@ object SparkEntry {
     graft.text.TfIdf.bm25Retrieve(tbl(s, dir, "documents"), "doc_id",
       "text", Seq("spark", "join", "window"), k = 50)
 
+  /** Two-stage retrieval: BM25 top-20 recall, then exact fixed-point
+    * TF-IDF cosine rerank against the query vector — the cosine only
+    * ever touches the 20-doc shortlist. Ordered by (cosine desc, id):
+    * dot/norms are exact ints, so the raw-double cosine is a portable
+    * sort key. */
+  private def qRetrieveRerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val q = Seq("spark", "join", "window")
+    val cand = graft.text.TfIdf.bm25Retrieve(docs, "doc_id", "text", q,
+      k = 20)
+    graft.text.TfIdf.rerankByCosine(docs, "doc_id", "text", cand, q)
+      .withColumn("rerank_cosine", r6(col("rerank_cosine")))
+      .orderBy(col("rerank_cosine").desc_nulls_last, col("doc_id"))
+      .select("doc_id", "bm25_r6", "n_matched", "rerank_cosine")
+  }
+
   // ---------------------------------------------------- text analysis ops
 
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
@@ -1970,6 +1986,7 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_text_novelty" -> (qTextNovelty _),
     "q_text_bm25" -> (qTextBm25 _),
+    "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -3104,6 +3121,65 @@ object SparkEntry {
         |FROM m GROUP BY 1
         |ORDER BY bm25_r6 DESC, doc_id
         |LIMIT 50""".stripMargin,
+
+    // Stage 1 replays q_text_bm25's CTEs to the LIMIT 20 shortlist;
+    // stage 2 scores it with the docSimilarity fixed-point weights (no
+    // df cap here — the shortlist bounds the work, not the vocabulary).
+    "q_retrieve_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT
+        |  (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+        |  (SELECT round(sum(dl), 4) / count(*) FROM dl) AS avgdl),
+        |m AS (
+        |  SELECT t.doc_id,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 1.2 + CAST(tf AS DOUBLE))
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id), st
+        |  WHERE term IN ('spark', 'join', 'window')),
+        |cand AS (
+        |  SELECT doc_id, round(sum(s), 6) AS bm25_r6,
+        |    count(*) AS n_matched
+        |  FROM m GROUP BY 1
+        |  ORDER BY bm25_r6 DESC, doc_id LIMIT 20),
+        |w AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf * round(ln(CAST(st.n AS DOUBLE) / df) * 1000)
+        |      AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+        |wf AS (SELECT * FROM w WHERE w <> 0),
+        |cw AS (SELECT wf.* FROM wf JOIN cand USING (doc_id)),
+        |qw AS (
+        |  SELECT term,
+        |    CAST(round(ln(CAST(st.n AS DOUBLE) / df) * 1000) AS BIGINT)
+        |      AS qw
+        |  FROM dfq CROSS JOIN st
+        |  WHERE term IN ('spark', 'join', 'window')
+        |    AND CAST(round(ln(CAST(st.n AS DOUBLE) / df) * 1000) AS BIGINT)
+        |        <> 0),
+        |ssq AS (SELECT CAST(sum(qw * qw) AS BIGINT) AS ssq FROM qw),
+        |dots AS (
+        |  SELECT doc_id, CAST(sum(w * qw) AS BIGINT) AS dot
+        |  FROM cw JOIN qw USING (term) GROUP BY 1),
+        |norms AS (
+        |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS ssd
+        |  FROM cw GROUP BY 1)
+        |SELECT c.doc_id, c.bm25_r6, c.n_matched,
+        |  round(CAST(dot AS DOUBLE)
+        |    / nullif(sqrt(CAST(ssd AS DOUBLE)) * sqrt(CAST(ssq AS DOUBLE)),
+        |             0.0), 6) AS rerank_cosine
+        |FROM cand c
+        |LEFT JOIN dots USING (doc_id)
+        |LEFT JOIN norms USING (doc_id)
+        |CROSS JOIN ssq""".stripMargin,
 
     // Fixed-point weights (see TfIdf.docSimilarity): every dot/ss is an
     // exact BIGINT, the cosine a single double expression over them —

@@ -164,6 +164,57 @@ object TfIdf {
       .limit(k)
   }
 
+  /** Rerank a candidate set by exact TF-IDF cosine against the query
+    * vector — stage 2 of retrieve-then-rerank (BM25 recalls broadly,
+    * the cosine re-scores the short list; the expensive similarity only
+    * ever touches |candidates| docs). The query is a pseudo-doc with
+    * tf = 1 per term; weights are the same int64 fixed-point as
+    * [[docSimilarity]] (w = tf · round(ln(N/df)·idfScale)), so dot and
+    * both squared norms are EXACT integer sums and the cosine is one
+    * double expression over three exact ints — bit-identical anywhere.
+    * Docs whose every term is corpus-ubiquitous (all w = 0) get NULL
+    * cosine via the nullif'd norm rather than 0/0.
+    *
+    * `candidates` must carry `id`; its other columns pass through. */
+  def rerankByCosine(docs: DataFrame, id: String, text: String,
+                     candidates: DataFrame, queryTerms: Seq[String],
+                     idfScale: Long = 1000L): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = docs.select(col(id),
+      explode(TextAnalysis.tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(id)).as("n"))
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("w", (col("tf") *
+        round(log(col("n").cast("double") / col("df")) * idfScale, 0)
+          .cast("long")))
+      .filter(col("w") =!= 0L)
+      .select(col(id), col("term"), col("w"))
+    // candidate-side prune FIRST: norms and dots only over the shortlist
+    val cw = w.join(candidates.select(col(id)), Seq(id), "left_semi")
+    val qw = dfreq.filter(col("term").isin(queryTerms: _*))
+      .crossJoin(broadcast(n))
+      .withColumn("qw",
+        round(log(col("n").cast("double") / col("df")) * idfScale, 0)
+          .cast("long"))
+      .filter(col("qw") =!= 0L)
+      .select(col("term"), col("qw"))
+    val ssq = qw.agg(sum(col("qw") * col("qw")).as("__ssq"))
+    val dots = cw.join(broadcast(qw), "term")
+      .groupBy(col(id)).agg(sum(col("w") * col("qw")).as("__dot"))
+    val norms = cw.groupBy(col(id)).agg(sum(col("w") * col("w")).as("__ssd"))
+    candidates
+      .join(dots, Seq(id), "left")
+      .join(norms, Seq(id), "left")
+      .crossJoin(broadcast(ssq))
+      .withColumn("rerank_cosine",
+        col("__dot").cast("double") /
+          nullif(sqrt(col("__ssd").cast("double")) *
+            sqrt(col("__ssq").cast("double")), lit(0.0)))
+      .drop("__dot", "__ssd", "__ssq")
+  }
+
   /** Corpus vocabulary: every term with its document frequency and total
     * occurrence count, ranked by frequency (ties on the term itself) —
     * tokenizer/vocab construction over the corpus. Two aggregates over the

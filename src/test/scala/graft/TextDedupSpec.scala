@@ -323,6 +323,27 @@ class TextDedupSpec extends SparkSpec {
     assert(byId(1L) < 2.5 * byId(2L))
   }
 
+  test("rerankByCosine: query-aligned doc outranks high-tf one-term doc") {
+    val docs = Seq(
+      (1L, "spark spark spark spark noise blah extra words here"), // 1 q-term
+      (2L, "spark join window"),                                   // all 3
+      (3L, "unrelated filler text"),
+      (4L, "spark join window spark join window"))
+      .toDF("doc_id", "text")
+    val q = Seq("spark", "join", "window")
+    val cand = graft.text.TfIdf.bm25Retrieve(docs, "doc_id", "text", q, k = 4)
+    val r = graft.text.TfIdf.rerankByCosine(docs, "doc_id", "text", cand, q)
+      .select("doc_id", "bm25_r6", "rerank_cosine")
+      .as[(Long, Double, Double)].collect()
+    val byId = r.map(x => x._1 -> x._3).toMap
+    // candidates pass through with their bm25 columns; doc 3 never matched
+    assert(r.map(_._1).toSet == Set(1L, 2L, 4L))
+    // perfect query alignment -> cosine ~1, far above the one-term doc
+    assert(byId(2L) > 0.99 && byId(4L) > 0.99)
+    assert(byId(2L) > byId(1L))
+    assert(r.forall(x => x._3 >= 0.0 && x._3 <= 1.0 + 1e-9))
+  }
+
   test("LangModel: bigram extraction and smoothed log-likelihood by hand") {
     val docs = Seq(
       (1L, "a b a b"),   // bigrams: (a,b) (b,a) (a,b)
