@@ -408,6 +408,15 @@ object SparkEntry {
         iters = 3)
       .select(col("id").as("part_id"), col("s").as("score"))
 
+  /** Weighted PageRank over the same co-purchase graph: mass flows
+    * proportionally to co-purchase multiplicity (s·w DIV strength). */
+  private def qPagerankWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRankWeightedFixedPoint(
+        graft.ops.Graph.coOccurrenceEdgesWeighted(tbl(s, dir, "lineitem"),
+          group = "l_orderkey", item = "l_partkey"),
+        iters = 3)
+      .select(col("id").as("part_id"), col("s").as("score"))
+
   /** MAD robust outliers per event type (consistency factor folded into
     * k — see Stats.madOutliers scaladoc; k = 3×1.4826 ≈ 3σ). */
   private def qOutliersMad(s: SparkSession, dir: String): DataFrame =
@@ -1931,6 +1940,7 @@ object SparkEntry {
     "q_markov" -> (qMarkov _),
     "q_entropy" -> (qEntropy _),
     "q_pagerank" -> (qPagerank _),
+    "q_pagerank_weighted" -> (qPagerankWeighted _),
     "q_lm_score" -> (qLmScore _),
     "q_profile" -> (qProfile _),
     "q_series_corr" -> (qSeriesCorr _),
@@ -2254,6 +2264,47 @@ object SparkEntry {
         |           AS BIGINT) AS s
         |       FROM s1 LEFT JOIN c2 ON s1.id = c2.dst),
         |c3 AS (SELECT e.dst, CAST(sum(s.s // d.deg) AS BIGINT) AS cin
+        |       FROM edges e JOIN s2 s ON e.src = s.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s3 AS (SELECT s2.id,
+        |         CAST(150000000 + (17 * coalesce(c3.cin, 0)) // 20
+        |           AS BIGINT) AS s
+        |       FROM s2 LEFT JOIN c3 ON s2.id = c3.dst)
+        |SELECT id AS part_id, s AS score FROM s3""".stripMargin,
+
+    "q_pagerank_weighted" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |small AS (
+        |  SELECT g FROM items GROUP BY g HAVING count(*) <= 1000),
+        |pruned AS (SELECT items.* FROM items JOIN small USING (g)),
+        |pairs AS (
+        |  SELECT a.i AS id1, b.i AS id2, count(*) AS w
+        |  FROM pruned a JOIN pruned b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT src, dst, max(w) AS w FROM (
+        |    SELECT id1 AS src, id2 AS dst, w FROM pairs
+        |    UNION ALL SELECT id2, id1, w FROM pairs)
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+        |        FROM edges GROUP BY 1),
+        |s0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS s FROM deg),
+        |c1 AS (SELECT e.dst, CAST(sum(s.s * e.w // d.deg) AS BIGINT) AS cin
+        |       FROM edges e JOIN s0 s ON e.src = s.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s1 AS (SELECT s0.id,
+        |         CAST(150000000 + (17 * coalesce(c1.cin, 0)) // 20
+        |           AS BIGINT) AS s
+        |       FROM s0 LEFT JOIN c1 ON s0.id = c1.dst),
+        |c2 AS (SELECT e.dst, CAST(sum(s.s * e.w // d.deg) AS BIGINT) AS cin
+        |       FROM edges e JOIN s1 s ON e.src = s.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s2 AS (SELECT s1.id,
+        |         CAST(150000000 + (17 * coalesce(c2.cin, 0)) // 20
+        |           AS BIGINT) AS s
+        |       FROM s1 LEFT JOIN c2 ON s1.id = c2.dst),
+        |c3 AS (SELECT e.dst, CAST(sum(s.s * e.w // d.deg) AS BIGINT) AS cin
         |       FROM edges e JOIN s2 s ON e.src = s.id
         |       JOIN deg d ON e.src = d.src GROUP BY 1),
         |s3 AS (SELECT s2.id,

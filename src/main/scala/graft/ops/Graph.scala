@@ -59,6 +59,46 @@ object Graph {
     s
   }
 
+  /** Weighted PageRank: same int64 fixed-point recurrence as
+    * [[pageRankFixedPoint]] but mass flows proportionally to edge weight:
+    *   contrib(u→v) = (s(u) · w(u,v)) DIV strength(u),  strength = Σ w
+    * so a part co-purchased with another in 500 orders pulls 500× the
+    * mass of a one-off pairing. Expects (id1, id2, w) with w ≥ 1 longs;
+    * symmetrizes internally (same w both directions). Still DIV-only
+    * integer arithmetic — deterministic anywhere; s·w must stay inside
+    * int64 (fine for scale=1e9 and per-edge weights up to ~1e6 on
+    * realistic mass concentrations; shard the scale down if a single
+    * vertex could hold ≥1e12·scale mass). */
+  def pageRankWeightedFixedPoint(pairs: DataFrame, iters: Int = 5,
+                                 scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst"),
+        col("w")))
+      .groupBy("src", "dst").agg(max(col("w")).as("w"))
+      .localCheckpoint()
+    val strength = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val teleport = (3L * scale) / 20L
+    var s = strength.select(col("src").as("id"), lit(scale).as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(s, edges("src") === s("id"))
+        .join(strength, "src")
+        .select(col("dst"), expr("s * w DIV deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("__in"))
+      s = s.select(col("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr("17 * coalesce(__in, 0L) DIV 20")).as("s"))
+        .localCheckpoint()
+    }
+    s
+  }
+
   /** Co-occurrence edge list: undirected distinct pairs of `item` values
     * sharing the same `group` (parts co-purchased in an order, tokens
     * sharing a document...). The per-group pair expansion is quadratic in
@@ -77,5 +117,23 @@ object Graph {
         col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
       .select(col("a.__i").as("id1"), col("b.__i").as("id2"))
       .distinct()
+  }
+
+  /** [[coOccurrenceEdges]] with association strength: w = number of
+    * groups the pair co-occurs in (each group contributes at most one —
+    * items are de-duplicated per group first). Same maxGroupSize cap
+    * before the quadratic expansion. */
+  def coOccurrenceEdgesWeighted(df: DataFrame, group: String, item: String,
+                                maxGroupSize: Int = 1000): DataFrame = {
+    val items = df.select(col(group).as("__g"), col(item).as("__i"))
+      .distinct()
+    val small = items.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxGroupSize)
+      .select("__g")
+    val in = items.join(small, "__g")
+    in.as("a").join(in.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
+      .select(col("a.__i").as("id1"), col("b.__i").as("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("w"))
   }
 }

@@ -1075,6 +1075,24 @@ class OpsSpec extends SparkSpec {
     val edges = graft.ops.Graph.coOccurrenceEdges(baskets, "g", "item",
       maxGroupSize = 10).as[(Long, Long)].collect().toSet
     assert(edges == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    // weighted: pair multiplicity counts groups, not rows
+    val wb = Seq(("o1", 1L), ("o1", 2L), ("o2", 1L), ("o2", 2L),
+      ("o3", 1L), ("o3", 3L)).toDF("g", "item")
+    val we = graft.ops.Graph.coOccurrenceEdgesWeighted(wb, "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(we == Set((1L, 2L, 2L), (1L, 3L, 1L)))
+    // weighted rank: the strong edge pulls more mass — on path 2-1-3
+    // with w(1,2)=2, w(1,3)=1, node 2 must outrank node 3 after 1 iter
+    val wpr = graft.ops.Graph.pageRankWeightedFixedPoint(
+      Seq((1L, 2L, 2L), (1L, 3L, 1L)).toDF("id1", "id2", "w"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(wpr(2L) > wpr(3L))
+    // uniform weights reduce to the unweighted recurrence exactly
+    val uni = graft.ops.Graph.pageRankWeightedFixedPoint(
+      Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)).toDF("id1", "id2", "w"),
+      iters = 4).as[(Long, Long)].collect().toMap
+    assert(uni == Map(1L -> 1000000000L, 2L -> 1000000000L,
+      3L -> 1000000000L))
   }
 
   test("Stats.madOutliers: robust to the outlier that inflates IQR sigma") {
