@@ -29,19 +29,25 @@ object Graph {
     * internally, so every node has degree ≥ 1 and there are no dangling
     * nodes. Scores stay O(|nodes|·scale) total mass; with the default
     * scale=1e9 a sum overflows int64 only past ~9e9 nodes' worth of mass
-    * concentrated on one vertex. Iterations chain localCheckpoint like
-    * FuzzyDedup's component loop so the plan stays flat. */
+    * concentrated on one vertex. Shallow runs (≤ 6 iterations — the
+    * usual importance-scoring depth) build ONE lazy DAG so Catalyst
+    * reuses the edge exchange across rounds; deeper loops switch to the
+    * per-round localCheckpoint discipline of FuzzyDedup's component loop
+    * (lineage past ~6 rounds costs more in planning than the
+    * materialization saves). */
   def pageRankFixedPoint(pairs: DataFrame, iters: Int = 5,
                          scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val checkpointed = iters > 6
+    def flatten(df: DataFrame): DataFrame =
+      if (checkpointed) df.localCheckpoint() else df
+    val edges = flatten(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .distinct())
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val teleport = (3L * scale) / 20L
-    var s = deg.select(col("src").as("id"), lit(scale).as("s"))
-      .localCheckpoint()
+    var s = flatten(deg.select(col("src").as("id"), lit(scale).as("s")))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(s, edges("src") === s("id"))
@@ -49,12 +55,11 @@ object Graph {
         .select(col("dst"), expr("s DIV deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("__in"))
-      s = s.select(col("id"))
+      s = flatten(s.select(col("id"))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(teleport) +
-            expr("17 * coalesce(__in, 0L) DIV 20")).as("s"))
-        .localCheckpoint()
+            expr("17 * coalesce(__in, 0L) DIV 20")).as("s")))
     }
     s
   }
@@ -72,16 +77,17 @@ object Graph {
   def pageRankWeightedFixedPoint(pairs: DataFrame, iters: Int = 5,
                                  scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
-    val edges = pairs
+    val checkpointed = iters > 6
+    def flatten(df: DataFrame): DataFrame =
+      if (checkpointed) df.localCheckpoint() else df
+    val edges = flatten(pairs
       .select(col("id1").as("src"), col("id2").as("dst"), col("w"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst"),
         col("w")))
-      .groupBy("src", "dst").agg(max(col("w")).as("w"))
-      .localCheckpoint()
+      .groupBy("src", "dst").agg(max(col("w")).as("w")))
     val strength = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     val teleport = (3L * scale) / 20L
-    var s = strength.select(col("src").as("id"), lit(scale).as("s"))
-      .localCheckpoint()
+    var s = flatten(strength.select(col("src").as("id"), lit(scale).as("s")))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(s, edges("src") === s("id"))
@@ -89,12 +95,11 @@ object Graph {
         .select(col("dst"), expr("s * w DIV deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("__in"))
-      s = s.select(col("id"))
+      s = flatten(s.select(col("id"))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(teleport) +
-            expr("17 * coalesce(__in, 0L) DIV 20")).as("s"))
-        .localCheckpoint()
+            expr("17 * coalesce(__in, 0L) DIV 20")).as("s")))
     }
     s
   }
