@@ -391,6 +391,12 @@ object SparkEntry {
   private def qOutliers(s: SparkSession, dir: String): DataFrame =
     Stats.iqrOutliers(ev(s, dir), Seq("event_type"), "value")
 
+  /** Top-20 session-opening journeys: most common first-3-event paths
+    * per 30-minute gap session across all users. */
+  private def qTopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.topPaths(ev(s, dir), "user_id", "ts", "event_id",
+      "event_type", gapMinutes = 30, maxLen = 3, k = 20)
+
   /** Source-diversity monitor: Shannon entropy of the source distribution
     * per language — drops when one crawl dominates a slice. */
   private def qEntropy(s: SparkSession, dir: String): DataFrame =
@@ -1939,6 +1945,7 @@ object SparkEntry {
     "q_outliers_mad" -> (qOutliersMad _),
     "q_markov" -> (qMarkov _),
     "q_entropy" -> (qEntropy _),
+    "q_top_paths" -> (qTopPaths _),
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_weighted" -> (qPagerankWeighted _),
     "q_lm_score" -> (qLmScore _),
@@ -2235,6 +2242,25 @@ object SparkEntry {
         |    round((ln(CAST(t AS DOUBLE)) - snln / CAST(t AS DOUBLE))
         |      / ln(CAST(n_cats AS DOUBLE)), 6) END AS entropy_norm
         |FROM g""".stripMargin,
+
+    "q_top_paths" ->
+      s"""WITH x AS (SELECT user_id, $TS AS tts, event_id, event_type
+         |           FROM events),
+         |y AS (SELECT *, CASE WHEN epoch_us(tts) - lag(epoch_us(tts))
+         |    OVER (PARTITION BY user_id ORDER BY tts, event_id)
+         |    > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+         |z AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY tts, event_id ROWS UNBOUNDED PRECEDING)
+         |    AS sess FROM y),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+         |    ORDER BY tts, event_id) AS rn FROM z),
+         |p AS (SELECT user_id, sess,
+         |    string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+         |SELECT path, count(*) AS n_sessions
+         |FROM p GROUP BY 1
+         |ORDER BY n_sessions DESC, path
+         |LIMIT 20""".stripMargin,
 
     "q_pagerank" ->
       """WITH items AS (

@@ -72,6 +72,47 @@ object Funnel {
       .select("from_type", "to_type", "n", "p")
   }
 
+  /** Top user journeys: the k most common session-opening event paths —
+    * each session's first `maxLen` event types joined with '>' (gap
+    * sessionization, same break rule as Sessionize.byGap: strictly more
+    * than `gapMinutes` since the previous event starts a new session).
+    * The per-session path is built from array_sort over (rank, type)
+    * structs, NOT raw collect_list order (which is partition-arrival
+    * dependent) — deterministic on any engine. Cost shape: the two
+    * session windows share one shuffle on the user key; the path
+    * aggregate's key space is |sessions|, the final count |distinct
+    * paths| ≤ |types|^maxLen, and top-k is TakeOrderedAndProject. */
+  def topPaths(df: DataFrame, user: String, ts: String, tiebreak: String,
+               stateCol: String, gapMinutes: Int = 30, maxLen: Int = 3,
+               k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy(col(ts), col(tiebreak))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val marked = df
+      .withColumn("__brk",
+        when(unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w)
+          > gapMicros, 1).otherwise(0))
+      .withColumn("__sess",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val ws = Window.partitionBy(col(user), col("__sess"))
+      .orderBy(col(ts), col(tiebreak))
+    marked
+      .withColumn("__rn", row_number().over(ws))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(user), col("__sess"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn").as("r"),
+            col(stateCol).as("s")))),
+          e => e.getField("s")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cohort retention: cohort = a user's first-seen date; one row per
     * (cohort_date, day offset) with the distinct users from that cohort
     * active that day. offset 0 row = cohort size. */

@@ -1012,6 +1012,25 @@ class OpsSpec extends SparkSpec {
       ("2024-01-02", 2, 1L)))  // u2 active Jan 4
   }
 
+  test("Funnel.topPaths: session break, maxLen truncation, deterministic order") {
+    def t(m: Int) = f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"
+    val df = Seq(
+      // u1 session 1: a>b>c>d -> path truncates to a>b>c
+      ("u1", t(0), 1L, "a"), ("u1", t(1), 2L, "b"),
+      ("u1", t(2), 3L, "c"), ("u1", t(3), 4L, "d"),
+      // gap 45 min -> u1 session 2: a>b
+      ("u1", t(48), 5L, "a"), ("u1", t(49), 6L, "b"),
+      // u2 one session: a>b
+      ("u2", t(0), 7L, "a"), ("u2", t(5), 8L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val paths = graft.ops.Funnel.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30, maxLen = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    // count-desc, path-asc total order; truncation and the session break
+    assert(paths == Seq(("a>b", 2L), ("a>b>c", 1L)))
+  }
+
   test("Funnel.transitionMatrix: per-user ordered transitions, row-normalized") {
     def t(s: String) = s"2024-01-0$s 00:00:00"
     // u1: a->b->a ; u2: a->b ; transitions: a->b x2, b->a x1
