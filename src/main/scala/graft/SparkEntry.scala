@@ -1124,6 +1124,20 @@ object SparkEntry {
         r6(col("ewm_mean")).as("ewm_mean"), r6(col("ewm_var")).as("ewm_var"))
   }
 
+  /** Holt level+trend smoothing with one-step-ahead forecast over the
+    * same hourly bars as q_macd (α=0.5, β=0.25 — dyadic). The oracle
+    * replays the recurrence as a recursive CTE. */
+  private def qHolt(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+    graft.ops.Indicators.withHoltLinear(bars, "event_type",
+        Seq("hour_start"), "bar")
+      .select(col("event_type"), col("hour_start"), r6(col("bar")).as("bar"),
+        r6(col("holt_level")).as("holt_level"),
+        r6(col("holt_trend")).as("holt_trend"),
+        r6(col("holt_forecast")).as("holt_forecast"),
+        r6(col("holt_residual")).as("holt_residual"))
+  }
+
   /** Two-sided CUSUM drift monitor over the same hourly bars as q_macd
     * (slack 0.5σ, decision interval 4σ). The oracle replays the max(0,·)
     * recurrence as a recursive CTE over engine-identical μ/σ. */
@@ -1970,6 +1984,7 @@ object SparkEntry {
     "q_macd" -> (qMacd _),
     "q_ewm" -> (qEwm _),
     "q_cusum" -> (qCusum _),
+    "q_holt" -> (qHolt _),
     "q_window_stddev" -> (qWindowStddev _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_window_tumbling" -> (qWindowTumbling _),
@@ -4503,6 +4518,51 @@ object SparkEntry {
          |  round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
          |  CASE WHEN sp IS NULL THEN NULL
          |       ELSE sp > 4.0 * sd OR sn > 4.0 * sd END AS cusum_alarm
+         |FROM rec""".stripMargin),
+
+    "q_holt" ->
+      ("WITH RECURSIVE\n" + hourlyBarsCte + ",\n" +
+      s"""nb AS (
+         |  SELECT event_type, hour_start, bar,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour_start)
+         |      AS rn
+         |  FROM bars),
+         |rec AS (
+         |  SELECT event_type, hour_start, bar, rn,
+         |    bar AS lvl,
+         |    CASE WHEN bar IS NOT NULL THEN CAST(0.0 AS DOUBLE) END AS trd,
+         |    CAST(NULL AS DOUBLE) AS fc,
+         |    CAST(NULL AS DOUBLE) AS res,
+         |    bar AS st_l,
+         |    CASE WHEN bar IS NOT NULL THEN CAST(0.0 AS DOUBLE) END AS st_b
+         |  FROM nb WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, hour_start, bar, rn,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN st_l IS NULL THEN bar
+         |         ELSE 0.5 * bar + 0.5 * (st_l + st_b) END,
+         |    CASE WHEN bar IS NULL THEN NULL
+         |         WHEN st_l IS NULL THEN CAST(0.0 AS DOUBLE)
+         |         ELSE 0.25 * ((0.5 * bar + 0.5 * (st_l + st_b)) - st_l)
+         |              + 0.75 * st_b END,
+         |    CASE WHEN bar IS NULL OR st_l IS NULL THEN NULL
+         |         ELSE st_l + st_b END,
+         |    CASE WHEN bar IS NULL OR st_l IS NULL THEN NULL
+         |         ELSE bar - (st_l + st_b) END,
+         |    CASE WHEN bar IS NULL THEN st_l
+         |         WHEN st_l IS NULL THEN bar
+         |         ELSE 0.5 * bar + 0.5 * (st_l + st_b) END,
+         |    CASE WHEN bar IS NULL THEN st_b
+         |         WHEN st_l IS NULL THEN CAST(0.0 AS DOUBLE)
+         |         ELSE 0.25 * ((0.5 * bar + 0.5 * (st_l + st_b)) - st_l)
+         |              + 0.75 * st_b END
+         |  FROM (SELECT b.event_type, b.hour_start, b.bar, b.rn,
+         |          r.st_l, r.st_b
+         |        FROM rec r JOIN nb b
+         |          ON b.event_type = r.event_type AND b.rn = r.rn + 1))
+         |SELECT event_type, hour_start, round(bar, 6) AS bar,
+         |  round(lvl, 6) AS holt_level, round(trd, 6) AS holt_trend,
+         |  round(fc, 6) AS holt_forecast, round(res, 6) AS holt_residual
          |FROM rec""".stripMargin),
 
     // ---------------------------------------------- technical indicators

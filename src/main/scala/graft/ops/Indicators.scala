@@ -279,6 +279,51 @@ object Indicators {
     }.drop("__mu", "__sd")
   }
 
+  /** Holt double exponential smoothing (level + linear trend) with the
+    * one-step-ahead forecast and its residual — the simplest honest
+    * forecaster for trending series, and the residual is the
+    * anomaly-score companion to [[withCusum]]:
+    *   forecast_t = l_{t−1} + b_{t−1}                 (before seeing x_t)
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * Seed: l := first value, b := 0, forecast NULL (nothing to predict
+    * from). Defaults α=0.5, β=0.25 are DYADIC so every smoothing
+    * multiply is an exact power-of-two scale; pass only dyadic values if
+    * you change them, and the recursive-CTE oracle replays the identical
+    * tree. NULL values pass through with NULL outputs, state untouched.
+    * Runs on the shared [[keyedSeriesScan]] harness. */
+  def withHoltLinear(df: DataFrame, key: String, order: Seq[String],
+                     value: String, alpha: Double = 0.5,
+                     beta: Double = 0.25): DataFrame = {
+    val valIdx = df.schema.fieldIndex(value)
+    keyedSeriesScan(df, key, order, Seq(
+      StructField("holt_level", DoubleType),
+      StructField("holt_trend", DoubleType),
+      StructField("holt_forecast", DoubleType),
+      StructField("holt_residual", DoubleType))) { () =>
+      new SeriesFold {
+        private var seeded = false
+        private var l = 0.0; private var b = 0.0
+        def reset(): Unit = seeded = false
+        def apply(row: Row): Seq[Any] =
+          if (row.isNullAt(valIdx)) Seq(null, null, null, null)
+          else {
+            val x = row.getDouble(valIdx)
+            if (!seeded) {
+              seeded = true; l = x; b = 0.0
+              Seq(l, b, null, null)
+            } else {
+              val f = l + b
+              val lNew = alpha * x + (1.0 - alpha) * (l + b)
+              b = beta * (lNew - l) + (1.0 - beta) * b
+              l = lNew
+              Seq(l, b, f, x - f)
+            }
+          }
+      }
+    }
+  }
+
   /** EMA fast/slow + MACD + signal + histogram — the one genuinely
     * RECURSIVE indicator family (EMA_t = α·x_t + (1−α)·EMA_{t−1} has no
     * closed windowed form that is float-exact); runs on the shared

@@ -193,6 +193,24 @@ class IndicatorsSpec extends SparkSpec {
     assert(nr("old") == false && nr("new") == true)
   }
 
+  test("withHoltLinear: hand-checked recurrence, seed forecast NULL") {
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 12.0), ("k", 3L, 14.0))
+      .toDF("k", "id", "value")
+    val out = Indicators.withHoltLinear(df, "k", Seq("id"), "value")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("holt_level") == 10.0 &&
+      out(0).getAs[Double]("holt_trend") == 0.0 &&
+      out(0).isNullAt(out(0).fieldIndex("holt_forecast")))
+    assert(out(1).getAs[Double]("holt_forecast") == 10.0 &&
+      out(1).getAs[Double]("holt_level") == 11.0 &&
+      out(1).getAs[Double]("holt_trend") == 0.25 &&
+      out(1).getAs[Double]("holt_residual") == 2.0)
+    assert(out(2).getAs[Double]("holt_forecast") == 11.25 &&
+      out(2).getAs[Double]("holt_level") == 12.625 &&
+      out(2).getAs[Double]("holt_trend") == 0.59375 &&
+      out(2).getAs[Double]("holt_residual") == 2.75)
+  }
+
   test("plan shape: every windowed indicator costs exactly ONE shuffle") {
     // All frames share the per-key partitioning, so adding indicator
     // columns must never add an Exchange — the property that keeps the
