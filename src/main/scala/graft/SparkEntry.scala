@@ -1495,6 +1495,11 @@ object SparkEntry {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         r6(col("overlap_ratio")).as("overlap_ratio"))
 
+  /** Vocabulary coverage curve at 10/50/100/500-term vocab sizes. */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
+      "text", Seq(10, 50, 100, 500))
+
   /** 4 deterministic contrastive negatives per document (multiplicative
     * draw over the md5 global-shuffle permutation — no RNG state). */
   private def qContrastive(s: SparkSession, dir: String): DataFrame =
@@ -2019,6 +2024,7 @@ object SparkEntry {
     "q_text_novelty" -> (qTextNovelty _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -3213,6 +3219,33 @@ object SparkEntry {
         |FROM m GROUP BY 1
         |ORDER BY bm25_r6 DESC, doc_id
         |LIMIT 50""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS total_count
+        |  FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (ORDER BY total_count DESC, term) AS freq_rank
+        |  FROM vocab),
+        |ns AS (SELECT unnest([10, 50, 100, 500]) AS top_n)
+        |SELECT CAST(top_n AS INT) AS top_n,
+        |  CAST(sum(CASE WHEN freq_rank <= top_n THEN total_count
+        |           ELSE 0 END) AS BIGINT) AS covered_tokens,
+        |  CAST(sum(total_count) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN freq_rank <= top_n THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_vocab_terms,
+        |  CAST(sum(CASE WHEN freq_rank <= top_n THEN total_count
+        |           ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(total_count) AS DOUBLE) AS coverage
+        |FROM ranked CROSS JOIN ns
+        |GROUP BY top_n""".stripMargin,
 
     // Stage 1 replays q_text_bm25's CTEs to the LIMIT 20 shortlist;
     // stage 2 scores it with the docSimilarity fixed-point weights (no

@@ -215,6 +215,32 @@ object TfIdf {
       .drop("__dot", "__ssd", "__ssq")
   }
 
+  /** Vocabulary coverage curve: for each candidate vocab size N, the
+    * fraction of ALL corpus token occurrences covered by the top-N
+    * most-frequent terms — the tokenizer-design question ("how big must
+    * the vocab be for <1% OOV"). One |vocab|×|Ns| conditional aggregate
+    * over the ranked vocabulary (the corpus itself is only touched by
+    * the vocabulary build); coverage is an exact-long IEEE divide. */
+  def vocabCoverage(df: DataFrame, id: String, text: String,
+                    topNs: Seq[Int]): DataFrame = {
+    require(topNs.nonEmpty && topNs.forall(_ > 0), s"bad topNs: $topNs")
+    val vocab = vocabulary(df, id, text)
+    val ns = topNs.distinct.sorted
+      .foldLeft(Seq.empty[Int])((a, n) => a :+ n)
+    val nsDf = vocab.sparkSession.createDataFrame(
+      ns.map(Tuple1(_))).toDF("top_n")
+    vocab.crossJoin(broadcast(nsDf))
+      .groupBy(col("top_n"))
+      .agg(
+        sum(when(col("freq_rank") <= col("top_n"), col("total_count"))
+          .otherwise(0L)).as("covered_tokens"),
+        sum(col("total_count")).as("total_tokens"),
+        sum(when(col("freq_rank") <= col("top_n"), 1L).otherwise(0L))
+          .as("n_vocab_terms"))
+      .withColumn("coverage", col("covered_tokens").cast("double") /
+        col("total_tokens").cast("double"))
+  }
+
   /** Corpus vocabulary: every term with its document frequency and total
     * occurrence count, ranked by frequency (ties on the term itself) —
     * tokenizer/vocab construction over the corpus. Two aggregates over the

@@ -323,6 +323,24 @@ class TextDedupSpec extends SparkSpec {
     assert(byId(1L) < 2.5 * byId(2L))
   }
 
+  test("vocabCoverage: exact fractions on a known distribution") {
+    // counts: common x6, mid x3, rare x1 -> top-1 covers 0.6, top-2 0.9
+    val docs = Seq(
+      (1L, "common common common mid"),
+      (2L, "common common common mid mid rare"))
+      .toDF("doc_id", "text")
+    val cov = graft.text.TfIdf.vocabCoverage(docs, "doc_id", "text",
+        Seq(1, 2, 10))
+      .select("top_n", "covered_tokens", "total_tokens", "n_vocab_terms",
+        "coverage")
+      .as[(Int, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cov(1) == ((1, 6L, 10L, 1L, 0.6)))
+    assert(cov(2) == ((2, 9L, 10L, 2L, 0.9)))
+    // N beyond the vocab clamps to full coverage
+    assert(cov(10) == ((10, 10L, 10L, 3L, 1.0)))
+  }
+
   test("rerankByCosine: query-aligned doc outranks high-tf one-term doc") {
     val docs = Seq(
       (1L, "spark spark spark spark noise blah extra words here"), // 1 q-term
