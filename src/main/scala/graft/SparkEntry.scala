@@ -883,6 +883,252 @@ object SparkEntry {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** TPC-H Q6 shape (forecast-revenue change): the pure single-scan
+    * aggregate — three conjunctive range predicates, no join, one row
+    * out. Every predicate pushes to the parquet scan (PushedFilters on
+    * l_shipdate / l_discount / l_quantity); the plan is scan → partial
+    * agg → 1-row final agg, the cheapest possible query shape and the
+    * canonical pushdown check: at 100 TB this reads only the row groups
+    * whose min/max stats overlap 1997. */
+  private def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(r4(sum(col("l_extendedprice") * col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * bidirectional nation-pair correlation — supplier nation and
+    * customer nation must form the pair in EITHER orientation, so the
+    * cut is on the resolved (supp_nation, cust_nation) tuple after both
+    * dimension arms, not a single-arm pushdown. nation broadcasts twice
+    * under different aliases; supplier broadcasts (10k rows/SF by
+    * TPC-H contract); orders/customer flow through AQE-planned shuffle
+    * joins. Grouped by the pair × ship year. */
+  private def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val sn = broadcast(tbl(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val cn = broadcast(tbl(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .join(tbl(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .join(cn, col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit needs a cost term from
+    * a second dimension's column — p_retailprice is the unit-cost
+    * surrogate (the synthetic schema has no partsupp, so supply cost
+    * rides the part row at 1% of retail). The Q9 signature is group keys
+    * from two DIFFERENT dimension arms: the supplier's nation × the
+    * order's year. Part is name-filtered before its join; part and
+    * supplier broadcast; the per-row profit expression is identical
+    * IEEE both engines (mul/div/sub only — order-stable). */
+  private def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") / lit(100.0)
+    tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_name").contains("widget"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(tbl(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(tbl(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(r4(sum(profit)).as("sum_profit"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    * — quarter-filtered orders joined to R-flagged lineitems, grouped
+    * per customer with the customer detail carried through the aggregate
+    * keys (the wide-group-key pattern: keys functionally determined by
+    * c_custkey ride the same shuffle for free), top 20 by rounded
+    * revenue with a custkey tiebreak. Both filters push to their scans;
+    * the top-k is TakeOrderedAndProject, no global sort. */
+  private def qTpchQ10(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(tbl(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q11 shape (important stock): group-share against a global
+    * scalar — per-part inventory value (lineitem value total standing in
+    * for ps_supplycost·ps_availqty over the partsupp-less schema) for
+    * one REGION's suppliers, kept where the part's value exceeds twice
+    * the MEAN per-part share (TPC-H's 0.0001/SF made scale-free: the
+    * cut stays meaningful at any part count). The 1-row total+count
+    * broadcasts to every task; both aggregates read one shared filtered
+    * base, so the fact scans once. */
+  private def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val supEur = broadcast(tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select("s_suppkey"))
+    val base = tbl(s, dir, "lineitem")
+      .join(supEur, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * col("l_quantity")).as("v"))
+    val total = base.agg(r4(sum(col("v"))).as("total_value"),
+      countDistinct(col("l_partkey")).as("n_parts"))
+    base.groupBy(col("l_partkey"))
+      .agg(r4(sum(col("v"))).as("part_value"))
+      .crossJoin(broadcast(total))
+      .filter(col("part_value") >
+        lit(2.0) * col("total_value") / col("n_parts"))
+      .select("l_partkey", "part_value")
+  }
+
+  /** TPC-H Q12 shape (shipmode priority): conditional priority counts
+    * per delivery class. The synthetic schema has no l_shipmode or
+    * commit/receipt dates, so the class is banded from the actual
+    * order-to-ship delay (FAST ≤ 30 d, SLOW ≤ 90 d, else LATE) — same
+    * plan shape: fact-dim equi-join, derived grouping attribute,
+    * CASE-split high/low-priority counts in ONE pass over the join. */
+  private def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val isHigh = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .select("l_orderkey", "l_shipdate")
+      .join(tbl(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(delay <= 30, "FAST").when(delay <= 90, "SLOW")
+        .otherwise("LATE").as("ship_class"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): DISTINCT-supplier
+    * counts per part attribute triple with a NOT-IN exclusion set
+    * (suppliers under an acctbal floor standing in for the complaints
+    * list) and negated part predicates. The part-supplier bridge is the
+    * lineitem fact; countDistinct dedups (partkey, suppkey) inside the
+    * aggregate (partial distinct before the exchange), the exclusion is
+    * a broadcast anti-join — never a NOT IN driver loop. */
+  private def qTpchQ16(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(tbl(s, dir, "supplier")
+          .filter(col("s_acctbal") < 1000.0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q2 shape (minimum-cost supplier): the argmin-per-group
+    * correlated subquery — for each part, the supplier(s) achieving the
+    * region-wide minimum unit price. Decorrelated agg-then-join (same
+    * family as Q17): per-(part,supplier) unit-price min over the
+    * region's lineitems, a per-part min of those, joined back on
+    * EQUALITY of the min value. min() of per-row IEEE divides involves
+    * no summation, so the double equality is bit-exact cross-engine.
+    * Supplier detail attaches only after the argmin cut. */
+  private def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val supEur = tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val ps = tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_type") === "STANDARD" && col("p_size") < 25)
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supEur.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val minPer = ps.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    ps.join(minPer, col("l_partkey") === col("m_partkey") &&
+        col("unit_cost") === col("min_cost"))
+      .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey"), col("l_suppkey"), r6(col("unit_cost")).as("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("l_partkey"), col("l_suppkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): nested semi-joins with
+    * a per-part demand-share threshold — suppliers who shipped more than
+    * 1/8 of a name-filtered part's total demand (the partsupp-less
+    * availqty surrogate), collapsed to a distinct supplier set, then the
+    * supplier detail via semi-join. Quantities are integer-valued
+    * doubles, so 8·supp_qty > total_qty compares exactly (no division,
+    * no rounding). The part filter broadcasts and cuts the fact before
+    * EITHER aggregate; both aggregates share one scan of the cut. */
+  private def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_name").startsWith("small")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val perPS = base.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val perP = base.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+    val qualifying = perPS
+      .join(perP, col("l_partkey") === col("t_partkey"))
+      .filter(lit(8.0) * col("supp_qty") > col("total_qty"))
+      .select(col("l_suppkey")).distinct()
+    tbl(s, dir, "supplier")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+  }
+
   /** Lag/lead time-series features per event type + pct change vs lag_1. */
   private def qWindowLagged(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowAnalytics.laggedFeatures(ev(s, dir), "event_type",
@@ -1916,6 +2162,15 @@ object SparkEntry {
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q19" -> (qTpchQ19 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_tpch_q2" -> (qTpchQ2 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q9" -> (qTpchQ9 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q11" -> (qTpchQ11 _),
+    "q_tpch_q12" -> (qTpchQ12 _),
+    "q_tpch_q16" -> (qTpchQ16 _),
+    "q_tpch_q20" -> (qTpchQ20 _),
     "q_set_ops" -> (qSetOps _),
     "q_percentile_exact" -> (qPercentileExact _),
     "q_mode" -> (qMode _),
@@ -2544,6 +2799,141 @@ object SparkEntry {
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+        |    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity / 100.0), 4) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH base AS (
+        |  SELECT l_partkey, l_extendedprice * l_quantity AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |t AS (SELECT round(sum(v), 4) AS total_value,
+        |  count(DISTINCT l_partkey) AS n_parts FROM base)
+        |SELECT l_partkey, round(sum(v), 4) AS part_value
+        |FROM base, t
+        |GROUP BY l_partkey, t.total_value, t.n_parts
+        |HAVING round(sum(v), 4) > 2.0 * total_value / n_parts""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+        |    THEN 'FAST'
+        |    WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+        |    THEN 'SLOW' ELSE 'LATE' END AS ship_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH sup_eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'STANDARD' AND p_size < 25
+        |    AND l_suppkey IN (SELECT s_suppkey FROM sup_eur)
+        |  GROUP BY 1, 2),
+        |m AS (SELECT l_partkey AS m_partkey, min(unit_cost) AS min_cost
+        |  FROM ps GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, l_partkey, l_suppkey,
+        |  round(unit_cost, 6) AS unit_cost
+        |FROM ps
+        |JOIN m ON l_partkey = m_partkey AND unit_cost = min_cost
+        |JOIN sup_eur ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, l_partkey, l_suppkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH base AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'),
+        |per_ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM base GROUP BY 1, 2),
+        |per_p AS (
+        |  SELECT l_partkey AS t_partkey, sum(l_quantity) AS total_qty
+        |  FROM base GROUP BY 1),
+        |q AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM per_ps JOIN per_p ON l_partkey = t_partkey
+        |  WHERE 8.0 * supp_qty > total_qty)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q)""".stripMargin,
 
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist FROM (
