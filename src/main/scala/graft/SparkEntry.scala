@@ -1746,6 +1746,39 @@ object SparkEntry {
     graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
       "text", Seq(10, 50, 100, 500))
 
+  /** Exact tie-corrected ROC AUC of a stand-in classifier score (first
+    * embedding coordinate) against the binary target label < 5, per
+    * 4-way fold. All-integer Mann-Whitney numerator — the single divide
+    * is bit-identical cross-engine; the oracle replays the rank
+    * cumulative with a plain window (it has no scale constraint; the
+    * Spark side uses the banded two-pass cumulative). */
+  private def qAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.binaryAuc(
+      tbl(s, dir, "embeddings")
+        .withColumn("fold", pmod(col("vec_id"), lit(4L))),
+      Seq("fold"), element_at(col("embedding"), 1).cast("double"),
+      col("label") < 5, lo = -0.5, hi = 0.5, nbands = 64)
+
+  /** Precision/recall/F1 sweep for the same stand-in scorer over a
+    * 5-point threshold grid — exact int64 confusion counts, ratios are
+    * single divides (f1 via 2tp/(2tp+fp+fn), never 2pr/(p+r)). */
+  private def qPrCurve(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.prAtThresholds(
+      tbl(s, dir, "embeddings")
+        .withColumn("fold", pmod(col("vec_id"), lit(2L))),
+      Seq("fold"), element_at(col("embedding"), 1).cast("double"),
+      col("label") < 5, Seq(-0.3, -0.1, 0.0, 0.1, 0.3))
+
+  /** Mutual information lang × source per doc_id-parity split — the
+    * label/metadata dependence audit (near-zero MI expected on the
+    * synthetic corpus). Entropy-form ln-sums over the tiny pair key
+    * space, r6 like q_entropy. */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.mutualInfo(
+      tbl(s, dir, "documents")
+        .withColumn("split", pmod(col("doc_id"), lit(2L))),
+      Seq("split"), "lang", "source")
+
   /** 4 deterministic contrastive negatives per document (multiplicative
     * draw over the md5 global-shuffle permutation — no RNG state). */
   private def qContrastive(s: SparkSession, dir: String): DataFrame =
@@ -2280,6 +2313,9 @@ object SparkEntry {
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_auc" -> (qAuc _),
+    "q_pr_curve" -> (qPrCurve _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -3636,6 +3672,94 @@ object SparkEntry {
         |    / CAST(sum(total_count) AS DOUBLE) AS coverage
         |FROM ranked CROSS JOIN ns
         |GROUP BY top_n""".stripMargin,
+
+    // The oracle replays the tie-corrected Mann-Whitney rank sum with a
+    // plain cumulative window (no scale constraint in DuckDB); the
+    // numerator/denominator are exact int64 on both sides so the single
+    // divide is bit-identical.
+    "q_auc" ->
+      """WITH s AS (
+        |  SELECT vec_id % 4 AS fold,
+        |    CAST(embedding[1] AS DOUBLE) AS score,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT fold, score, count(*) AS n, sum(pos) AS p
+        |  FROM s GROUP BY 1, 2),
+        |w AS (
+        |  SELECT fold, n, p,
+        |    coalesce(sum(n) OVER (PARTITION BY fold ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM g)
+        |SELECT fold, CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(n - p) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(p) = 0 OR sum(n - p) = 0 THEN NULL
+        |    ELSE CAST(sum(p * (2 * c + n + 1)) - sum(p) * (sum(p) + 1)
+        |        AS DOUBLE)
+        |      / CAST(2 * sum(p) * sum(n - p) AS DOUBLE) END AS auc
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "q_pr_curve" ->
+      """WITH s AS (
+        |  SELECT vec_id % 2 AS fold,
+        |    CAST(embedding[1] AS DOUBLE) AS score,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |t AS (SELECT unnest([-0.3, -0.1, 0.0, 0.1, 0.3]) AS threshold),
+        |c AS (
+        |  SELECT fold, threshold,
+        |    CAST(sum(CASE WHEN score >= threshold THEN pos ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score >= threshold THEN 1 - pos ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score < threshold THEN pos ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN score < threshold THEN 1 - pos ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM s, t GROUP BY 1, 2)
+        |SELECT fold, threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+        |    AS "precision",
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+        |    AS recall,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |    ELSE CAST(2 * tp AS DOUBLE)
+        |      / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+        |FROM c""".stripMargin,
+
+    // MI = ln N + (Σ_ab n ln n − Σ_a n ln n − Σ_b n ln n) / N — the same
+    // exact-count entropy form as q_entropy, r6 on every output.
+    "q_mutual_info" ->
+      """WITH p AS (
+        |  SELECT doc_id % 2 AS split, lang, source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT split, CAST(sum(n) AS BIGINT) AS t,
+        |    sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS sab
+        |  FROM p GROUP BY 1),
+        |ma AS (
+        |  SELECT split, sum(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)))
+        |    AS sa, count(*) AS ca
+        |  FROM (SELECT split, lang, sum(n) AS m FROM p GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |mb AS (
+        |  SELECT split, sum(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)))
+        |    AS sb, count(*) AS cb
+        |  FROM (SELECT split, source, sum(n) AS m FROM p GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT j.split, t AS n_rows,
+        |  round(ln(CAST(t AS DOUBLE)) - sa / t, 6) AS h_a,
+        |  round(ln(CAST(t AS DOUBLE)) - sb / t, 6) AS h_b,
+        |  round(ln(CAST(t AS DOUBLE)) - sab / t, 6) AS h_ab,
+        |  round(ln(CAST(t AS DOUBLE)) + (sab - sa - sb) / t, 6) AS mi,
+        |  CASE WHEN ca = 1 AND cb = 1 THEN NULL
+        |    ELSE round(2.0 * (ln(CAST(t AS DOUBLE)) + (sab - sa - sb) / t)
+        |      / ((ln(CAST(t AS DOUBLE)) - sa / t)
+        |        + (ln(CAST(t AS DOUBLE)) - sb / t)), 6) END AS nmi
+        |FROM j JOIN ma ON j.split = ma.split
+        |JOIN mb ON j.split = mb.split""".stripMargin,
 
     // Stage 1 replays q_text_bm25's CTEs to the LIMIT 20 shortlist;
     // stage 2 scores it with the docSimilarity fixed-point weights (no

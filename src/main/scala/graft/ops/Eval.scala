@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators for training-data curation: a corpus
+  * pipeline that gates documents on a learned quality score needs to
+  * measure that filter (AUC, precision/recall at candidate thresholds)
+  * at corpus scale, and to audit label/metadata dependence (mutual
+  * information) — all exactly, so runs are comparable across engines.
+  *
+  * Numeric discipline (shared with [[Stats]]): every count stays int64
+  * until ONE final IEEE divide, so results are bit-identical
+  * cross-engine; only the entropy-family outputs (float ln sums over
+  * small key spaces) carry the r6 rounding.
+  *
+  * The reference pipeline has no evaluation stage at all (its quality
+  * signals are unvalidated heuristics — spark_stream_batch_processor.py
+  * trading signals at src/airflow/dags/scripts/spark_stream_batch_processor.py:173-213);
+  * these operators are the beyond-reference completion of that gap.
+  */
+object Eval {
+
+  /** Exact binary ROC AUC per group, computed as the tie-corrected
+    * Mann-Whitney rank statistic:
+    *
+    *   AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺ n⁻)
+    *
+    * with average ranks for tied scores. Held in integers: for each
+    * distinct score (count n, positives p, strictly-lower total c),
+    * 2·Σ_pos avgrank accumulates p·(2c + n + 1), so the numerator
+    * 2·Σ − n⁺(n⁺+1) and denominator 2·n⁺·n⁻ are exact int64 and the
+    * single divide is bit-identical on any engine.
+    *
+    * Scale shape: the only full-data shuffle collapses rows to the
+    * distinct-score frame. The strictly-lower cumulative is the
+    * two-pass bucketed pattern (same as Curate.globalSortIndex, but
+    * banded on the score axis like Stats.histogram, clamped edges):
+    * per-(group, band) totals cumulate over ≤ `nbands` rows per group,
+    * broadcast back, and the in-band window only ever sees one band's
+    * distinct scores — there is NO window over a group's whole score
+    * domain, so a group with billions of distinct scores still splits
+    * across `nbands` tasks. Callers size (lo, hi, nbands) like a
+    * histogram; scores outside [lo, hi] clamp into the edge bands
+    * (band assignment only partitions the cumulative — ANY
+    * order-consistent banding yields the same AUC, so clamping costs
+    * skew, never correctness).
+    *
+    * Rows with NULL score or NULL label are dropped (counted in
+    * neither class); a group with no positives or no negatives has no
+    * defined ranking quality — auc is NULL there, never 0/0.
+    *
+    * Int64 envelope: the 2·rank-sum numerator is bounded by 2·n⁺·N per
+    * group, so a single group overflows past ~2·10⁹ rows (same envelope
+    * note as Curate.negativePairs) — shard the group (e.g. by a hash
+    * fold, averaging fold AUCs) above that. */
+  def binaryAuc(df: DataFrame, keys: Seq[String], score: Column,
+                positive: Column, lo: Double, hi: Double,
+                nbands: Int = 256): DataFrame = {
+    require(nbands >= 1, s"nbands must be >= 1: $nbands")
+    require(lo < hi, s"need lo < hi: [$lo, $hi]")
+    val k = keys.map(col)
+    val width = (hi - lo) / nbands
+    val g = df
+      .filter(score.isNotNull && positive.isNotNull)
+      .groupBy((k :+ score.as("__s")): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(positive, 1L).otherwise(0L)).as("__p"))
+      .withColumn("__b",
+        least(greatest(floor((col("__s") - lit(lo)) / lit(width)), lit(0.0)),
+          lit((nbands - 1).toDouble)).cast("int"))
+    val bandTotals = g.groupBy((k :+ col("__b")): _*)
+      .agg(sum(col("__n")).as("__bn"))
+    val wOff = Window.partitionBy(k: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .drop("__bn")
+    val wIn = Window.partitionBy((k :+ col("__b")): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.join(broadcast(offsets), keys :+ "__b")
+      .withColumn("__c",
+        col("__off") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
+      .groupBy(k: _*)
+      .agg(
+        sum(col("__p") * (lit(2L) * col("__c") + col("__n") + lit(1L)))
+          .as("__num2"),
+        sum(col("__p")).as("n_pos"),
+        sum(col("__n") - col("__p")).as("n_neg"))
+      .withColumn("auc",
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(
+            (col("__num2") - col("n_pos") * (col("n_pos") + lit(1L)))
+              .cast("double")
+              / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
+      .select((k ++ Seq(col("n_pos"), col("n_neg"), col("auc"))): _*)
+  }
+
+  /** Precision / recall / F1 per (group, threshold) for a `score >= t`
+    * decision rule, over a caller-provided threshold grid (the
+    * operating-point sweep that picks a corpus quality cutoff).
+    *
+    * One pass: rows collapse to the distinct-score frame (same first
+    * shuffle as [[binaryAuc]] — at 100 TB the sweep rides a frame of
+    * |distinct scores| rows), which cross-joins the broadcast literal
+    * grid and re-aggregates to |groups|×|thresholds| rows. Confusion
+    * counts are exact int64; f1 uses the single-divide form
+    * 2·tp / (2·tp + fp + fn), so every ratio is one IEEE divide of
+    * exact integers. Zero-denominator points (no predicted positives /
+    * no actual positives) yield NULL, never 0/0. */
+  def prAtThresholds(df: DataFrame, keys: Seq[String], score: Column,
+                     positive: Column, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val k = keys.map(col)
+    val g = df
+      .filter(score.isNotNull && positive.isNotNull)
+      .groupBy((k :+ score.as("__s")): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(positive, 1L).otherwise(0L)).as("__p"))
+    val grid = explode(typedlit(thresholds.sorted)).as("threshold")
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null))
+        .otherwise(num.cast("double") / den.cast("double"))
+    g.select((k ++ Seq(col("__s"), col("__n"), col("__p"), grid)): _*)
+      .groupBy((k :+ col("threshold")): _*)
+      .agg(
+        sum(when(col("__s") >= col("threshold"), col("__p"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("threshold"), col("__n") - col("__p"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("threshold"), col("__p"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") < col("threshold"), col("__n") - col("__p"))
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision", ratio(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall", ratio(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1", ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")))
+  }
+
+  /** Mutual information between two categorical columns per group —
+    * the "is my label independent of source/language?" audit. Uses the
+    * identity MI = H(a) + H(b) − H(a,b) in Stats.entropy's exact-count
+    * form (H = ln T − Σ n·ln n / T), which collapses to
+    *
+    *   MI = ln N + (Σ_ab n·ln n − Σ_a n·ln n − Σ_b n·ln n) / N
+    *
+    * — three ln-sums over the pair-count frame and its two marginals,
+    * ONE divide, r6 at the end (same float posture as q_entropy: the
+    * ln-sums run over the |a|×|b| key space, which is small by the
+    * nature of categorical columns). Also emits the marginal/joint
+    * entropies and the [0,1]-normalized nmi = 2·MI / (H(a)+H(b))
+    * (NULL when both marginals are constant — there is no dependence
+    * to measure). Scale: one shuffle to pair counts (|groups|×|a|×|b|
+    * keys); marginals and ln-sums derive from that frame, the base is
+    * never rescanned. */
+  def mutualInfo(df: DataFrame, keys: Seq[String], a: String,
+                 b: String): DataFrame = {
+    val k = keys.map(col)
+    val pairs = df.groupBy((k ++ Seq(col(a), col(b))): _*)
+      .agg(count(lit(1)).as("__n"))
+    val lnSum: Column =
+      sum(col("__m").cast("double") * log(col("__m").cast("double")))
+    def marginal(c: String, out: String): DataFrame =
+      pairs.groupBy((k :+ col(c)): _*)
+        .agg(sum(col("__n")).as("__m"))
+        .groupBy(k: _*).agg(lnSum.as(out), count(lit(1)).as(out + "_cats"))
+    val joint = pairs.select((k :+ col("__n").as("__m")): _*)
+    val jointAgg = joint.groupBy(k: _*)
+      .agg(sum(col("__m")).as("__t"), lnSum.as("__sab"))
+    val joined = jointAgg
+      .join(marginal(a, "__sa"), keys)
+      .join(marginal(b, "__sb"), keys)
+    val t = col("__t").cast("double")
+    def h(s: Column): Column = log(t) - s / t
+    val miRaw = log(t) + (col("__sab") - col("__sa") - col("__sb")) / t
+    joined
+      .withColumn("n_rows", col("__t"))
+      .withColumn("h_a", round(h(col("__sa")), 6))
+      .withColumn("h_b", round(h(col("__sb")), 6))
+      .withColumn("h_ab", round(h(col("__sab")), 6))
+      .withColumn("mi", round(miRaw, 6))
+      .withColumn("nmi",
+        when(col("__sa_cats") === 1 && col("__sb_cats") === 1, lit(null))
+          .otherwise(round(lit(2.0) * miRaw
+            / (h(col("__sa")) + h(col("__sb"))), 6)))
+      .select((k ++ Seq(col("n_rows"), col("h_a"), col("h_b"),
+        col("h_ab"), col("mi"), col("nmi"))): _*)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Eval
+
+/** Eval operator invariants on planted fixtures: AUC endpoints and tie
+  * handling against hand-computed Mann-Whitney values, banding
+  * invariance (the band grid must never change the statistic), PR
+  * confusion-count identities, and MI identities (MI(x,x) = H(x),
+  * independence ⇒ MI 0). */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def aucOf(rows: Seq[(Double, Boolean)], nbands: Int = 8): Option[Double] = {
+    val df = rows.toDF("score", "pos").withColumn("g", lit(1))
+    val out = Eval.binaryAuc(df, Seq("g"), col("score"), col("pos"),
+      lo = 0.0, hi = 1.0, nbands = nbands).collect()
+    assert(out.length == 1)
+    Option(out.head.getAs[Any]("auc")).map(_.asInstanceOf[Double])
+  }
+
+  test("binaryAuc: perfect separation gives 1.0, inverted gives 0.0") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+    assert(aucOf(perfect).contains(1.0))
+    assert(aucOf(perfect.map { case (s, p) => (s, !p) }).contains(0.0))
+  }
+
+  test("binaryAuc: all-tied scores give exactly 0.5") {
+    assert(aucOf(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false)))
+      .contains(0.5))
+  }
+
+  test("binaryAuc: tie-corrected value matches hand computation") {
+    // scores: 0.1-, 0.3+, 0.3-, 0.7+  → ranks 1, 2.5, 2.5, 4
+    // AUC = (2.5 + 4 − 2·3/2) / (2·2) = 3.5/4 = 0.875
+    val rows = Seq((0.1, false), (0.3, true), (0.3, false), (0.7, true))
+    assert(aucOf(rows).contains(0.875))
+  }
+
+  test("binaryAuc: invariant to the band grid and to clamped edges") {
+    val rows = Seq((0.05, false), (0.15, false), (0.2, true), (0.35, false),
+      (0.5, true), (0.55, true), (0.8, false), (0.95, true), (1.5, true),
+      (-2.0, false)) // out-of-range rows clamp into edge bands
+    val r1 = aucOf(rows, nbands = 1) // degenerate: single band
+    val r7 = aucOf(rows, nbands = 7)
+    val r64 = aucOf(rows, nbands = 64)
+    assert(r1 == r7 && r7 == r64 && r1.isDefined)
+  }
+
+  test("binaryAuc: single-class group yields NULL, not 0/0") {
+    assert(aucOf(Seq((0.2, true), (0.9, true))).isEmpty)
+  }
+
+  test("prAtThresholds: confusion counts partition every row") {
+    val df = (1 to 100).map(i => (i / 100.0, i % 3 == 0))
+      .toDF("score", "pos").withColumn("g", lit(1))
+    val out = Eval.prAtThresholds(df, Seq("g"), col("score"), col("pos"),
+      Seq(0.25, 0.5, 0.75)).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp")
+        + r.getAs[Long]("fn") + r.getAs[Long]("tn") == 100L)
+    }
+    // threshold 0.5: predicted positive = scores 0.50..1.00 (51 rows)
+    val t50 = out.find(_.getAs[Double]("threshold") == 0.5).get
+    assert(t50.getAs[Long]("tp") + t50.getAs[Long]("fp") == 51L)
+  }
+
+  test("mutualInfo: MI(x, x) = H(x) and NMI = 1") {
+    val df = Seq("a", "a", "b", "b", "c", "c", "c", "d")
+      .toDF("x").withColumn("g", lit(1)).withColumn("y", col("x"))
+    val r = Eval.mutualInfo(df, Seq("g"), "x", "y").collect().head
+    assert(r.getAs[Double]("mi") == r.getAs[Double]("h_a"))
+    assert(r.getAs[Double]("nmi") == 1.0)
+  }
+
+  test("mutualInfo: independent uniform columns have MI 0") {
+    val df = (for { a <- Seq("a", "b"); b <- Seq("x", "y", "z") }
+      yield (a, b)).toDF("u", "v").withColumn("g", lit(1))
+    val r = Eval.mutualInfo(df, Seq("g"), "u", "v").collect().head
+    assert(math.abs(r.getAs[Double]("mi")) <= 1e-6)
+  }
+
+  test("mutualInfo: both-constant columns yield NULL nmi") {
+    val df = Seq(("k", "k"), ("k", "k")).toDF("u", "v")
+      .withColumn("g", lit(1))
+    val r = Eval.mutualInfo(df, Seq("g"), "u", "v").collect().head
+    assert(r.isNullAt(r.fieldIndex("nmi")))
+    assert(r.getAs[Double]("mi") == 0.0)
+  }
+}
