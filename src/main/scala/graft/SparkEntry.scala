@@ -590,6 +590,37 @@ object SparkEntry {
       Seq("event_type"), "value", lo = 0.0, hi = 500.0, nbins = 25)
   }
 
+  /** Bounded symmetric drift on the q_psi split: Jensen-Shannon
+    * divergence over the same clamped 25-bin grid (jsd_norm ∈ [0,1] —
+    * thresholds transfer across features, unlike PSI's unbounded tail). */
+  private def qJsd(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val cut = lit("2024-01-15").cast(DateType)
+    graft.ops.Stats.jsDivergence(
+      e.filter(to_date(col("ts")) <= cut),
+      e.filter(to_date(col("ts")) > cut),
+      Seq("event_type"), "value", lo = 0.0, hi = 500.0, nbins = 25)
+  }
+
+  /** Two-sample KS statistic on the q_psi split: max |CDF_a − CDF_b|
+    * over the binned grid — exact int64 cumulative counts, one divide
+    * per CDF point. */
+  private def qKs(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val cut = lit("2024-01-15").cast(DateType)
+    graft.ops.Stats.ksStatistic(
+      e.filter(to_date(col("ts")) <= cut),
+      e.filter(to_date(col("ts")) > cut),
+      Seq("event_type"), "value", lo = 0.0, hi = 500.0, nbins = 25)
+  }
+
+  /** Top-50 PMI collocations (adjacent-pair associations, support ≥ 5)
+    * over the documents corpus — every ln takes an exact count, so raw
+    * pmi is a portable sort key; display values r6. */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.collocations(tbl(s, dir, "documents"), "doc_id",
+      "text", minCount = 5L, topK = 50)
+
   /** TPC-H Q3-shaped shipping-priority top-k: filter three tables, join,
     * aggregate revenue per order, take the top 10 by ROUNDED revenue with
     * an orderkey tiebreak (raw-double ordering can flip at 1 ulp across
@@ -2209,6 +2240,9 @@ object SparkEntry {
     "q_mode" -> (qMode _),
     "q_histogram" -> (qHistogram _),
     "q_psi" -> (qPsi _),
+    "q_jsd" -> (qJsd _),
+    "q_ks" -> (qKs _),
+    "q_collocations" -> (qCollocations _),
     "q_resample" -> (qResample _),
     "q_map_explode" -> (qMapExplode _),
     "q_window_corr" -> (qWindowCorr _),
@@ -3068,6 +3102,129 @@ object SparkEntry {
          |  CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
          |FROM j
          |GROUP BY 1""".stripMargin,
+
+    // Shares the q_psi grid CTEs; the JS term is written with the exact
+    // expression tree of Stats.jsDivergence and ln 2 as the same double
+    // literal Spark folds.
+    "q_jsd" ->
+      s"""WITH ha AS (
+         |  SELECT event_type,
+         |    CAST(floor(least(24.0, greatest(0.0,
+         |      (value - 0.0) / 20.0))) AS INT) AS bin, count(*) AS na
+         |  FROM events
+         |  WHERE value IS NOT NULL AND CAST(ts AS DATE) <= DATE '2024-01-15'
+         |  GROUP BY 1, 2),
+         |hb AS (
+         |  SELECT event_type,
+         |    CAST(floor(least(24.0, greatest(0.0,
+         |      (value - 0.0) / 20.0))) AS INT) AS bin, count(*) AS nb
+         |  FROM events
+         |  WHERE value IS NOT NULL AND CAST(ts AS DATE) > DATE '2024-01-15'
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, coalesce(ta, 0) AS ta, coalesce(tb, 0) AS tb
+         |  FROM (SELECT event_type, sum(na) AS ta FROM ha GROUP BY 1)
+         |  FULL OUTER JOIN (SELECT event_type, sum(nb) AS tb FROM hb
+         |                   GROUP BY 1) USING (event_type)),
+         |j AS (
+         |  SELECT t.event_type, t.ta, t.tb, CAST(g.bin AS INT) AS bin,
+         |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+         |  FROM t CROSS JOIN (SELECT unnest(range(25)) AS bin) g
+         |  LEFT JOIN ha ON ha.event_type = t.event_type AND ha.bin = g.bin
+         |  LEFT JOIN hb ON hb.event_type = t.event_type AND hb.bin = g.bin),
+         |s AS (
+         |  SELECT event_type,
+         |    sum((na + 1.0) / (ta + 25.0)
+         |        * ln(2.0 * ((na + 1.0) / (ta + 25.0))
+         |          / ((na + 1.0) / (ta + 25.0) + (nb + 1.0) / (tb + 25.0)))
+         |      + (nb + 1.0) / (tb + 25.0)
+         |        * ln(2.0 * ((nb + 1.0) / (tb + 25.0))
+         |          / ((na + 1.0) / (ta + 25.0) + (nb + 1.0) / (tb + 25.0))))
+         |      AS term,
+         |    CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+         |  FROM j GROUP BY 1)
+         |SELECT event_type, round(term * 0.5, 6) AS jsd,
+         |  round(term * 0.5 / 0.6931471805599453, 6) AS jsd_norm,
+         |  n_a, n_b
+         |FROM s""".stripMargin,
+
+    "q_ks" ->
+      s"""WITH ha AS (
+         |  SELECT event_type,
+         |    CAST(floor(least(24.0, greatest(0.0,
+         |      (value - 0.0) / 20.0))) AS INT) AS bin, count(*) AS na
+         |  FROM events
+         |  WHERE value IS NOT NULL AND CAST(ts AS DATE) <= DATE '2024-01-15'
+         |  GROUP BY 1, 2),
+         |hb AS (
+         |  SELECT event_type,
+         |    CAST(floor(least(24.0, greatest(0.0,
+         |      (value - 0.0) / 20.0))) AS INT) AS bin, count(*) AS nb
+         |  FROM events
+         |  WHERE value IS NOT NULL AND CAST(ts AS DATE) > DATE '2024-01-15'
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, coalesce(ta, 0) AS ta, coalesce(tb, 0) AS tb
+         |  FROM (SELECT event_type, sum(na) AS ta FROM ha GROUP BY 1)
+         |  FULL OUTER JOIN (SELECT event_type, sum(nb) AS tb FROM hb
+         |                   GROUP BY 1) USING (event_type)),
+         |j AS (
+         |  SELECT t.event_type, t.ta, t.tb, CAST(g.bin AS INT) AS bin,
+         |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+         |  FROM t CROSS JOIN (SELECT unnest(range(25)) AS bin) g
+         |  LEFT JOIN ha ON ha.event_type = t.event_type AND ha.bin = g.bin
+         |  LEFT JOIN hb ON hb.event_type = t.event_type AND hb.bin = g.bin),
+         |c AS (
+         |  SELECT event_type, ta, tb, na, nb,
+         |    sum(na) OVER (PARTITION BY event_type ORDER BY bin) AS ca,
+         |    sum(nb) OVER (PARTITION BY event_type ORDER BY bin) AS cb
+         |  FROM j)
+         |SELECT event_type,
+         |  CASE WHEN max(ta) = 0 OR max(tb) = 0 THEN NULL
+         |    ELSE round(max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+         |      - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))), 6) END AS ks,
+         |  CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+         |FROM c GROUP BY 1""".stripMargin,
+
+    // Bigrams via a positional self-join on the unnest subscripts (the
+    // Spark side zips arrays instead — same pair stream); every ln takes
+    // an exact count, pmi ordered on the raw double.
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |u AS (SELECT unnest(ts) AS term FROM toks),
+        |uni AS (SELECT term, count(*) AS n FROM u GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS tu,
+        |  (SELECT CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT)
+        |   FROM toks) AS tp),
+        |pos AS (
+        |  SELECT doc_id, unnest(ts) AS term,
+        |    generate_subscripts(ts, 1) AS pos
+        |  FROM toks),
+        |b AS (
+        |  SELECT a.term AS w1, c.term AS w2
+        |  FROM pos a JOIN pos c
+        |    ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+        |p AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM b GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, n_ab,
+        |  CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+        |  round(ln(n_ab) - ln(tp) - ln(ua.n) - ln(ub.n)
+        |    + 2.0 * ln(tu), 6) AS pmi,
+        |  CASE WHEN n_ab = tp THEN NULL
+        |    ELSE round((ln(n_ab) - ln(tp) - ln(ua.n) - ln(ub.n)
+        |        + 2.0 * ln(tu)) / (ln(tp) - ln(n_ab)), 6) END AS npmi
+        |FROM p
+        |JOIN uni ua ON p.w1 = ua.term
+        |JOIN uni ub ON p.w2 = ub.term, tot
+        |ORDER BY ln(n_ab) - ln(tp) - ln(ua.n) - ln(ub.n) + 2.0 * ln(tu)
+        |  DESC, w1, w2
+        |LIMIT 50""".stripMargin,
 
     "q_resample" ->
       s"""WITH o AS (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -265,6 +266,80 @@ object Stats {
     * join — key space |groups| × nbins regardless of row counts. */
   def psi(a: DataFrame, b: DataFrame, keys: Seq[String], value: String,
           lo: Double, hi: Double, nbins: Int): DataFrame = {
+    // the FULL bin grid per group, not just bins seen in a snapshot: with
+    // Laplace smoothing a bin empty in BOTH snapshots still contributes
+    // (1/(Na+k) − 1/(Nb+k))·ln(...) whenever the totals differ — dropping
+    // those terms understates drift between different-sized snapshots
+    val joined = smoothedBinGrid(a, b, keys, value, lo, hi, nbins)
+    val p = (col("__na") + lit(1.0)) / (col("__ta") + lit(nbins.toDouble))
+    val q = (col("__nb") + lit(1.0)) / (col("__tb") + lit(nbins.toDouble))
+    joined
+      .withColumn("__term", (p - q) * log(p / q))
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum(col("__term")), 6).as("psi"),
+        sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+  }
+
+  /** Jensen-Shannon divergence between two snapshots — PSI's bounded,
+    * symmetric sibling (PSI is unbounded and explodes when a bin's
+    * share → 0; JSD stays in [0, ln 2], so thresholds transfer across
+    * features). Same clamped grid, full bin enumeration and Laplace
+    * smoothing as [[psi]]:
+    *   JSD = ½ Σ p·ln(2p/(p+q)) + q·ln(2q/(p+q))
+    * with `jsd_norm` = JSD / ln 2 in [0, 1]. Identical cost shape:
+    * two histogram aggregates + a |groups| × nbins join. */
+  def jsDivergence(a: DataFrame, b: DataFrame, keys: Seq[String],
+                   value: String, lo: Double, hi: Double,
+                   nbins: Int): DataFrame = {
+    val joined = smoothedBinGrid(a, b, keys, value, lo, hi, nbins)
+    val p = (col("__na") + lit(1.0)) / (col("__ta") + lit(nbins.toDouble))
+    val q = (col("__nb") + lit(1.0)) / (col("__tb") + lit(nbins.toDouble))
+    val term = p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q))
+    joined
+      .withColumn("__term", term)
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum(col("__term")) * lit(0.5), 6).as("jsd"),
+        round(sum(col("__term")) * lit(0.5) / lit(math.log(2.0)), 6)
+          .as("jsd_norm"),
+        sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between two snapshots over
+    * the binned grid: max over bin edges of |CDF_a − CDF_b| (exact for
+    * the binned distributions — the caller's bin width sets the
+    * resolution, same contract as [[histogram]]). Unsmoothed: each CDF
+    * is a single divide of exact int64 cumulative counts, so the max
+    * is over bit-identical doubles. The cumulative window runs over at
+    * most `nbins` rows per group — never over the data. A side with no
+    * rows has no CDF: ks is NULL there. */
+  def ksStatistic(a: DataFrame, b: DataFrame, keys: Seq[String],
+                  value: String, lo: Double, hi: Double,
+                  nbins: Int): DataFrame = {
+    val joined = smoothedBinGrid(a, b, keys, value, lo, hi, nbins)
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    joined
+      .withColumn("__ca", sum(col("__na")).over(wCum))
+      .withColumn("__cb", sum(col("__nb")).over(wCum))
+      .withColumn("__d",
+        abs(col("__ca").cast("double") / col("__ta").cast("double")
+          - col("__cb").cast("double") / col("__tb").cast("double")))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        when(max(col("__ta")) === 0L || max(col("__tb")) === 0L, lit(null))
+          .otherwise(round(max(col("__d")), 6)).as("ks"),
+        sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+  }
+
+  /** Shared drift-grid builder: both snapshots histogrammed on the same
+    * clamped fixed-range grid, full bin enumeration per group (bins
+    * empty in both snapshots included — see psi's smoothing note),
+    * missing counts zero-filled. Columns: keys, bin, __na, __nb, __ta,
+    * __tb. */
+  private def smoothedBinGrid(a: DataFrame, b: DataFrame, keys: Seq[String],
+                              value: String, lo: Double, hi: Double,
+                              nbins: Int): DataFrame = {
     val ha = histogram(a, keys, value, lo, hi, nbins)
       .select((keys.map(col) :+ col("bin") :+ col("n").as("__na")): _*)
     val hb = histogram(b, keys, value, lo, hi, nbins)
@@ -274,22 +349,9 @@ object Stats {
       .join(hb.groupBy(keys.map(col): _*).agg(sum(col("__nb")).as("__tb")),
         keys, "full_outer")
       .na.fill(0L, Seq("__ta", "__tb"))
-    // the FULL bin grid per group, not just bins seen in a snapshot: with
-    // Laplace smoothing a bin empty in BOTH snapshots still contributes
-    // (1/(Na+k) − 1/(Nb+k))·ln(...) whenever the totals differ — dropping
-    // those terms understates drift between different-sized snapshots
-    val grid = totals.withColumn("bin",
-      explode(sequence(lit(0), lit(nbins - 1))))
-    val joined = grid
+    totals.withColumn("bin", explode(sequence(lit(0), lit(nbins - 1))))
       .join(ha, keys :+ "bin", "left").join(hb, keys :+ "bin", "left")
       .na.fill(0L, Seq("__na", "__nb"))
-    val p = (col("__na") + lit(1.0)) / (col("__ta") + lit(nbins.toDouble))
-    val q = (col("__nb") + lit(1.0)) / (col("__tb") + lit(nbins.toDouble))
-    joined
-      .withColumn("__term", (p - q) * log(p / q))
-      .groupBy(keys.map(col): _*)
-      .agg(round(sum(col("__term")), 6).as("psi"),
-        sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
   }
 
   /** Winsorization: clip `value` to its per-group [pLo, pHi] exact

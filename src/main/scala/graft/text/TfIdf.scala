@@ -261,4 +261,61 @@ object TfIdf {
         .orderBy(col("total_count").desc, col("term").asc)))
     topN.fold(ranked)(n => ranked.filter(col("freq_rank") <= n))
   }
+
+  /** PMI collocations: the top-K adjacent token pairs most associated
+    * beyond chance — the phrase/multi-word-unit miner that feeds
+    * tokenizer merges and boilerplate discovery.
+    *
+    *   pmi  = ln n_ab − ln T_pairs − ln n_a − ln n_b + 2·ln T_tokens
+    *   npmi = pmi / (ln T_pairs − ln n_ab)            ∈ [−1, 1]
+    *
+    * Every ln takes an exact int64 count and the term order is fixed, so
+    * the doubles are bit-identical cross-engine and raw `pmi` is a
+    * portable sort key (same discipline as rerankByCosine's cosine).
+    *
+    * Scale shape: bigrams come from a per-row array zip — NO shuffle, no
+    * per-doc window, no positional self-join; the only shuffles are the
+    * two count aggregates. The `minCount` support cut applies to the
+    * pair frame BEFORE either unigram join (rare-pair noise — PMI's
+    * known failure mode — never reaches a join), and the final top-K is
+    * TakeOrderedAndProject. */
+  def collocations(df: DataFrame, id: String, text: String,
+                   minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val toks = df.select(TextAnalysis.tokens(col(text)).as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__nt"))
+    val pairsAll = toks
+      .withColumn("__w1", slice(col("__ts"), lit(1),
+        greatest(size(col("__ts")) - 1, lit(0))))
+      .withColumn("__w2", slice(col("__ts"), lit(2),
+        greatest(size(col("__ts")) - 1, lit(0))))
+      .select(explode(arrays_zip(col("__w1"), col("__w2"))).as("__bg"))
+      .select(col("__bg.__w1").as("w1"), col("__bg.__w2").as("w2"))
+    val totals = toks.agg(
+      sum(size(col("__ts"))).as("__tu"),
+      sum(greatest(size(col("__ts")) - 1, lit(0))).as("__tp"))
+    val pairs = pairsAll.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val lnOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => log(c.cast("double"))
+    val pmi = lnOf(col("n_ab")) - lnOf(col("__tp")) - lnOf(col("n_a")) -
+      lnOf(col("n_b")) + lit(2.0) * lnOf(col("__tu"))
+    pairs
+      .join(uni.select(col("term").as("w1"), col("__nt").as("n_a")), "w1")
+      .join(uni.select(col("term").as("w2"), col("__nt").as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", pmi)
+      // a pair that IS the whole pair stream has ln(Tp/n_ab) = 0 — npmi's
+      // normalizer vanishes (degenerate one-bigram corpus), not a divide
+      .withColumn("npmi",
+        when(col("n_ab") === col("__tp"), lit(null))
+          .otherwise(col("pmi") / (lnOf(col("__tp")) - lnOf(col("n_ab")))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("pmi"), 6).as("pmi"), round(col("npmi"), 6).as("npmi"))
+  }
 }

@@ -394,6 +394,52 @@ class PropertySpec extends SparkSpec {
       s"full-grid smoothed PSI: got $got, want $expected")
   }
 
+  test("jsd/ks: zero on identical, bounded, maximal on disjoint support") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new Random(seed)
+      val a = Seq.fill(400)(("g", rnd.nextDouble() * 50)).toDF("k", "v")
+      val b = Seq.fill(300)(("g", rnd.nextDouble() * 50 + 80)).toDF("k", "v")
+      def jsd(x: org.apache.spark.sql.DataFrame,
+              y: org.apache.spark.sql.DataFrame): (Double, Double) =
+        graft.ops.Stats.jsDivergence(x, y, Seq("k"), "v", 0.0, 130.0, 13)
+          .select("jsd", "jsd_norm").as[(Double, Double)].collect()(0)
+      def ks(x: org.apache.spark.sql.DataFrame,
+             y: org.apache.spark.sql.DataFrame): Double =
+        graft.ops.Stats.ksStatistic(x, y, Seq("k"), "v", 0.0, 130.0, 13)
+          .select("ks").as[Double].collect()(0)
+      assert(jsd(a, a)._1 == 0.0 && ks(a, a) == 0.0,
+        "identical snapshots must score 0")
+      assert(jsd(a, b) == jsd(b, a), "JSD is swap-symmetric")
+      val (j, jn) = jsd(a, b)
+      assert(j > 0.0 && j <= math.log(2.0) + 1e-9 && jn <= 1.0,
+        s"JSD must stay in (0, ln 2]: $j / $jn")
+      // Laplace smoothing leaks 1/(N+nbins) mass into every bin, so the
+      // disjoint-support score lands near — not at — the ln 2 pole
+      assert(jn > 0.8, "disjoint supports must approach the ln 2 bound")
+      assert(ks(a, b) == 1.0,
+        "disjoint binned supports have a full CDF gap")
+    }
+  }
+
+  test("collocations: a planted adjacent phrase dominates PMI") {
+    // "zqx yvw" always adjacent; fillers are shuffled high-frequency noise
+    val rnd = new Random(5)
+    val fillers = Seq("the", "of", "and", "data")
+    val docs = (1L to 60L).map { i =>
+      val noise = Seq.fill(6)(fillers(rnd.nextInt(fillers.size)))
+      val (pre, post) = noise.splitAt(3)
+      (i, (pre ++ Seq("zqx", "yvw") ++ post).mkString(" "))
+    }.toDF("doc_id", "text")
+    val top = graft.text.TfIdf.collocations(docs, "doc_id", "text",
+      minCount = 5L, topK = 5).collect()
+    assert(top.head.getAs[String]("w1") == "zqx" &&
+      top.head.getAs[String]("w2") == "yvw",
+      s"planted phrase must rank first: ${top.toSeq}")
+    assert(top.head.getAs[Long]("n_ab") == 60L)
+    // planted pair occurs always-adjacent: npmi must sit near the +1 pole
+    assert(top.head.getAs[Double]("npmi") > 0.8)
+  }
+
   test("funnelCounts: stage counts are monotone non-increasing") {
     for (seed <- Seq(13, 37)) {
       val rnd = new Random(seed)
