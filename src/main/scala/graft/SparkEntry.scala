@@ -414,6 +414,14 @@ object SparkEntry {
         iters = 3)
       .select(col("id").as("part_id"), col("s").as("score"))
 
+  /** Per-part triangle counts + local clustering coefficient over the
+    * co-purchase graph — degree-oriented wedge counting (all exact
+    * integers; cc is the one divide). */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleStats(
+      graft.ops.Graph.coOccurrenceEdges(tbl(s, dir, "lineitem"),
+        group = "l_orderkey", item = "l_partkey"))
+
   /** Weighted PageRank over the same co-purchase graph: mass flows
     * proportionally to co-purchase multiplicity (s·w DIV strength). */
   private def qPagerankWeighted(s: SparkSession, dir: String): DataFrame =
@@ -2289,6 +2297,7 @@ object SparkEntry {
     "q_top_paths" -> (qTopPaths _),
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_weighted" -> (qPagerankWeighted _),
+    "q_triangles" -> (qTriangles _),
     "q_lm_score" -> (qLmScore _),
     "q_profile" -> (qProfile _),
     "q_series_corr" -> (qSeriesCorr _),
@@ -2607,6 +2616,40 @@ object SparkEntry {
          |FROM p GROUP BY 1
          |ORDER BY n_sessions DESC, path
          |LIMIT 20""".stripMargin,
+
+    // The oracle needs no orientation trick: a direct 3-way join on the
+    // canonical (lo < hi) pair set enumerates each triangle once as
+    // a < b < c; per-vertex counts unnest the triple.
+    "q_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |small AS (
+        |  SELECT g FROM items GROUP BY g HAVING count(*) <= 1000),
+        |pruned AS (SELECT items.* FROM items JOIN small USING (g)),
+        |pairs AS (
+        |  SELECT DISTINCT a.i AS id1, b.i AS id2
+        |  FROM pruned a JOIN pruned b ON a.g = b.g AND a.i < b.i),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT id1 AS id FROM pairs
+        |        UNION ALL SELECT id2 FROM pairs)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.id2 = e2.id1
+        |  JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+        |pv AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.id, d.degree,
+        |  coalesce(pv.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree < 2 THEN NULL
+        |    ELSE CAST(2 * coalesce(pv.triangles, 0) AS DOUBLE)
+        |      / CAST(d.degree * (d.degree - 1) AS DOUBLE) END
+        |    AS clustering_coeff
+        |FROM deg d LEFT JOIN pv ON d.id = pv.id""".stripMargin,
 
     "q_pagerank" ->
       """WITH items AS (

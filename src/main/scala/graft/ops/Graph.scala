@@ -111,34 +111,109 @@ object Graph {
     * (same cap discipline as the dedup shingle maxDf) — at 100 TB a
     * single degenerate group would otherwise dominate the join. */
   def coOccurrenceEdges(df: DataFrame, group: String, item: String,
-                        maxGroupSize: Int = 1000): DataFrame = {
-    val items = df.select(col(group).as("__g"), col(item).as("__i"))
-      .distinct()
-    val small = items.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxGroupSize)
-      .select("__g")
-    val in = items.join(small, "__g")
-    in.as("a").join(in.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
-      .select(col("a.__i").as("id1"), col("b.__i").as("id2"))
-      .distinct()
-  }
+                        maxGroupSize: Int = 1000): DataFrame =
+    groupPairs(df, group, item, maxGroupSize).distinct()
+
+  /** All (id1 < id2) co-occurring item pairs, one row per (group, pair)
+    * occurrence. ONE shuffle: groups collapse to sorted distinct-item
+    * arrays (collect_set state is bounded by the cap check right after),
+    * then pairs expand NARROWLY from each array — the per-group
+    * quadratic happens in memory on ≤ maxGroupSize elements, never as a
+    * per-group self-join exchange. */
+  private def groupPairs(df: DataFrame, group: String, item: String,
+                         maxGroupSize: Int): DataFrame =
+    df.select(col(group).as("__g"), col(item).as("__i"))
+      .groupBy("__g")
+      .agg(sort_array(collect_set(col("__i"))).as("__arr"))
+      .filter(size(col("__arr")).between(2, maxGroupSize))
+      .select(explode(expr(
+        "flatten(transform(__arr, (x, i) -> " +
+          "transform(slice(__arr, i + 2, size(__arr) - i - 1), " +
+          "y -> struct(x AS id1, y AS id2))))")).as("__p"))
+      .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
 
   /** [[coOccurrenceEdges]] with association strength: w = number of
     * groups the pair co-occurs in (each group contributes at most one —
     * items are de-duplicated per group first). Same maxGroupSize cap
     * before the quadratic expansion. */
   def coOccurrenceEdgesWeighted(df: DataFrame, group: String, item: String,
-                                maxGroupSize: Int = 1000): DataFrame = {
-    val items = df.select(col(group).as("__g"), col(item).as("__i"))
-      .distinct()
-    val small = items.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxGroupSize)
-      .select("__g")
-    val in = items.join(small, "__g")
-    in.as("a").join(in.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
-      .select(col("a.__i").as("id1"), col("b.__i").as("id2"))
+                                maxGroupSize: Int = 1000): DataFrame =
+    groupPairs(df, group, item, maxGroupSize)
       .groupBy("id1", "id2").agg(count(lit(1)).as("w"))
+
+  /** Per-vertex triangle counts + local clustering coefficient over an
+    * undirected edge list — the cohesion signal that separates tight
+    * near-dup/boilerplate cliques (cc → 1) from hub-like connectors
+    * (cc → 0) in a similarity graph.
+    *
+    * Degree-oriented adjacency intersection: every edge is directed
+    * from its (degree, id)-smaller endpoint to the larger, so a
+    * vertex's OUT-neighborhood is O(√m) even for hubs; each triangle
+    * then closes exactly once, at its orientation-minimal edge, as
+    * w ∈ N⁺(u) ∩ N⁺(v). The intersection runs per edge over two
+    * bounded arrays (array_intersect is hash-linear) — the wedge set is
+    * never materialized through a shuffle, which is what makes this
+    * ~m^1.5 CPU-bound instead of a Σoutdeg²-row exchange. Shuffles:
+    * canonicalize, degree agg, adjacency agg, and two edge⋈adjacency
+    * joins — all |edges|-bounded (the same cap-the-quadratic discipline
+    * as [[coOccurrenceEdges]]). Everything is exact integer counting;
+    * the clustering coefficient 2·T_v / (deg·(deg−1)) is the single
+    * IEEE divide of exact int64s, NULL for degree < 2 (no possible
+    * wedge — not 0/0).
+    *
+    * Input edges may carry duplicates / reversed copies / self-loops;
+    * they canonicalize to distinct (lo < hi) pairs first. */
+  def triangleStats(edges: DataFrame, src: String = "id1",
+                    dst: String = "id2"): DataFrame = {
+    // materialized: canon feeds the degree agg AND the orientation join,
+    // and upstream edge builders (coOccurrenceEdges' capped self-join)
+    // are far more expensive than the |edges| snapshot — without this
+    // the build would re-run for every consumer below (the same
+    // discipline as pageRank's deep-loop checkpoint and Q21's late set)
+    val canon = edges
+      .select(least(col(src), col(dst)).as("lo"),
+        greatest(col(src), col(dst)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("lo").as("id"))
+      .unionAll(canon.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): u -> v iff (deg_u, u) < (deg_v, v)
+    val withDeg = canon
+      .join(deg.select(col("id").as("lo"), col("degree").as("__dl")), "lo")
+      .join(deg.select(col("id").as("hi"), col("degree").as("__dh")), "hi")
+    val oriented = withDeg.select(
+      when(col("__dl") < col("__dh") ||
+          (col("__dl") === col("__dh") && col("lo") < col("hi")),
+        struct(col("lo").as("u"), col("hi").as("v")))
+        .otherwise(struct(col("hi").as("u"), col("lo").as("v")))
+        .as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
+    // for the triangle a < b < c (orientation order), only the (a, b)
+    // edge sees c in N⁺(u) ∩ N⁺(v): a→c exists but c→b does not, so no
+    // other edge of the triangle can close it — each triangle counts
+    // once, crediting u, v, and every common neighbor w
+    val adj = oriented.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("__nu"))
+    val tris = oriented
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("v"), col("__nu").as("__nv")), Seq("v"))
+      .withColumn("__common", array_intersect(col("__nu"), col("__nv")))
+      .filter(size(col("__common")) > 0)
+      .select(col("u"), col("v"), col("__common"))
+    val perVertex = tris
+      .select(col("u").as("id"), size(col("__common")).cast("long").as("__t"))
+      .unionAll(tris.select(col("v").as("id"),
+        size(col("__common")).cast("long").as("__t")))
+      .unionAll(tris.select(explode(col("__common")).as("id"),
+        lit(1L).as("__t")))
+      .groupBy("id").agg(sum(col("__t")).as("triangles"))
+    deg.join(perVertex, Seq("id"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") < 2L, lit(null))
+          .otherwise((lit(2L) * col("triangles")).cast("double")
+            / (col("degree") * (col("degree") - lit(1L))).cast("double")))
   }
 }

@@ -421,6 +421,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangleStats: matches brute-force enumeration on random graphs") {
+    for (seed <- Seq(3, 11, 42)) {
+      val rnd = new Random(seed)
+      val n = 40
+      val edges = Seq.fill(160)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val adj = canon.toSet
+      def has(a: Long, b: Long) = adj((math.min(a, b), math.max(a, b)))
+      val ids = canon.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val bruteTri = ids.map { v =>
+        val nbrs = ids.filter(u => u != v && has(u, v))
+        v -> nbrs.combinations(2).count { case Seq(x, y) => has(x, y) }
+      }.toMap
+      val bruteDeg = ids.map(v => v -> ids.count(u => u != v && has(u, v))).toMap
+      // feed RAW edges (dups + both orders) — the op must canonicalize
+      val got = graft.ops.Graph.triangleStats(edges.toDF("id1", "id2"))
+        .collect().map(r => (r.getAs[Long]("id"),
+          (r.getAs[Long]("degree"), r.getAs[Long]("triangles")))).toMap
+      assert(got.keySet == ids.toSet)
+      ids.foreach { v =>
+        assert(got(v) == ((bruteDeg(v).toLong, bruteTri(v).toLong)),
+          s"vertex $v: got ${got(v)}, want (${bruteDeg(v)}, ${bruteTri(v)})")
+      }
+    }
+  }
+
   test("collocations: a planted adjacent phrase dominates PMI") {
     // "zqx yvw" always adjacent; fillers are shuffled high-frequency noise
     val rnd = new Random(5)
