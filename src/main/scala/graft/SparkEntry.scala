@@ -1808,6 +1808,22 @@ object SparkEntry {
       Seq("fold"), element_at(col("embedding"), 1).cast("double"),
       col("label") < 5, Seq(-0.3, -0.1, 0.0, 0.1, 0.3))
 
+  /** Calibration bins for the stand-in scorer: 10 bands over [−0.5, 0.5],
+    * positive rate vs mean score per band (exactAvg discipline). */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.calibrationBins(
+      tbl(s, dir, "embeddings")
+        .withColumn("fold", pmod(col("vec_id"), lit(2L))),
+      Seq("fold"), element_at(col("embedding"), 1).cast("double"),
+      col("label") < 5, lo = -0.5, hi = 0.5, nbins = 10)
+
+  /** Zipf tail exponent (Hill, top-20 ranks — the synthetic corpus
+    * draws from a ~31-word list) of the documents token distribution +
+    * top-1 token share. */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.zipfTail(tbl(s, dir, "documents"), "doc_id", "text",
+      k = 20)
+
   /** Mutual information lang × source per doc_id-parity split — the
     * label/metadata dependence audit (near-zero MI expected on the
     * synthetic corpus). Entropy-form ln-sums over the tiny pair key
@@ -2359,6 +2375,8 @@ object SparkEntry {
     "q_auc" -> (qAuc _),
     "q_pr_curve" -> (qPrCurve _),
     "q_mutual_info" -> (qMutualInfo _),
+    "q_calibration" -> (qCalibration _),
+    "q_zipf" -> (qZipf _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -3928,6 +3946,56 @@ object SparkEntry {
         |    ELSE CAST(2 * tp AS DOUBLE)
         |      / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
         |FROM c""".stripMargin,
+
+    "q_calibration" ->
+      """WITH s AS (
+        |  SELECT vec_id % 2 AS fold,
+        |    CAST(embedding[1] AS DOUBLE) AS score,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings)
+        |SELECT fold,
+        |  CAST(least(greatest(floor((score - (-0.5)) / 0.1), 0.0), 9.0)
+        |    AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  round(-0.5 + CAST(least(greatest(floor((score - (-0.5)) / 0.1),
+        |    0.0), 9.0) AS INT) * 0.1, 6) AS bin_lo,
+        |  round(-0.5 + (CAST(least(greatest(floor((score - (-0.5)) / 0.1),
+        |    0.0), 9.0) AS INT) + 1) * 0.1, 6) AS bin_hi,
+        |  CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+        |  round(sum(score), 6) / CAST(count(*) AS DOUBLE) AS mean_score
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_zipf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS total_count
+        |  FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT total_count, row_number() OVER
+        |    (ORDER BY total_count DESC, term) AS freq_rank
+        |  FROM vocab),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+        |kp1 AS (SELECT total_count AS fk1 FROM ranked WHERE freq_rank = 21),
+        |t1 AS (SELECT total_count AS f1 FROM ranked WHERE freq_rank = 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    round(sum(ln(CAST(total_count AS DOUBLE)))
+        |      - 20.0 * ln(CAST(fk1 AS DOUBLE)), 6) AS den
+        |  FROM ranked, kp1 WHERE freq_rank <= 20 GROUP BY fk1)
+        |SELECT k,
+        |  CASE WHEN k < 20 OR den <= 0.0 THEN NULL
+        |    ELSE round(1.0 + 20.0 / den, 6) END AS alpha,
+        |  CASE WHEN k < 20 OR den <= 0.0 THEN NULL
+        |    ELSE round(den / 20.0, 6) END AS zipf_s,
+        |  CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top1_share,
+        |  n_tokens
+        |FROM agg, tot, t1""".stripMargin,
 
     // MI = ln N + (Σ_ab n ln n − Σ_a n ln n − Σ_b n ln n) / N — the same
     // exact-count entropy form as q_entropy, r6 on every output.

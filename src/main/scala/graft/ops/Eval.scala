@@ -139,6 +139,40 @@ object Eval {
         lit(2L) * col("tp") + col("fp") + col("fn")))
   }
 
+  /** Calibration (reliability) bins per group: the score axis banded on
+    * the same clamped fixed-range grid as Stats.histogram, each bin
+    * reporting its positive rate against its mean score — the "is 0.8
+    * really 80%?" diagnostic that decides whether a quality score can be
+    * thresholded directly or needs recalibration first.
+    *
+    * One |groups|×nbins-key aggregate. pos_rate is a single divide of
+    * exact int64s; mean_score follows the exactAvg discipline (6dp-
+    * rounded sum over the bin, then one divide) so both engines cut the
+    * same doubles. Empty bins are absent (join against a grid downstream
+    * if a dense axis is needed — same contract as histogram). */
+  def calibrationBins(df: DataFrame, keys: Seq[String], score: Column,
+                      positive: Column, lo: Double, hi: Double,
+                      nbins: Int = 10): DataFrame = {
+    require(nbins >= 1, s"nbins must be >= 1: $nbins")
+    require(lo < hi, s"need lo < hi: [$lo, $hi]")
+    val k = keys.map(col)
+    val width = (hi - lo) / nbins
+    val bin = least(greatest(floor((score - lit(lo)) / lit(width)),
+      lit(0.0)), lit((nbins - 1).toDouble)).cast("int")
+    df.filter(score.isNotNull && positive.isNotNull)
+      .select((k ++ Seq(bin.as("bin"), score.as("__s"),
+        when(positive, 1L).otherwise(0L).as("__p"))): _*)
+      .groupBy((k :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"),
+        round(sum(col("__s")), 6).as("__ssum"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * lit(width), 6))
+      .withColumn("bin_hi", round(lit(lo) + (col("bin") + 1) * lit(width), 6))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("mean_score", col("__ssum") / col("n").cast("double"))
+      .drop("__ssum")
+  }
+
   /** Mutual information between two categorical columns per group —
     * the "is my label independent of source/language?" audit. Uses the
     * identity MI = H(a) + H(b) − H(a,b) in Stats.entropy's exact-count

@@ -262,6 +262,52 @@ object TfIdf {
     topN.fold(ranked)(n => ranked.filter(col("freq_rank") <= n))
   }
 
+  /** Power-law fit of the token-frequency head via the Hill estimator
+    * over the top-k ranks. With D = Σ_{i≤k} ln f_i − k·ln f_{k+1}:
+    *
+    *   zipf_s = D / k        rank-law slope  (f_r ∝ r^−s; natural text s ≈ 1)
+    *   alpha  = 1 + k / D    frequency-pdf exponent  (p(f) ∝ f^−α; α = 1 + 1/s)
+    *
+    * — the tokenizer-design diagnostic for how head-heavy the corpus is
+    * (s drifting HIGH flags boilerplate flooding the head; both
+    * conventions emitted because the literature uses both). Every ln
+    * takes an exact int64 count and the ordering is the deterministic
+    * (count desc, term) vocabulary rank, so the estimate is
+    * engine-portable; only the Σ ln f_i float sum carries r6. Also
+    * emits the top-1 token share (single divide). Cost: the
+    * [[vocabulary]] aggregate + a k-row aggregate; NULL α/s on a flat
+    * head (zero D); a corpus with ≤ k distinct tokens has no
+    * rank-(k+1) pivot and yields zero rows. */
+  def zipfTail(df: DataFrame, id: String, text: String,
+               k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val v = vocabulary(df, id, text, topN = Some(k + 1))
+      .select(col("freq_rank"), col("total_count"))
+    val tot = df.select(explode(TextAnalysis.tokens(col(text))).as("t"))
+      .agg(count(lit(1)).as("__n_tokens"))
+    val kp1 = v.filter(col("freq_rank") === k + 1)
+      .select(col("total_count").as("__fk1"))
+    val top1 = v.filter(col("freq_rank") === 1)
+      .select(col("total_count").as("__f1"))
+    val denom = sum(log(col("total_count").cast("double"))) -
+      lit(k.toDouble) * log(col("__fk1").cast("double"))
+    v.filter(col("freq_rank") <= k)
+      .crossJoin(broadcast(kp1))
+      .groupBy(col("__fk1"))
+      .agg(count(lit(1)).as("__k"), round(denom, 6).as("__den"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(top1))
+      .select(
+        col("__k").as("k"),
+        when(col("__k") < k || col("__den") <= 0.0, lit(null))
+          .otherwise(round(lit(1.0) +
+            lit(k.toDouble) / col("__den"), 6)).as("alpha"),
+        when(col("__k") < k || col("__den") <= 0.0, lit(null))
+          .otherwise(round(col("__den") / lit(k.toDouble), 6)).as("zipf_s"),
+        (col("__f1").cast("double") / col("__n_tokens").cast("double"))
+          .as("top1_share"),
+        col("__n_tokens").as("n_tokens"))
+  }
+
   /** PMI collocations: the top-K adjacent token pairs most associated
     * beyond chance — the phrase/multi-word-unit miner that feeds
     * tokenizer merges and boilerplate discovery.

@@ -66,6 +66,40 @@ class EvalSpec extends SparkSpec {
     assert(t50.getAs[Long]("tp") + t50.getAs[Long]("fp") == 51L)
   }
 
+  test("calibrationBins: bin accounting and rates on a planted grid") {
+    // 10 rows per decile, i positives in decile i → pos_rate = i/10
+    val rows = for { b <- 0 until 10; i <- 0 until 10 }
+      yield (b / 10.0 + 0.05, i < b)
+    val df = rows.toDF("score", "pos").withColumn("g", lit(1))
+    val out = Eval.calibrationBins(df, Seq("g"), col("score"), col("pos"),
+      lo = 0.0, hi = 1.0, nbins = 10).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val b = r.getAs[Int]("bin")
+      assert(r.getAs[Long]("n") == 10L)
+      assert(r.getAs[Double]("pos_rate") == b / 10.0)
+      assert(math.abs(r.getAs[Double]("mean_score") - (b / 10.0 + 0.05))
+        < 1e-9)
+    }
+  }
+
+  test("zipfTail: recovers a planted power-law exponent") {
+    // counts f_r = round(10^6 / r^2) for ranks 1..60: alpha ≈ 2
+    val docs = (1 to 60).flatMap { r =>
+      val f = math.max(1, math.round(1e6 / (r.toDouble * r)).toInt)
+      Seq.fill(f)(s"w$r")
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val out = graft.text.TfIdf.zipfTail(docs, "doc_id", "text", k = 30)
+      .collect().head
+    // planted rank slope s = 2 → pdf exponent alpha = 1 + 1/s = 1.5
+    val s = out.getAs[Double]("zipf_s")
+    val alpha = out.getAs[Double]("alpha")
+    assert(s > 1.7 && s < 2.2, s"Hill rank slope off: $s")
+    assert(alpha > 1.4 && alpha < 1.65, s"pdf exponent off: $alpha")
+    assert(out.getAs[Long]("k") == 30L)
+  }
+
   test("mutualInfo: MI(x, x) = H(x) and NMI = 1") {
     val df = Seq("a", "a", "b", "b", "c", "c", "c", "d")
       .toDF("x").withColumn("g", lit(1)).withColumn("y", col("x"))
