@@ -1808,6 +1808,25 @@ object SparkEntry {
       Seq("fold"), element_at(col("embedding"), 1).cast("double"),
       col("label") < 5, Seq(-0.3, -0.1, 0.0, 0.1, 0.3))
 
+  /** Kaplan-Meier survival of session durations (minutes) per user-parity
+    * cohort, right-censored at the observation horizon: a session whose
+    * 30-min gap window is still open at the corpus max timestamp has not
+    * "ended" — it counts as at-risk, never as an event. */
+  private def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.byGap(ev(s, dir), "user_id", "ts", "value",
+      gapMinutes = 30, tiebreak = "event_id")
+    val horizon = ev(s, dir).agg(max(unix_micros(col("ts"))).as("__hz"))
+    val durs = sess.crossJoin(broadcast(horizon))
+      .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      .withColumn("dur_min",
+        expr("(unix_micros(session_end) - unix_micros(session_start)) " +
+          "DIV 60000000"))
+      .withColumn("obs",
+        unix_micros(col("session_end")) + lit(1800000000L) <= col("__hz"))
+    graft.ops.Survival.kaplanMeier(durs, Seq("cohort"), "dur_min",
+      col("obs"))
+  }
+
   /** Calibration bins for the stand-in scorer: 10 bands over [−0.5, 0.5],
     * positive rate vs mean score per band (exactAvg discipline). */
   private def qCalibration(s: SparkSession, dir: String): DataFrame =
@@ -2377,6 +2396,7 @@ object SparkEntry {
     "q_mutual_info" -> (qMutualInfo _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
+    "q_survival" -> (qSurvival _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -3946,6 +3966,52 @@ object SparkEntry {
         |    ELSE CAST(2 * tp AS DOUBLE)
         |      / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
         |FROM c""".stripMargin,
+
+    // Sessions replay q_sessionize's CTEs; the KM product runs as
+    // exp(cumulative ln-sum) in fixed duration order, with the d = n_risk
+    // wipe-out state pinned to 0.0 by an integer flag (ln 0 is NULL in
+    // Spark but -inf in DuckDB — neither is allowed to matter).
+    "q_survival" ->
+      s"""WITH x AS (SELECT user_id, $TS AS tts, event_id FROM events),
+         |y AS (SELECT *, CASE WHEN epoch_us(tts) - lag(epoch_us(tts))
+         |    OVER (PARTITION BY user_id ORDER BY tts, event_id)
+         |    > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+         |z AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY tts, event_id ROWS UNBOUNDED PRECEDING)
+         |    AS session_idx FROM y),
+         |hz AS (SELECT max(epoch_us(tts)) AS h FROM x),
+         |sess AS (
+         |  SELECT user_id % 2 AS cohort,
+         |    (epoch_us(max(tts)) - epoch_us(min(tts))) // 60000000 AS t,
+         |    CASE WHEN epoch_us(max(tts)) + 1800000000 <= hz.h
+         |      THEN 1 ELSE 0 END AS obs
+         |  FROM z, hz GROUP BY user_id, session_idx, hz.h),
+         |g AS (
+         |  SELECT cohort, t, CAST(sum(obs) AS BIGINT) AS d,
+         |    CAST(sum(1 - obs) AS BIGINT) AS c
+         |  FROM sess GROUP BY 1, 2),
+         |tot AS (SELECT cohort, sum(d + c) AS tt FROM g GROUP BY 1),
+         |w AS (
+         |  SELECT g.*, CAST(tt - coalesce(sum(d + c) OVER
+         |    (PARTITION BY g.cohort ORDER BY t
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS n_risk
+         |  FROM g JOIN tot ON g.cohort = tot.cohort),
+         |f AS (
+         |  SELECT *,
+         |    sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY cohort ORDER BY t
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+         |    sum(CASE WHEN d = n_risk THEN 0.0
+         |      ELSE ln(CAST(n_risk - d AS DOUBLE)
+         |        / CAST(n_risk AS DOUBLE)) END) OVER
+         |      (PARTITION BY cohort ORDER BY t
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+         |  FROM w)
+         |SELECT cohort, t, n_risk, d, c,
+         |  CASE WHEN dead > 0 THEN 0.0 ELSE round(exp(lnsum), 6) END
+         |    AS survival
+         |FROM f""".stripMargin,
 
     "q_calibration" ->
       """WITH s AS (

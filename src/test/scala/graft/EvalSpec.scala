@@ -100,6 +100,26 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Long]("k") == 30L)
   }
 
+  test("kaplanMeier: textbook censored fixture and wipe-out pinning") {
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, true),
+      (5L, false)).toDF("t", "obs").withColumn("g", lit(1))
+    val out = graft.ops.Survival.kaplanMeier(df, Seq("g"), "t", col("obs"))
+      .orderBy("t").collect()
+    val s = out.map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+      r.getAs[Double]("survival")))
+    assert(s(0) == ((1L, 5L, 0.8)))
+    assert(s(1) == ((2L, 4L, 0.8)))         // censoring alone never drops S
+    assert(s(2) == ((3L, 3L, 0.533333)))    // 0.8 * 2/3
+    assert(s(3) == ((4L, 2L, 0.266667)))    // * 1/2
+    assert(s(4) == ((5L, 1L, 0.266667)))
+    // everyone at risk dies at t=2: survival pins to exactly 0.0
+    val wipe = Seq((1L, true), (2L, true), (2L, true))
+      .toDF("t", "obs").withColumn("g", lit(1))
+    val w = graft.ops.Survival.kaplanMeier(wipe, Seq("g"), "t", col("obs"))
+      .orderBy("t").collect()
+    assert(w(1).getAs[Double]("survival") == 0.0)
+  }
+
   test("mutualInfo: MI(x, x) = H(x) and NMI = 1") {
     val df = Seq("a", "a", "b", "b", "c", "c", "c", "d")
       .toDF("x").withColumn("g", lit(1)).withColumn("y", col("x"))
