@@ -1808,6 +1808,23 @@ object SparkEntry {
       Seq("fold"), element_at(col("embedding"), 1).cast("double"),
       col("label") < 5, Seq(-0.3, -0.1, 0.0, 0.1, 0.3))
 
+  /** Fellegi-Sunter linkage scoring between the even- and odd-key
+    * customer snapshots: blocked on nation, compared on market segment +
+    * acctbal bucket with data-derived u-probabilities — agreement on the
+    * rarer field weighs more. Raw score is a fixed-order 2-term ln sum. */
+  private def qLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+      .withColumn("bal_bucket",
+        floor(col("c_acctbal") / lit(2000.0)).cast("long"))
+    val a = c.filter(pmod(col("c_custkey"), lit(2L)) === 0L)
+      .withColumnRenamed("c_custkey", "id_a")
+    val b = c.filter(pmod(col("c_custkey"), lit(2L)) === 1L)
+      .withColumnRenamed("c_custkey", "id_b")
+    graft.ops.Linkage.scorePairs(a, b, "id_a", "id_b",
+      blocks = Seq("c_nationkey"),
+      fields = Seq("c_mktsegment", "bal_bucket"))
+  }
+
   /** Kaplan-Meier survival of session durations (minutes) per user-parity
     * cohort, right-censored at the observation horizon: a session whose
     * 30-min gap window is still open at the corpus max timestamp has not
@@ -2397,6 +2414,7 @@ object SparkEntry {
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
     "q_survival" -> (qSurvival _),
+    "q_linkage" -> (qLinkage _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -3966,6 +3984,50 @@ object SparkEntry {
         |    ELSE CAST(2 * tp AS DOUBLE)
         |      / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
         |FROM c""".stripMargin,
+
+    // u-probabilities are exact-int frequency products; the disagree
+    // weight's numerator must be written (1.0 - 0.9) — the runtime
+    // subtraction (0.09999999999999998), never the 0.1 literal.
+    "q_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |a AS (SELECT * FROM c WHERE c_custkey % 2 = 0),
+        |b AS (SELECT * FROM c WHERE c_custkey % 2 = 1),
+        |na AS (SELECT count(*) AS n FROM a),
+        |nb AS (SELECT count(*) AS n FROM b),
+        |u1 AS (
+        |  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS num FROM
+        |    (SELECT c_mktsegment AS v, count(*) AS ca FROM a GROUP BY 1) x
+        |    JOIN (SELECT c_mktsegment AS v, count(*) AS cb FROM b
+        |          GROUP BY 1) y USING (v)),
+        |u2 AS (
+        |  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS num FROM
+        |    (SELECT bal_bucket AS v, count(*) AS ca FROM a GROUP BY 1) x
+        |    JOIN (SELECT bal_bucket AS v, count(*) AS cb FROM b
+        |          GROUP BY 1) y USING (v)),
+        |u AS (
+        |  SELECT CAST(u1.num AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE)
+        |      AS useg,
+        |    CAST(u2.num AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS ubal
+        |  FROM u1, u2, na, nb)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+        |    AS agree_c_mktsegment,
+        |  a.bal_bucket IS NOT DISTINCT FROM b.bal_bucket AS agree_bal_bucket,
+        |  round(
+        |    (CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+        |      THEN ln(0.9 / useg)
+        |      ELSE ln((1.0 - 0.9) / (1.0 - useg)) END)
+        |    + (CASE WHEN a.bal_bucket IS NOT DISTINCT FROM b.bal_bucket
+        |      THEN ln(0.9 / ubal)
+        |      ELSE ln((1.0 - 0.9) / (1.0 - ubal)) END), 6) AS score,
+        |  CAST((CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM
+        |      b.c_mktsegment THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.bal_bucket IS NOT DISTINCT FROM b.bal_bucket
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |FROM a JOIN b ON a.c_nationkey = b.c_nationkey, u""".stripMargin,
 
     // Sessions replay q_sessionize's CTEs; the KM product runs as
     // exp(cumulative ln-sum) in fixed duration order, with the d = n_risk

@@ -120,6 +120,31 @@ class EvalSpec extends SparkSpec {
     assert(w(1).getAs[Double]("survival") == 0.0)
   }
 
+  test("linkage: agreement on a rarer field outweighs a common one") {
+    // 'rare' has 10 values (u ≈ 0.1), 'common' has 2 (u ≈ 0.5): a pair
+    // agreeing only on rare must outscore a pair agreeing only on common
+    def mk(ids: Range, idCol: String) = ids.map { i =>
+      (i.toLong, 1L, s"r${i % 10}", s"c${(i / 10) % 2}")
+    }.toDF(idCol, "blk", "rare", "common")
+    val a = mk(0 until 100, "id_a")
+    val b = mk(100 until 200, "id_b")
+    val out = graft.ops.Linkage.scorePairs(a, b, "id_a", "id_b",
+        blocks = Seq("blk"), fields = Seq("rare", "common"))
+      .collect()
+    assert(out.length == 100 * 100)
+    def score(ra: Boolean, c: Boolean): Double = {
+      val hits = out.filter(r => r.getAs[Boolean]("agree_rare") == ra &&
+        r.getAs[Boolean]("agree_common") == c)
+      assert(hits.nonEmpty); hits.head.getAs[Double]("score")
+    }
+    assert(score(ra = true, c = false) > score(ra = false, c = true))
+    assert(score(ra = true, c = true) > score(ra = true, c = false))
+    assert(score(ra = false, c = false) < score(ra = false, c = true))
+    // u-weights are data-derived: agree-on-rare ≈ ln(.9/.1) + ln(.1/.5)
+    val exp = math.log(0.9 / 0.1) + math.log((1.0 - 0.9) / (1.0 - 0.5))
+    assert(math.abs(score(ra = true, c = false) - exp) < 1e-6)
+  }
+
   test("mutualInfo: MI(x, x) = H(x) and NMI = 1") {
     val df = Seq("a", "a", "b", "b", "c", "c", "c", "d")
       .toDF("x").withColumn("g", lit(1)).withColumn("y", col("x"))
