@@ -270,7 +270,35 @@ object Stats {
     // Laplace smoothing a bin empty in BOTH snapshots still contributes
     // (1/(Na+k) − 1/(Nb+k))·ln(...) whenever the totals differ — dropping
     // those terms understates drift between different-sized snapshots
-    val joined = smoothedBinGrid(a, b, keys, value, lo, hi, nbins)
+    smoothedPsiAgg(smoothedBinGrid(a, b, keys, value, lo, hi, nbins),
+      keys, nbins)
+  }
+
+  /** [[psi]] over PRE-BINNED counts: `cur` carries (keys..., bin, n)
+    * rows (e.g. a streaming windowed histogram, keyed by the window),
+    * `ref` a fixed (bin, n) reference — every `cur` group scores
+    * against the same reference. Same full-grid Laplace smoothing;
+    * the reference is broadcast (nbins rows). This is the batch side
+    * of streaming drift monitoring: the stream maintains the cheap
+    * histogram state, PSI prices each window as it closes. */
+  def psiFromBinned(cur: DataFrame, ref: DataFrame, keys: Seq[String],
+                    nbins: Int): DataFrame = {
+    val k = keys.map(col)
+    val c = cur.select((k :+ col("bin") :+ col("n").as("__na")): _*)
+    val r = broadcast(ref.select(col("bin"), col("n").as("__nb")))
+    val ta = c.groupBy(k: _*).agg(sum(col("__na")).as("__ta"))
+    val tb = r.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
+    val grid = ta.crossJoin(broadcast(tb))
+      .withColumn("bin", explode(sequence(lit(0), lit(nbins - 1))))
+    val joined = grid
+      .join(c, keys :+ "bin", "left")
+      .join(r, Seq("bin"), "left")
+      .na.fill(0L, Seq("__na", "__nb"))
+    smoothedPsiAgg(joined, keys, nbins)
+  }
+
+  private def smoothedPsiAgg(joined: DataFrame, keys: Seq[String],
+                             nbins: Int): DataFrame = {
     val p = (col("__na") + lit(1.0)) / (col("__ta") + lit(nbins.toDouble))
     val q = (col("__nb") + lit(1.0)) / (col("__tb") + lit(nbins.toDouble))
     joined

@@ -234,6 +234,58 @@ object StreamPipeline {
       }
       .start()
 
+  /** Streaming windowed value histogram on the Stats.histogram clamped
+    * fixed grid: state per (window, bin) is ONE counter — |windows in
+    * flight| × nbins no matter the event rate — and rows emit in append
+    * mode when the watermark closes the window. The histogram is the
+    * streaming half of drift monitoring; [[startDriftMonitor]] prices
+    * each closed window against a reference. */
+  def windowedHistogram(events: DataFrame, ts: String, value: String,
+                        lo: Double, hi: Double, nbins: Int,
+                        width: String = "15 minutes",
+                        watermark: String = "5 minutes"): DataFrame = {
+    val v = col(value)
+    val scaled = least(lit((nbins - 1).toDouble),
+      greatest(lit(0.0), (v - lit(lo)) / lit((hi - lo) / nbins)))
+    events.filter(v.isNotNull)
+      .withWatermark(ts, watermark)
+      .withColumn("bin", floor(scaled).cast("int"))
+      .groupBy(window(col(ts), width), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("bin"), col("n"))
+  }
+
+  /** Streaming drift monitor: each micro-batch of CLOSED windows (append
+    * mode under the watermark) is PSI-priced against a static reference
+    * histogram (`referenceCounts`: (bin, n) rows, e.g. from
+    * Stats.histogram over last month's corpus) and appended to parquet as
+    * (window_start, window_end, psi, n_a, n_b, batch_id). The stream
+    * holds only histogram counters; the smoothed-PSI join runs on
+    * |windows per batch| × nbins rows inside foreachBatch — monitoring
+    * that cannot become the leak (same posture as StreamMonitor). */
+  def startDriftMonitor(events: DataFrame, ts: String, value: String,
+                        referenceCounts: DataFrame, lo: Double, hi: Double,
+                        nbins: Int, outPath: String, checkpointDir: String,
+                        width: String = "15 minutes",
+                        watermark: String = "5 minutes",
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    windowedHistogram(events, ts, value, lo, hi, nbins, width, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Stats.psiFromBinned(batch, referenceCounts,
+              Seq("window_start", "window_end"), nbins)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   /** End-to-end: raw CSV dir -> windowed metrics -> partitioned parquet.
     * With Trigger.AvailableNow this drains the directory and stops —
     * deterministic for tests; swap the trigger for ProcessingTime in

@@ -569,6 +569,58 @@ class StreamingSpec extends SparkSpec {
     assert(w0.headOption.contains((3L, 4L)))
   }
 
+  test("drift monitor: shifted window scores higher PSI than in-range one") {
+    val base = Files.createTempDirectory("graft_stream_drift")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // reference distribution: prices spread over [0, 100)
+    import spark.implicits._
+    val ref = graft.ops.Stats.histogram(
+      (0 until 100).map(i => i.toDouble).toDF("price"),
+      Nil, "price", lo = 0.0, hi = 100.0, nbins = 10)
+      .select("bin", "n")
+    // window 0 draws from the reference range; window 1 is all clamped
+    // into the top bin (drifted)
+    writeCsv(raw, "a.csv", Seq(
+      "AAA,5.0,0.0,,1,2024-01-01T00:01:00",
+      "AAA,25.0,0.0,,1,2024-01-01T00:04:00",
+      "AAA,45.0,0.0,,1,2024-01-01T00:07:00",
+      "AAA,65.0,0.0,,1,2024-01-01T00:10:00",
+      "AAA,85.0,0.0,,1,2024-01-01T00:13:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:16:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:17:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:18:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:19:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:20:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:21:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:22:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:23:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:24:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:25:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:26:00",
+      "AAA,999.0,0.0,,1,2024-01-01T00:27:00"))
+    def runOnce(): Unit =
+      StreamPipeline.startDriftMonitor(
+        StreamPipeline.tickStream(spark, raw.toString),
+        ts = "timestamp", value = "price", referenceCounts = ref,
+        lo = 0.0, hi = 100.0, nbins = 10, outPath = out,
+        checkpointDir = ckpt).awaitTermination(60000)
+    runOnce()
+    // advance the watermark so both windows close
+    writeCsv(raw, "b.csv", Seq("AAA,1.0,0.0,,1,2024-01-01T02:00:00"))
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select("window_start", "psi", "n_a")
+      .as[(java.sql.Timestamp, Double, Long)].collect()
+      .map { case (w, p, n) => (w.toString, (p, n)) }.toMap
+    val inRange = got("2024-01-01 00:00:00.0")
+    val drifted = got("2024-01-01 00:15:00.0")
+    assert(inRange._2 == 5L && drifted._2 == 12L)
+    assert(drifted._1 > 3.0 * inRange._1,
+      s"drifted window must price far above in-range: $got")
+  }
+
   test("StreamMonitor: bounded per-batch stats captured via listener") {
     val base = Files.createTempDirectory("graft_stream_mon")
     val raw = Files.createDirectory(base.resolve("raw"))
