@@ -1808,6 +1808,18 @@ object SparkEntry {
       Seq("fold"), element_at(col("embedding"), 1).cast("double"),
       col("label") < 5, Seq(-0.3, -0.1, 0.0, 0.1, 0.3))
 
+  /** Distribution matching: down-sample the whole corpus so its n_chars
+    * histogram (12 bins over [0, 600)) matches the ENGLISH subcorpus's
+    * length profile — balanceBy's continuous sibling with data-derived
+    * targets. Deterministic md5-threshold membership. */
+  private def qMatchDist(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    graft.ops.Curate.matchDistribution(d, "n_chars",
+        d.filter(col("lang") === "en"), "n_chars", col("doc_id"),
+        lo = 0.0, hi = 600.0, nbins = 12)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Fellegi-Sunter linkage scoring between the even- and odd-key
     * customer snapshots: blocked on nation, compared on market segment +
     * acctbal bucket with data-derived u-probabilities — agreement on the
@@ -2415,6 +2427,7 @@ object SparkEntry {
     "q_zipf" -> (qZipf _),
     "q_survival" -> (qSurvival _),
     "q_linkage" -> (qLinkage _),
+    "q_match_dist" -> (qMatchDist _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -3682,6 +3695,35 @@ object SparkEntry {
     // Recomputes balanceBy's whole chain: per-lang counts -> feasible
     // output size M = min(n/t) -> keep-rate w = M*t/n -> %08x threshold
     // (identical IEEE arithmetic both sides) -> md5 membership draw.
+    // q_balance's machinery with bin-derived targets: the reference total
+    // cancels, so w_b = min_c(n_c/r_c) * r_b / n_b straight from counts.
+    "q_match_dist" ->
+      """WITH cur AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(floor(least(11.0, greatest(0.0,
+        |      (n_chars - 0.0) / 50.0))) AS INT) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT bin, count(*) AS n FROM cur GROUP BY 1),
+        |r0 AS (
+        |  SELECT CAST(floor(least(11.0, greatest(0.0,
+        |      (n_chars - 0.0) / 50.0))) AS INT) AS bin, count(*) AS r
+        |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (SELECT c.bin, c.n, r0.r FROM c JOIN r0 USING (bin)),
+        |m AS (SELECT min(CAST(n AS DOUBLE) / CAST(r AS DOUBLE)) AS m FROM j),
+        |rates AS (
+        |  SELECT bin,
+        |    CASE WHEN m.m * CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |        >= 1 - 0.000000001 THEN 'g'
+        |      ELSE printf('%08x', CAST(least(
+        |        floor(m.m * CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * 4294967296.0), 4294967295.0) AS BIGINT)) END AS thr
+        |  FROM j, m)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM cur JOIN rates USING (bin)
+        |WHERE substr(md5('matchdist' || CAST(bin AS VARCHAR) || ':'
+        |    || CAST(doc_id AS VARCHAR)), 1, 8) < rates.thr""".stripMargin,
+
     "q_balance" ->
       """WITH counts AS (
         |  SELECT lang, count(*) AS n FROM documents

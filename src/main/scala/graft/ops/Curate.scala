@@ -116,6 +116,51 @@ object Curate {
       .drop("__thr")
   }
 
+  /** Down-sample so a numeric feature's distribution matches a REFERENCE
+    * corpus's shape — "give the blended corpus the length profile of the
+    * curated subset" ([[balanceBy]]'s continuous-feature sibling, with
+    * targets DERIVED from data instead of a caller map). Both corpora
+    * bin on the same clamped fixed-range grid (the Stats.histogram
+    * contract); the kept size is the largest for which no bin needs
+    * up-sampling (M = min_b n_b/t_b — the reference total cancels, so
+    * the rate is min_c(n_c/r_c)·r_b/n_b directly from raw counts), and
+    * membership is the same md5-threshold draw as balanceBy — fully
+    * replayable, no RNG. Bins with zero reference mass drop entirely;
+    * NULL features drop. Cost: two |bins|-row aggregates broadcast back,
+    * one narrow filter — the corpus shuffles zero times. */
+  def matchDistribution(df: DataFrame, value: String, reference: DataFrame,
+                        refValue: String, key: Column, lo: Double,
+                        hi: Double, nbins: Int,
+                        salt: String = "matchdist"): DataFrame = {
+    require(nbins > 0 && hi > lo, s"need hi > lo and nbins > 0")
+    val width = (hi - lo) / nbins
+    def binOf(c: Column): Column =
+      floor(least(lit((nbins - 1).toDouble),
+        greatest(lit(0.0), (c - lit(lo)) / lit(width)))).cast("int")
+    val cur = df.filter(col(value).isNotNull)
+      .withColumn("__bin", binOf(col(value)))
+    val counts = cur.groupBy(col("__bin")).agg(count(lit(1)).as("__n"))
+    val refCounts = reference.filter(col(refValue).isNotNull)
+      .withColumn("__bin", binOf(col(refValue)))
+      .groupBy(col("__bin")).agg(count(lit(1)).as("__r"))
+    val joined = counts.join(refCounts, "__bin")
+    val m = joined.agg(min(col("__n").cast("double")
+      / col("__r").cast("double")).as("__m"))
+    // same keep-all ulp tolerance + hex-threshold twins as balanceBy
+    val rates = joined.crossJoin(broadcast(m))
+      .withColumn("__w",
+        col("__m") * col("__r").cast("double") / col("__n").cast("double"))
+      .withColumn("__thr",
+        when(col("__w") >= 1.0 - 1e-9, lit("g")).otherwise(
+          lpad(lower(hex(least(floor(col("__w") * lit(4294967296.0)),
+            lit(4294967295.0)).cast("long"))), 8, "0")))
+      .select(col("__bin"), col("__thr"))
+    cur.join(broadcast(rates), "__bin")
+      .filter(hashBucket(concat(col("__bin").cast("string"), lit(":"),
+        key.cast("string")), salt) < col("__thr"))
+      .drop("__thr", "__bin")
+  }
+
   /** Corpus blending with weights above 1: weight w emits floor(w) full
     * copies of every row plus one more with probability frac(w) — the
     * "Wikipedia x2.5, CommonCrawl x0.1" epoch-repetition mixture. Each

@@ -120,6 +120,24 @@ class EvalSpec extends SparkSpec {
     assert(w(1).getAs[Double]("survival") == 0.0)
   }
 
+  test("matchDistribution: output histogram takes the reference shape") {
+    // corpus: 300 short + 100 long; reference: 50/50 → the long bin (the
+    // argmin) keeps all 100, the short bin samples down toward ~100
+    val corpus = ((1 to 300).map(i => (i.toLong, 10.0)) ++
+      (301 to 400).map(i => (i.toLong, 90.0))).toDF("id", "len")
+    val ref = ((1 to 50).map(_ => 10.0) ++ (1 to 50).map(_ => 90.0))
+      .toDF("len")
+    val out = graft.ops.Curate.matchDistribution(corpus, "len", ref, "len",
+      col("id"), lo = 0.0, hi = 100.0, nbins = 2).collect()
+    val byBin = out.groupBy(_.getAs[Double]("len")).view.mapValues(_.length)
+    assert(byBin(90.0) == 100, "argmin bin must keep every row")
+    val short = byBin(10.0)
+    assert(short > 70 && short < 130,
+      s"short bin must sample toward the 1:1 reference shape: $short")
+    // membership is a subset of the input, never fabricated
+    assert(out.map(_.getAs[Long]("id")).toSet.subsetOf((1L to 400L).toSet))
+  }
+
   test("linkage: agreement on a rarer field outweighs a common one") {
     // 'rare' has 10 values (u ≈ 0.1), 'common' has 2 (u ≈ 0.5): a pair
     // agreeing only on rare must outscore a pair agreeing only on common
