@@ -1808,6 +1808,13 @@ object SparkEntry {
       Seq("fold"), element_at(col("embedding"), 1).cast("double"),
       col("label") < 5, Seq(-0.3, -0.1, 0.0, 0.1, 0.3))
 
+  /** Exact fixed-point Gram matrix of the embedding corpus (upper
+    * triangle, 12-bit quantization): the moment step of PCA as one
+    * aggregate, bit-identical cross-engine. */
+  private def qEmbedGram(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Spectral.gramFixedPoint(tbl(s, dir, "embeddings"),
+      "embedding")
+
   /** Distribution matching: down-sample the whole corpus so its n_chars
     * histogram (12 bins over [0, 600)) matches the ENGLISH subcorpus's
     * length profile — balanceBy's continuous sibling with data-derived
@@ -2428,6 +2435,7 @@ object SparkEntry {
     "q_survival" -> (qSurvival _),
     "q_linkage" -> (qLinkage _),
     "q_match_dist" -> (qMatchDist _),
+    "q_embed_gram" -> (qEmbedGram _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -3695,6 +3703,20 @@ object SparkEntry {
     // Recomputes balanceBy's whole chain: per-lang counts -> feasible
     // output size M = min(n/t) -> keep-rate w = M*t/n -> %08x threshold
     // (identical IEEE arithmetic both sides) -> md5 membership draw.
+    "q_embed_gram" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 4096.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, unnest(qv) AS x,
+        |    generate_subscripts(qv, 1) AS pos
+        |  FROM q)
+        |SELECT CAST(a.pos - 1 AS INT) AS i, CAST(b.pos - 1 AS INT) AS j,
+        |  CAST(sum(a.x * b.x) AS BIGINT) AS g
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+        |GROUP BY 1, 2""".stripMargin,
+
     // q_balance's machinery with bin-derived targets: the reference total
     // cancels, so w_b = min_c(n_c/r_c) * r_b / n_b straight from counts.
     "q_match_dist" ->

@@ -210,4 +210,28 @@ class SimSpec extends SparkSpec {
     // 2 collapses into 1 (same cell, cosine 1); 3 and 4 survive
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("Spectral: planted dominant direction recovered; projection exact") {
+    // axis 0 carries 10x the variance of axis 1: pc1 must align with e1
+    val rows = Seq(
+      (1L, Seq(10.0f, 1.0f, 0.0f)), (2L, Seq(-10.0f, 1.0f, 0.0f)),
+      (3L, Seq(8.0f, -1.0f, 0.0f)), (4L, Seq(-8.0f, -1.0f, 0.0f)),
+      (5L, Seq(6.0f, 0.5f, 0.0f)), (6L, Seq(-6.0f, -0.5f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val gram = graft.sim.Spectral.gramFixedPoint(df, "embedding").collect()
+    // diagonal (0,0) in fixed point: sum(x0²)·(2^12)² exactly
+    val g00 = gram.find(r => r.getAs[Int]("i") == 0 && r.getAs[Int]("j") == 0)
+      .get.getAs[Long]("g")
+    val exp00 = rows.map(r => math.round(r._2.head * 4096.0)).map(q => q * q).sum
+    assert(g00 == exp00)
+    val pc = graft.sim.Spectral.topComponent(gram.toSeq, dim = 3)
+    assert(math.abs(pc(0)) > 0.99, s"pc1 must align with axis 0: ${pc.toSeq}")
+    assert(pc(0) > 0, "sign convention: largest coordinate positive")
+    val proj = graft.sim.Spectral.principalProjection(df, "embedding", dim = 3)
+      .select("vec_id", "pc1_score").as[(Long, Double)].collect().toMap
+    // scores order by the axis-0 coordinate and split by its sign
+    assert(proj(1L) > proj(3L) && proj(3L) > proj(5L))
+    assert(proj(2L) < proj(4L) && proj(4L) < proj(6L))
+    assert(proj(1L) > 0 && proj(2L) < 0)
+  }
 }
