@@ -2154,6 +2154,34 @@ object SparkEntry {
           <= lit(0.08) * col("n_exact")).as("est_ok"))
   }
 
+  /** Incremental quantile maintenance: per-day KLL sketches over event
+    * values, merged to answer corpus quantiles with NO raw rescan —
+    * checked against the exact percentiles with a ±5%-rank bracket
+    * (3× the k=200 sketch's normalized rank error, merge-preserved). */
+  private def qKllIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ranks = Seq(0.25, 0.5, 0.75, 0.95)
+    val daily = graft.ops.Frequency.kllSketches(
+      ev(s, dir).withColumn("date", to_date(col("ts"))), Seq("date"),
+      "value")
+    val est = graft.ops.Frequency.kllMergedQuantiles(daily, ranks)
+    def pct(qs: Seq[Double]): Column =
+      expr(s"percentile(value, array(${qs.map(q => s"${q}D").mkString(",")}))")
+    val exact = ev(s, dir).agg(
+      pct(ranks).as("__ex"),
+      pct(ranks.map(q => math.max(0.0, q - 0.05))).as("__lo"),
+      pct(ranks.map(q => math.min(1.0, q + 0.05))).as("__hi"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("__i", array_position(typedlit(ranks), col("q")).cast("int"))
+      // value_est itself is implementation detail (sketch bytes) — the
+      // oracled surface is the exact side plus the bracket health flag
+      .select(col("q"),
+        round(element_at(col("__ex"), col("__i")), 6).as("value_exact"),
+        col("n_rows"),
+        (col("value_est") >= element_at(col("__lo"), col("__i")) &&
+          col("value_est") <= element_at(col("__hi"), col("__i")))
+          .as("est_ok"))
+  }
+
   /** Ordered conversion funnel over the natural view -> click -> purchase
     * stage sequence in the events stream (first-touch, strictly-after
     * gating). */
@@ -2436,6 +2464,7 @@ object SparkEntry {
     "q_linkage" -> (qLinkage _),
     "q_match_dist" -> (qMatchDist _),
     "q_embed_gram" -> (qEmbedGram _),
+    "q_kll_incremental" -> (qKllIncremental _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -5297,6 +5326,24 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_exact,
         | true AS est_ok
         |FROM events""".stripMargin,
+
+    // The exact side + bracket health flag are oracled; the sketch
+    // estimate itself is excluded from the compare (its exact bytes are
+    // implementation detail, its CORRECTNESS is the bracket flag).
+    "q_kll_incremental" ->
+      """SELECT 0.25 AS q, round(quantile_cont(value, 0.25), 6)
+        |    AS value_exact,
+        |  CAST(count(value) AS BIGINT) AS n_rows, true AS est_ok
+        |FROM events
+        |UNION ALL
+        |SELECT 0.5, round(quantile_cont(value, 0.5), 6),
+        |  CAST(count(value) AS BIGINT), true FROM events
+        |UNION ALL
+        |SELECT 0.75, round(quantile_cont(value, 0.75), 6),
+        |  CAST(count(value) AS BIGINT), true FROM events
+        |UNION ALL
+        |SELECT 0.95, round(quantile_cont(value, 0.95), 6),
+        |  CAST(count(value) AS BIGINT), true FROM events""".stripMargin,
 
     "q_funnel" ->
       s"""WITH s1 AS (

@@ -46,4 +46,28 @@ object Frequency {
       .filter(col("cnt") > col("__n") * minFraction)
       .select("item", "cnt")
   }
+
+  /** Per-segment mergeable KLL quantile sketches (the percentile sibling
+    * of Dedup.hllSketches): one ~few-KB binary per group whose union
+    * answers quantiles over ANY segment range with no raw rescan —
+    * incremental percentile maintenance for a daily 100 TB ingest.
+    * k = 200 ⇒ ~1.65% normalized rank error, preserved under merge. */
+  def kllSketches(df: DataFrame, keys: Seq[String], value: String,
+                  k: Int = 200): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.KllSketches.kllSketch(col(value), k)
+        .as("kll_sketch"), count(col(value)).as("n_rows"))
+
+  /** Union stored sketches and read quantiles at `ranks` — cost is
+    * O(sketches), independent of row count. One row per rank. */
+  def kllMergedQuantiles(sketches: DataFrame, ranks: Seq[Double],
+                         k: Int = 200): DataFrame =
+    sketches
+      .agg(graft.functions.KllSketches.kllUnion(col("kll_sketch"), k)
+        .as("__merged"), sum(col("n_rows")).as("n_rows"))
+      .select(col("n_rows"),
+        posexplode(graft.functions.KllSketches.kllQuantiles(col("__merged"),
+          ranks)).as(Seq("__i", "value_est")))
+      .withColumn("q", element_at(typedlit(ranks), col("__i") + 1))
+      .select("q", "value_est", "n_rows")
 }

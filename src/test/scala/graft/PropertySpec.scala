@@ -449,6 +449,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kll sketches: merged quantiles track exact within the rank bound") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      val xs = Seq.fill(4000)(rnd.nextDouble() * 1000.0)
+      val df = xs.zipWithIndex.map { case (x, i) => (i % 7, x) }
+        .toDF("seg", "v")
+      val daily = graft.ops.Frequency.kllSketches(df, Seq("seg"), "v")
+      assert(daily.count() == 7)
+      val ranks = Seq(0.1, 0.5, 0.9)
+      val est = graft.ops.Frequency.kllMergedQuantiles(daily, ranks)
+        .orderBy("q").select("q", "value_est").as[(Double, Double)]
+        .collect()
+      val sorted = xs.sorted
+      est.foreach { case (q, v) =>
+        // 3x the k=200 normalized rank error (~1.65%), merge-preserved
+        val loIdx = math.max(0, ((q - 0.05) * xs.size).toInt)
+        val hiIdx = math.min(xs.size - 1, ((q + 0.05) * xs.size).toInt)
+        assert(v >= sorted(loIdx) && v <= sorted(hiIdx),
+          s"q=$q est=$v outside [${sorted(loIdx)}, ${sorted(hiIdx)}]")
+      }
+      assert(est.map(_._2).toSeq == est.map(_._2).sorted.toSeq,
+        "quantile estimates must be monotone in q")
+    }
+  }
+
   test("collocations: a planted adjacent phrase dominates PMI") {
     // "zqx yvw" always adjacent; fillers are shuffled high-frequency noise
     val rnd = new Random(5)
