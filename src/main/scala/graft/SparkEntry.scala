@@ -2182,6 +2182,26 @@ object SparkEntry {
           .as("est_ok"))
   }
 
+  /** Incremental frequency maintenance: per-day count-min sketches over
+    * event types, merged and point-queried with no raw rescan. CMS never
+    * undercounts; the overcount flag bounds it by eps·N (eps = 0.001,
+    * deterministic for the fixed seed). */
+  private def qCmsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val items = Seq("click", "error", "purchase", "signup", "view")
+    val daily = graft.ops.Frequency.cmsSketches(
+      ev(s, dir).withColumn("date", to_date(col("ts"))), Seq("date"),
+      "event_type")
+    val est = graft.ops.Frequency.cmsMergedCounts(daily, items)
+    val exact = ev(s, dir).groupBy(col("event_type").as("item"))
+      .agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("item"), "left")
+      .na.fill(0L, Seq("n_exact"))
+      .select(col("item"), col("n_exact"), col("n_rows"),
+        (col("count_est") >= col("n_exact") &&
+          col("count_est") <= col("n_exact")
+            + ceil(lit(0.001) * col("n_rows")).cast("long")).as("est_ok"))
+  }
+
   /** Ordered conversion funnel over the natural view -> click -> purchase
     * stage sequence in the events stream (first-touch, strictly-after
     * gating). */
@@ -2465,6 +2485,7 @@ object SparkEntry {
     "q_match_dist" -> (qMatchDist _),
     "q_embed_gram" -> (qEmbedGram _),
     "q_kll_incremental" -> (qKllIncremental _),
+    "q_cms_incremental" -> (qCmsIncremental _),
     "q_contrastive" -> (qContrastive _),
     "q_source_cap" -> (qSourceCap _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -5344,6 +5365,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT 0.95, round(quantile_cont(value, 0.95), 6),
         |  CAST(count(value) AS BIGINT), true FROM events""".stripMargin,
+
+    "q_cms_incremental" ->
+      """WITH items AS (SELECT unnest(['click', 'error', 'purchase',
+        |    'signup', 'view']) AS item),
+        |exact AS (SELECT event_type AS item, count(*) AS n_exact
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(event_type) AS BIGINT) AS n_rows
+        |  FROM events)
+        |SELECT i.item, CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+        |  t.n_rows, true AS est_ok
+        |FROM items i LEFT JOIN exact e ON i.item = e.item, t""".stripMargin,
 
     "q_funnel" ->
       s"""WITH s1 AS (

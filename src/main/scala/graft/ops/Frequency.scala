@@ -58,6 +58,30 @@ object Frequency {
       .agg(graft.functions.KllSketches.kllSketch(col(value), k)
         .as("kll_sketch"), count(col(value)).as("n_rows"))
 
+  /** Per-segment count-min frequency sketches over a string item column
+    * (Spark's own builder aggregate, so binaries interop with
+    * `count_min_sketch(...)` SQL). Fixed seed ⇒ deterministic bytes. */
+  def cmsSketches(df: DataFrame, keys: Seq[String], item: String,
+                  eps: Double = 0.001, confidence: Double = 0.99,
+                  seed: Int = 42): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count_min_sketch(col(item), lit(eps), lit(confidence),
+        lit(seed)).as("cms_sketch"), count(col(item)).as("n_rows"))
+
+  /** Union stored count-min binaries and point-query a fixed item list —
+    * one row per item, no raw rescan (the frequency sibling of
+    * [[kllMergedQuantiles]]). Estimates NEVER undercount; they
+    * overcount by at most eps·N with the sketch's confidence. */
+  def cmsMergedCounts(sketches: DataFrame, items: Seq[String]): DataFrame =
+    sketches
+      .agg(graft.functions.CmsSketches.cmsUnion(col("cms_sketch"))
+        .as("__merged"), sum(col("n_rows")).as("n_rows"))
+      .select(col("n_rows"),
+        posexplode(graft.functions.CmsSketches.cmsEstimates(col("__merged"),
+          items)).as(Seq("__i", "count_est")))
+      .withColumn("item", element_at(typedlit(items), col("__i") + 1))
+      .select("item", "count_est", "n_rows")
+
   /** Union stored sketches and read quantiles at `ranks` — cost is
     * O(sketches), independent of row count. One row per rank. */
   def kllMergedQuantiles(sketches: DataFrame, ranks: Seq[Double],

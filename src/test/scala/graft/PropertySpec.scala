@@ -474,6 +474,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cms sketches: merged estimates never undercount, bounded over") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new Random(seed)
+      val rows = Seq.fill(3000)((rnd.nextInt(5), s"it${rnd.nextInt(40)}"))
+        .toDF("seg", "item")
+      val exact = rows.groupBy("item").count().as[(String, Long)]
+        .collect().toMap
+      val daily = graft.ops.Frequency.cmsSketches(rows, Seq("seg"), "item")
+      val items = (0 until 40).map(i => s"it$i")
+      val est = graft.ops.Frequency
+        .cmsMergedCounts(daily, items)
+        .select("item", "count_est").as[(String, Long)].collect().toMap
+      items.foreach { it =>
+        val ex = exact.getOrElse(it, 0L)
+        assert(est(it) >= ex, s"$it undercounted: ${est(it)} < $ex")
+        assert(est(it) <= ex + math.ceil(0.001 * 3000).toLong,
+          s"$it over the eps*N bound: ${est(it)} vs $ex")
+      }
+    }
+  }
+
   test("collocations: a planted adjacent phrase dominates PMI") {
     // "zqx yvw" always adjacent; fillers are shuffled high-frequency noise
     val rnd = new Random(5)
