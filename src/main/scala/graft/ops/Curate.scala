@@ -133,10 +133,7 @@ object Curate {
                         hi: Double, nbins: Int,
                         salt: String = "matchdist"): DataFrame = {
     require(nbins > 0 && hi > lo, s"need hi > lo and nbins > 0")
-    val width = (hi - lo) / nbins
-    def binOf(c: Column): Column =
-      floor(least(lit((nbins - 1).toDouble),
-        greatest(lit(0.0), (c - lit(lo)) / lit(width)))).cast("int")
+    def binOf(c: Column): Column = Stats.binColumn(c, lo, hi, nbins)
     val cur = df.filter(col(value).isNotNull)
       .withColumn("__bin", binOf(col(value)))
     val counts = cur.groupBy(col("__bin")).agg(count(lit(1)).as("__n"))

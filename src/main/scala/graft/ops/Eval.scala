@@ -61,15 +61,12 @@ object Eval {
     require(nbands >= 1, s"nbands must be >= 1: $nbands")
     require(lo < hi, s"need lo < hi: [$lo, $hi]")
     val k = keys.map(col)
-    val width = (hi - lo) / nbands
     val g = df
       .filter(score.isNotNull && positive.isNotNull)
       .groupBy((k :+ score.as("__s")): _*)
       .agg(count(lit(1)).as("__n"),
         sum(when(positive, 1L).otherwise(0L)).as("__p"))
-      .withColumn("__b",
-        least(greatest(floor((col("__s") - lit(lo)) / lit(width)), lit(0.0)),
-          lit((nbands - 1).toDouble)).cast("int"))
+      .withColumn("__b", Stats.binColumn(col("__s"), lo, hi, nbands))
     val bandTotals = g.groupBy((k :+ col("__b")): _*)
       .agg(sum(col("__n")).as("__bn"))
     val wOff = Window.partitionBy(k: _*).orderBy(col("__b"))
@@ -157,8 +154,7 @@ object Eval {
     require(lo < hi, s"need lo < hi: [$lo, $hi]")
     val k = keys.map(col)
     val width = (hi - lo) / nbins
-    val bin = least(greatest(floor((score - lit(lo)) / lit(width)),
-      lit(0.0)), lit((nbins - 1).toDouble)).cast("int")
+    val bin = Stats.binColumn(score, lo, hi, nbins)
     df.filter(score.isNotNull && positive.isNotNull)
       .select((k ++ Seq(bin.as("bin"), score.as("__s"),
         when(positive, 1L).otherwise(0L).as("__p"))): _*)

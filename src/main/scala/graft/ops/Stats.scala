@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -242,17 +242,27 @@ object Stats {
     require(nbins > 0 && hi > lo, s"need hi > lo and nbins > 0")
     val width = (hi - lo) / nbins
     val v = col(value)
-    // clamp on the DOUBLE before floor/cast: an extreme outlier would
-    // overflow the int cast (ANSI throws) if clamped only afterwards
-    val scaled = least(lit((nbins - 1).toDouble),
-      greatest(lit(0.0), (v - lit(lo)) / lit(width)))
-    val bin = floor(scaled).cast("int")
     df.filter(v.isNotNull)
-      .withColumn("bin", bin)
+      .withColumn("bin", binColumn(v, lo, hi, nbins))
       .groupBy((keys.map(col) :+ col("bin")): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", round(lit(lo) + col("bin") * lit(width), 6))
       .withColumn("bin_hi", round(lit(lo) + (col("bin") + 1) * lit(width), 6))
+  }
+
+  /** THE clamped fixed-range bin expression — every grid in the repo
+    * (histogram, PSI/JSD/KS, AUC bands, calibration, distribution
+    * matching, the streaming windowed histogram) derives from this one
+    * definition so the grids can never drift apart. Clamp on the DOUBLE
+    * before floor/cast: an extreme outlier would overflow the int cast
+    * (ANSI throws) if clamped only afterwards. (Clamp-then-floor and
+    * floor-then-clamp agree on every input — floor is monotone and the
+    * clamp bounds are integers — this form is canonical, not special.) */
+  def binColumn(v: Column, lo: Double, hi: Double, nbins: Int): Column = {
+    require(nbins > 0 && hi > lo, s"need hi > lo and nbins > 0")
+    val width = (hi - lo) / nbins
+    floor(least(lit((nbins - 1).toDouble),
+      greatest(lit(0.0), (v - lit(lo)) / lit(width)))).cast("int")
   }
 
   /** Population Stability Index between two snapshots of a numeric column,

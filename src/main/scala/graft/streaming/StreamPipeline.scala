@@ -245,11 +245,9 @@ object StreamPipeline {
                         width: String = "15 minutes",
                         watermark: String = "5 minutes"): DataFrame = {
     val v = col(value)
-    val scaled = least(lit((nbins - 1).toDouble),
-      greatest(lit(0.0), (v - lit(lo)) / lit((hi - lo) / nbins)))
     events.filter(v.isNotNull)
       .withWatermark(ts, watermark)
-      .withColumn("bin", floor(scaled).cast("int"))
+      .withColumn("bin", graft.ops.Stats.binColumn(v, lo, hi, nbins))
       .groupBy(window(col(ts), width), col("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"),
