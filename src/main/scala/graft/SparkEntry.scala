@@ -1049,14 +1049,23 @@ object SparkEntry {
       .join(supEur, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"),
         (col("l_extendedprice") * col("l_quantity")).as("v"))
-    val total = base.agg(r4(sum(col("v"))).as("total_value"),
-      countDistinct(col("l_partkey")).as("n_parts"))
-    base.groupBy(col("l_partkey"))
-      .agg(r4(sum(col("v"))).as("part_value"))
-      .crossJoin(broadcast(total))
-      .filter(col("part_value") >
-        lit(2.0) * col("total_value") / col("n_parts"))
-      .select("l_partkey", "part_value")
+    // per-part AND grand total from ONE pass: grouping sets ((partkey),
+    // ()) — a separate total aggregate would re-run the scan + join
+    // (independent aggregate subtrees are not deduplicated by Catalyst)
+    val grains = base
+      .groupingSets(Seq(Seq(col("l_partkey")), Seq.empty), col("l_partkey"))
+      .agg(r4(sum(col("v"))).as("val_r4"))
+      // |parts|+1 rows feeding three consumers — snapshot so the base
+      // scan+join runs once
+      .localCheckpoint()
+    val total = grains.filter(col("l_partkey").isNull)
+      .select(col("val_r4").as("total_value"))
+    val perPart = grains.filter(col("l_partkey").isNotNull)
+    val nParts = perPart.agg(count(lit(1)).as("n_parts"))
+    perPart
+      .crossJoin(broadcast(total)).crossJoin(broadcast(nParts))
+      .filter(col("val_r4") > lit(2.0) * col("total_value") / col("n_parts"))
+      .select(col("l_partkey"), col("val_r4").as("part_value"))
   }
 
   /** TPC-H Q12 shape (shipmode priority): conditional priority counts
@@ -1153,10 +1162,18 @@ object SparkEntry {
           .filter(col("p_name").startsWith("small")).select("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .select("l_partkey", "l_suppkey", "l_quantity")
-    val perPS = base.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("l_quantity")).as("supp_qty"))
-    val perP = base.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(sum(col("l_quantity")).as("total_qty"))
+    // per-(part,supplier) AND per-part totals from ONE pass over the cut:
+    // grouping sets — two independent aggregates would scan+join twice
+    val grains = base
+      .groupingSets(
+        Seq(Seq(col("l_partkey"), col("l_suppkey")), Seq(col("l_partkey"))),
+        col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .localCheckpoint()
+    val perPS = grains.filter(col("l_suppkey").isNotNull)
+      .select(col("l_partkey"), col("l_suppkey"), col("qty").as("supp_qty"))
+    val perP = grains.filter(col("l_suppkey").isNull)
+      .select(col("l_partkey").as("t_partkey"), col("qty").as("total_qty"))
     val qualifying = perPS
       .join(perP, col("l_partkey") === col("t_partkey"))
       .filter(lit(8.0) * col("supp_qty") > col("total_qty"))
@@ -4107,8 +4124,14 @@ object SparkEntry {
         |  SELECT c_custkey, c_nationkey, c_mktsegment,
         |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket
         |  FROM customer),
-        |a AS (SELECT * FROM c WHERE c_custkey % 2 = 0),
-        |b AS (SELECT * FROM c WHERE c_custkey % 2 = 1),
+        |a0 AS (SELECT * FROM c WHERE c_custkey % 2 = 0),
+        |b0 AS (SELECT * FROM c WHERE c_custkey % 2 = 1),
+        |a AS (SELECT a0.* FROM a0 JOIN (
+        |  SELECT c_nationkey FROM a0 GROUP BY 1
+        |  HAVING count(*) <= 10000) ka USING (c_nationkey)),
+        |b AS (SELECT b0.* FROM b0 JOIN (
+        |  SELECT c_nationkey FROM b0 GROUP BY 1
+        |  HAVING count(*) <= 10000) kb USING (c_nationkey)),
         |na AS (SELECT count(*) AS n FROM a),
         |nb AS (SELECT count(*) AS n FROM b),
         |u1 AS (

@@ -34,10 +34,20 @@ class TpchPlanSpec extends SparkSpec {
     assert(plan("q_tpch_q20").contains("BroadcastExchange"))
   }
 
-  test("q_tpch_q12: single-pass conditional agg (one join, one exchange pair)") {
-    val p = plan("q_tpch_q12")
-    // the CASE split must NOT duplicate the join: exactly one join node
-    assert("Join".r.findAllIn(p).length >= 1)
-    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+  test("q_tpch_q12: single-pass conditional agg (exactly one join node)") {
+    // AQE hides children from executedPlan.collect — pin with it off
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val exec = SparkEntry.queries("q_tpch_q12")(spark, sf)
+        .queryExecution.executedPlan
+      val joins = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.length == 1,
+        s"the CASE split must not duplicate the join: ${joins.length}")
+    } finally spark.conf.set(key, prev)
+    assert(plan("q_tpch_q12").contains("GreaterThanOrEqual(l_shipdate"))
   }
 }
