@@ -119,6 +119,9 @@ case class KllQuantilesExpr(child: Expression, ranks: Seq[Double])
     s"ranks must be in [0,1]: $ranks")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // an empty sketch (every segment all-NULL) yields null regardless of
+  // the child's nullability — never inherit non-nullable here
+  override def nullable: Boolean = true
   override def prettyName: String = "kll_quantiles"
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -132,10 +135,12 @@ case class KllQuantilesExpr(child: Expression, ranks: Seq[Double])
 }
 
 object KllSketches {
-  /** Aggregate Column: KLL doubles sketch binary of a double column. */
+  /** Aggregate Column: KLL doubles sketch binary of a numeric column
+    * (cast to double here — the aggregate's eval path reads doubles). */
   def kllSketch(c: Column, k: Int = 200): Column =
     ColumnBridge.column(
-      KllAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+      KllAgg(ColumnBridge.expression(c.cast("double")), k)
+        .toAggregateExpression())
 
   /** Aggregate Column: union of stored KLL binaries. */
   def kllUnion(c: Column, k: Int = 200): Column =

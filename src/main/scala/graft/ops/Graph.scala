@@ -115,14 +115,26 @@ object Graph {
     groupPairs(df, group, item, maxGroupSize).distinct()
 
   /** All (id1 < id2) co-occurring item pairs, one row per (group, pair)
-    * occurrence. ONE shuffle: groups collapse to sorted distinct-item
-    * arrays (collect_set state is bounded by the cap check right after),
-    * then pairs expand NARROWLY from each array — the per-group
-    * quadratic happens in memory on ≤ maxGroupSize elements, never as a
-    * per-group self-join exchange. */
+    * occurrence. Groups collapse to sorted distinct-item arrays, then
+    * pairs expand NARROWLY from each array — the per-group quadratic
+    * happens in memory on ≤ maxGroupSize elements, never as a per-group
+    * self-join exchange.
+    *
+    * The cap is enforced in TWO stages because collect_set's buffer
+    * grows with the group's distinct-item count — exactly what a
+    * degenerate group would blow up. A constant-state approx-distinct
+    * gate (5% rsd, 1.3× admission margin ≈ 6σ, so a genuinely small
+    * group is never wrongly dropped) bounds what reaches the collect
+    * buffer; the exact size filter after the collect stays the
+    * authoritative cut. */
   private def groupPairs(df: DataFrame, group: String, item: String,
-                         maxGroupSize: Int): DataFrame =
-    df.select(col(group).as("__g"), col(item).as("__i"))
+                         maxGroupSize: Int): DataFrame = {
+    val items = df.select(col(group).as("__g"), col(item).as("__i"))
+    val small = items.groupBy("__g")
+      .agg(approx_count_distinct(col("__i"), 0.05).as("__acd"))
+      .filter(col("__acd") <= (maxGroupSize * 1.3).toLong)
+      .select("__g")
+    items.join(small, "__g")
       .groupBy("__g")
       .agg(sort_array(collect_set(col("__i"))).as("__arr"))
       .filter(size(col("__arr")).between(2, maxGroupSize))
@@ -131,6 +143,7 @@ object Graph {
           "transform(slice(__arr, i + 2, size(__arr) - i - 1), " +
           "y -> struct(x AS id1, y AS id2))))")).as("__p"))
       .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
+  }
 
   /** [[coOccurrenceEdges]] with association strength: w = number of
     * groups the pair co-occurs in (each group contributes at most one —

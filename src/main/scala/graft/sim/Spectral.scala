@@ -42,7 +42,8 @@ object Spectral {
     val scale = (1L << scaleBits).toDouble
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(vec).cast("array<float>")).as[Seq[Float]]
+    val vecs = df.filter(col(vec).isNotNull)
+      .select(col(vec).cast("array<float>")).as[Seq[Float]]
     val partials = vecs.mapPartitions { it =>
       var acc: Array[Long] = null
       var d = 0
@@ -62,17 +63,26 @@ object Spectral {
       if (acc == null) Iterator.empty
       else {
         var k = 0
-        val out = new Array[(Int, Int, Long)](acc.length)
+        val out = new Array[(Int, Int, Int, Long)](acc.length)
         var i = 0
         while (i < d) {
           var j = i
-          while (j < d) { out(k) = (i, j, acc(k)); j += 1; k += 1 }
+          while (j < d) { out(k) = (d, i, j, acc(k)); j += 1; k += 1 }
           i += 1
         }
         out.iterator
       }
-    }.toDF("i", "j", "p")
-    partials.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+    }.toDF("d", "i", "j", "p")
+    // the per-partition ragged require only sees ITS partition's first
+    // vector — two internally-consistent partitions with different dims
+    // would otherwise merge silently into a corrupt Gram. Each partial
+    // carries its dim; mixing surfaces as min != max on a shared (i, j).
+    partials.groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("g"), min(col("d")).as("__dlo"),
+        max(col("d")).as("__dhi"))
+      .filter(isnull(assert_true(col("__dlo") === col("__dhi"),
+        lit("ragged vectors across partitions: mixed embedding dims"))))
+      .select(col("i"), col("j"), col("g"))
   }
 
   /** Top eigenvector of the collected Gram by power iteration — a
