@@ -120,24 +120,20 @@ object Graph {
     * happens in memory on ≤ maxGroupSize elements, never as a per-group
     * self-join exchange.
     *
-    * The cap is enforced in TWO stages because collect_set's buffer
-    * grows with the group's distinct-item count — exactly what a
-    * degenerate group would blow up. A constant-state approx-distinct
-    * gate (5% rsd, 1.3× admission margin ≈ 6σ, so a genuinely small
-    * group is never wrongly dropped) bounds what reaches the collect
-    * buffer; the exact size filter after the collect stays the
-    * authoritative cut. */
+    * The collect itself is the capped aggregate
+    * [[graft.functions.CappedSetAgg]], not collect_set: a plain
+    * collect_set buffer grows with the group's distinct-item count —
+    * exactly what a degenerate group would blow up — while the capped
+    * buffer holds ≤ maxGroupSize+1 elements on every partial and nulls
+    * out overflowing groups, which the size filter was dropping anyway.
+    * Exact semantics, ONE shuffle, bounded state. */
   private def groupPairs(df: DataFrame, group: String, item: String,
                          maxGroupSize: Int): DataFrame = {
-    val items = df.select(col(group).as("__g"), col(item).as("__i"))
-    val small = items.groupBy("__g")
-      .agg(approx_count_distinct(col("__i"), 0.05).as("__acd"))
-      .filter(col("__acd") <= (maxGroupSize * 1.3).toLong)
-      .select("__g")
-    items.join(small, "__g")
+    df.select(col(group).as("__g"), col(item).as("__i"))
       .groupBy("__g")
-      .agg(sort_array(collect_set(col("__i"))).as("__arr"))
-      .filter(size(col("__arr")).between(2, maxGroupSize))
+      .agg(graft.functions.CappedSetAgg
+        .cappedSortedSet(col("__i"), maxGroupSize).as("__arr"))
+      .filter(col("__arr").isNotNull && size(col("__arr")) >= 2)
       .select(explode(expr(
         "flatten(transform(__arr, (x, i) -> " +
           "transform(slice(__arr, i + 2, size(__arr) - i - 1), " +

@@ -533,6 +533,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cappedSortedSet: matches sort_array(collect_set) below cap, " +
+      "NULL above — regardless of partitioning") {
+    import graft.functions.CappedSetAgg.cappedSortedSet
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      val rows = Seq.fill(800)((rnd.nextInt(40).toLong,
+        rnd.nextInt(30).toLong))
+      for (nPart <- Seq(1, 7)) {
+        val df = rows.toDF("g", "i").repartition(nPart)
+        val got = df.groupBy("g").agg(cappedSortedSet(col("i"), 12).as("arr"))
+          .as[(Long, Option[Seq[Long]])].collect().toMap
+        val exact = rows.groupBy(_._1).map { case (g, vs) =>
+          (g, vs.map(_._2).distinct.sorted)
+        }
+        exact.foreach { case (g, vs) =>
+          if (vs.size > 12) assert(got(g).isEmpty, s"g=$g should overflow")
+          else assert(got(g).contains(vs), s"g=$g mismatch at seed $seed")
+        }
+      }
+    }
+    // strings sort in UTF8 binary order, matching sort_array
+    val sdf = Seq(("a", "b"), ("a", "é"), ("a", "Z"), ("a", "b"))
+      .toDF("g", "i")
+    val sa = sdf.groupBy("g")
+      .agg(cappedSortedSet(col("i"), 10).as("x"),
+        sort_array(collect_set(col("i"))).as("y"))
+      .select(col("x") === col("y")).as[Boolean].head()
+    assert(sa, "string order diverges from sort_array")
+  }
+
   test("withEwm: mean stays inside the running [min, max]; var non-negative") {
     for (seed <- Seq(11, 29)) {
       val rnd = new Random(seed)
