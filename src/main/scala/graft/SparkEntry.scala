@@ -1906,6 +1906,33 @@ object SparkEntry {
         .withColumn("split", pmod(col("doc_id"), lit(2L))),
       Seq("split"), "lang", "source")
 
+  /** Cohen's kappa between two length-class labeling heuristics
+    * (char-count vs whitespace-token-count thresholds) per doc-parity
+    * split — all-integer chance correction, one exact divide. */
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .withColumn("split", pmod(col("doc_id"), lit(2L)))
+      .withColumn("rater_chars",
+        when(col("n_chars") < 150L, "short")
+          .when(col("n_chars") < 350L, "mid").otherwise("long"))
+      .withColumn("rater_tokens",
+        when(size(split(col("text"), " ")) < 30, "short")
+          .when(size(split(col("text"), " ")) < 70, "mid")
+          .otherwise("long"))
+    graft.ops.Eval.cohensKappa(d, Seq("split"), "rater_chars",
+      "rater_tokens")
+  }
+
+  /** NDCG@10 of the stand-in scorer (first embedding coordinate)
+    * against binary relevance label < 5, per 4-way fold — r6 on the
+    * dcg/idcg cross-term sums, final divide on the rounded pair. */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.ndcgAtK(
+      tbl(s, dir, "embeddings")
+        .withColumn("fold", pmod(col("vec_id"), lit(4L))),
+      Seq("fold"), element_at(col("embedding"), 1).cast("double"),
+      when(col("label") < 5, 1L).otherwise(0L), col("vec_id"), k = 10)
+
   /** 4 deterministic contrastive negatives per document (multiplicative
     * draw over the md5 global-shuffle permutation — no RNG state). */
   private def qContrastive(s: SparkSession, dir: String): DataFrame =
@@ -2495,6 +2522,8 @@ object SparkEntry {
     "q_auc" -> (qAuc _),
     "q_pr_curve" -> (qPrCurve _),
     "q_mutual_info" -> (qMutualInfo _),
+    "q_kappa" -> (qKappa _),
+    "q_ndcg" -> (qNdcg _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
     "q_survival" -> (qSurvival _),
@@ -4293,6 +4322,70 @@ object SparkEntry {
         |        + (ln(CAST(t AS DOUBLE)) - sb / t)), 6) END AS nmi
         |FROM j JOIN ma ON j.split = ma.split
         |JOIN mb ON j.split = mb.split""".stripMargin,
+
+    // All-integer chance correction: kappa's single divide runs on
+    // N·agree − Σ ra·rb over N² − Σ ra·rb, exact int64 on both sides.
+    "q_kappa" ->
+      """WITH d AS (
+        |  SELECT doc_id % 2 AS split,
+        |    CASE WHEN n_chars < 150 THEN 'short'
+        |      WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS ra,
+        |    CASE WHEN len(string_split(text, ' ')) < 30 THEN 'short'
+        |      WHEN len(string_split(text, ' ')) < 70 THEN 'mid'
+        |      ELSE 'long' END AS rb
+        |  FROM documents),
+        |p AS (SELECT split, ra, rb, count(*) AS n FROM d GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT split, CAST(sum(n) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN ra = rb THEN n ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM p GROUP BY 1),
+        |ma AS (SELECT split, ra AS c, CAST(sum(n) AS BIGINT) AS m
+        |  FROM p GROUP BY 1, 2),
+        |mb AS (SELECT split, rb AS c, CAST(sum(n) AS BIGINT) AS m
+        |  FROM p GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT ma.split, CAST(sum(ma.m * mb.m) AS BIGINT) AS pp
+        |  FROM ma JOIN mb ON ma.split = mb.split AND ma.c = mb.c
+        |  GROUP BY 1)
+        |SELECT t.split, n_items,
+        |  CAST(agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
+        |  CAST(coalesce(pp, 0) AS DOUBLE)
+        |    / CAST(n_items * n_items AS DOUBLE) AS pe,
+        |  CASE WHEN n_items * n_items = coalesce(pp, 0) THEN NULL
+        |    ELSE CAST(n_items * agree - coalesce(pp, 0) AS DOUBLE)
+        |      / CAST(n_items * n_items - coalesce(pp, 0) AS DOUBLE)
+        |  END AS kappa
+        |FROM t LEFT JOIN pp ON t.split = pp.split""".stripMargin,
+
+    // rel·ln2/ln(p+1) with ln2 as the shared literal; r6 on the two
+    // cross-term sums, the ndcg divide runs on the rounded pair.
+    "q_ndcg" ->
+      """WITH s AS (
+        |  SELECT vec_id % 4 AS fold,
+        |    CAST(embedding[1] AS DOUBLE) AS score,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS rel, vec_id
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT fold, rel,
+        |    row_number() OVER (PARTITION BY fold
+        |      ORDER BY score DESC, vec_id) AS p,
+        |    row_number() OVER (PARTITION BY fold
+        |      ORDER BY rel DESC, vec_id) AS q
+        |  FROM s),
+        |a AS (
+        |  SELECT fold,
+        |    round(sum(CASE WHEN p <= 10 THEN
+        |      CAST(rel AS DOUBLE) * 0.6931471805599453
+        |        / ln(CAST(p + 1 AS DOUBLE)) ELSE 0 END), 6) AS dcg,
+        |    round(sum(CASE WHEN q <= 10 THEN
+        |      CAST(rel AS DOUBLE) * 0.6931471805599453
+        |        / ln(CAST(q + 1 AS DOUBLE)) ELSE 0 END), 6) AS idcg,
+        |    CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM r GROUP BY 1)
+        |SELECT fold, dcg, idcg, n_candidates,
+        |  CASE WHEN idcg = 0 THEN NULL ELSE dcg / idcg END AS ndcg
+        |FROM a""".stripMargin,
 
     // Stage 1 replays q_text_bm25's CTEs to the LIMIT 20 shortlist;
     // stage 2 scores it with the docSimilarity fixed-point weights (no

@@ -185,6 +185,111 @@ object Eval {
     * to measure). Scale: one shuffle to pair counts (|groups|×|a|×|b|
     * keys); marginals and ln-sums derive from that frame, the base is
     * never rescanned. */
+  /** Cohen's kappa per group: chance-corrected agreement between two
+    * categorical raters (two annotators, or two labeling heuristics —
+    * the "are my quality rules actually measuring the same thing?"
+    * audit before one of them gates a corpus).
+    *
+    * Held exact end-to-end via the all-integer identity
+    *
+    *   kappa = (N·Σ_c n_cc − Σ_c ra_c·rb_c) / (N² − Σ_c ra_c·rb_c)
+    *
+    * (numerator/denominator are N² × the usual (po−pe)/(1−pe)), so the
+    * single divide is bit-identical cross-engine; po and pe are each
+    * one exact divide too. kappa is NULL when pe = 1 (both raters
+    * constant — agreement is all chance, 0/0).
+    *
+    * Scale: one shuffle collapses rows to the |a|×|b| contingency
+    * frame per group; the diagonal, marginals, and their product-sum
+    * all derive from that frame — the base is never rescanned. Rows
+    * where either rating is NULL are dropped (no agreement evidence).
+    *
+    * Int64 envelope: N² must stay inside int64 — shard groups past
+    * ~3·10⁹ rated items. */
+  def cohensKappa(df: DataFrame, keys: Seq[String], a: String,
+                  b: String): DataFrame = {
+    val k = keys.map(col)
+    val pairs = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy((k ++ Seq(col(a).as("__a"), col(b).as("__b"))): _*)
+      .agg(count(lit(1)).as("__n"))
+    val totals = pairs.groupBy(k: _*)
+      .agg(sum(col("__n")).as("n_items"),
+        sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+          .as("__agree"))
+    val ma = pairs.groupBy((k :+ col("__a").as("__c")): _*)
+      .agg(sum(col("__n")).as("__ra"))
+    val mb = pairs.groupBy((k :+ col("__b").as("__c")): _*)
+      .agg(sum(col("__n")).as("__rb"))
+    // inner join: a category absent from one rater contributes 0 to pe
+    val prodSum = ma.join(mb, keys :+ "__c")
+      .groupBy(k: _*)
+      .agg(sum(col("__ra") * col("__rb")).as("__pp"))
+    totals.join(prodSum, keys.toSeq, "left")
+      .withColumn("__pp", coalesce(col("__pp"), lit(0L)))
+      .withColumn("po",
+        col("__agree").cast("double") / col("n_items").cast("double"))
+      .withColumn("pe", col("__pp").cast("double")
+        / (col("n_items") * col("n_items")).cast("double"))
+      .withColumn("kappa",
+        when(col("n_items") * col("n_items") === col("__pp"), lit(null))
+          .otherwise(
+            (col("n_items") * col("__agree") - col("__pp")).cast("double")
+              / (col("n_items") * col("n_items") - col("__pp"))
+                .cast("double")))
+      .select((k ++ Seq(col("n_items"), col("po"), col("pe"),
+        col("kappa"))): _*)
+  }
+
+  /** NDCG@k per group over a scored candidate list: rank by
+    * (score desc, id asc — the id tiebreak makes the ranking total, so
+    * both engines cut identical top-k sets), discount each candidate's
+    * relevance by log2(position+1), normalize by the ideal ordering
+    * (relevance desc). The retrieval-quality metric for a
+    * reranker/embedding-search stage.
+    *
+    * ndcg = dcg / idcg, NULL when idcg = 0 (no relevant candidate —
+    * there is no ranking quality to measure). rel/log2(pos+1) is a
+    * per-row IEEE tree; only the cross-term dcg/idcg sums carry r6
+    * (the repo-wide float-sum discipline), and the final divide runs
+    * on the two rounded sums, so results are cross-engine identical.
+    *
+    * Scale contract: the window partitions by group and orders within
+    * it, so groups are expected to be CANDIDATE SHORTLISTS (a
+    * retriever's top-N, N in the hundreds) — the frame each query
+    * evaluates, not a full corpus. Don't point it at billion-row
+    * groups; rank those with the two-pass global-sort pattern first. */
+  def ndcgAtK(df: DataFrame, keys: Seq[String], score: Column,
+              rel: Column, id: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val kc = keys.map(col)
+    val base = df.filter(score.isNotNull && rel.isNotNull)
+      .select((kc ++ Seq(score.as("__s"), rel.cast("long").as("__r"),
+        id.as("__id"))): _*)
+    val wRank = Window.partitionBy(kc: _*)
+      .orderBy(col("__s").desc, col("__id"))
+    val wIdeal = Window.partitionBy(kc: _*)
+      .orderBy(col("__r").desc, col("__id"))
+    // rel/log2(p+1) written as rel·ln2/ln(p+1) with ln2 a shared
+    // LITERAL (Java's Math.log(2.0)) — engine log2 implementations
+    // differ more than ln, which the entropy family already leans on
+    def gain(pos: Column): Column =
+      col("__r").cast("double") * lit(0.6931471805599453) /
+        log(pos.cast("double") + lit(1.0))
+    base
+      .withColumn("__p", row_number().over(wRank))
+      .withColumn("__q", row_number().over(wIdeal))
+      .groupBy(kc: _*)
+      .agg(
+        round(sum(when(col("__p") <= k, gain(col("__p")))
+          .otherwise(0.0)), 6).as("dcg"),
+        round(sum(when(col("__q") <= k, gain(col("__q")))
+          .otherwise(0.0)), 6).as("idcg"),
+        count(lit(1)).as("n_candidates"))
+      .withColumn("ndcg",
+        when(col("idcg") === 0.0, lit(null))
+          .otherwise(col("dcg") / col("idcg")))
+  }
+
   def mutualInfo(df: DataFrame, keys: Seq[String], a: String,
                  b: String): DataFrame = {
     val k = keys.map(col)

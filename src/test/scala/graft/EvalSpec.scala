@@ -185,4 +185,52 @@ class EvalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("nmi")))
     assert(r.getAs[Double]("mi") == 0.0)
   }
+
+  test("cohensKappa: textbook 2x2 table, perfect agreement, and " +
+      "chance-only NULL") {
+    // 2x2 fixture: marginals a=(25,25), b=(30,20) -> po = 0.70,
+    // pe = (25·30 + 25·20)/50² = 0.50, kappa = 0.2/0.5 = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohensKappa(rows.toDF("a", "b").withColumn("g", lit(1)),
+      Seq("g"), "a", "b").collect().head
+    assert(r.getAs[Long]("n_items") == 50L)
+    assert(math.abs(r.getAs[Double]("po") - 0.70) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pe") - 0.50) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-12)
+    // identical raters over >1 class: kappa = 1
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"))
+      .toDF("a", "b").withColumn("g", lit(1))
+    assert(Eval.cohensKappa(perfect, Seq("g"), "a", "b")
+      .collect().head.getAs[Double]("kappa") == 1.0)
+    // both raters constant and equal: pe = 1 -> NULL, po = 1
+    val const = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+      .withColumn("g", lit(1))
+    val rc = Eval.cohensKappa(const, Seq("g"), "a", "b").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("kappa")))
+    assert(rc.getAs[Double]("po") == 1.0)
+  }
+
+  test("ndcgAtK: perfect ranking = 1, inverted < 1, no relevant = NULL") {
+    // scores rank ids 1..6 descending; relevance matches that order
+    val df = Seq((1L, 6.0, 1L), (2L, 5.0, 1L), (3L, 4.0, 0L),
+      (4L, 3.0, 0L), (5L, 2.0, 0L), (6L, 1.0, 0L))
+      .toDF("id", "score", "rel").withColumn("g", lit(1))
+    val r = Eval.ndcgAtK(df, Seq("g"), col("score"), col("rel"),
+      col("id"), k = 3).collect().head
+    assert(r.getAs[Double]("ndcg") == 1.0)
+    assert(r.getAs[Long]("n_candidates") == 6L)
+    // invert the scores: both relevant docs fall out of the top-3 cut
+    // entirely, so dcg = 0 while idcg > 0
+    val inv = df.withColumn("score", -col("score"))
+    val ri = Eval.ndcgAtK(inv, Seq("g"), col("score"), col("rel"),
+      col("id"), k = 3).collect().head
+    assert(ri.getAs[Double]("ndcg") == 0.0)
+    assert(ri.getAs[Double]("idcg") > 0.0)
+    // all-zero relevance: idcg = 0 -> NULL
+    val none = df.withColumn("rel", lit(0L))
+    val rn = Eval.ndcgAtK(none, Seq("g"), col("score"), col("rel"),
+      col("id"), k = 3).collect().head
+    assert(rn.isNullAt(rn.fieldIndex("ndcg")))
+  }
 }
