@@ -1923,6 +1923,29 @@ object SparkEntry {
       "rater_tokens")
   }
 
+  /** Bradley-Terry brand strengths from per-order "preference votes":
+    * in each order the brand with the most lineitems beats the brand
+    * with the fewest (count-then-brand lexicographic key, encoded as a
+    * zero-padded sortable string so both engines cut identical
+    * winners; single-brand orders abstain). 3 fixed-point MM rounds —
+    * every intermediate an exact long, the oracle unrolls the rounds
+    * as chained CTEs. */
+  private def qPreference(s: SparkSession, dir: String): DataFrame = {
+    val key = concat(lpad(col("n").cast("string"), 10, "0"), lit("|"),
+      col("p_brand"))
+    val votes = tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("l_orderkey")
+      .agg(max(key).as("wk"), min(key).as("lk"))
+      .filter(col("wk") =!= col("lk"))
+      .select(substring_index(col("wk"), "|", -1).as("winner"),
+        substring_index(col("lk"), "|", -1).as("loser"))
+    graft.ops.Preference.bradleyTerry(votes, "winner", "loser", iters = 3)
+  }
+
   /** NDCG@10 of the stand-in scorer (first embedding coordinate)
     * against binary relevance label < 5, per 4-way fold — r6 on the
     * dcg/idcg cross-term sums, final divide on the rounded pair. */
@@ -2524,6 +2547,7 @@ object SparkEntry {
     "q_mutual_info" -> (qMutualInfo _),
     "q_kappa" -> (qKappa _),
     "q_ndcg" -> (qNdcg _),
+    "q_preference" -> (qPreference _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
     "q_survival" -> (qSurvival _),
@@ -4386,6 +4410,71 @@ object SparkEntry {
         |SELECT fold, dcg, idcg, n_candidates,
         |  CASE WHEN idcg = 0 THEN NULL ELSE dcg / idcg END AS ndcg
         |FROM a""".stripMargin,
+
+    // Bradley-Terry: the oracle unrolls the 3 MM rounds as chained
+    // CTEs; every step is integral (// = DIV on positives), S = 1e6
+    // score units against P = 1e9 denominator precision, scores capped
+    // at S·2³ — the exact recurrence the Spark loop runs.
+    "q_preference" ->
+      """WITH bs AS (
+        |  SELECT l_orderkey, p_brand, count(*) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT l_orderkey,
+        |    lpad(CAST(n AS VARCHAR), 10, '0') || '|' || p_brand AS key
+        |  FROM bs),
+        |votes AS (
+        |  SELECT split_part(max(key), '|', 2) AS w,
+        |    split_part(min(key), '|', 2) AS l
+        |  FROM keys GROUP BY l_orderkey
+        |  HAVING max(key) <> min(key)),
+        |e AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS m FROM (
+        |    SELECT w AS a, l AS b FROM votes
+        |    UNION ALL SELECT l AS a, w AS b FROM votes)
+        |  GROUP BY 1, 2),
+        |wn AS (SELECT w AS id, CAST(count(*) AS BIGINT) AS wins
+        |  FROM votes GROUP BY 1),
+        |w0 AS (
+        |  SELECT i.id, coalesce(wn.wins, 0) AS wins,
+        |    CAST(1000000 AS BIGINT) AS s
+        |  FROM (SELECT DISTINCT a AS id FROM e) i
+        |  LEFT JOIN wn ON i.id = wn.id),
+        |d1 AS (
+        |  SELECT e.a AS id, CAST(sum((e.m * 1000000000)
+        |    // greatest(wa.s + wb.s, 1)) AS BIGINT) AS d
+        |  FROM e JOIN w0 wa ON e.a = wa.id JOIN w0 wb ON e.b = wb.id
+        |  GROUP BY 1),
+        |w1 AS (
+        |  SELECT w0.id, w0.wins, CAST(least((w0.wins * 1000000000)
+        |    // greatest(d1.d, 1), 8000000) AS BIGINT) AS s
+        |  FROM w0 JOIN d1 ON w0.id = d1.id),
+        |d2 AS (
+        |  SELECT e.a AS id, CAST(sum((e.m * 1000000000)
+        |    // greatest(wa.s + wb.s, 1)) AS BIGINT) AS d
+        |  FROM e JOIN w1 wa ON e.a = wa.id JOIN w1 wb ON e.b = wb.id
+        |  GROUP BY 1),
+        |w2 AS (
+        |  SELECT w1.id, w1.wins, CAST(least((w1.wins * 1000000000)
+        |    // greatest(d2.d, 1), 8000000) AS BIGINT) AS s
+        |  FROM w1 JOIN d2 ON w1.id = d2.id),
+        |d3 AS (
+        |  SELECT e.a AS id, CAST(sum((e.m * 1000000000)
+        |    // greatest(wa.s + wb.s, 1)) AS BIGINT) AS d
+        |  FROM e JOIN w2 wa ON e.a = wa.id JOIN w2 wb ON e.b = wb.id
+        |  GROUP BY 1),
+        |w3 AS (
+        |  SELECT w2.id, w2.wins, CAST(least((w2.wins * 1000000000)
+        |    // greatest(d3.d, 1), 8000000) AS BIGINT) AS s
+        |  FROM w2 JOIN d3 ON w2.id = d3.id),
+        |nc AS (SELECT a AS id, CAST(sum(m) AS BIGINT) AS n_comparisons
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM w3)
+        |SELECT w3.id AS item, w3.wins AS n_wins, nc.n_comparisons,
+        |  w3.s AS strength,
+        |  CAST(w3.s AS DOUBLE) / CAST(t AS DOUBLE) AS share
+        |FROM w3 JOIN nc ON w3.id = nc.id CROSS JOIN tot""".stripMargin,
 
     // Stage 1 replays q_text_bm25's CTEs to the LIMIT 20 shortlist;
     // stage 2 scores it with the docSimilarity fixed-point weights (no

@@ -211,6 +211,25 @@ class EvalSpec extends SparkSpec {
     assert(rc.getAs[Double]("po") == 1.0)
   }
 
+  test("bradleyTerry: planted dominance order recovered; all-loser " +
+      "collapses to 0; shares sum to 1") {
+    // a beats b 9:1, b beats c 9:1, c never beats anyone but loses to a
+    val votes = (Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq.fill(5)(("a", "c")))
+      .toDF("winner", "loser")
+    val out = graft.ops.Preference.bradleyTerry(votes, "winner", "loser")
+      .collect().map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("strength"), r.getAs[Double]("share"))).toMap
+    assert(out("a")._1 > out("b")._1 && out("b")._1 > out("c")._1)
+    assert(out("c")._1 == 0L, "never-winner must collapse to strength 0")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+    // determinism: a second run returns the identical fixed-point longs
+    val again = graft.ops.Preference.bradleyTerry(votes, "winner", "loser")
+      .collect().map(r => r.getAs[String]("item") ->
+        r.getAs[Long]("strength")).toMap
+    assert(out.keys.forall(k => again(k) == out(k)._1))
+  }
+
   test("ndcgAtK: perfect ranking = 1, inverted < 1, no relevant = NULL") {
     // scores rank ids 1..6 descending; relevance matches that order
     val df = Seq((1L, 6.0, 1L), (2L, 5.0, 1L), (3L, 4.0, 0L),
