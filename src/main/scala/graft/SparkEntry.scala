@@ -1946,6 +1946,17 @@ object SparkEntry {
     graft.ops.Preference.bradleyTerry(votes, "winner", "loser", iters = 3)
   }
 
+  /** Classical seasonal decomposition of the event value series per
+    * type, period 24: centered one-cycle MA trend (half-weight ends),
+    * per-position seasonal means centered across the cycle, residual =
+    * the de-seasonalized anomaly signal. All cross-row means r6-rounded
+    * before their divide. */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Indicators.seasonalDecompose(ev(s, dir), "event_type",
+        evOrder, "value", period = 24)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("period_pos"), col("trend"), col("seasonal"), col("residual"))
+
   /** NDCG@10 of the stand-in scorer (first embedding coordinate)
     * against binary relevance label < 5, per 4-way fold — r6 on the
     * dcg/idcg cross-term sums, final divide on the rounded pair. */
@@ -2548,6 +2559,7 @@ object SparkEntry {
     "q_kappa" -> (qKappa _),
     "q_ndcg" -> (qNdcg _),
     "q_preference" -> (qPreference _),
+    "q_seasonal" -> (qSeasonal _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
     "q_survival" -> (qSurvival _),
@@ -4410,6 +4422,43 @@ object SparkEntry {
         |SELECT fold, dcg, idcg, n_candidates,
         |  CASE WHEN idcg = 0 THEN NULL ELSE dcg / idcg END AS ndcg
         |FROM a""".stripMargin,
+
+    // Seasonal decomposition: the oracle replays the same half-weight
+    // centered-MA trend, position means, and centering — every
+    // cross-row sum r6-rounded before its divide on both sides.
+    "q_seasonal" ->
+      s"""WITH s AS (
+         |  SELECT event_id, event_type, $TS AS t, value
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (
+         |  SELECT event_id, event_type, value,
+         |    CAST((row_number() OVER w - 1) % 24 AS INTEGER)
+         |      AS period_pos,
+         |    CASE WHEN count(value) OVER f = 25
+         |        AND lag(value, 12) OVER w IS NOT NULL
+         |        AND lead(value, 12) OVER w IS NOT NULL
+         |      THEN round((round(sum(value) OVER f, 6)
+         |        - 0.5 * (lag(value, 12) OVER w + lead(value, 12) OVER w))
+         |        / 24.0, 6)
+         |    END AS trend
+         |  FROM s
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id),
+         |    f AS (PARTITION BY event_type ORDER BY t, event_id
+         |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |d AS (SELECT *, value - trend AS detr FROM b),
+         |sr AS (
+         |  SELECT event_type, period_pos,
+         |    round(sum(detr), 6) / count(*) AS sraw
+         |  FROM d WHERE detr IS NOT NULL GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT event_type, period_pos,
+         |    round(sraw - round(sum(sraw) OVER (PARTITION BY event_type), 6)
+         |      / count(*) OVER (PARTITION BY event_type), 6) AS seasonal
+         |  FROM sr)
+         |SELECT d.event_id, d.event_type, d.value, d.period_pos, d.trend,
+         |  sc.seasonal, d.detr - sc.seasonal AS residual
+         |FROM d LEFT JOIN sc ON d.event_type = sc.event_type
+         |  AND d.period_pos = sc.period_pos""".stripMargin,
 
     // Bradley-Terry: the oracle unrolls the 3 MM rounds as chained
     // CTEs; every step is integral (// = DIV on positives), S = 1e6

@@ -144,6 +144,73 @@ object Indicators {
       .drop("_first")
   }
 
+  /** Classical seasonal decomposition (the moving-average form of
+    * STL's ancestor): value = trend + seasonal + residual per key, for
+    * a known integer `period` (24 for hourly data with daily shape,
+    * 7 for daily data with weekly shape).
+    *
+    *  - trend: centered moving average over one full period — for even
+    *    periods the textbook half-weight-ends form
+    *    (x_{t−h}/2 + Σ x_{t−h+1..t+h−1} + x_{t+h}/2)/period, h = p/2,
+    *    so the window always spans exactly one seasonal cycle; NULL at
+    *    the h-row series edges (no full cycle to average).
+    *  - seasonal: mean of (value − trend) per position-in-period,
+    *    centered to sum ≈ 0 across positions (a constant shift belongs
+    *    to the trend, not the season).
+    *  - residual: value − trend − seasonal — the de-seasonalized
+    *    anomaly signal drift monitors should alarm on instead of raw
+    *    values when the metric has a daily/weekly pulse.
+    *
+    * Float discipline: the frame sum and every cross-row mean are
+    * rounded at 6dp before their single divide (frameAvg's windowed
+    * sibling), and trend/seasonal/residual derive from those rounded
+    * components with per-row arithmetic only — both engines cut
+    * identical doubles. Scale shape: ONE shuffle on the key, one
+    * in-partition sort shared by the position index and the trend
+    * frame; the seasonal table is |keys|×period rows, broadcast back.
+    * The position index is row_number over the key's total `order` —
+    * series are per-key, so a key's rows must fit a task (the same
+    * contract as every recurrence in this file). */
+  def seasonalDecompose(df: DataFrame, key: String, order: Seq[String],
+                        value: String, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    val w = WindowAnalytics.keyFrame(key, order)
+    val h = period / 2
+    val odd = period % 2 == 1
+    val frame = w.rowsBetween(-h, h)
+    val v = col(value)
+    val full = count(v).over(frame) === lit(2 * h + 1)
+    val trendExpr =
+      if (odd)
+        when(full, round(sum(v).over(frame), 6) / lit(period.toDouble))
+      else
+        when(full &&
+            lag(v, h).over(w).isNotNull && lead(v, h).over(w).isNotNull,
+          (round(sum(v).over(frame), 6)
+            - lit(0.5) * (lag(v, h).over(w) + lead(v, h).over(w)))
+            / lit(period.toDouble))
+    val base = df.filter(v.isNotNull)
+      .select(col("*"),
+        ((row_number().over(w) - lit(1)) % lit(period)).as("period_pos"),
+        round(trendExpr, 6).as("trend"))
+      .withColumn("__detr", v - col("trend"))
+    val seasonalRaw = base.filter(col("__detr").isNotNull)
+      .groupBy(col(key), col("period_pos"))
+      .agg((round(sum(col("__detr")), 6)
+        / count(lit(1)).cast("double")).as("__sraw"))
+    val centered = seasonalRaw
+      .withColumn("__smean",
+        round(sum(col("__sraw")).over(
+          Window.partitionBy(col(key))), 6)
+          / count(lit(1)).over(Window.partitionBy(col(key)))
+            .cast("double"))
+      .select(col(key), col("period_pos"),
+        round(col("__sraw") - col("__smean"), 6).as("seasonal"))
+    base.join(broadcast(centered), Seq(key, "period_pos"), "left")
+      .withColumn("residual", col("__detr") - col("seasonal"))
+      .drop("__detr")
+  }
+
   /** The shared secondary-sort recurrence harness: one shuffle on the
     * key, one in-partition sort on (key, order...), then a single
     * streaming pass where `fold` (fresh instance per partition) carries

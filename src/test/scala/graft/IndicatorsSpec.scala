@@ -241,4 +241,37 @@ class IndicatorsSpec extends SparkSpec {
       .split("Exchange").length - 1
     assert(nV == 1, s"vwapObv: expected 1 shuffle, got $nV")
   }
+
+  test("seasonalDecompose: planted linear trend + period-4 season " +
+      "recovered; residual ~ 0; edges NULL") {
+    // value = 2·i + s[i mod 4], planted season sums to 0 over a cycle
+    val season = Seq(3.0, -1.0, -2.0, 0.0)
+    val rows = (0 until 40).map(i =>
+      ("k", i.toLong, 2.0 * i + season(i % 4)))
+    val out = Indicators.seasonalDecompose(
+        rows.toDF("k", "id", "value"), "k", Seq("id"), "value", period = 4)
+      .orderBy("id").collect()
+    out.foreach { r =>
+      val i = r.getAs[Long]("id").toInt
+      assert(r.getAs[Int]("period_pos") == i % 4)
+      if (i < 2 || i >= 38) {
+        // no full centered cycle at the edges
+        assert(r.isNullAt(r.fieldIndex("trend")), s"edge $i has trend")
+        assert(r.isNullAt(r.fieldIndex("residual")))
+      } else {
+        // centered MA of linear+periodic over one cycle = the line
+        assert(math.abs(r.getAs[Double]("trend") - 2.0 * i) < 1e-6,
+          s"trend at $i")
+        assert(math.abs(r.getAs[Double]("seasonal") - season(i % 4)) < 0.2,
+          s"seasonal at $i")
+        assert(math.abs(r.getAs[Double]("residual")) < 0.2,
+          s"residual at $i")
+      }
+    }
+    // seasonal components (centered) sum to ~0 across the cycle
+    val sByPos = out.filter(!_.isNullAt(out.head.fieldIndex("seasonal")))
+      .map(r => r.getAs[Int]("period_pos") -> r.getAs[Double]("seasonal"))
+      .toMap
+    assert(math.abs(sByPos.values.sum) < 1e-4)
+  }
 }
