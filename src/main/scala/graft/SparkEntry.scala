@@ -1946,6 +1946,14 @@ object SparkEntry {
     graft.ops.Preference.bradleyTerry(votes, "winner", "loser", iters = 3)
   }
 
+  /** Key-skew audit of the lineitem partkey distribution per return
+    * flag — exact per-key-count percentiles, top-1 share, and the Gini
+    * coefficient via the banded two-pass sorted rank (Σ i·c and every
+    * cut exact int64; three single IEEE divides). */
+  private def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.keySkew(tbl(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_partkey")
+
   /** Classical seasonal decomposition of the event value series per
     * type, period 24: centered one-cycle MA trend (half-weight ends),
     * per-position seasonal means centered across the cycle, residual =
@@ -2560,6 +2568,7 @@ object SparkEntry {
     "q_ndcg" -> (qNdcg _),
     "q_preference" -> (qPreference _),
     "q_seasonal" -> (qSeasonal _),
+    "q_key_skew" -> (qKeySkew _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
     "q_survival" -> (qSurvival _),
@@ -4422,6 +4431,50 @@ object SparkEntry {
         |SELECT fold, dcg, idcg, n_candidates,
         |  CASE WHEN idcg = 0 THEN NULL ELSE dcg / idcg END AS ndcg
         |FROM a""".stripMargin,
+
+    // Key-skew audit: the oracle ranks counts with one plain window
+    // (no scale constraint in DuckDB; the Spark side uses the banded
+    // two-pass rank) — identical (count, key-string) total order, so
+    // Σ i·c and every rank cut match exactly.
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_partkey AS k, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, c,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c, CAST(k AS VARCHAR)) AS i
+        |  FROM c),
+        |t AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_key_rows
+        |  FROM c GROUP BY 1),
+        |a AS (
+        |  SELECT r.l_returnflag,
+        |    CAST(sum(r.i * r.c) AS BIGINT) AS sic,
+        |    CAST(min(CASE WHEN r.i >= (t.n_keys + 1) // 2
+        |      THEN r.c END) AS BIGINT) AS p50_rows,
+        |    CAST(min(CASE WHEN r.i >= (9 * t.n_keys + 9) // 10
+        |      THEN r.c END) AS BIGINT) AS p90_rows,
+        |    CAST(min(CASE WHEN r.i >= (99 * t.n_keys + 99) // 100
+        |      THEN r.c END) AS BIGINT) AS p99_rows
+        |  FROM r JOIN t ON r.l_returnflag = t.l_returnflag
+        |  GROUP BY 1),
+        |res AS (
+        |  SELECT t.l_returnflag, t.n_keys, t.n_rows, t.max_key_rows,
+        |    a.p50_rows, a.p90_rows, a.p99_rows,
+        |    CAST(t.n_rows AS DOUBLE) / CAST(t.n_keys AS DOUBLE)
+        |      AS mean_key_rows,
+        |    CAST(t.max_key_rows AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+        |      AS top1_share,
+        |    CASE WHEN t.n_keys = 1 THEN 0.0
+        |      ELSE CAST(2 * a.sic AS DOUBLE)
+        |          / CAST(t.n_keys * t.n_rows AS DOUBLE)
+        |        - CAST(t.n_keys + 1 AS DOUBLE) / CAST(t.n_keys AS DOUBLE)
+        |    END AS gini
+        |  FROM t JOIN a ON t.l_returnflag = a.l_returnflag)
+        |SELECT * FROM res""".stripMargin,
 
     // Seasonal decomposition: the oracle replays the same half-weight
     // centered-MA trend, position means, and centering — every

@@ -478,6 +478,71 @@ object Stats {
       .drop("__mean", "__sd")
   }
 
+  /** Key-skew audit per group: the "will this key explode my shuffle?"
+    * diagnostic a 100 TB join/aggregation plan needs BEFORE it runs —
+    * per-key row counts summarized as max/top-share/exact percentiles
+    * plus the Gini coefficient of the count distribution (0 = uniform
+    * keys, → 1 = one key owns everything; > ~0.6 is the "salt this
+    * join" signal).
+    *
+    * Gini uses the sorted identity G = 2·Σ i·c_(i) / (n·Σc) − (n+1)/n
+    * with ascending ranks i. The rank is the banded two-pass pattern
+    * (same as [[Eval.binaryAuc]]'s cumulative): counts band by
+    * length(bin(c)) — an exact integer log2 both engines compute
+    * identically — band totals cumulate over ≤ 64 rows per group, and
+    * the in-band window only ever sees one band's keys, so a group
+    * with a billion distinct keys still splits across 64 tasks. Σ i·c
+    * and every percentile cut are exact int64; the three ratios are
+    * single IEEE divides. Ties in c rank arbitrarily inside a band —
+    * Σ i·c over a tied block and rank-threshold percentile cuts are
+    * both tie-order invariant, so outputs stay deterministic.
+    *
+    * Int64 envelope: Σ i·c ≤ n_keys·n_rows — past ~10⁹ keys × 10⁹ rows
+    * shard the audit by key-hash fold. */
+  def keySkew(df: DataFrame, keys: Seq[String], key: String): DataFrame = {
+    val k = keys.map(col)
+    val counts = df.groupBy((k :+ col(key).as("__k")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__band", length(bin(col("__c"))))
+    val bandTotals = counts.groupBy((k :+ col("__band")): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val wOff = Window.partitionBy(k: _*).orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .drop("__bn")
+    val wIn = Window.partitionBy((k :+ col("__band")): _*)
+      .orderBy(col("__c"), col("__k").cast("string"))
+    val ranked = counts.join(broadcast(offsets), keys :+ "__band")
+      .withColumn("__i", col("__off") + row_number().over(wIn))
+    val totals = counts.groupBy(k: _*)
+      .agg(count(lit(1)).as("n_keys"), sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_key_rows"))
+    // ceil(p·n) on positive ints: (p_num·n + p_den − 1) DIV p_den
+    def cutAt(num: Int, den: Int): Column =
+      min(when(col("__i") >=
+        expr(s"($num * n_keys + ${den - 1}) DIV $den"), col("__c")))
+    ranked.join(broadcast(totals), keys.toSeq)
+      .groupBy((k ++ Seq(col("n_keys"), col("n_rows"),
+        col("max_key_rows"))): _*)
+      .agg(
+        sum(col("__i") * col("__c")).as("__sic"),
+        cutAt(1, 2).as("p50_rows"),
+        cutAt(9, 10).as("p90_rows"),
+        cutAt(99, 100).as("p99_rows"))
+      .withColumn("mean_key_rows",
+        col("n_rows").cast("double") / col("n_keys").cast("double"))
+      .withColumn("top1_share",
+        col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+      .withColumn("gini",
+        when(col("n_keys") === 1L, lit(0.0)).otherwise(
+          (lit(2L) * col("__sic")).cast("double")
+            / (col("n_keys") * col("n_rows")).cast("double")
+            - (col("n_keys") + lit(1L)).cast("double")
+              / col("n_keys").cast("double")))
+      .drop("__sic")
+  }
+
   /** Per-group categorical mode with a deterministic tie rule (highest
     * count, then smallest value). Two aggregations — (keys, value) counts,
     * then max_by over a (count, -value) struct — both partial-aggregated

@@ -563,6 +563,34 @@ class PropertySpec extends SparkSpec {
     assert(sa, "string order diverges from sort_array")
   }
 
+  test("keySkew: hand-computed gini on counts {1,2,3,4}; uniform ~ 0; " +
+      "dominant key ~ 1; percentile ordering") {
+    // counts 1,2,3,4 -> Σ i·c = 30, G = 60/40 - 5/4 = 0.25 exactly
+    val rows = (1 to 1).map(_ => "a") ++ (1 to 2).map(_ => "b") ++
+      (1 to 3).map(_ => "c") ++ (1 to 4).map(_ => "d")
+    val r = graft.ops.Stats.keySkew(
+        rows.map(("g", _)).toDF("g", "k"), Seq("g"), "k")
+      .collect().head
+    assert(r.getAs[Long]("n_keys") == 4L && r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Double]("gini") == 0.25)
+    assert(r.getAs[Long]("p50_rows") == 2L) // rank >= ceil(4/2)=2 -> c=2
+    assert(r.getAs[Long]("p90_rows") == 4L) // rank >= ceil(3.6)=4 -> c=4
+    assert(r.getAs[Long]("max_key_rows") == 4L)
+    // uniform: every key identical count -> gini exactly... (n-1)/(2n)·0
+    val uni = (1 to 50).flatMap(i => Seq.fill(7)(i.toLong))
+      .map(("g", _)).toDF("g", "k")
+    val ru = graft.ops.Stats.keySkew(uni, Seq("g"), "k").collect().head
+    assert(math.abs(ru.getAs[Double]("gini")) < 1e-12)
+    // one key with 10_000 rows among 50 singletons -> gini near 1
+    val dom = ((1 to 10000).map(_ => 0L) ++ (1L to 50L))
+      .map(("g", _)).toDF("g", "k")
+    val rd = graft.ops.Stats.keySkew(dom, Seq("g"), "k").collect().head
+    assert(rd.getAs[Double]("gini") > 0.9)
+    assert(rd.getAs[Double]("top1_share") > 0.99)
+    assert(rd.getAs[Long]("p50_rows") <= rd.getAs[Long]("p90_rows") &&
+      rd.getAs[Long]("p90_rows") <= rd.getAs[Long]("p99_rows"))
+  }
+
   test("withEwm: mean stays inside the running [min, max]; var non-negative") {
     for (seed <- Seq(11, 29)) {
       val rnd = new Random(seed)
