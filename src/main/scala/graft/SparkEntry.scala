@@ -1946,6 +1946,20 @@ object SparkEntry {
     graft.ops.Preference.bradleyTerry(votes, "winner", "loser", iters = 3)
   }
 
+  /** Quantile-normalize non-English docs' n_chars onto the English
+    * length distribution: rank by (n_chars, doc_id), map rank r to the
+    * reference value at ⌈r·n_ref/n⌉ — all-integer rank arithmetic,
+    * banded two-pass rankings on both sides. */
+  private def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    graft.ops.Curate.quantileNormalize(
+        d.filter(col("lang") =!= "en").select("doc_id", "lang", "n_chars"),
+        "n_chars", "doc_id",
+        d.filter(col("lang") === "en"), "n_chars",
+        lo = 0.0, hi = 600.0, nbands = 16, out = "n_chars_norm")
+      .select("doc_id", "lang", "n_chars", "n_chars_norm")
+  }
+
   /** Key-skew audit of the lineitem partkey distribution per return
     * flag — exact per-key-count percentiles, top-1 share, and the Gini
     * coefficient via the banded two-pass sorted rank (Σ i·c and every
@@ -2569,6 +2583,7 @@ object SparkEntry {
     "q_preference" -> (qPreference _),
     "q_seasonal" -> (qSeasonal _),
     "q_key_skew" -> (qKeySkew _),
+    "q_quantile_norm" -> (qQuantileNorm _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
     "q_survival" -> (qSurvival _),
@@ -4431,6 +4446,24 @@ object SparkEntry {
         |SELECT fold, dcg, idcg, n_candidates,
         |  CASE WHEN idcg = 0 THEN NULL ELSE dcg / idcg END AS ndcg
         |FROM a""".stripMargin,
+
+    // Quantile normalization: identical (value, id) total order on the
+    // input side; reference ties map to one value so its tie order is
+    // free. Target rank = ceil(r·m/n) in integer arithmetic.
+    "q_quantile_norm" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS r
+        |  FROM documents WHERE lang <> 'en'),
+        |ref AS (
+        |  SELECT n_chars AS n_chars_norm,
+        |    row_number() OVER (ORDER BY n_chars) AS j
+        |  FROM documents WHERE lang = 'en'),
+        |n AS (SELECT count(*) AS n FROM s),
+        |m AS (SELECT count(*) AS m FROM ref)
+        |SELECT s.doc_id, s.lang, s.n_chars, ref.n_chars_norm
+        |FROM s CROSS JOIN n CROSS JOIN m
+        |JOIN ref ON ref.j = (s.r * m.m + n.n - 1) // n.n""".stripMargin,
 
     // Key-skew audit: the oracle ranks counts with one plain window
     // (no scale constraint in DuckDB; the Spark side uses the banded

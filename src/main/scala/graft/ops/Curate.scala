@@ -322,6 +322,59 @@ object Curate {
     * pass 2 broadcast-joins the offsets back and takes row_number within
     * each bucket. position = offset + in-bucket rank, 1-based. The key
     * itself breaks md5-collision ties, so the permutation is total. */
+  /** Quantile normalization: replace each row's `value` with the
+    * reference corpus's value at the SAME quantile — the exact-rank
+    * sibling of [[matchDistribution]] (that one drops rows to match a
+    * histogram; this one keeps every row and rewrites the feature), and
+    * the standard cross-corpus feature alignment before mixing scores
+    * from different sources onto one scale.
+    *
+    * Mechanics, all exact integers: rank r of each row by the total
+    * order (value, id); rank j of each reference row by value; target
+    * j = ⌈r·n_ref / n⌉ = (r·n_ref + n − 1) DIV n; join the reference's
+    * (j → value) map. Equal values share an arbitrary tie order, but
+    * every rank inside a tied block maps to the same reference value
+    * region deterministically given the id tiebreak on the input side.
+    *
+    * Both rankings use the banded two-pass pattern ([[Eval.binaryAuc]]'s
+    * cumulative) on the clamped [lo, hi] grid — banding only partitions
+    * the order, so clamped outliers still rank correctly inside the
+    * edge bands; no window ever spans a whole corpus. The final join is
+    * an equi-join on the rank int. Int64 envelope: r·n_ref ≤ 9.2e18 —
+    * both corpora below ~3·10⁹ rows; shard by quantile range past that.
+    */
+  def quantileNormalize(df: DataFrame, value: String, id: String,
+                        ref: DataFrame, refValue: String,
+                        lo: Double, hi: Double, nbands: Int = 256,
+                        out: String = "q_normalized"): DataFrame = {
+    def ranked(in: DataFrame, v: String, tiebreak: Seq[Column],
+               rankCol: String): DataFrame = {
+      val banded = in.filter(col(v).isNotNull)
+        .withColumn("__b", Stats.binColumn(col(v), lo, hi, nbands))
+      val bandTotals = banded.groupBy("__b").agg(count(lit(1)).as("__bn"))
+      val offsets = bandTotals
+        .withColumn("__off", coalesce(sum(col("__bn")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("__bn")
+      val wIn = Window.partitionBy(col("__b"))
+        .orderBy((col(v) +: tiebreak): _*)
+      banded.join(broadcast(offsets), "__b")
+        .withColumn(rankCol, col("__off") + row_number().over(wIn))
+        .drop("__b", "__off")
+    }
+    val r = ranked(df, value, Seq(col(id)), "__r")
+    val refIdx = ranked(ref.select(col(refValue)), refValue, Seq.empty,
+      "__j").select(col("__j"), col(refValue).as(out))
+    val nSelf = r.agg(count(lit(1)).as("__n"))
+    val nRef = refIdx.agg(count(lit(1)).as("__nref"))
+    r.crossJoin(broadcast(nSelf)).crossJoin(broadcast(nRef))
+      .withColumn("__j",
+        expr("(__r * __nref + __n - 1) DIV __n"))
+      .join(refIdx, "__j")
+      .drop("__j", "__r", "__n", "__nref")
+  }
+
   def globalSortIndex(df: DataFrame, key: Column, seed: String = "",
                       out: String = "shuffle_pos"): DataFrame = {
     val withH = df

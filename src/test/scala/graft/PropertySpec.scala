@@ -591,6 +591,21 @@ class PropertySpec extends SparkSpec {
       rd.getAs[Long]("p90_rows") <= rd.getAs[Long]("p99_rows"))
   }
 
+  test("quantileNormalize: equal-size shifted corpus maps rank-to-rank; " +
+      "outliers clamp into edge bands correctly") {
+    // df values 1..100, ref values 1000..1099: n = m so rank r -> j = r,
+    // and the normalized value is exactly value + 999
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val ref = (1 to 100).map(i => (999 + i).toDouble).toDF("rv")
+    val out = graft.ops.Curate.quantileNormalize(df, "v", "id", ref, "rv",
+        lo = 0.0, hi = 50.0, nbands = 8, out = "nv") // hi < max: clamps
+      .select("v", "nv").as[(Double, Double)].collect()
+    assert(out.length == 100)
+    assert(out.forall { case (v, nv) => nv == v + 999.0 })
+    // ref multiset is reproduced exactly when sizes match
+    assert(out.map(_._2).sorted.toSeq == (1000 to 1099).map(_.toDouble))
+  }
+
   test("withEwm: mean stays inside the running [min, max]; var non-negative") {
     for (seed <- Seq(11, 29)) {
       val rnd = new Random(seed)
