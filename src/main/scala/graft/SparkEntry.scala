@@ -1946,6 +1946,27 @@ object SparkEntry {
     graft.ops.Preference.bradleyTerry(votes, "winner", "loser", iters = 3)
   }
 
+  /** Two-proportion z-test per market segment: does the odd-custkey
+    * "variant" arm convert (acctbal > 5000) at a different rate than
+    * the even-custkey arm? Exact int64 counts; the z expression is one
+    * fixed IEEE tree over them — no rounding anywhere. */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.twoProportionZ(tbl(s, dir, "customer"),
+      Seq("c_mktsegment"), pmod(col("c_custkey"), lit(2L)) === 1L,
+      col("c_acctbal") > 5000.0)
+
+  /** Association rules over the per-order brand baskets: support /
+    * directional confidence / lift for every brand pair co-purchased
+    * in ≥ 10 orders — every metric a single divide of exact counts off
+    * one capped-collect pass. */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.associationRules(
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey")),
+      group = "l_orderkey", item = "p_brand", minCount = 10L)
+
   /** Quantile-normalize non-English docs' n_chars onto the English
     * length distribution: rank by (n_chars, doc_id), map rank r to the
     * reference value at ⌈r·n_ref/n⌉ — all-integer rank arithmetic,
@@ -2584,6 +2605,8 @@ object SparkEntry {
     "q_seasonal" -> (qSeasonal _),
     "q_key_skew" -> (qKeySkew _),
     "q_quantile_norm" -> (qQuantileNorm _),
+    "q_ab_test" -> (qAbTest _),
+    "q_assoc_rules" -> (qAssocRules _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
     "q_survival" -> (qSurvival _),
@@ -4446,6 +4469,66 @@ object SparkEntry {
         |SELECT fold, dcg, idcg, n_candidates,
         |  CASE WHEN idcg = 0 THEN NULL ELSE dcg / idcg END AS ndcg
         |FROM a""".stripMargin,
+
+    // Two-proportion z: exact counts, one IEEE tree for z — identical
+    // doubles on both engines, NULL at empty arms / zero variance.
+    "q_ab_test" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN c_custkey % 2 = 0 AND c_acctbal > 5000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS succ_a,
+        |    CAST(sum(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN c_custkey % 2 = 1 AND c_acctbal > 5000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS succ_b
+        |  FROM customer GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN n_a = 0 THEN NULL
+        |      ELSE CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE) END
+        |      AS rate_a,
+        |    CASE WHEN n_b = 0 THEN NULL
+        |      ELSE CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE) END
+        |      AS rate_b
+        |  FROM c)
+        |SELECT c_mktsegment, n_a, succ_a, n_b, succ_b, rate_a, rate_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR succ_a + succ_b = 0
+        |      OR succ_a + succ_b = n_a + n_b THEN NULL
+        |    ELSE (rate_b - rate_a) / sqrt(
+        |      (CAST(succ_a + succ_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(succ_a + succ_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  END AS z
+        |FROM r""".stripMargin,
+
+    // Association rules: every metric a single divide of exact counts;
+    // the oracle derives the same distinct-(group, item) frame and the
+    // same ≤1000-distinct-brands cap (a no-op at 25 brands, mirrored
+    // for fidelity).
+    "q_assoc_rules" ->
+      """WITH t AS (
+        |  SELECT DISTINCT l_orderkey AS g, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ok AS (SELECT g FROM t GROUP BY g HAVING count(*) <= 1000),
+        |tt AS (SELECT t.g, t.i FROM t JOIN ok USING (g)),
+        |n AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM tt),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+        |  FROM tt GROUP BY 1),
+        |pr AS (
+        |  SELECT a.i AS id1, b.i AS id2, CAST(count(*) AS BIGINT) AS w
+        |  FROM tt a JOIN tt b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT id1, id2, w,
+        |  CAST(w AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+        |  CAST(w AS DOUBLE) / CAST(ia.ni AS DOUBLE) AS conf_1_to_2,
+        |  CAST(w AS DOUBLE) / CAST(ib.ni AS DOUBLE) AS conf_2_to_1,
+        |  CAST(w * n.n AS DOUBLE) / CAST(ia.ni * ib.ni AS DOUBLE) AS lift
+        |FROM pr JOIN ic ia ON pr.id1 = ia.i
+        |JOIN ic ib ON pr.id2 = ib.i CROSS JOIN n""".stripMargin,
 
     // Quantile normalization: identical (value, id) total order on the
     // input side; reference ties map to one value so its tie order is

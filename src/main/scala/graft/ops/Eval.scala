@@ -290,6 +290,54 @@ object Eval {
           .otherwise(col("dcg") / col("idcg")))
   }
 
+  /** Two-proportion z-test per group: is variant B's conversion rate
+    * actually different from A's, or noise? The decision gate for
+    * "did the new quality filter change downstream acceptance" style
+    * experiments.
+    *
+    *   z = (p_b − p_a) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled
+    *
+    * Counts are exact int64 from one aggregation; the z expression is
+    * a fixed IEEE tree over those exact ints (each p is one divide),
+    * so both engines cut identical doubles — no rounding needed.
+    * z is NULL when either arm is empty or the pooled rate is 0 or 1
+    * (zero variance — the test is undefined, not infinite). Callers
+    * compare |z| to 1.96/2.58; no p-value is emitted (erf is not
+    * portable across engines).
+    *
+    * Scale: one |groups|-key aggregate over the assignment column —
+    * nothing else. */
+  def twoProportionZ(df: DataFrame, keys: Seq[String], inB: Column,
+                     success: Column): DataFrame = {
+    val k = keys.map(col)
+    df.filter(inB.isNotNull && success.isNotNull)
+      .groupBy(k: _*)
+      .agg(
+        sum(when(!inB, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!inB && success, 1L).otherwise(0L)).as("succ_a"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(inB && success, 1L).otherwise(0L)).as("succ_b"))
+      .withColumn("rate_a",
+        when(col("n_a") === 0L, lit(null))
+          .otherwise(col("succ_a").cast("double") / col("n_a").cast("double")))
+      .withColumn("rate_b",
+        when(col("n_b") === 0L, lit(null))
+          .otherwise(col("succ_b").cast("double") / col("n_b").cast("double")))
+      .withColumn("z",
+        when(col("n_a") === 0L || col("n_b") === 0L ||
+            col("succ_a") + col("succ_b") === 0L ||
+            col("succ_a") + col("succ_b") === col("n_a") + col("n_b"),
+          lit(null))
+          .otherwise {
+            val pooled = (col("succ_a") + col("succ_b")).cast("double") /
+              (col("n_a") + col("n_b")).cast("double")
+            (col("rate_b") - col("rate_a")) /
+              sqrt(pooled * (lit(1.0) - pooled) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double")))
+          })
+  }
+
   def mutualInfo(df: DataFrame, keys: Seq[String], a: String,
                  b: String): DataFrame = {
     val k = keys.map(col)

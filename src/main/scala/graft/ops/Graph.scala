@@ -150,6 +150,60 @@ object Graph {
     groupPairs(df, group, item, maxGroupSize)
       .groupBy("id1", "id2").agg(count(lit(1)).as("w"))
 
+  /** Association rules over co-occurring items: for each item pair
+    * seen together in ≥ `minCount` groups, emit support, directional
+    * confidences, and lift — the market-basket metrics (and, on a
+    * corpus, the "these two tags/entities co-occur more than chance"
+    * signal).
+    *
+    *   support = w/N,  conf(a⇒b) = w/n_a,  lift = w·N/(n_a·n_b)
+    *
+    * with w = groups containing both, n_x = groups containing x, N =
+    * groups — every count exact int64 off ONE capped-collect pass
+    * (the [[graft.functions.CappedSetAgg]] discipline: oversized
+    * groups drop before any quadratic work), every metric a single
+    * IEEE divide of exact ints. The group arrays snapshot once and
+    * feed all three consumers (N, item counts, pair expansion). */
+  def associationRules(df: DataFrame, group: String, item: String,
+                       maxGroupSize: Int = 1000,
+                       minCount: Long = 2L): DataFrame = {
+    val arrs = df.select(col(group).as("__g"), col(item).as("__i"))
+      .groupBy("__g")
+      .agg(graft.functions.CappedSetAgg
+        .cappedSortedSet(col("__i"), maxGroupSize).as("__arr"))
+      .filter(col("__arr").isNotNull)
+      .localCheckpoint()
+    val nGroups = arrs.agg(count(lit(1)).as("__n"))
+    val itemCounts = arrs
+      .select(explode(col("__arr")).as("__item"))
+      .groupBy("__item").agg(count(lit(1)).as("__ni"))
+    val pairs = arrs.filter(size(col("__arr")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(__arr, (x, i) -> " +
+          "transform(slice(__arr, i + 2, size(__arr) - i - 1), " +
+          "y -> struct(x AS id1, y AS id2))))")).as("__p"))
+      .groupBy(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+    // item-count joins stay unhinted: the item vocabulary may be far
+    // past broadcast size at corpus scale — AQE broadcasts when small
+    pairs
+      .join(itemCounts.select(col("__item").as("id1"),
+        col("__ni").as("__na")), "id1")
+      .join(itemCounts.select(col("__item").as("id2"),
+        col("__ni").as("__nb")), "id2")
+      .crossJoin(broadcast(nGroups))
+      .select(col("id1"), col("id2"), col("w"),
+        (col("w").cast("double") / col("__n").cast("double"))
+          .as("support"),
+        (col("w").cast("double") / col("__na").cast("double"))
+          .as("conf_1_to_2"),
+        (col("w").cast("double") / col("__nb").cast("double"))
+          .as("conf_2_to_1"),
+        ((col("w") * col("__n")).cast("double")
+          / (col("__na") * col("__nb")).cast("double")).as("lift"))
+  }
+
   /** Per-vertex triangle counts + local clustering coefficient over an
     * undirected edge list — the cohesion signal that separates tight
     * near-dup/boilerplate cliques (cc → 1) from hub-like connectors

@@ -211,6 +211,50 @@ class EvalSpec extends SparkSpec {
     assert(rc.getAs[Double]("po") == 1.0)
   }
 
+  test("twoProportionZ: hand-computed z; zero-variance and empty-arm " +
+      "NULLs") {
+    // A: 30/100, B: 50/100 -> pooled 0.4, z = 0.2/sqrt(0.4·0.6·0.02)
+    val rows = (Seq.fill(30)((false, true)) ++ Seq.fill(70)((false, false))
+      ++ Seq.fill(50)((true, true)) ++ Seq.fill(50)((true, false)))
+    val r = Eval.twoProportionZ(
+        rows.toDF("arm", "ok").withColumn("g", lit(1)),
+        Seq("g"), col("arm"), col("ok")).collect().head
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("succ_b") == 50L)
+    val expected = 0.2 / math.sqrt(0.4 * 0.6 * 0.02)
+    assert(math.abs(r.getAs[Double]("z") - expected) < 1e-12)
+    // all failures -> zero variance -> NULL z
+    val zero = Seq((false, false), (true, false)).toDF("arm", "ok")
+      .withColumn("g", lit(1))
+    val rz = Eval.twoProportionZ(zero, Seq("g"), col("arm"), col("ok"))
+      .collect().head
+    assert(rz.isNullAt(rz.fieldIndex("z")))
+    // one arm empty -> NULL z and NULL rate for that arm
+    val onearm = Seq((true, true), (true, false)).toDF("arm", "ok")
+      .withColumn("g", lit(1))
+    val ro = Eval.twoProportionZ(onearm, Seq("g"), col("arm"), col("ok"))
+      .collect().head
+    assert(ro.isNullAt(ro.fieldIndex("z")))
+    assert(ro.isNullAt(ro.fieldIndex("rate_a")))
+  }
+
+  test("associationRules: exact support/confidence/lift on tiny baskets") {
+    val baskets = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"),
+      ("g3", "a"), ("g3", "c"), ("g4", "b")).toDF("g", "item")
+    val out = graft.ops.Graph.associationRules(baskets, "g", "item",
+        minCount = 1L)
+      .collect().map(r => (r.getAs[String]("id1"), r.getAs[String]("id2"))
+        -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("w") == 2L)
+    assert(ab.getAs[Double]("support") == 0.5)
+    assert(ab.getAs[Double]("conf_1_to_2") == 2.0 / 3.0)
+    assert(ab.getAs[Double]("conf_2_to_1") == 2.0 / 3.0)
+    assert(ab.getAs[Double]("lift") == 8.0 / 9.0)
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Long]("w") == 1L && ac.getAs[Double]("lift") == 4.0 / 3.0)
+    assert(!out.contains(("b", "c")))
+  }
+
   test("bradleyTerry: planted dominance order recovered; all-loser " +
       "collapses to 0; shares sum to 1") {
     // a beats b 9:1, b beats c 9:1, c never beats anyone but loses to a
