@@ -1797,6 +1797,29 @@ object SparkEntry {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         r6(col("overlap_ratio")).as("overlap_ratio"))
 
+  /** Corpus-duplicated span removal (Lee et al. 2022 shape): any token
+    * 4-gram appearing in >= max(3, nDocs/1000) distinct docs is
+    * boilerplate; covered tokens are dropped and the doc rebuilt. One
+    * gram-keyed shuffle for the doc-frequency table, one doc-keyed
+    * regroup — never a pair join. */
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.text.Boilerplate.duplicatedSpans(tbl(s, dir, "documents"),
+      "doc_id", "text", k = 4, minDf = 3, dfPerDocs = 1000)
+
+  /** First-iteration BPE merge table: adjacent character-pair frequencies
+    * weighted by word frequency, top-20 by (freq desc, pair asc). All
+    * stages after the word count run on the vocabulary, not the corpus. */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.Subword.bpePairStats(tbl(s, dir, "documents"), "text",
+      topK = 20)
+
+  /** Winnowing fingerprints (MOSS): per-doc count + exact integer
+    * checksum of the selected (pos, hash) set at k=4, w=5 — the packed
+    * argmin key makes rightmost-tie selection a single window min. */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    graft.text.Winnow.fingerprintSummary(tbl(s, dir, "documents"),
+      "doc_id", "text", k = 4, w = 5)
+
   /** Vocabulary coverage curve at 10/50/100/500-term vocab sizes. */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
@@ -2593,6 +2616,9 @@ object SparkEntry {
     "q_text_repetition" -> (qTextRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_text_novelty" -> (qTextNovelty _),
+    "q_dedup_spans" -> (qDedupSpans _),
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_winnow" -> (qWinnow _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -5288,6 +5314,95 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_shared,
         |  round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_ratio
         |FROM documents LEFT JOIN o ON doc_id = o.id""".stripMargin,
+
+    // Independent formulation: positional self-join for the 4-grams and a
+    // NOT EXISTS anti for the covered tokens (the engine uses array
+    // slices + higher-order filter — no join on the rebuild path).
+    "q_dedup_spans" ->
+      """WITH ta AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> x <> '') AS a
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(a) AS tok,
+        |    CAST(generate_subscripts(a, 1) AS INT) AS pos
+        |  FROM ta),
+        |gl AS (
+        |  SELECT doc_id,
+        |    [array_to_string(a[i:i+3], ' ')
+        |     for i in range(1, len(a) - 2)] AS gs
+        |  FROM ta),
+        |grams AS (
+        |  SELECT doc_id, unnest(gs) AS g,
+        |    CAST(generate_subscripts(gs, 1) AS INT) AS pos
+        |  FROM gl),
+        |flagged AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id)
+        |    >= greatest(3, (SELECT count(*) FROM documents) // 1000)),
+        |starts AS (
+        |  SELECT DISTINCT gr.doc_id, gr.pos
+        |  FROM grams gr JOIN flagged f USING (g)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM starts s
+        |    WHERE s.doc_id = t.doc_id
+        |      AND t.pos BETWEEN s.pos AND s.pos + 3)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT ta.doc_id, CAST(len(ta.a) AS INT) AS n_tokens,
+        |  CAST(len(ta.a) - coalesce(agg.n_kept, 0) AS INT) AS n_dropped,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM ta LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS n FROM w GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, CAST(unnest(range(1, length(w))) AS INT), 2)
+        |      AS pair, n
+        |  FROM wf WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS freq
+        |FROM p GROUP BY 1
+        |ORDER BY freq DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // Bit-exact replay: same polynomial k-gram hash (B=131, M=1000003),
+    // same packed argmin key (h * 2^21 + (2^21-1-p)) so rightmost-min
+    // winnowing is one window min on both engines.
+    "q_winnow" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, CAST(length(text) - 3 AS INT) AS n_grams,
+        |    CAST(unnest(range(1, length(text) - 2)) AS INT) AS p
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_grams, p,
+        |    CAST((ascii(substr(text, p, 1)) * 2248091
+        |     + ascii(substr(text, p + 1, 1)) * 17161
+        |     + ascii(substr(text, p + 2, 1)) * 131
+        |     + ascii(substr(text, p + 3, 1))) % 1000003 AS BIGINT) AS hh
+        |  FROM pos),
+        |wm AS (
+        |  SELECT doc_id, n_grams, p,
+        |    min(hh * 2097152 + (2097151 - p)) OVER (
+        |      PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS win_min
+        |  FROM h),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, n_grams,
+        |    2097151 - (win_min % 2097152) AS fpp,
+        |    win_min // 2097152 AS hv
+        |  FROM wm WHERE p <= n_grams - 4)
+        |SELECT doc_id, max(n_grams) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_fp,
+        |  CAST(sum(hv * 1000003 + fpp) AS BIGINT) AS fp_checksum
+        |FROM fp GROUP BY 1""".stripMargin,
 
     "q_dedup_apply" ->
       """WITH RECURSIVE sh AS (
