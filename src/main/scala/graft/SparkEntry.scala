@@ -1820,6 +1820,43 @@ object SparkEntry {
     graft.text.Winnow.fingerprintSummary(tbl(s, dir, "documents"),
       "doc_id", "text", k = 4, w = 5)
 
+  /** Benford first-digit audit of the price column (fixed-point cents —
+    * integer leading-digit extraction, no float log in the digit path). */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    Stats.benford(tbl(s, dir, "lineitem"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+
+  /** Pareto frontier of parts — max total shipped quantity, min observed
+    * price — via the distinct-x cummin formulation (no pair join); the
+    * oracle checks it against the literal NOT EXISTS dominance
+    * definition. */
+  private def qPareto(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skyline.skyline2D(
+      tbl(s, dir, "lineitem").groupBy(col("l_partkey").as("part_id"))
+        .agg(sum(col("l_quantity")).cast("long").as("tot_qty"),
+          min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("min_price_cents")),
+      "tot_qty", "min_price_cents")
+
+  /** Fulfillment-interval congestion: overlapping [o_orderdate,
+    * l_shipdate] interval pairs per (part, supplier) — duplicate-safe
+    * (C − n)/2 ordered-pair counting, no row identity required. */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RangeJoin.intervalOverlapPairs(
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("o_orderdate"),
+          col("l_shipdate")),
+      Seq("l_partkey", "l_suppkey"), "o_orderdate", "l_shipdate")
+
+  /** ~50-row probability-proportional-to-size systematic sample of the
+    * corpus by document length — deterministic md5-order draw, exact
+    * integer boundary arithmetic, banded two-pass cumulative. */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.ppsSystematic(
+      tbl(s, dir, "documents").select("doc_id", "n_chars"),
+      col("doc_id"), col("n_chars"), n = 50)
+
   /** Vocabulary coverage curve at 10/50/100/500-term vocab sizes. */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
@@ -2619,6 +2656,10 @@ object SparkEntry {
     "q_dedup_spans" -> (qDedupSpans _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_winnow" -> (qWinnow _),
+    "q_benford" -> (qBenford _),
+    "q_pareto" -> (qPareto _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -5403,6 +5444,77 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_fp,
         |  CAST(sum(hv * 1000003 + fpp) AS BIGINT) AS fp_checksum
         |FROM fp GROUP BY 1""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem
+        |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS p_obs,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+        |  round((n - tot * log10(1.0 + 1.0 / digit))
+        |        * (n - tot * log10(1.0 + 1.0 / digit))
+        |        / (tot * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+        |FROM c, t""".stripMargin,
+
+    // Independent formulation: the literal NOT EXISTS dominance
+    // definition (the engine uses the distinct-x strict-prefix cummin).
+    "q_pareto" ->
+      """WITH agg AS (
+        |  SELECT l_partkey AS part_id,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS min_price_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT part_id, tot_qty, min_price_cents FROM agg a
+        |WHERE NOT EXISTS (SELECT 1 FROM agg b
+        |  WHERE b.tot_qty >= a.tot_qty
+        |    AND b.min_price_cents <= a.min_price_cents
+        |    AND (b.tot_qty > a.tot_qty
+        |         OR b.min_price_cents < a.min_price_cents))""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT l_partkey, l_suppkey, o_orderdate AS s, l_shipdate AS e
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |c AS (
+        |  SELECT a.l_partkey, a.l_suppkey, count(*) AS cc
+        |  FROM iv a JOIN iv b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+        |    AND a.s <= b.e AND b.s <= a.e
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT)
+        |      AS n_intervals
+        |  FROM iv GROUP BY 1, 2)
+        |SELECT l_partkey, l_suppkey, n_intervals,
+        |  CAST((cc - n_intervals) // 2 AS BIGINT) AS n_overlap_pairs
+        |FROM c JOIN n USING (l_partkey, l_suppkey)
+        |WHERE (cc - n_intervals) // 2 > 0""".stripMargin,
+
+    // Replays the banded two-pass cumulative as one flat window (band =
+    // md5 prefix, so band-then-in-band order IS (h, key) order).
+    "q_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n_chars) OVER () AS BIGINT) AS tot
+        |  FROM t)
+        |SELECT doc_id, n_chars,
+        |  CAST(((cum - n_chars) * 50) // tot AS BIGINT) AS bucket
+        |FROM c
+        |WHERE ((cum - n_chars) * 50) // tot < (cum * 50) // tot"""
+        .stripMargin,
 
     "q_dedup_apply" ->
       """WITH RECURSIVE sh AS (

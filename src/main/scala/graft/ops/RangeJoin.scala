@@ -39,4 +39,41 @@ object RangeJoin {
       .filter(col(ptTs) >= col(startTs) && col(ptTs) <= col(endTs))
       .drop("__graft_b")
   }
+
+  /** Keyed interval-overlap pair count: per key group, the number of
+    * unordered interval pairs [s, e] (inclusive, any orderable type)
+    * that overlap: a.s <= b.e AND b.s <= a.e.
+    *
+    * Row identity is never needed: the within-group self-join counts
+    * ordered row pairs C (every row overlaps itself, identical-valued
+    * rows multiply correctly through the value join), so the unordered
+    * non-self pair count is exactly (C − n) / 2 — duplicate-safe where
+    * an a.id < b.id formulation silently isn't (the synthetic lineitem
+    * has no unique line key; neither does a real ingest log).
+    *
+    * Scale shape: equi-join on the group key with the overlap predicate
+    * as the post-join filter — shuffles both sides once on the key;
+    * per-group cost is O(g²) on genuinely small entity groups (shipments
+    * of one part+supplier). For unkeyed interval joins use the bucketed
+    * [[pointInInterval]] composition instead; an unkeyed self overlap
+    * is a different (grid-bucketed) operator by design. */
+  def intervalOverlapPairs(df: DataFrame, keys: Seq[String],
+                           start: String, end: String): DataFrame = {
+    val sel = keys.map(col) ++ Seq(col(start).as("__s"), col(end).as("__e"))
+    val iv = df.select(sel: _*)
+    val a = iv.as("a")
+    val b = iv.as("b")
+    val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) &&
+      col("a.__s") <= col("b.__e") && col("b.__s") <= col("a.__e")
+    val c = a.join(b, joinCond)
+      .groupBy(keys.map(k => col(s"a.$k").as(k)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val nRows = iv.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_intervals"))
+    c.join(nRows, keys)
+      .select((keys.map(col) :+ col("n_intervals") :+
+        ((col("__c") - col("n_intervals")) / 2).cast("long")
+          .as("n_overlap_pairs")): _*)
+      .filter(col("n_overlap_pairs") > 0)
+  }
 }

@@ -41,4 +41,52 @@ object Sampling {
                       k: Int): DataFrame =
     TopK.topKPerGroup(df, strata, Seq(col(key).asc), k, rankCol = "__rank")
       .drop("__rank")
+
+  /** Systematic probability-proportional-to-size sample of ~`n` rows:
+    * order the population by (md5(key‖seed), key) — a deterministic
+    * pseudo-random permutation — and select every row whose cumulative
+    * weight span crosses a multiple of W/n. Selection probability is
+    * proportional to weight, exactly n boundary crossings happen
+    * (rows heavier than W/n are selected once but absorb several
+    * boundaries), and the whole draw replays bit-for-bit anywhere —
+    * all arithmetic is integer.
+    *
+    * Scale shape: the cumulative weight is the banded two-pass pattern
+    * (Curate.globalSortIndex): per-band totals (256 rows) broadcast as
+    * offsets, in-band cumulative windows — no global single-partition
+    * pass ever sees the data. Rows with weight <= 0 are excluded.
+    *
+    * Int64 envelope: cum·n must fit — fine to W·n ~ 9e18 (e.g. 1e14
+    * total weight at n = 10k); shard by stratum beyond that.
+    *
+    * Output: input columns + `bucket` (the 0-based W/n stratum the row's
+    * span entered). */
+  def ppsSystematic(df: DataFrame, key: Column, weight: Column, n: Int,
+                    seed: String = ""): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    val withH = df
+      .filter(weight > 0)
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("__h", md5(concat(key.cast("string"), lit(seed))))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val offsets = withH.groupBy("__b").agg(sum(col("__w")).as("__bw"))
+      .withColumn("__off",
+        coalesce(sum(col("__bw")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              -1)), lit(0L)))
+      .drop("__bw")
+    val tot = withH.agg(sum(col("__w")).as("__tot"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), key)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    withH.join(broadcast(offsets), "__b")
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(wb))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"((__cum - __w) * $n) div __tot"))
+      .filter(col("bucket") < expr(s"(__cum * $n) div __tot"))
+      .drop("__w", "__h", "__b", "__off", "__cum", "__tot")
+  }
 }

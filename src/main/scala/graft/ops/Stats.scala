@@ -561,4 +561,32 @@ object Stats {
         max(col("__n")).as("mode_n"),
         count(lit(1)).as("n_distinct"))
   }
+
+  /** Benford first-digit audit of a positive fixed-point measure: observed
+    * leading-digit distribution vs Benford's log10(1 + 1/d) expectation,
+    * with the per-digit chi-square contribution (n_d − N·p_d)² / (N·p_d).
+    * Fabricated or truncated numeric columns jump out as a fat chi2_term.
+    *
+    * `cents` must be a positive integer column (fixed-point the measure
+    * first — integer leading-digit extraction via the decimal string is
+    * engine-exact, where float log10-based extraction is not). One
+    * 9-row aggregate: map-side partial on 9 digit groups, no skew.
+    * log10 appears only in the expectation (both engines' libm agree to
+    * well under the r6 cut). */
+  def benford(df: DataFrame, cents: Column): DataFrame = {
+    val digits = df
+      .filter(cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("__tot"))
+    // (n − t)·(n − t)/t with t = N·p_d spelled as explicit multiplication —
+    // pow(x, 2) is not guaranteed to equal x·x in the last ulp cross-libm
+    val pB = log10(lit(1.0) + lit(1.0) / col("digit"))
+    val t = col("__tot") * pB
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__tot"), 6).as("p_obs"),
+        round(pB, 6).as("p_benford"),
+        round((col("n") - t) * (col("n") - t) / t, 6).as("chi2_term"))
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{RangeJoin, Sampling, Skyline, Stats}
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- skyline
+
+  test("skyline2D keeps exactly the non-dominated set, ties included") {
+    // maximize x, minimize y
+    val pts = Seq(
+      (1L, 10L, 5L),  // frontier
+      (2L, 10L, 5L),  // exact tie of 1 -> also frontier
+      (3L, 10L, 6L),  // dominated by 1 (same x, worse y)
+      (4L, 8L, 3L),   // frontier (worse x, better y)
+      (5L, 7L, 3L),   // dominated by 4 (worse x, same y)
+      (6L, 12L, 9L),  // frontier (best x)
+      (7L, 6L, 2L)    // frontier (best y)
+    ).toDF("id", "x", "y")
+    val got = Skyline.skyline2D(pts, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L, 6L, 7L))
+  }
+
+  test("skyline2D matches brute-force dominance on a pseudo-random set") {
+    val rows = (1 to 200).map { i =>
+      (i.toLong, (i * 7919 % 83).toLong, (i * 104729 % 97).toLong)
+    }
+    val got = Skyline.skyline2D(rows.toDF("id", "x", "y"), "x", "y")
+      .select("id").as[Long].collect().toSet
+    val want = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) =>
+        bx >= x && by <= y && (bx > x || by < y)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- benford
+
+  test("benford: digit extraction, probabilities and chi2 on a known set") {
+    val vals = Seq(100L, 123L, 190L, 25L, 277L, 3012L, 999L, 1L)
+    val out = Stats.benford(vals.toDF("v"), col("v"))
+      .orderBy("digit").collect()
+    assert(out.map(_.getAs[Int]("digit")).toSeq == Seq(1, 2, 3, 9))
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(4L, 2L, 1L, 1L))
+    val p1 = out(0).getAs[Double]("p_benford")
+    assert(math.abs(p1 - 0.301030) < 1e-9) // log10(2) r6
+    val t1 = 8 * math.log10(2.0)
+    assert(math.abs(out(0).getAs[Double]("chi2_term")
+      - BigDecimal((4 - t1) * (4 - t1) / t1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("benford drops nonpositive values") {
+    val out = Stats.benford(Seq(-5L, 0L, 42L).toDF("v"), col("v")).collect()
+    assert(out.length == 1 && out(0).getAs[Int]("digit") == 4)
+  }
+
+  // -------------------------------------------------- interval overlap
+
+  test("intervalOverlapPairs counts unordered overlaps, duplicate-safe") {
+    val iv = Seq(
+      // key g1: [1,5] [4,8] [9,12] -> 1 overlapping pair
+      ("g1", 1L, 5L), ("g1", 4L, 8L), ("g1", 9L, 12L),
+      // key g2: three IDENTICAL intervals -> C(3,2)=3 pairs
+      ("g2", 2L, 4L), ("g2", 2L, 4L), ("g2", 2L, 4L),
+      // key g3: disjoint -> 0 pairs -> filtered out
+      ("g3", 1L, 2L), ("g3", 5L, 6L),
+      // key g4: touching endpoints overlap (inclusive): [1,3],[3,5]
+      ("g4", 1L, 3L), ("g4", 3L, 5L)
+    ).toDF("k", "s", "e")
+    val got = RangeJoin.intervalOverlapPairs(iv, Seq("k"), "s", "e")
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[Long]("n_intervals"), r.getAs[Long]("n_overlap_pairs")))
+      .toSet
+    assert(got == Set(("g1", 3L, 1L), ("g2", 3L, 3L), ("g4", 2L, 1L)))
+  }
+
+  // ------------------------------------------------------ PPS sampling
+
+  test("ppsSystematic: ~n rows, buckets increase, heavy rows always in") {
+    // heavy row = ~29% of total weight: it spans several W/n buckets, so
+    // it MUST be drawn (selected once) and the draw stays ~n rows total
+    val pop = (1 to 500).map(i => (i.toLong, 10L)) :+ (501L, 2000L)
+    val df = pop.toDF("id", "w")
+    val out = Sampling.ppsSystematic(df, col("id"), col("w"), n = 20)
+      .orderBy("bucket").collect()
+    assert(out.length <= 20 && out.length >= 10)
+    assert(out.exists(_.getAs[Long]("id") == 501L))
+    val buckets = out.map(_.getAs[Long]("bucket"))
+    assert(buckets.toSeq == buckets.sorted.toSeq)
+    assert(buckets.distinct.length == buckets.length)
+  }
+
+  test("ppsSystematic is deterministic and excludes nonpositive weights") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 5L), (5L, 5L))
+      .toDF("id", "w")
+    val a = Sampling.ppsSystematic(df, col("id"), col("w"), n = 2)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.ppsSystematic(df, col("id"), col("w"), n = 2)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    assert(!a.contains(2L) && !a.contains(3L))
+  }
+}
