@@ -51,12 +51,19 @@ object Preference {
     val v = votes.select(col(winner).as("__w"), col(loser).as("__l"))
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l"))
+    // ONE scan of the raw vote log → directed pair counts (pair-sized);
+    // both the symmetric comparison list and the win totals derive from
+    // it, so the input is never rescanned and the only checkpointed
+    // state is pair-count-sized, not vote-log-sized
+    val directed = v.groupBy(col("__w").as("a"), col("__l").as("b"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
     // symmetric comparison list: m(a,b) = comparisons in either direction
-    val m = v.select(col("__w").as("a"), col("__l").as("b"))
-      .unionAll(v.select(col("__l").as("a"), col("__w").as("b")))
-      .groupBy("a", "b").agg(count(lit(1)).as("m"))
-      .localCheckpoint() // built once; every round joins it twice
-    val wins = v.groupBy(col("__w").as("id")).agg(count(lit(1)).as("w"))
+    val m = directed
+      .unionAll(directed.select(col("b").as("a"), col("a").as("b"), col("m")))
+      .groupBy("a", "b").agg(sum(col("m")).as("m"))
+      .localCheckpoint() // every round joins it twice
+    val wins = directed.groupBy(col("a").as("id")).agg(sum(col("m")).as("w"))
     val items = m.select(col("a").as("id")).distinct()
       .join(wins, Seq("id"), "left")
       .select(col("id"), coalesce(col("w"), lit(0L)).as("wins"))
@@ -72,10 +79,14 @@ object Preference {
       // 2·v_max), so scores can never escape the int64 term envelope
       // even on degenerate vote graphs; greatest(·,1) keeps D total
       val capS = scale * (1L << iters)
+      // per-round localCheckpoint (Graph/Similarity discipline): d reads s
+      // TWICE (a-side and b-side), so an unbroken lineage doubles per
+      // round — the optimizer re-plans 2^iters copies of the base plan
       s = s.join(d, s("id") === d("a"))
         .select(col("id"), col("wins"),
           expr(s"least((wins * ${prec}L) DIV greatest(__d, 1L), " +
             s"${capS}L)").as("s"))
+        .localCheckpoint()
     }
     val nComp = m.groupBy(col("a").as("id"))
       .agg(sum(col("m")).as("n_comparisons"))
