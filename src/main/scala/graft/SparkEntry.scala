@@ -1857,6 +1857,25 @@ object SparkEntry {
       tbl(s, dir, "documents").select("doc_id", "n_chars"),
       col("doc_id"), col("n_chars"), n = 50)
 
+  /** Autocorrelation of the event value series per event type at lags
+    * 1..6 — exact int64 sufficient statistics per (type, lag), one IEEE
+    * tree for r. */
+  private def qAcf(s: SparkSession, dir: String): DataFrame =
+    Stats.autocorrelation(ev(s, dir), "event_type",
+      Seq(col("ts"), col("event_id")),
+      expr("CAST(round(value * 100) AS BIGINT)"), maxLag = 6)
+
+  /** Recon report between per-user daily purchase spend and click spend:
+    * full-outer key alignment, presence tag, exact cent delta — the one
+    * join shape where both sides must co-partition (no broadcast). */
+  private def qReconcile(s: SparkSession, dir: String): DataFrame = {
+    def daily(t: String) = ev(s, dir).filter(col("event_type") === t)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    Combine.reconcile(daily("purchase"), daily("click"),
+      Seq("user_id", "day"), "cents")
+  }
+
   /** Vocabulary coverage curve at 10/50/100/500-term vocab sizes. */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
@@ -2660,6 +2679,8 @@ object SparkEntry {
     "q_pareto" -> (qPareto _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_acf" -> (qAcf _),
+    "q_reconcile" -> (qReconcile _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -5515,6 +5536,58 @@ object SparkEntry {
         |FROM c
         |WHERE ((cum - n_chars) * 50) // tot < (cum * 50) // tot"""
         .stripMargin,
+
+    // One lead-k branch per lag (DuckDB lead offsets are constants); the
+    // final r replays the engine's exact-long IEEE tree verbatim.
+    "q_acf" ->
+      ("""WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (""".stripMargin +
+        (1 to 6).map(k =>
+          s"""
+             |  SELECT event_type, $k AS lag, x,
+             |    lead(x, $k) OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id) AS y
+             |  FROM e""".stripMargin)
+          .mkString("\n  UNION ALL") + ")," +
+        """
+        |a AS (
+        |  SELECT event_type, CAST(lag AS INT) AS lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p WHERE y IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |  round((CAST(n_pairs AS DOUBLE) * sxy
+        |         - CAST(sx AS DOUBLE) * sy)
+        |    / nullif(sqrt((CAST(n_pairs AS DOUBLE) * sxx
+        |           - CAST(sx AS DOUBLE) * sx)
+        |        * (CAST(n_pairs AS DOUBLE) * syy
+        |           - CAST(sy AS DOUBLE) * sy)), 0.0), 6) AS acf
+        |FROM a""".stripMargin),
+
+    "q_reconcile" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS a_cents
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS b_cents
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |  COALESCE(a.day, b.day) AS day, a_cents, b_cents,
+        |  CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+        |         THEN 'both'
+        |       WHEN a.user_id IS NOT NULL THEN 'a_only'
+        |       ELSE 'b_only' END AS presence,
+        |  COALESCE(a_cents, 0) - COALESCE(b_cents, 0) AS delta
+        |FROM a FULL OUTER JOIN b
+        |  ON a.user_id = b.user_id AND a.day = b.day""".stripMargin,
 
     "q_dedup_apply" ->
       """WITH RECURSIVE sh AS (

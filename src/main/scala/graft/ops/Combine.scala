@@ -56,4 +56,35 @@ object Combine {
       "only_b_all" -> b.exceptAll(a))
       .map { case (tag, df) => df.withColumn(tagCol, lit(tag)) }
       .reduce(_ union _)
+
+  /** Keyed reconciliation of two aggregate tables — the full-outer "recon
+    * report" run between two systems that should agree (yesterday's load
+    * vs today's, engine A vs engine B, billing vs usage): every key from
+    * EITHER side, its measure on each, a presence tag, and the exact
+    * delta (missing = 0). Inputs must be pre-aggregated (≤1 row per key)
+    * and their keys non-null — presence is read off key nullness after
+    * the join, which a NULL source key would mislabel.
+    *
+    * Scale shape: one full-outer sort-merge join on the keys — both
+    * sides shuffle once on the same key (or the small side broadcasts…
+    * except Spark correctly refuses broadcast for full-outer, so this is
+    * the one join shape that always co-partitions; pre-bucketing both
+    * sides by the key makes it exchange-free). `measure` must be an
+    * exact (integral/decimal) column so the delta is exact. */
+  def reconcile(a: DataFrame, b: DataFrame, keys: Seq[String],
+                measure: String): DataFrame = {
+    val aKey = col(s"__ka_${keys.head}")
+    val bKey = col(s"__kb_${keys.head}")
+    val aa = a.select(keys.map(col) ++ Seq(
+      col(measure).as(s"a_$measure"), col(keys.head).as(s"__ka_${keys.head}")): _*)
+    val bb = b.select(keys.map(col) ++ Seq(
+      col(measure).as(s"b_$measure"), col(keys.head).as(s"__kb_${keys.head}")): _*)
+    aa.join(bb, keys, "full_outer")
+      .select((keys.map(col) ++ Seq(
+        col(s"a_$measure"), col(s"b_$measure"),
+        when(aKey.isNotNull && bKey.isNotNull, "both")
+          .when(aKey.isNotNull, "a_only").otherwise("b_only").as("presence"),
+        (coalesce(col(s"a_$measure"), lit(0L))
+          - coalesce(col(s"b_$measure"), lit(0L))).as("delta"))): _*)
+  }
 }

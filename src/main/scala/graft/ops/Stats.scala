@@ -562,6 +562,57 @@ object Stats {
         count(lit(1)).as("n_distinct"))
   }
 
+  /** Autocorrelation function at lags 1..`maxLag` of a fixed-point series
+    * per key: Pearson r between (x_t, x_{t+k}) pairs — the seasonality /
+    * persistence diagnostic behind lag-feature selection (which lags of a
+    * metric are worth feeding a model) and sampling-interval choice.
+    *
+    * Determinism: the series is integer (`cents`), so the five sufficient
+    * statistics per (key, lag) — Σx, Σy, Σxy, Σx², Σy² over the lag-k
+    * pair set — are EXACT int64s; r is one fixed IEEE tree over them
+    * (n·Σxy − Σx·Σy) / √((n·Σx²−Σx²)·(n·Σy²−Σy²)), zero-variance → NULL
+    * via nullif. No float accumulates across rows anywhere.
+    *
+    * Scale shape: ONE window pass per key (maxLag lead columns computed
+    * under the same sort), posexplode to (lag, pair) rows, then a
+    * map-side-partial groupBy on (key, lag) — key-partitioned
+    * throughout, never a global sort. Int64 envelope: Σx·y ≤ 9.2e18
+    * caps |cents|·√(rows-per-key) at ~3e9 — centuries of headroom for
+    * 2-decimal metrics. */
+  def autocorrelation(df: DataFrame, key: String, order: Seq[Column],
+                      cents: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(order: _*)
+    val leads = (1 to maxLag).map(k =>
+      lead(col("__x"), k).over(w).as(s"__y$k"))
+    val stacked = df
+      .filter(cents.isNotNull)
+      .select((col(key) +: order :+ cents.as("__x")): _*)
+      // window exprs can't sit inside a generator: one select computes all
+      // maxLag leads under a single window sort, the next explodes them
+      .select((Seq(col(key), col("__x")) ++ leads): _*)
+      .select(col(key), col("__x"),
+        posexplode(array((1 to maxLag).map(k => col(s"__y$k")): _*))
+          .as(Seq("__p", "__y")))
+      .filter(col("__y").isNotNull)
+    stacked
+      .groupBy(col(key), (col("__p") + 1).cast("int").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select(col(key), col("lag"), col("n_pairs"),
+        round((col("n_pairs").cast("double") * col("__sxy")
+            - col("__sx").cast("double") * col("__sy"))
+          / nullif(sqrt((col("n_pairs").cast("double") * col("__sxx")
+              - col("__sx").cast("double") * col("__sx"))
+            * (col("n_pairs").cast("double") * col("__syy")
+              - col("__sy").cast("double") * col("__sy"))), lit(0.0)),
+          6).as("acf"))
+  }
+
   /** Benford first-digit audit of a positive fixed-point measure: observed
     * leading-digit distribution vs Benford's log10(1 + 1/d) expectation,
     * with the per-digit chi-square contribution (n_d − N·p_d)² / (N·p_d).

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{RangeJoin, Sampling, Skyline, Stats}
+import graft.ops.{Combine, RangeJoin, Sampling, Skyline, Stats}
 
 class RelationalOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -94,6 +94,54 @@ class RelationalOpsSpec extends SparkSpec {
     val buckets = out.map(_.getAs[Long]("bucket"))
     assert(buckets.toSeq == buckets.sorted.toSeq)
     assert(buckets.distinct.length == buckets.length)
+  }
+
+  // -------------------------------------------------- autocorrelation
+
+  test("autocorrelation: alternating series has acf(1) = -1, acf(2) = +1") {
+    val rows = (1 to 40).map(i => ("s", i.toLong, if (i % 2 == 0) 10L else 20L))
+    val out = Stats.autocorrelation(rows.toDF("k", "t", "x"), "k",
+        Seq(col("t")), col("x"), maxLag = 2)
+      .orderBy("lag").collect()
+    assert(out.map(_.getAs[Int]("lag")).toSeq == Seq(1, 2))
+    assert(out.map(_.getAs[Long]("n_pairs")).toSeq == Seq(39L, 38L))
+    assert(math.abs(out(0).getAs[Double]("acf") + 1.0) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("acf") - 1.0) < 1e-9)
+  }
+
+  test("autocorrelation: constant series (zero variance) yields NULL acf") {
+    val out = Stats.autocorrelation(
+        (1 to 10).map(i => ("s", i.toLong, 7L)).toDF("k", "t", "x"),
+        "k", Seq(col("t")), col("x"), maxLag = 1).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("acf")))
+  }
+
+  test("autocorrelation matches a direct Pearson on lag-1 pairs") {
+    val xs = (1 to 30).map(i => (i * 7919 % 23).toLong)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) }
+    val got = Stats.autocorrelation(rows.toDF("k", "t", "x"), "k",
+        Seq(col("t")), col("x"), maxLag = 1).collect()(0).getAs[Double]("acf")
+    val (a, b) = (xs.dropRight(1).map(_.toDouble), xs.drop(1).map(_.toDouble))
+    val n = a.length
+    val (sx, sy) = (a.sum, b.sum)
+    val sxy = a.zip(b).map { case (p, q) => p * q }.sum
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * a.map(v => v * v).sum - sx * sx)
+        * (n * b.map(v => v * v).sum - sy * sy))
+    assert(math.abs(got - BigDecimal(want)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  // ------------------------------------------------------- reconcile
+
+  test("reconcile tags presence and computes exact deltas, full-outer") {
+    val a = Seq((1L, 100L), (2L, 50L), (4L, 70L)).toDF("id", "m")
+    val b = Seq((1L, 80L), (3L, 30L), (4L, 70L)).toDF("id", "m")
+    val got = Combine.reconcile(a, b, Seq("id"), "m")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("presence"),
+        r.getAs[Long]("delta"))).toSet
+    assert(got == Set((1L, "both", 20L), (2L, "a_only", 50L),
+      (3L, "b_only", -30L), (4L, "both", 0L)))
   }
 
   test("ppsSystematic is deterministic and excludes nonpositive weights") {
