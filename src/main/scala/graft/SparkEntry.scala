@@ -1876,6 +1876,27 @@ object SparkEntry {
       Seq("user_id", "day"), "cents")
   }
 
+  /** Lead-lag cross-correlation: does click spend lead purchase spend
+    * hour-over-hour? Exact hourly cent-sum series, lags −6..+6. */
+  private def qXcorr(s: SparkSession, dir: String): DataFrame =
+    Stats.crossCorrelation(ev(s, dir), "event_type", "ts",
+      expr("CAST(round(value * 100) AS BIGINT)"), bucketSeconds = 3600L,
+      keyA = "click", keyB = "purchase", maxLag = 6)
+
+  /** Chi-square independence audit: is event type independent of the day
+    * of week? Per-cell (o−e)²/e terms off one contingency aggregation. */
+  private def qChi2(s: SparkSession, dir: String): DataFrame =
+    Stats.chiSquare(ev(s, dir), col("event_type"),
+      dayofweek(col("ts")).as("dow"))
+
+  /** View→purchase conversion-time percentiles (first-touch, strict
+    * order) over exact integral second lags. */
+  private def qConversionLag(s: SparkSession, dir: String): DataFrame =
+    Stats.exactPercentiles(
+      graft.ops.Funnel.conversionLags(ev(s, dir), "user_id", "ts",
+        "event_type", "view", "purchase"),
+      Seq(), "lag_s", Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+
   /** Vocabulary coverage curve at 10/50/100/500-term vocab sizes. */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
@@ -2681,6 +2702,9 @@ object SparkEntry {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_acf" -> (qAcf _),
     "q_reconcile" -> (qReconcile _),
+    "q_xcorr" -> (qXcorr _),
+    "q_chi2" -> (qChi2 _),
+    "q_conversion_lag" -> (qConversionLag _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -5588,6 +5612,75 @@ object SparkEntry {
         |  COALESCE(a_cents, 0) - COALESCE(b_cents, 0) AS delta
         |FROM a FULL OUTER JOIN b
         |  ON a.user_id = b.user_id AND a.day = b.day""".stripMargin,
+
+    "q_xcorr" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+        |      * 3600 AS bucket,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT bucket, v AS x FROM s WHERE event_type = 'click'),
+        |b AS (SELECT bucket, v AS y FROM s WHERE event_type = 'purchase'),
+        |k AS (SELECT unnest(range(-6, 7)) AS lag),
+        |bs AS (SELECT b.bucket - k.lag * 3600 AS bucket, y, lag
+        |       FROM b CROSS JOIN k),
+        |g AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM a JOIN bs USING (bucket) GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs,
+        |  round((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / nullif(sqrt((CAST(n_pairs AS DOUBLE) * sxx
+        |           - CAST(sx AS DOUBLE) * sx)
+        |        * (CAST(n_pairs AS DOUBLE) * syy
+        |           - CAST(sy AS DOUBLE) * sy)), 0.0), 6) AS xcorr
+        |FROM g""".stripMargin,
+
+    // DuckDB dayofweek() is 0=Sunday..6; Spark's is 1=Sunday..7 — shift.
+    "q_chi2" ->
+      """WITH c AS (
+        |  SELECT event_type AS row_key,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS col_key,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT row_key, CAST(sum(o) AS BIGINT) AS rt
+        |      FROM c GROUP BY 1),
+        |cl AS (SELECT col_key, CAST(sum(o) AS BIGINT) AS ct
+        |       FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
+        |SELECT row_key, col_key, o,
+        |  round(CAST(rt AS DOUBLE) * ct / n, 6) AS expected,
+        |  round((o - CAST(rt AS DOUBLE) * ct / n)
+        |        * (o - CAST(rt AS DOUBLE) * ct / n)
+        |        / (CAST(rt AS DOUBLE) * ct / n), 6) AS chi2_term
+        |FROM c JOIN r USING (row_key) JOIN cl USING (col_key)
+        |  CROSS JOIN t""".stripMargin,
+
+    "q_conversion_lag" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |l AS (
+        |  SELECT e.user_id,
+        |    (min(epoch_us(CAST(e.ts AS TIMESTAMP)))
+        |      - min(epoch_us(t0.t0))) // 1000000 AS lag_s
+        |  FROM events e JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) > t0.t0
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT quantile_cont(lag_s, [0.1, 0.25, 0.5, 0.75, 0.9]) AS ps,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM l)
+        |SELECT n, 0.1 AS q, round(ps[1], 6) AS value_q FROM g
+        |UNION ALL SELECT n, 0.25, round(ps[2], 6) FROM g
+        |UNION ALL SELECT n, 0.5, round(ps[3], 6) FROM g
+        |UNION ALL SELECT n, 0.75, round(ps[4], 6) FROM g
+        |UNION ALL SELECT n, 0.9, round(ps[5], 6) FROM g""".stripMargin,
 
     "q_dedup_apply" ->
       """WITH RECURSIVE sh AS (

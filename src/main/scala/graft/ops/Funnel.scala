@@ -46,6 +46,33 @@ object Funnel {
     counts.reduce(_.union(_))
   }
 
+  /** Per-user conversion lag between two funnel stages: whole seconds
+    * from the user's FIRST `fromStage` event to their first `toStage`
+    * event STRICTLY after it (same first-touch attribution as
+    * [[funnelCounts]]; non-converting users emit no row). Lag is an
+    * exact integer — µs difference DIV 1e6 — so downstream percentile
+    * interpolation runs on small exact values, not 1e12-scale µs where
+    * double interpolation picks up engine-visible ulps.
+    *
+    * Scale shape: two filtered per-user min-aggregations plus one
+    * equi-join on the user key — the join carries one row per REACHED
+    * user on the from side and only matching events on the to side. */
+  def conversionLags(df: DataFrame, user: String, ts: String,
+                     stageCol: String, fromStage: String,
+                     toStage: String): DataFrame = {
+    val t0 = df.filter(col(stageCol) === lit(fromStage))
+      .groupBy(col(user)).agg(min(col(ts)).as("__t0"))
+    df.filter(col(stageCol) === lit(toStage))
+      .select(col(user), col(ts).as("__t1"))
+      .join(t0, user)
+      .filter(col("__t1") > col("__t0"))
+      .groupBy(col(user))
+      .agg((min(unix_micros(col("__t1"))) - min(unix_micros(col("__t0"))))
+        .as("__us"))
+      // integral seconds (µs DIV 1e6; the filter guarantees __us > 0)
+      .select(col(user), expr("__us div 1000000L").as("lag_s"))
+  }
+
   /** First-order Markov transition matrix over each user's ordered event
     * stream: one row per (from_type, to_type) with the transition count and
     * its row-normalized probability. The only full-data operation is ONE

@@ -613,6 +613,81 @@ object Stats {
           6).as("acf"))
   }
 
+  /** Cross-correlation (lead-lag) between two keyed series: Pearson r of
+    * (A at bucket t, B at bucket t+k·Δ) for every lag k in −maxLag..maxLag
+    * — positive-lag peaks mean A LEADS B by k buckets (the "which metric
+    * moves first" diagnostic; lag 0 is plain contemporaneous correlation).
+    *
+    * Series construction is division-free: each series value is the EXACT
+    * int64 bucket sum of `cents`; only aligned bucket pairs (both series
+    * present) enter, so gaps shrink n_pairs instead of fabricating zeros.
+    * Same determinism contract as [[autocorrelation]]: exact int64
+    * sufficient statistics per lag, r as one IEEE tree, zero-variance →
+    * NULL.
+    *
+    * Scale shape: two bucket aggregations (input-sized, map-side
+    * partial), then the B series — already bucket-count-sized —
+    * replicates (2·maxLag+1)× via posexplode and equi-joins A on the
+    * shifted bucket. The join is bucket-count-sized on BOTH sides; the
+    * raw input is never pair-joined. */
+  def crossCorrelation(df: DataFrame, key: String, ts: String,
+                       cents: Column, bucketSeconds: Long,
+                       keyA: String, keyB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 512, s"maxLag out of range: $maxLag")
+    val bucket = (floor(unix_timestamp(col(ts)) / lit(bucketSeconds))
+      .cast("long") * bucketSeconds).as("bucket")
+    def series(k: String) = df
+      .filter(col(key) === k && cents.isNotNull)
+      .groupBy(bucket).agg(sum(cents).as("__v"))
+    val a = series(keyA).select(col("bucket"), col("__v").as("__x"))
+    val lags = (-maxLag to maxLag).map(k => lit(k))
+    val bShift = series(keyB)
+      .select(col("bucket"), col("__v").as("__y"),
+        explode(array(lags: _*)).as("lag"))
+      .select((col("bucket") - col("lag") * bucketSeconds).as("bucket"),
+        col("__y"), col("lag"))
+    a.join(bShift, "bucket")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select(col("lag"), col("n_pairs"),
+        round((col("n_pairs").cast("double") * col("__sxy")
+            - col("__sx").cast("double") * col("__sy"))
+          / nullif(sqrt((col("n_pairs").cast("double") * col("__sxx")
+              - col("__sx").cast("double") * col("__sx"))
+            * (col("n_pairs").cast("double") * col("__syy")
+              - col("__sy").cast("double") * col("__sy"))), lit(0.0)),
+          6).as("xcorr"))
+  }
+
+  /** Chi-square contingency audit of two categorical columns: per-cell
+    * observed count, independence expectation e = (row·col)/N, and the
+    * cell's chi-square contribution (o − e)²/e. Per-CELL output by
+    * design: the summed statistic would accumulate doubles in engine
+    * order (non-deterministic); the consumer sums the 6-decimal terms
+    * (or reads off the fat cells directly — the usual use).
+    *
+    * Exact-count arithmetic: o, row, col, N are int64s off ONE
+    * contingency aggregation (cell-sized thereafter); e and the term are
+    * a single IEEE tree per cell. */
+  def chiSquare(df: DataFrame, rowKey: Column, colKey: Column): DataFrame = {
+    val cells = df.groupBy(rowKey.as("row_key"), colKey.as("col_key"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("row_key").agg(sum(col("o")).as("__rt"))
+    val colTot = cells.groupBy("col_key").agg(sum(col("o")).as("__ct"))
+    val tot = cells.agg(sum(col("o")).as("__n"))
+    val e = col("__rt").cast("double") * col("__ct") / col("__n")
+    cells.join(broadcast(rowTot), "row_key")
+      .join(broadcast(colTot), "col_key")
+      .crossJoin(broadcast(tot))
+      .select(col("row_key"), col("col_key"), col("o"),
+        round(e, 6).as("expected"),
+        round((col("o") - e) * (col("o") - e) / e, 6).as("chi2_term"))
+  }
+
   /** Benford first-digit audit of a positive fixed-point measure: observed
     * leading-digit distribution vs Benford's log10(1 + 1/d) expectation,
     * with the per-digit chi-square contribution (n_d − N·p_d)² / (N·p_d).

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Combine, RangeJoin, Sampling, Skyline, Stats}
+import graft.ops.{Combine, Funnel, RangeJoin, Sampling, Skyline, Stats}
 
 class RelationalOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -130,6 +130,74 @@ class RelationalOpsSpec extends SparkSpec {
         * (n * b.map(v => v * v).sum - sy * sy))
     assert(math.abs(got - BigDecimal(want)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  // ------------------------------------------------ cross-correlation
+
+  test("crossCorrelation finds the planted lead at the right lag") {
+    // B is an exact copy of A shifted 2 buckets later -> xcorr(+2) = 1
+    val base = (0 until 50).map(i => (i * 7919 % 101 + 1).toLong)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(ts0.getTime + h * 3600000L)
+    val rows =
+      base.zipWithIndex.map { case (v, h) => ("a", at(h), v) } ++
+        base.zipWithIndex.map { case (v, h) => ("b", at(h + 2), v) }
+    val out = Stats.crossCorrelation(rows.toDF("k", "ts", "v"), "k", "ts",
+        col("v"), 3600L, "a", "b", maxLag = 3)
+      .collect().map(r => (r.getAs[Int]("lag"),
+        r.getAs[Double]("xcorr"))).toMap
+    assert(math.abs(out(2) - 1.0) < 1e-9)
+    assert(out.keySet == (-3 to 3).toSet)
+    assert((-3 to 3).filter(_ != 2).forall(k => out(k) < 0.999))
+  }
+
+  // ------------------------------------------------------ chi-square
+
+  test("chiSquare: independent layout has zero terms, exact expectations") {
+    // 2x2 with perfectly proportional counts -> e == o, chi2_term == 0
+    val rows = Seq.fill(40)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+      Seq.fill(80)(("r2", "c1")) ++ Seq.fill(20)(("r2", "c2"))
+    val out = Stats.chiSquare(rows.toDF("r", "c"), col("r"), col("c"))
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Double]("chi2_term") == 0.0))
+    val e = out.map(r => ((r.getAs[String]("row_key"),
+      r.getAs[String]("col_key")), r.getAs[Double]("expected"))).toMap
+    assert(e(("r1", "c1")) == 40.0 && e(("r2", "c2")) == 20.0)
+  }
+
+  test("chiSquare: dependent cell shows the textbook contribution") {
+    // one-cell 2x2: o=10, row=10, col=10, N=20 -> e=5, term=(10-5)^2/5=5
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r2", "c2"))
+    val out = Stats.chiSquare(rows.toDF("r", "c"), col("r"), col("c"))
+      .collect().map(r => ((r.getAs[String]("row_key"),
+        r.getAs[String]("col_key")), r.getAs[Double]("chi2_term"))).toMap
+    assert(out(("r1", "c1")) == 5.0 && out(("r2", "c2")) == 5.0)
+    assert(!out.contains(("r1", "c2"))) // empty cells emit no row
+  }
+
+  // -------------------------------------------------- conversion lag
+
+  test("conversionLags: first-touch strict ordering, integral seconds") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // u1: view@10:00, purchase@10:30 and 11:00 -> lag 1800
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:30:00"), "purchase"),
+      (1L, t("2024-01-01 11:00:00"), "purchase"),
+      // u2: purchase BEFORE first view only -> no row
+      (2L, t("2024-01-01 09:00:00"), "purchase"),
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      // u3: purchase at the same instant as view -> strict, no row
+      (3L, t("2024-01-01 08:00:00"), "view"),
+      (3L, t("2024-01-01 08:00:00"), "purchase"),
+      // u4: view only -> no row
+      (4L, t("2024-01-01 07:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversionLags(rows, "user_id", "ts", "event_type",
+        "view", "purchase")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("lag_s")))
+    assert(got.toSeq == Seq((1L, 1800L)))
   }
 
   // ------------------------------------------------------- reconcile
