@@ -1897,6 +1897,14 @@ object SparkEntry {
         "event_type", "view", "purchase"),
       Seq(), "lag_s", Seq(0.1, 0.25, 0.5, 0.75, 0.9))
 
+  /** Volume-weighted price quantiles per return flag: the price (cents)
+    * at which the q-th shipped UNIT traded — exact permille thresholds,
+    * integer arithmetic end to end. */
+  private def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    Stats.weightedQuantiles(tbl(s, dir, "lineitem"), Seq("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+      expr("CAST(l_quantity AS BIGINT)"), Seq(100, 250, 500, 750, 900))
+
   /** Vocabulary coverage curve at 10/50/100/500-term vocab sizes. */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
@@ -2705,6 +2713,7 @@ object SparkEntry {
     "q_xcorr" -> (qXcorr _),
     "q_chi2" -> (qChi2 _),
     "q_conversion_lag" -> (qConversionLag _),
+    "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -5681,6 +5690,27 @@ object SparkEntry {
         |UNION ALL SELECT n, 0.5, round(ps[3], 6) FROM g
         |UNION ALL SELECT n, 0.75, round(ps[4], 6) FROM g
         |UNION ALL SELECT n, 0.9, round(ps[5], 6) FROM g""".stripMargin,
+
+    "q_weighted_quantiles" ->
+      """WITH dv AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM dv),
+        |k AS (SELECT unnest([100, 250, 500, 750, 900]) AS permille)
+        |SELECT l_returnflag, CAST(permille AS INT) AS permille,
+        |  CAST(min(v) AS BIGINT) AS value_q,
+        |  CAST(min(tot) AS BIGINT) AS total_weight
+        |FROM c CROSS JOIN k
+        |WHERE cum * 1000 >= permille * tot
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_apply" ->
       """WITH RECURSIVE sh AS (

@@ -688,6 +688,45 @@ object Stats {
         round((col("o") - e) * (col("o") - e) / e, 6).as("chi2_term"))
   }
 
+  /** Exact weighted quantiles per group — the lower weighted quantile:
+    * the smallest value v whose cumulative weight reaches q·W (e.g. the
+    * volume-weighted median price: the price at which the middle shipped
+    * unit traded). Quantiles arrive as PERMILLE integers (500 = median),
+    * so the threshold test is exact int64 arithmetic — cum·1000 ≥ pm·W —
+    * with no float boundary anywhere; the whole answer replays
+    * bit-for-bit on any engine.
+    *
+    * Scale shape: weights first collapse onto DISTINCT values (one
+    * input-sized map-side-partial shuffle), so the cumulative-weight
+    * window runs over |distinct values| per group, not |rows|; one more
+    * shuffle on (group, permille) finishes. For a GLOBAL quantile over an
+    * unbounded value domain, pre-shard with the banded two-pass pattern
+    * (Sampling.ppsSystematic) instead of calling this keyless.
+    * Int64 envelope: W·1000 ≤ 9.2e18 → total group weight ≤ 9.2e15. */
+  def weightedQuantiles(df: DataFrame, keys: Seq[String], value: Column,
+                        weight: Column, permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"permille quantiles must be in [1,1000]: $permille")
+    val grpCols = keys.map(col)
+    val dv = df
+      .filter(weight > 0 && value.isNotNull)
+      .groupBy((grpCols :+ value.as("__v")): _*)
+      .agg(sum(weight.cast("long")).as("__w"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCols: _*).orderBy(col("__v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCols: _*)
+    dv.withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .select((grpCols ++ Seq(col("__v"), col("__cum"), col("__tot"),
+        explode(array(permille.map(lit): _*)).as("permille"))): _*)
+      .filter(col("__cum") * 1000L >= col("permille") * col("__tot"))
+      .groupBy((grpCols :+ col("permille")): _*)
+      .agg(min(col("__v")).as("value_q"), min(col("__tot")).as("total_weight"))
+  }
+
   /** Benford first-digit audit of a positive fixed-point measure: observed
     * leading-digit distribution vs Benford's log10(1 + 1/d) expectation,
     * with the per-digit chi-square contribution (n_d − N·p_d)² / (N·p_d).

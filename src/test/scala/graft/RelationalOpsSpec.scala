@@ -200,6 +200,53 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1800L)))
   }
 
+  // ----------------------------------------------- weighted quantiles
+
+  test("weightedQuantiles: textbook lower weighted quantile, exact ties") {
+    // values 10(w=1) 20(w=2) 30(w=3) 40(w=4): W=10
+    // cum: 10->1, 20->3, 30->6, 40->10
+    // p500 -> first cum*1000 >= 500*10 => 30; p100 -> 10; p300 -> 20 (3*1000=3000 >= 300*10=3000, tie hits exactly)
+    val rows = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L),
+      ("g", 40L, 4L)).toDF("k", "v", "w")
+    val got = Stats.weightedQuantiles(rows, Seq("k"), col("v"), col("w"),
+        Seq(100, 300, 500, 1000))
+      .collect().map(r => (r.getAs[Int]("permille"),
+        r.getAs[Long]("value_q"))).toMap
+    assert(got == Map(100 -> 10L, 300 -> 20L, 500 -> 30L, 1000 -> 40L))
+  }
+
+  test("weightedQuantiles: duplicate values pool their weight") {
+    val rows = Seq(("g", 5L, 1L), ("g", 5L, 1L), ("g", 5L, 1L),
+      ("g", 9L, 1L)).toDF("k", "v", "w")
+    val got = Stats.weightedQuantiles(rows, Seq("k"), col("v"), col("w"),
+        Seq(500, 1000))
+      .collect().map(r => (r.getAs[Int]("permille"),
+        r.getAs[Long]("value_q"))).toMap
+    assert(got == Map(500 -> 5L, 1000 -> 9L))
+  }
+
+  // ------------------------------------------------------ plan shapes
+
+  test("skyline2D plans a broadcast join back (no pair join, no cartesian)") {
+    val pts = (1 to 100).map(i =>
+      (i.toLong, (i * 13 % 17).toLong, (i * 7 % 19).toLong))
+      .toDF("id", "x", "y")
+    val p = Skyline.skyline2D(pts, "x", "y")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("intervalOverlapPairs plans equi-joins on the keys, never cartesian") {
+    val iv = (1 to 100).map(i => (s"k${i % 5}", i.toLong, (i + 3).toLong))
+      .toDF("k", "s", "e")
+    val p = RangeJoin.intervalOverlapPairs(iv, Seq("k"), "s", "e")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   // ------------------------------------------------------- reconcile
 
   test("reconcile tags presence and computes exact deltas, full-outer") {
