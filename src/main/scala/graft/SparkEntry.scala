@@ -1905,6 +1905,12 @@ object SparkEntry {
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
       expr("CAST(l_quantity AS BIGINT)"), Seq(100, 250, 500, 750, 900))
 
+  /** Nearest-centroid confusion matrix over the embeddings table —
+    * exact fixed-point centroid dots, resubstitution semantics. */
+  private def qCentroidEval(s: SparkSession, dir: String): DataFrame =
+    graft.sim.CentroidEval.nearestCentroidConfusion(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", "label")
+
   /** Vocabulary coverage curve at 10/50/100/500-term vocab sizes. */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
@@ -2714,6 +2720,7 @@ object SparkEntry {
     "q_chi2" -> (qChi2 _),
     "q_conversion_lag" -> (qConversionLag _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
+    "q_centroid_eval" -> (qCentroidEval _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -5711,6 +5718,35 @@ object SparkEntry {
         |FROM c CROSS JOIN k
         |WHERE cum * 1000 >= permille * tot
         |GROUP BY 1, 2""".stripMargin,
+
+    // Global 2^12 fixed-point (the Spectral convention): centroid sums
+    // and dots are exact int64; score is one divide of exact longs.
+    "q_centroid_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT)
+        |      AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, pos, CAST(sum(qv) AS BIGINT) AS s
+        |  FROM q GROUP BY 1, 2),
+        |cnt AS (
+        |  SELECT label AS c_label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM embeddings GROUP BY 1),
+        |d AS (
+        |  SELECT q.vec_id, q.label, c.c_label,
+        |    CAST(sum(qv * s) AS BIGINT) AS dot_fp
+        |  FROM q JOIN cent c USING (pos) GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT vec_id, label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY CAST(dot_fp AS DOUBLE) / cnt DESC, c_label) AS rk
+        |  FROM d JOIN cnt USING (c_label))
+        |SELECT label AS true_label, c_label AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_apply" ->
       """WITH RECURSIVE sh AS (

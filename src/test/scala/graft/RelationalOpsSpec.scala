@@ -225,6 +225,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map(500 -> 5L, 1000 -> 9L))
   }
 
+  // -------------------------------------------------- centroid eval
+
+  test("nearestCentroidConfusion: separable clusters sit on the diagonal") {
+    // label 0 around (+1, 0), label 1 around (0, +1); one planted
+    // mislabeled point deep in the other cluster -> one off-diagonal cell
+    val rows =
+      (1 to 20).map(i => (i.toLong, Array(1.0f + i * 0.001f, 0.05f), 0)) ++
+        (21 to 40).map(i => (i.toLong, Array(0.05f, 1.0f + i * 0.001f), 1)) ++
+        Seq((41L, Array(0.02f, 1.2f), 0)) // labeled 0, lives in cluster 1
+    val got = graft.sim.CentroidEval.nearestCentroidConfusion(
+        rows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label")
+      .collect().map(r => ((r.getAs[Int]("true_label"),
+        r.getAs[Int]("pred_label")), r.getAs[Long]("n"))).toMap
+    assert(got == Map((0, 0) -> 20L, (1, 1) -> 20L, (0, 1) -> 1L))
+  }
+
   // ------------------------------------------------------ plan shapes
 
   test("skyline2D plans a broadcast join back (no pair join, no cartesian)") {
