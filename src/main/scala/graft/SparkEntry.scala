@@ -414,6 +414,15 @@ object SparkEntry {
         iters = 3)
       .select(col("id").as("part_id"), col("s").as("score"))
 
+  /** Label-propagation communities over the co-purchase graph: 3
+    * synchronous min-tie rounds — deterministic, oracle-replayable. */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(
+        graft.ops.Graph.coOccurrenceEdges(tbl(s, dir, "lineitem"),
+          group = "l_orderkey", item = "l_partkey"),
+        iters = 3)
+      .select(col("id").as("part_id"), col("community"))
+
   /** Per-part triangle counts + local clustering coefficient over the
     * co-purchase graph — degree-oriented wedge counting (all exact
     * integers; cc is the one divide). */
@@ -2650,6 +2659,7 @@ object SparkEntry {
     "q_entropy" -> (qEntropy _),
     "q_top_paths" -> (qTopPaths _),
     "q_pagerank" -> (qPagerank _),
+    "q_label_prop" -> (qLabelProp _),
     "q_pagerank_weighted" -> (qPagerankWeighted _),
     "q_triangles" -> (qTriangles _),
     "q_lm_score" -> (qLmScore _),
@@ -3070,6 +3080,39 @@ object SparkEntry {
         |           AS BIGINT) AS s
         |       FROM s2 LEFT JOIN c3 ON s2.id = c3.dst)
         |SELECT id AS part_id, s AS score FROM s3""".stripMargin,
+
+    // Synchronous LPA replayed round by round; argmax = (n DESC, lab ASC)
+    // row_number, mirroring the engine's max(struct(n, -lab)).
+    "q_label_prop" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |small AS (
+        |  SELECT g FROM items GROUP BY g HAVING count(*) <= 1000),
+        |pruned AS (SELECT items.* FROM items JOIN small USING (g)),
+        |pairs AS (
+        |  SELECT DISTINCT a.i AS id1, b.i AS id2
+        |  FROM pruned a JOIN pruned b ON a.g = b.g AND a.i < b.i),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS lab
+        |       FROM edges),
+        |c1 AS (SELECT e.src, l.lab, count(*) AS n FROM edges e
+        |       JOIN l0 l ON e.dst = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT src AS id, lab FROM (
+        |  SELECT src, lab, row_number() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lab ASC) AS rk FROM c1) WHERE rk = 1),
+        |c2 AS (SELECT e.src, l.lab, count(*) AS n FROM edges e
+        |       JOIN l1 l ON e.dst = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT src AS id, lab FROM (
+        |  SELECT src, lab, row_number() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lab ASC) AS rk FROM c2) WHERE rk = 1),
+        |c3 AS (SELECT e.src, l.lab, count(*) AS n FROM edges e
+        |       JOIN l2 l ON e.dst = l.id GROUP BY 1, 2),
+        |l3 AS (SELECT src AS id, lab FROM (
+        |  SELECT src, lab, row_number() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lab ASC) AS rk FROM c3) WHERE rk = 1)
+        |SELECT id AS part_id, CAST(lab AS BIGINT) AS community
+        |FROM l3""".stripMargin,
 
     "q_pagerank_weighted" ->
       """WITH items AS (

@@ -104,6 +104,46 @@ object Graph {
     s
   }
 
+  /** Community detection by synchronous label propagation: every node
+    * starts as its own community (label = its numeric id); each round,
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label — fully deterministic, no
+    * randomized update order (async LPA's usual nondeterminism is
+    * exactly what an oracle-checked engine can't ship). A fixed round
+    * count is a deterministic snapshot even where synchronous LPA would
+    * oscillate (e.g. perfect bipartite cores).
+    *
+    * Expects the [[coOccurrenceEdges]] shape — undirected (id1, id2)
+    * NUMERIC id pairs, no self-loops; symmetrized internally. Per round:
+    * one join of the edge list against the |nodes|-sized label table and
+    * one (src, label) count aggregate — the argmax rides the aggregate
+    * as max(struct(n, −label)), no window. Label tables stay
+    * |nodes|-sized; the shallow-run lazy-DAG discipline of
+    * [[pageRankFixedPoint]] applies (checkpoint past 6 rounds). */
+  def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
+    val checkpointed = iters > 6
+    def flatten(df: DataFrame): DataFrame =
+      if (checkpointed) df.localCheckpoint() else df
+    val edges = flatten(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .distinct())
+    var lab = flatten(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").cast("long").as("community")))
+    for (_ <- 1 to iters) {
+      lab = flatten(edges
+        .join(lab, edges("dst") === lab("id"))
+        .groupBy(col("src"), col("community"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("__n"), (-col("community")).as("__neg")))
+          .as("__top"))
+        .select(col("id"), (-col("__top.__neg")).as("community")))
+    }
+    lab
+  }
+
   /** Co-occurrence edge list: undirected distinct pairs of `item` values
     * sharing the same `group` (parts co-purchased in an order, tokens
     * sharing a document...). The per-group pair expansion is quadratic in

@@ -242,6 +242,20 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map((0, 0) -> 20L, (1, 1) -> 20L, (0, 1) -> 1L))
   }
 
+  // ------------------------------------------------ label propagation
+
+  test("labelPropagation separates a barbell graph deterministically") {
+    // two triangles {1,2,3} and {10,11,12} bridged by 3-10; hand-traced
+    // 3 synchronous min-tie rounds -> left community 1, right community 3
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("id1", "id2")
+    val got = graft.ops.Graph.labelPropagation(pairs, iters = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("community")))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
   // ------------------------------------------------------ plan shapes
 
   test("skyline2D plans a broadcast join back (no pair join, no cartesian)") {
