@@ -122,15 +122,19 @@ object Graph {
     * [[pageRankFixedPoint]] applies (checkpoint past 6 rounds). */
   def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
-    val checkpointed = iters > 6
+    // unlike the PageRank loop (one aggregation per round, where lazy-DAG
+    // exchange reuse wins for shallow runs), every LPA round consumes the
+    // edge list AND runs two grouped aggregations — the edge subtree
+    // appears iters+1 times in the final plan, so materializing it once
+    // is the cheaper trade at every depth
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint()
     def flatten(df: DataFrame): DataFrame =
-      if (checkpointed) df.localCheckpoint() else df
-    val edges = flatten(
-      pairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-        .distinct())
-    var lab = flatten(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").cast("long").as("community")))
+      if (iters > 6) df.localCheckpoint() else df
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").cast("long").as("community"))
     for (_ <- 1 to iters) {
       lab = flatten(edges
         .join(lab, edges("dst") === lab("id"))
