@@ -1290,6 +1290,33 @@ object SparkEntry {
       tiebreak = "event_id")
   }
 
+  private def asofQuotes(s: SparkSession, dir: String): DataFrame =
+    TimeWindows.flattenWindow(
+      TimeWindows.metricWindow(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id"), width = "1 hour"))
+      .select(col("event_type"), col("window_end").as("quote_ts"),
+        exactAvg(col("value_sum"), col("n_events")).as("hour_ma"),
+        col("n_events").as("hour_n"))
+
+  /** Forward as-of: each event attaches the NEXT hour-boundary quote at
+    * or after its timestamp (DuckDB's native ASOF with <= is the
+    * independent check). */
+  private def qAsofFwd(s: SparkSession, dir: String): DataFrame =
+    AsOfJoin.asOfForward(
+      left = ev(s, dir).select("event_id", "event_type", "ts", "value"),
+      right = asofQuotes(s, dir), key = "event_type", leftTs = "ts",
+      rightTs = "quote_ts", payload = Seq("hour_ma", "hour_n"),
+      tiebreak = "event_id")
+
+  /** Nearest as-of (sensor alignment): closer of the two directional
+    * matches by exact µs distance, ties backward. */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame =
+    AsOfJoin.asOfNearest(
+      left = ev(s, dir).select("event_id", "event_type", "ts", "value"),
+      right = asofQuotes(s, dir), key = "event_type", leftTs = "ts",
+      rightTs = "quote_ts", payload = Seq("hour_ma", "hour_n"),
+      tiebreak = "event_id")
+
   /** The same as-of join through the custom physical operator (tier (c):
     * AsOfJoinNode -> AsOfJoinStrategy -> AsOfJoinExec single-pass merge) —
     * oracle-checked against DuckDB's native ASOF JOIN exactly like the
@@ -2674,6 +2701,8 @@ object SparkEntry {
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
+    "q_asof_fwd" -> (qAsofFwd _),
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_range_join" -> (qRangeJoin _),
     "q_window_ma" -> (qWindowMa _),
     "q_bollinger" -> (qBollinger _),
@@ -5019,6 +5048,58 @@ object SparkEntry {
          |  q.hour_ma AS asof_hour_ma, q.hour_n AS asof_hour_n
          |FROM l ASOF LEFT JOIN quotes q
          |  ON l.event_type = q.event_type AND l.ts >= q.quote_ts"""
+        .stripMargin,
+
+    "q_asof_fwd" ->
+      s"""WITH quotes AS (
+         |  SELECT event_type,
+         |    time_bucket(INTERVAL 1 HOUR, $TS) + INTERVAL 1 HOUR
+         |      AS quote_ts,
+         |    round(sum(value), 4) / count(*) AS hour_ma,
+         |    count(*) AS hour_n
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_id, event_type, $TS AS ts, value FROM events)
+         |SELECT l.event_id, l.event_type, l.ts, l.value,
+         |  q.hour_ma AS asof_hour_ma, q.hour_n AS asof_hour_n
+         |FROM l ASOF LEFT JOIN quotes q
+         |  ON l.event_type = q.event_type AND l.ts <= q.quote_ts"""
+        .stripMargin,
+
+    // nearest = CASE over the two native directional ASOFs on exact µs
+    // distances; equidistant (and exact-instant) ties go backward.
+    "q_asof_nearest" ->
+      s"""WITH quotes AS (
+         |  SELECT event_type,
+         |    time_bucket(INTERVAL 1 HOUR, $TS) + INTERVAL 1 HOUR
+         |      AS quote_ts,
+         |    round(sum(value), 4) / count(*) AS hour_ma,
+         |    count(*) AS hour_n
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_id, event_type, $TS AS ts, value FROM events),
+         |bk AS (SELECT l.event_id, q.quote_ts AS bts, q.hour_ma AS bma,
+         |         q.hour_n AS bn
+         |       FROM l ASOF LEFT JOIN quotes q
+         |         ON l.event_type = q.event_type AND l.ts >= q.quote_ts),
+         |fw AS (SELECT l.event_id, q.quote_ts AS fts, q.hour_ma AS fma,
+         |         q.hour_n AS fn
+         |       FROM l ASOF LEFT JOIN quotes q
+         |         ON l.event_type = q.event_type AND l.ts <= q.quote_ts)
+         |SELECT l.event_id, l.event_type, l.ts, l.value,
+         |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+         |         OR epoch_us(l.ts) - epoch_us(bts)
+         |            <= epoch_us(fts) - epoch_us(l.ts))
+         |       THEN bma ELSE fma END AS asof_hour_ma,
+         |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+         |         OR epoch_us(l.ts) - epoch_us(bts)
+         |            <= epoch_us(fts) - epoch_us(l.ts))
+         |       THEN bn ELSE fn END AS asof_hour_n,
+         |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+         |         OR epoch_us(l.ts) - epoch_us(bts)
+         |            <= epoch_us(fts) - epoch_us(l.ts))
+         |       THEN 'backward'
+         |       WHEN fts IS NOT NULL THEN 'forward'
+         |       ELSE NULL END AS asof_dir
+         |FROM l JOIN bk USING (event_id) JOIN fw USING (event_id)"""
         .stripMargin,
 
     "q_merge_upsert" ->

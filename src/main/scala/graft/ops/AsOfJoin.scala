@@ -37,7 +37,59 @@ object AsOfJoin {
     *                  first right row at or before the left row's time)
     * @param tiebreak  unique left column making the sort deterministic */
   def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
-           rightTs: String, payload: Seq[String], tiebreak: String): DataFrame = {
+           rightTs: String, payload: Seq[String], tiebreak: String): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, payload, tiebreak,
+      forward = false)
+
+  /** Forward as-of: for each left row (key, t), attach the EARLIEST right
+    * row of the same key with t' >= t (inclusive) — "what's the next
+    * scheduled quote/calibration/deployment after this event". Identical
+    * cost envelope to [[asOf]]: the union sorts DESCENDING and the same
+    * carry runs, so right rows at the exact instant still match. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, payload: Seq[String],
+                  tiebreak: String): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, payload, tiebreak,
+      forward = true)
+
+  /** Nearest as-of: attach whichever of the latest-at-or-before /
+    * earliest-after right rows is CLOSER in time (µs distance, exact
+    * int64; equidistant ties and exact-instant matches go backward) —
+    * the sensor-alignment join. Output: left columns + `asof_<p>`
+    * payload + `asof_dir` ('backward' | 'forward' | NULL when no match).
+    *
+    * Composition: both directional passes (each one shuffle + sort on
+    * the key) then ONE equi-join on the unique `tiebreak` — 2× the
+    * [[asOf]] cost, still never a pair join. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, payload: Seq[String],
+                  tiebreak: String): DataFrame = {
+    val pAll = (rightTs +: payload).distinct
+    val b = asOfImpl(left, right, key, leftTs, rightTs, pAll, tiebreak,
+      forward = false)
+    val slim = Seq(key, leftTs, tiebreak).distinct
+    val f = asOfImpl(left.select(slim.map(col): _*), right, key, leftTs,
+        rightTs, pAll, tiebreak, forward = true)
+      .select((col(tiebreak) +:
+        pAll.map(p => col(s"asof_$p").as(s"__f_$p"))): _*)
+    val bt = col(s"asof_$rightTs")
+    val ft = col(s"__f_$rightTs")
+    val db = unix_micros(col(leftTs)) - unix_micros(bt)
+    val dfw = unix_micros(ft) - unix_micros(col(leftTs))
+    val useB = bt.isNotNull && (ft.isNull || db <= dfw)
+    b.join(f, tiebreak)
+      .select((left.columns.toSeq.map(col) ++
+        payload.map(p =>
+          when(useB, col(s"asof_$p")).otherwise(col(s"__f_$p"))
+            .as(s"asof_$p")) :+
+        when(useB, lit("backward"))
+          .when(ft.isNotNull, lit("forward"))
+          .otherwise(lit(null).cast("string")).as("asof_dir")): _*)
+  }
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String, payload: Seq[String],
+                       tiebreak: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns
     // carry the payload as ONE struct so the matched right row is attached
     // atomically — carrying columns independently with last(ignoreNulls)
@@ -64,9 +116,12 @@ object AsOfJoin {
 
     // unionByName null-fills the left-only columns on the right side
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right rows sort before left rows at the same instant -> inclusive
+    // right rows sort before left rows at the same instant -> inclusive in
+    // BOTH directions (forward just walks time descending)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__graft_t"), col("__graft_side"), col("__graft_tb"))
+      .orderBy(
+        (if (forward) col("__graft_t").desc else col("__graft_t").asc),
+        col("__graft_side"), col("__graft_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__graft_c",
       last(col("__graft_p"), ignoreNulls = true).over(w))

@@ -242,6 +242,44 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map((0, 0) -> 20L, (1, 1) -> 20L, (0, 1) -> 1L))
   }
 
+  // ------------------------------------------------ as-of directions
+
+  test("asOfForward attaches the earliest quote at-or-after, inclusive") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "k", t("2024-01-01 10:00:00")), // exact instant -> inclusive
+      (2L, "k", t("2024-01-01 10:30:00")), // between quotes -> 11:00
+      (3L, "k", t("2024-01-01 12:30:00"))  // after last quote -> null
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(("k", t("2024-01-01 10:00:00"), 100L),
+      ("k", t("2024-01-01 11:00:00"), 200L),
+      ("k", t("2024-01-01 12:00:00"), 300L)).toDF("k", "qts", "v")
+    val got = graft.ops.AsOfJoin.asOfForward(left, right, "k", "ts", "qts",
+        Seq("v"), "event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("asof_v")).map(_.toLong)))
+      .toMap
+    assert(got == Map(1L -> Some(100L), 2L -> Some(200L), 3L -> None))
+  }
+
+  test("asOfNearest picks the closer side, ties and exact hits backward") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "k", t("2024-01-01 10:10:00")), // 10 min back vs 50 fwd -> back
+      (2L, "k", t("2024-01-01 10:50:00")), // 50 back vs 10 fwd -> forward
+      (3L, "k", t("2024-01-01 10:30:00")), // equidistant -> backward
+      (4L, "k", t("2024-01-01 09:00:00"))  // before first -> forward only
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(("k", t("2024-01-01 10:00:00"), 100L),
+      ("k", t("2024-01-01 11:00:00"), 200L)).toDF("k", "qts", "v")
+    val got = graft.ops.AsOfJoin.asOfNearest(left, right, "k", "ts", "qts",
+        Seq("v"), "event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        (r.getAs[Long]("asof_v"), r.getAs[String]("asof_dir")))).toMap
+    assert(got == Map(1L -> (100L, "backward"), 2L -> (200L, "forward"),
+      3L -> (100L, "backward"), 4L -> (100L, "forward")))
+  }
+
   // ------------------------------------------------ label propagation
 
   test("labelPropagation separates a barbell graph deterministically") {
