@@ -2105,6 +2105,12 @@ object SparkEntry {
       Seq("c_mktsegment"), pmod(col("c_custkey"), lit(2L)) === 1L,
       col("c_acctbal") > 5000.0)
 
+  /** Wilson 95% bounds on the high-balance proportion per market
+    * segment × nation — the small-segment-safe ranking interval. */
+  private def qWilson(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.proportionWilson(tbl(s, dir, "customer"),
+      Seq("c_mktsegment", "c_nationkey"), col("c_acctbal") > 5000.0)
+
   /** Association rules over the per-order brand baskets: support /
     * directional confidence / lift for every brand pair co-purchased
     * in ≥ 10 orders — every metric a single divide of exact counts off
@@ -2773,6 +2779,7 @@ object SparkEntry {
     "q_key_skew" -> (qKeySkew _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_ab_test" -> (qAbTest _),
+    "q_wilson" -> (qWilson _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
@@ -5821,6 +5828,30 @@ object SparkEntry {
         |UNION ALL SELECT n, 0.5, round(ps[3], 6) FROM g
         |UNION ALL SELECT n, 0.75, round(ps[4], 6) FROM g
         |UNION ALL SELECT n, 0.9, round(ps[5], 6) FROM g""".stripMargin,
+
+    // z² is spelled 1.96*1.96 so both engines build the identical double
+    "q_wilson" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(sum(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_nationkey, k, n,
+        |  round(CAST(k AS DOUBLE) / n, 6) AS rate,
+        |  round((CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n))
+        |        / (1.0 + (1.96 * 1.96) / n)
+        |      - (1.96 / (1.0 + (1.96 * 1.96) / n))
+        |        * sqrt((CAST(k AS DOUBLE) / n)
+        |              * (1.0 - CAST(k AS DOUBLE) / n) / n
+        |            + (1.96 * 1.96) / (4.0 * n * n)), 6) AS wilson_lo,
+        |  round((CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n))
+        |        / (1.0 + (1.96 * 1.96) / n)
+        |      + (1.96 / (1.0 + (1.96 * 1.96) / n))
+        |        * sqrt((CAST(k AS DOUBLE) / n)
+        |              * (1.0 - CAST(k AS DOUBLE) / n) / n
+        |            + (1.96 * 1.96) / (4.0 * n * n)), 6) AS wilson_hi
+        |FROM g""".stripMargin,
 
     "q_weighted_quantiles" ->
       """WITH dv AS (

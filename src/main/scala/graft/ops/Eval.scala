@@ -307,6 +307,38 @@ object Eval {
     *
     * Scale: one |groups|-key aggregate over the assignment column —
     * nothing else. */
+  /** Wilson score interval per group for a success proportion — the
+    * right way to RANK small-sample segments (a 3/3 segment must not
+    * outrank a 970/1000 one; Wilson's lower bound encodes exactly that,
+    * where the naive rate and the Wald interval both fail).
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n)
+    *   half   = z/(1 + z²/n) · √(p̂(1−p̂)/n + z²/4n²)
+    *
+    * k and n are exact int64 off one aggregate; the bounds are one fixed
+    * IEEE tree each over (k, n, z) — cross-engine deterministic, rounded
+    * r6 only at the surface. z defaults to 1.96 (95%); no p-values (erf
+    * is not portable across engines). Scale: one |groups|-key aggregate. */
+  def proportionWilson(df: DataFrame, keys: Seq[String], success: Column,
+                       z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    df.filter(success.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(success, 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("n"))
+      .select((keys.map(col) ++ Seq(col("k"), col("n"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))): _*)
+  }
+
   def twoProportionZ(df: DataFrame, keys: Seq[String], inB: Column,
                      success: Column): DataFrame = {
     val k = keys.map(col)

@@ -242,6 +242,32 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map((0, 0) -> 20L, (1, 1) -> 20L, (0, 1) -> 1L))
   }
 
+  // ---------------------------------------------------- wilson bounds
+
+  test("proportionWilson: small perfect segment ranks below a large one") {
+    val rows = Seq.fill(3)(("small", true)) ++
+      Seq.fill(970)(("big", true)) ++ Seq.fill(30)(("big", false))
+    val out = graft.ops.Eval.proportionWilson(rows.toDF("seg", "ok"),
+        Seq("seg"), col("ok"))
+      .collect().map(r => (r.getAs[String]("seg"),
+        (r.getAs[Long]("k"), r.getAs[Long]("n"),
+          r.getAs[Double]("rate"), r.getAs[Double]("wilson_lo"),
+          r.getAs[Double]("wilson_hi")))).toMap
+    val (sk, sn, sr, slo, shi) = out("small")
+    val (_, _, br, blo, _) = out("big")
+    assert(sk == 3L && sn == 3L && sr == 1.0)
+    assert(br == 0.97)
+    assert(slo < blo) // 3/3 must NOT outrank 970/1000 by lower bound
+    // closed-form check of the small segment: p=1, n=3, z=1.96
+    val z2 = 1.96 * 1.96
+    val denom = 1.0 + z2 / 3
+    val center = (1.0 + z2 / 6) / denom
+    val half = (1.96 / denom) * math.sqrt(0.0 + z2 / 36)
+    def r6d(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slo == r6d(center - half) && shi == r6d(center + half))
+  }
+
   // ------------------------------------------------ as-of directions
 
   test("asOfForward attaches the earliest quote at-or-after, inclusive") {
