@@ -1947,6 +1947,12 @@ object SparkEntry {
     graft.sim.CentroidEval.nearestCentroidConfusion(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", "label")
 
+  /** 64-bucket hashed bag-of-words over the corpus — fixed-dim features
+    * with no vocabulary pass (the 100 TB featurizer). */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    graft.text.FeatureHash.hashedFeatures(tbl(s, dir, "documents"),
+      "doc_id", "text", k = 64)
+
   /** Vocabulary coverage curve at 10/50/100/500-term vocab sizes. */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.vocabCoverage(tbl(s, dir, "documents"), "doc_id",
@@ -2780,6 +2786,7 @@ object SparkEntry {
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_ab_test" -> (qAbTest _),
     "q_wilson" -> (qWilson _),
+    "q_feature_hash" -> (qFeatureHash _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
@@ -5828,6 +5835,25 @@ object SparkEntry {
         |UNION ALL SELECT n, 0.5, round(ps[3], 6) FROM g
         |UNION ALL SELECT n, 0.75, round(ps[4], 6) FROM g
         |UNION ALL SELECT n, 0.9, round(ps[5], 6) FROM g""".stripMargin,
+
+    "q_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM toks GROUP BY 1, 2),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+        |      % 64 AS INT) AS bucket,
+        |    CASE WHEN CAST(concat('0x', substr(md5(term), 9, 1))
+        |        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END * cnt AS sw
+        |  FROM tf)
+        |SELECT doc_id, bucket, CAST(sum(sw) AS BIGINT) AS w
+        |FROM hashed GROUP BY 1, 2
+        |HAVING sum(sw) <> 0""".stripMargin,
 
     // z² is spelled 1.96*1.96 so both engines build the identical double
     "q_wilson" ->

@@ -242,6 +242,30 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map((0, 0) -> 20L, (1, 1) -> 20L, (0, 1) -> 1L))
   }
 
+  // --------------------------------------------------- feature hashing
+
+  test("hashedFeatures: deterministic buckets, signed counts, no zeros") {
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.text.FeatureHash.hashedFeatures(docs, "doc_id", "text",
+        k = 64)
+      .collect().map(r => ((r.getAs[Long]("doc_id"),
+        r.getAs[Int]("bucket")), r.getAs[Long]("w"))).toMap
+    // same token -> same bucket on every doc; |w| reflects counts
+    def bucketOf(t: String) = (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(t).substring(0, 8),
+      16) % 64).toInt
+    def signOf(t: String) = if (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(t).substring(8, 9),
+      16) % 2 == 0) 1L else -1L
+    val (ba, bb) = (bucketOf("a"), bucketOf("b"))
+    assert(out((1L, ba)) == 2L * signOf("a"))
+    assert(out((1L, bb)) == 1L * signOf("b"))
+    assert(out((2L, ba)) == 1L * signOf("a"))
+    assert(!out.keySet.exists(_._1 == 3L)) // empty doc -> no features
+    assert(out.keySet.forall(_._2 >= 0) && out.values.forall(_ != 0L))
+  }
+
   // ---------------------------------------------------- wilson bounds
 
   test("proportionWilson: small perfect segment ranks below a large one") {
