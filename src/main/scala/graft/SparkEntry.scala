@@ -1941,6 +1941,12 @@ object SparkEntry {
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
       expr("CAST(l_quantity AS BIGINT)"), Seq(100, 250, 500, 750, 900))
 
+  /** JL sketch of the embeddings: 64 → 16 dims through the md5-parity
+    * ±1 matrix, exact int64 output. */
+  private def qEmbedProject(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Spectral.signedProjection(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 16)
+
   /** Nearest-centroid confusion matrix over the embeddings table —
     * exact fixed-point centroid dots, resubstitution semantics. */
   private def qCentroidEval(s: SparkSession, dir: String): DataFrame =
@@ -2772,6 +2778,7 @@ object SparkEntry {
     "q_conversion_lag" -> (qConversionLag _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_centroid_eval" -> (qCentroidEval _),
+    "q_embed_project" -> (qEmbedProject _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieve_rerank" -> (qRetrieveRerank _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -5899,6 +5906,24 @@ object SparkEntry {
         |FROM c CROSS JOIN k
         |WHERE cum * 1000 >= permille * tot
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_embed_project" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT)
+        |      AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings),
+        |dims AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS j),
+        |sgn AS (
+        |  SELECT pos, j,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('proj',
+        |        CAST(pos AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 1))
+        |        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT DISTINCT pos FROM q) CROSS JOIN dims)
+        |SELECT vec_id, j, CAST(sum(qv * s) AS BIGINT) AS y
+        |FROM q JOIN sgn USING (pos) GROUP BY 1, 2""".stripMargin,
 
     // Global 2^12 fixed-point (the Spectral convention): centroid sums
     // and dots are exact int64; score is one divide of exact longs.

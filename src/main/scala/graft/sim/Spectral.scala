@@ -85,6 +85,42 @@ object Spectral {
       .select(col("i"), col("j"), col("g"))
   }
 
+  /** Signed random projection (Achlioptas/JL sketch): project each
+    * vector from its native dimension down to `k` output dims through a
+    * ±1 matrix derived from md5(pos, j) parity — no stored matrix, no
+    * randomness to seed, the "transform" IS the hash. Dot products are
+    * preserved in expectation (E[⟨y_a, y_b⟩] = k·⟨a, b⟩), which is all a
+    * downstream LSH / coarse search needs; exact int64 output (the
+    * global 2^bits quantization convention above) merges across shards
+    * and replays bit-for-bit in an oracle.
+    *
+    * Scale shape: the sign matrix is |dims|·k rows built from the DATA's
+    * own distinct positions (broadcast); the projection is one
+    * posexplode + broadcast join + (id, j) partial-aggregated sum —
+    * input×k work, never a pair join. */
+  def signedProjection(df: DataFrame, id: String, vec: String, k: Int,
+                       scaleBits: Int = 12): DataFrame = {
+    require(k >= 1 && k <= 4096, s"output dims out of range: $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val q = df.filter(col(vec).isNotNull)
+      .select(col(id), posexplode(col(vec)).as(Seq("pos", "__x")))
+      .withColumn("__q",
+        floor(col("__x").cast("double") * lit(scale) + lit(0.5))
+          .cast("long"))
+    val sgn = q.select(col("pos")).distinct()
+      .select(col("pos"),
+        explode(array((0 until k).map(lit): _*)).as("j"))
+      .withColumn("__s",
+        when(conv(substring(md5(concat(lit("proj"),
+            col("pos").cast("string"), lit("_"), col("j").cast("string"))),
+            1, 1), 16, 10).cast("long") % 2 === 0L, 1L)
+          .otherwise(-1L))
+    q.join(broadcast(sgn), "pos")
+      .groupBy(col(id), col("j"))
+      .agg(sum(col("__q") * col("__s")).as("y"))
+  }
+
   /** Top eigenvector of the collected Gram by power iteration — a
     * driver-side O(d²·iters) step on constant-size data, single-threaded
     * fixed-order arithmetic (deterministic for a given Gram; the Gram

@@ -242,6 +242,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map((0, 0) -> 20L, (1, 1) -> 20L, (0, 1) -> 1L))
   }
 
+  // ----------------------------------------------- signed projection
+
+  test("signedProjection: exact hand-computed sketch, sign from md5 parity") {
+    val df = Seq((1L, Array(1.0f, -0.5f)), (2L, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.sim.Spectral.signedProjection(df, "vec_id", "embedding",
+        k = 2)
+      .collect().map(r => ((r.getAs[Long]("vec_id"), r.getAs[Int]("j")),
+        r.getAs[Long]("y"))).toMap
+    def sgn(pos: Int, j: Int): Long = {
+      val h = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"proj${pos}_$j").substring(0, 1)
+      if (java.lang.Long.parseLong(h, 16) % 2 == 0) 1L else -1L
+    }
+    def q(x: Double) = math.floor(x * 4096.0 + 0.5).toLong
+    for (j <- 0 until 2) {
+      assert(got((1L, j)) == sgn(0, j) * q(1.0) + sgn(1, j) * q(-0.5))
+      assert(got((2L, j)) == sgn(0, j) * q(0.0) + sgn(1, j) * q(2.0))
+    }
+  }
+
   // --------------------------------------------------- feature hashing
 
   test("hashedFeatures: deterministic buckets, signed counts, no zeros") {
