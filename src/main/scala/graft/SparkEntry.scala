@@ -1925,6 +1925,29 @@ object SparkEntry {
     Stats.chiSquare(ev(s, dir), col("event_type"),
       dayofweek(col("ts")).as("dow"))
 
+  /** Inter-arrival-time percentiles per event type: exact integral
+    * second gaps since the user's previous event, one window pass. */
+  private def qIntereventGap(s: SparkSession, dir: String): DataFrame =
+    Stats.exactPercentiles(
+      graft.ops.Funnel.interEventGaps(ev(s, dir), "user_id",
+        Seq("ts", "event_id"), "ts"),
+      Seq("event_type"), "gap_s", Seq(0.25, 0.5, 0.75, 0.9))
+
+  /** Revenue contribution: each supplier nation's share of its region's
+    * lineitem cents — exact child/parent sums, one divide. */
+  private def qShareOfParent(s: SparkSession, dir: String): DataFrame =
+    Stats.shareOfParent(
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey")),
+      parentKeys = Seq("r_name"), childKeys = Seq("n_name"),
+      measure = expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+
   /** View→purchase conversion-time percentiles (first-touch, strict
     * order) over exact integral second lags. */
   private def qConversionLag(s: SparkSession, dir: String): DataFrame =
@@ -2776,6 +2799,8 @@ object SparkEntry {
     "q_xcorr" -> (qXcorr _),
     "q_chi2" -> (qChi2 _),
     "q_conversion_lag" -> (qConversionLag _),
+    "q_interevent_gap" -> (qIntereventGap _),
+    "q_share_of_parent" -> (qShareOfParent _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_centroid_eval" -> (qCentroidEval _),
     "q_embed_project" -> (qEmbedProject _),
@@ -5885,6 +5910,42 @@ object SparkEntry {
         |              * (1.0 - CAST(k AS DOUBLE) / n) / n
         |            + (1.96 * 1.96) / (4.0 * n * n)), 6) AS wilson_hi
         |FROM g""".stripMargin,
+
+    "q_interevent_gap" ->
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |    (epoch_us($TS) - lag(epoch_us($TS), 1) OVER (
+         |       PARTITION BY user_id ORDER BY $TS, event_id))
+         |      // 1000000 AS gap_s
+         |  FROM events),
+         |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+         |p AS (
+         |  SELECT event_type,
+         |    quantile_cont(gap_s, [0.25, 0.5, 0.75, 0.9]) AS ps,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM gg GROUP BY 1)
+         |SELECT event_type, 0.25 AS q, round(ps[1], 6) AS value_q, n FROM p
+         |UNION ALL SELECT event_type, 0.5, round(ps[2], 6), n FROM p
+         |UNION ALL SELECT event_type, 0.75, round(ps[3], 6), n FROM p
+         |UNION ALL SELECT event_type, 0.9, round(ps[4], 6), n FROM p"""
+        .stripMargin,
+
+    "q_share_of_parent" ->
+      """WITH j AS (
+        |  SELECT r_name, n_name,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey),
+        |c AS (SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS m
+        |      FROM j GROUP BY 1, 2)
+        |SELECT r_name, n_name, m,
+        |  CAST(sum(m) OVER (PARTITION BY r_name) AS BIGINT) AS parent_m,
+        |  CAST(m AS DOUBLE)
+        |    / CAST(CAST(sum(m) OVER (PARTITION BY r_name) AS BIGINT)
+        |        AS DOUBLE) AS share
+        |FROM c""".stripMargin,
 
     "q_weighted_quantiles" ->
       """WITH dv AS (

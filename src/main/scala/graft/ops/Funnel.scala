@@ -73,6 +73,24 @@ object Funnel {
       .select(col(user), expr("__us div 1000000L").as("lag_s"))
   }
 
+  /** Inter-event gaps: each event annotated with the exact integral
+    * seconds since the same user's PREVIOUS event (any type) — the
+    * inter-arrival distribution behind session-gap threshold choice and
+    * engagement scoring. First events per user emit no row. `order`
+    * must totally order a user's events (pass a unique tiebreaker).
+    * One window pass partitioned by user; µs difference DIV 1e6 keeps
+    * downstream percentiles on small exact integers. */
+  def interEventGaps(df: DataFrame, user: String, order: Seq[String],
+                     ts: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy(order.map(col): _*)
+    df.withColumn("__prev", lag(unix_micros(col(ts)), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__us", unix_micros(col(ts)) - col("__prev"))
+      .withColumn("gap_s", expr("__us div 1000000L"))
+      .drop("__prev", "__us")
+  }
+
   /** First-order Markov transition matrix over each user's ordered event
     * stream: one row per (from_type, to_type) with the transition count and
     * its row-normalized probability. The only full-data operation is ONE

@@ -727,6 +727,24 @@ object Stats {
       .agg(min(col("__v")).as("value_q"), min(col("__tot")).as("total_weight"))
   }
 
+  /** Ratio-to-parent rollup: child aggregate, its parent total, and the
+    * child's share — the "nation's % of region revenue" contribution
+    * report. ONE grouped aggregation on (parent, child) then a window
+    * sum partitioned by the parent keys (parent-group-count-sized state,
+    * no second shuffle of raw data); with an exact integral `measure`
+    * the share is a single IEEE divide of exact longs — deterministic
+    * unrounded. */
+  def shareOfParent(df: DataFrame, parentKeys: Seq[String],
+                    childKeys: Seq[String], measure: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(parentKeys.map(col): _*)
+    df.groupBy((parentKeys ++ childKeys).map(col): _*)
+      .agg(sum(measure).as("m"))
+      .withColumn("parent_m", sum(col("m")).over(w))
+      .withColumn("share",
+        col("m").cast("double") / col("parent_m").cast("double"))
+  }
+
   /** Benford first-digit audit of a positive fixed-point measure: observed
     * leading-digit distribution vs Benford's log10(1 + 1/d) expectation,
     * with the per-digit chi-square contribution (n_d − N·p_d)² / (N·p_d).

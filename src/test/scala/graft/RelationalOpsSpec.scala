@@ -242,6 +242,38 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map((0, 0) -> 20L, (1, 1) -> 20L, (0, 1) -> 1L))
   }
 
+  // -------------------------------------------------- inter-event gaps
+
+  test("interEventGaps: per-user consecutive gaps, first event emits none") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (1L, 2L, t("2024-01-01 10:00:30")),
+      (1L, 3L, t("2024-01-01 10:02:30")),
+      (2L, 4L, t("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Funnel.interEventGaps(rows, "user_id",
+        Seq("ts", "event_id"), "ts")
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[Long]("gap_s"))).toMap
+    assert(got == Map(2L -> 30L, 3L -> 120L)) // events 1 and 4 are firsts
+  }
+
+  // ------------------------------------------------- share of parent
+
+  test("shareOfParent: exact child/parent sums and shares") {
+    val rows = Seq(("r1", "a", 30L), ("r1", "a", 10L), ("r1", "b", 60L),
+      ("r2", "c", 5L)).toDF("region", "nation", "cents")
+    val got = Stats.shareOfParent(rows, Seq("region"), Seq("nation"),
+        col("cents"))
+      .collect().map(r => ((r.getAs[String]("region"),
+        r.getAs[String]("nation")),
+        (r.getAs[Long]("m"), r.getAs[Long]("parent_m"),
+          r.getAs[Double]("share")))).toMap
+    assert(got == Map(("r1", "a") -> (40L, 100L, 0.4),
+      ("r1", "b") -> (60L, 100L, 0.6), ("r2", "c") -> (5L, 5L, 1.0)))
+  }
+
   // ----------------------------------------------- signed projection
 
   test("signedProjection: exact hand-computed sketch, sign from md5 parity") {
