@@ -1925,6 +1925,18 @@ object SparkEntry {
     Stats.chiSquare(ev(s, dir), col("event_type"),
       dayofweek(col("ts")).as("dow"))
 
+  /** 7-day rolling distinct active users per event type — exact, via
+    * the day-grain collapse + day-range self-join (never raw events). */
+  private def qRollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.rollingActive(ev(s, dir), Seq("event_type"), "ts",
+      "user_id", windowDays = 7)
+
+  /** Cohort LTV curve: first-seen-day cohorts × age, exact cent revenue
+    * with the running cumulative. */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.cohortLtv(ev(s, dir), "user_id", "ts",
+      expr("CAST(round(value * 100) AS BIGINT)"))
+
   /** Inter-arrival-time percentiles per event type: exact integral
     * second gaps since the user's previous event, one window pass. */
   private def qIntereventGap(s: SparkSession, dir: String): DataFrame =
@@ -2801,6 +2813,8 @@ object SparkEntry {
     "q_conversion_lag" -> (qConversionLag _),
     "q_interevent_gap" -> (qIntereventGap _),
     "q_share_of_parent" -> (qShareOfParent _),
+    "q_rolling_active" -> (qRollingActive _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_centroid_eval" -> (qCentroidEval _),
     "q_embed_project" -> (qEmbedProject _),
@@ -5929,6 +5943,39 @@ object SparkEntry {
          |UNION ALL SELECT event_type, 0.75, round(ps[3], 6), n FROM p
          |UNION ALL SELECT event_type, 0.9, round(ps[4], 6), n FROM p"""
         .stripMargin,
+
+    "q_rolling_active" ->
+      s"""WITH daily AS (
+         |  SELECT DISTINCT event_type, CAST($TS AS DATE) AS day,
+         |    user_id
+         |  FROM events),
+         |anchors AS (SELECT DISTINCT event_type, day FROM daily),
+         |hits AS (
+         |  SELECT DISTINCT a.event_type, a.day, d.user_id
+         |  FROM anchors a JOIN daily d
+         |    ON a.event_type = d.event_type
+         |    AND d.day > a.day - 7 AND d.day <= a.day)
+         |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_active
+         |FROM hits GROUP BY 1, 2""".stripMargin,
+
+    "q_cohort_ltv" ->
+      s"""WITH fs AS (
+         |  SELECT user_id, min(CAST($TS AS DATE)) AS cohort_day
+         |  FROM events GROUP BY 1),
+         |rev AS (
+         |  SELECT fs.cohort_day,
+         |    CAST(CAST(CAST(e.ts AS TIMESTAMP) AS DATE) - fs.cohort_day
+         |      AS INT) AS age_days,
+         |    CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         |      AS rev_cents
+         |  FROM events e JOIN fs USING (user_id)
+         |  GROUP BY 1, 2)
+         |SELECT cohort_day, age_days, rev_cents,
+         |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+         |    ORDER BY age_days
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_rev_cents
+         |FROM rev""".stripMargin,
 
     "q_share_of_parent" ->
       """WITH j AS (

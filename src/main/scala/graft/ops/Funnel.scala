@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -89,6 +89,62 @@ object Funnel {
       .withColumn("__us", unix_micros(col(ts)) - col("__prev"))
       .withColumn("gap_s", expr("__us div 1000000L"))
       .drop("__prev", "__us")
+  }
+
+  /** Rolling distinct actives (the WAU/rolling-actives metric): for each
+    * key and each calendar day PRESENT in the data, the exact count of
+    * distinct entities active in the trailing `windowDays`-day window.
+    *
+    * Exact distinct over sliding windows is normally the expensive one;
+    * the day-grain trick makes it cheap: the raw stream collapses to
+    * distinct (key, day, entity) rows FIRST (one input-sized shuffle),
+    * then the trailing window is a day-range self-join of that
+    * day-grain table — fan-out windowDays×, entity de-dup and count on
+    * the join result. Raw events are never range-joined.
+    *
+    * Day boundaries are whole calendar days of `ts`; each anchor day is
+    * a day with ≥1 event for that key (quiet days emit no row). */
+  def rollingActive(df: DataFrame, keys: Seq[String], ts: String,
+                    entity: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3660,
+      s"windowDays out of range: $windowDays")
+    val k = keys.map(col)
+    val daily = df
+      .select((k :+ to_date(col(ts)).as("day") :+ col(entity).as("__e")): _*)
+      .distinct()
+    val anchors = daily.select((k :+ col("day")): _*).distinct()
+      .select((keys.map(kc => col(kc).as(s"__a_$kc")) :+
+        col("day").as("__aday")): _*)
+    val cond = keys.map(kc => col(s"__a_$kc") === daily(kc)).reduce(_ && _) &&
+      daily("day") > date_sub(col("__aday"), windowDays) &&
+      daily("day") <= col("__aday")
+    anchors.join(daily, cond)
+      .select((keys.map(kc => col(s"__a_$kc").as(kc)) :+
+        col("__aday").as("day") :+ col("__e")): _*)
+      .distinct()
+      .groupBy((k :+ col("day")): _*)
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Cohort lifetime value: users cohorted by first-seen day; per
+    * (cohort_day, age_days) the exact cent revenue and its running
+    * cumulative — the LTV curve. The cumulative window runs over
+    * |cohorts × ages| aggregate rows, never raw events; all arithmetic
+    * exact int64. */
+  def cohortLtv(df: DataFrame, user: String, ts: String,
+                cents: Column): DataFrame = {
+    val firstSeen = df.groupBy(col(user))
+      .agg(min(to_date(col(ts))).as("__cohort"))
+    val rev = df
+      .join(firstSeen, user)
+      .groupBy(col("__cohort").as("cohort_day"),
+        datediff(to_date(col(ts)), col("__cohort")).as("age_days"))
+      .agg(sum(cents).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    rev.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
   }
 
   /** First-order Markov transition matrix over each user's ordered event

@@ -259,6 +259,40 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map(2L -> 30L, 3L -> 120L)) // events 1 and 4 are firsts
   }
 
+  // ------------------------------------------------- rolling actives
+
+  test("rollingActive: trailing-window exact distinct at day grain") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // k: u1 on d1, u1+u2 on d2, u3 on d9 (outside 7d of d1/d2)
+    val rows = Seq(
+      ("k", 1L, t("2024-01-01")), ("k", 1L, t("2024-01-01")), // dup event
+      ("k", 1L, t("2024-01-02")), ("k", 2L, t("2024-01-02")),
+      ("k", 3L, t("2024-01-09"))
+    ).toDF("g", "u", "ts")
+    val got = graft.ops.Funnel.rollingActive(rows, Seq("g"), "ts", "u", 7)
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_active"))).toMap
+    // d1: {u1}; d2: {u1,u2}; d9 window [d3..d9]: {u3}
+    assert(got == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L,
+      "2024-01-09" -> 1L))
+  }
+
+  test("cohortLtv: exact revenue by cohort age with running cumulative") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L), // cohort d1, age 0
+      (1L, t("2024-01-03 10:00:00"), 50L),  // age 2
+      (2L, t("2024-01-01 11:00:00"), 10L),  // cohort d1, age 0
+      (3L, t("2024-01-02 09:00:00"), 7L)    // cohort d2, age 0
+    ).toDF("user_id", "ts", "cents")
+    val got = graft.ops.Funnel.cohortLtv(rows, "user_id", "ts", col("cents"))
+      .collect().map(r => ((r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Int]("age_days")),
+        (r.getAs[Long]("rev_cents"), r.getAs[Long]("cum_rev_cents")))).toMap
+    assert(got == Map(("2024-01-01", 0) -> (110L, 110L),
+      ("2024-01-01", 2) -> (50L, 160L), ("2024-01-02", 0) -> (7L, 7L)))
+  }
+
   // ------------------------------------------------- share of parent
 
   test("shareOfParent: exact child/parent sums and shares") {
