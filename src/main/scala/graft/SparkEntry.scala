@@ -1925,6 +1925,25 @@ object SparkEntry {
     Stats.chiSquare(ev(s, dir), col("event_type"),
       dayofweek(col("ts")).as("dow"))
 
+  /** Referential-integrity audit across the whole TPC-H-ish schema:
+    * orphan / NULL-FK counts for every declared relation. */
+  private def qFkAudit(s: SparkSession, dir: String): DataFrame =
+    Stats.fkAudit(Seq(
+      ("lineitem.l_orderkey", tbl(s, dir, "lineitem"), "l_orderkey",
+        "orders", tbl(s, dir, "orders"), "o_orderkey"),
+      ("lineitem.l_partkey", tbl(s, dir, "lineitem"), "l_partkey",
+        "part", tbl(s, dir, "part"), "p_partkey"),
+      ("lineitem.l_suppkey", tbl(s, dir, "lineitem"), "l_suppkey",
+        "supplier", tbl(s, dir, "supplier"), "s_suppkey"),
+      ("orders.o_custkey", tbl(s, dir, "orders"), "o_custkey",
+        "customer", tbl(s, dir, "customer"), "c_custkey"),
+      ("customer.c_nationkey", tbl(s, dir, "customer"), "c_nationkey",
+        "nation", tbl(s, dir, "nation"), "n_nationkey"),
+      ("supplier.s_nationkey", tbl(s, dir, "supplier"), "s_nationkey",
+        "nation", tbl(s, dir, "nation"), "n_nationkey"),
+      ("nation.n_regionkey", tbl(s, dir, "nation"), "n_regionkey",
+        "region", tbl(s, dir, "region"), "r_regionkey")))
+
   /** 7-day rolling distinct active users per event type — exact, via
     * the day-grain collapse + day-range self-join (never raw events). */
   private def qRollingActive(s: SparkSession, dir: String): DataFrame =
@@ -2815,6 +2834,7 @@ object SparkEntry {
     "q_share_of_parent" -> (qShareOfParent _),
     "q_rolling_active" -> (qRollingActive _),
     "q_cohort_ltv" -> (qCohortLtv _),
+    "q_fk_audit" -> (qFkAudit _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_centroid_eval" -> (qCentroidEval _),
     "q_embed_project" -> (qEmbedProject _),
@@ -5943,6 +5963,39 @@ object SparkEntry {
          |UNION ALL SELECT event_type, 0.75, round(ps[3], 6), n FROM p
          |UNION ALL SELECT event_type, 0.9, round(ps[4], 6), n FROM p"""
         .stripMargin,
+
+    "q_fk_audit" -> Seq(
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey", "part",
+        "part", "p_partkey"),
+      ("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier",
+        "supplier", "s_suppkey"),
+      ("orders.o_custkey", "orders", "o_custkey", "customer",
+        "customer", "c_custkey"),
+      ("customer.c_nationkey", "customer", "c_nationkey", "nation",
+        "nation", "n_nationkey"),
+      ("supplier.s_nationkey", "supplier", "s_nationkey", "nation",
+        "nation", "n_nationkey"),
+      ("nation.n_regionkey", "nation", "n_regionkey", "region",
+        "region", "r_regionkey"))
+      .map { case (name, child, fk, pname, parent, pk) =>
+        s"""SELECT '$name' AS relation, '$pname' AS parent,
+           |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_rows,
+           |  CAST((SELECT count(*) FROM $child WHERE $fk IS NULL)
+           |    AS BIGINT) AS n_null_fk,
+           |  CAST(coalesce((SELECT sum(n) FROM (
+           |      SELECT $fk AS fkv, count(*) AS n FROM $child
+           |      WHERE $fk IS NOT NULL GROUP BY 1) c
+           |    WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |      WHERE p.$pk = c.fkv)), 0) AS BIGINT) AS n_orphans,
+           |  CAST((SELECT count(*) FROM (
+           |      SELECT $fk AS fkv, count(*) AS n FROM $child
+           |      WHERE $fk IS NOT NULL GROUP BY 1) c
+           |    WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |      WHERE p.$pk = c.fkv)) AS BIGINT) AS n_orphan_values"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "q_rolling_active" ->
       s"""WITH daily AS (

@@ -727,6 +727,40 @@ object Stats {
       .agg(min(col("__v")).as("value_q"), min(col("__tot")).as("total_weight"))
   }
 
+  /** Referential-integrity audit: for each declared (child, fkCol) →
+    * (parent, pkCol) relation, the child row count, the count of rows
+    * whose FK value has NO parent (orphans), and the NULL-FK count — the
+    * one-page data-contract report a pipeline runs before trusting a new
+    * drop. NULL FKs are reported separately, not as orphans (SQL
+    * semantics: NULL never matches, but it's a different defect).
+    *
+    * Scale shape: per relation, orphans = one left_anti join of the
+    * child's DISTINCT FK values against the parent's DISTINCT keys
+    * (both sides collapse to key-cardinality before the join), then the
+    * orphan VALUES map back to child counts via one more distinct-sized
+    * join. The child table is scanned once per relation, aggregated
+    * immediately — nothing row-level ever crosses a join. */
+  def fkAudit(relations: Seq[(String, DataFrame, String, String, DataFrame,
+    String)]): DataFrame = {
+    require(relations.nonEmpty, "no relations declared")
+    relations.map { case (name, child, fkCol, pkName, parent, pkCol) =>
+      val counts = child.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(fkCol).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      val fkCounts = child.filter(col(fkCol).isNotNull)
+        .groupBy(col(fkCol).as("__fk")).agg(count(lit(1)).as("__n"))
+      val orphans = fkCounts
+        .join(parent.select(col(pkCol).as("__fk")).distinct(),
+          Seq("__fk"), "left_anti")
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("n_orphans"),
+          count(lit(1)).as("n_orphan_values"))
+      counts.crossJoin(orphans)
+        .select(lit(name).as("relation"), lit(pkName).as("parent"),
+          col("n_rows"), col("n_null_fk"), col("n_orphans"),
+          col("n_orphan_values"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Ratio-to-parent rollup: child aggregate, its parent total, and the
     * child's share — the "nation's % of region revenue" contribution
     * report. ONE grouped aggregation on (parent, child) then a window

@@ -259,6 +259,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map(2L -> 30L, 3L -> 120L)) // events 1 and 4 are firsts
   }
 
+  // ----------------------------------------------------- fk audit
+
+  test("fkAudit: orphans vs null FKs counted separately, per relation") {
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)),
+      (4L, None)).toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val out = graft.ops.Stats.fkAudit(Seq(
+        ("child.fk", child, "fk", "parent", parent, "pk")))
+      .collect()(0)
+    assert(out.getAs[String]("relation") == "child.fk")
+    assert(out.getAs[Long]("n_rows") == 4L)
+    assert(out.getAs[Long]("n_null_fk") == 1L)
+    assert(out.getAs[Long]("n_orphans") == 1L)       // row 3 (fk=99)
+    assert(out.getAs[Long]("n_orphan_values") == 1L) // value 99
+  }
+
   // ------------------------------------------------- rolling actives
 
   test("rollingActive: trailing-window exact distinct at day grain") {
