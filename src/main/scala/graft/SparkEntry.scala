@@ -1812,6 +1812,13 @@ object SparkEntry {
           .select(col("id1"), col("id2")))
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Dedup ROI: cluster-size distribution + chars saved by the min-id
+    * representative rule, over the same verified ≥0.5-Jaccard pairs. */
+  private def qDedupStats(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.dedupStats(tbl(s, dir, "documents"), "doc_id", "n_chars",
+      docPairs01(s, dir).filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2")))
+
   /** Same dedup clusters as q_dedup_apply, but keep the LONGEST member
     * per cluster (min-id tiebreak) — the curation-grade representative
     * rule: prefer the full document over its truncated near-copies. */
@@ -2809,6 +2816,7 @@ object SparkEntry {
     "q_dedup_minhash_verified" -> (qDedupMinhashVerified _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_apply_best" -> (qDedupApplyBest _),
+    "q_dedup_stats" -> (qDedupStats _),
     "q_docs_pipeline" -> (qDocsPipeline _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_quality" -> (qTextQuality _),
@@ -6150,6 +6158,51 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)"""
         .stripMargin,
+
+    // Same recursive-CTE components as q_dedup_apply; the stats layer
+    // aggregates per cluster then per cluster SIZE.
+    "q_dedup_stats" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id, lang AS block,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |filt AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT block, shingle FROM sh GROUP BY 1, 2
+        |        HAVING count(*) <= 1000) d
+        |    USING (block, shingle)),
+        |sizes AS (SELECT id, count(*) AS n FROM filt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+        |  FROM filt a JOIN filt b
+        |    ON a.block = b.block AND a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes s1 ON s1.id = id1
+        |  JOIN sizes s2 ON s2.id = id2
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+        |comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |cl AS (
+        |  SELECT comp.comp, CAST(count(*) AS BIGINT) AS cluster_size,
+        |    CAST(sum(n_chars) AS BIGINT) AS tot,
+        |    CAST(arg_min(n_chars, id) AS BIGINT) AS kept
+        |  FROM comp JOIN documents ON doc_id = id GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+        |  CAST(sum(tot) AS BIGINT) AS chars_total,
+        |  CAST(sum(tot - kept) AS BIGINT) AS chars_saved
+        |FROM cl GROUP BY 1""".stripMargin,
 
     "q_dedup_apply_best" ->
       """WITH RECURSIVE sh AS (

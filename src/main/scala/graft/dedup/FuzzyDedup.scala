@@ -491,6 +491,33 @@ object FuzzyDedup {
     labels
   }
 
+  /** Dedup ROI report: near-duplicate cluster size distribution and the
+    * bytes the min-id-representative rule would save — the number a
+    * curation run reports before anyone approves dropping data. One row
+    * per cluster SIZE: how many clusters, how many member docs, total
+    * member chars, and chars saved (total minus each cluster's kept
+    * representative). Representative chars via min_by(size, id) — id is
+    * unique, so the choice is total and engine-replayable.
+    *
+    * Cost: components over the verified pair list (pair-sized), one join
+    * of component MEMBERS against the corpus's (id, size) projection,
+    * two small aggregates. Unclustered rows never join anything. */
+  def dedupStats(df: DataFrame, id: String, sizeCol: String,
+                 pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val perCluster = comps
+      .join(df.select(col(id).as("id"), col(sizeCol).as("__sz")), "id")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("__sz")).as("__tot"),
+        expr("min_by(__sz, id)").as("__kept"))
+    perCluster.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("__tot")).as("chars_total"),
+        sum(col("__tot") - col("__kept")).as("chars_saved"))
+  }
+
   /** Keep one representative (the min-id member) per near-duplicate
     * component; rows never appearing in `pairs` pass through untouched. */
   def applyDedup(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {

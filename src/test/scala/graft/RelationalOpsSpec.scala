@@ -259,6 +259,25 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map(2L -> 30L, 3L -> 120L)) // events 1 and 4 are firsts
   }
 
+  // ----------------------------------------------------- dedup stats
+
+  test("dedupStats: cluster sizes, totals and savings from components") {
+    // components: {1,2,3} (chain) and {10,11}; 99 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = Seq((1L, 100L), (2L, 40L), (3L, 60L), (10L, 7L), (11L, 9L),
+      (99L, 555L)).toDF("doc_id", "n_chars")
+    val got = graft.dedup.FuzzyDedup.dedupStats(docs, "doc_id", "n_chars",
+        pairs)
+      .collect().map(r => (r.getAs[Long]("cluster_size"),
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("chars_total"), r.getAs[Long]("chars_saved"))))
+      .toMap
+    // {1,2,3}: tot 200, kept = doc 1 (min id) = 100 -> saved 100
+    // {10,11}: tot 16, kept = doc 10 = 7 -> saved 9
+    assert(got == Map(3L -> (1L, 3L, 200L, 100L),
+      2L -> (1L, 2L, 16L, 9L)))
+  }
+
   // ----------------------------------------------------- fk audit
 
   test("fkAudit: orphans vs null FKs counted separately, per relation") {
