@@ -52,9 +52,13 @@ object TpchScaleProbe {
     }
     val nLine = spark.read.parquet(s"$dir/lineitem.parquet").count()
 
+    // graph family included: the co-occurrence graph (orders × parts)
+    // grows copies× in EDGES (each replica re-pairs against unchanged
+    // part keys), so this also probes the LPA/PageRank iteration shape
     val queries = Seq("q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q8",
       "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
-      "q_tpch_q19", "q_tpch_q21", "q_tpch_q22", "q_tpch_q4")
+      "q_tpch_q19", "q_tpch_q21", "q_tpch_q22", "q_tpch_q4",
+      "q_pagerank", "q_label_prop", "q_triangles")
     queries.foreach { name =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
