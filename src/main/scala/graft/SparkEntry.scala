@@ -5754,7 +5754,8 @@ object SparkEntry {
     "q_interval_overlap" ->
       """WITH iv AS (
         |  SELECT l_partkey, l_suppkey, o_orderdate AS s, l_shipdate AS e
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL),
         |c AS (
         |  SELECT a.l_partkey, a.l_suppkey, count(*) AS cc
         |  FROM iv a JOIN iv b

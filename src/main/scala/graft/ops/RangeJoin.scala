@@ -60,7 +60,11 @@ object RangeJoin {
   def intervalOverlapPairs(df: DataFrame, keys: Seq[String],
                            start: String, end: String): DataFrame = {
     val sel = keys.map(col) ++ Seq(col(start).as("__s"), col(end).as("__e"))
+    // NULL-bounded intervals can never satisfy the overlap predicate but
+    // WOULD inflate n_intervals, driving (C − n)/2 below the true count —
+    // drop them before either side of the arithmetic sees them
     val iv = df.select(sel: _*)
+      .filter(col("__s").isNotNull && col("__e").isNotNull)
     val a = iv.as("a")
     val b = iv.as("b")
     val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
