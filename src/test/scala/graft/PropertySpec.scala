@@ -623,4 +623,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("weightedQuantiles matches driver brute force over random weights") {
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new Random(seed)
+      val rows = Seq.fill(300)(("g" + rnd.nextInt(3),
+        rnd.nextInt(40).toLong, (rnd.nextInt(9) + 1).toLong))
+      val pms = Seq(100, 250, 500, 750, 900, 1000)
+      val got = graft.ops.Stats.weightedQuantiles(
+          rows.toDF("k", "v", "w"), Seq("k"), col("v"), col("w"), pms)
+        .collect()
+        .map(r => ((r.getAs[String]("k"), r.getAs[Int]("permille")),
+          r.getAs[Long]("value_q"))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        pms.foreach { pm =>
+          var cum = 0L
+          val want = byV.collectFirst {
+            case (v, w) if { cum += w; cum * 1000 >= pm * tot } => v
+          }.get
+          assert(got((g, pm)) == want, s"group $g pm $pm seed $seed")
+        }
+      }
+    }
+  }
+
+  test("rollingActive never exceeds the cumulative distinct count") {
+    val rnd = new Random(17)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq.fill(400)(("k", rnd.nextInt(30).toLong,
+      new java.sql.Timestamp(base + rnd.nextInt(20) * 86400000L +
+        rnd.nextInt(86400) * 1000L)))
+    val df = rows.toDF("g", "u", "ts")
+    val out = graft.ops.Funnel.rollingActive(df, Seq("g"), "ts", "u", 7)
+      .collect().map(r => (r.getAs[java.sql.Date]("day"),
+        r.getAs[Long]("n_active")))
+    val daily = rows.map { case (_, u, t) => (t.toLocalDateTime.toLocalDate, u) }
+    out.foreach { case (day, n) =>
+      val d = day.toLocalDate
+      val want = daily.filter { case (dd, _) =>
+        !dd.isAfter(d) && dd.isAfter(d.minusDays(7)) }.map(_._2).distinct.size
+      assert(n == want, s"day $day")
+    }
+  }
 }
