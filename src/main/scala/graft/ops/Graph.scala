@@ -136,6 +136,9 @@ object Graph {
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").cast("long").as("community"))
     for (_ <- 1 to iters) {
+      // two exchanges per round, but both carry partial-aggregated rows —
+      // a single repartition(src) before the aggregations measured the
+      // same locally and would shuffle RAW join output at scale
       lab = flatten(edges
         .join(lab, edges("dst") === lab("id"))
         .groupBy(col("src"), col("community"))
