@@ -26,9 +26,10 @@ import graft.text.TextAnalysis
  *    in any summation order and stay unrounded;
  *  - DuckDB regexp_replace always gets the 'g' flag (Spark's is global by
  *    default);
- *  - events.ts is nanosecond parquet: Spark reads nanosAsLong and truncates
- *    to µs (Ingest.events); every oracle reference is CAST(ts AS TIMESTAMP)
- *    which truncates identically.
+ *  - events.ts normalizes to µs TimestampType whatever the lake wrote
+ *    (nanosecond INT64 via nanosAsLong+truncate, or plain µs — see
+ *    Ingest.events); every oracle reference is CAST(ts AS TIMESTAMP),
+ *    which lands on the identical µs instant in either generation.
  */
 object SparkEntry {
 

@@ -221,17 +221,17 @@ object Indicators {
     * recurrence, and collect_list per key would be O(series) memory.
     * Every recurrence indicator (EMA/MACD, EWM, CUSUM) plugs its fold
     * into THIS scaffold so the ordering/reset discipline lives once. */
-  private abstract class SeriesFold extends Serializable {
+  private[ops] abstract class SeriesFold extends Serializable {
     /** Called at every key boundary, before the key's first row. */
     def reset(): Unit
     /** Per-row output suffix; mutate internal state as needed. */
     def apply(row: Row): Seq[Any]
   }
 
-  private def keyedSeriesScan(df: DataFrame, key: String,
-                              order: Seq[String],
-                              outFields: Seq[StructField])
-                             (fold: () => SeriesFold): DataFrame = {
+  private[ops] def keyedSeriesScan(df: DataFrame, key: String,
+                                   order: Seq[String],
+                                   outFields: Seq[StructField])
+                                  (fold: () => SeriesFold): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ outFields)
     val keyIdx = inSchema.fieldIndex(key)

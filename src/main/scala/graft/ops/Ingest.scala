@@ -54,12 +54,15 @@ object Ingest {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` stream-shaped table. Its parquet carries nanosecond
-    * timestamps, which Spark's vectorized reader rejects outright; we read
-    * them as raw longs (legacy nanosAsLong) and truncate to microseconds —
-    * bit-identical to what DuckDB's parquet reader does on the same file.
-    * Keeping the conversion here means every downstream operator sees a
-    * plain TimestampType event-time column. */
+  /** The `events` stream-shaped table, with `ts` normalized to a plain
+    * session-local TimestampType (µs) whatever physical type the lake
+    * wrote — generations of the testdata have carried nanosecond INT64
+    * (which Spark's vectorized reader rejects unless read as raw longs via
+    * legacy nanosAsLong, then truncated µs-identically to DuckDB's reader)
+    * and plain µs timestamps (NTZ when isAdjustedToUTC=false; the session
+    * runs UTC, so the NTZ→LTZ cast preserves the instant bit-for-bit).
+    * Dispatching on the SCANNED type here means every downstream operator
+    * sees one canonical event-time column across lake generations. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // The conf is read lazily at scan time, so it cannot be set-then-restored
     // here; Bench/Verify (and SparkSpec) set it at session build. This guard
@@ -68,8 +71,14 @@ object Ingest {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, sfDir, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long lake
+        expr("timestamp_micros(ts div 1000)")
+      case _ => // µs timestamp (NTZ or LTZ) lake
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", tsCol)
   }
 
   /** S4: partitioned parquet write, snappy, overwrite — the processed-zone

@@ -58,4 +58,63 @@ object Sessionize {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("value_sum"))
+
+  /** Gaps-and-islands: maximal runs of consecutive rows with the same
+    * `state` per key (ordered by ts, tiebreak) — the "how long did the
+    * user stay in this mode" rollup behind state-machine audits and
+    * streak features.
+    *
+    * Same two-window shape as [[byGap]]: lag() marks state changes, a
+    * running sum numbers the runs (1-based), a hash aggregate rolls each
+    * run up — one shuffle on the key, both windows share one sort. A
+    * NULL state row always opens a new run (NULL never equals anything,
+    * matching SQL comparison semantics), and run_idx is deterministic
+    * because (ts, tiebreak) totally orders each key's rows. */
+  def runs(df: DataFrame, key: String, ts: String, tiebreak: String,
+           state: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val marked = df
+      .withColumn("__brk",
+        when(lag(col(state), 1).over(w) <=> col(state), 0).otherwise(1))
+      .withColumn("run_idx",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    marked.groupBy(col(key), col("run_idx"))
+      .agg(
+        min(col(state)).as(state), // constant within the run
+        min(col(ts)).as("run_start"),
+        max(col(ts)).as("run_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** True debounce: drop any row closer than `minGapSeconds` to the last
+    * KEPT row of the same key (the first row of a key is always kept) —
+    * the rapid-fire / double-click suppressor. Unlike a plain lag()
+    * filter, the decision depends on which earlier rows survived, so
+    * this is an order-dependent recurrence: it runs on the shared
+    * [[Indicators.keyedSeriesScan]] harness (one shuffle on the key, one
+    * in-partition sort, O(1) state per key). State is the last-kept µs
+    * instant — all-integer, so a recursive-CTE oracle replays the
+    * decision bit-identically (q_debounce). Appends `kept` (boolean);
+    * callers filter, keeping the audit trail available. */
+  def debounce(df: DataFrame, key: String, ts: String, tiebreak: String,
+               minGapSeconds: Long): DataFrame = {
+    val gapMicros = minGapSeconds * 1000000L
+    val withUs = df.withColumn("__us", unix_micros(col(ts)))
+    val usIdx = withUs.schema.fieldIndex("__us")
+    Indicators.keyedSeriesScan(withUs, key, Seq(ts, tiebreak),
+      Seq(org.apache.spark.sql.types.StructField("kept",
+        org.apache.spark.sql.types.BooleanType))) { () =>
+      new Indicators.SeriesFold {
+        private var lastKept = Long.MinValue
+        def reset(): Unit = lastKept = Long.MinValue
+        def apply(row: org.apache.spark.sql.Row): Seq[Any] = {
+          val us = row.getLong(usIdx)
+          val keep = lastKept == Long.MinValue || us - lastKept >= gapMicros
+          if (keep) lastKept = us
+          Seq(keep)
+        }
+      }
+    }.drop("__us")
+  }
 }

@@ -543,6 +543,60 @@ object Stats {
       .drop("__sic")
   }
 
+  /** ABC / Pareto classification per group: rank each key by its measure
+    * total (descending) and class it by the cumulative share INCLUDING
+    * itself — A while cum ≤ aPct%, B while cum ≤ bPct%, else C. The
+    * warehouse "which 20% of parts carry 80% of revenue" rollup, as a
+    * distributed classification instead of a report.
+    *
+    * The descending cumulative is the banded two-pass pattern
+    * ([[keySkew]] / Eval.binaryAuc): per-key totals band by
+    * length(bin(m)) — an exact integer log2 — band measure-totals
+    * cumulate over ≤ 64 rows per group, and the in-band running sum only
+    * ever sees one band's keys, so a group with a billion keys never
+    * funnels through one unpartitioned window. `measure` must be an
+    * exact NON-NEGATIVE integer column (cents discipline): the class
+    * decision is then the all-integer compare cum·100 ≤ pct·total — no
+    * float share, no rounding boundary, bit-identical on any engine.
+    * Ties (equal totals) order by the key value ascending, a total order
+    * after the per-key rollup. Int64 envelope: cum·100 needs total <
+    * 9.2e16 measure units — shift to coarser units past that. */
+  def abcClassify(df: DataFrame, keys: Seq[String], key: String,
+                  measure: Column, aPct: Int = 80, bPct: Int = 95)
+      : DataFrame = {
+    val k = keys.map(col)
+    val totals = df.groupBy((k :+ col(key)): _*)
+      .agg(sum(measure).as("measure_sum"))
+      .withColumn("__band", length(bin(col("measure_sum"))))
+    val bandTotals = totals.groupBy((k :+ col("__band")): _*)
+      .agg(sum(col("measure_sum")).as("__bm"))
+    val wOff = Window.partitionBy(k: _*).orderBy(col("__band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("__off", coalesce(sum(col("__bm")).over(wOff), lit(0L)))
+      .drop("__bm")
+    val wIn = Window.partitionBy((k :+ col("__band")): _*)
+      .orderBy(col("measure_sum").desc, col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grand = totals.groupBy(k: _*)
+      .agg(sum(col("measure_sum")).as("__tot"))
+    val joined =
+      if (keys.isEmpty)
+        totals.join(broadcast(offsets), Seq("__band"))
+          .crossJoin(broadcast(grand))
+      else
+        totals.join(broadcast(offsets), keys :+ "__band")
+          .join(broadcast(grand), keys.toSeq)
+    joined
+      .withColumn("cum_sum",
+        col("__off") + sum(col("measure_sum")).over(wIn))
+      .withColumn("abc_class",
+        when(col("cum_sum") * 100 <= col("__tot") * aPct, "A")
+          .when(col("cum_sum") * 100 <= col("__tot") * bPct, "B")
+          .otherwise("C"))
+      .drop("__band", "__off", "__tot")
+  }
+
   /** Per-group categorical mode with a deterministic tie rule (highest
     * count, then smallest value). Two aggregations — (keys, value) counts,
     * then max_by over a (count, -value) struct — both partial-aggregated

@@ -251,9 +251,9 @@ class OpsSpec extends SparkSpec {
       1L -> None, 2L -> Some(10.0), 3L -> Some(10.0),
       4L -> Some(20.0), 5L -> None))
     // larger randomized cross-check on real data: native == composition
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.ops.Ingest.events(spark, "/root/testdata/sf0.001")
       .selectExpr("event_id", "user_id", "event_type", "value",
-        "timestamp_micros(ts div 1000) AS ets")
+        "ts AS ets")
     val l2 = ev.filter($"event_id" % 7 === 0)
       .select($"event_type", $"ets".as("lts"), $"event_id")
     val r2 = ev.filter($"event_id" % 3 === 0)
