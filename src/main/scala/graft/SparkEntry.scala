@@ -1565,6 +1565,28 @@ object SparkEntry {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), r4(col("value_sum")).as("value_sum"))
 
+  /** Gaps-and-islands: maximal same-event_type runs per user (NULL is a
+    * groupable state; run_idx 1-based — see Sessionize.runs). */
+  private def qRuns(s: SparkSession, dir: String): DataFrame =
+    Sessionize.runs(ev(s, dir), "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("run_idx"), col("event_type"),
+        col("run_start"), col("run_end"), col("n_events"))
+
+  /** True debounce (60 s): kept-flag per event, decision replayed by a
+    * recursive-CTE oracle over the same all-integer µs state. */
+  private def qDebounce(s: SparkSession, dir: String): DataFrame =
+    Sessionize.debounce(ev(s, dir), "user_id", "ts", "event_id",
+        minGapSeconds = 60)
+      .select(col("user_id"), col("event_id"), col("kept"))
+
+  /** ABC classification of customers by order revenue (cents discipline;
+    * all-integer cumulative-share compare — see Stats.abcClassify). */
+  private def qAbcClassify(s: SparkSession, dir: String): DataFrame =
+    Stats.abcClassify(tbl(s, dir, "orders"), Seq.empty, "o_custkey",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .select(col("o_custkey"), col("measure_sum"), col("cum_sum"),
+        col("abc_class"))
+
   /** PII scrubbing: redacted text + per-pattern audit counts over docs
     * salted with deterministic synthetic PII (the corpus itself is clean,
     * so the query implants one of each pattern keyed by doc_id — both
@@ -2803,6 +2825,9 @@ object SparkEntry {
     "q_agg_salted" -> (qAggSalted _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
+    "q_runs" -> (qRuns _),
+    "q_debounce" -> (qDebounce _),
+    "q_abc_classify" -> (qAbcClassify _),
     "q_text_redact" -> (qTextRedact _),
     "q_case_when" -> (qCaseWhen _),
     "q_topk" -> (qTopK _),
@@ -5383,6 +5408,62 @@ object SparkEntry {
          |  max(tts) + INTERVAL 30 MINUTES AS session_end,
          |  count(*) AS n_events, round(sum(value), 4) AS value_sum
          |FROM z GROUP BY user_id, session_idx""".stripMargin,
+
+    // IS NOT DISTINCT FROM replays Spark's null-safe <=>; row_number
+    // forces the first row of a key to open run 1 even with a NULL state
+    "q_runs" ->
+      s"""WITH x AS (SELECT user_id, $TS AS tts, event_id, event_type
+         |    FROM events),
+         |y AS (SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1
+         |    WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+         |      THEN 0 ELSE 1 END AS brk FROM x
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id)),
+         |z AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY tts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS run_idx FROM y)
+         |SELECT user_id, run_idx, min(event_type) AS event_type,
+         |  min(tts) AS run_start, max(tts) AS run_end,
+         |  count(*) AS n_events
+         |FROM z GROUP BY 1, 2""".stripMargin,
+
+    // order-dependent recurrence (keep depends on which rows survived):
+    // the recursive CTE walks each key's rows in (ts, event_id) order
+    // carrying the last-kept µs instant — all-integer, bit-identical replay
+    "q_debounce" ->
+      s"""WITH RECURSIVE o AS (
+         |  SELECT user_id, event_id, epoch_us($TS) AS us,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY $TS, event_id) AS rn
+         |  FROM events),
+         |walk AS (
+         |  SELECT user_id, event_id, rn, us AS last_kept, TRUE AS kept
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.user_id, o.event_id, o.rn,
+         |    CASE WHEN o.us - w.last_kept >= 60000000 THEN o.us
+         |      ELSE w.last_kept END,
+         |    o.us - w.last_kept >= 60000000
+         |  FROM o JOIN walk w
+         |    ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+         |SELECT user_id, event_id, kept FROM walk""".stripMargin,
+
+    // flat desc-cumulative replays the banded two-pass exactly: bands
+    // partition the desc order (higher band => strictly larger total)
+    "q_abc_classify" ->
+      """WITH t AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS measure_sum
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(sum(measure_sum) AS BIGINT) AS tot FROM t),
+        |c AS (SELECT o_custkey, measure_sum,
+        |    CAST(sum(measure_sum) OVER (ORDER BY measure_sum DESC,
+        |      o_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sum
+        |  FROM t)
+        |SELECT o_custkey, measure_sum, cum_sum,
+        |  CASE WHEN cum_sum * 100 <= tot * 80 THEN 'A'
+        |       WHEN cum_sum * 100 <= tot * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c, g""".stripMargin,
 
     // both engines implant the identical synthetic PII, then count and
     // scrub with the same RE2-safe patterns (order: email, ssn, phone, ip)

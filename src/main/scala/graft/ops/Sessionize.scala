@@ -65,17 +65,24 @@ object Sessionize {
     * streak features.
     *
     * Same two-window shape as [[byGap]]: lag() marks state changes, a
-    * running sum numbers the runs (1-based), a hash aggregate rolls each
-    * run up — one shuffle on the key, both windows share one sort. A
-    * NULL state row always opens a new run (NULL never equals anything,
-    * matching SQL comparison semantics), and run_idx is deterministic
-    * because (ts, tiebreak) totally orders each key's rows. */
+    * running sum numbers the runs (1-based — the key's first row is
+    * always a break, forced by row_number, so a key whose first state is
+    * NULL still starts at run 1), a hash aggregate rolls each run up —
+    * one shuffle on the key, all three windows share one sort. NULL is a
+    * GROUPABLE state (null-safe <=> compare): consecutive NULL-state rows
+    * merge into one run, the grouped-set semantics a state-machine audit
+    * wants ("unknown" is itself a mode, not an infinite run of singleton
+    * modes). run_idx is deterministic because (ts, tiebreak) totally
+    * orders each key's rows. Oracle: q_runs (DuckDB IS NOT DISTINCT
+    * FROM replays <=> exactly). */
   def runs(df: DataFrame, key: String, ts: String, tiebreak: String,
            state: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
     val marked = df
       .withColumn("__brk",
-        when(lag(col(state), 1).over(w) <=> col(state), 0).otherwise(1))
+        when(row_number().over(w) === 1, 1)
+          .when(lag(col(state), 1).over(w) <=> col(state), 0)
+          .otherwise(1))
       .withColumn("run_idx",
         sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
@@ -95,8 +102,11 @@ object Sessionize {
     * [[Indicators.keyedSeriesScan]] harness (one shuffle on the key, one
     * in-partition sort, O(1) state per key). State is the last-kept µs
     * instant — all-integer, so a recursive-CTE oracle replays the
-    * decision bit-identically (q_debounce). Appends `kept` (boolean);
-    * callers filter, keeping the audit trail available. */
+    * decision bit-identically (q_debounce). A NULL-ts row gets a NULL
+    * `kept` and leaves the state untouched (the withEwm passthrough
+    * discipline — an instant-less row can neither be suppressed nor
+    * anchor suppression). Appends `kept` (boolean); callers filter,
+    * keeping the audit trail available. */
   def debounce(df: DataFrame, key: String, ts: String, tiebreak: String,
                minGapSeconds: Long): DataFrame = {
     val gapMicros = minGapSeconds * 1000000L
@@ -108,12 +118,14 @@ object Sessionize {
       new Indicators.SeriesFold {
         private var lastKept = Long.MinValue
         def reset(): Unit = lastKept = Long.MinValue
-        def apply(row: org.apache.spark.sql.Row): Seq[Any] = {
-          val us = row.getLong(usIdx)
-          val keep = lastKept == Long.MinValue || us - lastKept >= gapMicros
-          if (keep) lastKept = us
-          Seq(keep)
-        }
+        def apply(row: org.apache.spark.sql.Row): Seq[Any] =
+          if (row.isNullAt(usIdx)) Seq(null)
+          else {
+            val us = row.getLong(usIdx)
+            val keep = lastKept == Long.MinValue || us - lastKept >= gapMicros
+            if (keep) lastKept = us
+            Seq(keep)
+          }
       }
     }.drop("__us")
   }

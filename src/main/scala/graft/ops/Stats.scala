@@ -558,6 +558,11 @@ object Stats {
     * exact NON-NEGATIVE integer column (cents discipline): the class
     * decision is then the all-integer compare cum·100 ≤ pct·total — no
     * float share, no rounding boundary, bit-identical on any engine.
+    * A key whose measures are all NULL totals to 0 (coalesce), so every
+    * input key appears in the output — classed C unless the whole group
+    * totals 0 (then cum·100 ≤ 0·pct holds and everything is A); without
+    * the coalesce a NULL total would NULL its band and the inner band
+    * join would silently drop the key.
     * Ties (equal totals) order by the key value ascending, a total order
     * after the per-key rollup. Int64 envelope: cum·100 needs total <
     * 9.2e16 measure units — shift to coarser units past that. */
@@ -566,7 +571,7 @@ object Stats {
       : DataFrame = {
     val k = keys.map(col)
     val totals = df.groupBy((k :+ col(key)): _*)
-      .agg(sum(measure).as("measure_sum"))
+      .agg(coalesce(sum(measure), lit(0L)).as("measure_sum"))
       .withColumn("__band", length(bin(col("measure_sum"))))
     val bandTotals = totals.groupBy((k :+ col("__band")): _*)
       .agg(sum(col("measure_sum")).as("__bm"))

@@ -400,6 +400,79 @@ class OpsSpec extends SparkSpec {
     assert(bg.length == 1 && bg(0).getAs[Long]("n_events") == 3)
   }
 
+  test("Sessionize.runs: NULL groupable state, 1-based idx, tie order") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (1L, "2024-01-01 00:01:00", 2L, "A"),
+      (1L, "2024-01-01 00:02:00", 3L, null), // NULLs merge into ONE run
+      (1L, "2024-01-01 00:03:00", 4L, null),
+      (1L, "2024-01-01 00:04:00", 5L, "A"),  // A again => NEW run
+      (2L, "2024-01-01 00:00:00", 6L, null)) // first-row NULL state
+      .map { case (u, t, e, st) => (u, ts(t), e, st) }
+      .toDF("user_id", "ts", "event_id", "state")
+    val out = Sessionize.runs(df, "user_id", "ts", "event_id", "state")
+      .orderBy("user_id", "run_idx").collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_idx"),
+        r.getAs[String]("state"), r.getAs[Long]("n_events"))).toSeq ==
+      Seq((1L, 1L, "A", 2L), (1L, 2L, null, 2L), (1L, 3L, "A", 1L),
+        (2L, 1L, null, 1L))) // run_idx 1-based even when first state is NULL
+    // tie on ts: tiebreak column orders the rows, so the run split is
+    // deterministic (event_id 8 [B] sits between the two A's)
+    val tied = Seq(
+      (3L, "2024-01-01 00:00:00", 7L, "A"),
+      (3L, "2024-01-01 00:00:00", 9L, "A"),
+      (3L, "2024-01-01 00:00:00", 8L, "B"))
+      .map { case (u, t, e, st) => (u, ts(t), e, st) }
+      .toDF("user_id", "ts", "event_id", "state")
+    val tr = Sessionize.runs(tied, "user_id", "ts", "event_id", "state")
+      .orderBy("run_idx").collect()
+    assert(tr.map(r => (r.getAs[Long]("run_idx"), r.getAs[String]("state")))
+      .toSeq == Seq((1L, "A"), (2L, "B"), (3L, "A")))
+  }
+
+  test("Sessionize.debounce: last-KEPT anchoring, NULL ts passthrough") {
+    val df = Seq(
+      (1L, Some("2024-01-01 00:00:00"), 1L),
+      (1L, Some("2024-01-01 00:00:30"), 2L), // 30s from kept => dropped
+      (1L, Some("2024-01-01 00:01:00"), 3L), // 60s from KEPT t0 => kept
+      (1L, None, 4L),                        // NULL ts: kept=NULL, no state
+      (1L, Some("2024-01-01 00:02:10"), 5L), // 70s from t60 => kept
+      (2L, Some("2024-01-01 00:00:00"), 6L)) // first row of key => kept
+      .map { case (u, t, e) => (u, t.map(ts).orNull, e) }
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessionize.debounce(df, "user_id", "ts", "event_id", 60L)
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Boolean]("kept")))).toSeq ==
+      Seq((1L, Some(true: java.lang.Boolean)),
+        (2L, Some(false: java.lang.Boolean)),
+        (3L, Some(true: java.lang.Boolean)),
+        (4L, None),
+        (5L, Some(true: java.lang.Boolean)),
+        (6L, Some(true: java.lang.Boolean))))
+    // a plain lag() filter would KEEP event 3's predecessor-relative gap
+    // wrong way: the t30 row was dropped, so t60 measures from t0
+  }
+
+  test("Stats.abcClassify: bands match flat order; all-NULL key survives") {
+    val df = Seq(
+      ("k1", Some(80L)), ("k2", Some(15L)), ("k3", Some(5L)),
+      ("k4", None), ("k4", None)) // all-NULL measure => total 0, classed
+      .toDF("k", "m")
+    val out = Stats.abcClassify(df, Seq.empty, "k", col("m"))
+      .orderBy("cum_sum", "k").collect()
+    assert(out.map(r => (r.getAs[String]("k"), r.getAs[Long]("measure_sum"),
+        r.getAs[String]("abc_class"))).toSeq ==
+      Seq(("k1", 80L, "A"), ("k2", 15L, "B"), ("k3", 5L, "C"),
+        ("k4", 0L, "C")))
+    // equal totals tie-break by key ascending (deterministic cum order)
+    val tie = Seq(("a", 50L), ("b", 50L)).toDF("k", "m")
+    val t = Stats.abcClassify(tie, Seq.empty, "k", col("m"))
+      .orderBy("k").collect()
+    assert(t.map(r => (r.getAs[String]("k"), r.getAs[Long]("cum_sum")))
+      .toSeq == Seq(("a", 50L), ("b", 100L)))
+  }
+
   test("Joins: semi + anti partition the left side; bloom == semi") {
     val left = (1L to 100L).toDF("k")
     val right = Seq(2L, 4L, 6L, 999L).toDF("r")
