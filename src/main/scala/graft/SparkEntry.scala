@@ -52,6 +52,34 @@ object SparkEntry {
   /** DuckDB-side equivalent of the µs-truncated event time. */
   private val TS = "CAST(ts AS TIMESTAMP)"
 
+  /** Shared by q_merge_upsert / q_merge_upsert_pruned / q_merge_versioned:
+    * all three sinks must reproduce the same logical MERGE row set. */
+  private lazy val mergeUpsertOracle =
+    s"""WITH daily_all AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS date,
+       |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+       |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+       |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+       |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+       |      AS daily_change
+       |  FROM events GROUP BY 1, 2),
+       |target AS (SELECT * FROM daily_all WHERE date <= DATE '2024-01-20'),
+       |upd_all AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS date,
+       |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+       |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+       |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+       |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+       |      AS daily_change
+       |  FROM events WHERE user_id % 2 = 0 GROUP BY 1, 2),
+       |upd AS (SELECT * FROM upd_all WHERE date >= DATE '2024-01-15')
+       |SELECT * FROM upd
+       |UNION ALL
+       |SELECT t.* FROM target t WHERE NOT EXISTS (
+       |  SELECT 1 FROM upd u
+       |  WHERE u.event_type = t.event_type AND u.date = t.date)"""
+      .stripMargin
+
   // ---------------------------------------------------------------- scans
 
   private def qScanParquet(s: SparkSession, dir: String): DataFrame =
@@ -1364,6 +1392,60 @@ object SparkEntry {
       .filter(col("date") >= lit("2024-01-15").cast(DateType))
     Merge.upsert(target, updates, Seq("event_type", "date"))
       .withColumn("daily_change", r4(col("daily_change")))
+  }
+
+  private def rmrf(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Same MERGE through the PARTITION-PRUNED disk path: target written
+    * Hive-partitioned by date, updates merged via upsertParquetPruned
+    * (only date >= Jan 15 directories read/rewritten), table read back.
+    * Oracle = the full-upsert SQL — proves row identity between the
+    * pruned rewrite and the logical MERGE. */
+  private def qMergeUpsertPruned(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_merge_pruned/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, path) // fresh build: the merge mutates the table on disk
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    daily.filter(col("date") <= lit("2024-01-20").cast(DateType))
+      .write.partitionBy("date").parquet(path)
+    val updates = TimeWindows.dailyOhlcv(
+        ev(s, dir).filter(col("user_id") % 2 === 0),
+        "event_type", "ts", "value", volume = col("user_id"))
+      .filter(col("date") >= lit("2024-01-15").cast(DateType))
+    Merge.upsertParquetPruned(s, path, updates, Seq("event_type", "date"),
+      "date")
+    s.read.parquet(path).select(col("event_type"), col("date"),
+      col("daily_open"), col("daily_high"), col("daily_low"),
+      col("daily_close"), col("daily_volume"),
+      r4(col("daily_change")).as("daily_change"))
+  }
+
+  /** Same MERGE again through the S3A-safe versioned table (rename-free
+    * manifest + commit-marker protocol): v0 = target, v1 = pruned upsert,
+    * read back at v1. Same full-upsert oracle. */
+  private def qMergeVersioned(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_merge_versioned/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val keys = Seq("event_type", "date")
+    VersionedTable.upsert(s, root,
+      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+      keys, "date")
+    VersionedTable.upsert(s, root,
+      TimeWindows.dailyOhlcv(
+          ev(s, dir).filter(col("user_id") % 2 === 0),
+          "event_type", "ts", "value", volume = col("user_id"))
+        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+      keys, "date")
+    VersionedTable.read(s, root).select(col("event_type"), col("date"),
+      col("daily_open"), col("daily_high"), col("daily_low"),
+      col("daily_close"), col("daily_volume"),
+      r4(col("daily_change")).as("daily_change"))
   }
 
   /** Ordered CDC apply over the daily rollup: updates (op=U, seq 1,
@@ -2800,6 +2882,8 @@ object SparkEntry {
     "q_text_tfidf_sim" -> (qTextTfidfSim _),
     "q_dedup_editdist" -> (qDedupEditdist _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_upsert_pruned" -> (qMergeUpsertPruned _),
+    "q_merge_versioned" -> (qMergeVersioned _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -5216,31 +5300,11 @@ object SparkEntry {
          |FROM l JOIN bk USING (event_id) JOIN fw USING (event_id)"""
         .stripMargin,
 
-    "q_merge_upsert" ->
-      s"""WITH daily_all AS (
-         |  SELECT event_type, CAST(ts AS DATE) AS date,
-         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
-         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
-         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
-         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
-         |      AS daily_change
-         |  FROM events GROUP BY 1, 2),
-         |target AS (SELECT * FROM daily_all WHERE date <= DATE '2024-01-20'),
-         |upd_all AS (
-         |  SELECT event_type, CAST(ts AS DATE) AS date,
-         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
-         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
-         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
-         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
-         |      AS daily_change
-         |  FROM events WHERE user_id % 2 = 0 GROUP BY 1, 2),
-         |upd AS (SELECT * FROM upd_all WHERE date >= DATE '2024-01-15')
-         |SELECT * FROM upd
-         |UNION ALL
-         |SELECT t.* FROM target t WHERE NOT EXISTS (
-         |  SELECT 1 FROM upd u
-         |  WHERE u.event_type = t.event_type AND u.date = t.date)"""
-        .stripMargin,
+    "q_merge_upsert" -> mergeUpsertOracle,
+    // the pruned-disk and versioned-table merges must be ROW-IDENTICAL to
+    // the logical full upsert — same oracle text for all three
+    "q_merge_upsert_pruned" -> mergeUpsertOracle,
+    "q_merge_versioned" -> mergeUpsertOracle,
 
     // CDC semantics replay: updates survive only where no later tombstone
     // touches the key; target rows survive where nothing touched them.

@@ -107,13 +107,97 @@ object Merge {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** Canonical Hive directory names for a set of partition values, computed
+    * by the same code path that writes them: a one-row-per-value scratch
+    * write partitioned by `partCol`, then a directory listing. This
+    * sidesteps re-implementing Spark's partition-path escaping/formatting
+    * (dates, timestamps, %-escaped specials) — whatever the real write
+    * would name the directory, this names it identically. Cost: one tiny
+    * single-task job over |touched partitions| rows, noise next to the
+    * merge itself. */
+  private[ops] def partitionDirNames(spark: SparkSession, values: DataFrame,
+                                     partCol: String,
+                                     scratch: String): Seq[String] = {
+    val fs = FileSystem.get(URI.create(scratch),
+      spark.sparkContext.hadoopConfiguration)
+    values.select(col(partCol)).distinct()
+      .withColumn("__one", org.apache.spark.sql.functions.lit(1))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy(partCol).parquet(scratch)
+    val names = fs.listStatus(new Path(scratch)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(partCol + "="))
+    fs.delete(new Path(scratch), true)
+    names
+  }
+
+  /** Partition-pruned MERGE into a Hive-partitioned parquet table
+    * (directories `partCol=value`): only partitions whose value appears in
+    * the update set are READ, and only those are REWRITTEN — the daily
+    * increment against years of history touches O(|delta partitions|) I/O,
+    * not O(|table|) (the reference's warehouse MERGE on (symbol, date),
+    * load_to_snowflake.py:212-231, has the same property via micro-
+    * partition pruning).
+    *
+    * Read side: touched directories are resolved BY NAME
+    * ([[partitionDirNames]]) and scanned with `basePath`, so pruning is
+    * exact regardless of partition-type inference; the scanned partition
+    * column is then cast to the update side's type before merging.
+    * Write side: Spark's dynamic partition overwrite publishes only the
+    * partitions present in the merged delta — untouched directories are
+    * never listed, read, or renamed (their files keep byte- and
+    * mtime-identity; asserted in OpsSpec). The merged delta is staged to a
+    * side path first because Spark refuses to overwrite a path it is
+    * reading from.
+    *
+    * Crash story: per-partition old-or-new via the committer's staging
+    * renames — a crash mid-publish can leave a PREFIX of touched
+    * partitions updated (each individually consistent). For table-level
+    * all-or-nothing on rename-less object stores, use [[VersionedTable]].
+    * `partCol` must be one of `keys` and non-null in `updates`. */
+  def upsertParquetPruned(spark: SparkSession, tablePath: String,
+                          updates: DataFrame, keys: Seq[String],
+                          partCol: String): Unit = {
+    require(keys.contains(partCol),
+      s"partition column $partCol must be part of the merge key")
+    val fs = FileSystem.get(URI.create(tablePath),
+      spark.sparkContext.hadoopConfiguration)
+    val target = new Path(tablePath)
+    if (!fs.exists(target)) {
+      updates.write.partitionBy(partCol).parquet(tablePath)
+      return
+    }
+    val touched = partitionDirNames(spark, updates, partCol,
+      tablePath + ".__merge_names").toSet
+    val livePaths = fs.listStatus(target).toSeq.map(_.getPath)
+      .filter(p => touched.contains(p.getName))
+    val merged =
+      if (livePaths.isEmpty) updates // all update partitions are new
+      else {
+        val pType = updates.schema(partCol).dataType
+        val pruned = spark.read.option("basePath", tablePath)
+          .parquet(livePaths.map(_.toString): _*)
+          .withColumn(partCol, col(partCol).cast(pType))
+        upsert(pruned, updates, keys)
+      }
+    val stage = tablePath + ".__merge_stage"
+    merged.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(tablePath)
+    fs.delete(new Path(stage), true)
+  }
+
   /** MERGE into a parquet table path with a rename swap: write the merged
     * result next to the table, back the old table up, rename the new one
     * in. The swap is two renames, so a crash between them can leave the
     * table path briefly absent — recovered on the next call by restoring
     * the backup before merging (readers therefore see old, new, or a
     * retryable not-found; never a partial table). On object stores where
-    * rename is copy-based (S3A), front this with a metadata layer instead.
+    * rename is copy-based (S3A), use [[VersionedTable]] instead (rename-
+    * free manifest commit). Rewrites the whole table — prefer
+    * [[upsertParquetPruned]] for partitioned targets.
     */
   def upsertParquet(spark: SparkSession, tablePath: String, updates: DataFrame,
                     keys: Seq[String]): Unit = {

@@ -198,6 +198,77 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "A"), (2, "b")))
   }
 
+  test("Merge.upsertParquetPruned: untouched partitions keep file identity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mprune").toString
+    val path = s"$dir/table"
+    val target = Seq((1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+      (3, "2024-01-02", "c"), (4, "2024-01-03", "d"))
+      .toDF("id", "day", "val")
+    target.write.partitionBy("day").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileIdentity(part: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/day=$part"))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toSeq.sortBy(_._1)
+    val untouched1 = fileIdentity("2024-01-01")
+    val untouched3 = fileIdentity("2024-01-03")
+    // updates touch day 2 (update) and day 4 (new partition) only
+    val updates = Seq((3, "2024-01-02", "C"), (9, "2024-01-04", "z"))
+      .toDF("id", "day", "val")
+    Merge.upsertParquetPruned(spark, path, updates, Seq("id", "day"), "day")
+    // merged contents == logical full upsert (partition-type inference
+    // reads day back as DATE; normalize to string for the compare)
+    val out = spark.read.parquet(path)
+      .select($"id", $"day".cast("string").as("day"), $"val").orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(out == Seq((1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+      (3, "2024-01-02", "C"), (4, "2024-01-03", "d"), (9, "2024-01-04", "z")))
+    // untouched partition directories: same files, same bytes, same mtimes
+    assert(fileIdentity("2024-01-01") == untouched1)
+    assert(fileIdentity("2024-01-03") == untouched3)
+    // idempotent re-merge still row-identical
+    Merge.upsertParquetPruned(spark, path, updates, Seq("id", "day"), "day")
+    assert(spark.read.parquet(path).count() == 5)
+  }
+
+  test("VersionedTable: crash between stage and publish is invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b")).toDF("id", "day", "val"),
+      keys, "day")
+    def snapshot() = VersionedTable.read(spark, root)
+      .select($"id", $"day".cast("string").as("day"), $"val").orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    val v0 = snapshot()
+    assert(v0 == Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b")))
+    // CRASH INJECTION: stage the next version fully (new generation dir +
+    // manifest) but die before the commit marker — readers must still see
+    // v0, bit-for-bit, with no partial state observable
+    val staged = VersionedTable.prepare(spark, root,
+      Seq((2, "2024-01-02", "B"), (3, "2024-01-03", "c")).toDF("id", "day", "val"),
+      keys, "day")
+    assert(snapshot() == v0) // unpublished stage is invisible
+    // recovery path A: a RESTARTED writer re-stages the same version
+    // (orphans cleared) and publishes — readers jump old -> new atomically
+    val restaged = VersionedTable.prepare(spark, root,
+      Seq((2, "2024-01-02", "B"), (3, "2024-01-03", "c")).toDF("id", "day", "val"),
+      keys, "day")
+    assert(restaged == staged)
+    assert(snapshot() == v0) // still old until the marker exists
+    VersionedTable.publish(spark, root, restaged)
+    assert(snapshot() == Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "B"),
+      (3, "2024-01-03", "c")))
+    // untouched partition day=2024-01-01 is still served from gen0 (never
+    // rewritten): its manifest entry survived the bump
+    // vacuum drops nothing reachable; reads identical after
+    VersionedTable.vacuum(spark, root)
+    assert(snapshot() == Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "B"),
+      (3, "2024-01-03", "c")))
+  }
+
   test("TopK plans as TakeOrderedAndProject (no global sort)") {
     val df = TopK.topK(ticks, Seq($"price".desc), 2)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
