@@ -38,6 +38,60 @@ class FidelitySpec extends SparkSpec {
     assert(jsonClean(0).getAs[Double]("price") == 190.5)
   }
 
+  test("S6 wire-format fixture: producer-shaped Kafka records through " +
+    "decode -> clean -> windowedMetrics (NULL change_percent end-to-end)") {
+    // records exactly as spark-sql-kafka would surface the reference
+    // producer's messages (stream_data_producer.py:88-131): key = symbol
+    // bytes, value = one JSON tick with the percent_change field name and
+    // NUMERIC price/change/percent_change/volume — no broker needed to pin
+    // the wire format, only the (key binary, value binary) record shape
+    def rec(symbol: String, price: Double, change: Double, pct: Double,
+            volume: Long, ts: String): (Array[Byte], Array[Byte]) =
+      (symbol.getBytes("UTF-8"),
+        (s"""{"symbol": "$symbol", "price": $price, "change": $change, """ +
+          s""""percent_change": $pct, "volume": $volume, """ +
+          s""""timestamp": "$ts"}""").getBytes("UTF-8"))
+
+    // batch leg: the name-skewed percent_change really is dropped by the
+    // name-matched from_json (schema says change_percent), numerics load
+    val batch = Seq(
+      rec("AAPL", 190.0, 0.5, 0.26, 100L, "2024-01-01T09:30:00"),
+      rec("AAPL", 192.0, 2.0, 1.05, 300L, "2024-01-01T09:34:00"),
+      rec("MSFT", 410.0, -1.0, -0.24, 50L, "2024-01-01T09:31:00"))
+    val decoded = Clean.castTicks(
+      Ingest.decodeKafkaJson(batch.toDF("key", "value"), Schemas.tickRaw))
+    val rows = decoded.orderBy("timestamp").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("change_percent"))))
+    assert(rows(0).getAs[Double]("price") == 190.0)
+    assert(rows(0).getAs[Long]("volume") == 100L) // JSON number -> string -> long
+    assert(rows(0).getAs[java.sql.Timestamp]("timestamp") ==
+      java.sql.Timestamp.valueOf("2024-01-01 09:30:00"))
+
+    // streaming leg: same records as an unbounded source, through the
+    // actual speed-path aggregation (15 min windows, 5 min slide)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Array[Byte], Array[Byte])]
+    mem.addData(batch: _*)
+    val ticks = Clean.castTicks(
+      Ingest.decodeKafkaJson(mem.toDF().toDF("key", "value"),
+        Schemas.tickRaw))
+    val q = graft.streaming.StreamPipeline.windowedMetrics(ticks)
+      .writeStream.format("memory").queryName("kafka_fixture")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("kafka_fixture")
+    // both AAPL ticks land in the [09:20, 09:35) window: ma over price,
+    // volume summed through the NULL-change_percent rows untouched
+    val w = out.filter($"symbol" === "AAPL" &&
+        $"window_start" === "2024-01-01 09:20:00").collect()
+    assert(w.length == 1)
+    assert(w(0).getAs[Long]("n_events") == 2L)
+    assert(w(0).getAs[Long]("volume_sum") == 400L)
+    assert(math.abs(w(0).getAs[Double]("ma") - 191.0) < 1e-9)
+  }
+
   test("hive-partitioned write prunes partitions at read time") {
     val dir = Files.createTempDirectory("graft_prune").toString + "/t"
     val df = Seq(("AAPL", 1.0), ("AAPL", 2.0), ("MSFT", 3.0))
