@@ -484,6 +484,82 @@ class StreamingSpec extends SparkSpec {
     assert(aaa.headOption.contains((2L, 2L, 11.0, 11.0)))
   }
 
+  test("J2 equivalence: drained stream row-set == joinOnWindowStart twin") {
+    // the drained streaming join must produce EXACTLY the batch
+    // composition Combine.joinOnWindowStart builds from the same input —
+    // the row-set equivalence that makes the reference's batch twin and
+    // the declared streaming DAG interchangeable (VERDICT r3 #8)
+    import graft.model.Schemas
+    import graft.ops.{Clean, Combine, Ingest, TimeWindows}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_j2eq")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    writeCsv(raw, "a.csv", Seq(
+      "AAA,10.0,0.1,1.0%,100,2024-01-01T00:01:00",
+      "AAA,12.0,0.2,2.0%,200,2024-01-01T00:06:00",
+      "AAA,11.0,0.1,,150,2024-01-01T00:23:00",
+      "BBB,50.0,0.0,,10,2024-01-01T00:02:00",
+      "BBB,52.0,0.5,,30,2024-01-01T00:31:00"))
+    def runOnce(): Unit = {
+      val q = StreamPipeline.joinedMetrics(
+          StreamPipeline.tickStream(spark, raw.toString))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out) }
+        .start()
+      q.awaitTermination(90000)
+    }
+    runOnce()
+    // two watermark pushes so every core window's end is passed; the
+    // second flush's own windows never emit (watermark stops 5 min short)
+    // and are excluded from both sides by the window_start cut below
+    writeCsv(raw, "b.csv", Seq("AAA,11.0,0.0,,50,2024-01-01T03:00:00"))
+    runOnce()
+    writeCsv(raw, "c.csv", Seq("AAA,11.5,0.0,,50,2024-01-01T06:00:00"))
+    runOnce()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"window_start" < "2024-01-01 05:00:00")
+      .collect().map { r =>
+        def r6(d: Double) = math.rint(d * 1e6) / 1e6
+        (r.getAs[String]("symbol"),
+          r.getAs[java.sql.Timestamp]("window_start").toString,
+          r6(r.getAs[Double]("ma_15m")),
+          Option(r.getAs[java.lang.Double]("volatility_15m"))
+            .map(v => r6(v.doubleValue)),
+          r.getAs[Long]("n_15m"),
+          r6(r.getAs[Double]("ma_1h")),
+          r.getAs[Long]("n_1h"))
+      }.toSet
+
+    val streamed = canon(spark.read.parquet(out))
+
+    // batch twin from the SAME raw files via the batch operators
+    val ticks = Clean.castTicks(
+      Ingest.readCsv(spark, raw.toString, Schemas.tickRaw))
+    val m15 = TimeWindows.flattenWindow(TimeWindows.metricWindow(ticks,
+        "symbol", "timestamp", "price", col("volume"),
+        "15 minutes", Some("5 minutes")))
+      .select(col("symbol"), col("window_start"), col("ma").as("ma_15m"),
+        col("volatility").as("volatility_15m"),
+        col("n_events").as("n_15m"))
+    val h1 = TimeWindows.flattenWindow(TimeWindows.metricWindow(ticks,
+        "symbol", "timestamp", "price", col("volume"),
+        "1 hour", Some("10 minutes")))
+      .select(col("symbol"), col("window_start"), col("ma").as("ma_1h"),
+        col("n_events").as("n_1h"))
+    val twin = canon(Combine.joinOnWindowStart(m15, h1, "symbol"))
+
+    assert(streamed.nonEmpty)
+    assert(streamed == twin,
+      s"streamed-only: ${streamed -- twin}\ntwin-only: ${twin -- streamed}")
+  }
+
   test("streaming curation: quality gate + hash split are stream-safe") {
     // the curation ops are pure narrow transforms, so the SAME code runs
     // unchanged on a stream — this pins that no op sneaks in a batch-only
