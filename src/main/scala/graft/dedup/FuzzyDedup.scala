@@ -288,6 +288,42 @@ object FuzzyDedup {
       .distinct()
   }
 
+  /** Star-edge candidate generation for CLUSTERING — the 100 TB dedup-apply
+    * path. Listing all candidate pairs ([[minhashCandidatesFromShingles]])
+    * is OUTPUT-quadratic in duplicate multiplicity: a family of f copies
+    * shares band buckets, so every bucket of size f emits ~f²/2 pairs —
+    * no algorithm can beat the output size (DedupScaleProbe at 64×
+    * replication: the pair-listing stages are the walls that blow up).
+    * Connected components don't need all pairs: within one band bucket, a
+    * STAR rooted at the bucket's minimum id connects exactly the same
+    * vertex set, so the union of per-bucket stars has exactly the same
+    * connected components as the union of per-bucket cliques — with
+    * Σ(bucket-1) edges instead of Σ bucket²/2. Per-family cost drops from
+    * quadratic to linear in multiplicity; at 100 TB this, plus
+    * [[connectedComponents]] and [[applyDedup]], is the dedup pipeline.
+    * One window min over the bucket key (a single exchange), no self-join.
+    * Equivalence with the all-pairs candidate components is asserted in
+    * TextDedupSpec. Precision note: star edges feed CLUSTERING; for
+    * verified pairwise similarity use [[minhashVerifiedPairsFromShingles]]
+    * — verifying star edges alone would make membership depend on the
+    * arbitrary star center. */
+  def minhashClusterEdges(sh: DataFrame, numPerm: Int = 64,
+                          bands: Int = 16, seed: Long = 42L,
+                          maxBucket: Option[Int] = Some(10000),
+                          precomputedSig: Option[DataFrame] = None): DataFrame = {
+    val sig = precomputedSig.getOrElse(
+      minhashSignaturesFromShingles(sh, numPerm, seed))
+    val buckets = capBuckets(lshBuckets(sig, "id", bands),
+      Seq("band_idx", "band_hash"), maxBucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash"))
+    buckets
+      .withColumn("__center", min(col("id")).over(w))
+      .filter(col("id") =!= col("__center"))
+      .select(col("__center").as("id1"), col("id").as("id2"))
+      .distinct()
+  }
+
   /** MinHash-LSH end-to-end near-dup pairs: banding candidates verified
     * with exact n-gram Jaccard computed ONLY on candidate pairs — the
     * production dedup shape (candidate generation bounds the pair space;

@@ -44,10 +44,33 @@ object SemDedup {
       withSignCell(df, vec, signBits), id, vec, "cell", minCosine)
 
   /** Corpus minus all non-representative members of every within-cell
-    * cosine cluster (keep = min id per component). */
+    * cosine cluster (keep = min id per component).
+    *
+    * Exact-identical vectors COLLAPSE before the quadratic: the
+    * within-cell verify runs on one min-id representative per distinct
+    * vector, and copies attach to their representative by star edges.
+    * Components are PROVABLY unchanged — an exact copy is cosine-1 to its
+    * representative (≥ any threshold ≤ 1) and shares its sign cell, so
+    * the star edge replaces edges the full verify would have found; any
+    * copy↔copy edge maps to the identical representative↔representative
+    * edge. What changes is cost: per-cell work is quadratic in DISTINCT
+    * vectors, immune to duplicate multiplicity — the adversarial 64×
+    * replication probe (every embedding duplicated 64×) went superlinear
+    * on the uncollapsed form because each cell held 64 copies of
+    * everything (DedupScaleProbe). Duplicate-heavy corpora are the NORM
+    * at 100 TB (dup documents embed identically), so the collapse is the
+    * default, not an option. NULL embeddings never pair (unchanged). */
   def semanticDedup(df: DataFrame, id: String, vec: String,
-                    minCosine: Double, signBits: Int = 4): DataFrame =
+                    minCosine: Double, signBits: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(vec))
+    val withRep = df.filter(col(vec).isNotNull)
+      .withColumn("__rep", min(col(id)).over(w))
+    val starEdges = withRep.filter(col(id) =!= col("__rep"))
+      .select(col("__rep").as("id1"), col(id).as("id2"))
+    val reps = withRep.filter(col(id) === col("__rep")).drop("__rep")
     FuzzyDedup.applyDedup(df, id,
-      cellNearDupPairs(df, id, vec, minCosine, signBits)
-        .select(col("id1"), col("id2")))
+      cellNearDupPairs(reps, id, vec, minCosine, signBits)
+        .select(col("id1"), col("id2"))
+        .unionByName(starEdges))
+  }
 }

@@ -42,13 +42,32 @@ object DedupScaleProbe {
     time("exact_dedup") {
       graft.dedup.FuzzyDedup.exactDupGroups(docs, "doc_id", "text").count()
     }
-    time("jaccard_pairs_0.5") {
-      graft.dedup.FuzzyDedup.jaccardPairs(docs, "doc_id", "text",
-        block = "lang", n = 3, minJaccard = 0.5).count()
+    // THE 100 TB path: star edges (linear in duplicate multiplicity) ->
+    // connected components -> apply. Pair-LISTING stages below are gated:
+    // their output is Ω(f²) per duplicate family (a 64× replication makes
+    // every family ≥64 copies, so the pair set itself grows ~64× past the
+    // 8× probe — an output-size fact, not an implementation bug), which is
+    // exactly why the cluster path exists.
+    val sh = graft.dedup.FuzzyDedup.shingleHashes(docs, "doc_id", "text", 3)
+      .select(col("doc_id").as("id"), col("h64")).cache()
+    sh.count()
+    time("minhash_star_cluster_apply") {
+      val edges = graft.dedup.FuzzyDedup.minhashClusterEdges(sh)
+      graft.dedup.FuzzyDedup.applyDedup(docs, "doc_id", edges).count()
     }
-    time("minhash_banded_candidates") {
-      graft.dedup.FuzzyDedup.minhashCandidates(docs, "doc_id", "text",
-        n = 3).count()
+    if (copies <= 8) {
+      time("jaccard_pairs_0.5") {
+        graft.dedup.FuzzyDedup.jaccardPairs(docs, "doc_id", "text",
+          block = "lang", n = 3, minJaccard = 0.5).count()
+      }
+      time("minhash_banded_candidates") {
+        graft.dedup.FuzzyDedup.minhashCandidates(docs, "doc_id", "text",
+          n = 3).count()
+      }
+    } else {
+      println(s"DEDUP_PROBE pair-listing stages SKIPPED at ${copies}x: " +
+        "all-pairs output is quadratic in duplicate multiplicity " +
+        "(measure the cluster path above; see minhashClusterEdges doc)")
     }
 
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")

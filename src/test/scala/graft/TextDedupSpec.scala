@@ -85,6 +85,25 @@ class TextDedupSpec extends SparkSpec {
     assert(cand.contains((1L, 4L)))
   }
 
+  test("minhashClusterEdges: star components == all-pairs components") {
+    // the linear star edges must produce EXACTLY the components of the
+    // quadratic pair listing — same buckets, spanning star vs clique
+    val sh = FuzzyDedup.shingleHashes(docs, "doc_id", "text", 3)
+      .select($"doc_id".as("id"), $"h64")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      FuzzyDedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+    val star = comps(FuzzyDedup.minhashClusterEdges(sh))
+    val clique = comps(FuzzyDedup.minhashCandidatesFromShingles(sh))
+    assert(star == clique)
+    assert(star.nonEmpty) // the (1, 4) exact-dup family is in there
+    assert(star(4L) == star.getOrElse(1L, 1L))
+    // star edge count is bounded by Σ(bucket-1) — never exceeds pairs
+    val nStar = FuzzyDedup.minhashClusterEdges(sh).count()
+    val nPairs = FuzzyDedup.minhashCandidatesFromShingles(sh).count()
+    assert(nStar <= nPairs)
+  }
+
   test("minhashVerifiedPairs equals exact jaccard pairs at high threshold") {
     // recall contract: 32 bands of 2 rows miss a 0.7-jaccard pair with
     // probability (1-0.49)^32 < 1e-9 — output must BE the exact pair set
