@@ -29,13 +29,14 @@ object Bench {
       // whale stage starve every query queued behind it, inflating their
       // wall times. FAIR + one pool per query round-robins the 32 slots.
       .config("spark.scheduler.mode", "FAIR")
-      // RocksDB state store for the streaming drains: HDFS-backed state
-      // keeps every version's map in executor heap and its maintenance
-      // pauses were the main source of the micro-batch variance band;
-      // RocksDB is also what transformWithState ops (CusumStream,
-      // RunningStats) require anyway.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // State store: measured BOTH providers for the drains (r4). RocksDB
+      // (with changelog checkpointing) matches HDFS standalone (~23 s vs
+      // 20-26 s) but degrades 2-3x when the drain follows the full query
+      // batch (39.6 s and 67.2 s with p95 batches of 9.5-36.6 s — native
+      // allocation pressure after 224 queries' caches). The default
+      // HDFS-backed store stays in its 13-29 s band in both conditions,
+      // so the bench keeps it; transformWithState ops configure RocksDB
+      // on their own queries where the API requires it.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

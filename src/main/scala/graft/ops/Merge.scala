@@ -181,7 +181,12 @@ object Merge {
       }
     val stage = tablePath + ".__merge_stage"
     merged.write.mode("overwrite").parquet(stage)
+    // repartition on the partition column: one writer task per touched
+    // partition, so each directory gets one file per merge instead of
+    // (parallelism × partitions) tiny files — small-files hygiene that
+    // matters as much at 100 TB as it does here
     spark.read.parquet(stage)
+      .repartition(col(partCol))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)

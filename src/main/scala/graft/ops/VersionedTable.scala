@@ -118,7 +118,9 @@ object VersionedTable {
         Merge.upsert(byGen.withColumn(partCol, col(partCol).cast(pType)),
           updates, keys)
       }
-    merged.write.partitionBy(partCol).parquet(s"$root/$genDir")
+    // one writer per partition (see Merge.upsertParquetPruned note)
+    merged.repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(s"$root/$genDir")
     val written = fs.listStatus(new Path(s"$root/$genDir")).toSeq
       .map(_.getPath.getName).filter(_.startsWith(partCol + "="))
     val mapping = prior ++ written.map(_ -> genDir)
