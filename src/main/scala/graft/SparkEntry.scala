@@ -5491,14 +5491,18 @@ object SparkEntry {
          |FROM z GROUP BY 1, 2""".stripMargin,
 
     // order-dependent recurrence (keep depends on which rows survived):
-    // the recursive CTE walks each key's rows in (ts, event_id) order
-    // carrying the last-kept µs instant — all-integer, bit-identical replay
+    // the recursive CTE walks each key's NON-NULL-ts rows in
+    // (ts, event_id) order carrying the last-kept µs instant —
+    // all-integer, bit-identical replay. NULL-ts rows sit outside the
+    // recursion on BOTH engines (the fold passes them through with a
+    // NULL kept and untouched state), so engine-specific NULL ordering
+    // (Spark NULLS FIRST vs DuckDB NULLS LAST) can never skew rn
     "q_debounce" ->
       s"""WITH RECURSIVE o AS (
          |  SELECT user_id, event_id, epoch_us($TS) AS us,
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY $TS, event_id) AS rn
-         |  FROM events),
+         |  FROM events WHERE ts IS NOT NULL),
          |walk AS (
          |  SELECT user_id, event_id, rn, us AS last_kept, TRUE AS kept
          |  FROM o WHERE rn = 1
@@ -5509,7 +5513,10 @@ object SparkEntry {
          |    o.us - w.last_kept >= 60000000
          |  FROM o JOIN walk w
          |    ON o.user_id = w.user_id AND o.rn = w.rn + 1)
-         |SELECT user_id, event_id, kept FROM walk""".stripMargin,
+         |SELECT user_id, event_id, kept FROM walk
+         |UNION ALL
+         |SELECT user_id, event_id, NULL AS kept
+         |FROM events WHERE ts IS NULL""".stripMargin,
 
     // flat desc-cumulative replays the banded two-pass exactly: bands
     // partition the desc order (higher band => strictly larger total)

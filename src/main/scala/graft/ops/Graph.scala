@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /** Enforced input contract for the iterative ops: canonical undirected
+    * pairs, id1 < id2 — the [[coOccurrenceEdges]] shape. The strict `<`
+    * rejects self-loops AND any both-orientations input (a reversed copy
+    * must violate it on one side), the two shapes whose silent acceptance
+    * would double-count degrees/votes now that symmetrization skips its
+    * dedup pass. The check is a codegen'd per-row compare (assert_true
+    * kept alive by the isNull filter) — effectively free, fails loudly.
+    * EXACT duplicates of a canonical pair are still the caller's
+    * responsibility (detecting them needs a shuffle; coOccurrenceEdges
+    * output is distinct by construction). */
+  private def requireCanonicalPairs(pairs: DataFrame): DataFrame =
+    pairs.filter(assert_true(col("id1") < col("id2"),
+      lit("graph iteration ops expect canonical DISTINCT (id1 < id2) " +
+        "pairs: self-loop or reversed-duplicate row found; build edges " +
+        "with coOccurrenceEdges or canonicalize upstream")).isNull)
+
   /** PageRank with integer fixed-point arithmetic: initial score `scale`
     * per node, per-iteration
     *   s'(v) = (3·scale)/20 + (17 · Σ_{u∈in(v)} s(u) DIV deg(u)) DIV 20
@@ -46,25 +62,31 @@ object Graph {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
     def flatten(df: DataFrame): DataFrame =
       if (iters > 6) df.localCheckpoint() else df
-    // ONE exchange (on src) + ONE materialization builds the whole loop
-    // input: the static out-degree rides a count-over-partition window
-    // on the symmetrized list. persist(), not localCheckpoint(): the
-    // in-memory relation KEEPS the hash(src) output partitioning (a
-    // checkpoint's ExistingRDD scan reports unknown partitioning — its
-    // plans re-inserted an exchange under every downstream aggregation,
-    // verified via explain during GraphPerfProbe work), so the node-frame
-    // distinct and every round's join stream the edge side in place.
-    // The cache also survives plan-identical re-runs — warm executions
-    // price the loop, not the edge build, exactly like the shared dedup
-    // index does for the dedup family.
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    // ONE exchange (on src) builds the whole loop input. persist(), not
+    // localCheckpoint(): the in-memory relation KEEPS the hash(src)
+    // output partitioning (a checkpoint's ExistingRDD scan reports
+    // unknown partitioning — its plans re-inserted an exchange under
+    // every downstream aggregation, verified via explain during
+    // GraphPerfProbe work), so the degree aggregate, the deg-fold join,
+    // the node-frame distinct, and every round's join all ride the one
+    // layout. Degree comes from a HASH aggregate (O(1) state per node),
+    // not a count-over-window — a window would buffer a hub node's whole
+    // adjacency in one group, the skew shape the maxGroupSize doctrine
+    // exists to avoid. The intermediate symmetrized cache is released
+    // once the deg-folded edge list materializes; the edges/ids caches
+    // live for the session (plan-keyed, so identical re-runs share them
+    // — warm executions price the loop, not the edge build, exactly like
+    // the shared dedup index does for the dedup family).
+    val canon = requireCanonicalPairs(pairs)
+    val sym = canon.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(canon.select(col("id2").as("src"), col("id1").as("dst")))
+      .repartition(col("src"))
       .persist()
-    // node frame: distinct on src rides the edge partitioning (tiny;
-    // cached so the per-round left join doesn't re-aggregate the edges)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, "src").persist()
     val ids = edges.select(col("src").as("id")).distinct().persist()
+    edges.count() // materialize before dropping the intermediate
+    sym.unpersist(false)
     val teleport = (3L * scale) / 20L
     var s = ids.select(col("id"), lit(scale).as("s"))
     for (_ <- 1 to iters) {
@@ -97,23 +119,23 @@ object Graph {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
     def flatten(df: DataFrame): DataFrame =
       if (iters > 6) df.localCheckpoint() else df
-    // same one-exchange shape as [[pageRankFixedPoint]]: per-node
-    // strength rides a sum-over-partition window on the symmetrized,
-    // weight-deduped list — (src, dst, w, deg) materializes once,
-    // partitioned on src
-    // the explicit repartition makes this ONE exchange total: hash(src)
-    // clustering satisfies the (src, dst) dedup grouping AND the strength
-    // window AND the round joins
-    val edges = pairs
+    // same one-exchange shape as [[pageRankFixedPoint]]: hash(src)
+    // clustering satisfies the (src, dst) weight-dedup grouping AND the
+    // hash-aggregated strength AND the round joins; the strength fold
+    // and cache discipline mirror the unweighted form (see its note)
+    val canon = requireCanonicalPairs(pairs)
+    val sym = canon
       .select(col("id1").as("src"), col("id2").as("dst"), col("w"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst"),
+      .union(canon.select(col("id2").as("src"), col("id1").as("dst"),
         col("w")))
       .repartition(col("src"))
       .groupBy("src", "dst").agg(max(col("w")).as("w"))
-      .withColumn("deg", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist()
+    val strength = sym.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val edges = sym.join(strength, "src").persist()
     val ids = edges.select(col("src").as("id")).distinct().persist()
+    edges.count() // materialize before dropping the intermediate
+    sym.unpersist(false)
     val teleport = (3L * scale) / 20L
     var s = ids.select(col("id"), lit(scale).as("s"))
     for (_ <- 1 to iters) {
@@ -158,11 +180,12 @@ object Graph {
     // while |nodes| fits (the planner's choice — here it always has),
     // else a sort-merge exchange of the edge side; either way the vote
     // aggregations never shuffle. Input is the coOccurrenceEdges
-    // contract — DISTINCT (id1 < id2) pairs — so the symmetrized union
-    // needs no dedup pass (a duplicate-carrying edge list would
-    // double-count votes; dedup upstream).
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // contract — DISTINCT (id1 < id2) pairs, enforced by the canonical
+    // guard — so the symmetrized union needs no dedup pass (a
+    // duplicate-carrying edge list would double-count votes).
+    val canon = requireCanonicalPairs(pairs)
+    val edges = canon.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(canon.select(col("id2").as("src"), col("id1").as("dst")))
       .repartition(col("src"))
       .persist()
     def flatten(df: DataFrame): DataFrame =

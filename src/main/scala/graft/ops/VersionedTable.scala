@@ -78,7 +78,15 @@ object VersionedTable {
     val v = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val fs = fsFor(spark, root)
-    readManifest(fs, root, v).toSeq.groupBy(_._2).map { case (gen, parts) =>
+    val mapping = readManifest(fs, root, v)
+    // an upsert of an EMPTY update set on a fresh table commits a valid
+    // but partition-less version; surface that as a clear error (there
+    // is no schema to synthesize an empty frame from) instead of the
+    // bare empty.reduceLeft a reduce would throw
+    if (mapping.isEmpty)
+      throw new IllegalStateException(
+        s"$root@v$v is committed but holds no partitions (empty table)")
+    mapping.toSeq.groupBy(_._2).map { case (gen, parts) =>
       spark.read.option("basePath", s"$root/$gen")
         .parquet(parts.map { case (p, _) => s"$root/$gen/$p" }: _*)
     }.reduce(_.unionByName(_))

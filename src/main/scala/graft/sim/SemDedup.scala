@@ -62,12 +62,24 @@ object SemDedup {
     * default, not an option. NULL embeddings never pair (unchanged). */
   def semanticDedup(df: DataFrame, id: String, vec: String,
                     minCosine: Double, signBits: Int = 4): DataFrame = {
+    // Collapse eligibility requires a positive finite norm: a zero (or
+    // NaN-carrying) vector has an UNDEFINED cosine to its own copy —
+    // the verify never pairs such rows (NaN >= threshold is false), so a
+    // star edge between identical degenerate vectors would merge rows
+    // the uncollapsed algorithm keeps apart. Degenerate rows skip the
+    // collapse and flow through as their own singletons, exactly as
+    // before.
+    val norm2 = s"aggregate($vec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    val collapsible = df.filter(col(vec).isNotNull)
+      .filter(expr(norm2) > lit(0d) && !isnan(expr(norm2)))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(vec))
-    val withRep = df.filter(col(vec).isNotNull)
-      .withColumn("__rep", min(col(id)).over(w))
+    val withRep = collapsible.withColumn("__rep", min(col(id)).over(w))
     val starEdges = withRep.filter(col(id) =!= col("__rep"))
       .select(col("__rep").as("id1"), col(id).as("id2"))
+    val degenerate = df.filter(col(vec).isNotNull)
+      .filter(!(expr(norm2) > lit(0d) && !isnan(expr(norm2))))
     val reps = withRep.filter(col(id) === col("__rep")).drop("__rep")
+      .unionByName(degenerate)
     FuzzyDedup.applyDedup(df, id,
       cellNearDupPairs(reps, id, vec, minCosine, signBits)
         .select(col("id1"), col("id2"))

@@ -298,7 +298,12 @@ object Similarity {
     * LSH bucket already materialized): the oracle-checkable exact variant. */
   def blockedNearDupPairs(df: DataFrame, id: String, vec: String,
                           block: String, minCosine: Double): DataFrame = {
+    // zero-norm (or NaN) vectors have no defined cosine: they can never
+    // satisfy a threshold, and under ANSI mode the divide would ERROR
+    // rather than produce the NaN the filter would reject — drop them
+    // from pairing up front (NaN > 0 is false, so NaN norms drop too)
     val withNorm = df.withColumn("__n", norm(col(vec)))
+      .filter(col("__n") > lit(0d))
     val l = withNorm.as("a")
     val r = withNorm.as("b")
     l.join(r, col(s"a.$block") === col(s"b.$block") &&

@@ -1258,6 +1258,25 @@ class OpsSpec extends SparkSpec {
       3L -> 1000000000L))
   }
 
+  test("Graph ops reject non-canonical pairs loudly (guarded contract)") {
+    // symmetrization skips its dedup pass under the documented
+    // coOccurrenceEdges contract; the runtime guard must FAIL — not
+    // silently double-count — on reversed duplicates and self-loops
+    val reversed = Seq((1L, 2L), (2L, 1L)).toDF("id1", "id2")
+    val selfLoop = Seq((1L, 1L), (1L, 2L)).toDF("id1", "id2")
+    intercept[Exception] {
+      graft.ops.Graph.pageRankFixedPoint(reversed, iters = 1).collect()
+    }
+    intercept[Exception] {
+      graft.ops.Graph.labelPropagation(selfLoop, iters = 1).collect()
+    }
+    // canonical input is untouched by the guard
+    val ok = graft.ops.Graph.labelPropagation(
+      Seq((1L, 2L)).toDF("id1", "id2"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(ok == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("Stats.madOutliers: robust to the outlier that inflates IQR sigma") {
     // 9 points tightly at 10 +/- 1, one wild point at 1000: median 10,
     // MAD 1 -> fences [10 - 3, 10 + 3] at k=3, exactly one outlier

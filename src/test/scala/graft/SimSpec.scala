@@ -211,6 +211,21 @@ class SimSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("SemDedup: identical ZERO vectors never collapse (undefined cosine)") {
+    // cosine(0⃗, 0⃗) = 0/0 = NaN, which the verify never accepts — the
+    // exact-copy collapse must not merge what the verify would keep apart
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // identical zero vector
+      (3L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.0f, 0.0f, 0.0f))) // identical NON-zero: collapses
+      .toDF("vec_id", "embedding")
+    val kept = graft.sim.SemDedup
+      .semanticDedup(df, "vec_id", "embedding", minCosine = 0.9, signBits = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("Spectral: planted dominant direction recovered; projection exact") {
     // axis 0 carries 10x the variance of axis 1: pc1 must align with e1
     val rows = Seq(
