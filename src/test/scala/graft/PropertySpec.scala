@@ -48,6 +48,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("VoteArgMax matches brute force under any partitioning (merge path)") {
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new Random(seed)
+      // (group, votes, label): duplicate (votes) values force the ASC
+      // label tie-break; multiple partitionings force different
+      // partial/merge shapes — the result must not depend on either
+      val rows = Seq.fill(400)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(5).toLong + 1L,
+          rnd.nextInt(40).toLong))
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map { case (_, n, l) => (n, l) }
+          .maxBy { case (n, l) => (n, -l) }._2
+      }
+      for (parts <- Seq(1, 3, 17)) {
+        val got = rows.toDF("g", "n", "l").repartition(parts)
+          .groupBy("g")
+          .agg(graft.functions.VoteArgMax.voteArgMax(col("n"), col("l"))
+            .as("top"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"seed=$seed parts=$parts")
+      }
+    }
+    // NULL handling: null votes/labels are skipped; all-null group -> NULL
+    val df = Seq[(Long, Option[Long], Option[Long])](
+      (1L, Some(5L), Some(10L)), (1L, None, Some(3L)), (1L, Some(5L), None),
+      (2L, None, None))
+      .toDF("g", "n", "l")
+      .groupBy("g")
+      .agg(graft.functions.VoteArgMax.voteArgMax(col("n"), col("l"))
+        .as("top"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(df == Map(1L -> Some(10L), 2L -> None))
+  }
+
   test("SrpBuckets equals the declarative when(dot >= 0) formulation") {
     val dim = 8; val nbits = 6; val nTables = 3
     for (seed <- Seq(2, 13)) {
