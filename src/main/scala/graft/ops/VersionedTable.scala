@@ -167,7 +167,8 @@ object VersionedTable {
           (n.startsWith("gen") && !live.contains(n)) ||
           (n.startsWith("_manifest.") &&
             n.stripPrefix("_manifest.").toInt != v) ||
-          (n.startsWith("_commit.") && n.stripPrefix("_commit.").toInt != v)
+          (n.startsWith("_commit.") && n.stripPrefix("_commit.").toInt != v) ||
+          n.startsWith(".names") // scratch left by a crashed prepare()
         if (stale) fs.delete(p, true)
       }
     }
