@@ -70,14 +70,36 @@ object VersionedTable {
     }.toMap
   }
 
+  /** All committed versions, ascending — the time-travel index. */
+  def history(spark: SparkSession, root: String): Seq[Int] = {
+    val fs = fsFor(spark, root)
+    if (!fs.exists(new Path(root))) return Seq.empty
+    fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit.") =>
+        n.stripPrefix("_commit.").toInt }.sorted
+  }
+
   /** Current table contents: per-generation basePath scans (partition
     * column restored from the directory names) unioned by name. Touches
     * only directories the manifest references — orphans from crashed
-    * upserts are invisible. */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val v = currentVersion(spark, root).getOrElse(
+    * upserts are invisible.
+    *
+    * Time travel: pass `asOfVersion` to read any still-committed older
+    * version — generations are immutable and a version's manifest pins
+    * exactly the directories that made it up, so every un-vacuumed
+    * version reproduces bit-identically ([[vacuum]] retires old
+    * manifests/markers; snapshot reads you need to keep must happen
+    * before vacuuming, the same contract as any retention window). */
+  def read(spark: SparkSession, root: String,
+           asOfVersion: Option[Int] = None): DataFrame = {
+    val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val v = asOfVersion.getOrElse(cur)
     val fs = fsFor(spark, root)
+    if (!fs.exists(new Path(root, s"_commit.$v")))
+      throw new java.io.FileNotFoundException(
+        s"version $v at $root is not committed (current: $cur, " +
+          s"history: ${history(spark, root).mkString(",")})")
     val mapping = readManifest(fs, root, v)
     // an upsert of an EMPTY update set on a fresh table commits a valid
     // but partition-less version; surface that as a clear error (there

@@ -263,10 +263,20 @@ class OpsSpec extends SparkSpec {
       (3, "2024-01-03", "c")))
     // untouched partition day=2024-01-01 is still served from gen0 (never
     // rewritten): its manifest entry survived the bump
-    // vacuum drops nothing reachable; reads identical after
+    // time travel: v0 still reproduces bit-identically while un-vacuumed
+    assert(VersionedTable.history(spark, root) == Seq(0, restaged))
+    val v0Again = VersionedTable.read(spark, root, asOfVersion = Some(0))
+      .select($"id", $"day".cast("string").as("day"), $"val").orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(v0Again == v0)
+    // vacuum drops nothing reachable from CURRENT; reads identical after,
+    // and the retired v0 snapshot now refuses clearly instead of misreading
     VersionedTable.vacuum(spark, root)
     assert(snapshot() == Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "B"),
       (3, "2024-01-03", "c")))
+    intercept[java.io.FileNotFoundException] {
+      VersionedTable.read(spark, root, asOfVersion = Some(0))
+    }
   }
 
   test("TopK plans as TakeOrderedAndProject (no global sort)") {
