@@ -756,11 +756,27 @@ object Stats {
     * bit-for-bit on any engine.
     *
     * Scale shape: weights first collapse onto DISTINCT values (one
-    * input-sized map-side-partial shuffle), so the cumulative-weight
-    * window runs over |distinct values| per group, not |rows|; one more
-    * shuffle on (group, permille) finishes. For a GLOBAL quantile over an
-    * unbounded value domain, pre-shard with the banded two-pass pattern
-    * (Sampling.ppsSystematic) instead of calling this keyless.
+    * input-sized map-side-partial shuffle). The cumulative weight over
+    * distinct values is then the banded two-pass pattern ([[keySkew]] /
+    * [[abcClassify]]): for continuous values |distinct| ≈ |rows|, so a
+    * per-group running-sum window would funnel each group through ONE
+    * sorting task — instead values band into 4096 uniform cells over the
+    * group's exact (min, max) (order-preserving by construction; unlike
+    * length(bin(·)) it bands doubles and negatives), band totals cumulate
+    * over ≤ 4096 rows per group, and the in-band running sum only ever
+    * sees one cell's values. Band PLACEMENT never touches the answer:
+    * __cum is the same exact int64 for every order-preserving banding —
+    * but the banding must be CONSISTENT across its two uses (offsets and
+    * in-band sums), and Catalyst may evaluate the band subtree twice with
+    * differently-pruned plans, so it is built ONLY from merge-order-
+    * invariant aggregates (min/max/sum) and exact arithmetic: every
+    * re-evaluation reproduces it bit-identically (an approx_percentile
+    * banding, balanced under any skew, fails exactly this way — two
+    * sketch evaluations disagree and the band join silently drops rows).
+    * Values concentrated in ≪ (max−min)/4096 of the range degrade toward
+    * one hot cell (the range-outlier pathology) — the documented limit of
+    * data-independent cuts. Non-numeric value columns keep the
+    * single-window path.
     * Int64 envelope: W·1000 ≤ 9.2e18 → total group weight ≤ 9.2e15. */
   def weightedQuantiles(df: DataFrame, keys: Seq[String], value: Column,
                         weight: Column, permille: Seq[Int]): DataFrame = {
@@ -771,14 +787,63 @@ object Stats {
       .filter(weight > 0 && value.isNotNull)
       .groupBy((grpCols :+ value.as("__v")): _*)
       .agg(sum(weight.cast("long")).as("__w"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(grpCols: _*).orderBy(col("__v"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wTot = org.apache.spark.sql.expressions.Window
-      .partitionBy(grpCols: _*)
-    dv.withColumn("__cum", sum(col("__w")).over(wCum))
-      .withColumn("__tot", sum(col("__w")).over(wTot))
+    val numericValue = dv.schema("__v").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val cum =
+      if (numericValue) {
+        val nBands = 4096
+        val vType = dv.schema("__v").dataType
+        val isFloat = vType == DoubleType ||
+          vType == org.apache.spark.sql.types.FloatType
+        // NaN sorts greatest in Spark: keep it out of the bounds (max
+        // would poison the whole group's range to NaN) and pin it to the
+        // last band so the in-band __v ordering still places it last
+        val vClean =
+          if (isFloat) when(isnan(col("__v")), lit(null)).otherwise(col("__v"))
+          else col("__v")
+        val bounds = dv.groupBy(grpCols: _*)
+          .agg(sum(col("__w")).as("__tot"),
+            min(vClean).cast(DoubleType).as("__lo"),
+            max(vClean).cast(DoubleType).as("__hi"))
+        val withBounds =
+          if (keys.isEmpty) dv.crossJoin(broadcast(bounds))
+          else dv.join(broadcast(bounds), keys)
+        // every step weakly monotone in __v (double cast, subtract/divide
+        // by a positive constant under IEEE round-to-nearest, ×2^12 exact,
+        // floor), so the banding is order-preserving
+        val vd = col("__v").cast(DoubleType)
+        val rangeCell = least(lit(nBands - 1),
+          floor((vd - col("__lo")) / (col("__hi") - col("__lo")) * nBands))
+          .cast("int")
+        val cell = when(col("__hi") <= col("__lo"), lit(0)).otherwise(rangeCell)
+        val bandExpr =
+          if (isFloat) when(isnan(col("__v")), lit(nBands - 1)).otherwise(cell)
+          else cell
+        val banded = withBounds.withColumn("__band", bandExpr)
+          .drop("__lo", "__hi")
+        val bandTotals = banded.groupBy((grpCols :+ col("__band")): _*)
+          .agg(sum(col("__w")).as("__bw"))
+        val wOff = Window.partitionBy(grpCols: _*).orderBy(col("__band"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bandTotals
+          .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0L)))
+          .drop("__bw")
+        val wIn = Window.partitionBy((grpCols :+ col("__band")): _*)
+          .orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        // unhinted join: the sort-merge shuffle on (keys, __band) is the
+        // exact partitioning wIn needs, so it is reused, not extra (AQE
+        // downgrades to broadcast when offsets is small enough)
+        banded.join(offsets, (keys :+ "__band").toSeq)
+          .withColumn("__cum", col("__off") + sum(col("__w")).over(wIn))
+      } else {
+        val wCum = Window.partitionBy(grpCols: _*).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wTot = Window.partitionBy(grpCols: _*)
+        dv.withColumn("__cum", sum(col("__w")).over(wCum))
+          .withColumn("__tot", sum(col("__w")).over(wTot))
+      }
+    cum
       .select((grpCols ++ Seq(col("__v"), col("__cum"), col("__tot"),
         explode(array(permille.map(lit): _*)).as("permille"))): _*)
       .filter(col("__cum") * 1000L >= col("permille") * col("__tot"))

@@ -215,6 +215,38 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Map(100 -> 10L, 300 -> 20L, 500 -> 30L, 1000 -> 40L))
   }
 
+  test("weightedQuantiles: continuous doubles band without a whole-group window") {
+    // negative + fractional values: exactly the domain length(bin(·))
+    // cannot band — the percentile-cut band must (a) keep the answer
+    // exact and (b) keep every __v-ordered window partitioned by __band
+    val rows = Seq(("g", -5.0, 2L), ("g", 1.5, 3L), ("g", 2.5, 5L))
+      .toDF("k", "v", "w")
+    val q = Stats.weightedQuantiles(rows, Seq("k"), col("v"), col("w"),
+      Seq(200, 500, 1000))
+    val got = q.collect().map(r => (r.getAs[Int]("permille"),
+      r.getAs[Double]("value_q"))).toMap
+    assert(got == Map(200 -> -5.0, 500 -> 1.5, 1000 -> 2.5))
+    // plan pin: every window spec that sorts the value column must also
+    // partition by the band — a spec ordering __v partitioned only by the
+    // group keys is the single-task whole-group sort this operator avoids
+    val specs = "windowspecdefinition\\([^)]*\\)".r
+      .findAllIn(q.queryExecution.optimizedPlan.toString).toSeq
+    val valueOrdered = specs.filter(_.contains("__v#"))
+    assert(valueOrdered.nonEmpty, s"expected a __v-ordered window: $specs")
+    valueOrdered.foreach(s =>
+      assert(s.contains("__band"), s"unbanded __v window: $s"))
+  }
+
+  test("weightedQuantiles: non-numeric values keep the exact fallback path") {
+    val rows = Seq(("g", "apple", 1L), ("g", "banana", 2L), ("g", "cherry", 7L))
+      .toDF("k", "v", "w")
+    val got = Stats.weightedQuantiles(rows, Seq("k"), col("v"), col("w"),
+        Seq(100, 300, 1000))
+      .collect().map(r => (r.getAs[Int]("permille"),
+        r.getAs[String]("value_q"))).toMap
+    assert(got == Map(100 -> "apple", 300 -> "banana", 1000 -> "cherry"))
+  }
+
   test("weightedQuantiles: duplicate values pool their weight") {
     val rows = Seq(("g", 5L, 1L), ("g", 5L, 1L), ("g", 5L, 1L),
       ("g", 9L, 1L)).toDF("k", "v", "w")
