@@ -1423,6 +1423,32 @@ object SparkEntry {
       r4(col("daily_change")).as("daily_change"))
   }
 
+  /** The pruned MERGE over the COMPOSITE two-level layout the reference's
+    * (symbol, date) key and a 100 TB (date, source) lake actually use:
+    * target Hive-partitioned by (event_type, date), updates merged with
+    * partCols = Seq(event_type, date) — only touched LEAF directories are
+    * read/rewritten. Same full-upsert oracle: row identity between the
+    * nested-pruned rewrite and the logical MERGE (leaf file-identity is
+    * asserted in OpsSpec). */
+  private def qMergeUpsertPruned2(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_merge_pruned2/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, path)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    daily.filter(col("date") <= lit("2024-01-20").cast(DateType))
+      .write.partitionBy("event_type", "date").parquet(path)
+    val updates = TimeWindows.dailyOhlcv(
+        ev(s, dir).filter(col("user_id") % 2 === 0),
+        "event_type", "ts", "value", volume = col("user_id"))
+      .filter(col("date") >= lit("2024-01-15").cast(DateType))
+    Merge.upsertParquetPruned(s, path, updates, Seq("event_type", "date"),
+      Seq("event_type", "date"))
+    s.read.parquet(path).select(col("event_type"), col("date"),
+      col("daily_open"), col("daily_high"), col("daily_low"),
+      col("daily_close"), col("daily_volume"),
+      r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Same MERGE again through the S3A-safe versioned table (rename-free
     * manifest + commit-marker protocol): v0 = target, v1 = pruned upsert,
     * read back at v1. Same full-upsert oracle. */
@@ -2883,6 +2909,7 @@ object SparkEntry {
     "q_dedup_editdist" -> (qDedupEditdist _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_merge_upsert_pruned" -> (qMergeUpsertPruned _),
+    "q_merge_upsert_pruned2" -> (qMergeUpsertPruned2 _),
     "q_merge_versioned" -> (qMergeVersioned _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
@@ -5304,6 +5331,7 @@ object SparkEntry {
     // the pruned-disk and versioned-table merges must be ROW-IDENTICAL to
     // the logical full upsert — same oracle text for all three
     "q_merge_upsert_pruned" -> mergeUpsertOracle,
+    "q_merge_upsert_pruned2" -> mergeUpsertOracle,
     "q_merge_versioned" -> mergeUpsertOracle,
 
     // CDC semantics replay: updates survive only where no later tombstone

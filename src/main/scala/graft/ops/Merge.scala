@@ -107,41 +107,85 @@ object Merge {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
-  /** Canonical Hive directory names for a set of partition values, computed
-    * by the same code path that writes them: a one-row-per-value scratch
-    * write partitioned by `partCol`, then a directory listing. This
-    * sidesteps re-implementing Spark's partition-path escaping/formatting
-    * (dates, timestamps, %-escaped specials) — whatever the real write
-    * would name the directory, this names it identically. Cost: one tiny
-    * single-task job over |touched partitions| rows, noise next to the
-    * merge itself. */
-  private[ops] def partitionDirNames(spark: SparkSession, values: DataFrame,
-                                     partCol: String,
-                                     scratch: String): Seq[String] = {
+  /** (exact partition values, canonical Hive directory path) for every
+    * distinct combination of `partCols` in `values`, the directory path
+    * computed by the same code path that writes it: a one-row-per-
+    * combination scratch write partitioned by (__idx, partCols...), then a
+    * directory walk. This sidesteps re-implementing Spark's partition-path
+    * escaping/formatting (dates, timestamps, %-escaped specials) —
+    * whatever the real write would name the directories, this names them
+    * identically — while KEEPING the update side's exact values attached
+    * to each path. The pairing matters: reconstructing values by partition-
+    * type INFERENCE from the directory names is lossy for non-canonical
+    * strings ('01' infers int 1, '1.50' infers 1.5, '2024-1-5' infers a
+    * date that renders '2024-01-05'), and a lossy value silently breaks
+    * the downstream anti-join AND dynamic overwrite (duplicate logical
+    * keys + stray directories). The leading __idx level makes each
+    * combination's written path readable back unambiguously; nested
+    * `partCols` levels give the multi-level (e.g. date/source) layout a
+    * 100 TB lake actually uses. Cost: one tiny single-task job over
+    * |touched partitions| rows plus a same-sized driver collect, noise
+    * next to the merge itself. */
+  private[ops] def partitionDirEntries(spark: SparkSession, values: DataFrame,
+                                       partCols: Seq[String],
+                                       scratch: String)
+      : Seq[(Seq[Any], String)] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, row_number}
     val fs = FileSystem.get(URI.create(scratch),
       spark.sparkContext.hadoopConfiguration)
-    values.select(col(partCol)).distinct()
-      .withColumn("__one", org.apache.spark.sql.functions.lit(1))
+    val distinct = values.select(partCols.map(col): _*).distinct()
+    // global row_number over all partCols: a deterministic total order on
+    // distinct combinations, so the collect below and the scratch write
+    // agree on __idx across re-evaluations; single-task is fine on a
+    // |touched partitions|-row frame
+    val w = Window.orderBy(partCols.map(col): _*)
+    val indexed = distinct.withColumn("__idx", row_number().over(w))
+    indexed.withColumn("__one", lit(1))
       .coalesce(1)
-      .write.mode("overwrite").partitionBy(partCol).parquet(scratch)
-    val names = fs.listStatus(new Path(scratch)).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(partCol + "="))
+      .write.mode("overwrite")
+      .partitionBy("__idx" +: partCols: _*).parquet(scratch)
+    val valuesByIdx: Map[Int, Seq[Any]] = indexed.collect().map { r =>
+      r.getAs[Int]("__idx") -> partCols.map(c => r.getAs[Any](c))
+    }.toMap
+    // one combination per __idx dir => exactly one child dir per level
+    def leaf(base: Path, rel: Vector[String], depth: Int): String =
+      if (depth == partCols.length) rel.mkString("/")
+      else {
+        val kids = fs.listStatus(base).toSeq.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(partCols(depth) + "="))
+        require(kids.length == 1,
+          s"expected one ${partCols(depth)}= dir under $base, got $kids")
+        leaf(kids.head.getPath, rel :+ kids.head.getPath.getName, depth + 1)
+      }
+    val entries = fs.listStatus(new Path(scratch)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__idx="))
+      .map { p =>
+        valuesByIdx(p.getName.stripPrefix("__idx=").toInt) ->
+          leaf(p, Vector.empty, 0)
+      }
     fs.delete(new Path(scratch), true)
-    names
+    entries
   }
 
   /** Partition-pruned MERGE into a Hive-partitioned parquet table
-    * (directories `partCol=value`): only partitions whose value appears in
-    * the update set are READ, and only those are REWRITTEN — the daily
-    * increment against years of history touches O(|delta partitions|) I/O,
-    * not O(|table|) (the reference's warehouse MERGE on (symbol, date),
-    * load_to_snowflake.py:212-231, has the same property via micro-
-    * partition pruning).
+    * (nested directories `c1=v1/c2=v2/...` for `partCols`): only
+    * partitions whose value combination appears in the update set are
+    * READ, and only those are REWRITTEN — the daily increment against
+    * years of history touches O(|delta partitions|) I/O, not O(|table|)
+    * (the reference's warehouse MERGE on the composite (symbol, date)
+    * key, load_to_snowflake.py:212-231, has the same property via micro-
+    * partition pruning; a 100 TB lake partitions by (date, source) the
+    * same way).
     *
-    * Read side: touched directories are resolved BY NAME
-    * ([[partitionDirNames]]) and scanned with `basePath`, so pruning is
-    * exact regardless of partition-type inference; the scanned partition
-    * column is then cast to the update side's type before merging.
+    * Read side: each touched directory is resolved by its canonical path
+    * ([[partitionDirEntries]]) and scanned DIRECTLY — no partition
+    * discovery — with the update side's EXACT values reattached via
+    * `lit`. Reconstructing values by partition-type inference instead is
+    * silently lossy for non-canonical strings ('01' → int 1 → "1"): the
+    * anti-join then misses the old rows (duplicate logical keys in the
+    * output) and dynamic overwrite writes a stray `c=1` directory
+    * alongside the original `c=01`.
     * Write side: Spark's dynamic partition overwrite publishes only the
     * partitions present in the merged delta — untouched directories are
     * never listed, read, or renamed (their files keep byte- and
@@ -153,46 +197,57 @@ object Merge {
     * renames — a crash mid-publish can leave a PREFIX of touched
     * partitions updated (each individually consistent). For table-level
     * all-or-nothing on rename-less object stores, use [[VersionedTable]].
-    * `partCol` must be one of `keys` and non-null in `updates`. */
+    * Every `partCols` column must be one of `keys` and non-null in
+    * `updates`. */
   def upsertParquetPruned(spark: SparkSession, tablePath: String,
                           updates: DataFrame, keys: Seq[String],
-                          partCol: String): Unit = {
-    require(keys.contains(partCol),
-      s"partition column $partCol must be part of the merge key")
+                          partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "at least one partition column")
+    partCols.foreach(c => require(keys.contains(c),
+      s"partition column $c must be part of the merge key"))
     val fs = FileSystem.get(URI.create(tablePath),
       spark.sparkContext.hadoopConfiguration)
     val target = new Path(tablePath)
     if (!fs.exists(target)) {
-      updates.write.partitionBy(partCol).parquet(tablePath)
+      updates.write.partitionBy(partCols: _*).parquet(tablePath)
       return
     }
-    val touched = partitionDirNames(spark, updates, partCol,
-      tablePath + ".__merge_names").toSet
-    val livePaths = fs.listStatus(target).toSeq.map(_.getPath)
-      .filter(p => touched.contains(p.getName))
+    val entries = partitionDirEntries(spark, updates, partCols,
+      tablePath + ".__merge_names")
+    val live = entries.filter { case (_, rel) =>
+      fs.exists(new Path(tablePath, rel)) }
     val merged =
-      if (livePaths.isEmpty) updates // all update partitions are new
+      if (live.isEmpty) updates // all update partitions are new
       else {
-        val pType = updates.schema(partCol).dataType
-        val pruned = spark.read.option("basePath", tablePath)
-          .parquet(livePaths.map(_.toString): _*)
-          .withColumn(partCol, col(partCol).cast(pType))
+        val pTypes = partCols.map(c => updates.schema(c).dataType)
+        val pruned = live.map { case (vals, rel) =>
+          partCols.indices.foldLeft(spark.read.parquet(s"$tablePath/$rel")) {
+            (df, i) => df.withColumn(partCols(i),
+              org.apache.spark.sql.functions.lit(vals(i)).cast(pTypes(i)))
+          }
+        }.reduce(_.unionByName(_))
         upsert(pruned, updates, keys)
       }
     val stage = tablePath + ".__merge_stage"
     merged.write.mode("overwrite").parquet(stage)
-    // repartition on the partition column: one writer task per touched
+    // repartition on the partition columns: one writer task per touched
     // partition, so each directory gets one file per merge instead of
     // (parallelism × partitions) tiny files — small-files hygiene that
     // matters as much at 100 TB as it does here
     spark.read.parquet(stage)
-      .repartition(col(partCol))
+      .repartition(partCols.map(col): _*)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
+      .partitionBy(partCols: _*)
       .parquet(tablePath)
     fs.delete(new Path(stage), true)
   }
+
+  /** Single-partition-column convenience overload. */
+  def upsertParquetPruned(spark: SparkSession, tablePath: String,
+                          updates: DataFrame, keys: Seq[String],
+                          partCol: String): Unit =
+    upsertParquetPruned(spark, tablePath, updates, keys, Seq(partCol))
 
   /** MERGE into a parquet table path with a rename swap: write the merged
     * result next to the table, back the old table up, rename the new one

@@ -6,6 +6,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
  * A minimal versioned parquet table: partition-pruned MERGE with a
@@ -16,13 +17,23 @@ import org.apache.spark.sql.functions.col
  * production depth, cut down to the piece the engine needs: immutable data
  * generations + a manifest + a commit marker.
  *
- * Layout under `root`:
+ * Layout under `root` (partition dirs nest for composite `partCols`):
  * {{{
- *   gen<N>/<partCol>=<value>/part-*.parquet   immutable data, never renamed
- *   _manifest.<N>                             lines "<partDirName>\tgen<M>"
- *   _commit.<N>                               empty marker; its existence
- *                                             IS the commit of version N
+ *   gen<N>/<c1>=<v1>/<c2>=<v2>/part-*.parquet   immutable data, never renamed
+ *   _manifest.<N>                               header + "<relDir>\tgen<M>"
+ *   _commit.<N>                                 empty marker; its existence
+ *                                               IS the commit of version N
  * }}}
+ *
+ * The manifest is self-describing (format v2): a header records the
+ * partition column NAMES and the full table SCHEMA (StructType JSON), so
+ * reads never depend on partition-type inference — each generation is
+ * scanned with the schema its version committed, and partition values parse
+ * from the directory names under their DECLARED types. That kills two
+ * silent-corruption classes: non-canonical string values ('01', '1.50')
+ * that inference would round-trip to different strings, and schema
+ * evolution (a column added in v3 reads as null from v1's files instead of
+ * failing the union).
  *
  * Every write creates fresh objects (data files, manifest, marker) — nothing
  * is ever renamed or overwritten, so each step is a plain object PUT, atomic
@@ -30,15 +41,24 @@ import org.apache.spark.sql.functions.col
  * present` and go through manifest N; a crash at ANY point of an unpublished
  * upsert leaves only orphan objects (unreferenced gen dirs / a manifest with
  * no marker) that readers never look at — old version stays current, no
- * partial state is observable (crash-injection test in OpsSpec). Concurrent
- * writers are out of scope (single-writer discipline, like a single MERGE
- * job per table — the reference's loader runs one MERGE at a time too).
+ * partial state is observable (crash-injection test in OpsSpec).
  *
- * MERGE cost: only partitions named in the update set are read (resolved by
- * directory name via [[Merge.partitionDirNames]]) and only those get new
- * data files in gen<N+1>; untouched partitions stay mapped to their old
- * generation — O(|delta|) I/O per upsert at any table size. `vacuum` deletes
- * generations no longer referenced by the current manifest.
+ * Concurrency: version N+1's manifest is CLAIMED with
+ * `create(..., overwrite=false)` at the START of [[prepare]] — of two
+ * writers racing to stage the same version, exactly one wins and the loser
+ * throws immediately (no co-published half-merged state); [[publish]]
+ * double-guards the marker the same way. A crashed prepare leaves its claim
+ * behind; [[vacuum]] clears unpublished stages, so crash recovery is
+ * "vacuum, then retry" (asserted in OpsSpec). The claim needs
+ * create-exclusive visibility (HDFS, local, any store with conditional
+ * PUT); on eventually-visible stores keep the single-writer discipline.
+ *
+ * MERGE cost: only partitions named in the update set are read (resolved
+ * with their exact values via [[Merge.partitionDirEntries]]) and only those
+ * get new data files in gen<N+1>; untouched partitions stay mapped to their
+ * old generation — O(|delta|) I/O per upsert at any table size.
+ * [[vacuum]]'s `keepVersions` retains a time-travel window: the last K
+ * committed versions stay readable via `asOfVersion`.
  */
 object VersionedTable {
 
@@ -47,27 +67,8 @@ object VersionedTable {
 
   /** Highest committed version, if any: max N over `_commit.<N>` markers. */
   def currentVersion(spark: SparkSession, root: String): Option[Int] = {
-    val fs = fsFor(spark, root)
-    if (!fs.exists(new Path(root))) return None
-    val vs = fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("_commit.") =>
-        n.stripPrefix("_commit.").toInt }
+    val vs = history(spark, root)
     if (vs.isEmpty) None else Some(vs.max)
-  }
-
-  /** partDirName -> generation dir name, from the committed manifest. */
-  private def readManifest(fs: FileSystem, root: String,
-                           version: Int): Map[String, String] = {
-    val in = fs.open(new Path(root, s"_manifest.$version"))
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { line =>
-      val Array(part, gen) = line.split("\t")
-      part -> gen
-    }.toMap
   }
 
   /** All committed versions, ascending — the time-travel index. */
@@ -79,17 +80,48 @@ object VersionedTable {
         n.stripPrefix("_commit.").toInt }.sorted
   }
 
-  /** Current table contents: per-generation basePath scans (partition
-    * column restored from the directory names) unioned by name. Touches
-    * only directories the manifest references — orphans from crashed
-    * upserts are invisible.
-    *
-    * Time travel: pass `asOfVersion` to read any still-committed older
-    * version — generations are immutable and a version's manifest pins
-    * exactly the directories that made it up, so every un-vacuumed
-    * version reproduces bit-identically ([[vacuum]] retires old
-    * manifests/markers; snapshot reads you need to keep must happen
-    * before vacuuming, the same contract as any retention window). */
+  /** Parsed manifest: partition column names, the version's full schema,
+    * and relative partition dir -> generation dir. */
+  private case class Manifest(partCols: Seq[String], schema: StructType,
+                              mapping: Map[String, String])
+
+  private def readManifest(fs: FileSystem, root: String,
+                           version: Int): Manifest = {
+    val in = fs.open(new Path(root, s"_manifest.$version"))
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith("#graft-manifest\t2")),
+      s"unrecognized manifest format at $root v$version")
+    val partCols = lines.collectFirst {
+      case l if l.startsWith("#partcols\t") =>
+        l.split("\t").toSeq.drop(1)
+    }.getOrElse(throw new IllegalStateException(s"manifest v$version: no #partcols"))
+    val schema = lines.collectFirst {
+      case l if l.startsWith("#schema\t") =>
+        DataType.fromJson(l.stripPrefix("#schema\t")).asInstanceOf[StructType]
+    }.getOrElse(throw new IllegalStateException(s"manifest v$version: no #schema"))
+    val mapping = lines.filterNot(_.startsWith("#")).map { line =>
+      val Array(part, gen) = line.split("\t")
+      part -> gen
+    }.toMap
+    Manifest(partCols, schema, mapping)
+  }
+
+  /** Table contents at the current (or, with `asOfVersion`, any still-
+    * committed older) version. Each generation is scanned with the
+    * version's MANIFEST schema: partition values parse from directory
+    * names under their declared types (exact round-trip — the dirs were
+    * written from these typed values), and files from generations written
+    * before a column existed null-fill it instead of failing the union.
+    * Touches only directories the manifest references — orphans from
+    * crashed upserts are invisible. Generations are immutable and a
+    * version's manifest pins exactly the directories that made it up, so
+    * every un-vacuumed version reproduces bit-identically ([[vacuum]]
+    * retires versions beyond its `keepVersions` window). */
   def read(spark: SparkSession, root: String,
            asOfVersion: Option[Int] = None): DataFrame = {
     val cur = currentVersion(spark, root).getOrElse(
@@ -100,70 +132,119 @@ object VersionedTable {
       throw new java.io.FileNotFoundException(
         s"version $v at $root is not committed (current: $cur, " +
           s"history: ${history(spark, root).mkString(",")})")
-    val mapping = readManifest(fs, root, v)
+    val m = readManifest(fs, root, v)
     // an upsert of an EMPTY update set on a fresh table commits a valid
     // but partition-less version; surface that as a clear error (there
     // is no schema to synthesize an empty frame from) instead of the
     // bare empty.reduceLeft a reduce would throw
-    if (mapping.isEmpty)
+    if (m.mapping.isEmpty)
       throw new IllegalStateException(
         s"$root@v$v is committed but holds no partitions (empty table)")
-    mapping.toSeq.groupBy(_._2).map { case (gen, parts) =>
-      spark.read.option("basePath", s"$root/$gen")
+    m.mapping.toSeq.groupBy(_._2).map { case (gen, parts) =>
+      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
         .parquet(parts.map { case (p, _) => s"$root/$gen/$p" }: _*)
     }.reduce(_.unionByName(_))
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
-  /** Stage version `current+1`: write merged data for TOUCHED partitions
-    * into a fresh generation dir and write the new manifest — everything
-    * except the commit marker. Returns the staged version number. Split
-    * from [[publish]] so the crash-injection test can stop between the
-    * two steps; production callers use [[upsert]]. */
+  /** Stage version `current+1`: claim its manifest (the concurrency
+    * guard), write merged data for TOUCHED partitions into a fresh
+    * generation dir, then fill in the manifest — everything except the
+    * commit marker. Returns the staged version number. Split from
+    * [[publish]] so the crash-injection test can stop between the two
+    * steps; production callers use [[upsert]]. */
   private[graft] def prepare(spark: SparkSession, root: String,
                              updates: DataFrame, keys: Seq[String],
-                             partCol: String): Int = {
-    require(keys.contains(partCol),
-      s"partition column $partCol must be part of the merge key")
+                             partCols: Seq[String]): Int = {
+    require(partCols.nonEmpty, "at least one partition column")
+    partCols.foreach(c => require(keys.contains(c),
+      s"partition column $c must be part of the merge key"))
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root)
     val next = cur.map(_ + 1).getOrElse(0)
     val genDir = s"gen$next"
-    // a crashed earlier stage of this same version left unpublished
-    // orphans (no marker => unreferenced); clear them before restaging
-    fs.delete(new Path(s"$root/$genDir"), true)
-    fs.delete(new Path(root, s"_manifest.$next"), false)
-    val prior: Map[String, String] =
-      cur.map(readManifest(fs, root, _)).getOrElse(Map.empty)
-    val touched = Merge.partitionDirNames(spark, updates, partCol,
-      s"$root/.names$next").toSet
-    val touchedLive = prior.filter { case (p, _) => touched.contains(p) }
-    val merged =
-      if (touchedLive.isEmpty) updates
-      else {
-        val pType = updates.schema(partCol).dataType
-        val byGen = touchedLive.toSeq.groupBy(_._2).map { case (gen, parts) =>
-          spark.read.option("basePath", s"$root/$gen")
-            .parquet(parts.map { case (p, _) => s"$root/$gen/$p" }: _*)
-        }.reduce(_.unionByName(_))
-        Merge.upsert(byGen.withColumn(partCol, col(partCol).cast(pType)),
-          updates, keys)
-      }
-    // one writer per partition (see Merge.upsertParquetPruned note)
-    merged.repartition(col(partCol))
-      .write.partitionBy(partCol).parquet(s"$root/$genDir")
-    val written = fs.listStatus(new Path(s"$root/$genDir")).toSeq
-      .map(_.getPath.getName).filter(_.startsWith(partCol + "="))
-    val mapping = prior ++ written.map(_ -> genDir)
-    val manifest = mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
-      .mkString("", "\n", "\n")
-    val out = fs.create(new Path(root, s"_manifest.$next"), false)
-    try out.write(manifest.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    next
+    val manifestPath = new Path(root, s"_manifest.$next")
+    // THE claim: create-exclusive on the manifest object. A concurrent
+    // writer staging the same version loses here, before any data moves;
+    // a claim left by a CRASHED prepare also lands here (indistinguishable
+    // without leases) -- vacuum() clears it, so recovery is explicit.
+    if (fs.exists(manifestPath))
+      throw new IllegalStateException(
+        s"version $next at $root is already staged: concurrent writer, or " +
+          "a crashed prepare (vacuum() clears unpublished stages)")
+    val out =
+      try fs.create(manifestPath, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"lost the staging race for version $next at $root", e) }
+    try {
+      val prior: Option[Manifest] = cur.map(readManifest(fs, root, _))
+      prior.foreach(m => require(m.partCols == partCols,
+        s"partition columns ${partCols.mkString(",")} != committed ${m.partCols.mkString(",")}"))
+      val entries = Merge.partitionDirEntries(spark, updates, partCols,
+        s"$root/.names$next")
+      val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
+      val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
+      val touchedLive = priorMapping.filter { case (p, _) =>
+        valueOf.contains(p) }
+      val pTypes = partCols.map(c => updates.schema(c).dataType)
+      val merged =
+        if (touchedLive.isEmpty) updates
+        else {
+          // read each touched dir DIRECTLY (no partition discovery) under
+          // the prior version's schema, reattaching the update side's
+          // exact values -- see Merge.upsertParquetPruned for why
+          // inference-reconstructed values corrupt the anti-join
+          val dataSchema = StructType(prior.get.schema
+            .filterNot(f => partCols.contains(f.name)))
+          val old = touchedLive.toSeq.map { case (p, gen) =>
+            partCols.indices.foldLeft(
+              spark.read.schema(dataSchema).parquet(s"$root/$gen/$p")) {
+              (df, i) => df.withColumn(partCols(i),
+                org.apache.spark.sql.functions.lit(valueOf(p)(i))
+                  .cast(pTypes(i)))
+            }
+          }.reduce(_.unionByName(_))
+          // schema evolution at write: a column the updates add null-fills
+          // for surviving old rows; a column the updates drop survives,
+          // null for update rows
+          val survivors = old.join(
+            updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          updates.unionByName(survivors, allowMissingColumns = true)
+        }
+      // one writer per partition (see Merge.upsertParquetPruned note)
+      merged.repartition(partCols.map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(s"$root/$genDir")
+      // list the leaf partition dirs the write produced (nested walk)
+      def leaves(base: Path, rel: Vector[String], depth: Int): Seq[String] =
+        if (depth == partCols.length) Seq(rel.mkString("/"))
+        else fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(partCols(depth) + "="))
+          .flatMap(s => leaves(s.getPath, rel :+ s.getPath.getName, depth + 1))
+      val written = leaves(new Path(s"$root/$genDir"), Vector.empty, 0)
+      val mapping = priorMapping ++ written.map(_ -> genDir)
+      val header = s"#graft-manifest\t2\n" +
+        s"#partcols\t${partCols.mkString("\t")}\n" +
+        s"#schema\t${merged.schema.json}\n"
+      val body = mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
+        .mkString("", "\n", "\n")
+      out.write((header + body).getBytes(StandardCharsets.UTF_8))
+      out.close()
+      next
+    } catch { case t: Throwable =>
+      // only the claim OWNER may retract its claim -- this self-heals the
+      // common failure (bad update frame) without waiting for a vacuum
+      try out.close() catch { case _: Throwable => () }
+      fs.delete(manifestPath, false)
+      throw t
+    }
   }
 
   /** Commit a staged version: create its empty `_commit.<N>` marker — one
-    * fresh-object PUT, the single atomic step readers key on. */
+    * fresh-object PUT, the single atomic step readers key on. Create-
+    * exclusive: a second publisher of the same version throws instead of
+    * silently co-publishing. */
   private[graft] def publish(spark: SparkSession, root: String,
                              version: Int): Unit = {
     val out = fsFor(spark, root).create(new Path(root, s"_commit.$version"),
@@ -173,26 +254,40 @@ object VersionedTable {
 
   /** Partition-pruned MERGE as an atomic table-version bump. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-             keys: Seq[String], partCol: String): Unit =
-    publish(spark, root, prepare(spark, root, updates, keys, partCol))
+             keys: Seq[String], partCols: Seq[String]): Unit =
+    publish(spark, root, prepare(spark, root, updates, keys, partCols))
 
-  /** Delete generation dirs, manifests, and markers no longer reachable
-    * from the current version (crashed/unpublished stages included).
-    * Single-writer discipline makes this safe: nothing references them. */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  /** Single-partition-column convenience overload. */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+             keys: Seq[String], partCol: String): Unit =
+    upsert(spark, root, updates, keys, Seq(partCol))
+
+  /** Retire everything outside the retention window: keep the last
+    * `keepVersions` COMMITTED versions (their manifests, markers, and
+    * every generation any of them references) and delete the rest —
+    * stale generations, retired manifests/markers, unpublished stages
+    * (crashed prepares' claims + gen dirs), and prepare scratch. With
+    * the default `keepVersions = 1` only the current version survives;
+    * larger values keep a readable `asOfVersion` time-travel window
+    * across vacuums. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val fs = fsFor(spark, root)
-    currentVersion(spark, root).foreach { v =>
-      val live = readManifest(fs, root, v).values.toSet
-      fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
-        val n = p.getName
-        val stale =
-          (n.startsWith("gen") && !live.contains(n)) ||
-          (n.startsWith("_manifest.") &&
-            n.stripPrefix("_manifest.").toInt != v) ||
-          (n.startsWith("_commit.") && n.stripPrefix("_commit.").toInt != v) ||
-          n.startsWith(".names") // scratch left by a crashed prepare()
-        if (stale) fs.delete(p, true)
-      }
+    val committed = history(spark, root)
+    if (committed.isEmpty) return
+    val keep = committed.takeRight(keepVersions).toSet
+    val liveGens = keep.flatMap(v =>
+      readManifest(fs, root, v).mapping.values.toSet)
+    fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale =
+        (n.startsWith("gen") && !liveGens.contains(n)) ||
+        (n.startsWith("_manifest.") &&
+          !keep.contains(n.stripPrefix("_manifest.").toInt)) ||
+        (n.startsWith("_commit.") &&
+          !keep.contains(n.stripPrefix("_commit.").toInt)) ||
+        n.startsWith(".names") // scratch left by a crashed prepare()
+      if (stale) fs.delete(p, true)
     }
   }
 }

@@ -249,13 +249,22 @@ class OpsSpec extends SparkSpec {
     // v0, bit-for-bit, with no partial state observable
     val staged = VersionedTable.prepare(spark, root,
       Seq((2, "2024-01-02", "B"), (3, "2024-01-03", "c")).toDF("id", "day", "val"),
-      keys, "day")
+      keys, Seq("day"))
     assert(snapshot() == v0) // unpublished stage is invisible
-    // recovery path A: a RESTARTED writer re-stages the same version
-    // (orphans cleared) and publishes — readers jump old -> new atomically
+    // the dead writer's claim blocks a blind restage (same guard that
+    // stops a CONCURRENT writer co-staging the version) ...
+    intercept[IllegalStateException] {
+      VersionedTable.prepare(spark, root,
+        Seq((2, "2024-01-02", "B")).toDF("id", "day", "val"), keys, Seq("day"))
+    }
+    // ... recovery is explicit: vacuum clears unpublished stages, then a
+    // RESTARTED writer re-stages the same version and publishes — readers
+    // jump old -> new atomically
+    VersionedTable.vacuum(spark, root)
+    assert(snapshot() == v0) // vacuum never touches the committed version
     val restaged = VersionedTable.prepare(spark, root,
       Seq((2, "2024-01-02", "B"), (3, "2024-01-03", "c")).toDF("id", "day", "val"),
-      keys, "day")
+      keys, Seq("day"))
     assert(restaged == staged)
     assert(snapshot() == v0) // still old until the marker exists
     VersionedTable.publish(spark, root, restaged)
@@ -277,6 +286,113 @@ class OpsSpec extends SparkSpec {
     intercept[java.io.FileNotFoundException] {
       VersionedTable.read(spark, root, asOfVersion = Some(0))
     }
+  }
+
+  test("Merge.upsertParquetPruned: non-canonical string partition values round-trip") {
+    // '01' infers as int 1 under Hive partition-type inference — a lossy
+    // reconstruction made the anti-join miss old rows (duplicate keys) and
+    // dynamic overwrite publish a stray day=1 dir; exact-value plumbing
+    // must keep both the rows and the directory names intact
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcanon").toString
+    val path = s"$dir/table"
+    Seq((1, "01", "a"), (2, "01", "b"), (3, "2", "c"))
+      .toDF("id", "day", "val").write.partitionBy("day").parquet(path)
+    Merge.upsertParquetPruned(spark, path,
+      Seq((2, "01", "B"), (4, "1.50", "d")).toDF("id", "day", "val"),
+      Seq("id", "day"), "day")
+    // read back with the DECLARED schema: vanilla partition inference on
+    // this table renders day=01 as double 1.0 — the exact lossiness the
+    // merge plumbing must not depend on
+    val out = spark.read.schema("id INT, val STRING, day STRING").parquet(path)
+      .select($"id", $"day", $"val").orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(out == Seq((1, "01", "a"), (2, "01", "B"), (3, "2", "c"),
+      (4, "1.50", "d")))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("day=")).sorted.toSeq
+    assert(dirs == Seq("day=01", "day=1.50", "day=2")) // no stray day=1
+  }
+
+  test("Merge.upsertParquetPruned: composite (symbol, date) partition pruning") {
+    // two-level layout symbol=X/date=D — the reference's MERGE key shape;
+    // untouched leaf dirs keep byte/mtime identity, touched ones merge
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcomp").toString
+    val path = s"$dir/table"
+    Seq(("AAA", "2024-01-01", 1, "a"), ("AAA", "2024-01-02", 2, "b"),
+      ("BBB", "2024-01-01", 3, "c"), ("BBB", "2024-01-02", 4, "d"))
+      .toDF("symbol", "date", "id", "val")
+      .write.partitionBy("symbol", "date").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileIdentity(rel: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$rel"))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toSeq.sortBy(_._1)
+    val untouched = Seq("symbol=AAA/date=2024-01-01", "symbol=BBB/date=2024-01-02")
+      .map(r => r -> fileIdentity(r))
+    // touch (AAA, 2024-01-02) and a brand-new (CCC, 2024-01-01)
+    Merge.upsertParquetPruned(spark, path,
+      Seq(("AAA", "2024-01-02", 2, "B"), ("CCC", "2024-01-01", 9, "z"))
+        .toDF("symbol", "date", "id", "val"),
+      Seq("symbol", "date", "id"), Seq("symbol", "date"))
+    val out = spark.read.parquet(path)
+      .select($"id", $"symbol", $"date".cast("string").as("date"), $"val")
+      .orderBy("id").as[(Int, String, String, String)].collect().toSeq
+    assert(out == Seq((1, "AAA", "2024-01-01", "a"), (2, "AAA", "2024-01-02", "B"),
+      (3, "BBB", "2024-01-01", "c"), (4, "BBB", "2024-01-02", "d"),
+      (9, "CCC", "2024-01-01", "z")))
+    untouched.foreach { case (rel, before) =>
+      assert(fileIdentity(rel) == before, s"$rel was rewritten") }
+  }
+
+  test("VersionedTable: retention vacuum keeps a readable time-travel window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtret").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    def up(rows: (Int, String, String)*): Unit = VersionedTable.upsert(
+      spark, root, rows.toDF("id", "day", "val"), keys, "day")
+    up((1, "d1", "a"))
+    up((1, "d1", "b"))
+    up((1, "d1", "c"))
+    up((1, "d1", "d")) // versions 0..3
+    VersionedTable.vacuum(spark, root, keepVersions = 2)
+    assert(VersionedTable.history(spark, root) == Seq(2, 3))
+    def valAt(v: Int) = VersionedTable.read(spark, root, Some(v))
+      .select($"val").as[String].collect().toSeq
+    assert(valAt(2) == Seq("c")) // still readable inside the window
+    assert(valAt(3) == Seq("d"))
+    intercept[java.io.FileNotFoundException] { // outside the window: clear refusal
+      VersionedTable.read(spark, root, Some(1))
+    }
+    // second writer racing the same version number: exactly one publish wins
+    val v = VersionedTable.prepare(spark, root,
+      Seq((1, "d1", "e")).toDF("id", "day", "val"), keys, Seq("day"))
+    VersionedTable.publish(spark, root, v)
+    intercept[Exception] { VersionedTable.publish(spark, root, v) }
+  }
+
+  test("VersionedTable: schema evolution reads old generations null-filled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtevo").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a"), (2, "d2", "b")).toDF("id", "day", "val"),
+      keys, "day")
+    // v1 adds a column; only partition d2 is touched — d1 stays in gen0
+    // files that have no 'score' column
+    VersionedTable.upsert(spark, root,
+      Seq((2, "d2", "B", 9)).toDF("id", "day", "val", "score"),
+      keys, "day")
+    val cur = VersionedTable.read(spark, root)
+      .select($"id", $"val", $"score").orderBy("id")
+      .as[(Int, String, Option[Int])].collect().toSeq
+    assert(cur == Seq((1, "a", None), (2, "B", Some(9))))
+    // time travel to v0 serves the pre-evolution schema (no score column)
+    val v0 = VersionedTable.read(spark, root, Some(0))
+    assert(!v0.columns.contains("score"))
+    assert(v0.select($"val").as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
   test("TopK plans as TakeOrderedAndProject (no global sort)") {
