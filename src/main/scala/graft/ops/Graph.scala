@@ -24,12 +24,14 @@ object Graph {
     * pairs, id1 < id2 — the [[coOccurrenceEdges]] shape. The strict `<`
     * rejects self-loops AND any both-orientations input (a reversed copy
     * must violate it on one side), the two shapes whose silent acceptance
-    * would double-count degrees/votes now that symmetrization skips its
-    * dedup pass. The check is a codegen'd per-row compare (assert_true
-    * kept alive by the isNull filter) — effectively free, fails loudly.
-    * EXACT duplicates of a canonical pair are still the caller's
-    * responsibility (detecting them needs a shuffle; coOccurrenceEdges
-    * output is distinct by construction). */
+    * would double-count degrees/votes. The check is a codegen'd per-row
+    * compare (assert_true kept alive by the isNull filter) — effectively
+    * free, fails loudly. EXACT duplicates of a canonical pair are handled
+    * downstream: the symmetrized list dedups (src, dst) ON the hash(src)
+    * layout it is already exchanged to (a hash aggregate, no extra
+    * shuffle — HashPartitioning(src) satisfies the (src, dst) clustering),
+    * so duplicate-carrying input counts each edge once instead of
+    * silently inflating degrees and votes. */
   private def requireCanonicalPairs(pairs: DataFrame): DataFrame =
     pairs.filter(assert_true(col("id1") < col("id2"),
       lit("graph iteration ops expect canonical DISTINCT (id1 < id2) " +
@@ -58,7 +60,8 @@ object Graph {
     * — per-round shuffle volume is O(|nodes|), never O(|edges|), at any
     * scale. */
   def pageRankFixedPoint(pairs: DataFrame, iters: Int = 5,
-                         scale: Long = 1000000000L): DataFrame = {
+                         scale: Long = 1000000000L,
+                         retainCache: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
     def flatten(df: DataFrame): DataFrame =
       if (iters > 6) df.localCheckpoint() else df
@@ -78,9 +81,12 @@ object Graph {
     // — warm executions price the loop, not the edge build, exactly like
     // the shared dedup index does for the dedup family).
     val canon = requireCanonicalPairs(pairs)
+    // dropDuplicates rides the hash(src) layout (no exchange): exact
+    // duplicate input pairs count once instead of inflating degrees
     val sym = canon.select(col("id1").as("src"), col("id2").as("dst"))
       .union(canon.select(col("id2").as("src"), col("id1").as("dst")))
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edges = sym.join(deg, "src").persist()
@@ -101,8 +107,24 @@ object Graph {
           (lit(teleport) +
             expr("17 * coalesce(__in, 0L) DIV 20")).as("s")))
     }
-    s
+    releaseOrRetain(s, retainCache, edges, ids)
   }
+
+  /** Cache policy for the iterative ops: by default the edge/id caches
+    * live for the session (plan-keyed — identical re-runs share them, the
+    * warm-execution discipline the bench prices). A long-lived driver
+    * iterating over MANY distinct graphs accumulates those entries
+    * without bound; `retainCache = false` instead materializes the result
+    * eagerly (localCheckpoint severs it from the cached lineage) and
+    * releases the loop inputs before returning. */
+  private def releaseOrRetain(result: DataFrame, retain: Boolean,
+                              caches: DataFrame*): DataFrame =
+    if (retain) result
+    else {
+      val out = result.localCheckpoint()
+      caches.foreach(_.unpersist(false))
+      out
+    }
 
   /** Weighted PageRank: same int64 fixed-point recurrence as
     * [[pageRankFixedPoint]] but mass flows proportionally to edge weight:
@@ -115,7 +137,8 @@ object Graph {
     * realistic mass concentrations; shard the scale down if a single
     * vertex could hold ≥1e12·scale mass). */
   def pageRankWeightedFixedPoint(pairs: DataFrame, iters: Int = 5,
-                                 scale: Long = 1000000000L): DataFrame = {
+                                 scale: Long = 1000000000L,
+                                 retainCache: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
     def flatten(df: DataFrame): DataFrame =
       if (iters > 6) df.localCheckpoint() else df
@@ -150,7 +173,7 @@ object Graph {
           (lit(teleport) +
             expr("17 * coalesce(__in, 0L) DIV 20")).as("s")))
     }
-    s
+    releaseOrRetain(s, retainCache, edges, ids)
   }
 
   /** Community detection by synchronous label propagation: every node
@@ -169,7 +192,8 @@ object Graph {
     * as max(struct(n, −label)), no window. Label tables stay
     * |nodes|-sized; the shallow-run lazy-DAG discipline of
     * [[pageRankFixedPoint]] applies (checkpoint past 6 rounds). */
-  def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagation(pairs: DataFrame, iters: Int = 3,
+                       retainCache: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
     // The edge list materializes ONCE, hash-partitioned on src — via
     // persist(), whose in-memory relation keeps the partitioning a
@@ -180,13 +204,15 @@ object Graph {
     // while |nodes| fits (the planner's choice — here it always has),
     // else a sort-merge exchange of the edge side; either way the vote
     // aggregations never shuffle. Input is the coOccurrenceEdges
-    // contract — DISTINCT (id1 < id2) pairs, enforced by the canonical
-    // guard — so the symmetrized union needs no dedup pass (a
-    // duplicate-carrying edge list would double-count votes).
+    // contract — canonical (id1 < id2) pairs, enforced by the guard;
+    // exact duplicates dedup on the already-exchanged layout below.
     val canon = requireCanonicalPairs(pairs)
+    // dropDuplicates rides the hash(src) layout (no exchange): exact
+    // duplicate input pairs vote once instead of double-counting
     val edges = canon.select(col("id1").as("src"), col("id2").as("dst"))
       .union(canon.select(col("id2").as("src"), col("id1").as("dst")))
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist()
     def flatten(df: DataFrame): DataFrame =
       if (iters > 6) df.localCheckpoint() else df
@@ -205,7 +231,7 @@ object Graph {
         .agg(graft.functions.VoteArgMax
           .voteArgMax(col("__n"), col("community")).as("community")))
     }
-    lab
+    releaseOrRetain(lab, retainCache, edges)
   }
 
   /** Co-occurrence edge list: undirected distinct pairs of `item` values
@@ -331,7 +357,8 @@ object Graph {
     * Input edges may carry duplicates / reversed copies / self-loops;
     * they canonicalize to distinct (lo < hi) pairs first. */
   def triangleStats(edges: DataFrame, src: String = "id1",
-                    dst: String = "id2"): DataFrame = {
+                    dst: String = "id2",
+                    retainCache: Boolean = true): DataFrame = {
     // materialized: canon feeds the degree agg AND the orientation join,
     // and upstream edge builders (coOccurrenceEdges' capped self-join)
     // are far more expensive than the |edges| snapshot — without this
@@ -376,11 +403,12 @@ object Graph {
       .unionAll(tris.select(explode(col("__common")).as("id"),
         lit(1L).as("__t")))
       .groupBy("id").agg(sum(col("__t")).as("triangles"))
-    deg.join(perVertex, Seq("id"), "left")
+    val out = deg.join(perVertex, Seq("id"), "left")
       .na.fill(0L, Seq("triangles"))
       .withColumn("clustering_coeff",
         when(col("degree") < 2L, lit(null))
           .otherwise((lit(2L) * col("triangles")).cast("double")
             / (col("degree") * (col("degree") - lit(1L))).cast("double")))
+    releaseOrRetain(out, retainCache, canon)
   }
 }

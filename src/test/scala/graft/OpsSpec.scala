@@ -1401,6 +1401,59 @@ class OpsSpec extends SparkSpec {
       Seq((1L, 2L)).toDF("id1", "id2"), iters = 1)
       .as[(Long, Long)].collect().toMap
     assert(ok == Map(1L -> 2L, 2L -> 1L))
+    // EXACT duplicates of a canonical pair pass the guard but must count
+    // ONCE: a triangle with one edge listed twice still balances (every
+    // node keeps exactly scale mass) instead of double-counting degrees
+    val dupTri = Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("id1", "id2")
+    val dupScores = graft.ops.Graph.pageRankFixedPoint(dupTri, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(dupScores == Map(1L -> 1000000000L, 2L -> 1000000000L,
+      3L -> 1000000000L))
+    // same for LPA votes: duplicated edge must not sway the argmax
+    val dupLpa = graft.ops.Graph.labelPropagation(dupTri, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    val cleanLpa = graft.ops.Graph.labelPropagation(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(dupLpa == cleanLpa)
+  }
+
+  test("Graph retainCache=false releases loop caches, result unchanged") {
+    // the advisory failure mode: a long-lived driver scoring MANY distinct
+    // graphs accumulates plan-keyed edge/id caches without bound. The
+    // opt-out must leave NO new cache-manager entries behind (the result
+    // survives via an eager localCheckpoint, which lives outside the SQL
+    // cache and is dropped by the ContextCleaner on GC).
+    def cachedPlans: Set[String] = {
+      val cm = spark.sharedState.cacheManager
+      val acc = cm.getClass.getDeclaredMethod("cachedData")
+      acc.setAccessible(true)
+      acc.invoke(cm)
+        .asInstanceOf[scala.collection.immutable.IndexedSeq[
+          org.apache.spark.sql.execution.CachedData]]
+        .map(_.plan.toString).toSet
+    }
+    val before = cachedPlans
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2")
+    val st = graft.ops.Graph
+      .pageRankFixedPoint(tri, iters = 2, retainCache = false)
+      .as[(Long, Long)].collect().toMap
+    assert(st == Map(1L -> 1000000000L, 2L -> 1000000000L,
+      3L -> 1000000000L))
+    val lpa = graft.ops.Graph
+      .labelPropagation(tri, iters = 1, retainCache = false)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa.keySet == Set(1L, 2L, 3L))
+    val ts = graft.ops.Graph.triangleStats(tri, retainCache = false)
+    assert(ts.count() == 3)
+    // only NEW entries from the graph loops count (same-suite earlier
+    // tests legitimately retain theirs under the default policy)
+    val leaked = (cachedPlans -- before).filter(p =>
+      (p.contains("src") && p.contains("dst")) ||
+        (p.contains("lo") && p.contains("hi")))
+    assert(leaked.isEmpty,
+      s"retainCache=false left graph loop caches:\n${leaked.mkString("\n")}")
   }
 
   test("Stats.madOutliers: robust to the outlier that inflates IQR sigma") {
