@@ -5948,7 +5948,8 @@ object SparkEntry {
         |      AS n_intervals
         |  FROM iv GROUP BY 1, 2)
         |SELECT l_partkey, l_suppkey, n_intervals,
-        |  CAST((cc - n_intervals) // 2 AS BIGINT) AS n_overlap_pairs
+        |  CAST((cc - n_intervals) // 2 AS BIGINT) AS n_overlap_pairs,
+        |  FALSE AS overflow
         |FROM c JOIN n USING (l_partkey, l_suppkey)
         |WHERE (cc - n_intervals) // 2 > 0""".stripMargin,
 

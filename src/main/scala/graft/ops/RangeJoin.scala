@@ -54,30 +54,44 @@ object RangeJoin {
     * Scale shape: equi-join on the group key with the overlap predicate
     * as the post-join filter — shuffles both sides once on the key;
     * per-group cost is O(g²) on genuinely small entity groups (shipments
-    * of one part+supplier). For unkeyed interval joins use the bucketed
-    * [[pointInInterval]] composition instead; an unkeyed self overlap
-    * is a different (grid-bucketed) operator by design. */
+    * of one part+supplier). The quadratic is BOUNDED: a key with more
+    * than `maxGroupSize` intervals is excluded from the self-join before
+    * any pair forms and emitted with a NULL pair count and
+    * `overflow = true` — the capBuckets discipline, so one pathological
+    * hot key (a default entity id, an epoch date) prices as its row count,
+    * not its row count squared, at any scale. For unkeyed interval joins
+    * use the bucketed [[pointInInterval]] composition instead; an unkeyed
+    * self overlap is a different (grid-bucketed) operator by design. */
   def intervalOverlapPairs(df: DataFrame, keys: Seq[String],
-                           start: String, end: String): DataFrame = {
+                           start: String, end: String,
+                           maxGroupSize: Int = 1 << 20): DataFrame = {
     val sel = keys.map(col) ++ Seq(col(start).as("__s"), col(end).as("__e"))
     // NULL-bounded intervals can never satisfy the overlap predicate but
     // WOULD inflate n_intervals, driving (C − n)/2 below the true count —
     // drop them before either side of the arithmetic sees them
     val iv = df.select(sel: _*)
       .filter(col("__s").isNotNull && col("__e").isNotNull)
-    val a = iv.as("a")
-    val b = iv.as("b")
+    val sizes = iv.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"))
+    val hot = sizes.filter(col("n_intervals") > maxGroupSize)
+    // anti-join against the (near-empty in healthy data) hot-key set —
+    // AQE broadcasts it; the self-join below never sees an oversized group
+    val small = iv.join(hot.select(keys.map(col): _*), keys, "left_anti")
+    val a = small.as("a")
+    val b = small.as("b")
     val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) &&
       col("a.__s") <= col("b.__e") && col("b.__s") <= col("a.__e")
     val c = a.join(b, joinCond)
       .groupBy(keys.map(k => col(s"a.$k").as(k)): _*)
       .agg(count(lit(1)).as("__c"))
-    val nRows = iv.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_intervals"))
-    c.join(nRows, keys)
+    val exact = c.join(sizes, keys)
       .select((keys.map(col) :+ col("n_intervals") :+
         ((col("__c") - col("n_intervals")) / 2).cast("long")
-          .as("n_overlap_pairs")): _*)
+          .as("n_overlap_pairs") :+ lit(false).as("overflow")): _*)
       .filter(col("n_overlap_pairs") > 0)
+    exact.unionByName(hot.select((keys.map(col) :+ col("n_intervals") :+
+      lit(null).cast("long").as("n_overlap_pairs") :+
+      lit(true).as("overflow")): _*))
   }
 }

@@ -78,6 +78,33 @@ class RelationalOpsSpec extends SparkSpec {
         r.getAs[Long]("n_intervals"), r.getAs[Long]("n_overlap_pairs")))
       .toSet
     assert(got == Set(("g1", 3L, 1L), ("g2", 3L, 3L), ("g4", 2L, 1L)))
+    // every exact row carries overflow = false
+    assert(RangeJoin.intervalOverlapPairs(iv, Seq("k"), "s", "e")
+      .collect().forall(!_.getAs[Boolean]("overflow")))
+  }
+
+  test("intervalOverlapPairs: hot key overflows flagged, never quadratic") {
+    // one pathological key with 50k identical intervals (2.5e9 ordered
+    // pairs if self-joined) plus healthy keys; under a 1000 cap the hot
+    // key must be EXCLUDED from the self-join — the probe completes in
+    // join-input time, emits (n_intervals, NULL, true) for the hot key,
+    // and the healthy keys stay exact
+    val hot = (1 to 50000).map(_ => ("hot", 1L, 100L))
+    val ok = Seq(("g1", 1L, 5L), ("g1", 4L, 8L), ("g1", 9L, 12L))
+    val iv = (hot ++ ok).toDF("k", "s", "e").repartition(4)
+    val t0 = System.nanoTime()
+    val got = RangeJoin
+      .intervalOverlapPairs(iv, Seq("k"), "s", "e", maxGroupSize = 1000)
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[Long]("n_intervals"),
+        Option(r.get(r.fieldIndex("n_overlap_pairs"))),
+        r.getAs[Boolean]("overflow"))).toSet
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got == Set(("hot", 50000L, None, true),
+      ("g1", 3L, Some(1L), false)))
+    // generous bound: the uncapped quadratic (2.5e9 pairs through a
+    // count) would take minutes; the capped path is join-input-sized
+    assert(sec < 60.0, s"capped overlap took ${sec}s — cap not effective")
   }
 
   // ------------------------------------------------------ PPS sampling
