@@ -252,8 +252,16 @@ object Bench {
       .repartition(8)
       .write.option("header", "true").csv(rawDir)
 
+    // Stream-scoped state sizing (see StreamPipeline.scopedSession): the
+    // chained-stateful drain runs 5 state stores per micro-batch, so the
+    // batch-wide 32 shuffle partitions mean 160 store load/commit
+    // round-trips per trigger for a ~25k-row batch over 5 symbols — pure
+    // overhead. 8 matches the staged file parallelism and dwarfs the
+    // actual key cardinality. SPARK_GRAFT_STREAM_SHUF overrides for A/B.
+    val streamShuf = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUF", "8").toInt
+    val ss = graft.streaming.StreamPipeline.scopedSession(spark, streamShuf)
     def ticks: DataFrame = graft.ops.Clean.castTicks(
-      spark.readStream.schema(graft.model.Schemas.tickRaw)
+      ss.readStream.schema(graft.model.Schemas.tickRaw)
         .option("header", "true")
         .option("maxFilesPerTrigger", "2")
         .csv(rawDir))
@@ -275,6 +283,12 @@ object Bench {
         q.awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
         val progress = q.recentProgress
+        // SPARK_GRAFT_STREAM_DEBUG=1: dump each micro-batch's full
+        // progress JSON (queryPlanning / addBatch / stateOperators /
+        // commitOffsets breakdown) to stderr — the attribution record
+        // behind the p50/p95 summary numbers.
+        if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+          progress.foreach(p => System.err.println(s"[$name] ${p.json}"))
         val batchesMs = progress.map(_.durationMs.getOrDefault(
           "triggerExecution", java.lang.Long.valueOf(0L)).toDouble).sorted
         def pct(p: Double): Double = // nearest-rank

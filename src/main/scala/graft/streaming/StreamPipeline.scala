@@ -26,6 +26,29 @@ object StreamPipeline {
   def tickStream(spark: SparkSession, rawDir: String): DataFrame =
     Clean.castTicks(Ingest.readCsvStream(spark, rawDir, Schemas.tickRaw))
 
+  /** Session clone with stream-scoped `spark.sql.shuffle.partitions`.
+    *
+    * A stateful streaming query's shuffle-partition count is its STATE
+    * partition count, pinned into the checkpoint at first start — and
+    * every stateful operator loads + commits one state store per
+    * partition per micro-batch. A chained-stateful pipeline (two windowed
+    * aggregates + a join = 5 state stores) under the batch-wide default
+    * therefore pays `5 × partitions` store load/commit round-trips per
+    * trigger regardless of data volume; for a micro-batch of thousands of
+    * rows over a handful of keys that overhead IS the batch. Size it to
+    * the stream's actual key cardinality (symbols × windows-in-flight),
+    * not to the batch engine's scan width: queries planned off the
+    * returned session carry the scoped setting, the parent session and
+    * every batch query keep theirs — same SparkContext, caches, and
+    * catalog either way. At 100 TB/day you'd turn the same knob UP past
+    * the batch default; the point is that it is per-query, set where the
+    * stream is declared, never a global mutation. */
+  def scopedSession(spark: SparkSession, shufflePartitions: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    s
+  }
+
   /** T4 + T1 + A1: watermarked sliding-window metrics per symbol.
     * Reference: spark_stream_processor.py:179-198. */
   def windowedMetrics(ticks: DataFrame, watermark: String = "5 minutes",

@@ -697,6 +697,27 @@ class StreamingSpec extends SparkSpec {
       s"drifted window must price far above in-range: $got")
   }
 
+  test("scopedSession pins stream-local shuffle partitions, parent untouched") {
+    val key = "spark.sql.shuffle.partitions"
+    val parentBefore = spark.conf.get(key)
+    val scoped = graft.streaming.StreamPipeline.scopedSession(spark, 3)
+    // the scoped setting holds for plans built off the clone (AQE may
+    // coalesce at runtime, so pin the PLANNED exchange width)...
+    assert(scoped.conf.get(key) == "3")
+    def plannedWidth(s: org.apache.spark.sql.SparkSession): String = {
+      val p = s.range(100)
+        .groupBy(org.apache.spark.sql.functions.expr("id % 5")).count()
+        .queryExecution.executedPlan.toString
+      "hashpartitioning\\([^)]*?(\\d+)\\)".r
+        .findFirstMatchIn(p).map(_.group(1)).getOrElse("?")
+    }
+    assert(plannedWidth(scoped) == "3")
+    // ...the parent session keeps its own, and both share one context
+    assert(spark.conf.get(key) == parentBefore)
+    assert(plannedWidth(spark) == parentBefore)
+    assert(scoped.sparkContext eq spark.sparkContext)
+  }
+
   test("StreamMonitor: bounded per-batch stats captured via listener") {
     val base = Files.createTempDirectory("graft_stream_mon")
     val raw = Files.createDirectory(base.resolve("raw"))
