@@ -191,19 +191,18 @@ object VersionedTable {
       val merged =
         if (touchedLive.isEmpty) updates
         else {
-          // read each touched dir DIRECTLY (no partition discovery) under
+          // read the touched dirs DIRECTLY (no partition discovery) under
           // the prior version's schema, reattaching the update side's
-          // exact values -- see Merge.upsertParquetPruned for why
-          // inference-reconstructed values corrupt the anti-join
+          // exact values -- see Merge.readTouchedDirs for why inference-
+          // reconstructed values corrupt the anti-join and why this is
+          // ONE scan, not |touched| relations. Dirs group by generation
+          // (one scan per generation: paths under different basePaths)
           val dataSchema = StructType(prior.get.schema
             .filterNot(f => partCols.contains(f.name)))
-          val old = touchedLive.toSeq.map { case (p, gen) =>
-            partCols.indices.foldLeft(
-              spark.read.schema(dataSchema).parquet(s"$root/$gen/$p")) {
-              (df, i) => df.withColumn(partCols(i),
-                org.apache.spark.sql.functions.lit(valueOf(p)(i))
-                  .cast(pTypes(i)))
-            }
+          val old = touchedLive.toSeq.groupBy(_._2).map { case (gen, parts) =>
+            Merge.readTouchedDirs(spark, s"$root/$gen",
+              parts.map { case (p, _) => valueOf(p) -> p },
+              partCols, pTypes, Some(dataSchema))
           }.reduce(_.unionByName(_))
           // schema evolution at write: a column the updates add null-fills
           // for surviving old rows; a column the updates drop survives,
