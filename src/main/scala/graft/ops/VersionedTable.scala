@@ -261,6 +261,62 @@ object VersionedTable {
              keys: Seq[String], partCol: String): Unit =
     upsert(spark, root, updates, keys, Seq(partCol))
 
+  /** OPTIMIZE-style maintenance: rewrite the CURRENT version's data into
+    * a fresh generation with ONE file per partition and commit it as a
+    * new version. Row-identical by construction (the new version is a
+    * read() of the old, re-laid-out); prior versions stay readable via
+    * `asOfVersion` until vacuumed, exactly like any upsert. Run it after
+    * many small pruned upserts have accumulated a file-per-merge in hot
+    * partitions — the small-files tax that at 100 TB turns every scan
+    * into a metadata storm. The rewrite costs O(|table|) I/O ONCE,
+    * against every subsequent scan paying the file-count overhead; the
+    * commit protocol (claim → stage → marker) is the same as
+    * [[prepare]]/[[publish]], so compaction never blocks readers and a
+    * crash mid-compact leaves only orphans for [[vacuum]]. */
+  def compact(spark: SparkSession, root: String): Int = {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    val next = cur + 1
+    val genDir = s"gen$next"
+    val manifestPath = new Path(root, s"_manifest.$next")
+    if (fs.exists(manifestPath))
+      throw new IllegalStateException(
+        s"version $next at $root is already staged: concurrent writer, or " +
+          "a crashed prepare (vacuum() clears unpublished stages)")
+    val out =
+      try fs.create(manifestPath, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"lost the staging race for version $next at $root", e) }
+    try {
+      read(spark, root, Some(cur))
+        .repartition(m.partCols.map(col): _*)
+        .write.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
+      def leaves(base: Path, rel: Vector[String], depth: Int): Seq[String] =
+        if (depth == m.partCols.length) Seq(rel.mkString("/"))
+        else fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(m.partCols(depth) + "="))
+          .flatMap(s => leaves(s.getPath, rel :+ s.getPath.getName, depth + 1))
+      val written = leaves(new Path(s"$root/$genDir"), Vector.empty, 0)
+      val header = s"#graft-manifest\t2\n" +
+        s"#partcols\t${m.partCols.mkString("\t")}\n" +
+        s"#schema\t${m.schema.json}\n"
+      val body = written.sorted.map(p => s"$p\t$genDir")
+        .mkString("", "\n", "\n")
+      out.write((header + body).getBytes(StandardCharsets.UTF_8))
+      out.close()
+      publish(spark, root, next)
+      next
+    } catch { case t: Throwable =>
+      try out.close() catch { case _: Throwable => () }
+      fs.delete(manifestPath, false)
+      throw t
+    }
+  }
+
   /** Retire everything outside the retention window: keep the last
     * `keepVersions` COMMITTED versions (their manifests, markers, and
     * every generation any of them references) and delete the rest —

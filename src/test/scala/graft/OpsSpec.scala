@@ -373,6 +373,43 @@ class OpsSpec extends SparkSpec {
     intercept[Exception] { VersionedTable.publish(spark, root, v) }
   }
 
+  test("VersionedTable: compact rewrites to one file per partition, row-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtcmp").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    def up(rows: (Int, String, String)*): Unit = VersionedTable.upsert(
+      spark, root, rows.toDF("id", "day", "val"), keys, "day")
+    // three upserts all touching day d1 -> d1 accumulates a file per merge
+    up((1, "d1", "a"), (2, "d2", "x"))
+    up((1, "d1", "b"))
+    up((3, "d1", "c")) // versions 0..2; d1 holds rows from gen2 only, but
+                       // a long-lived hot partition collects files in
+                       // general — compact flattens whatever is there
+    val before = VersionedTable.read(spark, root)
+      .orderBy("id").as[(Int, String, String)].collect().toSeq
+    val v = VersionedTable.compact(spark, root)
+    assert(v == 3 && VersionedTable.currentVersion(spark, root).contains(3))
+    val after = VersionedTable.read(spark, root)
+      .orderBy("id").as[(Int, String, String)].collect().toSeq
+    assert(after == before) // row-identical relayout
+    // one data file per partition dir in the compacted generation
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
+    Seq("day=d1", "day=d2").foreach { p =>
+      val files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/gen3/$p")).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      assert(files.length == 1, s"$p: ${files.map(_.getPath.getName)}")
+    }
+    // pre-compaction versions stay readable (time travel) until vacuum
+    assert(VersionedTable.read(spark, root, Some(2))
+      .orderBy("id").as[(Int, String, String)].collect().toSeq == before)
+    VersionedTable.vacuum(spark, root) // keep current only
+    assert(VersionedTable.history(spark, root) == Seq(3))
+    assert(VersionedTable.read(spark, root)
+      .orderBy("id").as[(Int, String, String)].collect().toSeq == before)
+  }
+
   test("VersionedTable: schema evolution reads old generations null-filled") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtevo").toString
     val root = s"$dir/table"
