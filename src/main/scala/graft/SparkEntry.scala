@@ -1474,6 +1474,35 @@ object SparkEntry {
       r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Change data feed v0→v1 of the versioned MERGE fixture: the same two
+    * versions as q_merge_versioned, diffed after the fact through the
+    * manifest time travel — inserts are the updates' new dates (> Jan 20),
+    * updates the overlap dates whose even-user recompute actually changed
+    * the row, deletes empty (MERGE never removes). Oracle recomputes both
+    * version row sets in SQL and diffs them independently. */
+  private def qMergeChangefeed(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_merge_changefeed/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val keys = Seq("event_type", "date")
+    VersionedTable.upsert(s, root,
+      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+      keys, "date")
+    VersionedTable.upsert(s, root,
+      TimeWindows.dailyOhlcv(
+          ev(s, dir).filter(col("user_id") % 2 === 0),
+          "event_type", "ts", "value", volume = col("user_id"))
+        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+      keys, "date")
+    VersionedTable.changeFeed(s, root, keys, 0, 1)
+      .select(col("op"), col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Ordered CDC apply over the daily rollup: updates (op=U, seq 1,
     * even-user recompute from Jan 15) then tombstones (op=D, seq 2, dates
     * from Jan 19) — keep-last per (key, date) means D beats U on the
@@ -2911,6 +2940,7 @@ object SparkEntry {
     "q_merge_upsert_pruned" -> (qMergeUpsertPruned _),
     "q_merge_upsert_pruned2" -> (qMergeUpsertPruned2 _),
     "q_merge_versioned" -> (qMergeVersioned _),
+    "q_merge_changefeed" -> (qMergeChangefeed _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -5333,6 +5363,51 @@ object SparkEntry {
     "q_merge_upsert_pruned" -> mergeUpsertOracle,
     "q_merge_upsert_pruned2" -> mergeUpsertOracle,
     "q_merge_versioned" -> mergeUpsertOracle,
+
+    // CDF replay: both version row sets recomputed independently, then
+    // diffed. Content compare runs on RAW (unrounded) values — exactly
+    // what the stored table holds — with rounding only in the output
+    // column, mirroring the engine's read-side r4.
+    "q_merge_changefeed" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    arg_max(value, $TS) - arg_min(value, $TS) AS daily_change_raw
+         |  FROM events GROUP BY 1, 2),
+         |v0 AS (SELECT * FROM daily_all WHERE date <= DATE '2024-01-20'),
+         |upd_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    arg_max(value, $TS) - arg_min(value, $TS) AS daily_change_raw
+         |  FROM events WHERE user_id % 2 = 0 GROUP BY 1, 2),
+         |upd AS (SELECT * FROM upd_all WHERE date >= DATE '2024-01-15'),
+         |v1 AS (
+         |  SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT t.* FROM v0 t WHERE NOT EXISTS (
+         |    SELECT 1 FROM upd u
+         |    WHERE u.event_type = t.event_type AND u.date = t.date)),
+         |feed AS (
+         |  SELECT 'insert' AS op, n.* FROM v1 n WHERE NOT EXISTS (
+         |    SELECT 1 FROM v0 o
+         |    WHERE o.event_type = n.event_type AND o.date = n.date)
+         |  UNION ALL
+         |  SELECT 'update' AS op, n.* FROM v1 n JOIN v0 o
+         |    ON o.event_type = n.event_type AND o.date = n.date
+         |  WHERE n.daily_open IS DISTINCT FROM o.daily_open
+         |     OR n.daily_high IS DISTINCT FROM o.daily_high
+         |     OR n.daily_low IS DISTINCT FROM o.daily_low
+         |     OR n.daily_close IS DISTINCT FROM o.daily_close
+         |     OR n.daily_volume IS DISTINCT FROM o.daily_volume
+         |     OR n.daily_change_raw IS DISTINCT FROM o.daily_change_raw)
+         |SELECT op, event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume,
+         |  round(daily_change_raw, 4) AS daily_change
+         |FROM feed""".stripMargin,
 
     // CDC semantics replay: updates survive only where no later tombstone
     // touches the key; target rows survive where nothing touched them.

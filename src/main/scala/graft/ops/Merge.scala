@@ -184,7 +184,7 @@ object Merge {
     * fails to map (URI-encoding drift between the filesystem listing and
     * the scan's metadata column would be the only way) fails LOUDLY via
     * assert_true instead of silently corrupting the downstream anti-join. */
-  private[ops] def readTouchedDirs(spark: SparkSession, basePath: String,
+  private[graft] def readTouchedDirs(spark: SparkSession, basePath: String,
                                    live: Seq[(Seq[Any], String)],
                                    partCols: Seq[String],
                                    pTypes: Seq[org.apache.spark.sql.types.DataType],

@@ -261,6 +261,58 @@ object VersionedTable {
              keys: Seq[String], partCol: String): Unit =
     upsert(spark, root, updates, keys, Seq(partCol))
 
+  /** Change data feed between two committed versions: one row per logical
+    * key whose content DIFFERS between `fromVersion` and `toVersion`,
+    * with `op` ∈ insert | update | delete and the TO-version's row values
+    * (deletes carry the FROM-version's values, null-filled into the TO
+    * schema) — the Delta CDF idea on the manifest protocol: because
+    * versions are immutable and time-travel readable, the feed between
+    * ANY two retained versions is computable after the fact, no change
+    * log maintained on the write path. Downstream incremental consumers
+    * (warehouse sync, cache invalidation, re-embedding queues) process
+    * O(|changed keys|), not O(|table|).
+    *
+    * `keys` is the table's logical merge key (the manifest records
+    * partition columns, not merge keys — same contract as [[upsert]]).
+    * Scale shape: ONE null-safe full-outer join keyed on `keys` over two
+    * manifest-pruned version reads; unchanged rows drop immediately after
+    * the join, so everything downstream is change-volume-sized. Content
+    * comparison is null-safe equality over the columns the two versions
+    * share; a column added in `to` makes every surviving row differ only
+    * if its values do (it is absent from the comparison set, present
+    * null-filled in delete output). */
+  def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
+                 fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val from = read(spark, root, Some(fromVersion))
+    val to = read(spark, root, Some(toVersion))
+    keys.foreach(k => require(to.columns.contains(k) && from.columns.contains(k),
+      s"key column $k must exist in both versions"))
+    val toData = to.columns.toSeq.filterNot(keys.contains)
+    val common = toData.intersect(from.columns.toSeq)
+    val f = from.select(from.columns.toSeq.map(c =>
+      col(c).as(s"__f_$c")) :+ lit(true).as("__f_p"): _*)
+    val t = to.select(to.columns.toSeq.map(col) :+ lit(true).as("__t_p"): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"__f_$k")).reduce(_ && _)
+    val same = common.map(c => col(c) <=> col(s"__f_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val inFrom = col("__f_p").isNotNull
+    val inTo = col("__t_p").isNotNull
+    t.join(f, joinCond, "full_outer")
+      .withColumn("op",
+        when(!inFrom, lit("insert"))
+          .when(!inTo, lit("delete"))
+          .when(!same, lit("update")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +:
+        keys.map(k => coalesce(col(k), col(s"__f_$k")).as(k)) ++:
+        toData.map { c =>
+          val fromSide = if (from.columns.contains(c)) col(s"__f_$c")
+            else lit(null)
+          when(col("op") === "delete", fromSide).otherwise(col(c)).as(c)
+        }: _*)
+  }
+
   /** OPTIMIZE-style maintenance: rewrite the CURRENT version's data into
     * a fresh generation with ONE file per partition and commit it as a
     * new version. Row-identical by construction (the new version is a

@@ -373,6 +373,59 @@ class OpsSpec extends SparkSpec {
     intercept[Exception] { VersionedTable.publish(spark, root, v) }
   }
 
+  test("readTouchedDirs: ONE scan relation for many touched partitions, exact values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_onescan").toString
+    val tbl = s"$dir/tbl"
+    // 12 partitions with non-canonical string values inference would mangle
+    val vals = (1 to 12).map(i => f"$i%02d")
+    vals.zipWithIndex.map { case (d, i) => (i, d, s"row$i") }
+      .toDF("id", "day", "val")
+      .write.partitionBy("day").parquet(tbl)
+    val entries = vals.map(d => (Seq[Any](d): Seq[Any]) -> s"day=$d")
+    val got = Merge.readTouchedDirs(spark, tbl, entries, Seq("day"),
+      Seq(org.apache.spark.sql.types.StringType), dataSchema = None)
+    // exact values survive (day stays the zero-padded string)
+    assert(got.select($"day").as[String].collect().sorted.toSeq == vals)
+    assert(got.count() == 12)
+    // THE scale pin: one FileScan relation regardless of |touched| — the
+    // per-dir-union shape planned 12 scans here and thousands at a lake
+    val plan = got.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+  }
+
+  test("VersionedTable.changeFeed: insert/update/delete + schema evolution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtcdf").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"))
+        .toDF("id", "day", "val"), keys, "day")
+    // v1: id=2 changes, id=4 inserts, adds a 'score' column (evolution);
+    // id 1 and 3 rewritten identical (1 via the touched d1 partition)
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a", null.asInstanceOf[Integer]),
+        (2, "d1", "B", Integer.valueOf(7)),
+        (4, "d1", "d", Integer.valueOf(9)))
+        .toDF("id", "day", "val", "score"), keys, "day")
+    val feed = VersionedTable.changeFeed(spark, root, keys, 0, 1)
+      .select($"op", $"id", $"val", $"score")
+      .as[(String, Int, String, Option[Int])].collect().toSet
+    // id=1: val unchanged -> NOT in the feed (score is not a common
+    // column, so evolution alone doesn't flag it); id=3 untouched
+    assert(feed == Set(
+      ("update", 2, "B", Some(7)),
+      ("insert", 4, "d", Some(9))))
+    // a delete shows up when a key vanishes: diff v1 -> v0 inverts the
+    // insert into a delete carrying the FROM side's values; the output
+    // schema is the TO version's (v0 has no score column)
+    val backDf = VersionedTable.changeFeed(spark, root, keys, 1, 0)
+    assert(!backDf.columns.contains("score"))
+    val back = backDf.select($"op", $"id", $"val")
+      .as[(String, Int, String)].collect().toSet
+    assert(back == Set(("delete", 4, "d"), ("update", 2, "b")))
+  }
+
   test("VersionedTable: compact rewrites to one file per partition, row-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtcmp").toString
     val root = s"$dir/table"
