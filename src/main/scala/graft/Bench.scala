@@ -156,11 +156,16 @@ object Bench {
     val suspects = parResults.filter { case (n, _, st, f) =>
       f.isEmpty && prevSteady.get(n).exists(p => st > math.max(3 * p, p + 1.0))
     }.sortBy { case (n, _, st, _) => -(st - prevSteady(n)) }.take(24)
-    val retried: Map[String, Double] = suspects.map { case (n, _, _, _) =>
+    val retried: Map[String, Double] = suspects.flatMap { case (n, _, _, _) =>
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", n)
       val s = System.nanoTime()
-      try selected(n)(spark, sfDir).count() catch { case _: Throwable => () }
-      n -> (System.nanoTime() - s) / 1e9
+      // a CRASHED retry must not record its (fast) wall — min() below
+      // would replace a legitimate slow steady with the crash time, the
+      // exact bogus-fast-number corruption the parallel pass guards
+      // against; only a successful count() defends the suspect
+      try { selected(n)(spark, sfDir).count()
+        Some(n -> (System.nanoTime() - s) / 1e9) }
+      catch { case _: Throwable => None }
     }.toMap
     val results = parResults.map { case (name, times, st, f) =>
       (name, times, retried.get(name).fold(st)(math.min(st, _)), f)

@@ -43,11 +43,11 @@ object Graph {
     *   s'(v) = (3·scale)/20 + (17 · Σ_{u∈in(v)} s(u) DIV deg(u)) DIV 20
     * i.e. damping 0.85 as the rational 17/20, every division an integral
     * DIV — deterministic on any engine, no floats anywhere. Expects the
-    * [[coOccurrenceEdges]] shape: DISTINCT undirected (id1 < id2) pairs,
-    * no self-loops; it symmetrizes internally (distinct input means the
-    * two directions cannot collide, so no dedup pass is spent on the
-    * 2|E| symmetrized list), every node has degree ≥ 1, no dangling
-    * nodes. Scores stay O(|nodes|·scale) total mass; with the default
+    * [[coOccurrenceEdges]] shape: canonical undirected (id1 < id2) pairs,
+    * no self-loops; it symmetrizes internally and dedups (src, dst) on
+    * the already-exchanged hash(src) layout (a hash aggregate, no extra
+    * shuffle), so exact duplicate input pairs count once; every node has
+    * degree ≥ 1, no dangling nodes. Scores stay O(|nodes|·scale) total mass; with the default
     * scale=1e9 a sum overflows int64 only past ~9e9 nodes' worth of mass
     * concentrated on one vertex.
     *

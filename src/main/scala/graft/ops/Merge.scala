@@ -180,9 +180,10 @@ object Merge {
     * segments of `_metadata.file_path` through a broadcast (rel-dir →
     * exact values) lookup — the values never round-trip through partition-
     * type inference. Distinct typed value combinations render to distinct
-    * Hive directory names, so the mapping is injective; a row whose path
-    * fails to map (URI-encoding drift between the filesystem listing and
-    * the scan's metadata column would be the only way) fails LOUDLY via
+    * Hive directory names, so the mapping is injective; the metadata
+    * path's URI percent-encoding is decoded back to the raw on-disk name
+    * before the join (probed: space→%20, Hive-escaped %→%25, '+' raw),
+    * and a row whose path still fails to map fails LOUDLY via
     * assert_true instead of silently corrupting the downstream anti-join. */
   private[graft] def readTouchedDirs(spark: SparkSession, basePath: String,
                                    live: Seq[(Seq[Any], String)],
@@ -197,24 +198,38 @@ object Merge {
       org.apache.spark.sql.types.StructField("__graft_rel",
         org.apache.spark.sql.types.StringType, nullable = false) +:
         partCols.indices.map(i => org.apache.spark.sql.types.StructField(
-          s"__graft_v$i", pTypes(i), nullable = true)))
+          s"__graft_v$i", pTypes(i), nullable = true)) :+
+        org.apache.spark.sql.types.StructField("__graft_hit",
+          org.apache.spark.sql.types.BooleanType, nullable = false))
     val lookup = spark.createDataFrame(
       live.map { case (vals, rel) =>
-        org.apache.spark.sql.Row.fromSeq(rel +: vals) }.asJava, lookupSchema)
+        org.apache.spark.sql.Row.fromSeq((rel +: vals) :+ true) }.asJava,
+      lookupSchema)
     val reader = dataSchema.fold(spark.read)(spark.read.schema)
+    // _metadata.file_path renders the on-disk name URI-percent-encoded
+    // (probed on Spark 4: 'day=page view' → 'day=page%20view', the
+    // Hive-escaped 'day=x%3Ay' → 'day=x%253Ay') while the lookup keys are
+    // the RAW fs.listStatus names — percent-decode before joining. A
+    // literal '+' stays raw in the path (NOT plus-for-space), but
+    // url_decode is URLDecoder-semantics and would turn it into a space,
+    // so pre-encode '+' as %2B; every other byte round-trips.
     val scanned = reader
       .parquet(live.map { case (_, rel) => s"$basePath/$rel" }: _*)
-      .withColumn("__graft_rel", substring_index(
-        substring_index(col("_metadata.file_path"), "/", -(n + 1)), "/", n))
+      .withColumn("__graft_rel", url_decode(replace(substring_index(
+        substring_index(col("_metadata.file_path"), "/", -(n + 1)), "/", n),
+        lit("+"), lit("%2B"))))
     val joined = scanned.join(broadcast(lookup), Seq("__graft_rel"), "left")
       // every scanned file sits under a listed directory, so the map must
-      // hit; anything else means the path string drifted — fail loudly
-      .filter(assert_true(col("__graft_v0").isNotNull,
+      // hit; anything else means the path string drifted — fail loudly.
+      // The sentinel is the dedicated always-true marker, NOT a value
+      // column: a legitimately NULL partition value must not false-trip.
+      .filter(assert_true(col("__graft_hit").isNotNull,
         lit("pruned-merge read: file path did not map back to a touched " +
           "partition directory")).isNull)
     partCols.indices.foldLeft(joined) { (df, i) =>
       df.withColumn(partCols(i), col(s"__graft_v$i"))
-    }.drop("__graft_rel").drop(partCols.indices.map(i => s"__graft_v$i"): _*)
+    }.drop("__graft_rel", "__graft_hit")
+      .drop(partCols.indices.map(i => s"__graft_v$i"): _*)
   }
 
   /** Partition-pruned MERGE into a Hive-partitioned parquet table

@@ -805,9 +805,16 @@ object Stats {
           .agg(sum(col("__w")).as("__tot"),
             min(vClean).cast(DoubleType).as("__lo"),
             max(vClean).cast(DoubleType).as("__hi"))
+        // unhinted keyed join: an explicit broadcast() would collect one
+        // row PER GROUP to the driver regardless of cardinality — a
+        // high-cardinality key (per-user quantiles) would OOM or hit the
+        // broadcast cap on inputs the windowed path handled. AQE
+        // broadcasts when bounds is actually small; the grouped (un-keyed
+        // is one row — that crossJoin-broadcast stays) case shuffles
+        // correctly otherwise.
         val withBounds =
           if (keys.isEmpty) dv.crossJoin(broadcast(bounds))
-          else dv.join(broadcast(bounds), keys)
+          else dv.join(bounds, keys)
         // every step weakly monotone in __v (double cast, subtract/divide
         // by a positive constant under IEEE round-to-nearest, ×2^12 exact,
         // floor), so the banding is order-preserving

@@ -147,6 +147,59 @@ object VersionedTable {
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Walk the nested `c1=v1/c2=v2/...` leaf dirs a partitioned write
+    * produced under `base` — shared by [[prepare]] and [[compact]]. */
+  private def leafDirs(fs: FileSystem, base: Path,
+                       partCols: Seq[String]): Seq[String] = {
+    def walk(p: Path, rel: Vector[String], depth: Int): Seq[String] =
+      if (depth == partCols.length) Seq(rel.mkString("/"))
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(partCols(depth) + "="))
+        .flatMap(s => walk(s.getPath, rel :+ s.getPath.getName, depth + 1))
+    walk(base, Vector.empty, 0)
+  }
+
+  /** The claim → stage → manifest protocol shared by [[prepare]] and
+    * [[compact]]: claim `_manifest.<next>` create-exclusive (the
+    * concurrency guard — of two racing writers exactly one wins), run
+    * `stage` (which writes `$root/gen<next>` and returns the manifest's
+    * partCols/schema/mapping), then fill in the v2 manifest. On ANY
+    * failure the claim AND the half-staged generation dir are retracted
+    * — only the claim owner may do this — so an immediate retry starts
+    * clean instead of tripping over its own leftovers ('path already
+    * exists' on the gen dir was exactly that bug). */
+  private def stageVersion(fs: FileSystem, root: String, next: Int)
+      (stage: String => (Seq[String], StructType, Map[String, String])): Int = {
+    val genDir = s"gen$next"
+    val manifestPath = new Path(root, s"_manifest.$next")
+    if (fs.exists(manifestPath))
+      throw new IllegalStateException(
+        s"version $next at $root is already staged: concurrent writer, or " +
+          "a crashed prepare (vacuum() clears unpublished stages)")
+    val out =
+      try fs.create(manifestPath, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"lost the staging race for version $next at $root", e) }
+    try {
+      val (partCols, schema, mapping) = stage(genDir)
+      val header = s"#graft-manifest\t2\n" +
+        s"#partcols\t${partCols.mkString("\t")}\n" +
+        s"#schema\t${schema.json}\n"
+      val body = mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
+        .mkString("", "\n", "\n")
+      out.write((header + body).getBytes(StandardCharsets.UTF_8))
+      out.close()
+      next
+    } catch { case t: Throwable =>
+      try out.close() catch { case _: Throwable => () }
+      fs.delete(manifestPath, false)
+      fs.delete(new Path(root, genDir), true)
+      throw t
+    }
+  }
+
   /** Stage version `current+1`: claim its manifest (the concurrency
     * guard), write merged data for TOUCHED partitions into a fresh
     * generation dir, then fill in the manifest — everything except the
@@ -162,22 +215,10 @@ object VersionedTable {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root)
     val next = cur.map(_ + 1).getOrElse(0)
-    val genDir = s"gen$next"
-    val manifestPath = new Path(root, s"_manifest.$next")
-    // THE claim: create-exclusive on the manifest object. A concurrent
-    // writer staging the same version loses here, before any data moves;
-    // a claim left by a CRASHED prepare also lands here (indistinguishable
-    // without leases) -- vacuum() clears it, so recovery is explicit.
-    if (fs.exists(manifestPath))
-      throw new IllegalStateException(
-        s"version $next at $root is already staged: concurrent writer, or " +
-          "a crashed prepare (vacuum() clears unpublished stages)")
-    val out =
-      try fs.create(manifestPath, false)
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"lost the staging race for version $next at $root", e) }
-    try {
+    // the claim/cleanup protocol lives in stageVersion; a concurrent
+    // writer staging the same version loses at the claim, before any
+    // data moves, and a failed stage retracts claim + gen dir
+    stageVersion(fs, root, next) { genDir =>
       val prior: Option[Manifest] = cur.map(readManifest(fs, root, _))
       prior.foreach(m => require(m.partCols == partCols,
         s"partition columns ${partCols.mkString(",")} != committed ${m.partCols.mkString(",")}"))
@@ -214,29 +255,8 @@ object VersionedTable {
       // one writer per partition (see Merge.upsertParquetPruned note)
       merged.repartition(partCols.map(col): _*)
         .write.partitionBy(partCols: _*).parquet(s"$root/$genDir")
-      // list the leaf partition dirs the write produced (nested walk)
-      def leaves(base: Path, rel: Vector[String], depth: Int): Seq[String] =
-        if (depth == partCols.length) Seq(rel.mkString("/"))
-        else fs.listStatus(base).toSeq
-          .filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith(partCols(depth) + "="))
-          .flatMap(s => leaves(s.getPath, rel :+ s.getPath.getName, depth + 1))
-      val written = leaves(new Path(s"$root/$genDir"), Vector.empty, 0)
-      val mapping = priorMapping ++ written.map(_ -> genDir)
-      val header = s"#graft-manifest\t2\n" +
-        s"#partcols\t${partCols.mkString("\t")}\n" +
-        s"#schema\t${merged.schema.json}\n"
-      val body = mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
-        .mkString("", "\n", "\n")
-      out.write((header + body).getBytes(StandardCharsets.UTF_8))
-      out.close()
-      next
-    } catch { case t: Throwable =>
-      // only the claim OWNER may retract its claim -- this self-heals the
-      // common failure (bad update frame) without waiting for a vacuum
-      try out.close() catch { case _: Throwable => () }
-      fs.delete(manifestPath, false)
-      throw t
+      val written = leafDirs(fs, new Path(s"$root/$genDir"), partCols)
+      (partCols, merged.schema, priorMapping ++ written.map(_ -> genDir))
     }
   }
 
@@ -280,7 +300,16 @@ object VersionedTable {
     * comparison is null-safe equality over the columns the two versions
     * share; a column added in `to` makes every surviving row differ only
     * if its values do (it is absent from the comparison set, present
-    * null-filled in delete output). */
+    * null-filled in delete output).
+    *
+    * Deliberately NOT expressed over [[Merge.snapshotDiff]]: that
+    * operator returns (keys, change-label) only, while the feed carries
+    * per-op row values with from/to side selection and cross-schema
+    * null-fill — forcing both through one core would parameterize the
+    * select list past the point of readability. The shared subtlety
+    * (presence MARKERS, not key nullness, because a legitimately-null
+    * key must not read as absent) is the same in both; change it in one
+    * place, check the other. */
   def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
                  fromVersion: Int, toVersion: Int): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -330,43 +359,15 @@ object VersionedTable {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
-    val next = cur + 1
-    val genDir = s"gen$next"
-    val manifestPath = new Path(root, s"_manifest.$next")
-    if (fs.exists(manifestPath))
-      throw new IllegalStateException(
-        s"version $next at $root is already staged: concurrent writer, or " +
-          "a crashed prepare (vacuum() clears unpublished stages)")
-    val out =
-      try fs.create(manifestPath, false)
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"lost the staging race for version $next at $root", e) }
-    try {
+    val next = stageVersion(fs, root, cur + 1) { genDir =>
       read(spark, root, Some(cur))
         .repartition(m.partCols.map(col): _*)
         .write.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
-      def leaves(base: Path, rel: Vector[String], depth: Int): Seq[String] =
-        if (depth == m.partCols.length) Seq(rel.mkString("/"))
-        else fs.listStatus(base).toSeq
-          .filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith(m.partCols(depth) + "="))
-          .flatMap(s => leaves(s.getPath, rel :+ s.getPath.getName, depth + 1))
-      val written = leaves(new Path(s"$root/$genDir"), Vector.empty, 0)
-      val header = s"#graft-manifest\t2\n" +
-        s"#partcols\t${m.partCols.mkString("\t")}\n" +
-        s"#schema\t${m.schema.json}\n"
-      val body = written.sorted.map(p => s"$p\t$genDir")
-        .mkString("", "\n", "\n")
-      out.write((header + body).getBytes(StandardCharsets.UTF_8))
-      out.close()
-      publish(spark, root, next)
-      next
-    } catch { case t: Throwable =>
-      try out.close() catch { case _: Throwable => () }
-      fs.delete(manifestPath, false)
-      throw t
+      val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
+      (m.partCols, m.schema, written.map(_ -> genDir).toMap)
     }
+    publish(spark, root, next)
+    next
   }
 
   /** Retire everything outside the retention window: keep the last
@@ -380,8 +381,13 @@ object VersionedTable {
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val fs = fsFor(spark, root)
+    if (!fs.exists(new Path(root))) return
+    // NO early return when nothing is committed: a crashed FIRST prepare
+    // leaves a claim (_manifest.0 + maybe gen0/.names0) on a table with
+    // zero commits, and vacuum is the documented recovery path — it must
+    // clear those too or the table is wedged forever (keep set is just
+    // empty: everything unpublished is stale)
     val committed = history(spark, root)
-    if (committed.isEmpty) return
     val keep = committed.takeRight(keepVersions).toSet
     val liveGens = keep.flatMap(v =>
       readManifest(fs, root, v).mapping.values.toSet)

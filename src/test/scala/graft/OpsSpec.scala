@@ -394,6 +394,81 @@ class OpsSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
   }
 
+  test("VersionedTable: crashed FIRST prepare is recoverable via vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtcrash0").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    val good = Seq((1, "d1", "a")).toDF("id", "day", "val")
+    // simulate a crash INSIDE the first-ever stage: a column that throws
+    // at write time leaves... actually stageVersion retracts on failure;
+    // to model a hard CRASH (no cleanup ran) plant the claim manually
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    fs.create(new org.apache.hadoop.fs.Path(root, "_manifest.0"), false).close()
+    // wedged: the claim blocks every retry...
+    intercept[IllegalStateException] {
+      VersionedTable.upsert(spark, root, good, keys, "day")
+    }
+    // ...and vacuum must clear it EVEN THOUGH nothing is committed yet
+    // (the old early-return on empty history left the table wedged forever)
+    VersionedTable.vacuum(spark, root)
+    VersionedTable.upsert(spark, root, good, keys, "day")
+    assert(VersionedTable.read(spark, root).count() == 1)
+  }
+
+  test("VersionedTable: failed stage retracts claim AND gen dir, retry clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtfail").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a")).toDF("id", "day", "val"), keys, "day")
+    // a stage whose WRITE fails mid-job: assert_true detonates inside the
+    // parquet write of gen1, after the committer has created the dir
+    val boom = Seq((1, "d1", "x")).toDF("id", "day", "val")
+      .withColumn("boom",
+        org.apache.spark.sql.functions.assert_true(
+          org.apache.spark.sql.functions.lit(false)))
+    intercept[Exception] {
+      VersionedTable.upsert(spark, root, boom, keys, "day")
+    }
+    // immediate retry with a good frame must succeed: the failed stage
+    // retracted both its manifest claim and the half-written gen1 dir
+    // (previously only the claim — the retry then died on
+    // 'path already exists' for gen1)
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "b")).toDF("id", "day", "val"), keys, "day")
+    assert(VersionedTable.read(spark, root)
+      .select($"val").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("upsertParquetPruned: URI-special partition values (space/colon/percent)") {
+    // space is stored raw in the dir name; ':' and '%' are Hive-escaped
+    // at write ('x%3Ay', '100%25'). The path→value mapping must survive
+    // BOTH the raw and the escaped shapes — _metadata.file_path renders
+    // the on-disk name with URI encoding, which the read side decodes
+    // before joining the lookup.
+    val dir = java.nio.file.Files.createTempDirectory("graft_uriparts").toString
+    val tbl = s"$dir/tbl"
+    // (non-ASCII values are excluded: Spark's OWN partitioned write
+    // fails on them in this JVM — sun.jnu.encoding can't map the dir
+    // name — so they never reach the read path under test)
+    Seq((1, "page view", "a"), (2, "x:y", "b"), (3, "d3", "c"),
+      (5, "a+b", "e"))
+      .toDF("id", "day", "val")
+      .write.partitionBy("day").parquet(tbl)
+    Merge.upsertParquetPruned(spark,
+      tbl,
+      Seq((1, "page view", "A"), (2, "x:y", "B"), (4, "100%", "d"),
+        (5, "a+b", "E"))
+        .toDF("id", "day", "val"),
+      Seq("id", "day"), Seq("day"))
+    val got = spark.read.parquet(tbl).select($"id", $"day", $"val")
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((1, "page view", "A"), (2, "x:y", "B"),
+      (3, "d3", "c"), (4, "100%", "d"), (5, "a+b", "E")))
+  }
+
   test("VersionedTable.changeFeed: insert/update/delete + schema evolution") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtcdf").toString
     val root = s"$dir/table"
