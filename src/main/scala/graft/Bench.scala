@@ -209,9 +209,15 @@ object Bench {
     // (floor 0.3s, p95 0.4s: fine) false-positives.
     val contended = sSamples.nonEmpty &&
       sPct(0.95) > math.max(10 * sFloor, 0.25)
+    // weather: p50/floor of the sentinel — a UNIFORM box slowdown (every
+    // query ~1.2x, nothing catastrophic) never trips the p95-based
+    // contended flag but shows here as a >~2 ratio; the judge can divide
+    // it out when comparing walls across rounds.
+    val weather = if (sFloor > 0) sPct(0.5) / sFloor else 0.0
     val sentinelJson = s"""{"n":${sSamples.length},"floor":${r4(sFloor)},""" +
       s""""p50":${r4(sPct(0.5))},"p95":${r4(sPct(0.95))},""" +
-      s""""max":${r4(sSamples.lastOption.getOrElse(0.0))}}"""
+      s""""max":${r4(sSamples.lastOption.getOrElse(0.0))},""" +
+      s""""weather":${r4(weather)}}"""
     val retriedJson = retried.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     // Key order matters: the driver keeps only the TAIL of this line, so

@@ -290,7 +290,10 @@ object VersionedTable {
     * ANY two retained versions is computable after the fact, no change
     * log maintained on the write path. Downstream incremental consumers
     * (warehouse sync, cache invalidation, re-embedding queues) process
-    * O(|changed keys|), not O(|table|).
+    * O(|changed keys|), not O(|table|) — the reference's warehouse
+    * loader re-MERGEs its full staging frame every run
+    * (load_to_snowflake.py:212-231); feeding it this delta instead is
+    * the incremental version of the same contract.
     *
     * `keys` is the table's logical merge key (the manifest records
     * partition columns, not merge keys — same contract as [[upsert]]).
