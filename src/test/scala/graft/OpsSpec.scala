@@ -501,6 +501,33 @@ class OpsSpec extends SparkSpec {
     assert(back == Set(("delete", 4, "d"), ("update", 2, "b")))
   }
 
+  test("changeFeed ∘ applyCdc reconstructs v1 from v0 (CDC round trip)") {
+    // THE consumer contract: the feed is sufficient to replay v0 into v1
+    // through the ordered-CDC apply operator (insert/update -> U,
+    // delete -> D) — ties the two CDC primitives together end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtrt").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (9, "d3", "z"))
+        .toDF("id", "day", "val"), keys, "day")
+    VersionedTable.upsert(spark, root,
+      Seq((2, "d1", "B"), (4, "d2", "d"), (5, "d4", "e"))
+        .toDF("id", "day", "val"), keys, "day")
+    val v0 = VersionedTable.read(spark, root, Some(0))
+    val v1 = VersionedTable.read(spark, root, Some(1))
+    val feed = VersionedTable.changeFeed(spark, root, keys, 0, 1)
+    val asCdc = feed
+      .withColumn("op", when($"op" === "delete", "D").otherwise("U"))
+      .withColumn("seq", org.apache.spark.sql.functions.lit(1))
+    val rebuilt = Merge.applyCdc(v0, asCdc, keys, Seq("seq"))
+    val a = rebuilt.select($"id", $"day", $"val")
+      .as[(Int, String, String)].collect().toSet
+    val b = v1.select($"id", $"day", $"val")
+      .as[(Int, String, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("VersionedTable: compact rewrites to one file per partition, row-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtcmp").toString
     val root = s"$dir/table"
