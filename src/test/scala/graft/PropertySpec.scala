@@ -17,6 +17,94 @@ import graft.sim.Similarity
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("intervalOverlapPairs matches brute force on random keyed intervals") {
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new Random(seed)
+      // duplicates, touching endpoints, zero-length intervals included
+      val rows = Seq.fill(300) {
+        val k = s"k${rnd.nextInt(8)}"
+        val s = rnd.nextInt(40).toLong
+        (k, s, s + rnd.nextInt(6))
+      }
+      val got = graft.ops.RangeJoin
+        .intervalOverlapPairs(rows.toDF("k", "s", "e"), Seq("k"), "s", "e")
+        .collect().map(r => r.getAs[String]("k") ->
+          (r.getAs[Long]("n_intervals"), r.getAs[Long]("n_overlap_pairs")))
+        .toMap
+      val brute = rows.groupBy(_._1).flatMap { case (k, iv) =>
+        val pairs = iv.indices.combinations(2).count { c =>
+          val (a, b) = (iv(c(0)), iv(c(1)))
+          a._2 <= b._3 && b._2 <= a._3
+        }
+        if (pairs > 0) Some(k -> (iv.size.toLong, pairs.toLong)) else None
+      }
+      assert(got == brute, s"seed $seed")
+    }
+  }
+
+  test("upsertParquetPruned equals the logical upsert on random composite layouts") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_merge$seed").toString
+      val tbl = s"$dir/tbl"
+      // non-canonical string partition values on BOTH levels — the class
+      // partition-type inference corrupts ('01' -> 1, '1.50' -> 1.5)
+      val srcs = Seq("01", "1.50", "s3")
+      val days = (1 to 9).map(d => f"0$d")
+      def randRows(n: Int) = Seq.fill(n)((rnd.nextInt(40),
+        srcs(rnd.nextInt(srcs.size)), days(rnd.nextInt(days.size)),
+        rnd.nextInt(1000)))
+      val target = randRows(120).distinctBy(r => (r._1, r._2, r._3))
+      val updates = randRows(60).distinctBy(r => (r._1, r._2, r._3))
+      val keys = Seq("id", "src", "day")
+      target.toDF("id", "src", "day", "v")
+        .write.partitionBy("src", "day").parquet(tbl)
+      Merge.upsertParquetPruned(spark, tbl,
+        updates.toDF("id", "src", "day", "v"), keys, Seq("src", "day"))
+      val got = spark.read.parquet(tbl)
+        .select($"id", $"src", $"day", $"v")
+        .as[(Int, String, String, Int)].collect().toSet
+      val updKeys = updates.map(r => (r._1, r._2, r._3)).toSet
+      val logical = updates.toSet ++
+        target.filterNot(r => updKeys.contains((r._1, r._2, r._3)))
+      assert(got == logical, s"seed $seed")
+    }
+  }
+
+  test("changeFeed matches a driver-side map diff on random version pairs") {
+    for (seed <- Seq(13, 31)) {
+      val rnd = new Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_cdf$seed").toString
+      val root = s"$dir/table"
+      val keys = Seq("id", "day")
+      def randRows(n: Int) = Seq.fill(n)((rnd.nextInt(30),
+        s"d${rnd.nextInt(5)}", rnd.nextInt(4)))
+        .distinctBy(r => (r._1, r._2))
+      val v0 = randRows(40)
+      val upd = randRows(25)
+      graft.ops.VersionedTable.upsert(spark, root,
+        v0.toDF("id", "day", "v"), keys, "day")
+      graft.ops.VersionedTable.upsert(spark, root,
+        upd.toDF("id", "day", "v"), keys, "day")
+      val got = graft.ops.VersionedTable.changeFeed(spark, root, keys, 0, 1)
+        .select($"op", $"id", $"day", $"v")
+        .as[(String, Int, String, Int)].collect().toSet
+      val m0 = v0.map(r => (r._1, r._2) -> r._3).toMap
+      // v1 = upd wins on key, v0 survivors otherwise; upsert never deletes
+      val m1 = m0 ++ upd.map(r => (r._1, r._2) -> r._3).toMap
+      val expected = m1.flatMap { case ((id, day), v) =>
+        m0.get((id, day)) match {
+          case None => Some(("insert", id, day, v))
+          case Some(old) if old != v => Some(("update", id, day, v))
+          case _ => None
+        }
+      }.toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("connectedComponents: driver and distributed paths match brute force") {
     for (seed <- Seq(1, 7, 42)) {
       val rnd = new Random(seed)
