@@ -62,9 +62,29 @@ class PropertySpec extends SparkSpec {
         .write.partitionBy("src", "day").parquet(tbl)
       Merge.upsertParquetPruned(spark, tbl,
         updates.toDF("id", "src", "day", "v"), keys, Seq("src", "day"))
-      val got = spark.read.parquet(tbl)
-        .select($"id", $"src", $"day", $"v")
-        .as[(Int, String, String, Int)].collect().toSet
+      // read back with partition-type inference OFF: the on-disk dirs are
+      // day=05 etc., and inference would lossily parse them to int 5 —
+      // exactly the corruption the operator guards against; the check here
+      // is that the TABLE is exact, so the observer must be exact too
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prevInfer = spark.conf.get(inferKey)
+      val got =
+        try {
+          spark.conf.set(inferKey, "false")
+          spark.read.parquet(tbl)
+            .select($"id", $"src", $"day", $"v")
+            .as[(Int, String, String, Int)].collect().toSet
+        } finally spark.conf.set(inferKey, prevInfer)
+      // no stray sibling dirs from a lossy rewrite (e.g. day=5 next to
+      // day=05): every leaf dir name must render an expected value
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(tbl), spark.sparkContext.hadoopConfiguration)
+      val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("src="))
+        .flatMap(s => fs.listStatus(s.getPath))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(dayDirs.forall(d => days.contains(d.stripPrefix("day="))),
+        s"stray partition dirs: $dayDirs seed $seed")
       val updKeys = updates.map(r => (r._1, r._2, r._3)).toSet
       val logical = updates.toSet ++
         target.filterNot(r => updKeys.contains((r._1, r._2, r._3)))
