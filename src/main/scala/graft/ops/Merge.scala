@@ -109,63 +109,47 @@ object Merge {
 
   /** (exact partition values, canonical Hive directory path) for every
     * distinct combination of `partCols` in `values`, the directory path
-    * computed by the same code path that writes it: a one-row-per-
-    * combination scratch write partitioned by (__idx, partCols...), then a
-    * directory walk. This sidesteps re-implementing Spark's partition-path
-    * escaping/formatting (dates, timestamps, %-escaped specials) —
-    * whatever the real write would name the directories, this names them
-    * identically — while KEEPING the update side's exact values attached
-    * to each path. The pairing matters: reconstructing values by partition-
-    * type INFERENCE from the directory names is lossy for non-canonical
+    * rendered by the same CODE PATH the file writer uses: per column a
+    * session-timezone string cast (evaluated by Spark inside the distinct
+    * job — Cast semantics for dates/timestamps/doubles by construction)
+    * fed through ExternalCatalogUtils.getPartitionPathString, the exact
+    * function DynamicPartitionDataWriter applies when it names directories
+    * (null/empty → __HIVE_DEFAULT_PARTITION__, specials %-escaped). So the
+    * names match the on-disk layout byte-for-byte — verified against a
+    * real partitionBy write over adversarial values in OpsSpec — without
+    * writing anything. KEEPING the update side's exact values attached to
+    * each path is the point: reconstructing values by partition-type
+    * INFERENCE from the directory names is lossy for non-canonical
     * strings ('01' infers int 1, '1.50' infers 1.5, '2024-1-5' infers a
     * date that renders '2024-01-05'), and a lossy value silently breaks
     * the downstream anti-join AND dynamic overwrite (duplicate logical
-    * keys + stray directories). The leading __idx level makes each
-    * combination's written path readable back unambiguously; nested
-    * `partCols` levels give the multi-level (e.g. date/source) layout a
-    * 100 TB lake actually uses. Cost: one tiny single-task job over
-    * |touched partitions| rows plus a same-sized driver collect, noise
-    * next to the merge itself. */
-  private[ops] def partitionDirEntries(spark: SparkSession, values: DataFrame,
-                                       partCols: Seq[String],
-                                       scratch: String)
+    * keys + stray directories). Cost: ONE aggregation over `values`
+    * collecting |touched partitions| rows — replacing the previous
+    * scratch-write probe (three evaluations of the update plan, a serial
+    * one-task partitioned write, 2·|touched| driver listings). Residual
+    * rendering drift cannot corrupt silently: [[readTouchedDirs]] fails
+    * loudly when a scanned file's path does not map back, and the write
+    * side renders through the real writer anyway. */
+  private[graft] def partitionDirEntries(spark: SparkSession, values: DataFrame,
+                                         partCols: Seq[String])
       : Seq[(Seq[Any], String)] = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{lit, row_number}
-    val fs = FileSystem.get(URI.create(scratch),
-      spark.sparkContext.hadoopConfiguration)
-    val distinct = values.select(partCols.map(col): _*).distinct()
-    // global row_number over all partCols: a deterministic total order on
-    // distinct combinations, so the collect below and the scratch write
-    // agree on __idx across re-evaluations; single-task is fine on a
-    // |touched partitions|-row frame
-    val w = Window.orderBy(partCols.map(col): _*)
-    val indexed = distinct.withColumn("__idx", row_number().over(w))
-    indexed.withColumn("__one", lit(1))
-      .coalesce(1)
-      .write.mode("overwrite")
-      .partitionBy("__idx" +: partCols: _*).parquet(scratch)
-    val valuesByIdx: Map[Int, Seq[Any]] = indexed.collect().map { r =>
-      r.getAs[Int]("__idx") -> partCols.map(c => r.getAs[Any](c))
-    }.toMap
-    // one combination per __idx dir => exactly one child dir per level
-    def leaf(base: Path, rel: Vector[String], depth: Int): String =
-      if (depth == partCols.length) rel.mkString("/")
-      else {
-        val kids = fs.listStatus(base).toSeq.filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(partCols(depth) + "="))
-        require(kids.length == 1,
-          s"expected one ${partCols(depth)}= dir under $base, got $kids")
-        leaf(kids.head.getPath, rel :+ kids.head.getPath.getName, depth + 1)
-      }
-    val entries = fs.listStatus(new Path(scratch)).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("__idx="))
-      .map { p =>
-        valuesByIdx(p.getName.stripPrefix("__idx=").toInt) ->
-          leaf(p, Vector.empty, 0)
-      }
-    fs.delete(new Path(scratch), true)
-    entries
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val n = partCols.length
+    // typed values + their writer-semantics string forms in one distinct:
+    // the string columns are deterministic functions of the typed ones,
+    // so cardinality is unchanged
+    val rows = values.select(
+      partCols.map(col) ++
+        partCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("string").as(s"__graft_s$i") }: _*)
+      .distinct().collect()
+    rows.toSeq.map { r =>
+      val vals = (0 until n).map(r.get)
+      val rel = partCols.zipWithIndex.map { case (c, i) =>
+        ExternalCatalogUtils.getPartitionPathString(c, r.getString(n + i))
+      }.mkString("/")
+      (vals, rel)
+    }
   }
 
   /** ONE multi-path scan over touched partition directories with the
@@ -278,8 +262,7 @@ object Merge {
       updates.write.partitionBy(partCols: _*).parquet(tablePath)
       return
     }
-    val entries = partitionDirEntries(spark, updates, partCols,
-      tablePath + ".__merge_names")
+    val entries = partitionDirEntries(spark, updates, partCols)
     val live = entries.filter { case (_, rel) =>
       fs.exists(new Path(tablePath, rel)) }
     val merged =

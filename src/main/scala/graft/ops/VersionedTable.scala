@@ -222,8 +222,7 @@ object VersionedTable {
       val prior: Option[Manifest] = cur.map(readManifest(fs, root, _))
       prior.foreach(m => require(m.partCols == partCols,
         s"partition columns ${partCols.mkString(",")} != committed ${m.partCols.mkString(",")}"))
-      val entries = Merge.partitionDirEntries(spark, updates, partCols,
-        s"$root/.names$next")
+      val entries = Merge.partitionDirEntries(spark, updates, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
       val touchedLive = priorMapping.filter { case (p, _) =>

@@ -469,6 +469,44 @@ class OpsSpec extends SparkSpec {
       (3, "d3", "c"), (4, "100%", "d"), (5, "a+b", "E")))
   }
 
+  test("partitionDirEntries renders exactly the names a real write creates") {
+    // the driver-side rendering (session-TZ string cast +
+    // ExternalCatalogUtils.getPartitionPathString) must be byte-identical
+    // to what Spark's DynamicPartitionDataWriter puts on disk — asserted
+    // against an actual partitionBy write over adversarial typed values:
+    // URI specials, Hive-escaped characters, '=', '#', leading zeros,
+    // a DATE column (ISO rendering) and a DOUBLE (trailing-zero trim)
+    val dir = java.nio.file.Files.createTempDirectory("graft_direntries")
+      .toString
+    val tbl = s"$dir/tbl"
+    val df = Seq(
+      (1, "page view", java.sql.Date.valueOf("2024-01-05"), 1.50),
+      (2, "x:y", java.sql.Date.valueOf("2024-01-05"), 0.5),
+      (3, "100%", java.sql.Date.valueOf("2024-12-31"), 2.0),
+      (4, "a=b#c", java.sql.Date.valueOf("2024-12-31"), 2.0),
+      (5, "a+b", java.sql.Date.valueOf("2024-02-29"), 100.0),
+      (6, "007", java.sql.Date.valueOf("2024-02-29"), 100.0))
+      .toDF("id", "ev", "day", "w")
+    df.write.partitionBy("ev", "day", "w").parquet(tbl)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(tbl), spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+      if (depth == 0) Seq("")
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => leaves(s.getPath, depth - 1)
+          .map(rest => if (rest.isEmpty) s.getPath.getName
+                       else s"${s.getPath.getName}/$rest"))
+    val onDisk = leaves(new org.apache.hadoop.fs.Path(tbl), 3).toSet
+    val rendered = Merge.partitionDirEntries(spark, df,
+      Seq("ev", "day", "w")).map(_._2).toSet
+    assert(rendered == onDisk)
+    // and the exact typed values ride along untouched
+    val entries = Merge.partitionDirEntries(spark, df, Seq("ev", "day", "w"))
+    assert(entries.map(_._1.head.asInstanceOf[String]).toSet ==
+      Set("page view", "x:y", "100%", "a=b#c", "a+b", "007"))
+  }
+
   test("VersionedTable.changeFeed: insert/update/delete + schema evolution") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtcdf").toString
     val root = s"$dir/table"
