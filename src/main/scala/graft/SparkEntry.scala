@@ -1503,6 +1503,34 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Manifest file skipping on the versioned table: the daily rollup is
+    * written partitioned by event_type, CLUSTERED on date (statsCols)
+    * with small files, and a needle date-range read goes through
+    * [[VersionedTable.readWhere]] — only files whose recorded min/max
+    * date range overlaps the predicate are scanned (the sub-partition
+    * half of scan pruning; a guard asserts skipping actually bit so the
+    * oracle-green row can't silently degrade to a full scan). Oracle =
+    * the rollup filtered to the same range. */
+  private def qVersionedSkip(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_skip/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val lo = java.sql.Date.valueOf("2024-01-08")
+    val hi = java.sql.Date.valueOf("2024-01-14")
+    val (kept, total) = VersionedTable.skipStats(s, root, "date", lo, hi)
+    require(kept < total,
+      s"file skipping did not engage: $kept of $total files kept")
+    VersionedTable.readWhere(s, root, "date", lo, hi)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Ordered CDC apply over the daily rollup: updates (op=U, seq 1,
     * even-user recompute from Jan 15) then tombstones (op=D, seq 2, dates
     * from Jan 19) — keep-last per (key, date) means D beats U on the
@@ -2941,6 +2969,7 @@ object SparkEntry {
     "q_merge_upsert_pruned2" -> (qMergeUpsertPruned2 _),
     "q_merge_versioned" -> (qMergeVersioned _),
     "q_merge_changefeed" -> (qMergeChangefeed _),
+    "q_versioned_skip" -> (qVersionedSkip _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -5411,6 +5440,18 @@ object SparkEntry {
 
     // CDC semantics replay: updates survive only where no later tombstone
     // touches the key; target rows survive where nothing touched them.
+    "q_versioned_skip" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM daily_all
+         |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
     "q_cdc_apply" ->
       s"""WITH daily_all AS (
          |  SELECT event_type, CAST(ts AS DATE) AS date,

@@ -80,10 +80,19 @@ object VersionedTable {
         n.stripPrefix("_commit.").toInt }.sorted
   }
 
+  /** Per-file column statistic: canonical-rendered min/max over non-null
+    * values (absent = the file holds only nulls for the column) plus the
+    * null count. Rendered forms are exact — see [[renderStat]]. */
+  private[graft] case class ColStat(min: Option[String], max: Option[String],
+                                    nulls: Long)
+
   /** Parsed manifest: partition column names, the version's full schema,
-    * and relative partition dir -> generation dir. */
+    * relative partition dir -> generation dir, and per-file column stats
+    * (file path relative to root -> column -> stat; empty when the
+    * version was written without `statsCols`). */
   private case class Manifest(partCols: Seq[String], schema: StructType,
-                              mapping: Map[String, String])
+                              mapping: Map[String, String],
+                              stats: Map[String, Map[String, ColStat]])
 
   private def readManifest(fs: FileSystem, root: String,
                            version: Int): Manifest = {
@@ -108,7 +117,78 @@ object VersionedTable {
       val Array(part, gen) = line.split("\t")
       part -> gen
     }.toMap
-    Manifest(partCols, schema, mapping)
+    // additive directive: older manifests simply have none (no skipping);
+    // values are base64 so tabs/newlines inside data can't break the format
+    def b64d(s: String) = new String(
+      java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+    val stats = lines.filter(_.startsWith("#filestat\t")).map { line =>
+      val parts = line.split("\t", -1)
+      require(parts.length == 6, s"malformed #filestat line: $line")
+      val opt = (s: String) => if (s == "-") None else Some(b64d(s))
+      (b64d(parts(1)), b64d(parts(2)),
+        ColStat(opt(parts(3)), opt(parts(4)), parts(5).toLong))
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map { case (_, c, st) => c -> st }.toMap }
+    Manifest(partCols, schema, mapping, stats)
+  }
+
+  /** Exact, portable text rendering of a min/max value for the manifest —
+    * chosen so parse(render(v)) is bit-identical: integral types via
+    * toString (exact), Double/Float via java toString (round-trips by
+    * spec), Date as epoch-day, Timestamp as epoch-µs, String as-is
+    * (base64 at the wire layer handles specials), Decimal via
+    * toPlainString. Types outside this set get NO stats (conservative:
+    * their files are never skipped). */
+  private def renderStat(v: Any): Option[String] = v match {
+    case null => None
+    case b: Byte => Some(b.toString)
+    case s: Short => Some(s.toString)
+    case i: Int => Some(i.toString)
+    case l: Long => Some(l.toString)
+    case f: Float => Some(f.toString)
+    case d: Double => Some(d.toString)
+    case s: String => Some(s)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case t: java.sql.Timestamp =>
+      // epoch-µs: getTime is epoch-ms (already includes whole-ms nanos);
+      // add only the sub-ms remainder
+      Some((t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case t: java.time.Instant =>
+      Some((t.getEpochSecond * 1000000L + t.getNano / 1000L).toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.bigDecimal.toPlainString)
+    case _ => None
+  }
+
+  /** Comparison domain for a rendered stat under its column type; None =
+    * unsupported (never skip). Strings compare as unsigned UTF-8 bytes —
+    * the same binary order Spark's min/max aggregate uses. */
+  private def statOrdering(dt: DataType): Option[(String, String) => Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        // dates render as epoch-days, timestamps as epoch-µs: long compare
+        Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
+      case FloatType | DoubleType =>
+        Some((a, b) => java.lang.Double.compare(a.toDouble, b.toDouble))
+      case StringType => Some { (a, b) =>
+        val x = a.getBytes(StandardCharsets.UTF_8)
+        val y = b.getBytes(StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var c = 0
+        while (i < n && c == 0) {
+          c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          i += 1
+        }
+        if (c != 0) c else java.lang.Integer.compare(x.length, y.length)
+      }
+      case _: DecimalType => Some((a, b) =>
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      case _ => None
+    }
   }
 
   /** Table contents at the current (or, with `asOfVersion`, any still-
@@ -124,6 +204,18 @@ object VersionedTable {
     * retires versions beyond its `keepVersions` window). */
   def read(spark: SparkSession, root: String,
            asOfVersion: Option[Int] = None): DataFrame = {
+    val m = resolveManifest(spark, root, asOfVersion)
+    m.mapping.toSeq.groupBy(_._2).map { case (gen, parts) =>
+      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+        .parquet(parts.map { case (p, _) => s"$root/$gen/$p" }: _*)
+    }.reduce(_.unionByName(_))
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Committed-version resolution + manifest parse shared by [[read]] and
+    * [[readWhere]]. */
+  private def resolveManifest(spark: SparkSession, root: String,
+                              asOfVersion: Option[Int]): Manifest = {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val v = asOfVersion.getOrElse(cur)
@@ -139,12 +231,87 @@ object VersionedTable {
     // bare empty.reduceLeft a reduce would throw
     if (m.mapping.isEmpty)
       throw new IllegalStateException(
-        s"$root@v$v is committed but holds no partitions (empty table)")
-    m.mapping.toSeq.groupBy(_._2).map { case (gen, parts) =>
+        s"$root@v${asOfVersion.getOrElse(cur)} is committed but holds no " +
+          "partitions (empty table)")
+    m
+  }
+
+  /** Range read with manifest-level FILE SKIPPING: rows of the table where
+    * `column` lies in [lower, upper] (inclusive, typed like the column),
+    * scanning only the data files whose recorded min/max range overlaps
+    * the predicate — the sub-partition half of scan pruning that makes a
+    * needle query on a 100 TB table touch megabytes (the same mechanism
+    * as Delta/Iceberg data skipping; partition-dir pruning covers the
+    * partition columns, this covers the CLUSTERED data columns). Files
+    * whose stats say only-nulls are skipped (a range predicate never
+    * matches NULL); files or generations without stats for `column` are
+    * scanned — pruning is strictly an optimization, and the residual
+    * filter applies regardless, so results equal read().filter(...) even
+    * with absent, stale-typed, or partial stats. */
+  def readWhere(spark: SparkSession, root: String, column: String,
+                lower: Any, upper: Any,
+                asOfVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val m = resolveManifest(spark, root, asOfVersion)
+    require(m.schema.fieldNames.contains(column),
+      s"column $column is not in the table schema")
+    val predicate = col(column) >= lit(lower) && col(column) <= lit(upper)
+    val cmp = statOrdering(m.schema(column).dataType)
+    val loR = renderStat(lower)
+    val hiR = renderStat(upper)
+    if (cmp.isEmpty || loR.isEmpty || hiR.isEmpty)
+      return read(spark, root, asOfVersion).filter(predicate)
+    val overlaps = (s: ColStat) => (s.min, s.max) match {
+      case (Some(mn), Some(mx)) =>
+        cmp.get(mn, hiR.get) <= 0 && cmp.get(mx, loR.get) >= 0
+      case _ => false // only nulls in this file: range can't match
+    }
+    // per partition dir: files with stats are individually skippable;
+    // a dir with NO stats coverage scans whole (stats are recorded
+    // all-or-none per generation write, so coverage is per-dir uniform)
+    val scanPaths: Seq[(String, String)] = m.mapping.toSeq.flatMap {
+      case (rel, gen) =>
+        val prefix = s"$gen/$rel/"
+        val dirFiles = m.stats.iterator
+          .filter { case (f, _) => f.startsWith(prefix) }.toSeq
+        if (dirFiles.isEmpty || dirFiles.forall(!_._2.contains(column)))
+          Seq(gen -> s"$root/$gen/$rel")
+        else dirFiles.collect {
+          case (f, cols) if cols.get(column).forall(overlaps) =>
+            gen -> s"$root/$f"
+        }
+    }
+    if (scanPaths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    scanPaths.groupBy(_._1).map { case (gen, paths) =>
       spark.read.schema(m.schema).option("basePath", s"$root/$gen")
-        .parquet(parts.map { case (p, _) => s"$root/$gen/$p" }: _*)
+        .parquet(paths.map(_._2): _*)
     }.reduce(_.unionByName(_))
       .select(m.schema.fieldNames.map(col).toSeq: _*)
+      .filter(predicate)
+  }
+
+  /** How many data files [[readWhere]] would scan vs the version's total
+    * — the observable for tests and ops dashboards ("did skipping
+    * bite?"). */
+  private[graft] def skipStats(spark: SparkSession, root: String,
+                               column: String, lower: Any, upper: Any,
+                               asOfVersion: Option[Int] = None): (Int, Int) = {
+    val m = resolveManifest(spark, root, asOfVersion)
+    val cmp = statOrdering(m.schema(column).dataType)
+    val loR = renderStat(lower)
+    val hiR = renderStat(upper)
+    val total = m.stats.size
+    if (cmp.isEmpty || loR.isEmpty || hiR.isEmpty) return (total, total)
+    val kept = m.stats.count { case (_, cols) =>
+      cols.get(column).forall { s => (s.min, s.max) match {
+        case (Some(mn), Some(mx)) =>
+          cmp.get(mn, hiR.get) <= 0 && cmp.get(mx, loR.get) >= 0
+        case _ => false
+      }}
+    }
+    (kept, total)
   }
 
   /** Walk the nested `c1=v1/c2=v2/...` leaf dirs a partitioned write
@@ -160,17 +327,60 @@ object VersionedTable {
     walk(base, Vector.empty, 0)
   }
 
+  /** Per-file min/max/null-count for `statsCols` over the data files just
+    * written under `$root/$genDir`: ONE delta-sized aggregation grouped by
+    * `_metadata.file_path` (the files were written moments ago — page-
+    * cache hot; at 100 TB this is O(|delta|), amortized noise next to the
+    * write itself). File keys render relative to root
+    * ("genN/<part dirs>/<file>"), percent-decoded to the raw on-disk
+    * names with the same '+' guard as Merge.readTouchedDirs. Columns
+    * absent from this generation's schema or with no exact rendering get
+    * no entry (their files are never skipped — conservative). */
+  private def collectFileStats(spark: SparkSession, root: String,
+                               genDir: String, partCols: Seq[String],
+                               statsCols: Seq[String])
+      : Map[String, Map[String, ColStat]] = {
+    import org.apache.spark.sql.functions._
+    if (statsCols.isEmpty) return Map.empty
+    val depth = partCols.length + 2 // gen / <part dirs...> / <file>
+    val df = spark.read.parquet(s"$root/$genDir")
+    val present = statsCols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap { c => Seq(
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      count(when(col(c).isNull, 1)).as(s"__nulls_$c")) }
+    val rows = df
+      .withColumn("__file", url_decode(replace(
+        substring_index(col("_metadata.file_path"), "/", -depth),
+        lit("+"), lit("%2B"))))
+      .groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      r.getAs[String]("__file") -> present.map { c =>
+        c -> ColStat(renderStat(r.getAs[Any](s"__min_$c")),
+          renderStat(r.getAs[Any](s"__max_$c")),
+          r.getAs[Long](s"__nulls_$c"))
+      }.toMap
+    }.toMap
+  }
+
+  /** What a [[stageVersion]] `stage` callback hands back for the
+    * manifest. */
+  private case class Staged(partCols: Seq[String], schema: StructType,
+                            mapping: Map[String, String],
+                            stats: Map[String, Map[String, ColStat]])
+
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
     * concurrency guard — of two racing writers exactly one wins), run
     * `stage` (which writes `$root/gen<next>` and returns the manifest's
-    * partCols/schema/mapping), then fill in the v2 manifest. On ANY
-    * failure the claim AND the half-staged generation dir are retracted
-    * — only the claim owner may do this — so an immediate retry starts
-    * clean instead of tripping over its own leftovers ('path already
-    * exists' on the gen dir was exactly that bug). */
+    * partCols/schema/mapping/file-stats), then fill in the v2 manifest.
+    * On ANY failure the claim AND the half-staged generation dir are
+    * retracted — only the claim owner may do this — so an immediate retry
+    * starts clean instead of tripping over its own leftovers ('path
+    * already exists' on the gen dir was exactly that bug). */
   private def stageVersion(fs: FileSystem, root: String, next: Int)
-      (stage: String => (Seq[String], StructType, Map[String, String])): Int = {
+      (stage: String => Staged): Int = {
     val genDir = s"gen$next"
     val manifestPath = new Path(root, s"_manifest.$next")
     if (fs.exists(manifestPath))
@@ -183,13 +393,21 @@ object VersionedTable {
         throw new IllegalStateException(
           s"lost the staging race for version $next at $root", e) }
     try {
-      val (partCols, schema, mapping) = stage(genDir)
+      val st = stage(genDir)
+      val b64 = (s: String) => java.util.Base64.getEncoder
+        .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+      val opt = (o: Option[String]) => o.fold("-")(b64)
       val header = s"#graft-manifest\t2\n" +
-        s"#partcols\t${partCols.mkString("\t")}\n" +
-        s"#schema\t${schema.json}\n"
-      val body = mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
+        s"#partcols\t${st.partCols.mkString("\t")}\n" +
+        s"#schema\t${st.schema.json}\n"
+      val statLines = st.stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, s) =>
+          s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\n"
+        }
+      }.mkString
+      val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
-      out.write((header + body).getBytes(StandardCharsets.UTF_8))
+      out.write((header + statLines + body).getBytes(StandardCharsets.UTF_8))
       out.close()
       next
     } catch { case t: Throwable =>
@@ -208,10 +426,15 @@ object VersionedTable {
     * steps; production callers use [[upsert]]. */
   private[graft] def prepare(spark: SparkSession, root: String,
                              updates: DataFrame, keys: Seq[String],
-                             partCols: Seq[String]): Int = {
+                             partCols: Seq[String],
+                             statsCols: Seq[String] = Nil,
+                             fileRows: Option[Int] = None): Int = {
     require(partCols.nonEmpty, "at least one partition column")
     partCols.foreach(c => require(keys.contains(c),
       s"partition column $c must be part of the merge key"))
+    statsCols.foreach(c => require(!partCols.contains(c),
+      s"stats column $c is a partition column — partition pruning already " +
+        "covers it exactly"))
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root)
     val next = cur.map(_ + 1).getOrElse(0)
@@ -251,11 +474,33 @@ object VersionedTable {
             updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
           updates.unionByName(survivors, allowMissingColumns = true)
         }
-      // one writer per partition (see Merge.upsertParquetPruned note)
-      merged.repartition(partCols.map(col): _*)
-        .write.partitionBy(partCols: _*).parquet(s"$root/$genDir")
+      // one writer per partition (see Merge.upsertParquetPruned note);
+      // with statsCols, cluster within the partition on them so each data
+      // file covers a TIGHT value range — that's what makes min/max file
+      // skipping bite (liquid-clustering-lite); fileRows splits hot
+      // partitions into several skippable files instead of one wide one
+      val oneWriterPerPart = merged.repartition(partCols.map(col): _*)
+      val clustered =
+        if (statsCols.isEmpty) oneWriterPerPart
+        else oneWriterPerPart.sortWithinPartitions(
+          (partCols ++ statsCols).map(col): _*)
+      val writer = fileRows.foldLeft(clustered.write)(
+        (w, n) => w.option("maxRecordsPerFile", n.toLong))
+      writer.partitionBy(partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), partCols)
-      (partCols, merged.schema, priorMapping ++ written.map(_ -> genDir))
+      val newMapping = priorMapping ++ written.map(_ -> genDir)
+      // stats carry-forward: a prior file's stats survive iff its
+      // (generation, partition dir) is still what the NEW mapping points
+      // at — replaced partitions drop their old files' stats with them
+      val liveDirPrefixes = newMapping.toSeq
+        .map { case (rel, gen) => s"$gen/$rel/" }.toSet
+      val carried = prior.map(_.stats).getOrElse(Map.empty).filter {
+        case (fileRel, _) =>
+          val dirOf = fileRel.lastIndexOf('/')
+          dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
+      }
+      val fresh = collectFileStats(spark, root, genDir, partCols, statsCols)
+      Staged(partCols, merged.schema, newMapping, carried ++ fresh)
     }
   }
 
@@ -270,10 +515,19 @@ object VersionedTable {
     out.close()
   }
 
-  /** Partition-pruned MERGE as an atomic table-version bump. */
+  /** Partition-pruned MERGE as an atomic table-version bump. With
+    * `statsCols`, the written files are clustered on those columns and
+    * per-file min/max/null-count lands in the manifest — [[readWhere]]
+    * then skips whole files whose range misses a predicate, the
+    * sub-partition half of scan pruning (partition dirs prune the other
+    * half). `fileRows` caps rows per data file so hot partitions split
+    * into several independently skippable files. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-             keys: Seq[String], partCols: Seq[String]): Unit =
-    publish(spark, root, prepare(spark, root, updates, keys, partCols))
+             keys: Seq[String], partCols: Seq[String],
+             statsCols: Seq[String] = Nil,
+             fileRows: Option[Int] = None): Unit =
+    publish(spark, root,
+      prepare(spark, root, updates, keys, partCols, statsCols, fileRows))
 
   /** Single-partition-column convenience overload. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
@@ -356,17 +610,27 @@ object VersionedTable {
     * commit protocol (claim → stage → marker) is the same as
     * [[prepare]]/[[publish]], so compaction never blocks readers and a
     * crash mid-compact leaves only orphans for [[vacuum]]. */
-  def compact(spark: SparkSession, root: String): Int = {
+  def compact(spark: SparkSession, root: String,
+              statsCols: Seq[String] = Nil,
+              fileRows: Option[Int] = None): Int = {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
+    statsCols.foreach(c => require(!m.partCols.contains(c),
+      s"stats column $c is a partition column"))
     val next = stageVersion(fs, root, cur + 1) { genDir =>
-      read(spark, root, Some(cur))
+      val base = read(spark, root, Some(cur))
         .repartition(m.partCols.map(col): _*)
-        .write.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
+      val clustered =
+        if (statsCols.isEmpty) base
+        else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
+      val writer = fileRows.foldLeft(clustered.write)(
+        (w, n) => w.option("maxRecordsPerFile", n.toLong))
+      writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
-      (m.partCols, m.schema, written.map(_ -> genDir).toMap)
+      Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
+        collectFileStats(spark, root, genDir, m.partCols, statsCols))
     }
     publish(spark, root, next)
     next

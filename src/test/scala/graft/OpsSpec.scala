@@ -507,6 +507,81 @@ class OpsSpec extends SparkSpec {
       Set("page view", "x:y", "100%", "a=b#c", "a+b", "007"))
   }
 
+  test("VersionedTable file skipping: readWhere scans fewer files, same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtskip").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    // 400 rows, 2 partitions, clustered on v with 25-row files ->
+    // ~8 skippable files per partition, each covering a tight v range
+    val rows = (0 until 400).map(i => (i, s"g${i % 2}", i / 2, s"payload$i"))
+    VersionedTable.upsert(spark, root, rows.toDF("id", "grp", "v", "s"),
+      keys, Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
+    val (kept, total) = VersionedTable.skipStats(spark, root, "v", 40, 59)
+    assert(total >= 8, s"expected several files, got $total")
+    assert(kept < total / 2, s"skipping did not bite: $kept of $total")
+    val got = VersionedTable.readWhere(spark, root, "v", 40, 59)
+      .select($"id", $"grp", $"v", $"s")
+      .as[(Int, String, Int, String)].collect().toSet
+    val want = VersionedTable.read(spark, root)
+      .filter($"v" >= 40 && $"v" <= 59)
+      .select($"id", $"grp", $"v", $"s")
+      .as[(Int, String, Int, String)].collect().toSet
+    assert(got == want && got.size == 40)
+    // empty-overlap predicate: zero files scanned, empty frame, schema kept
+    val none = VersionedTable.readWhere(spark, root, "v", 10000, 10001)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "grp", "v", "s"))
+  }
+
+  test("VersionedTable file skipping: carry-forward, nulls, no-stats columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtskip2").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    def df(rs: Seq[(Int, String, Option[Int])]) =
+      rs.toDF("id", "grp", "v")
+    // v0: two partitions with stats; g1 holds ONLY nulls for v
+    VersionedTable.upsert(spark, root,
+      df((0 until 40).map(i => (i, "g0", Some(i))) ++
+        (40 until 50).map(i => (i, "g1", None))),
+      keys, Seq("grp"), statsCols = Seq("v"), fileRows = Some(20))
+    // v1 touches ONLY g1 -> g0's stats must carry forward in v1's manifest
+    VersionedTable.upsert(spark, root,
+      df(Seq((40, "g1", Some(500)))),
+      keys, Seq("grp"), statsCols = Seq("v"))
+    val (kept, total) = VersionedTable.skipStats(spark, root, "v", 5, 15)
+    assert(kept < total, s"carried stats should still skip: $kept/$total")
+    val got = VersionedTable.readWhere(spark, root, "v", 5, 15)
+      .select($"id").as[Int].collect().toSet
+    assert(got == (5 to 15).toSet)
+    // all-null files skip for any range; the v=500 row is found despite
+    // living in a partition whose v0 files were all-null
+    assert(VersionedTable.readWhere(spark, root, "v", 400, 600)
+      .select($"id").as[Int].collect().toSeq == Seq(40))
+    // a column with NO recorded stats falls back to scan-everything and
+    // still filters correctly
+    assert(VersionedTable.readWhere(spark, root, "id", 7, 9)
+      .select($"id").as[Int].collect().toSet == Set(7, 8, 9))
+    // time travel reads v0's own stats (the 500 row doesn't exist yet)
+    assert(VersionedTable.readWhere(spark, root, "v", 400, 600,
+      asOfVersion = Some(0)).count() == 0)
+  }
+
+  test("VersionedTable.compact recomputes stats; skipping works post-compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtskip3").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    VersionedTable.upsert(spark, root,
+      (0 until 200).map(i => (i, s"g${i % 2}", i)).toDF("id", "grp", "v"),
+      keys, Seq("grp"), statsCols = Seq("v"), fileRows = Some(20))
+    VersionedTable.compact(spark, root, statsCols = Seq("v"),
+      fileRows = Some(50))
+    val (kept, total) = VersionedTable.skipStats(spark, root, "v", 0, 30)
+    assert(total >= 4 && kept < total,
+      s"post-compact skipping did not bite: $kept/$total")
+    assert(VersionedTable.readWhere(spark, root, "v", 0, 30)
+      .count() == 31)
+  }
+
   test("VersionedTable.changeFeed: insert/update/delete + schema evolution") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtcdf").toString
     val root = s"$dir/table"
