@@ -1935,6 +1935,17 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Same exact 0.7-threshold pair set a third way: PPJoin-style prefix
+    * filtering (rarest-first global order, per-doc prefix exposure, exact
+    * verify on candidates only) — deterministic equality to the all-pairs
+    * result, no banding recall contract. Oracle = the q_dedup_jaccard SQL
+    * at the 0.7 threshold, so DuckDB recomputes the full exact pair set
+    * independently. */
+  private def qDedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.prefixJaccardPairs(docShingles(s, dir),
+        Some(docBlocks(s, dir, "lang")), minJaccard = 0.7)
+      .withColumn("jaccard", r6(col("jaccard")))
+
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     FuzzyDedup.exactDupGroups(tbl(s, dir, "documents"), "doc_id", "text")
 
@@ -3008,6 +3019,7 @@ object SparkEntry {
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_verified" -> (qDedupMinhashVerified _),
     "q_dedup_apply" -> (qDedupApply _),
@@ -5827,6 +5839,34 @@ object SparkEntry {
         |JOIN sizes s1 ON s1.id = id1
         |JOIN sizes s2 ON s2.id = id2
         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.1"""
+        .stripMargin,
+
+    "q_dedup_jaccard_prefix" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, lang AS block,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |filt AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT block, shingle FROM sh GROUP BY 1, 2
+        |        HAVING count(*) <= 1000) d
+        |    USING (block, shingle)),
+        |sizes AS (SELECT id, count(*) AS n FROM filt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+        |  FROM filt a JOIN filt b
+        |    ON a.block = b.block AND a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, n_common, s1.n AS n1, s2.n AS n2,
+        |  round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.id = id1
+        |JOIN sizes s2 ON s2.id = id2
+        |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.7"""
         .stripMargin,
 
     "q_approx_distinct" ->

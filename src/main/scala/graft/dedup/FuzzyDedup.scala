@@ -138,6 +138,79 @@ object FuzzyDedup {
     materialized
   }
 
+  /** Exact threshold-Jaccard pair join via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08)
+    * as the high-threshold scale path next to the full shingle self-join
+    * of [[jaccardPairsFromShingles]] (which pays df² per shingle) and
+    * MinHash banding (which carries a probabilistic recall contract).
+    *
+    * Principle: order shingles globally rarest-first (df asc, hash asc).
+    * A pair with jaccard ≥ t needs overlap o ≥ t/(1+t)·(n1+n2), and any
+    * pair that can pass also satisfies the length filter t·n2 ≤ n1 (sizes
+    * within ratio t), which makes o ≥ ceil(t·nᵢ) for BOTH sides — so by
+    * the prefix-filter principle each doc need only EXPOSE its first
+    * nᵢ − ceil(t·nᵢ) + 1 ordered shingles to the candidate join. At
+    * t = 0.7 that is ~35% of rows, and because the RAREST shingles lead
+    * the order, exposed-shingle multiplicity is near 1 exactly where the
+    * full self-join multiplies df². Candidates are then verified with an
+    * exact intersection count over the full (df-capped) shingle table, so
+    * the output EQUALS the all-pairs exact result at ≥ t — deterministic,
+    * no banding miss probability. ceil() is taken on t·n − 1e-9 (rounding
+    * a hairline product DOWN lengthens a prefix — safe direction — never
+    * shortens one). Same block + maxDf semantics as
+    * [[jaccardPairsFromShingles]]; same output schema. */
+  def prefixJaccardPairs(sh: DataFrame, blocks: Option[DataFrame],
+                         minJaccard: Double,
+                         maxDf: Option[Int] = Some(1000)): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1]: $minJaccard")
+    import org.apache.spark.sql.expressions.Window
+    val withBlock = blocks match {
+      case Some(bl) => sh.join(bl, "id")
+        .select(col("id"), col("block"), col("h64").as("shingle"))
+      case None => sh
+        .select(col("id"), lit(1).as("block"), col("h64").as("shingle"))
+    }
+    val dfreq = withBlock.groupBy("block", "shingle")
+      .agg(count(lit(1)).as("df_count"))
+    val capped = maxDf.foldLeft(dfreq)((d, cap) =>
+      d.filter(col("df_count") <= cap))
+    // (id, block, shingle, df) after the cap feeds sizes, the prefix
+    // expansion, AND both verify sides: persist for the call
+    val filtered = withBlock.join(capped, Seq("block", "shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = filtered
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("rn", row_number().over(Window.partitionBy("id")
+        .orderBy(col("df_count"), col("shingle"))))
+    val prefix = sized.filter(
+      col("rn") <= col("n") - ceil(lit(minJaccard) * col("n") - 1e-9) + 1)
+      .select("id", "block", "shingle", "n")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.block") === col("b.block") &&
+        col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id") &&
+        // length filter: sizes within ratio t or the pair can't reach t
+        col("a.n") >= lit(minJaccard) * col("b.n") - 1e-9 &&
+        col("b.n") >= lit(minJaccard) * col("a.n") - 1e-9)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
+    // exact verify: count the FULL intersection for candidate pairs only
+    val s1 = filtered.select(col("id").as("id1"), col("shingle"))
+    val s2 = filtered.select(col("id").as("id2"), col("shingle"))
+    val out = cands.join(s1, "id1").join(s2, Seq("id2", "shingle"))
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
+    val materialized = out.localCheckpoint()
+    filtered.unpersist(false)
+    materialized
+  }
+
   /** Incremental dedup: near-dup pairs between a NEW batch and the existing
     * corpus — the daily-increment shape. The corpus is never self-joined:
     * cost is Σ (probe-df × corpus-df) per shingle within blocks, bounded by

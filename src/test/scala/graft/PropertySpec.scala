@@ -92,6 +92,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardPairs equals driver brute force on random shingle sets") {
+    for ((seed, t) <- Seq((17, 0.5), (41, 0.7))) {
+      val rnd = new Random(seed)
+      // 60 docs over a small hash universe -> plenty of overlapping pairs,
+      // adversarial sizes (tiny docs, near-identical docs, df-heavy keys)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+      for (i <- 0 until 60) {
+        val base = Seq.fill(3 + rnd.nextInt(25))(rnd.nextInt(80).toLong)
+        val set = if (i % 7 == 0 && i > 0)
+          // near-copy of the previous doc with light edits
+          (buf(i - 1)._2 ++ Seq.fill(2)(rnd.nextInt(80).toLong)).distinct
+        else base.distinct
+        buf += ((i.toLong, set))
+      }
+      val docs = buf.toSeq
+      val sh = docs.flatMap { case (id, hs) => hs.map(h => (id, h)) }
+        .toDF("id", "h64")
+      val got = FuzzyDedup.prefixJaccardPairs(sh, None, minJaccard = t,
+          maxDf = None)
+        .select($"id1", $"id2", $"n_common", $"jaccard")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2, r._3)).toSet
+      val sets = docs.map { case (id, hs) => id -> hs.toSet }.toMap
+      val brute = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (sets(a) & sets(b)).size
+        if inter > 0 &&
+          inter.toDouble / (sets(a).size + sets(b).size - inter) >= t
+      } yield (a, b, inter.toLong)).toSet
+      assert(got == brute, s"seed $seed t $t")
+    }
+  }
+
   test("changeFeed matches a driver-side map diff on random version pairs") {
     for (seed <- Seq(13, 31)) {
       val rnd = new Random(seed)
