@@ -1531,6 +1531,32 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Bloom-index point lookup on the versioned table: documents written
+    * partitioned by lang with a per-file Bloom over doc_id (UNCLUSTERED —
+    * files are ordered by n_chars, so min/max ranges on doc_id are wide
+    * and useless) and a needle doc_id fetched through
+    * [[VersionedTable.readWhereEq]] — only files whose bloom might
+    * contain the id are scanned (guard asserts the skip engaged). The
+    * needle is the 7th-smallest doc_id (arbitrary but deterministic);
+    * oracle = the plain SQL point lookup. */
+  private def qVersionedBloom(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_bloom/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val docs = tbl(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    VersionedTable.upsert(s, root, docs, Seq("doc_id", "lang"), Seq("lang"),
+      statsCols = Seq("n_chars"), fileRows = Some(64),
+      bloomCols = Seq("doc_id"))
+    val needle = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(7).collect().last.getLong(0)
+    val (kept, total) = VersionedTable.skipStatsEq(s, root, "doc_id", needle)
+    require(kept < total,
+      s"bloom skipping did not engage: $kept of $total files kept")
+    VersionedTable.readWhereEq(s, root, "doc_id", needle)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Ordered CDC apply over the daily rollup: updates (op=U, seq 1,
     * even-user recompute from Jan 15) then tombstones (op=D, seq 2, dates
     * from Jan 19) — keep-last per (key, date) means D beats U on the
@@ -2981,6 +3007,7 @@ object SparkEntry {
     "q_merge_versioned" -> (qMergeVersioned _),
     "q_merge_changefeed" -> (qMergeChangefeed _),
     "q_versioned_skip" -> (qVersionedSkip _),
+    "q_versioned_bloom" -> (qVersionedBloom _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -5464,6 +5491,11 @@ object SparkEntry {
          |SELECT * FROM daily_all
          |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
       .stripMargin,
+
+    "q_versioned_bloom" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id = (SELECT doc_id FROM documents
+        |                ORDER BY doc_id LIMIT 1 OFFSET 6)""".stripMargin,
     "q_cdc_apply" ->
       s"""WITH daily_all AS (
          |  SELECT event_type, CAST(ts AS DATE) AS date,

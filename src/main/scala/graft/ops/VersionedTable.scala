@@ -87,12 +87,15 @@ object VersionedTable {
                                     nulls: Long)
 
   /** Parsed manifest: partition column names, the version's full schema,
-    * relative partition dir -> generation dir, and per-file column stats
+    * relative partition dir -> generation dir, per-file column stats
     * (file path relative to root -> column -> stat; empty when the
-    * version was written without `statsCols`). */
+    * version was written without `statsCols`), and per-file Bloom
+    * filters for equality skipping (same keying; empty without
+    * `bloomCols`). */
   private case class Manifest(partCols: Seq[String], schema: StructType,
                               mapping: Map[String, String],
-                              stats: Map[String, Map[String, ColStat]])
+                              stats: Map[String, Map[String, ColStat]],
+                              blooms: Map[String, Map[String, Array[Byte]]])
 
   private def readManifest(fs: FileSystem, root: String,
                            version: Int): Manifest = {
@@ -129,7 +132,14 @@ object VersionedTable {
         ColStat(opt(parts(3)), opt(parts(4)), parts(5).toLong))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, st) => c -> st }.toMap }
-    Manifest(partCols, schema, mapping, stats)
+    val blooms = lines.filter(_.startsWith("#filebloom\t")).map { line =>
+      val parts = line.split("\t", -1)
+      require(parts.length == 4, s"malformed #filebloom line: $line")
+      (b64d(parts(1)), b64d(parts(2)),
+        java.util.Base64.getDecoder.decode(parts(3)))
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map { case (_, c, b) => c -> b }.toMap }
+    Manifest(partCols, schema, mapping, stats, blooms)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -292,6 +302,112 @@ object VersionedTable {
       .filter(predicate)
   }
 
+  /** Driver-side twin of the xxhash64(col) the bloom was built over: the
+    * same Catalyst expression evaluated on the same internal
+    * representation, so executor and driver hash identically by
+    * construction. Returns None when the value has no Catalyst literal
+    * form (never skip). */
+  private def xxh64Of(value: Any, dt: DataType): Option[Long] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      Some(new XxHash64(Seq(Literal.create(value, dt)))
+        .eval(null).asInstanceOf[Long])
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Point-lookup read with manifest-level file skipping on BOTH index
+    * kinds: rows where `column` = `value`, scanning only files whose
+    * min/max range covers the value AND whose Bloom filter (when
+    * recorded via `bloomCols`) might contain it. Min/max needs the
+    * column CLUSTERED to bite; the Bloom bites on UNCLUSTERED
+    * high-cardinality columns — a needle id lookup in a corpus lake —
+    * at ~1 KB of manifest per file per column, with false positives
+    * costing only an extra scanned file (no false negatives: Spark's own
+    * split-block bloom, probed by the identical xxhash64 expression
+    * driver-side). Files without either index scan normally and the
+    * residual filter always applies, so the result equals
+    * read().filter(col === value) regardless of index coverage. */
+  def readWhereEq(spark: SparkSession, root: String, column: String,
+                  value: Any,
+                  asOfVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val m = resolveManifest(spark, root, asOfVersion)
+    require(m.schema.fieldNames.contains(column),
+      s"column $column is not in the table schema")
+    val predicate = col(column) === lit(value)
+    if (value == null)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    val dt = m.schema(column).dataType
+    val cmp = statOrdering(dt)
+    val vR = renderStat(value)
+    val hash = xxh64Of(value, dt)
+    val rangeKeeps = (s: ColStat) => (cmp, vR, s.min, s.max) match {
+      case (Some(c), Some(v), Some(mn), Some(mx)) =>
+        c(mn, v) <= 0 && c(mx, v) >= 0
+      case (Some(_), Some(_), None, None) => false // all-null file
+      case _ => true
+    }
+    val bloomKeeps = (bytes: Array[Byte]) => hash match {
+      case Some(h) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(h)
+      case None => true
+    }
+    val fileKeeps = (f: String) =>
+      m.stats.get(f).flatMap(_.get(column)).forall(rangeKeeps) &&
+        m.blooms.get(f).flatMap(_.get(column)).forall(bloomKeeps)
+    val indexed = (f: String) =>
+      m.stats.get(f).exists(_.contains(column)) ||
+        m.blooms.get(f).exists(_.contains(column))
+    val scanPaths: Seq[(String, String)] = m.mapping.toSeq.flatMap {
+      case (rel, gen) =>
+        val prefix = s"$gen/$rel/"
+        val known = (m.stats.keySet ++ m.blooms.keySet)
+          .filter(_.startsWith(prefix)).toSeq
+        if (known.isEmpty || !known.exists(indexed))
+          Seq(gen -> s"$root/$gen/$rel")
+        else known.collect { case f if fileKeeps(f) => gen -> s"$root/$f" }
+    }
+    if (scanPaths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    scanPaths.groupBy(_._1).map { case (gen, paths) =>
+      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+        .parquet(paths.map(_._2).distinct: _*)
+    }.reduce(_.unionByName(_))
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+      .filter(predicate)
+  }
+
+  /** [[readWhereEq]]'s skip observability: (files kept, files indexed). */
+  private[graft] def skipStatsEq(spark: SparkSession, root: String,
+                                 column: String, value: Any,
+                                 asOfVersion: Option[Int] = None): (Int, Int) = {
+    val m = resolveManifest(spark, root, asOfVersion)
+    val dt = m.schema(column).dataType
+    val cmp = statOrdering(dt)
+    val vR = renderStat(value)
+    val hash = xxh64Of(value, dt)
+    val files = (m.stats.keySet ++ m.blooms.keySet).toSeq
+    val kept = files.count { f =>
+      val rangeOk = m.stats.get(f).flatMap(_.get(column)).forall { s =>
+        (cmp, vR, s.min, s.max) match {
+          case (Some(c), Some(v), Some(mn), Some(mx)) =>
+            c(mn, v) <= 0 && c(mx, v) >= 0
+          case (Some(_), Some(_), None, None) => false
+          case _ => true
+        }
+      }
+      val bloomOk = m.blooms.get(f).flatMap(_.get(column)).forall { b =>
+        hash.forall(h => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(h))
+      }
+      rangeOk && bloomOk
+    }
+    (kept, files.size)
+  }
+
   /** How many data files [[readWhere]] would scan vs the version's total
     * — the observable for tests and ops dashboards ("did skipping
     * bite?"). */
@@ -338,37 +454,64 @@ object VersionedTable {
     * no entry (their files are never skipped — conservative). */
   private def collectFileStats(spark: SparkSession, root: String,
                                genDir: String, partCols: Seq[String],
-                               statsCols: Seq[String])
-      : Map[String, Map[String, ColStat]] = {
+                               statsCols: Seq[String],
+                               bloomCols: Seq[String] = Nil,
+                               bloomBits: Long = 8192L)
+      : (Map[String, Map[String, ColStat]],
+         Map[String, Map[String, Array[Byte]]]) = {
     import org.apache.spark.sql.functions._
-    if (statsCols.isEmpty) return Map.empty
+    if (statsCols.isEmpty && bloomCols.isEmpty) return (Map.empty, Map.empty)
     val depth = partCols.length + 2 // gen / <part dirs...> / <file>
     val df = spark.read.parquet(s"$root/$genDir")
     val present = statsCols.filter(df.columns.contains)
-    if (present.isEmpty) return Map.empty
-    val aggs = present.flatMap { c => Seq(
+    val presentBloom = bloomCols.filter(df.columns.contains)
+    if (present.isEmpty && presentBloom.isEmpty) return (Map.empty, Map.empty)
+    val statAggs = present.flatMap { c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
       count(when(col(c).isNull, 1)).as(s"__nulls_$c")) }
+    // split-block bloom over xxhash64(col) per file — Spark's own
+    // BloomFilterAggregate (the InjectRuntimeFilter machinery), here as a
+    // grouped aggregate; ~bloomBits/8 bytes per file per column in the
+    // manifest, false positives only cost an extra scanned file
+    val bloomAggs = presentBloom.map { c =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              xxhash64(col(c))),
+            CLit(bloomBits / 8), CLit(bloomBits))
+          .toAggregateExpression()).as(s"__bloom_$c")
+    }
+    val aggs = statAggs ++ bloomAggs
     val rows = df
       .withColumn("__file", url_decode(replace(
         substring_index(col("_metadata.file_path"), "/", -depth),
         lit("+"), lit("%2B"))))
       .groupBy("__file").agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { r =>
+    val stats = rows.map { r =>
       r.getAs[String]("__file") -> present.map { c =>
         c -> ColStat(renderStat(r.getAs[Any](s"__min_$c")),
           renderStat(r.getAs[Any](s"__max_$c")),
           r.getAs[Long](s"__nulls_$c"))
       }.toMap
     }.toMap
+    val blooms = rows.map { r =>
+      r.getAs[String]("__file") -> presentBloom.flatMap { c =>
+        Option(r.getAs[Array[Byte]](s"__bloom_$c")).map(c -> _)
+      }.toMap
+    }.filter(_._2.nonEmpty).toMap
+    (stats, blooms)
   }
 
   /** What a [[stageVersion]] `stage` callback hands back for the
     * manifest. */
   private case class Staged(partCols: Seq[String], schema: StructType,
                             mapping: Map[String, String],
-                            stats: Map[String, Map[String, ColStat]])
+                            stats: Map[String, Map[String, ColStat]],
+                            blooms: Map[String, Map[String, Array[Byte]]] =
+                              Map.empty)
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -405,9 +548,16 @@ object VersionedTable {
           s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\n"
         }
       }.mkString
+      val bloomLines = st.blooms.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, b) =>
+          s"#filebloom\t${b64(f)}\t${b64(c)}\t" +
+            java.util.Base64.getEncoder.encodeToString(b) + "\n"
+        }
+      }.mkString
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
-      out.write((header + statLines + body).getBytes(StandardCharsets.UTF_8))
+      out.write((header + statLines + bloomLines + body)
+        .getBytes(StandardCharsets.UTF_8))
       out.close()
       next
     } catch { case t: Throwable =>
@@ -428,11 +578,12 @@ object VersionedTable {
                              updates: DataFrame, keys: Seq[String],
                              partCols: Seq[String],
                              statsCols: Seq[String] = Nil,
-                             fileRows: Option[Int] = None): Int = {
+                             fileRows: Option[Int] = None,
+                             bloomCols: Seq[String] = Nil): Int = {
     require(partCols.nonEmpty, "at least one partition column")
     partCols.foreach(c => require(keys.contains(c),
       s"partition column $c must be part of the merge key"))
-    statsCols.foreach(c => require(!partCols.contains(c),
+    (statsCols ++ bloomCols).foreach(c => require(!partCols.contains(c),
       s"stats column $c is a partition column — partition pruning already " +
         "covers it exactly"))
     val fs = fsFor(spark, root)
@@ -494,13 +645,16 @@ object VersionedTable {
       // at — replaced partitions drop their old files' stats with them
       val liveDirPrefixes = newMapping.toSeq
         .map { case (rel, gen) => s"$gen/$rel/" }.toSet
-      val carried = prior.map(_.stats).getOrElse(Map.empty).filter {
+      def carry[A](prev: Map[String, Map[String, A]]) = prev.filter {
         case (fileRel, _) =>
           val dirOf = fileRel.lastIndexOf('/')
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
-      val fresh = collectFileStats(spark, root, genDir, partCols, statsCols)
-      Staged(partCols, merged.schema, newMapping, carried ++ fresh)
+      val (freshStats, freshBlooms) =
+        collectFileStats(spark, root, genDir, partCols, statsCols, bloomCols)
+      Staged(partCols, merged.schema, newMapping,
+        carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
+        carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms)
     }
   }
 
@@ -525,9 +679,11 @@ object VersionedTable {
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              keys: Seq[String], partCols: Seq[String],
              statsCols: Seq[String] = Nil,
-             fileRows: Option[Int] = None): Unit =
+             fileRows: Option[Int] = None,
+             bloomCols: Seq[String] = Nil): Unit =
     publish(spark, root,
-      prepare(spark, root, updates, keys, partCols, statsCols, fileRows))
+      prepare(spark, root, updates, keys, partCols, statsCols, fileRows,
+        bloomCols))
 
   /** Single-partition-column convenience overload. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
@@ -612,12 +768,13 @@ object VersionedTable {
     * crash mid-compact leaves only orphans for [[vacuum]]. */
   def compact(spark: SparkSession, root: String,
               statsCols: Seq[String] = Nil,
-              fileRows: Option[Int] = None): Int = {
+              fileRows: Option[Int] = None,
+              bloomCols: Seq[String] = Nil): Int = {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
-    statsCols.foreach(c => require(!m.partCols.contains(c),
+    (statsCols ++ bloomCols).foreach(c => require(!m.partCols.contains(c),
       s"stats column $c is a partition column"))
     val next = stageVersion(fs, root, cur + 1) { genDir =>
       val base = read(spark, root, Some(cur))
@@ -629,8 +786,11 @@ object VersionedTable {
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
+      val (stats, blooms) =
+        collectFileStats(spark, root, genDir, m.partCols, statsCols,
+          bloomCols)
       Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
-        collectFileStats(spark, root, genDir, m.partCols, statsCols))
+        stats, blooms)
     }
     publish(spark, root, next)
     next

@@ -566,6 +566,50 @@ class OpsSpec extends SparkSpec {
       asOfVersion = Some(0)).count() == 0)
   }
 
+  test("VersionedTable bloom skipping: point lookup on an unclustered column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtbloom").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    // high-cardinality pseudo-random doc ids, NOT clustered (sort order is
+    // v) -> min/max ranges are wide and useless for doc_id equality; the
+    // per-file bloom is what skips
+    val rows = (0 until 400).map { i =>
+      (i, s"g${i % 2}", i / 2, f"doc-${(i * 2654435761L) % 100000}%05d")
+    }
+    VersionedTable.upsert(spark, root,
+      rows.toDF("id", "grp", "v", "doc"), keys, Seq("grp"),
+      statsCols = Seq("v"), fileRows = Some(25), bloomCols = Seq("doc"))
+    val needle = rows(137)._4
+    val (kept, total) = VersionedTable.skipStatsEq(spark, root, "doc", needle)
+    assert(total >= 8, s"expected several files, got $total")
+    assert(kept <= total / 2, s"bloom skipping did not bite: $kept of $total")
+    val got = VersionedTable.readWhereEq(spark, root, "doc", needle)
+      .select($"id").as[Int].collect().toSet
+    assert(got == rows.filter(_._4 == needle).map(_._1).toSet)
+    // a value not in the table: (almost surely) zero files kept, and the
+    // result is empty with the schema intact even if a false positive
+    // keeps a file
+    val miss = VersionedTable.readWhereEq(spark, root, "doc", "doc-xxxxx")
+    assert(miss.count() == 0 &&
+      miss.columns.toSeq == Seq("id", "grp", "v", "doc"))
+    // null lookup: empty by SQL semantics
+    assert(VersionedTable.readWhereEq(spark, root, "doc", null).count() == 0)
+    // equality via readWhereEq on the CLUSTERED stats column uses min/max
+    val viaRange = VersionedTable.readWhereEq(spark, root, "v", 63)
+    assert(viaRange.select($"id").as[Int].collect().toSet ==
+      rows.filter(_._3 == 63).map(_._1).toSet)
+    // blooms carry forward across an upsert touching one partition
+    VersionedTable.upsert(spark, root,
+      Seq((1000, "g1", 999, "doc-zzzzz")).toDF("id", "grp", "v", "doc"),
+      keys, Seq("grp"), statsCols = Seq("v"), bloomCols = Seq("doc"))
+    val g0needle = rows.find(r => r._2 == "g0").get._4
+    val (kept2, total2) =
+      VersionedTable.skipStatsEq(spark, root, "doc", g0needle)
+    assert(kept2 < total2, "carried blooms should still skip")
+    assert(VersionedTable.readWhereEq(spark, root, "doc", "doc-zzzzz")
+      .select($"id").as[Int].collect().toSeq == Seq(1000))
+  }
+
   test("VersionedTable.compact recomputes stats; skipping works post-compact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtskip3").toString
     val root = s"$dir/table"
