@@ -1531,6 +1531,33 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Index-targeted DELETE on the versioned table: same fixture as
+    * q_versioned_skip (partitioned by event_type, clustered + stats on
+    * date), then deleteWhere removes a mid-January window — the file
+    * stats prove which dirs can hold matches, so only those rewrite.
+    * Result = the table AFTER the delete; oracle = the rollup minus the
+    * window. Guard: the delete must commit a new version (it actually
+    * found candidates) and time travel must still see the full v0. */
+  private def qVersionedDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_delete/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val v1 = VersionedTable.deleteWhere(s, root, "date",
+      java.sql.Date.valueOf("2024-01-08"), java.sql.Date.valueOf("2024-01-14"))
+    require(v1 == 1, s"delete did not commit a new version: $v1")
+    require(VersionedTable.read(s, root, Some(0)).count() >
+      VersionedTable.read(s, root).count(), "time travel lost the pre-delete rows")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Bloom-index point lookup on the versioned table: documents written
     * partitioned by lang with a per-file Bloom over doc_id (UNCLUSTERED —
     * files are ordered by n_chars, so min/max ranges on doc_id are wide
@@ -3008,6 +3035,7 @@ object SparkEntry {
     "q_merge_changefeed" -> (qMergeChangefeed _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
+    "q_versioned_delete" -> (qVersionedDelete _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -5490,6 +5518,19 @@ object SparkEntry {
          |  FROM events GROUP BY 1, 2)
          |SELECT * FROM daily_all
          |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    "q_versioned_delete" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM daily_all
+         |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
       .stripMargin,
 
     "q_versioned_bloom" ->

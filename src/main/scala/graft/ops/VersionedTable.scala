@@ -754,6 +754,100 @@ object VersionedTable {
         }: _*)
   }
 
+  /** Targeted DELETE by range predicate — the GDPR/right-to-erasure shape
+    * at lake scale: rows where `column` ∈ [lower, upper] are removed in a
+    * NEW committed version, and the manifest's file statistics decide
+    * which partition dirs can possibly hold matches, so only THOSE dirs
+    * are read and rewritten — untouched dirs keep their mapping (and
+    * byte-identity) exactly like a pruned upsert. Cost is O(|dirs with
+    * candidate files|), located by index instead of a table scan. A dir
+    * left empty by the delete drops out of the mapping (the partition
+    * disappears). NULLs never match a range predicate and always survive.
+    * Prior versions still read the deleted rows via `asOfVersion` until
+    * [[vacuum]] retires them — physical erasure = deleteWhere + vacuum.
+    * Index coverage is preserved: rewritten dirs get fresh stats/blooms
+    * for the same columns the touched files carried. Returns the new
+    * version (or the current one unchanged when no dir can match —
+    * a provable no-op commits nothing). `column` must be a data column;
+    * dropping whole partitions by partition-column value needs no
+    * rewrite at all (filter [[read]] or re-upsert). */
+  def deleteWhere(spark: SparkSession, root: String, column: String,
+                  lower: Any, upper: Any): Int = {
+    import org.apache.spark.sql.functions.lit
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(column),
+      s"column $column is not in the table schema")
+    require(!m.partCols.contains(column),
+      s"$column is a partition column — drop partitions by re-upserting " +
+        "or filtering read(), no file rewrite needed")
+    val cmp = statOrdering(m.schema(column).dataType)
+    val loR = renderStat(lower)
+    val hiR = renderStat(upper)
+    val mayMatch = (s: ColStat) => (cmp, loR, hiR, s.min, s.max) match {
+      case (Some(c), Some(lo), Some(hi), Some(mn), Some(mx)) =>
+        c(mn, hi) <= 0 && c(mx, lo) >= 0
+      case (Some(_), Some(_), Some(_), None, None) => false // all-null file
+      case _ => true // no usable stats: must assume a match
+    }
+    val touched = m.mapping.filter { case (rel, gen) =>
+      val prefix = s"$gen/$rel/"
+      val dirFiles = m.stats.iterator
+        .filter { case (f, _) => f.startsWith(prefix) }.toSeq
+      if (dirFiles.isEmpty || dirFiles.forall(!_._2.contains(column))) true
+      else dirFiles.exists { case (_, cols) =>
+        cols.get(column).forall(mayMatch) }
+    }
+    if (touched.isEmpty) return cur // index proves nothing can match
+    // rewrite ONLY the touched dirs, keeping rows the predicate does not
+    // match (incl. NULLs); stats/bloom coverage is inferred from what the
+    // touched files carried so the rewritten dirs stay indexed
+    val touchedFilePrefix = touched.toSeq
+      .map { case (rel, gen) => s"$gen/$rel/" }
+    val coveredCols = (kind: Map[String, Map[String, _]]) => kind.iterator
+      .filter { case (f, _) => touchedFilePrefix.exists(f.startsWith) }
+      .flatMap(_._2.keys).toSeq.distinct
+    val statsCols = coveredCols(m.stats).filterNot(m.partCols.contains)
+    val bloomCols = coveredCols(m.blooms).filterNot(m.partCols.contains)
+    val next = stageVersion(fs, root, cur + 1) { genDir =>
+      val survivorsByGen = touched.toSeq.groupBy(_._2).map {
+        case (gen, dirs) =>
+          spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+            .parquet(dirs.map { case (rel, _) => s"$root/$gen/$rel" }: _*)
+      }.reduce(_.unionByName(_))
+        .filter(!(col(column) >= lit(lower) && col(column) <= lit(upper)) ||
+          col(column).isNull)
+      val base = survivorsByGen.repartition(m.partCols.map(col): _*)
+      val clustered =
+        if (statsCols.isEmpty) base
+        else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
+      clustered.write.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
+      val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
+      // untouched dirs keep their mapping; touched dirs remap to the new
+      // gen if they still have rows, disappear otherwise
+      val newMapping = (m.mapping -- touched.keys) ++
+        written.map(_ -> genDir)
+      val liveDirPrefixes = newMapping.toSeq
+        .map { case (rel, gen) => s"$gen/$rel/" }.toSet
+      def carry[A](prev: Map[String, Map[String, A]]) = prev.filter {
+        case (fileRel, _) =>
+          val dirOf = fileRel.lastIndexOf('/')
+          dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
+      }
+      val (freshStats, freshBlooms) =
+        if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
+          Map.empty[String, Map[String, Array[Byte]]])
+        else collectFileStats(spark, root, genDir, m.partCols, statsCols,
+          bloomCols)
+      Staged(m.partCols, m.schema, newMapping,
+        carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms)
+    }
+    publish(spark, root, next)
+    next
+  }
+
   /** OPTIMIZE-style maintenance: rewrite the CURRENT version's data into
     * a fresh generation with ONE file per partition and commit it as a
     * new version. Row-identical by construction (the new version is a

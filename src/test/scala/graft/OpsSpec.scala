@@ -610,6 +610,56 @@ class OpsSpec extends SparkSpec {
       .select($"id").as[Int].collect().toSeq == Seq(1000))
   }
 
+  test("VersionedTable.deleteWhere: index-targeted rewrite, untouched dirs intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtdel").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    // grp partitions g0..g3; v clustered per partition with ranges that
+    // OVERLAP the delete window only for g1/g2 — g0 and g3 must not be
+    // read or rewritten
+    val rows = (0 until 400).map { i =>
+      val g = i / 100
+      (i, s"g$g", g * 50 + (i % 100) / 4, if (i % 97 == 0) None else Some(i))
+    }
+    VersionedTable.upsert(spark, root,
+      rows.toDF("id", "grp", "v", "opt"), keys, Seq("grp"),
+      statsCols = Seq("v"), fileRows = Some(25))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
+    def fileIds(rel: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/gen0/$rel")).toSeq
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    val g0Before = fileIds("grp=g0")
+    // delete v in [60, 110]: hits g1 (50..74) and g2 (100..124) only
+    val v1 = VersionedTable.deleteWhere(spark, root, "v", 60, 110)
+    assert(v1 == 1)
+    val after = VersionedTable.read(spark, root)
+      .select($"id", $"v").as[(Int, Int)].collect().toMap
+    val expect = rows.filter(r => r._3 < 60 || r._3 > 110)
+      .map(r => r._1 -> r._3).toMap
+    assert(after == expect)
+    // untouched partition g0's generation files are byte-identical
+    assert(fileIds("grp=g0") == g0Before)
+    // time travel still sees the deleted rows until vacuum
+    assert(VersionedTable.read(spark, root, Some(0)).count() == 400)
+    // rewritten dirs keep index coverage: skipping still works post-delete
+    val (kept, total) = VersionedTable.skipStats(spark, root, "v", 0, 10)
+    assert(kept < total, s"post-delete stats missing: $kept/$total")
+    // a delete whose range no file can hold is a provable no-op: no new
+    // version committed
+    assert(VersionedTable.deleteWhere(spark, root, "v", 5000, 6000) == 1)
+    // NULL v rows survive any delete
+    assert(VersionedTable.read(spark, root)
+      .filter($"v".isNull).count() == 0) // v is non-null in this fixture
+    val optNulls = VersionedTable.read(spark, root)
+      .filter($"opt".isNull).count()
+    VersionedTable.deleteWhere(spark, root, "opt", 0, 1000000)
+    assert(VersionedTable.read(spark, root)
+      .filter($"opt".isNull).count() == optNulls)
+    assert(VersionedTable.read(spark, root)
+      .filter($"opt".isNotNull).count() == 0)
+  }
+
   test("VersionedTable.compact recomputes stats; skipping works post-compact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtskip3").toString
     val root = s"$dir/table"
