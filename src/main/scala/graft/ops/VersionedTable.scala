@@ -505,6 +505,18 @@ object VersionedTable {
     (stats, blooms)
   }
 
+  /** Bloom sizing: 0 = auto — ~10 bits per expected row (≈1% false-
+    * positive rate, the standard trade) when `fileRows` bounds the file,
+    * else 64 Ki bits (8 KB — right for the multi-thousand-row files this
+    * engine writes; at production 128 MB/1M-row files blooms belong in
+    * sidecar objects referenced by the manifest, same protocol). An
+    * UNDERSIZED bloom silently stops skipping — at 4 bits/row the
+    * false-positive rate is ~20% and a unique needle keeps a third of
+    * the files (measured in VersionedScaleProbe before this sizing). */
+  private def sizedBloomBits(bloomBits: Long, fileRows: Option[Int]): Long =
+    if (bloomBits > 0) bloomBits
+    else fileRows.fold(65536L)(r => math.max(8192L, r.toLong * 10))
+
   /** What a [[stageVersion]] `stage` callback hands back for the
     * manifest. */
   private case class Staged(partCols: Seq[String], schema: StructType,
@@ -579,7 +591,8 @@ object VersionedTable {
                              partCols: Seq[String],
                              statsCols: Seq[String] = Nil,
                              fileRows: Option[Int] = None,
-                             bloomCols: Seq[String] = Nil): Int = {
+                             bloomCols: Seq[String] = Nil,
+                             bloomBits: Long = 0L): Int = {
     require(partCols.nonEmpty, "at least one partition column")
     partCols.foreach(c => require(keys.contains(c),
       s"partition column $c must be part of the merge key"))
@@ -651,7 +664,8 @@ object VersionedTable {
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
       val (freshStats, freshBlooms) =
-        collectFileStats(spark, root, genDir, partCols, statsCols, bloomCols)
+        collectFileStats(spark, root, genDir, partCols, statsCols, bloomCols,
+          sizedBloomBits(bloomBits, fileRows))
       Staged(partCols, merged.schema, newMapping,
         carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
         carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms)
@@ -680,10 +694,11 @@ object VersionedTable {
              keys: Seq[String], partCols: Seq[String],
              statsCols: Seq[String] = Nil,
              fileRows: Option[Int] = None,
-             bloomCols: Seq[String] = Nil): Unit =
+             bloomCols: Seq[String] = Nil,
+             bloomBits: Long = 0L): Unit =
     publish(spark, root,
       prepare(spark, root, updates, keys, partCols, statsCols, fileRows,
-        bloomCols))
+        bloomCols, bloomBits))
 
   /** Single-partition-column convenience overload. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
@@ -863,7 +878,8 @@ object VersionedTable {
   def compact(spark: SparkSession, root: String,
               statsCols: Seq[String] = Nil,
               fileRows: Option[Int] = None,
-              bloomCols: Seq[String] = Nil): Int = {
+              bloomCols: Seq[String] = Nil,
+              bloomBits: Long = 0L): Int = {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
@@ -882,7 +898,7 @@ object VersionedTable {
       val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
       val (stats, blooms) =
         collectFileStats(spark, root, genDir, m.partCols, statsCols,
-          bloomCols)
+          bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
         stats, blooms)
     }
