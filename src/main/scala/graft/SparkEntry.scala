@@ -1558,6 +1558,41 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Z-order box query through the versioned table: lineitem points on a
+    * 64x64 grid (l_partkey%64, l_suppkey%64) written z-CLUSTERED with
+    * zval stats; the 2-D box decomposes into z-intervals
+    * (ZOrder.zIntervalsForBox) fed to readWhereIn — each interval tight
+    * against the layout where the single covering z-range would prune
+    * nothing (guard asserts exactly that). Oracle = the plain 2-D box
+    * filter in SQL; the z machinery is internal to the scan. */
+  private def qZorderBox(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_zorder_box/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 64).as("px"), (col("l_suppkey") % 64).as("py"))
+      .withColumn("grp", lit("all"))
+      .withColumn("zval",
+        ZOrder.zValueN(Seq(col("px"), col("py")), bits = 6))
+    VersionedTable.upsert(s, root, li,
+      Seq("l_orderkey", "l_linenumber", "grp"), Seq("grp"),
+      statsCols = Seq("zval"), fileRows = Some(4096))
+    val (xlo, xhi, ylo, yhi) = (20L, 40L, 1L, 30L)
+    val intervals = ZOrder.zIntervalsForBox(xlo, xhi, ylo, yhi, bits = 6,
+      maxIntervals = 32)
+    val (kWide, total) = VersionedTable.skipStats(s, root, "zval",
+      intervals.head._1, intervals.last._2)
+    val kMax = intervals.map { case (lo, hi) =>
+      VersionedTable.skipStats(s, root, "zval", lo, hi)._1 }.max
+    require(total < 2 || kMax < kWide,
+      s"decomposed intervals did not out-prune the wide range " +
+        s"($kMax vs $kWide of $total)")
+    VersionedTable.readWhereIn(s, root, "zval",
+        intervals.map { case (a, b) => (a: Any, b: Any) })
+      .filter(col("px").between(xlo, xhi) && col("py").between(ylo, yhi))
+      .select("l_orderkey", "l_linenumber", "px", "py")
+  }
+
   /** Bloom-index point lookup on the versioned table: documents written
     * partitioned by lang with a per-file Bloom over doc_id (UNCLUSTERED —
     * files are ordered by n_chars, so min/max ranges on doc_id are wide
@@ -3035,6 +3070,7 @@ object SparkEntry {
     "q_merge_changefeed" -> (qMergeChangefeed _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
+    "q_zorder_box" -> (qZorderBox _),
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
@@ -5537,6 +5573,13 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id = (SELECT doc_id FROM documents
         |                ORDER BY doc_id LIMIT 1 OFFSET 6)""".stripMargin,
+
+    "q_zorder_box" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_partkey % 64 AS px, l_suppkey % 64 AS py
+        |FROM lineitem
+        |WHERE l_partkey % 64 BETWEEN 20 AND 40
+        |  AND l_suppkey % 64 BETWEEN 1 AND 30""".stripMargin,
     "q_cdc_apply" ->
       s"""WITH daily_all AS (
          |  SELECT event_type, CAST(ts AS DATE) AS date,

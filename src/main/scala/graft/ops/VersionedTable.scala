@@ -260,21 +260,37 @@ object VersionedTable {
     * with absent, stale-typed, or partial stats. */
   def readWhere(spark: SparkSession, root: String, column: String,
                 lower: Any, upper: Any,
-                asOfVersion: Option[Int] = None): DataFrame = {
+                asOfVersion: Option[Int] = None): DataFrame =
+    readWhereIn(spark, root, column, Seq((lower, upper)), asOfVersion)
+
+  /** Multi-range generalization of [[readWhere]]: rows where `column`
+    * lies in ANY of the closed `ranges`, with files skipped when their
+    * recorded min/max misses EVERY range. This is the read shape
+    * z-order box queries decompose into (ZOrder.zIntervalsForBox): a
+    * 2-D box becomes a handful of z-intervals, each tight against the
+    * z-clustered layout — one wide interval would prune nothing when
+    * the box straddles a high-order quad boundary. Ranges are OR-ed in
+    * the residual filter, so results equal read().filter(any-range)
+    * with or without stats coverage. */
+  def readWhereIn(spark: SparkSession, root: String, column: String,
+                  ranges: Seq[(Any, Any)],
+                  asOfVersion: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    require(ranges.nonEmpty, "at least one range")
     val m = resolveManifest(spark, root, asOfVersion)
     require(m.schema.fieldNames.contains(column),
       s"column $column is not in the table schema")
-    val predicate = col(column) >= lit(lower) && col(column) <= lit(upper)
+    val predicate = ranges.map { case (lo, hi) =>
+      col(column) >= lit(lo) && col(column) <= lit(hi) }.reduce(_ || _)
     val cmp = statOrdering(m.schema(column).dataType)
-    val loR = renderStat(lower)
-    val hiR = renderStat(upper)
-    if (cmp.isEmpty || loR.isEmpty || hiR.isEmpty)
+    val rendered = ranges.map { case (lo, hi) =>
+      (renderStat(lo), renderStat(hi)) }
+    if (cmp.isEmpty || rendered.exists(r => r._1.isEmpty || r._2.isEmpty))
       return read(spark, root, asOfVersion).filter(predicate)
     val overlaps = (s: ColStat) => (s.min, s.max) match {
-      case (Some(mn), Some(mx)) =>
-        cmp.get(mn, hiR.get) <= 0 && cmp.get(mx, loR.get) >= 0
-      case _ => false // only nulls in this file: range can't match
+      case (Some(mn), Some(mx)) => rendered.exists { case (lo, hi) =>
+        cmp.get(mn, hi.get) <= 0 && cmp.get(mx, lo.get) >= 0 }
+      case _ => false // only nulls in this file: no range can match
     }
     // per partition dir: files with stats are individually skippable;
     // a dir with NO stats coverage scans whole (stats are recorded

@@ -70,6 +70,75 @@ object ZOrder {
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions(col("zval"))
 
+  /** Driver-side twin of [[zValue2]] for interval arithmetic. */
+  private def interleave(x: Long, y: Long, bits: Int): Long = {
+    var r = 0L
+    var i = 0
+    while (i < bits) {
+      r |= ((x >> i) & 1L) << (2 * i)
+      r |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    r
+  }
+
+  /** Decompose the z-values of a closed 2-D box [xlo,xhi]×[ylo,yhi] (in
+    * the normalized `bits`-bit grid) into at most `maxIntervals` sorted,
+    * disjoint z-intervals — the query-side half of z-order clustering
+    * (Tropf–Herzog style, via aligned-quad recursion). A z-aligned quad
+    * is a CONTIGUOUS z-range, so the box decomposes exactly into
+    * O(perimeter) quad ranges; under the interval budget, remaining
+    * partial quads coarsen to their covering range (a sound superset —
+    * the residual row filter removes the overshoot, pruning just skips
+    * less). Feed the result to a stats-pruned multi-range read
+    * (VersionedTable.readWhereIn over a z-clustered table): without this
+    * decomposition a box whose corners straddle a high-order quad
+    * boundary degenerates to one wide z-range that prunes nothing. */
+  def zIntervalsForBox(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+                       bits: Int = 16,
+                       maxIntervals: Int = 64): Seq[(Long, Long)] = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    require(xlo <= xhi && ylo <= yhi, "empty box")
+    val lim = (1L << bits) - 1
+    require(xlo >= 0 && xhi <= lim && ylo >= 0 && yhi <= lim,
+      s"box exceeds the $bits-bit grid")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // work stack holds quads in REVERSE z order so we pop in z order;
+    // each quad is (x0, y0, size) with size a power of two, z-aligned
+    var stack = List((0L, 0L, 1L << bits))
+    def quadRange(x0: Long, y0: Long, size: Long): (Long, Long) = {
+      val zmin = interleave(x0, y0, bits)
+      (zmin, zmin + size * size - 1)
+    }
+    while (stack.nonEmpty) {
+      val (x0, y0, size) = stack.head
+      stack = stack.tail
+      val (x1, y1) = (x0 + size - 1, y0 + size - 1)
+      val disjoint = x1 < xlo || x0 > xhi || y1 < ylo || y0 > yhi
+      val contained = x0 >= xlo && x1 <= xhi && y0 >= ylo && y1 <= yhi
+      if (!disjoint) {
+        if (contained || size == 1L ||
+            out.size + stack.size + 4 > maxIntervals) {
+          // exact quad, atomic cell, or budget reached: emit the quad's
+          // covering z-range (exact when contained/atomic)
+          val (a, b) = quadRange(x0, y0, size)
+          // quads arrive in z order: merge with the previous interval
+          // when adjacent or overlapping
+          if (out.nonEmpty && a <= out.last._2 + 1)
+            out(out.size - 1) = (out.last._1, math.max(out.last._2, b))
+          else out += ((a, b))
+        } else {
+          val h = size / 2
+          // children consed z-smallest first (z prefix = ybit<<1 | xbit:
+          // 00, x+h=01, y+h=10, 11) so pops proceed in z order
+          stack = (x0, y0, h) :: (x0 + h, y0, h) :: (x0, y0 + h, h) ::
+            (x0 + h, y0 + h, h) :: stack
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** General N-dimensional interleave: z bit (i·N + j) = bit i of key j.
     * The 2-D magic-mask path (zValue2) is the fast special case; this
     * generic form is N·bits shift/or terms — a constant-size expression

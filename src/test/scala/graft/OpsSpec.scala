@@ -660,6 +660,62 @@ class OpsSpec extends SparkSpec {
       .filter($"opt".isNotNull).count() == 0)
   }
 
+  test("VersionedTable z-box query: decomposed intervals skip, one range doesn't") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtzbox").toString
+    val root = s"$dir/table"
+    // points on a 64x64 grid (6-bit z space), z-clustered into small files
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x * 64 + y, x, y)
+    val z6 = (x: Long, y: Long) => {
+      var r = 0L
+      for (i <- 0 until 6) {
+        r |= ((x >> i) & 1L) << (2 * i); r |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      r
+    }
+    val df = pts.toDF("id", "x", "y")
+      .withColumn("grp", lit("all"))
+      .withColumn("zval", graft.ops.ZOrder.zValueN(Seq($"x", $"y"), bits = 6))
+    VersionedTable.upsert(spark, root, df, Seq("id", "grp"), Seq("grp"),
+      statsCols = Seq("zval"), fileRows = Some(256))
+    // a box straddling the grid's center: its single covering z-range
+    // spans nearly the whole space (prunes ~nothing), the decomposition
+    // prunes hard
+    val (xlo, xhi, ylo, yhi) = (28L, 36L, 30L, 34L)
+    val intervals = graft.ops.ZOrder.zIntervalsForBox(xlo, xhi, ylo, yhi,
+      bits = 6, maxIntervals = 32)
+    val wide = Seq((intervals.head._1, intervals.last._2))
+    val (kWide, tot) = VersionedTable.skipStats(spark, root, "zval",
+      wide.head._1, wide.head._2)
+    val kDecomp = intervals.map { case (lo, hi) =>
+      VersionedTable.skipStats(spark, root, "zval", lo, hi)._1 }.max
+    assert(tot >= 8, s"expected several files, got $tot")
+    assert(kWide > tot / 2,
+      s"fixture broken: the wide range should NOT prune ($kWide/$tot)")
+    assert(kDecomp < kWide,
+      s"decomposition should prune harder than one wide range " +
+        s"($kDecomp vs $kWide of $tot)")
+    val got = VersionedTable.readWhereIn(spark, root, "zval",
+        intervals.map { case (a, b) => (a: Any, b: Any) })
+      .filter($"x".between(xlo, xhi) && $"y".between(ylo, yhi))
+      .select($"id").as[Long].collect().toSet
+    val want = pts.filter(p => p._2 >= xlo && p._2 <= xhi &&
+      p._3 >= ylo && p._3 <= yhi).map(_._1).toSet
+    assert(got == want)
+    // z-interval membership is EXACT at full budget: even without the
+    // residual x/y filter the decomposed read returns exactly the box
+    val intervalsExact = graft.ops.ZOrder.zIntervalsForBox(xlo, xhi, ylo,
+      yhi, bits = 6, maxIntervals = Int.MaxValue)
+    val noResidual = VersionedTable.readWhereIn(spark, root, "zval",
+        intervalsExact.map { case (a, b) => (a: Any, b: Any) })
+      .select($"id").as[Long].collect().toSet
+    assert(noResidual == want)
+    // and every box z-value round-trips through the engine-side zValueN
+    val zCheck = pts.filter(p => want.contains(p._1))
+      .map(p => z6(p._2, p._3)).toSet
+    assert(intervalsExact.flatMap(i => i._1 to i._2).toSet == zCheck)
+  }
+
   test("VersionedTable.compact recomputes stats; skipping works post-compact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtskip3").toString
     val root = s"$dir/table"

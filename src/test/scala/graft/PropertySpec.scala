@@ -125,6 +125,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zIntervalsForBox covers exactly the box z-set on random boxes") {
+    // 6-bit grid: every z-value enumerable, so the claim is checked
+    // exhaustively — unlimited budget decomposes EXACTLY; a tight budget
+    // still covers (superset) within the interval cap
+    def z(x: Long, y: Long): Long = {
+      var r = 0L
+      for (i <- 0 until 6) {
+        r |= ((x >> i) & 1L) << (2 * i)
+        r |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      r
+    }
+    for (seed <- Seq(2, 19, 57)) {
+      val rnd = new Random(seed)
+      for (_ <- 0 until 25) {
+        val (a, b) = (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong)
+        val (c, d) = (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong)
+        val (xlo, xhi) = (math.min(a, b), math.max(a, b))
+        val (ylo, yhi) = (math.min(c, d), math.max(c, d))
+        val boxZ = (for (x <- xlo to xhi; y <- ylo to yhi) yield z(x, y)).toSet
+        val exact = graft.ops.ZOrder.zIntervalsForBox(xlo, xhi, ylo, yhi,
+          bits = 6, maxIntervals = Int.MaxValue)
+        val exactSet = exact.flatMap { case (lo, hi) => lo to hi }.toSet
+        assert(exactSet == boxZ, s"exact decomposition seed $seed " +
+          s"box ($xlo,$xhi,$ylo,$yhi)")
+        // sorted, disjoint, non-adjacent (merged)
+        exact.sliding(2).foreach {
+          case Seq((_, h1), (l2, _)) => assert(h1 + 1 < l2)
+          case _ =>
+        }
+        val budgeted = graft.ops.ZOrder.zIntervalsForBox(xlo, xhi, ylo, yhi,
+          bits = 6, maxIntervals = 8)
+        assert(budgeted.size <= 8)
+        val budgetSet = budgeted.flatMap { case (lo, hi) => lo to hi }.toSet
+        assert(boxZ.subsetOf(budgetSet),
+          s"budgeted cover lost z-values seed $seed")
+      }
+    }
+  }
+
   test("changeFeed matches a driver-side map diff on random version pairs") {
     for (seed <- Seq(13, 31)) {
       val rnd = new Random(seed)
