@@ -1576,7 +1576,7 @@ object SparkEntry {
         ZOrder.zValueN(Seq(col("px"), col("py")), bits = 6))
     VersionedTable.upsert(s, root, li,
       Seq("l_orderkey", "l_linenumber", "grp"), Seq("grp"),
-      statsCols = Seq("zval"), fileRows = Some(4096))
+      statsCols = Seq("zval"), fileRows = Some(16384))
     val (xlo, xhi, ylo, yhi) = (20L, 40L, 1L, 30L)
     val intervals = ZOrder.zIntervalsForBox(xlo, xhi, ylo, yhi, bits = 6,
       maxIntervals = 32)
