@@ -152,6 +152,43 @@ object Merge {
     }
   }
 
+  /** Which of the relative (possibly nested) dir paths exist under
+    * `base` — answered with one listStatus per touched INTERNAL node
+    * instead of one exists() round-trip per leaf. A daily increment
+    * touching thousands of (date, source) leaves under a few hundred
+    * date dirs costs a few hundred listings (each returning all children
+    * at once) instead of thousands of serial ~20-50 ms HEAD calls on an
+    * object store — the same per-leaf driver tax the single multi-path
+    * scan already removed from the read side. */
+  private[graft] def existingDirs(fs: FileSystem, base: Path,
+                                  rels: Seq[String]): Set[String] = {
+    def children(p: Path): Set[String] =
+      try fs.listStatus(p).iterator
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty }
+    def walk(parent: Path, groups: Map[String, Seq[Seq[String]]],
+             prefix: String): Set[String] = {
+      if (groups.isEmpty) return Set.empty
+      val names = children(parent)
+      groups.iterator.flatMap { case (head, tails) =>
+        if (!names.contains(head)) Iterator.empty
+        else {
+          val (done, deeper) = tails.partition(_.isEmpty)
+          val here =
+            if (done.nonEmpty) Iterator(prefix + head) else Iterator.empty
+          val sub = walk(new Path(parent, head),
+            deeper.groupBy(_.head).map { case (h, ts) => h -> ts.map(_.tail) },
+            s"$prefix$head/")
+          here ++ sub.iterator
+        }
+      }.toSet
+    }
+    walk(base,
+      rels.map(_.split("/").toSeq).groupBy(_.head)
+        .map { case (h, ts) => h -> ts.map(_.tail) },
+      "")
+  }
+
   /** ONE multi-path scan over touched partition directories with the
     * update side's EXACT values reattached. The naive shape — one
     * `spark.read.parquet(dir)` relation per touched directory, unioned —
@@ -263,8 +300,8 @@ object Merge {
       return
     }
     val entries = partitionDirEntries(spark, updates, partCols)
-    val live = entries.filter { case (_, rel) =>
-      fs.exists(new Path(tablePath, rel)) }
+    val existing = existingDirs(fs, target, entries.map(_._2))
+    val live = entries.filter { case (_, rel) => existing.contains(rel) }
     val merged =
       if (live.isEmpty) updates // all update partitions are new
       else {

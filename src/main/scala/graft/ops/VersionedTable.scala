@@ -81,10 +81,17 @@ object VersionedTable {
   }
 
   /** Per-file column statistic: canonical-rendered min/max over non-null
-    * values (absent = the file holds only nulls for the column) plus the
-    * null count. Rendered forms are exact — see [[renderStat]]. */
+    * values (absent = the file holds only nulls for the column), the null
+    * count, and the column's DataType JSON AT WRITE TIME. The type tag is
+    * what makes carried-forward stats safe under schema evolution: a
+    * column widened Date→Timestamp leaves old partitions' stats rendered
+    * in epoch-DAYS while queries compare in epoch-µs — without the tag
+    * those files would be silently mis-skipped; with it, a stat whose
+    * recorded type differs from the current schema is simply unusable
+    * (the file scans, pruning degrades, results stay exact). Rendered
+    * forms are exact — see [[renderStat]]. */
   private[graft] case class ColStat(min: Option[String], max: Option[String],
-                                    nulls: Long)
+                                    nulls: Long, dtJson: Option[String])
 
   /** Parsed manifest: partition column names, the version's full schema,
     * relative partition dir -> generation dir, per-file column stats
@@ -126,10 +133,14 @@ object VersionedTable {
       java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
     val stats = lines.filter(_.startsWith("#filestat\t")).map { line =>
       val parts = line.split("\t", -1)
-      require(parts.length == 6, s"malformed #filestat line: $line")
+      // 6 fields = pre-type-tag lines (no tag -> stat unusable for
+      // skipping, file scans); 7 = current
+      require(parts.length == 6 || parts.length == 7,
+        s"malformed #filestat line: $line")
       val opt = (s: String) => if (s == "-") None else Some(b64d(s))
       (b64d(parts(1)), b64d(parts(2)),
-        ColStat(opt(parts(3)), opt(parts(4)), parts(5).toLong))
+        ColStat(opt(parts(3)), opt(parts(4)), parts(5).toLong,
+          parts.lift(6).filter(_ != "-").map(b64d)))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, st) => c -> st }.toMap }
     val blooms = lines.filter(_.startsWith("#filebloom\t")).map { line =>
@@ -246,6 +257,109 @@ object VersionedTable {
     m
   }
 
+  // ----- shared file-skipping core ---------------------------------
+  // One selection function drives every pruned read AND its skip probe,
+  // so a probe can never diverge from what the read actually scans
+  // (hand-kept copies of the keep predicate did diverge once).
+
+  /** A stat usable for pruning: present AND recorded under the column's
+    * CURRENT type (see ColStat's type-tag rationale). */
+  private def usableStat(m: Manifest, f: String, column: String,
+                         dtJson: String): Option[ColStat] =
+    m.stats.get(f).flatMap(_.get(column)).filter(_.dtJson.contains(dtJson))
+
+  /** What a pruned read will scan: whole dirs (no usable index coverage
+    * for the column) + surviving indexed files, with the kept/total
+    * counts over indexed files that the skip probes report. */
+  private case class ScanSelection(wholeDirs: Seq[(String, String)],
+                                   files: Seq[(String, String)],
+                                   kept: Int, indexedTotal: Int)
+
+  private def selectScan(root: String, m: Manifest,
+                         indexed: String => Boolean,
+                         keep: String => Boolean): ScanSelection = {
+    val wholeDirs = Seq.newBuilder[(String, String)]
+    val files = Seq.newBuilder[(String, String)]
+    var kept = 0
+    var total = 0
+    m.mapping.toSeq.foreach { case (rel, gen) =>
+      val prefix = s"$gen/$rel/"
+      val known = (m.stats.keySet ++ m.blooms.keySet)
+        .filter(_.startsWith(prefix)).toSeq.sorted
+      if (known.isEmpty || !known.exists(indexed))
+        wholeDirs += gen -> s"$root/$gen/$rel"
+      else {
+        total += known.size
+        known.foreach { f =>
+          if (keep(f)) { kept += 1; files += gen -> s"$root/$f" } }
+      }
+    }
+    ScanSelection(wholeDirs.result(), files.result(), kept, total)
+  }
+
+  /** Materialize a selection: per-generation multi-path scans under the
+    * manifest schema, residual `predicate` always applied. */
+  private def scanFrom(spark: SparkSession, root: String, m: Manifest,
+                       sel: ScanSelection,
+                       predicate: org.apache.spark.sql.Column): DataFrame = {
+    val paths = sel.wholeDirs ++ sel.files
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else paths.groupBy(_._1).map { case (gen, ps) =>
+      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+        .parquet(ps.map(_._2).distinct: _*)
+    }.reduce(_.unionByName(_))
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+      .filter(predicate)
+  }
+
+  /** Range-keep decision for [[readWhereIn]]/[[skipStats]]: a file
+    * survives when it has no usable stat (conservative) or its recorded
+    * min/max overlaps ANY query range; all-null files are skipped (a
+    * range predicate never matches NULL). */
+  private def rangeKeep(m: Manifest, column: String, dtJson: String,
+                        cmp: (String, String) => Int,
+                        rendered: Seq[(String, String)])
+      : String => Boolean = f =>
+    usableStat(m, f, column, dtJson) match {
+      case None => true
+      case Some(s) => (s.min, s.max) match {
+        case (Some(mn), Some(mx)) => rendered.exists { case (lo, hi) =>
+          cmp(mn, hi) <= 0 && cmp(mx, lo) >= 0 }
+        case _ => false
+      }
+    }
+
+  /** Bloom-keep decision for [[readWhereEq]]/[[skipStatsEq]]. */
+  private def bloomKeep(m: Manifest, column: String, hash: Option[Long])
+      : String => Boolean = f =>
+    m.blooms.get(f).flatMap(_.get(column)).forall { bytes =>
+      hash.forall(h => org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(h))
+    }
+
+  /** Resolve the pieces a range read/probe needs; Left(reason) when stats
+    * cannot prune for this column (unsupported type / unrenderable
+    * bounds) and the caller must fall back to scan-everything. */
+  private def rangeSelection(root: String, m: Manifest, column: String,
+                             ranges: Seq[(Any, Any)])
+      : Option[ScanSelection] = {
+    val dtJson = m.schema(column).dataType.json
+    val cmp = statOrdering(m.schema(column).dataType)
+    val rendered = ranges.map { case (lo, hi) =>
+      (renderStat(lo), renderStat(hi)) }
+    if (cmp.isEmpty || rendered.exists(r => r._1.isEmpty || r._2.isEmpty))
+      None
+    else {
+      val flat = rendered.map { case (lo, hi) => (lo.get, hi.get) }
+      Some(selectScan(root, m,
+        indexed = f => usableStat(m, f, column, dtJson).isDefined,
+        keep = rangeKeep(m, column, dtJson, cmp.get, flat)))
+    }
+  }
+
   /** Range read with manifest-level FILE SKIPPING: rows of the table where
     * `column` lies in [lower, upper] (inclusive, typed like the column),
     * scanning only the data files whose recorded min/max range overlaps
@@ -254,10 +368,11 @@ object VersionedTable {
     * as Delta/Iceberg data skipping; partition-dir pruning covers the
     * partition columns, this covers the CLUSTERED data columns). Files
     * whose stats say only-nulls are skipped (a range predicate never
-    * matches NULL); files or generations without stats for `column` are
-    * scanned — pruning is strictly an optimization, and the residual
-    * filter applies regardless, so results equal read().filter(...) even
-    * with absent, stale-typed, or partial stats. */
+    * matches NULL); files or generations without a stat recorded under
+    * the column's CURRENT type are scanned — pruning is strictly an
+    * optimization, and the residual filter applies regardless, so results
+    * equal read().filter(...) even with absent, evolved-type, or partial
+    * stats. */
   def readWhere(spark: SparkSession, root: String, column: String,
                 lower: Any, upper: Any,
                 asOfVersion: Option[Int] = None): DataFrame =
@@ -282,40 +397,10 @@ object VersionedTable {
       s"column $column is not in the table schema")
     val predicate = ranges.map { case (lo, hi) =>
       col(column) >= lit(lo) && col(column) <= lit(hi) }.reduce(_ || _)
-    val cmp = statOrdering(m.schema(column).dataType)
-    val rendered = ranges.map { case (lo, hi) =>
-      (renderStat(lo), renderStat(hi)) }
-    if (cmp.isEmpty || rendered.exists(r => r._1.isEmpty || r._2.isEmpty))
-      return read(spark, root, asOfVersion).filter(predicate)
-    val overlaps = (s: ColStat) => (s.min, s.max) match {
-      case (Some(mn), Some(mx)) => rendered.exists { case (lo, hi) =>
-        cmp.get(mn, hi.get) <= 0 && cmp.get(mx, lo.get) >= 0 }
-      case _ => false // only nulls in this file: no range can match
+    rangeSelection(root, m, column, ranges) match {
+      case None => read(spark, root, asOfVersion).filter(predicate)
+      case Some(sel) => scanFrom(spark, root, m, sel, predicate)
     }
-    // per partition dir: files with stats are individually skippable;
-    // a dir with NO stats coverage scans whole (stats are recorded
-    // all-or-none per generation write, so coverage is per-dir uniform)
-    val scanPaths: Seq[(String, String)] = m.mapping.toSeq.flatMap {
-      case (rel, gen) =>
-        val prefix = s"$gen/$rel/"
-        val dirFiles = m.stats.iterator
-          .filter { case (f, _) => f.startsWith(prefix) }.toSeq
-        if (dirFiles.isEmpty || dirFiles.forall(!_._2.contains(column)))
-          Seq(gen -> s"$root/$gen/$rel")
-        else dirFiles.collect {
-          case (f, cols) if cols.get(column).forall(overlaps) =>
-            gen -> s"$root/$f"
-        }
-    }
-    if (scanPaths.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    scanPaths.groupBy(_._1).map { case (gen, paths) =>
-      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
-        .parquet(paths.map(_._2): _*)
-    }.reduce(_.unionByName(_))
-      .select(m.schema.fieldNames.map(col).toSeq: _*)
-      .filter(predicate)
   }
 
   /** Driver-side twin of the xxhash64(col) the bloom was built over: the
@@ -330,17 +415,38 @@ object VersionedTable {
         .eval(null).asInstanceOf[Long])
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Selection for a point lookup: min/max range [v,v] AND bloom
+    * membership compose; a file is indexed when EITHER index kind covers
+    * the column. */
+  private def eqSelection(root: String, m: Manifest, column: String,
+                          value: Any): ScanSelection = {
+    val dt = m.schema(column).dataType
+    val dtJson = dt.json
+    val cmp = statOrdering(dt)
+    val vR = renderStat(value)
+    val hash = xxh64Of(value, dt)
+    val rKeep: String => Boolean = (cmp, vR) match {
+      case (Some(c), Some(v)) => rangeKeep(m, column, dtJson, c, Seq((v, v)))
+      case _ => _ => true
+    }
+    val bKeep = bloomKeep(m, column, hash)
+    selectScan(root, m,
+      indexed = f => usableStat(m, f, column, dtJson).isDefined ||
+        m.blooms.get(f).exists(_.contains(column)),
+      keep = f => rKeep(f) && bKeep(f))
+  }
+
   /** Point-lookup read with manifest-level file skipping on BOTH index
     * kinds: rows where `column` = `value`, scanning only files whose
     * min/max range covers the value AND whose Bloom filter (when
     * recorded via `bloomCols`) might contain it. Min/max needs the
     * column CLUSTERED to bite; the Bloom bites on UNCLUSTERED
     * high-cardinality columns — a needle id lookup in a corpus lake —
-    * at ~1 KB of manifest per file per column, with false positives
-    * costing only an extra scanned file (no false negatives: Spark's own
-    * split-block bloom, probed by the identical xxhash64 expression
-    * driver-side). Files without either index scan normally and the
-    * residual filter always applies, so the result equals
+    * at ~10 bits/row of manifest per file per column, with false
+    * positives costing only an extra scanned file (no false negatives:
+    * Spark's own split-block bloom, probed by the identical xxhash64
+    * expression driver-side). Files without either index scan normally
+    * and the residual filter always applies, so the result equals
     * read().filter(col === value) regardless of index coverage. */
   def readWhereEq(spark: SparkSession, root: String, column: String,
                   value: Any,
@@ -349,101 +455,38 @@ object VersionedTable {
     val m = resolveManifest(spark, root, asOfVersion)
     require(m.schema.fieldNames.contains(column),
       s"column $column is not in the table schema")
-    val predicate = col(column) === lit(value)
     if (value == null)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    val dt = m.schema(column).dataType
-    val cmp = statOrdering(dt)
-    val vR = renderStat(value)
-    val hash = xxh64Of(value, dt)
-    val rangeKeeps = (s: ColStat) => (cmp, vR, s.min, s.max) match {
-      case (Some(c), Some(v), Some(mn), Some(mx)) =>
-        c(mn, v) <= 0 && c(mx, v) >= 0
-      case (Some(_), Some(_), None, None) => false // all-null file
-      case _ => true
-    }
-    val bloomKeeps = (bytes: Array[Byte]) => hash match {
-      case Some(h) =>
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-          .mightContainLong(h)
-      case None => true
-    }
-    val fileKeeps = (f: String) =>
-      m.stats.get(f).flatMap(_.get(column)).forall(rangeKeeps) &&
-        m.blooms.get(f).flatMap(_.get(column)).forall(bloomKeeps)
-    val indexed = (f: String) =>
-      m.stats.get(f).exists(_.contains(column)) ||
-        m.blooms.get(f).exists(_.contains(column))
-    val scanPaths: Seq[(String, String)] = m.mapping.toSeq.flatMap {
-      case (rel, gen) =>
-        val prefix = s"$gen/$rel/"
-        val known = (m.stats.keySet ++ m.blooms.keySet)
-          .filter(_.startsWith(prefix)).toSeq
-        if (known.isEmpty || !known.exists(indexed))
-          Seq(gen -> s"$root/$gen/$rel")
-        else known.collect { case f if fileKeeps(f) => gen -> s"$root/$f" }
-    }
-    if (scanPaths.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    scanPaths.groupBy(_._1).map { case (gen, paths) =>
-      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
-        .parquet(paths.map(_._2).distinct: _*)
-    }.reduce(_.unionByName(_))
-      .select(m.schema.fieldNames.map(col).toSeq: _*)
-      .filter(predicate)
+    scanFrom(spark, root, m, eqSelection(root, m, column, value),
+      col(column) === lit(value))
   }
 
-  /** [[readWhereEq]]'s skip observability: (files kept, files indexed). */
+  /** [[readWhereEq]]'s skip observability, derived from the SAME
+    * selection the read scans: (indexed files kept, indexed files
+    * total). */
   private[graft] def skipStatsEq(spark: SparkSession, root: String,
                                  column: String, value: Any,
                                  asOfVersion: Option[Int] = None): (Int, Int) = {
     val m = resolveManifest(spark, root, asOfVersion)
-    val dt = m.schema(column).dataType
-    val cmp = statOrdering(dt)
-    val vR = renderStat(value)
-    val hash = xxh64Of(value, dt)
-    val files = (m.stats.keySet ++ m.blooms.keySet).toSeq
-    val kept = files.count { f =>
-      val rangeOk = m.stats.get(f).flatMap(_.get(column)).forall { s =>
-        (cmp, vR, s.min, s.max) match {
-          case (Some(c), Some(v), Some(mn), Some(mx)) =>
-            c(mn, v) <= 0 && c(mx, v) >= 0
-          case (Some(_), Some(_), None, None) => false
-          case _ => true
-        }
-      }
-      val bloomOk = m.blooms.get(f).flatMap(_.get(column)).forall { b =>
-        hash.forall(h => org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(h))
-      }
-      rangeOk && bloomOk
-    }
-    (kept, files.size)
+    val sel = eqSelection(root, m, column, value)
+    (sel.kept, sel.indexedTotal)
   }
 
-  /** How many data files [[readWhere]] would scan vs the version's total
-    * — the observable for tests and ops dashboards ("did skipping
-    * bite?"). */
+  /** [[readWhere]]'s skip observability, derived from the SAME selection
+    * the read scans — the observable for tests and ops dashboards ("did
+    * skipping bite?"). When stats cannot prune for the column, reports
+    * (total, total). */
   private[graft] def skipStats(spark: SparkSession, root: String,
                                column: String, lower: Any, upper: Any,
                                asOfVersion: Option[Int] = None): (Int, Int) = {
     val m = resolveManifest(spark, root, asOfVersion)
-    val cmp = statOrdering(m.schema(column).dataType)
-    val loR = renderStat(lower)
-    val hiR = renderStat(upper)
-    val total = m.stats.size
-    if (cmp.isEmpty || loR.isEmpty || hiR.isEmpty) return (total, total)
-    val kept = m.stats.count { case (_, cols) =>
-      cols.get(column).forall { s => (s.min, s.max) match {
-        case (Some(mn), Some(mx)) =>
-          cmp.get(mn, hiR.get) <= 0 && cmp.get(mx, loR.get) >= 0
-        case _ => false
-      }}
+    rangeSelection(root, m, column, Seq((lower, upper))) match {
+      case None =>
+        val total = m.stats.size
+        (total, total)
+      case Some(sel) => (sel.kept, sel.indexedTotal)
     }
-    (kept, total)
   }
 
   /** Walk the nested `c1=v1/c2=v2/...` leaf dirs a partitioned write
@@ -510,7 +553,8 @@ object VersionedTable {
       r.getAs[String]("__file") -> present.map { c =>
         c -> ColStat(renderStat(r.getAs[Any](s"__min_$c")),
           renderStat(r.getAs[Any](s"__max_$c")),
-          r.getAs[Long](s"__nulls_$c"))
+          r.getAs[Long](s"__nulls_$c"),
+          Some(df.schema(c).dataType.json))
       }.toMap
     }.toMap
     val blooms = rows.map { r =>
@@ -573,7 +617,7 @@ object VersionedTable {
         s"#schema\t${st.schema.json}\n"
       val statLines = st.stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
         cols.toSeq.sortBy(_._1).map { case (c, s) =>
-          s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\n"
+          s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\t${opt(s.dtJson)}\n"
         }
       }.mkString
       val bloomLines = st.blooms.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -680,8 +724,10 @@ object VersionedTable {
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
       val (freshStats, freshBlooms) =
-        collectFileStats(spark, root, genDir, partCols, statsCols, bloomCols,
-          sizedBloomBits(bloomBits, fileRows))
+        if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
+          Map.empty[String, Map[String, Array[Byte]]])
+        else collectFileStats(spark, root, genDir, partCols, statsCols,
+          bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(partCols, merged.schema, newMapping,
         carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
         carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms)
@@ -797,13 +843,19 @@ object VersionedTable {
     * Prior versions still read the deleted rows via `asOfVersion` until
     * [[vacuum]] retires them — physical erasure = deleteWhere + vacuum.
     * Index coverage is preserved: rewritten dirs get fresh stats/blooms
-    * for the same columns the touched files carried. Returns the new
-    * version (or the current one unchanged when no dir can match —
-    * a provable no-op commits nothing). `column` must be a data column;
-    * dropping whole partitions by partition-column value needs no
-    * rewrite at all (filter [[read]] or re-upsert). */
+    * for the same columns the touched files carried — pass the table's
+    * write-time `fileRows`/`bloomBits` so index QUALITY survives too
+    * (without fileRows a rewritten partition collapses to one wide file
+    * whose min/max prunes nothing; bloom sizing follows
+    * [[sizedBloomBits]]). Returns the new version (or the current one
+    * unchanged when no dir can match — a provable no-op commits
+    * nothing). `column` must be a data column; dropping whole partitions
+    * by partition-column value needs no rewrite at all (filter [[read]]
+    * or re-upsert). */
   def deleteWhere(spark: SparkSession, root: String, column: String,
-                  lower: Any, upper: Any): Int = {
+                  lower: Any, upper: Any,
+                  fileRows: Option[Int] = None,
+                  bloomBits: Long = 0L): Int = {
     import org.apache.spark.sql.functions.lit
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -814,22 +866,21 @@ object VersionedTable {
     require(!m.partCols.contains(column),
       s"$column is a partition column — drop partitions by re-upserting " +
         "or filtering read(), no file rewrite needed")
-    val cmp = statOrdering(m.schema(column).dataType)
-    val loR = renderStat(lower)
-    val hiR = renderStat(upper)
-    val mayMatch = (s: ColStat) => (cmp, loR, hiR, s.min, s.max) match {
-      case (Some(c), Some(lo), Some(hi), Some(mn), Some(mx)) =>
-        c(mn, hi) <= 0 && c(mx, lo) >= 0
-      case (Some(_), Some(_), Some(_), None, None) => false // all-null file
-      case _ => true // no usable stats: must assume a match
-    }
+    // same keep decision as readWhere (type-tagged stats, conservative
+    // fallbacks): a dir is touched when any of its files could hold a
+    // matching row
+    val dtJson = m.schema(column).dataType.json
+    val mayMatch = rangeSelection(root, m, column, Seq((lower, upper)))
+      .map { _ => rangeKeep(m, column, dtJson,
+        statOrdering(m.schema(column).dataType).get,
+        Seq((renderStat(lower).get, renderStat(upper).get))) }
+      .getOrElse((_: String) => true)
     val touched = m.mapping.filter { case (rel, gen) =>
       val prefix = s"$gen/$rel/"
-      val dirFiles = m.stats.iterator
-        .filter { case (f, _) => f.startsWith(prefix) }.toSeq
-      if (dirFiles.isEmpty || dirFiles.forall(!_._2.contains(column))) true
-      else dirFiles.exists { case (_, cols) =>
-        cols.get(column).forall(mayMatch) }
+      val dirFiles = m.stats.keySet.filter(_.startsWith(prefix))
+      val anyUsable = dirFiles.exists(f =>
+        usableStat(m, f, column, dtJson).isDefined)
+      if (!anyUsable) true else dirFiles.exists(mayMatch)
     }
     if (touched.isEmpty) return cur // index proves nothing can match
     // rewrite ONLY the touched dirs, keeping rows the predicate does not
@@ -854,7 +905,9 @@ object VersionedTable {
       val clustered =
         if (statsCols.isEmpty) base
         else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
-      clustered.write.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
+      val writer = fileRows.foldLeft(clustered.write)(
+        (w, n) => w.option("maxRecordsPerFile", n.toLong))
+      writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
       // untouched dirs keep their mapping; touched dirs remap to the new
       // gen if they still have rows, disappear otherwise
@@ -871,7 +924,7 @@ object VersionedTable {
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]])
         else collectFileStats(spark, root, genDir, m.partCols, statsCols,
-          bloomCols)
+          bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, newMapping,
         carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms)
     }

@@ -716,6 +716,69 @@ class OpsSpec extends SparkSpec {
     assert(intervalsExact.flatMap(i => i._1 to i._2).toSet == zCheck)
   }
 
+  test("VersionedTable: stats without a verifiable type tag never prune") {
+    // the type tag is what makes carried stats safe under schema
+    // evolution (Date->Timestamp re-renders epoch-days as epoch-µs);
+    // simulate the unverifiable case by stripping the tag field from the
+    // committed manifest — the reader must treat those stats as unusable
+    // (scan everything, exact results) rather than mis-skip
+    val dir = java.nio.file.Files.createTempDirectory("graft_vttag").toString
+    val root = s"$dir/table"
+    VersionedTable.upsert(spark, root,
+      (0 until 100).map(i => (i, "g0", i)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"),
+      fileRows = Some(20))
+    val (k0, t0) = VersionedTable.skipStats(spark, root, "v", 0, 10)
+    assert(t0 >= 4 && k0 < t0, s"fixture should skip: $k0/$t0")
+    val mf = java.nio.file.Paths.get(root, "_manifest.0")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .split("\n").map { l =>
+        if (l.startsWith("#filestat\t"))
+          l.split("\t", -1).take(6).mkString("\t")
+        else l
+      }.mkString("\n") + "\n"
+    java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar invalidated by the raw rewrite
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "._manifest.0.crc"))
+    val (k1, t1) = VersionedTable.skipStats(spark, root, "v", 0, 10)
+    assert((k1, t1) == (0, 0), s"untagged stats must not be indexed: $k1/$t1")
+    assert(VersionedTable.readWhere(spark, root, "v", 0, 10)
+      .select($"id").as[Int].collect().toSet == (0 to 10).toSet)
+  }
+
+  test("VersionedTable: empty update set with statsCols commits cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtempty").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "g0", 10)).toDF("id", "grp", "v"), keys, Seq("grp"),
+      statsCols = Seq("v"), bloomCols = Seq("v"))
+    // a scheduled merge on a day with zero updates must still commit
+    VersionedTable.upsert(spark, root,
+      Seq.empty[(Int, String, Int)].toDF("id", "grp", "v"), keys,
+      Seq("grp"), statsCols = Seq("v"), bloomCols = Seq("v"))
+    assert(VersionedTable.currentVersion(spark, root).contains(1))
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // carried stats still prune after the no-op version
+    assert(VersionedTable.readWhereEq(spark, root, "v", 10).count() == 1)
+  }
+
+  test("Merge.existingDirs answers nested existence with listings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_exdirs").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq("a=1/b=1", "a=1/b=2", "a=2/b=1"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/tbl/$p"))
+    val got = Merge.existingDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/tbl"),
+      Seq("a=1/b=1", "a=1/b=9", "a=2/b=1", "a=3/b=1", "a=1"))
+    assert(got == Set("a=1/b=1", "a=2/b=1", "a=1"))
+    // missing base: nothing exists, no throw
+    assert(Merge.existingDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/absent"), Seq("a=1")) == Set())
+  }
+
   test("VersionedTable.compact recomputes stats; skipping works post-compact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtskip3").toString
     val root = s"$dir/table"
