@@ -102,7 +102,8 @@ object VersionedTable {
   private case class Manifest(partCols: Seq[String], schema: StructType,
                               mapping: Map[String, String],
                               stats: Map[String, Map[String, ColStat]],
-                              blooms: Map[String, Map[String, Array[Byte]]])
+                              blooms: Map[String, Map[String, Array[Byte]]],
+                              txn: Option[(String, Long)])
 
   private def readManifest(fs: FileSystem, root: String,
                            version: Int): Manifest = {
@@ -143,6 +144,11 @@ object VersionedTable {
           parts.lift(6).filter(_ != "-").map(b64d)))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, st) => c -> st }.toMap }
+    val txn = lines.collectFirst {
+      case l if l.startsWith("#txn\t") =>
+        val parts = l.split("\t", -1)
+        (b64d(parts(1)), parts(2).toLong)
+    }
     val blooms = lines.filter(_.startsWith("#filebloom\t")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length == 4, s"malformed #filebloom line: $line")
@@ -150,7 +156,7 @@ object VersionedTable {
         java.util.Base64.getDecoder.decode(parts(3)))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, b) => c -> b }.toMap }
-    Manifest(partCols, schema, mapping, stats, blooms)
+    Manifest(partCols, schema, mapping, stats, blooms, txn)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -583,7 +589,8 @@ object VersionedTable {
                             mapping: Map[String, String],
                             stats: Map[String, Map[String, ColStat]],
                             blooms: Map[String, Map[String, Array[Byte]]] =
-                              Map.empty)
+                              Map.empty,
+                            txn: Option[(String, Long)] = None)
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -626,9 +633,11 @@ object VersionedTable {
             java.util.Base64.getEncoder.encodeToString(b) + "\n"
         }
       }.mkString
+      val txnLine = st.txn.fold("") { case (sid, bid) =>
+        s"#txn\t${b64(sid)}\t$bid\n" }
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
-      out.write((header + statLines + bloomLines + body)
+      out.write((header + txnLine + statLines + bloomLines + body)
         .getBytes(StandardCharsets.UTF_8))
       out.close()
       next
@@ -652,7 +661,8 @@ object VersionedTable {
                              statsCols: Seq[String] = Nil,
                              fileRows: Option[Int] = None,
                              bloomCols: Seq[String] = Nil,
-                             bloomBits: Long = 0L): Int = {
+                             bloomBits: Long = 0L,
+                             txn: Option[(String, Long)] = None): Int = {
     require(partCols.nonEmpty, "at least one partition column")
     partCols.foreach(c => require(keys.contains(c),
       s"partition column $c must be part of the merge key"))
@@ -730,7 +740,8 @@ object VersionedTable {
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(partCols, merged.schema, newMapping,
         carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
-        carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms)
+        carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms,
+        txn)
     }
   }
 
@@ -757,10 +768,28 @@ object VersionedTable {
              statsCols: Seq[String] = Nil,
              fileRows: Option[Int] = None,
              bloomCols: Seq[String] = Nil,
-             bloomBits: Long = 0L): Unit =
+             bloomBits: Long = 0L,
+             txn: Option[(String, Long)] = None): Unit =
     publish(spark, root,
       prepare(spark, root, updates, keys, partCols, statsCols, fileRows,
-        bloomCols, bloomBits))
+        bloomCols, bloomBits, txn))
+
+  /** Highest transaction version committed for `txnId` across the
+    * RETAINED manifests — the idempotence check for exactly-once
+    * streaming ingestion (the Delta txnAppId/txnVersion idea): a
+    * foreachBatch writer tags each upsert with (streamId, batchId) and
+    * skips any batchId <= lastTxn on re-delivery after checkpoint loss.
+    * Vacuum bounds the memory: keep a retention window at least as long
+    * as the replay horizon or a vacuumed batch could re-apply (harmless
+    * for key-idempotent MERGEs, an extra version otherwise). */
+  def lastTxn(spark: SparkSession, root: String, txnId: String): Option[Long] = {
+    val fs = fsFor(spark, root)
+    val ids = history(spark, root).flatMap { v =>
+      readManifest(fs, root, v).txn.collect {
+        case (sid, bid) if sid == txnId => bid }
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
 
   /** Single-partition-column convenience overload. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,

@@ -239,6 +239,53 @@ object StreamPipeline {
       }
       .start()
 
+  /** Streaming MERGE into the rename-free [[graft.ops.VersionedTable]]
+    * with EXACTLY-ONCE version semantics: each micro-batch upserts as one
+    * atomic table version tagged (streamId, batchId) in the manifest
+    * (the Delta txnAppId/txnVersion idempotence idea). Checkpoint replay
+    * re-delivers a batch with the same id — `lastTxn` sees it committed
+    * and the batch is SKIPPED, so the version history contains each
+    * batch exactly once even across checkpoint loss (plain startMerge is
+    * only row-idempotent: replays still burn versions). Stats/bloom
+    * index columns pass straight through to the upsert, so a streamed
+    * table is skippable like a batch-built one.
+    *
+    * Contract (same as Delta's txn writers): batch ids are only
+    * meaningful within one checkpoint lineage. After LOSING a checkpoint,
+    * either replay the identical source content (re-delivered ids skip
+    * cleanly, as tested) or use a NEW streamId — a fresh checkpoint fed
+    * different data re-numbers batches from 0 and colliding ids would be
+    * skipped as already-committed. */
+  def startVersionedMerge(metrics: DataFrame, root: String,
+                          checkpointDir: String, keys: Seq[String],
+                          partCols: Seq[String], streamId: String,
+                          statsCols: Seq[String] = Nil,
+                          fileRows: Option[Int] = None,
+                          bloomCols: Seq[String] = Nil,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    metrics.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val seen = graft.ops.VersionedTable.lastTxn(s, root, streamId)
+        // pin the batch: the upsert evaluates it several times (distinct
+        // partition values, the merge write, stats collection), and
+        // re-executing the stateful incremental plan per evaluation both
+        // wastes work and trips Spark's state-store commit validation
+        val pinned = batch.persist()
+        try {
+          pinned.count()
+          if (seen.forall(_ < batchId))
+            graft.ops.VersionedTable.upsert(s, root, pinned, keys, partCols,
+              statsCols = statsCols, fileRows = fileRows,
+              bloomCols = bloomCols, txn = Some((streamId, batchId)))
+        } finally pinned.unpersist()
+      }
+      .start()
+
   /** S9, made safe: the reference's log sink collects EVERY batch row to
     * the driver (spark_stream_processor.py:89) — at scale that is a driver
     * OOM. This is the bounded twin: at most `maxRows` rows per micro-batch

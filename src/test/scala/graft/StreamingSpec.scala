@@ -159,6 +159,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(_.getTimestamp(1).toString.startsWith("2024-01-01 00:00")))
   }
 
+  test("versioned merge sink: exactly-once versions across checkpoint loss") {
+    import graft.ops.VersionedTable
+    val base = Files.createTempDirectory("graft_stream_vmerge")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val root = base.resolve("table").toString
+    def run(ckpt: String): Unit = {
+      val metrics = StreamPipeline.windowedMetrics(
+        StreamPipeline.tickStream(spark, raw.toString),
+        width = "5 minutes", slide = "5 minutes")
+        .withColumn("day",
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("window_start")))
+      StreamPipeline.startVersionedMerge(metrics, root, ckpt,
+        keys = Seq("symbol", "window_start", "day"), partCols = Seq("day"),
+        streamId = "vmerge-test").awaitTermination(60000)
+    }
+    val ckpt1 = base.resolve("ckpt1").toString
+    writeCsv(raw, "m1.csv", Seq("AAA,10.0,0.0,,100,2024-01-01T00:01:00"))
+    run(ckpt1)
+    writeCsv(raw, "m2.csv", Seq("AAA,20.0,0.0,,100,2024-01-01T01:00:00"))
+    run(ckpt1)
+    val versionsAfter = VersionedTable.history(spark, root)
+    assert(versionsAfter.nonEmpty)
+    val rowsBefore = VersionedTable.read(spark, root).collect().toSet
+    // CHECKPOINT LOSS: a fresh checkpoint re-delivers the same batches
+    // with the same batch ids — lastTxn sees them committed, every one
+    // is skipped: identical rows AND identical version history (plain
+    // startMerge would burn new versions here)
+    run(base.resolve("ckpt2").toString)
+    assert(VersionedTable.history(spark, root) == versionsAfter)
+    assert(VersionedTable.read(spark, root).collect().toSet == rowsBefore)
+    // genuinely new data lands when the ORIGINAL checkpoint lineage
+    // continues (its batch numbering keeps increasing past lastTxn; a
+    // fresh checkpoint fed new data would need a new streamId — see the
+    // startVersionedMerge contract)
+    writeCsv(raw, "m3.csv", Seq("AAA,30.0,0.0,,100,2024-01-01T02:00:00"))
+    run(ckpt1)
+    assert(VersionedTable.read(spark, root).count() > rowsBefore.size)
+    // manifest carries the txn tag
+    assert(VersionedTable.lastTxn(spark, root, "vmerge-test").isDefined)
+    assert(VersionedTable.lastTxn(spark, root, "other-stream").isEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
     import graft.streaming.SessionizeStream
     import graft.streaming.SessionizeStream.{Event, Session}
