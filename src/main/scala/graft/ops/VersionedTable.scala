@@ -784,11 +784,13 @@ object VersionedTable {
     * for key-idempotent MERGEs, an extra version otherwise). */
   def lastTxn(spark: SparkSession, root: String, txnId: String): Option[Long] = {
     val fs = fsFor(spark, root)
-    val ids = history(spark, root).flatMap { v =>
-      readManifest(fs, root, v).txn.collect {
-        case (sid, bid) if sid == txnId => bid }
-    }
-    if (ids.isEmpty) None else Some(ids.max)
+    // a stream's batch ids increase with version number, so the NEWEST
+    // manifest carrying this txnId holds its max — walk history backward
+    // and stop at the first hit instead of parsing every manifest on
+    // every micro-batch (manifests carry file stats and can be large)
+    history(spark, root).reverseIterator
+      .map(v => readManifest(fs, root, v).txn)
+      .collectFirst { case Some((sid, bid)) if sid == txnId => bid }
   }
 
   /** Single-partition-column convenience overload. */
@@ -959,6 +961,48 @@ object VersionedTable {
     }
     publish(spark, root, next)
     next
+  }
+
+  /** Incremental change consumer — the warehouse-sync loop the reference
+    * re-runs as a FULL MERGE every cycle (load_to_snowflake.py:212-231),
+    * made change-volume-sized: compute the feed from the last synced
+    * version (cursor file at `cursorPath`) to the current one, hand it to
+    * `apply`, and advance the cursor only AFTER apply returns — a crash
+    * in between re-delivers the same transition next call (at-least-once;
+    * pair with an idempotent apply, e.g. a keyed MERGE). First call
+    * delivers the whole current table as op='insert' rows (CDC initial
+    * load). Returns the (from, to) versions synced, None when already
+    * current. The consumed versions must still be retained — size
+    * [[vacuum]]'s window to the sync cadence. */
+  def syncChanges(spark: SparkSession, root: String, keys: Seq[String],
+                  cursorPath: String)(apply: DataFrame => Unit)
+      : Option[(Int, Int)] = {
+    import org.apache.spark.sql.functions.lit
+    val fs = fsFor(spark, cursorPath)
+    val cp = new Path(cursorPath)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val last: Option[Int] =
+      if (!fs.exists(cp)) None
+      else {
+        val in = fs.open(cp)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8).trim.toInt)
+        finally in.close()
+      }
+    if (last.contains(cur)) return None
+    val feed = last match {
+      case None =>
+        val t = read(spark, root)
+        t.select(lit("insert").as("op") +: t.columns.map(col): _*)
+      case Some(from) => changeFeed(spark, root, keys, from, cur)
+    }
+    apply(feed)
+    val out = fs.create(cp, true)
+    try out.write(cur.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    Some((last.getOrElse(-1), cur))
   }
 
   /** OPTIMIZE-style maintenance: rewrite the CURRENT version's data into

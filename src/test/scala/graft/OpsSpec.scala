@@ -519,7 +519,15 @@ class OpsSpec extends SparkSpec {
     val (kept, total) = VersionedTable.skipStats(spark, root, "v", 40, 59)
     assert(total >= 8, s"expected several files, got $total")
     assert(kept < total / 2, s"skipping did not bite: $kept of $total")
-    val got = VersionedTable.readWhere(spark, root, "v", 40, 59)
+    val pruned = VersionedTable.readWhere(spark, root, "v", 40, 59)
+    // the pruning must reach the PHYSICAL scan, not just driver
+    // bookkeeping: the plan's file sources list exactly `kept` data files
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned == kept, s"plan scans $scanned files, selection kept $kept")
+    val got = pruned
       .select($"id", $"grp", $"v", $"s")
       .as[(Int, String, Int, String)].collect().toSet
     val want = VersionedTable.read(spark, root)
@@ -777,6 +785,41 @@ class OpsSpec extends SparkSpec {
     // missing base: nothing exists, no throw
     assert(Merge.existingDirs(fs,
       new org.apache.hadoop.fs.Path(s"$dir/absent"), Seq("a=1")) == Set())
+  }
+
+  test("VersionedTable.syncChanges: initial load, incremental diffs, crash redelivery") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtsync").toString
+    val root = s"$dir/table"
+    val cursor = s"$dir/cursor"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a"), (2, "d1", "b")).toDF("id", "day", "v"),
+      keys, "day")
+    var seen = Vector.empty[Set[(String, Int, String)]]
+    def sync() = VersionedTable.syncChanges(spark, root, keys, cursor) { df =>
+      seen :+= df.select($"op", $"id", $"v")
+        .as[(String, Int, String)].collect().toSet
+    }
+    // initial load: whole table as inserts
+    assert(sync().contains((-1, 0)))
+    assert(seen.last == Set(("insert", 1, "a"), ("insert", 2, "b")))
+    // already current: no-op, apply not called
+    assert(sync().isEmpty && seen.size == 1)
+    // v1: change one row, add one
+    VersionedTable.upsert(spark, root,
+      Seq((2, "d1", "B"), (3, "d1", "c")).toDF("id", "day", "v"), keys, "day")
+    assert(sync().contains((0, 1)))
+    assert(seen.last == Set(("update", 2, "B"), ("insert", 3, "c")))
+    // crash between apply and cursor write -> the SAME transition
+    // re-delivers next call (at-least-once)
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "A")).toDF("id", "day", "v"), keys, "day")
+    intercept[RuntimeException] {
+      VersionedTable.syncChanges(spark, root, keys, cursor) { _ =>
+        throw new RuntimeException("apply crashed") }
+    }
+    assert(sync().contains((1, 2)))
+    assert(seen.last == Set(("update", 1, "A")))
   }
 
   test("VersionedTable.compact recomputes stats; skipping works post-compact") {
