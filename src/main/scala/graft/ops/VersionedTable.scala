@@ -1048,6 +1048,54 @@ object VersionedTable {
     next
   }
 
+  /** Partition-layout evolution: rewrite the CURRENT version under NEW
+    * partition columns and commit it as a new version — the operation a
+    * lake needs when the query pattern changes (e.g. (date) → (date,
+    * source) once per-source increments become the hot path). Same
+    * claim → stage → marker protocol as [[compact]]: readers never
+    * block, prior versions (and their old layout) stay time-travel
+    * readable until vacuumed, a crash leaves only orphans. Subsequent
+    * [[upsert]]s must use the new `partCols` (prepare checks against the
+    * committed layout). Costs O(|table|) ONCE — the point is to stop
+    * paying wrong-layout scan costs forever after. Optional stats/bloom
+    * re-indexing rides along like compact's. */
+  def repartitionTable(spark: SparkSession, root: String,
+                       partCols: Seq[String],
+                       statsCols: Seq[String] = Nil,
+                       fileRows: Option[Int] = None,
+                       bloomCols: Seq[String] = Nil,
+                       bloomBits: Long = 0L): Int = {
+    require(partCols.nonEmpty, "at least one partition column")
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    partCols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
+    (statsCols ++ bloomCols).foreach(c => require(!partCols.contains(c),
+      s"stats column $c is a partition column"))
+    val next = stageVersion(fs, root, cur + 1) { genDir =>
+      val base = read(spark, root, Some(cur))
+        .repartition(partCols.map(col): _*)
+      val clustered =
+        if (statsCols.isEmpty) base
+        else base.sortWithinPartitions((partCols ++ statsCols).map(col): _*)
+      val writer = fileRows.foldLeft(clustered.write)(
+        (w, n) => w.option("maxRecordsPerFile", n.toLong))
+      writer.partitionBy(partCols: _*).parquet(s"$root/$genDir")
+      val written = leafDirs(fs, new Path(s"$root/$genDir"), partCols)
+      val (stats, blooms) =
+        if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
+          Map.empty[String, Map[String, Array[Byte]]])
+        else collectFileStats(spark, root, genDir, partCols, statsCols,
+          bloomCols, sizedBloomBits(bloomBits, fileRows))
+      Staged(partCols, m.schema, written.map(_ -> genDir).toMap,
+        stats, blooms)
+    }
+    publish(spark, root, next)
+    next
+  }
+
   /** Retire everything outside the retention window: keep the last
     * `keepVersions` COMMITTED versions (their manifests, markers, and
     * every generation any of them references) and delete the rest —

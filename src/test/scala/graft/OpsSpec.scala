@@ -822,6 +822,37 @@ class OpsSpec extends SparkSpec {
     assert(seen.last == Set(("update", 1, "A")))
   }
 
+  test("VersionedTable.repartitionTable: layout evolution, old versions intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtrepart").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day", "src")
+    val rows = (0 until 120).map(i =>
+      (i, s"d${i % 3}", s"s${i % 2}", i))
+    VersionedTable.upsert(spark, root,
+      rows.toDF("id", "day", "src", "v"), keys, "day")
+    // evolve (day) -> (day, src); rows identical, new nested layout
+    val v1 = VersionedTable.repartitionTable(spark, root, Seq("day", "src"),
+      statsCols = Seq("v"), fileRows = Some(20))
+    assert(v1 == 1)
+    val now = VersionedTable.read(spark, root)
+      .select($"id", $"day", $"src", $"v")
+      .as[(Int, String, String, Int)].collect().toSet
+    assert(now == rows.toSet)
+    // pre-evolution version still time-travels
+    assert(VersionedTable.read(spark, root, Some(0)).count() == 120)
+    // upserts must now use the new layout: old single-col partCols reject
+    intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, root,
+        Seq((0, "d0", "s0", 999)).toDF("id", "day", "src", "v"), keys, "day")
+    }
+    // ...and the new layout merges pruned + stats ride along
+    VersionedTable.upsert(spark, root,
+      Seq((0, "d0", "s0", 999)).toDF("id", "day", "src", "v"), keys,
+      Seq("day", "src"), statsCols = Seq("v"))
+    assert(VersionedTable.readWhere(spark, root, "v", 999, 999)
+      .select($"id").as[Int].collect().toSeq == Seq(0))
+  }
+
   test("VersionedTable.compact recomputes stats; skipping works post-compact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtskip3").toString
     val root = s"$dir/table"
