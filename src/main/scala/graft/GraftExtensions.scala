@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteRegexpCount)
+    ext.injectOptimizerRule(_ => graft.plans.PruneVersionedScan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -88,8 +89,10 @@ object GraftExtensions {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(RewriteRegexpCount))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteRegexpCount
+    Seq(RewriteRegexpCount, graft.plans.PruneVersionedScan).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 }

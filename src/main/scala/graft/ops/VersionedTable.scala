@@ -303,11 +303,12 @@ object VersionedTable {
     ScanSelection(wholeDirs.result(), files.result(), kept, total)
   }
 
-  /** Materialize a selection: per-generation multi-path scans under the
-    * manifest schema, residual `predicate` always applied. */
-  private def scanFrom(spark: SparkSession, root: String, m: Manifest,
-                       sel: ScanSelection,
-                       predicate: org.apache.spark.sql.Column): DataFrame = {
+  /** Materialize a selection WITHOUT a residual filter: per-generation
+    * multi-path scans under the manifest schema. Callers add their own
+    * predicate ([[scanFrom]]) or leave the original Filter node in place
+    * (the PruneVersionedScan optimizer rule). */
+  private[graft] def scanUnion(spark: SparkSession, root: String,
+                               m: Manifest, sel: ScanSelection): DataFrame = {
     val paths = sel.wholeDirs ++ sel.files
     if (paths.isEmpty)
       spark.createDataFrame(
@@ -317,8 +318,82 @@ object VersionedTable {
         .parquet(ps.map(_._2).distinct: _*)
     }.reduce(_.unionByName(_))
       .select(m.schema.fieldNames.map(col).toSeq: _*)
-      .filter(predicate)
   }
+
+  /** Materialize a selection: per-generation multi-path scans under the
+    * manifest schema, residual `predicate` always applied. */
+  private def scanFrom(spark: SparkSession, root: String, m: Manifest,
+                       sel: ScanSelection,
+                       predicate: org.apache.spark.sql.Column): DataFrame =
+    scanUnion(spark, root, m, sel).filter(predicate)
+
+  /** One column's extracted constraint for [[readConstrained]]: closed
+    * bounds (strict predicates are widened to inclusive — a sound
+    * superset) and/or an equality value. */
+  private[graft] case class ColConstraint(column: String,
+                                          lower: Option[Any],
+                                          upper: Option[Any],
+                                          eq: Option[Any])
+
+  /** Pruned UNFILTERED read under a conjunction of per-column
+    * constraints — the engine behind the PruneVersionedScan optimizer
+    * rule (ordinary .filter syntax gets file skipping with no special
+    * read call). A file survives when EVERY constraint keeps it (range
+    * via type-tagged min/max, equality additionally via bloom); a dir
+    * with no usable index for any constrained column scans whole. The
+    * caller keeps its own Filter on top, so soundness only needs keep
+    * to be a superset of matching files — unusable stats, open bounds,
+    * and unsupported predicate shapes all widen, never narrow. */
+  private[graft] def readConstrained(spark: SparkSession, root: String,
+                                     constraints: Seq[ColConstraint],
+                                     asOfVersion: Option[Int]): DataFrame = {
+    val m = resolveManifest(spark, root, asOfVersion)
+    val usable = constraints.filter(c => m.schema.fieldNames.contains(c.column))
+    if (usable.isEmpty) return read(spark, root, asOfVersion)
+    def perCol(c: ColConstraint): (String => Boolean, String => Boolean) = {
+      val dt = m.schema(c.column).dataType
+      val dtJson = dt.json
+      val cmp = statOrdering(dt)
+      val loR = c.eq.orElse(c.lower).flatMap(renderStat)
+      val hiR = c.eq.orElse(c.upper).flatMap(renderStat)
+      val boundsDefined = c.eq.isDefined || c.lower.isDefined || c.upper.isDefined
+      val rKeep: String => Boolean = f =>
+        usableStat(m, f, c.column, dtJson) match {
+          case None => true
+          case Some(s) => (s.min, s.max) match {
+            case (Some(mn), Some(mx)) => cmp match {
+              case Some(o) =>
+                // an absent rendering (open bound / unrenderable) keeps
+                hiR.forall(h => o(mn, h) <= 0) &&
+                  loR.forall(l => o(mx, l) >= 0)
+              case None => true
+            }
+            // all-null file: any bound/eq constraint can't match NULL
+            case _ => !boundsDefined
+          }
+        }
+      val bKeep: String => Boolean = c.eq match {
+        case Some(v) if v != null =>
+          bloomKeep(m, c.column, xxh64Of(v, dt))
+        case _ => _ => true
+      }
+      val idx: String => Boolean = f =>
+        usableStat(m, f, c.column, dtJson).isDefined ||
+          (c.eq.isDefined && m.blooms.get(f).exists(_.contains(c.column)))
+      (f => rKeep(f) && bKeep(f), idx)
+    }
+    val per = usable.map(perCol)
+    val sel = selectScan(root, m,
+      indexed = f => per.exists(_._2(f)),
+      keep = f => per.forall(_._1(f)))
+    scanUnion(spark, root, m, sel)
+  }
+
+  /** The committed (or as-of) schema — for building logical-plan leaves
+    * over the table. */
+  private[graft] def schemaOf(spark: SparkSession, root: String,
+                              asOfVersion: Option[Int]): StructType =
+    resolveManifest(spark, root, asOfVersion).schema
 
   /** Range-keep decision for [[readWhereIn]]/[[skipStats]]: a file
     * survives when it has no usable stat (conservative) or its recorded

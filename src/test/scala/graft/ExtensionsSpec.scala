@@ -100,4 +100,56 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+  test("PruneVersionedScan: plain filter syntax gets manifest file skipping") {
+    GraftExtensions.register(spark)
+    import graft.ops.VersionedTable
+    import graft.plans.VersionedScan
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtrule").toString
+    val root = s"$dir/table"
+    val rows = (0 until 400).map { i =>
+      (i, s"g${i % 2}", i / 2, f"doc-${(i * 2654435761L) % 100000}%05d")
+    }
+    VersionedTable.upsert(spark, root,
+      rows.toDF("id", "grp", "v", "doc"), Seq("id", "grp"), Seq("grp"),
+      statsCols = Seq("v"), fileRows = Some(25), bloomCols = Seq("doc"))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    val all = VersionedScan.table(spark, root)
+    val total = scannedFiles(all)
+    assert(all.count() == 400 && total >= 16)
+    // range filter on the clustered column: pruned physical scan, exact rows
+    val ranged = VersionedScan.table(spark, root)
+      .filter(col("v") >= 40 && col("v") <= 59)
+    assert(scannedFiles(ranged) < total / 2,
+      s"range skipping did not bite: ${scannedFiles(ranged)} of $total")
+    assert(ranged.select(col("id")).as[Int].collect().toSet ==
+      rows.filter(r => r._3 >= 40 && r._3 <= 59).map(_._1).toSet)
+    // bloom equality on the unclustered column, through plain SQL
+    val needle = rows(137)._4
+    VersionedScan.table(spark, root).createOrReplaceTempView("vt_rule")
+    val eq = spark.sql(s"SELECT id FROM vt_rule WHERE doc = '$needle'")
+    assert(scannedFiles(eq) <= total / 2,
+      s"bloom skipping did not bite: ${scannedFiles(eq)} of $total")
+    assert(eq.as[Int].collect().toSet ==
+      rows.filter(_._4 == needle).map(_._1).toSet)
+    // conjunction across BOTH indexed columns intersects the selections
+    val both = VersionedScan.table(spark, root)
+      .filter(col("v") <= 59 && col("doc") === needle)
+    assert(scannedFiles(both) <= scannedFiles(eq))
+    assert(both.count() == rows.count(r => r._3 <= 59 && r._4 == needle))
+    // unsupported predicate shapes (disjunction) stay correct: full scan
+    val or = VersionedScan.table(spark, root)
+      .filter(col("v") === 0 || col("doc") === needle)
+    assert(or.count() == rows.count(r => r._3 == 0 || r._4 == needle))
+    // projection + aggregate over the relation behave like a normal scan
+    assert(VersionedScan.table(spark, root)
+      .filter(col("v") < 10).agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) ==
+      rows.filter(_._3 < 10).map(_._1.toLong).sum)
+  }
+
 }
