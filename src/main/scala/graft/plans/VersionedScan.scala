@@ -35,10 +35,17 @@ object VersionedScan {
 
   /** A versioned table as a DataFrame whose scan is planned LAZILY by the
     * optimizer rule — filters applied on top (before any action) prune
-    * files. Requires [[graft.GraftExtensions]] (or
-    * `PruneVersionedScan.register(spark)`). */
+    * files. Self-registering: an unresolved [[VersionedRelation]] reaching
+    * the planner is an inscrutable internal error, so the rule is added to
+    * the session idempotently here (cluster-wide installs via
+    * [[graft.GraftExtensions]] are detected and not doubled). */
   def table(spark: SparkSession, root: String,
             asOfVersion: Option[Int] = None): DataFrame = {
+    if (!spark.sessionState.optimizer.extendedOperatorOptimizationRules
+          .contains(PruneVersionedScan) &&
+        !spark.experimental.extraOptimizations.contains(PruneVersionedScan))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneVersionedScan
     val schema = VersionedTable.schemaOf(spark, root, asOfVersion)
     PlanBridge.dataFrame(spark,
       VersionedRelation(root, asOfVersion, schema,

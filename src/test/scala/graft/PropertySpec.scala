@@ -165,6 +165,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pruned reads equal the full filter on random tables and predicates") {
+    import graft.ops.VersionedTable
+    for (seed <- Seq(9, 61)) {
+      val rnd = new Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_prune$seed").toString
+      val root = s"$dir/table"
+      // random rows incl. nulls in the stats column; random file split
+      val rows = (0 until 300).map { i =>
+        (i, s"g${rnd.nextInt(3)}",
+          if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(1000)),
+          s"k${rnd.nextInt(500)}")
+      }
+      VersionedTable.upsert(spark, root,
+        rows.toDF("id", "grp", "v", "k"), Seq("id", "grp"), Seq("grp"),
+        statsCols = Seq("v"), fileRows = Some(10 + rnd.nextInt(40)),
+        bloomCols = Seq("k"))
+      val full = VersionedTable.read(spark, root)
+      for (_ <- 0 until 12) {
+        val a = rnd.nextInt(1100) - 50
+        val b = a + rnd.nextInt(300)
+        val got = VersionedTable.readWhere(spark, root, "v", a, b)
+          .select($"id").as[Int].collect().toSet
+        val want = full.filter($"v" >= a && $"v" <= b)
+          .select($"id").as[Int].collect().toSet
+        assert(got == want, s"range [$a,$b] seed $seed")
+        val needle = s"k${rnd.nextInt(600)}" // sometimes absent
+        val gotEq = VersionedTable.readWhereEq(spark, root, "k", needle)
+          .select($"id").as[Int].collect().toSet
+        val wantEq = rows.filter(_._4 == needle).map(_._1).toSet
+        assert(gotEq == wantEq, s"eq $needle seed $seed")
+        // the optimizer-rule path with a random cross-column conjunction
+        val viaRule = graft.plans.VersionedScan.table(spark, root)
+          .filter($"v" >= a && $"v" <= b && $"k" === needle)
+          .select($"id").as[Int].collect().toSet
+        assert(viaRule == (want intersect wantEq),
+          s"rule conjunction [$a,$b] x $needle seed $seed")
+      }
+    }
+  }
+
   test("changeFeed matches a driver-side map diff on random version pairs") {
     for (seed <- Seq(13, 31)) {
       val rnd = new Random(seed)
