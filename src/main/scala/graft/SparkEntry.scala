@@ -1593,6 +1593,37 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "px", "py")
   }
 
+  /** The PruneVersionedScan optimizer-rule path under oracle check: same
+    * fixture as q_versioned_skip, but the date window is expressed as a
+    * PLAIN .filter over VersionedScan.table — Catalyst pushes it to the
+    * custom leaf, the rule extracts the bounds and substitutes the
+    * pruned scan (guard asserts fewer files than the full relation in
+    * the physical plan). Oracle identical to q_versioned_skip. */
+  private def qVersionedScanRule(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_rule/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    def files(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    val all = graft.plans.VersionedScan.table(s, root)
+    val filtered = graft.plans.VersionedScan.table(s, root)
+      .filter(col("date") >= lit("2024-01-08").cast(DateType) &&
+        col("date") <= lit("2024-01-14").cast(DateType))
+    require(files(filtered) < files(all),
+      s"rule did not prune: ${files(filtered)} of ${files(all)} files")
+    filtered.select(col("event_type"), col("date"),
+      col("daily_open"), col("daily_high"), col("daily_low"),
+      col("daily_close"), col("daily_volume"),
+      r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Bloom-index point lookup on the versioned table: documents written
     * partitioned by lang with a per-file Bloom over doc_id (UNCLUSTERED —
     * files are ordered by n_chars, so min/max ranges on doc_id are wide
@@ -3070,6 +3101,7 @@ object SparkEntry {
     "q_merge_changefeed" -> (qMergeChangefeed _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
+    "q_versioned_scan_rule" -> (qVersionedScanRule _),
     "q_zorder_box" -> (qZorderBox _),
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -5544,6 +5576,19 @@ object SparkEntry {
     // CDC semantics replay: updates survive only where no later tombstone
     // touches the key; target rows survive where nothing touched them.
     "q_versioned_skip" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM daily_all
+         |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    "q_versioned_scan_rule" ->
       s"""WITH daily_all AS (
          |  SELECT event_type, CAST(ts AS DATE) AS date,
          |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
