@@ -1607,11 +1607,7 @@ object SparkEntry {
       "value", volume = col("user_id"))
     VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
       Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
-    def files(df: DataFrame): Int =
-      df.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.inputFiles.length
-      }.sum
+    def files(df: DataFrame): Int = VersionedTable.physicalInputFiles(df)
     val all = graft.plans.VersionedScan.table(s, root)
     val filtered = graft.plans.VersionedScan.table(s, root)
       .filter(col("date") >= lit("2024-01-08").cast(DateType) &&

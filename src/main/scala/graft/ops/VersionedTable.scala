@@ -65,6 +65,12 @@ object VersionedTable {
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(URI.create(root), spark.sparkContext.hadoopConfiguration)
 
+  /** Signals an [[upsert]] whose (streamId, batchId) tag is already
+    * committed — caught by upsert itself (idempotent no-op) after the
+    * post-claim re-check in prepare. */
+  private[graft] class TxnAlreadyCommittedException(msg: String)
+    extends RuntimeException(msg)
+
   /** Highest committed version, if any: max N over `_commit.<N>` markers. */
   def currentVersion(spark: SparkSession, root: String): Option[Int] = {
     val vs = history(spark, root)
@@ -388,6 +394,15 @@ object VersionedTable {
       keep = f => per.forall(_._1(f)))
     scanUnion(spark, root, m, sel)
   }
+
+  /** Data files listed by a frame's PHYSICAL scan nodes — what the
+    * plan-pin tests and in-query guards count to prove pruning reached
+    * the executed plan, in one place so the guards cannot diverge. */
+  private[graft] def physicalInputFiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
 
   /** The committed (or as-of) schema — for building logical-plan leaves
     * over the table. */
@@ -751,6 +766,17 @@ object VersionedTable {
     // writer staging the same version loses at the claim, before any
     // data moves, and a failed stage retracts claim + gen dir
     stageVersion(fs, root, next) { genDir =>
+      // txn idempotence RE-CHECKED after winning the claim: claims
+      // serialize version numbers, so every previously committed batch of
+      // this stream is visible here — two racing writers re-delivering
+      // the same (streamId, batchId) cannot both commit it (the loser of
+      // the claim retries at next+1 and aborts on this check), closing
+      // the check-then-act window a sink-side lastTxn probe alone leaves
+      txn.foreach { case (sid, bid) =>
+        if (lastTxn(spark, root, sid).exists(_ >= bid))
+          throw new TxnAlreadyCommittedException(
+            s"txn ($sid, $bid) is already committed at $root")
+      }
       val prior: Option[Manifest] = cur.map(readManifest(fs, root, _))
       prior.foreach(m => require(m.partCols == partCols,
         s"partition columns ${partCols.mkString(",")} != committed ${m.partCols.mkString(",")}"))
@@ -845,9 +871,10 @@ object VersionedTable {
              bloomCols: Seq[String] = Nil,
              bloomBits: Long = 0L,
              txn: Option[(String, Long)] = None): Unit =
-    publish(spark, root,
+    try publish(spark, root,
       prepare(spark, root, updates, keys, partCols, statsCols, fileRows,
         bloomCols, bloomBits, txn))
+    catch { case _: TxnAlreadyCommittedException => () } // idempotent no-op
 
   /** Highest transaction version committed for `txnId` across the
     * RETAINED manifests — the idempotence check for exactly-once
@@ -864,8 +891,31 @@ object VersionedTable {
     // and stop at the first hit instead of parsing every manifest on
     // every micro-batch (manifests carry file stats and can be large)
     history(spark, root).reverseIterator
-      .map(v => readManifest(fs, root, v).txn)
+      .map(v => readTxnDirective(fs, root, v))
       .collectFirst { case Some((sid, bid)) if sid == txnId => bid }
+  }
+
+  /** Parse ONLY the #txn directive of a manifest — it is written before
+    * the (large, base64-heavy) stat/bloom sections, so the scan stops at
+    * the first #filestat/#filebloom/mapping line instead of decoding the
+    * whole file-index per micro-batch. */
+  private def readTxnDirective(fs: FileSystem, root: String,
+                               version: Int): Option[(String, Long)] = {
+    val in = fs.open(new Path(root, s"_manifest.$version"))
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    try {
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(_.nonEmpty)
+        .takeWhile(l => l.startsWith("#graft-manifest") ||
+          l.startsWith("#partcols") || l.startsWith("#schema") ||
+          l.startsWith("#txn"))
+        .collectFirst { case l if l.startsWith("#txn\t") =>
+          val parts = l.split("\t", -1)
+          (new String(java.util.Base64.getDecoder.decode(parts(1)),
+            StandardCharsets.UTF_8), parts(2).toLong)
+        }
+    } finally reader.close()
   }
 
   /** Single-partition-column convenience overload. */
@@ -1055,6 +1105,15 @@ object VersionedTable {
     import org.apache.spark.sql.functions.lit
     val fs = fsFor(spark, cursorPath)
     val cp = new Path(cursorPath)
+    val tmp = new Path(cursorPath + ".tmp")
+    // crash recovery: a previous call may have died between removing the
+    // old cursor and promoting the fully-written replacement — promote it
+    // now (the .tmp is only ever deleted AFTER the promote, so its
+    // presence with no cursor means a complete value)
+    if (!fs.exists(cp) && fs.exists(tmp)) {
+      if (!fs.rename(tmp, cp))
+        throw new java.io.IOException(s"cursor recovery rename failed: $tmp")
+    }
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val last: Option[Int] =
@@ -1069,14 +1128,26 @@ object VersionedTable {
     if (last.contains(cur)) return None
     val feed = last match {
       case None =>
-        val t = read(spark, root)
+        // PINNED to the version the cursor will record: a concurrent
+        // commit between here and materialization must not make the
+        // snapshot newer than the cursor (the next cycle would re-deliver
+        // ops the consumer never saw the base for)
+        val t = read(spark, root, Some(cur))
         t.select(lit("insert").as("op") +: t.columns.map(col): _*)
       case Some(from) => changeFeed(spark, root, keys, from, cur)
     }
     apply(feed)
-    val out = fs.create(cp, true)
+    // write-new-then-promote: the cursor file is never truncated in
+    // place, so a crash at ANY point leaves either the old value, or a
+    // complete .tmp the next call promotes — never an empty/partial
+    // cursor that bricks the consumer
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, false)
     try out.write(cur.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(cp, false)
+    if (!fs.rename(tmp, cp))
+      throw new java.io.IOException(s"cursor promote rename failed: $tmp")
     Some((last.getOrElse(-1), cur))
   }
 

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
   LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
@@ -46,9 +47,14 @@ object VersionedScan {
         !spark.experimental.extraOptimizations.contains(PruneVersionedScan))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneVersionedScan
-    val schema = VersionedTable.schemaOf(spark, root, asOfVersion)
+    // PIN the version NOW (snapshot semantics): the rule substitutes the
+    // scan at action time, and an unpinned relation would silently read
+    // whatever version is current then — or crash rebinding attributes if
+    // schema evolution dropped a column in between
+    val v = asOfVersion.orElse(VersionedTable.currentVersion(spark, root))
+    val schema = VersionedTable.schemaOf(spark, root, v)
     PlanBridge.dataFrame(spark,
-      VersionedRelation(root, asOfVersion, schema,
+      VersionedRelation(root, v, schema,
         DataTypeUtils.toAttributes(schema)))
   }
 }
@@ -59,9 +65,14 @@ object VersionedScan {
   * planning never broadcasts an unresolved table. */
 case class VersionedRelation(root: String, asOfVersion: Option[Int],
                              tableSchema: StructType,
-                             output: Seq[Attribute]) extends LeafNode {
+                             output: Seq[Attribute])
+    extends LeafNode with MultiInstanceRelation {
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = BigInt(Long.MaxValue) / 16)
+  // self-joins of one table() frame: the analyzer's DeduplicateRelations
+  // re-instances leaves through this, like every built-in relation
+  override def newInstance(): VersionedRelation =
+    copy(output = output.map(_.newInstance()))
 }
 
 /** Filter(cond, VersionedRelation) → Filter(cond, prunedScan); a bare
@@ -137,7 +148,11 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
     val newPlan = PlanBridge.analyzed(df)
     val byName = newPlan.output.map(a => a.name -> a).toMap
     val projection: Seq[NamedExpression] = rel.output.map { old =>
-      Alias(byName(old.name), old.name)(exprId = old.exprId)
+      val bound = byName.getOrElse(old.name, throw new IllegalStateException(
+        s"column ${old.name} of the pinned version is missing from the " +
+          s"resolved scan of ${rel.root} — manifest drift under a pinned " +
+          "version should be impossible; was the table vacuumed?"))
+      Alias(bound, old.name)(exprId = old.exprId)
     }
     Project(projection, newPlan)
   }

@@ -274,7 +274,11 @@ object StreamPipeline {
         // pin the batch: the upsert evaluates it several times (distinct
         // partition values, the merge write, stats collection), and
         // re-executing the stateful incremental plan per evaluation both
-        // wastes work and trips Spark's state-store commit validation
+        // wastes work and trips Spark's state-store commit validation.
+        // The count() below runs even for SKIPPED batches ON PURPOSE: a
+        // replayed batch must still execute the stateful plan so window
+        // state and watermarks rebuild (and state stores commit) — only
+        // the SINK write is idempotently skipped
         val pinned = batch.persist()
         try {
           pinned.count()

@@ -114,10 +114,7 @@ class ExtensionsSpec extends SparkSpec {
       rows.toDF("id", "grp", "v", "doc"), Seq("id", "grp"), Seq("grp"),
       statsCols = Seq("v"), fileRows = Some(25), bloomCols = Seq("doc"))
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.inputFiles.length
-      }.sum
+      VersionedTable.physicalInputFiles(df)
     val all = VersionedScan.table(spark, root)
     val total = scannedFiles(all)
     assert(all.count() == 400 && total >= 16)

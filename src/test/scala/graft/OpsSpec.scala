@@ -522,10 +522,7 @@ class OpsSpec extends SparkSpec {
     val pruned = VersionedTable.readWhere(spark, root, "v", 40, 59)
     // the pruning must reach the PHYSICAL scan, not just driver
     // bookkeeping: the plan's file sources list exactly `kept` data files
-    val scanned = pruned.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.inputFiles.length
-    }.sum
+    val scanned = VersionedTable.physicalInputFiles(pruned)
     assert(scanned == kept, s"plan scans $scanned files, selection kept $kept")
     val got = pruned
       .select($"id", $"grp", $"v", $"s")
@@ -851,6 +848,86 @@ class OpsSpec extends SparkSpec {
       Seq("day", "src"), statsCols = Seq("v"))
     assert(VersionedTable.readWhere(spark, root, "v", 999, 999)
       .select($"id").as[Int].collect().toSeq == Seq(0))
+  }
+
+  test("VersionedTable txn: duplicate (streamId, batchId) upserts are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vttxn").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    def up(bid: Long, v: Int) = VersionedTable.upsert(spark, root,
+      Seq((1, "g0", v)).toDF("id", "grp", "v"), keys, Seq("grp"),
+      txn = Some(("s1", bid)))
+    up(5, 10)
+    assert(VersionedTable.history(spark, root) == Seq(0))
+    // the post-claim re-check makes a racing duplicate a no-op even when
+    // the sink-side lastTxn probe was stale: same id and an older id both
+    // commit NOTHING
+    up(5, 99)
+    up(4, 99)
+    assert(VersionedTable.history(spark, root) == Seq(0))
+    assert(VersionedTable.read(spark, root)
+      .select($"v").as[Int].collect().toSeq == Seq(10))
+    // a NEW batch id commits; a different stream's ids are independent
+    up(6, 20)
+    assert(VersionedTable.history(spark, root) == Seq(0, 1))
+    VersionedTable.upsert(spark, root,
+      Seq((2, "g0", 30)).toDF("id", "grp", "v"), keys, Seq("grp"),
+      txn = Some(("s2", 1)))
+    assert(VersionedTable.lastTxn(spark, root, "s1").contains(6))
+    assert(VersionedTable.lastTxn(spark, root, "s2").contains(1))
+    assert(VersionedTable.lastTxn(spark, root, "s3").isEmpty)
+  }
+
+  test("VersionedTable.syncChanges cursor survives a crash mid-promote") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtcur").toString
+    val root = s"$dir/table"
+    val cursor = s"$dir/cursor"
+    val keys = Seq("id", "grp")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "g0", 1)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    VersionedTable.syncChanges(spark, root, keys, cursor)(_ => ())
+    // simulate the crash window between delete(cursor) and rename(tmp):
+    // cursor absent, a COMPLETE .tmp holding the next value
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(cursor), spark.sparkContext.hadoopConfiguration)
+    VersionedTable.upsert(spark, root,
+      Seq((2, "g0", 2)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    val tmp = new org.apache.hadoop.fs.Path(cursor + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write("1".getBytes("UTF-8")); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+    // recovery promotes the tmp; the consumer sees itself at v1 (already
+    // synced per the crashed call) and reports no-op
+    assert(VersionedTable.syncChanges(spark, root, keys, cursor)(_ => ())
+      .isEmpty)
+    // and keeps working for the next real change
+    VersionedTable.upsert(spark, root,
+      Seq((3, "g0", 3)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    var n = -1L
+    assert(VersionedTable.syncChanges(spark, root, keys, cursor) { df =>
+      n = df.count() }.contains((1, 2)))
+    assert(n == 1)
+  }
+
+  test("VersionedScan.table supports self-joins and snapshot pinning") {
+    import graft.plans.VersionedScan
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtself").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    VersionedTable.upsert(spark, root,
+      (0 until 20).map(i => (i, "g0", i)).toDF("id", "grp", "v"),
+      keys, Seq("grp"))
+    val t = VersionedScan.table(spark, root)
+    // self-join of ONE table() frame: MultiInstanceRelation re-instances
+    val joined = t.as("a").join(t.as("b"),
+      org.apache.spark.sql.functions.col("a.id") ===
+        org.apache.spark.sql.functions.col("b.id"))
+    assert(joined.count() == 20)
+    // snapshot pinning: a commit AFTER table() does not change the frame
+    VersionedTable.upsert(spark, root,
+      Seq((100, "g0", 100)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    assert(t.count() == 20)
+    assert(VersionedScan.table(spark, root).count() == 21)
   }
 
   test("VersionedTable.compact recomputes stats; skipping works post-compact") {
