@@ -206,6 +206,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deleteWhere equals a driver-side filter over random delete sequences") {
+    import graft.ops.VersionedTable
+    for (seed <- Seq(7, 43)) {
+      val rnd = new Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_del$seed").toString
+      val root = s"$dir/table"
+      var live: Map[Int, (String, Option[Int])] = (0 until 250).map { i =>
+        i -> (s"g${rnd.nextInt(4)}",
+          if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(500)))
+      }.toMap
+      VersionedTable.upsert(spark, root,
+        live.toSeq.map { case (id, (g, v)) => (id, g, v) }
+          .toDF("id", "grp", "v"),
+        Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"),
+        fileRows = Some(15 + rnd.nextInt(30)))
+      // a chain of random deletes, including empty-overlap and wide ones
+      for (_ <- 0 until 5) {
+        val a = rnd.nextInt(700) - 100
+        val b = a + rnd.nextInt(250)
+        VersionedTable.deleteWhere(spark, root, "v", a, b,
+          fileRows = Some(20))
+        live = live.filter { case (_, (_, v)) =>
+          v.forall(x => x < a || x > b) } // NULLs always survive
+        val got = VersionedTable.read(spark, root)
+          .select($"id", $"grp", $"v")
+          .as[(Int, String, Option[Int])].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == live, s"delete [$a,$b] seed $seed")
+      }
+      // every intermediate version still reproduces under time travel
+      val versions = VersionedTable.history(spark, root)
+      assert(VersionedTable.read(spark, root, Some(versions.head))
+        .count() == 250)
+    }
+  }
+
   test("changeFeed matches a driver-side map diff on random version pairs") {
     for (seed <- Seq(13, 31)) {
       val rnd = new Random(seed)
