@@ -83,16 +83,34 @@ object GraftExtensions {
         FreqItemsAgg(children.head, intLit(children(1), "freq_items k"))
       }))
 
+  /** Serializes every check-and-append on
+    * `spark.experimental.extraOptimizations` (here and in
+    * VersionedScan.table): the field is a plain var, so two threads
+    * registering concurrently could lose one rule — and a session missing
+    * PruneVersionedScan leaves a VersionedRelation unresolved at planning. */
+  private[graft] val registrationLock = new Object
+
+  /** Idempotent, thread-safe append of optimizer rules to a session's
+    * experimental list. */
+  private[graft] def addOptimizations(
+      spark: SparkSession,
+      rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]): Unit =
+    registrationLock.synchronized {
+      rules.foreach { r =>
+        if (!spark.experimental.extraOptimizations.contains(r))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ r
+      }
+    }
+
   /** Register on an already-running session (functions + the
     * size(regexp_extract_all) -> regexp_count rewrite). */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
-    Seq(RewriteRegexpCount, graft.plans.PruneVersionedScan).foreach { r =>
-      if (!spark.experimental.extraOptimizations.contains(r))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ r
-    }
+    addOptimizations(spark,
+      Seq(RewriteRegexpCount, graft.plans.PruneVersionedScan))
   }
 }

@@ -1620,6 +1620,62 @@ object SparkEntry {
       r4(col("daily_change")).as("daily_change"))
   }
 
+  /** IN-list point lookups through the optimizer-rule path: the bloom-
+    * indexed documents fixture queried with a plain `doc_id IN (...)`
+    * filter over VersionedScan.table — the rule turns the IN into a
+    * per-value bloom + stats probe UNION, so only files that might hold
+    * one of the three ids are scanned (guard pins fewer files than the
+    * bare relation). The ids are the 3rd/7th/11th smallest doc_ids
+    * (deterministic); oracle computes the same set via row_number. */
+  private def qVersionedScanIn(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_in/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val docs = tbl(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    VersionedTable.upsert(s, root, docs, Seq("doc_id", "lang"), Seq("lang"),
+      statsCols = Seq("n_chars"), fileRows = Some(64),
+      bloomCols = Seq("doc_id"))
+    val needles = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(11).collect().map(_.getLong(0))
+    val picked: Seq[Any] = Seq(needles(2), needles(6), needles(10))
+    def files(df: DataFrame): Int = VersionedTable.physicalInputFiles(df)
+    val all = graft.plans.VersionedScan.table(s, root)
+    val q = graft.plans.VersionedScan.table(s, root)
+      .filter(col("doc_id").isin(picked: _*))
+    require(files(q) < files(all),
+      s"IN pruning did not engage: ${files(q)} of ${files(all)} files")
+    q.select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Partition-directory pruning through the optimizer-rule path: the
+    * daily-rollup fixture partitioned by event_type, queried with a plain
+    * equality on the PARTITION column — the rule filters the manifest's
+    * directory list before any file stats are consulted, so untargeted
+    * partitions never reach the physical scan (guard pins fewer files
+    * than the bare relation). Target = min(event_type), deterministic at
+    * every scale. */
+  private def qVersionedScanPart(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_part/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val target = daily.agg(min(col("event_type"))).head().getString(0)
+    def files(df: DataFrame): Int = VersionedTable.physicalInputFiles(df)
+    val all = graft.plans.VersionedScan.table(s, root)
+    val q = graft.plans.VersionedScan.table(s, root)
+      .filter(col("event_type") === target)
+    require(files(q) < files(all),
+      s"partition pruning did not engage: ${files(q)} of ${files(all)} files")
+    q.select(col("event_type"), col("date"),
+      col("daily_open"), col("daily_high"), col("daily_low"),
+      col("daily_close"), col("daily_volume"),
+      r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Bloom-index point lookup on the versioned table: documents written
     * partitioned by lang with a per-file Bloom over doc_id (UNCLUSTERED —
     * files are ordered by n_chars, so min/max ranges on doc_id are wide
@@ -3098,6 +3154,8 @@ object SparkEntry {
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
+    "q_versioned_scan_in" -> (qVersionedScanIn _),
+    "q_versioned_scan_part" -> (qVersionedScanPart _),
     "q_zorder_box" -> (qZorderBox _),
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -5595,6 +5653,25 @@ object SparkEntry {
          |  FROM events GROUP BY 1, 2)
          |SELECT * FROM daily_all
          |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    "q_versioned_scan_in" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn IN (3, 7, 11))""".stripMargin,
+
+    "q_versioned_scan_part" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM daily_all
+         |WHERE event_type = (SELECT min(event_type) FROM events)"""
       .stripMargin,
 
     "q_versioned_delete" ->

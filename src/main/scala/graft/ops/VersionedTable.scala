@@ -105,11 +105,11 @@ object VersionedTable {
     * version was written without `statsCols`), and per-file Bloom
     * filters for equality skipping (same keying; empty without
     * `bloomCols`). */
-  private case class Manifest(partCols: Seq[String], schema: StructType,
+  private[graft] case class Manifest(partCols: Seq[String], schema: StructType,
                               mapping: Map[String, String],
                               stats: Map[String, Map[String, ColStat]],
                               blooms: Map[String, Map[String, Array[Byte]]],
-                              txn: Option[(String, Long)])
+                              txns: Map[String, Long])
 
   private def readManifest(fs: FileSystem, root: String,
                            version: Int): Manifest = {
@@ -150,11 +150,13 @@ object VersionedTable {
           parts.lift(6).filter(_ != "-").map(b64d)))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, st) => c -> st }.toMap }
-    val txn = lines.collectFirst {
-      case l if l.startsWith("#txn\t") =>
-        val parts = l.split("\t", -1)
-        (b64d(parts(1)), parts(2).toLong)
-    }
+    // one line PER STREAM: every manifest carries the full per-stream
+    // watermark map forward (Delta's SetTransaction idea), so maintenance
+    // commits + vacuum can never erase a stream's exactly-once state
+    val txns = lines.filter(_.startsWith("#txn\t")).map { l =>
+      val parts = l.split("\t", -1)
+      (b64d(parts(1)), parts(2).toLong)
+    }.groupBy(_._1).map { case (sid, xs) => sid -> xs.map(_._2).max }
     val blooms = lines.filter(_.startsWith("#filebloom\t")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length == 4, s"malformed #filebloom line: $line")
@@ -162,7 +164,7 @@ object VersionedTable {
         java.util.Base64.getDecoder.decode(parts(3)))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, b) => c -> b }.toMap }
-    Manifest(partCols, schema, mapping, stats, blooms, txn)
+    Manifest(partCols, schema, mapping, stats, blooms, txns)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -178,7 +180,13 @@ object VersionedTable {
     case s: Short => Some(s.toString)
     case i: Int => Some(i.toString)
     case l: Long => Some(l.toString)
-    case f: Float => Some(f.toString)
+    // Float renders through its LOSSLESS double widening, NOT Float.toString:
+    // the float's shortest repr ("40.05" for 40.04999923...f) parses to a
+    // DIFFERENT double under statOrdering's compare-as-double, overstating a
+    // file's min by ~half a float ULP — a Double query bound landing in that
+    // window would prune a file that holds matching rows (silent wrong
+    // results). Double.toString round-trips by spec, so this is exact.
+    case f: Float => Some(f.toDouble.toString)
     case d: Double => Some(d.toString)
     case s: String => Some(s)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
@@ -246,9 +254,11 @@ object VersionedTable {
   }
 
   /** Committed-version resolution + manifest parse shared by [[read]] and
-    * [[readWhere]]. */
-  private def resolveManifest(spark: SparkSession, root: String,
-                              asOfVersion: Option[Int]): Manifest = {
+    * [[readWhere]] — private[graft] so VersionedScan.table can resolve it
+    * ONCE at relation-build time instead of the optimizer re-reading it on
+    * every plan compilation. */
+  private[graft] def resolveManifest(spark: SparkSession, root: String,
+                                     asOfVersion: Option[Int]): Manifest = {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val v = asOfVersion.getOrElse(cur)
@@ -333,13 +343,25 @@ object VersionedTable {
                        predicate: org.apache.spark.sql.Column): DataFrame =
     scanUnion(spark, root, m, sel).filter(predicate)
 
-  /** One column's extracted constraint for [[readConstrained]]: closed
-    * bounds (strict predicates are widened to inclusive — a sound
-    * superset) and/or an equality value. */
+  /** One column's extracted constraint for [[readConstrained]] — the
+    * conjunction of its defined facets: closed bounds (strict predicates
+    * are widened to inclusive — a sound superset), an equality value, an
+    * IN-list (`inSet`, null values already dropped — they match no row),
+    * a string prefix (`LIKE 'abc%'`), and nullness facts (`notNull`
+    * skips all-null files; `isNull` skips files whose stats record zero
+    * nulls). */
   private[graft] case class ColConstraint(column: String,
                                           lower: Option[Any],
                                           upper: Option[Any],
-                                          eq: Option[Any])
+                                          eq: Option[Any],
+                                          inSet: Option[Seq[Any]] = None,
+                                          prefix: Option[String] = None,
+                                          notNull: Boolean = false,
+                                          isNull: Boolean = false) {
+    private[graft] def nonNullFacet: Boolean =
+      lower.isDefined || upper.isDefined || eq.isDefined ||
+        inSet.isDefined || prefix.isDefined || notNull
+  }
 
   /** Pruned UNFILTERED read under a conjunction of per-column
     * constraints — the engine behind the PruneVersionedScan optimizer
@@ -352,17 +374,46 @@ object VersionedTable {
     * and unsupported predicate shapes all widen, never narrow. */
   private[graft] def readConstrained(spark: SparkSession, root: String,
                                      constraints: Seq[ColConstraint],
-                                     asOfVersion: Option[Int]): DataFrame = {
-    val m = resolveManifest(spark, root, asOfVersion)
-    val usable = constraints.filter(c => m.schema.fieldNames.contains(c.column))
-    if (usable.isEmpty) return read(spark, root, asOfVersion)
+                                     asOfVersion: Option[Int]): DataFrame =
+    readConstrainedM(spark, root, resolveManifest(spark, root, asOfVersion),
+      constraints)
+
+  /** [[read]] against an already-resolved manifest — lets the optimizer
+    * rule reuse the manifest pinned at relation-build time instead of
+    * re-reading it per plan compilation. */
+  private[graft] def readM(spark: SparkSession, root: String,
+                           m: Manifest): DataFrame =
+    scanUnion(spark, root, m, selectScan(root, m, _ => false, _ => true))
+
+  /** [[readConstrained]] against an already-resolved manifest. Constraints
+    * on PARTITION columns prune the directory list exactly (the dir name IS
+    * the value — no file stats consulted); constraints on data columns
+    * prune files via type-tagged min/max, blooms (equality and IN), byte-
+    * prefix overlap (LIKE 'abc%'), and null-count facts. */
+  private[graft] def readConstrainedM(spark: SparkSession, root: String,
+                                      m0: Manifest,
+                                      constraints: Seq[ColConstraint])
+      : DataFrame = {
+    val usable = constraints.filter(c => m0.schema.fieldNames.contains(c.column))
+    if (usable.isEmpty) return readM(spark, root, m0)
+    // partition-column constraints filter the manifest's directory list
+    // BEFORE any file stats are consulted — partition pruning proper
+    val (partCs, dataCs) = usable.partition(c => m0.partCols.contains(c.column))
+    val m =
+      if (partCs.isEmpty) m0
+      else {
+        val keeps = partCs.map(dirKeep(m0, _))
+        m0.copy(mapping = m0.mapping.filter { case (rel, _) =>
+          keeps.forall(_(rel)) })
+      }
+    if (dataCs.isEmpty)
+      return scanUnion(spark, root, m, selectScan(root, m, _ => false, _ => true))
     def perCol(c: ColConstraint): (String => Boolean, String => Boolean) = {
       val dt = m.schema(c.column).dataType
       val dtJson = dt.json
       val cmp = statOrdering(dt)
       val loR = c.eq.orElse(c.lower).flatMap(renderStat)
       val hiR = c.eq.orElse(c.upper).flatMap(renderStat)
-      val boundsDefined = c.eq.isDefined || c.lower.isDefined || c.upper.isDefined
       val rKeep: String => Boolean = f =>
         usableStat(m, f, c.column, dtJson) match {
           case None => true
@@ -374,8 +425,9 @@ object VersionedTable {
                   loR.forall(l => o(mx, l) >= 0)
               case None => true
             }
-            // all-null file: any bound/eq constraint can't match NULL
-            case _ => !boundsDefined
+            // all-null file: no non-null-matching facet can match NULL
+            // (this is also what makes a bare IsNotNull prune)
+            case _ => !c.nonNullFacet
           }
         }
       val bKeep: String => Boolean = c.eq match {
@@ -383,16 +435,140 @@ object VersionedTable {
           bloomKeep(m, c.column, xxh64Of(v, dt))
         case _ => _ => true
       }
+      // IN-list: a file survives when ANY candidate value survives BOTH
+      // its point-range probe and its bloom probe — a disjunction of
+      // point lookups (an unrenderable value keeps every file; an empty
+      // list keeps none — `IN ()` matches no row)
+      val iKeep: String => Boolean = c.inSet match {
+        case Some(vs) =>
+          val probes = vs.map { v =>
+            val rp: String => Boolean = (cmp, renderStat(v)) match {
+              case (Some(o), Some(r)) =>
+                rangeKeep(m, c.column, dtJson, o, Seq((r, r)))
+              case _ => _ => true
+            }
+            val bp = bloomKeep(m, c.column, xxh64Of(v, dt))
+            (f: String) => rp(f) && bp(f)
+          }
+          f => probes.exists(_(f))
+        case None => _ => true
+      }
+      val pKeep: String => Boolean = c.prefix match {
+        case Some(p) if dt == org.apache.spark.sql.types.StringType =>
+          prefixKeep(m, c.column, dtJson, p)
+        case _ => _ => true
+      }
+      // IS NULL: a file whose stats record zero nulls cannot hold a match
+      val nKeep: String => Boolean =
+        if (!c.isNull) _ => true
+        else f => usableStat(m, f, c.column, dtJson).forall(_.nulls > 0)
       val idx: String => Boolean = f =>
         usableStat(m, f, c.column, dtJson).isDefined ||
-          (c.eq.isDefined && m.blooms.get(f).exists(_.contains(c.column)))
-      (f => rKeep(f) && bKeep(f), idx)
+          ((c.eq.isDefined || c.inSet.isDefined) &&
+            m.blooms.get(f).exists(_.contains(c.column)))
+      (f => rKeep(f) && bKeep(f) && iKeep(f) && pKeep(f) && nKeep(f), idx)
     }
-    val per = usable.map(perCol)
+    val per = dataCs.map(perCol)
     val sel = selectScan(root, m,
       indexed = f => per.exists(_._2(f)),
       keep = f => per.forall(_._1(f)))
     scanUnion(spark, root, m, sel)
+  }
+
+  /** Byte-wise prefix overlap for string stats: a file may hold a string
+    * starting with `p` iff max >= p and min's first |p| bytes are <= p
+    * (UTF-8 unsigned order — the same binary order the stats compare in).
+    * All-null files never match. */
+  private def prefixKeep(m: Manifest, column: String, dtJson: String,
+                         p: String): String => Boolean = {
+    val pb = p.getBytes(StandardCharsets.UTF_8)
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0; var c = 0
+      while (i < n && c == 0) {
+        c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1 }
+      if (c != 0) c else java.lang.Integer.compare(a.length, b.length)
+    }
+    f => usableStat(m, f, column, dtJson) match {
+      case None => true
+      case Some(s) => (s.min, s.max) match {
+        case (Some(mn), Some(mx)) =>
+          val mnb = mn.getBytes(StandardCharsets.UTF_8)
+          val mnT = if (mnb.length > pb.length)
+            java.util.Arrays.copyOf(mnb, pb.length) else mnb
+          cmpBytes(mx.getBytes(StandardCharsets.UTF_8), pb) >= 0 &&
+            cmpBytes(mnT, pb) <= 0
+        case _ => false
+      }
+    }
+  }
+
+  private val hiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The typed value of partition column `column` encoded in mapping key
+    * `rel`: Right(Some(v)) = concrete value, Right(None) = the null
+    * partition, Left(()) = unparseable under the declared type — callers
+    * must keep the dir (conservative). Parsing mirrors what the read path
+    * does via Spark's schema'd partition discovery: unescape the path
+    * segment, TRY-cast the string under the declared type. */
+  private def partitionValue(m: Manifest, rel: String, column: String)
+      : Either[Unit, Option[Any]] = {
+    val idx = m.partCols.indexOf(column)
+    val segs = rel.split("/")
+    if (idx < 0 || segs.length != m.partCols.length) return Left(())
+    val seg = segs(idx)
+    if (!seg.startsWith(column + "=")) return Left(())
+    val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(seg.substring(column.length + 1))
+    if (raw == hiveDefaultPartition) return Right(None)
+    val dt = m.schema(column).dataType
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal => CLit}
+      val internal = Cast(
+        CLit(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+          org.apache.spark.sql.types.StringType),
+        dt, Some(java.util.TimeZone.getDefault.getID), EvalMode.TRY).eval(null)
+      if (internal == null) Left(())
+      else Right(Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(dt)(internal)))
+    } catch { case scala.util.control.NonFatal(_) => Left(()) }
+  }
+
+  /** Exact keep decision for a partition DIRECTORY under a partition-
+    * column constraint (the dir name is the value, so unlike file stats
+    * this is equality/range on the value itself, not an overlap test).
+    * Unparseable or unrenderable values keep; the null partition survives
+    * only an isNull-compatible constraint. */
+  private def dirKeep(m: Manifest, c: ColConstraint): String => Boolean = {
+    val dt = m.schema(c.column).dataType
+    val cmp = statOrdering(dt)
+    val loR = c.lower.flatMap(renderStat)
+    val hiR = c.upper.flatMap(renderStat)
+    val eqR = c.eq.flatMap(renderStat)
+    // all-or-nothing: one unrenderable IN value disables the facet (a dir
+    // holding exactly that value must survive)
+    val inR: Option[Seq[String]] = c.inSet.flatMap { vs =>
+      val r = vs.map(renderStat)
+      if (r.exists(_.isEmpty)) None else Some(r.flatten)
+    }
+    rel => partitionValue(m, rel, c.column) match {
+      case Left(_) => true
+      case Right(None) => !c.nonNullFacet
+      case Right(Some(v)) =>
+        if (c.isNull) false
+        else (renderStat(v), cmp) match {
+          case (Some(rv), Some(o)) =>
+            loR.forall(l => o(rv, l) >= 0) &&
+              hiR.forall(h => o(rv, h) <= 0) &&
+              eqR.forall(e => o(rv, e) == 0) &&
+              inR.forall(vs => vs.exists(e => o(rv, e) == 0)) &&
+              c.prefix.forall(p => v match {
+                case s: String => s.startsWith(p)
+                case _ => true
+              })
+          case _ => true
+        }
+    }
   }
 
   /** Data files listed by a frame's PHYSICAL scan nodes — what the
@@ -680,7 +856,7 @@ object VersionedTable {
                             stats: Map[String, Map[String, ColStat]],
                             blooms: Map[String, Map[String, Array[Byte]]] =
                               Map.empty,
-                            txn: Option[(String, Long)] = None)
+                            txns: Map[String, Long] = Map.empty)
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -723,8 +899,8 @@ object VersionedTable {
             java.util.Base64.getEncoder.encodeToString(b) + "\n"
         }
       }.mkString
-      val txnLine = st.txn.fold("") { case (sid, bid) =>
-        s"#txn\t${b64(sid)}\t$bid\n" }
+      val txnLine = st.txns.toSeq.sortBy(_._1).map { case (sid, bid) =>
+        s"#txn\t${b64(sid)}\t$bid\n" }.mkString
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
       out.write((header + txnLine + statLines + bloomLines + body)
@@ -839,10 +1015,13 @@ object VersionedTable {
           Map.empty[String, Map[String, Array[Byte]]])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
+      // the full per-stream watermark map carries into EVERY manifest (new
+      // tag merged in), so a later maintenance commit + vacuum cannot
+      // erase another stream's exactly-once state
       Staged(partCols, merged.schema, newMapping,
         carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
         carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms,
-        txn)
+        prior.map(_.txns).getOrElse(Map.empty) ++ txn)
     }
   }
 
@@ -886,21 +1065,22 @@ object VersionedTable {
     * for key-idempotent MERGEs, an extra version otherwise). */
   def lastTxn(spark: SparkSession, root: String, txnId: String): Option[Long] = {
     val fs = fsFor(spark, root)
-    // a stream's batch ids increase with version number, so the NEWEST
-    // manifest carrying this txnId holds its max — walk history backward
-    // and stop at the first hit instead of parsing every manifest on
-    // every micro-batch (manifests carry file stats and can be large)
+    // every manifest carries the FULL per-stream watermark map forward, so
+    // the newest manifest normally answers in one read; the backward walk
+    // remains for manifests written before the carry-forward existed
+    // (a stream's batch ids increase with version number, so the newest
+    // manifest mentioning this txnId holds its max)
     history(spark, root).reverseIterator
-      .map(v => readTxnDirective(fs, root, v))
-      .collectFirst { case Some((sid, bid)) if sid == txnId => bid }
+      .map(v => readTxnDirectives(fs, root, v))
+      .collectFirst { case txns if txns.contains(txnId) => txns(txnId) }
   }
 
-  /** Parse ONLY the #txn directive of a manifest — it is written before
-    * the (large, base64-heavy) stat/bloom sections, so the scan stops at
-    * the first #filestat/#filebloom/mapping line instead of decoding the
-    * whole file-index per micro-batch. */
-  private def readTxnDirective(fs: FileSystem, root: String,
-                               version: Int): Option[(String, Long)] = {
+  /** Parse ONLY the #txn directives of a manifest — they are written
+    * before the (large, base64-heavy) stat/bloom sections, so the scan
+    * stops at the first #filestat/#filebloom/mapping line instead of
+    * decoding the whole file-index per micro-batch. */
+  private def readTxnDirectives(fs: FileSystem, root: String,
+                                version: Int): Map[String, Long] = {
     val in = fs.open(new Path(root, s"_manifest.$version"))
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
@@ -910,11 +1090,12 @@ object VersionedTable {
         .takeWhile(l => l.startsWith("#graft-manifest") ||
           l.startsWith("#partcols") || l.startsWith("#schema") ||
           l.startsWith("#txn"))
-        .collectFirst { case l if l.startsWith("#txn\t") =>
+        .collect { case l if l.startsWith("#txn\t") =>
           val parts = l.split("\t", -1)
           (new String(java.util.Base64.getDecoder.decode(parts(1)),
             StandardCharsets.UTF_8), parts(2).toLong)
-        }
+        }.toList.groupBy(_._1).map { case (sid, xs) =>
+          sid -> xs.map(_._2).max }
     } finally reader.close()
   }
 
@@ -1082,7 +1263,8 @@ object VersionedTable {
         else collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, newMapping,
-        carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms)
+        carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
+        m.txns)
     }
     publish(spark, root, next)
     next
@@ -1188,7 +1370,7 @@ object VersionedTable {
         collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
-        stats, blooms)
+        stats, blooms, m.txns)
     }
     publish(spark, root, next)
     next
@@ -1236,7 +1418,7 @@ object VersionedTable {
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(partCols, m.schema, written.map(_ -> genDir).toMap,
-        stats, blooms)
+        stats, blooms, m.txns)
     }
     publish(spark, root, next)
     next

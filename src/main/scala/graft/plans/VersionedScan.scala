@@ -4,14 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
-  LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+  AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual, Literal, NamedExpression, PredicateHelper, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode,
   LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ops.VersionedTable
 
@@ -20,59 +22,73 @@ import graft.ops.VersionedTable
  * with AUTOMATIC manifest file skipping — the tier-c integration: a
  * custom leaf [[LogicalPlan]] ([[VersionedRelation]]) plus an optimizer
  * [[Rule]] ([[PruneVersionedScan]]) that sees the filters Catalyst has
- * pushed down next to the leaf, extracts the sound per-column bounds,
- * and substitutes the pruned multi-path scan — so a user writes
+ * pushed down next to the leaf, extracts the sound per-column facts
+ * (bounds, equalities, IN-lists, string prefixes, nullness), and
+ * substitutes the pruned multi-path scan — so a user writes
  *
  * {{{ VersionedScan.table(spark, root).filter($"v".between(40, 59)) }}}
  *
  * (or registers a temp view and uses plain SQL) and files whose recorded
- * min/max or bloom cannot match are never listed in the physical plan.
- * The original Filter node STAYS on top of the substituted scan, so any
- * predicate shape the extractor does not understand — disjunctions,
- * UDFs, IS NULL — is simply not used for pruning and still filters rows:
- * soundness never depends on extraction completeness.
+ * min/max or bloom cannot match are never listed in the physical plan;
+ * predicates on PARTITION columns prune whole directories before any file
+ * stats are consulted. The original Filter node STAYS on top of the
+ * substituted scan, so any predicate shape the extractor does not
+ * understand — disjunctions, UDFs — is simply not used for pruning and
+ * still filters rows: soundness never depends on extraction completeness.
  */
 object VersionedScan {
 
   /** A versioned table as a DataFrame whose scan is planned LAZILY by the
     * optimizer rule — filters applied on top (before any action) prune
-    * files. Self-registering: an unresolved [[VersionedRelation]] reaching
-    * the planner is an inscrutable internal error, so the rule is added to
+    * files. Self-registering (thread-safe via GraftExtensions'
+    * registration lock): an unresolved [[VersionedRelation]] reaching the
+    * planner is an inscrutable internal error, so the rule is added to
     * the session idempotently here (cluster-wide installs via
-    * [[graft.GraftExtensions]] are detected and not doubled). */
+    * [[graft.GraftExtensions]] are detected and not doubled). The
+    * manifest is resolved ONCE here and pinned on the relation, so the
+    * optimizer rule performs no filesystem I/O per plan compilation and
+    * never needs SparkSession.active. */
   def table(spark: SparkSession, root: String,
             asOfVersion: Option[Int] = None): DataFrame = {
     if (!spark.sessionState.optimizer.extendedOperatorOptimizationRules
-          .contains(PruneVersionedScan) &&
-        !spark.experimental.extraOptimizations.contains(PruneVersionedScan))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PruneVersionedScan
+          .contains(PruneVersionedScan))
+      graft.GraftExtensions.addOptimizations(spark, Seq(PruneVersionedScan))
     // PIN the version NOW (snapshot semantics): the rule substitutes the
     // scan at action time, and an unpinned relation would silently read
     // whatever version is current then — or crash rebinding attributes if
-    // schema evolution dropped a column in between
+    // schema evolution dropped a column in between. The manifest rides
+    // along: it is immutable once committed, so caching it is exact.
     val v = asOfVersion.orElse(VersionedTable.currentVersion(spark, root))
-    val schema = VersionedTable.schemaOf(spark, root, v)
+    val m = VersionedTable.resolveManifest(spark, root, v)
     PlanBridge.dataFrame(spark,
-      VersionedRelation(root, v, schema,
-        DataTypeUtils.toAttributes(schema)))
+      VersionedRelation(root, v, m.schema,
+        DataTypeUtils.toAttributes(m.schema))(m, spark))
   }
 }
 
 /** Leaf standing for "the committed content of the versioned table at
   * `root`" — resolved into a concrete (possibly pruned) parquet scan by
-  * [[PruneVersionedScan]]. sizeInBytes is conservatively large so join
-  * planning never broadcasts an unresolved table. */
+  * [[PruneVersionedScan]]. The second (non-product) parameter list pins
+  * the already-resolved manifest and the owning session, so plan equality
+  * and tree rendering stay keyed on (root, version, schema) while the
+  * rule needs no I/O and no SparkSession.active. sizeInBytes is
+  * conservatively large so join planning never broadcasts an unresolved
+  * table. */
 case class VersionedRelation(root: String, asOfVersion: Option[Int],
                              tableSchema: StructType,
-                             output: Seq[Attribute])
+                             output: Seq[Attribute])(
+    @transient private[graft] val manifest: VersionedTable.Manifest,
+    @transient private[graft] val session: SparkSession)
     extends LeafNode with MultiInstanceRelation {
+  override protected final def otherCopyArgs: Seq[AnyRef] =
+    manifest :: session :: Nil
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = BigInt(Long.MaxValue) / 16)
   // self-joins of one table() frame: the analyzer's DeduplicateRelations
   // re-instances leaves through this, like every built-in relation
   override def newInstance(): VersionedRelation =
-    copy(output = output.map(_.newInstance()))
+    VersionedRelation(root, asOfVersion, tableSchema,
+      output.map(_.newInstance()))(manifest, session)
 }
 
 /** Filter(cond, VersionedRelation) → Filter(cond, prunedScan); a bare
@@ -88,62 +104,97 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
       substitute(rel, None)
   }
 
+  /** Per-column facts accumulated from the conjuncts; first-seen of each
+    * kind wins (any single sound fact suffices for pruning). */
+  private case class Facets(lo: Option[Any] = None, hi: Option[Any] = None,
+                            eq: Option[Any] = None,
+                            in: Option[Seq[Any]] = None,
+                            prefix: Option[String] = None,
+                            notNull: Boolean = false,
+                            isNull: Boolean = false)
+
   /** Extract sound per-column constraints from the conjuncts: closed /
-    * strict bounds (strict widened to inclusive) and equalities against
-    * literals. Anything else contributes nothing — the Filter on top
-    * keeps row-level semantics regardless. */
+    * strict bounds (strict widened to inclusive), equalities, IN-lists
+    * (both the literal-list and the optimized InSet form, nulls dropped —
+    * they match no row), string prefixes from LIKE 'abc%', and
+    * IS [NOT] NULL facts. Anything else contributes nothing — the Filter
+    * on top keeps row-level semantics regardless. */
   private def constraints(cond: Expression)
       : Seq[VersionedTable.ColConstraint] = {
     def ext(dtJson: Literal): Any =
       CatalystTypeConverters.createToScalaConverter(dtJson.dataType)(
         dtJson.value)
-    val perCol = scala.collection.mutable.Map.empty[String,
-      (Option[Any], Option[Any], Option[Any])]
-    def merge(name: String, lo: Option[Any], hi: Option[Any],
-              eq: Option[Any]): Unit = {
-      val (l0, h0, e0) = perCol.getOrElse(name, (None, None, None))
-      // several bounds on one column: any single sound bound suffices
-      // for pruning; keep the first seen of each kind
-      perCol(name) = (l0.orElse(lo), h0.orElse(hi), e0.orElse(eq))
-    }
+    val perCol = scala.collection.mutable.Map.empty[String, Facets]
+    def upd(name: String)(f: Facets => Facets): Unit =
+      perCol(name) = f(perCol.getOrElse(name, Facets()))
     splitConjunctivePredicates(cond).foreach {
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        merge(a.name, Some(ext(l)), None, None)
+        upd(a.name)(x => x.copy(lo = x.lo.orElse(Some(ext(l)))))
       case GreaterThan(a: AttributeReference, l: Literal) =>
-        merge(a.name, Some(ext(l)), None, None)
+        upd(a.name)(x => x.copy(lo = x.lo.orElse(Some(ext(l)))))
       case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        merge(a.name, None, Some(ext(l)), None)
+        upd(a.name)(x => x.copy(hi = x.hi.orElse(Some(ext(l)))))
       case LessThan(a: AttributeReference, l: Literal) =>
-        merge(a.name, None, Some(ext(l)), None)
+        upd(a.name)(x => x.copy(hi = x.hi.orElse(Some(ext(l)))))
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        merge(a.name, None, Some(ext(l)), None)
+        upd(a.name)(x => x.copy(hi = x.hi.orElse(Some(ext(l)))))
       case GreaterThan(l: Literal, a: AttributeReference) =>
-        merge(a.name, None, Some(ext(l)), None)
+        upd(a.name)(x => x.copy(hi = x.hi.orElse(Some(ext(l)))))
       case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        merge(a.name, Some(ext(l)), None, None)
+        upd(a.name)(x => x.copy(lo = x.lo.orElse(Some(ext(l)))))
       case LessThan(l: Literal, a: AttributeReference) =>
-        merge(a.name, Some(ext(l)), None, None)
+        upd(a.name)(x => x.copy(lo = x.lo.orElse(Some(ext(l)))))
       case EqualTo(a: AttributeReference, l: Literal) =>
-        merge(a.name, None, None, Some(ext(l)))
+        upd(a.name)(x => x.copy(eq = x.eq.orElse(Some(ext(l)))))
       case EqualTo(l: Literal, a: AttributeReference) =>
-        merge(a.name, None, None, Some(ext(l)))
+        upd(a.name)(x => x.copy(eq = x.eq.orElse(Some(ext(l)))))
+      // <=> with a non-null literal is plain equality (plus not-null)
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        upd(a.name)(x => x.copy(eq = x.eq.orElse(Some(ext(l)))))
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+        upd(a.name)(x => x.copy(eq = x.eq.orElse(Some(ext(l)))))
+      // <=> NULL and IS NULL: only files recording at least one null match
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value == null =>
+        upd(a.name)(_.copy(isNull = true))
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value == null =>
+        upd(a.name)(_.copy(isNull = true))
+      case IsNull(a: AttributeReference) =>
+        upd(a.name)(_.copy(isNull = true))
+      case IsNotNull(a: AttributeReference) =>
+        upd(a.name)(_.copy(notNull = true))
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.collect {
+          case l: Literal if l.value != null => ext(l) }
+        upd(a.name)(x => x.copy(in = x.in.orElse(Some(vs))))
+      case InSet(a: AttributeReference, hset) =>
+        val conv = CatalystTypeConverters.createToScalaConverter(a.dataType)
+        val vs = hset.toSeq.filter(_ != null).map(conv)
+        upd(a.name)(x => x.copy(in = x.in.orElse(Some(vs))))
+      case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
+        upd(a.name)(x => x.copy(prefix = x.prefix.orElse(Some(p.toString))))
       case _ => ()
     }
-    perCol.toSeq.map { case (name, (lo, hi, eq)) =>
-      VersionedTable.ColConstraint(name, lo, hi, eq)
+    perCol.toSeq.collect {
+      case (name, f) if f.lo.isDefined || f.hi.isDefined || f.eq.isDefined ||
+          f.in.isDefined || f.prefix.isDefined || f.notNull || f.isNull =>
+        VersionedTable.ColConstraint(name, f.lo, f.hi, f.eq, f.in, f.prefix,
+          f.notNull, f.isNull)
     }
   }
 
-  /** Build the concrete scan and re-bind it to the relation's original
-    * attribute ids so everything referencing the leaf keeps resolving. */
+  /** Build the concrete scan (no I/O beyond listing the SELECTED files —
+    * the manifest was pinned at relation-build time) and re-bind it to
+    * the relation's original attribute ids so everything referencing the
+    * leaf keeps resolving. */
   private def substitute(rel: VersionedRelation,
                          cond: Option[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
+    val spark = rel.session
     val df = cond.map(constraints).filter(_.nonEmpty) match {
       case Some(cs) =>
-        VersionedTable.readConstrained(spark, rel.root, cs, rel.asOfVersion)
+        VersionedTable.readConstrainedM(spark, rel.root, rel.manifest, cs)
       case None =>
-        VersionedTable.read(spark, rel.root, rel.asOfVersion)
+        VersionedTable.readM(spark, rel.root, rel.manifest)
     }
     val newPlan = PlanBridge.analyzed(df)
     val byName = newPlan.output.map(a => a.name -> a).toMap

@@ -149,4 +149,77 @@ class ExtensionsSpec extends SparkSpec {
       rows.filter(_._3 < 10).map(_._1.toLong).sum)
   }
 
+  test("PruneVersionedScan: IN lists, prefixes, partition + null facts prune") {
+    GraftExtensions.register(spark)
+    import graft.ops.VersionedTable
+    import graft.plans.VersionedScan
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtrule2").toString
+    val root = s"$dir/table"
+    val rows = (0 until 400).map { i =>
+      (i, s"g${i % 4}", i / 2, f"doc-${(i * 2654435761L) % 100000}%05d")
+    }
+    VersionedTable.upsert(spark, root,
+      rows.toDF("id", "grp", "v", "doc"), Seq("id", "grp"), Seq("grp"),
+      statsCols = Seq("v"), fileRows = Some(25), bloomCols = Seq("doc"))
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      VersionedTable.physicalInputFiles(df)
+    val total = files(VersionedScan.table(spark, root))
+    VersionedScan.table(spark, root).createOrReplaceTempView("vt_rule2")
+    // IN over the bloom-indexed column: per-value probe union (short list
+    // stays Catalyst `In`)
+    val needles = Seq(rows(11)._4, rows(222)._4)
+    val in = spark.sql(s"SELECT id FROM vt_rule2 WHERE doc IN " +
+      s"('${needles(0)}','${needles(1)}')")
+    assert(files(in) < total, s"IN bloom skipping did not bite: ${files(in)}")
+    assert(in.as[Int].collect().toSet ==
+      rows.filter(r => needles.contains(r._4)).map(_._1).toSet)
+    // a 12-value IN converts to Catalyst InSet past the threshold — both
+    // forms must extract; values cluster in two v-bands so stats skip
+    val vSet = Set(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 190)
+    val inV = spark.sql(
+      s"SELECT id FROM vt_rule2 WHERE v IN (${vSet.mkString(",")})")
+    // the 12 values span exactly two v-bands per partition: 2 of 4 files
+    // survive in each of the 4 partitions
+    assert(files(inV) <= total / 2,
+      s"InSet stats skipping did not bite: ${files(inV)} of $total")
+    assert(inV.as[Int].collect().toSet ==
+      rows.filter(r => vSet(r._3)).map(_._1).toSet)
+    // partition-column predicate: whole directories pruned before any
+    // file stats (1 of 4 partitions survives)
+    val part = VersionedScan.table(spark, root).filter(col("grp") === "g1")
+    assert(files(part) <= total / 3,
+      s"partition pruning did not bite: ${files(part)} of $total")
+    assert(part.count() == 100)
+    val partRange = spark.sql("SELECT id FROM vt_rule2 WHERE grp >= 'g2'")
+    assert(files(partRange) <= total / 2 + 1)
+    assert(partRange.as[Int].collect().toSet ==
+      rows.filter(_._2 >= "g2").map(_._1).toSet)
+    // string-prefix pruning (LIKE 'k00%') over a string-clustered table
+    val root2 = s"$dir/table2"
+    VersionedTable.upsert(spark, root2,
+      (0 until 200).map(i => (i, "g0", f"k$i%03d")).toDF("id", "grp", "s"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("s"), fileRows = Some(25))
+    val total2 = files(VersionedScan.table(spark, root2))
+    val pf = VersionedScan.table(spark, root2).filter(col("s").startsWith("k00"))
+    assert(files(pf) < total2,
+      s"prefix skipping did not bite: ${files(pf)} of $total2")
+    assert(pf.select(col("id")).as[Int].collect().toSet == (0 until 10).toSet)
+    // null facts: IS NOT NULL skips all-null files, IS NULL skips
+    // files recording zero nulls
+    val root3 = s"$dir/table3"
+    val nrows: Seq[(Int, String, Option[Int])] =
+      (0 until 100).map(i =>
+        (i, if (i < 50) "gn" else "gv", if (i < 50) None else Some(i)))
+    VersionedTable.upsert(spark, root3, nrows.toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"), fileRows = Some(10))
+    val total3 = files(VersionedScan.table(spark, root3))
+    val nn = VersionedScan.table(spark, root3).filter(col("v").isNotNull)
+    assert(files(nn) <= total3 / 2, s"IsNotNull did not skip: ${files(nn)}")
+    assert(nn.count() == 50)
+    val isn = VersionedScan.table(spark, root3).filter(col("v").isNull)
+    assert(files(isn) <= total3 / 2, s"IsNull did not skip: ${files(isn)}")
+    assert(isn.count() == 50)
+  }
+
 }

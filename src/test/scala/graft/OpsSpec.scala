@@ -878,6 +878,61 @@ class OpsSpec extends SparkSpec {
     assert(VersionedTable.lastTxn(spark, root, "s3").isEmpty)
   }
 
+  test("VersionedTable txn watermarks survive maintenance commits + vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vttxn2").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    def up(bid: Long, v: Int) = VersionedTable.upsert(spark, root,
+      Seq((1, "g0", v)).toDF("id", "grp", "v"), keys, Seq("grp"),
+      txn = Some(("s1", bid)))
+    up(5, 10)
+    // a maintenance commit writes its own manifest, then vacuum(1) erases
+    // the version whose upsert carried the #txn tag — the per-stream
+    // watermark must ride forward in EVERY manifest or a checkpoint
+    // replay would re-commit old batches as duplicate versions
+    VersionedTable.compact(spark, root)
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(VersionedTable.lastTxn(spark, root, "s1").contains(5))
+    val before = VersionedTable.history(spark, root)
+    up(5, 99) // replayed batch: still a no-op
+    assert(VersionedTable.history(spark, root) == before)
+    assert(VersionedTable.read(spark, root)
+      .select($"v").as[Int].collect().toSeq == Seq(10))
+    // deleteWhere and repartitionTable carry the map too
+    VersionedTable.deleteWhere(spark, root, "v", 1000, 2000)
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(VersionedTable.lastTxn(spark, root, "s1").contains(5))
+    VersionedTable.repartitionTable(spark, root, Seq("grp"))
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(VersionedTable.lastTxn(spark, root, "s1").contains(5))
+    up(5, 77)
+    assert(VersionedTable.read(spark, root)
+      .select($"v").as[Int].collect().toSeq == Seq(10))
+    up(6, 20) // a genuinely new batch still commits
+    assert(VersionedTable.read(spark, root)
+      .select($"v").as[Int].collect().toSeq == Seq(20))
+  }
+
+  test("VersionedTable float stats: Double bounds cannot mis-prune a file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtflt").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "grp")
+    // 40.05f widens to 40.04999923706055; a Float.toString rendering
+    // ("40.05") would parse to a LARGER double under the stats ordering
+    // and prune the file for any upper bound inside that half-ULP window,
+    // silently losing matching rows. The render must go through the
+    // lossless double widening.
+    VersionedTable.upsert(spark, root,
+      Seq((1, "g0", 40.05f), (2, "g0", 41.0f)).toDF("id", "grp", "v"),
+      keys, Seq("grp"), statsCols = Seq("v"))
+    val hit = VersionedTable.readWhere(spark, root, "v", 40.0, 40.04999950)
+    assert(hit.select($"id").as[Int].collect().toSeq == Seq(1),
+      "file with min=40.05f was pruned for an upper bound above its true min")
+    // and pruning still bites when genuinely out of range
+    assert(VersionedTable.readWhere(spark, root, "v", 100.0, 200.0)
+      .count() == 0)
+  }
+
   test("VersionedTable.syncChanges cursor survives a crash mid-promote") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtcur").toString
     val root = s"$dir/table"
