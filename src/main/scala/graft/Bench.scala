@@ -68,6 +68,16 @@ object Bench {
     // the totals measure the box, not the engine.
     val sentinelSamples =
       new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    // Memory series alongside the timing sentinel: JVM heap used and
+    // cached-block storage memory, sampled once a second. A query whose
+    // reps RISE monotonically through the run (r5's q_weighted_quantiles
+    // symptom) is either box weather (sentinel times rise too) or
+    // accumulation (heap/storage climb while sentinel stays flat) — this
+    // series makes the artifact distinguish the two without a rerun.
+    val heapSamples =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    val storageSamples =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
     @volatile var stopSentinel = false
     val sentinel = new Thread(() => {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", "__sentinel")
@@ -76,6 +86,11 @@ object Bench {
         val s = System.nanoTime()
         try spark.range(0, 1, 1, 1).count() catch { case _: Throwable => () }
         sentinelSamples.add((System.nanoTime() - s) / 1e9)
+        val rt = Runtime.getRuntime
+        heapSamples.add((rt.totalMemory - rt.freeMemory) / 1e6)
+        try storageSamples.add(
+          spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6)
+        catch { case _: Throwable => () }
         try Thread.sleep(1000) catch { case _: InterruptedException => () }
       }
     }, "bench-sentinel")
@@ -214,10 +229,31 @@ object Bench {
     // contended flag but shows here as a >~2 ratio; the judge can divide
     // it out when comparing walls across rounds.
     val weather = if (sFloor > 0) sPct(0.5) / sFloor else 0.0
+    // first/mid/last thirds of the UNsorted heap series: a climbing mean
+    // across thirds is the accumulation signature; flat thirds acquit the
+    // engine when rep times rose (box weather instead).
+    def thirds(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double])
+      : (Double, Double, Double) = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val it = q.iterator()
+      while (it.hasNext) b += it.next()
+      if (b.isEmpty) (0.0, 0.0, 0.0)
+      else {
+        val n = b.length
+        def mean(xs: collection.Seq[Double]) =
+          if (xs.isEmpty) 0.0 else xs.sum / xs.length
+        (mean(b.take(n / 3 max 1)), mean(b.slice(n / 3, 2 * n / 3 max 1)),
+          mean(b.drop(2 * n / 3)))
+      }
+    }
+    val (h1, h2, h3) = thirds(heapSamples)
+    val (s1, s2, s3) = thirds(storageSamples)
+    val memJson = s""""heap_mb":[${r4(h1)},${r4(h2)},${r4(h3)}],""" +
+      s""""storage_mb":[${r4(s1)},${r4(s2)},${r4(s3)}]"""
     val sentinelJson = s"""{"n":${sSamples.length},"floor":${r4(sFloor)},""" +
       s""""p50":${r4(sPct(0.5))},"p95":${r4(sPct(0.95))},""" +
       s""""max":${r4(sSamples.lastOption.getOrElse(0.0))},""" +
-      s""""weather":${r4(weather)}}"""
+      s""""weather":${r4(weather)},$memJson}"""
     val retriedJson = retried.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     // Key order matters: the driver keeps only the TAIL of this line, so

@@ -777,6 +777,17 @@ object Stats {
     * one hot cell (the range-outlier pathology) — the documented limit of
     * data-independent cuts. Non-numeric value columns keep the
     * single-window path.
+    *
+    * Candidate-band pruning: each permille's answer lives in exactly ONE
+    * band — the first whose cumulative END weight crosses q·W (cumulative
+    * weight is monotone across bands, so earlier bands can't reach the
+    * threshold and later bands only hold larger values that min() would
+    * discard). The crossing band is found on the BAND TOTALS (≤ 4096 rows
+    * per group), and only rows of crossing bands — ≤ |permille| bands per
+    * group, ~|distinct|/4096 rows each — enter the in-band running-sum
+    * window or meet a permille row. The second pass thus shrinks from
+    * |distinct|·|permille| exploded rows to |candidate bands|·band-width,
+    * and the big band join becomes a broadcast of a permille-sized list.
     * Int64 envelope: W·1000 ≤ 9.2e18 → total group weight ≤ 9.2e15. */
   def weightedQuantiles(df: DataFrame, keys: Seq[String], value: Column,
                         weight: Column, permille: Seq[Int]): DataFrame = {
@@ -789,8 +800,7 @@ object Stats {
       .agg(sum(weight.cast("long")).as("__w"))
     val numericValue = dv.schema("__v").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val cum =
-      if (numericValue) {
+    if (numericValue) {
         val nBands = 4096
         val vType = dv.schema("__v").dataType
         val isFloat = vType == DoubleType ||
@@ -829,33 +839,57 @@ object Stats {
         val banded = withBounds.withColumn("__band", bandExpr)
           .drop("__lo", "__hi")
         val bandTotals = banded.groupBy((grpCols :+ col("__band")): _*)
-          .agg(sum(col("__w")).as("__bw"))
+          .agg(sum(col("__w")).as("__bw"), min(col("__tot")).as("__bt"))
         val wOff = Window.partitionBy(grpCols: _*).orderBy(col("__band"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = bandTotals
+        val withOff = bandTotals
           .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0L)))
-          .drop("__bw")
+        // crossing band per permille: the unique band with
+        // __off·1000 < pm·W ≤ (__off+__bw)·1000 (occupied bands only, so
+        // __bw > 0 and exactly one band satisfies the half-open interval;
+        // pm ≤ 1000 guarantees the last band catches pm·W = 1000·W). The
+        // explode multiplies ≤ 4096 band rows per group, never values.
+        val cands = withOff
+          .select((grpCols ++ Seq(col("__band"), col("__off"), col("__bw"),
+            col("__bt"),
+            explode(array(permille.map(lit): _*)).as("permille"))): _*)
+          .filter(col("permille") * col("__bt") > col("__off") * 1000L &&
+            col("permille") * col("__bt") <=
+              (col("__off") + col("__bw")) * 1000L)
+        val candBands = cands
+          .select((grpCols ++ Seq(col("__band"), col("__off"))): _*)
+          .distinct()
+        val joinKeys = (keys :+ "__band").toSeq
+        // unhinted joins: candBands/cands are |groups|·|permille|-sized —
+        // AQE broadcasts them when small, but an explicit broadcast()
+        // would collect rows per GROUP to the driver, which a
+        // high-cardinality key (per-user quantiles) must not do. The
+        // in-band window only ever sees crossing-band rows.
         val wIn = Window.partitionBy((grpCols :+ col("__band")): _*)
           .orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, 0)
-        // unhinted join: the sort-merge shuffle on (keys, __band) is the
-        // exact partitioning wIn needs, so it is reused, not extra (AQE
-        // downgrades to broadcast when offsets is small enough)
-        banded.join(offsets, (keys :+ "__band").toSeq)
+        val inBand = banded.join(candBands, joinKeys)
           .withColumn("__cum", col("__off") + sum(col("__w")).over(wIn))
+        inBand
+          .join(cands.select((grpCols ++ Seq(col("__band"),
+            col("permille"))): _*), joinKeys)
+          .filter(col("__cum") * 1000L >= col("permille") * col("__tot"))
+          .groupBy((grpCols :+ col("permille")): _*)
+          .agg(min(col("__v")).as("value_q"),
+            min(col("__tot")).as("total_weight"))
       } else {
         val wCum = Window.partitionBy(grpCols: _*).orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, 0)
         val wTot = Window.partitionBy(grpCols: _*)
         dv.withColumn("__cum", sum(col("__w")).over(wCum))
           .withColumn("__tot", sum(col("__w")).over(wTot))
+          .select((grpCols ++ Seq(col("__v"), col("__cum"), col("__tot"),
+            explode(array(permille.map(lit): _*)).as("permille"))): _*)
+          .filter(col("__cum") * 1000L >= col("permille") * col("__tot"))
+          .groupBy((grpCols :+ col("permille")): _*)
+          .agg(min(col("__v")).as("value_q"),
+            min(col("__tot")).as("total_weight"))
       }
-    cum
-      .select((grpCols ++ Seq(col("__v"), col("__cum"), col("__tot"),
-        explode(array(permille.map(lit): _*)).as("permille"))): _*)
-      .filter(col("__cum") * 1000L >= col("permille") * col("__tot"))
-      .groupBy((grpCols :+ col("permille")): _*)
-      .agg(min(col("__v")).as("value_q"), min(col("__tot")).as("total_weight"))
   }
 
   /** Referential-integrity audit: for each declared (child, fkCol) →
