@@ -71,6 +71,23 @@ object VersionedTable {
   private[graft] class TxnAlreadyCommittedException(msg: String)
     extends RuntimeException(msg)
 
+  /** Lost the create-exclusive claim on `_manifest.<next>` to a concurrent
+    * writer (or hit a crashed writer's leftover claim). Subtype of
+    * IllegalStateException so callers that treated every staging failure
+    * as fatal still do; [[upsert]] catches it specifically to drive
+    * disjoint-partition optimistic retry. */
+  private[graft] class StagingRaceException(msg: String,
+                                            cause: Throwable = null)
+    extends IllegalStateException(msg, cause)
+
+  /** Two writers touched OVERLAPPING partitions: the optimistic retry
+    * refused to re-merge automatically (the loser's anti-join ran against
+    * a snapshot the winner has since replaced — blindly retrying could
+    * resurrect rows the winner deleted). The caller re-runs its merge
+    * against the new current version deliberately. */
+  class ConcurrentWriteConflictException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Highest committed version, if any: max N over `_commit.<N>` markers. */
   def currentVersion(spark: SparkSession, root: String): Option[Int] = {
     val vs = history(spark, root)
@@ -872,13 +889,13 @@ object VersionedTable {
     val genDir = s"gen$next"
     val manifestPath = new Path(root, s"_manifest.$next")
     if (fs.exists(manifestPath))
-      throw new IllegalStateException(
+      throw new StagingRaceException(
         s"version $next at $root is already staged: concurrent writer, or " +
           "a crashed prepare (vacuum() clears unpublished stages)")
     val out =
       try fs.create(manifestPath, false)
       catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
+        throw new StagingRaceException(
           s"lost the staging race for version $next at $root", e) }
     try {
       val st = stage(genDir)
@@ -1042,18 +1059,92 @@ object VersionedTable {
     * then skips whole files whose range misses a predicate, the
     * sub-partition half of scan pruning (partition dirs prune the other
     * half). `fileRows` caps rows per data file so hot partitions split
-    * into several independently skippable files. */
+    * into several independently skippable files.
+    *
+    * Disjoint-partition optimistic concurrency (Delta-style conflict
+    * detection, partition granularity): on losing the claim race, wait
+    * for the winner's commit marker, then compare this merge's partition
+    * set against every interleaved version's TOUCHED set (dirs mapped to
+    * that version's generation, plus dirs the version dropped). Disjoint
+    * → retry on the new current version: the loser's anti-join ran only
+    * against partitions the winner never changed, so restaging on top of
+    * the winner's mapping is exactly the serialized result — per-source
+    * ingest jobs writing different dates commit concurrently (v+1, v+2).
+    * Overlapping → [[ConcurrentWriteConflictException]], loudly: the
+    * loser's survivors were computed against replaced data. A claim that
+    * never publishes (crashed writer) rethrows after
+    * `graft.versioned.claimWaitMs` (default 30 s) with the vacuum hint. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              keys: Seq[String], partCols: Seq[String],
              statsCols: Seq[String] = Nil,
              fileRows: Option[Int] = None,
              bloomCols: Seq[String] = Nil,
              bloomBits: Long = 0L,
-             txn: Option[(String, Long)] = None): Unit =
-    try publish(spark, root,
-      prepare(spark, root, updates, keys, partCols, statsCols, fileRows,
-        bloomCols, bloomBits, txn))
-    catch { case _: TxnAlreadyCommittedException => () } // idempotent no-op
+             txn: Option[(String, Long)] = None): Unit = {
+    val fs = fsFor(spark, root)
+    val waitMs =
+      sys.props.getOrElse("graft.versioned.claimWaitMs", "30000").toLong
+    val maxAttempts = 5
+    var attempt = 1
+    var committed = false
+    while (!committed) {
+      val basedOn = currentVersion(spark, root).getOrElse(-1)
+      try {
+        publish(spark, root,
+          prepare(spark, root, updates, keys, partCols, statsCols, fileRows,
+            bloomCols, bloomBits, txn))
+        committed = true
+      } catch {
+        case _: TxnAlreadyCommittedException => committed = true // no-op
+        case e: StagingRaceException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          // the loser can only restage once the winner's version is
+          // COMMITTED (next = max committed + 1 would re-collide with the
+          // same staged manifest otherwise)
+          val deadline = System.nanoTime + waitMs * 1000000L
+          var newCur = currentVersion(spark, root).getOrElse(-1)
+          while (newCur <= basedOn && System.nanoTime < deadline) {
+            Thread.sleep(50)
+            newCur = currentVersion(spark, root).getOrElse(-1)
+          }
+          if (newCur <= basedOn) throw e // staged but never published
+          val myDirs = Merge.partitionDirEntries(spark, updates, partCols)
+            .map(_._2).toSet
+          ((basedOn + 1) to newCur).foreach { v =>
+            touchedDirs(fs, root, v) match {
+              case Some(dirs) if dirs.intersect(myDirs).isEmpty => ()
+              case _ => throw new ConcurrentWriteConflictException(
+                s"concurrent write conflict at $root: version $v touched " +
+                  "partitions this merge also writes (or its footprint is " +
+                  "unverifiable after vacuum/layout change) — re-run the " +
+                  "merge against the new current version")
+            }
+          }
+        // disjoint: loop retries prepare on the new current version
+      }
+    }
+  }
+
+  /** Partition dirs version `v` changed relative to `v-1`: dirs its
+    * manifest maps to gen<v> (written/rewritten) plus dirs present in
+    * v-1's mapping but absent in v's (dropped by a delete). None = the
+    * footprint is unverifiable (prior manifest vacuumed, or the version
+    * changed the partition LAYOUT, making dir strings incomparable) —
+    * callers treat that as conflicting. */
+  private[graft] def touchedDirs(fs: FileSystem, root: String,
+                                 v: Int): Option[Set[String]] = {
+    val m = readManifest(fs, root, v)
+    val written = m.mapping.collect {
+      case (rel, gen) if gen == s"gen$v" => rel }.toSet
+    if (v == 0) Some(written)
+    else if (!fs.exists(new Path(root, s"_manifest.${v - 1}"))) None
+    else {
+      val prev = readManifest(fs, root, v - 1)
+      if (prev.partCols != m.partCols) None
+      else Some(written ++ (prev.mapping.keySet -- m.mapping.keySet))
+    }
+  }
 
   /** Highest transaction version committed for `txnId` across the
     * RETAINED manifests — the idempotence check for exactly-once

@@ -2198,4 +2198,90 @@ class OpsSpec extends SparkSpec {
       .select("mad", "n_outliers").as[(Double, Long)].collect()(0)
     assert(rc == ((0.0, 0L)))
   }
+
+  test("VersionedTable: concurrent disjoint-partition upserts both commit") {
+    // the 500ms suite-wide claim wait is sized for wedged-claim tests;
+    // a REAL winner is publishing here, so give the loser a real window
+    val saved = sys.props("graft.versioned.claimWaitMs")
+    sys.props("graft.versioned.claimWaitMs") = "30000"
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_occ")
+        .toString + "/table"
+      val keys = Seq("id", "day")
+      VersionedTable.upsert(spark, root,
+        Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b"))
+          .toDF("id", "day", "val"), keys, "day")
+      // writer A stages v1 (claim HELD, touching only 2024-01-01) before
+      // the loser even starts, so the loser deterministically loses the
+      // claim and waits for A's commit marker
+      val staged = VersionedTable.prepare(spark, root,
+        Seq((1, "2024-01-01", "A2")).toDF("id", "day", "val"), keys,
+        Seq("day"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val loser = Future {
+        VersionedTable.upsert(spark, root,
+          Seq((2, "2024-01-02", "B2")).toDF("id", "day", "val"), keys,
+          Seq("day"))
+      }
+      Thread.sleep(300)
+      VersionedTable.publish(spark, root, staged)
+      Await.result(loser, 60.seconds)
+      // serialized v1 (winner), v2 (loser); BOTH merges present
+      assert(VersionedTable.history(spark, root) == Seq(0, 1, 2))
+      val rows = VersionedTable.read(spark, root)
+        .select($"id", $"val").as[(Int, String)].collect().toMap
+      assert(rows == Map(1 -> "A2", 2 -> "B2"))
+
+      // OVERLAPPING writers still fail loudly: winner stages on
+      // 2024-01-01 (claim held first, again deterministic), the racing
+      // upsert also writes 2024-01-01
+      val staged2 = VersionedTable.prepare(spark, root,
+        Seq((1, "2024-01-01", "A3")).toDF("id", "day", "val"), keys,
+        Seq("day"))
+      val conflicted = Future {
+        VersionedTable.upsert(spark, root,
+          Seq((3, "2024-01-01", "C"), (4, "2024-01-09", "d"))
+            .toDF("id", "day", "val"), keys, Seq("day"))
+      }
+      Thread.sleep(300)
+      VersionedTable.publish(spark, root, staged2)
+      // Await.result rethrows the future's failure directly
+      val err = intercept[VersionedTable.ConcurrentWriteConflictException] {
+        Await.result(conflicted, 60.seconds)
+      }
+      assert(err.getMessage.contains("concurrent write conflict"))
+      // the conflicted merge never half-landed: v3 is the winner's alone
+      assert(VersionedTable.history(spark, root) == Seq(0, 1, 2, 3))
+      assert(VersionedTable.read(spark, root)
+        .filter($"id" === 3 || $"id" === 4).count() == 0)
+    } finally sys.props("graft.versioned.claimWaitMs") = saved
+  }
+
+  test("VersionedTable.touchedDirs: writes, delete-drops, layout changes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_occ2")
+      .toString + "/table"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "2024-01-01", 5L), (2, "2024-01-02", 7L))
+        .toDF("id", "day", "v"), keys, Seq("day"), statsCols = Seq("v"))
+    // v1 rewrites only day=2024-01-01
+    VersionedTable.upsert(spark, root,
+      Seq((1, "2024-01-01", 6L)).toDF("id", "day", "v"), keys, Seq("day"),
+      statsCols = Seq("v"))
+    assert(VersionedTable.touchedDirs(fs, root, 1)
+      .contains(Set("day=2024-01-01")))
+    // v2: deleteWhere empties day=2024-01-02 ENTIRELY — the partition
+    // vanishes from the mapping, so a racing upsert into it is visible
+    // only through the prev-minus-new term
+    VersionedTable.deleteWhere(spark, root, "v", 7L, 7L)
+    assert(VersionedTable.touchedDirs(fs, root, 2)
+      .exists(_.contains("day=2024-01-02")))
+    // layout evolution makes dir strings incomparable: unverifiable (None)
+    VersionedTable.repartitionTable(spark, root, Seq("id"))
+    assert(VersionedTable.touchedDirs(fs, root, 3).isEmpty)
+  }
 }

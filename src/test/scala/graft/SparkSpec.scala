@@ -5,6 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM, Test/fork=true). */
 object SparkSpec {
+  // A wedged claim (crashed writer, never publishes) makes upsert wait for
+  // the winner's commit marker before rethrowing; tests exercise that path
+  // deliberately and must not stall 30 s per occurrence.
+  sys.props("graft.versioned.claimWaitMs") = "500"
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
