@@ -1577,6 +1577,11 @@ object SparkEntry {
     VersionedTable.upsert(s, root, li,
       Seq("l_orderkey", "l_linenumber", "grp"), Seq("grp"),
       statsCols = Seq("zval"), fileRows = Some(16384))
+    // OPTIMIZE ZORDER over the same dims: the query below runs against
+    // the COMPACTED generation, proving re-clustering preserves the
+    // z-interval skipping (a plain compact would destroy it)
+    VersionedTable.compact(s, root, statsCols = Seq("zval"),
+      fileRows = Some(16384), zOrderCols = Seq("px", "py"))
     val (xlo, xhi, ylo, yhi) = (20L, 40L, 1L, 30L)
     val intervals = ZOrder.zIntervalsForBox(xlo, xhi, ylo, yhi, bits = 6,
       maxIntervals = 32)

@@ -1435,23 +1435,39 @@ object VersionedTable {
     * against every subsequent scan paying the file-count overhead; the
     * commit protocol (claim → stage → marker) is the same as
     * [[prepare]]/[[publish]], so compaction never blocks readers and a
-    * crash mid-compact leaves only orphans for [[vacuum]]. */
+    * crash mid-compact leaves only orphans for [[vacuum]].
+    *
+    * `zOrderCols` is OPTIMIZE ZORDER BY: instead of the lexicographic
+    * statsCols sort, rows cluster on the interleaved z-value of the named
+    * (numeric) columns — [[ZOrder.withZValueN]] with table-derived bounds
+    * — so each written file carries a TIGHT min/max box on EVERY z
+    * dimension at once, and [[readWhere]]/[[readWhereIn]] on any of them
+    * keeps skipping after compaction (a lexicographic sort only keeps the
+    * FIRST column's ranges tight; without either, compaction silently
+    * destroys the file clustering the index family depends on). Stats
+    * still collect on `statsCols` — pass the z dimensions there too. */
   def compact(spark: SparkSession, root: String,
               statsCols: Seq[String] = Nil,
               fileRows: Option[Int] = None,
               bloomCols: Seq[String] = Nil,
-              bloomBits: Long = 0L): Int = {
+              bloomBits: Long = 0L,
+              zOrderCols: Seq[String] = Nil): Int = {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
-    (statsCols ++ bloomCols).foreach(c => require(!m.partCols.contains(c),
-      s"stats column $c is a partition column"))
+    (statsCols ++ bloomCols ++ zOrderCols).foreach(c =>
+      require(!m.partCols.contains(c),
+        s"stats column $c is a partition column"))
     val next = stageVersion(fs, root, cur + 1) { genDir =>
       val base = read(spark, root, Some(cur))
         .repartition(m.partCols.map(col): _*)
       val clustered =
-        if (statsCols.isEmpty) base
+        if (zOrderCols.nonEmpty)
+          ZOrder.withZValueN(base, zOrderCols, "__zval")
+            .sortWithinPartitions((m.partCols.map(col) :+ col("__zval")): _*)
+            .drop("__zval")
+        else if (statsCols.isEmpty) base
         else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
       val writer = fileRows.foldLeft(clustered.write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))

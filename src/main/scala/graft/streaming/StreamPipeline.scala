@@ -290,6 +290,46 @@ object StreamPipeline {
       }
       .start()
 
+  /** Continuous CDC consumer over a [[graft.ops.VersionedTable]] — the
+    * streaming leg of [[graft.ops.VersionedTable.syncChanges]], and the
+    * end-to-end replacement for the reference's warehouse sync loop that
+    * re-MERGEs its ENTIRE staging frame every cycle
+    * (load_stream_to_snowflake.py:243-323): a Structured Streaming query
+    * whose rate source is purely a metronome; each trigger polls the
+    * table's committed version and, when it advanced, hands the
+    * change-volume-sized feed (op ∈ insert | update | delete, TO-version
+    * row values) to `apply`. The first tick delivers the whole table as
+    * op='insert' (CDC initial load); idle ticks cost one directory
+    * listing + one cursor read, no data I/O.
+    *
+    * Progress is the crash-safe VERSION CURSOR file (write-new-then-
+    * promote, see syncChanges), deliberately decoupled from the streaming
+    * checkpoint: losing the checkpoint loses nothing (the rate offsets
+    * are meaningless), a crash between apply and cursor promote
+    * re-delivers the same transition — at-least-once, so pair `apply`
+    * with an idempotent keyed MERGE exactly like the batch consumer.
+    * Size [[graft.ops.VersionedTable.vacuum]]'s retention window to the
+    * poll cadence so consumed-from versions stay readable. A table that
+    * does not exist yet is skipped, not fatal — the consumer may start
+    * before the first producer commit. */
+  def startChangeFeedStream(spark: SparkSession, root: String,
+                            keys: Seq[String], cursorPath: String,
+                            pollInterval: String = "1 second")
+                           (apply: DataFrame => Unit): StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").option("numPartitions", "1").load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        try {
+          graft.ops.VersionedTable.syncChanges(spark, root, keys,
+            cursorPath)(apply)
+          ()
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
+      .start()
+
   /** S9, made safe: the reference's log sink collects EVERY batch row to
     * the driver (spark_stream_processor.py:89) — at scale that is a driver
     * OOM. This is the bounded twin: at most `maxRows` rows per micro-batch

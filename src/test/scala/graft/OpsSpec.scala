@@ -2199,6 +2199,37 @@ class OpsSpec extends SparkSpec {
     assert(rc == ((0.0, 0L)))
   }
 
+  test("VersionedTable.compact zOrderCols: multi-dim skipping survives OPTIMIZE") {
+    val root = java.nio.file.Files.createTempDirectory("graft_zcompact")
+      .toString + "/table"
+    // 64x64 grid, 2 rows per cell: x cycles fast, y slow — the shape
+    // where a lexicographic (x, y) sort leaves y WIDE in every file
+    val df = (0 until 8192)
+      .map(i => (i, i % 64, (i / 64) % 64, "all"))
+      .toDF("id", "x", "y", "grp")
+    VersionedTable.upsert(spark, root, df, Seq("id", "grp"), Seq("grp"),
+      statsCols = Seq("x", "y"), fileRows = Some(512))
+    // lexicographic compact: x tight per file, y spans everything
+    VersionedTable.compact(spark, root, statsCols = Seq("x", "y"),
+      fileRows = Some(512))
+    val (lexKeptY, lexTotal) = VersionedTable.skipStats(spark, root, "y", 10, 12)
+    assert(lexKeptY == lexTotal) // y-range predicate prunes NOTHING
+    // OPTIMIZE ZORDER BY (x, y): every file carries a tight 2-D box
+    VersionedTable.compact(spark, root, statsCols = Seq("x", "y"),
+      fileRows = Some(512), zOrderCols = Seq("x", "y"))
+    val (zKeptY, zTotal) = VersionedTable.skipStats(spark, root, "y", 10, 12)
+    val (zKeptX, _) = VersionedTable.skipStats(spark, root, "x", 10, 12)
+    assert(zTotal >= 8) // the fixture actually split into many files
+    assert(zKeptY * 2 <= zTotal, s"y-range kept $zKeptY of $zTotal")
+    assert(zKeptX * 2 <= zTotal, s"x-range kept $zKeptX of $zTotal")
+    // row-identical through both rewrites, residual filter exact
+    assert(VersionedTable.read(spark, root).count() == 8192)
+    assert(VersionedTable.readWhere(spark, root, "y", 10, 12).count()
+      == 3 * 64 * 2)
+    assert(VersionedTable.readWhere(spark, root, "x", 10, 12).count()
+      == 3 * 64 * 2)
+  }
+
   test("VersionedTable: concurrent disjoint-partition upserts both commit") {
     // the 500ms suite-wide claim wait is sized for wedged-claim tests;
     // a REAL winner is publishing here, so give the loser a real window

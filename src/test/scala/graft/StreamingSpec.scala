@@ -202,6 +202,63 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.lastTxn(spark, root, "other-stream").isEmpty)
   }
 
+  test("startChangeFeedStream: live CDC, crash/restart, mirror equals table") {
+    import graft.ops.VersionedTable
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_cdc_stream")
+    val root = base.resolve("table").toString
+    val cursor = base.resolve("cursor").toString
+    val keys = Seq("id")
+    def put(rows: (Int, String, String)*): Unit =
+      VersionedTable.upsert(spark, root,
+        spark.createDataFrame(rows).toDF("id", "day", "val"), Seq("id", "day"),
+        "day")
+    // the mirror a warehouse would maintain: keyed MERGE of the streamed
+    // CDC ops — idempotent, so at-least-once redelivery is harmless
+    val mirror = scala.collection.concurrent.TrieMap.empty[Int, (String, String)]
+    def apply(feed: org.apache.spark.sql.DataFrame): Unit =
+      feed.select("op", "id", "day", "val").collect().foreach { r =>
+        if (r.getString(0) == "delete") mirror.remove(r.getInt(1))
+        else mirror(r.getInt(1)) = (r.getString(2), r.getString(3))
+      }
+    def tableNow(): Map[Int, (String, String)] =
+      VersionedTable.read(spark, root)
+        .select(col("id"), col("day").cast("string"), col("val"))
+        .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+    def awaitMirror(deadlineMs: Long = 30000): Unit = {
+      val end = System.currentTimeMillis + deadlineMs
+      while (mirror.toMap != tableNow() && System.currentTimeMillis < end)
+        Thread.sleep(100)
+      assert(mirror.toMap == tableNow())
+    }
+    // consumer starts BEFORE the table exists — ticks skip, not crash
+    val q1 = StreamPipeline.startChangeFeedStream(spark, root, keys,
+      cursor, pollInterval = "100 milliseconds")(apply)
+    try {
+      put((1, "2024-01-01", "a"), (2, "2024-01-02", "b")) // v0
+      awaitMirror() // initial load: whole table as op=insert
+      // upserts LAND WHILE THE CONSUMER RUNS: update + new partition
+      put((1, "2024-01-01", "a2"), (3, "2024-01-03", "c")) // v1
+      awaitMirror()
+      assert(mirror(1) == (("2024-01-01", "a2")))
+    } finally q1.stop()
+    // CRASH: consumer down while the table moves on — a delete and an
+    // insert commit unobserved
+    VersionedTable.deleteWhere(spark, root, "val", "b", "b")
+    put((4, "2024-01-04", "d"))
+    assert(mirror.contains(2)) // the dead consumer missed the delete
+    // RESTART from the same cursor: catches up to exactly the batch
+    // changeFeed answer — delete applied, insert applied, no replays of
+    // already-mirrored ops needed (keyed merge tolerates them anyway)
+    val q2 = StreamPipeline.startChangeFeedStream(spark, root, keys,
+      cursor, pollInterval = "100 milliseconds")(apply)
+    try {
+      awaitMirror()
+      assert(!mirror.contains(2) && mirror(4) == (("2024-01-04", "d")))
+    } finally q2.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
     import graft.streaming.SessionizeStream
     import graft.streaming.SessionizeStream.{Event, Session}
