@@ -1558,6 +1558,62 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Zero-copy RESTORE under oracle check: v0 = the daily rollup, v1 =
+    * an upsert that corrupts a date window (daily_close := -1), then
+    * restore(0) commits v0's manifest as v2 — no data moves. Result =
+    * the table AFTER the rollback; oracle = the plain rollup, so any
+    * leak of v1's corruption (or loss of v0 rows) hash-fails. Guards:
+    * the restore actually committed a third version, and the corrupted
+    * rows remain time-travel readable at v1 (history is append-only). */
+  private def qVersionedRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_restore/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    VersionedTable.upsert(s, root,
+      daily.filter(col("date").between(
+          lit("2024-01-08").cast(DateType), lit("2024-01-14").cast(DateType)))
+        .withColumn("daily_close", lit(-1.0)),
+      Seq("event_type", "date"), Seq("event_type"),
+      statsCols = Seq("date"), fileRows = Some(8))
+    val restored = VersionedTable.restore(s, root, 0)
+    require(restored == 2, s"restore committed $restored, expected 2")
+    require(VersionedTable.read(s, root, Some(1))
+      .filter(col("daily_close") === -1.0).count() > 0,
+      "time travel lost the superseded version")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
+  /** Metadata-only COUNT(*) under oracle check: the rollup is written,
+    * a date window deleted (rewriting some dirs, dropping others), and
+    * the emitted count comes from [[VersionedTable.fastCount]] — pure
+    * manifest arithmetic, zero data I/O (guard fails if coverage ever
+    * lapses and the metadata path degrades to None). Oracle = the
+    * rollup minus the deleted window, counted by DuckDB. */
+  private def qVersionedFastcount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = "/tmp/graft_versioned_fastcount/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    VersionedTable.deleteWhere(s, root, "date",
+      java.sql.Date.valueOf("2024-01-08"), java.sql.Date.valueOf("2024-01-14"))
+    val n = VersionedTable.fastCount(s, root).getOrElse(
+      sys.error("fastCount lost dir-count coverage — metadata-only " +
+        "COUNT(*) degraded to a scan"))
+    Seq(n).toDF("n_rows")
+  }
+
   /** Z-order box query through the versioned table: lineitem points on a
     * 64x64 grid (l_partkey%64, l_suppkey%64) written z-CLUSTERED with
     * zval stats; the 2-D box decomposes into z-intervals
@@ -3173,6 +3229,8 @@ object SparkEntry {
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
     "q_versioned_scan_in" -> (qVersionedScanIn _),
     "q_versioned_scan_part" -> (qVersionedScanPart _),
+    "q_versioned_restore" -> (qVersionedRestore _),
+    "q_versioned_fastcount" -> (qVersionedFastcount _),
     "q_zorder_box" -> (qZorderBox _),
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -5670,6 +5728,22 @@ object SparkEntry {
          |  FROM events GROUP BY 1, 2)
          |SELECT * FROM daily_all
          |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    "q_versioned_restore" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS date,
+         |  arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |  min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |  CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |  round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |    AS daily_change
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_versioned_fastcount" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM (
+        |  SELECT event_type, CAST(ts AS DATE) AS date
+        |  FROM events GROUP BY 1, 2)
+        |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
       .stripMargin,
 
     "q_versioned_scan_in" ->

@@ -126,7 +126,8 @@ object VersionedTable {
                               mapping: Map[String, String],
                               stats: Map[String, Map[String, ColStat]],
                               blooms: Map[String, Map[String, Array[Byte]]],
-                              txns: Map[String, Long])
+                              txns: Map[String, Long],
+                              dirRows: Map[String, Long] = Map.empty)
 
   private def readManifest(fs: FileSystem, root: String,
                            version: Int): Manifest = {
@@ -181,7 +182,13 @@ object VersionedTable {
         java.util.Base64.getDecoder.decode(parts(3)))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, b) => c -> b }.toMap }
-    Manifest(partCols, schema, mapping, stats, blooms, txns)
+    // additive (absent in pre-r6 manifests): exact row count per live
+    // partition dir — the metadata-only COUNT(*) index (fastCount)
+    val dirRows = lines.filter(_.startsWith("#dirrows\t")).map { l =>
+      val parts = l.split("\t", -1)
+      (b64d(parts(1)), parts(2).toLong)
+    }.toMap
+    Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -806,14 +813,13 @@ object VersionedTable {
                                bloomCols: Seq[String] = Nil,
                                bloomBits: Long = 8192L)
       : (Map[String, Map[String, ColStat]],
-         Map[String, Map[String, Array[Byte]]]) = {
+         Map[String, Map[String, Array[Byte]]],
+         Map[String, Long]) = {
     import org.apache.spark.sql.functions._
-    if (statsCols.isEmpty && bloomCols.isEmpty) return (Map.empty, Map.empty)
     val depth = partCols.length + 2 // gen / <part dirs...> / <file>
     val df = spark.read.parquet(s"$root/$genDir")
     val present = statsCols.filter(df.columns.contains)
     val presentBloom = bloomCols.filter(df.columns.contains)
-    if (present.isEmpty && presentBloom.isEmpty) return (Map.empty, Map.empty)
     val statAggs = present.flatMap { c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
       count(when(col(c).isNull, 1)).as(s"__nulls_$c")) }
@@ -831,27 +837,40 @@ object VersionedTable {
             CLit(bloomBits / 8), CLit(bloomBits))
           .toAggregateExpression()).as(s"__bloom_$c")
     }
-    val aggs = statAggs ++ bloomAggs
+    // the row count always rides along: it is the metadata-only COUNT(*)
+    // index (fastCount) and costs nothing extra when stats/blooms already
+    // scan; with NO index columns it is the one aggregation this scan
+    // exists for — O(|written generation|) either way
+    val aggs = statAggs ++ bloomAggs :+ count(lit(1)).as("__rows")
     val rows = df
       .withColumn("__file", url_decode(replace(
         substring_index(col("_metadata.file_path"), "/", -depth),
         lit("+"), lit("%2B"))))
       .groupBy("__file").agg(aggs.head, aggs.tail: _*)
       .collect()
-    val stats = rows.map { r =>
-      r.getAs[String]("__file") -> present.map { c =>
-        c -> ColStat(renderStat(r.getAs[Any](s"__min_$c")),
-          renderStat(r.getAs[Any](s"__max_$c")),
-          r.getAs[Long](s"__nulls_$c"),
-          Some(df.schema(c).dataType.json))
+    val stats =
+      if (present.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else rows.map { r =>
+        r.getAs[String]("__file") -> present.map { c =>
+          c -> ColStat(renderStat(r.getAs[Any](s"__min_$c")),
+            renderStat(r.getAs[Any](s"__max_$c")),
+            r.getAs[Long](s"__nulls_$c"),
+            Some(df.schema(c).dataType.json))
+        }.toMap
       }.toMap
-    }.toMap
     val blooms = rows.map { r =>
       r.getAs[String]("__file") -> presentBloom.flatMap { c =>
         Option(r.getAs[Array[Byte]](s"__bloom_$c")).map(c -> _)
       }.toMap
     }.filter(_._2.nonEmpty).toMap
-    (stats, blooms)
+    // dir key = the file key minus the "gen<N>/" prefix and the file
+    // component — exactly the manifest's mapping key for the partition
+    val dirRows = rows.map { r =>
+      val f = r.getAs[String]("__file")
+      (f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')),
+        r.getAs[Long]("__rows"))
+    }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+    (stats, blooms, dirRows)
   }
 
   /** Bloom sizing: 0 = auto — ~10 bits per expected row (≈1% false-
@@ -873,7 +892,8 @@ object VersionedTable {
                             stats: Map[String, Map[String, ColStat]],
                             blooms: Map[String, Map[String, Array[Byte]]] =
                               Map.empty,
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            dirRows: Map[String, Long] = Map.empty)
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -918,10 +938,12 @@ object VersionedTable {
       }.mkString
       val txnLine = st.txns.toSeq.sortBy(_._1).map { case (sid, bid) =>
         s"#txn\t${b64(sid)}\t$bid\n" }.mkString
+      val dirRowLines = st.dirRows.toSeq.sortBy(_._1).map { case (rel, n) =>
+        s"#dirrows\t${b64(rel)}\t$n\n" }.mkString
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
-      out.write((header + txnLine + statLines + bloomLines + body)
-        .getBytes(StandardCharsets.UTF_8))
+      out.write((header + txnLine + dirRowLines + statLines + bloomLines +
+        body).getBytes(StandardCharsets.UTF_8))
       out.close()
       next
     } catch { case t: Throwable =>
@@ -1027,18 +1049,26 @@ object VersionedTable {
           val dirOf = fileRel.lastIndexOf('/')
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
-      val (freshStats, freshBlooms) =
+      val (freshStats, freshBlooms, freshDirRows) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
-          Map.empty[String, Map[String, Array[Byte]]])
+          Map.empty[String, Map[String, Array[Byte]]],
+          Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
+      // dir-count carry: a prior dir's count survives iff its mapping
+      // entry is untouched (rewritten dirs get fresh counts below)
+      val carriedDirRows = prior.map(_.dirRows).getOrElse(Map.empty)
+        .filter { case (rel, _) =>
+          priorMapping.contains(rel) &&
+            newMapping.get(rel) == priorMapping.get(rel) }
       // the full per-stream watermark map carries into EVERY manifest (new
       // tag merged in), so a later maintenance commit + vacuum cannot
       // erase another stream's exactly-once state
       Staged(partCols, merged.schema, newMapping,
         carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
         carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms,
-        prior.map(_.txns).getOrElse(Map.empty) ++ txn)
+        prior.map(_.txns).getOrElse(Map.empty) ++ txn,
+        carriedDirRows ++ freshDirRows)
     }
   }
 
@@ -1348,14 +1378,17 @@ object VersionedTable {
           val dirOf = fileRel.lastIndexOf('/')
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
-      val (freshStats, freshBlooms) =
+      val (freshStats, freshBlooms, freshDirRows) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
-          Map.empty[String, Map[String, Array[Byte]]])
+          Map.empty[String, Map[String, Array[Byte]]],
+          Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
+      val carriedDirRows = m.dirRows.filter { case (rel, _) =>
+        m.mapping.contains(rel) && newMapping.get(rel) == m.mapping.get(rel) }
       Staged(m.partCols, m.schema, newMapping,
         carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
-        m.txns)
+        m.txns, carriedDirRows ++ freshDirRows)
     }
     publish(spark, root, next)
     next
@@ -1473,11 +1506,11 @@ object VersionedTable {
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
-      val (stats, blooms) =
+      val (stats, blooms, dirRows) =
         collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
-        stats, blooms, m.txns)
+        stats, blooms, m.txns, dirRows)
     }
     publish(spark, root, next)
     next
@@ -1519,13 +1552,110 @@ object VersionedTable {
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), partCols)
-      val (stats, blooms) =
+      val (stats, blooms, dirRows) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
-          Map.empty[String, Map[String, Array[Byte]]])
+          Map.empty[String, Map[String, Array[Byte]]],
+          Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(partCols, m.schema, written.map(_ -> genDir).toMap,
-        stats, blooms, m.txns)
+        stats, blooms, m.txns, dirRows)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** Time-travel ROLLBACK as a ZERO-COPY commit (Delta RESTORE): commit
+    * version `toVersion`'s mapping/schema/stats/blooms/dir-counts as a
+    * NEW version. Pure metadata — no data file moves, whatever the table
+    * size; the restored generation dirs are re-referenced by the new
+    * manifest, which also re-pins them against [[vacuum]] (liveness is
+    * computed from retained manifests' mappings). History stays
+    * append-only: the bad versions remain time-travel readable until
+    * vacuumed, exactly like any other superseded version.
+    *
+    * Per-stream txn watermarks keep the CURRENT manifest's values, not
+    * the restored version's: restore undoes DATA, not exactly-once
+    * delivery state — a replayed (streamId, batchId) must still read as
+    * committed afterwards or the stream would double-apply. `toVersion`
+    * must still be retained (not vacuumed). */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    require(history(spark, root).contains(toVersion),
+      s"version $toVersion is not committed (or was vacuumed) at $root")
+    val target = readManifest(fs, root, toVersion)
+    val curTxns = readManifest(fs, root, cur).txns
+    val next = stageVersion(fs, root, cur + 1) { _ =>
+      Staged(target.partCols, target.schema, target.mapping,
+        target.stats, target.blooms, curTxns, target.dirRows)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** Metadata-only COUNT(*): the table's exact row count from the
+    * manifest's per-dir counts — zero data I/O at any table size (the
+    * Delta/Iceberg snapshot-count trick). Some(n) when EVERY live
+    * partition dir has a recorded count; None when any is missing
+    * (manifests written before the dir-count index existed) — callers
+    * fall back to `read().count()`, correctness never depends on
+    * coverage. */
+  def fastCount(spark: SparkSession, root: String,
+                asOfVersion: Option[Int] = None): Option[Long] = {
+    val m = resolveManifest(spark, root, asOfVersion)
+    if (m.mapping.keySet.forall(m.dirRows.contains))
+      Some(m.mapping.keySet.toSeq.map(m.dirRows).sum)
+    else None
+  }
+
+  /** Metadata-only ADD COLUMN: commit the current version with `name`
+    * appended to the schema (nullable). No data rewrite — the read path
+    * already null-fills columns absent from a generation's files (schema
+    * evolution), so existing rows surface NULL and the next upsert may
+    * write real values. The inverse of waiting for an upsert with the
+    * new column to evolve the schema implicitly. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataType: DataType): Int = {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(!m.schema.fieldNames.contains(name),
+      s"column $name already exists at $root")
+    val next = stageVersion(fs, root, cur + 1) { _ =>
+      Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
+        m.mapping, m.stats, m.blooms, m.txns, m.dirRows)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** Metadata-only DROP COLUMN: commit the current version with `name`
+    * removed from the schema and its stats/blooms dropped. No data
+    * rewrite — scans project through the manifest schema, so the column's
+    * bytes in old files simply stop being read (they physically vanish at
+    * the next compact/rewrite of each partition). Partition columns
+    * cannot be dropped. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(name),
+      s"column $name does not exist at $root")
+    require(!m.partCols.contains(name),
+      s"column $name is a partition column — use repartitionTable first")
+    require(m.schema.length > 1, "cannot drop the last column")
+    val next = stageVersion(fs, root, cur + 1) { _ =>
+      Staged(m.partCols,
+        StructType(m.schema.filterNot(_.name == name)), m.mapping,
+        m.stats.map { case (f, cols) => f -> (cols - name) }
+          .filter(_._2.nonEmpty),
+        m.blooms.map { case (f, cols) => f -> (cols - name) }
+          .filter(_._2.nonEmpty),
+        m.txns, m.dirRows)
     }
     publish(spark, root, next)
     next

@@ -2199,6 +2199,107 @@ class OpsSpec extends SparkSpec {
     assert(rc == ((0.0, 0L)))
   }
 
+  test("VersionedTable.restore: zero-copy rollback, txn state survives, vacuum-safe") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restore")
+      .toString + "/table"
+    val keys = Seq("id", "day")
+    def rows() = VersionedTable.read(spark, root)
+      .select($"id", $"val").as[(Int, String)].collect().toMap
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a"), (2, "d2", "b")).toDF("id", "day", "val"),
+      keys, Seq("day"))                                         // v0
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "BAD"), (3, "d3", "x")).toDF("id", "day", "val"),
+      keys, Seq("day"), txn = Some(("s1", 7L)))                 // v1
+    val restored = VersionedTable.restore(spark, root, 0)       // v2
+    assert(restored == 2)
+    assert(rows() == Map(1 -> "a", 2 -> "b")) // v0 content is current again
+    // history append-only: the bad version stays time-travel readable
+    assert(VersionedTable.read(spark, root, Some(1))
+      .filter($"val" === "BAD").count() == 1)
+    // restore undoes DATA, not exactly-once state: the stream's watermark
+    // must survive or a replayed batch would double-apply
+    assert(VersionedTable.lastTxn(spark, root, "s1").contains(7L))
+    // a replayed (s1, 7) upsert after restore is a no-op
+    VersionedTable.upsert(spark, root,
+      Seq((9, "d9", "dup")).toDF("id", "day", "val"), keys, Seq("day"),
+      txn = Some(("s1", 7L)))
+    assert(rows() == Map(1 -> "a", 2 -> "b"))
+    // vacuum keeps the generations the RESTORED manifest references
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(rows() == Map(1 -> "a", 2 -> "b"))
+  }
+
+  test("VersionedTable.fastCount: metadata-only counts, carry, coverage fallback") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fastcount")
+      .toString + "/table"
+    val keys = Seq("id", "day")
+    def check(): Unit = {
+      val fc = VersionedTable.fastCount(spark, root)
+      assert(fc.contains(VersionedTable.read(spark, root).count()))
+    }
+    VersionedTable.upsert(spark, root,
+      (1 to 100).map(i => (i, s"d${i % 4}", i.toLong)).toDF("id", "day", "v"),
+      keys, Seq("day"))
+    check() // fresh build: every dir counted
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", 999L), (200, "d1", 5L)).toDF("id", "day", "v"),
+      keys, Seq("day"))
+    check() // rewritten dir recounted, untouched dirs carried
+    VersionedTable.deleteWhere(spark, root, "v", 1L, 30L)
+    check() // delete rewrites + drops reflected
+    VersionedTable.compact(spark, root)
+    check() // full rewrite recounted
+    // pre-feature manifests (no #dirrows lines) must report None, never
+    // a wrong count: strip the directive from the current manifest
+    val cur = VersionedTable.currentVersion(spark, root).get
+    val mp = new org.apache.hadoop.fs.Path(root, s"_manifest.$cur")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(mp)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    fs.delete(mp, false)
+    val out = fs.create(mp, false)
+    out.write(txt.split("\n").filterNot(_.startsWith("#dirrows"))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(VersionedTable.fastCount(spark, root).isEmpty)
+  }
+
+  test("VersionedTable add/dropColumn: metadata-only DDL, old files project through") {
+    import org.apache.spark.sql.types.LongType
+    val root = java.nio.file.Files.createTempDirectory("graft_ddl")
+      .toString + "/table"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a"), (2, "d2", "b")).toDF("id", "day", "val"),
+      keys, Seq("day"))
+    VersionedTable.addColumn(spark, root, "score", LongType)
+    // existing rows surface NULL for the new column, no data rewrite
+    val withNew = VersionedTable.read(spark, root)
+    assert(withNew.columns.contains("score"))
+    assert(withNew.filter($"score".isNull).count() == 2)
+    // next upsert writes real values; old rows stay null
+    VersionedTable.upsert(spark, root,
+      Seq((3, "d3", "c", 9L)).toDF("id", "day", "val", "score"),
+      keys, Seq("day"))
+    val m = VersionedTable.read(spark, root)
+      .select($"id", $"score").as[(Int, Option[Long])].collect().toMap
+    assert(m == Map(1 -> None, 2 -> None, 3 -> Some(9L)))
+    // drop: the column disappears from scans without touching data
+    VersionedTable.dropColumn(spark, root, "score")
+    assert(!VersionedTable.read(spark, root).columns.contains("score"))
+    assert(VersionedTable.read(spark, root).count() == 3)
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "day") // partition column
+    }
+    // the dropped column's bytes are still in v-1's files: time travel
+    // to before the drop still reads it
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.read(spark, root, Some(cur - 1))
+      .filter($"score" === 9L).count() == 1)
+  }
+
   test("VersionedTable.compact zOrderCols: multi-dim skipping survives OPTIMIZE") {
     val root = java.nio.file.Files.createTempDirectory("graft_zcompact")
       .toString + "/table"
