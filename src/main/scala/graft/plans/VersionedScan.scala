@@ -1,14 +1,16 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
   GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan,
   LessThanOrEqual, Literal, NamedExpression, PredicateHelper, StartsWith}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode,
-  LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LeafNode, LocalRelation, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.graftbridge.PlanBridge
@@ -98,10 +100,50 @@ case class VersionedRelation(root: String, asOfVersion: Option[Int],
 object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // Metadata-only COUNT(*): an ungrouped, unfiltered count over the
+    // relation folds to a LocalRelation row computed from the pinned
+    // manifest's per-dir counts — zero files listed, zero tasks run, at
+    // any table size (the Delta/Iceberg snapshot-count rewrite). Only
+    // fires when EVERY live dir has a recorded count (older manifests
+    // fall through to the ordinary scan) and only for count(<non-null
+    // literal>): count(col) skips nulls and a Filter changes row counts,
+    // so both keep the scan path. A Project in between never changes
+    // cardinality and count(1) never evaluates it, so it is skipped over.
+    case agg @ Aggregate(groupingExprs, aggExprs, MetadataCountable(n), _)
+        if groupingExprs.isEmpty && aggExprs.nonEmpty &&
+          aggExprs.forall(isPlainCount) =>
+      LocalRelation(agg.output,
+        Seq(InternalRow.fromSeq(Seq.fill(aggExprs.length)(n))))
     case f @ Filter(cond, rel: VersionedRelation) =>
       f.copy(child = substitute(rel, Some(cond)))
     case rel: VersionedRelation =>
       substitute(rel, None)
+  }
+
+  private def isPlainCount(ne: NamedExpression): Boolean = {
+    def plain(e: Expression): Boolean = e match {
+      case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _) =>
+        v != null
+      case _ => false
+    }
+    ne match {
+      case Alias(child, _) => plain(child)
+      case other => plain(other)
+    }
+  }
+
+  private object MetadataCountable {
+    def unapply(plan: LogicalPlan): Option[Long] = plan match {
+      case rel: VersionedRelation => covered(rel)
+      case Project(_, rel: VersionedRelation) => covered(rel)
+      case _ => None
+    }
+    private def covered(rel: VersionedRelation): Option[Long] = {
+      val m = rel.manifest
+      if (m.mapping.keySet.forall(m.dirRows.contains))
+        Some(m.mapping.keySet.toSeq.map(m.dirRows).sum)
+      else None
+    }
   }
 
   /** Per-column facts accumulated from the conjuncts; first-seen of each

@@ -222,4 +222,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(isn.count() == 50)
   }
 
+  test("PruneVersionedScan: COUNT(*) folds to manifest metadata, no scan") {
+    GraftExtensions.register(spark)
+    import graft.ops.VersionedTable
+    import graft.plans.VersionedScan
+    import org.apache.spark.sql.functions.{col, count}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtcount").toString
+    val root = s"$dir/table"
+    // v is NULLABLE with real nulls (multiples of 10): count(v) must not
+    // fold — and for non-nullable columns Catalyst itself soundly
+    // rewrites count(c) to count(1), which then MAY fold
+    VersionedTable.upsert(spark, root,
+      (0 until 300).map(i =>
+          (i, s"g${i % 3}", if (i % 10 == 0) None else Some(i.toLong)))
+        .toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
+    def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      // the WHOLE optimized plan collapses to the metadata row — no scan,
+      // no aggregate, nothing else survives
+      df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    // DataFrame count(), SQL count(*), and multi-count all fold
+    val dfCount = VersionedScan.table(spark, root).groupBy().count()
+    assert(foldsToLocal(dfCount), s"not folded:\n${dfCount.queryExecution}")
+    assert(dfCount.collect()(0).getLong(0) == 300)
+    assert(VersionedScan.table(spark, root).count() == 300)
+    VersionedScan.table(spark, root).createOrReplaceTempView("vt_cnt")
+    val sqlCount = spark.sql("SELECT count(*) AS n, count(1) AS m FROM vt_cnt")
+    assert(foldsToLocal(sqlCount))
+    assert(sqlCount.collect()(0) ==
+      org.apache.spark.sql.Row(300L, 300L))
+    // a Filter keeps the scan path (row counts change): correct, not folded
+    val filtered = VersionedScan.table(spark, root)
+      .filter(col("v") < 100).groupBy().count()
+    assert(!foldsToLocal(filtered))
+    assert(filtered.collect()(0).getLong(0) == 90) // nulls drop too
+    // count(nullable col) skips nulls: never folded, and still right
+    val colCount = VersionedScan.table(spark, root).agg(count(col("v")))
+    assert(!foldsToLocal(colCount))
+    assert(colCount.collect()(0).getLong(0) == 270)
+    // delete + upsert keep the metadata count exact through carry/rewrite
+    VersionedTable.deleteWhere(spark, root, "v", 10L, 19L) // 9 rows (10=null)
+    VersionedTable.upsert(spark, root,
+      Seq((1000, "g0", 1L)).toDF("id", "grp", "v"), Seq("id", "grp"),
+      Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
+    val after = VersionedScan.table(spark, root).groupBy().count()
+    assert(foldsToLocal(after))
+    assert(after.collect()(0).getLong(0) == 300 - 9 + 1)
+  }
 }
