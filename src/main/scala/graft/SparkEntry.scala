@@ -1591,12 +1591,13 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
-  /** Metadata-only COUNT(*) under oracle check: the rollup is written,
-    * a date window deleted (rewriting some dirs, dropping others), and
-    * the emitted count comes from [[VersionedTable.fastCount]] — pure
-    * manifest arithmetic, zero data I/O (guard fails if coverage ever
+  /** Metadata-only COUNT(*) / MIN / MAX under oracle check: the rollup
+    * is written date-indexed, a date window deleted (rewriting some
+    * dirs, dropping others), and the emitted row comes ENTIRELY from
+    * [[VersionedTable.fastCount]] + [[VersionedTable.fastMinMax]] — pure
+    * manifest arithmetic, zero data I/O (guards fail if coverage ever
     * lapses and the metadata path degrades to None). Oracle = the
-    * rollup minus the deleted window, counted by DuckDB. */
+    * rollup minus the deleted window, aggregated by DuckDB. */
   private def qVersionedFastcount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = "/tmp/graft_versioned_fastcount/" +
@@ -1611,7 +1612,11 @@ object SparkEntry {
     val n = VersionedTable.fastCount(s, root).getOrElse(
       sys.error("fastCount lost dir-count coverage — metadata-only " +
         "COUNT(*) degraded to a scan"))
-    Seq(n).toDF("n_rows")
+    val (dLo, dHi) = VersionedTable.fastMinMax(s, root, "date").getOrElse(
+      sys.error("fastMinMax lost stat coverage — metadata-only MIN/MAX " +
+        "degraded to a scan"))
+    Seq((n, dLo.asInstanceOf[java.sql.Date], dHi.asInstanceOf[java.sql.Date]))
+      .toDF("n_rows", "min_date", "max_date")
   }
 
   /** Z-order box query through the versioned table: lineitem points on a
@@ -5740,7 +5745,8 @@ object SparkEntry {
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_versioned_fastcount" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM (
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(date) AS min_date, max(date) AS max_date FROM (
         |  SELECT event_type, CAST(ts AS DATE) AS date
         |  FROM events GROUP BY 1, 2)
         |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""

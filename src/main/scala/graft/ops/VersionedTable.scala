@@ -127,7 +127,8 @@ object VersionedTable {
                               stats: Map[String, Map[String, ColStat]],
                               blooms: Map[String, Map[String, Array[Byte]]],
                               txns: Map[String, Long],
-                              dirRows: Map[String, Long] = Map.empty)
+                              dirRows: Map[String, Long] = Map.empty,
+                              dirFiles: Map[String, Long] = Map.empty)
 
   private def readManifest(fs: FileSystem, root: String,
                            version: Int): Manifest = {
@@ -182,13 +183,20 @@ object VersionedTable {
         java.util.Base64.getDecoder.decode(parts(3)))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, b) => c -> b }.toMap }
-    // additive (absent in pre-r6 manifests): exact row count per live
-    // partition dir — the metadata-only COUNT(*) index (fastCount)
+    // additive (absent in pre-r6 manifests): exact row count and data-file
+    // count per live partition dir — the metadata-only COUNT(*) index
+    // (fastCount) and the coverage proof for metadata MIN/MAX (a column's
+    // file stats are complete for a dir iff usable-stat files == dirfiles)
     val dirRows = lines.filter(_.startsWith("#dirrows\t")).map { l =>
       val parts = l.split("\t", -1)
       (b64d(parts(1)), parts(2).toLong)
     }.toMap
-    Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows)
+    val dirFiles = lines.filter(_.startsWith("#dirfiles\t")).map { l =>
+      val parts = l.split("\t", -1)
+      (b64d(parts(1)), parts(2).toLong)
+    }.toMap
+    Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
+      dirFiles)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -814,7 +822,7 @@ object VersionedTable {
                                bloomBits: Long = 8192L)
       : (Map[String, Map[String, ColStat]],
          Map[String, Map[String, Array[Byte]]],
-         Map[String, Long]) = {
+         Map[String, Long], Map[String, Long]) = {
     import org.apache.spark.sql.functions._
     val depth = partCols.length + 2 // gen / <part dirs...> / <file>
     val df = spark.read.parquet(s"$root/$genDir")
@@ -865,12 +873,14 @@ object VersionedTable {
     }.filter(_._2.nonEmpty).toMap
     // dir key = the file key minus the "gen<N>/" prefix and the file
     // component — exactly the manifest's mapping key for the partition
-    val dirRows = rows.map { r =>
+    val perDir = rows.map { r =>
       val f = r.getAs[String]("__file")
       (f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')),
         r.getAs[Long]("__rows"))
-    }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
-    (stats, blooms, dirRows)
+    }.groupBy(_._1)
+    val dirRows = perDir.map { case (d, xs) => d -> xs.map(_._2).sum }
+    val dirFiles = perDir.map { case (d, xs) => d -> xs.size.toLong }
+    (stats, blooms, dirRows, dirFiles)
   }
 
   /** Bloom sizing: 0 = auto — ~10 bits per expected row (≈1% false-
@@ -893,7 +903,8 @@ object VersionedTable {
                             blooms: Map[String, Map[String, Array[Byte]]] =
                               Map.empty,
                             txns: Map[String, Long] = Map.empty,
-                            dirRows: Map[String, Long] = Map.empty)
+                            dirRows: Map[String, Long] = Map.empty,
+                            dirFiles: Map[String, Long] = Map.empty)
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -939,7 +950,9 @@ object VersionedTable {
       val txnLine = st.txns.toSeq.sortBy(_._1).map { case (sid, bid) =>
         s"#txn\t${b64(sid)}\t$bid\n" }.mkString
       val dirRowLines = st.dirRows.toSeq.sortBy(_._1).map { case (rel, n) =>
-        s"#dirrows\t${b64(rel)}\t$n\n" }.mkString
+        s"#dirrows\t${b64(rel)}\t$n\n" }.mkString +
+        st.dirFiles.toSeq.sortBy(_._1).map { case (rel, n) =>
+          s"#dirfiles\t${b64(rel)}\t$n\n" }.mkString
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
       out.write((header + txnLine + dirRowLines + statLines + bloomLines +
@@ -1049,16 +1062,16 @@ object VersionedTable {
           val dirOf = fileRel.lastIndexOf('/')
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
-      val (freshStats, freshBlooms, freshDirRows) =
+      val (freshStats, freshBlooms, freshDirRows, freshDirFiles) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]],
-          Map.empty[String, Long])
+          Map.empty[String, Long], Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
-      // dir-count carry: a prior dir's count survives iff its mapping
+      // dir-count carry: a prior dir's counts survive iff its mapping
       // entry is untouched (rewritten dirs get fresh counts below)
-      val carriedDirRows = prior.map(_.dirRows).getOrElse(Map.empty)
-        .filter { case (rel, _) =>
+      def carryDir(prev: Map[String, Long]): Map[String, Long] =
+        prev.filter { case (rel, _) =>
           priorMapping.contains(rel) &&
             newMapping.get(rel) == priorMapping.get(rel) }
       // the full per-stream watermark map carries into EVERY manifest (new
@@ -1068,7 +1081,8 @@ object VersionedTable {
         carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
         carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms,
         prior.map(_.txns).getOrElse(Map.empty) ++ txn,
-        carriedDirRows ++ freshDirRows)
+        carryDir(prior.map(_.dirRows).getOrElse(Map.empty)) ++ freshDirRows,
+        carryDir(prior.map(_.dirFiles).getOrElse(Map.empty)) ++ freshDirFiles)
     }
   }
 
@@ -1378,17 +1392,20 @@ object VersionedTable {
           val dirOf = fileRel.lastIndexOf('/')
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
-      val (freshStats, freshBlooms, freshDirRows) =
+      val (freshStats, freshBlooms, freshDirRows, freshDirFiles) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]],
-          Map.empty[String, Long])
+          Map.empty[String, Long], Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
-      val carriedDirRows = m.dirRows.filter { case (rel, _) =>
-        m.mapping.contains(rel) && newMapping.get(rel) == m.mapping.get(rel) }
+      def carryDir(prev: Map[String, Long]): Map[String, Long] =
+        prev.filter { case (rel, _) =>
+          m.mapping.contains(rel) &&
+            newMapping.get(rel) == m.mapping.get(rel) }
       Staged(m.partCols, m.schema, newMapping,
         carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
-        m.txns, carriedDirRows ++ freshDirRows)
+        m.txns, carryDir(m.dirRows) ++ freshDirRows,
+        carryDir(m.dirFiles) ++ freshDirFiles)
     }
     publish(spark, root, next)
     next
@@ -1506,11 +1523,11 @@ object VersionedTable {
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
-      val (stats, blooms, dirRows) =
+      val (stats, blooms, dirRows, dirFiles) =
         collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
-        stats, blooms, m.txns, dirRows)
+        stats, blooms, m.txns, dirRows, dirFiles)
     }
     publish(spark, root, next)
     next
@@ -1552,14 +1569,14 @@ object VersionedTable {
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), partCols)
-      val (stats, blooms, dirRows) =
+      val (stats, blooms, dirRows, dirFiles) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]],
-          Map.empty[String, Long])
+          Map.empty[String, Long], Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(partCols, m.schema, written.map(_ -> genDir).toMap,
-        stats, blooms, m.txns, dirRows)
+        stats, blooms, m.txns, dirRows, dirFiles)
     }
     publish(spark, root, next)
     next
@@ -1589,7 +1606,8 @@ object VersionedTable {
     val curTxns = readManifest(fs, root, cur).txns
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(target.partCols, target.schema, target.mapping,
-        target.stats, target.blooms, curTxns, target.dirRows)
+        target.stats, target.blooms, curTxns, target.dirRows,
+        target.dirFiles)
     }
     publish(spark, root, next)
     next
@@ -1603,11 +1621,87 @@ object VersionedTable {
     * fall back to `read().count()`, correctness never depends on
     * coverage. */
   def fastCount(spark: SparkSession, root: String,
-                asOfVersion: Option[Int] = None): Option[Long] = {
-    val m = resolveManifest(spark, root, asOfVersion)
+                asOfVersion: Option[Int] = None): Option[Long] =
+    manifestCount(resolveManifest(spark, root, asOfVersion))
+
+  /** Pure-manifest half of [[fastCount]] — no I/O; also called by the
+    * optimizer fold on a pinned manifest. */
+  private[graft] def manifestCount(m: Manifest): Option[Long] =
     if (m.mapping.keySet.forall(m.dirRows.contains))
       Some(m.mapping.keySet.toSeq.map(m.dirRows).sum)
     else None
+
+  /** Metadata-only MIN/MAX of a stats-indexed column — folds over the
+    * manifest's per-file min/max instead of scanning, zero data I/O.
+    * Sound only when coverage is PROVABLE: every live dir needs a
+    * recorded data-file count (#dirfiles) and every one of its files a
+    * stat for the column recorded under the column's CURRENT type — one
+    * uncovered or type-evolved file returns None (callers fall back to
+    * an aggregate scan; correctness never depends on coverage). Files
+    * whose stat records no min/max are all-null for the column: they
+    * count toward coverage and contribute no value; a covered table with
+    * only such files answers Some((null, null)), exactly the aggregate's
+    * answer. Values return as external Scala values of the column type;
+    * NaN ordering matches Spark's aggregate (NaN greatest). Partition
+    * columns are not file-stat-indexed → None (their min/max is a dir
+    * listing, not a scan, anyway). */
+  def fastMinMax(spark: SparkSession, root: String, column: String,
+                 asOfVersion: Option[Int] = None): Option[(Any, Any)] =
+    manifestMinMax(resolveManifest(spark, root, asOfVersion), column)
+
+  /** Pure-manifest half of [[fastMinMax]] — no I/O; also called by the
+    * optimizer fold on a pinned manifest. */
+  private[graft] def manifestMinMax(m: Manifest,
+                                    column: String): Option[(Any, Any)] = {
+    if (!m.schema.fieldNames.contains(column) ||
+        m.partCols.contains(column)) return None
+    val dt = m.schema(column).dataType
+    val ord = statOrdering(dt).getOrElse(return None)
+    val dtJson = dt.json
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    for ((rel, gen) <- m.mapping) {
+      val nFiles = m.dirFiles.getOrElse(rel, return None)
+      val prefix = s"$gen/$rel/"
+      val covered = m.stats.iterator
+        .filter(_._1.startsWith(prefix))
+        .flatMap { case (_, cols) => cols.get(column) }
+        .filter(_.dtJson.contains(dtJson))
+        .toSeq
+      if (covered.length != nFiles) return None
+      covered.foreach { st =>
+        st.min.foreach(v => if (lo.forall(ord(v, _) < 0)) lo = Some(v))
+        st.max.foreach(v => if (hi.forall(ord(v, _) > 0)) hi = Some(v))
+      }
+    }
+    Some((lo.flatMap(parseStat(dt, _)).orNull,
+      hi.flatMap(parseStat(dt, _)).orNull))
+  }
+
+  /** Inverse of [[renderStat]] under the column type: rendered text back
+    * to the EXTERNAL Scala value (dates from epoch-day, timestamps from
+    * epoch-µs, floats through the lossless double widening). Exact by
+    * renderStat's round-trip contract. */
+  private def parseStat(dt: DataType, s: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => Some(s.toByte)
+      case ShortType => Some(s.toShort)
+      case IntegerType => Some(s.toInt)
+      case LongType => Some(s.toLong)
+      case FloatType => Some(s.toDouble.toFloat)
+      case DoubleType => Some(s.toDouble)
+      case StringType => Some(s)
+      case DateType =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong)))
+      case TimestampType =>
+        val us = s.toLong
+        Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)))
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(s).setScale(d.scale))
+      case _ => None
+    }
   }
 
   /** Metadata-only ADD COLUMN: commit the current version with `name`
@@ -1626,7 +1720,7 @@ object VersionedTable {
       s"column $name already exists at $root")
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
-        m.mapping, m.stats, m.blooms, m.txns, m.dirRows)
+        m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles)
     }
     publish(spark, root, next)
     next
@@ -1655,7 +1749,7 @@ object VersionedTable {
           .filter(_._2.nonEmpty),
         m.blooms.map { case (f, cols) => f -> (cols - name) }
           .filter(_._2.nonEmpty),
-        m.txns, m.dirRows)
+        m.txns, m.dirRows, m.dirFiles)
     }
     publish(spark, root, next)
     next

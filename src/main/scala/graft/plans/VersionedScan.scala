@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan,
   LessThanOrEqual, Literal, NamedExpression, PredicateHelper, StartsWith}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count}
+  AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LeafNode, LocalRelation, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -100,50 +100,56 @@ case class VersionedRelation(root: String, asOfVersion: Option[Int],
 object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    // Metadata-only COUNT(*): an ungrouped, unfiltered count over the
-    // relation folds to a LocalRelation row computed from the pinned
-    // manifest's per-dir counts — zero files listed, zero tasks run, at
-    // any table size (the Delta/Iceberg snapshot-count rewrite). Only
-    // fires when EVERY live dir has a recorded count (older manifests
-    // fall through to the ordinary scan) and only for count(<non-null
-    // literal>): count(col) skips nulls and a Filter changes row counts,
-    // so both keep the scan path. A Project in between never changes
-    // cardinality and count(1) never evaluates it, so it is skipped over.
-    case agg @ Aggregate(groupingExprs, aggExprs, MetadataCountable(n), _)
-        if groupingExprs.isEmpty && aggExprs.nonEmpty &&
-          aggExprs.forall(isPlainCount) =>
-      LocalRelation(agg.output,
-        Seq(InternalRow.fromSeq(Seq.fill(aggExprs.length)(n))))
+    // Metadata-only aggregates: an ungrouped, unfiltered aggregate of
+    // count(<non-null literal>) / min(col) / max(col) over the relation
+    // folds to a LocalRelation row computed from the pinned manifest —
+    // zero files listed, zero tasks run, at any table size (the
+    // Delta/Iceberg snapshot-stats rewrite). Counts need every live dir's
+    // #dirrows; min/max need PROVABLE stat coverage (every file of every
+    // dir carries a current-type stat for the column — see
+    // VersionedTable.manifestMinMax). Any non-foldable aggregate — a
+    // Filter underneath (row set changes), count(nullable col), a
+    // distinct, a column without coverage — leaves the whole plan on the
+    // scan path; a Project in between never changes cardinality or
+    // column content, so it is looked through.
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      tryFold(agg).getOrElse(agg) // unchanged => children still visited
     case f @ Filter(cond, rel: VersionedRelation) =>
       f.copy(child = substitute(rel, Some(cond)))
     case rel: VersionedRelation =>
       substitute(rel, None)
   }
 
-  private def isPlainCount(ne: NamedExpression): Boolean = {
-    def plain(e: Expression): Boolean = e match {
-      case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _) =>
-        v != null
-      case _ => false
+  private def tryFold(agg: Aggregate): Option[LogicalPlan] = {
+    val rel = agg.child match {
+      case r: VersionedRelation => r
+      case Project(_, r: VersionedRelation) => r
+      case _ => return None
     }
-    ne match {
-      case Alias(child, _) => plain(child)
-      case other => plain(other)
+    if (agg.aggregateExpressions.isEmpty) return None
+    val m = rel.manifest
+    // each output expression must fold to an INTERNAL value
+    val folded = agg.aggregateExpressions.map { ne =>
+      val e = ne match { case Alias(child, _) => child; case other => other }
+      e match {
+        case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
+            if v != null =>
+          VersionedTable.manifestCount(m).map(n => n: Any)
+        case AggregateExpression(Min(a: AttributeReference), _, false,
+            None, _) =>
+          VersionedTable.manifestMinMax(m, a.name)
+            .map(mm => CatalystTypeConverters.convertToCatalyst(mm._1))
+        case AggregateExpression(Max(a: AttributeReference), _, false,
+            None, _) =>
+          VersionedTable.manifestMinMax(m, a.name)
+            .map(mm => CatalystTypeConverters.convertToCatalyst(mm._2))
+        case Literal(v, _) => Some(v) // already internal
+        case _ => None
+      }
     }
-  }
-
-  private object MetadataCountable {
-    def unapply(plan: LogicalPlan): Option[Long] = plan match {
-      case rel: VersionedRelation => covered(rel)
-      case Project(_, rel: VersionedRelation) => covered(rel)
-      case _ => None
-    }
-    private def covered(rel: VersionedRelation): Option[Long] = {
-      val m = rel.manifest
-      if (m.mapping.keySet.forall(m.dirRows.contains))
-        Some(m.mapping.keySet.toSeq.map(m.dirRows).sum)
-      else None
-    }
+    if (folded.exists(_.isEmpty)) None
+    else Some(LocalRelation(agg.output,
+      Seq(InternalRow.fromSeq(folded.map(_.get)))))
   }
 
   /** Per-column facts accumulated from the conjuncts; first-seen of each

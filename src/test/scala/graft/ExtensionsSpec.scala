@@ -261,13 +261,32 @@ class ExtensionsSpec extends SparkSpec {
     val colCount = VersionedScan.table(spark, root).agg(count(col("v")))
     assert(!foldsToLocal(colCount))
     assert(colCount.collect()(0).getLong(0) == 270)
-    // delete + upsert keep the metadata count exact through carry/rewrite
+    // min/max over the stats-indexed column fold too (nulls ignored,
+    // exactly the aggregate's semantics), including mixed with count
+    import org.apache.spark.sql.functions.{max, min}
+    val mm = VersionedScan.table(spark, root)
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+    assert(foldsToLocal(mm), s"min/max not folded:\n${mm.queryExecution}")
+    assert(mm.collect()(0) == org.apache.spark.sql.Row(300L, 1L, 299L))
+    VersionedScan.table(spark, root).createOrReplaceTempView("vt_cnt")
+    val sqlMm = spark.sql("SELECT min(v) AS lo, max(v) AS hi FROM vt_cnt")
+    assert(foldsToLocal(sqlMm))
+    assert(sqlMm.collect()(0) == org.apache.spark.sql.Row(1L, 299L))
+    // a column with NO stats coverage keeps the scan path, still correct
+    val noStats = VersionedScan.table(spark, root).agg(min(col("id")))
+    assert(!foldsToLocal(noStats))
+    assert(noStats.collect()(0).getInt(0) == 0)
+    // delete + upsert keep the metadata answers exact through carry/rewrite
     VersionedTable.deleteWhere(spark, root, "v", 10L, 19L) // 9 rows (10=null)
     VersionedTable.upsert(spark, root,
-      Seq((1000, "g0", 1L)).toDF("id", "grp", "v"), Seq("id", "grp"),
+      Seq((1000, "g0", 0L)).toDF("id", "grp", "v"), Seq("id", "grp"),
       Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
-    val after = VersionedScan.table(spark, root).groupBy().count()
+    val after = VersionedScan.table(spark, root)
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
     assert(foldsToLocal(after))
-    assert(after.collect()(0).getLong(0) == 300 - 9 + 1)
+    assert(after.collect()(0) ==
+      org.apache.spark.sql.Row(300L - 9 + 1, 0L, 299L))
   }
 }

@@ -2266,6 +2266,51 @@ class OpsSpec extends SparkSpec {
     assert(VersionedTable.fastCount(spark, root).isEmpty)
   }
 
+  test("VersionedTable.fastMinMax: typed metadata min/max, provable coverage only") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fastmm")
+      .toString + "/table"
+    val keys = Seq("id", "day")
+    val rows = Seq(
+      (1, "d1", java.sql.Date.valueOf("2024-03-01"), 1.5f, "apple"),
+      (2, "d1", java.sql.Date.valueOf("2024-01-15"), Float.NaN, "pear"),
+      (3, "d2", null.asInstanceOf[java.sql.Date], -2.5f, "fig"),
+      (4, "d2", null.asInstanceOf[java.sql.Date], 0.25f, "zebra"))
+      .toDF("id", "day", "d", "f", "s")
+    VersionedTable.upsert(spark, root, rows, keys, Seq("day"),
+      statsCols = Seq("d", "f", "s"))
+    // dates parse back from epoch-day; the all-null d2 files count toward
+    // coverage and contribute nothing
+    assert(VersionedTable.fastMinMax(spark, root, "d").contains(
+      (java.sql.Date.valueOf("2024-01-15"),
+        java.sql.Date.valueOf("2024-03-01"))))
+    // float NaN is greatest, exactly the aggregate's ordering
+    val Some((fLo, fHi)) = VersionedTable.fastMinMax(spark, root, "f")
+    assert(fLo == -2.5f && fHi.asInstanceOf[Float].isNaN)
+    assert(VersionedTable.fastMinMax(spark, root, "s")
+      .contains(("apple", "zebra")))
+    // answers must equal the aggregate scan
+    val agg = VersionedTable.read(spark, root)
+      .agg(min($"d"), max($"d"), min($"s"), max($"s")).collect()(0)
+    assert(agg.getDate(0) == java.sql.Date.valueOf("2024-01-15"))
+    assert(agg.getString(3) == "zebra")
+    // unindexed column and partition column: None, never a guess
+    assert(VersionedTable.fastMinMax(spark, root, "id").isEmpty)
+    assert(VersionedTable.fastMinMax(spark, root, "day").isEmpty)
+    // a dir losing file-count coverage poisons the whole answer
+    val cur = VersionedTable.currentVersion(spark, root).get
+    val mp = new org.apache.hadoop.fs.Path(root, s"_manifest.$cur")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(mp)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    fs.delete(mp, false)
+    val out = fs.create(mp, false)
+    out.write(txt.split("\n").filterNot(_.startsWith("#dirfiles"))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(VersionedTable.fastMinMax(spark, root, "s").isEmpty)
+  }
+
   test("VersionedTable add/dropColumn: metadata-only DDL, old files project through") {
     import org.apache.spark.sql.types.LongType
     val root = java.nio.file.Files.createTempDirectory("graft_ddl")
