@@ -1170,6 +1170,38 @@ object VersionedTable {
     }
   }
 
+  /** Claim-loss retry for DECLARATIVE ops (deleteWhere, compact,
+    * repartitionTable, restore, DDL): unlike a merge, these derive
+    * everything from the CURRENT version, so losing the claim race needs
+    * no conflict check — wait for the winner's commit marker and simply
+    * re-run the body against the new current state; the rerun IS the
+    * serialized semantics. A claim that never publishes (crashed writer)
+    * rethrows with the vacuum hint after the bounded wait, exactly like
+    * [[upsert]]. */
+  private def withClaimRetry[A](spark: SparkSession, root: String,
+                                maxAttempts: Int = 5)(body: => A): A = {
+    var attempt = 1
+    while (true) {
+      val basedOn = currentVersion(spark, root).getOrElse(-1)
+      try return body
+      catch {
+        case e: StagingRaceException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          val waitMs = sys.props
+            .getOrElse("graft.versioned.claimWaitMs", "30000").toLong
+          val deadline = System.nanoTime + waitMs * 1000000L
+          var newCur = currentVersion(spark, root).getOrElse(-1)
+          while (newCur <= basedOn && System.nanoTime < deadline) {
+            Thread.sleep(50)
+            newCur = currentVersion(spark, root).getOrElse(-1)
+          }
+          if (newCur <= basedOn) throw e // staged but never published
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Partition dirs version `v` changed relative to `v-1`: dirs its
     * manifest maps to gen<v> (written/rewritten) plus dirs present in
     * v-1's mapping but absent in v's (dropped by a delete). None = the
@@ -1327,7 +1359,7 @@ object VersionedTable {
   def deleteWhere(spark: SparkSession, root: String, column: String,
                   lower: Any, upper: Any,
                   fileRows: Option[Int] = None,
-                  bloomBits: Long = 0L): Int = {
+                  bloomBits: Long = 0L): Int = withClaimRetry(spark, root) {
     import org.apache.spark.sql.functions.lit
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -1501,7 +1533,7 @@ object VersionedTable {
               fileRows: Option[Int] = None,
               bloomCols: Seq[String] = Nil,
               bloomBits: Long = 0L,
-              zOrderCols: Seq[String] = Nil): Int = {
+              zOrderCols: Seq[String] = Nil): Int = withClaimRetry(spark, root) {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
@@ -1549,7 +1581,7 @@ object VersionedTable {
                        statsCols: Seq[String] = Nil,
                        fileRows: Option[Int] = None,
                        bloomCols: Seq[String] = Nil,
-                       bloomBits: Long = 0L): Int = {
+                       bloomBits: Long = 0L): Int = withClaimRetry(spark, root) {
     require(partCols.nonEmpty, "at least one partition column")
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -1596,7 +1628,8 @@ object VersionedTable {
     * delivery state — a replayed (streamId, batchId) must still read as
     * committed afterwards or the stream would double-apply. `toVersion`
     * must still be retained (not vacuumed). */
-  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int =
+      withClaimRetry(spark, root) {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
@@ -1711,7 +1744,7 @@ object VersionedTable {
     * write real values. The inverse of waiting for an upsert with the
     * new column to evolve the schema implicitly. */
   def addColumn(spark: SparkSession, root: String, name: String,
-                dataType: DataType): Int = {
+                dataType: DataType): Int = withClaimRetry(spark, root) {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
@@ -1732,7 +1765,8 @@ object VersionedTable {
     * bytes in old files simply stop being read (they physically vanish at
     * the next compact/rewrite of each partition). Partition columns
     * cannot be dropped. */
-  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+      withClaimRetry(spark, root) {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))

@@ -2379,7 +2379,8 @@ class OpsSpec extends SparkSpec {
   test("VersionedTable: concurrent disjoint-partition upserts both commit") {
     // the 500ms suite-wide claim wait is sized for wedged-claim tests;
     // a REAL winner is publishing here, so give the loser a real window
-    val saved = sys.props("graft.versioned.claimWaitMs")
+    val spark0 = spark // force SparkSpec init (sets the default prop)
+    val saved = sys.props.getOrElse("graft.versioned.claimWaitMs", "500")
     sys.props("graft.versioned.claimWaitMs") = "30000"
     try {
       val root = java.nio.file.Files.createTempDirectory("graft_occ")
@@ -2433,6 +2434,40 @@ class OpsSpec extends SparkSpec {
       assert(VersionedTable.history(spark, root) == Seq(0, 1, 2, 3))
       assert(VersionedTable.read(spark, root)
         .filter($"id" === 3 || $"id" === 4).count() == 0)
+    } finally sys.props("graft.versioned.claimWaitMs") = saved
+  }
+
+  test("VersionedTable: maintenance ops rerun declaratively after a lost claim") {
+    val spark0 = spark // force SparkSpec init (sets the default prop)
+    val saved = sys.props.getOrElse("graft.versioned.claimWaitMs", "500")
+    sys.props("graft.versioned.claimWaitMs") = "30000"
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_mretry")
+        .toString + "/table"
+      val keys = Seq("id", "day")
+      VersionedTable.upsert(spark, root,
+        (1 to 40).map(i => (i, s"d${i % 4}", i.toLong)).toDF("id", "day", "v"),
+        keys, Seq("day"), statsCols = Seq("v"))
+      // writer A holds the claim on v1; a racing deleteWhere must wait for
+      // A's commit and then re-derive its file selection from A's version
+      val staged = VersionedTable.prepare(spark, root,
+        Seq((100, "d0", 7L)).toDF("id", "day", "v"), keys, Seq("day"),
+        statsCols = Seq("v"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val deleter = Future {
+        VersionedTable.deleteWhere(spark, root, "v", 1L, 10L)
+      }
+      Thread.sleep(300)
+      VersionedTable.publish(spark, root, staged)
+      val deletedAt = Await.result(deleter, 60.seconds)
+      assert(deletedAt == 2) // serialized AFTER the winner
+      // the delete saw the winner's row (v=7 in d0) and removed it too
+      val vs = VersionedTable.read(spark, root)
+        .select($"v").as[Long].collect().toSet
+      assert(vs == (11L to 40L).toSet)
+      assert(VersionedTable.history(spark, root) == Seq(0, 1, 2))
     } finally sys.props("graft.versioned.claimWaitMs") = saved
   }
 
