@@ -1711,6 +1711,33 @@ object VersionedTable {
       hi.flatMap(parseStat(dt, _)).orNull))
   }
 
+  /** Metadata-only COUNT(column) — total rows minus the recorded per-file
+    * null counts, under the SAME provable-coverage check as
+    * [[manifestMinMax]] (every file of every dir carries a current-type
+    * stat) plus full dir-row coverage. Null counts are type-independent,
+    * but the type-tag requirement stays: a column dropped and re-added
+    * under a different type would otherwise reuse stale counts. */
+  private[graft] def manifestNonNullCount(m: Manifest,
+                                          column: String): Option[Long] = {
+    val total = manifestCount(m).getOrElse(return None)
+    if (!m.schema.fieldNames.contains(column) ||
+        m.partCols.contains(column)) return None
+    val dtJson = m.schema(column).dataType.json
+    var nulls = 0L
+    for ((rel, gen) <- m.mapping) {
+      val nFiles = m.dirFiles.getOrElse(rel, return None)
+      val prefix = s"$gen/$rel/"
+      val covered = m.stats.iterator
+        .filter(_._1.startsWith(prefix))
+        .flatMap { case (_, cols) => cols.get(column) }
+        .filter(_.dtJson.contains(dtJson))
+        .toSeq
+      if (covered.length != nFiles) return None
+      nulls += covered.map(_.nulls).sum
+    }
+    Some(total - nulls)
+  }
+
   /** Inverse of [[renderStat]] under the column type: rendered text back
     * to the EXTERNAL Scala value (dates from epoch-day, timestamps from
     * epoch-µs, floats through the lossless double widening). Exact by

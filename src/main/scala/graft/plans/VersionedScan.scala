@@ -135,6 +135,12 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
         case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
             if v != null =>
           VersionedTable.manifestCount(m).map(n => n: Any)
+        // count(col) = total - recorded nulls, same coverage proof as
+        // min/max (for NON-nullable columns Catalyst already rewrote
+        // count(c) to count(1) before this rule sees it)
+        case AggregateExpression(Count(Seq(a: AttributeReference)), _, false,
+            None, _) =>
+          VersionedTable.manifestNonNullCount(m, a.name).map(n => n: Any)
         case AggregateExpression(Min(a: AttributeReference), _, false,
             None, _) =>
           VersionedTable.manifestMinMax(m, a.name)

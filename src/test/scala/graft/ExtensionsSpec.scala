@@ -230,13 +230,15 @@ class ExtensionsSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val dir = java.nio.file.Files.createTempDirectory("graft_vtcount").toString
     val root = s"$dir/table"
-    // v is NULLABLE with real nulls (multiples of 10): count(v) must not
-    // fold — and for non-nullable columns Catalyst itself soundly
-    // rewrites count(c) to count(1), which then MAY fold
+    // v is NULLABLE with real nulls (multiples of 10) and stats-indexed:
+    // count(v) folds as total - recorded nulls. w is nullable WITHOUT
+    // stats: count(w) must keep the scan. (For non-nullable columns
+    // Catalyst itself soundly rewrites count(c) to count(1).)
     VersionedTable.upsert(spark, root,
       (0 until 300).map(i =>
-          (i, s"g${i % 3}", if (i % 10 == 0) None else Some(i.toLong)))
-        .toDF("id", "grp", "v"),
+          (i, s"g${i % 3}", if (i % 10 == 0) None else Some(i.toLong),
+            if (i % 3 == 0) None else Some(i.toLong)))
+        .toDF("id", "grp", "v", "w"),
       Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
     def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
       // the WHOLE optimized plan collapses to the metadata row — no scan,
@@ -257,10 +259,14 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("v") < 100).groupBy().count()
     assert(!foldsToLocal(filtered))
     assert(filtered.collect()(0).getLong(0) == 90) // nulls drop too
-    // count(nullable col) skips nulls: never folded, and still right
+    // count(nullable stats-indexed col) folds: total - recorded nulls
     val colCount = VersionedScan.table(spark, root).agg(count(col("v")))
-    assert(!foldsToLocal(colCount))
+    assert(foldsToLocal(colCount))
     assert(colCount.collect()(0).getLong(0) == 270)
+    // count(nullable col WITHOUT stats) keeps the scan, still right
+    val noCov = VersionedScan.table(spark, root).agg(count(col("w")))
+    assert(!foldsToLocal(noCov))
+    assert(noCov.collect()(0).getLong(0) == 200)
     // min/max over the stats-indexed column fold too (nulls ignored,
     // exactly the aggregate's semantics), including mixed with count
     import org.apache.spark.sql.functions.{max, min}
