@@ -21,6 +21,7 @@ import graft.functions.{DotProduct, FreqItemsAgg, MinHashAgg, NGramHashes,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => RewriteRegexpCount)
     ext.injectOptimizerRule(_ => graft.plans.PruneVersionedScan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -83,6 +84,35 @@ object GraftExtensions {
         FreqItemsAgg(children.head, intLit(children(1), "freq_items k"))
       }))
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  /** SQL table functions: `SELECT ... FROM graft_table('/path' [, v])`
+    * resolves to the pinned [[graft.plans.VersionedRelation]] — plain SQL
+    * gets the versioned table with snapshot semantics, optional time
+    * travel, automatic file pruning, and metadata-aggregate folding, no
+    * DataFrame code required. The builder runs at ANALYSIS time on the
+    * query's own thread, where SparkSession.active IS the querying
+    * session (unlike optimizer-rule execution, which may be driven from
+    * other threads — the relation still pins manifest + session at build
+    * so nothing downstream consults active again). */
+  private[graft] val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_table"),
+      new ExpressionInfo(graft.plans.VersionedScan.getClass.getName,
+        "graft_table"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "graft_table(root [, asOfVersion]) takes 1-2 arguments")
+        val root = strLit(children.head, "graft_table root")
+        val asOf = children.lift(1).map(intLit(_, "graft_table asOfVersion"))
+        graft.plans.VersionedScan.plan(SparkSession.active, root, asOf)
+      }))
+
   /** Serializes every check-and-append on
     * `spark.experimental.extraOptimizations` (here and in
     * VersionedScan.table): the field is a plain var, so two threads
@@ -109,6 +139,10 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(ident, info, builder)
     }
     addOptimizations(spark,
       Seq(RewriteRegexpCount, graft.plans.PruneVersionedScan))

@@ -1558,6 +1558,35 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** The pure-SQL surface under oracle check: the same date-indexed
+    * rollup fixture, queried ENTIRELY through
+    * `SELECT ... FROM graft_table('root') WHERE ...` — the table
+    * function resolves to the pinned relation, Catalyst pushes the
+    * WHERE to it, and PruneVersionedScan substitutes the pruned scan
+    * (guard pins fewer physical files than the bare relation). Oracle
+    * identical to q_versioned_skip's. */
+  private def qVersionedSql(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_sql/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    graft.GraftExtensions.register(s)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val q = s.sql(
+      s"""SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume, round(daily_change, 4) AS daily_change
+         |FROM graft_table('$root')
+         |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+        .stripMargin)
+    val total = VersionedTable.physicalInputFiles(
+      s.sql(s"SELECT * FROM graft_table('$root')"))
+    require(VersionedTable.physicalInputFiles(q) < total,
+      "SQL WHERE over graft_table did not prune files")
+    q
+  }
+
   /** Zero-copy RESTORE under oracle check: v0 = the daily rollup, v1 =
     * an upsert that corrupts a date window (daily_close := -1), then
     * restore(0) commits v0's manifest as v2 — no data moves. Result =
@@ -3236,6 +3265,7 @@ object SparkEntry {
     "q_versioned_scan_part" -> (qVersionedScanPart _),
     "q_versioned_restore" -> (qVersionedRestore _),
     "q_versioned_fastcount" -> (qVersionedFastcount _),
+    "q_versioned_sql" -> (qVersionedSql _),
     "q_zorder_box" -> (qZorderBox _),
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -5723,6 +5753,19 @@ object SparkEntry {
       .stripMargin,
 
     "q_versioned_scan_rule" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM daily_all
+         |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    "q_versioned_sql" ->
       s"""WITH daily_all AS (
          |  SELECT event_type, CAST(ts AS DATE) AS date,
          |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,

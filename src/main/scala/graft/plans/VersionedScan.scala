@@ -51,7 +51,15 @@ object VersionedScan {
     * optimizer rule performs no filesystem I/O per plan compilation and
     * never needs SparkSession.active. */
   def table(spark: SparkSession, root: String,
-            asOfVersion: Option[Int] = None): DataFrame = {
+            asOfVersion: Option[Int] = None): DataFrame =
+    PlanBridge.dataFrame(spark, plan(spark, root, asOfVersion))
+
+  /** The bare logical plan behind [[table]] — also the body of the
+    * `graft_table(root [, version])` SQL table function (registered via
+    * [[graft.GraftExtensions]]), so plain SQL gets the same pinned
+    * relation, file pruning, and metadata-aggregate folding. */
+  private[graft] def plan(spark: SparkSession, root: String,
+                          asOfVersion: Option[Int] = None): LogicalPlan = {
     if (!spark.sessionState.optimizer.extendedOperatorOptimizationRules
           .contains(PruneVersionedScan))
       graft.GraftExtensions.addOptimizations(spark, Seq(PruneVersionedScan))
@@ -62,9 +70,8 @@ object VersionedScan {
     // along: it is immutable once committed, so caching it is exact.
     val v = asOfVersion.orElse(VersionedTable.currentVersion(spark, root))
     val m = VersionedTable.resolveManifest(spark, root, v)
-    PlanBridge.dataFrame(spark,
-      VersionedRelation(root, v, m.schema,
-        DataTypeUtils.toAttributes(m.schema))(m, spark))
+    VersionedRelation(root, v, m.schema,
+      DataTypeUtils.toAttributes(m.schema))(m, spark)
   }
 }
 

@@ -222,6 +222,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(isn.count() == 50)
   }
 
+  test("graft_table SQL function: time travel, pruning, and folding from pure SQL") {
+    GraftExtensions.register(spark)
+    import graft.ops.VersionedTable
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+    val root = s"$dir/table"
+    VersionedTable.upsert(spark, root,
+      (0 until 200).map(i => (i, s"g${i % 2}", i.toLong))
+        .toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
+    VersionedTable.upsert(spark, root,
+      Seq((500, "g0", 999L)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
+    // plain SQL over the table function — no temp view, no DataFrame code
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root')")
+      .collect()(0).getLong(0) == 201)
+    // the count came from the manifest, not a scan
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root')")
+      .queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    // time travel through the second argument
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root', 0)")
+      .collect()(0).getLong(0) == 200)
+    // WHERE gets manifest file skipping exactly like the DataFrame path
+    val pruned = spark.sql(
+      s"SELECT id FROM graft_table('$root') WHERE v >= 40 AND v <= 59")
+    val total = VersionedTable.physicalInputFiles(
+      spark.sql(s"SELECT * FROM graft_table('$root')"))
+    assert(VersionedTable.physicalInputFiles(pruned) < total,
+      "SQL WHERE over graft_table did not prune files")
+    assert(pruned.count() == 20)
+    // non-literal root fails loudly, never guesses
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table(CAST(rand() AS STRING))").collect()
+    }
+  }
+
   test("PruneVersionedScan: COUNT(*) folds to manifest metadata, no scan") {
     GraftExtensions.register(spark)
     import graft.ops.VersionedTable
