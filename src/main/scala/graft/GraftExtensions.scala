@@ -107,10 +107,36 @@ object GraftExtensions {
         "graft_table"),
       (children: Seq[Expression]) => {
         require(children.nonEmpty && children.length <= 2,
-          "graft_table(root [, asOfVersion]) takes 1-2 arguments")
+          "graft_table(root [, version | 'timestamp']) takes 1-2 arguments")
         val root = strLit(children.head, "graft_table root")
-        val asOf = children.lift(1).map(intLit(_, "graft_table asOfVersion"))
-        graft.plans.VersionedScan.plan(SparkSession.active, root, asOf)
+        val spark = SparkSession.active
+        // second arg: INT literal = VERSION AS OF; STRING literal =
+        // TIMESTAMP AS OF in UTC ('yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss'),
+        // resolved against the commit markers' times
+        val asOf: Option[Int] = children.lift(1).map {
+          case Literal(v: Int, _) => v
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            val txt = s.toString.trim
+            val ms =
+              try {
+                if (txt.length == 10)
+                  java.time.LocalDate.parse(txt)
+                    .atStartOfDay(java.time.ZoneOffset.UTC)
+                    .toInstant.toEpochMilli
+                else java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
+                  .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              } catch { case e: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"graft_table: unparseable UTC timestamp '$txt'", e)
+              }
+            graft.ops.VersionedTable.versionAsOf(spark, root, ms).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_table: no version committed at or before '$txt'"))
+          case other => throw new IllegalArgumentException(
+            "graft_table second argument must be an integer version or a " +
+              s"timestamp string literal, got $other")
+        }
+        graft.plans.VersionedScan.plan(spark, root, asOf)
       }))
 
   /** Serializes every check-and-append on

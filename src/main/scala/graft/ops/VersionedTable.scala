@@ -103,6 +103,35 @@ object VersionedTable {
         n.stripPrefix("_commit.").toInt }.sorted
   }
 
+  /** Committed versions with their COMMIT times (epoch-ms), ascending —
+    * the commit instant is the `_commit.<N>` marker's modification time:
+    * the marker is created exactly once (create-exclusive) at publish, so
+    * its mtime IS the atomic commit step's wall clock, with no manifest
+    * format change (on object stores this is the marker PUT time). */
+  def historyDetail(spark: SparkSession, root: String): Seq[(Int, Long)] = {
+    val fs = fsFor(spark, root)
+    history(spark, root).map { v =>
+      v -> fs.getFileStatus(new Path(root, s"_commit.$v"))
+        .getModificationTime
+    }
+  }
+
+  /** Highest version committed at or before `timestampMs` — Delta's
+    * TIMESTAMP AS OF resolution. None when the table has no commit that
+    * old (the caller asked for a time before the table existed). */
+  def versionAsOf(spark: SparkSession, root: String,
+                  timestampMs: Long): Option[Int] = {
+    val h = historyDetail(spark, root).filter(_._2 <= timestampMs)
+    if (h.isEmpty) None else Some(h.map(_._1).max)
+  }
+
+  /** [[restore]] to the version current at `timestampMs`. */
+  def restoreAsOf(spark: SparkSession, root: String,
+                  timestampMs: Long): Int =
+    restore(spark, root, versionAsOf(spark, root, timestampMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version committed at or before $timestampMs at $root")))
+
   /** Per-file column statistic: canonical-rendered min/max over non-null
     * values (absent = the file holds only nulls for the column), the null
     * count, and the column's DataType JSON AT WRITE TIME. The type tag is
@@ -1826,6 +1855,27 @@ object VersionedTable {
     * across vacuums. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    vacuumKeeping(spark, root,
+      history(spark, root).takeRight(keepVersions).toSet)
+  }
+
+  /** Age-based retention (Delta's `VACUUM ... RETAIN`): retire versions
+    * whose COMMIT time is older than `retainMs` before now — the policy a
+    * scheduled maintenance job actually wants ("keep 7 days of time
+    * travel"), independent of commit rate. The CURRENT version always
+    * survives regardless of age. */
+  def vacuumOlderThan(spark: SparkSession, root: String,
+                      retainMs: Long): Unit = {
+    require(retainMs >= 0, s"retainMs must be >= 0: $retainMs")
+    val cutoff = System.currentTimeMillis() - retainMs
+    val detail = historyDetail(spark, root)
+    val keep = detail.filter(_._2 >= cutoff).map(_._1).toSet ++
+      detail.lastOption.map(_._1)
+    vacuumKeeping(spark, root, keep)
+  }
+
+  private def vacuumKeeping(spark: SparkSession, root: String,
+                            keep: Set[Int]): Unit = {
     val fs = fsFor(spark, root)
     if (!fs.exists(new Path(root))) return
     // NO early return when nothing is committed: a crashed FIRST prepare
@@ -1833,8 +1883,6 @@ object VersionedTable {
     // zero commits, and vacuum is the documented recovery path — it must
     // clear those too or the table is wedged forever (keep set is just
     // empty: everything unpublished is stale)
-    val committed = history(spark, root)
-    val keep = committed.takeRight(keepVersions).toSet
     val liveGens = keep.flatMap(v =>
       readManifest(fs, root, v).mapping.values.toSet)
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>

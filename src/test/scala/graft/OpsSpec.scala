@@ -2471,6 +2471,48 @@ class OpsSpec extends SparkSpec {
     } finally sys.props("graft.versioned.claimWaitMs") = saved
   }
 
+  test("VersionedTable: commit times, TIMESTAMP AS OF, age-based vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("graft_times")
+      .toString + "/table"
+    val keys = Seq("id", "day")
+    def put(id: Int, v: String): Unit = VersionedTable.upsert(spark, root,
+      Seq((id, s"d$id", v)).toDF("id", "day", "val"), keys, Seq("day"))
+    put(1, "a"); put(2, "b"); put(3, "c") // v0, v1, v2
+    // pin known commit instants (marker mtimes ARE the commit times)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+    Seq(0, 1, 2).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(root, s"_commit.$v"),
+        t0 + v * 3600_000L, -1)
+    }
+    assert(VersionedTable.historyDetail(spark, root).map(_._2) ==
+      Seq(t0, t0 + 3600_000L, t0 + 7200_000L))
+    // versionAsOf: between commits resolves to the earlier one
+    assert(VersionedTable.versionAsOf(spark, root, t0 + 1800_000L)
+      .contains(0))
+    assert(VersionedTable.versionAsOf(spark, root, t0 - 1).isEmpty)
+    assert(VersionedTable.versionAsOf(spark, root, t0 + 9999_999L)
+      .contains(2))
+    // SQL TIMESTAMP AS OF through graft_table (UTC string)
+    GraftExtensions.register(spark)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table('$root', '2026-01-01 01:30:00')")
+      .collect()(0).getLong(0) == 2) // v1: rows 1 and 2
+    // restoreAsOf rolls back to the version current at the instant
+    VersionedTable.restoreAsOf(spark, root, t0 + 1800_000L) // v0 -> v3
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // age-based vacuum: retire versions older than the retention window;
+    // the restored v3 (fresh mtime) and anything younger survive
+    VersionedTable.vacuumOlderThan(spark, root,
+      retainMs = 365L * 24 * 3600_000L) // keeps everything (all < 1y old)
+    assert(VersionedTable.history(spark, root) == Seq(0, 1, 2, 3))
+    VersionedTable.vacuumOlderThan(spark, root, retainMs = 0L)
+    // only the current version survives a zero-retention vacuum
+    assert(VersionedTable.history(spark, root) == Seq(3))
+    assert(VersionedTable.read(spark, root).count() == 1) // still readable
+  }
+
   test("VersionedTable.touchedDirs: writes, delete-drops, layout changes") {
     val root = java.nio.file.Files.createTempDirectory("graft_occ2")
       .toString + "/table"
