@@ -71,6 +71,20 @@ object VersionedScaleProbe {
     val after = VersionedTable.read(spark, root).count()
     println(s"[probe] rows: full $full, range $nRange, eq $nEq, " +
       s"post-delete $after (fullFilter probe $tFullFilter)")
+    // metadata-only family: manifest arithmetic vs the scans above
+    val fc = t("fastCount (metadata only)") {
+      VersionedTable.fastCount(spark, root)
+    }
+    val fmm = t("fastMinMax n_chars (metadata only)") {
+      VersionedTable.fastMinMax(spark, root, "n_chars")
+    }
+    println(s"[probe] fastCount: $fc (scan count was $after), " +
+      s"fastMinMax: $fmm")
+    val restored = t("restore to v0 (zero-copy)") {
+      VersionedTable.restore(spark, root, 0)
+    }
+    println(s"[probe] restored v$restored; rows now " +
+      s"${VersionedTable.fastCount(spark, root).getOrElse(-1L)}")
     spark.stop()
   }
 }
