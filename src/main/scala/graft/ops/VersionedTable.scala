@@ -157,7 +157,35 @@ object VersionedTable {
                               blooms: Map[String, Map[String, Array[Byte]]],
                               txns: Map[String, Long],
                               dirRows: Map[String, Long] = Map.empty,
-                              dirFiles: Map[String, Long] = Map.empty)
+                              dirFiles: Map[String, Long] = Map.empty,
+                              bloomRefs: Map[String,
+                                Map[String, (String, Long, Int)]] = Map.empty) {
+    // one lazy fetch per sidecar object per Manifest instance: an eq
+    // probe over N indexed files costs ONE sidecar GET, not N, and a
+    // manifest read costs ZERO (refs are offsets, not payloads)
+    @transient private lazy val sidecarCache =
+      scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+
+    /** The bloom bytes for (file, column) — inline (pre-sidecar
+      * manifests) or sliced out of the lazily-fetched sidecar object. */
+    private[graft] def bloomFor(fs: FileSystem, root: String, f: String,
+                                c: String): Option[Array[Byte]] =
+      blooms.get(f).flatMap(_.get(c)).orElse(
+        bloomRefs.get(f).flatMap(_.get(c)).map { case (sc, off, len) =>
+          val bytes = sidecarCache.getOrElseUpdate(sc, {
+            val in = fs.open(new Path(root, sc))
+            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+            finally in.close()
+          })
+          java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+        })
+
+    /** Columns with a bloom (inline or sidecar) for `f` — membership
+      * without fetching any payload. */
+    private[graft] def bloomColsOf(f: String): Set[String] =
+      blooms.getOrElse(f, Map.empty).keySet ++
+        bloomRefs.getOrElse(f, Map.empty).keySet
+  }
 
   private def readManifest(fs: FileSystem, root: String,
                            version: Int): Manifest = {
@@ -224,8 +252,19 @@ object VersionedTable {
       val parts = l.split("\t", -1)
       (b64d(parts(1)), parts(2).toLong)
     }.toMap
+    // sidecar bloom references (round 6): blooms live in _bloomx.<N>
+    // objects, the manifest holds (sidecar, offset, length) — at 100k
+    // files the manifest stays file-list-sized instead of carrying
+    // megabytes of base64 filter payload every read
+    val bloomRefs = lines.filter(_.startsWith("#filebloomref\t")).map { l =>
+      val parts = l.split("\t", -1)
+      require(parts.length == 6, s"malformed #filebloomref line: $l")
+      (b64d(parts(1)), b64d(parts(2)),
+        (parts(3), parts(4).toLong, parts(5).toInt))
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map { case (_, c, ref) => c -> ref }.toMap }
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
-      dirFiles)
+      dirFiles, bloomRefs)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -367,7 +406,8 @@ object VersionedTable {
     var total = 0
     m.mapping.toSeq.foreach { case (rel, gen) =>
       val prefix = s"$gen/$rel/"
-      val known = (m.stats.keySet ++ m.blooms.keySet)
+      val known = (m.stats.keySet ++ m.blooms.keySet ++
+          m.bloomRefs.keySet)
         .filter(_.startsWith(prefix)).toSeq.sorted
       if (known.isEmpty || !known.exists(indexed))
         wholeDirs += gen -> s"$root/$gen/$rel"
@@ -469,6 +509,7 @@ object VersionedTable {
       }
     if (dataCs.isEmpty)
       return scanUnion(spark, root, m, selectScan(root, m, _ => false, _ => true))
+    val fs = fsFor(spark, root)
     def perCol(c: ColConstraint): (String => Boolean, String => Boolean) = {
       val dt = m.schema(c.column).dataType
       val dtJson = dt.json
@@ -493,7 +534,7 @@ object VersionedTable {
         }
       val bKeep: String => Boolean = c.eq match {
         case Some(v) if v != null =>
-          bloomKeep(m, c.column, xxh64Of(v, dt))
+          bloomKeep(fs, root, m, c.column, xxh64Of(v, dt))
         case _ => _ => true
       }
       // IN-list: a file survives when ANY candidate value survives BOTH
@@ -508,7 +549,7 @@ object VersionedTable {
                 rangeKeep(m, c.column, dtJson, o, Seq((r, r)))
               case _ => _ => true
             }
-            val bp = bloomKeep(m, c.column, xxh64Of(v, dt))
+            val bp = bloomKeep(fs, root, m, c.column, xxh64Of(v, dt))
             (f: String) => rp(f) && bp(f)
           }
           f => probes.exists(_(f))
@@ -526,7 +567,7 @@ object VersionedTable {
       val idx: String => Boolean = f =>
         usableStat(m, f, c.column, dtJson).isDefined ||
           ((c.eq.isDefined || c.inSet.isDefined) &&
-            m.blooms.get(f).exists(_.contains(c.column)))
+            m.bloomColsOf(f).contains(c.column))
       (f => rKeep(f) && bKeep(f) && iKeep(f) && pKeep(f) && nKeep(f), idx)
     }
     val per = dataCs.map(perCol)
@@ -665,9 +706,10 @@ object VersionedTable {
     }
 
   /** Bloom-keep decision for [[readWhereEq]]/[[skipStatsEq]]. */
-  private def bloomKeep(m: Manifest, column: String, hash: Option[Long])
+  private def bloomKeep(fs: FileSystem, root: String, m: Manifest,
+                        column: String, hash: Option[Long])
       : String => Boolean = f =>
-    m.blooms.get(f).flatMap(_.get(column)).forall { bytes =>
+    m.bloomFor(fs, root, f, column).forall { bytes =>
       hash.forall(h => org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(bytes))
         .mightContainLong(h))
@@ -751,8 +793,8 @@ object VersionedTable {
   /** Selection for a point lookup: min/max range [v,v] AND bloom
     * membership compose; a file is indexed when EITHER index kind covers
     * the column. */
-  private def eqSelection(root: String, m: Manifest, column: String,
-                          value: Any): ScanSelection = {
+  private def eqSelection(fs: FileSystem, root: String, m: Manifest,
+                          column: String, value: Any): ScanSelection = {
     val dt = m.schema(column).dataType
     val dtJson = dt.json
     val cmp = statOrdering(dt)
@@ -762,10 +804,10 @@ object VersionedTable {
       case (Some(c), Some(v)) => rangeKeep(m, column, dtJson, c, Seq((v, v)))
       case _ => _ => true
     }
-    val bKeep = bloomKeep(m, column, hash)
+    val bKeep = bloomKeep(fs, root, m, column, hash)
     selectScan(root, m,
       indexed = f => usableStat(m, f, column, dtJson).isDefined ||
-        m.blooms.get(f).exists(_.contains(column)),
+        m.bloomColsOf(f).contains(column),
       keep = f => rKeep(f) && bKeep(f))
   }
 
@@ -791,7 +833,8 @@ object VersionedTable {
     if (value == null)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    scanFrom(spark, root, m, eqSelection(root, m, column, value),
+    scanFrom(spark, root, m,
+      eqSelection(fsFor(spark, root), root, m, column, value),
       col(column) === lit(value))
   }
 
@@ -802,7 +845,7 @@ object VersionedTable {
                                  column: String, value: Any,
                                  asOfVersion: Option[Int] = None): (Int, Int) = {
     val m = resolveManifest(spark, root, asOfVersion)
-    val sel = eqSelection(root, m, column, value)
+    val sel = eqSelection(fsFor(spark, root), root, m, column, value)
     (sel.kept, sel.indexedTotal)
   }
 
@@ -933,7 +976,9 @@ object VersionedTable {
                               Map.empty,
                             txns: Map[String, Long] = Map.empty,
                             dirRows: Map[String, Long] = Map.empty,
-                            dirFiles: Map[String, Long] = Map.empty)
+                            dirFiles: Map[String, Long] = Map.empty,
+                            bloomRefs: Map[String,
+                              Map[String, (String, Long, Int)]] = Map.empty)
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -970,11 +1015,36 @@ object VersionedTable {
           s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\t${opt(s.dtJson)}\n"
         }
       }.mkString
-      val bloomLines = st.blooms.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
-        cols.toSeq.sortBy(_._1).map { case (c, b) =>
-          s"#filebloom\t${b64(f)}\t${b64(c)}\t" +
-            java.util.Base64.getEncoder.encodeToString(b) + "\n"
+      // fresh bloom BYTES (plus any inline blooms carried from a
+      // pre-sidecar manifest) land in ONE `_bloomx.<next>` sidecar
+      // object; the manifest records (sidecar, offset, length) — carried
+      // refs to older sidecars pass through verbatim (sidecars are
+      // immutable; vacuum retains every sidecar a retained manifest
+      // references)
+      val sidecarName = s"_bloomx.$next"
+      val flatBlooms = st.blooms.toSeq.sortBy(_._1).flatMap {
+        case (f, cols) => cols.toSeq.sortBy(_._1).map {
+          case (c, b) => (f, c, b) }
+      }
+      val freshRefs: Seq[(String, String, (String, Long, Int))] =
+        if (flatBlooms.isEmpty) Seq.empty
+        else {
+          val sc = fs.create(new Path(root, sidecarName), false)
+          try {
+            var off = 0L
+            flatBlooms.map { case (f, c, b) =>
+              sc.write(b)
+              val ref = (f, c, (sidecarName, off, b.length))
+              off += b.length
+              ref
+            }
+          } finally sc.close()
         }
+      val allRefs = st.bloomRefs.toSeq.flatMap { case (f, cols) =>
+        cols.toSeq.map { case (c, ref) => (f, c, ref) } } ++ freshRefs
+      val bloomLines = allRefs.sortBy(r => (r._1, r._2)).map {
+        case (f, c, (sc, off, len)) =>
+          s"#filebloomref\t${b64(f)}\t${b64(c)}\t$sc\t$off\t$len\n"
       }.mkString
       val txnLine = st.txns.toSeq.sortBy(_._1).map { case (sid, bid) =>
         s"#txn\t${b64(sid)}\t$bid\n" }.mkString
@@ -992,6 +1062,7 @@ object VersionedTable {
       try out.close() catch { case _: Throwable => () }
       fs.delete(manifestPath, false)
       fs.delete(new Path(root, genDir), true)
+      fs.delete(new Path(root, s"_bloomx.$next"), false)
       throw t
     }
   }
@@ -1111,7 +1182,8 @@ object VersionedTable {
         carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms,
         prior.map(_.txns).getOrElse(Map.empty) ++ txn,
         carryDir(prior.map(_.dirRows).getOrElse(Map.empty)) ++ freshDirRows,
-        carryDir(prior.map(_.dirFiles).getOrElse(Map.empty)) ++ freshDirFiles)
+        carryDir(prior.map(_.dirFiles).getOrElse(Map.empty)) ++ freshDirFiles,
+        carry(prior.map(_.bloomRefs).getOrElse(Map.empty)))
     }
   }
 
@@ -1425,7 +1497,8 @@ object VersionedTable {
       .filter { case (f, _) => touchedFilePrefix.exists(f.startsWith) }
       .flatMap(_._2.keys).toSeq.distinct
     val statsCols = coveredCols(m.stats).filterNot(m.partCols.contains)
-    val bloomCols = coveredCols(m.blooms).filterNot(m.partCols.contains)
+    val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs))
+      .distinct.filterNot(m.partCols.contains)
     val next = stageVersion(fs, root, cur + 1) { genDir =>
       val survivorsByGen = touched.toSeq.groupBy(_._2).map {
         case (gen, dirs) =>
@@ -1466,7 +1539,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, newMapping,
         carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
         m.txns, carryDir(m.dirRows) ++ freshDirRows,
-        carryDir(m.dirFiles) ++ freshDirFiles)
+        carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs))
     }
     publish(spark, root, next)
     next
@@ -1669,7 +1742,7 @@ object VersionedTable {
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(target.partCols, target.schema, target.mapping,
         target.stats, target.blooms, curTxns, target.dirRows,
-        target.dirFiles)
+        target.dirFiles, target.bloomRefs)
     }
     publish(spark, root, next)
     next
@@ -1809,7 +1882,8 @@ object VersionedTable {
       s"column $name already exists at $root")
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
-        m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles)
+        m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
+        m.bloomRefs)
     }
     publish(spark, root, next)
     next
@@ -1839,7 +1913,9 @@ object VersionedTable {
           .filter(_._2.nonEmpty),
         m.blooms.map { case (f, cols) => f -> (cols - name) }
           .filter(_._2.nonEmpty),
-        m.txns, m.dirRows, m.dirFiles)
+        m.txns, m.dirRows, m.dirFiles,
+        m.bloomRefs.map { case (f, cols) => f -> (cols - name) }
+          .filter(_._2.nonEmpty))
     }
     publish(spark, root, next)
     next
@@ -1883,8 +1959,13 @@ object VersionedTable {
     // zero commits, and vacuum is the documented recovery path — it must
     // clear those too or the table is wedged forever (keep set is just
     // empty: everything unpublished is stale)
-    val liveGens = keep.flatMap(v =>
-      readManifest(fs, root, v).mapping.values.toSet)
+    val retained = keep.toSeq.map(v => readManifest(fs, root, v))
+    val liveGens = retained.flatMap(_.mapping.values).toSet
+    // a retained manifest may reference OLDER versions' sidecars through
+    // carried bloom refs — those must survive with it
+    val liveSidecars = retained
+      .flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
+      .map(_._1).toSet
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       val stale =
@@ -1893,6 +1974,7 @@ object VersionedTable {
           !keep.contains(n.stripPrefix("_manifest.").toInt)) ||
         (n.startsWith("_commit.") &&
           !keep.contains(n.stripPrefix("_commit.").toInt)) ||
+        (n.startsWith("_bloomx.") && !liveSidecars.contains(n)) ||
         n.startsWith(".names") // scratch left by a crashed prepare()
       if (stale) fs.delete(p, true)
     }

@@ -2471,6 +2471,54 @@ class OpsSpec extends SparkSpec {
     } finally sys.props("graft.versioned.claimWaitMs") = saved
   }
 
+  test("VersionedTable bloom sidecars: payload-free manifests, ref carry, vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bsc")
+      .toString + "/table"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
+    def manifestText(v: Int): String = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        fs.open(new org.apache.hadoop.fs.Path(root, s"_manifest.$v"))),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def exists(n: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(root, n))
+    val keys = Seq("id", "day")
+    val rows = (0 until 200).map(i =>
+      (i, s"d${i % 4}", f"doc-${(i * 2654435761L) % 100000}%05d"))
+      .toDF("id", "day", "doc")
+    VersionedTable.upsert(spark, root, rows, keys, Seq("day"),
+      bloomCols = Seq("doc"), fileRows = Some(25))
+    // blooms live in the sidecar object; the manifest holds only refs
+    assert(exists("_bloomx.0"))
+    val m0 = manifestText(0)
+    assert(m0.contains("#filebloomref") && !m0.contains("#filebloom\t"))
+    // a pruned upsert rewrites ONE partition: its blooms land in the new
+    // sidecar, untouched partitions keep refs into the OLD sidecar
+    VersionedTable.upsert(spark, root,
+      Seq((1000, "d0", "doc-99999")).toDF("id", "day", "doc"),
+      keys, Seq("day"), bloomCols = Seq("doc"), fileRows = Some(25))
+    val m1 = manifestText(1)
+    assert(m1.contains("_bloomx.0") && m1.contains("_bloomx.1"))
+    // point lookups keep skipping through the refs (carried AND fresh)
+    val needle = rows.filter($"id" === 7).select("doc")
+      .collect()(0).getString(0)
+    val (kept, total) = VersionedTable.skipStatsEq(spark, root, "doc", needle)
+    assert(total >= 8 && kept <= total / 2,
+      s"bloom skipping through sidecars did not bite: $kept of $total")
+    assert(VersionedTable.readWhereEq(spark, root, "doc", needle)
+      .count() == rows.filter($"doc" === needle).count())
+    // vacuum keeps the OLD sidecar while the current manifest references
+    // it, and retires it once a full rewrite drops the last reference
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(exists("_bloomx.0") && exists("_bloomx.1"))
+    VersionedTable.compact(spark, root, bloomCols = Seq("doc"),
+      fileRows = Some(25))
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(!exists("_bloomx.0") && !exists("_bloomx.1") && exists("_bloomx.2"))
+    assert(VersionedTable.readWhereEq(spark, root, "doc", needle)
+      .count() == rows.filter($"doc" === needle).count())
+  }
+
   test("VersionedTable: commit times, TIMESTAMP AS OF, age-based vacuum") {
     val root = java.nio.file.Files.createTempDirectory("graft_times")
       .toString + "/table"
