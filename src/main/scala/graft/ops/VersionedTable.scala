@@ -1667,6 +1667,90 @@ object VersionedTable {
     next
   }
 
+  /** Incremental OPTIMIZE: rewrite ONLY partitions that accumulated
+    * `minFilesPerDir` or more data files (many small pruned upserts →
+    * a file per merge — the small-files tax), leaving every other dir's
+    * mapping, bytes, and index entries untouched — O(|hot partitions|)
+    * I/O instead of [[compact]]'s O(|table|). File counts come from the
+    * manifest's #dirfiles (a directory listing per dir only for
+    * pre-feature manifests); stats/bloom coverage for the rewritten dirs
+    * is re-derived from what their files carried (same inference as
+    * [[deleteWhere]]), so the index family survives. A run where no dir
+    * qualifies commits NOTHING (returns the current version — no version
+    * burned by a scheduled no-op). `zOrderCols` re-clusters the
+    * rewritten dirs like [[compact]]'s. */
+  def compactSmallFiles(spark: SparkSession, root: String,
+                        minFilesPerDir: Int,
+                        fileRows: Option[Int] = None,
+                        bloomBits: Long = 0L,
+                        zOrderCols: Seq[String] = Nil): Int =
+      withClaimRetry(spark, root) {
+    require(minFilesPerDir >= 2, s"minFilesPerDir must be >= 2")
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    def fileCount(rel: String, gen: String): Long =
+      m.dirFiles.getOrElse(rel,
+        fs.listStatus(new Path(s"$root/$gen/$rel")).count(s =>
+          s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith(".")))
+    val touched = m.mapping.filter { case (rel, gen) =>
+      fileCount(rel, gen) >= minFilesPerDir }
+    if (touched.isEmpty) return cur
+    val touchedFilePrefix = touched.toSeq
+      .map { case (rel, gen) => s"$gen/$rel/" }
+    val coveredCols = (kind: Map[String, Map[String, _]]) => kind.iterator
+      .filter { case (f, _) => touchedFilePrefix.exists(f.startsWith) }
+      .flatMap(_._2.keys).toSeq.distinct
+    val statsCols = coveredCols(m.stats).filterNot(m.partCols.contains)
+    val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs))
+      .distinct.filterNot(m.partCols.contains)
+    val next = stageVersion(fs, root, cur + 1) { genDir =>
+      val hot = touched.toSeq.groupBy(_._2).map { case (gen, dirs) =>
+        spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+          .parquet(dirs.map { case (rel, _) => s"$root/$gen/$rel" }: _*)
+      }.reduce(_.unionByName(_))
+      val base = hot.repartition(m.partCols.map(col): _*)
+      val clustered =
+        if (zOrderCols.nonEmpty)
+          ZOrder.withZValueN(base, zOrderCols, "__zval")
+            .sortWithinPartitions((m.partCols.map(col) :+ col("__zval")): _*)
+            .drop("__zval")
+        else if (statsCols.isEmpty) base
+        else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
+      val writer = fileRows.foldLeft(clustered.write)(
+        (w, n) => w.option("maxRecordsPerFile", n.toLong))
+      writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
+      val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
+      val newMapping = (m.mapping -- touched.keys) ++
+        written.map(_ -> genDir)
+      val liveDirPrefixes = newMapping.toSeq
+        .map { case (rel, gen) => s"$gen/$rel/" }.toSet
+      def carry[A](prev: Map[String, Map[String, A]]) = prev.filter {
+        case (fileRel, _) =>
+          val dirOf = fileRel.lastIndexOf('/')
+          dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
+      }
+      val (freshStats, freshBlooms, freshDirRows, freshDirFiles) =
+        if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
+          Map.empty[String, Map[String, Array[Byte]]],
+          Map.empty[String, Long], Map.empty[String, Long])
+        else collectFileStats(spark, root, genDir, m.partCols, statsCols,
+          bloomCols, sizedBloomBits(bloomBits, fileRows))
+      def carryDir(prev: Map[String, Long]): Map[String, Long] =
+        prev.filter { case (rel, _) =>
+          m.mapping.contains(rel) &&
+            newMapping.get(rel) == m.mapping.get(rel) }
+      Staged(m.partCols, m.schema, newMapping,
+        carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
+        m.txns, carryDir(m.dirRows) ++ freshDirRows,
+        carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs))
+    }
+    publish(spark, root, next)
+    next
+  }
+
   /** Partition-layout evolution: rewrite the CURRENT version under NEW
     * partition columns and commit it as a new version — the operation a
     * lake needs when the query pattern changes (e.g. (date) → (date,

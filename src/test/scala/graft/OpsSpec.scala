@@ -2471,6 +2471,57 @@ class OpsSpec extends SparkSpec {
     } finally sys.props("graft.versioned.claimWaitMs") = saved
   }
 
+  test("VersionedTable.compactSmallFiles: only hot dirs rewrite, no-op burns nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_csf")
+      .toString + "/table"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
+    val keys = Seq("id", "day")
+    // d0 splinters into many small files (the small-files tax); d1 has
+    // few rows and stays a single file
+    VersionedTable.upsert(spark, root,
+      (0 until 23).map(i => (i, if (i < 20) "d0" else "d1", i.toLong))
+        .toDF("id", "day", "v"),
+      keys, Seq("day"), statsCols = Seq("v"), fileRows = Some(5))
+    (1 to 3).foreach { k =>
+      VersionedTable.upsert(spark, root,
+        Seq((100 + k, "d0", 100L + k)).toDF("id", "day", "v"),
+        keys, Seq("day"), statsCols = Seq("v"), fileRows = Some(5))
+    }
+    val m = VersionedTable.read(spark, root)
+    assert(m.count() == 26)
+    def filesIn(rel: String): Map[String, Long] = {
+      // (gen, file-count) of the dir's CURRENT mapping entry
+      val cur = VersionedTable.currentVersion(spark, root).get
+      val txt = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        fs.open(new org.apache.hadoop.fs.Path(root, s"_manifest.$cur"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val gen = txt.split("\n").filterNot(_.startsWith("#"))
+        .map(_.split("\t")).collectFirst {
+          case Array(r, g) if r == rel => g }.get
+      val p = new org.apache.hadoop.fs.Path(s"$root/$gen/$rel")
+      Map(gen -> fs.listStatus(p).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_")).toLong)
+    }
+    val d1Before = filesIn("day=d1")
+    assert(filesIn("day=d0").values.sum >= 4) // hot
+    // only d0 qualifies and rewrites; d1 keeps generation AND file count
+    val v = VersionedTable.compactSmallFiles(spark, root, minFilesPerDir = 4)
+    assert(v == VersionedTable.currentVersion(spark, root).get)
+    assert(filesIn("day=d0").values.sum == 1)
+    assert(filesIn("day=d1") == d1Before) // same gen, untouched
+    assert(VersionedTable.read(spark, root).count() == 26)
+    // index survives the partial rewrite: range skipping still engages
+    // (d1's file holds only v in 20..22 and skips the 10..15 probe)
+    val (kept, total) = VersionedTable.skipStats(spark, root, "v", 10L, 15L)
+    assert(kept < total, s"skipping lost after compactSmallFiles: $kept/$total")
+    assert(VersionedTable.readWhere(spark, root, "v", 10L, 15L).count() == 6)
+    // nothing qualifies now: NO version is burned
+    val before = VersionedTable.history(spark, root)
+    assert(VersionedTable.compactSmallFiles(spark, root, 4) == before.max)
+    assert(VersionedTable.history(spark, root) == before)
+  }
+
   test("VersionedTable bloom sidecars: payload-free manifests, ref carry, vacuum") {
     val root = java.nio.file.Files.createTempDirectory("graft_bsc")
       .toString + "/table"
