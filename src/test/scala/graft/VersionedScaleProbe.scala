@@ -46,6 +46,14 @@ object VersionedScaleProbe {
         Seq("lang"), statsCols = Seq("n_chars"), fileRows = Some(2000),
         bloomCols = Seq("doc_id"))
     }
+    val fsP = new org.apache.hadoop.fs.Path(root)
+    val fsys = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sizeOf(n: String): Long =
+      try fsys.getFileStatus(new org.apache.hadoop.fs.Path(root, n)).getLen
+      catch { case _: Throwable => -1L }
+    println(s"[probe] manifest ${sizeOf("_manifest.0")} B, " +
+      s"bloom sidecar ${sizeOf("_bloomx.0")} B " +
+      "(refs in the manifest, payload in the sidecar)")
     val full = t("full scan count") {
       VersionedTable.read(spark, root).count()
     }
