@@ -1924,6 +1924,27 @@ object VersionedTable {
     Some(total - nulls)
   }
 
+  /** Metadata-only GROUP BY partition-column COUNT(*): per distinct
+    * partition-value tuple (over `cols` ⊆ partCols), the summed dir row
+    * counts — external Scala values, null for the default (null)
+    * partition. None when any live dir lacks a row count or any
+    * partition value fails its exact typed parse (conservative: the
+    * scan runs). Exact because the dir name IS the value for every row
+    * in the dir. */
+  private[graft] def manifestGroupCounts(m: Manifest, cols: Seq[String])
+      : Option[Seq[(Seq[Any], Long)]] = {
+    if (cols.isEmpty || !cols.forall(m.partCols.contains)) return None
+    if (!m.mapping.keySet.forall(m.dirRows.contains)) return None
+    val parsed = m.mapping.keys.toSeq.map { rel =>
+      val vals = cols.map(c => partitionValue(m, rel, c))
+      if (vals.exists(_.isLeft)) return None
+      (cols.indices.map(i => vals(i).toOption.get.orNull),
+        m.dirRows(rel))
+    }
+    Some(parsed.groupBy(_._1).toSeq.map { case (k, xs) =>
+      (k.toSeq, xs.map(_._2).sum) })
+  }
+
   /** Inverse of [[renderStat]] under the column type: rendered text back
     * to the EXTERNAL Scala value (dates from epoch-day, timestamps from
     * epoch-µs, floats through the lossless double widening). Exact by

@@ -119,7 +119,7 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
     // distinct, a column without coverage — leaves the whole plan on the
     // scan path; a Project in between never changes cardinality or
     // column content, so it is looked through.
-    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+    case agg: Aggregate =>
       tryFold(agg).getOrElse(agg) // unchanged => children still visited
     case f @ Filter(cond, rel: VersionedRelation) =>
       f.copy(child = substitute(rel, Some(cond)))
@@ -134,6 +134,7 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
     if (agg.aggregateExpressions.isEmpty) return None
+    if (agg.groupingExpressions.nonEmpty) return tryFoldGrouped(agg, rel)
     val m = rel.manifest
     // each output expression must fold to an INTERNAL value
     val folded = agg.aggregateExpressions.map { ne =>
@@ -163,6 +164,41 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
     if (folded.exists(_.isEmpty)) None
     else Some(LocalRelation(agg.output,
       Seq(InternalRow.fromSeq(folded.map(_.get)))))
+  }
+
+  /** GROUP BY partition-column COUNT(*) fold: the dir name IS the value
+    * for every row of a dir, so per-value counts are exact sums of the
+    * manifest's dir row counts — one LocalRelation row per live
+    * partition value (the Delta metadata-only-query idea, extended to
+    * grouped counts). Bails (scan path) unless every grouping expression
+    * is a partition-column attribute, every output is a grouping
+    * attribute / count(non-null literal) / literal, every dir has a row
+    * count, and every partition value parses exactly. */
+  private def tryFoldGrouped(agg: Aggregate,
+                             rel: VersionedRelation): Option[LogicalPlan] = {
+    val groupCols = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    val groups =
+      VersionedTable.manifestGroupCounts(rel.manifest, groupCols)
+        .getOrElse(return None)
+    val mkRow: Seq[(Seq[Any], Long)] => Option[Seq[InternalRow]] = gs =>
+      Some(gs.map { case (vals, n) =>
+        InternalRow.fromSeq(agg.aggregateExpressions.map { ne =>
+          val e = ne match { case Alias(c, _) => c; case o => o }
+          e match {
+            case a: AttributeReference if groupCols.contains(a.name) =>
+              CatalystTypeConverters.convertToCatalyst(
+                vals(groupCols.indexOf(a.name)))
+            case AggregateExpression(Count(Seq(Literal(v, _))), _, false,
+                None, _) if v != null => n
+            case Literal(v, _) => v
+            case _ => return None
+          }
+        })
+      })
+    mkRow(groups).map(rows => LocalRelation(agg.output, rows))
   }
 
   /** Per-column facts accumulated from the conjuncts; first-seen of each

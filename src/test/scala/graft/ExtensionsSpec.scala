@@ -258,6 +258,50 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("PruneVersionedScan: GROUP BY partition column folds to dir counts") {
+    GraftExtensions.register(spark)
+    import graft.ops.VersionedTable
+    import graft.plans.VersionedScan
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = java.nio.file.Files.createTempDirectory("graft_gbfold").toString
+    val root = s"$dir/table"
+    // composite layout (grp, sub): grouping by grp must SUM across sub
+    // dirs; one null grp row lands in the default partition
+    val rows = (0 until 120).map(i =>
+      (i, if (i == 0) null else s"g${i % 3}", s"s${i % 2}", i.toLong))
+      .toDF("id", "grp", "sub", "v")
+    VersionedTable.upsert(spark, root, rows, Seq("id", "grp", "sub"),
+      Seq("grp", "sub"), fileRows = Some(10))
+    def folds(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    val byGrp = VersionedScan.table(spark, root)
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(folds(byGrp), s"not folded:\n${byGrp.queryExecution}")
+    val got = byGrp.collect().map(r =>
+      Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(got == Map("g1" -> 40, "g2" -> 40, "g0" -> 39, "NULL" -> 1))
+    // two-level grouping folds too
+    val byBoth = VersionedScan.table(spark, root)
+      .groupBy("grp", "sub").agg(count(lit(1)).as("n"))
+    assert(folds(byBoth))
+    assert(byBoth.collect().map(_.getLong(2)).sum == 120)
+    // SQL path
+    VersionedScan.table(spark, root).createOrReplaceTempView("vt_gb")
+    val sqlGb = spark.sql(
+      "SELECT grp, count(*) AS n FROM vt_gb GROUP BY grp")
+    assert(folds(sqlGb))
+    assert(sqlGb.collect().map(_.getLong(1)).sum == 120)
+    // negatives keep the scan: non-partition grouping, filters, count(col)
+    val byData = VersionedScan.table(spark, root)
+      .groupBy("v").agg(count(lit(1)))
+    assert(!folds(byData))
+    val filtered = VersionedScan.table(spark, root)
+      .filter(col("v") < 60).groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(!folds(filtered))
+    assert(filtered.collect().map(_.getLong(1)).sum == 60)
+  }
+
   test("PruneVersionedScan: COUNT(*) folds to manifest metadata, no scan") {
     GraftExtensions.register(spark)
     import graft.ops.VersionedTable
