@@ -961,4 +961,95 @@ class PropertySpec extends SparkSpec {
       assert(n == want, s"day $day")
     }
   }
+
+  test("metadata folds equal scans over randomized versioned tables") {
+    import graft.ops.VersionedTable
+    val rnd = new Random(2026)
+    for (trial <- 1 to 4) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_prop_md")
+        .toString + s"/t$trial"
+      val n = 60 + rnd.nextInt(140)
+      val rows = (0 until n).map { i =>
+        val v: java.lang.Double =
+          if (rnd.nextInt(10) == 0) null
+          else if (rnd.nextInt(20) == 0) Double.NaN
+          else rnd.nextDouble() * 200 - 100
+        (i, s"p${rnd.nextInt(4)}", v,
+          if (rnd.nextInt(8) == 0) null else f"s${rnd.nextInt(1000)}%04d")
+      }.toDF("id", "part", "v", "s")
+      VersionedTable.upsert(spark, root, rows, Seq("id", "part"),
+        Seq("part"), statsCols = Seq("v", "s"),
+        fileRows = Some(5 + rnd.nextInt(20)))
+      if (rnd.nextBoolean()) // random maintenance between checks
+        VersionedTable.deleteWhere(spark, root, "v",
+          rnd.nextDouble() * 100 - 50, rnd.nextDouble() * 100)
+      val t = VersionedTable.read(spark, root)
+      // COUNT
+      assert(VersionedTable.fastCount(spark, root)
+        .contains(t.count()), s"trial $trial fastCount")
+      // non-null counts
+      val nnV = t.filter(col("v").isNotNull).count()
+      // MIN/MAX vs the aggregate (NaN compares via java equality below)
+      val agg = t.agg(min("v"), max("v"), min("s"), max("s")).collect()(0)
+      val Some((vLo, vHi)) = VersionedTable.fastMinMax(spark, root, "v")
+      def same(a: Any, b: Any): Boolean = (a, b) match {
+        case (null, null) => true
+        case (x: Double, y: Double) => x == y || (x.isNaN && y.isNaN)
+        case (x, y) => x == y
+      }
+      assert(same(vLo, if (agg.isNullAt(0)) null else agg.getDouble(0)),
+        s"trial $trial min(v): $vLo vs $agg")
+      assert(same(vHi, if (agg.isNullAt(1)) null else agg.getDouble(1)),
+        s"trial $trial max(v): $vHi vs $agg")
+      val Some((sLo, sHi)) = VersionedTable.fastMinMax(spark, root, "s")
+      assert(same(sLo, agg.getString(2)) && same(sHi, agg.getString(3)),
+        s"trial $trial s bounds")
+      // count(v) fold path (total - nulls)
+      import graft.plans.VersionedScan
+      graft.GraftExtensions.register(spark)
+      assert(VersionedScan.table(spark, root).agg(count(col("v")))
+        .collect()(0).getLong(0) == nnV, s"trial $trial count(v)")
+      // grouped fold equals the scanned group-by
+      val folded = VersionedScan.table(spark, root)
+        .groupBy("part").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val scanned = t.groupBy("part").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(folded == scanned, s"trial $trial grouped")
+    }
+  }
+
+  test("concurrent disjoint upserts all commit under real claim races") {
+    import graft.ops.VersionedTable
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark0 = spark
+    val saved = sys.props.getOrElse("graft.versioned.claimWaitMs", "500")
+    sys.props("graft.versioned.claimWaitMs") = "30000"
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_prop_occ")
+        .toString + "/table"
+      VersionedTable.upsert(spark, root,
+        Seq((0, "seed", 0L)).toDF("id", "part", "v"),
+        Seq("id", "part"), Seq("part"))
+      // 4 writers, each to its OWN partition, genuinely racing the claim
+      val writers = (1 to 4).map { w =>
+        Future {
+          VersionedTable.upsert(spark, root,
+            (0 until 10).map(i => (w * 100 + i, s"w$w", i.toLong))
+              .toDF("id", "part", "v"),
+            Seq("id", "part"), Seq("part"))
+        }
+      }
+      writers.foreach(Await.result(_, 120.seconds))
+      // serialized into SOME order: 5 commits, every writer's rows present
+      assert(VersionedTable.history(spark, root) == (0 to 4))
+      assert(VersionedTable.read(spark, root).count() == 1 + 4 * 10)
+      (1 to 4).foreach { w =>
+        assert(VersionedTable.read(spark, root)
+          .filter(col("part") === s"w$w").count() == 10, s"writer $w")
+      }
+    } finally sys.props("graft.versioned.claimWaitMs") = saved
+  }
 }
