@@ -65,6 +65,30 @@ object VersionedTable {
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(URI.create(root), spark.sparkContext.hadoopConfiguration)
 
+  /** Create `path` create-exclusively and return a stream to fill it. On
+    * HDFS `create(overwrite=false)` is one atomic namenode op, but on the
+    * local filesystem it is exists-check-then-create — two threads racing
+    * the same claim can BOTH pass the check, and the claim protocol's
+    * mutual exclusion silently breaks (observed as both writers staging
+    * the same gen dir). For `file:` URIs the claim therefore goes through
+    * java.nio `Files.createFile` (O_CREAT|O_EXCL — atomic in POSIX,
+    * throws FileAlreadyExistsException, an IOException, to the loser);
+    * the winner then reopens its own claim for content. Object stores
+    * need a conditional-PUT claim here instead (S3 If-None-Match). */
+  private def createExclusive(fs: FileSystem,
+                              path: Path): org.apache.hadoop.fs.FSDataOutputStream =
+    if (fs.getUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(path.toUri.getPath)
+      try java.nio.file.Files.createFile(local)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          // first-ever version: table root not created yet
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.createFile(local)
+      }
+      fs.create(path, true)
+    } else fs.create(path, false)
+
   /** Signals an [[upsert]] whose (streamId, batchId) tag is already
     * committed — caught by upsert itself (idempotent no-op) after the
     * post-claim re-check in prepare. */
@@ -998,7 +1022,7 @@ object VersionedTable {
         s"version $next at $root is already staged: concurrent writer, or " +
           "a crashed prepare (vacuum() clears unpublished stages)")
     val out =
-      try fs.create(manifestPath, false)
+      try createExclusive(fs, manifestPath)
       catch { case e: java.io.IOException =>
         throw new StagingRaceException(
           s"lost the staging race for version $next at $root", e) }
@@ -1060,9 +1084,13 @@ object VersionedTable {
       next
     } catch { case t: Throwable =>
       try out.close() catch { case _: Throwable => () }
-      fs.delete(manifestPath, false)
+      // retract the LITTER first, the CLAIM last: the manifest claim is
+      // the mutual-exclusion token — dropping it while gen<next> still
+      // exists lets a racing writer claim this version and collide with
+      // our half-deleted generation dir
       fs.delete(new Path(root, genDir), true)
       fs.delete(new Path(root, s"_bloomx.$next"), false)
+      fs.delete(manifestPath, false)
       throw t
     }
   }
@@ -1193,8 +1221,8 @@ object VersionedTable {
     * silently co-publishing. */
   private[graft] def publish(spark: SparkSession, root: String,
                              version: Int): Unit = {
-    val out = fsFor(spark, root).create(new Path(root, s"_commit.$version"),
-      false)
+    val out = createExclusive(fsFor(spark, root),
+      new Path(root, s"_commit.$version"))
     out.close()
   }
 
