@@ -1558,6 +1558,50 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Merge-on-read DELETE (deletion vectors) under oracle check: the
+    * q_versioned_delete fixture, but the mid-January window is removed
+    * via [[VersionedTable.deleteWhereDV]] — deleted positions land in a
+    * `_dvx` sidecar and the read anti-joins them away, with the data
+    * files PROVABLY untouched (guard compares the exhaustive
+    * (path, mtime, length) set before/after: byte-identity, the
+    * merge-on-read contract). Oracle = identical to q_versioned_delete:
+    * the two delete strategies must be indistinguishable to a reader. */
+  private def qVersionedDv(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_dv/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), s.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[(String, Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += ((f.getPath.toString, f.getModificationTime, f.getLen))
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val v1 = VersionedTable.deleteWhereDV(s, root, "date",
+      java.sql.Date.valueOf("2024-01-08"), java.sql.Date.valueOf("2024-01-14"))
+    require(v1 == 1, s"DV delete did not commit a new version: $v1")
+    require(dataFiles() == before,
+      "merge-on-read violated: a data file was written or replaced")
+    require(VersionedTable.read(s, root, Some(0)).count() >
+      VersionedTable.read(s, root).count(),
+      "time travel lost the pre-delete rows")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
   /** The pure-SQL surface under oracle check: the same date-indexed
     * rollup fixture, queried ENTIRELY through
     * `SELECT ... FROM graft_table('root') WHERE ...` — the table
@@ -3268,6 +3312,7 @@ object SparkEntry {
     "q_versioned_sql" -> (qVersionedSql _),
     "q_zorder_box" -> (qZorderBox _),
     "q_versioned_delete" -> (qVersionedDelete _),
+    "q_versioned_dv" -> (qVersionedDv _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -5815,6 +5860,21 @@ object SparkEntry {
       .stripMargin,
 
     "q_versioned_delete" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM daily_all
+         |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    // merge-on-read and rewrite deletes must be reader-indistinguishable:
+    // the SAME oracle as q_versioned_delete
+    "q_versioned_dv" ->
       s"""WITH daily_all AS (
          |  SELECT event_type, CAST(ts AS DATE) AS date,
          |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,

@@ -210,7 +210,8 @@ object Merge {
                                    live: Seq[(Seq[Any], String)],
                                    partCols: Seq[String],
                                    pTypes: Seq[org.apache.spark.sql.types.DataType],
-                                   dataSchema: Option[org.apache.spark.sql.types.StructType])
+                                   dataSchema: Option[org.apache.spark.sql.types.StructType],
+                                   dv: Seq[(String, Long)] = Nil)
       : DataFrame = {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
@@ -234,11 +235,28 @@ object Merge {
     // literal '+' stays raw in the path (NOT plus-for-space), but
     // url_decode is URLDecoder-semantics and would turn it into a space,
     // so pre-encode '+' as %2B; every other byte round-trips.
-    val scanned = reader
+    val scanned0 = reader
       .parquet(live.map { case (_, rel) => s"$basePath/$rel" }: _*)
       .withColumn("__graft_rel", url_decode(replace(substring_index(
         substring_index(col("_metadata.file_path"), "/", -(n + 1)), "/", n),
         lit("+"), lit("%2B"))))
+    // deletion vectors of the touched files (manifest "gen/rel/file"
+    // keys — the last n+2 path components, same derivation as the
+    // stats): WITHOUT this anti-join the merge's survivor side would
+    // RESURRECT merge-on-read-deleted rows into the next version
+    val scanned =
+      if (dv.isEmpty) scanned0
+      else {
+        import spark.implicits._
+        scanned0
+          .withColumn("__dv_file", url_decode(replace(
+            substring_index(col("_metadata.file_path"), "/", -(n + 2)),
+            lit("+"), lit("%2B"))))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(broadcast(dv.toDF("__dv_file", "__dv_pos")),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+          .drop("__dv_file", "__dv_pos")
+      }
     val joined = scanned.join(broadcast(lookup), Seq("__graft_rel"), "left")
       // every scanned file sits under a listed directory, so the map must
       // hit; anything else means the path string drifted — fail loudly.

@@ -183,7 +183,9 @@ object VersionedTable {
                               dirRows: Map[String, Long] = Map.empty,
                               dirFiles: Map[String, Long] = Map.empty,
                               bloomRefs: Map[String,
-                                Map[String, (String, Long, Int)]] = Map.empty) {
+                                Map[String, (String, Long, Int)]] = Map.empty,
+                              dvs: Map[String,
+                                (String, Long, Int, Long)] = Map.empty) {
     // one lazy fetch per sidecar object per Manifest instance: an eq
     // probe over N indexed files costs ONE sidecar GET, not N, and a
     // manifest read costs ZERO (refs are offsets, not payloads)
@@ -209,6 +211,57 @@ object VersionedTable {
     private[graft] def bloomColsOf(f: String): Set[String] =
       blooms.getOrElse(f, Map.empty).keySet ++
         bloomRefs.getOrElse(f, Map.empty).keySet
+
+    /** The deletion vector (sorted deleted row positions) for file `f` —
+      * sliced out of the lazily-fetched `_dvx.*` sidecar. Same one-GET-
+      * per-sidecar amortization as [[bloomFor]]. */
+    private[graft] def dvFor(fs: FileSystem, root: String,
+                             f: String): Option[Array[Long]] =
+      dvs.get(f).map { case (sc, off, len, _) =>
+        val bytes = sidecarCache.getOrElseUpdate(sc, {
+          val in = fs.open(new Path(root, sc))
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        })
+        deserializeDv(
+          java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len))
+      }
+  }
+
+  /** Deletion-vector wire format: varint count, then varint deltas of the
+    * ascending positions (first delta from 0). A few bytes per deleted
+    * row — sparse GDPR-style deletes over a 100 TB table cost KBs of
+    * sidecar, not file rewrites. */
+  private[graft] def serializeDv(positions: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(positions.length * 2 + 8)
+    def vlong(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    vlong(positions.length.toLong)
+    var prev = 0L
+    positions.foreach { p =>
+      require(p >= prev, s"DV positions must be sorted ascending: $p < $prev")
+      vlong(p - prev); prev = p
+    }
+    out.toByteArray
+  }
+
+  private[graft] def deserializeDv(bytes: Array[Byte]): Array[Long] = {
+    var i = 0
+    def vlong(): Long = {
+      var v = 0L; var s = 0; var b = 0
+      do { b = bytes(i) & 0xff; i += 1; v |= (b & 0x7fL) << s; s += 7 }
+      while ((b & 0x80) != 0)
+      v
+    }
+    val n = vlong().toInt
+    val arr = new Array[Long](n)
+    var prev = 0L
+    var k = 0
+    while (k < n) { prev += vlong(); arr(k) = prev; k += 1 }
+    arr
   }
 
   private def readManifest(fs: FileSystem, root: String,
@@ -287,8 +340,17 @@ object VersionedTable {
         (parts(3), parts(4).toLong, parts(5).toInt))
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, ref) => c -> ref }.toMap }
+    // deletion vectors (round 6): per-file deleted row positions living
+    // in _dvx.<N> sidecars — merge-on-read DELETE; absent in older
+    // manifests (no deletes recorded)
+    val dvs = lines.filter(_.startsWith("#filedv\t")).map { l =>
+      val parts = l.split("\t", -1)
+      require(parts.length == 6, s"malformed #filedv line: $l")
+      b64d(parts(1)) -> (parts(2), parts(3).toLong, parts(4).toInt,
+        parts(5).toLong)
+    }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
-      dirFiles, bloomRefs)
+      dirFiles, bloomRefs, dvs)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -368,14 +430,8 @@ object VersionedTable {
     * every un-vacuumed version reproduces bit-identically ([[vacuum]]
     * retires versions beyond its `keepVersions` window). */
   def read(spark: SparkSession, root: String,
-           asOfVersion: Option[Int] = None): DataFrame = {
-    val m = resolveManifest(spark, root, asOfVersion)
-    m.mapping.toSeq.groupBy(_._2).map { case (gen, parts) =>
-      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
-        .parquet(parts.map { case (p, _) => s"$root/$gen/$p" }: _*)
-    }.reduce(_.unionByName(_))
-      .select(m.schema.fieldNames.map(col).toSeq: _*)
-  }
+           asOfVersion: Option[Int] = None): DataFrame =
+    readM(spark, root, resolveManifest(spark, root, asOfVersion))
 
   /** Committed-version resolution + manifest parse shared by [[read]] and
     * [[readWhere]] — private[graft] so VersionedScan.table can resolve it
@@ -444,21 +500,92 @@ object VersionedTable {
     ScanSelection(wholeDirs.result(), files.result(), kept, total)
   }
 
+  /** The manifest file key ("genN/<part dirs>/<file>", percent-decoded
+    * with the '+' guard) of a scanned row's source file — the SAME
+    * derivation [[collectFileStats]] keys stats by, applied to
+    * `_metadata.file_path`, so DV keys can never drift from stat keys.
+    * `depth` = partCols + 2 (gen + part dirs + file). */
+  private def fileKeyCol(depth: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, replace, substring_index, url_decode}
+    url_decode(replace(
+      substring_index(col("_metadata.file_path"), "/", -depth),
+      lit("+"), lit("%2B")))
+  }
+
+  /** The deleted (manifest file key, row position) pairs under the given
+    * dir prefixes / exact file keys — DV payloads load from the sidecar
+    * driver-side, bounded by |deleted rows| of the touched scope (the DV
+    * design keeps deletes sidecar-resident by construction). */
+  private def dvPairsFor(fs: FileSystem, root: String, m: Manifest,
+                         dirPrefixes: Seq[String],
+                         files: Set[String] = Set.empty)
+      : Seq[(String, Long)] =
+    if (m.dvs.isEmpty) Seq.empty
+    else m.dvs.keysIterator
+      .filter(k => files.contains(k) || dirPrefixes.exists(k.startsWith))
+      .flatMap(k => m.dvFor(fs, root, k).get.map(k -> _)).toSeq
+
+  /** Drop DV-deleted rows from a union of per-generation scans whose
+    * members each carry `__dv_file`/`__dv_pos` (added pre-union — the
+    * `_metadata` columns resolve only on the file-source relation). A
+    * BROADCAST anti-join on (file, position): build side = the deleted
+    * pairs, whole-stage-codegen'd, zero cost when `dv` is empty (the
+    * caller skips the metadata columns entirely). */
+  private def antiJoinDv(spark: SparkSession, df: DataFrame,
+                         dv: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    df.join(broadcast(dv.toDF("__dv_file", "__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+      .drop("__dv_file", "__dv_pos")
+  }
+
   /** Materialize a selection WITHOUT a residual filter: per-generation
-    * multi-path scans under the manifest schema. Callers add their own
-    * predicate ([[scanFrom]]) or leave the original Filter node in place
-    * (the PruneVersionedScan optimizer rule). */
+    * multi-path scans under the manifest schema, deletion vectors
+    * applied. Callers add their own predicate ([[scanFrom]]) or leave
+    * the original Filter node in place (the PruneVersionedScan optimizer
+    * rule). */
   private[graft] def scanUnion(spark: SparkSession, root: String,
                                m: Manifest, sel: ScanSelection): DataFrame = {
     val paths = sel.wholeDirs ++ sel.files
     if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else paths.groupBy(_._1).map { case (gen, ps) =>
-      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
-        .parquet(ps.map(_._2).distinct: _*)
+    else {
+      val dv = dvPairsFor(fsFor(spark, root), root, m,
+        sel.wholeDirs.map(_._2.stripPrefix(root + "/") + "/"),
+        sel.files.map(_._2.stripPrefix(root + "/")).toSet)
+      val depth = m.partCols.length + 2
+      val u = paths.groupBy(_._1).map { case (gen, ps) =>
+        val scan = spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+          .parquet(ps.map(_._2).distinct: _*)
+        if (dv.isEmpty) scan
+        else scan.withColumn("__dv_file", fileKeyCol(depth))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+      }.reduce(_.unionByName(_))
+      (if (dv.isEmpty) u else antiJoinDv(spark, u, dv))
+        .select(m.schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
+  /** Union scan of the given (rel dir -> gen) entries under the manifest
+    * schema with deletion vectors applied — the DIRECT dir-scan path the
+    * maintenance ops ([[deleteWhere]] rewrites, [[compactSmallFiles]])
+    * read through; without DV application here a rewrite would
+    * RESURRECT merge-on-read-deleted rows. */
+  private def scanDirs(spark: SparkSession, root: String, m: Manifest,
+                       dirs: Map[String, String]): DataFrame = {
+    val dv = dvPairsFor(fsFor(spark, root), root, m,
+      dirs.toSeq.map { case (rel, gen) => s"$gen/$rel/" })
+    val depth = m.partCols.length + 2
+    val u = dirs.toSeq.groupBy(_._2).map { case (gen, ds) =>
+      val scan = spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+        .parquet(ds.map { case (rel, _) => s"$root/$gen/$rel" }: _*)
+      if (dv.isEmpty) scan
+      else scan.withColumn("__dv_file", fileKeyCol(depth))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
     }.reduce(_.unionByName(_))
-      .select(m.schema.fieldNames.map(col).toSeq: _*)
+    if (dv.isEmpty) u else antiJoinDv(spark, u, dv)
   }
 
   /** Materialize a selection: per-generation multi-path scans under the
@@ -1002,7 +1129,22 @@ object VersionedTable {
                             dirRows: Map[String, Long] = Map.empty,
                             dirFiles: Map[String, Long] = Map.empty,
                             bloomRefs: Map[String,
-                              Map[String, (String, Long, Int)]] = Map.empty)
+                              Map[String, (String, Long, Int)]] = Map.empty,
+                            dvBytes: Map[String, Array[Byte]] = Map.empty,
+                            dvRefs: Map[String,
+                              (String, Long, Int, Long)] = Map.empty)
+
+  /** Carry-forward filter for FLAT file-keyed maps (DV refs), mirroring
+    * the nested `carry` the stats/blooms use: an entry survives iff its
+    * file's (generation, partition dir) is still what the NEW mapping
+    * points at — replaced partitions drop their files' DVs with them
+    * (the rewrite materialized the deletes). */
+  private def carryFlatRefs[A](prev: Map[String, A],
+                               liveDirPrefixes: Set[String]): Map[String, A] =
+    prev.filter { case (fileRel, _) =>
+      val dirOf = fileRel.lastIndexOf('/')
+      dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
+    }
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -1070,6 +1212,34 @@ object VersionedTable {
         case (f, c, (sc, off, len)) =>
           s"#filebloomref\t${b64(f)}\t${b64(c)}\t$sc\t$off\t$len\n"
       }.mkString
+      // fresh deletion vectors land in a `_dvx.<next>` sidecar the same
+      // way; carried refs to older DV sidecars pass through verbatim
+      val dvSidecarName = s"_dvx.$next"
+      val freshDvRefs: Seq[(String, (String, Long, Int, Long))] =
+        if (st.dvBytes.isEmpty) Seq.empty
+        else {
+          val sc = fs.create(new Path(root, dvSidecarName), false)
+          try {
+            var off = 0L
+            st.dvBytes.toSeq.sortBy(_._1).map { case (f, b) =>
+              sc.write(b)
+              // the leading varint of the payload IS the position count
+              val count = {
+                var v = 0L; var s = 0; var i = 0; var x = 0
+                do { x = b(i) & 0xff; i += 1; v |= (x & 0x7fL) << s; s += 7 }
+                while ((x & 0x80) != 0)
+                v
+              }
+              val ref = f -> ((dvSidecarName, off, b.length, count))
+              off += b.length
+              ref
+            }
+          } finally sc.close()
+        }
+      val dvLines = (st.dvRefs.toSeq ++ freshDvRefs).sortBy(_._1).map {
+        case (f, (sc, off, len, count)) =>
+          s"#filedv\t${b64(f)}\t$sc\t$off\t$len\t$count\n"
+      }.mkString
       val txnLine = st.txns.toSeq.sortBy(_._1).map { case (sid, bid) =>
         s"#txn\t${b64(sid)}\t$bid\n" }.mkString
       val dirRowLines = st.dirRows.toSeq.sortBy(_._1).map { case (rel, n) =>
@@ -1079,7 +1249,7 @@ object VersionedTable {
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
       out.write((header + txnLine + dirRowLines + statLines + bloomLines +
-        body).getBytes(StandardCharsets.UTF_8))
+        dvLines + body).getBytes(StandardCharsets.UTF_8))
       out.close()
       next
     } catch { case t: Throwable =>
@@ -1090,6 +1260,7 @@ object VersionedTable {
       // our half-deleted generation dir
       fs.delete(new Path(root, genDir), true)
       fs.delete(new Path(root, s"_bloomx.$next"), false)
+      fs.delete(new Path(root, s"_dvx.$next"), false)
       fs.delete(manifestPath, false)
       throw t
     }
@@ -1153,10 +1324,12 @@ object VersionedTable {
           // (one scan per generation: paths under different basePaths)
           val dataSchema = StructType(prior.get.schema
             .filterNot(f => partCols.contains(f.name)))
+          val touchedDv = dvPairsFor(fs, root, prior.get,
+            touchedLive.toSeq.map { case (rel, gen) => s"$gen/$rel/" })
           val old = touchedLive.toSeq.groupBy(_._2).map { case (gen, parts) =>
             Merge.readTouchedDirs(spark, s"$root/$gen",
               parts.map { case (p, _) => valueOf(p) -> p },
-              partCols, pTypes, Some(dataSchema))
+              partCols, pTypes, Some(dataSchema), touchedDv)
           }.reduce(_.unionByName(_))
           // schema evolution at write: a column the updates add null-fills
           // for surviving old rows; a column the updates drop survives,
@@ -1211,7 +1384,9 @@ object VersionedTable {
         prior.map(_.txns).getOrElse(Map.empty) ++ txn,
         carryDir(prior.map(_.dirRows).getOrElse(Map.empty)) ++ freshDirRows,
         carryDir(prior.map(_.dirFiles).getOrElse(Map.empty)) ++ freshDirFiles,
-        carry(prior.map(_.bloomRefs).getOrElse(Map.empty)))
+        carry(prior.map(_.bloomRefs).getOrElse(Map.empty)),
+        dvRefs = carryFlatRefs(prior.map(_.dvs).getOrElse(Map.empty),
+          liveDirPrefixes))
     }
   }
 
@@ -1528,11 +1703,7 @@ object VersionedTable {
     val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs))
       .distinct.filterNot(m.partCols.contains)
     val next = stageVersion(fs, root, cur + 1) { genDir =>
-      val survivorsByGen = touched.toSeq.groupBy(_._2).map {
-        case (gen, dirs) =>
-          spark.read.schema(m.schema).option("basePath", s"$root/$gen")
-            .parquet(dirs.map { case (rel, _) => s"$root/$gen/$rel" }: _*)
-      }.reduce(_.unionByName(_))
+      val survivorsByGen = scanDirs(spark, root, m, touched)
         .filter(!(col(column) >= lit(lower) && col(column) <= lit(upper)) ||
           col(column).isNull)
       val base = survivorsByGen.repartition(m.partCols.map(col): _*)
@@ -1567,11 +1738,119 @@ object VersionedTable {
       Staged(m.partCols, m.schema, newMapping,
         carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
         m.txns, carryDir(m.dirRows) ++ freshDirRows,
-        carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs))
+        carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs),
+        dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes))
     }
     publish(spark, root, next)
     next
   }
+
+  /** Merge-on-read DELETE (deletion vectors): rows where `column` ∈
+    * [lower, upper] are recorded as per-file deleted ROW POSITIONS in a
+    * `_dvx.<N>` sidecar and dropped by every subsequent read — NO data
+    * file is rewritten (the Delta deletion-vector / Iceberg
+    * position-delete idea). Commit cost is O(|matched rows|) sidecar
+    * bytes plus one index-pruned candidate scan, vs [[deleteWhere]]'s
+    * O(|touched dirs|) rewrite — the right shape for sparse GDPR-style
+    * deletes on a 100 TB table. Read-side cost is a BROADCAST anti-join
+    * on (file key, `_metadata.row_index`) applied only when the scanned
+    * scope carries DVs; [[compact]] / [[compactSmallFiles]] / the next
+    * [[upsert]] of a touched partition materialize the deletes and drop
+    * the vectors. Matched positions collect to the driver (the sidecar
+    * is a driver-written object): `maxDeleteRows` caps that at ~8
+    * bytes/row — past it the error points at [[deleteWhere]]. Repeated
+    * calls UNION positions (already-deleted rows never match again).
+    * Returns the new version — or the current one unchanged when no
+    * live row matches (a provable no-op commits nothing). Physical
+    * erasure still requires a rewrite + [[vacuum]]: deleted bytes stay
+    * inside the data files until then (same caveat as Delta's DVs).
+    * File min/max/bloom stats stay PHYSICAL (a superset of live rows),
+    * so pruning remains sound; metadata-only COUNT folds subtract DV
+    * cardinalities exactly, MIN/MAX folds conservatively fall back to
+    * scans for DV'd dirs. */
+  def deleteWhereDV(spark: SparkSession, root: String, column: String,
+                    lower: Any, upper: Any,
+                    maxDeleteRows: Long = 16L * 1024 * 1024): Int =
+      withClaimRetry(spark, root) {
+    import org.apache.spark.sql.functions.{broadcast, collect_list, lit, sort_array, count => cnt}
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(column),
+      s"column $column is not in the table schema")
+    require(!m.partCols.contains(column),
+      s"$column is a partition column — drop partitions by re-upserting " +
+        "or filtering read(), no delete needed")
+    // candidate files via the SAME index pruning a readWhere uses; the
+    // residual predicate below decides the exact positions
+    val sel = rangeSelection(root, m, column, Seq((lower, upper)))
+      .getOrElse(selectScan(root, m, _ => false, _ => true))
+    val paths = sel.wholeDirs ++ sel.files
+    if (paths.isEmpty) return cur // index proves nothing can match
+    val depth = m.partCols.length + 2
+    val existing = dvPairsFor(fs, root, m,
+      sel.wholeDirs.map(_._2.stripPrefix(root + "/") + "/"),
+      sel.files.map(_._2.stripPrefix(root + "/")).toSet)
+    val raw = paths.groupBy(_._1).map { case (gen, ps) =>
+      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+        .parquet(ps.map(_._2).distinct: _*)
+        .filter(col(column) >= lit(lower) && col(column) <= lit(upper))
+        .select(fileKeyCol(depth).as("__dv_file"),
+          col("_metadata.row_index").as("__dv_pos"))
+    }.reduce(_.unionByName(_))
+    // positions already in a DV never re-match: keeps the no-op check
+    // and the size guard about LIVE rows only
+    val fresh = if (existing.isEmpty) raw else {
+      import spark.implicits._
+      raw.join(broadcast(existing.toDF("__dv_file", "__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
+    val matched = fresh.count()
+    if (matched == 0L) return cur
+    require(matched <= maxDeleteRows,
+      s"deleteWhereDV matched $matched rows > maxDeleteRows=$maxDeleteRows " +
+        "— a delete this dense should rewrite files: use deleteWhere")
+    val perFile = fresh.groupBy("__dv_file")
+      .agg(sort_array(collect_list("__dv_pos")).as("__ps"),
+        cnt(lit(1)).as("__n"))
+      .collect()
+    val freshBytes: Map[String, Array[Byte]] = perFile.map { r =>
+      val f = r.getString(0)
+      val add = r.getSeq[Long](1).toArray
+      val all = m.dvFor(fs, root, f) match {
+        case Some(old) => // both sorted, disjoint (anti-joined): merge
+          val out = new Array[Long](old.length + add.length)
+          var i = 0; var j = 0; var k = 0
+          while (i < old.length && j < add.length) {
+            if (old(i) < add(j)) { out(k) = old(i); i += 1 }
+            else { out(k) = add(j); j += 1 }
+            k += 1
+          }
+          while (i < old.length) { out(k) = old(i); i += 1; k += 1 }
+          while (j < add.length) { out(k) = add(j); j += 1; k += 1 }
+          out
+        case None => add
+      }
+      f -> serializeDv(all)
+    }.toMap
+    val next = stageVersion(fs, root, cur + 1) { _ =>
+      Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
+        m.dirRows, m.dirFiles, m.bloomRefs,
+        dvBytes = freshBytes, dvRefs = m.dvs -- freshBytes.keys)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** Per-file deletion-vector footprint of the current (or as-of)
+    * version: (file key, deleted-row count) — the signal a maintenance
+    * scheduler uses to decide when accumulated DVs justify a
+    * [[compactSmallFiles]]/[[compact]] materialization. Metadata-only. */
+  def dvStats(spark: SparkSession, root: String,
+              asOfVersion: Option[Int] = None): Seq[(String, Long)] =
+    resolveManifest(spark, root, asOfVersion).dvs.toSeq
+      .map { case (f, (_, _, _, n)) => (f, n) }.sortBy(_._1)
 
   /** Incremental change consumer — the warehouse-sync loop the reference
     * re-runs as a FULL MERGE every cycle (load_to_snowflake.py:212-231),
@@ -1735,10 +2014,7 @@ object VersionedTable {
     val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs))
       .distinct.filterNot(m.partCols.contains)
     val next = stageVersion(fs, root, cur + 1) { genDir =>
-      val hot = touched.toSeq.groupBy(_._2).map { case (gen, dirs) =>
-        spark.read.schema(m.schema).option("basePath", s"$root/$gen")
-          .parquet(dirs.map { case (rel, _) => s"$root/$gen/$rel" }: _*)
-      }.reduce(_.unionByName(_))
+      val hot = scanDirs(spark, root, m, touched)
       val base = hot.repartition(m.partCols.map(col): _*)
       val clustered =
         if (zOrderCols.nonEmpty)
@@ -1773,7 +2049,8 @@ object VersionedTable {
       Staged(m.partCols, m.schema, newMapping,
         carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
         m.txns, carryDir(m.dirRows) ++ freshDirRows,
-        carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs))
+        carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs),
+        dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes))
     }
     publish(spark, root, next)
     next
@@ -1854,7 +2131,7 @@ object VersionedTable {
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(target.partCols, target.schema, target.mapping,
         target.stats, target.blooms, curTxns, target.dirRows,
-        target.dirFiles, target.bloomRefs)
+        target.dirFiles, target.bloomRefs, dvRefs = target.dvs)
     }
     publish(spark, root, next)
     next
@@ -1874,9 +2151,18 @@ object VersionedTable {
   /** Pure-manifest half of [[fastCount]] — no I/O; also called by the
     * optimizer fold on a pinned manifest. */
   private[graft] def manifestCount(m: Manifest): Option[Long] =
-    if (m.mapping.keySet.forall(m.dirRows.contains))
-      Some(m.mapping.keySet.toSeq.map(m.dirRows).sum)
-    else None
+    if (m.mapping.keySet.forall(m.dirRows.contains)) {
+      // dir counts are PHYSICAL rows; merge-on-read deletes subtract
+      // exactly (a carried DV always references a live file, but the
+      // live-prefix filter double-guards against a drifted manifest)
+      val live = m.mapping.toSeq.map { case (rel, gen) => s"$gen/$rel/" }.toSet
+      val deleted = m.dvs.iterator.collect {
+        case (f, (_, _, _, n))
+            if { val d = f.lastIndexOf('/')
+                 d > 0 && live.contains(f.substring(0, d + 1)) } => n
+      }.sum
+      Some(m.mapping.keySet.toSeq.map(m.dirRows).sum - deleted)
+    } else None
 
   /** Metadata-only MIN/MAX of a stats-indexed column — folds over the
     * manifest's per-file min/max instead of scanning, zero data I/O.
@@ -1910,6 +2196,9 @@ object VersionedTable {
     for ((rel, gen) <- m.mapping) {
       val nFiles = m.dirFiles.getOrElse(rel, return None)
       val prefix = s"$gen/$rel/"
+      // a deletion vector breaks the fold: the deleted row may BE the
+      // recorded extremum — conservative None, the aggregate scans
+      if (m.dvs.keysIterator.exists(_.startsWith(prefix))) return None
       val covered = m.stats.iterator
         .filter(_._1.startsWith(prefix))
         .flatMap { case (_, cols) => cols.get(column) }
@@ -1941,6 +2230,8 @@ object VersionedTable {
     for ((rel, gen) <- m.mapping) {
       val nFiles = m.dirFiles.getOrElse(rel, return None)
       val prefix = s"$gen/$rel/"
+      // DV'd files: deleted rows' null-ness is unrecorded — no fold
+      if (m.dvs.keysIterator.exists(_.startsWith(prefix))) return None
       val covered = m.stats.iterator
         .filter(_._1.startsWith(prefix))
         .flatMap { case (_, cols) => cols.get(column) }
@@ -1963,11 +2254,22 @@ object VersionedTable {
       : Option[Seq[(Seq[Any], Long)]] = {
     if (cols.isEmpty || !cols.forall(m.partCols.contains)) return None
     if (!m.mapping.keySet.forall(m.dirRows.contains)) return None
+    // merge-on-read deletes subtract EXACTLY per dir: every row of a DV'd
+    // file shares the dir's partition tuple, so the deleted count is
+    // attributable with no data read (belt-and-braces: the DV's gen must
+    // match the dir's live mapping)
+    val dvByDir: Map[String, Long] = m.dvs.toSeq.groupBy { case (f, _) =>
+      f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) }
+      .map { case (rel, xs) =>
+        rel -> xs.collect {
+          case (f, (_, _, _, n))
+              if m.mapping.get(rel).exists(g => f.startsWith(s"$g/")) => n
+        }.sum }
     val parsed = m.mapping.keys.toSeq.map { rel =>
       val vals = cols.map(c => partitionValue(m, rel, c))
       if (vals.exists(_.isLeft)) return None
       (cols.indices.map(i => vals(i).toOption.get.orNull),
-        m.dirRows(rel))
+        m.dirRows(rel) - dvByDir.getOrElse(rel, 0L))
     }
     Some(parsed.groupBy(_._1).toSeq.map { case (k, xs) =>
       (k.toSeq, xs.map(_._2).sum) })
@@ -2016,7 +2318,7 @@ object VersionedTable {
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
-        m.bloomRefs)
+        m.bloomRefs, dvRefs = m.dvs)
     }
     publish(spark, root, next)
     next
@@ -2048,7 +2350,8 @@ object VersionedTable {
           .filter(_._2.nonEmpty),
         m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs.map { case (f, cols) => f -> (cols - name) }
-          .filter(_._2.nonEmpty))
+          .filter(_._2.nonEmpty),
+        dvRefs = m.dvs)
     }
     publish(spark, root, next)
     next
@@ -2098,7 +2401,8 @@ object VersionedTable {
     // carried bloom refs — those must survive with it
     val liveSidecars = retained
       .flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
-      .map(_._1).toSet
+      .map(_._1).toSet ++
+      retained.flatMap(_.dvs.valuesIterator).map(_._1).toSet
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       val stale =
@@ -2108,6 +2412,7 @@ object VersionedTable {
         (n.startsWith("_commit.") &&
           !keep.contains(n.stripPrefix("_commit.").toInt)) ||
         (n.startsWith("_bloomx.") && !liveSidecars.contains(n)) ||
+        (n.startsWith("_dvx.") && !liveSidecars.contains(n)) ||
         n.startsWith(".names") // scratch left by a crashed prepare()
       if (stale) fs.delete(p, true)
     }

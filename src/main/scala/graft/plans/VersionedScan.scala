@@ -293,7 +293,15 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
       case None =>
         VersionedTable.readM(spark, rel.root, rel.manifest)
     }
-    val newPlan = PlanBridge.analyzed(df)
+    // the substituted subtree enters the plan MID-optimization, after
+    // the finish-analysis rules have run — a deletion-vector anti-join's
+    // broadcast() hint must be folded into its Join node (else the
+    // planner rejects the leftover ResolvedHint as an internal error)
+    // and RuntimeReplaceable expressions (url_decode in the DV file key)
+    // must be rewritten to their runtime forms here
+    val newPlan = org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions(
+      org.apache.spark.sql.catalyst.optimizer
+        .EliminateResolvedHint(PlanBridge.analyzed(df)))
     val byName = newPlan.output.map(a => a.name -> a).toMap
     val projection: Seq[NamedExpression] = rel.output.map { old =>
       val bound = byName.getOrElse(old.name, throw new IllegalStateException(
