@@ -1602,6 +1602,39 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Index-targeted UPDATE under oracle check — the DML triangle's third
+    * leg: the q_versioned_delete fixture, then
+    * [[VersionedTable.updateWhere]] doubles daily_close inside the
+    * mid-January window (SET evaluates against the OLD row; the file
+    * stats choose which dirs rewrite). Result = the table AFTER the
+    * update; oracle = CASE WHEN over the plain rollup. Guards: a new
+    * version committed, and time travel still reads the pre-update
+    * values. */
+  private def qVersionedUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_update/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val v1 = VersionedTable.updateWhere(s, root, "date",
+      java.sql.Date.valueOf("2024-01-08"), java.sql.Date.valueOf("2024-01-14"),
+      Map("daily_close" -> (col("daily_close") * lit(2.0d))),
+      fileRows = Some(8))
+    require(v1 == 1, s"update did not commit a new version: $v1")
+    require(VersionedTable.read(s, root, Some(0))
+      .agg(org.apache.spark.sql.functions.sum("daily_close")).head.getDouble(0) !=
+      VersionedTable.read(s, root)
+        .agg(org.apache.spark.sql.functions.sum("daily_close")).head.getDouble(0),
+      "time travel lost the pre-update values")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
   /** The pure-SQL surface under oracle check: the same date-indexed
     * rollup fixture, queried ENTIRELY through
     * `SELECT ... FROM graft_table('root') WHERE ...` — the table
@@ -3313,6 +3346,7 @@ object SparkEntry {
     "q_zorder_box" -> (qZorderBox _),
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_versioned_dv" -> (qVersionedDv _),
+    "q_versioned_update" -> (qVersionedUpdate _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -5870,6 +5904,24 @@ object SparkEntry {
          |  FROM events GROUP BY 1, 2)
          |SELECT * FROM daily_all
          |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    // UPDATE's oracle: the same rollup with the window's daily_close
+    // doubled (per-row double arithmetic is bit-identical cross-engine)
+    "q_versioned_update" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  CASE WHEN date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |    THEN daily_close * 2 ELSE daily_close END AS daily_close,
+         |  daily_volume, daily_change
+         |FROM daily_all"""
       .stripMargin,
 
     // merge-on-read and rewrite deletes must be reader-indistinguishable:

@@ -1691,9 +1691,25 @@ object VersionedTable {
       if (!anyUsable) true else dirFiles.exists(mayMatch)
     }
     if (touched.isEmpty) return cur // index proves nothing can match
-    // rewrite ONLY the touched dirs, keeping rows the predicate does not
-    // match (incl. NULLs); stats/bloom coverage is inferred from what the
-    // touched files carried so the rewritten dirs stay indexed
+    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
+      df.filter(!(col(column) >= lit(lower) && col(column) <= lit(upper)) ||
+        col(column).isNull)
+    }
+  }
+
+  /** Shared index-targeted REWRITE core for [[deleteWhere]] and
+    * [[updateWhere]]: scan ONLY the touched dirs (deletion vectors
+    * applied — the rewrite materializes them), run `transform`, rewrite
+    * those dirs into a fresh generation clustered like the originals
+    * (stats/bloom coverage re-derived from what the touched files
+    * carried), carry every untouched dir's mapping/stats/blooms/DVs
+    * verbatim. A touched dir the transform leaves EMPTY drops out of the
+    * mapping. Publishes and returns the new version. */
+  private def rewriteTouched(spark: SparkSession, root: String, m: Manifest,
+                             touched: Map[String, String], cur: Int,
+                             fileRows: Option[Int], bloomBits: Long)
+                            (transform: DataFrame => DataFrame): Int = {
+    val fs = fsFor(spark, root)
     val touchedFilePrefix = touched.toSeq
       .map { case (rel, gen) => s"$gen/$rel/" }
     val coveredCols = (kind: Map[String, Map[String, _]]) => kind.iterator
@@ -1703,9 +1719,7 @@ object VersionedTable {
     val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs))
       .distinct.filterNot(m.partCols.contains)
     val next = stageVersion(fs, root, cur + 1) { genDir =>
-      val survivorsByGen = scanDirs(spark, root, m, touched)
-        .filter(!(col(column) >= lit(lower) && col(column) <= lit(upper)) ||
-          col(column).isNull)
+      val survivorsByGen = transform(scanDirs(spark, root, m, touched))
       val base = survivorsByGen.repartition(m.partCols.map(col): _*)
       val clustered =
         if (statsCols.isEmpty) base
@@ -1743,6 +1757,77 @@ object VersionedTable {
     }
     publish(spark, root, next)
     next
+  }
+
+  /** Index-targeted UPDATE by range predicate — completes the lake's DML
+    * triangle (MERGE = [[upsert]], DELETE = [[deleteWhere]]/[[
+    * deleteWhereDV]], UPDATE = here): rows where `column` ∈ [lower,
+    * upper] get each `set` column replaced by its expression; every
+    * other row — and every untouched dir, byte-for-byte — survives
+    * unchanged. ALL right-hand sides evaluate against the OLD row
+    * (standard SQL UPDATE semantics: `SET a = b, b = a` swaps), and
+    * results cast back to the declared column types so the schema cannot
+    * drift. Candidate dirs come from the manifest index exactly like
+    * deleteWhere when `column` is a data column; a PARTITION-column
+    * predicate prunes directories by their encoded value (the dir name
+    * IS the value — exact, no file stats needed). Set columns must be
+    * DATA columns: updating a partition column is a row MOVE between
+    * dirs — re-upsert for that. NULL predicate values never match.
+    * Rewritten dirs re-index (fresh stats/blooms, set columns included
+    * if they were covered) and materialize any deletion vectors.
+    * Returns the new version, or the current one when no file can
+    * match. */
+  def updateWhere(spark: SparkSession, root: String, column: String,
+                  lower: Any, upper: Any,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  fileRows: Option[Int] = None,
+                  bloomBits: Long = 0L): Int = withClaimRetry(spark, root) {
+    import org.apache.spark.sql.functions.{lit, when}
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(column),
+      s"column $column is not in the table schema")
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    set.keys.foreach { c =>
+      require(m.schema.fieldNames.contains(c),
+        s"SET column $c is not in the table schema")
+      require(!m.partCols.contains(c),
+        s"SET column $c is a partition column — updating it moves rows " +
+          "between partition dirs; re-upsert the affected rows instead")
+    }
+    val touched: Map[String, String] =
+      if (m.partCols.contains(column)) {
+        // the dir name IS the predicate value: exact directory pruning
+        val keep = dirKeep(m, ColConstraint(column, Some(lower), Some(upper),
+          None))
+        m.mapping.filter { case (rel, _) => keep(rel) }
+      } else {
+        val dtJson = m.schema(column).dataType.json
+        val mayMatch = rangeSelection(root, m, column, Seq((lower, upper)))
+          .map { _ => rangeKeep(m, column, dtJson,
+            statOrdering(m.schema(column).dataType).get,
+            Seq((renderStat(lower).get, renderStat(upper).get))) }
+          .getOrElse((_: String) => true)
+        m.mapping.filter { case (rel, gen) =>
+          val prefix = s"$gen/$rel/"
+          val dirFiles = m.stats.keySet.filter(_.startsWith(prefix))
+          val anyUsable = dirFiles.exists(f =>
+            usableStat(m, f, column, dtJson).isDefined)
+          if (!anyUsable) true else dirFiles.exists(mayMatch)
+        }
+      }
+    if (touched.isEmpty) return cur // index proves nothing can match
+    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
+      val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
+      df.select(m.schema.fieldNames.toSeq.map { f =>
+        set.get(f)
+          .map(e => when(cond, e.cast(m.schema(f).dataType))
+            .otherwise(col(f)).as(f))
+          .getOrElse(col(f))
+      }: _*)
+    }
   }
 
   /** Merge-on-read DELETE (deletion vectors): rows where `column` ∈
