@@ -185,7 +185,9 @@ object VersionedTable {
                               bloomRefs: Map[String,
                                 Map[String, (String, Long, Int)]] = Map.empty,
                               dvs: Map[String,
-                                (String, Long, Int, Long)] = Map.empty) {
+                                (String, Long, Int, Long)] = Map.empty,
+                              dirBytes: Map[String, Long] = Map.empty,
+                              checks: Map[String, String] = Map.empty) {
     // one lazy fetch per sidecar object per Manifest instance: an eq
     // probe over N indexed files costs ONE sidecar GET, not N, and a
     // manifest read costs ZERO (refs are offsets, not payloads)
@@ -329,6 +331,13 @@ object VersionedTable {
       val parts = l.split("\t", -1)
       (b64d(parts(1)), parts(2).toLong)
     }.toMap
+    // additive (round 6): exact data bytes per live partition dir — the
+    // relation's sizeInBytes statistic (broadcast/runtime-filter
+    // decisions) without any file listing
+    val dirBytes = lines.filter(_.startsWith("#dirbytes\t")).map { l =>
+      val parts = l.split("\t", -1)
+      (b64d(parts(1)), parts(2).toLong)
+    }.toMap
     // sidecar bloom references (round 6): blooms live in _bloomx.<N>
     // objects, the manifest holds (sidecar, offset, length) — at 100k
     // files the manifest stays file-list-sized instead of carrying
@@ -349,8 +358,14 @@ object VersionedTable {
       b64d(parts(1)) -> (parts(2), parts(3).toLong, parts(4).toInt,
         parts(5).toLong)
     }.toMap
+    // CHECK constraints (round 6): named SQL predicates every write must
+    // satisfy; carried verbatim through every commit like the txn map
+    val checks = lines.filter(_.startsWith("#constraint\t")).map { l =>
+      val parts = l.split("\t", -1)
+      (b64d(parts(1)), b64d(parts(2)))
+    }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
-      dirFiles, bloomRefs, dvs)
+      dirFiles, bloomRefs, dvs, dirBytes, checks)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -1045,7 +1060,7 @@ object VersionedTable {
                                bloomBits: Long = 8192L)
       : (Map[String, Map[String, ColStat]],
          Map[String, Map[String, Array[Byte]]],
-         Map[String, Long], Map[String, Long]) = {
+         Map[String, Long], Map[String, Long], Map[String, Long]) = {
     import org.apache.spark.sql.functions._
     val depth = partCols.length + 2 // gen / <part dirs...> / <file>
     val df = spark.read.parquet(s"$root/$genDir")
@@ -1072,7 +1087,8 @@ object VersionedTable {
     // index (fastCount) and costs nothing extra when stats/blooms already
     // scan; with NO index columns it is the one aggregation this scan
     // exists for — O(|written generation|) either way
-    val aggs = statAggs ++ bloomAggs :+ count(lit(1)).as("__rows")
+    val aggs = statAggs ++ bloomAggs :+ count(lit(1)).as("__rows") :+
+      first(col("_metadata.file_size")).as("__bytes")
     val rows = df
       .withColumn("__file", url_decode(replace(
         substring_index(col("_metadata.file_path"), "/", -depth),
@@ -1099,11 +1115,12 @@ object VersionedTable {
     val perDir = rows.map { r =>
       val f = r.getAs[String]("__file")
       (f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')),
-        r.getAs[Long]("__rows"))
+        r.getAs[Long]("__rows"), r.getAs[Long]("__bytes"))
     }.groupBy(_._1)
     val dirRows = perDir.map { case (d, xs) => d -> xs.map(_._2).sum }
     val dirFiles = perDir.map { case (d, xs) => d -> xs.size.toLong }
-    (stats, blooms, dirRows, dirFiles)
+    val dirBytes = perDir.map { case (d, xs) => d -> xs.map(_._3).sum }
+    (stats, blooms, dirRows, dirFiles, dirBytes)
   }
 
   /** Bloom sizing: 0 = auto — ~10 bits per expected row (≈1% false-
@@ -1132,7 +1149,9 @@ object VersionedTable {
                               Map[String, (String, Long, Int)]] = Map.empty,
                             dvBytes: Map[String, Array[Byte]] = Map.empty,
                             dvRefs: Map[String,
-                              (String, Long, Int, Long)] = Map.empty)
+                              (String, Long, Int, Long)] = Map.empty,
+                            dirBytes: Map[String, Long] = Map.empty,
+                            checks: Map[String, String] = Map.empty)
 
   /** Carry-forward filter for FLAT file-keyed maps (DV refs), mirroring
     * the nested `carry` the stats/blooms use: an entry survives iff its
@@ -1241,11 +1260,15 @@ object VersionedTable {
           s"#filedv\t${b64(f)}\t$sc\t$off\t$len\t$count\n"
       }.mkString
       val txnLine = st.txns.toSeq.sortBy(_._1).map { case (sid, bid) =>
-        s"#txn\t${b64(sid)}\t$bid\n" }.mkString
+        s"#txn\t${b64(sid)}\t$bid\n" }.mkString +
+        st.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+          s"#constraint\t${b64(n)}\t${b64(sql)}\n" }.mkString
       val dirRowLines = st.dirRows.toSeq.sortBy(_._1).map { case (rel, n) =>
         s"#dirrows\t${b64(rel)}\t$n\n" }.mkString +
         st.dirFiles.toSeq.sortBy(_._1).map { case (rel, n) =>
-          s"#dirfiles\t${b64(rel)}\t$n\n" }.mkString
+          s"#dirfiles\t${b64(rel)}\t$n\n" }.mkString +
+        st.dirBytes.toSeq.sortBy(_._1).map { case (rel, n) =>
+          s"#dirbytes\t${b64(rel)}\t$n\n" }.mkString
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
       out.write((header + txnLine + dirRowLines + statLines + bloomLines +
@@ -1307,6 +1330,11 @@ object VersionedTable {
       val prior: Option[Manifest] = cur.map(readManifest(fs, root, _))
       prior.foreach(m => require(m.partCols == partCols,
         s"partition columns ${partCols.mkString(",")} != committed ${m.partCols.mkString(",")}"))
+      // CHECK constraints gate the DELTA only: surviving old rows passed
+      // when they were written (addConstraint validated the backlog); a
+      // violation aborts here and the claim/stage cleanup retracts
+      prior.map(_.checks).filter(_.nonEmpty).foreach(cs =>
+        enforceChecks(updates, cs, "upsert delta"))
       val entries = Merge.partitionDirEntries(spark, updates, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
@@ -1363,10 +1391,12 @@ object VersionedTable {
           val dirOf = fileRel.lastIndexOf('/')
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
-      val (freshStats, freshBlooms, freshDirRows, freshDirFiles) =
+      val (freshStats, freshBlooms, freshDirRows, freshDirFiles,
+          freshDirBytes) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]],
-          Map.empty[String, Long], Map.empty[String, Long])
+          Map.empty[String, Long], Map.empty[String, Long],
+          Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       // dir-count carry: a prior dir's counts survive iff its mapping
@@ -1386,7 +1416,10 @@ object VersionedTable {
         carryDir(prior.map(_.dirFiles).getOrElse(Map.empty)) ++ freshDirFiles,
         carry(prior.map(_.bloomRefs).getOrElse(Map.empty)),
         dvRefs = carryFlatRefs(prior.map(_.dvs).getOrElse(Map.empty),
-          liveDirPrefixes))
+          liveDirPrefixes),
+        dirBytes = carryDir(prior.map(_.dirBytes).getOrElse(Map.empty)) ++
+          freshDirBytes,
+        checks = prior.map(_.checks).getOrElse(Map.empty))
     }
   }
 
@@ -1739,10 +1772,12 @@ object VersionedTable {
           val dirOf = fileRel.lastIndexOf('/')
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
-      val (freshStats, freshBlooms, freshDirRows, freshDirFiles) =
+      val (freshStats, freshBlooms, freshDirRows, freshDirFiles,
+          freshDirBytes) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]],
-          Map.empty[String, Long], Map.empty[String, Long])
+          Map.empty[String, Long], Map.empty[String, Long],
+          Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       def carryDir(prev: Map[String, Long]): Map[String, Long] =
@@ -1753,7 +1788,9 @@ object VersionedTable {
         carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
         m.txns, carryDir(m.dirRows) ++ freshDirRows,
         carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs),
-        dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes))
+        dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes),
+        dirBytes = carryDir(m.dirBytes) ++ freshDirBytes,
+        checks = m.checks)
     }
     publish(spark, root, next)
     next
@@ -1819,15 +1856,19 @@ object VersionedTable {
         }
       }
     if (touched.isEmpty) return cur // index proves nothing can match
-    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
-      val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
+    val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
+    def applySet(df: DataFrame): DataFrame =
       df.select(m.schema.fieldNames.toSeq.map { f =>
         set.get(f)
           .map(e => when(cond, e.cast(m.schema(f).dataType))
             .otherwise(col(f)).as(f))
           .getOrElse(col(f))
       }: _*)
-    }
+    // CHECK constraints gate the UPDATED rows before anything stages
+    if (m.checks.nonEmpty)
+      enforceChecks(applySet(scanDirs(spark, root, m, touched).filter(cond)),
+        m.checks, "updateWhere result")
+    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits)(applySet)
   }
 
   /** Merge-on-read DELETE (deletion vectors): rows where `column` ∈
@@ -1922,7 +1963,8 @@ object VersionedTable {
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs,
-        dvBytes = freshBytes, dvRefs = m.dvs -- freshBytes.keys)
+        dvBytes = freshBytes, dvRefs = m.dvs -- freshBytes.keys,
+        dirBytes = m.dirBytes, checks = m.checks)
     }
     publish(spark, root, next)
     next
@@ -1936,6 +1978,78 @@ object VersionedTable {
               asOfVersion: Option[Int] = None): Seq[(String, Long)] =
     resolveManifest(spark, root, asOfVersion).dvs.toSeq
       .map { case (f, (_, _, _, n)) => (f, n) }.sortBy(_._1)
+
+  /** A write was rejected because rows violate a registered CHECK
+    * constraint — nothing was staged or committed. */
+  class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Rows of `df` violating `sql` under SQL CHECK semantics: a NULL
+    * predicate PASSES (unknown ≠ violation, the ANSI rule), only
+    * definite FALSE rejects. */
+  private def violations(df: DataFrame, sql: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    df.filter(not(coalesce(expr(sql), lit(true))))
+  }
+
+  private def enforceChecks(df: DataFrame, checks: Map[String, String],
+                            what: String): Unit =
+    checks.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val bad = violations(df, sql).limit(1).count()
+      if (bad > 0)
+        throw new ConstraintViolationException(
+          s"$what violates CHECK constraint $name ($sql)")
+    }
+
+  /** Register a named CHECK constraint (ANSI semantics: NULL passes,
+    * definite FALSE rejects) that every subsequent [[upsert]] delta and
+    * [[updateWhere]] result must satisfy — Delta's table-constraint
+    * idea. The CURRENT table is validated first (one scan): a table
+    * already in violation refuses the constraint. The registration
+    * itself is a metadata-only commit carried through every later
+    * version like the txn watermarks. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    sql: String): Int = withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(!m.checks.contains(name), s"constraint $name already exists")
+    // the expression must at least resolve against the schema
+    spark.sessionState.sqlParser.parseExpression(sql)
+    enforceChecks(readM(spark, root, m), Map(name -> sql),
+      s"existing data at $root")
+    val next = stageVersion(fs, root, cur + 1) { _ =>
+      Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
+        m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
+        dirBytes = m.dirBytes, checks = m.checks + (name -> sql))
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** Deregister a CHECK constraint — metadata-only commit. */
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Int = withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.checks.contains(name), s"constraint $name does not exist")
+    val next = stageVersion(fs, root, cur + 1) { _ =>
+      Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
+        m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
+        dirBytes = m.dirBytes, checks = m.checks - name)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** The registered CHECK constraints of the current (or as-of)
+    * version: name -> SQL predicate. */
+  def constraintsOf(spark: SparkSession, root: String,
+                    asOfVersion: Option[Int] = None): Map[String, String] =
+    resolveManifest(spark, root, asOfVersion).checks
 
   /** Incremental change consumer — the warehouse-sync loop the reference
     * re-runs as a FULL MERGE every cycle (load_to_snowflake.py:212-231),
@@ -2049,11 +2163,12 @@ object VersionedTable {
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
-      val (stats, blooms, dirRows, dirFiles) =
+      val (stats, blooms, dirRows, dirFiles, dirBytes) =
         collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
-        stats, blooms, m.txns, dirRows, dirFiles)
+        stats, blooms, m.txns, dirRows, dirFiles, dirBytes = dirBytes,
+        checks = m.checks)
     }
     publish(spark, root, next)
     next
@@ -2121,10 +2236,12 @@ object VersionedTable {
           val dirOf = fileRel.lastIndexOf('/')
           dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
       }
-      val (freshStats, freshBlooms, freshDirRows, freshDirFiles) =
+      val (freshStats, freshBlooms, freshDirRows, freshDirFiles,
+          freshDirBytes) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]],
-          Map.empty[String, Long], Map.empty[String, Long])
+          Map.empty[String, Long], Map.empty[String, Long],
+          Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       def carryDir(prev: Map[String, Long]): Map[String, Long] =
@@ -2135,7 +2252,9 @@ object VersionedTable {
         carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
         m.txns, carryDir(m.dirRows) ++ freshDirRows,
         carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs),
-        dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes))
+        dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes),
+        dirBytes = carryDir(m.dirBytes) ++ freshDirBytes,
+        checks = m.checks)
     }
     publish(spark, root, next)
     next
@@ -2177,14 +2296,16 @@ object VersionedTable {
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(partCols: _*).parquet(s"$root/$genDir")
       val written = leafDirs(fs, new Path(s"$root/$genDir"), partCols)
-      val (stats, blooms, dirRows, dirFiles) =
+      val (stats, blooms, dirRows, dirFiles, dirBytes) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]],
-          Map.empty[String, Long], Map.empty[String, Long])
+          Map.empty[String, Long], Map.empty[String, Long],
+          Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(partCols, m.schema, written.map(_ -> genDir).toMap,
-        stats, blooms, m.txns, dirRows, dirFiles)
+        stats, blooms, m.txns, dirRows, dirFiles, dirBytes = dirBytes,
+        checks = m.checks)
     }
     publish(spark, root, next)
     next
@@ -2212,11 +2333,16 @@ object VersionedTable {
     require(history(spark, root).contains(toVersion),
       s"version $toVersion is not committed (or was vacuumed) at $root")
     val target = readManifest(fs, root, toVersion)
-    val curTxns = readManifest(fs, root, cur).txns
+    val curM = readManifest(fs, root, cur)
+    val curTxns = curM.txns
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(target.partCols, target.schema, target.mapping,
         target.stats, target.blooms, curTxns, target.dirRows,
-        target.dirFiles, target.bloomRefs, dvRefs = target.dvs)
+        target.dirFiles, target.bloomRefs, dvRefs = target.dvs,
+        dirBytes = target.dirBytes,
+        // constraints are table GOVERNANCE, not data: like the txn
+        // watermarks, a rollback keeps the current rules
+        checks = curM.checks)
     }
     publish(spark, root, next)
     next
@@ -2248,6 +2374,23 @@ object VersionedTable {
       }.sum
       Some(m.mapping.keySet.toSeq.map(m.dirRows).sum - deleted)
     } else None
+
+  /** Metadata-only table size: exact data bytes from the manifest's
+    * per-dir byte counts — Some(n) when EVERY live dir is covered, None
+    * for pre-feature manifests (callers fall back to listing). Powers
+    * the relation's sizeInBytes statistic (broadcast and runtime-filter
+    * decisions) and capacity dashboards. DV'd tables report PHYSICAL
+    * bytes — the scan cost, which is what a size statistic means. */
+  def tableSize(spark: SparkSession, root: String,
+                asOfVersion: Option[Int] = None): Option[Long] =
+    manifestSizeBytes(resolveManifest(spark, root, asOfVersion))
+
+  /** Pure-manifest half of [[tableSize]] — no I/O; also the optimizer
+    * statistic on the pinned relation. */
+  private[graft] def manifestSizeBytes(m: Manifest): Option[Long] =
+    if (m.mapping.keySet.forall(m.dirBytes.contains))
+      Some(m.mapping.keySet.toSeq.map(m.dirBytes).sum)
+    else None
 
   /** Metadata-only MIN/MAX of a stats-indexed column — folds over the
     * manifest's per-file min/max instead of scanning, zero data I/O.
@@ -2403,7 +2546,8 @@ object VersionedTable {
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
-        m.bloomRefs, dvRefs = m.dvs)
+        m.bloomRefs, dvRefs = m.dvs, dirBytes = m.dirBytes,
+        checks = m.checks)
     }
     publish(spark, root, next)
     next
@@ -2426,6 +2570,17 @@ object VersionedTable {
     require(!m.partCols.contains(name),
       s"column $name is a partition column — use repartitionTable first")
     require(m.schema.length > 1, "cannot drop the last column")
+    // a CHECK constraint referencing the column would make every future
+    // write unevaluable — drop the constraint first
+    m.checks.foreach { case (cn, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+      }
+      require(!refs.contains(name.toLowerCase(java.util.Locale.ROOT)),
+        s"column $name is referenced by CHECK constraint $cn ($sql) — " +
+          "dropConstraint first")
+    }
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(m.partCols,
         StructType(m.schema.filterNot(_.name == name)), m.mapping,
@@ -2436,7 +2591,7 @@ object VersionedTable {
         m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs.map { case (f, cols) => f -> (cols - name) }
           .filter(_._2.nonEmpty),
-        dvRefs = m.dvs)
+        dvRefs = m.dvs, dirBytes = m.dirBytes, checks = m.checks)
     }
     publish(spark, root, next)
     next

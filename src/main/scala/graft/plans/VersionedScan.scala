@@ -91,8 +91,15 @@ case class VersionedRelation(root: String, asOfVersion: Option[Int],
     extends LeafNode with MultiInstanceRelation {
   override protected final def otherCopyArgs: Seq[AnyRef] =
     manifest :: session :: Nil
-  override def computeStats(): Statistics =
-    Statistics(sizeInBytes = BigInt(Long.MaxValue) / 16)
+  // exact statistics from the pinned manifest, zero I/O: data bytes from
+  // the per-dir byte index and the exact row count (DV cardinalities
+  // subtracted) — mid-optimization consumers (join reorder, runtime
+  // bloom-filter injection) see the truth instead of the conservative
+  // "never broadcast" default a pre-feature manifest falls back to
+  override def computeStats(): Statistics = Statistics(
+    sizeInBytes = VersionedTable.manifestSizeBytes(manifest)
+      .map(BigInt(_)).getOrElse(BigInt(Long.MaxValue) / 16),
+    rowCount = VersionedTable.manifestCount(manifest).map(BigInt(_)))
   // self-joins of one table() frame: the analyzer's DeduplicateRelations
   // re-instances leaves through this, like every built-in relation
   override def newInstance(): VersionedRelation =

@@ -2637,4 +2637,45 @@ class OpsSpec extends SparkSpec {
     VersionedTable.repartitionTable(spark, root, Seq("id"))
     assert(VersionedTable.touchedDirs(fs, root, 3).isEmpty)
   }
+
+  test("VersionedTable.tableSize: exact bytes from the manifest, carried " +
+      "through pruned upserts; relation stats use it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtsize").toString
+    val root = s"$dir/table"
+    val rows = (0 until 200).map(i => (i, s"g${i % 4}", i.toLong))
+    VersionedTable.upsert(spark, root, rows.toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), fileRows = Some(25))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
+    def diskBytes(): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += f.getLen
+      }
+      n
+    }
+    assert(VersionedTable.tableSize(spark, root).contains(diskBytes()),
+      "manifest bytes must equal the on-disk parquet bytes")
+    // a pruned upsert touches one dir: carried + fresh bytes still exact.
+    // diskBytes() counts BOTH generations' files, so compare against the
+    // live mapping's files only via a second full-table read of sizes
+    VersionedTable.upsert(spark, root,
+      Seq((1000, "g1", 5L)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), fileRows = Some(25))
+    // live layout after the pruned upsert: g0/g2/g3 stay in gen0, the
+    // touched g1 remapped to gen1
+    def leafBytes(p: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val liveBytes = leafBytes(s"$root/gen0/grp=g0") +
+      leafBytes(s"$root/gen0/grp=g2") + leafBytes(s"$root/gen0/grp=g3") +
+      leafBytes(s"$root/gen1/grp=g1")
+    assert(VersionedTable.tableSize(spark, root).contains(liveBytes))
+    // the pinned relation's optimizer statistics are the manifest's
+    val plan = graft.plans.VersionedScan.plan(spark, root, None)
+    assert(plan.stats.sizeInBytes == BigInt(liveBytes))
+    assert(plan.stats.rowCount.contains(BigInt(201)))
+  }
 }
