@@ -93,6 +93,21 @@ object VersionedScaleProbe {
     }
     println(s"[probe] restored v$restored; rows now " +
       s"${VersionedTable.fastCount(spark, root).getOrElse(-1L)}")
+    // merge-on-read vs rewrite: the SAME delete window priced both ways
+    // (the rewrite wall is above; the restore put the rows back)
+    val vDv = t("deleteWhereDV n_chars in [150,160]") {
+      VersionedTable.deleteWhereDV(spark, root, "n_chars", 150, 160)
+    }
+    val dvRows = VersionedTable.dvStats(spark, root).map(_._2).sum
+    println(s"[probe] dv sidecar ${sizeOf(s"_dvx.$vDv")} B for " +
+      s"$dvRows deleted rows across " +
+      s"${VersionedTable.dvStats(spark, root).size} files")
+    val afterDv = t("post-DV full scan count") {
+      VersionedTable.read(spark, root).count()
+    }
+    println(s"[probe] post-DV rows $afterDv " +
+      s"(rewrite delete gave $after), fastCount post-DV " +
+      s"${VersionedTable.fastCount(spark, root)}")
     spark.stop()
   }
 }
