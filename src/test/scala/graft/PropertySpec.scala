@@ -1019,6 +1019,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DV deletes equal rewrite deletes under randomized op sequences") {
+    import graft.ops.VersionedTable
+    val rnd = new Random(77)
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_dv$trial").toString
+      val rootA = s"$base/dv" // deletes via deletion vectors
+      val rootB = s"$base/rw" // deletes via file rewrite
+      val n = 100 + rnd.nextInt(100)
+      def mkRows(seed: Int, count: Int): Seq[(Int, String, Long)] =
+        (0 until count).map { i =>
+          (seed * 100000 + i, s"p${rnd.nextInt(3)}", rnd.nextInt(500).toLong)
+        }
+      val init = mkRows(0, n).toDF("id", "part", "v")
+      Seq(rootA, rootB).foreach(r => VersionedTable.upsert(spark, r, init,
+        Seq("id", "part"), Seq("part"), statsCols = Seq("v"),
+        fileRows = Some(20)))
+      def readSet(r: String): Set[(Int, String, Long)] =
+        VersionedTable.read(spark, r).select($"id", $"part", $"v")
+          .as[(Int, String, Long)].collect().toSet
+      for (step <- 1 to 5) {
+        rnd.nextInt(3) match {
+          case 0 => // the SAME range delete, DV on A, rewrite on B
+            val lo = rnd.nextInt(450).toLong
+            val hi = lo + rnd.nextInt(120)
+            VersionedTable.deleteWhereDV(spark, rootA, "v", lo, hi)
+            VersionedTable.deleteWhere(spark, rootB, "v", lo, hi)
+          case 1 => // the same upsert on both (touches DV'd partitions)
+            val up = mkRows(step, 10 + rnd.nextInt(20))
+              .toDF("id", "part", "v")
+            Seq(rootA, rootB).foreach(r => VersionedTable.upsert(spark, r,
+              up, Seq("id", "part"), Seq("part"), statsCols = Seq("v"),
+              fileRows = Some(20)))
+          case 2 => // the same update on both (rewrites through DVs)
+            val lo = rnd.nextInt(450).toLong
+            val hi = lo + rnd.nextInt(120)
+            Seq(rootA, rootB).foreach(r => VersionedTable.updateWhere(
+              spark, r, "v", lo, hi,
+              Map("v" -> (col("v") + lit(1000L))), fileRows = Some(20)))
+        }
+        val a = readSet(rootA)
+        assert(a == readSet(rootB), s"trial $trial step $step diverged")
+        assert(VersionedTable.fastCount(spark, rootA)
+          .contains(a.size.toLong), s"trial $trial step $step fastCount A")
+      }
+      // compaction materializes A's DVs: still identical, refs gone
+      VersionedTable.compact(spark, rootA, statsCols = Seq("v"))
+      assert(readSet(rootA) == readSet(rootB), s"trial $trial post-compact")
+      assert(VersionedTable.dvStats(spark, rootA).isEmpty)
+    }
+  }
+
   test("concurrent disjoint upserts all commit under real claim races") {
     import graft.ops.VersionedTable
     import scala.concurrent.{Await, Future}
