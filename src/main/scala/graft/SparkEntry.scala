@@ -1635,6 +1635,45 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Key-list GDPR erasure under oracle check: the documents table as a
+    * versioned table with a BLOOM-indexed doc_id, then
+    * [[VersionedTable.deleteWhereInDV]] erases the three smallest ids —
+    * the erasure request's natural shape (a batch of subject ids). The
+    * bloom probes pick the needles' files; the commit is a deletion
+    * vector (guard: the data-file set is byte-for-byte unchanged).
+    * Oracle = documents minus the three ids. */
+  private def qVersionedDvIn(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_dv_in/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    VersionedTable.upsert(s, root, docs, Seq("doc_id", "lang"), Seq("lang"),
+      statsCols = Seq("doc_id"), fileRows = Some(500),
+      bloomCols = Seq("doc_id"))
+    val victims = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), s.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[(String, Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += ((f.getPath.toString, f.getModificationTime, f.getLen))
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val v1 = VersionedTable.deleteWhereInDV(s, root, "doc_id", victims)
+    require(v1 == 1, s"key-list DV delete did not commit: $v1")
+    require(dataFiles() == before,
+      "merge-on-read violated: a data file was written or replaced")
+    VersionedTable.read(s, root)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** The pure-SQL surface under oracle check: the same date-indexed
     * rollup fixture, queried ENTIRELY through
     * `SELECT ... FROM graft_table('root') WHERE ...` — the table
@@ -3346,6 +3385,7 @@ object SparkEntry {
     "q_zorder_box" -> (qZorderBox _),
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_versioned_dv" -> (qVersionedDv _),
+    "q_versioned_dv_in" -> (qVersionedDvIn _),
     "q_versioned_update" -> (qVersionedUpdate _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
@@ -5904,6 +5944,13 @@ object SparkEntry {
          |  FROM events GROUP BY 1, 2)
          |SELECT * FROM daily_all
          |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    // key-list erasure: documents minus the three smallest doc_ids
+    "q_versioned_dv_in" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)"""
       .stripMargin,
 
     // UPDATE's oracle: the same rollup with the window's daily_close

@@ -1898,7 +1898,7 @@ object VersionedTable {
                     lower: Any, upper: Any,
                     maxDeleteRows: Long = 16L * 1024 * 1024): Int =
       withClaimRetry(spark, root) {
-    import org.apache.spark.sql.functions.{broadcast, collect_list, lit, sort_array, count => cnt}
+    import org.apache.spark.sql.functions.lit
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
@@ -1912,6 +1912,20 @@ object VersionedTable {
     // residual predicate below decides the exact positions
     val sel = rangeSelection(root, m, column, Seq((lower, upper)))
       .getOrElse(selectScan(root, m, _ => false, _ => true))
+    dvDelete(spark, root, m, cur, sel,
+      col(column) >= lit(lower) && col(column) <= lit(upper), maxDeleteRows)
+  }
+
+  /** Shared merge-on-read core for [[deleteWhereDV]]/[[deleteWhereInDV]]:
+    * scan the selection with `_metadata`, collect the predicate's
+    * matching (file, position) pairs, union with existing vectors, and
+    * commit a data-file-untouched version. */
+  private def dvDelete(spark: SparkSession, root: String, m: Manifest,
+                       cur: Int, sel: ScanSelection,
+                       predicate: org.apache.spark.sql.Column,
+                       maxDeleteRows: Long): Int = {
+    import org.apache.spark.sql.functions.{broadcast, collect_list, lit, sort_array, count => cnt}
+    val fs = fsFor(spark, root)
     val paths = sel.wholeDirs ++ sel.files
     if (paths.isEmpty) return cur // index proves nothing can match
     val depth = m.partCols.length + 2
@@ -1921,7 +1935,7 @@ object VersionedTable {
     val raw = paths.groupBy(_._1).map { case (gen, ps) =>
       spark.read.schema(m.schema).option("basePath", s"$root/$gen")
         .parquet(ps.map(_._2).distinct: _*)
-        .filter(col(column) >= lit(lower) && col(column) <= lit(upper))
+        .filter(predicate)
         .select(fileKeyCol(depth).as("__dv_file"),
           col("_metadata.row_index").as("__dv_pos"))
     }.reduce(_.unionByName(_))
@@ -1968,6 +1982,95 @@ object VersionedTable {
     }
     publish(spark, root, next)
     next
+  }
+
+  /** File selection for an IN-list: a file survives when ANY candidate
+    * value survives BOTH its point-range probe and its bloom probe —
+    * the same disjunction-of-point-lookups the optimizer rule's IN
+    * extraction uses. NULL candidates are dropped by the callers (they
+    * match no row). */
+  private def inSelection(fs: FileSystem, root: String, m: Manifest,
+                          column: String, values: Seq[Any]): ScanSelection = {
+    val dt = m.schema(column).dataType
+    val dtJson = dt.json
+    val cmp = statOrdering(dt)
+    val probes = values.map { v =>
+      val rp: String => Boolean = (cmp, renderStat(v)) match {
+        case (Some(c), Some(r)) => rangeKeep(m, column, dtJson, c, Seq((r, r)))
+        case _ => _ => true
+      }
+      val bp = bloomKeep(fs, root, m, column, xxh64Of(v, dt))
+      (f: String) => rp(f) && bp(f)
+    }
+    selectScan(root, m,
+      indexed = f => usableStat(m, f, column, dtJson).isDefined ||
+        m.bloomColsOf(f).contains(column),
+      keep = f => probes.exists(_(f)))
+  }
+
+  /** GDPR erasure by KEY LIST, merge-on-read: rows whose `column` equals
+    * any of `values` are recorded as deletion vectors — the erasure
+    * request's natural shape (a batch of subject ids, not a range). The
+    * bloom + point-range probes skip every file that provably holds
+    * none of the ids, so the candidate scan touches the needles' files
+    * only on a bloom-indexed column; the commit writes kilobytes. NULL
+    * values are dropped (equality never matches NULL); empty lists are
+    * no-ops. Same contracts as [[deleteWhereDV]] otherwise — and the
+    * same caveat: PHYSICAL erasure needs the rewrite
+    * ([[deleteWhereIn]]) + [[vacuum]]. */
+  def deleteWhereInDV(spark: SparkSession, root: String, column: String,
+                      values: Seq[Any],
+                      maxDeleteRows: Long = 16L * 1024 * 1024): Int =
+      withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(column),
+      s"column $column is not in the table schema")
+    require(!m.partCols.contains(column),
+      s"$column is a partition column — drop partitions by re-upserting " +
+        "or filtering read(), no delete needed")
+    val vs = values.filter(_ != null)
+    if (vs.isEmpty) return cur
+    dvDelete(spark, root, m, cur, inSelection(fs, root, m, column, vs),
+      col(column).isin(vs: _*), maxDeleteRows)
+  }
+
+  /** GDPR erasure by KEY LIST, physical rewrite: like [[deleteWhereIn
+    * DV]] but the candidate dirs REWRITE without the matched rows —
+    * the physical-erasure path (deleted bytes leave the data files; pair
+    * with [[vacuum]] to retire the old versions). Only dirs whose files
+    * survive the bloom/stats probes are read and rewritten; the rest
+    * keep byte-identity. */
+  def deleteWhereIn(spark: SparkSession, root: String, column: String,
+                    values: Seq[Any],
+                    fileRows: Option[Int] = None,
+                    bloomBits: Long = 0L): Int = withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(column),
+      s"column $column is not in the table schema")
+    require(!m.partCols.contains(column),
+      s"$column is a partition column — drop partitions by re-upserting " +
+        "or filtering read(), no rewrite needed")
+    val vs = values.filter(_ != null)
+    if (vs.isEmpty) return cur
+    val sel = inSelection(fs, root, m, column, vs)
+    // dirs holding any surviving candidate file (or unindexed wholeDirs)
+    val touched: Map[String, String] =
+      (sel.wholeDirs.map { case (gen, p) =>
+        p.stripPrefix(s"$root/$gen/") -> gen
+      } ++ sel.files.map { case (gen, p) =>
+        val f = p.stripPrefix(root + "/")
+        f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) -> gen
+      }).toMap
+    if (touched.isEmpty) return cur // index proves nothing can match
+    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
+      df.filter(!col(column).isin(vs: _*) || col(column).isNull)
+    }
   }
 
   /** Per-file deletion-vector footprint of the current (or as-of)

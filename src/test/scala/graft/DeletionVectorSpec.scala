@@ -203,6 +203,68 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.history(spark, root) == Seq(0))
   }
 
+  test("deleteWhereInDV: key-list erasure touches only the needles' files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_in").toString
+    val root = s"$dir/table"
+    // bloom-indexed high-cardinality id, 2 partitions, small files
+    val rows = (0 until 400).map(i => (i.toLong * 7 + 1, s"g${i % 2}", i))
+    VersionedTable.upsert(spark, root, rows.toDF("uid", "grp", "n"),
+      Seq("uid", "grp"), Seq("grp"), statsCols = Seq("uid"),
+      fileRows = Some(25), bloomCols = Seq("uid"))
+    val victims = Seq(rows(3)._1, rows(77)._1, rows(250)._1, null)
+    val fs = fsOf(root)
+    def dataFiles(): Int = {
+      val it = fs.listFiles(new Path(root), true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = dataFiles()
+    val v1 = VersionedTable.deleteWhereInDV(spark, root, "uid", victims)
+    assert(v1 == 1)
+    assert(dataFiles() == before, "merge-on-read: no data files written")
+    val got = VersionedTable.read(spark, root)
+      .select($"uid").as[Long].collect().toSet
+    assert(got == rows.map(_._1).toSet -- victims.filter(_ != null)
+      .map(_.asInstanceOf[Long]))
+    assert(VersionedTable.dvStats(spark, root).map(_._2).sum == 3)
+    // empty / all-null / miss lists are no-ops: nothing committed
+    assert(VersionedTable.deleteWhereInDV(spark, root, "uid", Nil) == 1)
+    assert(VersionedTable.deleteWhereInDV(spark, root, "uid",
+      Seq(null)) == 1)
+    assert(VersionedTable.deleteWhereInDV(spark, root, "uid",
+      Seq(-999L)) == 1)
+    assert(VersionedTable.history(spark, root) == (0 to 1))
+  }
+
+  test("deleteWhereIn (rewrite) equals the DV flavor; untouched dirs intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rw_in").toString
+    val rootA = s"$dir/a"
+    val rootB = s"$dir/b"
+    // uid clustered per partition so victim ids living in g0 leave g1's
+    // candidate files provably clear
+    val rows = (0 until 400).map(i => (i.toLong, s"g${i / 200}", i))
+    Seq(rootA, rootB).foreach(r => VersionedTable.upsert(spark, r,
+      rows.toDF("uid", "grp", "n"), Seq("uid", "grp"), Seq("grp"),
+      statsCols = Seq("uid"), fileRows = Some(25)))
+    val victims: Seq[Any] = Seq(5L, 17L, 130L) // all in g0
+    val g1Before = fsOf(rootA).listStatus(new Path(s"$rootA/gen0/grp=g1"))
+      .toSeq.map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    VersionedTable.deleteWhereIn(spark, rootA, "uid", victims,
+      fileRows = Some(25))
+    VersionedTable.deleteWhereInDV(spark, rootB, "uid", victims)
+    val a = VersionedTable.read(spark, rootA)
+      .select($"uid", $"n").as[(Long, Int)].collect().toSet
+    val b = VersionedTable.read(spark, rootB)
+      .select($"uid", $"n").as[(Long, Int)].collect().toSet
+    assert(a == b)
+    assert(a.size == 397)
+    // g1 holds no victims: its files must be byte-identical
+    assert(fsOf(rootA).listStatus(new Path(s"$rootA/gen0/grp=g1"))
+      .toSeq.map(s => (s.getPath.getName, s.getModificationTime)).toSet ==
+      g1Before)
+  }
+
   test("DV serialization round-trips arbitrary sorted position sets") {
     val rnd = new scala.util.Random(7)
     (0 until 50).foreach { _ =>
