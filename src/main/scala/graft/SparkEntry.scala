@@ -1635,6 +1635,36 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Partition-filtered COUNT fold under oracle check: the rollup table
+    * partitioned by event_type, then `SELECT event_type, count(*) ...
+    * WHERE event_type <> <min type> GROUP BY event_type` entirely
+    * through SQL over graft_table — the fold evaluates the predicate
+    * against each dir's parsed partition value and sums manifest row
+    * counts: ZERO files listed (guard: the optimized plan is a
+    * LocalRelation, nothing else). Oracle recomputes from events. */
+  private def qVersionedCountPart(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_count_part/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    graft.GraftExtensions.register(s)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val skip = daily.select(org.apache.spark.sql.functions
+      .min(col("event_type"))).head.getString(0)
+    val q = s.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |FROM graft_table('$root')
+         |WHERE event_type <> '$skip'
+         |GROUP BY event_type""".stripMargin)
+    require(q.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "partition-filtered COUNT did not fold to manifest metadata:\n" +
+        q.queryExecution.optimizedPlan)
+    q
+  }
+
   /** Key-list GDPR erasure under oracle check: the documents table as a
     * versioned table with a BLOOM-indexed doc_id, then
     * [[VersionedTable.deleteWhereInDV]] erases the three smallest ids —
@@ -3386,6 +3416,7 @@ object SparkEntry {
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_versioned_dv" -> (qVersionedDv _),
     "q_versioned_dv_in" -> (qVersionedDvIn _),
+    "q_versioned_count_part" -> (qVersionedCountPart _),
     "q_versioned_update" -> (qVersionedUpdate _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_asof_join" -> (qAsofJoin _),
@@ -5944,6 +5975,15 @@ object SparkEntry {
          |  FROM events GROUP BY 1, 2)
          |SELECT * FROM daily_all
          |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    // partition-filtered fold: per-type day counts minus the min type
+    "q_versioned_count_part" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT event_type, CAST(ts AS DATE) AS date
+        |  FROM events GROUP BY 1, 2)
+        |WHERE event_type <> (SELECT min(event_type) FROM events)
+        |GROUP BY event_type"""
       .stripMargin,
 
     // key-list erasure: documents minus the three smallest doc_ids

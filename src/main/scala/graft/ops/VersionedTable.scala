@@ -2581,21 +2581,42 @@ object VersionedTable {
     * partition value fails its exact typed parse (conservative: the
     * scan runs). Exact because the dir name IS the value for every row
     * in the dir. */
-  private[graft] def manifestGroupCounts(m: Manifest, cols: Seq[String])
-      : Option[Seq[(Seq[Any], Long)]] = {
-    if (cols.isEmpty || !cols.forall(m.partCols.contains)) return None
-    if (!m.mapping.keySet.forall(m.dirRows.contains)) return None
-    // merge-on-read deletes subtract EXACTLY per dir: every row of a DV'd
-    // file shares the dir's partition tuple, so the deleted count is
-    // attributable with no data read (belt-and-braces: the DV's gen must
-    // match the dir's live mapping)
-    val dvByDir: Map[String, Long] = m.dvs.toSeq.groupBy { case (f, _) =>
+  /** Per-dir DV-deleted row counts: every row of a DV'd file shares the
+    * dir's partition tuple, so the deleted count is attributable with no
+    * data read (belt-and-braces: the DV's gen must match the dir's live
+    * mapping). */
+  private def dvCountsByDir(m: Manifest): Map[String, Long] =
+    m.dvs.toSeq.groupBy { case (f, _) =>
       f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) }
       .map { case (rel, xs) =>
         rel -> xs.collect {
           case (f, (_, _, _, n))
               if m.mapping.get(rel).exists(g => f.startsWith(s"$g/")) => n
         }.sum }
+
+  /** Every live dir's exact partition values (in partCols order, null
+    * for the null partition) and LIVE row count (DV deletes subtracted)
+    * — the base fact the partition-filtered COUNT fold evaluates
+    * predicates against. None when any dir lacks a row count or any
+    * partition value fails its exact typed parse. */
+  private[graft] def manifestDirLiveRows(m: Manifest)
+      : Option[Seq[(Seq[Any], Long)]] = {
+    if (!m.mapping.keySet.forall(m.dirRows.contains)) return None
+    val dvByDir = dvCountsByDir(m)
+    Some(m.mapping.keys.toSeq.map { rel =>
+      val vals = m.partCols.map(c => partitionValue(m, rel, c) match {
+        case Right(v) => v.orNull
+        case Left(_) => return None
+      })
+      (vals, m.dirRows(rel) - dvByDir.getOrElse(rel, 0L))
+    })
+  }
+
+  private[graft] def manifestGroupCounts(m: Manifest, cols: Seq[String])
+      : Option[Seq[(Seq[Any], Long)]] = {
+    if (cols.isEmpty || !cols.forall(m.partCols.contains)) return None
+    if (!m.mapping.keySet.forall(m.dirRows.contains)) return None
+    val dvByDir = dvCountsByDir(m)
     val parsed = m.mapping.keys.toSeq.map { rel =>
       val vals = cols.map(c => partitionValue(m, rel, c))
       if (vals.exists(_.isLeft)) return None

@@ -135,12 +135,15 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def tryFold(agg: Aggregate): Option[LogicalPlan] = {
-    val rel = agg.child match {
-      case r: VersionedRelation => r
-      case Project(_, r: VersionedRelation) => r
+    val (rel, filt) = agg.child match {
+      case r: VersionedRelation => (r, None)
+      case Project(_, r: VersionedRelation) => (r, None)
+      case Filter(c, r: VersionedRelation) => (r, Some(c))
+      case Project(_, Filter(c, r: VersionedRelation)) => (r, Some(c))
       case _ => return None
     }
     if (agg.aggregateExpressions.isEmpty) return None
+    filt.foreach { cond => return tryFoldFiltered(agg, rel, cond) }
     if (agg.groupingExpressions.nonEmpty) return tryFoldGrouped(agg, rel)
     val m = rel.manifest
     // each output expression must fold to an INTERNAL value
@@ -171,6 +174,67 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
     if (folded.exists(_.isEmpty)) None
     else Some(LocalRelation(agg.output,
       Seq(InternalRow.fromSeq(folded.map(_.get)))))
+  }
+
+  /** PARTITION-FILTERED COUNT fold: `count(*) WHERE <predicate over
+    * partition columns only>` — with or without GROUP BY on partition
+    * columns — folds to manifest arithmetic by evaluating the ORIGINAL
+    * predicate expression against each live dir's exactly-parsed
+    * partition values (the dir name IS the value for every row in it).
+    * Because the actual Catalyst expression is bound and evaluated —
+    * not re-derived facts — ANY deterministic, subquery-free shape works
+    * (`part = 'x'`, `part IN (...)`, `year(date) = 2024`,
+    * `part LIKE 'a%' OR part IS NULL`, ...) and the fold is EXACT, not
+    * a sound superset: a dir counts iff the predicate is definitely
+    * TRUE on its values, exactly the rows a scan would keep. Any parse
+    * failure, missing dir count, eval error, or non-count aggregate
+    * bails to the scan path — correctness never depends on the fold. */
+  private def tryFoldFiltered(agg: Aggregate, rel: VersionedRelation,
+                              cond: Expression): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeSet,
+      BindReferences, PlanExpression}
+    val m = rel.manifest
+    if (!cond.deterministic) return None
+    if (cond.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    val partAttrs: Seq[Attribute] = m.partCols.map(c =>
+      rel.output.find(_.name == c).getOrElse(return None))
+    if (!cond.references.subsetOf(AttributeSet(partAttrs))) return None
+    val dirs = VersionedTable.manifestDirLiveRows(m).getOrElse(return None)
+    val bound = BindReferences.bindReference(cond, partAttrs,
+      allowFailures = true)
+    if (bound.exists(!_.resolved)) return None
+    val surviving: Seq[(Seq[Any], Long)] =
+      try dirs.filter { case (vals, _) =>
+        bound.eval(InternalRow.fromSeq(
+          vals.map(CatalystTypeConverters.convertToCatalyst))) == true
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    val groupCols = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (!groupCols.forall(m.partCols.contains)) return None
+    val byGroup: Seq[(Seq[Any], Long)] =
+      if (groupCols.isEmpty) Seq((Nil, surviving.map(_._2).sum))
+      else surviving
+        .map { case (vals, n) =>
+          (groupCols.map(c => vals(m.partCols.indexOf(c))), n) }
+        .groupBy(_._1).toSeq.map { case (k, xs) => (k, xs.map(_._2).sum) }
+    // ungrouped COUNT over zero surviving dirs still yields one 0-row
+    val rows = byGroup.map { case (vals, n) =>
+      InternalRow.fromSeq(agg.aggregateExpressions.map { ne =>
+        val e = ne match { case Alias(c, _) => c; case o => o }
+        e match {
+          case a: AttributeReference if groupCols.contains(a.name) =>
+            CatalystTypeConverters.convertToCatalyst(
+              vals(groupCols.indexOf(a.name)))
+          case AggregateExpression(Count(Seq(Literal(v, _))), _, false,
+              None, _) if v != null => n
+          case Literal(v, _) => v
+          case _ => return None
+        }
+      })
+    }
+    Some(LocalRelation(agg.output, rows))
   }
 
   /** GROUP BY partition-column COUNT(*) fold: the dir name IS the value

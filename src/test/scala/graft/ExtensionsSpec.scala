@@ -375,4 +375,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(after.collect()(0) ==
       org.apache.spark.sql.Row(300L - 9 + 1, 0L, 299L))
   }
+
+  test("PruneVersionedScan: partition-filtered COUNT folds exactly") {
+    GraftExtensions.register(spark)
+    import graft.ops.VersionedTable
+    import graft.plans.VersionedScan
+    import org.apache.spark.sql.functions.{col, count, lit, upper}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtfcnt").toString
+    val root = s"$dir/table"
+    val rows = (0 until 300).map(i => (i, s"g${i % 3}", i.toLong))
+    VersionedTable.upsert(spark, root, rows.toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"),
+      fileRows = Some(25))
+    def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    def t() = VersionedScan.table(spark, root)
+    // equality on the partition column: zero-I/O exact count
+    val eq = t().filter(col("grp") === "g1").groupBy().count()
+    assert(foldsToLocal(eq), s"not folded:\n${eq.queryExecution}")
+    assert(eq.collect()(0).getLong(0) == 100)
+    // arbitrary deterministic shapes work — the ORIGINAL expression is
+    // evaluated per dir, not re-derived facts
+    val fancy = t().filter(upper(col("grp")).isin("G0", "G2")).count()
+    assert(fancy == 200)
+    assert(foldsToLocal(
+      t().filter(upper(col("grp")).isin("G0", "G2")).groupBy().count()))
+    // zero-surviving-dirs: ungrouped count folds to 0
+    val none = t().filter(col("grp") === "nope").groupBy().count()
+    assert(foldsToLocal(none))
+    assert(none.collect()(0).getLong(0) == 0)
+    // grouped + filtered folds and matches the scan's answer
+    val grouped = t().filter(col("grp") =!= "g0")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(foldsToLocal(grouped), s"not folded:\n${grouped.queryExecution}")
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("g1" -> 100L, "g2" -> 100L))
+    // a data-column conjunct keeps the scan path, still correct
+    val mixed = t().filter(col("grp") === "g1" && col("v") > 150)
+      .groupBy().count()
+    assert(!foldsToLocal(mixed))
+    assert(mixed.collect()(0).getLong(0) ==
+      rows.count(r => r._2 == "g1" && r._3 > 150))
+    // SQL WHERE over graft_table folds the same way
+    val sql = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$root') WHERE grp = 'g2'")
+    assert(foldsToLocal(sql), s"not folded:\n${sql.queryExecution}")
+    assert(sql.collect()(0).getLong(0) == 100)
+    // merge-on-read deletes subtract exactly, per dir
+    VersionedTable.deleteWhereDV(spark, root, "v", 0L, 9L) // 10 rows
+    val afterDv = t().filter(col("grp") === "g0").groupBy().count()
+    assert(foldsToLocal(afterDv))
+    assert(afterDv.collect()(0).getLong(0) ==
+      rows.count(r => r._2 == "g0" && r._3 >= 10))
+  }
 }
