@@ -2516,7 +2516,15 @@ object VersionedTable {
   /** Pure-manifest half of [[fastMinMax]] — no I/O; also called by the
     * optimizer fold on a pinned manifest. */
   private[graft] def manifestMinMax(m: Manifest,
-                                    column: String): Option[(Any, Any)] = {
+                                    column: String): Option[(Any, Any)] =
+    manifestMinMaxDirs(m, column, _ => true)
+
+  /** [[manifestMinMax]] restricted to the dirs `keep` selects — the
+    * partition-filtered fold's MIN/MAX over surviving dirs only. Same
+    * provable-coverage contract, applied per kept dir. */
+  private[graft] def manifestMinMaxDirs(m: Manifest, column: String,
+                                        keep: String => Boolean)
+      : Option[(Any, Any)] = {
     if (!m.schema.fieldNames.contains(column) ||
         m.partCols.contains(column)) return None
     val dt = m.schema(column).dataType
@@ -2524,7 +2532,7 @@ object VersionedTable {
     val dtJson = dt.json
     var lo: Option[String] = None
     var hi: Option[String] = None
-    for ((rel, gen) <- m.mapping) {
+    for ((rel, gen) <- m.mapping if keep(rel)) {
       val nFiles = m.dirFiles.getOrElse(rel, return None)
       val prefix = s"$gen/$rel/"
       // a deletion vector breaks the fold: the deleted row may BE the
@@ -2552,13 +2560,23 @@ object VersionedTable {
     * but the type-tag requirement stays: a column dropped and re-added
     * under a different type would otherwise reuse stale counts. */
   private[graft] def manifestNonNullCount(m: Manifest,
-                                          column: String): Option[Long] = {
-    val total = manifestCount(m).getOrElse(return None)
+                                          column: String): Option[Long] =
+    manifestNonNullCountDirs(m, column, _ => true)
+
+  /** [[manifestNonNullCount]] restricted to the dirs `keep` selects. */
+  private[graft] def manifestNonNullCountDirs(m: Manifest, column: String,
+                                              keep: String => Boolean)
+      : Option[Long] = {
     if (!m.schema.fieldNames.contains(column) ||
         m.partCols.contains(column)) return None
+    val kept = m.mapping.filter { case (rel, _) => keep(rel) }
+    if (!kept.keySet.forall(m.dirRows.contains)) return None
+    // deleted rows' null-ness is unrecorded: the per-dir loop below
+    // bails on any kept dir carrying DVs, so total is plain dir rows
+    val total = kept.keySet.toSeq.map(m.dirRows).sum
     val dtJson = m.schema(column).dataType.json
     var nulls = 0L
-    for ((rel, gen) <- m.mapping) {
+    for ((rel, gen) <- kept) {
       val nFiles = m.dirFiles.getOrElse(rel, return None)
       val prefix = s"$gen/$rel/"
       // DV'd files: deleted rows' null-ness is unrecorded — no fold
@@ -2594,13 +2612,13 @@ object VersionedTable {
               if m.mapping.get(rel).exists(g => f.startsWith(s"$g/")) => n
         }.sum }
 
-  /** Every live dir's exact partition values (in partCols order, null
-    * for the null partition) and LIVE row count (DV deletes subtracted)
-    * — the base fact the partition-filtered COUNT fold evaluates
-    * predicates against. None when any dir lacks a row count or any
-    * partition value fails its exact typed parse. */
+  /** Every live dir's mapping key, exact partition values (in partCols
+    * order, null for the null partition), and LIVE row count (DV
+    * deletes subtracted) — the base fact the partition-filtered folds
+    * evaluate predicates against. None when any dir lacks a row count
+    * or any partition value fails its exact typed parse. */
   private[graft] def manifestDirLiveRows(m: Manifest)
-      : Option[Seq[(Seq[Any], Long)]] = {
+      : Option[Seq[(String, Seq[Any], Long)]] = {
     if (!m.mapping.keySet.forall(m.dirRows.contains)) return None
     val dvByDir = dvCountsByDir(m)
     Some(m.mapping.keys.toSeq.map { rel =>
@@ -2608,7 +2626,7 @@ object VersionedTable {
         case Right(v) => v.orNull
         case Left(_) => return None
       })
-      (vals, m.dirRows(rel) - dvByDir.getOrElse(rel, 0L))
+      (rel, vals, m.dirRows(rel) - dvByDir.getOrElse(rel, 0L))
     })
   }
 

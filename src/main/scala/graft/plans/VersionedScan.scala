@@ -203,8 +203,8 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
     val bound = BindReferences.bindReference(cond, partAttrs,
       allowFailures = true)
     if (bound.exists(!_.resolved)) return None
-    val surviving: Seq[(Seq[Any], Long)] =
-      try dirs.filter { case (vals, _) =>
+    val surviving: Seq[(String, Seq[Any], Long)] =
+      try dirs.filter { case (_, vals, _) =>
         bound.eval(InternalRow.fromSeq(
           vals.map(CatalystTypeConverters.convertToCatalyst))) == true
       } catch { case scala.util.control.NonFatal(_) => return None }
@@ -213,14 +213,18 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
     if (!groupCols.forall(m.partCols.contains)) return None
-    val byGroup: Seq[(Seq[Any], Long)] =
-      if (groupCols.isEmpty) Seq((Nil, surviving.map(_._2).sum))
+    // per group: its surviving dirs (rel keys power the per-dir-subset
+    // MIN/MAX and COUNT(col) folds), its partition values, its row sum
+    val byGroup: Seq[(Seq[Any], Seq[(String, Seq[Any], Long)])] =
+      if (groupCols.isEmpty) Seq((Nil, surviving))
       else surviving
-        .map { case (vals, n) =>
-          (groupCols.map(c => vals(m.partCols.indexOf(c))), n) }
-        .groupBy(_._1).toSeq.map { case (k, xs) => (k, xs.map(_._2).sum) }
-    // ungrouped COUNT over zero surviving dirs still yields one 0-row
-    val rows = byGroup.map { case (vals, n) =>
+        .groupBy { case (_, vals, _) =>
+          groupCols.map(c => vals(m.partCols.indexOf(c))) }
+        .toSeq.map { case (k, xs) => (k, xs) }
+    // ungrouped aggregates over zero surviving dirs still yield one row
+    val rows = byGroup.map { case (vals, ds) =>
+      val dirSet = ds.map(_._1).toSet
+      val n = ds.map(_._3).sum
       InternalRow.fromSeq(agg.aggregateExpressions.map { ne =>
         val e = ne match { case Alias(c, _) => c; case o => o }
         e match {
@@ -229,6 +233,27 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
               vals(groupCols.indexOf(a.name)))
           case AggregateExpression(Count(Seq(Literal(v, _))), _, false,
               None, _) if v != null => n
+          // count(partition col): non-null only in non-null-value dirs
+          case AggregateExpression(Count(Seq(a: AttributeReference)), _,
+              false, None, _) if m.partCols.contains(a.name) =>
+            ds.collect { case (_, vs, rows_)
+                if vs(m.partCols.indexOf(a.name)) != null => rows_ }.sum
+          // count(data col) / min / max over the SURVIVING dirs only,
+          // same coverage proofs as the unfiltered folds
+          case AggregateExpression(Count(Seq(a: AttributeReference)), _,
+              false, None, _) =>
+            VersionedTable.manifestNonNullCountDirs(m, a.name, dirSet)
+              .getOrElse(return None)
+          case AggregateExpression(Min(a: AttributeReference), _, false,
+              None, _) =>
+            CatalystTypeConverters.convertToCatalyst(
+              VersionedTable.manifestMinMaxDirs(m, a.name, dirSet)
+                .getOrElse(return None)._1)
+          case AggregateExpression(Max(a: AttributeReference), _, false,
+              None, _) =>
+            CatalystTypeConverters.convertToCatalyst(
+              VersionedTable.manifestMinMaxDirs(m, a.name, dirSet)
+                .getOrElse(return None)._2)
           case Literal(v, _) => v
           case _ => return None
         }

@@ -422,11 +422,38 @@ class ExtensionsSpec extends SparkSpec {
       s"SELECT count(*) AS n FROM graft_table('$root') WHERE grp = 'g2'")
     assert(foldsToLocal(sql), s"not folded:\n${sql.queryExecution}")
     assert(sql.collect()(0).getLong(0) == 100)
+    // filtered MIN/MAX/count(col) fold from the SURVIVING dirs' stats
+    import org.apache.spark.sql.functions.{max, min}
+    val fmm = t().filter(col("grp") === "g1")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(col("v")).as("nv"))
+    assert(foldsToLocal(fmm), s"not folded:\n${fmm.queryExecution}")
+    val g1v = rows.filter(_._2 == "g1").map(_._3)
+    assert(fmm.collect()(0) ==
+      org.apache.spark.sql.Row(g1v.min, g1v.max, g1v.size.toLong))
+    // grouped filtered min/max too
+    val gmm = t().filter(col("grp") =!= "g0").groupBy("grp")
+      .agg(max(col("v")).as("hi"))
+    assert(foldsToLocal(gmm))
+    assert(gmm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      rows.filter(_._2 != "g0").groupBy(_._2)
+        .map { case (g, xs) => g -> xs.map(_._3).max })
+    // zero surviving dirs: min/max fold to NULL, the aggregate's answer
+    val z = t().filter(col("grp") === "nope")
+      .agg(min(col("v")).as("lo"), count(lit(1)).as("n"))
+    assert(foldsToLocal(z))
+    assert(z.collect()(0) == org.apache.spark.sql.Row(null, 0L))
     // merge-on-read deletes subtract exactly, per dir
     VersionedTable.deleteWhereDV(spark, root, "v", 0L, 9L) // 10 rows
     val afterDv = t().filter(col("grp") === "g0").groupBy().count()
     assert(foldsToLocal(afterDv))
     assert(afterDv.collect()(0).getLong(0) ==
       rows.count(r => r._2 == "g0" && r._3 >= 10))
+    // ...but a DV'd surviving dir blocks the min/max fold (the deleted
+    // row may be the extremum): scan path, still right
+    val dvMm = t().filter(col("grp") === "g0").agg(min(col("v")).as("lo"))
+    assert(!foldsToLocal(dvMm))
+    assert(dvMm.collect()(0).getLong(0) ==
+      rows.filter(r => r._2 == "g0" && r._3 >= 10).map(_._3).min)
   }
 }
