@@ -1016,6 +1016,30 @@ class PropertySpec extends SparkSpec {
       val scanned = t.groupBy("part").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(folded == scanned, s"trial $trial grouped")
+      // partition-filtered folds: random value subsets, counts AND
+      // min/max, always equal to the scan — and actually folded
+      val someParts = (0 until 4).filter(_ => rnd.nextBoolean())
+        .map(i => s"p$i")
+      val pred =
+        if (someParts.isEmpty) col("part").isNull
+        else col("part").isin(someParts: _*)
+      val ff = VersionedScan.table(spark, root).filter(pred)
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+      assert(ff.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        s"trial $trial filtered fold did not fold:\n${ff.queryExecution}")
+      val sc = t.filter(pred)
+        .agg(count(lit(1)), min(col("v")), max(col("v"))).collect()(0)
+      val fr = ff.collect()(0)
+      assert(fr.getLong(0) == sc.getLong(0), s"trial $trial filtered n")
+      def sameD(a: Any, b: Any): Boolean = (a, b) match {
+        case (null, null) => true
+        case (x: Double, y: Double) => x == y || (x.isNaN && y.isNaN)
+        case (x, y) => x == y
+      }
+      assert(sameD(fr.get(1), sc.get(1)) && sameD(fr.get(2), sc.get(2)),
+        s"trial $trial filtered min/max: $fr vs $sc")
     }
   }
 
