@@ -1856,7 +1856,64 @@ object VersionedTable {
         }
       }
     if (touched.isEmpty) return cur // index proves nothing can match
-    val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
+    updateCore(spark, root, m, cur, touched,
+      col(column) >= lit(lower) && col(column) <= lit(upper),
+      set, fileRows, bloomBits)
+  }
+
+  /** Key-list UPDATE: [[updateWhere]]'s semantics with an IN-list
+    * predicate — the subject-id correction shape (fix these N records).
+    * Candidate dirs come from the same bloom + point-range probes as
+    * [[deleteWhereIn]]; everything else (OLD-row SET semantics, CHECK
+    * gating, index-preserving rewrite, DV materialization) matches
+    * updateWhere. NULL ids dropped; empty lists commit nothing. */
+  def updateWhereIn(spark: SparkSession, root: String, column: String,
+                    values: Seq[Any],
+                    set: Map[String, org.apache.spark.sql.Column],
+                    fileRows: Option[Int] = None,
+                    bloomBits: Long = 0L): Int = withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(column),
+      s"column $column is not in the table schema")
+    require(!m.partCols.contains(column),
+      s"$column is a partition column — use updateWhere's exact dir pruning")
+    val vs = values.filter(_ != null)
+    if (vs.isEmpty) return cur
+    val sel = inSelection(fs, root, m, column, vs)
+    val touched: Map[String, String] =
+      (sel.wholeDirs.map { case (gen, p) =>
+        p.stripPrefix(s"$root/$gen/") -> gen
+      } ++ sel.files.map { case (gen, p) =>
+        val f = p.stripPrefix(root + "/")
+        f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) -> gen
+      }).toMap
+    if (touched.isEmpty) return cur // index proves nothing can match
+    updateCore(spark, root, m, cur, touched, col(column).isin(vs: _*),
+      set, fileRows, bloomBits)
+  }
+
+  /** Shared UPDATE core: validate the SET map, project every schema
+    * column through `when(cond, expr).otherwise(old)` — ALL right-hand
+    * sides against the OLD row, results cast back to declared types —
+    * gate the updated rows on the CHECK constraints, then rewrite the
+    * touched dirs. */
+  private def updateCore(spark: SparkSession, root: String, m: Manifest,
+                         cur: Int, touched: Map[String, String],
+                         cond: org.apache.spark.sql.Column,
+                         set: Map[String, org.apache.spark.sql.Column],
+                         fileRows: Option[Int], bloomBits: Long): Int = {
+    import org.apache.spark.sql.functions.when
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    set.keys.foreach { c =>
+      require(m.schema.fieldNames.contains(c),
+        s"SET column $c is not in the table schema")
+      require(!m.partCols.contains(c),
+        s"SET column $c is a partition column — updating it moves rows " +
+          "between partition dirs; re-upsert the affected rows instead")
+    }
     def applySet(df: DataFrame): DataFrame =
       df.select(m.schema.fieldNames.toSeq.map { f =>
         set.get(f)
@@ -1867,7 +1924,7 @@ object VersionedTable {
     // CHECK constraints gate the UPDATED rows before anything stages
     if (m.checks.nonEmpty)
       enforceChecks(applySet(scanDirs(spark, root, m, touched).filter(cond)),
-        m.checks, "updateWhere result")
+        m.checks, "UPDATE result")
     rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits)(applySet)
   }
 
@@ -2361,6 +2418,64 @@ object VersionedTable {
     }
     publish(spark, root, next)
     next
+  }
+
+  /** Targeted deletion-vector materialization: rewrite ONLY dirs whose
+    * DV density (deleted / physical rows) reaches `minFraction` —
+    * bounded-I/O reclamation of the scan tax sparse deletes accumulate,
+    * without [[compact]]'s O(|table|). Dirs without a recorded row count
+    * but carrying DVs materialize conservatively. Returns the new
+    * version (current unchanged when nothing qualifies). */
+  def materializeDvs(spark: SparkSession, root: String,
+                     minFraction: Double = 0.1,
+                     fileRows: Option[Int] = None,
+                     bloomBits: Long = 0L): Int = withClaimRetry(spark, root) {
+    require(minFraction > 0 && minFraction <= 1,
+      s"minFraction must be in (0, 1]: $minFraction")
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    val dvByDir = dvCountsByDir(m)
+    val touched = m.mapping.filter { case (rel, _) =>
+      dvByDir.getOrElse(rel, 0L) > 0L &&
+        m.dirRows.get(rel).forall(n =>
+          n > 0 && dvByDir(rel).toDouble / n >= minFraction)
+    }
+    if (touched.isEmpty) return cur
+    rewriteTouched(spark, root, m, touched, cur, fileRows,
+      bloomBits)(identity)
+  }
+
+  /** What [[maintain]] did: the versions its steps committed (None =
+    * that step proved a no-op and committed nothing). */
+  case class MaintenanceReport(compactedSmallFiles: Option[Int],
+                               materializedDvs: Option[Int])
+
+  /** One-call scheduled maintenance — the policy a cron'd OPTIMIZE job
+    * runs: (1) [[compactSmallFiles]] on dirs at/over `maxFilesPerDir`
+    * data files (the small-files tax of frequent pruned upserts), (2)
+    * [[materializeDvs]] on dirs at/over `maxDvFraction` deleted (the
+    * scan tax of accumulated merge-on-read deletes), (3) [[vacuum]] to
+    * `keepVersions`. Every step is a provable no-op when its trigger
+    * isn't met — an idle table costs two manifest reads and commits
+    * NOTHING, so the job can run on a tight cadence. */
+  def maintain(spark: SparkSession, root: String,
+               maxFilesPerDir: Int = 16,
+               maxDvFraction: Double = 0.1,
+               keepVersions: Int = 3,
+               fileRows: Option[Int] = None,
+               bloomBits: Long = 0L,
+               zOrderCols: Seq[String] = Nil): MaintenanceReport = {
+    val before1 = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val v1 = compactSmallFiles(spark, root, maxFilesPerDir, fileRows,
+      bloomBits, zOrderCols)
+    val v2 = materializeDvs(spark, root, maxDvFraction, fileRows, bloomBits)
+    vacuum(spark, root, keepVersions)
+    MaintenanceReport(
+      compactedSmallFiles = Some(v1).filter(_ > before1),
+      materializedDvs = Some(v2).filter(_ > v1))
   }
 
   /** Partition-layout evolution: rewrite the CURRENT version under NEW

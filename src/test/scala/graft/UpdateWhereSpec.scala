@@ -102,6 +102,69 @@ class UpdateWhereSpec extends SparkSpec {
     assert(VersionedTable.dvStats(spark, root).isEmpty)
   }
 
+  test("updateWhereIn: key-list correction, byte-identity off-list dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upd_in").toString
+    val root = s"$dir/table"
+    // uid clustered per partition: victims all in g0 leave g1 untouched
+    val rows = (0 until 400).map(i => (i.toLong, s"g${i / 200}", i.toLong))
+    VersionedTable.upsert(spark, root, rows.toDF("uid", "grp", "w"),
+      Seq("uid", "grp"), Seq("grp"), statsCols = Seq("uid"),
+      fileRows = Some(25))
+    val g1Before = fileIds(root, "grp=g1")
+    val victims: Seq[Any] = Seq(5L, 17L, 130L, null)
+    VersionedTable.updateWhereIn(spark, root, "uid", victims,
+      Map("w" -> lit(-1L)), fileRows = Some(25))
+    val got = VersionedTable.read(spark, root)
+      .select($"uid", $"w").as[(Long, Long)].collect().toMap
+    val vset = Set(5L, 17L, 130L)
+    assert(got == rows.map(r =>
+      r._1 -> (if (vset(r._1)) -1L else r._3)).toMap)
+    assert(fileIds(root, "grp=g1") == g1Before)
+    // empty / all-null / miss lists commit nothing
+    assert(VersionedTable.updateWhereIn(spark, root, "uid", Nil,
+      Map("w" -> lit(0L))) == 1)
+    assert(VersionedTable.updateWhereIn(spark, root, "uid", Seq(null),
+      Map("w" -> lit(0L))) == 1)
+    assert(VersionedTable.history(spark, root) == (0 to 1))
+  }
+
+  test("materializeDvs rewrites only dense-DV dirs; maintain composes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val root = s"$dir/table"
+    // g0 gets a DENSE delete (50% of its rows), g1 a sparse one (2 rows)
+    val rows = (0 until 400).map { i =>
+      val g = i / 200
+      (i, s"g$g", (g * 1000 + (i % 200)).toLong)
+    }
+    VersionedTable.upsert(spark, root, rows.toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
+    VersionedTable.deleteWhereDV(spark, root, "v", 0L, 99L)      // g0: 100/200
+    VersionedTable.deleteWhereDV(spark, root, "v", 1000L, 1001L) // g1: 2/200
+    val g1Before = fileIds(root, "grp=g1")
+    val v = VersionedTable.materializeDvs(spark, root, minFraction = 0.1,
+      fileRows = Some(25))
+    assert(v == 3)
+    // g0's vectors materialized, g1's sparse ones carried untouched
+    val left = VersionedTable.dvStats(spark, root)
+    assert(left.map(_._2).sum == 2 && left.forall(_._1.contains("grp=g1")),
+      s"expected only g1's sparse DVs to remain: $left")
+    assert(fileIds(root, "grp=g1") == g1Before)
+    assert(VersionedTable.read(spark, root).count() == 400 - 102)
+    // maintain: no-op on a healthy table (commits NOTHING)...
+    val idle = VersionedTable.maintain(spark, root, maxFilesPerDir = 16,
+      maxDvFraction = 0.1, keepVersions = 10)
+    assert(idle == VersionedTable.MaintenanceReport(None, None))
+    val histBefore = VersionedTable.history(spark, root)
+    // ...and acts when thresholds trip: drop the DV threshold under g1's
+    // sparse fraction
+    val act = VersionedTable.maintain(spark, root, maxFilesPerDir = 16,
+      maxDvFraction = 0.001, keepVersions = 10)
+    assert(act.materializedDvs.nonEmpty && act.compactedSmallFiles.isEmpty)
+    assert(VersionedTable.dvStats(spark, root).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 400 - 102)
+    assert(VersionedTable.history(spark, root).size == histBefore.size + 1)
+  }
+
   test("updateWhere guards: partition SET and unknown columns rejected") {
     val (root, _) = freshTable("guards")
     intercept[IllegalArgumentException] {
