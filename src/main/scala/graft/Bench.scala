@@ -242,8 +242,13 @@ object Bench {
         val n = b.length
         def mean(xs: collection.Seq[Double]) =
           if (xs.isEmpty) 0.0 else xs.sum / xs.length
-        (mean(b.take(n / 3 max 1)), mean(b.slice(n / 3, 2 * n / 3 max 1)),
-          mean(b.drop(2 * n / 3)))
+        // non-overlapping boundaries even for tiny n (with n<3 some
+        // segments are empty and report 0 rather than re-counting a
+        // sample into two thirds, which faked a flat first->mid
+        // transition — the exact signature this series diagnoses)
+        val i1 = n / 3
+        val i2 = 2 * n / 3
+        (mean(b.take(i1)), mean(b.slice(i1, i2)), mean(b.drop(i2)))
       }
     }
     val (h1, h2, h3) = thirds(heapSamples)

@@ -250,13 +250,20 @@ object VersionedTable {
     out.toByteArray
   }
 
+  /** The varint at `bytes(from)` — the shared decode both the full DV
+    * reader and stageVersion's leading-count peek use (one wire format,
+    * one decoder). Returns (value, next index). */
+  private def readVarint(bytes: Array[Byte], from: Int): (Long, Int) = {
+    var v = 0L; var s = 0; var b = 0; var i = from
+    do { b = bytes(i) & 0xff; i += 1; v |= (b & 0x7fL) << s; s += 7 }
+    while ((b & 0x80) != 0)
+    (v, i)
+  }
+
   private[graft] def deserializeDv(bytes: Array[Byte]): Array[Long] = {
     var i = 0
     def vlong(): Long = {
-      var v = 0L; var s = 0; var b = 0
-      do { b = bytes(i) & 0xff; i += 1; v |= (b & 0x7fL) << s; s += 7 }
-      while ((b & 0x80) != 0)
-      v
+      val (v, next) = readVarint(bytes, i); i = next; v
     }
     val n = vlong().toInt
     val arr = new Array[Long](n)
@@ -456,7 +463,14 @@ object VersionedTable {
                                      asOfVersion: Option[Int]): Manifest = {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
-    val v = asOfVersion.getOrElse(cur)
+    resolveManifestAt(spark, root, asOfVersion.getOrElse(cur), cur)
+  }
+
+  /** [[resolveManifest]] for an ALREADY-RESOLVED version — skips the
+    * commit-history listing (one paginated LIST per call on object
+    * stores) when the caller just performed it (VersionedScan.plan). */
+  private[graft] def resolveManifestAt(spark: SparkSession, root: String,
+                                       v: Int, cur: Int): Manifest = {
     val fs = fsFor(spark, root)
     if (!fs.exists(new Path(root, s"_commit.$v")))
       throw new java.io.FileNotFoundException(
@@ -469,8 +483,7 @@ object VersionedTable {
     // bare empty.reduceLeft a reduce would throw
     if (m.mapping.isEmpty)
       throw new IllegalStateException(
-        s"$root@v${asOfVersion.getOrElse(cur)} is committed but holds no " +
-          "partitions (empty table)")
+        s"$root@v$v is committed but holds no partitions (empty table)")
     m
   }
 
@@ -1243,12 +1256,7 @@ object VersionedTable {
             st.dvBytes.toSeq.sortBy(_._1).map { case (f, b) =>
               sc.write(b)
               // the leading varint of the payload IS the position count
-              val count = {
-                var v = 0L; var s = 0; var i = 0; var x = 0
-                do { x = b(i) & 0xff; i += 1; v |= (x & 0x7fL) << s; s += 7 }
-                while ((x & 0x80) != 0)
-                v
-              }
+              val count = readVarint(b, 0)._1
               val ref = f -> ((dvSidecarName, off, b.length, count))
               off += b.length
               ref
@@ -1332,9 +1340,18 @@ object VersionedTable {
         s"partition columns ${partCols.mkString(",")} != committed ${m.partCols.mkString(",")}"))
       // CHECK constraints gate the DELTA only: surviving old rows passed
       // when they were written (addConstraint validated the backlog); a
-      // violation aborts here and the claim/stage cleanup retracts
-      prior.map(_.checks).filter(_.nonEmpty).foreach(cs =>
-        enforceChecks(updates, cs, "upsert delta"))
+      // violation aborts here and the claim/stage cleanup retracts.
+      // Schema evolution: an updates frame may legitimately OMIT a
+      // committed column (its rows land NULL there, which passes ANSI
+      // CHECK) — null-fill those columns before evaluating, or the
+      // predicate fails to resolve and a valid write aborts
+      prior.map(_.checks).filter(_.nonEmpty).foreach { cs =>
+        val aligned = prior.get.schema
+          .filterNot(f => updates.columns.contains(f.name))
+          .foldLeft(updates)((d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+        enforceChecks(aligned, cs, "upsert delta")
+      }
       val entries = Merge.partitionDirEntries(spark, updates, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
@@ -1463,8 +1480,6 @@ object VersionedTable {
              bloomBits: Long = 0L,
              txn: Option[(String, Long)] = None): Unit = {
     val fs = fsFor(spark, root)
-    val waitMs =
-      sys.props.getOrElse("graft.versioned.claimWaitMs", "30000").toLong
     val maxAttempts = 5
     var attempt = 1
     var committed = false
@@ -1483,13 +1498,8 @@ object VersionedTable {
           // the loser can only restage once the winner's version is
           // COMMITTED (next = max committed + 1 would re-collide with the
           // same staged manifest otherwise)
-          val deadline = System.nanoTime + waitMs * 1000000L
-          var newCur = currentVersion(spark, root).getOrElse(-1)
-          while (newCur <= basedOn && System.nanoTime < deadline) {
-            Thread.sleep(50)
-            newCur = currentVersion(spark, root).getOrElse(-1)
-          }
-          if (newCur <= basedOn) throw e // staged but never published
+          val newCur = awaitCommitAfter(spark, root, basedOn)
+            .getOrElse(throw e) // staged but never published
           val myDirs = Merge.partitionDirEntries(spark, updates, partCols)
             .map(_._2).toSet
           ((basedOn + 1) to newCur).foreach { v =>
@@ -1515,6 +1525,24 @@ object VersionedTable {
     * serialized semantics. A claim that never publishes (crashed writer)
     * rethrows with the vacuum hint after the bounded wait, exactly like
     * [[upsert]]. */
+  /** A claim-race loser's wait: poll until some version NEWER than
+    * `basedOn` is COMMITTED (the winner published) or
+    * `graft.versioned.claimWaitMs` elapses — Some(newCurrent) to retry
+    * against, None when the claim belongs to a writer that staged but
+    * never published (crashed: vacuum is the documented recovery). */
+  private def awaitCommitAfter(spark: SparkSession, root: String,
+                               basedOn: Int): Option[Int] = {
+    val waitMs =
+      sys.props.getOrElse("graft.versioned.claimWaitMs", "30000").toLong
+    val deadline = System.nanoTime + waitMs * 1000000L
+    var newCur = currentVersion(spark, root).getOrElse(-1)
+    while (newCur <= basedOn && System.nanoTime < deadline) {
+      Thread.sleep(50)
+      newCur = currentVersion(spark, root).getOrElse(-1)
+    }
+    if (newCur <= basedOn) None else Some(newCur)
+  }
+
   private def withClaimRetry[A](spark: SparkSession, root: String,
                                 maxAttempts: Int = 5)(body: => A): A = {
     var attempt = 1
@@ -1525,15 +1553,8 @@ object VersionedTable {
         case e: StagingRaceException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
-          val waitMs = sys.props
-            .getOrElse("graft.versioned.claimWaitMs", "30000").toLong
-          val deadline = System.nanoTime + waitMs * 1000000L
-          var newCur = currentVersion(spark, root).getOrElse(-1)
-          while (newCur <= basedOn && System.nanoTime < deadline) {
-            Thread.sleep(50)
-            newCur = currentVersion(spark, root).getOrElse(-1)
-          }
-          if (newCur <= basedOn) throw e // staged but never published
+          if (awaitCommitAfter(spark, root, basedOn).isEmpty)
+            throw e // staged but never published
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1740,7 +1761,8 @@ object VersionedTable {
     * mapping. Publishes and returns the new version. */
   private def rewriteTouched(spark: SparkSession, root: String, m: Manifest,
                              touched: Map[String, String], cur: Int,
-                             fileRows: Option[Int], bloomBits: Long)
+                             fileRows: Option[Int], bloomBits: Long,
+                             zOrderCols: Seq[String] = Nil)
                             (transform: DataFrame => DataFrame): Int = {
     val fs = fsFor(spark, root)
     val touchedFilePrefix = touched.toSeq
@@ -1755,7 +1777,11 @@ object VersionedTable {
       val survivorsByGen = transform(scanDirs(spark, root, m, touched))
       val base = survivorsByGen.repartition(m.partCols.map(col): _*)
       val clustered =
-        if (statsCols.isEmpty) base
+        if (zOrderCols.nonEmpty)
+          ZOrder.withZValueN(base, zOrderCols, "__zval")
+            .sortWithinPartitions((m.partCols.map(col) :+ col("__zval")): _*)
+            .drop("__zval")
+        else if (statsCols.isEmpty) base
         else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
       val writer = fileRows.foldLeft(clustered.write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
@@ -1998,20 +2024,27 @@ object VersionedTable {
     }.reduce(_.unionByName(_))
     // positions already in a DV never re-match: keeps the no-op check
     // and the size guard about LIVE rows only
-    val fresh = if (existing.isEmpty) raw else {
+    val fresh0 = if (existing.isEmpty) raw else {
       import spark.implicits._
       raw.join(broadcast(existing.toDF("__dv_file", "__dv_pos")),
         Seq("__dv_file", "__dv_pos"), "left_anti")
     }
-    val matched = fresh.count()
-    if (matched == 0L) return cur
-    require(matched <= maxDeleteRows,
-      s"deleteWhereDV matched $matched rows > maxDeleteRows=$maxDeleteRows " +
-        "— a delete this dense should rewrite files: use deleteWhere")
-    val perFile = fresh.groupBy("__dv_file")
-      .agg(sort_array(collect_list("__dv_pos")).as("__ps"),
-        cnt(lit(1)).as("__n"))
-      .collect()
+    // ONE candidate scan: the matched pairs persist (spill-safe) for the
+    // count guard AND the per-file aggregation; the guard still runs
+    // BEFORE any positions reach the driver
+    val fresh = fresh0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perFile = try {
+      val matched = fresh.count()
+      if (matched == 0L) return cur
+      require(matched <= maxDeleteRows,
+        s"deleteWhereDV matched $matched rows > maxDeleteRows=$maxDeleteRows " +
+          "— a delete this dense should rewrite files: use deleteWhere")
+      fresh.groupBy("__dv_file")
+        .agg(sort_array(collect_list("__dv_pos")).as("__ps"),
+          cnt(lit(1)).as("__n"))
+        .collect()
+    } finally fresh.unpersist()
     val freshBytes: Map[String, Array[Byte]] = perFile.map { r =>
       val f = r.getString(0)
       val add = r.getSeq[Long](1).toArray
@@ -2365,59 +2398,8 @@ object VersionedTable {
     val touched = m.mapping.filter { case (rel, gen) =>
       fileCount(rel, gen) >= minFilesPerDir }
     if (touched.isEmpty) return cur
-    val touchedFilePrefix = touched.toSeq
-      .map { case (rel, gen) => s"$gen/$rel/" }
-    val coveredCols = (kind: Map[String, Map[String, _]]) => kind.iterator
-      .filter { case (f, _) => touchedFilePrefix.exists(f.startsWith) }
-      .flatMap(_._2.keys).toSeq.distinct
-    val statsCols = coveredCols(m.stats).filterNot(m.partCols.contains)
-    val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs))
-      .distinct.filterNot(m.partCols.contains)
-    val next = stageVersion(fs, root, cur + 1) { genDir =>
-      val hot = scanDirs(spark, root, m, touched)
-      val base = hot.repartition(m.partCols.map(col): _*)
-      val clustered =
-        if (zOrderCols.nonEmpty)
-          ZOrder.withZValueN(base, zOrderCols, "__zval")
-            .sortWithinPartitions((m.partCols.map(col) :+ col("__zval")): _*)
-            .drop("__zval")
-        else if (statsCols.isEmpty) base
-        else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
-      val writer = fileRows.foldLeft(clustered.write)(
-        (w, n) => w.option("maxRecordsPerFile", n.toLong))
-      writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
-      val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
-      val newMapping = (m.mapping -- touched.keys) ++
-        written.map(_ -> genDir)
-      val liveDirPrefixes = newMapping.toSeq
-        .map { case (rel, gen) => s"$gen/$rel/" }.toSet
-      def carry[A](prev: Map[String, Map[String, A]]) = prev.filter {
-        case (fileRel, _) =>
-          val dirOf = fileRel.lastIndexOf('/')
-          dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
-      }
-      val (freshStats, freshBlooms, freshDirRows, freshDirFiles,
-          freshDirBytes) =
-        if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
-          Map.empty[String, Map[String, Array[Byte]]],
-          Map.empty[String, Long], Map.empty[String, Long],
-          Map.empty[String, Long])
-        else collectFileStats(spark, root, genDir, m.partCols, statsCols,
-          bloomCols, sizedBloomBits(bloomBits, fileRows))
-      def carryDir(prev: Map[String, Long]): Map[String, Long] =
-        prev.filter { case (rel, _) =>
-          m.mapping.contains(rel) &&
-            newMapping.get(rel) == m.mapping.get(rel) }
-      Staged(m.partCols, m.schema, newMapping,
-        carry(m.stats) ++ freshStats, carry(m.blooms) ++ freshBlooms,
-        m.txns, carryDir(m.dirRows) ++ freshDirRows,
-        carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs),
-        dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes),
-        dirBytes = carryDir(m.dirBytes) ++ freshDirBytes,
-        checks = m.checks)
-    }
-    publish(spark, root, next)
-    next
+    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits,
+      zOrderCols)(identity)
   }
 
   /** Targeted deletion-vector materialization: rewrite ONLY dirs whose
@@ -2553,14 +2535,21 @@ object VersionedTable {
     val target = readManifest(fs, root, toVersion)
     val curM = readManifest(fs, root, cur)
     val curTxns = curM.txns
+    // constraints are table GOVERNANCE, not data: a rollback keeps the
+    // current rules (like the txn watermarks) — which means the RESTORED
+    // data must satisfy them, or the table would silently end up both
+    // constrained and in violation (e.g. restore to a version predating
+    // the cleanup that made addConstraint's backlog validation pass).
+    // One scan, only when constraints exist; a violation aborts the
+    // restore before anything stages.
+    if (curM.checks.nonEmpty)
+      enforceChecks(readM(spark, root, target), curM.checks,
+        s"restore target v$toVersion at $root")
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(target.partCols, target.schema, target.mapping,
         target.stats, target.blooms, curTxns, target.dirRows,
         target.dirFiles, target.bloomRefs, dvRefs = target.dvs,
-        dirBytes = target.dirBytes,
-        // constraints are table GOVERNANCE, not data: like the txn
-        // watermarks, a rollback keeps the current rules
-        checks = curM.checks)
+        dirBytes = target.dirBytes, checks = curM.checks)
     }
     publish(spark, root, next)
     next

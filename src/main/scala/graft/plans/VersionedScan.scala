@@ -68,8 +68,11 @@ object VersionedScan {
     // whatever version is current then — or crash rebinding attributes if
     // schema evolution dropped a column in between. The manifest rides
     // along: it is immutable once committed, so caching it is exact.
-    val v = asOfVersion.orElse(VersionedTable.currentVersion(spark, root))
-    val m = VersionedTable.resolveManifest(spark, root, v)
+    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val v = asOfVersion.orElse(Some(cur))
+    // version already resolved above: ONE history listing per plan build
+    val m = VersionedTable.resolveManifestAt(spark, root, v.get, cur)
     VersionedRelation(root, v, m.schema,
       DataTypeUtils.toAttributes(m.schema))(m, spark)
   }
@@ -143,6 +146,12 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
     if (agg.aggregateExpressions.isEmpty) return None
+    // every attribute a fold consults must BE the relation's own output
+    // attribute (exprId identity, not name): a Project in between may
+    // compute or re-alias a column under a relation column's NAME, and a
+    // name-keyed fold would silently answer from the wrong column's
+    // stats (.select((col("v")*2).as("v")).agg(max("v")))
+    def own(a: AttributeReference): Boolean = rel.outputSet.contains(a)
     filt.foreach { cond => return tryFoldFiltered(agg, rel, cond) }
     if (agg.groupingExpressions.nonEmpty) return tryFoldGrouped(agg, rel)
     val m = rel.manifest
@@ -157,14 +166,14 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
         // min/max (for NON-nullable columns Catalyst already rewrote
         // count(c) to count(1) before this rule sees it)
         case AggregateExpression(Count(Seq(a: AttributeReference)), _, false,
-            None, _) =>
+            None, _) if own(a) =>
           VersionedTable.manifestNonNullCount(m, a.name).map(n => n: Any)
         case AggregateExpression(Min(a: AttributeReference), _, false,
-            None, _) =>
+            None, _) if own(a) =>
           VersionedTable.manifestMinMax(m, a.name)
             .map(mm => CatalystTypeConverters.convertToCatalyst(mm._1))
         case AggregateExpression(Max(a: AttributeReference), _, false,
-            None, _) =>
+            None, _) if own(a) =>
           VersionedTable.manifestMinMax(m, a.name)
             .map(mm => CatalystTypeConverters.convertToCatalyst(mm._2))
         case Literal(v, _) => Some(v) // already internal
@@ -208,8 +217,9 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
         bound.eval(InternalRow.fromSeq(
           vals.map(CatalystTypeConverters.convertToCatalyst))) == true
       } catch { case scala.util.control.NonFatal(_) => return None }
+    // exprId identity against the relation's output — see tryFold's note
     val groupCols = agg.groupingExpressions.map {
-      case a: AttributeReference => a.name
+      case a: AttributeReference if rel.outputSet.contains(a) => a.name
       case _ => return None
     }
     if (!groupCols.forall(m.partCols.contains)) return None
@@ -228,29 +238,31 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
       InternalRow.fromSeq(agg.aggregateExpressions.map { ne =>
         val e = ne match { case Alias(c, _) => c; case o => o }
         e match {
-          case a: AttributeReference if groupCols.contains(a.name) =>
+          case a: AttributeReference if rel.outputSet.contains(a) &&
+              groupCols.contains(a.name) =>
             CatalystTypeConverters.convertToCatalyst(
               vals(groupCols.indexOf(a.name)))
           case AggregateExpression(Count(Seq(Literal(v, _))), _, false,
               None, _) if v != null => n
           // count(partition col): non-null only in non-null-value dirs
           case AggregateExpression(Count(Seq(a: AttributeReference)), _,
-              false, None, _) if m.partCols.contains(a.name) =>
+              false, None, _) if rel.outputSet.contains(a) &&
+              m.partCols.contains(a.name) =>
             ds.collect { case (_, vs, rows_)
                 if vs(m.partCols.indexOf(a.name)) != null => rows_ }.sum
           // count(data col) / min / max over the SURVIVING dirs only,
           // same coverage proofs as the unfiltered folds
           case AggregateExpression(Count(Seq(a: AttributeReference)), _,
-              false, None, _) =>
+              false, None, _) if rel.outputSet.contains(a) =>
             VersionedTable.manifestNonNullCountDirs(m, a.name, dirSet)
               .getOrElse(return None)
           case AggregateExpression(Min(a: AttributeReference), _, false,
-              None, _) =>
+              None, _) if rel.outputSet.contains(a) =>
             CatalystTypeConverters.convertToCatalyst(
               VersionedTable.manifestMinMaxDirs(m, a.name, dirSet)
                 .getOrElse(return None)._1)
           case AggregateExpression(Max(a: AttributeReference), _, false,
-              None, _) =>
+              None, _) if rel.outputSet.contains(a) =>
             CatalystTypeConverters.convertToCatalyst(
               VersionedTable.manifestMinMaxDirs(m, a.name, dirSet)
                 .getOrElse(return None)._2)
@@ -272,8 +284,9 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
     * count, and every partition value parses exactly. */
   private def tryFoldGrouped(agg: Aggregate,
                              rel: VersionedRelation): Option[LogicalPlan] = {
+    // exprId identity against the relation's output — see tryFold's note
     val groupCols = agg.groupingExpressions.map {
-      case a: AttributeReference => a.name
+      case a: AttributeReference if rel.outputSet.contains(a) => a.name
       case _ => return None
     }
     val groups =
@@ -284,7 +297,8 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
         InternalRow.fromSeq(agg.aggregateExpressions.map { ne =>
           val e = ne match { case Alias(c, _) => c; case o => o }
           e match {
-            case a: AttributeReference if groupCols.contains(a.name) =>
+            case a: AttributeReference if rel.outputSet.contains(a) &&
+                groupCols.contains(a.name) =>
               CatalystTypeConverters.convertToCatalyst(
                 vals(groupCols.indexOf(a.name)))
             case AggregateExpression(Count(Seq(Literal(v, _))), _, false,

@@ -86,6 +86,39 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).filter($"v" === -5L).count() == 11)
   }
 
+  test("schema-evolving delta omitting a constrained column passes (NULL)") {
+    val root = fresh("evolve")
+    VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")
+    // the delta has NO v column: its rows land v=NULL, which PASSES the
+    // ANSI CHECK — previously this aborted with an unresolved-column
+    // error before the write could commit
+    VersionedTable.upsert(spark, root,
+      Seq((900, "g0")).toDF("id", "grp"), Seq("id", "grp"), Seq("grp"))
+    assert(VersionedTable.read(spark, root)
+      .filter($"id" === 900 && $"v".isNull).count() == 1)
+  }
+
+  test("restore refuses a target version violating current constraints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk_rst").toString
+    val root = s"$dir/table"
+    // v0 holds a negative row; v1 deletes it; v2 registers the rule
+    VersionedTable.upsert(spark, root,
+      (Seq((999, "g0", -7L)) ++ (0 until 50).map(i => (i, "g0", i.toLong)))
+        .toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"))
+    VersionedTable.deleteWhere(spark, root, "v", -100L, -1L)
+    VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")
+    // rolling back to v0 would make the table constrained AND in
+    // violation — refused, nothing committed
+    intercept[ConstraintViolationException] {
+      VersionedTable.restore(spark, root, 0)
+    }
+    assert(VersionedTable.history(spark, root) == (0 to 2))
+    // a clean target restores fine and keeps the rule
+    VersionedTable.restore(spark, root, 1)
+    assert(VersionedTable.constraintsOf(spark, root).contains("v_nonneg"))
+  }
+
   test("constraints carry through compact/delete/restore; dropColumn guarded") {
     val root = fresh("carry")
     VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")

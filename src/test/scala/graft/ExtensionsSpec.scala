@@ -363,6 +363,23 @@ class ExtensionsSpec extends SparkSpec {
     val noStats = VersionedScan.table(spark, root).agg(min(col("id")))
     assert(!foldsToLocal(noStats))
     assert(noStats.collect()(0).getInt(0) == 0)
+    // a Project COMPUTING a column under a relation column's NAME must
+    // not fold from the underlying column's stats (exprId identity, not
+    // name matching) — this was a silent-wrong-result bug
+    val doubled = VersionedScan.table(spark, root)
+      .select((col("v") * 2).as("v")).agg(max(col("v")).as("m"))
+    assert(!foldsToLocal(doubled), "computed column folded from raw stats")
+    assert(doubled.collect()(0).getLong(0) == 598L)
+    // ...same for a rename of ANOTHER real column onto the name
+    val renamed = VersionedScan.table(spark, root)
+      .select(col("id").as("v")).agg(max(col("v")).as("m"))
+    assert(!foldsToLocal(renamed))
+    assert(renamed.collect()(0).getInt(0) == 299)
+    // pure pass-through projection still folds (same exprIds)
+    val pruned = VersionedScan.table(spark, root)
+      .select(col("v")).agg(max(col("v")).as("m"))
+    assert(foldsToLocal(pruned), "pass-through projection should fold")
+    assert(pruned.collect()(0).getLong(0) == 299L)
     // delete + upsert keep the metadata answers exact through carry/rewrite
     VersionedTable.deleteWhere(spark, root, "v", 10L, 19L) // 9 rows (10=null)
     VersionedTable.upsert(spark, root,

@@ -2598,6 +2598,22 @@ class OpsSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM graft_table('$root', '2026-01-01 01:30:00')")
       .collect()(0).getLong(0) == 2) // v1: rows 1 and 2
+    // a DATE literal is TIMESTAMP AS OF too — previously its Int backing
+    // (epoch days) silently matched the VERSION case and read "version
+    // 20454"
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table('$root', DATE '2026-01-02')")
+      .collect()(0).getLong(0) == 3) // after all three commits
+    val early = intercept[Exception] {
+      spark.sql(
+        s"SELECT count(*) FROM graft_table('$root', DATE '1999-01-01')")
+        .collect()
+    }
+    assert(early.getMessage.contains("no version committed"),
+      s"unexpected: ${early.getMessage}")
+    // a TIMESTAMP literal as well
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root', " +
+      "TIMESTAMP '2026-01-01 00:30:00')").collect()(0).getLong(0) == 1)
     // restoreAsOf rolls back to the version current at the instant
     VersionedTable.restoreAsOf(spark, root, t0 + 1800_000L) // v0 -> v3
     assert(VersionedTable.read(spark, root).count() == 1)
