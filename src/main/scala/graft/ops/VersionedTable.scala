@@ -2078,24 +2078,62 @@ object VersionedTable {
     * value survives BOTH its point-range probe and its bloom probe —
     * the same disjunction-of-point-lookups the optimizer rule's IN
     * extraction uses. NULL candidates are dropped by the callers (they
-    * match no row). */
+    * match no row). GDPR-batch-sized: candidates sort once by the stat
+    * order and each file binary-searches its [min,max] candidate
+    * subrange — O(log V + in-range) per file, not O(V) — and the file's
+    * bloom deserializes ONCE for all its probes. */
   private def inSelection(fs: FileSystem, root: String, m: Manifest,
                           column: String, values: Seq[Any]): ScanSelection = {
     val dt = m.schema(column).dataType
     val dtJson = dt.json
-    val cmp = statOrdering(dt)
-    val probes = values.map { v =>
-      val rp: String => Boolean = (cmp, renderStat(v)) match {
-        case (Some(c), Some(r)) => rangeKeep(m, column, dtJson, c, Seq((r, r)))
-        case _ => _ => true
+    val cmpOpt = statOrdering(dt)
+    val all = values.map(v => (renderStat(v), xxh64Of(v, dt)))
+    val sorted: Array[(String, Option[Long])] = cmpOpt match {
+      case Some(c) => all.collect { case (Some(r), h) => (r, h) }
+        .sortWith((a, b) => c(a._1, b._1) < 0).toArray
+      case None => Array.empty
+    }
+    // candidates the range index cannot place (no rendering, or no stat
+    // ordering for the type): only blooms can rule them out
+    val unplaced: Seq[Option[Long]] = cmpOpt match {
+      case Some(_) => all.collect { case (None, h) => h }
+      case None => all.map(_._2)
+    }
+    def bound(x: String, c: (String, String) => Int,
+              strict: Boolean): Int = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val d = c(sorted(mid)._1, x)
+        if (d < 0 || (strict && d == 0)) lo = mid + 1 else hi = mid
       }
-      val bp = bloomKeep(fs, root, m, column, xxh64Of(v, dt))
-      (f: String) => rp(f) && bp(f)
+      lo
+    }
+    def keep(f: String): Boolean = {
+      lazy val bloom = m.bloomFor(fs, root, f, column).map(bytes =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes)))
+      def may(h: Option[Long]): Boolean =
+        bloom.forall(b => h.forall(b.mightContainLong))
+      usableStat(m, f, column, dtJson) match {
+        case Some(s) => (s.min, s.max, cmpOpt) match {
+          case (Some(mn), Some(mx), Some(c)) =>
+            val lo = bound(mn, c, strict = false) // first candidate >= min
+            val hi = bound(mx, c, strict = true)  // first candidate >  max
+            (lo until hi).exists(i => may(sorted(i)._2)) ||
+              unplaced.exists(may)
+          case (None, None, _) => false // all-null: equality matches none
+          case _ => // stats present but unusable for ranging: blooms only
+            sorted.exists(e => may(e._2)) || unplaced.exists(may)
+        }
+        case None =>
+          sorted.exists(e => may(e._2)) || unplaced.exists(may)
+      }
     }
     selectScan(root, m,
       indexed = f => usableStat(m, f, column, dtJson).isDefined ||
         m.bloomColsOf(f).contains(column),
-      keep = f => probes.exists(_(f)))
+      keep = keep)
   }
 
   /** GDPR erasure by KEY LIST, merge-on-read: rows whose `column` equals

@@ -1065,11 +1065,17 @@ class PropertySpec extends SparkSpec {
           .as[(Int, String, Long)].collect().toSet
       for (step <- 1 to 5) {
         rnd.nextInt(3) match {
-          case 0 => // the SAME range delete, DV on A, rewrite on B
+          case 0 if rnd.nextBoolean() => // the SAME range delete
             val lo = rnd.nextInt(450).toLong
             val hi = lo + rnd.nextInt(120)
             VersionedTable.deleteWhereDV(spark, rootA, "v", lo, hi)
             VersionedTable.deleteWhere(spark, rootB, "v", lo, hi)
+          case 0 => // the SAME key-list delete (exercises the sorted
+            // binary-search candidate bounds incl. misses and nulls)
+            val vals: Seq[Any] = (0 until 8).map(_ =>
+              (rnd.nextInt(1700) - 50).toLong: Any) :+ null
+            VersionedTable.deleteWhereInDV(spark, rootA, "v", vals)
+            VersionedTable.deleteWhereIn(spark, rootB, "v", vals)
           case 1 => // the same upsert on both (touches DV'd partitions)
             val up = mkRows(step, 10 + rnd.nextInt(20))
               .toDF("id", "part", "v")
