@@ -2294,9 +2294,11 @@ object VersionedTable {
     * current. The consumed versions must still be retained — size
     * [[vacuum]]'s window to the sync cadence. */
   def syncChanges(spark: SparkSession, root: String, keys: Seq[String],
-                  cursorPath: String)(apply: DataFrame => Unit)
+                  cursorPath: String,
+                  maxVersions: Int = Int.MaxValue)(apply: DataFrame => Unit)
       : Option[(Int, Int)] = {
     import org.apache.spark.sql.functions.lit
+    require(maxVersions >= 1, s"maxVersions must be >= 1: $maxVersions")
     val fs = fsFor(spark, cursorPath)
     val cp = new Path(cursorPath)
     val tmp = new Path(cursorPath + ".tmp")
@@ -2320,15 +2322,23 @@ object VersionedTable {
         finally in.close()
       }
     if (last.contains(cur)) return None
+    // bounded catch-up: a consumer down for many producer commits syncs
+    // at most `maxVersions` transitions per call (bounded diff size and
+    // apply batch); the caller loops until this returns None to drain.
+    // The target MUST still be committed — being behind by more than the
+    // vacuum retention window is unrecoverable regardless of the cap
+    // long arithmetic: f + Int.MaxValue (the default cap) overflows Int
+    val to = last.map(f =>
+      math.min(cur.toLong, f.toLong + maxVersions).toInt).getOrElse(cur)
     val feed = last match {
       case None =>
         // PINNED to the version the cursor will record: a concurrent
         // commit between here and materialization must not make the
         // snapshot newer than the cursor (the next cycle would re-deliver
         // ops the consumer never saw the base for)
-        val t = read(spark, root, Some(cur))
+        val t = read(spark, root, Some(to))
         t.select(lit("insert").as("op") +: t.columns.map(col): _*)
-      case Some(from) => changeFeed(spark, root, keys, from, cur)
+      case Some(from) => changeFeed(spark, root, keys, from, to)
     }
     apply(feed)
     // write-new-then-promote: the cursor file is never truncated in
@@ -2337,12 +2347,12 @@ object VersionedTable {
     // cursor that bricks the consumer
     fs.delete(tmp, false)
     val out = fs.create(tmp, false)
-    try out.write(cur.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(to.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(cp, false)
     if (!fs.rename(tmp, cp))
       throw new java.io.IOException(s"cursor promote rename failed: $tmp")
-    Some((last.getOrElse(-1), cur))
+    Some((last.getOrElse(-1), to))
   }
 
   /** OPTIMIZE-style maintenance: rewrite the CURRENT version's data into

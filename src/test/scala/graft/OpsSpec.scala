@@ -817,6 +817,24 @@ class OpsSpec extends SparkSpec {
     }
     assert(sync().contains((1, 2)))
     assert(seen.last == Set(("update", 1, "A")))
+    // bounded catch-up: three more commits, maxVersions=1 drains them
+    // one transition per call with the cursor advancing stepwise
+    Seq("x", "y", "z").zipWithIndex.foreach { case (v, i) =>
+      VersionedTable.upsert(spark, root,
+        Seq((10 + i, "d1", v)).toDF("id", "day", "v"), keys, "day")
+    }
+    def sync1() = VersionedTable.syncChanges(spark, root, keys, cursor,
+      maxVersions = 1) { df =>
+      seen :+= df.select($"op", $"id", $"v")
+        .as[(String, Int, String)].collect().toSet
+    }
+    assert(sync1().contains((2, 3)))
+    assert(seen.last == Set(("insert", 10, "x")))
+    assert(sync1().contains((3, 4)))
+    assert(seen.last == Set(("insert", 11, "y")))
+    assert(sync1().contains((4, 5)))
+    assert(seen.last == Set(("insert", 12, "z")))
+    assert(sync1().isEmpty) // drained
   }
 
   test("VersionedTable.repartitionTable: layout evolution, old versions intact") {
