@@ -314,7 +314,8 @@ object StreamPipeline {
     * before the first producer commit. */
   def startChangeFeedStream(spark: SparkSession, root: String,
                             keys: Seq[String], cursorPath: String,
-                            pollInterval: String = "1 second")
+                            pollInterval: String = "1 second",
+                            maxVersionsPerTick: Int = Int.MaxValue)
                            (apply: DataFrame => Unit): StreamingQuery =
     spark.readStream.format("rate")
       .option("rowsPerSecond", "1").option("numPartitions", "1").load()
@@ -323,8 +324,11 @@ object StreamPipeline {
       .trigger(Trigger.ProcessingTime(pollInterval))
       .foreachBatch { (_: DataFrame, _: Long) =>
         try {
+          // bounded per-tick: a consumer restarted after a long outage
+          // catches up maxVersionsPerTick transitions per poll instead
+          // of one giant diff (ticks keep firing until drained)
           graft.ops.VersionedTable.syncChanges(spark, root, keys,
-            cursorPath)(apply)
+            cursorPath, maxVersionsPerTick)(apply)
           ()
         } catch { case _: java.io.FileNotFoundException => () }
       }
