@@ -81,6 +81,12 @@ class DeletionVectorSpec extends SparkSpec {
     // current version is returned and NO version is committed
     assert(VersionedTable.deleteWhereDV(spark, root, "v", 60, 110) == 2)
     assert(VersionedTable.history(spark, root) == (0 to 2))
+    // time travel between DV commits: v1 shows exactly the FIRST
+    // delete's state (each manifest pins its own DV refs)
+    assert(VersionedTable.read(spark, root, Some(1))
+      .select($"id").as[Int].collect().toSet ==
+      rows.filter(r => r._3 < 60 || r._3 > 80).map(_._1).toSet)
+    assert(VersionedTable.read(spark, root, Some(0)).count() == 400)
     // out-of-domain range: index-proven no-op
     assert(VersionedTable.deleteWhereDV(spark, root, "v", 5000, 6000) == 2)
   }
