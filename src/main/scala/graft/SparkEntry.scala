@@ -1665,6 +1665,53 @@ object SparkEntry {
     q
   }
 
+  /** Predicate-expression DELETE under oracle check: the rollup fixture,
+    * then [[VersionedTable.deleteMatching]] with a COMPOUND predicate —
+    * a date window AND a partition-column exclusion — runs through the
+    * optimizer rule's constraint extraction: the date range prunes files
+    * by stats, the event_type fact prunes whole dirs (guard: the
+    * excluded type's partition keeps byte-identity), and the full
+    * predicate decides rows. Oracle = the rollup minus the matching
+    * rows. */
+  private def qVersionedDeleteExpr(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_delete_expr/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val keepType = daily.agg(org.apache.spark.sql.functions
+      .min(col("event_type"))).head.getString(0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), s.sparkContext.hadoopConfiguration)
+    def typeFiles(): Set[(String, Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(
+        s"$root/gen0/event_type=$keepType"), true)
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toString, f.getModificationTime, f.getLen))
+      }
+      b.result()
+    }
+    val before = typeFiles()
+    val v1 = VersionedTable.deleteMatching(s, root,
+      col("date").between(
+        org.apache.spark.sql.functions.lit("2024-01-08").cast(DateType),
+        org.apache.spark.sql.functions.lit("2024-01-14").cast(DateType)) &&
+        col("event_type") =!= keepType,
+      fileRows = Some(8))
+    require(v1 == 1, s"expression delete did not commit: $v1")
+    require(typeFiles() == before,
+      s"partition fact failed to prune: event_type=$keepType was rewritten")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Key-list GDPR erasure under oracle check: the documents table as a
     * versioned table with a BLOOM-indexed doc_id, then
     * [[VersionedTable.deleteWhereInDV]] erases the three smallest ids —
@@ -3416,6 +3463,7 @@ object SparkEntry {
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_versioned_dv" -> (qVersionedDv _),
     "q_versioned_dv_in" -> (qVersionedDvIn _),
+    "q_versioned_delete_expr" -> (qVersionedDeleteExpr _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
     "q_versioned_update" -> (qVersionedUpdate _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -5975,6 +6023,21 @@ object SparkEntry {
          |  FROM events GROUP BY 1, 2)
          |SELECT * FROM daily_all
          |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
+      .stripMargin,
+
+    // predicate-expression delete: survivors of NOT(window AND not-min-type)
+    "q_versioned_delete_expr" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM daily_all
+         |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |   OR event_type = (SELECT min(event_type) FROM events)"""
       .stripMargin,
 
     // partition-filtered fold: per-type day counts minus the min type

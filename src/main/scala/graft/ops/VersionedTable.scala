@@ -501,9 +501,9 @@ object VersionedTable {
   /** What a pruned read will scan: whole dirs (no usable index coverage
     * for the column) + surviving indexed files, with the kept/total
     * counts over indexed files that the skip probes report. */
-  private case class ScanSelection(wholeDirs: Seq[(String, String)],
-                                   files: Seq[(String, String)],
-                                   kept: Int, indexedTotal: Int)
+  private[graft] case class ScanSelection(wholeDirs: Seq[(String, String)],
+                                          files: Seq[(String, String)],
+                                          kept: Int, indexedTotal: Int)
 
   private def selectScan(root: String, m: Manifest,
                          indexed: String => Boolean,
@@ -674,8 +674,21 @@ object VersionedTable {
                                       m0: Manifest,
                                       constraints: Seq[ColConstraint])
       : DataFrame = {
+    val (m, sel) = constrainedSelection(spark, root, m0, constraints)
+    scanUnion(spark, root, m, sel)
+  }
+
+  /** The (partition-pruned manifest, file selection) a constraint set
+    * resolves to — factored from [[readConstrainedM]] so predicate-
+    * expression DML ([[deleteMatching]]/[[deleteMatchingDV]]) can reuse
+    * the exact pruning the optimizer rule's scans get. */
+  private[graft] def constrainedSelection(spark: SparkSession, root: String,
+                                          m0: Manifest,
+                                          constraints: Seq[ColConstraint])
+      : (Manifest, ScanSelection) = {
     val usable = constraints.filter(c => m0.schema.fieldNames.contains(c.column))
-    if (usable.isEmpty) return readM(spark, root, m0)
+    if (usable.isEmpty)
+      return (m0, selectScan(root, m0, _ => false, _ => true))
     // partition-column constraints filter the manifest's directory list
     // BEFORE any file stats are consulted — partition pruning proper
     val (partCs, dataCs) = usable.partition(c => m0.partCols.contains(c.column))
@@ -687,7 +700,7 @@ object VersionedTable {
           keeps.forall(_(rel)) })
       }
     if (dataCs.isEmpty)
-      return scanUnion(spark, root, m, selectScan(root, m, _ => false, _ => true))
+      return (m, selectScan(root, m, _ => false, _ => true))
     val fs = fsFor(spark, root)
     def perCol(c: ColConstraint): (String => Boolean, String => Boolean) = {
       val dt = m.schema(c.column).dataType
@@ -750,10 +763,9 @@ object VersionedTable {
       (f => rKeep(f) && bKeep(f) && iKeep(f) && pKeep(f) && nKeep(f), idx)
     }
     val per = dataCs.map(perCol)
-    val sel = selectScan(root, m,
+    (m, selectScan(root, m,
       indexed = f => per.exists(_._2(f)),
-      keep = f => per.forall(_._1(f)))
-    scanUnion(spark, root, m, sel)
+      keep = f => per.forall(_._1(f))))
   }
 
   /** Byte-wise prefix overlap for string stats: a file may hold a string
@@ -2199,6 +2211,93 @@ object VersionedTable {
     rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
       df.filter(!col(column).isin(vs: _*) || col(column).isNull)
     }
+  }
+
+  /** The table-resolved Catalyst expression of an arbitrary predicate
+    * Column — analyzed against the committed schema so the optimizer
+    * rule's constraint extractor sees typed attributes and literals. */
+  private def resolvedCondition(spark: SparkSession, root: String,
+                                m: Manifest,
+                                predicate: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val df = readM(spark, root, m).filter(predicate)
+    df.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"predicate did not analyze to a filter: $predicate"))
+  }
+
+  /** Shared preamble of the predicate-expression deletes: resolve the
+    * predicate, extract the optimizer rule's sound per-column facts from
+    * it, and turn them into the (touched dirs, file selection) the index
+    * can prune to. Unextractable predicate shapes prune nothing (every
+    * dir touched) — correctness never depends on extraction. */
+  private def matchingSelection(spark: SparkSession, root: String,
+                                m: Manifest,
+                                predicate: org.apache.spark.sql.Column)
+      : (Map[String, String], ScanSelection) = {
+    val resolved = resolvedCondition(spark, root, m, predicate)
+    require(resolved.deterministic,
+      s"DELETE predicate must be deterministic: $predicate")
+    require(!resolved.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      s"DELETE predicate must not contain a subquery: $predicate")
+    val cs = graft.plans.PruneVersionedScan.extractConstraints(resolved)
+    val (mP, sel) = constrainedSelection(spark, root, m, cs)
+    val touched: Map[String, String] =
+      (sel.wholeDirs.map { case (gen, p) =>
+        p.stripPrefix(s"$root/$gen/") -> gen
+      } ++ sel.files.map { case (gen, p) =>
+        val f = p.stripPrefix(root + "/")
+        f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) -> gen
+      }).toMap
+    (touched, sel)
+  }
+
+  /** DELETE by ARBITRARY predicate, physical rewrite: rows where
+    * `predicate` is TRUE are removed; rows where it is FALSE or NULL
+    * survive (SQL DELETE semantics). The predicate resolves against the
+    * committed schema and runs through the SAME constraint extraction
+    * the optimizer rule uses, so any index-expressible part of it —
+    * conjunct ranges, equalities, IN-lists, prefixes, partition-column
+    * facts — prunes which dirs rewrite; the full predicate then decides
+    * rows. Unextractable shapes (disjunctions across columns, function
+    * calls) simply prune nothing and every dir rewrites — correct,
+    * loud in cost, never wrong. Generalizes [[deleteWhere]] (one range)
+    * and [[deleteWhereIn]] (one id list) to compound conditions:
+    * `deleteMatching(s, root, col("date").between(a, b) &&
+    * col("source") === "bad")`. */
+  def deleteMatching(spark: SparkSession, root: String,
+                     predicate: org.apache.spark.sql.Column,
+                     fileRows: Option[Int] = None,
+                     bloomBits: Long = 0L): Int = withClaimRetry(spark, root) {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    val (touched, _) = matchingSelection(spark, root, m, predicate)
+    if (touched.isEmpty) return cur // index proves nothing can match
+    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
+      df.filter(not(coalesce(predicate, lit(false))))
+    }
+  }
+
+  /** [[deleteMatching]]'s merge-on-read flavor: the matched positions
+    * land in a deletion vector, data files stay byte-identical. Same
+    * predicate semantics and index pruning; same [[deleteWhereDV]]
+    * contracts (position union, size cap, driver-resident sidecar). */
+  def deleteMatchingDV(spark: SparkSession, root: String,
+                       predicate: org.apache.spark.sql.Column,
+                       maxDeleteRows: Long = 16L * 1024 * 1024): Int =
+      withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    val (_, sel) = matchingSelection(spark, root, m, predicate)
+    dvDelete(spark, root, m, cur, sel, predicate, maxDeleteRows)
   }
 
   /** Per-file deletion-vector footprint of the current (or as-of)

@@ -326,6 +326,11 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
     * they match no row), string prefixes from LIKE 'abc%', and
     * IS [NOT] NULL facts. Anything else contributes nothing — the Filter
     * on top keeps row-level semantics regardless. */
+  /** [[constraints]] for callers outside the rule — predicate-expression
+    * DML reuses the exact extraction the optimizer scans get. */
+  private[graft] def extractConstraints(cond: Expression)
+      : Seq[VersionedTable.ColConstraint] = constraints(cond)
+
   private def constraints(cond: Expression)
       : Seq[VersionedTable.ColConstraint] = {
     def ext(dtJson: Literal): Any =

@@ -271,6 +271,63 @@ class DeletionVectorSpec extends SparkSpec {
       g1Before)
   }
 
+  test("deleteMatching: compound predicate, index-pruned both flavors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_match").toString
+    val rootA = s"$dir/dv"
+    val rootB = s"$dir/rw"
+    // v clustered per partition; w independent second condition
+    val rows = (0 until 400).map { i =>
+      val g = i / 100
+      (i, s"g$g", g * 50 + (i % 100) / 4, i % 3)
+    }
+    Seq(rootA, rootB).foreach(r => VersionedTable.upsert(spark, r,
+      rows.toDF("id", "grp", "v", "w"), Seq("id", "grp"), Seq("grp"),
+      statsCols = Seq("v"), fileRows = Some(25)))
+    // compound: v-range (file stats prune) AND partition fact (dir
+    // prune) AND a residual on w the index can't express
+    val pred = col("v").between(60, 110) && col("grp") =!= "g2" &&
+      col("w") === 1
+    def fileIds(root: String, rel: String) =
+      fsOf(root).listStatus(new Path(s"$root/gen0/$rel")).toSeq
+        .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    val g2Before = fileIds(rootB, "grp=g2")
+    val g0Before = fileIds(rootB, "grp=g0")
+    val dvFilesBefore = {
+      val it = fsOf(rootA).listFiles(new Path(rootA), true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val vA = VersionedTable.deleteMatchingDV(spark, rootA, pred)
+    val vB = VersionedTable.deleteMatching(spark, rootB, pred,
+      fileRows = Some(25))
+    assert(vA == 1 && vB == 1)
+    val expect = rows.filterNot(r =>
+      r._3 >= 60 && r._3 <= 110 && r._2 != "g2" && r._4 == 1)
+      .map(r => (r._1, r._4)).toSet
+    def got(root: String) = VersionedTable.read(spark, root)
+      .select($"id", $"w").as[(Int, Int)].collect().toSet
+    assert(got(rootA) == expect)
+    assert(got(rootB) == expect)
+    // DV flavor: zero data files written
+    val dvFilesAfter = {
+      val it = fsOf(rootA).listFiles(new Path(rootA), true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    assert(dvFilesAfter == dvFilesBefore)
+    // rewrite flavor: the partition fact proves g2 clear -> byte-identity;
+    // the v-range proves g0 clear (v in [0,24]) -> byte-identity too
+    assert(fileIds(rootB, "grp=g2") == g2Before)
+    assert(fileIds(rootB, "grp=g0") == g0Before)
+    // guards: nondeterministic and subquery predicates refuse loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.deleteMatching(spark, rootB,
+        org.apache.spark.sql.functions.rand() < 0.5)
+    }
+  }
+
   test("DV serialization round-trips arbitrary sorted position sets") {
     val rnd = new scala.util.Random(7)
     (0 until 50).foreach { _ =>
