@@ -2300,6 +2300,27 @@ object VersionedTable {
     dvDelete(spark, root, m, cur, sel, predicate, maxDeleteRows)
   }
 
+  /** UPDATE by ARBITRARY predicate — [[deleteMatching]]'s sibling,
+    * closing the DML matrix: rows where `predicate` is TRUE get each
+    * `set` column replaced (OLD-row right-hand sides, declared-type
+    * casts, CHECK gating — [[updateWhere]]'s contract); FALSE/NULL rows
+    * and index-cleared dirs keep byte-identity. Same constraint-
+    * extraction pruning as deleteMatching. */
+  def updateMatching(spark: SparkSession, root: String,
+                     predicate: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     fileRows: Option[Int] = None,
+                     bloomBits: Long = 0L): Int = withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    val (touched, _) = matchingSelection(spark, root, m, predicate)
+    if (touched.isEmpty) return cur // index proves nothing can match
+    updateCore(spark, root, m, cur, touched, predicate, set, fileRows,
+      bloomBits)
+  }
+
   /** Per-file deletion-vector footprint of the current (or as-of)
     * version: (file key, deleted-row count) — the signal a maintenance
     * scheduler uses to decide when accumulated DVs justify a

@@ -165,6 +165,34 @@ class UpdateWhereSpec extends SparkSpec {
     assert(VersionedTable.history(spark, root).size == histBefore.size + 1)
   }
 
+  test("updateMatching: compound predicate, index-cleared dirs intact") {
+    val (root, rows) = freshTable("matching")
+    val g0Before = fileIds(root, "grp=g0")
+    val g3Before = fileIds(root, "grp=g3")
+    // v-range (file stats) AND partition exclusion AND a residual on w
+    val v1 = VersionedTable.updateMatching(spark, root,
+      col("v").between(60, 110) && col("grp") =!= "g2" &&
+        (col("w") % 20 === 0),
+      Map("w" -> (col("w") + 1000000L)), fileRows = Some(25))
+    assert(v1 == 1)
+    val got = VersionedTable.read(spark, root)
+      .select($"id", $"w").as[(Int, Long)].collect().toMap
+    val expect = rows.map { r =>
+      val hit = r._3 >= 60 && r._3 <= 110 && r._2 != "g2" && r._4 % 20 == 0
+      r._1 -> (if (hit) r._4 + 1000000L else r._4)
+    }.toMap
+    assert(got == expect)
+    // the v-range clears g0 (v in [0,24]), the partition fact clears
+    // nothing extra here but g3 (v in [150,174]) is range-cleared too
+    assert(fileIds(root, "grp=g0") == g0Before)
+    assert(fileIds(root, "grp=g3") == g3Before)
+    // guards shared with the delete flavor
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateMatching(spark, root,
+        org.apache.spark.sql.functions.rand() < 0.5, Map("w" -> lit(0L)))
+    }
+  }
+
   test("updateWhere guards: partition SET and unknown columns rejected") {
     val (root, _) = freshTable("guards")
     intercept[IllegalArgumentException] {
