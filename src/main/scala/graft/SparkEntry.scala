@@ -1683,19 +1683,6 @@ object SparkEntry {
       Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
     val keepType = daily.agg(org.apache.spark.sql.functions
       .min(col("event_type"))).head.getString(0)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(root), s.sparkContext.hadoopConfiguration)
-    def typeFiles(): Set[(String, Long, Long)] = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(
-        s"$root/gen0/event_type=$keepType"), true)
-      val b = Set.newBuilder[(String, Long, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        b += ((f.getPath.toString, f.getModificationTime, f.getLen))
-      }
-      b.result()
-    }
-    val before = typeFiles()
     val v1 = VersionedTable.deleteMatching(s, root,
       col("date").between(
         org.apache.spark.sql.functions.lit("2024-01-08").cast(DateType),
@@ -1703,8 +1690,15 @@ object SparkEntry {
         col("event_type") =!= keepType,
       fileRows = Some(8))
     require(v1 == 1, s"expression delete did not commit: $v1")
-    require(typeFiles() == before,
-      s"partition fact failed to prune: event_type=$keepType was rewritten")
+    // the partition fact (event_type =!= keepType) must prune that dir
+    // OUT of the rewrite: its mapping entry still points at the ORIGINAL
+    // generation (gen dirs are immutable, so listing files under gen0
+    // would prove nothing — the mapping is what a rewrite moves)
+    val keptGen = VersionedTable.resolveManifest(s, root, None)
+      .mapping(s"event_type=$keepType")
+    require(keptGen == "gen0",
+      s"partition fact failed to prune: event_type=$keepType was " +
+        s"rewritten into $keptGen")
     VersionedTable.read(s, root)
       .select(col("event_type"), col("date"),
         col("daily_open"), col("daily_high"), col("daily_low"),

@@ -627,9 +627,11 @@ object VersionedTable {
     * conjunction of its defined facets: closed bounds (strict predicates
     * are widened to inclusive — a sound superset), an equality value, an
     * IN-list (`inSet`, null values already dropped — they match no row),
-    * a string prefix (`LIKE 'abc%'`), and nullness facts (`notNull`
+    * a string prefix (`LIKE 'abc%'`), nullness facts (`notNull`
     * skips all-null files; `isNull` skips files whose stats record zero
-    * nulls). */
+    * nulls), and exclusions (`notEq`, from `=!=` / NOT IN conjuncts:
+    * skips dirs whose partition value IS an excluded value and files
+    * provably holding only it). */
   private[graft] case class ColConstraint(column: String,
                                           lower: Option[Any],
                                           upper: Option[Any],
@@ -637,10 +639,11 @@ object VersionedTable {
                                           inSet: Option[Seq[Any]] = None,
                                           prefix: Option[String] = None,
                                           notNull: Boolean = false,
-                                          isNull: Boolean = false) {
+                                          isNull: Boolean = false,
+                                          notEq: Seq[Any] = Nil) {
     private[graft] def nonNullFacet: Boolean =
       lower.isDefined || upper.isDefined || eq.isDefined ||
-        inSet.isDefined || prefix.isDefined || notNull
+        inSet.isDefined || prefix.isDefined || notNull || notEq.nonEmpty
   }
 
   /** Pruned UNFILTERED read under a conjunction of per-column
@@ -720,8 +723,12 @@ object VersionedTable {
               case None => true
             }
             // all-null file: no non-null-matching facet can match NULL
-            // (this is also what makes a bare IsNotNull prune)
-            case _ => !c.nonNullFacet
+            // (this is also what makes a bare IsNotNull prune). Only
+            // provable when the type is renderable (cmp defined) — for
+            // unrenderable stat types (Boolean, Binary, complex) min/max
+            // record None for every file regardless of contents, so the
+            // file must be kept.
+            case _ => cmp.isEmpty || !c.nonNullFacet
           }
         }
       val bKeep: String => Boolean = c.eq match {
@@ -756,11 +763,30 @@ object VersionedTable {
       val nKeep: String => Boolean =
         if (!c.isNull) _ => true
         else f => usableStat(m, f, c.column, dtJson).forall(_.nulls > 0)
+      // NOT-equal (a =!= v conjunct): a file is provably clear only when
+      // it holds EXCLUSIVELY that value — min == max == v and zero nulls
+      // (a null row makes the conjunct NULL, a non-match, but its file
+      // may still hold other rows; min==max alone says nothing about
+      // nulls). Unrenderable exclusion values simply cannot skip.
+      val neKeep: String => Boolean = {
+        val neR = c.notEq.flatMap(renderStat)
+        if (neR.isEmpty) _ => true
+        else f => usableStat(m, f, c.column, dtJson) match {
+          case Some(s) => (s.min, s.max, cmp) match {
+            case (Some(mn), Some(mx), Some(o)) =>
+              !(s.nulls == 0L &&
+                neR.exists(e => o(mn, e) == 0 && o(mx, e) == 0))
+            case _ => true
+          }
+          case None => true
+        }
+      }
       val idx: String => Boolean = f =>
         usableStat(m, f, c.column, dtJson).isDefined ||
           ((c.eq.isDefined || c.inSet.isDefined) &&
             m.bloomColsOf(f).contains(c.column))
-      (f => rKeep(f) && bKeep(f) && iKeep(f) && pKeep(f) && nKeep(f), idx)
+      (f => rKeep(f) && bKeep(f) && iKeep(f) && pKeep(f) && nKeep(f) &&
+        neKeep(f), idx)
     }
     val per = dataCs.map(perCol)
     (m, selectScan(root, m,
@@ -844,6 +870,8 @@ object VersionedTable {
       val r = vs.map(renderStat)
       if (r.exists(_.isEmpty)) None else Some(r.flatten)
     }
+    // per-value: an unrenderable =!= value just can't exclude its dir
+    val neR: Seq[String] = c.notEq.flatMap(renderStat)
     rel => partitionValue(m, rel, c.column) match {
       case Left(_) => true
       case Right(None) => !c.nonNullFacet
@@ -855,6 +883,9 @@ object VersionedTable {
               hiR.forall(h => o(rv, h) <= 0) &&
               eqR.forall(e => o(rv, e) == 0) &&
               inR.forall(vs => vs.exists(e => o(rv, e) == 0)) &&
+              // the dir's value IS an excluded value: a =!= v false
+              // for every row in it — the conjunction matches nothing
+              neR.forall(e => o(rv, e) != 0) &&
               c.prefix.forall(p => v match {
                 case s: String => s.startsWith(p)
                 case _ => true
@@ -1920,18 +1951,23 @@ object VersionedTable {
       s"$column is a partition column — use updateWhere's exact dir pruning")
     val vs = values.filter(_ != null)
     if (vs.isEmpty) return cur
-    val sel = inSelection(fs, root, m, column, vs)
-    val touched: Map[String, String] =
-      (sel.wholeDirs.map { case (gen, p) =>
-        p.stripPrefix(s"$root/$gen/") -> gen
-      } ++ sel.files.map { case (gen, p) =>
-        val f = p.stripPrefix(root + "/")
-        f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) -> gen
-      }).toMap
+    val touched = touchedDirs(root, inSelection(fs, root, m, column, vs))
     if (touched.isEmpty) return cur // index proves nothing can match
     updateCore(spark, root, m, cur, touched, col(column).isin(vs: _*),
       set, fileRows, bloomBits)
   }
+
+  /** Dirs holding anything the selection will scan — rel dir -> gen: the
+    * candidate set a rewrite-flavor DML call touches (the one derivation,
+    * shared by every caller so path parsing cannot diverge). */
+  private def touchedDirs(root: String, sel: ScanSelection)
+      : Map[String, String] =
+    (sel.wholeDirs.map { case (gen, p) =>
+      p.stripPrefix(s"$root/$gen/") -> gen
+    } ++ sel.files.map { case (gen, p) =>
+      val f = p.stripPrefix(root + "/")
+      f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) -> gen
+    }).toMap
 
   /** Shared UPDATE core: validate the SET map, project every schema
     * column through `when(cond, expr).otherwise(old)` — ALL right-hand
@@ -2134,7 +2170,12 @@ object VersionedTable {
             val hi = bound(mx, c, strict = true)  // first candidate >  max
             (lo until hi).exists(i => may(sorted(i)._2)) ||
               unplaced.exists(may)
-          case (None, None, _) => false // all-null: equality matches none
+          // all-null: equality matches none. Sound ONLY when the type is
+          // orderable/renderable (Some(_)): for types renderStat cannot
+          // render (Boolean, Binary, complex), min/max record None for
+          // EVERY file regardless of contents — those fall through to
+          // the blooms-only case below, never to a skip.
+          case (None, None, Some(_)) => false
           case _ => // stats present but unusable for ranging: blooms only
             sorted.exists(e => may(e._2)) || unplaced.exists(may)
         }
@@ -2198,15 +2239,8 @@ object VersionedTable {
         "or filtering read(), no rewrite needed")
     val vs = values.filter(_ != null)
     if (vs.isEmpty) return cur
-    val sel = inSelection(fs, root, m, column, vs)
     // dirs holding any surviving candidate file (or unindexed wholeDirs)
-    val touched: Map[String, String] =
-      (sel.wholeDirs.map { case (gen, p) =>
-        p.stripPrefix(s"$root/$gen/") -> gen
-      } ++ sel.files.map { case (gen, p) =>
-        val f = p.stripPrefix(root + "/")
-        f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) -> gen
-      }).toMap
+    val touched = touchedDirs(root, inSelection(fs, root, m, column, vs))
     if (touched.isEmpty) return cur // index proves nothing can match
     rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
       df.filter(!col(column).isin(vs: _*) || col(column).isNull)
@@ -2215,17 +2249,27 @@ object VersionedTable {
 
   /** The table-resolved Catalyst expression of an arbitrary predicate
     * Column — analyzed against the committed schema so the optimizer
-    * rule's constraint extractor sees typed attributes and literals. */
+    * rule's constraint extractor sees typed attributes and literals.
+    * Foldable subexpressions are folded to literals first (the analyzed
+    * tree is PRE-ConstantFolding): without this, a bound written as
+    * `lit("2024-01-08").cast(DateType)` reaches the extractor as
+    * `Cast(Literal)` — matched by nothing — and an index-expressible
+    * predicate silently degrades to a full-table rewrite. */
   private def resolvedCondition(spark: SparkSession, root: String,
                                 m: Manifest,
                                 predicate: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{EmptyRow, Literal}
     val df = readM(spark, root, m).filter(predicate)
-    df.queryExecution.analyzed.collectFirst {
+    val cond = df.queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
     }.getOrElse(throw new IllegalArgumentException(
       s"predicate did not analyze to a filter: $predicate"))
+    cond.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(EmptyRow), e.dataType)
+    }
   }
 
   /** Shared preamble of the predicate-expression deletes: resolve the
@@ -2235,24 +2279,18 @@ object VersionedTable {
     * dir touched) — correctness never depends on extraction. */
   private def matchingSelection(spark: SparkSession, root: String,
                                 m: Manifest,
-                                predicate: org.apache.spark.sql.Column)
+                                predicate: org.apache.spark.sql.Column,
+                                op: String)
       : (Map[String, String], ScanSelection) = {
     val resolved = resolvedCondition(spark, root, m, predicate)
     require(resolved.deterministic,
-      s"DELETE predicate must be deterministic: $predicate")
+      s"$op predicate must be deterministic: $predicate")
     require(!resolved.exists(_.isInstanceOf[
       org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
-      s"DELETE predicate must not contain a subquery: $predicate")
+      s"$op predicate must not contain a subquery: $predicate")
     val cs = graft.plans.PruneVersionedScan.extractConstraints(resolved)
-    val (mP, sel) = constrainedSelection(spark, root, m, cs)
-    val touched: Map[String, String] =
-      (sel.wholeDirs.map { case (gen, p) =>
-        p.stripPrefix(s"$root/$gen/") -> gen
-      } ++ sel.files.map { case (gen, p) =>
-        val f = p.stripPrefix(root + "/")
-        f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) -> gen
-      }).toMap
-    (touched, sel)
+    val (_, sel) = constrainedSelection(spark, root, m, cs)
+    (touchedDirs(root, sel), sel)
   }
 
   /** DELETE by ARBITRARY predicate, physical rewrite: rows where
@@ -2277,7 +2315,7 @@ object VersionedTable {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
-    val (touched, _) = matchingSelection(spark, root, m, predicate)
+    val (touched, _) = matchingSelection(spark, root, m, predicate, "DELETE")
     if (touched.isEmpty) return cur // index proves nothing can match
     rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
       df.filter(not(coalesce(predicate, lit(false))))
@@ -2296,7 +2334,7 @@ object VersionedTable {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
-    val (_, sel) = matchingSelection(spark, root, m, predicate)
+    val (_, sel) = matchingSelection(spark, root, m, predicate, "DELETE")
     dvDelete(spark, root, m, cur, sel, predicate, maxDeleteRows)
   }
 
@@ -2315,7 +2353,7 @@ object VersionedTable {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
-    val (touched, _) = matchingSelection(spark, root, m, predicate)
+    val (touched, _) = matchingSelection(spark, root, m, predicate, "UPDATE")
     if (touched.isEmpty) return cur // index proves nothing can match
     updateCore(spark, root, m, cur, touched, predicate, set, fileRows,
       bloomBits)

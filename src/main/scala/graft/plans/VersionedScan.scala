@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
   GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan,
-  LessThanOrEqual, Literal, NamedExpression, PredicateHelper, StartsWith}
+  LessThanOrEqual, Literal, NamedExpression, Not, PredicateHelper,
+  StartsWith}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
@@ -318,7 +319,8 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
                             in: Option[Seq[Any]] = None,
                             prefix: Option[String] = None,
                             notNull: Boolean = false,
-                            isNull: Boolean = false)
+                            isNull: Boolean = false,
+                            notEq: Seq[Any] = Nil)
 
   /** Extract sound per-column constraints from the conjuncts: closed /
     * strict bounds (strict widened to inclusive), equalities, IN-lists
@@ -385,13 +387,34 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
         upd(a.name)(x => x.copy(in = x.in.orElse(Some(vs))))
       case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
         upd(a.name)(x => x.copy(prefix = x.prefix.orElse(Some(p.toString))))
+      // a =!= v (Not over equality, non-null literal): the column provably
+      // differs from v on every matching row — NULL makes the conjunct
+      // NULL, a non-match, so this is a non-null facet too. Exclusions
+      // ACCUMULATE (each conjunct holds independently), unlike the
+      // first-seen facets above. A NULL literal (`a != NULL`, never true)
+      // contributes nothing — conservative.
+      case Not(EqualTo(a: AttributeReference, l: Literal)) if l.value != null =>
+        upd(a.name)(x => x.copy(notEq = x.notEq :+ ext(l)))
+      case Not(EqualTo(l: Literal, a: AttributeReference)) if l.value != null =>
+        upd(a.name)(x => x.copy(notEq = x.notEq :+ ext(l)))
+      // NOT IN over all-literal, no-NULL lists = a conjunction of =!=
+      // facts (one NULL in the list makes NOT IN never true: skip —
+      // pruning to nothing is the optimizer's job, not the index's)
+      case Not(In(a: AttributeReference, list)) if list.nonEmpty &&
+          list.forall { case l: Literal => l.value != null; case _ => false } =>
+        val vs = list.map { case l: Literal => ext(l) }
+        upd(a.name)(x => x.copy(notEq = x.notEq ++ vs))
+      case Not(InSet(a: AttributeReference, hset)) if !hset.contains(null) =>
+        val conv = CatalystTypeConverters.createToScalaConverter(a.dataType)
+        upd(a.name)(x => x.copy(notEq = x.notEq ++ hset.toSeq.map(conv)))
       case _ => ()
     }
     perCol.toSeq.collect {
       case (name, f) if f.lo.isDefined || f.hi.isDefined || f.eq.isDefined ||
-          f.in.isDefined || f.prefix.isDefined || f.notNull || f.isNull =>
+          f.in.isDefined || f.prefix.isDefined || f.notNull || f.isNull ||
+          f.notEq.nonEmpty =>
         VersionedTable.ColConstraint(name, f.lo, f.hi, f.eq, f.in, f.prefix,
-          f.notNull, f.isNull)
+          f.notNull, f.isNull, notEq = f.notEq)
     }
   }
 

@@ -254,8 +254,6 @@ class DeletionVectorSpec extends SparkSpec {
       rows.toDF("uid", "grp", "n"), Seq("uid", "grp"), Seq("grp"),
       statsCols = Seq("uid"), fileRows = Some(25)))
     val victims: Seq[Any] = Seq(5L, 17L, 130L) // all in g0
-    val g1Before = fsOf(rootA).listStatus(new Path(s"$rootA/gen0/grp=g1"))
-      .toSeq.map(s => (s.getPath.getName, s.getModificationTime)).toSet
     VersionedTable.deleteWhereIn(spark, rootA, "uid", victims,
       fileRows = Some(25))
     VersionedTable.deleteWhereInDV(spark, rootB, "uid", victims)
@@ -265,10 +263,12 @@ class DeletionVectorSpec extends SparkSpec {
       .select($"uid", $"n").as[(Long, Int)].collect().toSet
     assert(a == b)
     assert(a.size == 397)
-    // g1 holds no victims: its files must be byte-identical
-    assert(fsOf(rootA).listStatus(new Path(s"$rootA/gen0/grp=g1"))
-      .toSeq.map(s => (s.getPath.getName, s.getModificationTime)).toSet ==
-      g1Before)
+    // g1 holds no victims: still mapped to gen0 (gen dirs are immutable,
+    // so "still gen0" — not a gen0 file listing — proves no rewrite);
+    // g0 DID rewrite
+    val mapping = VersionedTable.resolveManifest(spark, rootA, None).mapping
+    assert(mapping("grp=g1") == "gen0")
+    assert(mapping("grp=g0") != "gen0")
   }
 
   test("deleteMatching: compound predicate, index-pruned both flavors") {
@@ -287,11 +287,10 @@ class DeletionVectorSpec extends SparkSpec {
     // prune) AND a residual on w the index can't express
     val pred = col("v").between(60, 110) && col("grp") =!= "g2" &&
       col("w") === 1
-    def fileIds(root: String, rel: String) =
-      fsOf(root).listStatus(new Path(s"$root/gen0/$rel")).toSeq
-        .map(s => (s.getPath.getName, s.getModificationTime)).toSet
-    val g2Before = fileIds(rootB, "grp=g2")
-    val g0Before = fileIds(rootB, "grp=g0")
+    // generations are immutable: a rewrite repoints the MAPPING to a new
+    // gen dir, so "still gen0" is the byte-identity proof
+    def genOf(root: String, rel: String): String =
+      VersionedTable.resolveManifest(spark, root, None).mapping(rel)
     val dvFilesBefore = {
       val it = fsOf(rootA).listFiles(new Path(rootA), true)
       var n = 0
@@ -317,15 +316,41 @@ class DeletionVectorSpec extends SparkSpec {
       n
     }
     assert(dvFilesAfter == dvFilesBefore)
-    // rewrite flavor: the partition fact proves g2 clear -> byte-identity;
-    // the v-range proves g0 clear (v in [0,24]) -> byte-identity too
-    assert(fileIds(rootB, "grp=g2") == g2Before)
-    assert(fileIds(rootB, "grp=g0") == g0Before)
+    // rewrite flavor: the partition fact proves g2 clear -> still gen0;
+    // the v-range proves g0 clear (v in [0,24]) and g3 (v in [150,174]);
+    // g1 (v in [50,74] overlapping [60,110]) DID rewrite
+    assert(genOf(rootB, "grp=g2") == "gen0")
+    assert(genOf(rootB, "grp=g0") == "gen0")
+    assert(genOf(rootB, "grp=g3") == "gen0")
+    assert(genOf(rootB, "grp=g1") != "gen0")
     // guards: nondeterministic and subquery predicates refuse loudly
     intercept[IllegalArgumentException] {
       VersionedTable.deleteMatching(spark, rootB,
         org.apache.spark.sql.functions.rand() < 0.5)
     }
+  }
+
+  test("unrenderable stats types (Boolean) never prune — no silent misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boolstat").toString
+    val root = s"$dir/t"
+    val rows = (0 until 100).map(i => (i.toLong, "g0", i % 2 == 0))
+    // statsCols on a BOOLEAN column: renderStat has no case for the
+    // type, so every file records ColStat(None, None, ...) even though
+    // no value is null — the probes must treat that as "unknown", not
+    // "all-null", or key-list erasure silently misses every row
+    VersionedTable.upsert(spark, root, rows.toDF("id", "grp", "flag"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("flag"),
+      fileRows = Some(25))
+    VersionedTable.deleteWhereIn(spark, root, "flag", Seq(true),
+      fileRows = Some(25))
+    assert(VersionedTable.read(spark, root)
+      .select($"id").as[Long].collect().toSet ==
+      rows.filterNot(_._3).map(_._1).toSet)
+    // the optimizer-rule constraint path must keep the files too
+    val viaRule = VersionedTable.readConstrained(spark, root,
+      Seq(VersionedTable.ColConstraint("flag", None, None, Some(false))),
+      None).count()
+    assert(viaRule == 50)
   }
 
   test("DV serialization round-trips arbitrary sorted position sets") {

@@ -12,9 +12,12 @@ class UpdateWhereSpec extends SparkSpec {
   private def fsOf(root: String): FileSystem = FileSystem.get(
     java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
 
-  private def fileIds(root: String, rel: String): Set[(String, Long, Long)] =
-    fsOf(root).listStatus(new Path(s"$root/gen0/$rel")).toSeq
-      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+  /** The generation dir `rel` is mapped to NOW. Generations are
+    * immutable, so listing files under gen0 can never detect a rewrite —
+    * a rewrite stages a NEW generation and repoints the mapping; "still
+    * gen0" is the byte-identity proof. */
+  private def genOf(root: String, rel: String): String =
+    VersionedTable.resolveManifest(spark, root, None).mapping(rel)
 
   /** 400 rows over 4 partitions; v clustered so [60,110] hits g1/g2. */
   private def freshTable(tag: String): (String, Seq[(Int, String, Int, Long)]) = {
@@ -31,8 +34,6 @@ class UpdateWhereSpec extends SparkSpec {
 
   test("updateWhere: window rows updated, untouched dirs byte-identical") {
     val (root, rows) = freshTable("basic")
-    val g0Before = fileIds(root, "grp=g0")
-    val g3Before = fileIds(root, "grp=g3")
     val v1 = VersionedTable.updateWhere(spark, root, "v", 60, 110,
       Map("w" -> (col("w") + 1000000L)), fileRows = Some(25))
     assert(v1 == 1)
@@ -46,9 +47,9 @@ class UpdateWhereSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root)
       .select($"id", $"v").as[(Int, Int)].collect().toMap ==
       rows.map(r => r._1 -> r._3).toMap)
-    // the index proves g0/g3 cannot match: byte-identity
-    assert(fileIds(root, "grp=g0") == g0Before)
-    assert(fileIds(root, "grp=g3") == g3Before)
+    // the index proves g0/g3 cannot match: still mapped to gen0
+    assert(genOf(root, "grp=g0") == "gen0")
+    assert(genOf(root, "grp=g3") == "gen0")
     // time travel sees the original values
     assert(VersionedTable.read(spark, root, Some(0))
       .filter($"w" >= 1000000L).count() == 0)
@@ -75,8 +76,6 @@ class UpdateWhereSpec extends SparkSpec {
 
   test("updateWhere on a PARTITION-column predicate touches exactly that dir") {
     val (root, rows) = freshTable("partpred")
-    val g0Before = fileIds(root, "grp=g0")
-    val g2Before = fileIds(root, "grp=g2")
     VersionedTable.updateWhere(spark, root, "grp", "g1", "g1",
       Map("w" -> lit(-1L)), fileRows = Some(25))
     val got = VersionedTable.read(spark, root)
@@ -84,8 +83,9 @@ class UpdateWhereSpec extends SparkSpec {
     val expect = rows.map { r =>
       r._1 -> (if (r._2 == "g1") -1L else r._4) }.toMap
     assert(got == expect)
-    assert(fileIds(root, "grp=g0") == g0Before)
-    assert(fileIds(root, "grp=g2") == g2Before)
+    assert(genOf(root, "grp=g0") == "gen0")
+    assert(genOf(root, "grp=g2") == "gen0")
+    assert(genOf(root, "grp=g1") != "gen0")
   }
 
   test("updateWhere after a DV delete: dead rows stay dead and materialize") {
@@ -110,7 +110,6 @@ class UpdateWhereSpec extends SparkSpec {
     VersionedTable.upsert(spark, root, rows.toDF("uid", "grp", "w"),
       Seq("uid", "grp"), Seq("grp"), statsCols = Seq("uid"),
       fileRows = Some(25))
-    val g1Before = fileIds(root, "grp=g1")
     val victims: Seq[Any] = Seq(5L, 17L, 130L, null)
     VersionedTable.updateWhereIn(spark, root, "uid", victims,
       Map("w" -> lit(-1L)), fileRows = Some(25))
@@ -119,7 +118,7 @@ class UpdateWhereSpec extends SparkSpec {
     val vset = Set(5L, 17L, 130L)
     assert(got == rows.map(r =>
       r._1 -> (if (vset(r._1)) -1L else r._3)).toMap)
-    assert(fileIds(root, "grp=g1") == g1Before)
+    assert(genOf(root, "grp=g1") == "gen0")
     // empty / all-null / miss lists commit nothing
     assert(VersionedTable.updateWhereIn(spark, root, "uid", Nil,
       Map("w" -> lit(0L))) == 1)
@@ -140,7 +139,6 @@ class UpdateWhereSpec extends SparkSpec {
       Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
     VersionedTable.deleteWhereDV(spark, root, "v", 0L, 99L)      // g0: 100/200
     VersionedTable.deleteWhereDV(spark, root, "v", 1000L, 1001L) // g1: 2/200
-    val g1Before = fileIds(root, "grp=g1")
     val v = VersionedTable.materializeDvs(spark, root, minFraction = 0.1,
       fileRows = Some(25))
     assert(v == 3)
@@ -148,7 +146,8 @@ class UpdateWhereSpec extends SparkSpec {
     val left = VersionedTable.dvStats(spark, root)
     assert(left.map(_._2).sum == 2 && left.forall(_._1.contains("grp=g1")),
       s"expected only g1's sparse DVs to remain: $left")
-    assert(fileIds(root, "grp=g1") == g1Before)
+    assert(genOf(root, "grp=g1") == "gen0")
+    assert(genOf(root, "grp=g0") != "gen0")
     assert(VersionedTable.read(spark, root).count() == 400 - 102)
     // maintain: no-op on a healthy table (commits NOTHING)...
     val idle = VersionedTable.maintain(spark, root, maxFilesPerDir = 16,
@@ -167,8 +166,6 @@ class UpdateWhereSpec extends SparkSpec {
 
   test("updateMatching: compound predicate, index-cleared dirs intact") {
     val (root, rows) = freshTable("matching")
-    val g0Before = fileIds(root, "grp=g0")
-    val g3Before = fileIds(root, "grp=g3")
     // v-range (file stats) AND partition exclusion AND a residual on w
     val v1 = VersionedTable.updateMatching(spark, root,
       col("v").between(60, 110) && col("grp") =!= "g2" &&
@@ -182,10 +179,13 @@ class UpdateWhereSpec extends SparkSpec {
       r._1 -> (if (hit) r._4 + 1000000L else r._4)
     }.toMap
     assert(got == expect)
-    // the v-range clears g0 (v in [0,24]), the partition fact clears
-    // nothing extra here but g3 (v in [150,174]) is range-cleared too
-    assert(fileIds(root, "grp=g0") == g0Before)
-    assert(fileIds(root, "grp=g3") == g3Before)
+    // the v-range clears g0 (v in [0,24]) and g3 (v in [150,174]); the
+    // partition fact clears g2 OUTRIGHT even though its v-range [100,124]
+    // overlaps the predicate window
+    assert(genOf(root, "grp=g0") == "gen0")
+    assert(genOf(root, "grp=g3") == "gen0")
+    assert(genOf(root, "grp=g2") == "gen0")
+    assert(genOf(root, "grp=g1") != "gen0")
     // guards shared with the delete flavor
     intercept[IllegalArgumentException] {
       VersionedTable.updateMatching(spark, root,
