@@ -38,6 +38,7 @@ object Bench {
       // so the bench keeps it; transformWithState ops configure RocksDB
       // on their own queries where the API requires it.
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Dev controls: SPARK_GRAFT_ONLY=q_a,q_b restricts the run;

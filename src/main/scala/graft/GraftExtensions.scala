@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteRegexpCount)
     ext.injectOptimizerRule(_ => graft.plans.PruneVersionedScan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL DML/maintenance over the versioned lake (DELETE/UPDATE/MERGE on
+    // graft.`root`; OPTIMIZE/VACUUM/RESTORE/DESCRIBE HISTORY). Parser
+    // injection only exists at session BUILD time — register(spark)
+    // cannot retrofit it (sessionState pins its parser).
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
   }
 }
 

@@ -1706,6 +1706,89 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** The PURE-SQL DML surface under oracle check: the rollup fixture
+    * driven entirely through `spark.sql` — a compound-predicate DELETE
+    * (date window AND partition-type exclusion), then an UPDATE doubling
+    * daily_close in an earlier window, both through GraftSqlParser's
+    * rewrite of Spark's OWN DML grammar onto the versioned engine calls
+    * (plans/GraftSql.scala). Guards: each statement commits a version,
+    * and the DELETE's partition fact keeps the excluded type mapped to
+    * its original generation — index pruning engages through SQL exactly
+    * as through the Scala API. Oracle = rollup minus the deleted window
+    * with the update's CASE applied. */
+  private def qVersionedSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_sql_dml/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val keepType = daily.agg(org.apache.spark.sql.functions
+      .min(col("event_type"))).head.getString(0)
+    val v1 = s.sql(
+      s"""DELETE FROM graft.`$root`
+         |WHERE date BETWEEN DATE'2024-01-08' AND DATE'2024-01-14'
+         |  AND event_type != '$keepType'""".stripMargin).head.getInt(0)
+    require(v1 == 1, s"SQL DELETE did not commit: $v1")
+    require(VersionedTable.resolveManifest(s, root, None)
+      .mapping(s"event_type=$keepType") == "gen0",
+      "SQL DELETE's partition fact failed to prune the excluded type")
+    val v2 = s.sql(
+      s"""UPDATE graft.`$root` SET daily_close = daily_close * 2
+         |WHERE date < DATE'2024-01-05'""".stripMargin).head.getInt(0)
+    require(v2 == 2, s"SQL UPDATE did not commit: $v2")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
+  /** SQL MERGE under oracle check, both legs: the source carries the
+    * mid-January window with daily_volume bumped (matched → UPDATE SET *)
+    * plus the same rows re-keyed to `<type>_x` (not matched → INSERT *);
+    * one `MERGE INTO graft.`root` ... ON two-column key` statement
+    * applies both. Partitioning and index coverage come from the
+    * manifest, not the statement (guard: stats still prune afterwards).
+    * Oracle = CASE-bumped rollup UNION ALL the re-keyed window. */
+  private def qVersionedSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_sql_merge/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val win = daily.filter(col("date").between(
+      org.apache.spark.sql.functions.lit("2024-01-08").cast(DateType),
+      org.apache.spark.sql.functions.lit("2024-01-14").cast(DateType)))
+      .withColumn("daily_volume", col("daily_volume") + lit(1000000L))
+    val view = "graft_sql_merge_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    win.union(win.withColumn("event_type",
+        org.apache.spark.sql.functions.concat(col("event_type"), lit("_x"))))
+      .createOrReplaceTempView(view)
+    val before = VersionedTable.read(s, root).count()
+    val winN = win.count()
+    val v1 = s.sql(
+      s"""MERGE INTO graft.`$root` t USING $view s
+         |ON t.event_type = s.event_type AND t.date = s.date
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head.getInt(0)
+    require(v1 == 1, s"SQL MERGE did not commit: $v1")
+    require(VersionedTable.read(s, root).count() == before + winN,
+      "SQL MERGE insert leg lost rows")
+    val (kept, total) = VersionedTable.skipStats(s, root, "date",
+      java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-02"))
+    require(kept < total,
+      s"index coverage lost through SQL MERGE: $kept/$total")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Key-list GDPR erasure under oracle check: the documents table as a
     * versioned table with a BLOOM-indexed doc_id, then
     * [[VersionedTable.deleteWhereInDV]] erases the three smallest ids —
@@ -3458,6 +3541,8 @@ object SparkEntry {
     "q_versioned_dv" -> (qVersionedDv _),
     "q_versioned_dv_in" -> (qVersionedDvIn _),
     "q_versioned_delete_expr" -> (qVersionedDeleteExpr _),
+    "q_versioned_sql_dml" -> (qVersionedSqlDml _),
+    "q_versioned_sql_merge" -> (qVersionedSqlMerge _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
     "q_versioned_update" -> (qVersionedUpdate _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -6032,6 +6117,52 @@ object SparkEntry {
          |SELECT * FROM daily_all
          |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
          |   OR event_type = (SELECT min(event_type) FROM events)"""
+      .stripMargin,
+
+    // pure-SQL DML: DELETE window (non-min types) then UPDATE close < Jan 5
+    "q_versioned_sql_dml" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  CASE WHEN date < DATE '2024-01-05'
+         |    THEN daily_close * 2 ELSE daily_close END AS daily_close,
+         |  daily_volume, daily_change
+         |FROM daily_all
+         |WHERE date NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |   OR event_type = (SELECT min(event_type) FROM events)"""
+      .stripMargin,
+
+    // SQL MERGE: window rows volume-bumped (matched) + re-keyed copies
+    // (inserted)
+    "q_versioned_sql_merge" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change,
+         |    CAST(date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |      AS BOOLEAN) AS in_win
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close,
+         |  CAST(CASE WHEN in_win THEN daily_volume + 1000000
+         |    ELSE daily_volume END AS BIGINT) AS daily_volume,
+         |  daily_change
+         |FROM daily_all
+         |UNION ALL
+         |SELECT event_type || '_x', date, daily_open, daily_high,
+         |  daily_low, daily_close,
+         |  CAST(daily_volume + 1000000 AS BIGINT) AS daily_volume,
+         |  daily_change
+         |FROM daily_all WHERE in_win"""
       .stripMargin,
 
     // partition-filtered fold: per-type day counts minus the min type

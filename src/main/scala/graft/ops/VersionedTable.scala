@@ -2259,14 +2259,42 @@ object VersionedTable {
                                 m: Manifest,
                                 predicate: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{EmptyRow, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef,
+      EmptyRow, Literal, RuntimeReplaceable, With}
     val df = readM(spark, root, m).filter(predicate)
     val cond = df.queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
     }.getOrElse(throw new IllegalArgumentException(
       s"predicate did not analyze to a filter: $predicate"))
-    cond.transformUp {
+    // RuntimeReplaceables desugar only at OPTIMIZATION (ReplaceExpressions
+    // + RewriteWithExpression) — SQL `BETWEEN` analyzes to between(v, lo,
+    // hi) whose replacement is a With(ref >= lo AND ref <= hi) common-
+    // subexpression form; without desugaring, extraction sees nothing.
+    // Iterated to fixpoint because transformDown does NOT re-apply the
+    // rule to a node it just substituted (a Between's replacement IS a
+    // With — one pass would leave it opaque, exactly what Spark's two
+    // separate optimizer rules paper over). Re-inlining a common-
+    // expression def is fine here: the result only feeds fact
+    // EXTRACTION, never codegen.
+    var desugared = cond
+    var changed = true
+    var fuel = 10
+    while (changed && fuel > 0) {
+      val next = desugared.transformDown {
+        case r: RuntimeReplaceable => r.replacement
+        case w: With =>
+          val defs = w.defs.map(d => d.id -> d.child).toMap
+          w.child.transform {
+            case ref: CommonExpressionRef if defs.contains(ref.id) =>
+              defs(ref.id)
+          }
+      }
+      changed = !(next fastEquals desugared)
+      desugared = next
+      fuel -= 1
+    }
+    desugared.transformUp {
       case e if e.foldable && !e.isInstanceOf[Literal] =>
         Literal.create(e.eval(EmptyRow), e.dataType)
     }
@@ -2367,6 +2395,20 @@ object VersionedTable {
               asOfVersion: Option[Int] = None): Seq[(String, Long)] =
     resolveManifest(spark, root, asOfVersion).dvs.toSeq
       .map { case (f, (_, _, _, n)) => (f, n) }.sortBy(_._1)
+
+  /** Index coverage of a manifest: (stats columns, bloom columns) any
+    * data file carries, partition columns excluded — what the SQL
+    * maintenance surfaces (OPTIMIZE, MERGE INTO) rebuild so a rewrite
+    * preserves the index family without the caller re-declaring it.
+    * The same inference [[rewriteTouched]] applies per touched dir. */
+  private[graft] def coveredIndexCols(m: Manifest): (Seq[String], Seq[String]) = {
+    val stats = m.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
+      .filter(m.schema.fieldNames.contains).filterNot(m.partCols.contains)
+    val blooms = (m.blooms.valuesIterator.flatMap(_.keys) ++
+      m.bloomRefs.valuesIterator.flatMap(_.keys)).toSeq.distinct
+      .filter(m.schema.fieldNames.contains).filterNot(m.partCols.contains)
+    (stats, blooms)
+  }
 
   /** A write was rejected because rows violate a registered CHECK
     * constraint — nothing was staged or committed. */

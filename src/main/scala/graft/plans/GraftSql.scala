@@ -1,0 +1,326 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable,
+  SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+
+import graft.ops.VersionedTable
+
+/**
+ * The pure-SQL DML/maintenance surface of the versioned lake — the
+ * counterpart of the read-side `graft_table` table function, so a SQL-only
+ * user can run the table's FULL lifecycle without a line of Scala:
+ *
+ * {{{
+ *   DELETE FROM graft.`/lake/events` WHERE date < DATE'2024-01-01'
+ *   UPDATE graft.`/lake/events` SET score = score * 2 WHERE src = 'b'
+ *   MERGE INTO graft.`/lake/events` t USING updates s
+ *     ON t.id = s.id WHEN MATCHED THEN UPDATE SET *
+ *     WHEN NOT MATCHED THEN INSERT *
+ *   OPTIMIZE graft.`/lake/events` ZORDER BY (lat, lon)
+ *   VACUUM graft.`/lake/events` RETAIN 3 VERSIONS
+ *   RESTORE graft.`/lake/events` TO VERSION AS OF 4
+ *   DESCRIBE HISTORY graft.`/lake/events`
+ * }}}
+ *
+ * Mechanics — the Delta-style parser-delegate pattern, not a custom
+ * dialect: DELETE / UPDATE / MERGE already live in Spark's OWN ANTLR
+ * grammar (the reference's engine has no statement grammar at all, its
+ * MERGE is an API call — load_stream_to_snowflake.py:243), so this parser
+ * delegates the text to Spark and then REWRITES the returned logical
+ * command when its target identifier is `graft`.`<root>` — full
+ * expression coverage (subqueries, functions, ANSI literals) for free,
+ * zero grammar maintenance. Only the four statements Spark's grammar
+ * lacks (OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY) are recognized
+ * up front, by anchored patterns that accept both the `graft`.`root`
+ * identifier and the `graft_table('root')` spelling.
+ *
+ * The rewritten plans are eager [[LeafRunnableCommand]]s calling the same
+ * engine entry points the Scala API uses (deleteMatching / updateMatching
+ * / upsert / compact / vacuum / restore) — SQL DML therefore gets the
+ * identical constraint-extraction index pruning, CHECK gating, and
+ * claim-retry concurrency story, and returns the committed version as a
+ * one-row result. Predicates and SET right-hand sides ride along as
+ * UNRESOLVED expressions wrapped in Columns (a Column field is invisible
+ * to TreeNode's expression reflection, so the command node is "resolved"
+ * and analysis-clean); they resolve against the table's committed schema
+ * inside the engine call, exactly like their Scala twins.
+ *
+ * Activation: session built with
+ * `spark.sql.extensions=graft.GraftExtensions` (the parser is part of
+ * sessionState and cannot be added to an already-running session —
+ * unlike the function/rule surface, which `GraftExtensions.register`
+ * retrofits).
+ */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseStatement(sqlText).getOrElse(
+      GraftSqlParser.rewriteDml(delegate.parsePlan(sqlText)))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** `graft`.`<root>` (group 1) or `graft_table('<root>')` (group 2). */
+  private val Target =
+    """(?:graft\s*\.\s*`([^`]+)`|graft_table\s*\(\s*'([^']+)'\s*\))"""
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + Target +
+      """\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """\s*(?:ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`,\s]+?)\s*\)?)?\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+""" + Target +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val HistoryRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
+
+  private def root(g1: String, g2: String): String =
+    Option(g1).getOrElse(g2)
+
+  /** The statements Spark's grammar cannot parse; None = not ours,
+    * delegate the text. */
+  private[graft] def parseStatement(sql: String): Option[LogicalPlan] =
+    sql match {
+      case VacuumRe(g1, g2, keep) =>
+        Some(GraftVacuumCommand(root(g1, g2),
+          Option(keep).map(_.toInt).getOrElse(1)))
+      case OptimizeRe(g1, g2, zorder) =>
+        Some(GraftOptimizeCommand(root(g1, g2),
+          Option(zorder).toSeq.flatMap(_.split(","))
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)))
+      case RestoreRe(g1, g2, v) =>
+        Some(GraftRestoreCommand(root(g1, g2), v.toInt))
+      case HistoryRe(g1, g2) =>
+        Some(GraftHistoryCommand(root(g1, g2)))
+      case _ => None
+    }
+
+  /** The `graft`.`<root>` target of a DML command (through an optional
+    * alias), with the alias so predicate qualifiers can be stripped. */
+  private def graftTarget(plan: LogicalPlan)
+      : Option[(String, Option[String])] = plan match {
+    case SubqueryAlias(ident, child) =>
+      graftTarget(child).map { case (r, _) => (r, Some(ident.name)) }
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+        u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some((u.multipartIdentifier(1), None))
+    case _ => None
+  }
+
+  /** `t.col` -> `col` when `t` is the statement's own table alias — the
+    * engine re-resolves the predicate against a bare table scan, where
+    * the alias does not exist. */
+  private def stripQualifier(e: Expression, alias: Option[String])
+      : Expression = alias match {
+    case None => e
+    case Some(a) => e.transform {
+      case attr: UnresolvedAttribute if attr.nameParts.length > 1 &&
+          attr.nameParts.head.equalsIgnoreCase(a) =>
+        UnresolvedAttribute(attr.nameParts.tail)
+    }
+  }
+
+  private def asColumn(e: Expression, alias: Option[String]): Column =
+    ColumnBridge.column(stripQualifier(e, alias))
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x => Seq(x)
+  }
+
+  /** Upsert keys from the MERGE ON clause: a conjunction of
+    * `t.k = s.k` equalities over same-named columns. */
+  private def mergeKeys(cond: Expression): Seq[String] =
+    splitConj(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO graft.`root` supports ON as a conjunction of " +
+          s"t.k = s.k equalities over same-named columns; got: ${other.sql}")
+    }
+
+  /** Swap Spark's parsed DML commands for graft's runnable ones when the
+    * target is a `graft`.`root` identifier; any other plan (including
+    * DML on real catalog tables) passes through untouched. */
+  private[graft] def rewriteDml(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case d: DeleteFromTable =>
+        graftTarget(d.table) match {
+          case Some((r, alias)) =>
+            GraftDeleteCommand(r, asColumn(d.condition, alias))
+          case None => d
+        }
+      case u: UpdateTable =>
+        graftTarget(u.table) match {
+          case Some((r, alias)) =>
+            val set = u.assignments.map {
+              case Assignment(key: UnresolvedAttribute, value) =>
+                key.nameParts.last -> asColumn(value, alias)
+              case other => throw new IllegalArgumentException(
+                s"UPDATE graft.`root` SET targets must be columns; " +
+                  s"got: ${other.sql}")
+            }
+            require(set.map(_._1).distinct.length == set.length,
+              "duplicate column in UPDATE SET: " +
+                set.map(_._1).mkString(", "))
+            GraftUpdateCommand(r, set,
+              u.condition.map(asColumn(_, alias)))
+          case None => u
+        }
+      case m: MergeIntoTable =>
+        graftTarget(m.targetTable) match {
+          case Some((r, _)) =>
+            require(!m.withSchemaEvolution,
+              "MERGE INTO graft.`root` WITH SCHEMA EVOLUTION is not " +
+                "supported — evolve with addColumn first")
+            (m.matchedActions, m.notMatchedActions,
+                m.notMatchedBySourceActions) match {
+              case (Seq(UpdateStarAction(None)),
+                    Seq(InsertStarAction(None)), Seq()) => ()
+              case _ => throw new IllegalArgumentException(
+                "MERGE INTO graft.`root` supports exactly WHEN MATCHED " +
+                  "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+                  "(the versioned upsert); for row-level conditions use " +
+                  "UPDATE/DELETE statements")
+            }
+            GraftMergeCommand(r, m.sourceTable, mergeKeys(m.mergeCondition))
+          case None => m
+        }
+    }
+}
+
+/** `DELETE FROM graft.`root` WHERE p` — [[VersionedTable.deleteMatching]]:
+  * physical rewrite of only the dirs the predicate's extracted facts
+  * cannot clear. Returns the committed version. */
+case class GraftDeleteCommand(root: String, condition: Column)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.deleteMatching(spark, root, condition)))
+}
+
+/** `UPDATE graft.`root` SET a = e [, ...] [WHERE p]` —
+  * [[VersionedTable.updateMatching]] (OLD-row right-hand sides, CHECK
+  * gating, index-cleared dirs keep byte-identity). */
+case class GraftUpdateCommand(root: String, set: Seq[(String, Column)],
+                              condition: Option[Column])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.updateMatching(spark, root,
+      condition.getOrElse(lit(true)), set.toMap)))
+}
+
+/** `MERGE INTO graft.`root` t USING src s ON t.k = s.k WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the versioned upsert
+  * with the ON columns as merge keys. Partitioning comes from the
+  * existing manifest; stats/bloom coverage is re-derived from what the
+  * current files carry, so the index family survives SQL-driven ingest. */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+                             keys: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val m = VersionedTable.resolveManifest(spark, root, None)
+    val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
+    VersionedTable.upsert(spark, root, PlanBridge.dataFrame(spark, source),
+      keys, m.partCols, statsCols = statsCols, bloomCols = bloomCols)
+    Seq(Row(VersionedTable.currentVersion(spark, root).get))
+  }
+}
+
+/** `OPTIMIZE graft.`root` [ZORDER BY (c, ...)]` — full
+  * [[VersionedTable.compact]] preserving (and re-clustering) the
+  * manifest's index coverage. */
+case class GraftOptimizeCommand(root: String, zOrderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val m = VersionedTable.resolveManifest(spark, root, None)
+    val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
+    Seq(Row(VersionedTable.compact(spark, root, statsCols = statsCols,
+      bloomCols = bloomCols, zOrderCols = zOrderCols)))
+  }
+}
+
+/** `VACUUM graft.`root` [RETAIN n VERSIONS]` (default 1: current only).
+  * Returns the versions still readable afterwards. */
+case class GraftVacuumCommand(root: String, keepVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("versions_kept", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.vacuum(spark, root, keepVersions)
+    Seq(Row(VersionedTable.history(spark, root).size))
+  }
+}
+
+/** `RESTORE graft.`root` TO VERSION AS OF v` — commits a NEW version
+  * whose content is version v (history stays append-only). */
+case class GraftRestoreCommand(root: String, toVersion: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.restore(spark, root, toVersion)))
+}
+
+/** `DESCRIBE HISTORY graft.`root`` — one row per still-committed version:
+  * its commit instant (the `_commit.N` marker's create time) and total
+  * rows from manifest metadata (null for pre-#dirrows manifests). No
+  * data files touched. */
+case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no committed version at $root"))
+    VersionedTable.historyDetail(spark, root).map { case (v, ms) =>
+      val m = VersionedTable.resolveManifestAt(spark, root, v, cur)
+      val rows = if (m.dirRows.isEmpty) null
+        else java.lang.Long.valueOf(m.dirRows.values.sum)
+      Row(v, new java.sql.Timestamp(ms), rows)
+    }
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.VersionedTable
+
+/** The pure-SQL DML/maintenance surface (GraftSqlParser): every lake
+  * lifecycle statement through `spark.sql(...)` alone, equal to its
+  * Scala-API twin, with the same index pruning engaged. */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 400 rows over 4 partitions; v clustered per partition. */
+  private def freshTable(tag: String): (String, Seq[(Int, String, Int, Long)]) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_sql_$tag").toString
+    val root = s"$dir/table"
+    val rows = (0 until 400).map { i =>
+      val g = i / 100
+      (i, s"g$g", g * 50 + (i % 100) / 4, i.toLong * 10)
+    }
+    VersionedTable.upsert(spark, root, rows.toDF("id", "grp", "v", "w"),
+      Seq("id", "grp"), Seq("grp"), statsCols = Seq("v"), fileRows = Some(25))
+    (root, rows)
+  }
+
+  private def genOf(root: String, rel: String): String =
+    VersionedTable.resolveManifest(spark, root, None).mapping(rel)
+
+  test("SQL DELETE: compound predicate, index pruning engaged") {
+    val (root, rows) = freshTable("del")
+    val res = spark.sql(
+      s"DELETE FROM graft.`$root` WHERE v BETWEEN 60 AND 110 " +
+        "AND grp != 'g2' AND w % 20 = 0")
+    assert(res.columns.toSeq == Seq("version"))
+    assert(res.collect().map(_.getInt(0)).toSeq == Seq(1))
+    val expect = rows.filterNot(r =>
+      r._3 >= 60 && r._3 <= 110 && r._2 != "g2" && r._4 % 20 == 0)
+      .map(r => (r._1, r._4)).toSet
+    assert(VersionedTable.read(spark, root)
+      .select($"id", $"w").as[(Int, Long)].collect().toSet == expect)
+    // same pruning as the Scala twin: range clears g0/g3, the =!=
+    // partition fact clears g2 — only g1 rewrote
+    assert(genOf(root, "grp=g0") == "gen0")
+    assert(genOf(root, "grp=g2") == "gen0")
+    assert(genOf(root, "grp=g3") == "gen0")
+    assert(genOf(root, "grp=g1") != "gen0")
+  }
+
+  test("SQL DELETE with table alias; WHERE-less refuses nothing (full clear)") {
+    val (root, rows) = freshTable("delalias")
+    spark.sql(s"DELETE FROM graft.`$root` AS t WHERE t.v < 10")
+    assert(VersionedTable.read(spark, root).count() ==
+      rows.count(_._3 >= 10))
+  }
+
+  test("SQL UPDATE: SET sees the OLD row; WHERE prunes; version returned") {
+    val (root, rows) = freshTable("upd")
+    val res = spark.sql(
+      s"UPDATE graft.`$root` SET w = w + 1000000 WHERE v BETWEEN 60 AND 110")
+    assert(res.collect().map(_.getInt(0)).toSeq == Seq(1))
+    val expect = rows.map { r =>
+      r._1 -> (if (r._3 >= 60 && r._3 <= 110) r._4 + 1000000L else r._4)
+    }.toMap
+    assert(VersionedTable.read(spark, root)
+      .select($"id", $"w").as[(Int, Long)].collect().toMap == expect)
+    assert(genOf(root, "grp=g0") == "gen0")
+    assert(genOf(root, "grp=g3") == "gen0")
+    // swap through one statement: both right-hand sides see OLD values
+    val swapDir = java.nio.file.Files.createTempDirectory("graft_sql_swap")
+    val swapRoot = s"$swapDir/t"
+    VersionedTable.upsert(spark, swapRoot,
+      Seq((1, "a", 10L, 20L)).toDF("id", "p", "x", "y"), Seq("id", "p"),
+      Seq("p"))
+    spark.sql(s"UPDATE graft.`$swapRoot` SET x = y, y = x WHERE id = 1")
+    assert(VersionedTable.read(spark, swapRoot)
+      .select($"x", $"y").as[(Long, Long)].collect().toSeq ==
+      Seq((20L, 10L)))
+  }
+
+  test("SQL MERGE: upsert semantics, index coverage survives") {
+    val (root, rows) = freshTable("merge")
+    // 50 updates (w := -1) + 10 inserts
+    val src = ((390 until 440).map(i => (i, s"g${i / 100 min 3}", 1, -1L)))
+      .toDF("id", "grp", "v", "w")
+    src.createOrReplaceTempView("sql_merge_src")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$root` t USING sql_merge_src s
+         |ON t.id = s.id AND t.grp = s.grp
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(res.collect().map(_.getInt(0)).toSeq == Seq(1))
+    val got = VersionedTable.read(spark, root)
+      .select($"id", $"w").as[(Int, Long)].collect().toMap
+    assert(got.size == 440)
+    assert((390 until 440).forall(got(_) == -1L))
+    assert(got(0) == 0L)
+    // the stats index survived the SQL-driven ingest: skipStats still
+    // prunes on v
+    val (kept, total) = VersionedTable.skipStats(spark, root, "v", 0, 5)
+    assert(kept < total, s"stats lost through SQL MERGE: $kept/$total")
+    // non-upsert MERGE shapes refuse loudly
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING sql_merge_src s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(bad.getMessage.contains("UPDATE SET *"))
+  }
+
+  test("SQL OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
+    val (root, rows) = freshTable("maint")
+    spark.sql(s"DELETE FROM graft.`$root` WHERE v < 10") // v1
+    // OPTIMIZE with ZORDER re-clusters and preserves the index family
+    val v2 = spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (v)")
+      .collect().head.getInt(0)
+    assert(v2 == 2)
+    val (kept, total) = VersionedTable.skipStats(spark, root, "v", 150, 160)
+    assert(kept < total, s"post-OPTIMIZE stats missing: $kept/$total")
+    // history: three versions, ascending commit times, live row counts
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(hist.map(_.getTimestamp(1).getTime).toSeq.sorted ==
+      hist.map(_.getTimestamp(1).getTime).toSeq)
+    assert(hist.last.getLong(2) == rows.count(_._3 >= 10))
+    // RESTORE to v0 commits v3 with the original content
+    val v3 = spark.sql(s"RESTORE graft.`$root` TO VERSION AS OF 0")
+      .collect().head.getInt(0)
+    assert(v3 == 3)
+    assert(VersionedTable.read(spark, root).count() == 400)
+    // VACUUM RETAIN 1: only the current version stays readable
+    val keptN = spark.sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS")
+      .collect().head.getInt(0)
+    assert(keptN == 1)
+    assert(VersionedTable.history(spark, root) == Seq(3))
+    assert(VersionedTable.read(spark, root).count() == 400)
+    // graft_table('...') target spelling parses too
+    assert(spark.sql(s"DESCRIBE HISTORY graft_table('$root')")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("non-graft SQL passes through untouched") {
+    assert(spark.sql("SELECT 1 AS x").collect().head.getInt(0) == 1)
+    // DELETE on a non-graft target falls through to Spark's own
+    // resolution (and fails there as a missing table, not in our code)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM no_such_table WHERE 1 = 1")
+    }
+    // a query merely MENTIONING the word graft is untouched
+    assert(spark.sql("SELECT 'graft' AS s").collect().head.getString(0)
+      == "graft")
+  }
+}
