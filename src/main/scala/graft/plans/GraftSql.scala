@@ -204,9 +204,6 @@ object GraftSqlParser {
       case m: MergeIntoTable =>
         graftTarget(m.targetTable) match {
           case Some((r, _)) =>
-            require(!m.withSchemaEvolution,
-              "MERGE INTO graft.`root` WITH SCHEMA EVOLUTION is not " +
-                "supported — evolve with addColumn first")
             (m.matchedActions, m.notMatchedActions,
                 m.notMatchedBySourceActions) match {
               case (Seq(UpdateStarAction(None)),
@@ -217,7 +214,8 @@ object GraftSqlParser {
                   "(the versioned upsert); for row-level conditions use " +
                   "UPDATE/DELETE statements")
             }
-            GraftMergeCommand(r, m.sourceTable, mergeKeys(m.mergeCondition))
+            GraftMergeCommand(r, m.sourceTable, mergeKeys(m.mergeCondition),
+              m.withSchemaEvolution)
           case None => m
         }
     }
@@ -247,21 +245,40 @@ case class GraftUpdateCommand(root: String, set: Seq[(String, Column)],
       condition.getOrElse(lit(true)), set.toMap)))
 }
 
-/** `MERGE INTO graft.`root` t USING src s ON t.k = s.k WHEN MATCHED THEN
-  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the versioned upsert
-  * with the ON columns as merge keys. Partitioning comes from the
-  * existing manifest; stats/bloom coverage is re-derived from what the
-  * current files carry, so the index family survives SQL-driven ingest. */
+/** `MERGE [WITH SCHEMA EVOLUTION] INTO graft.`root` t USING src s ON
+  * t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+  * INSERT *` — the versioned upsert with the ON columns as merge keys.
+  * Partitioning comes from the existing manifest; stats/bloom coverage
+  * is re-derived from what the current files carry, so the index family
+  * survives SQL-driven ingest. The source must cover every table column
+  * (SET * / INSERT * semantics); EXTRA source columns are rejected
+  * unless WITH SCHEMA EVOLUTION, which admits them as new table columns
+  * (older generations surface NULL through the evolution read path —
+  * no rewrite, Delta's autoMerge behavior). */
 case class GraftMergeCommand(root: String, source: LogicalPlan,
-                             keys: Seq[String])
+                             keys: Seq[String], schemaEvolution: Boolean)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val m = VersionedTable.resolveManifest(spark, root, None)
     val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
-    VersionedTable.upsert(spark, root, PlanBridge.dataFrame(spark, source),
-      keys, m.partCols, statsCols = statsCols, bloomCols = bloomCols)
+    val src = PlanBridge.dataFrame(spark, source)
+    val tableCols = m.schema.fieldNames.toSeq
+    val missing = tableCols.filterNot(src.columns.contains)
+    require(missing.isEmpty,
+      s"MERGE source lacks table columns ${missing.mkString(", ")} — " +
+        "UPDATE SET * / INSERT * need every target column")
+    val extra = src.columns.toSeq.filterNot(tableCols.contains)
+    require(extra.isEmpty || schemaEvolution,
+      s"MERGE source carries columns not in the table: " +
+        s"${extra.mkString(", ")} — use MERGE WITH SCHEMA EVOLUTION " +
+        "INTO to add them")
+    // table-order first, new columns appended: the committed schema
+    // evolves deterministically instead of inheriting source order
+    val aligned = src.select((tableCols ++ extra).map(src.col): _*)
+    VersionedTable.upsert(spark, root, aligned, keys, m.partCols,
+      statsCols = statsCols, bloomCols = bloomCols)
     Seq(Row(VersionedTable.currentVersion(spark, root).get))
   }
 }

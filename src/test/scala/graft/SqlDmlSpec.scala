@@ -108,6 +108,50 @@ class SqlDmlSpec extends SparkSpec {
     assert(bad.getMessage.contains("UPDATE SET *"))
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION admits new source columns") {
+    val (root, rows) = freshTable("evolve")
+    // source covers the table plus a NEW column `score`
+    (Seq((1, "g0", 999, 5L, 0.5), (400, "g3", 1, 6L, 0.9)))
+      .toDF("id", "grp", "v", "w", "score")
+      .createOrReplaceTempView("sql_evolve_src")
+    // plain MERGE refuses the extra column loudly
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING sql_evolve_src s
+           |ON t.id = s.id AND t.grp = s.grp
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(bad.getMessage.contains("SCHEMA EVOLUTION"))
+    // WITH SCHEMA EVOLUTION adds it: old rows surface NULL, no rewrite
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` t
+         |USING sql_evolve_src s
+         |ON t.id = s.id AND t.grp = s.grp
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.toSeq ==
+      Seq("id", "grp", "v", "w", "score")) // table order + appended
+    assert(got.count() == 401)
+    val scores = got.select($"id", $"score").as[(Int, Option[Double])]
+      .collect().toMap
+    assert(scores(1) == Some(0.5) && scores(400) == Some(0.9))
+    assert(scores(2).isEmpty) // untouched generation null-fills
+    // a source missing a table column refuses in BOTH modes
+    Seq((2, "g0", 1)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("sql_evolve_narrow")
+    val bad2 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` t
+           |USING sql_evolve_narrow s
+           |ON t.id = s.id AND t.grp = s.grp
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(bad2.getMessage.contains("lacks table columns"))
+  }
+
   test("SQL OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
     val (root, rows) = freshTable("maint")
     spark.sql(s"DELETE FROM graft.`$root` WHERE v < 10") // v1
