@@ -476,15 +476,12 @@ object VersionedTable {
       throw new java.io.FileNotFoundException(
         s"version $v at $root is not committed (current: $cur, " +
           s"history: ${history(spark, root).mkString(",")})")
-    val m = readManifest(fs, root, v)
-    // an upsert of an EMPTY update set on a fresh table commits a valid
-    // but partition-less version; surface that as a clear error (there
-    // is no schema to synthesize an empty frame from) instead of the
-    // bare empty.reduceLeft a reduce would throw
-    if (m.mapping.isEmpty)
-      throw new IllegalStateException(
-        s"$root@v$v is committed but holds no partitions (empty table)")
-    m
+    // a partition-less mapping (empty upsert on a fresh table, or a
+    // WHERE-less DELETE that cleared every dir) is a VALID 0-row
+    // version: the v2 manifest always carries #schema, so scanUnion
+    // synthesizes the correctly-typed empty frame and a later upsert
+    // repopulates it — no special-casing here
+    readManifest(fs, root, v)
   }
 
   // ----- shared file-skipping core ---------------------------------
@@ -1514,27 +1511,30 @@ object VersionedTable {
     * Overlapping → [[ConcurrentWriteConflictException]], loudly: the
     * loser's survivors were computed against replaced data. A claim that
     * never publishes (crashed writer) rethrows after
-    * `graft.versioned.claimWaitMs` (default 30 s) with the vacuum hint. */
+    * `graft.versioned.claimWaitMs` (default 30 s) with the vacuum hint.
+    * Returns the committed version (the current one for an
+    * already-committed txn no-op replay). */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              keys: Seq[String], partCols: Seq[String],
              statsCols: Seq[String] = Nil,
              fileRows: Option[Int] = None,
              bloomCols: Seq[String] = Nil,
              bloomBits: Long = 0L,
-             txn: Option[(String, Long)] = None): Unit = {
+             txn: Option[(String, Long)] = None): Int = {
     val fs = fsFor(spark, root)
     val maxAttempts = 5
     var attempt = 1
-    var committed = false
-    while (!committed) {
+    var committed = -1
+    while (committed < 0) {
       val basedOn = currentVersion(spark, root).getOrElse(-1)
       try {
-        publish(spark, root,
-          prepare(spark, root, updates, keys, partCols, statsCols, fileRows,
-            bloomCols, bloomBits, txn))
-        committed = true
+        val v = prepare(spark, root, updates, keys, partCols, statsCols,
+          fileRows, bloomCols, bloomBits, txn)
+        publish(spark, root, v)
+        committed = v
       } catch {
-        case _: TxnAlreadyCommittedException => committed = true // no-op
+        case _: TxnAlreadyCommittedException => // no-op replay
+          committed = currentVersion(spark, root).getOrElse(basedOn max 0)
         case e: StagingRaceException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
@@ -1558,6 +1558,7 @@ object VersionedTable {
         // disjoint: loop retries prepare on the new current version
       }
     }
+    committed
   }
 
   /** Claim-loss retry for DECLARATIVE ops (deleteWhere, compact,
@@ -1669,7 +1670,7 @@ object VersionedTable {
 
   /** Single-partition-column convenience overload. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-             keys: Seq[String], partCol: String): Unit =
+             keys: Seq[String], partCol: String): Int =
     upsert(spark, root, updates, keys, Seq(partCol))
 
   /** Change data feed between two committed versions: one row per logical
@@ -1734,6 +1735,55 @@ object VersionedTable {
             else lit(null)
           when(col("op") === "delete", fromSide).otherwise(col(c)).as(c)
         }: _*)
+  }
+
+  /** [[changeFeed]]'s full-fidelity flavor (Delta CDF's row types): an
+    * update emits TWO rows — `update_preimage` with the FROM-version's
+    * values and `update_postimage` with the TO-version's — alongside
+    * `insert` / `delete`, so a consumer can SUBTRACT the old
+    * contribution and ADD the new one without re-reading either version.
+    * This is what makes downstream state (a [[MatView]] running sum, a
+    * feature-store entry, a warehouse aggregate) maintainable in
+    * O(|changes|): decomposable aggregates never touch the table again.
+    * Same join core and null-fill rules as [[changeFeed]]; the pre/post
+    * expansion is a single `explode` over the joined row (one pass, no
+    * second scan of either version). Output schema: `op`, keys, then
+    * the TO-version's data columns (pre-image/delete rows carry FROM
+    * values, null where the column postdates `fromVersion`). */
+  def changeFeedCdf(spark: SparkSession, root: String, keys: Seq[String],
+                    fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val from = read(spark, root, Some(fromVersion))
+    val to = read(spark, root, Some(toVersion))
+    keys.foreach(k => require(to.columns.contains(k) && from.columns.contains(k),
+      s"key column $k must exist in both versions"))
+    val toData = to.columns.toSeq.filterNot(keys.contains)
+    val common = toData.intersect(from.columns.toSeq)
+    val f = from.select(from.columns.toSeq.map(c =>
+      col(c).as(s"__f_$c")) :+ lit(true).as("__f_p"): _*)
+    val t = to.select(to.columns.toSeq.map(col) :+ lit(true).as("__t_p"): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"__f_$k")).reduce(_ && _)
+    val same = common.map(c => col(c) <=> col(s"__f_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val inFrom = col("__f_p").isNotNull
+    val inTo = col("__t_p").isNotNull
+    def image(op: String, fromSide: Boolean) = struct(
+      lit(op).as("op") +:
+        keys.map(k => coalesce(col(k), col(s"__f_$k")).as(k)) ++:
+        toData.map { c =>
+          val fs = if (from.columns.contains(c)) col(s"__f_$c")
+            else lit(null).cast(to.schema(c).dataType)
+          (if (fromSide) fs else col(c)).as(c)
+        }: _*)
+    t.join(f, joinCond, "full_outer")
+      .withColumn("__rows",
+        when(!inFrom, array(image("insert", fromSide = false)))
+          .when(!inTo, array(image("delete", fromSide = true)))
+          .when(!same, array(image("update_preimage", fromSide = true),
+            image("update_postimage", fromSide = false))))
+      .filter(col("__rows").isNotNull)
+      .select(explode(col("__rows")).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** Targeted DELETE by range predicate — the GDPR/right-to-erasure shape

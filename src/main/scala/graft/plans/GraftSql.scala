@@ -129,13 +129,18 @@ object GraftSqlParser {
     }
 
   /** The `graft`.`<root>` target of a DML command (through an optional
-    * alias), with the alias so predicate qualifiers can be stripped. */
+    * alias), with the alias so predicate qualifiers can be stripped.
+    * Only PATH-shaped roots (containing '/') are claimed — DML on
+    * two-part identifiers under a genuine catalog database named `graft`
+    * (e.g. `DELETE FROM graft.sales`) passes through to Spark's own
+    * resolution untouched. */
   private def graftTarget(plan: LogicalPlan)
       : Option[(String, Option[String])] = plan match {
     case SubqueryAlias(ident, child) =>
       graftTarget(child).map { case (r, _) => (r, Some(ident.name)) }
     case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-        u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+        u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+        u.multipartIdentifier(1).contains("/") =>
       Some((u.multipartIdentifier(1), None))
     case _ => None
   }
@@ -162,16 +167,34 @@ object GraftSqlParser {
   }
 
   /** Upsert keys from the MERGE ON clause: a conjunction of
-    * `t.k = s.k` equalities over same-named columns. */
-  private def mergeKeys(cond: Expression): Seq[String] =
+    * `t.k = s.k` equalities over same-named columns, each relating the
+    * TARGET to the SOURCE — a degenerate `t.k = t.k` (standard MERGE
+    * semantics: every source row matches) or an unknown qualifier is a
+    * loud error, never a silent reinterpretation as an upsert key. */
+  private def mergeKeys(cond: Expression, tAlias: Option[String],
+                        sAlias: Option[String]): Seq[String] = {
+    // 'T' target-qualified, 'S' source-qualified, 'U' unqualified
+    def side(a: UnresolvedAttribute): Char =
+      if (a.nameParts.length == 1) 'U'
+      else if (tAlias.exists(_.equalsIgnoreCase(a.nameParts.head))) 'T'
+      else if (sAlias.exists(_.equalsIgnoreCase(a.nameParts.head))) 'S'
+      else throw new IllegalArgumentException(
+        s"MERGE ON references a qualifier that is neither the target " +
+          s"nor the source alias: ${a.sql}")
     splitConj(cond).map {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        val (sa, sb) = (side(a), side(b))
+        require(sa == 'U' || sb == 'U' || sa != sb,
+          s"MERGE ON equality ${a.sql} = ${b.sql} references the same " +
+            "table on both sides — an upsert key must relate target and " +
+            "source")
         a.nameParts.last
       case other => throw new IllegalArgumentException(
         "MERGE INTO graft.`root` supports ON as a conjunction of " +
           s"t.k = s.k equalities over same-named columns; got: ${other.sql}")
     }
+  }
 
   /** Swap Spark's parsed DML commands for graft's runnable ones when the
     * target is a `graft`.`root` identifier; any other plan (including
@@ -189,7 +212,18 @@ object GraftSqlParser {
           case Some((r, alias)) =>
             val set = u.assignments.map {
               case Assignment(key: UnresolvedAttribute, value) =>
-                key.nameParts.last -> asColumn(value, alias)
+                // only bare or alias-qualified TOP-LEVEL columns: a
+                // mis-typed qualifier or a struct-field SET must error,
+                // not silently write whatever the last name part hits
+                val target = key.nameParts match {
+                  case Seq(c) => c
+                  case Seq(q, c) if alias.exists(_.equalsIgnoreCase(q)) => c
+                  case _ => throw new IllegalArgumentException(
+                    "UPDATE graft.`root` SET targets must be bare or " +
+                      s"alias-qualified top-level columns; got: ${key.sql}" +
+                      alias.fold("")(a => s" (table alias: $a)"))
+                }
+                target -> asColumn(value, alias)
               case other => throw new IllegalArgumentException(
                 s"UPDATE graft.`root` SET targets must be columns; " +
                   s"got: ${other.sql}")
@@ -203,7 +237,7 @@ object GraftSqlParser {
         }
       case m: MergeIntoTable =>
         graftTarget(m.targetTable) match {
-          case Some((r, _)) =>
+          case Some((r, tAlias)) =>
             (m.matchedActions, m.notMatchedActions,
                 m.notMatchedBySourceActions) match {
               case (Seq(UpdateStarAction(None)),
@@ -214,7 +248,14 @@ object GraftSqlParser {
                   "(the versioned upsert); for row-level conditions use " +
                   "UPDATE/DELETE statements")
             }
-            GraftMergeCommand(r, m.sourceTable, mergeKeys(m.mergeCondition),
+            val sAlias = m.sourceTable match {
+              case SubqueryAlias(id, _) => Some(id.name)
+              case u: UnresolvedRelation =>
+                Some(u.multipartIdentifier.last)
+              case _ => None
+            }
+            GraftMergeCommand(r, m.sourceTable,
+              mergeKeys(m.mergeCondition, tAlias, sAlias),
               m.withSchemaEvolution)
           case None => m
         }
@@ -277,9 +318,11 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     // table-order first, new columns appended: the committed schema
     // evolves deterministically instead of inheriting source order
     val aligned = src.select((tableCols ++ extra).map(src.col): _*)
-    VersionedTable.upsert(spark, root, aligned, keys, m.partCols,
-      statsCols = statsCols, bloomCols = bloomCols)
-    Seq(Row(VersionedTable.currentVersion(spark, root).get))
+    // upsert returns the EXACT version this merge committed — reading
+    // currentVersion afterwards could report a concurrent disjoint
+    // writer's later commit instead
+    Seq(Row(VersionedTable.upsert(spark, root, aligned, keys, m.partCols,
+      statsCols = statsCols, bloomCols = bloomCols)))
   }
 }
 
@@ -293,7 +336,11 @@ case class GraftOptimizeCommand(root: String, zOrderCols: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val m = VersionedTable.resolveManifest(spark, root, None)
     val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
-    Seq(Row(VersionedTable.compact(spark, root, statsCols = statsCols,
+    // z-dimensions join the stats set: clustering by a previously
+    // unindexed column must also RECORD its min/max, or the rewrite
+    // clusters perfectly and skips nothing
+    Seq(Row(VersionedTable.compact(spark, root,
+      statsCols = (statsCols ++ zOrderCols).distinct,
       bloomCols = bloomCols, zOrderCols = zOrderCols)))
   }
 }
@@ -321,9 +368,10 @@ case class GraftRestoreCommand(root: String, toVersion: Int)
 }
 
 /** `DESCRIBE HISTORY graft.`root`` — one row per still-committed version:
-  * its commit instant (the `_commit.N` marker's create time) and total
-  * rows from manifest metadata (null for pre-#dirrows manifests). No
-  * data files touched. */
+  * its commit instant (the `_commit.N` marker's create time) and LIVE
+  * rows from manifest metadata via the same arithmetic the COUNT(*)
+  * fold uses (deletion-vector rows subtracted; null when any live dir
+  * predates per-dir row counts). No data files touched. */
 case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
@@ -335,8 +383,8 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
         s"no committed version at $root"))
     VersionedTable.historyDetail(spark, root).map { case (v, ms) =>
       val m = VersionedTable.resolveManifestAt(spark, root, v, cur)
-      val rows = if (m.dirRows.isEmpty) null
-        else java.lang.Long.valueOf(m.dirRows.values.sum)
+      val rows = VersionedTable.manifestCount(m)
+        .map(java.lang.Long.valueOf).orNull
       Row(v, new java.sql.Timestamp(ms), rows)
     }
   }

@@ -282,10 +282,12 @@ object StreamPipeline {
         val pinned = batch.persist()
         try {
           pinned.count()
-          if (seen.forall(_ < batchId))
+          if (seen.forall(_ < batchId)) {
             graft.ops.VersionedTable.upsert(s, root, pinned, keys, partCols,
               statsCols = statsCols, fileRows = fileRows,
               bloomCols = bloomCols, txn = Some((streamId, batchId)))
+            ()
+          }
         } finally pinned.unpersist()
       }
       .start()

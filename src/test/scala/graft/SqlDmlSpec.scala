@@ -46,11 +46,24 @@ class SqlDmlSpec extends SparkSpec {
     assert(genOf(root, "grp=g1") != "gen0")
   }
 
-  test("SQL DELETE with table alias; WHERE-less refuses nothing (full clear)") {
+  test("SQL DELETE with table alias; WHERE-less clears the whole table") {
     val (root, rows) = freshTable("delalias")
     spark.sql(s"DELETE FROM graft.`$root` AS t WHERE t.v < 10")
     assert(VersionedTable.read(spark, root).count() ==
       rows.count(_._3 >= 10))
+    // a bare DELETE (parsed condition = TRUE) commits a valid 0-row
+    // version: schema survives, reads return empty, history lists it,
+    // and a later upsert repopulates the cleared table
+    spark.sql(s"DELETE FROM graft.`$root`")
+    val cleared = VersionedTable.read(spark, root)
+    assert(cleared.columns.toSeq == Seq("id", "grp", "v", "w"))
+    assert(cleared.count() == 0)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`")
+      .collect().last.getLong(2) == 0L)
+    VersionedTable.upsert(spark, root,
+      Seq((1, "g0", 3, 7L)).toDF("id", "grp", "v", "w"),
+      Seq("id", "grp"), Seq("grp"))
+    assert(VersionedTable.read(spark, root).count() == 1)
   }
 
   test("SQL UPDATE: SET sees the OLD row; WHERE prunes; version returned") {
@@ -79,7 +92,7 @@ class SqlDmlSpec extends SparkSpec {
 
   test("SQL MERGE: upsert semantics, index coverage survives") {
     val (root, rows) = freshTable("merge")
-    // 50 updates (w := -1) + 10 inserts
+    // ids 390-399 match (10 updates, w := -1) + 400-439 are new (40 inserts)
     val src = ((390 until 440).map(i => (i, s"g${i / 100 min 3}", 1, -1L)))
       .toDF("id", "grp", "v", "w")
     src.createOrReplaceTempView("sql_merge_src")
@@ -193,5 +206,57 @@ class SqlDmlSpec extends SparkSpec {
     // a query merely MENTIONING the word graft is untouched
     assert(spark.sql("SELECT 'graft' AS s").collect().head.getString(0)
       == "graft")
+    // a two-part identifier under a CATALOG database named graft is not
+    // hijacked: only path-shaped roots (containing '/') are ours, so
+    // this fails in Spark's resolution, not with our FileNotFound
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM graft.sales WHERE 1 = 1")
+    }
+  }
+
+  test("SQL DML rejects mis-qualified targets instead of guessing") {
+    val (root, _) = freshTable("misq")
+    // UPDATE SET with a qualifier that is not the table alias: the
+    // last-name-part would silently hit column w — must error instead
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE graft.`$root` AS t SET u.w = 1 WHERE t.v < 5")
+    }
+    assert(e1.getMessage.contains("top-level columns"))
+    // struct-field-shaped SET target errors the same way
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE graft.`$root` AS t SET t.w.q = 1")
+    }
+    assert(e2.getMessage.contains("top-level columns"))
+    // MERGE ON t.id = t.id (both sides target): standard MERGE means
+    // every-source-row-matches, never a keyed upsert — loud error
+    Seq((1, "g0", 1, 1L)).toDF("id", "grp", "v", "w")
+      .createOrReplaceTempView("sql_misq_src")
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING sql_misq_src s
+           |ON t.id = t.id AND t.grp = s.grp
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e3.getMessage.contains("same table on both sides"))
+    // unknown qualifier in the ON clause errors too
+    val e4 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING sql_misq_src s
+           |ON t.id = x.id AND t.grp = s.grp
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e4.getMessage.contains("neither the target nor the source"))
+  }
+
+  test("SQL OPTIMIZE ZORDER BY an unindexed column starts skipping on it") {
+    val (root, _) = freshTable("zidx")
+    // w carries NO stats before OPTIMIZE; z-ordering by it must both
+    // cluster and RECORD min/max, so readWhere prunes afterwards
+    spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (w)")
+    val (kept, total) = VersionedTable.skipStats(spark, root, "w", 0L, 90L)
+    assert(total > 0 && kept < total,
+      s"no skipping on the fresh z-dimension: $kept/$total")
   }
 }
