@@ -1503,6 +1503,76 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Incrementally-maintained materialized aggregate ([[MatView]]) over
+    * the versioned daily rollup — the consumer the change feed exists
+    * for: the view (SUM(daily_volume), COUNT(*) per event_type) is
+    * full-built at source v0, the source then advances to v1 via the
+    * even-user recompute MERGE, and refresh() brings the view current
+    * from the CDF feed ALONE (sum/count are subtractable via pre/post
+    * images — zero source-table scans on the refresh). In-query guards
+    * pin the view's version lineage so a silent full rebuild cannot
+    * stay oracle-green. Oracle aggregates the same final state in SQL. */
+  private def qMatview(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_matview/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, base)
+    val (root, view) = (s"$base/src", s"$base/view")
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val keys = Seq("event_type", "date")
+    VersionedTable.upsert(s, root,
+      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+      keys, "date")
+    MatView.create(s, view, root, keys, Seq("event_type"),
+      sums = Seq(("vol_sum", "daily_volume")), countAlias = Some("n_days"))
+    VersionedTable.upsert(s, root,
+      TimeWindows.dailyOhlcv(
+          ev(s, dir).filter(col("user_id") % 2 === 0),
+          "event_type", "ts", "value", volume = col("user_id"))
+        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+      keys, "date")
+    MatView.refresh(s, view)
+    // v0 = full build, v1 = the incremental leg; a third version or a
+    // missing cursor would mean the refresh degenerated
+    require(VersionedTable.currentVersion(s, view) == Some(1),
+      "matview refresh did not produce exactly one incremental version")
+    require(VersionedTable.lastTxn(s, view, "matview:" + root) == Some(1L),
+      "matview sync cursor is not at source v1")
+    MatView.read(s, view)
+  }
+
+  /** [[qMatview]]'s extrema flavor: MIN(daily_low) / MAX(daily_high)
+    * per event_type force the recompute strategy (deletes/updates make
+    * extrema non-subtractable), which re-aggregates ONLY the groups the
+    * feed names — pruned through the source's index probes. Same
+    * versioned lineage guards; oracle takes min/max over the same
+    * final state. */
+  private def qMatviewMinmax(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_matview_mm/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, base)
+    val (root, view) = (s"$base/src", s"$base/view")
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val keys = Seq("event_type", "date")
+    VersionedTable.upsert(s, root,
+      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+      keys, "date")
+    MatView.create(s, view, root, keys, Seq("event_type"),
+      mins = Seq(("low_min", "daily_low")),
+      maxs = Seq(("high_max", "daily_high")),
+      countAlias = Some("n_days"))
+    VersionedTable.upsert(s, root,
+      TimeWindows.dailyOhlcv(
+          ev(s, dir).filter(col("user_id") % 2 === 0),
+          "event_type", "ts", "value", volume = col("user_id"))
+        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+      keys, "date")
+    MatView.refresh(s, view)
+    require(VersionedTable.currentVersion(s, view) == Some(1),
+      "matview refresh did not produce exactly one incremental version")
+    MatView.read(s, view)
+  }
+
   /** Manifest file skipping on the versioned table: the daily rollup is
     * written partitioned by event_type, CLUSTERED on date (statsCols)
     * with small files, and a needle date-range read goes through
@@ -3528,6 +3598,8 @@ object SparkEntry {
     "q_merge_upsert_pruned2" -> (qMergeUpsertPruned2 _),
     "q_merge_versioned" -> (qMergeVersioned _),
     "q_merge_changefeed" -> (qMergeChangefeed _),
+    "q_matview" -> (qMatview _),
+    "q_matview_minmax" -> (qMatviewMinmax _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
@@ -5968,6 +6040,22 @@ object SparkEntry {
     "q_merge_upsert_pruned" -> mergeUpsertOracle,
     "q_merge_upsert_pruned2" -> mergeUpsertOracle,
     "q_merge_versioned" -> mergeUpsertOracle,
+
+    // The materialized view serves exactly GROUP BY over the merged
+    // final state (BIGINT sum is order-exact; min/max are value-exact),
+    // however incrementally the engine maintained it.
+    "q_matview" ->
+      s"""WITH final AS ($mergeUpsertOracle)
+         |SELECT event_type,
+         |  CAST(sum(daily_volume) AS BIGINT) AS vol_sum,
+         |  count(*) AS n_days
+         |FROM final GROUP BY 1""".stripMargin,
+
+    "q_matview_minmax" ->
+      s"""WITH final AS ($mergeUpsertOracle)
+         |SELECT event_type, min(daily_low) AS low_min,
+         |  max(daily_high) AS high_max, count(*) AS n_days
+         |FROM final GROUP BY 1""".stripMargin,
 
     // CDF replay: both version row sets recomputed independently, then
     // diffed. Content compare runs on RAW (unrounded) values — exactly

@@ -1,0 +1,323 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Incrementally-maintained materialized aggregate over a
+ * [[VersionedTable]] — the consumer the change feed exists for, and the
+ * scalable replacement for the reference's warehouse-sync pattern
+ * (load_stream_to_snowflake.py:243-323 recomputes and re-MERGEs its
+ * ENTIRE aggregate frame every cycle; a 100 TB lake cannot).
+ *
+ * A view is `GROUP BY groupCols` with COUNT(*) / SUM / MIN / MAX
+ * measures, itself stored as a versioned table at `viewRoot` (so the
+ * serving layer inherits time travel, pruned reads, and concurrency).
+ * [[refresh]] advances it to the source's current version:
+ *
+ *  - **Delta path** (only COUNT/SUM measures): the
+ *    [[VersionedTable.changeFeedCdf]] pre/post images make row-count and
+ *    sum contributions subtractable, so the refresh reads the CHANGE
+ *    FEED ONLY — zero source-table scans, cost O(|changed keys|) however
+ *    large the source. Sums carry a per-measure non-null count so a
+ *    group whose surviving values are all NULL serves NULL (matching a
+ *    direct aggregate), not 0. Counts stay exact; double-typed sums
+ *    incur normal floating re-association.
+ *  - **Recompute path** (any MIN/MAX measure): deletes make extrema
+ *    non-subtractable, so the AFFECTED GROUPS (distinct group keys in
+ *    the feed — still O(|changes|) to find) are re-aggregated from the
+ *    source and upserted. When the view groups by ONE column and the
+ *    affected set is small (≤ [[InListCap]]), the re-read goes through
+ *    the manifest's bloom/stats IN-probes and touches only files that
+ *    can hold those groups; otherwise a broadcast semi join prunes
+ *    after the scan.
+ *
+ * The synced source version rides the view table's own exactly-once txn
+ * watermark (`matview:<srcRoot>` stream id), so it survives compaction
+ * and vacuum like any streaming sink cursor, and a crashed refresh
+ * replays idempotently. Groups whose last row disappears stay as
+ * `__cnt = 0` tombstone rows (hidden by [[read]]); a later OPTIMIZE or
+ * `deleteWhere(__cnt, 0, 0)` clears them — refresh never needs the
+ * delete machinery on its hot path.
+ */
+object MatView {
+
+  /** Measures: user-visible alias -> source column. */
+  case class Spec(srcRoot: String, srcKeys: Seq[String],
+                  groupCols: Seq[String],
+                  sums: Seq[(String, String)],
+                  mins: Seq[(String, String)],
+                  maxs: Seq[(String, String)],
+                  countAlias: Option[String],
+                  buckets: Int) {
+    private[graft] def deltaOnly: Boolean = mins.isEmpty && maxs.isEmpty
+    private[graft] def measureAliases: Seq[String] =
+      sums.map(_._1) ++ mins.map(_._1) ++ maxs.map(_._1)
+  }
+
+  /** Affected-group IN-probe cap: above this many distinct groups the
+    * recompute path prunes by semi join instead of index probes. */
+  val InListCap = 10000
+
+  private val StreamPrefix = "matview:"
+  private def specPath(viewRoot: String) = new Path(viewRoot, "_matview")
+  private def b64e(s: String) = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def b64d(s: String) = new String(
+    java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+  private def nn(alias: String) = s"__nn_$alias"
+
+  /** Define the view and run the initial full build (the ONLY full
+    * source aggregation the view ever does). Returns the view version. */
+  def create(spark: SparkSession, viewRoot: String, srcRoot: String,
+             srcKeys: Seq[String], groupCols: Seq[String],
+             sums: Seq[(String, String)] = Nil,
+             mins: Seq[(String, String)] = Nil,
+             maxs: Seq[(String, String)] = Nil,
+             countAlias: Option[String] = None,
+             buckets: Int = 16): Int = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty ||
+      countAlias.isDefined, "at least one measure")
+    val spec = Spec(srcRoot, srcKeys, groupCols, sums, mins, maxs,
+      countAlias, buckets)
+    val aliases = spec.measureAliases ++ countAlias
+    require(aliases.distinct.length == aliases.length,
+      s"duplicate measure alias: ${aliases.mkString(", ")}")
+    require(aliases.forall(a => !groupCols.contains(a)),
+      "a measure alias collides with a group column")
+    val fs = specPath(viewRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(specPath(viewRoot), false) // refuse to redefine
+    try out.write(render(spec).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    refresh(spark, viewRoot)
+  }
+
+  /** Advance the view to the source's current version (no-op when
+    * already there). Returns the view's current version. */
+  def refresh(spark: SparkSession, viewRoot: String): Int = {
+    val spec = readSpec(spark, viewRoot)
+    val srcCur = VersionedTable.currentVersion(spark, spec.srcRoot)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version at ${spec.srcRoot}"))
+    val streamId = StreamPrefix + spec.srcRoot
+    val synced = VersionedTable.currentVersion(spark, viewRoot)
+      .flatMap(_ => VersionedTable.lastTxn(spark, viewRoot, streamId))
+    synced match {
+      case Some(v) if v >= srcCur =>
+        VersionedTable.currentVersion(spark, viewRoot).get
+      case None => // initial full build
+        commit(spark, viewRoot, spec, srcCur,
+          aggregate(VersionedTable.read(spark, spec.srcRoot), spec))
+      case Some(from) =>
+        val feed = VersionedTable.changeFeedCdf(spark, spec.srcRoot,
+          spec.srcKeys, from.toInt, srcCur)
+        if (spec.deltaOnly)
+          commit(spark, viewRoot, spec, srcCur,
+            deltaGroups(spark, viewRoot, spec, feed))
+        else {
+          // the affected set is read several times (IN-list collect,
+          // null probe, semi join, tombstone anti-join) — pin it so the
+          // two-version feed join prices once
+          val affected = feed.select(spec.groupCols.map(col): _*)
+            .distinct().persist()
+          try commit(spark, viewRoot, spec, srcCur,
+            recomputeGroups(spark, spec, affected))
+          finally affected.unpersist()
+        }
+    }
+  }
+
+  /** The view's served contents: group columns + measures, tombstones
+    * and internal columns hidden. */
+  def read(spark: SparkSession, viewRoot: String,
+           asOfVersion: Option[Int] = None): DataFrame = {
+    val spec = readSpec(spark, viewRoot)
+    val t = VersionedTable.read(spark, viewRoot, asOfVersion)
+      .filter(col("__cnt") > 0)
+    val cols = spec.groupCols.map(col) ++ spec.measureAliases.map(col) ++
+      spec.countAlias.map(a => col("__cnt").as(a))
+    t.select(cols: _*)
+  }
+
+  /** Full group-state aggregation of `df` (tombstone-free): measures +
+    * `__cnt` + a non-null count per SUM measure (what keeps all-NULL
+    * groups serving NULL through delta maintenance). */
+  private def aggregate(df: DataFrame, spec: Spec): DataFrame = {
+    val aggs =
+      spec.sums.flatMap { case (a, c) => Seq(
+        sum(col(c)).as(a), count(col(c)).as(nn(a))) } ++
+        spec.mins.map { case (a, c) => min(col(c)).as(a) } ++
+        spec.maxs.map { case (a, c) => max(col(c)).as(a) } :+
+        count(lit(1)).as("__cnt")
+    df.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Delta path: ± contributions from the CDF images, one aggregation
+    * over the feed, one left join against the view's CURRENT rows for
+    * the affected groups. Never reads the source table. */
+  private def deltaGroups(spark: SparkSession, viewRoot: String,
+                          spec: Spec, feed: DataFrame): DataFrame = {
+    val w = when(col("op").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val dAggs =
+      spec.sums.flatMap { case (a, c) => Seq(
+        // NULL measure values contribute zero to the sum on both sides
+        sum(when(col(c).isNotNull, col("__w") * col(c))).as(s"__d_$a"),
+        sum(when(col(c).isNotNull, col("__w")).otherwise(lit(0L)))
+          .as(s"__d_${nn(a)}")) } :+
+        sum(col("__w")).as("__d_cnt")
+    val delta = feed.withColumn("__w", w)
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+    val cur = VersionedTable.read(spark, viewRoot)
+    val curSel = cur.select(
+      spec.groupCols.map(c => col(c).as(s"__v_$c")) ++
+        spec.sums.flatMap { case (a, _) => Seq(
+          col(a).as(s"__v_$a"), col(nn(a)).as(s"__v_${nn(a)}")) } :+
+        col("__cnt").as("__v_cnt"): _*)
+    val cond = spec.groupCols.map(c => col(c) <=> col(s"__v_$c"))
+      .reduce(_ && _)
+    delta.join(curSel, cond, "left").select(
+      spec.groupCols.map(col) ++
+        spec.sums.flatMap { case (a, _) =>
+          val nnTotal = coalesce(col(s"__v_${nn(a)}"), lit(0L)) +
+            coalesce(col(s"__d_${nn(a)}"), lit(0L))
+          // groups new to the view start from zero; a group whose
+          // surviving values are all NULL serves NULL like a direct
+          // sum would. Cast pins the full build's sum type.
+          Seq(
+            when(nnTotal > 0,
+              coalesce(col(s"__v_$a"), lit(0)) +
+                coalesce(col(s"__d_$a"), lit(0)))
+              .cast(cur.schema(a).dataType).as(a),
+            nnTotal.cast(LongType).as(nn(a))) } :+
+        (coalesce(col("__v_cnt"), lit(0L)) + col("__d_cnt"))
+          .cast(LongType).as("__cnt"): _*)
+  }
+
+  /** Recompute path: re-aggregate ONLY the groups the feed names —
+    * through the source's index probes when they fit [[InListCap]],
+    * by broadcast semi join otherwise. Vanished groups come back as
+    * explicit `__cnt = 0` tombstones overwriting their stale rows. */
+  private def recomputeGroups(spark: SparkSession, spec: Spec,
+                              affected: DataFrame): DataFrame = {
+    val src = prunedSource(spark, spec, affected)
+    val aff = affected.select(spec.groupCols.map(c =>
+      col(c).as(s"__a_$c")): _*)
+    val semiCond = spec.groupCols.map(c => col(c) <=> col(s"__a_$c"))
+      .reduce(_ && _)
+    val rec = aggregate(src.join(broadcast(aff), semiCond, "left_semi"),
+      spec)
+    val recKeys = rec.select(spec.groupCols.map(c =>
+      col(c).as(s"__r_$c")): _*)
+    val dead = affected.join(broadcast(recKeys),
+      spec.groupCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _),
+      "left_anti")
+    val deadRows = rec.columns.filterNot(spec.groupCols.contains)
+      .foldLeft(dead)((d, a) => d.withColumn(a,
+        if (a == "__cnt") lit(0L)
+        else lit(null).cast(rec.schema(a).dataType)))
+    rec.unionByName(deadRows.select(rec.columns.map(col).toSeq: _*))
+  }
+
+  /** Index-pruned source read when the single-column affected set is
+    * small enough to collect; full read (semi-joined by the caller)
+    * otherwise. The collect is bounded by [[InListCap]]+1 rows. */
+  private def prunedSource(spark: SparkSession, spec: Spec,
+                           affected: DataFrame): DataFrame =
+    if (spec.groupCols.length == 1) {
+      val g = spec.groupCols.head
+      val vals = affected.filter(col(g).isNotNull)
+        .limit(InListCap + 1).collect().map(_.get(0)).toSeq
+      val hasNull = affected.filter(col(g).isNull).limit(1).count() > 0
+      if (vals.length > InListCap) VersionedTable.read(spark, spec.srcRoot)
+      else {
+        val pruned = VersionedTable.readConstrained(spark, spec.srcRoot,
+          Seq(VersionedTable.ColConstraint(g, None, None, None,
+            inSet = Some(vals))), None)
+        // IN-probes cannot select NULL-group files; when a null group
+        // was touched, take nulls from a dedicated slice and EXCLUDE
+        // them from the probed side (kept files still carry their
+        // null-group rows — unioning both would double-count them)
+        if (!hasNull) pruned
+        else pruned.filter(col(g).isNotNull)
+          .unionByName(VersionedTable.read(spark, spec.srcRoot)
+            .filter(col(g).isNull))
+      }
+    } else VersionedTable.read(spark, spec.srcRoot)
+
+  /** Upsert the changed group rows into the view table under the synced
+    * source version's txn watermark. The frame is pinned first: upsert
+    * evaluates it several times, and each evaluation would otherwise
+    * re-run the two-version feed join. */
+  private def commit(spark: SparkSession, viewRoot: String, spec: Spec,
+                     srcVersion: Int, rows: DataFrame): Int = {
+    val withBucket = rows.withColumn("__bucket",
+      pmod(xxhash64(spec.groupCols.map(col): _*), lit(spec.buckets))
+        .cast("int")).persist()
+    // __bucket is a pure function of the group columns, so adding it to
+    // the merge key changes nothing semantically and satisfies the
+    // partCols-within-keys contract
+    try VersionedTable.upsert(spark, viewRoot, withBucket,
+      keys = spec.groupCols :+ "__bucket", partCols = Seq("__bucket"),
+      txn = Some((StreamPrefix + spec.srcRoot, srcVersion.toLong)))
+    finally withBucket.unpersist()
+  }
+
+  private def render(spec: Spec): String = {
+    val sb = new StringBuilder("#graft-matview\t1\n")
+    sb.append("#src\t").append(b64e(spec.srcRoot)).append('\n')
+    sb.append("#keys\t").append(spec.srcKeys.map(b64e).mkString("\t"))
+      .append('\n')
+    sb.append("#groups\t").append(spec.groupCols.map(b64e).mkString("\t"))
+      .append('\n')
+    spec.sums.foreach { case (a, c) =>
+      sb.append("#sum\t").append(b64e(a)).append('\t').append(b64e(c))
+        .append('\n') }
+    spec.mins.foreach { case (a, c) =>
+      sb.append("#min\t").append(b64e(a)).append('\t').append(b64e(c))
+        .append('\n') }
+    spec.maxs.foreach { case (a, c) =>
+      sb.append("#max\t").append(b64e(a)).append('\t').append(b64e(c))
+        .append('\n') }
+    spec.countAlias.foreach(a =>
+      sb.append("#count\t").append(b64e(a)).append('\n'))
+    sb.append("#buckets\t").append(spec.buckets).append('\n')
+    sb.toString
+  }
+
+  private[graft] def readSpec(spark: SparkSession,
+                              viewRoot: String): Spec = {
+    val p = specPath(viewRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new java.io.FileNotFoundException(
+      s"no materialized view at $viewRoot (missing ${p.getName})")
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith("#graft-matview\t1")),
+      s"unrecognized matview spec at $viewRoot")
+    def one(tag: String) = lines.collectFirst {
+      case l if l.startsWith(s"#$tag\t") => l.split("\t", -1).drop(1).toSeq }
+    def pairs(tag: String) = lines.toSeq.collect {
+      case l if l.startsWith(s"#$tag\t") =>
+        val p = l.split("\t", -1); (b64d(p(1)), b64d(p(2))) }
+    Spec(
+      srcRoot = b64d(one("src").get.head),
+      srcKeys = one("keys").get.filter(_.nonEmpty).map(b64d),
+      groupCols = one("groups").get.filter(_.nonEmpty).map(b64d),
+      sums = pairs("sum"), mins = pairs("min"), maxs = pairs("max"),
+      countAlias = one("count").map(s => b64d(s.head)),
+      buckets = one("buckets").get.head.toInt)
+  }
+}

@@ -1418,9 +1418,16 @@ object VersionedTable {
           }.reduce(_.unionByName(_))
           // schema evolution at write: a column the updates add null-fills
           // for surviving old rows; a column the updates drop survives,
-          // null for update rows
-          val survivors = old.join(
-            updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          // null for update rows. The key match is NULL-SAFE: the keys
+          // are the table's logical identity (same contract changeFeed
+          // applies with <=>), so a null-keyed row is REPLACED by a
+          // null-keyed update — a plain equality would leave the old row
+          // alongside the new one forever
+          val updKeys = updates.select(keys.map(k =>
+            col(k).as(s"__u_$k")): _*).distinct()
+          val survivors = old.join(updKeys,
+            keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _),
+            "left_anti")
           updates.unionByName(survivors, allowMissingColumns = true)
         }
       // one writer per partition (see Merge.upsertParquetPruned note);
