@@ -2067,6 +2067,36 @@ object SparkEntry {
       r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Derived (hidden) partitioning: the raw event stream lands in a
+    * versioned table PARTITIONED BY a `day` column registered as
+    * day(ts) — Iceberg's partition-transform idea — and the query then
+    * filters on the NATURAL ts column only. The registration maps the
+    * ts bounds into day-dir pruning inside the optimizer rule's file
+    * selection (guard pins fewer files than the bare relation), while
+    * the write-time invariant day == day(ts) rides the CHECK machinery.
+    * Oracle filters the raw events by the same ts range. */
+  private def qVersionedDerived(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_derived/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val events = ev(s, dir).select(col("event_id"), col("event_type"),
+      col("user_id"), col("value"), col("ts"))
+      .withColumn("day", VersionedTable.derivedPartitionColumn("day", "ts"))
+    VersionedTable.upsert(s, root, events, Seq("event_id", "day"),
+      Seq("day"))
+    VersionedTable.addDerivedPartition(s, root, "day", "day", "ts")
+    def files(df: DataFrame): Int = VersionedTable.physicalInputFiles(df)
+    val all = graft.plans.VersionedScan.table(s, root)
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 06:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-12 18:00:00")
+    val filtered = graft.plans.VersionedScan.table(s, root)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+    require(files(filtered) < files(all),
+      s"derived-partition pruning did not engage: " +
+        s"${files(filtered)} of ${files(all)} files")
+    filtered.select(col("event_id"), col("event_type"), col("value"))
+  }
+
   /** IN-list point lookups through the optimizer-rule path: the bloom-
     * indexed documents fixture queried with a plain `doc_id IN (...)`
     * filter over VersionedScan.table — the rule turns the IN into a
@@ -3603,6 +3633,7 @@ object SparkEntry {
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
+    "q_versioned_derived" -> (qVersionedDerived _),
     "q_versioned_scan_in" -> (qVersionedScanIn _),
     "q_versioned_scan_part" -> (qVersionedScanPart _),
     "q_versioned_restore" -> (qVersionedRestore _),
@@ -6116,6 +6147,11 @@ object SparkEntry {
          |SELECT * FROM daily_all
          |WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"""
       .stripMargin,
+
+    "q_versioned_derived" ->
+      s"""SELECT event_id, event_type, value FROM events
+         |WHERE $TS >= TIMESTAMP '2024-01-08 06:00:00'
+         |  AND $TS <= TIMESTAMP '2024-01-12 18:00:00'""".stripMargin,
 
     "q_versioned_scan_rule" ->
       s"""WITH daily_all AS (

@@ -187,7 +187,9 @@ object VersionedTable {
                               dvs: Map[String,
                                 (String, Long, Int, Long)] = Map.empty,
                               dirBytes: Map[String, Long] = Map.empty,
-                              checks: Map[String, String] = Map.empty) {
+                              checks: Map[String, String] = Map.empty,
+                              derived: Map[String, (String, String)] =
+                                Map.empty) {
     // one lazy fetch per sidecar object per Manifest instance: an eq
     // probe over N indexed files costs ONE sidecar GET, not N, and a
     // manifest read costs ZERO (refs are offsets, not payloads)
@@ -371,8 +373,14 @@ object VersionedTable {
       val parts = l.split("\t", -1)
       (b64d(parts(1)), b64d(parts(2)))
     }.toMap
+    // derived-partition registrations (round 6): partCol -> (kind, srcCol);
+    // carried verbatim through every commit like checks
+    val derived = lines.filter(_.startsWith("#derivedpart\t")).map { l =>
+      val parts = l.split("\t", -1)
+      b64d(parts(1)) -> (b64d(parts(2)), b64d(parts(3)))
+    }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
-      dirFiles, bloomRefs, dvs, dirBytes, checks)
+      dirFiles, bloomRefs, dvs, dirBytes, checks, derived)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -686,7 +694,14 @@ object VersionedTable {
                                           m0: Manifest,
                                           constraints: Seq[ColConstraint])
       : (Manifest, ScanSelection) = {
-    val usable = constraints.filter(c => m0.schema.fieldNames.contains(c.column))
+    val known = constraints.filter(c => m0.schema.fieldNames.contains(c.column))
+    // derived partitioning: a fact about a transform's SOURCE column
+    // implies a fact about the partition column — hidden partitioning's
+    // query half (the predicate names only the natural column)
+    val implied = m0.derived.toSeq.flatMap { case (p, (kind, src)) =>
+      known.filter(_.column == src)
+        .flatMap(impliedPartConstraint(m0, p, kind, src, _)) }
+    val usable = known ++ implied
     if (usable.isEmpty)
       return (m0, selectScan(root, m0, _ => false, _ => true))
     // partition-column constraints filter the manifest's directory list
@@ -1204,7 +1219,11 @@ object VersionedTable {
                             dvRefs: Map[String,
                               (String, Long, Int, Long)] = Map.empty,
                             dirBytes: Map[String, Long] = Map.empty,
-                            checks: Map[String, String] = Map.empty)
+                            checks: Map[String, String] = Map.empty,
+                            // no default: EVERY staging site must decide
+                            // the carry, or a commit would silently drop
+                            // the registrations
+                            derived: Map[String, (String, String)])
 
   /** Carry-forward filter for FLAT file-keyed maps (DV refs), mirroring
     * the nested `carry` the stats/blooms use: an entry survives iff its
@@ -1310,7 +1329,9 @@ object VersionedTable {
       val txnLine = st.txns.toSeq.sortBy(_._1).map { case (sid, bid) =>
         s"#txn\t${b64(sid)}\t$bid\n" }.mkString +
         st.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
-          s"#constraint\t${b64(n)}\t${b64(sql)}\n" }.mkString
+          s"#constraint\t${b64(n)}\t${b64(sql)}\n" }.mkString +
+        st.derived.toSeq.sortBy(_._1).map { case (p, (kind, src)) =>
+          s"#derivedpart\t${b64(p)}\t${b64(kind)}\t${b64(src)}\n" }.mkString
       val dirRowLines = st.dirRows.toSeq.sortBy(_._1).map { case (rel, n) =>
         s"#dirrows\t${b64(rel)}\t$n\n" }.mkString +
         st.dirFiles.toSeq.sortBy(_._1).map { case (rel, n) =>
@@ -1385,7 +1406,8 @@ object VersionedTable {
       // committed column (its rows land NULL there, which passes ANSI
       // CHECK) — null-fill those columns before evaluating, or the
       // predicate fails to resolve and a valid write aborts
-      prior.map(_.checks).filter(_.nonEmpty).foreach { cs =>
+      prior.map(pm => pm.checks ++ derivedChecks(pm))
+          .filter(_.nonEmpty).foreach { cs =>
         val aligned = prior.get.schema
           .filterNot(f => updates.columns.contains(f.name))
           .foldLeft(updates)((d, f) => d.withColumn(f.name,
@@ -1483,7 +1505,8 @@ object VersionedTable {
           liveDirPrefixes),
         dirBytes = carryDir(prior.map(_.dirBytes).getOrElse(Map.empty)) ++
           freshDirBytes,
-        checks = prior.map(_.checks).getOrElse(Map.empty))
+        checks = prior.map(_.checks).getOrElse(Map.empty),
+        derived = prior.map(_.derived).getOrElse(Map.empty))
     }
   }
 
@@ -1696,8 +1719,10 @@ object VersionedTable {
     *
     * `keys` is the table's logical merge key (the manifest records
     * partition columns, not merge keys — same contract as [[upsert]]).
-    * Scale shape: ONE null-safe full-outer join keyed on `keys` over two
-    * manifest-pruned version reads; unchanged rows drop immediately after
+    * Scale shape: ONE null-safe full-outer join keyed on `keys` over the
+    * two versions' CHANGED partition dirs only (changedSideScans below —
+    * the scan itself is O(|changed partitions|), not O(|table|));
+    * unchanged rows drop immediately after
     * the join, so everything downstream is change-volume-sized. Content
     * comparison is null-safe equality over the columns the two versions
     * share; a column added in `to` makes every surviving row differ only
@@ -1712,11 +1737,48 @@ object VersionedTable {
     * (presence MARKERS, not key nullness, because a legitimately-null
     * key must not read as absent) is the same in both; change it in one
     * place, check the other. */
+  /** The two version-side scans a change feed diffs, restricted to
+    * partition dirs whose CONTENT can differ between the versions: a
+    * dir is included iff its mapped generation changed, it was added or
+    * dropped, or its deletion-vector refs changed (compared by ref
+    * tuple — conservative superset when a rewrite re-homes sidecar
+    * refs). Exact, because partCols ⊆ merge keys means a logical key
+    * can NEVER move between partition dirs — rows of untouched dirs
+    * are bit-identical on both sides and the feed would drop them
+    * anyway. This is what makes the feed (and everything built on it:
+    * syncChanges, the streaming CDC leg, MatView refresh)
+    * O(|changed partitions|) instead of O(|table|) per call. A
+    * maintenance rewrite (compact/repartition/restore) re-gens every
+    * dir, so a feed SPANNING one prices a full — empty — diff; feed
+    * before compacting, or from the post-maintenance version. */
+  private def changedSideScans(spark: SparkSession, root: String,
+                               fromVersion: Int, toVersion: Int)
+      : (DataFrame, DataFrame) = {
+    val mF = resolveManifest(spark, root, Some(fromVersion))
+    val mT = resolveManifest(spark, root, Some(toVersion))
+    def dvsUnder(m: Manifest, prefix: String) =
+      m.dvs.filter { case (f, _) => f.startsWith(prefix) }
+    val rels = (mF.mapping.keySet ++ mT.mapping.keySet).filter { rel =>
+      (mF.mapping.get(rel), mT.mapping.get(rel)) match {
+        case (Some(gf), Some(gt)) =>
+          gf != gt ||
+            dvsUnder(mF, s"$gf/$rel/") != dvsUnder(mT, s"$gt/$rel/")
+        case _ => true // dir added or dropped
+      }
+    }
+    def side(m: Manifest): DataFrame = {
+      val dirs = m.mapping.filter { case (rel, _) => rels.contains(rel) }
+      if (dirs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else scanDirs(spark, root, m, dirs)
+    }
+    (side(mF), side(mT))
+  }
+
   def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
                  fromVersion: Int, toVersion: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val from = read(spark, root, Some(fromVersion))
-    val to = read(spark, root, Some(toVersion))
+    val (from, to) = changedSideScans(spark, root, fromVersion, toVersion)
     keys.foreach(k => require(to.columns.contains(k) && from.columns.contains(k),
       s"key column $k must exist in both versions"))
     val toData = to.columns.toSeq.filterNot(keys.contains)
@@ -1760,8 +1822,7 @@ object VersionedTable {
   def changeFeedCdf(spark: SparkSession, root: String, keys: Seq[String],
                     fromVersion: Int, toVersion: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val from = read(spark, root, Some(fromVersion))
-    val to = read(spark, root, Some(toVersion))
+    val (from, to) = changedSideScans(spark, root, fromVersion, toVersion)
     keys.foreach(k => require(to.columns.contains(k) && from.columns.contains(k),
       s"key column $k must exist in both versions"))
     val toData = to.columns.toSeq.filterNot(keys.contains)
@@ -1916,7 +1977,7 @@ object VersionedTable {
         carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs),
         dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes),
         dirBytes = carryDir(m.dirBytes) ++ freshDirBytes,
-        checks = m.checks)
+        checks = m.checks, derived = m.derived)
     }
     publish(spark, root, next)
     next
@@ -2052,10 +2113,12 @@ object VersionedTable {
             .otherwise(col(f)).as(f))
           .getOrElse(col(f))
       }: _*)
-    // CHECK constraints gate the UPDATED rows before anything stages
-    if (m.checks.nonEmpty)
+    // CHECK constraints (and derived-partition invariants) gate the
+    // UPDATED rows before anything stages
+    val gates = m.checks ++ derivedChecks(m)
+    if (gates.nonEmpty)
       enforceChecks(applySet(scanDirs(spark, root, m, touched).filter(cond)),
-        m.checks, "UPDATE result")
+        gates, "UPDATE result")
     rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits)(applySet)
   }
 
@@ -2173,7 +2236,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs,
         dvBytes = freshBytes, dvRefs = m.dvs -- freshBytes.keys,
-        dirBytes = m.dirBytes, checks = m.checks)
+        dirBytes = m.dirBytes, checks = m.checks, derived = m.derived)
     }
     publish(spark, root, next)
     next
@@ -2510,7 +2573,8 @@ object VersionedTable {
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
-        dirBytes = m.dirBytes, checks = m.checks + (name -> sql))
+        dirBytes = m.dirBytes, checks = m.checks + (name -> sql),
+        derived = m.derived)
     }
     publish(spark, root, next)
     next
@@ -2527,7 +2591,8 @@ object VersionedTable {
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
-        dirBytes = m.dirBytes, checks = m.checks - name)
+        dirBytes = m.dirBytes, checks = m.checks - name,
+        derived = m.derived)
     }
     publish(spark, root, next)
     next
@@ -2538,6 +2603,191 @@ object VersionedTable {
   def constraintsOf(spark: SparkSession, root: String,
                     asOfVersion: Option[Int] = None): Map[String, String] =
     resolveManifest(spark, root, asOfVersion).checks
+
+  // ----- derived (hidden) partitioning ------------------------------
+  // Iceberg's partition-transform idea on the manifest protocol: a
+  // partition column DECLARED as a pure function of a data column
+  // (day(ts), bucket(id)) lets every predicate on the NATURAL column
+  // prune partition dirs automatically — the query author never names
+  // the partition column. The derived column stays physically real
+  // (partCols ⊆ merge keys and all dir machinery unchanged); what the
+  // registration adds is (a) a write-time invariant partCol ==
+  // transform(srcCol), enforced through the same machinery as CHECK
+  // constraints, and (b) constraint IMPLICATION in the scan's file
+  // selection: src-column facts map into partition-column facts (range
+  // bounds through monotone day(); equality/IN through both transforms).
+
+  private val BucketKind = """bucket:(\d+)""".r
+
+  /** SQL right-hand side computing the transform of `src` — UTC floor
+    * arithmetic on epoch-µs for `day` (session-timezone-independent, so
+    * driver-side literal mapping can never disagree with it), Spark's
+    * xxhash64 for `bucket:N` (the same hash the bloom probes evaluate
+    * driver-side via xxh64Of). */
+  private def derivedRhsSql(kind: String, src: String): String = kind match {
+    case "day" =>
+      s"date_from_unix_date(CAST((unix_micros(`$src`) - " +
+        s"pmod(unix_micros(`$src`), 86400000000)) div 86400000000 AS INT))"
+    case BucketKind(n) => s"CAST(pmod(xxhash64(`$src`), $n) AS INT)"
+    case other => throw new IllegalArgumentException(
+      s"unknown partition transform: $other (supported: day, bucket:N)")
+  }
+
+  private def derivedSqlExpr(kind: String, p: String, src: String): String =
+    s"`$p` <=> ${derivedRhsSql(kind, src)}"
+
+  /** The write-time invariants the registrations impose, in CHECK form —
+    * every enforcement site treats them exactly like user constraints. */
+  private def derivedChecks(m: Manifest): Map[String, String] =
+    m.derived.map { case (p, (kind, src)) =>
+      s"__derived_$p" -> derivedSqlExpr(kind, p, src) }
+
+  /** The Column a writer uses to populate a derived partition column
+    * before [[upsert]]: `df.withColumn("day",
+    * derivedPartitionColumn("day", "ts"))`. */
+  def derivedPartitionColumn(transform: String, srcCol: String)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(derivedRhsSql(transform, srcCol))
+
+  /** Register `partCol` as `transform(srcCol)` — metadata-only commit
+    * after validating the EXISTING data satisfies the invariant (like
+    * [[addConstraint]]'s backlog check). Transforms: `day` (TimestampType
+    * src → DateType part, UTC) and `bucket:N` (xxhash64 pmod N →
+    * IntegerType part). From then on (a) every write must satisfy
+    * partCol == transform(srcCol) and (b) predicates on `srcCol` prune
+    * partition DIRS through the registration — range bounds map through
+    * the monotone day() floor, equality and IN map through both,
+    * IsNull/IsNotNull map through day() (null-propagating; bucket
+    * hashes NULL to a bucket, so null facets do not map there). */
+  def addDerivedPartition(spark: SparkSession, root: String,
+                          partCol: String, transform: String,
+                          srcCol: String): Int = withClaimRetry(spark, root) {
+    import org.apache.spark.sql.types.{DateType, IntegerType, TimestampType}
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.partCols.contains(partCol),
+      s"$partCol is not a partition column (layout: ${m.partCols.mkString(",")})")
+    require(m.schema.fieldNames.contains(srcCol),
+      s"source column $srcCol is not in the table schema")
+    require(!m.partCols.contains(srcCol),
+      s"source column $srcCol is itself a partition column")
+    require(!m.derived.contains(partCol),
+      s"$partCol already has a derived-partition registration")
+    transform match {
+      case "day" =>
+        require(m.schema(srcCol).dataType == TimestampType,
+          s"day() needs a TimestampType source; $srcCol is " +
+            m.schema(srcCol).dataType.simpleString)
+        require(m.schema(partCol).dataType == DateType,
+          s"day() populates a DateType partition column; $partCol is " +
+            m.schema(partCol).dataType.simpleString)
+      case BucketKind(n) =>
+        require(n.toInt > 0, s"bucket count must be positive: $n")
+        require(m.schema(partCol).dataType == IntegerType,
+          s"bucket() populates an IntegerType partition column; $partCol " +
+            s"is ${m.schema(partCol).dataType.simpleString}")
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform: $other (supported: day, bucket:N)")
+    }
+    // backlog: the registration is a fact about ALL data, not just
+    // future writes — validate it like addConstraint does
+    enforceChecks(readM(spark, root, m),
+      Map(s"derived $partCol" -> derivedSqlExpr(transform, partCol, srcCol)),
+      s"existing data at $root")
+    val next = stageVersion(fs, root, cur + 1) { _ =>
+      Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
+        m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
+        dirBytes = m.dirBytes, checks = m.checks,
+        derived = m.derived + (partCol -> ((transform, srcCol))))
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** Deregister a derived partition — metadata-only commit; the column
+    * keeps its values, queries just stop mapping src predicates. */
+  def dropDerivedPartition(spark: SparkSession, root: String,
+                           partCol: String): Int =
+      withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.derived.contains(partCol),
+      s"$partCol has no derived-partition registration")
+    val next = stageVersion(fs, root, cur + 1) { _ =>
+      Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
+        m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
+        dirBytes = m.dirBytes, checks = m.checks,
+        derived = m.derived - partCol)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** The registrations of the current (or as-of) version:
+    * partCol -> (transform, srcCol). */
+  def derivedPartitionsOf(spark: SparkSession, root: String,
+                          asOfVersion: Option[Int] = None)
+      : Map[String, (String, String)] =
+    resolveManifest(spark, root, asOfVersion).derived
+
+  /** Epoch-µs of a timestamp-domain literal in any form the engine's
+    * stat rendering accepts; None = unmappable (no implied pruning). */
+  private def microsOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(l) // Catalyst-internal timestamp micros
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * 86400000000L)
+    case d: java.time.LocalDate => Some(d.toEpochDay * 86400000000L)
+    case _ => None
+  }
+
+  private def dayOfLiteral(v: Any): Option[java.time.LocalDate] =
+    Option(v).flatMap(microsOf).map(us =>
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L)))
+
+  private def bucketOfLiteral(v: Any, dt: DataType, n: Int): Option[Int] =
+    Option(v).flatMap(xxh64Of(_, dt)).map(h => (((h % n) + n) % n).toInt)
+
+  /** The partition-column constraint a src-column constraint IMPLIES
+    * under a registration — each facet maps only when provably sound:
+    * day() is monotone (range bounds map inclusively) and
+    * null-propagating (null facets map); bucket() maps equality and IN
+    * only. An unmappable range bound just drops (less pruning, never
+    * wrong); an unmappable eq/IN value drops ITS facet entirely (a dir
+    * holding that value must survive). notEq/prefix never map. */
+  private def impliedPartConstraint(m: Manifest, p: String, kind: String,
+                                    src: String, c: ColConstraint)
+      : Option[ColConstraint] = {
+    val srcDt = m.schema(src).dataType
+    def allOrNothing(vs: Seq[Any], f: Any => Option[Any])
+        : Option[Seq[Any]] = {
+      val mapped = vs.map(f)
+      if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
+    }
+    val mapped = kind match {
+      case "day" =>
+        val d = (v: Any) => dayOfLiteral(v): Option[Any]
+        ColConstraint(p,
+          lower = c.lower.flatMap(d), upper = c.upper.flatMap(d),
+          eq = c.eq.flatMap(d),
+          inSet = c.inSet.flatMap(allOrNothing(_, d)),
+          notNull = c.notNull, isNull = c.isNull)
+      case BucketKind(nStr) =>
+        val n = nStr.toInt
+        val b = (v: Any) => bucketOfLiteral(v, srcDt, n): Option[Any]
+        ColConstraint(p, None, None,
+          eq = c.eq.flatMap(b),
+          inSet = c.inSet.flatMap(allOrNothing(_, b)))
+      case _ => ColConstraint(p, None, None, None)
+    }
+    if (mapped.nonNullFacet || mapped.isNull) Some(mapped) else None
+  }
 
   /** Incremental change consumer — the warehouse-sync loop the reference
     * re-runs as a FULL MERGE every cycle (load_to_snowflake.py:212-231),
@@ -2666,7 +2916,7 @@ object VersionedTable {
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
         stats, blooms, m.txns, dirRows, dirFiles, dirBytes = dirBytes,
-        checks = m.checks)
+        checks = m.checks, derived = m.derived)
     }
     publish(spark, root, next)
     next
@@ -2810,7 +3060,10 @@ object VersionedTable {
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(partCols, m.schema, written.map(_ -> genDir).toMap,
         stats, blooms, m.txns, dirRows, dirFiles, dirBytes = dirBytes,
-        checks = m.checks)
+        checks = m.checks,
+        // a registration for a partition column the new layout dropped
+        // cannot survive the layout change
+        derived = m.derived.filter { case (p, _) => partCols.contains(p) })
     }
     publish(spark, root, next)
     next
@@ -2847,14 +3100,16 @@ object VersionedTable {
     // the cleanup that made addConstraint's backlog validation pass).
     // One scan, only when constraints exist; a violation aborts the
     // restore before anything stages.
-    if (curM.checks.nonEmpty)
-      enforceChecks(readM(spark, root, target), curM.checks,
+    if ((curM.checks ++ derivedChecks(curM)).nonEmpty)
+      enforceChecks(readM(spark, root, target),
+        curM.checks ++ derivedChecks(curM),
         s"restore target v$toVersion at $root")
     val next = stageVersion(fs, root, cur + 1) { _ =>
       Staged(target.partCols, target.schema, target.mapping,
         target.stats, target.blooms, curTxns, target.dirRows,
         target.dirFiles, target.bloomRefs, dvRefs = target.dvs,
-        dirBytes = target.dirBytes, checks = curM.checks)
+        dirBytes = target.dirBytes, checks = curM.checks,
+        derived = curM.derived)
     }
     publish(spark, root, next)
     next
@@ -3098,7 +3353,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs, dvRefs = m.dvs, dirBytes = m.dirBytes,
-        checks = m.checks)
+        checks = m.checks, derived = m.derived)
     }
     publish(spark, root, next)
     next
@@ -3142,7 +3397,10 @@ object VersionedTable {
         m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs.map { case (f, cols) => f -> (cols - name) }
           .filter(_._2.nonEmpty),
-        dvRefs = m.dvs, dirBytes = m.dirBytes, checks = m.checks)
+        dvRefs = m.dvs, dirBytes = m.dirBytes, checks = m.checks,
+        // a registration referencing the dropped column dies with it
+        derived = m.derived.filter { case (p, (_, src)) =>
+          src != name && p != name })
     }
     publish(spark, root, next)
     next
