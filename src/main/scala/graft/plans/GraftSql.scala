@@ -65,7 +65,7 @@ import graft.ops.VersionedTable
  */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseStatement(sqlText).getOrElse(
+    GraftSqlParser.parseStatement(sqlText, delegate.parsePlan).getOrElse(
       GraftSqlParser.rewriteDml(delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
@@ -105,13 +105,35 @@ object GraftSqlParser {
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
+  private val AddDerivedRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+ADD\s+DERIVED\s+PARTITION\s+`?([A-Za-z0-9_]+)`?\s*=\s*""" +
+      """(?:day\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)""" +
+      """|bucket\s*\(\s*(\d+)\s*,\s*`?([A-Za-z0-9_]+)`?\s*\))\s*;?\s*$""").r
+  private val DropDerivedRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+DROP\s+DERIVED\s+PARTITION\s+`?([A-Za-z0-9_]+)`?\s*;?\s*$""").r
+  private val RefreshMvRe =
+    ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Target +
+      """\s*;?\s*$""").r
+  private val CreateMvRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Target +
+      """\s+KEYED\s+BY\s+\(\s*([A-Za-z0-9_`,\s]+?)\s*\)""" +
+      """\s+AS\s+(SELECT\b.*?)\s*;?\s*$""").r
 
   private def root(g1: String, g2: String): String =
     Option(g1).getOrElse(g2)
 
+  private def colList(s: String): Seq[String] =
+    s.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty).toSeq
+
   /** The statements Spark's grammar cannot parse; None = not ours,
-    * delegate the text. */
-  private[graft] def parseStatement(sql: String): Option[LogicalPlan] =
+    * delegate the text. `parseSelect` is the delegate's parser, for the
+    * materialized-view AS SELECT tail. */
+  private[graft] def parseStatement(sql: String,
+                                    parseSelect: String => LogicalPlan)
+      : Option[LogicalPlan] =
     sql match {
       case VacuumRe(g1, g2, keep) =>
         Some(GraftVacuumCommand(root(g1, g2),
@@ -125,8 +147,81 @@ object GraftSqlParser {
         Some(GraftRestoreCommand(root(g1, g2), v.toInt))
       case HistoryRe(g1, g2) =>
         Some(GraftHistoryCommand(root(g1, g2)))
+      case AddDerivedRe(g1, g2, p, daySrc, bucketN, bucketSrc) =>
+        val (transform, src) =
+          if (daySrc != null) ("day", daySrc)
+          else (s"bucket:$bucketN", bucketSrc)
+        Some(GraftAddDerivedCommand(root(g1, g2), p, transform, src))
+      case DropDerivedRe(g1, g2, p) =>
+        Some(GraftDropDerivedCommand(root(g1, g2), p))
+      case RefreshMvRe(g1, g2) =>
+        Some(GraftMvRefreshCommand(root(g1, g2)))
+      case CreateMvRe(g1, g2, keys, select) =>
+        Some(mvCreate(root(g1, g2), colList(keys), select, parseSelect))
       case _ => None
     }
+
+  /** Extract a [[graft.ops.MatView]] spec from the MV statement's
+    * AS SELECT: `SELECT g..., agg(col) AS alias... FROM
+    * graft_table('/src') GROUP BY g...` with aggs ∈ sum/min/max and
+    * count(*). Every aggregate must be aliased (the alias is the view's
+    * served column name); anything outside the maintainable shape is a
+    * loud error naming what is supported. */
+  private def mvCreate(viewRoot: String, keys: Seq[String], select: String,
+                       parseSelect: String => LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedFunction, UnresolvedStar, UnresolvedTableValuedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def unsupported(what: String): Nothing =
+      throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW supports SELECT <group cols>, " +
+          "sum|min|max(col) AS alias..., count(*) AS alias FROM " +
+          s"graft_table('/src') GROUP BY <group cols>; got $what")
+    parseSelect(select) match {
+      case Aggregate(groupExprs, resultExprs, child, _) =>
+        val srcRoot = child.collectFirst {
+          case tvf: UnresolvedTableValuedFunction
+              if tvf.name.last.equalsIgnoreCase("graft_table") =>
+            tvf.functionArgs match {
+              case Seq(Literal(s, _)) => s.toString
+              case _ => unsupported("a non-literal graft_table argument")
+            }
+        }.getOrElse(unsupported(s"FROM ${child.nodeName}"))
+        val groups = groupExprs.map {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case other => unsupported(s"GROUP BY ${other.sql}")
+        }
+        var sums = Vector.empty[(String, String)]
+        var mins = Vector.empty[(String, String)]
+        var maxs = Vector.empty[(String, String)]
+        var countAlias: Option[String] = None
+        resultExprs.foreach {
+          case a: UnresolvedAttribute if groups.contains(a.nameParts.last) =>
+            () // group column re-selected
+          case Alias(f: UnresolvedFunction, name) if !f.isDistinct =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("sum", Seq(c: UnresolvedAttribute)) =>
+                sums :+= (name -> c.nameParts.last)
+              case ("min", Seq(c: UnresolvedAttribute)) =>
+                mins :+= (name -> c.nameParts.last)
+              case ("max", Seq(c: UnresolvedAttribute)) =>
+                maxs :+= (name -> c.nameParts.last)
+              case ("count", Seq(_: UnresolvedStar)) =>
+                countAlias = Some(name)
+              case ("count", Seq(Literal(_, _))) =>
+                countAlias = Some(name)
+              case (fn, _) => unsupported(s"$fn(${f.arguments.map(_.sql)
+                .mkString(", ")})")
+            }
+          case other => unsupported(other.sql +
+            " (alias every aggregate: sum(x) AS x_sum)")
+        }
+        GraftMvCreateCommand(viewRoot, srcRoot, keys, groups,
+          sums, mins, maxs, countAlias)
+      case other => unsupported(s"a ${other.nodeName} statement")
+    }
+  }
 
   /** The `graft`.`<root>` target of a DML command (through an optional
     * alias), with the alias so predicate qualifiers can be stripped.
@@ -365,6 +460,58 @@ case class GraftRestoreCommand(root: String, toVersion: Int)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.restore(spark, root, toVersion)))
+}
+
+/** `ALTER TABLE graft.`root` ADD DERIVED PARTITION p = day(src)` (or
+  * `= bucket(N, src)`) — [[VersionedTable.addDerivedPartition]]:
+  * metadata-only commit after the backlog check; from then on predicates
+  * on `src` prune partition dirs and writes must keep p == transform. */
+case class GraftAddDerivedCommand(root: String, partCol: String,
+                                  transform: String, srcCol: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.addDerivedPartition(spark, root, partCol,
+      transform, srcCol)))
+}
+
+/** `ALTER TABLE graft.`root` DROP DERIVED PARTITION p`. */
+case class GraftDropDerivedCommand(root: String, partCol: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.dropDerivedPartition(spark, root, partCol)))
+}
+
+/** `CREATE MATERIALIZED VIEW graft.`/view` KEYED BY (k...) AS SELECT
+  * g..., sum(x) AS a... FROM graft_table('/src') GROUP BY g...` —
+  * [[graft.ops.MatView.create]]: defines the view and runs the one full
+  * build; REFRESH then maintains it from the change feed. */
+case class GraftMvCreateCommand(viewRoot: String, srcRoot: String,
+                                keys: Seq[String], groups: Seq[String],
+                                sums: Seq[(String, String)],
+                                mins: Seq[(String, String)],
+                                maxs: Seq[(String, String)],
+                                countAlias: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.MatView.create(spark, viewRoot, srcRoot, keys,
+      groups, sums, mins, maxs, countAlias)))
+}
+
+/** `REFRESH MATERIALIZED VIEW graft.`/view`` —
+  * [[graft.ops.MatView.refresh]]: advance to the source's current
+  * version at change-volume cost. */
+case class GraftMvRefreshCommand(viewRoot: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.MatView.refresh(spark, viewRoot)))
 }
 
 /** `DESCRIBE HISTORY graft.`root`` — one row per still-committed version:

@@ -250,6 +250,50 @@ class SqlDmlSpec extends SparkSpec {
     assert(e4.getMessage.contains("neither the target nor the source"))
   }
 
+  test("SQL derived partitions and materialized views") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_dp").toString
+    val (src, view) = (s"$dir/src", s"$dir/view")
+    val rows = (0 until 200).map { i =>
+      (i, java.sql.Timestamp.valueOf(
+        f"2024-03-${1 + i % 9}%02d ${i % 24}%02d:00:00"), s"s${i % 4}",
+        i.toLong) }
+    val df = rows.toDF("id", "ts", "source", "n")
+      .withColumn("day", VersionedTable.derivedPartitionColumn("day", "ts"))
+    VersionedTable.upsert(spark, src, df, Seq("id", "day"), Seq("day"))
+    // ALTER TABLE ... ADD DERIVED PARTITION through SQL
+    val v1 = spark.sql(
+      s"ALTER TABLE graft.`$src` ADD DERIVED PARTITION day = day(ts)")
+      .collect().head.getInt(0)
+    assert(v1 == 1)
+    assert(VersionedTable.derivedPartitionsOf(spark, src) ==
+      Map("day" -> (("day", "ts"))))
+    // CREATE MATERIALIZED VIEW ... AS SELECT through SQL
+    val mv = spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.`$view` KEYED BY (id, day)
+         |AS SELECT source, sum(n) AS n_sum, count(*) AS cnt
+         |FROM graft_table('$src') GROUP BY source""".stripMargin)
+    assert(mv.collect().head.getInt(0) == 0)
+    // source advances; REFRESH brings the view current incrementally
+    VersionedTable.deleteMatching(spark, src, col("id") % 3 === 0)
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    val want = rows.filterNot(_._1 % 3 == 0).groupBy(_._3)
+      .map { case (s, rs) => (s, rs.map(_._4).sum, rs.size.toLong) }.toSet
+    val got = graft.ops.MatView.read(spark, view)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    // unsupported MV shapes refuse loudly
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW graft.`$dir/v2` KEYED BY (id)
+           |AS SELECT source, avg(n) AS m
+           |FROM graft_table('$src') GROUP BY source""".stripMargin)
+    }
+    assert(bad.getMessage.contains("sum|min|max"))
+    // DROP DERIVED PARTITION deregisters
+    spark.sql(s"ALTER TABLE graft.`$src` DROP DERIVED PARTITION day")
+    assert(VersionedTable.derivedPartitionsOf(spark, src).isEmpty)
+  }
+
   test("SQL OPTIMIZE ZORDER BY an unindexed column starts skipping on it") {
     val (root, _) = freshTable("zidx")
     // w carries NO stats before OPTIMIZE; z-ordering by it must both
