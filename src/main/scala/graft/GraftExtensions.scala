@@ -155,6 +155,19 @@ object GraftExtensions {
               s"timestamp (string/DATE/TIMESTAMP) literal, got $other")
         }
         graft.plans.VersionedScan.plan(spark, root, asOf)
+      }),
+    (FunctionIdentifier("graft_view"),
+      new ExpressionInfo(graft.ops.MatView.getClass.getName, "graft_view"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_view(viewRoot) takes 1 argument")
+        val root = strLit(children.head, "graft_view root")
+        // the served shape of a materialized aggregate (group cols +
+        // measure aliases, tombstones/internals hidden), from pure SQL;
+        // the frame's own analysis runs here, at the outer query's
+        // ANALYSIS time, so the resolved subtree just slots in
+        graft.ops.MatView.read(SparkSession.active, root)
+          .queryExecution.analyzed
       }))
 
   /** Serializes every check-and-append on

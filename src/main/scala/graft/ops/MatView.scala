@@ -117,21 +117,19 @@ object MatView {
       case Some(from) =>
         val feed = VersionedTable.changeFeedCdf(spark, spec.srcRoot,
           spec.srcKeys, from.toInt, srcCur)
-        if (spec.deltaOnly)
-          commit(spark, viewRoot, spec, srcCur,
-            deltaGroups(spark, viewRoot, spec, feed))
-        else {
-          // the affected set is read several times (IN-list collect,
-          // null probe, semi join, tombstone anti-join) — pin it so the
-          // two-version feed join prices once
-          val affected = feed.select(spec.groupCols.map(col): _*)
-            .distinct().persist()
-          try commit(spark, viewRoot, spec, srcCur,
-            recomputeGroups(spark, spec, affected))
-          finally affected.unpersist()
-        }
+        // pin the (group-sized) feed aggregation: it feeds the delta
+        // rows, the rescan split, and the recompute's pruning probes
+        val delta = feedDelta(spec, feed).persist()
+        val (rows, pins) = deltaGroups(spark, viewRoot, spec, delta)
+        try commit(spark, viewRoot, spec, srcCur, rows)
+        finally (delta +: pins).foreach(_.unpersist())
     }
   }
+
+  /** Source rescans the LAST [[refresh]] needed for extremum measures
+    * (0 = the whole refresh ran from the feed alone; -1 = no extremum
+    * refresh has run). Observability for tests and schedulers. */
+  @volatile private[graft] var lastRescanGroups: Long = -1L
 
   /** The view's served contents: group columns + measures, tombstones
     * and internal columns hidden. */
@@ -158,47 +156,96 @@ object MatView {
     df.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Delta path: ± contributions from the CDF images, one aggregation
-    * over the feed, one left join against the view's CURRENT rows for
-    * the affected groups. Never reads the source table. */
-  private def deltaGroups(spark: SparkSession, viewRoot: String,
-                          spec: Spec, feed: DataFrame): DataFrame = {
-    val w = when(col("op").isin("insert", "update_postimage"), lit(1L))
-      .otherwise(lit(-1L))
+  /** Per-group feed aggregation: signed sum/count contributions plus,
+    * for extremum measures, the ADDED extreme (insert/postimage rows)
+    * and the REMOVED extreme (delete/preimage rows) — the removed
+    * extreme is what decides rescans: every removed value was IN the
+    * group, so a removal can only have changed an extremum it EQUALS. */
+  private def feedDelta(spec: Spec, feed: DataFrame): DataFrame = {
+    val isAdd = col("op").isin("insert", "update_postimage")
+    val w = when(isAdd, lit(1L)).otherwise(lit(-1L))
     val dAggs =
       spec.sums.flatMap { case (a, c) => Seq(
         // NULL measure values contribute zero to the sum on both sides
         sum(when(col(c).isNotNull, col("__w") * col(c))).as(s"__d_$a"),
         sum(when(col(c).isNotNull, col("__w")).otherwise(lit(0L)))
-          .as(s"__d_${nn(a)}")) } :+
-        sum(col("__w")).as("__d_cnt")
-    val delta = feed.withColumn("__w", w)
+          .as(s"__d_${nn(a)}")) } ++
+      spec.mins.flatMap { case (a, c) => Seq(
+        min(when(isAdd, col(c))).as(s"__add_$a"),
+        min(when(!isAdd, col(c))).as(s"__rem_$a")) } ++
+      spec.maxs.flatMap { case (a, c) => Seq(
+        max(when(isAdd, col(c))).as(s"__add_$a"),
+        max(when(!isAdd, col(c))).as(s"__rem_$a")) } :+
+      sum(col("__w")).as("__d_cnt")
+    feed.withColumn("__w", w)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(dAggs.head, dAggs.tail: _*)
+  }
+
+  /** Delta path: the per-group feed deltas left-joined against the
+    * view's CURRENT rows decide every group's new state WITHOUT reading
+    * the source — sums/counts are subtractable outright, and an
+    * extremum only needs a source rescan when a REMOVED value equals
+    * the recorded extreme (otherwise new extreme = least/greatest of
+    * old and added). Only that provably-undecidable residue — typically
+    * empty — goes through [[recomputeGroups]]'s pruned re-aggregation. */
+  private def deltaGroups(spark: SparkSession, viewRoot: String,
+                          spec: Spec, delta: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
     val cur = VersionedTable.read(spark, viewRoot)
+    val extrema = spec.mins ++ spec.maxs
     val curSel = cur.select(
       spec.groupCols.map(c => col(c).as(s"__v_$c")) ++
         spec.sums.flatMap { case (a, _) => Seq(
-          col(a).as(s"__v_$a"), col(nn(a)).as(s"__v_${nn(a)}")) } :+
+          col(a).as(s"__v_$a"), col(nn(a)).as(s"__v_${nn(a)}")) } ++
+        extrema.map { case (a, _) => col(a).as(s"__v_$a") } :+
         col("__cnt").as("__v_cnt"): _*)
     val cond = spec.groupCols.map(c => col(c) <=> col(s"__v_$c"))
       .reduce(_ && _)
-    delta.join(curSel, cond, "left").select(
+    val joined = delta.join(curSel, cond, "left")
+    val newCnt = (coalesce(col("__v_cnt"), lit(0L)) + col("__d_cnt"))
+      .cast(LongType)
+    // rescan: the group survives AND some removed value hits its
+    // recorded extreme (null-safe: a null recorded extreme means the
+    // group held only NULLs — removals can't have been non-null)
+    val rescan = extrema.map { case (a, _) =>
+      col(s"__rem_$a").isNotNull && (col(s"__rem_$a") <=> col(s"__v_$a")) }
+      .reduceOption(_ || _).getOrElse(lit(false)) && newCnt > 0
+    def sumCols(a: String): Seq[org.apache.spark.sql.Column] = {
+      val nnTotal = coalesce(col(s"__v_${nn(a)}"), lit(0L)) +
+        coalesce(col(s"__d_${nn(a)}"), lit(0L))
+      // groups new to the view start from zero; a group whose surviving
+      // values are all NULL serves NULL like a direct sum would. Cast
+      // pins the full build's sum type.
+      Seq(
+        when(nnTotal > 0,
+          coalesce(col(s"__v_$a"), lit(0)) +
+            coalesce(col(s"__d_$a"), lit(0)))
+          .cast(cur.schema(a).dataType).as(a),
+        nnTotal.cast(LongType).as(nn(a)))
+    }
+    val deltaRows = joined.filter(!rescan).select(
       spec.groupCols.map(col) ++
-        spec.sums.flatMap { case (a, _) =>
-          val nnTotal = coalesce(col(s"__v_${nn(a)}"), lit(0L)) +
-            coalesce(col(s"__d_${nn(a)}"), lit(0L))
-          // groups new to the view start from zero; a group whose
-          // surviving values are all NULL serves NULL like a direct
-          // sum would. Cast pins the full build's sum type.
-          Seq(
-            when(nnTotal > 0,
-              coalesce(col(s"__v_$a"), lit(0)) +
-                coalesce(col(s"__d_$a"), lit(0)))
-              .cast(cur.schema(a).dataType).as(a),
-            nnTotal.cast(LongType).as(nn(a))) } :+
-        (coalesce(col("__v_cnt"), lit(0L)) + col("__d_cnt"))
-          .cast(LongType).as("__cnt"): _*)
+        spec.sums.flatMap { case (a, _) => sumCols(a) } ++
+        spec.mins.map { case (a, _) =>
+          when(newCnt > 0, least(col(s"__v_$a"), col(s"__add_$a")))
+            .as(a) } ++
+        spec.maxs.map { case (a, _) =>
+          when(newCnt > 0, greatest(col(s"__v_$a"), col(s"__add_$a")))
+            .as(a) } :+
+        newCnt.as("__cnt"): _*)
+    if (extrema.isEmpty) (deltaRows, Nil)
+    else {
+      // pin the rescan keys: the recompute reads them several times
+      // (IN-list collect, null probe, semi join, tombstone anti-join),
+      // and counting them is the path's key observable
+      val rescanKeys = joined.filter(rescan)
+        .select(spec.groupCols.map(col): _*).persist()
+      lastRescanGroups = rescanKeys.count()
+      if (lastRescanGroups == 0) (deltaRows, Seq(rescanKeys))
+      else (deltaRows.unionByName(
+        recomputeGroups(spark, spec, rescanKeys)), Seq(rescanKeys))
+    }
   }
 
   /** Recompute path: re-aggregate ONLY the groups the feed names —

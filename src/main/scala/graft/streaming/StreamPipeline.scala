@@ -336,6 +336,31 @@ object StreamPipeline {
       }
       .start()
 
+  /** Continuously-fresh materialized aggregate: a metronome-triggered
+    * [[graft.ops.MatView.refresh]] loop — each tick advances the view to
+    * the source's current version at change-volume cost (idle ticks cost
+    * two manifest listings and commit nothing). The view's own txn
+    * watermark is the crash-safe cursor, so restarting the stream — or
+    * running it from a different driver — resumes exactly where the
+    * last committed refresh left off. Pairs with
+    * [[startVersionedMerge]]: stream → versioned table → serving
+    * aggregate, every leg incremental. */
+  def startMatViewRefresh(spark: SparkSession, viewRoot: String,
+                          pollInterval: String = "1 second")
+      : StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").option("numPartitions", "1").load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        try {
+          graft.ops.MatView.refresh(spark, viewRoot)
+          ()
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
+      .start()
+
   /** S9, made safe: the reference's log sink collects EVERY batch row to
     * the driver (spark_stream_processor.py:89) — at scale that is a driver
     * OOM. This is the bounded twin: at most `maxRows` rows per micro-batch

@@ -131,6 +131,41 @@ class MatViewSpec extends SparkSpec {
     assertMatches(view, src, Seq("g", "x_sum", "x_min", "x_max", "n"))
   }
 
+  test("min/max refresh rescans ONLY groups whose extremum was removed") {
+    val dir = tmp("smart")
+    val (src, view) = (s"$dir/src", s"$dir/view")
+    // group A: values 10,20,30; group B: 5,50
+    VersionedTable.upsert(spark, src, Seq(
+      (1, "p0", "A", Some(10L)), (2, "p0", "A", Some(20L)),
+      (3, "p0", "A", Some(30L)), (4, "p1", "B", Some(5L)),
+      (5, "p1", "B", Some(50L))).toDF("id", "part", "g", "x"),
+      Seq("id", "part"), Seq("part"))
+    MatView.create(spark, view, src, Seq("id", "part"), Seq("g"),
+      mins = Seq(("x_min", "x")), maxs = Seq(("x_max", "x")),
+      countAlias = Some("n"))
+    // delete A's MIDDLE value: neither extremum touched -> zero rescans
+    VersionedTable.deleteMatching(spark, src,
+      col("g") === "A" && col("x") === 20L)
+    MatView.refresh(spark, view)
+    assert(MatView.lastRescanGroups == 0L,
+      s"non-extreme removal rescanned ${MatView.lastRescanGroups} groups")
+    assertMatches(view, src, Seq("g", "x_min", "x_max", "n"))
+    // insert a new maximum: extends via greatest(), still zero rescans
+    VersionedTable.upsert(spark, src,
+      Seq((6, "p0", "A", Some(99L))).toDF("id", "part", "g", "x"),
+      Seq("id", "part"), Seq("part"))
+    MatView.refresh(spark, view)
+    assert(MatView.lastRescanGroups == 0L)
+    assertMatches(view, src, Seq("g", "x_min", "x_max", "n"))
+    // delete A's MAXIMUM (99): exactly that one group rescans; B's
+    // untouched row set must not be re-read into the answer wrongly
+    VersionedTable.deleteMatching(spark, src, col("x") === 99L)
+    MatView.refresh(spark, view)
+    assert(MatView.lastRescanGroups == 1L,
+      s"extreme removal rescanned ${MatView.lastRescanGroups} groups")
+    assertMatches(view, src, Seq("g", "x_min", "x_max", "n"))
+  }
+
   test("randomized rounds: view == direct aggregate after every refresh") {
     val dir = tmp("rand")
     val (src, view) = (s"$dir/src", s"$dir/view")

@@ -289,6 +289,11 @@ class SqlDmlSpec extends SparkSpec {
            |FROM graft_table('$src') GROUP BY source""".stripMargin)
     }
     assert(bad.getMessage.contains("sum|min|max"))
+    // the served view from pure SQL, via the graft_view table function
+    val sqlGot = spark.sql(
+      s"SELECT source, n_sum, cnt FROM graft_view('$view') ORDER BY source")
+      .as[(String, Long, Long)].collect().toSet
+    assert(sqlGot == got)
     // DROP DERIVED PARTITION deregisters
     spark.sql(s"ALTER TABLE graft.`$src` DROP DERIVED PARTITION day")
     assert(VersionedTable.derivedPartitionsOf(spark, src).isEmpty)

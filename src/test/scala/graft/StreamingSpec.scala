@@ -202,6 +202,45 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.lastTxn(spark, root, "other-stream").isEmpty)
   }
 
+  test("startMatViewRefresh: the view tracks the table while writes land") {
+    import graft.ops.{MatView, VersionedTable}
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_mv_stream")
+    val (src, view) = (base.resolve("src").toString, base.resolve("v").toString)
+    def put(rows: (Int, String, Long)*): Unit =
+      VersionedTable.upsert(spark, src,
+        spark.createDataFrame(rows).toDF("id", "g", "x"), Seq("id", "g"),
+        "g")
+    put((1, "a", 10L), (2, "a", 20L), (3, "b", 5L))
+    MatView.create(spark, view, src, Seq("id", "g"), Seq("g"),
+      sums = Seq(("x_sum", "x")), countAlias = Some("n"))
+    def served(): Map[String, (Long, Long)] =
+      MatView.read(spark, view).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def truth(): Map[String, (Long, Long)] =
+      VersionedTable.read(spark, src).groupBy(col("g"))
+        .agg(org.apache.spark.sql.functions.sum("x"),
+          org.apache.spark.sql.functions.count(col("*"))).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def await(deadlineMs: Long = 30000): Unit = {
+      val end = System.currentTimeMillis + deadlineMs
+      while (served() != truth() && System.currentTimeMillis < end)
+        Thread.sleep(100)
+      assert(served() == truth())
+    }
+    val q = StreamPipeline.startMatViewRefresh(spark, view,
+      pollInterval = "100 milliseconds")
+    try {
+      // writes land WHILE the refresher runs; the serving aggregate
+      // converges without any explicit refresh call
+      put((4, "a", 30L), (5, "c", 7L))
+      await()
+      VersionedTable.deleteMatching(spark, src, col("g") === "b")
+      await()
+      assert(!served().contains("b"))
+    } finally q.stop()
+  }
+
   test("startChangeFeedStream: live CDC, crash/restart, mirror equals table") {
     import graft.ops.VersionedTable
     import org.apache.spark.sql.functions.col
