@@ -156,6 +156,20 @@ object GraftExtensions {
         }
         graft.plans.VersionedScan.plan(spark, root, asOf)
       }),
+    (FunctionIdentifier("graft_partitions"),
+      new ExpressionInfo(graft.ops.VersionedTable.getClass.getName,
+        "graft_partitions"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "graft_partitions(root [, version]) takes 1-2 arguments")
+        val root = strLit(children.head, "graft_partitions root")
+        val asOf = children.lift(1).map(intLit(_, "graft_partitions version"))
+        // manifest-only partition metadata as a queryable relation —
+        // the Iceberg metadata-table idea from pure SQL
+        graft.ops.VersionedTable
+          .partitionsMeta(SparkSession.active, root, asOf)
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("graft_view"),
       new ExpressionInfo(graft.ops.MatView.getClass.getName, "graft_view"),
       (children: Seq[Expression]) => {

@@ -189,7 +189,16 @@ object VersionedTable {
                               dirBytes: Map[String, Long] = Map.empty,
                               checks: Map[String, String] = Map.empty,
                               derived: Map[String, (String, String)] =
-                                Map.empty) {
+                                Map.empty,
+                              dirVers: Map[String, String] = Map.empty) {
+    /** The generation token of the commit that last CHANGED this dir's
+      * LOGICAL rows — maintenance rewrites (compact, small-file
+      * compaction) carry it forward while real writes bump it, so two
+      * versions' tokens agree exactly when the dir's content does.
+      * None for pre-feature manifests (callers fall back to comparing
+      * physical generations). */
+    private[graft] def contentOf(rel: String): Option[String] =
+      dirVers.get(rel)
     // one lazy fetch per sidecar object per Manifest instance: an eq
     // probe over N indexed files costs ONE sidecar GET, not N, and a
     // manifest read costs ZERO (refs are offsets, not payloads)
@@ -379,8 +388,15 @@ object VersionedTable {
       val parts = l.split("\t", -1)
       b64d(parts(1)) -> (b64d(parts(2)), b64d(parts(3)))
     }.toMap
+    // content-version tokens (round 6): the gen that last changed each
+    // dir's logical rows — what lets a change feed see THROUGH
+    // maintenance rewrites
+    val dirVers = lines.filter(_.startsWith("#dirver\t")).map { l =>
+      val parts = l.split("\t", -1)
+      (b64d(parts(1)), parts(2))
+    }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
-      dirFiles, bloomRefs, dvs, dirBytes, checks, derived)
+      dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -1220,10 +1236,19 @@ object VersionedTable {
                               (String, Long, Int, Long)] = Map.empty,
                             dirBytes: Map[String, Long] = Map.empty,
                             checks: Map[String, String] = Map.empty,
-                            // no default: EVERY staging site must decide
-                            // the carry, or a commit would silently drop
-                            // the registrations
-                            derived: Map[String, (String, String)])
+                            // no defaults: EVERY staging site must decide
+                            // these carries — silently dropping a derived
+                            // registration loses invariants; a stale
+                            // content token makes a feed MISS changes
+                            derived: Map[String, (String, String)],
+                            dirVers: Map[String, String])
+
+  /** Full-coverage content-token map for a manifest: every live dir's
+    * token, falling back to its physical generation for dirs written
+    * before the feature — what metadata-only commits carry so coverage
+    * becomes complete over time. */
+  private def fullDirVers(m: Manifest): Map[String, String] =
+    m.mapping.map { case (rel, g) => rel -> m.dirVers.getOrElse(rel, g) }
 
   /** Carry-forward filter for FLAT file-keyed maps (DV refs), mirroring
     * the nested `carry` the stats/blooms use: an entry survives iff its
@@ -1337,7 +1362,9 @@ object VersionedTable {
         st.dirFiles.toSeq.sortBy(_._1).map { case (rel, n) =>
           s"#dirfiles\t${b64(rel)}\t$n\n" }.mkString +
         st.dirBytes.toSeq.sortBy(_._1).map { case (rel, n) =>
-          s"#dirbytes\t${b64(rel)}\t$n\n" }.mkString
+          s"#dirbytes\t${b64(rel)}\t$n\n" }.mkString +
+        st.dirVers.toSeq.sortBy(_._1).map { case (rel, g) =>
+          s"#dirver\t${b64(rel)}\t$g\n" }.mkString
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
       out.write((header + txnLine + dirRowLines + statLines + bloomLines +
@@ -1506,7 +1533,14 @@ object VersionedTable {
         dirBytes = carryDir(prior.map(_.dirBytes).getOrElse(Map.empty)) ++
           freshDirBytes,
         checks = prior.map(_.checks).getOrElse(Map.empty),
-        derived = prior.map(_.derived).getOrElse(Map.empty))
+        derived = prior.map(_.derived).getOrElse(Map.empty),
+        dirVers = {
+          val writtenSet = written.toSet
+          newMapping.map { case (rel, _) =>
+            rel -> (if (writtenSet.contains(rel)) genDir
+              else prior.flatMap(_.contentOf(rel))
+                .getOrElse(priorMapping.getOrElse(rel, genDir))) }
+        })
     }
   }
 
@@ -1747,10 +1781,12 @@ object VersionedTable {
     * are bit-identical on both sides and the feed would drop them
     * anyway. This is what makes the feed (and everything built on it:
     * syncChanges, the streaming CDC leg, MatView refresh)
-    * O(|changed partitions|) instead of O(|table|) per call. A
-    * maintenance rewrite (compact/repartition/restore) re-gens every
-    * dir, so a feed SPANNING one prices a full — empty — diff; feed
-    * before compacting, or from the post-maintenance version. */
+    * O(|changed partitions|) instead of O(|table|) per call.
+    * Maintenance rewrites (compact, small-file compaction, DV
+    * materialization) carry each dir's CONTENT token while real writes
+    * bump it, so a feed spanning an OPTIMIZE still skips the untouched
+    * bulk; only a partition-LAYOUT change (repartitionTable) forces a
+    * full diff — dir names are incomparable across it. */
   private def changedSideScans(spark: SparkSession, root: String,
                                fromVersion: Int, toVersion: Int)
       : (DataFrame, DataFrame) = {
@@ -1761,8 +1797,15 @@ object VersionedTable {
     val rels = (mF.mapping.keySet ++ mT.mapping.keySet).filter { rel =>
       (mF.mapping.get(rel), mT.mapping.get(rel)) match {
         case (Some(gf), Some(gt)) =>
-          gf != gt ||
-            dvsUnder(mF, s"$gf/$rel/") != dvsUnder(mT, s"$gt/$rel/")
+          (mF.contentOf(rel), mT.contentOf(rel)) match {
+            // content tokens see THROUGH maintenance rewrites: a
+            // compaction re-gens every dir but carries the tokens, so
+            // a feed spanning it still skips the untouched bulk
+            case (Some(cf), Some(ct)) => cf != ct
+            // pre-feature manifests: physical generation + DV refs
+            case _ => gf != gt ||
+              dvsUnder(mF, s"$gf/$rel/") != dvsUnder(mT, s"$gt/$rel/")
+          }
         case _ => true // dir added or dropped
       }
     }
@@ -1920,10 +1963,15 @@ object VersionedTable {
     * carried), carry every untouched dir's mapping/stats/blooms/DVs
     * verbatim. A touched dir the transform leaves EMPTY drops out of the
     * mapping. Publishes and returns the new version. */
+  /** `contentChanging=false` is the MAINTENANCE promise: the transform
+    * preserves every dir's logical rows (compaction, DV
+    * materialization), so content tokens carry and a change feed
+    * spanning the commit skips the rewritten dirs entirely. */
   private def rewriteTouched(spark: SparkSession, root: String, m: Manifest,
                              touched: Map[String, String], cur: Int,
                              fileRows: Option[Int], bloomBits: Long,
-                             zOrderCols: Seq[String] = Nil)
+                             zOrderCols: Seq[String] = Nil,
+                             contentChanging: Boolean = true)
                             (transform: DataFrame => DataFrame): Int = {
     val fs = fsFor(spark, root)
     val touchedFilePrefix = touched.toSeq
@@ -1977,7 +2025,11 @@ object VersionedTable {
         carryDir(m.dirFiles) ++ freshDirFiles, carry(m.bloomRefs),
         dvRefs = carryFlatRefs(m.dvs, liveDirPrefixes),
         dirBytes = carryDir(m.dirBytes) ++ freshDirBytes,
-        checks = m.checks, derived = m.derived)
+        checks = m.checks, derived = m.derived,
+        dirVers = newMapping.map { case (rel, _) =>
+          rel -> (if (contentChanging && touched.contains(rel)) genDir
+            else m.contentOf(rel).getOrElse(m.mapping.getOrElse(rel,
+              genDir))) })
     }
     publish(spark, root, next)
     next
@@ -2236,7 +2288,15 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs,
         dvBytes = freshBytes, dvRefs = m.dvs -- freshBytes.keys,
-        dirBytes = m.dirBytes, checks = m.checks, derived = m.derived)
+        dirBytes = m.dirBytes, checks = m.checks, derived = m.derived,
+        dirVers = {
+          // new DV positions HIDE rows: that dir's content changed even
+          // though its data files are byte-identical
+          val dvDirs = freshBytes.keySet.map { f =>
+            f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) }
+          fullDirVers(m).map { case (rel, tok) =>
+            rel -> (if (dvDirs.contains(rel)) s"gen${cur + 1}" else tok) }
+        })
     }
     publish(spark, root, next)
     next
@@ -2574,7 +2634,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks + (name -> sql),
-        derived = m.derived)
+        derived = m.derived, dirVers = fullDirVers(m))
     }
     publish(spark, root, next)
     next
@@ -2592,7 +2652,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks - name,
-        derived = m.derived)
+        derived = m.derived, dirVers = fullDirVers(m))
     }
     publish(spark, root, next)
     next
@@ -2700,7 +2760,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
-        derived = m.derived + (partCol -> ((transform, srcCol))))
+        derived = m.derived + (partCol -> ((transform, srcCol))), dirVers = fullDirVers(m))
     }
     publish(spark, root, next)
     next
@@ -2721,7 +2781,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
-        derived = m.derived - partCol)
+        derived = m.derived - partCol, dirVers = fullDirVers(m))
     }
     publish(spark, root, next)
     next
@@ -2733,6 +2793,40 @@ object VersionedTable {
                           asOfVersion: Option[Int] = None)
       : Map[String, (String, String)] =
     resolveManifest(spark, root, asOfVersion).derived
+
+  /** Per-partition metadata of the current (or as-of) version, straight
+    * from the manifest — the Iceberg-metadata-table idea: `partition`
+    * (rel dir), `generation` (physical), `content` (the token that last
+    * CHANGED the dir's rows — equal tokens across versions ⇒ equal
+    * content), nullable `rows`/`files`/`bytes` (null where the dir
+    * predates that index), and `dv_deleted` (merge-on-read rows hidden
+    * by deletion vectors). Zero data I/O; also served as the
+    * `graft_partitions('/root'[, version])` SQL table function. */
+  def partitionsMeta(spark: SparkSession, root: String,
+                     asOfVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = resolveManifest(spark, root, asOfVersion)
+    val rows = m.mapping.toSeq.sortBy(_._1).map { case (rel, gen) =>
+      val dvDel = m.dvs.iterator
+        .filter(_._1.startsWith(s"$gen/$rel/")).map(_._2._4).sum
+      org.apache.spark.sql.Row(rel, gen, m.dirVers.getOrElse(rel, gen),
+        m.dirRows.get(rel).map(java.lang.Long.valueOf).orNull,
+        m.dirFiles.get(rel).map(java.lang.Long.valueOf).orNull,
+        m.dirBytes.get(rel).map(java.lang.Long.valueOf).orNull,
+        java.lang.Long.valueOf(dvDel))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("generation", StringType, nullable = false),
+        StructField("content", StringType, nullable = false),
+        StructField("rows", LongType, nullable = true),
+        StructField("files", LongType, nullable = true),
+        StructField("bytes", LongType, nullable = true),
+        StructField("dv_deleted", LongType, nullable = false))))
+  }
 
   /** Epoch-µs of a timestamp-domain literal in any form the engine's
     * stat rendering accepts; None = unmappable (no implied pruning). */
@@ -2916,7 +3010,12 @@ object VersionedTable {
           bloomCols, sizedBloomBits(bloomBits, fileRows))
       Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
         stats, blooms, m.txns, dirRows, dirFiles, dirBytes = dirBytes,
-        checks = m.checks, derived = m.derived)
+        checks = m.checks, derived = m.derived,
+        // full-table rewrite, logical rows preserved (DVs were applied
+        // at read before, materialized now): tokens carry
+        dirVers = written.map(rel => rel ->
+          m.contentOf(rel).getOrElse(m.mapping.getOrElse(rel, genDir)))
+          .toMap)
     }
     publish(spark, root, next)
     next
@@ -2954,7 +3053,7 @@ object VersionedTable {
       fileCount(rel, gen) >= minFilesPerDir }
     if (touched.isEmpty) return cur
     rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits,
-      zOrderCols)(identity)
+      zOrderCols, contentChanging = false)(identity)
   }
 
   /** Targeted deletion-vector materialization: rewrite ONLY dirs whose
@@ -2981,7 +3080,7 @@ object VersionedTable {
     }
     if (touched.isEmpty) return cur
     rewriteTouched(spark, root, m, touched, cur, fileRows,
-      bloomBits)(identity)
+      bloomBits, contentChanging = false)(identity)
   }
 
   /** What [[maintain]] did: the versions its steps committed (None =
@@ -3063,7 +3162,10 @@ object VersionedTable {
         checks = m.checks,
         // a registration for a partition column the new layout dropped
         // cannot survive the layout change
-        derived = m.derived.filter { case (p, _) => partCols.contains(p) })
+        derived = m.derived.filter { case (p, _) => partCols.contains(p) },
+        // dir names are incomparable across a layout change: fresh
+        // tokens force a (correct) full diff for feeds spanning it
+        dirVers = written.map(_ -> genDir).toMap)
     }
     publish(spark, root, next)
     next
@@ -3109,7 +3211,7 @@ object VersionedTable {
         target.stats, target.blooms, curTxns, target.dirRows,
         target.dirFiles, target.bloomRefs, dvRefs = target.dvs,
         dirBytes = target.dirBytes, checks = curM.checks,
-        derived = curM.derived)
+        derived = curM.derived, dirVers = fullDirVers(target))
     }
     publish(spark, root, next)
     next
@@ -3353,7 +3455,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs, dvRefs = m.dvs, dirBytes = m.dirBytes,
-        checks = m.checks, derived = m.derived)
+        checks = m.checks, derived = m.derived, dirVers = fullDirVers(m))
     }
     publish(spark, root, next)
     next
@@ -3400,7 +3502,8 @@ object VersionedTable {
         dvRefs = m.dvs, dirBytes = m.dirBytes, checks = m.checks,
         // a registration referencing the dropped column dies with it
         derived = m.derived.filter { case (p, (_, src)) =>
-          src != name && p != name })
+          src != name && p != name },
+        dirVers = fullDirVers(m))
     }
     publish(spark, root, next)
     next

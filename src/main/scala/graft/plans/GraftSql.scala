@@ -13,7 +13,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
-import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  TimestampType}
 
 import graft.ops.VersionedTable
 
@@ -105,6 +106,8 @@ object GraftSqlParser {
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Target + """\s*;?\s*$""").r
   private val AddDerivedRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+DERIVED\s+PARTITION\s+`?([A-Za-z0-9_]+)`?\s*=\s*""" +
@@ -147,6 +150,8 @@ object GraftSqlParser {
         Some(GraftRestoreCommand(root(g1, g2), v.toInt))
       case HistoryRe(g1, g2) =>
         Some(GraftHistoryCommand(root(g1, g2)))
+      case DetailRe(g1, g2) =>
+        Some(GraftDetailCommand(root(g1, g2)))
       case AddDerivedRe(g1, g2, p, daySrc, bucketN, bucketSrc) =>
         val (transform, src) =
           if (daySrc != null) ("day", daySrc)
@@ -460,6 +465,48 @@ case class GraftRestoreCommand(root: String, toVersion: Int)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.restore(spark, root, toVersion)))
+}
+
+/** `DESCRIBE DETAIL graft.`root`` — Delta's one-row table summary from
+  * manifest metadata alone (zero data I/O): current version, partition
+  * layout, derived-partition registrations, CHECK constraints, live
+  * partition/row/byte totals (nulls where pre-index manifests lack
+  * coverage), and merge-on-read DV rows awaiting materialization.
+  * `graft_partitions('/root')` is the per-partition drilldown. */
+case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("partition_cols", StringType, nullable = false)(),
+    AttributeReference("derived_partitions", StringType,
+      nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("num_partitions", IntegerType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = true)(),
+    AttributeReference("total_bytes", LongType, nullable = true)(),
+    AttributeReference("dv_deleted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no committed version at $root"))
+    val parts = VersionedTable.partitionsMeta(spark, root).collect()
+    val derived = VersionedTable.derivedPartitionsOf(spark, root).toSeq
+      .sortBy(_._1).map { case (p, (kind, src)) => s"$p=$kind($src)" }
+      .mkString(", ")
+    val checks = VersionedTable.constraintsOf(spark, root).toSeq
+      .sortBy(_._1).map { case (n, sql) => s"$n: $sql" }.mkString("; ")
+    val partCols = VersionedTable.resolveManifest(spark, root, None)
+      .partCols.mkString(", ")
+    def total(i: Int): java.lang.Long =
+      if (parts.exists(_.isNullAt(i))) null
+      else java.lang.Long.valueOf(parts.map(_.getLong(i)).sum)
+    val dv = parts.map(_.getLong(6)).sum
+    val rows = total(3) match {
+      case null => null
+      case t => java.lang.Long.valueOf(t - dv) // live rows, like COUNT
+    }
+    Seq(Row(v, partCols, derived, checks, parts.length, rows, total(5),
+      java.lang.Long.valueOf(dv)))
+  }
 }
 
 /** `ALTER TABLE graft.`root` ADD DERIVED PARTITION p = day(src)` (or

@@ -174,8 +174,8 @@ class MatViewSpec extends SparkSpec {
       sums = Seq(("x_sum", "x")), mins = Seq(("x_min", "x")),
       maxs = Seq(("x_max", "x")), countAlias = Some("n"))
     val rnd = new scala.util.Random(42)
-    (1 to 5).foreach { round =>
-      rnd.nextInt(3) match {
+    (1 to 6).foreach { round =>
+      rnd.nextInt(4) match {
         case 0 => // upsert a random batch (some new ids, some collisions)
           val base = rnd.nextInt(400)
           val batch = (base until base + 40).map(i =>
@@ -192,6 +192,10 @@ class MatViewSpec extends SparkSpec {
           VersionedTable.updateMatching(spark, src,
             col("id") % (2 + rnd.nextInt(5)) === 0,
             Map("x" -> (coalesce(col("x"), lit(0L)) + lit(7L))))
+        case 3 =>
+          // maintenance between refreshes: content tokens carry through
+          // the rewrite, so the next refresh sees no phantom changes
+          VersionedTable.compact(spark, src)
       }
       MatView.refresh(spark, view)
       assertMatches(view, src, Seq("g", "x_sum", "x_min", "x_max", "n"))

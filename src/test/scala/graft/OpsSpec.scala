@@ -1051,6 +1051,40 @@ class OpsSpec extends SparkSpec {
     assert(back == Set(("delete", 4, "d"), ("update", 2, "b")))
   }
 
+  test("changeFeed spans OPTIMIZE at changed-dir cost (content tokens)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtok").toString
+    val root = s"$dir/table"
+    val keys = Seq("id", "day")
+    // 8 partitions, two files each
+    val rows = (0 until 80).map(i => (i, s"d${i % 8}", s"v$i"))
+    VersionedTable.upsert(spark, root, rows.toDF("id", "day", "val"),
+      keys, Seq("day"), fileRows = Some(5)) // v0
+    VersionedTable.deleteWhere(spark, root, "id", 0, 1) // v1: d0 + d1
+    VersionedTable.compact(spark, root) // v2: every dir re-gens
+    VersionedTable.upsert(spark, root,
+      Seq((100, "d1", "new")).toDF("id", "day", "val"), keys,
+      Seq("day")) // v3: touches d1 only
+    val feed = VersionedTable.changeFeed(spark, root, keys, 0, 3)
+    val ops = feed.select($"op", $"id").as[(String, Int)].collect().toSet
+    assert(ops == Set(("delete", 0), ("delete", 1), ("insert", 100)))
+    // the span CROSSES a full-table compaction, but the content tokens
+    // see through it: the feed's physical scan must touch far fewer
+    // files than both versions' full scans (v0 had 4 dirs x 4 files;
+    // only the dirs with real changes may be read on either side)
+    val naive = VersionedTable.physicalInputFiles(
+      VersionedTable.read(spark, root, Some(0))) +
+      VersionedTable.physicalInputFiles(VersionedTable.read(spark, root))
+    val scanned = VersionedTable.physicalInputFiles(feed)
+    assert(scanned < naive,
+      s"feed scanned $scanned files, naive both-side scan is $naive")
+    // a feed BETWEEN two sides of the compaction alone is empty and,
+    // tokens preserved, scans nothing at all
+    val across = VersionedTable.changeFeed(spark, root, keys, 1, 2)
+    assert(across.count() == 0)
+    assert(VersionedTable.physicalInputFiles(across) == 0,
+      "pure-maintenance span still scanned files")
+  }
+
   test("changeFeed ∘ applyCdc reconstructs v1 from v0 (CDC round trip)") {
     // THE consumer contract: the feed is sufficient to replay v0 into v1
     // through the ordered-CDC apply operator (insert/update -> U,

@@ -299,6 +299,31 @@ class SqlDmlSpec extends SparkSpec {
     assert(VersionedTable.derivedPartitionsOf(spark, src).isEmpty)
   }
 
+  test("DESCRIBE DETAIL and graft_partitions expose manifest metadata") {
+    val (root, rows) = freshTable("detail")
+    spark.sql(s"DELETE FROM graft.`$root` WHERE v < 10") // v1: g0 shrinks
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$root`").collect().head
+    assert(d.getInt(0) == 1) // version
+    assert(d.getString(1) == "grp") // partition_cols
+    assert(d.getString(2).isEmpty && d.getString(3).isEmpty)
+    assert(d.getInt(4) == 4) // num_partitions
+    assert(d.getLong(5) == rows.count(_._3 >= 10)) // live rows
+    assert(d.getLong(7) == 0L) // no DVs
+    // per-partition drilldown: rows per dir from the manifest, and the
+    // CONTENT token distinguishes the rewritten dir from carried ones
+    val byDir = spark.sql(
+      s"SELECT partition, content, rows FROM graft_partitions('$root')")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(byDir.keySet == Set("grp=g0", "grp=g1", "grp=g2", "grp=g3"))
+    assert(byDir("grp=g0")._1 == "gen1") // the delete rewrote g0
+    assert(byDir("grp=g1")._1 == "gen0") // carried content token
+    assert(byDir.values.map(_._2).sum == rows.count(_._3 >= 10))
+    // as-of drilldown sees v0's full counts
+    assert(spark.sql(s"SELECT sum(rows) FROM graft_partitions('$root', 0)")
+      .collect().head.getLong(0) == 400L)
+  }
+
   test("SQL OPTIMIZE ZORDER BY an unindexed column starts skipping on it") {
     val (root, _) = freshTable("zidx")
     // w carries NO stats before OPTIMIZE; z-ordering by it must both
