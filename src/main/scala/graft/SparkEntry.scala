@@ -1474,6 +1474,53 @@ object SparkEntry {
       r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Zero-copy branch + write-audit-publish on the versioned table
+    * ([[VersionedTable.createBranch]]/[[VersionedTable.fastForward]]):
+    * the daily rollup (dates ≤ Jan 20) commits as main v0; an `audit`
+    * branch forks it (metadata-only — no data moves) and stages the
+    * late-window even-user rollup (dates ≥ Jan 21) in its own gen
+    * namespace; main CONCURRENTLY re-merges the %3-user recompute over
+    * dates ≤ Jan 10 (disjoint partitions); fastForward then three-way
+    * merges the branch back — branch-changed dirs take the branch's
+    * files, main-changed dirs keep main's, anchored on the fork
+    * manifest's content tokens. In-query guards pin the version lineage
+    * (main 0→1→2, publish references branch gens) and branch isolation
+    * (main at v1 has no ≥ Jan 21 rows). Oracle recomputes the merged
+    * final state from the raw events in SQL. */
+  private def qVersionedBranch(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_branch/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val keys = Seq("event_type", "date")
+    VersionedTable.upsert(s, root,
+      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+      keys, "date") // main v0
+    VersionedTable.createBranch(s, root, "audit")
+    VersionedTable.upsert(s, s"$root@audit",
+      TimeWindows.dailyOhlcv(
+          ev(s, dir).filter(col("user_id") % 2 === 0),
+          "event_type", "ts", "value", volume = col("user_id"))
+        .filter(col("date") >= lit("2024-01-21").cast(DateType)),
+      keys, "date") // audit v1: NEW date partitions only
+    VersionedTable.upsert(s, root,
+      TimeWindows.dailyOhlcv(
+          ev(s, dir).filter(col("user_id") % 3 === 0),
+          "event_type", "ts", "value", volume = col("user_id"))
+        .filter(col("date") <= lit("2024-01-10").cast(DateType)),
+      keys, "date") // main v1, concurrent with the branch, disjoint dirs
+    require(VersionedTable.read(s, root).filter(
+        col("date") >= lit("2024-01-21").cast(DateType)).isEmpty,
+      "branch write leaked into main before publish")
+    val v = VersionedTable.fastForward(s, root, "audit")
+    require(v == 2, s"fast-forward did not land as main v2: $v")
+    VersionedTable.read(s, root).select(col("event_type"), col("date"),
+      col("daily_open"), col("daily_high"), col("daily_low"),
+      col("daily_close"), col("daily_volume"),
+      r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Change data feed v0→v1 of the versioned MERGE fixture: the same two
     * versions as q_merge_versioned, diffed after the fact through the
     * manifest time travel — inserts are the updates' new dates (> Jan 20),
@@ -3628,6 +3675,7 @@ object SparkEntry {
     "q_merge_upsert_pruned2" -> (qMergeUpsertPruned2 _),
     "q_merge_versioned" -> (qMergeVersioned _),
     "q_merge_changefeed" -> (qMergeChangefeed _),
+    "q_versioned_branch" -> (qVersionedBranch _),
     "q_matview" -> (qMatview _),
     "q_matview_minmax" -> (qMatviewMinmax _),
     "q_versioned_skip" -> (qVersionedSkip _),
@@ -6089,6 +6137,45 @@ object SparkEntry {
          |FROM final GROUP BY 1""".stripMargin,
 
     // CDF replay: both version row sets recomputed independently, then
+    // branch WAP cycle: final main = branch's late window (>= Jan 21,
+    // even users) + main's concurrent %3 recompute (<= Jan 10) + the
+    // untouched middle of v0
+    "q_versioned_branch" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2),
+         |target AS (SELECT * FROM daily_all WHERE date <= DATE '2024-01-20'),
+         |br_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events WHERE user_id % 2 = 0 GROUP BY 1, 2),
+         |br AS (SELECT * FROM br_all WHERE date >= DATE '2024-01-21'),
+         |main_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2),
+         |main_upd AS (SELECT * FROM main_all WHERE date <= DATE '2024-01-10')
+         |SELECT * FROM br
+         |UNION ALL
+         |SELECT * FROM main_upd
+         |UNION ALL
+         |SELECT t.* FROM target t WHERE NOT EXISTS (
+         |  SELECT 1 FROM main_upd u
+         |  WHERE u.event_type = t.event_type AND u.date = t.date)"""
+        .stripMargin,
     // diffed. Content compare runs on RAW (unrounded) values — exactly
     // what the stored table holds — with rounding only in the output
     // column, mirroring the engine's read-side r4.

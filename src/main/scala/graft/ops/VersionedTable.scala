@@ -62,8 +62,59 @@ import org.apache.spark.sql.types.{DataType, StructType}
  */
 object VersionedTable {
 
+  // ----- branch refs ------------------------------------------------
+  // A table handle is `path` (the main chain) or `path@branch` — the
+  // Iceberg-refs idea mapped onto path-addressed tables: a branch is an
+  // independent manifest/commit chain living in the SAME root, sharing
+  // the main chain's immutable generation dirs at fork and writing its
+  // own (`gen.<branch>.<v>`) after. Every existing API — upsert, DML,
+  // readWhere, change feeds, SQL targets — works on a branch handle
+  // unchanged, because all path/name construction routes through the
+  // helpers below. See [[createBranch]] / [[fastForward]].
+
+  private val BranchNameRe = "[A-Za-z0-9_-]{1,64}".r
+
+  /** Split a handle into (physical root, branch name or ""). The `@` is
+    * a branch separator only when it appears in the LAST path segment
+    * and the suffix is a legal branch name — `s3://user@host/x` and
+    * paths with earlier `@`s pass through untouched. */
+  private[graft] def splitRef(handle: String): (String, String) = {
+    val at = handle.lastIndexOf('@')
+    if (at > handle.lastIndexOf('/') && at > 0 &&
+        BranchNameRe.matches(handle.substring(at + 1)))
+      (handle.substring(0, at), handle.substring(at + 1))
+    else (handle, "")
+  }
+
+  /** Physical table root of a handle (branch suffix stripped) — what
+    * every data/metadata PATH is built from. */
+  private def tableRoot(handle: String): String = splitRef(handle)._1
+
+  /** Marker/manifest/sidecar namespace infix: "" on main, "b-<name>."
+    * on a branch — `_commit.3` vs `_commit.b-dev.3`. The `b-` prefix
+    * keeps main's digit-parse unambiguous. */
+  private def brNs(handle: String): String = {
+    val b = splitRef(handle)._2
+    if (b.isEmpty) "" else s"b-$b."
+  }
+
+  /** Generation dir name for version `v` of this ref: `gen<v>` on main,
+    * `gen.<branch>.<v>` on a branch — single path segment, disjoint
+    * namespaces, so branch writes can never collide with main's (or
+    * another branch's) and content tokens stay globally comparable. */
+  private def genName(handle: String, v: Int): String = {
+    val b = splitRef(handle)._2
+    if (b.isEmpty) s"gen$v" else s"gen.$b.$v"
+  }
+
+  private def commitName(handle: String, v: Int) =
+    s"_commit.${brNs(handle)}$v"
+  private def manifestName(handle: String, v: Int) =
+    s"_manifest.${brNs(handle)}$v"
+
   private def fsFor(spark: SparkSession, root: String): FileSystem =
-    FileSystem.get(URI.create(root), spark.sparkContext.hadoopConfiguration)
+    FileSystem.get(URI.create(tableRoot(root)),
+      spark.sparkContext.hadoopConfiguration)
 
   /** Create `path` create-exclusively and return a stream to fill it. On
     * HDFS `create(overwrite=false)` is one atomic namenode op, but on the
@@ -118,13 +169,18 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** All committed versions, ascending — the time-travel index. */
+  /** All committed versions of this ref (main or branch), ascending —
+    * the time-travel index. Main parses only all-digit markers so branch
+    * markers (`_commit.b-<name>.<v>`) never leak into its history. */
   def history(spark: SparkSession, root: String): Seq[Int] = {
     val fs = fsFor(spark, root)
-    if (!fs.exists(new Path(root))) return Seq.empty
-    fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("_commit.") =>
-        n.stripPrefix("_commit.").toInt }.sorted
+    if (!fs.exists(new Path(tableRoot(root)))) return Seq.empty
+    val prefix = s"_commit.${brNs(root)}"
+    fs.listStatus(new Path(tableRoot(root))).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) &&
+          n.stripPrefix(prefix).forall(_.isDigit) &&
+          n.stripPrefix(prefix).nonEmpty =>
+        n.stripPrefix(prefix).toInt }.sorted
   }
 
   /** Committed versions with their COMMIT times (epoch-ms), ascending —
@@ -135,7 +191,7 @@ object VersionedTable {
   def historyDetail(spark: SparkSession, root: String): Seq[(Int, Long)] = {
     val fs = fsFor(spark, root)
     history(spark, root).map { v =>
-      v -> fs.getFileStatus(new Path(root, s"_commit.$v"))
+      v -> fs.getFileStatus(new Path(tableRoot(root), commitName(root, v)))
         .getModificationTime
     }
   }
@@ -190,7 +246,8 @@ object VersionedTable {
                               checks: Map[String, String] = Map.empty,
                               derived: Map[String, (String, String)] =
                                 Map.empty,
-                              dirVers: Map[String, String] = Map.empty) {
+                              dirVers: Map[String, String] = Map.empty,
+                              fork: Option[(String, Int)] = None) {
     /** The generation token of the commit that last CHANGED this dir's
       * LOGICAL rows — maintenance rewrites (compact, small-file
       * compaction) carry it forward while real writes bump it, so two
@@ -212,7 +269,7 @@ object VersionedTable {
       blooms.get(f).flatMap(_.get(c)).orElse(
         bloomRefs.get(f).flatMap(_.get(c)).map { case (sc, off, len) =>
           val bytes = sidecarCache.getOrElseUpdate(sc, {
-            val in = fs.open(new Path(root, sc))
+            val in = fs.open(new Path(tableRoot(root), sc))
             try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
             finally in.close()
           })
@@ -232,7 +289,7 @@ object VersionedTable {
                              f: String): Option[Array[Long]] =
       dvs.get(f).map { case (sc, off, len, _) =>
         val bytes = sidecarCache.getOrElseUpdate(sc, {
-          val in = fs.open(new Path(root, sc))
+          val in = fs.open(new Path(tableRoot(root), sc))
           try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
           finally in.close()
         })
@@ -285,8 +342,16 @@ object VersionedTable {
   }
 
   private def readManifest(fs: FileSystem, root: String,
-                           version: Int): Manifest = {
-    val in = fs.open(new Path(root, s"_manifest.$version"))
+                           version: Int): Manifest =
+    readManifestFile(fs, new Path(tableRoot(root), manifestName(root, version)),
+      s"$root v$version")
+
+  /** Parse a manifest by FILE path — shared by version-keyed reads and
+    * the ref-scoped vacuum's table-wide liveness sweep (which must parse
+    * OTHER refs' manifests it would never address by version). */
+  private def readManifestFile(fs: FileSystem, path: Path,
+                               what: String): Manifest = {
+    val in = fs.open(path)
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
@@ -294,15 +359,15 @@ object VersionedTable {
     } finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
     require(lines.headOption.exists(_.startsWith("#graft-manifest\t2")),
-      s"unrecognized manifest format at $root v$version")
+      s"unrecognized manifest format at $what")
     val partCols = lines.collectFirst {
       case l if l.startsWith("#partcols\t") =>
         l.split("\t").toSeq.drop(1)
-    }.getOrElse(throw new IllegalStateException(s"manifest v$version: no #partcols"))
+    }.getOrElse(throw new IllegalStateException(s"manifest $what: no #partcols"))
     val schema = lines.collectFirst {
       case l if l.startsWith("#schema\t") =>
         DataType.fromJson(l.stripPrefix("#schema\t")).asInstanceOf[StructType]
-    }.getOrElse(throw new IllegalStateException(s"manifest v$version: no #schema"))
+    }.getOrElse(throw new IllegalStateException(s"manifest $what: no #schema"))
     val mapping = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(part, gen) = line.split("\t")
       part -> gen
@@ -395,8 +460,15 @@ object VersionedTable {
       val parts = l.split("\t", -1)
       (b64d(parts(1)), parts(2))
     }.toMap
+    // branch fork point (round 6): (source branch name or "" for main,
+    // source version) — written by createBranch, carried by every branch
+    // commit; what fastForward's three-way merge anchors on
+    val fork = lines.collectFirst { case l if l.startsWith("#fork\t") =>
+      val parts = l.split("\t", -1)
+      (if (parts(1) == "-") "" else b64d(parts(1)), parts(2).toInt)
+    }
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
-      dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers)
+      dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers, fork)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -496,7 +568,7 @@ object VersionedTable {
   private[graft] def resolveManifestAt(spark: SparkSession, root: String,
                                        v: Int, cur: Int): Manifest = {
     val fs = fsFor(spark, root)
-    if (!fs.exists(new Path(root, s"_commit.$v")))
+    if (!fs.exists(new Path(tableRoot(root), commitName(root, v))))
       throw new java.io.FileNotFoundException(
         s"version $v at $root is not committed (current: $cur, " +
           s"history: ${history(spark, root).mkString(",")})")
@@ -539,11 +611,11 @@ object VersionedTable {
           m.bloomRefs.keySet)
         .filter(_.startsWith(prefix)).toSeq.sorted
       if (known.isEmpty || !known.exists(indexed))
-        wholeDirs += gen -> s"$root/$gen/$rel"
+        wholeDirs += gen -> s"${tableRoot(root)}/$gen/$rel"
       else {
         total += known.size
         known.foreach { f =>
-          if (keep(f)) { kept += 1; files += gen -> s"$root/$f" } }
+          if (keep(f)) { kept += 1; files += gen -> s"${tableRoot(root)}/$f" } }
       }
     }
     ScanSelection(wholeDirs.result(), files.result(), kept, total)
@@ -602,11 +674,11 @@ object VersionedTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     else {
       val dv = dvPairsFor(fsFor(spark, root), root, m,
-        sel.wholeDirs.map(_._2.stripPrefix(root + "/") + "/"),
-        sel.files.map(_._2.stripPrefix(root + "/")).toSet)
+        sel.wholeDirs.map(_._2.stripPrefix(tableRoot(root) + "/") + "/"),
+        sel.files.map(_._2.stripPrefix(tableRoot(root) + "/")).toSet)
       val depth = m.partCols.length + 2
       val u = paths.groupBy(_._1).map { case (gen, ps) =>
-        val scan = spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+        val scan = spark.read.schema(m.schema).option("basePath", s"${tableRoot(root)}/$gen")
           .parquet(ps.map(_._2).distinct: _*)
         if (dv.isEmpty) scan
         else scan.withColumn("__dv_file", fileKeyCol(depth))
@@ -628,8 +700,8 @@ object VersionedTable {
       dirs.toSeq.map { case (rel, gen) => s"$gen/$rel/" })
     val depth = m.partCols.length + 2
     val u = dirs.toSeq.groupBy(_._2).map { case (gen, ds) =>
-      val scan = spark.read.schema(m.schema).option("basePath", s"$root/$gen")
-        .parquet(ds.map { case (rel, _) => s"$root/$gen/$rel" }: _*)
+      val scan = spark.read.schema(m.schema).option("basePath", s"${tableRoot(root)}/$gen")
+        .parquet(ds.map { case (rel, _) => s"${tableRoot(root)}/$gen/$rel" }: _*)
       if (dv.isEmpty) scan
       else scan.withColumn("__dv_file", fileKeyCol(depth))
         .withColumn("__dv_pos", col("_metadata.row_index"))
@@ -1147,7 +1219,7 @@ object VersionedTable {
          Map[String, Long], Map[String, Long], Map[String, Long]) = {
     import org.apache.spark.sql.functions._
     val depth = partCols.length + 2 // gen / <part dirs...> / <file>
-    val df = spark.read.parquet(s"$root/$genDir")
+    val df = spark.read.parquet(s"${tableRoot(root)}/$genDir")
     val present = statsCols.filter(df.columns.contains)
     val presentBloom = bloomCols.filter(df.columns.contains)
     val statAggs = present.flatMap { c => Seq(
@@ -1273,8 +1345,8 @@ object VersionedTable {
     * already exists' on the gen dir was exactly that bug). */
   private def stageVersion(fs: FileSystem, root: String, next: Int)
       (stage: String => Staged): Int = {
-    val genDir = s"gen$next"
-    val manifestPath = new Path(root, s"_manifest.$next")
+    val genDir = genName(root, next)
+    val manifestPath = new Path(tableRoot(root), manifestName(root, next))
     if (fs.exists(manifestPath))
       throw new StagingRaceException(
         s"version $next at $root is already staged: concurrent writer, or " +
@@ -1289,9 +1361,18 @@ object VersionedTable {
       val b64 = (s: String) => java.util.Base64.getEncoder
         .encodeToString(s.getBytes(StandardCharsets.UTF_8))
       val opt = (o: Option[String]) => o.fold("-")(b64)
+      // the fork point rides along on every BRANCH commit automatically
+      // (read from the prior manifest, not threaded through Staged) so
+      // fastForward's merge anchor survives any number of branch writes
+      val forkLine =
+        (if (brNs(root).nonEmpty && next > 0)
+          scala.util.Try(readManifest(fs, root, next - 1)).toOption
+            .flatMap(_.fork)
+        else None).fold("") { case (src, v) =>
+          s"#fork\t${if (src.isEmpty) "-" else b64(src)}\t$v\n" }
       val header = s"#graft-manifest\t2\n" +
         s"#partcols\t${st.partCols.mkString("\t")}\n" +
-        s"#schema\t${st.schema.json}\n"
+        s"#schema\t${st.schema.json}\n" + forkLine
       val statLines = st.stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
         cols.toSeq.sortBy(_._1).map { case (c, s) =>
           s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\t${opt(s.dtJson)}\n"
@@ -1303,7 +1384,7 @@ object VersionedTable {
       // refs to older sidecars pass through verbatim (sidecars are
       // immutable; vacuum retains every sidecar a retained manifest
       // references)
-      val sidecarName = s"_bloomx.$next"
+      val sidecarName = s"_bloomx.${brNs(root)}$next"
       val flatBlooms = st.blooms.toSeq.sortBy(_._1).flatMap {
         case (f, cols) => cols.toSeq.sortBy(_._1).map {
           case (c, b) => (f, c, b) }
@@ -1311,7 +1392,7 @@ object VersionedTable {
       val freshRefs: Seq[(String, String, (String, Long, Int))] =
         if (flatBlooms.isEmpty) Seq.empty
         else {
-          val sc = fs.create(new Path(root, sidecarName), false)
+          val sc = fs.create(new Path(tableRoot(root), sidecarName), false)
           try {
             var off = 0L
             flatBlooms.map { case (f, c, b) =>
@@ -1330,11 +1411,11 @@ object VersionedTable {
       }.mkString
       // fresh deletion vectors land in a `_dvx.<next>` sidecar the same
       // way; carried refs to older DV sidecars pass through verbatim
-      val dvSidecarName = s"_dvx.$next"
+      val dvSidecarName = s"_dvx.${brNs(root)}$next"
       val freshDvRefs: Seq[(String, (String, Long, Int, Long))] =
         if (st.dvBytes.isEmpty) Seq.empty
         else {
-          val sc = fs.create(new Path(root, dvSidecarName), false)
+          val sc = fs.create(new Path(tableRoot(root), dvSidecarName), false)
           try {
             var off = 0L
             st.dvBytes.toSeq.sortBy(_._1).map { case (f, b) =>
@@ -1377,9 +1458,9 @@ object VersionedTable {
       // the mutual-exclusion token — dropping it while gen<next> still
       // exists lets a racing writer claim this version and collide with
       // our half-deleted generation dir
-      fs.delete(new Path(root, genDir), true)
-      fs.delete(new Path(root, s"_bloomx.$next"), false)
-      fs.delete(new Path(root, s"_dvx.$next"), false)
+      fs.delete(new Path(tableRoot(root), genDir), true)
+      fs.delete(new Path(tableRoot(root), s"_bloomx.${brNs(root)}$next"), false)
+      fs.delete(new Path(tableRoot(root), s"_dvx.${brNs(root)}$next"), false)
       fs.delete(manifestPath, false)
       throw t
     }
@@ -1461,7 +1542,7 @@ object VersionedTable {
           val touchedDv = dvPairsFor(fs, root, prior.get,
             touchedLive.toSeq.map { case (rel, gen) => s"$gen/$rel/" })
           val old = touchedLive.toSeq.groupBy(_._2).map { case (gen, parts) =>
-            Merge.readTouchedDirs(spark, s"$root/$gen",
+            Merge.readTouchedDirs(spark, s"${tableRoot(root)}/$gen",
               parts.map { case (p, _) => valueOf(p) -> p },
               partCols, pTypes, Some(dataSchema), touchedDv)
           }.reduce(_.unionByName(_))
@@ -1491,8 +1572,8 @@ object VersionedTable {
           (partCols ++ statsCols).map(col): _*)
       val writer = fileRows.foldLeft(clustered.write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
-      writer.partitionBy(partCols: _*).parquet(s"$root/$genDir")
-      val written = leafDirs(fs, new Path(s"$root/$genDir"), partCols)
+      writer.partitionBy(partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
+      val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), partCols)
       val newMapping = priorMapping ++ written.map(_ -> genDir)
       // stats carry-forward: a prior file's stats survive iff its
       // (generation, partition dir) is still what the NEW mapping points
@@ -1551,7 +1632,7 @@ object VersionedTable {
   private[graft] def publish(spark: SparkSession, root: String,
                              version: Int): Unit = {
     val out = createExclusive(fsFor(spark, root),
-      new Path(root, s"_commit.$version"))
+      new Path(tableRoot(root), commitName(root, version)))
     out.close()
   }
 
@@ -1678,9 +1759,9 @@ object VersionedTable {
                                  v: Int): Option[Set[String]] = {
     val m = readManifest(fs, root, v)
     val written = m.mapping.collect {
-      case (rel, gen) if gen == s"gen$v" => rel }.toSet
+      case (rel, gen) if gen == genName(root, v) => rel }.toSet
     if (v == 0) Some(written)
-    else if (!fs.exists(new Path(root, s"_manifest.${v - 1}"))) None
+    else if (!fs.exists(new Path(tableRoot(root), manifestName(root, v - 1)))) None
     else {
       val prev = readManifest(fs, root, v - 1)
       if (prev.partCols != m.partCols) None
@@ -1714,7 +1795,7 @@ object VersionedTable {
     * decoding the whole file-index per micro-batch. */
   private def readTxnDirectives(fs: FileSystem, root: String,
                                 version: Int): Map[String, Long] = {
-    val in = fs.open(new Path(root, s"_manifest.$version"))
+    val in = fs.open(new Path(tableRoot(root), manifestName(root, version)))
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
     try {
@@ -1994,8 +2075,8 @@ object VersionedTable {
         else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
       val writer = fileRows.foldLeft(clustered.write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
-      writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
-      val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
+      writer.partitionBy(m.partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
+      val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), m.partCols)
       // untouched dirs keep their mapping; touched dirs remap to the new
       // gen if they still have rows, disappear otherwise
       val newMapping = (m.mapping -- touched.keys) ++
@@ -2133,9 +2214,9 @@ object VersionedTable {
   private def touchedDirs(root: String, sel: ScanSelection)
       : Map[String, String] =
     (sel.wholeDirs.map { case (gen, p) =>
-      p.stripPrefix(s"$root/$gen/") -> gen
+      p.stripPrefix(s"${tableRoot(root)}/$gen/") -> gen
     } ++ sel.files.map { case (gen, p) =>
-      val f = p.stripPrefix(root + "/")
+      val f = p.stripPrefix(tableRoot(root) + "/")
       f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) -> gen
     }).toMap
 
@@ -2233,10 +2314,10 @@ object VersionedTable {
     if (paths.isEmpty) return cur // index proves nothing can match
     val depth = m.partCols.length + 2
     val existing = dvPairsFor(fs, root, m,
-      sel.wholeDirs.map(_._2.stripPrefix(root + "/") + "/"),
-      sel.files.map(_._2.stripPrefix(root + "/")).toSet)
+      sel.wholeDirs.map(_._2.stripPrefix(tableRoot(root) + "/") + "/"),
+      sel.files.map(_._2.stripPrefix(tableRoot(root) + "/")).toSet)
     val raw = paths.groupBy(_._1).map { case (gen, ps) =>
-      spark.read.schema(m.schema).option("basePath", s"$root/$gen")
+      spark.read.schema(m.schema).option("basePath", s"${tableRoot(root)}/$gen")
         .parquet(ps.map(_._2).distinct: _*)
         .filter(predicate)
         .select(fileKeyCol(depth).as("__dv_file"),
@@ -2295,7 +2376,7 @@ object VersionedTable {
           val dvDirs = freshBytes.keySet.map { f =>
             f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) }
           fullDirVers(m).map { case (rel, tok) =>
-            rel -> (if (dvDirs.contains(rel)) s"gen${cur + 1}" else tok) }
+            rel -> (if (dvDirs.contains(rel)) genName(root, cur + 1) else tok) }
         })
     }
     publish(spark, root, next)
@@ -3003,8 +3084,8 @@ object VersionedTable {
         else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
       val writer = fileRows.foldLeft(clustered.write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
-      writer.partitionBy(m.partCols: _*).parquet(s"$root/$genDir")
-      val written = leafDirs(fs, new Path(s"$root/$genDir"), m.partCols)
+      writer.partitionBy(m.partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
+      val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), m.partCols)
       val (stats, blooms, dirRows, dirFiles, dirBytes) =
         collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
@@ -3046,7 +3127,7 @@ object VersionedTable {
     val m = readManifest(fs, root, cur)
     def fileCount(rel: String, gen: String): Long =
       m.dirFiles.getOrElse(rel,
-        fs.listStatus(new Path(s"$root/$gen/$rel")).count(s =>
+        fs.listStatus(new Path(s"${tableRoot(root)}/$gen/$rel")).count(s =>
           s.isFile && !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith(".")))
     val touched = m.mapping.filter { case (rel, gen) =>
@@ -3148,8 +3229,8 @@ object VersionedTable {
         else base.sortWithinPartitions((partCols ++ statsCols).map(col): _*)
       val writer = fileRows.foldLeft(clustered.write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
-      writer.partitionBy(partCols: _*).parquet(s"$root/$genDir")
-      val written = leafDirs(fs, new Path(s"$root/$genDir"), partCols)
+      writer.partitionBy(partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
+      val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), partCols)
       val (stats, blooms, dirRows, dirFiles, dirBytes) =
         if (written.isEmpty) (Map.empty[String, Map[String, ColStat]],
           Map.empty[String, Map[String, Array[Byte]]],
@@ -3509,6 +3590,221 @@ object VersionedTable {
     next
   }
 
+  // ----- branches (zero-copy refs) -----------------------------------
+
+  /** Fork a zero-copy branch off `root`'s version `fromVersion` (default
+    * current): the branch's v0 manifest is a byte copy of the source's —
+    * it references the SAME immutable generation dirs, so creation moves
+    * no data at any table size — plus a `#fork` anchor recording where it
+    * forked. From then on `"$root@$name"` is a full table handle: every
+    * API (upsert, DML, readWhere, change feeds, SQL targets, matviews)
+    * works on it unchanged, branch writes land in the branch's own gen
+    * namespace (`gen.<name>.<v>`), and main never sees them until
+    * [[fastForward]]. The Iceberg-refs / Delta-shallow-clone idea without
+    * the cross-table path rewriting: dev/test isolation and
+    * write-audit-publish on a 100 TB table for the cost of one metadata
+    * file. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   fromVersion: Option[Int] = None): String = {
+    require(BranchNameRe.matches(name), s"illegal branch name: $name")
+    val (b, srcBranch) = splitRef(root)
+    require(srcBranch != name, s"branch $name cannot fork from itself")
+    val fs = fsFor(spark, root)
+    val handle = s"$b@$name"
+    // a vacuumed-down branch may have no v0 left — the claim alone can't
+    // see that, so refuse while ANY metadata of this name exists
+    val leftovers = fs.listStatus(new Path(b)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(s"_manifest.b-$name.") ||
+        n.startsWith(s"_commit.b-$name."))
+    require(leftovers.isEmpty,
+      s"branch $name already exists at $root (dropBranch first): " +
+        leftovers.mkString(","))
+    val v = fromVersion.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no committed version at $root")))
+    require(history(spark, root).contains(v),
+      s"version $v is not committed (or was vacuumed) at $root")
+    val srcBytes = {
+      val in = fs.open(new Path(b, manifestName(root, v)))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    }
+    // strip any fork line the SOURCE carried (branch-of-branch): this
+    // branch's anchor is its own fork point
+    val body = new String(srcBytes, StandardCharsets.UTF_8).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#fork\t"))
+      .mkString("", "\n", "\n")
+    val forkLine = s"#fork\t${if (srcBranch.isEmpty) "-"
+      else java.util.Base64.getEncoder.encodeToString(
+        srcBranch.getBytes(StandardCharsets.UTF_8))}\t$v\n"
+    val out = createExclusive(fs, new Path(b, manifestName(handle, 0)))
+    try out.write((body + forkLine).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    publish(spark, handle, 0)
+    handle
+  }
+
+  /** Branch names with at least one committed version at `root`. */
+  def listBranches(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsFor(spark, root)
+    val b = tableRoot(root)
+    if (!fs.exists(new Path(b))) return Seq.empty
+    fs.listStatus(new Path(b)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit.b-") =>
+        n.stripPrefix("_commit.b-").takeWhile(_ != '.') }
+      .distinct.sorted
+  }
+
+  /** The fork anchor of a branch handle: (source branch name, "" =
+    * main; source version). None on a main handle or a pre-branch
+    * manifest. */
+  def forkOf(spark: SparkSession, root: String): Option[(String, Int)] =
+    resolveManifest(spark, root, None).fork
+
+  /** Delete a branch: all its manifests and markers go; its gens and
+    * sidecars go too UNLESS another ref's manifest still references them
+    * ([[fastForward]] makes main reference branch gens — those survive
+    * and belong to main's lineage from then on). */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    require(BranchNameRe.matches(name), s"illegal branch name: $name")
+    val fs = fsFor(spark, root)
+    val b = tableRoot(root)
+    val names = fs.listStatus(new Path(b)).toSeq.map(_.getPath.getName)
+    val mine = names.filter(n =>
+      n.startsWith(s"_manifest.b-$name.") || n.startsWith(s"_commit.b-$name."))
+    require(mine.nonEmpty, s"no branch $name at $root")
+    mine.foreach(n => fs.delete(new Path(b, n), false))
+    // liveness across every REMAINING manifest (main + other branches +
+    // main's post-fastForward references into this branch's namespace)
+    val rest = names.filter(n => n.startsWith("_manifest.") &&
+      !n.startsWith(s"_manifest.b-$name."))
+    val parsed = rest.map(n =>
+      scala.util.Try(readManifestFile(fs, new Path(b, n), n)))
+    if (parsed.forall(_.isSuccess)) {
+      val ms = parsed.collect { case scala.util.Success(m) => m }
+      val liveGens = ms.flatMap(_.mapping.values).toSet
+      val liveSidecars =
+        ms.flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
+          .map(_._1).toSet ++ ms.flatMap(_.dvs.valuesIterator).map(_._1).toSet
+      names.foreach { n =>
+        val stale =
+          (n.startsWith(s"gen.$name.") && !liveGens.contains(n)) ||
+          (n.startsWith(s"_bloomx.b-$name.") && !liveSidecars.contains(n)) ||
+          (n.startsWith(s"_dvx.b-$name.") && !liveSidecars.contains(n))
+        if (stale) fs.delete(new Path(b, n), true)
+      }
+    } // else: a concurrent stage is mid-write — vacuum collects later
+  }
+
+  /** Publish branch `name`'s head back onto the ref it forked from as
+    * one new commit — the write-audit-publish step. Anchored three-way
+    * on the recorded fork version: dirs changed ONLY on the branch take
+    * the branch's files/stats/blooms/DVs, dirs changed only on the
+    * target keep the target's, and a dir changed on BOTH (by content
+    * token) throws [[ConcurrentWriteConflictException]] — same
+    * disjoint-partition rule the optimistic writer retry uses. Schema /
+    * constraints / derived registrations merge three-way the same
+    * fashion (changed on one side wins; divergent changes conflict);
+    * txn watermarks merge per-stream max so exactly-once lineages on
+    * either side survive. Metadata-only: no data file moves, the target
+    * simply starts referencing the branch's generation dirs (vacuum and
+    * dropBranch know to keep them). The branch itself stays; drop it
+    * when done. Requires the fork-version manifest still retained on the
+    * target (vacuum with enough `keepVersions`). */
+  def fastForward(spark: SparkSession, root: String, name: String): Int = {
+    val b = tableRoot(root)
+    val brHandle = s"$b@$name"
+    val fs = fsFor(spark, root)
+    val brCur = currentVersion(spark, brHandle).getOrElse(
+      throw new java.io.FileNotFoundException(s"no branch $name at $root"))
+    val brM = readManifest(fs, brHandle, brCur)
+    val (forkSrc, forkV) = brM.fork.getOrElse(throw new IllegalStateException(
+      s"branch $name at $root carries no fork anchor"))
+    val target = if (forkSrc.isEmpty) b else s"$b@$forkSrc"
+    withClaimRetry(spark, target) {
+      val cur = currentVersion(spark, target).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no committed version at $target"))
+      val curM = readManifest(fs, target, cur)
+      // the merge anchor is the BRANCH's v0 manifest — a byte copy of the
+      // fork state that branch vacuum always retains — so the target's
+      // own retention window never constrains a fast-forward
+      val forkM =
+        try readManifest(fs, brHandle, 0)
+        catch { case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"branch $name's v0 (fork anchor, copy of $target v$forkV) " +
+              "is missing — cannot anchor the fast-forward merge", e) }
+      if (curM.partCols != brM.partCols ||
+          curM.partCols != forkM.partCols)
+        throw new ConcurrentWriteConflictException(
+          s"partition layout changed since fork of $name — " +
+            "fast-forward cannot merge across a layout change")
+      def pick3[A](fk: A, a: A, bb: A, what: String): A =
+        if (a == fk) bb else if (bb == fk) a else if (a == bb) a
+        else throw new ConcurrentWriteConflictException(
+          s"$what changed on both $target and branch $name since fork")
+      val schema = pick3(forkM.schema, curM.schema, brM.schema, "schema")
+      val checks = pick3(forkM.checks, curM.checks, brM.checks,
+        "constraints")
+      val derived = pick3(forkM.derived, curM.derived, brM.derived,
+        "derived partitions")
+      def changed(m: Manifest): Set[String] = {
+        val mv = fullDirVers(m); val fv = fullDirVers(forkM)
+        (mv.keySet ++ fv.keySet).filter(r => mv.get(r) != fv.get(r))
+      }
+      val tChanged = changed(curM)
+      val bChanged = changed(brM)
+      val overlap = tChanged intersect bChanged
+      if (overlap.nonEmpty)
+        throw new ConcurrentWriteConflictException(
+          s"fast-forward of $name conflicts with $target: partitions " +
+            s"changed on both sides since fork v$forkV: " +
+            overlap.toSeq.sorted.take(8).mkString(", "))
+      // per-dir source: branch wins its changed dirs, target keeps the
+      // rest (dropped-on-branch dirs simply don't re-enter the mapping)
+      val mapping = (curM.mapping -- bChanged) ++
+        brM.mapping.filter { case (rel, _) => bChanged.contains(rel) }
+      def perDir[A](tm: Map[String, A], bm: Map[String, A]): Map[String, A] =
+        (tm -- bChanged) ++
+          bm.filter { case (rel, _) => bChanged.contains(rel) }
+      def dirPrefixes(m: Manifest, rels: Set[String]): Set[String] =
+        m.mapping.collect { case (rel, g) if rels.contains(rel) =>
+          s"$g/$rel/" }.toSet
+      val fromBr = dirPrefixes(brM, bChanged)
+      val fromT = dirPrefixes(curM, curM.mapping.keySet -- bChanged)
+      def fileScoped[A](tm: Map[String, A], bm: Map[String, A])
+          : Map[String, A] = {
+        def dirOf(f: String) = f.substring(0, f.lastIndexOf('/') + 1)
+        tm.filter { case (f, _) => fromT.contains(dirOf(f)) } ++
+          bm.filter { case (f, _) => fromBr.contains(dirOf(f)) }
+      }
+      val txns = (curM.txns.keySet ++ brM.txns.keySet).map { sid =>
+        sid -> math.max(curM.txns.getOrElse(sid, Long.MinValue),
+          brM.txns.getOrElse(sid, Long.MinValue))
+      }.toMap
+      val next = stageVersion(fs, target, cur + 1) { _ =>
+        Staged(curM.partCols, schema, mapping,
+          stats = fileScoped(curM.stats, brM.stats),
+          blooms = fileScoped(curM.blooms, brM.blooms),
+          txns = txns,
+          dirRows = perDir(curM.dirRows, brM.dirRows),
+          dirFiles = perDir(curM.dirFiles, brM.dirFiles),
+          bloomRefs = fileScoped(curM.bloomRefs, brM.bloomRefs),
+          dvRefs = fileScoped(curM.dvs, brM.dvs),
+          dirBytes = perDir(curM.dirBytes, brM.dirBytes),
+          checks = checks, derived = derived,
+          dirVers = perDir(fullDirVers(curM), fullDirVers(brM)))
+      }
+      publish(spark, target, next)
+      next
+    }
+  }
+
   /** Retire everything outside the retention window: keep the last
     * `keepVersions` COMMITTED versions (their manifests, markers, and
     * every generation any of them references) and delete the rest —
@@ -3519,8 +3815,13 @@ object VersionedTable {
     * across vacuums. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
-    vacuumKeeping(spark, root,
-      history(spark, root).takeRight(keepVersions).toSet)
+    val h = history(spark, root)
+    // a branch ALWAYS retains its v0: it is the fork anchor (a byte copy
+    // of the forked-from state) that fastForward's three-way merge and
+    // the shared-gen liveness sweep key on
+    val anchor: Set[Int] =
+      if (brNs(root).nonEmpty && h.contains(0)) Set(0) else Set.empty
+    vacuumKeeping(spark, root, h.takeRight(keepVersions).toSet ++ anchor)
   }
 
   /** Age-based retention (Delta's `VACUUM ... RETAIN`): retire versions
@@ -3534,20 +3835,54 @@ object VersionedTable {
     val cutoff = System.currentTimeMillis() - retainMs
     val detail = historyDetail(spark, root)
     val keep = detail.filter(_._2 >= cutoff).map(_._1).toSet ++
-      detail.lastOption.map(_._1)
+      detail.lastOption.map(_._1) ++
+      (if (brNs(root).nonEmpty && detail.exists(_._1 == 0)) Set(0)
+       else Set.empty[Int]) // branch fork anchor, as in [[vacuum]]
     vacuumKeeping(spark, root, keep)
   }
 
+  /** Vacuum is REF-SCOPED: run on the main handle it retires main
+    * versions; run on `root@br` it retires that branch's versions. It
+    * never deletes another ref's manifests or markers, and a generation
+    * or sidecar survives while ANY remaining manifest of ANY ref
+    * references it — branches share the main chain's gens at fork, and
+    * [[fastForward]] makes main reference branch gens, so liveness is
+    * table-wide by construction. Gens in a branch namespace whose branch
+    * has no manifests/markers left (dropped) are collected here as
+    * orphans. If any other ref's manifest is unparseable mid-write (a
+    * concurrent createBranch/stage), gen/sidecar deletion is skipped for
+    * this pass — retired manifests still drop; the next vacuum collects
+    * the rest. */
   private def vacuumKeeping(spark: SparkSession, root: String,
                             keep: Set[Int]): Unit = {
     val fs = fsFor(spark, root)
-    if (!fs.exists(new Path(root))) return
+    val b = tableRoot(root)
+    if (!fs.exists(new Path(b))) return
+    val ns = brNs(root)
+    def versionOf(n: String, prefix: String): Option[Int] = {
+      val rest = n.stripPrefix(prefix + ns)
+      if (n.startsWith(prefix + ns) && rest.nonEmpty &&
+          rest.forall(_.isDigit)) Some(rest.toInt) else None
+    }
     // NO early return when nothing is committed: a crashed FIRST prepare
-    // leaves a claim (_manifest.0 + maybe gen0/.names0) on a table with
-    // zero commits, and vacuum is the documented recovery path — it must
+    // leaves a claim (_manifest.0 + maybe gen0) on a table with zero
+    // commits, and vacuum is the documented recovery path — it must
     // clear those too or the table is wedged forever (keep set is just
-    // empty: everything unpublished is stale)
-    val retained = keep.toSeq.map(v => readManifest(fs, root, v))
+    // empty: everything unpublished of THIS ref is stale)
+    val names = fs.listStatus(new Path(b)).toSeq.map(_.getPath.getName)
+    // manifests that will REMAIN after this vacuum: every other ref's
+    // (committed or staged), plus this ref's kept set
+    val remaining = names.filter(_.startsWith("_manifest.")).filter { n =>
+      versionOf(n, "_manifest.") match {
+        case Some(v) => keep.contains(v)
+        case None => true // another ref's — out of this vacuum's scope
+      }
+    }
+    val parsed = remaining.map { n =>
+      scala.util.Try(readManifestFile(fs, new Path(b, n), n))
+    }
+    val allParsed = parsed.forall(_.isSuccess)
+    val retained = parsed.collect { case scala.util.Success(m) => m }
     val liveGens = retained.flatMap(_.mapping.values).toSet
     // a retained manifest may reference OLDER versions' sidecars through
     // carried bloom refs — those must survive with it
@@ -3555,18 +3890,35 @@ object VersionedTable {
       .flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
       .map(_._1).toSet ++
       retained.flatMap(_.dvs.valuesIterator).map(_._1).toSet
-    fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
-      val n = p.getName
-      val stale =
-        (n.startsWith("gen") && !liveGens.contains(n)) ||
-        (n.startsWith("_manifest.") &&
-          !keep.contains(n.stripPrefix("_manifest.").toInt)) ||
-        (n.startsWith("_commit.") &&
-          !keep.contains(n.stripPrefix("_commit.").toInt)) ||
-        (n.startsWith("_bloomx.") && !liveSidecars.contains(n)) ||
-        (n.startsWith("_dvx.") && !liveSidecars.contains(n)) ||
+    // branch names with any metadata still present: their gens are never
+    // collected as orphans even when currently unreferenced (mid-stage)
+    val liveBranches = names.flatMap { n =>
+      Seq("_manifest.b-", "_commit.b-").collectFirst {
+        case p if n.startsWith(p) =>
+          n.stripPrefix(p).takeWhile(_ != '.')
+      }
+    }.toSet
+    val myGenPrefix = if (ns.isEmpty) "" else s"gen.${splitRef(root)._2}."
+    names.foreach { n =>
+      val genStale = allParsed && n.startsWith("gen") &&
+        !liveGens.contains(n) && {
+          if (ns.isEmpty)
+            // main vacuum: main-namespace gens + orphaned-branch gens
+            n.stripPrefix("gen").forall(_.isDigit) ||
+              (n.startsWith("gen.") &&
+                !liveBranches.contains(
+                  n.stripPrefix("gen.").takeWhile(_ != '.')))
+          else n.startsWith(myGenPrefix)
+        }
+      val stale = genStale ||
+        versionOf(n, "_manifest.").exists(!keep.contains(_)) ||
+        versionOf(n, "_commit.").exists(!keep.contains(_)) ||
+        (allParsed && n.startsWith(s"_bloomx.$ns") &&
+          versionOf(n, "_bloomx.").isDefined && !liveSidecars.contains(n)) ||
+        (allParsed && n.startsWith(s"_dvx.$ns") &&
+          versionOf(n, "_dvx.").isDefined && !liveSidecars.contains(n)) ||
         n.startsWith(".names") // scratch left by a crashed prepare()
-      if (stale) fs.delete(p, true)
+      if (stale) fs.delete(new Path(b, n), true)
     }
   }
 }

@@ -119,6 +119,19 @@ object GraftSqlParser {
   private val RefreshMvRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Target +
       """\s*;?\s*$""").r
+  private val CreateBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+CREATE\s+BRANCH\s+`?([A-Za-z0-9_-]+)`?""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+  private val DropBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+DROP\s+BRANCH\s+`?([A-Za-z0-9_-]+)`?\s*;?\s*$""").r
+  private val FastForwardRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+FAST\s+FORWARD\s+BRANCH\s+`?([A-Za-z0-9_-]+)`?\s*;?\s*$""").r
+  private val ShowBranchesRe =
+    ("""(?is)^\s*SHOW\s+BRANCHES\s+(?:IN\s+)?""" + Target +
+      """\s*;?\s*$""").r
   private val CreateMvRe =
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Target +
       """\s+KEYED\s+BY\s+\(\s*([A-Za-z0-9_`,\s]+?)\s*\)""" +
@@ -161,6 +174,15 @@ object GraftSqlParser {
         Some(GraftDropDerivedCommand(root(g1, g2), p))
       case RefreshMvRe(g1, g2) =>
         Some(GraftMvRefreshCommand(root(g1, g2)))
+      case CreateBranchRe(g1, g2, name, v) =>
+        Some(GraftCreateBranchCommand(root(g1, g2), name,
+          Option(v).map(_.toInt)))
+      case DropBranchRe(g1, g2, name) =>
+        Some(GraftDropBranchCommand(root(g1, g2), name))
+      case FastForwardRe(g1, g2, name) =>
+        Some(GraftFastForwardCommand(root(g1, g2), name))
+      case ShowBranchesRe(g1, g2) =>
+        Some(GraftShowBranchesCommand(root(g1, g2)))
       case CreateMvRe(g1, g2, keys, select) =>
         Some(mvCreate(root(g1, g2), colList(keys), select, parseSelect))
       case _ => None
@@ -465,6 +487,61 @@ case class GraftRestoreCommand(root: String, toVersion: Int)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.restore(spark, root, toVersion)))
+}
+
+/** `ALTER TABLE graft.`root` CREATE BRANCH dev [AS OF VERSION n]` —
+  * [[VersionedTable.createBranch]]: a zero-copy fork; from then on
+  * `graft.`root@dev`` / `graft_table('root@dev')` address the branch in
+  * every statement. Returns the branch handle. */
+case class GraftCreateBranchCommand(root: String, name: String,
+                                    fromVersion: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("branch", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.createBranch(spark, root, name, fromVersion)))
+}
+
+/** `ALTER TABLE graft.`root` DROP BRANCH dev` —
+  * [[VersionedTable.dropBranch]]. */
+case class GraftDropBranchCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dropped", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.dropBranch(spark, root, name)
+    Seq(Row(name))
+  }
+}
+
+/** `ALTER TABLE graft.`root` FAST FORWARD BRANCH dev` —
+  * [[VersionedTable.fastForward]]: publish the branch head back onto the
+  * ref it forked from (write-audit-publish). Returns the new version. */
+case class GraftFastForwardCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.fastForward(spark, root, name)))
+}
+
+/** `SHOW BRANCHES [IN] graft.`root`` — branch name + head version +
+  * recorded fork point per branch. */
+case class GraftShowBranchesCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("head_version", IntegerType, nullable = false)(),
+    AttributeReference("forked_from", StringType, nullable = false)(),
+    AttributeReference("fork_version", IntegerType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.listBranches(spark, root).map { b =>
+      val handle = s"$root@$b"
+      val head = VersionedTable.currentVersion(spark, handle).getOrElse(-1)
+      val fork = VersionedTable.forkOf(spark, handle)
+      Seq(b, head, fork.map(_._1).filter(_.nonEmpty).getOrElse("main"),
+        fork.map(f => Integer.valueOf(f._2)).orNull)
+    }.map(Row.fromSeq)
 }
 
 /** `DESCRIBE DETAIL graft.`root`` — Delta's one-row table summary from
