@@ -170,6 +170,20 @@ object GraftExtensions {
           .partitionsMeta(SparkSession.active, root, asOf)
           .queryExecution.analyzed
       }),
+    (FunctionIdentifier("graft_files"),
+      new ExpressionInfo(graft.ops.VersionedTable.getClass.getName,
+        "graft_files"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "graft_files(root [, version]) takes 1-2 arguments")
+        val root = strLit(children.head, "graft_files root")
+        val asOf = children.lift(1).map(intLit(_, "graft_files version"))
+        // per-file index metadata (stats/blooms/DVs) as a queryable
+        // relation — the Iceberg `files` metadata table from pure SQL
+        graft.ops.VersionedTable
+          .filesMeta(SparkSession.active, root, asOf)
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("graft_view"),
       new ExpressionInfo(graft.ops.MatView.getClass.getName, "graft_view"),
       (children: Seq[Expression]) => {

@@ -247,7 +247,8 @@ object VersionedTable {
                               derived: Map[String, (String, String)] =
                                 Map.empty,
                               dirVers: Map[String, String] = Map.empty,
-                              fork: Option[(String, Int)] = None) {
+                              fork: Option[(String, Int)] = None,
+                              op: Option[String] = None) {
     /** The generation token of the commit that last CHANGED this dir's
       * LOGICAL rows — maintenance rewrites (compact, small-file
       * compaction) carry it forward while real writes bump it, so two
@@ -467,8 +468,13 @@ object VersionedTable {
       val parts = l.split("\t", -1)
       (if (parts(1) == "-") "" else b64d(parts(1)), parts(2).toInt)
     }
+    // operation name (round 6): what kind of commit produced this
+    // version — merge/delete/update/compact/... — for DESCRIBE HISTORY
+    val op = lines.collectFirst { case l if l.startsWith("#op\t") =>
+      b64d(l.split("\t", -1)(1)) }
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
-      dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers, fork)
+      dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers, fork,
+      op)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -1343,7 +1349,8 @@ object VersionedTable {
     * retracted — only the claim owner may do this — so an immediate retry
     * starts clean instead of tripping over its own leftovers ('path
     * already exists' on the gen dir was exactly that bug). */
-  private def stageVersion(fs: FileSystem, root: String, next: Int)
+  private def stageVersion(fs: FileSystem, root: String, next: Int,
+                           op: String)
       (stage: String => Staged): Int = {
     val genDir = genName(root, next)
     val manifestPath = new Path(tableRoot(root), manifestName(root, next))
@@ -1372,7 +1379,8 @@ object VersionedTable {
           s"#fork\t${if (src.isEmpty) "-" else b64(src)}\t$v\n" }
       val header = s"#graft-manifest\t2\n" +
         s"#partcols\t${st.partCols.mkString("\t")}\n" +
-        s"#schema\t${st.schema.json}\n" + forkLine
+        s"#schema\t${st.schema.json}\n" + forkLine +
+        s"#op\t${b64(op)}\n"
       val statLines = st.stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
         cols.toSeq.sortBy(_._1).map { case (c, s) =>
           s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\t${opt(s.dtJson)}\n"
@@ -1492,7 +1500,7 @@ object VersionedTable {
     // the claim/cleanup protocol lives in stageVersion; a concurrent
     // writer staging the same version loses at the claim, before any
     // data moves, and a failed stage retracts claim + gen dir
-    stageVersion(fs, root, next) { genDir =>
+    stageVersion(fs, root, next, "merge") { genDir =>
       // txn idempotence RE-CHECKED after winning the claim: claims
       // serialize version numbers, so every previously committed batch of
       // this stream is visible here — two racing writers re-delivering
@@ -1803,6 +1811,7 @@ object VersionedTable {
         .map(_.trim).filter(_.nonEmpty)
         .takeWhile(l => l.startsWith("#graft-manifest") ||
           l.startsWith("#partcols") || l.startsWith("#schema") ||
+          l.startsWith("#fork") || l.startsWith("#op") ||
           l.startsWith("#txn"))
         .collect { case l if l.startsWith("#txn\t") =>
           val parts = l.split("\t", -1)
@@ -2030,7 +2039,8 @@ object VersionedTable {
       if (!anyUsable) true else dirFiles.exists(mayMatch)
     }
     if (touched.isEmpty) return cur // index proves nothing can match
-    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
+    rewriteTouched(spark, root, m, touched, cur, fileRows,
+        bloomBits, op = "delete") { df =>
       df.filter(!(col(column) >= lit(lower) && col(column) <= lit(upper)) ||
         col(column).isNull)
     }
@@ -2052,7 +2062,8 @@ object VersionedTable {
                              touched: Map[String, String], cur: Int,
                              fileRows: Option[Int], bloomBits: Long,
                              zOrderCols: Seq[String] = Nil,
-                             contentChanging: Boolean = true)
+                             contentChanging: Boolean = true,
+                             op: String = "rewrite")
                             (transform: DataFrame => DataFrame): Int = {
     val fs = fsFor(spark, root)
     val touchedFilePrefix = touched.toSeq
@@ -2063,7 +2074,7 @@ object VersionedTable {
     val statsCols = coveredCols(m.stats).filterNot(m.partCols.contains)
     val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs))
       .distinct.filterNot(m.partCols.contains)
-    val next = stageVersion(fs, root, cur + 1) { genDir =>
+    val next = stageVersion(fs, root, cur + 1, op) { genDir =>
       val survivorsByGen = transform(scanDirs(spark, root, m, touched))
       val base = survivorsByGen.repartition(m.partCols.map(col): _*)
       val clustered =
@@ -2252,7 +2263,8 @@ object VersionedTable {
     if (gates.nonEmpty)
       enforceChecks(applySet(scanDirs(spark, root, m, touched).filter(cond)),
         gates, "UPDATE result")
-    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits)(applySet)
+    rewriteTouched(spark, root, m, touched, cur, fileRows,
+        bloomBits, op = "update")(applySet)
   }
 
   /** Merge-on-read DELETE (deletion vectors): rows where `column` ∈
@@ -2365,7 +2377,7 @@ object VersionedTable {
       }
       f -> serializeDv(all)
     }.toMap
-    val next = stageVersion(fs, root, cur + 1) { _ =>
+    val next = stageVersion(fs, root, cur + 1, "delete-dv") { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs,
         dvBytes = freshBytes, dvRefs = m.dvs -- freshBytes.keys,
@@ -2503,7 +2515,8 @@ object VersionedTable {
     // dirs holding any surviving candidate file (or unindexed wholeDirs)
     val touched = touchedDirs(root, inSelection(fs, root, m, column, vs))
     if (touched.isEmpty) return cur // index proves nothing can match
-    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
+    rewriteTouched(spark, root, m, touched, cur, fileRows,
+        bloomBits, op = "delete") { df =>
       df.filter(!col(column).isin(vs: _*) || col(column).isNull)
     }
   }
@@ -2606,7 +2619,8 @@ object VersionedTable {
     val m = readManifest(fs, root, cur)
     val (touched, _) = matchingSelection(spark, root, m, predicate, "DELETE")
     if (touched.isEmpty) return cur // index proves nothing can match
-    rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits) { df =>
+    rewriteTouched(spark, root, m, touched, cur, fileRows,
+        bloomBits, op = "delete") { df =>
       df.filter(not(coalesce(predicate, lit(false))))
     }
   }
@@ -2711,7 +2725,7 @@ object VersionedTable {
     spark.sessionState.sqlParser.parseExpression(sql)
     enforceChecks(readM(spark, root, m), Map(name -> sql),
       s"existing data at $root")
-    val next = stageVersion(fs, root, cur + 1) { _ =>
+    val next = stageVersion(fs, root, cur + 1, "add-constraint") { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks + (name -> sql),
@@ -2729,7 +2743,7 @@ object VersionedTable {
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
     require(m.checks.contains(name), s"constraint $name does not exist")
-    val next = stageVersion(fs, root, cur + 1) { _ =>
+    val next = stageVersion(fs, root, cur + 1, "drop-constraint") { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks - name,
@@ -2837,7 +2851,7 @@ object VersionedTable {
     enforceChecks(readM(spark, root, m),
       Map(s"derived $partCol" -> derivedSqlExpr(transform, partCol, srcCol)),
       s"existing data at $root")
-    val next = stageVersion(fs, root, cur + 1) { _ =>
+    val next = stageVersion(fs, root, cur + 1, "add-derived-partition") { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
@@ -2858,7 +2872,7 @@ object VersionedTable {
     val m = readManifest(fs, root, cur)
     require(m.derived.contains(partCol),
       s"$partCol has no derived-partition registration")
-    val next = stageVersion(fs, root, cur + 1) { _ =>
+    val next = stageVersion(fs, root, cur + 1, "drop-derived-partition") { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
@@ -2907,6 +2921,52 @@ object VersionedTable {
         StructField("files", LongType, nullable = true),
         StructField("bytes", LongType, nullable = true),
         StructField("dv_deleted", LongType, nullable = false))))
+  }
+
+  /** Per-file index metadata of the current (or as-of) version — the
+    * Iceberg `files` metadata table: every INDEXED file's manifest key,
+    * its partition dir and generation, DV-deleted row count, and the
+    * per-column min/max/null-count stats as a map (rendered forms — see
+    * [[renderStat]]; dates are epoch-days, timestamps epoch-µs). Files
+    * in dirs written without statsCols carry no index and don't appear;
+    * `graft_partitions` covers every dir. Zero data I/O; also served as
+    * the `graft_files('/root'[, version])` SQL table function. */
+  def filesMeta(spark: SparkSession, root: String,
+                asOfVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = resolveManifest(spark, root, asOfVersion)
+    val liveDirs = m.mapping.toSeq.map { case (rel, gen) =>
+      s"$gen/$rel/" -> ((rel, gen)) }.toMap
+    def dirOf(f: String) = f.substring(0, f.lastIndexOf('/') + 1)
+    val keys = (m.stats.keySet ++ m.blooms.keySet ++ m.bloomRefs.keySet ++
+      m.dvs.keySet).toSeq.sorted
+    val rows = keys.flatMap { f =>
+      liveDirs.get(dirOf(f)).map { case (rel, gen) =>
+        val st = m.stats.getOrElse(f, Map.empty)
+        val statMap = st.map { case (c, cs) =>
+          c -> org.apache.spark.sql.Row(cs.min.orNull, cs.max.orNull,
+            cs.nulls) }
+        org.apache.spark.sql.Row(f, rel, gen,
+          java.lang.Long.valueOf(m.dvs.get(f).map(_._4).getOrElse(0L)),
+          scala.collection.immutable.Map(statMap.toSeq: _*),
+          m.bloomColsOf(f).toSeq.sorted)
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("partition", StringType, nullable = false),
+        StructField("generation", StringType, nullable = false),
+        StructField("dv_deleted", LongType, nullable = false),
+        StructField("stats", MapType(StringType, StructType(Seq(
+          StructField("min", StringType, nullable = true),
+          StructField("max", StringType, nullable = true),
+          StructField("nulls", LongType, nullable = false))),
+          valueContainsNull = false), nullable = false),
+        StructField("bloom_cols", ArrayType(StringType, containsNull = false),
+          nullable = false))))
   }
 
   /** Epoch-µs of a timestamp-domain literal in any form the engine's
@@ -3072,7 +3132,7 @@ object VersionedTable {
     (statsCols ++ bloomCols ++ zOrderCols).foreach(c =>
       require(!m.partCols.contains(c),
         s"stats column $c is a partition column"))
-    val next = stageVersion(fs, root, cur + 1) { genDir =>
+    val next = stageVersion(fs, root, cur + 1, "compact") { genDir =>
       val base = read(spark, root, Some(cur))
         .repartition(m.partCols.map(col): _*)
       val clustered =
@@ -3134,7 +3194,7 @@ object VersionedTable {
       fileCount(rel, gen) >= minFilesPerDir }
     if (touched.isEmpty) return cur
     rewriteTouched(spark, root, m, touched, cur, fileRows, bloomBits,
-      zOrderCols, contentChanging = false)(identity)
+      zOrderCols, contentChanging = false, op = "compact-files")(identity)
   }
 
   /** Targeted deletion-vector materialization: rewrite ONLY dirs whose
@@ -3161,7 +3221,7 @@ object VersionedTable {
     }
     if (touched.isEmpty) return cur
     rewriteTouched(spark, root, m, touched, cur, fileRows,
-      bloomBits, contentChanging = false)(identity)
+      bloomBits, contentChanging = false, op = "materialize-dv")(identity)
   }
 
   /** What [[maintain]] did: the versions its steps committed (None =
@@ -3221,7 +3281,7 @@ object VersionedTable {
       s"partition column $c is not in the table schema"))
     (statsCols ++ bloomCols).foreach(c => require(!partCols.contains(c),
       s"stats column $c is a partition column"))
-    val next = stageVersion(fs, root, cur + 1) { genDir =>
+    val next = stageVersion(fs, root, cur + 1, "repartition") { genDir =>
       val base = read(spark, root, Some(cur))
         .repartition(partCols.map(col): _*)
       val clustered =
@@ -3287,7 +3347,7 @@ object VersionedTable {
       enforceChecks(readM(spark, root, target),
         curM.checks ++ derivedChecks(curM),
         s"restore target v$toVersion at $root")
-    val next = stageVersion(fs, root, cur + 1) { _ =>
+    val next = stageVersion(fs, root, cur + 1, s"restore:v$toVersion") { _ =>
       Staged(target.partCols, target.schema, target.mapping,
         target.stats, target.blooms, curTxns, target.dirRows,
         target.dirFiles, target.bloomRefs, dvRefs = target.dvs,
@@ -3532,7 +3592,7 @@ object VersionedTable {
     val m = readManifest(fs, root, cur)
     require(!m.schema.fieldNames.contains(name),
       s"column $name already exists at $root")
-    val next = stageVersion(fs, root, cur + 1) { _ =>
+    val next = stageVersion(fs, root, cur + 1, s"add-column:$name") { _ =>
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs, dvRefs = m.dvs, dirBytes = m.dirBytes,
@@ -3570,7 +3630,7 @@ object VersionedTable {
         s"column $name is referenced by CHECK constraint $cn ($sql) — " +
           "dropConstraint first")
     }
-    val next = stageVersion(fs, root, cur + 1) { _ =>
+    val next = stageVersion(fs, root, cur + 1, s"drop-column:$name") { _ =>
       Staged(m.partCols,
         StructType(m.schema.filterNot(_.name == name)), m.mapping,
         m.stats.map { case (f, cols) => f -> (cols - name) }
@@ -3636,8 +3696,11 @@ object VersionedTable {
     // strip any fork line the SOURCE carried (branch-of-branch): this
     // branch's anchor is its own fork point
     val body = new String(srcBytes, StandardCharsets.UTF_8).split("\n")
-      .filter(l => l.nonEmpty && !l.startsWith("#fork\t"))
-      .mkString("", "\n", "\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#fork\t") &&
+        !l.startsWith("#op\t"))
+      .mkString("", "\n", "\n") +
+      s"#op\t${java.util.Base64.getEncoder.encodeToString(
+        "create-branch".getBytes(StandardCharsets.UTF_8))}\n"
     val forkLine = s"#fork\t${if (srcBranch.isEmpty) "-"
       else java.util.Base64.getEncoder.encodeToString(
         srcBranch.getBytes(StandardCharsets.UTF_8))}\t$v\n"
@@ -3787,7 +3850,7 @@ object VersionedTable {
         sid -> math.max(curM.txns.getOrElse(sid, Long.MinValue),
           brM.txns.getOrElse(sid, Long.MinValue))
       }.toMap
-      val next = stageVersion(fs, target, cur + 1) { _ =>
+      val next = stageVersion(fs, target, cur + 1, s"fast-forward:$name") { _ =>
         Staged(curM.partCols, schema, mapping,
           stats = fileScoped(curM.stats, brM.stats),
           blooms = fileScoped(curM.blooms, brM.blooms),

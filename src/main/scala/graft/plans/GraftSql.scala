@@ -646,6 +646,7 @@ case class GraftMvRefreshCommand(viewRoot: String)
 case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)(),
     AttributeReference("committed_at", TimestampType, nullable = false)(),
     AttributeReference("total_rows", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -656,7 +657,7 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
       val m = VersionedTable.resolveManifestAt(spark, root, v, cur)
       val rows = VersionedTable.manifestCount(m)
         .map(java.lang.Long.valueOf).orNull
-      Row(v, new java.sql.Timestamp(ms), rows)
+      Row(v, m.op.orNull, new java.sql.Timestamp(ms), rows)
     }
   }
 }

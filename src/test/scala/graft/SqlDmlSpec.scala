@@ -59,7 +59,7 @@ class SqlDmlSpec extends SparkSpec {
     assert(cleared.columns.toSeq == Seq("id", "grp", "v", "w"))
     assert(cleared.count() == 0)
     assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`")
-      .collect().last.getLong(2) == 0L)
+      .collect().last.getLong(3) == 0L)
     VersionedTable.upsert(spark, root,
       Seq((1, "g0", 3, 7L)).toDF("id", "grp", "v", "w"),
       Seq("id", "grp"), Seq("grp"))
@@ -177,9 +177,12 @@ class SqlDmlSpec extends SparkSpec {
     // history: three versions, ascending commit times, live row counts
     val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
     assert(hist.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
-    assert(hist.map(_.getTimestamp(1).getTime).toSeq.sorted ==
-      hist.map(_.getTimestamp(1).getTime).toSeq)
-    assert(hist.last.getLong(2) == rows.count(_._3 >= 10))
+    // operation names: the commit kind rides in each manifest
+    assert(hist.map(_.getString(1)).toSeq ==
+      Seq("merge", "delete", "compact"))
+    assert(hist.map(_.getTimestamp(2).getTime).toSeq.sorted ==
+      hist.map(_.getTimestamp(2).getTime).toSeq)
+    assert(hist.last.getLong(3) == rows.count(_._3 >= 10))
     // RESTORE to v0 commits v3 with the original content
     val v3 = spark.sql(s"RESTORE graft.`$root` TO VERSION AS OF 0")
       .collect().head.getInt(0)
@@ -322,6 +325,33 @@ class SqlDmlSpec extends SparkSpec {
     // as-of drilldown sees v0's full counts
     assert(spark.sql(s"SELECT sum(rows) FROM graft_partitions('$root', 0)")
       .collect().head.getLong(0) == 400L)
+  }
+
+  test("graft_files exposes per-file stats/bloom/DV index metadata") {
+    val (root, rows) = freshTable("files")
+    // freshTable writes statsCols=v (no blooms); every indexed live file
+    // appears with its dir and rendered v-range
+    val f = spark.sql(
+      s"""SELECT file, partition, stats['v'].min AS vmin,
+         |  stats['v'].max AS vmax, stats['v'].nulls AS vnulls,
+         |  bloom_cols, dv_deleted
+         |FROM graft_files('$root')""".stripMargin).collect()
+    assert(f.nonEmpty)
+    assert(f.forall(r => r.getString(0).startsWith("gen0/") &&
+      r.getString(0).contains(r.getString(1))))
+    // rendered min/max parse back and jointly cover the value domain
+    val lo = f.map(_.getString(2).toLong).min
+    val hi = f.map(_.getString(3).toLong).max
+    assert(lo == rows.map(_._3).min && hi == rows.map(_._3).max)
+    assert(f.forall(_.getLong(4) == 0L)) // no null v values in fixture
+    assert(f.forall(_.getSeq[String](5).isEmpty))
+    assert(f.forall(_.getLong(6) == 0L))
+    // a DV delete shows up on exactly the hit files
+    VersionedTable.deleteWhereDV(spark, root, "v", 0, 4)
+    val dv = spark.sql(
+      s"SELECT sum(dv_deleted) FROM graft_files('$root')")
+      .collect().head.getLong(0)
+    assert(dv == rows.count(_._3 < 5))
   }
 
   test("SQL OPTIMIZE ZORDER BY an unindexed column starts skipping on it") {
