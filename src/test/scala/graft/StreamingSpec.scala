@@ -202,6 +202,58 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.lastTxn(spark, root, "other-stream").isEmpty)
   }
 
+  test("streaming WAP: exactly-once merge into a branch, then fast-forward") {
+    import graft.ops.VersionedTable
+    import org.apache.spark.sql.functions.{col, to_date}
+    val base = Files.createTempDirectory("graft_stream_brwap")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val root = base.resolve("table").toString
+    // seed main so there is something to fork
+    VersionedTable.upsert(spark,
+      root,
+      spark.createDataFrame(Seq(
+        ("SEED", java.sql.Timestamp.valueOf("2023-12-31 00:00:00"), 0.0,
+          java.sql.Date.valueOf("2023-12-31"))))
+        .toDF("symbol", "window_start", "ma", "day")
+        .select(col("symbol"), col("window_start"), col("ma"), col("day")),
+      keys = Seq("symbol", "window_start", "day"), Seq("day"))
+    VersionedTable.createBranch(spark, root, "ingest")
+    val ingest = s"$root@ingest"
+    def run(ckpt: String): Unit = {
+      val metrics = StreamPipeline.windowedMetrics(
+        StreamPipeline.tickStream(spark, raw.toString),
+        width = "5 minutes", slide = "5 minutes")
+        .select(col("symbol"), col("window_start"), col("ma"))
+        .withColumn("day", to_date(col("window_start")))
+      StreamPipeline.startVersionedMerge(metrics, ingest, ckpt,
+        keys = Seq("symbol", "window_start", "day"), partCols = Seq("day"),
+        streamId = "wap-ingest").awaitTermination(60000)
+    }
+    val ckpt = base.resolve("ckpt").toString
+    writeCsv(raw, "m1.csv", Seq("AAA,10.0,0.0,,100,2024-01-01T00:01:00"))
+    run(ckpt)
+    writeCsv(raw, "m2.csv", Seq("AAA,20.0,0.0,,100,2024-01-01T01:00:00"))
+    run(ckpt)
+    // the stream landed on the BRANCH only; main still has just the seed
+    assert(VersionedTable.read(spark, ingest).count() > 1)
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // txn watermark lives in the branch lineage, not main's
+    assert(VersionedTable.lastTxn(spark, ingest, "wap-ingest").isDefined)
+    assert(VersionedTable.lastTxn(spark, root, "wap-ingest").isEmpty)
+    // audit passed: publish — main gets the rows AND the txn watermark
+    // (per-stream max merges in), so replay protection survives the merge
+    VersionedTable.fastForward(spark, root, "ingest")
+    assert(VersionedTable.read(spark, root).count() ==
+      VersionedTable.read(spark, ingest).count() + 1 -
+        1) // seed row is in both (branch forked after the seed)
+    assert(VersionedTable.lastTxn(spark, root, "wap-ingest") ==
+      VersionedTable.lastTxn(spark, ingest, "wap-ingest"))
+    // checkpoint loss on the BRANCH after publish: replays are no-ops
+    val vsBranch = VersionedTable.history(spark, ingest)
+    run(base.resolve("ckpt2").toString)
+    assert(VersionedTable.history(spark, ingest) == vsBranch)
+  }
+
   test("startMatViewRefresh: the view tracks the table while writes land") {
     import graft.ops.{MatView, VersionedTable}
     import org.apache.spark.sql.functions.col
