@@ -248,7 +248,9 @@ object VersionedTable {
                                 Map.empty,
                               dirVers: Map[String, String] = Map.empty,
                               fork: Option[(String, Int)] = None,
-                              op: Option[String] = None) {
+                              op: Option[String] = None,
+                              idxRefs: Map[String, (String, Long, Int)] =
+                                Map.empty) {
     /** The generation token of the commit that last CHANGED this dir's
       * LOGICAL rows — maintenance rewrites (compact, small-file
       * compaction) carry it forward while real writes bump it, so two
@@ -268,20 +270,16 @@ object VersionedTable {
     private[graft] def bloomFor(fs: FileSystem, root: String, f: String,
                                 c: String): Option[Array[Byte]] =
       blooms.get(f).flatMap(_.get(c)).orElse(
-        bloomRefs.get(f).flatMap(_.get(c)).map { case (sc, off, len) =>
-          val bytes = sidecarCache.getOrElseUpdate(sc, {
-            val in = fs.open(new Path(tableRoot(root), sc))
-            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-            finally in.close()
+        bloomRefs.get(f).flatMap(_.get(c))
+          .orElse(blockFor(fs, root, relOf(f))._2.get(f).flatMap(_.get(c)))
+          .map { case (sc, off, len) =>
+            val bytes = sidecarCache.getOrElseUpdate(sc, {
+              val in = fs.open(new Path(tableRoot(root), sc))
+              try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+              finally in.close()
+            })
+            java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
           })
-          java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
-        })
-
-    /** Columns with a bloom (inline or sidecar) for `f` — membership
-      * without fetching any payload. */
-    private[graft] def bloomColsOf(f: String): Set[String] =
-      blooms.getOrElse(f, Map.empty).keySet ++
-        bloomRefs.getOrElse(f, Map.empty).keySet
 
     /** The deletion vector (sorted deleted row positions) for file `f` —
       * sliced out of the lazily-fetched `_dvx.*` sidecar. Same one-GET-
@@ -297,6 +295,93 @@ object VersionedTable {
         deserializeDv(
           java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len))
       }
+
+    // ----- per-dir index blocks (round 6) ----------------------------
+    // The per-FILE index (stats + bloom refs) of every commit lives in
+    // per-dir text blocks inside an `_idx.<v>` sidecar; the manifest
+    // carries ONE `#diridx` slice ref per dir, so its size is
+    // O(partitions), a commit writes index bytes only for the dirs it
+    // touched, and a partition-pruned query loads only the surviving
+    // dirs' blocks (one ranged read per dir, cached per Manifest
+    // instance). Inline #filestat/#filebloomref lines remain the
+    // legacy-manifest path; accessors below serve the union.
+
+    private type IdxBlock = (Map[String, Map[String, ColStat]],
+      Map[String, Map[String, (String, Long, Int)]])
+
+    @transient private lazy val blockCache =
+      scala.collection.concurrent.TrieMap.empty[String, IdxBlock]
+
+    private def blockFor(fs: FileSystem, root: String,
+                         rel: String): IdxBlock =
+      blockCache.getOrElseUpdate(rel, idxRefs.get(rel) match {
+        case None => (Map.empty, Map.empty)
+        case Some((sc, off, len)) =>
+          val buf = new Array[Byte](len)
+          val in = fs.open(new Path(tableRoot(root), sc))
+          try in.readFully(off, buf, 0, len) finally in.close()
+          val lines = new String(buf, StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty)
+          (parseStatLines(lines), parseBloomRefLines(lines))
+      })
+
+    /** rel dir of a manifest file key `gen/<part dirs>/<file>`. */
+    private def relOf(f: String): String =
+      f.substring(f.indexOf('/') + 1, f.lastIndexOf('/'))
+
+    /** All indexed file keys under `prefix` (= `$gen/$rel/`): inline
+      * legacy entries plus the dir's block — the per-dir enumeration
+      * [[selectScan]] prunes over. */
+    private[graft] def idxFilesUnder(fs: FileSystem, root: String,
+                                     rel: String,
+                                     prefix: String): Seq[String] = {
+      val (bs, br) = blockFor(fs, root, rel)
+      ((stats.keySet ++ blooms.keySet ++ bloomRefs.keySet)
+        .filter(_.startsWith(prefix)) ++
+        (bs.keySet ++ br.keySet).filter(_.startsWith(prefix)))
+        .toSeq.sorted
+    }
+
+    /** The recorded stat of (file, column) — inline or block. */
+    private[graft] def statOf(fs: FileSystem, root: String, f: String,
+                              column: String): Option[ColStat] =
+      stats.get(f).flatMap(_.get(column)).orElse(
+        blockFor(fs, root, relOf(f))._1.get(f).flatMap(_.get(column)))
+
+    /** Columns with a bloom (inline, manifest ref, or block ref) for
+      * `f` — membership without fetching any payload beyond the dir's
+      * block. */
+    private[graft] def bloomColsOf(fs: FileSystem, root: String,
+                                   f: String): Set[String] =
+      blooms.getOrElse(f, Map.empty).keySet ++
+        bloomRefs.getOrElse(f, Map.empty).keySet ++
+        blockFor(fs, root, relOf(f))._2.getOrElse(f, Map.empty).keySet
+
+    /** One dir's full index (stats + bloom refs), inline ++ block —
+      * per-dir consumers (rewrite index inference, metadata folds). */
+    private[graft] def statsAndRefsUnder(fs: FileSystem, root: String,
+                                         rel: String)
+        : (Map[String, Map[String, ColStat]],
+           Map[String, Map[String, (String, Long, Int)]]) = {
+      val prefix = mapping.get(rel).map(g => s"$g/$rel/")
+      val (bs, br) = blockFor(fs, root, rel)
+      def inl[A](x: Map[String, A]) = prefix match {
+        case Some(p) => x.filter(_._1.startsWith(p))
+        case None => Map.empty[String, A]
+      }
+      (inl(stats) ++ bs, inl(bloomRefs) ++ br)
+    }
+
+    /** Every dir's full index, materialized — for whole-table consumers
+      * (column drop, files metadata table, vacuum liveness, index
+      * coverage inference). One ranged read per dir block. */
+    private[graft] def materializeIdx(fs: FileSystem, root: String)
+        : (Map[String, Map[String, ColStat]],
+           Map[String, Map[String, (String, Long, Int)]]) = {
+      val blocks = idxRefs.keysIterator.map(blockFor(fs, root, _)).toSeq
+      (stats ++ blocks.iterator.flatMap(_._1),
+        bloomRefs ++ blocks.iterator.flatMap(_._2))
+    }
   }
 
   /** Deletion-vector wire format: varint count, then varint deltas of the
@@ -350,6 +435,38 @@ object VersionedTable {
   /** Parse a manifest by FILE path — shared by version-keyed reads and
     * the ref-scoped vacuum's table-wide liveness sweep (which must parse
     * OTHER refs' manifests it would never address by version). */
+  private def b64dec(x: String) = new String(
+    java.util.Base64.getDecoder.decode(x), StandardCharsets.UTF_8)
+
+  /** #filestat lines -> file -> column -> ColStat. Shared by the manifest
+    * parser (legacy inline lines) and the per-dir index-block parser. */
+  private def parseStatLines(lines: Array[String])
+      : Map[String, Map[String, ColStat]] =
+    lines.filter(_.startsWith("#filestat\t")).map { line =>
+      val parts = line.split("\t", -1)
+      // 6 fields = pre-type-tag lines (no tag -> stat unusable for
+      // skipping, file scans); 7 = current
+      require(parts.length == 6 || parts.length == 7,
+        s"malformed #filestat line: $line")
+      val opt = (x: String) => if (x == "-") None else Some(b64dec(x))
+      (b64dec(parts(1)), b64dec(parts(2)),
+        ColStat(opt(parts(3)), opt(parts(4)), parts(5).toLong,
+          parts.lift(6).filter(_ != "-").map(b64dec)))
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map { case (_, c, st) => c -> st }.toMap }
+
+  /** #filebloomref lines -> file -> column -> (sidecar, offset, length).
+    * Shared like [[parseStatLines]]. */
+  private def parseBloomRefLines(lines: Array[String])
+      : Map[String, Map[String, (String, Long, Int)]] =
+    lines.filter(_.startsWith("#filebloomref\t")).map { l =>
+      val parts = l.split("\t", -1)
+      require(parts.length == 6, s"malformed #filebloomref line: $l")
+      (b64dec(parts(1)), b64dec(parts(2)),
+        (parts(3), parts(4).toLong, parts(5).toInt))
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map { case (_, c, ref) => c -> ref }.toMap }
+
   private def readManifestFile(fs: FileSystem, path: Path,
                                what: String): Manifest = {
     val in = fs.open(path)
@@ -377,18 +494,7 @@ object VersionedTable {
     // values are base64 so tabs/newlines inside data can't break the format
     def b64d(s: String) = new String(
       java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
-    val stats = lines.filter(_.startsWith("#filestat\t")).map { line =>
-      val parts = line.split("\t", -1)
-      // 6 fields = pre-type-tag lines (no tag -> stat unusable for
-      // skipping, file scans); 7 = current
-      require(parts.length == 6 || parts.length == 7,
-        s"malformed #filestat line: $line")
-      val opt = (s: String) => if (s == "-") None else Some(b64d(s))
-      (b64d(parts(1)), b64d(parts(2)),
-        ColStat(opt(parts(3)), opt(parts(4)), parts(5).toLong,
-          parts.lift(6).filter(_ != "-").map(b64d)))
-    }.groupBy(_._1).map { case (f, rows) =>
-      f -> rows.map { case (_, c, st) => c -> st }.toMap }
+    val stats = parseStatLines(lines)
     // one line PER STREAM: every manifest carries the full per-stream
     // watermark map forward (Delta's SetTransaction idea), so maintenance
     // commits + vacuum can never erase a stream's exactly-once state
@@ -426,13 +532,7 @@ object VersionedTable {
     // objects, the manifest holds (sidecar, offset, length) — at 100k
     // files the manifest stays file-list-sized instead of carrying
     // megabytes of base64 filter payload every read
-    val bloomRefs = lines.filter(_.startsWith("#filebloomref\t")).map { l =>
-      val parts = l.split("\t", -1)
-      require(parts.length == 6, s"malformed #filebloomref line: $l")
-      (b64d(parts(1)), b64d(parts(2)),
-        (parts(3), parts(4).toLong, parts(5).toInt))
-    }.groupBy(_._1).map { case (f, rows) =>
-      f -> rows.map { case (_, c, ref) => c -> ref }.toMap }
+    val bloomRefs = parseBloomRefLines(lines)
     // deletion vectors (round 6): per-file deleted row positions living
     // in _dvx.<N> sidecars — merge-on-read DELETE; absent in older
     // manifests (no deletes recorded)
@@ -472,9 +572,17 @@ object VersionedTable {
     // version — merge/delete/update/compact/... — for DESCRIBE HISTORY
     val op = lines.collectFirst { case l if l.startsWith("#op\t") =>
       b64d(l.split("\t", -1)(1)) }
+    // per-dir index-block refs (round 6): the file-level stats/bloom-ref
+    // index lives in `_idx.<v>` sidecar blocks, one slice ref per dir —
+    // the manifest stays O(partitions) at any file count
+    val idxRefs = lines.filter(_.startsWith("#diridx\t")).map { l =>
+      val parts = l.split("\t", -1)
+      require(parts.length == 5, s"malformed #diridx line: $l")
+      b64d(parts(1)) -> ((parts(2), parts(3).toLong, parts(4).toInt))
+    }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
       dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers, fork,
-      op)
+      op, idxRefs)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -593,9 +701,10 @@ object VersionedTable {
 
   /** A stat usable for pruning: present AND recorded under the column's
     * CURRENT type (see ColStat's type-tag rationale). */
-  private def usableStat(m: Manifest, f: String, column: String,
+  private def usableStat(fs: FileSystem, root: String, m: Manifest,
+                         f: String, column: String,
                          dtJson: String): Option[ColStat] =
-    m.stats.get(f).flatMap(_.get(column)).filter(_.dtJson.contains(dtJson))
+    m.statOf(fs, root, f, column).filter(_.dtJson.contains(dtJson))
 
   /** What a pruned read will scan: whole dirs (no usable index coverage
     * for the column) + surviving indexed files, with the kept/total
@@ -604,7 +713,17 @@ object VersionedTable {
                                           files: Seq[(String, String)],
                                           kept: Int, indexedTotal: Int)
 
-  private def selectScan(root: String, m: Manifest,
+  /** The unpruned selection — every live dir scans whole. Used by plain
+    * [[read]] and any path with no usable constraint: it never touches
+    * the file index (no block loads, no stat parse), so a full scan's
+    * metadata cost is the manifest alone. */
+  private def selectAllDirs(root: String, m: Manifest): ScanSelection =
+    ScanSelection(
+      m.mapping.toSeq.map { case (rel, gen) =>
+        gen -> s"${tableRoot(root)}/$gen/$rel" },
+      Seq.empty, 0, 0)
+
+  private def selectScan(fs: FileSystem, root: String, m: Manifest,
                          indexed: String => Boolean,
                          keep: String => Boolean): ScanSelection = {
     val wholeDirs = Seq.newBuilder[(String, String)]
@@ -613,9 +732,9 @@ object VersionedTable {
     var total = 0
     m.mapping.toSeq.foreach { case (rel, gen) =>
       val prefix = s"$gen/$rel/"
-      val known = (m.stats.keySet ++ m.blooms.keySet ++
-          m.bloomRefs.keySet)
-        .filter(_.startsWith(prefix)).toSeq.sorted
+      // per-dir: this loads ONLY the surviving dirs' index blocks —
+      // partition pruning has already filtered m.mapping upstream
+      val known = m.idxFilesUnder(fs, root, rel, prefix)
       if (known.isEmpty || !known.exists(indexed))
         wholeDirs += gen -> s"${tableRoot(root)}/$gen/$rel"
       else {
@@ -765,7 +884,7 @@ object VersionedTable {
     * re-reading it per plan compilation. */
   private[graft] def readM(spark: SparkSession, root: String,
                            m: Manifest): DataFrame =
-    scanUnion(spark, root, m, selectScan(root, m, _ => false, _ => true))
+    scanUnion(spark, root, m, selectAllDirs(root, m))
 
   /** [[readConstrained]] against an already-resolved manifest. Constraints
     * on PARTITION columns prune the directory list exactly (the dir name IS
@@ -797,7 +916,7 @@ object VersionedTable {
         .flatMap(impliedPartConstraint(m0, p, kind, src, _)) }
     val usable = known ++ implied
     if (usable.isEmpty)
-      return (m0, selectScan(root, m0, _ => false, _ => true))
+      return (m0, selectAllDirs(root, m0))
     // partition-column constraints filter the manifest's directory list
     // BEFORE any file stats are consulted — partition pruning proper
     val (partCs, dataCs) = usable.partition(c => m0.partCols.contains(c.column))
@@ -809,7 +928,7 @@ object VersionedTable {
           keeps.forall(_(rel)) })
       }
     if (dataCs.isEmpty)
-      return (m, selectScan(root, m, _ => false, _ => true))
+      return (m, selectAllDirs(root, m))
     val fs = fsFor(spark, root)
     def perCol(c: ColConstraint): (String => Boolean, String => Boolean) = {
       val dt = m.schema(c.column).dataType
@@ -818,7 +937,7 @@ object VersionedTable {
       val loR = c.eq.orElse(c.lower).flatMap(renderStat)
       val hiR = c.eq.orElse(c.upper).flatMap(renderStat)
       val rKeep: String => Boolean = f =>
-        usableStat(m, f, c.column, dtJson) match {
+        usableStat(fs, root, m, f, c.column, dtJson) match {
           case None => true
           case Some(s) => (s.min, s.max) match {
             case (Some(mn), Some(mx)) => cmp match {
@@ -851,7 +970,7 @@ object VersionedTable {
           val probes = vs.map { v =>
             val rp: String => Boolean = (cmp, renderStat(v)) match {
               case (Some(o), Some(r)) =>
-                rangeKeep(m, c.column, dtJson, o, Seq((r, r)))
+                rangeKeep(fs, root, m, c.column, dtJson, o, Seq((r, r)))
               case _ => _ => true
             }
             val bp = bloomKeep(fs, root, m, c.column, xxh64Of(v, dt))
@@ -862,13 +981,13 @@ object VersionedTable {
       }
       val pKeep: String => Boolean = c.prefix match {
         case Some(p) if dt == org.apache.spark.sql.types.StringType =>
-          prefixKeep(m, c.column, dtJson, p)
+          prefixKeep(fs, root, m, c.column, dtJson, p)
         case _ => _ => true
       }
       // IS NULL: a file whose stats record zero nulls cannot hold a match
       val nKeep: String => Boolean =
         if (!c.isNull) _ => true
-        else f => usableStat(m, f, c.column, dtJson).forall(_.nulls > 0)
+        else f => usableStat(fs, root, m, f, c.column, dtJson).forall(_.nulls > 0)
       // NOT-equal (a =!= v conjunct): a file is provably clear only when
       // it holds EXCLUSIVELY that value — min == max == v and zero nulls
       // (a null row makes the conjunct NULL, a non-match, but its file
@@ -877,7 +996,7 @@ object VersionedTable {
       val neKeep: String => Boolean = {
         val neR = c.notEq.flatMap(renderStat)
         if (neR.isEmpty) _ => true
-        else f => usableStat(m, f, c.column, dtJson) match {
+        else f => usableStat(fs, root, m, f, c.column, dtJson) match {
           case Some(s) => (s.min, s.max, cmp) match {
             case (Some(mn), Some(mx), Some(o)) =>
               !(s.nulls == 0L &&
@@ -888,14 +1007,14 @@ object VersionedTable {
         }
       }
       val idx: String => Boolean = f =>
-        usableStat(m, f, c.column, dtJson).isDefined ||
+        usableStat(fs, root, m, f, c.column, dtJson).isDefined ||
           ((c.eq.isDefined || c.inSet.isDefined) &&
-            m.bloomColsOf(f).contains(c.column))
+            m.bloomColsOf(fs, root, f).contains(c.column))
       (f => rKeep(f) && bKeep(f) && iKeep(f) && pKeep(f) && nKeep(f) &&
         neKeep(f), idx)
     }
     val per = dataCs.map(perCol)
-    (m, selectScan(root, m,
+    (m, selectScan(fs, root, m,
       indexed = f => per.exists(_._2(f)),
       keep = f => per.forall(_._1(f))))
   }
@@ -904,7 +1023,8 @@ object VersionedTable {
     * starting with `p` iff max >= p and min's first |p| bytes are <= p
     * (UTF-8 unsigned order — the same binary order the stats compare in).
     * All-null files never match. */
-  private def prefixKeep(m: Manifest, column: String, dtJson: String,
+  private def prefixKeep(fs: FileSystem, root: String, m: Manifest,
+                         column: String, dtJson: String,
                          p: String): String => Boolean = {
     val pb = p.getBytes(StandardCharsets.UTF_8)
     def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
@@ -914,7 +1034,7 @@ object VersionedTable {
         c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1 }
       if (c != 0) c else java.lang.Integer.compare(a.length, b.length)
     }
-    f => usableStat(m, f, column, dtJson) match {
+    f => usableStat(fs, root, m, f, column, dtJson) match {
       case None => true
       case Some(s) => (s.min, s.max) match {
         case (Some(mn), Some(mx)) =>
@@ -1020,11 +1140,12 @@ object VersionedTable {
     * survives when it has no usable stat (conservative) or its recorded
     * min/max overlaps ANY query range; all-null files are skipped (a
     * range predicate never matches NULL). */
-  private def rangeKeep(m: Manifest, column: String, dtJson: String,
+  private def rangeKeep(fs: FileSystem, root: String, m: Manifest,
+                        column: String, dtJson: String,
                         cmp: (String, String) => Int,
                         rendered: Seq[(String, String)])
       : String => Boolean = f =>
-    usableStat(m, f, column, dtJson) match {
+    usableStat(fs, root, m, f, column, dtJson) match {
       case None => true
       case Some(s) => (s.min, s.max) match {
         case (Some(mn), Some(mx)) => rendered.exists { case (lo, hi) =>
@@ -1046,8 +1167,8 @@ object VersionedTable {
   /** Resolve the pieces a range read/probe needs; Left(reason) when stats
     * cannot prune for this column (unsupported type / unrenderable
     * bounds) and the caller must fall back to scan-everything. */
-  private def rangeSelection(root: String, m: Manifest, column: String,
-                             ranges: Seq[(Any, Any)])
+  private def rangeSelection(fs: FileSystem, root: String, m: Manifest,
+                             column: String, ranges: Seq[(Any, Any)])
       : Option[ScanSelection] = {
     val dtJson = m.schema(column).dataType.json
     val cmp = statOrdering(m.schema(column).dataType)
@@ -1057,9 +1178,9 @@ object VersionedTable {
       None
     else {
       val flat = rendered.map { case (lo, hi) => (lo.get, hi.get) }
-      Some(selectScan(root, m,
-        indexed = f => usableStat(m, f, column, dtJson).isDefined,
-        keep = rangeKeep(m, column, dtJson, cmp.get, flat)))
+      Some(selectScan(fs, root, m,
+        indexed = f => usableStat(fs, root, m, f, column, dtJson).isDefined,
+        keep = rangeKeep(fs, root, m, column, dtJson, cmp.get, flat)))
     }
   }
 
@@ -1100,7 +1221,7 @@ object VersionedTable {
       s"column $column is not in the table schema")
     val predicate = ranges.map { case (lo, hi) =>
       col(column) >= lit(lo) && col(column) <= lit(hi) }.reduce(_ || _)
-    rangeSelection(root, m, column, ranges) match {
+    rangeSelection(fsFor(spark, root), root, m, column, ranges) match {
       case None => read(spark, root, asOfVersion).filter(predicate)
       case Some(sel) => scanFrom(spark, root, m, sel, predicate)
     }
@@ -1129,13 +1250,13 @@ object VersionedTable {
     val vR = renderStat(value)
     val hash = xxh64Of(value, dt)
     val rKeep: String => Boolean = (cmp, vR) match {
-      case (Some(c), Some(v)) => rangeKeep(m, column, dtJson, c, Seq((v, v)))
+      case (Some(c), Some(v)) => rangeKeep(fs, root, m, column, dtJson, c, Seq((v, v)))
       case _ => _ => true
     }
     val bKeep = bloomKeep(fs, root, m, column, hash)
-    selectScan(root, m,
-      indexed = f => usableStat(m, f, column, dtJson).isDefined ||
-        m.bloomColsOf(f).contains(column),
+    selectScan(fs, root, m,
+      indexed = f => usableStat(fs, root, m, f, column, dtJson).isDefined ||
+        m.bloomColsOf(fs, root, f).contains(column),
       keep = f => rKeep(f) && bKeep(f))
   }
 
@@ -1185,9 +1306,10 @@ object VersionedTable {
                                column: String, lower: Any, upper: Any,
                                asOfVersion: Option[Int] = None): (Int, Int) = {
     val m = resolveManifest(spark, root, asOfVersion)
-    rangeSelection(root, m, column, Seq((lower, upper))) match {
+    val fs = fsFor(spark, root)
+    rangeSelection(fs, root, m, column, Seq((lower, upper))) match {
       case None =>
-        val total = m.stats.size
+        val total = m.materializeIdx(fs, root)._1.size
         (total, total)
       case Some(sel) => (sel.kept, sel.indexedTotal)
     }
@@ -1317,9 +1439,16 @@ object VersionedTable {
                             // no defaults: EVERY staging site must decide
                             // these carries — silently dropping a derived
                             // registration loses invariants; a stale
-                            // content token makes a feed MISS changes
+                            // content token makes a feed MISS changes; a
+                            // dropped index ref silently un-indexes a dir
                             derived: Map[String, (String, String)],
-                            dirVers: Map[String, String])
+                            dirVers: Map[String, String],
+                            // carried per-dir index-block refs (rel ->
+                            // slice into an OLDER _idx sidecar); fresh
+                            // index content rides `stats`/`blooms`/
+                            // `bloomRefs` and is written into THIS
+                            // version's _idx blocks by stageVersion
+                            idxRefs: Map[String, (String, Long, Int)])
 
   /** Full-coverage content-token map for a manifest: every live dir's
     * token, falling back to its physical generation for dirs written
@@ -1385,7 +1514,7 @@ object VersionedTable {
         cols.toSeq.sortBy(_._1).map { case (c, s) =>
           s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\t${opt(s.dtJson)}\n"
         }
-      }.mkString
+      }
       // fresh bloom BYTES (plus any inline blooms carried from a
       // pre-sidecar manifest) land in ONE `_bloomx.<next>` sidecar
       // object; the manifest records (sidecar, offset, length) — carried
@@ -1416,7 +1545,45 @@ object VersionedTable {
       val bloomLines = allRefs.sortBy(r => (r._1, r._2)).map {
         case (f, c, (sc, off, len)) =>
           s"#filebloomref\t${b64(f)}\t${b64(c)}\t$sc\t$off\t$len\n"
-      }.mkString
+      }
+      // this version's file-level index (fresh stats + all bloom refs
+      // riding the Staged maps — fresh AND legacy-inline-carried, which
+      // migrates pre-block manifests into blocks over time) is written
+      // as per-dir text blocks in ONE `_idx.<next>` sidecar; the
+      // manifest gets one #diridx slice ref per dir, so its own size is
+      // O(partitions) regardless of file count, and a partition-pruned
+      // read fetches only the surviving dirs' blocks
+      val relOfKey = (f: String) =>
+        f.substring(f.indexOf('/') + 1, f.lastIndexOf('/'))
+      val idxSidecarName = s"_idx.${brNs(root)}$next"
+      val statByDir = statLines.groupBy { l =>
+        relOfKey(new String(java.util.Base64.getDecoder.decode(
+          l.split("\t", -1)(1)), StandardCharsets.UTF_8)) }
+      val bloomByDir = bloomLines.groupBy { l =>
+        relOfKey(new String(java.util.Base64.getDecoder.decode(
+          l.split("\t", -1)(1)), StandardCharsets.UTF_8)) }
+      val freshIdxDirs = (statByDir.keySet ++ bloomByDir.keySet).toSeq.sorted
+      val freshIdxRefs: Seq[(String, (String, Long, Int))] =
+        if (freshIdxDirs.isEmpty) Seq.empty
+        else {
+          val sc = fs.create(new Path(tableRoot(root), idxSidecarName), false)
+          try {
+            var off = 0L
+            freshIdxDirs.map { rel =>
+              val block = (statByDir.getOrElse(rel, Seq.empty) ++
+                bloomByDir.getOrElse(rel, Seq.empty)).mkString
+              val bytes = block.getBytes(StandardCharsets.UTF_8)
+              sc.write(bytes)
+              val ref = rel -> ((idxSidecarName, off, bytes.length))
+              off += bytes.length
+              ref
+            }
+          } finally sc.close()
+        }
+      // a dir with fresh index content supersedes any carried ref
+      val idxLines = ((st.idxRefs -- freshIdxDirs) ++ freshIdxRefs)
+        .toSeq.sortBy(_._1).map { case (rel, (sc, off, len)) =>
+          s"#diridx\t${b64(rel)}\t$sc\t$off\t$len\n" }.mkString
       // fresh deletion vectors land in a `_dvx.<next>` sidecar the same
       // way; carried refs to older DV sidecars pass through verbatim
       val dvSidecarName = s"_dvx.${brNs(root)}$next"
@@ -1456,7 +1623,7 @@ object VersionedTable {
           s"#dirver\t${b64(rel)}\t$g\n" }.mkString
       val body = st.mapping.toSeq.sorted.map { case (p, g) => s"$p\t$g" }
         .mkString("", "\n", "\n")
-      out.write((header + txnLine + dirRowLines + statLines + bloomLines +
+      out.write((header + txnLine + dirRowLines + idxLines +
         dvLines + body).getBytes(StandardCharsets.UTF_8))
       out.close()
       next
@@ -1469,6 +1636,7 @@ object VersionedTable {
       fs.delete(new Path(tableRoot(root), genDir), true)
       fs.delete(new Path(tableRoot(root), s"_bloomx.${brNs(root)}$next"), false)
       fs.delete(new Path(tableRoot(root), s"_dvx.${brNs(root)}$next"), false)
+      fs.delete(new Path(tableRoot(root), s"_idx.${brNs(root)}$next"), false)
       fs.delete(manifestPath, false)
       throw t
     }
@@ -1629,7 +1797,9 @@ object VersionedTable {
             rel -> (if (writtenSet.contains(rel)) genDir
               else prior.flatMap(_.contentOf(rel))
                 .getOrElse(priorMapping.getOrElse(rel, genDir))) }
-        })
+        },
+        idxRefs = prior.map(_.idxRefs).getOrElse(Map.empty).filter {
+          case (rel, _) => newMapping.get(rel) == priorMapping.get(rel) })
     }
   }
 
@@ -2026,16 +2196,16 @@ object VersionedTable {
     // fallbacks): a dir is touched when any of its files could hold a
     // matching row
     val dtJson = m.schema(column).dataType.json
-    val mayMatch = rangeSelection(root, m, column, Seq((lower, upper)))
-      .map { _ => rangeKeep(m, column, dtJson,
+    val mayMatch = rangeSelection(fs, root, m, column, Seq((lower, upper)))
+      .map { _ => rangeKeep(fs, root, m, column, dtJson,
         statOrdering(m.schema(column).dataType).get,
         Seq((renderStat(lower).get, renderStat(upper).get))) }
       .getOrElse((_: String) => true)
     val touched = m.mapping.filter { case (rel, gen) =>
       val prefix = s"$gen/$rel/"
-      val dirFiles = m.stats.keySet.filter(_.startsWith(prefix))
+      val dirFiles = m.idxFilesUnder(fs, root, rel, prefix)
       val anyUsable = dirFiles.exists(f =>
-        usableStat(m, f, column, dtJson).isDefined)
+        usableStat(fs, root, m, f, column, dtJson).isDefined)
       if (!anyUsable) true else dirFiles.exists(mayMatch)
     }
     if (touched.isEmpty) return cur // index proves nothing can match
@@ -2071,8 +2241,18 @@ object VersionedTable {
     val coveredCols = (kind: Map[String, Map[String, _]]) => kind.iterator
       .filter { case (f, _) => touchedFilePrefix.exists(f.startsWith) }
       .flatMap(_._2.keys).toSeq.distinct
-    val statsCols = coveredCols(m.stats).filterNot(m.partCols.contains)
-    val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs))
+    // the touched dirs' index may live in blocks: load exactly those
+    // dirs' blocks so the rewrite re-collects the same index family
+    val (tStats, tBloomRefs) = {
+      val blocks = touched.keysIterator
+        .map(rel => m.statsAndRefsUnder(fs, root, rel)).toSeq
+      (blocks.iterator.flatMap(_._1).toMap,
+        blocks.iterator.flatMap(_._2).toMap)
+    }
+    val statsCols = (coveredCols(m.stats) ++ coveredCols(tStats))
+      .distinct.filterNot(m.partCols.contains)
+    val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs) ++
+      coveredCols(tBloomRefs))
       .distinct.filterNot(m.partCols.contains)
     val next = stageVersion(fs, root, cur + 1, op) { genDir =>
       val survivorsByGen = transform(scanDirs(spark, root, m, touched))
@@ -2121,7 +2301,9 @@ object VersionedTable {
         dirVers = newMapping.map { case (rel, _) =>
           rel -> (if (contentChanging && touched.contains(rel)) genDir
             else m.contentOf(rel).getOrElse(m.mapping.getOrElse(rel,
-              genDir))) })
+              genDir))) },
+        idxRefs = m.idxRefs.filter { case (rel, _) =>
+          newMapping.get(rel) == m.mapping.get(rel) })
     }
     publish(spark, root, next)
     next
@@ -2173,16 +2355,16 @@ object VersionedTable {
         m.mapping.filter { case (rel, _) => keep(rel) }
       } else {
         val dtJson = m.schema(column).dataType.json
-        val mayMatch = rangeSelection(root, m, column, Seq((lower, upper)))
-          .map { _ => rangeKeep(m, column, dtJson,
+        val mayMatch = rangeSelection(fs, root, m, column, Seq((lower, upper)))
+          .map { _ => rangeKeep(fs, root, m, column, dtJson,
             statOrdering(m.schema(column).dataType).get,
             Seq((renderStat(lower).get, renderStat(upper).get))) }
           .getOrElse((_: String) => true)
         m.mapping.filter { case (rel, gen) =>
           val prefix = s"$gen/$rel/"
-          val dirFiles = m.stats.keySet.filter(_.startsWith(prefix))
+          val dirFiles = m.idxFilesUnder(fs, root, rel, prefix)
           val anyUsable = dirFiles.exists(f =>
-            usableStat(m, f, column, dtJson).isDefined)
+            usableStat(fs, root, m, f, column, dtJson).isDefined)
           if (!anyUsable) true else dirFiles.exists(mayMatch)
         }
       }
@@ -2306,8 +2488,8 @@ object VersionedTable {
         "or filtering read(), no delete needed")
     // candidate files via the SAME index pruning a readWhere uses; the
     // residual predicate below decides the exact positions
-    val sel = rangeSelection(root, m, column, Seq((lower, upper)))
-      .getOrElse(selectScan(root, m, _ => false, _ => true))
+    val sel = rangeSelection(fs, root, m, column, Seq((lower, upper)))
+      .getOrElse(selectAllDirs(root, m))
     dvDelete(spark, root, m, cur, sel,
       col(column) >= lit(lower) && col(column) <= lit(upper), maxDeleteRows)
   }
@@ -2389,7 +2571,8 @@ object VersionedTable {
             f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) }
           fullDirVers(m).map { case (rel, tok) =>
             rel -> (if (dvDirs.contains(rel)) genName(root, cur + 1) else tok) }
-        })
+        },
+        idxRefs = m.idxRefs)
     }
     publish(spark, root, next)
     next
@@ -2436,7 +2619,7 @@ object VersionedTable {
           .readFrom(new java.io.ByteArrayInputStream(bytes)))
       def may(h: Option[Long]): Boolean =
         bloom.forall(b => h.forall(b.mightContainLong))
-      usableStat(m, f, column, dtJson) match {
+      usableStat(fs, root, m, f, column, dtJson) match {
         case Some(s) => (s.min, s.max, cmpOpt) match {
           case (Some(mn), Some(mx), Some(c)) =>
             val lo = bound(mn, c, strict = false) // first candidate >= min
@@ -2456,9 +2639,9 @@ object VersionedTable {
           sorted.exists(e => may(e._2)) || unplaced.exists(may)
       }
     }
-    selectScan(root, m,
-      indexed = f => usableStat(m, f, column, dtJson).isDefined ||
-        m.bloomColsOf(f).contains(column),
+    selectScan(fs, root, m,
+      indexed = f => usableStat(fs, root, m, f, column, dtJson).isDefined ||
+        m.bloomColsOf(fs, root, f).contains(column),
       keep = keep)
   }
 
@@ -2676,11 +2859,14 @@ object VersionedTable {
     * maintenance surfaces (OPTIMIZE, MERGE INTO) rebuild so a rewrite
     * preserves the index family without the caller re-declaring it.
     * The same inference [[rewriteTouched]] applies per touched dir. */
-  private[graft] def coveredIndexCols(m: Manifest): (Seq[String], Seq[String]) = {
-    val stats = m.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
+  private[graft] def coveredIndexCols(spark: SparkSession, root: String,
+                                      m: Manifest)
+      : (Seq[String], Seq[String]) = {
+    val (allStats, allRefs) = m.materializeIdx(fsFor(spark, root), root)
+    val stats = allStats.valuesIterator.flatMap(_.keys).toSeq.distinct
       .filter(m.schema.fieldNames.contains).filterNot(m.partCols.contains)
     val blooms = (m.blooms.valuesIterator.flatMap(_.keys) ++
-      m.bloomRefs.valuesIterator.flatMap(_.keys)).toSeq.distinct
+      allRefs.valuesIterator.flatMap(_.keys)).toSeq.distinct
       .filter(m.schema.fieldNames.contains).filterNot(m.partCols.contains)
     (stats, blooms)
   }
@@ -2729,7 +2915,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks + (name -> sql),
-        derived = m.derived, dirVers = fullDirVers(m))
+        derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs)
     }
     publish(spark, root, next)
     next
@@ -2747,7 +2933,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks - name,
-        derived = m.derived, dirVers = fullDirVers(m))
+        derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs)
     }
     publish(spark, root, next)
     next
@@ -2855,7 +3041,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
-        derived = m.derived + (partCol -> ((transform, srcCol))), dirVers = fullDirVers(m))
+        derived = m.derived + (partCol -> ((transform, srcCol))), dirVers = fullDirVers(m), idxRefs = m.idxRefs)
     }
     publish(spark, root, next)
     next
@@ -2876,7 +3062,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
-        derived = m.derived - partCol, dirVers = fullDirVers(m))
+        derived = m.derived - partCol, dirVers = fullDirVers(m), idxRefs = m.idxRefs)
     }
     publish(spark, root, next)
     next
@@ -2935,21 +3121,24 @@ object VersionedTable {
                 asOfVersion: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val m = resolveManifest(spark, root, asOfVersion)
+    val fs = fsFor(spark, root)
+    val (allStats, allBloomRefs) = m.materializeIdx(fs, root)
     val liveDirs = m.mapping.toSeq.map { case (rel, gen) =>
       s"$gen/$rel/" -> ((rel, gen)) }.toMap
     def dirOf(f: String) = f.substring(0, f.lastIndexOf('/') + 1)
-    val keys = (m.stats.keySet ++ m.blooms.keySet ++ m.bloomRefs.keySet ++
+    val keys = (allStats.keySet ++ m.blooms.keySet ++ allBloomRefs.keySet ++
       m.dvs.keySet).toSeq.sorted
     val rows = keys.flatMap { f =>
       liveDirs.get(dirOf(f)).map { case (rel, gen) =>
-        val st = m.stats.getOrElse(f, Map.empty)
+        val st = allStats.getOrElse(f, Map.empty)
         val statMap = st.map { case (c, cs) =>
           c -> org.apache.spark.sql.Row(cs.min.orNull, cs.max.orNull,
             cs.nulls) }
         org.apache.spark.sql.Row(f, rel, gen,
           java.lang.Long.valueOf(m.dvs.get(f).map(_._4).getOrElse(0L)),
           scala.collection.immutable.Map(statMap.toSeq: _*),
-          m.bloomColsOf(f).toSeq.sorted)
+          (m.blooms.getOrElse(f, Map.empty).keySet ++
+            allBloomRefs.getOrElse(f, Map.empty).keySet).toSeq.sorted)
       }
     }
     spark.createDataFrame(
@@ -3156,7 +3345,8 @@ object VersionedTable {
         // at read before, materialized now): tokens carry
         dirVers = written.map(rel => rel ->
           m.contentOf(rel).getOrElse(m.mapping.getOrElse(rel, genDir)))
-          .toMap)
+          .toMap,
+        idxRefs = Map.empty)
     }
     publish(spark, root, next)
     next
@@ -3306,7 +3496,8 @@ object VersionedTable {
         derived = m.derived.filter { case (p, _) => partCols.contains(p) },
         // dir names are incomparable across a layout change: fresh
         // tokens force a (correct) full diff for feeds spanning it
-        dirVers = written.map(_ -> genDir).toMap)
+        dirVers = written.map(_ -> genDir).toMap,
+        idxRefs = Map.empty)
     }
     publish(spark, root, next)
     next
@@ -3352,7 +3543,8 @@ object VersionedTable {
         target.stats, target.blooms, curTxns, target.dirRows,
         target.dirFiles, target.bloomRefs, dvRefs = target.dvs,
         dirBytes = target.dirBytes, checks = curM.checks,
-        derived = curM.derived, dirVers = fullDirVers(target))
+        derived = curM.derived, dirVers = fullDirVers(target),
+        idxRefs = target.idxRefs)
     }
     publish(spark, root, next)
     next
@@ -3418,18 +3610,23 @@ object VersionedTable {
     * listing, not a scan, anyway). */
   def fastMinMax(spark: SparkSession, root: String, column: String,
                  asOfVersion: Option[Int] = None): Option[(Any, Any)] =
-    manifestMinMax(resolveManifest(spark, root, asOfVersion), column)
+    manifestMinMax(fsFor(spark, root), root,
+      resolveManifest(spark, root, asOfVersion), column)
 
-  /** Pure-manifest half of [[fastMinMax]] — no I/O; also called by the
-    * optimizer fold on a pinned manifest. */
-  private[graft] def manifestMinMax(m: Manifest,
+  /** Manifest half of [[fastMinMax]]; also called by the optimizer fold
+    * on a pinned manifest — per-dir index blocks load lazily and cache
+    * on the Manifest instance, so repeated plan compilations against a
+    * pinned relation pay the slice reads once. */
+  private[graft] def manifestMinMax(fs: FileSystem, root: String,
+                                    m: Manifest,
                                     column: String): Option[(Any, Any)] =
-    manifestMinMaxDirs(m, column, _ => true)
+    manifestMinMaxDirs(fs, root, m, column, _ => true)
 
   /** [[manifestMinMax]] restricted to the dirs `keep` selects — the
     * partition-filtered fold's MIN/MAX over surviving dirs only. Same
     * provable-coverage contract, applied per kept dir. */
-  private[graft] def manifestMinMaxDirs(m: Manifest, column: String,
+  private[graft] def manifestMinMaxDirs(fs: FileSystem, root: String,
+                                        m: Manifest, column: String,
                                         keep: String => Boolean)
       : Option[(Any, Any)] = {
     if (!m.schema.fieldNames.contains(column) ||
@@ -3445,7 +3642,7 @@ object VersionedTable {
       // a deletion vector breaks the fold: the deleted row may BE the
       // recorded extremum — conservative None, the aggregate scans
       if (m.dvs.keysIterator.exists(_.startsWith(prefix))) return None
-      val covered = m.stats.iterator
+      val covered = m.statsAndRefsUnder(fs, root, rel)._1.iterator
         .filter(_._1.startsWith(prefix))
         .flatMap { case (_, cols) => cols.get(column) }
         .filter(_.dtJson.contains(dtJson))
@@ -3466,12 +3663,14 @@ object VersionedTable {
     * stat) plus full dir-row coverage. Null counts are type-independent,
     * but the type-tag requirement stays: a column dropped and re-added
     * under a different type would otherwise reuse stale counts. */
-  private[graft] def manifestNonNullCount(m: Manifest,
+  private[graft] def manifestNonNullCount(fs: FileSystem, root: String,
+                                          m: Manifest,
                                           column: String): Option[Long] =
-    manifestNonNullCountDirs(m, column, _ => true)
+    manifestNonNullCountDirs(fs, root, m, column, _ => true)
 
   /** [[manifestNonNullCount]] restricted to the dirs `keep` selects. */
-  private[graft] def manifestNonNullCountDirs(m: Manifest, column: String,
+  private[graft] def manifestNonNullCountDirs(fs: FileSystem, root: String,
+                                              m: Manifest, column: String,
                                               keep: String => Boolean)
       : Option[Long] = {
     if (!m.schema.fieldNames.contains(column) ||
@@ -3488,7 +3687,7 @@ object VersionedTable {
       val prefix = s"$gen/$rel/"
       // DV'd files: deleted rows' null-ness is unrecorded — no fold
       if (m.dvs.keysIterator.exists(_.startsWith(prefix))) return None
-      val covered = m.stats.iterator
+      val covered = m.statsAndRefsUnder(fs, root, rel)._1.iterator
         .filter(_._1.startsWith(prefix))
         .flatMap { case (_, cols) => cols.get(column) }
         .filter(_.dtJson.contains(dtJson))
@@ -3596,7 +3795,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs, dvRefs = m.dvs, dirBytes = m.dirBytes,
-        checks = m.checks, derived = m.derived, dirVers = fullDirVers(m))
+        checks = m.checks, derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs)
     }
     publish(spark, root, next)
     next
@@ -3630,21 +3829,25 @@ object VersionedTable {
         s"column $name is referenced by CHECK constraint $cn ($sql) — " +
           "dropConstraint first")
     }
+    // the dropped column's index entries die with it — MATERIALIZE the
+    // block-held index, strip the column, and re-emit everything fresh
+    // (carrying block refs verbatim would resurrect its stats on read)
+    val (allStats, allBloomRefs) = m.materializeIdx(fs, root)
     val next = stageVersion(fs, root, cur + 1, s"drop-column:$name") { _ =>
       Staged(m.partCols,
         StructType(m.schema.filterNot(_.name == name)), m.mapping,
-        m.stats.map { case (f, cols) => f -> (cols - name) }
+        allStats.map { case (f, cols) => f -> (cols - name) }
           .filter(_._2.nonEmpty),
         m.blooms.map { case (f, cols) => f -> (cols - name) }
           .filter(_._2.nonEmpty),
         m.txns, m.dirRows, m.dirFiles,
-        m.bloomRefs.map { case (f, cols) => f -> (cols - name) }
+        allBloomRefs.map { case (f, cols) => f -> (cols - name) }
           .filter(_._2.nonEmpty),
         dvRefs = m.dvs, dirBytes = m.dirBytes, checks = m.checks,
         // a registration referencing the dropped column dies with it
         derived = m.derived.filter { case (p, (_, src)) =>
           src != name && p != name },
-        dirVers = fullDirVers(m))
+        dirVers = fullDirVers(m), idxRefs = Map.empty)
     }
     publish(spark, root, next)
     next
@@ -3750,14 +3953,22 @@ object VersionedTable {
     if (parsed.forall(_.isSuccess)) {
       val ms = parsed.collect { case scala.util.Success(m) => m }
       val liveGens = ms.flatMap(_.mapping.values).toSet
+      // bloom refs may live inside _idx blocks: materialize each
+      // remaining manifest's index (one slice read per dir, metadata-
+      // sized) so block-held refs into this branch's sidecars survive
       val liveSidecars =
         ms.flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
-          .map(_._1).toSet ++ ms.flatMap(_.dvs.valuesIterator).map(_._1).toSet
+          .map(_._1).toSet ++
+        ms.flatMap(_.dvs.valuesIterator).map(_._1).toSet ++
+        ms.flatMap(_.idxRefs.valuesIterator).map(_._1).toSet ++
+        ms.flatMap(_.materializeIdx(fs, b)._2.valuesIterator
+          .flatMap(_.valuesIterator)).map(_._1).toSet
       names.foreach { n =>
         val stale =
           (n.startsWith(s"gen.$name.") && !liveGens.contains(n)) ||
           (n.startsWith(s"_bloomx.b-$name.") && !liveSidecars.contains(n)) ||
-          (n.startsWith(s"_dvx.b-$name.") && !liveSidecars.contains(n))
+          (n.startsWith(s"_dvx.b-$name.") && !liveSidecars.contains(n)) ||
+          (n.startsWith(s"_idx.b-$name.") && !liveSidecars.contains(n))
         if (stale) fs.delete(new Path(b, n), true)
       }
     } // else: a concurrent stage is mid-write — vacuum collects later
@@ -3861,7 +4072,11 @@ object VersionedTable {
           dvRefs = fileScoped(curM.dvs, brM.dvs),
           dirBytes = perDir(curM.dirBytes, brM.dirBytes),
           checks = checks, derived = derived,
-          dirVers = perDir(fullDirVers(curM), fullDirVers(brM)))
+          dirVers = perDir(fullDirVers(curM), fullDirVers(brM)),
+          // per-dir index refs merge the same way the dirs do — block
+          // slices are immutable, so the target simply references the
+          // branch's _idx sidecars for branch-won dirs
+          idxRefs = perDir(curM.idxRefs, brM.idxRefs))
       }
       publish(spark, target, next)
       next
@@ -3952,7 +4167,12 @@ object VersionedTable {
     val liveSidecars = retained
       .flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
       .map(_._1).toSet ++
-      retained.flatMap(_.dvs.valuesIterator).map(_._1).toSet
+      retained.flatMap(_.dvs.valuesIterator).map(_._1).toSet ++
+      retained.flatMap(_.idxRefs.valuesIterator).map(_._1).toSet ++
+      // bloom refs held INSIDE retained _idx blocks keep their _bloomx
+      // sidecars alive (one slice read per dir, metadata-sized)
+      retained.flatMap(_.materializeIdx(fs, b)._2.valuesIterator
+        .flatMap(_.valuesIterator)).map(_._1).toSet
     // branch names with any metadata still present: their gens are never
     // collected as orphans even when currently unreferenced (mid-stage)
     val liveBranches = names.flatMap { n =>
@@ -3980,6 +4200,8 @@ object VersionedTable {
           versionOf(n, "_bloomx.").isDefined && !liveSidecars.contains(n)) ||
         (allParsed && n.startsWith(s"_dvx.$ns") &&
           versionOf(n, "_dvx.").isDefined && !liveSidecars.contains(n)) ||
+        (allParsed && n.startsWith(s"_idx.$ns") &&
+          versionOf(n, "_idx.").isDefined && !liveSidecars.contains(n)) ||
         n.startsWith(".names") // scratch left by a crashed prepare()
       if (stale) fs.delete(new Path(b, n), true)
     }

@@ -117,6 +117,15 @@ case class VersionedRelation(root: String, asOfVersion: Option[Int],
   * next to the leaf. */
 object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** FileSystem for a relation's root via its PINNED session — per-dir
+    * index blocks load lazily (cached on the pinned manifest), so a
+    * fold's slice reads amortize across recompilations; no
+    * SparkSession.active involved. */
+  private def relFs(rel: VersionedRelation): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(VersionedTable.splitRef(rel.root)._1),
+      rel.session.sparkContext.hadoopConfiguration)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // Metadata-only aggregates: an ungrouped, unfiltered aggregate of
     // count(<non-null literal>) / min(col) / max(col) over the relation
@@ -168,14 +177,15 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
         // count(c) to count(1) before this rule sees it)
         case AggregateExpression(Count(Seq(a: AttributeReference)), _, false,
             None, _) if own(a) =>
-          VersionedTable.manifestNonNullCount(m, a.name).map(n => n: Any)
+          VersionedTable.manifestNonNullCount(relFs(rel), rel.root, m,
+            a.name).map(n => n: Any)
         case AggregateExpression(Min(a: AttributeReference), _, false,
             None, _) if own(a) =>
-          VersionedTable.manifestMinMax(m, a.name)
+          VersionedTable.manifestMinMax(relFs(rel), rel.root, m, a.name)
             .map(mm => CatalystTypeConverters.convertToCatalyst(mm._1))
         case AggregateExpression(Max(a: AttributeReference), _, false,
             None, _) if own(a) =>
-          VersionedTable.manifestMinMax(m, a.name)
+          VersionedTable.manifestMinMax(relFs(rel), rel.root, m, a.name)
             .map(mm => CatalystTypeConverters.convertToCatalyst(mm._2))
         case Literal(v, _) => Some(v) // already internal
         case _ => None
@@ -255,17 +265,20 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
           // same coverage proofs as the unfiltered folds
           case AggregateExpression(Count(Seq(a: AttributeReference)), _,
               false, None, _) if rel.outputSet.contains(a) =>
-            VersionedTable.manifestNonNullCountDirs(m, a.name, dirSet)
+            VersionedTable.manifestNonNullCountDirs(relFs(rel), rel.root, m,
+              a.name, dirSet)
               .getOrElse(return None)
           case AggregateExpression(Min(a: AttributeReference), _, false,
               None, _) if rel.outputSet.contains(a) =>
             CatalystTypeConverters.convertToCatalyst(
-              VersionedTable.manifestMinMaxDirs(m, a.name, dirSet)
+              VersionedTable.manifestMinMaxDirs(relFs(rel), rel.root, m,
+                a.name, dirSet)
                 .getOrElse(return None)._1)
           case AggregateExpression(Max(a: AttributeReference), _, false,
               None, _) if rel.outputSet.contains(a) =>
             CatalystTypeConverters.convertToCatalyst(
-              VersionedTable.manifestMinMaxDirs(m, a.name, dirSet)
+              VersionedTable.manifestMinMaxDirs(relFs(rel), rel.root, m,
+                a.name, dirSet)
                 .getOrElse(return None)._2)
           case Literal(v, _) => v
           case _ => return None

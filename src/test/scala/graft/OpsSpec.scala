@@ -735,15 +735,21 @@ class OpsSpec extends SparkSpec {
       fileRows = Some(20))
     val (k0, t0) = VersionedTable.skipStats(spark, root, "v", 0, 10)
     assert(t0 >= 4 && k0 < t0, s"fixture should skip: $k0/$t0")
+    // stats live in the _idx sidecar's per-dir blocks: splice them back
+    // into the manifest as LEGACY INLINE lines stripped to 6 fields
+    // (pre-type-tag format) and drop the #diridx refs — exactly what a
+    // pre-tag manifest looks like, exercising the legacy parse path too
     val mf = java.nio.file.Paths.get(root, "_manifest.0")
+    val idxF = java.nio.file.Paths.get(root, "_idx.0")
+    val untagged = new String(java.nio.file.Files.readAllBytes(idxF),
+        "UTF-8").split("\n").filter(_.startsWith("#filestat\t"))
+      .map(_.split("\t", -1).take(6).mkString("\t"))
+      .mkString("", "\n", "\n")
     val stripped = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
-      .split("\n").map { l =>
-        if (l.startsWith("#filestat\t"))
-          l.split("\t", -1).take(6).mkString("\t")
-        else l
-      }.mkString("\n") + "\n"
+      .split("\n").filterNot(_.startsWith("#diridx\t"))
+      .mkString("", "\n", "\n") + untagged
     java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
-    // drop the local-FS checksum sidecar invalidated by the raw rewrite
+    // drop the local-FS checksum sidecars invalidated by the raw rewrite
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(root, "._manifest.0.crc"))
     val (k1, t1) = VersionedTable.skipStats(spark, root, "v", 0, 10)
@@ -2591,17 +2597,28 @@ class OpsSpec extends SparkSpec {
       .toDF("id", "day", "doc")
     VersionedTable.upsert(spark, root, rows, keys, Seq("day"),
       bloomCols = Seq("doc"), fileRows = Some(25))
-    // blooms live in the sidecar object; the manifest holds only refs
-    assert(exists("_bloomx.0"))
+    // bloom payloads live in the _bloomx sidecar; the per-file refs live
+    // in the _idx blocks; the manifest itself holds only per-dir slice
+    // refs — O(partitions) at any file count
+    assert(exists("_bloomx.0") && exists("_idx.0"))
+    def idxText(v: Int): String = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        fs.open(new org.apache.hadoop.fs.Path(root, s"_idx.$v"))),
+      java.nio.charset.StandardCharsets.UTF_8)
     val m0 = manifestText(0)
-    assert(m0.contains("#filebloomref") && !m0.contains("#filebloom\t"))
-    // a pruned upsert rewrites ONE partition: its blooms land in the new
-    // sidecar, untouched partitions keep refs into the OLD sidecar
+    assert(m0.contains("#diridx") && !m0.contains("#filebloom") &&
+      !m0.contains("#filestat"))
+    assert(idxText(0).contains("#filebloomref"))
+    // a pruned upsert rewrites ONE partition: its bloom refs land in the
+    // new version's _idx blocks, untouched partitions keep #diridx refs
+    // into the OLD _idx (whose refs point at the OLD _bloomx)
     VersionedTable.upsert(spark, root,
       Seq((1000, "d0", "doc-99999")).toDF("id", "day", "doc"),
       keys, Seq("day"), bloomCols = Seq("doc"), fileRows = Some(25))
     val m1 = manifestText(1)
-    assert(m1.contains("_bloomx.0") && m1.contains("_bloomx.1"))
+    assert(m1.contains("_idx.0") && m1.contains("_idx.1"))
+    assert(idxText(0).contains("_bloomx.0") &&
+      idxText(1).contains("_bloomx.1"))
     // point lookups keep skipping through the refs (carried AND fresh)
     val needle = rows.filter($"id" === 7).select("doc")
       .collect()(0).getString(0)
