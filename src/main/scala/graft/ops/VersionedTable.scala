@@ -112,7 +112,7 @@ object VersionedTable {
   private def manifestName(handle: String, v: Int) =
     s"_manifest.${brNs(handle)}$v"
 
-  private def fsFor(spark: SparkSession, root: String): FileSystem =
+  private[graft] def fsFor(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(URI.create(tableRoot(root)),
       spark.sparkContext.hadoopConfiguration)
 
@@ -231,6 +231,27 @@ object VersionedTable {
     * version was written without `statsCols`), and per-file Bloom
     * filters for equality skipping (same keying; empty without
     * `bloomCols`). */
+  /** One dir's index-block slice ref: where the block lives in its
+    * `_idx` sidecar, plus the stat/bloom COLUMN NAMES the block covers —
+    * carried on the #diridx manifest line so index-coverage inference
+    * (OPTIMIZE / MERGE rebuild, rewrite inference) needs ZERO sidecar
+    * reads. */
+  private[graft] case class IdxRef(sidecar: String, off: Long, len: Int,
+                                   statCols: Seq[String],
+                                   bloomCols: Seq[String])
+
+  /** The lazily-populated sidecar/block caches of a Manifest — held in a
+    * mutable holder so [[Manifest.withMapping]] (partition pruning) can
+    * SHARE them with the pruned copy: repeated pruned compilations
+    * against a pinned relation pay each slice read once. */
+  private[graft] final class IdxCaches {
+    val sidecars =
+      scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+    val blocks = scala.collection.concurrent.TrieMap
+      .empty[String, (Map[String, Map[String, ColStat]],
+        Map[String, Map[String, (String, Long, Int)]])]
+  }
+
   private[graft] case class Manifest(partCols: Seq[String], schema: StructType,
                               mapping: Map[String, String],
                               stats: Map[String, Map[String, ColStat]],
@@ -249,8 +270,7 @@ object VersionedTable {
                               dirVers: Map[String, String] = Map.empty,
                               fork: Option[(String, Int)] = None,
                               op: Option[String] = None,
-                              idxRefs: Map[String, (String, Long, Int)] =
-                                Map.empty) {
+                              idxRefs: Map[String, IdxRef] = Map.empty) {
     /** The generation token of the commit that last CHANGED this dir's
       * LOGICAL rows — maintenance rewrites (compact, small-file
       * compaction) carry it forward while real writes bump it, so two
@@ -262,8 +282,18 @@ object VersionedTable {
     // one lazy fetch per sidecar object per Manifest instance: an eq
     // probe over N indexed files costs ONE sidecar GET, not N, and a
     // manifest read costs ZERO (refs are offsets, not payloads)
-    @transient private lazy val sidecarCache =
-      scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+    @transient private var caches = new IdxCaches
+    private def sidecarCache = caches.sidecars
+
+    /** Partition-pruned view sharing this instance's slice caches (a
+      * plain copy() would silently drop them and re-read blocks every
+      * plan compilation). */
+    private[graft] def withMapping(newMapping: Map[String, String])
+        : Manifest = {
+      val c = copy(mapping = newMapping)
+      c.caches = this.caches
+      c
+    }
 
     /** The bloom bytes for (file, column) — inline (pre-sidecar
       * manifests) or sliced out of the lazily-fetched sidecar object. */
@@ -309,14 +339,11 @@ object VersionedTable {
     private type IdxBlock = (Map[String, Map[String, ColStat]],
       Map[String, Map[String, (String, Long, Int)]])
 
-    @transient private lazy val blockCache =
-      scala.collection.concurrent.TrieMap.empty[String, IdxBlock]
-
     private def blockFor(fs: FileSystem, root: String,
                          rel: String): IdxBlock =
-      blockCache.getOrElseUpdate(rel, idxRefs.get(rel) match {
+      caches.blocks.getOrElseUpdate(rel, idxRefs.get(rel) match {
         case None => (Map.empty, Map.empty)
-        case Some((sc, off, len)) =>
+        case Some(IdxRef(sc, off, len, _, _)) =>
           val buf = new Array[Byte](len)
           val in = fs.open(new Path(tableRoot(root), sc))
           try in.readFully(off, buf, 0, len) finally in.close()
@@ -476,7 +503,12 @@ object VersionedTable {
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
-    require(lines.headOption.exists(_.startsWith("#graft-manifest\t2")),
+    // v2 = inline file index; v3 = per-dir _idx blocks (#diridx). The
+    // bump makes PRE-BLOCK binaries fail loudly on v3 tables instead of
+    // vacuuming "unreferenced" _bloomx sidecars that v3 blocks point at.
+    require(lines.headOption.exists(l =>
+        l.startsWith("#graft-manifest\t2") ||
+        l.startsWith("#graft-manifest\t3")),
       s"unrecognized manifest format at $what")
     val partCols = lines.collectFirst {
       case l if l.startsWith("#partcols\t") =>
@@ -577,8 +609,11 @@ object VersionedTable {
     // the manifest stays O(partitions) at any file count
     val idxRefs = lines.filter(_.startsWith("#diridx\t")).map { l =>
       val parts = l.split("\t", -1)
-      require(parts.length == 5, s"malformed #diridx line: $l")
-      b64d(parts(1)) -> ((parts(2), parts(3).toLong, parts(4).toInt))
+      require(parts.length == 7, s"malformed #diridx line: $l")
+      def cols(x: String) =
+        b64d(x).split("\t").filter(_.nonEmpty).toSeq
+      b64d(parts(1)) -> IdxRef(parts(2), parts(3).toLong, parts(4).toInt,
+        cols(parts(5)), cols(parts(6)))
     }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
       dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers, fork,
@@ -924,7 +959,7 @@ object VersionedTable {
       if (partCs.isEmpty) m0
       else {
         val keeps = partCs.map(dirKeep(m0, _))
-        m0.copy(mapping = m0.mapping.filter { case (rel, _) =>
+        m0.withMapping(m0.mapping.filter { case (rel, _) =>
           keeps.forall(_(rel)) })
       }
     if (dataCs.isEmpty)
@@ -1309,7 +1344,10 @@ object VersionedTable {
     val fs = fsFor(spark, root)
     rangeSelection(fs, root, m, column, Seq((lower, upper))) match {
       case None =>
-        val total = m.materializeIdx(fs, root)._1.size
+        // no pruning possible: report (n, n) from the per-dir file
+        // counts — zero index I/O for a pure observability answer
+        val total = m.mapping.keysIterator
+          .map(rel => m.dirFiles.getOrElse(rel, 0L)).sum.toInt
         (total, total)
       case Some(sel) => (sel.kept, sel.indexedTotal)
     }
@@ -1448,7 +1486,7 @@ object VersionedTable {
                             // index content rides `stats`/`blooms`/
                             // `bloomRefs` and is written into THIS
                             // version's _idx blocks by stageVersion
-                            idxRefs: Map[String, (String, Long, Int)])
+                            idxRefs: Map[String, IdxRef])
 
   /** Full-coverage content-token map for a manifest: every live dir's
     * token, falling back to its physical generation for dirs written
@@ -1506,7 +1544,7 @@ object VersionedTable {
             .flatMap(_.fork)
         else None).fold("") { case (src, v) =>
           s"#fork\t${if (src.isEmpty) "-" else b64(src)}\t$v\n" }
-      val header = s"#graft-manifest\t2\n" +
+      val header = s"#graft-manifest\t3\n" +
         s"#partcols\t${st.partCols.mkString("\t")}\n" +
         s"#schema\t${st.schema.json}\n" + forkLine +
         s"#op\t${b64(op)}\n"
@@ -1563,7 +1601,14 @@ object VersionedTable {
         relOfKey(new String(java.util.Base64.getDecoder.decode(
           l.split("\t", -1)(1)), StandardCharsets.UTF_8)) }
       val freshIdxDirs = (statByDir.keySet ++ bloomByDir.keySet).toSeq.sorted
-      val freshIdxRefs: Seq[(String, (String, Long, Int))] =
+      // covered column names per fresh dir ride the ref (and then the
+      // #diridx line), so coverage inference never opens the sidecar
+      val statColsByDir = st.stats.toSeq.groupBy(kv => relOfKey(kv._1))
+        .map { case (rel, kvs) =>
+          rel -> kvs.flatMap(_._2.keys).distinct.sorted }
+      val bloomColsByDir = allRefs.groupBy(r => relOfKey(r._1))
+        .map { case (rel, rs) => rel -> rs.map(_._2).distinct.sorted }
+      val freshIdxRefs: Seq[(String, IdxRef)] =
         if (freshIdxDirs.isEmpty) Seq.empty
         else {
           val sc = fs.create(new Path(tableRoot(root), idxSidecarName), false)
@@ -1574,7 +1619,9 @@ object VersionedTable {
                 bloomByDir.getOrElse(rel, Seq.empty)).mkString
               val bytes = block.getBytes(StandardCharsets.UTF_8)
               sc.write(bytes)
-              val ref = rel -> ((idxSidecarName, off, bytes.length))
+              val ref = rel -> IdxRef(idxSidecarName, off, bytes.length,
+                statColsByDir.getOrElse(rel, Seq.empty),
+                bloomColsByDir.getOrElse(rel, Seq.empty))
               off += bytes.length
               ref
             }
@@ -1582,8 +1629,10 @@ object VersionedTable {
         }
       // a dir with fresh index content supersedes any carried ref
       val idxLines = ((st.idxRefs -- freshIdxDirs) ++ freshIdxRefs)
-        .toSeq.sortBy(_._1).map { case (rel, (sc, off, len)) =>
-          s"#diridx\t${b64(rel)}\t$sc\t$off\t$len\n" }.mkString
+        .toSeq.sortBy(_._1).map { case (rel, r) =>
+          s"#diridx\t${b64(rel)}\t${r.sidecar}\t${r.off}\t${r.len}\t" +
+            s"${b64(r.statCols.mkString("\t"))}\t" +
+            s"${b64(r.bloomCols.mkString("\t"))}\n" }.mkString
       // fresh deletion vectors land in a `_dvx.<next>` sidecar the same
       // way; carried refs to older DV sidecars pass through verbatim
       val dvSidecarName = s"_dvx.${brNs(root)}$next"
@@ -2241,18 +2290,13 @@ object VersionedTable {
     val coveredCols = (kind: Map[String, Map[String, _]]) => kind.iterator
       .filter { case (f, _) => touchedFilePrefix.exists(f.startsWith) }
       .flatMap(_._2.keys).toSeq.distinct
-    // the touched dirs' index may live in blocks: load exactly those
-    // dirs' blocks so the rewrite re-collects the same index family
-    val (tStats, tBloomRefs) = {
-      val blocks = touched.keysIterator
-        .map(rel => m.statsAndRefsUnder(fs, root, rel)).toSeq
-      (blocks.iterator.flatMap(_._1).toMap,
-        blocks.iterator.flatMap(_._2).toMap)
-    }
-    val statsCols = (coveredCols(m.stats) ++ coveredCols(tStats))
+    // the touched dirs' block-held coverage reads off the #diridx col
+    // lists — no sidecar I/O just to learn which columns to re-collect
+    val tRefs = touched.keysIterator.flatMap(m.idxRefs.get).toSeq
+    val statsCols = (coveredCols(m.stats) ++ tRefs.flatMap(_.statCols))
       .distinct.filterNot(m.partCols.contains)
     val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs) ++
-      coveredCols(tBloomRefs))
+      tRefs.flatMap(_.bloomCols))
       .distinct.filterNot(m.partCols.contains)
     val next = stageVersion(fs, root, cur + 1, op) { genDir =>
       val survivorsByGen = transform(scanDirs(spark, root, m, touched))
@@ -2859,14 +2903,16 @@ object VersionedTable {
     * maintenance surfaces (OPTIMIZE, MERGE INTO) rebuild so a rewrite
     * preserves the index family without the caller re-declaring it.
     * The same inference [[rewriteTouched]] applies per touched dir. */
-  private[graft] def coveredIndexCols(spark: SparkSession, root: String,
-                                      m: Manifest)
+  private[graft] def coveredIndexCols(m: Manifest)
       : (Seq[String], Seq[String]) = {
-    val (allStats, allRefs) = m.materializeIdx(fsFor(spark, root), root)
-    val stats = allStats.valuesIterator.flatMap(_.keys).toSeq.distinct
+    // block-held coverage reads off the #diridx col lists — zero
+    // sidecar I/O; inline maps cover legacy manifests
+    val stats = (m.stats.valuesIterator.flatMap(_.keys) ++
+      m.idxRefs.valuesIterator.flatMap(_.statCols)).toSeq.distinct
       .filter(m.schema.fieldNames.contains).filterNot(m.partCols.contains)
     val blooms = (m.blooms.valuesIterator.flatMap(_.keys) ++
-      allRefs.valuesIterator.flatMap(_.keys)).toSeq.distinct
+      m.bloomRefs.valuesIterator.flatMap(_.keys) ++
+      m.idxRefs.valuesIterator.flatMap(_.bloomCols)).toSeq.distinct
       .filter(m.schema.fieldNames.contains).filterNot(m.partCols.contains)
     (stats, blooms)
   }
@@ -3953,16 +3999,17 @@ object VersionedTable {
     if (parsed.forall(_.isSuccess)) {
       val ms = parsed.collect { case scala.util.Success(m) => m }
       val liveGens = ms.flatMap(_.mapping.values).toSet
-      // bloom refs may live inside _idx blocks: materialize each
-      // remaining manifest's index (one slice read per dir, metadata-
-      // sized) so block-held refs into this branch's sidecars survive
+      // bloom refs may live inside _idx blocks: distinct slices parsed
+      // once so block-held refs into this branch's sidecars survive; an
+      // unreadable slice skips the sweep (main vacuum collects later)
+      val blockHeld = blockHeldBloomSidecars(fs, b, ms)
+        .getOrElse { return }
       val liveSidecars =
         ms.flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
           .map(_._1).toSet ++
         ms.flatMap(_.dvs.valuesIterator).map(_._1).toSet ++
-        ms.flatMap(_.idxRefs.valuesIterator).map(_._1).toSet ++
-        ms.flatMap(_.materializeIdx(fs, b)._2.valuesIterator
-          .flatMap(_.valuesIterator)).map(_._1).toSet
+        ms.flatMap(_.idxRefs.valuesIterator).map(_.sidecar).toSet ++
+        blockHeld
       names.foreach { n =>
         val stale =
           (n.startsWith(s"gen.$name.") && !liveGens.contains(n)) ||
@@ -4131,6 +4178,25 @@ object VersionedTable {
     * concurrent createBranch/stage), gen/sidecar deletion is skipped for
     * this pass — retired manifests still drop; the next vacuum collects
     * the rest. */
+  /** Every _bloomx sidecar referenced from INSIDE the given manifests'
+    * index blocks — each DISTINCT slice parsed once across manifests
+    * (consecutive versions carry most refs verbatim). None = some slice
+    * is unreadable (damaged _idx / concurrent write): callers skip
+    * gen/sidecar deletion this pass instead of wedging or over-deleting.
+    */
+  private def blockHeldBloomSidecars(fs: FileSystem, base: String,
+                                     ms: Seq[Manifest]): Option[Set[String]] =
+    scala.util.Try {
+      ms.flatMap(_.idxRefs.valuesIterator).distinct.flatMap { r =>
+        val buf = new Array[Byte](r.len)
+        val in = fs.open(new Path(base, r.sidecar))
+        try in.readFully(r.off, buf, 0, r.len) finally in.close()
+        parseBloomRefLines(new String(buf, StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty))
+          .valuesIterator.flatMap(_.valuesIterator).map(_._1)
+      }.toSet
+    }.toOption
+
   private def vacuumKeeping(spark: SparkSession, root: String,
                             keep: Set[Int]): Unit = {
     val fs = fsFor(spark, root)
@@ -4159,8 +4225,13 @@ object VersionedTable {
     val parsed = remaining.map { n =>
       scala.util.Try(readManifestFile(fs, new Path(b, n), n))
     }
-    val allParsed = parsed.forall(_.isSuccess)
     val retained = parsed.collect { case scala.util.Success(m) => m }
+    // bloom refs held INSIDE retained _idx blocks keep their _bloomx
+    // sidecars alive — distinct slices parsed once across manifests;
+    // an unreadable slice disables deletion this pass (like an
+    // unparseable manifest)
+    val blockHeld = blockHeldBloomSidecars(fs, b, retained)
+    val allParsed = parsed.forall(_.isSuccess) && blockHeld.isDefined
     val liveGens = retained.flatMap(_.mapping.values).toSet
     // a retained manifest may reference OLDER versions' sidecars through
     // carried bloom refs — those must survive with it
@@ -4168,11 +4239,8 @@ object VersionedTable {
       .flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
       .map(_._1).toSet ++
       retained.flatMap(_.dvs.valuesIterator).map(_._1).toSet ++
-      retained.flatMap(_.idxRefs.valuesIterator).map(_._1).toSet ++
-      // bloom refs held INSIDE retained _idx blocks keep their _bloomx
-      // sidecars alive (one slice read per dir, metadata-sized)
-      retained.flatMap(_.materializeIdx(fs, b)._2.valuesIterator
-        .flatMap(_.valuesIterator)).map(_._1).toSet
+      retained.flatMap(_.idxRefs.valuesIterator).map(_.sidecar).toSet ++
+      blockHeld.getOrElse(Set.empty)
     // branch names with any metadata still present: their gens are never
     // collected as orphans even when currently unreferenced (mid-stage)
     val liveBranches = names.flatMap { n =>

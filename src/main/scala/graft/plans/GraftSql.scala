@@ -425,7 +425,7 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val m = VersionedTable.resolveManifest(spark, root, None)
-    val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(spark, root, m)
+    val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
     val src = PlanBridge.dataFrame(spark, source)
     val tableCols = m.schema.fieldNames.toSeq
     val missing = tableCols.filterNot(src.columns.contains)
@@ -457,7 +457,7 @@ case class GraftOptimizeCommand(root: String, zOrderCols: Seq[String])
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val m = VersionedTable.resolveManifest(spark, root, None)
-    val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(spark, root, m)
+    val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
     // z-dimensions join the stats set: clustering by a previously
     // unindexed column must also RECORD its min/max, or the rewrite
     // clusters perfectly and skips nothing

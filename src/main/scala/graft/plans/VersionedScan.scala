@@ -122,9 +122,7 @@ object PruneVersionedScan extends Rule[LogicalPlan] with PredicateHelper {
     * fold's slice reads amortize across recompilations; no
     * SparkSession.active involved. */
   private def relFs(rel: VersionedRelation): org.apache.hadoop.fs.FileSystem =
-    org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(VersionedTable.splitRef(rel.root)._1),
-      rel.session.sparkContext.hadoopConfiguration)
+    VersionedTable.fsFor(rel.session, rel.root)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // Metadata-only aggregates: an ungrouped, unfiltered aggregate of
