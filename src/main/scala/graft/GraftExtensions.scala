@@ -170,6 +170,34 @@ object GraftExtensions {
           .partitionsMeta(SparkSession.active, root, asOf)
           .queryExecution.analyzed
       }),
+    (FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.ops.VersionedTable.getClass.getName,
+        "graft_changes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_changes(root, fromVersion, toVersion) takes 3 arguments")
+        val root = strLit(children.head, "graft_changes root")
+        val from = intLit(children(1), "graft_changes fromVersion")
+        val to = intLit(children(2), "graft_changes toVersion")
+        // version diff keyed by the table's RECORDED merge keys — the
+        // Delta table_changes() idea from pure SQL, O(|changed dirs|)
+        graft.ops.VersionedTable
+          .changeFeed(SparkSession.active, root, from, to)
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_changes_cdf"),
+      new ExpressionInfo(graft.ops.VersionedTable.getClass.getName,
+        "graft_changes_cdf"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_changes_cdf(root, fromVersion, toVersion) takes 3 arguments")
+        val root = strLit(children.head, "graft_changes_cdf root")
+        val from = intLit(children(1), "graft_changes_cdf fromVersion")
+        val to = intLit(children(2), "graft_changes_cdf toVersion")
+        graft.ops.VersionedTable
+          .changeFeedCdf(SparkSession.active, root, from, to)
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("graft_files"),
       new ExpressionInfo(graft.ops.VersionedTable.getClass.getName,
         "graft_files"),

@@ -270,7 +270,8 @@ object VersionedTable {
                               dirVers: Map[String, String] = Map.empty,
                               fork: Option[(String, Int)] = None,
                               op: Option[String] = None,
-                              idxRefs: Map[String, IdxRef] = Map.empty) {
+                              idxRefs: Map[String, IdxRef] = Map.empty,
+                              keys: Seq[String] = Nil) {
     /** The generation token of the commit that last CHANGED this dir's
       * LOGICAL rows — maintenance rewrites (compact, small-file
       * compaction) carry it forward while real writes bump it, so two
@@ -607,6 +608,11 @@ object VersionedTable {
     // per-dir index-block refs (round 6): the file-level stats/bloom-ref
     // index lives in `_idx.<v>` sidecar blocks, one slice ref per dir —
     // the manifest stays O(partitions) at any file count
+    // the table's merge keys (round 6): recorded at every upsert so
+    // SQL-only consumers (graft_changes) need no out-of-band knowledge
+    val keyCols = lines.collectFirst {
+      case l if l.startsWith("#keys\t") => l.split("\t").toSeq.drop(1)
+    }.getOrElse(Nil)
     val idxRefs = lines.filter(_.startsWith("#diridx\t")).map { l =>
       val parts = l.split("\t", -1)
       require(parts.length == 7, s"malformed #diridx line: $l")
@@ -617,7 +623,7 @@ object VersionedTable {
     }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
       dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers, fork,
-      op, idxRefs)
+      op, idxRefs, keyCols)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -1517,7 +1523,7 @@ object VersionedTable {
     * starts clean instead of tripping over its own leftovers ('path
     * already exists' on the gen dir was exactly that bug). */
   private def stageVersion(fs: FileSystem, root: String, next: Int,
-                           op: String)
+                           op: String, keys: Seq[String])
       (stage: String => Staged): Int = {
     val genDir = genName(root, next)
     val manifestPath = new Path(tableRoot(root), manifestName(root, next))
@@ -1547,7 +1553,9 @@ object VersionedTable {
       val header = s"#graft-manifest\t3\n" +
         s"#partcols\t${st.partCols.mkString("\t")}\n" +
         s"#schema\t${st.schema.json}\n" + forkLine +
-        s"#op\t${b64(op)}\n"
+        s"#op\t${b64(op)}\n" +
+        (if (keys.isEmpty) ""
+         else s"#keys\t${keys.mkString("\t")}\n")
       val statLines = st.stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
         cols.toSeq.sortBy(_._1).map { case (c, s) =>
           s"#filestat\t${b64(f)}\t${b64(c)}\t${opt(s.min)}\t${opt(s.max)}\t${s.nulls}\t${opt(s.dtJson)}\n"
@@ -1717,7 +1725,7 @@ object VersionedTable {
     // the claim/cleanup protocol lives in stageVersion; a concurrent
     // writer staging the same version loses at the claim, before any
     // data moves, and a failed stage retracts claim + gen dir
-    stageVersion(fs, root, next, "merge") { genDir =>
+    stageVersion(fs, root, next, "merge", keys) { genDir =>
       // txn idempotence RE-CHECKED after winning the claim: claims
       // serialize version numbers, so every previously committed batch of
       // this stream is visible here — two racing writers re-delivering
@@ -2031,7 +2039,7 @@ object VersionedTable {
         .takeWhile(l => l.startsWith("#graft-manifest") ||
           l.startsWith("#partcols") || l.startsWith("#schema") ||
           l.startsWith("#fork") || l.startsWith("#op") ||
-          l.startsWith("#txn"))
+          l.startsWith("#keys") || l.startsWith("#txn"))
         .collect { case l if l.startsWith("#txn\t") =>
           val parts = l.split("\t", -1)
           (new String(java.util.Base64.getDecoder.decode(parts(1)),
@@ -2126,6 +2134,34 @@ object VersionedTable {
     }
     (side(mF), side(mT))
   }
+
+  /** The table's recorded merge keys (written at every upsert) — what
+    * lets SQL-only consumers diff versions with no out-of-band schema
+    * knowledge. Empty on tables never written by this build. */
+  def keysOf(spark: SparkSession, root: String,
+             asOfVersion: Option[Int] = None): Seq[String] =
+    resolveManifest(spark, root, asOfVersion).keys
+
+  private def recordedKeys(spark: SparkSession, root: String): Seq[String] = {
+    val ks = keysOf(spark, root)
+    require(ks.nonEmpty,
+      s"$root records no merge keys (written before the #keys directive) " +
+        "— pass them explicitly")
+    ks
+  }
+
+  /** [[changeFeed]] keyed by the table's RECORDED merge keys — the
+    * SQL-facing spelling (`graft_changes('/root', from, to)`). */
+  def changeFeed(spark: SparkSession, root: String,
+                 fromVersion: Int, toVersion: Int): DataFrame =
+    changeFeed(spark, root, recordedKeys(spark, root), fromVersion,
+      toVersion)
+
+  /** [[changeFeedCdf]] keyed by the recorded merge keys. */
+  def changeFeedCdf(spark: SparkSession, root: String,
+                    fromVersion: Int, toVersion: Int): DataFrame =
+    changeFeedCdf(spark, root, recordedKeys(spark, root), fromVersion,
+      toVersion)
 
   def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
                  fromVersion: Int, toVersion: Int): DataFrame = {
@@ -2298,7 +2334,7 @@ object VersionedTable {
     val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs) ++
       tRefs.flatMap(_.bloomCols))
       .distinct.filterNot(m.partCols.contains)
-    val next = stageVersion(fs, root, cur + 1, op) { genDir =>
+    val next = stageVersion(fs, root, cur + 1, op, m.keys) { genDir =>
       val survivorsByGen = transform(scanDirs(spark, root, m, touched))
       val base = survivorsByGen.repartition(m.partCols.map(col): _*)
       val clustered =
@@ -2603,7 +2639,7 @@ object VersionedTable {
       }
       f -> serializeDv(all)
     }.toMap
-    val next = stageVersion(fs, root, cur + 1, "delete-dv") { _ =>
+    val next = stageVersion(fs, root, cur + 1, "delete-dv", m.keys) { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs,
         dvBytes = freshBytes, dvRefs = m.dvs -- freshBytes.keys,
@@ -2957,7 +2993,7 @@ object VersionedTable {
     spark.sessionState.sqlParser.parseExpression(sql)
     enforceChecks(readM(spark, root, m), Map(name -> sql),
       s"existing data at $root")
-    val next = stageVersion(fs, root, cur + 1, "add-constraint") { _ =>
+    val next = stageVersion(fs, root, cur + 1, "add-constraint", m.keys) { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks + (name -> sql),
@@ -2975,7 +3011,7 @@ object VersionedTable {
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
     require(m.checks.contains(name), s"constraint $name does not exist")
-    val next = stageVersion(fs, root, cur + 1, "drop-constraint") { _ =>
+    val next = stageVersion(fs, root, cur + 1, "drop-constraint", m.keys) { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks - name,
@@ -3083,7 +3119,7 @@ object VersionedTable {
     enforceChecks(readM(spark, root, m),
       Map(s"derived $partCol" -> derivedSqlExpr(transform, partCol, srcCol)),
       s"existing data at $root")
-    val next = stageVersion(fs, root, cur + 1, "add-derived-partition") { _ =>
+    val next = stageVersion(fs, root, cur + 1, "add-derived-partition", m.keys) { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
@@ -3104,7 +3140,7 @@ object VersionedTable {
     val m = readManifest(fs, root, cur)
     require(m.derived.contains(partCol),
       s"$partCol has no derived-partition registration")
-    val next = stageVersion(fs, root, cur + 1, "drop-derived-partition") { _ =>
+    val next = stageVersion(fs, root, cur + 1, "drop-derived-partition", m.keys) { _ =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
@@ -3367,7 +3403,7 @@ object VersionedTable {
     (statsCols ++ bloomCols ++ zOrderCols).foreach(c =>
       require(!m.partCols.contains(c),
         s"stats column $c is a partition column"))
-    val next = stageVersion(fs, root, cur + 1, "compact") { genDir =>
+    val next = stageVersion(fs, root, cur + 1, "compact", m.keys) { genDir =>
       val base = read(spark, root, Some(cur))
         .repartition(m.partCols.map(col): _*)
       val clustered =
@@ -3517,7 +3553,7 @@ object VersionedTable {
       s"partition column $c is not in the table schema"))
     (statsCols ++ bloomCols).foreach(c => require(!partCols.contains(c),
       s"stats column $c is a partition column"))
-    val next = stageVersion(fs, root, cur + 1, "repartition") { genDir =>
+    val next = stageVersion(fs, root, cur + 1, "repartition", m.keys) { genDir =>
       val base = read(spark, root, Some(cur))
         .repartition(partCols.map(col): _*)
       val clustered =
@@ -3584,7 +3620,7 @@ object VersionedTable {
       enforceChecks(readM(spark, root, target),
         curM.checks ++ derivedChecks(curM),
         s"restore target v$toVersion at $root")
-    val next = stageVersion(fs, root, cur + 1, s"restore:v$toVersion") { _ =>
+    val next = stageVersion(fs, root, cur + 1, s"restore:v$toVersion", curM.keys) { _ =>
       Staged(target.partCols, target.schema, target.mapping,
         target.stats, target.blooms, curTxns, target.dirRows,
         target.dirFiles, target.bloomRefs, dvRefs = target.dvs,
@@ -3837,7 +3873,7 @@ object VersionedTable {
     val m = readManifest(fs, root, cur)
     require(!m.schema.fieldNames.contains(name),
       s"column $name already exists at $root")
-    val next = stageVersion(fs, root, cur + 1, s"add-column:$name") { _ =>
+    val next = stageVersion(fs, root, cur + 1, s"add-column:$name", m.keys) { _ =>
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs, dvRefs = m.dvs, dirBytes = m.dirBytes,
@@ -3879,7 +3915,7 @@ object VersionedTable {
     // block-held index, strip the column, and re-emit everything fresh
     // (carrying block refs verbatim would resurrect its stats on read)
     val (allStats, allBloomRefs) = m.materializeIdx(fs, root)
-    val next = stageVersion(fs, root, cur + 1, s"drop-column:$name") { _ =>
+    val next = stageVersion(fs, root, cur + 1, s"drop-column:$name", m.keys) { _ =>
       Staged(m.partCols,
         StructType(m.schema.filterNot(_.name == name)), m.mapping,
         allStats.map { case (f, cols) => f -> (cols - name) }
@@ -4108,7 +4144,8 @@ object VersionedTable {
         sid -> math.max(curM.txns.getOrElse(sid, Long.MinValue),
           brM.txns.getOrElse(sid, Long.MinValue))
       }.toMap
-      val next = stageVersion(fs, target, cur + 1, s"fast-forward:$name") { _ =>
+      val next = stageVersion(fs, target, cur + 1, s"fast-forward:$name",
+          pick3(forkM.keys, curM.keys, brM.keys, "merge keys")) { _ =>
         Staged(curM.partCols, schema, mapping,
           stats = fileScoped(curM.stats, brM.stats),
           blooms = fileScoped(curM.blooms, brM.blooms),

@@ -557,6 +557,7 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("derived_partitions", StringType,
       nullable = false)(),
     AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("merge_keys", StringType, nullable = false)(),
     AttributeReference("num_partitions", IntegerType, nullable = false)(),
     AttributeReference("total_rows", LongType, nullable = true)(),
     AttributeReference("total_bytes", LongType, nullable = true)(),
@@ -581,8 +582,9 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       case null => null
       case t => java.lang.Long.valueOf(t - dv) // live rows, like COUNT
     }
-    Seq(Row(v, partCols, derived, checks, parts.length, rows, total(5),
-      java.lang.Long.valueOf(dv)))
+    val keys = VersionedTable.keysOf(spark, root).mkString(", ")
+    Seq(Row(v, partCols, derived, checks, keys, parts.length, rows,
+      total(5), java.lang.Long.valueOf(dv)))
   }
 }
 

@@ -309,9 +309,10 @@ class SqlDmlSpec extends SparkSpec {
     assert(d.getInt(0) == 1) // version
     assert(d.getString(1) == "grp") // partition_cols
     assert(d.getString(2).isEmpty && d.getString(3).isEmpty)
-    assert(d.getInt(4) == 4) // num_partitions
-    assert(d.getLong(5) == rows.count(_._3 >= 10)) // live rows
-    assert(d.getLong(7) == 0L) // no DVs
+    assert(d.getString(4) == "id, grp") // merge_keys (recorded at upsert)
+    assert(d.getInt(5) == 4) // num_partitions
+    assert(d.getLong(6) == rows.count(_._3 >= 10)) // live rows
+    assert(d.getLong(8) == 0L) // no DVs
     // per-partition drilldown: rows per dir from the manifest, and the
     // CONTENT token distinguishes the rewritten dir from carried ones
     val byDir = spark.sql(
@@ -352,6 +353,17 @@ class SqlDmlSpec extends SparkSpec {
       s"SELECT sum(dv_deleted) FROM graft_files('$root')")
       .collect().head.getLong(0)
     assert(dv == rows.count(_._3 < 5))
+    // SQL-only change feed: the recorded #keys make graft_changes need
+    // no out-of-band key knowledge; the DV delete shows as op='delete'
+    val ch = spark.sql(
+      s"SELECT op, id FROM graft_changes('$root', 0, 1)").collect()
+    assert(ch.nonEmpty && ch.forall(_.getString(0) == "delete"))
+    assert(ch.map(_.getInt(1)).toSet ==
+      rows.filter(_._3 < 5).map(_._1).toSet)
+    // CDF flavor serves the same transition with pre-images
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_changes_cdf('$root', 0, 1)")
+      .collect().head.getLong(0) == ch.length)
   }
 
   test("SQL OPTIMIZE ZORDER BY an unindexed column starts skipping on it") {
