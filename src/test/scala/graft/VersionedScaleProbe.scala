@@ -52,6 +52,7 @@ object VersionedScaleProbe {
       try fsys.getFileStatus(new org.apache.hadoop.fs.Path(root, n)).getLen
       catch { case _: Throwable => -1L }
     println(s"[probe] manifest ${sizeOf("_manifest.0")} B, " +
+      s"index blocks ${sizeOf("_idx.0")} B, " +
       s"bloom sidecar ${sizeOf("_bloomx.0")} B " +
       "(refs in the manifest, payload in the sidecar)")
     val full = t("full scan count") {
