@@ -6136,7 +6136,6 @@ object SparkEntry {
          |  max(daily_high) AS high_max, count(*) AS n_days
          |FROM final GROUP BY 1""".stripMargin,
 
-    // CDF replay: both version row sets recomputed independently, then
     // branch WAP cycle: final main = branch's late window (>= Jan 21,
     // even users) + main's concurrent %3 recompute (<= Jan 10) + the
     // untouched middle of v0
@@ -6176,6 +6175,7 @@ object SparkEntry {
          |  SELECT 1 FROM main_upd u
          |  WHERE u.event_type = t.event_type AND u.date = t.date)"""
         .stripMargin,
+    // CDF replay: both version row sets recomputed independently, then
     // diffed. Content compare runs on RAW (unrounded) values — exactly
     // what the stored table holds — with rounding only in the output
     // column, mirroring the engine's read-side r4.

@@ -1546,8 +1546,10 @@ object VersionedTable {
       // fastForward's merge anchor survives any number of branch writes
       val forkLine =
         (if (brNs(root).nonEmpty && next > 0)
-          scala.util.Try(readManifest(fs, root, next - 1)).toOption
-            .flatMap(_.fork)
+          // NOT failure-tolerant on purpose: silently dropping the
+          // anchor would permanently break fastForward for the branch;
+          // a read failure aborts the stage (claim retracts) instead
+          readManifest(fs, root, next - 1).fork
         else None).fold("") { case (src, v) =>
           s"#fork\t${if (src.isEmpty) "-" else b64(src)}\t$v\n" }
       val header = s"#graft-manifest\t3\n" +
@@ -1721,6 +1723,13 @@ object VersionedTable {
         "covers it exactly"))
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root)
+    // a branch must be FORKED, never implicitly created by a write: a
+    // typo'd handle would otherwise silently swallow rows into an
+    // anchorless chain no fastForward can ever publish
+    if (cur.isEmpty && brNs(root).nonEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no branch at $root — createBranch first (writes never " +
+          "implicitly create branches)")
     val next = cur.map(_ + 1).getOrElse(0)
     // the claim/cleanup protocol lives in stageVersion; a concurrent
     // writer staging the same version loses at the claim, before any
@@ -3993,6 +4002,24 @@ object VersionedTable {
     try out.write((body + forkLine).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     publish(spark, handle, 0)
+    // guard against the createBranch/vacuum race: a vacuum that LISTED
+    // manifests before this publish may delete generations only this
+    // branch references. Post-publish (so any LATER vacuum sees the
+    // branch), verify every referenced gen still exists; a casualty is
+    // retracted and reported instead of left as a dangling branch. The
+    // residual window (vacuum's delete landing between this check and
+    // its own earlier listing) is the usual don't-vacuum-while-forking
+    // caveat, here shrunk to milliseconds.
+    val missing = readManifest(fs, handle, 0).mapping.values.toSeq.distinct
+      .filterNot(g => fs.exists(new Path(b, g)))
+    if (missing.nonEmpty) {
+      fs.delete(new Path(b, commitName(handle, 0)), false)
+      fs.delete(new Path(b, manifestName(handle, 0)), false)
+      throw new IllegalStateException(
+        s"createBranch($name) raced a vacuum: generations " +
+          s"${missing.mkString(", ")} were retired mid-fork — re-run " +
+          "(and avoid vacuuming concurrently with branch creation)")
+    }
     handle
   }
 
@@ -4034,18 +4061,10 @@ object VersionedTable {
       scala.util.Try(readManifestFile(fs, new Path(b, n), n)))
     if (parsed.forall(_.isSuccess)) {
       val ms = parsed.collect { case scala.util.Success(m) => m }
-      val liveGens = ms.flatMap(_.mapping.values).toSet
-      // bloom refs may live inside _idx blocks: distinct slices parsed
-      // once so block-held refs into this branch's sidecars survive; an
-      // unreadable slice skips the sweep (main vacuum collects later)
-      val blockHeld = blockHeldBloomSidecars(fs, b, ms)
+      // an unreadable _idx slice skips the sweep (main vacuum's orphan
+      // collection picks the leftovers up later)
+      val (liveGens, liveSidecars) = liveRefs(fs, b, ms)
         .getOrElse { return }
-      val liveSidecars =
-        ms.flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
-          .map(_._1).toSet ++
-        ms.flatMap(_.dvs.valuesIterator).map(_._1).toSet ++
-        ms.flatMap(_.idxRefs.valuesIterator).map(_.sidecar).toSet ++
-        blockHeld
       names.foreach { n =>
         val stale =
           (n.startsWith(s"gen.$name.") && !liveGens.contains(n)) ||
@@ -4144,23 +4163,64 @@ object VersionedTable {
         sid -> math.max(curM.txns.getOrElse(sid, Long.MinValue),
           brM.txns.getOrElse(sid, Long.MinValue))
       }.toMap
+      // the WAP gate: CHECK constraints hold on the PUBLISHED result,
+      // same as every other commit path. Branch-won dirs validate
+      // always (the branch never saw constraints added on the target);
+      // target-kept dirs re-validate only when the branch changed the
+      // constraint set (their data already passed the target's own
+      // gates). Derived-partition invariants ride along like upsert's.
+      val gates = checks ++ derivedChecks(curM.copy(derived = derived,
+        partCols = curM.partCols))
+      if (gates.nonEmpty && bChanged.nonEmpty)
+        enforceChecks(
+          scanDirs(spark, brHandle, brM,
+            brM.mapping.filter { case (rel, _) => bChanged.contains(rel) }),
+          gates, s"fast-forward of $name (branch-changed partitions)")
+      if (gates.nonEmpty && checks != curM.checks) {
+        val keptDirs = curM.mapping -- bChanged
+        if (keptDirs.nonEmpty)
+          enforceChecks(scanDirs(spark, target, curM, keptDirs),
+            gates, s"fast-forward of $name (target partitions under " +
+              "branch-introduced constraints)")
+      }
+      // a schema changed on the branch (column dropped/added) cannot
+      // carry index entries by reference: a dropped column's block-held
+      // stats would resurface if the column were ever re-added — strip
+      // the merged index to the merged schema and emit it fresh, the
+      // same discipline dropColumn applies
+      val schemaChanged = schema != curM.schema || schema != brM.schema
+      val cols = schema.fieldNames.toSet
+      def colScoped[A](x: Map[String, Map[String, A]]) =
+        x.map { case (f, cs) => f -> cs.filter(c => cols(c._1)) }
+          .filter(_._2.nonEmpty)
+      val (mergedStats, mergedRefs) =
+        if (!schemaChanged)
+          (fileScoped(curM.stats, brM.stats),
+            fileScoped(curM.bloomRefs, brM.bloomRefs))
+        else {
+          val (ts, tr) = curM.materializeIdx(fs, tableRoot(target))
+          val (bs, br) = brM.materializeIdx(fs, tableRoot(target))
+          (colScoped(fileScoped(ts, bs)), colScoped(fileScoped(tr, br)))
+        }
       val next = stageVersion(fs, target, cur + 1, s"fast-forward:$name",
           pick3(forkM.keys, curM.keys, brM.keys, "merge keys")) { _ =>
         Staged(curM.partCols, schema, mapping,
-          stats = fileScoped(curM.stats, brM.stats),
-          blooms = fileScoped(curM.blooms, brM.blooms),
+          stats = mergedStats,
+          blooms = colScoped(fileScoped(curM.blooms, brM.blooms)),
           txns = txns,
           dirRows = perDir(curM.dirRows, brM.dirRows),
           dirFiles = perDir(curM.dirFiles, brM.dirFiles),
-          bloomRefs = fileScoped(curM.bloomRefs, brM.bloomRefs),
+          bloomRefs = mergedRefs,
           dvRefs = fileScoped(curM.dvs, brM.dvs),
           dirBytes = perDir(curM.dirBytes, brM.dirBytes),
           checks = checks, derived = derived,
           dirVers = perDir(fullDirVers(curM), fullDirVers(brM)),
           // per-dir index refs merge the same way the dirs do — block
           // slices are immutable, so the target simply references the
-          // branch's _idx sidecars for branch-won dirs
-          idxRefs = perDir(curM.idxRefs, brM.idxRefs))
+          // branch's _idx sidecars for branch-won dirs (schema changes
+          // fall back to the materialized fresh emission above)
+          idxRefs = if (schemaChanged) Map.empty
+            else perDir(curM.idxRefs, brM.idxRefs))
       }
       publish(spark, target, next)
       next
@@ -4234,6 +4294,22 @@ object VersionedTable {
       }.toSet
     }.toOption
 
+  /** The (live generation dirs, live sidecar names) the given manifests
+    * pin — the ONE liveness derivation vacuum and dropBranch both sweep
+    * against (a divergence here either leaks or deletes live data).
+    * None = some _idx slice is unreadable: callers must skip deletion
+    * this pass. */
+  private def liveRefs(fs: FileSystem, base: String, ms: Seq[Manifest])
+      : Option[(Set[String], Set[String])] =
+    blockHeldBloomSidecars(fs, base, ms).map { blockHeld =>
+      (ms.flatMap(_.mapping.values).toSet,
+        ms.flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
+          .map(_._1).toSet ++
+          ms.flatMap(_.dvs.valuesIterator).map(_._1).toSet ++
+          ms.flatMap(_.idxRefs.valuesIterator).map(_.sidecar).toSet ++
+          blockHeld)
+    }
+
   private def vacuumKeeping(spark: SparkSession, root: String,
                             keep: Set[Int]): Unit = {
     val fs = fsFor(spark, root)
@@ -4263,21 +4339,14 @@ object VersionedTable {
       scala.util.Try(readManifestFile(fs, new Path(b, n), n))
     }
     val retained = parsed.collect { case scala.util.Success(m) => m }
-    // bloom refs held INSIDE retained _idx blocks keep their _bloomx
-    // sidecars alive — distinct slices parsed once across manifests;
-    // an unreadable slice disables deletion this pass (like an
-    // unparseable manifest)
-    val blockHeld = blockHeldBloomSidecars(fs, b, retained)
-    val allParsed = parsed.forall(_.isSuccess) && blockHeld.isDefined
-    val liveGens = retained.flatMap(_.mapping.values).toSet
-    // a retained manifest may reference OLDER versions' sidecars through
-    // carried bloom refs — those must survive with it
-    val liveSidecars = retained
-      .flatMap(_.bloomRefs.valuesIterator.flatMap(_.valuesIterator))
-      .map(_._1).toSet ++
-      retained.flatMap(_.dvs.valuesIterator).map(_._1).toSet ++
-      retained.flatMap(_.idxRefs.valuesIterator).map(_.sidecar).toSet ++
-      blockHeld.getOrElse(Set.empty)
+    // a retained manifest may reference OLDER versions' sidecars
+    // (carried bloom refs, incl. refs held INSIDE _idx blocks) — those
+    // survive with it; an unreadable slice disables deletion this pass
+    // (like an unparseable manifest)
+    val live = liveRefs(fs, b, retained)
+    val allParsed = parsed.forall(_.isSuccess) && live.isDefined
+    val (liveGens, liveSidecars) = live.getOrElse((Set.empty[String],
+      Set.empty[String]))
     // branch names with any metadata still present: their gens are never
     // collected as orphans even when currently unreferenced (mid-stage)
     val liveBranches = names.flatMap { n =>
@@ -4307,6 +4376,12 @@ object VersionedTable {
           versionOf(n, "_dvx.").isDefined && !liveSidecars.contains(n)) ||
         (allParsed && n.startsWith(s"_idx.$ns") &&
           versionOf(n, "_idx.").isDefined && !liveSidecars.contains(n)) ||
+        // orphan collection: a DROPPED branch's sidecars (its own vacuum
+        // can never run again) fall to main vacuum, like its gens
+        (allParsed && ns.isEmpty && !liveSidecars.contains(n) &&
+          Seq("_bloomx.b-", "_dvx.b-", "_idx.b-").exists(p =>
+            n.startsWith(p) && !liveBranches.contains(
+              n.substring(p.length).takeWhile(_ != '.')))) ||
         n.startsWith(".names") // scratch left by a crashed prepare()
       if (stale) fs.delete(new Path(b, n), true)
     }

@@ -536,7 +536,9 @@ case class GraftShowBranchesCommand(root: String)
     AttributeReference("fork_version", IntegerType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] =
     VersionedTable.listBranches(spark, root).map { b =>
-      val handle = s"$root@$b"
+      // compose from the PHYSICAL root: `root` may itself be a branch
+      // handle and "path@dev@b" resolves to nothing
+      val handle = s"${VersionedTable.splitRef(root)._1}@$b"
       val head = VersionedTable.currentVersion(spark, handle).getOrElse(-1)
       val fork = VersionedTable.forkOf(spark, handle)
       Seq(b, head, fork.map(_._1).filter(_.nonEmpty).getOrElse("main"),

@@ -183,6 +183,129 @@ class BranchSpec extends SparkSpec {
     assert(pruned.count() == 10)
   }
 
+  test("fastForward enforces CHECK constraints on the published result") {
+    val root = freshRoot("gate")
+    seed(root)
+    VersionedTable.createBranch(spark, root, "wap")
+    // the TARGET tightens governance after the fork; the branch writes
+    // data (into an untouched partition) that violates it — publishing
+    // must fail the constraint gate, not silently void the audit
+    VersionedTable.addConstraint(spark, root, "v_small", "v < 500")
+    VersionedTable.upsert(spark, s"$root@wap",
+      Seq((800, "g9", 999L)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    val e = intercept[Exception](VersionedTable.fastForward(spark, root, "wap"))
+    assert(e.getMessage.contains("v_small"), e.getMessage)
+    assert(!rows(root).contains((800, "g9", 999L)))
+    // a compliant branch write publishes through the same gate
+    VersionedTable.createBranch(spark, root, "ok")
+    VersionedTable.upsert(spark, s"$root@ok",
+      Seq((801, "g8", 42L)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    VersionedTable.fastForward(spark, root, "ok")
+    assert(rows(root).contains((801, "g8", 42L)))
+    // constraints ADDED ON THE BRANCH re-validate the target's kept
+    // dirs at publish: main's data (v up to 39) fails a branch-added
+    // v < 10 gate even though the branch's own dirs pass
+    VersionedTable.createBranch(spark, root, "law")
+    VersionedTable.addConstraint(spark, s"$root@law", "id_pos", "id >= 0")
+    VersionedTable.fastForward(spark, root, "law") // id >= 0 holds: ok
+    assert(VersionedTable.constraintsOf(spark, root).contains("id_pos"))
+  }
+
+  test("fastForward after a branch dropColumn strips the column's index") {
+    val root = freshRoot("dropcol")
+    val data = (0 until 40).map(i => (i, s"g${i % 4}", i.toLong, i * 2))
+    VersionedTable.upsert(spark, root, data.toDF("id", "grp", "v", "w"),
+      keys, Seq("grp"), statsCols = Seq("w"), fileRows = Some(5))
+    VersionedTable.createBranch(spark, root, "slim")
+    VersionedTable.dropColumn(spark, s"$root@slim", "w")
+    VersionedTable.fastForward(spark, root, "slim")
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("id", "grp", "v"))
+    // re-adding a same-typed column must NOT resurrect stale stats
+    // even though (metadata-only drop, per dropColumn's contract) the
+    // old files' VALUES do resurface until the next rewrite — the probe
+    // must see no usable index rather than skip on pre-drop ranges
+    VersionedTable.addColumn(spark, root,
+      "w", org.apache.spark.sql.types.IntegerType)
+    val (k, t) = VersionedTable.skipStats(spark, root, "w", 0, 1000000)
+    assert(k == t, s"stale stats resurfaced for re-added column: $k/$t")
+    assert(VersionedTable.read(spark, root)
+      .select($"id", $"w").as[(Int, Int)].collect().toMap ==
+      (0 until 40).map(i => i -> i * 2).toMap)
+  }
+
+  test("writes never implicitly create branches") {
+    val root = freshRoot("typo")
+    seed(root)
+    VersionedTable.createBranch(spark, root, "dev")
+    val e = intercept[java.io.FileNotFoundException] {
+      VersionedTable.upsert(spark, s"$root@dve", // typo
+        Seq((1, "g0", 1L)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    }
+    assert(e.getMessage.contains("createBranch first"))
+    assert(VersionedTable.listBranches(spark, root) == Seq("dev"))
+  }
+
+  test("branch-of-branch: fork from a branch, fast-forward into it") {
+    val root = freshRoot("nested")
+    val base = seed(root)
+    VersionedTable.createBranch(spark, root, "dev")
+    val dev = s"$root@dev"
+    VersionedTable.upsert(spark, dev,
+      Seq((700, "g0", 700L)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    // fork a feature branch OFF dev, write, publish back INTO dev
+    VersionedTable.createBranch(spark, dev, "feat")
+    val feat = s"$root@feat"
+    assert(rows(feat) == rows(dev))
+    assert(VersionedTable.forkOf(spark, feat) == Some(("dev", 1)))
+    VersionedTable.upsert(spark, feat,
+      Seq((701, "g1", 701L)).toDF("id", "grp", "v"), keys, Seq("grp"))
+    VersionedTable.fastForward(spark, root, "feat") // target = dev
+    assert(rows(dev).contains((701, "g1", 701L)))
+    assert(!rows(root).contains((701, "g1", 701L)), "skipped a level")
+    // then dev publishes into main
+    VersionedTable.fastForward(spark, root, "dev")
+    assert(rows(root) == base + ((700, "g0", 700L)) + ((701, "g1", 701L)))
+  }
+
+  test("randomized disjoint main/branch interleaving == serialized apply") {
+    // property: any interleaving of main writes and branch writes over
+    // DISJOINT partitions, closed by a fastForward, equals applying all
+    // the writes serially to one table
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { round =>
+      val root = freshRoot(s"prop$round")
+      val twin = freshRoot(s"proptwin$round")
+      val base = (0 until 40).map(i => (i, s"g${i % 4}", i.toLong))
+      VersionedTable.upsert(spark, root, base.toDF("id", "grp", "v"),
+        keys, Seq("grp"), fileRows = Some(5))
+      VersionedTable.upsert(spark, twin, base.toDF("id", "grp", "v"),
+        keys, Seq("grp"), fileRows = Some(5))
+      VersionedTable.createBranch(spark, root, "b")
+      // main owns g0/g1, branch owns g2/g3 — disjoint by construction
+      val serialized = scala.collection.mutable.Buffer.empty[Seq[(Int, String, Long)]]
+      (1 to 6).foreach { step =>
+        val toBranch = rnd.nextBoolean()
+        val g = if (toBranch) 2 + rnd.nextInt(2) else rnd.nextInt(2)
+        val batch = (0 until 5).map { _ =>
+          val id = g + 4 * rnd.nextInt(15)
+          (id, s"g$g", (step * 1000 + id).toLong)
+        }.distinct
+        val target = if (toBranch) s"$root@b" else root
+        VersionedTable.upsert(spark, target,
+          batch.toDF("id", "grp", "v"), keys, Seq("grp"))
+        serialized += batch
+      }
+      VersionedTable.fastForward(spark, root, "b")
+      serialized.foreach { batch =>
+        VersionedTable.upsert(spark, twin,
+          batch.toDF("id", "grp", "v"), keys, Seq("grp"))
+      }
+      assert(rows(root) == rows(twin),
+        s"round $round: interleaved+FF != serialized")
+    }
+  }
+
   test("SQL branch statements: CREATE/SHOW/FAST FORWARD/DROP BRANCH") {
     val root = freshRoot("sqlbr")
     val base = seed(root)
