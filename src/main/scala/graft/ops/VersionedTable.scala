@@ -271,7 +271,8 @@ object VersionedTable {
                               fork: Option[(String, Int)] = None,
                               op: Option[String] = None,
                               idxRefs: Map[String, IdxRef] = Map.empty,
-                              keys: Seq[String] = Nil) {
+                              keys: Seq[String] = Nil,
+                              props: Map[String, String] = Map.empty) {
     /** The generation token of the commit that last CHANGED this dir's
       * LOGICAL rows — maintenance rewrites (compact, small-file
       * compaction) carry it forward while real writes bump it, so two
@@ -613,6 +614,12 @@ object VersionedTable {
     val keyCols = lines.collectFirst {
       case l if l.startsWith("#keys\t") => l.split("\t").toSeq.drop(1)
     }.getOrElse(Nil)
+    // table properties (round 6): free-form governance key/values,
+    // carried verbatim through every commit like the CHECK registry
+    val props = lines.filter(_.startsWith("#prop\t")).map { l =>
+      val parts = l.split("\t", -1)
+      (b64d(parts(1)), b64d(parts(2)))
+    }.toMap
     val idxRefs = lines.filter(_.startsWith("#diridx\t")).map { l =>
       val parts = l.split("\t", -1)
       require(parts.length == 7, s"malformed #diridx line: $l")
@@ -623,7 +630,7 @@ object VersionedTable {
     }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
       dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers, fork,
-      op, idxRefs, keyCols)
+      op, idxRefs, keyCols, props)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -1492,7 +1499,11 @@ object VersionedTable {
                             // index content rides `stats`/`blooms`/
                             // `bloomRefs` and is written into THIS
                             // version's _idx blocks by stageVersion
-                            idxRefs: Map[String, IdxRef])
+                            idxRefs: Map[String, IdxRef],
+                            // table properties: carried verbatim like
+                            // checks — no default, a forgotten carry
+                            // silently drops governance
+                            props: Map[String, String])
 
   /** Full-coverage content-token map for a manifest: every live dir's
     * token, falling back to its physical generation for dirs written
@@ -1671,7 +1682,9 @@ object VersionedTable {
         st.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
           s"#constraint\t${b64(n)}\t${b64(sql)}\n" }.mkString +
         st.derived.toSeq.sortBy(_._1).map { case (p, (kind, src)) =>
-          s"#derivedpart\t${b64(p)}\t${b64(kind)}\t${b64(src)}\n" }.mkString
+          s"#derivedpart\t${b64(p)}\t${b64(kind)}\t${b64(src)}\n" }.mkString +
+        st.props.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"#prop\t${b64(k)}\t${b64(v)}\n" }.mkString
       val dirRowLines = st.dirRows.toSeq.sortBy(_._1).map { case (rel, n) =>
         s"#dirrows\t${b64(rel)}\t$n\n" }.mkString +
         st.dirFiles.toSeq.sortBy(_._1).map { case (rel, n) =>
@@ -1865,7 +1878,8 @@ object VersionedTable {
                 .getOrElse(priorMapping.getOrElse(rel, genDir))) }
         },
         idxRefs = prior.map(_.idxRefs).getOrElse(Map.empty).filter {
-          case (rel, _) => newMapping.get(rel) == priorMapping.get(rel) })
+          case (rel, _) => newMapping.get(rel) == priorMapping.get(rel) },
+        props = prior.map(_.props).getOrElse(Map.empty))
     }
   }
 
@@ -2392,7 +2406,8 @@ object VersionedTable {
             else m.contentOf(rel).getOrElse(m.mapping.getOrElse(rel,
               genDir))) },
         idxRefs = m.idxRefs.filter { case (rel, _) =>
-          newMapping.get(rel) == m.mapping.get(rel) })
+          newMapping.get(rel) == m.mapping.get(rel) },
+        props = m.props)
     }
     publish(spark, root, next)
     next
@@ -2661,7 +2676,7 @@ object VersionedTable {
           fullDirVers(m).map { case (rel, tok) =>
             rel -> (if (dvDirs.contains(rel)) genName(root, cur + 1) else tok) }
         },
-        idxRefs = m.idxRefs)
+        idxRefs = m.idxRefs, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -3006,7 +3021,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks + (name -> sql),
-        derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs)
+        derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -3024,7 +3039,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks - name,
-        derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs)
+        derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -3035,6 +3050,54 @@ object VersionedTable {
   def constraintsOf(spark: SparkSession, root: String,
                     asOfVersion: Option[Int] = None): Map[String, String] =
     resolveManifest(spark, root, asOfVersion).checks
+
+  /** Set (upsert) table properties — metadata-only commit, carried
+    * verbatim through every subsequent commit like the CHECK registry.
+    * Reserved keys the engine itself honors: `graft.retain.versions`
+    * ([[maintain]]'s vacuum window). */
+  def setProperties(spark: SparkSession, root: String,
+                    kvs: Map[String, String]): Int =
+      withClaimRetry(spark, root) {
+    require(kvs.nonEmpty, "no properties given")
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    val next = stageVersion(fs, root, cur + 1, "set-properties", m.keys) { _ =>
+      Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
+        m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
+        dirBytes = m.dirBytes, checks = m.checks, derived = m.derived,
+        dirVers = fullDirVers(m), idxRefs = m.idxRefs,
+        props = m.props ++ kvs)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** Remove table properties — metadata-only commit; absent keys are a
+    * no-op removal (idempotent). */
+  def unsetProperties(spark: SparkSession, root: String,
+                      ks: Seq[String]): Int = withClaimRetry(spark, root) {
+    require(ks.nonEmpty, "no property keys given")
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    val next = stageVersion(fs, root, cur + 1, "unset-properties", m.keys) { _ =>
+      Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
+        m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
+        dirBytes = m.dirBytes, checks = m.checks, derived = m.derived,
+        dirVers = fullDirVers(m), idxRefs = m.idxRefs,
+        props = m.props -- ks)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** The table properties of the current (or as-of) version. */
+  def propertiesOf(spark: SparkSession, root: String,
+                   asOfVersion: Option[Int] = None): Map[String, String] =
+    resolveManifest(spark, root, asOfVersion).props
 
   // ----- derived (hidden) partitioning ------------------------------
   // Iceberg's partition-transform idea on the manifest protocol: a
@@ -3132,7 +3195,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
-        derived = m.derived + (partCol -> ((transform, srcCol))), dirVers = fullDirVers(m), idxRefs = m.idxRefs)
+        derived = m.derived + (partCol -> ((transform, srcCol))), dirVers = fullDirVers(m), idxRefs = m.idxRefs, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -3153,7 +3216,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
         dirBytes = m.dirBytes, checks = m.checks,
-        derived = m.derived - partCol, dirVers = fullDirVers(m), idxRefs = m.idxRefs)
+        derived = m.derived - partCol, dirVers = fullDirVers(m), idxRefs = m.idxRefs, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -3437,7 +3500,7 @@ object VersionedTable {
         dirVers = written.map(rel => rel ->
           m.contentOf(rel).getOrElse(m.mapping.getOrElse(rel, genDir)))
           .toMap,
-        idxRefs = Map.empty)
+        idxRefs = Map.empty, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -3530,7 +3593,12 @@ object VersionedTable {
     val v1 = compactSmallFiles(spark, root, maxFilesPerDir, fileRows,
       bloomBits, zOrderCols)
     val v2 = materializeDvs(spark, root, maxDvFraction, fileRows, bloomBits)
-    vacuum(spark, root, keepVersions)
+    // the table's declared retention policy wins over the call-site
+    // default: one maintenance job serves many tables, each with its
+    // own `graft.retain.versions`
+    val keep = propertiesOf(spark, root).get("graft.retain.versions")
+      .map(_.trim.toInt).getOrElse(keepVersions)
+    vacuum(spark, root, keep)
     MaintenanceReport(
       compactedSmallFiles = Some(v1).filter(_ > before1),
       materializedDvs = Some(v2).filter(_ > v1))
@@ -3588,7 +3656,7 @@ object VersionedTable {
         // dir names are incomparable across a layout change: fresh
         // tokens force a (correct) full diff for feeds spanning it
         dirVers = written.map(_ -> genDir).toMap,
-        idxRefs = Map.empty)
+        idxRefs = Map.empty, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -3635,7 +3703,7 @@ object VersionedTable {
         target.dirFiles, target.bloomRefs, dvRefs = target.dvs,
         dirBytes = target.dirBytes, checks = curM.checks,
         derived = curM.derived, dirVers = fullDirVers(target),
-        idxRefs = target.idxRefs)
+        idxRefs = target.idxRefs, props = curM.props)
     }
     publish(spark, root, next)
     next
@@ -3886,7 +3954,7 @@ object VersionedTable {
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs, dvRefs = m.dvs, dirBytes = m.dirBytes,
-        checks = m.checks, derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs)
+        checks = m.checks, derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -3938,7 +4006,7 @@ object VersionedTable {
         // a registration referencing the dropped column dies with it
         derived = m.derived.filter { case (p, (_, src)) =>
           src != name && p != name },
-        dirVers = fullDirVers(m), idxRefs = Map.empty)
+        dirVers = fullDirVers(m), idxRefs = Map.empty, props = m.props)
     }
     publish(spark, root, next)
     next
@@ -4220,7 +4288,9 @@ object VersionedTable {
           // branch's _idx sidecars for branch-won dirs (schema changes
           // fall back to the materialized fresh emission above)
           idxRefs = if (schemaChanged) Map.empty
-            else perDir(curM.idxRefs, brM.idxRefs))
+            else perDir(curM.idxRefs, brM.idxRefs),
+          props = pick3(forkM.props, curM.props, brM.props,
+            "table properties"))
       }
       publish(spark, target, next)
       next
@@ -4310,11 +4380,26 @@ object VersionedTable {
           blockHeld)
     }
 
+  /** What [[vacuum]] WOULD delete, without deleting — the dry run an
+    * operator reviews before retiring time travel (Delta's
+    * `VACUUM ... DRY RUN`): the exact stale-name derivation the real
+    * sweep uses, so the listing can never diverge from the deletion. */
+  def vacuumDryRun(spark: SparkSession, root: String,
+                   keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    val h = history(spark, root)
+    val anchor: Set[Int] =
+      if (brNs(root).nonEmpty && h.contains(0)) Set(0) else Set.empty
+    vacuumKeeping(spark, root, h.takeRight(keepVersions).toSet ++ anchor,
+      dryRun = true)
+  }
+
   private def vacuumKeeping(spark: SparkSession, root: String,
-                            keep: Set[Int]): Unit = {
+                            keep: Set[Int],
+                            dryRun: Boolean = false): Seq[String] = {
     val fs = fsFor(spark, root)
     val b = tableRoot(root)
-    if (!fs.exists(new Path(b))) return
+    if (!fs.exists(new Path(b))) return Seq.empty
     val ns = brNs(root)
     def versionOf(n: String, prefix: String): Option[Int] = {
       val rest = n.stripPrefix(prefix + ns)
@@ -4356,7 +4441,7 @@ object VersionedTable {
       }
     }.toSet
     val myGenPrefix = if (ns.isEmpty) "" else s"gen.${splitRef(root)._2}."
-    names.foreach { n =>
+    names.sorted.filter { n =>
       val genStale = allParsed && n.startsWith("gen") &&
         !liveGens.contains(n) && {
           if (ns.isEmpty)
@@ -4383,7 +4468,8 @@ object VersionedTable {
             n.startsWith(p) && !liveBranches.contains(
               n.substring(p.length).takeWhile(_ != '.')))) ||
         n.startsWith(".names") // scratch left by a crashed prepare()
-      if (stale) fs.delete(new Path(b, n), true)
+      if (stale && !dryRun) fs.delete(new Path(b, n), true)
+      stale
     }
   }
 }

@@ -129,6 +129,17 @@ object GraftSqlParser {
   private val FastForwardRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+FAST\s+FORWARD\s+BRANCH\s+`?([A-Za-z0-9_-]+)`?\s*;?\s*$""").r
+  private val SetPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val UnsetPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val ShowPropsRe =
+    ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + Target + """\s*;?\s*$""").r
+  private val VacuumDryRe =
+    ("""(?is)^\s*VACUUM\s+""" + Target +
+      """\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s+DRY\s+RUN\s*;?\s*$""").r
   private val ShowBranchesRe =
     ("""(?is)^\s*SHOW\s+BRANCHES\s+(?:IN\s+)?""" + Target +
       """\s*;?\s*$""").r
@@ -139,6 +150,26 @@ object GraftSqlParser {
 
   private def root(g1: String, g2: String): String =
     Option(g1).getOrElse(g2)
+
+  /** `'k' = 'v', 'k2'='v2'` — single-quoted keys/values, escaped quote
+    * unsupported on purpose (loud error beats silent misparse). */
+  private def kvList(s: String): Map[String, String] = {
+    val Kv = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
+    s.split(",").map {
+      case Kv(k, v) => k -> v
+      case other => throw new IllegalArgumentException(
+        s"TBLPROPERTIES expects 'key' = 'value' pairs; got $other")
+    }.toMap
+  }
+
+  private def quotedList(s: String): Seq[String] = {
+    val Q = """\s*'([^']*)'\s*""".r
+    s.split(",").toSeq.map {
+      case Q(k) => k
+      case other => throw new IllegalArgumentException(
+        s"expected quoted names; got $other")
+    }
+  }
 
   private def colList(s: String): Seq[String] =
     s.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -151,6 +182,15 @@ object GraftSqlParser {
                                     parseSelect: String => LogicalPlan)
       : Option[LogicalPlan] =
     sql match {
+      case VacuumDryRe(g1, g2, keep) =>
+        Some(GraftVacuumDryRunCommand(root(g1, g2),
+          Option(keep).map(_.toInt).getOrElse(1)))
+      case SetPropsRe(g1, g2, kvs) =>
+        Some(GraftSetPropsCommand(root(g1, g2), kvList(kvs)))
+      case UnsetPropsRe(g1, g2, ks) =>
+        Some(GraftUnsetPropsCommand(root(g1, g2), quotedList(ks)))
+      case ShowPropsRe(g1, g2) =>
+        Some(GraftShowPropsCommand(root(g1, g2)))
       case VacuumRe(g1, g2, keep) =>
         Some(GraftVacuumCommand(root(g1, g2),
           Option(keep).map(_.toInt).getOrElse(1)))
@@ -487,6 +527,46 @@ case class GraftRestoreCommand(root: String, toVersion: Int)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.restore(spark, root, toVersion)))
+}
+
+/** `ALTER TABLE graft.`root` SET TBLPROPERTIES('k'='v', ...)` —
+  * [[VersionedTable.setProperties]]: metadata-only commit; the engine
+  * honors `graft.retain.versions` in [[VersionedTable.maintain]]. */
+case class GraftSetPropsCommand(root: String, kvs: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.setProperties(spark, root, kvs)))
+}
+
+/** `ALTER TABLE graft.`root` UNSET TBLPROPERTIES('k', ...)`. */
+case class GraftUnsetPropsCommand(root: String, ks: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.unsetProperties(spark, root, ks)))
+}
+
+/** `SHOW TBLPROPERTIES graft.`root`` — key/value rows. */
+case class GraftShowPropsCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.propertiesOf(spark, root).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+}
+
+/** `VACUUM graft.`root` [RETAIN n VERSIONS] DRY RUN` — what the real
+  * vacuum would delete, one name per row, nothing deleted. */
+case class GraftVacuumDryRunCommand(root: String, keepVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("would_delete", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.vacuumDryRun(spark, root, keepVersions).map(Row(_))
 }
 
 /** `ALTER TABLE graft.`root` CREATE BRANCH dev [AS OF VERSION n]` —

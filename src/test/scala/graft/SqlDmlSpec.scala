@@ -366,6 +366,42 @@ class SqlDmlSpec extends SparkSpec {
       .collect().head.getLong(0) == ch.length)
   }
 
+  test("TBLPROPERTIES: set/unset/show, retention policy, VACUUM DRY RUN") {
+    val (root, _) = freshTable("props")
+    val v1 = spark.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES(" +
+      "'graft.retain.versions' = '3', 'owner' = 'data-eng')")
+      .collect().head.getInt(0)
+    assert(v1 == 1)
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$root`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown == Map("graft.retain.versions" -> "3",
+      "owner" -> "data-eng"))
+    // properties survive data commits and appear in DESCRIBE HISTORY ops
+    spark.sql(s"DELETE FROM graft.`$root` WHERE v < 5") // v2
+    assert(VersionedTable.propertiesOf(spark, root)("owner") == "data-eng")
+    val ops = spark.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+      .map(_.getString(1)).toSeq
+    assert(ops == Seq("merge", "set-properties", "delete"))
+    // DRY RUN lists what RETAIN 1 would delete, touches nothing
+    val would = spark.sql(
+      s"VACUUM graft.`$root` RETAIN 1 VERSIONS DRY RUN").collect()
+      .map(_.getString(0)).toSet
+    assert(would.exists(_.startsWith("_manifest.0")) &&
+      would.exists(_.startsWith("_commit.1")))
+    assert(VersionedTable.history(spark, root) == Seq(0, 1, 2))
+    // maintain() honors the declared retention (3) over its default
+    VersionedTable.upsert(spark, root,
+      Seq((900, "g0", 1, 9L)).toDF("id", "grp", "v", "w"),
+      Seq("id", "grp"), Seq("grp")) // v3
+    VersionedTable.maintain(spark, root, keepVersions = 1)
+    assert(VersionedTable.history(spark, root).size == 3,
+      s"policy ignored: ${VersionedTable.history(spark, root)}")
+    spark.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES(" +
+      "'graft.retain.versions')")
+    assert(VersionedTable.propertiesOf(spark, root) ==
+      Map("owner" -> "data-eng"))
+  }
+
   test("SQL OPTIMIZE ZORDER BY an unindexed column starts skipping on it") {
     val (root, _) = freshTable("zidx")
     // w carries NO stats before OPTIMIZE; z-ordering by it must both
