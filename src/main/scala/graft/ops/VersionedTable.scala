@@ -618,6 +618,7 @@ object VersionedTable {
     // carried verbatim through every commit like the CHECK registry
     val props = lines.filter(_.startsWith("#prop\t")).map { l =>
       val parts = l.split("\t", -1)
+      require(parts.length == 3, s"malformed #prop line: $l")
       (b64d(parts(1)), b64d(parts(2)))
     }.toMap
     val idxRefs = lines.filter(_.startsWith("#diridx\t")).map { l =>
@@ -3059,6 +3060,13 @@ object VersionedTable {
                     kvs: Map[String, String]): Int =
       withClaimRetry(spark, root) {
     require(kvs.nonEmpty, "no properties given")
+    // reserved keys the engine acts on validate AT SET TIME: a bad
+    // value crashing every later maintenance run (after its compaction
+    // steps already committed) is the worst possible place to find out
+    kvs.get("graft.retain.versions").foreach { v =>
+      require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
+        s"graft.retain.versions must be an integer >= 1: '$v'")
+    }
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
@@ -3596,8 +3604,7 @@ object VersionedTable {
     // the table's declared retention policy wins over the call-site
     // default: one maintenance job serves many tables, each with its
     // own `graft.retain.versions`
-    val keep = propertiesOf(spark, root).get("graft.retain.versions")
-      .map(_.trim.toInt).getOrElse(keepVersions)
+    val keep = declaredRetention(spark, root).getOrElse(keepVersions)
     vacuum(spark, root, keep)
     MaintenanceReport(
       compactedSmallFiles = Some(v1).filter(_ > before1),
@@ -4197,6 +4204,13 @@ object VersionedTable {
         "constraints")
       val derived = pick3(forkM.derived, curM.derived, brM.derived,
         "derived partitions")
+      // properties merge PER KEY (disjoint edits on both sides are
+      // routine governance and commute); same-key divergence conflicts
+      val props = (forkM.props.keySet ++ curM.props.keySet ++
+        brM.props.keySet).toSeq.map { k =>
+          k -> pick3(forkM.props.get(k), curM.props.get(k),
+            brM.props.get(k), s"table property '$k'")
+        }.collect { case (k, Some(v)) => k -> v }.toMap
       def changed(m: Manifest): Set[String] = {
         val mv = fullDirVers(m); val fv = fullDirVers(forkM)
         (mv.keySet ++ fv.keySet).filter(r => mv.get(r) != fv.get(r))
@@ -4289,8 +4303,7 @@ object VersionedTable {
           // fall back to the materialized fresh emission above)
           idxRefs = if (schemaChanged) Map.empty
             else perDir(curM.idxRefs, brM.idxRefs),
-          props = pick3(forkM.props, curM.props, brM.props,
-            "table properties"))
+          props = props)
       }
       publish(spark, target, next)
       next
@@ -4306,14 +4319,9 @@ object VersionedTable {
     * larger values keep a readable `asOfVersion` time-travel window
     * across vacuums. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
-    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
-    val h = history(spark, root)
-    // a branch ALWAYS retains its v0: it is the fork anchor (a byte copy
-    // of the forked-from state) that fastForward's three-way merge and
-    // the shared-gen liveness sweep key on
-    val anchor: Set[Int] =
-      if (brNs(root).nonEmpty && h.contains(0)) Set(0) else Set.empty
-    vacuumKeeping(spark, root, h.takeRight(keepVersions).toSet ++ anchor)
+    // a branch ALWAYS retains its v0 (the fork anchor) — see keepSet
+    vacuumKeeping(spark, root, keepSet(spark, root, keepVersions))
+    ()
   }
 
   /** Age-based retention (Delta's `VACUUM ... RETAIN`): retire versions
@@ -4380,19 +4388,34 @@ object VersionedTable {
           blockHeld)
     }
 
-  /** What [[vacuum]] WOULD delete, without deleting — the dry run an
-    * operator reviews before retiring time travel (Delta's
-    * `VACUUM ... DRY RUN`): the exact stale-name derivation the real
-    * sweep uses, so the listing can never diverge from the deletion. */
-  def vacuumDryRun(spark: SparkSession, root: String,
-                   keepVersions: Int = 1): Seq[String] = {
+  /** The table's own `graft.retain.versions` policy, validated at set
+    * time; a hand-corrupted value degrades to None (policy absent)
+    * rather than wedging maintenance. */
+  def declaredRetention(spark: SparkSession, root: String): Option[Int] =
+    propertiesOf(spark, root).get("graft.retain.versions")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1)
+
+  /** The ONE keep-set derivation [[vacuum]] and [[vacuumDryRun]] share
+    * — retained window plus the branch fork anchor. */
+  private def keepSet(spark: SparkSession, root: String,
+                      keepVersions: Int): Set[Int] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val h = history(spark, root)
     val anchor: Set[Int] =
       if (brNs(root).nonEmpty && h.contains(0)) Set(0) else Set.empty
-    vacuumKeeping(spark, root, h.takeRight(keepVersions).toSet ++ anchor,
-      dryRun = true)
+    h.takeRight(keepVersions).toSet ++ anchor
   }
+
+  /** What [[vacuum]] WOULD delete, without deleting — the dry run an
+    * operator reviews before retiring time travel (Delta's
+    * `VACUUM ... DRY RUN`): the same keep-set and stale-name derivation
+    * as the real sweep, so the listing can never diverge from the
+    * deletion. */
+  def vacuumDryRun(spark: SparkSession, root: String,
+                   keepVersions: Int = 1): Seq[String] =
+    vacuumKeeping(spark, root, keepSet(spark, root, keepVersions),
+      dryRun = true)
 
   private def vacuumKeeping(spark: SparkSession, root: String,
                             keep: Set[Int],

@@ -151,24 +151,27 @@ object GraftSqlParser {
   private def root(g1: String, g2: String): String =
     Option(g1).getOrElse(g2)
 
-  /** `'k' = 'v', 'k2'='v2'` — single-quoted keys/values, escaped quote
-    * unsupported on purpose (loud error beats silent misparse). */
+  /** `'k' = 'v', 'k2'='v2'` — single-quoted keys/values, QUOTE-AWARE
+    * (commas inside quotes are data, not separators); escaped quotes
+    * unsupported on purpose. Full-coverage check: anything between the
+    * matched pairs other than commas/whitespace is a loud error. */
   private def kvList(s: String): Map[String, String] = {
-    val Kv = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
-    s.split(",").map {
-      case Kv(k, v) => k -> v
-      case other => throw new IllegalArgumentException(
-        s"TBLPROPERTIES expects 'key' = 'value' pairs; got $other")
-    }.toMap
+    val Kv = """'([^']*)'\s*=\s*'([^']*)'""".r
+    val pairs = Kv.findAllMatchIn(s).toSeq
+    val residue = Kv.replaceAllIn(s, "").replaceAll("""[,\s]""", "")
+    if (pairs.isEmpty || residue.nonEmpty)
+      throw new IllegalArgumentException(
+        s"TBLPROPERTIES expects 'key' = 'value' pairs; got $s")
+    pairs.map(m => m.group(1) -> m.group(2)).toMap
   }
 
   private def quotedList(s: String): Seq[String] = {
-    val Q = """\s*'([^']*)'\s*""".r
-    s.split(",").toSeq.map {
-      case Q(k) => k
-      case other => throw new IllegalArgumentException(
-        s"expected quoted names; got $other")
-    }
+    val Q = """'([^']*)'""".r
+    val names = Q.findAllMatchIn(s).toSeq
+    val residue = Q.replaceAllIn(s, "").replaceAll("""[,\s]""", "")
+    if (names.isEmpty || residue.nonEmpty)
+      throw new IllegalArgumentException(s"expected quoted names; got $s")
+    names.map(_.group(1))
   }
 
   private def colList(s: String): Seq[String] =
@@ -184,7 +187,7 @@ object GraftSqlParser {
     sql match {
       case VacuumDryRe(g1, g2, keep) =>
         Some(GraftVacuumDryRunCommand(root(g1, g2),
-          Option(keep).map(_.toInt).getOrElse(1)))
+          Option(keep).map(_.toInt)))
       case SetPropsRe(g1, g2, kvs) =>
         Some(GraftSetPropsCommand(root(g1, g2), kvList(kvs)))
       case UnsetPropsRe(g1, g2, ks) =>
@@ -192,8 +195,7 @@ object GraftSqlParser {
       case ShowPropsRe(g1, g2) =>
         Some(GraftShowPropsCommand(root(g1, g2)))
       case VacuumRe(g1, g2, keep) =>
-        Some(GraftVacuumCommand(root(g1, g2),
-          Option(keep).map(_.toInt).getOrElse(1)))
+        Some(GraftVacuumCommand(root(g1, g2), Option(keep).map(_.toInt)))
       case OptimizeRe(g1, g2, zorder) =>
         Some(GraftOptimizeCommand(root(g1, g2),
           Option(zorder).toSeq.flatMap(_.split(","))
@@ -509,12 +511,17 @@ case class GraftOptimizeCommand(root: String, zOrderCols: Seq[String])
 
 /** `VACUUM graft.`root` [RETAIN n VERSIONS]` (default 1: current only).
   * Returns the versions still readable afterwards. */
-case class GraftVacuumCommand(root: String, keepVersions: Int)
+case class GraftVacuumCommand(root: String, keepVersions: Option[Int])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("versions_kept", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.vacuum(spark, root, keepVersions)
+    // no RETAIN clause -> the table's DECLARED policy
+    // (graft.retain.versions) is the default, not keep-1: a bare VACUUM
+    // must never silently retire time travel the table's own governance
+    // promised to keep
+    VersionedTable.vacuum(spark, root, keepVersions.getOrElse(
+      VersionedTable.declaredRetention(spark, root).getOrElse(1)))
     Seq(Row(VersionedTable.history(spark, root).size))
   }
 }
@@ -561,12 +568,14 @@ case class GraftShowPropsCommand(root: String) extends LeafRunnableCommand {
 
 /** `VACUUM graft.`root` [RETAIN n VERSIONS] DRY RUN` — what the real
   * vacuum would delete, one name per row, nothing deleted. */
-case class GraftVacuumDryRunCommand(root: String, keepVersions: Int)
+case class GraftVacuumDryRunCommand(root: String, keepVersions: Option[Int])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("would_delete", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    VersionedTable.vacuumDryRun(spark, root, keepVersions).map(Row(_))
+    VersionedTable.vacuumDryRun(spark, root, keepVersions.getOrElse(
+      VersionedTable.declaredRetention(spark, root).getOrElse(1)))
+      .map(Row(_))
 }
 
 /** `ALTER TABLE graft.`root` CREATE BRANCH dev [AS OF VERSION n]` —

@@ -400,6 +400,22 @@ class SqlDmlSpec extends SparkSpec {
       "'graft.retain.versions')")
     assert(VersionedTable.propertiesOf(spark, root) ==
       Map("owner" -> "data-eng"))
+    // bare SQL VACUUM honors the declared policy (not keep-1)
+    spark.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES(" +
+      "'graft.retain.versions' = '3')")
+    spark.sql(s"VACUUM graft.`$root`")
+    assert(VersionedTable.history(spark, root).size == 3,
+      s"bare VACUUM ignored the declared policy")
+    // quote-aware parsing: commas inside values are data
+    spark.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES(" +
+      "'comment' = 'ids: a, b')")
+    assert(VersionedTable.propertiesOf(spark, root)("comment") ==
+      "ids: a, b")
+    // a bad reserved value is rejected AT SET time, loudly
+    val bad = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$root` SET TBLPROPERTIES(" +
+        "'graft.retain.versions' = '7 days')"))
+    assert(bad.getMessage.contains("graft.retain.versions"))
   }
 
   test("SQL OPTIMIZE ZORDER BY an unindexed column starts skipping on it") {
