@@ -97,7 +97,7 @@ object GraftSqlParser {
     """(?:graft\s*\.\s*`([^`]+)`|graft_table\s*\(\s*'([^']+)'\s*\))"""
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
-      """\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+      """\s*(?:RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?|DAYS?))?\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Target +
       """\s*(?:ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`,\s]+?)\s*\)?)?\s*;?\s*$""").r
@@ -194,8 +194,17 @@ object GraftSqlParser {
         Some(GraftUnsetPropsCommand(root(g1, g2), quotedList(ks)))
       case ShowPropsRe(g1, g2) =>
         Some(GraftShowPropsCommand(root(g1, g2)))
-      case VacuumRe(g1, g2, keep) =>
-        Some(GraftVacuumCommand(root(g1, g2), Option(keep).map(_.toInt)))
+      case VacuumRe(g1, g2, keep, unit) =>
+        Option(unit).map(_.toUpperCase(java.util.Locale.ROOT)) match {
+          case Some(u) if u.startsWith("HOUR") =>
+            Some(GraftVacuumAgeCommand(root(g1, g2),
+              keep.toLong * 3600L * 1000L))
+          case Some(u) if u.startsWith("DAY") =>
+            Some(GraftVacuumAgeCommand(root(g1, g2),
+              keep.toLong * 24L * 3600L * 1000L))
+          case _ =>
+            Some(GraftVacuumCommand(root(g1, g2), Option(keep).map(_.toInt)))
+        }
       case OptimizeRe(g1, g2, zorder) =>
         Some(GraftOptimizeCommand(root(g1, g2),
           Option(zorder).toSeq.flatMap(_.split(","))
@@ -522,6 +531,21 @@ case class GraftVacuumCommand(root: String, keepVersions: Option[Int])
     // promised to keep
     VersionedTable.vacuum(spark, root, keepVersions.getOrElse(
       VersionedTable.declaredRetention(spark, root).getOrElse(1)))
+    Seq(Row(VersionedTable.history(spark, root).size))
+  }
+}
+
+/** `VACUUM graft.`root` RETAIN n HOURS|DAYS` — age-based retention
+  * ([[VersionedTable.vacuumOlderThan]]): retire versions whose commit
+  * time is older than the window; the current version always
+  * survives. The policy a scheduled job wants, independent of commit
+  * rate. */
+case class GraftVacuumAgeCommand(root: String, retainMs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("versions_kept", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.vacuumOlderThan(spark, root, retainMs)
     Seq(Row(VersionedTable.history(spark, root).size))
   }
 }

@@ -197,6 +197,16 @@ class SqlDmlSpec extends SparkSpec {
     // graft_table('...') target spelling parses too
     assert(spark.sql(s"DESCRIBE HISTORY graft_table('$root')")
       .collect().map(_.getInt(0)).toSeq == Seq(3))
+    // age-based retention from SQL: a wide window keeps everything, a
+    // zero-hour window retires all but the current version
+    VersionedTable.upsert(spark, root,
+      Seq((900, "g0", 1, 1L)).toDF("id", "grp", "v", "w"),
+      Seq("id", "grp"), Seq("grp")) // v4
+    assert(spark.sql(s"VACUUM graft.`$root` RETAIN 1000 HOURS")
+      .collect().head.getInt(0) == 2)
+    assert(spark.sql(s"VACUUM graft.`$root` RETAIN 0 DAYS")
+      .collect().head.getInt(0) == 1)
+    assert(VersionedTable.read(spark, root).count() == 401)
   }
 
   test("non-graft SQL passes through untouched") {
