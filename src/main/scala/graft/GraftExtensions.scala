@@ -37,7 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def intLit(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
+    // pinned to IntegerType: DATE literals are Int-backed (epoch days)
+    // and would otherwise silently pass as a version number
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

@@ -1173,11 +1173,20 @@ object VersionedTable {
   /** Data files listed by a frame's PHYSICAL scan nodes — what the
     * plan-pin tests and in-query guards count to prove pruning reached
     * the executed plan, in one place so the guards cannot diverge. */
-  private[graft] def physicalInputFiles(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.inputFiles.length
-    }.sum
+  private[graft] def physicalInputFiles(df: DataFrame): Int = {
+    // AQE wraps joined plans in AdaptiveSparkPlanExec, a LEAF whose
+    // children plan.collect cannot see — recurse into the adaptive
+    // subplan or every scan-count guard on a joined frame is vacuous
+    // (always 0)
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          count(a.executedPlan)
+      }.sum
+    count(df.queryExecution.executedPlan)
+  }
 
   /** The committed (or as-of) schema — for building logical-plan leaves
     * over the table. */
@@ -1511,7 +1520,19 @@ object VersionedTable {
     * before the feature — what metadata-only commits carry so coverage
     * becomes complete over time. */
   private def fullDirVers(m: Manifest): Map[String, String] =
-    m.mapping.map { case (rel, g) => rel -> m.dirVers.getOrElse(rel, g) }
+    m.mapping.map { case (rel, g) =>
+      rel -> m.dirVers.getOrElse(rel, {
+        // pre-feature fallback: the physical generation alone is NOT
+        // content — two manifests can share a gen while differing by
+        // deletion vectors (e.g. restores of v0 and its DV-deleted v1);
+        // qualify the token with a deterministic DV fingerprint or a
+        // feed spanning them would silently skip the dir
+        val dv = dvsUnder(m, s"$g/$rel/")
+        if (dv.isEmpty) g
+        else g + "+dv" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.unorderedHash(dv))
+      })
+    }
 
   /** Carry-forward filter for FLAT file-keyed maps (DV refs), mirroring
     * the nested `carry` the stats/blooms use: an entry survives iff its
@@ -2128,13 +2149,15 @@ object VersionedTable {
     * bump it, so a feed spanning an OPTIMIZE still skips the untouched
     * bulk; only a partition-LAYOUT change (repartitionTable) forces a
     * full diff — dir names are incomparable across it. */
+  private def dvsUnder(m: Manifest, prefix: String)
+      : Map[String, (String, Long, Int, Long)] =
+    m.dvs.filter { case (f, _) => f.startsWith(prefix) }
+
   private def changedSideScans(spark: SparkSession, root: String,
                                fromVersion: Int, toVersion: Int)
       : (DataFrame, DataFrame) = {
     val mF = resolveManifest(spark, root, Some(fromVersion))
     val mT = resolveManifest(spark, root, Some(toVersion))
-    def dvsUnder(m: Manifest, prefix: String) =
-      m.dvs.filter { case (f, _) => f.startsWith(prefix) }
     val rels = (mF.mapping.keySet ++ mT.mapping.keySet).filter { rel =>
       (mF.mapping.get(rel), mT.mapping.get(rel)) match {
         case (Some(gf), Some(gt)) =>
@@ -2664,7 +2687,8 @@ object VersionedTable {
       }
       f -> serializeDv(all)
     }.toMap
-    val next = stageVersion(fs, root, cur + 1, "delete-dv", m.keys) { _ =>
+    val next = stageVersion(fs, root, cur + 1, "delete-dv",
+        m.keys) { genDir =>
       Staged(m.partCols, m.schema, m.mapping, m.stats, m.blooms, m.txns,
         m.dirRows, m.dirFiles, m.bloomRefs,
         dvBytes = freshBytes, dvRefs = m.dvs -- freshBytes.keys,
@@ -2675,7 +2699,7 @@ object VersionedTable {
           val dvDirs = freshBytes.keySet.map { f =>
             f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')) }
           fullDirVers(m).map { case (rel, tok) =>
-            rel -> (if (dvDirs.contains(rel)) genName(root, cur + 1) else tok) }
+            rel -> (if (dvDirs.contains(rel)) genDir else tok) }
         },
         idxRefs = m.idxRefs, props = m.props)
     }

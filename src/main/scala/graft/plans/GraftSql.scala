@@ -678,17 +678,21 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("total_bytes", LongType, nullable = true)(),
     AttributeReference("dv_deleted_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // ONE manifest resolution for every field: per-accessor re-reads
+    // both multiply metadata I/O and can interleave with a concurrent
+    // commit, reporting version v with v+1's layout/rows
     val v = VersionedTable.currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(
         s"no committed version at $root"))
-    val parts = VersionedTable.partitionsMeta(spark, root).collect()
-    val derived = VersionedTable.derivedPartitionsOf(spark, root).toSeq
+    val parts = VersionedTable.partitionsMeta(spark, root, Some(v))
+      .collect()
+    val m = VersionedTable.resolveManifestAt(spark, root, v, v)
+    val derived = m.derived.toSeq
       .sortBy(_._1).map { case (p, (kind, src)) => s"$p=$kind($src)" }
       .mkString(", ")
-    val checks = VersionedTable.constraintsOf(spark, root).toSeq
+    val checks = m.checks.toSeq
       .sortBy(_._1).map { case (n, sql) => s"$n: $sql" }.mkString("; ")
-    val partCols = VersionedTable.resolveManifest(spark, root, None)
-      .partCols.mkString(", ")
+    val partCols = m.partCols.mkString(", ")
     def total(i: Int): java.lang.Long =
       if (parts.exists(_.isNullAt(i))) null
       else java.lang.Long.valueOf(parts.map(_.getLong(i)).sum)
@@ -697,9 +701,8 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       case null => null
       case t => java.lang.Long.valueOf(t - dv) // live rows, like COUNT
     }
-    val keys = VersionedTable.keysOf(spark, root).mkString(", ")
-    Seq(Row(v, partCols, derived, checks, keys, parts.length, rows,
-      total(5), java.lang.Long.valueOf(dv)))
+    Seq(Row(v, partCols, derived, checks, m.keys.mkString(", "),
+      parts.length, rows, total(5), java.lang.Long.valueOf(dv)))
   }
 }
 

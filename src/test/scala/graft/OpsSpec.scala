@@ -1061,10 +1061,12 @@ class OpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtok").toString
     val root = s"$dir/table"
     val keys = Seq("id", "day")
-    // 8 partitions, two files each
+    // 8 partitions, two files each, id-stats so the DELETE prunes to
+    // the dirs that can hold ids 0-1 (without stats it would rewrite —
+    // and token-bump — every dir, making the skip assertions vacuous)
     val rows = (0 until 80).map(i => (i, s"d${i % 8}", s"v$i"))
     VersionedTable.upsert(spark, root, rows.toDF("id", "day", "val"),
-      keys, Seq("day"), fileRows = Some(5)) // v0
+      keys, Seq("day"), statsCols = Seq("id"), fileRows = Some(5)) // v0
     VersionedTable.deleteWhere(spark, root, "id", 0, 1) // v1: d0 + d1
     VersionedTable.compact(spark, root) // v2: every dir re-gens
     VersionedTable.upsert(spark, root,
