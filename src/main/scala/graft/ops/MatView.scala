@@ -92,10 +92,20 @@ object MatView {
       "a measure alias collides with a group column")
     val fs = specPath(viewRoot).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(specPath(viewRoot), false) // refuse to redefine
+    // atomic claim (refuse to redefine): local-FS create(overwrite=false)
+    // is exists-check-then-create, so the claim rides the same
+    // O_CREAT|O_EXCL path every manifest claim does
+    val out = VersionedTable.createExclusive(fs, specPath(viewRoot))
     try out.write(render(spec).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    refresh(spark, viewRoot)
+    // a failed initial build must not leave the spec behind — CREATE
+    // would otherwise be unretryable without manual cleanup
+    try refresh(spark, viewRoot)
+    catch { case t: Throwable =>
+      try fs.delete(specPath(viewRoot), false)
+      catch { case c: Throwable => t.addSuppressed(c) }
+      throw t
+    }
   }
 
   /** Advance the view to the source's current version (no-op when
@@ -111,16 +121,19 @@ object MatView {
     synced match {
       case Some(v) if v >= srcCur =>
         VersionedTable.currentVersion(spark, viewRoot).get
-      case None => // initial full build
+      case None => // initial full build — pinned to the watermarked
+        // version: a source commit landing mid-build would otherwise be
+        // included yet re-applied by the next refresh (double count)
         commit(spark, viewRoot, spec, srcCur,
-          aggregate(VersionedTable.read(spark, spec.srcRoot), spec))
+          aggregate(VersionedTable.read(spark, spec.srcRoot, Some(srcCur)),
+            spec))
       case Some(from) =>
         val feed = VersionedTable.changeFeedCdf(spark, spec.srcRoot,
           spec.srcKeys, from.toInt, srcCur)
         // pin the (group-sized) feed aggregation: it feeds the delta
         // rows, the rescan split, and the recompute's pruning probes
         val delta = feedDelta(spec, feed).persist()
-        val (rows, pins) = deltaGroups(spark, viewRoot, spec, delta)
+        val (rows, pins) = deltaGroups(spark, viewRoot, spec, delta, srcCur)
         try commit(spark, viewRoot, spec, srcCur, rows)
         finally (delta +: pins).foreach(_.unpersist())
     }
@@ -190,7 +203,7 @@ object MatView {
     * old and added). Only that provably-undecidable residue — typically
     * empty — goes through [[recomputeGroups]]'s pruned re-aggregation. */
   private def deltaGroups(spark: SparkSession, viewRoot: String,
-                          spec: Spec, delta: DataFrame)
+                          spec: Spec, delta: DataFrame, srcCur: Int)
       : (DataFrame, Seq[DataFrame]) = {
     val cur = VersionedTable.read(spark, viewRoot)
     val extrema = spec.mins ++ spec.maxs
@@ -244,7 +257,7 @@ object MatView {
       lastRescanGroups = rescanKeys.count()
       if (lastRescanGroups == 0) (deltaRows, Seq(rescanKeys))
       else (deltaRows.unionByName(
-        recomputeGroups(spark, spec, rescanKeys)), Seq(rescanKeys))
+        recomputeGroups(spark, spec, rescanKeys, srcCur)), Seq(rescanKeys))
     }
   }
 
@@ -253,8 +266,8 @@ object MatView {
     * by broadcast semi join otherwise. Vanished groups come back as
     * explicit `__cnt = 0` tombstones overwriting their stale rows. */
   private def recomputeGroups(spark: SparkSession, spec: Spec,
-                              affected: DataFrame): DataFrame = {
-    val src = prunedSource(spark, spec, affected)
+                              affected: DataFrame, srcCur: Int): DataFrame = {
+    val src = prunedSource(spark, spec, affected, srcCur)
     val aff = affected.select(spec.groupCols.map(c =>
       col(c).as(s"__a_$c")): _*)
     val semiCond = spec.groupCols.map(c => col(c) <=> col(s"__a_$c"))
@@ -277,27 +290,28 @@ object MatView {
     * small enough to collect; full read (semi-joined by the caller)
     * otherwise. The collect is bounded by [[InListCap]]+1 rows. */
   private def prunedSource(spark: SparkSession, spec: Spec,
-                           affected: DataFrame): DataFrame =
+                           affected: DataFrame, srcCur: Int): DataFrame =
     if (spec.groupCols.length == 1) {
       val g = spec.groupCols.head
       val vals = affected.filter(col(g).isNotNull)
         .limit(InListCap + 1).collect().map(_.get(0)).toSeq
       val hasNull = affected.filter(col(g).isNull).limit(1).count() > 0
-      if (vals.length > InListCap) VersionedTable.read(spark, spec.srcRoot)
+      if (vals.length > InListCap)
+        VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
       else {
         val pruned = VersionedTable.readConstrained(spark, spec.srcRoot,
           Seq(VersionedTable.ColConstraint(g, None, None, None,
-            inSet = Some(vals))), None)
+            inSet = Some(vals))), Some(srcCur))
         // IN-probes cannot select NULL-group files; when a null group
         // was touched, take nulls from a dedicated slice and EXCLUDE
         // them from the probed side (kept files still carry their
         // null-group rows — unioning both would double-count them)
         if (!hasNull) pruned
         else pruned.filter(col(g).isNotNull)
-          .unionByName(VersionedTable.read(spark, spec.srcRoot)
+          .unionByName(VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
             .filter(col(g).isNull))
       }
-    } else VersionedTable.read(spark, spec.srcRoot)
+    } else VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
 
   /** Upsert the changed group rows into the view table under the synced
     * source version's txn watermark. The frame is pinned first: upsert

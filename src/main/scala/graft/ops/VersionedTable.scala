@@ -126,8 +126,8 @@ object VersionedTable {
     * throws FileAlreadyExistsException, an IOException, to the loser);
     * the winner then reopens its own claim for content. Object stores
     * need a conditional-PUT claim here instead (S3 If-None-Match). */
-  private def createExclusive(fs: FileSystem,
-                              path: Path): org.apache.hadoop.fs.FSDataOutputStream =
+  private[graft] def createExclusive(fs: FileSystem,
+                                     path: Path): org.apache.hadoop.fs.FSDataOutputStream =
     if (fs.getUri.getScheme == "file") {
       val local = java.nio.file.Paths.get(path.toUri.getPath)
       try java.nio.file.Files.createFile(local)
@@ -4064,6 +4064,12 @@ object VersionedTable {
     require(srcBranch != name, s"branch $name cannot fork from itself")
     val fs = fsFor(spark, root)
     val handle = s"$b@$name"
+    // resolve the source's committed history FIRST: forking a
+    // never-written root must say so, not leak listStatus's raw
+    // FileNotFoundException from the leftovers check below
+    if (currentVersion(spark, root).isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no committed version at $root")
     // a vacuumed-down branch may have no v0 left — the claim alone can't
     // see that, so refuse while ANY metadata of this name exists
     val leftovers = fs.listStatus(new Path(b)).toSeq

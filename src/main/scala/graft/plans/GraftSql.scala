@@ -362,6 +362,14 @@ object GraftSqlParser {
           s"MERGE ON equality ${a.sql} = ${b.sql} references the same " +
             "table on both sides — an upsert key must relate target and " +
             "source")
+        // both sides unqualified is the same degenerate self-comparison
+        // (the case guard already forces same names, so `col = col`
+        // matches every source row) — reject it, not just the
+        // same-qualifier shape
+        require(sa != 'U' || sb != 'U',
+          s"MERGE ON equality ${a.sql} = ${b.sql} is ambiguous — " +
+            "qualify at least one side with the target or source alias " +
+            "so the key relates target and source")
         a.nameParts.last
       case other => throw new IllegalArgumentException(
         "MERGE INTO graft.`root` supports ON as a conjunction of " +

@@ -234,6 +234,14 @@ class BranchSpec extends SparkSpec {
       (0 until 40).map(i => i -> i * 2).toMap)
   }
 
+  test("createBranch on a never-written root says so") {
+    val root = freshRoot("nocommit") // dir may not even exist
+    val e = intercept[java.io.FileNotFoundException] {
+      VersionedTable.createBranch(spark, root, "dev")
+    }
+    assert(e.getMessage.contains("no committed version"))
+  }
+
   test("writes never implicitly create branches") {
     val root = freshRoot("typo")
     seed(root)

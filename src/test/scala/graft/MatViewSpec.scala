@@ -224,6 +224,21 @@ class MatViewSpec extends SparkSpec {
     }
   }
 
+  test("failed initial build removes the spec claim — CREATE is retryable") {
+    val dir = tmp("retry")
+    val (src, view) = (s"$dir/src", s"$dir/view")
+    seed(src)
+    // a measure over a nonexistent column fails the initial build
+    intercept[Exception] {
+      MatView.create(spark, view, src, Seq("id", "part"), Seq("g"),
+        sums = Seq(("x_sum", "no_such_col")))
+    }
+    // the claim must not be left behind: the corrected CREATE succeeds
+    MatView.create(spark, view, src, Seq("id", "part"), Seq("g"),
+      sums = Seq(("x_sum", "x")), countAlias = Some("n"))
+    assertMatches(view, src, Seq("g", "x_sum", "n"))
+  }
+
   test("CDF feed: update emits pre+post images; delete carries FROM row") {
     val dir = tmp("cdf")
     val src = s"$dir/src"

@@ -261,6 +261,22 @@ class SqlDmlSpec extends SparkSpec {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e4.getMessage.contains("neither the target nor the source"))
+    // ON id = id with BOTH sides unqualified: the same degenerate
+    // self-comparison in disguise — ambiguous, never an upsert key
+    val e5 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING sql_misq_src s
+           |ON id = id AND t.grp = s.grp
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e5.getMessage.contains("ambiguous"))
+    // one side qualified + one unqualified stays accepted
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING sql_misq_src s
+         |ON t.id = id AND t.grp = s.grp
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
   }
 
   test("SQL derived partitions and materialized views") {
