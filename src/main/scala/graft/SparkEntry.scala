@@ -1906,6 +1906,163 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** The general SQL MERGE clause matrix under oracle check: matched
+    * DELETE with a source-referencing condition, a conditional matched
+    * UPDATE (t+s arithmetic), and a NOT MATCHED BY SOURCE DELETE — one
+    * staged commit (guard: exactly one version advance), applied to the
+    * daily rollup with the mid-January window as the source. No INSERT
+    * clause on purpose: the matrix path, unlike the canonical upsert,
+    * must work insert-less. Oracle = the rollup with even-volume window
+    * rows deleted, odd-volume window rows bumped, and pre-2024-01-03
+    * non-window rows deleted. */
+  private def qVersionedSqlMerge2(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_sql_merge2/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    val win = daily.filter(col("date").between(
+      org.apache.spark.sql.functions.lit("2024-01-08").cast(DateType),
+      org.apache.spark.sql.functions.lit("2024-01-14").cast(DateType)))
+    val view = "graft_sql_merge2_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    win.createOrReplaceTempView(view)
+    val before = VersionedTable.currentVersion(s, root).get
+    val v1 = s.sql(
+      s"""MERGE INTO graft.`$root` t USING $view s
+         |ON t.event_type = s.event_type AND t.date = s.date
+         |WHEN MATCHED AND s.daily_volume % 2 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET
+         |  daily_volume = t.daily_volume + 1000000
+         |WHEN NOT MATCHED BY SOURCE AND date < DATE'2024-01-03'
+         |  THEN DELETE""".stripMargin).head.getInt(0)
+    require(v1 == before + 1,
+      s"clause-matrix MERGE must be ONE commit: $before -> $v1")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
+  /** Named-table catalog lifecycle under oracle check: `CREATE TABLE
+    * <name> USING graft` (declared schema, partitioning, merge keys and
+    * stats index via TBLPROPERTIES), then INSERT / MERGE / DELETE /
+    * UPDATE / OPTIMIZE / DESCRIBE HISTORY / SELECT all address the
+    * table by NAME — zero path literals after CREATE. This is the
+    * reference's actual warehouse UX (load_to_snowflake.py:70-84
+    * CREATE TABLE IF NOT EXISTS + named MERGE; README.md:614-637 named
+    * queries). In-query guards: SHOW GRAFT TABLES lists the name, the
+    * DECLARED stats index prunes files (SQL-only users get file
+    * skipping), and history records the whole lifecycle. */
+  private def qCatalogLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val name = "cat_life_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = "/tmp/graft_catalog_life/" + slug
+    rmrf(s, root)
+    graft.plans.GraftCatalog.drop(s, name)
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  event_type STRING, date DATE, daily_open DOUBLE,
+         |  daily_high DOUBLE, daily_low DOUBLE, daily_close DOUBLE,
+         |  daily_volume BIGINT, daily_change DOUBLE)
+         |USING graft LOCATION '$root' PARTITIONED BY (event_type)
+         |TBLPROPERTIES('graft.keys'='event_type,date',
+         |  'graft.stats'='date')""".stripMargin)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val srcView = "cat_life_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    daily.createOrReplaceTempView(srcView)
+    s.sql(s"INSERT INTO $name SELECT * FROM $srcView")
+    val win = daily.filter(col("date").between(
+      org.apache.spark.sql.functions.lit("2024-01-08").cast(DateType),
+      org.apache.spark.sql.functions.lit("2024-01-14").cast(DateType)))
+      .withColumn("daily_volume", col("daily_volume") + lit(1000000L))
+    val mView = "cat_life_merge_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    win.union(win.withColumn("event_type",
+        org.apache.spark.sql.functions.concat(col("event_type"), lit("_x"))))
+      .createOrReplaceTempView(mView)
+    s.sql(
+      s"""MERGE INTO $name t USING $mView s
+         |ON t.event_type = s.event_type AND t.date = s.date
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"DELETE FROM $name WHERE date < DATE'2024-01-03'")
+    s.sql(s"UPDATE $name SET daily_volume = daily_volume + 7 " +
+      "WHERE date = DATE'2024-01-05'")
+    require(s.sql("SHOW GRAFT TABLES").collect()
+      .exists(_.getString(0) == name), "catalog does not list the table")
+    val (kept, total) = VersionedTable.skipStats(s, root, "date",
+      java.sql.Date.valueOf("2024-01-05"), java.sql.Date.valueOf("2024-01-06"))
+    require(kept < total,
+      s"declared stats index ('graft.stats') not engaged: $kept/$total")
+    require(s.sql(s"DESCRIBE HISTORY $name").count() >= 4,
+      "history lost lifecycle commits") // INSERT/MERGE/DELETE/UPDATE
+    require(s.sql(s"OPTIMIZE $name").head.getInt(0) > 0,
+      "OPTIMIZE by name did not commit")
+    s.sql(s"""SELECT event_type, date, daily_open, daily_high, daily_low,
+      daily_close, daily_volume, round(daily_change, 4) AS daily_change
+      FROM $name""")
+  }
+
+  /** RENAME COLUMN under oracle check: the daily rollup as a versioned
+    * table with stats on daily_close, renamed to close_px METADATA-ONLY
+    * (guard: the data-file set is byte-for-byte unchanged), then a
+    * post-rename upsert doubling the window's close — mixing
+    * generations written under the OLD physical name with generations
+    * written after the rename. Guards pin the contract: stats pruning
+    * stays engaged on the renamed column (index continuity through the
+    * column mapping), and the pre-rename version still reads under the
+    * name it recorded. Oracle = the rollup with the window's close
+    * doubled, served as close_px. */
+  private def qVersionedRename(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_versioned_rename/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("daily_close"), fileRows = Some(8))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(root), s.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[(String, Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += ((f.getPath.toString, f.getModificationTime, f.getLen))
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val v1 = VersionedTable.renameColumn(s, root, "daily_close", "close_px")
+    require(dataFiles() == before,
+      "metadata-only violated: RENAME COLUMN touched data files")
+    require(VersionedTable.read(s, root, Some(v1 - 1))
+      .columns.contains("daily_close"),
+      "the pre-rename version lost the name it recorded")
+    // post-rename write under the NEW name: double the window's close
+    val upd = daily.filter(col("date").between(
+      org.apache.spark.sql.functions.lit("2024-01-08").cast(DateType),
+      org.apache.spark.sql.functions.lit("2024-01-14").cast(DateType)))
+      .withColumnRenamed("daily_close", "close_px")
+      .withColumn("close_px", col("close_px") * 2)
+    VersionedTable.upsert(s, root, upd, Seq("event_type", "date"),
+      Seq("event_type"), statsCols = Seq("close_px"), fileRows = Some(8))
+    val minv = daily.agg(org.apache.spark.sql.functions.min("daily_close"))
+      .head.getDouble(0)
+    val (kept, total) = VersionedTable.skipStats(s, root, "close_px",
+      minv, minv)
+    require(kept < total,
+      s"stats continuity lost through RENAME COLUMN: $kept/$total")
+    VersionedTable.read(s, root)
+      .select(col("event_type"), col("date"), col("daily_open"),
+        col("daily_high"), col("daily_low"), col("close_px"),
+        col("daily_volume"), r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Key-list GDPR erasure under oracle check: the documents table as a
     * versioned table with a BLOOM-indexed doc_id, then
     * [[VersionedTable.deleteWhereInDV]] erases the three smallest ids —
@@ -3694,6 +3851,9 @@ object SparkEntry {
     "q_versioned_delete_expr" -> (qVersionedDeleteExpr _),
     "q_versioned_sql_dml" -> (qVersionedSqlDml _),
     "q_versioned_sql_merge" -> (qVersionedSqlMerge _),
+    "q_catalog_lifecycle" -> (qCatalogLifecycle _),
+    "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
+    "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
     "q_versioned_update" -> (qVersionedUpdate _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -6374,6 +6534,80 @@ object SparkEntry {
          |  CAST(daily_volume + 1000000 AS BIGINT) AS daily_volume,
          |  daily_change
          |FROM daily_all WHERE in_win"""
+      .stripMargin,
+
+    // clause matrix: even-volume window rows deleted, odd bumped,
+    // early non-window days deleted by the BY SOURCE clause
+    "q_versioned_sql_merge2" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change,
+         |    CAST(date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |      AS BOOLEAN) AS in_win
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close,
+         |  CAST(CASE WHEN in_win THEN daily_volume + 1000000
+         |    ELSE daily_volume END AS BIGINT) AS daily_volume,
+         |  daily_change
+         |FROM daily_all
+         |WHERE NOT (in_win AND daily_volume % 2 = 0)
+         |  AND NOT (NOT in_win AND date < DATE '2024-01-03')"""
+      .stripMargin,
+
+    // catalog lifecycle: rollup + window MERGE (bump & rekeyed inserts)
+    // + early-days DELETE + one-day volume UPDATE, all by table name
+    "q_catalog_lifecycle" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change,
+         |    CAST(date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |      AS BOOLEAN) AS in_win
+         |  FROM events GROUP BY 1, 2),
+         |merged AS (
+         |  SELECT event_type, date, daily_open, daily_high, daily_low,
+         |    daily_close,
+         |    CAST(CASE WHEN in_win THEN daily_volume + 1000000
+         |      ELSE daily_volume END AS BIGINT) AS daily_volume,
+         |    daily_change
+         |  FROM daily_all
+         |  UNION ALL
+         |  SELECT event_type || '_x', date, daily_open, daily_high,
+         |    daily_low, daily_close,
+         |    CAST(daily_volume + 1000000 AS BIGINT) AS daily_volume,
+         |    daily_change
+         |  FROM daily_all WHERE in_win)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close,
+         |  CAST(CASE WHEN date = DATE '2024-01-05' THEN daily_volume + 7
+         |    ELSE daily_volume END AS BIGINT) AS daily_volume,
+         |  daily_change
+         |FROM merged WHERE date >= DATE '2024-01-03'"""
+      .stripMargin,
+
+    // RENAME COLUMN: the update-window oracle served under the new name
+    "q_versioned_rename" ->
+      s"""WITH daily_all AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  CASE WHEN date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |    THEN daily_close * 2 ELSE daily_close END AS close_px,
+         |  daily_volume, daily_change
+         |FROM daily_all"""
       .stripMargin,
 
     // partition-filtered fold: per-type day counts minus the min type

@@ -139,6 +139,14 @@ object MatView {
     }
   }
 
+  /** Whether `root` carries a materialized-view spec — the read path
+    * uses this to serve a named MV's SERVED shape instead of its raw
+    * backing table. */
+  private[graft] def isView(spark: SparkSession, root: String): Boolean = {
+    val p = specPath(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Source rescans the LAST [[refresh]] needed for extremum measures
     * (0 = the whole refresh ran from the feed alone; -1 = no extremum
     * refresh has run). Observability for tests and schedulers. */

@@ -840,6 +840,93 @@ object VersionedTable {
     * applied. Callers add their own predicate ([[scanFrom]]) or leave
     * the original Filter node in place (the PruneVersionedScan optimizer
     * rule). */
+  // ----- column mapping (RENAME COLUMN support) ----------------------
+  //
+  // A renamed column keeps its PHYSICAL (as-written) name forever — the
+  // Delta column-mapping idea without IDs: the logical schema field
+  // carries `graft.physical` metadata naming what the parquet files
+  // actually store, writes keep writing the frozen physical name (so
+  // every generation agrees), and scans read the physical schema then
+  // alias back to logical. The metadata rides the manifest's StructType
+  // JSON through every commit, branch byte-copy, and restore with zero
+  // extra protocol. Full-table rewrites (compact / repartitionTable)
+  // write CURRENT logical names and strip the mapping — OPTIMIZE
+  // materializes renames the same way it materializes DV deletes.
+
+  /** Metadata key on a renamed field: the physical column name in data
+    * files. */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField)
+      : String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def hasRenames(schema: StructType): Boolean =
+    schema.exists(_.metadata.contains(PhysicalKey))
+
+  /** logical column -> physical column, renamed fields only. */
+  private def renameMap(schema: StructType): Map[String, String] =
+    schema.collect {
+      case f if f.metadata.contains(PhysicalKey) =>
+        f.name -> physicalName(f)
+    }.toMap
+
+  /** The schema to hand the parquet READER: field names as files store
+    * them. */
+  private def physSchema(schema: StructType): StructType =
+    if (!hasRenames(schema)) schema
+    else StructType(schema.map(f => f.copy(name = physicalName(f))))
+
+  /** Physical-scan frame -> logical names; helper columns added on the
+    * scan (__dv_file/__dv_pos) pass through. Must run AFTER any
+    * `_metadata` derivation — metadata columns do not survive a
+    * projection. */
+  private def toLogical(df: DataFrame, schema: StructType): DataFrame =
+    if (!hasRenames(schema)) df
+    else {
+      val physNames = schema.map(physicalName).toSet
+      val keep = df.columns.filterNot(physNames.contains)
+      df.select((schema.map(f => col(physicalName(f)).as(f.name)) ++
+        keep.map(col)).toSeq: _*)
+    }
+
+  /** Logical frame -> frozen physical names, applied immediately before
+    * writing a generation. */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame =
+    if (!hasRenames(schema)) df
+    else df.select(df.columns.map { c =>
+      col(c).as(schema.find(_.name == c).map(physicalName).getOrElse(c))
+    }.toSeq: _*)
+
+  /** Carry rename metadata from the prior manifest onto a DATAFRAME-
+    * derived schema: unionByName/withColumn rebuild fields and can drop
+    * their metadata, and a lost mapping would silently null-fill every
+    * renamed column on the next read. */
+  private def carryPhysical(s: StructType,
+                            prior: Option[Manifest]): StructType =
+    prior match {
+      case Some(pm) if hasRenames(pm.schema) =>
+        StructType(s.map(f => pm.schema.find(_.name == f.name) match {
+          case Some(pf) if pf.metadata.contains(PhysicalKey) =>
+            f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(PhysicalKey, physicalName(pf)).build())
+          case _ => f
+        }))
+      case _ => s
+    }
+
+  /** Drop the mapping after a full-table rewrite wrote logical names. */
+  private def stripPhysical(s: StructType): StructType =
+    if (!hasRenames(s)) s
+    else StructType(s.map(f =>
+      if (!f.metadata.contains(PhysicalKey)) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PhysicalKey).build())))
+
   private[graft] def scanUnion(spark: SparkSession, root: String,
                                m: Manifest, sel: ScanSelection): DataFrame = {
     val paths = sel.wholeDirs ++ sel.files
@@ -852,11 +939,14 @@ object VersionedTable {
         sel.files.map(_._2.stripPrefix(tableRoot(root) + "/")).toSet)
       val depth = m.partCols.length + 2
       val u = paths.groupBy(_._1).map { case (gen, ps) =>
-        val scan = spark.read.schema(m.schema).option("basePath", s"${tableRoot(root)}/$gen")
+        val scan = spark.read.schema(physSchema(m.schema))
+          .option("basePath", s"${tableRoot(root)}/$gen")
           .parquet(ps.map(_._2).distinct: _*)
-        if (dv.isEmpty) scan
-        else scan.withColumn("__dv_file", fileKeyCol(depth))
-          .withColumn("__dv_pos", col("_metadata.row_index"))
+        toLogical(
+          if (dv.isEmpty) scan
+          else scan.withColumn("__dv_file", fileKeyCol(depth))
+            .withColumn("__dv_pos", col("_metadata.row_index")),
+          m.schema)
       }.reduce(_.unionByName(_))
       (if (dv.isEmpty) u else antiJoinDv(spark, u, dv))
         .select(m.schema.fieldNames.map(col).toSeq: _*)
@@ -874,11 +964,14 @@ object VersionedTable {
       dirs.toSeq.map { case (rel, gen) => s"$gen/$rel/" })
     val depth = m.partCols.length + 2
     val u = dirs.toSeq.groupBy(_._2).map { case (gen, ds) =>
-      val scan = spark.read.schema(m.schema).option("basePath", s"${tableRoot(root)}/$gen")
+      val scan = spark.read.schema(physSchema(m.schema))
+        .option("basePath", s"${tableRoot(root)}/$gen")
         .parquet(ds.map { case (rel, _) => s"${tableRoot(root)}/$gen/$rel" }: _*)
-      if (dv.isEmpty) scan
-      else scan.withColumn("__dv_file", fileKeyCol(depth))
-        .withColumn("__dv_pos", col("_metadata.row_index"))
+      toLogical(
+        if (dv.isEmpty) scan
+        else scan.withColumn("__dv_file", fileKeyCol(depth))
+          .withColumn("__dv_pos", col("_metadata.row_index")),
+        m.schema)
     }.reduce(_.unionByName(_))
     if (dv.isEmpty) u else antiJoinDv(spark, u, dv)
   }
@@ -1402,18 +1495,23 @@ object VersionedTable {
                                genDir: String, partCols: Seq[String],
                                statsCols: Seq[String],
                                bloomCols: Seq[String] = Nil,
-                               bloomBits: Long = 8192L)
+                               bloomBits: Long = 8192L,
+                               colmap: Map[String, String] = Map.empty)
       : (Map[String, Map[String, ColStat]],
          Map[String, Map[String, Array[Byte]]],
          Map[String, Long], Map[String, Long], Map[String, Long]) = {
     import org.apache.spark.sql.functions._
     val depth = partCols.length + 2 // gen / <part dirs...> / <file>
     val df = spark.read.parquet(s"${tableRoot(root)}/$genDir")
-    val present = statsCols.filter(df.columns.contains)
-    val presentBloom = bloomCols.filter(df.columns.contains)
+    // the raw read-back sees PHYSICAL names; probe those but record the
+    // index under LOGICAL names — every manifest structure and pruning
+    // probe stays rename-agnostic
+    def phys(c: String): String = colmap.getOrElse(c, c)
+    val present = statsCols.filter(c => df.columns.contains(phys(c)))
+    val presentBloom = bloomCols.filter(c => df.columns.contains(phys(c)))
     val statAggs = present.flatMap { c => Seq(
-      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-      count(when(col(c).isNull, 1)).as(s"__nulls_$c")) }
+      min(col(phys(c))).as(s"__min_$c"), max(col(phys(c))).as(s"__max_$c"),
+      count(when(col(phys(c)).isNull, 1)).as(s"__nulls_$c")) }
     // split-block bloom over xxhash64(col) per file — Spark's own
     // BloomFilterAggregate (the InjectRuntimeFilter machinery), here as a
     // grouped aggregate; ~bloomBits/8 bytes per file per column in the
@@ -1424,7 +1522,7 @@ object VersionedTable {
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-              xxhash64(col(c))),
+              xxhash64(col(phys(c)))),
             CLit(bloomBits / 8), CLit(bloomBits))
           .toAggregateExpression()).as(s"__bloom_$c")
     }
@@ -1447,7 +1545,7 @@ object VersionedTable {
           c -> ColStat(renderStat(r.getAs[Any](s"__min_$c")),
             renderStat(r.getAs[Any](s"__max_$c")),
             r.getAs[Long](s"__nulls_$c"),
-            Some(df.schema(c).dataType.json))
+            Some(df.schema(phys(c)).dataType.json))
         }.toMap
       }.toMap
     val blooms = rows.map { r =>
@@ -1799,6 +1897,19 @@ object VersionedTable {
             org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
         enforceChecks(aligned, cs, "upsert delta")
       }
+      // schema evolution cannot introduce a column whose name collides
+      // with the FROZEN physical name of a renamed column — two logical
+      // columns would share one stored column
+      prior.filter(pm => hasRenames(pm.schema)).foreach { pm =>
+        val frozen = pm.schema.filter(f => physicalName(f) != f.name)
+          .map(physicalName).toSet
+        val clash = updates.columns
+          .filterNot(pm.schema.fieldNames.contains).filter(frozen.contains)
+        require(clash.isEmpty,
+          s"new column(s) ${clash.mkString(", ")} collide with the " +
+            "physical name of a renamed column — OPTIMIZE first to " +
+            "materialize renames")
+      }
       val entries = Merge.partitionDirEntries(spark, updates, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
@@ -1818,11 +1929,14 @@ object VersionedTable {
             .filterNot(f => partCols.contains(f.name)))
           val touchedDv = dvPairsFor(fs, root, prior.get,
             touchedLive.toSeq.map { case (rel, gen) => s"$gen/$rel/" })
-          val old = touchedLive.toSeq.groupBy(_._2).map { case (gen, parts) =>
-            Merge.readTouchedDirs(spark, s"${tableRoot(root)}/$gen",
-              parts.map { case (p, _) => valueOf(p) -> p },
-              partCols, pTypes, Some(dataSchema), touchedDv)
-          }.reduce(_.unionByName(_))
+          // the files store PHYSICAL names: read them, alias back to the
+          // logical schema (partition value columns pass through)
+          val old = toLogical(
+            touchedLive.toSeq.groupBy(_._2).map { case (gen, parts) =>
+              Merge.readTouchedDirs(spark, s"${tableRoot(root)}/$gen",
+                parts.map { case (p, _) => valueOf(p) -> p },
+                partCols, pTypes, Some(physSchema(dataSchema)), touchedDv)
+            }.reduce(_.unionByName(_)), dataSchema)
           // schema evolution at write: a column the updates add null-fills
           // for surviving old rows; a column the updates drop survives,
           // null for update rows. The key match is NULL-SAFE: the keys
@@ -1847,7 +1961,12 @@ object VersionedTable {
         if (statsCols.isEmpty) oneWriterPerPart
         else oneWriterPerPart.sortWithinPartitions(
           (partCols ++ statsCols).map(col): _*)
-      val writer = fileRows.foldLeft(clustered.write)(
+      // renamed columns write their FROZEN physical names so every
+      // generation agrees on file layout; the manifest schema (with its
+      // rename metadata carried from the prior version — unionByName
+      // rebuilds fields without it) stays logical
+      val outSchema = carryPhysical(merged.schema, prior)
+      val writer = fileRows.foldLeft(toPhysical(clustered, outSchema).write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
       val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), partCols)
@@ -1869,7 +1988,8 @@ object VersionedTable {
           Map.empty[String, Long], Map.empty[String, Long],
           Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
-          bloomCols, sizedBloomBits(bloomBits, fileRows))
+          bloomCols, sizedBloomBits(bloomBits, fileRows),
+          colmap = renameMap(outSchema))
       // dir-count carry: a prior dir's counts survive iff its mapping
       // entry is untouched (rewritten dirs get fresh counts below)
       def carryDir(prev: Map[String, Long]): Map[String, Long] =
@@ -1879,7 +1999,7 @@ object VersionedTable {
       // the full per-stream watermark map carries into EVERY manifest (new
       // tag merged in), so a later maintenance commit + vacuum cannot
       // erase another stream's exactly-once state
-      Staged(partCols, merged.schema, newMapping,
+      Staged(partCols, outSchema, newMapping,
         carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
         carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms,
         prior.map(_.txns).getOrElse(Map.empty) ++ txn,
@@ -2391,7 +2511,8 @@ object VersionedTable {
             .drop("__zval")
         else if (statsCols.isEmpty) base
         else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
-      val writer = fileRows.foldLeft(clustered.write)(
+      val writer = fileRows.foldLeft(
+        toPhysical(clustered, m.schema).write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(m.partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
       val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), m.partCols)
@@ -2413,7 +2534,8 @@ object VersionedTable {
           Map.empty[String, Long], Map.empty[String, Long],
           Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, m.partCols, statsCols,
-          bloomCols, sizedBloomBits(bloomBits, fileRows))
+          bloomCols, sizedBloomBits(bloomBits, fileRows),
+          colmap = renameMap(m.schema))
       def carryDir(prev: Map[String, Long]): Map[String, Long] =
         prev.filter { case (rel, _) =>
           m.mapping.contains(rel) &&
@@ -2639,11 +2761,15 @@ object VersionedTable {
       sel.wholeDirs.map(_._2.stripPrefix(tableRoot(root) + "/") + "/"),
       sel.files.map(_._2.stripPrefix(tableRoot(root) + "/")).toSet)
     val raw = paths.groupBy(_._1).map { case (gen, ps) =>
-      spark.read.schema(m.schema).option("basePath", s"${tableRoot(root)}/$gen")
-        .parquet(ps.map(_._2).distinct: _*)
+      toLogical(
+        spark.read.schema(physSchema(m.schema))
+          .option("basePath", s"${tableRoot(root)}/$gen")
+          .parquet(ps.map(_._2).distinct: _*)
+          .withColumn("__dv_file", fileKeyCol(depth))
+          .withColumn("__dv_pos", col("_metadata.row_index")),
+        m.schema)
         .filter(predicate)
-        .select(fileKeyCol(depth).as("__dv_file"),
-          col("_metadata.row_index").as("__dv_pos"))
+        .select(col("__dv_file"), col("__dv_pos"))
     }.reduce(_.unionByName(_))
     // positions already in a DV never re-match: keeps the no-op check
     // and the size guard about LIVE rows only
@@ -3524,7 +3650,10 @@ object VersionedTable {
       val (stats, blooms, dirRows, dirFiles, dirBytes) =
         collectFileStats(spark, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
-      Staged(m.partCols, m.schema, written.map(_ -> genDir).toMap,
+      // the rewrite wrote CURRENT logical names — renames are now
+      // materialized, drop the column mapping
+      Staged(m.partCols, stripPhysical(m.schema),
+        written.map(_ -> genDir).toMap,
         stats, blooms, m.txns, dirRows, dirFiles, dirBytes = dirBytes,
         checks = m.checks, derived = m.derived,
         // full-table rewrite, logical rows preserved (DVs were applied
@@ -3678,7 +3807,9 @@ object VersionedTable {
           Map.empty[String, Long])
         else collectFileStats(spark, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows))
-      Staged(partCols, m.schema, written.map(_ -> genDir).toMap,
+      // full rewrite under logical names: renames materialize here too
+      Staged(partCols, stripPhysical(m.schema),
+        written.map(_ -> genDir).toMap,
         stats, blooms, m.txns, dirRows, dirFiles, dirBytes = dirBytes,
         checks = m.checks,
         // a registration for a partition column the new layout dropped
@@ -3981,6 +4112,9 @@ object VersionedTable {
     val m = readManifest(fs, root, cur)
     require(!m.schema.fieldNames.contains(name),
       s"column $name already exists at $root")
+    m.schema.foreach(f => require(physicalName(f) != name,
+      s"column name $name is the physical (as-written) name of renamed " +
+        s"column ${f.name} — OPTIMIZE first to materialize that rename"))
     val next = stageVersion(fs, root, cur + 1, s"add-column:$name", m.keys) { _ =>
       Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
@@ -4037,6 +4171,244 @@ object VersionedTable {
         // a registration referencing the dropped column dies with it
         derived = m.derived.filter { case (p, (_, src)) =>
           src != name && p != name },
+        dirVers = fullDirVers(m), idxRefs = Map.empty, props = m.props)
+    }
+    publish(spark, root, next)
+    next
+  }
+
+  /** One clause of a general MERGE: `cond` (None = unconditional) and
+    * the action — `set` None = DELETE, `set` Some(empty) = UPDATE SET *
+    * (matched clauses only), `set` Some(map) = UPDATE SET col = expr.
+    * Matched-clause Columns may reference target columns bare and
+    * source columns as `__s_<name>`; by-source clauses target-only. */
+  case class MergeClause(cond: Option[org.apache.spark.sql.Column],
+                         set: Option[Map[String, org.apache.spark.sql.Column]])
+
+  /** General MERGE — the full Delta-style clause matrix in ONE commit:
+    *
+    * {{{
+    *   WHEN MATCHED [AND c] THEN DELETE | UPDATE SET * | UPDATE SET a=e
+    *   WHEN NOT MATCHED [AND c] THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET a=e
+    * }}}
+    *
+    * First-match-wins across clauses, standard MERGE semantics. Built on
+    * the same touched-dir rewrite as predicate DML ([[deleteWhere]]'s
+    * rewriteTouched): ONE full-outer join keyed null-safely on `keys`
+    * between the touched dirs' rows and the source, classified per row
+    * (matched / target-only / source-only), written back in one staged
+    * generation — readers never see a half-applied merge, unlike a
+    * compose-the-legs multi-commit.
+    *
+    * Scale shape: without BY SOURCE clauses only partitions holding the
+    * source's partition values rewrite (`keys` must cover the partition
+    * columns, the upsert contract, so a match can only live there);
+    * BY SOURCE clauses are full-table semantics and touch every dir.
+    * A source row matching NO live partition inserts through the same
+    * rewrite (new dirs join the mapping).
+    *
+    * Differences from the strict standard kept deliberately: several
+    * source rows matching one target row produce one output row PER
+    * source row (the standard raises; the upsert path dedups — callers
+    * wanting uniqueness enforce it upstream), and matched UPDATE SET *
+    * requires the source to carry every table column. */
+  def mergeClauses(spark: SparkSession, root: String, source: DataFrame,
+                   keys: Seq[String], matched: Seq[MergeClause],
+                   insertWhen: Option[Option[org.apache.spark.sql.Column]],
+                   bySource: Seq[MergeClause] = Nil,
+                   fileRows: Option[Int] = None): Int =
+      withClaimRetry(spark, root) {
+    import org.apache.spark.sql.functions.{lit, when}
+    require(matched.nonEmpty || insertWhen.isDefined || bySource.nonEmpty,
+      "MERGE needs at least one clause")
+    bySource.foreach(c => require(c.set.forall(_.nonEmpty),
+      "WHEN NOT MATCHED BY SOURCE supports DELETE or UPDATE SET col = " +
+        "expr (there is no source row for SET *)"))
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.partCols.forall(keys.contains),
+      s"MERGE ON keys (${keys.mkString(", ")}) must include every " +
+        s"partition column (${m.partCols.mkString(", ")}) — a match can " +
+        "otherwise live outside the pruned partitions")
+    keys.foreach(k => require(source.columns.contains(k),
+      s"MERGE source lacks ON key column $k"))
+    val tableCols = m.schema.fieldNames.toSeq
+    val needsStar = insertWhen.isDefined ||
+      matched.exists(_.set.exists(_.isEmpty))
+    if (needsStar) {
+      val missing = tableCols.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"MERGE source lacks table columns ${missing.mkString(", ")} — " +
+          "INSERT * / UPDATE SET * need every target column")
+    }
+    // touched dirs: by-source clauses are full-table; otherwise only
+    // partitions holding the source's partition values can match
+    val touched: Map[String, String] =
+      if (bySource.nonEmpty) m.mapping
+      else {
+        val vals = Merge.partitionDirEntries(spark,
+          source.select(m.partCols.map(col): _*), m.partCols)
+          .map(_._2).toSet
+        m.mapping.filter { case (rel, _) => vals.contains(rel) }
+      }
+    val srcPrefixed = source.select(source.columns.toSeq.map(c =>
+      col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
+    def clauseIdx(clauses: Seq[MergeClause])
+        : org.apache.spark.sql.Column =
+      clauses.zipWithIndex.foldRight(
+        lit(-1): org.apache.spark.sql.Column) { case ((cl, i), acc) =>
+        when(cl.cond.getOrElse(lit(true)), lit(i)).otherwise(acc) }
+    def applyClauses(df: DataFrame): DataFrame = {
+      val t = df.withColumn("__t_present", lit(true))
+      val joinCond = keys.map(k => col(k) <=> col(s"__s_$k"))
+        .reduce(_ && _)
+      val j = t.join(srcPrefixed, joinCond, "full_outer")
+      val isMatched = col("__t_present").isNotNull &&
+        col("__s_present").isNotNull
+      val sOnly = col("__t_present").isNull
+      val mAct = clauseIdx(matched)
+      val bAct = clauseIdx(bySource)
+      // survival: a row dies on a DELETE clause win (or an uninserted
+      // source-only row)
+      def deletes(clauses: Seq[MergeClause],
+                  act: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        clauses.zipWithIndex.filter(_._1.set.isEmpty)
+          .map { case (_, i) => act === i }
+          .reduceOption(_ || _).getOrElse(lit(false))
+      val keep =
+        when(isMatched, !deletes(matched, mAct))
+          .when(sOnly, insertWhen match {
+            case None => lit(false)
+            case Some(c) => c.getOrElse(lit(true))
+          })
+          .otherwise(!deletes(bySource, bAct))
+      def value(c: String): org.apache.spark.sql.Column = {
+        def updated(clauses: Seq[MergeClause],
+                    act: org.apache.spark.sql.Column,
+                    base: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          clauses.zipWithIndex.foldRight(base) { case ((cl, i), acc) =>
+            cl.set match {
+              case Some(sets) if sets.isEmpty => // UPDATE SET *
+                when(act === i, col(s"__s_$c")).otherwise(acc)
+              case Some(sets) =>
+                when(act === i, sets.getOrElse(c, col(c))).otherwise(acc)
+              case None => acc // DELETE: row never reaches value()
+            }
+          }
+        when(sOnly, col(s"__s_$c"))
+          .when(isMatched, updated(matched, mAct, col(c)))
+          .otherwise(updated(bySource, bAct, col(c)))
+      }
+      j.filter(keep).select(tableCols.map(c =>
+        value(c).cast(m.schema(c).dataType).as(c)): _*)
+    }
+    if (touched.isEmpty) {
+      // no live partition can match: only the INSERT leg applies
+      insertWhen match {
+        case None => cur
+        case Some(cond) =>
+          val rows = cond.fold(source)(source.filter)
+            .select(tableCols.map(c =>
+              col(c).cast(m.schema(c).dataType).as(c)): _*)
+          if (rows.isEmpty) cur
+          else upsert(spark, root, rows, keys, m.partCols,
+            statsCols = coveredIndexCols(m)._1,
+            bloomCols = coveredIndexCols(m)._2, fileRows = fileRows)
+      }
+    } else {
+      rewriteTouched(spark, root, m, touched, cur, fileRows,
+        0L, contentChanging = true, op = "merge")(applyClauses)
+    }
+  }
+
+  /** Metadata-only RENAME COLUMN (Delta column-mapping semantics): one
+    * manifest commit renames the LOGICAL column while data files keep
+    * the frozen PHYSICAL name (`graft.physical` field metadata — see
+    * the column-mapping note above scanUnion). Continuity carries
+    * everything the column owns:
+    *
+    *  - stats/bloom index entries (inline AND sidecar-block-held — the
+    *    block index is materialized and re-keyed, like dropColumn) keep
+    *    pruning under the new name;
+    *  - CHECK constraint expressions are rewritten to reference it;
+    *  - derived-partition registrations tracking it as SOURCE follow;
+    *  - merge keys rename with it.
+    *
+    * Earlier versions stay readable under the names THEY recorded (each
+    * manifest pins its own schema), and the next full rewrite
+    * (OPTIMIZE / repartitionTable) materializes the rename into the
+    * files and drops the mapping. Partition columns refuse (the dir
+    * names ARE the value — repartitionTable first). A materialized view
+    * watching this table by the old measure/group names needs
+    * re-creation — the spec records names, not ids. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Int = withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(from),
+      s"column $from does not exist at $root")
+    require(from != to, s"RENAME COLUMN $from TO $from is a no-op")
+    require(!m.schema.fieldNames.contains(to),
+      s"column $to already exists at $root")
+    require(!m.partCols.contains(from),
+      s"column $from is a partition column — its name IS the directory " +
+        "layout; use repartitionTable to change it")
+    // `to` must not collide with any OTHER field's frozen physical name,
+    // or two logical columns would map onto one stored column (renaming
+    // a column BACK to its own physical name is the clean case below)
+    m.schema.filter(_.name != from).foreach(f =>
+      require(physicalName(f) != to,
+        s"column name $to is the physical (as-written) name of renamed " +
+          s"column ${f.name} — OPTIMIZE first to materialize that rename"))
+    val fromField = m.schema(from)
+    val phys = physicalName(fromField)
+    val newSchema = StructType(m.schema.map { f =>
+      if (f.name != from) f
+      else if (phys == to) // rename back to the stored name: mapping ends
+        f.copy(name = to, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(PhysicalKey).build())
+      else f.copy(name = to, metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
+    })
+    // CHECK constraints follow the rename — a constraint must keep
+    // gating writes under the column's new name
+    val newChecks = m.checks.map { case (n, sql) =>
+      val e = spark.sessionState.sqlParser.parseExpression(sql)
+      val rewritten = e.transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 &&
+              a.nameParts.head.equalsIgnoreCase(from) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(to))
+      }
+      n -> rewritten.sql
+    }
+    val newKeys = m.keys.map(k => if (k == from) to else k)
+    val newDerived = m.derived.map { case (pc, (t, src)) =>
+      pc -> ((t, if (src == from) to else src)) }
+    // index continuity: MATERIALIZE the block-held index and re-key the
+    // renamed column's entries (carrying block refs verbatim would keep
+    // serving them under the dead name)
+    val (allStats, allBloomRefs) = m.materializeIdx(fs, root)
+    def rekey[A](mm: Map[String, Map[String, A]])
+        : Map[String, Map[String, A]] =
+      mm.map { case (f, cols) => f -> cols.map { case (c, v) =>
+        (if (c == from) to else c) -> v } }
+    val next = stageVersion(fs, root, cur + 1,
+        s"rename-column:$from>$to", newKeys) { _ =>
+      Staged(m.partCols, newSchema, m.mapping, rekey(allStats),
+        rekey(m.blooms), m.txns, m.dirRows, m.dirFiles,
+        rekey(allBloomRefs), dvRefs = m.dvs, dirBytes = m.dirBytes,
+        checks = newChecks, derived = newDerived,
         dirVers = fullDirVers(m), idxRefs = Map.empty, props = m.props)
     }
     publish(spark, root, next)

@@ -1,0 +1,206 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.VersionedTable
+
+/**
+ * Named-table registry for the versioned lake — the thin mapping layer
+ * that lets every SQL statement address a table as `metrics` instead of
+ * `graft.`/lake/metrics``. The reference's warehouse is a NAMED-table
+ * world (load_to_snowflake.py:70-84 `CREATE TABLE IF NOT EXISTS
+ * DAILY_STOCK_METRICS`; every sample query in README.md:614-637 names
+ * tables) — a user's first statement is `CREATE TABLE`, not a path
+ * literal.
+ *
+ * Design: the catalog IS a directory of one-entry files (name → root
+ * path + declared partition/key/schema metadata), resolved lazily at
+ * statement parse/run time — deliberately NOT a Spark `CatalogPlugin`:
+ *
+ *  - every graft statement already flows through [[GraftSqlParser]], so
+ *    name→path substitution there reaches the ENTIRE existing surface
+ *    (SELECT / DML / MERGE / OPTIMIZE / VACUUM / branches / MVs) with
+ *    zero per-statement integration — a `TableCatalog` would instead
+ *    demand a parallel V2 Table/ScanBuilder stack beside the existing
+ *    [[VersionedScan]] relation and still not cover OPTIMIZE/VACUUM.
+ *  - one file per table keeps CREATE/DROP atomic (the same
+ *    O_CREAT|O_EXCL claim the manifest protocol uses) and the catalog
+ *    durable across sessions and engines with no service: on a shared
+ *    filesystem every cluster sees the same names, like a Hive
+ *    metastore's path mappings but with no metastore.
+ *
+ * The catalog stores only the MAPPING (plus declared partition cols,
+ * merge keys, and schema for the first write to an empty table);
+ * everything versioned — schema, stats, history, properties — lives in
+ * the table's own manifest at its root. `DROP TABLE` therefore only
+ * unregisters the name: data and history stay at the path
+ * (external-table semantics), and `CREATE TABLE` over an existing root
+ * re-attaches it.
+ *
+ * Location: `spark.graft.catalog.dir` when set, else
+ * `<spark.sql.warehouse.dir>/_graft_catalog`. Names are SQL
+ * identifiers, matched case-insensitively (stored lowercased in the
+ * filename, original case in the entry).
+ */
+object GraftCatalog {
+
+  /** A registered table: `partCols`/`keys`/`schemaDdl`/`statsCols`/
+    * `bloomCols` are the DECLARED layout used by the first write to an
+    * empty root (and to serve schema-only reads); once the root has
+    * committed versions the manifest is authoritative. */
+  case class Entry(name: String, root: String, partCols: Seq[String],
+                   keys: Seq[String], schemaDdl: Option[String],
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil)
+
+  private val NameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Synthetic partition column for tables created WITHOUT PARTITIONED
+    * BY: a key-hash bucket (same device as MatView's serving table), so
+    * the engine's partitioned-merge machinery applies unchanged and a
+    * row's re-write always lands in its original partition. Hidden from
+    * named reads/DESCRIBE; `__`-prefixed user columns are refused at
+    * CREATE to keep the namespace internal. */
+  private[graft] val BucketCol = "__bucket"
+  private[graft] val BucketCount = 16
+
+  /** Attach the deterministic bucket of `keys` (pure function — the
+    * partCols-within-keys upsert contract holds by construction). */
+  private[graft] def withBucket(df: org.apache.spark.sql.DataFrame,
+                                keys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    df.withColumn(BucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(BucketCount)).cast("int"))
+  }
+
+  private[graft] def catalogDir(spark: SparkSession): Path = {
+    val d = spark.conf.getOption("spark.graft.catalog.dir").getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/_graft_catalog")
+    new Path(d)
+  }
+
+  /** Default root for a CREATE TABLE with no LOCATION (managed layout):
+    * a per-name directory beside the catalog. */
+  private[graft] def managedRoot(spark: SparkSession, name: String): String =
+    new Path(catalogDir(spark).getParent,
+      s"graft_tables/${name.toLowerCase(java.util.Locale.ROOT)}")
+      .toString
+
+  private def entryPath(spark: SparkSession, name: String): Path =
+    new Path(catalogDir(spark),
+      "t." + name.toLowerCase(java.util.Locale.ROOT))
+
+  private def b64e(s: String) = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def b64d(s: String) = new String(
+    java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  private def render(e: Entry): String = {
+    val sb = new StringBuilder("#graft-catalog\t1\n")
+    sb.append("#name\t").append(b64e(e.name)).append('\n')
+    sb.append("#root\t").append(b64e(e.root)).append('\n')
+    if (e.partCols.nonEmpty)
+      sb.append("#parts\t").append(e.partCols.map(b64e).mkString("\t"))
+        .append('\n')
+    if (e.keys.nonEmpty)
+      sb.append("#keys\t").append(e.keys.map(b64e).mkString("\t"))
+        .append('\n')
+    e.schemaDdl.foreach(s =>
+      sb.append("#schema\t").append(b64e(s)).append('\n'))
+    if (e.statsCols.nonEmpty)
+      sb.append("#stats\t").append(e.statsCols.map(b64e).mkString("\t"))
+        .append('\n')
+    if (e.bloomCols.nonEmpty)
+      sb.append("#blooms\t").append(e.bloomCols.map(b64e).mkString("\t"))
+        .append('\n')
+    sb.toString
+  }
+
+  private def parse(text: String, at: Path): Entry = {
+    val lines = text.split("\n").filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith("#graft-catalog\t1")),
+      s"unrecognized catalog entry at $at")
+    def one(tag: String): Option[Seq[String]] = lines.collectFirst {
+      case l if l.startsWith(s"#$tag\t") =>
+        l.split("\t", -1).drop(1).toSeq.filter(_.nonEmpty).map(b64d)
+    }
+    Entry(
+      name = one("name").get.head,
+      root = one("root").get.head,
+      partCols = one("parts").getOrElse(Nil),
+      keys = one("keys").getOrElse(Nil),
+      schemaDdl = one("schema").map(_.head),
+      statsCols = one("stats").getOrElse(Nil),
+      bloomCols = one("blooms").getOrElse(Nil))
+  }
+
+  /** Register `name` → entry. Atomic claim: two racing CREATEs see one
+    * winner and one "already exists". */
+  def create(spark: SparkSession, entry: Entry): Unit = {
+    require(NameRe.matches(entry.name),
+      s"illegal graft table name: ${entry.name} (SQL identifier required)")
+    val p = entryPath(spark, entry.name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try VersionedTable.createExclusive(fs, p)
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"graft table ${entry.name} already exists " +
+            "(DROP TABLE first, or CREATE TABLE IF NOT EXISTS)", e)
+      }
+    try out.write(render(entry).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Unregister `name`; the table's data and history stay at its root.
+    * False when the name was not registered. */
+  def drop(spark: SparkSession, name: String): Boolean = {
+    val p = entryPath(spark, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+  }
+
+  /** Case-insensitive lookup. */
+  def lookup(spark: SparkSession, name: String): Option[Entry] = {
+    if (!NameRe.matches(name)) return None
+    val p = entryPath(spark, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(parse(text, p))
+    }
+  }
+
+  /** All registered tables, name-sorted. */
+  def list(spark: SparkSession): Seq[Entry] = {
+    val d = catalogDir(spark)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("t."))
+      .map(p => lookup(spark, p.getName.stripPrefix("t.")))
+      .flatten.sortBy(_.name)
+  }
+
+  /** Resolve a statement-level table reference — `name` or
+    * `name@branch` — to its root path (branch suffix carried through,
+    * so every ref-scoped engine entry point works unchanged on named
+    * branches). None when the name is not registered. */
+  def resolve(spark: SparkSession, ref: String): Option[String] = {
+    val at = ref.indexOf('@')
+    val (name, branch) =
+      if (at < 0) (ref, "") else (ref.substring(0, at), ref.substring(at))
+    lookup(spark, name).map(_.root + branch)
+  }
+}

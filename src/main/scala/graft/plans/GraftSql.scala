@@ -3,13 +3,17 @@ package graft.plans
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
-  UnresolvedRelation}
+  UnresolvedFieldName, UnresolvedIdentifier, UnresolvedRelation,
+  UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable,
-  SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment,
+  CreateTable, DeleteAction, DeleteFromTable, DescribeRelation,
+  DropColumns, DropTable, InsertIntoStatement, InsertStarAction,
+  LogicalPlan, MergeIntoTable, QualifiedColType, RenameColumn,
+  SubqueryAlias, UnresolvedTableSpec, UnresolvedWith, UpdateAction,
+  UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
@@ -67,7 +71,8 @@ import graft.ops.VersionedTable
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.parseStatement(sqlText, delegate.parsePlan).getOrElse(
-      GraftSqlParser.rewriteDml(delegate.parsePlan(sqlText)))
+      GraftSqlParser.resolveNamedTables(
+        GraftSqlParser.rewriteDml(delegate.parsePlan(sqlText))))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -92,9 +97,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
-  /** `graft`.`<root>` (group 1) or `graft_table('<root>')` (group 2). */
+  /** A statement-level table reference: `graft`.`<root>` (group 1),
+    * `graft_table('<root>')` (group 2), or a REGISTERED NAME — backticked
+    * (group 3) or a bare identifier with an optional @branch suffix
+    * (group 4), resolved through [[GraftCatalog]]. */
   private val Target =
-    """(?:graft\s*\.\s*`([^`]+)`|graft_table\s*\(\s*'([^']+)'\s*\))"""
+    """(?:graft\s*\.\s*`([^`]+)`|graft_table\s*\(\s*'([^']+)'\s*\)""" +
+      """|`([^`/]+)`|([A-Za-z_][A-Za-z0-9_]*(?:@[A-Za-z0-9_-]+)?))"""
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
       """\s*(?:RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?|DAYS?))?\s*;?\s*$""").r
@@ -143,13 +152,40 @@ object GraftSqlParser {
   private val ShowBranchesRe =
     ("""(?is)^\s*SHOW\s+BRANCHES\s+(?:IN\s+)?""" + Target +
       """\s*;?\s*$""").r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val CreateMvRe =
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Target +
       """\s+KEYED\s+BY\s+\(\s*([A-Za-z0-9_`,\s]+?)\s*\)""" +
       """\s+AS\s+(SELECT\b.*?)\s*;?\s*$""").r
 
-  private def root(g1: String, g2: String): String =
-    Option(g1).getOrElse(g2)
+  /** Catalog resolution for a NAME reference, on the parsing session.
+    * Parsing always runs on the query's own thread (spark.sql →
+    * sessionState.sqlParser), where SparkSession.active IS the issuing
+    * session — same precedent as the graft_table TVF builder. */
+  private def resolveName(ref: String): Option[String] =
+    SparkSession.getActiveSession.flatMap(GraftCatalog.resolve(_, ref))
+
+  /** Resolve a [[Target]] match to a root path; a bare name that is not
+    * registered is a LOUD error (used by graft-only statements, where
+    * delegating the text would only yield a Spark syntax error). */
+  private def refLoud(g1: String, g2: String, g3: String,
+                      g4: String): String =
+    Option(g1).orElse(Option(g2)).getOrElse {
+      val n = Option(g3).getOrElse(g4)
+      resolveName(n).getOrElse(throw new IllegalArgumentException(
+        s"'$n' is not a registered graft table — CREATE TABLE $n USING " +
+          "graft LOCATION '<path>' first, or address it by path: " +
+          "graft.`/path`"))
+    }
+
+  /** Resolve a [[Target]] match; None for an unregistered bare name —
+    * used by statements Spark's own grammar also parses (TBLPROPERTIES),
+    * so non-graft tables fall through to Spark untouched. */
+  private def refQuiet(g1: String, g2: String, g3: String,
+                       g4: String): Option[String] =
+    Option(g1).orElse(Option(g2))
+      .orElse(Option(g3).orElse(Option(g4)).flatMap(resolveName))
 
   /** `'k' = 'v', 'k2'='v2'` — single-quoted keys/values, QUOTE-AWARE
     * (commas inside quotes are data, not separators); escaped quotes
@@ -185,57 +221,79 @@ object GraftSqlParser {
                                     parseSelect: String => LogicalPlan)
       : Option[LogicalPlan] =
     sql match {
-      case VacuumDryRe(g1, g2, keep) =>
-        Some(GraftVacuumDryRunCommand(root(g1, g2),
+      case ShowTablesRe() =>
+        Some(GraftShowTablesCommand())
+      case VacuumDryRe(g1, g2, g3, g4, keep) =>
+        Some(GraftVacuumDryRunCommand(refLoud(g1, g2, g3, g4),
           Option(keep).map(_.toInt)))
-      case SetPropsRe(g1, g2, kvs) =>
-        Some(GraftSetPropsCommand(root(g1, g2), kvList(kvs)))
-      case UnsetPropsRe(g1, g2, ks) =>
-        Some(GraftUnsetPropsCommand(root(g1, g2), quotedList(ks)))
-      case ShowPropsRe(g1, g2) =>
-        Some(GraftShowPropsCommand(root(g1, g2)))
-      case VacuumRe(g1, g2, keep, unit) =>
+      // TBLPROPERTIES statements exist in Spark's own grammar: claim a
+      // bare name only when it is a REGISTERED graft table, so ALTER
+      // TABLE on hive/temp tables falls through untouched
+      case SetPropsRe(g1, g2, g3, g4, kvs) =>
+        refQuiet(g1, g2, g3, g4).map(GraftSetPropsCommand(_, kvList(kvs)))
+      case UnsetPropsRe(g1, g2, g3, g4, ks) =>
+        refQuiet(g1, g2, g3, g4)
+          .map(GraftUnsetPropsCommand(_, quotedList(ks)))
+      case ShowPropsRe(g1, g2, g3, g4) =>
+        refQuiet(g1, g2, g3, g4).map(GraftShowPropsCommand(_))
+      case VacuumRe(g1, g2, g3, g4, keep, unit) =>
+        val r = refLoud(g1, g2, g3, g4)
         Option(unit).map(_.toUpperCase(java.util.Locale.ROOT)) match {
           case Some(u) if u.startsWith("HOUR") =>
-            Some(GraftVacuumAgeCommand(root(g1, g2),
-              keep.toLong * 3600L * 1000L))
+            Some(GraftVacuumAgeCommand(r, keep.toLong * 3600L * 1000L))
           case Some(u) if u.startsWith("DAY") =>
-            Some(GraftVacuumAgeCommand(root(g1, g2),
-              keep.toLong * 24L * 3600L * 1000L))
+            Some(GraftVacuumAgeCommand(r, keep.toLong * 24L * 3600L * 1000L))
           case _ =>
-            Some(GraftVacuumCommand(root(g1, g2), Option(keep).map(_.toInt)))
+            Some(GraftVacuumCommand(r, Option(keep).map(_.toInt)))
         }
-      case OptimizeRe(g1, g2, zorder) =>
-        Some(GraftOptimizeCommand(root(g1, g2),
+      case OptimizeRe(g1, g2, g3, g4, zorder) =>
+        Some(GraftOptimizeCommand(refLoud(g1, g2, g3, g4),
           Option(zorder).toSeq.flatMap(_.split(","))
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty)))
-      case RestoreRe(g1, g2, v) =>
-        Some(GraftRestoreCommand(root(g1, g2), v.toInt))
-      case HistoryRe(g1, g2) =>
-        Some(GraftHistoryCommand(root(g1, g2)))
-      case DetailRe(g1, g2) =>
-        Some(GraftDetailCommand(root(g1, g2)))
-      case AddDerivedRe(g1, g2, p, daySrc, bucketN, bucketSrc) =>
+      case RestoreRe(g1, g2, g3, g4, v) =>
+        Some(GraftRestoreCommand(refLoud(g1, g2, g3, g4), v.toInt))
+      case HistoryRe(g1, g2, g3, g4) =>
+        Some(GraftHistoryCommand(refLoud(g1, g2, g3, g4)))
+      case DetailRe(g1, g2, g3, g4) =>
+        Some(GraftDetailCommand(refLoud(g1, g2, g3, g4)))
+      case AddDerivedRe(g1, g2, g3, g4, p, daySrc, bucketN, bucketSrc) =>
         val (transform, src) =
           if (daySrc != null) ("day", daySrc)
           else (s"bucket:$bucketN", bucketSrc)
-        Some(GraftAddDerivedCommand(root(g1, g2), p, transform, src))
-      case DropDerivedRe(g1, g2, p) =>
-        Some(GraftDropDerivedCommand(root(g1, g2), p))
-      case RefreshMvRe(g1, g2) =>
-        Some(GraftMvRefreshCommand(root(g1, g2)))
-      case CreateBranchRe(g1, g2, name, v) =>
-        Some(GraftCreateBranchCommand(root(g1, g2), name,
+        Some(GraftAddDerivedCommand(refLoud(g1, g2, g3, g4), p,
+          transform, src))
+      case DropDerivedRe(g1, g2, g3, g4, p) =>
+        Some(GraftDropDerivedCommand(refLoud(g1, g2, g3, g4), p))
+      case RefreshMvRe(g1, g2, g3, g4) =>
+        Some(GraftMvRefreshCommand(refLoud(g1, g2, g3, g4)))
+      case CreateBranchRe(g1, g2, g3, g4, name, v) =>
+        Some(GraftCreateBranchCommand(refLoud(g1, g2, g3, g4), name,
           Option(v).map(_.toInt)))
-      case DropBranchRe(g1, g2, name) =>
-        Some(GraftDropBranchCommand(root(g1, g2), name))
-      case FastForwardRe(g1, g2, name) =>
-        Some(GraftFastForwardCommand(root(g1, g2), name))
-      case ShowBranchesRe(g1, g2) =>
-        Some(GraftShowBranchesCommand(root(g1, g2)))
-      case CreateMvRe(g1, g2, keys, select) =>
-        Some(mvCreate(root(g1, g2), colList(keys), select, parseSelect))
+      case DropBranchRe(g1, g2, g3, g4, name) =>
+        Some(GraftDropBranchCommand(refLoud(g1, g2, g3, g4), name))
+      case FastForwardRe(g1, g2, g3, g4, name) =>
+        Some(GraftFastForwardCommand(refLoud(g1, g2, g3, g4), name))
+      case ShowBranchesRe(g1, g2, g3, g4) =>
+        Some(GraftShowBranchesCommand(refLoud(g1, g2, g3, g4)))
+      case CreateMvRe(g1, g2, g3, g4, keys, select) =>
+        // CREATE MV by NAME: an unregistered name is the view being
+        // born — register it against a managed root after the build
+        val (viewRoot, register) = Option(g1).orElse(Option(g2)) match {
+          case Some(path) => (path, None)
+          case None =>
+            val n = Option(g3).getOrElse(g4)
+            require(!n.contains("@"),
+              s"CREATE MATERIALIZED VIEW cannot target a branch ref: $n")
+            resolveName(n) match {
+              case Some(r) => (r, None)
+              case None =>
+                val spark = SparkSession.active
+                (GraftCatalog.managedRoot(spark, n), Some(n))
+            }
+        }
+        Some(mvCreate(viewRoot, colList(keys), select, parseSelect)
+          .copy(registerName = register))
       case _ => None
     }
 
@@ -246,7 +304,8 @@ object GraftSqlParser {
     * served column name); anything outside the maintainable shape is a
     * loud error naming what is supported. */
   private def mvCreate(viewRoot: String, keys: Seq[String], select: String,
-                       parseSelect: String => LogicalPlan): LogicalPlan = {
+                       parseSelect: String => LogicalPlan)
+      : GraftMvCreateCommand = {
     import org.apache.spark.sql.catalyst.analysis.{
       UnresolvedFunction, UnresolvedStar, UnresolvedTableValuedFunction}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
@@ -265,6 +324,10 @@ object GraftSqlParser {
               case Seq(Literal(s, _)) => s.toString
               case _ => unsupported("a non-literal graft_table argument")
             }
+          // a registered named table works as the source too
+          case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+              resolveName(u.multipartIdentifier.head).isDefined =>
+            resolveName(u.multipartIdentifier.head).get
         }.getOrElse(unsupported(s"FROM ${child.nodeName}"))
         val groups = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
@@ -315,8 +378,22 @@ object GraftSqlParser {
         u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
         u.multipartIdentifier(1).contains("/") =>
       Some((u.multipartIdentifier(1), None))
+    // a bare single-part name that is a REGISTERED graft table; an
+    // unregistered name passes through to Spark's own resolution
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+      resolveName(u.multipartIdentifier.head).map(r => (r, None))
     case _ => None
   }
+
+  /** The graft root behind an ALTER/DESCRIBE identifier: two-part
+    * `graft`.`/path` or a registered single-part name. */
+  private def graftTableIdent(parts: Seq[String]): Option[String] =
+    parts match {
+      case Seq(a, b) if a.equalsIgnoreCase("graft") && b.contains("/") =>
+        Some(b)
+      case Seq(n) => resolveName(n)
+      case _ => None
+    }
 
   /** `t.col` -> `col` when `t` is the statement's own table alias — the
     * engine re-resolves the predicate against a bare table scan, where
@@ -416,30 +493,249 @@ object GraftSqlParser {
               u.condition.map(asColumn(_, alias)))
           case None => u
         }
+      case c @ CreateTable(UnresolvedIdentifier(Seq(name), _), columns,
+          partitioning, spec: UnresolvedTableSpec, ifNotExists)
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        val partCols = partitioning.map {
+          // the concrete IdentityTransform class is private[sql]; the
+          // public connector Transform API names it "identity"
+          case t if t.name == "identity" && t.references.length == 1 =>
+            t.references.head.fieldNames.mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE ... USING graft supports PARTITIONED BY plain " +
+              s"columns; got transform $other — register day()/bucket() " +
+              "layouts after CREATE with ALTER TABLE ... ADD DERIVED " +
+              "PARTITION")
+        }
+        def colsProp(k: String): Seq[String] = spec.properties.get(k)
+          .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val keys = colsProp("graft.keys")
+        val statsCols = colsProp("graft.stats")
+        val bloomCols = colsProp("graft.blooms")
+        val stray = spec.properties.keys.filterNot(
+          Set("graft.keys", "graft.stats", "graft.blooms"))
+        require(stray.isEmpty,
+          s"CREATE TABLE ... USING graft accepts the 'graft.keys' / " +
+            s"'graft.stats' / 'graft.blooms' properties; set " +
+            s"${stray.mkString(", ")} after CREATE with " +
+            "ALTER TABLE ... SET TBLPROPERTIES")
+        columns.map(_.name).filter(_.startsWith("__")).foreach(c =>
+          throw new IllegalArgumentException(
+            s"column name $c is reserved (the __ prefix is internal)"))
+        val schemaDdl =
+          if (columns.isEmpty) None
+          else Some(org.apache.spark.sql.types.StructType(columns.map(cd =>
+            org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
+              cd.nullable))).toDDL)
+        GraftCreateTableCommand(name, spec.location, schemaDdl, partCols,
+          keys, statsCols, bloomCols, ifNotExists)
+      case d @ DropTable(UnresolvedIdentifier(Seq(name), _), ifExists,
+          purge) =>
+        if (resolveName(name).isEmpty) d // not ours — Spark resolves it
+        else if (purge) throw new IllegalArgumentException(
+          "DROP TABLE ... PURGE is not supported on graft tables: DROP " +
+            "TABLE only unregisters the name; the data and history stay " +
+            "at the table's root (VACUUM to retire versions)")
+        else GraftDropTableCommand(name, ifExists)
+      case i: InsertIntoStatement =>
+        graftTarget(i.table) match {
+          case Some((r, _)) =>
+            require(i.partitionSpec.isEmpty,
+              "INSERT INTO graft tables takes no PARTITION clause — " +
+                "partition values ride in the rows")
+            require(!i.overwrite,
+              "INSERT OVERWRITE is not supported on graft tables; use " +
+                "DELETE + INSERT, or MERGE")
+            GraftInsertCommand(r, i.userSpecifiedCols,
+              resolveNamedTables(i.query), i.byName)
+          case None => i
+        }
+      case d @ DescribeRelation(tv: UnresolvedTableOrView, partSpec,
+          isExtended, _) =>
+        graftTableIdent(tv.multipartIdentifier) match {
+          case Some(r) =>
+            require(partSpec.isEmpty,
+              "DESCRIBE ... PARTITION is not supported on graft tables; " +
+                "query graft_partitions('<root>') instead")
+            GraftDescribeTableCommand(r, isExtended)
+          case None => d
+        }
+      case a @ AddColumns(t: UnresolvedTable, cols) =>
+        graftTableIdent(t.multipartIdentifier) match {
+          case Some(r) =>
+            val simple = cols.collect {
+              case QualifiedColType(None, cn, dt, true, None, None, None) =>
+                (cn, dt)
+            }
+            require(simple.length == cols.length,
+              "ALTER TABLE ... ADD COLUMN on graft tables supports plain " +
+                "nullable columns (no NOT NULL/position/default/comment/" +
+                "nested paths)")
+            GraftAddColumnsCommand(r, simple)
+          case None => a
+        }
+      case d @ DropColumns(t: UnresolvedTable, cols, ifExists) =>
+        graftTableIdent(t.multipartIdentifier) match {
+          case Some(r) =>
+            require(!ifExists,
+              "ALTER TABLE ... DROP COLUMN IF EXISTS is not supported " +
+                "on graft tables — drop only columns you know exist")
+            val names = cols.map {
+              case UnresolvedFieldName(Seq(n)) => n
+              case other => throw new IllegalArgumentException(
+                s"DROP COLUMN on graft tables takes top-level columns; " +
+                  s"got ${other.sql}")
+            }
+            GraftDropColumnsCommand(r, names)
+          case None => d
+        }
+      case rc @ RenameColumn(t: UnresolvedTable,
+          UnresolvedFieldName(Seq(from)), to) =>
+        graftTableIdent(t.multipartIdentifier) match {
+          case Some(r) => GraftRenameColumnCommand(r, from, to)
+          case None => rc
+        }
       case m: MergeIntoTable =>
         graftTarget(m.targetTable) match {
           case Some((r, tAlias)) =>
-            (m.matchedActions, m.notMatchedActions,
-                m.notMatchedBySourceActions) match {
-              case (Seq(UpdateStarAction(None)),
-                    Seq(InsertStarAction(None)), Seq()) => ()
-              case _ => throw new IllegalArgumentException(
-                "MERGE INTO graft.`root` supports exactly WHEN MATCHED " +
-                  "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-                  "(the versioned upsert); for row-level conditions use " +
-                  "UPDATE/DELETE statements")
-            }
             val sAlias = m.sourceTable match {
               case SubqueryAlias(id, _) => Some(id.name)
               case u: UnresolvedRelation =>
                 Some(u.multipartIdentifier.last)
               case _ => None
             }
-            GraftMergeCommand(r, m.sourceTable,
-              mergeKeys(m.mergeCondition, tAlias, sAlias),
-              m.withSchemaEvolution)
+            val keys = mergeKeys(m.mergeCondition, tAlias, sAlias)
+            val src = resolveNamedTables(m.sourceTable)
+            (m.matchedActions, m.notMatchedActions,
+                m.notMatchedBySourceActions) match {
+              // canonical upsert keeps its fast pruned path (and is the
+              // only shape WITH SCHEMA EVOLUTION applies to)
+              case (Seq(UpdateStarAction(None)),
+                    Seq(InsertStarAction(None)), Seq()) =>
+                GraftMergeCommand(r, src, keys, m.withSchemaEvolution)
+              case (ma, na, nba) =>
+                require(!m.withSchemaEvolution,
+                  "MERGE WITH SCHEMA EVOLUTION is supported only on the " +
+                    "canonical UPDATE SET * / INSERT * shape")
+                def assigns(as: Seq[Expression]): Seq[(String, Column)] =
+                  as.map {
+                    case Assignment(key: UnresolvedAttribute, value) =>
+                      val target = key.nameParts match {
+                        case Seq(c) => c
+                        case Seq(q, c)
+                            if tAlias.exists(_.equalsIgnoreCase(q)) => c
+                        case _ => throw new IllegalArgumentException(
+                          "MERGE UPDATE SET targets must be bare or " +
+                            "target-alias-qualified top-level columns; " +
+                            s"got: ${key.sql}")
+                      }
+                      target -> ColumnBridge.column(value)
+                    case other => throw new IllegalArgumentException(
+                      s"MERGE UPDATE SET targets must be columns; got: " +
+                        other.sql)
+                  }
+                val matched = ma.map {
+                  case UpdateStarAction(c) =>
+                    (c.map(ColumnBridge.column), Some(Seq.empty[(String,
+                      Column)]))
+                  case UpdateAction(c, as, _) =>
+                    (c.map(ColumnBridge.column), Some(assigns(as)))
+                  case DeleteAction(c) => (c.map(ColumnBridge.column),
+                    None)
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported WHEN MATCHED action: $other")
+                }
+                val insertWhen = na match {
+                  case Seq() => None
+                  case Seq(InsertStarAction(c)) =>
+                    Some(c.map(ColumnBridge.column))
+                  case _ => throw new IllegalArgumentException(
+                    "WHEN NOT MATCHED supports a single INSERT * clause " +
+                      "(explicit INSERT column lists are not supported)")
+                }
+                val bySource = nba.map {
+                  case UpdateAction(c, as, _) =>
+                    (c.map(ColumnBridge.column), Some(assigns(as)))
+                  case DeleteAction(c) => (c.map(ColumnBridge.column),
+                    None)
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported WHEN NOT MATCHED BY SOURCE action: " +
+                      other)
+                }
+                GraftMergeClausesCommand(r, src, keys, matched,
+                  insertWhen, bySource, tAlias, sAlias)
+            }
           case None => m
         }
+    }
+
+  /** Substitute every remaining single-part [[UnresolvedRelation]] whose
+    * name is a registered graft table with the pinned versioned relation
+    * (or the served shape of a materialized view) — `SELECT ... FROM
+    * metrics` works like `FROM graft_table('/its/root')`. Runs AFTER
+    * [[rewriteDml]], so DML targets are already claimed and everything
+    * left is a read position (including subqueries). Spark's own
+    * resolution order is preserved: a CTE, temp view, or session-catalog
+    * table of the same name shadows the graft name. */
+  private[graft] def resolveNamedTables(plan: LogicalPlan): LogicalPlan =
+    SparkSession.getActiveSession match {
+      case None => plan
+      case Some(spark) =>
+        lazy val cteNames = plan.collectWithSubqueries {
+          case w: UnresolvedWith =>
+            w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+        }.flatten.toSet
+        def shadowed(name: String): Boolean =
+          cteNames.contains(name.toLowerCase(java.util.Locale.ROOT)) ||
+            spark.sessionState.catalog.getTempView(name).isDefined ||
+            spark.sessionState.catalog.tableExists(
+              org.apache.spark.sql.catalyst.TableIdentifier(name))
+        plan.transformDownWithSubqueries {
+          // CTE definition bodies are NOT children of UnresolvedWith
+          // (CTESubstitution inlines them during analysis) — recurse
+          // into them explicitly or names inside CTEs stay unresolved
+          case w: UnresolvedWith =>
+            w.copy(cteRelations = w.cteRelations.map { case (n, sq, o) =>
+              (n, resolveNamedTables(sq)
+                .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+                  .SubqueryAlias], o)
+            })
+          case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+            val name = u.multipartIdentifier.head
+            resolveName(name) match {
+              case Some(root) if !shadowed(name) => relationFor(spark, root)
+              case _ => u
+            }
+        }
+    }
+
+  /** The read-position relation a resolved name serves: a materialized
+    * view's SERVED shape (measures, tombstones hidden) when the root
+    * carries an MV spec; the pinned versioned relation otherwise. An
+    * empty root (no committed version yet) with a declared schema serves
+    * a zero-row relation of that schema, like a freshly created catalog
+    * table anywhere. */
+  private def relationFor(spark: SparkSession, root: String): LogicalPlan =
+    if (graft.ops.MatView.isView(spark, root))
+      graft.ops.MatView.read(spark, root).queryExecution.analyzed
+    else if (VersionedTable.currentVersion(spark, root).isEmpty) {
+      val ddl = GraftCatalog.list(spark)
+        .find(_.root == VersionedTable.splitRef(root)._1)
+        .flatMap(_.schemaDdl)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no committed version at $root (and no declared schema to " +
+            "serve an empty relation)"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema).queryExecution.analyzed
+    } else {
+      val rel = VersionedScan.plan(spark, root, None)
+      // unpartitioned CREATEs ride a synthetic __bucket partition (pure
+      // function of the merge keys); named reads hide it — like every
+      // internal __ column — so SELECT * serves the declared shape
+      val visible = rel.output.filterNot(_.name.startsWith("__"))
+      if (visible.length == rel.output.length) rel
+      else org.apache.spark.sql.catalyst.plans.logical.Project(visible, rel)
     }
 }
 
@@ -486,7 +782,11 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     val m = VersionedTable.resolveManifest(spark, root, None)
     val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
     val src = PlanBridge.dataFrame(spark, source)
+    // a synthetic __bucket partition is internal: the source covers the
+    // VISIBLE columns, the bucket is recomputed from the recorded keys
+    val bucketed = m.partCols == Seq(GraftCatalog.BucketCol)
     val tableCols = m.schema.fieldNames.toSeq
+      .filterNot(c => bucketed && c == GraftCatalog.BucketCol)
     val missing = tableCols.filterNot(src.columns.contains)
     require(missing.isEmpty,
       s"MERGE source lacks table columns ${missing.mkString(", ")} — " +
@@ -498,12 +798,20 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
         "INTO to add them")
     // table-order first, new columns appended: the committed schema
     // evolves deterministically instead of inheriting source order
-    val aligned = src.select((tableCols ++ extra).map(src.col): _*)
+    val aligned0 = src.select((tableCols ++ extra).map(src.col): _*)
+    // the bucket must stay the SAME pure function of the recorded keys
+    // (not the ON keys), or a re-written row could land in a different
+    // partition than its original and survive the keyed anti-join
+    val (aligned, allKeys) =
+      if (!bucketed) (aligned0, keys)
+      else (GraftCatalog.withBucket(aligned0,
+        m.keys.filterNot(_ == GraftCatalog.BucketCol)),
+        keys :+ GraftCatalog.BucketCol)
     // upsert returns the EXACT version this merge committed — reading
     // currentVersion afterwards could report a concurrent disjoint
     // writer's later commit instead
-    Seq(Row(VersionedTable.upsert(spark, root, aligned, keys, m.partCols,
-      statsCols = statsCols, bloomCols = bloomCols)))
+    Seq(Row(VersionedTable.upsert(spark, root, aligned, allKeys,
+      m.partCols, statsCols = statsCols, bloomCols = bloomCols)))
   }
 }
 
@@ -746,13 +1054,20 @@ case class GraftMvCreateCommand(viewRoot: String, srcRoot: String,
                                 sums: Seq[(String, String)],
                                 mins: Seq[(String, String)],
                                 maxs: Seq[(String, String)],
-                                countAlias: Option[String])
+                                countAlias: Option[String],
+                                registerName: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.ops.MatView.create(spark, viewRoot, srcRoot, keys,
-      groups, sums, mins, maxs, countAlias)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = graft.ops.MatView.create(spark, viewRoot, srcRoot, keys,
+      groups, sums, mins, maxs, countAlias)
+    // a named CREATE registers the view AFTER the build succeeds, so a
+    // failed build leaves neither a spec nor a dangling name
+    registerName.foreach(n => GraftCatalog.create(spark,
+      GraftCatalog.Entry(n, viewRoot, Nil, Nil, None)))
+    Seq(Row(v))
+  }
 }
 
 /** `REFRESH MATERIALIZED VIEW graft.`/view`` —
@@ -787,5 +1102,331 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
         .map(java.lang.Long.valueOf).orNull
       Row(v, m.op.orNull, new java.sql.Timestamp(ms), rows)
     }
+  }
+}
+
+/** `CREATE TABLE name [(schema)] USING graft [LOCATION '/root']
+  * [PARTITIONED BY (c...)] [TBLPROPERTIES('graft.keys'='k,...')]` —
+  * registers `name` in the [[GraftCatalog]]. Purely a metadata claim:
+  * a root with committed versions re-attaches (the manifest stays
+  * authoritative — declared layout, if any, must agree); an empty or
+  * absent root records the declared schema/partitioning/keys for the
+  * first write. No LOCATION = a managed root beside the catalog dir. */
+case class GraftCreateTableCommand(name: String, location: Option[String],
+                                   schemaDdl: Option[String],
+                                   partCols: Seq[String], keys: Seq[String],
+                                   statsCols: Seq[String],
+                                   bloomCols: Seq[String],
+                                   ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (GraftCatalog.lookup(spark, name).isDefined) {
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"graft table $name already exists (DROP TABLE first, or " +
+          "CREATE TABLE IF NOT EXISTS)")
+      return Seq.empty
+    }
+    val root = location.getOrElse(GraftCatalog.managedRoot(spark, name))
+    VersionedTable.currentVersion(spark, root) match {
+      case Some(v) => // re-attach: the manifest is authoritative
+        val m = VersionedTable.resolveManifestAt(spark, root, v, v)
+        require(partCols.isEmpty || partCols == m.partCols,
+          s"PARTITIONED BY (${partCols.mkString(", ")}) does not match " +
+            s"the existing table's partitioning " +
+            s"(${m.partCols.mkString(", ")}) at $root")
+        require(keys.isEmpty || keys == m.keys,
+          s"declared keys (${keys.mkString(", ")}) do not match the " +
+            s"existing table's merge keys (${m.keys.mkString(", ")}) " +
+            s"at $root")
+      case None =>
+        schemaDdl.foreach { ddl =>
+          val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+            .fieldNames.toSeq
+          val missing = (partCols ++ keys ++ statsCols ++ bloomCols)
+            .filterNot(fields.contains)
+          require(missing.isEmpty,
+            s"declared partition/key/index columns not in the schema: " +
+              missing.mkString(", "))
+        }
+    }
+    GraftCatalog.create(spark,
+      GraftCatalog.Entry(name, root, partCols, keys, schemaDdl,
+        statsCols, bloomCols))
+    Seq.empty
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] name` on a registered graft table —
+  * unregisters the NAME only; data and history stay at the root
+  * (external-table semantics; VACUUM retires versions). */
+case class GraftDropTableCommand(name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = GraftCatalog.drop(spark, name)
+    if (!dropped && !ifExists) throw new NoSuchElementException(
+      s"graft table $name is not registered")
+    Seq.empty
+  }
+}
+
+/** `SHOW GRAFT TABLES` — one row per registered table with its root and
+  * current version (-1 = registered but never written). */
+case class GraftShowTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("root", StringType, nullable = false)(),
+    AttributeReference("partition_cols", StringType, nullable = false)(),
+    AttributeReference("keys", StringType, nullable = false)(),
+    AttributeReference("current_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftCatalog.list(spark).map { e =>
+      val cur = VersionedTable.currentVersion(spark, e.root).getOrElse(-1)
+      Row(e.name, e.root, e.partCols.mkString(", "),
+        e.keys.mkString(", "), cur)
+    }
+}
+
+/** `INSERT INTO t [(cols)] VALUES ... | SELECT ...` on a graft table —
+  * the versioned UPSERT keyed by the table's recorded merge keys (the
+  * declared `graft.keys` for the first write to an empty root). Keyed
+  * warehouse semantics on purpose: a graft table is a keyed entity
+  * (every write path merges — the reference's loader "INSERT" is itself
+  * a MERGE, load_to_snowflake.py:212-231), so a row whose key already
+  * exists REPLACES it instead of duplicating. Columns align by name
+  * when listed (`(c1, c2)` or BY NAME), by position otherwise; every
+  * table column must be covered — graft rows are whole. */
+case class GraftInsertCommand(root: String, userCols: Seq[String],
+                              source: LogicalPlan, byName: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+
+  private def align(df: org.apache.spark.sql.DataFrame,
+                    tableCols: Seq[String],
+                    schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val named =
+      if (userCols.nonEmpty) {
+        require(df.columns.length == userCols.length,
+          s"INSERT column list names ${userCols.length} columns but the " +
+            s"query produces ${df.columns.length}")
+        df.toDF(userCols: _*)
+      } else if (byName) df
+      else {
+        require(df.columns.length == tableCols.length,
+          s"INSERT by position needs all ${tableCols.length} table " +
+            s"columns (${tableCols.mkString(", ")}); the query produces " +
+            s"${df.columns.length}")
+        df.toDF(tableCols: _*)
+      }
+    val missing = tableCols.filterNot(named.columns.contains)
+    require(missing.isEmpty,
+      s"INSERT must cover every table column; missing: " +
+        missing.mkString(", "))
+    named.select(tableCols.map(c =>
+      col(c).cast(schema(c).dataType).as(c)): _*)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = PlanBridge.dataFrame(spark, source)
+    VersionedTable.currentVersion(spark, root) match {
+      case Some(_) =>
+        val m = VersionedTable.resolveManifest(spark, root, None)
+        require(m.keys.nonEmpty,
+          s"table at $root records no merge keys — INSERT needs them")
+        val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
+        // a synthetic __bucket partition (unpartitioned CREATE) is the
+        // engine's concern, never the statement's: align over the
+        // visible columns, recompute the bucket
+        val visible = m.schema.fieldNames.toSeq
+          .filterNot(_ == GraftCatalog.BucketCol)
+        val aligned0 = align(df, visible, m.schema)
+        val aligned =
+          if (visible.length == m.schema.length) aligned0
+          else GraftCatalog.withBucket(aligned0,
+            m.keys.filterNot(_ == GraftCatalog.BucketCol))
+        Seq(Row(VersionedTable.upsert(spark, root, aligned, m.keys,
+          m.partCols, statsCols = statsCols, bloomCols = bloomCols)))
+      case None => // first write to an empty declared table
+        val entry = GraftCatalog.list(spark)
+          .find(_.root == VersionedTable.splitRef(root)._1)
+          .getOrElse(throw new java.io.FileNotFoundException(
+            s"no committed version at $root and no catalog entry " +
+              "declaring its layout"))
+        require(entry.keys.nonEmpty,
+          s"graft table ${entry.name} declares no keys — CREATE TABLE " +
+            "with TBLPROPERTIES('graft.keys'='k1,k2') to INSERT into an " +
+            "empty table")
+        val schema = entry.schemaDdl
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse(df.schema)
+        val aligned0 = align(df, schema.fieldNames.toSeq, schema)
+        // no PARTITIONED BY: partition on a synthetic key-hash bucket
+        // (pure function of the merge keys, so partCols-within-keys
+        // holds and every re-write of a key lands in its own partition)
+        val (aligned, keys, partCols) =
+          if (entry.partCols.nonEmpty) (aligned0, entry.keys,
+            entry.partCols)
+          else (GraftCatalog.withBucket(aligned0, entry.keys),
+            entry.keys :+ GraftCatalog.BucketCol,
+            Seq(GraftCatalog.BucketCol))
+        Seq(Row(VersionedTable.upsert(spark, root, aligned, keys,
+          partCols, statsCols = entry.statsCols,
+          bloomCols = entry.bloomCols)))
+    }
+  }
+}
+
+/** `DESCRIBE [TABLE] t` on a graft table — the committed schema (or the
+  * declared schema of a never-written table) plus the partition section,
+  * in Spark's own DESCRIBE shape. */
+case class GraftDescribeTableCommand(root: String, isExtended: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (schema, partCols) =
+      VersionedTable.currentVersion(spark, root) match {
+        case Some(v) =>
+          val m = VersionedTable.resolveManifestAt(spark, root, v, v)
+          (m.schema, m.partCols)
+        case None =>
+          val e = GraftCatalog.list(spark)
+            .find(_.root == VersionedTable.splitRef(root)._1)
+            .getOrElse(throw new java.io.FileNotFoundException(
+              s"no committed version at $root"))
+          (e.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+            .getOrElse(throw new java.io.FileNotFoundException(
+              s"graft table ${e.name} has no data and no declared schema")),
+            e.partCols)
+      }
+    val cols = schema.fields.toSeq.filterNot(_.name.startsWith("__"))
+      .map(f => Row(f.name, f.dataType.simpleString, null))
+    val visParts = partCols.filterNot(_.startsWith("__"))
+    if (visParts.isEmpty) cols
+    else cols ++ Seq(
+      Row("# Partition Information", "", null),
+      Row("# col_name", "data_type", "comment")) ++
+      visParts.map(c =>
+        Row(c, schema(c).dataType.simpleString, null))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN[S] c type, ...` —
+  * [[VersionedTable.addColumn]] per column: metadata-only commits; old
+  * generations null-fill through the evolution read path. */
+case class GraftAddColumnsCommand(root: String,
+                                  cols: Seq[(String,
+                                    org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(cols.map { case (n, dt) =>
+      VersionedTable.addColumn(spark, root, n, dt) }.last))
+}
+
+/** `ALTER TABLE t DROP COLUMN[S] c, ...` —
+  * [[VersionedTable.dropColumn]]: metadata-only; the bytes stay until
+  * the next rewrite of each generation. */
+case class GraftDropColumnsCommand(root: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(cols.map(VersionedTable.dropColumn(spark, root, _)).last))
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` —
+  * [[VersionedTable.renameColumn]]: metadata-only commit carrying
+  * stats/bloom coverage, constraints, and derived-partition
+  * registrations to the new name; earlier versions stay readable under
+  * the names they recorded. */
+case class GraftRenameColumnCommand(root: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.renameColumn(spark, root, from, to)))
+}
+
+/** The general MERGE clause matrix on a graft table —
+  * [[VersionedTable.mergeClauses]]: matched DELETE / conditional
+  * matched clauses / NOT MATCHED BY SOURCE, one staged commit.
+  * Clause conditions and SET right-hand sides arrive UNRESOLVED; at run
+  * time target references go bare and source references are rewritten
+  * onto the engine's `__s_`-prefixed source columns — resolution needs
+  * both schemas, so it cannot happen at parse. */
+case class GraftMergeClausesCommand(
+    root: String, source: LogicalPlan, keys: Seq[String],
+    matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+    insertWhen: Option[Option[Column]],
+    bySource: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+    tAlias: Option[String], sAlias: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = PlanBridge.dataFrame(spark, source)
+    val sCols = src.columns.toSeq
+    val m = VersionedTable.resolveManifest(spark, root, None)
+    val tCols = m.schema.fieldNames.toSeq
+    def srcName(n: String): Option[String] =
+      sCols.find(_.equalsIgnoreCase(n))
+    // qualifier resolution onto the joined frame's namespace: target
+    // columns bare, source columns __s_-prefixed; an unqualified name
+    // living in BOTH schemas is ambiguous and refuses
+    def rewrite(c: Column, allowSource: Boolean): Column =
+      ColumnBridge.column(ColumnBridge.expression(c).transform {
+        case a: UnresolvedAttribute =>
+          def asSource(n: String): UnresolvedAttribute = {
+            if (!allowSource) throw new IllegalArgumentException(
+              "WHEN NOT MATCHED BY SOURCE clauses cannot reference the " +
+                s"source (no source row matched): ${a.sql}")
+            UnresolvedAttribute(Seq("__s_" + srcName(n).getOrElse(
+              throw new IllegalArgumentException(
+                s"MERGE source has no column $n"))))
+          }
+          a.nameParts match {
+            case Seq(q, n) if tAlias.exists(_.equalsIgnoreCase(q)) =>
+              UnresolvedAttribute(Seq(n))
+            case Seq(q, n) if sAlias.exists(_.equalsIgnoreCase(q)) =>
+              asSource(n)
+            case Seq(n) =>
+              val inT = tCols.exists(_.equalsIgnoreCase(n))
+              val inS = srcName(n).isDefined
+              if (inT && inS && allowSource)
+                throw new IllegalArgumentException(
+                  s"MERGE reference $n is ambiguous (in both target and " +
+                    "source) — qualify it with the table alias")
+              else if (inS && !inT) asSource(n)
+              else a
+            case _ => throw new IllegalArgumentException(
+              s"unsupported MERGE reference: ${a.sql}")
+          }
+      })
+    def clause(raw: (Option[Column], Option[Seq[(String, Column)]]),
+               allowSource: Boolean): VersionedTable.MergeClause =
+      VersionedTable.MergeClause(
+        raw._1.map(rewrite(_, allowSource)),
+        raw._2.map { sets =>
+          sets.foreach { case (n, _) =>
+            require(tCols.exists(_.equalsIgnoreCase(n)),
+              s"MERGE UPDATE SET targets unknown column $n")
+            require(!m.partCols.exists(_.equalsIgnoreCase(n)),
+              s"MERGE UPDATE SET cannot change partition column $n")
+          }
+          sets.map { case (n, v) => n -> rewrite(v, allowSource) }.toMap
+        })
+    Seq(Row(VersionedTable.mergeClauses(spark, root, src, keys,
+      matched.map(clause(_, allowSource = true)),
+      insertWhen.map(_.map(rewrite(_, allowSource = true))),
+      bySource.map(clause(_, allowSource = false)))))
   }
 }

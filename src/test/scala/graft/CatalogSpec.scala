@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.VersionedTable
+import graft.plans.GraftCatalog
+
+/** Named-table catalog (GraftCatalog + parser name resolution): the full
+  * SQL lifecycle with zero path literals after CREATE, re-attach over
+  * existing roots, Spark-compatible shadowing order, and named branches /
+  * materialized views / column DDL. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_cat_$tag").toString
+
+  test("full named lifecycle: CREATE, INSERT, MERGE, SELECT, DML, " +
+      "maintenance, DROP — zero path literals after CREATE") {
+    val path = tmp("life") + "/events"
+    spark.sql(
+      s"""CREATE TABLE cat_events (id INT, grp STRING, v INT, w BIGINT)
+         |USING graft LOCATION '$path' PARTITIONED BY (grp)
+         |TBLPROPERTIES('graft.keys'='id,grp')""".stripMargin)
+    // a declared-but-empty table serves a zero-row relation of its schema
+    val empty = spark.sql("SELECT * FROM cat_events")
+    assert(empty.columns.toSeq == Seq("id", "grp", "v", "w"))
+    assert(empty.count() == 0)
+    // INSERT VALUES (positional), then a reordered explicit column list
+    spark.sql(
+      "INSERT INTO cat_events VALUES (1,'g0',5,10), (2,'g1',6,20)")
+    spark.sql(
+      "INSERT INTO cat_events (w, id, grp, v) SELECT 30L, 3, 'g0', 7")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events")
+      .first.getLong(0) == 3)
+    // keyed warehouse semantics: same key replaces, never duplicates
+    spark.sql("INSERT INTO cat_events VALUES (1,'g0',50,100)")
+    val afterUpsert = spark.sql(
+      "SELECT v FROM cat_events WHERE id = 1").collect()
+    assert(afterUpsert.map(_.getInt(0)).toSeq == Seq(50))
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events")
+      .first.getLong(0) == 3)
+    // MERGE by bare name, named temp-view source
+    Seq((2, "g1", 60, 200L), (4, "g2", 8, 40L))
+      .toDF("id", "grp", "v", "w").createOrReplaceTempView("cat_src")
+    spark.sql(
+      """MERGE INTO cat_events t USING cat_src s
+        |ON t.id = s.id AND t.grp = s.grp
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT sum(v) AS s FROM cat_events")
+      .first.getLong(0) == (50 + 60 + 7 + 8))
+    // UPDATE / DELETE by name
+    spark.sql("UPDATE cat_events SET w = w + 1 WHERE grp = 'g2'")
+    spark.sql("DELETE FROM cat_events WHERE id = 3")
+    assert(spark.sql("SELECT w FROM cat_events WHERE id = 4")
+      .first.getLong(0) == 41L)
+    // name works inside joins/subqueries/CTEs too
+    val joined = spark.sql(
+      """WITH big AS (SELECT id FROM cat_events WHERE v >= 50)
+        |SELECT count(*) AS n FROM cat_events e
+        |JOIN big ON e.id = big.id""".stripMargin)
+    assert(joined.first.getLong(0) == 2)
+    // maintenance + history by name
+    assert(spark.sql("OPTIMIZE cat_events").first.getInt(0) > 0)
+    spark.sql("ALTER TABLE cat_events SET TBLPROPERTIES" +
+      "('graft.retain.versions'='2')")
+    assert(spark.sql("SHOW TBLPROPERTIES cat_events").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .get("graft.retain.versions").contains("2"))
+    assert(spark.sql("DESCRIBE HISTORY cat_events").count() >= 5)
+    assert(spark.sql("DESCRIBE DETAIL cat_events")
+      .first.getAs[String]("merge_keys") == "id, grp")
+    spark.sql("VACUUM cat_events")
+    // DESCRIBE t: schema + partition section
+    val desc = spark.sql("DESCRIBE cat_events").collect()
+      .map(_.getString(0)).toSeq
+    assert(desc.take(4) == Seq("id", "grp", "v", "w"))
+    assert(desc.contains("# Partition Information") && desc.last == "grp")
+    // SHOW GRAFT TABLES lists it with its root
+    val listed = spark.sql("SHOW GRAFT TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(listed.exists { case (n, r) => n == "cat_events" && r == path })
+    // time travel by name through graft_table? names resolve in FROM,
+    // versions via the TVF on the recorded root — the catalog's job is
+    // the mapping, snapshots stay on the TVF
+    // DROP unregisters the NAME; data and history survive at the path
+    spark.sql("DROP TABLE cat_events")
+    intercept[Exception](spark.sql("SELECT * FROM cat_events").collect())
+    assert(VersionedTable.read(spark, path).count() == 3)
+    // re-CREATE over the existing root re-attaches (manifest wins; no
+    // schema needed); a mismatching declared layout refuses
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE cat_events USING graft LOCATION '$path' " +
+        "PARTITIONED BY (v)")
+    }
+    spark.sql(s"CREATE TABLE cat_events USING graft LOCATION '$path'")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events")
+      .first.getLong(0) == 3)
+    spark.sql("DROP TABLE cat_events")
+  }
+
+  test("CREATE TABLE: IF NOT EXISTS no-op, duplicate refuses, managed " +
+      "location, declared-layout validation") {
+    spark.sql("CREATE TABLE cat_managed (id INT, v INT) USING graft " +
+      "TBLPROPERTIES('graft.keys'='id')")
+    val entry = GraftCatalog.lookup(spark, "cat_managed").get
+    assert(entry.root.contains("graft_tables/cat_managed"))
+    spark.sql("INSERT INTO cat_managed VALUES (1, 2)")
+    assert(spark.sql("SELECT v FROM cat_managed").first.getInt(0) == 2)
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE cat_managed (id INT) USING graft")
+    }
+    spark.sql("CREATE TABLE IF NOT EXISTS cat_managed (id INT) USING graft")
+    // declared key/partition columns must exist in the declared schema
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE cat_badcols (id INT) USING graft " +
+        "PARTITIONED BY (nope)")
+    }
+    // non-graft properties refuse loudly at CREATE
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE cat_badprop (id INT) USING graft " +
+        "TBLPROPERTIES('retention'='7')")
+    }
+    assert(e.getMessage.contains("graft.keys"))
+    spark.sql("DROP TABLE cat_managed")
+    // DROP of an unregistered name falls through to Spark
+    spark.sql("DROP TABLE IF EXISTS cat_managed") // no-op, no error
+    intercept[Exception](spark.sql("DROP TABLE cat_never_existed"))
+  }
+
+  test("shadowing: CTE, temp view, and Spark tables win over graft names") {
+    val path = tmp("shadow") + "/t"
+    spark.sql(s"CREATE TABLE cat_shadow (id INT, g STRING) USING graft " +
+      s"LOCATION '$path' TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_shadow VALUES (1, 'real')")
+    // CTE of the same name shadows the catalog table
+    assert(spark.sql(
+      "WITH cat_shadow AS (SELECT 'cte' AS g) SELECT g FROM cat_shadow")
+      .first.getString(0) == "cte")
+    // temp view shadows it
+    Seq("view").toDF("g").createOrReplaceTempView("cat_shadow")
+    assert(spark.sql("SELECT g FROM cat_shadow").first.getString(0)
+      == "view")
+    spark.catalog.dropTempView("cat_shadow")
+    assert(spark.sql("SELECT g FROM cat_shadow").first.getString(0)
+      == "real")
+    spark.sql("DROP TABLE cat_shadow")
+  }
+
+  test("named branches: create, write via the @branch ref, fast forward") {
+    val path = tmp("branch") + "/t"
+    spark.sql(s"CREATE TABLE cat_br (id INT, g STRING, v INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO cat_br VALUES (1,'g0',10), (2,'g1',20)")
+    spark.sql("ALTER TABLE cat_br CREATE BRANCH dev")
+    spark.sql("INSERT INTO `cat_br@dev` VALUES (3,'g0',30)")
+    // main unchanged; branch sees the write; SELECT works on both refs
+    assert(spark.sql("SELECT count(*) AS n FROM cat_br")
+      .first.getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) AS n FROM `cat_br@dev`")
+      .first.getLong(0) == 3)
+    assert(spark.sql("SHOW BRANCHES IN cat_br").collect()
+      .map(_.getString(0)).toSeq == Seq("dev"))
+    spark.sql("ALTER TABLE cat_br FAST FORWARD BRANCH dev")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_br")
+      .first.getLong(0) == 3)
+    spark.sql("ALTER TABLE cat_br DROP BRANCH dev")
+    spark.sql("DROP TABLE cat_br")
+  }
+
+  test("named materialized view over a named source table") {
+    val path = tmp("mv") + "/src"
+    spark.sql(s"CREATE TABLE cat_mv_src (id INT, g STRING, x BIGINT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO cat_mv_src VALUES " +
+      "(1,'a',10), (2,'a',20), (3,'b',5)")
+    // CREATE MV by a NEW name: auto-registers against a managed root
+    spark.sql(
+      """CREATE MATERIALIZED VIEW cat_mv_agg KEYED BY (id, g) AS
+        |SELECT g, sum(x) AS x_sum, count(*) AS n
+        |FROM cat_mv_src GROUP BY g""".stripMargin)
+    // the NAME serves the VIEW shape (measures, no internals)
+    val served = spark.sql(
+      "SELECT g, x_sum, n FROM cat_mv_agg ORDER BY g").collect()
+    assert(served.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 30L, 2L), ("b", 5L, 1L)))
+    // incremental refresh by name after a source change
+    spark.sql("INSERT INTO cat_mv_src VALUES (4,'b',7)")
+    spark.sql("REFRESH MATERIALIZED VIEW cat_mv_agg")
+    assert(spark.sql("SELECT x_sum FROM cat_mv_agg WHERE g = 'b'")
+      .first.getLong(0) == 12L)
+    spark.sql("DROP TABLE cat_mv_agg")
+    spark.sql("DROP TABLE cat_mv_src")
+  }
+
+  test("column DDL by name: ADD, RENAME (data + pruning survive), DROP") {
+    val path = tmp("ddl") + "/t"
+    spark.sql(s"CREATE TABLE cat_ddl (id INT, g STRING, v INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO cat_ddl VALUES (1,'g0',5), (2,'g1',6)")
+    spark.sql("ALTER TABLE cat_ddl ADD COLUMN w BIGINT")
+    assert(spark.sql("SELECT w FROM cat_ddl WHERE id = 1").first.isNullAt(0))
+    spark.sql("ALTER TABLE cat_ddl RENAME COLUMN v TO score")
+    // old-generation data surfaces under the new name, by name in SQL
+    assert(spark.sql("SELECT sum(score) AS s FROM cat_ddl")
+      .first.getLong(0) == 11L)
+    spark.sql("INSERT INTO cat_ddl VALUES (3,'g0',50,9)")
+    assert(spark.sql("SELECT sum(score) AS s FROM cat_ddl")
+      .first.getLong(0) == 61L)
+    spark.sql("ALTER TABLE cat_ddl DROP COLUMN w")
+    assert(!spark.sql("SELECT * FROM cat_ddl").columns.contains("w"))
+    // unsupported shapes refuse loudly instead of guessing
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE cat_ddl ADD COLUMN q INT NOT NULL")
+    }
+    spark.sql("DROP TABLE cat_ddl")
+  }
+}

@@ -2405,6 +2405,78 @@ class OpsSpec extends SparkSpec {
       .filter($"score" === 9L).count() == 1)
   }
 
+  test("VersionedTable.renameColumn: metadata-only, index/constraint " +
+      "continuity, time travel, physical-name guards") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ren")
+      .toString + "/table"
+    val keys = Seq("id", "day")
+    val rows = (0 until 200).map(i => (i, s"d${i % 4}", i % 50, i.toLong))
+    VersionedTable.upsert(spark, root, rows.toDF("id", "day", "v", "w"),
+      keys, Seq("day"), statsCols = Seq("v"), bloomCols = Seq("w"),
+      fileRows = Some(10))
+    VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")
+    VersionedTable.renameColumn(spark, root, "v", "score") // -> v1... v2
+    // data surfaces under the new name, values intact, no rewrite
+    val renamed = VersionedTable.read(spark, root)
+    assert(renamed.columns.toSeq == Seq("id", "day", "score", "w"))
+    assert(renamed.select($"id", $"score").as[(Int, Int)].collect().toMap
+      == rows.map(r => r._1 -> r._3).toMap)
+    // stats continuity: the renamed column still prunes files
+    val (k1, t1) = VersionedTable.skipStats(spark, root, "score", 0, 5)
+    assert(k1 < t1, s"renamed-column stats stopped pruning: $k1/$t1")
+    // the prior version still reads under the name IT recorded
+    val vRen = VersionedTable.currentVersion(spark, root).get
+    val old = VersionedTable.read(spark, root, Some(vRen - 1))
+    assert(old.columns.contains("v") && !old.columns.contains("score"))
+    // writes AFTER the rename use the logical name; reads mix old and
+    // new generations correctly (both store the frozen physical name)
+    VersionedTable.upsert(spark, root,
+      Seq((1000, "d0", 7, 99L), (0, "d0", 49, 0L))
+        .toDF("id", "day", "score", "w"), keys, Seq("day"))
+    val mixed = VersionedTable.read(spark, root)
+      .select($"id", $"score").as[(Int, Int)].collect().toMap
+    assert(mixed(1000) == 7 && mixed(0) == 49 && mixed(1) == 1)
+    assert(mixed.size == 201)
+    // bloom continuity on the untouched column
+    assert(VersionedTable.readWhereEq(spark, root, "w", 150L)
+      .count() == 1)
+    // the CHECK constraint carried to the new name and still gates
+    val e = intercept[Exception] {
+      VersionedTable.upsert(spark, root,
+        Seq((2000, "d0", -5, 1L)).toDF("id", "day", "score", "w"),
+        keys, Seq("day"))
+    }
+    assert(e.getMessage.contains("v_nonneg"))
+    // guards: partition column, existing name, frozen physical name
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "day", "dt")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "w", "score")
+    }
+    intercept[IllegalArgumentException] { // physical name of score is v
+      VersionedTable.addColumn(spark, root, "v",
+        org.apache.spark.sql.types.LongType)
+    }
+    // rename back to the physical name ends the mapping cleanly
+    VersionedTable.renameColumn(spark, root, "score", "v")
+    assert(VersionedTable.read(spark, root).columns.contains("v"))
+    VersionedTable.renameColumn(spark, root, "v", "score")
+    // OPTIMIZE materializes the rename: files now store the logical
+    // name, and a column named after the old physical name is legal
+    VersionedTable.compact(spark, root, statsCols = Seq("score"),
+      fileRows = Some(10))
+    val (k2, t2) = VersionedTable.skipStats(spark, root, "score", 0, 5)
+    assert(k2 < t2, s"stats stopped pruning after OPTIMIZE: $k2/$t2")
+    VersionedTable.addColumn(spark, root, "v",
+      org.apache.spark.sql.types.LongType) // no longer collides
+    assert(VersionedTable.read(spark, root)
+      .select($"id", $"score").as[(Int, Int)].collect().toMap == mixed)
+    // full history still resolves: v0 under its own schema
+    assert(VersionedTable.read(spark, root, Some(0))
+      .columns.toSeq == Seq("id", "day", "v", "w"))
+  }
+
   test("VersionedTable.compact zOrderCols: multi-dim skipping survives OPTIMIZE") {
     val root = java.nio.file.Files.createTempDirectory("graft_zcompact")
       .toString + "/table"

@@ -111,14 +111,16 @@ class SqlDmlSpec extends SparkSpec {
     // prunes on v
     val (kept, total) = VersionedTable.skipStats(spark, root, "v", 0, 5)
     assert(kept < total, s"stats lost through SQL MERGE: $kept/$total")
-    // non-upsert MERGE shapes refuse loudly
+    // the clause matrix still guards the partitioned-merge contract:
+    // ON keys that do not cover the partition columns refuse loudly (a
+    // match could otherwise live outside the pruned partitions)
     val bad = intercept[IllegalArgumentException] {
       spark.sql(
         s"""MERGE INTO graft.`$root` t USING sql_merge_src s
            |ON t.id = s.id
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(bad.getMessage.contains("UPDATE SET *"))
+    assert(bad.getMessage.contains("partition column"))
   }
 
   test("SQL MERGE WITH SCHEMA EVOLUTION admits new source columns") {
@@ -277,6 +279,105 @@ class SqlDmlSpec extends SparkSpec {
          |ON t.id = id AND t.grp = s.grp
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+  }
+
+  test("SQL MERGE clause matrix: conditional matched UPDATE/DELETE, " +
+      "NOT MATCHED BY SOURCE, first-match-wins, one commit") {
+    val (root, rows) = freshTable("matrix")
+    val srcRows = (50 to 149).map(i => (i, s"g${i / 100}", i, 7L)) ++
+      Seq((1000, "g0", 1, 2L), (1001, "g0", 1, 2L))
+    srcRows.toDF("id", "grp", "v", "w")
+      .createOrReplaceTempView("sql_matrix_src")
+    val before = VersionedTable.currentVersion(spark, root).get
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$root` t USING sql_matrix_src s
+         |ON t.id = s.id AND t.grp = s.grp
+         |WHEN MATCHED AND s.v > 100 THEN DELETE
+         |WHEN MATCHED AND t.w < 700 THEN UPDATE SET w = t.w + s.w,
+         |  v = s.v
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND v < 5 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND w > 3900 THEN UPDATE SET v = -1
+         |""".stripMargin)
+    // ONE commit for the whole matrix
+    assert(res.collect().map(_.getInt(0)).toSeq == Seq(before + 1))
+    val srcByKey = srcRows.map(r => (r._1, r._2) -> r).toMap
+    val expected = (rows.flatMap { case r @ (id, grp, v, w) =>
+      srcByKey.get((id, grp)) match {
+        case Some(sr) =>
+          if (sr._3 > 100) None // matched DELETE
+          else if (w < 700) Some((id, grp, sr._3, w + sr._4))
+          else Some(sr) // SET *
+        case None =>
+          if (v < 5) None // by-source DELETE
+          else if (w > 3900) Some((id, grp, -1, w))
+          else Some(r)
+      }
+    } ++ Seq((1000, "g0", 1, 2L), (1001, "g0", 1, 2L))).toSet
+    assert(VersionedTable.read(spark, root)
+      .as[(Int, String, Int, Long)].collect().toSet == expected)
+
+    // refusals stay loud
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` t
+           |USING sql_matrix_src s ON t.id = s.id AND t.grp = s.grp
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("canonical"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING sql_matrix_src s
+           |ON t.id = s.id AND t.grp = s.grp
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("INSERT *"))
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING sql_matrix_src s
+           |ON t.id = s.id AND t.grp = s.grp
+           |WHEN MATCHED THEN UPDATE SET grp = 'g9'""".stripMargin)
+    }
+    assert(e3.getMessage.contains("partition column"))
+    // a BY SOURCE clause referencing the source refuses
+    val e4 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING sql_matrix_src s
+           |ON t.id = s.id AND t.grp = s.grp
+           |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin)
+    }
+    assert(e4.getMessage.contains("BY SOURCE"))
+  }
+
+  test("SQL MERGE matrix: matched-only prunes; insert-only on no-match " +
+      "partitions still lands") {
+    val (root, rows) = freshTable("matrix2")
+    // source confined to g1: only that partition may rewrite
+    Seq((101, "g1", 999, 1L)).toDF("id", "grp", "v", "w")
+      .createOrReplaceTempView("sql_matrix2_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING sql_matrix2_src s
+         |ON t.id = s.id AND t.grp = s.grp
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(genOf(root, "grp=g0") == "gen0")
+    assert(genOf(root, "grp=g2") == "gen0")
+    assert(genOf(root, "grp=g3") == "gen0")
+    assert(genOf(root, "grp=g1") != "gen0")
+    assert(VersionedTable.read(spark, root)
+      .filter($"id" === 101).select($"v").head.getInt(0) == 999)
+    // source in a BRAND-NEW partition with only an INSERT clause
+    Seq((9000, "g7", 1, 1L)).toDF("id", "grp", "v", "w")
+      .createOrReplaceTempView("sql_matrix2_new")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING sql_matrix2_new s
+         |ON t.id = s.id AND t.grp = s.grp
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(VersionedTable.read(spark, root).filter($"grp" === "g7")
+      .count() == 1)
+    assert(VersionedTable.read(spark, root).count() == rows.size + 1)
   }
 
   test("SQL derived partitions and materialized views") {
