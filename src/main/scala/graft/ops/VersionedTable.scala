@@ -4180,8 +4180,9 @@ object VersionedTable {
   /** One clause of a general MERGE: `cond` (None = unconditional) and
     * the action — `set` None = DELETE, `set` Some(empty) = UPDATE SET *
     * (matched clauses only), `set` Some(map) = UPDATE SET col = expr.
-    * Matched-clause Columns may reference target columns bare and
-    * source columns as `__s_<name>`; by-source clauses target-only. */
+    * Matched-clause (and insert-condition) Columns may reference target
+    * columns bare and source columns as `__s_<name>`; by-source clauses
+    * target-only. */
   case class MergeClause(cond: Option[org.apache.spark.sql.Column],
                          set: Option[Map[String, org.apache.spark.sql.Column]])
 
@@ -4236,8 +4237,23 @@ object VersionedTable {
     keys.foreach(k => require(source.columns.contains(k),
       s"MERGE source lacks ON key column $k"))
     val tableCols = m.schema.fieldNames.toSeq
+    // SET targets resolve case-insensitively (Spark's default) onto the
+    // MANIFEST-case name, and an unknown target is loud — a silently
+    // missed lookup would commit the merge with the update dropped
+    def rekeyed(cl: MergeClause): MergeClause = cl.copy(set =
+      cl.set.map(_.map { case (n, v) =>
+        val nn = tableCols.find(_.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE UPDATE SET targets unknown column $n"))
+        require(!m.partCols.contains(nn),
+          s"MERGE UPDATE SET cannot change partition column $nn — the " +
+            "row would leave its directory without moving")
+        nn -> v
+      }))
+    val matchedN = matched.map(rekeyed)
+    val bySourceN = bySource.map(rekeyed)
     val needsStar = insertWhen.isDefined ||
-      matched.exists(_.set.exists(_.isEmpty))
+      matchedN.exists(_.set.exists(_.isEmpty))
     if (needsStar) {
       val missing = tableCols.filterNot(source.columns.contains)
       require(missing.isEmpty,
@@ -4256,6 +4272,16 @@ object VersionedTable {
       }
     val srcPrefixed = source.select(source.columns.toSeq.map(c =>
       col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
+    // the source's value for table column c, or typed NULL when the
+    // source lacks it: a non-star MERGE only needs the columns its
+    // clauses touch, so `__s_<c>` must not be referenced unconditionally
+    // (the needsStar guard above enforces full coverage where SET * /
+    // INSERT * genuinely require it, and only those paths read the NULL)
+    def srcCol(c: String): org.apache.spark.sql.Column =
+      source.columns.find(_.equalsIgnoreCase(c)) match {
+        case Some(s) => col(s"__s_$s")
+        case None => lit(null).cast(m.schema(c).dataType)
+      }
     def clauseIdx(clauses: Seq[MergeClause])
         : org.apache.spark.sql.Column =
       clauses.zipWithIndex.foldRight(
@@ -4269,8 +4295,8 @@ object VersionedTable {
       val isMatched = col("__t_present").isNotNull &&
         col("__s_present").isNotNull
       val sOnly = col("__t_present").isNull
-      val mAct = clauseIdx(matched)
-      val bAct = clauseIdx(bySource)
+      val mAct = clauseIdx(matchedN)
+      val bAct = clauseIdx(bySourceN)
       // survival: a row dies on a DELETE clause win (or an uninserted
       // source-only row)
       def deletes(clauses: Seq[MergeClause],
@@ -4280,12 +4306,12 @@ object VersionedTable {
           .map { case (_, i) => act === i }
           .reduceOption(_ || _).getOrElse(lit(false))
       val keep =
-        when(isMatched, !deletes(matched, mAct))
+        when(isMatched, !deletes(matchedN, mAct))
           .when(sOnly, insertWhen match {
             case None => lit(false)
             case Some(c) => c.getOrElse(lit(true))
           })
-          .otherwise(!deletes(bySource, bAct))
+          .otherwise(!deletes(bySourceN, bAct))
       def value(c: String): org.apache.spark.sql.Column = {
         def updated(clauses: Seq[MergeClause],
                     act: org.apache.spark.sql.Column,
@@ -4294,27 +4320,30 @@ object VersionedTable {
           clauses.zipWithIndex.foldRight(base) { case ((cl, i), acc) =>
             cl.set match {
               case Some(sets) if sets.isEmpty => // UPDATE SET *
-                when(act === i, col(s"__s_$c")).otherwise(acc)
+                when(act === i, srcCol(c)).otherwise(acc)
               case Some(sets) =>
                 when(act === i, sets.getOrElse(c, col(c))).otherwise(acc)
               case None => acc // DELETE: row never reaches value()
             }
           }
-        when(sOnly, col(s"__s_$c"))
-          .when(isMatched, updated(matched, mAct, col(c)))
-          .otherwise(updated(bySource, bAct, col(c)))
+        when(sOnly, srcCol(c))
+          .when(isMatched, updated(matchedN, mAct, col(c)))
+          .otherwise(updated(bySourceN, bAct, col(c)))
       }
       j.filter(keep).select(tableCols.map(c =>
         value(c).cast(m.schema(c).dataType).as(c)): _*)
     }
     if (touched.isEmpty) {
-      // no live partition can match: only the INSERT leg applies
+      // no live partition can match: only the INSERT leg applies. The
+      // condition references source columns as `__s_<name>` (the same
+      // namespace applyClauses resolves it in), so filter the PREFIXED
+      // frame — filtering the raw source would leave it unresolved.
       insertWhen match {
         case None => cur
         case Some(cond) =>
-          val rows = cond.fold(source)(source.filter)
+          val rows = cond.fold(srcPrefixed)(srcPrefixed.filter)
             .select(tableCols.map(c =>
-              col(c).cast(m.schema(c).dataType).as(c)): _*)
+              srcCol(c).cast(m.schema(c).dataType).as(c)): _*)
           if (rows.isEmpty) cur
           else upsert(spark, root, rows, keys, m.partCols,
             statsCols = coveredIndexCols(m)._1,

@@ -140,8 +140,11 @@ object GraftCatalog {
   }
 
   /** Register `name` → entry. Atomic claim: two racing CREATEs see one
-    * winner and one "already exists". */
-  def create(spark: SparkSession, entry: Entry): Unit = {
+    * winner and one "already exists" — or, with `ifNotExists`, one
+    * silent no-op (IF NOT EXISTS must hold exactly when the race it
+    * exists for is lost, not only when the pre-check caught it). */
+  def create(spark: SparkSession, entry: Entry,
+             ifNotExists: Boolean = false): Unit = {
     require(NameRe.matches(entry.name),
       s"illegal graft table name: ${entry.name} (SQL identifier required)")
     val p = entryPath(spark, entry.name)
@@ -149,6 +152,7 @@ object GraftCatalog {
     val out =
       try VersionedTable.createExclusive(fs, p)
       catch { case e: java.io.IOException =>
+        if (ifNotExists) return
         throw new IllegalArgumentException(
           s"graft table ${entry.name} already exists " +
             "(DROP TABLE first, or CREATE TABLE IF NOT EXISTS)", e)

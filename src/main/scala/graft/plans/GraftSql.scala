@@ -166,26 +166,57 @@ object GraftSqlParser {
   private def resolveName(ref: String): Option[String] =
     SparkSession.getActiveSession.flatMap(GraftCatalog.resolve(_, ref))
 
+  /** A temp view or session-catalog table of the same name shadows a
+    * registered graft name — Spark's own resolution order, which the
+    * READ path ([[resolveNamedTables]]) already honors. The write/DDL
+    * paths must agree: a shadowed name passes through to Spark (or
+    * errors loudly), never silently targeting a graft table the user's
+    * own SELECT would not show. In-memory checks only. */
+  private def sessionShadowed(name: String): Boolean =
+    SparkSession.getActiveSession.exists { spark =>
+      val cat = spark.sessionState.catalog
+      cat.getTempView(name).isDefined ||
+        cat.tableExists(TableIdentifier(name))
+    }
+
+  /** [[resolveName]] minus shadowed names — the resolution every DML /
+    * DDL claim uses, so reads and writes always address the SAME table.
+    * Shadow checks run first: they are in-memory, the catalog probe is
+    * filesystem I/O. */
+  private def resolveUnshadowed(ref: String): Option[String] =
+    if (sessionShadowed(ref)) None else resolveName(ref)
+
   /** Resolve a [[Target]] match to a root path; a bare name that is not
     * registered is a LOUD error (used by graft-only statements, where
-    * delegating the text would only yield a Spark syntax error). */
+    * delegating the text would only yield a Spark syntax error) — and so
+    * is a registered name shadowed by a temp view / catalog table, since
+    * these statements cannot fall through to Spark meaningfully. */
   private def refLoud(g1: String, g2: String, g3: String,
                       g4: String): String =
     Option(g1).orElse(Option(g2)).getOrElse {
       val n = Option(g3).getOrElse(g4)
-      resolveName(n).getOrElse(throw new IllegalArgumentException(
-        s"'$n' is not a registered graft table — CREATE TABLE $n USING " +
-          "graft LOCATION '<path>' first, or address it by path: " +
-          "graft.`/path`"))
+      resolveName(n) match {
+        case Some(r) =>
+          if (sessionShadowed(n)) throw new IllegalArgumentException(
+            s"'$n' is a registered graft table but a temp view or " +
+              "session-catalog table of the same name shadows it — " +
+              "address it by path: graft.`<root>`")
+          r
+        case None => throw new IllegalArgumentException(
+          s"'$n' is not a registered graft table — CREATE TABLE $n " +
+            "USING graft LOCATION '<path>' first, or address it by " +
+            "path: graft.`/path`")
+      }
     }
 
-  /** Resolve a [[Target]] match; None for an unregistered bare name —
-    * used by statements Spark's own grammar also parses (TBLPROPERTIES),
-    * so non-graft tables fall through to Spark untouched. */
+  /** Resolve a [[Target]] match; None for an unregistered (or shadowed)
+    * bare name — used by statements Spark's own grammar also parses
+    * (TBLPROPERTIES), so non-graft tables fall through to Spark
+    * untouched. */
   private def refQuiet(g1: String, g2: String, g3: String,
                        g4: String): Option[String] =
     Option(g1).orElse(Option(g2))
-      .orElse(Option(g3).orElse(Option(g4)).flatMap(resolveName))
+      .orElse(Option(g3).orElse(Option(g4)).flatMap(resolveUnshadowed))
 
   /** `'k' = 'v', 'k2'='v2'` — single-quoted keys/values, QUOTE-AWARE
     * (commas inside quotes are data, not separators); escaped quotes
@@ -321,14 +352,14 @@ object GraftSqlParser {
           case tvf: UnresolvedTableValuedFunction
               if tvf.name.last.equalsIgnoreCase("graft_table") =>
             tvf.functionArgs match {
-              case Seq(Literal(s, _)) => s.toString
+              case Seq(Literal(s, _)) => Some(s.toString)
               case _ => unsupported("a non-literal graft_table argument")
             }
-          // a registered named table works as the source too
-          case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
-              resolveName(u.multipartIdentifier.head).isDefined =>
-            resolveName(u.multipartIdentifier.head).get
-        }.getOrElse(unsupported(s"FROM ${child.nodeName}"))
+          // a registered named table works as the source too (ONE
+          // catalog probe: resolve, never test-then-re-resolve)
+          case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+            resolveName(u.multipartIdentifier.head)
+        }.flatten.getOrElse(unsupported(s"FROM ${child.nodeName}"))
         val groups = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
           case other => unsupported(s"GROUP BY ${other.sql}")
@@ -379,9 +410,10 @@ object GraftSqlParser {
         u.multipartIdentifier(1).contains("/") =>
       Some((u.multipartIdentifier(1), None))
     // a bare single-part name that is a REGISTERED graft table; an
-    // unregistered name passes through to Spark's own resolution
+    // unregistered or SHADOWED name passes through to Spark's own
+    // resolution (reads resolve the shadow, so writes must too)
     case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
-      resolveName(u.multipartIdentifier.head).map(r => (r, None))
+      resolveUnshadowed(u.multipartIdentifier.head).map(r => (r, None))
     case _ => None
   }
 
@@ -391,7 +423,7 @@ object GraftSqlParser {
     parts match {
       case Seq(a, b) if a.equalsIgnoreCase("graft") && b.contains("/") =>
         Some(b)
-      case Seq(n) => resolveName(n)
+      case Seq(n) => resolveUnshadowed(n)
       case _ => None
     }
 
@@ -531,7 +563,7 @@ object GraftSqlParser {
           keys, statsCols, bloomCols, ifNotExists)
       case d @ DropTable(UnresolvedIdentifier(Seq(name), _), ifExists,
           purge) =>
-        if (resolveName(name).isEmpty) d // not ours — Spark resolves it
+        if (resolveUnshadowed(name).isEmpty) d // not ours — Spark's
         else if (purge) throw new IllegalArgumentException(
           "DROP TABLE ... PURGE is not supported on graft tables: DROP " +
             "TABLE only unregisters the name; the data and history stay " +
@@ -681,32 +713,42 @@ object GraftSqlParser {
     SparkSession.getActiveSession match {
       case None => plan
       case Some(spark) =>
-        lazy val cteNames = plan.collectWithSubqueries {
+        def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        // CTE names are LEXICALLY scoped, exactly as CTESubstitution
+        // will later resolve them: a definition body sees the outer
+        // WITH's names plus its PRIOR siblings (itself too only under
+        // WITH RECURSIVE), and a CTE defined inside one subquery is
+        // invisible to the rest of the plan. A plan-global name collect
+        // gets both directions wrong — an inner subquery's CTE would
+        // shadow an unrelated outer graft reference, and a CTE body
+        // recursing with a FRESH collect would lose its outer WITH's
+        // names and resolve a sibling reference to the graft table.
+        def go(p: LogicalPlan, scope: Set[String]): LogicalPlan = p match {
           case w: UnresolvedWith =>
-            w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
-        }.flatten.toSet
-        def shadowed(name: String): Boolean =
-          cteNames.contains(name.toLowerCase(java.util.Locale.ROOT)) ||
-            spark.sessionState.catalog.getTempView(name).isDefined ||
-            spark.sessionState.catalog.tableExists(
-              org.apache.spark.sql.catalyst.TableIdentifier(name))
-        plan.transformDownWithSubqueries {
-          // CTE definition bodies are NOT children of UnresolvedWith
-          // (CTESubstitution inlines them during analysis) — recurse
-          // into them explicitly or names inside CTEs stay unresolved
-          case w: UnresolvedWith =>
-            w.copy(cteRelations = w.cteRelations.map { case (n, sq, o) =>
-              (n, resolveNamedTables(sq)
-                .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical
-                  .SubqueryAlias], o)
-            })
+            var sc =
+              if (w.allowRecursion) scope ++ w.cteRelations.map(t => lc(t._1))
+              else scope
+            val ctes = w.cteRelations.map { case (n, sq, o) =>
+              val resolved = go(sq, sc).asInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]
+              sc += lc(n)
+              (n, resolved, o)
+            }
+            w.copy(child = go(w.child, sc), cteRelations = ctes)
           case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
             val name = u.multipartIdentifier.head
-            resolveName(name) match {
-              case Some(root) if !shadowed(name) => relationFor(spark, root)
-              case _ => u
+            // cheap in-memory shadow checks FIRST — the catalog probe
+            // is filesystem I/O and most single-part names are views
+            if (scope.contains(lc(name)) || sessionShadowed(name)) u
+            else resolveName(name).map(relationFor(spark, _)).getOrElse(u)
+          case other =>
+            other.mapChildren(go(_, scope)).transformExpressionsDown {
+              case se: org.apache.spark.sql.catalyst.expressions
+                  .SubqueryExpression =>
+                se.withNewPlan(go(se.plan, scope))
             }
         }
+        go(plan, Set.empty)
     }
 
   /** The read-position relation a resolved name serves: a materialized
@@ -737,6 +779,18 @@ object GraftSqlParser {
       if (visible.length == rel.output.length) rel
       else org.apache.spark.sql.catalyst.plans.logical.Project(visible, rel)
     }
+
+  /** DML refuses a materialized-view target (reads serve the view's
+    * shape, so a write reaching the serving table would corrupt state
+    * the refresh bookkeeping never saw): write to the SOURCE table and
+    * REFRESH MATERIALIZED VIEW. Guarded at the command, not the engine —
+    * the refresh machinery itself writes the serving table through the
+    * same engine entry points. */
+  private[plans] def requireNotView(spark: SparkSession, root: String,
+                                    stmt: String): Unit =
+    require(!graft.ops.MatView.isView(spark, root),
+      s"$stmt on a materialized view is not supported — write to its " +
+        "source table and REFRESH MATERIALIZED VIEW")
 }
 
 /** `DELETE FROM graft.`root` WHERE p` — [[VersionedTable.deleteMatching]]:
@@ -746,8 +800,10 @@ case class GraftDeleteCommand(root: String, condition: Column)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.requireNotView(spark, root, "DELETE")
     Seq(Row(VersionedTable.deleteMatching(spark, root, condition)))
+  }
 }
 
 /** `UPDATE graft.`root` SET a = e [, ...] [WHERE p]` —
@@ -758,9 +814,11 @@ case class GraftUpdateCommand(root: String, set: Seq[(String, Column)],
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.requireNotView(spark, root, "UPDATE")
     Seq(Row(VersionedTable.updateMatching(spark, root,
       condition.getOrElse(lit(true)), set.toMap)))
+  }
 }
 
 /** `MERGE [WITH SCHEMA EVOLUTION] INTO graft.`root` t USING src s ON
@@ -779,6 +837,7 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.requireNotView(spark, root, "MERGE")
     val m = VersionedTable.resolveManifest(spark, root, None)
     val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
     val src = PlanBridge.dataFrame(spark, source)
@@ -1152,7 +1211,7 @@ case class GraftCreateTableCommand(name: String, location: Option[String],
     }
     GraftCatalog.create(spark,
       GraftCatalog.Entry(name, root, partCols, keys, schemaDdl,
-        statsCols, bloomCols))
+        statsCols, bloomCols), ifNotExists)
     Seq.empty
   }
 }
@@ -1231,6 +1290,7 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.requireNotView(spark, root, "INSERT")
     val df = PlanBridge.dataFrame(spark, source)
     VersionedTable.currentVersion(spark, root) match {
       case Some(_) =>
@@ -1326,9 +1386,15 @@ case class GraftAddColumnsCommand(root: String,
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    // same reserved-namespace guard as CREATE TABLE: a __-prefixed
+    // column would be hidden by named reads/DESCRIBE the moment it lands
+    cols.map(_._1).filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name $c is reserved (the __ prefix is internal)"))
     Seq(Row(cols.map { case (n, dt) =>
       VersionedTable.addColumn(spark, root, n, dt) }.last))
+  }
 }
 
 /** `ALTER TABLE t DROP COLUMN[S] c, ...` —
@@ -1351,8 +1417,15 @@ case class GraftRenameColumnCommand(root: String, from: String, to: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the __ namespace is internal in BOTH directions: renaming TO it
+    // would hide the column from named reads/DESCRIBE; renaming FROM it
+    // would touch engine-managed columns like __bucket
+    Seq(from, to).filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name $c is reserved (the __ prefix is internal)"))
     Seq(Row(VersionedTable.renameColumn(spark, root, from, to)))
+  }
 }
 
 /** The general MERGE clause matrix on a graft table —
@@ -1373,6 +1446,7 @@ case class GraftMergeClausesCommand(
     Seq(AttributeReference("version", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.requireNotView(spark, root, "MERGE")
     val src = PlanBridge.dataFrame(spark, source)
     val sCols = src.columns.toSeq
     val m = VersionedTable.resolveManifest(spark, root, None)
@@ -1424,7 +1498,25 @@ case class GraftMergeClausesCommand(
           }
           sets.map { case (n, v) => n -> rewrite(v, allowSource) }.toMap
         })
-    Seq(Row(VersionedTable.mergeClauses(spark, root, src, keys,
+    // a synthetic __bucket partition (unpartitioned CREATE) is the
+    // engine's concern, never the statement's: recompute it on the
+    // source as the SAME pure function of the recorded keys and join it
+    // to the ON keys — exactly the canonical-MERGE/INSERT treatment, or
+    // the engine's partCols-within-keys contract can never be met
+    val bucketed = m.partCols == Seq(GraftCatalog.BucketCol)
+    val (src2, keys2) =
+      if (!bucketed) (src, keys)
+      else {
+        val kcols = m.keys.filterNot(_ == GraftCatalog.BucketCol)
+        val missing = kcols.filterNot(k =>
+          sCols.exists(_.equalsIgnoreCase(k)))
+        require(missing.isEmpty,
+          "MERGE on a key-bucketed table needs the source to carry the " +
+            s"recorded key columns; missing: ${missing.mkString(", ")}")
+        (GraftCatalog.withBucket(src, kcols),
+          keys :+ GraftCatalog.BucketCol)
+      }
+    Seq(Row(VersionedTable.mergeClauses(spark, root, src2, keys2,
       matched.map(clause(_, allowSource = true)),
       insertWhen.map(_.map(rewrite(_, allowSource = true))),
       bySource.map(clause(_, allowSource = false)))))

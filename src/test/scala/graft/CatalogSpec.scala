@@ -217,6 +217,138 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.sql("ALTER TABLE cat_ddl ADD COLUMN q INT NOT NULL")
     }
+    // the reserved __ namespace holds in BOTH DDL directions — a
+    // __-prefixed column would vanish from named reads/DESCRIBE
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE cat_ddl ADD COLUMN __q INT")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE cat_ddl RENAME COLUMN score TO __score")
+    }
     spark.sql("DROP TABLE cat_ddl")
+  }
+
+  test("shadowed names: DML/DDL agree with the read path — writes never " +
+      "silently target a graft table SELECT does not show") {
+    val path = tmp("shdml") + "/t"
+    spark.sql(s"CREATE TABLE cat_shdml (id INT, v INT) USING graft " +
+      s"LOCATION '$path' TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_shdml VALUES (1, 10)")
+    Seq((1, 99)).toDF("id", "v").createOrReplaceTempView("cat_shdml")
+    try {
+      // reads serve the temp view (Spark's order) ...
+      assert(spark.sql("SELECT v FROM cat_shdml").first.getInt(0) == 99)
+      // ... so DML must NOT claim the graft table: it falls through to
+      // Spark, which refuses DML on a temp view — and the graft data
+      // is untouched either way
+      intercept[Exception](
+        spark.sql("UPDATE cat_shdml SET v = 0 WHERE id = 1"))
+      intercept[Exception](
+        spark.sql("DELETE FROM cat_shdml WHERE id = 1"))
+      assert(spark.sql(s"SELECT v FROM graft_table('$path')")
+        .first.getInt(0) == 10)
+      // graft-only statements cannot fall through: loud shadow error
+      val e = intercept[IllegalArgumentException](
+        spark.sql("OPTIMIZE cat_shdml"))
+      assert(e.getMessage.contains("shadow"))
+    } finally spark.catalog.dropTempView("cat_shdml")
+    // with the shadow gone, DML addresses the graft table again
+    spark.sql("UPDATE cat_shdml SET v = 11 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM cat_shdml").first.getInt(0) == 11)
+    spark.sql("DROP TABLE cat_shdml")
+  }
+
+  test("CTE scoping: sibling CTEs visible inside definitions; an inner " +
+      "subquery's CTE never shadows an outer graft reference") {
+    val path = tmp("cte") + "/t"
+    spark.sql(s"CREATE TABLE cat_cte (id INT, v INT) USING graft " +
+      s"LOCATION '$path' TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_cte VALUES (1, 10), (2, 20)")
+    // a CTE body referencing a PRIOR sibling of the same name as the
+    // graft table must resolve the sibling, not the table
+    assert(spark.sql(
+      """WITH cat_cte AS (SELECT 99 AS id),
+        |b AS (SELECT * FROM cat_cte)
+        |SELECT id FROM b""".stripMargin).first.getInt(0) == 99)
+    // a CTE defined INSIDE a subquery is invisible outside it: the
+    // outer reference is the graft table (plan-global name collection
+    // would leave it unresolved)
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM cat_cte WHERE id IN
+        |(WITH cat_cte AS (SELECT 1 AS id) SELECT id FROM cat_cte)"""
+        .stripMargin).first.getLong(0) == 1)
+    spark.sql("DROP TABLE cat_cte")
+  }
+
+  test("MERGE clause matrix: partial-column source, case-insensitive SET " +
+      "targets, bucketed tables, conditional INSERT into new partitions") {
+    val path = tmp("mcm") + "/t"
+    spark.sql(s"CREATE TABLE cat_mcm (id INT, g STRING, v INT, w INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql(
+      "INSERT INTO cat_mcm VALUES (1,'a',10,1), (2,'a',20,2), (3,'b',30,3)")
+    // non-star MERGE from a source LACKING table column w: only the
+    // touched columns need to exist (SET */INSERT * coverage is not
+    // required here), and the SET target resolves case-insensitively
+    Seq((1, "a", 100), (3, "b", 300)).toDF("id", "g", "v")
+      .createOrReplaceTempView("cat_mcm_s")
+    spark.sql(
+      """MERGE INTO cat_mcm t USING cat_mcm_s s
+        |ON t.id = s.id AND t.g = s.g
+        |WHEN MATCHED AND s.v >= 300 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET V = s.v""".stripMargin)
+    val rows = spark.sql("SELECT id, v, w FROM cat_mcm ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1, 100, 1), (2, 20, 2))) // 3 deleted, w kept
+    // conditional INSERT whose rows all land in a BRAND-NEW partition
+    // (no live partition matches): the insert condition references the
+    // source and must filter, not crash
+    Seq((7, "z", 5, 70), (8, "z", -1, 80)).toDF("id", "g", "v", "w")
+      .createOrReplaceTempView("cat_mcm_new")
+    spark.sql(
+      """MERGE INTO cat_mcm t USING cat_mcm_new s
+        |ON t.id = s.id AND t.g = s.g
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id FROM cat_mcm WHERE g = 'z'")
+      .collect().map(_.getInt(0)).toSeq == Seq(7))
+    spark.sql("DROP TABLE cat_mcm")
+    // the clause matrix on a table created WITHOUT PARTITIONED BY (the
+    // synthetic __bucket partition is recomputed, never user-supplied)
+    spark.sql("CREATE TABLE cat_mcm_b (id INT, v INT) USING graft " +
+      "TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_mcm_b VALUES (1,10), (2,20), (3,30)")
+    Seq((2, 0), (4, 40)).toDF("id", "v")
+      .createOrReplaceTempView("cat_mcm_bs")
+    spark.sql(
+      """MERGE INTO cat_mcm_b t USING cat_mcm_bs s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id FROM cat_mcm_b ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3, 4))
+    spark.sql("DROP TABLE cat_mcm_b")
+  }
+
+  test("DML on a materialized view refuses — writes go to the source") {
+    val path = tmp("mvdml") + "/src"
+    spark.sql(s"CREATE TABLE cat_mvd_src (id INT, g STRING, x INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO cat_mvd_src VALUES (1,'a',10)")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW cat_mvd KEYED BY (id, g) AS
+        |SELECT g, sum(x) AS x_sum FROM cat_mvd_src GROUP BY g"""
+        .stripMargin)
+    val e = intercept[IllegalArgumentException](
+      spark.sql("INSERT INTO cat_mvd VALUES ('a', 5)"))
+    assert(e.getMessage.contains("materialized view"))
+    intercept[IllegalArgumentException](
+      spark.sql("DELETE FROM cat_mvd WHERE g = 'a'"))
+    intercept[IllegalArgumentException](
+      spark.sql("UPDATE cat_mvd SET x_sum = 0"))
+    assert(spark.sql("SELECT x_sum FROM cat_mvd").first.getLong(0) == 10L)
+    spark.sql("DROP TABLE cat_mvd")
+    spark.sql("DROP TABLE cat_mvd_src")
   }
 }
