@@ -1620,6 +1620,54 @@ object SparkEntry {
     MatView.read(s, view)
   }
 
+  /** [[qMatview]]'s AVG + approx-DISTINCT flavor: AVG rides the
+    * subtractable-sum machinery (stored internal sum + non-null count,
+    * divided at read) so its refresh leg stays feed-only, while
+    * approx_count_distinct is a mergeable HLL sketch column — inserts
+    * union into the stored sketch, removals force exactly the affected
+    * groups through the pruned recompute (a sketch cannot subtract; the
+    * in-query guard pins that the update feed really exercised it). The
+    * exact surface (avg, count) is oracled; the sketch estimate is
+    * health-checked against the exact distinct count in-query, the
+    * [[qHllIncremental]] invariant pattern. */
+  private def qMatviewAvgDistinct(s: SparkSession, dir: String)
+      : DataFrame = {
+    val base = "/tmp/graft_matview_ad/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, base)
+    val (root, view) = (s"$base/src", s"$base/view")
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val keys = Seq("event_type", "date")
+    VersionedTable.upsert(s, root,
+      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+      keys, "date")
+    MatView.create(s, view, root, keys, Seq("event_type"),
+      countAlias = Some("n_days"),
+      avgs = Seq(("vol_avg", "daily_volume")),
+      distincts = Seq(("vol_dct", "daily_volume")))
+    VersionedTable.upsert(s, root,
+      TimeWindows.dailyOhlcv(
+          ev(s, dir).filter(col("user_id") % 2 === 0),
+          "event_type", "ts", "value", volume = col("user_id"))
+        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+      keys, "date")
+    MatView.refresh(s, view)
+    require(VersionedTable.currentVersion(s, view) == Some(1),
+      "matview refresh did not produce exactly one incremental version")
+    require(MatView.lastRescanGroups > 0,
+      "the update feed removed daily_volume values, so the sketch " +
+        "measure must have routed groups through the recompute path")
+    val exact = VersionedTable.read(s, root)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("daily_volume")).as("__ex"))
+    MatView.read(s, view).join(exact, Seq("event_type"))
+      .select(col("event_type"), r6(col("vol_avg")).as("vol_avg"),
+        col("n_days"),
+        (abs(col("vol_dct") - col("__ex")) <=
+          lit(1.0) + lit(0.08) * col("__ex")).as("dct_ok"))
+  }
+
   /** Manifest file skipping on the versioned table: the daily rollup is
     * written partitioned by event_type, CLUSTERED on date (statsCols)
     * with small files, and a needle date-range read goes through
@@ -3835,6 +3883,7 @@ object SparkEntry {
     "q_versioned_branch" -> (qVersionedBranch _),
     "q_matview" -> (qMatview _),
     "q_matview_minmax" -> (qMatviewMinmax _),
+    "q_matview_avg_distinct" -> (qMatviewAvgDistinct _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
@@ -6294,6 +6343,15 @@ object SparkEntry {
       s"""WITH final AS ($mergeUpsertOracle)
          |SELECT event_type, min(daily_low) AS low_min,
          |  max(daily_high) AS high_max, count(*) AS n_days
+         |FROM final GROUP BY 1""".stripMargin,
+
+    // AVG is exactly oracled (long sums are order-exact; one division);
+    // the HLL distinct estimate is engine detail — its correctness is
+    // the in-query bracket flag (q_hll_incremental pattern)
+    "q_matview_avg_distinct" ->
+      s"""WITH final AS ($mergeUpsertOracle)
+         |SELECT event_type, round(avg(daily_volume), 6) AS vol_avg,
+         |  count(*) AS n_days, true AS dct_ok
          |FROM final GROUP BY 1""".stripMargin,
 
     // branch WAP cycle: final main = branch's late window (>= Jan 21,

@@ -14,12 +14,16 @@ import org.apache.spark.sql.types.LongType
  * (load_stream_to_snowflake.py:243-323 recomputes and re-MERGEs its
  * ENTIRE aggregate frame every cycle; a 100 TB lake cannot).
  *
- * A view is `GROUP BY groupCols` with COUNT(*) / SUM / MIN / MAX
- * measures, itself stored as a versioned table at `viewRoot` (so the
- * serving layer inherits time travel, pruned reads, and concurrency).
- * [[refresh]] advances it to the source's current version:
+ * A view is `GROUP BY groupCols` with COUNT(*) / SUM / AVG / MIN / MAX
+ * / approx-DISTINCT measures, itself stored as a versioned table at
+ * `viewRoot` (so the serving layer inherits time travel, pruned reads,
+ * and concurrency). AVG rides the sum machinery (internal sum +
+ * non-null count, divided at read); approx-DISTINCT is a mergeable HLL
+ * sketch column — inserts union in, removals join the recompute
+ * trigger below. [[refresh]] advances it to the source's current
+ * version:
  *
- *  - **Delta path** (only COUNT/SUM measures): the
+ *  - **Delta path** (only COUNT/SUM/AVG measures): the
  *    [[VersionedTable.changeFeedCdf]] pre/post images make row-count and
  *    sum contributions subtractable, so the refresh reads the CHANGE
  *    FEED ONLY — zero source-table scans, cost O(|changed keys|) however
@@ -46,18 +50,36 @@ import org.apache.spark.sql.types.LongType
  */
 object MatView {
 
-  /** Measures: user-visible alias -> source column. */
+  /** Measures: user-visible alias -> source column. AVG is stored as an
+    * internal subtractable sum + non-null count (division happens at
+    * read); DISTINCT is stored as a mergeable HLL sketch binary —
+    * unions absorb inserts, removals force the group onto the recompute
+    * path exactly like extrema (a sketch cannot subtract). */
   case class Spec(srcRoot: String, srcKeys: Seq[String],
                   groupCols: Seq[String],
                   sums: Seq[(String, String)],
                   mins: Seq[(String, String)],
                   maxs: Seq[(String, String)],
                   countAlias: Option[String],
-                  buckets: Int) {
-    private[graft] def deltaOnly: Boolean = mins.isEmpty && maxs.isEmpty
+                  buckets: Int,
+                  avgs: Seq[(String, String)] = Nil,
+                  distincts: Seq[(String, String)] = Nil) {
+    private[graft] def deltaOnly: Boolean =
+      mins.isEmpty && maxs.isEmpty && distincts.isEmpty
+    /** Aliases whose STORED column name equals the served name. */
     private[graft] def measureAliases: Seq[String] =
       sums.map(_._1) ++ mins.map(_._1) ++ maxs.map(_._1)
+    /** Every served measure alias (collision validation). */
+    private[graft] def allAliases: Seq[String] =
+      measureAliases ++ avgs.map(_._1) ++ distincts.map(_._1)
+    /** The sum-like measures as stored: user sums plus each AVG's
+      * internal sum — one code path maintains both. */
+    private[graft] def sumsStored: Seq[(String, String)] =
+      sums ++ avgs.map { case (a, c) => (avgSum(a), c) }
   }
+
+  private def avgSum(alias: String) = s"__avg_$alias"
+  private def dHll(alias: String) = s"__hll_$alias"
 
   /** Affected-group IN-probe cap: above this many distinct groups the
     * recompute path prunes by semi join instead of index probes. */
@@ -79,13 +101,16 @@ object MatView {
              mins: Seq[(String, String)] = Nil,
              maxs: Seq[(String, String)] = Nil,
              countAlias: Option[String] = None,
-             buckets: Int = 16): Int = {
+             buckets: Int = 16,
+             avgs: Seq[(String, String)] = Nil,
+             distincts: Seq[(String, String)] = Nil): Int = {
     require(groupCols.nonEmpty, "at least one group column")
     require(sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty ||
+      avgs.nonEmpty || distincts.nonEmpty ||
       countAlias.isDefined, "at least one measure")
     val spec = Spec(srcRoot, srcKeys, groupCols, sums, mins, maxs,
-      countAlias, buckets)
-    val aliases = spec.measureAliases ++ countAlias
+      countAlias, buckets, avgs, distincts)
+    val aliases = spec.allAliases ++ countAlias
     require(aliases.distinct.length == aliases.length,
       s"duplicate measure alias: ${aliases.mkString(", ")}")
     require(aliases.forall(a => !groupCols.contains(a)),
@@ -160,6 +185,13 @@ object MatView {
     val t = VersionedTable.read(spark, viewRoot, asOfVersion)
       .filter(col("__cnt") > 0)
     val cols = spec.groupCols.map(col) ++ spec.measureAliases.map(col) ++
+      // AVG divides at read (sum NULL when the group's survivors are
+      // all NULL, so NULL/0 serves NULL like a direct avg); DISTINCT is
+      // the sketch's estimate
+      spec.avgs.map { case (a, _) =>
+        (col(avgSum(a)) / col(nn(avgSum(a)))).as(a) } ++
+      spec.distincts.map { case (a, _) =>
+        hll_sketch_estimate(col(dHll(a))).as(a) } ++
       spec.countAlias.map(a => col("__cnt").as(a))
     t.select(cols: _*)
   }
@@ -169,10 +201,12 @@ object MatView {
     * groups serving NULL through delta maintenance). */
   private def aggregate(df: DataFrame, spec: Spec): DataFrame = {
     val aggs =
-      spec.sums.flatMap { case (a, c) => Seq(
+      spec.sumsStored.flatMap { case (a, c) => Seq(
         sum(col(c)).as(a), count(col(c)).as(nn(a))) } ++
         spec.mins.map { case (a, c) => min(col(c)).as(a) } ++
-        spec.maxs.map { case (a, c) => max(col(c)).as(a) } :+
+        spec.maxs.map { case (a, c) => max(col(c)).as(a) } ++
+        spec.distincts.map { case (a, c) =>
+          hll_sketch_agg(col(c)).as(dHll(a)) } :+
         count(lit(1)).as("__cnt")
     df.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -186,7 +220,7 @@ object MatView {
     val isAdd = col("op").isin("insert", "update_postimage")
     val w = when(isAdd, lit(1L)).otherwise(lit(-1L))
     val dAggs =
-      spec.sums.flatMap { case (a, c) => Seq(
+      spec.sumsStored.flatMap { case (a, c) => Seq(
         // NULL measure values contribute zero to the sum on both sides
         sum(when(col(c).isNotNull, col("__w") * col(c))).as(s"__d_$a"),
         sum(when(col(c).isNotNull, col("__w")).otherwise(lit(0L)))
@@ -196,7 +230,14 @@ object MatView {
         min(when(!isAdd, col(c))).as(s"__rem_$a")) } ++
       spec.maxs.flatMap { case (a, c) => Seq(
         max(when(isAdd, col(c))).as(s"__add_$a"),
-        max(when(!isAdd, col(c))).as(s"__rem_$a")) } :+
+        max(when(!isAdd, col(c))).as(s"__rem_$a")) } ++
+      spec.distincts.flatMap { case (a, c) => Seq(
+        // the sketch of ADDED values unions into the stored sketch; any
+        // non-null REMOVED value forces the group onto the recompute
+        // path (a sketch cannot subtract)
+        hll_sketch_agg(when(isAdd, col(c))).as(s"__addh_$a"),
+        sum(when(!isAdd && col(c).isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as(s"__remn_$a")) } :+
       sum(col("__w")).as("__d_cnt")
     feed.withColumn("__w", w)
       .groupBy(spec.groupCols.map(col): _*)
@@ -217,9 +258,11 @@ object MatView {
     val extrema = spec.mins ++ spec.maxs
     val curSel = cur.select(
       spec.groupCols.map(c => col(c).as(s"__v_$c")) ++
-        spec.sums.flatMap { case (a, _) => Seq(
+        spec.sumsStored.flatMap { case (a, _) => Seq(
           col(a).as(s"__v_$a"), col(nn(a)).as(s"__v_${nn(a)}")) } ++
-        extrema.map { case (a, _) => col(a).as(s"__v_$a") } :+
+        extrema.map { case (a, _) => col(a).as(s"__v_$a") } ++
+        spec.distincts.map { case (a, _) =>
+          col(dHll(a)).as(s"__v_${dHll(a)}") } :+
         col("__cnt").as("__v_cnt"): _*)
     val cond = spec.groupCols.map(c => col(c) <=> col(s"__v_$c"))
       .reduce(_ && _)
@@ -228,10 +271,15 @@ object MatView {
       .cast(LongType)
     // rescan: the group survives AND some removed value hits its
     // recorded extreme (null-safe: a null recorded extreme means the
-    // group held only NULLs — removals can't have been non-null)
-    val rescan = extrema.map { case (a, _) =>
+    // group held only NULLs — removals can't have been non-null), OR a
+    // distinct-sketch measure lost any non-null value (not subtractable)
+    val extremaHit = extrema.map { case (a, _) =>
       col(s"__rem_$a").isNotNull && (col(s"__rem_$a") <=> col(s"__v_$a")) }
-      .reduceOption(_ || _).getOrElse(lit(false)) && newCnt > 0
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val distinctHit = spec.distincts.map { case (a, _) =>
+      col(s"__remn_$a") > 0 }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val rescan = (extremaHit || distinctHit) && newCnt > 0
     def sumCols(a: String): Seq[org.apache.spark.sql.Column] = {
       val nnTotal = coalesce(col(s"__v_${nn(a)}"), lit(0L)) +
         coalesce(col(s"__d_${nn(a)}"), lit(0L))
@@ -247,15 +295,24 @@ object MatView {
     }
     val deltaRows = joined.filter(!rescan).select(
       spec.groupCols.map(col) ++
-        spec.sums.flatMap { case (a, _) => sumCols(a) } ++
+        spec.sumsStored.flatMap { case (a, _) => sumCols(a) } ++
         spec.mins.map { case (a, _) =>
           when(newCnt > 0, least(col(s"__v_$a"), col(s"__add_$a")))
             .as(a) } ++
         spec.maxs.map { case (a, _) =>
           when(newCnt > 0, greatest(col(s"__v_$a"), col(s"__add_$a")))
-            .as(a) } :+
+            .as(a) } ++
+        spec.distincts.map { case (a, _) =>
+          // no removals on this path (distinctHit routed them away):
+          // new sketch = old ∪ added, either side alone when the other
+          // is absent (brand-new group / no adds this refresh)
+          val o = col(s"__v_${dHll(a)}")
+          val ad = col(s"__addh_$a")
+          when(newCnt > 0,
+            when(o.isNull, ad).when(ad.isNull, o)
+              .otherwise(hll_union(o, ad))).as(dHll(a)) } :+
         newCnt.as("__cnt"): _*)
-    if (extrema.isEmpty) (deltaRows, Nil)
+    if (extrema.isEmpty && spec.distincts.isEmpty) (deltaRows, Nil)
     else {
       // pin the rescan keys: the recompute reads them several times
       // (IN-list collect, null probe, semi join, tombstone anti-join),
@@ -355,6 +412,12 @@ object MatView {
     spec.maxs.foreach { case (a, c) =>
       sb.append("#max\t").append(b64e(a)).append('\t').append(b64e(c))
         .append('\n') }
+    spec.avgs.foreach { case (a, c) =>
+      sb.append("#avg\t").append(b64e(a)).append('\t').append(b64e(c))
+        .append('\n') }
+    spec.distincts.foreach { case (a, c) =>
+      sb.append("#dct\t").append(b64e(a)).append('\t').append(b64e(c))
+        .append('\n') }
     spec.countAlias.foreach(a =>
       sb.append("#count\t").append(b64e(a)).append('\n'))
     sb.append("#buckets\t").append(spec.buckets).append('\n')
@@ -387,6 +450,7 @@ object MatView {
       groupCols = one("groups").get.filter(_.nonEmpty).map(b64d),
       sums = pairs("sum"), mins = pairs("min"), maxs = pairs("max"),
       countAlias = one("count").map(s => b64d(s.head)),
-      buckets = one("buckets").get.head.toInt)
+      buckets = one("buckets").get.head.toInt,
+      avgs = pairs("avg"), distincts = pairs("dct"))
   }
 }

@@ -344,8 +344,9 @@ object GraftSqlParser {
     def unsupported(what: String): Nothing =
       throw new IllegalArgumentException(
         "CREATE MATERIALIZED VIEW supports SELECT <group cols>, " +
-          "sum|min|max(col) AS alias..., count(*) AS alias FROM " +
-          s"graft_table('/src') GROUP BY <group cols>; got $what")
+          "sum|avg|min|max|approx_count_distinct(col) AS alias..., " +
+          "count(*) AS alias FROM graft_table('/src') " +
+          s"GROUP BY <group cols>; got $what")
     parseSelect(select) match {
       case Aggregate(groupExprs, resultExprs, child, _) =>
         val srcRoot = child.collectFirst {
@@ -367,6 +368,8 @@ object GraftSqlParser {
         var sums = Vector.empty[(String, String)]
         var mins = Vector.empty[(String, String)]
         var maxs = Vector.empty[(String, String)]
+        var avgs = Vector.empty[(String, String)]
+        var dcts = Vector.empty[(String, String)]
         var countAlias: Option[String] = None
         resultExprs.foreach {
           case a: UnresolvedAttribute if groups.contains(a.nameParts.last) =>
@@ -379,6 +382,10 @@ object GraftSqlParser {
                 mins :+= (name -> c.nameParts.last)
               case ("max", Seq(c: UnresolvedAttribute)) =>
                 maxs :+= (name -> c.nameParts.last)
+              case ("avg", Seq(c: UnresolvedAttribute)) =>
+                avgs :+= (name -> c.nameParts.last)
+              case ("approx_count_distinct", Seq(c: UnresolvedAttribute)) =>
+                dcts :+= (name -> c.nameParts.last)
               case ("count", Seq(_: UnresolvedStar)) =>
                 countAlias = Some(name)
               case ("count", Seq(Literal(_, _))) =>
@@ -390,7 +397,7 @@ object GraftSqlParser {
             " (alias every aggregate: sum(x) AS x_sum)")
         }
         GraftMvCreateCommand(viewRoot, srcRoot, keys, groups,
-          sums, mins, maxs, countAlias)
+          sums, mins, maxs, countAlias, avgs, dcts)
       case other => unsupported(s"a ${other.nodeName} statement")
     }
   }
@@ -1114,13 +1121,16 @@ case class GraftMvCreateCommand(viewRoot: String, srcRoot: String,
                                 mins: Seq[(String, String)],
                                 maxs: Seq[(String, String)],
                                 countAlias: Option[String],
+                                avgs: Seq[(String, String)] = Nil,
+                                dcts: Seq[(String, String)] = Nil,
                                 registerName: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val v = graft.ops.MatView.create(spark, viewRoot, srcRoot, keys,
-      groups, sums, mins, maxs, countAlias)
+      groups, sums, mins, maxs, countAlias,
+      avgs = avgs, distincts = dcts)
     // a named CREATE registers the view AFTER the build succeeds, so a
     // failed build leaves neither a spec nor a dangling name
     registerName.foreach(n => GraftCatalog.create(spark,

@@ -180,13 +180,16 @@ class CatalogSpec extends SparkSpec {
     // CREATE MV by a NEW name: auto-registers against a managed root
     spark.sql(
       """CREATE MATERIALIZED VIEW cat_mv_agg KEYED BY (id, g) AS
-        |SELECT g, sum(x) AS x_sum, count(*) AS n
+        |SELECT g, sum(x) AS x_sum, avg(x) AS x_avg,
+        |  approx_count_distinct(x) AS x_dct, count(*) AS n
         |FROM cat_mv_src GROUP BY g""".stripMargin)
     // the NAME serves the VIEW shape (measures, no internals)
     val served = spark.sql(
-      "SELECT g, x_sum, n FROM cat_mv_agg ORDER BY g").collect()
-    assert(served.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .toSeq == Seq(("a", 30L, 2L), ("b", 5L, 1L)))
+      "SELECT g, x_sum, x_avg, x_dct, n FROM cat_mv_agg ORDER BY g")
+      .collect()
+    assert(served.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3), r.getLong(4)))
+      .toSeq == Seq(("a", 30L, 15.0, 2L, 2L), ("b", 5L, 5.0, 1L, 1L)))
     // incremental refresh by name after a source change
     spark.sql("INSERT INTO cat_mv_src VALUES (4,'b',7)")
     spark.sql("REFRESH MATERIALIZED VIEW cat_mv_agg")

@@ -166,6 +166,55 @@ class MatViewSpec extends SparkSpec {
     assertMatches(view, src, Seq("g", "x_min", "x_max", "n"))
   }
 
+  test("avg + approx-distinct measures: delta-path inserts union the " +
+      "sketch; removals rescan; all-NULL groups serve NULL/0") {
+    val dir = tmp("avgdct")
+    val (src, view) = (s"$dir/src", s"$dir/view")
+    seed(src)
+    def truth(): DataFrame =
+      VersionedTable.read(spark, src).groupBy($"g")
+        .agg(avg($"x").as("x_avg"),
+          countDistinct($"x").as("x_dct"), count(lit(1)).as("n"))
+    def check(): Unit = {
+      val got = MatView.read(spark, view).select($"g", $"x_avg",
+        $"x_dct", $"n")
+      // seed cardinalities (≤ 101 distinct longs) keep the HLL sketch
+      // in its exact sparse mode, so the estimate IS the exact count
+      assert(rowsOf(got) == rowsOf(truth().select($"g", $"x_avg",
+        $"x_dct", $"n")))
+    }
+    MatView.create(spark, view, src, Seq("id", "part"), Seq("g"),
+      avgs = Seq(("x_avg", "x")), distincts = Seq(("x_dct", "x")),
+      countAlias = Some("n"))
+    check()
+    // insert-only batch (new group + new values in old groups): the
+    // sketch unions from the feed alone — zero source rescans
+    VersionedTable.upsert(spark, src,
+      ((300 until 330).map(i => (i, "p0", "g_new", Some(1000L + i % 5))) ++
+        (330 until 340).map(i => (i, "p1", "g1", Some(2000L + i))))
+        .toDF("id", "part", "g", "x"),
+      Seq("id", "part"), Seq("part"))
+    MatView.refresh(spark, view)
+    assert(MatView.lastRescanGroups == 0L,
+      s"insert-only refresh rescanned ${MatView.lastRescanGroups} groups")
+    check()
+    // an all-NULL-measure group: avg serves NULL, distinct serves 0
+    VersionedTable.upsert(spark, src,
+      Seq((400, "p2", "g_nulls", Option.empty[Long]),
+        (401, "p2", "g_nulls", Option.empty[Long]))
+        .toDF("id", "part", "g", "x"),
+      Seq("id", "part"), Seq("part"))
+    MatView.refresh(spark, view)
+    assert(MatView.lastRescanGroups == 0L)
+    check()
+    // removals touching non-null values: sketches cannot subtract, so
+    // exactly the affected groups rescan and stay exact
+    VersionedTable.deleteMatching(spark, src, col("id") % 4 === 2)
+    MatView.refresh(spark, view)
+    assert(MatView.lastRescanGroups > 0L)
+    check()
+  }
+
   test("randomized rounds: view == direct aggregate after every refresh") {
     val dir = tmp("rand")
     val (src, view) = (s"$dir/src", s"$dir/view")
