@@ -2292,6 +2292,50 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "px", "py")
   }
 
+  /** [[qZorderBox]] in THREE dimensions: lineitem points on a 32³ grid
+    * (partkey/suppkey/quantity mod 32) z-clustered on the 15-bit 3-D
+    * interleave; the 3-D box decomposes via the aligned-ORTHANT
+    * recursion (ZOrder.zIntervalsForBoxN — the N-D generalization the
+    * 2-D quad path now delegates to) into z-intervals fed to
+    * readWhereIn. Same out-prunes-the-wide-range guard; oracle = the
+    * plain 3-D box filter in SQL. Fixture memoized like qZorderBox
+    * (version-signature zb3). */
+  private def qZorderBoxNd(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_zorder_box_nd/zb3_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (VersionedTable.currentVersion(s, root) != Some(1)) {
+      rmrf(s, root)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 32).as("px"), (col("l_suppkey") % 32).as("py"),
+          (col("l_quantity").cast("long") % 32).as("pz"))
+        .withColumn("grp", lit("all"))
+        .withColumn("zval",
+          ZOrder.zValueN(Seq(col("px"), col("py"), col("pz")), bits = 5))
+      VersionedTable.upsert(s, root, li,
+        Seq("l_orderkey", "l_linenumber", "grp"), Seq("grp"),
+        statsCols = Seq("zval"), fileRows = Some(16384))
+      VersionedTable.compact(s, root, statsCols = Seq("zval"),
+        fileRows = Some(16384), zOrderCols = Seq("px", "py", "pz"))
+    }
+    val box = Seq((5L, 20L), (8L, 30L), (10L, 25L))
+    val intervals = ZOrder.zIntervalsForBoxN(box, bits = 5,
+      maxIntervals = 48)
+    val (kWide, total) = VersionedTable.skipStats(s, root, "zval",
+      intervals.head._1, intervals.last._2)
+    val kMax = intervals.map { case (lo, hi) =>
+      VersionedTable.skipStats(s, root, "zval", lo, hi)._1 }.max
+    require(total < 2 || kMax < kWide,
+      s"decomposed 3-D intervals did not out-prune the wide range " +
+        s"($kMax vs $kWide of $total)")
+    VersionedTable.readWhereIn(s, root, "zval",
+        intervals.map { case (a, b) => (a: Any, b: Any) })
+      .filter(col("px").between(box(0)._1, box(0)._2) &&
+        col("py").between(box(1)._1, box(1)._2) &&
+        col("pz").between(box(2)._1, box(2)._2))
+      .select("l_orderkey", "l_linenumber", "px", "py", "pz")
+  }
+
   /** The PruneVersionedScan optimizer-rule path under oracle check: same
     * fixture as q_versioned_skip, but the date window is expressed as a
     * PLAIN .filter over VersionedScan.table — Catalyst pushes it to the
@@ -3894,6 +3938,7 @@ object SparkEntry {
     "q_versioned_fastcount" -> (qVersionedFastcount _),
     "q_versioned_sql" -> (qVersionedSql _),
     "q_zorder_box" -> (qZorderBox _),
+    "q_zorder_box_nd" -> (qZorderBoxNd _),
     "q_versioned_delete" -> (qVersionedDelete _),
     "q_versioned_dv" -> (qVersionedDv _),
     "q_versioned_dv_in" -> (qVersionedDvIn _),
@@ -6728,6 +6773,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey % 64 BETWEEN 20 AND 40
         |  AND l_suppkey % 64 BETWEEN 1 AND 30""".stripMargin,
+    "q_zorder_box_nd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_partkey % 32 AS px, l_suppkey % 32 AS py,
+        |  CAST(l_quantity AS BIGINT) % 32 AS pz
+        |FROM lineitem
+        |WHERE l_partkey % 32 BETWEEN 5 AND 20
+        |  AND l_suppkey % 32 BETWEEN 8 AND 30
+        |  AND CAST(l_quantity AS BIGINT) % 32 BETWEEN 10 AND 25"""
+        .stripMargin,
     "q_cdc_apply" ->
       s"""WITH daily_all AS (
          |  SELECT event_type, CAST(ts AS DATE) AS date,

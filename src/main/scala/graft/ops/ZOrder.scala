@@ -70,13 +70,19 @@ object ZOrder {
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions(col("zval"))
 
-  /** Driver-side twin of [[zValue2]] for interval arithmetic. */
-  private def interleave(x: Long, y: Long, bits: Int): Long = {
+  /** Driver-side twin of [[zValueN]] (and of [[zValue2]] at N = 2 —
+    * both put bit i of key j at z bit i·N + j) for interval
+    * arithmetic. */
+  private def interleaveN(coords: IndexedSeq[Long], bits: Int): Long = {
+    val n = coords.length
     var r = 0L
     var i = 0
     while (i < bits) {
-      r |= ((x >> i) & 1L) << (2 * i)
-      r |= ((y >> i) & 1L) << (2 * i + 1)
+      var j = 0
+      while (j < n) {
+        r |= ((coords(j) >> i) & 1L) << (i * n + j)
+        j += 1
+      }
       i += 1
     }
     r
@@ -84,55 +90,72 @@ object ZOrder {
 
   /** Decompose the z-values of a closed 2-D box [xlo,xhi]×[ylo,yhi] (in
     * the normalized `bits`-bit grid) into at most `maxIntervals` sorted,
-    * disjoint z-intervals — the query-side half of z-order clustering
-    * (Tropf–Herzog style, via aligned-quad recursion). A z-aligned quad
-    * is a CONTIGUOUS z-range, so the box decomposes exactly into
-    * O(perimeter) quad ranges; under the interval budget, remaining
-    * partial quads coarsen to their covering range (a sound superset —
-    * the residual row filter removes the overshoot, pruning just skips
-    * less). Feed the result to a stats-pruned multi-range read
-    * (VersionedTable.readWhereIn over a z-clustered table): without this
-    * decomposition a box whose corners straddle a high-order quad
-    * boundary degenerates to one wide z-range that prunes nothing. */
+    * disjoint z-intervals — the 2-D case of [[zIntervalsForBoxN]]
+    * (identical output; zValue2's bit layout equals zValueN's at
+    * N = 2). */
   def zIntervalsForBox(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
                        bits: Int = 16,
-                       maxIntervals: Int = 64): Seq[(Long, Long)] = {
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    require(xlo <= xhi && ylo <= yhi, "empty box")
+                       maxIntervals: Int = 64): Seq[(Long, Long)] =
+    zIntervalsForBoxN(Seq((xlo, xhi), (ylo, yhi)), bits, maxIntervals)
+
+  /** Decompose the z-values of a closed N-D box (one [lo, hi] per
+    * dimension, in the normalized `bits`-bit grid, dimension order =
+    * the key order given to [[zValueN]]) into at most `maxIntervals`
+    * sorted, disjoint z-intervals — the query-side half of z-order
+    * clustering (Tropf–Herzog style, via aligned-orthant recursion). A
+    * z-aligned orthant (origin multiple of its size, size a power of
+    * two) is a CONTIGUOUS z-range of size^N values, so the box
+    * decomposes exactly into O(surface) orthant ranges; under the
+    * interval budget, remaining partial orthants coarsen to their
+    * covering range (a sound superset — the residual row filter removes
+    * the overshoot, pruning just skips less). Feed the result to a
+    * stats-pruned multi-range read (VersionedTable.readWhereIn over a
+    * z-clustered table): without this decomposition a box straddling a
+    * high-order orthant boundary degenerates to one wide z-range that
+    * prunes nothing. */
+  def zIntervalsForBoxN(box: Seq[(Long, Long)], bits: Int = 16,
+                        maxIntervals: Int = 64): Seq[(Long, Long)] = {
+    val n = box.length
+    require(n >= 1 && bits >= 1 && bits * n <= 63,
+      s"need 1 <= dims and 0 < bits*$n <= 63")
     val lim = (1L << bits) - 1
-    require(xlo >= 0 && xhi <= lim && ylo >= 0 && yhi <= lim,
-      s"box exceeds the $bits-bit grid")
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    // work stack holds quads in REVERSE z order so we pop in z order;
-    // each quad is (x0, y0, size) with size a power of two, z-aligned
-    var stack = List((0L, 0L, 1L << bits))
-    def quadRange(x0: Long, y0: Long, size: Long): (Long, Long) = {
-      val zmin = interleave(x0, y0, bits)
-      (zmin, zmin + size * size - 1)
+    box.foreach { case (lo, hi) =>
+      require(lo <= hi, "empty box")
+      require(lo >= 0 && hi <= lim, s"box exceeds the $bits-bit grid")
     }
+    val nChild = 1 << n
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // work stack holds orthants in z order (head = z-smallest); each is
+    // (origin, size) with size a power of two, z-aligned
+    var stack = List((Vector.fill(n)(0L), 1L << bits))
     while (stack.nonEmpty) {
-      val (x0, y0, size) = stack.head
+      val (o, size) = stack.head
       stack = stack.tail
-      val (x1, y1) = (x0 + size - 1, y0 + size - 1)
-      val disjoint = x1 < xlo || x0 > xhi || y1 < ylo || y0 > yhi
-      val contained = x0 >= xlo && x1 <= xhi && y0 >= ylo && y1 <= yhi
+      val disjoint = (0 until n).exists(j =>
+        o(j) + size - 1 < box(j)._1 || o(j) > box(j)._2)
+      val contained = (0 until n).forall(j =>
+        o(j) >= box(j)._1 && o(j) + size - 1 <= box(j)._2)
       if (!disjoint) {
         if (contained || size == 1L ||
-            out.size + stack.size + 4 > maxIntervals) {
-          // exact quad, atomic cell, or budget reached: emit the quad's
-          // covering z-range (exact when contained/atomic)
-          val (a, b) = quadRange(x0, y0, size)
-          // quads arrive in z order: merge with the previous interval
-          // when adjacent or overlapping
+            out.size + stack.size + nChild > maxIntervals) {
+          // exact orthant, atomic cell, or budget reached: emit the
+          // orthant's covering z-range (exact when contained/atomic)
+          val a = interleaveN(o, bits)
+          val b = a +
+            (1L << (java.lang.Long.numberOfTrailingZeros(size) * n)) - 1
+          // orthants arrive in z order: merge with the previous
+          // interval when adjacent or overlapping
           if (out.nonEmpty && a <= out.last._2 + 1)
             out(out.size - 1) = (out.last._1, math.max(out.last._2, b))
           else out += ((a, b))
         } else {
           val h = size / 2
-          // children consed z-smallest first (z prefix = ybit<<1 | xbit:
-          // 00, x+h=01, y+h=10, 11) so pops proceed in z order
-          stack = (x0, y0, h) :: (x0 + h, y0, h) :: (x0, y0 + h, h) ::
-            (x0 + h, y0 + h, h) :: stack
+          // 2^N children prepended in ascending child index c, where
+          // bit j of c selects dim j's high half — exactly c's rank in
+          // z order (the level's z bits are (bit of dim j) at slot j)
+          val kids = (0 until nChild).map(c =>
+            (Vector.tabulate(n)(j => o(j) + ((c >> j) & 1) * h), h)).toList
+          stack = kids ::: stack
         }
       }
     }

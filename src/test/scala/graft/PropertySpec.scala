@@ -165,6 +165,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zIntervalsForBoxN covers exactly the N-D box z-set (3-D and " +
+      "4-D exhaustive small-bit grids)") {
+    // independent reimplementation of the N-D interleave: z bit
+    // i*N + j = bit i of key j (zValueN's layout)
+    def z(cs: Seq[Long], bits: Int): Long = {
+      val n = cs.length
+      var r = 0L
+      for (i <- 0 until bits; j <- 0 until n)
+        r |= ((cs(j) >> i) & 1L) << (i * n + j)
+      r
+    }
+    for (seed <- Seq(5, 23); n <- Seq(3, 4)) {
+      val bits = if (n == 3) 4 else 3 // 16^3 / 8^4 grids, enumerable
+      val side = 1 << bits
+      val rnd = new Random(seed * 10 + n)
+      for (_ <- 0 until 15) {
+        val box = Seq.fill(n) {
+          val (a, b) = (rnd.nextInt(side).toLong, rnd.nextInt(side).toLong)
+          (math.min(a, b), math.max(a, b))
+        }
+        def cells(dims: Seq[(Long, Long)]): Seq[Seq[Long]] = dims match {
+          case Nil => Seq(Nil)
+          case (lo, hi) +: rest =>
+            for (v <- lo to hi; t <- cells(rest)) yield v +: t
+        }
+        val boxZ = cells(box).map(z(_, bits)).toSet
+        val exact = graft.ops.ZOrder.zIntervalsForBoxN(box, bits,
+          maxIntervals = Int.MaxValue)
+        assert(exact.flatMap { case (lo, hi) => lo to hi }.toSet == boxZ,
+          s"exact N-D decomposition seed $seed n $n box $box")
+        exact.sliding(2).foreach { // sorted, disjoint, merged
+          case Seq((_, h1), (l2, _)) => assert(h1 + 1 < l2)
+          case _ =>
+        }
+        val budgeted = graft.ops.ZOrder.zIntervalsForBoxN(box, bits,
+          maxIntervals = 16)
+        assert(budgeted.size <= 16)
+        assert(boxZ.subsetOf(
+          budgeted.flatMap { case (lo, hi) => lo to hi }.toSet),
+          s"budgeted N-D cover lost z-values seed $seed n $n")
+      }
+    }
+  }
+
   test("pruned reads equal the full filter on random tables and predicates") {
     import graft.ops.VersionedTable
     for (seed <- Seq(9, 61)) {
