@@ -33,6 +33,27 @@ import graft.text.TextAnalysis
  */
 object SparkEntry {
 
+  /** Fixture stopwatch for the bench's fixture/query cost split: the
+    * versioned-lake queries build multi-commit disk fixtures EVERY rep
+    * (two table writes + commits before the operator under test runs),
+    * so their raw wall prices the build, not the engine. Queries wrap
+    * setup work in [[fixture]]; [[graft.Bench]] resets per rep and
+    * subtracts the accumulated seconds, emitting a `queries_fixture`
+    * map so round-over-round diffs can compare engine work alone.
+    * ThreadLocal — PAR-concurrent bench queries each run all their reps
+    * on one pool thread and must not cross-pollute. No-op for Verify
+    * (nothing reads the counter there). */
+  private val fixtureNanos = new ThreadLocal[java.lang.Long] {
+    override def initialValue: java.lang.Long = 0L
+  }
+  private def fixture[A](f: => A): A = {
+    val s = System.nanoTime()
+    try f
+    finally fixtureNanos.set(fixtureNanos.get + (System.nanoTime() - s))
+  }
+  private[graft] def resetFixtureClock(): Unit = fixtureNanos.set(0L)
+  private[graft] def fixtureSeconds: Double = fixtureNanos.get / 1e9
+
   private def r6(c: Column): Column = round(c, 6)
   /** Tie-immune average of 2-decimal-true values: round the sum where no
     * rounding boundary is reachable, then divide — both engines compute the
@@ -1406,11 +1427,13 @@ object SparkEntry {
     * pruned rewrite and the logical MERGE. */
   private def qMergeUpsertPruned(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_merge_pruned/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, path) // fresh build: the merge mutates the table on disk
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
-    daily.filter(col("date") <= lit("2024-01-20").cast(DateType))
-      .write.partitionBy("date").parquet(path)
+    fixture { // fresh build each rep: the merge mutates the table on disk
+      rmrf(s, path)
+      daily.filter(col("date") <= lit("2024-01-20").cast(DateType))
+        .write.partitionBy("date").parquet(path)
+    }
     val updates = TimeWindows.dailyOhlcv(
         ev(s, dir).filter(col("user_id") % 2 === 0),
         "event_type", "ts", "value", volume = col("user_id"))
@@ -1432,11 +1455,13 @@ object SparkEntry {
     * asserted in OpsSpec). */
   private def qMergeUpsertPruned2(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_merge_pruned2/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, path)
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
-    daily.filter(col("date") <= lit("2024-01-20").cast(DateType))
-      .write.partitionBy("event_type", "date").parquet(path)
+    fixture {
+      rmrf(s, path)
+      daily.filter(col("date") <= lit("2024-01-20").cast(DateType))
+        .write.partitionBy("event_type", "date").parquet(path)
+    }
     val updates = TimeWindows.dailyOhlcv(
         ev(s, dir).filter(col("user_id") % 2 === 0),
         "event_type", "ts", "value", volume = col("user_id"))
@@ -1455,13 +1480,15 @@ object SparkEntry {
   private def qMergeVersioned(s: SparkSession, dir: String): DataFrame = {
     val root = "/tmp/graft_merge_versioned/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, root)
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
     val keys = Seq("event_type", "date")
-    VersionedTable.upsert(s, root,
-      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
-      keys, "date")
+    fixture { // v0 target build; the MERGE under test is the v1 upsert
+      rmrf(s, root)
+      VersionedTable.upsert(s, root,
+        daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+        keys, "date")
+    }
     VersionedTable.upsert(s, root,
       TimeWindows.dailyOhlcv(
           ev(s, dir).filter(col("user_id") % 2 === 0),
@@ -1490,13 +1517,15 @@ object SparkEntry {
   private def qVersionedBranch(s: SparkSession, dir: String): DataFrame = {
     val root = "/tmp/graft_versioned_branch/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, root)
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
     val keys = Seq("event_type", "date")
-    VersionedTable.upsert(s, root,
-      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
-      keys, "date") // main v0
+    fixture { // main v0 build; the WAP cycle under test starts at fork
+      rmrf(s, root)
+      VersionedTable.upsert(s, root,
+        daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+        keys, "date")
+    }
     VersionedTable.createBranch(s, root, "audit")
     VersionedTable.upsert(s, s"$root@audit",
       TimeWindows.dailyOhlcv(
@@ -1530,19 +1559,21 @@ object SparkEntry {
   private def qMergeChangefeed(s: SparkSession, dir: String): DataFrame = {
     val root = "/tmp/graft_merge_changefeed/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, root)
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
     val keys = Seq("event_type", "date")
-    VersionedTable.upsert(s, root,
-      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
-      keys, "date")
-    VersionedTable.upsert(s, root,
-      TimeWindows.dailyOhlcv(
-          ev(s, dir).filter(col("user_id") % 2 === 0),
-          "event_type", "ts", "value", volume = col("user_id"))
-        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
-      keys, "date")
+    fixture { // BOTH versions are fixture; the feed diff is the operator
+      rmrf(s, root)
+      VersionedTable.upsert(s, root,
+        daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+        keys, "date")
+      VersionedTable.upsert(s, root,
+        TimeWindows.dailyOhlcv(
+            ev(s, dir).filter(col("user_id") % 2 === 0),
+            "event_type", "ts", "value", volume = col("user_id"))
+          .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+        keys, "date")
+    }
     VersionedTable.changeFeed(s, root, keys, 0, 1)
       .select(col("op"), col("event_type"), col("date"),
         col("daily_open"), col("daily_high"), col("daily_low"),
@@ -1561,22 +1592,25 @@ object SparkEntry {
     * stay oracle-green. Oracle aggregates the same final state in SQL. */
   private def qMatview(s: SparkSession, dir: String): DataFrame = {
     val base = "/tmp/graft_matview/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, base)
     val (root, view) = (s"$base/src", s"$base/view")
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
     val keys = Seq("event_type", "date")
-    VersionedTable.upsert(s, root,
-      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
-      keys, "date")
-    MatView.create(s, view, root, keys, Seq("event_type"),
-      sums = Seq(("vol_sum", "daily_volume")), countAlias = Some("n_days"))
-    VersionedTable.upsert(s, root,
-      TimeWindows.dailyOhlcv(
-          ev(s, dir).filter(col("user_id") % 2 === 0),
-          "event_type", "ts", "value", volume = col("user_id"))
-        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
-      keys, "date")
+    fixture { // source v0, view full build, source advance: all setup —
+      // the operator under test is the incremental refresh below
+      rmrf(s, base)
+      VersionedTable.upsert(s, root,
+        daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+        keys, "date")
+      MatView.create(s, view, root, keys, Seq("event_type"),
+        sums = Seq(("vol_sum", "daily_volume")), countAlias = Some("n_days"))
+      VersionedTable.upsert(s, root,
+        TimeWindows.dailyOhlcv(
+            ev(s, dir).filter(col("user_id") % 2 === 0),
+            "event_type", "ts", "value", volume = col("user_id"))
+          .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+        keys, "date")
+    }
     MatView.refresh(s, view)
     // v0 = full build, v1 = the incremental leg; a third version or a
     // missing cursor would mean the refresh degenerated
@@ -1596,24 +1630,26 @@ object SparkEntry {
   private def qMatviewMinmax(s: SparkSession, dir: String): DataFrame = {
     val base = "/tmp/graft_matview_mm/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, base)
     val (root, view) = (s"$base/src", s"$base/view")
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
     val keys = Seq("event_type", "date")
-    VersionedTable.upsert(s, root,
-      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
-      keys, "date")
-    MatView.create(s, view, root, keys, Seq("event_type"),
-      mins = Seq(("low_min", "daily_low")),
-      maxs = Seq(("high_max", "daily_high")),
-      countAlias = Some("n_days"))
-    VersionedTable.upsert(s, root,
-      TimeWindows.dailyOhlcv(
-          ev(s, dir).filter(col("user_id") % 2 === 0),
-          "event_type", "ts", "value", volume = col("user_id"))
-        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
-      keys, "date")
+    fixture {
+      rmrf(s, base)
+      VersionedTable.upsert(s, root,
+        daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+        keys, "date")
+      MatView.create(s, view, root, keys, Seq("event_type"),
+        mins = Seq(("low_min", "daily_low")),
+        maxs = Seq(("high_max", "daily_high")),
+        countAlias = Some("n_days"))
+      VersionedTable.upsert(s, root,
+        TimeWindows.dailyOhlcv(
+            ev(s, dir).filter(col("user_id") % 2 === 0),
+            "event_type", "ts", "value", volume = col("user_id"))
+          .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+        keys, "date")
+    }
     MatView.refresh(s, view)
     require(VersionedTable.currentVersion(s, view) == Some(1),
       "matview refresh did not produce exactly one incremental version")
@@ -1634,24 +1670,26 @@ object SparkEntry {
       : DataFrame = {
     val base = "/tmp/graft_matview_ad/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, base)
     val (root, view) = (s"$base/src", s"$base/view")
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
     val keys = Seq("event_type", "date")
-    VersionedTable.upsert(s, root,
-      daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
-      keys, "date")
-    MatView.create(s, view, root, keys, Seq("event_type"),
-      countAlias = Some("n_days"),
-      avgs = Seq(("vol_avg", "daily_volume")),
-      distincts = Seq(("vol_dct", "daily_volume")))
-    VersionedTable.upsert(s, root,
-      TimeWindows.dailyOhlcv(
-          ev(s, dir).filter(col("user_id") % 2 === 0),
-          "event_type", "ts", "value", volume = col("user_id"))
-        .filter(col("date") >= lit("2024-01-15").cast(DateType)),
-      keys, "date")
+    fixture {
+      rmrf(s, base)
+      VersionedTable.upsert(s, root,
+        daily.filter(col("date") <= lit("2024-01-20").cast(DateType)),
+        keys, "date")
+      MatView.create(s, view, root, keys, Seq("event_type"),
+        countAlias = Some("n_days"),
+        avgs = Seq(("vol_avg", "daily_volume")),
+        distincts = Seq(("vol_dct", "daily_volume")))
+      VersionedTable.upsert(s, root,
+        TimeWindows.dailyOhlcv(
+            ev(s, dir).filter(col("user_id") % 2 === 0),
+            "event_type", "ts", "value", volume = col("user_id"))
+          .filter(col("date") >= lit("2024-01-15").cast(DateType)),
+        keys, "date")
+    }
     MatView.refresh(s, view)
     require(VersionedTable.currentVersion(s, view) == Some(1),
       "matview refresh did not produce exactly one incremental version")
@@ -1920,11 +1958,13 @@ object SparkEntry {
   private def qVersionedSqlMerge(s: SparkSession, dir: String): DataFrame = {
     val root = "/tmp/graft_versioned_sql_merge/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, root)
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
-    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
-      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    fixture {
+      rmrf(s, root)
+      VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+        Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    }
     val win = daily.filter(col("date").between(
       org.apache.spark.sql.functions.lit("2024-01-08").cast(DateType),
       org.apache.spark.sql.functions.lit("2024-01-14").cast(DateType)))
@@ -1966,11 +2006,13 @@ object SparkEntry {
   private def qVersionedSqlMerge2(s: SparkSession, dir: String): DataFrame = {
     val root = "/tmp/graft_versioned_sql_merge2/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    rmrf(s, root)
     val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
       "value", volume = col("user_id"))
-    VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
-      Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    fixture {
+      rmrf(s, root)
+      VersionedTable.upsert(s, root, daily, Seq("event_type", "date"),
+        Seq("event_type"), statsCols = Seq("date"), fileRows = Some(8))
+    }
     val win = daily.filter(col("date").between(
       org.apache.spark.sql.functions.lit("2024-01-08").cast(DateType),
       org.apache.spark.sql.functions.lit("2024-01-14").cast(DateType)))
@@ -2259,7 +2301,7 @@ object SparkEntry {
     val root = "/tmp/graft_zorder_box/zb2_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     // committed signature: v0 = upsert, v1 = z-order compact
-    if (VersionedTable.currentVersion(s, root) != Some(1)) {
+    if (VersionedTable.currentVersion(s, root) != Some(1)) fixture {
       rmrf(s, root)
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -2303,7 +2345,7 @@ object SparkEntry {
   private def qZorderBoxNd(s: SparkSession, dir: String): DataFrame = {
     val root = "/tmp/graft_zorder_box_nd/zb3_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (VersionedTable.currentVersion(s, root) != Some(1)) {
+    if (VersionedTable.currentVersion(s, root) != Some(1)) fixture {
       rmrf(s, root)
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
