@@ -118,44 +118,11 @@ object GraftExtensions {
           "graft_table(root [, version | 'timestamp']) takes 1-2 arguments")
         val root = strLit(children.head, "graft_table root")
         val spark = SparkSession.active
-        // second arg: INT literal = VERSION AS OF; STRING literal =
-        // TIMESTAMP AS OF in UTC ('yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss'),
-        // DATE/TIMESTAMP literal = TIMESTAMP AS OF, all resolved against
-        // the commit markers' times. The Int match is pinned to
-        // IntegerType: DATE literals are Int-backed (epoch days) and
-        // would otherwise silently read version 19731 for DATE
-        // '2024-01-08'
-        def atMillis(txt: String, ms: Long): Int =
-          graft.ops.VersionedTable.versionAsOf(spark, root, ms).getOrElse(
-            throw new IllegalArgumentException(
-              s"graft_table: no version committed at or before '$txt'"))
-        val asOf: Option[Int] = children.lift(1).map {
-          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-          case l @ Literal(days: Int, org.apache.spark.sql.types.DateType) =>
-            atMillis(l.toString, java.time.LocalDate.ofEpochDay(days.toLong)
-              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
-          case l @ Literal(us: Long,
-              org.apache.spark.sql.types.TimestampType) =>
-            atMillis(l.toString, Math.floorDiv(us, 1000L))
-          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
-            val txt = s.toString.trim
-            val ms =
-              try {
-                if (txt.length == 10)
-                  java.time.LocalDate.parse(txt)
-                    .atStartOfDay(java.time.ZoneOffset.UTC)
-                    .toInstant.toEpochMilli
-                else java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
-                  .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-              } catch { case e: java.time.format.DateTimeParseException =>
-                throw new IllegalArgumentException(
-                  s"graft_table: unparseable UTC timestamp '$txt'", e)
-              }
-            atMillis(txt, ms)
-          case other => throw new IllegalArgumentException(
-            "graft_table second argument must be an integer version or a " +
-              s"timestamp (string/DATE/TIMESTAMP) literal, got $other")
-        }
+        // second arg: INT literal = VERSION AS OF; STRING/DATE/TIMESTAMP
+        // literal = TIMESTAMP AS OF against the commit markers' times —
+        // the same resolution named FOR VERSION|TIMESTAMP AS OF uses
+        val asOf: Option[Int] = children.lift(1).map(
+          graft.plans.VersionedScan.literalAsOf(spark, root, _))
         graft.plans.VersionedScan.plan(spark, root, asOf)
       }),
     (FunctionIdentifier("graft_partitions"),

@@ -2096,6 +2096,42 @@ object SparkEntry {
       FROM $name""")
   }
 
+  /** CTAS + named time travel under oracle check: `CREATE TABLE name
+    * USING graft ... AS SELECT` registers and first-writes the daily
+    * rollup in ONE statement (v0), an UPDATE then mutates it (v1), and
+    * the oracled output is `SELECT ... FROM name VERSION AS OF 0` — the
+    * pre-mutation content reached by NAME through Spark's own time
+    * travel grammar (plus a TIMESTAMP AS OF guard resolving a far-future
+    * instant to the current version). Oracle = the plain daily rollup:
+    * time travel must see through the mutation exactly. */
+  private def qCatalogCtas(s: SparkSession, dir: String): DataFrame = {
+    val name = "cat_ctas_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = "/tmp/graft_catalog_ctas/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    rmrf(s, root)
+    graft.plans.GraftCatalog.drop(s, name)
+    val srcView = "cat_ctas_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts", "value",
+      volume = col("user_id")).createOrReplaceTempView(srcView)
+    s.sql(
+      s"""CREATE TABLE $name USING graft LOCATION '$root'
+         |PARTITIONED BY (event_type)
+         |TBLPROPERTIES('graft.keys'='event_type,date')
+         |AS SELECT * FROM $srcView""".stripMargin)
+    s.sql(s"UPDATE $name SET daily_volume = daily_volume + 1000000 " +
+      "WHERE date >= DATE'2024-01-15'")
+    require(s.sql(s"SELECT sum(daily_volume) FROM $name TIMESTAMP AS OF " +
+        "'2099-01-01'").first.getLong(0) >
+      s.sql(s"SELECT sum(daily_volume) FROM $name VERSION AS OF 0")
+        .first.getLong(0),
+      "TIMESTAMP AS OF did not resolve to the mutated current version")
+    s.sql(
+      s"""SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume, round(daily_change, 4)
+         |    AS daily_change
+         |FROM $name VERSION AS OF 0""".stripMargin)
+  }
+
   /** RENAME COLUMN under oracle check: the daily rollup as a versioned
     * table with stats on daily_close, renamed to close_px METADATA-ONLY
     * (guard: the data-file set is byte-for-byte unchanged), then a
@@ -3988,6 +4024,7 @@ object SparkEntry {
     "q_versioned_sql_dml" -> (qVersionedSqlDml _),
     "q_versioned_sql_merge" -> (qVersionedSqlMerge _),
     "q_catalog_lifecycle" -> (qCatalogLifecycle _),
+    "q_catalog_ctas" -> (qCatalogCtas _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -6680,6 +6717,18 @@ object SparkEntry {
          |  daily_change
          |FROM daily_all WHERE in_win"""
       .stripMargin,
+
+    // CTAS content reached back through named VERSION AS OF 0: the
+    // post-CTAS UPDATE must be invisible — the oracle is the PLAIN
+    // daily rollup
+    "q_catalog_ctas" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS date,
+         | arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         | min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         | CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         | round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |   AS daily_change
+         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // clause matrix: even-volume window rows deleted, odd bumped,
     // early non-window days deleted by the BY SOURCE clause

@@ -4444,6 +4444,87 @@ object VersionedTable {
     next
   }
 
+  /** Metadata-only TYPE WIDENING (Delta's type-widening semantics): one
+    * manifest commit changes the column's LOGICAL type while data files
+    * keep their narrower physical encoding — Spark 4's parquet readers
+    * promote int32→int64/double and float→double at scan, so every
+    * generation keeps reading with zero rewrites. Supported: integral
+    * widening (tinyint < smallint < int < bigint), integral→double,
+    * float→double — exactly the promotions the vectorized reader
+    * performs.
+    *
+    * Index continuity: min/max stats re-tag to the new type (their
+    * canonical text parses identically under the wider type — floats
+    * already render via lossless double widening); BLOOM coverage for
+    * the column is DROPPED — blooms hash TYPED values (xxhash64 of
+    * int 5 ≠ long 5), so a carried filter would wrongly skip files.
+    * Reads stay correct, just bloom-less on this column, until the next
+    * OPTIMIZE rebuilds the filters under the new type.
+    *
+    * Refused: partition columns (the dir name IS the typed value),
+    * derived-partition sources (bucket transforms hash width-sensitively)
+    * and merge keys of synthetic-__bucket tables (same hash feeds the
+    * bucket function — rewrites would land rows in foreign partitions). */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+                  to: DataType): Int = withClaimRetry(spark, root) {
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+      IntegerType, LongType, ShortType}
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(name),
+      s"column $name does not exist at $root")
+    val from = m.schema(name).dataType
+    val rank = Map[DataType, Int](ByteType -> 0, ShortType -> 1,
+      IntegerType -> 2, LongType -> 3)
+    val ok = (from, to) match {
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if rank.contains(f) => true
+      case (f, t) if rank.contains(f) && rank.contains(t) =>
+        rank(f) < rank(t)
+      case _ => false
+    }
+    require(ok,
+      s"unsupported type change ${from.simpleString} -> ${to.simpleString}" +
+        ": metadata-only widening covers tinyint<smallint<int<bigint, " +
+        "integral->double, and float->double")
+    require(!m.partCols.contains(name),
+      s"column $name is a partition column — its name IS the directory " +
+        "layout; use repartitionTable to change it")
+    m.derived.collectFirst { case (pc, (t, src)) if src == name => (pc, t) }
+      .foreach { case (pc, t) => throw new IllegalArgumentException(
+        s"column $name is the source of derived partition $pc=$t($name) " +
+          "— the transform hashes the typed value; DROP DERIVED " +
+          "PARTITION first") }
+    require(!(m.partCols == Seq("__bucket") && m.keys.contains(name)),
+      s"column $name is a merge key of a key-bucketed table — the " +
+        "synthetic bucket hashes the typed key; widening would re-bucket " +
+        "rewritten rows into foreign partitions")
+    val newSchema = StructType(m.schema.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    val (allStats, allBloomRefs) = m.materializeIdx(fs, root)
+    val (fromJson, toJson) = (from.json, to.json)
+    val retagged = allStats.map { case (f, cols) => f -> cols.map {
+      case (c, st) if c == name && st.dtJson.contains(fromJson) =>
+        c -> st.copy(dtJson = Some(toJson))
+      case other => other } }
+    val next = stageVersion(fs, root, cur + 1,
+        s"widen-column:$name:${to.simpleString}", m.keys) { _ =>
+      Staged(m.partCols, newSchema, m.mapping, retagged,
+        m.blooms.map { case (f, cols) => f -> (cols - name) }
+          .filter(_._2.nonEmpty),
+        m.txns, m.dirRows, m.dirFiles,
+        allBloomRefs.map { case (f, cols) => f -> (cols - name) }
+          .filter(_._2.nonEmpty),
+        dvRefs = m.dvs, dirBytes = m.dirBytes, checks = m.checks,
+        derived = m.derived, dirVers = fullDirVers(m),
+        idxRefs = Map.empty, props = m.props)
+    }
+    publish(spark, root, next)
+    next
+  }
+
   // ----- branches (zero-copy refs) -----------------------------------
 
   /** Fork a zero-copy branch off `root`'s version `fromVersion` (default

@@ -9,11 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment,
-  CreateTable, DeleteAction, DeleteFromTable, DescribeRelation,
-  DropColumns, DropTable, InsertIntoStatement, InsertStarAction,
-  LogicalPlan, MergeIntoTable, QualifiedColType, RenameColumn,
-  SubqueryAlias, UnresolvedTableSpec, UnresolvedWith, UpdateAction,
-  UpdateStarAction, UpdateTable}
+  CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable,
+  DescribeRelation, DropColumns, DropTable, InsertIntoStatement,
+  InsertStarAction, LogicalPlan, MergeIntoTable, QualifiedColType,
+  RenameColumn, ShowCreateTable, SubqueryAlias, UnresolvedTableSpec,
+  UnresolvedWith, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
@@ -568,6 +568,37 @@ object GraftSqlParser {
               cd.nullable))).toDDL)
         GraftCreateTableCommand(name, spec.location, schemaDdl, partCols,
           keys, statsCols, bloomCols, ifNotExists)
+      case c @ CreateTableAsSelect(UnresolvedIdentifier(Seq(name), _),
+          partitioning, query, spec: UnresolvedTableSpec, _, ifNotExists, _)
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        val partCols = partitioning.map {
+          case t if t.name == "identity" && t.references.length == 1 =>
+            t.references.head.fieldNames.mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE ... USING graft AS SELECT supports " +
+              s"PARTITIONED BY plain columns; got transform $other")
+        }
+        def colsProp(k: String): Seq[String] = spec.properties.get(k)
+          .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val stray = spec.properties.keys.filterNot(
+          Set("graft.keys", "graft.stats", "graft.blooms"))
+        require(stray.isEmpty,
+          s"CREATE TABLE ... USING graft accepts the 'graft.keys' / " +
+            s"'graft.stats' / 'graft.blooms' properties; got " +
+            stray.mkString(", "))
+        GraftCreateTableAsCommand(name, spec.location, partCols,
+          colsProp("graft.keys"), colsProp("graft.stats"),
+          colsProp("graft.blooms"), resolveNamedTables(query), ifNotExists)
+      case sc @ ShowCreateTable(tv: UnresolvedTableOrView, _, _) =>
+        tv.multipartIdentifier match {
+          case Seq(a, b) if a.equalsIgnoreCase("graft") && b.contains("/") =>
+            GraftShowCreateTableCommand(None, b)
+          case Seq(n) =>
+            resolveUnshadowed(n)
+              .map(r => GraftShowCreateTableCommand(Some(n), r))
+              .getOrElse(sc)
+          case _ => sc
+        }
       case d @ DropTable(UnresolvedIdentifier(Seq(name), _), ifExists,
           purge) =>
         if (resolveUnshadowed(name).isEmpty) d // not ours — Spark's
@@ -627,6 +658,21 @@ object GraftSqlParser {
             }
             GraftDropColumnsCommand(r, names)
           case None => d
+        }
+      case ac @ org.apache.spark.sql.catalyst.plans.logical.AlterColumns(
+          t: UnresolvedTable, specs) =>
+        graftTableIdent(t.multipartIdentifier) match {
+          case Some(r) =>
+            val widens = specs.map {
+              case org.apache.spark.sql.catalyst.plans.logical
+                  .AlterColumnSpec(UnresolvedFieldName(Seq(c)), Some(dt),
+                    None, None, None, None, false) => (c, dt)
+              case other => throw new IllegalArgumentException(
+                "ALTER COLUMN on graft tables supports TYPE widening of " +
+                  s"top-level columns only; got ${other.sql}")
+            }
+            GraftWidenColumnsCommand(r, widens)
+          case None => ac
         }
       case rc @ RenameColumn(t: UnresolvedTable,
           UnresolvedFieldName(Seq(from)), to) =>
@@ -748,6 +794,34 @@ object GraftSqlParser {
             // is filesystem I/O and most single-part names are views
             if (scope.contains(lc(name)) || sessionShadowed(name)) u
             else resolveName(name).map(relationFor(spark, _)).getOrElse(u)
+          // named time travel: SELECT ... FROM t VERSION AS OF 3 /
+          // TIMESTAMP AS OF '2024-01-08' — the same literal resolution
+          // graft_table(root, v) uses, against the commit markers
+          case tt: org.apache.spark.sql.catalyst.analysis
+              .RelationTimeTravel =>
+            tt.relation match {
+              case u: UnresolvedRelation
+                  if u.multipartIdentifier.length == 1 &&
+                    !scope.contains(lc(u.multipartIdentifier.head)) &&
+                    !sessionShadowed(u.multipartIdentifier.head) =>
+                resolveName(u.multipartIdentifier.head) match {
+                  case Some(root) =>
+                    val v = tt.version match {
+                      case Some(vs) => vs.trim.toIntOption.getOrElse(
+                        throw new IllegalArgumentException(
+                          "VERSION AS OF on a graft table takes an " +
+                            s"integer version; got '$vs'"))
+                      case None => VersionedScan.literalAsOf(spark, root,
+                        tt.timestamp.getOrElse(
+                          throw new IllegalArgumentException(
+                            "time travel needs VERSION AS OF or " +
+                              "TIMESTAMP AS OF")))
+                    }
+                    relationFor(spark, root, Some(v))
+                  case None => tt
+                }
+              case _ => tt
+            }
           case other =>
             other.mapChildren(go(_, scope)).transformExpressionsDown {
               case se: org.apache.spark.sql.catalyst.expressions
@@ -764,10 +838,14 @@ object GraftSqlParser {
     * empty root (no committed version yet) with a declared schema serves
     * a zero-row relation of that schema, like a freshly created catalog
     * table anywhere. */
-  private def relationFor(spark: SparkSession, root: String): LogicalPlan =
+  private def relationFor(spark: SparkSession, root: String,
+                          asOf: Option[Int] = None): LogicalPlan =
     if (graft.ops.MatView.isView(spark, root))
-      graft.ops.MatView.read(spark, root).queryExecution.analyzed
+      graft.ops.MatView.read(spark, root, asOf).queryExecution.analyzed
     else if (VersionedTable.currentVersion(spark, root).isEmpty) {
+      if (asOf.isDefined) throw new java.io.FileNotFoundException(
+        s"no committed version at $root (time travel on a never-written " +
+          "table)")
       val ddl = GraftCatalog.list(spark)
         .find(_.root == VersionedTable.splitRef(root)._1)
         .flatMap(_.schemaDdl)
@@ -778,7 +856,7 @@ object GraftSqlParser {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema).queryExecution.analyzed
     } else {
-      val rel = VersionedScan.plan(spark, root, None)
+      val rel = VersionedScan.plan(spark, root, asOf)
       // unpartitioned CREATEs ride a synthetic __bucket partition (pure
       // function of the merge keys); named reads hide it — like every
       // internal __ column — so SELECT * serves the declared shape
@@ -1436,6 +1514,122 @@ case class GraftRenameColumnCommand(root: String, from: String, to: String)
         s"column name $c is reserved (the __ prefix is internal)"))
     Seq(Row(VersionedTable.renameColumn(spark, root, from, to)))
   }
+}
+
+/** `CREATE TABLE name USING graft [LOCATION ...] [PARTITIONED BY ...]
+  * TBLPROPERTIES('graft.keys'='...') AS SELECT ...` — registration plus
+  * the first write in one statement, with the schema taken from the
+  * query (the CTAS contract). The target root must have no committed
+  * versions (CTAS defines content — re-attach is plain CREATE), and IF
+  * NOT EXISTS on an existing NAME is a full no-op: the query is not
+  * even executed, matching Spark's CTAS semantics. The write itself
+  * rides [[GraftInsertCommand]]'s empty-declared-table path, so
+  * bucketing, declared stats/bloom indexes, and keyed-upsert semantics
+  * are identical to CREATE-then-INSERT. */
+case class GraftCreateTableAsCommand(name: String, location: Option[String],
+                                     partCols: Seq[String],
+                                     keys: Seq[String],
+                                     statsCols: Seq[String],
+                                     bloomCols: Seq[String],
+                                     source: LogicalPlan,
+                                     ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (GraftCatalog.lookup(spark, name).isDefined) {
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"graft table $name already exists (DROP TABLE first, or " +
+          "CREATE TABLE IF NOT EXISTS)")
+      return Seq.empty
+    }
+    require(keys.nonEmpty,
+      "CREATE TABLE ... AS SELECT on a graft table needs merge keys — " +
+        "declare TBLPROPERTIES('graft.keys'='k1,k2')")
+    val df = PlanBridge.dataFrame(spark, source)
+    val fields = df.schema.fieldNames.toSeq
+    fields.filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name $c is reserved (the __ prefix is internal)"))
+    val missing = (partCols ++ keys ++ statsCols ++ bloomCols)
+      .filterNot(fields.contains)
+    require(missing.isEmpty,
+      s"declared partition/key/index columns not produced by the " +
+        s"query: ${missing.mkString(", ")}")
+    val root = location.getOrElse(GraftCatalog.managedRoot(spark, name))
+    require(VersionedTable.currentVersion(spark, root).isEmpty,
+      s"CTAS target root $root already has committed versions — " +
+        "CREATE TABLE (without AS SELECT) re-attaches an existing table")
+    GraftCatalog.create(spark,
+      GraftCatalog.Entry(name, root, partCols, keys,
+        Some(df.schema.toDDL), statsCols, bloomCols), ifNotExists)
+    GraftInsertCommand(root, Nil, source, byName = true).run(spark)
+  }
+}
+
+/** `SHOW CREATE TABLE t` on a graft table — the round-trippable DDL
+  * reconstructed from the committed manifest (schema without internal
+  * columns, visible partitioning, merge keys and index coverage as
+  * graft properties) plus LOCATION; falls back to the catalog entry's
+  * declarations for a never-written table. */
+case class GraftShowCreateTableCommand(name: Option[String], root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val entry = GraftCatalog.list(spark)
+      .find(_.root == VersionedTable.splitRef(root)._1)
+    val (schema, partCols, keys, statsCols, bloomCols) =
+      VersionedTable.currentVersion(spark, root) match {
+        case Some(v) =>
+          val m = VersionedTable.resolveManifestAt(spark, root, v, v)
+          val (st, bl) = VersionedTable.coveredIndexCols(m)
+          (m.schema, m.partCols, m.keys, st, bl)
+        case None =>
+          val e = entry.getOrElse(throw new java.io.FileNotFoundException(
+            s"no committed version at $root"))
+          (e.schemaDdl
+            .map(org.apache.spark.sql.types.StructType.fromDDL)
+            .getOrElse(throw new java.io.FileNotFoundException(
+              s"graft table has no data and no declared schema at $root")),
+            e.partCols, e.keys, e.statsCols, e.bloomCols)
+      }
+    val ident = name.orElse(entry.map(_.name)).getOrElse(s"graft.`$root`")
+    val cols = schema.fields.toSeq.filterNot(_.name.startsWith("__"))
+      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+    val partLine = {
+      val vis = partCols.filterNot(_.startsWith("__"))
+      if (vis.isEmpty) "" else s"\nPARTITIONED BY (${vis.mkString(", ")})"
+    }
+    def prop(k: String, cs: Seq[String]): Seq[String] = {
+      val vis = cs.filterNot(_.startsWith("__"))
+      if (vis.isEmpty) Nil else Seq(s"'$k'='${vis.mkString(",")}'")
+    }
+    val props = prop("graft.keys", keys) ++
+      prop("graft.stats", statsCols) ++ prop("graft.blooms", bloomCols)
+    val propLine =
+      if (props.isEmpty) "" else s"\nTBLPROPERTIES(${props.mkString(", ")})"
+    Seq(Row(s"CREATE TABLE $ident (\n$cols)\nUSING graft\n" +
+      s"LOCATION '${VersionedTable.splitRef(root)._1}'" +
+      partLine + propLine))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` —
+  * [[VersionedTable.widenColumn]] per column: metadata-only type
+  * widening (int→bigint, float→double, ...); the parquet readers
+  * promote old files at scan, stats re-tag, blooms rebuild at the next
+  * OPTIMIZE. */
+case class GraftWidenColumnsCommand(root: String,
+                                    cols: Seq[(String,
+                                      org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(cols.map { case (n, dt) =>
+      VersionedTable.widenColumn(spark, root, n, dt) }.last))
 }
 
 /** The general MERGE clause matrix on a graft table —

@@ -77,6 +77,49 @@ object VersionedScan {
     VersionedRelation(root, v, m.schema,
       DataTypeUtils.toAttributes(m.schema))(m, spark)
   }
+
+  /** Resolve a time-travel LITERAL to a version: INT = VERSION AS OF;
+    * STRING ('yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss', UTC) / DATE /
+    * TIMESTAMP = TIMESTAMP AS OF against the commit markers' times.
+    * Shared by the `graft_table(root, v)` table function and named
+    * `FOR VERSION|TIMESTAMP AS OF` resolution. The Int match is pinned
+    * to IntegerType: DATE literals are Int-backed (epoch days) and would
+    * otherwise silently read version 19731 for DATE '2024-01-08'. */
+  private[graft] def literalAsOf(spark: SparkSession, root: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{DateType, IntegerType, TimestampType}
+    def atMillis(txt: String, ms: Long): Int =
+      VersionedTable.versionAsOf(spark, root, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"no version committed at or before '$txt' at $root"))
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case l @ Literal(days: Int, DateType) =>
+        atMillis(l.toString, java.time.LocalDate.ofEpochDay(days.toLong)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+      case l @ Literal(us: Long, TimestampType) =>
+        atMillis(l.toString, Math.floorDiv(us, 1000L))
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        val txt = s.toString.trim
+        val ms =
+          try {
+            if (txt.length == 10)
+              java.time.LocalDate.parse(txt)
+                .atStartOfDay(java.time.ZoneOffset.UTC)
+                .toInstant.toEpochMilli
+            else java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          } catch { case ex: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"unparseable UTC timestamp '$txt'", ex)
+          }
+        atMillis(txt, ms)
+      case other => throw new IllegalArgumentException(
+        "time travel takes an integer version or a timestamp " +
+          s"(string/DATE/TIMESTAMP) literal, got $other")
+    }
+  }
 }
 
 /** Leaf standing for "the committed content of the versioned table at

@@ -333,6 +333,115 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_mcm_b")
   }
 
+  test("CTAS: registration + first write in one statement; IF NOT " +
+      "EXISTS on an existing name never executes the query") {
+    val path = tmp("ctas") + "/t"
+    Seq((1, "a", 10), (2, "b", 20), (1, "a", 99))
+      .toDF("id", "g", "v").createOrReplaceTempView("cat_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE cat_ctas USING graft LOCATION '$path'
+         |PARTITIONED BY (g) TBLPROPERTIES('graft.keys'='id,g')
+         |AS SELECT * FROM cat_ctas_src WHERE v < 99""".stripMargin)
+    assert(spark.sql("SELECT sum(v) AS s FROM cat_ctas")
+      .first.getLong(0) == 30L)
+    // keyed semantics identical to CREATE-then-INSERT
+    spark.sql("INSERT INTO cat_ctas VALUES (1, 'a', 50)")
+    assert(spark.sql("SELECT v FROM cat_ctas WHERE id = 1")
+      .first.getInt(0) == 50)
+    // IF NOT EXISTS on an existing name: full no-op, query NOT run
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS cat_ctas USING graft
+        |TBLPROPERTIES('graft.keys'='id')
+        |AS SELECT 7 AS id, 'z' AS g, 0 AS v""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM cat_ctas")
+      .first.getLong(0) == 2)
+    // CTAS needs keys; CTAS over a written root refuses (CREATE
+    // re-attaches, CTAS defines content)
+    intercept[IllegalArgumentException](spark.sql(
+      "CREATE TABLE cat_ctas_nokeys USING graft AS SELECT 1 AS id"))
+    intercept[IllegalArgumentException](spark.sql(
+      s"""CREATE TABLE cat_ctas2 USING graft LOCATION '$path'
+         |TBLPROPERTIES('graft.keys'='id')
+         |AS SELECT 1 AS id""".stripMargin))
+    spark.sql("DROP TABLE cat_ctas")
+  }
+
+  test("named time travel: VERSION AS OF / TIMESTAMP AS OF on a " +
+      "registered name") {
+    val path = tmp("tt") + "/t"
+    spark.sql(s"CREATE TABLE cat_tt (id INT, v INT) USING graft " +
+      s"LOCATION '$path' TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_tt VALUES (1, 10), (2, 20)") // v0
+    spark.sql("UPDATE cat_tt SET v = v + 100")              // v1
+    assert(spark.sql("SELECT sum(v) AS s FROM cat_tt")
+      .first.getLong(0) == 230L)
+    assert(spark.sql("SELECT sum(v) AS s FROM cat_tt VERSION AS OF 0")
+      .first.getLong(0) == 30L)
+    // a far-future timestamp resolves to the current version
+    assert(spark.sql(
+      "SELECT sum(v) AS s FROM cat_tt TIMESTAMP AS OF '2099-01-01'")
+      .first.getLong(0) == 230L)
+    // a CTE of the same name still shadows the time-travel reference
+    assert(spark.sql(
+      """WITH cat_tt AS (SELECT 1 AS v) SELECT sum(v) AS s
+        |FROM cat_tt""".stripMargin).first.getLong(0) == 1L)
+    intercept[Exception](spark.sql(
+      "SELECT * FROM cat_tt TIMESTAMP AS OF '1999-01-01'").collect())
+    spark.sql("DROP TABLE cat_tt")
+  }
+
+  test("SHOW CREATE TABLE round-trips: emitted DDL re-attaches after " +
+      "DROP, declarations preserved") {
+    val path = tmp("sct") + "/t"
+    spark.sql(s"CREATE TABLE cat_sct (id INT, g STRING, v INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g', 'graft.stats'='id')")
+    spark.sql("INSERT INTO cat_sct VALUES (1,'a',10)")
+    val ddl = spark.sql("SHOW CREATE TABLE cat_sct").first.getString(0)
+    assert(ddl.contains("USING graft") && ddl.contains(s"LOCATION '$path'"))
+    assert(ddl.contains("PARTITIONED BY (g)"))
+    assert(ddl.contains("'graft.keys'='id,g'"))
+    assert(!ddl.contains("__")) // internal columns never leak
+    spark.sql("DROP TABLE cat_sct")
+    spark.sql(ddl) // re-attach from the emitted statement
+    assert(spark.sql("SELECT v FROM cat_sct WHERE id = 1")
+      .first.getInt(0) == 10)
+    spark.sql("DROP TABLE cat_sct")
+  }
+
+  test("ALTER COLUMN TYPE widening: metadata-only, old files promote at " +
+      "scan, stats survive, narrowing refuses") {
+    val path = tmp("widen") + "/t"
+    spark.sql(s"CREATE TABLE cat_widen (id INT, g STRING, v INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g', 'graft.stats'='v')")
+    spark.sql("INSERT INTO cat_widen VALUES (1,'a',5), (2,'a',7), (3,'b',9)")
+    val filesBefore = new java.io.File(path).listFiles().length
+    spark.sql("ALTER TABLE cat_widen ALTER COLUMN v TYPE BIGINT")
+    // metadata-only: same data files, old int32 files promote at scan
+    assert(spark.sql("SELECT v FROM cat_widen WHERE id = 1")
+      .first.getLong(0) == 5L)
+    // values beyond int range now land
+    spark.sql(s"INSERT INTO cat_widen VALUES (4,'b',${Long.MaxValue}L)")
+    assert(spark.sql("SELECT max(v) AS m FROM cat_widen")
+      .first.getLong(0) == Long.MaxValue)
+    // stats re-tagged under the wider type: pruning still engages on v
+    val root = graft.plans.GraftCatalog.lookup(spark, "cat_widen").get.root
+    val (kept, total) = VersionedTable.skipStats(spark, root, "v", 6L, 8L)
+    assert(total >= 2 && kept < total,
+      s"widened stats stopped pruning: $kept/$total")
+    // time travel reads the pre-widening schema it recorded
+    assert(spark.sql("SELECT v FROM cat_widen VERSION AS OF 0 " +
+      "WHERE id = 1").first.getInt(0) == 5)
+    // narrowing and partition columns refuse
+    intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE cat_widen ALTER COLUMN v TYPE INT"))
+    intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE cat_widen ALTER COLUMN g TYPE BINARY"))
+    spark.sql("DROP TABLE cat_widen")
+    assert(filesBefore > 0)
+  }
+
   test("DML on a materialized view refuses — writes go to the source") {
     val path = tmp("mvdml") + "/src"
     spark.sql(s"CREATE TABLE cat_mvd_src (id INT, g STRING, x INT) " +

@@ -411,14 +411,15 @@ class SqlDmlSpec extends SparkSpec {
     val got = graft.ops.MatView.read(spark, view)
       .as[(String, Long, Long)].collect().toSet
     assert(got == want)
-    // unsupported MV shapes refuse loudly
+    // unsupported MV shapes refuse loudly (avg/approx_count_distinct
+    // are maintainable and supported; stddev is not)
     val bad = intercept[IllegalArgumentException] {
       spark.sql(
         s"""CREATE MATERIALIZED VIEW graft.`$dir/v2` KEYED BY (id)
-           |AS SELECT source, avg(n) AS m
+           |AS SELECT source, stddev(n) AS m
            |FROM graft_table('$src') GROUP BY source""".stripMargin)
     }
-    assert(bad.getMessage.contains("sum|min|max"))
+    assert(bad.getMessage.contains("sum|avg|min|max"))
     // the served view from pure SQL, via the graft_view table function
     val sqlGot = spark.sql(
       s"SELECT source, n_sum, cnt FROM graft_view('$view') ORDER BY source")
