@@ -18,16 +18,17 @@ import org.apache.spark.sql.functions._
  *      the repo's banded two-pass ([[Curate.quantileNormalize]]'s
  *      pattern), because for a CONTINUOUS x the distinct-x table is
  *      input-sized and a single-partition window over it would be the
- *      one unbanded global window in the engine: range-band x (one
- *      input-pass min/max), cummin the ≤nbands band minima (tiny
- *      driver-adjacent window), run the in-band strict-prefix window
- *      partitioned BY band (parallel), and take the least of the two —
- *      strictly-larger x lives either earlier in this band or in a
- *      higher band.
- *   3. join back + filter — broadcast while the approx distinct-x count
- *      fits [[broadcastCapDefault]], a plain equi-join (AQE-planned)
- *      past it, so a continuous x can never demand an unbounded
- *      broadcast.
+ *      one unbanded global window in the engine: range-band x (bounds
+ *      from an IN-PLAN one-row aggregate — no driver action, the
+ *      grouped exchange is reused), cummin the ≤nbands band minima
+ *      (the only unpartitioned window, bounded by nbands), run the
+ *      in-band strict-prefix window partitioned BY band (parallel),
+ *      and take the least of the two — strictly-larger x lives either
+ *      earlier in this band or in a higher band.
+ *   3. join back + filter — a plain equi-join: AQE broadcasts the
+ *      distinct-x-sized side while it fits the threshold and
+ *      sort-merges past it, so a continuous x never demands an
+ *      unbounded broadcast.
  * Ties: equal (x, y) points dominate neither way and are all kept —
  * `y < strict-prefix min` (strict) + `y = min-at-x` (non-strict)
  * encodes exactly the standard dominance definition. The in-band
@@ -39,28 +40,26 @@ import org.apache.spark.sql.functions._
  */
 object Skyline {
 
-  /** Above this many (approximate) distinct x values the join back to
-    * the input stops broadcasting. */
-  val broadcastCapDefault = 1000000L
-
   /** Rows of `df` on the (max `x`, min `y`) Pareto frontier. */
   def skyline2D(df: DataFrame, x: String, y: String,
-                nbands: Int = 256,
-                broadcastCap: Long = broadcastCapDefault): DataFrame = {
-    // band range + join-strategy size in ONE shuffle-free input pass
-    val st = df.agg(min(col(x)).cast("double").as("__lo"),
-      max(col(x)).cast("double").as("__hi"),
-      approx_count_distinct(col(x)).as("__nd")).first()
-    val (lo, hi) =
-      if (st.isNullAt(0)) (0.0, 1.0) else (st.getDouble(0), st.getDouble(1))
-    val nd = st.getLong(2)
+                nbands: Int = 256): DataFrame = {
+    val grouped = df.groupBy(x).agg(min(col(y)).as("__best_at_x"))
+    // band bounds as a broadcast ONE-ROW frame computed inside the same
+    // plan — a driver-side stats action here would re-execute the whole
+    // upstream (the input is typically itself an aggregate), doubling
+    // the query; in-plan, the grouped exchange is built once and REUSED
+    // by every consumer below
+    val bounds = grouped.agg(min(col(x).cast("double")).as("__lo"),
+      max(col(x).cast("double")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(nbands.toDouble)
     val bandOf =
       when(col(x).isNull || col(x).cast("double").isNull, lit(-1))
-        .otherwise(
-          if (hi > lo) Stats.binColumn(col(x).cast("double"), lo, hi, nbands)
-          else lit(0))
-    val bestAtX = df.groupBy(x).agg(min(col(y)).as("__best_at_x"))
-      .withColumn("__b", bandOf)
+        .when(col("__hi") <= col("__lo"), lit(0))
+        .otherwise(floor(least(lit((nbands - 1).toDouble),
+          greatest(lit(0.0), (col(x).cast("double") - col("__lo")) / width)))
+          .cast("int"))
+    val bestAtX = grouped.crossJoin(broadcast(bounds))
+      .withColumn("__b", bandOf).drop("__lo", "__hi")
     // strict-prefix cummin over the ≤nbands+1 band MINIMA: the only
     // unpartitioned window, bounded by nbands however large the input
     val bandPref = bestAtX.groupBy("__b")
@@ -75,10 +74,10 @@ object Skyline {
       .withColumn("__pref",
         least(min(col("__best_at_x")).over(wIn), col("__bpref")))
       .drop("__b", "__bpref")
-    val joined =
-      if (nd <= broadcastCap) df.join(broadcast(pref), Seq(x))
-      else df.join(pref, Seq(x))
-    joined
+    // plain equi-join back: AQE broadcasts the (distinct-x-sized) pref
+    // side while it fits the threshold and sort-merges past it — a
+    // continuous x never demands an unbounded forced broadcast
+    df.join(pref, Seq(x))
       .filter(col(y) === col("__best_at_x")
         && (col("__pref").isNull || col(y) < col("__pref")))
       .drop("__best_at_x", "__pref")
