@@ -172,10 +172,16 @@ object MatView {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Source rescans the LAST [[refresh]] needed for extremum measures
-    * (0 = the whole refresh ran from the feed alone; -1 = no extremum
-    * refresh has run). Observability for tests and schedulers. */
-  @volatile private[graft] var lastRescanGroups: Long = -1L
+  /** Source rescans the LAST [[refresh]] needed for extremum/sketch
+    * measures (0 = the whole refresh ran from the feed alone; -1 = no
+    * such refresh has run). Observability for tests and in-query
+    * guards — PER THREAD, because the bench runs queries concurrently
+    * and a process-global cell would let one query's refresh overwrite
+    * the value another query is about to assert on. */
+  private val lastRescan = new ThreadLocal[java.lang.Long] {
+    override def initialValue: java.lang.Long = -1L
+  }
+  private[graft] def lastRescanGroups: Long = lastRescan.get
 
   /** The view's served contents: group columns + measures, tombstones
     * and internal columns hidden. */
@@ -319,7 +325,7 @@ object MatView {
       // and counting them is the path's key observable
       val rescanKeys = joined.filter(rescan)
         .select(spec.groupCols.map(col): _*).persist()
-      lastRescanGroups = rescanKeys.count()
+      lastRescan.set(rescanKeys.count())
       if (lastRescanGroups == 0) (deltaRows, Seq(rescanKeys))
       else (deltaRows.unionByName(
         recomputeGroups(spark, spec, rescanKeys, srcCur)), Seq(rescanKeys))

@@ -44,22 +44,36 @@ object Skyline {
   def skyline2D(df: DataFrame, x: String, y: String,
                 nbands: Int = 256): DataFrame = {
     val grouped = df.groupBy(x).agg(min(col(y)).as("__best_at_x"))
-    // band bounds as a broadcast ONE-ROW frame computed inside the same
-    // plan — a driver-side stats action here would re-execute the whole
-    // upstream (the input is typically itself an aggregate), doubling
-    // the query; in-plan, the grouped exchange is built once and REUSED
-    // by every consumer below
-    val bounds = grouped.agg(min(col(x).cast("double")).as("__lo"),
-      max(col(x).cast("double")).as("__hi"))
-    val width = (col("__hi") - col("__lo")) / lit(nbands.toDouble)
-    val bandOf =
-      when(col(x).isNull || col(x).cast("double").isNull, lit(-1))
-        .when(col("__hi") <= col("__lo"), lit(0))
-        .otherwise(floor(least(lit((nbands - 1).toDouble),
-          greatest(lit(0.0), (col(x).cast("double") - col("__lo")) / width)))
-          .cast("int"))
-    val bestAtX = grouped.crossJoin(broadcast(bounds))
-      .withColumn("__b", bandOf).drop("__lo", "__hi")
+    // banding needs an order-compatible numeric mapping; a NON-numeric
+    // x (date, string) keeps the single-band formulation — its in-band
+    // ordering is the type's own, exactly the pre-banding semantics
+    // (casting such an x would either fail analysis or, under default
+    // ANSI, mix numeric band order with lexicographic in-band order)
+    val numericX = df.schema(x).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val bestAtX =
+      if (!numericX)
+        grouped.withColumn("__b",
+          when(col(x).isNull, lit(-1)).otherwise(lit(0)))
+      else {
+        // band bounds as a broadcast ONE-ROW frame computed inside the
+        // same plan — a driver-side stats action here would re-execute
+        // the whole upstream (the input is typically itself an
+        // aggregate), doubling the query; in-plan, the grouped exchange
+        // is built once and REUSED by every consumer below
+        val bounds = grouped.agg(min(col(x).cast("double")).as("__lo"),
+          max(col(x).cast("double")).as("__hi"))
+        val width = (col("__hi") - col("__lo")) / lit(nbands.toDouble)
+        val bandOf =
+          when(col(x).isNull, lit(-1))
+            .when(col("__hi") <= col("__lo"), lit(0))
+            .otherwise(floor(least(lit((nbands - 1).toDouble),
+              greatest(lit(0.0),
+                (col(x).cast("double") - col("__lo")) / width)))
+              .cast("int"))
+        grouped.crossJoin(broadcast(bounds))
+          .withColumn("__b", bandOf).drop("__lo", "__hi")
+      }
     // strict-prefix cummin over the ≤nbands+1 band MINIMA: the only
     // unpartitioned window, bounded by nbands however large the input
     val bandPref = bestAtX.groupBy("__b")

@@ -4466,56 +4466,77 @@ object VersionedTable {
     * and merge keys of synthetic-__bucket tables (same hash feeds the
     * bucket function — rewrites would land rows in foreign partitions). */
   def widenColumn(spark: SparkSession, root: String, name: String,
-                  to: DataType): Int = withClaimRetry(spark, root) {
+                  to: DataType): Int =
+    widenColumns(spark, root, Seq(name -> to))
+
+  /** [[widenColumn]] for several columns in ONE commit — a multi-column
+    * ALTER statement is atomic: every widening validates before any
+    * publishes, so a narrowing later in the list cannot leave earlier
+    * widenings half-applied in the history. */
+  def widenColumns(spark: SparkSession, root: String,
+                   cols: Seq[(String, DataType)]): Int =
+      withClaimRetry(spark, root) {
     import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
       IntegerType, LongType, ShortType}
+    require(cols.nonEmpty, "no columns to widen")
+    require(cols.map(_._1).distinct.length == cols.length,
+      s"duplicate column in widening list: ${cols.map(_._1).mkString(", ")}")
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
-    require(m.schema.fieldNames.contains(name),
-      s"column $name does not exist at $root")
-    val from = m.schema(name).dataType
     val rank = Map[DataType, Int](ByteType -> 0, ShortType -> 1,
       IntegerType -> 2, LongType -> 3)
-    val ok = (from, to) match {
-      case (FloatType, DoubleType) => true
-      case (f, DoubleType) if rank.contains(f) => true
-      case (f, t) if rank.contains(f) && rank.contains(t) =>
-        rank(f) < rank(t)
-      case _ => false
+    // ALL validation first: the commit below is all-or-nothing
+    cols.foreach { case (name, to) =>
+      require(m.schema.fieldNames.contains(name),
+        s"column $name does not exist at $root")
+      val from = m.schema(name).dataType
+      val ok = (from, to) match {
+        case (FloatType, DoubleType) => true
+        case (f, DoubleType) if rank.contains(f) => true
+        case (f, t) if rank.contains(f) && rank.contains(t) =>
+          rank(f) < rank(t)
+        case _ => false
+      }
+      require(ok,
+        s"unsupported type change ${from.simpleString} -> " +
+          s"${to.simpleString}: metadata-only widening covers " +
+          "tinyint<smallint<int<bigint, integral->double, and " +
+          "float->double")
+      require(!m.partCols.contains(name),
+        s"column $name is a partition column — its name IS the " +
+          "directory layout; use repartitionTable to change it")
+      m.derived.collectFirst { case (pc, (t, src)) if src == name =>
+        (pc, t) }
+        .foreach { case (pc, t) => throw new IllegalArgumentException(
+          s"column $name is the source of derived partition " +
+            s"$pc=$t($name) — the transform hashes the typed value; " +
+            "DROP DERIVED PARTITION first") }
+      require(!(m.partCols == Seq("__bucket") && m.keys.contains(name)),
+        s"column $name is a merge key of a key-bucketed table — the " +
+          "synthetic bucket hashes the typed key; widening would " +
+          "re-bucket rewritten rows into foreign partitions")
     }
-    require(ok,
-      s"unsupported type change ${from.simpleString} -> ${to.simpleString}" +
-        ": metadata-only widening covers tinyint<smallint<int<bigint, " +
-        "integral->double, and float->double")
-    require(!m.partCols.contains(name),
-      s"column $name is a partition column — its name IS the directory " +
-        "layout; use repartitionTable to change it")
-    m.derived.collectFirst { case (pc, (t, src)) if src == name => (pc, t) }
-      .foreach { case (pc, t) => throw new IllegalArgumentException(
-        s"column $name is the source of derived partition $pc=$t($name) " +
-          "— the transform hashes the typed value; DROP DERIVED " +
-          "PARTITION first") }
-    require(!(m.partCols == Seq("__bucket") && m.keys.contains(name)),
-      s"column $name is a merge key of a key-bucketed table — the " +
-        "synthetic bucket hashes the typed key; widening would re-bucket " +
-        "rewritten rows into foreign partitions")
+    val toOf = cols.toMap
+    val fromJson = cols.map { case (n, _) => n -> m.schema(n).dataType.json }
+      .toMap
     val newSchema = StructType(m.schema.map(f =>
-      if (f.name == name) f.copy(dataType = to) else f))
+      toOf.get(f.name).fold(f)(t => f.copy(dataType = t))))
     val (allStats, allBloomRefs) = m.materializeIdx(fs, root)
-    val (fromJson, toJson) = (from.json, to.json)
-    val retagged = allStats.map { case (f, cols) => f -> cols.map {
-      case (c, st) if c == name && st.dtJson.contains(fromJson) =>
-        c -> st.copy(dtJson = Some(toJson))
+    val retagged = allStats.map { case (f, cs) => f -> cs.map {
+      case (c, st) if toOf.contains(c) && st.dtJson.contains(fromJson(c)) =>
+        c -> st.copy(dtJson = Some(toOf(c).json))
       case other => other } }
-    val next = stageVersion(fs, root, cur + 1,
-        s"widen-column:$name:${to.simpleString}", m.keys) { _ =>
+    val widened = toOf.keySet
+    val op = cols.map { case (n, t) => s"$n:${t.simpleString}" }
+      .mkString("widen-column:", ",", "")
+    val next = stageVersion(fs, root, cur + 1, op, m.keys) { _ =>
       Staged(m.partCols, newSchema, m.mapping, retagged,
-        m.blooms.map { case (f, cols) => f -> (cols - name) }
+        m.blooms.map { case (f, cs) => f -> (cs -- widened) }
           .filter(_._2.nonEmpty),
         m.txns, m.dirRows, m.dirFiles,
-        allBloomRefs.map { case (f, cols) => f -> (cols - name) }
+        allBloomRefs.map { case (f, cs) => f -> (cs -- widened) }
           .filter(_._2.nonEmpty),
         dvRefs = m.dvs, dirBytes = m.dirBytes, checks = m.checks,
         derived = m.derived, dirVers = fullDirVers(m),

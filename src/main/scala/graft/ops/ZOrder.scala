@@ -37,9 +37,7 @@ object ZOrder {
     * exact in double for any |c - lo| < 2^37, far beyond a 16-bit grid's
     * useful input range. */
   def normalize16(c: Column, lo: Column, hi: Column): Column =
-    when(hi === lo, lit(0L))
-      .otherwise(floor((c - lo).cast("double") * 65535.0 /
-        (hi - lo).cast("double")))
+    normalizeBits(c, lo, hi, 16)
 
   /** Interleave two 16-bit normalized keys into a 32-bit z-value:
     * x occupies even bits, y odd. */
@@ -116,8 +114,10 @@ object ZOrder {
   def zIntervalsForBoxN(box: Seq[(Long, Long)], bits: Int = 16,
                         maxIntervals: Int = 64): Seq[(Long, Long)] = {
     val n = box.length
-    require(n >= 1 && bits >= 1 && bits * n <= 63,
-      s"need 1 <= dims and 0 < bits*$n <= 63")
+    // n capped well below the Int-shift wrap at 31: the recursion
+    // spawns 2^n children per split, useless far earlier than that
+    require(n >= 1 && n <= 16 && bits >= 1 && bits * n <= 63,
+      s"need 1 <= dims <= 16 and 0 < bits*$n <= 63")
     val lim = (1L << bits) - 1
     box.foreach { case (lo, hi) =>
       require(lo <= hi, "empty box")
@@ -178,16 +178,29 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Range-normalize `c` to [0, 2^bits - 1] given closed bounds —
+    * [[normalize16]] generalized so 4+ dimensions can fit a 63-bit
+    * z-value at a narrower per-key grid. */
+  def normalizeBits(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    when(hi === lo, lit(0L))
+      .otherwise(floor((c - lo).cast("double") * ((1L << bits) - 1) /
+        (hi - lo).cast("double")))
+
   /** N-dimensional z-value with data-derived bounds (one constant-width
-    * aggregate broadcast to every row, as in withZValue). */
+    * aggregate broadcast to every row, as in withZValue). The per-key
+    * grid auto-narrows so bits·N fits a long: 16 bits up to 3 keys,
+    * 63/N bits beyond (4 keys → 15 bits — resolution barely drops
+    * while the layout gains a whole dimension). */
   def withZValueN(df: DataFrame, cols: Seq[String],
                   out: String = "zval"): DataFrame = {
+    val bits = math.min(16, 63 / cols.size)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__${c}_lo"), max(col(c)).as(s"__${c}_hi")))
     val b = df.agg(aggs.head, aggs.tail: _*)
     df.crossJoin(broadcast(b))
       .withColumn(out, zValueN(cols.map(c =>
-        normalize16(col(c), col(s"__${c}_lo"), col(s"__${c}_hi")))))
+        normalizeBits(col(c), col(s"__${c}_lo"), col(s"__${c}_hi"), bits)),
+        bits))
       .drop(cols.flatMap(c => Seq(s"__${c}_lo", s"__${c}_hi")): _*)
   }
 }

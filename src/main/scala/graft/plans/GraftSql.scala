@@ -1560,10 +1560,26 @@ case class GraftCreateTableAsCommand(name: String, location: Option[String],
     require(VersionedTable.currentVersion(spark, root).isEmpty,
       s"CTAS target root $root already has committed versions — " +
         "CREATE TABLE (without AS SELECT) re-attaches an existing table")
-    GraftCatalog.create(spark,
+    // the claim must be OURS before the write: a raced-lost IF NOT
+    // EXISTS is a full no-op (never inserting into the winner's table),
+    // so the race is detected here rather than swallowed inside create
+    try GraftCatalog.create(spark,
       GraftCatalog.Entry(name, root, partCols, keys,
-        Some(df.schema.toDDL), statsCols, bloomCols), ifNotExists)
-    GraftInsertCommand(root, Nil, source, byName = true).run(spark)
+        Some(df.schema.toDDL), statsCols, bloomCols))
+    catch { case e: IllegalArgumentException
+        if ifNotExists && GraftCatalog.lookup(spark, name).isDefined =>
+      return Seq.empty
+    }
+    // the entry must exist for the insert's empty-declared-table path,
+    // so a FAILED query execution unregisters it again — a dangling
+    // empty name would block retrying the corrected CTAS (same
+    // register-only-on-success stance as GraftMvCreateCommand)
+    try GraftInsertCommand(root, Nil, source, byName = true).run(spark)
+    catch { case t: Throwable =>
+      try GraftCatalog.drop(spark, name)
+      catch { case c: Throwable => t.addSuppressed(c) }
+      throw t
+    }
   }
 }
 
@@ -1628,8 +1644,8 @@ case class GraftWidenColumnsCommand(root: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(cols.map { case (n, dt) =>
-      VersionedTable.widenColumn(spark, root, n, dt) }.last))
+    // ONE commit for the whole statement: multi-column ALTER is atomic
+    Seq(Row(VersionedTable.widenColumns(spark, root, cols)))
 }
 
 /** The general MERGE clause matrix on a graft table —
