@@ -2096,6 +2096,46 @@ object SparkEntry {
       FROM $name""")
   }
 
+  /** INSERT OVERWRITE + TRUNCATE under oracle check: the daily rollup
+    * commits as v0 (fixture), SQL `INSERT OVERWRITE` replaces the WHOLE
+    * table with the mid-January window in ONE commit (v1), SQL
+    * `TRUNCATE TABLE` commits a zero-row metadata version (v2, zero
+    * data I/O), and the oracled output is v1 read through time travel —
+    * pre-overwrite v0 stays readable too (guards pin the version
+    * lineage, v0's full count, and v2's emptiness). Oracle = the plain
+    * window subset of the rollup. */
+  private def qVersionedOverwrite(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = "/tmp/graft_versioned_overwrite/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val keys = Seq("event_type", "date")
+    fixture {
+      rmrf(s, root)
+      VersionedTable.upsert(s, root, daily, keys, "date")
+    }
+    val srcView = "ovw_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    daily.filter(col("date").between(
+        lit("2024-01-08").cast(DateType), lit("2024-01-14").cast(DateType)))
+      .createOrReplaceTempView(srcView)
+    val n0 = VersionedTable.read(s, root).count()
+    val v1 = s.sql(
+      s"INSERT OVERWRITE graft.`$root` SELECT * FROM $srcView")
+      .head.getInt(0)
+    require(v1 == 1, s"OVERWRITE must be ONE commit: v$v1")
+    require(VersionedTable.read(s, root, Some(0)).count() == n0,
+      "pre-overwrite version no longer time travels")
+    val v2 = s.sql(s"TRUNCATE TABLE graft.`$root`").head.getInt(0)
+    require(v2 == 2 && VersionedTable.read(s, root).isEmpty,
+      "TRUNCATE must commit one empty version")
+    VersionedTable.read(s, root, Some(1))
+      .select(col("event_type"), col("date"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"),
+        r4(col("daily_change")).as("daily_change"))
+  }
+
   /** CTAS + named time travel under oracle check: `CREATE TABLE name
     * USING graft ... AS SELECT` registers and first-writes the daily
     * rollup in ONE statement (v0), an UPDATE then mutates it (v1), and
@@ -4025,6 +4065,7 @@ object SparkEntry {
     "q_versioned_sql_merge" -> (qVersionedSqlMerge _),
     "q_catalog_lifecycle" -> (qCatalogLifecycle _),
     "q_catalog_ctas" -> (qCatalogCtas _),
+    "q_versioned_overwrite" -> (qVersionedOverwrite _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -6729,6 +6770,20 @@ object SparkEntry {
          | round(arg_max(value, $TS) - arg_min(value, $TS), 4)
          |   AS daily_change
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // INSERT OVERWRITE's one-commit replacement read back at its own
+    // version: the window subset, independently recomputed
+    "q_versioned_overwrite" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS date,
+         | arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         | min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         | CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         | round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |   AS daily_change
+         |FROM events
+         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+         |  AND DATE '2024-01-14'
+         |GROUP BY 1, 2""".stripMargin,
 
     // clause matrix: even-volume window rows deleted, odd bumped,
     // early non-window days deleted by the BY SOURCE clause

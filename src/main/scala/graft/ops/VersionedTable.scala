@@ -1847,7 +1847,8 @@ object VersionedTable {
                              fileRows: Option[Int] = None,
                              bloomCols: Seq[String] = Nil,
                              bloomBits: Long = 0L,
-                             txn: Option[(String, Long)] = None): Int = {
+                             txn: Option[(String, Long)] = None,
+                             replaceAll: Boolean = false): Int = {
     require(partCols.nonEmpty, "at least one partition column")
     partCols.foreach(c => require(keys.contains(c),
       s"partition column $c must be part of the merge key"))
@@ -1867,7 +1868,8 @@ object VersionedTable {
     // the claim/cleanup protocol lives in stageVersion; a concurrent
     // writer staging the same version loses at the claim, before any
     // data moves, and a failed stage retracts claim + gen dir
-    stageVersion(fs, root, next, "merge", keys) { genDir =>
+    stageVersion(fs, root, next,
+        if (replaceAll) "overwrite" else "merge", keys) { genDir =>
       // txn idempotence RE-CHECKED after winning the claim: claims
       // serialize version numbers, so every previously committed batch of
       // this stream is visible here — two racing writers re-delivering
@@ -1913,8 +1915,11 @@ object VersionedTable {
       val entries = Merge.partitionDirEntries(spark, updates, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
-      val touchedLive = priorMapping.filter { case (p, _) =>
-        valueOf.contains(p) }
+      // replaceAll (INSERT OVERWRITE): no survivors anywhere — prior
+      // dirs simply leave the mapping below, so nothing needs reading
+      val touchedLive =
+        if (replaceAll) Map.empty[String, String]
+        else priorMapping.filter { case (p, _) => valueOf.contains(p) }
       val pTypes = partCols.map(c => updates.schema(c).dataType)
       val merged =
         if (touchedLive.isEmpty) updates
@@ -1970,7 +1975,9 @@ object VersionedTable {
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
       val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), partCols)
-      val newMapping = priorMapping ++ written.map(_ -> genDir)
+      val newMapping =
+        (if (replaceAll) Map.empty[String, String] else priorMapping) ++
+          written.map(_ -> genDir)
       // stats carry-forward: a prior file's stats survive iff its
       // (generation, partition dir) is still what the NEW mapping points
       // at — replaced partitions drop their old files' stats with them
@@ -2065,7 +2072,8 @@ object VersionedTable {
              fileRows: Option[Int] = None,
              bloomCols: Seq[String] = Nil,
              bloomBits: Long = 0L,
-             txn: Option[(String, Long)] = None): Int = {
+             txn: Option[(String, Long)] = None,
+             replaceAll: Boolean = false): Int = {
     val fs = fsFor(spark, root)
     val maxAttempts = 5
     var attempt = 1
@@ -2074,7 +2082,7 @@ object VersionedTable {
       val basedOn = currentVersion(spark, root).getOrElse(-1)
       try {
         val v = prepare(spark, root, updates, keys, partCols, statsCols,
-          fileRows, bloomCols, bloomBits, txn)
+          fileRows, bloomCols, bloomBits, txn, replaceAll)
         publish(spark, root, v)
         committed = v
       } catch {
@@ -2083,6 +2091,13 @@ object VersionedTable {
         case e: StagingRaceException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
+          // an OVERWRITE's footprint is the whole table: any interleaved
+          // commit conflicts by definition — the disjoint-partition
+          // retry below would silently clobber the winner's dirs
+          if (replaceAll) throw new ConcurrentWriteConflictException(
+            s"concurrent write conflict at $root: INSERT OVERWRITE " +
+              "replaces the entire table and cannot serialize around a " +
+              "concurrent commit — re-run against the new current version")
           // the loser can only restage once the winner's version is
           // COMMITTED (next = max committed + 1 would re-collide with the
           // same staged manifest otherwise)
@@ -4353,6 +4368,49 @@ object VersionedTable {
       rewriteTouched(spark, root, m, touched, cur, fileRows,
         0L, contentChanging = true, op = "merge")(applyClauses)
     }
+  }
+
+  /** Replace the table's ENTIRE content with `updates` in ONE commit —
+    * `INSERT OVERWRITE` semantics: the new version's mapping holds only
+    * the freshly written dirs (prior generations leave the mapping and
+    * age out through vacuum like any replaced data; time travel still
+    * reads them). CHECK constraints gate the new content, stats/bloom
+    * coverage is rebuilt for it, stream watermarks/properties/derived
+    * registrations carry. Any concurrent commit is a loud conflict —
+    * an overwrite's footprint is the whole table, so the
+    * disjoint-partition serialization that lets merges interleave can
+    * never apply. */
+  def overwrite(spark: SparkSession, root: String, updates: DataFrame,
+                keys: Seq[String], partCols: Seq[String],
+                statsCols: Seq[String] = Nil,
+                fileRows: Option[Int] = None,
+                bloomCols: Seq[String] = Nil,
+                bloomBits: Long = 0L,
+                txn: Option[(String, Long)] = None): Int =
+    upsert(spark, root, updates, keys, partCols, statsCols, fileRows,
+      bloomCols, bloomBits, txn, replaceAll = true)
+
+  /** TRUNCATE: one METADATA commit whose mapping is empty — zero rows
+    * at the new version, no data I/O at any table size (the dirs stay
+    * for time travel until vacuum retires them). Schema, merge keys,
+    * CHECK constraints, derived-partition registrations, properties,
+    * and stream watermarks all carry — the table stays fully declared,
+    * exactly like a WHERE-less DELETE that cleared every dir. */
+  def truncate(spark: SparkSession, root: String): Int =
+      withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    val next = stageVersion(fs, root, cur + 1, "truncate", m.keys) { _ =>
+      Staged(m.partCols, m.schema, Map.empty, Map.empty, Map.empty,
+        m.txns, Map.empty, Map.empty, Map.empty,
+        dvRefs = Map.empty, dirBytes = Map.empty, checks = m.checks,
+        derived = m.derived, dirVers = Map.empty, idxRefs = Map.empty,
+        props = m.props)
+    }
+    publish(spark, root, next)
+    next
   }
 
   /** Metadata-only RENAME COLUMN (Delta column-mapping semantics): one

@@ -611,14 +611,27 @@ object GraftSqlParser {
         graftTarget(i.table) match {
           case Some((r, _)) =>
             require(i.partitionSpec.isEmpty,
-              "INSERT INTO graft tables takes no PARTITION clause — " +
-                "partition values ride in the rows")
-            require(!i.overwrite,
-              "INSERT OVERWRITE is not supported on graft tables; use " +
-                "DELETE + INSERT, or MERGE")
+              "INSERT " + (if (i.overwrite) "OVERWRITE" else "INTO") +
+                " graft tables takes no PARTITION clause — partition " +
+                "values ride in the rows")
             GraftInsertCommand(r, i.userSpecifiedCols,
-              resolveNamedTables(i.query), i.byName)
+              resolveNamedTables(i.query), i.byName, i.overwrite)
           case None => i
+        }
+      case t @ org.apache.spark.sql.catalyst.plans.logical.TruncateTable(
+          ut: UnresolvedTable) =>
+        graftTableIdent(ut.multipartIdentifier) match {
+          case Some(r) => GraftTruncateCommand(r)
+          case None => t
+        }
+      case tp @ org.apache.spark.sql.catalyst.plans.logical
+          .TruncatePartition(ut: UnresolvedTable, _) =>
+        graftTableIdent(ut.multipartIdentifier) match {
+          case Some(_) => throw new IllegalArgumentException(
+            "TRUNCATE TABLE ... PARTITION is not supported on graft " +
+              "tables — DELETE FROM t WHERE <partition predicate> " +
+              "rewrites only the matching directories")
+          case None => tp
         }
       case d @ DescribeRelation(tv: UnresolvedTableOrView, partSpec,
           isExtended, _) =>
@@ -1345,7 +1358,8 @@ case class GraftShowTablesCommand() extends LeafRunnableCommand {
   * when listed (`(c1, c2)` or BY NAME), by position otherwise; every
   * table column must be covered — graft rows are whole. */
 case class GraftInsertCommand(root: String, userCols: Seq[String],
-                              source: LogicalPlan, byName: Boolean)
+                              source: LogicalPlan, byName: Boolean,
+                              overwrite: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
@@ -1396,8 +1410,12 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
           if (visible.length == m.schema.length) aligned0
           else GraftCatalog.withBucket(aligned0,
             m.keys.filterNot(_ == GraftCatalog.BucketCol))
+        // OVERWRITE replaces the whole table in the same one-commit
+        // shape (Delta's static INSERT OVERWRITE); INTO is the keyed
+        // upsert
         Seq(Row(VersionedTable.upsert(spark, root, aligned, m.keys,
-          m.partCols, statsCols = statsCols, bloomCols = bloomCols)))
+          m.partCols, statsCols = statsCols, bloomCols = bloomCols,
+          replaceAll = overwrite)))
       case None => // first write to an empty declared table
         val entry = GraftCatalog.list(spark)
           .find(_.root == VersionedTable.splitRef(root)._1)
@@ -1425,6 +1443,19 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
           partCols, statsCols = entry.statsCols,
           bloomCols = entry.bloomCols)))
     }
+  }
+}
+
+/** `TRUNCATE TABLE t` — [[VersionedTable.truncate]]: one metadata
+  * commit with an empty mapping, zero data I/O; schema/keys/constraints/
+  * properties/watermarks carry, time travel still reads the pre-truncate
+  * versions until vacuum. */
+case class GraftTruncateCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.requireNotView(spark, root, "TRUNCATE")
+    Seq(Row(VersionedTable.truncate(spark, root)))
   }
 }
 

@@ -442,6 +442,37 @@ class CatalogSpec extends SparkSpec {
     assert(filesBefore > 0)
   }
 
+  test("TRUNCATE TABLE and INSERT OVERWRITE: one-commit replacement, " +
+      "declarations carry, time travel intact") {
+    val path = tmp("trunc") + "/t"
+    spark.sql(s"CREATE TABLE cat_tr (id INT, g STRING, v INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO cat_tr VALUES (1,'a',10), (2,'b',20)") // v0
+    // OVERWRITE replaces everything in ONE commit (v1)
+    spark.sql("INSERT OVERWRITE cat_tr VALUES (7,'c',70), (8,'c',80)")
+    assert(spark.sql("SELECT id FROM cat_tr ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(7, 8))
+    assert(spark.sql("SELECT count(*) AS n FROM cat_tr VERSION AS OF 0")
+      .first.getLong(0) == 2) // pre-overwrite content intact
+    // keyed semantics resume on the replaced content
+    spark.sql("INSERT INTO cat_tr VALUES (7,'c',700)")
+    assert(spark.sql("SELECT v FROM cat_tr WHERE id = 7")
+      .first.getInt(0) == 700)
+    // TRUNCATE: metadata-only, zero rows, schema + keys survive
+    spark.sql("TRUNCATE TABLE cat_tr")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_tr")
+      .first.getLong(0) == 0)
+    assert(spark.sql("SELECT * FROM cat_tr").columns.toSeq ==
+      Seq("id", "g", "v"))
+    spark.sql("INSERT INTO cat_tr VALUES (1,'a',1)") // table still works
+    assert(spark.sql("SELECT count(*) AS n FROM cat_tr")
+      .first.getLong(0) == 1)
+    intercept[IllegalArgumentException](
+      spark.sql("TRUNCATE TABLE cat_tr PARTITION (g='a')"))
+    spark.sql("DROP TABLE cat_tr")
+  }
+
   test("DML on a materialized view refuses — writes go to the source") {
     val path = tmp("mvdml") + "/src"
     spark.sql(s"CREATE TABLE cat_mvd_src (id INT, g STRING, x INT) " +
