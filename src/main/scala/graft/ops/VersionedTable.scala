@@ -4922,14 +4922,26 @@ object VersionedTable {
     * survives regardless of age. */
   def vacuumOlderThan(spark: SparkSession, root: String,
                       retainMs: Long): Unit = {
+    vacuumKeeping(spark, root, ageKeepSet(spark, root, retainMs))
+    ()
+  }
+
+  /** [[vacuumOlderThan]]'s dry run: what the age-based vacuum would
+    * delete, one name per row, nothing deleted. */
+  def vacuumOlderThanDryRun(spark: SparkSession, root: String,
+                            retainMs: Long): Seq[String] =
+    vacuumKeeping(spark, root, ageKeepSet(spark, root, retainMs),
+      dryRun = true)
+
+  private def ageKeepSet(spark: SparkSession, root: String,
+                         retainMs: Long): Set[Int] = {
     require(retainMs >= 0, s"retainMs must be >= 0: $retainMs")
     val cutoff = System.currentTimeMillis() - retainMs
     val detail = historyDetail(spark, root)
-    val keep = detail.filter(_._2 >= cutoff).map(_._1).toSet ++
+    detail.filter(_._2 >= cutoff).map(_._1).toSet ++
       detail.lastOption.map(_._1) ++
       (if (brNs(root).nonEmpty && detail.exists(_._1 == 0)) Set(0)
        else Set.empty[Int]) // branch fork anchor, as in [[vacuum]]
-    vacuumKeeping(spark, root, keep)
   }
 
   /** Vacuum is REF-SCOPED: run on the main handle it retires main

@@ -113,6 +113,9 @@ object GraftSqlParser {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+""" + Target +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+""" + Target +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
   private val DetailRe =
@@ -148,7 +151,8 @@ object GraftSqlParser {
     ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + Target + """\s*;?\s*$""").r
   private val VacuumDryRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
-      """\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s+DRY\s+RUN\s*;?\s*$""").r
+      """\s*(?:RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?|DAYS?))?""" +
+      """\s+DRY\s+RUN\s*;?\s*$""").r
   private val ShowBranchesRe =
     ("""(?is)^\s*SHOW\s+BRANCHES\s+(?:IN\s+)?""" + Target +
       """\s*;?\s*$""").r
@@ -254,9 +258,18 @@ object GraftSqlParser {
     sql match {
       case ShowTablesRe() =>
         Some(GraftShowTablesCommand())
-      case VacuumDryRe(g1, g2, g3, g4, keep) =>
-        Some(GraftVacuumDryRunCommand(refLoud(g1, g2, g3, g4),
-          Option(keep).map(_.toInt)))
+      case VacuumDryRe(g1, g2, g3, g4, keep, unit) =>
+        val r = refLoud(g1, g2, g3, g4)
+        Option(unit).map(_.toUpperCase(java.util.Locale.ROOT)) match {
+          case Some(u) if u.startsWith("HOUR") =>
+            Some(GraftVacuumAgeDryRunCommand(r,
+              keep.toLong * 3600L * 1000L))
+          case Some(u) if u.startsWith("DAY") =>
+            Some(GraftVacuumAgeDryRunCommand(r,
+              keep.toLong * 24L * 3600L * 1000L))
+          case _ =>
+            Some(GraftVacuumDryRunCommand(r, Option(keep).map(_.toInt)))
+        }
       // TBLPROPERTIES statements exist in Spark's own grammar: claim a
       // bare name only when it is a REGISTERED graft table, so ALTER
       // TABLE on hive/temp tables falls through untouched
@@ -284,6 +297,8 @@ object GraftSqlParser {
             .filter(_.nonEmpty)))
       case RestoreRe(g1, g2, g3, g4, v) =>
         Some(GraftRestoreCommand(refLoud(g1, g2, g3, g4), v.toInt))
+      case RestoreTsRe(g1, g2, g3, g4, ts) =>
+        Some(GraftRestoreTsCommand(refLoud(g1, g2, g3, g4), ts))
       case HistoryRe(g1, g2, g3, g4) =>
         Some(GraftHistoryCommand(refLoud(g1, g2, g3, g4)))
       case DetailRe(g1, g2, g3, g4) =>
@@ -1031,6 +1046,29 @@ case class GraftRestoreCommand(root: String, toVersion: Int)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.restore(spark, root, toVersion)))
+}
+
+/** `RESTORE graft.`root` TO TIMESTAMP AS OF '<utc>'` —
+  * [[VersionedTable.restoreAsOf]]: restore to the version current at
+  * that instant (the commit markers' times), same UTC text rules as
+  * every other time-travel spelling. */
+case class GraftRestoreTsCommand(root: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.restoreAsOf(spark, root,
+      VersionedScan.utcMillis(ts.trim))))
+}
+
+/** `VACUUM graft.`root` RETAIN n HOURS|DAYS DRY RUN` — what the
+  * age-based vacuum would delete, nothing deleted. */
+case class GraftVacuumAgeDryRunCommand(root: String, retainMs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("would_delete", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.vacuumOlderThanDryRun(spark, root, retainMs).map(Row(_))
 }
 
 /** `ALTER TABLE graft.`root` SET TBLPROPERTIES('k'='v', ...)` —

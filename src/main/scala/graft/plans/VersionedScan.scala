@@ -102,24 +102,28 @@ object VersionedScan {
         atMillis(l.toString, Math.floorDiv(us, 1000L))
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
         val txt = s.toString.trim
-        val ms =
-          try {
-            if (txt.length == 10)
-              java.time.LocalDate.parse(txt)
-                .atStartOfDay(java.time.ZoneOffset.UTC)
-                .toInstant.toEpochMilli
-            else java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
-              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          } catch { case ex: java.time.format.DateTimeParseException =>
-            throw new IllegalArgumentException(
-              s"unparseable UTC timestamp '$txt'", ex)
-          }
-        atMillis(txt, ms)
+        atMillis(txt, utcMillis(txt))
       case other => throw new IllegalArgumentException(
         "time travel takes an integer version or a timestamp " +
           s"(string/DATE/TIMESTAMP) literal, got $other")
     }
   }
+
+  /** Parse a UTC timestamp text ('yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss')
+    * to epoch millis — the one rule every time-travel text spelling
+    * resolves through. */
+  private[graft] def utcMillis(txt: String): Long =
+    try {
+      if (txt.length == 10)
+        java.time.LocalDate.parse(txt)
+          .atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli
+      else java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    } catch { case ex: java.time.format.DateTimeParseException =>
+      throw new IllegalArgumentException(
+        s"unparseable UTC timestamp '$txt'", ex)
+    }
 }
 
 /** Leaf standing for "the committed content of the versioned table at

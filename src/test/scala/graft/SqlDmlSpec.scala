@@ -517,6 +517,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(would.exists(_.startsWith("_manifest.0")) &&
       would.exists(_.startsWith("_commit.1")))
     assert(VersionedTable.history(spark, root) == Seq(0, 1, 2))
+    // age-based DRY RUN: zero-hour window names everything non-current,
+    // a wide window names nothing — still touching nothing
+    val wouldAge = spark.sql(
+      s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getString(0)).toSet
+    assert(wouldAge.exists(_.startsWith("_manifest.0")))
+    assert(spark.sql(s"VACUUM graft.`$root` RETAIN 7 DAYS DRY RUN")
+      .collect().isEmpty)
+    assert(VersionedTable.history(spark, root) == Seq(0, 1, 2))
+    // RESTORE TO TIMESTAMP: a far-future instant restores the version
+    // current now — committed as a NEW version
+    val vr = spark.sql(
+      s"RESTORE graft.`$root` TO TIMESTAMP AS OF '2099-01-01'")
+      .head.getInt(0)
+    assert(vr == 3)
     // maintain() honors the declared retention (3) over its default
     VersionedTable.upsert(spark, root,
       Seq((900, "g0", 1, 9L)).toDF("id", "grp", "v", "w"),
