@@ -98,6 +98,20 @@ object GraftExtensions {
       s"$what must be a string literal, got $other")
   }
 
+  /** A table function's root argument: a PATH (contains '/') is taken
+    * verbatim; anything else resolves as a REGISTERED catalog name
+    * (with an optional @branch suffix), so `graft_table('metrics')`
+    * and `graft_table('/lake/metrics')` are the same surface. An
+    * unregistered name is loud — silently treating it as a relative
+    * path would read nothing. */
+  private def rootOf(e: Expression, what: String): String = {
+    val ref = strLit(e, what)
+    if (ref.contains("/")) ref
+    else graft.plans.GraftCatalog.resolve(SparkSession.active, ref)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what: '$ref' is not a registered graft table name or a path"))
+  }
+
   /** SQL table functions: `SELECT ... FROM graft_table('/path' [, v])`
     * resolves to the pinned [[graft.plans.VersionedRelation]] — plain SQL
     * gets the versioned table with snapshot semantics, optional time
@@ -116,7 +130,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.nonEmpty && children.length <= 2,
           "graft_table(root [, version | 'timestamp']) takes 1-2 arguments")
-        val root = strLit(children.head, "graft_table root")
+        val root = rootOf(children.head, "graft_table root")
         val spark = SparkSession.active
         // second arg: INT literal = VERSION AS OF; STRING/DATE/TIMESTAMP
         // literal = TIMESTAMP AS OF against the commit markers' times —
@@ -131,7 +145,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.nonEmpty && children.length <= 2,
           "graft_partitions(root [, version]) takes 1-2 arguments")
-        val root = strLit(children.head, "graft_partitions root")
+        val root = rootOf(children.head, "graft_partitions root")
         val asOf = children.lift(1).map(intLit(_, "graft_partitions version"))
         // manifest-only partition metadata as a queryable relation —
         // the Iceberg metadata-table idea from pure SQL
@@ -145,7 +159,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 3,
           "graft_changes(root, fromVersion, toVersion) takes 3 arguments")
-        val root = strLit(children.head, "graft_changes root")
+        val root = rootOf(children.head, "graft_changes root")
         val from = intLit(children(1), "graft_changes fromVersion")
         val to = intLit(children(2), "graft_changes toVersion")
         // version diff keyed by the table's RECORDED merge keys — the
@@ -160,7 +174,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 3,
           "graft_changes_cdf(root, fromVersion, toVersion) takes 3 arguments")
-        val root = strLit(children.head, "graft_changes_cdf root")
+        val root = rootOf(children.head, "graft_changes_cdf root")
         val from = intLit(children(1), "graft_changes_cdf fromVersion")
         val to = intLit(children(2), "graft_changes_cdf toVersion")
         graft.ops.VersionedTable
@@ -173,7 +187,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.nonEmpty && children.length <= 2,
           "graft_files(root [, version]) takes 1-2 arguments")
-        val root = strLit(children.head, "graft_files root")
+        val root = rootOf(children.head, "graft_files root")
         val asOf = children.lift(1).map(intLit(_, "graft_files version"))
         // per-file index metadata (stats/blooms/DVs) as a queryable
         // relation — the Iceberg `files` metadata table from pure SQL
@@ -186,7 +200,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1,
           "graft_view(viewRoot) takes 1 argument")
-        val root = strLit(children.head, "graft_view root")
+        val root = rootOf(children.head, "graft_view root")
         // the served shape of a materialized aggregate (group cols +
         // measure aliases, tombstones/internals hidden), from pure SQL;
         // the frame's own analysis runs here, at the outer query's

@@ -55,6 +55,14 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM cat_events WHERE id = 3")
     assert(spark.sql("SELECT w FROM cat_events WHERE id = 4")
       .first.getLong(0) == 41L)
+    // the table functions take the registered NAME too
+    assert(spark.sql("SELECT count(*) AS n FROM graft_table('cat_events')")
+      .first.getLong(0) ==
+      spark.sql("SELECT count(*) AS n FROM cat_events").first.getLong(0))
+    assert(spark.sql("SELECT count(*) AS n " +
+      "FROM graft_partitions('cat_events')").first.getLong(0) > 0)
+    intercept[IllegalArgumentException](
+      spark.sql("SELECT * FROM graft_table('cat_never_registered')"))
     // name works inside joins/subqueries/CTEs too
     val joined = spark.sql(
       """WITH big AS (SELECT id FROM cat_events WHERE v >= 50)
@@ -471,6 +479,45 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       spark.sql("TRUNCATE TABLE cat_tr PARTITION (g='a')"))
     spark.sql("DROP TABLE cat_tr")
+  }
+
+  test("type widening interplay: change feed spans the boundary, " +
+      "matview keeps refreshing, OPTIMIZE materializes") {
+    val dir = tmp("widenx")
+    val (src, view) = (s"$dir/src", s"$dir/view")
+    VersionedTable.upsert(spark, src,
+      Seq((1, "a", 10), (2, "b", 20)).toDF("id", "g", "x"),
+      Seq("id", "g"), Seq("g"))                                    // v0 int
+    graft.ops.MatView.create(spark, view, src, Seq("id", "g"),
+      Seq("g"), sums = Seq(("x_sum", "x")), countAlias = Some("n"))
+    VersionedTable.widenColumn(spark, src, "x", // v1: x -> bigint
+      org.apache.spark.sql.types.LongType)
+    VersionedTable.upsert(spark, src, // v2: long values land
+      Seq((3, "a", 5000000000L), (1, "a", 11L)).toDF("id", "g", "x"),
+      Seq("id", "g"), Seq("g"))
+    // change feed v0 -> v2 crosses the widening: pre-images read int
+    // files, post-images long — the union must coerce, not fail
+    val feed = VersionedTable.changeFeedCdf(spark, src,
+      Seq("id", "g"), 0, 2).collect()
+    assert(feed.nonEmpty)
+    // matview refresh across the boundary stays exact
+    graft.ops.MatView.refresh(spark, view)
+    val got = graft.ops.MatView.read(spark, view)
+      .select($"g", $"x_sum", $"n").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got == Set(("a", 5000000011L, 2L), ("b", 20L, 1L)))
+    // OPTIMIZE materializes the widening into the files; reads agree
+    VersionedTable.compact(spark, src)
+    assert(VersionedTable.read(spark, src)
+      .agg(sum($"x")).first.getLong(0) == 5000000031L)
+    // the widened column keeps pruning through re-tagged stats after
+    // a fresh indexed write
+    VersionedTable.upsert(spark, src,
+      Seq((9, "c", 99L)).toDF("id", "g", "x"),
+      Seq("id", "g"), Seq("g"), statsCols = Seq("x"))
+    val (kept, total) = VersionedTable.skipStats(spark, src, "x",
+      98L, 100L)
+    assert(kept <= total)
   }
 
   test("DML on a materialized view refuses — writes go to the source") {
