@@ -1884,6 +1884,17 @@ object VersionedTable {
       val prior: Option[Manifest] = cur.map(readManifest(fs, root, _))
       prior.foreach(m => require(m.partCols == partCols,
         s"partition columns ${partCols.mkString(",")} != committed ${m.partCols.mkString(",")}"))
+      // an OVERWRITE has no surviving rows to keep an omitted column
+      // alive through, so a frame missing a committed column would
+      // silently NARROW the schema — while carried CHECK constraints
+      // still reference the vanished column and wedge every later write
+      if (replaceAll) prior.foreach { m =>
+        val missing = m.schema.fieldNames.filterNot(updates.columns.contains)
+        require(missing.isEmpty,
+          s"overwrite must cover every table column; missing: " +
+            s"${missing.mkString(", ")} — dropColumn first to remove " +
+            "columns deliberately")
+      }
       // CHECK constraints gate the DELTA only: surviving old rows passed
       // when they were written (addConstraint validated the backlog); a
       // violation aborts here and the claim/stage cleanup retracts.
@@ -4395,22 +4406,35 @@ object VersionedTable {
     * for time travel until vacuum retires them). Schema, merge keys,
     * CHECK constraints, derived-partition registrations, properties,
     * and stream watermarks all carry — the table stays fully declared,
-    * exactly like a WHERE-less DELETE that cleared every dir. */
-  def truncate(spark: SparkSession, root: String): Int =
-      withClaimRetry(spark, root) {
+    * exactly like a WHERE-less DELETE that cleared every dir. An
+    * already-empty table is a provable no-op (nothing commits). Like
+    * [[overwrite]] — and unlike the declarative ops that re-derive from
+    * the current version — a lost claim race is a LOUD conflict:
+    * silently serializing a whole-table emptying AFTER a concurrent
+    * commit would vanish that writer's acknowledged rows. */
+  def truncate(spark: SparkSession, root: String): Int = {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val m = readManifest(fs, root, cur)
-    val next = stageVersion(fs, root, cur + 1, "truncate", m.keys) { _ =>
-      Staged(m.partCols, m.schema, Map.empty, Map.empty, Map.empty,
-        m.txns, Map.empty, Map.empty, Map.empty,
-        dvRefs = Map.empty, dirBytes = Map.empty, checks = m.checks,
-        derived = m.derived, dirVers = Map.empty, idxRefs = Map.empty,
-        props = m.props)
+    if (m.mapping.isEmpty) return cur // already empty: commit nothing
+    try {
+      val next = stageVersion(fs, root, cur + 1, "truncate", m.keys) { _ =>
+        Staged(m.partCols, m.schema, Map.empty, Map.empty, Map.empty,
+          m.txns, Map.empty, Map.empty, Map.empty,
+          dvRefs = Map.empty, dirBytes = Map.empty, checks = m.checks,
+          derived = m.derived, dirVers = Map.empty, idxRefs = Map.empty,
+          props = m.props)
+      }
+      publish(spark, root, next)
+      next
+    } catch {
+      case _: StagingRaceException =>
+        throw new ConcurrentWriteConflictException(
+          s"concurrent write conflict at $root: TRUNCATE empties the " +
+            "entire table and cannot serialize around a concurrent " +
+            "commit — re-run against the new current version")
     }
-    publish(spark, root, next)
-    next
   }
 
   /** Metadata-only RENAME COLUMN (Delta column-mapping semantics): one

@@ -245,6 +245,15 @@ object GraftSqlParser {
     names.map(_.group(1))
   }
 
+  /** `RETAIN n HOURS|DAYS` to milliseconds; None for the VERSIONS form
+    * (or no RETAIN clause) — ONE conversion shared by the real vacuum
+    * and its dry run, so the two can never diverge. */
+  private def retainMs(keep: String, unit: String): Option[Long] =
+    Option(unit).map(_.toUpperCase(java.util.Locale.ROOT)).collect {
+      case u if u.startsWith("HOUR") => keep.toLong * 3600L * 1000L
+      case u if u.startsWith("DAY") => keep.toLong * 24L * 3600L * 1000L
+    }
+
   private def colList(s: String): Seq[String] =
     s.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
       .filter(_.nonEmpty).toSeq
@@ -260,14 +269,9 @@ object GraftSqlParser {
         Some(GraftShowTablesCommand())
       case VacuumDryRe(g1, g2, g3, g4, keep, unit) =>
         val r = refLoud(g1, g2, g3, g4)
-        Option(unit).map(_.toUpperCase(java.util.Locale.ROOT)) match {
-          case Some(u) if u.startsWith("HOUR") =>
-            Some(GraftVacuumAgeDryRunCommand(r,
-              keep.toLong * 3600L * 1000L))
-          case Some(u) if u.startsWith("DAY") =>
-            Some(GraftVacuumAgeDryRunCommand(r,
-              keep.toLong * 24L * 3600L * 1000L))
-          case _ =>
+        retainMs(keep, unit) match {
+          case Some(ms) => Some(GraftVacuumAgeDryRunCommand(r, ms))
+          case None =>
             Some(GraftVacuumDryRunCommand(r, Option(keep).map(_.toInt)))
         }
       // TBLPROPERTIES statements exist in Spark's own grammar: claim a
@@ -282,13 +286,9 @@ object GraftSqlParser {
         refQuiet(g1, g2, g3, g4).map(GraftShowPropsCommand(_))
       case VacuumRe(g1, g2, g3, g4, keep, unit) =>
         val r = refLoud(g1, g2, g3, g4)
-        Option(unit).map(_.toUpperCase(java.util.Locale.ROOT)) match {
-          case Some(u) if u.startsWith("HOUR") =>
-            Some(GraftVacuumAgeCommand(r, keep.toLong * 3600L * 1000L))
-          case Some(u) if u.startsWith("DAY") =>
-            Some(GraftVacuumAgeCommand(r, keep.toLong * 24L * 3600L * 1000L))
-          case _ =>
-            Some(GraftVacuumCommand(r, Option(keep).map(_.toInt)))
+        retainMs(keep, unit) match {
+          case Some(ms) => Some(GraftVacuumAgeCommand(r, ms))
+          case None => Some(GraftVacuumCommand(r, Option(keep).map(_.toInt)))
         }
       case OptimizeRe(g1, g2, g3, g4, zorder) =>
         Some(GraftOptimizeCommand(refLoud(g1, g2, g3, g4),
@@ -1493,6 +1493,13 @@ case class GraftTruncateCommand(root: String) extends LeafRunnableCommand {
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "TRUNCATE")
+    // a declared-but-never-written table is already empty: a statement
+    // whose purpose is "make the table empty" must no-op, not throw —
+    // create-then-truncate DDL scripts are routine (-1 = no version)
+    if (VersionedTable.currentVersion(spark, root).isEmpty &&
+        GraftCatalog.list(spark)
+          .exists(_.root == VersionedTable.splitRef(root)._1))
+      return Seq(Row(-1))
     Seq(Row(VersionedTable.truncate(spark, root)))
   }
 }

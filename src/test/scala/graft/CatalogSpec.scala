@@ -478,7 +478,29 @@ class CatalogSpec extends SparkSpec {
       .first.getLong(0) == 1)
     intercept[IllegalArgumentException](
       spark.sql("TRUNCATE TABLE cat_tr PARTITION (g='a')"))
+    // truncating the ALREADY-empty table is a provable no-op (no commit)
+    val histBefore = spark.sql("DESCRIBE HISTORY cat_tr").count()
+    spark.sql("TRUNCATE TABLE cat_tr")
+    spark.sql("TRUNCATE TABLE cat_tr")
+    assert(spark.sql("DESCRIBE HISTORY cat_tr").count() == histBefore + 1)
+    // OVERWRITE must cover every table column — a projection mistake
+    // would otherwise silently narrow the schema
+    val e = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE cat_tr SELECT 1 AS id, 'a' AS g"))
+    assert(e.getMessage.contains("all 3 table columns"))
+    // the engine-level guard catches the Scala path too
+    val root2 = graft.plans.GraftCatalog.lookup(spark, "cat_tr").get.root
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.overwrite(spark, root2,
+        Seq((1, "a")).toDF("id", "g"), Seq("id", "g"), Seq("g")))
+    assert(e2.getMessage.contains("cover"))
     spark.sql("DROP TABLE cat_tr")
+    // create-then-truncate DDL scripts: a never-written declared table
+    // truncates as a no-op (-1 = no version), not an error
+    spark.sql("CREATE TABLE cat_tr2 (id INT) USING graft " +
+      "TBLPROPERTIES('graft.keys'='id')")
+    assert(spark.sql("TRUNCATE TABLE cat_tr2").first.getInt(0) == -1)
+    spark.sql("DROP TABLE cat_tr2")
   }
 
   test("type widening interplay: change feed spans the boundary, " +
@@ -510,14 +532,18 @@ class CatalogSpec extends SparkSpec {
     VersionedTable.compact(spark, src)
     assert(VersionedTable.read(spark, src)
       .agg(sum($"x")).first.getLong(0) == 5000000031L)
-    // the widened column keeps pruning through re-tagged stats after
-    // a fresh indexed write
+    // the widened column keeps pruning through re-tagged stats: two
+    // fresh indexed files with disjoint x ranges — the miss must SKIP
     VersionedTable.upsert(spark, src,
       Seq((9, "c", 99L)).toDF("id", "g", "x"),
       Seq("id", "g"), Seq("g"), statsCols = Seq("x"))
+    VersionedTable.upsert(spark, src,
+      Seq((10, "d", 5L)).toDF("id", "g", "x"),
+      Seq("id", "g"), Seq("g"), statsCols = Seq("x"))
     val (kept, total) = VersionedTable.skipStats(spark, src, "x",
       98L, 100L)
-    assert(kept <= total)
+    assert(total >= 2 && kept < total,
+      s"widened stats stopped pruning: $kept/$total")
   }
 
   test("DML on a materialized view refuses — writes go to the source") {
