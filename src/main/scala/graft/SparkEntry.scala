@@ -2136,6 +2136,50 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** CREATE OR REPLACE TABLE under oracle check: the daily rollup lands
+    * via CTAS (definition 1), then `CREATE OR REPLACE ... AS SELECT`
+    * redefines the SAME name to the mid-January window (new content,
+    * constraints/properties reset, one redefine commit + one write);
+    * the oracled output is the post-replace content by name, and guards
+    * pin that the pre-replace generation still time-travels under its
+    * own definition. Oracle = the window subset, independently
+    * recomputed. */
+  private def qCatalogReplace(s: SparkSession, dir: String): DataFrame = {
+    val name = "cat_repl_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = "/tmp/graft_catalog_replace/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcView = "cat_repl_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts", "value",
+      volume = col("user_id")).createOrReplaceTempView(srcView)
+    fixture {
+      rmrf(s, root)
+      graft.plans.GraftCatalog.drop(s, name)
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$root'
+           |PARTITIONED BY (event_type)
+           |TBLPROPERTIES('graft.keys'='event_type,date')
+           |AS SELECT * FROM $srcView""".stripMargin)
+    }
+    val n0 = s.sql(s"SELECT count(*) FROM $name").first.getLong(0)
+    s.sql(
+      s"""CREATE OR REPLACE TABLE $name USING graft
+         |PARTITIONED BY (event_type)
+         |TBLPROPERTIES('graft.keys'='event_type,date')
+         |AS SELECT * FROM $srcView
+         |WHERE date BETWEEN DATE'2024-01-08' AND DATE'2024-01-14'"""
+        .stripMargin)
+    require(s.sql(s"SELECT count(*) FROM $name").first.getLong(0) < n0,
+      "REPLACE did not shrink the content to the window")
+    require(s.sql(s"SELECT count(*) FROM $name VERSION AS OF 0")
+      .first.getLong(0) == n0,
+      "pre-replace generation no longer time travels")
+    s.sql(
+      s"""SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume, round(daily_change, 4)
+         |    AS daily_change
+         |FROM $name""".stripMargin)
+  }
+
   /** CTAS + named time travel under oracle check: `CREATE TABLE name
     * USING graft ... AS SELECT` registers and first-writes the daily
     * rollup in ONE statement (v0), an UPDATE then mutates it (v1), and
@@ -4066,6 +4110,7 @@ object SparkEntry {
     "q_catalog_lifecycle" -> (qCatalogLifecycle _),
     "q_catalog_ctas" -> (qCatalogCtas _),
     "q_versioned_overwrite" -> (qVersionedOverwrite _),
+    "q_catalog_replace" -> (qCatalogReplace _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -6770,6 +6815,20 @@ object SparkEntry {
          | round(arg_max(value, $TS) - arg_min(value, $TS), 4)
          |   AS daily_change
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // CREATE OR REPLACE's post-replace content by name: the window
+    // subset, independently recomputed
+    "q_catalog_replace" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS date,
+         | arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         | min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         | CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         | round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |   AS daily_change
+         |FROM events
+         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+         |  AND DATE '2024-01-14'
+         |GROUP BY 1, 2""".stripMargin,
 
     // INSERT OVERWRITE's one-commit replacement read back at its own
     // version: the window subset, independently recomputed

@@ -4437,6 +4437,44 @@ object VersionedTable {
     }
   }
 
+  /** REPLACE TABLE: one commit REDEFINING the table — new schema,
+    * partitioning, and merge keys with EMPTY content. CHECK constraints,
+    * derived-partition registrations, properties, and stream watermarks
+    * all RESET (a replaced table is a NEW table under the old name);
+    * earlier versions stay time-travelable under the definitions they
+    * recorded, until vacuum. Like [[overwrite]]/[[truncate]], a lost
+    * claim race is a LOUD conflict — the footprint is the whole
+    * table. */
+  def redefine(spark: SparkSession, root: String, schema: StructType,
+               partCols: Seq[String], keys: Seq[String]): Int = {
+    require(partCols.nonEmpty, "at least one partition column")
+    partCols.foreach(c => require(keys.contains(c),
+      s"partition column $c must be part of the merge key"))
+    (partCols ++ keys).foreach(c => require(
+      schema.fieldNames.contains(c),
+      s"declared partition/key column $c not in the schema"))
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    try {
+      val next = stageVersion(fs, root, cur + 1, "replace", keys) { _ =>
+        Staged(partCols, schema, Map.empty, Map.empty, Map.empty,
+          Map.empty, Map.empty, Map.empty, Map.empty,
+          dvRefs = Map.empty, dirBytes = Map.empty, checks = Map.empty,
+          derived = Map.empty, dirVers = Map.empty, idxRefs = Map.empty,
+          props = Map.empty)
+      }
+      publish(spark, root, next)
+      next
+    } catch {
+      case _: StagingRaceException =>
+        throw new ConcurrentWriteConflictException(
+          s"concurrent write conflict at $root: REPLACE TABLE redefines " +
+            "the entire table and cannot serialize around a concurrent " +
+            "commit — re-run against the new current version")
+    }
+  }
+
   /** Metadata-only RENAME COLUMN (Delta column-mapping semantics): one
     * manifest commit renames the LOGICAL column while data files keep
     * the frozen PHYSICAL name (`graft.physical` field metadata — see

@@ -508,6 +508,33 @@ object GraftSqlParser {
     }
   }
 
+  /** Declared layout from a CREATE/REPLACE statement: plain identity
+    * partition columns and the three graft.* properties, anything else
+    * loud. Shared by CREATE / CTAS / REPLACE / RTAS. */
+  private def tableDecl(partitioning:
+        Seq[org.apache.spark.sql.connector.expressions.Transform],
+      spec: UnresolvedTableSpec, stmt: String)
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+    val partCols = partitioning.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"$stmt ... USING graft supports PARTITIONED BY plain columns; " +
+          s"got transform $other — register day()/bucket() layouts " +
+          "after CREATE with ALTER TABLE ... ADD DERIVED PARTITION")
+    }
+    def colsProp(k: String): Seq[String] = spec.properties.get(k)
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val stray = spec.properties.keys.filterNot(
+      Set("graft.keys", "graft.stats", "graft.blooms"))
+    require(stray.isEmpty,
+      s"$stmt ... USING graft accepts the 'graft.keys' / 'graft.stats' " +
+        s"/ 'graft.blooms' properties; set ${stray.mkString(", ")} after " +
+        "CREATE with ALTER TABLE ... SET TBLPROPERTIES")
+    (partCols, colsProp("graft.keys"), colsProp("graft.stats"),
+      colsProp("graft.blooms"))
+  }
+
   /** Swap Spark's parsed DML commands for graft's runnable ones when the
     * target is a `graft`.`root` identifier; any other plan (including
     * DML on real catalog tables) passes through untouched. */
@@ -550,29 +577,10 @@ object GraftSqlParser {
       case c @ CreateTable(UnresolvedIdentifier(Seq(name), _), columns,
           partitioning, spec: UnresolvedTableSpec, ifNotExists)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
-        val partCols = partitioning.map {
-          // the concrete IdentityTransform class is private[sql]; the
-          // public connector Transform API names it "identity"
-          case t if t.name == "identity" && t.references.length == 1 =>
-            t.references.head.fieldNames.mkString(".")
-          case other => throw new IllegalArgumentException(
-            s"CREATE TABLE ... USING graft supports PARTITIONED BY plain " +
-              s"columns; got transform $other — register day()/bucket() " +
-              "layouts after CREATE with ALTER TABLE ... ADD DERIVED " +
-              "PARTITION")
-        }
-        def colsProp(k: String): Seq[String] = spec.properties.get(k)
-          .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        val keys = colsProp("graft.keys")
-        val statsCols = colsProp("graft.stats")
-        val bloomCols = colsProp("graft.blooms")
-        val stray = spec.properties.keys.filterNot(
-          Set("graft.keys", "graft.stats", "graft.blooms"))
-        require(stray.isEmpty,
-          s"CREATE TABLE ... USING graft accepts the 'graft.keys' / " +
-            s"'graft.stats' / 'graft.blooms' properties; set " +
-            s"${stray.mkString(", ")} after CREATE with " +
-            "ALTER TABLE ... SET TBLPROPERTIES")
+        // the concrete IdentityTransform class is private[sql]; the
+        // public connector Transform API names it "identity"
+        val (partCols, keys, statsCols, bloomCols) =
+          tableDecl(partitioning, spec, "CREATE TABLE")
         columns.map(_.name).filter(_.startsWith("__")).foreach(c =>
           throw new IllegalArgumentException(
             s"column name $c is reserved (the __ prefix is internal)"))
@@ -583,27 +591,39 @@ object GraftSqlParser {
               cd.nullable))).toDDL)
         GraftCreateTableCommand(name, spec.location, schemaDdl, partCols,
           keys, statsCols, bloomCols, ifNotExists)
+      case r @ org.apache.spark.sql.catalyst.plans.logical.ReplaceTable(
+          UnresolvedIdentifier(Seq(name), _), columns, partitioning,
+          spec: UnresolvedTableSpec, orCreate)
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        val (partCols, keys, statsCols, bloomCols) =
+          tableDecl(partitioning, spec, "REPLACE TABLE")
+        columns.map(_.name).filter(_.startsWith("__")).foreach(c =>
+          throw new IllegalArgumentException(
+            s"column name $c is reserved (the __ prefix is internal)"))
+        val schemaDdl =
+          if (columns.isEmpty) None
+          else Some(org.apache.spark.sql.types.StructType(columns.map(cd =>
+            org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
+              cd.nullable))).toDDL)
+        GraftReplaceTableCommand(name, spec.location, schemaDdl, partCols,
+          keys, statsCols, bloomCols, orCreate, None)
+      case r @ org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceTableAsSelect(UnresolvedIdentifier(Seq(name), _),
+            partitioning, query, spec: UnresolvedTableSpec, _, orCreate, _)
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        val (partCols, keys, statsCols, bloomCols) =
+          tableDecl(partitioning, spec, "REPLACE TABLE")
+        GraftReplaceTableCommand(name, spec.location, None, partCols,
+          keys, statsCols, bloomCols, orCreate,
+          Some(resolveNamedTables(query)))
       case c @ CreateTableAsSelect(UnresolvedIdentifier(Seq(name), _),
           partitioning, query, spec: UnresolvedTableSpec, _, ifNotExists, _)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
-        val partCols = partitioning.map {
-          case t if t.name == "identity" && t.references.length == 1 =>
-            t.references.head.fieldNames.mkString(".")
-          case other => throw new IllegalArgumentException(
-            s"CREATE TABLE ... USING graft AS SELECT supports " +
-              s"PARTITIONED BY plain columns; got transform $other")
-        }
-        def colsProp(k: String): Seq[String] = spec.properties.get(k)
-          .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        val stray = spec.properties.keys.filterNot(
-          Set("graft.keys", "graft.stats", "graft.blooms"))
-        require(stray.isEmpty,
-          s"CREATE TABLE ... USING graft accepts the 'graft.keys' / " +
-            s"'graft.stats' / 'graft.blooms' properties; got " +
-            stray.mkString(", "))
+        val (partCols, keys, statsCols, bloomCols) =
+          tableDecl(partitioning, spec, "CREATE TABLE")
         GraftCreateTableAsCommand(name, spec.location, partCols,
-          colsProp("graft.keys"), colsProp("graft.stats"),
-          colsProp("graft.blooms"), resolveNamedTables(query), ifNotExists)
+          keys, statsCols, bloomCols, resolveNamedTables(query),
+          ifNotExists)
       case sc @ ShowCreateTable(tv: UnresolvedTableOrView, _, _) =>
         tv.multipartIdentifier match {
           case Seq(a, b) if a.equalsIgnoreCase("graft") && b.contains("/") =>
@@ -1657,6 +1677,102 @@ case class GraftCreateTableAsCommand(name: String, location: Option[String],
       throw t
     }
   }
+}
+
+/** `[CREATE OR] REPLACE TABLE name [(schema)] USING graft ...
+  * [AS SELECT ...]` — redefine the table under its existing name: ONE
+  * engine commit installs the new schema/partitioning/keys with empty
+  * content (constraints, derived registrations, properties, and stream
+  * watermarks RESET — a replaced table is a new table; earlier versions
+  * stay time-travelable under their recorded definitions), the catalog
+  * entry re-registers with the new declarations, and an AS SELECT body
+  * lands as the first write. Plain REPLACE on an unregistered name
+  * refuses; CREATE OR REPLACE falls back to CREATE. LOCATION cannot
+  * change (DROP first — re-pointing a name silently orphans data). */
+case class GraftReplaceTableCommand(name: String, location: Option[String],
+                                    schemaDdl: Option[String],
+                                    partCols: Seq[String],
+                                    keys: Seq[String],
+                                    statsCols: Seq[String],
+                                    bloomCols: Seq[String],
+                                    orCreate: Boolean,
+                                    source: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftCatalog.lookup(spark, name) match {
+      case None =>
+        if (!orCreate) throw new NoSuchElementException(
+          s"graft table $name is not registered — REPLACE TABLE needs " +
+            "an existing table (CREATE OR REPLACE creates it)")
+        source match {
+          case None =>
+            GraftCreateTableCommand(name, location, schemaDdl, partCols,
+              keys, statsCols, bloomCols, ifNotExists = false).run(spark)
+            Seq(Row(-1))
+          case Some(q) =>
+            GraftCreateTableAsCommand(name, location, partCols, keys,
+              statsCols, bloomCols, q, ifNotExists = false).run(spark)
+        }
+      case Some(e) =>
+        location.foreach(l => require(l == e.root,
+          s"REPLACE TABLE cannot change LOCATION (${e.root} -> $l) — " +
+            "DROP TABLE first, then CREATE at the new location"))
+        GraftSqlParser.requireNotView(spark, e.root, "REPLACE TABLE")
+        val srcDf = source.map(PlanBridge.dataFrame(spark, _))
+        val visSchema = schemaDdl
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .orElse(srcDf.map(_.schema))
+          .getOrElse(throw new IllegalArgumentException(
+            "REPLACE TABLE needs a column list or an AS SELECT body"))
+        val fields = visSchema.fieldNames.toSeq
+        fields.filter(_.startsWith("__")).foreach(c =>
+          throw new IllegalArgumentException(
+            s"column name $c is reserved (the __ prefix is internal)"))
+        val missing = (partCols ++ keys ++ statsCols ++ bloomCols)
+          .filterNot(fields.contains)
+        require(missing.isEmpty,
+          s"declared partition/key/index columns not in the schema: " +
+            missing.mkString(", "))
+        // redefine the MANIFEST when the root has commits: the synthetic
+        // __bucket layout is installed here exactly as the first write
+        // would, so later INSERT/MERGE behave identically to a fresh
+        // CREATE-then-INSERT table
+        val version = VersionedTable.currentVersion(spark, e.root) match {
+          case None => -1
+          case Some(_) =>
+            val (schema2, parts2, keys2) =
+              if (partCols.nonEmpty) (visSchema, partCols, keys)
+              else {
+                require(keys.nonEmpty,
+                  "REPLACE TABLE on a written root needs PARTITIONED BY " +
+                    "or TBLPROPERTIES('graft.keys'=...) — an " +
+                    "unpartitioned keyless manifest cannot exist")
+                (org.apache.spark.sql.types.StructType(
+                  visSchema.fields :+ org.apache.spark.sql.types
+                    .StructField(GraftCatalog.BucketCol,
+                      org.apache.spark.sql.types.IntegerType,
+                      nullable = false)),
+                  Seq(GraftCatalog.BucketCol),
+                  keys :+ GraftCatalog.BucketCol)
+              }
+            VersionedTable.redefine(spark, e.root, schema2, parts2, keys2)
+        }
+        // re-register the declarations under the same root (two catalog
+        // ops; the one-file-per-table catalog has no multi-op txn — a
+        // reader between them sees the name briefly missing, never a
+        // wrong mapping)
+        GraftCatalog.drop(spark, name)
+        GraftCatalog.create(spark, GraftCatalog.Entry(name, e.root,
+          partCols, keys, Some(visSchema.toDDL), statsCols, bloomCols))
+        source match {
+          case Some(q) =>
+            GraftInsertCommand(e.root, Nil, q, byName = true).run(spark)
+          case None => Seq(Row(version))
+        }
+    }
 }
 
 /** `SHOW CREATE TABLE t` on a graft table — the round-trippable DDL

@@ -546,6 +546,50 @@ class CatalogSpec extends SparkSpec {
       s"widened stats stopped pruning: $kept/$total")
   }
 
+  test("CREATE OR REPLACE TABLE: redefinition under the old name — new " +
+      "schema/keys, constraints reset, history time-travels") {
+    val path = tmp("repl") + "/t"
+    spark.sql(s"CREATE TABLE cat_rp (id INT, g STRING, v INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO cat_rp VALUES (1,'a',10)") // v0
+    spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES(" +
+      "'owner'='x')")                                  // v1
+    // plain REPLACE on an unregistered name refuses
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE cat_rp_missing (a INT) USING graft " +
+        "TBLPROPERTIES('graft.keys'='a')"))
+    // redefine: different schema, different keys, unpartitioned
+    spark.sql(
+      """CREATE OR REPLACE TABLE cat_rp (k BIGINT, name STRING)
+        |USING graft TBLPROPERTIES('graft.keys'='k')""".stripMargin)
+    assert(spark.sql("SELECT * FROM cat_rp").columns.toSeq ==
+      Seq("k", "name"))
+    assert(spark.sql("SELECT count(*) AS n FROM cat_rp")
+      .first.getLong(0) == 0)
+    // properties reset with the definition
+    assert(!VersionedTable.propertiesOf(spark, path).contains("owner"))
+    spark.sql("INSERT INTO cat_rp VALUES (5, 'five'), (6, 'six')")
+    spark.sql("INSERT INTO cat_rp VALUES (5, 'FIVE')") // keyed upsert
+    assert(spark.sql("SELECT name FROM cat_rp WHERE k = 5")
+      .first.getString(0) == "FIVE")
+    // the pre-replace generation still time travels under ITS schema
+    assert(spark.sql("SELECT v FROM cat_rp VERSION AS OF 0")
+      .first.getInt(0) == 10)
+    // RTAS: replace with query-defined schema + content in one statement
+    spark.sql(
+      """CREATE OR REPLACE TABLE cat_rp USING graft
+        |TBLPROPERTIES('graft.keys'='id')
+        |AS SELECT 9 AS id, 2.5D AS score""".stripMargin)
+    assert(spark.sql("SELECT score FROM cat_rp WHERE id = 9")
+      .first.getDouble(0) == 2.5)
+    // LOCATION cannot silently change
+    intercept[IllegalArgumentException](spark.sql(
+      s"CREATE OR REPLACE TABLE cat_rp (z INT) USING graft " +
+        s"LOCATION '${tmp("repl2")}/other' TBLPROPERTIES('graft.keys'='z')"))
+    spark.sql("DROP TABLE cat_rp")
+  }
+
   test("DML on a materialized view refuses — writes go to the source") {
     val path = tmp("mvdml") + "/src"
     spark.sql(s"CREATE TABLE cat_mvd_src (id INT, g STRING, x INT) " +
