@@ -161,6 +161,31 @@ object GraftCatalog {
     finally out.close()
   }
 
+  /** REPLACE `name`'s entry in place (REPLACE TABLE's re-registration):
+    * the new entry is staged under a temp name and RENAMED over —
+    * drop-then-create would open a window where a concurrent CREATE
+    * steals the name and the replace then maps it to an unrelated root.
+    * A steal still loses, but LOUDLY: the rename fails instead of
+    * silently co-existing. */
+  def replaceEntry(spark: SparkSession, entry: Entry): Unit = {
+    require(NameRe.matches(entry.name),
+      s"illegal graft table name: ${entry.name} (SQL identifier required)")
+    val p = entryPath(spark, entry.name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent,
+      p.getName + ".tmp." + java.util.UUID.randomUUID().toString)
+    val out = VersionedTable.createExclusive(fs, tmp)
+    try out.write(render(entry).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent CREATE TABLE ${entry.name} raced this REPLACE — " +
+          "the replace lost; re-run after inspecting the table")
+    }
+  }
+
   /** Unregister `name`; the table's data and history stay at its root.
     * False when the name was not registered. */
   def drop(spark: SparkSession, name: String): Boolean = {
@@ -169,14 +194,18 @@ object GraftCatalog {
     fs.delete(p, false)
   }
 
-  /** Case-insensitive lookup. */
+  /** Case-insensitive lookup. An entry vanishing between the existence
+    * check and the read (concurrent DROP / [[replaceEntry]] window) is
+    * "not registered at that instant" — None, not a crash. */
   def lookup(spark: SparkSession, name: String): Option[Entry] = {
     if (!NameRe.matches(name)) return None
     val p = entryPath(spark, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
+      val in =
+        try fs.open(p)
+        catch { case _: java.io.FileNotFoundException => return None }
       val text = try {
         val out = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
@@ -186,15 +215,20 @@ object GraftCatalog {
     }
   }
 
-  /** All registered tables, name-sorted. */
+  /** All registered tables, name-sorted. An entry that vanishes between
+    * the listing and its read (a concurrent DROP, or [[replaceEntry]]'s
+    * delete-then-rename window) is skipped, not a crash — and
+    * replaceEntry's staged `.tmp.` files are never entries. */
   def list(spark: SparkSession): Seq[Entry] = {
     val d = catalogDir(spark)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("t."))
-      .map(p => lookup(spark, p.getName.stripPrefix("t.")))
-      .flatten.sortBy(_.name)
+      .filter(p => p.getName.startsWith("t.") &&
+        !p.getName.contains(".tmp."))
+      .flatMap(p => scala.util.Try(
+        lookup(spark, p.getName.stripPrefix("t."))).toOption.flatten)
+      .sortBy(_.name)
   }
 
   /** Resolve a statement-level table reference — `name` or

@@ -535,6 +535,21 @@ object GraftSqlParser {
       colsProp("graft.blooms"))
   }
 
+  /** A CREATE/REPLACE column list as a schema DDL string (None when the
+    * statement declares no columns), with the reserved-`__` namespace
+    * enforced — shared so the two statements cannot diverge. */
+  private def declaredSchemaDdl(columns:
+      Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition])
+      : Option[String] = {
+    columns.map(_.name).filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name $c is reserved (the __ prefix is internal)"))
+    if (columns.isEmpty) None
+    else Some(org.apache.spark.sql.types.StructType(columns.map(cd =>
+      org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
+        cd.nullable))).toDDL)
+  }
+
   /** Swap Spark's parsed DML commands for graft's runnable ones when the
     * target is a `graft`.`root` identifier; any other plan (including
     * DML on real catalog tables) passes through untouched. */
@@ -581,15 +596,8 @@ object GraftSqlParser {
         // public connector Transform API names it "identity"
         val (partCols, keys, statsCols, bloomCols) =
           tableDecl(partitioning, spec, "CREATE TABLE")
-        columns.map(_.name).filter(_.startsWith("__")).foreach(c =>
-          throw new IllegalArgumentException(
-            s"column name $c is reserved (the __ prefix is internal)"))
-        val schemaDdl =
-          if (columns.isEmpty) None
-          else Some(org.apache.spark.sql.types.StructType(columns.map(cd =>
-            org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
-              cd.nullable))).toDDL)
-        GraftCreateTableCommand(name, spec.location, schemaDdl, partCols,
+        GraftCreateTableCommand(name, spec.location,
+          declaredSchemaDdl(columns), partCols,
           keys, statsCols, bloomCols, ifNotExists)
       case r @ org.apache.spark.sql.catalyst.plans.logical.ReplaceTable(
           UnresolvedIdentifier(Seq(name), _), columns, partitioning,
@@ -597,15 +605,8 @@ object GraftSqlParser {
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
         val (partCols, keys, statsCols, bloomCols) =
           tableDecl(partitioning, spec, "REPLACE TABLE")
-        columns.map(_.name).filter(_.startsWith("__")).foreach(c =>
-          throw new IllegalArgumentException(
-            s"column name $c is reserved (the __ prefix is internal)"))
-        val schemaDdl =
-          if (columns.isEmpty) None
-          else Some(org.apache.spark.sql.types.StructType(columns.map(cd =>
-            org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
-              cd.nullable))).toDDL)
-        GraftReplaceTableCommand(name, spec.location, schemaDdl, partCols,
+        GraftReplaceTableCommand(name, spec.location,
+          declaredSchemaDdl(columns), partCols,
           keys, statsCols, bloomCols, orCreate, None)
       case r @ org.apache.spark.sql.catalyst.plans.logical
           .ReplaceTableAsSelect(UnresolvedIdentifier(Seq(name), _),
@@ -1457,7 +1458,20 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         val m = VersionedTable.resolveManifest(spark, root, None)
         require(m.keys.nonEmpty,
           s"table at $root records no merge keys — INSERT needs them")
-        val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
+        // index coverage normally self-sustains from what the files
+        // carry — but an EMPTY manifest (REPLACEd or TRUNCATEd table)
+        // has no files to carry it, so the first write after would
+        // silently never start the index family: fall back to the
+        // catalog entry's declarations exactly like the first write to
+        // a declared table does
+        val (derivedStats, derivedBlooms) = VersionedTable.coveredIndexCols(m)
+        val (statsCols, bloomCols) =
+          if (derivedStats.nonEmpty || derivedBlooms.nonEmpty ||
+              m.mapping.nonEmpty) (derivedStats, derivedBlooms)
+          else GraftCatalog.list(spark)
+            .find(_.root == VersionedTable.splitRef(root)._1)
+            .map(e => (e.statsCols, e.bloomCols))
+            .getOrElse((derivedStats, derivedBlooms))
         // a synthetic __bucket partition (unpartitioned CREATE) is the
         // engine's concern, never the statement's: align over the
         // visible columns, recompute the bucket
@@ -1701,21 +1715,22 @@ case class GraftReplaceTableCommand(name: String, location: Option[String],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(schemaDdl.isDefined || source.isDefined,
+      "REPLACE TABLE needs a column list or an AS SELECT body")
     GraftCatalog.lookup(spark, name) match {
       case None =>
         if (!orCreate) throw new NoSuchElementException(
           s"graft table $name is not registered — REPLACE TABLE needs " +
             "an existing table (CREATE OR REPLACE creates it)")
-        source match {
-          case None =>
-            GraftCreateTableCommand(name, location, schemaDdl, partCols,
-              keys, statsCols, bloomCols, ifNotExists = false).run(spark)
-            Seq(Row(-1))
-          case Some(q) =>
-            GraftCreateTableAsCommand(name, location, partCols, keys,
-              statsCols, bloomCols, q, ifNotExists = false).run(spark)
-        }
+        // register the name, then run the UNIFIED replace path below:
+        // a root that already carries commits (DROP only unregisters —
+        // external-table semantics) must be REPLACED, never silently
+        // re-attached with its old content (plain CREATE's behavior)
+        val root = location.getOrElse(GraftCatalog.managedRoot(spark, name))
+        GraftCatalog.create(spark, GraftCatalog.Entry(name, root,
+          partCols, keys, schemaDdl, statsCols, bloomCols))
+        run(spark)
       case Some(e) =>
         location.foreach(l => require(l == e.root,
           s"REPLACE TABLE cannot change LOCATION (${e.root} -> $l) — " +
@@ -1724,9 +1739,7 @@ case class GraftReplaceTableCommand(name: String, location: Option[String],
         val srcDf = source.map(PlanBridge.dataFrame(spark, _))
         val visSchema = schemaDdl
           .map(org.apache.spark.sql.types.StructType.fromDDL)
-          .orElse(srcDf.map(_.schema))
-          .getOrElse(throw new IllegalArgumentException(
-            "REPLACE TABLE needs a column list or an AS SELECT body"))
+          .orElse(srcDf.map(_.schema)).get
         val fields = visSchema.fieldNames.toSeq
         fields.filter(_.startsWith("__")).foreach(c =>
           throw new IllegalArgumentException(
@@ -1740,7 +1753,8 @@ case class GraftReplaceTableCommand(name: String, location: Option[String],
         // __bucket layout is installed here exactly as the first write
         // would, so later INSERT/MERGE behave identically to a fresh
         // CREATE-then-INSERT table
-        val version = VersionedTable.currentVersion(spark, e.root) match {
+        val preVersion = VersionedTable.currentVersion(spark, e.root)
+        val version = preVersion match {
           case None => -1
           case Some(_) =>
             val (schema2, parts2, keys2) =
@@ -1760,19 +1774,33 @@ case class GraftReplaceTableCommand(name: String, location: Option[String],
               }
             VersionedTable.redefine(spark, e.root, schema2, parts2, keys2)
         }
-        // re-register the declarations under the same root (two catalog
-        // ops; the one-file-per-table catalog has no multi-op txn — a
-        // reader between them sees the name briefly missing, never a
-        // wrong mapping)
-        GraftCatalog.drop(spark, name)
-        GraftCatalog.create(spark, GraftCatalog.Entry(name, e.root,
+        // in-place entry replacement (rename-over): no window in which a
+        // concurrent CREATE can steal the name and leave this replace
+        // silently mapping to an unrelated root
+        GraftCatalog.replaceEntry(spark, GraftCatalog.Entry(name, e.root,
           partCols, keys, Some(visSchema.toDDL), statsCols, bloomCols))
         source match {
           case Some(q) =>
-            GraftInsertCommand(e.root, Nil, q, byName = true).run(spark)
+            // the AS SELECT body lands as a SECOND commit: readers
+            // between the two observe the empty redefined version (the
+            // manifest protocol serializes one commit at a time). A
+            // FAILED body compensates — content restores to the
+            // pre-replace version and the old declarations re-register —
+            // so the statement never strands an emptied table.
+            try GraftInsertCommand(e.root, Nil, q, byName = true)
+              .run(spark)
+            catch { case t: Throwable =>
+              try {
+                preVersion.foreach(
+                  VersionedTable.restore(spark, e.root, _))
+                GraftCatalog.replaceEntry(spark, e)
+              } catch { case c: Throwable => t.addSuppressed(c) }
+              throw t
+            }
           case None => Seq(Row(version))
         }
     }
+  }
 }
 
 /** `SHOW CREATE TABLE t` on a graft table — the round-trippable DDL
@@ -1792,7 +1820,15 @@ case class GraftShowCreateTableCommand(name: Option[String], root: String)
       VersionedTable.currentVersion(spark, root) match {
         case Some(v) =>
           val m = VersionedTable.resolveManifestAt(spark, root, v, v)
-          val (st, bl) = VersionedTable.coveredIndexCols(m)
+          val (st0, bl0) = VersionedTable.coveredIndexCols(m)
+          // an empty (replaced/truncated) manifest carries no file
+          // coverage — the DECLARED index columns still belong in the
+          // round-trippable DDL
+          val (st, bl) =
+            if (st0.nonEmpty || bl0.nonEmpty || m.mapping.nonEmpty)
+              (st0, bl0)
+            else entry.map(e => (e.statsCols, e.bloomCols))
+              .getOrElse((st0, bl0))
           (m.schema, m.partCols, m.keys, st, bl)
         case None =>
           val e = entry.getOrElse(throw new java.io.FileNotFoundException(

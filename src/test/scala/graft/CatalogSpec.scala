@@ -587,6 +587,30 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](spark.sql(
       s"CREATE OR REPLACE TABLE cat_rp (z INT) USING graft " +
         s"LOCATION '${tmp("repl2")}/other' TBLPROPERTIES('graft.keys'='z')"))
+    // DROP unregisters the name only; CREATE OR REPLACE over the still-
+    // written root must REPLACE the content, never silently re-attach it
+    spark.sql("DROP TABLE cat_rp")
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE cat_rp (a INT, b STRING) USING graft
+         |LOCATION '$path' TBLPROPERTIES('graft.keys'='a',
+         |  'graft.stats'='b')""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM cat_rp")
+      .first.getLong(0) == 0)
+    assert(spark.sql("SELECT * FROM cat_rp").columns.toSeq ==
+      Seq("a", "b"))
+    // declared index coverage survives the replace: the FIRST write to
+    // the emptied manifest starts the stats family from the entry
+    spark.sql("INSERT INTO cat_rp VALUES (1,'m'), (2,'z')")
+    val rootNow = graft.plans.GraftCatalog.lookup(spark, "cat_rp").get.root
+    val (kept, total) = VersionedTable.skipStats(spark, rootNow, "b",
+      "y", "zz")
+    assert(total >= 1 && kept < total,
+      s"declared stats lost through REPLACE: $kept/$total")
+    // SHOW CREATE TABLE keeps the declarations round-trippable even on
+    // the empty redefined manifest
+    spark.sql("TRUNCATE TABLE cat_rp")
+    assert(spark.sql("SHOW CREATE TABLE cat_rp").first.getString(0)
+      .contains("'graft.stats'='b'"))
     spark.sql("DROP TABLE cat_rp")
   }
 
