@@ -723,6 +723,43 @@ object GraftSqlParser {
             GraftWidenColumnsCommand(r, widens)
           case None => ac
         }
+      // Spark 4.1 parses `ADD CONSTRAINT n CHECK (e)` to
+      // AddCheckConstraint(Filter(e, relation), CheckConstraint) — the
+      // condition rides BOTH as the filter and as the constraint's
+      // recorded text; the engine re-validates the text at registration
+      case ac @ org.apache.spark.sql.catalyst.plans.logical
+          .AddCheckConstraint(child, chk) =>
+        child.collectFirst { case u: UnresolvedRelation => u }
+          .flatMap(u => graftTableIdent(u.multipartIdentifier)) match {
+          case Some(r) =>
+            require(chk.userProvidedName != null,
+              "graft CHECK constraints are keyed by name — " +
+                "ADD CONSTRAINT <name> CHECK (...)")
+            GraftAddConstraintCommand(r, chk.userProvidedName,
+              chk.condition)
+          case None => ac
+        }
+      case ac @ org.apache.spark.sql.catalyst.plans.logical.AddConstraint(
+          t: UnresolvedTable, constraint) =>
+        graftTableIdent(t.multipartIdentifier) match {
+          case Some(_) => throw new IllegalArgumentException(
+            "graft tables support CHECK constraints only; got " +
+              constraint.getClass.getSimpleName.stripSuffix("$"))
+          case None => ac
+        }
+      case dc @ org.apache.spark.sql.catalyst.plans.logical.DropConstraint(
+          t: UnresolvedTable, cname, ifExists, cascade) =>
+        graftTableIdent(t.multipartIdentifier) match {
+          case Some(r) =>
+            require(!ifExists,
+              "DROP CONSTRAINT IF EXISTS is not supported on graft " +
+                "tables — drop only constraints you know exist")
+            require(!cascade,
+              "DROP CONSTRAINT ... CASCADE is not supported on graft " +
+                "tables (CHECK constraints have no dependents)")
+            GraftDropConstraintCommand(r, cname)
+          case None => dc
+        }
       case rc @ RenameColumn(t: UnresolvedTable,
           UnresolvedFieldName(Seq(from)), to) =>
         graftTableIdent(t.multipartIdentifier) match {
@@ -1604,6 +1641,31 @@ case class GraftDropColumnsCommand(root: String, cols: Seq[String])
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(cols.map(VersionedTable.dropColumn(spark, root, _)).last))
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` —
+  * [[VersionedTable.addConstraint]] through Spark's OWN constraint
+  * grammar (4.1+): the expression text validates against the schema,
+  * the existing data backlog is checked (ANSI semantics — a violating
+  * row refuses the registration), and every later write gates on it. */
+case class GraftAddConstraintCommand(root: String, cname: String,
+                                     conditionSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.addConstraint(spark, root, cname,
+      conditionSql)))
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` —
+  * [[VersionedTable.dropConstraint]]. */
+case class GraftDropConstraintCommand(root: String, cname: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.dropConstraint(spark, root, cname)))
 }
 
 /** `ALTER TABLE t RENAME COLUMN a TO b` —

@@ -614,6 +614,35 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_rp")
   }
 
+  test("ADD/DROP CONSTRAINT through Spark's constraint grammar: backlog " +
+      "validated, writes gate, drop releases") {
+    val path = tmp("cons") + "/t"
+    spark.sql(s"CREATE TABLE cat_ck (id INT, v INT) USING graft " +
+      s"LOCATION '$path' TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_ck VALUES (1, 10), (2, 20)")
+    // a constraint the backlog violates refuses at registration
+    intercept[Exception](spark.sql(
+      "ALTER TABLE cat_ck ADD CONSTRAINT v_big CHECK (v > 15)"))
+    spark.sql("ALTER TABLE cat_ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // every later write gates on it — and the violating INSERT commits
+    // nothing
+    intercept[Exception](
+      spark.sql("INSERT INTO cat_ck VALUES (3, -5)"))
+    assert(spark.sql("SELECT count(*) AS n FROM cat_ck")
+      .first.getLong(0) == 2)
+    spark.sql("INSERT INTO cat_ck VALUES (3, 5)")
+    // visible in DESCRIBE DETAIL, released by DROP CONSTRAINT
+    assert(spark.sql("DESCRIBE DETAIL cat_ck").first.getString(3)
+      .contains("v_pos"))
+    spark.sql("ALTER TABLE cat_ck DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO cat_ck VALUES (4, -1)") // gate released
+    assert(spark.sql("SELECT count(*) AS n FROM cat_ck")
+      .first.getLong(0) == 4)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE cat_ck DROP CONSTRAINT never_was"))
+    spark.sql("DROP TABLE cat_ck")
+  }
+
   test("DML on a materialized view refuses — writes go to the source") {
     val path = tmp("mvdml") + "/src"
     spark.sql(s"CREATE TABLE cat_mvd_src (id INT, g STRING, x INT) " +
