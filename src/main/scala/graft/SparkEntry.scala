@@ -2136,6 +2136,58 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** SQL CHECK constraints under oracle check: the daily rollup lands
+    * as a named table, `ALTER TABLE ... ADD CONSTRAINT` registers a
+    * volume floor through Spark's own constraint grammar (a constraint
+    * the BACKLOG violates refuses first — guard), a violating UPDATE
+    * refuses with NOTHING committed (guard pins the version), a passing
+    * UPDATE commits, and DROP CONSTRAINT releases the gate for a final
+    * write. Oracle = the rollup with both surviving mutations applied —
+    * the blocked one must be invisible. */
+  private def qCatalogConstraint(s: SparkSession, dir: String)
+      : DataFrame = {
+    val name = "cat_ck_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = "/tmp/graft_catalog_ck/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcView = "cat_ck_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts", "value",
+      volume = col("user_id")).createOrReplaceTempView(srcView)
+    fixture {
+      rmrf(s, root)
+      graft.plans.GraftCatalog.drop(s, name)
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$root'
+           |PARTITIONED BY (event_type)
+           |TBLPROPERTIES('graft.keys'='event_type,date')
+           |AS SELECT * FROM $srcView""".stripMargin)
+    }
+    // backlog validation: volumes include small values, so a high floor
+    // refuses at registration
+    require(scala.util.Try(s.sql(s"ALTER TABLE $name ADD CONSTRAINT " +
+      "vol_huge CHECK (daily_volume > 1000000)")).isFailure,
+      "backlog-violating constraint was accepted")
+    s.sql(s"ALTER TABLE $name ADD CONSTRAINT vol_pos " +
+      "CHECK (daily_volume >= 0)")
+    val vBefore = VersionedTable.currentVersion(s, root).get
+    // gated: this UPDATE would drive volumes negative — refused, and
+    // NOTHING commits
+    require(scala.util.Try(s.sql(s"UPDATE $name SET daily_volume = " +
+      "daily_volume - 1000000000")).isFailure,
+      "constraint did not gate the violating UPDATE")
+    require(VersionedTable.currentVersion(s, root).get == vBefore,
+      "violating UPDATE committed a version")
+    s.sql(s"UPDATE $name SET daily_volume = daily_volume + 1000000 " +
+      "WHERE date >= DATE'2024-01-15'")
+    s.sql(s"ALTER TABLE $name DROP CONSTRAINT vol_pos")
+    s.sql(s"UPDATE $name SET daily_volume = daily_volume - 2000000 " +
+      "WHERE date < DATE'2024-01-03'") // negative now allowed
+    s.sql(
+      s"""SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume, round(daily_change, 4)
+         |    AS daily_change
+         |FROM $name""".stripMargin)
+  }
+
   /** CREATE OR REPLACE TABLE under oracle check: the daily rollup lands
     * via CTAS (definition 1), then `CREATE OR REPLACE ... AS SELECT`
     * redefines the SAME name to the mid-January window (new content,
@@ -4111,6 +4163,7 @@ object SparkEntry {
     "q_catalog_ctas" -> (qCatalogCtas _),
     "q_versioned_overwrite" -> (qVersionedOverwrite _),
     "q_catalog_replace" -> (qCatalogReplace _),
+    "q_catalog_constraint" -> (qCatalogConstraint _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -6815,6 +6868,27 @@ object SparkEntry {
          | round(arg_max(value, $TS) - arg_min(value, $TS), 4)
          |   AS daily_change
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // SQL CHECK gate: the blocked mutation invisible, the two surviving
+    // ones applied — volume bumped in the late window, slashed (negative
+    // allowed post-DROP) before Jan 3
+    "q_catalog_constraint" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close,
+         |  CAST(daily_volume
+         |    + CASE WHEN date >= DATE '2024-01-15' THEN 1000000 ELSE 0 END
+         |    - CASE WHEN date < DATE '2024-01-03' THEN 2000000 ELSE 0 END
+         |    AS BIGINT) AS daily_volume,
+         |  daily_change
+         |FROM daily""".stripMargin,
 
     // CREATE OR REPLACE's post-replace content by name: the window
     // subset, independently recomputed
