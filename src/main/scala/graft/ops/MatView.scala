@@ -183,6 +183,27 @@ object MatView {
   }
   private[graft] def lastRescanGroups: Long = lastRescan.get
 
+  /** Whether the LAST [[refresh]] took the full-recompute fallback
+    * (mass-removal: the rescan set exceeded [[rescanFraction]] of the
+    * view's live groups). Same per-thread observability contract as
+    * [[lastRescanGroups]]. */
+  private val lastFullRecomputeTl = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+  private[graft] def lastFullRecompute: Boolean = lastFullRecomputeTl.get
+
+  /** Mass-removal fallback threshold: when a refresh's rescan set
+    * exceeds this fraction of the view's LIVE groups, the refresh
+    * recomputes the WHOLE view from the source instead of broadcasting
+    * a near-table-sized group-key set into the pruned path — past this
+    * point the "pruned" rescan reads most of the source anyway, and the
+    * broadcast of |groups| keys is pure overhead (a driver OOM at 100 TB
+    * group cardinalities). Override per session with
+    * `spark.graft.matview.rescanFraction`. */
+  private def rescanFraction(spark: SparkSession): Double =
+    spark.conf.getOption("spark.graft.matview.rescanFraction")
+      .map(_.toDouble).getOrElse(0.5)
+
   /** The view's served contents: group columns + measures, tombstones
     * and internal columns hidden. */
   def read(spark: SparkSession, viewRoot: String,
@@ -318,18 +339,60 @@ object MatView {
             when(o.isNull, ad).when(ad.isNull, o)
               .otherwise(hll_union(o, ad))).as(dHll(a)) } :+
         newCnt.as("__cnt"): _*)
-    if (extrema.isEmpty && spec.distincts.isEmpty) (deltaRows, Nil)
-    else {
+    if (extrema.isEmpty && spec.distincts.isEmpty) {
+      lastFullRecomputeTl.set(false)
+      (deltaRows, Nil)
+    } else {
       // pin the rescan keys: the recompute reads them several times
       // (IN-list collect, null probe, semi join, tombstone anti-join),
       // and counting them is the path's key observable
       val rescanKeys = joined.filter(rescan)
         .select(spec.groupCols.map(col): _*).persist()
       lastRescan.set(rescanKeys.count())
+      lastFullRecomputeTl.set(false)
       if (lastRescanGroups == 0) (deltaRows, Seq(rescanKeys))
-      else (deltaRows.unionByName(
-        recomputeGroups(spark, spec, rescanKeys, srcCur)), Seq(rescanKeys))
+      else {
+        // mass-removal fallback: past rescanFraction of the LIVE groups
+        // the pruned path degenerates (IN/semi probes select most of the
+        // source; the broadcast key set scales with the view), so
+        // recompute the whole view instead — one full aggregation, the
+        // same plan the initial build ran, plus tombstones for vanished
+        // groups. The live count is one O(groups) scan of the view,
+        // paid only on refreshes that already need a rescan.
+        val liveGroups = cur.filter(col("__cnt") > 0).count()
+        if (lastRescanGroups > rescanFraction(spark) * liveGroups) {
+          lastFullRecomputeTl.set(true)
+          (fullRecompute(spark, spec, cur, srcCur), Seq(rescanKeys))
+        } else (deltaRows.unionByName(
+          recomputeGroups(spark, spec, rescanKeys, srcCur)),
+          Seq(rescanKeys))
+      }
     }
+  }
+
+  /** Whole-view recompute (the mass-removal fallback): re-aggregate the
+    * ENTIRE source at the pinned version — the initial build's plan —
+    * and tombstone every currently-live group the new aggregate no
+    * longer contains (the upsert only replaces keys it carries, so a
+    * vanished group's stale row must be overwritten explicitly). The
+    * anti-join is group-keyed and unhinted: both sides are
+    * O(|groups|), so AQE picks the strategy. */
+  private def fullRecompute(spark: SparkSession, spec: Spec,
+                            cur: DataFrame, srcCur: Int): DataFrame = {
+    val rec = aggregate(
+      VersionedTable.read(spark, spec.srcRoot, Some(srcCur)), spec)
+    val recKeys = rec.select(spec.groupCols.map(c =>
+      col(c).as(s"__r_$c")): _*)
+    val dead = cur.filter(col("__cnt") > 0)
+      .select(spec.groupCols.map(col): _*)
+      .join(recKeys,
+        spec.groupCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _),
+        "left_anti")
+    val deadRows = rec.columns.filterNot(spec.groupCols.contains)
+      .foldLeft(dead)((d, a) => d.withColumn(a,
+        if (a == "__cnt") lit(0L)
+        else lit(null).cast(rec.schema(a).dataType)))
+    rec.unionByName(deadRows.select(rec.columns.map(col).toSeq: _*))
   }
 
   /** Recompute path: re-aggregate ONLY the groups the feed names —

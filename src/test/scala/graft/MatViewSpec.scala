@@ -215,6 +215,54 @@ class MatViewSpec extends SparkSpec {
     check()
   }
 
+  test("mass-removal fallback: deleting every group's maximum flips the " +
+      "refresh to one full recompute (no group-key broadcast) and the " +
+      "view still equals the direct aggregate") {
+    val dir = tmp("massrm")
+    val (src, view) = (s"$dir/src", s"$dir/view")
+    seed(src)
+    MatView.create(spark, view, src, Seq("id", "part"), Seq("g"),
+      mins = Seq(("x_min", "x")), maxs = Seq(("x_max", "x")),
+      countAlias = Some("n"))
+    // delete each group's recorded MAX: every live group's extremum is
+    // hit, so the rescan set is 100% of groups — past the fraction, the
+    // refresh must take the whole-view recompute instead of
+    // broadcasting the full group-key set into the pruned path
+    val maxes = VersionedTable.read(spark, src).groupBy($"g")
+      .agg(max($"x").as("mx"))
+    val hit = VersionedTable.read(spark, src).join(maxes, Seq("g"))
+      .filter($"x" === $"mx").select($"id").as[Int].collect().toSet
+    VersionedTable.deleteMatching(spark, src, col("id").isin(hit.toSeq: _*))
+    MatView.refresh(spark, view)
+    assert(MatView.lastFullRecompute,
+      s"${MatView.lastRescanGroups} rescan groups should have tripped " +
+        "the full-recompute fallback")
+    assertMatches(view, src, Seq("g", "x_min", "x_max", "n"))
+    // a surgical single-extremum delete afterwards stays on the pruned
+    // path (the fallback is a threshold, not a mode switch)
+    val one = VersionedTable.read(spark, src)
+      .filter($"g" === "g1").groupBy($"g").agg(max($"x").as("mx"))
+    val oneId = VersionedTable.read(spark, src).join(one, Seq("g"))
+      .filter($"x" === $"mx").select($"id").as[Int].head()
+    VersionedTable.deleteMatching(spark, src, col("id") === oneId)
+    MatView.refresh(spark, view)
+    assert(!MatView.lastFullRecompute && MatView.lastRescanGroups == 1L)
+    assertMatches(view, src, Seq("g", "x_min", "x_max", "n"))
+    // group death under the fallback: nuke one group entirely along
+    // with every remaining group's max — the vanished group must
+    // tombstone (served rows drop it), not linger stale
+    val maxes2 = VersionedTable.read(spark, src).groupBy($"g")
+      .agg(max($"x").as("mx"))
+    val hit2 = VersionedTable.read(spark, src).join(maxes2, Seq("g"))
+      .filter($"x" === $"mx" || $"g" === "g2")
+      .select($"id").as[Int].collect().toSet
+    VersionedTable.deleteMatching(spark, src,
+      col("id").isin(hit2.toSeq: _*))
+    MatView.refresh(spark, view)
+    assert(MatView.lastFullRecompute)
+    assertMatches(view, src, Seq("g", "x_min", "x_max", "n"))
+  }
+
   test("randomized rounds: view == direct aggregate after every refresh") {
     val dir = tmp("rand")
     val (src, view) = (s"$dir/src", s"$dir/view")
