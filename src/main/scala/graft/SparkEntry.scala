@@ -2188,6 +2188,103 @@ object SparkEntry {
          |FROM $name""".stripMargin)
   }
 
+  /** Named logical views under oracle check: CREATE VIEW over a named
+    * graft table (the daily rollup), a second view COMPOSING the first
+    * (view-over-view), and LATE BINDING — after the views exist, an
+    * INSERT lands the tail of the rollup and the oracled output reads
+    * ONLY through the outer view name, so both views must serve the
+    * post-insert contents without redefinition. Oracle = the same
+    * two-level aggregate recomputed from the raw events. */
+  private def qCatalogView(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val name = "cat_vq_t_" + slug
+    val (v1, v2) = ("cat_vq_v1_" + slug, "cat_vq_v2_" + slug)
+    val root = "/tmp/graft_catalog_view/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcView = "cat_vq_src_" + slug
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    fixture {
+      rmrf(s, root)
+      graft.plans.GraftCatalog.drop(s, name)
+      daily.filter(col("date") < lit("2024-01-20").cast(DateType))
+        .createOrReplaceTempView(srcView)
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$root'
+           |PARTITIONED BY (event_type)
+           |TBLPROPERTIES('graft.keys'='event_type,date')
+           |AS SELECT * FROM $srcView""".stripMargin)
+    }
+    s.sql(s"CREATE OR REPLACE VIEW $v1 AS SELECT event_type, date, " +
+      s"daily_close, daily_volume FROM $name")
+    s.sql(
+      s"""CREATE OR REPLACE VIEW $v2 AS
+         |SELECT event_type, count(*) AS n_days,
+         |  CAST(sum(daily_volume) AS BIGINT) AS vol,
+         |  round(sum(daily_close), 4) AS close_sum
+         |FROM $v1 WHERE date >= DATE'2024-01-03'
+         |GROUP BY event_type""".stripMargin)
+    require(s.sql("SHOW GRAFT VIEWS").collect()
+      .map(_.getString(0)).toSet.intersect(Set(v1, v2)).size == 2,
+      "views not listed")
+    // LATE binding: the tail lands AFTER both views exist — they must
+    // serve it (a frozen snapshot would under-count n_days)
+    val tailView = "cat_vq_tail_" + slug
+    daily.filter(col("date") >= lit("2024-01-20").cast(DateType))
+      .createOrReplaceTempView(tailView)
+    s.sql(s"INSERT INTO $name SELECT * FROM $tailView")
+    val expectDays = daily
+      .filter(col("date") >= lit("2024-01-03").cast(DateType)).count()
+    require(s.sql(s"SELECT CAST(sum(n_days) AS BIGINT) AS n FROM $v2")
+      .first.getLong(0) == expectDays,
+      "view did not late-bind the post-create INSERT")
+    s.sql(s"SELECT event_type, n_days, vol, close_sum FROM $v2")
+  }
+
+  /** INSERT-time schema evolution under oracle check: the early window
+    * of the daily rollup lands via CTAS (generation 0), the
+    * `graft.schema.evolution` property opts the table in, and a BY NAME
+    * INSERT of the tail WIDENED with a lineage column commits — the
+    * oracled output reads both generations, with the pre-evolution rows
+    * surfacing NULL for the new column (no rewrite — the evolution read
+    * path). A guard pins that the refusal fires without the property. */
+  private def qInsertEvolution(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val name = "cat_ie_t_" + slug
+    val root = "/tmp/graft_insert_evolution/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val headView = "cat_ie_head_" + slug
+    val tailView = "cat_ie_tail_" + slug
+    fixture {
+      rmrf(s, root)
+      graft.plans.GraftCatalog.drop(s, name)
+      daily.filter(col("date") < lit("2024-01-15").cast(DateType))
+        .createOrReplaceTempView(headView)
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$root'
+           |PARTITIONED BY (event_type)
+           |TBLPROPERTIES('graft.keys'='event_type,date')
+           |AS SELECT * FROM $headView""".stripMargin)
+    }
+    daily.filter(col("date") >= lit("2024-01-15").cast(DateType))
+      .withColumn("src", lit("late"))
+      .createOrReplaceTempView(tailView)
+    // without the property the widened INSERT refuses (guard) ...
+    require(scala.util.Try(s.sql(
+      s"INSERT INTO $name BY NAME SELECT * FROM $tailView")).isFailure,
+      "widened INSERT committed without the evolution property")
+    s.sql(s"ALTER TABLE $name SET TBLPROPERTIES" +
+      "('graft.schema.evolution'='true')")
+    s.sql(s"INSERT INTO $name BY NAME SELECT * FROM $tailView")
+    s.sql(
+      s"""SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume, round(daily_change, 4)
+         |    AS daily_change, src
+         |FROM $name""".stripMargin)
+  }
+
   /** CREATE OR REPLACE TABLE under oracle check: the daily rollup lands
     * via CTAS (definition 1), then `CREATE OR REPLACE ... AS SELECT`
     * redefines the SAME name to the mid-January window (new content,
@@ -4164,6 +4261,8 @@ object SparkEntry {
     "q_versioned_overwrite" -> (qVersionedOverwrite _),
     "q_catalog_replace" -> (qCatalogReplace _),
     "q_catalog_constraint" -> (qCatalogConstraint _),
+    "q_catalog_view" -> (qCatalogView _),
+    "q_insert_evolution" -> (qInsertEvolution _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -6974,6 +7073,36 @@ object SparkEntry {
          |  daily_change
          |FROM merged WHERE date >= DATE '2024-01-03'"""
       .stripMargin,
+
+    // named logical views: two-level aggregate read through a
+    // view-over-view chain, late-bound over the full rollup
+    "q_catalog_view" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, count(*) AS n_days,
+         |  CAST(sum(daily_volume) AS BIGINT) AS vol,
+         |  round(sum(daily_close), 4) AS close_sum
+         |FROM daily WHERE date >= DATE '2024-01-03'
+         |GROUP BY event_type""".stripMargin,
+
+    // INSERT-time schema evolution: mixed generations — the widened
+    // tail carries 'late', pre-evolution rows surface NULL
+    "q_insert_evolution" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume, daily_change,
+         |  CASE WHEN date >= DATE '2024-01-15' THEN 'late' END AS src
+         |FROM daily""".stripMargin,
 
     // RENAME COLUMN: the update-window oracle served under the new name
     "q_versioned_rename" ->

@@ -241,4 +241,97 @@ object GraftCatalog {
       if (at < 0) (ref, "") else (ref.substring(0, at), ref.substring(at))
     lookup(spark, name).map(_.root + branch)
   }
+
+  // ----- named logical views ----------------------------------------
+  // A view is a SAVED QUERY, not a table: one `v.<name>` file holding
+  // the SQL text, substituted into the reading statement's plan at
+  // resolve time (late binding — the view always serves the CURRENT
+  // contents of the tables it reads). Same durable one-file-per-entry
+  // store as tables, same atomic-claim CREATE; tables and views share
+  // the name namespace (a reference must resolve to exactly one thing),
+  // enforced by the CREATE commands.
+
+  private def viewPath(spark: SparkSession, name: String): Path =
+    new Path(catalogDir(spark),
+      "v." + name.toLowerCase(java.util.Locale.ROOT))
+
+  private def renderView(name: String, sql: String): String =
+    s"#graft-view\t1\n#name\t${b64e(name)}\n#sql\t${b64e(sql)}\n"
+
+  /** Register a view. Plain CREATE is the same atomic claim tables use;
+    * OR REPLACE stages under a temp name and renames over (the
+    * [[replaceEntry]] discipline — never a drop-then-create window). */
+  def createView(spark: SparkSession, name: String, sql: String,
+                 orReplace: Boolean = false): Unit = {
+    require(NameRe.matches(name),
+      s"illegal graft view name: $name (SQL identifier required)")
+    val p = viewPath(spark, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (orReplace) {
+      val tmp = new Path(p.getParent,
+        p.getName + ".tmp." + java.util.UUID.randomUUID().toString)
+      val out = VersionedTable.createExclusive(fs, tmp)
+      try out.write(renderView(name, sql).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"concurrent CREATE VIEW $name raced this REPLACE — re-run")
+      }
+    } else {
+      val out =
+        try VersionedTable.createExclusive(fs, p)
+        catch { case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"graft view $name already exists (CREATE OR REPLACE VIEW " +
+              "to redefine, or DROP VIEW first)", e)
+        }
+      try out.write(renderView(name, sql).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** The view's SQL text; None when no view of that name is registered.
+    * Same vanish-tolerant read as [[lookup]]. */
+  def lookupView(spark: SparkSession, name: String): Option[String] = {
+    if (!NameRe.matches(name)) return None
+    val p = viewPath(spark, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith("#graft-view\t1")),
+      s"unrecognized view entry at $p")
+    lines.collectFirst { case l if l.startsWith("#sql\t") =>
+      b64d(l.split("\t", -1)(1)) }
+  }
+
+  /** Unregister a view; false when it was not registered. */
+  def dropView(spark: SparkSession, name: String): Boolean = {
+    val p = viewPath(spark, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+  }
+
+  /** All registered views, name-sorted: (name, sql). */
+  def listViews(spark: SparkSession): Seq[(String, String)] = {
+    val d = catalogDir(spark)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v.") && !n.contains(".tmp."))
+      .flatMap { n =>
+        val nm = n.stripPrefix("v.")
+        scala.util.Try(lookupView(spark, nm)).toOption.flatten
+          .map(nm -> _)
+      }.sortBy(_._1)
+  }
 }

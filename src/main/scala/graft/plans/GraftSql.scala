@@ -162,6 +162,19 @@ object GraftSqlParser {
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Target +
       """\s+KEYED\s+BY\s+\(\s*([A-Za-z0-9_`,\s]+?)\s*\)""" +
       """\s+AS\s+(SELECT\b.*?)\s*;?\s*$""").r
+  // plain persistent views (saved queries, late-bound at read). TEMP /
+  // GLOBAL TEMP / multipart-named / column-listed views fall through to
+  // Spark's own grammar untouched (the pattern requires VIEW directly
+  // after CREATE [OR REPLACE] and a bare single identifier before AS)
+  private val CreateViewRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" +
+      """`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+((?:SELECT|WITH)\b.*?)""" +
+      """\s*;?\s*$""").r
+  private val DropViewRe =
+    ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?""" +
+      """`?([A-Za-z_][A-Za-z0-9_]*)`?\s*;?\s*$""").r
+  private val ShowViewsRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+VIEWS\s*;?\s*$""".r
 
   /** Catalog resolution for a NAME reference, on the parsing session.
     * Parsing always runs on the query's own thread (spark.sql →
@@ -267,6 +280,23 @@ object GraftSqlParser {
     sql match {
       case ShowTablesRe() =>
         Some(GraftShowTablesCommand())
+      case ShowViewsRe() =>
+        Some(GraftShowViewsCommand())
+      case CreateViewRe(orReplace, name, body) =>
+        // validate the BODY parses now — a typo'd view must refuse at
+        // CREATE, not at first read (full analysis runs in the command,
+        // where the session is live and referenced names can resolve)
+        parseSelect(body)
+        Some(GraftCreateViewCommand(name, body.trim, orReplace != null))
+      case DropViewRe(ifExists, name) =>
+        // a temp view / session-catalog object of the name is Spark's
+        // to drop; an unregistered bare name falls through too (Spark's
+        // catalog views, or its own error message)
+        if (sessionShadowed(name)) None
+        else if (SparkSession.getActiveSession
+            .exists(GraftCatalog.lookupView(_, name).isDefined))
+          Some(GraftDropViewCommand(name, ifExists != null))
+        else None
       case VacuumDryRe(g1, g2, g3, g4, keep, unit) =>
         val r = refLoud(g1, g2, g3, g4)
         retainMs(keep, unit) match {
@@ -435,7 +465,18 @@ object GraftSqlParser {
     // unregistered or SHADOWED name passes through to Spark's own
     // resolution (reads resolve the shadow, so writes must too)
     case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
-      resolveUnshadowed(u.multipartIdentifier.head).map(r => (r, None))
+      val n = u.multipartIdentifier.head
+      resolveUnshadowed(n).orElse {
+        // a graft VIEW as a DML target is a loud refusal, not a Spark
+        // "table not found": reads serve the saved query, so there is
+        // nothing addressable to write
+        if (!sessionShadowed(n) && SparkSession.getActiveSession
+            .exists(GraftCatalog.lookupView(_, n).isDefined))
+          throw new IllegalArgumentException(
+            s"$n is a graft VIEW (a saved query) — DML on a view is " +
+              "not supported; write to the tables it reads")
+        None
+      }.map(r => (r, None))
     case _ => None
   }
 
@@ -862,24 +903,43 @@ object GraftSqlParser {
         // shadow an unrelated outer graft reference, and a CTE body
         // recursing with a FRESH collect would lose its outer WITH's
         // names and resolve a sibling reference to the graft table.
-        def go(p: LogicalPlan, scope: Set[String]): LogicalPlan = p match {
+        // `views` = the chain of graft view names currently being
+        // inlined (cycle detection): a view body gets a FRESH CTE scope
+        // (views are self-contained saved queries — outer CTE names must
+        // not leak in) but the accumulated view chain.
+        def go(p: LogicalPlan, scope: Set[String],
+               views: Set[String] = Set.empty): LogicalPlan = p match {
           case w: UnresolvedWith =>
             var sc =
               if (w.allowRecursion) scope ++ w.cteRelations.map(t => lc(t._1))
               else scope
             val ctes = w.cteRelations.map { case (n, sq, o) =>
-              val resolved = go(sq, sc).asInstanceOf[
+              val resolved = go(sq, sc, views).asInstanceOf[
                 org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]
               sc += lc(n)
               (n, resolved, o)
             }
-            w.copy(child = go(w.child, sc), cteRelations = ctes)
+            w.copy(child = go(w.child, sc, views), cteRelations = ctes)
           case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
             val name = u.multipartIdentifier.head
             // cheap in-memory shadow checks FIRST — the catalog probe
             // is filesystem I/O and most single-part names are views
             if (scope.contains(lc(name)) || sessionShadowed(name)) u
-            else resolveName(name).map(relationFor(spark, _)).getOrElse(u)
+            else resolveName(name).map(relationFor(spark, _)).getOrElse(
+              GraftCatalog.lookupView(spark, name) match {
+                case Some(body) =>
+                  if (views.contains(lc(name)))
+                    throw new IllegalArgumentException(
+                      s"circular view reference: $name (chain: " +
+                        s"${views.mkString(" -> ")} -> $name)")
+                  // late binding: the body parses + resolves at READ
+                  // time, so the view serves the tables' (and nested
+                  // views') current definitions
+                  SubqueryAlias(name,
+                    go(spark.sessionState.sqlParser.parseQuery(body),
+                      Set.empty, views + lc(name)))
+                case None => u
+              })
           // named time travel: SELECT ... FROM t VERSION AS OF 3 /
           // TIMESTAMP AS OF '2024-01-08' — the same literal resolution
           // graft_table(root, v) uses, against the commit markers
@@ -909,10 +969,10 @@ object GraftSqlParser {
               case _ => tt
             }
           case other =>
-            other.mapChildren(go(_, scope)).transformExpressionsDown {
+            other.mapChildren(go(_, scope, views)).transformExpressionsDown {
               case se: org.apache.spark.sql.catalyst.expressions
                   .SubqueryExpression =>
-                se.withNewPlan(go(se.plan, scope))
+                se.withNewPlan(go(se.plan, scope, views))
             }
         }
         go(plan, Set.empty)
@@ -1383,6 +1443,9 @@ case class GraftCreateTableCommand(name: String, location: Option[String],
           "CREATE TABLE IF NOT EXISTS)")
       return Seq.empty
     }
+    require(GraftCatalog.lookupView(spark, name).isEmpty,
+      s"a graft VIEW named $name already exists — tables and views " +
+        "share the name namespace")
     val root = location.getOrElse(GraftCatalog.managedRoot(spark, name))
     VersionedTable.currentVersion(spark, root) match {
       case Some(v) => // re-attach: the manifest is authoritative
@@ -1444,6 +1507,51 @@ case class GraftShowTablesCommand() extends LeafRunnableCommand {
     }
 }
 
+/** `CREATE [OR REPLACE] VIEW name AS SELECT ...` — registers the SQL
+  * text in the [[GraftCatalog]]; every later statement naming the view
+  * substitutes the body at resolve time (late binding), with the same
+  * CTE / temp-view / session-catalog shadowing order as named tables,
+  * view-over-view composition, and loud cycle detection. The body is
+  * fully ANALYZED at create against the current catalog, so a view over
+  * a missing table or column refuses here, not at first read. */
+case class GraftCreateViewCommand(name: String, sql: String,
+                                  orReplace: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(GraftCatalog.lookup(spark, name).isEmpty,
+      s"a graft TABLE named $name already exists — tables and views " +
+        "share the name namespace")
+    // full analysis of the body (through OUR parser, so named graft
+    // tables and nested views resolve); also re-validates at REPLACE
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    spark.sessionState.executePlan(parsed).assertAnalyzed()
+    GraftCatalog.createView(spark, name, sql, orReplace)
+    Seq.empty
+  }
+}
+
+/** `DROP VIEW [IF EXISTS] name` on a registered graft view. */
+case class GraftDropViewCommand(name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = GraftCatalog.dropView(spark, name)
+    if (!dropped && !ifExists) throw new NoSuchElementException(
+      s"graft view $name is not registered")
+    Seq.empty
+  }
+}
+
+/** `SHOW GRAFT VIEWS` — one row per registered view with its SQL. */
+case class GraftShowViewsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("sql", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftCatalog.listViews(spark).map { case (n, s) => Row(n, s) }
+}
+
 /** `INSERT INTO t [(cols)] VALUES ... | SELECT ...` on a graft table —
   * the versioned UPSERT keyed by the table's recorded merge keys (the
   * declared `graft.keys` for the first write to an empty root). Keyed
@@ -1460,31 +1568,41 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
 
+  /** The query frame under the statement's column-naming rule (explicit
+    * list, BY NAME, or positional) — no projection yet, so the caller
+    * sees EXTRA columns (schema evolution) as well as missing ones. */
+  private def named(df: org.apache.spark.sql.DataFrame,
+                    tableCols: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    if (userCols.nonEmpty) {
+      require(df.columns.length == userCols.length,
+        s"INSERT column list names ${userCols.length} columns but the " +
+          s"query produces ${df.columns.length}")
+      df.toDF(userCols: _*)
+    } else if (byName) df
+    else {
+      require(df.columns.length == tableCols.length,
+        s"INSERT by position needs all ${tableCols.length} table " +
+          s"columns (${tableCols.mkString(", ")}); the query produces " +
+          s"${df.columns.length}")
+      df.toDF(tableCols: _*)
+    }
+
   private def align(df: org.apache.spark.sql.DataFrame,
                     tableCols: Seq[String],
-                    schema: org.apache.spark.sql.types.StructType)
+                    schema: org.apache.spark.sql.types.StructType,
+                    extras: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val named =
-      if (userCols.nonEmpty) {
-        require(df.columns.length == userCols.length,
-          s"INSERT column list names ${userCols.length} columns but the " +
-            s"query produces ${df.columns.length}")
-        df.toDF(userCols: _*)
-      } else if (byName) df
-      else {
-        require(df.columns.length == tableCols.length,
-          s"INSERT by position needs all ${tableCols.length} table " +
-            s"columns (${tableCols.mkString(", ")}); the query produces " +
-            s"${df.columns.length}")
-        df.toDF(tableCols: _*)
-      }
-    val missing = tableCols.filterNot(named.columns.contains)
+    val nm = named(df, tableCols)
+    val missing = tableCols.filterNot(nm.columns.contains)
     require(missing.isEmpty,
       s"INSERT must cover every table column; missing: " +
         missing.mkString(", "))
-    named.select(tableCols.map(c =>
-      col(c).cast(schema(c).dataType).as(c)): _*)
+    // table-order first, admitted new columns appended — the committed
+    // schema evolves deterministically, like MERGE WITH SCHEMA EVOLUTION
+    nm.select(tableCols.map(c =>
+      col(c).cast(schema(c).dataType).as(c)) ++ extras.map(col): _*)
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -1514,7 +1632,26 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         // visible columns, recompute the bucket
         val visible = m.schema.fieldNames.toSeq
           .filterNot(_ == GraftCatalog.BucketCol)
-        val aligned0 = align(df, visible, m.schema)
+        // INSERT-time schema evolution (opt-in): extra source columns
+        // are admitted as new table columns — Delta's mergeSchema-on-
+        // append — when the table property says so; refused loudly
+        // otherwise (silently dropping data a user named would be worse
+        // than either)
+        val extras = named(df, visible).columns.toSeq
+          .filterNot(c => visible.contains(c) ||
+            c == GraftCatalog.BucketCol)
+        val evolve = m.props.get("graft.schema.evolution")
+          .exists(v => Set("true", "insert")
+            .contains(v.toLowerCase(java.util.Locale.ROOT)))
+        require(extras.isEmpty || evolve,
+          s"INSERT source carries columns not in the table: " +
+            s"${extras.mkString(", ")} — ALTER TABLE ... SET " +
+            "TBLPROPERTIES('graft.schema.evolution'='true') to admit " +
+            "them as new columns, or drop them from the query")
+        extras.filter(_.startsWith("__")).foreach(c =>
+          throw new IllegalArgumentException(
+            s"column name $c is reserved (the __ prefix is internal)"))
+        val aligned0 = align(df, visible, m.schema, extras)
         val aligned =
           if (visible.length == m.schema.length) aligned0
           else GraftCatalog.withBucket(aligned0,
@@ -1538,6 +1675,13 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         val schema = entry.schemaDdl
           .map(org.apache.spark.sql.types.StructType.fromDDL)
           .getOrElse(df.schema)
+        val extras0 = named(df, schema.fieldNames.toSeq).columns.toSeq
+          .filterNot(schema.fieldNames.contains)
+        require(extras0.isEmpty,
+          s"INSERT source carries columns not in the declared schema: " +
+            s"${extras0.mkString(", ")} — declare them at CREATE TABLE " +
+            "(INSERT-time schema evolution applies to committed tables " +
+            "via TBLPROPERTIES('graft.schema.evolution'='true'))")
         val aligned0 = align(df, schema.fieldNames.toSeq, schema)
         // no PARTITIONED BY: partition on a synthetic key-hash bucket
         // (pure function of the merge keys, so partCols-within-keys
@@ -1715,6 +1859,9 @@ case class GraftCreateTableAsCommand(name: String, location: Option[String],
           "CREATE TABLE IF NOT EXISTS)")
       return Seq.empty
     }
+    require(GraftCatalog.lookupView(spark, name).isEmpty,
+      s"a graft VIEW named $name already exists — tables and views " +
+        "share the name namespace")
     require(keys.nonEmpty,
       "CREATE TABLE ... AS SELECT on a graft table needs merge keys — " +
         "declare TBLPROPERTIES('graft.keys'='k1,k2')")

@@ -664,4 +664,108 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_mvd")
     spark.sql("DROP TABLE cat_mvd_src")
   }
+
+  test("INSERT-time schema evolution: refused without the property, " +
+      "admitted with it, old generations surface NULL") {
+    val path = tmp("insev") + "/t"
+    spark.sql(s"CREATE TABLE cat_ev (id INT, g STRING, x INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO cat_ev VALUES (1,'a',10), (2,'b',20)")
+    Seq((3, "a", 30, "fresh"), (4, "b", 40, "fresh"))
+      .toDF("id", "g", "x", "src").createOrReplaceTempView("cat_ev_wide")
+    // without the flag: loud refusal naming the columns and the knob
+    val e = intercept[IllegalArgumentException](spark.sql(
+      "INSERT INTO cat_ev BY NAME SELECT * FROM cat_ev_wide"))
+    assert(e.getMessage.contains("src") &&
+      e.getMessage.contains("graft.schema.evolution"))
+    // with it: the INSERT widens the schema; pre-evolution rows NULL
+    spark.sql("ALTER TABLE cat_ev SET TBLPROPERTIES" +
+      "('graft.schema.evolution'='true')")
+    spark.sql("INSERT INTO cat_ev BY NAME SELECT * FROM cat_ev_wide")
+    val rows = spark.sql(
+      "SELECT id, src FROM cat_ev ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), Option(r.getString(1))))
+      .toSeq == Seq((1, None), (2, None),
+        (3, Some("fresh")), (4, Some("fresh"))))
+    // explicit column lists evolve too; positional never can (count
+    // mismatch refuses first)
+    spark.sql("INSERT INTO cat_ev (id, g, x, src, extra2) " +
+      "SELECT 5, 'a', 50, 'fresh', CAST(1.5 AS DOUBLE)")
+    assert(spark.sql("SELECT extra2 FROM cat_ev WHERE id = 5")
+      .first.getDouble(0) == 1.5)
+    intercept[IllegalArgumentException](spark.sql(
+      "INSERT INTO cat_ev VALUES (6,'a',60)")) // positional now 5 cols
+    spark.sql("DROP TABLE cat_ev")
+  }
+
+  test("named logical views: create/query/drop, late binding, " +
+      "view-over-view, OR REPLACE, cycles, shadowing, DML refusal, " +
+      "namespace collision") {
+    val path = tmp("view") + "/t"
+    spark.sql(s"CREATE TABLE cat_vt (id INT, g STRING, x INT) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO cat_vt VALUES (1,'a',10), (2,'b',20), (3,'a',30)")
+    spark.sql(
+      "CREATE VIEW cat_v1 AS SELECT g, sum(x) AS sx FROM cat_vt GROUP BY g")
+    assert(spark.sql("SELECT sx FROM cat_v1 WHERE g = 'a'")
+      .first.getLong(0) == 40L)
+    // LATE binding: new source rows show through without redefinition
+    spark.sql("INSERT INTO cat_vt VALUES (4,'a',60)")
+    assert(spark.sql("SELECT sx FROM cat_v1 WHERE g = 'a'")
+      .first.getLong(0) == 100L)
+    // view-over-view composes (and works inside CTEs/joins)
+    spark.sql("CREATE VIEW cat_v2 AS SELECT g, sx * 2 AS sx2 FROM cat_v1")
+    assert(spark.sql(
+      """WITH w AS (SELECT * FROM cat_v2 WHERE g = 'a')
+        |SELECT sx2 FROM w""".stripMargin).first.getLong(0) == 200L)
+    assert(spark.sql("SHOW GRAFT VIEWS").collect()
+      .map(_.getString(0)).toSet == Set("cat_v1", "cat_v2"))
+    // plain CREATE refuses a second definition; OR REPLACE redefines
+    intercept[IllegalArgumentException](spark.sql(
+      "CREATE VIEW cat_v1 AS SELECT 1 AS one"))
+    spark.sql("CREATE OR REPLACE VIEW cat_v2 AS " +
+      "SELECT g, sx * 3 AS sx2 FROM cat_v1")
+    assert(spark.sql("SELECT sx2 FROM cat_v2 WHERE g = 'a'")
+      .first.getLong(0) == 300L)
+    // a body that does not analyze refuses at CREATE, not first read
+    intercept[Exception](spark.sql(
+      "CREATE VIEW cat_v_bad AS SELECT nope FROM cat_vt"))
+    assert(spark.sql("SHOW GRAFT VIEWS").collect()
+      .forall(_.getString(0) != "cat_v_bad"))
+    // cycle: redefine v1 over v2 (which reads v1) — loud at read
+    spark.sql("CREATE OR REPLACE VIEW cat_v1 AS " +
+      "SELECT g, sx2 AS sx FROM cat_v2")
+    val cyc = intercept[IllegalArgumentException](
+      spark.sql("SELECT * FROM cat_v1").collect())
+    assert(cyc.getMessage.contains("circular view reference"))
+    spark.sql("CREATE OR REPLACE VIEW cat_v1 AS " +
+      "SELECT g, sum(x) AS sx FROM cat_vt GROUP BY g")
+    // Spark's resolution order: a temp view of the name shadows it
+    Seq((99L, "z")).toDF("sx", "g").createOrReplaceTempView("cat_v1")
+    assert(spark.sql("SELECT sx FROM cat_v1").first.getLong(0) == 99L)
+    // ... and shadows DROP VIEW too (Spark drops the temp view)
+    spark.sql("DROP VIEW cat_v1")
+    assert(spark.sql("SELECT sx FROM cat_v1 WHERE g = 'a'")
+      .first.getLong(0) == 100L)
+    // DML on a view refuses loudly
+    val dml = intercept[IllegalArgumentException](
+      spark.sql("DELETE FROM cat_v1 WHERE g = 'a'"))
+    assert(dml.getMessage.contains("graft VIEW"))
+    intercept[IllegalArgumentException](
+      spark.sql("INSERT INTO cat_v1 VALUES ('a', 1)"))
+    // tables and views share the namespace, both directions
+    intercept[IllegalArgumentException](spark.sql(
+      s"CREATE TABLE cat_v1 (id INT) USING graft LOCATION '$path'" +
+        "TBLPROPERTIES('graft.keys'='id')"))
+    intercept[IllegalArgumentException](spark.sql(
+      "CREATE VIEW cat_vt AS SELECT 1 AS one"))
+    spark.sql("DROP VIEW cat_v2")
+    spark.sql("DROP VIEW cat_v1")
+    // unregistered now -> falls through to Spark's own resolution/error
+    intercept[Exception](spark.sql("DROP VIEW cat_v1"))
+    spark.sql("DROP VIEW IF EXISTS cat_v1") // silent
+    spark.sql("DROP TABLE cat_vt")
+  }
 }
