@@ -2285,6 +2285,45 @@ object SparkEntry {
          |FROM $name""".stripMargin)
   }
 
+  /** ADD COLUMN DEFAULT under oracle check: the early rollup window
+    * lands via CTAS (generation 0), `ADD COLUMN src STRING DEFAULT
+    * 'legacy'` registers an initial default (metadata-only — pre-add
+    * rows surface 'legacy' with no rewrite), `ALTER COLUMN SET DEFAULT
+    * 'late'` moves the WRITE default, and a BY NAME INSERT of the tail
+    * OMITTING the column fills it — the oracled output reads both
+    * generations through the name. */
+  private def qColumnDefault(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val name = "cat_cd_t_" + slug
+    val root = "/tmp/graft_column_default/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val daily = TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts",
+      "value", volume = col("user_id"))
+    val headView = "cat_cd_head_" + slug
+    val tailView = "cat_cd_tail_" + slug
+    fixture {
+      rmrf(s, root)
+      graft.plans.GraftCatalog.drop(s, name)
+      daily.filter(col("date") < lit("2024-01-15").cast(DateType))
+        .createOrReplaceTempView(headView)
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$root'
+           |PARTITIONED BY (event_type)
+           |TBLPROPERTIES('graft.keys'='event_type,date')
+           |AS SELECT * FROM $headView""".stripMargin)
+    }
+    s.sql(s"ALTER TABLE $name ADD COLUMN src STRING DEFAULT 'legacy'")
+    s.sql(s"ALTER TABLE $name ALTER COLUMN src SET DEFAULT 'late'")
+    daily.filter(col("date") >= lit("2024-01-15").cast(DateType))
+      .createOrReplaceTempView(tailView)
+    s.sql(s"INSERT INTO $name BY NAME SELECT * FROM $tailView")
+    s.sql(
+      s"""SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume, round(daily_change, 4)
+         |    AS daily_change, src
+         |FROM $name""".stripMargin)
+  }
+
   /** CREATE OR REPLACE TABLE under oracle check: the daily rollup lands
     * via CTAS (definition 1), then `CREATE OR REPLACE ... AS SELECT`
     * redefines the SAME name to the mid-January window (new content,
@@ -4263,6 +4302,7 @@ object SparkEntry {
     "q_catalog_constraint" -> (qCatalogConstraint _),
     "q_catalog_view" -> (qCatalogView _),
     "q_insert_evolution" -> (qInsertEvolution _),
+    "q_column_default" -> (qColumnDefault _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -7102,6 +7142,23 @@ object SparkEntry {
          |SELECT event_type, date, daily_open, daily_high, daily_low,
          |  daily_close, daily_volume, daily_change,
          |  CASE WHEN date >= DATE '2024-01-15' THEN 'late' END AS src
+         |FROM daily""".stripMargin,
+
+    // ADD COLUMN DEFAULT: pre-add generations surface the initial
+    // default, the omitted-column INSERT fills the moved write default
+    "q_column_default" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close, daily_volume, daily_change,
+         |  CASE WHEN date >= DATE '2024-01-15' THEN 'late'
+         |    ELSE 'legacy' END AS src
          |FROM daily""".stripMargin,
 
     // RENAME COLUMN: the update-window oracle served under the new name

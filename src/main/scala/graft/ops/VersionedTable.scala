@@ -899,24 +899,30 @@ object VersionedTable {
       col(c).as(schema.find(_.name == c).map(physicalName).getOrElse(c))
     }.toSeq: _*)
 
-  /** Carry rename metadata from the prior manifest onto a DATAFRAME-
-    * derived schema: unionByName/withColumn rebuild fields and can drop
-    * their metadata, and a lost mapping would silently null-fill every
-    * renamed column on the next read. */
+  /** Carry rename AND default metadata from the prior manifest onto a
+    * DATAFRAME-derived schema: unionByName/withColumn rebuild fields and
+    * drop their metadata — a lost rename mapping would silently
+    * null-fill every renamed column on the next read, and a lost
+    * default would revert every pre-add row to NULL after one write. */
   private def carryPhysical(s: StructType,
-                            prior: Option[Manifest]): StructType =
+                            prior: Option[Manifest]): StructType = {
+    val carried = Seq(PhysicalKey, DefaultKey, DefaultInitKey,
+      DefaultPreKey)
     prior match {
-      case Some(pm) if hasRenames(pm.schema) =>
+      case Some(pm) if pm.schema.exists(f =>
+          carried.exists(f.metadata.contains)) =>
         StructType(s.map(f => pm.schema.find(_.name == f.name) match {
-          case Some(pf) if pf.metadata.contains(PhysicalKey) =>
-            f.copy(metadata =
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(f.metadata)
-                .putString(PhysicalKey, physicalName(pf)).build())
+          case Some(pf) if carried.exists(pf.metadata.contains) =>
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            carried.foreach(k => if (pf.metadata.contains(k))
+              mb.putString(k, pf.metadata.getString(k)))
+            f.copy(metadata = mb.build())
           case _ => f
         }))
       case _ => s
     }
+  }
 
   /** Drop the mapping after a full-table rewrite wrote logical names. */
   private def stripPhysical(s: StructType): StructType =
@@ -942,11 +948,11 @@ object VersionedTable {
         val scan = spark.read.schema(physSchema(m.schema))
           .option("basePath", s"${tableRoot(root)}/$gen")
           .parquet(ps.map(_._2).distinct: _*)
-        toLogical(
+        applyInitialDefaults(toLogical(
           if (dv.isEmpty) scan
           else scan.withColumn("__dv_file", fileKeyCol(depth))
             .withColumn("__dv_pos", col("_metadata.row_index")),
-          m.schema)
+          m.schema), m.schema, gen)
       }.reduce(_.unionByName(_))
       (if (dv.isEmpty) u else antiJoinDv(spark, u, dv))
         .select(m.schema.fieldNames.map(col).toSeq: _*)
@@ -967,11 +973,11 @@ object VersionedTable {
       val scan = spark.read.schema(physSchema(m.schema))
         .option("basePath", s"${tableRoot(root)}/$gen")
         .parquet(ds.map { case (rel, _) => s"${tableRoot(root)}/$gen/$rel" }: _*)
-      toLogical(
+      applyInitialDefaults(toLogical(
         if (dv.isEmpty) scan
         else scan.withColumn("__dv_file", fileKeyCol(depth))
           .withColumn("__dv_pos", col("_metadata.row_index")),
-        m.schema)
+        m.schema), m.schema, gen)
     }.reduce(_.unionByName(_))
     if (dv.isEmpty) u else antiJoinDv(spark, u, dv)
   }
@@ -1946,13 +1952,18 @@ object VersionedTable {
           val touchedDv = dvPairsFor(fs, root, prior.get,
             touchedLive.toSeq.map { case (rel, gen) => s"$gen/$rel/" })
           // the files store PHYSICAL names: read them, alias back to the
-          // logical schema (partition value columns pass through)
-          val old = toLogical(
+          // logical schema (partition value columns pass through).
+          // Initial defaults apply PER GENERATION here exactly as in
+          // scanUnion — a rewrite of a pre-add dir must materialize the
+          // default, not re-write NULLs over it
+          val old =
             touchedLive.toSeq.groupBy(_._2).map { case (gen, parts) =>
-              Merge.readTouchedDirs(spark, s"${tableRoot(root)}/$gen",
-                parts.map { case (p, _) => valueOf(p) -> p },
-                partCols, pTypes, Some(physSchema(dataSchema)), touchedDv)
-            }.reduce(_.unionByName(_)), dataSchema)
+              applyInitialDefaults(toLogical(
+                Merge.readTouchedDirs(spark, s"${tableRoot(root)}/$gen",
+                  parts.map { case (p, _) => valueOf(p) -> p },
+                  partCols, pTypes, Some(physSchema(dataSchema)),
+                  touchedDv), dataSchema), dataSchema, gen)
+            }.reduce(_.unionByName(_))
           // schema evolution at write: a column the updates add null-fills
           // for surviving old rows; a column the updates drop survives,
           // null for update rows. The key match is NULL-SAFE: the keys
@@ -4130,8 +4141,148 @@ object VersionedTable {
     * evolution), so existing rows surface NULL and the next upsert may
     * write real values. The inverse of waiting for an upsert with the
     * new column to evolve the schema implicitly. */
+  // ----- column defaults (ADD COLUMN ... DEFAULT) --------------------
+  //
+  // Iceberg's two-default model in field metadata (rides the manifest's
+  // schema JSON through every commit/branch/restore with zero protocol
+  // change): `graft.default` is the WRITE default (INSERT fills it when
+  // the column is omitted — changeable via ALTER COLUMN SET DEFAULT),
+  // and `graft.defaultInit` + `graft.defaultPre` are the INITIAL
+  // default — the value rows written BEFORE the column existed surface
+  // at read, frozen at ADD COLUMN time. `defaultPre` records, per ref,
+  // the highest generation version live at the add ("-:7,b:3" — main
+  // rendered as '-'), so the scan can decide PER GENERATION whether its
+  // files predate the column: generation names carry (ref, version)
+  // (`gen7` / `gen.b.3`), version counters are monotone per ref, a
+  // branch created after the add is absent from the map (all its gens
+  // are post-add), and a rewrite (compact/DML) lands in a new
+  // higher-versioned generation whose files physically CARRY the
+  // materialized values — so the rule never misfires on post-add data.
+
+  private[graft] val DefaultKey = "graft.default"
+  private[graft] val DefaultInitKey = "graft.defaultInit"
+  private[graft] val DefaultPreKey = "graft.defaultPre"
+
+  /** (ref, version) of a generation dir name; None for unparseable. */
+  private def genRefVer(gen: String): Option[(String, Int)] =
+    if (gen.startsWith("gen.")) {
+      val i = gen.lastIndexOf('.')
+      gen.substring(i + 1).toIntOption.map((gen.substring(4, i), _))
+    } else if (gen.startsWith("gen"))
+      gen.stripPrefix("gen").toIntOption.map(("", _))
+    else None
+
+  private def renderPreMap(m: Map[String, Int]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (r, v) => s"${if (r.isEmpty) "-" else r}:$v" }
+      .mkString(",")
+
+  private def parsePreMap(s: String): Map[String, Int] =
+    s.split(",").filter(_.nonEmpty).flatMap { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(i + 1).toIntOption
+        .map((if (kv.substring(0, i) == "-") "" else kv.substring(0, i)) -> _)
+    }.toMap
+
+  /** Fields carrying an initial default, with the parsed pre-map:
+    * (field, default SQL, ref -> max pre-add version). */
+  private def initialDefaults(schema: StructType)
+      : Seq[(org.apache.spark.sql.types.StructField, String,
+             Map[String, Int])] =
+    schema.toSeq.collect {
+      case f if f.metadata.contains(DefaultInitKey) &&
+          f.metadata.contains(DefaultPreKey) =>
+        (f, f.metadata.getString(DefaultInitKey),
+          parsePreMap(f.metadata.getString(DefaultPreKey)))
+    }
+
+  /** Surface initial defaults on one GENERATION's logical frame: a
+    * generation whose (ref, version) the pre-map covers was written
+    * before the column existed, so its null-filled column IS the
+    * default. Applied per generation inside [[scanUnion]]/[[scanDirs]] —
+    * post-add generations (absent ref, higher version, unparseable
+    * name) pass through untouched. */
+  private def applyInitialDefaults(df: DataFrame, schema: StructType,
+                                   gen: String): DataFrame = {
+    val defs = initialDefaults(schema)
+    if (defs.isEmpty) df
+    else genRefVer(gen) match {
+      case None => df
+      case Some((ref, v)) =>
+        defs.foldLeft(df) { case (d, (f, sql, pre)) =>
+          if (pre.get(ref).exists(v <= _))
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.expr(sql).cast(f.dataType))
+          else d
+        }
+    }
+  }
+
+  /** Validate a DEFAULT expression: parses, references no columns, and
+    * evaluates (ANSI errors surface here, not at first read) as the
+    * column's type. Returns nothing — the TEXT is what's stored. */
+  private def validateDefault(spark: SparkSession, sql: String,
+                              dt: DataType): Unit = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+    }
+    require(refs.isEmpty,
+      s"DEFAULT must be a constant expression; '$sql' references " +
+        refs.map(_.sql).mkString(", "))
+    spark.range(1).select(
+      org.apache.spark.sql.functions.expr(sql).cast(dt)).head()
+  }
+
+  /** Write defaults of the current schema: column -> default SQL (the
+    * INSERT-omission fill values). */
+  private[graft] def writeDefaults(schema: StructType): Map[String, String] =
+    schema.toSeq.collect {
+      case f if f.metadata.contains(DefaultKey) =>
+        f.name -> f.metadata.getString(DefaultKey)
+    }.toMap
+
+  /** Set or clear the WRITE default of an existing column (ALTER COLUMN
+    * SET/DROP DEFAULT) — metadata-only commit. SET leaves any initial
+    * default untouched (pre-add rows keep surfacing the value frozen at
+    * ADD); DROP clears BOTH, reverting pre-add rows to NULL. */
+  def setColumnDefault(spark: SparkSession, root: String, name: String,
+                       default: Option[String]): Int =
+      withClaimRetry(spark, root) {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val m = readManifest(fs, root, cur)
+    require(m.schema.fieldNames.contains(name),
+      s"column $name does not exist at $root")
+    val f = m.schema(name)
+    default.foreach(validateDefault(spark, _, f.dataType))
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+    val nf = default match {
+      case Some(sql) => f.copy(metadata = mb.putString(DefaultKey, sql)
+        .build())
+      case None => f.copy(metadata = mb.remove(DefaultKey)
+        .remove(DefaultInitKey).remove(DefaultPreKey).build())
+    }
+    val newSchema = StructType(m.schema.map(x =>
+      if (x.name == name) nf else x))
+    val op = default.fold(s"drop-default:$name")(_ =>
+      s"set-default:$name")
+    val next = stageVersion(fs, root, cur + 1, op, m.keys) { _ =>
+      Staged(m.partCols, newSchema, m.mapping, m.stats, m.blooms, m.txns,
+        m.dirRows, m.dirFiles, m.bloomRefs, dvRefs = m.dvs,
+        dirBytes = m.dirBytes, checks = m.checks, derived = m.derived,
+        dirVers = fullDirVers(m), idxRefs = m.idxRefs, props = m.props)
+    }
+    publish(spark, root, next)
+    next
+  }
+
   def addColumn(spark: SparkSession, root: String, name: String,
-                dataType: DataType): Int = withClaimRetry(spark, root) {
+                dataType: DataType,
+                default: Option[String] = None): Int =
+      withClaimRetry(spark, root) {
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
@@ -4141,8 +4292,24 @@ object VersionedTable {
     m.schema.foreach(f => require(physicalName(f) != name,
       s"column name $name is the physical (as-written) name of renamed " +
         s"column ${f.name} — OPTIMIZE first to materialize that rename"))
+    default.foreach(validateDefault(spark, _, dataType))
+    val field = default match {
+      case None => org.apache.spark.sql.types.StructField(name, dataType,
+        nullable = true)
+      case Some(sql) =>
+        // freeze the initial default NOW: every generation live at this
+        // commit predates the column, captured as max-version-per-ref
+        val pre = m.mapping.values.toSeq.distinct.flatMap(genRefVer)
+          .groupBy(_._1).map { case (r, vs) => r -> vs.map(_._2).max }
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(DefaultKey, sql)
+            .putString(DefaultInitKey, sql)
+            .putString(DefaultPreKey, renderPreMap(pre)).build())
+    }
     val next = stageVersion(fs, root, cur + 1, s"add-column:$name", m.keys) { _ =>
-      Staged(m.partCols, m.schema.add(name, dataType, nullable = true),
+      Staged(m.partCols, StructType(m.schema.fields :+ field),
         m.mapping, m.stats, m.blooms, m.txns, m.dirRows, m.dirFiles,
         m.bloomRefs, dvRefs = m.dvs, dirBytes = m.dirBytes,
         checks = m.checks, derived = m.derived, dirVers = fullDirVers(m), idxRefs = m.idxRefs, props = m.props)

@@ -724,13 +724,13 @@ object GraftSqlParser {
         graftTableIdent(t.multipartIdentifier) match {
           case Some(r) =>
             val simple = cols.collect {
-              case QualifiedColType(None, cn, dt, true, None, None, None) =>
-                (cn, dt)
+              case QualifiedColType(None, cn, dt, true, None, None, dve) =>
+                (cn, dt, dve.map(_.originalSQL))
             }
             require(simple.length == cols.length,
               "ALTER TABLE ... ADD COLUMN on graft tables supports plain " +
-                "nullable columns (no NOT NULL/position/default/comment/" +
-                "nested paths)")
+                "nullable columns with an optional DEFAULT (no NOT NULL/" +
+                "position/comment/nested paths)")
             GraftAddColumnsCommand(r, simple)
           case None => a
         }
@@ -753,15 +753,31 @@ object GraftSqlParser {
           t: UnresolvedTable, specs) =>
         graftTableIdent(t.multipartIdentifier) match {
           case Some(r) =>
-            val widens = specs.map {
+            // two supported spec shapes: TYPE widening, and SET/DROP
+            // DEFAULT — a statement mixes freely within one kind
+            val widens = specs.collect {
               case org.apache.spark.sql.catalyst.plans.logical
                   .AlterColumnSpec(UnresolvedFieldName(Seq(c)), Some(dt),
                     None, None, None, None, false) => (c, dt)
-              case other => throw new IllegalArgumentException(
-                "ALTER COLUMN on graft tables supports TYPE widening of " +
-                  s"top-level columns only; got ${other.sql}")
             }
-            GraftWidenColumnsCommand(r, widens)
+            val defaults = specs.collect {
+              case org.apache.spark.sql.catalyst.plans.logical
+                  .AlterColumnSpec(UnresolvedFieldName(Seq(c)), None,
+                    None, None, None, Some(dve), false) =>
+                (c, Some(dve.originalSQL))
+              case org.apache.spark.sql.catalyst.plans.logical
+                  .AlterColumnSpec(UnresolvedFieldName(Seq(c)), None,
+                    None, None, None, None, true) =>
+                (c, None: Option[String])
+            }
+            if (widens.length == specs.length)
+              GraftWidenColumnsCommand(r, widens)
+            else if (defaults.length == specs.length)
+              GraftAlterDefaultsCommand(r, defaults)
+            else throw new IllegalArgumentException(
+              "ALTER COLUMN on graft tables supports TYPE widening or " +
+                "SET/DROP DEFAULT of top-level columns; got " +
+                specs.map(_.sql).mkString(", "))
           case None => ac
         }
       // Spark 4.1 parses `ADD CONSTRAINT n CHECK (e)` to
@@ -1593,16 +1609,22 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
                     schema: org.apache.spark.sql.types.StructType,
                     extras: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     val nm = named(df, tableCols)
-    val missing = tableCols.filterNot(nm.columns.contains)
+    // an omitted column with a declared DEFAULT fills with it (the
+    // write default); only columns with neither value nor default refuse
+    val defaults = VersionedTable.writeDefaults(schema)
+    val missing = tableCols.filterNot(c =>
+      nm.columns.contains(c) || defaults.contains(c))
     require(missing.isEmpty,
       s"INSERT must cover every table column; missing: " +
         missing.mkString(", "))
     // table-order first, admitted new columns appended — the committed
     // schema evolves deterministically, like MERGE WITH SCHEMA EVOLUTION
     nm.select(tableCols.map(c =>
-      col(c).cast(schema(c).dataType).as(c)) ++ extras.map(col): _*)
+      (if (nm.columns.contains(c)) col(c)
+       else expr(defaults(c))).cast(schema(c).dataType).as(c)) ++
+      extras.map(col): _*)
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -1756,12 +1778,14 @@ case class GraftDescribeTableCommand(root: String, isExtended: Boolean)
   }
 }
 
-/** `ALTER TABLE t ADD COLUMN[S] c type, ...` —
+/** `ALTER TABLE t ADD COLUMN[S] c type [DEFAULT expr], ...` —
   * [[VersionedTable.addColumn]] per column: metadata-only commits; old
-  * generations null-fill through the evolution read path. */
+  * generations surface the DEFAULT (or NULL without one) through the
+  * evolution read path, and INSERT fills an omitted defaulted column. */
 case class GraftAddColumnsCommand(root: String,
                                   cols: Seq[(String,
-                                    org.apache.spark.sql.types.DataType)])
+                                    org.apache.spark.sql.types.DataType,
+                                    Option[String])])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
@@ -1771,9 +1795,24 @@ case class GraftAddColumnsCommand(root: String,
     cols.map(_._1).filter(_.startsWith("__")).foreach(c =>
       throw new IllegalArgumentException(
         s"column name $c is reserved (the __ prefix is internal)"))
-    Seq(Row(cols.map { case (n, dt) =>
-      VersionedTable.addColumn(spark, root, n, dt) }.last))
+    Seq(Row(cols.map { case (n, dt, d) =>
+      VersionedTable.addColumn(spark, root, n, dt, d) }.last))
   }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT` —
+  * [[VersionedTable.setColumnDefault]] per column: SET changes what a
+  * later INSERT fills when the column is omitted (pre-add rows keep the
+  * initial default frozen at ADD COLUMN); DROP clears both, reverting
+  * pre-add rows to NULL. */
+case class GraftAlterDefaultsCommand(root: String,
+                                     cols: Seq[(String, Option[String])])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(cols.map { case (n, d) =>
+      VersionedTable.setColumnDefault(spark, root, n, d) }.last))
 }
 
 /** `ALTER TABLE t DROP COLUMN[S] c, ...` —

@@ -2405,6 +2405,68 @@ class OpsSpec extends SparkSpec {
       .filter($"score" === 9L).count() == 1)
   }
 
+  test("ADD COLUMN DEFAULT: pre-add generations surface the default, " +
+      "post-add explicit values (incl. NULL) win, INSERT fills omission, " +
+      "DROP DEFAULT clears, rewrites materialize") {
+    import org.apache.spark.sql.types.StringType
+    val root = java.nio.file.Files.createTempDirectory("graft_dflt")
+      .toString + "/table"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a"), (2, "d2", "b")).toDF("id", "day", "val"),
+      keys, Seq("day"))
+    // a default referencing a column refuses; a bad cast refuses at DDL
+    intercept[IllegalArgumentException](
+      VersionedTable.addColumn(spark, root, "src", StringType,
+        Some("val")))
+    VersionedTable.addColumn(spark, root, "src", StringType,
+      Some("'legacy'"))
+    def srcOf(): Map[Int, Option[String]] =
+      VersionedTable.read(spark, root).select($"id", $"src")
+        .as[(Int, Option[String])].collect().toMap
+    // pre-add rows serve the default, not NULL
+    assert(srcOf() == Map(1 -> Some("legacy"), 2 -> Some("legacy")))
+    // post-add writes: explicit value AND explicit NULL both win
+    VersionedTable.upsert(spark, root,
+      Seq((3, "d3", "c", Some("new")), (4, "d1", "d", None))
+        .toDF("id", "day", "val", "src"),
+      keys, Seq("day"))
+    assert(srcOf() == Map(1 -> Some("legacy"), 2 -> Some("legacy"),
+      3 -> Some("new"), 4 -> None))
+    // SQL INSERT omitting the column fills the WRITE default; SET
+    // DEFAULT changes it for later INSERTs without touching pre-add rows
+    spark.sql(s"INSERT INTO graft.`$root` (id, day, val) " +
+      "SELECT 5, 'd3', 'e'")
+    assert(srcOf()(5).contains("legacy"))
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN src " +
+      "SET DEFAULT 'v2'")
+    spark.sql(s"INSERT INTO graft.`$root` (id, day, val) " +
+      "SELECT 6, 'd3', 'f'")
+    assert(srcOf()(6).contains("v2") && srcOf()(1).contains("legacy"))
+    // a rewrite MATERIALIZES the default into the touched dir's files:
+    // row 1 (d1) rewrote alongside the partition-scoped delete; d2's
+    // untouched pre-add generation still serves through the read path
+    VersionedTable.deleteMatching(spark, root,
+      $"day" === "d1" && $"id" === 4)
+    assert(srcOf()(1).contains("legacy") && srcOf()(2).contains("legacy"))
+    // DROP DEFAULT clears: pre-add rows in UNREWRITTEN generations
+    // revert to NULL; materialized ones keep their stored bytes
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN src DROP DEFAULT")
+    val after = srcOf()
+    assert(after(2).isEmpty, "unrewritten pre-add row kept the default")
+    assert(after(1).contains("legacy"),
+      "materialized row lost its stored value")
+    assert(after(3).contains("new") && after(6).contains("v2"))
+    // ... and INSERT omission now refuses again
+    intercept[IllegalArgumentException](spark.sql(
+      s"INSERT INTO graft.`$root` (id, day, val) SELECT 7, 'd1', 'g'"))
+    // time travel: the pre-drop version still serves the default
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.read(spark, root, Some(cur - 1))
+      .filter($"id" === 2).select($"src").as[Option[String]]
+      .head().contains("legacy"))
+  }
+
   test("VersionedTable.renameColumn: metadata-only, index/constraint " +
       "continuity, time travel, physical-name guards") {
     val root = java.nio.file.Files.createTempDirectory("graft_ren")
