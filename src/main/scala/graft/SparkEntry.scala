@@ -2285,6 +2285,51 @@ object SparkEntry {
          |FROM $name""".stripMargin)
   }
 
+  /** Transform partitioning declared AT CREATE under oracle check:
+    * `CREATE TABLE ... PARTITIONED BY (day(ts))` registers the derived
+    * day layout in one statement; the INSERT computes the partition
+    * column and registers the transform, and the oracled output filters
+    * on the NATURAL ts column — the in-query guard pins that the range
+    * predicate pruned partition dirs (fewer physical files than the
+    * full scan), i.e. the one-statement layout actually produces the
+    * day-pruned plan the reference's raw zone wants
+    * (realtime_data_consumer.py:108 writes day-partitioned parquet). */
+  private def qCreateTransform(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val name = "cat_txq_t_" + slug
+    val root = "/tmp/graft_create_transform/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcView = "cat_txq_src_" + slug
+    fixture {
+      rmrf(s, root)
+      graft.plans.GraftCatalog.drop(s, name)
+      ev(s, dir).select(col("event_id"), col("event_type"),
+        col("user_id"), col("value"), col("ts"))
+        .createOrReplaceTempView(srcView)
+      s.sql(
+        s"""CREATE TABLE $name (event_id BIGINT, event_type STRING,
+           |  user_id BIGINT, value DOUBLE, ts TIMESTAMP)
+           |USING graft LOCATION '$root' PARTITIONED BY (day(ts))
+           |TBLPROPERTIES('graft.keys'='event_id,ts')""".stripMargin)
+      s.sql(s"INSERT INTO $name SELECT * FROM $srcView")
+    }
+    val total = VersionedTable.physicalInputFiles(
+      s.sql(s"SELECT * FROM $name"))
+    val ranged = s.sql(s"SELECT * FROM $name WHERE " +
+      "ts >= TIMESTAMP'2024-01-10 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-15 00:00:00'")
+    require(VersionedTable.physicalInputFiles(ranged) < total,
+      s"day(ts) transform declared at CREATE did not prune: " +
+        s"${VersionedTable.physicalInputFiles(ranged)} of $total files")
+    s.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(user_id) AS BIGINT) AS vol
+         |FROM $name
+         |WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP'2024-01-15 00:00:00'
+         |GROUP BY event_type""".stripMargin)
+  }
+
   /** ADD COLUMN DEFAULT under oracle check: the early rollup window
     * lands via CTAS (generation 0), `ADD COLUMN src STRING DEFAULT
     * 'legacy'` registers an initial default (metadata-only — pre-add
@@ -4303,6 +4348,7 @@ object SparkEntry {
     "q_catalog_view" -> (qCatalogView _),
     "q_insert_evolution" -> (qInsertEvolution _),
     "q_column_default" -> (qColumnDefault _),
+    "q_create_transform" -> (qCreateTransform _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -7143,6 +7189,16 @@ object SparkEntry {
          |  daily_close, daily_volume, daily_change,
          |  CASE WHEN date >= DATE '2024-01-15' THEN 'late' END AS src
          |FROM daily""".stripMargin,
+
+    // transform partitioning at CREATE: ts-range aggregate over the
+    // day(ts)-partitioned table (pruning pinned by the in-query guard)
+    "q_create_transform" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(user_id) AS BIGINT) AS vol
+         |FROM events
+         |WHERE $TS >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND $TS < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY event_type""".stripMargin,
 
     // ADD COLUMN DEFAULT: pre-add generations surface the initial
     // default, the omitted-column INSERT fills the moved write default

@@ -50,11 +50,16 @@ object GraftCatalog {
   /** A registered table: `partCols`/`keys`/`schemaDdl`/`statsCols`/
     * `bloomCols` are the DECLARED layout used by the first write to an
     * empty root (and to serve schema-only reads); once the root has
-    * committed versions the manifest is authoritative. */
+    * committed versions the manifest is authoritative. `derived` are
+    * transform-partition declarations from `PARTITIONED BY (day(ts))` /
+    * `(bucket(N, id))`: (partCol, kind, srcCol) with kind ∈ `day` |
+    * `bucket:N` — the first write computes the column and registers the
+    * derived partition in the manifest. */
   case class Entry(name: String, root: String, partCols: Seq[String],
                    keys: Seq[String], schemaDdl: Option[String],
                    statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil)
+                   bloomCols: Seq[String] = Nil,
+                   derived: Seq[(String, String, String)] = Nil)
 
   private val NameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
@@ -118,6 +123,10 @@ object GraftCatalog {
     if (e.bloomCols.nonEmpty)
       sb.append("#blooms\t").append(e.bloomCols.map(b64e).mkString("\t"))
         .append('\n')
+    e.derived.foreach { case (p, kind, src) =>
+      sb.append("#derived\t").append(b64e(p)).append('\t')
+        .append(b64e(kind)).append('\t').append(b64e(src)).append('\n')
+    }
     sb.toString
   }
 
@@ -136,7 +145,12 @@ object GraftCatalog {
       keys = one("keys").getOrElse(Nil),
       schemaDdl = one("schema").map(_.head),
       statsCols = one("stats").getOrElse(Nil),
-      bloomCols = one("blooms").getOrElse(Nil))
+      bloomCols = one("blooms").getOrElse(Nil),
+      derived = lines.toSeq.collect {
+        case l if l.startsWith("#derived\t") =>
+          val p = l.split("\t", -1)
+          (b64d(p(1)), b64d(p(2)), b64d(p(3)))
+      })
   }
 
   /** Register `name` → entry. Atomic claim: two racing CREATEs see one

@@ -549,20 +549,45 @@ object GraftSqlParser {
     }
   }
 
-  /** Declared layout from a CREATE/REPLACE statement: plain identity
-    * partition columns and the three graft.* properties, anything else
-    * loud. Shared by CREATE / CTAS / REPLACE / RTAS. */
+  /** Declared layout from a CREATE/REPLACE statement: identity partition
+    * columns, `day()`/`bucket(N, )` TRANSFORM partitioning (a derived
+    * partition column named `<src>_day` / `<src>_bucket`, computed by
+    * every write and registered for predicate mapping at the first one),
+    * and the three graft.* properties — anything else loud. Returns
+    * (partCols, keys, statsCols, bloomCols, derived) with derived as
+    * (partCol, kind, srcCol). Shared by CREATE / CTAS / REPLACE / RTAS. */
   private def tableDecl(partitioning:
         Seq[org.apache.spark.sql.connector.expressions.Transform],
       spec: UnresolvedTableSpec, stmt: String)
-      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+      : (Seq[String], Seq[String], Seq[String], Seq[String],
+         Seq[(String, String, String)]) = {
+    import org.apache.spark.sql.connector.expressions.{Literal => TLit}
+    var derived = Vector.empty[(String, String, String)]
     val partCols = partitioning.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
+      // `day(ts)` / `days(ts)` — Spark parses the plural as its own
+      // DaysTransform, the singular as a generic apply; both accepted
+      case t if Set("day", "days").contains(t.name.toLowerCase(
+          java.util.Locale.ROOT)) && t.references.length == 1 =>
+        val src = t.references.head.fieldNames.mkString(".")
+        val p = s"${src}_day"
+        derived :+= ((p, "day", src))
+        p
+      case t if t.name.equalsIgnoreCase("bucket") &&
+          t.references.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: TLit[_] if l.value.isInstanceOf[Int] =>
+            l.value.asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$stmt: bucket() needs a literal bucket count"))
+        val src = t.references.head.fieldNames.mkString(".")
+        val p = s"${src}_bucket"
+        derived :+= ((p, s"bucket:$n", src))
+        p
       case other => throw new IllegalArgumentException(
-        s"$stmt ... USING graft supports PARTITIONED BY plain columns; " +
-          s"got transform $other — register day()/bucket() layouts " +
-          "after CREATE with ALTER TABLE ... ADD DERIVED PARTITION")
+        s"$stmt ... USING graft supports PARTITIONED BY plain columns, " +
+          s"day(col), and bucket(n, col); got transform $other")
     }
     def colsProp(k: String): Seq[String] = spec.properties.get(k)
       .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -572,8 +597,17 @@ object GraftSqlParser {
       s"$stmt ... USING graft accepts the 'graft.keys' / 'graft.stats' " +
         s"/ 'graft.blooms' properties; set ${stray.mkString(", ")} after " +
         "CREATE with ALTER TABLE ... SET TBLPROPERTIES")
-    (partCols, colsProp("graft.keys"), colsProp("graft.stats"),
-      colsProp("graft.blooms"))
+    val keys = colsProp("graft.keys")
+    derived.foreach { case (p, kind, src) =>
+      require(keys.contains(src),
+        s"$stmt: transform partitioning ${kind.takeWhile(_ != ':')}" +
+          s"($src) needs $src among the merge keys " +
+          "(TBLPROPERTIES('graft.keys'='...')) — the partition is a " +
+          "pure function of the key, so a row's rewrite stays in its " +
+          "partition")
+    }
+    (partCols, keys, colsProp("graft.stats"), colsProp("graft.blooms"),
+      derived.toSeq)
   }
 
   /** A CREATE/REPLACE column list as a schema DDL string (None when the
@@ -635,17 +669,21 @@ object GraftSqlParser {
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
         // the concrete IdentityTransform class is private[sql]; the
         // public connector Transform API names it "identity"
-        val (partCols, keys, statsCols, bloomCols) =
+        val (partCols, keys, statsCols, bloomCols, derived) =
           tableDecl(partitioning, spec, "CREATE TABLE")
         GraftCreateTableCommand(name, spec.location,
           declaredSchemaDdl(columns), partCols,
-          keys, statsCols, bloomCols, ifNotExists)
+          keys, statsCols, bloomCols, ifNotExists, derived)
       case r @ org.apache.spark.sql.catalyst.plans.logical.ReplaceTable(
           UnresolvedIdentifier(Seq(name), _), columns, partitioning,
           spec: UnresolvedTableSpec, orCreate)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
-        val (partCols, keys, statsCols, bloomCols) =
+        val (partCols, keys, statsCols, bloomCols, derivedR) =
           tableDecl(partitioning, spec, "REPLACE TABLE")
+        require(derivedR.isEmpty,
+          "REPLACE TABLE does not take transform partitioning — " +
+            "CREATE the table with it, or ALTER ... ADD DERIVED " +
+            "PARTITION after")
         GraftReplaceTableCommand(name, spec.location,
           declaredSchemaDdl(columns), partCols,
           keys, statsCols, bloomCols, orCreate, None)
@@ -653,19 +691,23 @@ object GraftSqlParser {
           .ReplaceTableAsSelect(UnresolvedIdentifier(Seq(name), _),
             partitioning, query, spec: UnresolvedTableSpec, _, orCreate, _)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
-        val (partCols, keys, statsCols, bloomCols) =
+        val (partCols, keys, statsCols, bloomCols, derivedRt) =
           tableDecl(partitioning, spec, "REPLACE TABLE")
+        require(derivedRt.isEmpty,
+          "REPLACE TABLE does not take transform partitioning — " +
+            "CREATE the table with it, or ALTER ... ADD DERIVED " +
+            "PARTITION after")
         GraftReplaceTableCommand(name, spec.location, None, partCols,
           keys, statsCols, bloomCols, orCreate,
           Some(resolveNamedTables(query)))
       case c @ CreateTableAsSelect(UnresolvedIdentifier(Seq(name), _),
           partitioning, query, spec: UnresolvedTableSpec, _, ifNotExists, _)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
-        val (partCols, keys, statsCols, bloomCols) =
+        val (partCols, keys, statsCols, bloomCols, derivedC) =
           tableDecl(partitioning, spec, "CREATE TABLE")
         GraftCreateTableAsCommand(name, spec.location, partCols,
           keys, statsCols, bloomCols, resolveNamedTables(query),
-          ifNotExists)
+          ifNotExists, derivedC)
       case sc @ ShowCreateTable(tv: UnresolvedTableOrView, _, _) =>
         tv.multipartIdentifier match {
           case Seq(a, b) if a.equalsIgnoreCase("graft") && b.contains("/") =>
@@ -1087,7 +1129,14 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     GraftSqlParser.requireNotView(spark, root, "MERGE")
     val m = VersionedTable.resolveManifest(spark, root, None)
     val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
-    val src = PlanBridge.dataFrame(spark, source)
+    val src0 = PlanBridge.dataFrame(spark, source)
+    // a registered derived partition computes from its source column
+    // when the MERGE source omits it (the transform owns the value)
+    val src = m.derived.foldLeft(src0) { case (d, (p, (kind, sc))) =>
+      if (d.columns.contains(p)) d
+      else d.withColumn(p,
+        VersionedTable.derivedPartitionColumn(kind, sc))
+    }
     // a synthetic __bucket partition is internal: the source covers the
     // VISIBLE columns, the bucket is recomputed from the recorded keys
     val bucketed = m.partCols == Seq(GraftCatalog.BucketCol)
@@ -1105,11 +1154,19 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     // table-order first, new columns appended: the committed schema
     // evolves deterministically instead of inheriting source order
     val aligned0 = src.select((tableCols ++ extra).map(src.col): _*)
+    // a derived partition column joins the upsert keys when the ON
+    // clause carries its SOURCE (pure function — same row set), so the
+    // partCols-within-keys contract holds without the user naming the
+    // transform column in ON
+    val derivedKeys = m.derived.toSeq.collect {
+      case (p, (_, sc)) if !keys.contains(p) &&
+          keys.exists(_.equalsIgnoreCase(sc)) => p
+    }
     // the bucket must stay the SAME pure function of the recorded keys
     // (not the ON keys), or a re-written row could land in a different
     // partition than its original and survive the keyed anti-join
     val (aligned, allKeys) =
-      if (!bucketed) (aligned0, keys)
+      if (!bucketed) (aligned0, keys ++ derivedKeys)
       else (GraftCatalog.withBucket(aligned0,
         m.keys.filterNot(_ == GraftCatalog.BucketCol)),
         keys :+ GraftCatalog.BucketCol)
@@ -1449,7 +1506,9 @@ case class GraftCreateTableCommand(name: String, location: Option[String],
                                    partCols: Seq[String], keys: Seq[String],
                                    statsCols: Seq[String],
                                    bloomCols: Seq[String],
-                                   ifNotExists: Boolean)
+                                   ifNotExists: Boolean,
+                                   derived: Seq[(String, String, String)] =
+                                     Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
@@ -1463,6 +1522,20 @@ case class GraftCreateTableCommand(name: String, location: Option[String],
       s"a graft VIEW named $name already exists — tables and views " +
         "share the name namespace")
     val root = location.getOrElse(GraftCatalog.managedRoot(spark, name))
+    // transform partitioning: the derived column is a REAL column of
+    // the declared schema — auto-appended (DateType for day, IntegerType
+    // for bucket) when the user did not declare it
+    val fullDdl = schemaDdl.map { ddl =>
+      val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      derived.foldLeft(st) { case (s, (p, kind, src)) =>
+        require(s.fieldNames.contains(src),
+          s"transform partition source column $src is not in the schema")
+        if (s.fieldNames.contains(p)) s
+        else s.add(p, if (kind == "day")
+          org.apache.spark.sql.types.DateType
+          else org.apache.spark.sql.types.IntegerType, nullable = true)
+      }.toDDL
+    }
     VersionedTable.currentVersion(spark, root) match {
       case Some(v) => // re-attach: the manifest is authoritative
         val m = VersionedTable.resolveManifestAt(spark, root, v, v)
@@ -1470,12 +1543,18 @@ case class GraftCreateTableCommand(name: String, location: Option[String],
           s"PARTITIONED BY (${partCols.mkString(", ")}) does not match " +
             s"the existing table's partitioning " +
             s"(${m.partCols.mkString(", ")}) at $root")
-        require(keys.isEmpty || keys == m.keys,
+        require(keys.isEmpty || keys == m.keys ||
+            (keys ++ derived.map(_._1)) == m.keys,
           s"declared keys (${keys.mkString(", ")}) do not match the " +
             s"existing table's merge keys (${m.keys.mkString(", ")}) " +
             s"at $root")
+        derived.foreach { case (p, kind, src) =>
+          require(m.derived.get(p).contains((kind, src)),
+            s"declared transform partition $p=$kind($src) does not " +
+              s"match the existing table's registrations at $root")
+        }
       case None =>
-        schemaDdl.foreach { ddl =>
+        fullDdl.foreach { ddl =>
           val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl)
             .fieldNames.toSeq
           val missing = (partCols ++ keys ++ statsCols ++ bloomCols)
@@ -1486,8 +1565,8 @@ case class GraftCreateTableCommand(name: String, location: Option[String],
         }
     }
     GraftCatalog.create(spark,
-      GraftCatalog.Entry(name, root, partCols, keys, schemaDdl,
-        statsCols, bloomCols), ifNotExists)
+      GraftCatalog.Entry(name, root, partCols, keys, fullDdl,
+        statsCols, bloomCols, derived), ifNotExists)
     Seq.empty
   }
 }
@@ -1607,15 +1686,20 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
   private def align(df: org.apache.spark.sql.DataFrame,
                     tableCols: Seq[String],
                     schema: org.apache.spark.sql.types.StructType,
-                    extras: Seq[String] = Nil)
+                    extras: Seq[String] = Nil,
+                    computed: Map[String, Column] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    val nm = named(df, tableCols)
-    // an omitted column with a declared DEFAULT fills with it (the
-    // write default); only columns with neither value nor default refuse
+    val nm = named(df, tableCols.filterNot(computed.contains))
+    // an omitted column fills from `computed` (derived partition
+    // transforms) or its declared DEFAULT; only columns with neither a
+    // value nor a fill refuse. Positional INSERT covers the VISIBLE
+    // non-computed columns — a derived partition value always comes
+    // from the transform, never a position.
     val defaults = VersionedTable.writeDefaults(schema)
     val missing = tableCols.filterNot(c =>
-      nm.columns.contains(c) || defaults.contains(c))
+      nm.columns.contains(c) || computed.contains(c) ||
+        defaults.contains(c))
     require(missing.isEmpty,
       s"INSERT must cover every table column; missing: " +
         missing.mkString(", "))
@@ -1623,7 +1707,8 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
     // schema evolves deterministically, like MERGE WITH SCHEMA EVOLUTION
     nm.select(tableCols.map(c =>
       (if (nm.columns.contains(c)) col(c)
-       else expr(defaults(c))).cast(schema(c).dataType).as(c)) ++
+       else computed.getOrElse(c, expr(defaults(c))))
+        .cast(schema(c).dataType).as(c)) ++
       extras.map(col): _*)
   }
 
@@ -1654,12 +1739,19 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         // visible columns, recompute the bucket
         val visible = m.schema.fieldNames.toSeq
           .filterNot(_ == GraftCatalog.BucketCol)
+        // registered derived partitions compute from their source
+        // column when the INSERT omits them — the transform, not the
+        // statement, owns the partition value (a positional INSERT
+        // covers only the non-computed columns)
+        val computed = m.derived.map { case (p, (kind, srcC)) =>
+          p -> VersionedTable.derivedPartitionColumn(kind, srcC) }
         // INSERT-time schema evolution (opt-in): extra source columns
         // are admitted as new table columns — Delta's mergeSchema-on-
         // append — when the table property says so; refused loudly
         // otherwise (silently dropping data a user named would be worse
         // than either)
-        val extras = named(df, visible).columns.toSeq
+        val extras = named(df, visible.filterNot(computed.contains))
+          .columns.toSeq
           .filterNot(c => visible.contains(c) ||
             c == GraftCatalog.BucketCol)
         val evolve = m.props.get("graft.schema.evolution")
@@ -1673,7 +1765,7 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         extras.filter(_.startsWith("__")).foreach(c =>
           throw new IllegalArgumentException(
             s"column name $c is reserved (the __ prefix is internal)"))
-        val aligned0 = align(df, visible, m.schema, extras)
+        val aligned0 = align(df, visible, m.schema, extras, computed)
         val aligned =
           if (visible.length == m.schema.length) aligned0
           else GraftCatalog.withBucket(aligned0,
@@ -1694,29 +1786,58 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
           s"graft table ${entry.name} declares no keys — CREATE TABLE " +
             "with TBLPROPERTIES('graft.keys'='k1,k2') to INSERT into an " +
             "empty table")
-        val schema = entry.schemaDdl
+        // declared transform partitioning: the derived columns join the
+        // schema (when derived from the frame), compute from their
+        // sources, and extend the merge keys (pure functions of key
+        // columns — partCols-within-keys holds by construction)
+        val schema0 = entry.schemaDdl
           .map(org.apache.spark.sql.types.StructType.fromDDL)
           .getOrElse(df.schema)
-        val extras0 = named(df, schema.fieldNames.toSeq).columns.toSeq
-          .filterNot(schema.fieldNames.contains)
+        val schema = entry.derived.foldLeft(schema0) {
+          case (st, (p, kind, _)) =>
+            if (st.fieldNames.contains(p)) st
+            else st.add(p, if (kind == "day")
+              org.apache.spark.sql.types.DateType
+              else org.apache.spark.sql.types.IntegerType,
+              nullable = true)
+        }
+        val computed = entry.derived.map { case (p, kind, src) =>
+          p -> VersionedTable.derivedPartitionColumn(kind, src) }.toMap
+        val extras0 = named(df,
+            schema.fieldNames.toSeq.filterNot(computed.contains))
+          .columns.toSeq.filterNot(schema.fieldNames.contains)
         require(extras0.isEmpty,
           s"INSERT source carries columns not in the declared schema: " +
             s"${extras0.mkString(", ")} — declare them at CREATE TABLE " +
             "(INSERT-time schema evolution applies to committed tables " +
             "via TBLPROPERTIES('graft.schema.evolution'='true'))")
-        val aligned0 = align(df, schema.fieldNames.toSeq, schema)
+        val aligned0 = align(df, schema.fieldNames.toSeq, schema,
+          computed = computed)
+        val derivedKeys = (entry.keys ++ entry.derived.map(_._1)).distinct
         // no PARTITIONED BY: partition on a synthetic key-hash bucket
         // (pure function of the merge keys, so partCols-within-keys
         // holds and every re-write of a key lands in its own partition)
         val (aligned, keys, partCols) =
-          if (entry.partCols.nonEmpty) (aligned0, entry.keys,
+          if (entry.partCols.nonEmpty) (aligned0, derivedKeys,
             entry.partCols)
           else (GraftCatalog.withBucket(aligned0, entry.keys),
             entry.keys :+ GraftCatalog.BucketCol,
             Seq(GraftCatalog.BucketCol))
-        Seq(Row(VersionedTable.upsert(spark, root, aligned, keys,
+        val v = VersionedTable.upsert(spark, root, aligned, keys,
           partCols, statsCols = entry.statsCols,
-          bloomCols = entry.bloomCols)))
+          bloomCols = entry.bloomCols)
+        // register the declared transforms NOW the table exists —
+        // metadata-only commits; from here on src predicates prune dirs
+        // and every write gates on partCol == transform(srcCol). A
+        // crash between the write and this registration leaves a
+        // working table one `ALTER ... ADD DERIVED PARTITION` away
+        // (the backlog check passes — the values were computed here).
+        entry.derived.foreach { case (p, kind, src) =>
+          if (!VersionedTable.derivedPartitionsOf(spark, root)
+              .contains(p))
+            VersionedTable.addDerivedPartition(spark, root, p, kind, src)
+        }
+        Seq(Row(v))
     }
   }
 }
@@ -1887,7 +2008,9 @@ case class GraftCreateTableAsCommand(name: String, location: Option[String],
                                      statsCols: Seq[String],
                                      bloomCols: Seq[String],
                                      source: LogicalPlan,
-                                     ifNotExists: Boolean)
+                                     ifNotExists: Boolean,
+                                     derived: Seq[(String, String,
+                                       String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
@@ -1909,11 +2032,18 @@ case class GraftCreateTableAsCommand(name: String, location: Option[String],
     fields.filter(_.startsWith("__")).foreach(c =>
       throw new IllegalArgumentException(
         s"column name $c is reserved (the __ prefix is internal)"))
+    // a transform partition column is COMPUTED by the write — the query
+    // need not (usually does not) produce it
     val missing = (partCols ++ keys ++ statsCols ++ bloomCols)
-      .filterNot(fields.contains)
+      .filterNot(c => fields.contains(c) || derived.exists(_._1 == c))
     require(missing.isEmpty,
       s"declared partition/key/index columns not produced by the " +
         s"query: ${missing.mkString(", ")}")
+    derived.foreach { case (_, kind, src) =>
+      require(fields.contains(src),
+        s"transform partition source column $src is not produced by " +
+          s"the query (${kind.takeWhile(_ != ':')}($src))")
+    }
     val root = location.getOrElse(GraftCatalog.managedRoot(spark, name))
     require(VersionedTable.currentVersion(spark, root).isEmpty,
       s"CTAS target root $root already has committed versions — " +
@@ -1923,7 +2053,7 @@ case class GraftCreateTableAsCommand(name: String, location: Option[String],
     // so the race is detected here rather than swallowed inside create
     try GraftCatalog.create(spark,
       GraftCatalog.Entry(name, root, partCols, keys,
-        Some(df.schema.toDDL), statsCols, bloomCols))
+        Some(df.schema.toDDL), statsCols, bloomCols, derived))
     catch { case e: IllegalArgumentException
         if ifNotExists && GraftCatalog.lookup(spark, name).isDefined =>
       return Seq.empty

@@ -665,6 +665,75 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_mvd_src")
   }
 
+  test("CREATE TABLE with transform partitioning: day(ts) / " +
+      "bucket(n, id) in ONE statement — writes compute the column, " +
+      "source predicates prune, keys must cover the source") {
+    val path = tmp("txf") + "/t"
+    // the source column must be a merge key (pure-function contract)
+    intercept[IllegalArgumentException](spark.sql(
+      s"CREATE TABLE cat_txf_bad (id INT, ts TIMESTAMP, v BIGINT) " +
+        s"USING graft LOCATION '${path}_bad' PARTITIONED BY (day(ts)) " +
+        "TBLPROPERTIES('graft.keys'='id')"))
+    spark.sql(
+      s"""CREATE TABLE cat_txf (id INT, ts TIMESTAMP, v BIGINT)
+         |USING graft LOCATION '$path' PARTITIONED BY (day(ts))
+         |TBLPROPERTIES('graft.keys'='id,ts')""".stripMargin)
+    val rows = for (d <- 1 to 10; h <- 0 until 24) yield
+      (d * 100 + h, java.sql.Timestamp.valueOf(
+        f"2024-02-$d%02d $h%02d:00:00"), d.toLong)
+    rows.toDF("id", "ts", "v").createOrReplaceTempView("cat_txf_src")
+    // first INSERT: derives ts_day, registers the transform
+    spark.sql("INSERT INTO cat_txf SELECT * FROM cat_txf_src")
+    assert(VersionedTable.derivedPartitionsOf(spark,
+      graft.plans.GraftCatalog.resolve(spark, "cat_txf").get)
+      .get("ts_day").contains(("day", "ts")))
+    val total = VersionedTable.physicalInputFiles(
+      spark.sql("SELECT * FROM cat_txf"))
+    assert(spark.sql("SELECT count(*) AS n FROM cat_txf")
+      .first.getLong(0) == 240 && total >= 10)
+    // the query names ONLY ts — the registration prunes dirs
+    val ranged = spark.sql("SELECT * FROM cat_txf WHERE " +
+      "ts >= TIMESTAMP'2024-02-04 06:00:00' AND " +
+      "ts <= TIMESTAMP'2024-02-06 18:00:00'")
+    assert(VersionedTable.physicalInputFiles(ranged) <= total * 3 / 10,
+      "day-transform pruning did not bite")
+    assert(ranged.count() == 18 + 24 + 19)
+    // second INSERT goes through the REGISTERED path: computes the
+    // column, keyed upsert replaces (same id+ts), count unchanged
+    spark.sql("INSERT INTO cat_txf SELECT id, ts, v * 10 AS v " +
+      "FROM cat_txf_src WHERE id = 101")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_txf")
+      .first.getLong(0) == 240)
+    assert(spark.sql("SELECT v FROM cat_txf WHERE id = 101")
+      .first.getLong(0) == 10L)
+    // canonical MERGE computes the transform column too
+    rows.take(3).map { case (i, t, v) => (i, t, v + 1000) }
+      .toDF("id", "ts", "v").createOrReplaceTempView("cat_txf_m")
+    spark.sql(
+      """MERGE INTO cat_txf t USING cat_txf_m s
+        |ON t.id = s.id AND t.ts = s.ts
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT v FROM cat_txf WHERE id = 100")
+      .first.getLong(0) == 1001L)
+    assert(spark.sql("SELECT count(*) AS n FROM cat_txf")
+      .first.getLong(0) == 240)
+    // bucket transform: CTAS with bucket(8, id), equality prunes
+    spark.sql(
+      s"""CREATE TABLE cat_txfb USING graft LOCATION '${path}_b'
+         |PARTITIONED BY (bucket(8, id))
+         |TBLPROPERTIES('graft.keys'='id,ts')
+         |AS SELECT * FROM cat_txf_src""".stripMargin)
+    val totalB = VersionedTable.physicalInputFiles(
+      spark.sql("SELECT * FROM cat_txfb"))
+    val eqB = spark.sql("SELECT * FROM cat_txfb WHERE id = 512")
+    assert(VersionedTable.physicalInputFiles(eqB) <= totalB / 4,
+      "bucket-transform pruning did not bite")
+    assert(eqB.count() == 1)
+    spark.sql("DROP TABLE cat_txfb")
+    spark.sql("DROP TABLE cat_txf")
+  }
+
   test("INSERT-time schema evolution: refused without the property, " +
       "admitted with it, old generations surface NULL") {
     val path = tmp("insev") + "/t"
