@@ -2285,6 +2285,77 @@ object SparkEntry {
          |FROM $name""".stripMargin)
   }
 
+  /** The reference's whole Lambda architecture by NAME, oracled
+    * end-to-end (README.md:85; the speed path's named-warehouse MERGE,
+    * load_stream_to_snowflake.py:90-107): events stage as a tick CSV
+    * raw zone → Structured Streaming windowed metrics →
+    * [[graft.streaming.StreamPipeline.startNamedInsert]] lands each
+    * micro-batch in a CREATE-TABLE-registered NAME (exactly-once txn
+    * tags, layout from the declaration) → a NAMED materialized view
+    * aggregates the stream-fed table → the oracled output SELECTs from
+    * the view name. Zero path literals after the CREATEs. A second
+    * drain of one far-future flush row advances the watermark so every
+    * real window emits deterministically; the flush row itself never
+    * emits (its own window never closes). */
+  private def qCatalogStream(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val name = "strm_q_t_" + slug
+    val mv = "strm_q_mv_" + slug
+    val stage = "/tmp/graft_catalog_stream/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val raw = stage + "/raw"
+    val ckpt = stage + "/ckpt"
+    def tickCsv(df: DataFrame): DataFrame = df.select(
+      col("event_type").as("symbol"),
+      col("value").cast("string").as("price"),
+      lit("0.0").as("change"),
+      lit(null).cast("string").as("change_percent"),
+      col("user_id").cast("string").as("volume"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .as("timestamp"))
+    val ss = graft.streaming.StreamPipeline.scopedSession(s, 8)
+    def drain(): Unit = {
+      val metrics = graft.streaming.StreamPipeline.windowedMetrics(
+        graft.ops.Clean.castTicks(
+          ss.readStream.schema(Schemas.tickRaw)
+            .option("header", "true").csv(raw)),
+        width = "5 minutes", slide = "5 minutes")
+        .withColumn("day", to_date(col("window_start")))
+      graft.streaming.StreamPipeline.startNamedInsert(metrics, name,
+        ckpt, streamId = "q-catalog-stream").awaitTermination(120000)
+    }
+    fixture {
+      rmrf(s, stage)
+      graft.plans.GraftCatalog.drop(s, name)
+      graft.plans.GraftCatalog.drop(s, mv)
+      rmrf(s, graft.plans.GraftCatalog.managedRoot(s, mv))
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$stage/table'
+           |PARTITIONED BY (day)
+           |TBLPROPERTIES('graft.keys'='symbol,window_start,day')"""
+          .stripMargin)
+      // one chronological file -> ONE first micro-batch (no intra-drain
+      // watermark drops), then the flush file as its own drain
+      tickCsv(ev(s, dir)).coalesce(1).sortWithinPartitions("timestamp")
+        .write.option("header", "true").csv(raw)
+      drain()
+      tickCsv(s.range(1).select(lit("__flush").as("event_type"),
+          lit(1.0).as("value"), lit(0L).as("user_id"),
+          lit("2024-03-01 00:00:00").cast(TimestampType).as("ts")))
+        .coalesce(1).write.option("header", "true").mode("append")
+        .csv(raw)
+      drain()
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $mv KEYED BY
+           |(symbol, window_start, day) AS
+           |SELECT symbol, sum(n_events) AS n_events_total,
+           |  sum(volume_sum) AS vol_total
+           |FROM $name GROUP BY symbol""".stripMargin)
+    }
+    s.sql(s"REFRESH MATERIALIZED VIEW $mv")
+    s.sql(s"SELECT symbol, n_events_total, vol_total FROM $mv")
+  }
+
   /** Transform partitioning declared AT CREATE under oracle check:
     * `CREATE TABLE ... PARTITIONED BY (day(ts))` registers the derived
     * day layout in one statement; the INSERT computes the partition
@@ -4349,6 +4420,7 @@ object SparkEntry {
     "q_insert_evolution" -> (qInsertEvolution _),
     "q_column_default" -> (qColumnDefault _),
     "q_create_transform" -> (qCreateTransform _),
+    "q_catalog_stream" -> (qCatalogStream _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -7189,6 +7261,14 @@ object SparkEntry {
          |  daily_close, daily_volume, daily_change,
          |  CASE WHEN date >= DATE '2024-01-15' THEN 'late' END AS src
          |FROM daily""".stripMargin,
+
+    // stream -> named table -> named matview, end to end: per-symbol
+    // totals equal a direct aggregate of the raw events (each event
+    // lands in exactly one 5m tumbling window; the matview sums them)
+    "q_catalog_stream" ->
+      s"""SELECT event_type AS symbol, count(*) AS n_events_total,
+         |  CAST(sum(user_id) AS BIGINT) AS vol_total
+         |FROM events GROUP BY 1""".stripMargin,
 
     // transform partitioning at CREATE: ts-range aggregate over the
     // day(ts)-partitioned table (pruning pinned by the in-query guard)

@@ -256,6 +256,29 @@ object GraftCatalog {
     lookup(spark, name).map(_.root + branch)
   }
 
+  /** Resolve a STREAMING leg's table reference: a string containing '/'
+    * is a path (used verbatim, `@branch` suffixes included); anything
+    * else must be a registered name or `name@branch` — unregistered or
+    * SHADOWED names refuse loudly, the same rules batch SQL applies, so
+    * a long-running stream never silently targets a table the user's
+    * own SELECT would not show. */
+  def resolveTableRef(spark: SparkSession, ref: String): String = {
+    if (ref.contains('/')) return ref
+    val at = ref.indexOf('@')
+    val name = if (at < 0) ref else ref.substring(0, at)
+    val cat = spark.sessionState.catalog
+    if (NameRe.matches(name) && (cat.getTempView(name).isDefined ||
+        cat.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))))
+      throw new IllegalArgumentException(
+        s"'$name' is a registered graft table but a temp view or " +
+          "session-catalog table of the same name shadows it — " +
+          "address it by path")
+    resolve(spark, ref).getOrElse(throw new IllegalArgumentException(
+      s"'$name' is not a registered graft table — CREATE TABLE $name " +
+        "USING graft first, or pass a path"))
+  }
+
   // ----- named logical views ----------------------------------------
   // A view is a SAVED QUERY, not a table: one `v.<name>` file holding
   // the SQL text, substituted into the reading statement's plan at

@@ -1656,9 +1656,24 @@ case class GraftShowViewsCommand() extends LeafRunnableCommand {
   * exists REPLACES it instead of duplicating. Columns align by name
   * when listed (`(c1, c2)` or BY NAME), by position otherwise; every
   * table column must be covered — graft rows are whole. */
+/** Companion library surface of the SQL INSERT path. */
+object GraftInsertCommand {
+  /** The FULL statement-grade insert (naming, derived-partition
+    * computation, defaults, bucket machinery, evolution gate, index
+    * declarations) as a library call with an exactly-once txn tag —
+    * the body streaming sinks run per micro-batch
+    * ([[graft.streaming.StreamPipeline.startNamedInsert]]). */
+  def insertFrame(spark: SparkSession, root: String,
+                  df: org.apache.spark.sql.DataFrame,
+                  txn: Option[(String, Long)] = None): Int =
+    GraftInsertCommand(root, Nil, PlanBridge.analyzed(df),
+      byName = true, txn = txn).run(spark).head.getInt(0)
+}
+
 case class GraftInsertCommand(root: String, userCols: Seq[String],
                               source: LogicalPlan, byName: Boolean,
-                              overwrite: Boolean = false)
+                              overwrite: Boolean = false,
+                              txn: Option[(String, Long)] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
@@ -1775,7 +1790,7 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         // upsert
         Seq(Row(VersionedTable.upsert(spark, root, aligned, m.keys,
           m.partCols, statsCols = statsCols, bloomCols = bloomCols,
-          replaceAll = overwrite)))
+          txn = txn, replaceAll = overwrite)))
       case None => // first write to an empty declared table
         val entry = GraftCatalog.list(spark)
           .find(_.root == VersionedTable.splitRef(root)._1)
@@ -1825,7 +1840,7 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
             Seq(GraftCatalog.BucketCol))
         val v = VersionedTable.upsert(spark, root, aligned, keys,
           partCols, statsCols = entry.statsCols,
-          bloomCols = entry.bloomCols)
+          bloomCols = entry.bloomCols, txn = txn)
         // register the declared transforms NOW the table exists —
         // metadata-only commits; from here on src predicates prune dirs
         // and every write gates on partCol == transform(srcCol). A

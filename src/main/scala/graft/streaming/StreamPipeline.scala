@@ -256,14 +256,21 @@ object StreamPipeline {
     * cleanly, as tested) or use a NEW streamId — a fresh checkpoint fed
     * different data re-numbers batches from 0 and colliding ids would be
     * skipped as already-committed. */
-  def startVersionedMerge(metrics: DataFrame, root: String,
+  def startVersionedMerge(metrics: DataFrame, table: String,
                           checkpointDir: String, keys: Seq[String],
                           partCols: Seq[String], streamId: String,
                           statsCols: Seq[String] = Nil,
                           fileRows: Option[Int] = None,
                           bloomCols: Seq[String] = Nil,
                           trigger: Trigger = Trigger.AvailableNow())
-      : StreamingQuery =
+      : StreamingQuery = {
+    // `table` may be a registered catalog NAME (or name@branch) — the
+    // reference's speed path lands in a NAMED warehouse table
+    // (load_stream_to_snowflake.py:90-107), so the streaming leg must
+    // address it like batch SQL does: resolved ONCE at start, same
+    // shadowing rules as batch, paths pass through
+    val root = graft.plans.GraftCatalog.resolveTableRef(
+      metrics.sparkSession, table)
     metrics.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -291,6 +298,45 @@ object StreamPipeline {
         } finally pinned.unpersist()
       }
       .start()
+  }
+
+  /** Catalog-driven streaming INSERT: each micro-batch runs the FULL
+    * statement-grade insert path against a registered table NAME — BY
+    * NAME alignment, derived-partition computation, column defaults,
+    * synthetic bucketing, declared stats/bloom indexes — exactly what
+    * `INSERT INTO t BY NAME` does in batch, tagged (streamId, batchId)
+    * for exactly-once versions like [[startVersionedMerge]]. The
+    * catalog UX completion: after `CREATE TABLE metrics ...` the stream
+    * needs only the name — keys and layout come from the declaration /
+    * manifest, zero path literals. */
+  def startNamedInsert(metrics: DataFrame, table: String,
+                       checkpointDir: String, streamId: String,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val root = graft.plans.GraftCatalog.resolveTableRef(
+      metrics.sparkSession, table)
+    metrics.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val seen = graft.ops.VersionedTable.lastTxn(s, root, streamId)
+        // same pin + replay discipline as startVersionedMerge: the
+        // stateful plan re-executes for state rebuild even on SKIPPED
+        // batches; only the sink write is idempotently skipped
+        val pinned = batch.persist()
+        try {
+          pinned.count()
+          if (seen.forall(_ < batchId)) {
+            graft.plans.GraftInsertCommand.insertFrame(s, root, pinned,
+              txn = Some((streamId, batchId)))
+            ()
+          }
+        } finally pinned.unpersist()
+      }
+      .start()
+  }
 
   /** Continuous CDC consumer over a [[graft.ops.VersionedTable]] — the
     * streaming leg of [[graft.ops.VersionedTable.syncChanges]], and the
@@ -314,11 +360,13 @@ object StreamPipeline {
     * poll cadence so consumed-from versions stay readable. A table that
     * does not exist yet is skipped, not fatal — the consumer may start
     * before the first producer commit. */
-  def startChangeFeedStream(spark: SparkSession, root: String,
+  def startChangeFeedStream(spark: SparkSession, table: String,
                             keys: Seq[String], cursorPath: String,
                             pollInterval: String = "1 second",
                             maxVersionsPerTick: Int = Int.MaxValue)
-                           (apply: DataFrame => Unit): StreamingQuery =
+                           (apply: DataFrame => Unit): StreamingQuery = {
+    // registered catalog names resolve like every batch statement
+    val root = graft.plans.GraftCatalog.resolveTableRef(spark, table)
     spark.readStream.format("rate")
       .option("rowsPerSecond", "1").option("numPartitions", "1").load()
       .writeStream
@@ -335,6 +383,7 @@ object StreamPipeline {
         } catch { case _: java.io.FileNotFoundException => () }
       }
       .start()
+  }
 
   /** Continuously-fresh materialized aggregate: a metronome-triggered
     * [[graft.ops.MatView.refresh]] loop — each tick advances the view to
@@ -345,9 +394,12 @@ object StreamPipeline {
     * last committed refresh left off. Pairs with
     * [[startVersionedMerge]]: stream → versioned table → serving
     * aggregate, every leg incremental. */
-  def startMatViewRefresh(spark: SparkSession, viewRoot: String,
+  def startMatViewRefresh(spark: SparkSession, view: String,
                           pollInterval: String = "1 second")
-      : StreamingQuery =
+      : StreamingQuery = {
+    // a materialized view registered by name (CREATE MATERIALIZED VIEW
+    // mv ...) resolves through the same catalog as its batch reads
+    val viewRoot = graft.plans.GraftCatalog.resolveTableRef(spark, view)
     spark.readStream.format("rate")
       .option("rowsPerSecond", "1").option("numPartitions", "1").load()
       .writeStream
@@ -360,6 +412,7 @@ object StreamPipeline {
         } catch { case _: java.io.FileNotFoundException => () }
       }
       .start()
+  }
 
   /** S9, made safe: the reference's log sink collects EVERY batch row to
     * the driver (spark_stream_processor.py:89) — at scale that is a driver

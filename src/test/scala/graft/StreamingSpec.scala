@@ -202,6 +202,82 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.lastTxn(spark, root, "other-stream").isEmpty)
   }
 
+  test("streaming by table NAME: CREATE TABLE, named insert sink, named " +
+      "matview refresh, named CDC — zero path literals after CREATE") {
+    import graft.ops.VersionedTable
+    import org.apache.spark.sql.functions.{col, to_date}
+    val base = Files.createTempDirectory("graft_stream_named")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    spark.sql(
+      s"""CREATE TABLE strm_metrics USING graft
+         |LOCATION '${base.resolve("table")}' PARTITIONED BY (day)
+         |TBLPROPERTIES('graft.keys'='symbol,window_start,day')"""
+        .stripMargin)
+    def metrics() = StreamPipeline.windowedMetrics(
+      StreamPipeline.tickStream(spark, raw.toString),
+      width = "5 minutes", slide = "5 minutes")
+      .withColumn("day", to_date(col("window_start")))
+    def run(ckpt: String): Unit =
+      StreamPipeline.startNamedInsert(metrics(), "strm_metrics", ckpt,
+        streamId = "named-ins").awaitTermination(60000)
+    val ckpt1 = base.resolve("ckpt1").toString
+    writeCsv(raw, "m1.csv", Seq("AAA,10.0,0.0,,100,2024-01-01T00:01:00"))
+    run(ckpt1)
+    writeCsv(raw, "m2.csv", Seq("BBB,20.0,0.0,,50,2024-01-01T01:00:00"))
+    run(ckpt1)
+    // the stream-fed table reads by NAME, layout from the declaration
+    assert(spark.sql("SELECT count(*) AS n FROM strm_metrics")
+      .first.getLong(0) > 0)
+    val hist = spark.sql("DESCRIBE HISTORY strm_metrics").count()
+    // checkpoint loss: replayed batch ids skip — history unchanged
+    run(base.resolve("ckpt2").toString)
+    assert(spark.sql("DESCRIBE HISTORY strm_metrics").count() == hist)
+    // an unregistered name refuses loudly at START, not mid-stream
+    intercept[IllegalArgumentException](
+      StreamPipeline.startNamedInsert(metrics(), "strm_never_created",
+        base.resolve("ckpt3").toString, streamId = "x"))
+    // named continuous matview over the stream-fed named table
+    spark.sql(
+      """CREATE MATERIALIZED VIEW strm_mv KEYED BY
+        |(symbol, window_start, day) AS
+        |SELECT symbol, sum(n_events) AS n_total FROM strm_metrics
+        |GROUP BY symbol""".stripMargin)
+    def served(): Map[String, Long] =
+      spark.sql("SELECT symbol, n_total FROM strm_mv").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def truth(): Map[String, Long] =
+      spark.sql("SELECT symbol, sum(n_events) AS n FROM strm_metrics " +
+        "GROUP BY symbol").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mvq = StreamPipeline.startMatViewRefresh(spark, "strm_mv",
+      pollInterval = "100 milliseconds")
+    // named CDC consumer alongside
+    val mirror = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val cdcq = StreamPipeline.startChangeFeedStream(spark, "strm_metrics",
+      keys = Seq("symbol", "window_start", "day"),
+      base.resolve("cursor").toString,
+      pollInterval = "100 milliseconds") { feed =>
+      feed.select("op", "symbol", "n_events").collect().foreach { r =>
+        if (r.getString(0) != "delete")
+          mirror(r.getString(1) + "@" + r.getLong(2)) = r.getLong(2)
+      }
+    }
+    try {
+      writeCsv(raw, "m3.csv",
+        Seq("AAA,30.0,0.0,,100,2024-01-01T02:00:00"))
+      run(ckpt1)
+      val end = System.currentTimeMillis + 30000
+      while ((served() != truth() || mirror.isEmpty) &&
+          System.currentTimeMillis < end)
+        Thread.sleep(100)
+      assert(served() == truth(),
+        s"named matview did not converge: ${served()} vs ${truth()}")
+      assert(mirror.nonEmpty, "named CDC stream delivered nothing")
+    } finally { mvq.stop(); cdcq.stop() }
+    spark.sql("DROP TABLE strm_mv")
+    spark.sql("DROP TABLE strm_metrics")
+  }
+
   test("streaming WAP: exactly-once merge into a branch, then fast-forward") {
     import graft.ops.VersionedTable
     import org.apache.spark.sql.functions.{col, to_date}
