@@ -2321,8 +2321,16 @@ object SparkEntry {
             .option("header", "true").csv(raw)),
         width = "5 minutes", slide = "5 minutes")
         .withColumn("day", to_date(col("window_start")))
-      graft.streaming.StreamPipeline.startNamedInsert(metrics, name,
-        ckpt, streamId = "q-catalog-stream").awaitTermination(120000)
+      val q = graft.streaming.StreamPipeline.startNamedInsert(metrics,
+        name, ckpt, streamId = "q-catalog-stream")
+      // a silent timeout would hand the matview build PARTIAL data (a
+      // nondeterministic oracle mismatch) while the stream races the
+      // next rep's cleanup of its own dirs — fail loudly instead
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_catalog_stream drain exceeded 120s — partial data refused")
+      }
     }
     fixture {
       rmrf(s, stage)

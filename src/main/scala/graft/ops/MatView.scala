@@ -136,6 +136,9 @@ object MatView {
   /** Advance the view to the source's current version (no-op when
     * already there). Returns the view's current version. */
   def refresh(spark: SparkSession, viewRoot: String): Int = {
+    // every refresh owns the observables — a no-op or initial-build
+    // refresh must not leave a previous refresh's fallback flag visible
+    lastFullRecomputeTl.set(false)
     val spec = readSpec(spark, viewRoot)
     val srcCur = VersionedTable.currentVersion(spark, spec.srcRoot)
       .getOrElse(throw new java.io.FileNotFoundException(

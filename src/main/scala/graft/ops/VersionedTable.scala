@@ -2798,13 +2798,17 @@ object VersionedTable {
       sel.wholeDirs.map(_._2.stripPrefix(tableRoot(root) + "/") + "/"),
       sel.files.map(_._2.stripPrefix(tableRoot(root) + "/")).toSet)
     val raw = paths.groupBy(_._1).map { case (gen, ps) =>
-      toLogical(
+      // initial defaults apply per generation here exactly as in
+      // scanUnion: the DV predicate must see the SAME values a read
+      // serves, or a delete on a defaulted column silently misses
+      // (or wrongly hits NULL-looking) pre-add rows
+      applyInitialDefaults(toLogical(
         spark.read.schema(physSchema(m.schema))
           .option("basePath", s"${tableRoot(root)}/$gen")
           .parquet(ps.map(_._2).distinct: _*)
           .withColumn("__dv_file", fileKeyCol(depth))
           .withColumn("__dv_pos", col("_metadata.row_index")),
-        m.schema)
+        m.schema), m.schema, gen)
         .filter(predicate)
         .select(col("__dv_file"), col("__dv_pos"))
     }.reduce(_.unionByName(_))
@@ -4220,7 +4224,9 @@ object VersionedTable {
 
   /** Validate a DEFAULT expression: parses, references no columns, and
     * evaluates (ANSI errors surface here, not at first read) as the
-    * column's type. Returns nothing — the TEXT is what's stored. */
+    * column's type. Returns nothing — the TEXT is what's stored (write
+    * defaults evaluate per INSERT, standard SQL — `current_date` means
+    * the insert's date). */
   private def validateDefault(spark: SparkSession, sql: String,
                               dt: DataType): Unit = {
     val parsed = spark.sessionState.sqlParser.parseExpression(sql)
@@ -4232,6 +4238,29 @@ object VersionedTable {
         refs.map(_.sql).mkString(", "))
     spark.range(1).select(
       org.apache.spark.sql.functions.expr(sql).cast(dt)).head()
+  }
+
+  /** Freeze a DEFAULT expression to a literal for the INITIAL default:
+    * evaluate ONCE, now, and store the rendered VALUE — never the text.
+    * A re-evaluated `current_timestamp()` would surface a different
+    * value for pre-add rows on every read (and a rewrite would
+    * materialize yet another); freezing makes "the default frozen at
+    * ADD COLUMN time" literally true for any expression, Iceberg's
+    * initial-default semantics. The rendered literal is round-tripped
+    * through the parser so an unrenderable value refuses at DDL. */
+  private def freezeDefault(spark: SparkSession, sql: String,
+                            dt: DataType): String = {
+    validateDefault(spark, sql, dt)
+    val v = spark.range(1).select(
+      org.apache.spark.sql.functions.expr(sql).cast(dt)).head().get(0)
+    val litSql = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(v, dt).sql
+    val back = spark.range(1).select(
+      org.apache.spark.sql.functions.expr(litSql).cast(dt)).head().get(0)
+    require(back == v || (back != null && back.equals(v)),
+      s"DEFAULT value $v (of ${dt.simpleString}) does not round-trip " +
+        s"through its literal rendering '$litSql'")
+    litSql
   }
 
   /** Write defaults of the current schema: column -> default SQL (the
@@ -4292,20 +4321,21 @@ object VersionedTable {
     m.schema.foreach(f => require(physicalName(f) != name,
       s"column name $name is the physical (as-written) name of renamed " +
         s"column ${f.name} — OPTIMIZE first to materialize that rename"))
-    default.foreach(validateDefault(spark, _, dataType))
     val field = default match {
       case None => org.apache.spark.sql.types.StructField(name, dataType,
         nullable = true)
       case Some(sql) =>
-        // freeze the initial default NOW: every generation live at this
-        // commit predates the column, captured as max-version-per-ref
+        // freeze the initial default NOW (a literal VALUE, never the
+        // re-evaluable text): every generation live at this commit
+        // predates the column, captured as max-version-per-ref
+        val frozen = freezeDefault(spark, sql, dataType)
         val pre = m.mapping.values.toSeq.distinct.flatMap(genRefVer)
           .groupBy(_._1).map { case (r, vs) => r -> vs.map(_._2).max }
         org.apache.spark.sql.types.StructField(name, dataType,
           nullable = true,
           metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .putString(DefaultKey, sql)
-            .putString(DefaultInitKey, sql)
+            .putString(DefaultInitKey, frozen)
             .putString(DefaultPreKey, renderPreMap(pre)).build())
     }
     val next = stageVersion(fs, root, cur + 1, s"add-column:$name", m.keys) { _ =>

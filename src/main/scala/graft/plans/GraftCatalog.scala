@@ -175,30 +175,50 @@ object GraftCatalog {
     finally out.close()
   }
 
-  /** REPLACE `name`'s entry in place (REPLACE TABLE's re-registration):
-    * the new entry is staged under a temp name and RENAMED over —
-    * drop-then-create would open a window where a concurrent CREATE
-    * steals the name and the replace then maps it to an unrelated root.
-    * A steal still loses, but LOUDLY: the rename fails instead of
-    * silently co-existing. */
-  def replaceEntry(spark: SparkSession, entry: Entry): Unit = {
-    require(NameRe.matches(entry.name),
-      s"illegal graft table name: ${entry.name} (SQL identifier required)")
-    val p = entryPath(spark, entry.name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Stage `bytes` under a temp name and RENAME over `p` — the shared
+    * replace discipline for catalog entries (tables AND views). The
+    * delete-then-rename still has a brief unregistered window for
+    * readers, but a concurrent CREATE that steals the name in it loses
+    * LOUDLY here (the rename fails) instead of silently co-existing —
+    * and `.tmp.` stages are never listed as entries. */
+  private def renameOver(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                         bytes: Array[Byte], what: String): Unit = {
     val tmp = new Path(p.getParent,
       p.getName + ".tmp." + java.util.UUID.randomUUID().toString)
     val out = VersionedTable.createExclusive(fs, tmp)
-    try out.write(render(entry).getBytes(StandardCharsets.UTF_8))
+    try out.write(bytes)
     finally out.close()
     fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"concurrent CREATE TABLE ${entry.name} raced this REPLACE — " +
-          "the replace lost; re-run after inspecting the table")
+        s"concurrent CREATE $what raced this REPLACE — the replace " +
+          "lost; re-run after inspecting it")
     }
   }
+
+  /** REPLACE `name`'s entry in place (REPLACE TABLE's re-registration)
+    * via [[renameOver]] — never a plain drop-then-create, so a steal
+    * loses loudly instead of silently co-existing. */
+  def replaceEntry(spark: SparkSession, entry: Entry): Unit = {
+    require(NameRe.matches(entry.name),
+      s"illegal graft table name: ${entry.name} (SQL identifier required)")
+    val p = entryPath(spark, entry.name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    renameOver(fs, p, render(entry).getBytes(StandardCharsets.UTF_8),
+      s"TABLE ${entry.name}")
+  }
+
+  /** Whether a temp view or session-catalog table of `name` exists —
+    * the shadow every graft resolution honors (Spark's own resolution
+    * order), shared by the batch parser and the streaming legs so the
+    * two can never diverge. In-memory checks only. */
+  def sessionShadowed(spark: SparkSession, name: String): Boolean =
+    NameRe.matches(name) && {
+      val cat = spark.sessionState.catalog
+      cat.getTempView(name).isDefined ||
+        cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(name))
+    }
 
   /** Unregister `name`; the table's data and history stay at its root.
     * False when the name was not registered. */
@@ -266,10 +286,7 @@ object GraftCatalog {
     if (ref.contains('/')) return ref
     val at = ref.indexOf('@')
     val name = if (at < 0) ref else ref.substring(0, at)
-    val cat = spark.sessionState.catalog
-    if (NameRe.matches(name) && (cat.getTempView(name).isDefined ||
-        cat.tableExists(
-          org.apache.spark.sql.catalyst.TableIdentifier(name))))
+    if (sessionShadowed(spark, name))
       throw new IllegalArgumentException(
         s"'$name' is a registered graft table but a temp view or " +
           "session-catalog table of the same name shadows it — " +
@@ -296,27 +313,18 @@ object GraftCatalog {
     s"#graft-view\t1\n#name\t${b64e(name)}\n#sql\t${b64e(sql)}\n"
 
   /** Register a view. Plain CREATE is the same atomic claim tables use;
-    * OR REPLACE stages under a temp name and renames over (the
-    * [[replaceEntry]] discipline — never a drop-then-create window). */
+    * OR REPLACE rides [[renameOver]], the shared replace discipline. */
   def createView(spark: SparkSession, name: String, sql: String,
                  orReplace: Boolean = false): Unit = {
     require(NameRe.matches(name),
       s"illegal graft view name: $name (SQL identifier required)")
     val p = viewPath(spark, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (orReplace) {
-      val tmp = new Path(p.getParent,
-        p.getName + ".tmp." + java.util.UUID.randomUUID().toString)
-      val out = VersionedTable.createExclusive(fs, tmp)
-      try out.write(renderView(name, sql).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p)) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"concurrent CREATE VIEW $name raced this REPLACE — re-run")
-      }
-    } else {
+    if (orReplace)
+      renameOver(fs, p,
+        renderView(name, sql).getBytes(StandardCharsets.UTF_8),
+        s"VIEW $name")
+    else {
       val out =
         try VersionedTable.createExclusive(fs, p)
         catch { case e: java.io.IOException =>

@@ -188,13 +188,11 @@ object GraftSqlParser {
     * READ path ([[resolveNamedTables]]) already honors. The write/DDL
     * paths must agree: a shadowed name passes through to Spark (or
     * errors loudly), never silently targeting a graft table the user's
-    * own SELECT would not show. In-memory checks only. */
+    * own SELECT would not show. One shared check
+    * ([[GraftCatalog.sessionShadowed]]) with the streaming legs. */
   private def sessionShadowed(name: String): Boolean =
-    SparkSession.getActiveSession.exists { spark =>
-      val cat = spark.sessionState.catalog
-      cat.getTempView(name).isDefined ||
-        cat.tableExists(TableIdentifier(name))
-    }
+    SparkSession.getActiveSession.exists(
+      GraftCatalog.sessionShadowed(_, name))
 
   /** [[resolveName]] minus shadowed names — the resolution every DML /
     * DDL claim uses, so reads and writes always address the SAME table.
@@ -599,7 +597,7 @@ object GraftSqlParser {
         "CREATE with ALTER TABLE ... SET TBLPROPERTIES")
     val keys = colsProp("graft.keys")
     derived.foreach { case (p, kind, src) =>
-      require(keys.contains(src),
+      require(keys.exists(_.equalsIgnoreCase(src)),
         s"$stmt: transform partitioning ${kind.takeWhile(_ != ':')}" +
           s"($src) needs $src among the merge keys " +
           "(TBLPROPERTIES('graft.keys'='...')) — the partition is a " +
@@ -1530,10 +1528,21 @@ case class GraftCreateTableCommand(name: String, location: Option[String],
       derived.foldLeft(st) { case (s, (p, kind, src)) =>
         require(s.fieldNames.contains(src),
           s"transform partition source column $src is not in the schema")
-        if (s.fieldNames.contains(p)) s
-        else s.add(p, if (kind == "day")
+        val want = if (kind == "day")
           org.apache.spark.sql.types.DateType
-          else org.apache.spark.sql.types.IntegerType, nullable = true)
+          else org.apache.spark.sql.types.IntegerType
+        if (!s.fieldNames.contains(p)) s.add(p, want, nullable = true)
+        else {
+          // a user-declared transform column of the wrong type would
+          // pass CREATE, commit the first write, and then fail the
+          // registration — a permanently half-registered table; refuse
+          // at the declaration instead
+          require(s(p).dataType == want,
+            s"declared transform partition column $p must be " +
+              s"${want.simpleString} for ${kind.takeWhile(_ != ':')}" +
+              s"($src); got ${s(p).dataType.simpleString}")
+          s
+        }
       }.toDDL
     }
     VersionedTable.currentVersion(spark, root) match {
@@ -1620,6 +1629,28 @@ case class GraftCreateViewCommand(name: String, sql: String,
     // full analysis of the body (through OUR parser, so named graft
     // tables and nested views resolve); also re-validates at REPLACE
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    // a PERSISTENT late-bound view must not capture SESSION state: a
+    // body reference that resolves to a temp view analyzes fine now and
+    // breaks in every later session — refuse at CREATE, exactly like
+    // Spark's own persistent CREATE VIEW (body-defined CTE names are
+    // not references)
+    val cteNames = parsed.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(
+        _._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    val tempRefs = parsed.collectWithSubqueries {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+          !cteNames.contains(u.multipartIdentifier.head
+            .toLowerCase(java.util.Locale.ROOT)) &&
+          spark.sessionState.catalog
+            .getTempView(u.multipartIdentifier.head).isDefined =>
+        u.multipartIdentifier.head
+    }.distinct
+    require(tempRefs.isEmpty,
+      s"CREATE VIEW $name references temp view(s) " +
+        s"${tempRefs.mkString(", ")} — a persistent view cannot " +
+        "capture session-scoped state; materialize them as graft " +
+        "tables or inline the query")
     spark.sessionState.executePlan(parsed).assertAnalyzed()
     GraftCatalog.createView(spark, name, sql, orReplace)
     Seq.empty
@@ -2054,10 +2085,21 @@ case class GraftCreateTableAsCommand(name: String, location: Option[String],
     require(missing.isEmpty,
       s"declared partition/key/index columns not produced by the " +
         s"query: ${missing.mkString(", ")}")
-    derived.foreach { case (_, kind, src) =>
+    derived.foreach { case (p, kind, src) =>
       require(fields.contains(src),
         s"transform partition source column $src is not produced by " +
           s"the query (${kind.takeWhile(_ != ':')}($src))")
+      // a query-produced transform column of the wrong type would fail
+      // only AFTER the first write committed — refuse before any write
+      if (fields.contains(p)) {
+        val want = if (kind == "day")
+          org.apache.spark.sql.types.DateType
+          else org.apache.spark.sql.types.IntegerType
+        require(df.schema(p).dataType == want,
+          s"query-produced transform partition column $p must be " +
+            s"${want.simpleString} for ${kind.takeWhile(_ != ':')}" +
+            s"($src); got ${df.schema(p).dataType.simpleString}")
+      }
     }
     val root = location.getOrElse(GraftCatalog.managedRoot(spark, name))
     require(VersionedTable.currentVersion(spark, root).isEmpty,

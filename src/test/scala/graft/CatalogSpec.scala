@@ -678,6 +678,12 @@ class CatalogSpec extends SparkSpec {
       s"""CREATE TABLE cat_txf (id INT, ts TIMESTAMP, v BIGINT)
          |USING graft LOCATION '$path' PARTITIONED BY (day(ts))
          |TBLPROPERTIES('graft.keys'='id,ts')""".stripMargin)
+    // a user-declared transform column of the WRONG type refuses at
+    // CREATE (registration after the first write could never succeed)
+    intercept[IllegalArgumentException](spark.sql(
+      s"CREATE TABLE cat_txf_bad2 (id INT, ts TIMESTAMP, " +
+        s"ts_day STRING) USING graft LOCATION '${path}_bad2' " +
+        "PARTITIONED BY (day(ts)) TBLPROPERTIES('graft.keys'='id,ts')"))
     val rows = for (d <- 1 to 10; h <- 0 until 24) yield
       (d * 100 + h, java.sql.Timestamp.valueOf(
         f"2024-02-$d%02d $h%02d:00:00"), d.toLong)
@@ -830,6 +836,17 @@ class CatalogSpec extends SparkSpec {
         "TBLPROPERTIES('graft.keys'='id')"))
     intercept[IllegalArgumentException](spark.sql(
       "CREATE VIEW cat_vt AS SELECT 1 AS one"))
+    // a persistent view cannot capture a session temp view (it would
+    // break in every other session) — but a body-defined CTE of the
+    // same name is not a capture
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("cat_v_tmp")
+    val cap = intercept[IllegalArgumentException](spark.sql(
+      "CREATE VIEW cat_v_capt AS SELECT * FROM cat_v_tmp"))
+    assert(cap.getMessage.contains("temp view"))
+    spark.sql("CREATE VIEW cat_v_cte AS WITH cat_v_tmp AS " +
+      "(SELECT 9 AS a) SELECT a FROM cat_v_tmp")
+    assert(spark.sql("SELECT a FROM cat_v_cte").first.getInt(0) == 9)
+    spark.sql("DROP VIEW cat_v_cte")
     spark.sql("DROP VIEW cat_v2")
     spark.sql("DROP VIEW cat_v1")
     // unregistered now -> falls through to Spark's own resolution/error

@@ -2467,6 +2467,38 @@ class OpsSpec extends SparkSpec {
       .head().contains("legacy"))
   }
 
+  test("column defaults: DV deletes see the defaulted value, and a " +
+      "non-constant initial default is FROZEN at ADD time") {
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val root = java.nio.file.Files.createTempDirectory("graft_dflt2")
+      .toString + "/table"
+    VersionedTable.upsert(spark, root,
+      Seq((1, "d1", "a"), (2, "d2", "b")).toDF("id", "day", "val"),
+      Seq("id", "day"), Seq("day"))
+    VersionedTable.addColumn(spark, root, "src", StringType,
+      Some("'legacy'"))
+    // merge-on-read delete by the DEFAULTED value: the predicate must
+    // see what a read serves ('legacy'), not the physical NULL
+    VersionedTable.deleteMatchingDV(spark, root,
+      $"src" === "legacy" && $"id" === 1, maxDeleteRows = 10)
+    assert(VersionedTable.read(spark, root).select($"id").as[Int]
+      .collect().toSet == Set(2))
+    // ... and an IS NULL DV delete must NOT hit defaulted rows
+    VersionedTable.deleteMatchingDV(spark, root, $"src".isNull,
+      maxDeleteRows = 10)
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // a non-constant default freezes to ONE value at ADD: two reads
+    // agree, and a pre-add row equals the frozen instant, not "now"
+    VersionedTable.addColumn(spark, root, "seen", TimestampType,
+      Some("current_timestamp()"))
+    val r1 = VersionedTable.read(spark, root).select($"seen")
+      .as[java.sql.Timestamp].head()
+    Thread.sleep(50)
+    val r2 = VersionedTable.read(spark, root).select($"seen")
+      .as[java.sql.Timestamp].head()
+    assert(r1 == r2, s"initial default re-evaluated: $r1 vs $r2")
+  }
+
   test("VersionedTable.renameColumn: metadata-only, index/constraint " +
       "continuity, time travel, physical-name guards") {
     val root = java.nio.file.Files.createTempDirectory("graft_ren")
