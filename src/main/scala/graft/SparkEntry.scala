@@ -2364,6 +2364,61 @@ object SparkEntry {
     s.sql(s"SELECT symbol, n_events_total, vol_total FROM $mv")
   }
 
+  /** The graft-cdc STREAMING SOURCE under oracle check: the daily
+    * rollup lands as a named table (v0 via CTAS), a windowed UPDATE
+    * (v1) and an early-days DELETE (v2) commit, and
+    * `spark.readStream.format("graft-cdc")` drains the table's whole
+    * change history — initial load + CDF update/delete rows, offsets =
+    * table versions — into a parquet CDC log. The oracled output
+    * RECONSTRUCTS the final table state from the LOG ALONE (latest op
+    * per key, postimage preferred, deletes dropped), so the hash only
+    * matches if the streamed feed was complete, correctly versioned,
+    * and correctly imaged. */
+  private def qCdcSource(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val name = "cdc_src_q_" + slug
+    val stage = "/tmp/graft_cdc_source/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcView = "cdc_src_qv_" + slug
+    fixture {
+      rmrf(s, stage)
+      graft.plans.GraftCatalog.drop(s, name)
+      TimeWindows.dailyOhlcv(ev(s, dir), "event_type", "ts", "value",
+        volume = col("user_id")).createOrReplaceTempView(srcView)
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$stage/table'
+           |PARTITIONED BY (event_type)
+           |TBLPROPERTIES('graft.keys'='event_type,date')
+           |AS SELECT * FROM $srcView""".stripMargin)
+      s.sql(s"UPDATE $name SET daily_volume = daily_volume + 1000000 " +
+        "WHERE date BETWEEN DATE'2024-01-08' AND DATE'2024-01-14'")
+      s.sql(s"DELETE FROM $name WHERE date < DATE'2024-01-03'")
+    }
+    val q = s.readStream.format("graft-cdc").option("table", name).load()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$stage/log")
+      .option("checkpointLocation", s"$stage/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new IllegalStateException("q_cdc_source drain exceeded 120s")
+    }
+    val log = s.read.parquet(s"$stage/log")
+    // final state from the log alone: per key, the newest version's
+    // row, postimage over preimage within a version, deletes dropped
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "date")
+      .orderBy(col("_commit_version").desc,
+        when(col("op") === "update_preimage", lit(1)).otherwise(lit(0)))
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "delete")
+      .select(col("event_type"), col("date"), col("daily_open"),
+        col("daily_high"), col("daily_low"), col("daily_close"),
+        col("daily_volume"), r4(col("daily_change")).as("daily_change"))
+  }
+
   /** Transform partitioning declared AT CREATE under oracle check:
     * `CREATE TABLE ... PARTITIONED BY (day(ts))` registers the derived
     * day layout in one statement; the INSERT computes the partition
@@ -4429,6 +4484,7 @@ object SparkEntry {
     "q_column_default" -> (qColumnDefault _),
     "q_create_transform" -> (qCreateTransform _),
     "q_catalog_stream" -> (qCatalogStream _),
+    "q_cdc_source" -> (qCdcSource _),
     "q_versioned_sql_merge2" -> (qVersionedSqlMerge2 _),
     "q_versioned_rename" -> (qVersionedRename _),
     "q_versioned_count_part" -> (qVersionedCountPart _),
@@ -7269,6 +7325,27 @@ object SparkEntry {
          |  daily_close, daily_volume, daily_change,
          |  CASE WHEN date >= DATE '2024-01-15' THEN 'late' END AS src
          |FROM daily""".stripMargin,
+
+    // graft-cdc streaming source: the final table state reconstructed
+    // from the streamed change log = rollup with the window UPDATE
+    // applied and the early days deleted
+    "q_cdc_source" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    arg_min(value, $TS) AS daily_open, max(value) AS daily_high,
+         |    min(value) AS daily_low, arg_max(value, $TS) AS daily_close,
+         |    CAST(sum(user_id) AS BIGINT) AS daily_volume,
+         |    round(arg_max(value, $TS) - arg_min(value, $TS), 4)
+         |      AS daily_change
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, date, daily_open, daily_high, daily_low,
+         |  daily_close,
+         |  CAST(CASE WHEN date BETWEEN DATE '2024-01-08'
+         |      AND DATE '2024-01-14'
+         |    THEN daily_volume + 1000000 ELSE daily_volume END
+         |    AS BIGINT) AS daily_volume,
+         |  daily_change
+         |FROM daily WHERE date >= DATE '2024-01-03'""".stripMargin,
 
     // stream -> named table -> named matview, end to end: per-symbol
     // totals equal a direct aggregate of the raw events (each event

@@ -278,6 +278,62 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE strm_metrics")
   }
 
+  test("graft-cdc source: readStream of a named table's change feed — " +
+      "initial load, CDF ops, version offsets, restart-exact") {
+    import graft.ops.VersionedTable
+    val base = Files.createTempDirectory("graft_cdc_src")
+    spark.sql(
+      s"""CREATE TABLE cdc_src_t (id INT, g STRING, v INT)
+         |USING graft LOCATION '${base.resolve("t")}'
+         |PARTITIONED BY (g)
+         |TBLPROPERTIES('graft.keys'='id,g')""".stripMargin)
+    spark.sql("INSERT INTO cdc_src_t VALUES (1,'a',10), (2,'b',20)")
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Int, Int)]()
+    val ckpt = base.resolve("ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", "cdc_src_t").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("op", "_commit_version", "id", "v").collect().foreach(
+            r => seen.add((r.getString(0), r.getInt(1), r.getInt(2),
+              if (r.isNullAt(3)) -1 else r.getInt(3))))
+          ()
+        }.start()
+      assert(q.awaitTermination(60000))
+    }
+    // schema: op + _commit_version + visible table columns
+    val cols = spark.readStream.format("graft-cdc")
+      .option("table", "cdc_src_t").load().columns.toSeq
+    assert(cols == Seq("op", "_commit_version", "id", "g", "v"))
+    drain() // initial load: whole table as inserts at v0
+    assert(seen.size == 2 &&
+      seen.iterator().next()._1 == "insert")
+    seen.clear()
+    // an update and a delete commit; the next drain delivers CDF rows
+    spark.sql("UPDATE cdc_src_t SET v = 11 WHERE id = 1")
+    spark.sql("DELETE FROM cdc_src_t WHERE id = 2")
+    drain()
+    val ops = Iterator.continually(seen.poll()).takeWhile(_ != null).toSeq
+    assert(ops.exists(o => o._1 == "update_preimage" && o._3 == 1 &&
+      o._4 == 10))
+    assert(ops.exists(o => o._1 == "update_postimage" && o._3 == 1 &&
+      o._4 == 11))
+    assert(ops.exists(o => o._1 == "delete" && o._3 == 2))
+    assert(ops.forall(_._2 == 2), s"commit version wrong: $ops")
+    // restart-exact: same checkpoint, no new commits -> nothing replays
+    drain()
+    assert(seen.isEmpty, s"replayed: $seen")
+    // unregistered name refuses at construction
+    intercept[IllegalArgumentException](
+      spark.readStream.format("graft-cdc")
+        .option("table", "cdc_never").load())
+    spark.sql("DROP TABLE cdc_src_t")
+  }
+
   test("streaming WAP: exactly-once merge into a branch, then fast-forward") {
     import graft.ops.VersionedTable
     import org.apache.spark.sql.functions.{col, to_date}
