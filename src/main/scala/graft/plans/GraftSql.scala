@@ -617,6 +617,16 @@ object GraftSqlParser {
     columns.map(_.name).filter(_.startsWith("__")).foreach(c =>
       throw new IllegalArgumentException(
         s"column name $c is reserved (the __ prefix is internal)"))
+    // the catalog entry stores a plain DDL string, which cannot carry a
+    // default — refusing beats silently dropping a declared DEFAULT
+    // (defaults are table-lifecycle metadata: set them after CREATE)
+    columns.filter(_.defaultValue.isDefined).map(_.name) match {
+      case Seq() => ()
+      case ds => throw new IllegalArgumentException(
+        s"CREATE TABLE ... USING graft does not take column DEFAULTs " +
+          s"(${ds.mkString(", ")}) — ALTER TABLE ... ADD COLUMN ... " +
+          "DEFAULT or ALTER COLUMN ... SET DEFAULT after CREATE")
+    }
     if (columns.isEmpty) None
     else Some(org.apache.spark.sql.types.StructType(columns.map(cd =>
       org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
@@ -1918,11 +1928,11 @@ case class GraftDescribeTableCommand(root: String, isExtended: Boolean)
     AttributeReference("data_type", StringType, nullable = false)(),
     AttributeReference("comment", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (schema, partCols) =
+    val (schema, partCols, derived) =
       VersionedTable.currentVersion(spark, root) match {
         case Some(v) =>
           val m = VersionedTable.resolveManifestAt(spark, root, v, v)
-          (m.schema, m.partCols)
+          (m.schema, m.partCols, m.derived)
         case None =>
           val e = GraftCatalog.list(spark)
             .find(_.root == VersionedTable.splitRef(root)._1)
@@ -1931,17 +1941,29 @@ case class GraftDescribeTableCommand(root: String, isExtended: Boolean)
           (e.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
             .getOrElse(throw new java.io.FileNotFoundException(
               s"graft table ${e.name} has no data and no declared schema")),
-            e.partCols)
+            e.partCols,
+            e.derived.map { case (p, k, s) => p -> ((k, s)) }.toMap)
       }
+    // lifecycle metadata surfaces in the comment column: write defaults
+    // on their columns, the transform on derived partition rows
+    val defaults = VersionedTable.writeDefaults(schema)
+    def describeTransform(p: String): String =
+      derived.get(p).map { case (kind, src) => kind match {
+        case k if k.startsWith("bucket:") =>
+          s"bucket(${k.stripPrefix("bucket:")}, $src)"
+        case k => s"$k($src)"
+      }}.orNull
     val cols = schema.fields.toSeq.filterNot(_.name.startsWith("__"))
-      .map(f => Row(f.name, f.dataType.simpleString, null))
+      .map(f => Row(f.name, f.dataType.simpleString,
+        defaults.get(f.name).map(d => s"DEFAULT $d")
+          .orElse(Option(describeTransform(f.name))).orNull))
     val visParts = partCols.filterNot(_.startsWith("__"))
     if (visParts.isEmpty) cols
     else cols ++ Seq(
       Row("# Partition Information", "", null),
       Row("# col_name", "data_type", "comment")) ++
       visParts.map(c =>
-        Row(c, schema(c).dataType.simpleString, null))
+        Row(c, schema(c).dataType.simpleString, describeTransform(c)))
   }
 }
 
@@ -2251,7 +2273,7 @@ case class GraftShowCreateTableCommand(name: Option[String], root: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val entry = GraftCatalog.list(spark)
       .find(_.root == VersionedTable.splitRef(root)._1)
-    val (schema, partCols, keys, statsCols, bloomCols) =
+    val (schema, partCols, keys, statsCols, bloomCols, derived) =
       VersionedTable.currentVersion(spark, root) match {
         case Some(v) =>
           val m = VersionedTable.resolveManifestAt(spark, root, v, v)
@@ -2264,7 +2286,7 @@ case class GraftShowCreateTableCommand(name: Option[String], root: String)
               (st0, bl0)
             else entry.map(e => (e.statsCols, e.bloomCols))
               .getOrElse((st0, bl0))
-          (m.schema, m.partCols, m.keys, st, bl)
+          (m.schema, m.partCols, m.keys, st, bl, m.derived)
         case None =>
           val e = entry.getOrElse(throw new java.io.FileNotFoundException(
             s"no committed version at $root"))
@@ -2272,17 +2294,39 @@ case class GraftShowCreateTableCommand(name: Option[String], root: String)
             .map(org.apache.spark.sql.types.StructType.fromDDL)
             .getOrElse(throw new java.io.FileNotFoundException(
               s"graft table has no data and no declared schema at $root")),
-            e.partCols, e.keys, e.statsCols, e.bloomCols)
+            e.partCols, e.keys, e.statsCols, e.bloomCols,
+            e.derived.map { case (p, k, s) => p -> ((k, s)) }.toMap)
       }
     val ident = name.orElse(entry.map(_.name)).getOrElse(s"graft.`$root`")
-    val cols = schema.fields.toSeq.filterNot(_.name.startsWith("__"))
+    // a CREATE-declared transform partition (generated `<src>_day` /
+    // `<src>_bucket` name) re-emits AS the transform, so the DDL
+    // round-trips to the identical one-statement layout; custom-named
+    // ALTER-era registrations keep the plain column (their transform
+    // shows in DESCRIBE [DETAIL]) — re-attach validates partCols either
+    // way. The generated column is omitted from the column list exactly
+    // as the user originally wrote it.
+    def transformOf(p: String): Option[String] =
+      derived.get(p).collect {
+        case ("day", src) if p == s"${src}_day" => s"day($src)"
+        case (k, src) if k.startsWith("bucket:") &&
+            p == s"${src}_bucket" =>
+          s"bucket(${k.stripPrefix("bucket:")}, $src)"
+      }
+    val generated = partCols.filter(transformOf(_).isDefined).toSet
+    val cols = schema.fields.toSeq.filterNot(f =>
+        f.name.startsWith("__") || generated.contains(f.name))
       .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
     val partLine = {
       val vis = partCols.filterNot(_.startsWith("__"))
+        .map(p => transformOf(p).getOrElse(p))
       if (vis.isEmpty) "" else s"\nPARTITIONED BY (${vis.mkString(", ")})"
     }
     def prop(k: String, cs: Seq[String]): Seq[String] = {
-      val vis = cs.filterNot(_.startsWith("__"))
+      // generated transform columns are re-derived (and re-keyed) by
+      // the emitted PARTITIONED BY clause — listing them here would
+      // double-declare on re-create
+      val vis = cs.filterNot(c => c.startsWith("__") ||
+        generated.contains(c))
       if (vis.isEmpty) Nil else Seq(s"'$k'='${vis.mkString(",")}'")
     }
     val props = prop("graft.keys", keys) ++

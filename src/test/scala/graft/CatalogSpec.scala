@@ -724,6 +724,21 @@ class CatalogSpec extends SparkSpec {
       .first.getLong(0) == 1001L)
     assert(spark.sql("SELECT count(*) AS n FROM cat_txf")
       .first.getLong(0) == 240)
+    // SHOW CREATE round-trips the one-statement transform layout (the
+    // generated column stays out of the column list, as written)
+    val ddl = spark.sql("SHOW CREATE TABLE cat_txf").first.getString(0)
+    assert(ddl.contains("PARTITIONED BY (day(ts))") &&
+      !ddl.contains("ts_day"), ddl)
+    // DESCRIBE surfaces the transform on its partition rows
+    assert(spark.sql("DESCRIBE cat_txf").collect().exists(r =>
+      r.getString(0) == "ts_day" && r.getString(2) == "day(ts)"))
+    // column DEFAULTs are lifecycle metadata — CREATE refuses them
+    // instead of silently dropping
+    val cd = intercept[IllegalArgumentException](spark.sql(
+      s"CREATE TABLE cat_txf_cd (id INT, s STRING DEFAULT 'x') " +
+        s"USING graft LOCATION '${path}_cd' " +
+        "TBLPROPERTIES('graft.keys'='id')"))
+    assert(cd.getMessage.contains("DEFAULT"))
     // bucket transform: CTAS with bucket(8, id), equality prunes
     spark.sql(
       s"""CREATE TABLE cat_txfb USING graft LOCATION '${path}_b'
