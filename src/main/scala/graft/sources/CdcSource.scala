@@ -80,7 +80,31 @@ class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val root = CdcSource.rootOf(spark, parameters)
-    new CdcSource(spark, root, CdcSource.servedSchema(spark, root))
+    // startingVersion: begin past the initial load — an integer N means
+    // "changes AFTER version N" (the offset convention), 'latest' means
+    // "only commits after stream creation" (resolved NOW, so a commit
+    // racing the start is not silently skipped by a later resolution)
+    val startingVersion = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")).map {
+        case v if v.equalsIgnoreCase("latest") =>
+          VersionedTable.currentVersion(spark, root).getOrElse(-1).toLong
+        case v => v.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"startingVersion must be an integer version or 'latest': $v"))
+      }
+    // maxVersionsPerBatch: rate limit — a consumer restarted after long
+    // downtime catches up N version transitions per micro-batch instead
+    // of one giant diff (Delta's maxFilesPerTrigger idea on the version
+    // axis); triggers keep firing until drained
+    val maxPerBatch = parameters.get("maxversionsperbatch")
+      .orElse(parameters.get("maxVersionsPerBatch")).map { v =>
+        val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"maxVersionsPerBatch must be a positive integer: $v"))
+        require(n >= 1, s"maxVersionsPerBatch must be >= 1: $n")
+        n
+      }
+    new CdcSource(spark, root, CdcSource.servedSchema(spark, root),
+      startingVersion, maxPerBatch)
   }
 }
 
@@ -115,7 +139,31 @@ private[sources] object CdcSource {
 }
 
 class CdcSource(spark: SparkSession, root: String,
-                override val schema: StructType) extends Source {
+                override val schema: StructType,
+                startingVersion: Option[Long] = None,
+                maxVersionsPerBatch: Option[Int] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow pins its END here (the engine would otherwise
+    * snapshot ONE getOffset — a rate-limited drain would stop after the
+    * first capped batch instead of catching up to the pinned target);
+    * commits landing after the prepare are the next run's. */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      VersionedTable.currentVersion(spark, root).map(_.toLong)
+
+  /** SupportsAdmissionControl's entry point (the engine uses it instead
+    * of getOffset once SupportsTriggerAvailableNow is implemented) —
+    * the engine's ReadLimit is ignored on purpose: this source's
+    * admission knob is maxVersionsPerBatch, already folded into
+    * [[getOffset]]. Null = no data yet, per the contract. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
 
   private def version(o: Offset): Int = o match {
     case LongOffset(v) => v.toInt
@@ -124,23 +172,44 @@ class CdcSource(spark: SparkSession, root: String,
       s"unexpected offset type for graft-cdc: $other")
   }
 
-  /** The table's current committed version IS the latest offset — one
-    * marker listing per trigger, no data I/O. A not-yet-written table
-    * is "no data yet", not an error: the stream starts delivering at
-    * its first commit. */
+  /** Highest offset this source has handed to the engine — the rate
+    * limit's base. Re-initialized on restart by the engine's recovery
+    * getBatch of the last batch (and advanced by commit callbacks), so
+    * a capped getOffset can never fall BEHIND the checkpoint and stall
+    * the stream. */
+  @volatile private var maxSeen: Long = startingVersion.getOrElse(-1L)
+
+  /** The table's current committed version IS the latest offset (one
+    * marker listing per trigger, no data I/O), capped at
+    * maxVersionsPerBatch transitions past the last delivered offset. A
+    * not-yet-written table is "no data yet", not an error: the stream
+    * starts delivering at its first commit. */
   override def getOffset: Option[Offset] =
-    VersionedTable.currentVersion(spark, root).map(v => LongOffset(v.toLong))
+    VersionedTable.currentVersion(spark, root).map { cur0 =>
+      val cur = availableNowTarget.fold(cur0.toLong)(
+        math.min(cur0.toLong, _))
+      LongOffset(maxVersionsPerBatch.fold(cur)(m =>
+        math.min(cur, math.max(maxSeen, -1L) + m)))
+    }
+    // note: when the table's current version is still <= a configured
+    // startingVersion, the first batch is an EMPTY diff (from == to) —
+    // deliberately not filtered here, so a RESTARTED stream's
+    // checkpoint always outranks a re-resolved 'latest'
+
+  override def commit(end: Offset): Unit =
+    maxSeen = math.max(maxSeen, version(end).toLong)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = version(end)
-    val feed = start match {
+    maxSeen = math.max(maxSeen, to.toLong)
+    val feed = start.map(version).orElse(
+        startingVersion.map(_.toInt)) match {
       case None =>
         // CDC initial load, PINNED at `to` (the version the checkpoint
         // will record): the whole table as insert rows
         val t = VersionedTable.read(spark, root, Some(to))
         t.select(lit("insert").as("op") +: t.columns.map(col): _*)
-      case Some(s) =>
-        val from = version(s)
+      case Some(from) =>
         val m = VersionedTable.resolveManifestAt(spark, root, to, to)
         VersionedTable.changeFeedCdf(spark, root, m.keys, from, to)
     }

@@ -331,6 +331,51 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       spark.readStream.format("graft-cdc")
         .option("table", "cdc_never").load())
+    // startingVersion=0 skips the initial load (changes AFTER v0) and
+    // maxVersionsPerBatch=1 rate-limits: one version transition per
+    // micro-batch, so the v1 UPDATE and v2 DELETE arrive in SEPARATE
+    // batches, each under its own _commit_version
+    val perBatch =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[Int]]()
+    val q2 = spark.readStream.format("graft-cdc")
+      .option("table", "cdc_src_t")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt2").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_commit_version").collect()
+          .map(_.getInt(0)).toSet
+        if (vs.nonEmpty) perBatch.add(vs)
+        ()
+      }.start()
+    assert(q2.awaitTermination(60000))
+    val batches = Iterator.continually(perBatch.poll())
+      .takeWhile(_ != null).toSeq
+    assert(batches == Seq(Set(1), Set(2)),
+      s"rate-limited catch-up wrong: $batches")
+    // startingVersion=latest: nothing to deliver until a NEW commit
+    val seen3 = new java.util.concurrent.atomic.AtomicLong
+    def drainLatest(): Unit = {
+      val q3 = spark.readStream.format("graft-cdc")
+        .option("table", "cdc_src_t")
+        .option("startingVersion", "latest")
+        .load()
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt3").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen3.addAndGet(b.count()); ()
+        }.start()
+      assert(q3.awaitTermination(60000))
+    }
+    drainLatest()
+    assert(seen3.get == 0, s"startingVersion=latest replayed history")
+    spark.sql("INSERT INTO cdc_src_t VALUES (9,'a',90)")
+    drainLatest()
+    assert(seen3.get == 1)
     spark.sql("DROP TABLE cdc_src_t")
   }
 
