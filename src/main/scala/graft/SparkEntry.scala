@@ -430,6 +430,43 @@ object SparkEntry {
         col("n2"), r6(col("jaccard")).as("jaccard"))
   }
 
+  /** CDC-maintained LSH dedup index under oracle check: the corpus
+    * (doc_id % 10 != 0) builds the index ONCE; the new batch lands in
+    * the source table and an INCREMENTAL refresh re-bands only the feed
+    * (guard pins feed-sized work — no corpus re-shingle, no rebuild);
+    * the oracled output is the batch's exact-verified near-dup pairs
+    * against the corpus, probed THROUGH the index buckets. Hash-equal
+    * to the capless exact all-pairs answer because at 64 perms / 32
+    * bands a true-Jaccard>=0.7 pair is missed with p < 1e-9. */
+  private def qDedupIndex(s: SparkSession, dir: String): DataFrame = {
+    val stage = "/tmp/graft_dedup_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (src, idx) = (s"$stage/src", s"$stage/idx")
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    fixture {
+      rmrf(s, stage)
+      VersionedTable.upsert(s, src,
+        docs.filter(col("doc_id") % 10 =!= 0),
+        Seq("doc_id", "lang"), Seq("lang"))
+      graft.dedup.DedupIndex.create(s, idx, src, "doc_id", "text",
+        shingleN = 3, numPerm = 64, bands = 32)
+      VersionedTable.upsert(s, src, batch, Seq("doc_id", "lang"),
+        Seq("lang"))
+    }
+    graft.dedup.DedupIndex.refresh(s, idx)
+    require(!graft.dedup.DedupIndex.lastRefreshRebuild &&
+      graft.dedup.DedupIndex.lastRefreshDocs == batch.count(),
+      s"refresh was not incremental: rebuild=" +
+        s"${graft.dedup.DedupIndex.lastRefreshRebuild} docs=" +
+        s"${graft.dedup.DedupIndex.lastRefreshDocs}")
+    graft.dedup.DedupIndex.verifiedPairs(s, idx, batch, 0.7)
+      .filter(col("corpus_id") % 10 =!= 0)
+      .select(col("new_id"), col("corpus_id"), col("n_common"),
+        col("n1"), col("n2"), r6(col("jaccard")).as("jaccard"))
+  }
+
   /** Grouped bivariate stats: how extended price tracks quantity per
     * return flag — corr/covar/OLS in one partial-aggregable pass. */
   private def qStatsBivariate(s: SparkSession, dir: String): DataFrame =
@@ -4430,6 +4467,7 @@ object SparkEntry {
     "q_window_time_range" -> (qWindowTimeRange _),
     "q_quality_deciles" -> (qQualityDeciles _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_index" -> (qDedupIndex _),
     "q_stats_bivariate" -> (qStatsBivariate _),
     "q_outliers" -> (qOutliers _),
     "q_outliers_mad" -> (qOutliersMad _),
@@ -7815,6 +7853,33 @@ object SparkEntry {
         |JOIN s1 ON s1.id = new_id
         |JOIN s2 ON s2.id = corpus_id
         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.3"""
+        .stripMargin,
+
+    // CDC-maintained LSH index: batch-vs-corpus exact near-dup pairs at
+    // >= 0.7, probed through the index buckets (capless, unblocked)
+    "q_dedup_index" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |shn AS (SELECT * FROM sh WHERE id % 10 = 0),
+        |shc AS (SELECT * FROM sh WHERE id % 10 <> 0),
+        |s1 AS (SELECT id, count(*) AS n FROM shn GROUP BY 1),
+        |s2 AS (SELECT id, count(*) AS n FROM shc GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS new_id, b.id AS corpus_id, count(*) AS n_common
+        |  FROM shn a JOIN shc b ON a.shingle = b.shingle
+        |  GROUP BY 1, 2)
+        |SELECT new_id, corpus_id, n_common, s1.n AS n1, s2.n AS n2,
+        |  round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN s1 ON s1.id = new_id
+        |JOIN s2 ON s2.id = corpus_id
+        |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.7"""
         .stripMargin,
 
     "q_dedup_jaccard" ->

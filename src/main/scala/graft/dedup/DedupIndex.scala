@@ -1,0 +1,254 @@
+package graft.dedup
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.VersionedTable
+
+/**
+ * A PERSISTED MinHash-LSH near-duplicate index over a versioned
+ * documents table, maintained INCREMENTALLY from its change feed — the
+ * piece that makes near-dedup continuous at 100 TB:
+ *
+ *  - The corpus is minhashed ONCE (the initial build); after that,
+ *    every refresh reads only the CHANGE FEED — inserted/updated docs
+ *    re-band, removed docs' bucket rows are erased through the
+ *    bloom-probed key-list delete — so keeping the index current costs
+ *    O(|changed docs|) however large the corpus. Batch dedup pipelines
+ *    ([[FuzzyDedup.jaccardPairsAgainst]]) re-shingle the corpus side
+ *    every run; a training-data pipeline ingesting documents
+ *    continuously cannot.
+ *  - The index IS a versioned table: (band_idx, band_hash, doc id),
+ *    partitioned by band with stats+bloom on the id column (the erase
+ *    path's probe), inheriting time travel, pruned reads, and the
+ *    exactly-once txn watermark that makes a crashed refresh replay
+ *    idempotently (the MatView discipline).
+ *  - [[candidatePairs]] joins a query batch's band rows against the
+ *    index on (band_idx, band_hash) — a shuffle equi-join on bucket
+ *    keys, never an all-pairs comparison; [[verifiedPairs]] then
+ *    exact-Jaccard-verifies ONLY the candidates, reading corpus texts
+ *    for just the matched ids.
+ *
+ * A refresh whose change set exceeds `spark.graft.dedupindex.idCap`
+ * (default 100k — the erase path collects changed ids to the driver)
+ * falls back to ONE full rebuild commit, the same threshold discipline
+ * as the matview's mass-removal fallback.
+ */
+object DedupIndex {
+
+  case class Spec(srcRoot: String, idCol: String, textCol: String,
+                  shingleN: Int, numPerm: Int, bands: Int, seed: Long)
+
+  private val StreamPrefix = "dedupindex:"
+  private def specPath(indexRoot: String) = new Path(indexRoot, "_dedupindex")
+  private def b64e(s: String) = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def b64d(s: String) = new String(
+    java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  private def idCap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedupindex.idCap")
+      .map(_.toInt).getOrElse(100000)
+
+  /** Docs the LAST [[refresh]] re-banded (feed-sized on the incremental
+    * path; the full doc count after a rebuild/initial build) and whether
+    * it took the full-rebuild fallback — per-thread observability, the
+    * MatView convention. */
+  private val lastDocs = new ThreadLocal[java.lang.Long] {
+    override def initialValue: java.lang.Long = -1L
+  }
+  private val lastRebuild = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+  private[graft] def lastRefreshDocs: Long = lastDocs.get
+  private[graft] def lastRefreshRebuild: Boolean = lastRebuild.get
+
+  /** Define the index and run the initial full build (the ONLY time the
+    * whole corpus is shingled). Returns the index table version. */
+  def create(spark: SparkSession, indexRoot: String, srcRoot: String,
+             idCol: String, textCol: String, shingleN: Int = 3,
+             numPerm: Int = 64, bands: Int = 32, seed: Long = 42L): Int = {
+    require(numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val spec = Spec(srcRoot, idCol, textCol, shingleN, numPerm, bands, seed)
+    val fs = specPath(indexRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = VersionedTable.createExclusive(fs, specPath(indexRoot))
+    try out.write(render(spec).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try refresh(spark, indexRoot)
+    catch { case t: Throwable =>
+      try fs.delete(specPath(indexRoot), false)
+      catch { case c: Throwable => t.addSuppressed(c) }
+      throw t
+    }
+  }
+
+  /** Band-bucket rows of `docs` (id + text): one row per (band_idx,
+    * band_hash, id). */
+  private def bandRows(docs: DataFrame, spec: Spec): DataFrame =
+    FuzzyDedup.lshBuckets(
+      FuzzyDedup.minhashSignatures(docs, spec.idCol, spec.textCol,
+        spec.shingleN, spec.numPerm, spec.seed),
+      spec.idCol, spec.bands)
+      .select(col("band_idx"), col("band_hash"), col(spec.idCol))
+
+  private def commitRows(spark: SparkSession, indexRoot: String,
+                         spec: Spec, rows: DataFrame, srcVersion: Int,
+                         replaceAll: Boolean): Int =
+    VersionedTable.upsert(spark, indexRoot, rows,
+      keys = Seq("band_idx", "band_hash", spec.idCol),
+      partCols = Seq("band_idx"),
+      statsCols = Seq(spec.idCol), bloomCols = Seq(spec.idCol),
+      txn = Some((StreamPrefix + spec.srcRoot, srcVersion.toLong)),
+      replaceAll = replaceAll)
+
+  /** Advance the index to the source's current version. Incremental:
+    * erase changed ids' bucket rows (bloom-probed key-list delete),
+    * re-band inserted/updated docs from the FEED's post-image rows,
+    * commit under the txn watermark. Returns the index version. */
+  def refresh(spark: SparkSession, indexRoot: String): Int = {
+    lastDocs.set(-1L)
+    lastRebuild.set(false)
+    val spec = readSpec(spark, indexRoot)
+    val srcCur = VersionedTable.currentVersion(spark, spec.srcRoot)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version at ${spec.srcRoot}"))
+    val streamId = StreamPrefix + spec.srcRoot
+    val synced = VersionedTable.currentVersion(spark, indexRoot)
+      .flatMap(_ => VersionedTable.lastTxn(spark, indexRoot, streamId))
+    synced match {
+      case Some(v) if v >= srcCur =>
+        VersionedTable.currentVersion(spark, indexRoot).get
+      case None =>
+        val docs = VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
+          .select(col(spec.idCol), col(spec.textCol)).persist()
+        try {
+          lastDocs.set(docs.count())
+          lastRebuild.set(true)
+          commitRows(spark, indexRoot, spec, bandRows(docs, spec), srcCur,
+            replaceAll = false)
+        } finally docs.unpersist()
+      case Some(from) =>
+        val feed = VersionedTable.changeFeed(spark, spec.srcRoot,
+          Seq(spec.idCol), from.toInt, srcCur).persist()
+        try {
+          val cap = idCap(spark)
+          val changedIds = feed.select(col(spec.idCol)).distinct()
+            .limit(cap + 1).collect().map(_.get(0)).toSeq
+          if (changedIds.length > cap) {
+            // mass change: one full-rebuild commit beats collecting a
+            // corpus-sized id list and a same-sized keyed delete
+            val docs = VersionedTable.read(spark, spec.srcRoot,
+              Some(srcCur)).select(col(spec.idCol), col(spec.textCol))
+            lastDocs.set(-1L)
+            lastRebuild.set(true)
+            commitRows(spark, indexRoot, spec, bandRows(docs, spec),
+              srcCur, replaceAll = true)
+          } else {
+            lastDocs.set(changedIds.length.toLong)
+            // erase FIRST (updates move band hashes, deletes vanish):
+            // a replayed refresh re-erases already-gone rows (no-op)
+            // and the upsert below is txn-idempotent
+            if (changedIds.nonEmpty &&
+                VersionedTable.currentVersion(spark, indexRoot).isDefined)
+              VersionedTable.deleteWhereIn(spark, indexRoot, spec.idCol,
+                changedIds)
+            val current = feed.filter(col("op") =!= "delete")
+              .select(col(spec.idCol), col(spec.textCol))
+            commitRows(spark, indexRoot, spec, bandRows(current, spec),
+              srcCur, replaceAll = false)
+          }
+        } finally feed.unpersist()
+    }
+  }
+
+  /** Candidate (query id, corpus id) pairs for a `query` batch of (id,
+    * text) docs: the batch's band rows joined against the INDEX on the
+    * bucket key — bucket-bounded, never an all-pairs join. Distinct
+    * pairs; self-matches (a query doc already indexed) excluded. */
+  def candidatePairs(spark: SparkSession, indexRoot: String,
+                     query: DataFrame): DataFrame = {
+    val spec = readSpec(spark, indexRoot)
+    val q = bandRows(query, spec)
+      .withColumnRenamed(spec.idCol, "new_id")
+    val idx = VersionedTable.read(spark, indexRoot)
+      .withColumnRenamed(spec.idCol, "corpus_id")
+    q.join(idx, Seq("band_idx", "band_hash"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+  }
+
+  /** [[candidatePairs]] exact-verified: shingle ONLY the query docs and
+    * the candidate corpus ids' texts (semi-joined source read) and keep
+    * pairs with true n-gram Jaccard >= minJaccard — output matches the
+    * exact all-pairs answer wherever the banding's recall holds (miss
+    * probability (1-s^r)^bands; at 64/32 and s>=0.7, ~4e-10). Columns:
+    * new_id, corpus_id, n_common, n1, n2, jaccard. */
+  def verifiedPairs(spark: SparkSession, indexRoot: String,
+                    query: DataFrame, minJaccard: Double): DataFrame = {
+    val spec = readSpec(spark, indexRoot)
+    val cands = candidatePairs(spark, indexRoot, query).persist()
+    try {
+      cands.count() // pin: reused for the semi join and the pair join
+      val corpusIds = cands.select(col("corpus_id")).distinct()
+      val corpusDocs = VersionedTable.read(spark, spec.srcRoot)
+        .join(corpusIds,
+          col(spec.idCol) === col("corpus_id"), "left_semi")
+        .select(col(spec.idCol), col(spec.textCol))
+      val shq = FuzzyDedup.shingles(query, spec.idCol, spec.textCol,
+        spec.shingleN).withColumnRenamed(spec.idCol, "new_id")
+      val shc = FuzzyDedup.shingles(corpusDocs, spec.idCol, spec.textCol,
+        spec.shingleN).withColumnRenamed(spec.idCol, "corpus_id")
+      val n1 = shq.groupBy(col("new_id")).agg(count(lit(1)).as("n1"))
+      val n2 = shc.groupBy(col("corpus_id")).agg(count(lit(1)).as("n2"))
+      val common = shq.join(cands, Seq("new_id"))
+        .join(shc, Seq("corpus_id", "shingle"))
+        .groupBy(col("new_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("n_common"))
+      common.join(n1, Seq("new_id")).join(n2, Seq("corpus_id"))
+        .withColumn("jaccard",
+          col("n_common") / (col("n1") + col("n2") - col("n_common")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("new_id"), col("corpus_id"), col("n_common"),
+          col("n1"), col("n2"), col("jaccard"))
+    } finally cands.unpersist()
+  }
+
+  private def render(spec: Spec): String =
+    s"#graft-dedupindex\t1\n" +
+      s"#src\t${b64e(spec.srcRoot)}\n" +
+      s"#id\t${b64e(spec.idCol)}\n" +
+      s"#text\t${b64e(spec.textCol)}\n" +
+      s"#n\t${spec.shingleN}\n" +
+      s"#perm\t${spec.numPerm}\n" +
+      s"#bands\t${spec.bands}\n" +
+      s"#seed\t${spec.seed}\n"
+
+  private[graft] def readSpec(spark: SparkSession,
+                              indexRoot: String): Spec = {
+    val p = specPath(indexRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new java.io.FileNotFoundException(
+      s"no dedup index at $indexRoot (missing ${p.getName})")
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith("#graft-dedupindex\t1")),
+      s"unrecognized dedup index spec at $indexRoot")
+    def one(tag: String): String = lines.collectFirst {
+      case l if l.startsWith(s"#$tag\t") => l.split("\t", -1)(1)
+    }.getOrElse(throw new IllegalStateException(
+      s"dedup index spec at $indexRoot lacks #$tag"))
+    Spec(b64d(one("src")), b64d(one("id")), b64d(one("text")),
+      one("n").toInt, one("perm").toInt, one("bands").toInt,
+      one("seed").toLong)
+  }
+}

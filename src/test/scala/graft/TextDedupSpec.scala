@@ -484,4 +484,70 @@ class TextDedupSpec extends SparkSpec {
     assert(r(1L) == (2L, 1) && r(3L) == (2L, 1))
     assert(r(2L) == (0L, 0))
   }
+
+  test("DedupIndex: CDC-maintained LSH index — incremental refresh, " +
+      "update/delete erase, candidates + exact verification, rebuild cap") {
+    import graft.dedup.DedupIndex
+    import graft.ops.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_dedupidx")
+    val (src, idx) = (s"$base/src", s"$base/idx")
+    def sent(tail: String) =
+      s"the quick brown fox jumps over the lazy $tail and then rests"
+    val corpus = Seq(
+      (1L, sent("dog"), "p0"), (2L, sent("cat"), "p0"),
+      (3L, "completely different words entirely here now today", "p1"),
+      (4L, sent("dog"), "p1")) // 4 = exact dup of 1
+    VersionedTable.upsert(spark, src,
+      corpus.toDF("doc_id", "text", "part"), Seq("doc_id", "part"), Seq("part"))
+    DedupIndex.create(spark, idx, src, "doc_id", "text", shingleN = 2)
+    assert(DedupIndex.lastRefreshRebuild &&
+      DedupIndex.lastRefreshDocs == 4)
+    // a NEW batch probes the index: near-dups of 1/2/4 surface, the
+    // unrelated doc doesn't; exact verification filters by true jaccard
+    val batch = Seq((10L, sent("dog")), (11L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val got = DedupIndex.verifiedPairs(spark, idx, batch, 0.7)
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 1L)) && got.contains((10L, 4L)))
+    assert(!got.exists(_._1 == 11L) && !got.exists(_._2 == 3L))
+    // incremental refresh: the batch lands in the source; only IT is
+    // re-banded (feed-sized work, no corpus re-shingle)
+    VersionedTable.upsert(spark, src,
+      Seq((10L, sent("dog"), "p0"), (11L, "nothing in common at all", "p1"))
+        .toDF("doc_id", "text", "part"), Seq("doc_id", "part"), Seq("part"))
+    DedupIndex.refresh(spark, idx)
+    assert(!DedupIndex.lastRefreshRebuild &&
+      DedupIndex.lastRefreshDocs == 2,
+      s"incremental refresh processed ${DedupIndex.lastRefreshDocs}")
+    // idempotent replay: already synced -> no-op
+    val v = DedupIndex.refresh(spark, idx)
+    assert(DedupIndex.refresh(spark, idx) == v)
+    // UPDATE moves a doc's buckets; DELETE erases them
+    VersionedTable.upsert(spark, src,
+      Seq((2L, "totally rewritten text nothing shared anymore ok", "p0"))
+        .toDF("doc_id", "text", "part"), Seq("doc_id", "part"), Seq("part"))
+    VersionedTable.deleteMatching(spark, src, $"doc_id" === 4L)
+    DedupIndex.refresh(spark, idx)
+    assert(DedupIndex.lastRefreshDocs == 2)
+    val after = DedupIndex.verifiedPairs(spark, idx,
+      Seq((20L, sent("cat"))).toDF("doc_id", "text"), 0.5)
+      .select($"corpus_id").as[Long].collect().toSet
+    // 4 deleted, 2 rewritten away: only 1 and the indexed 10 remain near
+    assert(after.contains(1L) && after.contains(10L) &&
+      !after.contains(4L) && !after.contains(2L), s"got $after")
+    // mass-change fallback: shrink the cap, touch 3 docs -> full rebuild
+    spark.conf.set("spark.graft.dedupindex.idCap", "2")
+    try {
+      VersionedTable.upsert(spark, src,
+        Seq((30L, sent("owl"), "p0"), (31L, sent("elk"), "p0"),
+          (32L, sent("emu"), "p1")).toDF("doc_id", "text", "part"),
+        Seq("doc_id", "part"), Seq("part"))
+      DedupIndex.refresh(spark, idx)
+      assert(DedupIndex.lastRefreshRebuild)
+      val rebuilt = DedupIndex.verifiedPairs(spark, idx,
+        Seq((21L, sent("owl"))).toDF("doc_id", "text"), 0.7)
+        .select($"corpus_id").as[Long].collect().toSet
+      assert(rebuilt.contains(30L), s"rebuilt index missing new doc: $rebuilt")
+    } finally spark.conf.unset("spark.graft.dedupindex.idCap")
+  }
 }
