@@ -4125,6 +4125,43 @@ object SparkEntry {
           .as("recall_ge_half"))
   }
 
+  /** CDC-maintained IVF ANN index under oracle check: the corpus tail
+    * (vec_id >= 10) builds the PERSISTED index (frozen centroids, cell-
+    * partitioned versioned table); the head lands as a second commit and
+    * an INCREMENTAL refresh assigns only the feed (guard pins feed-sized
+    * work); the oracled output probes the index at nProbe = nlist, where
+    * the answer EQUALS exact brute-force top-k — so the whole persisted
+    * path (build, erase, reassign, partition-pruned probe, rank merge)
+    * is hash-checked end to end against DuckDB's exact query. */
+  private def qSimIndex(s: SparkSession, dir: String): DataFrame = {
+    val stage = "/tmp/graft_sim_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (src, idx) = (s"$stage/src", s"$stage/idx")
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(8)).cast("int").as("grp"))
+    fixture {
+      rmrf(s, stage)
+      VersionedTable.upsert(s, src, emb.filter(col("vec_id") >= 10),
+        Seq("vec_id", "grp"), Seq("grp"))
+      graft.sim.AnnIndex.create(s, idx, src, "vec_id", "embedding",
+        nlist = 16, kmeansIters = 0)
+      VersionedTable.upsert(s, src, emb.filter(col("vec_id") < 10),
+        Seq("vec_id", "grp"), Seq("grp"))
+    }
+    graft.sim.AnnIndex.refresh(s, idx)
+    require(!graft.sim.AnnIndex.lastRefreshRebuild &&
+      graft.sim.AnnIndex.lastRefreshVectors == 10,
+      s"ANN refresh was not incremental: rebuild=" +
+        s"${graft.sim.AnnIndex.lastRefreshRebuild} vectors=" +
+        s"${graft.sim.AnnIndex.lastRefreshVectors}")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.sim.AnnIndex.topK(s, idx, queries, "q_id", "q_vec", k = 5,
+        nProbe = 16)
+      .withColumn("cosine_sim", r6(col("cosine_sim")))
+  }
+
   /** IVF with nProbe = nlist probes every cell — the search space is the
     * whole corpus, so the output EQUALS brute-force top-k exactly and the
     * full IVF machinery (assignment, cell join, rank merge) is
@@ -4633,6 +4670,7 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sim_quantized" -> (qSimQuantized _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_index" -> (qSimIndex _),
     "q_sim_ivf_full" -> (qSimIvfFull _),
     "q_hll_incremental" -> (qHllIncremental _),
     "q_theta_algebra" -> (qThetaAlgebra _),
@@ -9005,6 +9043,28 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, 5 AS k,
         | true AS recall_ge_half
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // persisted ANN index probed at nProbe = nlist: equals exact
+    // brute-force top-k over the full corpus (same exact oracle as ivf_full)
+    "q_sim_index" ->
+      """WITH q AS (SELECT vec_id AS q_id,
+        |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |    WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings),
+        |p AS (
+        |  SELECT q_id, vec_id AS neighbor_id,
+        |    list_dot_product(qv, cv)
+        |      / (sqrt(list_dot_product(qv, qv))
+        |         * sqrt(list_dot_product(cv, cv))) AS cs
+        |  FROM c, q WHERE q_id <> vec_id),
+        |r AS (
+        |  SELECT q_id AS query_id, neighbor_id, cs,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cs DESC, neighbor_id ASC) AS rank
+        |  FROM p)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // nProbe = nlist probes every cell: IVF output equals exact brute-force
     // top-k, so the oracle is the same exact query as q_sim_bruteforce.

@@ -249,4 +249,63 @@ class SimSpec extends SparkSpec {
     assert(proj(2L) < proj(4L) && proj(4L) < proj(6L))
     assert(proj(1L) > 0 && proj(2L) < 0)
   }
+
+  test("AnnIndex: CDC-maintained IVF index — frozen centroids, " +
+      "incremental refresh, erase, exact at nProbe=nlist, rebuild cap") {
+    import graft.ops.VersionedTable
+    import graft.sim.AnnIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_annidx")
+    val (src, idx) = (s"$base/src", s"$base/idx")
+    val rnd = new scala.util.Random(7)
+    def v(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val corpus = (0L until 40L).map(i =>
+      (i, v(i.toInt), (i % 4).toInt)).toSeq
+    VersionedTable.upsert(spark, src,
+      corpus.toDF("vec_id", "embedding", "grp"),
+      Seq("vec_id", "grp"), Seq("grp"))
+    AnnIndex.create(spark, idx, src, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2)
+    assert(AnnIndex.lastRefreshRebuild &&
+      AnnIndex.lastRefreshVectors == 40)
+    def queries = Seq((100L, v(1000))).toDF("q_id", "q_vec")
+    // nProbe = nlist: the persisted-index answer IS brute force
+    def indexed(k: Int) = AnnIndex.topK(spark, idx, queries, "q_id",
+        "q_vec", k, nProbe = 4)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    def brute(k: Int) = Similarity.bruteForceTopK(queries,
+        VersionedTable.read(spark, src), "q_id", "vec_id", "q_vec",
+        "embedding", k)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    assert(indexed(5) == brute(5))
+    // incremental refresh: 2 new vectors + 1 update + 1 delete = 4
+    // changed ids, feed-sized work
+    VersionedTable.upsert(spark, src,
+      Seq((50L, v(50), 0), (51L, v(51), 1), (3L, v(9999), 3))
+        .toDF("vec_id", "embedding", "grp"),
+      Seq("vec_id", "grp"), Seq("grp"))
+    VersionedTable.deleteMatching(spark, src, $"vec_id" === 7L)
+    AnnIndex.refresh(spark, idx)
+    assert(!AnnIndex.lastRefreshRebuild &&
+      AnnIndex.lastRefreshVectors == 4,
+      s"refresh processed ${AnnIndex.lastRefreshVectors}")
+    assert(indexed(8) == brute(8)) // still exact: erase + reassign held
+    assert(!indexed(40).map(_._1).contains(7L))
+    // idempotent no-op replay
+    val ver = AnnIndex.refresh(spark, idx)
+    assert(AnnIndex.refresh(spark, idx) == ver)
+    // mass-change fallback: cap 2, touch 3 -> rebuild (centroids retrain)
+    spark.conf.set("spark.graft.annindex.idCap", "2")
+    try {
+      VersionedTable.upsert(spark, src,
+        Seq((60L, v(60), 0), (61L, v(61), 1), (62L, v(62), 2))
+          .toDF("vec_id", "embedding", "grp"),
+        Seq("vec_id", "grp"), Seq("grp"))
+      AnnIndex.refresh(spark, idx)
+      assert(AnnIndex.lastRefreshRebuild)
+      assert(indexed(10) == brute(10))
+    } finally spark.conf.unset("spark.graft.annindex.idCap")
+  }
 }
