@@ -2401,22 +2401,38 @@ object SparkEntry {
     s.sql(s"SELECT symbol, n_events_total, vol_total FROM $mv")
   }
 
-  /** The graft-cdc STREAMING SOURCE under oracle check: the daily
-    * rollup lands as a named table (v0 via CTAS), a windowed UPDATE
-    * (v1) and an early-days DELETE (v2) commit, and
-    * `spark.readStream.format("graft-cdc")` drains the table's whole
-    * change history — initial load + CDF update/delete rows, offsets =
-    * table versions — into a parquet CDC log. The oracled output
-    * RECONSTRUCTS the final table state from the LOG ALONE (latest op
-    * per key, postimage preferred, deletes dropped), so the hash only
-    * matches if the streamed feed was complete, correctly versioned,
-    * and correctly imaged. */
+  /** The graft-cdc STREAMING SOURCE under oracle check, CDF path
+    * included: the daily rollup lands as a named table (v0 via CTAS)
+    * and the stream drains it (initial load at _commit_version 0);
+    * THEN a windowed UPDATE (v1) and an early-days DELETE (v2) commit
+    * and the SAME checkpoint drains again with maxVersionsPerBatch=1 —
+    * so the log must contain genuine update_preimage/update_postimage/
+    * delete rows, each under its exact per-commit version (guards pin
+    * all three). The oracled output RECONSTRUCTS the final table state
+    * from the LOG ALONE (latest-version row per key, postimage
+    * preferred, deletes dropped): a broken diff, wrong imaging, or
+    * wrong version stamping changes the reconstruction and fails the
+    * hash. */
   private def qCdcSource(s: SparkSession, dir: String): DataFrame = {
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
     val name = "cdc_src_q_" + slug
     val stage = "/tmp/graft_cdc_source/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     val srcView = "cdc_src_qv_" + slug
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-cdc").option("table", name)
+        .option("maxVersionsPerBatch", "1").load()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$stage/log")
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException("q_cdc_source drain exceeded 120s")
+      }
+    }
     fixture {
       rmrf(s, stage)
       graft.plans.GraftCatalog.drop(s, name)
@@ -2427,22 +2443,23 @@ object SparkEntry {
            |PARTITIONED BY (event_type)
            |TBLPROPERTIES('graft.keys'='event_type,date')
            |AS SELECT * FROM $srcView""".stripMargin)
+      drain() // initial load: the whole v0 table as insert rows
       s.sql(s"UPDATE $name SET daily_volume = daily_volume + 1000000 " +
         "WHERE date BETWEEN DATE'2024-01-08' AND DATE'2024-01-14'")
       s.sql(s"DELETE FROM $name WHERE date < DATE'2024-01-03'")
-    }
-    val q = s.readStream.format("graft-cdc").option("table", name).load()
-      .writeStream
-      .format("parquet")
-      .option("path", s"$stage/log")
-      .option("checkpointLocation", s"$stage/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(120000)) {
-      q.stop()
-      throw new IllegalStateException("q_cdc_source drain exceeded 120s")
+      drain() // CDF: v0->v1 then v1->v2, one version per micro-batch
     }
     val log = s.read.parquet(s"$stage/log")
+    // the CDF legs must actually be in the log, each under its exact
+    // commit version — an initial-load-only log would reconstruct the
+    // same final state without testing the diff machinery at all
+    require(log.filter(col("op") === "update_postimage" &&
+        col("_commit_version") === 1).count() > 0 &&
+      log.filter(col("op") === "update_preimage" &&
+        col("_commit_version") === 1).count() > 0 &&
+      log.filter(col("op") === "delete" &&
+        col("_commit_version") === 2).count() > 0,
+      "CDC log lacks per-version CDF rows")
     // final state from the log alone: per key, the newest version's
     // row, postimage over preimage within a version, deletes dropped
     val w = org.apache.spark.sql.expressions.Window

@@ -36,6 +36,12 @@ import graft.ops.VersionedTable
  * (default 100k — the erase path collects changed ids to the driver)
  * falls back to ONE full rebuild commit, the same threshold discipline
  * as the matview's mass-removal fallback.
+ *
+ * Consistency note: the incremental refresh's erase and re-band are
+ * TWO commits — a reader between them sees the changed docs absent
+ * (transiently stale candidates, never wrong rows), and a crash
+ * between them replays idempotently (the erase of already-gone rows is
+ * a no-op, the re-band rides the txn watermark).
  */
 object DedupIndex {
 
@@ -44,10 +50,6 @@ object DedupIndex {
 
   private val StreamPrefix = "dedupindex:"
   private def specPath(indexRoot: String) = new Path(indexRoot, "_dedupindex")
-  private def b64e(s: String) = java.util.Base64.getEncoder
-    .encodeToString(s.getBytes(StandardCharsets.UTF_8))
-  private def b64d(s: String) = new String(
-    java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
   private def idCap(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.dedupindex.idCap")
@@ -74,14 +76,12 @@ object DedupIndex {
     require(numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
     val spec = Spec(srcRoot, idCol, textCol, shingleN, numPerm, bands, seed)
-    val fs = specPath(indexRoot).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val out = VersionedTable.createExclusive(fs, specPath(indexRoot))
-    try out.write(render(spec).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    graft.ops.SpecFile.writeExclusive(spark, specPath(indexRoot),
+      render(spec))
     try refresh(spark, indexRoot)
     catch { case t: Throwable =>
-      try fs.delete(specPath(indexRoot), false)
+      try graft.ops.SpecFile.fs(spark, specPath(indexRoot))
+        .delete(specPath(indexRoot), false)
       catch { case c: Throwable => t.addSuppressed(c) }
       throw t
     }
@@ -144,10 +144,13 @@ object DedupIndex {
             // corpus-sized id list and a same-sized keyed delete
             val docs = VersionedTable.read(spark, spec.srcRoot,
               Some(srcCur)).select(col(spec.idCol), col(spec.textCol))
-            lastDocs.set(-1L)
-            lastRebuild.set(true)
-            commitRows(spark, indexRoot, spec, bandRows(docs, spec),
-              srcCur, replaceAll = true)
+              .persist()
+            try {
+              lastDocs.set(docs.count())
+              lastRebuild.set(true)
+              commitRows(spark, indexRoot, spec, bandRows(docs, spec),
+                srcCur, replaceAll = true)
+            } finally docs.unpersist()
           } else {
             lastDocs.set(changedIds.length.toLong)
             // erase FIRST (updates move band hashes, deletes vanish):
@@ -218,7 +221,8 @@ object DedupIndex {
     } finally cands.unpersist()
   }
 
-  private def render(spec: Spec): String =
+  private def render(spec: Spec): String = {
+    import graft.ops.SpecFile.b64e
     s"#graft-dedupindex\t1\n" +
       s"#src\t${b64e(spec.srcRoot)}\n" +
       s"#id\t${b64e(spec.idCol)}\n" +
@@ -227,28 +231,17 @@ object DedupIndex {
       s"#perm\t${spec.numPerm}\n" +
       s"#bands\t${spec.bands}\n" +
       s"#seed\t${spec.seed}\n"
+  }
 
   private[graft] def readSpec(spark: SparkSession,
                               indexRoot: String): Spec = {
-    val p = specPath(indexRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) throw new java.io.FileNotFoundException(
-      s"no dedup index at $indexRoot (missing ${p.getName})")
-    val in = fs.open(p)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = text.split("\n").filter(_.nonEmpty)
-    require(lines.headOption.exists(_.startsWith("#graft-dedupindex\t1")),
-      s"unrecognized dedup index spec at $indexRoot")
-    def one(tag: String): String = lines.collectFirst {
-      case l if l.startsWith(s"#$tag\t") => l.split("\t", -1)(1)
-    }.getOrElse(throw new IllegalStateException(
-      s"dedup index spec at $indexRoot lacks #$tag"))
-    Spec(b64d(one("src")), b64d(one("id")), b64d(one("text")),
-      one("n").toInt, one("perm").toInt, one("bands").toInt,
-      one("seed").toLong)
+    import graft.ops.SpecFile
+    val tags = SpecFile.tagged(
+      SpecFile.readText(spark, specPath(indexRoot),
+        s"no dedup index at $indexRoot (missing _dedupindex)"),
+      "#graft-dedupindex\t1", indexRoot)
+    Spec(SpecFile.b64d(tags("src")), SpecFile.b64d(tags("id")),
+      SpecFile.b64d(tags("text")), tags("n").toInt, tags("perm").toInt,
+      tags("bands").toInt, tags("seed").toLong)
   }
 }

@@ -1,13 +1,11 @@
 package graft.sim
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.VersionedTable
+import graft.ops.{SpecFile, VersionedTable}
 
 /**
  * A PERSISTED IVF approximate-nearest-neighbor index over a versioned
@@ -16,19 +14,25 @@ import graft.ops.VersionedTable
  * makes embedding search continuous at 100 TB:
  *
  *  - Centroids (the coarse quantizer, nlist × dim — small by contract)
- *    train ONCE at build and are FROZEN in a sidecar file; after that,
- *    every refresh reads only the CHANGE FEED — removed ids' cell rows
- *    erase through the bloom-probed key-list delete, inserted/updated
- *    vectors assign to the frozen centroids and upsert — so keeping the
- *    index current costs O(|changed vectors|) however large the corpus.
- *    (Standard IVF practice: cell balance degrades slowly as the
- *    distribution drifts; a rebuild retrains.)
+ *    train at build and FREEZE; after that, every refresh reads only
+ *    the CHANGE FEED — removed ids' cell rows erase through the
+ *    bloom-probed key-list delete, inserted/updated vectors assign to
+ *    the frozen centroids and upsert — so keeping the index current
+ *    costs O(|changed vectors|) however large the corpus. (Standard
+ *    IVF practice: cell balance degrades slowly as the distribution
+ *    drifts; a rebuild retrains.)
  *  - The index IS a versioned table: (cell, id, vec), PARTITIONED BY
  *    cell — a top-k probe of nProbe cells reads exactly those partition
- *    dirs and nothing else (the same directory pruning every
- *    partitioned read gets), with stats+bloom on the id column for the
- *    erase path. The exactly-once txn watermark makes crashed refreshes
- *    replay idempotently.
+ *    dirs — with stats+bloom on the id column for the erase path, and
+ *    the exactly-once txn watermark replaying crashed refreshes
+ *    idempotently.
+ *  - Centroid files are VERSIONED BY the source txn that trained them
+ *    (`_anncentroids.<v>`), and readers pick the newest file at or
+ *    below the index's SYNCED version — so a rebuild's new centroids
+ *    are never paired with the previous assignment's rows: until the
+ *    rebuild COMMITS, its centroid file is above the watermark and
+ *    invisible, and a crashed rebuild replays deterministically (same
+ *    corpus → same training) over its own orphan.
  *  - [[topK]] assigns queries to their nProbe nearest frozen centroids
  *    (a shuffle-free projection — centroids inline as literals) and
  *    ranks only the probed cells' vectors; nProbe = nlist degenerates
@@ -38,6 +42,9 @@ import graft.ops.VersionedTable
  * A refresh whose change set exceeds `spark.graft.annindex.idCap`
  * (default 100k) falls back to ONE full rebuild commit — centroids
  * retrain from the current corpus (the matview fallback discipline).
+ * The erase and the re-assign are two commits: a reader BETWEEN them
+ * sees the changed ids absent (transiently stale, never wrong rows);
+ * a crash between them replays idempotently.
  */
 object AnnIndex {
 
@@ -45,13 +52,10 @@ object AnnIndex {
                   nlist: Int, kmeansIters: Int)
 
   private val StreamPrefix = "annindex:"
+  private val CentroidPrefix = "_anncentroids."
   private def specPath(indexRoot: String) = new Path(indexRoot, "_annindex")
-  private def centroidsPath(indexRoot: String) =
-    new Path(indexRoot, "_anncentroids")
-  private def b64e(s: String) = java.util.Base64.getEncoder
-    .encodeToString(s.getBytes(StandardCharsets.UTF_8))
-  private def b64d(s: String) = new String(
-    java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+  private def centroidsPath(indexRoot: String, v: Long) =
+    new Path(indexRoot, CentroidPrefix + v)
 
   private def idCap(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.annindex.idCap")
@@ -63,6 +67,9 @@ object AnnIndex {
   private val lastRebuild = new ThreadLocal[java.lang.Boolean] {
     override def initialValue: java.lang.Boolean = false
   }
+  /** Vectors the LAST [[refresh]] processed (feed-sized on the
+    * incremental path, the corpus count on builds/rebuilds) and whether
+    * it retrained — per-thread observability, the MatView convention. */
   private[graft] def lastRefreshVectors: Long = lastDocs.get
   private[graft] def lastRefreshRebuild: Boolean = lastRebuild.get
 
@@ -72,16 +79,14 @@ object AnnIndex {
              idCol: String, vecCol: String, nlist: Int = 16,
              kmeansIters: Int = 2): Int = {
     val spec = Spec(srcRoot, idCol, vecCol, nlist, kmeansIters)
-    val fs = specPath(indexRoot).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val out = VersionedTable.createExclusive(fs, specPath(indexRoot))
-    try out.write(render(spec).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    SpecFile.writeExclusive(spark, specPath(indexRoot), render(spec))
     try refresh(spark, indexRoot)
     catch { case t: Throwable =>
       try {
+        val fs = SpecFile.fs(spark, specPath(indexRoot))
         fs.delete(specPath(indexRoot), false)
-        fs.delete(centroidsPath(indexRoot), false)
+        listCentroidFiles(spark, indexRoot).foreach(v =>
+          fs.delete(centroidsPath(indexRoot, v), false))
       } catch { case c: Throwable => t.addSuppressed(c) }
       throw t
     }
@@ -95,45 +100,50 @@ object AnnIndex {
     else Similarity.ivfCentroids(corpus, spec.idCol, spec.vecCol,
       spec.nlist)
 
-  /** Persist centroids: one `cell\tf1,f2,...` line per cell, staged and
-    * renamed over (rebuilds replace them atomically-enough — a reader
-    * sees old or new, never a torn file). Float.toString round-trips
-    * exactly, so a reloaded centroid is bit-identical. */
+  private def listCentroidFiles(spark: SparkSession,
+                                indexRoot: String): Seq[Long] = {
+    val dir = new Path(indexRoot)
+    val fs = SpecFile.fs(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(CentroidPrefix))
+      .flatMap(_.stripPrefix(CentroidPrefix).toLongOption)
+  }
+
+  /** Persist centroids for the rebuild that will commit txn version
+    * `atVersion`: one `cell\tf1,f2,...` line per cell. A replayed
+    * rebuild (crash before its commit) rewrites the SAME deterministic
+    * content over its own orphan. Float.toString round-trips exactly. */
   private def writeCentroids(spark: SparkSession, indexRoot: String,
-                             centroids: DataFrame): Unit = {
-    val p = centroidsPath(indexRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                             centroids: DataFrame,
+                             atVersion: Long): Unit = {
+    val p = centroidsPath(indexRoot, atVersion)
     val lines = centroids.select(col("cell").cast("int"), col("centroid"))
       .collect().sortBy(_.getInt(0)).map { r =>
         s"${r.getInt(0)}\t${r.getSeq[Float](1).mkString(",")}"
       }.mkString("#graft-anncentroids\t1\n", "\n", "\n")
-    val tmp = new Path(p.getParent,
-      p.getName + ".tmp." + java.util.UUID.randomUUID().toString)
-    val out = VersionedTable.createExclusive(fs, tmp)
-    try out.write(lines.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent centroid write raced at $indexRoot")
-    }
+    SpecFile.fs(spark, p).delete(p, false) // replayed rebuild's orphan
+    SpecFile.writeExclusive(spark, p, lines)
   }
 
-  /** The frozen centroids as the (cell, centroid) frame
-    * [[Similarity.ivfAssign]] consumes. */
-  private[graft] def readCentroids(spark: SparkSession,
-                                   indexRoot: String): DataFrame = {
-    val p = centroidsPath(indexRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) throw new java.io.FileNotFoundException(
-      s"no centroids at $indexRoot (index never built?)")
-    val in = fs.open(p)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+  /** The frozen centroids PAIRED with the index's committed state: the
+    * newest centroid file at or below the synced source version — a
+    * rebuild's new file stays invisible until its commit publishes the
+    * watermark. */
+  private[graft] def readCentroids(spark: SparkSession, indexRoot: String,
+                                   spec: Spec): DataFrame = {
+    val synced = VersionedTable.currentVersion(spark, indexRoot)
+      .flatMap(_ => VersionedTable.lastTxn(spark, indexRoot,
+        StreamPrefix + spec.srcRoot))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"ann index at $indexRoot has no committed build"))
+    val v = listCentroidFiles(spark, indexRoot).filter(_ <= synced)
+      .sorted.lastOption.getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no centroids at or below synced version $synced at " +
+            s"$indexRoot (vacuumed?)"))
+    val text = SpecFile.readText(spark, centroidsPath(indexRoot, v),
+      s"no centroids at $indexRoot")
     val rows = text.split("\n").filter(_.nonEmpty).drop(1).toSeq.map { l =>
       val Array(c, vs) = l.split("\t", 2)
       (c.toInt, vs.split(",").toSeq.map(_.toFloat))
@@ -142,11 +152,10 @@ object AnnIndex {
     rows.toDF("cell", "centroid")
   }
 
-  private def assignRows(spark: SparkSession, indexRoot: String,
-                         spec: Spec, docs: DataFrame): DataFrame =
+  private def assignRows(spec: Spec, docs: DataFrame,
+                         centroids: DataFrame): DataFrame =
     Similarity.ivfAssign(docs.select(col(spec.idCol), col(spec.vecCol)),
-        spec.idCol, spec.vecCol, readCentroids(spark, indexRoot),
-        nProbe = 1)
+        spec.idCol, spec.vecCol, centroids, nProbe = 1)
       .select(col("cell"), col(spec.idCol), col(spec.vecCol))
 
   private def commitRows(spark: SparkSession, indexRoot: String,
@@ -176,11 +185,23 @@ object AnnIndex {
       try {
         lastDocs.set(corpus.count())
         lastRebuild.set(true)
-        writeCentroids(spark, indexRoot,
-          trainCentroids(spark, spec, corpus))
-        commitRows(spark, indexRoot, spec,
-          assignRows(spark, indexRoot, spec, corpus), srcCur,
+        val centroids = trainCentroids(spark, spec, corpus)
+        // centroids FIRST (invisible above the watermark until the
+        // commit publishes it), assignment from the SAME frame (never
+        // re-read mid-rebuild), then the one content commit
+        writeCentroids(spark, indexRoot, centroids, srcCur.toLong)
+        val v = commitRows(spark, indexRoot, spec,
+          assignRows(spec, corpus, centroids), srcCur,
           replaceAll = synced.isDefined)
+        // retire superseded centroid files (keep this one and the
+        // previous, for readers mid-flight on the old watermark)
+        val keep = listCentroidFiles(spark, indexRoot)
+          .filter(_ <= srcCur.toLong).sorted.takeRight(2).toSet
+        listCentroidFiles(spark, indexRoot)
+          .filter(c => c < srcCur.toLong && !keep.contains(c))
+          .foreach(c => SpecFile.fs(spark, specPath(indexRoot))
+            .delete(centroidsPath(indexRoot, c), false))
+        v
       } finally corpus.unpersist()
     }
     synced match {
@@ -197,13 +218,14 @@ object AnnIndex {
           if (changedIds.length > cap) rebuild()
           else {
             lastDocs.set(changedIds.length.toLong)
+            val centroids = readCentroids(spark, indexRoot, spec)
             if (changedIds.nonEmpty)
               VersionedTable.deleteWhereIn(spark, indexRoot, spec.idCol,
                 changedIds)
             val current = feed.filter(col("op") =!= "delete")
               .select(col(spec.idCol), col(spec.vecCol))
             commitRows(spark, indexRoot, spec,
-              assignRows(spark, indexRoot, spec, current), srcCur,
+              assignRows(spec, current, centroids), srcCur,
               replaceAll = false)
           }
         } finally feed.unpersist()
@@ -215,56 +237,48 @@ object AnnIndex {
     * centroids (shuffle-free), ONLY those cells' partition dirs are
     * read, and ranking runs over the probed rows — (query_id,
     * neighbor_id, cosine_sim, rank), the [[Similarity.ivfTopK]] shape.
-    * nProbe = nlist probes every cell (exact brute force). */
+    * nProbe = nlist probes every cell (exact brute force). Query column
+    * names may collide with the index's (the natural self-query case):
+    * the index side is internally aliased. */
   def topK(spark: SparkSession, indexRoot: String, queries: DataFrame,
            qId: String, qVec: String, k: Int, nProbe: Int = 4): DataFrame = {
     val spec = readSpec(spark, indexRoot)
     val probes = Similarity.ivfAssign(queries, qId, qVec,
-        readCentroids(spark, indexRoot), nProbe = nProbe)
+        readCentroids(spark, indexRoot, spec), nProbe = nProbe)
       .withColumn("__qn2", Similarity.norm(col(qVec)))
     val idx = VersionedTable.read(spark, indexRoot)
-      .withColumn("__cn2", Similarity.norm(col(spec.vecCol)))
+      .select(col("cell"), col(spec.idCol).as("__c_id"),
+        col(spec.vecCol).as("__c_vec"))
+      .withColumn("__cn2", Similarity.norm(col("__c_vec")))
     val joined = probes.join(idx, Seq("cell"))
-      .filter(col(qId) =!= col(spec.idCol))
+      .filter(col(qId) =!= col("__c_id"))
       .withColumn("cosine_sim",
-        Similarity.dot(col(qVec), col(spec.vecCol)) /
+        Similarity.dot(col(qVec), col("__c_vec")) /
           (col("__qn2") * col("__cn2")))
     val w = Window.partitionBy(col(qId))
-      .orderBy(col("cosine_sim").desc, col(spec.idCol).asc)
+      .orderBy(col("cosine_sim").desc, col("__c_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(qId).as("query_id"), col(spec.idCol).as("neighbor_id"),
+      .select(col(qId).as("query_id"), col("__c_id").as("neighbor_id"),
         col("cosine_sim"), col("rank"))
   }
 
   private def render(spec: Spec): String =
     s"#graft-annindex\t1\n" +
-      s"#src\t${b64e(spec.srcRoot)}\n" +
-      s"#id\t${b64e(spec.idCol)}\n" +
-      s"#vec\t${b64e(spec.vecCol)}\n" +
+      s"#src\t${SpecFile.b64e(spec.srcRoot)}\n" +
+      s"#id\t${SpecFile.b64e(spec.idCol)}\n" +
+      s"#vec\t${SpecFile.b64e(spec.vecCol)}\n" +
       s"#nlist\t${spec.nlist}\n" +
       s"#kmeans\t${spec.kmeansIters}\n"
 
   private[graft] def readSpec(spark: SparkSession,
                               indexRoot: String): Spec = {
-    val p = specPath(indexRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) throw new java.io.FileNotFoundException(
-      s"no ann index at $indexRoot (missing ${p.getName})")
-    val in = fs.open(p)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = text.split("\n").filter(_.nonEmpty)
-    require(lines.headOption.exists(_.startsWith("#graft-annindex\t1")),
-      s"unrecognized ann index spec at $indexRoot")
-    def one(tag: String): String = lines.collectFirst {
-      case l if l.startsWith(s"#$tag\t") => l.split("\t", -1)(1)
-    }.getOrElse(throw new IllegalStateException(
-      s"ann index spec at $indexRoot lacks #$tag"))
-    Spec(b64d(one("src")), b64d(one("id")), b64d(one("vec")),
-      one("nlist").toInt, one("kmeans").toInt)
+    val tags = SpecFile.tagged(
+      SpecFile.readText(spark, specPath(indexRoot),
+        s"no ann index at $indexRoot (missing _annindex)"),
+      "#graft-annindex\t1", indexRoot)
+    Spec(SpecFile.b64d(tags("src")), SpecFile.b64d(tags("id")),
+      SpecFile.b64d(tags("vec")), tags("nlist").toInt,
+      tags("kmeans").toInt)
   }
 }

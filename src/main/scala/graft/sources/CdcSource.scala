@@ -46,6 +46,11 @@ import graft.plans.GraftCatalog
  * and adds new in O(|changes|). The FIRST batch is the whole table as
  * `insert` rows pinned at one version (CDC initial load). Idle
  * micro-batch planning costs one commit-marker listing; no data I/O.
+ * `_commit_version` stamps each row with its BATCH-END version: a
+ * batch spanning several versions (consumer catch-up) attributes every
+ * change to the newest one — net-effect semantics, matching the diff
+ * the batch IS; set `maxVersionsPerBatch=1` when exact per-commit
+ * attribution matters (audit logs, per-version replay).
  *
  * Scale shape: a batch's cost is the diff of the TOUCHED generations
  * (changedSideScans prunes untouched dirs), never a full-table rescan —
@@ -130,6 +135,12 @@ private[sources] object CdcSource {
           .getOrElse(throw new java.io.FileNotFoundException(
             s"no committed version at $root (and no declared schema)"))
     }
+    // the synthesized columns claim two names — a table using them
+    // would be silently overwritten (or ambiguous), so refuse loudly
+    Seq("op", "_commit_version").foreach(r =>
+      require(!table.fieldNames.exists(_.equalsIgnoreCase(r)),
+        s"graft-cdc reserves the column name '$r' — the table at " +
+          s"$root has one; rename it to stream its changes"))
     StructType(
       StructField("op", StringType, nullable = false) +:
         StructField("_commit_version", IntegerType, nullable = false) +:
@@ -185,16 +196,23 @@ class CdcSource(spark: SparkSession, root: String,
     * not-yet-written table is "no data yet", not an error: the stream
     * starts delivering at its first commit. */
   override def getOffset: Option[Offset] =
-    VersionedTable.currentVersion(spark, root).map { cur0 =>
-      val cur = availableNowTarget.fold(cur0.toLong)(
-        math.min(cur0.toLong, _))
-      LongOffset(maxVersionsPerBatch.fold(cur)(m =>
-        math.min(cur, math.max(maxSeen, -1L) + m)))
+    VersionedTable.currentVersion(spark, root) match {
+      case Some(cur0) =>
+        val cur = availableNowTarget.fold(cur0.toLong)(
+          math.min(cur0.toLong, _))
+        Some(LongOffset(maxVersionsPerBatch.fold(cur)(m =>
+          math.min(cur, math.max(maxSeen, -1L) + m))))
+      case None =>
+        // never-written table: a configured startingVersion still
+        // CHECKPOINTS its resolved base (-1 for 'latest') via an empty
+        // boundary batch — otherwise a later run would re-resolve
+        // 'latest' PAST data committed in between and silently skip it
+        startingVersion.map(LongOffset(_))
     }
-    // note: when the table's current version is still <= a configured
-    // startingVersion, the first batch is an EMPTY diff (from == to) —
-    // deliberately not filtered here, so a RESTARTED stream's
-    // checkpoint always outranks a re-resolved 'latest'
+    // when current <= the configured startingVersion, the first batch
+    // is an EMPTY boundary diff (from >= to) — deliberately never a
+    // filter to None, so a RESTARTED stream's checkpoint always
+    // outranks a re-resolved 'latest'
 
   override def commit(end: Offset): Unit =
     maxSeen = math.max(maxSeen, version(end).toLong)
@@ -207,6 +225,25 @@ class CdcSource(spark: SparkSession, root: String,
       case None =>
         // CDC initial load, PINNED at `to` (the version the checkpoint
         // will record): the whole table as insert rows
+        val t = VersionedTable.read(spark, root, Some(to))
+        t.select(lit("insert").as("op") +: t.columns.map(col): _*)
+      case Some(from) if from >= to =>
+        // boundary batch (startingVersion == current, or a
+        // never-written table checkpointing its resolved base):
+        // an EMPTY feed of the served shape, never a crash — the
+        // checkpoint records `to` and later commits diff from there
+        spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row],
+          StructType(schema.fields.filterNot(f =>
+            f.name == "op" || f.name == "_commit_version")
+            .map(f => f.copy(nullable = true))))
+          .select(lit("insert").as("op") +: schema.fieldNames.toSeq
+            .filterNot(c => c == "op" || c == "_commit_version")
+            .map(col): _*)
+      case Some(from) if from < 0 =>
+        // base = "before v0" ('latest' resolved on a then-empty table,
+        // checkpointed as -1): everything since IS new — the diff from
+        // before v0 is the whole table, the initial-load shape
         val t = VersionedTable.read(spark, root, Some(to))
         t.select(lit("insert").as("op") +: t.columns.map(col): _*)
       case Some(from) =>

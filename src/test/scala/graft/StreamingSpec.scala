@@ -379,6 +379,42 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE cdc_src_t")
   }
 
+  test("graft-cdc source edges: reserved column names refuse; " +
+      "startingVersion=latest on a never-written table delivers the " +
+      "first commit as the initial load, not a crash") {
+    val base = Files.createTempDirectory("graft_cdc_edge")
+    spark.sql(s"CREATE TABLE cdc_res_t (id INT, op STRING) USING graft " +
+      s"LOCATION '${base.resolve("r")}' TBLPROPERTIES('graft.keys'='id')")
+    val res = intercept[IllegalArgumentException](
+      spark.readStream.format("graft-cdc")
+        .option("table", "cdc_res_t").load())
+    assert(res.getMessage.contains("reserves the column name"))
+    spark.sql(
+      s"""CREATE TABLE cdc_fresh_t (id INT, g STRING) USING graft
+         |LOCATION '${base.resolve("f")}' PARTITIONED BY (g)
+         |TBLPROPERTIES('graft.keys'='id,g')""".stripMargin)
+    val got = new java.util.concurrent.atomic.AtomicLong
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", "cdc_fresh_t")
+        .option("startingVersion", "latest").load()
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.addAndGet(b.count()); ()
+        }.start()
+      assert(q.awaitTermination(60000))
+    }
+    drain() // nothing committed yet: zero rows, zero crash
+    assert(got.get == 0)
+    spark.sql("INSERT INTO cdc_fresh_t VALUES (1,'a'), (2,'b')")
+    drain() // the first commit IS the new data: delivered
+    assert(got.get == 2, s"got ${got.get}")
+    spark.sql("DROP TABLE cdc_res_t")
+    spark.sql("DROP TABLE cdc_fresh_t")
+  }
+
   test("streaming WAP: exactly-once merge into a branch, then fast-forward") {
     import graft.ops.VersionedTable
     import org.apache.spark.sql.functions.{col, to_date}
