@@ -246,7 +246,17 @@ object AnnIndex {
     val probes = Similarity.ivfAssign(queries, qId, qVec,
         readCentroids(spark, indexRoot, spec), nProbe = nProbe)
       .withColumn("__qn2", Similarity.norm(col(qVec)))
-    val idx = VersionedTable.read(spark, indexRoot)
+    // the probed CELL SET is at most nlist values (tiny by contract) —
+    // collect it and read the index CONSTRAINED on the partition
+    // column, so only the probed cells' dirs are listed/scanned (a
+    // plain join would read every partition; no DPP reaches the
+    // custom scan). With nProbe = nlist this degenerates to the full
+    // read, as exactness requires.
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val idx = VersionedTable.readConstrained(spark, indexRoot,
+        Seq(VersionedTable.ColConstraint("cell", None, None, None,
+          inSet = Some(probedCells))), None)
       .select(col("cell"), col(spec.idCol).as("__c_id"),
         col(spec.vecCol).as("__c_vec"))
       .withColumn("__cn2", Similarity.norm(col("__c_vec")))

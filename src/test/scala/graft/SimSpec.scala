@@ -293,6 +293,13 @@ class SimSpec extends SparkSpec {
       s"refresh processed ${AnnIndex.lastRefreshVectors}")
     assert(indexed(8) == brute(8)) // still exact: erase + reassign held
     assert(!indexed(40).map(_._1).contains(7L))
+    // partition pruning: probing 1 of 4 cells reads fewer index files
+    // than probing all 4 (the cell IN-set reaches the dir selection)
+    val f1 = VersionedTable.physicalInputFiles(
+      AnnIndex.topK(spark, idx, queries, "q_id", "q_vec", 3, nProbe = 1))
+    val f4 = VersionedTable.physicalInputFiles(
+      AnnIndex.topK(spark, idx, queries, "q_id", "q_vec", 3, nProbe = 4))
+    assert(f1 < f4, s"cell pruning did not bite: $f1 vs $f4")
     // idempotent no-op replay
     val ver = AnnIndex.refresh(spark, idx)
     assert(AnnIndex.refresh(spark, idx) == ver)
