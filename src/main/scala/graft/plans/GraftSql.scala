@@ -1188,7 +1188,12 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
 
 /** `OPTIMIZE graft.`root` [ZORDER BY (c, ...)]` — full
   * [[VersionedTable.compact]] preserving (and re-clustering) the
-  * manifest's index coverage. */
+  * manifest's index coverage. A BARE OPTIMIZE honors the table's
+  * DECLARED clustering (`TBLPROPERTIES('graft.zorder'='lat,lon')`) —
+  * the Delta liquid-clustering shape: the layout is table governance,
+  * set once, and every scheduled OPTIMIZE applies it without the
+  * maintenance job having to know the columns. An explicit ZORDER BY
+  * overrides the declaration for that run. */
 case class GraftOptimizeCommand(root: String, zOrderCols: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -1196,12 +1201,23 @@ case class GraftOptimizeCommand(root: String, zOrderCols: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val m = VersionedTable.resolveManifest(spark, root, None)
     val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
+    val zCols =
+      if (zOrderCols.nonEmpty) zOrderCols
+      else m.props.get("graft.zorder").toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+    zCols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"z-order column $c is not in the table schema" +
+        (if (zOrderCols.isEmpty) " (declared via graft.zorder)" else "")))
+    // declared target file granularity (rows): clustering only skips
+    // when a partition splits into several tight files — the knob is
+    // table governance like the clustering itself
+    val fileRows = m.props.get("graft.filerows").map(_.trim.toInt)
     // z-dimensions join the stats set: clustering by a previously
     // unindexed column must also RECORD its min/max, or the rewrite
     // clusters perfectly and skips nothing
     Seq(Row(VersionedTable.compact(spark, root,
-      statsCols = (statsCols ++ zOrderCols).distinct,
-      bloomCols = bloomCols, zOrderCols = zOrderCols)))
+      statsCols = (statsCols ++ zCols).distinct,
+      bloomCols = bloomCols, zOrderCols = zCols, fileRows = fileRows)))
   }
 }
 

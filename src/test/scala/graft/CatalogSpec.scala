@@ -755,6 +755,32 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_txf")
   }
 
+  test("bare OPTIMIZE honors declared graft.zorder clustering") {
+    val path = tmp("zopt") + "/t"
+    spark.sql(s"CREATE TABLE cat_zopt (id INT, x INT, y INT, g STRING) " +
+      s"USING graft LOCATION '$path' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    val rows = (0 until 8192).map(i =>
+      (i, i % 64, (i / 64) % 64, "all"))
+    rows.toDF("id", "x", "y", "g").createOrReplaceTempView("cat_zopt_src")
+    spark.sql("INSERT INTO cat_zopt SELECT * FROM cat_zopt_src")
+    // declare the clustering ONCE; the maintenance job's bare OPTIMIZE
+    // applies it — unknown columns refuse loudly
+    spark.sql("ALTER TABLE cat_zopt SET TBLPROPERTIES" +
+      "('graft.zorder'='nope')")
+    intercept[IllegalArgumentException](spark.sql("OPTIMIZE cat_zopt"))
+    spark.sql("ALTER TABLE cat_zopt SET TBLPROPERTIES" +
+      "('graft.zorder'='x,y', 'graft.filerows'='256')")
+    assert(spark.sql("OPTIMIZE cat_zopt").first.getInt(0) > 0)
+    // both z dimensions skip after the property-driven rewrite
+    val root = graft.plans.GraftCatalog.resolve(spark, "cat_zopt").get
+    val (kx, tx) = VersionedTable.skipStats(spark, root, "x", 3, 4)
+    val (ky, ty) = VersionedTable.skipStats(spark, root, "y", 3, 4)
+    assert(kx < tx && ky < ty,
+      s"declared z-order did not cluster: x $kx/$tx, y $ky/$ty")
+    spark.sql("DROP TABLE cat_zopt")
+  }
+
   test("INSERT-time schema evolution: refused without the property, " +
       "admitted with it, old generations surface NULL") {
     val path = tmp("insev") + "/t"
