@@ -44,6 +44,35 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+      v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  /** A table-valued argument that is a QUERY BATCH: a session temp view
+    * shadows (Spark's resolution order), then a registered graft name
+    * or a path. */
+  private def frameOf(e: Expression, what: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ref = strLit(e, what)
+    val spark = SparkSession.active
+    if (ref.contains("/"))
+      graft.plans.VersionedScan.table(spark, ref)
+    else if (spark.sessionState.catalog.getTempView(ref).isDefined)
+      spark.table(ref)
+    else graft.plans.GraftCatalog.resolve(spark, ref) match {
+      case Some(root) => graft.plans.VersionedScan.table(spark, root)
+      case None => throw new IllegalArgumentException(
+        s"$what: '$ref' is not a temp view, registered graft table, " +
+          "or path")
+    }
+  }
+
   private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("regexp_count_fast"),
@@ -193,6 +222,43 @@ object GraftExtensions {
         // relation — the Iceberg `files` metadata table from pure SQL
         graft.ops.VersionedTable
           .filesMeta(SparkSession.active, root, asOf)
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_dedup_pairs"),
+      new ExpressionInfo(graft.dedup.DedupIndex.getClass.getName,
+        "graft_dedup_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_dedup_pairs(index, queryTable, minJaccard) takes 3 " +
+            "arguments")
+        val idx = rootOf(children.head, "graft_dedup_pairs index")
+        val q = frameOf(children(1), "graft_dedup_pairs queryTable")
+        // exact-verified near-dup pairs of the query batch against the
+        // CDC-maintained LSH index, from pure SQL — bucket-bounded
+        // candidates, never an all-pairs comparison
+        graft.dedup.DedupIndex.verifiedPairs(SparkSession.active, idx,
+            q, doubleLit(children(2), "graft_dedup_pairs minJaccard"))
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_ann_topk"),
+      new ExpressionInfo(graft.sim.AnnIndex.getClass.getName,
+        "graft_ann_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 || children.length == 4,
+          "graft_ann_topk(index, queryTable, k [, nProbe]) takes 3-4 " +
+            "arguments")
+        val spark = SparkSession.active
+        val idx = rootOf(children.head, "graft_ann_topk index")
+        val q = frameOf(children(1), "graft_ann_topk queryTable")
+        val spec = graft.sim.AnnIndex.readSpec(spark, idx)
+        // queries carry the SOURCE's column names (id, vec) — the
+        // natural shape when the query batch is itself a graft table
+        // or a temp view cut from one
+        graft.sim.AnnIndex.topK(spark, idx, q, spec.idCol, spec.vecCol,
+            k = intLit(children(2), "graft_ann_topk k"),
+            nProbe = children.lift(3)
+              .map(intLit(_, "graft_ann_topk nProbe"))
+              .getOrElse(4))
           .queryExecution.analyzed
       }),
     (FunctionIdentifier("graft_view"),

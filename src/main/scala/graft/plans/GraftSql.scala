@@ -162,6 +162,21 @@ object GraftSqlParser {
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Target +
       """\s+KEYED\s+BY\s+\(\s*([A-Za-z0-9_`,\s]+?)\s*\)""" +
       """\s+AS\s+(SELECT\b.*?)\s*;?\s*$""").r
+  // CDC-maintained derived indexes (dedup LSH / ANN IVF) as DDL — the
+  // SQL-only user's path to the same lifecycle the Scala API drives
+  private val CreateDedupIdxRe =
+    ("""(?is)^\s*CREATE\s+DEDUP\s+INDEX\s+""" + Target +
+      """\s+ON\s+""" + Target +
+      """\s*\(\s*`?([A-Za-z0-9_]+)`?\s*,\s*`?([A-Za-z0-9_]+)`?\s*\)""" +
+      """(?:\s+OPTIONS\s*\(\s*(.+?)\s*\))?\s*;?\s*$""").r
+  private val CreateAnnIdxRe =
+    ("""(?is)^\s*CREATE\s+ANN\s+INDEX\s+""" + Target +
+      """\s+ON\s+""" + Target +
+      """\s*\(\s*`?([A-Za-z0-9_]+)`?\s*,\s*`?([A-Za-z0-9_]+)`?\s*\)""" +
+      """(?:\s+OPTIONS\s*\(\s*(.+?)\s*\))?\s*;?\s*$""").r
+  private val RefreshIdxRe =
+    ("""(?is)^\s*REFRESH\s+(DEDUP|ANN)\s+INDEX\s+""" + Target +
+      """\s*;?\s*$""").r
   // plain persistent views (saved queries, late-bound at read). TEMP /
   // GLOBAL TEMP / multipart-named / column-listed views fall through to
   // Spark's own grammar untouched (the pattern requires VIEW directly
@@ -350,6 +365,29 @@ object GraftSqlParser {
         Some(GraftFastForwardCommand(refLoud(g1, g2, g3, g4), name))
       case ShowBranchesRe(g1, g2, g3, g4) =>
         Some(GraftShowBranchesCommand(refLoud(g1, g2, g3, g4)))
+      case CreateDedupIdxRe(i1, i2, i3, i4, s1, s2, s3, s4, idCol,
+          textCol, opts) =>
+        val (idxRoot, register) = indexTarget(i1, i2, i3, i4,
+          "CREATE DEDUP INDEX")
+        val o = Option(opts).map(kvList).getOrElse(Map.empty)
+        Some(GraftDedupIndexCreateCommand(idxRoot, register,
+          refLoud(s1, s2, s3, s4), idCol, textCol,
+          o.getOrElse("shingle", "3").toInt,
+          o.getOrElse("perm", "64").toInt,
+          o.getOrElse("bands", "32").toInt,
+          o.getOrElse("seed", "42").toLong))
+      case CreateAnnIdxRe(i1, i2, i3, i4, s1, s2, s3, s4, idCol,
+          vecCol, opts) =>
+        val (idxRoot, register) = indexTarget(i1, i2, i3, i4,
+          "CREATE ANN INDEX")
+        val o = Option(opts).map(kvList).getOrElse(Map.empty)
+        Some(GraftAnnIndexCreateCommand(idxRoot, register,
+          refLoud(s1, s2, s3, s4), idCol, vecCol,
+          o.getOrElse("nlist", "16").toInt,
+          o.getOrElse("kmeans", "2").toInt))
+      case RefreshIdxRe(kind, g1, g2, g3, g4) =>
+        Some(GraftIndexRefreshCommand(refLoud(g1, g2, g3, g4),
+          kind.toUpperCase(java.util.Locale.ROOT) == "ANN"))
       case CreateMvRe(g1, g2, g3, g4, keys, select) =>
         // CREATE MV by NAME: an unregistered name is the view being
         // born — register it against a managed root after the build
@@ -369,6 +407,28 @@ object GraftSqlParser {
         Some(mvCreate(viewRoot, colList(keys), select, parseSelect)
           .copy(registerName = register))
       case _ => None
+    }
+
+  /** A CREATE ... INDEX target: a path is used verbatim; an
+    * UNREGISTERED name is the index being born — resolved to a managed
+    * root and registered after the build succeeds (the CREATE MV
+    * discipline); a name already taken by a table/view refuses. */
+  private def indexTarget(g1: String, g2: String, g3: String, g4: String,
+                          stmt: String): (String, Option[String]) =
+    Option(g1).orElse(Option(g2)) match {
+      case Some(path) => (path, None)
+      case None =>
+        val n = Option(g3).getOrElse(g4)
+        require(!n.contains("@"), s"$stmt cannot target a branch ref: $n")
+        resolveName(n) match {
+          case Some(_) => throw new IllegalArgumentException(
+            s"$stmt: $n already names a registered graft table/index")
+          case None =>
+            val spark = SparkSession.active
+            require(GraftCatalog.lookupView(spark, n).isEmpty,
+              s"$stmt: a graft VIEW named $n already exists")
+            (GraftCatalog.managedRoot(spark, n), Some(n))
+        }
     }
 
   /** Extract a [[graft.ops.MatView]] spec from the MV statement's
@@ -1481,6 +1541,62 @@ case class GraftMvCreateCommand(viewRoot: String, srcRoot: String,
       GraftCatalog.Entry(n, viewRoot, Nil, Nil, None)))
     Seq(Row(v))
   }
+}
+
+/** `CREATE DEDUP INDEX idx ON src (idCol, textCol)
+  * [OPTIONS('shingle'='3','perm'='64','bands'='32','seed'='42')]` —
+  * [[graft.dedup.DedupIndex.create]]: defines the CDC-maintained LSH
+  * index and runs the one full corpus build; `REFRESH DEDUP INDEX`
+  * then maintains it from the change feed. A named CREATE registers
+  * the index AFTER the build succeeds (the CREATE MV discipline). */
+case class GraftDedupIndexCreateCommand(indexRoot: String,
+                                        registerName: Option[String],
+                                        srcRoot: String, idCol: String,
+                                        textCol: String, shingleN: Int,
+                                        numPerm: Int, bands: Int,
+                                        seed: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = graft.dedup.DedupIndex.create(spark, indexRoot, srcRoot,
+      idCol, textCol, shingleN, numPerm, bands, seed)
+    registerName.foreach(n => GraftCatalog.create(spark,
+      GraftCatalog.Entry(n, indexRoot, Nil, Nil, None)))
+    Seq(Row(v))
+  }
+}
+
+/** `CREATE ANN INDEX idx ON src (idCol, vecCol)
+  * [OPTIONS('nlist'='16','kmeans'='2')]` —
+  * [[graft.sim.AnnIndex.create]]: the IVF twin. */
+case class GraftAnnIndexCreateCommand(indexRoot: String,
+                                      registerName: Option[String],
+                                      srcRoot: String, idCol: String,
+                                      vecCol: String, nlist: Int,
+                                      kmeansIters: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = graft.sim.AnnIndex.create(spark, indexRoot, srcRoot,
+      idCol, vecCol, nlist, kmeansIters)
+    registerName.foreach(n => GraftCatalog.create(spark,
+      GraftCatalog.Entry(n, indexRoot, Nil, Nil, None)))
+    Seq(Row(v))
+  }
+}
+
+/** `REFRESH DEDUP|ANN INDEX idx` — advance the index to its source's
+  * current version at change-volume cost. */
+case class GraftIndexRefreshCommand(indexRoot: String, ann: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(
+      if (ann) graft.sim.AnnIndex.refresh(spark, indexRoot)
+      else graft.dedup.DedupIndex.refresh(spark, indexRoot)))
 }
 
 /** `REFRESH MATERIALIZED VIEW graft.`/view`` —

@@ -755,6 +755,68 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_txf")
   }
 
+  test("SQL index DDL: CREATE/REFRESH DEDUP and ANN INDEX by name, " +
+      "queried through the graft_dedup_pairs / graft_ann_topk TVFs") {
+    val path = tmp("sqlidx")
+    def sent(tail: String) =
+      s"the quick brown fox jumps over the lazy $tail and rests there"
+    // --- dedup ---
+    spark.sql(s"CREATE TABLE cat_docs (doc_id BIGINT, text STRING, " +
+      s"lang STRING) USING graft LOCATION '$path/docs' " +
+      "PARTITIONED BY (lang) TBLPROPERTIES('graft.keys'='doc_id,lang')")
+    spark.sql("INSERT INTO cat_docs VALUES " +
+      s"(1, '${sent("dog")}', 'en'), (2, '${sent("cat")}', 'en'), " +
+      "(3, 'completely different words entirely here now', 'en')")
+    assert(spark.sql("CREATE DEDUP INDEX cat_di ON cat_docs " +
+      "(doc_id, text) OPTIONS('shingle'='2')").first.getInt(0) >= 0)
+    Seq((10L, sent("dog"))).toDF("doc_id", "text")
+      .createOrReplaceTempView("cat_di_batch")
+    val pairs = spark.sql("SELECT new_id, corpus_id FROM " +
+      "graft_dedup_pairs('cat_di', 'cat_di_batch', 0.7)")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)) && !pairs.exists(_._2 == 3L))
+    // CDC refresh through SQL: new doc lands, the index sees it
+    spark.sql(s"INSERT INTO cat_docs VALUES (4, '${sent("dog")}', 'en')")
+    spark.sql("REFRESH DEDUP INDEX cat_di")
+    val pairs2 = spark.sql("SELECT corpus_id FROM " +
+      "graft_dedup_pairs('cat_di', 'cat_di_batch', 0.7)")
+      .as[Long].collect().toSet
+    assert(pairs2.contains(4L), s"refreshed index missing doc 4: $pairs2")
+    // name collision with a table refuses
+    intercept[IllegalArgumentException](spark.sql(
+      "CREATE DEDUP INDEX cat_docs ON cat_docs (doc_id, text)"))
+    // --- ann ---
+    spark.sql(s"CREATE TABLE cat_vecs (vec_id BIGINT, " +
+      s"embedding ARRAY<FLOAT>, grp INT) USING graft " +
+      s"LOCATION '$path/vecs' PARTITIONED BY (grp) " +
+      "TBLPROPERTIES('graft.keys'='vec_id,grp')")
+    val vecs = (0L until 20L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(4)(r.nextFloat()), (i % 2).toInt)
+    }
+    vecs.toDF("vec_id", "embedding", "grp")
+      .createOrReplaceTempView("cat_vec_src")
+    spark.sql("INSERT INTO cat_vecs SELECT * FROM cat_vec_src")
+    spark.sql("CREATE ANN INDEX cat_ai ON cat_vecs " +
+      "(vec_id, embedding) OPTIONS('nlist'='4','kmeans'='1')")
+    Seq((100L, vecs(3)._2)).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("cat_ai_q")
+    // nProbe = nlist: exact — the self-identical vector ranks first
+    val top = spark.sql("SELECT neighbor_id FROM " +
+      "graft_ann_topk('cat_ai', 'cat_ai_q', 3, 4) WHERE rank = 1")
+      .as[Long].head()
+    assert(top == 3L, s"nearest neighbor wrong: $top")
+    spark.sql("INSERT INTO cat_vecs SELECT 50L, embedding, 0 " +
+      "FROM cat_vec_src WHERE vec_id = 3")
+    spark.sql("REFRESH ANN INDEX cat_ai")
+    val top2 = spark.sql("SELECT neighbor_id FROM " +
+      "graft_ann_topk('cat_ai', 'cat_ai_q', 2, 4)")
+      .as[Long].collect().toSet
+    assert(top2 == Set(3L, 50L), s"refreshed ANN wrong: $top2")
+    spark.sql("DROP TABLE cat_ai"); spark.sql("DROP TABLE cat_di")
+    spark.sql("DROP TABLE cat_vecs"); spark.sql("DROP TABLE cat_docs")
+  }
+
   test("bare OPTIMIZE honors declared graft.zorder clustering") {
     val path = tmp("zopt") + "/t"
     spark.sql(s"CREATE TABLE cat_zopt (id INT, x INT, y INT, g STRING) " +
