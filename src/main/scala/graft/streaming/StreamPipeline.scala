@@ -414,6 +414,34 @@ object StreamPipeline {
       .start()
   }
 
+  /** Continuously-fresh CDC-maintained index: the metronome-triggered
+    * twin of [[startMatViewRefresh]] for [[graft.dedup.DedupIndex]] /
+    * [[graft.sim.AnnIndex]] — each tick advances the index to its
+    * source's current version at change-volume cost (idle ticks cost
+    * two manifest listings and commit nothing; the txn watermark is the
+    * crash-safe cursor). Composes the whole continuous pipeline by
+    * NAME: stream → named table ([[startNamedInsert]]) → continuously
+    * maintained near-dedup / ANN index. */
+  def startIndexRefresh(spark: SparkSession, index: String,
+                        ann: Boolean = false,
+                        pollInterval: String = "1 second")
+      : StreamingQuery = {
+    val indexRoot = graft.plans.GraftCatalog.resolveTableRef(spark, index)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").option("numPartitions", "1").load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        try {
+          if (ann) graft.sim.AnnIndex.refresh(spark, indexRoot)
+          else graft.dedup.DedupIndex.refresh(spark, indexRoot)
+          ()
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
+      .start()
+  }
+
   /** S9, made safe: the reference's log sink collects EVERY batch row to
     * the driver (spark_stream_processor.py:89) — at scale that is a driver
     * OOM. This is the bounded twin: at most `maxRows` rows per micro-batch

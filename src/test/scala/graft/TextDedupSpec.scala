@@ -535,6 +535,21 @@ class TextDedupSpec extends SparkSpec {
     // 4 deleted, 2 rewritten away: only 1 and the indexed 10 remain near
     assert(after.contains(1L) && after.contains(10L) &&
       !after.contains(4L) && !after.contains(2L), s"got $after")
+    // continuous refresh: the metronome leg converges the index while
+    // writes land, no explicit refresh call
+    val q = graft.streaming.StreamPipeline.startIndexRefresh(spark, idx,
+      pollInterval = "100 milliseconds")
+    try {
+      VersionedTable.upsert(spark, src,
+        Seq((12L, sent("dog"), "p1")).toDF("doc_id", "text", "part"),
+        Seq("doc_id", "part"), Seq("part"))
+      val end = System.currentTimeMillis + 30000
+      def hit(): Boolean = DedupIndex.verifiedPairs(spark, idx,
+        Seq((21L, sent("dog"))).toDF("doc_id", "text"), 0.7)
+        .select($"corpus_id").as[Long].collect().toSet.contains(12L)
+      while (!hit() && System.currentTimeMillis < end) Thread.sleep(200)
+      assert(hit(), "continuous index refresh did not converge")
+    } finally q.stop()
     // mass-change fallback: shrink the cap, touch 3 docs -> full rebuild
     spark.conf.set("spark.graft.dedupindex.idCap", "2")
     try {
