@@ -253,9 +253,10 @@ object GraftExtensions {
         val spec = graft.sim.AnnIndex.readSpec(spark, idx)
         // queries carry the SOURCE's column names (id, vec) — the
         // natural shape when the query batch is itself a graft table
-        // or a temp view cut from one
-        graft.sim.AnnIndex.topK(spark, idx, q, spec.idCol, spec.vecCol,
-            k = intLit(children(2), "graft_ann_topk k"),
+        // or a temp view cut from one. The spec read here passes
+        // through (one sidecar read per invocation, not two).
+        graft.sim.AnnIndex.topK(spark, idx, spec, q, spec.idCol,
+            spec.vecCol, k = intLit(children(2), "graft_ann_topk k"),
             nProbe = children.lift(3)
               .map(intLit(_, "graft_ann_topk nProbe"))
               .getOrElse(4))

@@ -2226,6 +2226,18 @@ object VersionedTable {
       .collectFirst { case txns if txns.contains(txnId) => txns(txnId) }
   }
 
+  /** [[lastTxn]] PINNED at a specific committed version: the watermark
+    * as of that manifest — consumers pairing versioned sidecar state
+    * with a snapshot read (AnnIndex centroids) resolve both from the
+    * same version instead of racing a concurrent commit. */
+  private[graft] def lastTxnAt(spark: SparkSession, root: String,
+                               txnId: String, version: Int): Option[Long] = {
+    val fs = fsFor(spark, root)
+    history(spark, root).takeWhile(_ <= version).reverseIterator
+      .map(v => readTxnDirectives(fs, root, v))
+      .collectFirst { case txns if txns.contains(txnId) => txns(txnId) }
+  }
+
   /** Parse ONLY the #txn directives of a manifest — they are written
     * before the (large, base64-heavy) stat/bloom sections, so the scan
     * stops at the first #filestat/#filebloom/mapping line instead of

@@ -369,7 +369,8 @@ object GraftSqlParser {
           textCol, opts) =>
         val (idxRoot, register) = indexTarget(i1, i2, i3, i4,
           "CREATE DEDUP INDEX")
-        val o = Option(opts).map(kvList).getOrElse(Map.empty)
+        val o = indexOptions(opts, "CREATE DEDUP INDEX",
+          Set("shingle", "perm", "bands", "seed"))
         Some(GraftDedupIndexCreateCommand(idxRoot, register,
           refLoud(s1, s2, s3, s4), idCol, textCol,
           o.getOrElse("shingle", "3").toInt,
@@ -380,7 +381,8 @@ object GraftSqlParser {
           vecCol, opts) =>
         val (idxRoot, register) = indexTarget(i1, i2, i3, i4,
           "CREATE ANN INDEX")
-        val o = Option(opts).map(kvList).getOrElse(Map.empty)
+        val o = indexOptions(opts, "CREATE ANN INDEX",
+          Set("nlist", "kmeans"))
         Some(GraftAnnIndexCreateCommand(idxRoot, register,
           refLoud(s1, s2, s3, s4), idCol, vecCol,
           o.getOrElse("nlist", "16").toInt,
@@ -412,7 +414,9 @@ object GraftSqlParser {
   /** A CREATE ... INDEX target: a path is used verbatim; an
     * UNREGISTERED name is the index being born — resolved to a managed
     * root and registered after the build succeeds (the CREATE MV
-    * discipline); a name already taken by a table/view refuses. */
+    * discipline); a name already taken by a table/view — or SHADOWED
+    * by a temp view (the created index would be unreachable by the
+    * name that created it) — refuses. */
   private def indexTarget(g1: String, g2: String, g3: String, g4: String,
                           stmt: String): (String, Option[String]) =
     Option(g1).orElse(Option(g2)) match {
@@ -420,6 +424,10 @@ object GraftSqlParser {
       case None =>
         val n = Option(g3).getOrElse(g4)
         require(!n.contains("@"), s"$stmt cannot target a branch ref: $n")
+        require(!sessionShadowed(n),
+          s"$stmt: a temp view or session-catalog table named $n " +
+            "shadows the name — the index would be unreachable; pick " +
+            "another name or use a path")
         resolveName(n) match {
           case Some(_) => throw new IllegalArgumentException(
             s"$stmt: $n already names a registered graft table/index")
@@ -430,6 +438,19 @@ object GraftSqlParser {
             (GraftCatalog.managedRoot(spark, n), Some(n))
         }
     }
+
+  /** OPTIONS for CREATE ... INDEX: quoted k/v pairs validated against
+    * the statement's known keys — a typo'd option must refuse, never
+    * silently build a structurally different index. */
+  private def indexOptions(opts: String, stmt: String,
+                           allowed: Set[String]): Map[String, String] = {
+    val o = Option(opts).map(kvList).getOrElse(Map.empty)
+    val stray = o.keys.filterNot(allowed)
+    require(stray.isEmpty,
+      s"$stmt: unknown OPTIONS ${stray.mkString(", ")} — supported: " +
+        allowed.toSeq.sorted.mkString(", "))
+    o
+  }
 
   /** Extract a [[graft.ops.MatView]] spec from the MV statement's
     * AS SELECT: `SELECT g..., agg(col) AS alias... FROM
@@ -1270,8 +1291,19 @@ case class GraftOptimizeCommand(root: String, zOrderCols: Seq[String])
         (if (zOrderCols.isEmpty) " (declared via graft.zorder)" else "")))
     // declared target file granularity (rows): clustering only skips
     // when a partition splits into several tight files — the knob is
-    // table governance like the clustering itself
-    val fileRows = m.props.get("graft.filerows").map(_.trim.toInt)
+    // table governance like the clustering itself. Loud parse: a
+    // malformed property must name itself here, not surface as a bare
+    // NumberFormatException in a nightly job far from the ALTER that
+    // set it
+    val fileRows = m.props.get("graft.filerows").map { v =>
+      val n = v.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"TBLPROPERTIES 'graft.filerows' must be a positive " +
+            s"integer; got '$v'"))
+      require(n > 0,
+        s"TBLPROPERTIES 'graft.filerows' must be positive; got $n")
+      n
+    }
     // z-dimensions join the stats set: clustering by a previously
     // unindexed column must also RECORD its min/max, or the rewrite
     // clusters perfectly and skips nothing

@@ -129,12 +129,22 @@ object AnnIndex {
   /** The frozen centroids PAIRED with the index's committed state: the
     * newest centroid file at or below the synced source version — a
     * rebuild's new file stays invisible until its commit publishes the
-    * watermark. */
+    * watermark. `atVersion` pins the pairing to a snapshot the caller
+    * already resolved (topK reads rows AND centroids from one version,
+    * so a rebuild committing mid-query cannot mismatch them). */
   private[graft] def readCentroids(spark: SparkSession, indexRoot: String,
-                                   spec: Spec): DataFrame = {
+                                   spec: Spec,
+                                   atVersion: Option[Int] = None)
+      : DataFrame = {
     val synced = VersionedTable.currentVersion(spark, indexRoot)
-      .flatMap(_ => VersionedTable.lastTxn(spark, indexRoot,
-        StreamPrefix + spec.srcRoot))
+      .flatMap { cur =>
+        atVersion match {
+          case Some(v) => VersionedTable.lastTxnAt(spark, indexRoot,
+            StreamPrefix + spec.srcRoot, v)
+          case None => VersionedTable.lastTxn(spark, indexRoot,
+            StreamPrefix + spec.srcRoot)
+        }
+      }
       .getOrElse(throw new java.io.FileNotFoundException(
         s"ann index at $indexRoot has no committed build"))
     val v = listCentroidFiles(spark, indexRoot).filter(_ <= synced)
@@ -241,22 +251,42 @@ object AnnIndex {
     * names may collide with the index's (the natural self-query case):
     * the index side is internally aliased. */
   def topK(spark: SparkSession, indexRoot: String, queries: DataFrame,
-           qId: String, qVec: String, k: Int, nProbe: Int = 4): DataFrame = {
-    val spec = readSpec(spark, indexRoot)
+           qId: String, qVec: String, k: Int, nProbe: Int = 4): DataFrame =
+    topK(spark, indexRoot, readSpec(spark, indexRoot), queries, qId,
+      qVec, k, nProbe)
+
+  /** [[topK]] with an already-read spec (the SQL TVF reads it once for
+    * the column names and passes it through). */
+  private[graft] def topK(spark: SparkSession, indexRoot: String,
+                          spec: Spec, queries: DataFrame, qId: String,
+                          qVec: String, k: Int, nProbe: Int): DataFrame = {
+    // ONE pinned snapshot for the whole probe: rows AND centroids
+    // resolve from the same committed version, so a rebuild committing
+    // mid-query cannot pair old centroids with new-assignment rows
+    val cur = VersionedTable.currentVersion(spark, indexRoot)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"ann index at $indexRoot has no committed build"))
+    // pin the probe assignment ONCE (localCheckpoint: materialized,
+    // lineage truncated, no cache-manager entry to leak): it feeds the
+    // probed-cell collect AND the join — re-executing a
+    // non-deterministic query source between the two could assign rows
+    // to cells the constrained read pruned. Size = |queries| × nProbe.
     val probes = Similarity.ivfAssign(queries, qId, qVec,
-        readCentroids(spark, indexRoot, spec), nProbe = nProbe)
+        readCentroids(spark, indexRoot, spec, Some(cur)),
+        nProbe = nProbe)
       .withColumn("__qn2", Similarity.norm(col(qVec)))
+      .localCheckpoint()
     // the probed CELL SET is at most nlist values (tiny by contract) —
     // collect it and read the index CONSTRAINED on the partition
     // column, so only the probed cells' dirs are listed/scanned (a
-    // plain join would read every partition; no DPP reaches the
-    // custom scan). With nProbe = nlist this degenerates to the full
-    // read, as exactness requires.
+    // plain join would read every partition; no DPP reaches the custom
+    // scan). With nProbe = nlist this degenerates to the full read, as
+    // exactness requires.
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
     val idx = VersionedTable.readConstrained(spark, indexRoot,
         Seq(VersionedTable.ColConstraint("cell", None, None, None,
-          inSet = Some(probedCells))), None)
+          inSet = Some(probedCells))), Some(cur))
       .select(col("cell"), col(spec.idCol).as("__c_id"),
         col(spec.vecCol).as("__c_vec"))
       .withColumn("__cn2", Similarity.norm(col("__c_vec")))

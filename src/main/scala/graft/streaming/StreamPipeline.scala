@@ -367,23 +367,34 @@ object StreamPipeline {
                            (apply: DataFrame => Unit): StreamingQuery = {
     // registered catalog names resolve like every batch statement
     val root = graft.plans.GraftCatalog.resolveTableRef(spark, table)
+    startMetronome(spark, pollInterval) {
+      // bounded per-tick: a consumer restarted after a long outage
+      // catches up maxVersionsPerTick transitions per poll instead
+      // of one giant diff (ticks keep firing until drained)
+      graft.ops.VersionedTable.syncChanges(spark, root, keys,
+        cursorPath, maxVersionsPerTick)(apply)
+      ()
+    }
+  }
+
+  /** The shared metronome: a rate source purely as a clock, one `tick`
+    * per trigger — the scaffolding behind every continuous-refresh leg
+    * (change feed, matview, derived indexes). A FileNotFoundException
+    * from the tick is a producer that has not committed yet (or a
+    * vacuumed-away transition the next tick recovers from): skipped,
+    * not fatal. */
+  private def startMetronome(spark: SparkSession, pollInterval: String)
+                            (tick: => Unit): StreamingQuery =
     spark.readStream.format("rate")
       .option("rowsPerSecond", "1").option("numPartitions", "1").load()
       .writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(pollInterval))
       .foreachBatch { (_: DataFrame, _: Long) =>
-        try {
-          // bounded per-tick: a consumer restarted after a long outage
-          // catches up maxVersionsPerTick transitions per poll instead
-          // of one giant diff (ticks keep firing until drained)
-          graft.ops.VersionedTable.syncChanges(spark, root, keys,
-            cursorPath, maxVersionsPerTick)(apply)
-          ()
-        } catch { case _: java.io.FileNotFoundException => () }
+        try tick
+        catch { case _: java.io.FileNotFoundException => () }
       }
       .start()
-  }
 
   /** Continuously-fresh materialized aggregate: a metronome-triggered
     * [[graft.ops.MatView.refresh]] loop — each tick advances the view to
@@ -398,20 +409,15 @@ object StreamPipeline {
                           pollInterval: String = "1 second")
       : StreamingQuery = {
     // a materialized view registered by name (CREATE MATERIALIZED VIEW
-    // mv ...) resolves through the same catalog as its batch reads
+    // mv ...) resolves through the same catalog as its batch reads —
+    // and the spec must EXIST before the metronome starts: a wrong
+    // root would otherwise tick forever, healthy-looking and useless
     val viewRoot = graft.plans.GraftCatalog.resolveTableRef(spark, view)
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", "1").option("numPartitions", "1").load()
-      .writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(pollInterval))
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        try {
-          graft.ops.MatView.refresh(spark, viewRoot)
-          ()
-        } catch { case _: java.io.FileNotFoundException => () }
-      }
-      .start()
+    graft.ops.MatView.readSpec(spark, viewRoot)
+    startMetronome(spark, pollInterval) {
+      graft.ops.MatView.refresh(spark, viewRoot)
+      ()
+    }
   }
 
   /** Continuously-fresh CDC-maintained index: the metronome-triggered
@@ -419,27 +425,24 @@ object StreamPipeline {
     * [[graft.sim.AnnIndex]] — each tick advances the index to its
     * source's current version at change-volume cost (idle ticks cost
     * two manifest listings and commit nothing; the txn watermark is the
-    * crash-safe cursor). Composes the whole continuous pipeline by
+    * crash-safe cursor). The index KIND is detected from which spec
+    * file lives at the root — a wrong root fails HERE, loudly, instead
+    * of ticking forever as a healthy-looking stream that never
+    * refreshes anything. Composes the whole continuous pipeline by
     * NAME: stream → named table ([[startNamedInsert]]) → continuously
     * maintained near-dedup / ANN index. */
   def startIndexRefresh(spark: SparkSession, index: String,
-                        ann: Boolean = false,
                         pollInterval: String = "1 second")
       : StreamingQuery = {
     val indexRoot = graft.plans.GraftCatalog.resolveTableRef(spark, index)
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", "1").option("numPartitions", "1").load()
-      .writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(pollInterval))
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        try {
-          if (ann) graft.sim.AnnIndex.refresh(spark, indexRoot)
-          else graft.dedup.DedupIndex.refresh(spark, indexRoot)
-          ()
-        } catch { case _: java.io.FileNotFoundException => () }
+    val refreshFn: () => Int =
+      try { graft.dedup.DedupIndex.readSpec(spark, indexRoot)
+        () => graft.dedup.DedupIndex.refresh(spark, indexRoot) }
+      catch { case _: java.io.FileNotFoundException =>
+        graft.sim.AnnIndex.readSpec(spark, indexRoot) // loud if neither
+        () => graft.sim.AnnIndex.refresh(spark, indexRoot)
       }
-      .start()
+    startMetronome(spark, pollInterval) { refreshFn(); () }
   }
 
   /** S9, made safe: the reference's log sink collects EVERY batch row to
