@@ -87,6 +87,32 @@ object DedupIndex {
     }
   }
 
+  /** The refresh diffs the change feed keyed on `idCol` ALONE; if the
+    * source's recorded merge keys are wider (say doc_id+lang),
+    * duplicate ids across the wider key would cross-join the feed and
+    * silently inflate it with spurious update/delete rows. When the
+    * recorded keys are exactly (idCol) uniqueness holds by table
+    * construction and this is free; otherwise prove uniqueness over
+    * `rows` (the whole corpus on build/rebuild, the changed ids'
+    * current rows on the incremental path) and refuse loudly. */
+  private def requireUniqueIds(spark: SparkSession, spec: Spec,
+                               rows: => DataFrame, where: String): Unit = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val keys = VersionedTable.resolveManifest(spark, spec.srcRoot, None)
+      .keys
+    if (keys.map(lc) != Seq(lc(spec.idCol))) {
+      val dup = rows.groupBy(col(spec.idCol))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"dedup index on ${spec.srcRoot} keys its change feed on " +
+          s"'${spec.idCol}', but the source's merge keys are " +
+          s"(${keys.mkString(", ")}) and id '${dup.head.get(0)}' is " +
+          s"duplicated $where — deduplicate the source on " +
+          s"'${spec.idCol}' or key the table on it")
+    }
+  }
+
   /** Band-bucket rows of `docs` (id + text): one row per (band_idx,
     * band_hash, id). */
   private def bandRows(docs: DataFrame, spec: Spec): DataFrame =
@@ -128,6 +154,7 @@ object DedupIndex {
           .select(col(spec.idCol), col(spec.textCol)).persist()
         try {
           lastDocs.set(docs.count())
+          requireUniqueIds(spark, spec, docs, "in the corpus")
           lastRebuild.set(true)
           commitRows(spark, indexRoot, spec, bandRows(docs, spec), srcCur,
             replaceAll = false)
@@ -147,12 +174,22 @@ object DedupIndex {
               .persist()
             try {
               lastDocs.set(docs.count())
+              requireUniqueIds(spark, spec, docs, "in the corpus")
               lastRebuild.set(true)
               commitRows(spark, indexRoot, spec, bandRows(docs, spec),
                 srcCur, replaceAll = true)
             } finally docs.unpersist()
           } else {
             lastDocs.set(changedIds.length.toLong)
+            // prove the changed ids are still unique in the source AT
+            // srcCur (covers feed-internal dups AND a new row colliding
+            // with an unchanged one) — a semi-joined probe over the
+            // feed's distinct ids, never a corpus-wide group-by
+            requireUniqueIds(spark, spec,
+              VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
+                .join(broadcast(feed.select(col(spec.idCol)).distinct()),
+                  Seq(spec.idCol), "left_semi"),
+              "among the changed ids")
             // erase FIRST (updates move band hashes, deletes vanish):
             // a replayed refresh re-erases already-gone rows (no-op)
             // and the upsert below is txn-idempotent

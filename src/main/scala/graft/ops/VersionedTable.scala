@@ -1854,7 +1854,8 @@ object VersionedTable {
                              bloomCols: Seq[String] = Nil,
                              bloomBits: Long = 0L,
                              txn: Option[(String, Long)] = None,
-                             replaceAll: Boolean = false): Int = {
+                             replaceAll: Boolean = false,
+                             extraTxns: Seq[(String, Long)] = Nil): Int = {
     require(partCols.nonEmpty, "at least one partition column")
     partCols.foreach(c => require(keys.contains(c),
       s"partition column $c must be part of the merge key"))
@@ -1882,7 +1883,11 @@ object VersionedTable {
       // the same (streamId, batchId) cannot both commit it (the loser of
       // the claim retries at next+1 and aborts on this check), closing
       // the check-then-act window a sink-side lastTxn probe alone leaves
-      txn.foreach { case (sid, bid) =>
+      // multi-tag commits (a join matview watermarks BOTH its sources in
+      // one manifest) abort when ANY tag is already committed — the
+      // conservative rule: a partial race means this refresh's deltas
+      // were computed from watermarks a concurrent commit already moved
+      (txn ++ extraTxns).foreach { case (sid, bid) =>
         if (lastTxn(spark, root, sid).exists(_ >= bid))
           throw new TxnAlreadyCommittedException(
             s"txn ($sid, $bid) is already committed at $root")
@@ -2031,7 +2036,7 @@ object VersionedTable {
       Staged(partCols, outSchema, newMapping,
         carry(prior.map(_.stats).getOrElse(Map.empty)) ++ freshStats,
         carry(prior.map(_.blooms).getOrElse(Map.empty)) ++ freshBlooms,
-        prior.map(_.txns).getOrElse(Map.empty) ++ txn,
+        prior.map(_.txns).getOrElse(Map.empty) ++ txn ++ extraTxns,
         carryDir(prior.map(_.dirRows).getOrElse(Map.empty)) ++ freshDirRows,
         carryDir(prior.map(_.dirFiles).getOrElse(Map.empty)) ++ freshDirFiles,
         carry(prior.map(_.bloomRefs).getOrElse(Map.empty)),
@@ -2095,7 +2100,8 @@ object VersionedTable {
              bloomCols: Seq[String] = Nil,
              bloomBits: Long = 0L,
              txn: Option[(String, Long)] = None,
-             replaceAll: Boolean = false): Int = {
+             replaceAll: Boolean = false,
+             extraTxns: Seq[(String, Long)] = Nil): Int = {
     val fs = fsFor(spark, root)
     val maxAttempts = 5
     var attempt = 1
@@ -2104,7 +2110,7 @@ object VersionedTable {
       val basedOn = currentVersion(spark, root).getOrElse(-1)
       try {
         val v = prepare(spark, root, updates, keys, partCols, statsCols,
-          fileRows, bloomCols, bloomBits, txn, replaceAll)
+          fileRows, bloomCols, bloomBits, txn, replaceAll, extraTxns)
         publish(spark, root, v)
         committed = v
       } catch {

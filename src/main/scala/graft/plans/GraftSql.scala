@@ -1070,8 +1070,14 @@ object GraftSqlParser {
           case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
             val name = u.multipartIdentifier.head
             // cheap in-memory shadow checks FIRST — the catalog probe
-            // is filesystem I/O and most single-part names are views
-            if (scope.contains(lc(name)) || sessionShadowed(name)) u
+            // is filesystem I/O and most single-part names are views.
+            // INSIDE a view body, session temp-view shadows are NOT
+            // honored: CREATE VIEW refused session-scoped references,
+            // so a temp view created afterwards must not hijack the
+            // persistent body's tables — graft resolution wins, and a
+            // shadow with no graft object behind it refuses loudly.
+            if (scope.contains(lc(name)) ||
+                (views.isEmpty && sessionShadowed(name))) u
             else resolveName(name).map(relationFor(spark, _)).getOrElse(
               GraftCatalog.lookupView(spark, name) match {
                 case Some(body) =>
@@ -1085,7 +1091,14 @@ object GraftSqlParser {
                   SubqueryAlias(name,
                     go(spark.sessionState.sqlParser.parseQuery(body),
                       Set.empty, views + lc(name)))
-                case None => u
+                case None =>
+                  if (views.nonEmpty && sessionShadowed(name))
+                    throw new IllegalArgumentException(
+                      s"view body reference '$name' resolves only to a " +
+                        "session temp view: a persistent view cannot " +
+                        "capture session state (was the graft table it " +
+                        "referenced dropped?)")
+                  u
               })
           // named time travel: SELECT ... FROM t VERSION AS OF 3 /
           // TIMESTAMP AS OF '2024-01-08' — the same literal resolution
@@ -1096,7 +1109,8 @@ object GraftSqlParser {
               case u: UnresolvedRelation
                   if u.multipartIdentifier.length == 1 &&
                     !scope.contains(lc(u.multipartIdentifier.head)) &&
-                    !sessionShadowed(u.multipartIdentifier.head) =>
+                    (views.nonEmpty ||
+                      !sessionShadowed(u.multipartIdentifier.head)) =>
                 resolveName(u.multipartIdentifier.head) match {
                   case Some(root) =>
                     val v = tt.version match {
@@ -1903,6 +1917,15 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
       df.toDF(tableCols: _*)
     }
 
+  /** Column-name membership under the session's resolution rule:
+    * Spark resolves names case-INsensitively by default, so a BY NAME
+    * source column 'Date' must match table column 'date' (not be
+    * admitted as a new duplicate column forking the schema). */
+  private def hasCol(cols: Seq[String], c: String): Boolean =
+    if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
+      cols.contains(c)
+    else cols.exists(_.equalsIgnoreCase(c))
+
   private def align(df: org.apache.spark.sql.DataFrame,
                     tableCols: Seq[String],
                     schema: org.apache.spark.sql.types.StructType,
@@ -1918,7 +1941,7 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
     // from the transform, never a position.
     val defaults = VersionedTable.writeDefaults(schema)
     val missing = tableCols.filterNot(c =>
-      nm.columns.contains(c) || computed.contains(c) ||
+      hasCol(nm.columns.toSeq, c) || computed.contains(c) ||
         defaults.contains(c))
     require(missing.isEmpty,
       s"INSERT must cover every table column; missing: " +
@@ -1926,7 +1949,7 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
     // table-order first, admitted new columns appended — the committed
     // schema evolves deterministically, like MERGE WITH SCHEMA EVOLUTION
     nm.select(tableCols.map(c =>
-      (if (nm.columns.contains(c)) col(c)
+      (if (hasCol(nm.columns.toSeq, c)) col(c)
        else computed.getOrElse(c, expr(defaults(c))))
         .cast(schema(c).dataType).as(c)) ++
       extras.map(col): _*)
@@ -1972,7 +1995,7 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         // than either)
         val extras = named(df, visible.filterNot(computed.contains))
           .columns.toSeq
-          .filterNot(c => visible.contains(c) ||
+          .filterNot(c => hasCol(visible, c) ||
             c == GraftCatalog.BucketCol)
         val evolve = m.props.get("graft.schema.evolution")
           .exists(v => Set("true", "insert")

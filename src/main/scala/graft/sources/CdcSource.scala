@@ -200,8 +200,15 @@ class CdcSource(spark: SparkSession, root: String,
       case Some(cur0) =>
         val cur = availableNowTarget.fold(cur0.toLong)(
           math.min(cur0.toLong, _))
-        Some(LongOffset(maxVersionsPerBatch.fold(cur)(m =>
-          math.min(cur, math.max(maxSeen, -1L) + m))))
+        val capped = maxVersionsPerBatch.fold(cur)(m =>
+          math.min(cur, math.max(maxSeen, -1L) + m))
+        // never checkpoint BELOW the configured base: startingVersion=5
+        // on a table still at v0 must not record offset 0 (later batches
+        // would then deliver v0->v1 diffs the user explicitly excluded);
+        // the boundary batch at the clamped offset is empty by the
+        // from >= to rule in getBatch
+        Some(LongOffset(startingVersion.fold(capped)(
+          math.max(capped, _))))
       case None =>
         // never-written table: a configured startingVersion still
         // CHECKPOINTS its resolved base (-1 for 'latest') via an empty

@@ -957,4 +957,62 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP VIEW IF EXISTS cat_v1") // silent
     spark.sql("DROP TABLE cat_vt")
   }
+
+  test("view bodies ignore session temp-view shadows: a temp view " +
+      "created AFTER the view cannot hijack its tables") {
+    val path = tmp("vshadow") + "/t"
+    spark.sql(s"CREATE TABLE cat_vsh_t (id INT, v INT) USING graft " +
+      s"LOCATION '$path' TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_vsh_t VALUES (1, 10), (2, 20)")
+    spark.sql("CREATE VIEW cat_vsh_v AS " +
+      "SELECT sum(v) AS sv FROM cat_vsh_t")
+    assert(spark.sql("SELECT sv FROM cat_vsh_v").first.getLong(0) == 30L)
+    // a later temp view named like the TABLE shadows direct reads
+    // (Spark's order) but must NOT reach inside the persistent body —
+    // the CREATE-time "no session state" rule holds at read time too
+    Seq((9, 900)).toDF("id", "v").createOrReplaceTempView("cat_vsh_t")
+    assert(spark.sql("SELECT sum(v) FROM cat_vsh_t")
+      .first.getLong(0) == 900L) // direct: temp view wins
+    assert(spark.sql("SELECT sv FROM cat_vsh_v")
+      .first.getLong(0) == 30L)  // through the view: graft table wins
+    spark.sql("DROP VIEW cat_vsh_v")
+    spark.catalog.dropTempView("cat_vsh_t")
+    spark.sql("DROP TABLE cat_vsh_t")
+  }
+
+  test("view body over a dropped table shadowed by a temp view " +
+      "refuses loudly instead of serving session state") {
+    val path = tmp("vshadow2") + "/t"
+    spark.sql(s"CREATE TABLE cat_vs2_t (id INT) USING graft " +
+      s"LOCATION '$path' TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_vs2_t VALUES (1)")
+    spark.sql("CREATE VIEW cat_vs2_v AS SELECT id FROM cat_vs2_t")
+    spark.sql("DROP TABLE cat_vs2_t")
+    Seq((42)).toDF("id").createOrReplaceTempView("cat_vs2_t")
+    val e = intercept[IllegalArgumentException](
+      spark.sql("SELECT id FROM cat_vs2_v").collect())
+    assert(e.getMessage.contains("session temp view"), e.getMessage)
+    spark.sql("DROP VIEW cat_vs2_v")
+    spark.catalog.dropTempView("cat_vs2_t")
+  }
+
+  test("INSERT-time schema evolution matches columns case-" +
+      "insensitively: 'X' is the existing 'x', never a new column") {
+    val path = tmp("insci") + "/t"
+    spark.sql(s"CREATE TABLE cat_evci (id INT, g STRING, x INT) " +
+      s"USING graft LOCATION '$path' " +
+      "TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cat_evci VALUES (1,'a',10)")
+    spark.sql("ALTER TABLE cat_evci SET TBLPROPERTIES" +
+      "('graft.schema.evolution'='true')")
+    Seq((2, "b", 20)).toDF("ID", "G", "X")
+      .createOrReplaceTempView("cat_evci_src")
+    spark.sql("INSERT INTO cat_evci BY NAME SELECT * FROM cat_evci_src")
+    val t = spark.sql("SELECT * FROM cat_evci ORDER BY id")
+    // schema did NOT fork: still exactly (id, g, x) in table casing
+    assert(t.columns.toSeq == Seq("id", "g", "x"), t.columns.toSeq)
+    assert(t.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getInt(2))).toSeq == Seq((1, "a", 10), (2, "b", 20)))
+    spark.sql("DROP TABLE cat_evci")
+  }
 }

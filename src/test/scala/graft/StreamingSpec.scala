@@ -379,6 +379,45 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE cdc_src_t")
   }
 
+  test("graft-cdc startingVersion ABOVE the current version never " +
+      "checkpoints below the configured base: pre-base versions are " +
+      "excluded, the first post-base commit streams") {
+    val base = Files.createTempDirectory("graft_cdc_clamp")
+    spark.sql(s"CREATE TABLE cdc_clamp_t (id INT, v INT) USING graft " +
+      s"LOCATION '${base.resolve("t")}' TBLPROPERTIES('graft.keys'='id')")
+    spark.sql("INSERT INTO cdc_clamp_t VALUES (1, 10)") // v0
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", "cdc_clamp_t")
+        .option("startingVersion", "5").load()
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("op", "_commit_version").collect()
+            .foreach(r => got.add((r.getString(0), r.getInt(1))))
+          ()
+        }.start()
+      assert(q.awaitTermination(60000))
+    }
+    drain() // table at v0 < base 5: boundary only, nothing delivered
+    assert(got.isEmpty, s"delivered below the configured base: $got")
+    // v1..v5 are at-or-below the base — still excluded after restart
+    (2 to 6).foreach(i =>
+      spark.sql(s"INSERT INTO cdc_clamp_t VALUES ($i, ${i * 10})"))
+    drain()
+    assert(got.isEmpty,
+      s"checkpoint regressed below startingVersion: $got")
+    spark.sql("INSERT INTO cdc_clamp_t VALUES (9, 90)") // v6: first AFTER base
+    drain()
+    val rows = Iterator.continually(got.poll())
+      .takeWhile(_ != null).toSeq
+    assert(rows == Seq(("insert", 6)), s"got $rows")
+    spark.sql("DROP TABLE cdc_clamp_t")
+  }
+
   test("graft-cdc source edges: reserved column names refuse; " +
       "startingVersion=latest on a never-written table delivers the " +
       "first commit as the initial load, not a crash") {

@@ -565,4 +565,44 @@ class TextDedupSpec extends SparkSpec {
       assert(rebuilt.contains(30L), s"rebuilt index missing new doc: $rebuilt")
     } finally spark.conf.unset("spark.graft.dedupindex.idCap")
   }
+
+  test("dedup index refuses a non-unique id column loudly when the " +
+      "source's merge keys are wider than (idCol)") {
+    import graft.dedup.DedupIndex
+    import graft.ops.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_dupid")
+    val (src, idx) = (s"$base/src", s"$base/idx")
+    // keys (doc_id, lang): the same doc_id CAN appear twice — the
+    // change feed keyed on doc_id alone would cross-join
+    VersionedTable.upsert(spark, src,
+      Seq((1L, "en", "alpha beta gamma delta"),
+        (1L, "fr", "un deux trois quatre"),
+        (2L, "en", "epsilon zeta eta theta"))
+        .toDF("doc_id", "lang", "text"), Seq("doc_id", "lang"), Seq("lang"))
+    val e = intercept[IllegalArgumentException](
+      DedupIndex.create(spark, idx, src, "doc_id", "text", shingleN = 2))
+    assert(e.getMessage.contains("duplicated"), e.getMessage)
+    // a clean corpus creates fine; a refresh that INTRODUCES a
+    // duplicate id refuses BEFORE the inflated feed can land
+    val (src2, idx2) = (s"$base/src2", s"$base/idx2")
+    VersionedTable.upsert(spark, src2,
+      Seq((1L, "en", "alpha beta gamma delta"),
+        (2L, "en", "epsilon zeta eta theta"))
+        .toDF("doc_id", "lang", "text"), Seq("doc_id", "lang"), Seq("lang"))
+    DedupIndex.create(spark, idx2, src2, "doc_id", "text", shingleN = 2)
+    VersionedTable.upsert(spark, src2,
+      Seq((2L, "fr", "deux trois quatre cinq six"))
+        .toDF("doc_id", "lang", "text"), Seq("doc_id", "lang"), Seq("lang"))
+    val e2 = intercept[IllegalArgumentException](
+      DedupIndex.refresh(spark, idx2))
+    assert(e2.getMessage.contains("changed ids"), e2.getMessage)
+    // a duplicate-free change still refreshes incrementally
+    VersionedTable.deleteMatching(spark, src2,
+      $"doc_id" === 2L && $"lang" === "fr")
+    VersionedTable.upsert(spark, src2,
+      Seq((3L, "en", "iota kappa lambda mu nu"))
+        .toDF("doc_id", "lang", "text"), Seq("doc_id", "lang"), Seq("lang"))
+    DedupIndex.refresh(spark, idx2)
+    assert(!DedupIndex.lastRefreshRebuild)
+  }
 }
