@@ -1743,6 +1743,77 @@ object SparkEntry {
           lit(1.0) + lit(0.08) * col("__ex")).as("dct_ok"))
   }
 
+  /** Incrementally-maintained aggregate-over-JOIN view ([[JoinMatView]])
+    * — the reference's core serving shape (an aggregate join re-MERGEd
+    * every cycle, spark_stream_processor.py:216-234 →
+    * load_stream_to_snowflake.py:243-323) made change-volume-priced:
+    * customer (fact, int64 cents measure) joins nation (dim) and
+    * aggregates per nation name. After the initial build, BOTH sources
+    * take surgical updates — balances shift, some customers move
+    * nations, one nation is RENAMED (its whole group relabels) — and
+    * one refresh() brings the view current from the two change feeds
+    * alone: ΔF ⋈ D_new for the fact leg, F_old ⋈ ΔD (fact re-read
+    * pruned to the one changed dim key) for the dim leg, both source
+    * watermarks committed atomically in one manifest. In-query guards
+    * pin the delta path (no full recompute, exactly one incremental
+    * version, dim leg saw exactly 1 changed key). Oracle reconstructs
+    * the same final join-aggregate in SQL. */
+  private def qMatviewJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_matview_j/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (fact, dim, view) = (s"$base/fact", s"$base/dim", s"$base/view")
+    fixture {
+      rmrf(s, base)
+      // fact v0: customers with an exact int64 cents balance (per-row
+      // cast is bit-identical cross-engine; sums stay order-exact)
+      val c0 = tbl(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        // floor, not cast: CAST(double AS BIGINT) truncates in Spark
+        // but rounds in DuckDB — floor is bit-identical in both
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        pmod(col("c_custkey"), lit(8)).cast("int").as("c_part"))
+      VersionedTable.upsert(s, fact, c0, Seq("c_custkey", "c_part"),
+        Seq("c_part"), statsCols = Seq("c_custkey"),
+        bloomCols = Seq("c_nationkey"))
+      val n0 = tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      VersionedTable.upsert(s, dim, n0, Seq("n_nationkey"),
+        Seq("n_nationkey"))
+      JoinMatView.create(s, view, fact, dim, fkCols = Seq("c_nationkey"),
+        groupCols = Seq("n_name"),
+        sums = Seq(("bal_sum", "bal_cents")),
+        avgs = Seq(("bal_avg", "bal_cents")),
+        countAlias = Some("n_cust"))
+      // fact v1 (surgical): every 10th customer's balance shifts, every
+      // 50th moves nation — updates that MOVE rows between groups
+      VersionedTable.upsert(s, fact,
+        c0.filter(col("c_custkey") % 10 === 0).select(
+          col("c_custkey"),
+          when(col("c_custkey") % 50 === 0,
+            pmod(col("c_nationkey") + 7, lit(25)))
+            .otherwise(col("c_nationkey"))
+            .cast(c0.schema("c_nationkey").dataType).as("c_nationkey"),
+          (col("bal_cents") + 100000L).as("bal_cents"), col("c_part")),
+        Seq("c_custkey", "c_part"), Seq("c_part"),
+        statsCols = Seq("c_custkey"), bloomCols = Seq("c_nationkey"))
+      // dim v1 (surgical): ONE nation renamed — its group relabels
+      VersionedTable.upsert(s, dim,
+        n0.filter(col("n_nationkey") === 3)
+          .select(col("n_nationkey"), lit("RENAMED").as("n_name")),
+        Seq("n_nationkey"), Seq("n_nationkey"))
+    }
+    JoinMatView.refresh(s, view)
+    require(!JoinMatView.lastFullRecompute,
+      "surgical two-source updates must refresh via the delta path")
+    require(JoinMatView.lastDimChangedKeys == 1L,
+      s"dim leg saw ${JoinMatView.lastDimChangedKeys} changed keys, " +
+        "expected exactly the renamed nation")
+    require(VersionedTable.currentVersion(s, view) == Some(1),
+      "join matview refresh did not produce exactly one incremental " +
+        "version")
+    JoinMatView.read(s, view).select(col("n_name"), col("bal_sum"),
+      r6(col("bal_avg")).as("bal_avg"), col("n_cust"))
+  }
+
   /** Manifest file skipping on the versioned table: the daily rollup is
     * written partitioned by event_type, CLUSTERED on date (statsCols)
     * with small files, and a needle date-range read goes through
@@ -4549,6 +4620,7 @@ object SparkEntry {
     "q_matview" -> (qMatview _),
     "q_matview_minmax" -> (qMatviewMinmax _),
     "q_matview_avg_distinct" -> (qMatviewAvgDistinct _),
+    "q_matview_join" -> (qMatviewJoin _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
@@ -7030,6 +7102,29 @@ object SparkEntry {
          |SELECT event_type, round(avg(daily_volume), 6) AS vol_avg,
          |  count(*) AS n_days, true AS dct_ok
          |FROM final GROUP BY 1""".stripMargin,
+
+    // The join view serves exactly the aggregate of the FINAL
+    // fact ⋈ dim state (int64 cents sums are order-exact; avg is one
+    // division) — however incrementally the two change feeds
+    // maintained it. The CASE arms replay the two surgical updates.
+    "q_matview_join" ->
+      """WITH fact AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 50 = 0 THEN (c_nationkey + 7) % 25
+        |         ELSE c_nationkey END AS nk,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) +
+        |      CASE WHEN c_custkey % 10 = 0 THEN 100000 ELSE 0 END
+        |      AS bal_cents
+        |  FROM customer),
+        |dim AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey = 3 THEN 'RENAMED' ELSE n_name END
+        |      AS n_name
+        |  FROM nation)
+        |SELECT n_name, CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+        |  round(avg(bal_cents), 6) AS bal_avg, count(*) AS n_cust
+        |FROM fact JOIN dim ON nk = n_nationkey
+        |GROUP BY 1""".stripMargin,
 
     // branch WAP cycle: final main = branch's late window (>= Jan 21,
     // even users) + main's concurrent %3 recompute (<= Jan 10) + the
