@@ -49,7 +49,11 @@ object DedupIndex {
                   shingleN: Int, numPerm: Int, bands: Int, seed: Long)
 
   private val StreamPrefix = "dedupindex:"
-  private def specPath(indexRoot: String) = new Path(indexRoot, "_dedupindex")
+  private[graft] def specPath(indexRoot: String) =
+    new Path(indexRoot, "_dedupindex")
+  /** The txn stream id the index's sync cursor rides — for DESCRIBE. */
+  private[graft] def streamId(srcRoot: String): String =
+    StreamPrefix + srcRoot
 
   private def idCap(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.dedupindex.idCap")

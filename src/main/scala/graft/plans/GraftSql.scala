@@ -177,6 +177,14 @@ object GraftSqlParser {
   private val RefreshIdxRe =
     ("""(?is)^\s*REFRESH\s+(DEDUP|ANN)\s+INDEX\s+""" + Target +
       """\s*;?\s*$""").r
+  private val DropIdxRe =
+    ("""(?is)^\s*DROP\s+(DEDUP|ANN)\s+INDEX\s+(IF\s+EXISTS\s+)?""" +
+      Target + """\s*;?\s*$""").r
+  private val ShowIndexesRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+INDEXES\s*;?\s*$""".r
+  private val DescIdxRe =
+    ("""(?is)^\s*DESCRIBE\s+(DEDUP|ANN)\s+INDEX\s+""" + Target +
+      """\s*;?\s*$""").r
   // plain persistent views (saved queries, late-bound at read). TEMP /
   // GLOBAL TEMP / multipart-named / column-listed views fall through to
   // Spark's own grammar untouched (the pattern requires VIEW directly
@@ -389,6 +397,25 @@ object GraftSqlParser {
           o.getOrElse("kmeans", "2").toInt))
       case RefreshIdxRe(kind, g1, g2, g3, g4) =>
         Some(GraftIndexRefreshCommand(refLoud(g1, g2, g3, g4),
+          kind.toUpperCase(java.util.Locale.ROOT) == "ANN"))
+      case DropIdxRe(kind, ifEx, g1, g2, g3, g4) =>
+        // IF EXISTS swallows only "nothing there" (unregistered name /
+        // no spec at the path) — a KIND mismatch or a shadowed name is
+        // always loud; resolution mirrors refLoud minus the not-
+        // registered throw
+        val name = Option(g3).orElse(Option(g4))
+        name.filter(sessionShadowed).foreach(n =>
+          throw new IllegalArgumentException(
+            s"'$n' is a registered graft name but a temp view or " +
+              "session-catalog table of the same name shadows it — " +
+              "address the index by path: graft.`<root>`"))
+        Some(GraftIndexDropCommand(
+          Option(g1).orElse(Option(g2)).orElse(name.flatMap(resolveName)),
+          name, kind.toUpperCase(java.util.Locale.ROOT) == "ANN",
+          ifEx != null))
+      case ShowIndexesRe() => Some(GraftShowIndexesCommand())
+      case DescIdxRe(kind, g1, g2, g3, g4) =>
+        Some(GraftIndexDescribeCommand(refLoud(g1, g2, g3, g4),
           kind.toUpperCase(java.util.Locale.ROOT) == "ANN"))
       case CreateMvRe(g1, g2, g3, g4, keys, select) =>
         // CREATE MV by NAME: an unregistered name is the view being
@@ -1643,6 +1670,121 @@ case class GraftIndexRefreshCommand(indexRoot: String, ann: Boolean)
     Seq(Row(
       if (ann) graft.sim.AnnIndex.refresh(spark, indexRoot)
       else graft.dedup.DedupIndex.refresh(spark, indexRoot)))
+}
+
+/** `DROP DEDUP|ANN INDEX [IF EXISTS] idx` — removes the index ARTIFACT
+  * (spec, index table, centroid sidecars) and unregisters the name. An
+  * index is derived, rebuildable state, so DROP deletes its storage —
+  * unlike DROP TABLE, which only unregisters (the data is the user's).
+  * The kind must match (`DROP ANN INDEX` on a dedup index refuses — IF
+  * EXISTS does NOT swallow a kind mismatch, only absence), and storage
+  * deletes BEFORE the name unregisters so a re-CREATE by the same name
+  * (deterministic managed root) never finds a stale spec. */
+case class GraftIndexDropCommand(root: Option[String],
+                                 name: Option[String], ann: Boolean,
+                                 ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  private def kind = if (ann) "ANN" else "DEDUP"
+  override def run(spark: SparkSession): Seq[Row] = {
+    root match {
+      case None => // bare name, unregistered
+        if (!ifExists) throw new NoSuchElementException(
+          s"$kind index ${name.get} is not registered — " +
+            s"DROP $kind INDEX IF EXISTS to make this a no-op")
+      case Some(r) =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mine =
+          if (ann) graft.sim.AnnIndex.specPath(r)
+          else graft.dedup.DedupIndex.specPath(r)
+        val other =
+          if (ann) graft.dedup.DedupIndex.specPath(r)
+          else graft.sim.AnnIndex.specPath(r)
+        if (fs.exists(mine)) {
+          fs.delete(p, true)
+          name.foreach(GraftCatalog.drop(spark, _))
+        } else if (fs.exists(other)) throw new IllegalArgumentException(
+          s"$r is a ${if (ann) "DEDUP" else "ANN"} index — " +
+            s"DROP ${if (ann) "DEDUP" else "ANN"} INDEX drops it")
+        else if (!ifExists) throw new NoSuchElementException(
+          s"no $kind index at $r (missing " +
+            s"${mine.getName}) — DROP $kind INDEX IF EXISTS to make " +
+            "this a no-op")
+    }
+    Seq.empty
+  }
+}
+
+/** `SHOW GRAFT INDEXES` — one row per REGISTERED index (kind resolved
+  * from the spec sidecar), with its root, source table, and current
+  * version. Indexes created by bare path have no name to enumerate —
+  * same contract as SHOW GRAFT TABLES. */
+case class GraftShowIndexesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("root", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("current_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftCatalog.list(spark).flatMap { e =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      def exists(p: org.apache.hadoop.fs.Path) =
+        p.getFileSystem(conf).exists(p)
+      val cur = () =>
+        VersionedTable.currentVersion(spark, e.root).getOrElse(-1)
+      if (exists(graft.dedup.DedupIndex.specPath(e.root)))
+        Some(Row(e.name, "DEDUP", e.root,
+          graft.dedup.DedupIndex.readSpec(spark, e.root).srcRoot, cur()))
+      else if (exists(graft.sim.AnnIndex.specPath(e.root)))
+        Some(Row(e.name, "ANN", e.root,
+          graft.sim.AnnIndex.readSpec(spark, e.root).srcRoot, cur()))
+      else None
+    }
+}
+
+/** `DESCRIBE DEDUP|ANN INDEX idx` — the spec's parameters plus the
+  * live sync state: the index table's current version, the source
+  * version the last refresh synced to, and the source's current
+  * version (synced < current ⇒ a REFRESH is due). Key/value rows, the
+  * DESCRIBE convention. */
+case class GraftIndexDescribeCommand(indexRoot: String, ann: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    def kv(pairs: (String, Any)*): Seq[Row] =
+      pairs.map { case (k, v) => Row(k, String.valueOf(v)) }
+    def syncRows(srcRoot: String, streamId: String): Seq[(String, Any)] = {
+      val synced = VersionedTable.currentVersion(spark, indexRoot)
+        .flatMap(_ => VersionedTable.lastTxn(spark, indexRoot, streamId))
+      Seq(
+        "index_version" ->
+          VersionedTable.currentVersion(spark, indexRoot).getOrElse(-1),
+        "synced_source_version" -> synced.getOrElse(-1L),
+        "source_current_version" ->
+          VersionedTable.currentVersion(spark, srcRoot).getOrElse(-1))
+    }
+    if (ann) {
+      val s = graft.sim.AnnIndex.readSpec(spark, indexRoot)
+      kv(Seq[(String, Any)]("kind" -> "ANN", "root" -> indexRoot,
+        "source" -> s.srcRoot, "id_col" -> s.idCol,
+        "vector_col" -> s.vecCol, "nlist" -> s.nlist,
+        "kmeans_iters" -> s.kmeansIters) ++
+        syncRows(s.srcRoot, graft.sim.AnnIndex.streamId(s.srcRoot)): _*)
+    } else {
+      val s = graft.dedup.DedupIndex.readSpec(spark, indexRoot)
+      kv(Seq[(String, Any)]("kind" -> "DEDUP", "root" -> indexRoot,
+        "source" -> s.srcRoot, "id_col" -> s.idCol,
+        "text_col" -> s.textCol, "shingle_n" -> s.shingleN,
+        "num_perm" -> s.numPerm, "bands" -> s.bands,
+        "seed" -> s.seed) ++
+        syncRows(s.srcRoot,
+          graft.dedup.DedupIndex.streamId(s.srcRoot)): _*)
+    }
+  }
 }
 
 /** `REFRESH MATERIALIZED VIEW graft.`/view`` —

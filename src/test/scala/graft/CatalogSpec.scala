@@ -817,6 +817,90 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_vecs"); spark.sql("DROP TABLE cat_docs")
   }
 
+  test("index SQL lifecycle: SHOW GRAFT INDEXES, DESCRIBE ... INDEX, " +
+      "DROP ... INDEX with kind checks, drop-then-recreate, and " +
+      "TVF-on-dropped-index loud refusal") {
+    val path = tmp("idxlife")
+    def sent(tail: String) =
+      s"the quick brown fox jumps over the lazy $tail and rests there"
+    spark.sql(s"CREATE TABLE cat_ldocs (doc_id BIGINT, text STRING, " +
+      s"lang STRING) USING graft LOCATION '$path/docs' " +
+      "PARTITIONED BY (lang) TBLPROPERTIES('graft.keys'='doc_id,lang')")
+    spark.sql("INSERT INTO cat_ldocs VALUES " +
+      s"(1, '${sent("dog")}', 'en'), (2, '${sent("cat")}', 'en')")
+    spark.sql(s"CREATE TABLE cat_lvecs (vec_id BIGINT, " +
+      s"embedding ARRAY<FLOAT>, grp INT) USING graft " +
+      s"LOCATION '$path/vecs' PARTITIONED BY (grp) " +
+      "TBLPROPERTIES('graft.keys'='vec_id,grp')")
+    (0L until 12L).map(i =>
+      (i, Seq.tabulate(4)(j => (i + j + 1).toFloat / 12f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "grp")
+      .createOrReplaceTempView("cat_lvec_src")
+    spark.sql("INSERT INTO cat_lvecs SELECT * FROM cat_lvec_src")
+    spark.sql("CREATE DEDUP INDEX cat_ldi ON cat_ldocs (doc_id, text) " +
+      "OPTIONS('shingle'='2')")
+    spark.sql("CREATE ANN INDEX cat_lai ON cat_lvecs (vec_id, embedding) " +
+      "OPTIONS('nlist'='2','kmeans'='1')")
+    // SHOW enumerates both, kind-tagged, pointing at their sources;
+    // plain tables do not appear
+    val shown = spark.sql("SHOW GRAFT INDEXES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(shown.contains(("cat_ldi", "DEDUP")) &&
+      shown.contains(("cat_lai", "ANN")), s"SHOW wrong: $shown")
+    assert(!shown.exists(_._1 == "cat_ldocs"))
+    // DESCRIBE: params + sync state (fresh index: synced == current)
+    val d = spark.sql("DESCRIBE DEDUP INDEX cat_ldi").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(d("kind") == "DEDUP" && d("shingle_n") == "2" &&
+      d("bands") == "32" && d("id_col") == "doc_id")
+    assert(d("synced_source_version") == "0" &&
+      d("source_current_version") == "0", d.toString)
+    val da = spark.sql("DESCRIBE ANN INDEX cat_lai").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(da("kind") == "ANN" && da("nlist") == "2" &&
+      da("vector_col") == "embedding")
+    // source moves: DESCRIBE shows the index behind
+    spark.sql(s"INSERT INTO cat_ldocs VALUES (9, '${sent("owl")}', 'en')")
+    val d2 = spark.sql("DESCRIBE DEDUP INDEX cat_ldi").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(d2("synced_source_version") == "0" &&
+      d2("source_current_version") == "1", d2.toString)
+    // kind mismatch is ALWAYS loud — even with IF EXISTS
+    val km = intercept[IllegalArgumentException](
+      spark.sql("DROP ANN INDEX cat_ldi"))
+    assert(km.getMessage.contains("DEDUP index"), km.getMessage)
+    intercept[IllegalArgumentException](
+      spark.sql("DROP DEDUP INDEX IF EXISTS cat_lai"))
+    // DROP removes the artifact and the name
+    spark.sql("DROP DEDUP INDEX cat_ldi")
+    assert(!spark.sql("SHOW GRAFT INDEXES").collect()
+      .exists(_.getString(0) == "cat_ldi"))
+    // TVF on the dropped index refuses loudly, as does REFRESH
+    Seq((10L, sent("dog"))).toDF("doc_id", "text")
+      .createOrReplaceTempView("cat_ldi_batch")
+    val tvf = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_dedup_pairs('cat_ldi', 'cat_ldi_batch', 0.7)")
+      .collect())
+    assert(tvf.getMessage.contains("cat_ldi") ||
+      tvf.getMessage.contains("no dedup index"), tvf.getMessage)
+    intercept[Exception](spark.sql("REFRESH DEDUP INDEX cat_ldi"))
+    // drop-then-RECREATE by the same name lands on a clean root
+    spark.sql("CREATE DEDUP INDEX cat_ldi ON cat_ldocs (doc_id, text) " +
+      "OPTIONS('shingle'='2')")
+    val pairs = spark.sql("SELECT corpus_id FROM " +
+      "graft_dedup_pairs('cat_ldi', 'cat_ldi_batch', 0.7)")
+      .as[Long].collect().toSet
+    assert(pairs.contains(1L), s"recreated index broken: $pairs")
+    // unregistered name: loud without IF EXISTS, silent with
+    intercept[NoSuchElementException](
+      spark.sql("DROP ANN INDEX cat_nothere"))
+    spark.sql("DROP ANN INDEX IF EXISTS cat_nothere")
+    // path-addressed drop works too
+    spark.sql("DROP ANN INDEX cat_lai")
+    spark.sql("DROP DEDUP INDEX cat_ldi")
+    spark.sql("DROP TABLE cat_lvecs"); spark.sql("DROP TABLE cat_ldocs")
+  }
+
   test("bare OPTIMIZE honors declared graft.zorder clustering") {
     val path = tmp("zopt") + "/t"
     spark.sql(s"CREATE TABLE cat_zopt (id INT, x INT, y INT, g STRING) " +
