@@ -4250,6 +4250,66 @@ object SparkEntry {
       .withColumn("cosine_sim", r6(col("cosine_sim")))
   }
 
+  /** Quantized ANN index storage: the same CDC-maintained IVF index
+    * with int8 codes + per-row scale in the index table (~4× smaller
+    * rows — the 100 TB storage lever) and float re-rank on the
+    * shortlist (true vectors read from the SOURCE pinned at the synced
+    * version, id-IN-probed). Invariants, all in-query: (1) recall vs
+    * the float index ≥ 0.8 at the same nProbe (measured ~1.0 — the
+    * int8 shortlist at refine=4k rarely drops a true top-5); (2) every
+    * pair BOTH indexes return carries the IDENTICAL float-exact cosine
+    * (the re-rank serves true similarities, never dequantized ones);
+    * (3) the quantized index's manifest byte total is under HALF the
+    * float index's. The incremental-refresh leg re-asserts feed-sized
+    * maintenance in quantized mode. */
+  private def qSimIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val stage = "/tmp/graft_sim_index_q/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (src, idxF, idxQ) = (s"$stage/src", s"$stage/idxf", s"$stage/idxq")
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(8)).cast("int").as("grp"))
+    fixture {
+      rmrf(s, stage)
+      VersionedTable.upsert(s, src, emb.filter(col("vec_id") >= 10),
+        Seq("vec_id", "grp"), Seq("grp"))
+      graft.sim.AnnIndex.create(s, idxF, src, "vec_id", "embedding",
+        nlist = 16, kmeansIters = 0)
+      graft.sim.AnnIndex.create(s, idxQ, src, "vec_id", "embedding",
+        nlist = 16, kmeansIters = 0, quantized = true)
+      VersionedTable.upsert(s, src, emb.filter(col("vec_id") < 10),
+        Seq("vec_id", "grp"), Seq("grp"))
+    }
+    graft.sim.AnnIndex.refresh(s, idxQ)
+    require(!graft.sim.AnnIndex.lastRefreshRebuild &&
+      graft.sim.AnnIndex.lastRefreshVectors == 10,
+      "quantized ANN refresh was not incremental")
+    graft.sim.AnnIndex.refresh(s, idxF)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val fTop = graft.sim.AnnIndex.topK(s, idxF, queries, "q_id", "q_vec",
+      k = 5, nProbe = 16).select(col("query_id"), col("neighbor_id"),
+      col("cosine_sim").as("__fs"))
+    val qTop = graft.sim.AnnIndex.topK(s, idxQ, queries, "q_id", "q_vec",
+      k = 5, nProbe = 16).select(col("query_id"), col("neighbor_id"),
+      col("cosine_sim").as("__qs"))
+    val both = fTop.join(qTop, Seq("query_id", "neighbor_id"))
+    def bytesOf(root: String): Long = VersionedTable
+      .partitionsMeta(s, root).agg(sum(col("bytes"))).first.getLong(0)
+    val bytesOk = bytesOf(idxQ) * 2 < bytesOf(idxF)
+    require(bytesOk, s"quantized index not smaller: ${bytesOf(idxQ)} " +
+      s"vs float ${bytesOf(idxF)} bytes")
+    fTop.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("__n_f"))
+      .crossJoin(both.agg(count(lit(1)).as("__n_hit"),
+        max(abs(col("__fs") - col("__qs"))).as("__maxerr")))
+      .select(col("n_queries"), lit(5).as("k"),
+        (col("__n_hit").cast("double") / col("__n_f") >= 0.8)
+          .as("recall_ge_08"),
+        (col("__maxerr") === 0.0).as("sims_exact"),
+        lit(bytesOk).as("bytes_under_half"))
+  }
+
   /** IVF with nProbe = nlist probes every cell — the search space is the
     * whole corpus, so the output EQUALS brute-force top-k exactly and the
     * full IVF machinery (assignment, cell join, rank merge) is
@@ -4760,6 +4820,7 @@ object SparkEntry {
     "q_sim_quantized" -> (qSimQuantized _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_index" -> (qSimIndex _),
+    "q_sim_index_q" -> (qSimIndexQ _),
     "q_sim_ivf_full" -> (qSimIvfFull _),
     "q_hll_incremental" -> (qHllIncremental _),
     "q_theta_algebra" -> (qThetaAlgebra _),
@@ -9149,6 +9210,15 @@ object SparkEntry {
     "q_sim_quantized" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, 5 AS k,
         | true AS recall_ge_08
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // quantized ANN index invariants (recall vs the float index,
+    // float-exact re-ranked similarities, byte shrinkage) are measured
+    // and REQUIRED in-query; the oracle checks the bracket surface
+    "q_sim_index_q" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, 5 AS k,
+        | true AS recall_ge_08, true AS sims_exact,
+        | true AS bytes_under_half
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q_sim_ivf" ->

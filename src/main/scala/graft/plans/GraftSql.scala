@@ -390,11 +390,12 @@ object GraftSqlParser {
         val (idxRoot, register) = indexTarget(i1, i2, i3, i4,
           "CREATE ANN INDEX")
         val o = indexOptions(opts, "CREATE ANN INDEX",
-          Set("nlist", "kmeans"))
+          Set("nlist", "kmeans", "quantized"))
         Some(GraftAnnIndexCreateCommand(idxRoot, register,
           refLoud(s1, s2, s3, s4), idCol, vecCol,
           o.getOrElse("nlist", "16").toInt,
-          o.getOrElse("kmeans", "2").toInt))
+          o.getOrElse("kmeans", "2").toInt,
+          o.getOrElse("quantized", "false").toBoolean))
       case RefreshIdxRe(kind, g1, g2, g3, g4) =>
         Some(GraftIndexRefreshCommand(refLoud(g1, g2, g3, g4),
           kind.toUpperCase(java.util.Locale.ROOT) == "ANN"))
@@ -1641,19 +1642,22 @@ case class GraftDedupIndexCreateCommand(indexRoot: String,
 }
 
 /** `CREATE ANN INDEX idx ON src (idCol, vecCol)
-  * [OPTIONS('nlist'='16','kmeans'='2')]` —
-  * [[graft.sim.AnnIndex.create]]: the IVF twin. */
+  * [OPTIONS('nlist'='16','kmeans'='2','quantized'='false')]` —
+  * [[graft.sim.AnnIndex.create]]: the IVF twin; 'quantized'='true'
+  * stores int8 codes + per-row scale (~4× smaller) with float re-rank
+  * at topK. */
 case class GraftAnnIndexCreateCommand(indexRoot: String,
                                       registerName: Option[String],
                                       srcRoot: String, idCol: String,
                                       vecCol: String, nlist: Int,
-                                      kmeansIters: Int)
+                                      kmeansIters: Int,
+                                      quantized: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val v = graft.sim.AnnIndex.create(spark, indexRoot, srcRoot,
-      idCol, vecCol, nlist, kmeansIters)
+      idCol, vecCol, nlist, kmeansIters, quantized)
     registerName.foreach(n => GraftCatalog.create(spark,
       GraftCatalog.Entry(n, indexRoot, Nil, Nil, None)))
     Seq(Row(v))
@@ -1772,7 +1776,8 @@ case class GraftIndexDescribeCommand(indexRoot: String, ann: Boolean)
       kv(Seq[(String, Any)]("kind" -> "ANN", "root" -> indexRoot,
         "source" -> s.srcRoot, "id_col" -> s.idCol,
         "vector_col" -> s.vecCol, "nlist" -> s.nlist,
-        "kmeans_iters" -> s.kmeansIters) ++
+        "kmeans_iters" -> s.kmeansIters,
+        "quantized" -> s.quantized) ++
         syncRows(s.srcRoot, graft.sim.AnnIndex.streamId(s.srcRoot)): _*)
     } else {
       val s = graft.dedup.DedupIndex.readSpec(spark, indexRoot)

@@ -49,11 +49,16 @@ import graft.ops.{SpecFile, VersionedTable}
 object AnnIndex {
 
   case class Spec(srcRoot: String, idCol: String, vecCol: String,
-                  nlist: Int, kmeansIters: Int)
+                  nlist: Int, kmeansIters: Int,
+                  quantized: Boolean = false)
 
   private val StreamPrefix = "annindex:"
   private val CentroidPrefix = "_anncentroids."
-  private def specPath(indexRoot: String) = new Path(indexRoot, "_annindex")
+  private[graft] def specPath(indexRoot: String) =
+    new Path(indexRoot, "_annindex")
+  /** The txn stream id the index's sync cursor rides — for DESCRIBE. */
+  private[graft] def streamId(srcRoot: String): String =
+    StreamPrefix + srcRoot
   private def centroidsPath(indexRoot: String, v: Long) =
     new Path(indexRoot, CentroidPrefix + v)
 
@@ -77,8 +82,8 @@ object AnnIndex {
     * Returns the index table version. */
   def create(spark: SparkSession, indexRoot: String, srcRoot: String,
              idCol: String, vecCol: String, nlist: Int = 16,
-             kmeansIters: Int = 2): Int = {
-    val spec = Spec(srcRoot, idCol, vecCol, nlist, kmeansIters)
+             kmeansIters: Int = 2, quantized: Boolean = false): Int = {
+    val spec = Spec(srcRoot, idCol, vecCol, nlist, kmeansIters, quantized)
     SpecFile.writeExclusive(spark, specPath(indexRoot), render(spec))
     try refresh(spark, indexRoot)
     catch { case t: Throwable =>
@@ -162,11 +167,24 @@ object AnnIndex {
     rows.toDF("cell", "centroid")
   }
 
+  /** Index content rows. Float mode stores the vector verbatim;
+    * quantized mode stores the int8 codes (`__qv`, array<tinyint>) plus
+    * the per-row scale (`__qs`) — ~4× smaller rows, the 100 TB storage
+    * lever ([[Quantize.quantizeInt8]]'s deterministic scheme). Cell
+    * ASSIGNMENT always uses the float vector: quantization must not
+    * move a row across cells. */
   private def assignRows(spec: Spec, docs: DataFrame,
-                         centroids: DataFrame): DataFrame =
-    Similarity.ivfAssign(docs.select(col(spec.idCol), col(spec.vecCol)),
-        spec.idCol, spec.vecCol, centroids, nProbe = 1)
-      .select(col("cell"), col(spec.idCol), col(spec.vecCol))
+                         centroids: DataFrame): DataFrame = {
+    val assigned = Similarity.ivfAssign(
+      docs.select(col(spec.idCol), col(spec.vecCol)),
+      spec.idCol, spec.vecCol, centroids, nProbe = 1)
+    if (!spec.quantized)
+      assigned.select(col("cell"), col(spec.idCol), col(spec.vecCol))
+    else Quantize.quantizeInt8(assigned, spec.vecCol, "__qv0", "__qs0")
+      .select(col("cell"), col(spec.idCol),
+        col("__qv0").cast("array<tinyint>").as("__qv"),
+        col("__qs0").cast("float").as("__qs"))
+  }
 
   private def commitRows(spark: SparkSession, indexRoot: String,
                          spec: Spec, rows: DataFrame, srcVersion: Int,
@@ -284,20 +302,68 @@ object AnnIndex {
     // exactness requires.
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
-    val idx = VersionedTable.readConstrained(spark, indexRoot,
+    val idxRaw = VersionedTable.readConstrained(spark, indexRoot,
         Seq(VersionedTable.ColConstraint("cell", None, None, None,
           inSet = Some(probedCells))), Some(cur))
-      .select(col("cell"), col(spec.idCol).as("__c_id"),
-        col(spec.vecCol).as("__c_vec"))
-      .withColumn("__cn2", Similarity.norm(col("__c_vec")))
-    val joined = probes.join(idx, Seq("cell"))
+    // quantized rows dequantize in-plan (int8 × per-row scale → float):
+    // the scan reads the ~4× smaller codes, the ranking kernel is
+    // unchanged
+    val idx =
+      if (!spec.quantized)
+        idxRaw.select(col("cell"), col(spec.idCol).as("__c_id"),
+          col(spec.vecCol).as("__c_vec"))
+      else idxRaw.select(col("cell"), col(spec.idCol).as("__c_id"),
+        transform(col("__qv"), x =>
+          (x.cast("double") * col("__qs")).cast("float")).as("__c_vec"))
+    val scored = probes
+      .join(idx.withColumn("__cn2", Similarity.norm(col("__c_vec"))),
+        Seq("cell"))
       .filter(col(qId) =!= col("__c_id"))
       .withColumn("cosine_sim",
         Similarity.dot(col(qVec), col("__c_vec")) /
           (col("__qn2") * col("__cn2")))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cosine_sim").desc, col("__c_id").asc)
-    joined.withColumn("rank", row_number().over(w))
+    val ranked =
+      if (!spec.quantized) scored
+      else {
+        // float re-rank on the shortlist: the int8 ranking picks
+        // refine ≫ k candidates per query, their TRUE vectors come
+        // from the SOURCE pinned at the index's synced version (id
+        // IN-probes through the source's indexes when the candidate
+        // set fits, broadcast semi join past it), and the served
+        // cosine is float-exact — quantization error can only cost
+        // recall at the shortlist boundary, never wrong similarities
+        val refine = math.max(4 * k, k + 10)
+        val short = scored.withColumn("__ar", row_number().over(w))
+          .filter(col("__ar") <= refine)
+          .select(col(qId), col(qVec), col("__qn2"), col("__c_id"))
+          .localCheckpoint()
+        val syncedSrc = VersionedTable.lastTxnAt(spark, indexRoot,
+          StreamPrefix + spec.srcRoot, cur).getOrElse(
+            throw new IllegalStateException(
+              s"ann index at $indexRoot has no synced source version"))
+          .toInt
+        val cap = idCap(spark)
+        val ids = short.select(col("__c_id")).distinct().limit(cap + 1)
+          .collect().map(_.get(0)).toSeq
+        val candSrc =
+          if (ids.length <= cap)
+            VersionedTable.readConstrained(spark, spec.srcRoot,
+              Seq(VersionedTable.ColConstraint(spec.idCol, None, None,
+                None, inSet = Some(ids))), Some(syncedSrc))
+          else VersionedTable.read(spark, spec.srcRoot, Some(syncedSrc))
+            .join(broadcast(short.select(col("__c_id").as(spec.idCol))
+              .distinct()), Seq(spec.idCol), "left_semi")
+        val cand = candSrc.select(col(spec.idCol).as("__c_id"),
+            col(spec.vecCol).as("__f_vec"))
+          .withColumn("__fn2", Similarity.norm(col("__f_vec")))
+        short.join(cand, Seq("__c_id"))
+          .withColumn("cosine_sim",
+            Similarity.dot(col(qVec), col("__f_vec")) /
+              (col("__qn2") * col("__fn2")))
+      }
+    ranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qId).as("query_id"), col("__c_id").as("neighbor_id"),
         col("cosine_sim"), col("rank"))
@@ -309,7 +375,8 @@ object AnnIndex {
       s"#id\t${SpecFile.b64e(spec.idCol)}\n" +
       s"#vec\t${SpecFile.b64e(spec.vecCol)}\n" +
       s"#nlist\t${spec.nlist}\n" +
-      s"#kmeans\t${spec.kmeansIters}\n"
+      s"#kmeans\t${spec.kmeansIters}\n" +
+      s"#quant\t${if (spec.quantized) 1 else 0}\n"
 
   private[graft] def readSpec(spark: SparkSession,
                               indexRoot: String): Spec = {
@@ -319,6 +386,8 @@ object AnnIndex {
       "#graft-annindex\t1", indexRoot)
     Spec(SpecFile.b64d(tags("src")), SpecFile.b64d(tags("id")),
       SpecFile.b64d(tags("vec")), tags("nlist").toInt,
-      tags("kmeans").toInt)
+      tags("kmeans").toInt,
+      // absent on pre-quantization specs: float mode
+      quantized = tags.get("quant").contains("1"))
   }
 }

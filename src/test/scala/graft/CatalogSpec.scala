@@ -858,7 +858,27 @@ class CatalogSpec extends SparkSpec {
     val da = spark.sql("DESCRIBE ANN INDEX cat_lai").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(da("kind") == "ANN" && da("nlist") == "2" &&
-      da("vector_col") == "embedding")
+      da("vector_col") == "embedding" && da("quantized") == "false")
+    // quantized variant through the SQL surface: OPTIONS + DESCRIBE +
+    // TVF answers match the float index's at nProbe = nlist
+    spark.sql("CREATE ANN INDEX cat_laq ON cat_lvecs " +
+      "(vec_id, embedding) OPTIONS('nlist'='2','kmeans'='1'," +
+      "'quantized'='true')")
+    assert(spark.sql("DESCRIBE ANN INDEX cat_laq").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .apply("quantized") == "true")
+    spark.sql("SELECT embedding FROM cat_lvecs WHERE vec_id = 3")
+      .select(col("embedding")).collect()
+    Seq((200L, Seq.tabulate(4)(j => (3L + j + 1).toFloat / 12f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("cat_laq_q")
+    val fq = spark.sql("SELECT neighbor_id, round(cosine_sim, 9) FROM " +
+      "graft_ann_topk('cat_lai', 'cat_laq_q', 3, 2)")
+      .collect().map(_.mkString("|")).toSet
+    val qq = spark.sql("SELECT neighbor_id, round(cosine_sim, 9) FROM " +
+      "graft_ann_topk('cat_laq', 'cat_laq_q', 3, 2)")
+      .collect().map(_.mkString("|")).toSet
+    assert(fq == qq, s"quantized TVF diverged: $fq vs $qq")
+    spark.sql("DROP ANN INDEX cat_laq")
     // source moves: DESCRIBE shows the index behind
     spark.sql(s"INSERT INTO cat_ldocs VALUES (9, '${sent("owl")}', 'en')")
     val d2 = spark.sql("DESCRIBE DEDUP INDEX cat_ldi").collect()

@@ -315,4 +315,58 @@ class SimSpec extends SparkSpec {
       assert(indexed(10) == brute(10))
     } finally spark.conf.unset("spark.graft.annindex.idCap")
   }
+
+  test("AnnIndex quantized: int8 rows + float re-rank — exact sims, " +
+      "smaller storage, incremental refresh, spec roundtrip") {
+    import graft.ops.VersionedTable
+    import graft.sim.AnnIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_annq")
+    val (src, idxQ, idxF) = (s"$base/src", s"$base/q", s"$base/f")
+    def v(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(32)(r.nextFloat() - 0.5f)
+    }
+    // enough rows that DATA bytes dominate parquet footer overhead —
+    // the storage assertion below is about the data, not tiny-file tax
+    VersionedTable.upsert(spark, src,
+      (0L until 2000L).map(i => (i, v(i.toInt), (i % 2).toInt))
+        .toDF("vec_id", "embedding", "grp"),
+      Seq("vec_id", "grp"), Seq("grp"))
+    AnnIndex.create(spark, idxQ, src, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2, quantized = true)
+    AnnIndex.create(spark, idxF, src, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2)
+    assert(AnnIndex.readSpec(spark, idxQ).quantized)
+    assert(!AnnIndex.readSpec(spark, idxF).quantized)
+    // the index table stores codes, never the float vector
+    val qCols = VersionedTable.read(spark, idxQ).columns.toSet
+    assert(qCols.contains("__qv") && qCols.contains("__qs") &&
+      !qCols.contains("embedding"), qCols.toString)
+    def queries = Seq((100L, v(1000)), (101L, v(2000)))
+      .toDF("q_id", "q_vec")
+    def top(idx: String, k: Int) = AnnIndex.topK(spark, idx, queries,
+        "q_id", "q_vec", k, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"cosine_sim", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // nProbe = nlist + float re-rank: same answers AND the IDENTICAL
+    // float-exact cosines as the float index (deterministic corpus)
+    assert(top(idxQ, 5) == top(idxF, 5))
+    // storage: quantized table bytes under half the float table's
+    def bytes(root: String) = VersionedTable.partitionsMeta(spark, root)
+      .agg(sum($"bytes")).first.getLong(0)
+    assert(bytes(idxQ) * 2 < bytes(idxF),
+      s"quantized ${bytes(idxQ)} vs float ${bytes(idxF)}")
+    // incremental refresh stays feed-sized and exact in quantized mode
+    VersionedTable.upsert(spark, src,
+      Seq((7000L, v(70), 0), (5L, v(5555), 1))
+        .toDF("vec_id", "embedding", "grp"),
+      Seq("vec_id", "grp"), Seq("grp"))
+    VersionedTable.deleteMatching(spark, src, $"vec_id" === 9L)
+    AnnIndex.refresh(spark, idxQ)
+    assert(!AnnIndex.lastRefreshRebuild &&
+      AnnIndex.lastRefreshVectors == 3)
+    AnnIndex.refresh(spark, idxF)
+    assert(top(idxQ, 8) == top(idxF, 8))
+    assert(!top(idxQ, 40).exists(_._2 == 9L))
+  }
 }
