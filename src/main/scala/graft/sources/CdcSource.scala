@@ -33,11 +33,24 @@ import graft.plans.GraftCatalog
  * ([[graft.streaming.StreamPipeline.startChangeFeedStream]] remains the
  * callback flavor for at-least-once side effects).
  *
- * Mechanics: a V1 [[Source]] — the right tier here because `getBatch`
- * returns a DRIVER-planned DataFrame, which is exactly what the change
- * feed is (a two-version manifest diff join; a DSv2 MicroBatchStream
- * would have to re-implement that join as hand-rolled partition
- * readers). Offsets ARE committed table versions, so the streaming
+ * Mechanics: a V1 [[Source]] that opts into the ENGINE's v2 streaming
+ * contracts where they carry weight — [[SupportsTriggerAvailableNow]]
+ * (uniform AvailableNow drains) and admission control via a custom
+ * [[ReadMaxVersions]] [[ReadLimit]] (the engine passes
+ * `getDefaultReadLimit` back into `latestOffset(start, limit)` with
+ * the checkpoint base, so rate limiting rides the engine's own
+ * batch-planning state instead of a source-private cursor). The batch
+ * tier itself stays V1 deliberately: `getBatch` returns a
+ * DRIVER-planned DataFrame, which is exactly what the change feed is —
+ * a two-version manifest diff JOIN whose sides are columnar parquet
+ * scans over only the touched generations. A DSv2 MicroBatchStream's
+ * `planInputPartitions` cannot express that join; the standard
+ * workaround (stage each diff to files at plan time, serve a file
+ * scan) DOUBLES the per-batch I/O — the same reason Delta Lake's
+ * streaming source remains a V1 `Source`. The columnar property is
+ * pinned by StreamingSpec (each micro-batch's physical plan bottoms
+ * out in parquet scans), not traded away for the interface badge.
+ * Offsets ARE committed table versions, so the streaming
  * checkpoint records "synced through version N" — restart-exact,
  * nothing re-read. Each micro-batch is [[VersionedTable.changeFeedCdf]]
  * between the checkpointed version and the current one: full CDF
@@ -113,6 +126,15 @@ class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
   }
 }
 
+/** Version-axis admission control: "at most `maxVersions` version
+  * transitions past the batch base" — the [[ReadLimit]] carrier for
+  * maxVersionsPerBatch, Delta's maxFilesPerTrigger idea expressed
+  * through the engine's own contract ([[ReadLimit]] is an open
+  * interface; the engine round-trips whatever `getDefaultReadLimit`
+  * returns into `latestOffset(start, limit)`). */
+case class ReadMaxVersions(maxVersions: Int)
+    extends org.apache.spark.sql.connector.read.streaming.ReadLimit
+
 private[sources] object CdcSource {
   /** `table` option -> root path: registered names resolve with batch
     * SQL's shadowing rules; paths pass through. */
@@ -165,16 +187,53 @@ class CdcSource(spark: SparkSession, root: String,
     availableNowTarget =
       VersionedTable.currentVersion(spark, root).map(_.toLong)
 
+  /** The admission knob rides the ENGINE's ReadLimit contract: the
+    * engine calls `latestOffset(checkpointBase, getDefaultReadLimit)`,
+    * so the rate limit's base is the engine's own batch-planning state
+    * — no source-private cursor can drift from the checkpoint. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxVersionsPerBatch.map(ReadMaxVersions(_)).getOrElse(
+      org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+
+  /** The version cap a ReadLimit implies, if any — ReadMaxVersions
+    * applies to the version axis; row/file limits don't (a version is
+    * the atomic diff unit), and composite limits scan for the
+    * version-axis member. */
+  private def versionCap(
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Option[Int] = limit match {
+    case ReadMaxVersions(n) => Some(n)
+    case c: org.apache.spark.sql.connector.read.streaming
+        .CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(versionCap).sorted.headOption
+    case _ => None
+  }
+
   /** SupportsAdmissionControl's entry point (the engine uses it instead
-    * of getOffset once SupportsTriggerAvailableNow is implemented) —
-    * the engine's ReadLimit is ignored on purpose: this source's
-    * admission knob is maxVersionsPerBatch, already folded into
-    * [[getOffset]]. Null = no data yet, per the contract. */
+    * of getOffset once SupportsTriggerAvailableNow is implemented).
+    * Null = no data yet, per the contract. */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val base: Long = Option(start).map {
+      case LongOffset(v) => v
+      case o => o.json.trim.toLong
+    }.getOrElse(startingVersion.getOrElse(-1L))
+    maxSeen = math.max(maxSeen, base)
+    VersionedTable.currentVersion(spark, root) match {
+      case Some(cur0) =>
+        val cur = availableNowTarget.fold(cur0.toLong)(
+          math.min(cur0.toLong, _))
+        val capped = versionCap(limit).fold(cur)(n =>
+          math.min(cur, math.max(base, -1L) + n))
+        // never below the configured base (see getOffset)
+        LongOffset(startingVersion.fold(capped)(math.max(capped, _)))
+      case None => startingVersion.map(LongOffset(_)).orNull
+    }
+  }
 
   private def version(o: Offset): Int = o match {
     case LongOffset(v) => v.toInt

@@ -379,6 +379,51 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE cdc_src_t")
   }
 
+  test("graft-cdc admission control rides the engine's ReadLimit " +
+      "(ReadMaxVersions) and every data batch bottoms out in columnar " +
+      "parquet scans") {
+    val base = Files.createTempDirectory("graft_cdc_limit")
+    spark.sql(s"CREATE TABLE cdc_lim_t (id INT, v INT) USING graft " +
+      s"LOCATION '${base.resolve("t")}' TBLPROPERTIES('graft.keys'='id')")
+    (0 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO cdc_lim_t VALUES ($i, ${i * 10})")) // v0..v3
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Set[Int], String)]()
+    val q = spark.readStream.format("graft-cdc")
+      .option("table", "cdc_lim_t")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_commit_version").collect()
+          .map(_.getInt(0)).toSet
+        if (vs.nonEmpty)
+          batches.add((vs, b.rdd.toDebugString))
+        ()
+      }.start()
+    assert(q.awaitTermination(60000))
+    val got = Iterator.continually(batches.poll())
+      .takeWhile(_ != null).toSeq
+    // one version transition per micro-batch: the engine's ReadLimit
+    // (getDefaultReadLimit -> ReadMaxVersions -> latestOffset) is the
+    // ONLY admission path once SupportsAdmissionControl is live — this
+    // sequencing would break if the limit stopped flowing through it
+    assert(got.map(_._1) == Seq(Set(1), Set(2), Set(3)),
+      s"per-version batches wrong: ${got.map(_._1)}")
+    // each data batch's RDD lineage bottoms out in FileScanRDDs (the
+    // columnar vectorized parquet reader) — the diff join's sides are
+    // real distributed scans over the touched generations, never
+    // driver-materialized rows (the visible batch plan is the V1
+    // rewrap boundary, so the lineage is where the property lives)
+    got.foreach { case (vs, lineage) =>
+      assert(lineage.contains("FileScanRDD"),
+        s"batch $vs not file-scan-backed:\n$lineage")
+    }
+    spark.sql("DROP TABLE cdc_lim_t")
+  }
+
   test("graft-cdc startingVersion ABOVE the current version never " +
       "checkpoints below the configured base: pre-base versions are " +
       "excluded, the first post-base commit streams") {
