@@ -268,12 +268,33 @@ object GraftExtensions {
         require(children.length == 1,
           "graft_view(viewRoot) takes 1 argument")
         val root = rootOf(children.head, "graft_view root")
+        val spark = SparkSession.active
         // the served shape of a materialized aggregate (group cols +
         // measure aliases, tombstones/internals hidden), from pure SQL;
         // the frame's own analysis runs here, at the outer query's
-        // ANALYSIS time, so the resolved subtree just slots in
-        graft.ops.MatView.read(SparkSession.active, root)
+        // ANALYSIS time, so the resolved subtree just slots in.
+        // Join-backed views dispatch by their spec sidecar.
+        (if (graft.ops.JoinMatView.isView(spark, root))
+          graft.ops.JoinMatView.read(spark, root)
+        else graft.ops.MatView.read(spark, root))
           .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(graft.ops.MultiSync.getClass.getName,
+        "graft_snapshot"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty,
+          "graft_snapshot(table, ...) takes 1+ arguments")
+        val spark = SparkSession.active
+        val roots = children.zipWithIndex.map { case (c, i) =>
+          rootOf(c, s"graft_snapshot table ${i + 1}") }
+        // a cross-table VERSION VECTOR captured in one stability-
+        // re-read pass: feed each (root, version) row into
+        // graft_table(root, version) / VERSION AS OF to read every
+        // table at the SAME consistent instant
+        val snap = graft.ops.MultiSync.snapshot(spark, roots)
+        import spark.implicits._
+        snap.versions.toDF("root", "version").queryExecution.analyzed
       }))
 
   /** Serializes every check-and-append on

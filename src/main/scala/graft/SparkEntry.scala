@@ -1618,6 +1618,87 @@ object SparkEntry {
         r4(col("daily_change")).as("daily_change"))
   }
 
+  /** Cross-table consistent sync ([[MultiSync.syncChangesMulti]]) — the
+    * reference's two-warehouse-tables-per-cycle DAG
+    * (load_stream_to_snowflake.py loads BOTH aggregates each run) with
+    * the crash window CLOSED: one cursor file holds the version VECTOR
+    * for customer+nation and advances by one atomic rename only after
+    * the consumer applied every table's feed. The fixture advances both
+    * sources, then a consumer CRASH between the two table applies is
+    * injected — the retry replays the whole cycle from the same bases
+    * (in-query guards pin the unchanged cursor and the exact replayed
+    * advances), so the destination pair can never represent a mixed
+    * snapshot. Output = the synced destinations joined; oracle = the
+    * same final state from the raw tables. */
+  private def qSnapshotSync(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_snapshot_sync/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (t1, t2) = (s"$base/cust", s"$base/nat")
+    val (d1, d2) = (s"$base/dest_cust", s"$base/dest_nat")
+    val cursor = s"$base/cursor"
+    val cust = tbl(s, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+      pmod(col("c_custkey"), lit(8)).cast("int").as("c_part"))
+    val nat = tbl(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val ck = Seq("c_custkey", "c_part")
+    def applyInto(feeds: Map[String, DataFrame]): Unit = {
+      // the consumer's per-cycle load: upsert the post-image rows
+      // (fixture has no deletes — the crash-replay semantics under
+      // test are the CURSOR's, not the delete path's)
+      val f1 = feeds(t1).filter(col("op") =!= "delete")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("bal_cents"), col("c_part"))
+      if (!f1.isEmpty) VersionedTable.upsert(s, d1, f1, ck, Seq("c_part"))
+      val f2 = feeds(t2).filter(col("op") =!= "delete")
+        .select(col("n_nationkey"), col("n_name"))
+      if (!f2.isEmpty) VersionedTable.upsert(s, d2, f2,
+        Seq("n_nationkey"), Seq("n_nationkey"))
+    }
+    fixture {
+      rmrf(s, base)
+      VersionedTable.upsert(s, t1,
+        cust.filter(col("c_custkey") % 4 =!= 0), ck, Seq("c_part"))
+      VersionedTable.upsert(s, t2, nat, Seq("n_nationkey"),
+        Seq("n_nationkey"))
+      // cycle 1: both initial loads land in the destinations
+      MultiSync.syncChangesMulti(s, Seq((t1, ck),
+        (t2, Seq("n_nationkey"))), cursor)(applyInto)
+      // both sources advance: the held-out customers, one nation rename
+      VersionedTable.upsert(s, t1,
+        cust.filter(col("c_custkey") % 4 === 0), ck, Seq("c_part"))
+      VersionedTable.upsert(s, t2,
+        nat.filter(col("n_nationkey") === 5)
+          .select(col("n_nationkey"), lit("SYNCED").as("n_name")),
+        Seq("n_nationkey"), Seq("n_nationkey"))
+    }
+    // consumer crash BETWEEN the two table applies: t1's feed is
+    // consumed, then death before t2's — the vector cursor must not
+    // have advanced for either table
+    try {
+      MultiSync.syncChangesMulti(s, Seq((t1, ck),
+          (t2, Seq("n_nationkey"))), cursor) { feeds =>
+        feeds(t1).filter(col("op") =!= "delete").count() // t1 consumed
+        throw new RuntimeException("crash between the two table syncs")
+      }
+      require(false, "crash injection did not propagate")
+    } catch { case e: RuntimeException
+        if e.getMessage.contains("crash between") => () }
+    // the retry replays BOTH tables from the same bases — the operator
+    // under test; the advances pin that neither table's cursor moved
+    val adv = MultiSync.syncChangesMulti(s, Seq((t1, ck),
+      (t2, Seq("n_nationkey"))), cursor)(applyInto)
+    require(adv == Some(Map(t1 -> ((0, 1)), t2 -> ((0, 1)))),
+      s"crash-replay advances wrong: $adv — a mixed snapshot window")
+    VersionedTable.read(s, d1)
+      .join(VersionedTable.read(s, d2),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("bal_cents")).as("bal_sum"),
+        count(lit(1)).as("n_cust"))
+  }
+
   /** Incrementally-maintained materialized aggregate ([[MatView]]) over
     * the versioned daily rollup — the consumer the change feed exists
     * for: the view (SUM(daily_volume), COUNT(*) per event_type) is
@@ -4681,6 +4762,7 @@ object SparkEntry {
     "q_matview_minmax" -> (qMatviewMinmax _),
     "q_matview_avg_distinct" -> (qMatviewAvgDistinct _),
     "q_matview_join" -> (qMatviewJoin _),
+    "q_snapshot_sync" -> (qSnapshotSync _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
@@ -7185,6 +7267,23 @@ object SparkEntry {
         |SELECT n_name, CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
         |  round(avg(bal_cents), 6) AS bal_avg, count(*) AS n_cust
         |FROM fact JOIN dim ON nk = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    // the synced destination pair equals the sources' final state —
+    // however the cycles, crash, and replay interleaved
+    "q_snapshot_sync" ->
+      """WITH fact AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |dim AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey = 5 THEN 'SYNCED' ELSE n_name END
+        |      AS n_name
+        |  FROM nation)
+        |SELECT n_name, CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+        |  count(*) AS n_cust
+        |FROM fact JOIN dim ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
 
     // branch WAP cycle: final main = branch's late window (>= Jan 21,

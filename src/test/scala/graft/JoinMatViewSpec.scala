@@ -114,6 +114,14 @@ class JoinMatViewSpec extends SparkSpec {
     val before = VersionedTable.currentVersion(spark, view).get
     assert(JoinMatView.refresh(spark, view) == before)
     assert(VersionedTable.currentVersion(spark, view).get == before)
+
+    // SQL surface: graft_view dispatches to the join-backed reader
+    val viaSql = spark.sql(
+      s"SELECT segment, amt_sum, n FROM graft_view('$view')")
+      .collect().map(_.mkString("|")).toSet
+    assert(viaSql == JoinMatView.read(spark, view)
+      .select($"segment", $"amt_sum", $"n")
+      .collect().map(_.mkString("|")).toSet)
   }
 
   test("fact deletes, group death via dim delete, and all-NULL sums") {

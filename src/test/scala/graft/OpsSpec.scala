@@ -843,6 +843,99 @@ class OpsSpec extends SparkSpec {
     assert(sync1().isEmpty) // drained
   }
 
+  test("MultiSync: version-vector snapshot reads never mix versions; " +
+      "a crash between two table syncs never serves a mixed snapshot") {
+    import graft.ops.MultiSync
+    val dir = java.nio.file.Files.createTempDirectory("graft_msync").toString
+    val (t1, t2) = (s"$dir/t1", s"$dir/t2")
+    val cursor = s"$dir/cursor"
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, t1,
+      Seq((1, "d1", "a1")).toDF("id", "day", "v"), keys, "day")
+    VersionedTable.upsert(spark, t2,
+      Seq((1, "d1", "b1")).toDF("id", "day", "v"), keys, "day")
+    // --- snapshot: a captured vector outlives later commits ---
+    val snap = MultiSync.snapshot(spark, Seq(t1, t2))
+    assert(snap.versions.toSet == Set((t1, 0), (t2, 0)))
+    VersionedTable.upsert(spark, t1,
+      Seq((2, "d1", "a2")).toDF("id", "day", "v"), keys, "day")
+    VersionedTable.upsert(spark, t2,
+      Seq((2, "d1", "b2")).toDF("id", "day", "v"), keys, "day")
+    assert(snap.read(spark, t1).count() == 1 &&
+      snap.read(spark, t2).count() == 1)
+    assert(MultiSync.snapshot(spark, Seq(t1, t2)).versions.toSet ==
+      Set((t1, 1), (t2, 1)))
+    // SQL surface: the vector as rows
+    val sqlVec = spark.sql(
+      s"SELECT root, version FROM graft_snapshot('$t1', '$t2')")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(sqlVec == Set((t1, 1), (t2, 1)), sqlVec.toString)
+    // --- multi-table sync: atomic vector cursor ---
+    var applied = Vector.empty[Map[String, Set[(String, Int, String)]]]
+    def sync() = MultiSync.syncChangesMulti(spark,
+        Seq((t1, keys), (t2, keys)), cursor) { feeds =>
+      applied :+= feeds.map { case (r, df) =>
+        r -> df.select($"op", $"id", $"v")
+          .as[(String, Int, String)].collect().toSet }
+    }
+    // first cycle: both initial loads, one cursor
+    assert(sync() == Some(Map(t1 -> ((-1, 1)), t2 -> ((-1, 1)))))
+    assert(applied.last(t1) ==
+      Set(("insert", 1, "a1"), ("insert", 2, "a2")))
+    assert(applied.last(t2) ==
+      Set(("insert", 1, "b1"), ("insert", 2, "b2")))
+    assert(sync().isEmpty)
+    // both tables move; the consumer CRASHES after consuming t1's feed
+    // but before t2's — the cursor must not advance for EITHER table
+    VersionedTable.upsert(spark, t1,
+      Seq((3, "d1", "a3")).toDF("id", "day", "v"), keys, "day")
+    VersionedTable.upsert(spark, t2,
+      Seq((3, "d1", "b3")).toDF("id", "day", "v"), keys, "day")
+    var firstHalf: Set[(String, Int, String)] = Set.empty
+    intercept[RuntimeException] {
+      MultiSync.syncChangesMulti(spark, Seq((t1, keys), (t2, keys)),
+          cursor) { feeds =>
+        firstHalf = feeds(t1).select($"op", $"id", $"v")
+          .as[(String, Int, String)].collect().toSet // t1 consumed...
+        throw new RuntimeException("crash between the two table syncs")
+      }
+    }
+    assert(firstHalf == Set(("insert", 3, "a3")))
+    // the retry replays BOTH tables from the SAME bases — never a
+    // state where t1 advanced and t2 did not
+    assert(sync() == Some(Map(t1 -> ((1, 2)), t2 -> ((1, 2)))))
+    assert(applied.last(t1) == Set(("insert", 3, "a3")))
+    assert(applied.last(t2) == Set(("insert", 3, "b3")))
+    assert(sync().isEmpty)
+    // one table moves alone: the other's feed is present and EMPTY,
+    // and its cursor entry stays put
+    VersionedTable.upsert(spark, t2,
+      Seq((4, "d1", "b4")).toDF("id", "day", "v"), keys, "day")
+    assert(sync() == Some(Map(t2 -> ((2, 3)))))
+    assert(applied.last(t1).isEmpty &&
+      applied.last(t2) == Set(("insert", 4, "b4")))
+    // a cursor reused for a DIFFERENT table set refuses loudly
+    val drift = intercept[IllegalArgumentException](
+      MultiSync.syncChangesMulti(spark, Seq((t1, keys)), cursor)(_ => ()))
+    assert(drift.getMessage.contains("table set"), drift.getMessage)
+    // bounded catch-up per table: two commits drain one per cycle
+    VersionedTable.upsert(spark, t1,
+      Seq((5, "d1", "a5")).toDF("id", "day", "v"), keys, "day")
+    VersionedTable.upsert(spark, t1,
+      Seq((6, "d1", "a6")).toDF("id", "day", "v"), keys, "day")
+    def sync1() = MultiSync.syncChangesMulti(spark,
+        Seq((t1, keys), (t2, keys)), cursor, maxVersions = 1) { feeds =>
+      applied :+= feeds.map { case (r, df) =>
+        r -> df.select($"op", $"id", $"v")
+          .as[(String, Int, String)].collect().toSet }
+    }
+    assert(sync1() == Some(Map(t1 -> ((2, 3)))))
+    assert(applied.last(t1) == Set(("insert", 5, "a5")))
+    assert(sync1() == Some(Map(t1 -> ((3, 4)))))
+    assert(applied.last(t1) == Set(("insert", 6, "a6")))
+    assert(sync1().isEmpty)
+  }
+
   test("VersionedTable.repartitionTable: layout evolution, old versions intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtrepart").toString
     val root = s"$dir/table"
