@@ -3738,6 +3738,19 @@ object SparkEntry {
     graft.text.Subword.bpePairStats(tbl(s, dir, "documents"), "text",
       topK = 20)
 
+  /** Full BPE training, 8 greedy merge rounds: the learned merge table
+    * (mrank, lhs, rhs, merged, freq). One corpus-sized shuffle builds the
+    * vocab; every round after is vocabulary-sized + a 1-row collect. */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.text.Subword.bpeTrain(tbl(s, dir, "documents"), "text",
+      merges = 8)
+
+  /** The merged subword vocabulary after 8 BPE rounds: top-40 symbols
+    * (single chars + merged subwords) by corpus occurrences. */
+  private def qBpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.text.Subword.bpeVocab(tbl(s, dir, "documents"), "text",
+      merges = 8, topK = 40)
+
   /** Winnowing fingerprints (MOSS): per-doc count + exact integer
     * checksum of the selected (pos, hash) set at k=4, w=5 — the packed
     * argmin key makes rightmost-tie selection a single window min. */
@@ -4854,6 +4867,8 @@ object SparkEntry {
     "q_text_novelty" -> (qTextNovelty _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_vocab" -> (qBpeVocab _),
     "q_winnow" -> (qWinnow _),
     "q_benford" -> (qBenford _),
     "q_pareto" -> (qPareto _),
@@ -4930,7 +4945,63 @@ object SparkEntry {
   // is a pure arithmetic function of the payload bytes (md5 residues /
   // integer byte histogram), replayed below in SQL.
 
+  /** Chained-CTE replay of k greedy BPE merge rounds (Subword.bpeTrain):
+    * v0 = delimited char-level vocab; each round i derives pair stats p_i
+    * from v_{i-1}, the argmax merge b_i (freq desc, lhs asc, rhs asc),
+    * and v_i by the same greedy left-to-right literal replace the Spark
+    * side uses — bit-exact round-for-round replay. */
+  private def bpeOracleWith(k: Int): String = {
+    val base =
+      """w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents),
+        |v0 AS (
+        |  SELECT chr(1) || array_to_string(string_split_regex(w, ''),
+        |           chr(1)||chr(1)) || chr(1) AS r,
+        |         count(*) AS n
+        |  FROM w WHERE NOT contains(w, chr(1)) GROUP BY 1)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+         |         CAST(sum(n) AS BIGINT) AS freq
+         |  FROM (SELECT string_split(substr(r, 2, length(r)-2),
+         |                            chr(1)||chr(1)) AS syms, n,
+         |          unnest(range(1, len(string_split(substr(r, 2,
+         |            length(r)-2), chr(1)||chr(1))))) AS i
+         |        FROM v${i - 1})
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, lhs || rhs AS merged, freq FROM p$i
+         |  ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
+         |v$i AS (SELECT replace(v.r,
+         |    chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
+         |    chr(1)||b.merged||chr(1)) AS r, v.n
+         |  FROM v${i - 1} v, b$i b)""".stripMargin
+    }
+    "WITH " + (base +: rounds).mkString(",\n")
+  }
+
+  private def bpeMergesOracle(k: Int): String =
+    bpeOracleWith(k) + "\nSELECT * FROM (\n" +
+      (1 to k).map(i =>
+        s"SELECT $i AS mrank, lhs, rhs, merged, freq FROM b$i")
+        .mkString("\nUNION ALL ") +
+      ") ORDER BY mrank"
+
+  private def bpeVocabOracle(k: Int, topK: Int): String =
+    bpeOracleWith(k) +
+      s"""
+         |SELECT sym, CAST(sum(n) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(string_split(substr(r, 2, length(r)-2),
+         |           chr(1)||chr(1))) AS sym, n
+         |  FROM v$k)
+         |GROUP BY 1 ORDER BY freq DESC, sym ASC LIMIT $topK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesOracle(8),
+
+    "q_bpe_vocab" -> bpeVocabOracle(8, 40),
+
     "q_scan_parquet" -> "SELECT * FROM lineitem",
 
     "q_scan_csv" ->

@@ -1,7 +1,9 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Subword/tokenizer-design statistics: the first iteration of byte-pair
@@ -33,5 +35,133 @@ object Subword {
       .groupBy("pair").agg(sum(col("n")).as("freq"))
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(topK)
+  }
+
+  /** Symbol-boundary delimiter for the BPE word representation. Each symbol
+    * is stored as `\u0001sym\u0001`, so a word's symbol sequence is their
+    * concatenation (`\u0001a\u0001\u0001b\u0001…`). Merging the pair (l, r)
+    * is then a single greedy left-to-right literal string replace of
+    * `\u0001l\u0001\u0001r\u0001` with `\u0001lr\u0001` — `replace` consumes
+    * non-overlapping matches left to right, which is exactly BPE's greedy
+    * within-word merge order, and because every symbol carries its own
+    * delimiters a match can never straddle a symbol boundary. Words
+    * containing the delimiter (absent from any real text) are dropped. */
+  private val Sep = "\u0001"
+  private val Sep2 = Sep + Sep
+
+  /** Corpus vocabulary in delimited-symbol representation: one row per
+    * distinct word, `r` = delimited char-level symbols, `n` = corpus
+    * frequency. This is the only corpus-sized pass; everything after runs
+    * on the (Heaps-law small) vocabulary. */
+  private def initVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(!col("w").contains(Sep))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(
+        concat(lit(Sep), array_join(array_remove(split(col("w"), ""), ""),
+          Sep2), lit(Sep)).as("r"),
+        col("n"))
+
+  /** Adjacent-symbol pair frequencies of a delimited vocab, ranked to the
+    * single best merge: freq desc, lhs asc, rhs asc (total order). */
+  private def bestPair(vocab: DataFrame): Option[(String, String, Long)] =
+    vocab
+      .select(col("n"),
+        split(expr("substring(r, 2, length(r) - 2)"), Sep2).as("syms"))
+      // sequence(1, 0) would DESCEND in Spark; 1-symbol words have no pairs
+      .filter(size(col("syms")) >= 2)
+      .select(col("n"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> struct(element_at(syms, i) AS lhs,
+          |              element_at(syms, i + 1) AS rhs))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** Byte-pair-encoding training (Sennrich et al. 2016): `merges` greedy
+    * rounds, each picking the globally most frequent adjacent symbol pair
+    * and merging it throughout the vocabulary. Returns the learned merge
+    * table `(mrank, lhs, rhs, merged, freq)` ordered by rank.
+    *
+    * Scale shape: ONE corpus-sized shuffle builds the word-frequency vocab;
+    * each round is then a vocabulary-sized aggregate plus a 1-row driver
+    * collect (the argmax pair) and a map-only literal replace — k rounds =
+    * k tiny jobs, never touching the corpus again. Each round's vocab is
+    * persisted and materialized by that round's aggregate, so lineage never
+    * replays earlier rounds. This is why BPE training stays feasible at
+    * 100 TB: cost is corpus + k·|vocab|, not k·corpus. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (table, cached) = trainLoop(initVocab(docs, textCol), merges)
+    cached.foreach(_.unpersist(blocking = false))
+    val schema = StructType(Seq(
+      StructField("mrank", IntegerType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(table.map(Row.fromTuple), 1), schema)
+      .orderBy(col("mrank"))
+  }
+
+  /** The learned subword vocabulary after `merges` BPE rounds: top-k
+    * symbols (single chars + merged subwords) by total corpus occurrences,
+    * freq desc then symbol asc. The cut the tokenizer's vocab file would
+    * open with. */
+  def bpeVocab(docs: DataFrame, textCol: String, merges: Int,
+               topK: Int = 40): DataFrame = {
+    val (_, cached) = trainLoop(initVocab(docs, textCol), merges)
+    val out = cached.last
+      .select(col("n"),
+        explode(split(expr("substring(r, 2, length(r) - 2)"), Sep2))
+          .as("sym"))
+      .groupBy("sym").agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("sym").asc)
+      .limit(topK)
+    val materialized = out.collect() // tiny: topK rows; lets vocab unpersist
+    cached.foreach(_.unpersist(blocking = false))
+    val spark = docs.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized.toIndexedSeq, 1),
+      out.schema)
+      .orderBy(col("freq").desc, col("sym").asc)
+  }
+
+  /** Runs the merge loop; returns (merge table rows, per-round persisted
+    * vocabs — last is the final one). Every round is exactly ONE job: the
+    * bestPair aggregate over round i's vocab also materializes its cache,
+    * so round i+1's replace reads the cache, never the lineage. All round
+    * caches stay alive until the caller finishes (k small vocab copies,
+    * MEMORY_AND_DISK) and the caller unpersists them all. Stops early if
+    * no pair remains. */
+  private def trainLoop(vocab0: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], Seq[DataFrame]) = {
+    var vocab = vocab0.persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ListBuffer(vocab)
+    val table = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= merges && !done) {
+      bestPair(vocab) match {
+        case None => done = true
+        case Some((l, r, freq)) =>
+          val m = l + r
+          table += ((round, l, r, m, freq))
+          vocab = vocab
+            .withColumn("r", replace(col("r"),
+              lit(Sep + l + Sep2 + r + Sep), lit(Sep + m + Sep)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          cached += vocab
+          round += 1
+      }
+    }
+    (table.result(), cached.toSeq)
   }
 }

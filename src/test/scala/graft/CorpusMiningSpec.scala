@@ -66,6 +66,52 @@ class CorpusMiningSpec extends SparkSpec {
     assert(out == Seq(("xy", 1L), ("zw", 1L)))
   }
 
+  // ----------------------------------------------------------- BPE training
+
+  test("bpeTrain: greedy within-word merges, adjacent runs pair up") {
+    // corpus: "aaaa" x3, "ab" x2. Round 1: pair (a,a) freq = 3*3 = 9
+    // beats (a,b) freq = 2. Merging (a,a) in "aaaa" greedily -> [aa, aa]
+    // (NOT [aa, a, a] — adjacent non-overlapping matches both consumed).
+    // Round 2: pairs now (aa,aa) freq 3 vs (a,b) freq 2 -> merge (aa,aa).
+    val docs = Seq("aaaa aaaa aaaa ab ab").toDF("text")
+    val out = Subword.bpeTrain(docs, "text", merges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "a", "a", "aa", 9L),
+      (2, "aa", "aa", "aaaa", 3L),
+      (3, "a", "b", "ab", 2L)))
+  }
+
+  test("bpeTrain: a merged symbol never re-merges with a bare char") {
+    // "aaa": round 1 counts (a,a) at both adjacent positions (freq 2/word,
+    // 4 total) then merges greedily -> [aa, a]; the new pair is (aa, a),
+    // NOT another (a, a) — symbol identity is the full merged string.
+    val out = Subword.bpeTrain(Seq("aaa aaa").toDF("text"), "text", 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    // single-char words only: zero pairs -> empty merge table
+    val out = Subword.bpeTrain(Seq("a b a").toDF("text"), "text", 5)
+    assert(out.count() == 0)
+    // one word exhausts after 2 merges
+    val out2 = Subword.bpeTrain(Seq("abc").toDF("text"), "text", 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out2.size == 2 && out2.last._4 == "abc")
+  }
+
+  test("bpeVocab: merged subwords appear with corpus frequencies") {
+    // "abab" x2 "cd": merges (a,b)x4 ... after enough rounds "abab" is one
+    // symbol with freq 2; c/d survive as single chars with freq 1.
+    val vocab = Subword.bpeVocab(Seq("abab abab cd").toDF("text"), "text",
+        merges = 8, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab.contains(("abab", 2L)))
+    assert(vocab.contains(("cd", 1L)))
+    assert(!vocab.exists(_._1 == "a")) // fully absorbed into merges
+  }
+
   // ------------------------------------------------- winnowing fingerprints
 
   /** Naive reference winnowing: same polynomial hash, explicit window scan
