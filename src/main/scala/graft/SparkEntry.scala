@@ -3751,6 +3751,13 @@ object SparkEntry {
     graft.text.Subword.bpeVocab(tbl(s, dir, "documents"), "text",
       merges = 8, topK = 40)
 
+  /** Tokenize the corpus with the BPE merges trained on it: per-doc word
+    * count + real subword token count (train -> apply, end to end). The
+    * segmentation table is vocab-sized and joins back broadcast-shaped. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.text.Subword.bpeEncode(tbl(s, dir, "documents"), "doc_id",
+      "text", merges = 8)
+
   /** Winnowing fingerprints (MOSS): per-doc count + exact integer
     * checksum of the selected (pos, hash) set at k=4, w=5 — the packed
     * argmin key makes rightmost-tie selection a single window min. */
@@ -4869,6 +4876,7 @@ object SparkEntry {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_vocab" -> (qBpeVocab _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_winnow" -> (qWinnow _),
     "q_benford" -> (qBenford _),
     "q_pareto" -> (qPareto _),
@@ -4957,10 +4965,11 @@ object SparkEntry {
         |                            x -> x <> '')) AS w
         |  FROM documents),
         |v0 AS (
-        |  SELECT chr(1) || array_to_string(string_split_regex(w, ''),
+        |  SELECT w,
+        |         chr(1) || array_to_string(string_split_regex(w, ''),
         |           chr(1)||chr(1)) || chr(1) AS r,
         |         count(*) AS n
-        |  FROM w WHERE NOT contains(w, chr(1)) GROUP BY 1)""".stripMargin
+        |  FROM w WHERE NOT contains(w, chr(1)) GROUP BY 1, 2)""".stripMargin
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT syms[i] AS lhs, syms[i+1] AS rhs,
@@ -4973,7 +4982,7 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lhs, rhs, lhs || rhs AS merged, freq FROM p$i
          |  ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
-         |v$i AS (SELECT replace(v.r,
+         |v$i AS (SELECT v.w, replace(v.r,
          |    chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
          |    chr(1)||b.merged||chr(1)) AS r, v.n
          |  FROM v${i - 1} v, b$i b)""".stripMargin
@@ -4988,6 +4997,24 @@ object SparkEntry {
         .mkString("\nUNION ALL ") +
       ") ORDER BY mrank"
 
+  private def bpeEncodeOracle(k: Int): String =
+    bpeOracleWith(k) +
+      s""",
+         |seg AS (
+         |  SELECT w, len(string_split(substr(r, 2, length(r)-2),
+         |           chr(1)||chr(1))) AS tok
+         |  FROM v$k),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                       x -> x <> '')) AS w
+         |  FROM documents)
+         |SELECT dw.doc_id, count(*) AS n_words,
+         |       CAST(sum(seg.tok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN seg ON dw.w = seg.w
+         |WHERE NOT contains(dw.w, chr(1))
+         |GROUP BY 1""".stripMargin
+
   private def bpeVocabOracle(k: Int, topK: Int): String =
     bpeOracleWith(k) +
       s"""
@@ -5001,6 +5028,8 @@ object SparkEntry {
     "q_bpe_merges" -> bpeMergesOracle(8),
 
     "q_bpe_vocab" -> bpeVocabOracle(8, 40),
+
+    "q_bpe_encode" -> bpeEncodeOracle(8),
 
     "q_scan_parquet" -> "SELECT * FROM lineitem",
 

@@ -50,15 +50,16 @@ object Subword {
   private val Sep2 = Sep + Sep
 
   /** Corpus vocabulary in delimited-symbol representation: one row per
-    * distinct word, `r` = delimited char-level symbols, `n` = corpus
+    * distinct word `w`, `r` = delimited char-level symbols, `n` = corpus
     * frequency. This is the only corpus-sized pass; everything after runs
-    * on the (Heaps-law small) vocabulary. */
+    * on the (Heaps-law small) vocabulary. `w` rides along untouched so
+    * bpeEncode can join the trained segmentation back to the corpus. */
   private def initVocab(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(!col("w").contains(Sep))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(
+      .select(col("w"),
         concat(lit(Sep), array_join(array_remove(split(col("w"), ""), ""),
           Sep2), lit(Sep)).as("r"),
         col("n"))
@@ -132,6 +133,37 @@ object Subword {
       spark.sparkContext.parallelize(materialized.toIndexedSeq, 1),
       out.schema)
       .orderBy(col("freq").desc, col("sym").asc)
+  }
+
+  /** Tokenize the corpus with the merge table learned by `merges` BPE
+    * rounds on that same corpus: per-document whitespace word count and
+    * REAL subword token count (sum of each word's final symbol count) —
+    * the trained counterpart of TextAnalysis.bpeishTokenCount's regex
+    * proxy.
+    *
+    * Scale shape: training is vocabulary-sized (see bpeTrain); the word →
+    * token-count segmentation table is localCheckpointed (vocab-sized, cuts
+    * the k-round lineage) and joined back to the exploded corpus — a
+    * corpus × tiny-vocab equi-join AQE turns into a broadcast — then one
+    * doc-keyed aggregate. Never a corpus-sized shuffle beyond the final
+    * per-doc groupBy. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Int): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("w"))
+      .filter(!col("w").contains(Sep))
+    val (_, cached) = trainLoop(initVocab(docs, textCol), merges)
+    val segmented = cached.last
+      .select(col("w"),
+        size(split(expr("substring(r, 2, length(r) - 2)"), Sep2))
+          .as("tok"))
+      .localCheckpoint() // vocab-sized; detaches the k-round lineage
+    cached.foreach(_.unpersist(blocking = false))
+    words.join(segmented, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("tok").cast("long")).as("n_tokens"))
   }
 
   /** Runs the merge loop; returns (merge table rows, per-round persisted

@@ -112,6 +112,19 @@ class CorpusMiningSpec extends SparkSpec {
     assert(!vocab.exists(_._1 == "a")) // fully absorbed into merges
   }
 
+  test("bpeEncode: trained merges compress token counts per doc") {
+    // after 8 merges on this corpus, "abab" is one token, "cd" one token
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab xy"))
+      .toDF("doc_id", "text")
+    val out = Subword.bpeEncode(docs, "doc_id", "text", merges = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: 3 words -> abab(1) + abab(1) + cd(1) = 3 tokens
+    // doc 2: 2 words -> abab(1) + xy(1 or 2 depending on merge budget)
+    assert(out.head == ((1L, 3L, 3L)))
+    assert(out(1)._2 == 2L && out(1)._3 <= 3L)
+  }
+
   // ------------------------------------------------- winnowing fingerprints
 
   /** Naive reference winnowing: same polynomial hash, explicit window scan
