@@ -2337,6 +2337,53 @@ object SparkEntry {
     * UPDATE commits, and DROP CONSTRAINT releases the gate for a final
     * write. Oracle = the rollup with both surviving mutations applied —
     * the blocked one must be invisible. */
+  /** Data-quality expectations with quarantine routing: half the
+    * lineitem seeds a versioned table, a `l_quantity < 30` QUARANTINE
+    * expectation is registered, the other half ingests — violating rows
+    * route to the quarantine table (keyed by merge keys + expectation
+    * name) and the write keeps the rest. In-query guards: violations
+    * were actually gated, and a full REPLAY of the same batch leaves the
+    * quarantine unchanged (keyed idempotency). Output = per-group kept
+    * aggregate UNION the quarantine aggregate; the oracle replays the
+    * split + ANSI violation predicate in SQL. */
+  private def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations
+    val root = "/tmp/graft_expectations/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val qroot = root + "_quarantine"
+    val keys = Seq("l_returnflag", "l_orderkey", "l_linenumber")
+    def li = tbl(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_quantity"))
+    val second = li.filter(col("l_orderkey") % 4 >= 2)
+    fixture {
+      rmrf(s, root); rmrf(s, qroot)
+      VersionedTable.upsert(s, root, li.filter(col("l_orderkey") % 4 < 2),
+        keys, Seq("l_returnflag"))
+      Expectations.add(s, root, "qty_cap", "l_quantity < 30",
+        Expectations.QuarantineRows, Some(qroot))
+    }
+    VersionedTable.upsert(s, root, second, keys, Seq("l_returnflag"))
+    val gated = Expectations.lastGateCounts.getOrElse("qty_cap", 0L)
+    require(gated > 0, "expectation gated nothing — fixture broken")
+    // crash-retry replay: the keyed quarantine upsert must not grow
+    VersionedTable.upsert(s, root, second, keys, Seq("l_returnflag"))
+    val qCount = VersionedTable.read(s, qroot).count()
+    require(qCount == gated,
+      s"replay changed the quarantine: $qCount != $gated")
+    val kept = VersionedTable.read(s, root)
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("bucket", lit("kept"))
+    val quar = VersionedTable.read(s, qroot)
+      .groupBy(col("__expectation").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("bucket", lit("quarantined"))
+    kept.unionByName(quar).select("bucket", "grp", "n", "qty")
+  }
+
   private def qCatalogConstraint(s: SparkSession, dir: String)
       : DataFrame = {
     val name = "cat_ck_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -4809,6 +4856,7 @@ object SparkEntry {
     "q_versioned_overwrite" -> (qVersionedOverwrite _),
     "q_catalog_replace" -> (qCatalogReplace _),
     "q_catalog_constraint" -> (qCatalogConstraint _),
+    "q_expectations" -> (qExpectations _),
     "q_catalog_view" -> (qCatalogView _),
     "q_insert_evolution" -> (qInsertEvolution _),
     "q_column_default" -> (qColumnDefault _),
@@ -5030,6 +5078,28 @@ object SparkEntry {
     "q_bpe_vocab" -> bpeVocabOracle(8, 40),
 
     "q_bpe_encode" -> bpeEncodeOracle(8),
+
+    // replay of the expectation gate: second half's violating rows
+    // (ANSI: NOT coalesce(pred, TRUE)) land in quarantine, rest kept
+    "q_expectations" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |  FROM lineitem),
+        |kept AS (
+        |  SELECT * FROM li WHERE l_orderkey % 4 < 2
+        |  UNION ALL
+        |  SELECT * FROM li WHERE l_orderkey % 4 >= 2
+        |    AND coalesce(l_quantity < 30, TRUE)),
+        |quar AS (
+        |  SELECT * FROM li WHERE l_orderkey % 4 >= 2
+        |    AND NOT coalesce(l_quantity < 30, TRUE))
+        |SELECT 'kept' AS bucket, l_returnflag AS grp,
+        |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM kept GROUP BY 2
+        |UNION ALL
+        |SELECT 'quarantined' AS bucket, 'qty_cap' AS grp,
+        |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM quar""".stripMargin,
 
     "q_scan_parquet" -> "SELECT * FROM lineitem",
 

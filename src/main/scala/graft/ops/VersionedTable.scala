@@ -1921,6 +1921,16 @@ object VersionedTable {
             org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
         enforceChecks(aligned, cs, "upsert delta")
       }
+      // DROP/QUARANTINE expectations (round 9) rewrite the delta ITSELF:
+      // violating rows vanish from the write or route to the
+      // expectation's quarantine table (keyed by merge keys +
+      // expectation name — replays re-quarantine the same rows
+      // idempotently). FAIL-mode CHECKs above already threw; tables
+      // with no expectations pass through untouched.
+      val gated = prior match {
+        case Some(pm) => Expectations.gateDelta(spark, root, updates, keys, pm)
+        case None => updates
+      }
       // schema evolution cannot introduce a column whose name collides
       // with the FROZEN physical name of a renamed column — two logical
       // columns would share one stored column
@@ -1934,7 +1944,7 @@ object VersionedTable {
             "physical name of a renamed column — OPTIMIZE first to " +
             "materialize renames")
       }
-      val entries = Merge.partitionDirEntries(spark, updates, partCols)
+      val entries = Merge.partitionDirEntries(spark, gated, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
       // replaceAll (INSERT OVERWRITE): no survivors anywhere — prior
@@ -1942,9 +1952,9 @@ object VersionedTable {
       val touchedLive =
         if (replaceAll) Map.empty[String, String]
         else priorMapping.filter { case (p, _) => valueOf.contains(p) }
-      val pTypes = partCols.map(c => updates.schema(c).dataType)
+      val pTypes = partCols.map(c => gated.schema(c).dataType)
       val merged =
-        if (touchedLive.isEmpty) updates
+        if (touchedLive.isEmpty) gated
         else {
           // read the touched dirs DIRECTLY (no partition discovery) under
           // the prior version's schema, reattaching the update side's
@@ -1976,12 +1986,12 @@ object VersionedTable {
           // applies with <=>), so a null-keyed row is REPLACED by a
           // null-keyed update — a plain equality would leave the old row
           // alongside the new one forever
-          val updKeys = updates.select(keys.map(k =>
+          val updKeys = gated.select(keys.map(k =>
             col(k).as(s"__u_$k")): _*).distinct()
           val survivors = old.join(updKeys,
             keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _),
             "left_anti")
-          updates.unionByName(survivors, allowMissingColumns = true)
+          gated.unionByName(survivors, allowMissingColumns = true)
         }
       // one writer per partition (see Merge.upsertParquetPruned note);
       // with statsCols, cluster within the partition on them so each data
@@ -2746,7 +2756,10 @@ object VersionedTable {
       }: _*)
     // CHECK constraints (and derived-partition invariants) gate the
     // UPDATED rows before anything stages
-    val gates = m.checks ++ derivedChecks(m)
+    // expectations act as FAIL gates on UPDATE: silently dropping a
+    // surviving row mid-rewrite is not a meaningful semantics
+    val gates = m.checks ++ derivedChecks(m) ++
+      Expectations.failGatesFor(m.props)
     if (gates.nonEmpty)
       enforceChecks(applySet(scanDirs(spark, root, m, touched).filter(cond)),
         gates, "UPDATE result")

@@ -185,6 +185,19 @@ object GraftSqlParser {
   private val DescIdxRe =
     ("""(?is)^\s*DESCRIBE\s+(DEDUP|ANN)\s+INDEX\s+""" + Target +
       """\s*;?\s*$""").r
+  // data-quality expectations (round 9): named row predicates that DROP
+  // or QUARANTINE violating rows at ingest instead of failing the write
+  private val CreateExpectRe =
+    ("""(?is)^\s*CREATE\s+EXPECTATION\s+`?([A-Za-z_][A-Za-z0-9_]*)`?""" +
+      """\s+ON\s+""" + Target + """\s+CHECK\s*\((.+?)\)""" +
+      """\s+ON\s+VIOLATION\s+(?:(DROP)|QUARANTINE\s+INTO\s+""" + Target +
+      """)\s*;?\s*$""").r
+  private val DropExpectRe =
+    ("""(?is)^\s*DROP\s+EXPECTATION\s+`?([A-Za-z_][A-Za-z0-9_]*)`?""" +
+      """\s+ON\s+""" + Target + """\s*;?\s*$""").r
+  private val ShowExpectRe =
+    ("""(?is)^\s*SHOW\s+GRAFT\s+EXPECTATIONS\s+ON\s+""" + Target +
+      """\s*;?\s*$""").r
   // plain persistent views (saved queries, late-bound at read). TEMP /
   // GLOBAL TEMP / multipart-named / column-listed views fall through to
   // Spark's own grammar untouched (the pattern requires VIEW directly
@@ -418,6 +431,43 @@ object GraftSqlParser {
       case DescIdxRe(kind, g1, g2, g3, g4) =>
         Some(GraftIndexDescribeCommand(refLoud(g1, g2, g3, g4),
           kind.toUpperCase(java.util.Locale.ROOT) == "ANN"))
+      case CreateExpectRe(name, t1, t2, t3, t4, sql, dropKw,
+          q1, q2, q3, q4) =>
+        val root = refLoud(t1, t2, t3, t4)
+        if (dropKw != null)
+          Some(GraftExpectationCreateCommand(root, name, sql, None, None))
+        else {
+          // the quarantine target may be an EXISTING registered table
+          // (quarantine into it) or an unregistered name (the quarantine
+          // table being born — managed root, registered now; the table
+          // itself materializes at the first violation)
+          val (qroot, register) = Option(q1).orElse(Option(q2)) match {
+            case Some(path) => (path, None)
+            case None =>
+              val n = Option(q3).getOrElse(q4)
+              require(!n.contains("@"),
+                s"QUARANTINE INTO cannot target a branch ref: $n")
+              resolveName(n) match {
+                case Some(r) => (r, None)
+                case None =>
+                  require(!sessionShadowed(n),
+                    s"QUARANTINE INTO: a temp view or session-catalog " +
+                      s"table named $n shadows the name — the quarantine " +
+                      "table would be unreachable; pick another name or " +
+                      "use a path")
+                  val spark = SparkSession.active
+                  require(GraftCatalog.lookupView(spark, n).isEmpty,
+                    s"QUARANTINE INTO: a graft VIEW named $n already exists")
+                  (GraftCatalog.managedRoot(spark, n), Some(n))
+              }
+          }
+          Some(GraftExpectationCreateCommand(root, name, sql, Some(qroot),
+            register))
+        }
+      case DropExpectRe(name, t1, t2, t3, t4) =>
+        Some(GraftExpectationDropCommand(refLoud(t1, t2, t3, t4), name))
+      case ShowExpectRe(t1, t2, t3, t4) =>
+        Some(GraftShowExpectationsCommand(refLoud(t1, t2, t3, t4)))
       case CreateMvRe(g1, g2, g3, g4, keys, select) =>
         // CREATE MV by NAME: an unregistered name is the view being
         // born — register it against a managed root after the build
@@ -1790,6 +1840,50 @@ case class GraftIndexDescribeCommand(indexRoot: String, ann: Boolean)
           graft.dedup.DedupIndex.streamId(s.srcRoot)): _*)
     }
   }
+}
+
+/** `CREATE EXPECTATION name ON tbl CHECK (expr) ON VIOLATION DROP |
+  * QUARANTINE INTO qtbl` — register a data-quality expectation: every
+  * later ingest drops or quarantines violating rows instead of failing
+  * (graft.ops.Expectations). The quarantine table materializes at the
+  * first violation; an unregistered QUARANTINE INTO name registers
+  * against a managed root now so the destination is addressable. */
+case class GraftExpectationCreateCommand(root: String, name: String,
+    sql: String, quarantineRoot: Option[String],
+    registerName: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mode =
+      if (quarantineRoot.isEmpty) graft.ops.Expectations.DropRows
+      else graft.ops.Expectations.QuarantineRows
+    graft.ops.Expectations.add(spark, root, name, sql, mode, quarantineRoot)
+    registerName.foreach(n => GraftCatalog.create(spark,
+      GraftCatalog.Entry(n, quarantineRoot.get, Nil, Nil, None)))
+    Nil
+  }
+}
+
+/** `DROP EXPECTATION name ON tbl` — loud if absent. */
+case class GraftExpectationDropCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.ops.Expectations.drop(spark, root, name)
+    Nil
+  }
+}
+
+/** `SHOW GRAFT EXPECTATIONS ON tbl` — the rules in force now. */
+case class GraftShowExpectationsCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("predicate", StringType, nullable = false)(),
+    AttributeReference("quarantine", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.ops.Expectations.list(spark, root).map(e =>
+      Row(e.name, e.mode.tag, e.sql, e.quarantineRoot.orNull))
 }
 
 /** `REFRESH MATERIALIZED VIEW graft.`/view`` —

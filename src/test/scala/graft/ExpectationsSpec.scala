@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Expectations, VersionedTable}
+import graft.ops.VersionedTable.ConstraintViolationException
+
+/** Data-quality expectations: DROP removes violating delta rows from the
+  * write, QUARANTINE routes them to a side table idempotently, UPDATE
+  * treats every expectation as FAIL, and the registry rides the property
+  * carry through every commit. */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_exp_$tag").toString
+    val root = s"$dir/table"
+    VersionedTable.upsert(spark, root,
+      (0 until 100).map(i => (i, s"g${i % 2}", i.toLong))
+        .toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"))
+    root
+  }
+
+  test("DROP mode: violating rows vanish from the write, counted") {
+    val root = fresh("drop")
+    Expectations.add(spark, root, "v_nonneg", "v >= 0",
+      Expectations.DropRows)
+    // 3 violations + 2 good rows in one batch
+    VersionedTable.upsert(spark, root,
+      Seq((200, "g0", -1L), (201, "g1", -2L), (202, "g0", 5L),
+        (203, "g1", -3L), (204, "g0", 6L)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"))
+    assert(Expectations.lastGateCounts == Map("v_nonneg" -> 3L))
+    val got = VersionedTable.read(spark, root)
+      .filter(col("id") >= 200).orderBy("id")
+      .select("id").as[Int].collect().toSeq
+    assert(got == Seq(202, 204), s"kept rows wrong: $got")
+    // a violating UPDATE of surviving rows FAILS (no silent row drop)
+    intercept[ConstraintViolationException] {
+      VersionedTable.updateWhere(spark, root, "id", 202, 202,
+        Map("v" -> lit(-9L)))
+    }
+  }
+
+  test("QUARANTINE mode: violations route keyed; replay re-quarantines " +
+      "the same rows without duplicates") {
+    val root = fresh("quar")
+    val qroot = root + "_quarantine"
+    Expectations.add(spark, root, "v_small", "v < 1000",
+      Expectations.QuarantineRows, Some(qroot))
+    val batch = Seq((300, "g0", 5000L), (301, "g1", 7L),
+      (302, "g0", 9999L)).toDF("id", "grp", "v")
+    VersionedTable.upsert(spark, root, batch, Seq("id", "grp"), Seq("grp"))
+    assert(Expectations.lastGateCounts == Map("v_small" -> 2L))
+    val q1 = VersionedTable.read(spark, qroot)
+    assert(q1.count() == 2)
+    assert(q1.select("__expectation").distinct().as[String].collect()
+      .toSeq == Seq("v_small"))
+    assert(q1.select("id").as[Int].collect().toSet == Set(300, 302))
+    // main table kept only the good row
+    assert(VersionedTable.read(spark, root).filter(col("id") >= 300)
+      .select("id").as[Int].collect().toSeq == Seq(301))
+    // REPLAY the same batch (crash-retry shape): quarantine must not
+    // grow — the (keys + expectation) upsert dedupes
+    VersionedTable.upsert(spark, root, batch, Seq("id", "grp"), Seq("grp"))
+    assert(VersionedTable.read(spark, qroot).count() == 2)
+  }
+
+  test("ANSI semantics: NULL predicate passes; delta omitting a " +
+      "committed column still gates") {
+    val root = fresh("ansi")
+    val qroot = root + "_q"
+    Expectations.add(spark, root, "v_pos", "v > 0",
+      Expectations.QuarantineRows, Some(qroot))
+    // delta WITHOUT the v column: rows land NULL there -> NULL passes
+    VersionedTable.upsert(spark, root,
+      Seq((400, "g0")).toDF("id", "grp"), Seq("id", "grp"), Seq("grp"))
+    assert(Expectations.lastGateCounts == Map("v_pos" -> 0L))
+    assert(VersionedTable.read(spark, root).filter(col("id") === 400)
+      .count() == 1)
+  }
+
+  test("registration validates: bad expr, self-quarantine, dup name; " +
+      "drop removes enforcement; registry is versioned") {
+    val root = fresh("valid")
+    intercept[Exception] {
+      Expectations.add(spark, root, "broken", "no_such_col > 0",
+        Expectations.DropRows)
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.add(spark, root, "selfq", "v >= 0",
+        Expectations.QuarantineRows, Some(root))
+    }
+    Expectations.add(spark, root, "e1", "v >= 0", Expectations.DropRows)
+    intercept[IllegalArgumentException] {
+      Expectations.add(spark, root, "e1", "v >= 1", Expectations.DropRows)
+    }
+    val vWith = VersionedTable.currentVersion(spark, root).get
+    assert(Expectations.list(spark, root).map(_.name) == Seq("e1"))
+    Expectations.drop(spark, root, "e1")
+    intercept[IllegalArgumentException] {
+      Expectations.drop(spark, root, "e1")
+    }
+    // enforcement gone: a violating row now lands
+    VersionedTable.upsert(spark, root,
+      Seq((500, "g0", -5L)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"))
+    assert(VersionedTable.read(spark, root).filter(col("v") < 0)
+      .count() == 1)
+    // time travel: the rules in force at the older version still show
+    assert(Expectations.list(spark, root, Some(vWith)).map(_.name)
+      == Seq("e1"))
+  }
+
+  test("SQL surface: CREATE/SHOW/DROP EXPECTATION; unregistered " +
+      "QUARANTINE INTO name registers a managed destination") {
+    val root = fresh("sql")
+    val qname = "exp_sql_quar_" + System.nanoTime()
+    spark.sql(s"CREATE EXPECTATION v_cap ON graft.`$root` " +
+      s"CHECK (v < 500000) ON VIOLATION QUARANTINE INTO $qname")
+    val shown = spark.sql(s"SHOW GRAFT EXPECTATIONS ON graft.`$root`")
+      .collect()
+    assert(shown.length == 1 && shown(0).getString(0) == "v_cap"
+      && shown(0).getString(1) == "quarantine")
+    val qroot = graft.plans.GraftCatalog.resolve(spark, qname)
+    assert(qroot.isDefined, "quarantine name not registered")
+    VersionedTable.upsert(spark, root,
+      Seq((600, "g0", 900000L), (601, "g1", 3L)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"))
+    assert(VersionedTable.read(spark, qroot.get).count() == 1)
+    spark.sql(s"DROP EXPECTATION v_cap ON graft.`$root`")
+    assert(spark.sql(s"SHOW GRAFT EXPECTATIONS ON graft.`$root`")
+      .count() == 0)
+    intercept[Exception] {
+      spark.sql(s"DROP EXPECTATION v_cap ON graft.`$root`")
+    }
+    graft.plans.GraftCatalog.drop(spark, qname)
+  }
+}
