@@ -36,14 +36,21 @@ object JoinMatViewScaleProbe {
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
 
-    // fact = lineitem-ish (orderkey rows with a customer fk via orders);
-    // dim = customer (fixed size at every scale)
+    // fact = orders (okey rows with a customer fk); dim = customer
+    // (fixed size at every scale). The dim's merge key is (dbucket, cid)
+    // with dbucket = cid % 16 — the scalable big-dim layout: partition
+    // dirs stay O(buckets) however many customers exist (partitioning a
+    // dim by its bare pk would mean one dir PER KEY), and the fact
+    // carries the same derived column so the fk join aligns with the
+    // dim's full key.
     val orders0 = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey").as("okey"), col("o_custkey").as("cid"),
+        (col("o_custkey") % 16).as("dbucket"),
         col("o_totalprice").as("amount"),
         (col("o_orderkey") % 7).as("bucket7"))
     val dim0 = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("cid"),
+        (col("c_custkey") % 16).as("dbucket"),
         col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
     val n0 = orders0.count()
 
@@ -56,16 +63,17 @@ object JoinMatViewScaleProbe {
         .reduce(_.unionByName(_))
       println(s"[probe] --- fact $tag: ${n0 * mult} rows, dim fixed ---")
       t(s"$tag fact build") {
-        VersionedTable.upsert(spark, fact, facts, Seq("okey"),
+        VersionedTable.upsert(spark, fact, facts, Seq("okey", "bucket7"),
           Seq("bucket7"), statsCols = Seq("okey"), bloomCols = Seq("cid"),
           fileRows = Some(50000))
       }
       t(s"$tag dim build") {
-        VersionedTable.upsert(spark, dim, dim0, Seq("cid"), Seq("cid"))
+        VersionedTable.upsert(spark, dim, dim0, Seq("dbucket", "cid"),
+          Seq("dbucket"), statsCols = Seq("cid"))
       }
       t(s"$tag view full build") {
         JoinMatView.create(spark, view, fact, dim,
-          fkCols = Seq("cid"), groupCols = Seq("segment"),
+          fkCols = Seq("dbucket", "cid"), groupCols = Seq("segment"),
           sums = Seq(("amt_sum", "amount")),
           avgs = Seq(("amt_avg", "amount")), countAlias = Some("n"))
       }
@@ -76,7 +84,7 @@ object JoinMatViewScaleProbe {
           when(col("okey") % 5 === 0, col("okey") + lit(900000000L))
             .otherwise(col("okey")))
         .withColumn("amount", col("amount") + lit(17.0))
-      VersionedTable.upsert(spark, fact, batch, Seq("okey"),
+      VersionedTable.upsert(spark, fact, batch, Seq("okey", "bucket7"),
         Seq("bucket7"), statsCols = Seq("okey"), bloomCols = Seq("cid"))
       t(s"$tag fact-delta refresh (fixed 2.5k-row change)") {
         JoinMatView.refresh(spark, view)
@@ -87,7 +95,7 @@ object JoinMatViewScaleProbe {
       // the affected-key fact rescan must prune to those keys' files
       VersionedTable.upsert(spark, dim,
         dim0.limit(2).withColumn("segment", lit("MOVED")),
-        Seq("cid"), Seq("cid"))
+        Seq("dbucket", "cid"), Seq("dbucket"))
       t(s"$tag dim-delta refresh (2 changed keys)") {
         JoinMatView.refresh(spark, view)
       }
