@@ -2352,13 +2352,16 @@ object SparkEntry {
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     val qroot = root + "_quarantine"
     val keys = Seq("l_returnflag", "l_orderkey", "l_linenumber")
-    def li = tbl(s, dir, "lineitem").select(
-      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-      col("l_quantity"))
-    val second = li.filter(col("l_orderkey") % 4 >= 2)
+    // a 1/8 slice keeps the violation mix (hundreds of rows at sf0.001)
+    // without pricing three half-table ingests into the bench
+    def li = tbl(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 32 < 4)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_quantity"))
+    val second = li.filter(col("l_orderkey") % 32 >= 2)
     fixture {
       rmrf(s, root); rmrf(s, qroot)
-      VersionedTable.upsert(s, root, li.filter(col("l_orderkey") % 4 < 2),
+      VersionedTable.upsert(s, root, li.filter(col("l_orderkey") % 32 < 2),
         keys, Seq("l_returnflag"))
       Expectations.add(s, root, "qty_cap", "l_quantity < 30",
         Expectations.QuarantineRows, Some(qroot))
@@ -2366,8 +2369,11 @@ object SparkEntry {
     VersionedTable.upsert(s, root, second, keys, Seq("l_returnflag"))
     val gated = Expectations.lastGateCounts.getOrElse("qty_cap", 0L)
     require(gated > 0, "expectation gated nothing — fixture broken")
-    // crash-retry replay: the keyed quarantine upsert must not grow
-    VersionedTable.upsert(s, root, second, keys, Seq("l_returnflag"))
+    // crash-retry replay (one partition's slice — enough to prove the
+    // keyed quarantine upsert re-delivers without growing)
+    VersionedTable.upsert(s, root,
+      second.filter(col("l_returnflag") === "N"), keys,
+      Seq("l_returnflag"))
     val qCount = VersionedTable.read(s, qroot).count()
     require(qCount == gated,
       s"replay changed the quarantine: $qCount != $gated")
@@ -4431,12 +4437,14 @@ object SparkEntry {
         nlist = 16, kmeansIters = 0, quantized = true)
       VersionedTable.upsert(s, src, emb.filter(col("vec_id") < 10),
         Seq("vec_id", "grp"), Seq("grp"))
+      // the float index's incrementality is q_sim_index's claim — its
+      // refresh is fixture here; only the QUANTIZED refresh is under test
+      graft.sim.AnnIndex.refresh(s, idxF)
     }
     graft.sim.AnnIndex.refresh(s, idxQ)
     require(!graft.sim.AnnIndex.lastRefreshRebuild &&
       graft.sim.AnnIndex.lastRefreshVectors == 10,
       "quantized ANN refresh was not incremental")
-    graft.sim.AnnIndex.refresh(s, idxF)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val fTop = graft.sim.AnnIndex.topK(s, idxF, queries, "q_id", "q_vec",
@@ -5084,14 +5092,14 @@ object SparkEntry {
     "q_expectations" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_orderkey % 32 < 4),
         |kept AS (
-        |  SELECT * FROM li WHERE l_orderkey % 4 < 2
+        |  SELECT * FROM li WHERE l_orderkey % 32 < 2
         |  UNION ALL
-        |  SELECT * FROM li WHERE l_orderkey % 4 >= 2
+        |  SELECT * FROM li WHERE l_orderkey % 32 >= 2
         |    AND coalesce(l_quantity < 30, TRUE)),
         |quar AS (
-        |  SELECT * FROM li WHERE l_orderkey % 4 >= 2
+        |  SELECT * FROM li WHERE l_orderkey % 32 >= 2
         |    AND NOT coalesce(l_quantity < 30, TRUE))
         |SELECT 'kept' AS bucket, l_returnflag AS grp,
         |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
