@@ -3,7 +3,6 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Subword/tokenizer-design statistics: the first iteration of byte-pair
@@ -94,13 +93,12 @@ object Subword {
     * each round is then a vocabulary-sized aggregate plus a 1-row driver
     * collect (the argmax pair) and a map-only literal replace — k rounds =
     * k tiny jobs, never touching the corpus again. Each round's vocab is
-    * persisted and materialized by that round's aggregate, so lineage never
-    * replays earlier rounds. This is why BPE training stays feasible at
-    * 100 TB: cost is corpus + k·|vocab|, not k·corpus. */
+    * localCheckpointed, so lineage never replays earlier rounds (see
+    * trainLoop). This is why BPE training stays feasible at 100 TB: cost
+    * is corpus + k·|vocab|, not k·corpus. */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     val spark = docs.sparkSession
-    val (table, cached) = trainLoop(initVocab(docs, textCol), merges)
-    cached.foreach(_.unpersist(blocking = false))
+    val (table, _) = trainLoop(initVocab(docs, textCol), merges)
     val schema = StructType(Seq(
       StructField("mrank", IntegerType, nullable = false),
       StructField("lhs", StringType, nullable = false),
@@ -118,21 +116,14 @@ object Subword {
     * open with. */
   def bpeVocab(docs: DataFrame, textCol: String, merges: Int,
                topK: Int = 40): DataFrame = {
-    val (_, cached) = trainLoop(initVocab(docs, textCol), merges)
-    val out = cached.last
+    val (_, vocab) = trainLoop(initVocab(docs, textCol), merges)
+    vocab
       .select(col("n"),
         explode(split(expr("substring(r, 2, length(r) - 2)"), Sep2))
           .as("sym"))
       .groupBy("sym").agg(sum(col("n")).as("freq"))
       .orderBy(col("freq").desc, col("sym").asc)
       .limit(topK)
-    val materialized = out.collect() // tiny: topK rows; lets vocab unpersist
-    cached.foreach(_.unpersist(blocking = false))
-    val spark = docs.sparkSession
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(materialized.toIndexedSeq, 1),
-      out.schema)
-      .orderBy(col("freq").desc, col("sym").asc)
   }
 
   /** Tokenize the corpus with the merge table learned by `merges` BPE
@@ -142,8 +133,8 @@ object Subword {
     * proxy.
     *
     * Scale shape: training is vocabulary-sized (see bpeTrain); the word →
-    * token-count segmentation table is localCheckpointed (vocab-sized, cuts
-    * the k-round lineage) and joined back to the exploded corpus — a
+    * token-count segmentation table projects the final checkpointed vocab
+    * (vocab-sized, no k-round lineage) and joins back to the exploded corpus — a
     * corpus × tiny-vocab equi-join AQE turns into a broadcast — then one
     * doc-keyed aggregate. Never a corpus-sized shuffle beyond the final
     * per-doc groupBy. */
@@ -153,30 +144,28 @@ object Subword {
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
         .as("w"))
       .filter(!col("w").contains(Sep))
-    val (_, cached) = trainLoop(initVocab(docs, textCol), merges)
-    val segmented = cached.last
+    val (_, vocab) = trainLoop(initVocab(docs, textCol), merges)
+    val segmented = vocab
       .select(col("w"),
         size(split(expr("substring(r, 2, length(r) - 2)"), Sep2))
           .as("tok"))
-      .localCheckpoint() // vocab-sized; detaches the k-round lineage
-    cached.foreach(_.unpersist(blocking = false))
     words.join(segmented, "w")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum(col("tok").cast("long")).as("n_tokens"))
   }
 
-  /** Runs the merge loop; returns (merge table rows, per-round persisted
-    * vocabs — last is the final one). Every round is exactly ONE job: the
-    * bestPair aggregate over round i's vocab also materializes its cache,
-    * so round i+1's replace reads the cache, never the lineage. All round
-    * caches stay alive until the caller finishes (k small vocab copies,
-    * MEMORY_AND_DISK) and the caller unpersists them all. Stops early if
-    * no pair remains. */
+  /** Runs the merge loop; returns (merge table rows, final vocab). Each
+    * round's vocab is localCheckpointed (one eager vocab-sized job that
+    * TRUNCATES lineage to materialized blocks), so round i+1's aggregate
+    * and replace read round i's blocks — never a replayed chain. A
+    * persist()-based variant measured EXPONENTIAL past ~10 rounds (the
+    * lazily-cached chain kept re-evaluating); checkpointed rounds keep
+    * training linear in k at any round count. Stops early if no pair
+    * remains. */
   private def trainLoop(vocab0: DataFrame, merges: Int)
-      : (Seq[(Int, String, String, String, Long)], Seq[DataFrame]) = {
-    var vocab = vocab0.persist(StorageLevel.MEMORY_AND_DISK)
-    val cached = scala.collection.mutable.ListBuffer(vocab)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var vocab = vocab0.localCheckpoint()
     val table = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 1
     var done = false
@@ -189,11 +178,10 @@ object Subword {
           vocab = vocab
             .withColumn("r", replace(col("r"),
               lit(Sep + l + Sep2 + r + Sep), lit(Sep + m + Sep)))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          cached += vocab
+            .localCheckpoint()
           round += 1
       }
     }
-    (table.result(), cached.toSeq)
+    (table.result(), vocab)
   }
 }
