@@ -114,6 +114,55 @@ class ExpectationsSpec extends SparkSpec {
       == Seq("e1"))
   }
 
+  test("streaming ingest is gated: violations quarantine once, " +
+      "checkpoint-loss replay re-delivers without duplicates") {
+    import java.nio.file.Files
+    import graft.streaming.StreamPipeline
+    val base = Files.createTempDirectory("graft_exp_stream")
+    val raw = Files.createDirectory(base.resolve("raw"))
+    val root = base.resolve("table").toString
+    val qroot = base.resolve("quarantine").toString
+    def writeCsv(name: String, rows: Seq[String]): Unit =
+      Files.writeString(raw.resolve(name),
+        ("symbol,price,change,change_percent,volume,timestamp" +: rows)
+          .mkString("\n"))
+    def run(ckpt: String): Unit = {
+      val metrics = StreamPipeline.windowedMetrics(
+        StreamPipeline.tickStream(spark, raw.toString),
+        width = "5 minutes", slide = "5 minutes")
+        .withColumn("day", to_date(col("window_start")))
+      StreamPipeline.startVersionedMerge(metrics, root,
+        ckpt, keys = Seq("symbol", "window_start", "day"),
+        partCols = Seq("day"), streamId = "exp-stream")
+        .awaitTermination(60000)
+    }
+    // seed the table, then arm the expectation
+    writeCsv("m1.csv", Seq("AAA,10.0,0.0,,100,2024-01-01T00:01:00"))
+    val ckpt1 = base.resolve("ckpt1").toString
+    run(ckpt1)
+    Expectations.add(spark, root, "ma_cap", "ma < 1000",
+      Expectations.QuarantineRows, Some(qroot))
+    // one sane + one violating window (ma = 5000); the later m3 tick
+    // advances the watermark past 01:05 so the 01:00 windows emit
+    writeCsv("m2.csv", Seq(
+      "AAA,20.0,0.0,,100,2024-01-01T01:00:00",
+      "BBB,5000.0,0.0,,100,2024-01-01T01:00:00"))
+    run(ckpt1)
+    writeCsv("m3.csv", Seq("AAA,30.0,0.0,,100,2024-01-01T02:00:00"))
+    run(ckpt1)
+    assert(VersionedTable.read(spark, qroot).count() == 1)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("symbol") === "BBB").count() == 0,
+      "violating window leaked into the main table")
+    val mainRows = VersionedTable.read(spark, root).collect().toSet
+    // CHECKPOINT LOSS: same batches re-deliver under the same stream id;
+    // txn idempotency skips the main commits, and even if the gate
+    // re-ran, the keyed quarantine could not grow
+    run(base.resolve("ckpt2").toString)
+    assert(VersionedTable.read(spark, qroot).count() == 1)
+    assert(VersionedTable.read(spark, root).collect().toSet == mainRows)
+  }
+
   test("SQL surface: CREATE/SHOW/DROP EXPECTATION; unregistered " +
       "QUARANTINE INTO name registers a managed destination") {
     val root = fresh("sql")
