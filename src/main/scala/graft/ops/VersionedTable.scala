@@ -776,9 +776,7 @@ object VersionedTable {
                          indexed: String => Boolean,
                          keep: String => Boolean): ScanSelection = {
     val wholeDirs = Seq.newBuilder[(String, String)]
-    val files = Seq.newBuilder[(String, String)]
-    var kept = 0
-    var total = 0
+    val candidates = Vector.newBuilder[(String, String)]
     m.mapping.toSeq.foreach { case (rel, gen) =>
       val prefix = s"$gen/$rel/"
       // per-dir: this loads ONLY the surviving dirs' index blocks —
@@ -786,13 +784,23 @@ object VersionedTable {
       val known = m.idxFilesUnder(fs, root, rel, prefix)
       if (known.isEmpty || !known.exists(indexed))
         wholeDirs += gen -> s"${tableRoot(root)}/$gen/$rel"
-      else {
-        total += known.size
-        known.foreach { f =>
-          if (keep(f)) { kept += 1; files += gen -> s"${tableRoot(root)}/$f" } }
-      }
+      else known.foreach(f => candidates += gen -> f)
     }
-    ScanSelection(wholeDirs.result(), files.result(), kept, total)
+    val cand = candidates.result()
+    // per-file probes are independent reads over immutable manifest maps
+    // and concurrent (TrieMap) sidecar caches. Large candidate sets —
+    // a GDPR id-list probing thousands of files' blooms is O(files ×
+    // in-range ids) — evaluate in parallel on the driver; order-stable
+    // so the selection's file list stays deterministic.
+    val keptFlags: Vector[Boolean] =
+      if (cand.size < 128) cand.map { case (_, f) => keep(f) }
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        cand.par.map { case (_, f) => keep(f) }.seq
+      }
+    val files = cand.zip(keptFlags).collect {
+      case ((gen, f), true) => gen -> s"${tableRoot(root)}/$f" }
+    ScanSelection(wholeDirs.result(), files, files.size, cand.size)
   }
 
   /** The manifest file key ("genN/<part dirs>/<file>", percent-decoded
