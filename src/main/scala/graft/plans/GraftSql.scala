@@ -1582,6 +1582,7 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("derived_partitions", StringType,
       nullable = false)(),
     AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("expectations", StringType, nullable = false)(),
     AttributeReference("merge_keys", StringType, nullable = false)(),
     AttributeReference("num_partitions", IntegerType, nullable = false)(),
     AttributeReference("total_rows", LongType, nullable = true)(),
@@ -1602,6 +1603,10 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       .mkString(", ")
     val checks = m.checks.toSeq
       .sortBy(_._1).map { case (n, sql) => s"$n: $sql" }.mkString("; ")
+    val expects = graft.ops.Expectations.fromProps(m.props).map { e =>
+      s"${e.name}: ${e.sql} ON VIOLATION ${e.mode.tag}" +
+        e.quarantineRoot.fold("")(q => s" INTO $q")
+    }.mkString("; ")
     val partCols = m.partCols.mkString(", ")
     def total(i: Int): java.lang.Long =
       if (parts.exists(_.isNullAt(i))) null
@@ -1611,7 +1616,7 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       case null => null
       case t => java.lang.Long.valueOf(t - dv) // live rows, like COUNT
     }
-    Seq(Row(v, partCols, derived, checks, m.keys.mkString(", "),
+    Seq(Row(v, partCols, derived, checks, expects, m.keys.mkString(", "),
       parts.length, rows, total(5), java.lang.Long.valueOf(dv)))
   }
 }

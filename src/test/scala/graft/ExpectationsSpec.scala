@@ -175,6 +175,9 @@ class ExpectationsSpec extends SparkSpec {
       && shown(0).getString(1) == "quarantine")
     val qroot = graft.plans.GraftCatalog.resolve(spark, qname)
     assert(qroot.isDefined, "quarantine name not registered")
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$root`").first
+      .getAs[String]("expectations")
+      .startsWith("v_cap: v < 500000 ON VIOLATION quarantine INTO"))
     VersionedTable.upsert(spark, root,
       Seq((600, "g0", 900000L), (601, "g1", 3L)).toDF("id", "grp", "v"),
       Seq("id", "grp"), Seq("grp"))

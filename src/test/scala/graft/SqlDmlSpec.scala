@@ -437,10 +437,11 @@ class SqlDmlSpec extends SparkSpec {
     assert(d.getInt(0) == 1) // version
     assert(d.getString(1) == "grp") // partition_cols
     assert(d.getString(2).isEmpty && d.getString(3).isEmpty)
-    assert(d.getString(4) == "id, grp") // merge_keys (recorded at upsert)
-    assert(d.getInt(5) == 4) // num_partitions
-    assert(d.getLong(6) == rows.count(_._3 >= 10)) // live rows
-    assert(d.getLong(8) == 0L) // no DVs
+    assert(d.getString(4).isEmpty) // expectations
+    assert(d.getString(5) == "id, grp") // merge_keys (recorded at upsert)
+    assert(d.getInt(6) == 4) // num_partitions
+    assert(d.getLong(7) == rows.count(_._3 >= 10)) // live rows
+    assert(d.getLong(9) == 0L) // no DVs
     // per-partition drilldown: rows per dir from the manifest, and the
     // CONTENT token distinguishes the rewritten dir from carried ones
     val byDir = spark.sql(
