@@ -3971,6 +3971,18 @@ object SparkEntry {
 
   /** 64-bucket hashed bag-of-words over the corpus — fixed-dim features
     * with no vocabulary pass (the 100 TB featurizer). */
+  /** DSIR importance resampling toward the English slice: hashed
+    * bag-of-words log-likelihood ratio (target = lang 'en' docs vs the
+    * raw corpus), add-1 smoothing over 256 buckets, top-50 by (r4
+    * weight desc, doc_id asc). Two corpus aggregations + a 256-row
+    * broadcast + TakeOrdered — the web-crawl skimming recipe at any
+    * scale. */
+  private def qDsir(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dsir.selectTopK(
+      tbl(s, dir, "documents").select("doc_id", "lang", "source", "text"),
+      "doc_id", "text", isTarget = col("lang") === "en", k = 50)
+      .select("doc_id", "lang", "source", "logw")
+
   private def qFeatureHash(s: SparkSession, dir: String): DataFrame =
     graft.text.FeatureHash.hashedFeatures(tbl(s, dir, "documents"),
       "doc_id", "text", k = 64)
@@ -4966,6 +4978,7 @@ object SparkEntry {
     "q_ab_test" -> (qAbTest _),
     "q_wilson" -> (qWilson _),
     "q_feature_hash" -> (qFeatureHash _),
+    "q_dsir" -> (qDsir _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_calibration" -> (qCalibration _),
     "q_zipf" -> (qZipf _),
@@ -8828,6 +8841,35 @@ object SparkEntry {
         |SELECT doc_id, bucket, CAST(sum(sw) AS BIGINT) AS w
         |FROM hashed GROUP BY 1, 2
         |HAVING sum(sw) <> 0""".stripMargin,
+
+    // DSIR replay: same md5 buckets, same add-1 smoothed ln ratio; the
+    // per-doc sum rounds r4 before the ordered cut (id-tiebroken)
+    "q_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+        |      % 256 AS INT) AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |            x -> x <> '')) AS term
+        |        FROM documents)),
+        |dist AS (
+        |  SELECT b, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t, CAST(count(*) AS BIGINT) AS q
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tn,
+        |               CAST(sum(q) AS BIGINT) AS qn FROM dist),
+        |ratio AS (
+        |  SELECT b, ln(t + 1.0) - ln(tn + 256.0)
+        |           - ln(q + 1.0) + ln(qn + 256.0) AS lr
+        |  FROM dist, tot),
+        |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |w AS (SELECT doc_id, round(sum(c * lr), 4) AS logw
+        |      FROM dc JOIN ratio USING (b) GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source, w.logw
+        |FROM documents d JOIN w USING (doc_id)
+        |ORDER BY w.logw DESC, d.doc_id ASC LIMIT 50""".stripMargin,
 
     // z² is spelled 1.96*1.96 so both engines build the identical double
     "q_wilson" ->

@@ -125,6 +125,30 @@ class CorpusMiningSpec extends SparkSpec {
     assert(out(1)._2 == 2L && out(1)._3 <= 3L)
   }
 
+  // ------------------------------------------------------------------- DSIR
+
+  test("dsir: docs matching the target vocabulary outrank the rest") {
+    // target docs speak "alpha beta"; off-target docs speak "junk spam".
+    // A raw doc mixing both must land between the pure ones.
+    val docs = Seq(
+      (1L, true, "alpha beta alpha beta"),
+      (2L, true, "alpha beta beta alpha"),
+      (3L, false, "junk spam junk spam"),
+      (4L, false, "alpha beta junk spam"),
+      (5L, false, "junk junk spam spam")).toDF("id", "tgt", "text")
+    val top = graft.text.Dsir.selectTopK(docs, "id", "text",
+      isTarget = col("tgt"), k = 5, buckets = 64)
+      .select("id", "logw").as[(Long, Double)].collect()
+    val rank = top.map(_._1).toSeq
+    assert(rank.take(2).toSet == Set(1L, 2L), s"target docs not on top: $rank")
+    assert(rank(2) == 4L, s"mixed doc not in the middle: $rank")
+    assert(rank.drop(3).toSet == Set(3L, 5L))
+    // identical token bags -> identical weights
+    val byId = top.toMap
+    assert(byId(1L) == byId(2L) && byId(3L) == byId(5L))
+    assert(byId(1L) > byId(4L) && byId(4L) > byId(3L))
+  }
+
   // ------------------------------------------------- winnowing fingerprints
 
   /** Naive reference winnowing: same polynomial hash, explicit window scan
