@@ -3297,6 +3297,10 @@ object VersionedTable {
       require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
         s"graft.retain.versions must be an integer >= 1: '$v'")
     }
+    // expectation entries must parse NOW — a malformed injected property
+    // would otherwise crash every later ingest's gate
+    if (kvs.keys.exists(_.startsWith("graft.expect.")))
+      Expectations.fromProps(kvs)
     val fs = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
