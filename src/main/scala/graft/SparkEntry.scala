@@ -682,6 +682,17 @@ object SparkEntry {
         step = "1 hour", tiebreak = Seq("event_id"))
       .select("event_type", "grid_ts", "v_last", "is_gap", "value_ff")
 
+  /** Linear interpolation over the hourly panel: interior gaps take the
+    * line between their non-null neighbors (exact epoch-second
+    * arithmetic, one divide — bit-identical cross-engine); edge gaps
+    * stay null. */
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame =
+    Resample.interpolate(
+      Resample.resampleLast(ev(s, dir), Seq("event_type"), "ts", "value",
+        step = "1 hour", tiebreak = Seq("event_id")),
+      Seq("event_type"), "grid_ts", "v_last")
+      .select("event_type", "grid_ts", "v_last", "is_gap", "v_interp")
+
   /** Fixed-range value histogram per event type: 25 bins over [0, 500). */
   private def qHistogram(s: SparkSession, dir: String): DataFrame =
     Stats.histogram(ev(s, dir), Seq("event_type"), "value",
@@ -4787,6 +4798,7 @@ object SparkEntry {
     "q_ks" -> (qKs _),
     "q_collocations" -> (qCollocations _),
     "q_resample" -> (qResample _),
+    "q_interpolate" -> (qInterpolate _),
     "q_map_explode" -> (qMapExplode _),
     "q_window_corr" -> (qWindowCorr _),
     "q_winsorize" -> (qWinsorize _),
@@ -6061,6 +6073,58 @@ object SparkEntry {
          |    PARTITION BY event_type ORDER BY grid_ts
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
          |FROM j""".stripMargin,
+
+    // same grid CTEs as q_resample + the two IGNORE NULLS anchor windows;
+    // the interpolation itself is single-expression double arithmetic on
+    // exact epoch integers — unrounded, bit-identical
+    "q_interpolate" ->
+      s"""WITH o AS (
+         |  SELECT event_type, event_id, value,
+         |    time_bucket(INTERVAL 1 HOUR, $TS) AS h, $TS AS tts
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, h AS grid_ts, value AS v_last
+         |  FROM (SELECT event_type, h, value,
+         |          row_number() OVER (PARTITION BY event_type, h
+         |            ORDER BY tts DESC, event_id DESC) AS rk
+         |        FROM o)
+         |  WHERE rk = 1),
+         |bounds AS (
+         |  SELECT event_type, min(grid_ts) AS lo, max(grid_ts) AS hi
+         |  FROM b GROUP BY 1),
+         |grid AS (
+         |  SELECT event_type,
+         |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+         |  FROM bounds),
+         |j AS (
+         |  SELECT g.event_type, g.grid_ts, b.v_last,
+         |    CASE WHEN b.v_last IS NULL THEN 1 ELSE 0 END AS is_gap
+         |  FROM grid g LEFT JOIN b
+         |    ON g.event_type = b.event_type AND g.grid_ts = b.grid_ts),
+         |anch AS (
+         |  SELECT event_type, grid_ts, v_last, is_gap,
+         |    date_part('epoch', grid_ts) AS t,
+         |    last_value(v_last IGNORE NULLS) OVER (
+         |      PARTITION BY event_type ORDER BY grid_ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN v_last IS NOT NULL
+         |        THEN date_part('epoch', grid_ts) END IGNORE NULLS) OVER (
+         |      PARTITION BY event_type ORDER BY grid_ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |    first_value(v_last IGNORE NULLS) OVER (
+         |      PARTITION BY event_type ORDER BY grid_ts
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v_last IS NOT NULL
+         |        THEN date_part('epoch', grid_ts) END IGNORE NULLS) OVER (
+         |      PARTITION BY event_type ORDER BY grid_ts
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM j)
+         |SELECT event_type, grid_ts, v_last, is_gap,
+         |  CASE WHEN v_last IS NOT NULL THEN v_last
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |         THEN pv + (nv - pv) * ((t - pt) / (nt - pt))
+         |  END AS v_interp
+         |FROM anch""".stripMargin,
 
     "q_map_explode" ->
       """WITH m AS (

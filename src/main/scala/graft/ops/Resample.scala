@@ -63,4 +63,38 @@ object Resample {
     forwardFill(
       toGrid(lastPerBucket(df, keys, ts, value, step, tiebreak), keys, step),
       keys, Seq("grid_ts"), "v_last")
+
+  /** Linear interpolation over a gridded panel (pandas
+    * `interpolate('linear')` semantics): a strictly-interior gap takes
+    * `v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev)`;
+    * leading/trailing gaps stay null — no second anchor to draw the
+    * line to. Two per-key ordered window passes (running last / reversed
+    * first, IGNORE NULLS — O(1) state per row over ONE sort), never a
+    * self-join; the time axis is epoch seconds so step-aligned grids
+    * interpolate in exact integer arithmetic before the one divide. */
+  def interpolate(grid: DataFrame, keys: Seq[String], ts: String,
+                  value: String, out: String = "v_interp"): DataFrame = {
+    val kcols = keys.map(col)
+    val wPrev = Window.partitionBy(kcols: _*).orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(kcols: _*).orderBy(col(ts))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tsec = col(ts).cast("long")
+    grid
+      .withColumn("__pv", last(col(value), ignoreNulls = true).over(wPrev))
+      .withColumn("__pt",
+        last(when(col(value).isNotNull, tsec), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("__nv", first(col(value), ignoreNulls = true).over(wNext))
+      .withColumn("__nt",
+        first(when(col(value).isNotNull, tsec), ignoreNulls = true)
+          .over(wNext))
+      .withColumn(out,
+        when(col(value).isNotNull, col(value))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              ((tsec - col("__pt")).cast("double") /
+                (col("__nt") - col("__pt")).cast("double"))))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
 }

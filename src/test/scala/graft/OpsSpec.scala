@@ -1913,6 +1913,38 @@ class OpsSpec extends SparkSpec {
       ("b", "2024-01-01 05:00:00.0", Some(7.0), 0, 7.0)))
   }
 
+  test("interpolate: interior gaps take the line, edge gaps stay null") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 01:00:00"), 10.0), // leading gap at 00? no: grid starts at first bucket
+      ("a", 2L, ts("2024-01-01 04:00:00"), 40.0), // gaps at 02, 03
+      ("a", 3L, ts("2024-01-01 06:00:00"), 0.0))  // gap at 05
+      .toDF("k", "event_id", "ts", "value")
+    val out = Resample.interpolate(
+      Resample.resampleLast(df, Seq("k"), "ts", "value",
+        step = "1 hour", tiebreak = Seq("event_id")),
+      Seq("k"), "grid_ts", "v_last")
+      .select("grid_ts", "v_interp").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("2024-01-01 02:00:00.0") == Some(20.0))
+    assert(out("2024-01-01 03:00:00.0") == Some(30.0))
+    assert(out("2024-01-01 05:00:00.0") == Some(20.0)) // 40 -> 0 midpoint
+    assert(out("2024-01-01 01:00:00.0") == Some(10.0)) // observed passes
+    // trailing-gap semantics: extend key b past its last observation
+    val df2 = Seq(("b", 1L, ts("2024-01-01 00:00:00"), 5.0),
+      ("b", 2L, ts("2024-01-01 02:00:00"), 9.0)).toDF("k", "event_id", "ts", "value")
+    val g2 = Resample.toGrid(Resample.lastPerBucket(df2, Seq("k"), "ts",
+      "value", "1 hour", Seq("event_id")), Seq("k"), "1 hour")
+      .union(Seq(("b", ts("2024-01-01 03:00:00"), Option.empty[Double], 1))
+        .toDF("k", "grid_ts", "v_last", "is_gap"))
+    val out2 = Resample.interpolate(g2, Seq("k"), "grid_ts", "v_last")
+      .select("grid_ts", "v_interp").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out2("2024-01-01 01:00:00.0") == Some(7.0))
+    assert(out2("2024-01-01 03:00:00.0") == None) // trailing: no anchor
+  }
+
   test("histogram: fixed bins, clamped edges, nulls dropped") {
     val df = Seq(("a", Some(-5.0)), ("a", Some(0.0)), ("a", Some(9.9)),
         ("a", Some(10.0)), ("a", Some(99.0)), ("a", Some(250.0)),
