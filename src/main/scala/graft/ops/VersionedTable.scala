@@ -4616,6 +4616,16 @@ object VersionedTable {
             bloomCols = coveredIndexCols(m)._2, fileRows = fileRows)
       }
     } else {
+      // CHECK constraints (and expectations, as FAIL — MERGE validates,
+      // it never silently drops) gate the touched dirs' POST-image
+      // before anything stages: without this, UPDATE SET clauses could
+      // sneak violating rows into a gated table that plain UPDATE and
+      // upsert both refuse. Zero cost for ungated tables.
+      val gates = m.checks ++ derivedChecks(m) ++
+        Expectations.failGatesFor(m.props)
+      if (gates.nonEmpty)
+        enforceChecks(applyClauses(scanDirs(spark, root, m, touched)),
+          gates, "MERGE result")
       rewriteTouched(spark, root, m, touched, cur, fileRows,
         0L, contentChanging = true, op = "merge")(applyClauses)
     }

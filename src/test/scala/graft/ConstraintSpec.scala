@@ -86,6 +86,31 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).filter($"v" === -5L).count() == 11)
   }
 
+  test("MERGE matched-rewrite results are gated like UPDATE") {
+    val root = fresh("merge")
+    VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")
+    val vBefore = VersionedTable.currentVersion(spark, root).get
+    // an UPDATE SET clause driving v negative must refuse, commit nothing
+    val src = Seq((0, "g0", -100L)).toDF("id", "grp", "v")
+    intercept[ConstraintViolationException] {
+      VersionedTable.mergeClauses(spark, root, src, Seq("id", "grp"),
+        matched = Seq(VersionedTable.MergeClause(None,
+          Some(Map("v" -> lit(-100L))))),
+        insertWhen = None)
+    }
+    assert(VersionedTable.currentVersion(spark, root).get == vBefore,
+      "violating MERGE committed a version")
+    assert(VersionedTable.read(spark, root).filter(col("v") < 0)
+      .count() == 0)
+    // a passing MERGE update commits
+    VersionedTable.mergeClauses(spark, root, src, Seq("id", "grp"),
+      matched = Seq(VersionedTable.MergeClause(None,
+        Some(Map("v" -> lit(777L))))),
+      insertWhen = None)
+    assert(VersionedTable.read(spark, root).filter(col("v") === 777L)
+      .count() == 1)
+  }
+
   test("schema-evolving delta omitting a constrained column passes (NULL)") {
     val root = fresh("evolve")
     VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")
