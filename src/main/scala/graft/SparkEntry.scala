@@ -5063,10 +5063,11 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lhs, rhs, lhs || rhs AS merged, freq FROM p$i
          |  ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
-         |v$i AS (SELECT v.w, replace(v.r,
-         |    chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
-         |    chr(1)||b.merged||chr(1)) AS r, v.n
-         |  FROM v${i - 1} v, b$i b)""".stripMargin
+         |v$i AS (SELECT v.w,
+         |    CASE WHEN b.lhs IS NULL THEN v.r ELSE replace(v.r,
+         |      chr(1)||b.lhs||chr(1)||chr(1)||b.rhs||chr(1),
+         |      chr(1)||b.merged||chr(1)) END AS r, v.n
+         |  FROM v${i - 1} v LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
     "WITH " + (base +: rounds).mkString(",\n")
   }

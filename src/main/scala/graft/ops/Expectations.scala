@@ -90,6 +90,26 @@ object Expectations {
     // resolution probe: zero rows, full analysis
     VersionedTable.read(spark, root).limit(0)
       .filter(not(coalesce(expr(sql), lit(true)))).collect()
+    // an EXISTING quarantine table must match the shape the gate writes
+    // (partitioned by the expectation name, keyed by the source's merge
+    // keys + it) — refusing NOW beats crashing the first violating
+    // ingest, the same reason the predicate probes above
+    quarantineRoot.foreach { q =>
+      if (VersionedTable.currentVersion(spark, q).isDefined) {
+        val qm = VersionedTable.resolveManifest(spark, q, None)
+        val want =
+          VersionedTable.resolveManifest(spark, root, None).keys :+
+            ExpectationCol
+        require(qm.partCols == Seq(ExpectationCol),
+          s"quarantine table $q is partitioned by " +
+            s"(${qm.partCols.mkString(", ")}) — the gate writes " +
+            s"partitioned by ($ExpectationCol); pick a fresh table")
+        require(qm.keys == want,
+          s"quarantine table $q records merge keys " +
+            s"(${qm.keys.mkString(", ")}) — the gate writes keyed by " +
+            s"(${want.mkString(", ")}); pick a fresh table")
+      }
+    }
     VersionedTable.setProperties(spark, root, Map(KeyPrefix + name ->
       (mode.tag + "\t" + b64e(sql) + "\t" +
         quarantineRoot.map(b64e).getOrElse("-"))))
@@ -127,6 +147,14 @@ object Expectations {
       : Map[String, String] =
     fromProps(props).map(e => s"expectation:${e.name}" -> e.sql).toMap
 
+  /** Null-fill committed columns a delta omits so gate predicates
+    * resolve (those rows land NULL there; NULL passes, the ANSI CHECK
+    * rule) — shared by the expectation gate and the CHECK gate. */
+  private[graft] def alignToSchema(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    schema.filterNot(f => df.columns.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+
   private val counts = new ThreadLocal[Map[String, Long]] {
     override def initialValue(): Map[String, Long] = Map.empty
   }
@@ -144,12 +172,9 @@ object Expectations {
                                pm: VersionedTable.Manifest): DataFrame = {
     val exps = fromProps(pm.props)
     if (exps.isEmpty) { counts.set(Map.empty); return updates }
-    // null-fill committed columns the delta omits so predicates resolve
-    // (those rows land NULL there; NULL passes, the ANSI CHECK rule)
     val missing = pm.schema
       .filterNot(f => updates.columns.contains(f.name)).toSeq
-    val aligned = missing.foldLeft(updates)((d, f) =>
-      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val aligned = alignToSchema(updates, pm.schema)
     val flags = exps.map(e => s"__exp_${e.name}")
     val flagged = exps.zip(flags).foldLeft(aligned) { case (d, (e, fc)) =>
       d.withColumn(fc, not(coalesce(expr(e.sql), lit(true))))
@@ -160,7 +185,6 @@ object Expectations {
       .collect()(0)
     val cnts = flags.indices.map(i =>
       if (cntRow.isNullAt(i)) 0L else cntRow.getLong(i))
-    counts.set(exps.map(_.name).zip(cnts).toMap)
     val junk = flags ++ missing.map(_.name)
     exps.zip(flags).zip(cnts).foreach { case ((e, fc), c) =>
       if (e.mode == QuarantineRows && c > 0)
@@ -169,6 +193,10 @@ object Expectations {
             .withColumn(ExpectationCol, lit(e.name)),
           keys :+ ExpectationCol, Seq(ExpectationCol))
     }
+    // counts land AFTER the quarantine upserts: those recurse into
+    // gateDelta for the (expectation-free) quarantine table, whose
+    // early-return would otherwise clobber this thread's map with empty
+    counts.set(exps.map(_.name).zip(cnts).toMap)
     // serve the KEPT rows from the checkpoint either way — the staging
     // write then reads materialized blocks instead of replaying the
     // caller's lineage

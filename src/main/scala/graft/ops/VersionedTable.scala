@@ -1923,11 +1923,8 @@ object VersionedTable {
       // predicate fails to resolve and a valid write aborts
       prior.map(pm => pm.checks ++ derivedChecks(pm))
           .filter(_.nonEmpty).foreach { cs =>
-        val aligned = prior.get.schema
-          .filterNot(f => updates.columns.contains(f.name))
-          .foldLeft(updates)((d, f) => d.withColumn(f.name,
-            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
-        enforceChecks(aligned, cs, "upsert delta")
+        enforceChecks(Expectations.alignToSchema(updates, prior.get.schema),
+          cs, "upsert delta")
       }
       // DROP/QUARANTINE expectations (round 9) rewrite the delta ITSELF:
       // violating rows vanish from the write or route to the
@@ -4553,7 +4550,7 @@ object VersionedTable {
       clauses.zipWithIndex.foldRight(
         lit(-1): org.apache.spark.sql.Column) { case ((cl, i), acc) =>
         when(cl.cond.getOrElse(lit(true)), lit(i)).otherwise(acc) }
-    def applyClauses(df: DataFrame): DataFrame = {
+    def applyClausesFlagged(df: DataFrame): DataFrame = {
       val t = df.withColumn("__t_present", lit(true))
       val joinCond = keys.map(k => col(k) <=> col(s"__s_$k"))
         .reduce(_ && _)
@@ -4596,9 +4593,21 @@ object VersionedTable {
           .when(isMatched, updated(matchedN, mAct, col(c)))
           .otherwise(updated(bySourceN, bAct, col(c)))
       }
+      // which post-image rows the clauses actually REWROTE: a matched
+      // row some matched clause won, an inserted source-only row, or a
+      // by-source row some clause won — the set write-time gates apply
+      // to (expectations/CHECKs are not retroactive; an old violating
+      // row must never block an unrelated merge)
+      val changed =
+        when(isMatched, mAct >= 0)
+          .when(sOnly, lit(true))
+          .otherwise(bAct >= 0)
       j.filter(keep).select(tableCols.map(c =>
-        value(c).cast(m.schema(c).dataType).as(c)): _*)
+        value(c).cast(m.schema(c).dataType).as(c)) :+
+        changed.as("__m_changed"): _*)
     }
+    def applyClauses(df: DataFrame): DataFrame =
+      applyClausesFlagged(df).drop("__m_changed")
     if (touched.isEmpty) {
       // no live partition can match: only the INSERT leg applies. The
       // condition references source columns as `__s_<name>` (the same
@@ -4617,17 +4626,27 @@ object VersionedTable {
       }
     } else {
       // CHECK constraints (and expectations, as FAIL — MERGE validates,
-      // it never silently drops) gate the touched dirs' POST-image
+      // it never silently drops) gate the rows the clauses REWROTE
       // before anything stages: without this, UPDATE SET clauses could
       // sneak violating rows into a gated table that plain UPDATE and
-      // upsert both refuse. Zero cost for ungated tables.
+      // upsert both refuse. The flagged post-image localCheckpoints
+      // once, so the gate and the staging write share ONE evaluation of
+      // the touched-dir join. Zero cost for ungated tables.
       val gates = m.checks ++ derivedChecks(m) ++
         Expectations.failGatesFor(m.props)
-      if (gates.nonEmpty)
-        enforceChecks(applyClauses(scanDirs(spark, root, m, touched)),
+      if (gates.isEmpty)
+        rewriteTouched(spark, root, m, touched, cur, fileRows,
+          0L, contentChanging = true, op = "merge")(applyClauses)
+      else {
+        val posted = applyClausesFlagged(scanDirs(spark, root, m, touched))
+          .localCheckpoint()
+        enforceChecks(
+          posted.filter(col("__m_changed")).drop("__m_changed"),
           gates, "MERGE result")
-      rewriteTouched(spark, root, m, touched, cur, fileRows,
-        0L, contentChanging = true, op = "merge")(applyClauses)
+        rewriteTouched(spark, root, m, touched, cur, fileRows,
+          0L, contentChanging = true, op = "merge")(
+          _ => posted.drop("__m_changed"))
+      }
     }
   }
 

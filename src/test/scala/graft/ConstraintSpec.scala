@@ -111,6 +111,36 @@ class ConstraintSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("MERGE gate is not retroactive: an old violating row never " +
+      "blocks a merge that does not rewrite it") {
+    val root = fresh("merge_retro")
+    // plant a violating row BEFORE the expectation exists (expectations
+    // are documented as non-retroactive)
+    VersionedTable.upsert(spark, root,
+      Seq((500, "g0", -99L)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"))
+    graft.ops.Expectations.add(spark, root, "v_nonneg", "v >= 0",
+      graft.ops.Expectations.DropRows)
+    // merge touching the SAME partition but a DIFFERENT row must pass
+    VersionedTable.mergeClauses(spark, root,
+      Seq((0, "g0", 123L)).toDF("id", "grp", "v"), Seq("id", "grp"),
+      matched = Seq(VersionedTable.MergeClause(None,
+        Some(Map("v" -> lit(123L))))),
+      insertWhen = None)
+    assert(VersionedTable.read(spark, root).filter(col("v") === 123L)
+      .count() == 1)
+    assert(VersionedTable.read(spark, root).filter(col("v") === -99L)
+      .count() == 1, "the old violating row must survive untouched")
+    // but a clause REWRITING a row into violation still refuses
+    intercept[ConstraintViolationException] {
+      VersionedTable.mergeClauses(spark, root,
+        Seq((0, "g0", 0L)).toDF("id", "grp", "v"), Seq("id", "grp"),
+        matched = Seq(VersionedTable.MergeClause(None,
+          Some(Map("v" -> lit(-1L))))),
+        insertWhen = None)
+    }
+  }
+
   test("schema-evolving delta omitting a constrained column passes (NULL)") {
     val root = fresh("evolve")
     VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")

@@ -66,6 +66,13 @@ class ExpectationsSpec extends SparkSpec {
     // grow — the (keys + expectation) upsert dedupes
     VersionedTable.upsert(spark, root, batch, Seq("id", "grp"), Seq("grp"))
     assert(VersionedTable.read(spark, qroot).count() == 2)
+    // counts survive the nested quarantine upsert (which re-enters the
+    // gate on the expectation-free quarantine table)
+    VersionedTable.upsert(spark, root,
+      Seq((310, "g0", 8888L)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), Seq("grp"))
+    assert(Expectations.lastGateCounts == Map("v_small" -> 1L))
+    assert(VersionedTable.read(spark, qroot).count() == 3)
   }
 
   test("ANSI semantics: NULL predicate passes; delta omitting a " +
@@ -92,6 +99,12 @@ class ExpectationsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Expectations.add(spark, root, "selfq", "v >= 0",
         Expectations.QuarantineRows, Some(root))
+    }
+    // an EXISTING incompatible quarantine table refuses at CREATE, not
+    // at the first violating ingest
+    intercept[IllegalArgumentException] {
+      Expectations.add(spark, root, "shapeq", "v >= 0",
+        Expectations.QuarantineRows, Some(fresh("valid_q")))
     }
     Expectations.add(spark, root, "e1", "v >= 0", Expectations.DropRows)
     intercept[IllegalArgumentException] {
