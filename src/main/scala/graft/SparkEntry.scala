@@ -3700,6 +3700,14 @@ object SparkEntry {
     docPairs01(s, dir)
       .withColumn("jaccard", r6(col("jaccard")))
 
+  /** Containment pairs at >= 0.6: |A∩B|/min(|A|,|B|) — the
+    * subset-duplication signal a Jaccard threshold misses when a short
+    * doc sits inside a long one. Same session shingle index. */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.containmentPairsFromShingles(docShingles(s, dir),
+        Some(docBlocks(s, dir, "lang")), minContainment = 0.6)
+      .withColumn("containment", r6(col("containment")))
+
   /** Containment invariant: the LSH candidate set must cover every exact
     * lang-blocked jaccard pair at >= 0.7 (banding miss probability < 1e-6
     * per pair at this threshold with 16 bands of 4 rows — see
@@ -4937,6 +4945,7 @@ object SparkEntry {
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_verified" -> (qDedupMinhashVerified _),
@@ -8478,6 +8487,34 @@ object SparkEntry {
         |JOIN sizes s1 ON s1.id = id1
         |JOIN sizes s2 ON s2.id = id2
         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.1"""
+        .stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, lang AS block,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |filt AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT block, shingle FROM sh GROUP BY 1, 2
+        |        HAVING count(*) <= 1000) d
+        |    USING (block, shingle)),
+        |sizes AS (SELECT id, count(*) AS n FROM filt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+        |  FROM filt a JOIN filt b
+        |    ON a.block = b.block AND a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, n_common, s1.n AS n1, s2.n AS n2,
+        |  round(CAST(n_common AS DOUBLE) / least(s1.n, s2.n), 6)
+        |    AS containment
+        |FROM inter
+        |JOIN sizes s1 ON s1.id = id1
+        |JOIN sizes s2 ON s2.id = id2
+        |WHERE CAST(n_common AS DOUBLE) / least(s1.n, s2.n) >= 0.6"""
         .stripMargin,
 
     "q_dedup_jaccard_prefix" ->

@@ -98,7 +98,42 @@ object FuzzyDedup {
     * consumers (connectedComponents) start from a flat, computed plan. */
   def jaccardPairsFromShingles(sh: DataFrame, blocks: Option[DataFrame],
                                minJaccard: Double,
-                               maxDf: Option[Int] = Some(1000)): DataFrame = {
+                               maxDf: Option[Int] = Some(1000)): DataFrame =
+    pairScoresFromShingles(sh, blocks, maxDf) { d =>
+      d.withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
+    }
+
+  /** Exact threshold-CONTAINMENT pairs over the prebuilt shingle table:
+    * containment = |A∩B| / min(|A|, |B|) — catches a short document
+    * embedded verbatim inside a much longer one, where Jaccard stays
+    * small (≤ |A|/|B|) and a Jaccard threshold never fires (the
+    * quote-inclusion case dedup pipelines miss with Jaccard alone).
+    * Same df-capped blocked self-join shape as
+    * [[jaccardPairsFromShingles]]; output adds both one-sided
+    * containments so the consumer can tell which side is the subset. */
+  def containmentPairsFromShingles(sh: DataFrame, blocks: Option[DataFrame],
+                                   minContainment: Double,
+                                   maxDf: Option[Int] = Some(1000))
+      : DataFrame =
+    pairScoresFromShingles(sh, blocks, maxDf) { d =>
+      d.withColumn("containment",
+        col("n_common").cast("double") / least(col("n1"), col("n2")))
+        .filter(col("containment") >= minContainment)
+        .select("id1", "id2", "n_common", "n1", "n2", "containment")
+    }
+
+  /** The shared blocked df-capped pair core: intersection counts + both
+    * sizes, scored/filtered by `finish`, materialized before the
+    * internal cache releases. */
+  private def pairScoresFromShingles(sh: DataFrame,
+                                     blocks: Option[DataFrame],
+                                     maxDf: Option[Int])
+                                    (finish: DataFrame => DataFrame)
+      : DataFrame = {
     val withBlock = blocks match {
       case Some(bl) => sh.join(bl, "id")
         .select(col("id"), col("block"), col("h64").as("shingle"))
@@ -126,13 +161,9 @@ object FuzzyDedup {
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("n_common"))
-    val out = inter
+    val out = finish(inter
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2"), "id2"))
     val materialized = out.localCheckpoint()
     filtered.unpersist(false)
     materialized

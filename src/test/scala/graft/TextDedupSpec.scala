@@ -79,6 +79,26 @@ class TextDedupSpec extends SparkSpec {
       s"minhash estimate $est far from true jaccard $trueJ")
   }
 
+  test("containment pairs catch the subset case a jaccard threshold misses") {
+    // B's trigrams are a strict subset of A's: containment(B⊂A) = 1.0
+    // while jaccard = |B|/|A| stays low
+    val longText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shortText = (1 to 8).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, longText), (2L, shortText), (3L, "x y z q r s"))
+      .toDF("doc_id", "text")
+    val sh = FuzzyDedup.shingleHashes(d, "doc_id", "text", 3)
+      .select($"doc_id".as("id"), $"h64")
+    val cont = FuzzyDedup.containmentPairsFromShingles(sh, None,
+        minContainment = 0.9, maxDf = None)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._6 == 1.0) // full containment
+    // the same pair is INVISIBLE at a 0.9 jaccard threshold
+    val jac = FuzzyDedup.jaccardPairsFromShingles(sh, None,
+      minJaccard = 0.9, maxDf = None)
+    assert(jac.count() == 0)
+  }
+
   test("minhashCandidates surfaces the exact-dup pair") {
     val cand = FuzzyDedup.minhashCandidates(docs, "doc_id", "text", n = 3)
       .as[(Long, Long)].collect().toSet
