@@ -110,15 +110,11 @@ object MultiSync {
     val fs = VersionedTable.fsFor(spark, cursorPath)
     val cp = new Path(cursorPath)
     val tmp = new Path(cursorPath + ".tmp")
-    // crash recovery: promote a complete .tmp left by a death between
-    // delete-old and rename (same discipline as the single-table leg —
-    // the .tmp is only deleted AFTER its promote, so presence with no
-    // cursor means a complete vector)
-    if (!fs.exists(cp) && fs.exists(tmp)) {
-      if (!fs.rename(tmp, cp))
-        throw new java.io.IOException(
-          s"cursor recovery rename failed: $tmp")
-    }
+    // crash recovery (shared discipline with the single-table leg): a
+    // complete .tmp promotes; a TORN first-cycle tmp is deleted so the
+    // idempotent cycle replays instead of wedging every later call
+    VersionedTable.recoverCursor(fs, cp, tmp, txt =>
+      scala.util.Try(parseVector(txt, cursorPath)).isSuccess)
     val targetVec = snapshot(spark, tables.map(_._1))
     val last: Map[String, Int] =
       if (!fs.exists(cp)) Map.empty

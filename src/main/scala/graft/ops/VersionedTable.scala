@@ -3617,6 +3617,29 @@ object VersionedTable {
     * load). Returns the (from, to) versions synced, None when already
     * current. The consumed versions must still be retained — size
     * [[vacuum]]'s window to the sync cadence. */
+  /** Cursor crash recovery shared by the single- and multi-table sync
+    * legs: a complete `.tmp` left by a death between delete-old and
+    * promote is promoted now (the .tmp is only deleted AFTER its
+    * promote, so presence with no cursor normally means a complete
+    * value) — but a tmp that fails `valid` is a TORN first-cycle write
+    * (the crash hit mid-write before any cursor ever existed) and is
+    * deleted instead: promoting it would wedge every later call on the
+    * parse, while dropping it just replays the idempotent first cycle. */
+  private[graft] def recoverCursor(fs: FileSystem, cp: Path, tmp: Path,
+                                   valid: String => Boolean): Unit =
+    if (!fs.exists(cp) && fs.exists(tmp)) {
+      val txt = {
+        val in = fs.open(tmp)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      if (!valid(txt)) fs.delete(tmp, false)
+      else if (!fs.rename(tmp, cp))
+        throw new java.io.IOException(s"cursor recovery rename failed: $tmp")
+    }
+
   def syncChanges(spark: SparkSession, root: String, keys: Seq[String],
                   cursorPath: String,
                   maxVersions: Int = Int.MaxValue)(apply: DataFrame => Unit)
@@ -3626,14 +3649,8 @@ object VersionedTable {
     val fs = fsFor(spark, cursorPath)
     val cp = new Path(cursorPath)
     val tmp = new Path(cursorPath + ".tmp")
-    // crash recovery: a previous call may have died between removing the
-    // old cursor and promoting the fully-written replacement — promote it
-    // now (the .tmp is only ever deleted AFTER the promote, so its
-    // presence with no cursor means a complete value)
-    if (!fs.exists(cp) && fs.exists(tmp)) {
-      if (!fs.rename(tmp, cp))
-        throw new java.io.IOException(s"cursor recovery rename failed: $tmp")
-    }
+    recoverCursor(fs, cp, tmp,
+      txt => txt.trim.toIntOption.isDefined)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val last: Option[Int] =

@@ -1170,7 +1170,12 @@ object GraftSqlParser {
                     go(spark.sessionState.sqlParser.parseQuery(body),
                       Set.empty, views + lc(name)))
                 case None =>
-                  if (views.nonEmpty && sessionShadowed(name))
+                  // refuse only TEMP views (session state): a persistent
+                  // session-catalog table is legitimate at CREATE and
+                  // must stay resolvable at read — fall through to
+                  // Spark's own resolution for it
+                  if (views.nonEmpty && spark.sessionState.catalog
+                      .getTempView(name).isDefined)
                     throw new IllegalArgumentException(
                       s"view body reference '$name' resolves only to a " +
                         "session temp view: a persistent view cannot " +
@@ -1760,13 +1765,29 @@ case class GraftIndexDropCommand(root: Option[String],
         val other =
           if (ann) graft.dedup.DedupIndex.specPath(r)
           else graft.sim.AnnIndex.specPath(r)
+        // names pointing at this root deregister even when addressed by
+        // PATH — a dangling entry would block the name's re-creation
+        def dropNames(): Unit = {
+          name.foreach(GraftCatalog.drop(spark, _))
+          GraftCatalog.list(spark).filter(_.root == r)
+            .foreach(e => GraftCatalog.drop(spark, e.name))
+        }
         if (fs.exists(mine)) {
           fs.delete(p, true)
-          name.foreach(GraftCatalog.drop(spark, _))
+          dropNames()
         } else if (fs.exists(other)) throw new IllegalArgumentException(
           s"$r is a ${if (ann) "DEDUP" else "ANN"} index — " +
             s"DROP ${if (ann) "DEDUP" else "ANN"} INDEX drops it")
-        else if (!ifExists) throw new NoSuchElementException(
+        else if (!fs.exists(p) &&
+            (name.exists(n => GraftCatalog.lookup(spark, n).isDefined)
+              || GraftCatalog.list(spark).exists(_.root == r))) {
+          // a registered name whose root is GONE is a DROP that crashed
+          // between the storage delete and the deregistration — finish
+          // the job instead of wedging the name forever. A root that
+          // still exists without an index spec is NOT touched (it may
+          // be a plain table mistakenly addressed by DROP INDEX).
+          dropNames()
+        } else if (!ifExists) throw new NoSuchElementException(
           s"no $kind index at $r (missing " +
             s"${mine.getName}) — DROP $kind INDEX IF EXISTS to make " +
             "this a no-op")
@@ -1899,7 +1920,12 @@ case class GraftMvRefreshCommand(viewRoot: String)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.ops.MatView.refresh(spark, viewRoot)))
+    // dispatch join-backed views by their spec sidecar — the same rule
+    // graft_view reads by, so everything readable is refreshable
+    Seq(Row(
+      if (graft.ops.JoinMatView.isView(spark, viewRoot))
+        graft.ops.JoinMatView.refresh(spark, viewRoot)
+      else graft.ops.MatView.refresh(spark, viewRoot)))
 }
 
 /** `DESCRIBE HISTORY graft.`root`` — one row per still-committed version:

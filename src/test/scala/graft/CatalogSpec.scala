@@ -1100,6 +1100,50 @@ class CatalogSpec extends SparkSpec {
     spark.catalog.dropTempView("cat_vs2_t")
   }
 
+  test("view body over a PERSISTENT session-catalog table keeps " +
+      "resolving — only temp views are refused session state") {
+    // a plain (non-graft, non-temp) catalog table is durable state a
+    // view may legitimately capture; the temp-view refusal must not
+    // catch it
+    spark.sql("DROP TABLE IF EXISTS cat_vs3_mt")
+    spark.sql("CREATE TABLE cat_vs3_mt (x INT) USING parquet")
+    spark.sql("INSERT INTO cat_vs3_mt VALUES (7), (8)")
+    spark.sql("CREATE VIEW cat_vs3_v AS SELECT sum(x) AS sx FROM cat_vs3_mt")
+    assert(spark.sql("SELECT sx FROM cat_vs3_v").first.getLong(0) == 15L)
+    spark.sql("DROP VIEW cat_vs3_v")
+    spark.sql("DROP TABLE cat_vs3_mt")
+  }
+
+  test("DROP INDEX completes a drop that crashed after the storage " +
+      "delete; a plain table root is never touched") {
+    val idxName = "cat_halfdrop_idx"
+    val srcPath = tmp("halfdrop") + "/src"
+    spark.sql(s"CREATE TABLE cat_halfdrop_src (doc_id BIGINT, " +
+      s"text STRING, grp INT) USING graft LOCATION '$srcPath' " +
+      "TBLPROPERTIES('graft.keys'='doc_id,grp')")
+    spark.sql("INSERT INTO cat_halfdrop_src VALUES " +
+      "(1, 'a b c d', 0), (2, 'a b c d', 1)")
+    spark.sql(s"CREATE DEDUP INDEX $idxName ON cat_halfdrop_src " +
+      "(doc_id, text)")
+    val idxRoot = graft.plans.GraftCatalog.resolve(spark, idxName).get
+    // simulate the crash window: storage gone, name still registered
+    val p = new org.apache.hadoop.fs.Path(idxRoot)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(s"DROP DEDUP INDEX $idxName") // completes the crashed drop
+    assert(graft.plans.GraftCatalog.resolve(spark, idxName).isEmpty)
+    // and the name is creatable again
+    spark.sql(s"CREATE DEDUP INDEX $idxName ON cat_halfdrop_src " +
+      "(doc_id, text)")
+    spark.sql(s"DROP DEDUP INDEX $idxName")
+    // a TABLE root addressed by DROP INDEX refuses without deleting
+    intercept[Exception] {
+      spark.sql(s"DROP DEDUP INDEX graft.`$srcPath`")
+    }
+    assert(spark.sql("SELECT count(*) FROM cat_halfdrop_src")
+      .first.getLong(0) == 2L, "DROP INDEX must never delete table data")
+    spark.sql("DROP TABLE cat_halfdrop_src")
+  }
+
   test("INSERT-time schema evolution matches columns case-" +
       "insensitively: 'X' is the existing 'x', never a new column") {
     val path = tmp("insci") + "/t"

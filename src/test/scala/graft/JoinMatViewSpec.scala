@@ -272,4 +272,23 @@ class JoinMatViewSpec extends SparkSpec {
     assert(!JoinMatView.lastFullRecompute)
     assert(served() == truth())
   }
+
+  test("SQL REFRESH MATERIALIZED VIEW dispatches join-backed views") {
+    val dir = tmp("sqlrefresh")
+    val (fact, dim, view) = (s"$dir/fact", s"$dir/dim", s"$dir/view")
+    seedFact(fact); seedDim(dim)
+    JoinMatView.create(spark, view, fact, dim,
+      fkCols = Seq("cid"), groupCols = Seq("segment"),
+      sums = Seq(("amt_sum", "amount")), countAlias = Some("n"))
+    VersionedTable.upsert(spark, fact,
+      Seq((992, "p1", 3L, Some(55L))).toDF("oid", "part", "cid", "amount"),
+      Seq("oid", "part"), Seq("part"))
+    // the SQL surface must refresh what graft_view can read
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    val n = spark.sql(s"SELECT sum(n) FROM graft_view('$view')")
+      .first.getLong(0)
+    assert(n == VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim)
+        .select($"cid".as("d_cid")), $"cid" === $"d_cid").count())
+  }
 }

@@ -936,6 +936,32 @@ class OpsSpec extends SparkSpec {
     assert(sync1().isEmpty)
   }
 
+  test("MultiSync: a torn first-cycle .tmp is deleted, not promoted — " +
+      "the cycle replays instead of wedging the consumer") {
+    import graft.ops.MultiSync
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_msync_torn").toString
+    val (t1, cursor) = (s"$dir/t1", s"$dir/cursor")
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, t1,
+      Seq((1, "d1", "a1")).toDF("id", "day", "v"), keys, Seq("day"))
+    // simulate a crash mid-write on the very FIRST cycle: a partial
+    // .tmp exists, no cursor file
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(cursor + ".tmp"))
+    out.write("#graft-synccursor\t1\ngarbage-trunc".getBytes)
+    out.close()
+    var rows: Set[(String, Int)] = Set.empty
+    val adv = MultiSync.syncChangesMulti(spark, Seq((t1, keys)), cursor) {
+      feeds => rows = feeds(t1).select($"op", $"id")
+        .as[(String, Int)].collect().toSet
+    }
+    assert(adv == Some(Map(t1 -> ((-1, 0)))),
+      s"torn tmp must be dropped and the first cycle replayed: $adv")
+    assert(rows == Set(("insert", 1)))
+  }
+
   test("VersionedTable.repartitionTable: layout evolution, old versions intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtrepart").toString
     val root = s"$dir/table"
