@@ -687,11 +687,14 @@ object SparkEntry {
     * arithmetic, one divide — bit-identical cross-engine); edge gaps
     * stay null. */
   private def qInterpolate(s: SparkSession, dir: String): DataFrame =
-    Resample.interpolate(
-      Resample.resampleLast(ev(s, dir), Seq("event_type"), "ts", "value",
-        step = "1 hour", tiebreak = Seq("event_id")),
-      Seq("event_type"), "grid_ts", "v_last")
-      .select("event_type", "grid_ts", "v_last", "is_gap", "v_interp")
+    Resample.backwardFill(
+      Resample.interpolate(
+        Resample.resampleLast(ev(s, dir), Seq("event_type"), "ts", "value",
+          step = "1 hour", tiebreak = Seq("event_id")),
+        Seq("event_type"), "grid_ts", "v_last"),
+      Seq("event_type"), Seq("grid_ts"), "v_last")
+      .select("event_type", "grid_ts", "v_last", "is_gap", "v_interp",
+        "value_bf")
 
   /** Fixed-range value histogram per event type: 25 bins over [0, 500). */
   private def qHistogram(s: SparkSession, dir: String): DataFrame =
@@ -6133,7 +6136,8 @@ object SparkEntry {
          |  CASE WHEN v_last IS NOT NULL THEN v_last
          |       WHEN pv IS NOT NULL AND nv IS NOT NULL
          |         THEN pv + (nv - pv) * ((t - pt) / (nt - pt))
-         |  END AS v_interp
+         |  END AS v_interp,
+         |  nv AS value_bf
          |FROM anch""".stripMargin,
 
     "q_map_explode" ->

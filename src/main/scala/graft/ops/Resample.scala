@@ -56,6 +56,17 @@ object Resample {
     df.withColumn(out, last(col(value), ignoreNulls = true).over(w))
   }
 
+  /** Backward fill: carry the NEXT non-null observation up each key's
+    * timeline (trailing gaps stay null — nothing ahead to pull back).
+    * ffill's mirror; the pair brackets every gap for audit. */
+  def backwardFill(df: DataFrame, keys: Seq[String], order: Seq[String],
+                   value: String, out: String = "value_bf"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn(out, first(col(value), ignoreNulls = true).over(w))
+  }
+
   /** The composed panel: bucket → dense grid → forward fill. */
   def resampleLast(df: DataFrame, keys: Seq[String], ts: String,
                    value: String, step: String,
