@@ -198,6 +198,8 @@ object GraftSqlParser {
   private val ShowExpectRe =
     ("""(?is)^\s*SHOW\s+GRAFT\s+EXPECTATIONS\s+ON\s+""" + Target +
       """\s*;?\s*$""").r
+  private val ShowExpectAllRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+EXPECTATIONS\s*;?\s*$""".r
   // plain persistent views (saved queries, late-bound at read). TEMP /
   // GLOBAL TEMP / multipart-named / column-listed views fall through to
   // Spark's own grammar untouched (the pattern requires VIEW directly
@@ -467,7 +469,9 @@ object GraftSqlParser {
       case DropExpectRe(name, t1, t2, t3, t4) =>
         Some(GraftExpectationDropCommand(refLoud(t1, t2, t3, t4), name))
       case ShowExpectRe(t1, t2, t3, t4) =>
-        Some(GraftShowExpectationsCommand(refLoud(t1, t2, t3, t4)))
+        Some(GraftShowExpectationsCommand(Some(refLoud(t1, t2, t3, t4))))
+      case ShowExpectAllRe() =>
+        Some(GraftShowExpectationsCommand(None))
       case CreateMvRe(g1, g2, g3, g4, keys, select) =>
         // CREATE MV by NAME: an unregistered name is the view being
         // born — register it against a managed root after the build
@@ -1899,17 +1903,29 @@ case class GraftExpectationDropCommand(root: String, name: String)
   }
 }
 
-/** `SHOW GRAFT EXPECTATIONS ON tbl` — the rules in force now. */
-case class GraftShowExpectationsCommand(root: String)
+/** `SHOW GRAFT EXPECTATIONS [ON tbl]` — the rules in force now, on one
+  * table or across every REGISTERED table (bare-path tables have no
+  * name to enumerate — the SHOW GRAFT TABLES contract). */
+case class GraftShowExpectationsCommand(root: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
     AttributeReference("name", StringType, nullable = false)(),
     AttributeReference("mode", StringType, nullable = false)(),
     AttributeReference("predicate", StringType, nullable = false)(),
     AttributeReference("quarantine", StringType, nullable = true)())
-  override def run(spark: SparkSession): Seq[Row] =
-    graft.ops.Expectations.list(spark, root).map(e =>
-      Row(e.name, e.mode.tag, e.sql, e.quarantineRoot.orNull))
+  override def run(spark: SparkSession): Seq[Row] = root match {
+    case Some(r) =>
+      graft.ops.Expectations.list(spark, r).map(e =>
+        Row(r, e.name, e.mode.tag, e.sql, e.quarantineRoot.orNull))
+    case None =>
+      GraftCatalog.list(spark).flatMap { entry =>
+        if (VersionedTable.currentVersion(spark, entry.root).isEmpty) Nil
+        else graft.ops.Expectations.list(spark, entry.root).map(e =>
+          Row(entry.name, e.name, e.mode.tag, e.sql,
+            e.quarantineRoot.orNull))
+      }
+  }
 }
 
 /** `REFRESH MATERIALIZED VIEW graft.`/view`` —

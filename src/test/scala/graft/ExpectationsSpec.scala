@@ -184,8 +184,12 @@ class ExpectationsSpec extends SparkSpec {
       s"CHECK (v < 500000) ON VIOLATION QUARANTINE INTO $qname")
     val shown = spark.sql(s"SHOW GRAFT EXPECTATIONS ON graft.`$root`")
       .collect()
-    assert(shown.length == 1 && shown(0).getString(0) == "v_cap"
-      && shown(0).getString(1) == "quarantine")
+    assert(shown.length == 1 && shown(0).getString(1) == "v_cap"
+      && shown(0).getString(2) == "quarantine")
+    // catalog-wide listing: no registered table carries this rule (root
+    // is path-addressed), so it reports only registered tables' rules
+    val all = spark.sql("SHOW GRAFT EXPECTATIONS").collect()
+    assert(!all.exists(_.getString(1) == "v_cap"))
     val qroot = graft.plans.GraftCatalog.resolve(spark, qname)
     assert(qroot.isDefined, "quarantine name not registered")
     assert(spark.sql(s"DESCRIBE DETAIL graft.`$root`").first
