@@ -187,11 +187,22 @@ object Expectations {
       if (cntRow.isNullAt(i)) 0L else cntRow.getLong(i))
     val junk = flags ++ missing.map(_.name)
     exps.zip(flags).zip(cnts).foreach { case ((e, fc), c) =>
-      if (e.mode == QuarantineRows && c > 0)
-        VersionedTable.upsert(spark, e.quarantineRoot.get,
+      if (e.mode == QuarantineRows && c > 0) {
+        // quarantine keying must be STABLE across calls for the replay-
+        // idempotency guarantee: an existing quarantine keeps ITS OWN
+        // recorded keys; a fresh one is keyed by the main table's
+        // recorded keys (what add() validated) — never the caller's
+        // per-call keys, which can drift between upserts
+        val q = e.quarantineRoot.get
+        val qKeys = VersionedTable.currentVersion(spark, q) match {
+          case Some(_) => VersionedTable.resolveManifest(spark, q, None).keys
+          case None => pm.keys :+ ExpectationCol
+        }
+        VersionedTable.upsert(spark, q,
           flagged.filter(col(fc)).drop(junk: _*)
             .withColumn(ExpectationCol, lit(e.name)),
-          keys :+ ExpectationCol, Seq(ExpectationCol))
+          qKeys, Seq(ExpectationCol))
+      }
     }
     // counts land AFTER the quarantine upserts: those recurse into
     // gateDelta for the (expectation-free) quarantine table, whose

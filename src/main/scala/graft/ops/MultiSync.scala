@@ -112,9 +112,14 @@ object MultiSync {
     val tmp = new Path(cursorPath + ".tmp")
     // crash recovery (shared discipline with the single-table leg): a
     // complete .tmp promotes; a TORN first-cycle tmp is deleted so the
-    // idempotent cycle replays instead of wedging every later call
+    // idempotent cycle replays instead of wedging every later call.
+    // "Complete" requires the parsed vector to cover EXACTLY this
+    // call's table set — a tmp truncated at a line boundary parses as
+    // a valid shorter vector, and promoting that prefix would wedge
+    // every later call on the table-set-drift check below
     VersionedTable.recoverCursor(fs, cp, tmp, txt =>
-      scala.util.Try(parseVector(txt, cursorPath)).isSuccess)
+      scala.util.Try(parseVector(txt, cursorPath)).toOption
+        .exists(_.keySet == tables.map(_._1).toSet))
     val targetVec = snapshot(spark, tables.map(_._1))
     val last: Map[String, Int] =
       if (!fs.exists(cp)) Map.empty

@@ -59,7 +59,8 @@ object GraftCatalog {
                    keys: Seq[String], schemaDdl: Option[String],
                    statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
-                   derived: Seq[(String, String, String)] = Nil)
+                   derived: Seq[(String, String, String)] = Nil,
+                   kind: Option[String] = None)
 
   private val NameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
@@ -127,6 +128,8 @@ object GraftCatalog {
       sb.append("#derived\t").append(b64e(p)).append('\t')
         .append(b64e(kind)).append('\t').append(b64e(src)).append('\n')
     }
+    e.kind.foreach(k =>
+      sb.append("#kind\t").append(b64e(k)).append('\n'))
     sb.toString
   }
 
@@ -150,7 +153,8 @@ object GraftCatalog {
         case l if l.startsWith("#derived\t") =>
           val p = l.split("\t", -1)
           (b64d(p(1)), b64d(p(2)), b64d(p(3)))
-      })
+      },
+      kind = one("kind").map(_.head))
   }
 
   /** Register `name` → entry. Atomic claim: two racing CREATEs see one

@@ -1700,7 +1700,8 @@ case class GraftDedupIndexCreateCommand(indexRoot: String,
     val v = graft.dedup.DedupIndex.create(spark, indexRoot, srcRoot,
       idCol, textCol, shingleN, numPerm, bands, seed)
     registerName.foreach(n => GraftCatalog.create(spark,
-      GraftCatalog.Entry(n, indexRoot, Nil, Nil, None)))
+      GraftCatalog.Entry(n, indexRoot, Nil, Nil, None,
+        kind = Some("DEDUP"))))
     Seq(Row(v))
   }
 }
@@ -1723,7 +1724,8 @@ case class GraftAnnIndexCreateCommand(indexRoot: String,
     val v = graft.sim.AnnIndex.create(spark, indexRoot, srcRoot,
       idCol, vecCol, nlist, kmeansIters, quantized)
     registerName.foreach(n => GraftCatalog.create(spark,
-      GraftCatalog.Entry(n, indexRoot, Nil, Nil, None)))
+      GraftCatalog.Entry(n, indexRoot, Nil, Nil, None,
+        kind = Some("ANN"))))
     Seq(Row(v))
   }
 }
@@ -1789,7 +1791,19 @@ case class GraftIndexDropCommand(root: Option[String],
           // between the storage delete and the deregistration — finish
           // the job instead of wedging the name forever. A root that
           // still exists without an index spec is NOT touched (it may
-          // be a plain table mistakenly addressed by DROP INDEX).
+          // be a plain table mistakenly addressed by DROP INDEX). With
+          // the storage gone the spec can no longer witness the kind —
+          // the catalog entry's recorded kind (written at CREATE)
+          // stands in, so completing a crashed ANN drop still demands
+          // DROP ANN INDEX (entries from before kind was recorded
+          // complete under either statement, the old behavior)
+          val entries = name.flatMap(GraftCatalog.lookup(spark, _)).toSeq ++
+            GraftCatalog.list(spark).filter(_.root == r)
+          entries.flatMap(_.kind).distinct.foreach { k =>
+            if (k != kind) throw new IllegalArgumentException(
+              s"$r is a $k index — DROP $k INDEX completes this " +
+                "crashed drop")
+          }
           dropNames()
         } else if (!ifExists) throw new NoSuchElementException(
           s"no $kind index at $r (missing " +

@@ -1144,6 +1144,35 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_halfdrop_src")
   }
 
+  test("crash-completion keeps the kind check: with storage gone, the " +
+      "catalog's recorded kind refuses a mismatched DROP statement") {
+    val path = tmp("halfkind")
+    spark.sql(s"CREATE TABLE cat_hk_vecs (vec_id BIGINT, " +
+      s"embedding ARRAY<FLOAT>, grp INT) USING graft " +
+      s"LOCATION '$path/vecs' PARTITIONED BY (grp) " +
+      "TBLPROPERTIES('graft.keys'='vec_id,grp')")
+    (0L until 8L).map(i =>
+      (i, Seq.tabulate(4)(j => (i + j + 1).toFloat / 8f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "grp")
+      .createOrReplaceTempView("cat_hk_src")
+    spark.sql("INSERT INTO cat_hk_vecs SELECT * FROM cat_hk_src")
+    spark.sql("CREATE ANN INDEX cat_hk_ai ON cat_hk_vecs " +
+      "(vec_id, embedding) OPTIONS('nlist'='2','kmeans'='1')")
+    val idxRoot = graft.plans.GraftCatalog.resolve(spark, "cat_hk_ai").get
+    // the crash window: storage deleted, name still registered — the
+    // spec sidecar can no longer witness the kind
+    val p = new org.apache.hadoop.fs.Path(idxRoot)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val km = intercept[IllegalArgumentException](
+      spark.sql("DROP DEDUP INDEX cat_hk_ai"))
+    assert(km.getMessage.contains("ANN index"), km.getMessage)
+    assert(graft.plans.GraftCatalog.resolve(spark, "cat_hk_ai").isDefined,
+      "a kind-mismatched statement must not deregister the name")
+    spark.sql("DROP ANN INDEX cat_hk_ai") // the matching kind completes
+    assert(graft.plans.GraftCatalog.resolve(spark, "cat_hk_ai").isEmpty)
+    spark.sql("DROP TABLE cat_hk_vecs")
+  }
+
   test("INSERT-time schema evolution matches columns case-" +
       "insensitively: 'X' is the existing 'x', never a new column") {
     val path = tmp("insci") + "/t"

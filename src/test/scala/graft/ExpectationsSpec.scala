@@ -75,6 +75,27 @@ class ExpectationsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, qroot).count() == 3)
   }
 
+  test("quarantine keying is STABLE: a later upsert with a reordered " +
+      "caller key set keeps the quarantine's recorded keys") {
+    val root = fresh("qkey")
+    val qroot = root + "_quarantine"
+    Expectations.add(spark, root, "v_small", "v < 1000",
+      Expectations.QuarantineRows, Some(qroot))
+    val batch = Seq((400, "g0", 5000L)).toDF("id", "grp", "v")
+    VersionedTable.upsert(spark, root, batch, Seq("id", "grp"), Seq("grp"))
+    val qKeys = VersionedTable.resolveManifest(spark, qroot, None).keys
+    assert(qKeys == Seq("id", "grp", Expectations.ExpectationCol),
+      s"quarantine keyed by the MAIN table's recorded keys: $qKeys")
+    // replay with the caller's keys REORDERED: the gate must key the
+    // quarantine by ITS OWN recorded keys (what add() validated), not
+    // silently re-record the caller's per-call order
+    VersionedTable.upsert(spark, root, batch, Seq("grp", "id"), Seq("grp"))
+    assert(VersionedTable.read(spark, qroot).count() == 1,
+      "replay must re-quarantine the same row, not duplicate it")
+    assert(VersionedTable.resolveManifest(spark, qroot, None).keys == qKeys,
+      "quarantine keying drifted with the caller's key order")
+  }
+
   test("ANSI semantics: NULL predicate passes; delta omitting a " +
       "committed column still gates") {
     val root = fresh("ansi")

@@ -962,6 +962,39 @@ class OpsSpec extends SparkSpec {
     assert(rows == Set(("insert", 1)))
   }
 
+  test("MultiSync: a .tmp truncated exactly at a line boundary parses " +
+      "as a SHORTER valid vector — still torn, deleted not promoted") {
+    import graft.ops.MultiSync
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_msync_torn2").toString
+    val (t1, t2, cursor) = (s"$dir/t1", s"$dir/t2", s"$dir/cursor")
+    val keys = Seq("id", "day")
+    VersionedTable.upsert(spark, t1,
+      Seq((1, "d1", "a1")).toDF("id", "day", "v"), keys, Seq("day"))
+    VersionedTable.upsert(spark, t2,
+      Seq((2, "d1", "b1")).toDF("id", "day", "v"), keys, Seq("day"))
+    // a first-cycle crash that truncated AFTER t1's complete line: the
+    // prefix parses as a valid one-table vector — promoting it would
+    // wedge every later 2-table call on the table-set-drift check
+    val b64t1 = java.util.Base64.getEncoder
+      .encodeToString(t1.getBytes("UTF-8"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(cursor + ".tmp"))
+    out.write(s"#graft-synccursor\t1\n$b64t1\t0\n".getBytes("UTF-8"))
+    out.close()
+    var rows: Map[String, Set[(String, Int)]] = Map.empty
+    val adv = MultiSync.syncChangesMulti(spark,
+      Seq((t1, keys), (t2, keys)), cursor) { feeds =>
+      rows = feeds.map { case (r, df) => r -> df.select($"op", $"id")
+        .as[(String, Int)].collect().toSet }
+    }
+    assert(adv == Some(Map(t1 -> ((-1, 0)), t2 -> ((-1, 0)))),
+      s"line-boundary torn tmp must be dropped, cycle replayed: $adv")
+    assert(rows(t1) == Set(("insert", 1)) &&
+      rows(t2) == Set(("insert", 2)), rows.toString)
+  }
+
   test("VersionedTable.repartitionTable: layout evolution, old versions intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtrepart").toString
     val root = s"$dir/table"
