@@ -42,10 +42,14 @@ import org.apache.spark.sql.functions._
  * `deleteWhere` for retroactive cleanup.
  *
  * Coverage: every path through the staged upsert — plain upserts,
- * INSERT/overwrite, streaming merges, and the MERGE insert leg — plus
- * updateWhere (as FAIL). The general MERGE matched-rewrite follows the
- * CHECK-constraint status quo (ungated), deliberately: it rewrites
- * surviving rows in place, where drop semantics do not apply.
+ * INSERT/overwrite, streaming merges — and EVERY leg of MERGE with one
+ * uniform semantic (round 10): a violating candidate row never enters
+ * the table. A violating INSERT vanishes or quarantines; a violating
+ * matched/by-source REWRITE reverts to its old row (quarantining the
+ * post-image); DELETE legs write no row and are not gated
+ * ([[gateMergeResult]]). updateWhere stays FAIL-mode deliberately — an
+ * explicit UPDATE driving a surviving row into violation aborts loudly
+ * rather than silently discarding the user's statement.
  */
 object Expectations {
 
@@ -188,20 +192,11 @@ object Expectations {
     val junk = flags ++ missing.map(_.name)
     exps.zip(flags).zip(cnts).foreach { case ((e, fc), c) =>
       if (e.mode == QuarantineRows && c > 0) {
-        // quarantine keying must be STABLE across calls for the replay-
-        // idempotency guarantee: an existing quarantine keeps ITS OWN
-        // recorded keys; a fresh one is keyed by the main table's
-        // recorded keys (what add() validated) — never the caller's
-        // per-call keys, which can drift between upserts
         val q = e.quarantineRoot.get
-        val qKeys = VersionedTable.currentVersion(spark, q) match {
-          case Some(_) => VersionedTable.resolveManifest(spark, q, None).keys
-          case None => pm.keys :+ ExpectationCol
-        }
         VersionedTable.upsert(spark, q,
           flagged.filter(col(fc)).drop(junk: _*)
             .withColumn(ExpectationCol, lit(e.name)),
-          qKeys, Seq(ExpectationCol))
+          quarantineKeys(spark, q, pm), Seq(ExpectationCol))
       }
     }
     // counts land AFTER the quarantine upserts: those recurse into
@@ -213,5 +208,67 @@ object Expectations {
     // caller's lineage
     if (cnts.forall(_ == 0L)) flagged.drop(junk: _*)
     else flagged.filter(!flags.map(col).reduce(_ or _)).drop(junk: _*)
+  }
+
+  /** Quarantine keying must be STABLE across calls for the replay-
+    * idempotency guarantee: an existing quarantine keeps ITS OWN
+    * recorded keys; a fresh one is keyed by the main table's recorded
+    * keys (what [[add]] validated) — never a caller's per-call keys,
+    * which can drift between upserts. */
+  private def quarantineKeys(spark: SparkSession, q: String,
+      pm: VersionedTable.Manifest): Seq[String] =
+    VersionedTable.currentVersion(spark, q) match {
+      case Some(_) => VersionedTable.resolveManifest(spark, q, None).keys
+      case None => pm.keys :+ ExpectationCol
+    }
+
+  /** The MERGE-path gate — [[gateDelta]]'s twin for
+    * [[VersionedTable.mergeClauses]]. `posted` is the (checkpointed)
+    * post-image of the touched dirs carrying `__m_changed` /
+    * `__m_inserted` flags and each row's pre-image under `__o_<col>`
+    * (NULL for inserts). Only CHANGED rows gate (never retroactive);
+    * a violating insert vanishes (or quarantines its post-image), a
+    * violating rewrite reverts to its old row (same quarantine
+    * routing) — the upsert leg's "a violating candidate row never
+    * enters" semantic, uniform across every MERGE leg. Returns the
+    * frame to stage (table columns only) and records
+    * [[lastGateCounts]]. */
+  private[graft] def gateMergeResult(spark: SparkSession,
+      posted: DataFrame, tableCols: Seq[String],
+      pm: VersionedTable.Manifest): DataFrame = {
+    val exps = fromProps(pm.props)
+    if (exps.isEmpty) {
+      counts.set(Map.empty)
+      return posted.select(tableCols.map(col): _*)
+    }
+    val flags = exps.map(e => s"__exp_${e.name}")
+    val flagged = exps.zip(flags).foldLeft(posted) { case (d, (e, fc)) =>
+      d.withColumn(fc,
+        col("__m_changed") && not(coalesce(expr(e.sql), lit(true))))
+    }
+    val cntRow = flagged
+      .agg(sum(col(flags.head).cast("long")).as(flags.head),
+        flags.tail.map(f => sum(col(f).cast("long")).as(f)): _*)
+      .collect()(0)
+    val cnts = flags.indices.map(i =>
+      if (cntRow.isNullAt(i)) 0L else cntRow.getLong(i))
+    exps.zip(flags).zip(cnts).foreach { case ((e, fc), c) =>
+      if (e.mode == QuarantineRows && c > 0) {
+        val q = e.quarantineRoot.get
+        VersionedTable.upsert(spark, q,
+          flagged.filter(col(fc)).select(tableCols.map(col): _*)
+            .withColumn(ExpectationCol, lit(e.name)),
+          quarantineKeys(spark, q, pm), Seq(ExpectationCol))
+      }
+    }
+    // counts AFTER the quarantine upserts, the gateDelta clobber rule
+    counts.set(exps.map(_.name).zip(cnts).toMap)
+    if (cnts.forall(_ == 0L)) flagged.select(tableCols.map(col): _*)
+    else {
+      val anyViol = flags.map(col).reduce(_ or _)
+      flagged.filter(!(anyViol && col("__m_inserted")))
+        .select(tableCols.map(c =>
+          when(anyViol, col(s"__o_$c")).otherwise(col(c)).as(c)): _*)
+    }
   }
 }

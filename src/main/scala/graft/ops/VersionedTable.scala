@@ -4567,7 +4567,8 @@ object VersionedTable {
       clauses.zipWithIndex.foldRight(
         lit(-1): org.apache.spark.sql.Column) { case ((cl, i), acc) =>
         when(cl.cond.getOrElse(lit(true)), lit(i)).otherwise(acc) }
-    def applyClausesFlagged(df: DataFrame): DataFrame = {
+    def applyClausesFlagged(df: DataFrame,
+                            withOld: Boolean = false): DataFrame = {
       val t = df.withColumn("__t_present", lit(true))
       val joinCond = keys.map(k => col(k) <=> col(s"__s_$k"))
         .reduce(_ && _)
@@ -4619,9 +4620,17 @@ object VersionedTable {
         when(isMatched, mAct >= 0)
           .when(sOnly, lit(true))
           .otherwise(bAct >= 0)
+      // withOld additionally carries each row's PRE-image (`__o_<col>`,
+      // NULL for inserted source-only rows) and an inserted flag — the
+      // expectation gate needs them to revert a violating rewrite to
+      // its old row and to drop a violating insert entirely
+      val extra =
+        if (withOld)
+          tableCols.map(c => col(c).as(s"__o_$c")) ++
+            Seq(changed.as("__m_changed"), sOnly.as("__m_inserted"))
+        else Seq(changed.as("__m_changed"))
       j.filter(keep).select(tableCols.map(c =>
-        value(c).cast(m.schema(c).dataType).as(c)) :+
-        changed.as("__m_changed"): _*)
+        value(c).cast(m.schema(c).dataType).as(c)) ++ extra: _*)
     }
     def applyClauses(df: DataFrame): DataFrame =
       applyClausesFlagged(df).drop("__m_changed")
@@ -4642,27 +4651,33 @@ object VersionedTable {
             bloomCols = coveredIndexCols(m)._2, fileRows = fileRows)
       }
     } else {
-      // CHECK constraints (and expectations, as FAIL — MERGE validates,
-      // it never silently drops) gate the rows the clauses REWROTE
-      // before anything stages: without this, UPDATE SET clauses could
-      // sneak violating rows into a gated table that plain UPDATE and
-      // upsert both refuse. The flagged post-image localCheckpoints
-      // once, so the gate and the staging write share ONE evaluation of
-      // the touched-dir join. Zero cost for ungated tables.
-      val gates = m.checks ++ derivedChecks(m) ++
-        Expectations.failGatesFor(m.props)
-      if (gates.isEmpty)
+      // Write-time gates on the rows the clauses actually REWROTE
+      // (never retroactive): CHECK constraints FAIL the statement;
+      // DROP/QUARANTINE expectations gate the post-image in their
+      // declared mode on EVERY leg, exactly like the upsert path — ONE
+      // semantic per statement: a violating candidate row never enters
+      // the table. A violating INSERT vanishes (or quarantines), a
+      // violating matched/by-source REWRITE reverts to its old row (or
+      // quarantines the post-image), DELETE legs write no row and are
+      // not gated. The flagged post-image localCheckpoints once, so
+      // gates and the staging write share ONE evaluation of the
+      // touched-dir join. Zero cost for ungated tables.
+      val checkGates = m.checks ++ derivedChecks(m)
+      val exps = Expectations.fromProps(m.props)
+      if (checkGates.isEmpty && exps.isEmpty)
         rewriteTouched(spark, root, m, touched, cur, fileRows,
           0L, contentChanging = true, op = "merge")(applyClauses)
       else {
-        val posted = applyClausesFlagged(scanDirs(spark, root, m, touched))
-          .localCheckpoint()
-        enforceChecks(
-          posted.filter(col("__m_changed")).drop("__m_changed"),
-          gates, "MERGE result")
+        val posted = applyClausesFlagged(scanDirs(spark, root, m, touched),
+          withOld = exps.nonEmpty).localCheckpoint()
+        if (checkGates.nonEmpty) enforceChecks(
+          posted.filter(col("__m_changed"))
+            .select(tableCols.map(col): _*),
+          checkGates, "MERGE result")
+        val gated = Expectations.gateMergeResult(spark, posted,
+          tableCols, m)
         rewriteTouched(spark, root, m, touched, cur, fileRows,
-          0L, contentChanging = true, op = "merge")(
-          _ => posted.drop("__m_changed"))
+          0L, contentChanging = true, op = "merge")(_ => gated)
       }
     }
   }

@@ -131,14 +131,18 @@ class ConstraintSpec extends SparkSpec {
       .count() == 1)
     assert(VersionedTable.read(spark, root).filter(col("v") === -99L)
       .count() == 1, "the old violating row must survive untouched")
-    // but a clause REWRITING a row into violation still refuses
-    intercept[ConstraintViolationException] {
-      VersionedTable.mergeClauses(spark, root,
-        Seq((0, "g0", 0L)).toDF("id", "grp", "v"), Seq("id", "grp"),
-        matched = Seq(VersionedTable.MergeClause(None,
-          Some(Map("v" -> lit(-1L))))),
-        insertWhen = None)
-    }
+    // a clause REWRITING a row into violation is DROPPED under the
+    // uniform MERGE semantic: the change is discarded and the OLD row
+    // survives (counted) — only CHECK constraints FAIL a MERGE
+    VersionedTable.mergeClauses(spark, root,
+      Seq((0, "g0", 0L)).toDF("id", "grp", "v"), Seq("id", "grp"),
+      matched = Seq(VersionedTable.MergeClause(None,
+        Some(Map("v" -> lit(-1L))))),
+      insertWhen = None)
+    assert(graft.ops.Expectations.lastGateCounts == Map("v_nonneg" -> 1L))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 0).select("v").as[Long].head() == 123L,
+      "a violating rewrite must revert to the old row")
   }
 
   test("schema-evolving delta omitting a constrained column passes (NULL)") {

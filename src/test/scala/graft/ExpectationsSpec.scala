@@ -96,6 +96,82 @@ class ExpectationsSpec extends SparkSpec {
       "quarantine keying drifted with the caller's key order")
   }
 
+  // The uniform MERGE semantic, all four legs: a violating candidate
+  // row never enters the table — matched UPDATE reverts to the old
+  // row, NOT MATCHED INSERT vanishes, BY SOURCE UPDATE reverts,
+  // matched DELETE writes no row and is never gated. CHECK constraints
+  // (FAIL) abort the whole statement instead.
+  private def mergeAllLegs(root: String): Unit = {
+    import VersionedTable.MergeClause
+    VersionedTable.mergeClauses(spark, root,
+      Seq((0, "g0", -5L),    // matched UPDATE -> violates -> revert
+        (1, "g1", 0L),       // matched DELETE (ungated)
+        (500, "g0", -7L),    // NOT MATCHED INSERT -> violates -> vanish
+        (501, "g1", 7L))     // NOT MATCHED INSERT -> passes
+        .toDF("id", "grp", "v"),
+      Seq("id", "grp"),
+      matched = Seq(
+        MergeClause(Some(col("id") === 1), None), // DELETE
+        MergeClause(None, Some(Map("v" -> col("__s_v"))))),
+      insertWhen = Some(None),
+      bySource = Seq(
+        MergeClause(Some(col("id") === 2),
+          Some(Map("v" -> lit(-99L)))), // violates -> revert
+        MergeClause(Some(col("id") === 3),
+          Some(Map("v" -> lit(33L)))))) // passes
+  }
+
+  private def assertMergeOutcome(root: String): Unit = {
+    val got = VersionedTable.read(spark, root)
+      .filter(col("id").isin(0, 1, 2, 3, 500, 501))
+      .select("id", "v").as[(Int, Long)].collect().toMap
+    assert(got == Map(0 -> 0L, 2 -> 2L, 3 -> 33L, 501 -> 7L),
+      s"MERGE leg outcomes wrong: $got")
+    assert(Expectations.lastGateCounts == Map("v_nonneg" -> 3L),
+      s"counts: ${Expectations.lastGateCounts}")
+  }
+
+  test("MERGE x DROP: violating update/by-source revert, violating " +
+      "insert vanishes, delete leg ungated") {
+    val root = fresh("mdrop")
+    Expectations.add(spark, root, "v_nonneg", "v >= 0",
+      Expectations.DropRows)
+    mergeAllLegs(root)
+    assertMergeOutcome(root)
+  }
+
+  test("MERGE x QUARANTINE: same leg outcomes, violating post-images " +
+      "routed keyed") {
+    val root = fresh("mquar")
+    val qroot = root + "_quarantine"
+    Expectations.add(spark, root, "v_nonneg", "v >= 0",
+      Expectations.QuarantineRows, Some(qroot))
+    mergeAllLegs(root)
+    assertMergeOutcome(root)
+    val q = VersionedTable.read(spark, qroot)
+      .select("id", "v").as[(Int, Long)].collect().toMap
+    assert(q == Map(0 -> -5L, 2 -> -99L, 500 -> -7L),
+      s"quarantined post-images wrong: $q")
+  }
+
+  test("MERGE x FAIL (CHECK constraint): any violating leg aborts the " +
+      "whole statement, nothing commits") {
+    import VersionedTable.MergeClause
+    val root = fresh("mfail")
+    VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")
+    val vBefore = VersionedTable.currentVersion(spark, root).get
+    intercept[ConstraintViolationException](mergeAllLegs(root))
+    assert(VersionedTable.currentVersion(spark, root).get == vBefore)
+    // the violating-INSERT-only shape aborts too (rides upsert's gate)
+    intercept[ConstraintViolationException] {
+      VersionedTable.mergeClauses(spark, root,
+        Seq((600, "g0", -1L)).toDF("id", "grp", "v"), Seq("id", "grp"),
+        matched = Seq(MergeClause(None, Some(Map("v" -> col("__s_v"))))),
+        insertWhen = Some(None))
+    }
+    assert(VersionedTable.currentVersion(spark, root).get == vBefore)
+  }
+
   test("ANSI semantics: NULL predicate passes; delta omitting a " +
       "committed column still gates") {
     val root = fresh("ansi")
