@@ -1,14 +1,22 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
-  SerializedOffset}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition,
+  PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister,
-  StreamSourceProvider}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField,
   StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ops.VersionedTable
 import graft.plans.GraftCatalog
@@ -33,42 +41,59 @@ import graft.plans.GraftCatalog
  * ([[graft.streaming.StreamPipeline.startChangeFeedStream]] remains the
  * callback flavor for at-least-once side effects).
  *
- * Mechanics: a V1 [[Source]] that opts into the ENGINE's v2 streaming
- * contracts where they carry weight — [[SupportsTriggerAvailableNow]]
- * (uniform AvailableNow drains) and admission control via a custom
- * [[ReadMaxVersions]] [[ReadLimit]] (the engine passes
- * `getDefaultReadLimit` back into `latestOffset(start, limit)` with
- * the checkpoint base, so rate limiting rides the engine's own
- * batch-planning state instead of a source-private cursor). The batch
- * tier itself stays V1 deliberately: `getBatch` returns a
- * DRIVER-planned DataFrame, which is exactly what the change feed is —
- * a two-version manifest diff JOIN whose sides are columnar parquet
- * scans over only the touched generations. A DSv2 MicroBatchStream's
- * `planInputPartitions` cannot express that join; the standard
- * workaround (stage each diff to files at plan time, serve a file
- * scan) DOUBLES the per-batch I/O — the same reason Delta Lake's
- * streaming source remains a V1 `Source`. The columnar property is
- * pinned by StreamingSpec (each micro-batch's physical plan bottoms
- * out in parquet scans), not traded away for the interface badge.
- * Offsets ARE committed table versions, so the streaming
- * checkpoint records "synced through version N" — restart-exact,
- * nothing re-read. Each micro-batch is [[VersionedTable.changeFeedCdf]]
- * between the checkpointed version and the current one: full CDF
- * fidelity (`insert` / `delete` / `update_preimage` /
- * `update_postimage`), so downstream decomposable state subtracts old
- * and adds new in O(|changes|). The FIRST batch is the whole table as
- * `insert` rows pinned at one version (CDC initial load). Idle
- * micro-batch planning costs one commit-marker listing; no data I/O.
- * `_commit_version` stamps each row with its BATCH-END version: a
- * batch spanning several versions (consumer catch-up) attributes every
- * change to the newest one — net-effect semantics, matching the diff
- * the batch IS; set `maxVersionsPerBatch=1` when exact per-commit
- * attribution matters (audit logs, per-version replay).
+ * Mechanics (round 10): a full DSv2 stack — [[TableProvider]] →
+ * [[Table]](MICRO_BATCH_READ) → [[Scan]] → [[MicroBatchStream]] with
+ * [[SupportsTriggerAvailableNow]] (uniform AvailableNow drains) and
+ * admission control via the [[ReadMaxVersions]] [[ReadLimit]] (the
+ * engine round-trips `getDefaultReadLimit` into
+ * `latestOffset(start, limit)`, so rate limiting rides the engine's own
+ * batch-planning state). Offsets ARE committed table versions, so the
+ * streaming checkpoint records "synced through version N" —
+ * restart-exact, nothing re-read.
+ *
+ * Because a DSv2 `planInputPartitions` must return self-contained
+ * partitions (it cannot serve the change feed's driver-planned
+ * two-version manifest-diff JOIN directly, the reason Delta Lake's
+ * source stayed V1), each micro-batch STAGES its diff as parquet under
+ * the stream's own checkpoint metadata dir, then serves it through
+ * Spark's standard bin-packed [[org.apache.spark.sql.execution
+ * .datasources.FilePartition]]s and the vectorized parquet reader
+ * ([[org.apache.spark.sql.graftbridge.FileStreamBridge]]). The staging
+ * write is distributed and CHANGE-VOLUME sized (one extra
+ * write+read of the batch's diff, never the table), deterministic per
+ * (start, end] so crash-replayed batches reuse the staged files
+ * (`_SUCCESS`-guarded), and staged dirs are purged at `commit(end)` —
+ * steady-state disk holds only in-flight batches. The FIRST batch is
+ * the whole table as `insert` rows pinned at one version (CDC initial
+ * load) — attaching a consumer to a huge table should set
+ * `startingVersion` to skip materializing that bootstrap snapshot, the
+ * same advice Delta gives for backfill-free streams.
+ *
+ * Each micro-batch is [[VersionedTable.changeFeedCdf]] between the
+ * checkpointed version and the current one: full CDF fidelity
+ * (`insert` / `delete` / `update_preimage` / `update_postimage`), so
+ * downstream decomposable state subtracts old and adds new in
+ * O(|changes|). Idle micro-batch planning costs one commit-marker
+ * listing; no data I/O. `_commit_version` stamps each row with its
+ * BATCH-END version: a batch spanning several versions (consumer
+ * catch-up) attributes every change to the newest one — net-effect
+ * semantics, matching the diff the batch IS; set
+ * `maxVersionsPerBatch=1` when exact per-commit attribution matters
+ * (audit logs, per-version replay).
+ *
+ * `startingVersion`: an integer N means "changes AFTER version N";
+ * 'latest' means "only commits after stream creation". The resolved
+ * base persists to `<checkpoint>/sources/N/graft-cdc-base` at first
+ * resolution (the Kafka-source initial-offset pattern), so a restart
+ * before any batch commits can never re-resolve 'latest' PAST data
+ * committed in between — the durable twin of the V1 source's empty
+ * boundary batch.
  *
  * Scale shape: a batch's cost is the diff of the TOUCHED generations
- * (changedSideScans prunes untouched dirs), never a full-table rescan —
- * the property that lets a 100 TB table feed a warehouse continuously.
- * Size [[VersionedTable.vacuum]] retention to the trigger cadence so
+ * (changedSideScans prunes untouched dirs) plus one staged copy of
+ * that diff, never a full-table rescan — the property that lets a
+ * 100 TB table feed a warehouse continuously. Size
+ * [[VersionedTable.vacuum]] retention to the trigger cadence so
  * checkpointed versions stay readable across consumer downtime.
  *
  * The served schema is pinned at stream construction (op +
@@ -76,54 +101,21 @@ import graft.plans.GraftCatalog
  * surface when the stream restarts, and a dropped served column fails
  * loudly rather than silently narrowing mid-stream.
  */
-class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class CdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
 
-  override def sourceSchema(sqlContext: SQLContext,
-                            schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String])
-      : (String, StructType) = {
-    require(schema.isEmpty,
-      "graft-cdc serves the table's own schema — do not pass one")
-    (shortName(),
-      CdcSource.servedSchema(sqlContext.sparkSession,
-        CdcSource.rootOf(sqlContext.sparkSession, parameters)))
+  /** The table's own shape is authoritative — user-supplied schemas are
+    * refused by the engine when this is false. */
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    CdcSource.servedSchema(spark, CdcSource.rootOf(spark, options))
   }
 
-  override def createSource(sqlContext: SQLContext,
-                            metadataPath: String,
-                            schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String]): Source = {
-    val spark = sqlContext.sparkSession
-    val root = CdcSource.rootOf(spark, parameters)
-    // startingVersion: begin past the initial load — an integer N means
-    // "changes AFTER version N" (the offset convention), 'latest' means
-    // "only commits after stream creation" (resolved NOW, so a commit
-    // racing the start is not silently skipped by a later resolution)
-    val startingVersion = parameters.get("startingversion")
-      .orElse(parameters.get("startingVersion")).map {
-        case v if v.equalsIgnoreCase("latest") =>
-          VersionedTable.currentVersion(spark, root).getOrElse(-1).toLong
-        case v => v.toLongOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"startingVersion must be an integer version or 'latest': $v"))
-      }
-    // maxVersionsPerBatch: rate limit — a consumer restarted after long
-    // downtime catches up N version transitions per micro-batch instead
-    // of one giant diff (Delta's maxFilesPerTrigger idea on the version
-    // axis); triggers keep firing until drained
-    val maxPerBatch = parameters.get("maxversionsperbatch")
-      .orElse(parameters.get("maxVersionsPerBatch")).map { v =>
-        val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
-          s"maxVersionsPerBatch must be a positive integer: $v"))
-        require(n >= 1, s"maxVersionsPerBatch must be >= 1: $n")
-        n
-      }
-    new CdcSource(spark, root, CdcSource.servedSchema(spark, root),
-      startingVersion, maxPerBatch)
-  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new CdcTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
 /** Version-axis admission control: "at most `maxVersions` version
@@ -132,17 +124,71 @@ class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
   * through the engine's own contract ([[ReadLimit]] is an open
   * interface; the engine round-trips whatever `getDefaultReadLimit`
   * returns into `latestOffset(start, limit)`). */
-case class ReadMaxVersions(maxVersions: Int)
-    extends org.apache.spark.sql.connector.read.streaming.ReadLimit
+case class ReadMaxVersions(maxVersions: Int) extends ReadLimit
+
+private[sources] class CdcTable(served: StructType,
+                                options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-cdc:${options.get("table")}"
+  override def schema(): StructType = served
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new CdcScan(served, options)
+  }
+}
+
+private[sources] class CdcScan(served: StructType,
+                               options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = served
+  override def description(): String =
+    s"graft-cdc change feed of ${options.get("table")} " +
+      "(staged-parquet micro-batches)"
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = {
+    val spark = SparkSession.active
+    val root = CdcSource.rootOf(spark, options)
+    // startingVersion: begin past the initial load — an integer N means
+    // "changes AFTER version N" (the offset convention), 'latest' means
+    // "only commits after stream creation" (resolved NOW and persisted,
+    // so a commit racing the start is not silently skipped by a later
+    // resolution)
+    val startingVersion = Option(options.get("startingVersion")).map {
+      case v if v.equalsIgnoreCase("latest") =>
+        VersionedTable.currentVersion(spark, root).getOrElse(-1).toLong
+      case v => v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be an integer version or 'latest': $v"))
+    }
+    // maxVersionsPerBatch: rate limit — a consumer restarted after long
+    // downtime catches up N version transitions per micro-batch instead
+    // of one giant diff (Delta's maxFilesPerTrigger idea on the version
+    // axis); triggers keep firing until drained
+    val maxPerBatch = Option(options.get("maxVersionsPerBatch")).map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"maxVersionsPerBatch must be a positive integer: $v"))
+      require(n >= 1, s"maxVersionsPerBatch must be >= 1: $n")
+      n
+    }
+    new CdcMicroBatchStream(spark, root,
+      CdcSource.servedSchema(spark, root), startingVersion, maxPerBatch,
+      checkpointLocation)
+  }
+}
 
 private[sources] object CdcSource {
   /** `table` option -> root path: registered names resolve with batch
     * SQL's shadowing rules; paths pass through. */
-  def rootOf(spark: SparkSession, parameters: Map[String, String]): String =
+  def rootOf(spark: SparkSession, options: CaseInsensitiveStringMap)
+      : String =
     GraftCatalog.resolveTableRef(spark,
-      parameters.getOrElse("table", throw new IllegalArgumentException(
-        "graft-cdc requires .option(\"table\", <registered name or " +
-          "path>)")))
+      Option(options.get("table")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-cdc requires .option(\"table\", <registered name or " +
+            "path>)")))
 
   /** op + _commit_version + the table's VISIBLE columns, from the
     * committed manifest (or a never-written table's declared schema). */
@@ -171,39 +217,58 @@ private[sources] object CdcSource {
   }
 }
 
-class CdcSource(spark: SparkSession, root: String,
-                override val schema: StructType,
-                startingVersion: Option[Long] = None,
-                maxVersionsPerBatch: Option[Int] = None) extends Source
-    with org.apache.spark.sql.connector.read.streaming
-      .SupportsTriggerAvailableNow {
+private[sources] class CdcMicroBatchStream(spark: SparkSession,
+    root: String, served: StructType, startingVersion: Option[Long],
+    maxVersionsPerBatch: Option[Int], checkpointLocation: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val fs = new Path(checkpointLocation)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The stream's base version, durable from the FIRST run even when no
+    * batch ever commits: without this, a restart would re-resolve
+    * 'latest' past commits that landed between runs and silently skip
+    * them (the V1 source checkpointed the base via an empty boundary
+    * batch; DSv2 constructs no batch when there is no data, so the base
+    * persists here instead — Kafka's initial-offset metadata pattern). */
+  private val resolvedBase: Long = {
+    val p = new Path(checkpointLocation, "graft-cdc-base")
+    def readBack(): Long = {
+      val in = fs.open(p)
+      val out = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      finally in.close()
+      new String(out.toByteArray, StandardCharsets.UTF_8).trim.toLong
+    }
+    if (fs.exists(p)) readBack()
+    else {
+      val v = startingVersion.getOrElse(-1L)
+      try {
+        val out = VersionedTable.createExclusive(fs, p)
+        try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        v
+      } catch { case _: java.io.IOException => readBack() }
+    }
+  }
 
   /** Trigger.AvailableNow pins its END here (the engine would otherwise
-    * snapshot ONE getOffset — a rate-limited drain would stop after the
-    * first capped batch instead of catching up to the pinned target);
-    * commits landing after the prepare are the next run's. */
+    * keep draining a table that commits concurrently); commits landing
+    * after the prepare are the next run's. */
   @volatile private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget =
       VersionedTable.currentVersion(spark, root).map(_.toLong)
 
-  /** The admission knob rides the ENGINE's ReadLimit contract: the
-    * engine calls `latestOffset(checkpointBase, getDefaultReadLimit)`,
-    * so the rate limit's base is the engine's own batch-planning state
-    * — no source-private cursor can drift from the checkpoint. */
-  override def getDefaultReadLimit
-      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    maxVersionsPerBatch.map(ReadMaxVersions(_)).getOrElse(
-      org.apache.spark.sql.connector.read.streaming.ReadLimit
-        .allAvailable())
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(ReadMaxVersions(_))
+      .getOrElse(ReadLimit.allAvailable())
 
   /** The version cap a ReadLimit implies, if any — ReadMaxVersions
     * applies to the version axis; row/file limits don't (a version is
     * the atomic diff unit), and composite limits scan for the
     * version-axis member. */
-  private def versionCap(
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Option[Int] = limit match {
+  private def versionCap(limit: ReadLimit): Option[Int] = limit match {
     case ReadMaxVersions(n) => Some(n)
     case c: org.apache.spark.sql.connector.read.streaming
         .CompositeReadLimit =>
@@ -211,126 +276,105 @@ class CdcSource(spark: SparkSession, root: String,
     case _ => None
   }
 
-  /** SupportsAdmissionControl's entry point (the engine uses it instead
-    * of getOffset once SupportsTriggerAvailableNow is implemented).
-    * Null = no data yet, per the contract. */
-  override def latestOffset(
-      start: org.apache.spark.sql.connector.read.streaming.Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val base: Long = Option(start).map {
-      case LongOffset(v) => v
-      case o => o.json.trim.toLong
-    }.getOrElse(startingVersion.getOrElse(-1L))
-    maxSeen = math.max(maxSeen, base)
+  private def version(o: OffsetV2): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def initialOffset(): OffsetV2 = LongOffset(resolvedBase)
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+  override def latestOffset(): OffsetV2 = throw new IllegalStateException(
+    "graft-cdc implements SupportsAdmissionControl — the engine calls " +
+      "latestOffset(start, limit)")
+
+  /** The table's current committed version IS the latest offset (one
+    * marker listing per trigger, no data I/O), capped at the ReadLimit's
+    * version transitions past the batch base and clamped so the stream
+    * never regresses below the configured startingVersion. A
+    * not-yet-written table is "no data yet" (start returned unchanged),
+    * not an error: the stream starts delivering at its first commit. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(start).map(version).getOrElse(resolvedBase)
     VersionedTable.currentVersion(spark, root) match {
       case Some(cur0) =>
         val cur = availableNowTarget.fold(cur0.toLong)(
           math.min(cur0.toLong, _))
         val capped = versionCap(limit).fold(cur)(n =>
           math.min(cur, math.max(base, -1L) + n))
-        // never below the configured base (see getOffset)
-        LongOffset(startingVersion.fold(capped)(math.max(capped, _)))
-      case None => startingVersion.map(LongOffset(_)).orNull
+        LongOffset(Seq(capped, base, resolvedBase).max)
+      case None => Option(start).getOrElse(LongOffset(resolvedBase))
     }
   }
 
-  private def version(o: Offset): Int = o match {
-    case LongOffset(v) => v.toInt
-    case SerializedOffset(json) => json.trim.toInt
-    case other => throw new IllegalStateException(
-      s"unexpected offset type for graft-cdc: $other")
-  }
-
-  /** Highest offset this source has handed to the engine — the rate
-    * limit's base. Re-initialized on restart by the engine's recovery
-    * getBatch of the last batch (and advanced by commit callbacks), so
-    * a capped getOffset can never fall BEHIND the checkpoint and stall
-    * the stream. */
-  @volatile private var maxSeen: Long = startingVersion.getOrElse(-1L)
-
-  /** The table's current committed version IS the latest offset (one
-    * marker listing per trigger, no data I/O), capped at
-    * maxVersionsPerBatch transitions past the last delivered offset. A
-    * not-yet-written table is "no data yet", not an error: the stream
-    * starts delivering at its first commit. */
-  override def getOffset: Option[Offset] =
-    VersionedTable.currentVersion(spark, root) match {
-      case Some(cur0) =>
-        val cur = availableNowTarget.fold(cur0.toLong)(
-          math.min(cur0.toLong, _))
-        val capped = maxVersionsPerBatch.fold(cur)(m =>
-          math.min(cur, math.max(maxSeen, -1L) + m))
-        // never checkpoint BELOW the configured base: startingVersion=5
-        // on a table still at v0 must not record offset 0 (later batches
-        // would then deliver v0->v1 diffs the user explicitly excluded);
-        // the boundary batch at the clamped offset is empty by the
-        // from >= to rule in getBatch
-        Some(LongOffset(startingVersion.fold(capped)(
-          math.max(capped, _))))
-      case None =>
-        // never-written table: a configured startingVersion still
-        // CHECKPOINTS its resolved base (-1 for 'latest') via an empty
-        // boundary batch — otherwise a later run would re-resolve
-        // 'latest' PAST data committed in between and silently skip it
-        startingVersion.map(LongOffset(_))
-    }
-    // when current <= the configured startingVersion, the first batch
-    // is an EMPTY boundary diff (from >= to) — deliberately never a
-    // filter to None, so a RESTARTED stream's checkpoint always
-    // outranks a re-resolved 'latest'
-
-  override def commit(end: Offset): Unit =
-    maxSeen = math.max(maxSeen, version(end).toLong)
-
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val to = version(end)
-    maxSeen = math.max(maxSeen, to.toLong)
-    val feed = start.map(version).orElse(
-        startingVersion.map(_.toInt)) match {
-      case None =>
+  /** The (from, to] diff as a batch frame — initial load below v0, the
+    * CDF diff otherwise, stamped and cast to the PINNED schema (a
+    * widened column must not change the stream's shape mid-run). */
+  private def batchFrame(from: Long, to: Int): DataFrame = {
+    val feed =
+      if (from < 0L) {
         // CDC initial load, PINNED at `to` (the version the checkpoint
         // will record): the whole table as insert rows
         val t = VersionedTable.read(spark, root, Some(to))
         t.select(lit("insert").as("op") +: t.columns.map(col): _*)
-      case Some(from) if from >= to =>
-        // boundary batch (startingVersion == current, or a
-        // never-written table checkpointing its resolved base):
-        // an EMPTY feed of the served shape, never a crash — the
-        // checkpoint records `to` and later commits diff from there
-        spark.createDataFrame(spark.sparkContext.emptyRDD[
-          org.apache.spark.sql.Row],
-          StructType(schema.fields.filterNot(f =>
-            f.name == "op" || f.name == "_commit_version")
-            .map(f => f.copy(nullable = true))))
-          .select(lit("insert").as("op") +: schema.fieldNames.toSeq
-            .filterNot(c => c == "op" || c == "_commit_version")
-            .map(col): _*)
-      case Some(from) if from < 0 =>
-        // base = "before v0" ('latest' resolved on a then-empty table,
-        // checkpointed as -1): everything since IS new — the diff from
-        // before v0 is the whole table, the initial-load shape
-        val t = VersionedTable.read(spark, root, Some(to))
-        t.select(lit("insert").as("op") +: t.columns.map(col): _*)
-      case Some(from) =>
+      } else {
         val m = VersionedTable.resolveManifestAt(spark, root, to, to)
-        VersionedTable.changeFeedCdf(spark, root, m.keys, from, to)
-    }
-    val missing = schema.fieldNames.toSeq
+        VersionedTable.changeFeedCdf(spark, root, m.keys, from.toInt, to)
+      }
+    val missing = served.fieldNames.toSeq
       .filterNot(c => c == "op" || c == "_commit_version")
       .filterNot(feed.columns.contains)
     require(missing.isEmpty,
       s"graft-cdc stream schema lost column(s) ${missing.mkString(", ")}" +
         s" at version $to of $root — restart the stream to pick up the " +
         "table's new shape")
-    // getBatch's contract wants an isStreaming=true frame; the feed is
-    // a driver-planned batch diff, so rewrap its row RDD (cast columns
-    // to the PINNED schema types — a widened column must not change the
-    // stream's shape mid-run)
-    org.apache.spark.sql.graftbridge.PlanBridge.asStreaming(spark,
-      feed.withColumn("_commit_version", lit(to))
-        .select(schema.fields.toSeq.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*))
+    feed.withColumn("_commit_version", lit(to))
+      .select(served.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  private def stagedRoot = new Path(checkpointLocation, "staged")
+
+  /** Stage the (from, to] diff as parquet, `_SUCCESS`-guarded so a
+    * crash-replayed batch reuses the already-staged files (the diff is
+    * deterministic per version pair, so a re-stage is equivalent — this
+    * guard only saves the work). */
+  private def stage(from: Long, to: Int)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val dir = new Path(stagedRoot, s"${from}_$to")
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      fs.delete(dir, true)
+      batchFrame(from, to).write.mode("overwrite").parquet(dir.toString)
+    }
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
+  override def planInputPartitions(start: OffsetV2, end: OffsetV2)
+      : Array[InputPartition] = {
+    val (from, to) = (version(start), version(end))
+    if (from >= to) return Array.empty
+    val files = stage(from, to.toInt)
+    org.apache.spark.sql.graftbridge.FileStreamBridge.parquetPartitions(
+      spark, files.map(s =>
+        (s.getPath.toString, s.getLen, s.getModificationTime)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    org.apache.spark.sql.graftbridge.FileStreamBridge
+      .parquetReaderFactory(spark, served)
+
+  /** Batch durably committed: its staged files (and any earlier
+    * batch's) can never be re-planned — purge them so steady-state disk
+    * holds only in-flight batches. */
+  override def commit(end: OffsetV2): Unit = {
+    val v = version(end)
+    if (fs.exists(stagedRoot)) fs.listStatus(stagedRoot).foreach { s =>
+      val parts = s.getPath.getName.split("_")
+      if (parts.length == 2 &&
+          parts(1).toLongOption.exists(_ <= v))
+        fs.delete(s.getPath, true)
+    }
   }
 
   override def stop(): Unit = ()

@@ -412,15 +412,21 @@ class StreamingSpec extends SparkSpec {
     // sequencing would break if the limit stopped flowing through it
     assert(got.map(_._1) == Seq(Set(1), Set(2), Set(3)),
       s"per-version batches wrong: ${got.map(_._1)}")
-    // each data batch's RDD lineage bottoms out in FileScanRDDs (the
-    // columnar vectorized parquet reader) — the diff join's sides are
-    // real distributed scans over the touched generations, never
-    // driver-materialized rows (the visible batch plan is the V1
-    // rewrap boundary, so the lineage is where the property lives)
+    // each data batch is a DSv2 scan (DataSourceRDD) over the graft-cdc
+    // MicroBatchStream's staged-parquet FilePartitions, read by Spark's
+    // own parquet reader factory — real distributed file scans, never
+    // driver-materialized rows (inside foreachBatch the frame is a
+    // LogicalRDD wrapper, so the lineage is where the property lives)
     got.foreach { case (vs, lineage) =>
-      assert(lineage.contains("FileScanRDD"),
-        s"batch $vs not file-scan-backed:\n$lineage")
+      assert(lineage.contains("DataSourceRDD"),
+        s"batch $vs not DSv2-scan-backed:\n$lineage")
     }
+    // and the stream resolves through the DSv2 relation, not a V1 leg
+    val rel = spark.readStream.format("graft-cdc")
+      .option("table", "cdc_lim_t").load()
+      .queryExecution.analyzed.toString
+    assert(rel.contains("graft-cdc"),
+      s"stream not DSv2-relation-backed:\n$rel")
     spark.sql("DROP TABLE cdc_lim_t")
   }
 
