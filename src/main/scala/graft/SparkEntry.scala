@@ -3833,6 +3833,27 @@ object SparkEntry {
     graft.text.Subword.bpeEncode(tbl(s, dir, "documents"), "doc_id",
       "text", merges = 8)
 
+  /** The trained tokenizer's token STREAM: one row per emitted subword
+    * (doc, word position, symbol position, token) — the segmentation a
+    * training pipeline feeds downstream, not just its count. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    graft.text.Subword.bpeTokens(tbl(s, dir, "documents"), "doc_id",
+      "text", merges = 8)
+
+  /** Token packing on the TRAINED tokenizer's counts (bpeEncode, k=8)
+    * instead of the regex proxy: 512-token packs per language over real
+    * subword totals — train -> count -> pack, end to end. */
+  private def qPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val counts = graft.text.Subword.bpeEncode(docs, "doc_id", "text",
+      merges = 8)
+    Curate.tokenPack(
+      counts.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens"),
+      partitionCols = Seq("lang"), order = Seq(col("doc_id")),
+      tokensCol = "n_tokens", budget = 512L)
+  }
+
   /** Winnowing fingerprints (MOSS): per-doc count + exact integer
     * checksum of the selected (pos, hash) set at k=4, w=5 — the packed
     * argmin key makes rightmost-tie selection a single window min. */
@@ -4969,6 +4990,8 @@ object SparkEntry {
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_tokens" -> (qBpeTokens _),
+    "q_pack_bpe" -> (qPackBpe _),
     "q_winnow" -> (qWinnow _),
     "q_benford" -> (qBenford _),
     "q_pareto" -> (qPareto _),
@@ -5109,6 +5132,63 @@ object SparkEntry {
          |WHERE NOT contains(dw.w, chr(1))
          |GROUP BY 1""".stripMargin
 
+  /** The token-STREAM replay: segment every corpus word with the v$k
+    * symbol arrays and emit (doc_id, wi, si, token) — word and symbol
+    * positions both 0-based, gaps where a delimiter-bearing word was
+    * dropped (none in real text), bit-exact vs Subword.bpeTokens. */
+  private def bpeTokensOracle(k: Int): String =
+    bpeOracleWith(k) +
+      s""",
+         |seg AS (
+         |  SELECT w, string_split(substr(r, 2, length(r)-2),
+         |           chr(1)||chr(1)) AS syms
+         |  FROM v$k),
+         |dw AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, ws[i] AS w FROM (
+         |    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM (
+         |      SELECT doc_id,
+         |        list_filter(regexp_split_to_array(text, '\\s+'),
+         |                    x -> x <> '') AS ws
+         |      FROM documents)))
+         |SELECT doc_id, wi, CAST(j - 1 AS BIGINT) AS si,
+         |       syms[j] AS token FROM (
+         |  SELECT dw.doc_id, dw.wi, seg.syms,
+         |         unnest(range(1, len(seg.syms) + 1)) AS j
+         |  FROM dw JOIN seg ON dw.w = seg.w
+         |  WHERE NOT contains(dw.w, chr(1)))""".stripMargin
+
+  /** Packing on TRAINED counts: the bpeEncode per-doc totals joined to
+    * lang, then the same running-sum pack assignment q_pack uses. */
+  private def packBpeOracle(k: Int): String =
+    bpeOracleWith(k) +
+      s""",
+         |seg AS (
+         |  SELECT w, len(string_split(substr(r, 2, length(r)-2),
+         |           chr(1)||chr(1))) AS tok
+         |  FROM v$k),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                       x -> x <> '')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT dw.doc_id, CAST(sum(seg.tok) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN seg ON dw.w = seg.w
+         |  WHERE NOT contains(dw.w, chr(1))
+         |  GROUP BY 1),
+         |j AS (
+         |  SELECT c.doc_id, d.lang, c.n_tokens
+         |  FROM cnt c JOIN documents d ON c.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+         |      AS start_offset
+         |  FROM j)
+         |SELECT doc_id, lang, n_tokens, start_offset,
+         |  CAST(floor(start_offset / 512) AS BIGINT) AS pack_id
+         |FROM r""".stripMargin
+
   private def bpeVocabOracle(k: Int, topK: Int): String =
     bpeOracleWith(k) +
       s"""
@@ -5122,6 +5202,8 @@ object SparkEntry {
     "q_bpe_merges" -> bpeMergesOracle(8),
 
     "q_bpe_vocab" -> bpeVocabOracle(8, 40),
+    "q_bpe_tokens" -> bpeTokensOracle(8),
+    "q_pack_bpe" -> packBpeOracle(8),
 
     "q_bpe_encode" -> bpeEncodeOracle(8),
 

@@ -155,14 +155,49 @@ object Subword {
         sum(col("tok").cast("long")).as("n_tokens"))
   }
 
+  /** The trained tokenizer's OUTPUT STREAM: one row per emitted subword
+    * token — (id, wi, si, token) where `wi` is the word's position in
+    * the document and `si` the symbol's position within the word. This
+    * is what a training pipeline actually feeds downstream (packing,
+    * chunking, vocabulary mapping), not just the per-doc count
+    * [[bpeEncode]] summarizes.
+    *
+    * Scale shape: identical to bpeEncode — training is
+    * vocabulary-sized, the segmentation table (word → final symbol
+    * ARRAY) projects the checkpointed vocab and joins back
+    * broadcast-shaped, and the token explode is a narrow per-row
+    * fan-out bounded by word length. Output scales with corpus token
+    * count; no extra shuffle beyond the segmentation join. */
+  def bpeTokens(docs: DataFrame, idCol: String, textCol: String,
+                merges: Int): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wi", "w")))
+      .filter(!col("w").contains(Sep))
+    val (_, vocab) = trainLoop(initVocab(docs, textCol), merges)
+    val segmented = vocab
+      .select(col("w"),
+        split(expr("substring(r, 2, length(r) - 2)"), Sep2).as("syms"))
+    words.join(segmented, "w")
+      .select(col(idCol), col("wi"),
+        posexplode(col("syms")).as(Seq("si", "token")))
+      .select(col(idCol), col("wi").cast("long").as("wi"),
+        col("si").cast("long").as("si"), col("token"))
+  }
+
   /** Runs the merge loop; returns (merge table rows, final vocab). Each
     * round's vocab is localCheckpointed (one eager vocab-sized job that
     * TRUNCATES lineage to materialized blocks), so round i+1's aggregate
     * and replace read round i's blocks — never a replayed chain. A
     * persist()-based variant measured EXPONENTIAL past ~10 rounds (the
     * lazily-cached chain kept re-evaluating); checkpointed rounds keep
-    * training linear in k at any round count. Stops early if no pair
-    * remains. */
+    * training linear in k at any round count. The SUPERSEDED round's
+    * blocks unpersist as soon as the next round's checkpoint has
+    * materialized (the eager localCheckpoint returns only after its
+    * blocks exist), so peak storage is TWO vocab snapshots at any k —
+    * a realistic vocab build runs k in the tens of thousands, and
+    * leaving cleanup to GC-driven ContextCleaner would accumulate k
+    * snapshots first. Stops early if no pair remains. */
   private def trainLoop(vocab0: DataFrame, merges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var vocab = vocab0.localCheckpoint()
@@ -175,10 +210,12 @@ object Subword {
         case Some((l, r, freq)) =>
           val m = l + r
           table += ((round, l, r, m, freq))
-          vocab = vocab
+          val next = vocab
             .withColumn("r", replace(col("r"),
               lit(Sep + l + Sep2 + r + Sep), lit(Sep + m + Sep)))
             .localCheckpoint()
+          vocab.unpersist()
+          vocab = next
           round += 1
       }
     }

@@ -46,6 +46,43 @@ object BpeScaleProbe {
         f"merges=$m4/$m16")
       docs.unpersist()
     }
+    // k=64 storage leg: each round localCheckpoints a vocab snapshot,
+    // and the SUPERSEDED round's blocks must unpersist as the next
+    // round lands — peak cached storage stays ~2 vocab snapshots at
+    // ANY k, and after training only the final snapshot lingers.
+    // Before the round-10 unpersist, all k snapshots accumulated
+    // (cleanup deferred to GC-driven ContextCleaner): the cached-RDD
+    // count after a k=64 train read ~64, not ~1.
+    def storage(): (Int, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.length,
+        infos.map(i => i.memSize + i.diskSize).sum >> 20)
+    }
+    val docs = docs0.cache()
+    docs.count()
+    val (baseRdds, baseMb) = storage()
+    val peakMb = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakRdds = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sampler = new Thread(() => {
+      while (!stop.get) {
+        val (r, mb) = storage()
+        if (mb > peakMb.get) peakMb.set(mb)
+        if (r > peakRdds.get) peakRdds.set(r)
+        Thread.sleep(25)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    val (m64, t64) = time { Subword.bpeTrain(docs, "text", 64).count() }
+    stop.set(true)
+    sampler.join()
+    val (endRdds, endMb) = storage()
+    println(f"BPE_PROBE_K64 merges=$m64 train_k64=$t64%.1fs " +
+      f"baseline_rdds=$baseRdds baseline_mb=$baseMb " +
+      f"peak_rdds=${peakRdds.get} peak_mb=${peakMb.get} " +
+      f"residual_rdds=$endRdds residual_mb=$endMb")
+    docs.unpersist()
     spark.stop()
   }
 }
