@@ -210,6 +210,19 @@ object GraftExtensions {
           .changeFeedCdf(SparkSession.active, root, from, to)
           .queryExecution.analyzed
       }),
+    (FunctionIdentifier("graft_expect_log"),
+      new ExpressionInfo(graft.ops.Expectations.getClass.getName,
+        "graft_expect_log"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_expect_log(root) takes 1 argument")
+        val root = rootOf(children.head, "graft_expect_log root")
+        // the persisted expectation event log (#expectlog manifest
+        // lines): per-commit violation counts — the DLT event-log
+        // shape, manifest metadata only
+        graft.ops.Expectations.log(SparkSession.active, root)
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("graft_files"),
       new ExpressionInfo(graft.ops.VersionedTable.getClass.getName,
         "graft_files"),

@@ -166,6 +166,40 @@ object Expectations {
     * thread (empty map when the table has no expectations). */
   def lastGateCounts: Map[String, Long] = counts.get()
 
+  /** Reset the thread's gate counts — called by write paths that run NO
+    * gate (first commit of a fresh table) so a previous gated write on
+    * this thread can never leak its counts into an unrelated commit's
+    * #expectlog. */
+  private[graft] def clearGateCounts(): Unit = counts.set(Map.empty)
+
+  /** The persisted expectation EVENT LOG as a queryable relation: one
+    * row per (commit, gated expectation) with the violation count that
+    * commit's gate recorded (`#expectlog` manifest lines — zero counts
+    * mean the gate ran clean; commits with no gate have no rows). The
+    * DLT event-log shape, served from manifest metadata only — no data
+    * files touched, cost O(versions). */
+  def log(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = VersionedTable.historyDetail(spark, root).flatMap {
+      case (v, ms) =>
+        val m = VersionedTable.resolveManifest(spark, root, Some(v))
+        val modes = fromProps(m.props).map(e => e.name -> e.mode.tag).toMap
+        m.expectLog.toSeq.sortBy(_._1).map { case (name, n) =>
+          Row(v, new java.sql.Timestamp(ms), name,
+            modes.get(name).orNull, n)
+        }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("expectation", StringType, nullable = false),
+        StructField("mode", StringType, nullable = true),
+        StructField("violations", LongType, nullable = false))))
+  }
+
   /** The write-path gate: returns the delta minus violating rows, after
     * routing quarantined rows and recording counts. Called by
     * [[VersionedTable]] inside the staged write, after FAIL-mode CHECK

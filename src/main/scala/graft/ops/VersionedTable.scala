@@ -272,7 +272,11 @@ object VersionedTable {
                               op: Option[String] = None,
                               idxRefs: Map[String, IdxRef] = Map.empty,
                               keys: Seq[String] = Nil,
-                              props: Map[String, String] = Map.empty) {
+                              props: Map[String, String] = Map.empty,
+                              // per-commit expectation violation counts
+                              // (round 10): what THIS commit's gate saw,
+                              // NOT carried — the DLT event-log shape
+                              expectLog: Map[String, Long] = Map.empty) {
     /** The generation token of the commit that last CHANGED this dir's
       * LOGICAL rows — maintenance rewrites (compact, small-file
       * compaction) carry it forward while real writes bump it, so two
@@ -629,9 +633,16 @@ object VersionedTable {
       b64d(parts(1)) -> IdxRef(parts(2), parts(3).toLong, parts(4).toInt,
         cols(parts(5)), cols(parts(6)))
     }.toMap
+    // per-commit expectation gate counts (round 10): what THIS commit's
+    // gate saw — absent on commits with no gate, zero counts = ran clean
+    val expectLog = lines.filter(_.startsWith("#expectlog\t")).map { l =>
+      val parts = l.split("\t", -1)
+      require(parts.length == 3, s"malformed #expectlog line: $l")
+      b64d(parts(1)) -> parts(2).toLong
+    }.toMap
     Manifest(partCols, schema, mapping, stats, blooms, txns, dirRows,
       dirFiles, bloomRefs, dvs, dirBytes, checks, derived, dirVers, fork,
-      op, idxRefs, keyCols, props)
+      op, idxRefs, keyCols, props, expectLog)
   }
 
   /** Exact, portable text rendering of a min/max value for the manifest —
@@ -1668,7 +1679,10 @@ object VersionedTable {
     * starts clean instead of tripping over its own leftovers ('path
     * already exists' on the gen dir was exactly that bug). */
   private def stageVersion(fs: FileSystem, root: String, next: Int,
-                           op: String, keys: Seq[String])
+                           op: String, keys: Seq[String],
+                           // by-name: the expectation gate runs INSIDE
+                           // `stage`, so the log is read after it
+                           expectLog: => Map[String, Long] = Map.empty)
       (stage: String => Staged): Int = {
     val genDir = genName(root, next)
     val manifestPath = new Path(tableRoot(root), manifestName(root, next))
@@ -1697,10 +1711,15 @@ object VersionedTable {
           readManifest(fs, root, next - 1).fork
         else None).fold("") { case (src, v) =>
           s"#fork\t${if (src.isEmpty) "-" else b64(src)}\t$v\n" }
+      // per-commit expectation gate counts (round 10): one line per
+      // gated expectation, including zero counts (they record "the gate
+      // ran clean" — absence means the commit had no gate)
+      val expectLines = expectLog.toSeq.sortBy(_._1).map { case (n, c) =>
+        s"#expectlog\t${b64(n)}\t$c\n" }.mkString
       val header = s"#graft-manifest\t3\n" +
         s"#partcols\t${st.partCols.mkString("\t")}\n" +
         s"#schema\t${st.schema.json}\n" + forkLine +
-        s"#op\t${b64(op)}\n" +
+        s"#op\t${b64(op)}\n" + expectLines +
         (if (keys.isEmpty) ""
          else s"#keys\t${keys.mkString("\t")}\n")
       val statLines = st.stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -1884,7 +1903,10 @@ object VersionedTable {
     // writer staging the same version loses at the claim, before any
     // data moves, and a failed stage retracts claim + gen dir
     stageVersion(fs, root, next,
-        if (replaceAll) "overwrite" else "merge", keys) { genDir =>
+        if (replaceAll) "overwrite" else "merge", keys,
+        // by-name: gateDelta runs inside the stage, so this reads the
+        // gate's per-commit counts after it ran (empty when ungated)
+        expectLog = Expectations.lastGateCounts) { genDir =>
       // txn idempotence RE-CHECKED after winning the claim: claims
       // serialize version numbers, so every previously committed batch of
       // this stream is visible here — two racing writers re-delivering
@@ -1934,7 +1956,7 @@ object VersionedTable {
       // with no expectations pass through untouched.
       val gated = prior match {
         case Some(pm) => Expectations.gateDelta(spark, root, updates, keys, pm)
-        case None => updates
+        case None => Expectations.clearGateCounts(); updates
       }
       // schema evolution cannot introduce a column whose name collides
       // with the FROZEN physical name of a renamed column — two logical
@@ -2083,6 +2105,40 @@ object VersionedTable {
     val out = createExclusive(fsFor(spark, root),
       new Path(tableRoot(root), commitName(root, version)))
     out.close()
+  }
+
+  /** Whether `version` has a commit marker (is published). */
+  private[graft] def isPublished(spark: SparkSession, root: String,
+                                 version: Int): Boolean =
+    fsFor(spark, root).exists(
+      new Path(tableRoot(root), commitName(root, version)))
+
+  /** Whether `version` has a staged manifest (published or not). */
+  private[graft] def isStaged(spark: SparkSession, root: String,
+                              version: Int): Boolean =
+    fsFor(spark, root).exists(
+      new Path(tableRoot(root), manifestName(root, version)))
+
+  /** Retract a STAGED-but-unpublished version: delete its generation
+    * dir, per-version sidecars, and manifest claim — the multi-table
+    * atomic write's crash ROLLBACK for stages whose decision marker was
+    * never written ([[MultiSync.upsertAtomic]]). Same litter-first,
+    * claim-last order as stageVersion's own failure cleanup. Refuses a
+    * published version loudly — only crash recovery under the atomic
+    * writer's single-writer discipline may call this. */
+  private[graft] def retractStaged(spark: SparkSession, root: String,
+                                   version: Int): Unit = {
+    val fs = fsFor(spark, root)
+    require(!isPublished(spark, root, version),
+      s"version $version at $root is published — cannot retract")
+    fs.delete(new Path(tableRoot(root), genName(root, version)), true)
+    fs.delete(new Path(tableRoot(root),
+      s"_bloomx.${brNs(root)}$version"), false)
+    fs.delete(new Path(tableRoot(root),
+      s"_dvx.${brNs(root)}$version"), false)
+    fs.delete(new Path(tableRoot(root),
+      s"_idx.${brNs(root)}$version"), false)
+    fs.delete(new Path(tableRoot(root), manifestName(root, version)), false)
   }
 
   /** Partition-pruned MERGE as an atomic table-version bump. With
@@ -2555,7 +2611,8 @@ object VersionedTable {
                              fileRows: Option[Int], bloomBits: Long,
                              zOrderCols: Seq[String] = Nil,
                              contentChanging: Boolean = true,
-                             op: String = "rewrite")
+                             op: String = "rewrite",
+                             expectLog: Map[String, Long] = Map.empty)
                             (transform: DataFrame => DataFrame): Int = {
     val fs = fsFor(spark, root)
     val touchedFilePrefix = touched.toSeq
@@ -2571,7 +2628,8 @@ object VersionedTable {
     val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs) ++
       tRefs.flatMap(_.bloomCols))
       .distinct.filterNot(m.partCols.contains)
-    val next = stageVersion(fs, root, cur + 1, op, m.keys) { genDir =>
+    val next = stageVersion(fs, root, cur + 1, op, m.keys,
+        expectLog = expectLog) { genDir =>
       val survivorsByGen = transform(scanDirs(spark, root, m, touched))
       val base = survivorsByGen.repartition(m.partCols.map(col): _*)
       val clustered =
@@ -4677,7 +4735,9 @@ object VersionedTable {
         val gated = Expectations.gateMergeResult(spark, posted,
           tableCols, m)
         rewriteTouched(spark, root, m, touched, cur, fileRows,
-          0L, contentChanging = true, op = "merge")(_ => gated)
+          0L, contentChanging = true, op = "merge",
+          // gateMergeResult ran eagerly above: these are ITS counts
+          expectLog = Expectations.lastGateCounts)(_ => gated)
       }
     }
   }

@@ -1968,7 +1968,8 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = true)(),
     AttributeReference("committed_at", TimestampType, nullable = false)(),
-    AttributeReference("total_rows", LongType, nullable = true)())
+    AttributeReference("total_rows", LongType, nullable = true)(),
+    AttributeReference("expect_violations", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val cur = VersionedTable.currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(
@@ -1977,7 +1978,13 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
       val m = VersionedTable.resolveManifestAt(spark, root, v, cur)
       val rows = VersionedTable.manifestCount(m)
         .map(java.lang.Long.valueOf).orNull
-      Row(v, m.op.orNull, new java.sql.Timestamp(ms), rows)
+      // per-commit gate counts ("name=n", name-sorted) — null when the
+      // commit ran no gate; graft_expect_log() is the typed relation
+      val exp =
+        if (m.expectLog.isEmpty) null
+        else m.expectLog.toSeq.sortBy(_._1)
+          .map { case (n, c) => s"$n=$c" }.mkString(",")
+      Row(v, m.op.orNull, new java.sql.Timestamp(ms), rows, exp)
     }
   }
 }

@@ -571,4 +571,47 @@ class SqlDmlSpec extends SparkSpec {
     assert(total > 0 && kept < total,
       s"no skipping on the fresh z-dimension: $kept/$total")
   }
+
+  test("expectation event log: per-commit violation counts persist in " +
+      "the manifest and read back via graft_expect_log + DESCRIBE " +
+      "HISTORY across commits") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_elog").toString
+    val root = s"$dir/t"
+    spark.sql(s"CREATE TABLE dml_elog (id INT, g STRING, v INT) " +
+      s"USING graft LOCATION '$root' PARTITIONED BY (g) " +
+      "TBLPROPERTIES('graft.keys'='id,g')")
+    spark.sql("INSERT INTO dml_elog VALUES (1,'a',10)") // v0: no gate yet
+    spark.sql("CREATE EXPECTATION v_nonneg ON dml_elog " +
+      "CHECK (v >= 0) ON VIOLATION DROP")               // v1: metadata
+    spark.sql("INSERT INTO dml_elog VALUES (2,'a',-5), (3,'b',7)") // v2: 1
+    spark.sql("INSERT INTO dml_elog VALUES (4,'b',1)")  // v3: ran clean, 0
+    // the MERGE leg logs too: a violating matched rewrite reverts AND
+    // counts (the uniform per-statement semantic)
+    spark.sql("MERGE INTO dml_elog t USING " +
+      "(SELECT 3 AS id, 'b' AS g, -9 AS v) s " +
+      "ON t.id = s.id AND t.g = s.g " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")           // v4: 1, reverted
+    val log = spark.sql("SELECT version, expectation, mode, violations " +
+      s"FROM graft_expect_log('dml_elog') ORDER BY version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(log == Seq(
+      (2, "v_nonneg", "drop", 1L),
+      (3, "v_nonneg", "drop", 0L),
+      (4, "v_nonneg", "drop", 1L)), s"event log wrong: $log")
+    // DESCRIBE HISTORY carries the compact per-commit string; ungated
+    // commits show null
+    val hist = spark.sql("DESCRIBE HISTORY dml_elog").collect()
+      .map(r => r.getInt(0) -> r.getString(4)).toMap
+    assert(hist(0) == null && hist(1) == null)
+    assert(hist(2) == "v_nonneg=1" && hist(3) == "v_nonneg=0" &&
+      hist(4) == "v_nonneg=1", s"history wrong: $hist")
+    // and the data outcomes the counts describe
+    assert(spark.sql("SELECT v FROM dml_elog WHERE id = 3")
+      .first.getInt(0) == 7, "violating rewrite must have reverted")
+    assert(spark.sql("SELECT count(*) FROM dml_elog WHERE id = 2")
+      .first.getLong(0) == 0L, "violating insert must have dropped")
+    spark.sql("DROP TABLE dml_elog")
+  }
 }
