@@ -1717,6 +1717,59 @@ object SparkEntry {
         count(lit(1)).as("n_cust"))
   }
 
+  /** ATOMIC two-table warehouse write ([[MultiSync.upsertAtomic]]) —
+    * the reference DAG's two MERGEs per cycle
+    * (load_stream_to_snowflake.py:243-323 + load_to_snowflake.py:
+    * 212-231) made all-or-nothing: stage both upserts, publish ONE
+    * decision marker (the commit point), then both commit markers. A
+    * crash is injected between the two publishes — the reference's
+    * exact mixed-pair window — and recovery rolls the pair FORWARD;
+    * in-query guards pin both tables at the recovered version. Cycle 1
+    * loads even-user aggregates, the crashed cycle 2 the full
+    * recompute. Output = the two destinations joined on event_type;
+    * oracle recomputes both aggregates from events. */
+  private def qMultiTxn(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_multi_txn/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (tSym, tDay) = (s"$base/sym", s"$base/day")
+    val marker = s"$base/txn"
+    def writes(events: DataFrame) = Seq(
+      MultiSync.TableWrite(tSym,
+        events.groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          sum(col("user_id")).as("sum_users")),
+        Seq("event_type"), Seq("event_type")),
+      MultiSync.TableWrite(tDay,
+        events.groupBy(col("event_type"),
+            to_date(col("ts")).as("date"))
+          .agg(count(lit(1)).as("n_day")),
+        Seq("event_type", "date"), Seq("date")))
+    fixture {
+      rmrf(s, base)
+      MultiSync.upsertAtomic(s,
+        writes(ev(s, dir).filter(col("user_id") % 2 === 0)), marker)
+    }
+    // cycle 2 crashes between the two publishes; the decision marker
+    // already committed the pair, so recovery completes it
+    MultiSync.crashHook = p =>
+      if (p == s"published:$tSym")
+        throw new IllegalStateException("q_multi_txn injected crash")
+    try {
+      MultiSync.upsertAtomic(s, writes(ev(s, dir)), marker)
+      require(false, "q_multi_txn: crash injection did not propagate")
+    } catch { case e: IllegalStateException
+        if e.getMessage.contains("injected crash") => ()
+    } finally MultiSync.crashHook = _ => ()
+    MultiSync.recoverAtomic(s, marker)
+    require(VersionedTable.currentVersion(s, tSym).contains(1) &&
+      VersionedTable.currentVersion(s, tDay).contains(1),
+      "q_multi_txn: recovery did not land the pair at v1")
+    VersionedTable.read(s, tSym)
+      .join(VersionedTable.read(s, tDay), "event_type")
+      .select(col("event_type"), col("date"), col("n_events"),
+        col("sum_users"), col("n_day"))
+  }
+
   /** Incrementally-maintained materialized aggregate ([[MatView]]) over
     * the versioned daily rollup — the consumer the change feed exists
     * for: the view (SUM(daily_volume), COUNT(*) per event_type) is
@@ -4898,6 +4951,7 @@ object SparkEntry {
     "q_matview_avg_distinct" -> (qMatviewAvgDistinct _),
     "q_matview_join" -> (qMatviewJoin _),
     "q_snapshot_sync" -> (qSnapshotSync _),
+    "q_multi_txn" -> (qMultiTxn _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
@@ -7640,6 +7694,23 @@ object SparkEntry {
         |  count(*) AS n_cust
         |FROM fact JOIN dim ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+
+    // the atomic pair's FINAL state is the full recompute, however the
+    // crashed cycle was recovered — both aggregates from raw events
+    "q_multi_txn" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    CAST(sum(user_id) AS BIGINT) AS sum_users
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date,
+        |    count(*) AS n_day
+        |  FROM e GROUP BY 1, 2)
+        |SELECT s.event_type, d.date, s.n_events, s.sum_users, d.n_day
+        |FROM s JOIN d ON s.event_type = d.event_type""".stripMargin,
 
     // branch WAP cycle: final main = branch's late window (>= Jan 21,
     // even users) + main's concurrent %3 recompute (<= Jan 10) + the

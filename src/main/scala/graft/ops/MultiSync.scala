@@ -174,4 +174,141 @@ object MultiSync {
       throw new java.io.IOException(s"cursor promote rename failed: $tmp")
     Some(advances)
   }
+
+  // ===================================================== atomic write ==
+
+  /** Test-only crash injection for [[upsertAtomic]]: called at the
+    * named points `"intent"`, `"staged:<root>"`, `"decision"`,
+    * `"published:<root>"`. A hook that throws simulates a crash there —
+    * files on disk are exactly the crash state, and the next
+    * [[recoverAtomic]]/[[upsertAtomic]] must complete or retract. */
+  private[graft] var crashHook: String => Unit = _ => ()
+
+  private def intentHeader = "#graft-txnintent\t1"
+  private def vectorHeader = "#graft-txnvector\t1"
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                          text: String): Unit = {
+    val tmp = new Path(p.toString + ".tmp")
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, false)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"marker promote rename failed: $p")
+  }
+
+  private def parseMarker(text: String, header: String, at: String)
+      : Seq[Array[String]] = {
+    val lines = text.split("\n").filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith(header)),
+      s"unrecognized marker at $at")
+    lines.drop(1).map(_.split("\t", 2)).toSeq
+  }
+
+  /** One write per table of an atomic group: (root, rows, merge keys,
+    * partition cols). */
+  case class TableWrite(root: String, rows: DataFrame,
+                        keys: Seq[String], partCols: Seq[String])
+
+  /** ATOMIC multi-table upsert — the write-side twin of
+    * [[syncChangesMulti]]. The reference's DAG loads TWO warehouse
+    * tables per cycle (load_stream_to_snowflake.py:243-323 +
+    * load_to_snowflake.py:212-231), and a crash between the two MERGEs
+    * publishes a mixed pair durably. Two-phase commit over the
+    * engine's own stage/publish split closes it:
+    *
+    *  1. write an INTENT marker naming the group's tables;
+    *  2. STAGE every table's upsert ([[VersionedTable.prepare]]: data
+    *     written, manifest claimed, commit marker withheld — the claim
+    *     doubles as a per-table write lock);
+    *  3. write the DECISION marker (one atomic rename recording the
+    *     whole version vector) — THE commit point;
+    *  4. publish every member's commit marker; delete the markers.
+    *
+    * Crash recovery ([[recoverAtomic]], run automatically at the next
+    * cycle): a decision marker rolls the group FORWARD (publish every
+    * unpublished member — publishes are idempotent), an intent without
+    * a decision rolls it BACK (retract every staged-unpublished member
+    * at its next version). Either way, the pair of tables can never
+    * END UP with one table's write committed and the other's lost —
+    * all-or-nothing durability. (Between the decision and the last
+    * publish there is a bounded skew window; readers needing
+    * cross-table consistency at every instant read through
+    * [[snapshot]], whose stability re-read refuses exactly that
+    * window.)
+    *
+    * Single-writer discipline per marker path + table set, like the
+    * sync cursor: the rollback attributes any staged-unpublished
+    * version of a member table to this group's crashed cycle.
+    *
+    * Scale shape: each member is one ordinary partition-pruned staged
+    * upsert; the added cost is two tiny marker files per cycle. */
+  def upsertAtomic(spark: SparkSession, writes: Seq[TableWrite],
+                   markerPath: String): Map[String, Int] = {
+    require(writes.nonEmpty, "atomic write of zero tables")
+    require(writes.map(_.root).distinct.length == writes.length,
+      s"duplicate table in atomic write: ${writes.map(_.root)}")
+    val fs = VersionedTable.fsFor(spark, markerPath)
+    val decision = new Path(markerPath)
+    val intent = new Path(markerPath + ".intent")
+    recoverAtomic(spark, markerPath)
+    writeMarker(fs, intent, writes.map(w => SpecFile.b64e(w.root))
+      .mkString(intentHeader + "\n", "\n", "\n"))
+    crashHook("intent")
+    val staged = writes.map { w =>
+      val v = VersionedTable.prepare(spark, w.root, w.rows, w.keys,
+        w.partCols)
+      crashHook(s"staged:${w.root}")
+      w.root -> v
+    }
+    writeMarker(fs, decision, staged.map { case (r, v) =>
+      s"${SpecFile.b64e(r)}\t$v" }
+      .mkString(vectorHeader + "\n", "\n", "\n"))
+    crashHook("decision")
+    fs.delete(intent, false)
+    staged.foreach { case (root, v) =>
+      if (!VersionedTable.isPublished(spark, root, v))
+        VersionedTable.publish(spark, root, v)
+      crashHook(s"published:$root")
+    }
+    fs.delete(decision, false)
+    staged.toMap
+  }
+
+  /** Complete or retract a crashed [[upsertAtomic]] cycle (idempotent;
+    * called automatically by the next cycle). Decision marker present →
+    * roll FORWARD: publish every unpublished member of the recorded
+    * vector. Intent without decision → roll BACK: retract each named
+    * table's staged-unpublished next version, so the group's claims
+    * release and the replayed cycle stages cleanly. */
+  def recoverAtomic(spark: SparkSession, markerPath: String): Unit = {
+    val fs = VersionedTable.fsFor(spark, markerPath)
+    val decision = new Path(markerPath)
+    val intent = new Path(markerPath + ".intent")
+    if (fs.exists(decision)) {
+      parseMarker(SpecFile.readText(spark, decision, markerPath),
+        vectorHeader, markerPath).foreach { parts =>
+        val (root, v) = (SpecFile.b64d(parts(0)), parts(1).trim.toInt)
+        if (!VersionedTable.isPublished(spark, root, v)) {
+          require(VersionedTable.isStaged(spark, root, v),
+            s"decision marker records $root v$v but its stage is gone " +
+              "— storage corrupted or vacuumed mid-recovery")
+          VersionedTable.publish(spark, root, v)
+        }
+      }
+      fs.delete(intent, false)
+      fs.delete(decision, false)
+    } else if (fs.exists(intent)) {
+      parseMarker(SpecFile.readText(spark, intent, markerPath + ".intent"),
+        intentHeader, markerPath).foreach { parts =>
+        val root = SpecFile.b64d(parts(0))
+        val next = VersionedTable.currentVersion(spark, root)
+          .getOrElse(-1) + 1
+        if (VersionedTable.isStaged(spark, root, next))
+          VersionedTable.retractStaged(spark, root, next)
+      }
+      fs.delete(intent, false)
+    }
+  }
 }

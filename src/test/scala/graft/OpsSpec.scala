@@ -995,6 +995,71 @@ class OpsSpec extends SparkSpec {
       rows(t2) == Set(("insert", 2)), rows.toString)
   }
 
+  test("MultiSync.upsertAtomic: a crash at ANY injection point never " +
+      "ends with a mixed committed pair — pre-decision rolls back, " +
+      "post-decision rolls forward") {
+    import graft.ops.MultiSync
+    import graft.ops.MultiSync.TableWrite
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_msync_atomic").toString
+    val (a, b, marker) = (s"$dir/a", s"$dir/b", s"$dir/txn")
+    val keys = Seq("id", "g")
+    def w(v: Long) = Seq(
+      TableWrite(a, Seq((1, "g0", v)).toDF("id", "g", "v"), keys,
+        Seq("g")),
+      TableWrite(b, Seq((2, "g0", v * 10)).toDF("id", "g", "v"), keys,
+        Seq("g")))
+    def vals(): (Long, Long) = (
+      VersionedTable.read(spark, a).select("v").as[Long].head(),
+      VersionedTable.read(spark, b).select("v").as[Long].head())
+    def pairOk(): Unit = {
+      val (va, vb) = vals()
+      assert(vb == va * 10, s"MIXED committed pair: a=$va b=$vb")
+    }
+    def crashAt(point: String, value: Long): Unit = {
+      MultiSync.crashHook = p =>
+        if (p == point) throw new IllegalStateException(s"boom@$p")
+      try {
+        val e = intercept[IllegalStateException](
+          MultiSync.upsertAtomic(spark, w(value), marker))
+        assert(e.getMessage.startsWith("boom@"), e.getMessage)
+      } finally MultiSync.crashHook = _ => ()
+    }
+    assert(MultiSync.upsertAtomic(spark, w(1), marker) ==
+      Map(a -> 0, b -> 0))
+    assert(vals() == ((1L, 10L)))
+    // crash after A staged, B not (pre-decision): committed pair
+    // untouched; recovery ROLLS BACK A's stage so the retry stages clean
+    crashAt(s"staged:$a", 2)
+    pairOk(); assert(vals() == ((1L, 10L)))
+    MultiSync.recoverAtomic(spark, marker)
+    assert(MultiSync.upsertAtomic(spark, w(2), marker) ==
+      Map(a -> 1, b -> 1))
+    assert(vals() == ((2L, 20L)))
+    // crash right after the decision marker (nothing published):
+    // recovery ROLLS FORWARD both members
+    crashAt("decision", 3)
+    MultiSync.recoverAtomic(spark, marker)
+    pairOk(); assert(vals() == ((3L, 30L)))
+    // crash BETWEEN the two publishes — the reference DAG's exact
+    // mixed-pair window: the skew is transient, recovery completes B,
+    // and the pair lands whole
+    crashAt(s"published:$a", 4)
+    MultiSync.recoverAtomic(spark, marker)
+    pairOk(); assert(vals() == ((4L, 40L)))
+    // the NEXT cycle recovers automatically (no explicit recover call):
+    // a decision-point crash at 5 rolls forward inside cycle 6
+    crashAt("decision", 5)
+    assert(MultiSync.upsertAtomic(spark, w(6), marker) ==
+      Map(a -> 5, b -> 5))
+    pairOk(); assert(vals() == ((6L, 60L)))
+    // and a pre-decision crash at 7 rolls back inside cycle 8
+    crashAt(s"staged:$b", 7)
+    assert(MultiSync.upsertAtomic(spark, w(8), marker) ==
+      Map(a -> 6, b -> 6))
+    pairOk(); assert(vals() == ((8L, 80L)))
+  }
+
   test("VersionedTable.repartitionTable: layout evolution, old versions intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtrepart").toString
     val root = s"$dir/table"
