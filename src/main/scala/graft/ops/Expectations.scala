@@ -205,8 +205,7 @@ object Expectations {
     * [[VersionedTable]] inside the staged write, after FAIL-mode CHECK
     * constraints passed. No expectations → the delta passes through
     * untouched (no materialization). */
-  private[graft] def gateDelta(spark: SparkSession, root: String,
-                               updates: DataFrame, keys: Seq[String],
+  private[graft] def gateDelta(spark: SparkSession, updates: DataFrame,
                                pm: VersionedTable.Manifest): DataFrame = {
     val exps = fromProps(pm.props)
     if (exps.isEmpty) { counts.set(Map.empty); return updates }

@@ -1955,7 +1955,7 @@ object VersionedTable {
       // idempotently). FAIL-mode CHECKs above already threw; tables
       // with no expectations pass through untouched.
       val gated = prior match {
-        case Some(pm) => Expectations.gateDelta(spark, root, updates, keys, pm)
+        case Some(pm) => Expectations.gateDelta(spark, updates, pm)
         case None => Expectations.clearGateCounts(); updates
       }
       // schema evolution cannot introduce a column whose name collides
@@ -4698,12 +4698,13 @@ object VersionedTable {
       // namespace applyClauses resolves it in), so filter the PREFIXED
       // frame — filtering the raw source would leave it unresolved.
       insertWhen match {
-        case None => cur
+        case None => Expectations.clearGateCounts(); cur
         case Some(cond) =>
           val rows = cond.fold(srcPrefixed)(srcPrefixed.filter)
             .select(tableCols.map(c =>
               srcCol(c).cast(m.schema(c).dataType).as(c)): _*)
-          if (rows.isEmpty) cur
+          if (rows.isEmpty) { Expectations.clearGateCounts(); cur }
+          // the upsert's own gate sets the counts for the insert leg
           else upsert(spark, root, rows, keys, m.partCols,
             statsCols = coveredIndexCols(m)._1,
             bloomCols = coveredIndexCols(m)._2, fileRows = fileRows)
@@ -4722,9 +4723,13 @@ object VersionedTable {
       // touched-dir join. Zero cost for ungated tables.
       val checkGates = m.checks ++ derivedChecks(m)
       val exps = Expectations.fromProps(m.props)
-      if (checkGates.isEmpty && exps.isEmpty)
+      if (checkGates.isEmpty && exps.isEmpty) {
+        // no gate ran: clear the thread's counts so a PREVIOUS gated
+        // write's violations are never attributed to this merge
+        Expectations.clearGateCounts()
         rewriteTouched(spark, root, m, touched, cur, fileRows,
           0L, contentChanging = true, op = "merge")(applyClauses)
+      }
       else {
         val posted = applyClausesFlagged(scanDirs(spark, root, m, touched),
           withOld = exps.nonEmpty).localCheckpoint()

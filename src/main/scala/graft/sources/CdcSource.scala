@@ -173,9 +173,11 @@ private[sources] class CdcScan(served: StructType,
       require(n >= 1, s"maxVersionsPerBatch must be >= 1: $n")
       n
     }
-    new CdcMicroBatchStream(spark, root,
-      CdcSource.servedSchema(spark, root), startingVersion, maxPerBatch,
-      checkpointLocation)
+    // the PINNED schema the plan was bound to — re-resolving here could
+    // diverge from Scan.readSchema() when a commit widens the table
+    // between analysis and stream start
+    new CdcMicroBatchStream(spark, root, served, startingVersion,
+      maxPerBatch, checkpointLocation)
   }
 }
 
@@ -243,12 +245,16 @@ private[sources] class CdcMicroBatchStream(spark: SparkSession,
     if (fs.exists(p)) readBack()
     else {
       val v = startingVersion.getOrElse(-1L)
-      try {
-        val out = VersionedTable.createExclusive(fs, p)
-        try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        v
-      } catch { case _: java.io.IOException => readBack() }
+      // write-tmp-then-rename, the marker discipline every other
+      // cursor in this engine uses: a crash can never leave a torn
+      // half-written base that wedges all later runs
+      val tmp = new Path(p.toString + ".tmp")
+      fs.delete(tmp, false)
+      val out = fs.create(tmp, false)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.rename(tmp, p)) v
+      else { fs.delete(tmp, false); readBack() } // lost a (re)start race
     }
   }
 

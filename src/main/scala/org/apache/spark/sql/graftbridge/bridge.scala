@@ -26,18 +26,6 @@ object PlanBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
-
-  /** A V1 streaming Source's getBatch contract: the returned frame must
-    * carry isStreaming=true. Evaluate the driver-planned batch frame to
-    * its InternalRow RDD and rewrap it as a streaming frame — the same
-    * internalCreateDataFrame(isStreaming = true) Spark's own V1 sources
-    * use. */
-  def asStreaming(spark: org.apache.spark.sql.SparkSession,
-                  df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
-        isStreaming = true)
 }
 
 /** Bridge into Spark's file-source execution internals so a DSv2
