@@ -2119,6 +2119,44 @@ object VersionedTable {
     fsFor(spark, root).exists(
       new Path(tableRoot(root), manifestName(root, version)))
 
+  /** The raw-file serving plan for a CDC initial load pinned at
+    * `version`: Some((files, partSchema)) when the snapshot IS exactly
+    * its live parquet files — no deletion vectors, no renamed columns,
+    * no initial-default backfills — so a DSv2 reader can serve them
+    * directly (zero-copy) instead of staging a full table copy. Each
+    * file carries its dir's partition-path value fragments (still
+    * path-escaped; the consumer unescapes/casts), aligned to
+    * `partSchema` = the partition columns as schema fields. None when
+    * any row-level fidelity machinery is in play — the caller falls
+    * back to the read path, which applies it. Planning cost: one
+    * listStatus per live dir, the same listing the staged path's write
+    * would do. */
+  private[graft] def rawSnapshotFiles(spark: SparkSession, root: String,
+                                      version: Int)
+      : Option[(Seq[(String, Long, Long, Seq[String])], StructType,
+                StructType)] = {
+    val m = resolveManifestAt(spark, root, version, version)
+    if (m.dvs.nonEmpty || hasRenames(m.schema) ||
+        initialDefaults(m.schema).nonEmpty) return None
+    val fs = fsFor(spark, root)
+    val nParts = m.partCols.length
+    val files = Seq.newBuilder[(String, Long, Long, Seq[String])]
+    m.mapping.toSeq.sortBy(_._1).foreach { case (rel, gen) =>
+      val segs = if (rel.isEmpty) Array.empty[String] else rel.split("/")
+      if (segs.length != nParts ||
+          segs.zip(m.partCols).exists { case (seg, c) =>
+            !seg.startsWith(c + "=") })
+        return None // layout this helper does not understand: fall back
+      val vals = segs.map(s => s.substring(s.indexOf('=') + 1)).toSeq
+      fs.listStatus(new Path(tableRoot(root), s"$gen/$rel"))
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach(s => files += ((s.getPath.toString, s.getLen,
+          s.getModificationTime, vals)))
+    }
+    Some((files.result(),
+      StructType(m.partCols.map(c => m.schema(c))), m.schema))
+  }
+
   /** Retract a STAGED-but-unpublished version: delete its generation
     * dir, per-version sidecars, and manifest claim — the multi-table
     * atomic write's crash ROLLBACK for stages whose decision marker was

@@ -258,6 +258,46 @@ private[sources] class CdcMicroBatchStream(spark: SparkSession,
     }
   }
 
+  /** Zero-copy snapshot wing, laid out at stream construction from the
+    * table's current partitioning: when the initial-load version's
+    * manifest needs no row-level fidelity machinery (no deletion
+    * vectors / renames / default backfills — [[VersionedTable
+    * .rawSnapshotFiles]]), the first batch serves the table's OWN live
+    * parquet files directly instead of staging a full snapshot copy,
+    * with (op, _commit_version, visible partition cols) injected as
+    * per-file constants and the output permuted to the served order.
+    * Fields: (full partition schema — the equality guard against a
+    * layout change between construction and the first batch, visible
+    * partition schema, visible indices within partCols, the snapshot
+    * reader factory, served-order permutation). None → every batch
+    * stages (never-written table, or a layout this wing cannot serve —
+    * the staged path applies full read fidelity). */
+  private val snapWing: Option[(StructType, StructType, Seq[Int],
+      org.apache.spark.sql.connector.read.PartitionReaderFactory,
+      Array[Int])] =
+    VersionedTable.currentVersion(spark, root).map { _ =>
+      val m = VersionedTable.resolveManifest(spark, root, None)
+      val visibleIdx = m.partCols.zipWithIndex
+        .filterNot(_._1.startsWith("__")).map(_._2)
+      val visibleParts = StructType(visibleIdx.map(i =>
+        m.schema(m.partCols(i)).copy(nullable = true)))
+      val readData = StructType(served.fields.toSeq.filter(f =>
+        f.name != "op" && f.name != "_commit_version" &&
+          !m.partCols.contains(f.name)))
+      val partReader = StructType(
+        StructField("op", StringType, nullable = false) +:
+          StructField("_commit_version", IntegerType, nullable = false) +:
+          visibleParts.fields.toSeq)
+      val inputIdx = (readData.fieldNames ++ partReader.fieldNames)
+        .zipWithIndex.toMap
+      val perm = served.fields.map(f => inputIdx(f.name))
+      (StructType(m.partCols.map(c => m.schema(c))), visibleParts,
+        visibleIdx,
+        org.apache.spark.sql.graftbridge.FileStreamBridge
+          .parquetReaderFactory(spark, readData, partReader),
+        perm)
+    }
+
   /** Trigger.AvailableNow pins its END here (the engine would otherwise
     * keep draining a table that commits concurrently); commits landing
     * after the prepare are the next run's. */
@@ -360,15 +400,46 @@ private[sources] class CdcMicroBatchStream(spark: SparkSession,
       : Array[InputPartition] = {
     val (from, to) = (version(start), version(end))
     if (from >= to) return Array.empty
+    // the initial load (below v0) serves the pinned snapshot's OWN
+    // live files when they ARE the snapshot — never a staged copy of
+    // the whole table; any fidelity machinery (DVs/renames/defaults)
+    // or a layout drifted from construction falls back to staging
+    if (from < 0L) snapWing.foreach {
+      case (fullPs, vps, vIdx, _, _) =>
+        VersionedTable.rawSnapshotFiles(spark, root, to.toInt).foreach {
+          case (files, ps, schemaAtTo) if ps == fullPs &&
+              servedMatches(schemaAtTo) =>
+            return org.apache.spark.sql.graftbridge.FileStreamBridge
+              .cdcSnapshotPartitions(spark,
+                files.map { case (p, l, mt, vals) =>
+                  (p, l, mt, vIdx.map(vals)) },
+                vps, "insert", to.toInt)
+          case _ => ()
+        }
+    }
     val files = stage(from, to.toInt)
     org.apache.spark.sql.graftbridge.FileStreamBridge.parquetPartitions(
       spark, files.map(s =>
         (s.getPath.toString, s.getLen, s.getModificationTime)))
   }
 
+  /** Every served data column still present at the batch version with
+    * its PINNED type — otherwise the zero-copy read could silently
+    * null a dropped column or mis-type a widened one where the staged
+    * path casts (or fails loudly). */
+  private def servedMatches(schemaAtTo: StructType): Boolean =
+    served.fields.forall(f =>
+      f.name == "op" || f.name == "_commit_version" ||
+        schemaAtTo.fields.exists(g =>
+          g.name == f.name && g.dataType == f.dataType))
+
   override def createReaderFactory(): PartitionReaderFactory =
-    org.apache.spark.sql.graftbridge.FileStreamBridge
-      .parquetReaderFactory(spark, served)
+    org.apache.spark.sql.graftbridge.FileStreamBridge.cdcReaderFactory(
+      org.apache.spark.sql.graftbridge.FileStreamBridge
+        .parquetReaderFactory(spark, served),
+      snapWing.map(_._4),
+      snapWing.map(_._5).getOrElse(Array.empty),
+      served.fields.map(_.dataType))
 
   /** Batch durably committed: its staged files (and any earlier
     * batch's) can never be re-planned — purge them so steady-state disk

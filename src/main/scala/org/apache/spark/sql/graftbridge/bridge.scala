@@ -61,10 +61,76 @@ object FileStreamBridge {
       .toArray
   }
 
-  /** Spark's own vectorized/columnar parquet reader factory over a flat
-    * schema (no partition columns, no pushed filters) — the executor
-    * side of serving staged micro-batch parquet. */
-  def parquetReaderFactory(spark: SparkSession, schema: StructType)
+  /** Marker for a ZERO-COPY CDC snapshot partition: the wrapped
+    * FilePartition reads the TABLE's own live parquet files, with
+    * (op, _commit_version, visible partition cols) injected as
+    * per-file constant partition values and the output permuted to the
+    * served column order by [[cdcReaderFactory]]. Staged-batch
+    * partitions stay bare FilePartitions; one delegating factory
+    * serves both kinds. */
+  case class CdcSnapshotPartition(inner: InputPartition)
+      extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** Zero-copy snapshot partitions: live table files bin-packed like
+    * [[parquetPartitions]], each carrying (op, version, its dir's
+    * partition values) as the constant row the reader appends.
+    * `partVals` are still path-escaped fragments; they unescape and
+    * cast to `visibleParts`' types here (Spark's own partition-path
+    * semantics: unescapePathName + string cast, default-partition →
+    * null). */
+  def cdcSnapshotPartitions(spark: SparkSession,
+      files: Seq[(String, Long, Long, Seq[String])],
+      visibleParts: StructType, op: String, version: Int)
+      : Array[InputPartition] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    def castVal(raw: String,
+                dt: org.apache.spark.sql.types.DataType): Any = {
+      val un = ExternalCatalogUtils.unescapePathName(raw)
+      if (un == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else Cast(Literal(UTF8String.fromString(un),
+        org.apache.spark.sql.types.StringType), dt, tz).eval(null)
+    }
+    val pfiles = files.map { case (path, len, mtime, vals) =>
+      val consts: Seq[Any] =
+        UTF8String.fromString(op) +: (version: Any) +:
+          vals.zip(visibleParts.fields.toSeq).map { case (v, f) =>
+            castVal(v, f.dataType) }
+      PartitionedFile(InternalRow.fromSeq(consts),
+        org.apache.spark.paths.SparkPath.fromPathString(path),
+        0L, len, Array.empty, mtime, len)
+    }
+    FilePartition.getFilePartitions(spark, pfiles,
+        FilePartition.maxSplitBytes(spark, files.map(_._2).sum))
+      .map(fp => CdcSnapshotPartition(fp): InputPartition).toArray
+  }
+
+  /** The graft-cdc stream's ONE reader factory over both batch kinds:
+    * bare FilePartitions (staged diffs, flat served-schema parquet) go
+    * to `staged`; [[CdcSnapshotPartition]]s go to `snapshot` (data
+    * cols + appended constants) and are PERMUTED to the served order —
+    * `perm(j)` = the snapshot reader's ordinal serving output position
+    * `j`, `servedTypes(j)` its type. Row path re-projects through an
+    * UnsafeProjection built on the executor; columnar path permutes
+    * the batch's column-vector array (zero copy). */
+  def cdcReaderFactory(staged: PartitionReaderFactory,
+      snapshot: Option[PartitionReaderFactory], perm: Array[Int],
+      servedTypes: Array[org.apache.spark.sql.types.DataType])
+      : PartitionReaderFactory =
+    new CdcDelegatingReaderFactory(staged, snapshot, perm, servedTypes)
+
+  /** Spark's own vectorized/columnar parquet reader factory — the
+    * executor side of serving staged micro-batch parquet (flat schema)
+    * and zero-copy snapshot files (`partitionSchema` = the constant
+    * columns appended from each file's partitionValues). */
+  def parquetReaderFactory(spark: SparkSession, schema: StructType,
+      partitionSchema: StructType = new StructType())
       : PartitionReaderFactory = {
     import org.apache.spark.sql.execution.datasources.parquet.{
       ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
@@ -103,7 +169,65 @@ object FileStreamBridge {
       sqlConf,
       spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(hadoopConf)),
-      schema, schema, new StructType(), Array.empty, None,
+      schema, schema, partitionSchema, Array.empty, None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+}
+
+private class CdcDelegatingReaderFactory(
+    staged: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    snapshot: Option[
+      org.apache.spark.sql.connector.read.PartitionReaderFactory],
+    perm: Array[Int],
+    servedTypes: Array[org.apache.spark.sql.types.DataType])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+    UnsafeProjection}
+  import org.apache.spark.sql.connector.read.{InputPartition,
+    PartitionReader}
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private def snap = snapshot.getOrElse(throw new IllegalStateException(
+    "snapshot partition planned without a snapshot reader wing"))
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case FileStreamBridge.CdcSnapshotPartition(inner) =>
+      val in = snap.createReader(inner)
+      new PartitionReader[InternalRow] {
+        // built HERE (executor): projections are not serializable
+        private val proj = UnsafeProjection.create(
+          perm.zip(servedTypes).map { case (i, dt) =>
+            BoundReference(i, dt, nullable = true) }.toSeq)
+        override def next(): Boolean = in.next()
+        override def get(): InternalRow = proj(in.get())
+        override def close(): Unit = in.close()
+      }
+    case _ => staged.createReader(p)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p match {
+      case FileStreamBridge.CdcSnapshotPartition(inner) =>
+        snap.supportColumnarReads(inner)
+      case _ => staged.supportColumnarReads(p)
+    }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = p match {
+    case FileStreamBridge.CdcSnapshotPartition(inner) =>
+      val in = snap.createColumnarReader(inner)
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = in.next()
+        override def get(): ColumnarBatch = {
+          val b = in.get()
+          // permute the column-vector ARRAY; the vectors themselves are
+          // shared with the inner batch (closed via the inner reader)
+          new ColumnarBatch(perm.map(b.column), b.numRows())
+        }
+        override def close(): Unit = in.close()
+      }
+    case _ => staged.createColumnarReader(p)
   }
 }

@@ -505,6 +505,79 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE cdc_fresh_t")
   }
 
+  test("graft-cdc initial load is ZERO-COPY: the first batch serves " +
+      "the table's own live files (no staged snapshot dir); diff " +
+      "batches stage; a DV-bearing snapshot falls back to staging") {
+    import graft.ops.VersionedTable
+    val base = Files.createTempDirectory("graft_cdc_zerocopy")
+    def stagedRoot(ckpt: java.nio.file.Path) =
+      ckpt.resolve("sources").resolve("0").resolve("staged")
+    def drain(table: String, ckpt: java.nio.file.Path,
+              got: java.util.concurrent.ConcurrentLinkedQueue[
+                (String, Int, Int, String, Int)]): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", table).load()
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("op", "_commit_version", "id", "g", "v").collect()
+            .foreach(r => got.add((r.getString(0), r.getInt(1),
+              r.getInt(2), r.getString(3), r.getInt(4))))
+          ()
+        }.start()
+      assert(q.awaitTermination(60000))
+    }
+    spark.sql(
+      s"""CREATE TABLE cdc_zc_t (id INT, g STRING, v INT)
+         |USING graft LOCATION '${base.resolve("t")}'
+         |PARTITIONED BY (g)
+         |TBLPROPERTIES('graft.keys'='id,g')""".stripMargin)
+    spark.sql("INSERT INTO cdc_zc_t VALUES (1,'a',10), (2,'b',20)")
+    val ckpt = base.resolve("ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Int, Int, String, Int)]()
+    drain("cdc_zc_t", ckpt, got)
+    // rows exact — constants injected, partition col recovered from the
+    // dir path, output permuted to the served order
+    val rows1 = Iterator.continually(got.poll())
+      .takeWhile(_ != null).toSet
+    assert(rows1 == Set(("insert", 0, 1, "a", 10),
+      ("insert", 0, 2, "b", 20)), s"initial load wrong: $rows1")
+    // and ZERO-COPY: no staged snapshot was ever written (stage()
+    // would have created <ckpt>/sources/0/staged)
+    assert(!java.nio.file.Files.exists(stagedRoot(ckpt)),
+      "initial load staged a snapshot copy despite a clean manifest")
+    // a diff batch DOES stage (the staged dir appears; its batch dir
+    // is purged at commit)
+    spark.sql("UPDATE cdc_zc_t SET v = 11 WHERE id = 1")
+    drain("cdc_zc_t", ckpt, got)
+    val rows2 = Iterator.continually(got.poll())
+      .takeWhile(_ != null).toSet
+    assert(rows2.exists(r => r._1 == "update_postimage" && r._5 == 11),
+      s"diff batch wrong: $rows2")
+    assert(java.nio.file.Files.exists(stagedRoot(ckpt)),
+      "diff batch did not go through the staged path")
+    // a snapshot carrying DELETION VECTORS cannot be served raw: the
+    // initial load falls back to the staged read path (which applies
+    // them) and still delivers the exact post-delete rows
+    val droot = base.resolve("d").toString
+    VersionedTable.upsert(spark, droot,
+      spark.createDataFrame(Seq((1, "a", 10), (2, "a", 20), (3, "b", 30)))
+        .toDF("id", "g", "v"), Seq("id", "g"), Seq("g"))
+    VersionedTable.deleteWhereDV(spark, droot, "id", 2, 2)
+    spark.sql(s"CREATE TABLE cdc_zc_d USING graft LOCATION '$droot'")
+    val ckptD = base.resolve("ckptD")
+    drain("cdc_zc_d", ckptD, got)
+    val rows3 = Iterator.continually(got.poll())
+      .takeWhile(_ != null).toSet
+    assert(rows3 == Set(("insert", 1, 1, "a", 10),
+      ("insert", 1, 3, "b", 30)), s"DV fallback rows wrong: $rows3")
+    assert(java.nio.file.Files.exists(stagedRoot(ckptD)),
+      "DV-bearing snapshot must stage through the read path")
+    spark.sql("DROP TABLE cdc_zc_t")
+    spark.sql("DROP TABLE cdc_zc_d")
+  }
+
   test("streaming WAP: exactly-once merge into a branch, then fast-forward") {
     import graft.ops.VersionedTable
     import org.apache.spark.sql.functions.{col, to_date}
