@@ -2157,6 +2157,55 @@ object VersionedTable {
       StructType(m.partCols.map(c => m.schema(c))), m.schema))
   }
 
+  /** [[rawSnapshotFiles]]' DIFF twin for APPEND-ONLY version
+    * transitions — the streaming-ingest shape, where each commit lands
+    * whole NEW partition dirs and touches nothing else: the (from, to]
+    * change feed is then exactly the new dirs' files, every row an
+    * insert, and a CDC reader can serve them zero-copy. Some(files)
+    * when (a) neither endpoint carries deletion vectors and `to` needs
+    * no renames/default backfills, (b) no dir was removed, and
+    * (c) every dir common to both versions has an IDENTICAL content
+    * token (maintenance rewrites carry tokens, so compaction between
+    * the versions still qualifies — its diff is empty). The upsert
+    * contract (partition cols ⊆ merge keys) makes new-dir rows pure
+    * inserts: a key's rows live in ONE dir, so a new dir can never
+    * hold an update of an old dir's key. None → the caller takes the
+    * read path (changeFeedCdf), which computes the general diff. */
+  private[graft] def rawAppendDiffFiles(spark: SparkSession, root: String,
+                                        from: Int, to: Int)
+      : Option[(Seq[(String, Long, Long, Seq[String])], StructType,
+                StructType)] = {
+    val mf = resolveManifestAt(spark, root, from, from)
+    val mt = resolveManifestAt(spark, root, to, to)
+    if (mf.dvs.nonEmpty || mt.dvs.nonEmpty || hasRenames(mt.schema) ||
+        initialDefaults(mt.schema).nonEmpty) return None
+    if (mf.mapping.keysIterator.exists(rel => !mt.mapping.contains(rel)))
+      return None // a dir vanished: deletes in the diff
+    val fv = fullDirVers(mf)
+    val tv = fullDirVers(mt)
+    if (mf.mapping.keysIterator.exists(rel => fv(rel) != tv(rel)))
+      return None // a common dir's CONTENT changed: updates in the diff
+    val fs = fsFor(spark, root)
+    val nParts = mt.partCols.length
+    val files = Seq.newBuilder[(String, Long, Long, Seq[String])]
+    mt.mapping.toSeq.sortBy(_._1)
+        .filterNot { case (rel, _) => mf.mapping.contains(rel) }
+        .foreach { case (rel, gen) =>
+      val segs = if (rel.isEmpty) Array.empty[String] else rel.split("/")
+      if (segs.length != nParts ||
+          segs.zip(mt.partCols).exists { case (seg, c) =>
+            !seg.startsWith(c + "=") })
+        return None
+      val vals = segs.map(s => s.substring(s.indexOf('=') + 1)).toSeq
+      fs.listStatus(new Path(tableRoot(root), s"$gen/$rel"))
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach(s => files += ((s.getPath.toString, s.getLen,
+          s.getModificationTime, vals)))
+    }
+    Some((files.result(),
+      StructType(mt.partCols.map(c => mt.schema(c))), mt.schema))
+  }
+
   /** Retract a STAGED-but-unpublished version: delete its generation
     * dir, per-version sidecars, and manifest claim — the multi-table
     * atomic write's crash ROLLBACK for stages whose decision marker was

@@ -400,22 +400,30 @@ private[sources] class CdcMicroBatchStream(spark: SparkSession,
       : Array[InputPartition] = {
     val (from, to) = (version(start), version(end))
     if (from >= to) return Array.empty
-    // the initial load (below v0) serves the pinned snapshot's OWN
-    // live files when they ARE the snapshot — never a staged copy of
-    // the whole table; any fidelity machinery (DVs/renames/defaults)
-    // or a layout drifted from construction falls back to staging
-    if (from < 0L) snapWing.foreach {
-      case (fullPs, vps, vIdx, _, _) =>
-        VersionedTable.rawSnapshotFiles(spark, root, to.toInt).foreach {
-          case (files, ps, schemaAtTo) if ps == fullPs &&
-              servedMatches(schemaAtTo) =>
-            return org.apache.spark.sql.graftbridge.FileStreamBridge
-              .cdcSnapshotPartitions(spark,
-                files.map { case (p, l, mt, vals) =>
-                  (p, l, mt, vIdx.map(vals)) },
-                vps, "insert", to.toInt)
-          case _ => ()
-        }
+    // ZERO-COPY legs: the initial load (below v0) serves the pinned
+    // snapshot's OWN live files when they ARE the snapshot, and an
+    // APPEND-ONLY transition (the streaming-ingest shape: whole new
+    // partition dirs, nothing else touched) serves exactly the new
+    // dirs' files — never a staged copy. Any fidelity machinery
+    // (DVs/renames/defaults), a general diff, or a layout drifted from
+    // construction falls back to staging through the read path.
+    snapWing.foreach { case (fullPs, vps, vIdx, _, _) =>
+      val raw =
+        if (from < 0L)
+          VersionedTable.rawSnapshotFiles(spark, root, to.toInt)
+        else
+          VersionedTable.rawAppendDiffFiles(spark, root, from.toInt,
+            to.toInt)
+      raw.foreach {
+        case (files, ps, schemaAtTo) if ps == fullPs &&
+            servedMatches(schemaAtTo) =>
+          return org.apache.spark.sql.graftbridge.FileStreamBridge
+            .cdcSnapshotPartitions(spark,
+              files.map { case (p, l, mt, vals) =>
+                (p, l, mt, vIdx.map(vals)) },
+              vps, "insert", to.toInt)
+        case _ => ()
+      }
     }
     val files = stage(from, to.toInt)
     org.apache.spark.sql.graftbridge.FileStreamBridge.parquetPartitions(

@@ -547,8 +547,19 @@ class StreamingSpec extends SparkSpec {
     // would have created <ckpt>/sources/0/staged)
     assert(!java.nio.file.Files.exists(stagedRoot(ckpt)),
       "initial load staged a snapshot copy despite a clean manifest")
-    // a diff batch DOES stage (the staged dir appears; its batch dir
-    // is purged at commit)
+    // an APPEND-ONLY transition (whole new partition dir, nothing else
+    // touched — the streaming-ingest shape) is ALSO zero-copy: the
+    // batch serves exactly the new dir's files, still no staged dir
+    spark.sql("INSERT INTO cdc_zc_t VALUES (7,'c',70), (8,'c',80)")
+    drain("cdc_zc_t", ckpt, got)
+    val rowsA = Iterator.continually(got.poll())
+      .takeWhile(_ != null).toSet
+    assert(rowsA == Set(("insert", 1, 7, "c", 70),
+      ("insert", 1, 8, "c", 80)), s"append-only diff wrong: $rowsA")
+    assert(!java.nio.file.Files.exists(stagedRoot(ckpt)),
+      "append-only transition staged a diff copy")
+    // a GENERAL diff batch (an update touching an existing dir) DOES
+    // stage (the staged dir appears; its batch dir is purged at commit)
     spark.sql("UPDATE cdc_zc_t SET v = 11 WHERE id = 1")
     drain("cdc_zc_t", ckpt, got)
     val rows2 = Iterator.continually(got.poll())
