@@ -179,10 +179,17 @@ object MultiSync {
 
   /** Test-only crash injection for [[upsertAtomic]]: called at the
     * named points `"intent"`, `"staged:<root>"`, `"decision"`,
-    * `"published:<root>"`. A hook that throws simulates a crash there —
-    * files on disk are exactly the crash state, and the next
-    * [[recoverAtomic]]/[[upsertAtomic]] must complete or retract. */
+    * `"published:<root>"`. A hook that throws [[SimulatedCrash]]
+    * simulates PROCESS DEATH there — files on disk are exactly the
+    * crash state (the in-process abort cleanup deliberately does not
+    * run), and the next [[recoverAtomic]]/[[upsertAtomic]] must
+    * complete or retract. */
   private[graft] var crashHook: String => Unit = _ => ()
+
+  /** See [[crashHook]]. Extends IllegalStateException so existing
+    * crash-window catches keep matching. */
+  private[graft] class SimulatedCrash(msg: String)
+      extends IllegalStateException(msg)
 
   private def intentHeader = "#graft-txnintent\t1"
   private def vectorHeader = "#graft-txnvector\t1"
@@ -207,9 +214,11 @@ object MultiSync {
   }
 
   /** One write per table of an atomic group: (root, rows, merge keys,
-    * partition cols). */
+    * partition cols, optional index coverage). */
   case class TableWrite(root: String, rows: DataFrame,
-                        keys: Seq[String], partCols: Seq[String])
+                        keys: Seq[String], partCols: Seq[String],
+                        statsCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil)
 
   /** ATOMIC multi-table upsert — the write-side twin of
     * [[syncChangesMulti]]. The reference's DAG loads TWO warehouse
@@ -256,12 +265,26 @@ object MultiSync {
     writeMarker(fs, intent, writes.map(w => SpecFile.b64e(w.root))
       .mkString(intentHeader + "\n", "\n", "\n"))
     crashHook("intent")
-    val staged = writes.map { w =>
-      val v = VersionedTable.prepare(spark, w.root, w.rows, w.keys,
-        w.partCols)
-      crashHook(s"staged:${w.root}")
-      w.root -> v
-    }
+    val done = Seq.newBuilder[(String, Int)]
+    val staged =
+      try writes.map { w =>
+        val v = VersionedTable.prepare(spark, w.root, w.rows, w.keys,
+          w.partCols, statsCols = w.statsCols, bloomCols = w.bloomCols)
+        done += w.root -> v
+        crashHook(s"staged:${w.root}")
+        w.root -> v
+      } catch {
+        case c: SimulatedCrash => throw c // process death: files stay
+        case t: Throwable =>
+          // in-process ABORT (constraint violation, bad frame): the
+          // failing prepare retracted ITSELF; retract the earlier
+          // members and the intent so unrelated writers are not left
+          // blocked behind this group's claims
+          done.result().foreach { case (r, v) =>
+            scala.util.Try(VersionedTable.retractStaged(spark, r, v)) }
+          fs.delete(intent, false)
+          throw t
+      }
     writeMarker(fs, decision, staged.map { case (r, v) =>
       s"${SpecFile.b64e(r)}\t$v" }
       .mkString(vectorHeader + "\n", "\n", "\n"))

@@ -158,6 +158,12 @@ object GraftSqlParser {
       """\s*;?\s*$""").r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
+  private val BeginTxnRe =
+    """(?is)^\s*BEGIN\s+GRAFT\s+TRANSACTION\s*;?\s*$""".r
+  private val CommitTxnRe =
+    """(?is)^\s*COMMIT\s+GRAFT\s+TRANSACTION\s*;?\s*$""".r
+  private val RollbackTxnRe =
+    """(?is)^\s*ROLLBACK\s+GRAFT\s+TRANSACTION\s*;?\s*$""".r
   private val CreateMvRe =
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Target +
       """\s+KEYED\s+BY\s+\(\s*([A-Za-z0-9_`,\s]+?)\s*\)""" +
@@ -316,6 +322,9 @@ object GraftSqlParser {
     sql match {
       case ShowTablesRe() =>
         Some(GraftShowTablesCommand())
+      case BeginTxnRe() => Some(GraftTxnBeginCommand())
+      case CommitTxnRe() => Some(GraftTxnCommitCommand())
+      case RollbackTxnRe() => Some(GraftTxnRollbackCommand())
       case ShowViewsRe() =>
         Some(GraftShowViewsCommand())
       case CreateViewRe(orReplace, name, body) =>
@@ -1281,6 +1290,7 @@ case class GraftDeleteCommand(root: String, condition: Column)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "DELETE")
+    GraftTxn.requireNone(spark, "DELETE")
     Seq(Row(VersionedTable.deleteMatching(spark, root, condition)))
   }
 }
@@ -1295,6 +1305,7 @@ case class GraftUpdateCommand(root: String, set: Seq[(String, Column)],
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "UPDATE")
+    GraftTxn.requireNone(spark, "UPDATE")
     Seq(Row(VersionedTable.updateMatching(spark, root,
       condition.getOrElse(lit(true)), set.toMap)))
   }
@@ -1317,6 +1328,7 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "MERGE")
+    GraftTxn.requireNone(spark, "MERGE")
     val m = VersionedTable.resolveManifest(spark, root, None)
     val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
     val src0 = PlanBridge.dataFrame(spark, source)
@@ -2198,6 +2210,40 @@ object GraftInsertCommand {
       byName = true, txn = txn).run(spark).head.getInt(0)
 }
 
+/** `BEGIN GRAFT TRANSACTION` — open a thread-scoped multi-table
+  * transaction: subsequent keyed `INSERT INTO` statements DEFER, and
+  * `COMMIT GRAFT TRANSACTION` publishes them atomically
+  * ([[GraftTxn]]). */
+case class GraftTxnBeginCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTxn.begin(spark)
+    Seq.empty
+  }
+}
+
+/** `COMMIT GRAFT TRANSACTION` — stage every deferred INSERT, publish
+  * ONE decision marker (the commit point), then every member's commit
+  * marker: the two-phase [[graft.ops.MultiSync.upsertAtomic]]
+  * protocol, crash recovery included. One row per member table. */
+case class GraftTxnCommitCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTxn.commit(spark).map { case (n, v) => Row(n, v) }
+}
+
+/** `ROLLBACK GRAFT TRANSACTION` — discard the open transaction's
+  * deferred INSERTs (nothing was staged or published). */
+case class GraftTxnRollbackCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("discarded_inserts", IntegerType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftTxn.rollback(spark)))
+}
+
 case class GraftInsertCommand(root: String, userCols: Seq[String],
                               source: LogicalPlan, byName: Boolean,
                               overwrite: Boolean = false,
@@ -2266,6 +2312,14 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "INSERT")
+    val inTxn = GraftTxn.isOpen(spark)
+    if (inTxn) {
+      require(!overwrite,
+        "INSERT OVERWRITE cannot join a graft transaction — " +
+          "whole-table replacement is not a stageable keyed upsert")
+      require(txn.isEmpty,
+        "a streaming txn-tagged INSERT cannot join a graft transaction")
+    }
     val df = PlanBridge.dataFrame(spark, source)
     VersionedTable.currentVersion(spark, root) match {
       case Some(_) =>
@@ -2324,11 +2378,20 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
             m.keys.filterNot(_ == GraftCatalog.BucketCol))
         // OVERWRITE replaces the whole table in the same one-commit
         // shape (Delta's static INSERT OVERWRITE); INTO is the keyed
-        // upsert
-        Seq(Row(VersionedTable.upsert(spark, root, aligned, m.keys,
-          m.partCols, statsCols = statsCols, bloomCols = bloomCols,
-          txn = txn, replaceAll = overwrite)))
+        // upsert — or, inside an open graft transaction, a DEFERRED
+        // member of the atomic group (version -1 until COMMIT)
+        if (inTxn) {
+          GraftTxn.defer(spark, root, graft.ops.MultiSync.TableWrite(
+            root, aligned, m.keys, m.partCols, statsCols, bloomCols))
+          Seq(Row(-1))
+        } else Seq(Row(VersionedTable.upsert(spark, root, aligned,
+          m.keys, m.partCols, statsCols = statsCols,
+          bloomCols = bloomCols, txn = txn, replaceAll = overwrite)))
       case None => // first write to an empty declared table
+        require(!inTxn,
+          s"the table at $root has no committed version — a FIRST " +
+            "write cannot join a graft transaction; commit v0 outside " +
+            "it (first writes register layout and derived partitions)")
         val entry = GraftCatalog.list(spark)
           .find(_.root == VersionedTable.splitRef(root)._1)
           .getOrElse(throw new java.io.FileNotFoundException(
@@ -2403,6 +2466,7 @@ case class GraftTruncateCommand(root: String) extends LeafRunnableCommand {
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "TRUNCATE")
+    GraftTxn.requireNone(spark, "TRUNCATE")
     // a declared-but-never-written table is already empty: a statement
     // whose purpose is "make the table empty" must no-op, not throw —
     // create-then-truncate DDL scripts are routine (-1 = no version)
@@ -2870,6 +2934,7 @@ case class GraftMergeClausesCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "MERGE")
+    GraftTxn.requireNone(spark, "MERGE")
     val src = PlanBridge.dataFrame(spark, source)
     val sCols = src.columns.toSeq
     val m = VersionedTable.resolveManifest(spark, root, None)

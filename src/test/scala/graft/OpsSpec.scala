@@ -1018,7 +1018,7 @@ class OpsSpec extends SparkSpec {
     }
     def crashAt(point: String, value: Long): Unit = {
       MultiSync.crashHook = p =>
-        if (p == point) throw new IllegalStateException(s"boom@$p")
+        if (p == point) throw new MultiSync.SimulatedCrash(s"boom@$p")
       try {
         val e = intercept[IllegalStateException](
           MultiSync.upsertAtomic(spark, w(value), marker))

@@ -572,6 +572,73 @@ class SqlDmlSpec extends SparkSpec {
       s"no skipping on the fresh z-dimension: $kept/$total")
   }
 
+  test("SQL multi-table transaction: BEGIN / deferred INSERTs / COMMIT " +
+      "publishes atomically; ROLLBACK discards; guards refuse the rest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_txn").toString
+    val (ra, rb) = (s"$dir/a", s"$dir/b")
+    Seq(("dml_txna", ra), ("dml_txnb", rb)).foreach { case (n, r) =>
+      spark.sql(s"CREATE TABLE $n (id INT, g STRING, v INT) " +
+        s"USING graft LOCATION '$r' PARTITIONED BY (g) " +
+        "TBLPROPERTIES('graft.keys'='id,g')")
+      spark.sql(s"INSERT INTO $n VALUES (1,'a',100)") // v0 outside txn
+    }
+    spark.sql("BEGIN GRAFT TRANSACTION")
+    // nested BEGIN refuses
+    intercept[Exception](spark.sql("BEGIN GRAFT TRANSACTION"))
+    assert(spark.sql("INSERT INTO dml_txna VALUES (10,'a',1)")
+      .first.getInt(0) == -1, "deferred INSERT must return -1")
+    // a second INSERT into the SAME table refuses (order-dependence)
+    intercept[Exception](
+      spark.sql("INSERT INTO dml_txna VALUES (11,'a',1)"))
+    // non-deferrable DML refuses loudly instead of running outside
+    intercept[Exception](
+      spark.sql("UPDATE dml_txna SET v = 0 WHERE id = 1"))
+    intercept[Exception](spark.sql("DELETE FROM dml_txnb WHERE id = 1"))
+    intercept[Exception](
+      spark.sql("INSERT OVERWRITE dml_txnb VALUES (9,'b',9)"))
+    assert(spark.sql("INSERT INTO dml_txnb VALUES (20,'b',2)")
+      .first.getInt(0) == -1)
+    // nothing visible (or even staged-published) before COMMIT
+    assert(spark.sql("SELECT count(*) FROM dml_txna").first.getLong(0)
+      == 1L)
+    val committed = spark.sql("COMMIT GRAFT TRANSACTION").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(committed.values.toSet == Set(1),
+      s"both members must land at v1: $committed")
+    assert(spark.sql("SELECT v FROM dml_txna WHERE id = 10")
+      .first.getInt(0) == 1)
+    assert(spark.sql("SELECT v FROM dml_txnb WHERE id = 20")
+      .first.getInt(0) == 2)
+    // ROLLBACK discards; versions do not move
+    spark.sql("BEGIN GRAFT TRANSACTION")
+    spark.sql("INSERT INTO dml_txna VALUES (12,'a',9)")
+    assert(spark.sql("ROLLBACK GRAFT TRANSACTION").first.getInt(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM dml_txna WHERE id = 12")
+      .first.getLong(0) == 0L)
+    assert(graft.ops.VersionedTable.currentVersion(spark, ra)
+      .contains(1))
+    // statements without an open transaction refuse
+    intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
+    intercept[Exception](spark.sql("ROLLBACK GRAFT TRANSACTION"))
+    // an in-process COMMIT failure (CHECK violation in one member)
+    // aborts CLEANLY: nothing stays staged/locked, both tables keep
+    // accepting plain writes
+    spark.sql(s"ALTER TABLE dml_txnb ADD CONSTRAINT v_pos CHECK (v > 0)")
+    spark.sql("BEGIN GRAFT TRANSACTION")
+    spark.sql("INSERT INTO dml_txna VALUES (13,'a',5)")
+    spark.sql("INSERT INTO dml_txnb VALUES (21,'b',-5)")
+    intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
+    // the abort retracted member A's stage: a direct write proceeds
+    spark.sql("INSERT INTO dml_txna VALUES (14,'a',7)")
+    assert(spark.sql("SELECT count(*) FROM dml_txna WHERE id = 13")
+      .first.getLong(0) == 0L, "aborted member must not have landed")
+    assert(spark.sql("SELECT v FROM dml_txna WHERE id = 14")
+      .first.getInt(0) == 7)
+    spark.sql("DROP TABLE dml_txna")
+    spark.sql("DROP TABLE dml_txnb")
+  }
+
   test("expectation event log: per-commit violation counts persist in " +
       "the manifest and read back via graft_expect_log + DESCRIBE " +
       "HISTORY across commits") {
