@@ -262,8 +262,23 @@ object MultiSync {
     val decision = new Path(markerPath)
     val intent = new Path(markerPath + ".intent")
     recoverAtomic(spark, markerPath)
-    writeMarker(fs, intent, writes.map(w => SpecFile.b64e(w.root))
-      .mkString(intentHeader + "\n", "\n", "\n"))
+    // the intent is a CLAIM, taken create-exclusive: of two racing
+    // groups over one marker path exactly one proceeds — the loser
+    // conflicts loudly instead of the two mutually retracting each
+    // other's live stages (recoverAtomic above already rolled back or
+    // refused any pre-existing intent by age)
+    val out =
+      try VersionedTable.createExclusive(fs, intent)
+      catch { case _: java.io.IOException =>
+        throw new VersionedTable.ConcurrentWriteConflictException(
+          s"another atomic multi-table write holds $intent — " +
+            "in flight, or crashed inside the recovery grace window; " +
+            "retry after it completes or the grace elapses")
+      }
+    try out.write(writes.map(w => SpecFile.b64e(w.root))
+      .mkString(intentHeader + "\n", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     crashHook("intent")
     val done = Seq.newBuilder[(String, Int)]
     val staged =
@@ -279,10 +294,15 @@ object MultiSync {
           // in-process ABORT (constraint violation, bad frame): the
           // failing prepare retracted ITSELF; retract the earlier
           // members and the intent so unrelated writers are not left
-          // blocked behind this group's claims
-          done.result().foreach { case (r, v) =>
-            scala.util.Try(VersionedTable.retractStaged(spark, r, v)) }
-          fs.delete(intent, false)
+          // blocked behind this group's claims. The intent deletes
+          // ONLY when every retraction succeeded — a transient
+          // retraction failure must leave it for recoverAtomic to
+          // retry, or the orphaned claim would block the table with no
+          // automatic recovery path
+          val allRetracted = done.result().forall { case (r, v) =>
+            scala.util.Try(VersionedTable.retractStaged(spark, r, v))
+              .isSuccess }
+          if (allRetracted) fs.delete(intent, false)
           throw t
       }
     writeMarker(fs, decision, staged.map { case (r, v) =>
@@ -302,9 +322,17 @@ object MultiSync {
   /** Complete or retract a crashed [[upsertAtomic]] cycle (idempotent;
     * called automatically by the next cycle). Decision marker present →
     * roll FORWARD: publish every unpublished member of the recorded
-    * vector. Intent without decision → roll BACK: retract each named
-    * table's staged-unpublished next version, so the group's claims
-    * release and the replayed cycle stages cleanly. */
+    * vector (safe concurrently — publishes are idempotent). Intent
+    * without decision → roll BACK: retract each named table's
+    * staged-unpublished next version, so the group's claims release
+    * and the replayed cycle stages cleanly — but ONLY once the intent
+    * is older than `spark.graft.txn.intentGraceMs` (default 30 s, the
+    * engine's crashed-claim doctrine): a fresh intent is presumed a
+    * LIVE concurrent group, and rolling back a live group's stages
+    * mid-flight would corrupt it — conflict loudly instead. A torn
+    * intent (crash mid-create, unparseable) past the grace simply
+    * deletes: the intent is written before ANY staging, so a torn one
+    * attributes no stages. */
   def recoverAtomic(spark: SparkSession, markerPath: String): Unit = {
     val fs = VersionedTable.fsFor(spark, markerPath)
     val decision = new Path(markerPath)
@@ -323,13 +351,26 @@ object MultiSync {
       fs.delete(intent, false)
       fs.delete(decision, false)
     } else if (fs.exists(intent)) {
-      parseMarker(SpecFile.readText(spark, intent, markerPath + ".intent"),
-        intentHeader, markerPath).foreach { parts =>
-        val root = SpecFile.b64d(parts(0))
-        val next = VersionedTable.currentVersion(spark, root)
-          .getOrElse(-1) + 1
-        if (VersionedTable.isStaged(spark, root, next))
-          VersionedTable.retractStaged(spark, root, next)
+      val grace = spark.conf
+        .get("spark.graft.txn.intentGraceMs", "30000").toLong
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(intent).getModificationTime
+      if (age < grace)
+        throw new VersionedTable.ConcurrentWriteConflictException(
+          s"an atomic multi-table write holds $intent (age ${age} ms " +
+            s"< grace $grace ms) — in flight, or crashed moments ago; " +
+            "retry after it completes or the grace elapses")
+      scala.util.Try(
+        parseMarker(SpecFile.readText(spark, intent,
+          markerPath + ".intent"), intentHeader, markerPath)) match {
+        case scala.util.Success(lines) => lines.foreach { parts =>
+          val root = SpecFile.b64d(parts(0))
+          val next = VersionedTable.currentVersion(spark, root)
+            .getOrElse(-1) + 1
+          if (VersionedTable.isStaged(spark, root, next))
+            VersionedTable.retractStaged(spark, root, next)
+        }
+        case scala.util.Failure(_) => () // torn pre-staging intent
       }
       fs.delete(intent, false)
     }

@@ -2138,13 +2138,25 @@ object VersionedTable {
     val m = resolveManifestAt(spark, root, version, version)
     if (m.dvs.nonEmpty || hasRenames(m.schema) ||
         initialDefaults(m.schema).nonEmpty) return None
+    rawDirFiles(spark, root, m.mapping.toSeq.sortBy(_._1), m.partCols)
+      .map(files => (files,
+        StructType(m.partCols.map(c => m.schema(c))), m.schema))
+  }
+
+  /** Shared dir-validation + listing of the raw CDC legs: each rel must
+    * map 1:1 onto `partCols` as `col=value` segments (Spark's
+    * partitionBy layout, values still path-escaped); None when any rel
+    * doesn't — the caller falls back to the read path. */
+  private def rawDirFiles(spark: SparkSession, root: String,
+                          dirs: Seq[(String, String)],
+                          partCols: Seq[String])
+      : Option[Seq[(String, Long, Long, Seq[String])]] = {
     val fs = fsFor(spark, root)
-    val nParts = m.partCols.length
     val files = Seq.newBuilder[(String, Long, Long, Seq[String])]
-    m.mapping.toSeq.sortBy(_._1).foreach { case (rel, gen) =>
+    dirs.foreach { case (rel, gen) =>
       val segs = if (rel.isEmpty) Array.empty[String] else rel.split("/")
-      if (segs.length != nParts ||
-          segs.zip(m.partCols).exists { case (seg, c) =>
+      if (segs.length != partCols.length ||
+          segs.zip(partCols).exists { case (seg, c) =>
             !seg.startsWith(c + "=") })
         return None // layout this helper does not understand: fall back
       val vals = segs.map(s => s.substring(s.indexOf('=') + 1)).toSeq
@@ -2153,8 +2165,7 @@ object VersionedTable {
         .foreach(s => files += ((s.getPath.toString, s.getLen,
           s.getModificationTime, vals)))
     }
-    Some((files.result(),
-      StructType(m.partCols.map(c => m.schema(c))), m.schema))
+    Some(files.result())
   }
 
   /** [[rawSnapshotFiles]]' DIFF twin for APPEND-ONLY version
@@ -2185,25 +2196,12 @@ object VersionedTable {
     val tv = fullDirVers(mt)
     if (mf.mapping.keysIterator.exists(rel => fv(rel) != tv(rel)))
       return None // a common dir's CONTENT changed: updates in the diff
-    val fs = fsFor(spark, root)
-    val nParts = mt.partCols.length
-    val files = Seq.newBuilder[(String, Long, Long, Seq[String])]
-    mt.mapping.toSeq.sortBy(_._1)
-        .filterNot { case (rel, _) => mf.mapping.contains(rel) }
-        .foreach { case (rel, gen) =>
-      val segs = if (rel.isEmpty) Array.empty[String] else rel.split("/")
-      if (segs.length != nParts ||
-          segs.zip(mt.partCols).exists { case (seg, c) =>
-            !seg.startsWith(c + "=") })
-        return None
-      val vals = segs.map(s => s.substring(s.indexOf('=') + 1)).toSeq
-      fs.listStatus(new Path(tableRoot(root), s"$gen/$rel"))
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .foreach(s => files += ((s.getPath.toString, s.getLen,
-          s.getModificationTime, vals)))
-    }
-    Some((files.result(),
-      StructType(mt.partCols.map(c => mt.schema(c))), mt.schema))
+    rawDirFiles(spark, root,
+        mt.mapping.toSeq.sortBy(_._1)
+          .filterNot { case (rel, _) => mf.mapping.contains(rel) },
+        mt.partCols)
+      .map(files => (files,
+        StructType(mt.partCols.map(c => mt.schema(c))), mt.schema))
   }
 
   /** Retract a STAGED-but-unpublished version: delete its generation

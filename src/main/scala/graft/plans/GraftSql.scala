@@ -2381,7 +2381,13 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         // upsert — or, inside an open graft transaction, a DEFERRED
         // member of the atomic group (version -1 until COMMIT)
         if (inTxn) {
-          GraftTxn.defer(spark, root, graft.ops.MultiSync.TableWrite(
+          // display = the registered name when one points here (what
+          // COMMIT's `table` column shows); path-addressed tables show
+          // their path
+          val display = GraftCatalog.list(spark)
+            .find(_.root == VersionedTable.splitRef(root)._1)
+            .map(_.name).getOrElse(root)
+          GraftTxn.defer(spark, display, graft.ops.MultiSync.TableWrite(
             root, aligned, m.keys, m.partCols, statsCols, bloomCols))
           Seq(Row(-1))
         } else Seq(Row(VersionedTable.upsert(spark, root, aligned,
@@ -2643,6 +2649,10 @@ case class GraftCreateTableAsCommand(name: String, location: Option[String],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // CTAS registers a name and immediately writes v0 — a first write,
+    // which transactions refuse (see GraftInsertCommand); refuse the
+    // whole statement here for one loud, early error
+    GraftTxn.requireNone(spark, "CREATE TABLE AS SELECT")
     if (GraftCatalog.lookup(spark, name).isDefined) {
       if (!ifNotExists) throw new IllegalArgumentException(
         s"graft table $name already exists (DROP TABLE first, or " +
@@ -2733,6 +2743,10 @@ case class GraftReplaceTableCommand(name: String, location: Option[String],
     Seq(AttributeReference("version", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // REPLACE redefines (a real commit) and then inserts its body —
+    // the redefinition cannot defer, so letting the body silently join
+    // an open transaction would strand the table EMPTY on ROLLBACK
+    GraftTxn.requireNone(spark, "REPLACE TABLE")
     require(schemaDdl.isDefined || source.isDefined,
       "REPLACE TABLE needs a column list or an AS SELECT body")
     GraftCatalog.lookup(spark, name) match {

@@ -94,7 +94,12 @@ import graft.plans.GraftCatalog
  * that diff, never a full-table rescan — the property that lets a
  * 100 TB table feed a warehouse continuously. Size
  * [[VersionedTable.vacuum]] retention to the trigger cadence so
- * checkpointed versions stay readable across consumer downtime.
+ * checkpointed versions stay readable across consumer downtime — the
+ * zero-copy legs sharpen this: their batches read the table's LIVE
+ * generation files directly for the batch's whole execution-and-replay
+ * lifetime, so retention must also cover in-flight batches (a
+ * compact+vacuum racing a running zero-copy batch fails it loudly,
+ * where a staged batch was immune once its copy landed).
  *
  * The served schema is pinned at stream construction (op +
  * _commit_version + the table's visible columns); columns added later

@@ -1016,6 +1016,10 @@ class OpsSpec extends SparkSpec {
       val (va, vb) = vals()
       assert(vb == va * 10, s"MIXED committed pair: a=$va b=$vb")
     }
+    // the live-intent grace (default 30 s) would make these
+    // crash-then-recover-immediately sequences conflict loudly; the
+    // test IS the crashed case, so collapse the grace
+    spark.conf.set("spark.graft.txn.intentGraceMs", "0")
     def crashAt(point: String, value: Long): Unit = {
       MultiSync.crashHook = p =>
         if (p == point) throw new MultiSync.SimulatedCrash(s"boom@$p")
@@ -1058,6 +1062,20 @@ class OpsSpec extends SparkSpec {
     assert(MultiSync.upsertAtomic(spark, w(8), marker) ==
       Map(a -> 6, b -> 6))
     pairOk(); assert(vals() == ((8L, 80L)))
+    // with the grace RESTORED, a fresh crashed intent conflicts loudly
+    // instead of being rolled back (a live concurrent group must never
+    // have its stages retracted mid-flight)
+    spark.conf.set("spark.graft.txn.intentGraceMs", "60000")
+    crashAt(s"staged:$a", 9)
+    val conflict = intercept[
+      graft.ops.VersionedTable.ConcurrentWriteConflictException](
+      MultiSync.upsertAtomic(spark, w(9), marker))
+    assert(conflict.getMessage.contains("grace"), conflict.getMessage)
+    spark.conf.set("spark.graft.txn.intentGraceMs", "0")
+    assert(MultiSync.upsertAtomic(spark, w(10), marker) ==
+      Map(a -> 7, b -> 7))
+    pairOk(); assert(vals() == ((10L, 100L)))
+    spark.conf.unset("spark.graft.txn.intentGraceMs")
   }
 
   test("VersionedTable.repartitionTable: layout evolution, old versions intact") {

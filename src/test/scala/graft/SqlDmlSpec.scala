@@ -604,8 +604,8 @@ class SqlDmlSpec extends SparkSpec {
       == 1L)
     val committed = spark.sql("COMMIT GRAFT TRANSACTION").collect()
       .map(r => (r.getString(0), r.getInt(1))).toMap
-    assert(committed.values.toSet == Set(1),
-      s"both members must land at v1: $committed")
+    assert(committed == Map("dml_txna" -> 1, "dml_txnb" -> 1),
+      s"COMMIT must report registered NAMES at v1: $committed")
     assert(spark.sql("SELECT v FROM dml_txna WHERE id = 10")
       .first.getInt(0) == 1)
     assert(spark.sql("SELECT v FROM dml_txnb WHERE id = 20")
