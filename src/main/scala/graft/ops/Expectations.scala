@@ -181,9 +181,15 @@ object Expectations {
   def log(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // resolve currentVersion ONCE: resolveManifest(_, _, Some(v)) re-runs
+    // the commit-marker listing per version, O(versions^2) LIST calls on
+    // object stores (GraftHistoryCommand's discipline)
+    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no committed version at $root"))
     val rows = VersionedTable.historyDetail(spark, root).flatMap {
       case (v, ms) =>
-        val m = VersionedTable.resolveManifest(spark, root, Some(v))
+        val m = VersionedTable.resolveManifestAt(spark, root, v, cur)
         val modes = fromProps(m.props).map(e => e.name -> e.mode.tag).toMap
         m.expectLog.toSeq.sortBy(_._1).map { case (name, n) =>
           Row(v, new java.sql.Timestamp(ms), name,

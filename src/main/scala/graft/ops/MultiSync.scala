@@ -191,8 +191,55 @@ object MultiSync {
   private[graft] class SimulatedCrash(msg: String)
       extends IllegalStateException(msg)
 
-  private def intentHeader = "#graft-txnintent\t1"
-  private def vectorHeader = "#graft-txnvector\t1"
+  // v2 markers: the header line carries the writing group's unique txn
+  // id (`#graft-txnintent\t2\t<uuid>`), so every trailing delete and
+  // every recovery action can be OWNER-GUARDED — a slow publisher whose
+  // group a recovering peer already rolled forward can never delete the
+  // SUCCESSOR group's markers (the round-10 protocol released the intent
+  // at the decision point and deleted the decision unguarded, which let
+  // exactly that interleaving strand a successor's crash durably mixed)
+  private def intentHeader = "#graft-txnintent\t2"
+  private def vectorHeader = "#graft-txnvector\t2"
+  private def stagedHeader = "#graft-txnstaged\t1"
+
+  private def stagedRec(markerPath: String, i: Int) =
+    new Path(s"$markerPath.staged.$i")
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+                       p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The txn id from a v2 marker's header line (None: torn/legacy). */
+  private def markerOwner(text: String): Option[String] = {
+    val parts = text.split("\n").headOption.getOrElse("").split("\t")
+    if (parts.length >= 3 && parts(0).startsWith("#graft-txn"))
+      Some(parts(2))
+    else None
+  }
+
+  /** Delete `p` only if its header names `txnId` — the trailing-cleanup
+    * guard. Best-effort: a marker that vanished or fails to read belongs
+    * to (or is being cleaned by) someone else; leftovers a transient
+    * delete failure leaves are finished by the next recovery. */
+  private def deleteIfOwned(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                            txnId: String): Unit =
+    try {
+      if (fs.exists(p) && markerOwner(readText(fs, p)).contains(txnId))
+        fs.delete(p, false)
+    } catch { case _: java.io.IOException => () }
+
+  /** Every staged-record sidecar under `markerPath`, parsed; torn
+    * `.tmp` debris from a crashed record write is deleted in passing. */
+  private def listStagedRecs(fs: org.apache.hadoop.fs.FileSystem,
+                             markerPath: String): Seq[(Path, String)] =
+    fs.globStatus(new Path(markerPath + ".staged.*")).toSeq.flatMap { s =>
+      val p = s.getPath
+      if (p.getName.endsWith(".tmp")) { fs.delete(p, false); None }
+      else scala.util.Try(readText(fs, p)).toOption.map(p -> _)
+    }
 
   private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path,
                           text: String): Unit = {
@@ -227,19 +274,27 @@ object MultiSync {
     * publishes a mixed pair durably. Two-phase commit over the
     * engine's own stage/publish split closes it:
     *
-    *  1. write an INTENT marker naming the group's tables;
+    *  1. write an INTENT marker (create-exclusive claim, carrying a
+    *     unique txn id) naming the group's tables;
     *  2. STAGE every table's upsert ([[VersionedTable.prepare]]: data
     *     written, manifest claimed, commit marker withheld — the claim
-    *     doubles as a per-table write lock);
+    *     doubles as a per-table write lock), recording each staged
+    *     version in a per-member sidecar as staging proceeds;
     *  3. write the DECISION marker (one atomic rename recording the
-    *     whole version vector) — THE commit point;
-    *  4. publish every member's commit marker; delete the markers.
+    *     whole version vector + txn id) — THE commit point;
+    *  4. publish every member's commit marker (idempotently — a
+    *     recovering peer may be rolling the same decision forward);
+    *     delete the markers, each delete OWNER-GUARDED by txn id, the
+    *     intent last: a peer that rolled this group forward and started
+    *     its own cycle can never have its fresh markers deleted by this
+    *     writer's trailing cleanup.
     *
     * Crash recovery ([[recoverAtomic]], run automatically at the next
-    * cycle): a decision marker rolls the group FORWARD (publish every
-    * unpublished member — publishes are idempotent), an intent without
-    * a decision rolls it BACK (retract every staged-unpublished member
-    * at its next version). Either way, the pair of tables can never
+    * cycle): a decision marker rolls the group FORWARD (idempotent
+    * publish of every unpublished member), an intent without a decision
+    * rolls it BACK — retracting EXACTLY the staged versions the group's
+    * sidecars recorded, never a concurrent plain writer's stage that
+    * happens to sit at the same version number. Either way, the pair of tables can never
     * END UP with one table's write committed and the other's lost —
     * all-or-nothing durability. (Between the decision and the last
     * publish there is a bounded skew window; readers needing
@@ -248,8 +303,10 @@ object MultiSync {
     * window.)
     *
     * Single-writer discipline per marker path + table set, like the
-    * sync cursor: the rollback attributes any staged-unpublished
-    * version of a member table to this group's crashed cycle.
+    * sync cursor: the rollback attributes a staged version to this
+    * group's crashed cycle only through the group's own recorded
+    * sidecars (plus the intent-age grace, renewed as staging
+    * progresses).
     *
     * Scale shape: each member is one ordinary partition-pruned staged
     * upsert; the added cost is two tiny marker files per cycle. */
@@ -262,11 +319,16 @@ object MultiSync {
     val decision = new Path(markerPath)
     val intent = new Path(markerPath + ".intent")
     recoverAtomic(spark, markerPath)
+    val txnId = java.util.UUID.randomUUID().toString
     // the intent is a CLAIM, taken create-exclusive: of two racing
     // groups over one marker path exactly one proceeds — the loser
     // conflicts loudly instead of the two mutually retracting each
     // other's live stages (recoverAtomic above already rolled back or
-    // refused any pre-existing intent by age)
+    // refused any pre-existing intent by age). Held through the WHOLE
+    // cycle, publish phase included: a recovering peer that decides this
+    // group crashed rolls it forward and deletes the markers itself, and
+    // every trailing delete below is owner-guarded so a slow-but-live
+    // writer can never remove a successor group's markers
     val out =
       try VersionedTable.createExclusive(fs, intent)
       catch { case _: java.io.IOException =>
@@ -276,16 +338,26 @@ object MultiSync {
             "retry after it completes or the grace elapses")
       }
     try out.write(writes.map(w => SpecFile.b64e(w.root))
-      .mkString(intentHeader + "\n", "\n", "\n")
+      .mkString(s"$intentHeader\t$txnId\n", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     crashHook("intent")
-    val done = Seq.newBuilder[(String, Int)]
+    val done = Seq.newBuilder[(Int, String, Int)]
     val staged =
-      try writes.map { w =>
+      try writes.zipWithIndex.map { case (w, i) =>
         val v = VersionedTable.prepare(spark, w.root, w.rows, w.keys,
           w.partCols, statsCols = w.statsCols, bloomCols = w.bloomCols)
-        done += w.root -> v
+        // record the staged version in its own sidecar BEFORE the next
+        // member stages: crash rollback retracts EXACTLY these recorded
+        // (root, version) pairs — never "whatever is staged at cur+1",
+        // which could be a concurrent plain writer's live stage. The
+        // touch also renews the intent's mtime so the recovery grace
+        // window tracks staging PROGRESS, not just the claim instant
+        writeMarker(fs, stagedRec(markerPath, i),
+          s"$stagedHeader\t$txnId\n${SpecFile.b64e(w.root)}\t$v\n")
+        scala.util.Try(
+          fs.setTimes(intent, System.currentTimeMillis(), -1))
+        done += ((i, w.root, v))
         crashHook(s"staged:${w.root}")
         w.root -> v
       } catch {
@@ -293,63 +365,90 @@ object MultiSync {
         case t: Throwable =>
           // in-process ABORT (constraint violation, bad frame): the
           // failing prepare retracted ITSELF; retract the earlier
-          // members and the intent so unrelated writers are not left
-          // blocked behind this group's claims. The intent deletes
-          // ONLY when every retraction succeeded — a transient
-          // retraction failure must leave it for recoverAtomic to
-          // retry, or the orphaned claim would block the table with no
-          // automatic recovery path
-          val allRetracted = done.result().forall { case (r, v) =>
-            scala.util.Try(VersionedTable.retractStaged(spark, r, v))
-              .isSuccess }
+          // members (and their records) and the intent so unrelated
+          // writers are not left blocked behind this group's claims.
+          // The intent deletes ONLY when every retraction succeeded — a
+          // transient retraction failure must leave it for
+          // recoverAtomic to retry, or the orphaned claim would block
+          // the table with no automatic recovery path
+          val allRetracted = done.result().forall { case (i, r, v) =>
+            scala.util.Try {
+              VersionedTable.retractStaged(spark, r, v)
+              fs.delete(stagedRec(markerPath, i), false)
+            }.isSuccess }
           if (allRetracted) fs.delete(intent, false)
           throw t
       }
     writeMarker(fs, decision, staged.map { case (r, v) =>
       s"${SpecFile.b64e(r)}\t$v" }
-      .mkString(vectorHeader + "\n", "\n", "\n"))
+      .mkString(s"$vectorHeader\t$txnId\n", "\n", "\n"))
     crashHook("decision")
-    fs.delete(intent, false)
     staged.foreach { case (root, v) =>
-      if (!VersionedTable.isPublished(spark, root, v))
-        VersionedTable.publish(spark, root, v)
+      // idempotent: a recovering peer may be rolling this same decision
+      // forward concurrently — both publishers must see success
+      VersionedTable.publishIdempotent(spark, root, v)
       crashHook(s"published:$root")
     }
-    fs.delete(decision, false)
+    // cleanup order decision → records → intent, each owner-guarded; a
+    // crash anywhere in it leaves a state the next recovery finishes
+    // (decision present → roll forward no-ops then deletes; records
+    // with published versions → skipped and deleted; bare intent →
+    // deleted past grace)
+    deleteIfOwned(fs, decision, txnId)
+    writes.indices.foreach(i =>
+      deleteIfOwned(fs, stagedRec(markerPath, i), txnId))
+    deleteIfOwned(fs, intent, txnId)
     staged.toMap
   }
 
   /** Complete or retract a crashed [[upsertAtomic]] cycle (idempotent;
     * called automatically by the next cycle). Decision marker present →
     * roll FORWARD: publish every unpublished member of the recorded
-    * vector (safe concurrently — publishes are idempotent). Intent
-    * without decision → roll BACK: retract each named table's
-    * staged-unpublished next version, so the group's claims release
-    * and the replayed cycle stages cleanly — but ONLY once the intent
-    * is older than `spark.graft.txn.intentGraceMs` (default 30 s, the
-    * engine's crashed-claim doctrine): a fresh intent is presumed a
-    * LIVE concurrent group, and rolling back a live group's stages
-    * mid-flight would corrupt it — conflict loudly instead. A torn
-    * intent (crash mid-create, unparseable) past the grace simply
-    * deletes: the intent is written before ANY staging, so a torn one
-    * attributes no stages. */
+    * vector (safe concurrently, and safe against the decision's own
+    * writer still being live — publishes go through the idempotent
+    * variant and the live writer's trailing deletes are owner-guarded).
+    * Intent without decision → roll BACK: retract exactly the staged
+    * versions the group's per-member sidecars recorded, so the group's
+    * claims release and the replayed cycle stages cleanly — but ONLY
+    * once the intent is older than `spark.graft.txn.intentGraceMs`
+    * (default 30 s, renewed after each member stages): a fresh intent
+    * is presumed a LIVE concurrent group, and rolling back a live
+    * group's stages mid-flight would corrupt it — conflict loudly
+    * instead. A torn intent (crash mid-create, unparseable) past the
+    * grace retracts whatever the sidecars recorded and deletes; a stage
+    * claimed but never recorded (crash inside the record write) stays
+    * as an orphaned claim for vacuum() — never mis-retracted. */
   def recoverAtomic(spark: SparkSession, markerPath: String): Unit = {
     val fs = VersionedTable.fsFor(spark, markerPath)
     val decision = new Path(markerPath)
     val intent = new Path(markerPath + ".intent")
     if (fs.exists(decision)) {
-      parseMarker(SpecFile.readText(spark, decision, markerPath),
-        vectorHeader, markerPath).foreach { parts =>
+      val txt = readText(fs, decision)
+      val owner = markerOwner(txt)
+      parseMarker(txt, vectorHeader, markerPath).foreach { parts =>
         val (root, v) = (SpecFile.b64d(parts(0)), parts(1).trim.toInt)
         if (!VersionedTable.isPublished(spark, root, v)) {
           require(VersionedTable.isStaged(spark, root, v),
             s"decision marker records $root v$v but its stage is gone " +
               "— storage corrupted or vacuumed mid-recovery")
-          VersionedTable.publish(spark, root, v)
+          // idempotent: the group may be live mid-publish (rolling a
+          // live group forward is harmless — same versions, and its
+          // trailing deletes are owner-guarded no-ops after this), or
+          // another recovery may be racing this one
+          VersionedTable.publishIdempotent(spark, root, v)
         }
       }
-      fs.delete(intent, false)
+      // publish-all FIRST, then delete decision → records → intent: a
+      // crash mid-roll-forward leaves the decision, so the next
+      // recovery continues FORWARD — the rollback branch below can
+      // never see a group whose decision was acted on (its leftover
+      // records name published versions, which it skips)
       fs.delete(decision, false)
+      listStagedRecs(fs, markerPath).foreach { case (p, recTxt) =>
+        if (owner.isEmpty || markerOwner(recTxt) == owner)
+          fs.delete(p, false) }
+      if (owner.isEmpty) fs.delete(intent, false)
+      else deleteIfOwned(fs, intent, owner.get)
     } else if (fs.exists(intent)) {
       val grace = spark.conf
         .get("spark.graft.txn.intentGraceMs", "30000").toLong
@@ -360,17 +459,30 @@ object MultiSync {
           s"an atomic multi-table write holds $intent (age ${age} ms " +
             s"< grace $grace ms) — in flight, or crashed moments ago; " +
             "retry after it completes or the grace elapses")
-      scala.util.Try(
-        parseMarker(SpecFile.readText(spark, intent,
-          markerPath + ".intent"), intentHeader, markerPath)) match {
-        case scala.util.Success(lines) => lines.foreach { parts =>
-          val root = SpecFile.b64d(parts(0))
-          val next = VersionedTable.currentVersion(spark, root)
-            .getOrElse(-1) + 1
-          if (VersionedTable.isStaged(spark, root, next))
-            VersionedTable.retractStaged(spark, root, next)
+      val owner = scala.util.Try(readText(fs, intent)).toOption
+        .flatMap(markerOwner)
+      // roll BACK exactly what the crashed group RECORDED staging — its
+      // per-member sidecars — never "whatever is staged at cur+1",
+      // which a concurrent plain INSERT mid-stage at that version is
+      // indistinguishable from. A stage the group claimed but crashed
+      // before recording (the record write's rename window) stays put
+      // as an orphaned claim vacuum() clears — the safe side of the
+      // trade: a blocked table is loud and recoverable, a retracted
+      // live writer is silent corruption. Published versions are
+      // skipped (leftover records of a fully-rolled-forward group whose
+      // cleanup crashed midway)
+      listStagedRecs(fs, markerPath).foreach { case (p, recTxt) =>
+        val matches = owner.isEmpty || markerOwner(recTxt) == owner
+        if (matches) scala.util.Try(
+          parseMarker(recTxt, stagedHeader, p.toString)).foreach {
+          _.foreach { parts =>
+            val (root, v) = (SpecFile.b64d(parts(0)), parts(1).trim.toInt)
+            if (VersionedTable.isStaged(spark, root, v) &&
+                !VersionedTable.isPublished(spark, root, v))
+              VersionedTable.retractStaged(spark, root, v)
+          }
         }
-        case scala.util.Failure(_) => () // torn pre-staging intent
+        fs.delete(p, false)
       }
       fs.delete(intent, false)
     }

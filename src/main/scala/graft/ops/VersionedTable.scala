@@ -2107,6 +2107,20 @@ object VersionedTable {
     out.close()
   }
 
+  /** [[publish]] for the atomic-write/recovery paths, where publishes
+    * legitimately RACE (two recoveries rolling one decision forward, or
+    * a recovery racing the live writer's own publish loop): the loser's
+    * create-exclusive failure means the version IS published, which is
+    * this caller's success — re-check and swallow instead of failing a
+    * COMMIT whose transaction actually committed. The single-claim-owner
+    * write paths keep calling [[publish]] strict: there, an
+    * already-exists marker is a protocol violation worth throwing on. */
+  private[graft] def publishIdempotent(spark: SparkSession, root: String,
+                                       version: Int): Unit =
+    try publish(spark, root, version)
+    catch { case e: java.io.IOException =>
+      if (!isPublished(spark, root, version)) throw e }
+
   /** Whether `version` has a commit marker (is published). */
   private[graft] def isPublished(spark: SparkSession, root: String,
                                  version: Int): Boolean =

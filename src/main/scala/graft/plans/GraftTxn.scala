@@ -102,12 +102,17 @@ object GraftTxn {
   }
 
   /** Publish every deferred INSERT atomically; returns
-    * (display name, committed version) per member. */
+    * (display name, committed version) per member. An empty COMMIT is a
+    * no-op that closes the transaction (zero rows). RETRYABLE failures
+    * — a concurrent group holding the intent claim, its grace window,
+    * or a lost staging race — leave the transaction OPEN with its
+    * deferred writes intact so the user re-issues COMMIT instead of
+    * replaying the whole script; non-retryable failures (a CHECK
+    * violation in a member would just fail again) close it. */
   def commit(spark: SparkSession): Seq[(String, Int)] = {
-    val st = state.get.remove(spark)
+    val st = state.get.get(spark)
     require(st != null, "COMMIT without an open graft transaction")
-    require(st.writes.nonEmpty,
-      "COMMIT of an empty graft transaction — no INSERT INTO deferred")
+    if (st.writes.isEmpty) { state.get.remove(spark); return Seq.empty }
     val roots = st.writes.map(_._2.root).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(roots.mkString("\u0000").getBytes(StandardCharsets.UTF_8))
@@ -115,7 +120,17 @@ object GraftTxn {
     val marker = new org.apache.hadoop.fs.Path(
       GraftCatalog.catalogDir(spark), s"_txn/$md").toString
     val versions =
-      MultiSync.upsertAtomic(spark, st.writes.map(_._2).toSeq, marker)
+      try MultiSync.upsertAtomic(spark, st.writes.map(_._2).toSeq, marker)
+      catch {
+        case e: graft.ops.VersionedTable.ConcurrentWriteConflictException =>
+          throw e // retryable: transaction stays open for a COMMIT retry
+        case e: graft.ops.VersionedTable.StagingRaceException =>
+          throw e // retryable: a plain writer won a claim; retry restages
+        case t: Throwable =>
+          state.get.remove(spark) // aborted: a replay would fail the same
+          throw t
+      }
+    state.get.remove(spark)
     st.writes.map { case (n, w) => n -> versions(w.root) }.toSeq
   }
 }

@@ -1078,6 +1078,103 @@ class OpsSpec extends SparkSpec {
     spark.conf.unset("spark.graft.txn.intentGraceMs")
   }
 
+  test("MultiSync.upsertAtomic: a peer that rolls a LIVE publisher " +
+      "forward and starts its own cycle never has its markers deleted " +
+      "by the live writer's trailing cleanup (owner-guarded markers)") {
+    import graft.ops.MultiSync
+    import graft.ops.MultiSync.TableWrite
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_msync_guard").toString
+    val (a, b, marker) = (s"$dir/a", s"$dir/b", s"$dir/txn")
+    val keys = Seq("id", "g")
+    def w(v: Long) = Seq(
+      TableWrite(a, Seq((1, "g0", v)).toDF("id", "g", "v"), keys,
+        Seq("g")),
+      TableWrite(b, Seq((2, "g0", v * 10)).toDF("id", "g", "v"), keys,
+        Seq("g")))
+    def vals(): (Long, Long) = (
+      VersionedTable.read(spark, a).select("v").as[Long].head(),
+      VersionedTable.read(spark, b).select("v").as[Long].head())
+    spark.conf.set("spark.graft.txn.intentGraceMs", "0")
+    assert(MultiSync.upsertAtomic(spark, w(1), marker) ==
+      Map(a -> 0, b -> 0))
+    // writer A publishes member a, then STALLS inside its publish loop;
+    // peer B (grace collapsed) treats it as crashed: rolls it forward,
+    // deletes its markers, runs a full successor cycle that itself
+    // crashes mid-publish. The round-10 protocol let A's trailing
+    // UNGUARDED deletes remove B's decision marker — recovery then
+    // found nothing and B's pair landed durably mixed. Owner-guarded
+    // deletes make A's cleanup a no-op on B's markers.
+    var fired = false
+    MultiSync.crashHook = p =>
+      if (p == s"published:$a" && !fired) {
+        fired = true
+        val outer = MultiSync.crashHook
+        MultiSync.crashHook = q =>
+          if (q == s"published:$a")
+            throw new MultiSync.SimulatedCrash(s"boom@$q")
+        try {
+          MultiSync.recoverAtomic(spark, marker) // rolls live A forward
+          val e = intercept[IllegalStateException](
+            MultiSync.upsertAtomic(spark, w(3), marker))
+          assert(e.getMessage.startsWith("boom@"), e.getMessage)
+        } finally MultiSync.crashHook = outer
+      }
+    try assert(MultiSync.upsertAtomic(spark, w(2), marker) ==
+      Map(a -> 1, b -> 1)) // A's txn DID commit (B rolled it forward)
+    finally MultiSync.crashHook = _ => ()
+    // B's decision marker must have survived A's trailing cleanup
+    val fs = VersionedTable.fsFor(spark, marker)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(marker)),
+      "the live writer's cleanup deleted the successor's decision")
+    MultiSync.recoverAtomic(spark, marker)
+    val (va, vb) = vals()
+    assert(va == 3 && vb == 30, s"successor group stranded: a=$va b=$vb")
+    spark.conf.unset("spark.graft.txn.intentGraceMs")
+  }
+
+  test("MultiSync.recoverAtomic: rollback retracts ONLY the crashed " +
+      "group's RECORDED stages — a concurrent plain writer's stage at " +
+      "the same version number survives") {
+    import graft.ops.MultiSync
+    import graft.ops.MultiSync.TableWrite
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_msync_live").toString
+    val (a, b, marker) = (s"$dir/a", s"$dir/b", s"$dir/txn")
+    val keys = Seq("id", "g")
+    def w(v: Long) = Seq(
+      TableWrite(a, Seq((1, "g0", v)).toDF("id", "g", "v"), keys,
+        Seq("g")),
+      TableWrite(b, Seq((2, "g0", v * 10)).toDF("id", "g", "v"), keys,
+        Seq("g")))
+    spark.conf.set("spark.graft.txn.intentGraceMs", "0")
+    assert(MultiSync.upsertAtomic(spark, w(1), marker) ==
+      Map(a -> 0, b -> 0))
+    // crash after member a staged (and recorded): b never staged by
+    // the group
+    MultiSync.crashHook = p =>
+      if (p == s"staged:$a") throw new MultiSync.SimulatedCrash("boom")
+    try intercept[IllegalStateException](
+      MultiSync.upsertAtomic(spark, w(2), marker))
+    finally MultiSync.crashHook = _ => ()
+    // an UNRELATED plain writer stages b's next version mid-flight —
+    // exactly what the group's crashed cycle would have staged next
+    val vb = VersionedTable.prepare(spark, b,
+      Seq((9, "g0", 99L)).toDF("id", "g", "v"), keys, Seq("g"))
+    assert(vb == 1)
+    MultiSync.recoverAtomic(spark, marker)
+    // the group's recorded a@1 retracts; the plain writer's b@1 — which
+    // the round-10 rollback would have attributed to the group — stays
+    assert(!VersionedTable.isStaged(spark, a, 1),
+      "the crashed group's recorded stage must retract")
+    assert(VersionedTable.isStaged(spark, b, 1),
+      "a live plain writer's stage was mis-retracted by rollback")
+    VersionedTable.publish(spark, b, 1)
+    assert(VersionedTable.read(spark, b)
+      .where($"id" === 9).count() == 1L)
+    spark.conf.unset("spark.graft.txn.intentGraceMs")
+  }
+
   test("VersionedTable.repartitionTable: layout evolution, old versions intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtrepart").toString
     val root = s"$dir/table"

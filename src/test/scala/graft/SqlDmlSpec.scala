@@ -639,6 +639,63 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE dml_txnb")
   }
 
+  test("SQL transaction COMMIT: a retryable conflict keeps the " +
+      "transaction OPEN (deferred INSERTs survive a COMMIT retry); " +
+      "empty COMMIT closes as a no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_rtxn").toString
+    val (ra, rb) = (s"$dir/a", s"$dir/b")
+    Seq(("dml_rtxa", ra), ("dml_rtxb", rb)).foreach { case (n, r) =>
+      spark.sql(s"CREATE TABLE $n (id INT, g STRING, v INT) " +
+        s"USING graft LOCATION '$r' PARTITIONED BY (g) " +
+        "TBLPROPERTIES('graft.keys'='id,g')")
+      spark.sql(s"INSERT INTO $n VALUES (1,'a',100)")
+    }
+    spark.conf.set("spark.graft.txn.intentGraceMs", "60000")
+    try {
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      spark.sql("INSERT INTO dml_rtxa VALUES (10,'a',1)")
+      spark.sql("INSERT INTO dml_rtxb VALUES (20,'b',2)")
+      // block the group's marker path with a FRESH foreign intent: the
+      // first COMMIT conflicts (retryable) — the round-10 commit
+      // discarded the deferred INSERTs here, forcing a full replay
+      val roots = Seq(ra, rb).sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(roots.mkString("\u0000")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val intent = new org.apache.hadoop.fs.Path(
+        graft.plans.GraftCatalog.catalogDir(spark), s"_txn/$md.intent")
+      val fs = intent.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val out = fs.create(intent, false)
+      out.write("#graft-txnintent\t2\tforeign\n".getBytes("UTF-8"))
+      out.close()
+      val e = intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
+      assert(e.getMessage.contains("holds"), e.getMessage)
+      // release the foreign claim; the RETRIED COMMIT publishes both
+      // deferred writes — they survived the conflict
+      fs.delete(intent, false)
+      val committed = spark.sql("COMMIT GRAFT TRANSACTION").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(committed == Map("dml_rtxa" -> 1, "dml_rtxb" -> 1),
+        s"retried COMMIT must publish the surviving writes: $committed")
+      assert(spark.sql("SELECT v FROM dml_rtxa WHERE id = 10")
+        .first.getInt(0) == 1)
+      assert(spark.sql("SELECT v FROM dml_rtxb WHERE id = 20")
+        .first.getInt(0) == 2)
+      // empty COMMIT: zero rows, transaction closed (a new BEGIN works)
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      assert(spark.sql("COMMIT GRAFT TRANSACTION").collect().isEmpty)
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      assert(spark.sql("ROLLBACK GRAFT TRANSACTION").first.getInt(0) == 0)
+    } finally {
+      spark.conf.unset("spark.graft.txn.intentGraceMs")
+      spark.sql("DROP TABLE IF EXISTS dml_rtxa")
+      spark.sql("DROP TABLE IF EXISTS dml_rtxb")
+    }
+  }
+
   test("expectation event log: per-commit violation counts persist in " +
       "the manifest and read back via graft_expect_log + DESCRIBE " +
       "HISTORY across commits") {
