@@ -223,6 +223,23 @@ object GraftExtensions {
         graft.ops.Expectations.log(SparkSession.active, root)
           .queryExecution.analyzed
       }),
+    (FunctionIdentifier("graft_txn_log"),
+      new ExpressionInfo(graft.ops.MultiSync.getClass.getName,
+        "graft_txn_log"),
+      (children: Seq[Expression]) => {
+        require(children.length <= 1,
+          "graft_txn_log([markerDir]) takes 0-1 arguments")
+        val spark = SparkSession.active
+        // pending multi-table transaction groups (intent/decision
+        // markers + recorded stages): no argument = the session
+        // catalog's _txn dir (every SQL transaction); an explicit dir
+        // serves API callers' own marker directories
+        val dir = children.headOption
+          .map(rootOf(_, "graft_txn_log markerDir"))
+          .getOrElse(graft.plans.GraftTxn.txnDir(spark))
+        graft.ops.MultiSync.txnLog(spark, dir)
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("graft_files"),
       new ExpressionInfo(graft.ops.VersionedTable.getClass.getName,
         "graft_files"),

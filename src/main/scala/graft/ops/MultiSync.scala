@@ -401,6 +401,102 @@ object MultiSync {
     staged.toMap
   }
 
+  /** Run [[recoverAtomic]] over every marker group under `dir` (the
+    * SQL catalog's `_txn/`, or any directory API callers keep marker
+    * paths in), completing crashed groups NOW instead of waiting for
+    * the next COMMIT over the same table set: decisions roll forward,
+    * aged intents roll back. Groups still inside the live-intent grace
+    * are SKIPPED, not failed — a BEGIN must not abort on someone
+    * else's in-flight transaction. Returns the recovered marker names.
+    * Cost: one listStatus of `dir` plus marker-file reads — no data
+    * I/O beyond what recovery itself publishes/retracts. */
+  def recoverAll(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = VersionedTable.fsFor(spark, dir)
+    val d = new Path(dir)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath.getName).flatMap { n =>
+      if (n.endsWith(".intent")) Some(n.stripSuffix(".intent"))
+      else if (!n.contains(".")) Some(n)
+      else None // staged records / tmp debris: owned by their group
+    }.distinct.sorted.flatMap { base =>
+      try {
+        recoverAtomic(spark, new Path(d, base).toString)
+        Some(base)
+      } catch {
+        case _: VersionedTable.ConcurrentWriteConflictException => None
+      }
+    }
+  }
+
+  /** Pending atomic-write groups under `dir` as a queryable relation —
+    * one row per (group, member table): `state` is `decision`
+    * (commit point durable; publish pending — the next recovery rolls
+    * it FORWARD) or `intent` (pre-commit-point; rolled BACK once past
+    * the grace), `version` the member's staged/recorded version (null
+    * for an intent member that never recorded a stage), `published`
+    * whether the member's commit marker exists. Marker metadata only —
+    * no data I/O. Completed groups have no rows (their markers are
+    * gone). */
+  def txnLog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fs = VersionedTable.fsFor(spark, dir)
+    val d = new Path(dir)
+    val rows: Seq[Row] =
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        val mt = new java.sql.Timestamp(st.getModificationTime)
+        if (n.endsWith(".intent")) {
+          val base = n.stripSuffix(".intent")
+          val markerPath = new Path(d, base).toString
+          if (fs.exists(new Path(d, base))) Nil // decision row covers it
+          else {
+            val txt = scala.util.Try(readText(fs, st.getPath))
+              .getOrElse("")
+            val staged: Map[String, Int] =
+              listStagedRecs(fs, markerPath).flatMap { case (_, recTxt) =>
+                scala.util.Try(
+                  parseMarker(recTxt, stagedHeader, markerPath)).toOption
+                  .toSeq.flatten.map { parts =>
+                    SpecFile.b64d(parts(0)) -> parts(1).trim.toInt }
+              }.toMap
+            val members = scala.util.Try(
+              parseMarker(txt, intentHeader, markerPath)).toOption
+              .map(_.map(p => SpecFile.b64d(p(0))))
+              .getOrElse(staged.keys.toSeq.sorted)
+            members.map { r =>
+              Row(base, markerOwner(txt).orNull, "intent", r,
+                staged.get(r).map(Integer.valueOf).orNull,
+                staged.get(r).fold(java.lang.Boolean.FALSE)(v =>
+                  java.lang.Boolean.valueOf(
+                    VersionedTable.isPublished(spark, r, v))), mt)
+            }
+          }
+        } else if (!n.contains(".")) {
+          val markerPath = st.getPath.toString
+          val txt = scala.util.Try(readText(fs, st.getPath)).getOrElse("")
+          scala.util.Try(parseMarker(txt, vectorHeader, markerPath))
+            .toOption.toSeq.flatten.map { parts =>
+              val (r, v) = (SpecFile.b64d(parts(0)), parts(1).trim.toInt)
+              Row(n, markerOwner(txt).orNull, "decision", r,
+                Integer.valueOf(v), java.lang.Boolean.valueOf(
+                  VersionedTable.isPublished(spark, r, v)), mt)
+            }
+        } else Nil
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("marker", StringType, nullable = false),
+        StructField("txn_id", StringType, nullable = true),
+        StructField("state", StringType, nullable = false),
+        StructField("table_root", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = true),
+        StructField("published", BooleanType, nullable = true),
+        StructField("modified_at", TimestampType, nullable = false))))
+  }
+
   /** Complete or retract a crashed [[upsertAtomic]] cycle (idempotent;
     * called automatically by the next cycle). Decision marker present →
     * roll FORWARD: publish every unpublished member of the recorded

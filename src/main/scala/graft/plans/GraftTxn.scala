@@ -69,10 +69,23 @@ object GraftTxn {
 
   def isOpen(spark: SparkSession): Boolean = state.get.containsKey(spark)
 
+  /** The session catalog's transaction-marker directory — every SQL
+    * transaction's intent/decision/staged markers live here, so orphan
+    * recovery and graft_txn_log() can find ALL pending groups without
+    * knowing their table sets. */
+  private[graft] def txnDir(spark: SparkSession): String =
+    new org.apache.hadoop.fs.Path(
+      GraftCatalog.catalogDir(spark), "_txn").toString
+
   def begin(spark: SparkSession): Unit = {
     require(!isOpen(spark),
       "a graft transaction is already open on this thread — COMMIT or " +
         "ROLLBACK it first (transactions do not nest)")
+    // complete any crashed group NOW rather than waiting for the next
+    // COMMIT over the same table set: decisions roll forward, aged
+    // intents roll back; live groups inside the grace are left alone.
+    // One directory listing — BEGIN stays metadata-priced
+    MultiSync.recoverAll(spark, txnDir(spark))
     state.get.put(spark, new State)
   }
 

@@ -696,6 +696,87 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("SQL transaction: a crashed COMMIT is surfaced by graft_txn_log " +
+      "and completed by the NEXT BEGIN — no same-table-set COMMIT " +
+      "needed; pre-decision crashes roll back past the grace") {
+    import graft.ops.MultiSync
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_otxn").toString
+    val (ra, rb) = (s"$dir/a", s"$dir/b")
+    Seq(("dml_otxa", ra), ("dml_otxb", rb)).foreach { case (n, r) =>
+      spark.sql(s"CREATE TABLE $n (id INT, g STRING, v INT) " +
+        s"USING graft LOCATION '$r' PARTITIONED BY (g) " +
+        "TBLPROPERTIES('graft.keys'='id,g')")
+      spark.sql(s"INSERT INTO $n VALUES (1,'a',100)") // v0
+    }
+    try {
+      // crash AT the decision point: the commit is durable, both
+      // publishes pending
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      spark.sql("INSERT INTO dml_otxa VALUES (10,'a',1)")
+      spark.sql("INSERT INTO dml_otxb VALUES (20,'b',2)")
+      MultiSync.crashHook = p =>
+        if (p == "decision") throw new MultiSync.SimulatedCrash(s"boom@$p")
+      try intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
+      finally MultiSync.crashHook = _ => ()
+      val log = spark.sql("SELECT state, table_root, version, published " +
+        "FROM graft_txn_log() ORDER BY table_root").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getBoolean(3))).toSeq
+      assert(log == Seq(("decision", ra, 1, false),
+        ("decision", rb, 1, false)), s"pending group not surfaced: $log")
+      assert(spark.sql("SELECT count(*) FROM dml_otxa").first.getLong(0)
+        == 1L, "nothing visible before recovery")
+      // BEGIN completes the crashed group — decision rolls FORWARD
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      spark.sql("ROLLBACK GRAFT TRANSACTION")
+      assert(spark.sql("SELECT count(*) FROM graft_txn_log()")
+        .first.getLong(0) == 0L, "recovered group must leave the log")
+      assert(spark.sql("SELECT v FROM dml_otxa WHERE id = 10")
+        .first.getInt(0) == 1)
+      assert(spark.sql("SELECT v FROM dml_otxb WHERE id = 20")
+        .first.getInt(0) == 2)
+      // crash BEFORE the decision (member a staged+recorded, b never):
+      // the group surfaces as 'intent' with the recorded version
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      spark.sql("INSERT INTO dml_otxa VALUES (11,'a',3)")
+      spark.sql("INSERT INTO dml_otxb VALUES (21,'b',4)")
+      MultiSync.crashHook = p =>
+        if (p == s"staged:$ra")
+          throw new MultiSync.SimulatedCrash(s"boom@$p")
+      try intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
+      finally MultiSync.crashHook = _ => ()
+      val log2 = spark.sql("SELECT state, table_root, version " +
+        "FROM graft_txn_log() ORDER BY table_root").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+      assert(log2 == Seq(("intent", ra, 2), ("intent", rb, -1)),
+        s"crashed staging not surfaced: $log2")
+      // inside the grace the group is presumed LIVE: BEGIN leaves it
+      spark.conf.set("spark.graft.txn.intentGraceMs", "60000")
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      spark.sql("ROLLBACK GRAFT TRANSACTION")
+      assert(spark.sql("SELECT count(*) FROM graft_txn_log()")
+        .first.getLong(0) == 2L, "in-grace group must be left alone")
+      // past the grace BEGIN rolls it back and releases the claims
+      spark.conf.set("spark.graft.txn.intentGraceMs", "0")
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      spark.sql("ROLLBACK GRAFT TRANSACTION")
+      assert(spark.sql("SELECT count(*) FROM graft_txn_log()")
+        .first.getLong(0) == 0L)
+      assert(spark.sql("SELECT count(*) FROM dml_otxa WHERE id = 11")
+        .first.getLong(0) == 0L, "rolled-back stage must not land")
+      // the released claim admits a plain write again
+      spark.sql("INSERT INTO dml_otxa VALUES (12,'a',5)")
+      assert(spark.sql("SELECT v FROM dml_otxa WHERE id = 12")
+        .first.getInt(0) == 5)
+    } finally {
+      spark.conf.unset("spark.graft.txn.intentGraceMs")
+      spark.sql("DROP TABLE IF EXISTS dml_otxa")
+      spark.sql("DROP TABLE IF EXISTS dml_otxb")
+    }
+  }
+
   test("expectation event log: per-commit violation counts persist in " +
       "the manifest and read back via graft_expect_log + DESCRIBE " +
       "HISTORY across commits") {
