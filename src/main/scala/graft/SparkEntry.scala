@@ -1728,6 +1728,12 @@ object SparkEntry {
     * loads even-user aggregates, the crashed cycle 2 the full
     * recompute. Output = the two destinations joined on event_type;
     * oracle recomputes both aggregates from events. */
+  /** Serializes the two crash-injection queries' use of the
+    * process-global [[MultiSync.crashHook]] under Verify/Bench
+    * parallelism — one query's `finally` reset must not clobber the
+    * other's live injection. */
+  private object crashHookLock
+
   private def qMultiTxn(s: SparkSession, dir: String): DataFrame = {
     val base = "/tmp/graft_multi_txn/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1750,20 +1756,107 @@ object SparkEntry {
         writes(ev(s, dir).filter(col("user_id") % 2 === 0)), marker)
     }
     // cycle 2 crashes between the two publishes; the decision marker
-    // already committed the pair, so recovery completes it
-    MultiSync.crashHook = p =>
-      if (p == s"published:$tSym")
-        throw new IllegalStateException("q_multi_txn injected crash")
-    try {
-      MultiSync.upsertAtomic(s, writes(ev(s, dir)), marker)
-      require(false, "q_multi_txn: crash injection did not propagate")
-    } catch { case e: IllegalStateException
-        if e.getMessage.contains("injected crash") => ()
-    } finally MultiSync.crashHook = _ => ()
+    // already committed the pair, so recovery completes it.
+    // crashHook is a process-global: serialize with the other
+    // hook-using query (q_multi_txn_merge) or a concurrent reset
+    // clobbers this one's injection mid-flight
+    crashHookLock.synchronized {
+      MultiSync.crashHook = p =>
+        if (p == s"published:$tSym")
+          throw new IllegalStateException("q_multi_txn injected crash")
+      try {
+        MultiSync.upsertAtomic(s, writes(ev(s, dir)), marker)
+        require(false, "q_multi_txn: crash injection did not propagate")
+      } catch { case e: IllegalStateException
+          if e.getMessage.contains("injected crash") => ()
+      } finally MultiSync.crashHook = _ => ()
+    }
     MultiSync.recoverAtomic(s, marker)
     require(VersionedTable.currentVersion(s, tSym).contains(1) &&
       VersionedTable.currentVersion(s, tDay).contains(1),
       "q_multi_txn: recovery did not land the pair at v1")
+    VersionedTable.read(s, tSym)
+      .join(VersionedTable.read(s, tDay), "event_type")
+      .select(col("event_type"), col("date"), col("n_events"),
+        col("sum_users"), col("n_day"))
+  }
+
+  /** [[qMultiTxn]]'s SQL twin through DEFERRED CANONICAL MERGEs — the
+    * reference DAG's exact statement shape (two MERGEs per cycle,
+    * load_stream_to_snowflake.py:281-305 + load_to_snowflake.py:
+    * 212-231) inside one `BEGIN / MERGE / MERGE / COMMIT GRAFT
+    * TRANSACTION`. Both MERGEs defer (return -1), COMMIT is crashed AT
+    * the decision point (commit durable, publishes pending), and the
+    * NEXT `BEGIN` completes the pair — the orphan-recovery leg, no
+    * same-table-set COMMIT needed. In-query guards pin deferral,
+    * non-visibility at the crash, and the recovered version vector.
+    * Output and oracle are the full-recompute aggregates, as in
+    * q_multi_txn. */
+  private def qMultiTxnMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_multi_txn_merge/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (tSym, tDay) = (s"$base/sym", s"$base/day")
+    def symAgg(events: DataFrame) = events.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_users"))
+    def dayAgg(events: DataFrame) = events.groupBy(col("event_type"),
+      to_date(col("ts")).as("date")).agg(count(lit(1)).as("n_day"))
+    fixture {
+      rmrf(s, base)
+      // a crashed PRIOR run's marker group would otherwise surface at
+      // this run's BEGIN naming freshly-rmrf'd tables
+      val marker = graft.plans.GraftTxn.markerFor(s, Seq(tSym, tDay))
+      val fs = VersionedTable.fsFor(s, marker)
+      fs.globStatus(new org.apache.hadoop.fs.Path(marker + "*"))
+        .foreach(st => fs.delete(st.getPath, false))
+      val evens = ev(s, dir).filter(col("user_id") % 2 === 0)
+      VersionedTable.upsert(s, tSym, symAgg(evens),
+        Seq("event_type"), Seq("event_type"))
+      VersionedTable.upsert(s, tDay, dayAgg(evens),
+        Seq("event_type", "date"), Seq("date"))
+    }
+    symAgg(ev(s, dir)).createOrReplaceTempView("mtm_sym_src")
+    dayAgg(ev(s, dir)).createOrReplaceTempView("mtm_day_src")
+    s.sql("BEGIN GRAFT TRANSACTION")
+    require(s.sql(
+      s"""MERGE INTO graft.`$tSym` t USING mtm_sym_src s
+         |ON t.event_type = s.event_type
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .first.getInt(0) == -1, "q_multi_txn_merge: MERGE must defer")
+    require(s.sql(
+      s"""MERGE INTO graft.`$tDay` t USING mtm_day_src s
+         |ON t.event_type = s.event_type AND t.date = s.date
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .first.getInt(0) == -1, "q_multi_txn_merge: MERGE must defer")
+    // crashHook is process-global: serialize with q_multi_txn (see
+    // crashHookLock) so a concurrent reset cannot clobber the injection
+    crashHookLock.synchronized {
+      MultiSync.crashHook = p =>
+        if (p == "decision")
+          throw new IllegalStateException(
+            "q_multi_txn_merge injected crash")
+      try {
+        s.sql("COMMIT GRAFT TRANSACTION")
+        require(false,
+          "q_multi_txn_merge: crash injection did not propagate")
+      } catch { case e: Throwable =>
+        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+        require(msgs.contains("injected crash"),
+          s"q_multi_txn_merge: unexpected COMMIT failure: $e")
+      } finally MultiSync.crashHook = _ => ()
+    }
+    require(VersionedTable.currentVersion(s, tSym).contains(0) &&
+      VersionedTable.currentVersion(s, tDay).contains(0),
+      "q_multi_txn_merge: the crash must publish nothing")
+    // the NEXT BEGIN completes the crashed group (decision rolls
+    // forward) — orphan recovery, not a same-table-set COMMIT
+    s.sql("BEGIN GRAFT TRANSACTION")
+    s.sql("ROLLBACK GRAFT TRANSACTION")
+    require(VersionedTable.currentVersion(s, tSym).contains(1) &&
+      VersionedTable.currentVersion(s, tDay).contains(1),
+      "q_multi_txn_merge: BEGIN recovery did not land the pair at v1")
     VersionedTable.read(s, tSym)
       .join(VersionedTable.read(s, tDay), "event_type")
       .select(col("event_type"), col("date"), col("n_events"),
@@ -4957,6 +5050,7 @@ object SparkEntry {
     "q_matview_join" -> (qMatviewJoin _),
     "q_snapshot_sync" -> (qSnapshotSync _),
     "q_multi_txn" -> (qMultiTxn _),
+    "q_multi_txn_merge" -> (qMultiTxnMerge _),
     "q_versioned_skip" -> (qVersionedSkip _),
     "q_versioned_bloom" -> (qVersionedBloom _),
     "q_versioned_scan_rule" -> (qVersionedScanRule _),
@@ -7703,6 +7797,23 @@ object SparkEntry {
     // the atomic pair's FINAL state is the full recompute, however the
     // crashed cycle was recovered — both aggregates from raw events
     "q_multi_txn" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    CAST(sum(user_id) AS BIGINT) AS sum_users
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date,
+        |    count(*) AS n_day
+        |  FROM e GROUP BY 1, 2)
+        |SELECT s.event_type, d.date, s.n_events, s.sum_users, d.n_day
+        |FROM s JOIN d ON s.event_type = d.event_type""".stripMargin,
+
+    // same final state as q_multi_txn: the SQL-transaction MERGE pair's
+    // recovery lands the full recompute, however the cycle crashed
+    "q_multi_txn_merge" ->
       """WITH e AS (
         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id
         |  FROM events),

@@ -1328,7 +1328,6 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "MERGE")
-    GraftTxn.requireNone(spark, "MERGE")
     val m = VersionedTable.resolveManifest(spark, root, None)
     val (statsCols, bloomCols) = VersionedTable.coveredIndexCols(m)
     val src0 = PlanBridge.dataFrame(spark, source)
@@ -1372,11 +1371,26 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
       else (GraftCatalog.withBucket(aligned0,
         m.keys.filterNot(_ == GraftCatalog.BucketCol)),
         keys :+ GraftCatalog.BucketCol)
-    // upsert returns the EXACT version this merge committed — reading
-    // currentVersion afterwards could report a concurrent disjoint
-    // writer's later commit instead
-    Seq(Row(VersionedTable.upsert(spark, root, aligned, allKeys,
-      m.partCols, statsCols = statsCols, bloomCols = bloomCols)))
+    // inside an open graft transaction the canonical MERGE is exactly a
+    // keyed upsert — the same stageable shape as a deferred INSERT, and
+    // the reference's own DAG cycle is two MERGEs per cycle
+    // (load_to_snowflake.py:212-231 + load_stream_to_snowflake.py:
+    // 281-305) — so it DEFERS into the atomic group (version -1 until
+    // COMMIT publishes the whole vector); the clause-matrix MERGE still
+    // refuses (conditional rewrites are not a stageable keyed upsert)
+    if (GraftTxn.isOpen(spark)) {
+      val display = GraftCatalog.list(spark)
+        .find(_.root == VersionedTable.splitRef(root)._1)
+        .map(_.name).getOrElse(root)
+      GraftTxn.defer(spark, display, graft.ops.MultiSync.TableWrite(
+        root, aligned, allKeys, m.partCols, statsCols, bloomCols))
+      Seq(Row(-1))
+    } else
+      // upsert returns the EXACT version this merge committed — reading
+      // currentVersion afterwards could report a concurrent disjoint
+      // writer's later commit instead
+      Seq(Row(VersionedTable.upsert(spark, root, aligned, allKeys,
+        m.partCols, statsCols = statsCols, bloomCols = bloomCols)))
   }
 }
 
@@ -2948,7 +2962,8 @@ case class GraftMergeClausesCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.requireNotView(spark, root, "MERGE")
-    GraftTxn.requireNone(spark, "MERGE")
+    GraftTxn.requireNone(spark, "clause-matrix MERGE (canonical " +
+      "UPDATE SET * / INSERT * MERGE defers)")
     val src = PlanBridge.dataFrame(spark, source)
     val sCols = src.columns.toSeq
     val m = VersionedTable.resolveManifest(spark, root, None)

@@ -33,11 +33,14 @@ import graft.ops.MultiSync
  *    SCOPE: an INSERT landing on a foreign thread commits immediately
  *    as a plain upsert — pin the script to one thread (every local
  *    `spark.sql` flow already is) before using transactions there;
- *  - only keyed `INSERT INTO` on an EXISTING graft table defers —
- *    INSERT OVERWRITE, first-writes to empty tables, UPDATE / DELETE /
- *    MERGE / TRUNCATE inside an open transaction refuse loudly rather
- *    than silently running non-transactionally;
- *  - one INSERT per table per transaction (two INSERTs into one table
+ *  - only STAGEABLE KEYED UPSERTS on an EXISTING graft table defer:
+ *    `INSERT INTO` and canonical `MERGE INTO ... WHEN MATCHED THEN
+ *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (the reference's own
+ *    DAG cycle is two MERGEs). INSERT OVERWRITE, first-writes to empty
+ *    tables, UPDATE / DELETE / clause-matrix MERGE / TRUNCATE inside an
+ *    open transaction refuse loudly rather than silently running
+ *    non-transactionally;
+ *  - one write per table per transaction (two writes into one table
  *    would be order-dependent within a single staged version);
  *  - deferred sources EVALUATE at COMMIT (standard lazy-frame
  *    semantics): a temp view mutated between INSERT and COMMIT
@@ -77,6 +80,18 @@ object GraftTxn {
     new org.apache.hadoop.fs.Path(
       GraftCatalog.catalogDir(spark), "_txn").toString
 
+  /** The marker path a transaction over `roots` uses — md5 of the
+    * SORTED table set, so a crashed COMMIT is also recovered by the
+    * next COMMIT over the same set (BEGIN recovers regardless). */
+  private[graft] def markerFor(spark: SparkSession,
+                               roots: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(roots.sorted.mkString("\u0000")
+        .getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(txnDir(spark), md).toString
+  }
+
   def begin(spark: SparkSession): Unit = {
     require(!isOpen(spark),
       "a graft transaction is already open on this thread — COMMIT or " +
@@ -89,13 +104,13 @@ object GraftTxn {
     state.get.put(spark, new State)
   }
 
-  /** Queue a deferred INSERT. Loud on a duplicate target. */
+  /** Queue a deferred INSERT/MERGE. Loud on a duplicate target. */
   private[plans] def defer(spark: SparkSession, display: String,
                            w: MultiSync.TableWrite): Unit = {
     val st = state.get.get(spark)
     require(st != null, "no open graft transaction") // guarded by caller
     require(!st.writes.exists(_._2.root == w.root),
-      s"the transaction already writes $display — one INSERT per " +
+      s"the transaction already writes $display — one write per " +
         "table per transaction")
     st.writes += ((display, w))
   }
@@ -104,7 +119,7 @@ object GraftTxn {
   private[plans] def requireNone(spark: SparkSession, what: String): Unit =
     require(!isOpen(spark),
       s"$what cannot run inside a graft transaction — only INSERT " +
-        "INTO defers; COMMIT or ROLLBACK first")
+        "INTO and canonical MERGE defer; COMMIT or ROLLBACK first")
 
   /** Discard the open transaction; returns how many deferred writes
     * were dropped. */
@@ -126,12 +141,7 @@ object GraftTxn {
     val st = state.get.get(spark)
     require(st != null, "COMMIT without an open graft transaction")
     if (st.writes.isEmpty) { state.get.remove(spark); return Seq.empty }
-    val roots = st.writes.map(_._2.root).sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(roots.mkString("\u0000").getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    val marker = new org.apache.hadoop.fs.Path(
-      GraftCatalog.catalogDir(spark), s"_txn/$md").toString
+    val marker = markerFor(spark, st.writes.map(_._2.root).toSeq)
     val versions =
       try MultiSync.upsertAtomic(spark, st.writes.map(_._2).toSeq, marker)
       catch {

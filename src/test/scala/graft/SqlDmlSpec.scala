@@ -777,6 +777,86 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("SQL transaction: canonical MERGE defers into the atomic group " +
+      "— two-table MERGE pair commits all-or-nothing (abort retracts " +
+      "both); the clause-matrix MERGE still refuses") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_mtxn").toString
+    val (ra, rb) = (s"$dir/a", s"$dir/b")
+    Seq(("dml_mtxa", ra), ("dml_mtxb", rb)).foreach { case (n, r) =>
+      spark.sql(s"CREATE TABLE $n (id INT, g STRING, v INT) " +
+        s"USING graft LOCATION '$r' PARTITIONED BY (g) " +
+        "TBLPROPERTIES('graft.keys'='id,g')")
+      spark.sql(s"INSERT INTO $n VALUES (1,'a',100)") // v0
+    }
+    try {
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      // canonical MERGE defers: update id=1 in a, insert id=2 in b
+      assert(spark.sql(
+        """MERGE INTO dml_mtxa t
+          |USING (SELECT 1 AS id, 'a' AS g, 111 AS v) s
+          |ON t.id = s.id AND t.g = s.g
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .first.getInt(0) == -1, "canonical MERGE must defer")
+      assert(spark.sql(
+        """MERGE INTO dml_mtxb t
+          |USING (SELECT 2 AS id, 'b' AS g, 222 AS v) s
+          |ON t.id = s.id AND t.g = s.g
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .first.getInt(0) == -1)
+      // the clause matrix is NOT a stageable keyed upsert: refuse
+      val bad = intercept[Exception](spark.sql(
+        """MERGE INTO dml_mtxa t
+          |USING (SELECT 1 AS id, 'a' AS g, 0 AS v) s
+          |ON t.id = s.id AND t.g = s.g
+          |WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(bad.getMessage.contains("graft transaction"), bad.getMessage)
+      // nothing visible before COMMIT
+      assert(spark.sql("SELECT v FROM dml_mtxa WHERE id = 1")
+        .first.getInt(0) == 100)
+      val committed = spark.sql("COMMIT GRAFT TRANSACTION").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(committed == Map("dml_mtxa" -> 1, "dml_mtxb" -> 1),
+        s"MERGE pair must publish together at v1: $committed")
+      assert(spark.sql("SELECT v FROM dml_mtxa WHERE id = 1")
+        .first.getInt(0) == 111, "matched UPDATE SET * must apply")
+      assert(spark.sql("SELECT v FROM dml_mtxb WHERE id = 2")
+        .first.getInt(0) == 222, "not-matched INSERT * must apply")
+      // in-process abort (CHECK violation in member b) retracts BOTH
+      // members — the pair can never land half-applied
+      spark.sql("ALTER TABLE dml_mtxb ADD CONSTRAINT v_pos CHECK (v > 0)")
+      spark.sql("BEGIN GRAFT TRANSACTION")
+      spark.sql(
+        """MERGE INTO dml_mtxa t
+          |USING (SELECT 1 AS id, 'a' AS g, 333 AS v) s
+          |ON t.id = s.id AND t.g = s.g
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(
+        """MERGE INTO dml_mtxb t
+          |USING (SELECT 2 AS id, 'b' AS g, -9 AS v) s
+          |ON t.id = s.id AND t.g = s.g
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
+      assert(spark.sql("SELECT v FROM dml_mtxa WHERE id = 1")
+        .first.getInt(0) == 111, "aborted member must not land")
+      // nothing stays staged/locked: a plain MERGE proceeds
+      assert(spark.sql(
+        """MERGE INTO dml_mtxa t
+          |USING (SELECT 3 AS id, 'a' AS g, 444 AS v) s
+          |ON t.id = s.id AND t.g = s.g
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .first.getInt(0) == 2, "plain MERGE outside txn returns version")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_mtxa")
+      spark.sql("DROP TABLE IF EXISTS dml_mtxb")
+    }
+  }
+
   test("expectation event log: per-commit violation counts persist in " +
       "the manifest and read back via graft_expect_log + DESCRIBE " +
       "HISTORY across commits") {
