@@ -2134,25 +2134,43 @@ object VersionedTable {
       new Path(tableRoot(root), manifestName(root, version)))
 
   /** The raw-file serving plan for a CDC initial load pinned at
-    * `version`: Some((files, partSchema)) when the snapshot IS exactly
-    * its live parquet files — no deletion vectors, no renamed columns,
-    * no initial-default backfills — so a DSv2 reader can serve them
-    * directly (zero-copy) instead of staging a full table copy. Each
-    * file carries its dir's partition-path value fragments (still
+    * `version`: Some((files, partSchema)) when the snapshot IS its live
+    * parquet files minus deletion-vector positions — no renamed
+    * columns, no initial-default backfills — so a DSv2 reader can serve
+    * them directly (zero-copy) instead of staging a full table copy.
+    * Each file carries its dir's partition-path value fragments (still
     * path-escaped; the consumer unescapes/casts), aligned to
-    * `partSchema` = the partition columns as schema fields. None when
-    * any row-level fidelity machinery is in play — the caller falls
-    * back to the read path, which applies it. Planning cost: one
-    * listStatus per live dir, the same listing the staged path's write
-    * would do. */
+    * `partSchema` = the partition columns as schema fields, PLUS its
+    * sorted DV positions (empty for most files): the consumer skips
+    * exactly those row indices in-plan — `_metadata.row_index`
+    * semantics, which a whole-file unsplit, unfiltered parquet read
+    * reproduces by row counting. None when renames/defaults are in
+    * play — the caller falls back to the read path, which applies
+    * them. Planning cost: one listStatus per live dir plus the DV
+    * sidecar slices (bounded by |deleted rows|, the DV design cap) —
+    * never a table-sized copy. */
   private[graft] def rawSnapshotFiles(spark: SparkSession, root: String,
                                       version: Int)
-      : Option[(Seq[(String, Long, Long, Seq[String])], StructType,
-                StructType)] = {
+      : Option[(Seq[(String, Long, Long, Seq[String], Seq[Long])],
+                StructType, StructType)] = {
     val m = resolveManifestAt(spark, root, version, version)
-    if (m.dvs.nonEmpty || hasRenames(m.schema) ||
+    if (hasRenames(m.schema) ||
         initialDefaults(m.schema).nonEmpty) return None
-    rawDirFiles(spark, root, m.mapping.toSeq.sortBy(_._1), m.partCols)
+    val fs = fsFor(spark, root)
+    val depth = m.partCols.length + 2
+    // the SAME key derivation fileKeyCol applies to _metadata.file_path
+    // (last `depth` segments, percent-decoded with the '+' guard), so
+    // DV lookups here can never drift from how the DVs were recorded
+    def dvPosFor(path: String): Seq[Long] =
+      if (m.dvs.isEmpty) Nil
+      else {
+        val key = java.net.URLDecoder.decode(
+          path.split("/").takeRight(depth).mkString("/")
+            .replace("+", "%2B"), "UTF-8")
+        m.dvFor(fs, root, key).fold(Seq.empty[Long])(_.toSeq.sorted)
+      }
+    rawDirFiles(spark, root, m.mapping.toSeq.sortBy(_._1), m.partCols,
+        dvPosFor)
       .map(files => (files,
         StructType(m.partCols.map(c => m.schema(c))), m.schema))
   }
@@ -2160,13 +2178,16 @@ object VersionedTable {
   /** Shared dir-validation + listing of the raw CDC legs: each rel must
     * map 1:1 onto `partCols` as `col=value` segments (Spark's
     * partitionBy layout, values still path-escaped); None when any rel
-    * doesn't — the caller falls back to the read path. */
+    * doesn't — the caller falls back to the read path. `dvPos` supplies
+    * each file's deletion-vector positions (snapshot leg; the
+    * append-diff leg serves only DV-free files). */
   private def rawDirFiles(spark: SparkSession, root: String,
                           dirs: Seq[(String, String)],
-                          partCols: Seq[String])
-      : Option[Seq[(String, Long, Long, Seq[String])]] = {
+                          partCols: Seq[String],
+                          dvPos: String => Seq[Long] = _ => Nil)
+      : Option[Seq[(String, Long, Long, Seq[String], Seq[Long])]] = {
     val fs = fsFor(spark, root)
-    val files = Seq.newBuilder[(String, Long, Long, Seq[String])]
+    val files = Seq.newBuilder[(String, Long, Long, Seq[String], Seq[Long])]
     dirs.foreach { case (rel, gen) =>
       val segs = if (rel.isEmpty) Array.empty[String] else rel.split("/")
       if (segs.length != partCols.length ||
@@ -2177,7 +2198,7 @@ object VersionedTable {
       fs.listStatus(new Path(tableRoot(root), s"$gen/$rel"))
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .foreach(s => files += ((s.getPath.toString, s.getLen,
-          s.getModificationTime, vals)))
+          s.getModificationTime, vals, dvPos(s.getPath.toString))))
     }
     Some(files.result())
   }
@@ -2198,8 +2219,8 @@ object VersionedTable {
     * read path (changeFeedCdf), which computes the general diff. */
   private[graft] def rawAppendDiffFiles(spark: SparkSession, root: String,
                                         from: Int, to: Int)
-      : Option[(Seq[(String, Long, Long, Seq[String])], StructType,
-                StructType)] = {
+      : Option[(Seq[(String, Long, Long, Seq[String], Seq[Long])],
+                StructType, StructType)] = {
     val mf = resolveManifestAt(spark, root, from, from)
     val mt = resolveManifestAt(spark, root, to, to)
     if (mf.dvs.nonEmpty || mt.dvs.nonEmpty || hasRenames(mt.schema) ||

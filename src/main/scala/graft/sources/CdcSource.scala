@@ -265,12 +265,16 @@ private[sources] class CdcMicroBatchStream(spark: SparkSession,
 
   /** Zero-copy snapshot wing, laid out at stream construction from the
     * table's current partitioning: when the initial-load version's
-    * manifest needs no row-level fidelity machinery (no deletion
-    * vectors / renames / default backfills — [[VersionedTable
-    * .rawSnapshotFiles]]), the first batch serves the table's OWN live
-    * parquet files directly instead of staging a full snapshot copy,
-    * with (op, _commit_version, visible partition cols) injected as
-    * per-file constants and the output permuted to the served order.
+    * manifest needs no schema-level fidelity machinery (no renames /
+    * default backfills — [[VersionedTable.rawSnapshotFiles]]), the
+    * first batch serves the table's OWN live parquet files directly
+    * instead of staging a full snapshot copy, with (op,
+    * _commit_version, visible partition cols) injected as per-file
+    * constants and the output permuted to the served order. Deletion
+    * vectors no longer force staging: a DV-carrying file becomes a
+    * single-file row-path partition whose reader skips the deleted
+    * row indices in-plan ([[org.apache.spark.sql.graftbridge
+    * .FileStreamBridge.CdcSnapshotDvPartition]]).
     * Fields: (full partition schema — the equality guard against a
     * layout change between construction and the first batch, visible
     * partition schema, visible indices within partCols, the snapshot
@@ -406,11 +410,12 @@ private[sources] class CdcMicroBatchStream(spark: SparkSession,
     val (from, to) = (version(start), version(end))
     if (from >= to) return Array.empty
     // ZERO-COPY legs: the initial load (below v0) serves the pinned
-    // snapshot's OWN live files when they ARE the snapshot, and an
-    // APPEND-ONLY transition (the streaming-ingest shape: whole new
-    // partition dirs, nothing else touched) serves exactly the new
-    // dirs' files — never a staged copy. Any fidelity machinery
-    // (DVs/renames/defaults), a general diff, or a layout drifted from
+    // snapshot's OWN live files when they ARE the snapshot (deletion
+    // vectors apply IN-PLAN — DV files read row-path with their
+    // positions skipped), and an APPEND-ONLY transition (the
+    // streaming-ingest shape: whole new partition dirs, nothing else
+    // touched) serves exactly the new dirs' files — never a staged
+    // copy. Renames/defaults, a general diff, or a layout drifted from
     // construction falls back to staging through the read path.
     snapWing.foreach { case (fullPs, vps, vIdx, _, _) =>
       val raw =
@@ -424,8 +429,8 @@ private[sources] class CdcMicroBatchStream(spark: SparkSession,
             servedMatches(schemaAtTo) =>
           return org.apache.spark.sql.graftbridge.FileStreamBridge
             .cdcSnapshotPartitions(spark,
-              files.map { case (p, l, mt, vals) =>
-                (p, l, mt, vIdx.map(vals)) },
+              files.map { case (p, l, mt, vals, dv) =>
+                (p, l, mt, vIdx.map(vals), dv) },
               vps, "insert", to.toInt)
         case _ => ()
       }

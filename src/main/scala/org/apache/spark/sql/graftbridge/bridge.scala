@@ -68,7 +68,26 @@ object FileStreamBridge {
     * served column order by [[cdcReaderFactory]]. Staged-batch
     * partitions stay bare FilePartitions; one delegating factory
     * serves both kinds. */
-  case class CdcSnapshotPartition(inner: InputPartition)
+  /** `forceRow`: Spark refuses to mix row-based and columnar input
+    * partitions in one scan, so when the batch contains ANY DV
+    * partition (row-path by necessity) its DV-free siblings read
+    * row-path too; DV-free snapshots keep full columnar reads. */
+  case class CdcSnapshotPartition(inner: InputPartition,
+                                  forceRow: Boolean = false)
+      extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** A zero-copy snapshot partition whose ONE whole file carries a
+    * deletion vector: `positions` (sorted, `_metadata.row_index`
+    * semantics) are skipped by the reader as it counts rows. Always a
+    * SINGLE unsplit file — row indices are only reproducible by
+    * counting when the read starts at row 0 and no filter skips rows —
+    * and always read through the row path (a columnar batch cannot
+    * drop interior rows without a selection vector). */
+  case class CdcSnapshotDvPartition(inner: InputPartition,
+                                    positions: Array[Long])
       extends InputPartition {
     override def preferredLocations(): Array[String] =
       inner.preferredLocations()
@@ -80,9 +99,11 @@ object FileStreamBridge {
     * `partVals` are still path-escaped fragments; they unescape and
     * cast to `visibleParts`' types here (Spark's own partition-path
     * semantics: unescapePathName + string cast, default-partition →
-    * null). */
+    * null). Files carrying deletion-vector positions become single-file
+    * [[CdcSnapshotDvPartition]]s (row-path, skip-by-count); DV-free
+    * files bin-pack and keep columnar reads. */
   def cdcSnapshotPartitions(spark: SparkSession,
-      files: Seq[(String, Long, Long, Seq[String])],
+      files: Seq[(String, Long, Long, Seq[String], Seq[Long])],
       visibleParts: StructType, op: String, version: Int)
       : Array[InputPartition] = {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -97,7 +118,8 @@ object FileStreamBridge {
       else Cast(Literal(UTF8String.fromString(un),
         org.apache.spark.sql.types.StringType), dt, tz).eval(null)
     }
-    val pfiles = files.map { case (path, len, mtime, vals) =>
+    def pfile(path: String, len: Long, mtime: Long,
+              vals: Seq[String]): PartitionedFile = {
       val consts: Seq[Any] =
         UTF8String.fromString(op) +: (version: Any) +:
           vals.zip(visibleParts.fields.toSeq).map { case (v, f) =>
@@ -106,9 +128,19 @@ object FileStreamBridge {
         org.apache.spark.paths.SparkPath.fromPathString(path),
         0L, len, Array.empty, mtime, len)
     }
-    FilePartition.getFilePartitions(spark, pfiles,
-        FilePartition.maxSplitBytes(spark, files.map(_._2).sum))
-      .map(fp => CdcSnapshotPartition(fp): InputPartition).toArray
+    val (dvd, plain) = files.partition(_._5.nonEmpty)
+    val packed = FilePartition.getFilePartitions(spark,
+        plain.map { case (p, l, mt, vals, _) => pfile(p, l, mt, vals) },
+        FilePartition.maxSplitBytes(spark, plain.map(_._2).sum))
+      .map(fp => CdcSnapshotPartition(fp,
+        forceRow = dvd.nonEmpty): InputPartition)
+    val dvParts = dvd.zipWithIndex.map {
+      case ((p, l, mt, vals, pos), i) =>
+        CdcSnapshotDvPartition(
+          FilePartition(packed.length + i, Array(pfile(p, l, mt, vals))),
+          pos.toArray): InputPartition
+    }
+    (packed ++ dvParts).toArray
   }
 
   /** The graft-cdc stream's ONE reader factory over both batch kinds:
@@ -193,7 +225,7 @@ private class CdcDelegatingReaderFactory(
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = p match {
-    case FileStreamBridge.CdcSnapshotPartition(inner) =>
+    case FileStreamBridge.CdcSnapshotPartition(inner, _) =>
       val in = snap.createReader(inner)
       new PartitionReader[InternalRow] {
         // built HERE (executor): projections are not serializable
@@ -204,19 +236,45 @@ private class CdcDelegatingReaderFactory(
         override def get(): InternalRow = proj(in.get())
         override def close(): Unit = in.close()
       }
+    case FileStreamBridge.CdcSnapshotDvPartition(inner, positions) =>
+      // one WHOLE file, no filters: sequential row counting reproduces
+      // _metadata.row_index exactly, so skipping `positions` applies
+      // the deletion vector in-plan — no staged post-delete copy
+      val in = snap.createReader(inner)
+      new PartitionReader[InternalRow] {
+        private val proj = UnsafeProjection.create(
+          perm.zip(servedTypes).map { case (i, dt) =>
+            BoundReference(i, dt, nullable = true) }.toSeq)
+        private var rowIdx = -1L
+        private var dvPtr = 0
+        override def next(): Boolean = {
+          while (in.next()) {
+            rowIdx += 1
+            while (dvPtr < positions.length && positions(dvPtr) < rowIdx)
+              dvPtr += 1
+            if (dvPtr >= positions.length || positions(dvPtr) != rowIdx)
+              return true
+          }
+          false
+        }
+        override def get(): InternalRow = proj(in.get())
+        override def close(): Unit = in.close()
+      }
     case _ => staged.createReader(p)
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     p match {
-      case FileStreamBridge.CdcSnapshotPartition(inner) =>
-        snap.supportColumnarReads(inner)
+      case FileStreamBridge.CdcSnapshotPartition(inner, forceRow) =>
+        !forceRow && snap.supportColumnarReads(inner)
+      case _: FileStreamBridge.CdcSnapshotDvPartition =>
+        false // interior-row skips need the counting row path
       case _ => staged.supportColumnarReads(p)
     }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] = p match {
-    case FileStreamBridge.CdcSnapshotPartition(inner) =>
+    case FileStreamBridge.CdcSnapshotPartition(inner, _) =>
       val in = snap.createColumnarReader(inner)
       new PartitionReader[ColumnarBatch] {
         override def next(): Boolean = in.next()

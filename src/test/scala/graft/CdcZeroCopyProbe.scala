@@ -9,13 +9,15 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.ops.VersionedTable
 
 /** Scale evidence for the zero-copy CDC initial load: attach a
-  * graft-cdc stream to a table and drain the bootstrap batch, once
-  * against a CLEAN manifest (zero-copy: the batch serves the table's
-  * own files) and once against the same data carrying one deletion
-  * vector (fidelity fallback: the batch stages a full snapshot copy
-  * under the checkpoint). The staged leg's checkpoint bytes grow with
-  * the TABLE; the zero-copy leg's stay flat at metadata size — the
-  * separation that makes a 100 TB attach read its data exactly once.
+  * graft-cdc stream to a table and drain the bootstrap batch, against
+  * a CLEAN manifest (zero-copy: the batch serves the table's own
+  * files), against the same data carrying one deletion vector (round
+  * 11: ALSO zero-copy — the DV file reads row-path with its deleted
+  * positions skipped in-plan), and against a staged-path control (a
+  * renamed column, which genuinely needs the read path) whose
+  * checkpoint bytes grow with the TABLE. Both zero-copy legs' stay
+  * flat at metadata size — the separation that makes a 100 TB attach
+  * read its data exactly once, deletion vectors or not.
   *
   * Usage: Test/runMain graft.CdcZeroCopyProbe [sfDir] [copies]
   */
@@ -30,7 +32,6 @@ object CdcZeroCopyProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
     def duBytes(p: java.nio.file.Path): Long = {
       val total = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -39,17 +40,18 @@ object CdcZeroCopyProbe {
       total.get
     }
 
-    def drainWall(table: String, ckpt: String): Double = {
+    def drainWall(table: String, ckpt: String): (Double, Long) = {
+      val rows = new java.util.concurrent.atomic.AtomicLong(0L)
       val t0 = System.nanoTime()
       val q = spark.readStream.format("graft-cdc")
         .option("table", table).load()
         .writeStream.option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.select(count(lit(1))).collect(); ()
+          rows.addAndGet(b.count()); ()
         }.start()
       assert(q.awaitTermination(300000), "drain timed out")
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, rows.get)
     }
 
     val docs0 = spark.read.parquet(s"$dir/documents.parquet")
@@ -60,31 +62,51 @@ object CdcZeroCopyProbe {
         docs0.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
         .reduce(_.unionByName(_))
       val n = docs.count()
-      // CLEAN table: the initial load is zero-copy
+      // CLEAN table: the initial load is zero-copy (columnar)
       val cleanRoot = base.resolve("clean").toString
       VersionedTable.upsert(spark, cleanRoot, docs,
         Seq("doc_id", "lang"), Seq("lang"))
       spark.sql(s"CREATE TABLE cdczc_clean_$c USING graft " +
         s"LOCATION '$cleanRoot'")
       val ckptC = base.resolve("ckptC")
-      val wallC = drainWall(s"cdczc_clean_$c", ckptC.toString)
+      val (wallC, rowsC) = drainWall(s"cdczc_clean_$c", ckptC.toString)
       val bytesC = duBytes(ckptC)
-      // SAME data + ONE deletion vector: fidelity fallback stages the
-      // whole snapshot under the checkpoint
+      // SAME data + deletion vectors: STILL zero-copy (round 11) — DV
+      // files read row-path with positions skipped; the checkpoint must
+      // stay metadata-sized and the rows must equal the read path's
       val dvRoot = base.resolve("dv").toString
       VersionedTable.upsert(spark, dvRoot, docs,
         Seq("doc_id", "lang"), Seq("lang"))
-      VersionedTable.deleteWhereDV(spark, dvRoot, "doc_id", 0L, 0L)
+      VersionedTable.deleteWhereDV(spark, dvRoot, "doc_id", 0L, 4L)
       spark.sql(s"CREATE TABLE cdczc_dv_$c USING graft " +
         s"LOCATION '$dvRoot'")
       val ckptD = base.resolve("ckptD")
-      val wallD = drainWall(s"cdczc_dv_$c", ckptD.toString)
+      val (wallD, rowsD) = drainWall(s"cdczc_dv_$c", ckptD.toString)
       val bytesD = duBytes(ckptD)
+      val expectD = VersionedTable.read(spark, dvRoot).count()
+      assert(rowsD == expectD,
+        s"DV zero-copy delivered $rowsD rows, read path has $expectD")
+      // STAGED control (a renamed column genuinely needs the read
+      // path): its checkpoint carries a full snapshot copy — the
+      // growth the DV leg no longer pays
+      val stRoot = base.resolve("staged").toString
+      VersionedTable.upsert(spark, stRoot, docs,
+        Seq("doc_id", "lang"), Seq("lang"))
+      VersionedTable.renameColumn(spark, stRoot, "text", "body")
+      spark.sql(s"CREATE TABLE cdczc_st_$c USING graft " +
+        s"LOCATION '$stRoot'")
+      val ckptS = base.resolve("ckptS")
+      val (wallS, _) = drainWall(s"cdczc_st_$c", ckptS.toString)
+      val bytesS = duBytes(ckptS)
       println(f"CDC_ZEROCOPY_PROBE copies=$c rows=$n " +
         f"zero_copy_wall=$wallC%.1fs zero_copy_ckpt_kb=${bytesC / 1024} " +
-        f"staged_wall=$wallD%.1fs staged_ckpt_kb=${bytesD / 1024}")
+        f"dv_zero_copy_wall=$wallD%.1fs dv_ckpt_kb=${bytesD / 1024} " +
+        f"dv_rows=$rowsD " +
+        f"staged_wall=$wallS%.1fs staged_ckpt_kb=${bytesS / 1024}")
+      assert(rowsC == n, s"clean leg delivered $rowsC of $n rows")
       spark.sql(s"DROP TABLE cdczc_clean_$c")
       spark.sql(s"DROP TABLE cdczc_dv_$c")
+      spark.sql(s"DROP TABLE cdczc_st_$c")
     }
     spark.stop()
   }

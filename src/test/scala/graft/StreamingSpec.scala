@@ -507,7 +507,8 @@ class StreamingSpec extends SparkSpec {
 
   test("graft-cdc initial load is ZERO-COPY: the first batch serves " +
       "the table's own live files (no staged snapshot dir); diff " +
-      "batches stage; a DV-bearing snapshot falls back to staging") {
+      "batches stage; a DV-bearing snapshot stays zero-copy with the " +
+      "deleted rows skipped in-plan") {
     import graft.ops.VersionedTable
     val base = Files.createTempDirectory("graft_cdc_zerocopy")
     def stagedRoot(ckpt: java.nio.file.Path) =
@@ -568,23 +569,33 @@ class StreamingSpec extends SparkSpec {
       s"diff batch wrong: $rows2")
     assert(java.nio.file.Files.exists(stagedRoot(ckpt)),
       "diff batch did not go through the staged path")
-    // a snapshot carrying DELETION VECTORS cannot be served raw: the
-    // initial load falls back to the staged read path (which applies
-    // them) and still delivers the exact post-delete rows
+    // a snapshot carrying DELETION VECTORS is STILL zero-copy: the DV
+    // file reads row-path with its deleted row indices skipped in-plan
+    // (row-identical to the read path), DV-free files keep their
+    // bin-packed columnar reads, and no staged snapshot dir appears —
+    // attaching CDC to a table with one deletion vector must not write
+    // a second table under the checkpoint
     val droot = base.resolve("d").toString
     VersionedTable.upsert(spark, droot,
-      spark.createDataFrame(Seq((1, "a", 10), (2, "a", 20), (3, "b", 30)))
+      spark.createDataFrame(Seq((1, "a", 10), (2, "a", 20), (3, "a", 30),
+        (4, "b", 40), (5, "b", 50)))
         .toDF("id", "g", "v"), Seq("id", "g"), Seq("g"))
+    // two deletes in one dir's file (interior skip + boundary), dir b
+    // untouched (stays columnar)
     VersionedTable.deleteWhereDV(spark, droot, "id", 2, 2)
+    VersionedTable.deleteWhereDV(spark, droot, "id", 3, 3)
     spark.sql(s"CREATE TABLE cdc_zc_d USING graft LOCATION '$droot'")
     val ckptD = base.resolve("ckptD")
     drain("cdc_zc_d", ckptD, got)
     val rows3 = Iterator.continually(got.poll())
       .takeWhile(_ != null).toSet
-    assert(rows3 == Set(("insert", 1, 1, "a", 10),
-      ("insert", 1, 3, "b", 30)), s"DV fallback rows wrong: $rows3")
-    assert(java.nio.file.Files.exists(stagedRoot(ckptD)),
-      "DV-bearing snapshot must stage through the read path")
+    val expect3 = VersionedTable.read(spark, droot)
+      .collect().map(r => ("insert", 2, r.getInt(0), r.getString(1),
+        r.getInt(2))).toSet
+    assert(rows3 == expect3 && rows3.map(_._3) == Set(1, 4, 5),
+      s"DV zero-copy rows wrong: $rows3 vs read path $expect3")
+    assert(!java.nio.file.Files.exists(stagedRoot(ckptD)),
+      "DV-bearing snapshot staged a copy despite the in-plan DV path")
     spark.sql("DROP TABLE cdc_zc_t")
     spark.sql("DROP TABLE cdc_zc_d")
   }
