@@ -4473,6 +4473,26 @@ object SparkEntry {
       .select("doc_id", "n_contaminated_grams", "contaminated")
   }
 
+  /** FUZZY decontamination ([[graft.text.Decontaminate
+    * .fuzzyContamination]]): verified (corpus doc, eval doc)
+    * near-duplicate pairs at 3-gram Jaccard >= 0.7 — the paraphrased-
+    * leakage guard the exact-gram q_decontaminate misses. Same eval
+    * split (doc_id % 20 == 0 plays the benchmark); MinHash-banded with
+    * the eval set as the query batch (candidates are corpus x eval
+    * collisions only), 32 bands of 2 rows so the verified output IS
+    * the exact cross pair set (miss < 1e-9 at 0.7 — the
+    * q_dedup_minhash_verified recall contract) and the DuckDB oracle
+    * recomputes it as an exact cross Jaccard. */
+  private def qDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.text.Decontaminate.fuzzyContamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "text", "doc_id", n = 3, minJaccard = 0.7, numPerm = 64,
+        bands = 32)
+      .withColumn("jaccard", r6(col("jaccard")))
+  }
+
   /** Per-source document cap (max 15, best-first by chars desc): the
     * at-most-N-docs-per-domain curation rule. */
   private def qSourceCap(s: SparkSession, dir: String): DataFrame =
@@ -5137,6 +5157,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_text_novelty" -> (qTextNovelty _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_bpe_pairs" -> (qBpePairs _),
@@ -9851,6 +9872,35 @@ object SparkEntry {
         |    AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    // exact cross (corpus x eval) 3-gram Jaccard at >= 0.7 — the
+    // LSH-verified operator's recall contract (32 bands of 2 rows,
+    // miss < 1e-9) makes its output equal this exact set, the
+    // q_dedup_minhash_verified shape with the eval split as the batch
+    "q_decontaminate_fuzzy" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |d AS (SELECT * FROM sh WHERE id % 20 <> 0),
+        |e AS (SELECT * FROM sh WHERE id % 20 = 0),
+        |ds AS (SELECT id, count(*) AS n FROM d GROUP BY 1),
+        |es AS (SELECT id, count(*) AS n FROM e GROUP BY 1),
+        |inter AS (
+        |  SELECT d.id AS doc_id, e.id AS eval_id, count(*) AS n_common
+        |  FROM d JOIN e ON d.shingle = e.shingle
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, eval_id, n_common, ds.n AS n_doc, es.n AS n_eval,
+        |  round(CAST(n_common AS DOUBLE) / (ds.n + es.n - n_common), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN ds ON ds.id = doc_id
+        |JOIN es ON es.id = eval_id
+        |WHERE CAST(n_common AS DOUBLE) / (ds.n + es.n - n_common) >= 0.7"""
+        .stripMargin,
 
     "q_source_cap" ->
       """SELECT doc_id, source, n_chars, rank_in_group

@@ -51,4 +51,71 @@ object Decontaminate {
       .withColumn("contaminated",
         (col("n_contaminated_grams") >= minHits).cast("int"))
   }
+
+  /** FUZZY decontamination: verified near-duplicate (corpus doc, eval
+    * doc) pairs at word-n-gram Jaccard >= `minJaccard` — the
+    * paraphrased / partially-rewritten leakage the exact-gram overlap
+    * above misses (one changed word breaks every n-gram through it).
+    * Reuses the dedup engine's MinHash-LSH machinery with the EVAL SET
+    * as the query batch: both sides band under the SAME signature
+    * family ([[graft.dedup.FuzzyDedup]]), candidates are (corpus,
+    * eval) band collisions ONLY — never corpus x corpus — and each
+    * candidate verifies with exact shingle-set Jaccard.
+    *
+    * Scale shape: the eval side is small by contract (benchmarks are
+    * KBs-MBs), so its banded buckets, sizes, and shingle sets all
+    * BROADCAST; the corpus is scanned once (shingles persist across
+    * the signature/size/verify consumers) and only candidate docs'
+    * shingle sets reach the verify join — the candidate space is
+    * bounded by the eval side, so no df/bucket caps are needed and the
+    * output is oracle-exact. Recall contract (the
+    * q_dedup_minhash_verified shape): with `bands` bands of
+    * numPerm/bands rows a true pair at jaccard j bands with
+    * probability 1-(1-j^(numPerm/bands))^bands — at the default 32
+    * bands of 2 rows and j >= 0.7 the miss probability is < 1e-9, so
+    * the verified output IS the exact cross pair set. */
+  def fuzzyContamination(docs: DataFrame, evalSet: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3, minJaccard: Double = 0.7,
+                         numPerm: Int = 64, bands: Int = 32,
+                         seed: Long = 42L): DataFrame = {
+    import graft.dedup.FuzzyDedup
+    val dsh = FuzzyDedup.shingleHashes(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("h64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val esh = FuzzyDedup.shingleHashes(evalSet, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), col("h64"))
+    val dBuckets = FuzzyDedup.lshBuckets(
+      FuzzyDedup.minhashSignaturesFromShingles(dsh, numPerm, seed),
+      "id", bands)
+    val eBuckets = FuzzyDedup.lshBuckets(
+      FuzzyDedup.minhashSignaturesFromShingles(
+        esh.withColumnRenamed("eval_id", "id"), numPerm, seed),
+      "id", bands).withColumnRenamed("id", "eval_id")
+    val cand = dBuckets
+      .join(broadcast(eBuckets), Seq("band_idx", "band_hash"))
+      .select(col("id"), col("eval_id")).distinct()
+    val dSizes = dsh.groupBy("id").agg(count(lit(1)).as("n_doc"))
+    val eSizes = esh.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    // exact length prefilter: J <= min/max of the set sizes, so a
+    // size-mismatched candidate can never verify — dropped before its
+    // shingle set is shuffled into the verify join
+    val candF = cand.join(dSizes, "id").join(broadcast(eSizes), "eval_id")
+      .filter(least(col("n_doc"), col("n_eval")).cast("double") /
+        greatest(col("n_doc"), col("n_eval")) >= minJaccard)
+    val docsInCand = candF.select("id").distinct()
+    val out = candF
+      .join(dsh.join(docsInCand, "id"), "id")
+      .join(broadcast(esh), Seq("eval_id", "h64"))
+      .groupBy("id", "eval_id", "n_doc", "n_eval")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_doc") + col("n_eval") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id").as(idCol), col("eval_id"), col("n_common"),
+        col("n_doc"), col("n_eval"), col("jaccard"))
+      .localCheckpoint()
+    dsh.unpersist(false)
+    out
+  }
 }
