@@ -4944,6 +4944,34 @@ object SparkEntry {
         .localCheckpoint(),
       "asset_id", "features", block = "block", minCosine = 0.99)
 
+  /** Multimodal NEAR-DUP dedup — the perceptual-hash shape over the stub
+    * codec's byte-histogram features: featurize at dim=256 (per-byte-value
+    * counts), MEAN-CENTER (the average-hash idea: sign of deviation from
+    * the mean is the perceptual bit), then [[graft.sim.SemDedup
+    * .semanticDedup]] — sign cells from 16 centered dims anchored at byte
+    * 'a' (the informative window for text payloads; bytes 0..31 are
+    * identically zero and carry no sign), within-cell cosine >= 0.995,
+    * keep the min-id representative. Exactness: counts are integers and
+    * the mean divisor 256 is a power of two, so every centered value,
+    * dot, and norm is an exact binary rational — cosines are
+    * bit-identical across engines and the oracle replays featurize ->
+    * center -> cells -> pairs -> components in SQL (the q_semantic_dedup
+    * shape, with a sparse-dot identity: dot(A-ā, B-b̄) = S_AB -
+    * totA·totB/256). */
+  private def qMultimodalDedup(s: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the checkpoint: the corpus arrives as one
+    // parquet split, and a 1-partition left side would serialize the
+    // within-cell quadratic onto a single task no matter the cluster
+    val feats = Multimodal.perceptualFeatures(assets(s, dir), dim = 256)
+      .repartition(s.sparkContext.defaultParallelism)
+      // the (deliberately batch-shaped) codec runs once, not once per
+      // self-join side; bounded at corpus_rows x 256 doubles
+      .localCheckpoint()
+    graft.sim.SemDedup.semanticDedup(feats, "asset_id", "centered",
+        minCosine = 0.995, signBits = 24, signOffset = 97)
+      .select("asset_id")
+  }
+
   // ================================================================ entry
 
   /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
@@ -5226,6 +5254,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_multimodal_dedup" -> (qMultimodalDedup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -10195,6 +10224,63 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v))
         |       * sqrt(list_dot_product(b.v, b.v))) >= 0.99""".stripMargin,
+
+    // Replays the perceptual near-dup dedup: 256-bucket byte histogram
+    // (ASCII corpus: chars == bytes), mean-centered; sign cells over 16
+    // centered dims at bytes 97..112; within-cell cosine >= 0.995 via the
+    // sparse identity dot(A-ā, B-b̄) = S_AB - totA*totB/256 and
+    // norm² = Σcnt² - tot²/256 + dense-zero correction; components +
+    // keep-min-id as in q_semantic_dedup. All quantities are binary
+    // rationals (denominator 2^16) well inside the 53-bit mantissa, so
+    // both engines compute the exact same cosines.
+    "q_multimodal_dedup" ->
+      """WITH RECURSIVE ch AS MATERIALIZED (
+        |  SELECT doc_id, ascii(c) AS b
+        |  FROM documents, unnest(split(text, '')) AS t(c)),
+        |h AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS cnt
+        |      FROM ch GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT doc_id, sum(cnt) AS tot FROM h GROUP BY 1),
+        |nrm AS MATERIALIZED (
+        |  SELECT h.doc_id,
+        |    sum((cnt - tot/256) * (cnt - tot/256))
+        |      + (256 - count(*)) * (tot/256) * (tot/256) AS n2
+        |  FROM h JOIN tot USING (doc_id) GROUP BY h.doc_id, tot),
+        |cells AS MATERIALIZED (
+        |  SELECT t.doc_id,
+        |    coalesce(sum(CASE WHEN h.b BETWEEN 97 AND 120
+        |        AND h.cnt > t.tot/256
+        |      THEN 1 << (h.b - 97) ELSE 0 END), 0) AS cell
+        |  FROM tot t JOIN h ON h.doc_id = t.doc_id
+        |  GROUP BY t.doc_id),
+        |sab AS MATERIALIZED (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    sum(a.cnt * b.cnt) AS s
+        |  FROM h a
+        |  JOIN cells ca ON ca.doc_id = a.doc_id
+        |  JOIN h b ON a.b = b.b AND a.doc_id < b.doc_id
+        |  JOIN cells cb ON cb.doc_id = b.doc_id AND cb.cell = ca.cell
+        |  GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT id1, id2
+        |  FROM sab
+        |  JOIN tot t1 ON t1.doc_id = id1
+        |  JOIN tot t2 ON t2.doc_id = id2
+        |  JOIN nrm n1 ON n1.doc_id = id1
+        |  JOIN nrm n2 ON n2.doc_id = id2
+        |  WHERE n1.n2 > 0 AND n2.n2 > 0
+        |    AND (s - t1.tot * t2.tot / 256)
+        |      / (sqrt(n1.n2) * sqrt(n2.n2)) >= 0.995),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON e2.a = r.b),
+        |comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        |SELECT doc_id AS asset_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)"""
+        .stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS asset_id, k AS frame_idx,

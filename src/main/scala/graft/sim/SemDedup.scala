@@ -27,21 +27,33 @@ import graft.dedup.FuzzyDedup
  */
 object SemDedup {
 
-  /** Cell id = Σ_j (v[j] > 0) · 2^j over the first `signBits` dims. */
+  /** Cell id = Σ_j (v[offset+j] > 0) · 2^j over `signBits` dims starting
+    * at `offset` (0-based). The offset exists for feature spaces whose
+    * leading dims carry no sign information — e.g. byte-histogram
+    * features of ASCII payloads, where dims 0..31 are identically zero
+    * and the informative mass sits in the letter range (the multimodal
+    * perceptual-dedup query anchors its window at byte 'a'). */
   def withSignCell(df: DataFrame, vec: String, signBits: Int,
-                   out: String = "cell"): DataFrame = {
-    require(signBits > 0 && signBits <= 16, s"signBits out of range: $signBits")
+                   out: String = "cell", offset: Int = 0): DataFrame = {
+    // 30 keeps the cell id inside a positive Int (1 << j per bit)
+    require(signBits > 0 && signBits <= 30, s"signBits out of range: $signBits")
+    require(offset >= 0, s"negative sign-window offset: $offset")
     val cell = (0 until signBits)
-      .map(j => when(col(vec)(j) > lit(0f), lit(1 << j)).otherwise(lit(0)))
+      .map(j => when(col(vec)(offset + j) > lit(0f), lit(1 << j))
+        .otherwise(lit(0)))
       .reduce(_ + _)
     df.withColumn(out, cell)
   }
 
-  /** Near-duplicate pairs within sign cells at `minCosine`. */
+  /** Near-duplicate pairs within sign cells at `minCosine`. `grid` > 1
+    * grid-parallelizes a skewed dominant cell (see
+    * [[Similarity.blockedNearDupPairs]]). */
   def cellNearDupPairs(df: DataFrame, id: String, vec: String,
-                       minCosine: Double, signBits: Int = 4): DataFrame =
+                       minCosine: Double, signBits: Int = 4,
+                       signOffset: Int = 0, grid: Int = 1): DataFrame =
     Similarity.blockedNearDupPairs(
-      withSignCell(df, vec, signBits), id, vec, "cell", minCosine)
+      withSignCell(df, vec, signBits, offset = signOffset), id, vec,
+      "cell", minCosine, grid)
 
   /** Corpus minus all non-representative members of every within-cell
     * cosine cluster (keep = min id per component).
@@ -61,7 +73,8 @@ object SemDedup {
     * at 100 TB (dup documents embed identically), so the collapse is the
     * default, not an option. NULL embeddings never pair (unchanged). */
   def semanticDedup(df: DataFrame, id: String, vec: String,
-                    minCosine: Double, signBits: Int = 4): DataFrame = {
+                    minCosine: Double, signBits: Int = 4,
+                    signOffset: Int = 0, grid: Int = 1): DataFrame = {
     // Collapse eligibility requires a positive finite norm: a zero (or
     // NaN-carrying) vector has an UNDEFINED cosine to its own copy —
     // the verify never pairs such rows (NaN >= threshold is false), so a
@@ -81,7 +94,8 @@ object SemDedup {
     val reps = withRep.filter(col(id) === col("__rep")).drop("__rep")
       .unionByName(degenerate)
     FuzzyDedup.applyDedup(df, id,
-      cellNearDupPairs(reps, id, vec, minCosine, signBits)
+      cellNearDupPairs(reps, id, vec, minCosine, signBits, signOffset,
+        grid)
         .select(col("id1"), col("id2"))
         .unionByName(starEdges))
   }

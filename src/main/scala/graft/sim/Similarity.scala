@@ -295,19 +295,55 @@ object Similarity {
   }
 
   /** Exact near-dup pairs within a blocking key (e.g. a cluster label or
-    * LSH bucket already materialized): the oracle-checkable exact variant. */
+    * LSH bucket already materialized): the oracle-checkable exact variant.
+    *
+    * `grid` > 1 parallelizes a SKEWED block: a block holding k rows emits
+    * its k²/2 pairs from ONE join key, so a dominant block serializes on
+    * a single task no matter how many executors exist (AQE's skew-join
+    * split cannot help — the output, not the input, is what's quadratic).
+    * The grid self-join splits each block into `grid` id-hashed groups
+    * and joins on the UNORDERED group pair (min,max): a row in group g
+    * replicates to the `grid` keys {(min(g,t), max(g,t))}, so every pair
+    * (x, y) meets at exactly one key — (min(gx,gy), max(gx,gy)) — and a
+    * hot block's quadratic spreads over grid·(grid+1)/2 independent
+    * join keys. Cost: grid× row replication (vectors are small by
+    * construction); identical output, any ordering. */
   def blockedNearDupPairs(df: DataFrame, id: String, vec: String,
-                          block: String, minCosine: Double): DataFrame = {
+                          block: String, minCosine: Double,
+                          grid: Int = 1): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1: $grid")
     // zero-norm (or NaN) vectors have no defined cosine: they can never
     // satisfy a threshold, and under ANSI mode the divide would ERROR
     // rather than produce the NaN the filter would reject — drop them
     // from pairing up front (NaN > 0 is false, so NaN norms drop too)
     val withNorm = df.withColumn("__n", norm(col(vec)))
       .filter(col("__n") > lit(0d))
-    val l = withNorm.as("a")
-    val r = withNorm.as("b")
-    l.join(r, col(s"a.$block") === col(s"b.$block") &&
-        col(s"a.$id") < col(s"b.$id"))
+    val sides =
+      if (grid <= 1) withNorm
+      else withNorm
+        .withColumn("__g", pmod(xxhash64(col(id)), lit(grid)).cast("int"))
+        .withColumn("__t", explode(expr(s"sequence(0, ${grid - 1})")))
+        .withColumn("__kl", least(col("__g"), col("__t")))
+        .withColumn("__kr", greatest(col("__g"), col("__t")))
+        .drop("__t")
+    val l = sides.as("a")
+    val r = sides.as("b")
+    val joinCond =
+      if (grid <= 1)
+        col(s"a.$block") === col(s"b.$block") && col(s"a.$id") < col(s"b.$id")
+      else
+        // the key must BE the pair's group set: a same-group pair's two
+        // rows carry identical key sets (every {g, t}), so without this
+        // guard it would meet — and duplicate — at all `grid` keys
+        // instead of only the diagonal (g, g); a cross-group pair meets
+        // exactly at (min(gx,gy), max(gx,gy))
+        col("a.__kl") === col("b.__kl") && col("a.__kr") === col("b.__kr") &&
+          ((col("a.__g") === col("a.__kl") &&
+            col("b.__g") === col("a.__kr")) ||
+           (col("a.__g") === col("a.__kr") &&
+            col("b.__g") === col("a.__kl"))) &&
+          col(s"a.$block") === col(s"b.$block") && col(s"a.$id") < col(s"b.$id")
+    l.join(r, joinCond)
       .withColumn("cosine_sim",
         dot(col(s"a.$vec"), col(s"b.$vec")) / (col("a.__n") * col("b.__n")))
       .filter(col("cosine_sim") >= minCosine)

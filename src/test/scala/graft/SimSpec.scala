@@ -57,6 +57,26 @@ class SimSpec extends SparkSpec {
     assert(out.forall { case (a, b) => !(a == 2L && b == 3L) })
   }
 
+  test("blockedNearDupPairs grid: identical pair set to the plain " +
+      "self-join — same-group pairs meet only at the diagonal key, " +
+      "cross-group pairs exactly once") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 300)
+      .withColumn("b", ($"vec_id" % lit(2)).cast("int"))
+    def pairs(grid: Int) = Similarity.blockedNearDupPairs(emb, "vec_id",
+        "embedding", "b", minCosine = 0.2, grid = grid)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    val base = pairs(1)
+    Seq(2, 4, 7).foreach { g =>
+      val got = pairs(g)
+      assert(got.length == got.toSet.size,
+        s"grid=$g emitted duplicate pairs")
+      assert(got.toSet == base.toSet,
+        s"grid=$g pair set differs: ${got.size} vs ${base.size}")
+    }
+  }
+
   test("lshNearDupPairsMulti: exact precision, recall >= single table") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
