@@ -1683,13 +1683,12 @@ object SparkEntry {
       // cycle 1: both initial loads land in the destinations
       MultiSync.syncChangesMulti(s, Seq((t1, ck),
         (t2, Seq("n_nationkey"))), cursor)(applyInto)
-      // both sources advance: the held-out customers, one nation rename
+      // ONE source advances (the held-out customers); t2 stays synced,
+      // so the final cycle must serve it the EMPTY feed — the
+      // every-table-always-delivered contract, at 2 fewer fixture
+      // commits than advancing both sides (round-11 steady cut)
       VersionedTable.upsert(s, t1,
         cust.filter(col("c_custkey") % 4 === 0), ck, Seq("c_part"))
-      VersionedTable.upsert(s, t2,
-        nat.filter(col("n_nationkey") === 5)
-          .select(col("n_nationkey"), lit("SYNCED").as("n_name")),
-        Seq("n_nationkey"), Seq("n_nationkey"))
     }
     // consumer crash BETWEEN the two table applies: t1's feed is
     // consumed, then death before t2's — the vector cursor must not
@@ -1703,12 +1702,20 @@ object SparkEntry {
       require(false, "crash injection did not propagate")
     } catch { case e: RuntimeException
         if e.getMessage.contains("crash between") => () }
-    // the retry replays BOTH tables from the same bases — the operator
-    // under test; the advances pin that neither table's cursor moved
+    // the retry replays from the same bases — the operator under test;
+    // the advances pin that the crashed cycle moved NO cursor (t1
+    // replays 0->1) and that the synced t2 is absent from the advance
+    // map yet still receives its (empty) feed
+    var t2FeedRows = -1L
     val adv = MultiSync.syncChangesMulti(s, Seq((t1, ck),
-      (t2, Seq("n_nationkey"))), cursor)(applyInto)
-    require(adv == Some(Map(t1 -> ((0, 1)), t2 -> ((0, 1)))),
+      (t2, Seq("n_nationkey"))), cursor) { feeds =>
+      t2FeedRows = feeds(t2).count()
+      applyInto(feeds)
+    }
+    require(adv == Some(Map(t1 -> ((0, 1)))),
       s"crash-replay advances wrong: $adv — a mixed snapshot window")
+    require(t2FeedRows == 0L,
+      s"synced table's feed must be delivered and empty: $t2FeedRows")
     VersionedTable.read(s, d1)
       .join(VersionedTable.read(s, d2),
         col("c_nationkey") === col("n_nationkey"))
@@ -2723,8 +2730,15 @@ object SparkEntry {
     def drain(): Unit = {
       val metrics = graft.streaming.StreamPipeline.windowedMetrics(
         graft.ops.Clean.castTicks(
+          // ONE drain, one file per micro-batch: batch 1 is the
+          // chronological data file (no intra-batch watermark drops),
+          // batch 2 the later-written flush file, whose advanced
+          // watermark finalizes every data window — the same flush
+          // semantics the round-10 two-drain shape had, minus a whole
+          // stream startup (~3-4 s of the steady)
           ss.readStream.schema(Schemas.tickRaw)
-            .option("header", "true").csv(raw)),
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1").csv(raw)),
         width = "5 minutes", slide = "5 minutes")
         .withColumn("day", to_date(col("window_start")))
       val q = graft.streaming.StreamPipeline.startNamedInsert(metrics,
@@ -2748,11 +2762,8 @@ object SparkEntry {
            |PARTITIONED BY (day)
            |TBLPROPERTIES('graft.keys'='symbol,window_start,day')"""
           .stripMargin)
-      // one chronological file -> ONE first micro-batch (no intra-drain
-      // watermark drops), then the flush file as its own drain
       tickCsv(ev(s, dir)).coalesce(1).sortWithinPartitions("timestamp")
         .write.option("header", "true").csv(raw)
-      drain()
       tickCsv(s.range(1).select(lit("__flush").as("event_type"),
           lit(1.0).as("value"), lit(0L).as("user_id"),
           lit("2024-03-01 00:00:00").cast(TimestampType).as("ts")))
@@ -7834,11 +7845,7 @@ object SparkEntry {
         |  SELECT c_nationkey,
         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
         |  FROM customer),
-        |dim AS (
-        |  SELECT n_nationkey,
-        |    CASE WHEN n_nationkey = 5 THEN 'SYNCED' ELSE n_name END
-        |      AS n_name
-        |  FROM nation)
+        |dim AS (SELECT n_nationkey, n_name FROM nation)
         |SELECT n_name, CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
         |  count(*) AS n_cust
         |FROM fact JOIN dim ON c_nationkey = n_nationkey

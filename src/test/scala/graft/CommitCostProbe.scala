@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.VersionedTable
+
+/** Per-commit wall attribution for the versioned lake (round 11): the
+  * lifecycle bench queries are commit-count-priced, so the fixed cost
+  * of ONE small upsert commit is the unit that prices ~52s of the
+  * sf0.1 steady. Times a chain of small upserts against one table.
+  *
+  * Usage: Test/runMain graft.CommitCostProbe [sfDir] [commits]
+  */
+object CommitCostProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .appName("commit-cost-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val root = "/tmp/graft_commit_cost/t"
+    val fs = VersionedTable.fsFor(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_commit_cost"), true)
+    // v0: the corpus; then n small upserts (1/50th each), the lifecycle
+    // fixture shape
+    var t0 = System.nanoTime()
+    VersionedTable.upsert(spark, root, docs, Seq("doc_id", "lang"),
+      Seq("lang"))
+    println(f"[probe] v0 full upsert ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    (1 to n).foreach { i =>
+      val batch = docs.filter(col("doc_id") % 50 === i)
+      t0 = System.nanoTime()
+      VersionedTable.upsert(spark, root, batch, Seq("doc_id", "lang"),
+        Seq("lang"))
+      println(f"[probe] v$i small upsert ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
