@@ -183,17 +183,20 @@ object Expectations {
     import org.apache.spark.sql.types._
     // resolve currentVersion ONCE: resolveManifest(_, _, Some(v)) re-runs
     // the commit-marker listing per version, O(versions^2) LIST calls on
-    // object stores (GraftHistoryCommand's discipline)
-    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
-      throw new java.io.FileNotFoundException(
-        s"no committed version at $root"))
-    val rows = VersionedTable.historyDetail(spark, root).flatMap {
+    // object stores (GraftHistoryCommand's discipline). A table with no
+    // commits yet has an empty log, not an error (matches the pre-hoist
+    // behavior: historyDetail was simply empty)
+    val rows = VersionedTable.currentVersion(spark, root) match {
+      case None => Seq.empty[Row]
+      case Some(cur) =>
+        VersionedTable.historyDetail(spark, root).flatMap {
       case (v, ms) =>
         val m = VersionedTable.resolveManifestAt(spark, root, v, cur)
         val modes = fromProps(m.props).map(e => e.name -> e.mode.tag).toMap
         m.expectLog.toSeq.sortBy(_._1).map { case (name, n) =>
           Row(v, new java.sql.Timestamp(ms), name,
             modes.get(name).orNull, n)
+        }
         }
     }
     spark.createDataFrame(

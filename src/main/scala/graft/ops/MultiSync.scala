@@ -231,14 +231,21 @@ object MultiSync {
         fs.delete(p, false)
     } catch { case _: java.io.IOException => () }
 
-  /** Every staged-record sidecar under `markerPath`, parsed; torn
-    * `.tmp` debris from a crashed record write is deleted in passing. */
+  /** Every staged-record sidecar under `markerPath`, parsed. `purgeTmp`
+    * deletes `.tmp` debris of a crashed record write in passing — set
+    * ONLY from the grace-protected recovery branches: a read path (the
+    * graft_txn_log TVF) deleting a tmp would abort a LIVE writer's
+    * in-flight rename. */
   private def listStagedRecs(fs: org.apache.hadoop.fs.FileSystem,
-                             markerPath: String): Seq[(Path, String)] =
+                             markerPath: String,
+                             purgeTmp: Boolean = false)
+      : Seq[(Path, String)] =
     fs.globStatus(new Path(markerPath + ".staged.*")).toSeq.flatMap { s =>
       val p = s.getPath
-      if (p.getName.endsWith(".tmp")) { fs.delete(p, false); None }
-      else scala.util.Try(readText(fs, p)).toOption.map(p -> _)
+      if (p.getName.endsWith(".tmp")) {
+        if (purgeTmp) fs.delete(p, false)
+        None
+      } else scala.util.Try(readText(fs, p)).toOption.map(p -> _)
     }
 
   private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path,
@@ -252,10 +259,15 @@ object MultiSync {
       throw new java.io.IOException(s"marker promote rename failed: $p")
   }
 
+  /** Body lines of a marker. The header match is on the marker KIND
+    * prefix, version-tolerant: a v1 marker left by a crashed round-10
+    * binary must still roll forward (its body format is unchanged),
+    * not wedge every later recovery on 'unrecognized marker'. */
   private def parseMarker(text: String, header: String, at: String)
       : Seq[Array[String]] = {
+    val kind = header.split("\t")(0)
     val lines = text.split("\n").filter(_.nonEmpty)
-    require(lines.headOption.exists(_.startsWith(header)),
+    require(lines.headOption.exists(_.startsWith(kind)),
       s"unrecognized marker at $at")
     lines.drop(1).map(_.split("\t", 2)).toSeq
   }
@@ -347,6 +359,11 @@ object MultiSync {
       try writes.zipWithIndex.map { case (w, i) =>
         val v = VersionedTable.prepare(spark, w.root, w.rows, w.keys,
           w.partCols, statsCols = w.statsCols, bloomCols = w.bloomCols)
+        // `done` BEFORE the sidecar write: an in-process failure of the
+        // record write must retract THIS member's fresh stage too (the
+        // delete of its not-yet-written sidecar is a no-op), or the
+        // claim would orphan with the intent released below
+        done += ((i, w.root, v))
         // record the staged version in its own sidecar BEFORE the next
         // member stages: crash rollback retracts EXACTLY these recorded
         // (root, version) pairs — never "whatever is staged at cur+1",
@@ -357,7 +374,6 @@ object MultiSync {
           s"$stagedHeader\t$txnId\n${SpecFile.b64e(w.root)}\t$v\n")
         scala.util.Try(
           fs.setTimes(intent, System.currentTimeMillis(), -1))
-        done += ((i, w.root, v))
         crashHook(s"staged:${w.root}")
         w.root -> v
       } catch {
@@ -519,7 +535,11 @@ object MultiSync {
     val decision = new Path(markerPath)
     val intent = new Path(markerPath + ".intent")
     if (fs.exists(decision)) {
-      val txt = readText(fs, decision)
+      // Try: a RACING recovery (two concurrent BEGINs sweep the same
+      // catalog dir) may complete the roll-forward and delete the
+      // marker between the exists probe and the read — vanished means
+      // recovered, not an error
+      scala.util.Try(readText(fs, decision)).toOption.foreach { txt =>
       val owner = markerOwner(txt)
       parseMarker(txt, vectorHeader, markerPath).foreach { parts =>
         val (root, v) = (SpecFile.b64d(parts(0)), parts(1).trim.toInt)
@@ -538,18 +558,30 @@ object MultiSync {
       // crash mid-roll-forward leaves the decision, so the next
       // recovery continues FORWARD — the rollback branch below can
       // never see a group whose decision was acted on (its leftover
-      // records name published versions, which it skips)
-      fs.delete(decision, false)
-      listStagedRecs(fs, markerPath).foreach { case (p, recTxt) =>
-        if (owner.isEmpty || markerOwner(recTxt) == owner)
-          fs.delete(p, false) }
+      // records name published versions, which it skips). The decision
+      // delete is owner-guarded like the intent's: this recovery may
+      // have stalled across a full successor cycle, and deleting the
+      // SUCCESSOR's decision would strand its crash as a rollback of
+      // a half-published group — the exact mixed-pair failure
+      owner match {
+        case Some(id) => deleteIfOwned(fs, decision, id)
+        case None => fs.delete(decision, false) // legacy v1: no id
+      }
+      listStagedRecs(fs, markerPath, purgeTmp = true)
+        .foreach { case (p, recTxt) =>
+          if (owner.isEmpty || markerOwner(recTxt) == owner)
+            fs.delete(p, false) }
       if (owner.isEmpty) fs.delete(intent, false)
       else deleteIfOwned(fs, intent, owner.get)
+      }
     } else if (fs.exists(intent)) {
       val grace = spark.conf
         .get("spark.graft.txn.intentGraceMs", "30000").toLong
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(intent).getModificationTime
+      // a racing recovery may delete the intent between the exists
+      // probe and the stat — vanished means recovered, not an error
+      val st = try fs.getFileStatus(intent)
+        catch { case _: java.io.FileNotFoundException => return }
+      val age = System.currentTimeMillis() - st.getModificationTime
       if (age < grace)
         throw new VersionedTable.ConcurrentWriteConflictException(
           s"an atomic multi-table write holds $intent (age ${age} ms " +
@@ -566,8 +598,12 @@ object MultiSync {
       // trade: a blocked table is loud and recoverable, a retracted
       // live writer is silent corruption. Published versions are
       // skipped (leftover records of a fully-rolled-forward group whose
-      // cleanup crashed midway)
-      listStagedRecs(fs, markerPath).foreach { case (p, recTxt) =>
+      // cleanup crashed midway). A legacy v1 intent (no txn id, no
+      // sidecars — a round-10 binary's crash) retracts nothing: its
+      // stages become orphaned claims vacuum() clears, which blocks
+      // loudly instead of guessing at cur+1 ownership
+      listStagedRecs(fs, markerPath, purgeTmp = true)
+        .foreach { case (p, recTxt) =>
         val matches = owner.isEmpty || markerOwner(recTxt) == owner
         if (matches) scala.util.Try(
           parseMarker(recTxt, stagedHeader, p.toString)).foreach {

@@ -1379,11 +1379,9 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     // COMMIT publishes the whole vector); the clause-matrix MERGE still
     // refuses (conditional rewrites are not a stageable keyed upsert)
     if (GraftTxn.isOpen(spark)) {
-      val display = GraftCatalog.list(spark)
-        .find(_.root == VersionedTable.splitRef(root)._1)
-        .map(_.name).getOrElse(root)
-      GraftTxn.defer(spark, display, graft.ops.MultiSync.TableWrite(
-        root, aligned, allKeys, m.partCols, statsCols, bloomCols))
+      GraftTxn.defer(spark, GraftTxn.displayFor(spark, root),
+        graft.ops.MultiSync.TableWrite(
+          root, aligned, allKeys, m.partCols, statsCols, bloomCols))
       Seq(Row(-1))
     } else
       // upsert returns the EXACT version this merge committed — reading
@@ -2395,14 +2393,9 @@ case class GraftInsertCommand(root: String, userCols: Seq[String],
         // upsert — or, inside an open graft transaction, a DEFERRED
         // member of the atomic group (version -1 until COMMIT)
         if (inTxn) {
-          // display = the registered name when one points here (what
-          // COMMIT's `table` column shows); path-addressed tables show
-          // their path
-          val display = GraftCatalog.list(spark)
-            .find(_.root == VersionedTable.splitRef(root)._1)
-            .map(_.name).getOrElse(root)
-          GraftTxn.defer(spark, display, graft.ops.MultiSync.TableWrite(
-            root, aligned, m.keys, m.partCols, statsCols, bloomCols))
+          GraftTxn.defer(spark, GraftTxn.displayFor(spark, root),
+            graft.ops.MultiSync.TableWrite(
+              root, aligned, m.keys, m.partCols, statsCols, bloomCols))
           Seq(Row(-1))
         } else Seq(Row(VersionedTable.upsert(spark, root, aligned,
           m.keys, m.partCols, statsCols = statsCols,

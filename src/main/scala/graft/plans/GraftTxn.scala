@@ -80,6 +80,15 @@ object GraftTxn {
     new org.apache.hadoop.fs.Path(
       GraftCatalog.catalogDir(spark), "_txn").toString
 
+  /** The display name a deferred write reports: the registered catalog
+    * name when one points at `root` (what COMMIT's `table` column
+    * shows); path-addressed tables show their path. Shared by the
+    * INSERT and canonical-MERGE defer paths. */
+  private[plans] def displayFor(spark: SparkSession, root: String): String =
+    GraftCatalog.list(spark)
+      .find(_.root == graft.ops.VersionedTable.splitRef(root)._1)
+      .map(_.name).getOrElse(root)
+
   /** The marker path a transaction over `roots` uses — md5 of the
     * SORTED table set, so a crashed COMMIT is also recovered by the
     * next COMMIT over the same set (BEGIN recovers regardless). */

@@ -1175,6 +1175,43 @@ class OpsSpec extends SparkSpec {
     spark.conf.unset("spark.graft.txn.intentGraceMs")
   }
 
+  test("MultiSync hygiene: txnLog never deletes a live writer's .tmp " +
+      "sidecar; a legacy v1 decision marker still rolls forward; " +
+      "expectation log of a zero-commit table is empty, not an error") {
+    import graft.ops.MultiSync
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_msync_hygiene").toString
+    val (a, marker) = (s"$dir/a", s"$dir/txn")
+    val fs = VersionedTable.fsFor(spark, marker)
+    // a live COMMIT is mid-rename of its staged-record sidecar: the
+    // read-only TVF must not delete the tmp out from under it
+    val tmp = new org.apache.hadoop.fs.Path(marker + ".staged.0.tmp")
+    val out = fs.create(tmp, false)
+    out.write("half-written".getBytes("UTF-8")); out.close()
+    assert(MultiSync.txnLog(spark, dir).count() == 0L)
+    assert(fs.exists(tmp),
+      "graft_txn_log deleted a live writer's in-flight tmp")
+    fs.delete(tmp, false)
+    // legacy v1 decision marker (round-10 binary crashed post-decision):
+    // same body format, no txn id — recovery must roll it forward, not
+    // wedge on 'unrecognized marker'
+    VersionedTable.upsert(spark, a,
+      Seq((1, "g0", 1L)).toDF("id", "g", "v"), Seq("id", "g"), Seq("g"))
+    val v1 = VersionedTable.prepare(spark, a,
+      Seq((2, "g0", 2L)).toDF("id", "g", "v"), Seq("id", "g"), Seq("g"))
+    val dOut = fs.create(new org.apache.hadoop.fs.Path(marker), false)
+    dOut.write((s"#graft-txnvector\t1\n" +
+      s"${graft.ops.SpecFile.b64e(a)}\t$v1\n").getBytes("UTF-8"))
+    dOut.close()
+    MultiSync.recoverAtomic(spark, marker)
+    assert(VersionedTable.currentVersion(spark, a).contains(v1),
+      "v1 decision marker was not rolled forward")
+    assert(VersionedTable.read(spark, a).count() == 2L)
+    // graft_expect_log on a declared-but-never-written table: empty
+    assert(graft.ops.Expectations.log(spark, s"$dir/neverwritten")
+      .count() == 0L)
+  }
+
   test("VersionedTable.repartitionTable: layout evolution, old versions intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vtrepart").toString
     val root = s"$dir/table"
