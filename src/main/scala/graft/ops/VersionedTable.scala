@@ -2208,11 +2208,14 @@ object VersionedTable {
     * whole NEW partition dirs and touches nothing else: the (from, to]
     * change feed is then exactly the new dirs' files, every row an
     * insert, and a CDC reader can serve them zero-copy. Some(files)
-    * when (a) neither endpoint carries deletion vectors and `to` needs
-    * no renames/default backfills, (b) no dir was removed, and
+    * when (a) no deletion vector touches a SERVED (new) dir's files —
+    * DVs parked on old, unserved dirs are fine — and `to` needs no
+    * renames/default backfills, (b) no dir was removed, and
     * (c) every dir common to both versions has an IDENTICAL content
     * token (maintenance rewrites carry tokens, so compaction between
-    * the versions still qualifies — its diff is empty). The upsert
+    * the versions still qualifies — its diff is empty; delete-dv
+    * commits and the pre-feature fallback token are both DV-aware, so
+    * a DV change on a common dir is caught here too). The upsert
     * contract (partition cols ⊆ merge keys) makes new-dir rows pure
     * inserts: a key's rows live in ONE dir, so a new dir can never
     * hold an update of an old dir's key. None → the caller takes the
@@ -2223,7 +2226,7 @@ object VersionedTable {
                 StructType, StructType)] = {
     val mf = resolveManifestAt(spark, root, from, from)
     val mt = resolveManifestAt(spark, root, to, to)
-    if (mf.dvs.nonEmpty || mt.dvs.nonEmpty || hasRenames(mt.schema) ||
+    if (hasRenames(mt.schema) ||
         initialDefaults(mt.schema).nonEmpty) return None
     if (mf.mapping.keysIterator.exists(rel => !mt.mapping.contains(rel)))
       return None // a dir vanished: deletes in the diff
@@ -2231,10 +2234,21 @@ object VersionedTable {
     val tv = fullDirVers(mt)
     if (mf.mapping.keysIterator.exists(rel => fv(rel) != tv(rel)))
       return None // a common dir's CONTENT changed: updates in the diff
-    rawDirFiles(spark, root,
-        mt.mapping.toSeq.sortBy(_._1)
-          .filterNot { case (rel, _) => mf.mapping.contains(rel) },
-        mt.partCols)
+    // deletion vectors parked on OLD dirs are FINE (those dirs are not
+    // served, and a DV that changed on a common dir between the
+    // endpoints is caught by the token compare above — the delete-dv
+    // commit and the pre-feature fallback token are both DV-aware); a
+    // DV on a SERVED file means some of its rows were added then
+    // deleted within (from, to] — not pure inserts, fall back
+    val newDirs = mt.mapping.toSeq.sortBy(_._1)
+      .filterNot { case (rel, _) => mf.mapping.contains(rel) }
+    val newRels = newDirs.map(_._1).toSet
+    if (mt.dvs.keysIterator.exists { k =>
+      val dirOf = k.lastIndexOf('/')
+      val relStart = k.indexOf('/') + 1
+      dirOf > relStart && newRels.contains(k.substring(relStart, dirOf))
+    }) return None
+    rawDirFiles(spark, root, newDirs, mt.partCols)
       .map(files => (files,
         StructType(mt.partCols.map(c => mt.schema(c))), mt.schema))
   }

@@ -596,6 +596,32 @@ class StreamingSpec extends SparkSpec {
       s"DV zero-copy rows wrong: $rows3 vs read path $expect3")
     assert(!java.nio.file.Files.exists(stagedRoot(ckptD)),
       "DV-bearing snapshot staged a copy despite the in-plan DV path")
+    // an APPEND-ONLY transition on the DV-carrying table is ALSO
+    // zero-copy: the parked DV sits on an old dir the diff never
+    // serves, and the DV-aware content tokens prove the common dirs
+    // unchanged — a table is not punished forever for one delete
+    VersionedTable.upsert(spark, droot,
+      spark.createDataFrame(Seq((9, "c", 90), (10, "c", 100)))
+        .toDF("id", "g", "v"), Seq("id", "g"), Seq("g"))
+    drain("cdc_zc_d", ckptD, got)
+    val rowsAD = Iterator.continually(got.poll())
+      .takeWhile(_ != null).toSet
+    assert(rowsAD == Set(("insert", 3, 9, "c", 90),
+      ("insert", 3, 10, "c", 100)), s"DV-table append diff wrong: $rowsAD")
+    assert(!java.nio.file.Files.exists(stagedRoot(ckptD)),
+      "append-only diff on a DV-carrying table staged a copy")
+    // but a DV landing ON a dir served by the pending range forces the
+    // staged read path (rows added then deleted inside (from, to])
+    VersionedTable.upsert(spark, droot,
+      spark.createDataFrame(Seq((11, "e", 110), (12, "e", 120)))
+        .toDF("id", "g", "v"), Seq("id", "g"), Seq("g"))
+    VersionedTable.deleteWhereDV(spark, droot, "id", 12, 12)
+    drain("cdc_zc_d", ckptD, got)
+    val rowsDD = Iterator.continually(got.poll())
+      .takeWhile(_ != null).toSet
+    assert(rowsDD.map(r => (r._1, r._3)).contains(("insert", 11)) &&
+      !rowsDD.exists(r => r._1 == "insert" && r._3 == 12),
+      s"served-dir DV diff wrong: $rowsDD")
     spark.sql("DROP TABLE cdc_zc_t")
     spark.sql("DROP TABLE cdc_zc_d")
   }
