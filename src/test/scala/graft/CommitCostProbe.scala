@@ -22,6 +22,27 @@ object CommitCostProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // count Spark jobs + stages per commit: the fixed overhead is
+    // ~(jobs x scheduling) + driver-side manifest I/O
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          sites.add(j.stageInfos.map(_.name).mkString(" | "))
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          tasks.incrementAndGet()
+      })
+    def resetCounts(): Unit = { jobs.set(0); stages.set(0); tasks.set(0) }
+    def counts(): String =
+      s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
     val root = "/tmp/graft_commit_cost/t"
@@ -35,10 +56,18 @@ object CommitCostProbe {
     println(f"[probe] v0 full upsert ${(System.nanoTime() - t0) / 1e9}%.2f s")
     (1 to n).foreach { i =>
       val batch = docs.filter(col("doc_id") % 50 === i)
+      resetCounts()
       t0 = System.nanoTime()
       VersionedTable.upsert(spark, root, batch, Seq("doc_id", "lang"),
         Seq("lang"))
-      println(f"[probe] v$i small upsert ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val w = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // listener drain
+      println(f"[probe] v$i small upsert $w%.2f s  ${counts()}")
+      if (i == n) {
+        import scala.jdk.CollectionConverters._
+        sites.asScala.foreach(s => println(s"[probe]   job: $s"))
+      }
+      sites.clear()
     }
     spark.stop()
   }
