@@ -25,6 +25,11 @@ object Bench {
       // the events table carries int64-nanos timestamps; set at session
       // build so no query constructor mutates global conf mid-run
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as standard INT64 micros, not legacy INT96:
+      // INT96 footers carry no usable statistics, so the versioned
+      // tables\' footer-based stats collection (zero-job commits) would
+      // fall back to read-back scans for timestamp stat columns
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // queries run PAR-at-a-time as independent jobs; FIFO would let one
       // whale stage starve every query queued behind it, inflating their
       // wall times. FAIR + one pool per query round-robins the 32 slots.

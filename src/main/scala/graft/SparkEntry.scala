@@ -1836,11 +1836,16 @@ object SparkEntry {
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       .first.getInt(0) == -1, "q_multi_txn_merge: MERGE must defer")
-    // crashHook is process-global: serialize with q_multi_txn (see
-    // crashHookLock) so a concurrent reset cannot clobber the injection
+    // crashHook is process-global: the injection is PATH-SCOPED to this
+    // query's own transaction marker (markerFor is deterministic over
+    // the member roots), so no other query's commits can trip it — the
+    // round-11 bench's `p == "decision"` matched EVERY upsertAtomic
+    // under PAR=4. The lock still serializes against q_multi_txn so a
+    // concurrent `finally` reset cannot clobber a live injection.
+    val myMarker = graft.plans.GraftTxn.markerFor(s, Seq(tSym, tDay))
     crashHookLock.synchronized {
       MultiSync.crashHook = p =>
-        if (p == "decision")
+        if (p == s"decision:$myMarker")
           throw new IllegalStateException(
             "q_multi_txn_merge injected crash")
       try {

@@ -27,6 +27,11 @@ object Verify {
       // the events table carries int64-nanos timestamps; set at session
       // build so no query constructor mutates global conf mid-run
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as standard INT64 micros, not legacy INT96:
+      // INT96 footers carry no usable statistics, so the versioned
+      // tables\' footer-based stats collection (zero-job commits) would
+      // fall back to read-back scans for timestamp stat columns
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
@@ -44,12 +49,23 @@ object Verify {
     // Dev control (same as Bench): SPARK_GRAFT_ONLY=q_a,q_b restricts the
     // dump to a subset while iterating; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // the RESULT dumps keep legacy INT96 timestamps: the driver's DuckDB
+    // compare reads INT96 as a naive TIMESTAMP (matching oracle output),
+    // while INT64-micros parquet reads back as TIMESTAMPTZ and every
+    // timestamp-bearing query would string-mismatch on the "+00:00"
+    // rendering. The SESSION stays on TIMESTAMP_MICROS (footer-based
+    // stats for the engine's own versioned writes); only this dump
+    // writer re-binds onto an INT96 clone.
+    val dumpSession = org.apache.spark.sql.graftbridge.SessionBridge
+      .cloneWithConf(spark,
+        Map("spark.sql.parquet.outputTimestampType" -> "INT96"))
     val futures = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.map { case (name, fn) =>
       Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try org.apache.spark.sql.graftbridge.SessionBridge
+          .rebind(dumpSession, fn(spark, sfDir)).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

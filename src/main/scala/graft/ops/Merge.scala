@@ -137,8 +137,10 @@ object Merge {
     val n = partCols.length
     // typed values + their writer-semantics string forms in one distinct:
     // the string columns are deterministic functions of the typed ones,
-    // so cardinality is unchanged
-    val rows = values.select(
+    // so cardinality is unchanged. Executes on `spark` (which may be the
+    // commit session's AQE-off clone), not values' own session.
+    val rows = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(spark, values).select(
       partCols.map(col) ++
         partCols.zipWithIndex.map { case (c, i) =>
           col(c).cast("string").as(s"__graft_s$i") }: _*)

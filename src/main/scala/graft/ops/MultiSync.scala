@@ -178,8 +178,14 @@ object MultiSync {
   // ===================================================== atomic write ==
 
   /** Test-only crash injection for [[upsertAtomic]]: called at the
-    * named points `"intent"`, `"staged:<root>"`, `"decision"`,
-    * `"published:<root>"`. A hook that throws [[SimulatedCrash]]
+    * named points `"intent:<markerPath>"`, `"staged:<root>"`,
+    * `"decision:<markerPath>"`, `"published:<root>"`. Every point
+    * carries the group's marker path or member root so an injection
+    * can (and must) scope itself to ITS OWN transaction — the hook is
+    * process-global, and an unscoped `p == "decision"` predicate fires
+    * from every concurrently benched query's commits (the round-11
+    * bench carried exactly that cross-query error).
+    * A hook that throws [[SimulatedCrash]]
     * simulates PROCESS DEATH there — files on disk are exactly the
     * crash state (the in-process abort cleanup deliberately does not
     * run), and the next [[recoverAtomic]]/[[upsertAtomic]] must
@@ -353,9 +359,41 @@ object MultiSync {
       .mkString(s"$intentHeader\t$txnId\n", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    crashHook("intent")
+    crashHook(s"intent:$markerPath")
+    // grace heartbeat: a single member's prepare can run far longer
+    // than the recovery grace (a large staged write), and renewing the
+    // intent mtime only BETWEEN members leaves the live group
+    // past-grace mid-stage — a concurrent BEGIN's recoverAll would
+    // roll back its recorded stages under the writer's feet. A daemon
+    // touches the intent every grace/3 while staging runs (setTimes is
+    // best-effort: on stores without it the grace never renews, so
+    // size spark.graft.txn.intentGraceMs above worst-case TOTAL
+    // staging time there). The heartbeat stops once the decision
+    // marker exists — from there recovery only rolls the group
+    // FORWARD, which is safe to race.
+    val graceMs = spark.conf
+      .get("spark.graft.txn.intentGraceMs", "30000").toLong
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      val interval = math.max(graceMs / 3, 1000L)
+      while (!hbStop.get()) {
+        hbStop.synchronized { hbStop.wait(interval) }
+        if (!hbStop.get()) scala.util.Try(
+          fs.setTimes(intent, System.currentTimeMillis(), -1))
+      }
+    }, s"graft-txn-heartbeat-${txnId.take(8)}")
+    hb.setDaemon(true)
+    hb.start()
+    def stopHeartbeat(): Unit = {
+      hbStop.set(true)
+      hbStop.synchronized { hbStop.notifyAll() }
+    }
     val done = Seq.newBuilder[(Int, String, Int)]
     val staged =
+      // stopHeartbeat on EVERY exit, SimulatedCrash included: real
+      // process death takes the daemon with it, but a test-simulated
+      // crash leaves this JVM alive — a surviving heartbeat would
+      // renew the dead group's grace forever and mask the recovery
       try writes.zipWithIndex.map { case (w, i) =>
         val v = VersionedTable.prepare(spark, w.root, w.rows, w.keys,
           w.partCols, statsCols = w.statsCols, bloomCols = w.bloomCols)
@@ -394,11 +432,11 @@ object MultiSync {
             }.isSuccess }
           if (allRetracted) fs.delete(intent, false)
           throw t
-      }
+      } finally stopHeartbeat()
     writeMarker(fs, decision, staged.map { case (r, v) =>
       s"${SpecFile.b64e(r)}\t$v" }
       .mkString(s"$vectorHeader\t$txnId\n", "\n", "\n"))
-    crashHook("decision")
+    crashHook(s"decision:$markerPath")
     staged.foreach { case (root, v) =>
       // idempotent: a recovering peer may be rolling this same decision
       // forward concurrently — both publishers must see success
@@ -605,18 +643,37 @@ object MultiSync {
       listStagedRecs(fs, markerPath, purgeTmp = true)
         .foreach { case (p, recTxt) =>
         val matches = owner.isEmpty || markerOwner(recTxt) == owner
-        if (matches) scala.util.Try(
-          parseMarker(recTxt, stagedHeader, p.toString)).foreach {
-          _.foreach { parts =>
-            val (root, v) = (SpecFile.b64d(parts(0)), parts(1).trim.toInt)
-            if (VersionedTable.isStaged(spark, root, v) &&
-                !VersionedTable.isPublished(spark, root, v))
-              VersionedTable.retractStaged(spark, root, v)
+        if (matches) {
+          scala.util.Try(
+            parseMarker(recTxt, stagedHeader, p.toString)).foreach {
+            _.foreach { parts =>
+              val (root, v) = (SpecFile.b64d(parts(0)), parts(1).trim.toInt)
+              if (VersionedTable.isStaged(spark, root, v) &&
+                  !VersionedTable.isPublished(spark, root, v))
+                VersionedTable.retractStaged(spark, root, v)
+            }
+          }
+          // delete ONLY what this rollback owns, and re-check ownership
+          // at delete time (deleteIfOwned re-reads): a sidecar owned by
+          // a SUCCESSOR group — this recoverer may have stalled across
+          // a completed recovery plus a fresh cycle — must survive, or
+          // the successor's own crash rollback finds no record and
+          // strands its stage as an orphaned claim
+          owner match {
+            case Some(id) => deleteIfOwned(fs, p, id)
+            case None => fs.delete(p, false) // legacy v1: no id to check
           }
         }
-        fs.delete(p, false)
       }
-      fs.delete(intent, false)
+      // same at the intent: a stalled second recoverer deleting a
+      // successor's LIVE intent would release its create-exclusive
+      // claim and re-open the double-claim/mixed-pair scenario the v2
+      // owner-guarded protocol exists to close (legacy v1 intents have
+      // no owner to check — unguarded delete is all there is)
+      owner match {
+        case Some(id) => deleteIfOwned(fs, intent, id)
+        case None => fs.delete(intent, false) // legacy v1: no id
+      }
     }
   }
 }

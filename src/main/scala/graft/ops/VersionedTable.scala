@@ -1507,16 +1507,62 @@ object VersionedTable {
     walk(base, Vector.empty, 0)
   }
 
-  /** Per-file min/max/null-count for `statsCols` over the data files just
-    * written under `$root/$genDir`: ONE delta-sized aggregation grouped by
-    * `_metadata.file_path` (the files were written moments ago — page-
-    * cache hot; at 100 TB this is O(|delta|), amortized noise next to the
-    * write itself). File keys render relative to root
-    * ("genN/<part dirs>/<file>"), percent-decoded to the raw on-disk
-    * names with the same '+' guard as Merge.readTouchedDirs. Columns
-    * absent from this generation's schema or with no exact rendering get
-    * no entry (their files are never skipped — conservative). */
+  /** Per-file min/max/null-count for `statsCols`, per-file Bloom filters
+    * for `bloomCols`, and per-dir row/file/byte counts over the data
+    * files just written under `$root/$genDir`.
+    *
+    * Fast path (no Spark job at all): the parquet FOOTERS the write just
+    * produced already carry per-row-group min/max/null-count and row
+    * counts — decode those instead of re-scanning the data (the same
+    * design as Delta/Iceberg stats collection). A small commit's stats
+    * become a driver-side footer loop; a large commit's fan out as ONE
+    * shuffle-free job over the file list. Falls back to the original
+    * read-back aggregation ([[collectFileStatsScan]]) when a Bloom index
+    * is requested (blooms need the data), when footers are undecodable
+    * for a requested orderable column (INT96 timestamps from a session
+    * writing the legacy type — set
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`, as graft's
+    * own sessions do), or when `spark.graft.stats.footer=false`.
+    *
+    * `schema` is the LOGICAL schema the files were written under —
+    * exactly what the read-back path would infer, so the recorded
+    * `dtJson` and rendered values are identical either way. */
   private def collectFileStats(spark: SparkSession, root: String,
+                               genDir: String, partCols: Seq[String],
+                               statsCols: Seq[String],
+                               bloomCols: Seq[String] = Nil,
+                               bloomBits: Long = 8192L,
+                               colmap: Map[String, String] = Map.empty,
+                               schema: StructType = null)
+      : (Map[String, Map[String, ColStat]],
+         Map[String, Map[String, Array[Byte]]],
+         Map[String, Long], Map[String, Long], Map[String, Long]) = {
+    val footersOn =
+      spark.conf.get("spark.graft.stats.footer", "true").toBoolean
+    val bloomsWanted = schema != null &&
+      bloomCols.exists(c => schema.fieldNames.contains(c))
+    val viaFooters =
+      if (!footersOn || schema == null || bloomsWanted) None
+      else footerFileStats(spark, root, genDir, partCols, statsCols,
+        colmap, schema)
+    viaFooters match {
+      case Some((stats, dirRows, dirFiles, dirBytes)) =>
+        (stats, Map.empty, dirRows, dirFiles, dirBytes)
+      case None => collectFileStatsScan(spark, root, genDir, partCols,
+        statsCols, bloomCols, bloomBits, colmap)
+    }
+  }
+
+  /** The read-back implementation of [[collectFileStats]]: ONE
+    * delta-sized aggregation grouped by `_metadata.file_path` (the files
+    * were written moments ago — page-cache hot; at 100 TB this is
+    * O(|delta|), amortized noise next to the write itself). File keys
+    * render relative to root ("genN/<part dirs>/<file>"),
+    * percent-decoded to the raw on-disk names with the same '+' guard as
+    * Merge.readTouchedDirs. Columns absent from this generation's schema
+    * or with no exact rendering get no entry (their files are never
+    * skipped — conservative). */
+  private def collectFileStatsScan(spark: SparkSession, root: String,
                                genDir: String, partCols: Seq[String],
                                statsCols: Seq[String],
                                bloomCols: Seq[String] = Nil,
@@ -1589,6 +1635,292 @@ object VersionedTable {
     val dirFiles = perDir.map { case (d, xs) => d -> xs.size.toLong }
     val dirBytes = perDir.map { case (d, xs) => d -> xs.map(_._3).sum }
     (stats, blooms, dirRows, dirFiles, dirBytes)
+  }
+
+  /** Footer-based stats for the fresh generation `genDir`: list its data
+    * files, decode each parquet footer's per-row-group statistics, and
+    * assemble the same (stats, dirRows, dirFiles, dirBytes) the read-back
+    * scan would. None => caller must fall back to the scan (a requested
+    * orderable column is stored as INT96).
+    *
+    * ≤64 files decode in a driver loop (zero jobs — the lifecycle-commit
+    * case); larger generations decode in one shuffle-free distributed
+    * job. File keys are the RAW on-disk relative names straight from the
+    * listing — the same keys the scan path reconstructs by percent-
+    * decoding `_metadata.file_path`. */
+  private def footerFileStats(spark: SparkSession, root: String,
+                              genDir: String, partCols: Seq[String],
+                              statsCols: Seq[String],
+                              colmap: Map[String, String],
+                              schema: StructType)
+      : Option[(Map[String, Map[String, ColStat]],
+         Map[String, Long], Map[String, Long], Map[String, Long])] = {
+    val fs = fsFor(spark, root)
+    val base = new Path(s"${tableRoot(root)}/$genDir")
+    def phys(c: String): String = colmap.getOrElse(c, c)
+    val present = statsCols.filter(c => schema.fieldNames.contains(c))
+    // decode plan per PHYSICAL column name: how the footer's raw values
+    // render into the manifest's portable stat strings (mirrors
+    // renderStat case-for-case; unsupported types record nulls only)
+    val kinds: Map[String, String] =
+      present.map(c => phys(c) -> footerKindOf(schema(c).dataType)).toMap
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    val files: Seq[(String, String, Long)] =
+      leafDirs(fs, base, partCols).flatMap { rel =>
+        val dir = if (rel.isEmpty) base else new Path(s"$base/$rel")
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && !hidden(s.getPath.getName))
+          .map { s =>
+            val key = if (rel.isEmpty) s"$genDir/${s.getPath.getName}"
+              else s"$genDir/$rel/${s.getPath.getName}"
+            (key, s.getPath.toString, s.getLen)
+          }
+      }
+    if (files.isEmpty)
+      return Some((Map.empty, Map.empty, Map.empty, Map.empty))
+    val byPath = files.map { case (k, p, len) => p -> (k, len) }.toMap
+    val decoded: Seq[(String, (Long,
+        Map[String, Option[(Option[String], Option[String], Long)]],
+        Boolean))] =
+      if (files.size <= 64) {
+        val conf = spark.sessionState.newHadoopConf()
+        files.map { case (_, p, _) => p -> decodeFooterStats(conf, p, kinds) }
+      } else {
+        val paths = files.map(_._2)
+        org.apache.spark.sql.graftbridge.HadoopBridge
+          .mapFiles(spark, paths,
+            math.min(paths.size, spark.sparkContext.defaultParallelism)) {
+            (conf, p) => p -> decodeFooterStats(conf, p, kinds) }
+      }
+    // any file where an orderable wanted column couldn't be decoded
+    // (INT96 timestamps, NaN-suppressed float/double bounds, missing
+    // statistics): the SCAN path can stat those, so re-scan the
+    // generation rather than record anything weaker than the scan would
+    if (decoded.exists(_._2._3)) return None
+    val backToLogical = kinds.keys.map(p => p ->
+      present.find(c => phys(c) == p).get).toMap
+    val perFile = decoded.map { case (p, (rows, cols, _)) =>
+      val (key, len) = byPath(p)
+      val entry = cols.flatMap { case (pname, res) =>
+        res.map { case (mn, mx, nulls) =>
+          val logical = backToLogical(pname)
+          logical -> ColStat(mn, mx, nulls,
+            Some(schema(logical).dataType.json))
+        }
+      }
+      (key, rows, len, entry)
+    }
+    // like the scan path: no stats columns => no stats entries at all;
+    // an unusable column simply has no per-file entry (never skipped)
+    val statsMap =
+      if (present.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else perFile.map { case (key, _, _, entry) => key -> entry }.toMap
+    val perDir = perFile.map { case (f, rows, bytes, _) =>
+      (f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')), rows, bytes)
+    }.groupBy(_._1)
+    Some((statsMap,
+      perDir.map { case (d, xs) => d -> xs.map(_._2).sum },
+      perDir.map { case (d, xs) => d -> xs.size.toLong },
+      perDir.map { case (d, xs) => d -> xs.map(_._3).sum }))
+  }
+
+  /** How a Spark column type's footer statistics render — keyed the same
+    * way [[renderStat]]/[[statOrdering]] are: orderable primitives get
+    * min/max, everything else records null counts only ("nullsonly" —
+    * exactly what the scan path produces when renderStat returns None). */
+  private def footerKindOf(dt: DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case DateType => "date"
+      case TimestampType => "ts"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case StringType => "string"
+      case _: DecimalType => "decimal"
+      case _ => "nullsonly"
+    }
+  }
+
+  /** Mirror of [[statOrdering]] keyed by footer kind — the comparison
+    * domain for combining per-row-group min/max into per-file bounds.
+    * MUST stay in lockstep with statOrdering or footer-derived bounds
+    * could disagree with how pruning later compares them. */
+  private def footerCmp(kind: String): (String, String) => Int = kind match {
+    case "int" | "long" | "date" | "ts" =>
+      (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+    case "float" | "double" =>
+      (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "string" => (a, b) => {
+      val x = a.getBytes(StandardCharsets.UTF_8)
+      val y = b.getBytes(StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0; var c = 0
+      while (i < n && c == 0) {
+        c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1
+      }
+      if (c != 0) c else java.lang.Integer.compare(x.length, y.length)
+    }
+    case _ =>
+      (a, b) => new java.math.BigDecimal(a).compareTo(
+        new java.math.BigDecimal(b))
+  }
+
+  /** Render ONE footer min/max value for `kind`, verifying the parquet
+    * primitive/logical type actually matches what the kind expects —
+    * any mismatch renders None (the column's entry is dropped for the
+    * file: never skipped, never wrong). Value renderings are chosen to
+    * be bit-identical with [[renderStat]] on the scan path: epoch-day
+    * ints for dates, epoch-µs longs for timestamps (micros natively,
+    * millis ×1000), floats through their lossless double widening,
+    * decimals via unscaled×scale toPlainString, strings as UTF-8. */
+  private def renderFooterVal(kind: String,
+                              pt: org.apache.parquet.schema.PrimitiveType,
+                              v: Any): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    kind match {
+      case "int" | "long" | "date" => v match {
+        case n: java.lang.Integer => Some(n.toString)
+        case n: java.lang.Long if kind == "long" => Some(n.toString)
+        case _ => None
+      }
+      case "ts" => pt.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          v match {
+            case n: java.lang.Long => t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(n.toString)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some((n.longValue * 1000L).toString)
+              case _ => None // NANOS: not a Spark TimestampType layout
+            }
+            case _ => None
+          }
+        case _ => None
+      }
+      case "float" => v match {
+        // lossless double widening — the same path renderStat takes (see
+        // its Float case for why the shortest float repr is NOT safe)
+        case f: java.lang.Float => Some(f.doubleValue.toString)
+        case _ => None
+      }
+      case "double" => v match {
+        case d: java.lang.Double => Some(d.toString)
+        case _ => None
+      }
+      case "string" => (pt.getLogicalTypeAnnotation, v) match {
+        case (_: LogicalTypeAnnotation.StringLogicalTypeAnnotation,
+              b: org.apache.parquet.io.api.Binary) =>
+          Some(b.toStringUsingUTF8)
+        case _ => None
+      }
+      case "decimal" => pt.getLogicalTypeAnnotation match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          val s = d.getScale
+          v match {
+            case n: java.lang.Integer =>
+              Some(java.math.BigDecimal.valueOf(n.longValue, s).toPlainString)
+            case n: java.lang.Long =>
+              Some(java.math.BigDecimal.valueOf(n.longValue, s).toPlainString)
+            case b: org.apache.parquet.io.api.Binary =>
+              Some(new java.math.BigDecimal(
+                new java.math.BigInteger(b.getBytes), s).toPlainString)
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Decode one parquet footer into per-column rendered stats.
+    * Returns (rowCount, per-physical-column result, sawInt96ForWanted).
+    * Per column: None = record NO entry (conservative — the file is
+    * never skipped); Some((min, max, nulls)) with min=max=None meaning
+    * PROVABLY only-null (safe to range-skip, the same contract the scan
+    * path's rendered aggregate satisfies).
+    *
+    * Usability rules per column, over all row groups: every chunk must
+    * carry statistics with the null count set; a chunk without non-null
+    * values must be provably all-null (numNulls == valueCount — a chunk
+    * with values but suppressed min/max drops the column instead of
+    * mislabeling the file only-null, which range pruning would skip).
+    *
+    * An ORDERABLE column that ends up with no usable bounds for a file
+    * that provably holds values sets `needScan` instead of recording a
+    * weaker entry — the caller falls back to the read-back scan for the
+    * WHOLE generation, so footer-collected stats are value-identical
+    * with scan-collected ones, never merely "conservative". The two
+    * known triggers: INT96 timestamps (legacy session conf — no usable
+    * footer stats by design) and float/double chunks that saw a NaN
+    * (parquet-mr omits their min/max from the footer, while Spark's
+    * aggregate records max=NaN; the metadata min/max fold REQUIRES that
+    * exact value, so absence must re-scan, not degrade —
+    * fastMinMax/PropertySpec pin this). ±0.0 normalization and
+    * long-binary truncation only ever widen bounds. A final min<=max
+    * sanity check routes anything pathological to the scan too.
+    * Serializable closure-safe: called on executors by the distributed
+    * leg. */
+  private[graft] def decodeFooterStats(
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      kinds: Map[String, String])
+      : (Long, Map[String, Option[(Option[String], Option[String], Long)]],
+         Boolean) = {
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    val meta = ParquetFileReader.readFooter(conf, new Path(path),
+      ParquetMetadataConverter.NO_FILTER)
+    val blocks = meta.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    var needScan = false
+    val cols = kinds.map { case (name, kind) =>
+      val chunks = blocks.flatMap(_.getColumns.asScala.find { cc =>
+        val p = cc.getPath.toArray
+        p.length == 1 && p(0) == name
+      })
+      val res: Option[(Option[String], Option[String], Long)] =
+        if (chunks.length != blocks.length) None
+        else {
+          val sts = chunks.map(cc =>
+            (cc.getStatistics, cc.getValueCount, cc.getPrimitiveType))
+          if (chunks.exists(_.getPrimitiveType.getPrimitiveTypeName ==
+              PrimitiveTypeName.INT96)) None
+          else if (sts.exists { case (st, _, _) =>
+              st == null || !st.isNumNullsSet }) None
+          else if (!sts.filter { case (st, _, _) => !st.hasNonNullValue }
+              .forall { case (st, vc, _) => st.getNumNulls == vc }) None
+          else {
+            val nulls = sts.map(_._1.getNumNulls).sum
+            val withVals = sts.filter(_._1.hasNonNullValue)
+            if (withVals.isEmpty) Some((None, None, nulls))
+            else if (kind == "nullsonly") Some((None, None, nulls))
+            else {
+              val rendered = withVals.map { case (st, _, pt) =>
+                (renderFooterVal(kind, pt, st.genericGetMin),
+                  renderFooterVal(kind, pt, st.genericGetMax))
+              }
+              if (rendered.exists(r => r._1.isEmpty || r._2.isEmpty)) None
+              else {
+                val cmp = footerCmp(kind)
+                val mn = rendered.map(_._1.get).reduce((a, b) =>
+                  if (cmp(a, b) <= 0) a else b)
+                val mx = rendered.map(_._2.get).reduce((a, b) =>
+                  if (cmp(a, b) >= 0) a else b)
+                if (cmp(mn, mx) > 0) None
+                else Some((Some(mn), Some(mx), nulls))
+              }
+            }
+          }
+        }
+      // an orderable column the scan path COULD stat but the footer
+      // cannot: the whole generation must re-scan (exact-parity rule
+      // in the scaladoc)
+      if (res.isEmpty && kind != "nullsonly") needScan = true
+      name -> res
+    }
+    (rows, cols, needScan)
   }
 
   /** Bloom sizing: 0 = auto — ~10 bits per expected row (≈1% false-
@@ -1668,6 +2000,60 @@ object VersionedTable {
       val dirOf = fileRel.lastIndexOf('/')
       dirOf > 0 && liveDirPrefixes.contains(fileRel.substring(0, dirOf + 1))
     }
+
+  /** The session a staged commit's write-side queries should EXECUTE
+    * under, keyed by `spark.graft.commit.aqe`:
+    *
+    *  - `auto` (default): when the staged input's OPTIMIZER SIZE
+    *    ESTIMATE is at most `spark.graft.commit.aqeAutoMaxBytes`
+    *    (256 MB), plan the stage's queries with adaptive execution OFF
+    *    and `spark.graft.commit.smallShufflePartitions` (8) shuffle
+    *    partitions. A small commit's write is then ONE statically
+    *    planned job instead of 5-7 AQE stage-materialization jobs —
+    *    the CommitCostProbe-measured fixed cost that priced every
+    *    lifecycle commit ~1s regardless of data. Misestimates are
+    *    benign in both directions: an overestimate keeps AQE (costs
+    *    jobs, not correctness), an underestimate statically plans a
+    *    big write — the classic pre-AQE plan.
+    *  - `on`: never override — every commit keeps the session's AQE
+    *    (multi-GB commits on a real cluster want runtime re-planning
+    *    for skew/coalescing; set this when commits are routinely big).
+    *  - `off`: always plan commits statically.
+    *
+    * AQE's planner rule reads `sessionState.conf` directly, so the
+    * override needs a SESSION, not a thread-local: a fresh clone
+    * (shared SparkContext, snapshotted conf — so it also tracks
+    * session-level settings like the parquet timestamp type at their
+    * values for THIS commit) that plans built on the caller's session
+    * re-bind onto at their terminal action (SessionBridge.rebind).
+    * Cloning per commit keeps PAR-N benches and concurrent writers
+    * fully isolated. */
+  /** Size hint for a FULL-table rewrite (compact/repartition): the sum
+    * of every live dir's recorded bytes — None (keep AQE) when any dir
+    * predates byte tracking. */
+  private def tableBytesHint(m: Manifest): Option[BigInt] =
+    m.mapping.keysIterator.map(m.dirBytes.get).foldLeft(Option(BigInt(0))) {
+      case (Some(acc), Some(b)) => Some(acc + b)
+      case _ => None
+    }
+
+  private def commitSession(spark: SparkSession,
+                            sizeHint: => Option[BigInt]): SparkSession = {
+    val small = spark.conf.get("spark.graft.commit.aqe", "auto") match {
+      case "on" => false
+      case "off" => true
+      case _ =>
+        val cap = spark.conf.get("spark.graft.commit.aqeAutoMaxBytes",
+          (256L * 1024 * 1024).toString).toLong
+        scala.util.Try(sizeHint).toOption.flatten.exists(_ <= cap)
+    }
+    if (!small) spark
+    else org.apache.spark.sql.graftbridge.SessionBridge.cloneWithConf(
+      spark, Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" ->
+          spark.conf.get("spark.graft.commit.smallShufflePartitions", "8")))
+  }
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -1971,7 +2357,12 @@ object VersionedTable {
             "physical name of a renamed column — OPTIMIZE first to " +
             "materialize renames")
       }
-      val entries = Merge.partitionDirEntries(spark, gated, partCols)
+      // small commits execute their write-side queries on an AQE-off
+      // clone (see commitSession) — every plan below that ACTS re-binds
+      // onto it; plans that merely feed the write ride along lazily
+      val sparkW = commitSession(spark, scala.util.Try(
+        updates.queryExecution.optimizedPlan.stats.sizeInBytes).toOption)
+      val entries = Merge.partitionDirEntries(sparkW, gated, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
       // replaceAll (INSERT OVERWRITE): no survivors anywhere — prior
@@ -2035,7 +2426,9 @@ object VersionedTable {
       // rename metadata carried from the prior version — unionByName
       // rebuilds fields without it) stays logical
       val outSchema = carryPhysical(merged.schema, prior)
-      val writer = fileRows.foldLeft(toPhysical(clustered, outSchema).write)(
+      val writer = fileRows.foldLeft(
+        org.apache.spark.sql.graftbridge.SessionBridge.rebind(sparkW,
+          toPhysical(clustered, outSchema)).write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
       val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), partCols)
@@ -2058,9 +2451,9 @@ object VersionedTable {
           Map.empty[String, Map[String, Array[Byte]]],
           Map.empty[String, Long], Map.empty[String, Long],
           Map.empty[String, Long])
-        else collectFileStats(spark, root, genDir, partCols, statsCols,
+        else collectFileStats(sparkW, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows),
-          colmap = renameMap(outSchema))
+          colmap = renameMap(outSchema), schema = outSchema)
       // dir-count carry: a prior dir's counts survive iff its mapping
       // entry is untouched (rewritten dirs get fresh counts below)
       def carryDir(prev: Map[String, Long]): Map[String, Long] =
@@ -2243,14 +2636,26 @@ object VersionedTable {
     val newDirs = mt.mapping.toSeq.sortBy(_._1)
       .filterNot { case (rel, _) => mf.mapping.contains(rel) }
     val newRels = newDirs.map(_._1).toSet
-    if (mt.dvs.keysIterator.exists { k =>
-      val dirOf = k.lastIndexOf('/')
-      val relStart = k.indexOf('/') + 1
-      dirOf > relStart && newRels.contains(k.substring(relStart, dirOf))
-    }) return None
+    if (mt.dvs.keysIterator.exists(k => newRels.contains(dvKeyRel(k))))
+      return None
     rawDirFiles(spark, root, newDirs, mt.partCols)
       .map(files => (files,
         StructType(mt.partCols.map(c => mt.schema(c))), mt.schema))
+  }
+
+  /** The partition-dir rel of a DV/stat file key ("gen/<part dirs>/
+    * <file>"): the segments between the generation and the file name.
+    * A bare "gen/<file>" key (rel = "" — the unpartitioned layout the
+    * manifest format permits even though prepare() always partitions)
+    * must yield "", NOT be skipped: rawAppendDiffFiles' served-dir DV
+    * guard compares this against newRels, which CONTAINS "" exactly
+    * when the root dir is new — the earlier `dirOf > relStart` guard
+    * silently never fired there, so a served file's DV-deleted rows
+    * would have been zero-copy-served as inserts. */
+  private[graft] def dvKeyRel(k: String): String = {
+    val dirOf = k.lastIndexOf('/')
+    val relStart = k.indexOf('/') + 1
+    if (dirOf < relStart) "" else k.substring(relStart, dirOf)
   }
 
   /** Retract a STAGED-but-unpublished version: delete its generation
@@ -2762,8 +3167,17 @@ object VersionedTable {
     val bloomCols = (coveredCols(m.blooms) ++ coveredCols(m.bloomRefs) ++
       tRefs.flatMap(_.bloomCols))
       .distinct.filterNot(m.partCols.contains)
+    // the rewrite's input is exactly the touched dirs — their recorded
+    // byte totals are a FREE size hint for the small-commit AQE-off
+    // plan (None when any touched dir predates byte tracking)
+    val sizeHint: Option[BigInt] =
+      touched.keysIterator.map(m.dirBytes.get).foldLeft(Option(BigInt(0))) {
+        case (Some(acc), Some(b)) => Some(acc + b)
+        case _ => None
+      }
     val next = stageVersion(fs, root, cur + 1, op, m.keys,
         expectLog = expectLog) { genDir =>
+      val sparkW = commitSession(spark, sizeHint)
       val survivorsByGen = transform(scanDirs(spark, root, m, touched))
       val base = survivorsByGen.repartition(m.partCols.map(col): _*)
       val clustered =
@@ -2774,7 +3188,8 @@ object VersionedTable {
         else if (statsCols.isEmpty) base
         else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
       val writer = fileRows.foldLeft(
-        toPhysical(clustered, m.schema).write)(
+        org.apache.spark.sql.graftbridge.SessionBridge.rebind(sparkW,
+          toPhysical(clustered, m.schema)).write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(m.partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
       val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), m.partCols)
@@ -2795,9 +3210,9 @@ object VersionedTable {
           Map.empty[String, Map[String, Array[Byte]]],
           Map.empty[String, Long], Map.empty[String, Long],
           Map.empty[String, Long])
-        else collectFileStats(spark, root, genDir, m.partCols, statsCols,
+        else collectFileStats(sparkW, root, genDir, m.partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows),
-          colmap = renameMap(m.schema))
+          colmap = renameMap(m.schema), schema = m.schema)
       def carryDir(prev: Map[String, Long]): Map[String, Long] =
         prev.filter { case (rel, _) =>
           m.mapping.contains(rel) &&
@@ -3924,6 +4339,7 @@ object VersionedTable {
       require(!m.partCols.contains(c),
         s"stats column $c is a partition column"))
     val next = stageVersion(fs, root, cur + 1, "compact", m.keys) { genDir =>
+      val sparkW = commitSession(spark, tableBytesHint(m))
       val base = read(spark, root, Some(cur))
         .repartition(m.partCols.map(col): _*)
       val clustered =
@@ -3933,13 +4349,17 @@ object VersionedTable {
             .drop("__zval")
         else if (statsCols.isEmpty) base
         else base.sortWithinPartitions((m.partCols ++ statsCols).map(col): _*)
-      val writer = fileRows.foldLeft(clustered.write)(
+      val writer = fileRows.foldLeft(
+        org.apache.spark.sql.graftbridge.SessionBridge.rebind(sparkW,
+          clustered).write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(m.partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
       val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), m.partCols)
       val (stats, blooms, dirRows, dirFiles, dirBytes) =
-        collectFileStats(spark, root, genDir, m.partCols, statsCols,
-          bloomCols, sizedBloomBits(bloomBits, fileRows))
+        collectFileStats(sparkW, root, genDir, m.partCols, statsCols,
+          bloomCols, sizedBloomBits(bloomBits, fileRows),
+          // compact writes CURRENT logical names (renames materialize)
+          schema = stripPhysical(m.schema))
       // the rewrite wrote CURRENT logical names — renames are now
       // materialized, drop the column mapping
       Staged(m.partCols, stripPhysical(m.schema),
@@ -4081,12 +4501,15 @@ object VersionedTable {
     (statsCols ++ bloomCols).foreach(c => require(!partCols.contains(c),
       s"stats column $c is a partition column"))
     val next = stageVersion(fs, root, cur + 1, "repartition", m.keys) { genDir =>
+      val sparkW = commitSession(spark, tableBytesHint(m))
       val base = read(spark, root, Some(cur))
         .repartition(partCols.map(col): _*)
       val clustered =
         if (statsCols.isEmpty) base
         else base.sortWithinPartitions((partCols ++ statsCols).map(col): _*)
-      val writer = fileRows.foldLeft(clustered.write)(
+      val writer = fileRows.foldLeft(
+        org.apache.spark.sql.graftbridge.SessionBridge.rebind(sparkW,
+          clustered).write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
       val written = leafDirs(fs, new Path(s"${tableRoot(root)}/$genDir"), partCols)
@@ -4095,8 +4518,9 @@ object VersionedTable {
           Map.empty[String, Map[String, Array[Byte]]],
           Map.empty[String, Long], Map.empty[String, Long],
           Map.empty[String, Long])
-        else collectFileStats(spark, root, genDir, partCols, statsCols,
-          bloomCols, sizedBloomBits(bloomBits, fileRows))
+        else collectFileStats(sparkW, root, genDir, partCols, statsCols,
+          bloomCols, sizedBloomBits(bloomBits, fileRows),
+          schema = stripPhysical(m.schema))
       // full rewrite under logical names: renames materialize here too
       Staged(partCols, stripPhysical(m.schema),
         written.map(_ -> genDir).toMap,

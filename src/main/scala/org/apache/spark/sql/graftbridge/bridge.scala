@@ -13,6 +13,76 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Thread-confined SQLConf overrides: clone the effective conf, apply
+  * `overrides`, and run `f` with the clone installed as the THREAD-LOCAL
+  * SQLConf ([[org.apache.spark.sql.internal.SQLConf.withExistingConf]]).
+  * Every rule and planner decision that reads `SQLConf.get` — adaptive
+  * execution on/off among them — sees the override for plans BUILT AND
+  * EXECUTED inside `f`, while concurrent queries on the same session are
+  * untouched (mutating `spark.conf` would race them). The clone starts
+  * from `SQLConf.get`, not the session conf, so nested withConf blocks
+  * compose. NOTE: code paths that read `sessionState.conf` directly
+  * (e.g. parquet's output-timestamp-type at prepareWrite) do NOT see
+  * these overrides — session-level settings stay the contract there. */
+object ConfBridge {
+  import org.apache.spark.sql.internal.SQLConf
+  def withConf[T](overrides: Map[String, String])(f: => T): T = {
+    val c = SQLConf.get.clone()
+    overrides.foreach { case (k, v) => c.setConfString(k, v) }
+    SQLConf.withExistingConf(c)(f)
+  }
+}
+
+/** Session-scoped conf overrides that planner rules reading
+  * `sessionState.conf` DIRECTLY (AQE's InsertAdaptiveSparkPlan among
+  * them — it overrides SQLConfHelper.conf with the session's, so the
+  * [[ConfBridge]] thread-local never reaches it) actually observe:
+  * clone the session (shares the SparkContext; snapshots conf, temp
+  * views, injected extensions), apply `overrides` to the CLONE's conf,
+  * and re-bind already-analyzed plans onto it for execution. The
+  * parent session and its concurrent queries are untouched. */
+object SessionBridge {
+  def cloneWithConf(spark: org.apache.spark.sql.SparkSession,
+                    overrides: Map[String, String])
+      : org.apache.spark.sql.SparkSession = {
+    val c = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+    overrides.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
+  /** Execute `df`'s (already analyzed) plan under `spark`'s conf: the
+    * re-analysis of a resolved plan is a fast no-op pass, and physical
+    * planning — where the conf matters — happens on the target
+    * session. */
+  def rebind(spark: org.apache.spark.sql.SparkSession,
+             df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.sparkSession eq spark) df
+    else org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+}
+
+/** One-job distributed map over a file list with the session's Hadoop
+  * configuration shipped to executors ([[org.apache.spark.util
+  * .SerializableConfiguration]] is private[spark]) — the scale leg of
+  * footer-based file statistics: a 100 TB commit's thousands of fresh
+  * files decode their footers across the cluster in a single
+  * shuffle-free job instead of a driver loop. */
+object HadoopBridge {
+  def mapFiles[T: scala.reflect.ClassTag](
+      spark: org.apache.spark.sql.SparkSession, files: Seq[String],
+      slices: Int)(
+      f: (org.apache.hadoop.conf.Configuration, String) => T): Seq[T] = {
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    spark.sparkContext.parallelize(files, math.max(1, slices))
+      .map(p => f(bc.value.value, p)).collect().toSeq
+  }
+}
+
 /** Same access trick for logical plans: build a DataFrame from a custom
   * LogicalPlan node (Dataset.ofRows is private[sql]) and read a frame's
   * analyzed plan. */

@@ -19,6 +19,7 @@ object CommitCostProbe {
     val spark = SparkSession.builder()
       .appName("commit-cost-probe").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -27,6 +28,8 @@ object CommitCostProbe {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong
+    val jobStartAt = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val sites = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
     spark.sparkContext.addSparkListener(
@@ -34,15 +37,29 @@ object CommitCostProbe {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          jobStartAt.put(j.jobId, System.nanoTime())
           sites.add(j.stageInfos.map(_.name).mkString(" | "))
+          if (sys.env.contains("PROBE_DETAILS"))
+            j.stageInfos.foreach { si =>
+              val graftLines = si.details.split("\n")
+                .filter(l => l.contains("graft") || l.contains("Merge") ||
+                  l.contains("VersionedTable"))
+              sites.add("    detail: " + graftLines.take(3).mkString(" <= "))
+            }
         }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           tasks.incrementAndGet()
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(jobStartAt.remove(e.jobId)).foreach(t0 =>
+            jobNanos.addAndGet(System.nanoTime() - t0))
       })
-    def resetCounts(): Unit = { jobs.set(0); stages.set(0); tasks.set(0) }
+    def resetCounts(): Unit = {
+      jobs.set(0); stages.set(0); tasks.set(0); jobNanos.set(0) }
     def counts(): String =
-      s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}"
+      f"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
+        f"jobWall=${jobNanos.get / 1e9}%.2f s"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
     val root = "/tmp/graft_commit_cost/t"

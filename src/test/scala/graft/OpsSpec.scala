@@ -1042,7 +1042,7 @@ class OpsSpec extends SparkSpec {
     assert(vals() == ((2L, 20L)))
     // crash right after the decision marker (nothing published):
     // recovery ROLLS FORWARD both members
-    crashAt("decision", 3)
+    crashAt(s"decision:$marker", 3)
     MultiSync.recoverAtomic(spark, marker)
     pairOk(); assert(vals() == ((3L, 30L)))
     // crash BETWEEN the two publishes — the reference DAG's exact
@@ -1053,7 +1053,7 @@ class OpsSpec extends SparkSpec {
     pairOk(); assert(vals() == ((4L, 40L)))
     // the NEXT cycle recovers automatically (no explicit recover call):
     // a decision-point crash at 5 rolls forward inside cycle 6
-    crashAt("decision", 5)
+    crashAt(s"decision:$marker", 5)
     assert(MultiSync.upsertAtomic(spark, w(6), marker) ==
       Map(a -> 5, b -> 5))
     pairOk(); assert(vals() == ((6L, 60L)))
@@ -1173,6 +1173,102 @@ class OpsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, b)
       .where($"id" === 9).count() == 1L)
     spark.conf.unset("spark.graft.txn.intentGraceMs")
+  }
+
+  test("MultiSync.recoverAtomic rollback: a SUCCESSOR group's sidecar " +
+      "and stage survive a stale group's owner-guarded rollback") {
+    import graft.ops.{MultiSync, SpecFile}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_msync_succ").toString
+    val (a, b, marker) = (s"$dir/a", s"$dir/b", s"$dir/txn")
+    val keys = Seq("id", "g")
+    VersionedTable.upsert(spark, a,
+      Seq((1, "g0", 1L)).toDF("id", "g", "v"), keys, Seq("g"))
+    VersionedTable.upsert(spark, b,
+      Seq((2, "g0", 10L)).toDF("id", "g", "v"), keys, Seq("g"))
+    // hand-build the crash state the advice interleaving produces: an
+    // AGED intent owned by crashed group X with X's recorded stage of
+    // a@1, PLUS a successor group Y's live sidecar recording b@1 (Y
+    // re-claimed after a racing recovery already finished X once —
+    // from this recoverer's point of view both sidecars sit under one
+    // marker path, but only X's may roll back)
+    val fs = VersionedTable.fsFor(spark, marker)
+    def put(p: String, txt: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      try out.write(txt.getBytes("UTF-8")) finally out.close()
+    }
+    val va = VersionedTable.prepare(spark, a,
+      Seq((1, "g0", 2L)).toDF("id", "g", "v"), keys, Seq("g"))
+    val vb = VersionedTable.prepare(spark, b,
+      Seq((2, "g0", 20L)).toDF("id", "g", "v"), keys, Seq("g"))
+    assert(va == 1 && vb == 1)
+    put(s"$marker.intent",
+      s"#graft-txnintent\t2\tX-owner\n${SpecFile.b64e(a)}\n" +
+        s"${SpecFile.b64e(b)}\n")
+    put(s"$marker.staged.0",
+      s"#graft-txnstaged\t1\tX-owner\n${SpecFile.b64e(a)}\t$va\n")
+    put(s"$marker.staged.1",
+      s"#graft-txnstaged\t1\tY-owner\n${SpecFile.b64e(b)}\t$vb\n")
+    spark.conf.set("spark.graft.txn.intentGraceMs", "0")
+    try MultiSync.recoverAtomic(spark, marker)
+    finally spark.conf.unset("spark.graft.txn.intentGraceMs")
+    // X's recorded stage rolled back, its sidecar gone
+    assert(!VersionedTable.isStaged(spark, a, va),
+      "the aged group's recorded stage must retract")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$marker.staged.0")))
+    // Y's sidecar and stage MUST survive (pre-fix both were deleted,
+    // leaving Y's stage an orphaned claim its own recovery can't see)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$marker.staged.1")),
+      "successor sidecar deleted by a foreign rollback")
+    assert(VersionedTable.isStaged(spark, b, vb),
+      "successor stage retracted by a foreign rollback")
+    // cleanup so later suites aren't confused by the staged leftovers
+    VersionedTable.retractStaged(spark, b, vb)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$marker.staged.1"), false)
+  }
+
+  test("MultiSync.upsertAtomic: the intent grace renews via heartbeat " +
+      "while a member stages longer than the grace window") {
+    import graft.ops.MultiSync
+    import graft.ops.MultiSync.TableWrite
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_msync_hb").toString
+    val (a, b, marker) = (s"$dir/a", s"$dir/b", s"$dir/txn")
+    val keys = Seq("id", "g")
+    def w(v: Long) = Seq(
+      TableWrite(a, Seq((1, "g0", v)).toDF("id", "g", "v"), keys,
+        Seq("g")),
+      TableWrite(b, Seq((2, "g0", v * 10)).toDF("id", "g", "v"), keys,
+        Seq("g")))
+    assert(MultiSync.upsertAtomic(spark, w(1), marker) ==
+      Map(a -> 0, b -> 0))
+    // grace 2s, heartbeat every max(grace/3, 1s) = 1s; member a's
+    // staging "runs" 5s (a slow large write) via a sleeping hook.
+    // Without the heartbeat the intent ages past grace mid-stage and a
+    // concurrent recovery ROLLS BACK the live group's recorded stage.
+    spark.conf.set("spark.graft.txn.intentGraceMs", "2000")
+    val slept = new java.util.concurrent.atomic.AtomicBoolean(false)
+    MultiSync.crashHook = p =>
+      if (p == s"staged:$a" && slept.compareAndSet(false, true))
+        Thread.sleep(5000)
+    val fut = scala.concurrent.Future(
+      MultiSync.upsertAtomic(spark, w(2), marker))(
+      scala.concurrent.ExecutionContext.global)
+    try {
+      // probe mid-sleep: the intent must still be inside its grace —
+      // recovery refuses loudly instead of rolling the live group back
+      Thread.sleep(3500)
+      intercept[VersionedTable.ConcurrentWriteConflictException](
+        MultiSync.recoverAtomic(spark, marker))
+      val got = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(60, "s"))
+      assert(got == Map(a -> 1, b -> 1), s"live group broken: $got")
+    } finally {
+      MultiSync.crashHook = _ => ()
+      spark.conf.unset("spark.graft.txn.intentGraceMs")
+    }
+    assert(VersionedTable.read(spark, a).select("v").as[Long].head() == 2L)
+    assert(VersionedTable.read(spark, b).select("v").as[Long].head() == 20L)
   }
 
   test("MultiSync hygiene: txnLog never deletes a live writer's .tmp " +

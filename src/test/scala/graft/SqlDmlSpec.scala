@@ -716,7 +716,11 @@ class SqlDmlSpec extends SparkSpec {
       spark.sql("INSERT INTO dml_otxa VALUES (10,'a',1)")
       spark.sql("INSERT INTO dml_otxb VALUES (20,'b',2)")
       MultiSync.crashHook = p =>
-        if (p == "decision") throw new MultiSync.SimulatedCrash(s"boom@$p")
+        // the decision point carries its marker path (injections must
+        // scope to their own transaction); this test owns the session,
+        // so matching the point NAME is enough
+        if (p.startsWith("decision:"))
+          throw new MultiSync.SimulatedCrash(s"boom@$p")
       try intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
       finally MultiSync.crashHook = _ => ()
       val log = spark.sql("SELECT state, table_root, version, published " +
