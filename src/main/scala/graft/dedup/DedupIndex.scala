@@ -22,10 +22,20 @@ import graft.ops.VersionedTable
  *    every run; a training-data pipeline ingesting documents
  *    continuously cannot.
  *  - The index IS a versioned table: (band_idx, band_hash, doc id),
- *    partitioned by band with stats+bloom on the id column (the erase
- *    path's probe), inheriting time travel, pruned reads, and the
- *    exactly-once txn watermark that makes a crashed refresh replay
- *    idempotently (the MatView discipline).
+ *    partitioned by (band, EPOCH) with stats+bloom on the id column
+ *    (the erase path's probe), inheriting time travel, pruned reads,
+ *    and the exactly-once txn watermark that makes a crashed refresh
+ *    replay idempotently (the MatView discipline).
+ *  - LSM-style appends: the epoch partition column is the SOURCE
+ *    version a refresh synced to, so every incremental refresh lands
+ *    its band rows in FRESH (band, epoch) dirs — the manifest maps
+ *    each dir to one generation, so writing into existing dirs would
+ *    rewrite the whole index every refresh (band rows hit every band).
+ *    Reads scan all epochs (an id lives in exactly one — the erase
+ *    discipline); past `spark.graft.dedupindex.maxEpochs` (default
+ *    128) a refresh appends one CONSOLIDATION commit folding every
+ *    epoch into the current one — index-sized, no re-shingling,
+ *    amortized 1/maxEpochs.
  *  - [[candidatePairs]] joins a query batch's band rows against the
  *    index on (band_idx, band_hash) — a shuffle equi-join on bucket
  *    keys, never an all-pairs comparison; [[verifiedPairs]] then
@@ -58,6 +68,10 @@ object DedupIndex {
   private def idCap(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.dedupindex.idCap")
       .map(_.toInt).getOrElse(100000)
+
+  private def maxEpochs(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedupindex.maxEpochs")
+      .map(_.toInt).getOrElse(128)
 
   /** Docs the LAST [[refresh]] re-banded (feed-sized on the incremental
     * path; the full doc count after a rebuild/initial build) and whether
@@ -126,15 +140,44 @@ object DedupIndex {
       spec.idCol, spec.bands)
       .select(col("band_idx"), col("band_hash"), col(spec.idCol))
 
+  /** Commit band rows stamped with their sync EPOCH (the source version
+    * they re-banded from). Epoch rides the partition columns AND the
+    * merge keys, so an incremental refresh's rows land in brand-new
+    * (band_idx, epoch) dirs — an append, never a rewrite of the
+    * standing index — and a replayed commit of the same epoch replaces
+    * its own rows idempotently. `txn = None` on consolidation commits
+    * (their epoch's watermark is already recorded by the incremental
+    * commit they follow). */
   private def commitRows(spark: SparkSession, indexRoot: String,
                          spec: Spec, rows: DataFrame, srcVersion: Int,
-                         replaceAll: Boolean): Int =
-    VersionedTable.upsert(spark, indexRoot, rows,
-      keys = Seq("band_idx", "band_hash", spec.idCol),
-      partCols = Seq("band_idx"),
+                         replaceAll: Boolean,
+                         txnTag: Boolean = true): Int =
+    VersionedTable.upsert(spark, indexRoot,
+      rows.withColumn("epoch", lit(srcVersion)),
+      keys = Seq("band_idx", "band_hash", spec.idCol, "epoch"),
+      partCols = Seq("band_idx", "epoch"),
       statsCols = Seq(spec.idCol), bloomCols = Seq(spec.idCol),
-      txn = Some((StreamPrefix + spec.srcRoot, srcVersion.toLong)),
+      txn = if (txnTag)
+        Some((StreamPrefix + spec.srcRoot, srcVersion.toLong)) else None,
       replaceAll = replaceAll)
+
+  /** Live epoch count, off the manifest's partition dirs — zero I/O
+    * beyond the manifest read. */
+  private def epochCount(spark: SparkSession, indexRoot: String): Int =
+    VersionedTable.resolveManifest(spark, indexRoot, None)
+      .mapping.keysIterator
+      .map(rel => rel.substring(rel.indexOf('/') + 1)).toSet.size
+
+  /** Fold every live epoch into `srcVersion`'s: ONE index-sized
+    * replaceAll commit moving rows (no re-shingling, no minhash).
+    * Opportunistic maintenance — a crash before it simply leaves the
+    * epochs for the next refresh to fold. */
+  private def consolidate(spark: SparkSession, indexRoot: String,
+                          spec: Spec, srcVersion: Int): Int =
+    commitRows(spark, indexRoot, spec,
+      VersionedTable.read(spark, indexRoot)
+        .select(col("band_idx"), col("band_hash"), col(spec.idCol)),
+      srcVersion, replaceAll = true, txnTag = false)
 
   /** Advance the index to the source's current version. Incremental:
     * erase changed ids' bucket rows (bloom-probed key-list delete),
@@ -168,8 +211,13 @@ object DedupIndex {
           Seq(spec.idCol), from.toInt, srcCur).persist()
         try {
           val cap = idCap(spark)
-          val changedIds = feed.select(col(spec.idCol)).distinct()
-            .limit(cap + 1).collect().map(_.get(0)).toSeq
+          // one pass: each changed id + whether ANY of its feed ops is
+          // non-insert (= the id existed at the synced version)
+          val changed = feed.groupBy(col(spec.idCol))
+            .agg(max(when(col("op") =!= "insert", 1).otherwise(0))
+              .as("__pre"))
+            .limit(cap + 1).collect()
+          val changedIds = changed.map(_.get(0)).toSeq
           if (changedIds.length > cap) {
             // mass change: one full-rebuild commit beats collecting a
             // corpus-sized id list and a same-sized keyed delete
@@ -196,15 +244,30 @@ object DedupIndex {
               "among the changed ids")
             // erase FIRST (updates move band hashes, deletes vanish):
             // a replayed refresh re-erases already-gone rows (no-op)
-            // and the upsert below is txn-idempotent
-            if (changedIds.nonEmpty &&
+            // and the upsert below is txn-idempotent. Erase ONLY ids
+            // with an update/delete op: the feed keys on idCol, so an
+            // insert-only id was ABSENT at the synced version and the
+            // index holds no rows for it — and at thousands of probed
+            // ids the per-file bloom FPR compounds to ~1, so the keyed
+            // delete would rewrite ~every dir for nothing. Append-heavy
+            // steady state (streaming ingest) skips the rewrite commit
+            // entirely.
+            val eraseIds = changed.filter(_.getInt(1) == 1)
+              .map(_.get(0)).toSeq
+            if (eraseIds.nonEmpty &&
                 VersionedTable.currentVersion(spark, indexRoot).isDefined)
               VersionedTable.deleteWhereIn(spark, indexRoot, spec.idCol,
-                changedIds)
+                eraseIds)
             val current = feed.filter(col("op") =!= "delete")
               .select(col(spec.idCol), col(spec.textCol))
-            commitRows(spark, indexRoot, spec, bandRows(current, spec),
-              srcCur, replaceAll = false)
+            val v = commitRows(spark, indexRoot, spec,
+              bandRows(current, spec), srcCur, replaceAll = false)
+            // LSM discipline: appends accumulate (band, epoch) dirs;
+            // past the cap, fold them — amortized index-sized, never
+            // corpus-sized
+            if (epochCount(spark, indexRoot) > maxEpochs(spark))
+              consolidate(spark, indexRoot, spec, srcCur)
+            else v
           }
         } finally feed.unpersist()
     }

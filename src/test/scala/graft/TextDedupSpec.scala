@@ -535,10 +535,16 @@ class TextDedupSpec extends SparkSpec {
     VersionedTable.upsert(spark, src,
       Seq((10L, sent("dog"), "p0"), (11L, "nothing in common at all", "p1"))
         .toDF("doc_id", "text", "part"), Seq("doc_id", "part"), Seq("part"))
+    val idxVersionsBefore = VersionedTable.history(spark, idx).size
     DedupIndex.refresh(spark, idx)
     assert(!DedupIndex.lastRefreshRebuild &&
       DedupIndex.lastRefreshDocs == 2,
       s"incremental refresh processed ${DedupIndex.lastRefreshDocs}")
+    // a PURE-INSERT feed skips the keyed-delete erase (the ids were
+    // absent at the synced version, so the index holds no rows for
+    // them): exactly ONE new index commit, the band upsert
+    assert(VersionedTable.history(spark, idx).size == idxVersionsBefore + 1,
+      "insert-only refresh must not run the erase rewrite")
     // idempotent replay: already synced -> no-op
     val v = DedupIndex.refresh(spark, idx)
     assert(DedupIndex.refresh(spark, idx) == v)
@@ -584,6 +590,47 @@ class TextDedupSpec extends SparkSpec {
         .select($"corpus_id").as[Long].collect().toSet
       assert(rebuilt.contains(30L), s"rebuilt index missing new doc: $rebuilt")
     } finally spark.conf.unset("spark.graft.dedupindex.idCap")
+  }
+
+  test("DedupIndex epochs: refreshes append fresh (band, epoch) dirs — " +
+      "no standing-index rewrite — and fold past maxEpochs") {
+    import graft.dedup.DedupIndex
+    import graft.ops.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_dedupep")
+    val (src, idx) = (s"$base/src", s"$base/idx")
+    def doc(i: Long) = (i, s"epoch test document number $i with shared tail", "p0")
+    VersionedTable.upsert(spark, src, Seq(doc(1), doc(2))
+      .toDF("doc_id", "text", "part"), Seq("doc_id", "part"), Seq("part"))
+    DedupIndex.create(spark, idx, src, "doc_id", "text", shingleN = 2)
+    def epochs(): Set[String] = VersionedTable
+      .filesMeta(spark, idx).select("partition").collect()
+      .map(_.getString(0).split("/")(1)).toSet
+    assert(epochs() == Set("epoch=0"))
+    // two pure-insert refreshes: two NEW epochs, the old dirs' files
+    // untouched (their generation mapping survives verbatim)
+    VersionedTable.upsert(spark, src, Seq(doc(3)).toDF("doc_id", "text", "part"),
+      Seq("doc_id", "part"), Seq("part"))
+    DedupIndex.refresh(spark, idx)
+    VersionedTable.upsert(spark, src, Seq(doc(4)).toDF("doc_id", "text", "part"),
+      Seq("doc_id", "part"), Seq("part"))
+    DedupIndex.refresh(spark, idx)
+    assert(epochs() == Set("epoch=0", "epoch=1", "epoch=2"), epochs())
+    // past the cap the NEXT refresh folds everything into one epoch;
+    // the index still answers identically
+    spark.conf.set("spark.graft.dedupindex.maxEpochs", "3")
+    try {
+      VersionedTable.upsert(spark, src, Seq(doc(5)).toDF("doc_id", "text", "part"),
+        Seq("doc_id", "part"), Seq("part"))
+      DedupIndex.refresh(spark, idx)
+      assert(epochs() == Set("epoch=3"), s"consolidation didn't fold: ${epochs()}")
+    } finally spark.conf.unset("spark.graft.dedupindex.maxEpochs")
+    val hits = DedupIndex.verifiedPairs(spark, idx,
+      Seq((99L, doc(1)._2)).toDF("doc_id", "text"), 0.5)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L, 4L, 5L).subsetOf(hits), s"got $hits")
+    // idempotent no-op after fold: synced, nothing changes
+    val v = DedupIndex.refresh(spark, idx)
+    assert(DedupIndex.refresh(spark, idx) == v)
   }
 
   test("dedup index refuses a non-unique id column loudly when the " +
