@@ -86,6 +86,46 @@ object CdcZeroCopyProbe {
       val expectD = VersionedTable.read(spark, dvRoot).count()
       assert(rowsD == expectD,
         s"DV zero-copy delivered $rowsD rows, read path has $expectD")
+      // SERVED-DIR DV FALLBACK (round 12): a DV that lands on dirs
+      // appended INSIDE the drain window is the one case the
+      // append-only zero-copy diff must refuse (it serves whole files
+      // as inserts and carries no positions). The fallback takes the
+      // general read-path diff — which must stage CHANGE-sized bytes,
+      // not table-sized: the appended slice is FIXED while the table
+      // scales, so the incremental checkpoint delta must stay flat
+      // 1x -> 8x.
+      val fbRoot = base.resolve("fallback").toString
+      VersionedTable.upsert(spark, fbRoot, docs,
+        Seq("doc_id", "lang"), Seq("lang"))
+      spark.sql(s"CREATE TABLE cdczc_fb_$c USING graft " +
+        s"LOCATION '$fbRoot'")
+      val ckptF = base.resolve("ckptF")
+      val (_, rowsF0) = drainWall(s"cdczc_fb_$c", ckptF.toString)
+      assert(rowsF0 == n, s"fallback leg bootstrap: $rowsF0 of $n")
+      val bytesF0 = duBytes(ckptF)
+      // fixed-size append into BRAND-NEW dirs + a DV on those same dirs
+      // before the next drain — the (from, to] window has DVs on served
+      // new dirs, so rawAppendDiffFiles must fall back
+      val slice = docs0.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("lang", concat(lit("zz-"), col("lang")))
+      val sliceN = slice.count()
+      VersionedTable.upsert(spark, fbRoot, slice,
+        Seq("doc_id", "lang"), Seq("lang"))
+      VersionedTable.deleteWhereDV(spark, fbRoot, "doc_id",
+        900000000L, 900000000L + 2000L)
+      val deleted = sliceN - VersionedTable.read(spark, fbRoot)
+        .filter(col("doc_id") >= 900000000L).count()
+      assert(deleted > 0, "fallback leg: the DV deleted nothing")
+      val (wallF, rowsF) = drainWall(s"cdczc_fb_$c", ckptF.toString)
+      val bytesF = (duBytes(ckptF) - bytesF0).max(0L)
+      assert(rowsF == sliceN - deleted,
+        s"fallback delivered $rowsF, expected ${sliceN - deleted} " +
+          "(new-dir survivors only)")
+      println(f"CDC_ZEROCOPY_PROBE copies=$c FALLBACK slice=$sliceN " +
+        f"dv_deleted=$deleted wall=$wallF%.1fs staged_delta_kb=" +
+        f"${bytesF / 1024}")
+      spark.sql(s"DROP TABLE cdczc_fb_$c")
       // STAGED control (a renamed column genuinely needs the read
       // path): its checkpoint carries a full snapshot copy — the
       // growth the DV leg no longer pays
