@@ -131,51 +131,75 @@ object Bench {
     // planning/codegen phase (the cold-run bottleneck). Per-query values
     // are each query's own wall time; "value" is the wall clock of the
     // whole run, not the sum.
+    def runOne(name: String,
+               fn: (org.apache.spark.sql.SparkSession, String) =>
+                 org.apache.spark.sql.DataFrame)
+        : (String, Seq[Double], Double, Double, Option[String]) = {
+      // own FAIR pool per query (local property sticks to this worker
+      // thread for the duration of the query's jobs)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+      // A failing query must be distinguishable from a fast one: record
+      // the first failure message and surface it in an "errors" map
+      // instead of letting a crash report a tiny wall time.
+      var failure: Option[String] = None
+      val walls = (1 to reps).map { _ =>
+        // fixture/engine split: the versioned-lake fixtures report
+        // their build seconds through SparkEntry's thread-local
+        // stopwatch (this whole query runs on ONE pool thread)
+        SparkEntry.resetFixtureClock()
+        val s = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable if failure.isEmpty =>
+            failure = Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+          case _: Throwable => ()
+        }
+        val w = (System.nanoTime() - s) / 1e9
+        (w, math.min(SparkEntry.fixtureSeconds, w))
+      }
+      val times = walls.map(_._1)
+      // cold = first execution (includes plan + codegen + first-touch
+      // JIT); steady = min of the remaining reps (the engine's real
+      // per-query cost once warm). With reps=1 they coincide. A query
+      // that FAILED any rep must not report a bogus fast steady time
+      // (a crash after 0.1s would read as a 50x speedup): report the
+      // max instead, and let the errors map flag it. The fixture
+      // seconds ride with whichever rep furnished the steady.
+      val steadyIdx =
+        if (times.length > 1)
+          1 + times.drop(1).zipWithIndex.minBy(_._1)._2
+        else 0
+      val steady = if (failure.isEmpty) times(steadyIdx) else times.max
+      val steadyFix = if (failure.isEmpty) walls(steadyIdx)._2 else 0.0
+      (name, times, steady, steadyFix, failure)
+    }
+    // LIFECYCLE LANE (round 12, opt-in via SPARK_GRAFT_LANE=1): the
+    // versioned-lake lifecycle queries (multi-commit fixtures,
+    // MERGE/matview/catalog/txn families) are commit-count-priced —
+    // their walls are scheduling round-trips, and at PAR=4 they
+    // co-schedule into a 2-3x run-to-run lottery that measures the box,
+    // not the engine (r12 draws: q_matview_minmax 13s one draw, 30s the
+    // next, 4.4s isolated). With the lane on they run CONCURRENCY-1
+    // after the parallel pass, each alone on the 32 slots — a lane
+    // draw's steadies reproduce the isolated pins rep-for-rep (the
+    // BASELINE attribution instrument). It stays OPT-IN because
+    // isolation costs wall: 53 lane queries x reps serial adds ~4-6
+    // minutes a PAR=4 pass amortizes, and the headline record is the
+    // wall-efficient default.
+    val lanePrefixes = Seq("q_versioned", "q_matview", "q_catalog",
+      "q_merge_", "q_multi_txn", "q_cdc", "q_sim_index", "q_snapshot",
+      "q_expectations", "q_dedup_index", "q_create_transform",
+      "q_insert_evolution", "q_column_default", "q_reconcile", "q_zorder")
+    val laneOn = sys.env.get("SPARK_GRAFT_LANE").contains("1")
+    val (laneQ, parQ) = selected.toSeq.partition { case (n, _) =>
+      laneOn && lanePrefixes.exists(n.startsWith) }
     val pool = Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val t0 = System.nanoTime()
-    val futures = selected.toSeq.map { case (name, fn) =>
-      Future {
-        // own FAIR pool per query (local property sticks to this worker
-        // thread for the duration of the query's jobs)
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-        // A failing query must be distinguishable from a fast one: record
-        // the first failure message and surface it in an "errors" map
-        // instead of letting a crash report a tiny wall time.
-        var failure: Option[String] = None
-        val walls = (1 to reps).map { _ =>
-          // fixture/engine split: the versioned-lake fixtures report
-          // their build seconds through SparkEntry's thread-local
-          // stopwatch (this whole query runs on ONE pool thread)
-          SparkEntry.resetFixtureClock()
-          val s = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch {
-            case t: Throwable if failure.isEmpty =>
-              failure = Some(Option(t.getMessage).getOrElse(t.getClass.getName)
-                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
-            case _: Throwable => ()
-          }
-          val w = (System.nanoTime() - s) / 1e9
-          (w, math.min(SparkEntry.fixtureSeconds, w))
-        }
-        val times = walls.map(_._1)
-        // cold = first execution (includes plan + codegen + first-touch
-        // JIT); steady = min of the remaining reps (the engine's real
-        // per-query cost once warm). With reps=1 they coincide. A query
-        // that FAILED any rep must not report a bogus fast steady time
-        // (a crash after 0.1s would read as a 50x speedup): report the
-        // max instead, and let the errors map flag it. The fixture
-        // seconds ride with whichever rep furnished the steady.
-        val steadyIdx =
-          if (times.length > 1)
-            1 + times.drop(1).zipWithIndex.minBy(_._1)._2
-          else 0
-        val steady = if (failure.isEmpty) times(steadyIdx) else times.max
-        val steadyFix = if (failure.isEmpty) walls(steadyIdx)._2 else 0.0
-        (name, times, steady, steadyFix, failure)
-      }
-    }
-    val parResults = futures.map(f => Await.result(f, Duration.Inf))
+    val futures = parQ.map { case (name, fn) => Future(runOne(name, fn)) }
+    val parPhase = futures.map(f => Await.result(f, Duration.Inf))
+    val lanePhase = laneQ.map { case (name, fn) => runOne(name, fn) }
+    val parResults = parPhase ++ lanePhase
 
     // Serial retry pass: a query whose steady blew past its committed
     // record (>3x and >1s over) almost always hit transient box weather,
@@ -321,8 +345,11 @@ object Bench {
     // Full record persisted in-repo (the driver commits round-end state):
     // the judge diffs steady times round-over-round mechanically from git
     // history instead of trusting prose. Dev subset runs (SPARK_GRAFT_ONLY)
-    // must NOT clobber it — it doubles as the retry reference above.
-    if (only.isEmpty)
+    // must NOT clobber it — it doubles as the retry reference above —
+    // and neither must a lifecycle-LANE profile run (its wall trades
+    // ~4-6 min of isolation for clean steadies; its numbers live in
+    // BASELINE.md's attribution tables, not the headline record).
+    if (only.isEmpty && !laneOn)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_STEADY.json"),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
