@@ -375,7 +375,12 @@ object MultiSync {
       .get("spark.graft.txn.intentGraceMs", "30000").toLong
     val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread(() => {
-      val interval = math.max(graceMs / 3, 1000L)
+      // the interval must stay UNDER grace/3 for any configured grace —
+      // a 1s floor against an 800ms grace would let the live intent age
+      // past its window between touches, re-opening exactly the
+      // mid-stage rollback this heartbeat closes; 50ms only bounds
+      // busy-looping for degenerate sub-150ms graces
+      val interval = math.max(graceMs / 3, 50L)
       while (!hbStop.get()) {
         hbStop.synchronized { hbStop.wait(interval) }
         if (!hbStop.get()) scala.util.Try(

@@ -1715,8 +1715,11 @@ object VersionedTable {
     val statsMap =
       if (present.isEmpty) Map.empty[String, Map[String, ColStat]]
       else perFile.map { case (key, _, _, entry) => key -> entry }.toMap
+    // dvKeyRel, not a raw substring: a bare "gen/<file>" key (the
+    // unpartitioned layout the manifest format permits) must yield
+    // rel "", not an out-of-bounds crash
     val perDir = perFile.map { case (f, rows, bytes, _) =>
-      (f.substring(f.indexOf('/') + 1, f.lastIndexOf('/')), rows, bytes)
+      (dvKeyRel(f), rows, bytes)
     }.groupBy(_._1)
     Some((statsMap,
       perDir.map { case (d, xs) => d -> xs.map(_._2).sum },
@@ -1743,28 +1746,19 @@ object VersionedTable {
     }
   }
 
-  /** Mirror of [[statOrdering]] keyed by footer kind — the comparison
-    * domain for combining per-row-group min/max into per-file bounds.
-    * MUST stay in lockstep with statOrdering or footer-derived bounds
-    * could disagree with how pruning later compares them. */
-  private def footerCmp(kind: String): (String, String) => Int = kind match {
-    case "int" | "long" | "date" | "ts" =>
-      (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
-    case "float" | "double" =>
-      (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case "string" => (a, b) => {
-      val x = a.getBytes(StandardCharsets.UTF_8)
-      val y = b.getBytes(StandardCharsets.UTF_8)
-      val n = math.min(x.length, y.length)
-      var i = 0; var c = 0
-      while (i < n && c == 0) {
-        c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1
-      }
-      if (c != 0) c else java.lang.Integer.compare(x.length, y.length)
+  /** [[statOrdering]] keyed by footer kind — DELEGATES to it through a
+    * representative DataType per kind, so per-file bounds always combine
+    * under exactly the order pruning later compares them with (a
+    * hand-copied comparator here would be a silent-drift risk). */
+  private def footerCmp(kind: String): (String, String) => Int = {
+    import org.apache.spark.sql.types._
+    val dt = kind match {
+      case "int" | "long" | "date" | "ts" => LongType
+      case "float" | "double" => DoubleType
+      case "string" => StringType
+      case _ => DecimalType(38, 18)
     }
-    case _ =>
-      (a, b) => new java.math.BigDecimal(a).compareTo(
-        new java.math.BigDecimal(b))
+    statOrdering(dt).get
   }
 
   /** Render ONE footer min/max value for `kind`, verifying the parquet
@@ -1908,7 +1902,21 @@ object VersionedTable {
                   if (cmp(a, b) <= 0) a else b)
                 val mx = rendered.map(_._2.get).reduce((a, b) =>
                   if (cmp(a, b) >= 0) a else b)
-                if (cmp(mn, mx) > 0) None
+                // ±0.0 tie ambiguity (float/double): parquet records the
+                // TOTAL-ORDER bound (min -0.0 when any -0.0 exists, max
+                // +0.0 over mixed zeros) while Spark's aggregate is
+                // content/order-dependent on zero ties — measured: min
+                // over {0.0,-0.0,1.0} = +0.0 from the scan, -0.0 from
+                // the footer. The metadata fold serves these values as
+                // ANSWERS, so an ambiguous bound must re-scan:
+                // min == -0.0 proves a -0.0 exists (min ambiguous), and
+                // max == +0.0 with a negative min cannot rule one out
+                // (max ambiguous). min >= +0.0 proves -0.0 absent.
+                val zeroTie = (kind == "float" || kind == "double") && (
+                  mn == "-0.0" ||
+                  (mx == "0.0" &&
+                    java.lang.Double.compare(mn.toDouble, 0.0d) < 0))
+                if (cmp(mn, mx) > 0 || zeroTie) None
                 else Some((Some(mn), Some(mx), nulls))
               }
             }
@@ -2048,12 +2056,45 @@ object VersionedTable {
         scala.util.Try(sizeHint).toOption.flatten.exists(_ <= cap)
     }
     if (!small) spark
-    else org.apache.spark.sql.graftbridge.SessionBridge.cloneWithConf(
-      spark, Map(
+    else {
+      val overrides = Map(
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" ->
-          spark.conf.get("spark.graft.commit.smallShufflePartitions", "8")))
+          spark.conf.get("spark.graft.commit.smallShufflePartitions", "8"))
+      // ONE cached clone per (parent session, overrides): every
+      // cloneSession registers an execution-listener bus on the shared
+      // SparkContext for the life of the app, so cloning per commit
+      // would leak a listener per lifecycle commit. The cached clone's
+      // conf RE-SYNCS from the parent on each use (compare-before-set —
+      // a stable parent conf makes this a read-only pass), so
+      // session-level settings like the parquet timestamp type keep
+      // tracking their current values; a key the parent UNSET since the
+      // last sync keeps its old value in the clone (acceptable: unset
+      // write-side conf mid-flight is already racy on the parent).
+      val clone = commitClones.synchronized {
+        val per = Option(commitClones.get(spark)).getOrElse {
+          val m = scala.collection.mutable.Map
+            .empty[Map[String, String], SparkSession]
+          commitClones.put(spark, m)
+          m
+        }
+        per.getOrElseUpdate(overrides, org.apache.spark.sql.graftbridge
+          .SessionBridge.cloneWithConf(spark, overrides))
+      }
+      spark.conf.getAll.foreach { case (k, v) =>
+        if (!overrides.contains(k) &&
+            !clone.conf.getOption(k).contains(v))
+          scala.util.Try(clone.conf.set(k, v)) // static confs refuse: skip
+      }
+      clone
+    }
   }
+
+  /** See [[commitSession]]: weak on the parent so short-lived sessions
+    * (newSession-per-thread patterns) don't pin their clones. */
+  private val commitClones =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[Map[String, String], SparkSession]]
 
   /** The claim → stage → manifest protocol shared by [[prepare]] and
     * [[compact]]: claim `_manifest.<next>` create-exclusive (the
@@ -2359,9 +2400,14 @@ object VersionedTable {
       }
       // small commits execute their write-side queries on an AQE-off
       // clone (see commitSession) — every plan below that ACTS re-binds
-      // onto it; plans that merely feed the write ride along lazily
-      val sparkW = commitSession(spark, scala.util.Try(
-        updates.queryExecution.optimizedPlan.stats.sizeInBytes).toOption)
+      // onto it; plans that merely feed the write ride along lazily.
+      // The ENTRIES distinct scans only the updates frame, so the
+      // updates estimate alone scopes it correctly; the WRITE also
+      // rewrites the touched dirs' survivors, so its session decision
+      // (sparkWrite below) adds their recorded bytes.
+      val updatesBytes: Option[BigInt] = scala.util.Try(
+        updates.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+      val sparkW = commitSession(spark, updatesBytes)
       val entries = Merge.partitionDirEntries(sparkW, gated, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
@@ -2370,6 +2416,19 @@ object VersionedTable {
       val touchedLive =
         if (replaceAll) Map.empty[String, String]
         else priorMapping.filter { case (p, _) => valueOf.contains(p) }
+      // the write's true input = delta + the touched dirs' surviving
+      // rows: a 1-row upsert into a multi-GB partition must NOT take
+      // the static small-commit plan on the delta estimate alone. Any
+      // touched dir without recorded bytes → None → AQE stays on.
+      val touchedBytes: Option[BigInt] = prior.fold(Option(BigInt(0))) {
+        m => touchedLive.keysIterator.map(m.dirBytes.get)
+          .foldLeft(Option(BigInt(0))) {
+            case (Some(acc), Some(b)) => Some(acc + b)
+            case _ => None
+          }
+      }
+      val sparkWrite = commitSession(spark,
+        for (u <- updatesBytes; t <- touchedBytes) yield u + t)
       val pTypes = partCols.map(c => gated.schema(c).dataType)
       val merged =
         if (touchedLive.isEmpty) gated
@@ -2427,7 +2486,7 @@ object VersionedTable {
       // rebuilds fields without it) stays logical
       val outSchema = carryPhysical(merged.schema, prior)
       val writer = fileRows.foldLeft(
-        org.apache.spark.sql.graftbridge.SessionBridge.rebind(sparkW,
+        org.apache.spark.sql.graftbridge.SessionBridge.rebind(sparkWrite,
           toPhysical(clustered, outSchema)).write)(
         (w, n) => w.option("maxRecordsPerFile", n.toLong))
       writer.partitionBy(partCols: _*).parquet(s"${tableRoot(root)}/$genDir")
@@ -2451,7 +2510,7 @@ object VersionedTable {
           Map.empty[String, Map[String, Array[Byte]]],
           Map.empty[String, Long], Map.empty[String, Long],
           Map.empty[String, Long])
-        else collectFileStats(sparkW, root, genDir, partCols, statsCols,
+        else collectFileStats(sparkWrite, root, genDir, partCols, statsCols,
           bloomCols, sizedBloomBits(bloomBits, fileRows),
           colmap = renameMap(outSchema), schema = outSchema)
       // dir-count carry: a prior dir's counts survive iff its mapping

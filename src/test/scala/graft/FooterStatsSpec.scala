@@ -175,6 +175,35 @@ class FooterStatsSpec extends SparkSpec {
     assert(mm.exists(_._2.asInstanceOf[Float].isNaN), s"fold lost: $mm")
   }
 
+  test("±0.0-bounded float/double generations re-scan: parquet's " +
+      "total-order zero differs from the aggregate's order-dependent one") {
+    // measured divergence: min over {0.0, -0.0, 1.0} is +0.0 from
+    // Spark's aggregate but -0.0 from the footer's total order — and
+    // the metadata fold serves the recorded value as an ANSWER, so an
+    // ambiguous zero bound must take the scan, not a weaker entry
+    val root = fresh("zero")
+    val df = (0 until 60).map { i =>
+      (i, s"g${i % 2}",
+        // g0: min is -0.0 with +0.0 present (ambiguous min)
+        // g1: max is +0.0 with negatives below (ambiguous max)
+        if (i % 2 == 0) { if (i == 0) -0.0d else if (i == 2) 0.0d else i * 1.0d }
+        else { if (i == 1) 0.0d else -i * 1.0d })
+    }.toDF("id", "grp", "dd")
+    VersionedTable.upsert(spark, root, df, Seq("id", "grp"), Seq("grp"),
+      statsCols = Seq("dd"))
+    // stats exist (the scan fallback recorded them) and the fold equals
+    // the aggregate EXACTLY, signed zeros included
+    val mm0 = VersionedTable.fastMinMax(spark, root, "dd").get
+    val agg = VersionedTable.read(spark, root)
+      .agg(min($"dd"), max($"dd")).collect()(0)
+    assert(java.lang.Double.compare(
+      mm0._1.asInstanceOf[Double], agg.getDouble(0)) == 0,
+      s"fold min ${mm0._1} != aggregate ${agg.getDouble(0)}")
+    assert(java.lang.Double.compare(
+      mm0._2.asInstanceOf[Double], agg.getDouble(1)) == 0,
+      s"fold max ${mm0._2} != aggregate ${agg.getDouble(1)}")
+  }
+
   test("INT96 sessions fall back to the scan path with identical stats") {
     val df = wideFrame()
     val rootI = fresh("i96")
