@@ -225,7 +225,24 @@ object Merge {
           s"__graft_v$i", pTypes(i), nullable = true)) :+
         org.apache.spark.sql.types.StructField("__graft_hit",
           org.apache.spark.sql.types.BooleanType, nullable = false))
-    val lookup = spark.createDataFrame(
+    // Few touched dirs (the lifecycle/daily-increment norm): inline the
+    // rel→values mapping as a CASE/WHEN projection instead of a broadcast
+    // join — a BroadcastExchange materializes as its OWN Spark job even
+    // for a LocalRelation build side, and the small-commit wall is
+    // job-count-priced (CommitCostProbe). `lit(v).cast(pType)` round-trips
+    // the collected external value through the same Catalyst converters
+    // the createDataFrame path uses; any value lit() cannot represent
+    // (Try) falls back to the join, as does a live set past the cap —
+    // a thousand-branch CASE is where codegen, not correctness, degrades.
+    val inlineMax = scala.util.Try(spark.conf.get(
+      "spark.graft.commit.inlineLookupMax", "64").toInt).getOrElse(64)
+    val inlineLits: Option[Seq[(String, Seq[org.apache.spark.sql.Column])]] =
+      if (live.isEmpty || live.size > inlineMax) None
+      else scala.util.Try(live.map { case (vals, rel) =>
+        rel -> vals.zipWithIndex.map { case (v, i) =>
+          (if (v == null) lit(null) else lit(v)).cast(pTypes(i)) }
+      }).toOption
+    lazy val lookup = spark.createDataFrame(
       live.map { case (vals, rel) =>
         org.apache.spark.sql.Row.fromSeq((rel +: vals) :+ true) }.asJava,
       lookupSchema)
@@ -259,18 +276,38 @@ object Merge {
             Seq("__dv_file", "__dv_pos"), "left_anti")
           .drop("__dv_file", "__dv_pos")
       }
-    val joined = scanned.join(broadcast(lookup), Seq("__graft_rel"), "left")
-      // every scanned file sits under a listed directory, so the map must
-      // hit; anything else means the path string drifted — fail loudly.
-      // The sentinel is the dedicated always-true marker, NOT a value
-      // column: a legitimately NULL partition value must not false-trip.
-      .filter(assert_true(col("__graft_hit").isNotNull,
-        lit("pruned-merge read: file path did not map back to a touched " +
-          "partition directory")).isNull)
-    partCols.indices.foldLeft(joined) { (df, i) =>
-      df.withColumn(partCols(i), col(s"__graft_v$i"))
-    }.drop("__graft_rel", "__graft_hit")
-      .drop(partCols.indices.map(i => s"__graft_v$i"): _*)
+    inlineLits match {
+      case Some(entries) =>
+        // every scanned file sits under a listed directory, so the rel
+        // must be one of the live keys; anything else means the path
+        // string drifted — fail loudly (same contract as the join's
+        // __graft_hit sentinel below).
+        val relCol = col("__graft_rel")
+        val checked = scanned.filter(assert_true(
+          relCol.isin(entries.map(_._1): _*),
+          lit("pruned-merge read: file path did not map back to a touched " +
+            "partition directory")).isNull)
+        partCols.indices.foldLeft(checked) { (df, i) =>
+          val c = entries.tail.foldLeft(
+            when(relCol === lit(entries.head._1), entries.head._2(i))) {
+            case (acc, (rel, cols)) => acc.when(relCol === lit(rel), cols(i))
+          }
+          df.withColumn(partCols(i), c)
+        }.drop("__graft_rel")
+      case None =>
+        val joined = scanned.join(broadcast(lookup), Seq("__graft_rel"), "left")
+          // every scanned file sits under a listed directory, so the map must
+          // hit; anything else means the path string drifted — fail loudly.
+          // The sentinel is the dedicated always-true marker, NOT a value
+          // column: a legitimately NULL partition value must not false-trip.
+          .filter(assert_true(col("__graft_hit").isNotNull,
+            lit("pruned-merge read: file path did not map back to a touched " +
+              "partition directory")).isNull)
+        partCols.indices.foldLeft(joined) { (df, i) =>
+          df.withColumn(partCols(i), col(s"__graft_v$i"))
+        }.drop("__graft_rel", "__graft_hit")
+          .drop(partCols.indices.map(i => s"__graft_v$i"): _*)
+    }
   }
 
   /** Partition-pruned MERGE into a Hive-partitioned parquet table

@@ -2465,7 +2465,15 @@ object VersionedTable {
           // alongside the new one forever
           val updKeys = gated.select(keys.map(k =>
             col(k).as(s"__u_$k")): _*).distinct()
-          val survivors = old.join(updKeys,
+          // static small commits are JOB-count-priced: a broadcast of the
+          // key set materializes as its own Spark job, so force the anti-
+          // join's build side through a shuffled hash join — its shuffle
+          // runs as stages INSIDE the one write job. Large (AQE) commits
+          // keep broadcast: there the touched-dir side can be multi-GB
+          // and broadcasting the small key set beats shuffling it.
+          val updKeysJ =
+            if (sparkWrite ne spark) updKeys.hint("shuffle_hash") else updKeys
+          val survivors = old.join(updKeysJ,
             keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _),
             "left_anti")
           gated.unionByName(survivors, allowMissingColumns = true)

@@ -41,10 +41,15 @@ object CommitCostProbe {
           sites.add(j.stageInfos.map(_.name).mkString(" | "))
           if (sys.env.contains("PROBE_DETAILS"))
             j.stageInfos.foreach { si =>
-              val graftLines = si.details.split("\n")
-                .filter(l => l.contains("graft") || l.contains("Merge") ||
+              val lines = si.details.split("\n")
+              val graftLines = lines.filter(l =>
+                l.contains("graft") || l.contains("Merge") ||
                   l.contains("VersionedTable"))
-              sites.add("    detail: " + graftLines.take(3).mkString(" <= "))
+              val shown =
+                if (graftLines.nonEmpty) graftLines.take(3)
+                else lines.take(6)
+              sites.add(s"    stage ${si.stageId} [${si.name}]: " +
+                shown.mkString(" <= "))
             }
         }
         override def onTaskEnd(
@@ -55,6 +60,20 @@ object CommitCostProbe {
           Option(jobStartAt.remove(e.jobId)).foreach(t0 =>
             jobNanos.addAndGet(System.nanoTime() - t0))
       })
+    if (sys.env.contains("PROBE_PLAN"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            if (funcName == "save" || funcName == "command")
+              println(s"[plan] funcName=$funcName\n" +
+                qe.executedPlan.treeString.linesIterator
+                  .map("[plan] " + _).mkString("\n"))
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
     def resetCounts(): Unit = {
       jobs.set(0); stages.set(0); tasks.set(0); jobNanos.set(0) }
     def counts(): String =
