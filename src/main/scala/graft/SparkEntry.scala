@@ -4980,11 +4980,13 @@ object SparkEntry {
     * shape, with a sparse-dot identity: dot(A-ā, B-b̄) = S_AB -
     * totA·totB/256). */
   private def qMultimodalDedup(s: SparkSession, dir: String): DataFrame = {
-    // repartition BEFORE the checkpoint: the corpus arrives as one
-    // parquet split, and a 1-partition left side would serialize the
-    // within-cell quadratic onto a single task no matter the cluster
-    val feats = Multimodal.perceptualFeatures(assets(s, dir), dim = 256)
-      .repartition(s.sparkContext.defaultParallelism)
+    // repartition BEFORE the featurize: the corpus arrives as one
+    // parquet split, and the codec (the deliberately expensive stage)
+    // would otherwise run on a single task — as would the downstream
+    // within-cell quadratic, whatever the cluster size
+    val feats = Multimodal.perceptualFeatures(
+        assets(s, dir).repartition(s.sparkContext.defaultParallelism),
+        dim = 256)
       // the (deliberately batch-shaped) codec runs once, not once per
       // self-join side; bounded at corpus_rows x 256 doubles
       .localCheckpoint()

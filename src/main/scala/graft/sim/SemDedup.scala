@@ -82,15 +82,55 @@ object SemDedup {
     // the uncollapsed algorithm keeps apart. Degenerate rows skip the
     // collapse and flow through as their own singletons, exactly as
     // before.
-    val norm2 = s"aggregate($vec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    // norm² via the codegen'd DotProduct node, NOT the aggregate() HOF:
+    // the HOF is CodegenFallback — it breaks whole-stage codegen for the
+    // filter and pays a boxed lambda closure per element per row, which
+    // measured as seconds of single-task wall on the collapse legs. Same
+    // left-to-right double fold, bit-identical result, null element →
+    // null either way.
+    val norm2 = graft.functions.VectorFunctions.vecDot(col(vec), col(vec))
     val collapsible = df.filter(col(vec).isNotNull)
-      .filter(expr(norm2) > lit(0d) && !isnan(expr(norm2)))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(vec))
-    val withRep = collapsible.withColumn("__rep", min(col(id)).over(w))
+      .filter(norm2 > lit(0d) && !isnan(norm2))
+    // window key = (xxhash64(vec), vec), NOT vec alone. Grouping is
+    // IDENTICAL — the hash is a deterministic function of the vector, so
+    // the distinct key tuples are in bijection with distinct vectors
+    // (collisions cannot merge groups; the vector stays in the key). What
+    // changes is cost: NormalizeFloatingNumbers rewrites a bare float-
+    // array partition key into an interpreted per-row transform(), and
+    // the window sort then compares whole arrays through it — measured
+    // as seconds of single-task wall. With the long prefix the sort
+    // resolves almost every comparison on the hash and touches the
+    // array only for (probably equal) colliding rows.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col(vec)), col(vec))
+    // Materialize the windowed frame ONCE (conf-gated): its three
+    // consumers — the verify self-join's two sides and the star-edge
+    // leg — do not share one query execution (a broadcast build side
+    // materializes as its own execution, so ReusedExchange cannot
+    // deduplicate the array-keyed window shuffle across them), and an
+    // unmaterialized plan pays that corpus-wide shuffle once per
+    // consumer. Same decision the BPE loop documents: the checkpoint is
+    // load-bearing plan hygiene, not caching. At cluster scale replace
+    // with a durable staging write if executor loss matters
+    // (localCheckpoint is not resilient); `spark.graft.semdedup
+    // .materialize=none` opts out and keeps the pure-plan form.
+    // explicit-N round-robin repartition AFTER the window, BEFORE the
+    // checkpoint: AQE coalesces the window's small ENSURE_REQUIREMENTS
+    // exchange to one partition, and a 1-partition checkpoint would
+    // serialize every downstream verify task onto a single core no
+    // matter the cluster (the 1-split trap the multimodal featurize leg
+    // pins). A user-specified partition count is not AQE-coalescible.
+    val withRep0 = collapsible.withColumn("__rep", min(col(id)).over(w))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val withRep = df.sparkSession.conf
+      .get("spark.graft.semdedup.materialize", "local") match {
+      case "none" => withRep0
+      case _ => withRep0.localCheckpoint()
+    }
     val starEdges = withRep.filter(col(id) =!= col("__rep"))
       .select(col("__rep").as("id1"), col(id).as("id2"))
     val degenerate = df.filter(col(vec).isNotNull)
-      .filter(!(expr(norm2) > lit(0d) && !isnan(expr(norm2))))
+      .filter(!(norm2 > lit(0d) && !isnan(norm2)))
     val reps = withRep.filter(col(id) === col("__rep")).drop("__rep")
       .unionByName(degenerate)
     FuzzyDedup.applyDedup(df, id,
