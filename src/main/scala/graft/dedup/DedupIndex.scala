@@ -126,9 +126,9 @@ object DedupIndex {
     val keys = VersionedTable.resolveManifest(spark, spec.srcRoot, None)
       .keys
     if (keys.map(lc) != Seq(lc(spec.idCol))) {
-      val dup = rows.groupBy(col(spec.idCol))
+      val dup = VersionedTable.smallQuery(rows.groupBy(col(spec.idCol))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-        .limit(1).collect()
+        .limit(1)).collect()
       require(dup.isEmpty,
         s"dedup index on ${spec.srcRoot} keys its change feed on " +
           s"'${spec.idCol}', but the source's merge keys are " +
@@ -219,8 +219,15 @@ object DedupIndex {
       case Some(v) if v >= srcCur =>
         VersionedTable.currentVersion(spark, indexRoot).get
       case None =>
-        val docs = VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
-          .select(col(spec.idCol), col(spec.textCol)).persist()
+        // smallQuery at the SOURCE frame (scan leaves carry real byte
+        // estimates; wrapping downstream of persist/checkpoint sees
+        // join-inflated frozen stats instead): every derived frame —
+        // the count, the uniqueness probe, the band rows — inherits the
+        // static session, so the whole rebuild leg plans as a handful
+        // of jobs instead of one per AQE stage
+        val docs = VersionedTable.smallQuery(
+          VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
+            .select(col(spec.idCol), col(spec.textCol))).persist()
         try {
           lastDocs.set(docs.count())
           requireUniqueIds(spark, spec, docs, "in the corpus")
@@ -229,22 +236,26 @@ object DedupIndex {
             replaceAll = false)
         } finally docs.unpersist()
       case Some(from) =>
-        val feed = VersionedTable.changeFeed(spark, spec.srcRoot,
-          Seq(spec.idCol), from.toInt, srcCur).persist()
+        // source-frame smallQuery: see the rebuild leg's note
+        val feed = VersionedTable.smallQuery(
+          VersionedTable.changeFeed(spark, spec.srcRoot,
+            Seq(spec.idCol), from.toInt, srcCur)).persist()
         try {
           val cap = idCap(spark)
           // one pass: each changed id + whether ANY of its feed ops is
           // non-insert (= the id existed at the synced version)
-          val changed = feed.groupBy(col(spec.idCol))
-            .agg(max(when(col("op") =!= "insert", 1).otherwise(0))
-              .as("__pre"))
-            .limit(cap + 1).collect()
+          val changed = VersionedTable.smallQuery(
+            feed.groupBy(col(spec.idCol))
+              .agg(max(when(col("op") =!= "insert", 1).otherwise(0))
+                .as("__pre"))
+              .limit(cap + 1)).collect()
           val changedIds = changed.map(_.get(0)).toSeq
           if (changedIds.length > cap) {
             // mass change: one full-rebuild commit beats collecting a
             // corpus-sized id list and a same-sized keyed delete
-            val docs = VersionedTable.read(spark, spec.srcRoot,
-              Some(srcCur)).select(col(spec.idCol), col(spec.textCol))
+            val docs = VersionedTable.smallQuery(
+              VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
+                .select(col(spec.idCol), col(spec.textCol)))
               .persist()
             try {
               lastDocs.set(docs.count())
@@ -320,15 +331,29 @@ object DedupIndex {
   def verifiedPairs(spark: SparkSession, indexRoot: String,
                     query: DataFrame, minJaccard: Double): DataFrame = {
     val spec = readSpec(spark, indexRoot)
-    val cands = candidatePairs(spark, indexRoot, query).persist()
-    try {
-      cands.count() // pin: reused for the semi join and the pair join
+    // smallQuery on the QUERY batch: the gate reads the batch's real
+    // scan bytes (probe-sized here, possibly huge in a bulk re-check —
+    // then AQE stays). Every frame derived from it below — band rows,
+    // candidates, the verify joins, the returned frame — inherits the
+    // static session, so the probe is a few one-job actions instead of
+    // one job per AQE stage.
+    val q = VersionedTable.smallQuery(query)
+    // localCheckpoint, not persist+count+unpersist-in-finally: the
+    // method returns a LAZY frame, so a finally-scoped unpersist dropped
+    // the cache before any caller action ran — the banding self-join
+    // recomputed inside the returned plan and the pin count was pure
+    // waste. The checkpoint stays materialized for the frame's lifetime
+    // (candidate pairs are probe-sized) and serves both consumers: the
+    // corpus semi-join and the pair join.
+    val cands = candidatePairs(spark, indexRoot, q)
+      .localCheckpoint();
+    {
       val corpusIds = cands.select(col("corpus_id")).distinct()
       val corpusDocs = VersionedTable.read(spark, spec.srcRoot)
         .join(corpusIds,
           col(spec.idCol) === col("corpus_id"), "left_semi")
         .select(col(spec.idCol), col(spec.textCol))
-      val shq = FuzzyDedup.shingles(query, spec.idCol, spec.textCol,
+      val shq = FuzzyDedup.shingles(q, spec.idCol, spec.textCol,
         spec.shingleN).withColumnRenamed(spec.idCol, "new_id")
       val shc = FuzzyDedup.shingles(corpusDocs, spec.idCol, spec.textCol,
         spec.shingleN).withColumnRenamed(spec.idCol, "corpus_id")
@@ -338,13 +363,14 @@ object DedupIndex {
         .join(shc, Seq("corpus_id", "shingle"))
         .groupBy(col("new_id"), col("corpus_id"))
         .agg(count(lit(1)).as("n_common"))
-      common.join(n1, Seq("new_id")).join(n2, Seq("corpus_id"))
-        .withColumn("jaccard",
-          col("n_common") / (col("n1") + col("n2") - col("n_common")))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("new_id"), col("corpus_id"), col("n_common"),
-          col("n1"), col("n2"), col("jaccard"))
-    } finally cands.unpersist()
+      VersionedTable.smallQuery(
+        common.join(n1, Seq("new_id")).join(n2, Seq("corpus_id"))
+          .withColumn("jaccard",
+            col("n_common") / (col("n1") + col("n2") - col("n_common")))
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("new_id"), col("corpus_id"), col("n_common"),
+            col("n1"), col("n2"), col("jaccard")))
+    }
   }
 
   private def render(spec: Spec): String = {

@@ -222,9 +222,12 @@ object Expectations {
       .filterNot(f => updates.columns.contains(f.name)).toSeq
     val aligned = alignToSchema(updates, pm.schema)
     val flags = exps.map(e => s"__exp_${e.name}")
-    val flagged = exps.zip(flags).foldLeft(aligned) { case (d, (e, fc)) =>
-      d.withColumn(fc, not(coalesce(expr(e.sql), lit(true))))
-    }.localCheckpoint() // ONE delta-sized materialization, reused below
+    // smallQuery: a delta-sized gate plans statically (checkpoint +
+    // count = 2 one-job actions instead of one job per AQE stage)
+    val flagged = VersionedTable.smallQuery(
+      exps.zip(flags).foldLeft(aligned) { case (d, (e, fc)) =>
+        d.withColumn(fc, not(coalesce(expr(e.sql), lit(true))))
+      }).localCheckpoint() // ONE delta-sized materialization, reused below
     val cntRow = flagged
       .agg(sum(col(flags.head).cast("long")).as(flags.head),
         flags.tail.map(f => sum(col(f).cast("long")).as(f)): _*)
@@ -288,9 +291,9 @@ object Expectations {
       d.withColumn(fc,
         col("__m_changed") && not(coalesce(expr(e.sql), lit(true))))
     }
-    val cntRow = flagged
+    val cntRow = VersionedTable.smallQuery(flagged
       .agg(sum(col(flags.head).cast("long")).as(flags.head),
-        flags.tail.map(f => sum(col(f).cast("long")).as(f)): _*)
+        flags.tail.map(f => sum(col(f).cast("long")).as(f)): _*))
       .collect()(0)
     val cnts = flags.indices.map(i =>
       if (cntRow.isNullAt(i)) 0L else cntRow.getLong(i))

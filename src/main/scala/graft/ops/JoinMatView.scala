@@ -247,8 +247,9 @@ object JoinMatView {
     // against signed dim CDF rows
     val dimLeg: Option[DataFrame] =
       if (dCur > dFrom) {
-        val cdfD = VersionedTable.changeFeedCdf(spark, spec.dimRoot,
-          spec.dimKeys, dFrom, dCur).persist()
+        val cdfD = VersionedTable.smallQuery(
+          VersionedTable.changeFeedCdf(spark, spec.dimRoot,
+            spec.dimKeys, dFrom, dCur)).persist()
         val nKeys = cdfD.select(spec.dimKeys.map(col): _*).distinct()
           .count()
         lastDimKeysTl.set(nKeys)
@@ -376,9 +377,9 @@ object JoinMatView {
                      rows: DataFrame): Int = {
     val tags = fVer.map(v => (FactPrefix + spec.factRoot, v.toLong)).toSeq ++
       dVer.map(v => (DimPrefix + spec.dimRoot, v.toLong))
-    val withBucket = rows.withColumn("__bucket",
+    val withBucket = VersionedTable.smallQuery(rows.withColumn("__bucket",
       pmod(xxhash64(spec.groupCols.map(col): _*), lit(spec.buckets))
-        .cast("int")).persist()
+        .cast("int"))).persist()
     try VersionedTable.upsert(spark, viewRoot, withBucket,
       keys = spec.groupCols :+ "__bucket", partCols = Seq("__bucket"),
       txn = tags.headOption, extraTxns = tags.drop(1))

@@ -159,8 +159,12 @@ object MatView {
         val feed = VersionedTable.changeFeedCdf(spark, spec.srcRoot,
           spec.srcKeys, from.toInt, srcCur)
         // pin the (group-sized) feed aggregation: it feeds the delta
-        // rows, the rescan split, and the recompute's pruning probes
-        val delta = feedDelta(spec, feed).persist()
+        // rows, the rescan split, and the recompute's pruning probes.
+        // smallQuery at this source frame: change-sized feeds plan
+        // statically (one job per action instead of one per AQE stage)
+        // and every derived frame inherits the session
+        val delta = VersionedTable.smallQuery(feedDelta(spec, feed))
+          .persist()
         val (rows, pins) = deltaGroups(spark, viewRoot, spec, delta, srcCur)
         try commit(spark, viewRoot, spec, srcCur, rows)
         finally (delta +: pins).foreach(_.unpersist())
@@ -456,9 +460,9 @@ object MatView {
     * re-run the two-version feed join. */
   private def commit(spark: SparkSession, viewRoot: String, spec: Spec,
                      srcVersion: Int, rows: DataFrame): Int = {
-    val withBucket = rows.withColumn("__bucket",
+    val withBucket = VersionedTable.smallQuery(rows.withColumn("__bucket",
       pmod(xxhash64(spec.groupCols.map(col): _*), lit(spec.buckets))
-        .cast("int")).persist()
+        .cast("int"))).persist()
     // __bucket is a pure function of the group columns, so adding it to
     // the merge key changes nothing semantically and satisfies the
     // partCols-within-keys contract

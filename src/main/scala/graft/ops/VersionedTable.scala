@@ -2060,7 +2060,13 @@ object VersionedTable {
       val overrides = Map(
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" ->
-          spark.conf.get("spark.graft.commit.smallShufflePartitions", "8"))
+          spark.conf.get("spark.graft.commit.smallShufflePartitions", "8"),
+        // limit(n).collect() on a SMALL plan: executeTake's partition
+        // ramp (1, then xscaleUpFactor, ...) costs 3 jobs to scan what
+        // one wave covers — the engine's capped driver probes
+        // (changed-id lists, uniqueness checks) usually read everything
+        // anyway, so scan all partitions in the first job
+        "spark.sql.limit.initialNumPartitions" -> "10000")
       // ONE cached clone per (parent session, overrides): every
       // cloneSession registers an execution-listener bus on the shared
       // SparkContext for the life of the app, so cloning per commit
@@ -2089,6 +2095,56 @@ object VersionedTable {
       clone
     }
   }
+
+  /** Size-gated STATIC execution for engine-side small queries — the
+    * read/maintenance twin of [[commitSession]]. The lifecycle
+    * operators (dedup/ANN index refresh + probes, matview refreshes,
+    * expectation probes) run many small multi-shuffle actions; with
+    * adaptive execution on, EVERY exchange materializes as its own
+    * Spark job, so a 3-shuffle probe over kilobytes pays 4 scheduling
+    * round-trips (QueryCostProbe: q_dedup_index's warm rep = 48 jobs
+    * whose summed wall is ~65% of the query's — the rest is the gaps
+    * between them). When the plan's OPTIMIZER SIZE ESTIMATE is at most
+    * `spark.graft.commit.aqeAutoMaxBytes` (same knob and clone as the
+    * commit path — one policy, one cached session), re-bind the frame
+    * onto the AQE-off clone so its terminal action plans statically as
+    * ONE job. Size-adaptive, not a local-mode tune: a change-sized
+    * refresh probe at 100 TB is still small, and anything estimated
+    * big (or inestimable — ExistingRDD/checkpoint scans report
+    * unknown) keeps AQE. Results are unaffected: the clone shares the
+    * SparkContext, catalog, and cache manager; only planning differs.
+    * No-op under `spark.graft.commit.aqe=on`. */
+  private[graft] def smallQuery(df: DataFrame): DataFrame =
+    // already static (e.g. a frame built ON the clone by a nested
+    // operator): re-cloning the clone would leak sessions for nothing
+    if (df.sparkSession.conf.get("spark.sql.adaptive.enabled",
+        "true") == "false") {
+      if (sys.props.contains("graft.smallquery.debug"))
+        // scalastyle:off println
+        println("[smallQuery] already-static session, pass-through")
+        // scalastyle:on println
+      df
+    } else {
+      // gate on the SUM OF LEAF estimates (the bytes the query can
+      // actually read), not the propagated plan estimate: size-only
+      // estimation multiplies through joins, so a kilobyte probe that
+      // joins two small scans "estimates" terabytes and would never
+      // take the static path. Leaves with no real estimate
+      // (checkpoint/RDD scans report defaultSizeInBytes) poison the sum
+      // upward — conservative, keeps AQE.
+      val hint = scala.util.Try(
+        df.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.stats.sizeInBytes).sum).toOption
+      val s = commitSession(df.sparkSession, hint)
+      if (sys.props.contains("graft.smallquery.debug"))
+        // scalastyle:off println
+        println(s"[smallQuery] hint=$hint static=${s ne df.sparkSession} " +
+          df.queryExecution.optimizedPlan.collectLeaves()
+            .map(l => l.getClass.getSimpleName + ":" + l.stats.sizeInBytes)
+            .mkString(" "))
+        // scalastyle:on println
+      org.apache.spark.sql.graftbridge.SessionBridge.rebind(s, df)
+    }
 
   /** See [[commitSession]]: weak on the parent so short-lived sessions
     * (newSession-per-thread patterns) don't pin their clones. */

@@ -208,8 +208,12 @@ object AnnIndex {
     val synced = VersionedTable.currentVersion(spark, indexRoot)
       .flatMap(_ => VersionedTable.lastTxn(spark, indexRoot, streamId))
     def rebuild(): Int = {
-      val corpus = VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
-        .select(col(spec.idCol), col(spec.vecCol)).persist()
+      // smallQuery at the SOURCE frame (scan leaves carry real byte
+      // estimates): the count, centroid training, and assignment rows
+      // all inherit the static session when the corpus is small
+      val corpus = VersionedTable.smallQuery(
+        VersionedTable.read(spark, spec.srcRoot, Some(srcCur))
+          .select(col(spec.idCol), col(spec.vecCol))).persist()
       try {
         lastDocs.set(corpus.count())
         lastRebuild.set(true)
@@ -237,12 +241,15 @@ object AnnIndex {
         VersionedTable.currentVersion(spark, indexRoot).get
       case None => rebuild()
       case Some(from) =>
-        val feed = VersionedTable.changeFeed(spark, spec.srcRoot,
-          Seq(spec.idCol), from.toInt, srcCur).persist()
+        // source-frame smallQuery: see rebuild's note
+        val feed = VersionedTable.smallQuery(
+          VersionedTable.changeFeed(spark, spec.srcRoot,
+            Seq(spec.idCol), from.toInt, srcCur)).persist()
         try {
           val cap = idCap(spark)
-          val changedIds = feed.select(col(spec.idCol)).distinct()
-            .limit(cap + 1).collect().map(_.get(0)).toSeq
+          val changedIds = VersionedTable.smallQuery(
+            feed.select(col(spec.idCol)).distinct()
+              .limit(cap + 1)).collect().map(_.get(0)).toSeq
           if (changedIds.length > cap) rebuild()
           else {
             lastDocs.set(changedIds.length.toLong)
@@ -289,10 +296,11 @@ object AnnIndex {
     // probed-cell collect AND the join — re-executing a
     // non-deterministic query source between the two could assign rows
     // to cells the constrained read pruned. Size = |queries| × nProbe.
-    val probes = Similarity.ivfAssign(queries, qId, qVec,
-        readCentroids(spark, indexRoot, spec, Some(cur)),
-        nProbe = nProbe)
-      .withColumn("__qn2", Similarity.norm(col(qVec)))
+    val probes = VersionedTable.smallQuery(
+      Similarity.ivfAssign(queries, qId, qVec,
+          readCentroids(spark, indexRoot, spec, Some(cur)),
+          nProbe = nProbe)
+        .withColumn("__qn2", Similarity.norm(col(qVec))))
       .localCheckpoint()
     // the probed CELL SET is at most nlist values (tiny by contract) —
     // collect it and read the index CONSTRAINED on the partition
@@ -300,7 +308,8 @@ object AnnIndex {
     // plain join would read every partition; no DPP reaches the custom
     // scan). With nProbe = nlist this degenerates to the full read, as
     // exactness requires.
-    val probedCells = probes.select(col("cell")).distinct()
+    val probedCells = VersionedTable.smallQuery(
+      probes.select(col("cell")).distinct())
       .collect().map(_.get(0)).toSeq
     val idxRaw = VersionedTable.readConstrained(spark, indexRoot,
         Seq(VersionedTable.ColConstraint("cell", None, None, None,
@@ -335,9 +344,10 @@ object AnnIndex {
         // cosine is float-exact — quantization error can only cost
         // recall at the shortlist boundary, never wrong similarities
         val refine = math.max(4 * k, k + 10)
-        val short = scored.withColumn("__ar", row_number().over(w))
-          .filter(col("__ar") <= refine)
-          .select(col(qId), col(qVec), col("__qn2"), col("__c_id"))
+        val short = VersionedTable.smallQuery(
+          scored.withColumn("__ar", row_number().over(w))
+            .filter(col("__ar") <= refine)
+            .select(col(qId), col(qVec), col("__qn2"), col("__c_id")))
           .localCheckpoint()
         val syncedSrc = VersionedTable.lastTxnAt(spark, indexRoot,
           StreamPrefix + spec.srcRoot, cur).getOrElse(
@@ -345,7 +355,8 @@ object AnnIndex {
               s"ann index at $indexRoot has no synced source version"))
           .toInt
         val cap = idCap(spark)
-        val ids = short.select(col("__c_id")).distinct().limit(cap + 1)
+        val ids = VersionedTable.smallQuery(
+          short.select(col("__c_id")).distinct().limit(cap + 1))
           .collect().map(_.get(0)).toSeq
         val candSrc =
           if (ids.length <= cap)
@@ -363,10 +374,11 @@ object AnnIndex {
             Similarity.dot(col(qVec), col("__f_vec")) /
               (col("__qn2") * col("__fn2")))
       }
-    ranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId).as("query_id"), col("__c_id").as("neighbor_id"),
-        col("cosine_sim"), col("rank"))
+    VersionedTable.smallQuery(
+      ranked.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(qId).as("query_id"), col("__c_id").as("neighbor_id"),
+          col("cosine_sim"), col("rank")))
   }
 
   private def render(spec: Spec): String =
