@@ -143,8 +143,12 @@ object MultiSync {
       }
     }.toMap
     if (advances.isEmpty) return None
+    // smallQuery on each feed: the consumer's probes/loads over a
+    // change-sized feed plan statically (one job per action instead of
+    // one per AQE stage); table-sized initial loads keep AQE via the
+    // leaf-byte gate
     val feeds = tables.map { case (root, keys) =>
-      root -> (advances.get(root) match {
+      root -> VersionedTable.smallQuery(advances.get(root) match {
         case None => // already synced: an EMPTY feed of the table's
           // change shape, so `apply` always sees every table
           VersionedTable.changeFeed(spark, root, keys,

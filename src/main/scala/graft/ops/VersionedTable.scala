@@ -4401,7 +4401,9 @@ object VersionedTable {
     // long arithmetic: f + Int.MaxValue (the default cap) overflows Int
     val to = last.map(f =>
       math.min(cur.toLong, f.toLong + maxVersions).toInt).getOrElse(cur)
-    val feed = last match {
+    // smallQuery: change-sized feeds plan statically (see the
+    // multi-table leg's note); table-sized initial loads keep AQE
+    val feed = smallQuery(last match {
       case None =>
         // PINNED to the version the cursor will record: a concurrent
         // commit between here and materialization must not make the
@@ -4410,7 +4412,7 @@ object VersionedTable {
         val t = read(spark, root, Some(to))
         t.select(lit("insert").as("op") +: t.columns.map(col): _*)
       case Some(from) => changeFeed(spark, root, keys, from, to)
-    }
+    })
     apply(feed)
     // write-new-then-promote: the cursor file is never truncated in
     // place, so a crash at ANY point leaves either the old value, or a
