@@ -61,7 +61,22 @@ object RangeJoin {
     * hot key (a default entity id, an epoch date) prices as its row count,
     * not its row count squared, at any scale. For unkeyed interval joins
     * use the bucketed [[pointInInterval]] composition instead; an unkeyed
-    * self overlap is a different (grid-bucketed) operator by design. */
+    * self overlap is a different (grid-bucketed) operator by design.
+    *
+    * Why this is NOT the classic O(g log g) sorted-rank count
+    * (overlaps = C(n,2) − Σ_starts #{ends strictly before}): that
+    * identity needs "exactly one of a.e < b.s / b.e < a.s per
+    * non-overlapping pair", which only holds for WELL-FORMED intervals
+    * (s ≤ e). This operator's inputs may carry INVERTED rows (the
+    * synthetic fulfillment data has o_orderdate > l_shipdate on ~half
+    * its rows), and the declared predicate semantics over inverted rows
+    * — an inverted row never overlaps itself, a well-formed row
+    * "overlaps" an inverted one iff it contains the reversed span —
+    * turn the correction term into a 2-D dominance count that SQL
+    * windows cannot express in one pass. A round-12 rewrite attempt
+    * produced 412 rows where the oracle held 589 at sf0.001 and was
+    * reverted; the property test now generates inverted intervals so
+    * the trap stays pinned. */
   def intervalOverlapPairs(df: DataFrame, keys: Seq[String],
                            start: String, end: String,
                            maxGroupSize: Int = 1 << 20): DataFrame = {

@@ -547,6 +547,30 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("intervalOverlapPairs tie semantics on DATE bounds (inclusive " +
+      "endpoints, zero-length, heavy value ties)") {
+    // ties between an end and a start at the SAME value must count as
+    // overlap (inclusive bounds) — exercised on the declared query's
+    // actual column type (DateType) with many equal values and
+    // zero-length intervals; added while probing (and rejecting) the
+    // r12 sorted-rank rewrite, see intervalOverlapPairs' scaladoc
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+    val iv = Seq(
+      // [1,3],[3,5] touch -> overlap; [5,5] zero-length touches [3,5]
+      ("a", d(1), d(3)), ("a", d(3), d(5)), ("a", d(5), d(5)),
+      // strictly disjoint chain -> 0 pairs, filtered
+      ("b", d(1), d(2)), ("b", d(3), d(4)), ("b", d(5), d(6)),
+      // all-identical zero-length at one value -> C(4,2)=6
+      ("c", d(7), d(7)), ("c", d(7), d(7)), ("c", d(7), d(7)),
+      ("c", d(7), d(7))
+    ).toDF("k", "s", "e")
+    val got = RangeJoin.intervalOverlapPairs(iv, Seq("k"), "s", "e")
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[Long]("n_intervals"), r.getAs[Long]("n_overlap_pairs")))
+      .toSet
+    assert(got == Set(("a", 3L, 2L), ("c", 4L, 6L)))
+  }
+
   // ------------------------------------------------------- reconcile
 
   test("reconcile tags presence and computes exact deltas, full-outer") {
