@@ -2125,16 +2125,7 @@ object VersionedTable {
         // scalastyle:on println
       df
     } else {
-      // gate on the SUM OF LEAF estimates (the bytes the query can
-      // actually read), not the propagated plan estimate: size-only
-      // estimation multiplies through joins, so a kilobyte probe that
-      // joins two small scans "estimates" terabytes and would never
-      // take the static path. Leaves with no real estimate
-      // (checkpoint/RDD scans report defaultSizeInBytes) poison the sum
-      // upward — conservative, keeps AQE.
-      val hint = scala.util.Try(
-        df.queryExecution.optimizedPlan.collectLeaves()
-          .map(_.stats.sizeInBytes).sum).toOption
+      val hint = leafBytesHint(df)
       val s = commitSession(df.sparkSession, hint)
       if (sys.props.contains("graft.smallquery.debug"))
         // scalastyle:off println
@@ -2145,6 +2136,20 @@ object VersionedTable {
         // scalastyle:on println
       org.apache.spark.sql.graftbridge.SessionBridge.rebind(s, df)
     }
+
+  /** Size hint for the static-vs-AQE gate: the SUM OF LEAF estimates —
+    * the bytes the plan can actually read — not the propagated plan
+    * estimate. Size-only estimation multiplies through joins, so a
+    * kilobyte probe (or a join-shaped commit delta) that joins two
+    * small scans "estimates" terabytes and would never take the static
+    * path (measured: the dedup-index feed probe at 27 GB propagated vs
+    * 381 KB of leaf bytes). Leaves with no real estimate
+    * (checkpoint/RDD scans report defaultSizeInBytes) poison the sum
+    * upward — conservative, keeps AQE. */
+  private def leafBytesHint(df: DataFrame): Option[BigInt] =
+    scala.util.Try(
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum).toOption
 
   /** See [[commitSession]]: weak on the parent so short-lived sessions
     * (newSession-per-thread patterns) don't pin their clones. */
@@ -2461,8 +2466,11 @@ object VersionedTable {
       // updates estimate alone scopes it correctly; the WRITE also
       // rewrites the touched dirs' survivors, so its session decision
       // (sparkWrite below) adds their recorded bytes.
-      val updatesBytes: Option[BigInt] = scala.util.Try(
-        updates.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+      // leaf-sum estimate, not the propagated plan estimate: size-only
+      // estimation multiplies through joins, so a join-shaped delta
+      // (matview refresh legs are CDF⋈dim joins) "estimated" terabytes
+      // and never took the static path (see smallQuery's note)
+      val updatesBytes: Option[BigInt] = leafBytesHint(updates)
       val sparkW = commitSession(spark, updatesBytes)
       val entries = Merge.partitionDirEntries(sparkW, gated, partCols)
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
