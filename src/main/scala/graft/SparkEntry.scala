@@ -435,8 +435,8 @@ object SparkEntry {
   }
 
   /** CDC-maintained LSH dedup index under oracle check: the corpus
-    * (a 1/3 document slice, minus the batch) builds the index ONCE; the
-    * new batch (doc_id % 60 == 0) lands in
+    * (all documents minus the batch) builds the index ONCE; the
+    * new batch (doc_id % 10 == 0) lands in
     * the source table and an INCREMENTAL refresh re-bands only the feed
     * (guard pins feed-sized work — no corpus re-shingle, no rebuild);
     * the oracled output is the batch's exact-verified near-dup pairs
@@ -447,17 +447,13 @@ object SparkEntry {
     val stage = "/tmp/graft_dedup_index/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     val (src, idx) = (s"$stage/src", s"$stage/idx")
-    // a 1/3 slice of documents: the operator is identical at any
-    // volume (DedupIndexScaleProbe carries the 8x-flat scale evidence);
-    // the oracle mirrors the slice
     val docs = tbl(s, dir, "documents")
-      .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text"), col("lang"))
-    val batch = docs.filter(col("doc_id") % 60 === 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
     fixture {
       rmrf(s, stage)
       VersionedTable.upsert(s, src,
-        docs.filter(col("doc_id") % 60 =!= 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
         Seq("doc_id", "lang"), Seq("lang"))
       graft.dedup.DedupIndex.create(s, idx, src, "doc_id", "text",
         shingleN = 3, numPerm = 64, bands = 32)
@@ -471,7 +467,7 @@ object SparkEntry {
         s"${graft.dedup.DedupIndex.lastRefreshRebuild} docs=" +
         s"${graft.dedup.DedupIndex.lastRefreshDocs}")
     graft.dedup.DedupIndex.verifiedPairs(s, idx, batch, 0.7)
-      .filter(col("corpus_id") % 60 =!= 0)
+      .filter(col("corpus_id") % 10 =!= 0)
       .select(col("new_id"), col("corpus_id"), col("n_common"),
         col("n1"), col("n2"), r6(col("jaccard")).as("jaccard"))
   }
@@ -8785,9 +8781,9 @@ object SparkEntry {
         |      for i in range(1, len(toks) - 1)])) AS shingle
         |  FROM (SELECT doc_id,
         |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |        FROM documents WHERE doc_id % 3 = 0)),
-        |shn AS (SELECT * FROM sh WHERE id % 60 = 0),
-        |shc AS (SELECT * FROM sh WHERE id % 60 <> 0),
+        |        FROM documents)),
+        |shn AS (SELECT * FROM sh WHERE id % 10 = 0),
+        |shc AS (SELECT * FROM sh WHERE id % 10 <> 0),
         |s1 AS (SELECT id, count(*) AS n FROM shn GROUP BY 1),
         |s2 AS (SELECT id, count(*) AS n FROM shc GROUP BY 1),
         |inter AS (
