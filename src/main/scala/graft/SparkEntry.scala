@@ -3820,21 +3820,34 @@ object SparkEntry {
   private def docBlocks(s: SparkSession, dir: String, block: String): DataFrame =
     tbl(s, dir, "documents").select(col("doc_id").as("id"), col(block).as("block"))
 
-  /** Second shared artifact of the dedup pipeline: lang-blocked verified
-    * jaccard pairs at the LOWEST threshold any consumer needs (0.1).
-    * Computed once (localCheckpointed by jaccardPairsFromShingles — a few
-    * hundred rows), then filtered per consumer: the 0.1 report query, the
-    * 0.5 corpus dedup, the 0.7 containment audit. The jaccard value for a
-    * pair is threshold-independent, so filtering the shared table is
-    * EXACTLY the per-threshold recomputation, minus three extra
-    * intersection joins over the corpus. */
-  private val jaccardPairs01 =
+  /** Second shared artifact of the dedup pipeline: the UNTHRESHOLDED
+    * lang-blocked pair-score table (id1, id2, n_common, n1, n2) — one
+    * row per df-capped co-occurring pair (localCheckpointed by
+    * FuzzyDedup.pairScoreTableFromShingles; 290 K rows at sf0.1). Both
+    * score families are pure column arithmetic over it (jaccard =
+    * n_common/(n1+n2−n_common), containment = n_common/min(n1,n2)), so
+    * filtering the shared table is EXACTLY the per-threshold
+    * recomputation, minus a repeated intersection self-join over the
+    * corpus per consumer (the dominant cost of the family). */
+  private val pairScores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def docPairs01(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs01.computeIfAbsent((s, dir), { _ =>
-      FuzzyDedup.jaccardPairsFromShingles(docShingles(s, dir),
-        Some(docBlocks(s, dir, "lang")), minJaccard = 0.1)
+  private def docPairScores(s: SparkSession, dir: String): DataFrame =
+    pairScores.computeIfAbsent((s, dir), { _ =>
+      FuzzyDedup.pairScoreTableFromShingles(docShingles(s, dir),
+        Some(docBlocks(s, dir, "lang")), maxDf = Some(1000))
     })
+
+  /** Lang-blocked verified jaccard pairs at the LOWEST threshold any
+    * consumer needs (0.1), derived from [[docPairScores]]; filtered per
+    * consumer: the 0.1 report query, the 0.5 corpus dedup, the 0.7
+    * minhash ground truth. */
+  private def docPairs01(s: SparkSession, dir: String): DataFrame =
+    docPairScores(s, dir)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= 0.1)
+      .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
 
   /** Third shared artifact: the numPerm=64 MinHash signature table — both
     * banding configurations (16 and 32 bands) derive from it, so the
@@ -3868,10 +3881,16 @@ object SparkEntry {
 
   /** Containment pairs at >= 0.6: |A∩B|/min(|A|,|B|) — the
     * subset-duplication signal a Jaccard threshold misses when a short
-    * doc sits inside a long one. Same session shingle index. */
+    * doc sits inside a long one. Derived from the shared pair-score
+    * table (same arithmetic as FuzzyDedup.containmentPairsFromShingles,
+    * minus re-running the intersection self-join the jaccard family
+    * already materialized). */
   private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
-    FuzzyDedup.containmentPairsFromShingles(docShingles(s, dir),
-        Some(docBlocks(s, dir, "lang")), minContainment = 0.6)
+    docPairScores(s, dir)
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= 0.6)
+      .select("id1", "id2", "n_common", "n1", "n2", "containment")
       .withColumn("containment", r6(col("containment")))
 
   /** Containment invariant: the LSH candidate set must cover every exact

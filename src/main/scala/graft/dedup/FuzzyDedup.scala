@@ -107,6 +107,24 @@ object FuzzyDedup {
         .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
     }
 
+  /** The UNTHRESHOLDED pair-score table over the prebuilt shingle table:
+    * one row per co-occurring (id1 < id2) pair with `n_common`, `n1`,
+    * `n2` — the shared core both the Jaccard and the containment
+    * thresholds are pure column arithmetic over. A pipeline issuing
+    * several threshold queries over one corpus should materialize THIS
+    * once and filter per consumer: jaccard = n_common/(n1+n2−n_common)
+    * and containment = n_common/min(n1,n2) are functions of the row, so
+    * filtering the shared table is exactly the per-threshold
+    * recomputation minus the repeated intersection self-join (the
+    * dominant cost). Output is materialized (localCheckpoint); its size
+    * is bounded by the df-capped co-occurrence pair count (290 K rows at
+    * sf0.1), orders of magnitude below the shingle expansion. */
+  def pairScoreTableFromShingles(sh: DataFrame, blocks: Option[DataFrame],
+                                 maxDf: Option[Int] = Some(1000))
+      : DataFrame =
+    pairScoresFromShingles(sh, blocks, maxDf)(d =>
+      d.select("id1", "id2", "n_common", "n1", "n2"))
+
   /** Exact threshold-CONTAINMENT pairs over the prebuilt shingle table:
     * containment = |A∩B| / min(|A|, |B|) — catches a short document
     * embedded verbatim inside a much longer one, where Jaccard stays

@@ -99,6 +99,46 @@ class TextDedupSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("pairScoreTable-derived scores equal the direct threshold paths") {
+    // the shared unthresholded (id1,id2,n_common,n1,n2) table must yield
+    // the SAME rows as the direct jaccard/containment computations when
+    // the score arithmetic is applied as a plain filter over it — the
+    // equivalence the session-level pair-score memo relies on
+    val d = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" "), "en"),
+      (2L, (1 to 8).map(i => s"w$i").mkString(" "), "en"),
+      (3L, (5 to 25).map(i => s"w$i").mkString(" "), "en"),
+      (4L, "x y z q r s t u v", "en"))
+      .toDF("doc_id", "text", "lang")
+    val sh = FuzzyDedup.shingleHashes(d, "doc_id", "text", 3)
+      .select($"doc_id".as("id"), $"h64")
+    val blocks = Some(d.select($"doc_id".as("id"), $"lang".as("block")))
+    val core = FuzzyDedup.pairScoreTableFromShingles(sh, blocks,
+      maxDf = Some(1000))
+    val contDerived = core
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= 0.6)
+      .select("id1", "id2", "n_common", "n1", "n2", "containment")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val contDirect = FuzzyDedup.containmentPairsFromShingles(sh, blocks,
+        minContainment = 0.6, maxDf = Some(1000))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(contDerived == contDirect)
+    assert(contDerived.nonEmpty)
+    val jacDerived = core
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= 0.1)
+      .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val jacDirect = FuzzyDedup.jaccardPairsFromShingles(sh, blocks,
+        minJaccard = 0.1, maxDf = Some(1000))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(jacDerived == jacDirect)
+    assert(jacDerived.nonEmpty)
+  }
+
   test("minhashCandidates surfaces the exact-dup pair") {
     val cand = FuzzyDedup.minhashCandidates(docs, "doc_id", "text", n = 3)
       .as[(Long, Long)].collect().toSet
