@@ -341,6 +341,19 @@ object Bench {
     // streaming, sentinel, contended, total) go LAST; the per-rep and
     // cold maps absorb any truncation.
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries_reps":$qsReps,"queries":$qs,"queries_steady":$qsSteady,"queries_fixture":$qsFixture,"queries_engine_steady":$qsEngine,"errors":$errs,"streaming":$streaming,"sentinel":$sentinelJson,"contended":$contended,"retried":$retriedJson,"value_adjusted":${r4(adjusted)},"value":${r4(total)}}"""
+    // the one-line-JSON contract is load-bearing (a record line that
+    // doesn't parse costs the round its per-query comparison): fail
+    // LOUDLY before printing if the line spans lines or doesn't
+    // round-trip through a strict JSON parser as a single object
+    require(!line.contains('\n') && !line.contains('\r'),
+      "bench record line must be a single line")
+    val parsed =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      catch { case e: Exception => throw new IllegalStateException(
+        s"bench record line is not valid JSON: ${e.getMessage}", e) }
+    require(parsed.isObject && parsed.has("value") &&
+      parsed.has("queries_steady"),
+      "bench record line parsed but lacks the contract fields")
     println(line)
     // Full record persisted in-repo (the driver commits round-end state):
     // the judge diffs steady times round-over-round mechanically from git

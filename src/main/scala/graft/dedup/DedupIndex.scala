@@ -331,20 +331,32 @@ object DedupIndex {
   def verifiedPairs(spark: SparkSession, indexRoot: String,
                     query: DataFrame, minJaccard: Double): DataFrame = {
     val spec = readSpec(spark, indexRoot)
-    // smallQuery on the QUERY batch: the gate reads the batch's real
-    // scan bytes (probe-sized here, possibly huge in a bulk re-check —
-    // then AQE stays). Every frame derived from it below — band rows,
-    // candidates, the verify joins, the returned frame — inherits the
-    // static session, so the probe is a few one-job actions instead of
-    // one job per AQE stage.
-    val q = VersionedTable.smallQuery(query)
+    // smallQuery on the QUERY batch, with the INDEX and SOURCE tables'
+    // recorded manifest bytes added to the gate: every frame derived
+    // from the batch below — band rows, candidates (which join the full
+    // index), the corpus-side shingle verify, the returned frame —
+    // inherits the batch's session, so the gate must price the WHOLE
+    // pipeline's inputs, not just the probe-sized batch. A tiny probe
+    // against a large index/corpus therefore keeps AQE (adaptive
+    // partitions + runtime broadcast) instead of pinning the index
+    // shuffle onto the 8-partition static clone; in the small case the
+    // probe stays a few one-job static actions.
+    val tableBytes: Option[BigInt] = for {
+      i <- VersionedTable.recordedBytes(spark, indexRoot)
+      s <- VersionedTable.recordedBytes(spark, spec.srcRoot)
+    } yield i + s
+    val q = VersionedTable.smallQuery(query, tableBytes)
     // localCheckpoint, not persist+count+unpersist-in-finally: the
     // method returns a LAZY frame, so a finally-scoped unpersist dropped
     // the cache before any caller action ran — the banding self-join
     // recomputed inside the returned plan and the pin count was pure
     // waste. The checkpoint stays materialized for the frame's lifetime
     // (candidate pairs are probe-sized) and serves both consumers: the
-    // corpus semi-join and the pair join.
+    // corpus semi-join and the pair join. LIFETIME CONTRACT: the blocks
+    // are released by the ContextCleaner when the returned frame becomes
+    // unreachable — a long-lived driver issuing many probe calls should
+    // drop its references (or snapshot results) rather than hold every
+    // returned frame.
     val cands = candidatePairs(spark, indexRoot, q)
       .localCheckpoint();
     {

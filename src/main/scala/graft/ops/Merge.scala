@@ -154,6 +154,65 @@ object Merge {
     }
   }
 
+  /** One-job delta probe for SMALL (statically planned) commits: collects
+    * the delta's DISTINCT (merge keys ++ partition values ++ partition
+    * string forms) in a SINGLE STAGE — per-partition local distinct,
+    * driver-side final dedupe, no exchange — and returns (key tuples,
+    * dir entries), or None when any partition exceeds `maxRows` distinct
+    * rows (explode-shaped deltas whose leaf bytes are small but whose
+    * output is not; the caller falls back to the two-pass shape). One
+    * probe serves BOTH consumers that otherwise each evaluate the delta:
+    * the touched-dir entries ([[partitionDirEntries]]'s distinct+collect
+    * job, with its exchange) and the survivors anti-join's key set (the
+    * write plan's two HashAggregate exchanges over a re-scan of the
+    * delta). Values and dir names render through exactly the code paths
+    * partitionDirEntries uses (session-tz string cast evaluated inside
+    * Spark, ExternalCatalogUtils.getPartitionPathString on the driver),
+    * so the entries are byte-identical to that job's. */
+  private[graft] def deltaProbe(spark: SparkSession, values: DataFrame,
+                                keys: Seq[String], partCols: Seq[String],
+                                maxRows: Int)
+      : Option[(Seq[Seq[Any]], Seq[(Seq[Any], String)])] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val nk = keys.length
+    val np = partCols.length
+    val proj = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(spark, values).select(
+        keys.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__graft_k$i") } ++
+        partCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__graft_p$i") } ++
+        partCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("string").as(s"__graft_s$i") }: _*)
+    val cap = maxRows
+    // one stage: local distinct per partition, overflow signalled by a
+    // null sentinel so a runaway delta aborts the transfer at cap+1
+    // rows per partition instead of flooding the driver
+    val collected = proj.rdd.mapPartitions { it =>
+      val seen = scala.collection.mutable.LinkedHashSet
+        .empty[org.apache.spark.sql.Row]
+      var overflow = false
+      while (it.hasNext && !overflow) {
+        seen += it.next()
+        if (seen.size > cap) overflow = true
+      }
+      if (overflow) Iterator(null) else seen.iterator
+    }.collect()
+    if (collected.contains(null)) return None
+    val rows = collected.toSeq.distinct
+    if (rows.size > cap) return None
+    val keyTuples = rows.map(r => (0 until nk).map(r.get)).distinct
+    val entries = rows.map { r =>
+      val vals = (0 until np).map(i => r.get(nk + i))
+      val rel = partCols.zipWithIndex.map { case (c, i) =>
+        ExternalCatalogUtils.getPartitionPathString(c,
+          r.getString(nk + np + i))
+      }.mkString("/")
+      (vals, rel)
+    }.distinct
+    Some((keyTuples, entries))
+  }
+
   /** Which of the relative (possibly nested) dir paths exist under
     * `base` — answered with one listStatus per touched INTERNAL node
     * instead of one exists() round-trip per leaf. A daily increment

@@ -4,8 +4,8 @@ import java.net.URI
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
@@ -2115,6 +2115,17 @@ object VersionedTable {
     * SparkContext, catalog, and cache manager; only planning differs.
     * No-op under `spark.graft.commit.aqe=on`. */
   private[graft] def smallQuery(df: DataFrame): DataFrame =
+    smallQuery(df, Some(BigInt(0)))
+
+  /** [[smallQuery]] with EXTRA bytes added to the gate: for probe-sized
+    * frames whose DOWNSTREAM derivations will join corpus/index tables
+    * the probe plan's own leaves cannot see (the derived frames inherit
+    * this frame's session, so gating the probe alone would pin a huge
+    * index scan onto the 8-partition static clone). Callers pass the
+    * tables' recorded manifest bytes ([[recordedBytes]]); None = unknown
+    * = conservative, AQE stays. */
+  private[graft] def smallQuery(df: DataFrame,
+                                extraBytes: Option[BigInt]): DataFrame =
     // already static (e.g. a frame built ON the clone by a nested
     // operator): re-cloning the clone would leak sessions for nothing
     if (df.sparkSession.conf.get("spark.sql.adaptive.enabled",
@@ -2125,7 +2136,8 @@ object VersionedTable {
         // scalastyle:on println
       df
     } else {
-      val hint = leafBytesHint(df)
+      val hint = for { own <- leafBytesHint(df); ex <- extraBytes }
+        yield own + ex
       val s = commitSession(df.sparkSession, hint)
       if (sys.props.contains("graft.smallquery.debug"))
         // scalastyle:off println
@@ -2136,6 +2148,24 @@ object VersionedTable {
         // scalastyle:on println
       org.apache.spark.sql.graftbridge.SessionBridge.rebind(s, df)
     }
+
+  /** Sum of the CURRENT version's recorded per-dir bytes for a
+    * versioned table — the real stored size, served from the manifest
+    * with no Spark job. None when the table has no committed version or
+    * any live dir lacks a recorded size (legacy manifests):
+    * conservative for the [[smallQuery]] gate. */
+  private[graft] def recordedBytes(spark: SparkSession,
+                                   root: String): Option[BigInt] =
+    scala.util.Try {
+      val fs = fsFor(spark, root)
+      currentVersion(spark, root).flatMap { v =>
+        val m = readManifest(fs, root, v)
+        val live = m.mapping.keys.toSeq
+        if (live.forall(m.dirBytes.contains))
+          Some(live.map(r => BigInt(m.dirBytes(r))).sum)
+        else None
+      }
+    }.toOption.flatten
 
   /** Size hint for the static-vs-AQE gate: the SUM OF LEAF estimates —
     * the bytes the plan can actually read — not the propagated plan
@@ -2472,7 +2502,24 @@ object VersionedTable {
       // and never took the static path (see smallQuery's note)
       val updatesBytes: Option[BigInt] = leafBytesHint(updates)
       val sparkW = commitSession(spark, updatesBytes)
-      val entries = Merge.partitionDirEntries(sparkW, gated, partCols)
+      // ONE single-stage probe serves both the touched-dir entries and
+      // the survivors anti-join's key set on the static small-commit
+      // path (Merge.deltaProbe) — replacing the separate distinct+
+      // collect job AND the write plan's re-aggregation of the delta's
+      // keys. The row cap guards explode-shaped deltas whose leaf bytes
+      // are small but whose output is not (the leaf-sum gate cannot see
+      // a Generate's fan-out); past it the two-pass shape returns.
+      val probe: Option[(Seq[Seq[Any]], Seq[(Seq[Any], String)])] =
+        if (sparkW ne spark) {
+          val probeMax = scala.util.Try(spark.conf.get(
+            "spark.graft.commit.deltaProbeMaxRows", "4096").toInt)
+            .getOrElse(4096)
+          scala.util.Try(
+            Merge.deltaProbe(sparkW, gated, keys, partCols, probeMax))
+            .toOption.flatten
+        } else None
+      val entries = probe.map(_._2).getOrElse(
+        Merge.partitionDirEntries(sparkW, gated, partCols))
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
       // replaceAll (INSERT OVERWRITE): no survivors anywhere — prior
@@ -2527,19 +2574,104 @@ object VersionedTable {
           // applies with <=>), so a null-keyed row is REPLACED by a
           // null-keyed update — a plain equality would leave the old row
           // alongside the new one forever
-          val updKeys = gated.select(keys.map(k =>
-            col(k).as(s"__u_$k")): _*).distinct()
-          // static small commits are JOB-count-priced: a broadcast of the
-          // key set materializes as its own Spark job, so force the anti-
-          // join's build side through a shuffled hash join — its shuffle
-          // runs as stages INSIDE the one write job. Large (AQE) commits
-          // keep broadcast: there the touched-dir side can be multi-GB
-          // and broadcasting the small key set beats shuffling it.
-          val updKeysJ =
-            if (sparkWrite ne spark) updKeys.hint("shuffle_hash") else updKeys
-          val survivors = old.join(updKeysJ,
-            keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _),
-            "left_anti")
+          val keyTypes = keys.map(k => gated.schema(k).dataType)
+          // delta keys already collected by the probe: fold them into
+          // the write plan instead of re-evaluating the delta. Small key
+          // sets inline as a null-safe NOT-matches-any FILTER on the
+          // survivors scan — the left_anti <=> join as ONE expression
+          // (array_contains over a literal array<struct> of the key
+          // tuples: constant-size generated code regardless of tuple
+          // count, so analysis/codegen stay flat per commit), removing
+          // the exchange from BOTH join sides. Struct equality inside
+          // array_contains is ordering-based (null fields compare equal,
+          // exactly <=>), EXCEPT float/double (-0.0 vs 0.0, NaN — those
+          // key types skip the inline path and keep the planner's
+          // NormalizeFloatingNumbers treatment). The linear scan per
+          // survivor row is budgeted against the manifest's touched-dir
+          // row counts. Bigger/unsafe probed sets become a LocalRelation
+          // build side (no delta re-scan; the join shuffles remain).
+          val inlineMax = scala.util.Try(spark.conf.get(
+            "spark.graft.commit.inlineKeysMax", "1024").toInt)
+            .getOrElse(1024)
+          val inlineCmpBudget = scala.util.Try(spark.conf.get(
+            "spark.graft.commit.inlineCmpBudget", "100000000").toLong)
+            .getOrElse(100000000L)
+          val inlineTypesSafe = keys.indices.forall { i =>
+            (keyTypes(i) match {
+              case org.apache.spark.sql.types.StringType |
+                   org.apache.spark.sql.types.BooleanType |
+                   org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.DateType |
+                   org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType |
+                   org.apache.spark.sql.types.BinaryType => true
+              case _: org.apache.spark.sql.types.DecimalType => true
+              case _ => false
+            }) && old.columns.contains(keys(i)) &&
+              old.schema(keys(i)).dataType == keyTypes(i)
+          }
+          // survivors-row budget from the manifest (None = unknown = skip)
+          val touchedRows: Option[Long] = prior.flatMap { m =>
+            touchedLive.keysIterator.map(m.dirRows.get)
+              .foldLeft(Option(0L)) {
+                case (Some(acc), Some(r)) => Some(acc + r)
+                case _ => None
+              }
+          }
+          val survivorsInline: Option[DataFrame] = probe.map(_._1) match {
+            case Some(tuples) if tuples.size <= inlineMax &&
+                inlineTypesSafe && touchedRows.exists(r =>
+                  r * math.max(tuples.size.toLong, 1L) <= inlineCmpBudget) =>
+              scala.util.Try {
+                if (tuples.isEmpty) old
+                else {
+                  val st = StructType(keys.indices.map(i =>
+                    org.apache.spark.sql.types.StructField(keys(i),
+                      keyTypes(i), nullable = true)))
+                  val arrLit = org.apache.spark.sql.graftbridge.ColumnBridge
+                    .column(org.apache.spark.sql.catalyst.expressions.Literal
+                      .create(tuples.map(t =>
+                        org.apache.spark.sql.Row.fromSeq(t)),
+                        org.apache.spark.sql.types.ArrayType(st,
+                          containsNull = false)))
+                  val probeStruct = org.apache.spark.sql.functions.struct(
+                    keys.map(k => col(k).as(k)): _*)
+                  // analysis runs eagerly here: any type/shape mismatch
+                  // throws inside the Try and falls back to the join
+                  old.filter(!org.apache.spark.sql.functions
+                    .array_contains(arrLit, probeStruct))
+                }
+              }.toOption
+            case _ => None
+          }
+          val survivors = survivorsInline.getOrElse {
+            val updKeys = probe.map(_._1) match {
+              case Some(tuples) =>
+                val keySchema = StructType(keys.indices.map(i =>
+                  org.apache.spark.sql.types.StructField(
+                    s"__u_${keys(i)}", keyTypes(i), nullable = true)))
+                import scala.jdk.CollectionConverters._
+                sparkWrite.createDataFrame(tuples.map(t =>
+                  org.apache.spark.sql.Row.fromSeq(t)).asJava, keySchema)
+              case None => gated.select(keys.map(k =>
+                col(k).as(s"__u_$k")): _*).distinct()
+            }
+            // static small commits are JOB-count-priced: a broadcast of
+            // the key set materializes as its own Spark job, so force
+            // the anti-join's build side through a shuffled hash join —
+            // its shuffle runs as stages INSIDE the one write job.
+            // Large (AQE) commits keep broadcast: there the touched-dir
+            // side can be multi-GB and broadcasting the small key set
+            // beats shuffling it.
+            val updKeysJ = if (sparkWrite ne spark)
+              updKeys.hint("shuffle_hash") else updKeys
+            old.join(updKeysJ,
+              keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _),
+              "left_anti")
+          }
           gated.unionByName(survivors, allowMissingColumns = true)
         }
       // one writer per partition (see Merge.upsertParquetPruned note);

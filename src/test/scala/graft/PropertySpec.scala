@@ -51,6 +51,31 @@ class PropertySpec extends SparkSpec {
       }
       assert(got == brute, s"seed $seed")
     }
+    // independent check on the WELL-FORMED-ONLY subset: there (C − n)/2
+    // IS the true unordered overlap-pair count, counted here directly
+    // over pairs — this assertion does not mirror the implementation's
+    // arithmetic, so a shared misconception in the formula itself (not
+    // just a divergence from it) would fail this leg
+    for (seed <- Seq(7, 41)) {
+      val rnd = new Random(seed)
+      val rows = Seq.fill(300) {
+        val k = s"k${rnd.nextInt(8)}"
+        val s = rnd.nextInt(40).toLong
+        (k, s, s + rnd.nextInt(6).toLong)
+      }
+      val got = graft.ops.RangeJoin
+        .intervalOverlapPairs(rows.toDF("k", "s", "e"), Seq("k"), "s", "e")
+        .collect().map(r => r.getAs[String]("k") ->
+          r.getAs[Long]("n_overlap_pairs")).toMap
+      val truePairs = rows.groupBy(_._1).flatMap { case (k, iv) =>
+        val n = (for {
+          i <- iv.indices; j <- (i + 1) until iv.size
+          if iv(i)._2 <= iv(j)._3 && iv(j)._2 <= iv(i)._3
+        } yield 1).size
+        if (n > 0) Some(k -> n.toLong) else None
+      }
+      assert(got == truePairs, s"well-formed seed $seed")
+    }
   }
 
   test("upsertParquetPruned equals the logical upsert on random composite layouts") {
