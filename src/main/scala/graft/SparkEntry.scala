@@ -4710,8 +4710,13 @@ object SparkEntry {
       k = 5, nProbe = 16).select(col("query_id"), col("neighbor_id"),
       col("cosine_sim").as("__qs"))
     val both = fTop.join(qTop, Seq("query_id", "neighbor_id"))
-    def bytesOf(root: String): Long = VersionedTable
-      .partitionsMeta(s, root).agg(sum(col("bytes"))).first.getLong(0)
+    // manifest-served byte totals (zero Spark jobs); identical to
+    // partitionsMeta(...).agg(sum(bytes)) — same dirBytes source — with
+    // that aggregate kept as the fallback for dirs lacking recorded sizes
+    def bytesOf(root: String): Long =
+      VersionedTable.recordedBytes(s, root).map(_.toLong).getOrElse(
+        VersionedTable.partitionsMeta(s, root)
+          .agg(sum(col("bytes"))).first.getLong(0))
     // int8 codes + per-row scale vs the float-array SOURCE table the
     // index embeds: strictly smaller at ANY scale (at the 500-vector
     // verify scales per-file parquet overhead dominates both sides, so
