@@ -154,25 +154,27 @@ object Merge {
     }
   }
 
-  /** One-job delta probe for SMALL (statically planned) commits: collects
-    * the delta's DISTINCT (merge keys ++ partition values ++ partition
-    * string forms) in a SINGLE STAGE — per-partition local distinct,
-    * driver-side final dedupe, no exchange — and returns (key tuples,
-    * dir entries), or None when any partition exceeds `maxRows` distinct
-    * rows (explode-shaped deltas whose leaf bytes are small but whose
-    * output is not; the caller falls back to the two-pass shape). One
-    * probe serves BOTH consumers that otherwise each evaluate the delta:
-    * the touched-dir entries ([[partitionDirEntries]]'s distinct+collect
-    * job, with its exchange) and the survivors anti-join's key set (the
-    * write plan's two HashAggregate exchanges over a re-scan of the
-    * delta). Values and dir names render through exactly the code paths
-    * partitionDirEntries uses (session-tz string cast evaluated inside
-    * Spark, ExternalCatalogUtils.getPartitionPathString on the driver),
-    * so the entries are byte-identical to that job's. */
+  /** One-job delta probe for SMALL (statically planned) commits: one
+    * SINGLE-STAGE pass over the delta (per-partition local distincts,
+    * driver-side final dedupe, no exchange) that serves BOTH consumers
+    * that otherwise each evaluate the delta: the touched-dir entries
+    * ([[partitionDirEntries]]'s distinct+collect job, with its exchange)
+    * and the survivors anti-join's key set (the write plan's two
+    * HashAggregate exchanges over a re-scan of the delta). Returns
+    * (entries, Some(key tuples)) — the ENTRIES side is always complete
+    * (its per-partition volume is bounded by the touched-partition
+    * count, same class as the job it replaces), while the KEY side
+    * drops to None past `maxKeyRows` distinct tuples per partition
+    * (explode-shaped deltas whose leaf bytes are small but whose output
+    * is not; the caller then keeps the in-plan key aggregation, with no
+    * second entries job). Values and dir names render through exactly
+    * the code paths partitionDirEntries uses (session-tz string cast
+    * evaluated inside Spark, getPartitionPathString on the driver), so
+    * the entries are byte-identical to that job's. */
   private[graft] def deltaProbe(spark: SparkSession, values: DataFrame,
                                 keys: Seq[String], partCols: Seq[String],
-                                maxRows: Int)
-      : Option[(Seq[Seq[Any]], Seq[(Seq[Any], String)])] = {
+                                maxKeyRows: Int)
+      : (Seq[(Seq[Any], String)], Option[Seq[Seq[Any]]]) = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val nk = keys.length
     val np = partCols.length
@@ -184,33 +186,49 @@ object Merge {
           col(c).as(s"__graft_p$i") } ++
         partCols.zipWithIndex.map { case (c, i) =>
           col(c).cast("string").as(s"__graft_s$i") }: _*)
-    val cap = maxRows
-    // one stage: local distinct per partition, overflow signalled by a
-    // null sentinel so a runaway delta aborts the transfer at cap+1
-    // rows per partition instead of flooding the driver
+    val cap = maxKeyRows
+    // tagged rows: 0 = a partition-combo row (always emitted, complete),
+    // 1 = a key tuple (stops at cap+1 per partition; tag 2 = overflow
+    // marker so a runaway delta aborts the key transfer instead of
+    // flooding the driver — the entries keep flowing regardless)
     val collected = proj.rdd.mapPartitions { it =>
-      val seen = scala.collection.mutable.LinkedHashSet
+      val keySeen = scala.collection.mutable.LinkedHashSet
+        .empty[org.apache.spark.sql.Row]
+      val partSeen = scala.collection.mutable.LinkedHashSet
         .empty[org.apache.spark.sql.Row]
       var overflow = false
-      while (it.hasNext && !overflow) {
-        seen += it.next()
-        if (seen.size > cap) overflow = true
+      while (it.hasNext) {
+        val r = it.next()
+        partSeen += org.apache.spark.sql.Row.fromSeq(
+          (nk until nk + 2 * np).map(r.get))
+        if (!overflow) {
+          keySeen += org.apache.spark.sql.Row.fromSeq(
+            (0 until nk).map(r.get))
+          if (keySeen.size > cap) { overflow = true; keySeen.clear() }
+        }
       }
-      if (overflow) Iterator(null) else seen.iterator
+      partSeen.iterator.map(r => (0, r)) ++
+        (if (overflow) Iterator((2, null: org.apache.spark.sql.Row))
+         else keySeen.iterator.map(r => (1, r)))
     }.collect()
-    if (collected.contains(null)) return None
-    val rows = collected.toSeq.distinct
-    if (rows.size > cap) return None
-    val keyTuples = rows.map(r => (0 until nk).map(r.get)).distinct
-    val entries = rows.map { r =>
-      val vals = (0 until np).map(i => r.get(nk + i))
-      val rel = partCols.zipWithIndex.map { case (c, i) =>
-        ExternalCatalogUtils.getPartitionPathString(c,
-          r.getString(nk + np + i))
-      }.mkString("/")
-      (vals, rel)
-    }.distinct
-    Some((keyTuples, entries))
+    val entries = collected.iterator.filter(_._1 == 0).map(_._2).toSeq
+      .distinct.map { r =>
+        val vals = (0 until np).map(r.get)
+        val rel = partCols.zipWithIndex.map { case (c, i) =>
+          ExternalCatalogUtils.getPartitionPathString(c,
+            r.getString(np + i))
+        }.mkString("/")
+        (vals, rel)
+      }.distinct
+    val overflowed = collected.exists(_._1 == 2)
+    val keyTuples =
+      if (overflowed) None
+      else {
+        val ks = collected.iterator.filter(_._1 == 1).map(_._2).toSeq
+          .distinct.map(r => (0 until nk).map(r.get))
+        if (ks.size > cap) None else Some(ks)
+      }
+    (entries, keyTuples)
   }
 
   /** Which of the relative (possibly nested) dir paths exist under

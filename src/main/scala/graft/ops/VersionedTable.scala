@@ -2509,16 +2509,16 @@ object VersionedTable {
       // keys. The row cap guards explode-shaped deltas whose leaf bytes
       // are small but whose output is not (the leaf-sum gate cannot see
       // a Generate's fan-out); past it the two-pass shape returns.
-      val probe: Option[(Seq[Seq[Any]], Seq[(Seq[Any], String)])] =
+      val probe: Option[(Seq[(Seq[Any], String)], Option[Seq[Seq[Any]]])] =
         if (sparkW ne spark) {
           val probeMax = scala.util.Try(spark.conf.get(
             "spark.graft.commit.deltaProbeMaxRows", "4096").toInt)
             .getOrElse(4096)
           scala.util.Try(
             Merge.deltaProbe(sparkW, gated, keys, partCols, probeMax))
-            .toOption.flatten
+            .toOption
         } else None
-      val entries = probe.map(_._2).getOrElse(
+      val entries = probe.map(_._1).getOrElse(
         Merge.partitionDirEntries(sparkW, gated, partCols))
       val valueOf: Map[String, Seq[Any]] = entries.map(_.swap).toMap
       val priorMapping = prior.map(_.mapping).getOrElse(Map.empty)
@@ -2621,7 +2621,7 @@ object VersionedTable {
                 case _ => None
               }
           }
-          val survivorsInline: Option[DataFrame] = probe.map(_._1) match {
+          val survivorsInline: Option[DataFrame] = probe.flatMap(_._2) match {
             case Some(tuples) if tuples.size <= inlineMax &&
                 inlineTypesSafe && touchedRows.exists(r =>
                   r * math.max(tuples.size.toLong, 1L) <= inlineCmpBudget) =>
@@ -2648,7 +2648,7 @@ object VersionedTable {
             case _ => None
           }
           val survivors = survivorsInline.getOrElse {
-            val updKeys = probe.map(_._1) match {
+            val updKeys = probe.flatMap(_._2) match {
               case Some(tuples) =>
                 val keySchema = StructType(keys.indices.map(i =>
                   org.apache.spark.sql.types.StructField(
