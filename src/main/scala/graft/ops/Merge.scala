@@ -173,14 +173,16 @@ object Merge {
     * the entries are byte-identical to that job's. */
   private[graft] def deltaProbe(spark: SparkSession, values: DataFrame,
                                 keys: Seq[String], partCols: Seq[String],
-                                maxKeyRows: Int)
+                                maxKeyRows: Int,
+                                collectKeys: Boolean = true)
       : (Seq[(Seq[Any], String)], Option[Seq[Seq[Any]]]) = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val nk = keys.length
+    val nk = if (collectKeys) keys.length else 0
+    val keyCols = if (collectKeys) keys else Nil
     val np = partCols.length
     val proj = org.apache.spark.sql.graftbridge.SessionBridge
       .rebind(spark, values).select(
-        keys.zipWithIndex.map { case (c, i) =>
+        keyCols.zipWithIndex.map { case (c, i) =>
           col(c).as(s"__graft_k$i") } ++
         partCols.zipWithIndex.map { case (c, i) =>
           col(c).as(s"__graft_p$i") } ++
@@ -201,7 +203,7 @@ object Merge {
         val r = it.next()
         partSeen += org.apache.spark.sql.Row.fromSeq(
           (nk until nk + 2 * np).map(r.get))
-        if (!overflow) {
+        if (nk > 0 && !overflow) {
           keySeen += org.apache.spark.sql.Row.fromSeq(
             (0 until nk).map(r.get))
           if (keySeen.size > cap) { overflow = true; keySeen.clear() }
@@ -222,7 +224,7 @@ object Merge {
       }.distinct
     val overflowed = collected.exists(_._1 == 2)
     val keyTuples =
-      if (overflowed) None
+      if (!collectKeys || overflowed) None
       else {
         val ks = collected.iterator.filter(_._1 == 1).map(_._2).toSeq
           .distinct.map(r => (0 until nk).map(r.get))

@@ -2515,7 +2515,11 @@ object VersionedTable {
             "spark.graft.commit.deltaProbeMaxRows", "4096").toInt)
             .getOrElse(4096)
           scala.util.Try(
-            Merge.deltaProbe(sparkW, gated, keys, partCols, probeMax))
+            Merge.deltaProbe(sparkW, gated, keys, partCols, probeMax,
+              // keys feed ONLY the survivors anti-join: an initial load
+              // or an INSERT OVERWRITE has no survivors, so skip the
+              // key-set transfer outright
+              collectKeys = !replaceAll && prior.nonEmpty))
             .toOption
         } else None
       val entries = probe.map(_._1).getOrElse(
