@@ -2510,7 +2510,8 @@ object VersionedTable {
       // are small but whose output is not (the leaf-sum gate cannot see
       // a Generate's fan-out); past it the two-pass shape returns.
       val probe: Option[(Seq[(Seq[Any], String)], Option[Seq[Seq[Any]]])] =
-        if (sparkW ne spark) {
+        if ((sparkW ne spark) && spark.conf.get(
+            "spark.graft.commit.deltaProbe", "on") != "off") {
           val probeMax = scala.util.Try(spark.conf.get(
             "spark.graft.commit.deltaProbeMaxRows", "4096").toInt)
             .getOrElse(4096)
