@@ -380,6 +380,11 @@ object JoinMatView {
     val withBucket = VersionedTable.smallQuery(rows.withColumn("__bucket",
       pmod(xxhash64(spec.groupCols.map(col): _*), lit(spec.buckets))
         .cast("int"))).persist()
+    // materialize before the upsert (see MatView.commit): the gate then
+    // reads the cached refresh rows' REAL bytes instead of the origin
+    // join's propagated estimate, so a view-sized refresh commits on the
+    // static path and rides the delta probe
+    withBucket.count()
     try VersionedTable.upsert(spark, viewRoot, withBucket,
       keys = spec.groupCols :+ "__bucket", partCols = Seq("__bucket"),
       txn = tags.headOption, extraTxns = tags.drop(1))

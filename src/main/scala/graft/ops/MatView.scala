@@ -463,6 +463,13 @@ object MatView {
     val withBucket = VersionedTable.smallQuery(rows.withColumn("__bucket",
       pmod(xxhash64(spec.groupCols.map(col): _*), lit(spec.buckets))
         .cast("int"))).persist()
+    // materialize the cache BEFORE the upsert: an unmaterialized
+    // InMemoryRelation reports its origin plan's PROPAGATED size (join-
+    // multiplied, effectively infinite for a refresh delta), so the
+    // commit's static-vs-AQE gate never saw the refresh rows' real
+    // (view-sized) bytes; the count builds the cache the write scans
+    // anyway and the gate then reads the cached size
+    withBucket.count()
     // __bucket is a pure function of the group columns, so adding it to
     // the merge key changes nothing semantically and satisfies the
     // partCols-within-keys contract
